@@ -1,0 +1,31 @@
+"""distill_spark — a PySpark-native context-distillation analytics engine.
+
+Re-expresses the operator semantics of the reference engine
+(Siddhant-K-code/distill, studied at /root/reference) on Spark
+DataFrames, designed for 100 TB scale:
+
+- ``functions.vectormath``   — cosine/euclidean/dot/normalize as pure
+  column expressions (F1-F6 in SURVEY.md §2.2).
+- ``operators.cluster``      — threshold clustering (A1) via similarity
+  join + connected components, with an exact per-group fallback.
+- ``operators.kmeans_dedup`` — K-Means + medoid prune (A2) scale path.
+- ``operators.select``       — per-cluster representative selection (A4).
+- ``operators.mmr``          — greedy MMR re-rank (T2).
+- ``plans.dedupe``           — the /v1/dedupe pipeline (§3.1).
+- ``plans.pipeline``         — dedup → compress → summarize (§3.2).
+- ``operators.compress``     — extractive/placeholder/pruner (C1-C4).
+- ``operators.summarize``    — hierarchical summarization (C5-C6).
+- ``operators.memory``       — memory store semantics (ST1-ST3, W4-W5).
+- ``operators.sessions``     — session budget windows (ST4-ST5, W1-W2, W6).
+- ``operators.graph``        — blast-radius BFS + degree stats (G1-G4).
+- ``operators.commits``      — commit analytics (F11, J3, A8-A9).
+- ``operators.dedup_text``   — exact / MinHash-LSH / SimHash / n-gram
+  Jaccard / embedding-cosine dedup (training-data extensions).
+- ``operators.similarity``   — brute-force + LSH-bucketed ANN top-k.
+- ``operators.textstats``    — language-ID, quality scoring, token
+  counting, fingerprinting.
+- ``operators.multimodal``   — binary-column decode/feature plumbing
+  (decode stubbed; Spark-side plumbing real).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,1 @@
+from distill_spark.functions import hashing, textfn, vectormath  # noqa: F401

@@ -1,0 +1,77 @@
+"""Content hashing (F7-F9 in SURVEY.md §2.2) as column expressions.
+
+Reference semantics: pkg/cache/patterns.go:293-307 (SHA-256 first 16
+hex chars; chunk-set hash over id+text concatenation),
+pkg/cache/prefix.go:93-100 (NUL-joined prefix hash),
+pkg/session/sqlite.go:692-705 (FNV-1a 64-bit content hash),
+pkg/memory/helpers.go:12-23 (timestamp-prefixed random id).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def hash_text(text: Column) -> Column:
+    """SHA-256, first 16 hex chars (patterns.go:293-298)."""
+    return F.substring(F.sha2(F.coalesce(text, F.lit("")), 256), 1, 16)
+
+
+def hash_prefix(texts: Column) -> Column:
+    """Hash of an ordered array of texts joined with NUL
+    (prefix.go:93-100)."""
+    return F.substring(F.sha2(F.array_join(texts, "\x00"), 256), 1, 16)
+
+
+def hash_chunks(df: DataFrame, id_col: str = "id", text_col: str = "text",
+                order_col: str | None = None) -> DataFrame:
+    """Hash of a whole chunk set: concat id+text in order, SHA-256/16
+    (patterns.go:300-307). Returns a 1-row DataFrame (chunk_set_hash)."""
+    order = order_col or id_col
+    pair = F.concat(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")))
+    return (
+        df.select(F.struct(F.col(order).alias("o"), pair.alias("p")).alias("s"))
+        .agg(F.array_sort(F.collect_list("s")).alias("arr"))
+        .select(
+            F.substring(
+                F.sha2(F.array_join(F.transform("arr", lambda s: s.p), ""), 256), 1, 16
+            ).alias("chunk_set_hash")
+        )
+    )
+
+
+def content_hash_fnv1a(text: Column) -> Column:
+    """FNV-1a 64-bit hex (sqlite.go:692-705), bit-compatible with the
+    reference. Arrow-batched pandas UDF — used only where bit-parity
+    matters; the scale path is :func:`content_hash_fast`."""
+    return _fnv1a64(F.coalesce(text, F.lit("")))
+
+
+@F.pandas_udf(T.StringType())
+def _fnv1a64(s: pd.Series) -> pd.Series:
+    def fnv(t: str) -> str:
+        h = 0xCBF29CE484222325
+        for b in t.encode("utf-8"):
+            h ^= b
+            h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return format(h, "016x")
+
+    return s.map(fnv)
+
+
+def content_hash_fast(text: Column) -> Column:
+    """xxhash64 (JVM-side, codegen'd) — same role as FNV content hash,
+    preferred in the 100 TB hot path."""
+    return F.hex(F.xxhash64(F.coalesce(text, F.lit(""))))
+
+
+def generate_id(ts: Column | None = None) -> Column:
+    """Time-prefixed unique id (helpers.go:12-23): 4-byte unix-ts hex
+    prefix + random suffix; sorts roughly by creation time."""
+    prefix = F.lpad(
+        F.hex((ts.cast("long") if ts is not None else F.unix_timestamp())), 8, "0"
+    )
+    return F.concat(prefix, F.replace(F.uuid(), F.lit("-"), F.lit("")).substr(1, 16))

@@ -1,0 +1,121 @@
+"""Text-domain scalar functions as pure column expressions:
+sensitivity classification (F10) and conventional-commit parsing (F11).
+
+Reference semantics: pkg/sensitivity/sensitivity.go:75-136 (regex bank,
+max level wins, internal-domain substrings) and
+pkg/commits/commits.go:353-393 (type(scope)!: desc parsing).
+Everything is `regexp_like`/`when` cascades — JVM-side, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# name, java-regex, level — mirrors sensitivity.go:75-93 (order matters
+# only for the matches list; level is max across all hits).
+SENSITIVITY_PATTERNS: list[tuple[str, str, int]] = [
+    ("aws_access_key", r"AKIA[0-9A-Z]{16}", 3),
+    ("openai_api_key", r"sk-[a-zA-Z0-9_-]{20,}", 3),
+    ("github_token", r"ghp_[a-zA-Z0-9]{36}", 3),
+    ("github_token_old", r"gh[pousr]_[a-zA-Z0-9]{36}", 3),
+    ("slack_token", r"xox[baprs]-[a-zA-Z0-9-]+", 3),
+    ("generic_secret", r"(?i)(password|secret|token|api_key|apikey)\s*[:=]\s*\S+", 3),
+    ("email_address", r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}", 1),
+    ("phone_number", r"(?:\+?1[-.\s]?)?\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}", 1),
+    # The reference's RE2 pattern `\b(?:\d[ -]*?){13,19}\b` is linear in
+    # RE2 but catastrophically backtracks in Java's regex engine.
+    # Equivalent language, Java-safe via possessive separator:
+    ("credit_card", r"\b\d(?:[ -]*+\d){12,18}\b", 1),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", 1),
+]
+
+INTERNAL_DOMAINS = [".internal", ".corp", ".local"]
+
+LEVEL_NAMES = {0: "none", 1: "pii", 2: "internal", 3: "credentials"}
+
+
+def sensitivity_level(text: Column,
+                      internal_domains: list[str] | None = None) -> Column:
+    """Max sensitivity level in text: 0 none / 1 PII / 2 internal /
+    3 credentials (sensitivity.go:110-136)."""
+    domains = INTERNAL_DOMAINS if internal_domains is None else internal_domains
+    t = F.coalesce(text, F.lit(""))
+    lower = F.lower(t)
+    # Independent flat branches folded with greatest() — never nest
+    # when().otherwise(prev) in a loop (exponential Catalyst tree).
+    branches = [
+        F.when(t.rlike(expr), F.lit(lvl)).otherwise(F.lit(0))
+        for _, expr, lvl in SENSITIVITY_PATTERNS
+    ]
+    for d in domains:
+        branches.append(F.when(lower.contains(d.lower()), F.lit(2)).otherwise(F.lit(0)))
+    return F.greatest(F.lit(0), *branches)
+
+
+def sensitivity_matches(text: Column,
+                        internal_domains: list[str] | None = None) -> Column:
+    """Array of matched pattern names, in bank order then
+    internal_domain last (mirrors Classify's append order)."""
+    domains = INTERNAL_DOMAINS if internal_domains is None else internal_domains
+    t = F.coalesce(text, F.lit(""))
+    hits = [
+        F.when(t.rlike(expr), F.lit(name)) for name, expr, _ in SENSITIVITY_PATTERNS
+    ]
+    any_domain = F.lit(False)
+    lower = F.lower(t)
+    for d in domains:
+        any_domain = any_domain | lower.contains(d.lower())
+    hits.append(F.when(any_domain, F.lit("internal_domain")))
+    return F.filter(F.array(*hits), lambda x: x.isNotNull())
+
+
+# ---------------------------------------------------------------- commits
+
+_TYPE_MAP = {
+    "feat": "feat", "feature": "feat",
+    "fix": "fix", "bugfix": "fix",
+    "refactor": "refactor",
+    "test": "test", "tests": "test",
+    "docs": "docs", "doc": "docs",
+    "chore": "chore",
+    "perf": "perf",
+    "revert": "revert",
+}
+
+
+def commit_breaking(msg: Column) -> Column:
+    """Breaking iff message contains 'BREAKING CHANGE' or '!'
+    (commits.go:356)."""
+    m = F.trim(F.coalesce(msg, F.lit("")))
+    return m.contains("BREAKING CHANGE") | m.contains("!")
+
+
+def commit_prefix(msg: Column) -> Column:
+    """Text before the first ':', trimmed, trailing '!' stripped."""
+    m = F.trim(F.coalesce(msg, F.lit("")))
+    prefix = F.trim(F.substring_index(m, ":", 1))
+    return F.when(F.instr(m, ":") == 0, F.lit(None)).otherwise(
+        F.regexp_replace(prefix, r"!$", "")
+    )
+
+
+def commit_scope(msg: Column) -> Column:
+    """Scope inside '(...)' of the prefix, '' if none (commits.go:366-372)."""
+    p = commit_prefix(msg)
+    scope = F.regexp_extract(F.coalesce(p, F.lit("")), r"\(([^)]*)\)", 1)
+    return scope
+
+
+def commit_type(msg: Column) -> Column:
+    """Conventional-commit type enum; no ':' or unknown prefix →
+    'unknown' (commits.go:374-393)."""
+    p = commit_prefix(msg)
+    base = F.lower(F.when(p.contains("("), F.substring_index(p, "(", 1)).otherwise(p))
+    # Single flat CaseWhen (chained .when on one builder), not a nested fold.
+    items = iter(_TYPE_MAP.items())
+    k0, v0 = next(items)
+    expr = F.when(base == k0, F.lit(v0))
+    for k, v in items:
+        expr = expr.when(base == k, F.lit(v))
+    return F.coalesce(expr.otherwise(F.lit("unknown")), F.lit("unknown"))

@@ -1,0 +1,150 @@
+"""Vector math as pure Spark column expressions (no UDFs).
+
+Re-expresses the reference's float32 vector library (F1-F6 in
+SURVEY.md §2.2; reference semantics at pkg/math/simd.go:10-200) with
+exact edge-case parity:
+
+- cosine_distance: empty/null input → 2.0; length mismatch → truncate
+  to the shorter vector; zero magnitude → 2.0; similarity clamped to
+  [-1, 1]; denominator is ``sqrt(magA * magB)`` (single sqrt, matching
+  the reference's float ordering).
+- euclidean_distance: **squared** L2; mismatch or empty → DBL_MAX.
+- dot: mismatch or empty → 0.0.
+
+Everything stays JVM-side inside whole-stage codegen — these compile
+to Catalyst ``aggregate``/``zip_with``/``transform`` higher-order
+functions over ``ARRAY<FLOAT>`` columns, computed in float64 like the
+reference. At 100 TB this is the difference between a scan-speed
+similarity join and a Python serialization bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MAX_FLOAT64 = 1.7976931348623157e308
+
+
+def _sum(arr: Column) -> Column:
+    """Left-to-right float64 sum of an array column (matches sequential
+    accumulation order, so results are bit-stable across runs)."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+
+
+def _truncated(a: Column, b: Column) -> tuple[Column, Column]:
+    n = F.least(F.size(a), F.size(b))
+    return F.slice(a, 1, n), F.slice(b, 1, n)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Inner product; length mismatch or empty → 0.0 (simd.go:105-127)."""
+    raw = _sum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
+    return (
+        F.when(a.isNull() | b.isNull(), F.lit(0.0))
+        .when((F.size(a) != F.size(b)) | (F.size(a) == 0), F.lit(0.0))
+        .otherwise(raw)
+    )
+
+
+def euclidean_distance(a: Column, b: Column) -> Column:
+    """Squared L2 distance; mismatch/empty → MaxFloat64 (simd.go:78-102)."""
+    d2 = _sum(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        )
+    )
+    return (
+        F.when(a.isNull() | b.isNull(), F.lit(MAX_FLOAT64))
+        .when((F.size(a) != F.size(b)) | (F.size(a) == 0), F.lit(MAX_FLOAT64))
+        .otherwise(d2)
+    )
+
+
+def _cosine_from_parts(acc: Column) -> Column:
+    """Distance from a (dot, ma, mb) accumulator struct. ``acc`` is a
+    lambda variable here, so repeated references are cheap — this keeps
+    the Catalyst tree small (naively repeating the aggregate expression
+    per reference sends the optimizer's subexpression elimination into
+    minutes of planning, measured)."""
+    denom = F.sqrt(acc.ma * acc.mb)
+    sim = F.least(F.greatest(acc.dot / denom, F.lit(-1.0)), F.lit(1.0))
+    return F.when(denom == 0.0, F.lit(2.0)).otherwise(F.lit(1.0) - sim)
+
+
+def cosine_distance(a: Column, b: Column) -> Column:
+    """1 − cosine similarity ∈ [0, 2] with the reference's edge cases
+    (simd.go:10-69): empty/null → 2.0, zero magnitude → 2.0, length
+    mismatch truncates to the shorter vector. Single-pass accumulation
+    of (dot, |a|², |b|²) like the reference, denominator
+    ``sqrt(ma·mb)``."""
+    at, bt = _truncated(a, b)
+    zipped = F.zip_with(
+        at, bt,
+        lambda x, y: F.struct(x.cast("double").alias("x"), y.cast("double").alias("y")),
+    )
+    zero = F.struct(
+        F.lit(0.0).alias("dot"), F.lit(0.0).alias("ma"), F.lit(0.0).alias("mb")
+    )
+    parts = F.aggregate(
+        zipped,
+        zero,
+        lambda acc, p: F.struct(
+            (acc.dot + p.x * p.y).alias("dot"),
+            (acc.ma + p.x * p.x).alias("ma"),
+            (acc.mb + p.y * p.y).alias("mb"),
+        ),
+        _cosine_from_parts,
+    )
+    return (
+        F.when(a.isNull() | b.isNull(), F.lit(2.0))
+        .when((F.size(a) == 0) | (F.size(b) == 0), F.lit(2.0))
+        .otherwise(parts)
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """1 − cosine_distance (simd.go:73-75). Empty/zero inputs → -1.0."""
+    return F.lit(1.0) - cosine_distance(a, b)
+
+
+def norm(a: Column) -> Column:
+    """L2 norm as float64."""
+    return F.sqrt(_sum(F.transform(a, lambda x: x.cast("double") * x.cast("double"))))
+
+
+def normalize(a: Column) -> Column:
+    """Unit-normalize, keeping float32 element type (simd.go:131-148).
+    Zero vector / empty → unchanged."""
+    mag = norm(a)
+    return (
+        F.when(a.isNull() | (F.size(a) == 0) | (mag == 0.0), a)
+        .otherwise(F.transform(a, lambda x: (x.cast("double") / mag).cast("float")))
+    )
+
+
+def scale(a: Column, s: Column | float) -> Column:
+    """Elementwise scalar multiply (simd.go:166-170)."""
+    s = F.lit(s) if not isinstance(s, Column) else s
+    return F.transform(a, lambda x: (x.cast("double") * s.cast("double")).cast("float"))
+
+
+def add(a: Column, b: Column) -> Column:
+    """Elementwise add over the common prefix (simd.go:152-163)."""
+    at, bt = _truncated(a, b)
+    return F.zip_with(at, bt, lambda x, y: x + y)
+
+
+def estimate_tokens(text: Column) -> Column:
+    """``(len+3)/4`` chars→tokens heuristic (compress/extractive.go:198-203).
+    Integer division, so empty text → 0."""
+    return ((F.length(F.coalesce(text, F.lit(""))) + F.lit(3)) / F.lit(4)).cast("int")
+
+
+def estimate_tokens_nonspace(text: Column) -> Column:
+    """Variant counting non-whitespace runes only
+    (summarize/importance.go:77-86, pipeline/pipeline.go:180-192)."""
+    stripped = F.regexp_replace(F.coalesce(text, F.lit("")), r"\s", "")
+    return ((F.length(stripped) + F.lit(3)) / F.lit(4)).cast("int")

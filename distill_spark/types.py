@@ -1,0 +1,106 @@
+"""Canonical schemas for the engine's domain objects.
+
+Mirrors the reference's data model (SURVEY.md §1; reference structs at
+pkg/types/chunk.go:6-24, pkg/types/vector.go:5-9,
+pkg/memory/store.go:33-50, pkg/session/sqlite.go:64-101,
+pkg/summarize/summarize.go:27-37, pkg/commits/commits.go:40-59,
+pkg/graph/graph.go:22-51) as Spark StructTypes. Embeddings stay
+``ARRAY<FLOAT>`` — float32, matching the reference's deliberate memory
+economy (pkg/types/vector.go:4) and halving shuffle width at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+EMBEDDING = T.ArrayType(T.FloatType())
+
+CHUNK_SCHEMA = T.StructType([
+    T.StructField("id", T.StringType(), False),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("embedding", EMBEDDING, True),
+    T.StructField("score", T.FloatType(), True),
+    T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+    T.StructField("cluster_id", T.LongType(), True),  # -1 / null = unclustered
+])
+
+VECTOR_SCHEMA = T.StructType([
+    T.StructField("id", T.StringType(), False),
+    T.StructField("values", EMBEDDING, True),
+    T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+])
+
+MEMORY_SCHEMA = T.StructType([
+    T.StructField("id", T.StringType(), False),
+    T.StructField("text", T.StringType(), False),
+    T.StructField("embedding", EMBEDDING, True),
+    T.StructField("source", T.StringType(), True),
+    T.StructField("session_id", T.StringType(), True),
+    T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+    T.StructField("tags", T.ArrayType(T.StringType()), True),
+    T.StructField("decay_level", T.IntegerType(), True),   # 0 full/1 summary/2 keywords
+    T.StructField("sensitivity", T.IntegerType(), True),   # 0/1 pii/2 internal/3 creds
+    T.StructField("created_at", T.TimestampType(), True),
+    T.StructField("last_referenced", T.TimestampType(), True),
+    T.StructField("access_count", T.IntegerType(), True),
+    T.StructField("expired", T.BooleanType(), True),
+    T.StructField("expired_at", T.TimestampType(), True),
+    T.StructField("superseded_by", T.StringType(), True),
+    T.StructField("expires_at", T.TimestampType(), True),
+])
+
+SESSION_ENTRY_SCHEMA = T.StructType([
+    T.StructField("id", T.StringType(), False),
+    T.StructField("session_id", T.StringType(), False),
+    T.StructField("role", T.StringType(), True),
+    T.StructField("content", T.StringType(), True),
+    T.StructField("original_content", T.StringType(), True),
+    T.StructField("source", T.StringType(), True),
+    T.StructField("embedding", EMBEDDING, True),
+    T.StructField("importance", T.DoubleType(), True),
+    T.StructField("compression_level", T.IntegerType(), True),  # 0..3
+    T.StructField("tokens", T.IntegerType(), True),
+    T.StructField("seq", T.LongType(), True),
+    T.StructField("inserted_at_push", T.LongType(), True),
+    T.StructField("stable_since_turn", T.LongType(), True),
+    T.StructField("content_hash", T.StringType(), True),
+    T.StructField("created_at", T.TimestampType(), True),
+    T.StructField("compressed_at", T.TimestampType(), True),
+])
+
+TURN_SCHEMA = T.StructType([
+    T.StructField("id", T.StringType(), False),
+    T.StructField("role", T.StringType(), True),      # user/assistant/tool/system
+    T.StructField("content", T.StringType(), True),
+    T.StructField("original", T.StringType(), True),
+    T.StructField("ts", T.TimestampType(), True),
+    T.StructField("level", T.IntegerType(), True),    # 0 full … 4 evicted
+    T.StructField("importance", T.DoubleType(), True),
+    T.StructField("tokens", T.IntegerType(), True),
+])
+
+COMMIT_SCHEMA = T.StructType([
+    T.StructField("hash", T.StringType(), False),
+    T.StructField("author", T.StringType(), True),
+    T.StructField("message", T.StringType(), True),
+    T.StructField("body", T.StringType(), True),
+    T.StructField("ts", T.TimestampType(), True),
+    T.StructField("files_changed", T.ArrayType(T.StringType()), True),
+    T.StructField("insertions", T.IntegerType(), True),
+    T.StructField("deletions", T.IntegerType(), True),
+    T.StructField("embedding", EMBEDDING, True),
+])
+
+GRAPH_NODE_SCHEMA = T.StructType([
+    T.StructField("id", T.StringType(), False),
+    T.StructField("type", T.StringType(), True),      # file/package/module
+    T.StructField("package", T.StringType(), True),
+    T.StructField("language", T.StringType(), True),
+    T.StructField("tags", T.ArrayType(T.StringType()), True),
+])
+
+GRAPH_EDGE_SCHEMA = T.StructType([
+    T.StructField("src", T.StringType(), False),
+    T.StructField("dst", T.StringType(), False),
+    T.StructField("weight", T.DoubleType(), True),
+])

@@ -1,0 +1,15 @@
+from __future__ import annotations
+
+import pytest
+
+from distill_spark.runtime import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="distill_spark_tests",
+        master="local[4]",
+        shuffle_partitions=4,
+    )
+    yield s

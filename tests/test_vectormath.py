@@ -1,0 +1,107 @@
+"""Goldens for F1-F6 edge cases (reference: pkg/math/simd.go)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from distill_spark.functions import vectormath as vm
+
+
+def _eval(spark, a, b, fn):
+    df = spark.createDataFrame(
+        [(a, b)], "a array<float>, b array<float>"
+    ).select(fn(F.col("a"), F.col("b")).alias("v"))
+    return df.collect()[0]["v"]
+
+
+def test_cosine_identical(spark):
+    assert _eval(spark, [1.0, 2.0, 3.0], [1.0, 2.0, 3.0], vm.cosine_distance) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_cosine_opposite(spark):
+    assert _eval(spark, [1.0, 0.0], [-1.0, 0.0], vm.cosine_distance) == pytest.approx(2.0)
+
+
+def test_cosine_orthogonal(spark):
+    assert _eval(spark, [1.0, 0.0], [0.0, 1.0], vm.cosine_distance) == pytest.approx(1.0)
+
+
+def test_cosine_empty_is_2(spark):
+    # simd.go:11-13 — empty input → max distance
+    assert _eval(spark, [], [1.0, 2.0], vm.cosine_distance) == 2.0
+    assert _eval(spark, [1.0, 2.0], [], vm.cosine_distance) == 2.0
+
+
+def test_cosine_null_is_2(spark):
+    assert _eval(spark, None, [1.0, 2.0], vm.cosine_distance) == 2.0
+
+
+def test_cosine_zero_vector_is_2(spark):
+    # simd.go:55-57 — zero denominator → 2.0
+    assert _eval(spark, [0.0, 0.0], [1.0, 2.0], vm.cosine_distance) == 2.0
+
+
+def test_cosine_length_mismatch_truncates(spark):
+    # simd.go:14-21 — use shorter length: [1,0] vs [1,0,<ignored>]
+    got = _eval(spark, [1.0, 0.0], [1.0, 0.0, 99.0], vm.cosine_distance)
+    assert got == pytest.approx(0.0, abs=1e-12)
+
+
+def test_cosine_scaled_is_identical(spark):
+    assert _eval(spark, [1.0, 2.0], [2.0, 4.0], vm.cosine_distance) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_similarity_is_one_minus_distance(spark):
+    sim = _eval(spark, [1.0, 2.0], [2.0, 1.0], vm.cosine_similarity)
+    dist = _eval(spark, [1.0, 2.0], [2.0, 1.0], vm.cosine_distance)
+    assert sim == pytest.approx(1.0 - dist)
+    assert sim == pytest.approx(4.0 / 5.0)
+
+
+def test_euclidean_is_squared(spark):
+    # simd.go:78-102 — returns SQUARED L2
+    assert _eval(spark, [0.0, 0.0], [3.0, 4.0], vm.euclidean_distance) == pytest.approx(25.0)
+
+
+def test_euclidean_mismatch_is_max(spark):
+    assert _eval(spark, [1.0], [1.0, 2.0], vm.euclidean_distance) == vm.MAX_FLOAT64
+    assert _eval(spark, [], [], vm.euclidean_distance) == vm.MAX_FLOAT64
+
+
+def test_dot(spark):
+    assert _eval(spark, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0], vm.dot) == pytest.approx(32.0)
+    # mismatch → 0 (simd.go:106-108)
+    assert _eval(spark, [1.0], [1.0, 2.0], vm.dot) == 0.0
+
+
+def test_normalize(spark):
+    df = spark.range(1).select(
+        vm.normalize(F.lit([3.0, 4.0]).cast("array<float>")).alias("v")
+    )
+    v = df.collect()[0]["v"]
+    assert v[0] == pytest.approx(0.6, abs=1e-6)
+    assert v[1] == pytest.approx(0.8, abs=1e-6)
+    assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-6)
+
+
+def test_normalize_zero_unchanged(spark):
+    df = spark.range(1).select(
+        vm.normalize(F.lit([0.0, 0.0]).cast("array<float>")).alias("v")
+    )
+    assert df.collect()[0]["v"] == [0.0, 0.0]
+
+
+def test_estimate_tokens(spark):
+    df = spark.createDataFrame([("abcd",), ("abcde",), ("",), ("a b",)], "t string")
+    vals = [r["n"] for r in df.select(vm.estimate_tokens(F.col("t")).alias("n")).collect()]
+    # (len+3)/4 integer division: 4→1, 5→2, 0→0, 3→1
+    assert vals == [1, 2, 0, 1]
+
+
+def test_estimate_tokens_nonspace(spark):
+    df = spark.createDataFrame([("a b c d",)], "t string")
+    # stripped len 4 → 1
+    assert df.select(vm.estimate_tokens_nonspace(F.col("t")).alias("n")).collect()[0]["n"] == 1
