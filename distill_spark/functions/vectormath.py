@@ -20,6 +20,7 @@ similarity join and a Python serialization bottleneck.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -135,6 +136,56 @@ def add(a: Column, b: Column) -> Column:
     """Elementwise add over the common prefix (simd.go:152-163)."""
     at, bt = _truncated(a, b)
     return F.zip_with(at, bt, lambda x, y: x + y)
+
+
+def _cosine_distance_np(a_vals, b_vals):
+    """Vectorized reference-semantics cosine distance over two object
+    arrays of vectors. Edge cases per simd.go:10-69."""
+    import numpy as np
+
+    n = len(a_vals)
+    out = np.full(n, 2.0)
+    la = np.fromiter(
+        (0 if v is None else len(v) for v in a_vals), dtype=np.int64, count=n
+    )
+    lb = np.fromiter(
+        (0 if v is None else len(v) for v in b_vals), dtype=np.int64, count=n
+    )
+    valid = (la > 0) & (lb > 0)
+    same = valid & (la == lb)
+    for dim in np.unique(la[same]):
+        m = np.where(same & (la == dim))[0]
+        A = np.stack([np.asarray(a_vals[i], dtype=np.float64) for i in m])
+        B = np.stack([np.asarray(b_vals[i], dtype=np.float64) for i in m])
+        dot = np.einsum("ij,ij->i", A, B)
+        mp = np.sqrt(np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = np.where(mp > 0, dot / mp, -1.0)
+        d = 1.0 - np.clip(sim, -1.0, 1.0)
+        d[mp == 0] = 2.0
+        out[m] = d
+    # mismatched lengths: truncate to the shorter (rare path, per-row)
+    for i in np.where(valid & (la != lb))[0]:
+        k = min(la[i], lb[i])
+        x = np.asarray(a_vals[i][:k], dtype=np.float64)
+        y = np.asarray(b_vals[i][:k], dtype=np.float64)
+        mp = float(np.sqrt((x @ x) * (y @ y)))
+        out[i] = 2.0 if mp == 0 else 1.0 - float(np.clip((x @ y) / mp, -1.0, 1.0))
+    return out
+
+
+def make_cosine_distance_udf():
+    """Arrow-batched cosine distance UDF — the pairwise-join hot path.
+    Same semantics as :func:`cosine_distance`; ~10-100× the throughput
+    of the interpreted higher-order-function expression on wide joins
+    (BLAS einsum per batch, one Python call per Arrow batch)."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def cos_dist(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(_cosine_distance_np(a.values, b.values))
+
+    return cos_dist
 
 
 def estimate_tokens(text: Column) -> Column:

@@ -1,0 +1,182 @@
+"""Exact agglomerative clustering (A1) — reference-fidelity route.
+
+Replicates pkg/contextlab/cluster.go:65-214 semantics exactly:
+single/complete/average linkage via Lance-Williams updates (identical
+results to the reference's all-pairs recomputation, vectorized in
+numpy so N=10³ runs in milliseconds instead of the reference's own
+O(N³) scan), threshold stop, MinClusters/MaxClusters stops, missing
+embeddings → pairwise distance 2.0, merge ties broken by first
+(i, j) in ascending scan order — the same order the reference's
+nested loop visits.
+
+Runs per-group under ``applyInPandas`` so bounded-size groups (a
+session, a shard, a retrieval batch) cluster exactly while the whole
+job stays distributed. For unbounded input use the connected-components
+route in :mod:`distill_spark.operators.cluster`.
+"""
+
+from __future__ import annotations
+
+from math import sqrt as math_sqrt
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cosine_distance_matrix(vecs: list[np.ndarray | None]) -> np.ndarray:
+    """Pairwise cosine distances with the reference's edge cases:
+    missing/empty → 2.0, zero-norm → 2.0 (cluster.go:217-242)."""
+    n = len(vecs)
+    d = np.full((n, n), 2.0)
+    np.fill_diagonal(d, 0.0)
+    ok = [v is not None and len(v) > 0 for v in vecs]
+    idx = [i for i in range(n) if ok[i]]
+    if idx:
+        dims = {len(vecs[i]) for i in idx}
+        if len(dims) > 1:
+            # mixed dims: reference truncates per pair (simd.go:14-21) —
+            # rare path, pairwise loop
+            for a in idx:
+                va = np.asarray(vecs[a], dtype=np.float64)
+                for b in idx:
+                    if a >= b:
+                        continue
+                    vb = np.asarray(vecs[b], dtype=np.float64)
+                    k = min(len(va), len(vb))
+                    x, y = va[:k], vb[:k]
+                    mp = math_sqrt((x @ x) * (y @ y))
+                    dist = 2.0 if mp == 0 else 1.0 - float(np.clip((x @ y) / mp, -1, 1))
+                    d[a, b] = d[b, a] = dist
+            return d
+        m = np.stack([np.asarray(vecs[i], dtype=np.float64) for i in idx])
+        norms = np.sqrt((m * m).sum(axis=1))
+        dots = m @ m.T
+        # reference: denom = sqrt(magA*magB); zero → distance 2.0
+        magprod = np.sqrt(np.outer(norms**2, norms**2))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = np.where(magprod > 0, dots / magprod, -1.0)
+        sub = 1.0 - np.clip(sim, -1.0, 1.0)
+        sub[magprod == 0] = 2.0
+        d[np.ix_(idx, idx)] = sub
+        np.fill_diagonal(d, 0.0)
+    return d
+
+
+def agglomerative_labels(
+    vecs: list[np.ndarray | None],
+    threshold: float = 0.15,
+    linkage: str = "average",
+    min_clusters: int = 0,
+    max_clusters: int = 0,
+) -> np.ndarray:
+    """Cluster ids (0..k-1, numbered by surviving node order exactly
+    like cluster.go:186-207) for the input rows, in input order."""
+    n = len(vecs)
+    if n == 0:
+        return np.array([], dtype=np.int64)
+    if n == 1 or not any(v is not None and len(v) > 0 for v in vecs):
+        # no embeddings anywhere → all singletons (cluster.go:105-122);
+        # single row → cluster 0
+        return np.arange(n, dtype=np.int64) if n > 1 else np.zeros(1, dtype=np.int64)
+
+    d = cosine_distance_matrix(vecs)
+    # Lance-Williams cluster-level distance matrix; start = point dists
+    cd = d.copy()
+    np.fill_diagonal(cd, np.inf)
+    active = np.ones(n, dtype=bool)
+    sizes = np.ones(n, dtype=np.int64)
+    members: list[list[int]] = [[i] for i in range(n)]
+    active_count = n
+
+    while active_count > 1:
+        if min_clusters > 0 and active_count <= min_clusters:
+            break
+        # masked argmin over active upper triangle, row-major → first
+        # (i,j) wins ties, matching the reference's scan order
+        mask = np.where(active)[0]
+        sub = cd[np.ix_(mask, mask)]
+        iu = np.triu_indices(len(mask), k=1)
+        if iu[0].size == 0:
+            break
+        flat = sub[iu]
+        k = int(np.argmin(flat))
+        min_dist = float(flat[k])
+        if min_dist > threshold:
+            break
+        i, j = int(mask[iu[0][k]]), int(mask[iu[1][k]])
+
+        # merge j into i — Lance-Williams update of cluster distances
+        ni, nj = sizes[i], sizes[j]
+        others = active.copy()
+        others[i] = others[j] = False
+        om = np.where(others)[0]
+        if om.size:
+            if linkage == "single":
+                cd[i, om] = np.minimum(cd[i, om], cd[j, om])
+            elif linkage == "complete":
+                cd[i, om] = np.maximum(cd[i, om], cd[j, om])
+            else:  # average (reference default, cluster.go:37)
+                cd[i, om] = (ni * cd[i, om] + nj * cd[j, om]) / (ni + nj)
+            cd[om, i] = cd[i, om]
+        members[i].extend(members[j])
+        sizes[i] += nj
+        active[j] = False
+        cd[j, :] = np.inf
+        cd[:, j] = np.inf
+        active_count -= 1
+        if max_clusters > 0 and active_count <= max_clusters:
+            break
+
+    labels = np.empty(n, dtype=np.int64)
+    cluster_id = 0
+    for node in range(n):
+        if active[node]:
+            for m in members[node]:
+                labels[m] = cluster_id
+            cluster_id += 1
+    return labels
+
+
+def cluster_exact(
+    df: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    threshold: float = 0.15,
+    linkage: str = "average",
+    group_col: str | None = None,
+    min_clusters: int = 0,
+    max_clusters: int = 0,
+) -> DataFrame:
+    """Exact agglomerative clustering per group via ``applyInPandas``.
+
+    Returns (group?, id, cluster_id) with cluster ids local to each
+    group, numbered by surviving-node order like the reference. Rows
+    are processed in ``id`` order within each group for determinism.
+    With ``group_col=None`` the whole input is one group — only do
+    that when the input is bounded (the reference itself is O(N³)
+    beyond ~10⁴).
+    """
+    gcol = group_col or "_g"
+    src = df if group_col else df.withColumn(gcol, F.lit(0))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_ord" if "_ord" in pdf else id_col).reset_index(drop=True)
+        labels = agglomerative_labels(
+            list(pdf[vec_col]),
+            threshold=threshold,
+            linkage=linkage,
+            min_clusters=min_clusters,
+            max_clusters=max_clusters,
+        )
+        out = pdf[[gcol, id_col]].copy()
+        out["cluster_id"] = labels
+        return out
+
+    gtype = dict(src.dtypes)[gcol]
+    idtype = dict(src.dtypes)[id_col]
+    out = src.select(gcol, id_col, vec_col).groupBy(gcol).applyInPandas(
+        run, schema=f"{gcol} {gtype}, {id_col} {idtype}, cluster_id long"
+    )
+    return out if group_col else out.drop(gcol)

@@ -1,0 +1,230 @@
+"""Threshold clustering (A1 in SURVEY.md §2.5).
+
+The reference runs agglomerative clustering with a distance threshold
+(pkg/contextlab/cluster.go:65-214): start one cluster per chunk, merge
+the closest pair while the linkage distance ≤ threshold. That
+algorithm is inherently sequential/O(N³); on Spark we provide two
+routes with the same public API:
+
+1. **Scale route** (default): build the similarity graph — an edge
+   wherever cosine distance ≤ threshold — then take connected
+   components. This is exactly *single-linkage* agglomerative
+   clustering at the threshold (transitive closure). Edges come from
+   an exact pairwise join (fine to ~10⁴ rows) or an approximate LSH
+   join (``method="lsh"``) that prunes candidate pairs at scale.
+2. **Exact route** (:mod:`distill_spark.operators.agglo`): the
+   reference's average/complete/single-linkage semantics bit-for-bit,
+   vectorized numpy via ``applyInPandas`` per bounded-size group. Use
+   for correctness harnesses and per-partition clustering.
+
+Chunks with NULL/empty embeddings become singleton clusters
+(cluster.go:105-122: "no dedup possible").
+
+Cluster labels are the lexicographic min member id — deterministic,
+order-insensitive, and SQL-oracle-friendly. (The reference numbers
+clusters 0..k-1 by surviving node order; a pure relabeling.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distill_spark.functions import vectormath as vm
+
+
+def pairwise_distances(
+    df: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    upper_only: bool = True,
+) -> DataFrame:
+    """J1: all-pairs cosine distance (contextlab/cluster.go:217-242).
+
+    Missing-embedding pairs → 2.0 (handled inside cosine_distance).
+    Output: (id_a, id_b, dist). O(N²) — exact route; prune with LSH
+    at scale. The join is a non-equi cross join on id ordering so
+    Catalyst can at least avoid self/symmetric pairs.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    cond = F.col("id_a") < F.col("id_b") if upper_only else F.col("id_a") != F.col("id_b")
+    cos = vm.make_cosine_distance_udf()
+    return (
+        a.join(b, cond)
+        .select(
+            "id_a",
+            "id_b",
+            cos(F.col("_va"), F.col("_vb")).alias("dist"),
+        )
+    )
+
+
+def similarity_edges(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    method: str = "exact",
+    lsh_bucket_length: float = 0.5,
+    lsh_num_tables: int = 3,
+) -> DataFrame:
+    """Edges (src, dst) wherever cosine distance ≤ threshold.
+
+    ``method="exact"``: O(N²) pairwise join.
+    ``method="lsh"``: BucketedRandomProjectionLSH over unit-normalized
+    vectors — on the unit sphere, cosine distance d maps to euclidean
+    distance sqrt(2d), so the threshold translates exactly; candidate
+    pairs are then re-checked with the true cosine distance, making
+    the result a *subset* of the exact edge set (LSH may miss pairs,
+    never fabricates them).
+    """
+    with_emb = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+    if method == "exact":
+        return (
+            pairwise_distances(with_emb, id_col, vec_col)
+            .filter(F.col("dist") <= threshold)
+            .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        )
+    if method != "lsh":
+        raise ValueError(f"unknown method {method!r}")
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    norm = with_emb.select(
+        F.col(id_col).alias("_nid"),
+        F.col(vec_col).alias("_nv"),
+        array_to_vector(vm.normalize(F.col(vec_col))).alias("_feat"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_feat",
+        outputCol="_hashes",
+        bucketLength=lsh_bucket_length,
+        numHashTables=lsh_num_tables,
+        seed=42,
+    )
+    model = lsh.fit(norm)
+    # cosine d ≤ t  ⇔  euclidean on unit sphere ≤ sqrt(2t)
+    eucl_t = float((2.0 * threshold) ** 0.5)
+    pairs = model.approxSimilarityJoin(norm, norm, eucl_t, distCol="_eucl")
+    cand = pairs.select(
+        F.col("datasetA._nid").alias("src"),
+        F.col("datasetB._nid").alias("dst"),
+        F.col("datasetA._nv").alias("_va"),
+        F.col("datasetB._nv").alias("_vb"),
+    ).filter(F.col("src") < F.col("dst"))
+    return (
+        cand.withColumn("dist", vm.cosine_distance(F.col("_va"), F.col("_vb")))
+        .filter(F.col("dist") <= threshold)
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Distributed connected components by iterative min-label
+    propagation. Returns (id, component) where component is the
+    lexicographic min id reachable. Converges in O(component diameter)
+    rounds; lineage is cut with localCheckpoint each round so the plan
+    stays bounded at scale.
+    """
+    # materialize the (usually expensive) edge relation once — the loop
+    # would otherwise recompute the similarity join every round
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = vertices.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("component")
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        nbr_labels = (
+            und.join(labels, und.src == labels.node)
+            .select(F.col("dst").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(nbr_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), "component")
+
+
+def cluster_by_threshold(
+    df: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    threshold: float = 0.15,
+    method: str = "exact",
+    **lsh_kwargs,
+) -> DataFrame:
+    """A1, scale route: single-linkage threshold clustering.
+
+    Adds a ``cluster_id`` (string: min member id). Rows without
+    embeddings become singleton clusters keyed by their own id.
+    """
+    has_emb = F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    with_emb = df.filter(has_emb)
+    edges = similarity_edges(
+        df, threshold, id_col=id_col, vec_col=vec_col, method=method, **lsh_kwargs
+    )
+    cc = connected_components(with_emb, edges, id_col=id_col)
+    assigned = df.join(
+        cc.withColumnRenamed("component", "cluster_id"), id_col, "left"
+    )
+    return assigned.withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col).cast("string"))
+    )
+
+
+def centroids(
+    df: DataFrame,
+    cluster_col: str = "cluster_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """A3: per-cluster elementwise mean embedding
+    (cluster.go:291-313, kmeans.go:249-275). posexplode → avg per
+    position → re-assemble ordered array. Rows without embeddings are
+    excluded (they form singleton clusters anyway)."""
+    pos = (
+        df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .select(cluster_col, F.posexplode(vec_col).alias("pos", "val"))
+    )
+    by_pos = pos.groupBy(cluster_col, "pos").agg(F.avg("val").alias("m"))
+    return (
+        by_pos.groupBy(cluster_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ),
+                lambda s: s.m.cast("float"),
+            ).alias("centroid")
+        )
+    )
+
+
+def cluster_sizes(df: DataFrame, cluster_col: str = "cluster_id",
+                  score_col: str = "score") -> DataFrame:
+    """A5: cluster size + max member score sort keys
+    (cluster.go:322-349)."""
+    return df.groupBy(cluster_col).agg(
+        F.count("*").alias("size"), F.max(score_col).alias("max_score")
+    )

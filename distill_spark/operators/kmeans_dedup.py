@@ -1,0 +1,108 @@
+"""K-Means dedup with medoid pruning (A2) — the reference's own
+"N ≥ 10⁴" scale path (pkg/dedup/kmeans.go:76-351, FAQ.md:169).
+
+Spark-first re-expression:
+- assignment: ``pyspark.ml.clustering.KMeans`` on **unit-normalized**
+  vectors — squared euclidean on the unit sphere is 2·cosine-distance,
+  so nearest-centroid assignments match the reference's cosine
+  K-Means; MLlib gives us the distributed Lloyd iterations + k-means||
+  init for free.
+- K default: ``sqrt(N/2)`` (kmeans.go:86-94).
+- medoid prune (kmeans.go:311-351): per cluster, the member closest
+  to the centroid (the medoid) is always kept; every other member is
+  kept iff its cosine distance **to the medoid** ≥ prune_threshold
+  (default 0.05) — i.e. near-duplicates of the medoid are dropped.
+
+Divergence note: the reference uses seeded random-permutation init
+(kmeans.go:169-180); we use seeded k-means||. Cluster *assignments*
+may differ on boundary points — the dedup *semantics* (drop
+within-0.05 duplicates) are preserved, which is what the operator is
+for. Determinism: fixed seed ⇒ stable output.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from distill_spark.functions import vectormath as vm
+
+
+def kmeans_dedup(
+    df: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    k: int | None = None,
+    prune_threshold: float = 0.05,
+    max_iter: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Returns the input rows plus ``cluster_id``, ``is_medoid`` and
+    ``kept`` columns; filter on ``kept`` for the deduped set. Rows
+    without embeddings are kept as singleton clusters (cluster_id
+    -1 - dense_ordinal)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    has_emb = F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    with_emb = df.filter(has_emb).cache()
+    no_emb = df.filter(~has_emb)
+
+    n = with_emb.count()
+    if n == 0:
+        return df.withColumn("cluster_id", F.lit(-1)).withColumn(
+            "is_medoid", F.lit(True)
+        ).withColumn("kept", F.lit(True))
+    if k is None:
+        k = max(1, int(math.sqrt(n / 2.0)))  # kmeans.go:86-94
+    k = min(k, n)
+
+    feats = with_emb.withColumn("_feat", array_to_vector(vm.normalize(F.col(vec_col))))
+    model = KMeans(
+        k=k, maxIter=max_iter, seed=seed, featuresCol="_feat", predictionCol="cluster_id"
+    ).fit(feats)
+    assigned = model.transform(feats)
+
+    # centroid = mean of member embeddings (recomputed like
+    # kmeans.go:249-275, not the normalized ml centers)
+    cents = (
+        assigned.select("cluster_id", F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("cluster_id", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("cluster_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.m.cast("float"),
+            ).alias("_centroid")
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    with_dist = (
+        assigned.join(cents, "cluster_id")
+        .withColumn("_cdist", vm.cosine_distance(F.col(vec_col), F.col("_centroid")))
+        .withColumn(
+            "_rn",
+            F.row_number().over(w.orderBy(F.asc("_cdist"), F.asc(id_col))),
+        )
+    )
+    medoids = with_dist.filter(F.col("_rn") == 1).select(
+        "cluster_id", F.col(vec_col).alias("_medoid_vec"), F.col(id_col).alias("_medoid_id")
+    )
+    pruned = (
+        with_dist.join(medoids, "cluster_id")
+        .withColumn("is_medoid", F.col(id_col) == F.col("_medoid_id"))
+        .withColumn(
+            "kept",
+            F.col("is_medoid")
+            | (vm.cosine_distance(F.col(vec_col), F.col("_medoid_vec")) >= prune_threshold),
+        )
+        .drop("_feat", "_centroid", "_cdist", "_rn", "_medoid_vec", "_medoid_id")
+    )
+
+    out_no_emb = no_emb.withColumn("cluster_id", F.lit(-1)).withColumn(
+        "is_medoid", F.lit(True)
+    ).withColumn("kept", F.lit(True))
+    return pruned.unionByName(out_no_emb)

@@ -1,0 +1,141 @@
+"""Maximal Marginal Relevance re-ranking (T2) + diversity metrics (A11).
+
+Reference: pkg/contextlab/mmr.go. Greedy MMR is inherently sequential
+— each pick depends on all previous picks — so it cannot be a
+DataFrame-wide transform. The reference itself only ever runs it on
+the (small) representative set after dedup, so we run the exact greedy
+algorithm in numpy inside a single ``applyInPandas`` group (or one per
+``group_col``): the heavy work (pairwise similarity over the full
+corpus) stays distributed in the clustering stage; MMR touches only
+K×R values.
+
+Semantics replicated from mmr.go:50-135:
+- ≤ TargetK inputs → returned as-is, input order.
+- Scores min-max normalized; all-equal → every score 1.0.
+- Similarity matrix: missing-embedding pairs → 0.0, self → 1.0.
+- MMR(c) = λ·score_norm(c) − (1−λ)·max sim(c, selected);
+  first pick = λ·score_norm.
+- Ties: the reference iterates a Go map (nondeterministic!); we pick
+  the lowest input ordinal — deterministic, documented divergence.
+
+Output adds ``mmr_rank`` (0-based selection order).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distill_spark.operators.agglo import cosine_distance_matrix
+
+
+def mmr_order(
+    vecs: list,
+    scores: np.ndarray,
+    lambda_: float = 0.5,
+    target_k: int = 8,
+) -> np.ndarray:
+    """Indices of selected rows in selection order (exact greedy)."""
+    n = len(vecs)
+    lambda_ = min(max(lambda_, 0.0), 1.0)
+    if target_k <= 0:
+        target_k = 8
+    if n <= target_k:
+        return np.arange(n, dtype=np.int64)
+
+    smin, smax = float(np.min(scores)), float(np.max(scores))
+    norm = np.ones(n) if smax == smin else (scores - smin) / (smax - smin)
+
+    sim = 1.0 - cosine_distance_matrix(vecs)
+    # missing-embedding pairs → similarity 0 (mmr.go:152-156), self → 1
+    for i, v in enumerate(vecs):
+        if v is None or len(v) == 0:
+            sim[i, :] = 0.0
+            sim[:, i] = 0.0
+    np.fill_diagonal(sim, 1.0)
+
+    selected: list[int] = []
+    remaining = np.ones(n, dtype=bool)
+    max_sim = np.zeros(n)
+    for _ in range(target_k):
+        mmr = lambda_ * norm - (0.0 if not selected else (1.0 - lambda_)) * max_sim
+        mmr_masked = np.where(remaining, mmr, -np.inf)
+        best = int(np.argmax(mmr_masked))  # argmax → lowest index on ties
+        if not np.isfinite(mmr_masked[best]):
+            break
+        selected.append(best)
+        remaining[best] = False
+        max_sim = np.maximum(max_sim, sim[:, best])
+    return np.asarray(selected, dtype=np.int64)
+
+
+def mmr_rerank(
+    df: DataFrame,
+    lambda_: float = 0.5,
+    target_k: int = 8,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+    group_col: str | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Greedy MMR per group (whole input = one group by default).
+
+    Returns the selected rows only, with ``mmr_rank``. Input ordinal =
+    ``order_col`` (default ``id_col``) ascending, defining tie-breaks
+    and the ≤K passthrough order.
+    """
+    gcol = group_col or "_g"
+    ocol = order_col or id_col
+    src = df if group_col else df.withColumn(gcol, F.lit(0))
+    cols = [c for c in src.columns]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ocol, kind="mergesort").reset_index(drop=True)
+        scores = pdf[score_col].fillna(0.0).to_numpy(dtype=np.float64)
+        order = mmr_order(list(pdf[vec_col]), scores, lambda_, target_k)
+        out = pdf.iloc[order].copy()
+        out["mmr_rank"] = np.arange(len(order), dtype=np.int64)
+        return out
+
+    from pyspark.sql import types as T
+
+    # fresh StructType — StructType.add mutates the DataFrame's cached
+    # schema in place, corrupting src.columns
+    schema = T.StructType(
+        list(src.schema.fields) + [T.StructField("mmr_rank", T.LongType())]
+    )
+    out = src.groupBy(gcol).applyInPandas(run, schema=schema)
+    out = out.select(*cols, "mmr_rank")
+    return out if group_col else out.drop(gcol)
+
+
+def diversity_score(df: DataFrame, vec_col: str = "embedding",
+                    id_col: str = "id") -> DataFrame:
+    """A11 (mmr.go:218-239): average pairwise cosine distance of a
+    set. <2 rows → 0.0. Returns 1-row DataFrame (diversity)."""
+    from distill_spark.operators.cluster import pairwise_distances
+
+    pairs = pairwise_distances(df, id_col=id_col, vec_col=vec_col)
+    return pairs.agg(F.coalesce(F.avg("dist"), F.lit(0.0)).alias("diversity"))
+
+
+def coverage_score(selected: DataFrame, original: DataFrame,
+                   vec_col: str = "embedding") -> DataFrame:
+    """A11 (mmr.go:242-262): for each original row, min cosine distance
+    to any selected row; return the average (1-row DataFrame,
+    ``coverage``). Lower = better coverage."""
+    from distill_spark.functions import vectormath as vm
+
+    o = original.select(F.monotonically_increasing_id().alias("_oid"),
+                        F.col(vec_col).alias("_ov"))
+    s = selected.select(F.col(vec_col).alias("_sv"))
+    return (
+        o.crossJoin(s)
+        .select("_oid", vm.cosine_distance(F.col("_ov"), F.col("_sv")).alias("d"))
+        .groupBy("_oid")
+        .agg(F.min("d").alias("mind"))
+        .agg(F.avg("mind").alias("coverage"))
+    )

@@ -1,0 +1,124 @@
+"""Per-cluster representative selection (A4) + top-k (T1).
+
+Reference: pkg/contextlab/selector.go:88-238. Strategies:
+
+- ``score``    — argmax retrieval score
+- ``centroid`` — argmin cosine distance to the cluster centroid
+- ``length``   — argmax len(text)
+- ``hybrid``   — weighted combo of per-cluster min-max-normalized
+  score, inverted centroid distance, and length (defaults 0.7/0.3/0.0,
+  selector.go:44-52)
+
+The reference iterates members in input order keeping the first
+strict-best; we break ties on the ordering column ascending — same
+result when the ordering column reflects input order.
+
+All strategies are one window per cluster — a single shuffle on
+cluster_id, no collects, scales with cluster count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from distill_spark.functions import vectormath as vm
+from distill_spark.operators.cluster import centroids
+
+
+def select_representatives(
+    df: DataFrame,
+    strategy: str = "score",
+    cluster_col: str = "cluster_id",
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+    text_col: str = "text",
+    score_weight: float = 0.7,
+    centroid_weight: float = 0.3,
+    length_weight: float = 0.0,
+    order_col: str | None = None,
+) -> DataFrame:
+    """One representative row per cluster (same columns as input)."""
+    ord_col = order_col or id_col
+    w = Window.partitionBy(cluster_col)
+
+    if strategy == "score":
+        ranked = df.withColumn(
+            "_rn",
+            F.row_number().over(w.orderBy(F.desc_nulls_last(score_col), F.asc(ord_col))),
+        )
+    elif strategy == "length":
+        ranked = df.withColumn(
+            "_rn",
+            F.row_number().over(
+                w.orderBy(F.desc(F.length(F.coalesce(F.col(text_col), F.lit("")))),
+                          F.asc(ord_col))
+            ),
+        )
+    elif strategy == "centroid":
+        cents = centroids(df, cluster_col, vec_col)
+        ranked = (
+            df.join(cents, cluster_col, "left")
+            .withColumn("_cd", vm.cosine_distance(F.col(vec_col), F.col("centroid")))
+            .withColumn("_rn", F.row_number().over(w.orderBy(F.asc("_cd"), F.asc(ord_col))))
+            .drop("centroid", "_cd")
+        )
+    elif strategy == "hybrid":
+        total = score_weight + centroid_weight + length_weight
+        if total == 0:
+            return select_representatives(
+                df, "score", cluster_col, id_col, vec_col, score_col, text_col,
+                order_col=order_col,
+            )
+        sw, cw, lw = score_weight / total, centroid_weight / total, length_weight / total
+        cents = centroids(df, cluster_col, vec_col)
+        base = (
+            df.join(cents, cluster_col, "left")
+            .withColumn("_cd", vm.cosine_distance(F.col(vec_col), F.col("centroid")))
+            .withColumn("_len", F.length(F.coalesce(F.col(text_col), F.lit(""))))
+        )
+        # per-cluster min/max for normalization (selector.go:169-196)
+        stats = base.select(
+            "*",
+            F.min(score_col).over(w).alias("_smin"),
+            F.max(score_col).over(w).alias("_smax"),
+            F.min("_cd").over(w).alias("_dmin"),
+            F.max("_cd").over(w).alias("_dmax"),
+            F.min("_len").over(w).alias("_lmin"),
+            F.max("_len").over(w).alias("_lmax"),
+        )
+        srange = F.col("_smax") - F.col("_smin")
+        drange = F.col("_dmax") - F.col("_dmin")
+        lrange = F.col("_lmax") - F.col("_lmin")
+        # degenerate range contributes the full weight (selector.go:208-226)
+        hybrid = (
+            F.when(srange > 0, F.lit(sw) * (F.col(score_col) - F.col("_smin")) / srange)
+            .otherwise(F.lit(sw))
+            + F.when(drange > 0, F.lit(cw) * (F.lit(1.0) - (F.col("_cd") - F.col("_dmin")) / drange))
+            .otherwise(F.lit(cw))
+            + F.when(lrange > 0, F.lit(lw) * (F.col("_len") - F.col("_lmin")) / lrange)
+            .otherwise(F.lit(lw))
+        )
+        ranked = (
+            stats.withColumn("_hy", hybrid)
+            .withColumn("_rn", F.row_number().over(w.orderBy(F.desc("_hy"), F.asc(ord_col))))
+            .drop("centroid", "_cd", "_len", "_smin", "_smax", "_dmin", "_dmax",
+                  "_lmin", "_lmax", "_hy")
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    return ranked.filter(F.col("_rn") == 1).drop("_rn")
+
+
+def select_top_k(
+    reps: DataFrame,
+    k: int,
+    score_col: str = "score",
+    order_col: str = "id",
+) -> DataFrame:
+    """T1 (selector.go:241-262): representatives sorted by score desc,
+    take K. (The reference uses an unstable bubble sort; we pin the
+    tie order by ``order_col`` asc for determinism.)"""
+    return reps.orderBy(F.desc_nulls_last(score_col), F.asc(order_col)).limit(k)

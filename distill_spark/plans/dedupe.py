@@ -1,0 +1,136 @@
+"""The flagship /v1/dedupe pipeline (SURVEY.md §3.1).
+
+Reference flow (cmd/api.go:425-588):
+chunks → [optional cache-aware prefix split, pkg/cache/prefix.go:40-69]
+→ agglomerative cluster (A1) → representative selection (A4)
+→ [if target_k > 0 and reps > K] MMR re-rank (T2)
+→ frozen prefix ⊕ representatives (J6) → stats (A12).
+
+Spark shape: one declarative DataFrame pipeline; clustering is the
+only shuffle-heavy stage, MMR touches only the representative set.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distill_spark.functions import vectormath as vm
+from distill_spark.operators.cluster import cluster_by_threshold
+from distill_spark.operators.agglo import cluster_exact
+from distill_spark.operators.mmr import mmr_rerank
+from distill_spark.operators.select import select_representatives
+
+
+@dataclass
+class DedupeConfig:
+    threshold: float = 0.15          # cluster merge threshold (cluster.go:33-39)
+    linkage: str = "average"         # exact route only
+    strategy: str = "score"          # representative selection (selector.go)
+    lambda_: float = 0.5             # MMR relevance/diversity tradeoff
+    target_k: int = 0                # 0 = no MMR stage (api.go:527-537)
+    method: str = "exact"            # exact | lsh | exact_agglo
+
+
+def split_cache_prefix(
+    df: DataFrame, order_col: str = "seq", cache_col: str = "cache_control"
+) -> tuple[DataFrame, DataFrame]:
+    """J6 prefix partition (prefix.go:40-69): everything up to and
+    including the LAST row marked ``cache_control='ephemeral'`` is a
+    frozen prefix (kept verbatim, never deduped); the rest is the
+    dedup-eligible suffix. No marker → empty prefix."""
+    marker = df.filter(F.col(cache_col) == "ephemeral").agg(
+        F.max(order_col).alias("m")
+    )
+    with_m = df.crossJoin(F.broadcast(marker))
+    prefix = with_m.filter(F.col("m").isNotNull() & (F.col(order_col) <= F.col("m"))).drop("m")
+    suffix = with_m.filter(F.col("m").isNull() | (F.col(order_col) > F.col("m"))).drop("m")
+    return prefix, suffix
+
+
+def dedupe(
+    df: DataFrame,
+    cfg: DedupeConfig | None = None,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+    text_col: str = "text",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Dedup a chunk set: cluster → one representative per cluster →
+    optional MMR down-selection to target_k. Returns representative
+    rows with ``cluster_id`` (and ``mmr_rank`` when MMR ran)."""
+    cfg = cfg or DedupeConfig()
+
+    if cfg.method == "exact_agglo":
+        labels = cluster_exact(
+            df, id_col=id_col, vec_col=vec_col,
+            threshold=cfg.threshold, linkage=cfg.linkage,
+        )
+        clustered = df.join(labels, id_col)
+    else:
+        clustered = cluster_by_threshold(
+            df, id_col=id_col, vec_col=vec_col,
+            threshold=cfg.threshold, method=cfg.method,
+        )
+
+    reps = select_representatives(
+        clustered,
+        strategy=cfg.strategy,
+        id_col=id_col,
+        vec_col=vec_col,
+        score_col=score_col,
+        text_col=text_col,
+        order_col=order_col,
+    )
+
+    if cfg.target_k and cfg.target_k > 0:
+        reps = mmr_rerank(
+            reps, lambda_=cfg.lambda_, target_k=cfg.target_k,
+            id_col=id_col, vec_col=vec_col, score_col=score_col,
+            order_col=order_col,
+        )
+    return reps
+
+
+def dedupe_with_prefix(
+    df: DataFrame,
+    cfg: DedupeConfig | None = None,
+    order_col: str = "seq",
+    cache_col: str = "cache_control",
+    **kwargs,
+) -> DataFrame:
+    """Cache-aware variant (api.go:462-467, 540): frozen prefix rows
+    pass through unchanged (flagged ``frozen=true``) and are unioned
+    ahead of the deduped suffix, original order preserved."""
+    prefix, suffix = split_cache_prefix(df, order_col=order_col, cache_col=cache_col)
+    deduped = dedupe(suffix, cfg, order_col=order_col, **kwargs)
+    out_cols = [c for c in df.columns]
+    p = prefix.select(*out_cols).withColumn("frozen", F.lit(True))
+    s = deduped.select(*out_cols).withColumn("frozen", F.lit(False))
+    return p.unionByName(s).orderBy("frozen", order_col)
+
+
+def dedupe_stats(input_df: DataFrame, output_df: DataFrame,
+                 text_col: str = "text") -> DataFrame:
+    """A12 (types/chunk.go:140-176): input/output counts, token
+    totals, reduction percentages. 1-row DataFrame."""
+    i = input_df.agg(
+        F.count("*").alias("input_count"),
+        F.coalesce(F.sum(vm.estimate_tokens(F.col(text_col))), F.lit(0)).alias("input_tokens"),
+    )
+    o = output_df.agg(
+        F.count("*").alias("output_count"),
+        F.coalesce(F.sum(vm.estimate_tokens(F.col(text_col))), F.lit(0)).alias("output_tokens"),
+    )
+    return i.crossJoin(o).select(
+        "input_count", "output_count", "input_tokens", "output_tokens",
+        F.when(F.col("input_count") > 0,
+               F.round(F.lit(100.0) * (F.col("input_count") - F.col("output_count"))
+                       / F.col("input_count"), 2)).otherwise(0.0).alias("count_reduction_pct"),
+        F.when(F.col("input_tokens") > 0,
+               F.round(F.lit(100.0) * (F.col("input_tokens") - F.col("output_tokens"))
+                       / F.col("input_tokens"), 2)).otherwise(0.0).alias("token_reduction_pct"),
+    )

@@ -1,0 +1,210 @@
+"""A1/A3/A4/T2/A2 operator tests on the reference's sample.jsonl-style
+planted fixture (exact dups, near-dup, opposite, orthogonals —
+/root/reference/testdata/sample.jsonl semantics)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from distill_spark.operators import agglo
+from distill_spark.operators.cluster import (
+    centroids,
+    cluster_by_threshold,
+    connected_components,
+    pairwise_distances,
+)
+from distill_spark.operators.mmr import mmr_order, mmr_rerank
+from distill_spark.operators.select import select_representatives
+from distill_spark.plans.dedupe import DedupeConfig, dedupe, split_cache_prefix
+
+
+def _norm(v):
+    m = math.sqrt(sum(x * x for x in v))
+    return [x / m for x in v]
+
+
+# id, text, embedding, score — planted like the reference fixture:
+# v01=v02=v10 exact dups, v03 near-dup of v01, v05=v06 exact dups,
+# v07 opposite of v01, v04/v08 orthogonal, v09 mid-distance, v11 no embedding
+ROWS = [
+    ("v01", "alpha", [1.0, 0.0, 0.0, 0.0], 0.9),
+    ("v02", "alpha copy", [1.0, 0.0, 0.0, 0.0], 0.8),
+    ("v03", "alpha near", _norm([1.0, 0.1, 0.0, 0.0]), 0.95),
+    ("v04", "beta", [0.0, 1.0, 0.0, 0.0], 0.5),
+    ("v05", "gamma", [0.0, 0.0, 1.0, 0.0], 0.6),
+    ("v06", "gamma copy", [0.0, 0.0, 1.0, 0.0], 0.4),
+    ("v07", "anti-alpha", [-1.0, 0.0, 0.0, 0.0], 0.3),
+    ("v08", "delta", [0.0, 0.0, 0.0, 1.0], 0.2),
+    ("v09", "mid", _norm([0.7, 0.7, 0.0, 0.0]), 0.7),
+    ("v10", "alpha copy 2", [1.0, 0.0, 0.0, 0.0], 0.1),
+    ("v11", "no embedding", None, 0.99),
+]
+EXPECTED = [
+    {"v01", "v02", "v03", "v10"},
+    {"v04"}, {"v05", "v06"}, {"v07"}, {"v08"}, {"v09"}, {"v11"},
+]
+
+
+@pytest.fixture(scope="module")
+def chunks(spark):
+    return spark.createDataFrame(
+        ROWS, "id string, text string, embedding array<float>, score float"
+    ).cache()
+
+
+def _partition(df, cluster_col="cluster_id"):
+    rows = df.select("id", cluster_col).collect()
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r[cluster_col], set()).add(r["id"])
+    return sorted(by_c.values(), key=lambda s: sorted(s)[0])
+
+
+def test_pairwise_distances_edges(spark, chunks):
+    d = {(r["id_a"], r["id_b"]): r["dist"] for r in pairwise_distances(chunks).collect()}
+    assert d[("v01", "v02")] == pytest.approx(0.0, abs=1e-9)
+    assert d[("v01", "v07")] == pytest.approx(2.0)
+    assert d[("v01", "v04")] == pytest.approx(1.0)
+    assert d[("v01", "v11")] == 2.0  # missing embedding
+    assert d[("v01", "v03")] < 0.15
+
+
+def test_cluster_by_threshold_cc(spark, chunks):
+    out = cluster_by_threshold(chunks, threshold=0.15)
+    assert _partition(out) == sorted(EXPECTED, key=lambda s: sorted(s)[0])
+    # cluster label = min member id
+    lab = {r["id"]: r["cluster_id"] for r in out.collect()}
+    assert lab["v10"] == "v01" and lab["v06"] == "v05" and lab["v11"] == "v11"
+
+
+def test_cluster_exact_average_matches(spark, chunks):
+    out = agglo.cluster_exact(chunks, threshold=0.15, linkage="average")
+    joined = chunks.join(out, "id")
+    assert _partition(joined) == sorted(EXPECTED, key=lambda s: sorted(s)[0])
+
+
+def test_exact_singleton_no_embeddings(spark):
+    df = spark.createDataFrame(
+        [("a", None), ("b", None)], "id string, embedding array<float>"
+    )
+    out = agglo.cluster_exact(df, threshold=0.15)
+    assert {r["cluster_id"] for r in out.collect()} == {0, 1}
+
+
+def test_cc_equals_exact_single_linkage_random(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    rows = [(f"r{i:02d}", vecs[i].tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "id string, embedding array<float>")
+    t = 0.35
+    cc = cluster_by_threshold(df, threshold=t)
+    exact = df.join(agglo.cluster_exact(df, threshold=t, linkage="single"), "id")
+    assert _partition(cc) == _partition(exact)
+
+
+def test_connected_components_chain(spark):
+    v = spark.createDataFrame([(x,) for x in "abcde"], "id string")
+    e = spark.createDataFrame([("a", "b"), ("b", "c"), ("d", "e")], "src string, dst string")
+    out = {r["id"]: r["component"] for r in connected_components(v, e).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+
+
+def test_centroids(spark, chunks):
+    clustered = cluster_by_threshold(chunks, threshold=0.15)
+    cents = {r["cluster_id"]: r["centroid"] for r in centroids(clustered).collect()}
+    c56 = cents["v05"]
+    assert c56 == pytest.approx([0.0, 0.0, 1.0, 0.0])
+
+
+def test_select_by_score(spark, chunks):
+    clustered = cluster_by_threshold(chunks, threshold=0.15)
+    reps = select_representatives(clustered, strategy="score")
+    ids = {r["cluster_id"]: r["id"] for r in reps.collect()}
+    assert ids["v01"] == "v03"   # score 0.95 beats v01's 0.9
+    assert ids["v05"] == "v05"   # 0.6 > 0.4
+    assert ids["v11"] == "v11"
+
+
+def test_select_by_length(spark, chunks):
+    clustered = cluster_by_threshold(chunks, threshold=0.15)
+    reps = select_representatives(clustered, strategy="length")
+    ids = {r["cluster_id"]: r["id"] for r in reps.collect()}
+    assert ids["v01"] == "v10"   # "alpha copy 2" is longest
+    assert ids["v05"] == "v06"   # "gamma copy" longer than "gamma"
+
+
+def test_select_by_centroid_tie_lowest_id(spark):
+    # two identical members → equal distance to centroid → lowest id
+    df = spark.createDataFrame(
+        [("a", "t", [1.0, 0.0], 0.1, "c1"), ("b", "t", [1.0, 0.0], 0.9, "c1")],
+        "id string, text string, embedding array<float>, score float, cluster_id string",
+    )
+    reps = select_representatives(df, strategy="centroid")
+    assert reps.collect()[0]["id"] == "a"
+
+
+def test_select_hybrid_degenerate_ranges(spark):
+    # equal scores+dists+lengths in cluster → every member gets full
+    # weight → tie → lowest id (selector.go:208-226 semantics)
+    df = spark.createDataFrame(
+        [("a", "xx", [1.0, 0.0], 0.5, "c"), ("b", "yy", [1.0, 0.0], 0.5, "c")],
+        "id string, text string, embedding array<float>, score float, cluster_id string",
+    )
+    reps = select_representatives(df, strategy="hybrid")
+    assert reps.collect()[0]["id"] == "a"
+
+
+def test_mmr_order_numpy():
+    vecs = [np.array([1.0, 0.0]), np.array([1.0, 0.0]), np.array([0.0, 1.0])]
+    scores = np.array([1.0, 0.9, 0.1])
+    # k=2: picks idx0 (top score); then idx1 penalized by sim 1.0 →
+    # 0.5*0.888-0.5*1.0 < 0.5*0-0.5*0 → idx2 wins
+    order = mmr_order(vecs, scores, lambda_=0.5, target_k=2)
+    assert order.tolist() == [0, 2]
+
+
+def test_mmr_order_all_equal_scores():
+    vecs = [np.array([1.0, 0.0]), np.array([0.0, 1.0]), np.array([1.0, 0.0])]
+    order = mmr_order(vecs, np.array([0.5, 0.5, 0.5]), lambda_=0.5, target_k=2)
+    # all normalized to 1.0; first pick lowest index 0; second: idx1
+    # (sim 0) beats idx2 (sim 1)
+    assert order.tolist() == [0, 1]
+
+
+def test_mmr_passthrough_when_small(spark, chunks):
+    out = mmr_rerank(chunks, target_k=100)
+    assert out.count() == 11
+    ranks = {r["id"]: r["mmr_rank"] for r in out.collect()}
+    assert ranks["v01"] == 0 and ranks["v11"] == 10  # input (id) order
+
+
+def test_dedupe_end_to_end(spark, chunks):
+    reps = dedupe(chunks, DedupeConfig(threshold=0.15, strategy="score"))
+    assert reps.count() == 7
+    ids = {r["id"] for r in reps.collect()}
+    assert ids == {"v03", "v04", "v05", "v07", "v08", "v09", "v11"}
+
+
+def test_dedupe_with_mmr(spark, chunks):
+    reps = dedupe(chunks, DedupeConfig(threshold=0.15, strategy="score", target_k=4))
+    out = reps.orderBy("mmr_rank").collect()
+    assert len(out) == 4
+    assert out[0]["id"] == "v11"  # highest score 0.99
+
+
+def test_split_cache_prefix(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "ephemeral"), (2, "b", ""), (3, "c", "ephemeral"), (4, "d", "")],
+        "seq int, text string, cache_control string",
+    )
+    p, s = split_cache_prefix(df)
+    assert sorted(r["seq"] for r in p.collect()) == [1, 2, 3]
+    assert sorted(r["seq"] for r in s.collect()) == [4]
+    # no marker → everything is suffix
+    df2 = df.filter(F.col("cache_control") != "ephemeral")
+    p2, s2 = split_cache_prefix(df2)
+    assert p2.count() == 0 and s2.count() == 2
