@@ -1,0 +1,488 @@
+"""Pure-Python text transforms — the bodies of the engine's pandas
+UDFs (C1-C8 in SURVEY.md §2.8). No Spark imports: everything here is
+a deterministic ``str -> str`` function, unit-testable against the
+reference's goldens and executed Arrow-batched inside
+:mod:`distill_spark.operators.compress` / ``summarize``.
+
+Reference semantics replicated from:
+- extractive:   pkg/compress/extractive.go:63-203
+- pruner:       pkg/compress/pruner.go:26-137
+- placeholder:  pkg/compress/placeholder.go:28-271
+- hierarchy:    pkg/summarize/hierarchy.go:175-310
+- importance:   pkg/summarize/importance.go:18-98
+- session/memory level transforms: pkg/session/sqlite.go:604-660,
+  pkg/memory/decay.go:180-243
+
+Known divergences (documented, deterministic on our side):
+- JSON/XML summaries iterate keys in *sorted* (JSON) / first-seen
+  (XML) order where Go iterates map order (nondeterministic in the
+  reference itself).
+- Length gates count code points where Go counts bytes (differs only
+  on non-ASCII).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+# ---------------------------------------------------------------- tokens
+
+
+def estimate_tokens(s: str | None) -> int:
+    """(len+3)/4, 0 for empty (extractive.go:198-203)."""
+    if not s:
+        return 0
+    return (len(s) + 3) // 4
+
+
+def estimate_tokens_nonspace(s: str | None) -> int:
+    """Non-whitespace variant (importance.go:77-86)."""
+    if not s:
+        return 0
+    n = sum(1 for ch in s if not ch.isspace())
+    return (n + 3) // 4
+
+
+# ---------------------------------------------------------------- sentences
+
+
+def split_sentences(text: str, delimiters: str = ".!?") -> list[str]:
+    """Split keeping the delimiter attached; trim; drop empties
+    (extractive.go:113-135)."""
+    sentences: list[str] = []
+    cur: list[str] = []
+    for ch in text:
+        cur.append(ch)
+        if ch in delimiters:
+            s = "".join(cur).strip()
+            if s:
+                sentences.append(s)
+            cur = []
+    rest = "".join(cur).strip()
+    if rest:
+        sentences.append(rest)
+    return sentences
+
+
+def score_sentence(sentence: str, index: int, total: int) -> float:
+    """Position + content scoring (extractive.go:138-173)."""
+    score = 0.0
+    if index == 0:
+        score += 2.0
+    elif index == total - 1:
+        score += 1.0
+    words = len(sentence.split())
+    if 5 <= words <= 25:
+        score += 1.0
+    lower = sentence.lower()
+    if any(k in lower for k in ("important", "key", "must", "should")):
+        score += 1.5
+    if any(ch.isdigit() for ch in sentence):
+        score += 0.5
+    return score
+
+
+def extract_salient_spans(text: str, target_reduction: float) -> str:
+    """C1 core (extractive.go:63-110): score sentences, take top by
+    score (ties → earlier index) until target tokens, re-join in
+    original order."""
+    sentences = split_sentences(text)
+    if len(sentences) <= 1:
+        return text
+    scored = sorted(
+        ((score_sentence(s, i, len(sentences)), i, s) for i, s in enumerate(sentences)),
+        key=lambda t: (-t[0], t[1]),
+    )
+    target_tokens = int(estimate_tokens(text) * target_reduction)
+    selected: list[tuple[int, str]] = []
+    current = 0
+    for _, i, s in scored:
+        tokens = estimate_tokens(s)
+        if current + tokens > target_tokens and selected:
+            break
+        selected.append((i, s))
+        current += tokens
+    selected.sort()
+    return " ".join(s.strip() for _, s in selected)
+
+
+def extractive_compress(
+    text: str | None, target_reduction: float = 0.5, min_chunk_length: int = 50
+) -> str:
+    """C1 with the short-text gate (compress.go:36, extractive.go:38-43)."""
+    if text is None:
+        return ""
+    if len(text) < min_chunk_length:
+        return text
+    return extract_salient_spans(text, target_reduction)
+
+
+# ---------------------------------------------------------------- pruner
+
+FILLER_PHRASES = [
+    "as mentioned earlier", "as we discussed", "it is important to note that",
+    "it should be noted that", "please note that", "in order to",
+    "for the purpose of", "at this point in time", "at the present time",
+    "in the event that", "due to the fact that", "in light of the fact that",
+    "it goes without saying", "needless to say", "as a matter of fact",
+    "in actual fact", "basically", "essentially", "fundamentally",
+    "literally", "actually", "obviously", "clearly", "of course",
+    "as you know", "as you can see", "it is worth mentioning",
+    "i would like to point out", "let me explain", "allow me to",
+]
+
+_FILLER_RES = [
+    re.compile(r"(?i)\b" + re.escape(p) + r"\b[,]?\s*") for p in FILLER_PHRASES
+]
+_WS = re.compile(r"\s+")
+_DOTS = re.compile(r"\.{2,}")
+_NL3 = re.compile(r"\n{3,}")
+_INTENSIFIERS = re.compile(r"(?i)\b(very|really|quite)\s+")
+_DBLSPACE = re.compile(r"\s{2,}")
+_PUNCT_SPACE = re.compile(r"\s+([.,;:!?])")
+
+
+def prune(text: str | None, min_chunk_length: int = 50) -> str:
+    """C3 (pruner.go:26-137): filler phrases, intensifiers, whitespace
+    normalization, punctuation spacing — in the reference's exact
+    pattern order."""
+    if text is None:
+        return ""
+    if len(text) < min_chunk_length:
+        return text
+    result = text
+    for rx in _FILLER_RES:
+        result = rx.sub("", result)
+    result = _WS.sub(" ", result)
+    result = _DOTS.sub(".", result)
+    result = _NL3.sub("\n\n", result)
+    result = _INTENSIFIERS.sub("", result)
+    result = _DBLSPACE.sub(" ", result)
+    result = _PUNCT_SPACE.sub(r"\1", result)
+    return result.strip()
+
+
+# ---------------------------------------------------------------- placeholder
+
+PRESERVE_KEYS = ["id", "name", "title", "error", "message", "status"]
+
+
+def _compress_json_value(v, depth: int, preserve_keys: list[str],
+                         max_array: int, max_depth: int):
+    if depth >= max_depth:
+        return "[...]"
+    if isinstance(v, dict):
+        lower_keys = {k.lower() for k in preserve_keys}
+        out = {
+            k: _compress_json_value(x, depth + 1, preserve_keys, max_array, max_depth)
+            for k, x in v.items()
+            if k.lower() in lower_keys
+        }
+        if not out and v:
+            return f"{{...{len(v)} keys}}"
+        return out
+    if isinstance(v, list):
+        if len(v) <= max_array:
+            return [
+                _compress_json_value(x, depth + 1, preserve_keys, max_array, max_depth)
+                for x in v
+            ]
+        head = [
+            _compress_json_value(x, depth + 1, preserve_keys, max_array, max_depth)
+            for x in v[:max_array]
+        ]
+        head.append(f"...+{len(v) - max_array} more")
+        return head
+    return v
+
+
+def _fmt_scalar(v) -> str:
+    """Match Go fmt %v for JSON scalars: floats print integral values
+    without a decimal point; booleans lowercase; null → <nil>."""
+    if v is None:
+        return "<nil>"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return str(v)
+
+
+def _summarize_json(v) -> str:
+    if isinstance(v, dict):
+        keys = sorted(v.keys())  # deterministic (Go map order is not)
+        if len(keys) > 5:
+            return f"[JSON object with {len(keys)} keys: {', '.join(keys[:5])}, ...]"
+        return f"[JSON object with keys: {', '.join(keys)}]"
+    if isinstance(v, list):
+        if not v:
+            return "[empty JSON array]"
+        return f"[JSON array with {len(v)} items]"
+    return f"[JSON value: {_fmt_scalar(v)}]"
+
+
+_XML_OPEN = re.compile(r"<(\w+)[^>]*>")
+_XML_CLOSE = re.compile(r"</(\w+)>")
+_XML_ELEM = re.compile(r"<(\w+)[^/>]*>")
+
+
+def _try_xml(text: str) -> str | None:
+    t = text.strip()
+    if not t.startswith("<"):
+        return None
+    if not _XML_OPEN.findall(t) or not _XML_CLOSE.findall(t):
+        return None
+    counts: dict[str, int] = {}
+    for m in _XML_ELEM.finditer(t):
+        counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    parts = []
+    for i, (elem, c) in enumerate(counts.items()):  # first-seen order
+        if i >= 5:
+            parts.append("...")
+            break
+        parts.append(f"{elem}(×{c})" if c > 1 else elem)
+    return "[XML with elements: " + ", ".join(parts) + "]"
+
+
+def _try_table(text: str) -> str | None:
+    lines = text.split("\n")
+    if len(lines) < 3:
+        return None
+    for delim in ("\t", "|", ","):
+        cols = lines[0].count(delim)
+        if cols >= 2:
+            consistent = all(
+                line.count(delim) == cols
+                for line in lines[1:]
+                if line.strip() != ""
+            )
+            if consistent:
+                headers = [h.strip() for h in lines[0].split(delim)]
+                return f"[Table with {len(lines) - 1} rows, columns: {', '.join(headers)}]"
+    return None
+
+
+def placeholder_compress(
+    text: str | None,
+    preserve_structure: bool = False,
+    preserve_keys: list[str] | None = None,
+    max_array_items: int = 3,
+    max_object_depth: int = 2,
+    min_chunk_length: int = 50,
+) -> str:
+    """C2 (placeholder.go:28-271): JSON → preserved-key skeleton or
+    summary line; XML → element histogram; consistent delimited table
+    → shape line; anything else unchanged."""
+    if text is None:
+        return ""
+    if len(text) < min_chunk_length:
+        return text
+    keys = PRESERVE_KEYS if preserve_keys is None else preserve_keys
+    t = text.strip()
+    if t.startswith("{") or t.startswith("["):
+        try:
+            data = json.loads(t)
+            if preserve_structure:
+                out = _compress_json_value(data, 0, keys, max_array_items, max_object_depth)
+                return json.dumps(out, sort_keys=True, separators=(",", ":"))
+            return _summarize_json(data)
+        except (ValueError, RecursionError):
+            pass
+    xml = _try_xml(text)
+    if xml is not None:
+        return xml
+    table = _try_table(text)
+    if table is not None:
+        return table
+    return text
+
+
+# ---------------------------------------------------------------- hierarchy
+
+HIERARCHY_STOPWORDS = {
+    "the", "and", "for", "that", "this", "with", "from", "have",
+    "will", "been", "were", "they", "their", "there", "when",
+    "what", "which", "would", "could", "should", "about", "into",
+    "more", "also", "some", "than", "then", "just", "like",
+}
+
+MEMORY_STOPWORDS = {
+    "that", "this", "with", "from", "have", "been", "were", "they",
+    "their", "which", "would", "there", "about", "could", "other",
+    "into", "more", "some", "than", "them", "very", "when", "what",
+    "your", "also", "each", "does", "will", "just", "should",
+    "because", "these",
+}
+
+_TRIM_CHARS = ".,;:!?\"'()[]{}"
+
+
+def truncate_runes(s: str, max_runes: int) -> str:
+    if len(s) <= max_runes:
+        return s
+    return s[:max_runes] + "…"
+
+
+def strip_code_blocks(text: str) -> str:
+    out = []
+    in_code = False
+    for line in text.split("\n"):
+        if line.startswith("```"):
+            in_code = not in_code
+            continue
+        if not in_code:
+            out.append(line)
+    return "\n".join(out) + ("\n" if out or not text else "")
+
+
+def paragraph_summary(text: str) -> str:
+    """Level 1: first paragraph + all code blocks (hierarchy.go:205-233)."""
+    lines = text.split("\n")
+    out: list[str] = []
+    in_code = False
+    paragraph_done = False
+    for line in lines:
+        if line.startswith("```"):
+            in_code = not in_code
+            out.append(line)
+            continue
+        if in_code:
+            out.append(line)
+            continue
+        if not paragraph_done:
+            out.append(line)
+            if line == "" and len(out) > 1:
+                paragraph_done = True
+    result = "\n".join(out).strip()
+    if result == "":
+        return truncate_runes(text, 300)
+    return result
+
+
+def sentence_summary(text: str) -> str:
+    """Level 2: first 1-2 sentences, code stripped (hierarchy.go:236-247)."""
+    stripped = strip_code_blocks(text)
+    sentences = split_sentences(stripped)
+    if not sentences:
+        return truncate_runes(stripped, 150)
+    if len(sentences) == 1:
+        return sentences[0]
+    return sentences[0] + " " + sentences[1]
+
+
+def keyword_summary(text: str, limit: int = 12) -> str:
+    """Level 3: ≤12 non-stopword words ≥4 chars, first-seen dedup,
+    original casing (hierarchy.go:250-268)."""
+    stripped = strip_code_blocks(text)
+    seen: set[str] = set()
+    keywords: list[str] = []
+    for w in stripped.split():
+        w = w.strip(_TRIM_CHARS)
+        lower = w.lower()
+        if len(w) < 4 or lower in HIERARCHY_STOPWORDS or lower in seen:
+            continue
+        seen.add(lower)
+        keywords.append(w)
+        if len(keywords) >= limit:
+            break
+    return ", ".join(keywords)
+
+
+# ------------------------------------------------- session/memory transforms
+
+
+def session_sentence(text: str) -> str:
+    """Session level-2 (session/sqlite.go:615-632): first sentence by
+    delimiter, else 50-char word-boundary truncate + '...'."""
+    for i, ch in enumerate(text):
+        if ch in ".!?":
+            return text[: i + 1]
+    if len(text) > 50:
+        cut = 50
+        while cut > 0 and text[cut] != " ":
+            cut -= 1
+        if cut == 0:
+            cut = 50
+        return text[:cut].strip() + "..."
+    return text
+
+
+def session_keywords(text: str) -> str:
+    """Session level-3 (session/sqlite.go:641-660): ≤15 lowercased."""
+    seen: set[str] = set()
+    out: list[str] = []
+    for w in text.split():
+        lower = w.strip(_TRIM_CHARS).lower()
+        if not lower or len(lower) < 4 or lower in MEMORY_STOPWORDS or lower in seen:
+            continue
+        seen.add(lower)
+        out.append(lower)
+    return ", ".join(out[:15])
+
+
+def session_compress_to_level(text: str, level: int) -> str:
+    """C7: 0 full / 1 summary (extractive@0.2) / 2 sentence / 3 keywords."""
+    if level == 1:
+        out = extractive_compress(text, target_reduction=0.2, min_chunk_length=20)
+        return out if out else text
+    if level == 2:
+        return session_sentence(text)
+    if level == 3:
+        return session_keywords(text)
+    return text
+
+
+def memory_summary(text: str) -> str:
+    """C8 decay full→summary (decay.go:184-195)."""
+    out = extractive_compress(text, target_reduction=0.2, min_chunk_length=20)
+    return out if out else text
+
+
+def memory_keywords(text: str) -> str:
+    """C8 decay summary→keywords (decay.go:199-225): ≤20 lowercased."""
+    seen: set[str] = set()
+    out: list[str] = []
+    for w in text.split():
+        lower = w.strip(_TRIM_CHARS).lower()
+        if not lower or len(lower) < 4 or lower in MEMORY_STOPWORDS or lower in seen:
+            continue
+        seen.add(lower)
+        out.append(lower)
+    return ", ".join(out[:20])
+
+
+# ---------------------------------------------------------------- importance
+
+ERROR_KEYWORDS = [
+    "error", "exception", "panic", "fatal", "failed", "failure",
+    "crash", "bug", "traceback", "stack trace", "nil pointer",
+    "segfault", "timeout", "deadlock",
+]
+
+DECISION_KEYWORDS = [
+    "decided", "decision", "conclusion", "therefore", "we will",
+    "we should", "let's use", "going with", "chosen", "agreed",
+    "final answer", "solution is", "approach is",
+]
+
+
+def importance_score(role: str | None, content: str | None) -> float:
+    """C6 (importance.go:18-74): system → 1.0; else 0.5 baseline with
+    code/error/decision/tool/short adjustments, clamped to [0, 1]."""
+    if role == "system":
+        return 1.0
+    content = content or ""
+    score = 0.5
+    lower = content.lower()
+    if "```" in content or "\t" in content:
+        score += 0.4
+    if any(k in lower for k in ERROR_KEYWORDS):
+        score += 0.3
+    if any(k in lower for k in DECISION_KEYWORDS):
+        score += 0.2
+    if role == "tool":
+        score += 0.2
+    if len(content) < 50:
+        score -= 0.1
+    return max(0.0, min(1.0, score))

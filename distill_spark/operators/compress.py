@@ -1,0 +1,117 @@
+"""Compression operators C1-C4 as DataFrame transforms.
+
+Each is an Arrow-batched pandas UDF over the text column (the
+reference's per-chunk Go loops, pkg/compress/*.go) plus the
+MinChunkLength gate. Composable via :func:`compress_pipeline`
+(compress.go:89-123) with per-stage stats (A12).
+
+Pandas UDFs are the right tool here — these are genuinely pointwise
+string algorithms (sentence scoring, JSON reshaping) with no
+relational structure to push into Catalyst; Arrow batching keeps the
+Python boundary amortized.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from distill_spark.functions import textproc
+from distill_spark.functions import vectormath as vm
+
+
+def _text_udf(fn):
+    @F.pandas_udf(T.StringType())
+    def udf(s: pd.Series) -> pd.Series:
+        return s.map(fn)
+
+    return udf
+
+
+def extractive(text: Column, target_reduction: float = 0.5,
+               min_chunk_length: int = 50) -> Column:
+    """C1: sentence-scored extractive compression (extractive.go)."""
+    return _text_udf(
+        partial(textproc.extractive_compress,
+                target_reduction=target_reduction,
+                min_chunk_length=min_chunk_length)
+    )(text)
+
+
+def placeholder(text: Column, preserve_structure: bool = False,
+                min_chunk_length: int = 50) -> Column:
+    """C2: structured-content placeholders (placeholder.go)."""
+    return _text_udf(
+        partial(textproc.placeholder_compress,
+                preserve_structure=preserve_structure,
+                min_chunk_length=min_chunk_length)
+    )(text)
+
+
+def pruner(text: Column, min_chunk_length: int = 50) -> Column:
+    """C3: filler-phrase / intensifier pruning (pruner.go)."""
+    return _text_udf(
+        partial(textproc.prune, min_chunk_length=min_chunk_length)
+    )(text)
+
+
+COMPRESSORS = {
+    "extractive": extractive,
+    "placeholder": placeholder,
+    "pruner": pruner,
+}
+
+
+def compress_pipeline(
+    df: DataFrame,
+    stages: list[str],
+    text_col: str = "text",
+    **stage_kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """C4 (compress.go:89-123): chain compressors sequentially over
+    ``text_col``; returns (result_df, stats_df) where stats has one
+    row per stage (input/output token totals + reduction %).
+
+    Implementation note: the chain stays one Spark plan — each stage
+    wraps the previous stage's column; only the stats computation
+    observes the intermediates.
+    """
+    cur = df
+    stats_rows = []
+    for stage in stages:
+        fn = COMPRESSORS[stage]
+        kwargs = stage_kwargs.get(stage, {})
+        nxt = cur.withColumn(text_col, fn(F.col(text_col), **kwargs))
+        agg = (
+            cur.select(vm.estimate_tokens(F.col(text_col)).alias("_in"))
+            .agg(F.coalesce(F.sum("_in"), F.lit(0)).alias("input_tokens"))
+            .crossJoin(
+                nxt.select(vm.estimate_tokens(F.col(text_col)).alias("_out"))
+                .agg(F.coalesce(F.sum("_out"), F.lit(0)).alias("output_tokens"))
+            )
+            .select(
+                F.lit(stage).alias("stage"),
+                "input_tokens",
+                "output_tokens",
+                F.when(
+                    F.col("input_tokens") > 0,
+                    F.round(
+                        F.lit(100.0)
+                        * (F.col("input_tokens") - F.col("output_tokens"))
+                        / F.col("input_tokens"),
+                        2,
+                    ),
+                ).otherwise(0.0).alias("reduction_pct"),
+            )
+        )
+        stats_rows.append(agg)
+        cur = nxt
+
+    stats = stats_rows[0]
+    for s in stats_rows[1:]:
+        stats = stats.unionByName(s)
+    return cur, stats

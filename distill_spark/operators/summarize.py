@@ -1,0 +1,196 @@
+"""Hierarchical summarization (C5-C6, W1-W3 in SURVEY.md).
+
+Reference: pkg/summarize/hierarchy.go. Two passes over a conversation:
+
+1. Age pass — each non-recent turn is compressed to the max level its
+   age allows (30 m → paragraph, 2 h → sentence, 24 h → keywords by
+   default), with high-importance turns (≥ 0.7) capped at paragraph.
+2. Budget pass — if still over ``max_tokens``, progressively compress
+   oldest→newest through every level including eviction, stopping the
+   moment the budget fits.
+
+The budget pass is inherently sequential per conversation (each
+step's token delta feeds the stop condition), so the whole operator
+runs under ``applyInPandas`` keyed by conversation — thousands of
+conversations summarize in parallel, each exactly.
+
+Importance scoring (C6) is also exposed as a pure column expression
+(:func:`importance_expr`) for JVM-side use and SQL-oracle parity.
+
+``now`` is an explicit parameter everywhere (the reference calls
+time.Now() inline — untestable; SURVEY.md §7.4 risk 3).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from distill_spark.functions import textproc
+
+LEVEL_FULL, LEVEL_PARAGRAPH, LEVEL_SENTENCE, LEVEL_KEYWORDS, LEVEL_EVICTED = range(5)
+
+DEFAULT_AGE_LEVELS = [
+    (30 * 60, LEVEL_PARAGRAPH),
+    (2 * 3600, LEVEL_SENTENCE),
+    (24 * 3600, LEVEL_KEYWORDS),
+]
+
+
+def importance_expr(role: Column, content: Column) -> Column:
+    """C6 as a flat column expression (importance.go:18-74)."""
+    c = F.coalesce(content, F.lit(""))
+    lower = F.lower(c)
+    error_hit = F.lit(False)
+    for k in textproc.ERROR_KEYWORDS:
+        error_hit = error_hit | lower.contains(k)
+    decision_hit = F.lit(False)
+    for k in textproc.DECISION_KEYWORDS:
+        decision_hit = decision_hit | lower.contains(k)
+    score = (
+        F.lit(0.5)
+        + F.when(c.contains("```") | c.contains("\t"), 0.4).otherwise(0.0)
+        + F.when(error_hit, 0.3).otherwise(0.0)
+        + F.when(decision_hit, 0.2).otherwise(0.0)
+        + F.when(role == "tool", 0.2).otherwise(0.0)
+        - F.when(F.length(c) < 50, 0.1).otherwise(0.0)
+    )
+    clamped = F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0))
+    return F.when(role == "system", F.lit(1.0)).otherwise(clamped)
+
+
+def age_level_expr(ts: Column, now: Column,
+                   age_levels: list[tuple[int, int]] | None = None) -> Column:
+    """W3 (hierarchy.go:175-183): max compression level allowed for a
+    turn's age — a flat when-cascade, no window needed."""
+    levels = age_levels or DEFAULT_AGE_LEVELS
+    age = now.cast("long") - ts.cast("long")
+    out = F.lit(LEVEL_FULL)
+    branches = [F.when(age >= sec, F.lit(lvl)).otherwise(LEVEL_FULL) for sec, lvl in levels]
+    return F.greatest(out, *branches)
+
+
+def _compress_to(content: str, original: str, target: int) -> str:
+    src = original if original else content
+    if target == LEVEL_PARAGRAPH:
+        return textproc.paragraph_summary(src)
+    if target == LEVEL_SENTENCE:
+        return textproc.sentence_summary(src)
+    if target == LEVEL_KEYWORDS:
+        return textproc.keyword_summary(src)
+    return content
+
+
+def summarize_turns(
+    df: DataFrame,
+    now: dt.datetime,
+    max_tokens: int = 0,
+    preserve_recent: int = 10,
+    importance_threshold: float = 0.7,
+    age_levels: list[tuple[int, int]] | None = None,
+    group_col: str | None = None,
+    id_col: str = "id",
+    role_col: str = "role",
+    content_col: str = "content",
+    ts_col: str = "ts",
+    level_col: str = "level",
+    importance_col: str = "importance",
+) -> DataFrame:
+    """C5: both passes, per conversation. Input needs (id, role,
+    content, ts, level, importance); unscored rows (importance 0/null)
+    are scored first (ScoreTurns, importance.go:69-74). Turn order =
+    ``ts`` asc then id. Evicted turns are dropped from the output
+    (hierarchy.go:163-170). Output adds ``tokens`` and ``original``.
+    """
+    levels = age_levels or DEFAULT_AGE_LEVELS
+    gcol = group_col or "_g"
+    src = df if group_col else df.withColumn(gcol, F.lit(0))
+    if isinstance(now, dt.datetime):
+        # naive datetimes are UTC here (session TZ is pinned to UTC);
+        # datetime.timestamp() would otherwise apply the host zone
+        aware = now if now.tzinfo else now.replace(tzinfo=dt.timezone.utc)
+        now_ts = aware.timestamp()
+    else:
+        now_ts = float(now)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        roles = pdf[role_col].tolist()
+        contents = [c if isinstance(c, str) else "" for c in pdf[content_col]]
+        originals = contents[:]  # original preserved on first compression
+        lvl = [int(x) if pd.notna(x) else 0 for x in pdf[level_col]]
+        imp = [
+            float(x) if pd.notna(x) and float(x) != 0.0
+            else textproc.importance_score(roles[i], contents[i])
+            for i, x in enumerate(pdf[importance_col])
+        ]
+        tokens = [textproc.estimate_tokens_nonspace(c) for c in contents]
+        ages = [
+            now_ts - (t.timestamp() if hasattr(t, "timestamp") else float(t))
+            for t in pdf[ts_col]
+        ]
+
+        recent_cutoff = max(n - preserve_recent, 0)
+
+        # pass 1: age-based levels (hierarchy.go:68-96)
+        for i in range(n):
+            if preserve_recent > 0 and i >= recent_cutoff:
+                continue
+            max_level = LEVEL_FULL
+            for sec, ml in levels:
+                if ages[i] >= sec and ml > max_level:
+                    max_level = ml
+            if imp[i] >= importance_threshold and max_level > LEVEL_PARAGRAPH:
+                max_level = LEVEL_PARAGRAPH
+            if max_level <= lvl[i]:
+                continue
+            contents[i] = _compress_to(contents[i], originals[i], max_level)
+            lvl[i] = max_level
+            tokens[i] = textproc.estimate_tokens_nonspace(contents[i])
+
+        # pass 2: budget enforcement (hierarchy.go:122-172)
+        if max_tokens > 0:
+            total = sum(tokens)
+            level = LEVEL_PARAGRAPH
+            while level <= LEVEL_EVICTED and total > max_tokens:
+                for i in range(n):
+                    if preserve_recent > 0 and i >= recent_cutoff:
+                        break
+                    if lvl[i] >= level:
+                        continue
+                    if imp[i] >= importance_threshold and level > LEVEL_PARAGRAPH:
+                        continue
+                    before = tokens[i]
+                    if level == LEVEL_EVICTED:
+                        lvl[i] = LEVEL_EVICTED
+                        contents[i] = ""
+                        tokens[i] = 0
+                    else:
+                        contents[i] = _compress_to(contents[i], originals[i], level)
+                        lvl[i] = level
+                        tokens[i] = textproc.estimate_tokens_nonspace(contents[i])
+                    total -= before - tokens[i]
+                    if total <= max_tokens:
+                        break
+                level += 1
+
+        out = pdf.copy()
+        out[content_col] = contents
+        out[level_col] = lvl
+        out[importance_col] = imp
+        out["original"] = originals
+        out["tokens"] = tokens
+        keep = [i for i in range(n) if lvl[i] != LEVEL_EVICTED]
+        return out.iloc[keep]
+
+    schema = T.StructType(
+        list(src.schema.fields)
+        + [T.StructField("original", T.StringType()), T.StructField("tokens", T.IntegerType())]
+    )
+    out = src.groupBy(gcol).applyInPandas(run, schema=schema)
+    return out if group_col else out.drop(gcol)

@@ -1,0 +1,127 @@
+"""The dedup → compress → summarize pipeline (SURVEY.md §3.2,
+reference pkg/pipeline/pipeline.go:73-235 and cmd/pipeline.go).
+
+Each stage is toggleable; per-stage token stats (A12) are collected
+from the DataFrame itself. Tokens here use the reference pipeline's
+non-space estimator (pipeline.go:180-192).
+
+The chunk→turn adapter follows pipeline.go:207-235: chunks become
+role="user" turns with a zero timestamp — i.e. "infinitely old", so
+the summarize stage's age pass targets keyword level for everything
+outside the preserve-recent window, exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distill_spark.functions import vectormath as vm
+from distill_spark.operators.compress import extractive
+from distill_spark.operators.summarize import summarize_turns
+from distill_spark.plans.dedupe import DedupeConfig, dedupe
+
+
+@dataclass
+class PipelineOptions:
+    dedup_enabled: bool = True
+    dedup_threshold: float = 0.15
+    dedup_lambda: float = 0.7
+    dedup_target_k: int = 0
+    compress_enabled: bool = True
+    compress_target_reduction: float = 0.5
+    summarize_enabled: bool = False
+    summarize_max_tokens: int = 0
+    summarize_recent: int = 10
+    dedup_method: str = "exact"
+    extra: dict = field(default_factory=dict)
+
+
+def _tokens(df: DataFrame, text_col: str) -> DataFrame:
+    return df.agg(
+        F.coalesce(F.sum(vm.estimate_tokens_nonspace(F.col(text_col))), F.lit(0)).alias("t")
+    )
+
+
+def run_pipeline(
+    df: DataFrame,
+    opts: PipelineOptions | None = None,
+    id_col: str = "id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+    now: dt.datetime | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (result_df, stage_stats_df). Stage stats: one row per
+    stage with input/output tokens and reduction %, mirroring
+    StageStats (pipeline.go:16-32)."""
+    opts = opts or PipelineOptions()
+    now = now or dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    current = df
+    stats = []
+
+    def stage_stats(name, before, after):
+        return (
+            _tokens(before, text_col).withColumnRenamed("t", "input_tokens")
+            .crossJoin(_tokens(after, text_col).withColumnRenamed("t", "output_tokens"))
+            .select(
+                F.lit(name).alias("stage"),
+                "input_tokens", "output_tokens",
+                F.when(F.col("input_tokens") > 0,
+                       F.round(F.lit(100.0) * (F.col("input_tokens") - F.col("output_tokens"))
+                               / F.col("input_tokens"), 2)).otherwise(0.0).alias("reduction_pct"),
+            )
+        )
+
+    if opts.dedup_enabled:
+        cfg = DedupeConfig(
+            threshold=opts.dedup_threshold,
+            lambda_=opts.dedup_lambda,
+            target_k=opts.dedup_target_k,
+            method=opts.dedup_method,
+        )
+        nxt = dedupe(current, cfg, id_col=id_col, vec_col=vec_col,
+                     score_col=score_col, text_col=text_col)
+        nxt = nxt.select(*current.columns)
+        stats.append(stage_stats("dedup", current, nxt))
+        current = nxt
+
+    if opts.compress_enabled:
+        nxt = current.withColumn(
+            text_col,
+            extractive(F.col(text_col), target_reduction=opts.compress_target_reduction),
+        )
+        stats.append(stage_stats("compress", current, nxt))
+        current = nxt
+
+    if opts.summarize_enabled:
+        turns = current.select(
+            F.col(id_col).alias("id"),
+            F.lit("user").alias("role"),
+            F.col(text_col).alias("content"),
+            F.lit(dt.datetime(1970, 1, 1)).alias("ts"),  # zero time (pipeline.go:212-216)
+            F.lit(0).alias("level"),
+            F.lit(0.0).alias("importance"),
+        )
+        summarized = summarize_turns(
+            turns, now=now,
+            max_tokens=opts.summarize_max_tokens,
+            preserve_recent=opts.summarize_recent,
+        )
+        # J7 rejoin (pipeline.go:220-235): summarized content back onto
+        # original chunks by id
+        nxt = (
+            current.drop(text_col)
+            .join(summarized.select(F.col("id").alias(id_col),
+                                    F.col("content").alias(text_col)), id_col)
+        )
+        stats.append(stage_stats("summarize", current, nxt))
+        current = nxt
+
+    stats_df = stats[0] if stats else None
+    for s in (stats[1:] if stats else []):
+        stats_df = stats_df.unionByName(s)
+    return current, stats_df

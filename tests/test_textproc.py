@@ -1,0 +1,197 @@
+"""Pure-Python goldens for C1-C8 text transforms (no Spark needed).
+Expectations mirror the reference's unit tests
+(pkg/compress/compress_test.go, pkg/summarize/summarize_test.go)."""
+
+from __future__ import annotations
+
+import pytest
+
+from distill_spark.functions import textproc as tp
+
+
+# ---------------------------------------------------------------- tokens
+
+def test_estimate_tokens():
+    assert tp.estimate_tokens("") == 0
+    assert tp.estimate_tokens("abcd") == 1
+    assert tp.estimate_tokens("abcde") == 2
+    assert tp.estimate_tokens(None) == 0
+
+
+def test_estimate_tokens_nonspace():
+    assert tp.estimate_tokens_nonspace("a b c d") == 1  # 4 non-space chars
+
+
+# ---------------------------------------------------------------- sentences
+
+def test_split_sentences():
+    assert tp.split_sentences("One. Two! Three?") == ["One.", "Two!", "Three?"]
+    assert tp.split_sentences("No delimiter") == ["No delimiter"]
+    assert tp.split_sentences("") == []
+    assert tp.split_sentences("Trailing. rest") == ["Trailing.", "rest"]
+
+
+def test_score_sentence():
+    # first sentence +2, 5-25 words +1
+    assert tp.score_sentence("One two three four five six.", 0, 3) == 3.0
+    # last +1
+    assert tp.score_sentence("Hi.", 2, 3) == 1.0
+    # keyword +1.5, digit +0.5
+    assert tp.score_sentence("key 5", 1, 3) == 2.0
+
+
+def test_extractive_multi_sentence_shorter():
+    text = ("This is the first sentence. This is the second sentence. "
+            "This is the third sentence. This is the fourth sentence. "
+            "This is the fifth sentence with important information.")
+    out = tp.extractive_compress(text, 0.5, 10)
+    assert len(out) < len(text)
+    assert out.startswith("This is the first sentence.")
+
+
+def test_extractive_single_sentence_unchanged():
+    t = "This is a single sentence."
+    assert tp.extractive_compress(t, 0.5, 10) == t
+
+
+def test_extractive_short_gate():
+    t = "tiny. text."
+    assert tp.extractive_compress(t, 0.5, 50) == t  # below MinChunkLength
+
+
+# ---------------------------------------------------------------- pruner
+
+def test_prune_filler_phrases():
+    out = tp.prune("As mentioned earlier, it is important to note that the "
+                   "system works. Basically, it just runs.", 10)
+    assert "as mentioned earlier" not in out.lower()
+    assert "basically" not in out.lower()
+    assert "system works" in out
+
+
+def test_prune_intensifiers():
+    out = tp.prune("This is a very important and really critical feature "
+                   "that is quite useful.", 10)
+    assert "very" not in out.lower()
+    assert "really" not in out.lower()
+    assert "quite" not in out.lower()
+    assert "important" in out
+
+
+def test_prune_whitespace_and_punct():
+    out = tp.prune("This   has    multiple     spaces .. and dots...", 10)
+    assert "   " not in out
+    assert ".." not in out
+    assert " ." not in out
+
+
+# ---------------------------------------------------------------- placeholder
+
+def test_placeholder_json_preserve_structure():
+    out = tp.placeholder_compress(
+        '{"id": 1, "name": "test", "data": {"nested": "value"}, '
+        '"items": [1,2,3,4,5,6,7,8,9,10]}',
+        preserve_structure=True, min_chunk_length=10)
+    assert '"id":1' in out
+    assert '"name":"test"' in out
+    assert "nested" not in out  # non-preserved key dropped
+
+
+def test_placeholder_json_array_truncation():
+    out = tp.placeholder_compress(
+        '[{"id": 1}, {"id": 2}, {"id": 3}, {"id": 4}, {"id": 5}]',
+        preserve_structure=True, min_chunk_length=10)
+    assert "more" in out  # "...+2 more"
+
+
+def test_placeholder_json_summary_mode():
+    out = tp.placeholder_compress('{"a": 1, "b": 2}', min_chunk_length=5)
+    assert out == "[JSON object with keys: a, b]"
+    out = tp.placeholder_compress("[1, 2, 3]", min_chunk_length=5)
+    assert out == "[JSON array with 3 items]"
+
+
+def test_placeholder_plain_text_unchanged():
+    t = "This is just plain text without any structure."
+    assert tp.placeholder_compress(t, preserve_structure=True, min_chunk_length=10) == t
+
+
+def test_placeholder_xml():
+    out = tp.placeholder_compress(
+        "<root><item>a</item><item>b</item></root>", min_chunk_length=10)
+    assert out.startswith("[XML with elements: ")
+    assert "item(×2)" in out
+
+
+def test_placeholder_table():
+    out = tp.placeholder_compress(
+        "name|age|city\nann|30|nyc\nbob|41|sfo", min_chunk_length=10)
+    assert out == "[Table with 2 rows, columns: name, age, city]"
+
+
+# ---------------------------------------------------------------- hierarchy
+
+def test_paragraph_summary_excludes_second():
+    out = tp.paragraph_summary("First paragraph.\n\nSecond paragraph that should be excluded.")
+    assert "Second paragraph" not in out
+    assert "First paragraph." in out
+
+
+def test_paragraph_summary_keeps_code():
+    out = tp.paragraph_summary("Intro line.\n\n```go\ncode here\n```\ntail")
+    assert "code here" in out
+    assert "tail" not in out
+
+
+def test_sentence_summary_two_sentences():
+    out = tp.sentence_summary("This is the first sentence. This is the second. This is the third.")
+    assert "third" not in out
+    assert out == "This is the first sentence. This is the second."
+
+
+def test_keyword_summary():
+    out = tp.keyword_summary("The authentication service uses JWT tokens with "
+                             "RS256 signing algorithm for security.")
+    assert out != ""
+    for stop in ("the", "with", "for"):
+        assert f" {stop} " not in out.lower()
+    assert "authentication" in out
+    # dedup + max 12, original casing kept
+    many = " ".join(f"word{i:02d}" for i in range(30))
+    assert len(tp.keyword_summary(many).split(", ")) == 12
+
+
+# ------------------------------------------------- session/memory transforms
+
+def test_session_sentence():
+    assert tp.session_compress_to_level("First. Second.", 2) == "First."
+    long_nosent = "word " * 20
+    out = tp.session_compress_to_level(long_nosent.strip(), 2)
+    assert out.endswith("...")
+    assert len(out) <= 54
+    assert tp.session_compress_to_level("short no boundary", 2) == "short no boundary"
+
+
+def test_session_keywords_lowercased_max15():
+    text = " ".join(f"Word{i:02d}" for i in range(20))
+    out = tp.session_compress_to_level(text, 3)
+    parts = out.split(", ")
+    assert len(parts) == 15
+    assert parts[0] == "word00"
+
+
+def test_memory_keywords_max20():
+    text = " ".join(f"term{i:02d}" for i in range(30))
+    assert len(tp.memory_keywords(text).split(", ")) == 20
+
+
+# ---------------------------------------------------------------- importance
+
+def test_importance_score():
+    assert tp.importance_score("system", "You are helpful.") == 1.0
+    assert tp.importance_score("assistant", "```go\nfunc main() {}\n```") >= 0.8
+    assert tp.importance_score("user", "error: nil pointer dereference") >= 0.7
+    assert tp.importance_score("user", "ok") == pytest.approx(0.4)
+    # clamp at 1.0
+    s = tp.importance_score("tool", "```x``` error decided " + "y" * 60)
+    assert s == 1.0
