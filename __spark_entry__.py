@@ -1,38 +1,1152 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the distill_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship dedupe pipeline on sf0.001.
+``queries()`` exposes one DataFrame builder per implemented operator
+from SURVEY.md §2 (+ the training-data extensions); ``oracle_sql()``
+gives the DuckDB-equivalent SQL for every SQL-expressible one. Column
+names and rounding are aligned on both sides; floats that cross an
+engine boundary are rounded (6 dp for unit-scale values, 2-4 dp for
+large sums) and all vector math is forced to float64 on both sides.
+
+Non-SQL-expressible operators (seeded K-Means, greedy MMR, SimHash
+banding, text transforms) appear in ``queries()`` only → the driver
+records a rows-only check; their exact semantics are covered by the
+unit-test goldens in tests/.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distill_spark.runtime import load_tables
+from distill_spark.functions import vectormath as vm
+from distill_spark.functions import textfn
+from distill_spark.operators import cluster as cl
+
+# ----------------------------------------------------------------- helpers
+
+ERROR_KEYWORDS = [
+    "error", "exception", "panic", "fatal", "failed", "failure",
+    "crash", "bug", "traceback", "stack trace", "nil pointer",
+    "segfault", "timeout", "deadlock",
+]
+DECISION_KEYWORDS = [
+    "decided", "decision", "conclusion", "therefore", "we will",
+    "we should", "let's use", "going with", "chosen", "agreed",
+    "final answer", "solution is", "approach is",
+]
+EN_STOPWORDS = ["the", "and", "for", "that", "this", "with", "from", "have",
+                "will", "been"]
+
+NOW_LIT = "2024-01-31 00:00:00"  # fixed "now" for event-age operators
+
+
+def _tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir)
+
+
+def _cos_sim_expr(a, b):
+    """Sequential-sum cosine similarity as a column expression —
+    bit-matches the oracle's double arithmetic."""
+    return vm.cosine_similarity(a, b)
+
+
+_COS_SQL = (
+    "LEAST(GREATEST(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+    "sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])) * "
+    "list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))), -1.0), 1.0)"
+)
+
+
+def _words(col):
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+_WORDS_SQL = "list_filter(string_split({c}, ' '), x -> x <> '')"
+
+
+# ----------------------------------------------------------------- queries
+
+def q_a6_doc_stats(spark, sf_dir):
+    """A6 memory-stats analog: grouped counts + min/max (memory/sqlite.go:653-722)."""
+    t = _tables(spark, sf_dir)
+    return (
+        t["documents"].groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"),
+             F.min("n_chars").alias("min_chars"),
+             F.max("n_chars").alias("max_chars"),
+             F.sum("n_chars").cast("long").alias("sum_chars"))
+    )
+
+
+SQL_A6 = """
+SELECT lang, source, count(*) AS n_docs, min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang, source
+"""
+
+
+def q_f6_tokens(spark, sf_dir):
+    """F6 token estimators (extractive.go:198-203, importance.go:77-86)."""
+    t = _tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        vm.estimate_tokens(F.col("text")).alias("tokens"),
+        vm.estimate_tokens_nonspace(F.col("text")).alias("tokens_nonspace"),
+    )
+
+
+SQL_F6 = r"""
+SELECT doc_id,
+       CAST(floor((length(text)+3)/4) AS INTEGER) AS tokens,
+       CAST(floor((length(regexp_replace(text, '\s', '', 'g'))+3)/4) AS INTEGER) AS tokens_nonspace
+FROM documents
+"""
+
+
+def q_f7_hash_text(spark, sf_dir):
+    """F7 SHA-256/16 content hash (cache/patterns.go:293-298)."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.functions.hashing import hash_text
+
+    return t["documents"].select("doc_id", hash_text(F.col("text")).alias("hash16"))
+
+
+SQL_F7 = "SELECT doc_id, substring(sha256(text), 1, 16) AS hash16 FROM documents"
+
+
+def q_f10_sensitivity(spark, sf_dir):
+    """F10 sensitivity classification (sensitivity.go:75-136)."""
+    t = _tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", textfn.sensitivity_level(F.col("text")).alias("sensitivity")
+    )
+
+
+def _sql_f10():
+    clauses = []
+    for name, pat, lvl in textfn.SENSITIVITY_PATTERNS:
+        # DuckDB is RE2: use the reference's original credit-card pattern
+        if name == "credit_card":
+            pat = r"\b(?:\d[ -]*?){13,19}\b"
+        pat = pat.replace("'", "''")
+        clauses.append(f"CASE WHEN regexp_matches(text, '{pat}') THEN {lvl} ELSE 0 END")
+    for d in textfn.INTERNAL_DOMAINS:
+        clauses.append(f"CASE WHEN contains(lower(text), '{d}') THEN 2 ELSE 0 END")
+    return ("SELECT doc_id, GREATEST(0, " + ", ".join(clauses)
+            + ") AS sensitivity FROM documents")
+
+
+def q_c6_importance(spark, sf_dir):
+    """C6 importance scoring as column expr (importance.go:18-74)."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.summarize import importance_expr
+
+    return t["documents"].select(
+        "doc_id",
+        F.round(importance_expr(F.lit("user"), F.col("text")), 2).alias("importance"),
+    )
+
+
+def _sql_c6():
+    err = " OR ".join(
+        "contains(lower(text), '{}')".format(k.replace("'", "''"))
+        for k in ERROR_KEYWORDS
+    )
+    dec = " OR ".join(
+        "contains(lower(text), '{}')".format(k.replace("'", "''"))
+        for k in DECISION_KEYWORDS
+    )
+    return f"""
+SELECT doc_id,
+  round(LEAST(GREATEST(
+    0.5
+    + CASE WHEN contains(text, '```') OR contains(text, chr(9)) THEN 0.4 ELSE 0.0 END
+    + CASE WHEN {err} THEN 0.3 ELSE 0.0 END
+    + CASE WHEN {dec} THEN 0.2 ELSE 0.0 END
+    + 0.0
+    - CASE WHEN length(text) < 50 THEN 0.1 ELSE 0.0 END, 0.0), 1.0), 2) AS importance
+FROM documents
+"""
+
+
+def q_st3_decay_levels(spark, sf_dir):
+    """ST3/W3 age→decay level cascade (memory/decay.go:36-177,
+    summarize.go:63-74) against a fixed now."""
+    t = _tables(spark, sf_dir)
+    ts = F.col("ts")
+    level = (
+        F.when(ts <= F.lit("2024-01-30 00:00:00").cast("timestamp"), 3)
+        .when(ts <= F.lit("2024-01-30 22:00:00").cast("timestamp"), 2)
+        .when(ts <= F.lit("2024-01-30 23:30:00").cast("timestamp"), 1)
+        .otherwise(0)
+    )
+    return t["events"].select("event_id", level.alias("decay_level"))
+
+
+SQL_ST3 = """
+SELECT event_id,
+  CASE WHEN ts <= TIMESTAMP '2024-01-30 00:00:00' THEN 3
+       WHEN ts <= TIMESTAMP '2024-01-30 22:00:00' THEN 2
+       WHEN ts <= TIMESTAMP '2024-01-30 23:30:00' THEN 1
+       ELSE 0 END AS decay_level
+FROM events
+"""
+
+
+def q_p1_filter_project(spark, sf_dir):
+    """P1-P3/P9 predicate + projection with parquet pushdown."""
+    t = _tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter((F.col("event_type") == "error")
+                & (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+                & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp")))
+        .select("event_id", "user_id", "value")
+    )
+
+
+SQL_P1 = """
+SELECT event_id, user_id, value FROM events
+WHERE event_type = 'error' AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+"""
+
+
+def q_p2_semijoin(spark, sf_dir):
+    """P2 tag-filter semi-join shape (memory/sqlite.go:314-321)."""
+    t = _tables(spark, sf_dir)
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .join(urgent, t["customer"].c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+SQL_P2 = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def q_j5_antijoin(spark, sf_dir):
+    """J5 anti-join delete shape (memory/sqlite.go:526-575): customers
+    with no urgent orders."""
+    t = _tables(spark, sf_dir)
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .join(urgent, t["customer"].c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+SQL_J5 = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def q_j4_revenue_per_nation(spark, sf_dir):
+    """J4 equi-join + aggregation (memory/sqlite.go:744-760 analog)."""
+    t = _tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(t["customer"], t["orders"].o_custkey == t["customer"].c_custkey)
+        .join(F.broadcast(t["nation"]),
+              t["customer"].c_nationkey == t["nation"].n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+SQL_J4 = """
+SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_w1_recent_per_user(spark, sf_dir):
+    """W1 preserve-recent window (hierarchy.go:64-75): last 3 events
+    per user."""
+    t = _tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        t["events"].withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+SQL_W1 = """
+SELECT user_id, event_id, rn FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn <= 3
+"""
+
+
+def q_w5_budget_take(spark, sf_dir):
+    """W5 token-budget prefix take (memory/sqlite.go:439-451): keep
+    documents in doc_id order while cumulative tokens ≤ 5000."""
+    t = _tables(spark, sf_dir)
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    toks = vm.estimate_tokens(F.col("text"))
+    return (
+        t["documents"]
+        .select("doc_id", F.sum(toks).over(w).cast("long").alias("cum_tokens"))
+        .filter(F.col("cum_tokens") <= 5000)
+    )
+
+
+SQL_W5 = """
+SELECT doc_id, cum_tokens FROM (
+  SELECT doc_id,
+         CAST(sum(CAST(floor((length(text)+3)/4) AS INTEGER))
+              OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM documents) WHERE cum_tokens <= 5000
+"""
+
+
+def q_w6_running_value(spark, sf_dir):
+    """W6 cache-boundary running totals (session/cache_boundary.go:129-186)."""
+    t = _tables(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return t["events"].select(
+        "user_id", "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+SQL_W6 = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 4) AS running_value
+FROM events
+"""
+
+
+def q_t1_topk_parts(spark, sf_dir):
+    """T1 top-k by score (selector.go:241-262)."""
+    t = _tables(spark, sf_dir)
+    return (
+        t["part"]
+        .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(25)
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+SQL_T1 = """
+SELECT p_partkey, p_name, p_retailprice FROM part
+ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 25
+"""
+
+
+def q_a8_word_churn(spark, sf_dir):
+    """A8 churn analog (commits.go:253-305): explode words, top terms."""
+    t = _tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(F.explode(_words(F.col("text"))).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word")).limit(20)
+    )
+
+
+SQL_A8 = f"""
+SELECT word, cnt FROM (
+  SELECT word, count(*) AS cnt FROM (
+    SELECT unnest({_WORDS_SQL.format(c='text')}) AS word FROM documents
+  ) GROUP BY word
+) ORDER BY cnt DESC, word ASC LIMIT 20
+"""
+
+
+def q_a10_top_hubs(spark, sf_dir):
+    """A10/G4 degree stats + top hubs (graph/graph.go:239-270)."""
+    t = _tables(spark, sf_dir)
+    return (
+        t["lineitem"].groupBy("l_suppkey").agg(F.count("*").alias("in_degree"))
+        .orderBy(F.desc("in_degree"), F.asc("l_suppkey")).limit(10)
+    )
+
+
+SQL_A10 = """
+SELECT l_suppkey, count(*) AS in_degree FROM lineitem
+GROUP BY l_suppkey ORDER BY in_degree DESC, l_suppkey ASC LIMIT 10
+"""
+
+
+def q_a9_risk_bands(spark, sf_dir):
+    """A9 risk scoring bands (commits.go:144-206) applied to per-order
+    aggregates: lines→quantity, files→lineitem count."""
+    t = _tables(spark, sf_dir)
+    per_order = (
+        t["lineitem"].groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"), F.count("*").alias("files"))
+    )
+    score = (
+        F.when(F.col("qty") > 500, 2).when(F.col("qty") > 200, 1).otherwise(0)
+        + F.when(F.col("files") > 20, 2).when(F.col("files") > 10, 1).otherwise(0)
+    )
+    risk = (F.when(score >= 3, "high").when(score >= 1, "medium").otherwise("low"))
+    return (
+        per_order.select(risk.alias("risk"))
+        .groupBy("risk").agg(F.count("*").alias("n"))
+    )
+
+
+SQL_A9 = """
+WITH per_order AS (
+  SELECT l_orderkey, sum(l_quantity) AS qty, count(*) AS files
+  FROM lineitem GROUP BY l_orderkey
+), scored AS (
+  SELECT (CASE WHEN qty > 500 THEN 2 WHEN qty > 200 THEN 1 ELSE 0 END)
+       + (CASE WHEN files > 20 THEN 2 WHEN files > 10 THEN 1 ELSE 0 END) AS score
+  FROM per_order
+)
+SELECT CASE WHEN score >= 3 THEN 'high' WHEN score >= 1 THEN 'medium'
+            ELSE 'low' END AS risk, count(*) AS n
+FROM scored GROUP BY 1
+"""
+
+
+def q_f11_commit_parse(spark, sf_dir):
+    """F11 conventional-commit parsing (commits.go:353-393) over
+    synthesized messages (deterministic function of the data)."""
+    t = _tables(spark, sf_dir)
+    msg = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("feat(api): add "), F.col("source")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("fix!: urgent "), F.col("source")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("docs(readme): "), F.col("source")))
+        .otherwise(F.concat(F.lit("update "), F.col("source")))
+    )
+    d = t["documents"].select("doc_id", msg.alias("msg"))
+    return d.select(
+        "doc_id",
+        textfn.commit_type(F.col("msg")).alias("ctype"),
+        textfn.commit_scope(F.col("msg")).alias("scope"),
+        textfn.commit_breaking(F.col("msg")).alias("breaking"),
+    )
+
+
+SQL_F11 = """
+WITH msgs AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN 'feat(api): add ' || source
+         WHEN doc_id % 4 = 1 THEN 'fix!: urgent ' || source
+         WHEN doc_id % 4 = 2 THEN 'docs(readme): ' || source
+         ELSE 'update ' || source END AS msg
+  FROM documents
+), parsed AS (
+  SELECT doc_id, msg,
+    CASE WHEN position(':' IN msg) = 0 THEN NULL
+         ELSE rtrim(trim(string_split(msg, ':')[1]), '!') END AS prefix
+  FROM msgs
+), typed AS (
+  SELECT doc_id, msg, prefix,
+    CASE WHEN prefix IS NULL THEN ''
+         WHEN position('(' IN prefix) > 0
+         THEN regexp_extract(prefix, '\\(([^)]*)\\)', 1) ELSE '' END AS scope,
+    lower(CASE WHEN prefix IS NULL THEN prefix
+          WHEN position('(' IN prefix) > 0 THEN string_split(prefix, '(')[1]
+          ELSE prefix END) AS base
+  FROM parsed
+)
+SELECT doc_id,
+  CASE WHEN base IN ('feat','feature') THEN 'feat'
+       WHEN base IN ('fix','bugfix') THEN 'fix'
+       WHEN base = 'refactor' THEN 'refactor'
+       WHEN base IN ('test','tests') THEN 'test'
+       WHEN base IN ('docs','doc') THEN 'docs'
+       WHEN base = 'chore' THEN 'chore'
+       WHEN base = 'perf' THEN 'perf'
+       WHEN base = 'revert' THEN 'revert'
+       ELSE 'unknown' END AS ctype,
+  scope,
+  (contains(msg, 'BREAKING CHANGE') OR contains(msg, '!')) AS breaking
+FROM typed
+"""
+
+
+def q_st8_stability(spark, sf_dir):
+    """ST8 stability validator (cache/stability.go:73-282): per user,
+    change count via lag + stability rate."""
+    t = _tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = t["events"].select(
+        "user_id",
+        F.when(F.lag("event_type").over(w).isNotNull()
+               & (F.col("event_type") != F.lag("event_type").over(w)), 1)
+        .otherwise(0).alias("chg"),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(F.count("*").alias("checks"), F.sum("chg").cast("long").alias("changes"))
+        .filter(F.col("checks") > 1)
+        .select(
+            "user_id", "checks", "changes",
+            F.round(F.lit(1.0) - F.col("changes") / (F.col("checks") - 1), 6)
+            .alias("stability_rate"),
+        )
+    )
+
+
+SQL_ST8 = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NOT NULL
+               AND event_type <> lag(event_type)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+)
+SELECT user_id, checks, changes,
+       round(1.0 - changes / (checks - 1), 6) AS stability_rate
+FROM (SELECT user_id, count(*) AS checks, CAST(sum(chg) AS BIGINT) AS changes
+      FROM flagged GROUP BY user_id)
+WHERE checks > 1
+"""
+
+
+def q_st7_ttl_cold(spark, sf_dir):
+    """ST7 TTL tracker analog (cache/ttl.go:44-187): count cold starts
+    (gap > 5 min) per user; first event is cold."""
+    t = _tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    cold = F.when(gap_us.isNull() | (gap_us > 300_000_000), 1).otherwise(0)
+    return (
+        t["events"].select("user_id", cold.alias("cold"))
+        .groupBy("user_id").agg(F.sum("cold").cast("long").alias("cold_starts"),
+                                F.count("*").alias("n_events"))
+    )
+
+
+SQL_ST7 = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 300000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS cold_starts,
+       count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+def q_j3_ann_topk(spark, sf_dir):
+    """J3/T3 brute-force top-k similarity search (commits.go:216-250):
+    20 nearest neighbours of vector 0."""
+    t = _tables(spark, sf_dir)
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "label",
+                F.round(_cos_sim_expr(F.col("embedding"), F.col("qv")), 6).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+SQL_J3 = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       round({_COS_SQL.format(a='embedding', b='qv')}, 6) AS sim
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY sim DESC, vec_id ASC LIMIT 20
+"""
+
+
+def q_w4_recall_ranking(spark, sf_dir):
+    """W4 recall relevance = (1-w)·sim + w·recency (memory/sqlite.go:370-436)
+    with w=0.3 and a deterministic pseudo-recency."""
+    t = _tables(spark, sf_dir)
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    sim = _cos_sim_expr(F.col("embedding"), F.col("qv"))
+    recency = F.lit(1.0) / (F.lit(1.0) + F.col("vec_id").cast("double") / F.lit(24.0))
+    rel = F.round(F.lit(0.7) * sim + F.lit(0.3) * recency, 6)
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select("vec_id", rel.alias("relevance"))
+        .orderBy(F.desc("relevance"), F.asc("vec_id"))
+        .limit(50)
+    )
+
+
+SQL_W4 = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(0.7 * {_COS_SQL.format(a='embedding', b='qv')}
+             + 0.3 * (1.0 / (1.0 + CAST(vec_id AS DOUBLE) / 24.0)), 6) AS relevance
+FROM embeddings, q
+ORDER BY relevance DESC, vec_id ASC LIMIT 50
+"""
+
+
+def q_j1_pairwise_band(spark, sf_dir):
+    """J1 pairwise distance matrix (cluster.go:217-242), banded: pairs
+    of the first 150 vectors with cosine distance ≤ 0.8."""
+    t = _tables(spark, sf_dir)
+    sub = t["embeddings"].filter(F.col("vec_id") < 150)
+    pairs = cl.pairwise_distances(sub, id_col="vec_id", vec_col="embedding")
+    return (
+        pairs.withColumn("dist", F.round(F.col("dist"), 6))
+        .filter(F.col("dist") <= 0.8)
+        .select(F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"), "dist")
+    )
+
+
+SQL_J1 = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(1.0 - {_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS dist
+FROM embeddings a, embeddings b
+WHERE a.vec_id < 150 AND b.vec_id < 150 AND a.vec_id < b.vec_id
+  AND round(1.0 - {_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) <= 0.8
+"""
+
+
+def q_j2_dedup_probe(spark, sf_dir):
+    """J2 write-time dedup probe (memory/sqlite.go:243-279): new rows
+    (vec_id ≥ 450) against existing, min distance → dup/conflict/clean
+    (thresholds scaled to this corpus's distance range)."""
+    t = _tables(spark, sf_dir)
+    emb = t["embeddings"]
+    new = emb.filter(F.col("vec_id") >= 450).select(
+        F.col("vec_id").alias("new_id"), F.col("embedding").alias("nv"))
+    old = emb.filter(F.col("vec_id") < 450).select(F.col("embedding").alias("ov"))
+    cos = vm.make_cosine_distance_udf()
+    mind = (
+        new.crossJoin(old)
+        .select("new_id", cos(F.col("nv"), F.col("ov")).alias("d"))
+        .groupBy("new_id").agg(F.round(F.min("d"), 6).alias("min_dist"))
+    )
+    verdict = (
+        F.when(F.col("min_dist") < 0.75, "duplicate")
+        .when(F.col("min_dist") < 0.85, "conflict")
+        .otherwise("clean")
+    )
+    return mind.select("new_id", "min_dist", verdict.alias("verdict"))
+
+
+SQL_J2 = f"""
+WITH d AS (
+  SELECT a.vec_id AS new_id,
+         1.0 - {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS dist
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id >= 450 AND b.vec_id < 450
+), m AS (
+  SELECT new_id, round(min(dist), 6) AS min_dist FROM d GROUP BY new_id
+)
+SELECT new_id, min_dist,
+       CASE WHEN min_dist < 0.75 THEN 'duplicate'
+            WHEN min_dist < 0.85 THEN 'conflict'
+            ELSE 'clean' END AS verdict
+FROM m
+"""
+
+
+def q_a3_centroids(spark, sf_dir):
+    """A3 per-label centroid (cluster.go:291-313) as (label, pos, mean)."""
+    t = _tables(spark, sf_dir)
+    return (
+        t["embeddings"]
+        .select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
+    )
+
+
+SQL_A3 = """
+SELECT label, i - 1 AS pos,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_val
+FROM embeddings CROSS JOIN range(1, 65) t(i)
+GROUP BY label, i - 1
+"""
+
+
+def q_a1_cluster_cc(spark, sf_dir):
+    """A1 threshold clustering, single-linkage/connected-components
+    route (cluster.go:65-214 → SURVEY §4 custom op #1): first 200
+    vectors at distance ≤ 0.7; component = min member id."""
+    t = _tables(spark, sf_dir)
+    sub = t["embeddings"].filter(F.col("vec_id") < 200).select("vec_id", "embedding")
+    out = cl.cluster_by_threshold(sub, id_col="vec_id", vec_col="embedding",
+                                  threshold=0.7, dist_round=6)
+    return out.select("vec_id", F.col("cluster_id").cast("long").alias("component"))
+
+
+SQL_A1 = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < 200 AND b.vec_id < 200 AND a.vec_id <> b.vec_id
+    AND round(1.0 - {_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) <= 0.7
+), reach(node, r) AS (
+  SELECT vec_id, vec_id FROM embeddings WHERE vec_id < 200
+  UNION
+  SELECT p.ib, reach.r FROM reach JOIN pairs p ON p.ia = reach.node
+)
+SELECT node AS vec_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
+
+
+def q_g3_blast_radius(spark, sf_dir):
+    """G3 multi-source BFS blast radius (graph/graph.go:130-209) over
+    the part↔supplier bipartite graph; seeds = parts with p_size=1;
+    depth ≤ 3, impact 0.5^(depth-1), min-depth dedup, T5 sort."""
+    t = _tables(spark, sf_dir)
+    e1 = t["lineitem"].select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst")).distinct()
+    edges = e1.union(e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))) \
+              .localCheckpoint()
+    seeds = t["part"].filter(F.col("p_size") == 1).select(
+        F.concat(F.lit("p"), F.col("p_partkey")).alias("node")).distinct()
+
+    visited = seeds.withColumn("depth", F.lit(0)).localCheckpoint()
+    frontier = visited
+    for depth in (1, 2, 3):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(depth))
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return (
+        visited.filter(F.col("depth") >= 1)
+        .select("node", "depth",
+                F.round(F.pow(F.lit(0.5), F.col("depth") - 1), 6).alias("impact"))
+    )
+
+
+SQL_G3 = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM lineitem
+  UNION
+  SELECT DISTINCT 's' || l_suppkey, 'p' || l_partkey FROM lineitem
+), seeds AS (
+  SELECT DISTINCT 'p' || p_partkey AS node FROM part WHERE p_size = 1
+), bfs(node, depth) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, bfs.depth + 1 FROM bfs JOIN e ON e.src = bfs.node
+  WHERE bfs.depth < 3
+), md AS (
+  SELECT node, min(depth) AS depth FROM bfs GROUP BY node
+)
+SELECT node, depth, round(power(0.5, depth - 1), 6) AS impact
+FROM md WHERE depth >= 1
+"""
+
+
+# -------------------------------------------- training-data extensions
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via content-hash groupBy: canonical = min doc_id
+    per md5(text) group."""
+    t = _tables(spark, sf_dir)
+    w = Window.partitionBy("h")
+    return (
+        t["documents"].select("doc_id", F.md5(F.col("text")).alias("h"))
+        .select("doc_id",
+                F.min("doc_id").over(w).alias("canonical_id"),
+                F.count("*").over(w).alias("group_size"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       count(*) OVER (PARTITION BY md5(text)) AS group_size
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5/16 of whitespace-normalized lowercase
+    text."""
+    t = _tables(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return t["documents"].select(
+        "doc_id", F.substring(F.md5(norm), 1, 16).alias("fingerprint"))
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id,
+       substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16)
+           AS fingerprint
+FROM documents
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: word count, stopword ratio, quality score."""
+    t = _tables(spark, sf_dir)
+    words = _words(F.col("text"))
+    stops = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    nstop = F.size(F.filter(words, lambda x: F.array_contains(stops, x)))
+    nwords = F.size(words)
+    stop_ratio = F.when(nwords > 0, nstop / nwords).otherwise(0.0)
+    quality = F.round((F.lit(1.0) - stop_ratio)
+                      * F.least(nwords, F.lit(200)).cast("double") / 200.0, 6)
+    return t["documents"].select(
+        "doc_id", nwords.alias("n_words"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"), quality.alias("quality"))
+
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
+SQL_QUALITY = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL.format(c='text')} AS words FROM documents
+), s AS (
+  SELECT doc_id, len(words) AS n_words,
+         CASE WHEN len(words) > 0
+              THEN CAST(len(list_filter(words, x -> list_contains({_STOP_SQL}, x)))
+                        AS DOUBLE) / len(words)
+              ELSE 0.0 END AS stop_ratio
+  FROM w
+)
+SELECT doc_id, n_words, round(stop_ratio, 6) AS stopword_ratio,
+       round((1.0 - stop_ratio) * CAST(LEAST(n_words, 200) AS DOUBLE) / 200.0, 6)
+           AS quality
+FROM s
+"""
+
+
+def q_text_langid(spark, sf_dir):
+    """Language-ID heuristic: ≥2 distinct English stopwords present →
+    'en', else 'other'."""
+    t = _tables(spark, sf_dir)
+    words = _words(F.col("text"))
+    stops = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    hits = F.size(F.array_intersect(words, stops))
+    return t["documents"].select(
+        "doc_id", "lang",
+        F.when(hits >= 2, "en").otherwise("other").alias("lang_pred"))
+
+
+SQL_LANGID = f"""
+WITH w AS (
+  SELECT doc_id, lang, {_WORDS_SQL.format(c='text')} AS words FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN len(list_intersect(words, {_STOP_SQL})) >= 2
+            THEN 'en' ELSE 'other' END AS lang_pred
+FROM w
+"""
+
+
+def _shingles_expr(col):
+    w = _words(col)
+    return F.when(
+        F.size(w) >= 3,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.size(w) - 2),
+                        lambda i: F.concat_ws(" ", F.slice(w, i, 3)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_SHINGLES_SQL = f"""
+SELECT doc_id, unnest(list_distinct(sh)) AS sh FROM (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3
+              THEN list_transform(range(1, len(words) - 1),
+                                  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+              ELSE [] END AS sh
+  FROM (SELECT doc_id, {_WORDS_SQL.format(c='text')} AS words FROM documents
+        WHERE doc_id < 300)
+)
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """N-gram (3-word shingle) Jaccard near-dup pairs (docs < 300,
+    J ≥ 0.05). Exact rational arithmetic → exact oracle parity."""
+    t = _tables(spark, sf_dir)
+    sub = t["documents"].filter(F.col("doc_id") < 300)
+    sh = (
+        sub.select("doc_id", F.explode(_shingles_expr(F.col("text"))).alias("sh"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a").join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh"))
+                           & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard",
+                    F.round(F.col("inter")
+                            / (F.col("sza") + F.col("szb") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= 0.05)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SQL_JACCARD = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.05
+"""
+
+
+_MINHASH_SEEDS = [0, 1, 2, 3]
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash signatures + LSH band keys (2 bands × 2 rows) over
+    3-word shingles. Hash = md5(seed||shingle), min by hex string —
+    engine-portable and deterministic."""
+    t = _tables(spark, sf_dir)
+    sub = t["documents"].filter(F.col("doc_id") < 300)
+    sh = sub.select("doc_id", F.explode(_shingles_expr(F.col("text"))).alias("sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(s)), F.lit("|"), F.col("sh")))).alias(f"mh{s}")
+        for s in _MINHASH_SEEDS
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", *[F.col(f"mh{s}") for s in _MINHASH_SEEDS],
+        F.md5(F.concat_ws("|", "mh0", "mh1")).alias("band0"),
+        F.md5(F.concat_ws("|", "mh2", "mh3")).alias("band1"),
+    )
+
+
+SQL_MINHASH = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"min(md5('{s}' || '|' || sh)) AS mh{s}" for s in _MINHASH_SEEDS)}
+  FROM sh GROUP BY doc_id
+)
+SELECT doc_id, mh0, mh1, mh2, mh3,
+       md5(mh0 || '|' || mh1) AS band0,
+       md5(mh2 || '|' || mh3) AS band1
+FROM sig
+"""
+
+
+def q_events_tumbling(spark, sf_dir):
+    """Tumbling 1-hour window aggregation (Structured-Streaming shape,
+    batch-checked; extension beyond reference surface)."""
+    t = _tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type", "n", "total_value")
+    )
+
+
+SQL_TUMBLING = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Session windows via 30-min-gap cumulative flags (the reference
+    has no event-time windows; extension per SURVEY §2.9 note)."""
+    t = _tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    sess = (
+        t["events"]
+        .withColumn("new_sess", new_sess)
+        .withColumn("session_seq",
+                    F.sum("new_sess").over(
+                        w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(F.count("*").alias("n_events"),
+             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+             F.round(F.sum("value"), 4).alias("session_value"))
+    )
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       round(sum(value), 4) AS session_value
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+# -------------------------------------------- rows-only (non-SQL) queries
+
+def q_a2_kmeans_dedup(spark, sf_dir):
+    """A2 K-Means dedup + medoid prune (dedup/kmeans.go:76-351).
+    Seeded but init differs from any SQL oracle → rows-only check."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.kmeans_dedup import kmeans_dedup
+
+    emb = t["embeddings"].select(F.col("vec_id").alias("id"),
+                                 F.col("embedding"))
+    out = kmeans_dedup(emb, k=10, prune_threshold=0.05, seed=42)
+    return out.select(F.col("id").alias("vec_id"), "cluster_id", "is_medoid", "kept")
+
+
+def q_t2_mmr_rerank(spark, sf_dir):
+    """T2 greedy MMR (mmr.go:50-135). Sequential greedy → rows-only."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.mmr import mmr_rerank
+
+    emb = t["embeddings"].limit(2000).select(
+        F.col("vec_id").alias("id"), "embedding",
+        (F.lit(1.0) / (1.0 + F.col("vec_id").cast("double"))).alias("score"))
+    return mmr_rerank(emb, lambda_=0.5, target_k=16).select("id", "mmr_rank")
+
+
+def q_c1_extractive(spark, sf_dir):
+    """C1 extractive compression (extractive.go:63-168) — text
+    transform, goldens in tests → rows-only."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.compress import extractive
+
+    return t["documents"].select(
+        "doc_id", extractive(F.col("text"), target_reduction=0.5).alias("compressed"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash fingerprints (64-bit, xxhash64 token bits, majority
+    vote) — bit-twiddling not portable to the oracle → rows-only."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.dedup_text import simhash
+
+    return simhash(t["documents"].filter(F.col("doc_id") < 300),
+                   id_col="doc_id", text_col="text")
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    """ANN scale path: LSH bucket assignment via seeded random
+    hyperplanes — seeded randomness → rows-only."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.similarity import lsh_bucket_topk
+
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return lsh_bucket_topk(emb, q, id_col="vec_id", vec_col="embedding", k=20)
+
+
+# ----------------------------------------------------------------- registry
+
+_REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    "a6_doc_stats": (q_a6_doc_stats, SQL_A6),
+    "f6_tokens": (q_f6_tokens, SQL_F6),
+    "f7_hash_text": (q_f7_hash_text, SQL_F7),
+    "f10_sensitivity": (q_f10_sensitivity, _sql_f10()),
+    "c6_importance": (q_c6_importance, _sql_c6()),
+    "st3_decay_levels": (q_st3_decay_levels, SQL_ST3),
+    "p1_filter_project": (q_p1_filter_project, SQL_P1),
+    "p2_semijoin": (q_p2_semijoin, SQL_P2),
+    "j5_antijoin": (q_j5_antijoin, SQL_J5),
+    "j4_revenue_per_nation": (q_j4_revenue_per_nation, SQL_J4),
+    "w1_recent_per_user": (q_w1_recent_per_user, SQL_W1),
+    "w5_budget_take": (q_w5_budget_take, SQL_W5),
+    "w6_running_value": (q_w6_running_value, SQL_W6),
+    "t1_topk_parts": (q_t1_topk_parts, SQL_T1),
+    "a8_word_churn": (q_a8_word_churn, SQL_A8),
+    "a9_risk_bands": (q_a9_risk_bands, SQL_A9),
+    "a10_top_hubs": (q_a10_top_hubs, SQL_A10),
+    "f11_commit_parse": (q_f11_commit_parse, SQL_F11),
+    "st8_stability": (q_st8_stability, SQL_ST8),
+    "st7_ttl_cold": (q_st7_ttl_cold, SQL_ST7),
+    "j3_ann_topk": (q_j3_ann_topk, SQL_J3),
+    "w4_recall_ranking": (q_w4_recall_ranking, SQL_W4),
+    "j1_pairwise_band": (q_j1_pairwise_band, SQL_J1),
+    "j2_dedup_probe": (q_j2_dedup_probe, SQL_J2),
+    "a3_centroids": (q_a3_centroids, SQL_A3),
+    "a1_cluster_cc": (q_a1_cluster_cc, SQL_A1),
+    "g3_blast_radius": (q_g3_blast_radius, SQL_G3),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "text_fingerprint": (q_text_fingerprint, SQL_FINGERPRINT),
+    "text_quality": (q_text_quality, SQL_QUALITY),
+    "text_langid": (q_text_langid, SQL_LANGID),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_JACCARD),
+    "dedup_minhash": (q_dedup_minhash, SQL_MINHASH),
+    "events_tumbling": (q_events_tumbling, SQL_TUMBLING),
+    "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
+    # rows-only (non-SQL-expressible)
+    "a2_kmeans_dedup": (q_a2_kmeans_dedup, None),
+    "t2_mmr_rerank": (q_t2_mmr_rerank, None),
+    "c1_extractive": (q_c1_extractive, None),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "ann_lsh_buckets": (q_ann_lsh_buckets, None),
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the /v1/dedupe pipeline (SURVEY §3.1) on sf0.001 —
+    cluster → select → MMR over documents⋈embeddings."""
+    from distill_spark.plans.dedupe import DedupeConfig, dedupe
+
+    t = _tables(spark, "/root/testdata/sf0.001")
+    chunks = (
+        t["documents"].join(t["embeddings"],
+                            t["documents"].doc_id == t["embeddings"].vec_id)
+        .select(F.col("doc_id").cast("string").alias("id"), "text", "embedding",
+                (F.col("n_chars") / 1000.0).cast("float").alias("score"))
+    )
+    reps = dedupe(chunks, DedupeConfig(threshold=0.65, strategy="score", target_k=32))
+    return reps.select("id", "cluster_id", "score", "mmr_rank")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}

@@ -1,0 +1,92 @@
+"""Benchmark harness: runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ...}
+
+Headline set = the shuffle/join/UDF-heavy operators (clustering,
+pairwise similarity, dedup suite, sessionization, BFS) plus the
+flagship dedupe pipeline — the operators whose cost actually scales,
+not the trivially-pushed-down scans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from distill_spark.runtime import get_spark, load_tables  # noqa: E402
+
+HEADLINE = [
+    "a1_cluster_cc",
+    "j1_pairwise_band",
+    "j2_dedup_probe",
+    "j3_ann_topk",
+    "j4_revenue_per_nation",
+    "w6_running_value",
+    "g3_blast_radius",
+    "a2_kmeans_dedup",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "events_sessionize",
+    "events_tumbling",
+    "t2_mmr_rerank",
+]
+
+
+def flagship_dedupe(spark, sf_dir):
+    """The /v1/dedupe pipeline over documents⋈embeddings at bench SF."""
+    from distill_spark.plans.dedupe import DedupeConfig, dedupe
+
+    t = load_tables(spark, sf_dir, ["documents", "embeddings"])
+    chunks = (
+        t["documents"].join(t["embeddings"],
+                            t["documents"].doc_id == t["embeddings"].vec_id)
+        .select(F.col("doc_id").cast("string").alias("id"), "text", "embedding",
+                (F.col("n_chars") / 1000.0).cast("float").alias("score"))
+    )
+    return dedupe(chunks, DedupeConfig(threshold=0.65, strategy="score", target_k=32))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="distill_spark_bench")
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    total0 = time.time()
+
+    for name in HEADLINE:
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr, flush=True)
+
+    t0 = time.time()
+    n = flagship_dedupe(spark, sf_dir).count()
+    timings["flagship_dedupe"] = round(time.time() - t0, 3)
+    print(f"# flagship_dedupe: {n} rows in {timings['flagship_dedupe']}s",
+          file=sys.stderr, flush=True)
+
+    total = round(time.time() - total0, 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

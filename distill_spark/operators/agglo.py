@@ -27,11 +27,28 @@ from pyspark.sql import functions as F
 
 def cosine_distance_matrix(vecs: list[np.ndarray | None]) -> np.ndarray:
     """Pairwise cosine distances with the reference's edge cases:
-    missing/empty → 2.0, zero-norm → 2.0 (cluster.go:217-242)."""
+    missing/empty → 2.0, zero-norm → 2.0 (cluster.go:217-242).
+
+    Fast path (all rows valid, uniform dim — the overwhelmingly common
+    case): normalize rows once and take a single Gram matmul, keeping
+    the number of O(N²) array passes minimal."""
     n = len(vecs)
+    ok = [v is not None and len(v) > 0 for v in vecs]
+    if n and all(ok) and len({len(v) for v in vecs}) == 1:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        zero = norms == 0
+        safe = np.where(zero, 1.0, norms)
+        mn = m / safe[:, None]
+        d = 1.0 - np.clip(mn @ mn.T, -1.0, 1.0)
+        if zero.any():
+            d[zero, :] = 2.0
+            d[:, zero] = 2.0
+        np.fill_diagonal(d, 0.0)
+        return d
+
     d = np.full((n, n), 2.0)
     np.fill_diagonal(d, 0.0)
-    ok = [v is not None and len(v) > 0 for v in vecs]
     idx = [i for i in range(n) if ok[i]]
     if idx:
         dims = {len(vecs[i]) for i in idx}

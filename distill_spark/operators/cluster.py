@@ -46,7 +46,12 @@ def pairwise_distances(
     at scale. The join is a non-equi cross join on id ordering so
     Catalyst can at least avoid self/symmetric pairs.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    # the source is often a single parquet file (1-2 partitions); a
+    # nested-loop join inherits the left side's partitioning, so spread
+    # the probe side across the cluster or the whole O(N²) evaluation
+    # lands on one core
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")).repartition(par)
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     cond = F.col("id_a") < F.col("id_b") if upper_only else F.col("id_a") != F.col("id_b")
     cos = vm.make_cosine_distance_udf()
@@ -60,6 +65,84 @@ def pairwise_distances(
     )
 
 
+def broadcast_similarity_edges(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    dist_round: int | None = None,
+    b_chunk: int = 4096,
+) -> DataFrame:
+    """Exact self similarity-join via broadcast block-matmul: the
+    build side (ids + unit-normalized matrix) is broadcast once, the
+    probe side streams through ``mapInPandas`` and each Arrow batch
+    does one BLAS matmul per build chunk. Compared to materializing
+    the O(N²) pair rows through a join, this moves each vector across
+    the wire once instead of N times — the same asymmetry that makes
+    broadcast-hash beat shuffle joins for small build sides.
+
+    Suitable while the build side fits in executor memory (~10⁵-10⁶
+    vectors); beyond that use the LSH route. Empty/zero-norm vectors
+    produce no edges (distance 2.0 > any useful threshold)."""
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).collect()
+    ids, mats = [], []
+    for r in rows:
+        v = r[1]
+        if v is not None and len(v) > 0:
+            a = np.asarray(v, dtype=np.float64)
+            n = np.sqrt(a @ a)
+            if n > 0:
+                ids.append(r[0])
+                mats.append(a / n)
+    sc = df.sparkSession.sparkContext
+    if not ids:
+        return df.sparkSession.createDataFrame([], schema=f"src string, dst string")
+    b_ids = sc.broadcast(ids)
+    b_mat = sc.broadcast(np.stack(mats))
+    id_type = dict(df.dtypes)[id_col]
+
+    def gen(batches):
+        import pandas as pd
+
+        B = b_mat.value
+        bid = b_ids.value
+        for pdf in batches:
+            keep = [
+                i for i, v in enumerate(pdf[vec_col])
+                if v is not None and len(v) == B.shape[1]
+            ]
+            if not keep:
+                continue
+            A = np.stack([np.asarray(pdf[vec_col].iloc[i], dtype=np.float64)
+                          for i in keep])
+            an = np.sqrt(np.einsum("ij,ij->i", A, A))
+            nz = an > 0  # zero-norm → distance 2.0 → never an edge
+            if not nz.any():
+                continue
+            A = A[nz] / an[nz, None]
+            a_ids = pdf[id_col].iloc[keep].to_numpy()[nz]
+            for s in range(0, B.shape[0], b_chunk):
+                blk = B[s:s + b_chunk]
+                d = 1.0 - np.clip(A @ blk.T, -1.0, 1.0)
+                if dist_round is not None:
+                    d = np.round(d, dist_round)
+                ii, jj = np.nonzero(d <= threshold)
+                if ii.size:
+                    src = a_ids[ii]
+                    dst = np.asarray(bid[s:s + b_chunk], dtype=object)[jj]
+                    m = src < dst
+                    if m.any():
+                        yield pd.DataFrame({"src": src[m], "dst": dst[m]})
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, vec_col).repartition(par)
+        .mapInPandas(gen, schema=f"src {id_type}, dst {id_type}")
+    )
+
+
 def similarity_edges(
     df: DataFrame,
     threshold: float,
@@ -68,6 +151,8 @@ def similarity_edges(
     method: str = "exact",
     lsh_bucket_length: float = 0.5,
     lsh_num_tables: int = 3,
+    dist_round: int | None = None,
+    broadcast_limit: int = 200_000,
 ) -> DataFrame:
     """Edges (src, dst) wherever cosine distance ≤ threshold.
 
@@ -81,9 +166,18 @@ def similarity_edges(
     """
     with_emb = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
     if method == "exact":
+        if with_emb.count() <= broadcast_limit:
+            return broadcast_similarity_edges(
+                with_emb, threshold, id_col=id_col, vec_col=vec_col,
+                dist_round=dist_round,
+            )
+        pairs = pairwise_distances(with_emb, id_col, vec_col)
+        if dist_round is not None:
+            # round before comparing so the edge set is reproducible
+            # across engines/summation orders (oracle parity)
+            pairs = pairs.withColumn("dist", F.round("dist", dist_round))
         return (
-            pairwise_distances(with_emb, id_col, vec_col)
-            .filter(F.col("dist") <= threshold)
+            pairs.filter(F.col("dist") <= threshold)
             .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         )
     if method != "lsh":
@@ -127,18 +221,57 @@ def connected_components(
     edges: DataFrame,
     id_col: str = "id",
     max_iter: int = 50,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
-    """Distributed connected components by iterative min-label
-    propagation. Returns (id, component) where component is the
-    lexicographic min id reachable. Converges in O(component diameter)
-    rounds; lineage is cut with localCheckpoint each round so the plan
-    stays bounded at scale.
+    """Connected components. Returns (id, component) where component
+    is the min id reachable.
+
+    Two physical strategies behind one logical op (the edge relation —
+    the expensive similarity join — is computed distributed either
+    way):
+    - edge count ≤ ``driver_threshold``: union-find on the driver. A
+      few million (src, dst) pairs is megabytes — the iterative path's
+      per-round stage scheduling costs more than the whole solve.
+    - above threshold: iterative min-label propagation, O(diameter)
+      rounds, lineage cut per round via localCheckpoint. This is the
+      100 TB path; rounds are shuffle joins Catalyst/AQE handle.
     """
     # materialize the (usually expensive) edge relation once — the loop
     # would otherwise recompute the similarity join every round
     und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
+
+    if und.count() <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in und.toLocalIterator():
+            a, b = find(r["src"]), find(r["dst"])
+            if a != b:
+                # min id becomes the root → deterministic labels
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo
+
+        spark = vertices.sparkSession
+        labels = [(x, find(x)) for x in parent]
+        if not labels:
+            return vertices.select(F.col(id_col), F.col(id_col).alias("component"))
+        comp = spark.createDataFrame(labels, schema=["_n", "_c"])
+        return vertices.join(
+            F.broadcast(comp), vertices[id_col] == F.col("_n"), "left"
+        ).select(
+            F.col(id_col),
+            F.coalesce(F.col("_c"), F.col(id_col)).alias("component"),
+        )
+
     labels = vertices.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("component")
     ).localCheckpoint()
@@ -173,6 +306,7 @@ def cluster_by_threshold(
     vec_col: str = "embedding",
     threshold: float = 0.15,
     method: str = "exact",
+    dist_round: int | None = None,
     **lsh_kwargs,
 ) -> DataFrame:
     """A1, scale route: single-linkage threshold clustering.
@@ -183,7 +317,8 @@ def cluster_by_threshold(
     has_emb = F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
     with_emb = df.filter(has_emb)
     edges = similarity_edges(
-        df, threshold, id_col=id_col, vec_col=vec_col, method=method, **lsh_kwargs
+        df, threshold, id_col=id_col, vec_col=vec_col, method=method,
+        dist_round=dist_round, **lsh_kwargs
     )
     cc = connected_components(with_emb, edges, id_col=id_col)
     assigned = df.join(

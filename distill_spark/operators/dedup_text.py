@@ -1,0 +1,186 @@
+"""Text deduplication suite — training-data-pipeline extensions
+beyond the reference surface (which only dedups via embeddings):
+
+- exact dedup: content-hash groupBy (one shuffle, scales linearly)
+- n-gram Jaccard: shingle → explode → self-join on shingle →
+  intersection counts (exact, shuffle on shingle)
+- MinHash signatures + LSH banding: shingle → per-seed min-hash →
+  band keys → bucket join (near-dup candidates without the O(N²)
+  pair join; verify candidates with exact Jaccard)
+- SimHash: 64-bit fingerprints, near-dups = small Hamming distance
+
+Everything is deterministic (hashes, not RNG) so results are stable
+across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def words_expr(col: Column) -> Column:
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+def shingles_expr(col: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a text column (JVM-side)."""
+    w = words_expr(col)
+    return F.when(
+        F.size(w) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: adds canonical_id (min id of the
+    identical-text group) and group_size. Filter canonical_id == id
+    for the deduped set."""
+    w = Window.partitionBy("_h")
+    return (
+        df.withColumn("_h", F.md5(F.col(text_col)))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count("*").over(w))
+        .drop("_h")
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 8,
+                       shingle_n: int = 3) -> DataFrame:
+    """MinHash signature per doc: for each seed, min over shingles of
+    md5(seed|shingle) — hex-string min is a valid uniform permutation
+    surrogate and is portable across engines."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(s)), F.lit("|"), F.col("sh")))).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", num_hashes: int = 8,
+                           bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate
+    pairs (doc_a < doc_b). num_hashes must be divisible by bands."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]))
+        .alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.concat(F.lit(f"{b}:"), F.col(f"band{b}")) for b in range(bands)
+        ])).alias("bucket"),
+    )
+    a = stacked.select(F.col(id_col).alias("doc_a"), "bucket")
+    b = stacked.select(F.col(id_col).alias("doc_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", threshold: float = 0.1,
+                        shingle_n: int = 3,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard over distinct shingles; restricted to candidate
+    pairs when given (the LSH path), else all pairs sharing ≥1 shingle."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a").join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh"))
+                           & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                 F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard",
+                    F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _simhash_one(text: str | None) -> int:
+    if not text:
+        return 0
+    weights = [0] * 64
+    for tok in text.split():
+        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+        for i in range(64):
+            weights[i] += 1 if (h >> i) & 1 else -1
+    v = 0
+    for i in range(64):
+        if weights[i] > 0:
+            v |= 1 << i
+    # two's-complement into int64 range for a LongType column
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """64-bit SimHash fingerprints (md5-token bits, majority vote)."""
+
+    @F.pandas_udf(T.LongType())
+    def sh(s: pd.Series) -> pd.Series:
+        return s.map(_simhash_one)
+
+    return df.select(F.col(id_col), sh(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance. Scale path: block
+    on 16-bit chunks (a pair within Hamming ≤3 of 64 bits shares at
+    least one of 4 chunks exactly) → bucket join, then verify."""
+    fp = simhash(df, id_col, text_col)
+    chunks = fp.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*[
+            F.concat(F.lit(f"{i}:"),
+                     F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)))
+            for i in range(4)
+        ])).alias("chunk"),
+    )
+    a = chunks.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk")
+    b = chunks.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk")
+    cand = (
+        a.join(b, "chunk").filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

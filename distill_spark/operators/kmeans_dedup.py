@@ -59,7 +59,11 @@ def kmeans_dedup(
         k = max(1, int(math.sqrt(n / 2.0)))  # kmeans.go:86-94
     k = min(k, n)
 
-    feats = with_emb.withColumn("_feat", array_to_vector(vm.normalize(F.col(vec_col))))
+    # materialize features before fit — KMeans makes maxIter passes and
+    # would recompute the (interpreted) normalize expression each one
+    feats = with_emb.withColumn(
+        "_feat", array_to_vector(vm.normalize(F.col(vec_col)))
+    ).cache()
     model = KMeans(
         k=k, maxIter=max_iter, seed=seed, featuresCol="_feat", predictionCol="cluster_id"
     ).fit(feats)

@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (training-data extension;
+generalizes the reference's S4 vector-DB query + J3 top-k scan).
+
+- :func:`brute_force_topk` — exact cosine top-k: broadcast the query,
+  score every row JVM-side, TakeOrderedAndProject. The baseline, and
+  at 100 TB still the right answer when the query batch is small (one
+  scan, no index to build).
+- :func:`lsh_bucket_topk` — sign-random-projection LSH: seeded
+  hyperplanes → bit-bucket per table → candidates = bucket matches in
+  any table → exact re-rank of candidates only. Trades recall for a
+  ~bucket-fraction of the scan cost; deterministic via seed.
+- :func:`ivf_topk` — IVF-style: KMeans-partition the corpus once
+  (seeded), search only the n_probe nearest partitions' rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from distill_spark.functions import vectormath as vm
+
+
+def brute_force_topk(df: DataFrame, query: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_col: str = "qv") -> DataFrame:
+    """Exact top-k by cosine similarity against a 1-row query frame."""
+    return (
+        df.crossJoin(F.broadcast(query))
+        .select(F.col(id_col),
+                F.round(vm.cosine_similarity(F.col(vec_col), F.col(query_col)), 6)
+                .alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim)).astype(np.float64)
+
+
+def _bucket_udf(dim: int, n_planes: int, seed: int):
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    @F.pandas_udf(T.LongType())
+    def bucket(s: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in s.values])
+        signs = (M @ planes.T) > 0
+        out = np.zeros(len(s), dtype=np.int64)
+        for i in range(n_planes):
+            out |= signs[:, i].astype(np.int64) << i
+        return pd.Series(out)
+
+    return bucket
+
+
+def lsh_bucket_topk(df: DataFrame, query: DataFrame, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_col: str = "qv", n_planes: int = 8,
+                    n_tables: int = 4, dim: int = 64,
+                    seed: int = 42) -> DataFrame:
+    """Candidates from any of ``n_tables`` sign-LSH bucket matches,
+    exact cosine re-rank of the candidates. Output ⊆ brute force
+    top-k (recall < 1 by design)."""
+    buckets = [(_bucket_udf(dim, n_planes, seed + t), t) for t in range(n_tables)]
+    corpus = df.select(
+        F.col(id_col), F.col(vec_col),
+        *[b(F.col(vec_col)).alias(f"b{t}") for b, t in buckets],
+    )
+    qb = query.select(
+        F.col(query_col),
+        *[b(F.col(query_col)).alias(f"qb{t}") for b, t in buckets],
+    )
+    cond = None
+    for t in range(n_tables):
+        c = F.col(f"b{t}") == F.col(f"qb{t}")
+        cond = c if cond is None else (cond | c)
+    return (
+        corpus.crossJoin(F.broadcast(qb))
+        .filter(cond)
+        .select(F.col(id_col),
+                F.round(vm.cosine_similarity(F.col(vec_col), F.col(query_col)), 6)
+                .alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk(df: DataFrame, query: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_col: str = "qv", n_cells: int = 16, n_probe: int = 4,
+             seed: int = 42) -> DataFrame:
+    """IVF: coarse-quantize the corpus with seeded KMeans, then search
+    only the ``n_probe`` cells nearest to the query. The cell model
+    would be fit once and reused across queries in production; here it
+    is fit inline for self-containment."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.withColumn("_feat", array_to_vector(vm.normalize(F.col(vec_col))))
+    model = KMeans(k=n_cells, seed=seed, maxIter=10,
+                   featuresCol="_feat", predictionCol="_cell").fit(feats)
+    assigned = model.transform(feats)
+
+    centers = model.clusterCenters()
+    qv = query.collect()[0][query_col]
+    qn = np.asarray(qv, dtype=np.float64)
+    qn = qn / (np.linalg.norm(qn) or 1.0)
+    dists = [float(np.linalg.norm(qn - np.asarray(c))) for c in centers]
+    probe = sorted(np.argsort(dists)[:n_probe].tolist())
+
+    return (
+        assigned.filter(F.col("_cell").isin(probe))
+        .crossJoin(F.broadcast(query))
+        .select(F.col(id_col),
+                F.round(vm.cosine_similarity(F.col(vec_col), F.col(query_col)), 6)
+                .alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
