@@ -1,0 +1,448 @@
+"""Persistent memory store (ST1-ST3, J5, A6 in SURVEY.md §2.9).
+
+Reference: pkg/memory/{sqlite.go,store.go,decay.go}. The reference is a
+single-writer SQLite store that probes every insert against the full
+table (an O(n) scan it itself flags as "fine < 10K entries",
+sqlite.go:240-242). Here the store is a Parquet-backed table and every
+lifecycle step is a distributed DataFrame job:
+
+- **store_batch (ST1, sqlite.go:117-226)** — write-time dedup: each new
+  entry's min cosine distance against live memories classifies it as
+  *duplicate* (< dedup_threshold → touch the existing row, drop the new
+  one), *conflict* (dedup ≤ d < conflict_threshold → stored, but the
+  pair is surfaced), or clean. Sensitivity is auto-classified (F10).
+  The probe is the J2 broadcast-batch join — at 100 TB the new batch is
+  small relative to the store, so it broadcasts; the store side streams.
+- **recall (ST2, sqlite.go:282-481)** — relevance = (1-w)·cos_sim +
+  w·recency with tag/source/context boosts (W4), token-budget prefix
+  take (W5), and read-side *touch* (access_count++, last_referenced).
+- **decay (ST3, decay.go:36-177)** — age-based level transitions
+  full→summary→keywords→evicted as one batch update, returning the
+  lifecycle transitions as a DataFrame.
+- **forget (J5, sqlite.go:526-575)** — delete by ids/tags/age as an
+  anti-join rewrite.
+- **stats (A6, sqlite.go:653-722)** — plain aggregations.
+
+Storage model: one table with ``tags ARRAY<STRING>`` (the reference's
+``memory_tags`` junction collapses into the array — `arrays_overlap`
+replaces the tag semi-join). Persistence is copy-on-write: each mutation
+writes a new ``v{n}`` snapshot directory and flips a pointer file, the
+Parquet analog of a Delta MERGE (no Delta in this environment). On a
+real deployment the same API runs over Delta/Iceberg MERGE with the
+probe join unchanged.
+
+Within-batch semantics: the reference inserts sequentially, so an entry
+dedups against earlier entries *of its own batch* that survived
+(first-wins chains, sqlite.go:135-149). That greedy chain is inherently
+sequential; we run it exactly with numpy inside one task per batch
+(ingest micro-batches are bounded) after the distributed store-probe has
+classified against the (arbitrarily large) existing store.
+
+All operators take ``now`` explicitly (SURVEY.md §7.4 risk 3).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from distill_spark.functions import textfn, textproc
+from distill_spark.functions.vectormath import cosine_similarity
+
+DEDUP_THRESHOLD = 0.15
+CONFLICT_THRESHOLD = 0.35
+
+LEVEL_FULL, LEVEL_SUMMARY, LEVEL_KEYWORDS = 0, 1, 2
+
+MEMORY_SCHEMA = T.StructType([
+    T.StructField("id", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType())),
+    T.StructField("source", T.StringType()),
+    T.StructField("session_id", T.StringType()),
+    T.StructField("tags", T.ArrayType(T.StringType())),
+    T.StructField("decay_level", T.IntegerType()),
+    T.StructField("sensitivity", T.IntegerType()),
+    T.StructField("created_at", T.DoubleType()),
+    T.StructField("last_referenced", T.DoubleType()),
+    T.StructField("access_count", T.IntegerType()),
+    T.StructField("expired", T.BooleanType()),
+    T.StructField("expired_at", T.DoubleType()),
+    T.StructField("superseded_by", T.StringType()),
+    T.StructField("expires_at", T.DoubleType()),
+])
+
+
+def _ts(now: dt.datetime | float) -> float:
+    if isinstance(now, dt.datetime):
+        aware = now if now.tzinfo else now.replace(tzinfo=dt.timezone.utc)
+        return aware.timestamp()
+    return float(now)
+
+
+def live_filter(now_ts: float):
+    """P1 expiry predicate (sqlite.go:306-312)."""
+    return (~F.col("expired")) & (
+        F.col("expires_at").isNull() | (F.col("expires_at") > F.lit(now_ts))
+    )
+
+
+def _greedy_batch_dedup(pdf: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Exact first-wins within-batch dedup chain (sqlite.go:135-149):
+    row j is a duplicate iff cosine dist < threshold to an earlier row
+    that itself survived. Runs as numpy on one bounded micro-batch."""
+    n = len(pdf)
+    embs = pdf["embedding"].tolist()
+    keep = np.ones(n, dtype=bool)
+    dup_of = [None] * n
+    dim = max((len(e) for e in embs if e is not None), default=0)
+    mat = np.zeros((n, dim), dtype=np.float32)
+    has = np.zeros(n, dtype=bool)
+    for i, e in enumerate(embs):
+        if e is not None and len(e):
+            mat[i, : len(e)] = e
+            has[i] = True
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    for j in range(1, n):
+        if not has[j]:
+            continue
+        prior = [i for i in range(j) if keep[i] and has[i]]
+        if not prior:
+            continue
+        sims = unit[prior] @ unit[j]
+        dists = 1.0 - sims
+        k = int(np.argmin(dists))
+        if dists[k] < threshold:
+            keep[j] = False
+            dup_of[j] = pdf["id"].iloc[prior[k]]
+    out = pdf.copy()
+    out["_batch_dup_of"] = dup_of
+    out["_keep"] = keep
+    return out
+
+
+class MemoryStore:
+    """Parquet copy-on-write memory store with the reference's
+    lifecycle semantics, all mutations as distributed jobs."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 dedup_threshold: float = DEDUP_THRESHOLD,
+                 conflict_threshold: float = CONFLICT_THRESHOLD):
+        self.spark = spark
+        self.path = path
+        self.dedup_threshold = dedup_threshold
+        self.conflict_threshold = conflict_threshold
+        os.makedirs(path, exist_ok=True)
+
+    # -- snapshot plumbing -------------------------------------------------
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "_CURRENT")
+
+    def _current_version(self) -> int:
+        try:
+            with open(self._pointer()) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return -1
+
+    def read(self) -> DataFrame:
+        v = self._current_version()
+        if v < 0:
+            return self.spark.createDataFrame([], MEMORY_SCHEMA)
+        return self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
+
+    def _write(self, df: DataFrame) -> None:
+        v = self._current_version() + 1
+        target = os.path.join(self.path, f"v{v}")
+        df.write.mode("overwrite").parquet(target)
+        with open(self._pointer(), "w") as f:
+            f.write(str(v))
+        old = os.path.join(self.path, f"v{v - 2}")  # keep one back-version
+        if os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    # -- ST1: store with write-time dedup + conflict detection -------------
+    def store_batch(self, new_df: DataFrame, now: dt.datetime | float,
+                    source: str = "", session_id: str = "") -> dict[str, DataFrame]:
+        """Ingest a batch of (id, text, embedding[, tags, source,
+        session_id, expires_at]). Returns {'inserted', 'duplicates',
+        'conflicts'} DataFrames and commits the merged table.
+
+        duplicates: (new_id, dup_of, min_dist) — dropped, existing row
+        touched. conflicts: (new_id, conflict_with, dist) — stored
+        anyway, pair surfaced (sqlite.go:152-163).
+        """
+        now_ts = _ts(now)
+        cols = dict.fromkeys(new_df.columns)
+        new = new_df.filter(F.length(F.coalesce(F.col("text"), F.lit(""))) > 0)
+        if "tags" not in cols:
+            new = new.withColumn("tags", F.array().cast("array<string>"))
+        if "source" not in cols:
+            new = new.withColumn("source", F.lit(source))
+        if "session_id" not in cols:
+            new = new.withColumn("session_id", F.lit(session_id))
+        if "expires_at" not in cols:
+            new = new.withColumn("expires_at", F.lit(None).cast("double"))
+        new = new.withColumn("_order", F.monotonically_increasing_id())
+
+        existing = self.read()
+        live = existing.filter(live_filter(now_ts)) if existing.columns else existing
+
+        # distributed probe: min distance of each new row vs live store
+        probe = (
+            F.broadcast(new.select(F.col("id").alias("new_id"),
+                                   F.col("embedding").alias("nv")))
+            .crossJoin(live.select(F.col("id").alias("old_id"),
+                                   F.col("embedding").alias("ov")))
+            .select("new_id", "old_id",
+                    (F.lit(1.0) - cosine_similarity(F.col("nv"), F.col("ov"))).alias("d"))
+        )
+        best = probe.groupBy("new_id").agg(
+            F.min_by("old_id", "d").alias("nearest_id"), F.min("d").alias("min_dist"))
+
+        classified = new.join(best, new.id == best.new_id, "left").drop("new_id")
+        store_dup = classified.filter(F.col("min_dist") < self.dedup_threshold)
+        store_clean = classified.filter(
+            F.col("min_dist").isNull() | (F.col("min_dist") >= self.dedup_threshold))
+        conflicts = (
+            classified.filter((F.col("min_dist") >= self.dedup_threshold)
+                              & (F.col("min_dist") < self.conflict_threshold))
+            .select(F.col("id").alias("new_id"),
+                    F.col("nearest_id").alias("conflict_with"),
+                    F.round("min_dist", 6).alias("dist"))
+        )
+
+        # exact sequential within-batch chain on the store-clean survivors
+        chain_schema = T.StructType(list(store_clean.schema.fields) + [
+            T.StructField("_batch_dup_of", T.StringType()),
+            T.StructField("_keep", T.BooleanType()),
+        ])
+        thr = self.dedup_threshold
+        chained = (
+            store_clean.withColumn("_g", F.lit(0))
+            .repartition(1)  # one bounded micro-batch; store side stayed distributed
+            .groupBy("_g").applyInPandas(
+                lambda pdf: _greedy_batch_dedup(
+                    pdf.drop(columns=["_g"]).sort_values("_order").reset_index(drop=True),
+                    thr),
+                schema=chain_schema)
+        )
+        kept = chained.filter(F.col("_keep"))
+
+        duplicates = (
+            store_dup.select(F.col("id").alias("new_id"),
+                             F.col("nearest_id").alias("dup_of"),
+                             F.round("min_dist", 6).alias("min_dist"))
+            .unionByName(
+                chained.filter(~F.col("_keep")).select(
+                    F.col("id").alias("new_id"),
+                    F.col("_batch_dup_of").alias("dup_of"),
+                    F.lit(None).cast("double").alias("min_dist")))
+        )
+
+        inserted = kept.select(
+            "id", "text", "embedding", "source", "session_id", "tags",
+            F.lit(LEVEL_FULL).alias("decay_level"),
+            textfn.sensitivity_level(F.col("text")).alias("sensitivity"),
+            F.lit(now_ts).alias("created_at"),
+            F.lit(now_ts).alias("last_referenced"),
+            F.lit(0).alias("access_count"),
+            F.lit(False).alias("expired"),
+            F.lit(None).cast("double").alias("expired_at"),
+            F.lit(None).cast("string").alias("superseded_by"),
+            F.col("expires_at").cast("double"),
+        )
+
+        dup_ids = [r.dup_of for r in duplicates.select("dup_of").collect()
+                   if r.dup_of is not None]
+        touched = existing
+        if existing.columns and dup_ids:
+            hit = F.col("id").isin(dup_ids)
+            touched = existing.withColumn(
+                "last_referenced",
+                F.when(hit, F.lit(now_ts)).otherwise(F.col("last_referenced"))
+            ).withColumn(
+                "access_count",
+                F.when(hit, F.col("access_count") + 1).otherwise(F.col("access_count")))
+
+        merged = (touched.unionByName(inserted) if touched.columns else inserted)
+        self._write(merged)
+        return {"inserted": inserted, "duplicates": duplicates, "conflicts": conflicts}
+
+    # -- ST2: recall -------------------------------------------------------
+    def recall(self, query_embedding: list[float], now: dt.datetime | float,
+               recency_weight: float = 0.3, min_relevance: float = 0.0,
+               boost_tags: list[str] | None = None, task_context: str = "",
+               tags: list[str] | None = None, max_results: int = 10,
+               max_tokens: int = 0, touch: bool = True) -> DataFrame:
+        """W4 ranking + W5 budget take + read-side touch
+        (sqlite.go:282-481). Returns ranked rows with ``relevance``."""
+        now_ts = _ts(now)
+        df = self.read().filter(live_filter(now_ts))
+        if tags:
+            df = df.filter(F.arrays_overlap(
+                "tags", F.array(*[F.lit(t) for t in tags])))
+
+        qv = F.array(*[F.lit(float(x)) for x in query_embedding]).cast("array<float>")
+        sim = cosine_similarity(F.col("embedding"), qv)
+        age_hours = (F.lit(now_ts) - F.col("created_at")) / 3600.0
+        recency = 1.0 / (1.0 + age_hours / 24.0)
+        rel = (1.0 - recency_weight) * sim + recency_weight * recency
+        if boost_tags:
+            rel = rel + F.when(
+                F.arrays_overlap("tags", F.array(*[F.lit(t) for t in boost_tags])),
+                0.1).otherwise(0.0)
+        if task_context:
+            ctx = task_context.lower()
+            rel = rel + F.when(
+                (F.length("source") > 0) & F.lit(ctx).contains(F.lower("source")),
+                0.05).otherwise(0.0)
+            rel = rel + F.when(F.lower("text").contains(ctx), 0.05).otherwise(0.0)
+        rel = F.least(rel, F.lit(1.0))
+
+        scored = (
+            df.withColumn("relevance", rel)
+            .filter(F.col("relevance") >= min_relevance)
+            .withColumn("tokens", (F.length("text") + 3) / F.lit(4))
+        )
+        from pyspark.sql import Window
+        w = Window.orderBy(F.desc("relevance"), F.asc("id"))
+        ranked = scored.withColumn("rank", F.row_number().over(w))
+        if max_tokens > 0:
+            cum = F.sum("tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            ranked = ranked.withColumn("_cum", cum).filter(F.col("_cum") <= max_tokens).drop("_cum")
+        out = ranked.filter(F.col("rank") <= max_results)
+
+        if touch:
+            ids = [r.id for r in out.select("id").collect()]
+            if ids:
+                hit = F.col("id").isin(ids)
+                self._write(self.read().withColumn(
+                    "last_referenced",
+                    F.when(hit, F.lit(now_ts)).otherwise(F.col("last_referenced"))
+                ).withColumn(
+                    "access_count",
+                    F.when(hit, F.col("access_count") + 1).otherwise(F.col("access_count"))))
+        return out
+
+    # -- ST3: decay --------------------------------------------------------
+    def decay(self, now: dt.datetime | float,
+              summary_age: float = 24 * 3600.0,
+              keywords_age: float = 7 * 24 * 3600.0,
+              evict_age: float = 30 * 24 * 3600.0) -> DataFrame:
+        """One decay sweep (decay.go:36-177): full→summary after
+        ``summary_age``, summary→keywords after ``keywords_age``, and
+        keywords-level rows unreferenced for ``evict_age`` expire.
+        Commits the update; returns transitions (id, from_level,
+        to_level, action)."""
+        now_ts = _ts(now)
+        df = self.read()
+        age = F.lit(now_ts) - F.col("created_at")
+        idle = F.lit(now_ts) - F.col("last_referenced")
+        live = live_filter(now_ts)
+
+        evict = live & (F.col("decay_level") == LEVEL_KEYWORDS) & (idle >= evict_age)
+        to_kw = live & (F.col("decay_level") == LEVEL_SUMMARY) & (age >= keywords_age)
+        to_sum = live & (F.col("decay_level") == LEVEL_FULL) & (age >= summary_age)
+
+        summarize = F.udf(textproc.memory_summary, T.StringType())
+        keywordize = F.udf(textproc.memory_keywords, T.StringType())
+
+        transitions = df.withColumn(
+            "action",
+            F.when(evict, "evicted").when(to_kw, "compressed")
+            .when(to_sum, "compressed")
+        ).filter(F.col("action").isNotNull()).select(
+            "id", F.col("decay_level").alias("from_level"),
+            F.when(evict, F.lit(-1)).when(to_kw, F.lit(LEVEL_KEYWORDS))
+            .otherwise(F.lit(LEVEL_SUMMARY)).alias("to_level"),
+            "action",
+        )
+
+        updated = (
+            df.withColumn("expired", F.when(evict, F.lit(True)).otherwise(F.col("expired")))
+            .withColumn("expired_at", F.when(evict, F.lit(now_ts)).otherwise(F.col("expired_at")))
+            .withColumn("text",
+                        F.when(to_kw, keywordize("text"))
+                        .when(to_sum, summarize("text")).otherwise(F.col("text")))
+            .withColumn("decay_level",
+                        F.when(to_kw, LEVEL_KEYWORDS)
+                        .when(to_sum, LEVEL_SUMMARY).otherwise(F.col("decay_level")))
+        )
+        self._write(updated)
+        return transitions
+
+    # -- J5: forget --------------------------------------------------------
+    def forget(self, ids: list[str] | None = None, tags: list[str] | None = None,
+               older_than: float | None = None) -> int:
+        """Anti-join delete by ids, tags, and/or age (sqlite.go:526-575).
+        Returns the number of rows removed."""
+        df = self.read()
+        if not df.columns:
+            return 0
+        cond = F.lit(True)
+        if ids:
+            cond = cond & F.col("id").isin(ids)
+        if tags:
+            cond = cond & F.arrays_overlap("tags", F.array(*[F.lit(t) for t in tags]))
+        if older_than is not None:
+            cond = cond & (F.col("created_at") < older_than)
+        before = df.count()
+        kept = df.filter(~cond)
+        self._write(kept)
+        return before - kept.count()
+
+    # -- supersede / expire ------------------------------------------------
+    def supersede(self, old_id: str, new_id: str, now: dt.datetime | float) -> None:
+        """Mark old_id expired and superseded by new_id (mcp.go memory_supersede)."""
+        now_ts = _ts(now)
+        hit = F.col("id") == old_id
+        self._write(
+            self.read()
+            .withColumn("expired", F.when(hit, F.lit(True)).otherwise(F.col("expired")))
+            .withColumn("expired_at", F.when(hit, F.lit(now_ts)).otherwise(F.col("expired_at")))
+            .withColumn("superseded_by", F.when(hit, F.lit(new_id)).otherwise(F.col("superseded_by"))))
+
+    def expire(self, ids: list[str], now: dt.datetime | float) -> None:
+        now_ts = _ts(now)
+        hit = F.col("id").isin(ids)
+        self._write(
+            self.read()
+            .withColumn("expired", F.when(hit, F.lit(True)).otherwise(F.col("expired")))
+            .withColumn("expired_at", F.when(hit, F.lit(now_ts)).otherwise(F.col("expired_at"))))
+
+    # -- A6: stats ---------------------------------------------------------
+    def stats(self) -> dict:
+        """COUNTs, per-level and per-source histograms, created range
+        (sqlite.go:653-722) — one aggregation pass each."""
+        df = self.read()
+        if not df.columns:
+            return {"total": 0}
+        total_row = df.agg(
+            F.count("*").alias("total"),
+            F.sum(F.col("expired").cast("int")).alias("expired"),
+            F.min("created_at").alias("oldest"),
+            F.max("created_at").alias("newest")).collect()[0]
+        by_level = {r.decay_level: r["count"]
+                    for r in df.groupBy("decay_level").count().collect()}
+        by_source = {r.source: r["count"]
+                     for r in df.filter(F.length("source") > 0)
+                     .groupBy("source").count().collect()}
+        return {
+            "total": total_row.total,
+            "expired": total_row.expired or 0,
+            "by_decay_level": by_level,
+            "by_source": by_source,
+            "oldest": total_row.oldest,
+            "newest": total_row.newest,
+        }

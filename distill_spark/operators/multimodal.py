@@ -1,0 +1,155 @@
+"""Multimodal columns: image/audio/video as opaque binary + metadata.
+
+Beyond the reference's surface (it is text+embedding only): a
+training-data pipeline at 100 TB carries media as opaque
+``BINARY`` columns with typed metadata, and runs decode / feature
+extraction / resize / frame-sampling as Arrow-batched pandas
+functions over ``mapInPandas``. The Spark-side plumbing here —
+schemas, batch iteration, partition sizing, UDF signatures — is real
+and tested; the actual codec calls are STUBBED (this container has no
+image/audio libraries) behind ``register_decoder`` with a
+deterministic fake used by tests and a ``NotImplementedError`` default.
+
+Scale notes:
+- media rows are big (MBs): ``maxRecordsPerBatch`` is clamped inside
+  ``mapInPandas`` by yielding bounded chunks, so a 64 MB Arrow batch
+  never materializes hundreds of frames at once;
+- decode runs map-side — no shuffle; downstream aggregations see only
+  the (small) extracted features, never the raw bytes;
+- pass ``drop_bytes=True`` to prune the binary column immediately
+  after extraction so the shuffle that follows carries features only.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("kind", T.StringType()),       # image | audio | video
+    T.StructField("mime", T.StringType()),
+    T.StructField("data", T.BinaryType()),       # opaque payload
+    T.StructField("width", T.IntegerType()),     # typed metadata (nullable)
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_ms", T.IntegerType()),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("content_hash", T.StringType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),
+    T.StructField("decode_ok", T.BooleanType()),
+    T.StructField("decode_error", T.StringType()),
+])
+
+# decoder registry: kind -> bytes -> np.ndarray feature vector
+_DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {}
+
+
+def register_decoder(kind: str, fn: Callable[[bytes], np.ndarray]) -> None:
+    """Plug a real decoder (PIL/librosa/ffmpeg) in deployments that
+    have the codec libraries. Tests register deterministic fakes."""
+    _DECODERS[kind] = fn
+
+
+def deterministic_fake_decoder(dim: int = 8) -> Callable[[bytes], np.ndarray]:
+    """STUB decode: a reproducible feature from the payload hash — the
+    real library is not in this container. Keeps the full pipeline
+    (schema, batching, partitioning) executable and testable."""
+    def fn(data: bytes) -> np.ndarray:
+        h = hashlib.sha256(data or b"").digest()
+        return np.frombuffer(h[: dim * 4], dtype=np.uint32).astype(np.float32) / 2**32
+    return fn
+
+
+def _decode_one(kind: str, data: bytes | None,
+                decoders: dict[str, Callable[[bytes], np.ndarray]],
+                ) -> tuple[list | None, bool, str | None]:
+    fn = decoders.get(kind)
+    if fn is None:
+        # STUB: no codec library in this environment
+        raise NotImplementedError(
+            f"no decoder registered for kind={kind!r}; call "
+            "register_decoder() (e.g. with deterministic_fake_decoder())")
+    try:
+        vec = fn(data or b"")
+        return [float(x) for x in np.asarray(vec, dtype=np.float32)], True, None
+    except NotImplementedError:
+        raise
+    except Exception as e:  # malformed payloads must not kill the job
+        return None, False, f"{type(e).__name__}: {e}"
+
+
+def extract_features(df: DataFrame, batch_rows: int = 64,
+                     drop_bytes: bool = True) -> DataFrame:
+    """Decode + feature-extract media rows via ``mapInPandas``.
+
+    Yields bounded row-chunks so huge binary payloads never pile up in
+    one Arrow batch. Map-side only: the output carries features (and a
+    content hash for exact dedup), not the payload, unless
+    ``drop_bytes=False``.
+    """
+    out_schema = FEATURE_SCHEMA if drop_bytes else T.StructType(
+        FEATURE_SCHEMA.fields + [T.StructField("data", T.BinaryType())])
+    # snapshot the registry at plan-build time — workers don't share the
+    # driver's module state; cloudpickle ships the decoder closures
+    decoders = dict(_DECODERS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo: lo + batch_rows]
+                rows = []
+                for r in chunk.itertuples(index=False):
+                    data = r.data if isinstance(r.data, (bytes, bytearray)) else b""
+                    feat, ok, err = _decode_one(r.kind, data, decoders)
+                    row = {
+                        "media_id": r.media_id,
+                        "kind": r.kind,
+                        "n_bytes": len(data),
+                        "content_hash": hashlib.sha256(data).hexdigest()[:16],
+                        "feature": feat,
+                        "decode_ok": ok,
+                        "decode_error": err,
+                    }
+                    if not drop_bytes:
+                        row["data"] = data
+                    rows.append(row)
+                yield pd.DataFrame(rows, columns=out_schema.fieldNames())
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video rows: one output row per sampled
+    timestamp (frame decode itself is the registered decoder's job).
+    Pure JVM-side: sequence + explode, no UDF."""
+    n_frames = F.greatest(
+        (F.coalesce("duration_ms", F.lit(0)) / every_ms).cast("int"), F.lit(1))
+    return (
+        df.filter(F.col("kind") == "video")
+        .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), n_frames - 1)))
+        .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+        .drop("data")
+    )
+
+
+def media_summary(df: DataFrame) -> DataFrame:
+    """Per-kind size/shape stats — typed-metadata analytics that never
+    touch the payload (column pruning drops `data` at the scan)."""
+    return df.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("data")).alias("total_bytes"),
+        F.avg("width").alias("avg_width"),
+        F.avg("height").alias("avg_height"),
+        F.avg("duration_ms").alias("avg_duration_ms"),
+    )

@@ -1,0 +1,245 @@
+"""Token-budgeted session windows (ST4-ST5, A7, W1-W2, C7 in SURVEY.md).
+
+Reference: pkg/session/sqlite.go + pkg/session/cache_boundary.go. A
+session is an ordered log of entries under a token budget; every push
+dedups the new entry against the session, then iteratively compresses /
+evicts old low-importance entries until the budget fits
+(sqlite.go:151-267, 484-601). The enforce loop is sequential *per
+session* — each compression's token delta feeds the stop condition —
+so the whole push-batch runs under ``applyInPandas`` keyed by
+session_id: thousands of sessions enforce in parallel, each exactly.
+
+The cache-boundary evaluator (ST5, cache_boundary.go:89-269) is pure
+windowed analytics: entries unmodified for ≥ min_stable_turns are
+"stable"; stable entries whose running token total ≥ boundary_tokens
+become candidate markers; the top-4 by cumulative tokens, re-sorted to
+document order, are the recommended cache breakpoints.
+
+Entry columns: (session_id, seq, role, content, original_content,
+importance, compression_level, tokens, content_hash, inserted_at_push,
+stable_since_turn). Compression levels: 0 full, 1 summary
+(extractive@0.2), 2 sentence, 3 keywords; level > 3 = evict
+(sqlite.go:604-660 via textproc.session_compress_to_level).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from distill_spark.functions import textproc
+
+SESSION_ENTRY_SCHEMA = T.StructType([
+    T.StructField("session_id", T.StringType()),
+    T.StructField("id", T.StringType()),
+    T.StructField("seq", T.LongType()),
+    T.StructField("role", T.StringType()),
+    T.StructField("content", T.StringType()),
+    T.StructField("original_content", T.StringType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType())),
+    T.StructField("importance", T.DoubleType()),
+    T.StructField("compression_level", T.IntegerType()),
+    T.StructField("tokens", T.IntegerType()),
+    T.StructField("content_hash", T.StringType()),
+    T.StructField("inserted_at_push", T.LongType()),
+    T.StructField("stable_since_turn", T.LongType()),
+])
+
+
+def _enforce_one_session(
+    pdf: pd.DataFrame,
+    max_tokens: int,
+    dedup_threshold: float,
+    preserve_recent: int,
+) -> pd.DataFrame:
+    """Exact per-session push semantics (sqlite.go:484-601) over the
+    rows of ONE session: rows with ``_new`` are pushed in seq order
+    (dedup probe vs current live rows, over-budget rejection), then the
+    enforce loop compresses W2-ordered candidates one level at a time,
+    evicting keywords-level rows, with an evict-oldest fallback."""
+    pdf = pdf.sort_values("seq", kind="mergesort").reset_index(drop=True)
+    is_new = pdf["_new"].to_numpy(dtype=bool)
+    status = np.where(is_new, "", "kept").astype(object)
+    contents = [c if isinstance(c, str) else "" for c in pdf["content"]]
+    originals = [
+        o if isinstance(o, str) and o else contents[i]
+        for i, o in enumerate(pdf["original_content"])
+    ]
+    levels = pdf["compression_level"].fillna(0).astype(int).to_numpy()
+    tokens = np.array([textproc.estimate_tokens(c) for c in contents])
+    imps = pdf["importance"].fillna(0.5).to_numpy(dtype=float)
+    embs = pdf["embedding"].tolist()
+    n = len(pdf)
+
+    def unit(e):
+        if e is None or not len(e):
+            return None
+        v = np.asarray(e, dtype=np.float32)
+        nm = np.linalg.norm(v)
+        return v / nm if nm > 0 else None
+
+    units = [unit(e) for e in embs]
+    live = [i for i in range(n) if not is_new[i]]
+
+    for j in range(n):
+        if not is_new[j]:
+            continue
+        # single-entry over-budget rejection (sqlite.go:171-176)
+        if max_tokens > 0 and tokens[j] > max_tokens:
+            status[j] = "rejected_over_budget"
+            continue
+        # dedup probe vs live entries (boolean, session/sqlite.go:441-477)
+        uj = units[j]
+        dup = False
+        if uj is not None and dedup_threshold > 0:
+            for i in live:
+                ui = units[i]
+                if ui is not None and len(ui) == len(uj):
+                    if 1.0 - float(ui @ uj) < dedup_threshold:
+                        dup = True
+                        break
+        if dup:
+            status[j] = "duplicate"
+            continue
+        status[j] = "kept"
+        live.append(j)
+
+        if max_tokens <= 0:
+            continue
+        # budget enforcement loop (sqlite.go:484-601)
+        while True:
+            cur = [i for i in live if status[i] == "kept"]
+            total = int(tokens[cur].sum()) if cur else 0
+            if total <= max_tokens:
+                break
+            recent = set(sorted(cur)[-preserve_recent:]) if preserve_recent else set()
+            cands = [i for i in cur if i not in recent]
+            if not cands:
+                # fallback: evict oldest overall (sqlite.go:584-601)
+                oldest = sorted(cur)[0]
+                status[oldest] = "evicted"
+                live.remove(oldest)
+                continue
+            # W2 order: seq asc, stable-sorted by importance asc
+            cands.sort()
+            cands.sort(key=lambda i: imps[i])  # stable
+            target = cands[0]
+            if levels[target] >= 3:
+                status[target] = "evicted"
+                live.remove(target)
+            else:
+                levels[target] += 1
+                contents[target] = textproc.session_compress_to_level(
+                    originals[target], int(levels[target]))
+                tokens[target] = textproc.estimate_tokens(contents[target])
+
+    out = pdf.copy()
+    out["content"] = contents
+    out["original_content"] = originals
+    out["compression_level"] = levels
+    out["tokens"] = tokens
+    out["importance"] = imps
+    out["status"] = status
+    return out
+
+
+def push_batch(
+    existing: DataFrame,
+    new_entries: DataFrame,
+    max_tokens: int = 4000,
+    dedup_threshold: float = 0.15,
+    preserve_recent: int = 10,
+) -> DataFrame:
+    """ST4 for many sessions at once. ``existing`` and ``new_entries``
+    both carry (session_id, seq, ...); output = the post-push state of
+    every touched session with a ``status`` column ∈ {kept, duplicate,
+    rejected_over_budget, evicted}. Callers persist rows with
+    status='kept'|compressed and surface the rest."""
+    ex = existing.withColumn("_new", F.lit(False))
+    nw = new_entries.withColumn("_new", F.lit(True))
+    for c in SESSION_ENTRY_SCHEMA.fieldNames():
+        if c not in nw.columns:
+            nw = nw.withColumn(c, F.lit(None).cast(dict(
+                (f.name, f.dataType) for f in SESSION_ENTRY_SCHEMA.fields)[c]))
+        if c not in ex.columns:
+            ex = ex.withColumn(c, F.lit(None).cast(dict(
+                (f.name, f.dataType) for f in SESSION_ENTRY_SCHEMA.fields)[c]))
+    both = ex.select(*SESSION_ENTRY_SCHEMA.fieldNames(), "_new").unionByName(
+        nw.select(*SESSION_ENTRY_SCHEMA.fieldNames(), "_new"))
+
+    schema = T.StructType(
+        [f for f in SESSION_ENTRY_SCHEMA.fields]
+        + [T.StructField("_new", T.BooleanType()),
+           T.StructField("status", T.StringType())]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _enforce_one_session(pdf, max_tokens, dedup_threshold, preserve_recent)
+
+    return both.groupBy("session_id").applyInPandas(run, schema=schema).drop("_new")
+
+
+def session_context(df: DataFrame, session_id: str | None = None,
+                    role: str | None = None, max_tokens: int = 0) -> DataFrame:
+    """Context read-back (sqlite.go:280-337): live entries in seq
+    order, optional role filter (P3), optional token-budget prefix
+    (W5)."""
+    out = df
+    if session_id is not None:
+        out = out.filter(F.col("session_id") == session_id)
+    if role is not None:
+        out = out.filter(F.col("role") == role)
+    if max_tokens > 0:
+        w = (Window.partitionBy("session_id").orderBy("seq")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        out = (out.withColumn("_cum", F.sum("tokens").over(w))
+               .filter(F.col("_cum") <= max_tokens).drop("_cum"))
+    return out.orderBy("session_id", "seq")
+
+
+def session_stats(df: DataFrame) -> DataFrame:
+    """A7 (sqlite.go:256-261, 341-345): per-session token totals and
+    compression savings."""
+    orig_tokens = (F.length(F.coalesce("original_content", F.col("content"))) + 3) / F.lit(4)
+    return df.groupBy("session_id").agg(
+        F.count("*").alias("entries"),
+        F.sum("tokens").alias("total_tokens"),
+        (F.sum(orig_tokens.cast("int")) - F.sum("tokens")).alias("tokens_saved"),
+    )
+
+
+def mark_stability(df: DataFrame, current_push: int | Column,
+                   min_stable_turns: int = 2) -> DataFrame:
+    """ST5 RecordPush half (cache_boundary.go:228-269): an entry is
+    stable when its content hash hasn't changed for ≥ min_stable_turns
+    pushes. Adds ``is_stable``."""
+    return df.withColumn(
+        "is_stable",
+        (F.lit(current_push) - F.coalesce("stable_since_turn", F.lit(0)))
+        >= min_stable_turns)
+
+
+def cache_boundaries(df: DataFrame, boundary_tokens: int = 1024,
+                     max_markers: int = 4,
+                     min_stable_turns: int = 2,
+                     current_push: int = 0) -> DataFrame:
+    """ST5 Evaluate (cache_boundary.go:89-202) as pure windowed
+    analytics per session: running token total in seq order (W6);
+    stable rows with cum_tokens ≥ boundary_tokens are candidates;
+    keep the top-``max_markers`` by cum_tokens, re-sorted to document
+    order. Output: (session_id, seq, cum_tokens, marker_rank)."""
+    marked = mark_stability(df, current_push, min_stable_turns)
+    w = (Window.partitionBy("session_id").orderBy("seq")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = marked.withColumn("cum_tokens", F.sum("tokens").over(w))
+    cand = cum.filter(F.col("is_stable") & (F.col("cum_tokens") >= boundary_tokens))
+    top = Window.partitionBy("session_id").orderBy(F.desc("cum_tokens"), F.asc("seq"))
+    return (
+        cand.withColumn("marker_rank", F.row_number().over(top))
+        .filter(F.col("marker_rank") <= max_markers)
+        .select("session_id", "seq", "cum_tokens", "marker_rank")
+        .orderBy("session_id", "seq")
+    )

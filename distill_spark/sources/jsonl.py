@@ -1,0 +1,78 @@
+"""JSONL / JSON sources and sinks (S1-S3, S6-S7 in SURVEY.md §2.1).
+
+Reference: cmd/analyze.go:120-170 (JSONL vector scan, skip-malformed),
+pkg/ingest/pipeline.go:256-304 (streaming scan + JSONL write),
+cmd/pipeline.go:56-73 (JSON chunk-array scan).
+
+Spark-first: ``spark.read.json`` with an explicit schema (schema
+inference at 100 TB = a full extra pass) in PERMISSIVE mode —
+malformed lines land in ``_corrupt_record`` and are dropped, exactly
+the reference's skip-and-count behavior, except distributed. The sink
+is partitioned parquet (the reference's batch=100 upsert batching is
+Spark's own partition/file sizing: ``target_file_rows`` maps to
+``maxRecordsPerFile``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+VECTOR_JSON_SCHEMA = T.StructType([
+    T.StructField("id", T.StringType()),
+    T.StructField("values", T.ArrayType(T.FloatType())),
+    T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("_corrupt_record", T.StringType()),
+])
+
+CHUNK_JSON_SCHEMA = T.StructType([
+    T.StructField("id", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType())),
+    T.StructField("score", T.FloatType()),
+    T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("_corrupt_record", T.StringType()),
+])
+
+
+def read_vectors_jsonl(spark: SparkSession, path: str,
+                       with_malformed_count: bool = False):
+    """S1/S2: one vector per line ``{"id", "values": [...],
+    "metadata": {...}}``; malformed lines are skipped (counted when
+    asked — the reference prints the skip count, analyze.go:158-166)."""
+    schema = T.StructType([f for f in VECTOR_JSON_SCHEMA.fields
+                           if f.name != "_corrupt_record"])
+    good = (
+        spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)
+        .filter(F.col("id").isNotNull())
+    )
+    if with_malformed_count:
+        # Spark disallows corrupt-record-only queries on the raw scan;
+        # count malformed as total non-empty lines − parsed-good rows
+        total = spark.read.text(path).filter(F.length(F.trim("value")) > 0).count()
+        return good, total - good.count()
+    return good
+
+
+def read_chunks_json(spark: SparkSession, path: str,
+                     multi_line: bool = False) -> DataFrame:
+    """S3: chunk records (JSONL, or a single JSON array with
+    ``multi_line=True`` matching the stdin-array form)."""
+    schema = T.StructType([f for f in CHUNK_JSON_SCHEMA.fields
+                           if f.name != "_corrupt_record"])
+    reader = spark.read.schema(schema).option("mode", "DROPMALFORMED")
+    if multi_line:
+        reader = reader.option("multiLine", "true")
+    return reader.json(path)
+
+
+def write_vectors(df: DataFrame, path: str, mode: str = "overwrite",
+                  target_file_rows: int = 100_000,
+                  fmt: str = "parquet") -> None:
+    """S6/S7 sink. ``target_file_rows`` bounds output file size the
+    way the reference bounds upsert batches (pipeline.go:21-23);
+    ``fmt='json'`` produces JSONL round-trippable by the readers."""
+    (df.write.mode(mode)
+       .option("maxRecordsPerFile", target_file_rows)
+       .format(fmt).save(path))

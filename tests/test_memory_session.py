@@ -1,0 +1,171 @@
+"""Memory store (ST1-ST3) and session (ST4-ST5) lifecycle tests.
+
+Mirrors the reference's table-driven cases: dedup drops + touch
+(session_test.go:122-159), conflict band (conflict_test.go:18-63),
+budget enforcement (session_test.go:161-190), decay transitions,
+cache boundary markers.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from distill_spark.memory import MemoryStore
+from distill_spark import session as sess
+
+NOW = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+TS = NOW.timestamp()
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "id string, text string, embedding array<float>")
+
+
+E1 = [1.0, 0.0, 0.0, 0.0]
+E1B = [0.999, 0.015, 0.0, 0.0]   # ~0.0001 dist to E1 → duplicate
+E2 = [0.0, 1.0, 0.0, 0.0]
+E_CONF = [0.8, 0.6, 0.0, 0.0]    # dist 0.2 to E1 → conflict band [0.15, 0.35)
+
+
+class TestMemoryStore:
+    def test_store_dedup_conflict_insert(self, spark, tmp_path):
+        st = MemoryStore(spark, str(tmp_path / "mem"))
+        r1 = st.store_batch(_mk(spark, [("a", "alpha", E1), ("b", "beta", E2)]), NOW)
+        assert r1["duplicates"].count() == 0
+        assert st.read().count() == 2
+
+        r2 = st.store_batch(
+            _mk(spark, [("c", "alpha again", E1B), ("d", "conflicty", E_CONF)]),
+            NOW.timestamp() + 60)
+        dups = {r.new_id: r.dup_of for r in r2["duplicates"].collect()}
+        assert dups == {"c": "a"}
+        confs = {r.new_id: r.conflict_with for r in r2["conflicts"].collect()}
+        assert confs == {"d": "a"}  # conflict row IS stored (sqlite.go:152-163)
+        table = {r.id: r for r in st.read().collect()}
+        assert set(table) == {"a", "b", "d"}
+        assert table["a"].access_count == 1  # touched by the duplicate
+        assert table["a"].last_referenced == pytest.approx(TS + 60)
+
+    def test_within_batch_first_wins_chain(self, spark, tmp_path):
+        st = MemoryStore(spark, str(tmp_path / "mem"))
+        r = st.store_batch(
+            _mk(spark, [("a", "first", E1), ("b", "dup of first", E1B),
+                        ("c", "other", E2)]), NOW)
+        dups = {r_.new_id: r_.dup_of for r_ in r["duplicates"].collect()}
+        assert dups == {"b": "a"}
+        assert {x.id for x in st.read().collect()} == {"a", "c"}
+
+    def test_recall_ranking_and_touch(self, spark, tmp_path):
+        st = MemoryStore(spark, str(tmp_path / "mem"))
+        st.store_batch(_mk(spark, [("a", "about cats", E1), ("b", "about dogs", E2)]), NOW)
+        out = st.recall(E1, NOW.timestamp() + 3600, recency_weight=0.3)
+        rows = out.select("id", "relevance").collect()
+        assert rows[0].id == "a" and rows[0].relevance > rows[1].relevance
+        table = {r.id: r for r in st.read().collect()}
+        assert table["a"].access_count == 1 and table["b"].access_count == 1
+
+    def test_recall_budget_and_boost(self, spark, tmp_path):
+        st = MemoryStore(spark, str(tmp_path / "mem"))
+        df = spark.createDataFrame(
+            [("a", "x" * 400, E1, ["boost"]), ("b", "y" * 400, E1, [])],
+            "id string, text string, embedding array<float>, tags array<string>")
+        st.store_batch(df, NOW)
+        out = st.recall(E1, TS + 60, boost_tags=["boost"], max_tokens=101, touch=False)
+        got = out.select("id").collect()
+        assert [r.id for r in got] == ["a"]  # boosted first; budget stops after 1
+
+    def test_decay_and_forget(self, spark, tmp_path):
+        st = MemoryStore(spark, str(tmp_path / "mem"))
+        st.store_batch(_mk(spark, [("a", "Old text. More detail here.", E1),
+                                   ("b", "fresh", E2)]), NOW)
+        trans = st.decay(TS + 25 * 3600).collect()  # a crosses 24h → summary
+        acts = {t.id: (t.from_level, t.to_level, t.action) for t in trans}
+        assert acts == {"a": (0, 1, "compressed"), "b": (0, 1, "compressed")} or \
+               acts == {"a": (0, 1, "compressed")}
+        # second sweep: summary→keywords; third: idle ≥ 30d → evicted
+        trans2 = st.decay(TS + 8 * 24 * 3600).collect()
+        assert all(t.to_level == 2 for t in trans2)
+        trans3 = st.decay(TS + 40 * 24 * 3600).collect()
+        assert any(t.action == "evicted" for t in trans3)
+        assert st.forget(ids=["b"]) in (0, 1)
+
+    def test_stats(self, spark, tmp_path):
+        st = MemoryStore(spark, str(tmp_path / "mem"))
+        st.store_batch(_mk(spark, [("a", "t1", E1), ("b", "t2", E2)]), NOW,
+                       source="unit")
+        s = st.stats()
+        assert s["total"] == 2 and s["by_source"] == {"unit": 2}
+        assert s["by_decay_level"] == {0: 2}
+
+
+def _entries(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "session_id string, id string, seq long, role string, content string, "
+        "embedding array<float>, importance double")
+
+
+class TestSessionPush:
+    def test_push_dedup(self, spark):
+        ex = _entries(spark, [("s1", "e1", 1, "user", "hello world", E1, 0.5)])
+        nw = _entries(spark, [("s1", "e2", 2, "user", "hello again", E1B, 0.5),
+                              ("s1", "e3", 3, "user", "different", E2, 0.5)])
+        out = sess.push_batch(ex, nw, max_tokens=0).collect()
+        st = {r.id: r.status for r in out}
+        assert st == {"e1": "kept", "e2": "duplicate", "e3": "kept"}
+
+    def test_reject_over_budget(self, spark):
+        nw = _entries(spark, [("s1", "big", 1, "user", "x" * 4000, None, 0.5)])
+        out = sess.push_batch(_entries(spark, []), nw, max_tokens=100).collect()
+        assert out[0].status == "rejected_over_budget"
+
+    def test_budget_compress_then_evict(self, spark):
+        # 3 old entries of ~100 tokens each + tiny new one; budget forces
+        # oldest/least-important through compression levels.
+        ex = _entries(spark, [
+            ("s1", f"e{i}", i, "user",
+             ("Sentence one is here. " * 20).strip(), None, 0.2 + i * 0.1)
+            for i in range(3)])
+        nw = _entries(spark, [("s1", "new", 10, "user", "short msg", None, 0.9)])
+        out = sess.push_batch(ex, nw, max_tokens=150, preserve_recent=1).collect()
+        by_id = {r.id: r for r in out}
+        assert by_id["new"].status == "kept"
+        # total of kept rows fits the budget
+        total = sum(r.tokens for r in out if r.status == "kept")
+        assert total <= 150
+        # e0 (lowest importance, oldest) got compressed hardest or evicted
+        assert by_id["e0"].compression_level >= by_id["e2"].compression_level \
+            or by_id["e0"].status == "evicted"
+
+    def test_multi_session_parallel(self, spark):
+        nw = _entries(spark, [("s1", "a", 1, "user", "one", None, 0.5),
+                              ("s2", "b", 1, "user", "two", None, 0.5)])
+        out = sess.push_batch(_entries(spark, []), nw, max_tokens=0)
+        assert out.count() == 2
+        assert set(r.session_id for r in out.collect()) == {"s1", "s2"}
+
+    def test_context_and_stats(self, spark):
+        df = spark.createDataFrame(
+            [("s1", "a", 1, "user", "hi", "hi there friend", 2),
+             ("s1", "b", 2, "assistant", "yo", "yo", 1)],
+            "session_id string, id string, seq long, role string, "
+            "content string, original_content string, tokens int")
+        ctx = sess.session_context(df, "s1", role="user").collect()
+        assert [r.id for r in ctx] == ["a"]
+        stats = sess.session_stats(df).collect()[0]
+        assert stats.entries == 2 and stats.total_tokens == 3
+        assert stats.tokens_saved == (4 + 1) - 3
+
+    def test_cache_boundaries(self, spark):
+        rows = [("s1", f"e{i}", i, 400, 0) for i in range(6)]
+        df = spark.createDataFrame(
+            rows, "session_id string, id string, seq long, tokens int, "
+                  "stable_since_turn long")
+        out = sess.cache_boundaries(df, boundary_tokens=1024, max_markers=2,
+                                    min_stable_turns=2, current_push=5).collect()
+        # cum tokens: 400,800,1200,1600,2000,2400 → candidates seq 2..5,
+        # top-2 by cum = seq 4,5 re-sorted to document order
+        assert [(r.seq, r.cum_tokens) for r in out] == [(4, 2000), (5, 2400)]
+        assert [r.marker_rank for r in out] == [2, 1]

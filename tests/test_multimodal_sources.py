@@ -1,0 +1,96 @@
+"""Multimodal plumbing + JSONL source/sink tests."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from distill_spark.operators import multimodal as mm
+from distill_spark.sources import jsonl
+
+
+def _media(spark):
+    rows = [
+        ("img1", "image", "image/png", b"\x89PNG-fake-1", 640, 480, None),
+        ("img2", "image", "image/png", b"\x89PNG-fake-2", 320, 240, None),
+        ("vid1", "video", "video/mp4", b"mp4-fake", 1280, 720, 3500),
+        ("aud1", "audio", "audio/wav", b"wav-fake", None, None, 2000),
+    ]
+    return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+
+class TestMultimodal:
+    def test_extract_features_deterministic(self, spark):
+        for kind in ("image", "video", "audio"):
+            mm.register_decoder(kind, mm.deterministic_fake_decoder(dim=8))
+        out1 = mm.extract_features(_media(spark)).orderBy("media_id").collect()
+        out2 = mm.extract_features(_media(spark)).orderBy("media_id").collect()
+        assert [r.feature for r in out1] == [r.feature for r in out2]
+        assert all(r.decode_ok for r in out1)
+        assert all(len(r.feature) == 8 for r in out1)
+        assert "data" not in mm.extract_features(_media(spark)).columns
+        # distinct payloads → distinct hashes/features
+        assert out1[0].content_hash != out1[1].content_hash
+
+    def test_unregistered_kind_raises(self, spark):
+        mm._DECODERS.pop("audio", None)
+        df = _media(spark).filter(F.col("kind") == "audio")
+        with pytest.raises(Exception, match="no decoder registered"):
+            mm.extract_features(df).collect()
+
+    def test_decode_error_is_row_not_crash(self, spark):
+        def flaky(data: bytes):
+            raise ValueError("bad payload")
+        mm.register_decoder("image", flaky)
+        try:
+            out = mm.extract_features(
+                _media(spark).filter(F.col("kind") == "image")).collect()
+            assert all(not r.decode_ok for r in out)
+            assert all("bad payload" in r.decode_error for r in out)
+        finally:
+            mm.register_decoder("image", mm.deterministic_fake_decoder(8))
+
+    def test_sample_frames(self, spark):
+        out = mm.sample_frames(_media(spark), every_ms=1000).collect()
+        # 3500ms video at 1 fps → 3 frames
+        assert [(r.frame_idx, r.frame_ts_ms) for r in out] == \
+            [(0, 0), (1, 1000), (2, 2000)]
+
+    def test_media_summary(self, spark):
+        out = {r.kind: r for r in mm.media_summary(_media(spark)).collect()}
+        assert out["image"].n == 2
+        assert out["video"].total_bytes == len(b"mp4-fake")
+
+
+class TestJsonlSources:
+    def test_read_vectors_skips_malformed(self, spark, tmp_path):
+        p = tmp_path / "vecs.jsonl"
+        lines = [
+            json.dumps({"id": "v1", "values": [1.0, 2.0], "metadata": {"k": "x"}}),
+            "{this is not json",
+            json.dumps({"values": [3.0]}),  # missing id → skipped
+            json.dumps({"id": "v2", "values": [0.5]}),
+        ]
+        p.write_text("\n".join(lines))
+        good, bad = jsonl.read_vectors_jsonl(spark, str(p), with_malformed_count=True)
+        rows = {r.id: r for r in good.collect()}
+        assert set(rows) == {"v1", "v2"} and bad == 2
+        assert rows["v1"].values == [1.0, 2.0] and rows["v1"].metadata == {"k": "x"}
+
+    def test_chunk_array_multiline(self, spark, tmp_path):
+        p = tmp_path / "chunks.json"
+        p.write_text(json.dumps([
+            {"id": "c1", "text": "hello", "embedding": [1.0], "score": 0.5},
+            {"id": "c2", "text": "world", "embedding": [0.0], "score": 0.1},
+        ]))
+        df = jsonl.read_chunks_json(spark, str(p), multi_line=True)
+        assert df.count() == 2 and set(df.columns) >= {"id", "text", "embedding"}
+
+    def test_write_roundtrip(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [("v1", [1.0, 2.0]), ("v2", [3.0, 4.0])],
+            "id string, values array<float>")
+        out = str(tmp_path / "out")
+        jsonl.write_vectors(df, out, fmt="json")
+        back = jsonl.read_vectors_jsonl(spark, out)
+        assert {r.id for r in back.collect()} == {"v1", "v2"}
