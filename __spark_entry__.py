@@ -1025,7 +1025,219 @@ FROM sess GROUP BY user_id, session_seq
 """
 
 
+def q_a4_select_rep(spark, sf_dir):
+    """A4 representative selection, score strategy (selector.go:88-238):
+    argmax synthetic score per label, ties → lowest id."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.select import select_representatives
+
+    emb = t["embeddings"].withColumn(
+        "score", F.round((F.col("vec_id") % 97) / 97.0, 6))
+    reps = select_representatives(
+        emb, strategy="score", cluster_col="label", id_col="vec_id",
+        vec_col="embedding", score_col="score", text_col="label")
+    return reps.select("label", "vec_id", "score")
+
+
+SQL_A4 = """
+SELECT label, vec_id, score FROM (
+  SELECT label, vec_id, round((vec_id % 97) / 97.0, 6) AS score,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY round((vec_id % 97) / 97.0, 6) DESC,
+                                     vec_id) AS rn
+  FROM embeddings) WHERE rn = 1
+"""
+
+
+def q_a5_cluster_sizes(spark, sf_dir):
+    """A5 cluster size / max-score sort keys (cluster.go:322-349)."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.cluster import cluster_sizes
+
+    emb = t["embeddings"].withColumn(
+        "score", F.round((F.col("vec_id") % 97) / 97.0, 6))
+    return cluster_sizes(emb, cluster_col="label", score_col="score")
+
+
+SQL_A5 = """
+SELECT label, count(*) AS size,
+       max(round((vec_id % 97) / 97.0, 6)) AS max_score
+FROM embeddings GROUP BY label
+"""
+
+
+def q_a7_session_tokens(spark, sf_dir):
+    """A7 per-session token totals + compression savings
+    (session/sqlite.go:256-261, 341-345) over events-as-entries."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.session import session_stats
+
+    entries = t["events"].select(
+        F.col("user_id").cast("string").alias("session_id"),
+        F.col("event_type").alias("content"),
+        F.col("event_type").alias("original_content"),
+        F.floor((F.length("event_type") + 3) / 4).cast("int").alias("tokens"))
+    return session_stats(entries)
+
+
+SQL_A7 = """
+SELECT CAST(user_id AS VARCHAR) AS session_id, count(*) AS entries,
+       sum((length(event_type) + 3) // 4) AS total_tokens,
+       CAST(0 AS BIGINT) AS tokens_saved
+FROM events GROUP BY user_id
+"""
+
+
+def q_a11_diversity(spark, sf_dir):
+    """A11 diversity score (mmr.go:218-242): average pairwise cosine
+    distance per label over the first 200 vectors."""
+    t = _tables(spark, sf_dir)
+    sub = t["embeddings"].filter(F.col("vec_id") < 200)
+    a = sub.select(F.col("label"), F.col("vec_id").alias("ia"),
+                   F.col("embedding").alias("ea"))
+    b = sub.select(F.col("label").alias("lb"), F.col("vec_id").alias("ib"),
+                   F.col("embedding").alias("eb"))
+    pairs = a.join(b, (a.label == b.lb) & (a.ia < b.ib))
+    dist = F.lit(1.0) - _cos_sim_expr(F.col("ea"), F.col("eb"))
+    return (pairs.groupBy("label")
+            .agg(F.round(F.avg(dist), 6).alias("avg_pairwise_dist"),
+                 F.count("*").alias("n_pairs")))
+
+
+SQL_A11 = f"""
+SELECT a.label, round(avg(1.0 - {_COS_SQL.format(a='a.embedding', b='b.embedding')}), 6)
+         AS avg_pairwise_dist,
+       count(*) AS n_pairs
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE a.vec_id < 200 AND b.vec_id < 200
+GROUP BY a.label
+"""
+
+
+def q_st5_cache_boundary(spark, sf_dir):
+    """ST5 cache-boundary evaluation (cache_boundary.go:89-202):
+    running token totals per session, stable candidates ≥ 1024 tokens,
+    top-4 markers re-ranked."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.session import cache_boundaries
+
+    entries = t["events"].select(
+        F.col("user_id").cast("string").alias("session_id"),
+        F.col("event_id").alias("seq"),
+        F.floor(F.col("value") * 100).cast("int").alias("tokens"),
+        F.lit(0).cast("long").alias("stable_since_turn"))
+    return cache_boundaries(entries, boundary_tokens=1024, max_markers=4,
+                            min_stable_turns=2, current_push=5)
+
+
+SQL_ST5 = """
+WITH e AS (
+  SELECT CAST(user_id AS VARCHAR) AS session_id, event_id AS seq,
+         CAST(floor(value * 100) AS INT) AS tokens
+  FROM events
+), c AS (
+  SELECT session_id, seq,
+         sum(tokens) OVER (PARTITION BY session_id ORDER BY seq
+                           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM e
+), cand AS (
+  SELECT *, row_number() OVER (PARTITION BY session_id
+                               ORDER BY cum_tokens DESC, seq) AS marker_rank
+  FROM c WHERE cum_tokens >= 1024
+)
+SELECT session_id, seq, cum_tokens, marker_rank
+FROM cand WHERE marker_rank <= 4
+"""
+
+
+def q_mm_features(spark, sf_dir):
+    """Multimodal plumbing: documents' bytes as opaque media payloads
+    through mapInPandas extraction (hash + size are oracle-checkable;
+    the stub feature vector is exercised by unit tests)."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators import multimodal as mm
+
+    mm.register_decoder("image", mm.deterministic_fake_decoder(4))
+    media = t["documents"].filter(F.col("doc_id") < 300).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"), F.lit("image/png").alias("mime"),
+        F.encode("text", "UTF-8").alias("data"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"))
+    return mm.extract_features(media).select("media_id", "n_bytes", "content_hash")
+
+
+SQL_MM = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       substring(sha256(text), 1, 16) AS content_hash
+FROM documents WHERE doc_id < 300
+"""
+
+
 # -------------------------------------------- rows-only (non-SQL) queries
+
+
+def q_st4_session_push(spark, sf_dir):
+    """ST4 session push + budget enforcement (sqlite.go:151-267,
+    484-601): per-session sequential loop under applyInPandas —
+    rows-only (iterative state not SQL-expressible)."""
+    t = _tables(spark, sf_dir)
+    from distill_spark import session as sess
+
+    entries = t["events"].filter(F.col("event_id") < 2000).select(
+        F.col("user_id").cast("string").alias("session_id"),
+        F.col("event_id").cast("string").alias("id"),
+        F.col("event_id").alias("seq"),
+        F.lit("user").alias("role"),
+        F.concat(F.col("event_type"), F.lit(" payload "),
+                 F.col("value").cast("string")).alias("content"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.round(F.col("value") % 1.0, 3).cast("double").alias("importance"))
+    empty = spark.createDataFrame([], sess.SESSION_ENTRY_SCHEMA)
+    out = sess.push_batch(empty, entries, max_tokens=60, preserve_recent=3)
+    return out.select("session_id", "id", "status", "compression_level", "tokens")
+
+
+def q_st1_memory_store(spark, sf_dir):
+    """ST1 write-time dedup merge (memory/sqlite.go:117-226) —
+    stateful two-batch ingest into a scratch store; verdict per row.
+    Rows-only (multi-step state mutation)."""
+    import tempfile
+
+    from distill_spark.memory import MemoryStore
+
+    t = _tables(spark, sf_dir)
+    chunks = (
+        t["documents"].join(t["embeddings"],
+                            t["documents"].doc_id == t["embeddings"].vec_id)
+        .select(F.col("doc_id").cast("string").alias("id"), "text", "embedding")
+    )
+    st = MemoryStore(spark, tempfile.mkdtemp(prefix="dsmem_"),
+                     dedup_threshold=0.3, conflict_threshold=0.5)
+    st.store_batch(chunks.filter(F.col("id").cast("int") < 100), now=1700000000.0)
+    r2 = st.store_batch(chunks.filter((F.col("id").cast("int") >= 100)
+                                      & (F.col("id").cast("int") < 200)),
+                        now=1700000600.0)
+    dup = r2["duplicates"].select(F.col("new_id").alias("id"),
+                                  F.lit("duplicate").alias("verdict"))
+    conf = r2["conflicts"].select(F.col("new_id").alias("id"),
+                                  F.lit("conflict").alias("verdict"))
+    ins = (r2["inserted"].select("id").join(conf.select("id"), "id", "left_anti")
+           .select("id", F.lit("inserted").alias("verdict")))
+    return ins.unionByName(dup).unionByName(conf)
+
+
+def q_c3_pruner(spark, sf_dir):
+    """C3 filler-phrase pruner (pruner.go:26-137) — Go-regex word-bound
+    semantics kept in Python → rows-only (goldens in tests)."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.compress import pruner
+
+    return t["documents"].select(
+        "doc_id", pruner(F.col("text"), min_chunk_length=50).alias("pruned"))
 
 def q_a2_kmeans_dedup(spark, sf_dir):
     """A2 K-Means dedup + medoid prune (dedup/kmeans.go:76-351).
@@ -1119,7 +1331,16 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_minhash": (q_dedup_minhash, SQL_MINHASH),
     "events_tumbling": (q_events_tumbling, SQL_TUMBLING),
     "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
+    "a4_select_rep": (q_a4_select_rep, SQL_A4),
+    "a5_cluster_sizes": (q_a5_cluster_sizes, SQL_A5),
+    "a7_session_tokens": (q_a7_session_tokens, SQL_A7),
+    "a11_diversity": (q_a11_diversity, SQL_A11),
+    "st5_cache_boundary": (q_st5_cache_boundary, SQL_ST5),
+    "mm_features": (q_mm_features, SQL_MM),
     # rows-only (non-SQL-expressible)
+    "st4_session_push": (q_st4_session_push, None),
+    "st1_memory_store": (q_st1_memory_store, None),
+    "c3_pruner": (q_c3_pruner, None),
     "a2_kmeans_dedup": (q_a2_kmeans_dedup, None),
     "t2_mmr_rerank": (q_t2_mmr_rerank, None),
     "c1_extractive": (q_c1_extractive, None),
