@@ -1,0 +1,113 @@
+"""Structured Streaming surface (SURVEY.md §2.9 stretch goal).
+
+The reference is an online single-writer system; its streaming-shaped
+semantics (session pushes ST4, decay ticks ST3, TTL tracking ST7) are
+implemented in this package as batch-incremental jobs first. This
+module provides the genuine Structured Streaming analogs for the
+operators whose semantics are event-time driven:
+
+- watermarked tumbling / sliding aggregation over an event stream
+  (the reference has no event-time windows — age thresholds only —
+  so these are an *extension*, marked as such in SURVEY §2.9);
+- session windows via ``F.session_window`` (gap-based, the streaming
+  twin of the batch sessionize query);
+- streaming exact dedup via ``dropDuplicatesWithinWatermark`` (the
+  streaming twin of the hash-groupBy dedup operator);
+- ``foreach_batch_memory_ingest`` — reuses the batch ST1 merge
+  (write-time dedup + conflict detection) per micro-batch, which is
+  exactly how the reference's online store maps onto Spark: each
+  micro-batch is one "insert batch", the store table is the state.
+
+All transforms work identically on a batch DataFrame (Spark's
+unified API) — tests run them with ``availableNow`` file sources and
+assert against the batch results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int = 16) -> DataFrame:
+    """File-source event stream. ``maxFilesPerTrigger`` bounds
+    micro-batch size — at production scale this is the backpressure
+    knob (with Kafka it would be ``maxOffsetsPerTrigger``)."""
+    return (spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling counts per event_type. Late rows beyond
+    the watermark are dropped; state for closed windows is evicted —
+    bounded state at any input volume."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n", "total"))
+
+
+def sliding_means(events: DataFrame, window: str = "1 hour",
+                  slide: str = "30 minutes",
+                  watermark: str = "2 hours") -> DataFrame:
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window, slide).alias("w"))
+            .agg(F.round(F.avg("value"), 6).alias("mean_value"))
+            .select(F.col("w.start").alias("window_start"), "mean_value"))
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Gap-based session windows per user — the streaming twin of the
+    batch lag-based sessionize operator."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("session_value"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    "n_events", "session_value"))
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours",
+                    key_cols: list[str] | None = None) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each key within the
+    watermark horizon wins; dedup state ages out with the watermark
+    (unbounded-state-safe, unlike plain dropDuplicates)."""
+    keys = key_cols or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def foreach_batch_memory_ingest(store, now_fn=None):
+    """ST1 as a streaming sink: each micro-batch runs the batch
+    write-time-dedup merge against the persistent store. Returns a
+    function for ``writeStream.foreachBatch``.
+
+    ``now_fn(batch_id) -> float`` pins event time per batch for
+    deterministic tests (the reference's time.Now() equivalent)."""
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        now = now_fn(batch_id) if now_fn else __import__("time").time()
+        store.store_batch(batch_df, now=now)
+    return sink
+
+
+def run_available_now(stream_df: DataFrame, query_name: str,
+                      checkpoint: str) -> None:
+    """Drain all currently-available input through a memory sink and
+    block until done (test/backfill harness)."""
+    q = (stream_df.writeStream.format("memory").queryName(query_name)
+         .outputMode("complete" if stream_df.isStreaming else "append")
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

@@ -1,0 +1,80 @@
+"""Structured Streaming operators: availableNow drain equals batch."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from distill_spark.streaming import stream as stm
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    for i in range(200):
+        rows.append((i, base + dt.timedelta(minutes=7 * i), i % 5,
+                     ["view", "click", "buy"][i % 3], float(i % 11)))
+    df = spark.createDataFrame(rows, stm.EVENT_SCHEMA)
+    path = str(tmp_path_factory.mktemp("events_in"))
+    df.repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _drain(spark, sdf, name, tmp_path, complete=True):
+    q = (sdf.writeStream.format("memory").queryName(name)
+         .outputMode("complete" if complete else "append")
+         .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}")
+
+
+class TestStreaming:
+    def test_tumbling_matches_batch(self, spark, event_dir, tmp_path):
+        sdf = stm.tumbling_counts(stm.read_event_stream(spark, event_dir))
+        got = _drain(spark, sdf, "t_tumbling", tmp_path)
+        batch = stm.tumbling_counts(spark.read.parquet(event_dir))
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, batch.collect()))
+
+    def test_session_window_matches_batch(self, spark, event_dir, tmp_path):
+        # 7-min cadence per event but per-user gap is 35 min with 5 users
+        sdf = stm.session_window_agg(
+            stm.read_event_stream(spark, event_dir), gap="20 minutes")
+        got = _drain(spark, sdf, "t_sessions", tmp_path)
+        batch = stm.session_window_agg(
+            spark.read.parquet(event_dir), gap="20 minutes")
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, batch.collect()))
+        assert got.count() > 5
+
+    def test_streaming_dedup(self, spark, event_dir, tmp_path):
+        dup = spark.read.parquet(event_dir)
+        dup.union(dup).write.mode("overwrite").parquet(
+            str(tmp_path / "dup_events"))
+        sdf = stm.streaming_dedup(
+            stm.read_event_stream(spark, str(tmp_path / "dup_events"),
+                                  max_files_per_trigger=100))
+        got = _drain(spark, sdf, "t_dedup", tmp_path, complete=False)
+        assert got.count() == 200
+
+    def test_foreach_batch_memory_ingest(self, spark, event_dir, tmp_path):
+        from distill_spark.memory import MemoryStore
+
+        st = MemoryStore(spark, str(tmp_path / "memstore"), dedup_threshold=0.01)
+        entries = (stm.read_event_stream(spark, event_dir)
+                   .select(F.col("event_id").cast("string").alias("id"),
+                           F.concat(F.lit("evt "), F.col("event_type"),
+                                    F.lit(" "), F.col("event_id").cast("string"))
+                           .alias("text"),
+                           F.array(F.col("value").cast("float"),
+                                   F.col("event_id").cast("float")).alias("embedding")))
+        q = (entries.writeStream
+             .foreachBatch(stm.foreach_batch_memory_ingest(
+                 st, now_fn=lambda bid: 1700000000.0 + bid))
+             .option("checkpointLocation", str(tmp_path / "ckpt_ingest"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        assert st.read().count() > 0
+        assert st.stats()["total"] <= 200
