@@ -632,10 +632,12 @@ def q_j2_dedup_probe(spark, sf_dir):
     new = emb.filter(F.col("vec_id") >= 450).select(
         F.col("vec_id").alias("new_id"), F.col("embedding").alias("nv"))
     old = emb.filter(F.col("vec_id") < 450).select(F.col("embedding").alias("ov"))
-    cos = vm.make_cosine_distance_udf()
+    # JVM-side whole-stage-codegen distance — the pair count is
+    # |new|·|old|; a Python UDF here would Arrow-ship every pair
     mind = (
         new.crossJoin(old)
-        .select("new_id", cos(F.col("nv"), F.col("ov")).alias("d"))
+        .select("new_id",
+                (F.lit(1.0) - _cos_sim_expr(F.col("nv"), F.col("ov"))).alias("d"))
         .groupBy("new_id").agg(F.round(F.min("d"), 6).alias("min_dist"))
     )
     verdict = (

@@ -56,6 +56,22 @@ def flagship_dedupe(spark, sf_dir):
     return dedupe(chunks, DedupeConfig(threshold=0.65, strategy="score", target_k=32))
 
 
+def _release_state(spark):
+    """Operators persist/localCheckpoint intermediates; between
+    unrelated queries those blocks only cost heap. clearCache handles
+    cached DataFrames; checkpointed RDDs need explicit unpersist; a
+    gc pass lets the ContextCleaner drop orphaned broadcasts."""
+    import gc
+
+    spark.catalog.clearCache()
+    try:
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+    except Exception:
+        pass
+    gc.collect()
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -71,6 +87,7 @@ def main():
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr, flush=True)
+        _release_state(spark)
 
     t0 = time.time()
     n = flagship_dedupe(spark, sf_dir).count()

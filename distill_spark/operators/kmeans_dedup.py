@@ -60,12 +60,20 @@ def kmeans_dedup(
     k = min(k, n)
 
     # materialize features before fit — KMeans makes maxIter passes and
-    # would recompute the (interpreted) normalize expression each one
-    feats = with_emb.withColumn(
-        "_feat", array_to_vector(vm.normalize(F.col(vec_col)))
-    ).cache()
+    # would recompute the (interpreted) normalize expression each one.
+    # Partition count tracks the point count: Lloyd rounds are
+    # scheduling-bound when tasks carry only a few dozen rows.
+    spark = df.sparkSession
+    par = max(1, min(spark.sparkContext.defaultParallelism, n // 1000 + 1))
+    feats = (
+        with_emb.withColumn("_feat", array_to_vector(vm.normalize(F.col(vec_col))))
+        .repartition(par).cache()
+    )
+    # random init mirrors the reference's seeded random-permutation init
+    # (kmeans.go:169-180) and skips the k-means|| passes
     model = KMeans(
-        k=k, maxIter=max_iter, seed=seed, featuresCol="_feat", predictionCol="cluster_id"
+        k=k, maxIter=max_iter, seed=seed, initMode="random",
+        featuresCol="_feat", predictionCol="cluster_id"
     ).fit(feats)
     assigned = model.transform(feats)
 

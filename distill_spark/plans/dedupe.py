@@ -87,6 +87,10 @@ def dedupe(
     )
 
     if cfg.target_k and cfg.target_k > 0:
+        # MMR collects the representative set, and the caller will act
+        # on the result again — persist so the cluster+select lineage
+        # runs once, not once per action
+        reps = reps.persist()
         reps = mmr_rerank(
             reps, lambda_=cfg.lambda_, target_k=cfg.target_k,
             id_col=id_col, vec_col=vec_col, score_col=score_col,

@@ -46,6 +46,12 @@ def get_spark(
         # refuses it unless read as long (we convert back in load_tables)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # long-lived reused Python workers accumulate allocator state
+        # that degrades numpy throughput ~10x across a multi-query
+        # session (measured: flagship dedupe 97 s reused vs 8 s fresh);
+        # our pandas-UDF operators run few, large Arrow batches, so
+        # per-task worker spawn cost is noise by comparison
+        .config("spark.python.worker.reuse", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )
