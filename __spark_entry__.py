@@ -715,33 +715,17 @@ def q_g3_blast_radius(spark, sf_dir):
     """G3 multi-source BFS blast radius (graph/graph.go:130-209) over
     the part↔supplier bipartite graph; seeds = parts with p_size=1;
     depth ≤ 3, impact 0.5^(depth-1), min-depth dedup, T5 sort."""
+    from distill_spark.graph import blast_radius
+
     t = _tables(spark, sf_dir)
     e1 = t["lineitem"].select(
         F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
         F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst")).distinct()
-    edges = e1.union(e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))) \
-              .localCheckpoint()
+    edges = e1.union(e1.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     seeds = t["part"].filter(F.col("p_size") == 1).select(
         F.concat(F.lit("p"), F.col("p_partkey")).alias("node")).distinct()
-
-    visited = seeds.withColumn("depth", F.lit(0)).localCheckpoint()
-    frontier = visited
-    for depth in (1, 2, 3):
-        nxt = (
-            frontier.join(edges, frontier.node == edges.src)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .withColumn("depth", F.lit(depth))
-            .localCheckpoint()
-        )
-        visited = visited.unionByName(nxt).localCheckpoint()
-        frontier = nxt
-    return (
-        visited.filter(F.col("depth") >= 1)
-        .select("node", "depth",
-                F.round(F.pow(F.lit(0.5), F.col("depth") - 1), 6).alias("impact"))
-    )
+    # undirected walk: edges already contain both directions
+    return blast_radius(edges, seeds, max_depth=3, reverse=False)
 
 
 SQL_G3 = """

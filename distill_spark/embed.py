@@ -1,0 +1,132 @@
+"""Embedding providers + cache (F12-F13 in SURVEY.md §2.2).
+
+Reference: pkg/embedding/{interface.go,registry.go} + per-provider
+HTTP clients (OpenAI/Ollama/Cohere). The engine's contract (and the
+reference's test posture, README.md:164-176) is that embeddings
+usually arrive precomputed in the data; providers exist for the
+ingest path.
+
+Spark shape:
+- a provider is ``fn(list[str]) -> list[list[float]]`` applied over
+  ``mapInPandas`` in provider-sized batches — each Arrow batch is one
+  provider call, the exact analog of the reference's HTTP batch;
+- network providers are STUBBED here (no network in this
+  environment): the registry ships a ``hash`` provider — a
+  deterministic char-trigram feature hasher (pure public technique) —
+  so the full pipeline is runnable and testable; a real OpenAI/Ollama
+  client plugs in via ``register_provider`` without touching the
+  plumbing;
+- the embedding cache (F13, interface.go:33-135) is not a 10k-entry
+  process-local map but a persistent ``cache(text_hash, embedding)``
+  table: a left join splits hits from misses, only misses call the
+  provider, and the union writes back — at scale this is the
+  difference between re-embedding 100 TB and embedding the 0.1%
+  that's new.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+Provider = Callable[[list[str]], list[list[float]]]
+
+_PROVIDERS: dict[str, Callable[..., Provider]] = {}
+
+
+def register_provider(name: str, factory: Callable[..., Provider]) -> None:
+    """F12 registry (embedding/registry.go): factories keyed by name."""
+    _PROVIDERS[name] = factory
+
+
+def get_provider(name: str, **kwargs) -> Provider:
+    if name not in _PROVIDERS:
+        raise KeyError(f"unknown embedding provider {name!r}; "
+                       f"registered: {sorted(_PROVIDERS)}")
+    return _PROVIDERS[name](**kwargs)
+
+
+def _hash_provider(dim: int = 64) -> Provider:
+    """Deterministic char-trigram feature-hashing embedder — the
+    test/offline stand-in for network providers. Unit-normalized."""
+    def embed(texts: list[str]) -> list[list[float]]:
+        out = []
+        for t in texts:
+            v = np.zeros(dim, dtype=np.float64)
+            s = t or ""
+            for i in range(max(len(s) - 2, 1)):
+                g = s[i:i + 3]
+                h = int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+                v[h % dim] += 1.0 if (h >> 63) else -1.0
+            n = np.linalg.norm(v)
+            out.append((v / n if n else v).astype(np.float32).tolist())
+        return out
+    return embed
+
+
+register_provider("hash", _hash_provider)
+
+
+def _stub_network_provider(model: str = "") -> Provider:
+    def embed(texts: list[str]) -> list[list[float]]:
+        # STUB: network embedding providers are not available in this
+        # environment; deployments register a real client here.
+        raise NotImplementedError(
+            "network embedding providers (openai/ollama/cohere) need an "
+            "HTTP client; register one via register_provider()")
+    return embed
+
+
+for _name in ("openai", "ollama", "cohere"):
+    register_provider(_name, _stub_network_provider)
+
+
+def embed_texts(df: DataFrame, provider: str = "hash",
+                text_col: str = "text", out_col: str = "embedding",
+                batch_size: int = 128, **provider_kwargs) -> DataFrame:
+    """Apply a provider over mapInPandas; each bounded chunk is one
+    provider-batch call (ingest/pipeline.go's batch=100 analog)."""
+    fields = [f for f in df.schema.fields if f.name != out_col]
+    schema = T.StructType(fields + [T.StructField(out_col, T.ArrayType(T.FloatType()))])
+    cols = [f.name for f in fields]
+    pname, pkw = provider, dict(provider_kwargs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = get_provider(pname, **pkw)  # constructed worker-side
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[lo: lo + batch_size][cols].copy()
+                texts = [x if isinstance(x, str) else "" for x in chunk[text_col]]
+                chunk[out_col] = fn(texts)
+                yield chunk
+    return df.mapInPandas(run, schema=schema)
+
+
+CACHE_SCHEMA = T.StructType([
+    T.StructField("text_hash", T.StringType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType())),
+])
+
+
+def embed_with_cache(df: DataFrame, cache: DataFrame, provider: str = "hash",
+                     text_col: str = "text", out_col: str = "embedding",
+                     **kwargs) -> tuple[DataFrame, DataFrame]:
+    """F13 at scale: join against the cache table on sha2(text);
+    misses go to the provider; returns (embedded_df, new_cache_rows).
+    Callers append ``new_cache_rows`` to the persistent cache table."""
+    hashed = df.withColumn("text_hash", F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256))
+    hit = (hashed.join(F.broadcast(cache), "text_hash", "inner")
+           .drop("text_hash"))
+    miss = hashed.join(cache.select("text_hash"), "text_hash", "left_anti")
+    embedded_miss = embed_texts(miss, provider, text_col, out_col, **kwargs)
+    new_cache = (embedded_miss
+                 .select("text_hash", F.col(out_col).alias("embedding"))
+                 .dropDuplicates(["text_hash"]))
+    out = hit.unionByName(embedded_miss.drop("text_hash"))
+    return out, new_cache

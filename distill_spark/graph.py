@@ -1,0 +1,121 @@
+"""Dependency-graph operators (G1-G4, A10 in SURVEY.md §2.10).
+
+Reference: pkg/graph/{builder.go,graph.go}. The graph is two
+DataFrames — nodes(id, type, package, language, tags) and
+edges(src, dst, weight) — instead of adjacency maps; every query is a
+join/aggregation, so the same code runs on a 10-node module graph or
+a 10⁹-edge monorepo graph.
+
+- **build_from_source (G1, builder.go:13-131)** — scan source files
+  (``spark.read.text`` with ``wholetext`` per-file), regex-extract
+  import statements, emit file→import edges. Hidden/vendor/testdata
+  path filtering mirrors the reference's walker.
+- **dependents / dependencies (G2, graph.go:82-101)** — 1-hop edge
+  joins.
+- **blast_radius (G3, graph.go:130-209)** — multi-source reverse BFS:
+  iterative frontier ⋈ edges with anti-join visited dedup (keeps the
+  shallowest depth), depth cap, impact = 0.5^(depth−1), sorted impact
+  desc then id asc (T5). Frontiers are localCheckpointed — each round
+  is one shuffle join; depth is small so the loop is short.
+- **degree_stats / top_hubs (A10, graph.go:239-270)** — groupBy counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GO_IMPORT_RE = r'(?m)^\s*(?:import\s+)?(?:[\w.]+\s+)?"([^"]+)"'
+PY_IMPORT_RE = r"(?m)^\s*(?:from|import)\s+([\w.]+)"
+
+
+def build_from_source(spark: SparkSession, path_glob: str,
+                      import_regex: str = PY_IMPORT_RE,
+                      skip_substrings: tuple[str, ...] = ("/vendor/", "/testdata/", "/."),
+                      ) -> tuple[DataFrame, DataFrame]:
+    """G1: source tree → (nodes, edges). One row per file via
+    ``wholetext``; imports extracted with ``regexp_extract_all``
+    (JVM-side, no UDF). Returns nodes(id, is_test) and
+    edges(src, dst, weight)."""
+    files = (spark.read.option("wholetext", "true")
+             .text(path_glob)
+             .withColumn("file", F.input_file_name()))
+    for s in skip_substrings:
+        files = files.filter(~F.col("file").contains(s))
+    base = F.element_at(F.split(F.col("file"), "/"), -1)
+    nodes = files.select(
+        F.col("file").alias("id"),
+        base.rlike(r"^test_|_test\.").alias("is_test"))
+    edges = (
+        files.select(
+            F.col("file").alias("src"),
+            F.explode(F.regexp_extract_all("value", F.lit(import_regex), 1)).alias("dst"))
+        .filter(F.length("dst") > 0)
+        .withColumn("weight", F.lit(1.0))
+        .distinct()
+    )
+    return nodes, edges
+
+
+def dependencies(edges: DataFrame, node: str) -> DataFrame:
+    """G2 forward 1-hop."""
+    return edges.filter(F.col("src") == node).select(F.col("dst").alias("id"))
+
+
+def dependents(edges: DataFrame, node: str) -> DataFrame:
+    """G2 reverse 1-hop."""
+    return edges.filter(F.col("dst") == node).select(F.col("src").alias("id"))
+
+
+def blast_radius(edges: DataFrame, seeds: DataFrame, max_depth: int = 0,
+                 reverse: bool = True) -> DataFrame:
+    """G3: BFS from ``seeds(node)`` over ``edges(src, dst)``.
+    ``reverse=True`` walks dst→src ("what depends on the changed
+    set"), the reference's direction. max_depth 0 = unbounded
+    (graph.go:137). Output: (node, depth, impact), seeds excluded,
+    sorted impact desc, node asc."""
+    step = (edges.select(F.col("dst").alias("from"), F.col("src").alias("to"))
+            if reverse else
+            edges.select(F.col("src").alias("from"), F.col("dst").alias("to")))
+    step = step.distinct().localCheckpoint()
+
+    visited = seeds.select("node").distinct().withColumn(
+        "depth", F.lit(0)).localCheckpoint()
+    frontier = visited
+    depth = 0
+    while True:
+        depth += 1
+        if max_depth and depth > max_depth:
+            break
+        nxt = (
+            frontier.join(step, frontier.node == step["from"])
+            .select(F.col("to").alias("node")).distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(depth))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return (
+        visited.filter(F.col("depth") >= 1)
+        .select("node", "depth",
+                F.round(F.pow(F.lit(0.5), F.col("depth") - 1), 6).alias("impact"))
+        .orderBy(F.desc("impact"), F.asc("node"))
+    )
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """A10: per-node in/out degree."""
+    outd = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_degree"))
+    ind = edges.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("in_degree"))
+    return (outd.join(ind, "id", "full")
+            .fillna(0, ["out_degree", "in_degree"]))
+
+
+def top_hubs(edges: DataFrame, k: int = 5) -> DataFrame:
+    """A10: top-k nodes by in-degree (graph.go:257-270)."""
+    return (edges.groupBy(F.col("dst").alias("id"))
+            .agg(F.count("*").alias("in_degree"))
+            .orderBy(F.desc("in_degree"), F.asc("id")).limit(k))

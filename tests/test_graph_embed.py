@@ -1,0 +1,78 @@
+"""Graph operators (G1-G4) and embedding provider/cache (F12-F13)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distill_spark import embed, graph
+
+
+@pytest.fixture()
+def small_graph(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0), ("x", "b", 1.0)],
+        "src string, dst string, weight double")
+    return edges
+
+
+class TestGraph:
+    def test_build_from_source(self, spark, tmp_path):
+        (tmp_path / "m1.py").write_text("import os\nfrom sys import path\n")
+        (tmp_path / "test_m1.py").write_text("import m1\n")
+        nodes, edges = graph.build_from_source(spark, str(tmp_path / "*.py"))
+        n = {r.id.split("/")[-1]: r.is_test for r in nodes.collect()}
+        assert n == {"m1.py": False, "test_m1.py": True}
+        e = {(r.src.split("/")[-1], r.dst) for r in edges.collect()}
+        assert ("m1.py", "os") in e and ("m1.py", "sys") in e
+        assert ("test_m1.py", "m1") in e
+
+    def test_blast_radius_reverse(self, spark, small_graph):
+        # change "c": dependents = b (depth1), then a,x (depth2)
+        seeds = spark.createDataFrame([("c",)], "node string")
+        out = graph.blast_radius(small_graph, seeds).collect()
+        got = {r.node: (r.depth, r.impact) for r in out}
+        assert got == {"b": (1, 1.0), "a": (2, 0.5), "x": (2, 0.5)}
+        # T5 sort: impact desc then id asc
+        assert [r.node for r in out] == ["b", "a", "x"]
+
+    def test_blast_radius_depth_cap_and_forward(self, spark, small_graph):
+        seeds = spark.createDataFrame([("a",)], "node string")
+        fwd = graph.blast_radius(small_graph, seeds, max_depth=2, reverse=False)
+        assert {r.node: r.depth for r in fwd.collect()} == {"b": 1, "c": 2}
+
+    def test_degree_and_hubs(self, spark, small_graph):
+        stats = {r.id: (r.in_degree, r.out_degree)
+                 for r in graph.degree_stats(small_graph).collect()}
+        assert stats["b"] == (2, 1) and stats["a"] == (0, 1)
+        hubs = graph.top_hubs(small_graph, k=1).collect()
+        assert hubs[0].id == "b" and hubs[0].in_degree == 2
+
+
+class TestEmbed:
+    def test_hash_provider_deterministic(self, spark):
+        df = spark.createDataFrame([("1", "hello world"), ("2", "other text")],
+                                   "id string, text string")
+        a = {r.id: r.embedding for r in embed.embed_texts(df, "hash").collect()}
+        b = {r.id: r.embedding for r in embed.embed_texts(df, "hash").collect()}
+        assert a == b and len(a["1"]) == 64 and a["1"] != a["2"]
+        norm = sum(x * x for x in a["1"]) ** 0.5
+        assert norm == pytest.approx(1.0, abs=1e-5)
+
+    def test_network_provider_is_stubbed(self, spark):
+        df = spark.createDataFrame([("1", "hi")], "id string, text string")
+        with pytest.raises(Exception, match="HTTP client"):
+            embed.embed_texts(df, "openai").collect()
+
+    def test_cache_split(self, spark):
+        df = spark.createDataFrame(
+            [("1", "cached text"), ("2", "new text")], "id string, text string")
+        pre = embed.embed_texts(
+            df.filter(F.col("id") == "1"), "hash").withColumn(
+            "text_hash", F.sha2("text", 256)).select("text_hash", "embedding")
+        out, new_rows = embed.embed_with_cache(df, pre, "hash")
+        assert out.count() == 2
+        # only the miss lands in new_cache
+        nc = new_rows.collect()
+        assert len(nc) == 1
+        emb2 = {r.id: r.embedding for r in out.collect()}
+        direct = {r.id: r.embedding for r in embed.embed_texts(df, "hash").collect()}
+        assert emb2 == direct  # cache path bit-identical to direct path
