@@ -11,5 +11,9 @@ def spark():
         app_name="distill_spark_tests",
         master="local[4]",
         shuffle_partitions=4,
+        # the production default (reuse=false) protects long multi-query
+        # sessions from pandas-worker allocator rot; the test suite is
+        # hundreds of tiny UDF tasks where spawn cost dominates instead
+        extra_conf={"spark.python.worker.reuse": "true"},
     )
     yield s
