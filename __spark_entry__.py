@@ -1216,6 +1216,29 @@ def q_st1_memory_store(spark, sf_dir):
     return ins.unionByName(dup).unionByName(conf)
 
 
+def q_pipeline_3stage(spark, sf_dir):
+    """§3.2 dedup→compress→summarize runner (pipeline.go:73-235) over
+    documents⋈embeddings — rows-only (composition of clustering +
+    text-transform stages; stage goldens live in tests)."""
+    import datetime as dt
+
+    from distill_spark.plans.pipeline import PipelineOptions, run_pipeline
+
+    t = _tables(spark, sf_dir)
+    chunks = (
+        t["documents"].join(t["embeddings"],
+                            t["documents"].doc_id == t["embeddings"].vec_id)
+        .select(F.col("doc_id").cast("string").alias("id"), "text", "embedding",
+                (F.col("n_chars") / 1000.0).cast("float").alias("score"))
+    )
+    out, _stats = run_pipeline(
+        chunks,
+        PipelineOptions(dedup_threshold=0.65, compress_target_reduction=0.5,
+                        summarize_enabled=True, summarize_recent=5),
+        now=dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc))
+    return out.select("id", F.length("text").alias("n_chars_out"))
+
+
 def q_c3_pruner(spark, sf_dir):
     """C3 filler-phrase pruner (pruner.go:26-137) — Go-regex word-bound
     semantics kept in Python → rows-only (goldens in tests)."""
@@ -1325,6 +1348,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "mm_features": (q_mm_features, SQL_MM),
     # rows-only (non-SQL-expressible)
     "st4_session_push": (q_st4_session_push, None),
+    "pipeline_3stage": (q_pipeline_3stage, None),
     "st1_memory_store": (q_st1_memory_store, None),
     "c3_pruner": (q_c3_pruner, None),
     "a2_kmeans_dedup": (q_a2_kmeans_dedup, None),
