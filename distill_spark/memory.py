@@ -87,6 +87,17 @@ def _ts(now: dt.datetime | float) -> float:
     return float(now)
 
 
+def _text_pandas_udf(fn):
+    """Arrow-batched str→str transform (same pattern as
+    operators/compress.py) — never row-at-a-time F.udf."""
+
+    @F.pandas_udf(T.StringType())
+    def udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: fn(x) if x is not None else None)
+
+    return udf
+
+
 def live_filter(now_ts: float):
     """P1 expiry predicate (sqlite.go:306-312)."""
     return (~F.col("expired")) & (
@@ -161,6 +172,10 @@ class MemoryStore:
         return self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
 
     def _write(self, df: DataFrame) -> None:
+        """Commit a new snapshot, keeping one back-version. GC contract:
+        any DataFrame we RETURN to callers is materialized
+        (localCheckpoint) before this runs, so a handle can never end up
+        lazily reading a snapshot directory a later mutation deleted."""
         v = self._current_version() + 1
         target = os.path.join(self.path, f"v{v}")
         df.write.mode("overwrite").parquet(target)
@@ -262,6 +277,14 @@ class MemoryStore:
             F.col("expires_at").cast("double"),
         )
 
+        # materialize everything we hand back BEFORE committing — lazy
+        # plans over the pre-write snapshot would break once a later
+        # mutation GCs it (see _write); the merged write below reuses
+        # the checkpointed `inserted` blocks instead of recomputing
+        inserted = inserted.localCheckpoint(eager=True)
+        duplicates = duplicates.localCheckpoint(eager=True)
+        conflicts = conflicts.localCheckpoint(eager=True)
+
         dup_ids = [r.dup_of for r in duplicates.select("dup_of").collect()
                    if r.dup_of is not None]
         touched = existing
@@ -294,8 +317,12 @@ class MemoryStore:
 
         qv = F.array(*[F.lit(float(x)) for x in query_embedding]).cast("array<float>")
         sim = cosine_similarity(F.col("embedding"), qv)
-        age_hours = (F.lit(now_ts) - F.col("created_at")) / 3600.0
-        recency = 1.0 / (1.0 + age_hours / 24.0)
+        # recency is age since LAST REFERENCE, not creation — a touched/
+        # dedup-hit memory ranks fresh again (sqlite.go Recall); age<=0
+        # clamps to 1.0 exactly as the reference does
+        age_hours = (F.lit(now_ts) - F.col("last_referenced")) / 3600.0
+        recency = F.when(age_hours <= 0, F.lit(1.0)).otherwise(
+            1.0 / (1.0 + age_hours / 24.0))
         rel = (1.0 - recency_weight) * sim + recency_weight * recency
         if boost_tags:
             rel = rel + F.when(
@@ -309,11 +336,13 @@ class MemoryStore:
             rel = rel + F.when(F.lower("text").contains(ctx), 0.05).otherwise(0.0)
         rel = F.least(rel, F.lit(1.0))
 
-        scored = (
-            df.withColumn("relevance", rel)
-            .filter(F.col("relevance") >= min_relevance)
-            .withColumn("tokens", (F.length("text") + 3) / F.lit(4))
-        )
+        scored = df.withColumn("relevance", rel).withColumn(
+            "tokens", (F.length("text") + 3) / F.lit(4))
+        # the reference only gates when MinRelevance > 0 (sqlite.go
+        # `if req.MinRelevance > 0`) — with the default 0.0 a negative-
+        # relevance (anti-correlated) row may still fill out max_results
+        if min_relevance > 0:
+            scored = scored.filter(F.col("relevance") >= min_relevance)
         from pyspark.sql import Window
         w = Window.orderBy(F.desc("relevance"), F.asc("id"))
         ranked = scored.withColumn("rank", F.row_number().over(w))
@@ -322,6 +351,9 @@ class MemoryStore:
                 w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             ranked = ranked.withColumn("_cum", cum).filter(F.col("_cum") <= max_tokens).drop("_cum")
         out = ranked.filter(F.col("rank") <= max_results)
+        # materialize before the touch-write mutates the store (GC
+        # contract in _write); recall results are ≤ max_results rows
+        out = out.localCheckpoint(eager=True)
 
         if touch:
             ids = [r.id for r in out.select("id").collect()]
@@ -355,8 +387,8 @@ class MemoryStore:
         to_kw = live & (F.col("decay_level") == LEVEL_SUMMARY) & (age >= keywords_age)
         to_sum = live & (F.col("decay_level") == LEVEL_FULL) & (age >= summary_age)
 
-        summarize = F.udf(textproc.memory_summary, T.StringType())
-        keywordize = F.udf(textproc.memory_keywords, T.StringType())
+        summarize = _text_pandas_udf(textproc.memory_summary)
+        keywordize = _text_pandas_udf(textproc.memory_keywords)
 
         transitions = df.withColumn(
             "action",
@@ -379,6 +411,7 @@ class MemoryStore:
                         F.when(to_kw, LEVEL_KEYWORDS)
                         .when(to_sum, LEVEL_SUMMARY).otherwise(F.col("decay_level")))
         )
+        transitions = transitions.localCheckpoint(eager=True)  # GC contract (_write)
         self._write(updated)
         return transitions
 

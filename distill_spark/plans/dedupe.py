@@ -114,7 +114,10 @@ def dedupe_with_prefix(
     out_cols = [c for c in df.columns]
     p = prefix.select(*out_cols).withColumn("frozen", F.lit(True))
     s = deduped.select(*out_cols).withColumn("frozen", F.lit(False))
-    return p.unionByName(s).orderBy("frozen", order_col)
+    # prefix FIRST (frozen=true sorts after false ascending, so order by
+    # frozen DESC), then the deduped suffix; within each half original
+    # order. Matches prefix.go:40-69 "prefix unioned ahead of suffix".
+    return p.unionByName(s).orderBy(F.desc("frozen"), order_col)
 
 
 def dedupe_stats(input_df: DataFrame, output_df: DataFrame,

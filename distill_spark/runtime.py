@@ -63,9 +63,44 @@ def get_spark(
     return spark
 
 
+# Conf that MUST hold on whatever session executes our plans — including
+# sessions we did not build (the correctness driver constructs its own
+# plain SparkSession and calls queries() directly). All of these are
+# runtime-settable; ensure_session_conf applies them defensively so a
+# foreign session can never fail on e.g. TIMESTAMP(NANOS) parquet.
+RUNTIME_REQUIRED_CONF = {
+    # events.parquet carries INT64 TIMESTAMP(NANOS); Spark 4 refuses it
+    # unless surfaced as long (load_tables converts back to timestamp)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # timestamps must compare cleanly against external oracles (DuckDB)
+    "spark.sql.session.timeZone": "UTC",
+    # pandas-UDF operators move Arrow batches, not pickled rows
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_session_conf(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-required conf to an arbitrary session.
+
+    Safe on sessions we built (no-op: get_spark already sets these) and
+    load-bearing on sessions we didn't. Failures to set any single key
+    are swallowed — a read-only conf on some future Spark version must
+    not take down every query."""
+    for k, v in RUNTIME_REQUIRED_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — never let conf hygiene kill a query
+            pass
+    return spark
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Load the driver's parquet tables as a dict of DataFrames and
-    register them as temp views (so SQL-form operators can run)."""
+    register them as temp views (so SQL-form operators can run).
+
+    Fault-isolated: one unreadable table skips that table only — it can
+    never zero out queries that don't touch it."""
+    ensure_session_conf(spark)
     if names is None:
         names = [
             "region", "nation", "customer", "supplier", "part",
@@ -74,17 +109,24 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     out = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
+        if not os.path.exists(path):
+            continue
+        try:
             df = spark.read.parquet(path)
-            # nanosAsLong surfaces TIMESTAMP(NANOS) columns as raw int64
-            # nanos; restore µs-precision timestamps (matches DuckDB's
-            # ns→µs truncation).
-            if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-                from pyspark.sql import functions as F
+        except Exception as e:  # noqa: BLE001 — isolate per-table faults
+            import warnings
 
-                df = df.withColumn(
-                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-                )
-            df.createOrReplaceTempView(name)
-            out[name] = df
+            warnings.warn(f"load_tables: skipping {name!r}: {e}", stacklevel=2)
+            continue
+        # nanosAsLong surfaces TIMESTAMP(NANOS) columns as raw int64
+        # nanos; restore µs-precision timestamps (matches DuckDB's
+        # ns→µs truncation).
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        df.createOrReplaceTempView(name)
+        out[name] = df
     return out

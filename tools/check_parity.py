@@ -2,7 +2,14 @@
 queries() entry and its oracle_sql() on the same sf dir, compare
 row counts, column names, and (order-insensitively) values.
 
-Usage: python tools/check_parity.py [sf_dir] [query ...]
+Usage: python tools/check_parity.py [--plain] [sf_dir] [query ...]
+
+--plain builds a deliberately UNCONFIGURED SparkSession (bare
+builder + master, none of get_spark's conf) to mimic the driver
+harness, which constructs its own session and calls queries()
+directly. Round 1 died because events.parquet (TIMESTAMP NANOS)
+only read on a pre-configured session; ensure_session_conf inside
+load_tables now makes any session safe, and --plain proves it.
 """
 
 from __future__ import annotations
@@ -41,10 +48,21 @@ def rows_key(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--plain"]
+    plain = "--plain" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
-    spark = get_spark(app_name="parity", master="local[4]", shuffle_partitions=8)
+    if plain:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("parity-plain")
+            .master("local[4]")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="parity", master="local[4]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
