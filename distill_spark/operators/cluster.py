@@ -148,15 +148,20 @@ def similarity_edges(
     threshold: float,
     id_col: str = "id",
     vec_col: str = "embedding",
-    method: str = "exact",
+    method: str = "auto",
     lsh_bucket_length: float = 0.5,
     lsh_num_tables: int = 3,
     dist_round: int | None = None,
-    broadcast_limit: int = 200_000,
+    broadcast_budget_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Edges (src, dst) wherever cosine distance ≤ threshold.
 
-    ``method="exact"``: O(N²) pairwise join.
+    ``method="auto"`` (default): exact broadcast-matmul while the
+    corpus matrix (rows × dim × 8 bytes float64) fits the broadcast
+    budget, approximate LSH above it — the 100 TB path never collects
+    the corpus to the driver.
+    ``method="exact"``: exact regardless of size — broadcast-matmul
+    within budget, O(N²) distributed pairwise join above it.
     ``method="lsh"``: BucketedRandomProjectionLSH over unit-normalized
     vectors — on the unit sphere, cosine distance d maps to euclidean
     distance sqrt(2d), so the threshold translates exactly; candidate
@@ -165,12 +170,30 @@ def similarity_edges(
     never fabricates them).
     """
     with_emb = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
-    if method == "exact":
-        if with_emb.count() <= broadcast_limit:
+    if method not in ("auto", "exact", "lsh"):
+        raise ValueError(f"unknown method {method!r}")
+    # one cheap column-pruned pass for corpus size + dimensionality;
+    # both the memory gate and the LSH feature padding need it
+    n, dim = with_emb.agg(
+        F.count("*"), F.coalesce(F.max(F.size(vec_col)), F.lit(0))
+    ).first()
+    if n == 0 or dim == 0:
+        id_type = dict(df.dtypes)[id_col]
+        return df.sparkSession.createDataFrame(
+            [], schema=f"src {id_type}, dst {id_type}")
+    if method in ("auto", "exact"):
+        # memory-gate the driver-collect route on the actual matrix
+        # footprint, not row count: 200k × 1536-dim float64 is ~2.4 GB
+        # and must NOT be collected, while 200k × 64-dim is ~100 MB and
+        # the broadcast matmul is by far the fastest exact plan
+        if n * dim * 8 <= broadcast_budget_bytes:
             return broadcast_similarity_edges(
                 with_emb, threshold, id_col=id_col, vec_col=vec_col,
                 dist_round=dist_round,
             )
+        if method == "auto":
+            method = "lsh"
+    if method == "exact":
         pairs = pairwise_distances(with_emb, id_col, vec_col)
         if dist_round is not None:
             # round before comparing so the edge set is reproducible
@@ -180,16 +203,21 @@ def similarity_edges(
             pairs.filter(F.col("dist") <= threshold)
             .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         )
-    if method != "lsh":
-        raise ValueError(f"unknown method {method!r}")
-
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
+    # Spark does not guarantee filters evaluate before projection UDFs
+    # (subexpression reordering), so the feature expression must be
+    # total: NULL/short/long vectors map to a zero vector of corpus
+    # dim — hashable by every LSH table, and never an edge because the
+    # true-cosine recheck below gives zero-norm pairs distance 2.0
+    zeros = F.array_repeat(F.lit(0.0).cast("float"), dim)
+    vec_ok = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    feat = F.when(vec_ok, vm.normalize(F.col(vec_col))).otherwise(zeros)
     norm = with_emb.select(
         F.col(id_col).alias("_nid"),
         F.col(vec_col).alias("_nv"),
-        array_to_vector(vm.normalize(F.col(vec_col))).alias("_feat"),
+        array_to_vector(feat).alias("_feat"),
     )
     lsh = BucketedRandomProjectionLSH(
         inputCol="_feat",
@@ -305,7 +333,7 @@ def cluster_by_threshold(
     id_col: str = "id",
     vec_col: str = "embedding",
     threshold: float = 0.15,
-    method: str = "exact",
+    method: str = "auto",
     dist_round: int | None = None,
     **lsh_kwargs,
 ) -> DataFrame:

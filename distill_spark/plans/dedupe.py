@@ -31,7 +31,9 @@ class DedupeConfig:
     strategy: str = "score"          # representative selection (selector.go)
     lambda_: float = 0.5             # MMR relevance/diversity tradeoff
     target_k: int = 0                # 0 = no MMR stage (api.go:527-537)
-    method: str = "exact"            # exact | lsh | exact_agglo
+    # auto = exact broadcast-matmul while the corpus matrix fits the
+    # broadcast budget, LSH above it (never collects at 100 TB)
+    method: str = "auto"             # auto | exact | lsh | exact_agglo
 
 
 def split_cache_prefix(

@@ -36,7 +36,7 @@ class PipelineOptions:
     summarize_enabled: bool = False
     summarize_max_tokens: int = 0
     summarize_recent: int = 10
-    dedup_method: str = "exact"
+    dedup_method: str = "auto"
     extra: dict = field(default_factory=dict)
 
 

@@ -106,6 +106,24 @@ def test_cc_equals_exact_single_linkage_random(spark):
     assert _partition(cc) == _partition(exact)
 
 
+def test_auto_route_memory_gated(spark, chunks):
+    """method='auto' with a zero broadcast budget must take the LSH
+    route (no driver collect of the corpus) and return a subset of the
+    exact edge set; with a sane budget it equals the exact edges."""
+    from distill_spark.operators.cluster import similarity_edges
+
+    exact = {tuple(r) for r in
+             similarity_edges(chunks, 0.15, method="exact").collect()}
+    lsh_forced = {tuple(r) for r in
+                  similarity_edges(chunks, 0.15, method="auto",
+                                   broadcast_budget_bytes=0,
+                                   lsh_num_tables=8).collect()}
+    assert lsh_forced <= exact
+    auto = {tuple(r) for r in
+            similarity_edges(chunks, 0.15, method="auto").collect()}
+    assert auto == exact
+
+
 def test_connected_components_chain(spark):
     v = spark.createDataFrame([(x,) for x in "abcde"], "id string")
     e = spark.createDataFrame([("a", "b"), ("b", "c"), ("d", "e")], "src string, dst string")
