@@ -1281,6 +1281,97 @@ def q_c1_extractive(spark, sf_dir):
         "doc_id", extractive(F.col("text"), target_reduction=0.5).alias("compressed"))
 
 
+def q_c2_placeholder(spark, sf_dir):
+    """C2 placeholder compression (placeholder.go:73-271) — structured
+    content → typed placeholders; text transform, goldens in tests →
+    rows-only."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.compress import placeholder
+
+    return t["documents"].select(
+        "doc_id",
+        placeholder(F.col("text"), preserve_structure=True).alias("compressed"))
+
+
+def q_c5_hierarchy(spark, sf_dir):
+    """C5 hierarchical summarization (summarize/hierarchy.go:27-172):
+    age-cascade pass + token-budget pass per conversation, events-as-
+    turns keyed by user. Sequential per-group passes → rows-only
+    (exact semantics golden-tested in tests/test_summarize.py)."""
+    import datetime as dtm
+
+    from distill_spark.operators.summarize import summarize_turns
+
+    t = _tables(spark, sf_dir)
+    turns = t["events"].filter(F.col("user_id") < 40).select(
+        F.col("event_id").cast("string").alias("id"),
+        F.col("user_id").cast("string").alias("session_id"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("system")),
+            (F.col("event_id") % 3 + 1).cast("int")).alias("role"),
+        F.concat_ws(" ", "event_type", "props").alias("content"),
+        "ts",
+        F.lit(0).alias("level"),
+        F.lit(0.0).alias("importance"),
+    )
+    out = summarize_turns(
+        turns,
+        now=dtm.datetime(2024, 1, 31, tzinfo=dtm.timezone.utc),
+        max_tokens=120, preserve_recent=3, group_col="session_id")
+    return out.select("session_id", "id", "level", "tokens")
+
+
+def q_st2_recall(spark, sf_dir):
+    """ST2 recall against a seeded store (memory/sqlite.go:282-481):
+    W4 relevance = 0.7·cos_sim + 0.3·recency(last_referenced) with the
+    age<=0 → 1.0 clamp, top-25 with read-side touch. The store is
+    seeded deterministically (created=last_referenced=now − vec_id
+    hours) so the oracle can rank the same rows in SQL."""
+    import tempfile
+
+    from distill_spark.memory import MEMORY_SCHEMA, MemoryStore
+
+    t = _tables(spark, sf_dir)
+    now_ts = 1706659200.0  # 2024-01-31 00:00:00 UTC
+    seed = (
+        t["embeddings"].join(
+            t["documents"],
+            t["embeddings"].vec_id == t["documents"].doc_id)
+        .select(
+            F.lpad(F.col("vec_id").cast("string"), 4, "0").alias("id"),
+            "text", "embedding",
+            F.lit("").alias("source"), F.lit("").alias("session_id"),
+            F.array().cast("array<string>").alias("tags"),
+            F.lit(0).alias("decay_level"), F.lit(0).alias("sensitivity"),
+            (F.lit(now_ts) - F.col("vec_id") * 3600.0).alias("created_at"),
+            (F.lit(now_ts) - F.col("vec_id") * 3600.0).alias("last_referenced"),
+            F.lit(0).alias("access_count"), F.lit(False).alias("expired"),
+            F.lit(None).cast("double").alias("expired_at"),
+            F.lit(None).cast("string").alias("superseded_by"),
+            F.lit(None).cast("double").alias("expires_at"),
+        )
+    )
+    st = MemoryStore(spark, tempfile.mkdtemp(prefix="dsrecall_"))
+    st._write(spark.createDataFrame(seed.collect(), MEMORY_SCHEMA))
+    qv = [float(x) for x in
+          t["embeddings"].filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = st.recall(qv, now=now_ts, recency_weight=0.3, max_results=25,
+                    touch=True)
+    return out.select("id", F.round("relevance", 6).alias("relevance"))
+
+
+SQL_ST2 = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT lpad(CAST(e.vec_id AS VARCHAR), 4, '0') AS id,
+       round(least(0.7 * {_COS_SQL.format(a='e.embedding', b='qv')}
+             + 0.3 * (CASE WHEN e.vec_id <= 0 THEN 1.0
+                           ELSE 1.0 / (1.0 + CAST(e.vec_id AS DOUBLE) / 24.0) END),
+             1.0), 6) AS relevance
+FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id, q
+ORDER BY relevance DESC, id ASC LIMIT 25
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash fingerprints (64-bit, xxhash64 token bits, majority
     vote) — bit-twiddling not portable to the oracle → rows-only."""
@@ -1346,7 +1437,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a11_diversity": (q_a11_diversity, SQL_A11),
     "st5_cache_boundary": (q_st5_cache_boundary, SQL_ST5),
     "mm_features": (q_mm_features, SQL_MM),
+    "st2_recall": (q_st2_recall, SQL_ST2),
     # rows-only (non-SQL-expressible)
+    "c2_placeholder": (q_c2_placeholder, None),
+    "c5_hierarchy": (q_c5_hierarchy, None),
     "st4_session_push": (q_st4_session_push, None),
     "pipeline_3stage": (q_pipeline_3stage, None),
     "st1_memory_store": (q_st1_memory_store, None),
