@@ -90,35 +90,87 @@ def lsh_bucket_topk(df: DataFrame, query: DataFrame, k: int = 10,
     )
 
 
+class IVFIndex:
+    """IVF coarse quantizer built ONCE and reused across queries —
+    the production shape (the round-1 version refit KMeans per call).
+
+    ``assigned`` (corpus + cell id) is persisted; ``centers_df`` is a
+    tiny (n_cells × dim) frame that broadcasts into every search. Probe
+    selection happens as a plan (broadcast join + window), so a search
+    never collects the query to the driver and a *batch* of queries is
+    one job, not a loop."""
+
+    def __init__(self, df: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding", n_cells: int = 16,
+                 seed: int = 42, max_iter: int = 10):
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        self.id_col, self.vec_col = id_col, vec_col
+        feats = df.withColumn(
+            "_feat", array_to_vector(vm.normalize(F.col(vec_col))))
+        self.model = KMeans(k=n_cells, seed=seed, maxIter=max_iter,
+                            featuresCol="_feat",
+                            predictionCol="_cell").fit(feats)
+        self.assigned = (
+            self.model.transform(feats).drop("_feat")
+            .persist()
+        )
+        spark = df.sparkSession
+        self.centers_df = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in
+             enumerate(self.model.clusterCenters())],
+            "_cell int, _center array<double>")
+
+    def search(self, query: DataFrame, k: int = 10, n_probe: int = 4,
+               query_col: str = "qv", qid_col: str | None = None) -> DataFrame:
+        """Top-k for each query row. With ``qid_col`` the output is
+        per-query (qid, id, sim) — a whole query batch in one plan."""
+        from pyspark.sql import Window
+
+        qcols = ([F.col(qid_col)] if qid_col else []) + [F.col(query_col)]
+        q = query.select(*qcols)
+        # rank cells per query by distance(center, unit(query)); tiny
+        # broadcast (n_cells rows) — all JVM-side column math
+        qn = vm.normalize(F.col(query_col))
+        cell_dist = F.sqrt(F.aggregate(
+            F.zip_with(F.col("_center"), qn,
+                       lambda c, x: (c - x.cast("double")) * (c - x.cast("double"))),
+            F.lit(0.0), lambda acc, v: acc + v))
+        pw = (Window.partitionBy(qid_col) if qid_col
+              else Window.partitionBy())
+        probes = (
+            q.join(F.broadcast(self.centers_df))
+            .withColumn("_cd", cell_dist)
+            .withColumn("_cr", F.row_number().over(
+                pw.orderBy(F.asc("_cd"), F.asc("_cell"))))
+            .filter(F.col("_cr") <= n_probe)
+            .select(*([qid_col] if qid_col else []), "_cell", query_col)
+        )
+        scored = (
+            self.assigned.join(F.broadcast(probes), "_cell")
+            .select(*([qid_col] if qid_col else []),
+                    F.col(self.id_col),
+                    F.round(vm.cosine_similarity(
+                        F.col(self.vec_col), F.col(query_col)), 6).alias("sim"))
+        )
+        if not qid_col:
+            return scored.orderBy(F.desc("sim"), F.asc(self.id_col)).limit(k)
+        w = Window.partitionBy(qid_col).orderBy(F.desc("sim"), F.asc(self.id_col))
+        return (scored.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= k).drop("_rn"))
+
+    def unpersist(self) -> None:
+        self.assigned.unpersist()
+
+
 def ivf_topk(df: DataFrame, query: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_col: str = "qv", n_cells: int = 16, n_probe: int = 4,
-             seed: int = 42) -> DataFrame:
-    """IVF: coarse-quantize the corpus with seeded KMeans, then search
-    only the ``n_probe`` cells nearest to the query. The cell model
-    would be fit once and reused across queries in production; here it
-    is fit inline for self-containment."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    feats = df.withColumn("_feat", array_to_vector(vm.normalize(F.col(vec_col))))
-    model = KMeans(k=n_cells, seed=seed, maxIter=10,
-                   featuresCol="_feat", predictionCol="_cell").fit(feats)
-    assigned = model.transform(feats)
-
-    centers = model.clusterCenters()
-    qv = query.collect()[0][query_col]
-    qn = np.asarray(qv, dtype=np.float64)
-    qn = qn / (np.linalg.norm(qn) or 1.0)
-    dists = [float(np.linalg.norm(qn - np.asarray(c))) for c in centers]
-    probe = sorted(np.argsort(dists)[:n_probe].tolist())
-
-    return (
-        assigned.filter(F.col("_cell").isin(probe))
-        .crossJoin(F.broadcast(query))
-        .select(F.col(id_col),
-                F.round(vm.cosine_similarity(F.col(vec_col), F.col(query_col)), 6)
-                .alias("sim"))
-        .orderBy(F.desc("sim"), F.asc(id_col))
-        .limit(k)
-    )
+             seed: int = 42, index: IVFIndex | None = None) -> DataFrame:
+    """IVF search; pass a prebuilt :class:`IVFIndex` to amortize the
+    coarse-quantizer fit across queries (a fresh fit per call is only
+    acceptable for one-shot use)."""
+    ix = index or IVFIndex(df, id_col=id_col, vec_col=vec_col,
+                           n_cells=n_cells, seed=seed)
+    return ix.search(query, k=k, n_probe=n_probe, query_col=query_col)

@@ -1,0 +1,88 @@
+"""ANN operators: brute-force baseline, LSH-bucket recall, IVF index.
+
+Reference parity: S4 vector query + J3 top-k scan (SURVEY.md §2); the
+approximate routes must return subsets of the exact answer, never
+fabricated neighbors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from distill_spark.operators.similarity import (
+    IVFIndex,
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucket_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(200)]
+    return spark.createDataFrame(
+        rows, "vec_id int, embedding array<float>"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def query(spark, corpus):
+    return corpus.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+
+
+def test_brute_force_self_first(corpus, query):
+    top = brute_force_topk(corpus, query, k=5).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["sim"] == pytest.approx(1.0)
+    sims = [r["sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_candidates_subset_of_exact(corpus, query):
+    exact = {r["vec_id"] for r in brute_force_topk(corpus, query, k=50).collect()}
+    approx = lsh_bucket_topk(corpus, query, k=50, dim=16,
+                             n_planes=6, n_tables=6).collect()
+    # approximate hits must be real rows with true (re-ranked) sims
+    assert {r["vec_id"] for r in approx} <= {r["vec_id"] for r in
+                                             brute_force_topk(corpus, query, k=200).collect()}
+    # self-match always shares every bucket with itself
+    assert approx[0]["vec_id"] == 0
+    assert len({r["vec_id"] for r in approx} & exact) > 0
+
+
+def test_ivf_index_reused_across_queries(corpus, query):
+    ix = IVFIndex(corpus, n_cells=8, seed=7)
+    try:
+        r1 = ivf_topk(corpus, query, k=10, index=ix).collect()
+        r2 = ivf_topk(corpus, query, k=10, index=ix).collect()
+        assert r1 == r2
+        assert r1[0]["vec_id"] == 0  # self cell always probed first
+        # with all cells probed, IVF degrades to exact brute force
+        full = ix.search(query, k=10, n_probe=8).collect()
+        assert full == brute_force_topk(corpus, query, k=10).collect()
+    finally:
+        ix.unpersist()
+
+
+def test_ivf_batch_search_per_query_topk(corpus):
+    ix = IVFIndex(corpus, n_cells=8, seed=7)
+    try:
+        qs = corpus.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+        out = ix.search(qs, k=3, qid_col="qid")
+        rows = out.collect()
+        assert len(rows) == 12  # 4 queries x top-3
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["qid"], []).append(r)
+        for qid, hits in per_q.items():
+            # each query's own vector tops its list
+            best = max(hits, key=lambda r: (r["sim"], -r["vec_id"]))
+            assert best["vec_id"] == qid
+    finally:
+        ix.unpersist()
