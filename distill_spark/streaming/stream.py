@@ -102,6 +102,74 @@ def foreach_batch_memory_ingest(store, now_fn=None):
     return sink
 
 
+def streaming_session_push(new_entries: DataFrame,
+                           max_tokens: int = 4000,
+                           dedup_threshold: float = 0.15,
+                           preserve_recent: int = 10) -> DataFrame:
+    """ST4 as a genuinely stateful stream (session/sqlite.go:151-267):
+    ``applyInPandasWithState`` keyed by session_id. The group state is
+    the session's live entries; each micro-batch pushes its new rows
+    through the exact batch enforce loop (shared `_enforce_one_session`
+    — streaming and batch can't drift) and emits the post-push state of
+    every touched session with per-row ``status``.
+
+    State is bounded by construction: the enforce loop itself caps a
+    session at ``max_tokens``, so per-key state never grows past the
+    budget — the same property the reference's SQLite store has."""
+    import json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from distill_spark.session import SESSION_ENTRY_SCHEMA, _enforce_one_session
+
+    fields = SESSION_ENTRY_SCHEMA.fieldNames()
+    out_schema = T.StructType(
+        list(SESSION_ENTRY_SCHEMA.fields)
+        + [T.StructField("status", T.StringType())])
+    state_schema = T.StructType([T.StructField("rows_json", T.StringType())])
+
+    def _native(v):
+        if v is None or isinstance(v, (str, bool, int, float)):
+            return v
+        if isinstance(v, (list, tuple)):
+            return [_native(x) for x in v]
+        if hasattr(v, "tolist"):    # numpy scalar or array
+            return v.tolist()
+        return v
+
+    def fn(key, pdf_iter, state: GroupState):
+        parts = list(pdf_iter)
+        new = (pd.concat(parts, ignore_index=True) if parts
+               else pd.DataFrame(columns=fields))
+        for c in fields:
+            if c not in new.columns:
+                new[c] = None
+        new = new[fields].copy()
+        new["_new"] = True
+
+        if state.exists:
+            old = pd.DataFrame(json.loads(state.get[0]), columns=fields)
+        else:
+            old = pd.DataFrame(columns=fields)
+        old["_new"] = False
+
+        both = pd.concat([old, new], ignore_index=True)
+        res = _enforce_one_session(
+            both, max_tokens, dedup_threshold, preserve_recent)
+
+        live = res[res["status"] == "kept"]
+        records = [
+            {c: _native(r[c]) for c in fields}
+            for _, r in live.iterrows()
+        ]
+        state.update((json.dumps(records),))
+        yield res[fields + ["status"]]
+
+    return new_entries.groupBy("session_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+
+
 def run_available_now(stream_df: DataFrame, query_name: str,
                       checkpoint: str) -> None:
     """Drain all currently-available input through a memory sink and

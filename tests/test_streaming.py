@@ -59,6 +59,67 @@ class TestStreaming:
         got = _drain(spark, sdf, "t_dedup", tmp_path, complete=False)
         assert got.count() == 200
 
+    def test_streaming_session_push_equals_batch(self, spark, tmp_path):
+        """Two micro-batches through the stateful ST4 stream == the same
+        two batches applied sequentially with push_batch."""
+        import time
+
+        from distill_spark.session import SESSION_ENTRY_SCHEMA, push_batch
+
+        def entries(ids, base_seq):
+            rows = []
+            for s in ("sa", "sb"):
+                for i in ids:
+                    # long content + tiny budget forces compression and
+                    # eviction; repeated embedding forces duplicates
+                    emb = [1.0, 0.0] if i % 4 == 0 else [float(i), 1.0]
+                    rows.append((
+                        s, f"{s}-e{i}", base_seq + i, "user",
+                        ("lorem ipsum dolor sit amet " * 8) + f"entry {i} of {s}.",
+                        None, emb, 0.1 * (i % 7), 0, None, None, None, None,
+                    ))
+            return spark.createDataFrame(rows, SESSION_ENTRY_SCHEMA)
+
+        b1, b2 = entries(range(8), 0), entries(range(8), 100)
+        in_dir = tmp_path / "sess_in"
+        b1.coalesce(1).write.mode("append").parquet(str(in_dir))
+        time.sleep(1.1)  # file-source ordering is by mod time
+        b2.coalesce(1).write.mode("append").parquet(str(in_dir))
+
+        captured = []
+        sdf = stm.streaming_session_push(
+            (spark.readStream.schema(SESSION_ENTRY_SCHEMA)
+             .option("maxFilesPerTrigger", 1).parquet(str(in_dir))),
+            max_tokens=120, dedup_threshold=0.2, preserve_recent=2)
+        q = (sdf.writeStream
+             .foreachBatch(lambda df, bid: captured.append((bid, df.collect())))
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+        nonempty = [rows for _, rows in sorted(captured) if rows]
+        assert len(nonempty) == 2
+
+        # batch twin, applied sequentially
+        empty = spark.createDataFrame([], SESSION_ENTRY_SCHEMA)
+        r1 = push_batch(empty, b1, max_tokens=120,
+                        dedup_threshold=0.2, preserve_recent=2)
+        kept1 = r1.filter(F.col("status") == "kept").drop("status")
+        r2 = push_batch(kept1, b2, max_tokens=120,
+                        dedup_threshold=0.2, preserve_recent=2)
+
+        def key(rows):
+            return sorted((r["session_id"], r["id"], r["status"],
+                           r["compression_level"], r["tokens"], r["content"])
+                          for r in rows)
+
+        assert key(nonempty[0]) == key(r1.collect())
+        assert key(nonempty[1]) == key(r2.collect())
+        # statuses actually exercised the enforce loop
+        statuses = {r["status"] for rows in nonempty for r in rows}
+        assert "evicted" in statuses or "duplicate" in statuses
+
     def test_foreach_batch_memory_ingest(self, spark, event_dir, tmp_path):
         from distill_spark.memory import MemoryStore
 
