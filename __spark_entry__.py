@@ -1393,6 +1393,231 @@ def q_ann_lsh_buckets(spark, sf_dir):
     return lsh_bucket_topk(emb, q, id_col="vec_id", vec_col="embedding", k=20)
 
 
+def q_f3_euclidean(spark, sf_dir):
+    """F3 squared L2 distance (simd.go:78-102) over adjacent embedding
+    pairs."""
+    t = _tables(spark, sf_dir)
+    a = t["embeddings"].select(F.col("vec_id"), F.col("embedding").alias("_a"))
+    b = t["embeddings"].select((F.col("vec_id") - 1).alias("vec_id"),
+                               F.col("embedding").alias("_b"))
+    return (a.join(b, "vec_id")
+            .select("vec_id",
+                    F.round(vm.euclidean_distance(F.col("_a"), F.col("_b")), 6)
+                    .alias("d2")))
+
+
+SQL_F3 = """
+SELECT a.vec_id,
+       round(list_sum(list_transform(
+           list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),
+           p -> (p[1]-p[2])*(p[1]-p[2]))), 6) AS d2
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+"""
+
+
+def q_f4_dot(spark, sf_dir):
+    """F4 inner product (simd.go:105-127) over adjacent embedding pairs."""
+    t = _tables(spark, sf_dir)
+    a = t["embeddings"].select(F.col("vec_id"), F.col("embedding").alias("_a"))
+    b = t["embeddings"].select((F.col("vec_id") - 1).alias("vec_id"),
+                               F.col("embedding").alias("_b"))
+    return (a.join(b, "vec_id")
+            .select("vec_id",
+                    F.round(vm.dot(F.col("_a"), F.col("_b")), 6).alias("dp")))
+
+
+SQL_F4 = """
+SELECT a.vec_id,
+       round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])), 6) AS dp
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+"""
+
+
+def q_f5_normalize(spark, sf_dir):
+    """F5 unit-normalize (simd.go:131-148) — whole-array value parity."""
+    t = _tables(spark, sf_dir)
+    nv = F.transform(vm.normalize(F.col("embedding")),
+                     lambda x: F.round(x.cast("double"), 6))
+    return t["embeddings"].select("vec_id", nv.alias("nv"))
+
+
+# normalize keeps float32 element semantics (simd.go:131-148), so the
+# oracle must round-trip the quotient through REAL before rounding
+SQL_F5 = """
+SELECT vec_id,
+       list_transform(CAST(embedding AS DOUBLE[]),
+           x -> round(CAST(CAST(x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) AS REAL) AS DOUBLE), 6)) AS nv
+FROM embeddings
+"""
+
+
+def q_p3_role_filter(spark, sf_dir):
+    """P3 role filter (session/sqlite.go GetContext role arg) — the
+    events event_type stands in for the entry role."""
+    t = _tables(spark, sf_dir)
+    return (t["events"].filter(F.col("event_type") == "click")
+            .select("event_id", "user_id", F.round("value", 4).alias("value")))
+
+
+SQL_P3 = """
+SELECT event_id, user_id, round(value, 4) AS value
+FROM events WHERE event_type = 'click'
+"""
+
+
+def q_p7_length_gate(spark, sf_dir):
+    """P7 min-chunk-length gate + P8 empty-text drop
+    (compress.go MinChunkLength, memory store empty check)."""
+    t = _tables(spark, sf_dir)
+    return (t["documents"]
+            .filter(F.length(F.coalesce("text", F.lit(""))) > 0)
+            .filter(F.length("text") >= 200)
+            .select("doc_id", F.length("text").alias("n")))
+
+
+SQL_P7 = """
+SELECT doc_id, length(text) AS n FROM documents
+WHERE length(coalesce(text, '')) > 0 AND length(text) >= 200
+"""
+
+
+def q_w2_compress_order(spark, sf_dir):
+    """W2 compression-candidate order (session/sqlite.go:513-543):
+    per session skip the N most recent, rank the rest importance asc
+    then age asc — events-as-entries, value as importance."""
+    t = _tables(spark, sf_dir)
+    recent = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    order = Window.partitionBy("user_id").orderBy(
+        F.asc("value"), F.asc("ts"), F.asc("event_id"))
+    return (t["events"].filter(F.col("user_id") < 20)
+            .withColumn("_recent", F.row_number().over(recent))
+            .filter(F.col("_recent") > 3)
+            .withColumn("cand_rank", F.row_number().over(order))
+            .select("user_id", "event_id", "cand_rank"))
+
+
+SQL_W2 = """
+WITH r AS (
+  SELECT user_id, event_id, value, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS _recent
+  FROM events WHERE user_id < 20
+)
+SELECT user_id, event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY value ASC, ts ASC, event_id ASC) AS cand_rank
+FROM r WHERE _recent > 3
+"""
+
+
+def q_j6_prefix_union(spark, sf_dir):
+    """J6 frozen-prefix split ⊕ suffix union (cache/prefix.go:40-69):
+    marker = last 'buy' event of user 0; prefix passes through frozen."""
+    from distill_spark.plans.dedupe import split_cache_prefix
+
+    t = _tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id") == 0).select(
+        F.col("event_id").alias("seq"), "event_type",
+        F.when(F.col("event_type") == "buy", "ephemeral").alias("cache_control"))
+    prefix, suffix = split_cache_prefix(ev, order_col="seq")
+    return (prefix.withColumn("frozen", F.lit(True))
+            .unionByName(suffix.withColumn("frozen", F.lit(False)))
+            .select("seq", "event_type", "frozen"))
+
+
+SQL_J6 = """
+WITH ev AS (
+  SELECT event_id AS seq, event_type FROM events WHERE user_id = 0
+), m AS (
+  SELECT max(seq) AS m FROM ev WHERE event_type = 'buy'
+)
+SELECT seq, event_type, (m.m IS NOT NULL AND seq <= m.m) AS frozen FROM ev, m
+"""
+
+
+def q_g2_dependents(spark, sf_dir):
+    """G1 weighted graph build + G2 dependents lookup
+    (graph/graph.go:60-128): edge weight = co-occurrence count; the
+    dependents of supplier 1 with their weights."""
+    t = _tables(spark, sf_dir)
+    edges = (t["lineitem"]
+             .groupBy(F.col("l_suppkey").alias("supp"),
+                      F.col("l_partkey").alias("part"))
+             .agg(F.count("*").alias("weight")))
+    return (edges.filter(F.col("supp") == 1)
+            .select("part", "weight"))
+
+
+SQL_G2 = """
+SELECT l_partkey AS part, count(*) AS weight
+FROM lineitem WHERE l_suppkey = 1 GROUP BY l_partkey
+"""
+
+
+def q_a12_dedup_stats(spark, sf_dir):
+    """A12 pipeline stats (types/chunk.go:140-176): counts, token
+    totals, reduction pct between an input set and its deduped subset."""
+    from distill_spark.plans.dedupe import dedupe_stats
+
+    t = _tables(spark, sf_dir)
+    inp = t["documents"]
+    outp = inp.filter(F.col("doc_id") % 3 != 0)
+    return dedupe_stats(inp, outp)
+
+
+SQL_A12 = """
+WITH i AS (
+  SELECT count(*) AS input_count,
+         coalesce(sum(CAST(floor((length(text)+3)/4) AS INTEGER)), 0) AS input_tokens
+  FROM documents
+), o AS (
+  SELECT count(*) AS output_count,
+         coalesce(sum(CAST(floor((length(text)+3)/4) AS INTEGER)), 0) AS output_tokens
+  FROM documents WHERE doc_id % 3 <> 0
+)
+SELECT input_count, output_count, input_tokens, output_tokens,
+       CASE WHEN input_count > 0
+            THEN round(100.0 * (input_count - output_count) / input_count, 2)
+            ELSE 0.0 END AS count_reduction_pct,
+       CASE WHEN input_tokens > 0
+            THEN round(100.0 * (input_tokens - output_tokens) / input_tokens, 2)
+            ELSE 0.0 END AS token_reduction_pct
+FROM i, o
+"""
+
+
+def q_s1_jsonl_roundtrip(spark, sf_dir):
+    """S1/S6 JSONL scan + sink round-trip (cmd/analyze.go:120-170,
+    ingest/pipeline.go:256-304): write embeddings as JSONL vectors,
+    re-read with the schema'd DROPMALFORMED scan; values must equal the
+    source table exactly (so the oracle is the table itself)."""
+    import tempfile
+
+    from distill_spark.sources.jsonl import read_vectors_jsonl, write_vectors
+
+    t = _tables(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="dsjsonl_") + "/vectors"
+    vecs = t["embeddings"].select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").alias("values"),
+        F.create_map(F.lit("src"), F.lit("bench")).alias("metadata"))
+    write_vectors(vecs, path, fmt="json")
+    back = read_vectors_jsonl(spark, path)
+    return back.select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.transform("values", lambda x: F.round(x.cast("double"), 6)).alias("vals"),
+        F.col("metadata")["src"].alias("src"))
+
+
+SQL_S1 = """
+SELECT vec_id,
+       list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS vals,
+       'bench' AS src
+FROM embeddings
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
@@ -1438,6 +1663,16 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st5_cache_boundary": (q_st5_cache_boundary, SQL_ST5),
     "mm_features": (q_mm_features, SQL_MM),
     "st2_recall": (q_st2_recall, SQL_ST2),
+    "f3_euclidean": (q_f3_euclidean, SQL_F3),
+    "f4_dot": (q_f4_dot, SQL_F4),
+    "f5_normalize": (q_f5_normalize, SQL_F5),
+    "p3_role_filter": (q_p3_role_filter, SQL_P3),
+    "p7_length_gate": (q_p7_length_gate, SQL_P7),
+    "w2_compress_order": (q_w2_compress_order, SQL_W2),
+    "j6_prefix_union": (q_j6_prefix_union, SQL_J6),
+    "g2_dependents": (q_g2_dependents, SQL_G2),
+    "a12_dedup_stats": (q_a12_dedup_stats, SQL_A12),
+    "s1_jsonl_roundtrip": (q_s1_jsonl_roundtrip, SQL_S1),
     # rows-only (non-SQL-expressible)
     "c2_placeholder": (q_c2_placeholder, None),
     "c5_hierarchy": (q_c5_hierarchy, None),
