@@ -1618,6 +1618,112 @@ FROM embeddings
 """
 
 
+def q_f9_generate_id(spark, sf_dir):
+    """F9 time-prefixed id (helpers.go:12-23): the 4-byte unix-ts hex
+    prefix and total length are deterministic (suffix is random, so
+    only the deterministic parts are projected)."""
+    from distill_spark.functions.hashing import generate_id
+
+    t = _tables(spark, sf_dir)
+    gid = generate_id(F.col("doc_id"))
+    return t["documents"].select(
+        "doc_id",
+        F.substring(gid, 1, 8).alias("ts_prefix"),
+        F.length(gid).alias("id_len"))
+
+
+SQL_F9 = """
+SELECT doc_id, lpad(hex(doc_id), 8, '0') AS ts_prefix, 24 AS id_len
+FROM documents
+"""
+
+
+def q_f8_fnv1a(spark, sf_dir):
+    """F8 FNV-1a 64-bit content hash (memory/sqlite.go:692-705) —
+    bit-compatible Python loop, not SQL-portable → rows-only (golden
+    vectors in tests/test_textfn.py)."""
+    from distill_spark.functions.hashing import content_hash_fnv1a
+
+    t = _tables(spark, sf_dir)
+    return t["documents"].filter(F.col("doc_id") < 200).select(
+        "doc_id", content_hash_fnv1a(F.col("text")).alias("fnv64"))
+
+
+def q_c4_compress_pipeline(spark, sf_dir):
+    """C4 chained compressor pipeline (compress.go:89-123): pruner →
+    extractive → placeholder over documents; returns the per-stage
+    token stats (deterministic ints/percentages) → rows-only."""
+    from distill_spark.operators.compress import compress_pipeline
+
+    t = _tables(spark, sf_dir)
+    _result, stats = compress_pipeline(
+        t["documents"].select("doc_id", "text"),
+        stages=["pruner", "extractive", "placeholder"],
+        extractive={"target_reduction": 0.5})
+    return stats
+
+
+def q_c8_decay_transforms(spark, sf_dir):
+    """C7/C8 memory decay text transforms (memory/decay.go summary /
+    keyword levels) — Arrow-batched str→str, goldens in tests →
+    rows-only."""
+    from distill_spark.functions import textproc
+    from distill_spark.memory import _text_pandas_udf
+
+    t = _tables(spark, sf_dir)
+    return t["documents"].filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        _text_pandas_udf(textproc.memory_summary)(F.col("text")).alias("summary"),
+        _text_pandas_udf(textproc.memory_keywords)(F.col("text")).alias("keywords"))
+
+
+def q_st4_stream_push(spark, sf_dir):
+    """ST4 as a genuinely stateful stream (applyInPandasWithState keyed
+    by session): drains a one-batch file stream of events-as-entries
+    through the same enforce loop as the batch `st4_session_push` →
+    rows-only (multi-step stateful execution; batch-equality is
+    asserted in tests/test_streaming.py)."""
+    import tempfile
+
+    from distill_spark.session import SESSION_ENTRY_SCHEMA
+    from distill_spark.streaming.stream import streaming_session_push
+
+    t = _tables(spark, sf_dir)
+    entries = t["events"].filter(F.col("user_id") < 10).select(
+        F.col("user_id").cast("string").alias("session_id"),
+        F.col("event_id").cast("string").alias("id"),
+        F.col("event_id").alias("seq"),
+        F.lit("user").alias("role"),
+        F.concat_ws(" ", "event_type", "props").alias("content"),
+        F.lit(None).cast("string").alias("original_content"),
+        F.array(F.col("value"), F.lit(1.0)).cast("array<float>").alias("embedding"),
+        (F.col("value") / 11.0).alias("importance"),
+        F.lit(0).alias("compression_level"),
+        F.lit(None).cast("int").alias("tokens"),
+        F.lit(None).cast("string").alias("content_hash"),
+        F.lit(None).cast("long").alias("inserted_at_push"),
+        F.lit(None).cast("long").alias("stable_since_turn"),
+    )
+    tmp = tempfile.mkdtemp(prefix="dsst4s_")
+    entries.coalesce(1).write.parquet(tmp + "/in")
+    captured: list = []
+    sdf = streaming_session_push(
+        spark.readStream.schema(SESSION_ENTRY_SCHEMA).parquet(tmp + "/in"),
+        max_tokens=300, dedup_threshold=0.05, preserve_recent=3)
+    q = (sdf.writeStream
+         .foreachBatch(lambda df, bid: captured.append(
+             df.select("session_id", "id", "status",
+                       "compression_level", "tokens").collect()))
+         .outputMode("update")
+         .option("checkpointLocation", tmp + "/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = [r for batch in captured for r in batch]
+    return spark.createDataFrame(
+        rows, "session_id string, id string, status string, "
+              "compression_level int, tokens int")
+
+
 # ----------------------------------------------------------------- registry
 
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
@@ -1673,7 +1779,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "g2_dependents": (q_g2_dependents, SQL_G2),
     "a12_dedup_stats": (q_a12_dedup_stats, SQL_A12),
     "s1_jsonl_roundtrip": (q_s1_jsonl_roundtrip, SQL_S1),
+    "f9_generate_id": (q_f9_generate_id, SQL_F9),
     # rows-only (non-SQL-expressible)
+    "f8_fnv1a": (q_f8_fnv1a, None),
+    "c4_compress_pipeline": (q_c4_compress_pipeline, None),
+    "c8_decay_transforms": (q_c8_decay_transforms, None),
+    "st4_stream_push": (q_st4_stream_push, None),
     "c2_placeholder": (q_c2_placeholder, None),
     "c5_hierarchy": (q_c5_hierarchy, None),
     "st4_session_push": (q_st4_session_push, None),
