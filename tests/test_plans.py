@@ -1,0 +1,120 @@
+"""Physical-plan regression tests — the scale contract.
+
+Correctness tests prove the small-SF answer; these prove the PLAN is
+the one that survives 100 TB: filters reach the parquet scan, small
+dimensions broadcast, aggregations are partial (map-side combine), and
+nothing silently degrades to a cartesian/nested-loop join on the big
+relations. A refactor that breaks one of these properties fails here
+even though every value-level test still passes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, df, mode="formatted"):
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode)
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entrymod.queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, queries):
+    p = _plan(spark, queries["p1_filter_project"](spark, SF_DIR))
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert pushed and "EqualTo(event_type,error)" in pushed[0]
+
+
+def test_projection_prunes_scan_columns(spark, queries):
+    # g2 needs only (l_suppkey, l_partkey) — a scan reading all 16
+    # lineitem columns would be wrong at any scale
+    p = _plan(spark, queries["g2_dependents"](spark, SF_DIR))
+    schemas = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert schemas
+    assert "l_partkey" in schemas[0] and "l_suppkey" in schemas[0]
+    assert "l_comment" not in schemas[0] and "l_extendedprice" not in schemas[0]
+
+
+def test_small_dim_broadcasts(spark, queries):
+    p = _plan(spark, queries["j4_revenue_per_nation"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_aggregate_is_partial(spark, queries):
+    # two HashAggregate operators around one Exchange = map-side combine
+    p = _plan(spark, queries["a6_doc_stats"](spark, SF_DIR))
+    assert p.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_semijoin_stays_semi(spark, queries):
+    p = _plan(spark, queries["p2_semijoin"](spark, SF_DIR))
+    assert "LeftSemi" in p or "ExistenceJoin" in p
+
+
+def test_antijoin_stays_anti(spark, queries):
+    p = _plan(spark, queries["j5_antijoin"](spark, SF_DIR))
+    assert "LeftAnti" in p
+
+
+def test_dedup_exact_single_shuffle(spark, queries):
+    # exact dedup = one hash-partition exchange on the hash key; more
+    # exchanges means an accidental extra shuffle crept in
+    p = _plan(spark, queries["dedup_exact"](spark, SF_DIR))
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_window_topk_prunes_map_side(spark, queries):
+    # rank<=k windows must plan a PARTIAL WindowGroupLimit below the
+    # exchange — each map task keeps k rows per key before shuffling,
+    # the difference between shuffling k rows/key and the whole table
+    p = _plan(spark, queries["w1_recent_per_user"](spark, SF_DIR))
+    assert "WindowGroupLimit" in p and "Partial" in p
+
+
+def test_whole_stage_codegen_on_relational_path(spark, queries):
+    # AQE finalizes the plan only on execution; the executed plan must
+    # show fused WholeStageCodegen spans (JVM-side expression eval)
+    df = queries["a6_doc_stats"](spark, SF_DIR)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # "*(n)" prefixes mark WholeStageCodegen spans; partial_* functions
+    # confirm the map-side combine half of the aggregate
+    assert "*(" in p and "partial_count" in p
+
+
+def test_topk_is_take_ordered(spark, queries):
+    # LIMIT+ORDER BY must plan as TakeOrderedAndProject (per-partition
+    # top-k then merge), not a global sort
+    p = _plan(spark, queries["t1_topk_parts"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_flagship_edges_have_no_cartesian(spark):
+    from pyspark.sql import functions as F
+
+    from distill_spark.operators.cluster import similarity_edges
+    from distill_spark.runtime import load_tables
+
+    t = load_tables(spark, SF_DIR)
+    emb = t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+    # auto route under budget: broadcast matmul via mapInPandas — the
+    # plan must not contain a join at all
+    e1 = similarity_edges(emb, 0.2, method="auto")
+    p1 = _plan(spark, e1)
+    assert "CartesianProduct" not in p1 and "SortMergeJoin" not in p1
+    assert "MapInPandas" in p1
+    # forced LSH (over-budget) route: hash-partitioned equi-join on the
+    # bucket keys, never an all-pairs product
+    e2 = similarity_edges(emb, 0.2, method="auto", broadcast_budget_bytes=0)
+    p2 = _plan(spark, e2)
+    assert "CartesianProduct" not in p2
