@@ -1,0 +1,93 @@
+"""Skew-mitigation operators for the 100 TB path.
+
+AQE's skew-join splitting handles *join* skew at runtime; these helpers
+cover the cases AQE does not:
+
+- :func:`salted_agg` — two-phase aggregation for heavily skewed group
+  keys (one key holding a large fraction of all rows, e.g. an empty-
+  string language tag or a null-ish source). Phase 1 aggregates on
+  (key, salt) so the hot key's rows spread over ``n_salt`` reducers;
+  phase 2 merges the partials per key. Works for any algebraic
+  aggregate (sum/count/min/max + avg via sum+count).
+- :func:`salted_join` — fallback broadcast-free skew join: replicate
+  the build side ``n_salt`` times, salt the probe side, join on
+  (key, salt). For when the small side is too big to broadcast but the
+  key histogram is too skewed for a plain shuffle join.
+
+Both are deterministic: the salt is a hash of stable row identity, not
+``rand()`` (repeatable plans, repeatable tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# phase-2 merge function for each supported phase-1 aggregate
+_MERGE = {
+    "sum": F.sum,
+    "count": F.sum,   # counts add up
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def _salt_col(salt_src: Column, n_salt: int) -> Column:
+    return F.pmod(F.xxhash64(salt_src), F.lit(n_salt)).cast("int")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salt: int = 16,
+    salt_on: str | Column | None = None,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps output column → (fn, input column) with fn in
+    {sum, count, min, max}. ``salt_on`` names a column whose hash
+    spreads the hot key's rows (default: the first agg input — any
+    high-cardinality column works).
+
+    Equivalent to ``df.groupBy(keys).agg(...)`` for these algebraic
+    functions; the difference is purely physical: no single reducer
+    ever receives all rows of the hottest key.
+    """
+    for name, (fn, _col) in aggs.items():
+        if fn not in _MERGE:
+            raise ValueError(f"{name}: {fn!r} is not algebraic-mergeable")
+    src = salt_on if salt_on is not None else next(iter(aggs.values()))[1]
+    salted = df.withColumn(
+        "_salt", _salt_col(F.col(src) if isinstance(src, str) else src, n_salt))
+
+    phase1 = salted.groupBy(*keys, "_salt").agg(*[
+        getattr(F, fn)(c).alias(name) for name, (fn, c) in aggs.items()
+    ])
+    return phase1.groupBy(*keys).agg(*[
+        _MERGE[fn](name).alias(name) for name, (fn, _c) in aggs.items()
+    ])
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the (big, skewed) left side, replicate
+    the right side across all salt values, join on (key, salt). Output
+    equals ``left.join(right, key, how)`` for inner/left joins.
+
+    Use only when the right side cannot broadcast — replication
+    multiplies its shuffle volume by ``n_salt``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    lsalt = left.withColumn(
+        "_salt", _salt_col(F.monotonically_increasing_id(), n_salt))
+    rrep = right.crossJoin(
+        F.broadcast(right.sparkSession.range(n_salt)
+                    .select(F.col("id").cast("int").alias("_salt"))))
+    return lsalt.join(rrep, [key, "_salt"], how).drop("_salt")

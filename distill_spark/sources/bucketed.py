@@ -1,0 +1,54 @@
+"""Bucketed table layout — shuffle-free co-located joins (S5 scale
+path; SURVEY.md §4 physical-layout notes).
+
+At 100 TB the dominant cost of a fact⋈fact join is the shuffle. If
+both tables are written bucketed (and sorted) on the join key with the
+same bucket count, Spark's scan exposes the bucketing as the join's
+required partitioning and the Exchange disappears from the plan — each
+task joins bucket i⋈bucket i straight off storage. The same property
+accelerates repeated ``groupBy(key)`` over the bucketed key.
+
+This is the Parquet analog of the reference's single-node "everything
+is already local" assumption: co-locate by key once at write time,
+then every downstream join/agg on that key is local.
+
+Bucketing requires the table catalog (``saveAsTable``) — plain
+``.parquet(path)`` writes can't record bucket metadata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str | list[str],
+    buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a bucketed (optionally sort-within-bucket)
+    managed table. ``buckets`` should divide the target cluster's
+    parallelism; too few buckets caps join parallelism, too many makes
+    small files."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = df.write.mode(mode).bucketBy(buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.format("parquet").saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    key: str | list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key. With matching
+    bucket specs the physical plan contains NO Exchange on either side
+    (verified in tests/test_plans.py::test_bucketed_join_no_shuffle)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return spark.table(left_table).join(spark.table(right_table), keys, how)

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import tempfile
+
 import pytest
 
 from distill_spark.runtime import get_spark
@@ -14,6 +16,10 @@ def spark():
         # the production default (reuse=false) protects long multi-query
         # sessions from pandas-worker allocator rot; the test suite is
         # hundreds of tiny UDF tasks where spawn cost dominates instead
-        extra_conf={"spark.python.worker.reuse": "true"},
+        extra_conf={
+            "spark.python.worker.reuse": "true",
+            # static conf: bucketed-table tests need a scratch catalog
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="ds_wh_"),
+        },
     )
     yield s

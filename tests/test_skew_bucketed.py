@@ -1,0 +1,77 @@
+"""Skew salting + bucketed co-located joins: value equivalence AND the
+physical properties that justify them."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distill_spark.operators.skew import salted_agg, salted_join
+from distill_spark.sources.bucketed import bucketed_join, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 90% of rows share one key — the classic hot-key histogram
+    rows = [(("hot" if i % 10 else f"k{i}"), i % 97, float(i)) for i in range(2000)]
+    return spark.createDataFrame(rows, "k string, g int, v double").cache()
+
+
+def test_salted_agg_equals_plain(spark, skewed):
+    plain = {(r["k"],): (r["s"], r["c"], r["mn"], r["mx"])
+             for r in skewed.groupBy("k").agg(
+                 F.sum("v").alias("s"), F.count("v").alias("c"),
+                 F.min("v").alias("mn"), F.max("v").alias("mx")).collect()}
+    salted = {(r["k"],): (r["s"], r["c"], r["mn"], r["mx"])
+              for r in salted_agg(
+                  skewed, ["k"],
+                  {"s": ("sum", "v"), "c": ("count", "v"),
+                   "mn": ("min", "v"), "mx": ("max", "v")},
+                  n_salt=8).collect()}
+    assert salted == plain
+
+
+def test_salted_agg_spreads_hot_key(spark, skewed):
+    out = salted_agg(skewed, ["k"], {"s": ("sum", "v")}, n_salt=8)
+    plan = out._jdf.queryExecution().toString()
+    # phase 1 must group on (k, _salt): the hot key fans out over salts
+    assert "_salt" in plan
+    assert plan.count("Exchange hashpartitioning") >= 1
+
+
+def test_salted_join_equals_plain(spark, skewed):
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"D{i}") for i in range(1, 2000, 10)],
+        "k string, label string")
+    plain = sorted(map(tuple, skewed.join(dim, "k").select("k", "v", "label").collect()))
+    salted = sorted(map(tuple, salted_join(skewed, dim, "k", n_salt=4)
+                        .select("k", "v", "label").collect()))
+    assert salted == plain
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    a = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    write_bucketed(a, "t_bucket_a", "k", buckets=8)
+    write_bucketed(b, "t_bucket_b", "k", buckets=8)
+    # at toy size Spark would rather broadcast (and skip the bucketed
+    # scan); disable it to exercise the fact⋈fact shape the layout is
+    # for — at 100 TB neither side broadcasts
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "t_bucket_a", "t_bucket_b", "k")
+        assert j.count() == 5000
+        row = j.filter(F.col("k") == 7).first()
+        assert (row["va"], row["vb"]) == (14, 21)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # the whole point: bucket metadata satisfies the join's
+        # required distribution — no shuffle Exchange on either side
+        assert "Exchange hashpartitioning" not in plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
