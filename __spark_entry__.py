@@ -1724,6 +1724,30 @@ def q_st4_stream_push(spark, sf_dir):
               "compression_level int, tokens int")
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (training-data extension, SURVEY §7.3 custom-op
+    class): each click event picks up the value of the user's most
+    recent at-or-before buy. One keyed window pass — no range join."""
+    from distill_spark.operators.asof import asof_join
+
+    t = _tables(spark, sf_dir)
+    clicks = (t["events"].filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    buys = (t["events"].filter(F.col("event_type") == "buy")
+            .select("user_id", "ts", F.round("value", 4).alias("buy_value")))
+    out = asof_join(clicks, buys, on="ts", by="user_id",
+                    value_cols=["buy_value"])
+    return out.select("event_id", "user_id", F.col("buy_value_asof"))
+
+
+SQL_ASOF = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     r AS (SELECT user_id, ts, round(value, 4) AS buy_value FROM events WHERE event_type = 'buy')
+SELECT l.event_id, l.user_id, r.buy_value AS buy_value_asof
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
@@ -1780,6 +1804,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a12_dedup_stats": (q_a12_dedup_stats, SQL_A12),
     "s1_jsonl_roundtrip": (q_s1_jsonl_roundtrip, SQL_S1),
     "f9_generate_id": (q_f9_generate_id, SQL_F9),
+    "asof_join_events": (q_asof_join, SQL_ASOF),
     # rows-only (non-SQL-expressible)
     "f8_fnv1a": (q_f8_fnv1a, None),
     "c4_compress_pipeline": (q_c4_compress_pipeline, None),

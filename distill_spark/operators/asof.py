@@ -1,0 +1,78 @@
+"""As-of (point-in-time) join — a training-data-pipeline operator
+Spark has no built-in for (extension beyond the reference; the class of
+operator SURVEY.md §7.3 lists under "custom ops via composition").
+
+For each left row, attach the most recent right row with
+``right.ts <= left.ts`` within the same ``by`` key (classic
+feature-store / market-data semantics; DuckDB/Pandas call it ASOF).
+
+Spark-first shape — NOT a per-row UDF and NOT a range cross-join:
+union the two streams tagged by side, then one window pass per key in
+time order with ``last(value, ignorenulls=True)`` carrying the latest
+right-side payload forward onto each left row. One shuffle on the key,
+one sort — the same cost as any keyed window, at any scale. A range
+self-join would be O(|L|·|R|) per key; this is O((|L|+|R|) log) per
+key and never materializes candidate pairs.
+
+``tolerance`` (seconds) drops matches older than ``left.ts − tol``,
+matching the common as-of-with-staleness-bound variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | list[str] | None = None,
+    value_cols: list[str] | None = None,
+    tolerance: float | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join. Returns every ``left`` row plus, for each
+    column in ``value_cols``, the value from the latest ``right`` row
+    at-or-before its ``on`` timestamp (NULL when none exists — LEFT
+    semantics). Ties at equal ``on``: the right row wins (<=)."""
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    if value_cols is None:
+        value_cols = [c for c in right.columns
+                      if c not in by_cols and c != on]
+
+    lcols = left.columns
+    l = left.withColumn("_side", F.lit(1))
+    r = right.select(
+        *by_cols, on,
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    ).withColumn("_side", F.lit(0))
+    for c in lcols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(dict(l.dtypes)[c]))
+    for c in r.columns:
+        if c not in l.columns:
+            l = l.withColumn(c, F.lit(None).cast(dict(r.dtypes)[c]))
+    both = l.select(*r.columns).unionByName(r)
+
+    # right rows sort before left rows at the same timestamp → "<="
+    w = (Window.partitionBy(*by_cols) if by_cols else Window.partitionBy()) \
+        .orderBy(F.col(on).asc(), F.col("_side").asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = both
+    carried = []
+    for c in value_cols:
+        out = out.withColumn(
+            f"{c}{suffix}", F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w))
+        carried.append(f"{c}{suffix}")
+    if tolerance is not None:
+        src_ts = F.last(F.when(F.col("_side") == 0, F.col(on)),
+                        ignorenulls=True).over(w)
+        out = out.withColumn("_src_ts", src_ts)
+        stale = (F.col(on).cast("double") - F.col("_src_ts").cast("double")
+                 > float(tolerance))
+        for c in carried:
+            out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
+        out = out.drop("_src_ts")
+    return out.filter(F.col("_side") == 1).select(*lcols, *carried)

@@ -1,0 +1,49 @@
+"""As-of join: tie semantics (<=), missing-match NULLs, tolerance."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distill_spark.operators.asof import asof_join
+
+
+def _mk(spark):
+    left = spark.createDataFrame(
+        [("u1", 10.0, "a"), ("u1", 20.0, "b"), ("u1", 30.0, "c"),
+         ("u2", 15.0, "d"), ("u3", 5.0, "e")],
+        "k string, ts double, tag string")
+    right = spark.createDataFrame(
+        [("u1", 10.0, 100), ("u1", 25.0, 200), ("u2", 14.0, 300),
+         ("u2", 16.0, 400)],
+        "k string, ts double, v int")
+    return left, right
+
+
+def test_backward_asof_with_ties(spark):
+    left, right = _mk(spark)
+    out = {(r["tag"]): r["v_asof"]
+           for r in asof_join(left, right, on="ts", by="k",
+                              value_cols=["v"]).collect()}
+    assert out == {
+        "a": 100,   # tie ts=10 → right row at equal ts wins (<=)
+        "b": 100,   # 25 is in the future
+        "c": 200,
+        "d": 300,   # 16 is in the future for ts=15
+        "e": None,  # u3 has no right rows at all
+    }
+
+
+def test_asof_tolerance_drops_stale(spark):
+    left, right = _mk(spark)
+    out = {r["tag"]: r["v_asof"]
+           for r in asof_join(left, right, on="ts", by="k",
+                              value_cols=["v"], tolerance=5.0).collect()}
+    # c: latest right at ts=25, age 5 → kept; b: age 10 → dropped
+    assert out["a"] == 100 and out["b"] is None and out["c"] == 200
+
+
+def test_asof_keeps_every_left_row(spark):
+    left, right = _mk(spark)
+    out = asof_join(left, right, on="ts", by="k", value_cols=["v"])
+    assert out.count() == left.count()
+    assert set(out.columns) == {"k", "ts", "tag", "v_asof"}
