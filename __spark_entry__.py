@@ -1748,6 +1748,44 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """Embedding-cosine near-dup over the documents table (training-
+    data dedup family; same CC semantics as A1 but with the keep/drop
+    verdict a dedup pipeline acts on): docs whose embeddings sit within
+    cosine distance 0.6 cluster together; the min doc_id survives."""
+    t = _tables(spark, sf_dir)
+    docs = (t["documents"].filter(F.col("doc_id") < 300)
+            .join(t["embeddings"],
+                  t["documents"].doc_id == t["embeddings"].vec_id)
+            .select("doc_id", "embedding"))
+    out = cl.cluster_by_threshold(docs, id_col="doc_id", vec_col="embedding",
+                                  threshold=0.6, dist_round=6)
+    return out.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster"),
+        (F.col("doc_id") == F.col("cluster_id").cast("long")).alias("kept"))
+
+
+SQL_DEDUP_SEMANTIC = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, e.embedding FROM documents
+  JOIN embeddings e ON e.vec_id = documents.doc_id
+  WHERE doc_id < 300
+), pairs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib FROM d a, d b
+  WHERE a.doc_id <> b.doc_id
+    AND round(1.0 - {_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) <= 0.6
+), reach(node, r) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT p.ib, reach.r FROM reach JOIN pairs p ON p.ia = reach.node
+)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster,
+       (node = min(r)) AS kept
+FROM reach GROUP BY node
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
@@ -1805,6 +1843,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "s1_jsonl_roundtrip": (q_s1_jsonl_roundtrip, SQL_S1),
     "f9_generate_id": (q_f9_generate_id, SQL_F9),
     "asof_join_events": (q_asof_join, SQL_ASOF),
+    "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     # rows-only (non-SQL-expressible)
     "f8_fnv1a": (q_f8_fnv1a, None),
     "c4_compress_pipeline": (q_c4_compress_pipeline, None),

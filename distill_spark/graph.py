@@ -96,7 +96,10 @@ def blast_radius(edges: DataFrame, seeds: DataFrame, max_depth: int = 0,
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        # each frontier is already checkpointed; the union's lineage
+        # stays one level deep, so re-checkpointing the whole visited
+        # set every round (O(V) extra work per depth) buys nothing
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return (
         visited.filter(F.col("depth") >= 1)
