@@ -1748,6 +1748,25 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_f12_tfidf_embed(spark, sf_dir):
+    """F12 local corpus-fitted TF-IDF embedding provider (HashingTF +
+    IDF, deterministic murmur3) — distributed fit/transform; MLlib
+    internals not SQL-portable → rows-only (properties tested in
+    tests/test_graph_embed.py)."""
+    from distill_spark.embed import embed_tfidf
+
+    t = _tables(spark, sf_dir)
+    out, _model = embed_tfidf(
+        t["documents"].filter(F.col("doc_id") < 300).select("doc_id", "text"),
+        dim=32)
+    return out.select(
+        "doc_id",
+        F.round(F.aggregate(F.col("embedding"), F.lit(0.0),
+                            lambda a, x: a + x.cast("double") * x.cast("double")), 4)
+        .alias("sq_norm"),
+        F.size("embedding").alias("dim"))
+
+
 def q_dedup_semantic(spark, sf_dir):
     """Embedding-cosine near-dup over the documents table (training-
     data dedup family; same CC semantics as A1 but with the keep/drop
@@ -1849,6 +1868,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "c4_compress_pipeline": (q_c4_compress_pipeline, None),
     "c8_decay_transforms": (q_c8_decay_transforms, None),
     "st4_stream_push": (q_st4_stream_push, None),
+    "f12_tfidf_embed": (q_f12_tfidf_embed, None),
     "c2_placeholder": (q_c2_placeholder, None),
     "c5_hierarchy": (q_c5_hierarchy, None),
     "st4_session_push": (q_st4_session_push, None),

@@ -108,6 +108,41 @@ def embed_texts(df: DataFrame, provider: str = "hash",
     return df.mapInPandas(run, schema=schema)
 
 
+def embed_tfidf(df: DataFrame, text_col: str = "text",
+                out_col: str = "embedding", dim: int = 64,
+                min_doc_freq: int = 1, idf_model=None):
+    """Corpus-fitted TF-IDF embedder — a REAL local provider (no
+    network), distributed end to end: HashingTF (murmur3, deterministic)
+    → IDF fit over the whole corpus → unit-normalized float32 vectors.
+
+    Unlike the per-batch ``Provider`` functions this is corpus-level
+    state done the Spark way: fit once (one pass), broadcast the tiny
+    IDF vector inside the model, transform anywhere — including other
+    DataFrames, by passing the returned ``idf_model`` back in (the F13
+    cache composes on top unchanged).
+
+    Returns (embedded_df, idf_model)."""
+    from pyspark.ml.feature import IDF, HashingTF
+    from pyspark.ml.functions import vector_to_array
+
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"[^a-z0-9]+"),
+        lambda x: x != "")
+    with_tok = df.withColumn("_tok", toks)
+    tf = HashingTF(inputCol="_tok", outputCol="_tf", numFeatures=dim)
+    tfd = tf.transform(with_tok)
+    if idf_model is None:
+        idf_model = IDF(inputCol="_tf", outputCol="_tfidf",
+                        minDocFreq=min_doc_freq).fit(tfd)
+    out = idf_model.transform(tfd)
+    arr = vector_to_array(F.col("_tfidf"))
+    nrm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.when(nrm > 0, F.transform(arr, lambda x: (x / nrm).cast("float"))) \
+            .otherwise(F.transform(arr, lambda x: x.cast("float")))
+    return (out.withColumn(out_col, unit).drop("_tok", "_tf", "_tfidf"),
+            idf_model)
+
+
 CACHE_SCHEMA = T.StructType([
     T.StructField("text_hash", T.StringType()),
     T.StructField("embedding", T.ArrayType(T.FloatType())),

@@ -57,6 +57,30 @@ class TestEmbed:
         norm = sum(x * x for x in a["1"]) ** 0.5
         assert norm == pytest.approx(1.0, abs=1e-5)
 
+    def test_tfidf_provider_semantics(self, spark):
+        df = spark.createDataFrame(
+            [("1", "spark runs distributed queries on clusters"),
+             ("2", "spark executes distributed queries on a cluster"),
+             ("3", "bananas are yellow fruit for breakfast"),
+             ("4", "")],
+            "id string, text string")
+        out, model = embed.embed_tfidf(df, dim=32)
+        rows = {r.id: r.embedding for r in out.collect()}
+        assert len(rows["1"]) == 32
+
+        def cos(a, b):
+            return sum(x * y for x, y in zip(a, b))
+        # near-duplicate sentences must be closer than unrelated ones
+        assert cos(rows["1"], rows["2"]) > cos(rows["1"], rows["3"])
+        # unit-normalized (except the empty doc, all-zero)
+        assert sum(x * x for x in rows["1"]) == pytest.approx(1.0, abs=1e-5)
+        assert all(x == 0.0 for x in rows["4"])
+        # fitted model reuses on new data without refit
+        more = spark.createDataFrame([("9", "distributed spark queries")],
+                                     "id string, text string")
+        out2, _ = embed.embed_tfidf(more, dim=32, idf_model=model)
+        assert cos(out2.first()["embedding"], rows["1"]) > 0.3
+
     def test_network_provider_is_stubbed(self, spark):
         df = spark.createDataFrame([("1", "hi")], "id string, text string")
         with pytest.raises(Exception, match="HTTP client"):
