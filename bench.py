@@ -77,6 +77,21 @@ def main():
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark(app_name="distill_spark_bench")
 
+    # untimed warmup: first-query numbers otherwise fold JVM/codegen
+    # JIT, parquet footer caching, and Python-worker spawn into
+    # whichever query happens to run first
+    from pyspark.sql.types import DoubleType
+    from pyspark.sql.functions import pandas_udf
+
+    warm = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    @pandas_udf(DoubleType())
+    def _warm_udf(s):
+        return s * 1.0
+
+    warm.select(F.sum(_warm_udf(F.col("vec_id").cast("double")))).collect()
+    warm.groupBy(F.col("vec_id") % 8).count().collect()
+
     queries = entrymod.queries()
     timings: dict[str, float] = {}
     total0 = time.time()
