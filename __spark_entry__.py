@@ -1352,7 +1352,8 @@ def q_st2_recall(spark, sf_dir):
         )
     )
     st = MemoryStore(spark, tempfile.mkdtemp(prefix="dsrecall_"))
-    st._write(spark.createDataFrame(seed.collect(), MEMORY_SCHEMA))
+    st._write(seed.select(
+        *[F.col(f.name).cast(f.dataType) for f in MEMORY_SCHEMA.fields]))
     qv = [float(x) for x in
           t["embeddings"].filter(F.col("vec_id") == 0).first()["embedding"]]
     out = st.recall(qv, now=now_ts, recency_weight=0.3, max_results=25,
