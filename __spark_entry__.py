@@ -1768,6 +1768,47 @@ def q_f12_tfidf_embed(spark, sf_dir):
         F.size("embedding").alias("dim"))
 
 
+def q_events_sliding(spark, sf_dir):
+    """Sliding event-time windows (1h length / 30m slide) — the batch
+    twin of streaming/stream.py sliding_means; each event lands in two
+    overlapping windows."""
+    t = _tables(spark, sf_dir)
+    return (t["events"]
+            .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("value"), 6).alias("mean_value"))
+            .select(F.col("w.start").alias("window_start"), "n", "mean_value"))
+
+
+SQL_SLIDING = """
+WITH e AS (SELECT ts, value,
+                  to_timestamp(floor(epoch(ts)/1800)*1800) AT TIME ZONE 'UTC' AS w0
+           FROM events)
+SELECT w AS window_start, count(*) AS n, round(avg(value), 6) AS mean_value
+FROM e, UNNEST([w0, w0 - INTERVAL 30 MINUTE]) AS t(w)
+WHERE e.ts >= w AND e.ts < w + INTERVAL 60 MINUTE
+GROUP BY w
+"""
+
+
+def q_f13_embed_cache(spark, sf_dir):
+    """F13 persistent embedding cache (embedding/interface.go:33-135):
+    prepopulate the cache with half the corpus, embed the rest through
+    the provider; returns per-doc hit/miss provenance + dims. Provider
+    is the deterministic hash embedder → rows-only."""
+    from distill_spark.embed import embed_texts, embed_with_cache
+
+    t = _tables(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 300).select("doc_id", "text")
+    pre = (embed_texts(docs.filter(F.col("doc_id") < 150), "hash")
+           .select(F.sha2(F.coalesce("text", F.lit("")), 256).alias("text_hash"),
+                   "embedding"))
+    out, new_rows = embed_with_cache(docs, pre, provider="hash")
+    return (out.select("doc_id", F.size("embedding").alias("dim"),
+                       (F.col("doc_id") < 150).alias("from_cache"))
+            .join(new_rows.agg(F.count("*").alias("new_cache_rows"))))
+
+
 def q_dedup_semantic(spark, sf_dir):
     """Embedding-cosine near-dup over the documents table (training-
     data dedup family; same CC semantics as A1 but with the keep/drop
@@ -1864,6 +1905,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "f9_generate_id": (q_f9_generate_id, SQL_F9),
     "asof_join_events": (q_asof_join, SQL_ASOF),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
+    "events_sliding": (q_events_sliding, SQL_SLIDING),
+    "f13_embed_cache": (q_f13_embed_cache, None),
     # rows-only (non-SQL-expressible)
     "f8_fnv1a": (q_f8_fnv1a, None),
     "c4_compress_pipeline": (q_c4_compress_pipeline, None),
