@@ -1768,6 +1768,25 @@ def q_f12_tfidf_embed(spark, sf_dir):
         F.size("embedding").alias("dim"))
 
 
+def q_text_length_profile(spark, sf_dir):
+    """Data-quality profiling (training-data extension): exact length
+    percentiles per language — Spark's exact `percentile` (continuous
+    interpolation) matches DuckDB's quantile_cont definition."""
+    t = _tables(spark, sf_dir)
+    return (t["documents"].groupBy("lang")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.percentile("n_chars", F.lit(0.5)), 2).alias("p50"),
+                 F.round(F.percentile("n_chars", F.lit(0.9)), 2).alias("p90")))
+
+
+SQL_LENPROF = """
+SELECT lang, count(*) AS n,
+       round(quantile_cont(n_chars, 0.5), 2) AS p50,
+       round(quantile_cont(n_chars, 0.9), 2) AS p90
+FROM documents GROUP BY lang
+"""
+
+
 def q_events_sliding(spark, sf_dir):
     """Sliding event-time windows (1h length / 30m slide) — the batch
     twin of streaming/stream.py sliding_means; each event lands in two
@@ -1906,6 +1925,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "asof_join_events": (q_asof_join, SQL_ASOF),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "events_sliding": (q_events_sliding, SQL_SLIDING),
+    "text_length_profile": (q_text_length_profile, SQL_LENPROF),
     "f13_embed_cache": (q_f13_embed_cache, None),
     # rows-only (non-SQL-expressible)
     "f8_fnv1a": (q_f8_fnv1a, None),
