@@ -1768,6 +1768,33 @@ def q_f12_tfidf_embed(spark, sf_dir):
         F.size("embedding").alias("dim"))
 
 
+def q_ann_ivf_batch(spark, sf_dir):
+    """Batch ANN through the reusable IVF index (S4/J3 scale path):
+    one plan resolves top-3 for 8 query vectors. Probing every cell
+    makes IVF exact, so the oracle is per-query brute-force top-k."""
+    from distill_spark.operators.similarity import IVFIndex
+
+    t = _tables(spark, sf_dir)
+    emb = t["embeddings"]
+    ix = IVFIndex(emb, n_cells=8, seed=7)
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    out = ix.search(qs, k=3, n_probe=8, qid_col="qid")
+    return out.select("qid", "vec_id", "sim")
+
+
+SQL_ANN_IVF = f"""
+SELECT q.vec_id AS qid, e.vec_id,
+       round({_COS_SQL.format(a='e.embedding', b='q.embedding')}, 6) AS sim
+FROM embeddings e, embeddings q
+WHERE q.vec_id < 8
+QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY round({_COS_SQL.format(a='e.embedding', b='q.embedding')}, 6) DESC,
+             e.vec_id ASC) <= 3
+"""
+
+
 def q_text_length_profile(spark, sf_dir):
     """Data-quality profiling (training-data extension): exact length
     percentiles per language — Spark's exact `percentile` (continuous
@@ -1926,6 +1953,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "events_sliding": (q_events_sliding, SQL_SLIDING),
     "text_length_profile": (q_text_length_profile, SQL_LENPROF),
+    "ann_ivf_batch": (q_ann_ivf_batch, SQL_ANN_IVF),
     "f13_embed_cache": (q_f13_embed_cache, None),
     # rows-only (non-SQL-expressible)
     "f8_fnv1a": (q_f8_fnv1a, None),
