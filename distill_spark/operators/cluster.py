@@ -136,7 +136,12 @@ def broadcast_similarity_edges(
                     if m.any():
                         yield pd.DataFrame({"src": src[m], "dst": dst[m]})
 
-    par = df.sparkSession.sparkContext.defaultParallelism
+    # probe-side parallelism tracks the row count: a fresh Python
+    # worker per task (reuse=false) costs more than scoring a few
+    # hundred rows, so small corpora use few fat tasks; at cluster
+    # scale rows/512 saturates defaultParallelism anyway
+    par = min(df.sparkSession.sparkContext.defaultParallelism,
+              max(1, len(ids) // 512 + 1))
     return (
         df.select(id_col, vec_col).repartition(par)
         .mapInPandas(gen, schema=f"src {id_type}, dst {id_type}")
