@@ -82,25 +82,44 @@ def blast_radius(edges: DataFrame, seeds: DataFrame, max_depth: int = 0,
     visited = seeds.select("node").distinct().withColumn(
         "depth", F.lit(0)).localCheckpoint()
     frontier = visited
-    depth = 0
-    while True:
-        depth += 1
-        if max_depth and depth > max_depth:
-            break
-        nxt = (
-            frontier.join(step, frontier.node == step["from"])
-            .select(F.col("to").alias("node")).distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .withColumn("depth", F.lit(depth))
-            .localCheckpoint()
-        )
-        if nxt.isEmpty():
-            break
-        # each frontier is already checkpointed; the union's lineage
-        # stays one level deep, so re-checkpointing the whole visited
-        # set every round (O(V) extra work per depth) buys nothing
-        visited = visited.unionByName(nxt)
-        frontier = nxt
+
+    if 0 < max_depth <= 4:
+        # bounded shallow walk: unroll into ONE lazy plan — no
+        # per-round actions, no early-exit probes; Spark's exchange
+        # reuse dedups the repeated subtrees, and depth ≤ 4 keeps the
+        # plan small. This is the common blast-radius shape (the
+        # reference defaults to depth ≤ 3, graph.go:137).
+        for depth in range(1, max_depth + 1):
+            nxt = (
+                frontier.join(step, frontier.node == step["from"])
+                .select(F.col("to").alias("node")).distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .withColumn("depth", F.lit(depth))
+            )
+            visited = visited.unionByName(nxt)
+            frontier = nxt
+    else:
+        # unbounded (or deep) walk: materialize each frontier and stop
+        # when it drains — O(diameter) rounds with checkpointed lineage
+        depth = 0
+        while True:
+            depth += 1
+            if max_depth and depth > max_depth:
+                break
+            nxt = (
+                frontier.join(step, frontier.node == step["from"])
+                .select(F.col("to").alias("node")).distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .withColumn("depth", F.lit(depth))
+                .localCheckpoint()
+            )
+            if nxt.isEmpty():
+                break
+            # each frontier is already checkpointed; the union's
+            # lineage stays one level deep, so re-checkpointing the
+            # whole visited set every round buys nothing
+            visited = visited.unionByName(nxt)
+            frontier = nxt
     return (
         visited.filter(F.col("depth") >= 1)
         .select("node", "depth",
