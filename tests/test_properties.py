@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) over the pure-Python UDF bodies.
+
+These are the functions whose outputs feed distributed plans — the
+properties here (idempotence, monotonicity, bounds, determinism) are
+what make the Spark-side operators safe to re-run, re-order, and
+retry: a speculative task re-executing a compression UDF must produce
+the identical bytes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from distill_spark.functions import textproc
+from distill_spark.functions.vectormath import MAX_FLOAT64, _cosine_distance_np
+
+TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400)
+SENTENCES = st.lists(
+    st.text(alphabet="abcdefghij klmnop", min_size=1, max_size=40),
+    min_size=0, max_size=8,
+).map(lambda xs: ". ".join(xs))
+
+
+@given(TEXT)
+@settings(max_examples=200, deadline=None)
+def test_estimate_tokens_bounds(s):
+    t = textproc.estimate_tokens(s)
+    assert 0 <= t <= len(s) + 1
+    assert textproc.estimate_tokens_nonspace(s) <= t or " " not in s
+
+
+@given(TEXT)
+@settings(max_examples=100, deadline=None)
+def test_prune_deterministic_and_shrinking(s):
+    a = textproc.prune(s, min_chunk_length=0)
+    assert a == textproc.prune(s, min_chunk_length=0)
+    assert len(a) <= len(s) or a == s
+
+
+@given(SENTENCES)
+@settings(max_examples=100, deadline=None)
+def test_extractive_never_grows(s):
+    out = textproc.extractive_compress(s, target_reduction=0.5,
+                                       min_chunk_length=0)
+    assert len(out) <= max(len(s), 1)
+    assert out == textproc.extractive_compress(s, target_reduction=0.5,
+                                               min_chunk_length=0)
+
+
+@given(SENTENCES)
+@settings(max_examples=100, deadline=None)
+def test_compression_levels_never_grow(s):
+    # levels are NOT pairwise monotone (a 12-word keyword list can beat
+    # an aggressive extractive on degenerate input) — the invariant is
+    # that no level ever grows the text, and each is deterministic
+    base = textproc.estimate_tokens(s)
+    for lv in (1, 2, 3):
+        out = textproc.session_compress_to_level(s, lv)
+        assert textproc.estimate_tokens(out) <= base + 1
+        assert out == textproc.session_compress_to_level(s, lv)
+
+
+@given(st.sampled_from(["user", "assistant", "system", "tool", ""]), TEXT)
+@settings(max_examples=200, deadline=None)
+def test_importance_score_bounded(role, content):
+    x = textproc.importance_score(role, content)
+    assert 0.0 <= x <= 1.0
+    if role == "system":
+        assert x == 1.0
+
+
+@given(st.lists(st.floats(-1e3, 1e3), min_size=1, max_size=16),
+       st.lists(st.floats(-1e3, 1e3), min_size=1, max_size=16))
+@settings(max_examples=200, deadline=None)
+def test_cosine_distance_props(a, b):
+    arr_a = np.array([np.asarray(a, dtype=np.float32)], dtype=object)
+    arr_b = np.array([np.asarray(b, dtype=np.float32)], dtype=object)
+    d = float(_cosine_distance_np(arr_a, arr_b)[0])
+    d_sym = float(_cosine_distance_np(arr_b, arr_a)[0])
+    assert 0.0 <= d <= 2.0 or d == MAX_FLOAT64
+    assert abs(d - d_sym) < 1e-9          # symmetric
+    d_self = float(_cosine_distance_np(arr_a, arr_a)[0])
+    # match the implementation's precision path: float32 storage,
+    # float64 math (norm can underflow for tiny float32 components)
+    v = np.asarray(a, dtype=np.float32).astype(np.float64)
+    if float(v @ v) > 0:
+        assert d_self < 1e-6              # d(x, x) = 0 for nonzero x
+    else:
+        assert d_self == 2.0              # zero vector → no similarity
+
+
+@given(TEXT)
+@settings(max_examples=100, deadline=None)
+def test_memory_transforms_deterministic(s):
+    assert textproc.memory_summary(s) == textproc.memory_summary(s)
+    assert textproc.memory_keywords(s) == textproc.memory_keywords(s)
