@@ -118,3 +118,20 @@ def test_flagship_edges_have_no_cartesian(spark):
     e2 = similarity_edges(emb, 0.2, method="auto", broadcast_budget_bytes=0)
     p2 = _plan(spark, e2)
     assert "CartesianProduct" not in p2
+
+
+def test_no_row_at_a_time_udfs():
+    """The package must never use row-at-a-time F.udf — Arrow-batched
+    pandas UDFs only (10-100x on the Python boundary)."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    offenders = []
+    for p in (root / "distill_spark").rglob("*.py"):
+        src = p.read_text()
+        for i, line in enumerate(src.splitlines(), 1):
+            code = line.split("#")[0]
+            if re.search(r"\bF\.udf\s*\(|\bfunctions\.udf\s*\(", code):
+                offenders.append(f"{p.name}:{i}")
+    assert not offenders, f"row-at-a-time UDFs found: {offenders}"
