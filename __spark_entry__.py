@@ -549,6 +549,29 @@ FROM g GROUP BY user_id
 """
 
 
+def q_st9_cache_sim(spark, sf_dir):
+    """ST9 LRU+TTL KV cache (cache/memory.go:27-267) as a sharded replay
+    of the events access log: view/click -> Get, signup/purchase -> Set,
+    error -> Delete. Per-shard entry caps force LRU evictions; 1h TTL
+    forces lazy expirations. Rows-only: a sequential stateful replay has
+    no ANSI-SQL oracle (semantics pinned by tests/test_cachesim.py)."""
+    from distill_spark.operators.cachesim import CacheSimConfig, simulate_cache
+
+    t = _tables(spark, sf_dir)
+    ops = t["events"].select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("key"),
+        F.when(F.col("event_type").isin("view", "click"), "get")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("set")
+        .alias("op"),
+        "ts",
+        F.col("event_id").alias("seq"),
+        (F.abs(F.col("value")) * 100).cast("long").alias("value_size"),
+    )
+    cfg = CacheSimConfig(n_shards=8, max_entries=8, ttl_seconds=3600.0)
+    return simulate_cache(ops, cfg).orderBy("shard")
+
+
 def q_j3_ann_topk(spark, sf_dir):
     """J3/T3 brute-force top-k similarity search (commits.go:216-250):
     20 nearest neighbours of vector 0."""
@@ -1972,6 +1995,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "c1_extractive": (q_c1_extractive, None),
     "dedup_simhash": (q_dedup_simhash, None),
     "ann_lsh_buckets": (q_ann_lsh_buckets, None),
+    "st9_cache_sim": (q_st9_cache_sim, None),
 }
 
 

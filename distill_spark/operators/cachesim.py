@@ -1,0 +1,156 @@
+"""ST9 — LRU+TTL KV cache, re-expressed as a sharded cache *simulation*.
+
+The reference keeps a live in-process cache (pkg/cache/memory.go:27-267:
+LRU list + map, per-entry TTL, entry-count and byte caps, background
+expiry sweep). A batch engine has no resident process, so the Spark-first
+analog is the workload that actually matters at scale: **replaying an
+access log through cache semantics** to measure hit rates, evictions and
+expirations — capacity-planning for the very cache the reference runs.
+
+Scale design: a single LRU is inherently sequential (every op can touch
+the shared recency list), so we shard the keyspace — exactly how
+distributed caches (and the reference's Redis variant, redis.go) scale
+out. Each shard owns capacity/N and replays its own ops in timestamp
+order inside one `applyInPandas` group; shards run in parallel across
+executors. At 100 TB the access log partitions by shard hash and each
+executor replays only its shards — no global state, no driver collect.
+
+Semantics mirrored from memory.go:
+- Get  (memory.go:53-78):  absent -> miss; present-but-expired ->
+  remove + miss + expiration; else hit + move-to-front.
+- Set  (memory.go:81-132): size = len(key)+value_size; oversized value
+  (> max_bytes) rejected; existing key updated in place + moved to
+  front; else evict LRU-back while over entry/byte caps
+  (needsEviction, memory.go:204-212), then push-front.
+- Delete (memory.go:135-147): present -> remove + delete count.
+- Expiry is lazy (checked on Get), matching what a deterministic replay
+  can honour; the reference's background sweep (cleanup, memory.go:
+  249-267) is time-of-day dependent and is intentionally not modelled.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("hits", T.LongType()),
+        T.StructField("misses", T.LongType()),
+        T.StructField("sets", T.LongType()),
+        T.StructField("deletes", T.LongType()),
+        T.StructField("evictions", T.LongType()),
+        T.StructField("expirations", T.LongType()),
+        T.StructField("rejects", T.LongType()),
+        T.StructField("size", T.LongType()),
+        T.StructField("size_bytes", T.LongType()),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class CacheSimConfig:
+    """Per-shard caps (a cluster-wide cache of max_entries*n_shards)."""
+
+    max_entries: int = 128     # memory.go MaxSize, per shard; 0 = uncapped
+    max_bytes: int = 0         # memory.go MaxSizeBytes, per shard; 0 = uncapped
+    ttl_seconds: float = 300.0  # per-entry TTL; 0 = never expires
+    n_shards: int = 32
+
+
+def _replay(ops, cfg: CacheSimConfig):
+    """Replay one shard's ops (ts-ordered) through LRU+TTL semantics.
+
+    Plain dict as the LRU: Python dicts are insertion-ordered, and
+    re-insertion-at-end == move-to-front of memory.go's list.List (we
+    evict from the *front*, the least recently used end).
+    """
+    import pandas as pd
+
+    ttl_us = int(cfg.ttl_seconds * 1_000_000)
+    lru: dict[str, tuple[int, int]] = {}  # key -> (size, expires_at_us)
+    bytes_now = 0
+    hits = misses = sets = deletes = evictions = expirations = rejects = 0
+
+    for pdf in ops:
+        pdf = pdf.sort_values(["ts_us", "op_seq"], kind="stable")
+        for op, key, vsize, ts in zip(
+            pdf["op"].to_numpy(), pdf["key"].to_numpy(),
+            pdf["value_size"].to_numpy(), pdf["ts_us"].to_numpy(),
+        ):
+            if op == "get":
+                ent = lru.get(key)
+                if ent is None:
+                    misses += 1
+                elif ent[1] and ts > ent[1]:  # IsExpired (memory.go:66-71)
+                    del lru[key]
+                    bytes_now -= ent[0]
+                    misses += 1
+                    expirations += 1
+                else:
+                    lru[key] = lru.pop(key)  # move-to-front
+                    hits += 1
+            elif op == "set":
+                size = len(key) + int(vsize)
+                if cfg.max_bytes and size > cfg.max_bytes:
+                    rejects += 1  # ErrValueTooLarge (memory.go:88-90)
+                    continue
+                expires = ts + ttl_us if ttl_us else 0
+                old = lru.pop(key, None)
+                if old is not None:  # update-in-place path (memory.go:109-117)
+                    bytes_now -= old[0]
+                else:
+                    while (cfg.max_entries and len(lru) >= cfg.max_entries) or (
+                        cfg.max_bytes and bytes_now + size > cfg.max_bytes
+                    ):
+                        k0 = next(iter(lru))  # LRU back
+                        bytes_now -= lru.pop(k0)[0]
+                        evictions += 1
+                lru[key] = (size, expires)
+                bytes_now += size
+                sets += 1
+            else:  # delete
+                old = lru.pop(key, None)
+                if old is not None:
+                    bytes_now -= old[0]
+                    deletes += 1
+
+    yield pd.DataFrame(
+        [[hits, misses, sets, deletes, evictions, expirations, rejects,
+          len(lru), bytes_now]],
+        columns=[f.name for f in STATS_SCHEMA.fields[1:]],
+    )
+
+
+def simulate_cache(ops: DataFrame, config: CacheSimConfig | None = None) -> DataFrame:
+    """Replay an access log through a sharded LRU+TTL cache.
+
+    ``ops`` columns: key (string), op (get|set|delete), ts (timestamp),
+    value_size (long; ignored for get/delete), and optionally seq (long)
+    to break timestamp ties deterministically. Returns one stats row per
+    shard (STATS_SCHEMA) — aggregate for cluster totals.
+
+    Shard assignment is a deterministic JVM-side hash (xxhash64 % N), so
+    the replay partitions cleanly and identically at any scale.
+    """
+    cfg = config or CacheSimConfig()
+    seq = F.col("seq") if "seq" in ops.columns else F.monotonically_increasing_id()
+    keyed = ops.select(
+        F.pmod(F.xxhash64("key"), F.lit(cfg.n_shards)).cast("int").alias("shard"),
+        F.col("key").cast("string").alias("key"),
+        F.col("op").cast("string").alias("op"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        seq.cast("long").alias("op_seq"),
+        F.coalesce(F.col("value_size").cast("long"), F.lit(0)).alias("value_size"),
+    )
+
+    def replay_group(key, pdf):
+        out = next(_replay([pdf], cfg))
+        out.insert(0, "shard", key[0])
+        return out
+
+    return keyed.groupBy("shard").applyInPandas(replay_group, STATS_SCHEMA)

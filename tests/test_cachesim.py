@@ -1,0 +1,132 @@
+"""ST9 cache simulation: LRU+TTL replay semantics vs pkg/cache/memory.go
+behaviors (cache_test.go:TestMemoryCache_* scenarios, hand-replayed)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from distill_spark.operators.cachesim import CacheSimConfig, simulate_cache
+
+BASE = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def _ops(spark, rows):
+    """rows: (seq, op, key, value_size, offset_seconds)"""
+    data = [
+        (seq, op, key, int(size), BASE + dt.timedelta(seconds=off))
+        for seq, op, key, size, off in rows
+    ]
+    return spark.createDataFrame(
+        data, "seq long, op string, key string, value_size long, ts timestamp"
+    )
+
+
+def _stats(df):
+    row = (
+        df.groupBy()
+        .agg(*[F.sum(c).alias(c) for c in df.columns if c != "shard"])
+        .collect()[0]
+    )
+    return row.asDict()
+
+
+class TestCacheSim:
+    def test_get_miss_then_hit(self, spark):
+        # TestMemoryCache_SetGet shape: miss on absent, hit after set
+        got = _stats(simulate_cache(_ops(spark, [
+            (0, "get", "a", 0, 0),
+            (1, "set", "a", 10, 1),
+            (2, "get", "a", 0, 2),
+        ]), CacheSimConfig(n_shards=1, ttl_seconds=0)))
+        assert (got["hits"], got["misses"], got["sets"]) == (1, 1, 1)
+        assert got["size"] == 1 and got["size_bytes"] == 11  # len("a")+10
+
+    def test_ttl_expiry_is_lazy_miss(self, spark):
+        # memory.go:66-71 — expired entry removed on Get, miss+expiration
+        got = _stats(simulate_cache(_ops(spark, [
+            (0, "set", "a", 10, 0),
+            (1, "get", "a", 0, 30),    # warm
+            (2, "get", "a", 0, 120),   # past 60s TTL -> expired
+            (3, "get", "a", 0, 121),   # already removed -> plain miss
+        ]), CacheSimConfig(n_shards=1, ttl_seconds=60)))
+        assert got["hits"] == 1
+        assert got["misses"] == 2
+        assert got["expirations"] == 1
+        assert got["size"] == 0
+
+    def test_lru_eviction_order(self, spark):
+        # capacity 2: set a,b; touch a; set c -> evicts b (LRU back)
+        got = simulate_cache(_ops(spark, [
+            (0, "set", "a", 1, 0),
+            (1, "set", "b", 1, 1),
+            (2, "get", "a", 0, 2),
+            (3, "set", "c", 1, 3),
+            (4, "get", "b", 0, 4),   # evicted -> miss
+            (5, "get", "a", 0, 5),   # hit
+            (6, "get", "c", 0, 6),   # hit
+        ]), CacheSimConfig(n_shards=1, max_entries=2, ttl_seconds=0))
+        s = _stats(got)
+        assert s["evictions"] == 1
+        assert s["hits"] == 3 and s["misses"] == 1
+        assert s["size"] == 2
+
+    def test_update_refreshes_recency_without_evicting(self, spark):
+        # memory.go:109-117 — update-in-place moves to front, no eviction
+        s = _stats(simulate_cache(_ops(spark, [
+            (0, "set", "a", 1, 0),
+            (1, "set", "b", 1, 1),
+            (2, "set", "a", 5, 2),   # update: a becomes MRU, no evict
+            (3, "set", "c", 1, 3),   # evicts b
+            (4, "get", "a", 0, 4),
+            (5, "get", "b", 0, 5),
+        ]), CacheSimConfig(n_shards=1, max_entries=2, ttl_seconds=0)))
+        assert s["evictions"] == 1
+        assert s["hits"] == 1 and s["misses"] == 1
+        assert s["size_bytes"] == (1 + 5) + (1 + 1)  # a updated to 5, c=1
+
+    def test_byte_cap_and_oversize_reject(self, spark):
+        # memory.go:88-90 (ErrValueTooLarge) + byte-driven eviction
+        s = _stats(simulate_cache(_ops(spark, [
+            (0, "set", "a", 5, 0),    # 6 bytes
+            (1, "set", "b", 5, 1),    # 6 bytes -> 12 total
+            (2, "set", "c", 7, 2),    # needs 8: evict a (12+8>15), then fits
+            (3, "set", "d", 99, 3),   # 100 > cap -> rejected, no state change
+            (4, "get", "a", 0, 4),
+            (5, "get", "c", 0, 5),
+        ]), CacheSimConfig(n_shards=1, max_bytes=15, ttl_seconds=0)))
+        assert s["evictions"] == 1
+        assert s["rejects"] == 1
+        assert s["sets"] == 3
+        assert s["hits"] == 1 and s["misses"] == 1
+        assert s["size"] == 2 and s["size_bytes"] == 14  # b(6) + c(8)
+
+    def test_delete(self, spark):
+        s = _stats(simulate_cache(_ops(spark, [
+            (0, "set", "a", 1, 0),
+            (1, "delete", "a", 0, 1),
+            (2, "delete", "zz", 0, 2),  # absent -> not counted (ErrNotFound)
+            (3, "get", "a", 0, 3),
+        ]), CacheSimConfig(n_shards=1, ttl_seconds=0)))
+        assert s["deletes"] == 1
+        assert s["misses"] == 1
+        assert s["size"] == 0 and s["size_bytes"] == 0
+
+    def test_sharding_partitions_keyspace(self, spark):
+        # 200 distinct keys over 8 shards: per-shard caps apply per shard;
+        # totals are the sum of independent replays.
+        rows = []
+        for i in range(200):
+            rows.append((2 * i, "set", f"k{i}", 4, i))
+            rows.append((2 * i + 1, "get", f"k{i}", 0, i))
+        df = simulate_cache(
+            _ops(spark, rows), CacheSimConfig(n_shards=8, max_entries=10,
+                                              ttl_seconds=0))
+        out = df.collect()
+        assert len(out) == 8  # every shard reports
+        s = _stats(df)
+        assert s["sets"] == 200 and s["hits"] == 200
+        # per-shard cap 10: residents = sum(min(keys_in_shard, 10)),
+        # everything else was LRU-evicted — totals must reconcile
+        assert s["size"] <= 8 * 10
+        assert s["evictions"] == 200 - s["size"]
