@@ -1,0 +1,368 @@
+"""S9 — the reference's MCP tool surface as a plain Python API.
+
+The reference exposes 13 MCP tools (cmd/mcp.go:337-537, cmd/
+mcp_memory.go, cmd/mcp_session.go). The JSON-RPC/stdio protocol layer
+is transport, not analytics — what a reference user actually *calls*
+is the tools. ``ToolSurface`` carries each one over as a Python method
+with the same name, parameters, defaults and response keys, dispatched
+onto the Spark engine:
+
+    deduplicate_chunks, retrieve_deduplicated, analyze_redundancy
+        -> plans.dedupe / operators.cluster / operators.mmr
+    store_memory, recall_memory, forget_memory, memory_expire,
+    memory_supersede, memory_stats       -> memory.MemoryStore
+    create_session, push_session, session_context, delete_session
+        -> session.push_batch / session.session_context
+
+Tool payloads are request-scoped (an MCP call carries at most a few
+thousand chunks), so responses are materialized to plain Python
+structures exactly like the reference marshals JSON — the 100 TB paths
+stay DataFrame-shaped inside the engine modules this facade calls.
+Session/memory state is parquet-backed (the reference uses SQLite).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .embed import get_provider
+from .memory import MemoryStore
+from .plans.dedupe import DedupeConfig, dedupe
+from .operators.cluster import cluster_by_threshold
+from .operators.mmr import mmr_rerank
+from .session import SESSION_ENTRY_SCHEMA, push_batch
+from .session import session_context as _session_context
+
+_CHUNK_SCHEMA = ("id string, text string, embedding array<float>, "
+                 "score float, metadata map<string,string>")
+
+
+class ToolError(ValueError):
+    """Parameter-validation failure (the reference returns
+    mcp.NewToolResultError; a Python surface raises)."""
+
+
+class ToolSurface:
+    """All 13 tools over one Spark session + one state directory."""
+
+    def __init__(self, spark: SparkSession, workdir: str,
+                 embed_provider: str = "hash", embed_dim: int = 64,
+                 corpus: DataFrame | None = None,
+                 target_k: int = 20, threshold: float = 0.15,
+                 mmr_lambda: float = 0.5):
+        self.spark = spark
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+        self._embed = get_provider(embed_provider, dim=embed_dim)
+        self.corpus = corpus  # analog of --backend/--index vector DB
+        self.target_k = target_k
+        self.threshold = threshold
+        self.mmr_lambda = mmr_lambda
+        self.memory = MemoryStore(spark, os.path.join(workdir, "memory"))
+        self._meta_path = os.path.join(workdir, "sessions.json")
+        self._entries_dir = os.path.join(workdir, "session_entries")
+
+    # -- helpers -----------------------------------------------------------
+
+    def _chunks_df(self, chunks: list[dict]) -> DataFrame:
+        if not chunks:
+            raise ToolError("chunks array is empty")
+        rows = []
+        for i, c in enumerate(chunks):
+            emb = c.get("embedding")
+            if not emb:
+                raise ToolError(f"chunk {i} missing embedding")
+            rows.append((
+                str(c.get("id") or f"chunk_{i}"),
+                c.get("text", ""),
+                [float(x) for x in emb],
+                float(c.get("score", 0.0)),
+                {str(k): str(v) for k, v in (c.get("metadata") or {}).items()},
+            ))
+        return self.spark.createDataFrame(rows, _CHUNK_SCHEMA)
+
+    @staticmethod
+    def _chunks_out(rows) -> list[dict]:
+        # formatChunksForResponse (mcp.go:915-930)
+        out = []
+        for r in rows:
+            d = {"id": r["id"], "text": r["text"], "score": r["score"],
+                 "cluster_id": r["cluster_id"]}
+            if r["metadata"]:
+                d["metadata"] = dict(r["metadata"])
+            out.append(d)
+        return out
+
+    def _sessions(self) -> dict:
+        try:
+            with open(self._meta_path) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return {}
+
+    def _save_sessions(self, meta: dict) -> None:
+        with open(self._meta_path, "w") as f:
+            json.dump(meta, f)
+
+    def _entries(self) -> DataFrame:
+        if os.path.isdir(self._entries_dir):
+            return self.spark.read.schema(SESSION_ENTRY_SCHEMA).parquet(
+                self._entries_dir)
+        return self.spark.createDataFrame([], SESSION_ENTRY_SCHEMA)
+
+    def _write_entries(self, df: DataFrame) -> None:
+        # full-rewrite commit, same MERGE seam as MemoryStore._write
+        staged = df.localCheckpoint(eager=True)
+        (staged.write.mode("overwrite").parquet(self._entries_dir))
+
+    # -- contextlab tools (mcp.go:337-387) ---------------------------------
+
+    def deduplicate_chunks(self, chunks: list[dict], target_k: int = 0,
+                           threshold: float = 0.0,
+                           lambda_: float = -1.0) -> dict:
+        """Cluster -> representatives -> MMR, with per-call overrides
+        (handleDeduplicateChunks, mcp.go:646-751)."""
+        df = self._chunks_df(chunks)
+        k = int(target_k) if target_k > 0 else self.target_k
+        thr = float(threshold) if threshold > 0 else self.threshold
+        lam = float(lambda_) if 0 <= lambda_ <= 1 else self.mmr_lambda
+
+        reps = dedupe(df, DedupeConfig(threshold=thr, strategy="score",
+                                       lambda_=lam, target_k=0))
+        rep_rows = reps.collect()
+        cluster_count = len(rep_rows)
+        if cluster_count > k:
+            final = mmr_rerank(reps, lambda_=lam, target_k=k).collect()
+        else:
+            final = rep_rows
+        return {
+            "chunks": self._chunks_out(final),
+            "stats": {
+                "input_count": len(chunks),
+                "cluster_count": cluster_count,
+                "output_count": len(final),
+                "reduction_pct": round(
+                    (1 - cluster_count / len(chunks)) * 100, 2),
+                "threshold_used": thr,
+                "lambda_used": lam,
+            },
+        }
+
+    def retrieve_deduplicated(self, query: str, top_k: int = 20,
+                              threshold: float = 0.0) -> dict:
+        """ANN retrieve from the configured corpus, then dedupe
+        (handleRetrieveDeduplicated, mcp.go:752-801)."""
+        if self.corpus is None:
+            raise ToolError(
+                "vector DB not configured - pass corpus= at construction")
+        if not query:
+            raise ToolError("query parameter is required")
+        qv = self._embed([query])[0]
+        from .functions import vectormath as vm
+
+        qcol = F.array(*[F.lit(float(x)) for x in qv]).cast("array<float>")
+        hits = (
+            self.corpus
+            .withColumn("score",
+                        vm.cosine_similarity(F.col("embedding"), qcol)
+                        .cast("float"))
+            .orderBy(F.desc("score"), F.asc("id"))
+            .limit(int(top_k) * 3)  # over-fetch, dedupe down (mcp.go:784)
+        )
+        chunks = [
+            {"id": r["id"], "text": r["text"], "embedding": r["embedding"],
+             "score": r["score"]}
+            for r in hits.collect()
+        ]
+        if not chunks:
+            return {"chunks": [], "stats": {"input_count": 0,
+                                            "output_count": 0}}
+        return self.deduplicate_chunks(chunks, target_k=int(top_k),
+                                       threshold=threshold)
+
+    def analyze_redundancy(self, chunks: list[dict],
+                           threshold: float = 0.0) -> dict:
+        """Cluster without selecting; report redundancy
+        (handleAnalyzeRedundancy, mcp.go:803-913)."""
+        df = self._chunks_df(chunks)
+        thr = float(threshold) if threshold > 0 else self.threshold
+        labeled = cluster_by_threshold(df, threshold=thr)
+        by_cluster: dict[str, list] = {}
+        for r in labeled.orderBy("id").collect():
+            by_cluster.setdefault(r["cluster_id"], []).append(r)
+        details = []
+        redundant = 0
+        for cid in sorted(by_cluster):
+            members = by_cluster[cid]
+            if len(members) > 1:
+                redundant += len(members) - 1
+            details.append({
+                "cluster_id": cid,
+                "size": len(members),
+                "member_ids": [m["id"] for m in members],
+                "member_texts": [
+                    m["text"][:100] + "..." if len(m["text"]) > 100
+                    else m["text"] for m in members],
+                "is_redundant": len(members) > 1,
+            })
+        n, k = len(chunks), len(details)
+        pct = redundant / n * 100
+        return {
+            "summary": {
+                "total_chunks": n, "cluster_count": k,
+                "redundant_chunks": redundant,
+                "redundancy_pct": pct, "unique_concepts": k,
+                "threshold_used": thr,
+            },
+            "clusters": details,
+            "recommendation": (
+                f"Found {k} clusters from {n} chunks. {pct:.1f}% redundancy "
+                f"detected. Consider using deduplicate_chunks to reduce to "
+                f"{k} unique chunks."),
+        }
+
+    # -- memory tools (mcp_memory.go) --------------------------------------
+
+    def store_memory(self, text: str, source: str = "",
+                     session_id: str = "", tags: list[str] | None = None,
+                     now: dt.datetime | float | None = None) -> dict:
+        if not text:
+            raise ToolError("text is required")
+        now = now if now is not None else dt.datetime.now(dt.timezone.utc)
+        emb = self._embed([text])[0]
+        mem_id = uuid.uuid4().hex[:16]
+        df = self.spark.createDataFrame(
+            [(mem_id, text, emb, list(tags or []))],
+            "id string, text string, embedding array<float>, "
+            "tags array<string>")
+        res = self.memory.store_batch(df, now, source=source,
+                                      session_id=session_id)
+        return {
+            "stored": res["inserted"].count(),
+            "duplicates": [r.asDict() for r in res["duplicates"].collect()],
+            "conflicts": [r.asDict() for r in res["conflicts"].collect()],
+            "id": mem_id,
+        }
+
+    def recall_memory(self, query: str, tags: list[str] | None = None,
+                      max_results: int = 10, max_tokens: int = 0,
+                      now: dt.datetime | float | None = None) -> dict:
+        if not query:
+            raise ToolError("query is required")
+        now = now if now is not None else dt.datetime.now(dt.timezone.utc)
+        qv = self._embed([query])[0]
+        got = self.memory.recall(
+            qv, now, recency_weight=0.3, tags=list(tags or []) or None,
+            max_results=int(max_results), max_tokens=int(max_tokens))
+        entries = [
+            {"id": r["id"], "text": r["text"], "tags": list(r["tags"] or []),
+             "relevance": r["relevance"]}
+            for r in got.collect()
+        ]
+        return {"entries": entries, "count": len(entries)}
+
+    def forget_memory(self, ids: list[str] | None = None,
+                      tags: list[str] | None = None) -> dict:
+        if not ids and not tags:
+            raise ToolError("at least one of ids or tags is required")
+        return {"removed": self.memory.forget(ids=ids, tags=tags)}
+
+    def memory_expire(self, ids: list[str],
+                      now: dt.datetime | float | None = None) -> dict:
+        if not ids:
+            raise ToolError("ids is required")
+        now = now if now is not None else dt.datetime.now(dt.timezone.utc)
+        self.memory.expire(ids, now)
+        return {"expired": len(ids)}
+
+    def memory_supersede(self, old_id: str, new_id: str = "",
+                         now: dt.datetime | float | None = None) -> dict:
+        if not old_id:
+            raise ToolError("old_id is required")
+        now = now if now is not None else dt.datetime.now(dt.timezone.utc)
+        self.memory.supersede(old_id, new_id, now)
+        return {"superseded": old_id, "by": new_id}
+
+    def memory_stats(self) -> dict:
+        return self.memory.stats()
+
+    # -- session tools (mcp_session.go) ------------------------------------
+
+    def create_session(self, session_id: str = "",
+                       max_tokens: int = 128000) -> dict:
+        sid = session_id or uuid.uuid4().hex[:12]
+        meta = self._sessions()
+        meta[sid] = {"max_tokens": int(max_tokens) if max_tokens > 0
+                     else 128000, "pushes": 0}
+        self._save_sessions(meta)
+        return {"session_id": sid, "max_tokens": meta[sid]["max_tokens"]}
+
+    def push_session(self, session_id: str, content: str,
+                     role: str = "tool", source: str = "",
+                     importance: float = 0.5) -> dict:
+        if not session_id:
+            raise ToolError("session_id is required")
+        if not content:
+            raise ToolError("content is required")
+        meta = self._sessions()
+        if session_id not in meta:
+            raise ToolError(f"unknown session {session_id!r}")
+        existing = self._entries()
+        mine = existing.filter(F.col("session_id") == session_id)
+        others = existing.filter(F.col("session_id") != session_id)
+        next_seq = (mine.agg(F.coalesce(F.max("seq"), F.lit(-1)))
+                    .collect()[0][0] + 1)
+        push_no = meta[session_id]["pushes"] + 1
+        emb = self._embed([content])[0]
+        new = self.spark.createDataFrame(
+            [(session_id, uuid.uuid4().hex[:16], int(next_seq),
+              role or "tool", content, content, emb,
+              float(importance) if importance > 0 else 0.5, 0,
+              max(1, (len(content) + 3) // 4), None, push_no, push_no)],
+            SESSION_ENTRY_SCHEMA)
+        out = push_batch(mine, new,
+                         max_tokens=meta[session_id]["max_tokens"])
+        kept = out.filter(F.col("status").isin("kept", "compressed"))
+        statuses = {r["status"]: r["cnt"] for r in
+                    out.groupBy("status").agg(F.count("*").alias("cnt"))
+                    .collect()}
+        self._write_entries(
+            others.unionByName(kept.select(*SESSION_ENTRY_SCHEMA.fieldNames())))
+        meta[session_id]["pushes"] = push_no
+        self._save_sessions(meta)
+        return {"session_id": session_id, "seq": int(next_seq),
+                "statuses": statuses}
+
+    def session_context(self, session_id: str, max_tokens: int = 0,
+                        role: str = "") -> dict:
+        if not session_id:
+            raise ToolError("session_id is required")
+        got = _session_context(self._entries(), session_id=session_id,
+                               role=role or None,
+                               max_tokens=int(max_tokens))
+        entries = [
+            {"seq": r["seq"], "role": r["role"], "content": r["content"],
+             "tokens": r["tokens"],
+             "compression_level": r["compression_level"]}
+            for r in got.collect()
+        ]
+        return {"session_id": session_id, "entries": entries,
+                "total_tokens": sum(e["tokens"] for e in entries)}
+
+    def delete_session(self, session_id: str) -> dict:
+        if not session_id:
+            raise ToolError("session_id is required")
+        meta = self._sessions()
+        existed = session_id in meta
+        meta.pop(session_id, None)
+        self._save_sessions(meta)
+        remaining = self._entries().filter(
+            F.col("session_id") != session_id)
+        self._write_entries(remaining)
+        return {"deleted": existed, "session_id": session_id}

@@ -1,0 +1,165 @@
+"""S9 tool surface: the 13 MCP tools (cmd/mcp.go:337-537,
+cmd/mcp_memory.go, cmd/mcp_session.go) as Python methods."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from distill_spark.api import ToolError, ToolSurface
+
+NOW = dt.datetime(2024, 6, 1, tzinfo=dt.timezone.utc)
+
+
+def _vec(i, dim=8):
+    v = np.zeros(dim)
+    v[i % dim] = 1.0
+    return v.tolist()
+
+
+def _chunks():
+    # two near-identical pairs + one singleton
+    e = _vec(0)
+    e2 = [x + (0.01 if i == 1 else 0) for i, x in enumerate(e)]
+    return [
+        {"id": "a", "text": "alpha text", "embedding": e, "score": 0.9},
+        {"id": "b", "text": "alpha text again", "embedding": e2, "score": 0.5},
+        {"id": "c", "text": "beta", "embedding": _vec(3), "score": 0.7,
+         "metadata": {"k": "v"}},
+    ]
+
+
+@pytest.fixture()
+def surface(spark, tmp_path):
+    return ToolSurface(spark, str(tmp_path / "surface"), embed_dim=16)
+
+
+class TestContextTools:
+    def test_deduplicate_chunks(self, surface):
+        out = surface.deduplicate_chunks(_chunks(), threshold=0.2)
+        assert out["stats"]["input_count"] == 3
+        assert out["stats"]["cluster_count"] == 2  # {a,b} merge, c alone
+        got_ids = {c["id"] for c in out["chunks"]}
+        assert got_ids == {"a", "c"}  # a wins its cluster on score
+        assert out["stats"]["reduction_pct"] == pytest.approx(33.33, abs=0.01)
+        meta = [c.get("metadata") for c in out["chunks"] if c["id"] == "c"]
+        assert meta == [{"k": "v"}]
+
+    def test_deduplicate_validates(self, surface):
+        with pytest.raises(ToolError, match="empty"):
+            surface.deduplicate_chunks([])
+        with pytest.raises(ToolError, match="missing embedding"):
+            surface.deduplicate_chunks([{"id": "x", "text": "t"}])
+
+    def test_analyze_redundancy(self, surface):
+        out = surface.analyze_redundancy(_chunks(), threshold=0.2)
+        s = out["summary"]
+        assert s["total_chunks"] == 3
+        assert s["cluster_count"] == 2
+        assert s["redundant_chunks"] == 1
+        sizes = sorted(c["size"] for c in out["clusters"])
+        assert sizes == [1, 2]
+        red = [c for c in out["clusters"] if c["is_redundant"]]
+        assert len(red) == 1 and set(red[0]["member_ids"]) == {"a", "b"}
+        assert "deduplicate_chunks" in out["recommendation"]
+
+    def test_retrieve_deduplicated_requires_corpus(self, surface):
+        with pytest.raises(ToolError, match="not configured"):
+            surface.retrieve_deduplicated("q")
+
+    def test_retrieve_deduplicated(self, spark, tmp_path):
+        rows = [(f"d{i}", f"text {i}", _vec(i), 0.0) for i in range(10)]
+        corpus = spark.createDataFrame(
+            rows, "id string, text string, embedding array<float>, "
+                  "score float")
+        s = ToolSurface(spark, str(tmp_path / "s2"), embed_dim=8,
+                        corpus=corpus)
+        out = s.retrieve_deduplicated("text 3", top_k=5)
+        assert out["stats"]["output_count"] <= 5
+        assert len(out["chunks"]) > 0
+
+
+class TestMemoryTools:
+    def test_store_recall_roundtrip(self, surface):
+        r1 = surface.store_memory("the sky is blue", tags=["facts"], now=NOW)
+        assert r1["stored"] == 1 and not r1["duplicates"]
+        # exact duplicate text embeds identically -> write-time dedup
+        r2 = surface.store_memory("the sky is blue", now=NOW)
+        assert r2["stored"] == 0 and len(r2["duplicates"]) == 1
+
+        got = surface.recall_memory("the sky is blue", now=NOW)
+        assert got["count"] == 1
+        assert got["entries"][0]["text"] == "the sky is blue"
+        assert got["entries"][0]["relevance"] > 0.5
+
+        by_tag = surface.recall_memory("anything", tags=["facts"], now=NOW)
+        assert by_tag["count"] == 1
+
+    def test_forget_expire_supersede_stats(self, surface):
+        a = surface.store_memory("alpha memory", tags=["t1"], now=NOW)
+        surface.store_memory("totally different beta", tags=["t2"], now=NOW)
+        assert surface.memory_stats()["total"] == 2
+
+        assert surface.forget_memory(tags=["t2"])["removed"] == 1
+        surface.memory_expire([a["id"]], now=NOW)
+        # expired rows are invisible to recall
+        got = surface.recall_memory("alpha memory", now=NOW)
+        assert got["count"] == 0
+        with pytest.raises(ToolError):
+            surface.forget_memory()
+
+    def test_supersede_marks_old(self, surface):
+        a = surface.store_memory("v1 of the fact", now=NOW)
+        b = surface.store_memory("completely other thing", now=NOW)
+        surface.memory_supersede(a["id"], b["id"], now=NOW)
+        rows = {r["id"]: r for r in surface.memory.read().collect()}
+        assert rows[a["id"]]["expired"] is True
+        assert rows[a["id"]]["superseded_by"] == b["id"]
+        assert rows[b["id"]]["expired"] is not True
+
+
+class TestSessionTools:
+    def test_session_lifecycle(self, surface):
+        s = surface.create_session("sess1", max_tokens=100)
+        assert s == {"session_id": "sess1", "max_tokens": 100}
+
+        r1 = surface.push_session("sess1", "first entry content",
+                                  role="user")
+        assert r1["seq"] == 0 and r1["statuses"].get("kept", 0) >= 1
+        r2 = surface.push_session("sess1", "second entry content")
+        assert r2["seq"] == 1
+
+        ctx = surface.session_context("sess1")
+        assert [e["seq"] for e in ctx["entries"]] == [0, 1]
+        assert ctx["total_tokens"] > 0
+
+        only_user = surface.session_context("sess1", role="user")
+        assert len(only_user["entries"]) == 1
+        assert only_user["entries"][0]["role"] == "user"
+
+        d = surface.delete_session("sess1")
+        assert d["deleted"] is True
+        assert surface.session_context("sess1")["entries"] == []
+
+    def test_push_duplicate_is_flagged(self, surface):
+        surface.create_session("s2", max_tokens=1000)
+        surface.push_session("s2", "identical content here")
+        r = surface.push_session("s2", "identical content here")
+        assert r["statuses"].get("duplicate", 0) == 1
+        # duplicate not persisted
+        assert len(surface.session_context("s2")["entries"]) == 1
+
+    def test_sessions_are_isolated(self, surface):
+        surface.create_session("sa", max_tokens=500)
+        surface.create_session("sb", max_tokens=500)
+        surface.push_session("sa", "content for a")
+        surface.push_session("sb", "content for b")
+        surface.delete_session("sa")
+        assert surface.session_context("sb")["entries"] != []
+
+    def test_push_validates(self, surface):
+        with pytest.raises(ToolError, match="unknown session"):
+            surface.push_session("nope", "content")
+        surface.create_session("sv")
+        with pytest.raises(ToolError, match="content"):
+            surface.push_session("sv", "")
