@@ -1,0 +1,198 @@
+"""ST6 — async batch job processor over Spark's scheduler.
+
+The reference (pkg/batch/batch.go:85-258) queues dedup jobs in memory
+and drains them with 4 worker goroutines; results live for a TTL.
+On Spark the compute itself is already distributed and scheduled — what
+carries over is the *submission surface*: a bounded queue, concurrent
+driver threads (Spark schedules concurrent jobs from separate threads;
+use spark.scheduler.mode=FAIR to share executors), lifecycle states
+queued/processing/completed/failed, coarse progress (the reference also
+only reports 0.0 -> 1.0, batch.go:211-232), TTL-based result eviction —
+plus one thing the reference can't do: real cancellation, via Spark job
+groups (each job runs under its own group id; cancel(id) aborts its
+in-flight stages cluster-wide).
+
+A job is any ``Callable[[SparkSession], Any]`` — typically a dedupe
+plan over a chunk DataFrame; materialize inside the callable (the
+result you want retained is the *output*, not a lazy plan).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import SparkSession
+
+QUEUED = "queued"
+PROCESSING = "processing"
+COMPLETED = "completed"
+FAILED = "failed"
+
+
+class JobNotFound(KeyError):
+    pass
+
+
+class ResultNotReady(RuntimeError):
+    pass
+
+
+class QueueFull(RuntimeError):
+    pass
+
+
+@dataclass
+class JobConfig:
+    workers: int = 4          # concurrent driver submission threads
+    queue_size: int = 1000    # max jobs waiting + running
+    result_ttl_s: float = 24 * 3600.0
+
+
+@dataclass
+class Job:
+    id: str
+    status: str
+    label: str = ""
+    result: Any = None
+    error: str = ""
+    created_at: float = 0.0
+    started_at: float = 0.0
+    completed_at: float = 0.0
+    progress: float = 0.0
+    _fn: Callable | None = field(default=None, repr=False)
+
+    def snapshot(self) -> "Job":
+        return Job(self.id, self.status, self.label, self.result,
+                   self.error, self.created_at, self.started_at,
+                   self.completed_at, self.progress)
+
+
+class JobProcessor:
+    """Bounded-queue concurrent job runner with TTL result retention."""
+
+    def __init__(self, spark: SparkSession, config: JobConfig | None = None):
+        self.spark = spark
+        self.cfg = config or JobConfig()
+        self._jobs: dict[str, Job] = {}
+        self._lock = threading.Lock()
+        self._pool = ThreadPoolExecutor(
+            max_workers=max(1, self.cfg.workers),
+            thread_name_prefix="distill-job")
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def submit(self, fn: Callable[[SparkSession], Any],
+               label: str = "") -> Job:
+        """Enqueue; raises QueueFull at the queue cap (batch.go:130-137)."""
+        job = Job(id=uuid.uuid4().hex[:16], status=QUEUED, label=label,
+                  created_at=time.time(), _fn=fn)
+        with self._lock:
+            pending = sum(1 for j in self._jobs.values()
+                          if j.status in (QUEUED, PROCESSING))
+            if pending >= self.cfg.queue_size:
+                raise QueueFull("job queue is full")
+            self._jobs[job.id] = job
+            snap = job.snapshot()  # pre-dispatch: status is queued
+        self._pool.submit(self._run, job.id)
+        return snap
+
+    def _run(self, job_id: str) -> None:
+        with self._lock:
+            job = self._jobs.get(job_id)
+            if job is None or job.status != QUEUED:
+                return  # cancelled before start
+            job.status = PROCESSING
+            job.started_at = time.time()
+            fn = job._fn
+        sc = self.spark.sparkContext
+        # thread-local group: cancel(id) aborts exactly this job's stages
+        sc.setJobGroup(job_id, f"distill job {job_id}",
+                       interruptOnCancel=True)
+        try:
+            result = fn(self.spark)
+            err = ""
+        except Exception as e:  # noqa: BLE001 — job failure is data here
+            result, err = None, f"{type(e).__name__}: {e}"
+        finally:
+            sc.setJobGroup("", "")
+        with self._lock:
+            job = self._jobs.get(job_id)
+            if job is None or job.status == FAILED:
+                return  # cancelled mid-run: keep the cancel verdict
+            job.completed_at = time.time()
+            job.progress = 1.0
+            job._fn = None
+            if err:
+                job.status, job.error = FAILED, err
+            else:
+                job.status, job.result = COMPLETED, result
+
+    # -- inspection (batch.go:142-181) -------------------------------------
+
+    def get(self, job_id: str) -> Job:
+        with self._lock:
+            job = self._jobs.get(job_id)
+            if job is None:
+                raise JobNotFound(job_id)
+            return job.snapshot()
+
+    def results(self, job_id: str) -> Any:
+        job = self.get(job_id)
+        if job.status != COMPLETED:
+            raise ResultNotReady(f"job {job_id} is {job.status}, "
+                                 f"not completed")
+        return job.result
+
+    def list(self, status: str = "") -> list[Job]:
+        with self._lock:
+            return [j.snapshot() for j in self._jobs.values()
+                    if not status or j.status == status]
+
+    def wait(self, job_id: str, timeout_s: float = 300.0,
+             poll_s: float = 0.1) -> Job:
+        """Poll until the job leaves queued/processing."""
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            job = self.get(job_id)
+            if job.status in (COMPLETED, FAILED):
+                return job
+            time.sleep(poll_s)
+        return self.get(job_id)
+
+    # -- cancellation & eviction -------------------------------------------
+
+    def cancel(self, job_id: str) -> bool:
+        """Abort a queued or in-flight job (Spark-side stage kill)."""
+        with self._lock:
+            job = self._jobs.get(job_id)
+            if job is None or job.status in (COMPLETED, FAILED):
+                return False
+            was_processing = job.status == PROCESSING
+            job.status = FAILED
+            job.error = "cancelled"
+            job.completed_at = time.time()
+            job._fn = None
+        if was_processing:
+            self.spark.sparkContext.cancelJobGroup(job_id)
+        return True
+
+    def evict(self, now: float | None = None) -> int:
+        """Drop completed/failed jobs older than the TTL
+        (batch.go:236-258); returns the number evicted. Deterministic
+        (caller-driven), replacing the reference's 5-minute ticker."""
+        cutoff = (now if now is not None else time.time()) - self.cfg.result_ttl_s
+        with self._lock:
+            dead = [i for i, j in self._jobs.items()
+                    if j.status in (COMPLETED, FAILED)
+                    and j.completed_at < cutoff]
+            for i in dead:
+                del self._jobs[i]
+        return len(dead)
+
+    def stop(self, wait: bool = True) -> None:
+        self._pool.shutdown(wait=wait)

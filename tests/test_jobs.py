@@ -1,0 +1,106 @@
+"""ST6 job processor: lifecycle, queue cap, TTL eviction, cancellation
+(pkg/batch/batch.go:85-258 semantics over Spark's scheduler)."""
+
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from distill_spark.jobs import (COMPLETED, FAILED, JobConfig, JobNotFound,
+                                JobProcessor, QueueFull, ResultNotReady)
+
+
+@pytest.fixture()
+def proc(spark):
+    p = JobProcessor(spark, JobConfig(workers=2, queue_size=8,
+                                      result_ttl_s=3600))
+    yield p
+    p.stop(wait=False)
+
+
+class TestJobs:
+    def test_lifecycle_completed(self, spark, proc):
+        job = proc.submit(
+            lambda s: s.range(100).agg(F.sum("id")).collect()[0][0],
+            label="sum")
+        assert job.status == "queued" and job.progress == 0.0
+        done = proc.wait(job.id)
+        assert done.status == COMPLETED
+        assert done.progress == 1.0
+        assert proc.results(job.id) == 4950
+        assert done.completed_at >= done.started_at >= done.created_at
+
+    def test_failed_job_captures_error(self, proc):
+        job = proc.submit(lambda s: 1 / 0, label="boom")
+        done = proc.wait(job.id)
+        assert done.status == FAILED
+        assert "ZeroDivisionError" in done.error
+        with pytest.raises(ResultNotReady, match="failed"):
+            proc.results(job.id)
+
+    def test_unknown_id(self, proc):
+        with pytest.raises(JobNotFound):
+            proc.get("nope")
+
+    def test_queue_cap(self, spark):
+        p = JobProcessor(spark, JobConfig(workers=1, queue_size=2))
+        gate = threading.Event()
+        try:
+            a = p.submit(lambda s: gate.wait(30))
+            b = p.submit(lambda s: None)
+            with pytest.raises(QueueFull):
+                p.submit(lambda s: None)
+            gate.set()
+            assert p.wait(a.id).status == COMPLETED
+            p.wait(b.id)
+            # capacity freed after completion
+            c = p.submit(lambda s: None)
+            assert p.wait(c.id).status == COMPLETED
+        finally:
+            gate.set()
+            p.stop(wait=False)
+
+    def test_list_filters_by_status(self, proc):
+        ok = proc.submit(lambda s: 42)
+        bad = proc.submit(lambda s: 1 / 0)
+        proc.wait(ok.id), proc.wait(bad.id)
+        assert {j.id for j in proc.list(COMPLETED)} >= {ok.id}
+        assert {j.id for j in proc.list(FAILED)} >= {bad.id}
+        assert len(proc.list()) >= 2
+
+    def test_ttl_eviction_is_deterministic(self, proc):
+        job = proc.submit(lambda s: "r")
+        proc.wait(job.id)
+        assert proc.evict(now=time.time()) == 0  # within TTL
+        assert proc.evict(now=time.time() + 7200) == 1  # past 1h TTL
+        with pytest.raises(JobNotFound):
+            proc.get(job.id)
+
+    def test_cancel_queued_job_never_runs(self, spark):
+        p = JobProcessor(spark, JobConfig(workers=1, queue_size=8))
+        gate = threading.Event()
+        ran = threading.Event()
+        try:
+            blocker = p.submit(lambda s: gate.wait(30))
+            victim = p.submit(lambda s: ran.set())
+            assert p.cancel(victim.id) is True
+            gate.set()
+            p.wait(blocker.id)
+            done = p.wait(victim.id)
+            assert done.status == FAILED and done.error == "cancelled"
+            assert not ran.is_set()
+            assert p.cancel(victim.id) is False  # already terminal
+        finally:
+            gate.set()
+            p.stop(wait=False)
+
+    def test_concurrent_spark_jobs(self, spark, proc):
+        # two distributed jobs in flight at once, distinct results
+        jobs = [proc.submit(
+            lambda s, n=n: s.range(n).agg(F.sum("id")).collect()[0][0])
+            for n in (10, 20)]
+        got = [proc.wait(j.id) for j in jobs]
+        assert [g.status for g in got] == [COMPLETED, COMPLETED]
+        assert proc.results(jobs[0].id) == 45
+        assert proc.results(jobs[1].id) == 190
