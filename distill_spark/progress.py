@@ -1,0 +1,141 @@
+"""S8 — pipeline progress events (the SSE stream minus the socket).
+
+The reference streams typed events over SSE while /v1/dedupe runs
+(pkg/sse/sse.go:12-141: progress per stage — embedding, clustering,
+selection, compress, mmr — then complete or error; cmd/api.go's
+handleDedupeStream drives it). HTTP is transport; the engine-level
+contract is the *event stream*. ``ProgressReporter`` reproduces it:
+typed events, same stage names and lifecycle, with subscribers as the
+transport seam (a deployment's SSE/websocket writer registers a
+callback; tests and notebooks read ``events``).
+
+Stage events are emitted at 0.0 (start) and 1.0 (end) without forcing
+extra Spark actions — the reference likewise reports coarse progress,
+and counting between stages would add a distributed job per event.
+The complete event carries the final stats the caller computes anyway.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+
+from .plans.dedupe import DedupeConfig, dedupe
+
+# sse.go:15-21
+STAGE_EMBEDDING = "embedding"
+STAGE_CLUSTERING = "clustering"
+STAGE_SELECTION = "selection"
+STAGE_COMPRESS = "compress"
+STAGE_MMR = "mmr"
+
+
+@dataclass(frozen=True)
+class ProgressEvent:
+    """One SSE frame (sse.go:23-40): event type + payload."""
+
+    event: str                      # progress | complete | error
+    stage: str = ""
+    progress: float = 0.0
+    stats: dict | None = None
+    error: str = ""
+
+
+@dataclass
+class ProgressReporter:
+    """Collects events and fans them out to subscribers."""
+
+    subscribers: list[Callable[[ProgressEvent], None]] = field(
+        default_factory=list)
+    events: list[ProgressEvent] = field(default_factory=list)
+
+    def _emit(self, evt: ProgressEvent) -> None:
+        self.events.append(evt)
+        for fn in self.subscribers:
+            fn(evt)
+
+    # sse.go:68-99
+    def send_progress(self, stage: str, progress: float,
+                      stats: dict | None = None) -> None:
+        self._emit(ProgressEvent("progress", stage=stage,
+                                 progress=progress, stats=stats))
+
+    def send_complete(self, stats: dict) -> None:
+        self._emit(ProgressEvent("complete", progress=1.0, stats=stats))
+
+    def send_error(self, error: str, stage: str = "") -> None:
+        self._emit(ProgressEvent("error", stage=stage, error=error))
+
+    def stages_seen(self) -> list[str]:
+        seen: list[str] = []
+        for e in self.events:
+            if e.event == "progress" and e.stage and e.stage not in seen:
+                seen.append(e.stage)
+        return seen
+
+
+def dedupe_with_progress(
+    df: DataFrame,
+    cfg: DedupeConfig | None = None,
+    reporter: ProgressReporter | None = None,
+    embed_provider: str | None = None,
+    **dedupe_kwargs: Any,
+) -> tuple[DataFrame, ProgressReporter]:
+    """The /v1/dedupe stream (api.go handleDedupeStream): run the
+    flagship dedupe plan emitting stage events as the reference does.
+
+    The embedding stage fires only when ``embed_provider`` is given and
+    the frame has no embedding column (the reference embeds only chunks
+    that arrive without vectors). Returns (result, reporter).
+    """
+    cfg = cfg or DedupeConfig()
+    rep = reporter or ProgressReporter()
+    stage = STAGE_EMBEDDING
+    try:
+        if embed_provider and "embedding" not in df.columns:
+            from .embed import embed_texts
+
+            rep.send_progress(STAGE_EMBEDDING, 0.0)
+            df = embed_texts(df, provider=embed_provider)
+            rep.send_progress(STAGE_EMBEDDING, 1.0)
+
+        # cluster + select run inside dedupe(); bracket them the way the
+        # reference brackets its in-process stages
+        stage = STAGE_CLUSTERING
+        rep.send_progress(STAGE_CLUSTERING, 0.0)
+        no_mmr = DedupeConfig(threshold=cfg.threshold, linkage=cfg.linkage,
+                              strategy=cfg.strategy, lambda_=cfg.lambda_,
+                              target_k=0, method=cfg.method)
+        reps = dedupe(df, no_mmr, **dedupe_kwargs)
+        rep.send_progress(STAGE_CLUSTERING, 1.0)
+
+        stage = STAGE_SELECTION
+        rep.send_progress(STAGE_SELECTION, 0.0)
+        n_reps = reps.count()
+        rep.send_progress(STAGE_SELECTION, 1.0,
+                          stats={"representatives": n_reps})
+
+        out = reps
+        if cfg.target_k and n_reps > cfg.target_k:
+            stage = STAGE_MMR
+            rep.send_progress(STAGE_MMR, 0.0)
+            from .operators.mmr import mmr_rerank
+
+            out = mmr_rerank(reps, lambda_=cfg.lambda_,
+                             target_k=cfg.target_k,
+                             **{k: v for k, v in dedupe_kwargs.items()
+                                if k in ("id_col", "vec_col", "score_col",
+                                         "order_col")})
+            rep.send_progress(STAGE_MMR, 1.0)
+
+        n_out = out.count()
+        rep.send_complete({
+            "cluster_count": n_reps,
+            "output_count": n_out,
+        })
+        return out, rep
+    except Exception as e:  # noqa: BLE001 — mirrored ErrorEvent (sse.go:37-40)
+        rep.send_error(f"{type(e).__name__}: {e}", stage=stage)
+        raise

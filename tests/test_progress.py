@@ -1,0 +1,74 @@
+"""S8 progress events: stage sequence, subscriber fan-out, error frame
+(pkg/sse/sse.go event contract, transport stripped)."""
+
+import numpy as np
+import pytest
+
+from distill_spark.plans.dedupe import DedupeConfig
+from distill_spark.progress import (STAGE_CLUSTERING, STAGE_EMBEDDING,
+                                    STAGE_MMR, STAGE_SELECTION,
+                                    ProgressReporter, dedupe_with_progress)
+
+
+def _chunks_df(spark, n=12, dim=8):
+    rows = []
+    for i in range(n):
+        v = np.zeros(dim)
+        v[i % 4] = 1.0  # 4 tight clusters of 3
+        v[(i % 4 + 1) % dim] = 0.01 * (i // 4)
+        rows.append((f"c{i:02d}", f"text {i}",
+                     (v / np.linalg.norm(v)).tolist(), float(n - i)))
+    return spark.createDataFrame(
+        rows, "id string, text string, embedding array<float>, score float")
+
+
+class TestProgress:
+    def test_stage_sequence_with_mmr(self, spark):
+        out, rep = dedupe_with_progress(
+            _chunks_df(spark), DedupeConfig(threshold=0.2, target_k=2))
+        assert rep.stages_seen() == [STAGE_CLUSTERING, STAGE_SELECTION,
+                                     STAGE_MMR]
+        assert out.count() == 2
+        # each stage brackets 0.0 -> 1.0
+        for st in rep.stages_seen():
+            ps = [e.progress for e in rep.events
+                  if e.event == "progress" and e.stage == st]
+            assert ps == [0.0, 1.0]
+        done = rep.events[-1]
+        assert done.event == "complete"
+        assert done.stats["cluster_count"] == 4
+        assert done.stats["output_count"] == 2
+
+    def test_no_mmr_stage_below_target_k(self, spark):
+        _, rep = dedupe_with_progress(
+            _chunks_df(spark), DedupeConfig(threshold=0.2, target_k=100))
+        assert STAGE_MMR not in rep.stages_seen()
+        assert rep.events[-1].event == "complete"
+
+    def test_embedding_stage_when_vectors_missing(self, spark):
+        df = spark.createDataFrame(
+            [(f"d{i}", f"document body {i} {'x' * i}") for i in range(6)],
+            "id string, text string")
+        out, rep = dedupe_with_progress(
+            df, DedupeConfig(threshold=0.05), embed_provider="hash",
+            score_col="id")  # no score column; any orderable col works
+        assert rep.stages_seen()[0] == STAGE_EMBEDDING
+        assert out.count() >= 1
+
+    def test_subscriber_receives_every_event(self, spark):
+        seen = []
+        rep = ProgressReporter(subscribers=[seen.append])
+        dedupe_with_progress(_chunks_df(spark),
+                             DedupeConfig(threshold=0.2), reporter=rep)
+        assert seen == rep.events and len(seen) >= 5
+
+    def test_error_event_carries_stage(self, spark):
+        df = _chunks_df(spark).drop("embedding")
+        rep = ProgressReporter()
+        with pytest.raises(Exception):
+            dedupe_with_progress(df, DedupeConfig(threshold=0.2),
+                                 reporter=rep)
+        last = rep.events[-1]
+        assert last.event == "error"
+        assert last.stage == STAGE_CLUSTERING
+        assert last.error
