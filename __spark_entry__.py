@@ -1664,13 +1664,30 @@ FROM documents
 
 def q_f8_fnv1a(spark, sf_dir):
     """F8 FNV-1a 64-bit content hash (memory/sqlite.go:692-705) —
-    bit-compatible Python loop, not SQL-portable → rows-only (golden
-    vectors in tests/test_textfn.py)."""
+    bit-compatible Arrow-batched UDF, oracle'd bit-for-bit by a DuckDB
+    list_reduce over UTF-8 bytes (golden vectors in tests/test_textfn.py)."""
     from distill_spark.functions.hashing import content_hash_fnv1a
 
     t = _tables(spark, sf_dir)
     return t["documents"].filter(F.col("doc_id") < 200).select(
         "doc_id", content_hash_fnv1a(F.col("text")).alias("fnv64"))
+
+
+# FNV-1a folded in SQL: UTF-8 bytes via hex-pair extraction, HUGEINT
+# arithmetic mod 2^64 (products stay < 2^104, no overflow)
+SQL_F8 = """
+SELECT doc_id,
+       lpad(lower(hex(CAST(
+         list_reduce(
+           list_prepend(14695981039346656037::HUGEINT,
+             list_transform(range(1, octet_length(encode(coalesce(text,'')))+1),
+               i -> CAST(CAST(('0x' || substr(hex(encode(coalesce(text,''))),
+                                             2*i-1, 2)) AS INT) AS HUGEINT))),
+           (acc, b) -> (xor(acc, b) * 1099511628211::HUGEINT)
+                        % 18446744073709551616::HUGEINT
+         ) AS UBIGINT))), 16, '0') AS fnv64
+FROM documents WHERE doc_id < 200
+"""
 
 
 def q_c4_compress_pipeline(spark, sf_dir):
@@ -1978,8 +1995,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "text_length_profile": (q_text_length_profile, SQL_LENPROF),
     "ann_ivf_batch": (q_ann_ivf_batch, SQL_ANN_IVF),
     "f13_embed_cache": (q_f13_embed_cache, None),
+    "f8_fnv1a": (q_f8_fnv1a, SQL_F8),
     # rows-only (non-SQL-expressible)
-    "f8_fnv1a": (q_f8_fnv1a, None),
     "c4_compress_pipeline": (q_c4_compress_pipeline, None),
     "c8_decay_transforms": (q_c8_decay_transforms, None),
     "st4_stream_push": (q_st4_stream_push, None),
