@@ -25,11 +25,14 @@ lifecycle step is a distributed DataFrame job:
 
 Storage model: one table with ``tags ARRAY<STRING>`` (the reference's
 ``memory_tags`` junction collapses into the array — `arrays_overlap`
-replaces the tag semi-join). Persistence is copy-on-write: each mutation
-writes a new ``v{n}`` snapshot directory and flips a pointer file, the
-Parquet analog of a Delta MERGE (no Delta in this environment). On a
-real deployment the same API runs over Delta/Iceberg MERGE with the
-probe join unchanged.
+replaces the tag semi-join). Persistence is copy-on-write: each
+mutation commits a new ``v{n}`` snapshot directory and flips a pointer
+file. Snapshots are hash-bucketed by id, and id-targeted mutations
+(touch/expire/supersede/forget-by-id/ingest-merge) rewrite only their
+buckets, hardlinking the rest — write cost O(touched/total), the
+Parquet-file analog of a Delta/Iceberg MERGE (no Delta in this
+environment; on a real deployment the same API runs over MERGE with
+the probe join unchanged).
 
 Within-batch semantics: the reference inserts sequentially, so an entry
 dedups against earlier entries *of its own batch* that survived
@@ -58,6 +61,22 @@ from distill_spark.functions.vectormath import cosine_similarity
 
 DEDUP_THRESHOLD = 0.15
 CONFLICT_THRESHOLD = 0.35
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Hardlink a bucket directory into a new snapshot (copy as the
+    cross-device fallback). The object-store analog is a manifest
+    entry, not a data copy."""
+    os.makedirs(dst, exist_ok=True)
+    for name in os.listdir(src):
+        s, d = os.path.join(src, name), os.path.join(dst, name)
+        if os.path.isdir(s):
+            _link_tree(s, d)
+        else:
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
 
 LEVEL_FULL, LEVEL_SUMMARY, LEVEL_KEYWORDS = 0, 1, 2
 
@@ -143,15 +162,27 @@ def _greedy_batch_dedup(pdf: pd.DataFrame, threshold: float) -> pd.DataFrame:
 
 class MemoryStore:
     """Parquet copy-on-write memory store with the reference's
-    lifecycle semantics, all mutations as distributed jobs."""
+    lifecycle semantics, all mutations as distributed jobs.
+
+    Snapshots are hash-bucketed by id (``_bucket = xxhash64(id) % N``,
+    a partition column). Id-targeted mutations — recall touch, expire,
+    supersede, forget-by-id, store_batch's merge — rewrite ONLY the
+    touched buckets and hardlink the rest from the previous snapshot:
+    a Delta/Iceberg-style MERGE in miniature, O(touched/total) write
+    cost instead of O(store). On an object store the hardlink step
+    becomes a manifest file; the commit protocol is unchanged. Only
+    whole-table sweeps (decay, forget-by-tag/age) rewrite everything.
+    """
 
     def __init__(self, spark: SparkSession, path: str,
                  dedup_threshold: float = DEDUP_THRESHOLD,
-                 conflict_threshold: float = CONFLICT_THRESHOLD):
+                 conflict_threshold: float = CONFLICT_THRESHOLD,
+                 n_buckets: int = 64):
         self.spark = spark
         self.path = path
         self.dedup_threshold = dedup_threshold
         self.conflict_threshold = conflict_threshold
+        self.n_buckets = n_buckets
         os.makedirs(path, exist_ok=True)
 
     # -- snapshot plumbing -------------------------------------------------
@@ -165,25 +196,82 @@ class MemoryStore:
         except (FileNotFoundError, ValueError):
             return -1
 
-    def read(self) -> DataFrame:
-        v = self._current_version()
-        if v < 0:
-            return self.spark.createDataFrame([], MEMORY_SCHEMA)
-        return self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
+    def _bucket_of(self, id_col=None):
+        col = F.col("id") if id_col is None else id_col
+        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
 
-    def _write(self, df: DataFrame) -> None:
-        """Commit a new snapshot, keeping one back-version. GC contract:
-        any DataFrame we RETURN to callers is materialized
-        (localCheckpoint) before this runs, so a handle can never end up
-        lazily reading a snapshot directory a later mutation deleted."""
-        v = self._current_version() + 1
-        target = os.path.join(self.path, f"v{v}")
-        df.write.mode("overwrite").parquet(target)
+    def _read_raw(self) -> DataFrame:
+        """Current snapshot WITH the _bucket partition column."""
+        v = self._current_version()
+        empty = self.spark.createDataFrame([], MEMORY_SCHEMA).withColumn(
+            "_bucket", F.lit(None).cast("int"))
+        if v < 0:
+            return empty
+        try:
+            df = self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
+        except Exception:  # noqa: BLE001 — all-buckets-empty snapshot
+            return empty
+        if "_bucket" not in df.columns:  # empty-store sentinel layout
+            df = df.withColumn("_bucket", self._bucket_of())
+        return df
+
+    def read(self) -> DataFrame:
+        return self._read_raw().drop("_bucket")
+
+    def _buckets_of_ids(self, ids: list[str]) -> list[int]:
+        """Bucket set for explicit ids — a tiny local-relation job, no
+        store scan (xxhash64 only exists JVM-side)."""
+        if not ids:
+            return []
+        tiny = self.spark.createDataFrame([(i,) for i in ids], "id string")
+        return sorted({r[0] for r in
+                       tiny.select(self._bucket_of()).distinct().collect()})
+
+    def _commit(self, v: int) -> None:
         with open(self._pointer(), "w") as f:
             f.write(str(v))
         old = os.path.join(self.path, f"v{v - 2}")  # keep one back-version
         if os.path.isdir(old):
+            # hardlinked files shared with newer snapshots survive the
+            # unlink; on an object store this is manifest GC instead
             shutil.rmtree(old, ignore_errors=True)
+
+    def _write(self, df: DataFrame) -> None:
+        """Full-snapshot commit, bucket-partitioned. GC contract: any
+        DataFrame we RETURN to callers is materialized
+        (localCheckpoint) before this runs, so a handle can never end up
+        lazily reading a snapshot directory a later mutation deleted."""
+        v = self._current_version() + 1
+        target = os.path.join(self.path, f"v{v}")
+        out = df.drop("_bucket").withColumn("_bucket", self._bucket_of())
+        out.write.partitionBy("_bucket").mode("overwrite").parquet(target)
+        self._commit(v)
+
+    def _write_partial(self, bucket_rows: DataFrame,
+                       changed: list[int]) -> None:
+        """MERGE-style commit: ``bucket_rows`` is the complete new
+        content of the ``changed`` buckets; every other bucket is
+        hardlinked from the previous snapshot unmodified."""
+        prev_v = self._current_version()
+        if prev_v < 0:
+            self._write(bucket_rows)
+            return
+        if not changed:  # no target buckets -> nothing to commit
+            return
+        v = prev_v + 1
+        prev = os.path.join(self.path, f"v{prev_v}")
+        target = os.path.join(self.path, f"v{v}")
+        out = bucket_rows.drop("_bucket").withColumn(
+            "_bucket", self._bucket_of())
+        out.write.partitionBy("_bucket").mode("overwrite").parquet(target)
+        changed_set = set(changed)
+        for name in os.listdir(prev):
+            if not name.startswith("_bucket="):
+                continue
+            if int(name.split("=", 1)[1]) in changed_set:
+                continue
+            _link_tree(os.path.join(prev, name), os.path.join(target, name))
+        self._commit(v)
 
     # -- ST1: store with write-time dedup + conflict detection -------------
     def store_batch(self, new_df: DataFrame, now: dt.datetime | float,
@@ -287,18 +375,21 @@ class MemoryStore:
 
         dup_ids = [r.dup_of for r in duplicates.select("dup_of").collect()
                    if r.dup_of is not None]
-        touched = existing
-        if existing.columns and dup_ids:
+        ins_ids = [r.id for r in inserted.select("id").collect()]
+        # MERGE-style commit: only buckets receiving inserts or touches
+        # rewrite; the rest of the store carries over by link
+        changed = self._buckets_of_ids(ins_ids + dup_ids)
+        bucket_rows = self._read_raw().filter(F.col("_bucket").isin(changed))
+        if dup_ids:
             hit = F.col("id").isin(dup_ids)
-            touched = existing.withColumn(
+            bucket_rows = bucket_rows.withColumn(
                 "last_referenced",
                 F.when(hit, F.lit(now_ts)).otherwise(F.col("last_referenced"))
             ).withColumn(
                 "access_count",
                 F.when(hit, F.col("access_count") + 1).otherwise(F.col("access_count")))
-
-        merged = (touched.unionByName(inserted) if touched.columns else inserted)
-        self._write(merged)
+        merged = bucket_rows.drop("_bucket").unionByName(inserted)
+        self._write_partial(merged, changed)
         return {"inserted": inserted, "duplicates": duplicates, "conflicts": conflicts}
 
     # -- ST2: recall -------------------------------------------------------
@@ -358,13 +449,19 @@ class MemoryStore:
         if touch:
             ids = [r.id for r in out.select("id").collect()]
             if ids:
+                # touch rewrites only the recalled rows' buckets — the
+                # partition filter prunes every other directory
                 hit = F.col("id").isin(ids)
-                self._write(self.read().withColumn(
+                changed = self._buckets_of_ids(ids)
+                bucket_rows = self._read_raw().filter(
+                    F.col("_bucket").isin(changed))
+                self._write_partial(bucket_rows.withColumn(
                     "last_referenced",
                     F.when(hit, F.lit(now_ts)).otherwise(F.col("last_referenced"))
                 ).withColumn(
                     "access_count",
-                    F.when(hit, F.col("access_count") + 1).otherwise(F.col("access_count"))))
+                    F.when(hit, F.col("access_count") + 1).otherwise(F.col("access_count"))),
+                    changed)
         return out
 
     # -- ST3: decay --------------------------------------------------------
@@ -430,6 +527,14 @@ class MemoryStore:
             cond = cond & F.arrays_overlap("tags", F.array(*[F.lit(t) for t in tags]))
         if older_than is not None:
             cond = cond & (F.col("created_at") < older_than)
+        if ids and not tags and older_than is None:
+            # pure id-targeted delete: bucket-local rewrite
+            changed = self._buckets_of_ids(ids)
+            bucket_rows = self._read_raw().filter(F.col("_bucket").isin(changed))
+            before = bucket_rows.count()
+            kept = bucket_rows.filter(~cond)
+            self._write_partial(kept, changed)
+            return before - kept.count()
         before = df.count()
         kept = df.filter(~cond)
         self._write(kept)
@@ -437,22 +542,27 @@ class MemoryStore:
 
     # -- supersede / expire ------------------------------------------------
     def supersede(self, old_id: str, new_id: str, now: dt.datetime | float) -> None:
-        """Mark old_id expired and superseded by new_id (mcp.go memory_supersede)."""
+        """Mark old_id expired and superseded by new_id (mcp.go
+        memory_supersede). Bucket-local: one bucket rewrites."""
         now_ts = _ts(now)
         hit = F.col("id") == old_id
-        self._write(
-            self.read()
+        changed = self._buckets_of_ids([old_id])
+        self._write_partial(
+            self._read_raw().filter(F.col("_bucket").isin(changed))
             .withColumn("expired", F.when(hit, F.lit(True)).otherwise(F.col("expired")))
             .withColumn("expired_at", F.when(hit, F.lit(now_ts)).otherwise(F.col("expired_at")))
-            .withColumn("superseded_by", F.when(hit, F.lit(new_id)).otherwise(F.col("superseded_by"))))
+            .withColumn("superseded_by", F.when(hit, F.lit(new_id)).otherwise(F.col("superseded_by"))),
+            changed)
 
     def expire(self, ids: list[str], now: dt.datetime | float) -> None:
         now_ts = _ts(now)
         hit = F.col("id").isin(ids)
-        self._write(
-            self.read()
+        changed = self._buckets_of_ids(ids)
+        self._write_partial(
+            self._read_raw().filter(F.col("_bucket").isin(changed))
             .withColumn("expired", F.when(hit, F.lit(True)).otherwise(F.col("expired")))
-            .withColumn("expired_at", F.when(hit, F.lit(now_ts)).otherwise(F.col("expired_at"))))
+            .withColumn("expired_at", F.when(hit, F.lit(now_ts)).otherwise(F.col("expired_at"))),
+            changed)
 
     # -- A6: stats ---------------------------------------------------------
     def stats(self) -> dict:

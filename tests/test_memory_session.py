@@ -169,3 +169,80 @@ class TestSessionPush:
         # top-2 by cum = seq 4,5 re-sorted to document order
         assert [(r.seq, r.cum_tokens) for r in out] == [(4, 2000), (5, 2400)]
         assert [r.marker_rank for r in out] == [2, 1]
+
+
+class TestBucketedCommits:
+    """The MERGE seam: id-targeted mutations rewrite only their hash
+    bucket; every other bucket carries over by hardlink (same inode)."""
+
+    @staticmethod
+    def _bucket_inodes(store):
+        v = store._current_version()
+        import os
+        base = os.path.join(store.path, f"v{v}")
+        out = {}
+        for d in os.listdir(base):
+            if d.startswith("_bucket="):
+                files = [f for f in os.listdir(os.path.join(base, d))
+                         if f.endswith(".parquet")]
+                out[d] = {f: os.stat(os.path.join(base, d, f)).st_ino
+                          for f in files}
+        return out
+
+    def test_touch_rewrites_only_target_bucket(self, spark, tmp_path):
+        st = MemoryStore(spark, str(tmp_path / "mem"), n_buckets=8)
+        rows = [(f"id{i:02d}", f"text {i}",
+                 [float(i % 7 == j) for j in range(7)]) for i in range(24)]
+        st.store_batch(_mk(spark, rows), NOW)
+        before = self._bucket_inodes(st)
+        assert len(before) > 1  # spread over several buckets
+
+        got = st.recall([1.0, 0, 0, 0, 0, 0, 0], TS + 60, max_results=1)
+        touched_id = got.collect()[0]["id"]
+        changed = st._buckets_of_ids([touched_id])
+        after = self._bucket_inodes(st)
+
+        for d, files in after.items():
+            b = int(d.split("=")[1])
+            if b in changed:
+                # rewritten: no file carries over its inode
+                assert not (set(files.values()) & set(before.get(d, {}).values()))
+            else:
+                # carried over: identical inodes, zero data copied
+                assert files == before[d]
+
+    def test_expire_supersede_forget_roundtrip_bucketed(self, spark, tmp_path):
+        st = MemoryStore(spark, str(tmp_path / "mem"), n_buckets=4)
+        rows = [(f"m{i}", f"body {i}",
+                 [float(i == j) for j in range(8)]) for i in range(8)]
+        st.store_batch(_mk(spark, rows), NOW)
+
+        st.expire(["m1", "m5"], TS + 10)
+        table = {r.id: r for r in st.read().collect()}
+        assert table["m1"].expired and table["m5"].expired
+        assert not table["m0"].expired
+
+        st.supersede("m2", "m3", TS + 20)
+        table = {r.id: r for r in st.read().collect()}
+        assert table["m2"].expired and table["m2"].superseded_by == "m3"
+
+        removed = st.forget(ids=["m4"])
+        assert removed == 1
+        assert "m4" not in {r.id for r in st.read().collect()}
+        assert st.read().count() == 7
+
+    def test_gc_keeps_linked_files_readable(self, spark, tmp_path):
+        # 3 mutations -> v0 GC'd; hardlinked files must stay readable
+        st = MemoryStore(spark, str(tmp_path / "mem"), n_buckets=4)
+        rows = [(f"k{i}", f"text {i}",
+                 [float(i == j) for j in range(6)]) for i in range(12)]
+        st.store_batch(_mk(spark, rows), NOW)
+        st.expire(["k1"], TS + 10)
+        st.expire(["k2"], TS + 20)
+        st.expire(["k3"], TS + 30)
+        import os
+        assert not os.path.isdir(os.path.join(st.path, "v0"))
+        table = {r.id: r for r in st.read().collect()}
+        assert len(table) == 12
+        assert table["k1"].expired and table["k3"].expired
+        assert not table["k5"].expired
