@@ -845,6 +845,44 @@ FROM s
 """
 
 
+def q_vocab_top_tokens(spark, sf_dir):
+    """Vocabulary heavy-hitters over the corpus: top-50 tokens by term
+    frequency with document frequency — the vocab-stats pass every
+    training-data pipeline runs before tokenizer/filter decisions.
+    Scale shape: explode → one token-keyed shuffle with map-side
+    combine → TakeOrdered top-k (no global sort materialized)."""
+    t = _tables(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .select("doc_id",
+                F.explode(_words(F.lower(F.col("text")))).alias("token"))
+        .withColumn("token", F.regexp_replace("token", "^[^0-9a-z]+", ""))
+        .withColumn("token", F.regexp_replace("token", "[^0-9a-z]+$", ""))
+        .filter(F.length("token") > 0)
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("tf"),
+             F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(50)
+    )
+
+
+SQL_VOCAB = f"""
+WITH tok AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(
+           unnest({_WORDS_SQL.format(c='lower(text)')}),
+           '^[^0-9a-z]+', ''), '[^0-9a-z]+$', '') AS token
+  FROM documents
+)
+SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM tok WHERE length(token) > 0
+GROUP BY token ORDER BY tf DESC, token ASC LIMIT 50
+"""
+
+
 def q_text_langid(spark, sf_dir):
     """Language-ID heuristic: ≥2 distinct English stopwords present →
     'en', else 'other'."""
@@ -1996,6 +2034,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ann_ivf_batch": (q_ann_ivf_batch, SQL_ANN_IVF),
     "f13_embed_cache": (q_f13_embed_cache, None),
     "f8_fnv1a": (q_f8_fnv1a, SQL_F8),
+    "vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB),
     # rows-only (non-SQL-expressible)
     "c4_compress_pipeline": (q_c4_compress_pipeline, None),
     "c8_decay_transforms": (q_c8_decay_transforms, None),
