@@ -135,6 +135,10 @@ class ToolSurface:
 
         reps = dedupe(df, DedupeConfig(threshold=thr, strategy="score",
                                        lambda_=lam, target_k=0))
+        # materialize once: both the collect below and a possible MMR
+        # pass consume reps — without this the cluster+select lineage
+        # would execute twice
+        reps = reps.localCheckpoint(eager=True)
         rep_rows = reps.collect()
         cluster_count = len(rep_rows)
         if cluster_count > k:
@@ -243,11 +247,14 @@ class ToolSurface:
             "tags array<string>")
         res = self.memory.store_batch(df, now, source=source,
                                       session_id=session_id)
+        stored = res["inserted"].count()
         return {
-            "stored": res["inserted"].count(),
+            "stored": stored,
             "duplicates": [r.asDict() for r in res["duplicates"].collect()],
             "conflicts": [r.asDict() for r in res["conflicts"].collect()],
-            "id": mem_id,
+            # deduplicated entries were never inserted — returning the
+            # generated id would hand the caller a dangling reference
+            "id": mem_id if stored else None,
         }
 
     def recall_memory(self, query: str, tags: list[str] | None = None,
@@ -332,11 +339,15 @@ class ToolSurface:
         statuses = {r["status"]: r["cnt"] for r in
                     out.groupBy("status").agg(F.count("*").alias("cnt"))
                     .collect()}
+        persisted = kept.filter(F.col("seq") == next_seq).count() > 0
         self._write_entries(
             others.unionByName(kept.select(*SESSION_ENTRY_SCHEMA.fieldNames())))
         meta[session_id]["pushes"] = push_no
         self._save_sessions(meta)
-        return {"session_id": session_id, "seq": int(next_seq),
+        # a rejected/duplicate entry holds no position — reporting its
+        # seq would collide with the next successful push
+        return {"session_id": session_id,
+                "seq": int(next_seq) if persisted else None,
                 "statuses": statuses}
 
     def session_context(self, session_id: str, max_tokens: int = 0,

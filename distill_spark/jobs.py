@@ -110,6 +110,10 @@ class JobProcessor:
             job.started_at = time.time()
             fn = job._fn
         sc = self.spark.sparkContext
+        with self._lock:
+            if self._jobs.get(job_id) is None or \
+                    self._jobs[job_id].status == FAILED:
+                return  # cancelled in the queued->processing window
         # thread-local group: cancel(id) aborts exactly this job's stages
         sc.setJobGroup(job_id, f"distill job {job_id}",
                        interruptOnCancel=True)
@@ -167,7 +171,14 @@ class JobProcessor:
     # -- cancellation & eviction -------------------------------------------
 
     def cancel(self, job_id: str) -> bool:
-        """Abort a queued or in-flight job (Spark-side stage kill)."""
+        """Abort a queued or in-flight job (Spark-side stage kill).
+
+        The terminal state flips to failed/"cancelled" immediately and
+        is never overwritten. Best-effort on compute: cancelJobGroup
+        kills stages already submitted; a cancel landing in the window
+        before the job's first action (or between two actions of a
+        multi-action fn) lets the remaining Python in fn run to
+        completion — its outcome is discarded."""
         with self._lock:
             job = self._jobs.get(job_id)
             if job is None or job.status in (COMPLETED, FAILED):

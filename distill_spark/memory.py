@@ -52,6 +52,7 @@ import shutil
 
 import numpy as np
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -209,9 +210,16 @@ class MemoryStore:
             return empty
         try:
             df = self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
-        except Exception:  # noqa: BLE001 — all-buckets-empty snapshot
-            return empty
-        if "_bucket" not in df.columns:  # empty-store sentinel layout
+        except AnalysisException as e:
+            # ONLY the all-buckets-empty snapshot (a partitioned write of
+            # zero rows leaves no schema to infer) maps to "empty store".
+            # Anything else — corrupt file, IO error — must propagate:
+            # treating it as empty would make the next partial commit
+            # permanently drop the unreadable rows.
+            if "UNABLE_TO_INFER_SCHEMA" in str(e):
+                return empty
+            raise
+        if "_bucket" not in df.columns:  # pre-bucketing snapshot layout
             df = df.withColumn("_bucket", self._bucket_of())
         return df
 
@@ -261,6 +269,17 @@ class MemoryStore:
         v = prev_v + 1
         prev = os.path.join(self.path, f"v{prev_v}")
         target = os.path.join(self.path, f"v{v}")
+        if not any(n.startswith("_bucket=") for n in os.listdir(prev)):
+            # previous snapshot is pre-bucketing (flat files) or the
+            # empty sentinel — there are no bucket dirs to link, so a
+            # partial commit would silently drop every unchanged row.
+            # Reconstruct the full table and do a full (bucketed) write.
+            unchanged = self._read_raw().filter(
+                ~F.col("_bucket").isin(changed)).drop("_bucket")
+            self._write(unchanged.unionByName(bucket_rows.drop("_bucket")
+                                              if "_bucket" in bucket_rows.columns
+                                              else bucket_rows))
+            return
         out = bucket_rows.drop("_bucket").withColumn(
             "_bucket", self._bucket_of())
         out.write.partitionBy("_bucket").mode("overwrite").parquet(target)

@@ -95,7 +95,8 @@ def _replay(ops, cfg: CacheSimConfig):
                     lru[key] = lru.pop(key)  # move-to-front
                     hits += 1
             elif op == "set":
-                size = len(key) + int(vsize)
+                # byte length, as memory.go's len(key) counts bytes
+                size = len(key.encode("utf-8")) + int(vsize)
                 if cfg.max_bytes and size > cfg.max_bytes:
                     rejects += 1  # ErrValueTooLarge (memory.go:88-90)
                     continue

@@ -109,6 +109,10 @@ def dedupe_with_progress(
                               strategy=cfg.strategy, lambda_=cfg.lambda_,
                               target_k=0, method=cfg.method)
         reps = dedupe(df, no_mmr, **dedupe_kwargs)
+        # materialize: the count below, the MMR pass, and the caller all
+        # consume reps — without this the cluster+select lineage reruns
+        # per consumer
+        reps = reps.localCheckpoint(eager=True)
         rep.send_progress(STAGE_CLUSTERING, 1.0)
 
         stage = STAGE_SELECTION
@@ -127,7 +131,8 @@ def dedupe_with_progress(
                              target_k=cfg.target_k,
                              **{k: v for k, v in dedupe_kwargs.items()
                                 if k in ("id_col", "vec_col", "score_col",
-                                         "order_col")})
+                                         "order_col")}
+                             ).localCheckpoint(eager=True)  # ≤ target_k rows
             rep.send_progress(STAGE_MMR, 1.0)
 
         n_out = out.count()
