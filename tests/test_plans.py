@@ -120,6 +120,23 @@ def test_flagship_edges_have_no_cartesian(spark):
     assert "CartesianProduct" not in p2
 
 
+
+def test_vocab_topk_is_take_ordered(spark, queries):
+    # top-50 tokens must plan TakeOrderedAndProject (per-partition
+    # top-k + merge), never a full global sort of the vocabulary
+    p = _plan(spark, queries["vocab_top_tokens"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_cachesim_single_shard_shuffle(spark, queries):
+    # the replay shuffles once, on the shard hash; the orderBy on 8
+    # stat rows may add a range exchange but never a second hash one
+    p = _plan(spark, queries["st9_cache_sim"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in p
+    assert p.count("hashpartitioning(") == 1
+
+
 def test_no_row_at_a_time_udfs():
     """The package must never use row-at-a-time F.udf — Arrow-batched
     pandas UDFs only (10-100x on the Python boundary)."""
