@@ -1434,6 +1434,74 @@ ORDER BY relevance DESC, id ASC LIMIT 25
 """
 
 
+def q_st2_recall_hints(spark, sf_dir):
+    """ST2 read-side metadata (memory/sqlite.go:483-523): cache-boundary
+    hint (stable ids = relevance ≥ 0.7 rank-ordered, confidence = mean
+    relevance) + sensitivity rollup over the same deterministic seeded
+    recall as st2_recall, with sensitivity seeded vec_id % 4."""
+    import tempfile
+
+    from distill_spark.memory import MEMORY_SCHEMA, MemoryStore, recall_hints
+
+    t = _tables(spark, sf_dir)
+    now_ts = 1706659200.0  # 2024-01-31 00:00:00 UTC
+    seed = (
+        t["embeddings"].join(
+            t["documents"],
+            t["embeddings"].vec_id == t["documents"].doc_id)
+        .select(
+            F.lpad(F.col("vec_id").cast("string"), 4, "0").alias("id"),
+            "text", "embedding",
+            F.lit("").alias("source"), F.lit("").alias("session_id"),
+            F.array().cast("array<string>").alias("tags"),
+            F.lit(0).alias("decay_level"),
+            F.pmod(F.col("vec_id"), F.lit(4)).cast("int").alias("sensitivity"),
+            (F.lit(now_ts) - F.col("vec_id") * 3600.0).alias("created_at"),
+            (F.lit(now_ts) - F.col("vec_id") * 3600.0).alias("last_referenced"),
+            F.lit(0).alias("access_count"), F.lit(False).alias("expired"),
+            F.lit(None).cast("double").alias("expired_at"),
+            F.lit(None).cast("string").alias("superseded_by"),
+            F.lit(None).cast("double").alias("expires_at"),
+        )
+    )
+    st = MemoryStore(spark, tempfile.mkdtemp(prefix="dshints_"))
+    st._write(seed.select(
+        *[F.col(f.name).cast(f.dataType) for f in MEMORY_SCHEMA.fields]))
+    qv = [float(x) for x in
+          t["embeddings"].filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = st.recall(qv, now=now_ts, recency_weight=0.3, max_results=25,
+                    touch=False)
+    return recall_hints(out)
+
+
+SQL_ST2_HINTS = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+r AS (
+  SELECT lpad(CAST(e.vec_id AS VARCHAR), 4, '0') AS id,
+         CAST(e.vec_id % 4 AS INT) AS sensitivity,
+         round(least(0.7 * {_COS_SQL.format(a='e.embedding', b='qv')}
+               + 0.3 * (CASE WHEN e.vec_id <= 0 THEN 1.0
+                             ELSE 1.0 / (1.0 + CAST(e.vec_id AS DOUBLE) / 24.0) END),
+               1.0), 6) AS relevance
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id, q
+  ORDER BY relevance DESC, id ASC LIMIT 25
+),
+rr AS (SELECT r.*, row_number() OVER (ORDER BY relevance DESC, id ASC) AS rnk
+       FROM r)
+SELECT CASE WHEN count(*) FILTER (WHERE relevance >= 0.7) > 0
+            THEN list(id ORDER BY rnk) FILTER (WHERE relevance >= 0.7) END
+         AS stable_ids,
+       CASE WHEN count(*) FILTER (WHERE relevance >= 0.7) > 0
+            THEN round(avg(relevance), 5) END AS confidence,
+       coalesce(max(sensitivity), 0) AS max_sensitivity,
+       coalesce(list(id ORDER BY rnk) FILTER (WHERE sensitivity > 0),
+                []::VARCHAR[]) AS sensitive_ids,
+       coalesce(list(sensitivity ORDER BY rnk) FILTER (WHERE sensitivity > 0),
+                []::INT[]) AS sensitive_levels
+FROM rr
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash fingerprints (64-bit, xxhash64 token bits, majority
     vote) — bit-twiddling not portable to the oracle → rows-only."""
@@ -2035,6 +2103,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "f13_embed_cache": (q_f13_embed_cache, None),
     "f8_fnv1a": (q_f8_fnv1a, SQL_F8),
     "vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB),
+    "st2_recall_hints": (q_st2_recall_hints, SQL_ST2_HINTS),
     # rows-only (non-SQL-expressible)
     "c4_compress_pipeline": (q_c4_compress_pipeline, None),
     "c8_decay_transforms": (q_c8_decay_transforms, None),

@@ -608,3 +608,36 @@ class MemoryStore:
             "oldest": total_row.oldest,
             "newest": total_row.newest,
         }
+
+
+def recall_hints(recalled: DataFrame,
+                 stable_threshold: float = 0.7) -> DataFrame:
+    """ST2 read-side metadata over a recall result (sqlite.go:483-523).
+
+    One row: the cache-boundary hint — ids with relevance ≥ 0.7 in rank
+    order plus confidence = mean relevance, both null when no entry
+    clears the bar (buildCacheBoundaryHint returns nil) — and the
+    sensitivity rollup (max level; ids/levels of sensitive entries).
+    Pure aggregation over the ≤ max_results recalled rows.
+    """
+    stable = F.sort_array(F.collect_list(
+        F.when(F.col("relevance") >= stable_threshold,
+               F.struct(F.col("rank").alias("r"), F.col("id").alias("i")))))
+    sens = F.sort_array(F.collect_list(
+        F.when(F.col("sensitivity") > 0,
+               F.struct(F.col("rank").alias("r"), F.col("id").alias("i"),
+                        F.col("sensitivity").alias("s")))))
+    agg = recalled.agg(
+        stable.alias("_st"),
+        F.avg(F.round("relevance", 6)).alias("_conf"),
+        F.max("sensitivity").alias("_maxs"),
+        sens.alias("_sn"),
+    )
+    has_hint = F.size("_st") > 0
+    return agg.select(
+        F.when(has_hint, F.transform("_st", lambda x: x.i)).alias("stable_ids"),
+        F.when(has_hint, F.round("_conf", 5)).alias("confidence"),
+        F.coalesce("_maxs", F.lit(0)).alias("max_sensitivity"),
+        F.transform("_sn", lambda x: x.i).alias("sensitive_ids"),
+        F.transform("_sn", lambda x: x.s).alias("sensitive_levels"),
+    )
