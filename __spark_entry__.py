@@ -522,21 +522,27 @@ WHERE checks > 1
 
 def q_st7_ttl_cold(spark, sf_dir):
     """ST7 TTL tracker analog (cache/ttl.go:44-187): count cold starts
-    (gap > 5 min) per user; first event is cold."""
+    (gap > 5 min) per user; first event is cold. next_deadline_us is
+    ScheduleDeadline (ttl.go:119-125): last touch + TTL − 30s margin,
+    the latest safe send time for a batch job."""
     t = _tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     cold = F.when(gap_us.isNull() | (gap_us > 300_000_000), 1).otherwise(0)
     return (
-        t["events"].select("user_id", cold.alias("cold"))
-        .groupBy("user_id").agg(F.sum("cold").cast("long").alias("cold_starts"),
-                                F.count("*").alias("n_events"))
+        t["events"].select("user_id", cold.alias("cold"),
+                           F.unix_micros(F.col("ts")).alias("ts_us"))
+        .groupBy("user_id").agg(
+            F.sum("cold").cast("long").alias("cold_starts"),
+            F.count("*").alias("n_events"),
+            (F.max("ts_us") + 300_000_000 - 30_000_000)
+            .alias("next_deadline_us"))
     )
 
 
 SQL_ST7 = """
 WITH g AS (
-  SELECT user_id,
+  SELECT user_id, epoch_us(ts) AS ts_us,
          epoch_us(ts) - lag(epoch_us(ts))
              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
   FROM events
@@ -544,7 +550,8 @@ WITH g AS (
 SELECT user_id,
        CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 300000000 THEN 1 ELSE 0 END)
             AS BIGINT) AS cold_starts,
-       count(*) AS n_events
+       count(*) AS n_events,
+       max(ts_us) + 300000000 - 30000000 AS next_deadline_us
 FROM g GROUP BY user_id
 """
 

@@ -125,7 +125,8 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
             from pyspark.sql import functions as F
 
             df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                # integer div: double division rounds at 1e15-µs scale
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
         df.createOrReplaceTempView(name)
         out[name] = df
