@@ -556,6 +556,45 @@ FROM g GROUP BY user_id
 """
 
 
+def q_st8_diagnose(spark, sf_dir):
+    """ST8 pre-flight stability diagnosis (cache/stability.go:216-272):
+    per document, the dynamic-interpolation patterns found and the
+    human-readable likely cause."""
+    from distill_spark.functions.textfn import dynamic_patterns, likely_cause
+
+    t = _tables(spark, sf_dir)
+    return t["documents"].filter(F.col("doc_id") < 500).select(
+        "doc_id",
+        dynamic_patterns(F.col("text")).alias("patterns_found"),
+        likely_cause(F.col("text")).alias("likely_cause"))
+
+
+_DYN_SQL = "[" + ", ".join(
+    f"'{p}'" for p in
+    ["request_id", "requestid", "request-id", "request id",
+     "timestamp", "datetime", "time.now", "date.now",
+     "uuid", "random", "rand.",
+     "user_id", "userid", "user-id",
+     "session_id", "sessionid",
+     "nonce", "token:"]) + "]"
+SQL_ST8_DIAG = f"""
+WITH f AS (
+  SELECT doc_id,
+         list_filter({_DYN_SQL},
+                     p -> contains(lower(coalesce(text, '')), p))
+           AS patterns_found
+  FROM documents WHERE doc_id < 500
+)
+SELECT doc_id, patterns_found,
+       CASE WHEN len(patterns_found) = 0
+            THEN 'unknown — prefix content changes between requests'
+            ELSE 'likely dynamic interpolation: ' ||
+                 list_aggregate(patterns_found, 'string_agg', ', ')
+       END AS likely_cause
+FROM f
+"""
+
+
 def q_st9_cache_sim(spark, sf_dir):
     """ST9 LRU+TTL KV cache (cache/memory.go:27-267) as a sharded replay
     of the events access log: view/click -> Get, signup/purchase -> Set,
@@ -2111,6 +2150,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "f8_fnv1a": (q_f8_fnv1a, SQL_F8),
     "vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB),
     "st2_recall_hints": (q_st2_recall_hints, SQL_ST2_HINTS),
+    "st8_diagnose": (q_st8_diagnose, SQL_ST8_DIAG),
     # rows-only (non-SQL-expressible)
     "c4_compress_pipeline": (q_c4_compress_pipeline, None),
     "c8_decay_transforms": (q_c8_decay_transforms, None),

@@ -119,3 +119,36 @@ def commit_type(msg: Column) -> Column:
     for k, v in items:
         expr = expr.when(base == k, F.lit(v))
     return F.coalesce(expr.otherwise(F.lit("unknown")), F.lit("unknown"))
+
+
+# ST8 pre-flight stability check (cache/stability.go:100-114, 216-227):
+# substrings that flag likely dynamic interpolation in a cache prefix,
+# in the reference's declaration order (found-list order matters)
+DYNAMIC_PATTERNS = [
+    "request_id", "requestid", "request-id", "request id",
+    "timestamp", "datetime", "time.now", "date.now",
+    "uuid", "random", "rand.",
+    "user_id", "userid", "user-id",
+    "session_id", "sessionid",
+    "nonce", "token:",
+]
+
+
+def dynamic_patterns(text: Column) -> Column:
+    """ValidateText (stability.go:216-227): the dynamic patterns found
+    in the lowercased text, preserving declaration order."""
+    lower = F.lower(F.coalesce(text, F.lit("")))
+    return F.filter(
+        F.array(*[F.lit(p) for p in DYNAMIC_PATTERNS]),
+        lambda p: F.contains(lower, p),
+    )
+
+
+def likely_cause(text: Column) -> Column:
+    """diagnoseCause (stability.go:265-272): human-readable verdict."""
+    found = dynamic_patterns(text)
+    return F.when(
+        F.size(found) == 0,
+        F.lit("unknown — prefix content changes between requests"),
+    ).otherwise(F.concat(F.lit("likely dynamic interpolation: "),
+                         F.array_join(found, ", ")))
