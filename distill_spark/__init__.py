@@ -6,26 +6,42 @@ DataFrames, designed for 100 TB scale:
 
 - ``functions.vectormath``   — cosine/euclidean/dot/normalize as pure
   column expressions (F1-F6 in SURVEY.md §2.2).
-- ``operators.cluster``      — threshold clustering (A1) via similarity
-  join + connected components, with an exact per-group fallback.
+- ``functions.hashing``      — SHA/FNV content hashes, id generation
+  (F7-F9).
+- ``functions.textfn``       — sensitivity classify, commit parse,
+  dynamic-pattern diagnosis (F10-F11, ST8).
+- ``functions.textproc``     — compression/summarization text bodies
+  (C1-C3, C5-C8).
+- ``operators.cluster``      — threshold clustering (A1, J1) via
+  similarity join + connected components; memory-gated exact route.
+- ``operators.agglo``        — exact Lance-Williams agglomerative (A1).
 - ``operators.kmeans_dedup`` — K-Means + medoid prune (A2) scale path.
-- ``operators.select``       — per-cluster representative selection (A4).
-- ``operators.mmr``          — greedy MMR re-rank (T2).
+- ``operators.select``       — representative selection, top-k (A4, T1).
+- ``operators.mmr``          — greedy MMR re-rank + diversity (T2, A11).
+- ``operators.compress``     — compressor pipeline over DataFrames (C4).
+- ``operators.summarize``    — hierarchical summarization (C5, W3).
+- ``operators.dedup_text``   — exact / MinHash-LSH / SimHash / n-gram
+  Jaccard dedup (training-data extensions).
+- ``operators.similarity``   — brute-force / LSH / IVF ANN top-k (S4, J3).
+- ``operators.multimodal``   — binary-column decode/feature plumbing.
+- ``operators.asof``         — as-of (point-in-time) join.
+- ``operators.skew``         — salted aggregation/join for hot keys.
+- ``operators.cachesim``     — sharded LRU+TTL cache replay (ST9).
 - ``plans.dedupe``           — the /v1/dedupe pipeline (§3.1).
 - ``plans.pipeline``         — dedup → compress → summarize (§3.2).
-- ``operators.compress``     — extractive/placeholder/pruner (C1-C4).
-- ``operators.summarize``    — hierarchical summarization (C5-C6).
-- ``operators.memory``       — memory store semantics (ST1-ST3, W4-W5).
-- ``operators.sessions``     — session budget windows (ST4-ST5, W1-W2, W6).
-- ``operators.graph``        — blast-radius BFS + degree stats (G1-G4).
-- ``operators.commits``      — commit analytics (F11, J3, A8-A9).
-- ``operators.dedup_text``   — exact / MinHash-LSH / SimHash / n-gram
-  Jaccard / embedding-cosine dedup (training-data extensions).
-- ``operators.similarity``   — brute-force + LSH-bucketed ANN top-k.
-- ``operators.textstats``    — language-ID, quality scoring, token
-  counting, fingerprinting.
-- ``operators.multimodal``   — binary-column decode/feature plumbing
-  (decode stubbed; Spark-side plumbing real).
+- ``memory``                 — bucketed MERGE-style memory store
+  (ST1-ST3, J5, A6, W4-W5).
+- ``session``                — session push/budget/boundaries
+  (ST4-ST5, W1-W2, W6, A7).
+- ``graph``                  — blast-radius BFS + degree stats (G1-G4).
+- ``embed``                  — embedding providers + cache (F12-F13).
+- ``api``                    — the 13-tool MCP surface as Python (S9).
+- ``jobs``                   — batch job processor over Spark (ST6).
+- ``progress``               — pipeline progress event stream (S8).
+- ``streaming.stream``       — Structured Streaming twins (S2, ST1,
+  ST4, windows, streaming dedup).
+- ``sources``                — JSONL/bucketed-table sources and sinks
+  (S1-S3, S5-S7).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
