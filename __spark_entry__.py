@@ -793,8 +793,10 @@ def q_g3_blast_radius(spark, sf_dir):
     edges = e1.union(e1.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     seeds = t["part"].filter(F.col("p_size") == 1).select(
         F.concat(F.lit("p"), F.col("p_partkey")).alias("node")).distinct()
-    # undirected walk: edges already contain both directions
-    return blast_radius(edges, seeds, max_depth=3, reverse=False)
+    # undirected walk: edges already contain both directions, and the
+    # two prefixed halves are disjoint + individually distinct
+    return blast_radius(edges, seeds, max_depth=3, reverse=False,
+                        edges_distinct=True)
 
 
 SQL_G3 = """

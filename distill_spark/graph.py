@@ -68,16 +68,19 @@ def dependents(edges: DataFrame, node: str) -> DataFrame:
 
 
 def blast_radius(edges: DataFrame, seeds: DataFrame, max_depth: int = 0,
-                 reverse: bool = True) -> DataFrame:
+                 reverse: bool = True, edges_distinct: bool = False) -> DataFrame:
     """G3: BFS from ``seeds(node)`` over ``edges(src, dst)``.
     ``reverse=True`` walks dst→src ("what depends on the changed
     set"), the reference's direction. max_depth 0 = unbounded
-    (graph.go:137). Output: (node, depth, impact), seeds excluded,
-    sorted impact desc, node asc."""
+    (graph.go:137). Pass ``edges_distinct=True`` when the edge list is
+    already deduplicated — skips one full-shuffle distinct. Output:
+    (node, depth, impact), seeds excluded, sorted impact desc, node asc."""
     step = (edges.select(F.col("dst").alias("from"), F.col("src").alias("to"))
             if reverse else
             edges.select(F.col("src").alias("from"), F.col("dst").alias("to")))
-    step = step.distinct().localCheckpoint()
+    if not edges_distinct:
+        step = step.distinct()
+    step = step.localCheckpoint()
 
     visited = seeds.select("node").distinct().withColumn(
         "depth", F.lit(0)).localCheckpoint()
