@@ -130,3 +130,84 @@ class TestCacheSim:
         # everything else was LRU-evicted — totals must reconcile
         assert s["size"] <= 8 * 10
         assert s["evictions"] == 200 - s["size"]
+
+
+# -- property: replay semantics vs an independent naive model ------------
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from distill_spark.operators.cachesim import _replay
+
+_KEYS = ["a", "bb", "ccc", "dddd", "é"]  # incl. multi-byte UTF-8
+_OPS = st.lists(
+    st.tuples(st.sampled_from(["get", "set", "delete"]),
+              st.sampled_from(_KEYS),
+              st.integers(min_value=0, max_value=30),   # value_size
+              st.integers(min_value=0, max_value=500)),  # t offset (s)
+    min_size=0, max_size=60)
+
+
+def _naive(ops, max_entries, max_bytes, ttl_s):
+    """Deliberately different data structure: a plain list as the
+    recency order (index 0 = LRU)."""
+    order, table = [], {}  # key -> (size, expires_us)
+    hits = misses = sets = deletes = evictions = expirations = rejects = 0
+    for op, key, vsize, ts_us in ops:
+        if op == "get":
+            if key not in table:
+                misses += 1
+            elif table[key][1] and ts_us > table[key][1]:
+                del table[key]; order.remove(key)
+                misses += 1; expirations += 1
+            else:
+                order.remove(key); order.append(key)
+                hits += 1
+        elif op == "set":
+            size = len(key.encode("utf-8")) + vsize
+            if max_bytes and size > max_bytes:
+                rejects += 1
+                continue
+            expires = ts_us + int(ttl_s * 1e6) if ttl_s else 0
+            if key in table:
+                del table[key]; order.remove(key)
+            else:
+                while ((max_entries and len(table) >= max_entries) or
+                       (max_bytes and sum(s for s, _ in table.values())
+                        + size > max_bytes)):
+                    lru = order.pop(0)
+                    del table[lru]; evictions += 1
+            table[key] = (size, expires); order.append(key)
+            sets += 1
+        else:
+            if key in table:
+                del table[key]; order.remove(key); deletes += 1
+    return dict(hits=hits, misses=misses, sets=sets, deletes=deletes,
+                evictions=evictions, expirations=expirations,
+                rejects=rejects, size=len(table),
+                size_bytes=sum(s for s, _ in table.values()))
+
+
+@given(ops=_OPS, max_entries=st.sampled_from([0, 1, 2, 3]),
+       max_bytes=st.sampled_from([0, 8, 20]),
+       ttl_s=st.sampled_from([0.0, 60.0]))
+@settings(max_examples=200, deadline=None)
+def test_replay_matches_naive_model(ops, max_entries, max_bytes, ttl_s):
+    seq = [(op, key, vs, t * 1_000_000) for op, key, vs, t in ops]
+    pdf = pd.DataFrame({
+        "op": [o for o, _, _, _ in seq],
+        "key": [k for _, k, _, _ in seq],
+        "value_size": [v for _, _, v, _ in seq],
+        "ts_us": [t for _, _, _, t in seq],
+        "op_seq": range(len(seq)),
+    })
+    cfg = CacheSimConfig(n_shards=1, max_entries=max_entries,
+                         max_bytes=max_bytes, ttl_seconds=ttl_s)
+    got = next(_replay([pdf], cfg)).iloc[0].to_dict()
+    # feed the naive model in the operator's replay order: ts, then
+    # op_seq as the stable tiebreak
+    replay_order = [row for _, row in
+                    sorted(enumerate(seq), key=lambda p: (p[1][3], p[0]))]
+    want = _naive(replay_order, max_entries, max_bytes, ttl_s)
+    assert {k: int(v) for k, v in got.items()} == want
