@@ -1381,13 +1381,66 @@ def q_t2_mmr_rerank(spark, sf_dir):
 
 
 def q_c1_extractive(spark, sf_dir):
-    """C1 extractive compression (extractive.go:63-168) — text
-    transform, goldens in tests → rows-only."""
+    """C1 extractive compression (extractive.go:63-168), oracled
+    bit-for-bit by a windowed SQL reformulation: sentence split via
+    regexp_extract_all, position/content scoring, rank by (score desc,
+    idx), cumulative-token prefix take, order-restoring string_agg."""
     t = _tables(spark, sf_dir)
     from distill_spark.operators.compress import extractive
 
     return t["documents"].select(
         "doc_id", extractive(F.col("text"), target_reduction=0.5).alias("compressed"))
+
+
+_C1_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+SQL_C1 = f"""
+WITH sent AS (
+  SELECT doc_id, text,
+         list_filter(
+           list_transform(
+             regexp_extract_all(text, '[^.!?]*[.!?]|[^.!?]+'),
+             x -> trim(x, {_C1_WS})),
+           x -> x <> '') AS ss
+  FROM documents
+), idx AS (
+  SELECT doc_id, text, len(ss) AS n, unnest(ss) AS s,
+         generate_subscripts(ss, 1) AS i
+  FROM sent WHERE len(ss) > 1
+), scored AS (
+  SELECT doc_id, s, i,
+         (CASE WHEN i = 1 THEN 2.0 WHEN i = n THEN 1.0 ELSE 0 END)
+         + (CASE WHEN len(list_filter(regexp_split_to_array(s, '\\s+'),
+                                      x -> x <> '')) BETWEEN 5 AND 25
+            THEN 1.0 ELSE 0 END)
+         + (CASE WHEN lower(s) LIKE '%important%' OR lower(s) LIKE '%key%'
+                   OR lower(s) LIKE '%must%' OR lower(s) LIKE '%should%'
+            THEN 1.5 ELSE 0 END)
+         + (CASE WHEN regexp_matches(s, '[0-9]') THEN 0.5 ELSE 0 END) AS score,
+         (length(s) + 3) // 4 AS toks,
+         CAST(floor(((length(text) + 3) // 4) * 0.5) AS BIGINT) AS target
+  FROM idx
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, i ASC) AS rn,
+         sum(toks) OVER (PARTITION BY doc_id ORDER BY score DESC, i ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM scored
+), kept AS (
+  SELECT doc_id, string_agg(s, ' ' ORDER BY i) AS compressed
+  FROM ranked WHERE rn = 1 OR cum <= target
+  GROUP BY doc_id
+), multi AS (
+  SELECT doc_id AS mdoc, len(ss) > 1 AS n_ok FROM sent
+)
+SELECT d.doc_id,
+       CASE WHEN length(d.text) < 50 THEN d.text
+            WHEN m.n_ok AND k.compressed IS NOT NULL THEN k.compressed
+            ELSE d.text END AS compressed
+FROM documents d
+LEFT JOIN kept k ON d.doc_id = k.doc_id
+LEFT JOIN multi m ON d.doc_id = m.mdoc
+"""
 
 
 def q_c2_placeholder(spark, sf_dir):
@@ -2166,7 +2219,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "c3_pruner": (q_c3_pruner, None),
     "a2_kmeans_dedup": (q_a2_kmeans_dedup, None),
     "t2_mmr_rerank": (q_t2_mmr_rerank, None),
-    "c1_extractive": (q_c1_extractive, None),
+    "c1_extractive": (q_c1_extractive, SQL_C1),
     "dedup_simhash": (q_dedup_simhash, None),
     "ann_lsh_buckets": (q_ann_lsh_buckets, None),
     "st9_cache_sim": (q_st9_cache_sim, None),
