@@ -1349,13 +1349,41 @@ def q_pipeline_3stage(spark, sf_dir):
 
 
 def q_c3_pruner(spark, sf_dir):
-    """C3 filler-phrase pruner (pruner.go:26-137) — Go-regex word-bound
-    semantics kept in Python → rows-only (goldens in tests)."""
+    """C3 filler-phrase pruner (pruner.go:26-137), oracled bit-for-bit
+    by a generated chain of DuckDB regexp_replace calls built from the
+    same FILLER_PHRASES list the UDF uses."""
     t = _tables(spark, sf_dir)
     from distill_spark.operators.compress import pruner
 
     return t["documents"].select(
         "doc_id", pruner(F.col("text"), min_chunk_length=50).alias("pruned"))
+
+
+def _sql_c3(source: str = "documents") -> str:
+    """C3 as a generated regexp_replace chain over the SAME
+    FILLER_PHRASES list the UDF uses. DuckDB string literals do not
+    process backslash escapes, so regex patterns embed verbatim — only
+    quotes are doubled."""
+    import re as _re
+
+    from distill_spark.functions.textproc import FILLER_PHRASES
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = "text"
+    for p in FILLER_PHRASES:
+        expr = (f"regexp_replace({expr}, "
+                f"'{esc(chr(92) + 'b' + _re.escape(p) + chr(92) + 'b[,]?' + chr(92) + 's*')}', '', 'gi')")
+    for pat, rep, flags in [
+        (r"\s+", " ", "g"), (r"\.{2,}", ".", "g"), (r"\n{3,}", "\n\n", "g"),
+        (r"\b(very|really|quite)\s+", "", "gi"),
+        (r"\s{2,}", " ", "g"), (r"\s+([.,;:!?])", r"\1", "g"),
+    ]:
+        expr = f"regexp_replace({expr}, '{esc(pat)}', '{esc(rep)}', '{flags}')"
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    return (f"SELECT doc_id, CASE WHEN length(text) < 50 THEN text "
+            f"ELSE trim({expr}, {ws}) END AS pruned FROM {source}")
 
 def q_a2_kmeans_dedup(spark, sf_dir):
     """A2 K-Means dedup + medoid prune (dedup/kmeans.go:76-351).
@@ -2216,7 +2244,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st4_session_push": (q_st4_session_push, None),
     "pipeline_3stage": (q_pipeline_3stage, None),
     "st1_memory_store": (q_st1_memory_store, None),
-    "c3_pruner": (q_c3_pruner, None),
+    "c3_pruner": (q_c3_pruner, _sql_c3()),
     "a2_kmeans_dedup": (q_a2_kmeans_dedup, None),
     "t2_mmr_rerank": (q_t2_mmr_rerank, None),
     "c1_extractive": (q_c1_extractive, SQL_C1),

@@ -1,0 +1,80 @@
+"""Non-vacuous oracle validation for the text-transform SQL oracles.
+
+The driver corpus is synthetic and triggers none of the pruner's
+filler/whitespace branches, so the C1/C3 driver gates alone can pass
+vacuously. These tests run the SAME oracle SQL against adversarial
+inputs that exercise every branch, comparing with the Python UDF
+bodies directly in DuckDB (no Spark needed)."""
+
+import importlib.util
+
+import duckdb
+import pytest
+
+from distill_spark.functions.textproc import extractive_compress, prune
+
+
+def _entry():
+    spec = importlib.util.spec_from_file_location(
+        "entry_adv", "/root/repo/__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+PRUNE_CASES = [
+    "short text",  # < 50 gate
+    "It is important to note that basically the very large system "
+    "should, actually, work fine and run quickly today.",
+    "As you know, we must fix this... and that..   Really quite "
+    "soon , ok ? The answer is 42 .",
+    "Needless to say due to the fact that X happened, in order to "
+    "proceed we clearly need Y obviously.",
+    "A sentence with  double  spaces and a trailing period . "
+    "Another one follows ; fine.",
+    "Let me explain: allow me to show, as a matter of fact, the key "
+    "point! For the purpose of testing.",
+]
+
+EXTRACT_CASES = [
+    "short",  # < 50 gate
+    "One single long sentence with no delimiters at all that runs on "
+    "well past the gate",  # <=1 sentence -> unchanged
+    "First sentence wins always. A very important key point appears "
+    "here with number 7! Filler middle sentence of moderate size. "
+    "Tail sentence ends it.",
+    "Sentence one is here. Sentence two is a bit longer than one. "
+    "Sentence three has the number 99 in it. Sentence four must be "
+    "noted as important. Sentence five just ends everything quietly.",
+    "What?! Multiple punctuation.. marks everywhere!! Does it split "
+    "correctly? Yes it should. The number 3 appears.",
+]
+
+
+@pytest.fixture(scope="module")
+def entry():
+    return _entry()
+
+
+def _run_sql(sql, cases):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT row_number() OVER () AS doc_id, "
+        "t AS text FROM (VALUES "
+        + ", ".join("('" + c.replace("'", "''") + "')" for c in cases)
+        + ") v(t)")
+    return dict(con.execute(
+        f"SELECT * FROM ({sql}) ORDER BY doc_id").fetchall())
+
+
+def test_c3_oracle_matches_udf_on_trigger_inputs(entry):
+    got = _run_sql(entry._sql_c3(), PRUNE_CASES)
+    for i, c in enumerate(PRUNE_CASES, 1):
+        assert got[i] == prune(c), f"case {i}: {got[i]!r} != {prune(c)!r}"
+
+
+def test_c1_oracle_matches_udf_on_trigger_inputs(entry):
+    got = _run_sql(entry.SQL_C1, EXTRACT_CASES)
+    for i, c in enumerate(EXTRACT_CASES, 1):
+        want = extractive_compress(c, 0.5)
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
