@@ -1408,6 +1408,18 @@ def q_t2_mmr_rerank(spark, sf_dir):
     return mmr_rerank(emb, lambda_=0.5, target_k=16).select("id", "mmr_rank")
 
 
+# The synthetic documents corpus has no sentence delimiters, so raw
+# text would pass through C1/C8 untouched (vacuous gate). Both sides
+# inject sentence breaks with a literal replace — semantics identical
+# in Spark's replace() and DuckDB's replace() — so the extractive
+# machinery is genuinely exercised on ~76% of docs.
+_SENT_INJECT_SQL = "replace(text, ' table ', ' table. ')"
+
+
+def _inject_sentences(col):
+    return F.replace(col, F.lit(" table "), F.lit(" table. "))
+
+
 def q_c1_extractive(spark, sf_dir):
     """C1 extractive compression (extractive.go:63-168), oracled
     bit-for-bit by a windowed SQL reformulation: sentence split via
@@ -1417,19 +1429,29 @@ def q_c1_extractive(spark, sf_dir):
     from distill_spark.operators.compress import extractive
 
     return t["documents"].select(
-        "doc_id", extractive(F.col("text"), target_reduction=0.5).alias("compressed"))
+        "doc_id",
+        extractive(_inject_sentences(F.col("text")),
+                   target_reduction=0.5).alias("compressed"))
 
 
 _C1_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
-SQL_C1 = f"""
-WITH sent AS (
+
+
+def _sql_extractive(target_reduction: float, min_chunk: int, out_col: str,
+                    text_sql: str = "text") -> str:
+    """C1/C8 extractive compression as a windowed-SQL generator —
+    single source of truth for both gates, parameterized exactly like
+    extractive_compress(text, target_reduction, min_chunk_length)."""
+    return f"""
+WITH src AS (SELECT doc_id, {text_sql} AS text FROM documents),
+sent AS (
   SELECT doc_id, text,
          list_filter(
            list_transform(
              regexp_extract_all(text, '[^.!?]*[.!?]|[^.!?]+'),
              x -> trim(x, {_C1_WS})),
            x -> x <> '') AS ss
-  FROM documents
+  FROM src
 ), idx AS (
   SELECT doc_id, text, len(ss) AS n, unnest(ss) AS s,
          generate_subscripts(ss, 1) AS i
@@ -1445,7 +1467,8 @@ WITH sent AS (
             THEN 1.5 ELSE 0 END)
          + (CASE WHEN regexp_matches(s, '[0-9]') THEN 0.5 ELSE 0 END) AS score,
          (length(s) + 3) // 4 AS toks,
-         CAST(floor(((length(text) + 3) // 4) * 0.5) AS BIGINT) AS target
+         CAST(floor(((length(text) + 3) // 4) * {target_reduction}) AS BIGINT)
+           AS target
   FROM idx
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -1455,20 +1478,23 @@ WITH sent AS (
            AS cum
   FROM scored
 ), kept AS (
-  SELECT doc_id, string_agg(s, ' ' ORDER BY i) AS compressed
+  SELECT doc_id, string_agg(s, ' ' ORDER BY i) AS {out_col}
   FROM ranked WHERE rn = 1 OR cum <= target
   GROUP BY doc_id
 ), multi AS (
   SELECT doc_id AS mdoc, len(ss) > 1 AS n_ok FROM sent
 )
 SELECT d.doc_id,
-       CASE WHEN length(d.text) < 50 THEN d.text
-            WHEN m.n_ok AND k.compressed IS NOT NULL THEN k.compressed
-            ELSE d.text END AS compressed
-FROM documents d
+       CASE WHEN length(d.text) < {min_chunk} THEN d.text
+            WHEN m.n_ok AND k.{out_col} IS NOT NULL THEN k.{out_col}
+            ELSE d.text END AS {out_col}
+FROM src d
 LEFT JOIN kept k ON d.doc_id = k.doc_id
 LEFT JOIN multi m ON d.doc_id = m.mdoc
 """
+
+
+SQL_C1 = _sql_extractive(0.5, 50, "compressed", _SENT_INJECT_SQL)
 
 
 def q_c2_placeholder(spark, sf_dir):
@@ -1940,17 +1966,59 @@ def q_c4_compress_pipeline(spark, sf_dir):
 
 
 def q_c8_decay_transforms(spark, sf_dir):
-    """C7/C8 memory decay text transforms (memory/decay.go summary /
-    keyword levels) — Arrow-batched str→str, goldens in tests →
-    rows-only."""
+    """C8 memory decay text transforms (memory/decay.go:184-225):
+    full→summary (extractive@0.2) on sentence-injected text and
+    summary→keywords (≤20 lowercased non-stopwords) on raw text.
+    Oracled bit-for-bit by _sql_c8()."""
     from distill_spark.functions import textproc
     from distill_spark.memory import _text_pandas_udf
 
     t = _tables(spark, sf_dir)
     return t["documents"].filter(F.col("doc_id") < 200).select(
         "doc_id",
-        _text_pandas_udf(textproc.memory_summary)(F.col("text")).alias("summary"),
+        _text_pandas_udf(textproc.memory_summary)(
+            _inject_sentences(F.col("text"))).alias("summary"),
         _text_pandas_udf(textproc.memory_keywords)(F.col("text")).alias("keywords"))
+
+
+def _sql_c8() -> str:
+    """C8 oracle: extractive@(0.2, 20) summary joined with the ≤20
+    keyword filter — split / trim(.,;:!?"'()[]{}) / lower / len≥4 /
+    stopword drop / first-occurrence dedup / ', ' join — generated
+    from the SAME MEMORY_STOPWORDS list the UDF uses."""
+    from distill_spark.functions.textproc import MEMORY_STOPWORDS
+
+    stop_sql = ", ".join(f"'{w}'" for w in sorted(MEMORY_STOPWORDS))
+    trim_sql = ".,;:!?\"''()[]{}"
+    summary = _sql_extractive(0.2, 20, "summary", _SENT_INJECT_SQL)
+    return f"""
+WITH summ AS ({summary}),
+src AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+words AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS w,
+         generate_subscripts(list_filter(regexp_split_to_array(text, '\\s+'),
+                                         x -> x <> ''), 1) AS i
+  FROM src
+), norm AS (
+  SELECT doc_id, i, lower(trim(w, '{trim_sql}')) AS kw FROM words
+), firsts AS (
+  SELECT doc_id, kw, min(i) AS fi FROM norm
+  WHERE kw <> '' AND length(kw) >= 4 AND kw NOT IN ({stop_sql})
+  GROUP BY doc_id, kw
+), r AS (
+  SELECT doc_id, kw, row_number() OVER (PARTITION BY doc_id ORDER BY fi) AS rn
+  FROM firsts
+)
+SELECT d.doc_id, s.summary, coalesce(k.kws, '') AS keywords
+FROM src d
+JOIN summ s ON d.doc_id = s.doc_id
+LEFT JOIN (
+  SELECT doc_id, string_agg(kw, ', ' ORDER BY rn) AS kws
+  FROM r WHERE rn <= 20 GROUP BY doc_id
+) k ON d.doc_id = k.doc_id
+"""
 
 
 def q_st4_stream_push(spark, sf_dir):
@@ -2236,7 +2304,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st8_diagnose": (q_st8_diagnose, SQL_ST8_DIAG),
     # rows-only (non-SQL-expressible)
     "c4_compress_pipeline": (q_c4_compress_pipeline, None),
-    "c8_decay_transforms": (q_c8_decay_transforms, None),
+    "c8_decay_transforms": (q_c8_decay_transforms, _sql_c8()),
     "st4_stream_push": (q_st4_stream_push, None),
     "f12_tfidf_embed": (q_f12_tfidf_embed, None),
     "c2_placeholder": (q_c2_placeholder, None),

@@ -11,7 +11,12 @@ import importlib.util
 import duckdb
 import pytest
 
-from distill_spark.functions.textproc import extractive_compress, prune
+from distill_spark.functions.textproc import (
+    extractive_compress,
+    memory_keywords,
+    memory_summary,
+    prune,
+)
 
 
 def _entry():
@@ -74,7 +79,40 @@ def test_c3_oracle_matches_udf_on_trigger_inputs(entry):
 
 
 def test_c1_oracle_matches_udf_on_trigger_inputs(entry):
+    # SQL_C1 injects sentence breaks (replace ' table ' -> ' table. ');
+    # mirror that on the Python side so both transforms see one input.
     got = _run_sql(entry.SQL_C1, EXTRACT_CASES)
     for i, c in enumerate(EXTRACT_CASES, 1):
-        want = extractive_compress(c, 0.5)
+        want = extractive_compress(c.replace(" table ", " table. "), 0.5)
         assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+C8_CASES = [
+    "short",  # < 20 extractive gate, empty-ish keywords
+    # sentence injection must fire: ' table ' becomes a break
+    "alpha table beta table gamma table delta epsilon zeta important "
+    "table theta iota kappa table lambda with numbers 42 in this",
+    # keyword trim/stopword/dedup/limit branches
+    "  (Hello) world!!! {brackets} 'quoted' \"dquoted\" this that with "
+    "from... Hello WORLD again; hello",
+    " ".join(f"uniq{i:02d}word" for i in range(30)) + " uniq00word",
+    "word, word; word: word! all same after trim. VERY Really quite.",
+]
+
+
+def test_c8_oracle_matches_udf_on_trigger_inputs(entry):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT row_number() OVER () AS doc_id, "
+        "t AS text FROM (VALUES "
+        + ", ".join("('" + c.replace("'", "''") + "')" for c in C8_CASES)
+        + ") v(t)")
+    got = {r[0]: (r[1], r[2]) for r in con.execute(
+        f"SELECT * FROM ({entry._sql_c8()}) ORDER BY doc_id").fetchall()}
+    changed = 0
+    for i, c in enumerate(C8_CASES, 1):
+        inj = c.replace(" table ", " table. ")
+        want = (memory_summary(inj), memory_keywords(c))
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+        changed += want[0] != inj
+    assert changed >= 1, "no case exercised the summary path — vacuous"
