@@ -1953,16 +1953,48 @@ FROM documents WHERE doc_id < 200
 
 def q_c4_compress_pipeline(spark, sf_dir):
     """C4 chained compressor pipeline (compress.go:89-123): pruner →
-    extractive → placeholder over documents; returns the per-stage
-    token stats (deterministic ints/percentages) → rows-only."""
+    extractive over documents (the SQL-expressible stages — the
+    3-stage chain with placeholder keeps its goldens in unit tests);
+    returns the per-stage token stats, oracled by _sql_c4(). Text gets
+    sentence + filler injection so BOTH stages fire on the corpus."""
     from distill_spark.operators.compress import compress_pipeline
 
     t = _tables(spark, sf_dir)
+    injected = t["documents"].select(
+        "doc_id",
+        F.replace(_inject_sentences(F.col("text")),
+                  F.lit(" row "), F.lit(" actually row ")).alias("text"))
     _result, stats = compress_pipeline(
-        t["documents"].select("doc_id", "text"),
-        stages=["pruner", "extractive", "placeholder"],
+        injected, stages=["pruner", "extractive"],
         extractive={"target_reduction": 0.5})
     return stats
+
+
+def _sql_c4() -> str:
+    """C4 oracle: the same two-stage chain composed in SQL — C3's
+    regexp_replace chain feeding C1's windowed extractive — with
+    (len+3)//4 token sums and round(pct, 2) per stage."""
+    c3 = _sql_c3("src")
+    ex = _sql_extractive(0.5, 50, "compressed", "pruned").replace(
+        "FROM documents", "FROM pr")
+    return f"""
+WITH src AS (SELECT doc_id,
+             replace({_SENT_INJECT_SQL}, ' row ', ' actually row ') AS text
+             FROM documents),
+pr AS ({c3}),
+ex AS ({ex}),
+s0 AS (SELECT CAST(sum((length(text)+3)//4) AS BIGINT) AS t FROM src),
+s1 AS (SELECT CAST(sum((length(pruned)+3)//4) AS BIGINT) AS t FROM pr),
+s2 AS (SELECT CAST(sum((length(compressed)+3)//4) AS BIGINT) AS t FROM ex)
+SELECT 'pruner' AS stage, s0.t AS input_tokens, s1.t AS output_tokens,
+       CASE WHEN s0.t > 0 THEN round(100.0*(s0.t-s1.t)/s0.t, 2)
+            ELSE 0.0 END AS reduction_pct
+FROM s0, s1
+UNION ALL
+SELECT 'extractive', s1.t, s2.t,
+       CASE WHEN s1.t > 0 THEN round(100.0*(s1.t-s2.t)/s1.t, 2) ELSE 0.0 END
+FROM s1, s2
+"""
 
 
 def q_c8_decay_transforms(spark, sf_dir):
@@ -2303,7 +2335,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st2_recall_hints": (q_st2_recall_hints, SQL_ST2_HINTS),
     "st8_diagnose": (q_st8_diagnose, SQL_ST8_DIAG),
     # rows-only (non-SQL-expressible)
-    "c4_compress_pipeline": (q_c4_compress_pipeline, None),
+    "c4_compress_pipeline": (q_c4_compress_pipeline, _sql_c4()),
     "c8_decay_transforms": (q_c8_decay_transforms, _sql_c8()),
     "st4_stream_push": (q_st4_stream_push, None),
     "f12_tfidf_embed": (q_f12_tfidf_embed, None),
