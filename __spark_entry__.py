@@ -1658,13 +1658,40 @@ FROM rr
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash fingerprints (64-bit, xxhash64 token bits, majority
-    vote) — bit-twiddling not portable to the oracle → rows-only."""
+    """SimHash fingerprints (64-bit, md5 token bits, majority vote) —
+    oracled bit-for-bit: DuckDB md5 hex → UBIGINT, per-bit ±1 votes,
+    majority bits OR'd, two's-complement into int64."""
     t = _tables(spark, sf_dir)
     from distill_spark.operators.dedup_text import simhash
 
     return simhash(t["documents"].filter(F.col("doc_id") < 300),
                    id_col="doc_id", text_col="text")
+
+
+SQL_SIMHASH = """
+WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+toks AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(unnest(
+           list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))), 1, 16))
+           AS UBIGINT) AS h
+  FROM src
+), votes AS (
+  SELECT doc_id, b.i,
+         sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS w
+  FROM toks, (SELECT unnest(range(64)) AS i) b
+  GROUP BY doc_id, b.i
+), fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN w > 0 THEN CAST(1 AS HUGEINT) << i ELSE 0 END) AS v
+  FROM votes GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(CASE WHEN coalesce(f.v, 0) >= 9223372036854775808::HUGEINT
+                 THEN coalesce(f.v, 0) - 18446744073709551616::HUGEINT
+                 ELSE coalesce(f.v, 0) END AS BIGINT) AS simhash
+FROM src s LEFT JOIN fp f ON s.doc_id = f.doc_id
+"""
 
 
 def q_ann_lsh_buckets(spark, sf_dir):
@@ -2348,7 +2375,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a2_kmeans_dedup": (q_a2_kmeans_dedup, None),
     "t2_mmr_rerank": (q_t2_mmr_rerank, None),
     "c1_extractive": (q_c1_extractive, SQL_C1),
-    "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
     "ann_lsh_buckets": (q_ann_lsh_buckets, None),
     "st9_cache_sim": (q_st9_cache_sim, None),
 }
