@@ -1498,15 +1498,57 @@ SQL_C1 = _sql_extractive(0.5, 50, "compressed", _SENT_INJECT_SQL)
 
 
 def q_c2_placeholder(spark, sf_dir):
-    """C2 placeholder compression (placeholder.go:73-271) — structured
-    content → typed placeholders; text transform, goldens in tests →
-    rows-only."""
+    """C2 placeholder compression (placeholder.go:73-271): corpus text
+    is plain word-soup that would pass through untouched, so the query
+    constructs structured inputs per doc — JSON (preserved-key
+    skeleton, array truncation, depth cap), XML (element histogram),
+    delimited table (shape line) — and the oracle states the exact
+    expected placeholder for each, derived independently from doc_id."""
     t = _tables(spark, sf_dir)
     from distill_spark.operators.compress import placeholder
 
-    return t["documents"].select(
+    d = F.col("doc_id").cast("string")
+    d1 = (F.col("doc_id") + 1).cast("string")
+    d2 = (F.col("doc_id") + 2).cast("string")
+    d3 = (F.col("doc_id") + 3).cast("string")
+    d4 = (F.col("doc_id") + 4).cast("string")
+    n = F.col("n_chars").cast("string")
+    json_in = F.concat(
+        F.lit('{"id":'), d, F.lit(',"name":"doc-'), d, F.lit('","error":['),
+        d, F.lit(","), d1, F.lit(","), d2, F.lit(","), d3, F.lit(","), d4,
+        F.lit('],"status":{"a":1,"b":2},"junk":'), n, F.lit("}"))
+    xml_in = F.concat(
+        F.lit("<doc><line>"), d, F.lit("</line><line>"), n,
+        F.lit("</line><pad>padding</pad></doc>"))
+    table_in = F.concat(
+        F.lit("column_alpha|column_beta|column_gamma\n"), d, F.lit("|"), n,
+        F.lit("|x\n"), d1, F.lit("|0|y"))
+    structured_in = (
+        F.when(F.col("doc_id") % 3 == 0, json_in)
+        .when(F.col("doc_id") % 3 == 1, xml_in)
+        .otherwise(table_in))
+    return t["documents"].filter(F.col("doc_id") < 300).select(
         "doc_id",
-        placeholder(F.col("text"), preserve_structure=True).alias("compressed"))
+        placeholder(structured_in, preserve_structure=True).alias("structured"),
+        placeholder(structured_in).alias("summary"))
+
+
+SQL_C2 = """
+SELECT doc_id,
+  CASE doc_id % 3
+    WHEN 0 THEN '{"error":["[...]","[...]","[...]","...+2 more"],"id":'
+                || doc_id || ',"name":"doc-' || doc_id
+                || '","status":"{...2 keys}"}'
+    WHEN 1 THEN '[XML with elements: doc, line(×2), pad]'
+    ELSE '[Table with 2 rows, columns: column_alpha, column_beta, column_gamma]'
+  END AS structured,
+  CASE doc_id % 3
+    WHEN 0 THEN '[JSON object with keys: error, id, junk, name, status]'
+    WHEN 1 THEN '[XML with elements: doc, line(×2), pad]'
+    ELSE '[Table with 2 rows, columns: column_alpha, column_beta, column_gamma]'
+  END AS summary
+FROM documents WHERE doc_id < 300
+"""
 
 
 def q_c5_hierarchy(spark, sf_dir):
@@ -2366,7 +2408,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "c8_decay_transforms": (q_c8_decay_transforms, _sql_c8()),
     "st4_stream_push": (q_st4_stream_push, None),
     "f12_tfidf_embed": (q_f12_tfidf_embed, None),
-    "c2_placeholder": (q_c2_placeholder, None),
+    "c2_placeholder": (q_c2_placeholder, SQL_C2),
     "c5_hierarchy": (q_c5_hierarchy, None),
     "st4_session_push": (q_st4_session_push, None),
     "pipeline_3stage": (q_pipeline_3stage, None),
