@@ -2284,8 +2284,8 @@ GROUP BY w
 def q_f13_embed_cache(spark, sf_dir):
     """F13 persistent embedding cache (embedding/interface.go:33-135):
     prepopulate the cache with half the corpus, embed the rest through
-    the provider; returns per-doc hit/miss provenance + dims. Provider
-    is the deterministic hash embedder → rows-only."""
+    the provider; returns per-doc hit/miss provenance + dims, oracled
+    by SQL_F13 (hash anti-join provenance is SQL-derivable)."""
     from distill_spark.embed import embed_texts, embed_with_cache
 
     t = _tables(spark, sf_dir)
@@ -2297,6 +2297,22 @@ def q_f13_embed_cache(spark, sf_dir):
     return (out.select("doc_id", F.size("embedding").alias("dim"),
                        (F.col("doc_id") < 150).alias("from_cache"))
             .join(new_rows.agg(F.count("*").alias("new_cache_rows"))))
+
+
+# F13 oracle: the cache-join provenance is SQL-derivable — dim is the
+# hash provider's fixed 64, and new_cache_rows counts distinct text
+# hashes among docs 150-299 absent from the prepopulated half.
+SQL_F13 = """
+WITH miss AS (
+  SELECT DISTINCT sha256(text) AS h FROM documents
+  WHERE doc_id >= 150 AND doc_id < 300
+    AND sha256(text) NOT IN (SELECT sha256(text) FROM documents
+                             WHERE doc_id < 150)
+)
+SELECT d.doc_id, 64 AS dim, d.doc_id < 150 AS from_cache,
+       (SELECT count(*) FROM miss) AS new_cache_rows
+FROM documents d WHERE d.doc_id < 300
+"""
 
 
 def q_dedup_semantic(spark, sf_dir):
@@ -2398,7 +2414,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "events_sliding": (q_events_sliding, SQL_SLIDING),
     "text_length_profile": (q_text_length_profile, SQL_LENPROF),
     "ann_ivf_batch": (q_ann_ivf_batch, SQL_ANN_IVF),
-    "f13_embed_cache": (q_f13_embed_cache, None),
+    "f13_embed_cache": (q_f13_embed_cache, SQL_F13),
     "f8_fnv1a": (q_f8_fnv1a, SQL_F8),
     "vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB),
     "st2_recall_hints": (q_st2_recall_hints, SQL_ST2_HINTS),
