@@ -1299,7 +1299,10 @@ def q_st4_session_push(spark, sf_dir):
 def q_st1_memory_store(spark, sf_dir):
     """ST1 write-time dedup merge (memory/sqlite.go:117-226) —
     stateful two-batch ingest into a scratch store; verdict per row.
-    Rows-only (multi-step state mutation)."""
+    Thresholds 0.66/0.725 sit inside the corpus distance distribution
+    (margins ≥4e-4 to every sample) so all three verdicts AND both
+    within-batch first-wins chains genuinely fire; _order pins the
+    chain to doc_id order. Oracled by SQL_ST1's recursive CTEs."""
     import tempfile
 
     from distill_spark.memory import MemoryStore
@@ -1308,10 +1311,11 @@ def q_st1_memory_store(spark, sf_dir):
     chunks = (
         t["documents"].join(t["embeddings"],
                             t["documents"].doc_id == t["embeddings"].vec_id)
-        .select(F.col("doc_id").cast("string").alias("id"), "text", "embedding")
+        .select(F.col("doc_id").cast("string").alias("id"), "text", "embedding",
+                F.col("doc_id").alias("_order"))
     )
     st = MemoryStore(spark, tempfile.mkdtemp(prefix="dsmem_"),
-                     dedup_threshold=0.3, conflict_threshold=0.5)
+                     dedup_threshold=0.66, conflict_threshold=0.725)
     st.store_batch(chunks.filter(F.col("id").cast("int") < 100), now=1700000000.0)
     r2 = st.store_batch(chunks.filter((F.col("id").cast("int") >= 100)
                                       & (F.col("id").cast("int") < 200)),
@@ -1323,6 +1327,71 @@ def q_st1_memory_store(spark, sf_dir):
     ins = (r2["inserted"].select("id").join(conf.select("id"), "id", "left_anti")
            .select("id", F.lit("inserted").alias("verdict")))
     return ins.unionByName(dup).unionByName(conf)
+
+
+# ST1 oracle: the full two-batch merge in SQL. Batch 1 ingests into an
+# empty store through the first-wins chain (recursive CTE ch1); batch 2
+# probes the surviving store (min cosine distance → duplicate /
+# conflict bands) and its clean rows run the same chain (ch2). A row
+# can be both chain-duplicate and conflict, matching the engine's
+# union. MATERIALIZED pins each CTE to one evaluation — the recursion
+# would otherwise re-derive the distance matrices per step.
+SQL_ST1 = """
+WITH RECURSIVE
+c AS MATERIALIZED (SELECT d.doc_id AS id, e.embedding AS v
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+b1 AS MATERIALIZED (SELECT * FROM c WHERE id < 100),
+b2 AS MATERIALIZED (SELECT * FROM c WHERE id >= 100 AND id < 200),
+b1r AS MATERIALIZED (SELECT id, v, row_number() OVER (ORDER BY id) AS rn FROM b1),
+n1 AS (SELECT count(*) AS n FROM b1r),
+dm1 AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib FROM b1r a CROSS JOIN b1r b
+        WHERE a.id < b.id AND 1.0 - list_cosine_similarity(a.v, b.v) < 0.66),
+bl1 AS MATERIALIZED (SELECT ib, list(ia) AS bs FROM dm1 GROUP BY ib),
+ch1 AS (
+  SELECT CAST(0 AS BIGINT) AS i, CAST([] AS BIGINT[]) AS kept
+  UNION ALL
+  SELECT ch.i + 1,
+         CASE WHEN len(list_intersect(coalesce(bl.bs, []), ch.kept)) > 0
+              THEN ch.kept ELSE list_append(ch.kept, cl.id) END
+  FROM ch1 ch JOIN b1r cl ON cl.rn = ch.i + 1
+  LEFT JOIN bl1 bl ON bl.ib = cl.id
+),
+live AS MATERIALIZED (
+  SELECT b1.* FROM b1, (SELECT kept FROM ch1, n1 WHERE ch1.i = n1.n) k
+  WHERE list_contains(k.kept, b1.id)),
+pd2 AS MATERIALIZED (SELECT b2.id AS nid, 1.0 - list_cosine_similarity(b2.v, live.v) AS d
+        FROM b2, live),
+probe AS MATERIALIZED (SELECT nid, min(d) AS md FROM pd2 GROUP BY nid),
+clean AS MATERIALIZED (SELECT nid, md, row_number() OVER (ORDER BY nid) AS rn
+          FROM probe WHERE md >= 0.66),
+n2 AS (SELECT count(*) AS n FROM clean),
+dm2 AS MATERIALIZED (SELECT a.nid AS ia, b.nid AS ib
+        FROM clean a JOIN b2 ea ON a.nid = ea.id
+        CROSS JOIN clean b JOIN b2 eb ON b.nid = eb.id
+        WHERE a.nid < b.nid
+          AND 1.0 - list_cosine_similarity(ea.v, eb.v) < 0.66),
+bl2 AS MATERIALIZED (SELECT ib, list(ia) AS bs FROM dm2 GROUP BY ib),
+ch2 AS (
+  SELECT CAST(0 AS BIGINT) AS i, CAST([] AS BIGINT[]) AS kept
+  UNION ALL
+  SELECT ch.i + 1,
+         CASE WHEN len(list_intersect(coalesce(bl.bs, []), ch.kept)) > 0
+              THEN ch.kept ELSE list_append(ch.kept, cl.nid) END
+  FROM ch2 ch JOIN clean cl ON cl.rn = ch.i + 1
+  LEFT JOIN bl2 bl ON bl.ib = cl.nid
+),
+final AS (SELECT kept FROM ch2, n2 WHERE ch2.i = n2.n)
+SELECT CAST(nid AS VARCHAR) AS id, 'duplicate' AS verdict
+FROM probe WHERE md < 0.66
+UNION ALL
+SELECT CAST(nid AS VARCHAR), 'duplicate'
+FROM clean, final WHERE NOT list_contains(final.kept, nid)
+UNION ALL
+SELECT CAST(nid AS VARCHAR), 'conflict' FROM clean WHERE md < 0.725
+UNION ALL
+SELECT CAST(nid AS VARCHAR), 'inserted'
+FROM clean, final WHERE list_contains(final.kept, nid) AND md >= 0.725
+"""
 
 
 def q_pipeline_3stage(spark, sf_dir):
@@ -2428,7 +2497,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "c5_hierarchy": (q_c5_hierarchy, None),
     "st4_session_push": (q_st4_session_push, None),
     "pipeline_3stage": (q_pipeline_3stage, None),
-    "st1_memory_store": (q_st1_memory_store, None),
+    "st1_memory_store": (q_st1_memory_store, SQL_ST1),
     "c3_pruner": (q_c3_pruner, _sql_c3()),
     "a2_kmeans_dedup": (q_a2_kmeans_dedup, None),
     "t2_mmr_rerank": (q_t2_mmr_rerank, None),

@@ -314,7 +314,12 @@ class MemoryStore:
             new = new.withColumn("session_id", F.lit(session_id))
         if "expires_at" not in cols:
             new = new.withColumn("expires_at", F.lit(None).cast("double"))
-        new = new.withColumn("_order", F.monotonically_increasing_id())
+        if "_order" not in cols:
+            # callers may supply an explicit _order column to make the
+            # within-batch dedup chain order deterministic across
+            # recomputations (monotonically_increasing_id encodes
+            # physical partition layout, which a shuffle can change)
+            new = new.withColumn("_order", F.monotonically_increasing_id())
 
         existing = self.read()
         live = existing.filter(live_filter(now_ts)) if existing.columns else existing
