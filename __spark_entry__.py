@@ -1467,14 +1467,54 @@ def q_a2_kmeans_dedup(spark, sf_dir):
 
 
 def q_t2_mmr_rerank(spark, sf_dir):
-    """T2 greedy MMR (mmr.go:50-135). Sequential greedy → rows-only."""
+    """T2 greedy MMR (mmr.go:50-135), oracled exactly: the greedy
+    argmax recursion runs in SQL as a recursive CTE carrying the
+    selected ids + embeddings as list state, one LATERAL top-1 pick
+    per step (per-step decision margins ≥1e-4 — far above float
+    noise). vec_id < 2000 replaces limit(2000) so the candidate set
+    is deterministic."""
     t = _tables(spark, sf_dir)
     from distill_spark.operators.mmr import mmr_rerank
 
-    emb = t["embeddings"].limit(2000).select(
+    emb = t["embeddings"].filter(F.col("vec_id") < 2000).select(
         F.col("vec_id").alias("id"), "embedding",
         (F.lit(1.0) / (1.0 + F.col("vec_id").cast("double"))).alias("score"))
     return mmr_rerank(emb, lambda_=0.5, target_k=16).select("id", "mmr_rank")
+
+
+# T2 oracle: exact greedy MMR — λ·minmax(score) − (1−λ)·max(0, max sim
+# to selected); the max(0, ·) mirrors the reference's maxSim := 0.0
+# accumulator (mmr.go:170-189), which clamps all-negative similarities.
+SQL_T2 = """
+WITH RECURSIVE
+cand AS MATERIALIZED (
+  SELECT vec_id, embedding AS v, 1.0/(1.0+vec_id) AS score
+  FROM embeddings WHERE vec_id < 2000),
+st AS MATERIALIZED (SELECT min(score) AS smin, max(score) AS smax FROM cand),
+nc AS MATERIALIZED (
+  SELECT c.vec_id, c.v,
+         CASE WHEN st.smax = st.smin THEN 1.0
+              ELSE (c.score - st.smin)/(st.smax - st.smin) END AS norm
+  FROM cand c, st),
+ch AS (
+  SELECT 0 AS step, CAST(NULL AS BIGINT) AS picked,
+         CAST([] AS BIGINT[]) AS sel, CAST([] AS FLOAT[][]) AS sel_vs
+  UNION ALL
+  SELECT ch.step + 1, p.vec_id, list_append(ch.sel, p.vec_id),
+         list_append(ch.sel_vs, p.v)
+  FROM ch, LATERAL (
+    SELECT c.vec_id, c.v
+    FROM nc c WHERE NOT list_contains(ch.sel, c.vec_id)
+    ORDER BY 0.5*c.norm
+             - (CASE WHEN ch.step = 0 THEN 0.0 ELSE 0.5 END)
+               * greatest(coalesce(list_max(list_transform(ch.sel_vs,
+                   sv -> list_cosine_similarity(c.v, sv))), 0.0), 0.0) DESC,
+             c.vec_id ASC
+    LIMIT 1) p
+  WHERE ch.step < 16
+)
+SELECT picked AS id, step - 1 AS mmr_rank FROM ch WHERE step > 0
+"""
 
 
 # The synthetic documents corpus has no sentence delimiters, so raw
@@ -2500,7 +2540,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st1_memory_store": (q_st1_memory_store, SQL_ST1),
     "c3_pruner": (q_c3_pruner, _sql_c3()),
     "a2_kmeans_dedup": (q_a2_kmeans_dedup, None),
-    "t2_mmr_rerank": (q_t2_mmr_rerank, None),
+    "t2_mmr_rerank": (q_t2_mmr_rerank, SQL_T2),
     "c1_extractive": (q_c1_extractive, SQL_C1),
     "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
     "ann_lsh_buckets": (q_ann_lsh_buckets, None),
