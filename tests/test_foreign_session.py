@@ -1,0 +1,61 @@
+"""Regression gate for the round-1 killer: the correctness driver
+builds its OWN plain SparkSession (none of get_spark's conf) and calls
+queries() -> load_tables(); events.parquet carries TIMESTAMP(NANOS)
+which Spark 4 refuses unless spark.sql.legacy.parquet.nanosAsLong is
+set. ensure_session_conf inside load_tables must make any foreign
+session safe.
+
+A plain session can't be built inside the test process (the JVM/session
+singleton would inherit the conftest session's conf), so the scenario
+runs in a subprocess with a bare builder — exactly what the driver
+harness does.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SCRIPT = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+# deliberately UNCONFIGURED: bare builder, local master, nothing else
+spark = SparkSession.builder.master("local[2]").getOrCreate()
+assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "false"
+
+import __spark_entry__ as E
+qs = E.queries()
+sf = {sf!r}
+# w6 reads events (the nanos table); a6 reads documents; j4 joins 4 tables
+for name in ["w6_running_value", "a6_doc_stats", "j4_revenue_per_nation"]:
+    n = qs[name](spark, sf).count()
+    assert n > 0, f"{{name}} returned 0 rows"
+    print(name, n, flush=True)
+
+# the ts column must come back as a real timestamp (ns -> us restored),
+# not the raw bigint that nanosAsLong surfaces
+from distill_spark.runtime import load_tables
+t = load_tables(spark, sf, names=["events"])
+assert dict(t["events"].dtypes)["ts"] == "timestamp", t["events"].dtypes
+print("FOREIGN_SESSION_OK", flush=True)
+"""
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_plain_driver_session_runs_queries():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = SCRIPT.format(repo=repo, sf=SF_DIR)
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "PYTHONPATH": repo},
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}"
+    assert "FOREIGN_SESSION_OK" in proc.stdout
