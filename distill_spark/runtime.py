@@ -118,16 +118,24 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
 
             warnings.warn(f"load_tables: skipping {name!r}: {e}", stacklevel=2)
             continue
-        # nanosAsLong surfaces TIMESTAMP(NANOS) columns as raw int64
-        # nanos; restore µs-precision timestamps (matches DuckDB's
-        # ns→µs truncation).
-        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) parquet surfaces differently per session
+        # history on Spark 4.1: conf set at build time → int64 nanos
+        # (nanosAsLong), conf set at runtime → TIMESTAMP_NTZ. Normalize
+        # both to a plain µs TIMESTAMP (matches DuckDB's ns→µs
+        # truncation) so every downstream expr sees ONE type.
+        if name == "events":
             from pyspark.sql import functions as F
 
-            df = df.withColumn(
-                # integer div: double division rounds at 1e15-µs scale
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+            ts_type = dict(df.dtypes).get("ts")
+            if ts_type == "bigint":
+                df = df.withColumn(
+                    # integer div: double division rounds at 1e15-µs scale
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            elif ts_type == "timestamp_ntz":
+                # session tz is UTC (ensure_session_conf) ⇒ the cast is
+                # value-preserving wall-clock reinterpretation
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -33,8 +33,12 @@ assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "false
 import __spark_entry__ as E
 qs = E.queries()
 sf = {sf!r}
-# w6 reads events (the nanos table); a6 reads documents; j4 joins 4 tables
-for name in ["w6_running_value", "a6_doc_stats", "j4_revenue_per_nation"]:
+# w6 reads events (the nanos table); a6 reads documents; j4 joins 4
+# tables; st7/events_sessionize apply unix_micros(ts) — they require
+# ts normalized to plain TIMESTAMP (a runtime-set nanosAsLong session
+# surfaces TIMESTAMP_NTZ, which unix_micros rejects)
+for name in ["w6_running_value", "a6_doc_stats", "j4_revenue_per_nation",
+             "st7_ttl_cold", "events_sessionize"]:
     n = qs[name](spark, sf).count()
     assert n > 0, f"{{name}} returned 0 rows"
     print(name, n, flush=True)
