@@ -459,8 +459,16 @@ class MemoryStore:
         if min_relevance > 0:
             scored = scored.filter(F.col("relevance") >= min_relevance)
         from pyspark.sql import Window
-        w = Window.orderBy(F.desc("relevance"), F.asc("id"))
-        ranked = scored.withColumn("rank", F.row_number().over(w))
+        # Scale path: distributed top-N (TakeOrderedAndProject) BEFORE any
+        # window.  A bare Window.orderBy funnels every live row through a
+        # single WindowExec partition — invisible at test scale, fatal on a
+        # 1e9-row store.  The (relevance desc, id asc) order is total, so
+        # the top-max_results prefix is exact and the rank/cumsum windows
+        # only ever see <= max_results survivors.
+        order = [F.desc("relevance"), F.asc("id")]
+        pruned = scored.orderBy(*order).limit(int(max_results))
+        w = Window.orderBy(*order)
+        ranked = pruned.withColumn("rank", F.row_number().over(w))
         if max_tokens > 0:
             cum = F.sum("tokens").over(
                 w.rowsBetween(Window.unboundedPreceding, Window.currentRow))

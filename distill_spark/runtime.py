@@ -42,8 +42,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # the driver's events.parquet carries TIMESTAMP(NANOS); Spark 4
-        # refuses it unless read as long (we convert back in load_tables)
+        # the driver's events.parquet carries TIMESTAMP(NANOS); set at
+        # BUILD time this surfaces it as int64 nanos (load_tables converts
+        # back). Only effective at build time — on an already-running
+        # session Spark 4.1 reads NANOS as timestamp_ntz instead, which
+        # load_tables normalizes through the NTZ branch.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # long-lived reused Python workers accumulate allocator state
@@ -69,13 +72,15 @@ def get_spark(
 # runtime-settable; ensure_session_conf applies them defensively so a
 # foreign session can never fail on e.g. TIMESTAMP(NANOS) parquet.
 RUNTIME_REQUIRED_CONF = {
-    # events.parquet carries INT64 TIMESTAMP(NANOS); Spark 4 refuses it
-    # unless surfaced as long (load_tables converts back to timestamp)
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # timestamps must compare cleanly against external oracles (DuckDB)
     "spark.sql.session.timeZone": "UTC",
     # pandas-UDF operators move Arrow batches, not pickled rows
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # NOTE: spark.sql.legacy.parquet.nanosAsLong is deliberately absent:
+    # it only takes effect at session BUILD time (verified on 4.1.2 — a
+    # runtime conf.set is a no-op and the session keeps reading NANOS as
+    # timestamp_ntz). Foreign sessions are instead protected by the NTZ
+    # normalization branch in load_tables.
 }
 
 
@@ -133,9 +138,27 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
                     "ts", F.timestamp_micros(F.expr("ts div 1000"))
                 )
             elif ts_type == "timestamp_ntz":
-                # session tz is UTC (ensure_session_conf) ⇒ the cast is
-                # value-preserving wall-clock reinterpretation
-                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+                # A bare NTZ→TIMESTAMP cast interprets the wall-clock in
+                # the SESSION timezone — under e.g. America/New_York every
+                # value silently shifts +5h vs the oracle. Wrapping the
+                # cast in from_utc_timestamp(_, session_tz) undoes that
+                # shift for whatever tz the session actually has (identity
+                # when tz=UTC; verified: to_utc_timestamp is the WRONG
+                # direction, it doubles the shift).
+                tz = "UTC"
+                try:
+                    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+                except Exception:  # noqa: BLE001 — conf read must not kill the load
+                    pass
+                if tz != "UTC":
+                    import warnings
+
+                    warnings.warn(
+                        f"load_tables: session timeZone is {tz!r}, not UTC; "
+                        "events.ts is being tz-corrected via from_utc_timestamp "
+                        "so instants stay oracle-comparable", stacklevel=2)
+                df = df.withColumn(
+                    "ts", F.from_utc_timestamp(F.col("ts").cast("timestamp"), tz))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
