@@ -1277,23 +1277,163 @@ FROM documents WHERE doc_id < 300
 
 def q_st4_session_push(spark, sf_dir):
     """ST4 session push + budget enforcement (sqlite.go:151-267,
-    484-601): per-session sequential loop under applyInPandas —
-    rows-only (iterative state not SQL-expressible)."""
+    484-601): per-session sequential loop under applyInPandas.
+
+    Inputs are shaped so EVERY branch fires AND the whole loop is
+    SQL-replayable (SQL_ST4):
+    - short entries (<20 chars) hit the level-1 extractive short-text
+      gate, making lvl1 a no-op and lvl2/lvl3 closed-form;
+    - every 37th entry is a 300-char blob (75 tokens > budget 25 →
+      rejected_over_budget);
+    - every 41st is a single-word 85-char 'medium' (22 tokens): lvl1/3
+      are no-ops, lvl2 truncates to 53 chars, and its bulk drives the
+      evict-oldest FALLBACK (cands empty while over budget);
+    - embeddings are 16-dim one-hot by seq%16: same class ⇒ cosine
+      distance 0 < 0.15 ⇒ duplicate, different ⇒ distance 1;
+    - importance=((seq·7)%13)/13 drives the W2 compress order."""
     t = _tables(spark, sf_dir)
     from distill_spark import session as sess
 
-    entries = t["events"].filter(F.col("event_id") < 2000).select(
+    seq = F.col("event_id")
+    onehot = F.array(*[
+        F.when(seq % 16 == k, F.lit(1.0)).otherwise(F.lit(0.0))
+        for k in range(16)]).cast("array<float>")
+    short = F.concat(
+        F.lit("etype"), (seq % 7).cast("string"),
+        F.when(seq % 2 == 0, F.lit(". ")).otherwise(F.lit(" ")),
+        F.lit("load"), (seq % 100).cast("string"))
+    entries = t["events"].filter(seq < 2000).select(
         F.col("user_id").cast("string").alias("session_id"),
-        F.col("event_id").cast("string").alias("id"),
-        F.col("event_id").alias("seq"),
+        seq.cast("string").alias("id"),
+        seq.alias("seq"),
         F.lit("user").alias("role"),
-        F.concat(F.col("event_type"), F.lit(" payload "),
-                 F.col("value").cast("string")).alias("content"),
-        F.lit(None).cast("array<float>").alias("embedding"),
-        F.round(F.col("value") % 1.0, 3).cast("double").alias("importance"))
+        F.when(seq % 37 == 0, F.expr("repeat('x', 300)"))
+         .when(seq % 41 == 1, F.expr("repeat('y', 85)"))
+         .otherwise(short).alias("content"),
+        onehot.alias("embedding"),
+        (((seq * 7) % 13).cast("double") / 13.0).alias("importance"))
     empty = spark.createDataFrame([], sess.SESSION_ENTRY_SCHEMA)
-    out = sess.push_batch(empty, entries, max_tokens=60, preserve_recent=3)
+    out = sess.push_batch(empty, entries, max_tokens=25,
+                          dedup_threshold=0.15, preserve_recent=3)
     return out.select("session_id", "id", "status", "compression_level", "tokens")
+
+
+# ST4 oracle: the per-session push + enforce loop flattened into ONE
+# recursive CTE — each step is a single action (push-next / budget-check
+# / compress-one-level / evict), every session advancing in lockstep as
+# one working-table row. Token counts per compression level are
+# closed-form (see q_st4_session_push) and pre-aggregated per session
+# into aligned arrays, so the whole state is five lists + a phase tag.
+# Duplicate probe: same angle class (id%5) ⇔ cosine distance < 0.15.
+SQL_ST4 = """
+WITH RECURSIVE
+e0 AS MATERIALIZED (
+  SELECT CAST(user_id AS VARCHAR) AS sid, event_id AS id,
+         event_id % 37 = 0 AS islong,
+         event_id % 37 <> 0 AND event_id % 41 = 1 AS ismed,
+         'etype' || CAST(event_id % 7 AS VARCHAR) ||
+           CASE WHEN event_id % 2 = 0 THEN '. ' ELSE ' ' END ||
+           'load' || CAST(event_id % 100 AS VARCHAR) AS c0
+  FROM events WHERE event_id < 2000),
+e AS MATERIALIZED (
+  SELECT sid, id,
+         CASE WHEN islong THEN (300+3)//4 WHEN ismed THEN (85+3)//4
+              ELSE (length(c0)+3)//4 END AS t0,
+         CASE WHEN islong THEN 0 WHEN ismed THEN (53+3)//4
+              WHEN id % 2 = 0 THEN (length('etype' || CAST(id % 7 AS VARCHAR)) + 1 + 3)//4
+              ELSE (length(c0)+3)//4 END AS t2,
+         CASE WHEN islong THEN 0 WHEN ismed THEN (85+3)//4
+              ELSE (length('etype' || CAST(id % 7 AS VARCHAR) || ', load'
+                           || CAST(id % 100 AS VARCHAR)) + 3)//4 END AS t3
+  FROM e0),
+ea AS MATERIALIZED (
+  SELECT sid, list(id ORDER BY id) AS ids, list(t0 ORDER BY id) AS a0,
+         list(t2 ORDER BY id) AS a2, list(t3 ORDER BY id) AS a3
+  FROM e GROUP BY sid),
+st AS (
+  SELECT sid, 0 AS step, 'push' AS phase, CAST(1 AS BIGINT) AS ptr,
+         CAST([] AS BIGINT[]) AS lids, CAST([] AS BIGINT[]) AS llv,
+         CAST([] AS BIGINT[]) AS ltk, CAST([] AS BIGINT[]) AS dids,
+         CAST([] AS VARCHAR[]) AS dst, CAST([] AS BIGINT[]) AS dlv
+  FROM ea
+  UNION ALL
+  SELECT sid, step + 1,
+         CASE action WHEN 'halt' THEN 'halt' WHEN 'accept' THEN 'enforce'
+              WHEN 'fit' THEN 'push' WHEN 'evict' THEN 'enforce'
+              WHEN 'compress' THEN 'enforce' ELSE 'push' END,
+         CASE WHEN action IN ('reject','dup','accept') THEN ptr + 1 ELSE ptr END,
+         CASE action WHEN 'accept' THEN list_append(lids, cur_id)
+              WHEN 'evict' THEN list_concat(list_slice(lids, 1, pos-1),
+                                            list_slice(lids, pos+1, nl))
+              ELSE lids END,
+         CASE action WHEN 'accept' THEN list_append(llv, 0)
+              WHEN 'evict' THEN list_concat(list_slice(llv, 1, pos-1),
+                                            list_slice(llv, pos+1, nl))
+              WHEN 'compress' THEN list_concat(list_concat(
+                   list_slice(llv, 1, pos-1), [tlvl + 1]),
+                   list_slice(llv, pos+1, nl))
+              ELSE llv END,
+         CASE action WHEN 'accept' THEN list_append(ltk, cur_t0)
+              WHEN 'evict' THEN list_concat(list_slice(ltk, 1, pos-1),
+                                            list_slice(ltk, pos+1, nl))
+              WHEN 'compress' THEN list_concat(list_concat(
+                   list_slice(ltk, 1, pos-1), [newtok]),
+                   list_slice(ltk, pos+1, nl))
+              ELSE ltk END,
+         CASE WHEN action IN ('reject','dup') THEN list_append(dids, cur_id)
+              WHEN action = 'evict' THEN list_append(dids, tgt)
+              ELSE dids END,
+         CASE action WHEN 'reject' THEN list_append(dst, 'rejected_over_budget')
+              WHEN 'dup' THEN list_append(dst, 'duplicate')
+              WHEN 'evict' THEN list_append(dst, 'evicted')
+              ELSE dst END,
+         CASE WHEN action IN ('reject','dup') THEN list_append(dlv, 0)
+              WHEN action = 'evict' THEN list_append(dlv, tlvl)
+              ELSE dlv END
+  FROM (
+    SELECT *,
+      CASE WHEN phase = 'push' AND cur_id IS NULL THEN 'halt'
+           WHEN phase = 'push' AND cur_t0 > 25 THEN 'reject'
+           WHEN phase = 'push' AND isdup THEN 'dup'
+           WHEN phase = 'push' THEN 'accept'
+           WHEN total <= 25 THEN 'fit'
+           WHEN ncand = 0 OR tlvl >= 3 THEN 'evict'
+           ELSE 'compress' END AS action,
+      CASE tlvl + 1 WHEN 2 THEN a2[ei] WHEN 3 THEN a3[ei] ELSE a0[ei] END AS newtok
+    FROM (
+      SELECT s.*, ea.ids, ea.a0, ea.a2, ea.a3,
+             ea.ids[s.ptr] AS cur_id, ea.a0[s.ptr] AS cur_t0,
+             list_contains(list_transform(s.lids, x -> x % 16),
+                           ea.ids[s.ptr] % 16) AS isdup,
+             coalesce(list_sum(s.ltk), 0) AS total,
+             len(s.lids) AS nl,
+             CASE WHEN len(s.lids) > 3
+                  THEN len(s.lids) - 3 ELSE 0 END AS ncand,
+             CASE WHEN len(s.lids) > 3
+                  THEN list_min(list_transform(
+                         list_slice(s.lids, 1, len(s.lids) - 3),
+                         x -> ((x * 7) % 13) * 10000 + x)) % 10000
+                  ELSE s.lids[1] END AS tgt
+      FROM st s JOIN ea USING (sid) WHERE s.phase <> 'halt'
+    ) q1, LATERAL (
+      SELECT list_position(q1.lids, q1.tgt) AS pos,
+             q1.llv[list_position(q1.lids, q1.tgt)] AS tlvl,
+             list_position(q1.ids, q1.tgt) AS ei
+    ) q2
+  ) q3
+),
+halted AS MATERIALIZED (SELECT * FROM st WHERE phase = 'halt'),
+outrows AS (
+  SELECT sid, unnest(dids) AS id, unnest(dst) AS status, unnest(dlv) AS lvl
+  FROM halted
+  UNION ALL
+  SELECT sid, unnest(lids), 'kept', unnest(llv) FROM halted)
+SELECT o.sid AS session_id, CAST(o.id AS VARCHAR) AS id, o.status,
+       CAST(o.lvl AS INTEGER) AS compression_level,
+       CAST(CASE WHEN o.lvl >= 3 THEN e.t3 WHEN o.lvl = 2 THEN e.t2
+                 ELSE e.t0 END AS INTEGER) AS tokens
+FROM outrows o JOIN e ON e.sid = o.sid AND e.id = o.id
+"""
 
 
 def q_st1_memory_store(spark, sf_dir):
@@ -2484,7 +2624,7 @@ FROM reach GROUP BY node
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # -- hard / previously driver-unchecked core operators -----------------
     "st1_memory_store": (q_st1_memory_store, SQL_ST1),
-    "st4_session_push": (q_st4_session_push, None),
+    "st4_session_push": (q_st4_session_push, SQL_ST4),
     "st4_stream_push": (q_st4_stream_push, None),
     "pipeline_3stage": (q_pipeline_3stage, None),
     "t2_mmr_rerank": (q_t2_mmr_rerank, SQL_T2),
