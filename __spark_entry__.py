@@ -1536,8 +1536,12 @@ FROM clean, final WHERE list_contains(final.kept, nid) AND md >= 0.725
 
 def q_pipeline_3stage(spark, sf_dir):
     """§3.2 dedup→compress→summarize runner (pipeline.go:73-235) over
-    documents⋈embeddings — rows-only (composition of clustering +
-    text-transform stages; stage goldens live in tests)."""
+    documents⋈embeddings, oracled end-to-end by _sql_pipe(): semantic
+    CC dedupe (threshold 0.65, min-id labels, score-argmax reps) →
+    extractive@0.5 (sentences injected, same trick as C1) → summarize
+    with zero-epoch turns (everything but the last 5 lex ids goes to
+    keyword level; corpus text keeps importance < 0.7 so the paragraph
+    cap stays dead and paragraph_summary is identity — no newlines)."""
     import datetime as dt
 
     from distill_spark.plans.pipeline import PipelineOptions, run_pipeline
@@ -1546,7 +1550,8 @@ def q_pipeline_3stage(spark, sf_dir):
     chunks = (
         t["documents"].join(t["embeddings"],
                             t["documents"].doc_id == t["embeddings"].vec_id)
-        .select(F.col("doc_id").cast("string").alias("id"), "text", "embedding",
+        .select(F.col("doc_id").cast("string").alias("id"),
+                _inject_sentences(F.col("text")).alias("text"), "embedding",
                 (F.col("n_chars") / 1000.0).cast("float").alias("score"))
     )
     out, _stats = run_pipeline(
@@ -1555,6 +1560,91 @@ def q_pipeline_3stage(spark, sf_dir):
                         summarize_enabled=True, summarize_recent=5),
         now=dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc))
     return out.select("id", F.length("text").alias("n_chars_out"))
+
+
+def _sql_pipe() -> str:
+    """pipeline_3stage oracle: dedupe → compress → summarize chained in
+    one statement. Keyword extraction replicates keyword_summary
+    (hierarchy.go:250-268) — whitespace split, both-ends trim, len>=4
+    post-trim, stopword + first-seen-lowercase dedup, limit 12, ', '
+    join with original casing. Importance replicates importance.go over
+    the compressed text (always < 0.7 on this corpus, keeping the
+    paragraph branch dead, but encoded faithfully anyway)."""
+    from distill_spark.functions.textproc import (
+        DECISION_KEYWORDS, ERROR_KEYWORDS, HIERARCHY_STOPWORDS, _TRIM_CHARS)
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    trim_sql = esc(_TRIM_CHARS)
+    stop_sql = ", ".join(f"'{esc(w)}'" for w in sorted(HIERARCHY_STOPWORDS))
+    err_sql = " OR ".join(f"contains(lower(ctext), '{esc(k)}')"
+                          for k in ERROR_KEYWORDS)
+    dec_sql = " OR ".join(f"contains(lower(ctext), '{esc(k)}')"
+                          for k in DECISION_KEYWORDS)
+    extr = _sql_extractive(0.5, 50, "ctext", "text", from_sql="reps")
+    return f"""
+WITH RECURSIVE
+base AS MATERIALIZED (
+  SELECT CAST(d.doc_id AS VARCHAR) AS id, d.doc_id AS did,
+         {_SENT_INJECT_SQL} AS text,
+         CAST(d.n_chars / 1000.0 AS REAL) AS score, e.embedding AS v
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+pairs AS MATERIALIZED (
+  SELECT a.id AS ia, b.id AS ib FROM base a, base b
+  WHERE a.did <> b.did AND 1.0 - list_cosine_similarity(a.v, b.v) <= 0.65),
+reach(node, r) AS (
+  SELECT id, id FROM base
+  UNION
+  SELECT p.ib, reach.r FROM reach JOIN pairs p ON p.ia = reach.node),
+comp AS MATERIALIZED (
+  SELECT node AS id, min(r) AS cluster FROM reach GROUP BY node),
+repsel AS (
+  SELECT b.id, b.did, b.text,
+         row_number() OVER (PARTITION BY c.cluster
+                            ORDER BY b.score DESC, b.id ASC) AS rn
+  FROM base b JOIN comp c ON c.id = b.id),
+reps AS MATERIALIZED (SELECT did AS doc_id, id, text FROM repsel WHERE rn = 1),
+cmp AS MATERIALIZED (SELECT * FROM ({extr}) g),
+t1 AS MATERIALIZED (
+  SELECT r.id, c.ctext,
+         least(greatest(0.5
+           + CASE WHEN contains(c.ctext, '```') OR contains(c.ctext, chr(9))
+                  THEN 0.4 ELSE 0.0 END
+           + CASE WHEN {err_sql} THEN 0.3 ELSE 0.0 END
+           + CASE WHEN {dec_sql} THEN 0.2 ELSE 0.0 END
+           - CASE WHEN length(c.ctext) < 50 THEN 0.1 ELSE 0.0 END, 0.0), 1.0)
+           AS imp,
+         row_number() OVER (ORDER BY r.id ASC) AS trn,
+         count(*) OVER () AS tn
+  FROM reps r JOIN cmp c ON c.doc_id = r.doc_id),
+words AS (
+  SELECT t1.id, trim(u.w, '{trim_sql}') AS w, u.i
+  FROM t1, LATERAL (
+    SELECT unnest(list_filter(regexp_split_to_array(t1.ctext, '\\s+'),
+                              x -> x <> '')) AS w,
+           generate_subscripts(list_filter(
+               regexp_split_to_array(t1.ctext, '\\s+'), x -> x <> ''), 1) AS i
+  ) u),
+kws AS (
+  SELECT id, w, i,
+         row_number() OVER (PARTITION BY id, lower(w) ORDER BY i) AS dup_rn
+  FROM words
+  WHERE length(w) >= 4 AND lower(w) NOT IN ({stop_sql})),
+kw12 AS (
+  SELECT id, w, i, row_number() OVER (PARTITION BY id ORDER BY i) AS ord
+  FROM kws WHERE dup_rn = 1),
+kwagg AS (
+  SELECT id, string_agg(w, ', ' ORDER BY i) AS kw
+  FROM kw12 WHERE ord <= 12 GROUP BY id),
+fin AS (
+  SELECT t1.id,
+         CASE WHEN t1.trn > t1.tn - 5 THEN t1.ctext
+              WHEN t1.imp >= 0.7 THEN t1.ctext
+              ELSE coalesce(k.kw, '') END AS ftext
+  FROM t1 LEFT JOIN kwagg k ON k.id = t1.id)
+SELECT id, CAST(length(ftext) AS INT) AS n_chars_out FROM fin
+"""
 
 
 def q_c3_pruner(spark, sf_dir):
@@ -1687,12 +1777,14 @@ _C1_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
 
 
 def _sql_extractive(target_reduction: float, min_chunk: int, out_col: str,
-                    text_sql: str = "text") -> str:
+                    text_sql: str = "text", from_sql: str = "documents") -> str:
     """C1/C8 extractive compression as a windowed-SQL generator —
     single source of truth for both gates, parameterized exactly like
-    extractive_compress(text, target_reduction, min_chunk_length)."""
+    extractive_compress(text, target_reduction, min_chunk_length).
+    ``from_sql`` lets the pipeline oracle run the same machinery over
+    an intermediate CTE instead of the documents table."""
     return f"""
-WITH src AS (SELECT doc_id, {text_sql} AS text FROM documents),
+WITH src AS (SELECT doc_id, {text_sql} AS text FROM {from_sql}),
 sent AS (
   SELECT doc_id, text,
          list_filter(
@@ -1803,29 +1895,139 @@ FROM documents WHERE doc_id < 300
 def q_c5_hierarchy(spark, sf_dir):
     """C5 hierarchical summarization (summarize/hierarchy.go:27-172):
     age-cascade pass + token-budget pass per conversation, events-as-
-    turns keyed by user. Sequential per-group passes → rows-only
-    (exact semantics golden-tested in tests/test_summarize.py)."""
+    turns keyed by user.
+
+    Content is three deterministic two-word sentences, so every
+    compression level is closed-form (paragraph = no-op single line,
+    sentence = first two sentences, keywords = the 6 distinct words)
+    and the budget pass becomes a STATIC op list — level rounds are
+    monotone, so (level, turn) eligibility never depends on the replay
+    itself and SQL_C5 can find the stop point with one window cumsum.
+    now sits 2h before the last event so all four age levels occur;
+    system turns (importance 1.0) exercise the paragraph cap."""
     import datetime as dtm
 
     from distill_spark.operators.summarize import summarize_turns
 
     t = _tables(spark, sf_dir)
+    seq = F.col("event_id")
+
+    def w(prefix, mod):
+        return F.concat(F.lit(prefix), (seq % mod).cast("string"))
+
+    content = F.concat(
+        w("alphaaa", 9), F.lit(" "), w("betabbb", 7), F.lit(". "),
+        w("gammacc", 5), F.lit(" "), w("deltadd", 11), F.lit(". "),
+        w("omegaee", 8), F.lit(" "), w("kappaff", 13), F.lit("."))
     turns = t["events"].filter(F.col("user_id") < 40).select(
-        F.col("event_id").cast("string").alias("id"),
+        seq.cast("string").alias("id"),
         F.col("user_id").cast("string").alias("session_id"),
         F.element_at(
             F.array(F.lit("user"), F.lit("assistant"), F.lit("system")),
-            (F.col("event_id") % 3 + 1).cast("int")).alias("role"),
-        F.concat_ws(" ", "event_type", "props").alias("content"),
+            (seq % 3 + 1).cast("int")).alias("role"),
+        content.alias("content"),
         "ts",
         F.lit(0).alias("level"),
         F.lit(0.0).alias("importance"),
     )
     out = summarize_turns(
         turns,
-        now=dtm.datetime(2024, 1, 31, tzinfo=dtm.timezone.utc),
-        max_tokens=120, preserve_recent=3, group_col="session_id")
+        now=dtm.datetime(2024, 1, 30, 22, 0, 0, tzinfo=dtm.timezone.utc),
+        max_tokens=400, preserve_recent=3, group_col="session_id")
     return out.select("session_id", "id", "level", "tokens")
+
+
+# C5 oracle: pass 1 (age levels + importance cap) is a flat expression;
+# pass 2 replays as a static op list — op (L, turn) is eligible iff
+# pass1_level < L and not (importance>=0.7 and L>1), ordered by
+# (L, turn order), each op's token delta known statically because the
+# prior op on the same turn is always the (L-1) one. The executed set is
+# the prefix where the running total before the op still exceeds the
+# budget. Tokens per level are closed-form over the generated content.
+SQL_C5 = """
+WITH turns AS MATERIALIZED (
+  SELECT CAST(user_id AS VARCHAR) AS sid, CAST(event_id AS VARCHAR) AS id, ts,
+         CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'user'
+              WHEN 1 THEN 'assistant' ELSE 'system' END AS role,
+         'alphaaa' || CAST(event_id % 9 AS VARCHAR) ||
+         ' betabbb' || CAST(event_id % 7 AS VARCHAR) ||
+         '. gammacc' || CAST(event_id % 5 AS VARCHAR) ||
+         ' deltadd' || CAST(event_id % 11 AS VARCHAR) ||
+         '. omegaee' || CAST(event_id % 8 AS VARCHAR) ||
+         ' kappaff' || CAST(event_id % 13 AS VARCHAR) || '.' AS c0,
+         'alphaaa' || CAST(event_id % 9 AS VARCHAR) ||
+         ' betabbb' || CAST(event_id % 7 AS VARCHAR) ||
+         '. gammacc' || CAST(event_id % 5 AS VARCHAR) ||
+         ' deltadd' || CAST(event_id % 11 AS VARCHAR) || '.' AS c2,
+         'alphaaa' || CAST(event_id % 9 AS VARCHAR) ||
+         ', betabbb' || CAST(event_id % 7 AS VARCHAR) ||
+         ', gammacc' || CAST(event_id % 5 AS VARCHAR) ||
+         ', deltadd' || CAST(event_id % 11 AS VARCHAR) ||
+         ', omegaee' || CAST(event_id % 8 AS VARCHAR) ||
+         ', kappaff' || CAST(event_id % 13 AS VARCHAR) AS c3,
+         1706652000.0 - epoch(ts) AS age
+  FROM events WHERE user_id < 40),
+t1 AS MATERIALIZED (
+  SELECT *,
+         (length(replace(c0, ' ', '')) + 3) // 4 AS tk0,
+         (length(replace(c2, ' ', '')) + 3) // 4 AS tk2,
+         (length(replace(c3, ' ', '')) + 3) // 4 AS tk3,
+         CASE WHEN role = 'system' THEN 1.0
+              WHEN length(c0) < 50 THEN 0.4 ELSE 0.5 END AS imp,
+         row_number() OVER (PARTITION BY sid ORDER BY ts, id) AS rn,
+         count(*) OVER (PARTITION BY sid) AS n
+  FROM turns),
+t2 AS MATERIALIZED (
+  SELECT *, rn > n - 3 AS is_recent,
+         CASE WHEN rn > n - 3 THEN 0
+              WHEN imp >= 0.7 THEN least(1, CASE WHEN age >= 86400 THEN 3
+                   WHEN age >= 7200 THEN 2 WHEN age >= 1800 THEN 1 ELSE 0 END)
+              ELSE CASE WHEN age >= 86400 THEN 3 WHEN age >= 7200 THEN 2
+                   WHEN age >= 1800 THEN 1 ELSE 0 END END AS lvl1
+  FROM t1),
+t3 AS MATERIALIZED (
+  SELECT *, CASE lvl1 WHEN 2 THEN tk2 WHEN 3 THEN tk3 ELSE tk0 END AS tok1
+  FROM t2),
+tot AS (SELECT sid, sum(tok1) AS total1 FROM t3 GROUP BY sid),
+ops AS MATERIALIZED (
+  SELECT t3.sid, t3.rn, t3.id, l.lv, t3.lvl1,
+         CASE greatest(t3.lvl1, l.lv - 1)
+              WHEN 2 THEN tk2 WHEN 3 THEN tk3 WHEN 4 THEN 0 ELSE tk0 END
+         - CASE l.lv WHEN 2 THEN tk2 WHEN 3 THEN tk3 WHEN 4 THEN 0 ELSE tk0 END
+           AS delta
+  FROM t3 CROSS JOIN (VALUES (1),(2),(3),(4)) l(lv)
+  WHERE NOT t3.is_recent AND t3.lvl1 < l.lv
+    AND NOT (t3.imp >= 0.7 AND l.lv > 1)),
+run AS (
+  SELECT o.*, tot.total1,
+         row_number() OVER (PARTITION BY o.sid ORDER BY o.lv, o.rn) AS oi,
+         tot.total1 - sum(o.delta) OVER (PARTITION BY o.sid
+                                         ORDER BY o.lv, o.rn
+                                         ROWS UNBOUNDED PRECEDING) AS after_tot
+  FROM ops o JOIN tot ON tot.sid = o.sid
+  WHERE tot.total1 > 400),
+-- executed = the prefix up to and INCLUDING the first op whose running
+-- total crosses <= budget (the python loop breaks right after it; a
+-- later negative-delta op can push the total back over budget, so a
+-- pointwise after_tot test would spuriously resume execution)
+stop AS (SELECT sid, min(oi) AS stop_oi FROM run
+         WHERE after_tot <= 400 GROUP BY sid),
+executed AS (
+  SELECT run.* FROM run LEFT JOIN stop ON stop.sid = run.sid
+  WHERE stop.stop_oi IS NULL OR run.oi <= stop.stop_oi),
+fin AS (
+  SELECT t3.sid, t3.id,
+         greatest(t3.lvl1, coalesce(x.maxlv, 0)) AS lvl
+  FROM t3 LEFT JOIN (SELECT sid, id, max(lv) AS maxlv
+                     FROM executed GROUP BY sid, id) x
+    ON x.sid = t3.sid AND x.id = t3.id)
+SELECT fin.sid AS session_id, fin.id,
+       CAST(fin.lvl AS INT) AS level,
+       CAST(CASE fin.lvl WHEN 2 THEN t3.tk2 WHEN 3 THEN t3.tk3
+                 ELSE t3.tk0 END AS INT) AS tokens
+FROM fin JOIN t3 ON t3.sid = fin.sid AND t3.id = fin.id
+WHERE fin.lvl < 4
+"""
 
 
 def q_st2_recall(spark, sf_dir):
@@ -2626,14 +2828,14 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st1_memory_store": (q_st1_memory_store, SQL_ST1),
     "st4_session_push": (q_st4_session_push, SQL_ST4),
     "st4_stream_push": (q_st4_stream_push, None),
-    "pipeline_3stage": (q_pipeline_3stage, None),
+    "pipeline_3stage": (q_pipeline_3stage, _sql_pipe()),
     "t2_mmr_rerank": (q_t2_mmr_rerank, SQL_T2),
     "a2_kmeans_dedup": (q_a2_kmeans_dedup, None),
     "c1_extractive": (q_c1_extractive, SQL_C1),
     "c2_placeholder": (q_c2_placeholder, SQL_C2),
     "c3_pruner": (q_c3_pruner, _sql_c3()),
     "c4_compress_pipeline": (q_c4_compress_pipeline, _sql_c4()),
-    "c5_hierarchy": (q_c5_hierarchy, None),
+    "c5_hierarchy": (q_c5_hierarchy, SQL_C5),
     "c8_decay_transforms": (q_c8_decay_transforms, _sql_c8()),
     "f8_fnv1a": (q_f8_fnv1a, SQL_F8),
     "f13_embed_cache": (q_f13_embed_cache, SQL_F13),
