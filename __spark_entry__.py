@@ -1696,6 +1696,53 @@ def q_a2_kmeans_dedup(spark, sf_dir):
     return out.select(F.col("id").alias("vec_id"), "cluster_id", "is_medoid", "kept")
 
 
+def q_a2_kmeans_contract(spark, sf_dir):
+    """A2 medoid/prune contract, oracle-gated (dedup/kmeans.go:311-351):
+    the seeded assignment itself is not SQL-replicable (MLlib Lloyd vs
+    the reference's permutation init), but the output CONTRACT is —
+    for whatever assignment the operator produced, the medoid must be
+    the (cosine-dist-to-centroid, id)-argmin of its cluster and kept ⇔
+    medoid ∨ dist-to-medoid >= 0.05. The query re-derives both checks
+    from the OUTPUT rows with independent expressions; the oracle
+    asserts every row satisfies them."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.kmeans_dedup import kmeans_dedup
+
+    emb = t["embeddings"].select(F.col("vec_id").alias("id"),
+                                 F.col("embedding"))
+    out = kmeans_dedup(emb, k=10, prune_threshold=0.05, seed=42)
+
+    cents = (out.select("cluster_id", F.posexplode("embedding").alias("pos", "v"))
+             .groupBy("cluster_id", "pos").agg(F.avg("v").alias("m"))
+             .groupBy("cluster_id")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                 lambda s: s.m.cast("float")).alias("_c")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("cluster_id")
+    scored = (out.join(cents, "cluster_id")
+              .withColumn("_cd", vm.cosine_distance(F.col("embedding"), F.col("_c")))
+              .withColumn("_rn", F.row_number().over(
+                  w.orderBy(F.asc("_cd"), F.asc("id")))))
+    med = scored.filter(F.col("_rn") == 1).select(
+        "cluster_id", F.col("id").alias("_mid"),
+        F.col("embedding").alias("_mvec"))
+    checked = (scored.join(med, "cluster_id")
+               .withColumn("_medoid_ok",
+                           F.col("is_medoid") == (F.col("id") == F.col("_mid")))
+               .withColumn("_kept_ok",
+                           F.col("kept") == (F.col("is_medoid") |
+                                             (vm.cosine_distance(
+                                                 F.col("embedding"),
+                                                 F.col("_mvec")) >= 0.05))))
+    return checked.select(
+        F.col("id").alias("vec_id"),
+        (F.col("_medoid_ok") & F.col("_kept_ok")).alias("contract_ok"))
+
+
+SQL_A2C = "SELECT vec_id, true AS contract_ok FROM embeddings"
+
+
 def q_t2_mmr_rerank(spark, sf_dir):
     """T2 greedy MMR (mmr.go:50-135), oracled exactly: the greedy
     argmax recursion runs in SQL as a recursive CTE carrying the
@@ -2050,6 +2097,7 @@ def q_st2_recall(spark, sf_dir):
             F.lpad(F.col("vec_id").cast("string"), 4, "0").alias("id"),
             "text", "embedding",
             F.lit("").alias("source"), F.lit("").alias("session_id"),
+            F.lit(None).cast("map<string,string>").alias("metadata"),
             F.array().cast("array<string>").alias("tags"),
             F.lit(0).alias("decay_level"), F.lit(0).alias("sensitivity"),
             (F.lit(now_ts) - F.col("vec_id") * 3600.0).alias("created_at"),
@@ -2082,6 +2130,64 @@ ORDER BY relevance DESC, id ASC LIMIT 25
 """
 
 
+def q_p6_metadata_filter(spark, sf_dir):
+    """P6 generic metadata filter (qdrant/client.go:120-122,
+    types/chunk.go:77-78): recall over a store whose rows carry a
+    MAP<STRING,STRING> payload; two ANDed key=value conditions prune
+    before ranking. Seeded like st2_recall so the oracle can rank the
+    surviving rows in SQL (parity=even ∧ band=1 ⇔ vec_id ≡ 4 mod 6)."""
+    import tempfile
+
+    from distill_spark.memory import MEMORY_SCHEMA, MemoryStore
+
+    t = _tables(spark, sf_dir)
+    now_ts = 1706659200.0  # 2024-01-31 00:00:00 UTC
+    meta = F.create_map(
+        F.lit("parity"),
+        F.when(F.col("vec_id") % 2 == 0, F.lit("even")).otherwise(F.lit("odd")),
+        F.lit("band"), (F.col("vec_id") % 3).cast("string"))
+    seed = (
+        t["embeddings"].join(
+            t["documents"],
+            t["embeddings"].vec_id == t["documents"].doc_id)
+        .select(
+            F.lpad(F.col("vec_id").cast("string"), 4, "0").alias("id"),
+            "text", "embedding",
+            F.lit("").alias("source"), F.lit("").alias("session_id"),
+            meta.alias("metadata"),
+            F.array().cast("array<string>").alias("tags"),
+            F.lit(0).alias("decay_level"), F.lit(0).alias("sensitivity"),
+            (F.lit(now_ts) - F.col("vec_id") * 3600.0).alias("created_at"),
+            (F.lit(now_ts) - F.col("vec_id") * 3600.0).alias("last_referenced"),
+            F.lit(0).alias("access_count"), F.lit(False).alias("expired"),
+            F.lit(None).cast("double").alias("expired_at"),
+            F.lit(None).cast("string").alias("superseded_by"),
+            F.lit(None).cast("double").alias("expires_at"),
+        )
+    )
+    st = MemoryStore(spark, tempfile.mkdtemp(prefix="dsmeta_"))
+    st._write(seed.select(
+        *[F.col(f.name).cast(f.dataType) for f in MEMORY_SCHEMA.fields]))
+    qv = [float(x) for x in
+          t["embeddings"].filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = st.recall(qv, now=now_ts, recency_weight=0.3, max_results=30,
+                    touch=False, metadata={"parity": "even", "band": "1"})
+    return out.select("id", F.round("relevance", 6).alias("relevance"))
+
+
+SQL_P6 = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT lpad(CAST(e.vec_id AS VARCHAR), 4, '0') AS id,
+       round(least(0.7 * {{cos}}
+             + 0.3 * (CASE WHEN e.vec_id <= 0 THEN 1.0
+                           ELSE 1.0 / (1.0 + CAST(e.vec_id AS DOUBLE) / 24.0) END),
+             1.0), 6) AS relevance
+FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id, q
+WHERE e.vec_id % 2 = 0 AND e.vec_id % 3 = 1
+ORDER BY relevance DESC, id ASC LIMIT 30
+""".format(cos=_COS_SQL.format(a='e.embedding', b='qv'))
+
+
 def q_st2_recall_hints(spark, sf_dir):
     """ST2 read-side metadata (memory/sqlite.go:483-523): cache-boundary
     hint (stable ids = relevance ≥ 0.7 rank-ordered, confidence = mean
@@ -2101,6 +2207,7 @@ def q_st2_recall_hints(spark, sf_dir):
             F.lpad(F.col("vec_id").cast("string"), 4, "0").alias("id"),
             "text", "embedding",
             F.lit("").alias("source"), F.lit("").alias("session_id"),
+            F.lit(None).cast("map<string,string>").alias("metadata"),
             F.array().cast("array<string>").alias("tags"),
             F.lit(0).alias("decay_level"),
             F.pmod(F.col("vec_id"), F.lit(4)).cast("int").alias("sensitivity"),
@@ -2831,6 +2938,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pipeline_3stage": (q_pipeline_3stage, _sql_pipe()),
     "t2_mmr_rerank": (q_t2_mmr_rerank, SQL_T2),
     "a2_kmeans_dedup": (q_a2_kmeans_dedup, None),
+    "a2_kmeans_contract": (q_a2_kmeans_contract, SQL_A2C),
     "c1_extractive": (q_c1_extractive, SQL_C1),
     "c2_placeholder": (q_c2_placeholder, SQL_C2),
     "c3_pruner": (q_c3_pruner, _sql_c3()),
@@ -2849,6 +2957,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB),
     "st2_recall_hints": (q_st2_recall_hints, SQL_ST2_HINTS),
     "st8_diagnose": (q_st8_diagnose, SQL_ST8_DIAG),
+    "p6_metadata_filter": (q_p6_metadata_filter, SQL_P6),
     # -- fixed this round (r02 red rows) -----------------------------------
     "a7_session_tokens": (q_a7_session_tokens, SQL_A7),
     "st5_cache_boundary": (q_st5_cache_boundary, SQL_ST5),

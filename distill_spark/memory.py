@@ -87,6 +87,10 @@ MEMORY_SCHEMA = T.StructType([
     T.StructField("embedding", T.ArrayType(T.FloatType())),
     T.StructField("source", T.StringType()),
     T.StructField("session_id", T.StringType()),
+    # P6: arbitrary per-memory metadata (types/chunk.go:77-78); filtered
+    # key=value in recall like the reference's qdrant Match conditions
+    # (qdrant/client.go:120-122)
+    T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
     T.StructField("tags", T.ArrayType(T.StringType())),
     T.StructField("decay_level", T.IntegerType()),
     T.StructField("sensitivity", T.IntegerType()),
@@ -123,6 +127,18 @@ def live_filter(now_ts: float):
     return (~F.col("expired")) & (
         F.col("expires_at").isNull() | (F.col("expires_at") > F.lit(now_ts))
     )
+
+
+def metadata_predicate(metadata: dict[str, str], col: str = "metadata"):
+    """P6 generic metadata filter (qdrant/client.go:120-122): one Match
+    condition per key, ANDed — a row passes iff every requested key is
+    present with exactly the requested value. Null/absent maps fail
+    every condition, matching the reference's behavior for points
+    without the payload field."""
+    pred = F.lit(True)
+    for k, v in metadata.items():
+        pred = pred & (F.element_at(F.col(col), F.lit(k)) == F.lit(v))
+    return pred
 
 
 def _greedy_batch_dedup(pdf: pd.DataFrame, threshold: float) -> pd.DataFrame:
@@ -221,6 +237,9 @@ class MemoryStore:
             raise
         if "_bucket" not in df.columns:  # pre-bucketing snapshot layout
             df = df.withColumn("_bucket", self._bucket_of())
+        if "metadata" not in df.columns:  # pre-P6 snapshot layout
+            df = df.withColumn(
+                "metadata", F.lit(None).cast("map<string,string>"))
         return df
 
     def read(self) -> DataFrame:
@@ -314,6 +333,9 @@ class MemoryStore:
             new = new.withColumn("session_id", F.lit(session_id))
         if "expires_at" not in cols:
             new = new.withColumn("expires_at", F.lit(None).cast("double"))
+        if "metadata" not in cols:
+            new = new.withColumn(
+                "metadata", F.lit(None).cast("map<string,string>"))
         if "_order" not in cols:
             # callers may supply an explicit _order column to make the
             # within-batch dedup chain order deterministic across
@@ -377,7 +399,8 @@ class MemoryStore:
         )
 
         inserted = kept.select(
-            "id", "text", "embedding", "source", "session_id", "tags",
+            "id", "text", "embedding", "source", "session_id",
+            "metadata", "tags",
             F.lit(LEVEL_FULL).alias("decay_level"),
             textfn.sensitivity_level(F.col("text")).alias("sensitivity"),
             F.lit(now_ts).alias("created_at"),
@@ -421,14 +444,18 @@ class MemoryStore:
                recency_weight: float = 0.3, min_relevance: float = 0.0,
                boost_tags: list[str] | None = None, task_context: str = "",
                tags: list[str] | None = None, max_results: int = 10,
-               max_tokens: int = 0, touch: bool = True) -> DataFrame:
+               max_tokens: int = 0, touch: bool = True,
+               metadata: dict[str, str] | None = None) -> DataFrame:
         """W4 ranking + W5 budget take + read-side touch
-        (sqlite.go:282-481). Returns ranked rows with ``relevance``."""
+        (sqlite.go:282-481). Returns ranked rows with ``relevance``.
+        ``metadata`` adds the P6 key=value conditions before ranking."""
         now_ts = _ts(now)
         df = self.read().filter(live_filter(now_ts))
         if tags:
             df = df.filter(F.arrays_overlap(
                 "tags", F.array(*[F.lit(t) for t in tags])))
+        if metadata:
+            df = df.filter(metadata_predicate(metadata))
 
         qv = F.array(*[F.lit(float(x)) for x in query_embedding]).cast("array<float>")
         sim = cosine_similarity(F.col("embedding"), qv)
