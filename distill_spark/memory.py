@@ -194,12 +194,14 @@ class MemoryStore:
     def __init__(self, spark: SparkSession, path: str,
                  dedup_threshold: float = DEDUP_THRESHOLD,
                  conflict_threshold: float = CONFLICT_THRESHOLD,
-                 n_buckets: int = 64):
+                 n_buckets: int = 64,
+                 probe_broadcast_budget: int = 512 << 20):
         self.spark = spark
         self.path = path
         self.dedup_threshold = dedup_threshold
         self.conflict_threshold = conflict_threshold
         self.n_buckets = n_buckets
+        self.probe_broadcast_budget = probe_broadcast_budget
         os.makedirs(path, exist_ok=True)
 
     # -- snapshot plumbing -------------------------------------------------
@@ -311,6 +313,72 @@ class MemoryStore:
             _link_tree(os.path.join(prev, name), os.path.join(target, name))
         self._commit(v)
 
+    # -- ST1 probe ---------------------------------------------------------
+    def _probe_best(self, new: DataFrame, live: DataFrame) -> DataFrame:
+        """Nearest live memory per new row: (new_id, nearest_id,
+        min_dist). Exact broadcast-probe (new side broadcasts, the
+        store streams) while the live matrix fits the budget; above it
+        the probe prunes candidates with BucketedRandomProjectionLSH
+        inside the conflict radius and re-checks with true cosine —
+        the 100 TB path never scans the whole store per ingest batch.
+        Rows whose nearest candidate falls outside the radius come back
+        with NULL min_dist, which store_batch classifies as clean —
+        exactly what an exact probe would conclude. (The reference does
+        the full O(n) scan, sqlite.go:240-242; LSH candidates are a
+        subset, so a boundary neighbor can in principle be missed above
+        the gate — below it behavior is bit-identical.)"""
+        n, dim = live.agg(
+            F.count("*"), F.coalesce(F.max(F.size("ov")), F.lit(0))).first()
+        if n == 0 or dim == 0:
+            return self.spark.createDataFrame(
+                [], "new_id string, nearest_id string, min_dist double")
+        if n * dim * 8 <= self.probe_broadcast_budget:
+            probe = (
+                F.broadcast(new).crossJoin(live)
+                .select("new_id", "old_id",
+                        (F.lit(1.0) - cosine_similarity(
+                            F.col("nv"), F.col("ov"))).alias("d"))
+            )
+            return probe.groupBy("new_id").agg(
+                F.min_by("old_id", "d").alias("nearest_id"),
+                F.min("d").alias("min_dist"))
+
+        from pyspark.ml.feature import BucketedRandomProjectionLSH
+        from pyspark.ml.functions import array_to_vector
+
+        from distill_spark.functions import vectormath as vm
+
+        zeros = F.array_repeat(F.lit(0.0).cast("float"), dim)
+
+        def featurize(df, id_in, vec_in):
+            vec_ok = F.col(vec_in).isNotNull() & (F.size(vec_in) == dim)
+            feat = F.when(vec_ok, vm.normalize(F.col(vec_in))).otherwise(zeros)
+            return df.select(F.col(id_in), F.col(vec_in),
+                             array_to_vector(feat).alias("_feat"))
+
+        live_n = featurize(live, "old_id", "ov")
+        new_n = featurize(new, "new_id", "nv")
+        lsh = BucketedRandomProjectionLSH(
+            inputCol="_feat", outputCol="_hashes",
+            bucketLength=0.5, numHashTables=3, seed=42)
+        model = lsh.fit(live_n)
+        # cosine d < conflict_threshold ⇔ euclid on unit sphere <
+        # sqrt(2·cthr); anything outside the radius classifies clean
+        # regardless of its exact distance, so pruning there is lossless
+        eucl_t = float((2.0 * self.conflict_threshold) ** 0.5)
+        cand = (
+            model.approxSimilarityJoin(new_n, live_n, eucl_t, distCol="_eucl")
+            .select(F.col("datasetA.new_id").alias("new_id"),
+                    F.col("datasetB.old_id").alias("old_id"),
+                    (F.lit(1.0) - cosine_similarity(
+                        F.col("datasetA.nv"),
+                        F.col("datasetB.ov"))).alias("d"))
+            .filter(F.col("d") < self.conflict_threshold)
+        )
+        return cand.groupBy("new_id").agg(
+            F.min_by("old_id", "d").alias("nearest_id"),
+            F.min("d").alias("min_dist"))
+
     # -- ST1: store with write-time dedup + conflict detection -------------
     def store_batch(self, new_df: DataFrame, now: dt.datetime | float,
                     source: str = "", session_id: str = "") -> dict[str, DataFrame]:
@@ -346,17 +414,11 @@ class MemoryStore:
         existing = self.read()
         live = existing.filter(live_filter(now_ts)) if existing.columns else existing
 
-        # distributed probe: min distance of each new row vs live store
-        probe = (
-            F.broadcast(new.select(F.col("id").alias("new_id"),
-                                   F.col("embedding").alias("nv")))
-            .crossJoin(live.select(F.col("id").alias("old_id"),
-                                   F.col("embedding").alias("ov")))
-            .select("new_id", "old_id",
-                    (F.lit(1.0) - cosine_similarity(F.col("nv"), F.col("ov"))).alias("d"))
-        )
-        best = probe.groupBy("new_id").agg(
-            F.min_by("old_id", "d").alias("nearest_id"), F.min("d").alias("min_dist"))
+        best = self._probe_best(
+            new.select(F.col("id").alias("new_id"),
+                       F.col("embedding").alias("nv")),
+            live.select(F.col("id").alias("old_id"),
+                        F.col("embedding").alias("ov")))
 
         classified = new.join(best, new.id == best.new_id, "left").drop("new_id")
         store_dup = classified.filter(F.col("min_dist") < self.dedup_threshold)

@@ -48,6 +48,29 @@ class TestMemoryStore:
         assert table["a"].access_count == 1  # touched by the duplicate
         assert table["a"].last_referenced == pytest.approx(TS + 60)
 
+    def test_store_probe_lsh_path_matches_exact(self, spark, tmp_path):
+        """Above the broadcast budget the probe routes through LSH
+        candidate pruning; at small scale (where LSH with 3 tables
+        finds every neighbor) the verdicts must match the exact path
+        bit-for-bit."""
+        rows1 = [("a", "alpha", E1), ("b", "beta", E2)]
+        rows2 = [("c", "alpha again", E1B), ("d", "conflicty", E_CONF),
+                 ("e", "fresh", [0.0, 0.0, 1.0, 0.0])]
+        verdicts = {}
+        for name, budget in (("exact", 512 << 20), ("lsh", 1)):
+            st = MemoryStore(spark, str(tmp_path / f"mem_{name}"),
+                             probe_broadcast_budget=budget)
+            st.store_batch(_mk(spark, rows1), NOW)
+            r = st.store_batch(_mk(spark, rows2), NOW.timestamp() + 60)
+            verdicts[name] = (
+                {x.new_id: x.dup_of for x in r["duplicates"].collect()},
+                {x.new_id: x.conflict_with for x in r["conflicts"].collect()},
+                sorted(x.id for x in st.read().collect()),
+            )
+        assert verdicts["lsh"] == verdicts["exact"]
+        assert verdicts["exact"][0] == {"c": "a"}
+        assert verdicts["exact"][1] == {"d": "a"}
+
     def test_within_batch_first_wins_chain(self, spark, tmp_path):
         st = MemoryStore(spark, str(tmp_path / "mem"))
         r = st.store_batch(
