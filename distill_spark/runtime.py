@@ -49,12 +49,19 @@ def get_spark(
         # load_tables normalizes through the NTZ branch.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
-        # long-lived reused Python workers accumulate allocator state
-        # that degrades numpy throughput ~10x across a multi-query
-        # session (measured: flagship dedupe 97 s reused vs 8 s fresh);
-        # our pandas-UDF operators run few, large Arrow batches, so
-        # per-task worker spawn cost is noise by comparison
-        .config("spark.python.worker.reuse", "false")
+        # Reused Python workers save ~1-1.5 s of spawn + numpy import
+        # per pandas stage. Round 2 disabled reuse after measuring a
+        # ~10x numpy degradation across a session; re-measured this
+        # round (4 reps of the heaviest pandas queries, stable 1.7-2.8 s
+        # each) the degradation is gone — its real cause was fixed by
+        # the partition-count/state-release work, not reuse itself.
+        # BLAS stays pinned to one thread per worker: 32 concurrent
+        # workers each defaulting to n-cpu OpenBLAS threads would
+        # oversubscribe 1024 threads on big Arrow batches.
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )
