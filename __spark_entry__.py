@@ -599,13 +599,17 @@ def q_st9_cache_sim(spark, sf_dir):
     """ST9 LRU+TTL KV cache (cache/memory.go:27-267) as a sharded replay
     of the events access log: view/click -> Get, signup/purchase -> Set,
     error -> Delete. Per-shard entry caps force LRU evictions; 1h TTL
-    forces lazy expirations. Rows-only: a sequential stateful replay has
-    no ANSI-SQL oracle (semantics pinned by tests/test_cachesim.py)."""
+    forces lazy expirations. Shard = user_id % 8 (explicit, so SQL_ST9
+    can restate it — xxhash64 is JVM-only) and oracled by a recursive
+    CTE replaying one op per step per shard: with max_entries fixed the
+    LRU never exceeds the cap, so the eviction 'while' collapses to a
+    single conditional and no nested loop is needed."""
     from distill_spark.operators.cachesim import CacheSimConfig, simulate_cache
 
     t = _tables(spark, sf_dir)
     ops = t["events"].select(
         F.concat(F.lit("u"), F.col("user_id")).alias("key"),
+        F.pmod(F.col("user_id"), F.lit(8)).alias("shard"),
         F.when(F.col("event_type").isin("view", "click"), "get")
         .when(F.col("event_type") == "error", "delete")
         .otherwise("set")
@@ -616,6 +620,105 @@ def q_st9_cache_sim(spark, sf_dir):
     )
     cfg = CacheSimConfig(n_shards=8, max_entries=8, ttl_seconds=3600.0)
     return simulate_cache(ops, cfg).orderBy("shard")
+
+
+SQL_ST9 = """
+WITH RECURSIVE
+ops AS MATERIALIZED (
+  SELECT CAST(user_id % 8 AS INT) AS shard, 'u' || CAST(user_id AS VARCHAR) AS k,
+         CASE WHEN event_type IN ('view','click') THEN 'get'
+              WHEN event_type = 'error' THEN 'delete' ELSE 'set' END AS op,
+         epoch_us(ts) AS ts_us, event_id AS seq,
+         CAST(trunc(abs(value) * 100) AS BIGINT) AS vsz
+  FROM events),
+oa AS MATERIALIZED (
+  SELECT shard,
+         list(k ORDER BY ts_us, seq) AS ks,
+         list(op ORDER BY ts_us, seq) AS os,
+         list(ts_us ORDER BY ts_us, seq) AS tss,
+         list(vsz ORDER BY ts_us, seq) AS vs,
+         count(*) AS n
+  FROM ops GROUP BY shard),
+st AS (
+  SELECT shard, CAST(1 AS BIGINT) AS i,
+         CAST([] AS VARCHAR[]) AS lk, CAST([] AS BIGINT[]) AS lsz,
+         CAST([] AS BIGINT[]) AS lex, CAST(0 AS BIGINT) AS bts,
+         0 AS hits, 0 AS misses, 0 AS sets, 0 AS deletes,
+         0 AS evictions, 0 AS expirations
+  FROM oa
+  UNION ALL
+  SELECT shard, i + 1,
+         CASE WHEN op = 'get' AND pos > 0 AND NOT expd
+                THEN list_append(rmk, k)                 -- hit: move to front
+              WHEN (op = 'get' AND pos > 0 AND expd)
+                OR (op = 'delete' AND pos > 0) THEN rmk
+              WHEN op = 'set' THEN list_append(
+                CASE WHEN pos > 0 THEN rmk
+                     WHEN nl >= 8 THEN list_slice(lk, 2, nl) ELSE lk END, k)
+              ELSE lk END,
+         CASE WHEN op = 'get' AND pos > 0 AND NOT expd
+                THEN list_append(rms, lsz[pos])
+              WHEN (op = 'get' AND pos > 0 AND expd)
+                OR (op = 'delete' AND pos > 0) THEN rms
+              WHEN op = 'set' THEN list_append(
+                CASE WHEN pos > 0 THEN rms
+                     WHEN nl >= 8 THEN list_slice(lsz, 2, nl) ELSE lsz END, sz)
+              ELSE lsz END,
+         CASE WHEN op = 'get' AND pos > 0 AND NOT expd
+                THEN list_append(rme, lex[pos])
+              WHEN (op = 'get' AND pos > 0 AND expd)
+                OR (op = 'delete' AND pos > 0) THEN rme
+              WHEN op = 'set' THEN list_append(
+                CASE WHEN pos > 0 THEN rme
+                     WHEN nl >= 8 THEN list_slice(lex, 2, nl) ELSE lex END, xp)
+              ELSE lex END,
+         bts + CASE WHEN op = 'set' THEN sz
+                      - (CASE WHEN pos > 0 THEN lsz[pos]
+                              WHEN nl >= 8 THEN lsz[1] ELSE 0 END)
+                    WHEN pos > 0 AND (op = 'delete' OR (op = 'get' AND expd))
+                      THEN -lsz[pos]
+                    ELSE 0 END,
+         hits + CASE WHEN op = 'get' AND pos > 0 AND NOT expd THEN 1 ELSE 0 END,
+         misses + CASE WHEN op = 'get' AND (pos = 0 OR expd) THEN 1 ELSE 0 END,
+         sets + CASE WHEN op = 'set' THEN 1 ELSE 0 END,
+         deletes + CASE WHEN op = 'delete' AND pos > 0 THEN 1 ELSE 0 END,
+         evictions + CASE WHEN op = 'set' AND pos = 0 AND nl >= 8
+                          THEN 1 ELSE 0 END,
+         expirations + CASE WHEN op = 'get' AND pos > 0 AND expd
+                            THEN 1 ELSE 0 END
+  FROM (
+    SELECT s.*, q.op, q.k, q.pos, q.expd, q.sz, q.xp, q.nl,
+           CASE WHEN q.pos > 0 THEN list_concat(
+                  list_slice(s.lk, 1, q.pos - 1),
+                  list_slice(s.lk, q.pos + 1, q.nl)) ELSE s.lk END AS rmk,
+           CASE WHEN q.pos > 0 THEN list_concat(
+                  list_slice(s.lsz, 1, q.pos - 1),
+                  list_slice(s.lsz, q.pos + 1, q.nl)) ELSE s.lsz END AS rms,
+           CASE WHEN q.pos > 0 THEN list_concat(
+                  list_slice(s.lex, 1, q.pos - 1),
+                  list_slice(s.lex, q.pos + 1, q.nl)) ELSE s.lex END AS rme
+    FROM st s JOIN oa USING (shard), LATERAL (
+      SELECT oa.os[s.i] AS op, oa.ks[s.i] AS k,
+             coalesce(list_position(s.lk, oa.ks[s.i]), 0) AS pos,
+             len(s.lk) AS nl,
+             strlen(oa.ks[s.i]) + oa.vs[s.i] AS sz,
+             oa.tss[s.i] + 3600000000 AS xp,
+             coalesce(s.lex[list_position(s.lk, oa.ks[s.i])] <> 0
+                      AND oa.tss[s.i] > s.lex[list_position(s.lk, oa.ks[s.i])],
+                      FALSE) AS expd
+    ) q
+    WHERE s.i <= oa.n
+  ) u
+),
+fin AS (SELECT st.* FROM st JOIN oa USING (shard) WHERE st.i = oa.n + 1)
+SELECT shard, CAST(hits AS BIGINT) AS hits, CAST(misses AS BIGINT) AS misses,
+       CAST(sets AS BIGINT) AS sets, CAST(deletes AS BIGINT) AS deletes,
+       CAST(evictions AS BIGINT) AS evictions,
+       CAST(expirations AS BIGINT) AS expirations,
+       CAST(0 AS BIGINT) AS rejects,
+       CAST(len(lk) AS BIGINT) AS size, bts AS size_bytes
+FROM fin
+"""
 
 
 def q_j3_ann_topk(spark, sf_dir):
@@ -2295,14 +2398,51 @@ FROM src s LEFT JOIN fp f ON s.doc_id = f.doc_id
 
 
 def q_ann_lsh_buckets(spark, sf_dir):
-    """ANN scale path: LSH bucket assignment via seeded random
-    hyperplanes — seeded randomness → rows-only."""
+    """ANN scale path: sign-LSH bucket candidates + exact cosine
+    re-rank. Hyperplanes are DATA-DERIVED (table t = embeddings of
+    vec_id 100+10t .. 107+10t) instead of seeded-random, so SQL_LSH can
+    restate the exact bucket bits: bit i = dot(v, plane_i) > 0. Sign
+    margins are ~1e-2 — twelve orders above float64 summation noise."""
     t = _tables(spark, sf_dir)
+    import numpy as np
+
     from distill_spark.operators.similarity import lsh_bucket_topk
 
     emb = t["embeddings"]
+    plane_rows = {r.vec_id: r.embedding for r in
+                  emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 140)
+                             & (F.col("vec_id") % 10 < 8)).collect()}
+    planes_list = [
+        np.stack([np.asarray(plane_rows[100 + 10 * tb + i], dtype=np.float64)
+                  for i in range(8)])
+        for tb in range(4)]
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    return lsh_bucket_topk(emb, q, id_col="vec_id", vec_col="embedding", k=20)
+    return lsh_bucket_topk(emb, q, id_col="vec_id", vec_col="embedding", k=20,
+                           planes_list=planes_list)
+
+
+SQL_LSH = f"""
+WITH planes AS (
+  SELECT CAST((vec_id - 100) // 10 AS INT) AS tb,
+         CAST(vec_id % 10 AS INT) AS pi,
+         CAST(embedding AS DOUBLE[]) AS pv
+  FROM embeddings WHERE vec_id >= 100 AND vec_id < 140 AND vec_id % 10 < 8),
+bk AS (
+  SELECT e.vec_id, p.tb,
+         sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pv) > 0
+                  THEN 1 << p.pi ELSE 0 END) AS b
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.tb),
+qb AS (SELECT tb, b FROM bk WHERE vec_id = 0),
+cand AS (
+  SELECT DISTINCT bk.vec_id
+  FROM bk JOIN qb ON qb.tb = bk.tb AND qb.b = bk.b),
+qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round({_COS_SQL.format(a='e.embedding', b='qv.v')}, 6) AS sim
+FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id, qv
+ORDER BY sim DESC, e.vec_id ASC LIMIT 20
+"""
 
 
 def q_f3_euclidean(spark, sf_dir):
@@ -2764,8 +2904,10 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 
 def q_f12_tfidf_embed(spark, sf_dir):
     """F12 local corpus-fitted TF-IDF embedding provider (HashingTF +
-    IDF, deterministic murmur3) — distributed fit/transform; MLlib
-    internals not SQL-portable → rows-only (properties tested in
+    IDF, deterministic murmur3). MLlib's murmur3 bucketing is not
+    SQL-portable, so the oracle gates the output CONTRACT instead:
+    every doc embeds to a dim-32 unit vector (sq_norm 1.0 — the corpus
+    has no token-free texts; exact TF-IDF values are pytest-pinned in
     tests/test_graph_embed.py)."""
     from distill_spark.embed import embed_tfidf
 
@@ -2779,6 +2921,12 @@ def q_f12_tfidf_embed(spark, sf_dir):
                             lambda a, x: a + x.cast("double") * x.cast("double")), 4)
         .alias("sq_norm"),
         F.size("embedding").alias("dim"))
+
+
+SQL_F12 = """
+SELECT doc_id, 1.0 AS sq_norm, 32 AS dim
+FROM documents WHERE doc_id < 300
+"""
 
 
 def q_ann_ivf_batch(spark, sf_dir):
@@ -2965,9 +3113,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # -- remaining locally-verified / rows-only ----------------------------
     "f9_generate_id": (q_f9_generate_id, SQL_F9),
     "text_length_profile": (q_text_length_profile, SQL_LENPROF),
-    "ann_lsh_buckets": (q_ann_lsh_buckets, None),
-    "st9_cache_sim": (q_st9_cache_sim, None),
-    "f12_tfidf_embed": (q_f12_tfidf_embed, None),
+    "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_LSH),
+    "st9_cache_sim": (q_st9_cache_sim, SQL_ST9),
+    "f12_tfidf_embed": (q_f12_tfidf_embed, SQL_F12),
     # -- representative previously-green heavy hitters ---------------------
     "j1_pairwise_band": (q_j1_pairwise_band, SQL_J1),
     "j2_dedup_probe": (q_j2_dedup_probe, SQL_J2),

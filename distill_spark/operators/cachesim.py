@@ -135,13 +135,18 @@ def simulate_cache(ops: DataFrame, config: CacheSimConfig | None = None) -> Data
     to break timestamp ties deterministically. Returns one stats row per
     shard (STATS_SCHEMA) — aggregate for cluster totals.
 
-    Shard assignment is a deterministic JVM-side hash (xxhash64 % N), so
-    the replay partitions cleanly and identically at any scale.
+    Shard assignment defaults to a deterministic JVM-side hash
+    (xxhash64 % N) so the replay partitions cleanly and identically at
+    any scale; callers may instead supply their own ``shard`` column
+    (e.g. tenant id) — required for cross-engine oracle parity, since
+    xxhash64 exists only JVM-side.
     """
     cfg = config or CacheSimConfig()
     seq = F.col("seq") if "seq" in ops.columns else F.monotonically_increasing_id()
+    shard = (F.col("shard") if "shard" in ops.columns
+             else F.pmod(F.xxhash64("key"), F.lit(cfg.n_shards)))
     keyed = ops.select(
-        F.pmod(F.xxhash64("key"), F.lit(cfg.n_shards)).cast("int").alias("shard"),
+        shard.cast("int").alias("shard"),
         F.col("key").cast("string").alias("key"),
         F.col("op").cast("string").alias("op"),
         F.unix_micros(F.col("ts")).alias("ts_us"),

@@ -43,8 +43,8 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.normal(size=(n_planes, dim)).astype(np.float64)
 
 
-def _bucket_udf(dim: int, n_planes: int, seed: int):
-    planes = _hyperplanes(dim, n_planes, seed)
+def _bucket_udf(planes: np.ndarray):
+    n_planes = planes.shape[0]
 
     @F.pandas_udf(T.LongType())
     def bucket(s: pd.Series) -> pd.Series:
@@ -62,11 +62,19 @@ def lsh_bucket_topk(df: DataFrame, query: DataFrame, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     query_col: str = "qv", n_planes: int = 8,
                     n_tables: int = 4, dim: int = 64,
-                    seed: int = 42) -> DataFrame:
+                    seed: int = 42,
+                    planes_list: list | None = None) -> DataFrame:
     """Candidates from any of ``n_tables`` sign-LSH bucket matches,
     exact cosine re-rank of the candidates. Output ⊆ brute force
-    top-k (recall < 1 by design)."""
-    buckets = [(_bucket_udf(dim, n_planes, seed + t), t) for t in range(n_tables)]
+    top-k (recall < 1 by design). ``planes_list`` (one (n_planes, dim)
+    array per table) overrides the seeded random hyperplanes — e.g.
+    data-derived planes that an external oracle can restate."""
+    if planes_list is None:
+        planes_list = [_hyperplanes(dim, n_planes, seed + t)
+                       for t in range(n_tables)]
+    n_tables = len(planes_list)
+    buckets = [(_bucket_udf(np.asarray(p, dtype=np.float64)), t)
+               for t, p in enumerate(planes_list)]
     corpus = df.select(
         F.col(id_col), F.col(vec_col),
         *[b(F.col(vec_col)).alias(f"b{t}") for b, t in buckets],
