@@ -116,3 +116,131 @@ def test_c8_oracle_matches_udf_on_trigger_inputs(entry):
         assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
         changed += want[0] != inj
     assert changed >= 1, "no case exercised the summary path — vacuous"
+
+
+# ----------------------------------------------------------- ST4 replay
+
+
+def _st4_python(event_ids_by_session, max_tokens=25, thr=0.15, recent=3):
+    """Reference result for SQL_ST4's input construction, computed by
+    the REAL operator body (_enforce_one_session) in pure pandas."""
+    import numpy as np
+    import pandas as pd
+
+    from distill_spark.session import _enforce_one_session
+
+    def content(s):
+        if s % 37 == 0:
+            return "x" * 300
+        if s % 41 == 1:
+            return "y" * 85
+        return f"etype{s % 7}{'. ' if s % 2 == 0 else ' '}load{s % 100}"
+
+    def emb(s):
+        v = np.zeros(16, dtype=np.float32)
+        v[s % 16] = 1.0
+        return v.tolist()
+
+    out = {}
+    for sid, ids in event_ids_by_session.items():
+        ids = sorted(ids)
+        pdf = pd.DataFrame({
+            "session_id": str(sid), "id": [str(s) for s in ids],
+            "seq": ids, "role": "user",
+            "content": [content(s) for s in ids],
+            "original_content": None,
+            "embedding": [emb(s) for s in ids],
+            "importance": [((s * 7) % 13) / 13.0 for s in ids],
+            "compression_level": None, "tokens": None,
+            "content_hash": None, "inserted_at_push": None,
+            "stable_since_turn": None, "_new": True})
+        r = _enforce_one_session(pdf, max_tokens, thr, recent)
+        for _, row in r.iterrows():
+            out[(str(sid), row["id"])] = (
+                row["status"], int(row["compression_level"]), int(row["tokens"]))
+    return out
+
+
+def test_st4_oracle_matches_operator_on_adversarial_sessions(entry):
+    """SQL_ST4 vs the real enforce loop on sessions crafted to hit
+    every branch: rejection (%37), medium fallback-evict (%41==1),
+    same-class duplicates (%16 collisions), full compress cycles."""
+    sessions = {
+        1: [0, 1, 2, 3, 18, 19, 20, 33, 35, 37, 41, 48, 50, 64, 66, 82],
+        2: [111, 112, 113, 116, 127, 128, 129, 143, 144, 145, 148, 160],
+        3: [205, 206],  # tiny session: no enforcement at all
+    }
+    want = _st4_python(sessions)
+
+    con = duckdb.connect()
+    rows = [(sid, e) for sid, ids in sessions.items() for e in ids]
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(f"({u}, {e})" for u, e in rows)
+        + ") v(user_id, event_id)")
+    got = {(r[0], r[1]): (r[2], r[3], r[4]) for r in
+           con.execute(entry.SQL_ST4).fetchall()}
+    assert got == want
+    statuses = {v[0] for v in got.values()}
+    assert {"kept", "duplicate", "rejected_over_budget",
+            "evicted"} <= statuses, f"vacuous branch coverage: {statuses}"
+
+
+# ----------------------------------------------------------- ST9 replay
+
+
+def test_st9_oracle_matches_operator_on_adversarial_log(entry):
+    """SQL_ST9 vs the real LRU+TTL replay (_replay) on a log crafted to
+    hit hits, misses, update-in-place, LRU eviction, lazy expiration
+    and deletes."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from distill_spark.operators.cachesim import CacheSimConfig, _replay
+
+    base = dt.datetime(2024, 1, 1)
+    # one shard (user_id % 8 == 0); 12 keys force evictions at cap 8;
+    # a 2h gap forces expirations on the 1h TTL
+    evs = []
+    eid = 0
+    for uid in range(0, 96, 8):       # 12 distinct keys, shard 0
+        evs.append((uid, eid, "signup", 0.5, base + dt.timedelta(minutes=eid)))
+        eid += 1
+    for uid in (0, 8, 16, 88, 80):    # early keys evicted -> miss; late -> hit
+        evs.append((uid, eid, "view", 0.0, base + dt.timedelta(minutes=eid)))
+        eid += 1
+    evs.append((88, eid, "signup", 0.9, base + dt.timedelta(minutes=eid)))  # update in place
+    eid += 1
+    evs.append((80, eid, "error", 0.0, base + dt.timedelta(minutes=eid)))   # delete
+    eid += 1
+    for uid in (72, 64):              # after a 2h gap: lazy expirations
+        evs.append((uid, eid, "click", 0.0,
+                    base + dt.timedelta(hours=3, minutes=eid)))
+        eid += 1
+
+    cfg = CacheSimConfig(n_shards=8, max_entries=8, ttl_seconds=3600.0)
+    pdf = pd.DataFrame({
+        "op": ["get" if t in ("view", "click") else
+               "delete" if t == "error" else "set" for _, _, t, _, _ in evs],
+        "key": [f"u{u}" for u, _, _, _, _ in evs],
+        "value_size": [int(abs(v) * 100) for _, _, _, v, _ in evs],
+        "ts_us": [int(ts.timestamp() * 1_000_000) for _, _, _, _, ts in evs],
+        "op_seq": [e for _, e, _, _, _ in evs],
+    })
+    want = next(_replay([pdf], cfg)).iloc[0].to_dict()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({u}, {e}, '{t}', {v}, TIMESTAMP '{ts.isoformat(sep=' ')}')"
+            for u, e, t, v, ts in evs)
+        + ") v(user_id, event_id, event_type, value, ts)")
+    rows = con.execute(entry.SQL_ST9).fetchall()
+    assert len(rows) == 1 and rows[0][0] == 0
+    got = dict(zip(["hits", "misses", "sets", "deletes", "evictions",
+                    "expirations", "rejects", "size", "size_bytes"],
+                   rows[0][1:]))
+    assert got == {k: int(v) for k, v in want.items()}
+    assert got["evictions"] > 0 and got["expirations"] > 0 and got["hits"] > 0
