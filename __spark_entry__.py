@@ -595,6 +595,125 @@ FROM f
 """
 
 
+def q_decontam_benchmark(spark, sf_dir):
+    """Benchmark decontamination (training-data hygiene): flag corpus
+    docs (doc_id >= 40) sharing word 5-grams with the 'benchmark' set
+    (doc_id < 40). Broadcast shingle semi-join — the corpus never
+    shuffles. At sf0.01 the corpus contains near-duplicates of
+    benchmark docs, so both the partial-overlap and contaminated
+    branches fire."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.decontam import ngram_contamination
+
+    docs = t["documents"]
+    return ngram_contamination(
+        docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 400)),
+        docs.filter(F.col("doc_id") < 40),
+        n=5, min_overlap=0.5)
+
+
+SQL_DECONTAM = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tk
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS sh
+  FROM d, unnest(range(1, greatest(len(tk) - 4, 0) + 1)) t(i)
+  WHERE len(tk) >= 5),
+bench AS (SELECT DISTINCT sh FROM g WHERE doc_id < 40),
+corpus AS (SELECT * FROM g WHERE doc_id >= 40 AND doc_id < 400),
+c AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(count(*) FILTER (WHERE sh IN (SELECT sh FROM bench))
+              AS BIGINT) AS n_matched
+  FROM corpus GROUP BY doc_id)
+SELECT doc_id, n_shingles, n_matched,
+       round(n_matched * 1.0 / n_shingles, 6) AS overlap,
+       round(n_matched * 1.0 / n_shingles, 6) >= 0.5 AS contaminated
+FROM c
+UNION ALL
+SELECT d.doc_id, 0, 0, 0.0, FALSE
+FROM d LEFT JOIN c ON c.doc_id = d.doc_id
+WHERE d.doc_id >= 40 AND d.doc_id < 400 AND len(d.tk) < 5
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic domain-mix sampling (training-data primitive):
+    per-event_type hash-threshold fractions on a portable Knuth
+    multiplicative hash of event_id — layout-independent, retry-safe,
+    pure scan predicate (no shuffle), exactly restated by the oracle."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.sampling import stratified_sample
+
+    out = stratified_sample(
+        t["events"], {"view": 0.5, "click": 0.2, "error": 1.0},
+        strata_col="event_type", key_col="event_id",
+        default_fraction=0.05, mode="portable")
+    return out.select("event_id", "event_type")
+
+
+_M31 = 1 << 31
+SQL_SAMPLE = f"""
+SELECT event_id, event_type
+FROM events
+WHERE ((event_id % {_M31}) * 2654435761) % {_M31} <
+      CASE event_type WHEN 'view' THEN {int(0.5 * _M31)}
+           WHEN 'click' THEN {int(0.2 * _M31)}
+           WHEN 'error' THEN {int(1.0 * _M31)}
+           ELSE {int(0.05 * _M31)} END
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing (training-shard builder): per-user
+    streams of events packed into 256-token bins in event_id order;
+    every 53rd event is a 300-token jumbo exercising the
+    over-budget-document convention (own bin). The greedy reset is
+    sequential per stream (applyInPandas) and replayed one document
+    per step by the oracle's recursive CTE."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.packing import pack_sequences
+
+    docs = t["events"].select(
+        "user_id", "event_id",
+        F.when(F.col("event_id") % 53 == 0, F.lit(300))
+         .otherwise(1 + F.col("event_id") % 97).cast("int").alias("tokens"))
+    out = pack_sequences(docs, budget=256, order_col="event_id",
+                         token_col="tokens", group_col="user_id")
+    return out.select("user_id", "event_id", "bin", "bin_fill")
+
+
+SQL_PACK = """
+WITH RECURSIVE
+e AS MATERIALIZED (
+  SELECT user_id AS uid, event_id AS id,
+         CASE WHEN event_id % 53 = 0 THEN 300
+              ELSE 1 + event_id % 97 END AS tk
+  FROM events),
+ea AS MATERIALIZED (
+  SELECT uid, list(id ORDER BY id) AS ids, list(tk ORDER BY id) AS tks,
+         count(*) AS n
+  FROM e GROUP BY uid),
+st AS (
+  SELECT uid, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS bin,
+         CAST(0 AS BIGINT) AS fill
+  FROM ea
+  UNION ALL
+  SELECT s.uid, s.i + 1,
+         CASE WHEN s.fill > 0 AND s.fill + ea.tks[s.i + 1] > 256
+              THEN s.bin + 1 ELSE s.bin END,
+         CASE WHEN s.fill > 0 AND s.fill + ea.tks[s.i + 1] > 256
+              THEN ea.tks[s.i + 1] ELSE s.fill + ea.tks[s.i + 1] END
+  FROM st s JOIN ea USING (uid) WHERE s.i < ea.n
+)
+SELECT uid AS user_id, ea.ids[st.i] AS event_id, st.bin, st.fill AS bin_fill
+FROM st JOIN ea USING (uid) WHERE st.i >= 1
+"""
+
+
 def q_st9_cache_sim(spark, sf_dir):
     """ST9 LRU+TTL KV cache (cache/memory.go:27-267) as a sharded replay
     of the events access log: view/click -> Get, signup/purchase -> Set,
@@ -3121,20 +3240,24 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "j2_dedup_probe": (q_j2_dedup_probe, SQL_J2),
     "j3_ann_topk": (q_j3_ann_topk, SQL_J3),
     "a1_cluster_cc": (q_a1_cluster_cc, SQL_A1),
-    "a3_centroids": (q_a3_centroids, SQL_A3),
     "a4_select_rep": (q_a4_select_rep, SQL_A4),
     "st2_recall": (q_st2_recall, SQL_ST2),
     "st3_decay_levels": (q_st3_decay_levels, SQL_ST3),
     "g3_blast_radius": (q_g3_blast_radius, SQL_G3),
     "dedup_minhash": (q_dedup_minhash, SQL_MINHASH),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_JACCARD),
-    "events_tumbling": (q_events_tumbling, SQL_TUMBLING),
     "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
     "mm_features": (q_mm_features, SQL_MM),
+    # -- training-pipeline ops added round 3 -------------------------------
+    "decontam_benchmark": (q_decontam_benchmark, SQL_DECONTAM),
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE),
+    "pack_sequences": (q_pack_sequences, SQL_PACK),
+    # -------- position >50: long-proven trivia (still pytest-gated) -------
+    "events_tumbling": (q_events_tumbling, SQL_TUMBLING),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_JACCARD),
+    "a3_centroids": (q_a3_centroids, SQL_A3),
     "w4_recall_ranking": (q_w4_recall_ranking, SQL_W4),
     "w5_budget_take": (q_w5_budget_take, SQL_W5),
-    # -------- position >50: long-proven trivia (still pytest-gated) -------
     "a5_cluster_sizes": (q_a5_cluster_sizes, SQL_A5),
     "a6_doc_stats": (q_a6_doc_stats, SQL_A6),
     "a8_word_churn": (q_a8_word_churn, SQL_A8),

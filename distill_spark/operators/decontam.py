@@ -1,0 +1,86 @@
+"""Benchmark decontamination for training-data pipelines.
+
+A standard LLM-training hygiene step (documented in GPT-3/PaLM/Llama
+training reports): flag training documents that share long word
+n-grams with an evaluation/benchmark set, so eval answers don't leak
+into training. Spark-first shape: both sides shingle into word
+n-grams, the match is a shingle equi-join (never a document cross
+join), and per-document overlap is one aggregation:
+
+    overlap = |distinct shingles of doc ∩ benchmark shingle set|
+              / |distinct shingles of doc|
+
+The benchmark shingle set is typically tiny relative to the corpus
+(thousands of eval items vs billions of docs) — Spark broadcasts it,
+so at 100 TB the corpus streams through a broadcast-hash semi-join
+with no shuffle of the corpus side at all.
+
+Tokenization matches the engine's other text ops: lowercase, split on
+non-alphanumeric runs (textproc-style), drop empties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _word_shingles(text_col, n: int):
+    """Distinct word n-grams of ``text_col`` as an array<string>."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(text_col, F.lit(""))), r"[^a-z0-9]+"),
+        lambda x: x != "")
+    # guard: Spark's sequence(1, 0) infers step -1 instead of returning
+    # an empty array, so short texts need an explicit empty branch
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_overlap: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per corpus document: distinct-shingle count, how many of them
+    appear anywhere in the benchmark set, the overlap fraction, and a
+    ``contaminated`` flag (overlap >= min_overlap). Documents shorter
+    than n words have zero shingles and are trivially clean.
+    Output: (id, n_shingles, n_matched, overlap, contaminated)."""
+    bench_shingles = (
+        benchmark.select(F.explode(_word_shingles(F.col(text_col), n))
+                         .alias("shingle"))
+        .distinct()
+    )
+    doc_shingles = corpus.select(
+        F.col(id_col),
+        F.explode(_word_shingles(F.col(text_col), n)).alias("shingle"))
+    # broadcast semi-join: the benchmark side is small by construction
+    matched = (
+        doc_shingles.join(F.broadcast(bench_shingles), "shingle", "semi")
+        .groupBy(id_col).agg(F.count("*").alias("n_matched"))
+    )
+    totals = doc_shingles.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"))
+    out = (
+        totals.join(matched, id_col, "left")
+        .withColumn("n_matched", F.coalesce("n_matched", F.lit(0)))
+        .withColumn("overlap",
+                    F.round(F.col("n_matched") / F.col("n_shingles"), 6))
+        .withColumn("contaminated", F.col("overlap") >= min_overlap)
+    )
+    # docs with zero shingles (shorter than n words) are absent from
+    # doc_shingles — reattach them as trivially clean
+    short = (corpus.select(id_col).join(totals.select(id_col), id_col,
+                                        "left_anti")
+             .withColumn("n_shingles", F.lit(0).cast("long"))
+             .withColumn("n_matched", F.lit(0).cast("long"))
+             .withColumn("overlap", F.lit(0.0))
+             .withColumn("contaminated", F.lit(False)))
+    return out.unionByName(short)

@@ -1,0 +1,59 @@
+"""Greedy sequence packing for training-data pipelines.
+
+Builders of LLM training shards pack variable-length documents into
+fixed token budgets (context windows) to minimize padding. The exact
+greedy fill — walk documents in order, start a new bin whenever the
+next document would overflow the budget — is inherently sequential
+PER STREAM, so it runs under ``applyInPandas`` keyed by a stream
+column (source, shard, conversation, ...): thousands of streams pack
+in parallel, each exactly.
+
+An over-budget single document gets a bin of its own (the common
+convention — splitting/truncation is a separate op). Order within a
+stream is the caller's ``order_col`` — deterministic, not partition
+layout.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    order_col: str,
+    token_col: str = "tokens",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Adds ``bin`` (0-based per group) and ``bin_fill`` (tokens in
+    the bin up to and including this row)."""
+    gcol = group_col or "_g"
+    src = df if group_col else df.withColumn(gcol, F.lit(0))
+    schema = T.StructType(
+        list(src.schema.fields)
+        + [T.StructField("bin", T.LongType()),
+           T.StructField("bin_fill", T.LongType())]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        bins, fills = [], []
+        cur_bin, cur_fill = 0, 0
+        for t in pdf[token_col].fillna(0).astype(int):
+            if cur_fill > 0 and cur_fill + t > budget:
+                cur_bin += 1
+                cur_fill = 0
+            cur_fill += t
+            bins.append(cur_bin)
+            fills.append(cur_fill)
+        out = pdf.copy()
+        out["bin"] = bins
+        out["bin_fill"] = fills
+        return out
+
+    out = src.groupBy(gcol).applyInPandas(run, schema=schema)
+    return out if group_col else out.drop(gcol)

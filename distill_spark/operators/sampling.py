@@ -1,0 +1,76 @@
+"""Deterministic (hash-threshold) sampling for training-data mixes.
+
+Training pipelines don't want `df.sample()` — its Bernoulli draw
+changes across runs, retries, and partition layouts. The standard
+scale pattern is a KEY-HASH THRESHOLD: keep a row iff
+``h(key) mod M < fraction * M``. Properties that matter at 100 TB:
+
+- deterministic and layout-independent (same keys survive on any
+  cluster, any partitioning, any retry),
+- consistent across tables (joining two tables both sampled on the
+  same key keeps matching rows),
+- a pure column predicate → pushes into the scan, no shuffle.
+
+Two hash modes: ``xxhash64`` (JVM, fastest, default) and ``portable``
+(Knuth multiplicative hash on a BIGINT key — exactly reproducible in
+any engine with 64-bit integer arithmetic, used by the cross-engine
+oracle gates). Stratified mixes (per-domain fractions) are one
+``when`` cascade over the same predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_M = 1 << 31
+_KNUTH = 2654435761  # 2^32 * (golden ratio - 1), Knuth multiplicative
+
+
+def hash_bucket(key, mode: str = "xxhash64", salt: int = 0) -> Column:
+    """Deterministic bucket in [0, 2^31) for a key column.
+
+    ``portable`` requires an integral key and uses
+    ((key mod 2^31 + salt) * KNUTH) mod 2^31 — products stay under
+    2^63, so the arithmetic is exact in any BIGINT engine."""
+    col = F.col(key) if isinstance(key, str) else key
+    if mode == "xxhash64":
+        return F.pmod(F.xxhash64(col, F.lit(salt)), F.lit(_M))
+    if mode == "portable":
+        k = F.pmod(col.cast("long"), F.lit(_M)) + F.lit(salt)
+        return F.pmod(k * F.lit(_KNUTH), F.lit(_M))
+    raise ValueError(f"unknown hash mode {mode!r}")
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str,
+    mode: str = "xxhash64",
+    salt: int = 0,
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash (see module
+    docstring). fraction >= 1 keeps everything; <= 0 keeps nothing."""
+    if fraction >= 1.0:
+        return df
+    thresh = int(fraction * _M)
+    return df.filter(hash_bucket(key_col, mode, salt) < F.lit(thresh))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    default_fraction: float = 0.0,
+    mode: str = "xxhash64",
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum hash-threshold sampling — the domain-mixing
+    primitive (e.g. keep 100% wiki, 30% web, 5% logs). One predicate,
+    no shuffle, deterministic."""
+    thresh = F.lit(int(default_fraction * _M))
+    for value, frac in fractions.items():
+        thresh = F.when(F.col(strata_col) == value,
+                        F.lit(int(frac * _M))).otherwise(thresh)
+    return df.filter(hash_bucket(key_col, mode, salt) < thresh)

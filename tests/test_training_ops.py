@@ -1,0 +1,97 @@
+"""Training-pipeline operators: decontamination, deterministic
+sampling, sequence packing — edge cases the driver corpus doesn't hit."""
+
+from pyspark.sql import functions as F
+
+from distill_spark.operators.decontam import ngram_contamination
+from distill_spark.operators.packing import pack_sequences
+from distill_spark.operators.sampling import (
+    deterministic_sample,
+    stratified_sample,
+)
+
+
+class TestDecontam:
+    def test_overlap_and_short_docs(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "completely different words here nothing shared at all"),
+             (3, "too short"),  # < n words -> zero shingles, clean
+             (4, None)],
+            "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps high")],
+            "doc_id long, text string")
+        out = {r.doc_id: r for r in
+               ngram_contamination(corpus, bench, n=5, min_overlap=0.4)
+               .collect()}
+        assert set(out) == {1, 2, 3, 4}
+        # doc 1: shingles of len-9 text = 5; 'the quick brown fox jumps'
+        # is the single benchmark match -> 1/5
+        assert out[1].n_shingles == 5 and out[1].n_matched == 1
+        assert abs(out[1].overlap - 0.2) < 1e-9 and not out[1].contaminated
+        assert out[2].n_matched == 0 and not out[2].contaminated
+        assert out[3].n_shingles == 0 and not out[3].contaminated
+        assert out[4].n_shingles == 0 and not out[4].contaminated
+
+    def test_full_duplicate_is_contaminated(self, spark):
+        text = "alpha beta gamma delta epsilon zeta eta theta"
+        corpus = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        bench = spark.createDataFrame([(9, text)], "doc_id long, text string")
+        r = ngram_contamination(corpus, bench, n=5).collect()[0]
+        assert r.overlap == 1.0 and r.contaminated
+
+
+class TestSampling:
+    def test_deterministic_and_layout_independent(self, spark):
+        df = spark.range(0, 2000).withColumnRenamed("id", "k")
+        a = sorted(r.k for r in
+                   deterministic_sample(df, 0.3, "k", mode="portable").collect())
+        b = sorted(r.k for r in
+                   deterministic_sample(df.repartition(13), 0.3, "k",
+                                        mode="portable").collect())
+        assert a == b and 0.2 < len(a) / 2000 < 0.4
+        # xxhash64 mode: same guarantees, different selection
+        c = sorted(r.k for r in deterministic_sample(df, 0.3, "k").collect())
+        d = sorted(r.k for r in
+                   deterministic_sample(df.repartition(7), 0.3, "k").collect())
+        assert c == d and 0.2 < len(c) / 2000 < 0.4
+
+    def test_stratified_fractions(self, spark):
+        df = spark.range(0, 3000).select(
+            F.col("id").alias("k"),
+            F.element_at(F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                         (F.col("id") % 3 + 1).cast("int")).alias("s"))
+        out = stratified_sample(df, {"a": 1.0, "b": 0.0}, "s", "k",
+                                default_fraction=0.5, mode="portable")
+        by = {r[0]: r[1] for r in out.groupBy("s").count().collect()}
+        assert by["a"] == 1000 and "b" not in by
+        assert 300 < by["c"] < 700
+
+
+class TestPacking:
+    def test_greedy_fill_and_jumbo(self, spark):
+        rows = [(1, i, t) for i, t in enumerate([100, 100, 100, 250, 300, 10])]
+        df = spark.createDataFrame(rows, "g long, seq long, tokens int")
+        out = {r.seq: (r.bin, r.bin_fill) for r in
+               pack_sequences(df, budget=256, order_col="seq",
+                              group_col="g").collect()}
+        # 100+100=200 fits; +100 overflows -> bin1; 250 overflows -> bin2;
+        # 300 (jumbo > budget) -> own bin3; 10 -> bin4 (300 already over)
+        assert out == {0: (0, 100), 1: (0, 200), 2: (1, 100), 3: (2, 250),
+                       4: (3, 300), 5: (4, 10)}
+
+    def test_jumbo_first_keeps_bin_zero(self, spark):
+        df = spark.createDataFrame([(1, 0, 500), (1, 1, 10)],
+                                   "g long, seq long, tokens int")
+        out = {r.seq: r.bin for r in
+               pack_sequences(df, budget=256, order_col="seq",
+                              group_col="g").collect()}
+        assert out == {0: 0, 1: 1}
+
+    def test_ungrouped_single_stream(self, spark):
+        df = spark.createDataFrame([(i, 128) for i in range(5)],
+                                   "seq long, tokens int")
+        out = pack_sequences(df, budget=256, order_col="seq")
+        bins = [r.bin for r in out.orderBy("seq").collect()]
+        assert bins == [0, 0, 1, 1, 2]
