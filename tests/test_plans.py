@@ -152,3 +152,28 @@ def test_no_row_at_a_time_udfs():
             if re.search(r"\bF\.udf\s*\(|\bfunctions\.udf\s*\(", code):
                 offenders.append(f"{p.name}:{i}")
     assert not offenders, f"row-at-a-time UDFs found: {offenders}"
+
+
+def test_sample_predicate_is_scan_level(spark, queries):
+    """Deterministic sampling must stay a pure scan predicate — a
+    shuffle or exchange before the filter would defeat the point."""
+    p = _plan(spark, queries["sample_stratified"](spark, SF_DIR))
+    assert "Exchange" not in p
+    assert "Filter" in p and "Scan parquet" in p
+
+
+def test_decontam_benchmark_side_broadcasts(spark, queries):
+    """The benchmark shingle set must broadcast into a semi-join; the
+    corpus side streaming through a SortMergeJoin would shuffle the
+    whole corpus at scale."""
+    p = _plan(spark, queries["decontam_benchmark"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_pack_sequences_one_shuffle(spark, queries):
+    """Packing shuffles once (hash by stream) into applyInPandas —
+    any second Exchange means the group key leaked."""
+    p = _plan(spark, queries["pack_sequences"](spark, SF_DIR))
+    # formatted explain lists each node twice (tree + detail section)
+    assert p.count("+- Exchange") == 1
+    assert "FlatMapGroupsInPandas" in p
