@@ -133,6 +133,11 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # concurrent = 4 queries in flight under the FAIR scheduler
+        # (engine-throughput measurement; per-query numbers include
+        # contention); sequential = one at a time, comparable to the
+        # per-query floors of rounds 1-2
+        "mode": "sequential" if sequential else "concurrent",
     }), flush=True)
 
 
