@@ -1,0 +1,183 @@
+"""Telemetry: spans + metrics (reference pkg/telemetry, pkg/metrics).
+
+The reference emits OTel spans per request (`distill.request` →
+`distill.embedding` / `distill.clustering` / `distill.selection` /
+`distill.mmr` / `distill.retrieval`, reference README span table) and
+Prometheus counters/histograms (metrics.go: distill_requests_total,
+distill_request_duration_seconds, distill_chunks_processed_total,
+distill_reduction_ratio, distill_clusters_formed_total, ...). The
+OTLP/HTTP exporters are transport; the ENGINE contract is the span
+tree and the metric families. This module reproduces those:
+
+- :class:`Tracer` — nested spans via context manager, wall-clock
+  latency, attributes, `distill.result.*` result attributes on the
+  root span; an ``exporter`` callback is the OTel seam (a deployment
+  registers its OTLP writer; tests read ``spans``).
+- :class:`Metrics` — the reference's metric families as plain
+  counters/gauges/histograms with a Prometheus-text renderer
+  (``render_prometheus``) as the scrape seam.
+- :func:`traced_dedupe` — the flagship pipeline wrapped in the
+  reference's exact span names and result attributes.
+
+Clock injection (``clock=``) keeps tests deterministic — the same
+explicit-time discipline as the rest of the engine (SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+import time
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+SPAN_REQUEST = "distill.request"
+SPAN_EMBEDDING = "distill.embedding"
+SPAN_CLUSTERING = "distill.clustering"
+SPAN_SELECTION = "distill.selection"
+SPAN_MMR = "distill.mmr"
+SPAN_RETRIEVAL = "distill.retrieval"
+
+
+@dataclass
+class Span:
+    name: str
+    attributes: dict[str, Any] = field(default_factory=dict)
+    parent: str | None = None
+    start: float = 0.0
+    end: float = 0.0
+    status: str = "ok"
+
+    @property
+    def latency_ms(self) -> float:
+        return (self.end - self.start) * 1000.0
+
+
+class Tracer:
+    """Collects a span tree; ``exporter`` fires per finished span."""
+
+    def __init__(self, exporter: Callable[[Span], None] | None = None,
+                 clock: Callable[[], float] = time.monotonic):
+        self.spans: list[Span] = []
+        self._stack: list[Span] = []
+        self._exporter = exporter
+        self._clock = clock
+
+    @contextmanager
+    def span(self, name: str, **attributes: Any):
+        s = Span(name=name, attributes=dict(attributes),
+                 parent=self._stack[-1].name if self._stack else None,
+                 start=self._clock())
+        self._stack.append(s)
+        try:
+            yield s
+        except Exception:
+            s.status = "error"
+            raise
+        finally:
+            s.end = self._clock()
+            self._stack.pop()
+            self.spans.append(s)
+            if self._exporter:
+                self._exporter(s)
+
+    def root(self) -> Span | None:
+        roots = [s for s in self.spans if s.parent is None]
+        return roots[-1] if roots else None
+
+
+class Metrics:
+    """The reference's metric families (metrics.go) as in-process
+    counters; ``render_prometheus`` is the scrape-endpoint seam."""
+
+    def __init__(self):
+        self.counters: dict[tuple[str, tuple], float] = {}
+        self.gauges: dict[tuple[str, tuple], float] = {}
+        self.histograms: dict[tuple[str, tuple], list[float]] = {}
+
+    @staticmethod
+    def _key(name: str, labels: dict[str, str] | None):
+        return name, tuple(sorted((labels or {}).items()))
+
+    def inc(self, name: str, value: float = 1.0,
+            labels: dict[str, str] | None = None) -> None:
+        k = self._key(name, labels)
+        self.counters[k] = self.counters.get(k, 0.0) + value
+
+    def set_gauge(self, name: str, value: float,
+                  labels: dict[str, str] | None = None) -> None:
+        self.gauges[self._key(name, labels)] = value
+
+    def observe(self, name: str, value: float,
+                labels: dict[str, str] | None = None) -> None:
+        self.histograms.setdefault(self._key(name, labels), []).append(value)
+
+    def render_prometheus(self) -> str:
+        """Prometheus text exposition (counters/gauges; histograms as
+        _count/_sum — buckets are the scraper's concern here)."""
+        out = []
+
+        def fmt(name, lbls, v):
+            lab = ",".join(f'{k}="{v_}"' for k, v_ in lbls)
+            return f"{name}{{{lab}}} {v:g}" if lab else f"{name} {v:g}"
+
+        for (name, lbls), v in sorted(self.counters.items()):
+            out.append(fmt(name, lbls, v))
+        for (name, lbls), v in sorted(self.gauges.items()):
+            out.append(fmt(name, lbls, v))
+        for (name, lbls), vs in sorted(self.histograms.items()):
+            out.append(fmt(name + "_count", lbls, len(vs)))
+            out.append(fmt(name + "_sum", lbls, sum(vs)))
+        return "\n".join(out) + "\n"
+
+
+def traced_dedupe(chunks, cfg=None, tracer: Tracer | None = None,
+                  metrics: Metrics | None = None, endpoint: str = "/v1/dedupe"):
+    """The §3.1 flagship with the reference's span names and result
+    attributes (README span table; api.go handleDedupe). Returns
+    (result_df, tracer) — result attrs go on the root span and the
+    metric families update exactly once per request."""
+    from distill_spark.operators.cluster import cluster_by_threshold
+    from distill_spark.operators.mmr import mmr_rerank
+    from distill_spark.operators.select import select_representatives
+    from distill_spark.plans.dedupe import DedupeConfig
+
+    cfg = cfg or DedupeConfig()
+    tracer = tracer or Tracer()
+    metrics = metrics or Metrics()
+
+    with tracer.span(SPAN_REQUEST, endpoint=endpoint) as root:
+        input_count = chunks.count()
+        with tracer.span(SPAN_CLUSTERING, input_count=input_count,
+                         threshold=cfg.threshold):
+            clustered = cluster_by_threshold(
+                chunks, id_col="id", vec_col="embedding",
+                threshold=cfg.threshold, method=cfg.method).persist()
+            cluster_count = clustered.select("cluster_id").distinct().count()
+        with tracer.span(SPAN_SELECTION, cluster_count=cluster_count):
+            reps = select_representatives(clustered, strategy=cfg.strategy)
+        if cfg.target_k and cfg.target_k > 0:
+            reps = reps.persist()
+            with tracer.span(SPAN_MMR, input_count=cluster_count,
+                             **{"lambda": cfg.lambda_}):
+                reps = mmr_rerank(reps, lambda_=cfg.lambda_,
+                                  target_k=cfg.target_k)
+        output_count = reps.count()
+        root.attributes.update({
+            "distill.result.input_count": input_count,
+            "distill.result.output_count": output_count,
+            "distill.result.cluster_count": cluster_count,
+            "distill.result.reduction_ratio":
+                1.0 - output_count / input_count if input_count else 0.0,
+        })
+
+    root.attributes["distill.result.latency_ms"] = root.latency_ms
+    metrics.inc("distill_requests_total",
+                labels={"endpoint": endpoint, "status": "200"})
+    metrics.observe("distill_request_duration_seconds",
+                    root.latency_ms / 1000.0, labels={"endpoint": endpoint})
+    metrics.inc("distill_chunks_processed_total", input_count,
+                labels={"endpoint": endpoint})
+    metrics.inc("distill_clusters_formed_total", cluster_count)
+    metrics.observe("distill_reduction_ratio",
+                    root.attributes["distill.result.reduction_ratio"])
+    return reps, tracer

@@ -1,0 +1,86 @@
+"""Telemetry span tree + metric families (reference pkg/telemetry,
+pkg/metrics; span table in the reference README)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distill_spark import telemetry as tel
+
+
+class TestTracer:
+    def test_nesting_latency_and_exporter(self):
+        clock = iter(range(100))
+        exported = []
+        tr = tel.Tracer(exporter=exported.append,
+                        clock=lambda: float(next(clock)))
+        with tr.span(tel.SPAN_REQUEST, endpoint="/v1/dedupe"):
+            with tr.span(tel.SPAN_CLUSTERING, input_count=10, threshold=0.3):
+                pass
+        assert [s.name for s in tr.spans] == [
+            tel.SPAN_CLUSTERING, tel.SPAN_REQUEST]  # children finish first
+        child, root = tr.spans
+        assert child.parent == tel.SPAN_REQUEST and root.parent is None
+        assert root.latency_ms == 3000.0  # ticks 0..3
+        assert [s.name for s in exported] == [s.name for s in tr.spans]
+        assert tr.root() is root
+
+    def test_error_status_propagates(self):
+        tr = tel.Tracer()
+        with pytest.raises(ValueError):
+            with tr.span(tel.SPAN_REQUEST):
+                raise ValueError("boom")
+        assert tr.spans[0].status == "error"
+
+
+class TestMetrics:
+    def test_families_and_prometheus_rendering(self):
+        m = tel.Metrics()
+        m.inc("distill_requests_total",
+              labels={"endpoint": "/v1/dedupe", "status": "200"})
+        m.inc("distill_requests_total",
+              labels={"endpoint": "/v1/dedupe", "status": "200"})
+        m.set_gauge("distill_active_requests", 3)
+        m.observe("distill_request_duration_seconds", 0.25,
+                  labels={"endpoint": "/v1/dedupe"})
+        m.observe("distill_request_duration_seconds", 0.75,
+                  labels={"endpoint": "/v1/dedupe"})
+        text = m.render_prometheus()
+        assert ('distill_requests_total{endpoint="/v1/dedupe",status="200"} 2'
+                in text)
+        assert "distill_active_requests 3" in text
+        assert ('distill_request_duration_seconds_count'
+                '{endpoint="/v1/dedupe"} 2') in text
+        assert ('distill_request_duration_seconds_sum'
+                '{endpoint="/v1/dedupe"} 1') in text
+
+
+class TestTracedDedupe:
+    def test_span_names_and_result_attributes(self, spark):
+        from distill_spark.plans.dedupe import DedupeConfig
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        chunks = (docs.join(embs, docs.doc_id == embs.vec_id)
+                  .filter(F.col("doc_id") < 60)
+                  .select(F.col("doc_id").cast("string").alias("id"),
+                          "text", "embedding",
+                          (F.col("n_chars") / 1000.0).cast("float")
+                          .alias("score")))
+        metrics = tel.Metrics()
+        reps, tr = tel.traced_dedupe(
+            chunks, DedupeConfig(threshold=0.65, target_k=8),
+            metrics=metrics)
+        names = [s.name for s in tr.spans]
+        assert names[-1] == tel.SPAN_REQUEST
+        assert {tel.SPAN_CLUSTERING, tel.SPAN_SELECTION,
+                tel.SPAN_MMR} <= set(names)
+        root = tr.root()
+        assert root.attributes["endpoint"] == "/v1/dedupe"
+        assert root.attributes["distill.result.input_count"] == 60
+        assert (root.attributes["distill.result.output_count"]
+                == reps.count() <= 8)
+        assert 0.0 < root.attributes["distill.result.reduction_ratio"] < 1.0
+        assert root.attributes["distill.result.latency_ms"] > 0
+        text = metrics.render_prometheus()
+        assert "distill_requests_total" in text
+        assert "distill_clusters_formed_total" in text
