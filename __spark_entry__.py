@@ -714,6 +714,85 @@ FROM st JOIN ea USING (uid) WHERE st.i >= 1
 """
 
 
+def q_text_redact(spark, sf_dir):
+    """PII/credential redaction (write-path complement of F10,
+    sensitivity.go:75-136): deterministic sensitive spans embedded per
+    doc — email, AWS key, generic secret, SSN, phone, credit card —
+    scrubbed by the JVM-side regexp chain; the oracle replays the same
+    chain in RE2 syntax (possessive quantifier rewritten; language
+    identical)."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.functions.textfn import redact
+
+    d = F.col("doc_id")
+    text = F.concat(
+        F.lit("alpha user"), d.cast("string"), F.lit("@example.com beta AKIA"),
+        F.lpad(d.cast("string"), 16, "0"),
+        F.lit(" gamma password: pw"), d.cast("string"),
+        F.lit(" delta 123-45-6789 eps (555) 123-4567 zeta "),
+        F.lit("4111 1111 1111 1111 end"))
+    return (t["documents"].filter(d < 300)
+            .select("doc_id", redact(text).alias("redacted")))
+
+
+def _sql_redact() -> str:
+    from distill_spark.functions.textfn import SENSITIVITY_PATTERNS
+
+    text = ("'alpha user' || CAST(doc_id AS VARCHAR) || '@example.com beta "
+            "AKIA' || lpad(CAST(doc_id AS VARCHAR), 16, '0') || "
+            "' gamma password: pw' || CAST(doc_id AS VARCHAR) || "
+            "' delta 123-45-6789 eps (555) 123-4567 zeta "
+            "4111 1111 1111 1111 end'")
+    expr = text
+    for name, pat, _lvl in SENSITIVITY_PATTERNS:
+        # Java possessive quantifier -> plain greedy (RE2 has no
+        # catastrophic backtracking, and the language is identical)
+        re2 = pat.replace("*+", "*").replace("'", "''")
+        expr = (f"regexp_replace({expr}, '{re2}', "
+                f"'[REDACTED:{name}]', 'g')")
+    return (f"SELECT doc_id, {expr} AS redacted "
+            f"FROM documents WHERE doc_id < 300")
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021 A1):
+    duplicate-word fraction and top-bigram fraction per document —
+    one explode + aggregate, single shuffle."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.repetition import repetition_signals
+
+    return repetition_signals(t["documents"].filter(F.col("doc_id") < 400))
+
+
+SQL_REPETITION = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tk
+  FROM documents WHERE doc_id < 400),
+words AS (
+  SELECT doc_id, CAST(len(tk) AS INT) AS n_words,
+         CASE WHEN len(tk) > 0
+              THEN round(1.0 - len(list_distinct(tk)) * 1.0 / len(tk), 6)
+              ELSE 0.0 END AS dup_word_frac
+  FROM d),
+g AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bg
+  FROM d, unnest(range(1, greatest(len(tk) - 1, 0) + 1)) t(i)
+  WHERE len(tk) >= 2),
+counts AS (SELECT doc_id, bg, count(*) AS c FROM g GROUP BY doc_id, bg),
+top AS (
+  SELECT doc_id, c,
+         sum(c) OVER (PARTITION BY doc_id) AS total,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg ASC) AS rn
+  FROM counts)
+SELECT w.doc_id, w.n_words, w.dup_word_frac,
+       coalesce(round(t.c * 1.0 / t.total, 6), 0.0) AS top_bigram_frac
+FROM words w LEFT JOIN (SELECT * FROM top WHERE rn = 1) t
+  ON t.doc_id = w.doc_id
+"""
+
+
 def q_st9_cache_sim(spark, sf_dir):
     """ST9 LRU+TTL KV cache (cache/memory.go:27-267) as a sharded replay
     of the events access log: view/click -> Get, signup/purchase -> Set,
@@ -3242,17 +3321,19 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a1_cluster_cc": (q_a1_cluster_cc, SQL_A1),
     "a4_select_rep": (q_a4_select_rep, SQL_A4),
     "st2_recall": (q_st2_recall, SQL_ST2),
-    "st3_decay_levels": (q_st3_decay_levels, SQL_ST3),
     "g3_blast_radius": (q_g3_blast_radius, SQL_G3),
     "dedup_minhash": (q_dedup_minhash, SQL_MINHASH),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
     "mm_features": (q_mm_features, SQL_MM),
     # -- training-pipeline ops added round 3 -------------------------------
     "decontam_benchmark": (q_decontam_benchmark, SQL_DECONTAM),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE),
     "pack_sequences": (q_pack_sequences, SQL_PACK),
+    "text_redact": (q_text_redact, _sql_redact()),
+    "text_repetition": (q_text_repetition, SQL_REPETITION),
     # -------- position >50: long-proven trivia (still pytest-gated) -------
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "st3_decay_levels": (q_st3_decay_levels, SQL_ST3),
     "events_tumbling": (q_events_tumbling, SQL_TUMBLING),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_JACCARD),
     "a3_centroids": (q_a3_centroids, SQL_A3),

@@ -70,6 +70,24 @@ def sensitivity_matches(text: Column,
     return F.filter(F.array(*hits), lambda x: x.isNotNull())
 
 
+def redact(text: Column,
+           patterns: list[tuple[str, str, int]] | None = None,
+           min_level: int = 1) -> Column:
+    """PII/credential redaction for training corpora: every
+    sensitivity-bank match (level >= min_level) is replaced with
+    ``[REDACTED:<name>]``, in bank order, as one JVM-side
+    regexp_replace chain — the write-path complement of the read-path
+    classifier (sensitivity.go:75-136), and a standard pre-training
+    scrub step. No UDFs; the chain pushes through whole-stage
+    codegen."""
+    bank = SENSITIVITY_PATTERNS if patterns is None else patterns
+    out = F.coalesce(text, F.lit(""))
+    for name, expr, lvl in bank:
+        if lvl >= min_level:
+            out = F.regexp_replace(out, expr, f"[REDACTED:{name}]")
+    return out
+
+
 # ---------------------------------------------------------------- commits
 
 _TYPE_MAP = {

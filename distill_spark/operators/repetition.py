@@ -1,0 +1,61 @@
+"""Repetition signals — Gopher-style quality filters for training data.
+
+The Gopher/MassiveText quality rules (Rae et al. 2021, table A1)
+filter documents by repetition: fraction of duplicated words, and the
+fraction of the document occupied by the most frequent n-gram. Both
+signals are one explode + aggregate per document — a single shuffle
+keyed by doc, no UDFs.
+
+Tokenization matches the rest of the text suite (lowercase, split on
+non-alphanumeric runs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per document: word count, duplicate-word fraction
+    (1 - distinct/total), and the top-bigram fraction (occurrences of
+    the most frequent word 2-gram / total 2-grams; ties broken by the
+    lexicographically smallest bigram). Documents with < 2 words have
+    zero bigrams and report 0.0. Output: (id, n_words, dup_word_frac,
+    top_bigram_frac)."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"[^a-z0-9]+"),
+        lambda x: x != "")
+    base = df.select(F.col(id_col), toks.alias("_tk"))
+
+    words = base.select(
+        id_col,
+        F.size("_tk").alias("n_words"),
+        F.when(F.size("_tk") > 0,
+               F.round(1.0 - F.size(F.array_distinct("_tk"))
+                       / F.size("_tk"), 6)).otherwise(0.0)
+        .alias("dup_word_frac"))
+
+    grams = base.select(
+        id_col,
+        F.explode(F.when(
+            F.size("_tk") >= 2,
+            F.transform(F.sequence(F.lit(1), F.size("_tk") - 1),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("_tk"), i, 2)))
+        ).otherwise(F.array().cast("array<string>"))).alias("bg"))
+    counts = grams.groupBy(id_col, "bg").agg(F.count("*").alias("c"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("c"), F.asc("bg"))
+    top = (counts.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1)
+           .join(grams.groupBy(id_col).agg(F.count("*").alias("total")), id_col)
+           .select(id_col,
+                   F.round(F.col("c") / F.col("total"), 6)
+                   .alias("top_bigram_frac")))
+
+    return (words.join(top, id_col, "left")
+            .withColumn("top_bigram_frac",
+                        F.coalesce("top_bigram_frac", F.lit(0.0))))
