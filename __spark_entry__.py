@@ -615,7 +615,8 @@ def q_decontam_benchmark(spark, sf_dir):
 SQL_DECONTAM = """
 WITH d AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                           '[^a-z0-9]+'),
                      x -> x <> '') AS tk
   FROM documents),
 g AS (
@@ -767,7 +768,8 @@ def q_text_repetition(spark, sf_dir):
 SQL_REPETITION = """
 WITH d AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                           '[^a-z0-9]+'),
                      x -> x <> '') AS tk
   FROM documents WHERE doc_id < 400),
 words AS (
@@ -1625,7 +1627,8 @@ def q_st4_session_push(spark, sf_dir):
 # one working-table row. Token counts per compression level are
 # closed-form (see q_st4_session_push) and pre-aggregated per session
 # into aligned arrays, so the whole state is five lists + a phase tag.
-# Duplicate probe: same angle class (id%5) ⇔ cosine distance < 0.15.
+# Duplicate probe: same one-hot class (id%16) ⇔ cosine distance ~0 <
+# 0.15; different class ⇔ distance 1.
 SQL_ST4 = """
 WITH RECURSIVE
 e0 AS MATERIALIZED (
@@ -3331,9 +3334,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pack_sequences": (q_pack_sequences, SQL_PACK),
     "text_redact": (q_text_redact, _sql_redact()),
     "text_repetition": (q_text_repetition, SQL_REPETITION),
+    "st3_decay_levels": (q_st3_decay_levels, SQL_ST3),
     # -------- position >50: long-proven trivia (still pytest-gated) -------
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "st3_decay_levels": (q_st3_decay_levels, SQL_ST3),
     "events_tumbling": (q_events_tumbling, SQL_TUMBLING),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_JACCARD),
     "a3_centroids": (q_a3_centroids, SQL_A3),

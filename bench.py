@@ -106,6 +106,11 @@ def main():
     total0 = time.time()
 
     def run_one(name):
+        # one FAIR pool per query: pools created on the fly are FIFO
+        # INTERNALLY but the root pool time-slices ACROSS them — without
+        # this local property every job lands in the single default pool
+        # and concurrent queries just queue FIFO behind each other
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
         fn = flagship_dedupe if name == "flagship_dedupe" else queries[name]
         t0 = time.time()
         n = fn(spark, sf_dir).count()

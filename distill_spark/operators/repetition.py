@@ -48,10 +48,13 @@ def repetition_signals(
                         lambda i: F.concat_ws(" ", F.slice(F.col("_tk"), i, 2)))
         ).otherwise(F.array().cast("array<string>"))).alias("bg"))
     counts = grams.groupBy(id_col, "bg").agg(F.count("*").alias("c"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("c"), F.asc("bg"))
-    top = (counts.withColumn("_rn", F.row_number().over(w))
-           .filter(F.col("_rn") == 1)
-           .join(grams.groupBy(id_col).agg(F.count("*").alias("total")), id_col)
+    # total bigrams per doc from the already-reduced counts — summing
+    # the raw grams again would repeat the explode and its shuffle
+    w = Window.partitionBy(id_col)
+    ranked = counts.withColumn(
+        "_rn", F.row_number().over(w.orderBy(F.desc("c"), F.asc("bg")))
+    ).withColumn("total", F.sum("c").over(w))
+    top = (ranked.filter(F.col("_rn") == 1)
            .select(id_col,
                    F.round(F.col("c") / F.col("total"), 6)
                    .alias("top_bigram_frac")))

@@ -145,30 +145,43 @@ def traced_dedupe(chunks, cfg=None, tracer: Tracer | None = None,
     tracer = tracer or Tracer()
     metrics = metrics or Metrics()
 
+    pinned = []
     with tracer.span(SPAN_REQUEST, endpoint=endpoint) as root:
-        input_count = chunks.count()
-        with tracer.span(SPAN_CLUSTERING, input_count=input_count,
-                         threshold=cfg.threshold):
-            clustered = cluster_by_threshold(
-                chunks, id_col="id", vec_col="embedding",
-                threshold=cfg.threshold, method=cfg.method).persist()
-            cluster_count = clustered.select("cluster_id").distinct().count()
-        with tracer.span(SPAN_SELECTION, cluster_count=cluster_count):
-            reps = select_representatives(clustered, strategy=cfg.strategy)
-        if cfg.target_k and cfg.target_k > 0:
-            reps = reps.persist()
-            with tracer.span(SPAN_MMR, input_count=cluster_count,
-                             **{"lambda": cfg.lambda_}):
-                reps = mmr_rerank(reps, lambda_=cfg.lambda_,
-                                  target_k=cfg.target_k)
-        output_count = reps.count()
-        root.attributes.update({
-            "distill.result.input_count": input_count,
-            "distill.result.output_count": output_count,
-            "distill.result.cluster_count": cluster_count,
-            "distill.result.reduction_ratio":
-                1.0 - output_count / input_count if input_count else 0.0,
-        })
+        try:
+            input_count = chunks.count()
+            with tracer.span(SPAN_CLUSTERING, input_count=input_count,
+                             threshold=cfg.threshold):
+                clustered = cluster_by_threshold(
+                    chunks, id_col="id", vec_col="embedding",
+                    threshold=cfg.threshold, method=cfg.method).persist()
+                pinned.append(clustered)
+                cluster_count = (clustered.select("cluster_id")
+                                 .distinct().count())
+            with tracer.span(SPAN_SELECTION, cluster_count=cluster_count):
+                reps = select_representatives(clustered, strategy=cfg.strategy)
+            if cfg.target_k and cfg.target_k > 0:
+                reps = reps.persist()
+                pinned.append(reps)
+                with tracer.span(SPAN_MMR, input_count=cluster_count,
+                                 **{"lambda": cfg.lambda_}):
+                    reps = mmr_rerank(reps, lambda_=cfg.lambda_,
+                                      target_k=cfg.target_k)
+            # materialize the (small) result before releasing the cached
+            # intermediates — one traced request must not pin cache
+            # blocks for the session lifetime (a serving loop calls this
+            # per request)
+            reps = reps.localCheckpoint(eager=True)
+            output_count = reps.count()
+            root.attributes.update({
+                "distill.result.input_count": input_count,
+                "distill.result.output_count": output_count,
+                "distill.result.cluster_count": cluster_count,
+                "distill.result.reduction_ratio":
+                    1.0 - output_count / input_count if input_count else 0.0,
+            })
+        finally:
+            for df in pinned:
+                df.unpersist()
 
     root.attributes["distill.result.latency_ms"] = root.latency_ms
     metrics.inc("distill_requests_total",
