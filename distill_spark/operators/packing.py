@@ -22,6 +22,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def greedy_bins(tokens: list[int], budget: int) -> tuple[list[int], list[int]]:
+    """The pure greedy fill (one stream): returns (bin index, running
+    fill) per document. Factored out so its invariants are
+    property-testable without Spark."""
+    bins, fills = [], []
+    cur_bin, cur_fill = 0, 0
+    for t in tokens:
+        if cur_fill > 0 and cur_fill + t > budget:
+            cur_bin += 1
+            cur_fill = 0
+        cur_fill += t
+        bins.append(cur_bin)
+        fills.append(cur_fill)
+    return bins, fills
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,
@@ -41,15 +57,8 @@ def pack_sequences(
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
-        bins, fills = [], []
-        cur_bin, cur_fill = 0, 0
-        for t in pdf[token_col].fillna(0).astype(int):
-            if cur_fill > 0 and cur_fill + t > budget:
-                cur_bin += 1
-                cur_fill = 0
-            cur_fill += t
-            bins.append(cur_bin)
-            fills.append(cur_fill)
+        bins, fills = greedy_bins(
+            pdf[token_col].fillna(0).astype(int).tolist(), budget)
         out = pdf.copy()
         out["bin"] = bins
         out["bin_fill"] = fills

@@ -97,3 +97,58 @@ def test_cosine_distance_props(a, b):
 def test_memory_transforms_deterministic(s):
     assert textproc.memory_summary(s) == textproc.memory_summary(s)
     assert textproc.memory_keywords(s) == textproc.memory_keywords(s)
+
+
+# ------------------------------------------------- training-pipeline ops
+
+from distill_spark.operators.packing import greedy_bins  # noqa: E402
+from distill_spark.operators.sampling import _KNUTH, _M  # noqa: E402
+
+
+def _portable_bucket(k: int, salt: int = 0) -> int:
+    return ((k % _M + salt) * _KNUTH) % _M
+
+
+@given(st.lists(st.integers(min_value=0, max_value=500), max_size=60),
+       st.integers(min_value=1, max_value=300))
+@settings(max_examples=200, deadline=None)
+def test_greedy_bins_invariants(tokens, budget):
+    bins, fills = greedy_bins(tokens, budget)
+    assert len(bins) == len(fills) == len(tokens)
+    if tokens:
+        assert bins[0] == 0
+    prev = 0
+    for b in bins:
+        assert b in (prev, prev + 1)  # non-decreasing, no gaps
+        prev = b
+    # per-bin totals: within budget unless the bin holds a single jumbo
+    by_bin: dict[int, list[int]] = {}
+    for b, t in zip(bins, tokens):
+        by_bin.setdefault(b, []).append(t)
+    for members in by_bin.values():
+        # a bin only exceeds the budget for a jumbo document; zero-token
+        # docs ahead of it may share the bin (fill was still 0), so the
+        # invariant is "exactly one positive member", not "one member"
+        assert (sum(members) <= budget
+                or sum(1 for t in members if t > 0) == 1)
+    # bin_fill is the running sum within the bin
+    run, cur = 0, None
+    for b, t, f in zip(bins, tokens, fills):
+        run = t if b != cur else run + t
+        cur = b
+        assert f == run
+
+
+@given(st.integers(min_value=0, max_value=2**62),
+       st.floats(min_value=0.0, max_value=1.0),
+       st.floats(min_value=0.0, max_value=1.0))
+@settings(max_examples=200, deadline=None)
+def test_portable_sampling_subset_monotone(k, f1, f2):
+    lo, hi = sorted((f1, f2))
+    b = _portable_bucket(k)
+    assert 0 <= b < _M
+    # threshold sampling: the lo-fraction sample is a subset of the hi-
+    # fraction sample — the property that makes fraction changes safe
+    # (growing a mix never resamples what was already kept)
+    if b < int(lo * _M):
+        assert b < int(hi * _M)
