@@ -126,7 +126,7 @@ def main():
     else:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        with ThreadPoolExecutor(max_workers=6) as pool:
             for name, took in pool.map(run_one, all_names):
                 timings[name] = took
         _release_state(spark)
@@ -138,7 +138,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        # concurrent = 4 queries in flight under the FAIR scheduler
+        # concurrent = 6 queries in flight under the FAIR scheduler
         # (engine-throughput measurement; per-query numbers include
         # contention); sequential = one at a time, comparable to the
         # per-query floors of rounds 1-2
