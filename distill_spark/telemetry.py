@@ -167,9 +167,10 @@ def traced_dedupe(chunks, cfg=None, tracer: Tracer | None = None,
                     reps = mmr_rerank(reps, lambda_=cfg.lambda_,
                                       target_k=cfg.target_k)
             # materialize the (small) result before releasing the cached
-            # intermediates — one traced request must not pin cache
-            # blocks for the session lifetime (a serving loop calls this
-            # per request)
+            # intermediates. The checkpointed result itself stays in
+            # storage until the caller drops its handle (the engine's
+            # standard localCheckpoint contract, see api.py/memory.py) —
+            # what this bounds is the LARGE per-request intermediates.
             reps = reps.localCheckpoint(eager=True)
             output_count = reps.count()
             root.attributes.update({

@@ -57,6 +57,18 @@ class TestSampling:
                    deterministic_sample(df.repartition(7), 0.3, "k").collect())
         assert c == d and 0.2 < len(c) / 2000 < 0.4
 
+    def test_fraction_growth_is_superset(self, spark):
+        """Subset monotonicity on the REAL kept sets: growing a mix
+        fraction must never resample what a smaller fraction kept —
+        the property that makes domain-mix changes replay-safe."""
+        df = spark.range(0, 2000).withColumnRenamed("id", "k")
+        for mode in ("portable", "xxhash64"):
+            small = {r.k for r in
+                     deterministic_sample(df, 0.2, "k", mode=mode).collect()}
+            big = {r.k for r in
+                   deterministic_sample(df, 0.5, "k", mode=mode).collect()}
+            assert small and small < big, mode
+
     def test_stratified_fractions(self, spark):
         df = spark.range(0, 3000).select(
             F.col("id").alias("k"),
