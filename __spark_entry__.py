@@ -755,6 +755,36 @@ def _sql_redact() -> str:
             f"FROM documents WHERE doc_id < 300")
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Ingest-side document chunking (RAG/training splitter): 40-word
+    windows with 8-word overlap as pure column expressions — one
+    posexplode inside the scanning task, no shuffle, no UDF."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(t["documents"].filter(F.col("doc_id") < 400),
+                           size=40, overlap=8)
+
+
+SQL_CHUNK = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents WHERE doc_id < 400),
+n AS (
+  SELECT doc_id, tk, len(tk) AS nw,
+         CASE WHEN len(tk) = 0 THEN 0
+              ELSE 1 + CAST(ceil(greatest(len(tk) - 40, 0) / 32.0) AS INT)
+         END AS nc
+  FROM d)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       array_to_string(tk[i * 32 + 1 : i * 32 + 40], ' ') AS chunk_text,
+       CAST(least(nw - i * 32, 40) AS INT) AS n_words
+FROM n, unnest(range(0, nc)) t(i)
+"""
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals (Rae et al. 2021 A1):
     duplicate-word fraction and top-bigram fraction per document —
@@ -3334,8 +3364,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pack_sequences": (q_pack_sequences, SQL_PACK),
     "text_redact": (q_text_redact, _sql_redact()),
     "text_repetition": (q_text_repetition, SQL_REPETITION),
-    "st3_decay_levels": (q_st3_decay_levels, SQL_ST3),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK),
     # -------- position >50: long-proven trivia (still pytest-gated) -------
+    "st3_decay_levels": (q_st3_decay_levels, SQL_ST3),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "events_tumbling": (q_events_tumbling, SQL_TUMBLING),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_JACCARD),

@@ -1,0 +1,59 @@
+"""Document chunking — the ingest-side splitter for RAG / training
+pipelines.
+
+The reference consumes pre-chunked text (types.Chunk everywhere;
+chunking happens client-side). At 100 TB the splitter belongs in the
+engine: fixed-size word windows with overlap, as PURE column
+expressions (split → sequence → slice → concat_ws) — no UDF, no
+shuffle; a posexplode fans each document into its chunks inside the
+same task that scanned it.
+
+Window layout: stride = size − overlap; chunk i covers words
+[i·stride, i·stride + size). The last chunk may be short; documents
+shorter than one window yield exactly one chunk; empty/NULL text
+yields none.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 200,
+    overlap: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into word windows. Output: (id, chunk_idx,
+    chunk_text, n_words) — one row per chunk, chunk_idx 0-based."""
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap}/{size}")
+    stride = size - overlap
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != "")
+    n = F.size(toks)
+    # number of windows: 1 + ceil(max(n - size, 0) / stride); 0 when the
+    # document has no words at all
+    n_chunks = F.when(n == 0, F.lit(0)).otherwise(
+        F.lit(1) + F.ceil(F.greatest(n - size, F.lit(0)) / F.lit(stride))
+        .cast("int"))
+    windows = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.concat_ws(" ", F.slice(toks, i * stride + 1, size))
+            .alias("txt"),
+            F.least(n - i * stride, F.lit(size)).alias("nw")))
+    # Spark's sequence(0, -1) infers step -1 instead of returning an
+    # empty array — empty documents need an explicit empty branch
+    chunks = F.when(n_chunks > 0, windows).otherwise(
+        F.array().cast("array<struct<idx:int,txt:string,nw:int>>"))
+    return (df.select(F.col(id_col), F.explode(chunks).alias("c"))
+            .select(id_col,
+                    F.col("c.idx").cast("int").alias("chunk_idx"),
+                    F.col("c.txt").alias("chunk_text"),
+                    F.col("c.nw").cast("int").alias("n_words")))

@@ -164,3 +164,43 @@ class TestRepetition:
         assert abs(out[2].top_bigram_frac - 0.25) < 1e-6
         assert out[3].n_words == 1 and out[3].top_bigram_frac == 0.0
         assert out[4].n_words == 0 and out[4].dup_word_frac == 0.0
+
+
+class TestChunking:
+    def test_windows_overlap_and_short_docs(self, spark):
+        from distill_spark.operators.chunking import chunk_documents
+
+        words = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame(
+            [(1, words), (2, "only three words"), (3, ""), (4, None)],
+            "doc_id long, text string")
+        out = chunk_documents(df, size=4, overlap=1)
+        rows = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_words)
+                for r in out.collect()}
+        # doc1 (10 words): stride 3, n_chunks = 1 + ceil((10-4)/3) = 3 —
+        # starts 0,3,6; the last window runs through w9 with no stub
+        assert rows[(1, 0)] == ("w0 w1 w2 w3", 4)
+        assert rows[(1, 1)] == ("w3 w4 w5 w6", 4)  # 1-word overlap
+        assert rows[(1, 2)] == ("w6 w7 w8 w9", 4)
+        assert (1, 3) not in rows
+        assert rows[(2, 0)] == ("only three words", 3)
+        assert (2, 1) not in rows
+        assert not any(d in (3, 4) for d, _ in rows)  # empty -> no chunks
+
+    def test_reassembly_covers_every_word(self, spark):
+        from distill_spark.operators.chunking import chunk_documents
+
+        words = " ".join(f"t{i}" for i in range(97))
+        df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+        out = chunk_documents(df, size=10, overlap=3).collect()
+        seen = {w for r in out for w in r.chunk_text.split()}
+        assert seen == {f"t{i}" for i in range(97)}
+
+    def test_overlap_validation(self, spark):
+        import pytest as _pytest
+
+        from distill_spark.operators.chunking import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            chunk_documents(df, size=4, overlap=4)
