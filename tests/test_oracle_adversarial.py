@@ -244,3 +244,39 @@ def test_st9_oracle_matches_operator_on_adversarial_log(entry):
                    rows[0][1:]))
     assert got == {k: int(v) for k, v in want.items()}
     assert got["evictions"] > 0 and got["expirations"] > 0 and got["hits"] > 0
+
+
+# ----------------------------------------------------------- packing replay
+
+
+def test_pack_oracle_matches_greedy_on_adversarial_streams(entry):
+    """SQL_PACK vs the pure greedy fill on streams crafted to hit bin
+    resets, jumbo own-bins (%53), and single-doc streams."""
+    from distill_spark.operators.packing import greedy_bins
+
+    sessions = {
+        1: list(range(0, 30)),          # includes 0 (jumbo, %53)
+        2: [53, 54, 55, 106, 107],      # jumbos mid-stream
+        3: [200],                       # single doc
+    }
+
+    def tok(e):
+        return 300 if e % 53 == 0 else 1 + e % 97
+
+    want = {}
+    for uid, ids in sessions.items():
+        ids = sorted(ids)
+        bins, fills = greedy_bins([tok(e) for e in ids], 256)
+        for e, b, f in zip(ids, bins, fills):
+            want[(uid, e)] = (b, f)
+
+    con = duckdb.connect()
+    rows = [(u, e) for u, ids in sessions.items() for e in ids]
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(f"({u}, {e})" for u, e in rows)
+        + ") v(user_id, event_id)")
+    got = {(r[0], r[1]): (r[2], r[3]) for r in
+           con.execute(entry.SQL_PACK).fetchall()}
+    assert got == want
+    assert max(b for b, _ in got.values()) >= 2  # multiple resets fired
