@@ -563,9 +563,12 @@ def q_st8_diagnose(spark, sf_dir):
     from distill_spark.functions.textfn import dynamic_patterns, likely_cause
 
     t = _tables(spark, sf_dir)
+    # patterns_found is joined to a scalar string for the driver's
+    # canonicalizer (the operator itself returns the array).
     return t["documents"].filter(F.col("doc_id") < 500).select(
         "doc_id",
-        dynamic_patterns(F.col("text")).alias("patterns_found"),
+        F.array_join(dynamic_patterns(F.col("text")), ",")
+         .alias("patterns_found"),
         likely_cause(F.col("text")).alias("likely_cause"))
 
 
@@ -585,7 +588,8 @@ WITH f AS (
            AS patterns_found
   FROM documents WHERE doc_id < 500
 )
-SELECT doc_id, patterns_found,
+SELECT doc_id,
+       coalesce(array_to_string(patterns_found, ','), '') AS patterns_found,
        CASE WHEN len(patterns_found) = 0
             THEN 'unknown — prefix content changes between requests'
             ELSE 'likely dynamic interpolation: ' ||
@@ -1627,6 +1631,17 @@ def q_st4_session_push(spark, sf_dir):
     t = _tables(spark, sf_dir)
     from distill_spark import session as sess
 
+    entries = _st4_entries(t)
+    empty = spark.createDataFrame([], sess.SESSION_ENTRY_SCHEMA)
+    out = sess.push_batch(empty, entries, max_tokens=25,
+                          dedup_threshold=0.15, preserve_recent=3)
+    return out.select("session_id", "id", "status", "compression_level", "tokens")
+
+
+def _st4_entries(t):
+    """The SQL-replayable ST4 input (see q_st4_session_push docstring);
+    shared by the batch and streaming gated queries so both are checked
+    against the same SQL_ST4 oracle."""
     seq = F.col("event_id")
     onehot = F.array(*[
         F.when(seq % 16 == k, F.lit(1.0)).otherwise(F.lit(0.0))
@@ -1635,7 +1650,7 @@ def q_st4_session_push(spark, sf_dir):
         F.lit("etype"), (seq % 7).cast("string"),
         F.when(seq % 2 == 0, F.lit(". ")).otherwise(F.lit(" ")),
         F.lit("load"), (seq % 100).cast("string"))
-    entries = t["events"].filter(seq < 2000).select(
+    return t["events"].filter(seq < 2000).select(
         F.col("user_id").cast("string").alias("session_id"),
         seq.cast("string").alias("id"),
         seq.alias("seq"),
@@ -1645,10 +1660,6 @@ def q_st4_session_push(spark, sf_dir):
          .otherwise(short).alias("content"),
         onehot.alias("embedding"),
         (((seq * 7) % 13).cast("double") / 13.0).alias("importance"))
-    empty = spark.createDataFrame([], sess.SESSION_ENTRY_SCHEMA)
-    out = sess.push_batch(empty, entries, max_tokens=25,
-                          dedup_threshold=0.15, preserve_recent=3)
-    return out.select("session_id", "id", "status", "compression_level", "tokens")
 
 
 # ST4 oracle: the per-session push + enforce loop flattened into ONE
@@ -2560,7 +2571,17 @@ def q_st2_recall_hints(spark, sf_dir):
           t["embeddings"].filter(F.col("vec_id") == 0).first()["embedding"]]
     out = st.recall(qv, now=now_ts, recency_weight=0.3, max_results=25,
                     touch=False)
-    return recall_hints(out)
+    hints = recall_hints(out)
+    # Scalar-only projection for the driver's canonicalizer: join the id /
+    # level arrays to strings, preserving NULL for the no-hint case.
+    return hints.select(
+        F.when(F.col("stable_ids").isNotNull(),
+               F.array_join("stable_ids", "|")).alias("stable_ids"),
+        "confidence", "max_sensitivity",
+        F.array_join("sensitive_ids", "|").alias("sensitive_ids"),
+        F.array_join(F.transform("sensitive_levels",
+                                 lambda x: x.cast("string")),
+                     "|").alias("sensitive_levels"))
 
 
 SQL_ST2_HINTS = f"""
@@ -2578,15 +2599,19 @@ r AS (
 rr AS (SELECT r.*, row_number() OVER (ORDER BY relevance DESC, id ASC) AS rnk
        FROM r)
 SELECT CASE WHEN count(*) FILTER (WHERE relevance >= 0.7) > 0
-            THEN list(id ORDER BY rnk) FILTER (WHERE relevance >= 0.7) END
-         AS stable_ids,
+            THEN array_to_string(
+                   list(id ORDER BY rnk) FILTER (WHERE relevance >= 0.7), '|')
+       END AS stable_ids,
        CASE WHEN count(*) FILTER (WHERE relevance >= 0.7) > 0
             THEN round(avg(relevance), 5) END AS confidence,
        coalesce(max(sensitivity), 0) AS max_sensitivity,
-       coalesce(list(id ORDER BY rnk) FILTER (WHERE sensitivity > 0),
-                []::VARCHAR[]) AS sensitive_ids,
-       coalesce(list(sensitivity ORDER BY rnk) FILTER (WHERE sensitivity > 0),
-                []::INT[]) AS sensitive_levels
+       coalesce(array_to_string(
+         list(id ORDER BY rnk) FILTER (WHERE sensitivity > 0), '|'), '')
+         AS sensitive_ids,
+       coalesce(array_to_string(
+         list(CAST(sensitivity AS VARCHAR) ORDER BY rnk)
+           FILTER (WHERE sensitivity > 0), '|'), '')
+         AS sensitive_levels
 FROM rr
 """
 
@@ -2863,11 +2888,13 @@ def q_a12_dedup_stats(spark, sf_dir):
 SQL_A12 = """
 WITH i AS (
   SELECT count(*) AS input_count,
-         coalesce(sum(CAST(floor((length(text)+3)/4) AS INTEGER)), 0) AS input_tokens
+         CAST(coalesce(sum(CAST(floor((length(text)+3)/4) AS INTEGER)), 0)
+              AS BIGINT) AS input_tokens
   FROM documents
 ), o AS (
   SELECT count(*) AS output_count,
-         coalesce(sum(CAST(floor((length(text)+3)/4) AS INTEGER)), 0) AS output_tokens
+         CAST(coalesce(sum(CAST(floor((length(text)+3)/4) AS INTEGER)), 0)
+              AS BIGINT) AS output_tokens
   FROM documents WHERE doc_id % 3 <> 0
 )
 SELECT input_count, output_count, input_tokens, output_tokens,
@@ -2898,15 +2925,25 @@ def q_s1_jsonl_roundtrip(spark, sf_dir):
         F.create_map(F.lit("src"), F.lit("bench")).alias("metadata"))
     write_vectors(vecs, path, fmt="json")
     back = read_vectors_jsonl(spark, path)
+    # Serialize the vector to a scalar string (micro-units, '|'-joined):
+    # the driver's canonicalizer sorts pandas columns and can't hash
+    # ndarray cells, so gated outputs must be scalar-only.
     return back.select(
         F.col("id").cast("int").alias("vec_id"),
-        F.transform("values", lambda x: F.round(x.cast("double"), 6)).alias("vals"),
+        F.array_join(
+            F.transform("values",
+                        lambda x: F.round(x.cast("double") * 1000000)
+                                   .cast("bigint").cast("string")),
+            "|").alias("vals"),
         F.col("metadata")["src"].alias("src"))
 
 
 SQL_S1 = """
 SELECT vec_id,
-       list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS vals,
+       array_to_string(
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS VARCHAR)),
+         '|') AS vals,
        'bench' AS src
 FROM embeddings
 """
@@ -3064,25 +3101,22 @@ LEFT JOIN (
 
 def q_st4_stream_push(spark, sf_dir):
     """ST4 as a genuinely stateful stream (applyInPandasWithState keyed
-    by session): drains a one-batch file stream of events-as-entries
-    through the same enforce loop as the batch `st4_session_push` →
-    rows-only (multi-step stateful execution; batch-equality is
-    asserted in tests/test_streaming.py)."""
+    by session): drains the SAME SQL-replayable input as the batch
+    `st4_session_push` (shared `_st4_entries`) through the stateful
+    stream in one availableNow micro-batch, so the stream's update
+    output is the post-push state and SQL_ST4 gates it directly —
+    stream-vs-batch multi-batch equality is additionally asserted in
+    tests/test_streaming.py."""
     import tempfile
 
     from distill_spark.session import SESSION_ENTRY_SCHEMA
     from distill_spark.streaming.stream import streaming_session_push
 
     t = _tables(spark, sf_dir)
-    entries = t["events"].filter(F.col("user_id") < 10).select(
-        F.col("user_id").cast("string").alias("session_id"),
-        F.col("event_id").cast("string").alias("id"),
-        F.col("event_id").alias("seq"),
-        F.lit("user").alias("role"),
-        F.concat_ws(" ", "event_type", "props").alias("content"),
+    entries = _st4_entries(t).select(
+        "session_id", "id", "seq", "role", "content",
         F.lit(None).cast("string").alias("original_content"),
-        F.array(F.col("value"), F.lit(1.0)).cast("array<float>").alias("embedding"),
-        (F.col("value") / 11.0).alias("importance"),
+        "embedding", "importance",
         F.lit(0).alias("compression_level"),
         F.lit(None).cast("int").alias("tokens"),
         F.lit(None).cast("string").alias("content_hash"),
@@ -3094,7 +3128,7 @@ def q_st4_stream_push(spark, sf_dir):
     captured: list = []
     sdf = streaming_session_push(
         spark.readStream.schema(SESSION_ENTRY_SCHEMA).parquet(tmp + "/in"),
-        max_tokens=300, dedup_threshold=0.05, preserve_recent=3)
+        max_tokens=25, dedup_threshold=0.15, preserve_recent=3)
     q = (sdf.writeStream
          .foreachBatch(lambda df, bid: captured.append(
              df.select("session_id", "id", "status",
@@ -3313,11 +3347,16 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # -- hard / previously driver-unchecked core operators -----------------
     "st1_memory_store": (q_st1_memory_store, SQL_ST1),
     "st4_session_push": (q_st4_session_push, SQL_ST4),
-    "st4_stream_push": (q_st4_stream_push, None),
+    # gated by the same oracle as the batch push: identical input, one
+    # availableNow micro-batch, update-mode output = post-push state
+    "st4_stream_push": (q_st4_stream_push, SQL_ST4),
     "pipeline_3stage": (q_pipeline_3stage, _sql_pipe()),
     "t2_mmr_rerank": (q_t2_mmr_rerank, SQL_T2),
-    "a2_kmeans_dedup": (q_a2_kmeans_dedup, None),
+    # (a2_kmeans_dedup itself sits past the driver's 50-query window:
+    # seeded-MLlib assignment has no SQL oracle by design; the oracled
+    # contract query below gates its medoid/prune output instead)
     "a2_kmeans_contract": (q_a2_kmeans_contract, SQL_A2C),
+    "st3_decay_levels": (q_st3_decay_levels, SQL_ST3),
     "c1_extractive": (q_c1_extractive, SQL_C1),
     "c2_placeholder": (q_c2_placeholder, SQL_C2),
     "c3_pruner": (q_c3_pruner, _sql_c3()),
@@ -3366,7 +3405,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "text_repetition": (q_text_repetition, SQL_REPETITION),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK),
     # -------- position >50: long-proven trivia (still pytest-gated) -------
-    "st3_decay_levels": (q_st3_decay_levels, SQL_ST3),
+    "a2_kmeans_dedup": (q_a2_kmeans_dedup, None),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "events_tumbling": (q_events_tumbling, SQL_TUMBLING),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_JACCARD),

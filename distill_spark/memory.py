@@ -227,7 +227,15 @@ class MemoryStore:
         if v < 0:
             return empty
         try:
-            df = self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
+            # mergeSchema: a snapshot can legitimately mix bucket files
+            # from different layout generations (hard-linked by partial
+            # commits across an upgrade, e.g. pre-/post-`metadata`);
+            # single-file inference would silently drop the new column
+            # and the next partial rewrite would persist the loss.
+            # Snapshot file counts are bounded (n_buckets), so reading
+            # every footer is cheap.
+            df = self.spark.read.option("mergeSchema", "true").parquet(
+                os.path.join(self.path, f"v{v}"))
         except AnalysisException as e:
             # ONLY the all-buckets-empty snapshot (a partitioned write of
             # zero rows leaves no schema to infer) maps to "empty store".

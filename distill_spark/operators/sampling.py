@@ -27,6 +27,23 @@ _M = 1 << 31
 _KNUTH = 2654435761  # 2^32 * (golden ratio - 1), Knuth multiplicative
 
 
+def _require_integral_key(df: DataFrame, key_col: str, mode: str) -> None:
+    """Portable mode hashes BIGINT arithmetic; a non-integral key would
+    cast to NULL and the filter would silently keep zero rows — raise
+    the documented constraint instead."""
+    from pyspark.sql import types as T
+
+    if mode != "portable" or not isinstance(key_col, str):
+        return
+    dt = df.schema[key_col].dataType
+    if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType)):
+        raise TypeError(
+            f"portable hash mode requires an integral key column; "
+            f"'{key_col}' is {dt.simpleString()} — use mode='xxhash64' "
+            "or provide an integer surrogate key")
+
+
 def hash_bucket(key, mode: str = "xxhash64", salt: int = 0) -> Column:
     """Deterministic bucket in [0, 2^31) for a key column.
 
@@ -51,6 +68,7 @@ def deterministic_sample(
 ) -> DataFrame:
     """Keep ~``fraction`` of rows, chosen by key hash (see module
     docstring). fraction >= 1 keeps everything; <= 0 keeps nothing."""
+    _require_integral_key(df, key_col, mode)
     if fraction >= 1.0:
         return df
     thresh = int(fraction * _M)
@@ -69,8 +87,13 @@ def stratified_sample(
     """Per-stratum hash-threshold sampling — the domain-mixing
     primitive (e.g. keep 100% wiki, 30% web, 5% logs). One predicate,
     no shuffle, deterministic."""
-    thresh = F.lit(int(default_fraction * _M))
+    _require_integral_key(df, key_col, mode)
+    # single chained CASE (flat Catalyst tree) — never fold
+    # when().otherwise(prev) in a loop
+    thresh = None
     for value, frac in fractions.items():
-        thresh = F.when(F.col(strata_col) == value,
-                        F.lit(int(frac * _M))).otherwise(thresh)
+        branch = (F.col(strata_col) == value, F.lit(int(frac * _M)))
+        thresh = F.when(*branch) if thresh is None else thresh.when(*branch)
+    thresh = (thresh.otherwise(F.lit(int(default_fraction * _M)))
+              if thresh is not None else F.lit(int(default_fraction * _M)))
     return df.filter(hash_bucket(key_col, mode, salt) < thresh)

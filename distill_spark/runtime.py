@@ -145,27 +145,19 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
                     "ts", F.timestamp_micros(F.expr("ts div 1000"))
                 )
             elif ts_type == "timestamp_ntz":
-                # A bare NTZ→TIMESTAMP cast interprets the wall-clock in
-                # the SESSION timezone — under e.g. America/New_York every
-                # value silently shifts +5h vs the oracle. Wrapping the
-                # cast in from_utc_timestamp(_, session_tz) undoes that
-                # shift for whatever tz the session actually has (identity
-                # when tz=UTC; verified: to_utc_timestamp is the WRONG
-                # direction, it doubles the shift).
-                tz = "UTC"
-                try:
-                    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
-                except Exception:  # noqa: BLE001 — conf read must not kill the load
-                    pass
-                if tz != "UTC":
-                    import warnings
-
-                    warnings.warn(
-                        f"load_tables: session timeZone is {tz!r}, not UTC; "
-                        "events.ts is being tz-corrected via from_utc_timestamp "
-                        "so instants stay oracle-comparable", stacklevel=2)
+                # The NTZ wall clock IS the UTC instant (parquet nanos).
+                # A bare NTZ→TIMESTAMP cast would re-interpret it in the
+                # SESSION timezone (±hours vs the oracle), and a
+                # cast+from_utc_timestamp pair is only exact for
+                # fixed-offset zones (the two steps evaluate the zone
+                # offset at different instants, so DST-transition wall
+                # clocks shift by 1h). Instead compute epoch micros as a
+                # pure NTZ difference — timezone-free and exact in every
+                # session timezone.
                 df = df.withColumn(
-                    "ts", F.from_utc_timestamp(F.col("ts").cast("timestamp"), tz))
+                    "ts", F.timestamp_micros(F.expr(
+                        "timestampdiff(MICROSECOND, "
+                        "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

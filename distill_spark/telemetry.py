@@ -146,6 +146,7 @@ def traced_dedupe(chunks, cfg=None, tracer: Tracer | None = None,
     metrics = metrics or Metrics()
 
     pinned = []
+    input_count = cluster_count = None
     with tracer.span(SPAN_REQUEST, endpoint=endpoint) as root:
         try:
             input_count = chunks.count()
@@ -183,15 +184,28 @@ def traced_dedupe(chunks, cfg=None, tracer: Tracer | None = None,
         finally:
             for df in pinned:
                 df.unpersist()
-
-    root.attributes["distill.result.latency_ms"] = root.latency_ms
-    metrics.inc("distill_requests_total",
-                labels={"endpoint": endpoint, "status": "200"})
-    metrics.observe("distill_request_duration_seconds",
-                    root.latency_ms / 1000.0, labels={"endpoint": endpoint})
-    metrics.inc("distill_chunks_processed_total", input_count,
-                labels={"endpoint": endpoint})
-    metrics.inc("distill_clusters_formed_total", cluster_count)
-    metrics.observe("distill_reduction_ratio",
+            # metric + latency updates run inside the request span's
+            # finally so (a) errored requests are counted too, with the
+            # reference's status labeling (metrics.go counts every
+            # terminal status), and (b) latency_ms is on the root span
+            # BEFORE the exporter callback fires at span close — a push
+            # exporter that serializes immediately must see it.
+            latency_ms = (tracer._clock() - root.start) * 1000.0
+            root.attributes["distill.result.latency_ms"] = latency_ms
+            import sys as _sys
+            status = "500" if _sys.exc_info()[0] is not None else "200"
+            metrics.inc("distill_requests_total",
+                        labels={"endpoint": endpoint, "status": status})
+            metrics.observe("distill_request_duration_seconds",
+                            latency_ms / 1000.0,
+                            labels={"endpoint": endpoint})
+            if input_count is not None:
+                metrics.inc("distill_chunks_processed_total", input_count,
+                            labels={"endpoint": endpoint})
+            if cluster_count is not None:
+                metrics.inc("distill_clusters_formed_total", cluster_count)
+            if status == "200":
+                metrics.observe(
+                    "distill_reduction_ratio",
                     root.attributes["distill.result.reduction_ratio"])
     return reps, tracer

@@ -48,6 +48,19 @@ for name in ["w6_running_value", "a6_doc_stats", "j4_revenue_per_nation",
 from distill_spark.runtime import load_tables
 t = load_tables(spark, sf, names=["events"])
 assert dict(t["events"].dtypes)["ts"] == "timestamp", t["events"].dtypes
+
+# ts must decode to the same INSTANTS in any session timezone — the
+# NTZ normalization is pure epoch arithmetic, so even a DST-observing
+# zone must not shift a single row (unix_micros is tz-independent)
+from pyspark.sql import functions as F
+base = t["events"].agg(F.sum(F.unix_micros("ts")),
+                       F.count("*")).collect()[0]
+spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+t2 = load_tables(spark, sf, names=["events"])
+ny = t2["events"].agg(F.sum(F.unix_micros("ts")),
+                      F.count("*")).collect()[0]
+assert tuple(base) == tuple(ny), (base, ny)
+spark.conf.set("spark.sql.session.timeZone", "UTC")
 print("FOREIGN_SESSION_OK", flush=True)
 """
 

@@ -318,3 +318,52 @@ class TestBucketedCommits:
         assert len(table) == 12
         assert table["k1"].expired and table["k3"].expired
         assert not table["k5"].expired
+
+    def test_mixed_generation_snapshot_keeps_metadata(self, spark, tmp_path):
+        """A snapshot can mix bucket files hard-linked across a layout
+        upgrade (pre-/post-`metadata`). Single-file schema inference
+        used to drop the new column on read, and the next partial
+        commit persisted the loss; _read_raw must mergeSchema."""
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        st = MemoryStore(spark, str(tmp_path / "mem"), n_buckets=2)
+        rows = [("a", "alpha", E1, {"k": "v"}), ("b", "beta", E2, {"k": "w"}),
+                ("c", "gamma", [0.0, 0.0, 1.0, 0.0], {"k": "x"}),
+                ("d", "delta", [0.0, 0.0, 0.0, 1.0], {"k": "y"})]
+        st.store_batch(spark.createDataFrame(
+            rows, "id string, text string, embedding array<float>, "
+                  "metadata map<string,string>"), NOW)
+
+        # simulate one bucket's files coming from a pre-metadata build:
+        # rewrite them without the column (hard-link sharing analog)
+        v = st._current_version()
+        snap = os.path.join(st.path, f"v{v}")
+        bucket_dirs = sorted(glob.glob(os.path.join(snap, "_bucket=*")))
+        assert len(bucket_dirs) == 2, "need rows in both buckets"
+        for f in glob.glob(os.path.join(bucket_dirs[0], "*.parquet")):
+            tbl = pq.read_table(f)
+            pq.write_table(tbl.drop_columns(["metadata"]), f)
+            crc = os.path.join(os.path.dirname(f),
+                               "." + os.path.basename(f) + ".crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+
+        back = st.read()
+        assert "metadata" in back.columns
+        vals = {r.id: r.metadata for r in back.collect()}
+        assert len(vals) == 4
+        # new-generation bucket keeps its values; old files read as NULL
+        old_ids = {r.id for r in spark.read.parquet(bucket_dirs[0]).collect()}
+        for i, m in vals.items():
+            if i in old_ids:
+                assert m is None
+            else:
+                assert m is not None and m.get("k")
+
+        # and a subsequent partial commit must not persist any loss:
+        st.expire([next(iter(set(vals) - old_ids))], TS + 10)
+        after = {r.id: r.metadata for r in st.read().collect()}
+        assert any(m is not None for m in after.values())

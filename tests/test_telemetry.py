@@ -84,3 +84,40 @@ class TestTracedDedupe:
         text = metrics.render_prometheus()
         assert "distill_requests_total" in text
         assert "distill_clusters_formed_total" in text
+
+    def test_errored_request_still_counted(self):
+        class Boom:
+            def count(self):
+                raise RuntimeError("scan failed")
+
+        metrics = tel.Metrics()
+        exported = []
+        tr = tel.Tracer(exporter=exported.append)
+        with pytest.raises(RuntimeError):
+            tel.traced_dedupe(Boom(), metrics=metrics, tracer=tr)
+        text = metrics.render_prometheus()
+        # the reference's metrics.go counts errored requests too
+        assert 'distill_requests_total{endpoint="/v1/dedupe",status="500"} 1' in text
+        assert "distill_request_duration_seconds_count" in text
+        root = [s for s in exported if s.name == tel.SPAN_REQUEST][0]
+        assert root.status == "error"
+        assert root.attributes["distill.result.latency_ms"] >= 0
+
+    def test_exporter_sees_latency_at_export_time(self, spark):
+        """A push exporter that serializes the span immediately at
+        close must already see distill.result.latency_ms."""
+        from distill_spark.plans.dedupe import DedupeConfig
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        chunks = (docs.join(embs, docs.doc_id == embs.vec_id)
+                  .filter(F.col("doc_id") < 20)
+                  .select(F.col("doc_id").cast("string").alias("id"),
+                          "text", "embedding",
+                          (F.col("n_chars") / 1000.0).cast("float")
+                          .alias("score")))
+        seen = {}
+        tr = tel.Tracer(exporter=lambda s: seen.setdefault(
+            s.name, dict(s.attributes)))
+        tel.traced_dedupe(chunks, DedupeConfig(threshold=0.65), tracer=tr)
+        assert "distill.result.latency_ms" in seen[tel.SPAN_REQUEST]

@@ -57,6 +57,20 @@ class TestSampling:
                    deterministic_sample(df.repartition(7), 0.3, "k").collect())
         assert c == d and 0.2 < len(c) / 2000 < 0.4
 
+    def test_portable_mode_rejects_non_integral_key(self, spark):
+        """A string key silently hashing to NULL buckets (zero rows
+        kept) must instead raise the documented constraint."""
+        import pytest
+
+        df = spark.createDataFrame([("x1",), ("x2",)], "k string")
+        with pytest.raises(TypeError, match="integral key"):
+            deterministic_sample(df, 0.5, "k", mode="portable")
+        with pytest.raises(TypeError, match="integral key"):
+            stratified_sample(df.withColumn("d", F.lit("a")),
+                              {"a": 0.5}, "d", "k", mode="portable")
+        # xxhash64 mode hashes any type and stays valid on strings
+        assert deterministic_sample(df, 1.0, "k").count() == 2
+
     def test_fraction_growth_is_superset(self, spark):
         """Subset monotonicity on the REAL kept sets: growing a mix
         fraction must never resample what a smaller fraction kept —

@@ -47,6 +47,60 @@ def rows_key(cols, rows):
     return sorted(tuple(norm_val(r[i]) for i in order) for r in rows)
 
 
+def driver_mimic_problems(sdf, duck_rel):
+    """Replicate the driver's canonicalization hazards and hard-fail on
+    anything it cannot hash.
+
+    The driver converts both sides to pandas, sorts all columns, and
+    hashes cell values — so (a) ArrayType/MapType/StructType output
+    columns raise `unhashable type: numpy.ndarray` (r2: f5_normalize;
+    r3: s1/st2_hints/st8_diagnose), and (b) dtype drift (DuckDB
+    sum(INTEGER) → HUGEINT → float64 vs Spark int64) hash-mismatches
+    even when values are equal (r2: A7/ST5; r3: A12). Reject both
+    classes here so they can't ship again.
+    """
+    import pyspark.sql.types as T
+
+    problems = []
+    for f in sdf.schema.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            problems.append(
+                f"driver-unsafe output column '{f.name}' "
+                f"({f.dataType.simpleString()}): the driver canonicalizer "
+                "cannot sort/hash ndarray cells — serialize to a scalar "
+                "(concat_ws/to_json) or posexplode")
+    if problems:
+        return problems
+    spdf = sdf.toPandas().reindex(sorted(sdf.columns), axis=1)
+    dpdf = duck_rel.df()
+    dpdf = dpdf.reindex(sorted(dpdf.columns), axis=1)
+    if list(spdf.columns) == list(dpdf.columns):
+        for c in spdf.columns:
+            sk, dk = spdf[c].dtype.kind, dpdf[c].dtype.kind
+            # int-vs-float drift is exactly the HUGEINT hash-FAIL class;
+            # object-vs-numeric is a decimal/string drift
+            if {sk, dk} == {"i", "f"} or ({sk, dk} & {"O"} and sk != dk):
+                nn = dpdf[c].notna()
+                if sk == "i" and dk == "f" and nn.any() \
+                        and (dpdf[c][nn] % 1 == 0).all():
+                    problems.append(
+                        f"dtype drift on '{c}': spark={spdf[c].dtype} "
+                        f"duck={dpdf[c].dtype} (integral values — likely "
+                        "HUGEINT; CAST the oracle aggregate AS BIGINT)")
+                elif sk != dk:
+                    problems.append(
+                        f"dtype drift on '{c}': spark={spdf[c].dtype} "
+                        f"duck={dpdf[c].dtype}")
+        for df, side in ((spdf, "spark"), (dpdf, "duck")):
+            try:
+                df.sort_values(by=list(df.columns))
+            except Exception as e:  # noqa: BLE001
+                problems.append(
+                    f"driver sort fails on {side} side: "
+                    f"{type(e).__name__}: {e}")
+    return problems
+
+
 def main():
     argv = [a for a in sys.argv[1:] if a != "--plain"]
     plain = "--plain" in sys.argv[1:]
@@ -104,6 +158,8 @@ def main():
             if sk != dk:
                 diff = [(a, b) for a, b in zip(sk, dk) if a != b][:3]
                 problems.append(f"values differ, first diffs: {diff}")
+        if not problems:
+            problems.extend(driver_mimic_problems(sdf, con.sql(oracles[name])))
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}", flush=True)
