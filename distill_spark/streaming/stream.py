@@ -64,8 +64,9 @@ def sliding_means(events: DataFrame, window: str = "1 hour",
                   watermark: str = "2 hours") -> DataFrame:
     return (events.withWatermark("ts", watermark)
             .groupBy(F.window("ts", window, slide).alias("w"))
-            .agg(F.round(F.avg("value"), 6).alias("mean_value"))
-            .select(F.col("w.start").alias("window_start"), "mean_value"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("value"), 6).alias("mean_value"))
+            .select(F.col("w.start").alias("window_start"), "n", "mean_value"))
 
 
 def session_window_agg(events: DataFrame, gap: str = "30 minutes",

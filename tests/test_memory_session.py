@@ -367,3 +367,58 @@ class TestBucketedCommits:
         st.expire([next(iter(set(vals) - old_ids))], TS + 10)
         after = {r.id: r.metadata for r in st.read().collect()}
         assert any(m is not None for m in after.values())
+
+    def test_probe_lsh_matches_exact_at_scale(self, spark, tmp_path):
+        """ST1 probe route equality at realistic N (300 stored / 60
+        probed, 64-dim testdata embeddings): with the broadcast budget
+        forced to 0 the probe must take the LSH path and classify every
+        row (duplicate / conflict / clean) exactly as the exact
+        broadcast route does. Deterministic: the LSH model is seeded,
+        and probe vectors are constructed at controlled cosine
+        distances (0 → dup band, 0.25 → conflict band, ~1 → clean)."""
+        import numpy as np
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+        vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+                for r in emb.filter("vec_id < 300").collect()}
+        unit = {k: v / np.linalg.norm(v) for k, v in vecs.items()}
+        rng = np.random.default_rng(7)
+
+        def at_cos_dist(v, d):
+            """A unit vector at exact cosine distance d from unit v."""
+            w = rng.standard_normal(v.shape)
+            w -= (w @ v) * v
+            w /= np.linalg.norm(w)
+            s = 1.0 - d
+            return s * v + np.sqrt(max(0.0, 1.0 - s * s)) * w
+
+        seed_rows = [(f"s{k}", f"stored {k}", [float(x) for x in v])
+                     for k, v in unit.items()]
+        probe_rows = []
+        for i, k in enumerate(sorted(unit)[:45]):
+            if i % 3 == 0:      # exact duplicate
+                nv = unit[k]
+            elif i % 3 == 1:    # conflict band [0.15, 0.35)
+                nv = at_cos_dist(unit[k], 0.25)
+            else:               # clean (orthogonal-ish)
+                nv = at_cos_dist(unit[k], 1.0)
+            probe_rows.append((f"p{i}", f"probe {i}",
+                               [float(x) for x in nv]))
+
+        results = {}
+        for name, budget in (("exact", 512 << 20), ("lsh", 0)):
+            st = MemoryStore(spark, str(tmp_path / f"big_{name}"),
+                             probe_broadcast_budget=budget)
+            st.store_batch(_mk(spark, seed_rows), NOW)
+            r = st.store_batch(_mk(spark, probe_rows), TS + 60)
+            results[name] = (
+                sorted((x.new_id, x.dup_of)
+                       for x in r["duplicates"].collect()),
+                sorted((x.new_id, x.conflict_with)
+                       for x in r["conflicts"].collect()),
+                sorted(x.id for x in st.read().collect()),
+            )
+        assert results["lsh"] == results["exact"]
+        dups, confs, _ = results["exact"]
+        assert len(dups) == 15 and len(confs) == 15

@@ -139,3 +139,73 @@ class TestStreaming:
         q.awaitTermination(180)
         assert st.read().count() > 0
         assert st.stats()["total"] <= 200
+
+
+class TestGatedWindowQueriesViaStream:
+    """The gated batch window queries (events_tumbling / events_sliding
+    / events_sessionize over the driver testdata) re-expressed through
+    the readStream path must produce identical results — the unified-
+    API guarantee the ST4 stream test establishes for session pushes.
+
+    The testdata events table is re-written to a temp dir first:
+    events.parquet carries TIMESTAMP(NANOS), which the file stream
+    source can't take directly; load_tables normalizes ts to µs."""
+
+    SF = "/root/testdata/sf0.001"
+
+    @pytest.fixture(scope="class")
+    def stream_dir(self, spark, tmp_path_factory):
+        from distill_spark.runtime import load_tables
+
+        ev = load_tables(spark, self.SF, names=["events"])["events"]
+        path = str(tmp_path_factory.mktemp("gated_events"))
+        (ev.select("event_id", "ts", "user_id", "event_type", "value")
+         .repartition(3).write.mode("overwrite").parquet(path))
+        return path
+
+    def test_tumbling_gated_query_matches_stream(self, spark, stream_dir,
+                                                 tmp_path):
+        import __spark_entry__ as entrymod
+
+        batch = entrymod.queries()["events_tumbling"](spark, self.SF)
+        sdf = stm.tumbling_counts(
+            stm.read_event_stream(spark, stream_dir, max_files_per_trigger=1))
+        got = _drain(spark, sdf, "t_gated_tumbling", tmp_path).select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+             .alias("window_start"),
+            "event_type", "n", F.col("total").alias("total_value"))
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, batch.collect()))
+
+    def test_sliding_gated_query_matches_stream(self, spark, stream_dir,
+                                                tmp_path):
+        import __spark_entry__ as entrymod
+
+        batch = entrymod.queries()["events_sliding"](spark, self.SF)
+        sdf = stm.sliding_means(
+            stm.read_event_stream(spark, stream_dir, max_files_per_trigger=1))
+        got = _drain(spark, sdf, "t_gated_sliding", tmp_path)
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, batch.collect()))
+
+    def test_sessionize_gated_query_matches_stream(self, spark, stream_dir,
+                                                   tmp_path):
+        import __spark_entry__ as entrymod
+
+        batch = entrymod.queries()["events_sessionize"](spark, self.SF) \
+            .select("user_id", "session_start", "n_events", "session_value")
+        # files are randomly time-partitioned, so with 1-file micro-
+        # batches most of batches 2-3 arrive "late"; the watermark must
+        # span the whole range or the session store drops them. (The
+        # tumbling/sliding aggs keep late rows in complete mode, but
+        # session-window MERGING consults the watermark regardless.)
+        sdf = stm.session_window_agg(
+            stm.read_event_stream(spark, stream_dir, max_files_per_trigger=1),
+            gap="30 minutes", watermark="8760 hours")
+        got = _drain(spark, sdf, "t_gated_sessions", tmp_path).select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss")
+             .alias("session_start"),
+            "n_events", "session_value")
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, batch.collect()))
