@@ -645,6 +645,95 @@ WHERE d.doc_id >= 40 AND d.doc_id < 400 AND len(d.tk) < 5
 """
 
 
+def q_filter_funnel(spark, sf_dir):
+    """Quality-filter funnel (training-data hygiene; C4/Gopher-style
+    cleaning): five ordered keep-predicates over documents as ONE flat
+    CASE — first failing stage attributed as drop_reason. Zero
+    shuffles, zero UDFs; whole-stage-codegen'd single pass."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.filters import filter_funnel
+
+    text = F.coalesce(F.col("text"), F.lit(""))
+    toks = F.filter(F.split(text, r"\s+"), lambda x: x != "")
+    n_words = F.size(toks)
+    mean_wlen = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x),
+        lambda a: F.when(n_words > 0, a / n_words).otherwise(F.lit(0.0)))
+    dup_frac = F.when(
+        n_words > 0,
+        1.0 - F.size(F.array_distinct(toks)) / n_words).otherwise(0.0)
+    stages = [
+        ("too_short", F.length(text) >= 80),
+        ("not_english", F.col("lang") == "en"),
+        ("mean_word_len", (mean_wlen >= 2.5) & (mean_wlen <= 5.0)),
+        ("dup_words", dup_frac <= 0.55),
+    ]
+    return filter_funnel(t["documents"], stages)
+
+
+SQL_FUNNEL = """
+WITH d AS (
+  SELECT doc_id, lang, coalesce(text, '') AS t,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents),
+m AS (
+  SELECT doc_id, lang, t, tk,
+         CASE WHEN len(tk) > 0
+              THEN list_aggregate(list_transform(tk, x -> length(x)), 'sum')
+                   * 1.0 / len(tk) ELSE 0.0 END AS mean_wlen,
+         CASE WHEN len(tk) > 0
+              THEN 1.0 - len(list_distinct(tk)) * 1.0 / len(tk)
+              ELSE 0.0 END AS dup_frac
+  FROM d)
+SELECT doc_id,
+       CASE WHEN NOT (length(t) >= 80) THEN 'too_short'
+            WHEN NOT coalesce(lang = 'en', FALSE) THEN 'not_english'
+            WHEN NOT (mean_wlen >= 2.5 AND mean_wlen <= 5.0)
+              THEN 'mean_word_len'
+            WHEN NOT (dup_frac <= 0.55) THEN 'dup_words'
+       END AS drop_reason,
+       (length(t) >= 80) AND coalesce(lang = 'en', FALSE)
+         AND (mean_wlen >= 2.5 AND mean_wlen <= 5.0)
+         AND (dup_frac <= 0.55) AS kept
+FROM m
+"""
+
+
+def q_split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/holdout split (training-data hygiene):
+    duplicate groups (word-set fingerprint — catches the corpus's
+    word-shuffled near-copies) land on ONE side, chosen by the
+    portable Knuth hash of the group's canonical doc_id — so
+    near-copies of held-out documents can't leak into training. One
+    dedup-shaped groupBy + one key join; oracle replays the split
+    exactly."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.filters import leakage_safe_split
+
+    out = leakage_safe_split(t["documents"], holdout_fraction=0.2,
+                             normalizer="wordset")
+    return out.select("doc_id", "group_key", "split")
+
+
+SQL_SPLIT = """
+WITH g AS (
+  SELECT doc_id,
+         min(doc_id) OVER (
+           PARTITION BY array_to_string(list_sort(list_distinct(
+             list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                               '[^a-z0-9]+'),
+                         x -> x <> ''))), ' ')
+         ) AS group_key
+  FROM documents)
+SELECT doc_id, group_key,
+       CASE WHEN ((group_key % 2147483648) * 2654435761) % 2147483648
+                 < CAST(0.2 * 2147483648 AS BIGINT)
+            THEN 'holdout' ELSE 'train' END AS split
+FROM g
+"""
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic domain-mix sampling (training-data primitive):
     per-event_type hash-threshold fractions on a portable Knuth
@@ -3399,6 +3488,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "mm_features": (q_mm_features, SQL_MM),
     # -- training-pipeline ops added round 3 -------------------------------
     "decontam_benchmark": (q_decontam_benchmark, SQL_DECONTAM),
+    "filter_funnel": (q_filter_funnel, SQL_FUNNEL),
+    "split_leakage_safe": (q_split_leakage_safe, SQL_SPLIT),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE),
     "pack_sequences": (q_pack_sequences, SQL_PACK),
     "text_redact": (q_text_redact, _sql_redact()),

@@ -1,0 +1,136 @@
+"""Quality-filter funnel and leakage-safe splits for training data.
+
+Two pipeline-hygiene primitives every large corpus build needs
+(C4/CCNet/Gopher/Dolma-style cleaning; RefinedWeb §3):
+
+- ``filter_funnel``: an ORDERED list of named keep-predicates applied
+  as one flat CASE — each document is attributed to the FIRST stage it
+  fails (``drop_reason``) or kept. One narrow projection, zero
+  shuffles, zero UDFs: the whole funnel is a single whole-stage-
+  codegen'd pass over the scan, so it costs the same as reading the
+  column. ``funnel_stats`` rolls the decisions into per-stage
+  attrition (one shuffle on a ≤ n_stages+1 key space).
+
+- ``leakage_safe_split``: deterministic train/holdout assignment where
+  an entire duplicate GROUP lands on one side. Splitting on a per-doc
+  hash leaks near-copies of held-out documents into training; the fix
+  is to split on the group's canonical key (min id over the group — by
+  default exact-dup groups keyed by normalized content hash; pass any
+  group_col, e.g. a MinHash cluster id). One groupBy + one window-free
+  join, both on the same key — and the hash is the portable Knuth form
+  from operators.sampling, so the assignment replays in any BIGINT
+  engine (and in the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from distill_spark.operators.sampling import _KNUTH, _M
+
+
+def filter_funnel(
+    df: DataFrame,
+    stages: list[tuple[str, Column]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply ordered (name, keep_predicate) stages; output one row per
+    input: (id, drop_reason, kept). ``drop_reason`` is the first stage
+    whose predicate is False (NULL-failing predicates drop too — a
+    quality gate that can't evaluate must not pass the document);
+    NULL drop_reason ⇔ kept.
+    """
+    if not stages:
+        raise ValueError("filter_funnel needs at least one stage")
+    builder = None
+    for name, keep in stages:
+        fails = ~F.coalesce(keep, F.lit(False))
+        builder = (F.when(fails, F.lit(name)) if builder is None
+                   else builder.when(fails, F.lit(name)))
+    reason = builder.otherwise(F.lit(None).cast("string"))
+    return df.select(
+        F.col(id_col),
+        reason.alias("drop_reason"),
+        reason.isNull().alias("kept"))
+
+
+def funnel_stats(decisions: DataFrame,
+                 stage_names: list[str]) -> DataFrame:
+    """Attrition rollup over ``filter_funnel`` output: one row per
+    stage in funnel order plus a final 'kept' row — (stage, n,
+    pct_of_input). Stages that dropped nothing still appear (n=0)."""
+    order = {name: i for i, name in enumerate(stage_names)}
+    order["kept"] = len(stage_names)
+    counts = (decisions
+              .select(F.coalesce("drop_reason", F.lit("kept")).alias("stage"))
+              .groupBy("stage").agg(F.count("*").alias("n")))
+    skeleton = decisions.sparkSession.createDataFrame(
+        [(s, i) for s, i in order.items()], "stage string, ord int")
+    total = decisions.count()
+    return (F.broadcast(skeleton)
+            .join(counts, "stage", "left")
+            .select("stage", "ord",
+                    F.coalesce("n", F.lit(0)).alias("n"))
+            .withColumn("pct_of_input",
+                        F.round(F.col("n") * 100.0 / F.lit(total), 4)
+                        if total else F.lit(0.0))
+            .orderBy("ord").drop("ord"))
+
+
+def _portable_bucket(col: Column) -> Column:
+    """((key mod 2^31) * KNUTH) mod 2^31 — exact in any BIGINT engine
+    (same form as operators.sampling portable mode, salt 0)."""
+    return F.pmod(F.pmod(col.cast("long"), F.lit(_M)) * F.lit(_KNUTH),
+                  F.lit(_M))
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    holdout_fraction: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+    normalizer: str = "exact",
+) -> DataFrame:
+    """Assign each document to 'train' or 'holdout' such that every
+    member of a duplicate group gets the SAME side.
+
+    Group key: ``group_col`` if given (e.g. a near-dup cluster id from
+    the dedup suite), else a text normalization — ``normalizer``
+    'exact' (lowercased, whitespace-collapsed full text) or 'wordset'
+    (sorted distinct lowercase tokens: catches word-order shuffles and
+    repetition edits, the cheapest bag-of-words near-dup key). The
+    split hashes the group's canonical id (min id_col over the group)
+    through the portable bucket, so it is deterministic, layout-
+    independent, and replayable by external engines. Output: input
+    rows + (group_key, split).
+
+    Scale shape: one partial-aggregated groupBy on the normalized-text
+    hash (the same single shuffle exact dedup costs) and one shuffle
+    join back on that key; no windows, no UDFs, no driver loops.
+    """
+    if not 0.0 < holdout_fraction < 1.0:
+        raise ValueError("holdout_fraction must be in (0, 1)")
+    if group_col is None:
+        low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+        if normalizer == "exact":
+            norm = F.trim(F.regexp_replace(low, r"\s+", " "))
+        elif normalizer == "wordset":
+            norm = F.concat_ws(" ", F.array_sort(F.array_distinct(
+                F.filter(F.split(low, r"[^a-z0-9]+"), lambda x: x != ""))))
+        else:
+            raise ValueError(f"unknown normalizer {normalizer!r}")
+        keyed = df.withColumn("_gk", F.xxhash64(norm))
+        gcol = "_gk"
+    else:
+        keyed = df
+        gcol = group_col
+    canon = keyed.groupBy(gcol).agg(F.min(id_col).alias("group_key"))
+    thresh = int(holdout_fraction * _M)
+    out = (keyed.join(canon, gcol)
+           .withColumn(
+               "split",
+               F.when(_portable_bucket(F.col("group_key")) < F.lit(thresh),
+                      F.lit("holdout")).otherwise(F.lit("train"))))
+    return out.drop("_gk") if group_col is None else out

@@ -1,0 +1,136 @@
+"""Quality-filter funnel + leakage-safe split (training-data hygiene).
+
+Reference surface: these are extensions beyond the reference repo
+(SURVEY §2.12 training-data inventory) in the C4/Gopher/Dolma cleaning
+tradition — ordered keep-predicates with first-fail attribution, and
+duplicate-group-aware train/holdout splits.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distill_spark.operators.filters import (
+    filter_funnel,
+    funnel_stats,
+    leakage_safe_split,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog " * 4, "en"),
+        (1, "short", "en"),                                  # too_short
+        (2, "x " * 60, "de"),                                # not_english
+        (3, "ab " * 60, "en"),                               # mean_word_len
+        (4, "same same same same " * 10, "en"),              # dup_words
+        (5, None, "en"),                                     # null text
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def _stages():
+    text = F.coalesce(F.col("text"), F.lit(""))
+    toks = F.filter(F.split(text, r"\s+"), lambda x: x != "")
+    n = F.size(toks)
+    mean_wlen = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x),
+        lambda a: F.when(n > 0, a / n).otherwise(F.lit(0.0)))
+    dup = F.when(n > 0, 1.0 - F.size(F.array_distinct(toks)) / n) \
+        .otherwise(0.0)
+    return [
+        ("too_short", F.length(text) >= 40),
+        ("not_english", F.col("lang") == "en"),
+        ("mean_word_len", (mean_wlen >= 2.5) & (mean_wlen <= 8.0)),
+        ("dup_words", dup <= 0.8),
+    ]
+
+
+class TestFilterFunnel:
+    def test_first_fail_attribution(self, spark, docs):
+        out = {r.doc_id: (r.drop_reason, r.kept)
+               for r in filter_funnel(docs, _stages()).collect()}
+        assert out[0] == (None, True)
+        assert out[1] == ("too_short", False)
+        assert out[2] == ("not_english", False)
+        assert out[3] == ("mean_word_len", False)
+        assert out[4] == ("dup_words", False)
+        assert out[5] == ("too_short", False)  # null text fails first gate
+
+    def test_null_predicate_drops(self, spark):
+        # a gate that can't evaluate (NULL) must not pass the document
+        df = spark.createDataFrame([(1, None)], "doc_id long, lang string")
+        out = filter_funnel(df, [("lang_gate", F.col("lang") == "en")],
+                            id_col="doc_id").collect()[0]
+        assert out.drop_reason == "lang_gate" and not out.kept
+
+    def test_stats_include_empty_stages(self, spark, docs):
+        dec = filter_funnel(docs, _stages())
+        names = [n for n, _ in _stages()]
+        stats = funnel_stats(dec, names).collect()
+        assert [r.stage for r in stats] == names + ["kept"]
+        by = {r.stage: r.n for r in stats}
+        assert by["too_short"] == 2 and by["kept"] == 1
+        assert sum(by.values()) == 6
+        assert abs(sum(r.pct_of_input for r in stats) - 100.0) < 0.01
+
+    def test_funnel_plan_has_no_exchange(self, spark, docs):
+        p = spark._jvm.PythonSQLUtils.explainString(
+            filter_funnel(docs, _stages())._jdf.queryExecution(), "formatted")
+        assert "Exchange" not in p
+
+
+class TestLeakageSafeSplit:
+    def test_groups_stay_on_one_side(self, spark):
+        rows = [(i, f"doc {i % 7} body text shared", "en") for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = leakage_safe_split(df, 0.4).collect()
+        sides = {}
+        for r in out:
+            sides.setdefault(r.group_key, set()).add(r.split)
+        assert all(len(s) == 1 for s in sides.values())
+        assert len(sides) == 7
+        assert {r.split for r in out} == {"train", "holdout"}
+
+    def test_wordset_normalizer_groups_shuffled_copies(self, spark):
+        df = spark.createDataFrame(
+            [(0, "alpha beta gamma"), (1, "gamma  alpha beta"),
+             (2, "beta, gamma alpha alpha"), (3, "delta epsilon")],
+            "doc_id long, text string")
+        out = leakage_safe_split(df, 0.5, normalizer="wordset").collect()
+        keys = {r.doc_id: r.group_key for r in out}
+        assert keys[0] == keys[1] == keys[2] == 0
+        assert keys[3] == 3
+
+    def test_deterministic_and_layout_independent(self, spark):
+        rows = [(i, f"unique body {i}") for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted((r.doc_id, r.split)
+                   for r in leakage_safe_split(df, 0.3).collect())
+        b = sorted((r.doc_id, r.split)
+                   for r in leakage_safe_split(
+                       df.repartition(13), 0.3).collect())
+        assert a == b
+        frac = sum(1 for _, s in a if s == "holdout") / len(a)
+        assert 0.2 < frac < 0.4
+
+    def test_group_col_path(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a", 100), (1, "b", 100), (2, "c", 200)],
+            "doc_id long, text string, cluster long")
+        out = leakage_safe_split(df, 0.5, group_col="cluster").collect()
+        sides = {}
+        for r in out:
+            sides.setdefault(r.cluster, set()).add(r.split)
+        assert all(len(s) == 1 for s in sides.values())
+
+    def test_invalid_fraction_raises(self, spark):
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            leakage_safe_split(df, 0.0)
+        with pytest.raises(ValueError):
+            leakage_safe_split(df, 1.0)
+        with pytest.raises(ValueError):
+            leakage_safe_split(df, 0.5, normalizer="bogus")
