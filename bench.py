@@ -59,6 +59,35 @@ def flagship_dedupe(spark, sf_dir):
     return dedupe(chunks, DedupeConfig(threshold=0.65, strategy="score", target_k=32))
 
 
+def _training_ops(sf_dir):
+    """Training-pipeline operators over FULL tables at bench SF (the
+    gated variants restrict doc ranges for oracle tractability; the
+    bench measures the unrestricted scale shape)."""
+    from distill_spark.operators.chunking import chunk_documents
+    from distill_spark.operators.decontam import ngram_contamination
+    from distill_spark.operators.filters import leakage_safe_split
+    from distill_spark.operators.repetition import repetition_signals
+
+    def full_docs(spark):
+        return load_tables(spark, sf_dir, ["documents"])["documents"]
+
+    import __spark_entry__ as em
+
+    return {
+        "train_filter_funnel": lambda s, d: em.queries()["filter_funnel"](s, d),
+        "train_split_leakage": lambda s, d: leakage_safe_split(
+            full_docs(s), 0.2, normalizer="wordset"),
+        "train_chunking": lambda s, d: chunk_documents(full_docs(s)),
+        "train_repetition": lambda s, d: repetition_signals(full_docs(s)),
+        "train_decontam": lambda s, d: ngram_contamination(
+            full_docs(s).filter(F.col("doc_id") >= 40),
+            full_docs(s).filter(F.col("doc_id") < 40),
+            n=5, min_overlap=0.5),
+        "train_sampling": lambda s, d: em.queries()["sample_stratified"](s, d),
+        "train_packing": lambda s, d: em.queries()["pack_sequences"](s, d),
+    }
+
+
 def _release_state(spark):
     """Operators persist/localCheckpoint intermediates; between
     unrelated queries those blocks only cost heap. clearCache handles
@@ -144,11 +173,28 @@ def main():
     # contention). Concurrent runs best-of-2 because single-run wall on
     # a shared box is ±25% noisy (GC pauses, page cache); min AND mean
     # are reported so the aggregation is transparent.
+    training = _training_ops(sf_dir)
+
+    def run_training():
+        # sequential: these document the per-op scale shape, so
+        # uncontended floors are the interpretable number
+        timings: dict[str, float] = {}
+        t0 = time.time()
+        for name, fn in training.items():
+            s0 = time.time()
+            n = fn(spark, sf_dir).count()
+            took = round(time.time() - s0, 3)
+            timings[name] = took
+            print(f"# {name}: {n} rows in {took}s", file=sys.stderr, flush=True)
+        _release_state(spark)
+        return round(time.time() - t0, 3), timings
+
     seq_total, seq_timings = run_batch(sequential=True)
     if seq_only:
         conc_runs = []
     else:
         conc_runs = [run_batch(sequential=False) for _ in range(2)]
+    training_total, training_timings = run_training()
     if conc_runs:
         conc_totals = [r[0] for r in conc_runs]
         total, timings = min(conc_runs, key=lambda r: r[0])
@@ -171,6 +217,10 @@ def main():
             "totals": conc_totals,
         } if conc_totals else None),
         "sequential": {"total": seq_total, "queries": seq_timings},
+        # training-data ops over FULL tables (not the oracle-bounded
+        # gated ranges), one concurrent pass — scale-shape evidence for
+        # the funnel/split/chunk/decontam/sampling/packing suite
+        "training": {"total": training_total, "queries": training_timings},
     }), flush=True)
 
 

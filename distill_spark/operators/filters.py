@@ -60,6 +60,8 @@ def funnel_stats(decisions: DataFrame,
     """Attrition rollup over ``filter_funnel`` output: one row per
     stage in funnel order plus a final 'kept' row — (stage, n,
     pct_of_input). Stages that dropped nothing still appear (n=0)."""
+    from pyspark.sql import Window
+
     order = {name: i for i, name in enumerate(stage_names)}
     order["kept"] = len(stage_names)
     counts = (decisions
@@ -67,14 +69,19 @@ def funnel_stats(decisions: DataFrame,
               .groupBy("stage").agg(F.count("*").alias("n")))
     skeleton = decisions.sparkSession.createDataFrame(
         [(s, i) for s, i in order.items()], "stage string, ord int")
-    total = decisions.count()
-    return (F.broadcast(skeleton)
-            .join(counts, "stage", "left")
-            .select("stage", "ord",
-                    F.coalesce("n", F.lit(0)).alias("n"))
+    # total via an unpartitioned window over the ALREADY-aggregated
+    # counts (≤ n_stages+1 rows) — one plan, one pass over the data,
+    # no separate driver-side count() job
+    joined = (F.broadcast(skeleton)
+              .join(counts, "stage", "left")
+              .select("stage", "ord",
+                      F.coalesce("n", F.lit(0)).alias("n")))
+    total = F.sum("n").over(Window.partitionBy())
+    return (joined
             .withColumn("pct_of_input",
-                        F.round(F.col("n") * 100.0 / F.lit(total), 4)
-                        if total else F.lit(0.0))
+                        F.when(total > 0,
+                               F.round(F.col("n") * 100.0 / total, 4))
+                        .otherwise(0.0))
             .orderBy("ord").drop("ord"))
 
 
