@@ -143,6 +143,69 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+_RESIZERS: dict[str, Callable[[bytes, int, int], bytes]] = {}
+
+
+def register_resizer(kind: str,
+                     fn: Callable[[bytes, int, int], bytes]) -> None:
+    """Plug a real resizer (e.g. PIL thumbnail) for a media kind."""
+    _RESIZERS[kind] = fn
+
+
+def deterministic_fake_resizer() -> Callable[[bytes, int, int], bytes]:
+    """Container-safe stand-in: a deterministic payload derived from
+    (content, target dims) with size proportional to the target area —
+    preserves the real resizer's contract (same input → same output,
+    smaller dims → smaller payload) without image libraries."""
+    def fn(data: bytes, w: int, h: int) -> bytes:
+        seed = hashlib.sha256(data + f"{w}x{h}".encode()).digest()
+        out_len = max(1, (w * h) // 64)
+        reps = out_len // len(seed) + 1
+        return (seed * reps)[:out_len]
+    return fn
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int,
+                  batch_rows: int = 64) -> DataFrame:
+    """Resize image rows via ``mapInPandas`` — same bounded-chunk,
+    map-side-only shape as ``extract_features``; non-image rows pass
+    through untouched. Aspect is preserved by fitting inside
+    (target_w, target_h); output rows carry the new payload + updated
+    width/height. Codec work is the registered resizer's job
+    (``register_resizer``) — default raises NotImplementedError unless
+    the deterministic fake is registered (tests do)."""
+    resizers = dict(_RESIZERS)
+    fields = df.schema.fieldNames()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo: lo + batch_rows].copy()
+                for i, r in enumerate(chunk.itertuples(index=False)):
+                    if r.kind != "image":
+                        continue
+                    fn = resizers.get("image")
+                    if fn is None:
+                        raise NotImplementedError(
+                            "no image resizer registered — call "
+                            "register_resizer('image', fn) (production: "
+                            "PIL/opencv; tests: deterministic_fake_resizer)")
+                    w0 = int(r.width or target_w)
+                    h0 = int(r.height or target_h)
+                    scale = min(target_w / max(w0, 1), target_h / max(h0, 1),
+                                1.0)
+                    nw, nh = max(1, int(w0 * scale)), max(1, int(h0 * scale))
+                    data = (r.data if isinstance(r.data, (bytes, bytearray))
+                            else b"")
+                    col = chunk.columns.get_loc
+                    chunk.iat[i, col("data")] = fn(bytes(data), nw, nh)
+                    chunk.iat[i, col("width")] = nw
+                    chunk.iat[i, col("height")] = nh
+                yield chunk[fields]
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
 def media_summary(df: DataFrame) -> DataFrame:
     """Per-kind size/shape stats — typed-metadata analytics that never
     touch the payload (column pruning drops `data` at the scan)."""

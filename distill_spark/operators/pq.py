@@ -1,0 +1,194 @@
+"""Product-quantization ANN (Jégou et al. 2011) — the compressed
+scale path for embedding search.
+
+At 100 TB an embedding corpus does not fit executor memory as floats:
+a 64-dim float32 vector is 256 bytes; its PQ code (m=8 subspaces,
+16 centroids each) is 8 bytes — 32× compression — and asymmetric
+distance computation (ADC) scores a candidate with m table lookups
+instead of a dim-length dot product.
+
+Spark-first shape:
+- **fit** — per-subspace k-means on a BOUNDED, deterministic sample
+  (the classic recipe: codebooks train on ~10⁴-10⁵ points regardless
+  of corpus size). Seeded numpy Lloyd → byte-identical codebooks
+  every run.
+- **encode** — mapInPandas over the corpus with the (tiny) codebooks
+  broadcast in the closure: vectorized argmin per subspace, map-side
+  only, no shuffle. The output (id, codes) is what a deployment
+  persists; the float vectors never need to be resident again.
+- **search** — queries collect to the driver (a query batch is small
+  by definition), LUTs (Q × m × ksub) ship in the closure; one
+  mapInPandas pass over the codes emits only the per-partition top-k
+  per query (numpy gather + argpartition), then a tiny window takes
+  the global top-k. N×Q never materializes.
+- **re-rank** (optional) — join the surviving ≤ Q×k×partitions
+  candidates back to the float vectors for exact cosine, the standard
+  PQ + refine pipeline.
+
+The reference repo has no ANN index at all (its vector search is the
+O(n) scan at memory/sqlite.go:240-242 or an external vector DB); this
+extends SURVEY §2.12 alongside the LSH and IVF paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from distill_spark.functions import vectormath as vm
+
+
+def _kmeans_1sub(x: np.ndarray, ksub: int, iters: int,
+                 rng: np.random.Generator) -> np.ndarray:
+    """Seeded Lloyd on one subspace sample (n × dsub) → (ksub × dsub).
+    Plain numpy: the sample is driver-bounded by design."""
+    n = x.shape[0]
+    cents = x[rng.choice(n, size=min(ksub, n), replace=False)].copy()
+    if cents.shape[0] < ksub:  # degenerate tiny corpus: pad by repeat
+        reps = ksub // cents.shape[0] + 1
+        cents = np.concatenate([cents] * reps)[:ksub]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(ksub):
+            mask = assign == c
+            if mask.any():
+                cents[c] = x[mask].mean(axis=0)
+    return cents
+
+
+class PQIndex:
+    """Codebooks + encoded corpus. ``codes`` is persisted; everything
+    else the search needs is a (m × ksub × dsub) float32 array small
+    enough to ship in every task closure."""
+
+    def __init__(self, df: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding", m: int = 8, ksub: int = 16,
+                 train_sample: int = 20000, iters: int = 10,
+                 seed: int = 42):
+        self.id_col, self.vec_col, self.m, self.ksub = id_col, vec_col, m, ksub
+
+        # deterministic bounded training sample: order by id, take N —
+        # layout-independent, same codebooks on any cluster
+        sample = (df.select(vm.normalize(F.col(vec_col)).alias("_v"),
+                            F.col(id_col))
+                  .orderBy(id_col).limit(train_sample).collect())
+        X = np.asarray([r._v for r in sample], dtype=np.float32)
+        n, dim = X.shape
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        self.dim, self.dsub = dim, dim // m
+        rng = np.random.default_rng(seed)
+        self.codebooks = np.stack([
+            _kmeans_1sub(X[:, j * self.dsub:(j + 1) * self.dsub],
+                         ksub, iters, rng)
+            for j in range(m)
+        ]).astype(np.float32)                      # (m, ksub, dsub)
+
+        books = self.codebooks
+        dsub, msub = self.dsub, m
+        out_schema = T.StructType([
+            T.StructField("pq_id", df.schema[id_col].dataType),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ])
+
+        def encode(batches):
+            for pdf in batches:
+                V = np.asarray(pdf["_v"].tolist(), dtype=np.float32)
+                if len(V) == 0:
+                    yield pd.DataFrame({"pq_id": [], "codes": []})
+                    continue
+                codes = np.empty((len(V), msub), dtype=np.int32)
+                for j in range(msub):
+                    sub = V[:, j * dsub:(j + 1) * dsub]
+                    # ||x-c||² argmin ⇔ argmax(<x,c> - ||c||²/2)
+                    dots = sub @ books[j].T
+                    codes[:, j] = (dots - 0.5 * (books[j] ** 2).sum(axis=1)
+                                   ).argmax(axis=1)
+                yield pd.DataFrame({"pq_id": pdf[id_col].values,
+                                    "codes": list(codes)})
+
+        self.codes = (
+            df.select(F.col(id_col), vm.normalize(F.col(vec_col)).alias("_v"))
+            .mapInPandas(encode, schema=out_schema)
+            .withColumnRenamed("pq_id", id_col)
+            .persist()
+        )
+
+    def search(self, query: DataFrame, k: int = 10, query_col: str = "qv",
+               qid_col: str = "qid", rerank_df: DataFrame | None = None
+               ) -> DataFrame:
+        """ADC top-k per query row → (qid, id, sim). With ``rerank_df``
+        (the original vectors) the ADC top-(4k) candidates are re-scored
+        with exact cosine and the true top-k of the candidate set is
+        returned — the standard PQ refine step."""
+        from pyspark.sql import Window
+
+        qrows = query.select(F.col(qid_col), F.col(query_col)).collect()
+        if not qrows:
+            raise ValueError("empty query batch")
+        qids = [r[0] for r in qrows]
+        Q = np.asarray([np.asarray(r[1], dtype=np.float32) for r in qrows])
+        Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        # LUT[q, j, c] = <q_subj, codebook[j][c]> ; sim ≈ Σ_j LUT gather
+        lut = np.einsum("qjd,jcd->qjc",
+                        Q.reshape(len(Q), self.m, self.dsub),
+                        self.codebooks).astype(np.float32)
+        kk = k if rerank_df is None else min(4 * k, 64)
+        id_type = self.codes.schema[self.id_col].dataType
+        out_schema = T.StructType([
+            T.StructField("qid", query.schema[qid_col].dataType),
+            T.StructField("cand_id", id_type),
+            T.StructField("sim", T.DoubleType()),
+        ])
+        id_col = self.id_col
+        msub = self.m  # closure must not capture self (pins the JVM context)
+
+        def score(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                C = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
+                ids = pdf[id_col].values
+                rows = {"qid": [], "cand_id": [], "sim": []}
+                for qi, qid in enumerate(qids):
+                    sims = lut[qi, np.arange(msub)[None, :], C].sum(axis=1)
+                    top = min(kk, len(sims))
+                    idx = np.argpartition(-sims, top - 1)[:top]
+                    rows["qid"].extend([qid] * top)
+                    rows["cand_id"].extend(ids[idx])
+                    rows["sim"].extend(np.round(sims[idx], 6).astype(float))
+                yield pd.DataFrame(rows)
+
+        part_top = self.codes.mapInPandas(score, schema=out_schema)
+        w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cand_id"))
+        if rerank_df is None:
+            return (part_top.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") <= k).drop("_rn")
+                    .withColumnRenamed("cand_id", self.id_col))
+        cands = (part_top.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") <= kk).drop("_rn", "sim"))
+        qv = query.select(F.col(qid_col).alias("qid"), F.col(query_col))
+        exact = (cands.withColumnRenamed("cand_id", self.id_col)
+                 .join(rerank_df.select(self.id_col, self.vec_col),
+                       self.id_col)
+                 .join(F.broadcast(qv), "qid")
+                 .select("qid", self.id_col,
+                         F.round(vm.cosine_similarity(
+                             F.col(self.vec_col), F.col(query_col)), 6)
+                         .alias("sim")))
+        w2 = Window.partitionBy("qid").orderBy(F.desc("sim"),
+                                               F.asc(self.id_col))
+        return (exact.withColumn("_rn", F.row_number().over(w2))
+                .filter(F.col("_rn") <= k).drop("_rn"))
+
+    def compression_ratio(self) -> float:
+        """float32 bytes per vector / code bytes per vector (int8
+        storage assumed for ksub ≤ 256)."""
+        return (self.dim * 4) / float(self.m)
+
+    def unpersist(self) -> None:
+        self.codes.unpersist()

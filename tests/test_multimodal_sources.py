@@ -63,6 +63,30 @@ class TestMultimodal:
 
 
 class TestJsonlSources:
+    def test_resize_images(self, spark):
+        mm.register_resizer("image", mm.deterministic_fake_resizer())
+        out = {r.media_id: r for r in
+               mm.resize_images(_media(spark), 160, 160).collect()}
+        # aspect preserved, fits inside 160x160
+        assert (out["img1"].width, out["img1"].height) == (160, 120)
+        assert (out["img2"].width, out["img2"].height) == (160, 120)
+        # payload replaced deterministically, sized to the target area
+        again = {r.media_id: r for r in
+                 mm.resize_images(_media(spark), 160, 160).collect()}
+        assert out["img1"].data == again["img1"].data
+        assert out["img1"].data != out["img2"].data
+        assert len(out["img1"].data) == (160 * 120) // 64
+        # non-image rows untouched
+        assert out["vid1"].data == b"mp4-fake"
+        assert out["aud1"].width is None
+
+    def test_resize_without_resizer_raises(self, spark):
+        mm._RESIZERS.pop("image", None)
+        with pytest.raises(Exception) as ei:
+            mm.resize_images(_media(spark), 64, 64).collect()
+        assert "NotImplementedError" in str(ei.value) or \
+            isinstance(ei.value, NotImplementedError)
+
     def test_read_vectors_skips_malformed(self, spark, tmp_path):
         p = tmp_path / "vecs.jsonl"
         lines = [

@@ -1,0 +1,111 @@
+"""Product-quantization ANN: recall contract vs brute force,
+determinism, compression, and plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distill_spark.operators.pq import PQIndex
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (spark.read.parquet(f"{SF}/embeddings.parquet")
+            .select("vec_id", "embedding"))
+
+
+@pytest.fixture(scope="module")
+def index(spark, emb):
+    # classic 8-bit PQ: m=8 subspaces × 256 centroids = 8-byte codes,
+    # 32x compression on 64-dim float32
+    ix = PQIndex(emb, m=8, ksub=256, seed=42)
+    yield ix
+    ix.unpersist()
+
+
+def _brute_topk(spark, emb, qv, k):
+    from distill_spark.operators.similarity import brute_force_topk
+
+    q = spark.createDataFrame([(qv,)], "qv array<float>")
+    return [r.vec_id for r in
+            brute_force_topk(emb, q, k=k).collect()]
+
+
+class TestPQ:
+    def test_codes_shape_and_compression(self, index, emb):
+        rows = index.codes.collect()
+        assert len(rows) == emb.count()
+        assert all(len(r.codes) == 8 for r in rows)
+        assert all(0 <= c < 256 for r in rows for c in r.codes)
+        assert index.compression_ratio() == 32.0  # 256 B -> 8 B
+
+    def test_fit_deterministic(self, spark, emb, index):
+        import numpy as np
+
+        ix2 = PQIndex(emb, m=8, ksub=256, seed=42)
+        try:
+            assert np.array_equal(ix2.codebooks, index.codebooks)
+            a = sorted((r.vec_id, tuple(r.codes))
+                       for r in index.codes.collect())
+            b = sorted((r.vec_id, tuple(r.codes))
+                       for r in ix2.codes.collect())
+            assert a == b
+        finally:
+            ix2.unpersist()
+
+    def test_recall_contract_vs_brute_force(self, spark, emb, index):
+        """ADC recall@10 over 8 held-in queries must clear 0.6 and the
+        exact-rerank path must clear 0.9 (8-bit PQ on 64-dim data —
+        measured 0.725 / 0.988 on unstructured synthetic embeddings,
+        PQ's worst case; seeded, so the numbers are reproducible, not
+        flaky)."""
+        qrows = emb.filter(F.col("vec_id") % 61 == 3).limit(8).collect()
+        queries = spark.createDataFrame(
+            [(int(r.vec_id), r.embedding) for r in qrows],
+            "qid long, qv array<float>")
+        adc = index.search(queries, k=10)
+        rer = index.search(queries, k=10, rerank_df=emb)
+        adc_hits = rer_hits = total = 0
+        adc_by = {}
+        for r in adc.collect():
+            adc_by.setdefault(r.qid, set()).add(r.vec_id)
+        rer_by = {}
+        for r in rer.collect():
+            rer_by.setdefault(r.qid, set()).add(r.vec_id)
+        for qr in qrows:
+            truth = set(_brute_topk(spark, emb, qr.embedding, 10))
+            total += len(truth)
+            adc_hits += len(truth & adc_by[qr.vec_id])
+            rer_hits += len(truth & rer_by[qr.vec_id])
+        assert adc_hits / total >= 0.6, f"ADC recall {adc_hits/total}"
+        assert rer_hits / total >= 0.9, f"rerank recall {rer_hits/total}"
+        assert rer_hits >= adc_hits
+        # the query vector itself must always be its own top hit after
+        # re-ranking (exact cosine of an identical vector is maximal)
+        for qr in qrows:
+            assert qr.vec_id in rer_by[qr.vec_id]
+
+    def test_search_returns_k_rows_per_query(self, spark, index):
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        queries = spark.createDataFrame(
+            [(i, [float(x) for x in rng.standard_normal(64)])
+             for i in range(3)],
+            "qid long, qv array<float>")
+        out = index.search(queries, k=5)
+        got = out.groupBy("qid").count().collect()
+        assert {r.qid: r["count"] for r in got} == {0: 5, 1: 5, 2: 5}
+
+    def test_encode_plan_is_map_side_only(self, spark, emb, index):
+        p = spark._jvm.PythonSQLUtils.explainString(
+            index.codes._jdf.queryExecution(), "formatted")
+        assert "MapInPandas" in p
+        assert "Exchange" not in p
+
+    def test_dim_not_divisible_raises(self, spark, emb):
+        with pytest.raises(ValueError, match="not divisible"):
+            PQIndex(emb, m=7)
