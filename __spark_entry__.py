@@ -645,6 +645,75 @@ WHERE d.doc_id >= 40 AND d.doc_id < 400 AND len(d.tk) < 5
 """
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental cross-snapshot dedup (training-data hygiene): the
+    'new crawl batch' (doc_id >= 400) probes the persisted LSH band
+    store of the existing corpus (doc_id < 400) — new side broadcasts,
+    corpus text re-shingled only for bucket-sharing candidates, exact
+    Jaccard verdict (max jaccard, ties to smallest corpus id)."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.dedup_text import (
+        incremental_dedup,
+        signature_store,
+    )
+
+    docs = t["documents"]
+    corpus = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    store = signature_store(corpus, num_hashes=4, bands=2)
+    return incremental_dedup(new, store, corpus, threshold=0.2,
+                             num_hashes=4, bands=2)
+
+
+SQL_INCDEDUP = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+  FROM documents WHERE doc_id < 500),
+allsh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(words) >= 3
+         THEN list_transform(range(1, len(words) - 1),
+                             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+         ELSE [] END)) AS sh
+  FROM w),
+sig AS (
+  SELECT doc_id,
+         min(md5('0' || '|' || sh)) AS mh0, min(md5('1' || '|' || sh)) AS mh1,
+         min(md5('2' || '|' || sh)) AS mh2, min(md5('3' || '|' || sh)) AS mh3
+  FROM allsh GROUP BY doc_id),
+bnd AS (
+  SELECT doc_id, unnest(['0:' || md5(mh0 || '|' || mh1),
+                         '1:' || md5(mh2 || '|' || mh3)]) AS bucket
+  FROM sig),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM bnd n JOIN bnd c USING (bucket)
+  WHERE n.doc_id >= 400 AND c.doc_id < 400),
+szs AS (SELECT doc_id, count(*) AS sz FROM allsh GROUP BY doc_id),
+inter AS (
+  SELECT cand.new_id, cand.corpus_id, count(*) AS i
+  FROM cand
+  JOIN allsh a ON a.doc_id = cand.new_id
+  JOIN allsh b ON b.doc_id = cand.corpus_id AND a.sh = b.sh
+  GROUP BY 1, 2),
+scored AS (
+  SELECT new_id, corpus_id,
+         i * 1.0 / (sa.sz + sb.sz - i) AS j
+  FROM inter
+  JOIN szs sa ON sa.doc_id = new_id
+  JOIN szs sb ON sb.doc_id = corpus_id
+  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2),
+best AS (
+  SELECT new_id, corpus_id, j,
+         row_number() OVER (PARTITION BY new_id
+                            ORDER BY j DESC, corpus_id ASC) AS rn
+  FROM scored)
+SELECT d.doc_id, b.corpus_id AS dup_of, round(b.j, 6) AS jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = d.doc_id
+"""
+
+
 def q_filter_funnel(spark, sf_dir):
     """Quality-filter funnel (training-data hygiene; C4/Gopher-style
     cleaning): five ordered keep-predicates over documents as ONE flat
@@ -3490,6 +3559,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "decontam_benchmark": (q_decontam_benchmark, SQL_DECONTAM),
     "filter_funnel": (q_filter_funnel, SQL_FUNNEL),
     "split_leakage_safe": (q_split_leakage_safe, SQL_SPLIT),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCDEDUP),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE),
     "pack_sequences": (q_pack_sequences, SQL_PACK),
     "text_redact": (q_text_redact, _sql_redact()),

@@ -184,3 +184,87 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def signature_store(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", num_hashes: int = 8,
+                    bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """The persistent cross-snapshot dedup state: stacked (id, bucket)
+    LSH band keys for an already-collected corpus. A production
+    pipeline writes this once per snapshot (partitioned by bucket
+    hash) and each new crawl batch probes it — the corpus text is
+    never re-shingled per batch."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}")
+                                 for r in range(rows)])).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    return (sig.select(id_col, *band_cols)
+            .select(F.col(id_col),
+                    F.explode(F.array(*[
+                        F.concat(F.lit(f"{b}:"), F.col(f"band{b}"))
+                        for b in range(bands)
+                    ])).alias("bucket")))
+
+
+def incremental_dedup(new_df: DataFrame, store: DataFrame,
+                      corpus_df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", threshold: float = 0.5,
+                      num_hashes: int = 8, bands: int = 4,
+                      shingle_n: int = 3) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus without rescanning
+    it: per new doc → (id, dup_of, jaccard), dup_of NULL ⇔ clean.
+
+    Scale shape (each crawl snapshot vs a 100 TB corpus):
+    1. the new batch's band buckets BROADCAST into the store probe —
+       the store streams through a broadcast hash join, no shuffle of
+       corpus state;
+    2. only candidate corpus docs (those sharing ≥1 bucket) are
+       re-shingled, pulled by a semi-join — corpus text I/O is
+       proportional to the candidate set, not the corpus;
+    3. exact Jaccard verification over distinct shingles of the two
+       (small) sides; best match per new doc = max jaccard, ties to
+       the smallest corpus id.
+    """
+    new_buckets = signature_store(new_df, id_col, text_col,
+                                  num_hashes, bands, shingle_n)
+    cand = (store.withColumnRenamed(id_col, "_corpus_id")
+            .join(F.broadcast(new_buckets.withColumnRenamed(id_col, "_new_id")),
+                  "bucket")
+            .select("_new_id", "_corpus_id").distinct())
+
+    corpus_cand = corpus_df.join(
+        cand.select(F.col("_corpus_id").alias(id_col)).distinct(),
+        id_col, "left_semi")
+    new_sh = (new_df.select(
+        F.col(id_col).alias("_new_id"),
+        F.explode(F.array_distinct(
+            shingles_expr(F.col(text_col), shingle_n))).alias("sh")))
+    corpus_sh = (corpus_cand.select(
+        F.col(id_col).alias("_corpus_id"),
+        F.explode(F.array_distinct(
+            shingles_expr(F.col(text_col), shingle_n))).alias("sh")))
+    inter = (new_sh.join(corpus_sh, "sh")
+             .join(cand, ["_new_id", "_corpus_id"], "left_semi")
+             .groupBy("_new_id", "_corpus_id")
+             .agg(F.count("*").alias("_inter")))
+    sz_new = new_sh.groupBy("_new_id").agg(F.count("*").alias("_szn"))
+    sz_cor = corpus_sh.groupBy("_corpus_id").agg(F.count("*").alias("_szc"))
+    scored = (inter.join(sz_new, "_new_id").join(sz_cor, "_corpus_id")
+              .withColumn("jaccard",
+                          F.col("_inter")
+                          / (F.col("_szn") + F.col("_szc") - F.col("_inter")))
+              .filter(F.col("jaccard") >= threshold))
+    best = (scored.groupBy("_new_id")
+            .agg(F.max_by(F.struct(F.col("_corpus_id").alias("i"),
+                                   F.col("jaccard").alias("j")),
+                          F.struct(F.col("jaccard"),
+                                   -F.col("_corpus_id"))).alias("_b"))
+            .select(F.col("_new_id"),
+                    F.col("_b.i").alias("dup_of"),
+                    F.round("_b.j", 6).alias("jaccard")))
+    return (new_df.select(F.col(id_col))
+            .join(best.withColumnRenamed("_new_id", id_col), id_col, "left")
+            .select(id_col, "dup_of", "jaccard"))

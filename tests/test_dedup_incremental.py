@@ -1,0 +1,83 @@
+"""Incremental cross-snapshot dedup: a new batch probes the persisted
+LSH band store of an existing corpus (training-data hygiene op,
+SURVEY §2.12)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distill_spark.operators.dedup_text import (
+    incremental_dedup,
+    signature_store,
+)
+
+BODY = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun")
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (0, BODY),
+        (1, BODY),                                    # dup of 0 inside corpus
+        (2, "completely different text about spark partitions and "
+            "shuffle boundaries in a distributed execution engine"),
+        (3, "a third unrelated document mentioning parquet footers "
+            "column pruning and predicate pushdown at scan time"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def new_batch(spark):
+    rows = [
+        (100, BODY),                                  # exact copy of 0/1
+        (101, BODY + " with one extra tail sentence appended here"),
+        (102, "entirely novel content no prior snapshot has seen "
+              "about watermarks state stores and session windows"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestIncrementalDedup:
+    def test_verdicts_and_tiebreak(self, spark, corpus, new_batch):
+        store = signature_store(corpus, num_hashes=4, bands=2)
+        out = {r.doc_id: (r.dup_of, r.jaccard) for r in
+               incremental_dedup(new_batch, store, corpus,
+                                 threshold=0.3, num_hashes=4,
+                                 bands=2).collect()}
+        assert len(out) == 3
+        # exact copy: jaccard 1.0, tie between corpus 0 and 1 -> min id
+        assert out[100][0] == 0 and out[100][1] == 1.0
+        # near copy still maps to the same group above threshold
+        assert out[101][0] == 0 and 0.3 <= out[101][1] < 1.0
+        # novel doc: clean
+        assert out[102] == (None, None)
+
+    def test_store_probe_broadcasts_new_side(self, spark, corpus, new_batch):
+        store = signature_store(corpus, num_hashes=4, bands=2)
+        out = incremental_dedup(new_batch, store, corpus,
+                                threshold=0.3, num_hashes=4, bands=2)
+        p = spark._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+
+    def test_batch_chain_against_growing_store(self, spark, corpus):
+        """Two successive batches: the second probes corpus ∪ batch1 —
+        the store is just a unionable (id, bucket) table."""
+        b1 = spark.createDataFrame([(200, BODY)], "doc_id long, text string")
+        b2 = spark.createDataFrame(
+            [(300, BODY), (301, "fresh text unseen in any snapshot "
+                                "about broadcast hash joins")],
+            "doc_id long, text string")
+        store = signature_store(corpus, num_hashes=4, bands=2)
+        store2 = store.unionByName(
+            signature_store(b1, num_hashes=4, bands=2))
+        out = {r.doc_id: r.dup_of for r in
+               incremental_dedup(b2, store2, corpus.unionByName(b1),
+                                 threshold=0.3, num_hashes=4,
+                                 bands=2).collect()}
+        assert out[300] == 0          # still the canonical smallest id
+        assert out[301] is None
