@@ -21,12 +21,24 @@ DataFrames, designed for 100 TB scale:
 - ``operators.compress``     — compressor pipeline over DataFrames (C4).
 - ``operators.summarize``    — hierarchical summarization (C5, W3).
 - ``operators.dedup_text``   — exact / MinHash-LSH / SimHash / n-gram
-  Jaccard dedup (training-data extensions).
+  Jaccard dedup + incremental cross-snapshot band-store probe
+  (training-data extensions).
 - ``operators.similarity``   — brute-force / LSH / IVF ANN top-k (S4, J3).
-- ``operators.multimodal``   — binary-column decode/feature plumbing.
+- ``operators.pq``           — product-quantization ANN (8-bit codes,
+  ADC + exact re-rank).
+- ``operators.filters``      — quality-filter funnel + leakage-safe
+  train/holdout split.
+- ``operators.multimodal``   — binary-column decode/feature/resize/
+  frame-sample plumbing.
 - ``operators.asof``         — as-of (point-in-time) join.
 - ``operators.skew``         — salted aggregation/join for hot keys.
 - ``operators.cachesim``     — sharded LRU+TTL cache replay (ST9).
+- ``operators.decontam``     — benchmark n-gram decontamination.
+- ``operators.sampling``     — deterministic hash-threshold sampling /
+  stratified domain mixes.
+- ``operators.packing``      — greedy token-budget sequence packing.
+- ``operators.chunking``     — overlapping word-window chunking.
+- ``operators.repetition``   — Gopher-style repetition signals.
 - ``plans.dedupe``           — the /v1/dedupe pipeline (§3.1).
 - ``plans.pipeline``         — dedup → compress → summarize (§3.2).
 - ``memory``                 — bucketed MERGE-style memory store
@@ -44,4 +56,4 @@ DataFrames, designed for 100 TB scale:
   (S1-S3, S5-S7).
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
