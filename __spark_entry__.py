@@ -797,10 +797,13 @@ WITH g AS (
   FROM documents)
 SELECT doc_id, group_key,
        CASE WHEN ((group_key % 2147483648) * 2654435761) % 2147483648
-                 < CAST(0.2 * 2147483648 AS BIGINT)
+                 < 429496729
             THEN 'holdout' ELSE 'train' END AS split
 FROM g
 """
+# 429496729 = int(0.2 * 2^31) TRUNCATED, matching the engine's Python
+# int() — a DuckDB CAST(0.2 * 2147483648 AS BIGINT) would ROUND to
+# ...730 and flip any group hashing to exactly that bucket
 
 
 def q_sample_stratified(spark, sf_dir):

@@ -218,8 +218,9 @@ def main():
         } if conc_totals else None),
         "sequential": {"total": seq_total, "queries": seq_timings},
         # training-data ops over FULL tables (not the oracle-bounded
-        # gated ranges), one concurrent pass — scale-shape evidence for
-        # the funnel/split/chunk/decontam/sampling/packing suite
+        # gated ranges), run SEQUENTIALLY (total = sum of uncontended
+        # per-op floors) — scale-shape evidence for the
+        # funnel/split/chunk/decontam/sampling/packing suite
         "training": {"total": training_total, "queries": training_timings},
     }), flush=True)
 

@@ -76,6 +76,10 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                            bands: int = 4, shingle_n: int = 3) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate
     pairs (doc_a < doc_b). num_hashes must be divisible by bands."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands} — "
+            "trailing signatures would be silently discarded")
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     band_cols = [
@@ -194,6 +198,10 @@ def signature_store(df: DataFrame, id_col: str = "doc_id",
     pipeline writes this once per snapshot (partitioned by bucket
     hash) and each new crawl batch probes it — the corpus text is
     never re-shingled per batch."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands} — "
+            "trailing signatures would be silently discarded")
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     band_cols = [

@@ -43,6 +43,13 @@ def filter_funnel(
     """
     if not stages:
         raise ValueError("filter_funnel needs at least one stage")
+    names = [n for n, _ in stages]
+    if "kept" in names:
+        raise ValueError(
+            "'kept' is reserved for the pass-through row in funnel_stats "
+            "— rename the stage")
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate stage names: {names}")
     builder = None
     for name, keep in stages:
         fails = ~F.coalesce(keep, F.lit(False))
@@ -131,8 +138,15 @@ def leakage_safe_split(
         keyed = df.withColumn("_gk", F.xxhash64(norm))
         gcol = "_gk"
     else:
-        keyed = df
-        gcol = group_col
+        # every input row must get a side: a NULL group id (e.g. a doc
+        # the near-dup clusterer left unlabeled) would vanish through
+        # the null-rejecting equi-join below, so ungrouped rows become
+        # singleton groups keyed by their own id
+        keyed = df.withColumn(
+            "_gk",
+            F.coalesce(F.col(group_col).cast("string"),
+                       F.concat(F.lit("_row:"), F.col(id_col).cast("string"))))
+        gcol = "_gk"
     canon = keyed.groupBy(gcol).agg(F.min(id_col).alias("group_key"))
     thresh = int(holdout_fraction * _M)
     out = (keyed.join(canon, gcol)
@@ -140,4 +154,4 @@ def leakage_safe_split(
                "split",
                F.when(_portable_bucket(F.col("group_key")) < F.lit(thresh),
                       F.lit("holdout")).otherwise(F.lit("train"))))
-    return out.drop("_gk") if group_col is None else out
+    return out.drop("_gk")

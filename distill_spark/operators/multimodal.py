@@ -190,8 +190,11 @@ def resize_images(df: DataFrame, target_w: int, target_h: int,
                             "no image resizer registered — call "
                             "register_resizer('image', fn) (production: "
                             "PIL/opencv; tests: deterministic_fake_resizer)")
-                    w0 = int(r.width or target_w)
-                    h0 = int(r.height or target_h)
+                    # NULL dims arrive as NaN (nullable int -> float64
+                    # under Arrow), and NaN is truthy — pd.isna is the
+                    # only safe missing test here
+                    w0 = target_w if pd.isna(r.width) else int(r.width)
+                    h0 = target_h if pd.isna(r.height) else int(r.height)
                     scale = min(target_w / max(w0, 1), target_h / max(h0, 1),
                                 1.0)
                     nw, nh = max(1, int(w0 * scale)), max(1, int(h0 * scale))

@@ -137,7 +137,9 @@ class PQIndex:
         lut = np.einsum("qjd,jcd->qjc",
                         Q.reshape(len(Q), self.m, self.dsub),
                         self.codebooks).astype(np.float32)
-        kk = k if rerank_df is None else min(4 * k, 64)
+        # rerank candidate pool: 4x oversampling, floored at k so large-k
+        # requests never return fewer rows than the plain ADC path
+        kk = k if rerank_df is None else max(k, min(4 * k, 64))
         id_type = self.codes.schema[self.id_col].dataType
         out_schema = T.StructType([
             T.StructField("qid", query.schema[qid_col].dataType),

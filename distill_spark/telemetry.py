@@ -147,6 +147,7 @@ def traced_dedupe(chunks, cfg=None, tracer: Tracer | None = None,
 
     pinned = []
     input_count = cluster_count = None
+    ok = False
     with tracer.span(SPAN_REQUEST, endpoint=endpoint) as root:
         try:
             input_count = chunks.count()
@@ -181,6 +182,7 @@ def traced_dedupe(chunks, cfg=None, tracer: Tracer | None = None,
                 "distill.result.reduction_ratio":
                     1.0 - output_count / input_count if input_count else 0.0,
             })
+            ok = True
         finally:
             for df in pinned:
                 df.unpersist()
@@ -192,8 +194,10 @@ def traced_dedupe(chunks, cfg=None, tracer: Tracer | None = None,
             # exporter that serializes immediately must see it.
             latency_ms = (tracer._clock() - root.start) * 1000.0
             root.attributes["distill.result.latency_ms"] = latency_ms
-            import sys as _sys
-            status = "500" if _sys.exc_info()[0] is not None else "200"
+            # NOT sys.exc_info(): in a finally it also sees exceptions
+            # the CALLER is currently handling, mislabeling a successful
+            # request 500 when traced_dedupe runs inside an except block
+            status = "200" if ok else "500"
             metrics.inc("distill_requests_total",
                         labels={"endpoint": endpoint, "status": status})
             metrics.observe("distill_request_duration_seconds",

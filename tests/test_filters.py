@@ -126,6 +126,25 @@ class TestLeakageSafeSplit:
             sides.setdefault(r.cluster, set()).add(r.split)
         assert all(len(s) == 1 for s in sides.values())
 
+    def test_null_group_col_rows_keep_a_side(self, spark):
+        """Rows the clusterer left unlabeled (NULL group) must still be
+        split — as singleton groups — not silently dropped."""
+        df = spark.createDataFrame(
+            [(0, "a", 100), (1, "b", None), (2, "c", None)],
+            "doc_id long, text string, cluster long")
+        out = leakage_safe_split(df, 0.5, group_col="cluster").collect()
+        assert len(out) == 3
+        by = {r.doc_id: r for r in out}
+        assert by[1].group_key == 1 and by[2].group_key == 2
+        assert all(r.split in ("train", "holdout") for r in out)
+
+    def test_reserved_and_duplicate_stage_names_raise(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="reserved"):
+            filter_funnel(df, [("kept", F.lit(True))])
+        with pytest.raises(ValueError, match="duplicate"):
+            filter_funnel(df, [("a", F.lit(True)), ("a", F.lit(False))])
+
     def test_invalid_fraction_raises(self, spark):
         df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
         with pytest.raises(ValueError):

@@ -80,6 +80,15 @@ class TestJsonlSources:
         assert out["vid1"].data == b"mp4-fake"
         assert out["aud1"].width is None
 
+    def test_resize_null_dims_fall_back_to_target(self, spark):
+        mm.register_resizer("image", mm.deterministic_fake_resizer())
+        rows = [("imgN", "image", "image/png", b"\x89PNG-null-dims",
+                 None, None, None)]
+        df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+        out = mm.resize_images(df, 64, 64).collect()[0]
+        assert (out.width, out.height) == (64, 64)
+        assert len(out.data) == (64 * 64) // 64
+
     def test_resize_without_resizer_raises(self, spark):
         mm._RESIZERS.pop("image", None)
         with pytest.raises(Exception) as ei:

@@ -47,7 +47,29 @@ def rows_key(cols, rows):
     return sorted(tuple(norm_val(r[i]) for i in order) for r in rows)
 
 
-def driver_mimic_problems(sdf, duck_rel):
+def _spark_pandas_kind(field, values):
+    """The pandas dtype kind `toPandas()` would produce for a scalar
+    column, derived from the Spark type + the already-collected values
+    (nullable ints surface as float64) — avoids re-executing the plan
+    just to read dtypes."""
+    import pyspark.sql.types as T
+
+    dt = field.dataType
+    has_null = any(v is None for v in values)
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "f" if has_null else "i"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "f"
+    if isinstance(dt, T.BooleanType):
+        return "O" if has_null else "b"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return "M"
+    if isinstance(dt, T.DecimalType):
+        return "O"
+    return "O"
+
+
+def driver_mimic_problems(sdf, duck_rel, srows=None):
     """Replicate the driver's canonicalization hazards and hard-fail on
     anything it cannot hash.
 
@@ -58,6 +80,12 @@ def driver_mimic_problems(sdf, duck_rel):
     sum(INTEGER) → HUGEINT → float64 vs Spark int64) hash-mismatches
     even when values are equal (r2: A7/ST5; r3: A12). Reject both
     classes here so they can't ship again.
+
+    Pass ``srows`` (the already-collected Spark rows) to skip the
+    second plan execution: the Spark-side pandas kind is derived from
+    schema + values, while the DuckDB relation is re-materialized via
+    ``.df()`` (cheap, and necessary — HUGEINT→float64 only shows up
+    there, fetchall() returns exact Python ints).
     """
     import pyspark.sql.types as T
 
@@ -71,12 +99,18 @@ def driver_mimic_problems(sdf, duck_rel):
                 "(concat_ws/to_json) or posexplode")
     if problems:
         return problems
-    spdf = sdf.toPandas().reindex(sorted(sdf.columns), axis=1)
-    dpdf = duck_rel.df()
-    dpdf = dpdf.reindex(sorted(dpdf.columns), axis=1)
-    if list(spdf.columns) == list(dpdf.columns):
-        for c in spdf.columns:
-            sk, dk = spdf[c].dtype.kind, dpdf[c].dtype.kind
+    scols = sdf.columns
+    if srows is None:
+        spdf = sdf.toPandas()
+        srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
+    skinds = {
+        f.name: _spark_pandas_kind(f, [r[i] for r in srows])
+        for i, f in enumerate(sdf.schema.fields)
+    }
+    dpdf = duck_rel.df().reindex(sorted(scols), axis=1)
+    if sorted(scols) == list(dpdf.columns):
+        for c in sorted(scols):
+            sk, dk = skinds[c], dpdf[c].dtype.kind
             # int-vs-float drift is exactly the HUGEINT hash-FAIL class;
             # object-vs-numeric is a decimal/string drift
             if {sk, dk} == {"i", "f"} or ({sk, dk} & {"O"} and sk != dk):
@@ -84,20 +118,19 @@ def driver_mimic_problems(sdf, duck_rel):
                 if sk == "i" and dk == "f" and nn.any() \
                         and (dpdf[c][nn] % 1 == 0).all():
                     problems.append(
-                        f"dtype drift on '{c}': spark={spdf[c].dtype} "
+                        f"dtype drift on '{c}': spark~{sk} "
                         f"duck={dpdf[c].dtype} (integral values — likely "
                         "HUGEINT; CAST the oracle aggregate AS BIGINT)")
                 elif sk != dk:
                     problems.append(
-                        f"dtype drift on '{c}': spark={spdf[c].dtype} "
+                        f"dtype drift on '{c}': spark~{sk} "
                         f"duck={dpdf[c].dtype}")
-        for df, side in ((spdf, "spark"), (dpdf, "duck")):
-            try:
-                df.sort_values(by=list(df.columns))
-            except Exception as e:  # noqa: BLE001
-                problems.append(
-                    f"driver sort fails on {side} side: "
-                    f"{type(e).__name__}: {e}")
+        try:
+            dpdf.sort_values(by=list(dpdf.columns))
+        except Exception as e:  # noqa: BLE001
+            problems.append(
+                f"driver sort fails on duck side: "
+                f"{type(e).__name__}: {e}")
     return problems
 
 
@@ -159,7 +192,8 @@ def main():
                 diff = [(a, b) for a, b in zip(sk, dk) if a != b][:3]
                 problems.append(f"values differ, first diffs: {diff}")
         if not problems:
-            problems.extend(driver_mimic_problems(sdf, con.sql(oracles[name])))
+            problems.extend(driver_mimic_problems(
+                sdf, con.sql(oracles[name]), srows=srows))
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}", flush=True)
