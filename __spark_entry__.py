@@ -833,6 +833,30 @@ WHERE ((event_id % {_M31}) * 2654435761) % {_M31} <
 """
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Deterministic weighted sampling (Efraimidis–Spirakis A-ES with
+    a portable-hash uniform surrogate): the full rank column is emitted
+    (rounded) so the oracle verifies the WHOLE ranking — the top-N
+    behavior itself is asserted in tests/test_training_ops.py."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.sampling import weighted_rank
+
+    return (t["documents"].filter(F.col("n_chars") > 0)
+            .select("doc_id",
+                    F.col("n_chars").alias("weight"),
+                    F.round(weighted_rank(
+                        "doc_id", F.col("n_chars").cast("double")), 6)
+                    .alias("aes_rank")))
+
+
+SQL_WSAMPLE = """
+SELECT doc_id, n_chars AS weight,
+       round(-ln((((doc_id % 2147483648) * 2654435761) % 2147483648 + 1)
+                 / 2147483649.0) / CAST(n_chars AS DOUBLE), 6) AS aes_rank
+FROM documents WHERE n_chars > 0
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """Greedy sequence packing (training-shard builder): per-user
     streams of events packed into 256-token bins in event_id order;
@@ -3564,6 +3588,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "split_leakage_safe": (q_split_leakage_safe, SQL_SPLIT),
     "incremental_dedup": (q_incremental_dedup, SQL_INCDEDUP),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE),
+    "sample_weighted": (q_sample_weighted, SQL_WSAMPLE),
     "pack_sequences": (q_pack_sequences, SQL_PACK),
     "text_redact": (q_text_redact, _sql_redact()),
     "text_repetition": (q_text_repetition, SQL_REPETITION),

@@ -97,3 +97,40 @@ def stratified_sample(
     thresh = (thresh.otherwise(F.lit(int(default_fraction * _M)))
               if thresh is not None else F.lit(int(default_fraction * _M)))
     return df.filter(hash_bucket(key_col, mode, salt) < thresh)
+
+
+def weighted_rank(key, weight, mode: str = "portable",
+                  salt: int = 0) -> Column:
+    """Efraimidis–Spirakis A-ES rank for weighted sampling WITHOUT
+    randomness: u = (hash_bucket+1)/(2^31+1) ∈ (0,1) is a deterministic
+    uniform surrogate, rank = -ln(u)/w. Taking the N SMALLEST ranks
+    draws a weighted sample without replacement (inclusion probability
+    ∝ weight) that is reproducible on any layout, any retry, any
+    engine (portable mode). Non-positive / NULL weights rank +inf-like
+    (excluded by any top-N)."""
+    wcol = weight if isinstance(weight, Column) else F.col(weight)
+    u = (hash_bucket(key, mode, salt) + F.lit(1).cast("double")) \
+        / F.lit(float(_M + 1))
+    return F.when(wcol > 0, -F.log(u) / wcol) \
+        .otherwise(F.lit(float("inf")))
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    key_col: str,
+    weight_col: str,
+    mode: str = "portable",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sample of ``n`` rows (quality-weighted
+    corpus selection): smallest-n A-ES ranks via distributed top-N
+    (TakeOrderedAndProject — per-partition heads, then merge; the full
+    table is never globally sorted). Ties break on the key."""
+    _require_integral_key(df, key_col, mode)
+    r = weighted_rank(key_col, weight_col, mode, salt).alias("_aes_rank")
+    return (df.withColumn("_aes_rank", r)
+            .filter(F.col("_aes_rank") != float("inf"))
+            .orderBy(F.asc("_aes_rank"), F.asc(key_col))
+            .limit(n)
+            .drop("_aes_rank"))

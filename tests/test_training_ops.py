@@ -8,6 +8,7 @@ from distill_spark.operators.packing import pack_sequences
 from distill_spark.operators.sampling import (
     deterministic_sample,
     stratified_sample,
+    weighted_sample,
 )
 
 
@@ -70,6 +71,36 @@ class TestSampling:
                               {"a": 0.5}, "d", "k", mode="portable")
         # xxhash64 mode hashes any type and stays valid on strings
         assert deterministic_sample(df, 1.0, "k").count() == 2
+
+    def test_weighted_sample_deterministic_and_biased(self, spark):
+        """A-ES weighted sampling: layout-independent, and high-weight
+        rows are strongly over-represented vs a uniform draw."""
+        df = spark.range(0, 2000).select(
+            F.col("id").alias("k"),
+            # 5% of keys carry 50x weight
+            F.when(F.col("id") % 20 == 0, 50.0).otherwise(1.0).alias("w"))
+        a = sorted(r.k for r in weighted_sample(df, 200, "k", "w").collect())
+        b = sorted(r.k for r in weighted_sample(
+            df.repartition(13), 200, "k", "w").collect())
+        assert a == b and len(a) == 200
+        heavy = sum(1 for k in a if k % 20 == 0)
+        # 100 heavy keys at 50x among 1900 light: heavy should dominate
+        assert heavy > 60
+
+    def test_weighted_sample_excludes_nonpositive(self, spark):
+        df = spark.range(0, 100).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") < 50, 1.0).otherwise(-1.0).alias("w"))
+        got = {r.k for r in weighted_sample(df, 100, "k", "w").collect()}
+        assert got == set(range(50))
+
+    def test_weighted_sample_plan_is_take_ordered(self, spark):
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.lit(1.0).alias("w"))
+        out = weighted_sample(df, 10, "k", "w")
+        p = spark._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert "TakeOrderedAndProject" in p
 
     def test_fraction_growth_is_superset(self, spark):
         """Subset monotonicity on the REAL kept sets: growing a mix
