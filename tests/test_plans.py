@@ -177,3 +177,31 @@ def test_pack_sequences_one_shuffle(spark, queries):
     # formatted explain lists each node twice (tree + detail section)
     assert p.count("+- Exchange") == 1
     assert "FlatMapGroupsInPandas" in p
+
+
+def test_funnel_scan_prunes_columns(spark, queries):
+    # the funnel needs doc_id/text/lang only — reading n_chars/source
+    # for a 3-column gate would be wrong at any scale
+    p = _plan(spark, queries["filter_funnel"](spark, SF_DIR))
+    schemas = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert schemas
+    assert "text" in schemas[0] and "lang" in schemas[0]
+    assert "n_chars" not in schemas[0] and "source" not in schemas[0]
+
+
+def test_weighted_sample_scan_skips_text(spark, queries):
+    # rank = f(doc_id, n_chars): the documents TEXT column (the bulk of
+    # the table's bytes) must never reach the scan
+    p = _plan(spark, queries["sample_weighted"](spark, SF_DIR))
+    schemas = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert schemas
+    assert "n_chars" in schemas[0]
+    assert "text" not in schemas[0]
+
+
+def test_incremental_dedup_probe_broadcasts(spark, queries):
+    # the new batch's band buckets broadcast into the store probe; the
+    # corpus side must never cartesian
+    p = _plan(spark, queries["incremental_dedup"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
