@@ -833,6 +833,45 @@ WHERE ((event_id % {_M31}) * 2654435761) % {_M31} <
 """
 
 
+def q_profile_table(spark, sf_dir):
+    """Single-pass per-column profile over documents (exact mode for
+    oracle parity; the default approx mode is the HLL scale path)."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.profile import profile_table
+
+    return profile_table(t["documents"],
+                         columns=["doc_id", "lang", "source"], exact=True)
+
+
+SQL_PROFILE = """
+WITH base AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS nn_doc_id,
+         count(DISTINCT doc_id) AS nd_doc_id,
+         CAST(min(doc_id) AS VARCHAR) AS mn_doc_id,
+         CAST(max(doc_id) AS VARCHAR) AS mx_doc_id,
+         sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nn_lang,
+         count(DISTINCT lang) AS nd_lang,
+         CAST(min(lang) AS VARCHAR) AS mn_lang,
+         CAST(max(lang) AS VARCHAR) AS mx_lang,
+         sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS nn_source,
+         count(DISTINCT source) AS nd_source,
+         CAST(min(source) AS VARCHAR) AS mn_source,
+         CAST(max(source) AS VARCHAR) AS mx_source
+  FROM documents)
+SELECT u."column", CAST(n AS BIGINT) AS n_rows,
+       CAST(u.n_nulls AS BIGINT) AS n_nulls,
+       round(u.n_nulls * 100.0 / greatest(n, 1), 4) AS null_pct,
+       CAST(u.n_distinct AS BIGINT) AS n_distinct,
+       u.min_value, u.max_value
+FROM base, LATERAL (
+  VALUES ('doc_id', nn_doc_id, nd_doc_id, mn_doc_id, mx_doc_id),
+         ('lang', nn_lang, nd_lang, mn_lang, mx_lang),
+         ('source', nn_source, nd_source, mn_source, mx_source)
+) AS u("column", n_nulls, n_distinct, min_value, max_value)
+"""
+
+
 def q_sample_weighted(spark, sf_dir):
     """Deterministic weighted sampling (Efraimidis–Spirakis A-ES with
     a portable-hash uniform surrogate): the full rank column is emitted
@@ -3581,7 +3620,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "g3_blast_radius": (q_g3_blast_radius, SQL_G3),
     "dedup_minhash": (q_dedup_minhash, SQL_MINHASH),
     "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
-    "mm_features": (q_mm_features, SQL_MM),
     # -- training-pipeline ops added round 3 -------------------------------
     "decontam_benchmark": (q_decontam_benchmark, SQL_DECONTAM),
     "filter_funnel": (q_filter_funnel, SQL_FUNNEL),
@@ -3589,12 +3627,14 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "incremental_dedup": (q_incremental_dedup, SQL_INCDEDUP),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE),
     "sample_weighted": (q_sample_weighted, SQL_WSAMPLE),
+    "profile_table": (q_profile_table, SQL_PROFILE),
     "pack_sequences": (q_pack_sequences, SQL_PACK),
     "text_redact": (q_text_redact, _sql_redact()),
     "text_repetition": (q_text_repetition, SQL_REPETITION),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK),
     # -------- position >50: long-proven trivia (still pytest-gated) -------
     "a2_kmeans_dedup": (q_a2_kmeans_dedup, None),
+    "mm_features": (q_mm_features, SQL_MM),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "events_tumbling": (q_events_tumbling, SQL_TUMBLING),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_JACCARD),

@@ -1,0 +1,57 @@
+"""Single-pass table profiler — the "what is in this corpus" primitive
+every pipeline run starts with.
+
+One aggregation job computes, per requested column: row count,
+null count/pct, distinct count, and min/max (as strings, so
+heterogeneous columns stack into one tidy frame). The wide aggregate
+row is unpivoted IN-PLAN via ``stack`` — no driver collect, no second
+pass.
+
+Scale: the default ``exact=False`` uses ``approx_count_distinct``
+(HyperLogLog++, constant memory per column — the only sane choice at
+100 TB); ``exact=True`` switches to real ``count(DISTINCT)`` for
+small-SF oracle parity and compliance-style audits. Everything else is
+a plain partial-aggregated single pass either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None,
+                  exact: bool = False) -> DataFrame:
+    """Tidy profile: one row per column — (column, n_rows, n_nulls,
+    null_pct, n_distinct, min_value, max_value)."""
+    cols = columns or df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        distinct = (F.count_distinct(F.col(c)) if exact
+                    else F.approx_count_distinct(c))
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}"),
+            distinct.alias(f"_nd_{c}"),
+            # min/max in the NATIVE type (numeric order for numbers),
+            # cast to string afterwards so mixed columns stack
+            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c in cols)
+    return wide.select(
+        F.col("_n"),
+        F.expr(f"stack({len(cols)}, {stack_args}) AS "
+               "(column, n_nulls, n_distinct, min_value, max_value)"),
+    ).select(
+        F.col("column"),
+        F.col("_n").alias("n_rows"),
+        "n_nulls",
+        F.round(F.col("n_nulls") * 100.0 / F.greatest(F.col("_n"), F.lit(1)),
+                4).alias("null_pct"),
+        "n_distinct", "min_value", "max_value",
+    )

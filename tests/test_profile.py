@@ -1,0 +1,56 @@
+"""Single-pass table profiler."""
+
+from __future__ import annotations
+
+import pytest
+
+from distill_spark.operators.profile import profile_table
+
+
+@pytest.fixture()
+def df(spark):
+    rows = [
+        (1, "en", None),
+        (2, "de", 5.0),
+        (3, None, 5.0),
+        (4, "en", 2.5),
+    ]
+    return spark.createDataFrame(rows, "id long, lang string, score double")
+
+
+class TestProfile:
+    def test_exact_profile_values(self, spark, df):
+        out = {r.column: r for r in
+               profile_table(df, exact=True).collect()}
+        assert set(out) == {"id", "lang", "score"}
+        assert all(r.n_rows == 4 for r in out.values())
+        assert out["id"].n_nulls == 0 and out["id"].n_distinct == 4
+        assert (out["id"].min_value, out["id"].max_value) == ("1", "4")
+        assert out["lang"].n_nulls == 1 and out["lang"].n_distinct == 2
+        assert out["lang"].null_pct == 25.0
+        assert out["score"].n_distinct == 2
+        # numeric order, not lexicographic: min is 2.5 not "2.5"<"5.0" luck —
+        # verified by a value where string order would disagree
+        assert out["score"].min_value == "2.5"
+
+    def test_numeric_min_is_not_lexicographic(self, spark):
+        df = spark.createDataFrame([(9,), (10,), (100,)], "v long")
+        out = profile_table(df, exact=True).collect()[0]
+        assert out.min_value == "9" and out.max_value == "100"
+
+    def test_approx_mode_single_pass_no_expand(self, spark, df):
+        # the scale path: HLL sketches, one partial-aggregated pass —
+        # no Expand node (exact multi-column count-distinct plans one)
+        out = profile_table(df)
+        p = spark._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert "Expand" not in p
+        # HLL sketches are TypedImperativeAggregates → Object/Sort
+        # aggregate node, still one partial+final pass, no Expand
+        assert "Aggregate" in p
+        got = {r.column: r for r in out.collect()}
+        assert got["id"].n_distinct == 4  # HLL exact at tiny N
+
+    def test_unknown_column_raises(self, spark, df):
+        with pytest.raises(ValueError, match="unknown columns"):
+            profile_table(df, columns=["nope"])
