@@ -833,6 +833,32 @@ WHERE ((event_id % {_M31}) * 2654435761) % {_M31} <
 """
 
 
+def q_skew_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation (skew tooling): semantically a
+    plain GROUP BY — which is exactly what the oracle runs — but no
+    single reducer ever sees all rows of the hottest key."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.skew import salted_agg
+
+    out = salted_agg(
+        t["events"], keys=["event_type"],
+        aggs={"n": ("count", "event_id"),
+              "total_value": ("sum", "value"),
+              "max_value": ("max", "value")},
+        n_salt=8, salt_on="event_id")
+    return out.select("event_type", "n",
+                      F.round("total_value", 4).alias("total_value"),
+                      F.round("max_value", 4).alias("max_value"))
+
+
+SQL_SKEWAGG = """
+SELECT event_type, count(event_id) AS n,
+       round(sum(value), 4) AS total_value,
+       round(max(value), 4) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
 def q_profile_table(spark, sf_dir):
     """Single-pass per-column profile over documents (exact mode for
     oracle parity; the default approx mode is the HLL scale path)."""
@@ -3605,7 +3631,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st5_cache_boundary": (q_st5_cache_boundary, SQL_ST5),
     "f5_normalize": (q_f5_normalize, SQL_F5),
     # -- remaining locally-verified / rows-only ----------------------------
-    "f9_generate_id": (q_f9_generate_id, SQL_F9),
+    "skew_salted_agg": (q_skew_salted_agg, SQL_SKEWAGG),
     "text_length_profile": (q_text_length_profile, SQL_LENPROF),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_LSH),
     "st9_cache_sim": (q_st9_cache_sim, SQL_ST9),
@@ -3635,6 +3661,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # -------- position >50: long-proven trivia (still pytest-gated) -------
     "a2_kmeans_dedup": (q_a2_kmeans_dedup, None),
     "mm_features": (q_mm_features, SQL_MM),
+    "f9_generate_id": (q_f9_generate_id, SQL_F9),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "events_tumbling": (q_events_tumbling, SQL_TUMBLING),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_JACCARD),
