@@ -1859,6 +1859,105 @@ FROM documents WHERE doc_id < 300
 """
 
 
+def q_mm_resize(spark, sf_dir):
+    """Multimodal resize plumbing (SURVEY §2.12): image rows with
+    synthetic-but-deterministic dims run through ``resize_images``
+    (mapInPandas, map-side only) with the container-safe deterministic
+    resizer. The geometry contract — aspect-preserving fit inside
+    256×256, never upscale — and the fake codec's length contract
+    (max(1, nw·nh/64) bytes) are both closed-form, so the oracle
+    recomputes them in SQL; payload determinism (same input → same
+    bytes) is pinned by test_multimodal_sources."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators import multimodal as mm
+
+    mm.register_resizer("image", mm.deterministic_fake_resizer())
+    media = t["documents"].filter(F.col("doc_id") < 400).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"), F.lit("image/png").alias("mime"),
+        F.encode("text", "UTF-8").alias("data"),
+        (100 + F.col("doc_id") % 800).cast("int").alias("width"),
+        (100 + (F.col("doc_id") * 7) % 600).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"))
+    out = mm.resize_images(media, target_w=256, target_h=256)
+    return out.select(
+        "media_id",
+        F.col("width").alias("new_w"), F.col("height").alias("new_h"),
+        F.length("data").cast("bigint").alias("payload_bytes"))
+
+
+# Same double arithmetic as the operator (256/w0, min, floor) — IEEE
+# division and floor agree bit-for-bit between DuckDB and Python.
+SQL_MM_RESIZE = """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         100 + doc_id % 800 AS w0, 100 + (doc_id * 7) % 600 AS h0
+  FROM documents WHERE doc_id < 400
+), s AS (
+  SELECT media_id,
+         least(256.0 / greatest(w0, 1), 256.0 / greatest(h0, 1), 1.0)
+           AS scale, w0, h0
+  FROM m
+)
+SELECT media_id,
+       CAST(greatest(1, floor(w0 * scale)) AS INT) AS new_w,
+       CAST(greatest(1, floor(h0 * scale)) AS INT) AS new_h,
+       CAST(greatest(1, (CAST(greatest(1, floor(w0 * scale)) AS BIGINT)
+                         * CAST(greatest(1, floor(h0 * scale)) AS BIGINT))
+                        // 64) AS BIGINT) AS payload_bytes
+FROM s
+"""
+
+
+def q_ann_pq_contract(spark, sf_dir):
+    """Product-quantization encode contract, oracle-gated (pq.py;
+    SURVEY §2.12). The seeded-Lloyd codebooks are not SQL-replicable,
+    but the ENCODE contract is checkable from the outputs: for every
+    vector and every subspace j, the assigned code must be the
+    (near-)argmin of squared distance to codebook j's centroids. The
+    query re-derives distances with independent JVM-side expressions
+    (slice + zip_with aggregate over the exploded codebook — no numpy)
+    and accepts a 1e-5 tolerance for the float32-encode vs double-check
+    gap; the oracle asserts every vector satisfies the contract."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.pq import PQIndex
+
+    emb = t["embeddings"].filter(F.col("vec_id") < 2000)
+    idx = PQIndex(emb, id_col="vec_id", vec_col="embedding",
+                  m=8, ksub=16, seed=42)
+    dsub = idx.dsub
+    books = spark.createDataFrame(
+        [(j, c, [float(x) for x in idx.codebooks[j, c]])
+         for j in range(idx.m) for c in range(idx.ksub)],
+        "j int, c int, cvec array<double>")
+
+    def sqdist(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                           F.lit(0.0), lambda acc, v: acc + v)
+
+    per_sub = (
+        idx.codes
+        .join(emb.select("vec_id", vm.normalize(F.col("embedding")).alias("_v")),
+              "vec_id")
+        .select("vec_id", "_v", F.posexplode("codes").alias("j", "assigned"))
+        .join(F.broadcast(books), "j")
+        .withColumn("_d", sqdist(F.slice("_v", F.col("j") * dsub + 1, dsub),
+                                 F.col("cvec")))
+        .groupBy("vec_id", "j", "assigned")
+        .agg(F.min("_d").alias("_dmin"),
+             F.min(F.when(F.col("c") == F.col("assigned"), F.col("_d")))
+             .alias("_dassigned")))
+    ok = (per_sub
+          .withColumn("_ok", F.col("_dassigned") <= F.col("_dmin") + 1e-5)
+          .groupBy("vec_id").agg(F.bool_and("_ok").alias("contract_ok")))
+    idx.unpersist()
+    return ok
+
+
+SQL_PQC = ("SELECT vec_id, true AS contract_ok "
+           "FROM embeddings WHERE vec_id < 2000")
+
+
 # -------------------------------------------- rows-only (non-SQL) queries
 
 
@@ -3637,11 +3736,14 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st9_cache_sim": (q_st9_cache_sim, SQL_ST9),
     "f12_tfidf_embed": (q_f12_tfidf_embed, SQL_F12),
     # -- representative previously-green heavy hitters ---------------------
-    "j1_pairwise_band": (q_j1_pairwise_band, SQL_J1),
+    # (j1_pairwise_band and a4_select_rep — driver-green in BOTH r2 and
+    # r3 — rotated past the window to make room for the two new
+    # round-4 contract queries below)
+    "ann_pq_contract": (q_ann_pq_contract, SQL_PQC),
+    "mm_resize": (q_mm_resize, SQL_MM_RESIZE),
     "j2_dedup_probe": (q_j2_dedup_probe, SQL_J2),
     "j3_ann_topk": (q_j3_ann_topk, SQL_J3),
     "a1_cluster_cc": (q_a1_cluster_cc, SQL_A1),
-    "a4_select_rep": (q_a4_select_rep, SQL_A4),
     "st2_recall": (q_st2_recall, SQL_ST2),
     "g3_blast_radius": (q_g3_blast_radius, SQL_G3),
     "dedup_minhash": (q_dedup_minhash, SQL_MINHASH),
@@ -3660,6 +3762,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "chunk_documents": (q_chunk_documents, SQL_CHUNK),
     # -------- position >50: long-proven trivia (still pytest-gated) -------
     "a2_kmeans_dedup": (q_a2_kmeans_dedup, None),
+    "j1_pairwise_band": (q_j1_pairwise_band, SQL_J1),
+    "a4_select_rep": (q_a4_select_rep, SQL_A4),
     "mm_features": (q_mm_features, SQL_MM),
     "f9_generate_id": (q_f9_generate_id, SQL_F9),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
