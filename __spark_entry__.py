@@ -1958,6 +1958,75 @@ SQL_PQC = ("SELECT vec_id, true AS contract_ok "
            "FROM embeddings WHERE vec_id < 2000")
 
 
+def q_shuffle_global(spark, sf_dir):
+    """Deterministic global shuffle (SURVEY §2.12): epoch-1 training
+    order over documents. Positions come from the bucketed two-phase
+    enumerate (ordering.py) — no global row_number window — and the
+    portable Knuth hash lets DuckDB replay the exact permutation."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.ordering import global_shuffle
+
+    out = global_shuffle(t["documents"], key_col="doc_id",
+                         mode="portable", salt=1, n_buckets=64,
+                         with_position=True)
+    return out.select("doc_id", "shuffle_pos")
+
+
+# portable hash_bucket with salt=1: ((doc_id % 2^31 + 1) * KNUTH) % 2^31
+SQL_SHUFFLE = """
+WITH h AS (
+  SELECT doc_id,
+         ((doc_id % 2147483648 + 1) * 2654435761) % 2147483648 AS hv
+  FROM documents
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY hv, doc_id) - 1 AS BIGINT)
+         AS shuffle_pos
+FROM h
+"""
+
+
+def q_mix_rebalance(spark, sf_dir):
+    """Domain-mixture rebalancing (SURVEY §2.12): downsample three
+    sources to a 50/30/20 mixture with no upsampling — per-domain keep
+    fractions derive from counts in-plan (tiny groupBy + broadcast
+    join; the corpus never shuffles), keeps decided by the portable
+    hash threshold so the oracle replays the exact surviving set."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.sampling import rebalance_mixture
+
+    out = rebalance_mixture(
+        t["documents"], {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        domain_col="source", key_col="doc_id", mode="portable", salt=0)
+    return out.select("doc_id", "source")
+
+
+# mirrors rebalance_mixture arithmetic in doubles: normalized share p,
+# scale = min(n/p), frac = p*scale/n, keep iff portable hash(salt=0)
+# < floor(frac * 2^31)
+SQL_MIX = """
+WITH tot AS (
+  SELECT CAST(0.5 AS DOUBLE) + CAST(0.3 AS DOUBLE) + CAST(0.2 AS DOUBLE)
+    AS t
+), c AS (
+  SELECT source, count(*) AS n FROM documents
+  WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+), p AS (
+  SELECT source, n,
+         CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE) / tot.t
+                     WHEN 'src1' THEN CAST(0.3 AS DOUBLE) / tot.t
+                     ELSE CAST(0.2 AS DOUBLE) / tot.t END AS p
+  FROM c, tot
+), s AS (
+  SELECT source, p * (SELECT min(n / p) FROM p) / n AS frac FROM p
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN s USING (source)
+WHERE (d.doc_id % 2147483648) * 2654435761 % 2147483648
+      < floor(frac * 2147483648.0)
+"""
+
+
 # -------------------------------------------- rows-only (non-SQL) queries
 
 
@@ -3741,13 +3810,13 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # round-4 contract queries below)
     "ann_pq_contract": (q_ann_pq_contract, SQL_PQC),
     "mm_resize": (q_mm_resize, SQL_MM_RESIZE),
-    "j2_dedup_probe": (q_j2_dedup_probe, SQL_J2),
+    "shuffle_global": (q_shuffle_global, SQL_SHUFFLE),
+    "mix_rebalance": (q_mix_rebalance, SQL_MIX),
     "j3_ann_topk": (q_j3_ann_topk, SQL_J3),
     "a1_cluster_cc": (q_a1_cluster_cc, SQL_A1),
     "st2_recall": (q_st2_recall, SQL_ST2),
     "g3_blast_radius": (q_g3_blast_radius, SQL_G3),
     "dedup_minhash": (q_dedup_minhash, SQL_MINHASH),
-    "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
     # -- training-pipeline ops added round 3 -------------------------------
     "decontam_benchmark": (q_decontam_benchmark, SQL_DECONTAM),
     "filter_funnel": (q_filter_funnel, SQL_FUNNEL),
@@ -3764,6 +3833,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a2_kmeans_dedup": (q_a2_kmeans_dedup, None),
     "j1_pairwise_band": (q_j1_pairwise_band, SQL_J1),
     "a4_select_rep": (q_a4_select_rep, SQL_A4),
+    "j2_dedup_probe": (q_j2_dedup_probe, SQL_J2),
+    "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
     "mm_features": (q_mm_features, SQL_MM),
     "f9_generate_id": (q_f9_generate_id, SQL_F9),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

@@ -1,0 +1,78 @@
+"""Deterministic global shuffle — training-order assignment at scale.
+
+Before training, a corpus must be read in a reproducible pseudo-random
+order (epoch shuffling). `ORDER BY rand()` changes per run and
+`zipWithIndex` pins an RDD lineage; the scale pattern is to sort by a
+DETERMINISTIC key hash and, when an explicit position column is
+needed, compute it with the two-phase distributed enumerate:
+
+1. bucket every row by the high bits of its hash (B buckets),
+2. count rows per bucket (tiny B-row aggregate),
+3. prefix-sum the B counts into bucket offsets (a window over B rows —
+   B is a constant like 1024, never the corpus),
+4. position = bucket_offset + (rank within bucket − 1), ranked by
+   (hash, key) under a window PARTITIONED BY bucket.
+
+No single-partition window ever sees the whole table; every stage is
+bounded by corpus/B rows per task. The ordering is identical on any
+cluster layout, any retry, and any engine that can reproduce the hash
+(portable mode reuses sampling.hash_bucket's Knuth arithmetic, exact
+in 64-bit integers — the oracle gate replays it in DuckDB).
+
+The reference repo has no training-order surface; this extends
+SURVEY §2.12.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from distill_spark.operators.sampling import (_require_integral_key,
+                                              hash_bucket)
+
+
+def global_shuffle(
+    df: DataFrame,
+    key_col: str,
+    mode: str = "xxhash64",
+    salt: int = 0,
+    n_buckets: int = 1024,
+    with_position: bool = False,
+) -> DataFrame:
+    """Rows in deterministic pseudo-random order: sorted by
+    (hash(key, salt), key). ``salt`` is the epoch number — a different
+    salt is a different, equally reproducible permutation.
+
+    Without ``with_position`` this is a plain range-partitioned sort
+    (Spark samples range bounds; each task sorts its slice — the
+    standard total-order shuffle). With it, an explicit ``shuffle_pos``
+    column (0-based) is derived via bucketed prefix sums instead of a
+    global row_number, so no task ever holds more than ~1/n_buckets of
+    the data."""
+    _require_integral_key(df, key_col, mode)
+    h = hash_bucket(key_col, mode, salt)
+    if not with_position:
+        return df.orderBy(h.asc(), F.col(key_col).asc())
+
+    hashed = df.withColumn("_h", h)
+    # bucket = high bits of the 31-bit hash → hash order == (bucket,
+    # hash) order, so offsets by bucket compose into the total order
+    width = (1 << 31) // n_buckets
+    hashed = hashed.withColumn("_b", (F.col("_h") / F.lit(width))
+                               .cast("int"))
+    counts = hashed.groupBy("_b").agg(F.count("*").alias("_n"))
+    offs = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_n").over(Window.orderBy("_b")
+                             .rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)))
+    wb = Window.partitionBy("_b").orderBy(F.asc("_h"), F.asc(key_col))
+    return (hashed
+            .join(F.broadcast(offs.select("_b", "_off")), "_b")
+            .withColumn("shuffle_pos",
+                        (F.col("_off") + F.row_number().over(wb) - 1)
+                        .cast("bigint"))
+            .drop("_h", "_b", "_off")
+            .orderBy("shuffle_pos"))

@@ -20,7 +20,7 @@ oracle gates). Stratified mixes (per-domain fractions) are one
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _M = 1 << 31
@@ -113,6 +113,49 @@ def weighted_rank(key, weight, mode: str = "portable",
         / F.lit(float(_M + 1))
     return F.when(wcol > 0, -F.log(u) / wcol) \
         .otherwise(F.lit(float("inf")))
+
+
+def rebalance_mixture(
+    df: DataFrame,
+    targets: dict[str, float],
+    domain_col: str,
+    key_col: str,
+    mode: str = "xxhash64",
+    salt: int = 0,
+) -> DataFrame:
+    """Downsample domains so the surviving corpus matches a target
+    mixture (e.g. 50% web / 30% code / 20% wiki) WITHOUT upsampling:
+    the output size is the largest N where every domain d can supply
+    ``targets[d] * N`` rows, i.e. ``scale = min_d(count_d / p_d)``;
+    each domain then keeps ``p_d * scale / count_d`` of its rows by
+    the same deterministic hash threshold as ``deterministic_sample``.
+
+    Scale shape: one tiny groupBy(domain) count, a broadcast join of
+    the per-domain fraction back onto the corpus, and a pure filter —
+    the corpus itself never shuffles. Domains absent from ``targets``
+    are dropped (target share 0)."""
+    _require_integral_key(df, key_col, mode)
+    if not targets:
+        raise ValueError("targets must name at least one domain")
+    total = float(sum(targets.values()))
+    counts = (df.filter(F.col(domain_col).isin(*targets.keys()))
+              .groupBy(domain_col).agg(F.count("*").alias("_n")))
+    # p_d normalized so shares sum to 1; scale = min(count/p) over the
+    # domains actually present
+    p = None
+    for dom, share in targets.items():
+        branch = (F.col(domain_col) == dom, F.lit(share / total))
+        p = F.when(*branch) if p is None else p.when(*branch)
+    fracs = (counts.withColumn("_p", p)
+             .withColumn("_scale",
+                         F.min(F.col("_n") / F.col("_p"))
+                         .over(Window.partitionBy(F.lit(1))))
+             .withColumn("_frac", F.col("_p") * F.col("_scale") / F.col("_n"))
+             .select(domain_col, "_frac"))
+    return (df.join(F.broadcast(fracs), domain_col)
+            .filter(hash_bucket(key_col, mode, salt)
+                    < F.floor(F.col("_frac") * F.lit(float(_M))))
+            .drop("_frac"))
 
 
 def weighted_sample(

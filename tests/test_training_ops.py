@@ -249,3 +249,87 @@ class TestChunking:
         df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with _pytest.raises(ValueError):
             chunk_documents(df, size=4, overlap=4)
+
+
+class TestGlobalShuffle:
+    def test_positions_are_a_permutation_in_hash_order(self, spark):
+        from distill_spark.operators.ordering import global_shuffle
+        from distill_spark.operators.sampling import hash_bucket
+
+        df = spark.range(0, 500).withColumnRenamed("id", "k")
+        out = global_shuffle(df, "k", mode="portable", salt=1,
+                             n_buckets=8, with_position=True)
+        rows = out.collect()
+        assert sorted(r.shuffle_pos for r in rows) == list(range(500))
+        # position order == (hash, key) order
+        hashed = {r.k: r.h for r in df.withColumn(
+            "h", hash_bucket("k", "portable", 1)).collect()}
+        by_pos = [r.k for r in sorted(rows, key=lambda r: r.shuffle_pos)]
+        assert by_pos == sorted(hashed, key=lambda k: (hashed[k], k))
+
+    def test_layout_independent_and_salt_varies(self, spark):
+        from distill_spark.operators.ordering import global_shuffle
+
+        df = spark.range(0, 300).withColumnRenamed("id", "k")
+        a = [r.k for r in global_shuffle(df, "k", salt=1, n_buckets=4,
+                                         with_position=True)
+             .orderBy("shuffle_pos").collect()]
+        b = [r.k for r in global_shuffle(df.repartition(13), "k", salt=1,
+                                         n_buckets=4, with_position=True)
+             .orderBy("shuffle_pos").collect()]
+        c = [r.k for r in global_shuffle(df, "k", salt=2, n_buckets=4,
+                                         with_position=True)
+             .orderBy("shuffle_pos").collect()]
+        assert a == b          # layout-independent
+        assert a != c          # epoch salt -> different permutation
+
+    def test_plain_sort_without_position(self, spark):
+        from distill_spark.operators.ordering import global_shuffle
+
+        df = spark.range(0, 100).withColumnRenamed("id", "k")
+        out = global_shuffle(df, "k", salt=0)
+        assert "shuffle_pos" not in out.columns
+        assert {r.k for r in out.collect()} == set(range(100))
+
+
+class TestRebalanceMixture:
+    def _docs(self, spark):
+        rows = [(i, ["web", "code", "wiki"][i % 3] if i < 600 else "web")
+                for i in range(1000)]
+        return spark.createDataFrame(rows, "k long, dom string")
+
+    def test_mixture_matches_targets_no_upsampling(self, spark):
+        from distill_spark.operators.sampling import rebalance_mixture
+
+        df = self._docs(spark)  # web: 600, code: 200, wiki: 200
+        out = rebalance_mixture(df, {"web": 0.25, "code": 0.5, "wiki": 0.25},
+                                "dom", "k")
+        got = {r.dom: r.n for r in
+               out.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+        # binding domain: code (200 / 0.5 = 400 = scale); expected kept:
+        # web 100 of 600, code 200 of 200, wiki 100 of 200 -- hash
+        # thresholds are approximate for fractions < 1, exact at 1.0
+        assert got["code"] == 200
+        assert abs(got["web"] - 100) <= 25 and abs(got["wiki"] - 100) <= 20
+        # no upsampling ever: kept <= source count per domain
+        assert all(v <= n for v, n in
+                   ((got["web"], 600), (got["code"], 200), (got["wiki"], 200)))
+
+    def test_deterministic_and_drops_unlisted_domains(self, spark):
+        from distill_spark.operators.sampling import rebalance_mixture
+
+        df = self._docs(spark)
+        args = ({"code": 0.5, "wiki": 0.5}, "dom", "k")
+        a = {r.k for r in rebalance_mixture(df, *args).collect()}
+        b = {r.k for r in rebalance_mixture(df.repartition(7), *args).collect()}
+        assert a == b
+        doms = {r.dom for r in rebalance_mixture(df, *args).collect()}
+        assert doms == {"code", "wiki"}  # 'web' not targeted -> dropped
+
+    def test_empty_targets_raise(self, spark):
+        import pytest as _pytest
+
+        from distill_spark.operators.sampling import rebalance_mixture
+
+        with _pytest.raises(ValueError):
+            rebalance_mixture(self._docs(spark), {}, "dom", "k")
