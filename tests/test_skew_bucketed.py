@@ -75,3 +75,50 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_bucket_a")
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+class TestShardedSink:
+    def test_file_count_and_row_caps(self, spark, tmp_path):
+        from distill_spark.sources.sharded import file_stats, write_sharded
+
+        df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+        parts = write_sharded(df, str(tmp_path / "out"),
+                              target_rows_per_file=3000)
+        assert parts == 4  # ceil(10000/3000)
+        stats = file_stats(spark, str(tmp_path / "out")).collect()
+        assert sum(r.n_rows for r in stats) == 10_000
+        assert all(r.n_rows <= 3000 for r in stats)
+
+    def test_range_layout_files_cover_disjoint_key_ranges(self, spark,
+                                                          tmp_path):
+        import pyarrow.parquet as pq
+        from pathlib import Path
+
+        from distill_spark.sources.sharded import write_sharded
+
+        df = spark.range(0, 8_000).withColumnRenamed("id", "k")
+        write_sharded(df, str(tmp_path / "rng"),
+                      target_rows_per_file=2000, order_by="k",
+                      approx_rows=8_000)
+        spans = []
+        for f in Path(tmp_path / "rng").glob("*.parquet"):
+            t = pq.read_table(f, columns=["k"])["k"].to_pylist()
+            assert t == sorted(t)  # sorted within file -> tight stats
+            spans.append((t[0], t[-1]))
+        spans.sort()
+        # non-overlapping: each file's min exceeds the previous max,
+        # so a range predicate prunes whole files via footer stats
+        for (_, amax), (bmin, _) in zip(spans, spans[1:]):
+            assert bmin > amax
+        # round-trip completeness
+        back = spark.read.parquet(str(tmp_path / "rng"))
+        assert back.count() == 8_000
+
+    def test_rejects_nonpositive_target(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from distill_spark.sources.sharded import write_sharded
+
+        with _pytest.raises(ValueError):
+            write_sharded(spark.range(5), str(tmp_path / "x"),
+                          target_rows_per_file=0)
