@@ -859,6 +859,31 @@ FROM events GROUP BY event_type
 """
 
 
+def q_skew_salted_join(spark, sf_dir):
+    """Salted skew join (skew tooling): events salted over 8 reducers,
+    the customer dim replicated across salts — output equals the plain
+    equi-join the oracle runs, but no reducer ever receives all rows
+    of a hot user_id. The post-join rollup keeps the gated output
+    small."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.skew import salted_join
+
+    dim = t["customer"].select(F.col("c_custkey").alias("user_id"),
+                               "c_nationkey")
+    j = salted_join(t["events"], dim, key="user_id", n_salt=8)
+    return (j.groupBy("c_nationkey")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value")))
+
+
+SQL_SKEWJOIN = """
+SELECT c.c_nationkey, count(*) AS n_events,
+       round(sum(e.value), 4) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_nationkey
+"""
+
+
 def q_profile_table(spark, sf_dir):
     """Single-pass per-column profile over documents (exact mode for
     oracle parity; the default approx mode is the HLL scale path)."""
@@ -3835,6 +3860,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a4_select_rep": (q_a4_select_rep, SQL_A4),
     "j2_dedup_probe": (q_j2_dedup_probe, SQL_J2),
     "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
+    "skew_salted_join": (q_skew_salted_join, SQL_SKEWJOIN),
     "mm_features": (q_mm_features, SQL_MM),
     "f9_generate_id": (q_f9_generate_id, SQL_F9),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
