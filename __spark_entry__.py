@@ -884,6 +884,48 @@ GROUP BY c.c_nationkey
 """
 
 
+def q_example_spans(spark, sf_dir):
+    """Fixed-window training-example spans (SURVEY §2.12): the corpus
+    concatenated in epoch-1 order and sliced into 256-token windows,
+    emitted as the (chunk → doc span) mapping. Offsets come from the
+    bucketed two-phase prefix sum — no global window — and the
+    portable hash makes the epoch order (and therefore every span)
+    SQL-replayable."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.examples import example_spans
+
+    return example_spans(t["documents"], seq_len=256, key_col="doc_id",
+                         mode="portable", salt=1, n_buckets=64)
+
+
+# same cumsum arithmetic over the same portable epoch order (salt=1)
+SQL_EXAMPLES = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(coalesce(text, '')),
+                                             '\\s+')) END AS BIGINT) AS toks,
+         ((doc_id % 2147483648 + 1) * 2654435761) % 2147483648 AS h
+  FROM documents
+), o AS (
+  SELECT doc_id, toks,
+         CAST(sum(toks) OVER (ORDER BY h, doc_id
+                              ROWS UNBOUNDED PRECEDING) - toks
+              AS BIGINT) AS off
+  FROM t WHERE toks > 0
+)
+SELECT g.chunk_id, o.doc_id,
+       greatest(0, g.chunk_id * 256 - o.off) AS start_tok,
+       least(o.toks, (g.chunk_id + 1) * 256 - o.off) AS end_tok,
+       least(o.toks, (g.chunk_id + 1) * 256 - o.off)
+         - greatest(0, g.chunk_id * 256 - o.off) AS n_tok
+FROM o, LATERAL (
+  SELECT unnest(generate_series(o.off // 256,
+                                (o.off + o.toks - 1) // 256)) AS chunk_id
+) g
+"""
+
+
 def q_profile_table(spark, sf_dir):
     """Single-pass per-column profile over documents (exact mode for
     oracle parity; the default approx mode is the HLL scale path)."""
@@ -3837,11 +3879,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "mm_resize": (q_mm_resize, SQL_MM_RESIZE),
     "shuffle_global": (q_shuffle_global, SQL_SHUFFLE),
     "mix_rebalance": (q_mix_rebalance, SQL_MIX),
-    "j3_ann_topk": (q_j3_ann_topk, SQL_J3),
+    "skew_salted_join": (q_skew_salted_join, SQL_SKEWJOIN),
     "a1_cluster_cc": (q_a1_cluster_cc, SQL_A1),
     "st2_recall": (q_st2_recall, SQL_ST2),
     "g3_blast_radius": (q_g3_blast_radius, SQL_G3),
-    "dedup_minhash": (q_dedup_minhash, SQL_MINHASH),
+    "example_spans": (q_example_spans, SQL_EXAMPLES),
     # -- training-pipeline ops added round 3 -------------------------------
     "decontam_benchmark": (q_decontam_benchmark, SQL_DECONTAM),
     "filter_funnel": (q_filter_funnel, SQL_FUNNEL),
@@ -3860,7 +3902,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a4_select_rep": (q_a4_select_rep, SQL_A4),
     "j2_dedup_probe": (q_j2_dedup_probe, SQL_J2),
     "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
-    "skew_salted_join": (q_skew_salted_join, SQL_SKEWJOIN),
+    "j3_ann_topk": (q_j3_ann_topk, SQL_J3),
+    "dedup_minhash": (q_dedup_minhash, SQL_MINHASH),
     "mm_features": (q_mm_features, SQL_MM),
     "f9_generate_id": (q_f9_generate_id, SQL_F9),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

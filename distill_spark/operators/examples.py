@@ -1,0 +1,94 @@
+"""Fixed-window training examples — the concat-and-slice pass.
+
+Pre-training pipelines that don't pad (GPT-style) concatenate the
+whole corpus in epoch order with document boundaries ignored, then
+slice the token stream into fixed ``seq_len`` windows. `packing.py`
+is the opposite regime (documents stay whole, bins are padded); this
+operator emits the exact (chunk → document span) mapping for the
+concatenated regime WITHOUT materializing the token stream:
+
+1. token count per doc (whitespace tokens — swap in any counter),
+2. epoch order by (hash(key, salt), key) — same deterministic
+   permutation contract as `ordering.global_shuffle`,
+3. each doc's global token offset via the bucketed two-phase prefix
+   sum (per-bucket window cumsum + a B-row bucket-offset window; no
+   global single-partition window ever sees the corpus),
+4. a doc spanning global tokens [off, off+toks) overlaps chunks
+   floor(off/S) .. floor((off+toks-1)/S); one `sequence`+`explode`
+   fans each doc into its chunk rows with in-document start/end.
+
+Every chunk except the last then has exactly ``seq_len`` tokens,
+assembled from 1..k document slices. The output is the metadata that
+drives the actual byte-writer (a join back to text + substring per
+span); at 100 TB that writer streams map-side against this mapping.
+
+The whole computation is closed-form from the cumulative sums, so the
+DuckDB oracle replays it exactly (portable hash mode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from distill_spark.operators.sampling import (_require_integral_key,
+                                              hash_bucket)
+
+
+def example_spans(
+    df: DataFrame,
+    seq_len: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "xxhash64",
+    salt: int = 0,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """(chunk_id, doc_id, start_tok, end_tok, n_tok) for slicing the
+    epoch-ordered concatenated corpus into ``seq_len``-token windows.
+    ``start_tok``/``end_tok`` are token offsets WITHIN the document
+    (half-open); zero-token documents contribute nothing and are
+    dropped."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    _require_integral_key(df, key_col, mode)
+
+    txt = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.when(txt == "", F.lit(0)).otherwise(
+        F.size(F.split(txt, r"\s+"))).cast("bigint")
+    h = hash_bucket(key_col, mode, salt)
+    width = (1 << 31) // n_buckets
+    t = (df.select(F.col(key_col), toks.alias("_toks"), h.alias("_h"))
+         .filter(F.col("_toks") > 0)
+         .withColumn("_b", (F.col("_h") / F.lit(width)).cast("int")))
+
+    # two-phase global cumsum of token counts: per-bucket running sum
+    # (+ the tiny B-row bucket-offset prefix), identical shape to
+    # ordering.global_shuffle's position enumerate
+    btot = t.groupBy("_b").agg(F.sum("_toks").alias("_bt"))
+    boff = btot.withColumn(
+        "_boff",
+        F.coalesce(
+            F.sum("_bt").over(Window.orderBy("_b")
+                              .rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)))
+    wb = Window.partitionBy("_b").orderBy(F.asc("_h"), F.asc(key_col))
+    off = (t.join(F.broadcast(boff.select("_b", "_boff")), "_b")
+           .withColumn("_off",
+                       F.col("_boff") + F.sum("_toks").over(wb)
+                       - F.col("_toks")))
+
+    first = F.floor(F.col("_off") / seq_len)
+    last = F.floor((F.col("_off") + F.col("_toks") - 1) / seq_len)
+    out = (off
+           .withColumn("chunk_id", F.explode(F.sequence(first, last)))
+           .select(
+               F.col("chunk_id"),
+               F.col(key_col),
+               F.greatest(F.lit(0),
+                          F.col("chunk_id") * seq_len - F.col("_off"))
+               .alias("start_tok"),
+               F.least(F.col("_toks"),
+                       (F.col("chunk_id") + 1) * seq_len - F.col("_off"))
+               .alias("end_tok")))
+    return out.withColumn("n_tok", F.col("end_tok") - F.col("start_tok"))

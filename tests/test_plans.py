@@ -250,3 +250,18 @@ def test_pq_encode_is_map_side_only(spark):
         assert "MapInPandas" in p
     finally:
         idx.unpersist()
+
+
+def test_example_spans_windows_stay_bucketed(spark, queries):
+    """The global-offset cumsum must window per bucket; the only
+    unpartitioned window is the B-row bucket prefix. The corpus joins
+    the bucket offsets via broadcast."""
+    p = _plan(spark, queries["example_spans"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+    # the corpus-side running sum's windowspecdefinition leads with the
+    # bucket column (partition spec), e.g. windowspecdefinition(_b#56,
+    # _h#54L ASC ...)
+    win_lines = [ln for ln in p.splitlines()
+                 if "Arguments" in ln and "sum(_toks" in ln]
+    assert win_lines and all("windowspecdefinition(_b#" in ln
+                             for ln in win_lines)

@@ -333,3 +333,57 @@ class TestRebalanceMixture:
 
         with _pytest.raises(ValueError):
             rebalance_mixture(self._docs(spark), {}, "dom", "k")
+
+
+class TestExampleSpans:
+    def _docs(self, spark):
+        rows = [(i, " ".join(f"w{j}" for j in range((i * 13) % 40 + 1)))
+                for i in range(200)] + [(900, ""), (901, "   "), (902, None)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_every_full_chunk_has_exactly_seq_len_tokens(self, spark):
+        from distill_spark.operators.examples import example_spans
+
+        out = example_spans(self._docs(spark), seq_len=64).collect()
+        per_chunk = {}
+        for r in out:
+            per_chunk[r.chunk_id] = per_chunk.get(r.chunk_id, 0) + r.n_tok
+        last = max(per_chunk)
+        assert all(v == 64 for c, v in per_chunk.items() if c != last)
+        assert 0 < per_chunk[last] <= 64
+
+    def test_spans_reconstruct_each_document_exactly_once(self, spark):
+        from distill_spark.operators.examples import example_spans
+
+        docs = self._docs(spark)
+        out = example_spans(docs, seq_len=64).collect()
+        toks = {r.doc_id: len(r.text.split()) for r in docs.collect()
+                if r.text and r.text.strip()}
+        spans = {}
+        for r in out:
+            spans.setdefault(r.doc_id, []).append(
+                (r.chunk_id, r.start_tok, r.end_tok))
+        assert set(spans) == set(toks)  # empty/null docs dropped
+        for d, ss in spans.items():
+            ss.sort()
+            assert ss[0][1] == 0 and ss[-1][2] == toks[d]
+            # contiguous, non-overlapping, consecutive chunks
+            for (c0, _, e0), (c1, s1, _) in zip(ss, ss[1:]):
+                assert c1 == c0 + 1 and s1 == e0
+
+    def test_layout_independent(self, spark):
+        from distill_spark.operators.examples import example_spans
+
+        docs = self._docs(spark)
+        a = sorted(map(tuple, example_spans(docs, 64).collect()))
+        b = sorted(map(tuple,
+                       example_spans(docs.repartition(17), 64).collect()))
+        assert a == b
+
+    def test_rejects_nonpositive_seq_len(self, spark):
+        import pytest as _pytest
+
+        from distill_spark.operators.examples import example_spans
+
+        with _pytest.raises(ValueError):
+            example_spans(self._docs(spark), 0)
