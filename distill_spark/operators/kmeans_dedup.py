@@ -1,33 +1,65 @@
 """K-Means dedup with medoid pruning (A2) — the reference's own
 "N ≥ 10⁴" scale path (pkg/dedup/kmeans.go:76-351, FAQ.md:169).
 
-Spark-first re-expression:
-- assignment: ``pyspark.ml.clustering.KMeans`` on **unit-normalized**
-  vectors — squared euclidean on the unit sphere is 2·cosine-distance,
-  so nearest-centroid assignments match the reference's cosine
-  K-Means; MLlib gives us the distributed Lloyd iterations + k-means||
-  init for free.
+Spark-first re-expression (the PQ/IVF recipe, pq.py:44-60):
+- **fit on a driver-bounded deterministic sample** — seeded
+  random-permutation init (exactly kmeans.go:169-180's scheme) +
+  numpy Lloyd on **unit-normalized** vectors; squared euclidean on
+  the unit sphere is 2·cosine-distance, so nearest-centroid matches
+  the reference's cosine K-Means. Codebook-style fitting is the
+  standard scale recipe: centroids converge on 10⁴-10⁵ points
+  regardless of corpus size, and the sample (orderBy id → limit) is
+  layout-independent, so the centroids are byte-identical on any
+  cluster — stronger determinism than a distributed Lloyd whose
+  reductions reorder float sums per layout.
+- **assignment in one map-side pass** — ``mapInPandas`` with the
+  (k × dim) centroid matrix in the closure: vectorized argmax of
+  ``X·Cᵀ − ‖c‖²/2``, no shuffle, no per-round job scheduling. At
+  100 TB this reads the corpus once; the previous MLlib version
+  paid ``maxIter`` distributed passes for assignments the bounded
+  sample already determines.
 - K default: ``sqrt(N/2)`` (kmeans.go:86-94).
 - medoid prune (kmeans.go:311-351): per cluster, the member closest
   to the centroid (the medoid) is always kept; every other member is
   kept iff its cosine distance **to the medoid** ≥ prune_threshold
   (default 0.05) — i.e. near-duplicates of the medoid are dropped.
 
-Divergence note: the reference uses seeded random-permutation init
-(kmeans.go:169-180); we use seeded k-means||. Cluster *assignments*
-may differ on boundary points — the dedup *semantics* (drop
-within-0.05 duplicates) are preserved, which is what the operator is
-for. Determinism: fixed seed ⇒ stable output.
+Divergence note: the reference runs Lloyd over ALL points; fitting on
+a bounded sample can place boundary points differently. The dedup
+*semantics* (drop within-0.05 duplicates of the medoid) are preserved
+— the oracled ``a2_kmeans_contract`` checks exactly that contract on
+the produced assignment. Determinism: fixed seed ⇒ stable output.
 """
 
 from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from distill_spark.functions import vectormath as vm
+
+
+def _fit_centroids(X: np.ndarray, k: int, max_iter: int,
+                   seed: int) -> np.ndarray:
+    """Seeded Lloyd on the (n × dim) unit-normalized sample:
+    random-permutation init (kmeans.go:169-180) then ``max_iter``
+    rounds; empty clusters keep their previous centroid (the
+    reference's behavior for vanishing clusters)."""
+    rng = np.random.default_rng(seed)
+    cents = X[rng.permutation(len(X))[:k]].copy()
+    for _ in range(max_iter):
+        # argmin ||x-c||^2 == argmax <x,c> - ||c||^2/2 (unit x)
+        assign = (X @ cents.T - 0.5 * (cents ** 2).sum(axis=1)).argmax(axis=1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                cents[c] = X[mask].mean(axis=0)
+    return cents
 
 
 def kmeans_dedup(
@@ -38,16 +70,14 @@ def kmeans_dedup(
     prune_threshold: float = 0.05,
     max_iter: int = 10,
     seed: int = 42,
+    fit_sample: int = 20000,
 ) -> DataFrame:
     """Returns the input rows plus ``cluster_id``, ``is_medoid`` and
     ``kept`` columns; filter on ``kept`` for the deduped set. Rows
     without embeddings are kept as singleton clusters (cluster_id
     -1 - dense_ordinal)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
     has_emb = F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
-    with_emb = df.filter(has_emb).cache()
+    with_emb = df.filter(has_emb)
     no_emb = df.filter(~has_emb)
 
     n = with_emb.count()
@@ -59,23 +89,36 @@ def kmeans_dedup(
         k = max(1, int(math.sqrt(n / 2.0)))  # kmeans.go:86-94
     k = min(k, n)
 
-    # materialize features before fit — KMeans makes maxIter passes and
-    # would recompute the (interpreted) normalize expression each one.
-    # Partition count tracks the point count: Lloyd rounds are
-    # scheduling-bound when tasks carry only a few dozen rows.
-    spark = df.sparkSession
-    par = max(1, min(spark.sparkContext.defaultParallelism, n // 1000 + 1))
-    feats = (
-        with_emb.withColumn("_feat", array_to_vector(vm.normalize(F.col(vec_col))))
-        .repartition(par).cache()
-    )
-    # random init mirrors the reference's seeded random-permutation init
-    # (kmeans.go:169-180) and skips the k-means|| passes
-    model = KMeans(
-        k=k, maxIter=max_iter, seed=seed, initMode="random",
-        featuresCol="_feat", predictionCol="cluster_id"
-    ).fit(feats)
-    assigned = model.transform(feats)
+    # fit: deterministic bounded sample (orderBy id → limit), seeded
+    # numpy Lloyd — layout-independent, byte-identical centroids
+    sample = (with_emb
+              .select(vm.normalize(F.col(vec_col)).alias("_v"),
+                      F.col(id_col))
+              .orderBy(id_col).limit(max(fit_sample, k)).collect())
+    X = np.asarray([r._v for r in sample], dtype=np.float64)
+    cmat = _fit_centroids(X, k, max_iter, seed)
+
+    # assignment: single map-side pass, centroids in the closure — all
+    # input columns ride through, so the corpus is read once, never
+    # shuffled, never cached
+    adjust = 0.5 * (cmat ** 2).sum(axis=1)
+    out_schema = T.StructType(
+        list(with_emb.schema.fields)
+        + [T.StructField("cluster_id", T.IntegerType())])
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+            cid = (V @ cmat.T - adjust).argmax(axis=1)
+            out = pdf.drop(columns=["_v"])
+            out["cluster_id"] = cid.astype(np.int32)
+            yield out
+
+    assigned = (with_emb
+                .withColumn("_v", vm.normalize(F.col(vec_col)))
+                .mapInPandas(assign, schema=out_schema))
 
     # centroid = mean of member embeddings (recomputed like
     # kmeans.go:249-275, not the normalized ml centers)
@@ -111,7 +154,7 @@ def kmeans_dedup(
             F.col("is_medoid")
             | (vm.cosine_distance(F.col(vec_col), F.col("_medoid_vec")) >= prune_threshold),
         )
-        .drop("_feat", "_centroid", "_cdist", "_rn", "_medoid_vec", "_medoid_id")
+        .drop("_centroid", "_cdist", "_rn", "_medoid_vec", "_medoid_id")
     )
 
     out_no_emb = no_emb.withColumn("cluster_id", F.lit(-1)).withColumn(
