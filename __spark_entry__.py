@@ -884,6 +884,41 @@ GROUP BY c.c_nationkey
 """
 
 
+def q_text_lm_score(spark, sf_dir):
+    """Unigram LM quality scoring (SURVEY §2.12): corpus-fitted
+    p(tok)=count/N over a deterministic top-5000 vocab, OOV floored at
+    1/N, per-doc mean log-prob — the distributable CCNet-style filter
+    signal. Model fit is one token shuffle; vocab + total broadcast
+    back, so the token stream is never shuffled for the join."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.lmscore import unigram_logprob
+
+    return unigram_logprob(t["documents"], id_col="doc_id",
+                           text_col="text", vocab_size=5000)
+
+
+SQL_LMSCORE = """
+WITH tk AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(
+           lower(trim(coalesce(text, ''))), '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+), c AS (
+  SELECT tok, count(*) AS cnt FROM tk GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c
+), v AS (
+  SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 5000
+), s AS (
+  SELECT tk.doc_id, ln(coalesce(v.cnt, 1)) - ln(tot.n) AS lp
+  FROM tk LEFT JOIN v USING (tok), tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       round(avg(lp), 6) AS mean_logprob
+FROM s GROUP BY doc_id
+"""
+
+
 def q_example_spans(spark, sf_dir):
     """Fixed-window training-example spans (SURVEY §2.12): the corpus
     concatenated in epoch-1 order and sliced into 256-token windows,
@@ -3880,7 +3915,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "shuffle_global": (q_shuffle_global, SQL_SHUFFLE),
     "mix_rebalance": (q_mix_rebalance, SQL_MIX),
     "skew_salted_join": (q_skew_salted_join, SQL_SKEWJOIN),
-    "a1_cluster_cc": (q_a1_cluster_cc, SQL_A1),
+    "text_lm_score": (q_text_lm_score, SQL_LMSCORE),
     "st2_recall": (q_st2_recall, SQL_ST2),
     "g3_blast_radius": (q_g3_blast_radius, SQL_G3),
     "example_spans": (q_example_spans, SQL_EXAMPLES),
@@ -3903,6 +3938,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "j2_dedup_probe": (q_j2_dedup_probe, SQL_J2),
     "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
     "j3_ann_topk": (q_j3_ann_topk, SQL_J3),
+    "a1_cluster_cc": (q_a1_cluster_cc, SQL_A1),
     "dedup_minhash": (q_dedup_minhash, SQL_MINHASH),
     "mm_features": (q_mm_features, SQL_MM),
     "f9_generate_id": (q_f9_generate_id, SQL_F9),

@@ -1,0 +1,58 @@
+"""Corpus-fitted unigram log-probability scoring — the LM-filter
+proxy (CCNet-style quality signal).
+
+Production pretraining filters score documents with a small LM and
+drop the tails; the distributable first-order version is a unigram
+model fitted on the corpus itself: p(tok) = count(tok)/N over a
+top-V vocabulary (deterministic cutoff: count DESC, token ASC), OOV
+tokens floored at 1/N, and each document scored by its mean token
+log-probability. Low scores flag gibberish/boilerplate; high scores
+flag degenerate repetition — both tails are filter candidates.
+
+Scale shape:
+- one explode + partial-aggregated groupBy(token) fits the model
+  (the same single shuffle `vocab_top_tokens` costs),
+- the top-V vocab (bounded) and the scalar total BROADCAST back onto
+  the token stream — the corpus tokens are never shuffled for the
+  join,
+- one groupBy(doc) aggregates the per-doc mean.
+
+Everything is closed-form (counts, ln, mean), so the DuckDB oracle
+replays it exactly; ln's last-ulp libm differences wash out in the
+6-decimal rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 5000,
+) -> DataFrame:
+    """(id, n_toks, mean_logprob) per document with ≥1 token.
+    ``mean_logprob`` is rounded to 6 decimals (cross-engine float
+    stability); documents with no tokens are dropped."""
+    if vocab_size <= 0:
+        raise ValueError("vocab_size must be positive")
+    txt = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    toks = (df.select(F.col(id_col),
+                      F.explode(F.split(txt, r"\s+")).alias("_tok"))
+            .filter(F.col("_tok") != ""))
+    counts = toks.groupBy("_tok").agg(F.count("*").alias("_cnt"))
+    total = counts.agg(F.sum("_cnt").alias("_n"))
+    vocab = (counts.orderBy(F.desc("_cnt"), F.asc("_tok"))
+             .limit(vocab_size))
+    scored = (toks
+              .join(F.broadcast(vocab), "_tok", "left")
+              .crossJoin(F.broadcast(total))
+              .withColumn("_lp",
+                          F.log(F.coalesce(F.col("_cnt"), F.lit(1)))
+                          - F.log(F.col("_n"))))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_toks"),
+                 F.round(F.avg("_lp"), 6).alias("mean_logprob")))

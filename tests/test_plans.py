@@ -265,3 +265,12 @@ def test_example_spans_windows_stay_bucketed(spark, queries):
                  if "Arguments" in ln and "sum(_toks" in ln]
     assert win_lines and all("windowspecdefinition(_b#" in ln
                              for ln in win_lines)
+
+
+def test_lm_score_vocab_broadcasts_onto_token_stream(spark, queries):
+    """The top-V vocab and the scalar total must broadcast; a
+    SortMergeJoin on token would shuffle the whole token stream."""
+    p = _plan(spark, queries["text_lm_score"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p or "BroadcastNestedLoopJoin" in p

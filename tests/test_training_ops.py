@@ -387,3 +387,42 @@ class TestExampleSpans:
 
         with _pytest.raises(ValueError):
             example_spans(self._docs(spark), 0)
+
+
+class TestUnigramLogprob:
+    def test_scores_and_oov_floor(self, spark):
+        from distill_spark.operators.lmscore import unigram_logprob
+        import math
+
+        df = spark.createDataFrame(
+            [(1, "a a a b"), (2, "a b"), (3, "zzz"), (4, ""), (5, None)],
+            "doc_id long, text string")
+        # corpus tokens: a,a,a,b,a,b,zzz -> N=7; counts a=4,b=2,zzz=1
+        out = {r.doc_id: r for r in
+               unigram_logprob(df, vocab_size=2).collect()}
+        assert set(out) == {1, 2, 3}  # empty/null docs dropped
+        n = 7.0
+        lp = lambda c: math.log(c) - math.log(n)
+        assert out[1].n_toks == 4
+        assert abs(out[1].mean_logprob - round((3*lp(4)+lp(2))/4, 6)) < 1e-9
+        # zzz is OOV at vocab_size=2 -> floored to ln(1/N)
+        assert abs(out[3].mean_logprob - round(lp(1), 6)) < 1e-9
+
+    def test_repetitive_doc_scores_higher_than_rare_tokens(self, spark):
+        from distill_spark.operators.lmscore import unigram_logprob
+
+        rows = [(i, "the common words appear here") for i in range(20)]
+        rows += [(100, "the the the the the"), (101, "xq zv qw er ty")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r.mean_logprob
+               for r in unigram_logprob(df, vocab_size=100).collect()}
+        assert out[100] > out[0] > out[101]
+
+    def test_rejects_nonpositive_vocab(self, spark):
+        import pytest as _pytest
+
+        from distill_spark.operators.lmscore import unigram_logprob
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            unigram_logprob(df, vocab_size=0)
