@@ -884,6 +884,49 @@ GROUP BY c.c_nationkey
 """
 
 
+def q_mm_frames(spark, sf_dir):
+    """Multimodal frame-sampling plan (SURVEY §2.12): video rows with
+    synthetic-but-deterministic durations fan out to one row per
+    sampled timestamp — pure JVM sequence+explode, no UDF; the frame
+    count/timestamp arithmetic is closed-form so the oracle replays it
+    with generate_series."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.multimodal import sample_frames
+
+    media = t["documents"].filter(F.col("doc_id") < 300).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("kind"), F.lit("video/mp4").alias("mime"),
+        F.encode("text", "UTF-8").alias("data"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (500 + (F.col("doc_id") * 37) % 10000).cast("int")
+        .alias("duration_ms"))
+    out = sample_frames(media, every_ms=1000)
+    return out.select("media_id",
+                      F.col("duration_ms").cast("bigint").alias("duration_ms"),
+                      F.col("frame_idx").cast("bigint").alias("frame_idx"),
+                      F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"))
+
+
+SQL_MM_FRAMES = """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         CAST(500 + (doc_id * 37) % 10000 AS BIGINT) AS duration_ms
+  FROM documents WHERE doc_id < 300
+), n AS (
+  SELECT media_id, duration_ms,
+         greatest(CAST(floor(duration_ms / 1000.0) AS BIGINT), 1) AS nf
+  FROM m
+)
+SELECT media_id, duration_ms,
+       CAST(g.frame_idx AS BIGINT) AS frame_idx,
+       CAST(g.frame_idx * 1000 AS BIGINT) AS frame_ts_ms
+FROM n, LATERAL (
+  SELECT unnest(generate_series(0, n.nf - 1)) AS frame_idx
+) g
+"""
+
+
 def q_text_lm_score(spark, sf_dir):
     """Unigram LM quality scoring (SURVEY §2.12): corpus-fitted
     p(tok)=count/N over a deterministic top-5000 vocab, OOV floored at
@@ -3917,7 +3960,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "skew_salted_join": (q_skew_salted_join, SQL_SKEWJOIN),
     "text_lm_score": (q_text_lm_score, SQL_LMSCORE),
     "st2_recall": (q_st2_recall, SQL_ST2),
-    "g3_blast_radius": (q_g3_blast_radius, SQL_G3),
+    "mm_frames": (q_mm_frames, SQL_MM_FRAMES),
     "example_spans": (q_example_spans, SQL_EXAMPLES),
     # -- training-pipeline ops added round 3 -------------------------------
     "decontam_benchmark": (q_decontam_benchmark, SQL_DECONTAM),
@@ -3939,6 +3982,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
     "j3_ann_topk": (q_j3_ann_topk, SQL_J3),
     "a1_cluster_cc": (q_a1_cluster_cc, SQL_A1),
+    "g3_blast_radius": (q_g3_blast_radius, SQL_G3),
     "dedup_minhash": (q_dedup_minhash, SQL_MINHASH),
     "mm_features": (q_mm_features, SQL_MM),
     "f9_generate_id": (q_f9_generate_id, SQL_F9),
