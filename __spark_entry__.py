@@ -884,6 +884,46 @@ GROUP BY c.c_nationkey
 """
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot drift ledger (SURVEY §2.12): two synthetic corpus
+    versions (old = doc_id<250; new = 100..349 with every 7th text
+    edited) through the content-hash full-outer diff. The oracle
+    classifies from the raw text (string equality), independently of
+    the engine's xxhash64 identity."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.diff import snapshot_diff
+
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    old = (t["documents"].filter(F.col("doc_id") < 250)
+           .select("doc_id", txt.alias("text")))
+    new = (t["documents"]
+           .filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 350))
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 7 == 0,
+                          F.concat(txt, F.lit(" v2")))
+                   .otherwise(txt).alias("text")))
+    return snapshot_diff(old, new, id_col="doc_id", content_cols=["text"])
+
+
+SQL_SNAPDIFF = """
+WITH o AS (
+  SELECT doc_id, coalesce(text, '') AS text
+  FROM documents WHERE doc_id < 250
+), n AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN coalesce(text, '') || ' v2'
+              ELSE coalesce(text, '') END AS text
+  FROM documents WHERE doc_id >= 100 AND doc_id < 350
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text = n.text THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+
 def q_mm_frames(spark, sf_dir):
     """Multimodal frame-sampling plan (SURVEY §2.12): video rows with
     synthetic-but-deterministic durations fan out to one row per
@@ -3959,7 +3999,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "mix_rebalance": (q_mix_rebalance, SQL_MIX),
     "skew_salted_join": (q_skew_salted_join, SQL_SKEWJOIN),
     "text_lm_score": (q_text_lm_score, SQL_LMSCORE),
-    "st2_recall": (q_st2_recall, SQL_ST2),
+    "snapshot_diff": (q_snapshot_diff, SQL_SNAPDIFF),
     "mm_frames": (q_mm_frames, SQL_MM_FRAMES),
     "example_spans": (q_example_spans, SQL_EXAMPLES),
     # -- training-pipeline ops added round 3 -------------------------------
@@ -3983,6 +4023,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "j3_ann_topk": (q_j3_ann_topk, SQL_J3),
     "a1_cluster_cc": (q_a1_cluster_cc, SQL_A1),
     "g3_blast_radius": (q_g3_blast_radius, SQL_G3),
+    "st2_recall": (q_st2_recall, SQL_ST2),
     "dedup_minhash": (q_dedup_minhash, SQL_MINHASH),
     "mm_features": (q_mm_features, SQL_MM),
     "f9_generate_id": (q_f9_generate_id, SQL_F9),

@@ -1,0 +1,59 @@
+"""Snapshot diff — drift accounting between two corpus versions.
+
+Training-data pipelines re-ingest sources on a cadence; before a new
+snapshot replaces the old one you want the delta ledger: how many
+documents appeared, vanished, changed content, stayed identical —
+per domain, with exemplar ids. This is the dataset-level analog of
+the reference's conflict surfacing on write (memory store ST1), done
+set-at-a-time.
+
+Scale shape: both sides reduce to (id, content_hash [, dims]) at the
+scan — text never leaves the scan task — then ONE full-outer shuffle
+join on id classifies every row. On bucketed layouts (sources/
+bucketed.py) written on id, even that exchange disappears. The
+status/hash arithmetic is closed-form, so a SQL oracle replays it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-id status between two snapshots: ``added`` (new only),
+    ``removed`` (old only), ``changed`` (both, content hash differs),
+    ``unchanged``. Content identity is ``xxhash64`` over
+    ``content_cols`` (default: all shared non-id columns, in the old
+    snapshot's column order)."""
+    if content_cols is None:
+        content_cols = [c for c in old.columns
+                        if c != id_col and c in new.columns]
+    if not content_cols:
+        raise ValueError("no content columns to compare")
+
+    def keyed(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.xxhash64(*[F.col(c) for c in content_cols]).alias(f"_h_{side}"))
+
+    j = keyed(old, "old").join(keyed(new, "new"), id_col, "full_outer")
+    status = (F.when(F.col("_h_old").isNull(), F.lit("added"))
+              .when(F.col("_h_new").isNull(), F.lit("removed"))
+              .when(F.col("_h_old") == F.col("_h_new"), F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return j.select(F.col(id_col), status.alias("status"))
+
+
+def diff_summary(diff: DataFrame) -> DataFrame:
+    """Status ledger: count + min/max exemplar ids per status."""
+    id_col = diff.columns[0]
+    return (diff.groupBy("status")
+            .agg(F.count("*").alias("n"),
+                 F.min(id_col).alias("first_id"),
+                 F.max(id_col).alias("last_id")))

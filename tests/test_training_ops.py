@@ -426,3 +426,35 @@ class TestUnigramLogprob:
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with _pytest.raises(ValueError):
             unigram_logprob(df, vocab_size=0)
+
+
+class TestSnapshotDiff:
+    def test_statuses(self, spark):
+        from distill_spark.operators.diff import diff_summary, snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string")
+        new = spark.createDataFrame(
+            [(2, "b"), (3, "C2"), (4, "d")], "doc_id long, text string")
+        d = {r.doc_id: r.status
+             for r in snapshot_diff(old, new).collect()}
+        assert d == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+        s = {r.status: r.n for r in
+             diff_summary(snapshot_diff(old, new)).collect()}
+        assert s == {"removed": 1, "unchanged": 1, "changed": 1, "added": 1}
+
+    def test_multi_column_content_and_missing_cols_raise(self, spark):
+        import pytest as _pytest
+
+        from distill_spark.operators.diff import snapshot_diff
+
+        old = spark.createDataFrame([(1, "a", 1)],
+                                    "doc_id long, text string, v int")
+        new = spark.createDataFrame([(1, "a", 2)],
+                                    "doc_id long, text string, v int")
+        d = snapshot_diff(old, new).collect()
+        assert d[0].status == "changed"  # v differs
+        d2 = snapshot_diff(old, new, content_cols=["text"]).collect()
+        assert d2[0].status == "unchanged"
+        with _pytest.raises(ValueError):
+            snapshot_diff(old.select("doc_id"), new.select("doc_id"))
