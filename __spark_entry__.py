@@ -884,6 +884,45 @@ GROUP BY c.c_nationkey
 """
 
 
+def q_decontam_semantic(spark, sf_dir):
+    """Semantic benchmark decontamination (SURVEY §2.12): the
+    embedding-space twin of the n-gram decontam — a corpus document is
+    contaminated iff its max cosine similarity to ANY benchmark vector
+    clears the threshold. The benchmark side (small by definition)
+    collapses to ONE collect_list row that broadcasts; each corpus row
+    computes its max similarity with a JVM-side transform over that
+    array — fully map-side, the corpus never shuffles or joins."""
+    t = _tables(spark, sf_dir)
+
+    emb = t["embeddings"]
+    bench = (emb.filter(F.col("vec_id") < 40)
+             .agg(F.collect_list("embedding").alias("_bvecs")))
+    corpus = emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 2000))
+    sims = F.transform(
+        F.col("_bvecs"),
+        lambda b: F.round(_cos_sim_expr(F.col("embedding"), b), 6))
+    return (corpus.crossJoin(F.broadcast(bench))
+            .select("vec_id",
+                    F.array_max(sims).alias("max_sim"))
+            .withColumn("contaminated", F.col("max_sim") >= 0.4))
+
+
+SQL_DECONTAM_SEM = f"""
+WITH b AS (
+  SELECT embedding FROM embeddings WHERE vec_id < 40
+), c AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id >= 40 AND vec_id < 2000
+), s AS (
+  SELECT c.vec_id,
+         round({_COS_SQL.format(a='c.embedding', b='b.embedding')}, 6) AS sim
+  FROM c, b
+)
+SELECT vec_id, max(sim) AS max_sim, max(sim) >= 0.4 AS contaminated
+FROM s GROUP BY vec_id
+"""
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Snapshot drift ledger (SURVEY §2.12): two synthetic corpus
     versions (old = doc_id<250; new = 100..349 with every 7th text
@@ -4007,7 +4046,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "filter_funnel": (q_filter_funnel, SQL_FUNNEL),
     "split_leakage_safe": (q_split_leakage_safe, SQL_SPLIT),
     "incremental_dedup": (q_incremental_dedup, SQL_INCDEDUP),
-    "sample_stratified": (q_sample_stratified, SQL_SAMPLE),
+    "decontam_semantic": (q_decontam_semantic, SQL_DECONTAM_SEM),
     "sample_weighted": (q_sample_weighted, SQL_WSAMPLE),
     "profile_table": (q_profile_table, SQL_PROFILE),
     "pack_sequences": (q_pack_sequences, SQL_PACK),
@@ -4024,6 +4063,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a1_cluster_cc": (q_a1_cluster_cc, SQL_A1),
     "g3_blast_radius": (q_g3_blast_radius, SQL_G3),
     "st2_recall": (q_st2_recall, SQL_ST2),
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE),
     "dedup_minhash": (q_dedup_minhash, SQL_MINHASH),
     "mm_features": (q_mm_features, SQL_MM),
     "f9_generate_id": (q_f9_generate_id, SQL_F9),

@@ -274,3 +274,13 @@ def test_lm_score_vocab_broadcasts_onto_token_stream(spark, queries):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_semantic_decontam_is_map_side(spark, queries):
+    """The benchmark embeddings collapse to one broadcast row; the
+    corpus computes max-sim via a transform — the only Exchange is the
+    single-row collect_list aggregate, never a corpus shuffle."""
+    p = _plan(spark, queries["decontam_semantic"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("+- Exchange") <= 1
