@@ -56,3 +56,28 @@ def unigram_logprob(
     return (scored.groupBy(id_col)
             .agg(F.count("*").alias("n_toks"),
                  F.round(F.avg("_lp"), 6).alias("mean_logprob")))
+
+
+def filter_lm_tails(
+    scores: DataFrame,
+    lower_q: float = 0.05,
+    upper_q: float = 0.95,
+    score_col: str = "mean_logprob",
+    exact: bool = False,
+) -> DataFrame:
+    """Drop both quality tails: rows whose score falls outside the
+    [lower_q, upper_q] quantile band (low tail ≈ gibberish/boilerplate,
+    high tail ≈ degenerate repetition — the standard two-sided LM cut).
+
+    The band is computed as ONE tiny aggregate and broadcast back; the
+    corpus is filtered map-side. Default ``percentile_approx``
+    (t-digest, bounded memory — the 100 TB path); ``exact=True``
+    switches to the exact percentile aggregate for small/oracle runs."""
+    if not 0.0 <= lower_q < upper_q <= 1.0:
+        raise ValueError("need 0 <= lower_q < upper_q <= 1")
+    pfn = F.percentile if exact else F.percentile_approx
+    band = scores.agg(pfn(score_col, F.lit(lower_q)).alias("_lo"),
+                      pfn(score_col, F.lit(upper_q)).alias("_hi"))
+    return (scores.crossJoin(F.broadcast(band))
+            .filter(F.col(score_col).between(F.col("_lo"), F.col("_hi")))
+            .drop("_lo", "_hi"))

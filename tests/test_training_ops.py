@@ -458,3 +458,26 @@ class TestSnapshotDiff:
         assert d2[0].status == "unchanged"
         with _pytest.raises(ValueError):
             snapshot_diff(old.select("doc_id"), new.select("doc_id"))
+
+
+class TestFilterLmTails:
+    def test_two_sided_cut(self, spark):
+        from distill_spark.operators.lmscore import filter_lm_tails
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(100)],
+            "doc_id long, mean_logprob double")
+        kept = {r.doc_id for r in
+                filter_lm_tails(df, 0.1, 0.9, exact=True).collect()}
+        assert min(kept) >= 9 and max(kept) <= 91
+        assert 50 in kept and 0 not in kept and 99 not in kept
+
+    def test_validates_band(self, spark):
+        import pytest as _pytest
+
+        from distill_spark.operators.lmscore import filter_lm_tails
+
+        df = spark.createDataFrame([(1, 0.5)],
+                                   "doc_id long, mean_logprob double")
+        with _pytest.raises(ValueError):
+            filter_lm_tails(df, 0.9, 0.1)
