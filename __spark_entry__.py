@@ -2174,6 +2174,9 @@ def q_ann_pq_contract(spark, sf_dir):
     ok = (per_sub
           .withColumn("_ok", F.col("_dassigned") <= F.col("_dmin") + 1e-5)
           .groupBy("vec_id").agg(F.bool_and("_ok").alias("contract_ok")))
+    # unpersist BEFORE execution on purpose: this plan consumes codes
+    # exactly once, so caching buys nothing and would leak blocks
+    # across the driver's 50-query session; the encode computes inline.
     idx.unpersist()
     return ok
 

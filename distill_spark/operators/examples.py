@@ -51,6 +51,8 @@ def example_spans(
     dropped."""
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
     _require_integral_key(df, key_col, mode)
 
     txt = F.trim(F.coalesce(F.col(text_col), F.lit("")))
@@ -72,7 +74,14 @@ def example_spans(
             F.sum("_bt").over(Window.orderBy("_b")
                               .rowsBetween(Window.unboundedPreceding, -1)),
             F.lit(0)))
-    wb = Window.partitionBy("_b").orderBy(F.asc("_h"), F.asc(key_col))
+    # ROWS frame, not the default RANGE: RANGE sums over ALL (_h, key)
+    # peers, so a duplicated key would receive an offset past its twin
+    # and emit overlapping spans. With ROWS each row gets its own
+    # running sum (the oracle's ROWS UNBOUNDED PRECEDING matches);
+    # key_col should still be unique — duplicate keys tie in the sort
+    # and their RELATIVE order (hence span content) is not defined.
+    wb = (Window.partitionBy("_b").orderBy(F.asc("_h"), F.asc(key_col))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     off = (t.join(F.broadcast(boff.select("_b", "_boff")), "_b")
            .withColumn("_off",
                        F.col("_boff") + F.sum("_toks").over(wb)

@@ -47,18 +47,14 @@ def _fit_centroids(X: np.ndarray, k: int, max_iter: int,
                    seed: int) -> np.ndarray:
     """Seeded Lloyd on the (n × dim) unit-normalized sample:
     random-permutation init (kmeans.go:169-180) then ``max_iter``
-    rounds; empty clusters keep their previous centroid (the
-    reference's behavior for vanishing clusters)."""
+    rounds via the shared loop in pq.py (empty clusters keep their
+    previous centroid — the reference's behavior for vanishing
+    clusters)."""
+    from distill_spark.operators.pq import lloyd_rounds
+
     rng = np.random.default_rng(seed)
     cents = X[rng.permutation(len(X))[:k]].copy()
-    for _ in range(max_iter):
-        # argmin ||x-c||^2 == argmax <x,c> - ||c||^2/2 (unit x)
-        assign = (X @ cents.T - 0.5 * (cents ** 2).sum(axis=1)).argmax(axis=1)
-        for c in range(k):
-            mask = assign == c
-            if mask.any():
-                cents[c] = X[mask].mean(axis=0)
-    return cents
+    return lloyd_rounds(X, cents, max_iter)
 
 
 def kmeans_dedup(
@@ -73,8 +69,10 @@ def kmeans_dedup(
 ) -> DataFrame:
     """Returns the input rows plus ``cluster_id``, ``is_medoid`` and
     ``kept`` columns; filter on ``kept`` for the deduped set. Rows
-    without embeddings are kept as singleton clusters (cluster_id
-    -1 - dense_ordinal)."""
+    without embeddings all carry the sentinel ``cluster_id`` −1 and
+    are always kept/medoid (they can never be pruned — the reference
+    treats them as singletons, cluster.go:105-122; here they share one
+    label, so don't groupBy cluster_id expecting them separated)."""
     has_emb = F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
     with_emb = df.filter(has_emb)
     no_emb = df.filter(~has_emb)
@@ -88,18 +86,21 @@ def kmeans_dedup(
         k = max(1, int(math.sqrt(n / 2.0)))  # kmeans.go:86-94
     k = min(k, n)
 
-    # fit: deterministic bounded sample (orderBy id → limit), seeded
-    # numpy Lloyd — layout-independent, byte-identical centroids
+    # fit: deterministic bounded sample in HASH order — an id-prefix
+    # sample would over-represent whatever the low ids correlate with
+    # (ingestion batch, domain); hash order is an unbiased draw that is
+    # still layout-independent, so centroids stay byte-identical
     sample = (with_emb
               .select(vm.normalize(F.col(vec_col)).alias("_v"),
                       F.col(id_col))
-              .orderBy(id_col).limit(max(fit_sample, k)).collect())
+              .orderBy(F.xxhash64(F.col(id_col)).asc(),
+                       F.col(id_col).asc())
+              .limit(max(fit_sample, k)).collect())
     X = np.asarray([r._v for r in sample], dtype=np.float64)
     cmat = _fit_centroids(X, k, max_iter, seed)
 
     # assignment: single map-side pass, centroids in the closure — all
-    # input columns ride through, so the corpus is read once, never
-    # shuffled, never cached
+    # input columns ride through, so the corpus is never shuffled
     adjust = 0.5 * (cmat ** 2).sum(axis=1)
     out_schema = T.StructType(
         list(with_emb.schema.fields)
@@ -115,9 +116,13 @@ def kmeans_dedup(
             out["cluster_id"] = cid.astype(np.int32)
             yield out
 
+    # persisted: both the centroid recompute and the medoid join below
+    # consume `assigned` — without this the scan + Python assignment
+    # pass would execute twice
     assigned = (with_emb
                 .withColumn("_v", vm.normalize(F.col(vec_col)))
-                .mapInPandas(assign, schema=out_schema))
+                .mapInPandas(assign, schema=out_schema)
+                .persist())
 
     # centroid = mean of member embeddings (recomputed like
     # kmeans.go:249-275, not the normalized ml centers)

@@ -49,7 +49,11 @@ def global_shuffle(
     standard total-order shuffle). With it, an explicit ``shuffle_pos``
     column (0-based) is derived via bucketed prefix sums instead of a
     global row_number, so no task ever holds more than ~1/n_buckets of
-    the data."""
+    the data — and the result is returned UNSORTED (the position
+    column IS the order; appending a global sort would re-pay the
+    full-corpus range shuffle the enumerate exists to avoid)."""
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
     _require_integral_key(df, key_col, mode)
     h = hash_bucket(key_col, mode, salt)
     if not with_position:
@@ -74,5 +78,4 @@ def global_shuffle(
             .withColumn("shuffle_pos",
                         (F.col("_off") + F.row_number().over(wb) - 1)
                         .cast("bigint"))
-            .drop("_h", "_b", "_off")
-            .orderBy("shuffle_pos"))
+            .drop("_h", "_b", "_off"))

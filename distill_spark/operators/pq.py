@@ -41,6 +41,23 @@ from pyspark.sql import types as T
 from distill_spark.functions import vectormath as vm
 
 
+def lloyd_rounds(x: np.ndarray, cents: np.ndarray,
+                 iters: int) -> np.ndarray:
+    """``iters`` Lloyd rounds from the given init (n × d points,
+    k × d centroids, both float): nearest-centroid assignment via
+    argmax(<x,c> − ‖c‖²/2), empty clusters keep their previous
+    centroid. Shared by PQ codebook training and kmeans_dedup so the
+    two seeded-Lloyd paths can't drift."""
+    cents = cents.copy()
+    for _ in range(iters):
+        assign = (x @ cents.T - 0.5 * (cents ** 2).sum(axis=1)).argmax(axis=1)
+        for c in range(len(cents)):
+            mask = assign == c
+            if mask.any():
+                cents[c] = x[mask].mean(axis=0)
+    return cents
+
+
 def _kmeans_1sub(x: np.ndarray, ksub: int, iters: int,
                  rng: np.random.Generator) -> np.ndarray:
     """Seeded Lloyd on one subspace sample (n × dsub) → (ksub × dsub).
@@ -50,14 +67,7 @@ def _kmeans_1sub(x: np.ndarray, ksub: int, iters: int,
     if cents.shape[0] < ksub:  # degenerate tiny corpus: pad by repeat
         reps = ksub // cents.shape[0] + 1
         cents = np.concatenate([cents] * reps)[:ksub]
-    for _ in range(iters):
-        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for c in range(ksub):
-            mask = assign == c
-            if mask.any():
-                cents[c] = x[mask].mean(axis=0)
-    return cents
+    return lloyd_rounds(x, cents, iters)
 
 
 class PQIndex:

@@ -133,24 +133,30 @@ def rebalance_mixture(
     Scale shape: one tiny groupBy(domain) count, a broadcast join of
     the per-domain fraction back onto the corpus, and a pure filter —
     the corpus itself never shuffles. Domains absent from ``targets``
-    are dropped (target share 0)."""
+    are dropped (target share 0). A TARGET domain absent from the
+    corpus means no N > 0 satisfies the contract: scale collapses to 0
+    and the result is EMPTY (not a silently wrong mixture)."""
     _require_integral_key(df, key_col, mode)
     if not targets:
         raise ValueError("targets must name at least one domain")
     total = float(sum(targets.values()))
     counts = (df.filter(F.col(domain_col).isin(*targets.keys()))
               .groupBy(domain_col).agg(F.count("*").alias("_n")))
-    # p_d normalized so shares sum to 1; scale = min(count/p) over the
-    # domains actually present
-    p = None
-    for dom, share in targets.items():
-        branch = (F.col(domain_col) == dom, F.lit(share / total))
-        p = F.when(*branch) if p is None else p.when(*branch)
-    fracs = (counts.withColumn("_p", p)
+    # anchor on the target list (normalized shares), LEFT-joining the
+    # observed counts: a zero-row target surfaces as _n = 0 and drives
+    # scale = min(count/p) to 0 instead of vanishing from the min
+    tgt = df.sparkSession.createDataFrame(
+        [(dom, share / total) for dom, share in targets.items()],
+        f"{domain_col} string, _p double")
+    fracs = (tgt.join(counts, domain_col, "left")
+             .withColumn("_n", F.coalesce(F.col("_n"), F.lit(0)))
              .withColumn("_scale",
                          F.min(F.col("_n") / F.col("_p"))
                          .over(Window.partitionBy(F.lit(1))))
-             .withColumn("_frac", F.col("_p") * F.col("_scale") / F.col("_n"))
+             .withColumn("_frac",
+                         F.when(F.col("_n") > 0,
+                                F.col("_p") * F.col("_scale") / F.col("_n"))
+                         .otherwise(F.lit(0.0)))
              .select(domain_col, "_frac"))
     return (df.join(F.broadcast(fracs), domain_col)
             .filter(hash_bucket(key_col, mode, salt)

@@ -69,12 +69,31 @@ def write_sharded(
     return parts
 
 
-def file_stats(spark: SparkSession, path: str) -> DataFrame:
-    """Per-file row counts + min/max of every leaf column's statistics
-    via the parquet footers (``parquet.``-prefixed metadata read) —
-    the audit query for a sharded export: verifies no file exceeds the
-    target and (for range layouts) that key ranges don't overlap."""
-    df = spark.read.parquet(path)
-    return (df.withColumn("_file", F.input_file_name())
-            .groupBy("_file").agg(F.count("*").alias("n_rows"))
-            .orderBy("_file"))
+def file_stats(spark: SparkSession, path: str,
+               stat_col: str | None = None) -> DataFrame:
+    """Per-file audit of a sharded export from the parquet FOOTERS
+    only — row count plus (with ``stat_col``) that column's footer
+    min/max — so verifying the row cap and that range-layout key spans
+    don't overlap costs metadata reads, not a data scan. Driver-side
+    pyarrow over the directory listing: an audit over output files
+    (bounded by construction), not a corpus-scale operator."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for f in sorted(pathlib.Path(path).glob("*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        lo = hi = None
+        if stat_col is not None:
+            idx = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)}[stat_col]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+        rows.append((f.name, md.num_rows, str(lo) if lo is not None else None,
+                     str(hi) if hi is not None else None))
+    return spark.createDataFrame(
+        rows, "file string, n_rows long, min_stat string, max_stat string")

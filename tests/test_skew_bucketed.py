@@ -122,3 +122,15 @@ class TestShardedSink:
         with _pytest.raises(ValueError):
             write_sharded(spark.range(5), str(tmp_path / "x"),
                           target_rows_per_file=0)
+
+    def test_file_stats_reads_footers_with_min_max(self, spark, tmp_path):
+        from distill_spark.sources.sharded import file_stats, write_sharded
+
+        df = spark.range(0, 4000).withColumnRenamed("id", "k")
+        write_sharded(df, str(tmp_path / "fs"), target_rows_per_file=1000,
+                      order_by="k", approx_rows=4000)
+        st = file_stats(spark, str(tmp_path / "fs"), stat_col="k").collect()
+        assert sum(r.n_rows for r in st) == 4000
+        spans = sorted((int(r.min_stat), int(r.max_stat)) for r in st)
+        for (_, amax), (bmin, _) in zip(spans, spans[1:]):
+            assert bmin > amax  # disjoint footer ranges -> file pruning

@@ -481,3 +481,40 @@ class TestFilterLmTails:
                                    "doc_id long, mean_logprob double")
         with _pytest.raises(ValueError):
             filter_lm_tails(df, 0.9, 0.1)
+
+
+class TestReviewRegressions:
+    def test_rebalance_zero_row_target_yields_empty(self, spark):
+        from distill_spark.operators.sampling import rebalance_mixture
+
+        df = spark.createDataFrame([(i, "web") for i in range(50)],
+                                   "k long, dom string")
+        out = rebalance_mixture(df, {"web": 0.5, "code": 0.5}, "dom", "k")
+        # no 'code' rows exist -> no N > 0 satisfies the mixture ->
+        # empty result, not a silent 100% web corpus
+        assert out.count() == 0
+
+    def test_global_shuffle_rejects_bad_buckets(self, spark):
+        import pytest as _pytest
+
+        from distill_spark.operators.examples import example_spans
+        from distill_spark.operators.ordering import global_shuffle
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            global_shuffle(df, "doc_id", n_buckets=0, with_position=True)
+        with _pytest.raises(ValueError):
+            example_spans(df, 8, n_buckets=-1)
+
+    def test_example_spans_offsets_use_rows_frame(self, spark):
+        from distill_spark.operators.examples import example_spans
+
+        # 3 docs of 4 tokens each, seq_len 4: every doc must map to
+        # exactly one full chunk — a RANGE-frame regression would give
+        # hash-tied rows overlapping offsets and split spans
+        df = spark.createDataFrame(
+            [(i, "a b c d") for i in range(3)], "doc_id long, text string")
+        out = example_spans(df, seq_len=4).collect()
+        assert len(out) == 3
+        assert sorted(r.chunk_id for r in out) == [0, 1, 2]
+        assert all(r.n_tok == 4 for r in out)
