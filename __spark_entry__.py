@@ -61,6 +61,20 @@ _COS_SQL = (
 )
 
 
+def _exact_sum(col, scale=4):
+    """Order-independent cross-engine sum of a double column: exact
+    DECIMAL(20,10) accumulation (no float summation-order ulp — Spark's
+    partial aggregation and DuckDB's sequential sum would otherwise
+    disagree in the last bit and flip rounding boundaries), cast back
+    to double for the rounded output. SQL twin: _EXACT_SUM_SQL."""
+    return F.round(
+        F.sum(F.col(col).cast("decimal(20,10)")).cast("double"), scale)
+
+
+_EXACT_SUM_SQL = ("round(CAST(sum(CAST({c} AS DECIMAL(20,10))) AS DOUBLE), "
+                  "{s})")
+
+
 def _words(col):
     return F.filter(F.split(col, " "), lambda x: x != "")
 
@@ -840,20 +854,26 @@ def q_skew_salted_agg(spark, sf_dir):
     t = _tables(spark, sf_dir)
     from distill_spark.operators.skew import salted_agg
 
+    # decimal pre-cast: the two-phase sum adds in a different order
+    # than the oracle's single pass — exact decimal accumulation makes
+    # the total order-independent (max needs no such care)
     out = salted_agg(
-        t["events"], keys=["event_type"],
+        t["events"].withColumn("_vdec",
+                               F.col("value").cast("decimal(20,10)")),
+        keys=["event_type"],
         aggs={"n": ("count", "event_id"),
-              "total_value": ("sum", "value"),
+              "total_value": ("sum", "_vdec"),
               "max_value": ("max", "value")},
         n_salt=8, salt_on="event_id")
     return out.select("event_type", "n",
-                      F.round("total_value", 4).alias("total_value"),
+                      F.round(F.col("total_value").cast("double"), 4)
+                      .alias("total_value"),
                       F.round("max_value", 4).alias("max_value"))
 
 
-SQL_SKEWAGG = """
+SQL_SKEWAGG = f"""
 SELECT event_type, count(event_id) AS n,
-       round(sum(value), 4) AS total_value,
+       {_EXACT_SUM_SQL.format(c='value', s=4)} AS total_value,
        round(max(value), 4) AS max_value
 FROM events GROUP BY event_type
 """
@@ -873,12 +893,12 @@ def q_skew_salted_join(spark, sf_dir):
     j = salted_join(t["events"], dim, key="user_id", n_salt=8)
     return (j.groupBy("c_nationkey")
             .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 4).alias("total_value")))
+                 _exact_sum("value").alias("total_value")))
 
 
-SQL_SKEWJOIN = """
+SQL_SKEWJOIN = f"""
 SELECT c.c_nationkey, count(*) AS n_events,
-       round(sum(e.value), 4) AS total_value
+       {_EXACT_SUM_SQL.format(c='e.value', s=4)} AS total_value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_nationkey
 """
@@ -1874,15 +1894,16 @@ def q_events_tumbling(spark, sf_dir):
     return (
         t["events"]
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count("*").alias("n"), _exact_sum("value").alias("total_value"))
         .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
                 "event_type", "n", "total_value")
     )
 
 
-SQL_TUMBLING = """
+SQL_TUMBLING = f"""
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-       event_type, count(*) AS n, round(sum(value), 4) AS total_value
+       event_type, count(*) AS n,
+       {_EXACT_SUM_SQL.format(c='value', s=4)} AS total_value
 FROM events GROUP BY 1, 2
 """
 
@@ -1905,7 +1926,7 @@ def q_events_sessionize(spark, sf_dir):
         sess.groupBy("user_id", "session_seq")
         .agg(F.count("*").alias("n_events"),
              F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-             F.round(F.sum("value"), 4).alias("session_value"))
+             _exact_sum("value").alias("session_value"))
     )
 
 
@@ -1926,9 +1947,9 @@ WITH flagged AS (
 )
 SELECT user_id, session_seq, count(*) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-       round(sum(value), 4) AS session_value
+       {exact_sum} AS session_value
 FROM sess GROUP BY user_id, session_seq
-"""
+""".replace("{exact_sum}", _EXACT_SUM_SQL.format(c='value', s=4))
 
 
 def q_a4_select_rep(spark, sf_dir):
@@ -3890,10 +3911,15 @@ def q_events_sliding(spark, sf_dir):
     twin of streaming/stream.py sliding_means; each event lands in two
     overlapping windows."""
     t = _tables(spark, sf_dir)
+    # mean via exact decimal sum / count: a plain double avg differs
+    # from DuckDB in the last ulp (summation order) and flips rounding
+    # boundaries at sf0.1 (seen: 45.2771875 -> .277187/.277188)
+    mean = F.round(
+        (F.sum(F.col("value").cast("decimal(20,10)")).cast("double")
+         / F.count("*")), 6)
     return (t["events"]
             .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-            .agg(F.count("*").alias("n"),
-                 F.round(F.avg("value"), 6).alias("mean_value"))
+            .agg(F.count("*").alias("n"), mean.alias("mean_value"))
             .select(F.col("w.start").alias("window_start"), "n", "mean_value"))
 
 
@@ -3901,7 +3927,9 @@ SQL_SLIDING = """
 WITH e AS (SELECT ts, value,
                   to_timestamp(floor(epoch(ts)/1800)*1800) AT TIME ZONE 'UTC' AS w0
            FROM events)
-SELECT w AS window_start, count(*) AS n, round(avg(value), 6) AS mean_value
+SELECT w AS window_start, count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(20,10))) AS DOUBLE)
+             / count(*), 6) AS mean_value
 FROM e, UNNEST([w0, w0 - INTERVAL 30 MINUTE]) AS t(w)
 WHERE e.ts >= w AND e.ts < w + INTERVAL 60 MINUTE
 GROUP BY w
