@@ -682,7 +682,7 @@ def q_incremental_dedup(spark, sf_dir):
 SQL_INCDEDUP = """
 WITH w AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
-  FROM documents WHERE doc_id < 500),
+  FROM documents),
 allsh AS (
   SELECT doc_id, unnest(list_distinct(
     CASE WHEN len(words) >= 3
