@@ -39,6 +39,14 @@ DataFrames, designed for 100 TB scale:
 - ``operators.packing``      — greedy token-budget sequence packing.
 - ``operators.chunking``     — overlapping word-window chunking.
 - ``operators.repetition``   — Gopher-style repetition signals.
+- ``operators.ordering``     — deterministic global shuffle (epoch
+  training order, bucketed two-phase enumerate).
+- ``operators.examples``     — fixed-window example spans (concat
+  epoch order, slice at seq_len).
+- ``operators.lmscore``      — unigram LM quality scoring + two-sided
+  tail filter.
+- ``operators.diff``         — snapshot diff / drift ledger.
+- ``operators.profile``      — single-pass table profiler.
 - ``plans.dedupe``           — the /v1/dedupe pipeline (§3.1).
 - ``plans.pipeline``         — dedup → compress → summarize (§3.2).
 - ``memory``                 — bucketed MERGE-style memory store
@@ -53,7 +61,7 @@ DataFrames, designed for 100 TB scale:
 - ``streaming.stream``       — Structured Streaming twins (S2, ST1,
   ST4, windows, streaming dedup).
 - ``sources``                — JSONL/bucketed-table sources and sinks
-  (S1-S3, S5-S7).
+  (S1-S3, S5-S7) + the size-governed sharded parquet sink.
 """
 
 __version__ = "0.3.0"
