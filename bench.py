@@ -73,6 +73,11 @@ def _training_ops(sf_dir):
 
     import __spark_entry__ as em
 
+    from distill_spark.operators.examples import example_spans
+    from distill_spark.operators.lmscore import unigram_logprob
+    from distill_spark.operators.ordering import global_shuffle
+    from distill_spark.operators.sampling import rebalance_mixture
+
     return {
         "train_filter_funnel": lambda s, d: em.queries()["filter_funnel"](s, d),
         "train_split_leakage": lambda s, d: leakage_safe_split(
@@ -85,6 +90,15 @@ def _training_ops(sf_dir):
             n=5, min_overlap=0.5),
         "train_sampling": lambda s, d: em.queries()["sample_stratified"](s, d),
         "train_packing": lambda s, d: em.queries()["pack_sequences"](s, d),
+        # round-4 additions, all over the FULL documents table
+        "train_shuffle": lambda s, d: global_shuffle(
+            full_docs(s), "doc_id", salt=1, with_position=True),
+        "train_examples": lambda s, d: example_spans(full_docs(s), 2048),
+        "train_lm_score": lambda s, d: unigram_logprob(full_docs(s)),
+        "train_mixture": lambda s, d: rebalance_mixture(
+            full_docs(s),
+            {f"src{i}": [0.5, 0.3, 0.2][i % 3] for i in range(6)},
+            "source", "doc_id"),
     }
 
 
