@@ -2234,6 +2234,38 @@ FROM h
 """
 
 
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum training order (SURVEY §2.12): documents banded into
+    length stages (short→long), stage-major order with the epoch-hash
+    permutation inside each stage; positions from the per-(stage,
+    bucket) enumerate — the offset table is |stages|×64 rows, never
+    the corpus. Portable hash (salt=2) lets the oracle replay the
+    exact order."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.ordering import curriculum_order
+
+    docs = t["documents"].withColumn(
+        "stage", F.least(F.floor(F.col("n_chars") / 1000).cast("int"),
+                         F.lit(3)))
+    out = curriculum_order(docs, stage_col="stage", key_col="doc_id",
+                           mode="portable", salt=2, n_buckets=64)
+    return out.select("doc_id", "stage", "curriculum_pos")
+
+
+SQL_CURRICULUM = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(least(n_chars // 1000, 3) AS INT) AS stage,
+         ((doc_id % 2147483648 + 2) * 2654435761) % 2147483648 AS hv
+  FROM documents
+)
+SELECT doc_id, stage,
+       CAST(row_number() OVER (ORDER BY stage, hv, doc_id) - 1 AS BIGINT)
+         AS curriculum_pos
+FROM h
+"""
+
+
 def q_mix_rebalance(spark, sf_dir):
     """Domain-mixture rebalancing (SURVEY §2.12): downsample three
     sources to a 50/30/20 mixture with no upsampling — per-domain keep
@@ -4052,7 +4084,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # -- fixed this round (r02 red rows) -----------------------------------
     "a7_session_tokens": (q_a7_session_tokens, SQL_A7),
     "st5_cache_boundary": (q_st5_cache_boundary, SQL_ST5),
-    "f5_normalize": (q_f5_normalize, SQL_F5),
+    "curriculum_order": (q_curriculum_order, SQL_CURRICULUM),
     # -- remaining locally-verified / rows-only ----------------------------
     "skew_salted_agg": (q_skew_salted_agg, SQL_SKEWAGG),
     "text_length_profile": (q_text_length_profile, SQL_LENPROF),
@@ -4094,6 +4126,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a1_cluster_cc": (q_a1_cluster_cc, SQL_A1),
     "g3_blast_radius": (q_g3_blast_radius, SQL_G3),
     "st2_recall": (q_st2_recall, SQL_ST2),
+    "f5_normalize": (q_f5_normalize, SQL_F5),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE),
     "dedup_minhash": (q_dedup_minhash, SQL_MINHASH),
     "mm_features": (q_mm_features, SQL_MM),

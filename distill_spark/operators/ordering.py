@@ -79,3 +79,47 @@ def global_shuffle(
                         (F.col("_off") + F.row_number().over(wb) - 1)
                         .cast("bigint"))
             .drop("_h", "_b", "_off"))
+
+
+def curriculum_order(
+    df: DataFrame,
+    stage_col: str,
+    key_col: str,
+    mode: str = "xxhash64",
+    salt: int = 0,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Stage-major deterministic training order (curriculum learning):
+    every row of stage s precedes every row of stage s+1, and WITHIN a
+    stage rows follow the same pseudo-random hash permutation as
+    ``global_shuffle``. ``curriculum_pos`` is the explicit 0-based
+    position.
+
+    Same scale shape as ``global_shuffle``: the enumerate buckets on
+    (stage, hash-bucket), so the offset table has at most
+    |stages| × n_buckets rows (stages are few by construction — e.g.
+    quality deciles) and no corpus-wide window ever runs. The caller
+    supplies the stage label (a quality decile, difficulty band,
+    source tier …); deriving it is a separate concern."""
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    _require_integral_key(df, key_col, mode)
+    width = (1 << 31) // n_buckets
+    hashed = (df.withColumn("_h", hash_bucket(key_col, mode, salt))
+              .withColumn("_b", (F.col("_h") / F.lit(width)).cast("int")))
+    counts = hashed.groupBy(stage_col, "_b").agg(F.count("*").alias("_n"))
+    offs = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_n").over(Window.orderBy(stage_col, "_b")
+                             .rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)))
+    wb = (Window.partitionBy(stage_col, "_b")
+          .orderBy(F.asc("_h"), F.asc(key_col)))
+    return (hashed
+            .join(F.broadcast(offs.select(stage_col, "_b", "_off")),
+                  [stage_col, "_b"])
+            .withColumn("curriculum_pos",
+                        (F.col("_off") + F.row_number().over(wb) - 1)
+                        .cast("bigint"))
+            .drop("_h", "_b", "_off"))

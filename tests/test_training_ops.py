@@ -518,3 +518,37 @@ class TestReviewRegressions:
         assert len(out) == 3
         assert sorted(r.chunk_id for r in out) == [0, 1, 2]
         assert all(r.n_tok == 4 for r in out)
+
+
+class TestCurriculumOrder:
+    def test_stage_major_with_shuffled_interior(self, spark):
+        from distill_spark.operators.ordering import (curriculum_order,
+                                                      global_shuffle)
+
+        df = (spark.range(0, 400).withColumnRenamed("id", "k")
+              .withColumn("stage", (F.col("k") % 3).cast("int")))
+        out = curriculum_order(df, "stage", "k", salt=1, n_buckets=4)
+        rows = sorted(out.collect(), key=lambda r: r.curriculum_pos)
+        # positions are a permutation and stage-major
+        assert [r.curriculum_pos for r in rows] == list(range(400))
+        stages = [r.stage for r in rows]
+        assert stages == sorted(stages)
+        # interior order of each stage == that stage's global_shuffle
+        for s in (0, 1, 2):
+            want = [r.k for r in
+                    global_shuffle(df.filter(F.col("stage") == s), "k",
+                                   salt=1, n_buckets=4, with_position=True)
+                    .orderBy("shuffle_pos").collect()]
+            got = [r.k for r in rows if r.stage == s]
+            assert got == want
+
+    def test_layout_independent(self, spark):
+        from distill_spark.operators.ordering import curriculum_order
+
+        df = (spark.range(0, 300).withColumnRenamed("id", "k")
+              .withColumn("stage", (F.col("k") % 2).cast("int")))
+        a = sorted(map(tuple, curriculum_order(df, "stage", "k").collect()))
+        b = sorted(map(tuple,
+                       curriculum_order(df.repartition(9), "stage",
+                                        "k").collect()))
+        assert a == b
