@@ -2234,6 +2234,42 @@ FROM h
 """
 
 
+def q_embed_quantize_int8(spark, sf_dir):
+    """Scalar int8 embedding quantization (SURVEY §2.12): corpus-fit
+    per-dimension ranges (one dim-keyed aggregate), codes via pure
+    zip_with arithmetic — codegen'd, no UDF. floor(x·255+0.5) makes
+    the rounding engine-agnostic, so the oracle replays the codes
+    bit-for-bit; codes serialize to a string for the driver gate."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.quantize import fit_ranges, quantize_int8
+
+    emb = t["embeddings"].select("vec_id", "embedding")
+    out = quantize_int8(emb, fit_ranges(emb))
+    return out.select("vec_id",
+                      F.concat_ws(",", F.col("codes")).alias("codes_str"))
+
+
+SQL_SQ8 = """
+WITH ex AS (
+  SELECT vec_id,
+         unnest(CAST(embedding AS DOUBLE[])) AS v,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+), stats AS (
+  SELECT i, min(v) AS lo, max(v) AS hi FROM ex GROUP BY i
+), codes AS (
+  SELECT e.vec_id, e.i,
+         CASE WHEN s.hi > s.lo
+              THEN CAST(floor((e.v - s.lo) / (s.hi - s.lo) * 255 + 0.5)
+                        AS INT)
+              ELSE 0 END AS c
+  FROM ex e JOIN stats s USING (i)
+)
+SELECT vec_id, array_to_string(list(c ORDER BY i), ',') AS codes_str
+FROM codes GROUP BY vec_id
+"""
+
+
 def q_curriculum_order(spark, sf_dir):
     """Curriculum training order (SURVEY §2.12): documents banded into
     length stages (short→long), stage-major order with the epoch-hash
@@ -4087,7 +4123,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "curriculum_order": (q_curriculum_order, SQL_CURRICULUM),
     # -- remaining locally-verified / rows-only ----------------------------
     "skew_salted_agg": (q_skew_salted_agg, SQL_SKEWAGG),
-    "text_length_profile": (q_text_length_profile, SQL_LENPROF),
+    "embed_quantize_int8": (q_embed_quantize_int8, SQL_SQ8),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_LSH),
     "st9_cache_sim": (q_st9_cache_sim, SQL_ST9),
     "f12_tfidf_embed": (q_f12_tfidf_embed, SQL_F12),
@@ -4127,6 +4163,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "g3_blast_radius": (q_g3_blast_radius, SQL_G3),
     "st2_recall": (q_st2_recall, SQL_ST2),
     "f5_normalize": (q_f5_normalize, SQL_F5),
+    "text_length_profile": (q_text_length_profile, SQL_LENPROF),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE),
     "dedup_minhash": (q_dedup_minhash, SQL_MINHASH),
     "mm_features": (q_mm_features, SQL_MM),

@@ -1,0 +1,68 @@
+"""Scalar int8 embedding quantization — the 4× compression tier.
+
+Between raw float32 (4 B/dim) and product quantization (pq.py,
+~0.125 B/dim with codebook lookups) sits per-dimension scalar
+quantization: code = floor((v − min_d) / (max_d − min_d) · 255 + 0.5)
+— 1 B/dim, trivially reversible, and accurate enough for recall-then
+-rerank pipelines. This is the tier vector stores call SQ8.
+
+Spark-first shape: the per-dimension min/max come from ONE aggregate
+over posexploded dims (partial-aggregated shuffle of dim-keyed
+scalars, never vectors), broadcast back as two small arrays, and both
+quantize and dequantize are pure ``zip_with`` column arithmetic —
+whole-stage codegen, no UDF, no Python. Every step is closed-form, so
+the DuckDB oracle replays codes bit-for-bit (floor(x·255 + 0.5) is
+engine-agnostic; a bare round() would not be).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fit_ranges(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension (min, max) over the corpus — one row with two
+    arrays, ordered by dimension. Broadcast-sized by construction
+    (2 × dim doubles)."""
+    return (df.select(F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("pos").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+            .groupBy()
+            .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "lo"))),
+                             lambda s: s.lo.cast("double")).alias("lo"),
+                 F.transform(F.array_sort(F.collect_list(F.struct("pos", "hi"))),
+                             lambda s: s.hi.cast("double")).alias("hi")))
+
+
+def quantize_int8(df: DataFrame, ranges: DataFrame,
+                  vec_col: str = "embedding") -> DataFrame:
+    """Input rows + ``codes array<int>`` (each 0..255). Constant
+    dimensions (hi == lo) code to 0. The ranges row broadcasts; the
+    quantize arithmetic is a codegen'd zip_with — map-side only."""
+    codes = F.zip_with(
+        F.col(vec_col).cast("array<double>"), F.col("lo"),
+        lambda v, lo: v - lo)
+    # second zip against the span; floor(x*255 + 0.5) == round-half-up,
+    # identical in Spark and DuckDB (plain round() is not guaranteed)
+    codes = F.zip_with(
+        codes, F.zip_with(F.col("hi"), F.col("lo"), lambda h, lo: h - lo),
+        lambda d, span: F.when(span > 0,
+                               F.floor(d / span * 255 + 0.5).cast("int"))
+        .otherwise(F.lit(0)))
+    return (df.crossJoin(F.broadcast(ranges))
+            .withColumn("codes", codes)
+            .drop("lo", "hi"))
+
+
+def dequantize_int8(df: DataFrame, ranges: DataFrame,
+                    codes_col: str = "codes") -> DataFrame:
+    """Inverse map: code/255·span + lo → ``dequantized array<double>``
+    (max per-dim error = span/510)."""
+    deq = F.zip_with(
+        F.col(codes_col),
+        F.zip_with(F.col("hi"), F.col("lo"), lambda h, lo: h - lo),
+        lambda c, span: c.cast("double") / 255.0 * span)
+    deq = F.zip_with(deq, F.col("lo"), lambda d, lo: d + lo)
+    return (df.crossJoin(F.broadcast(ranges))
+            .withColumn("dequantized", deq)
+            .drop("lo", "hi"))

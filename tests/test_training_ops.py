@@ -552,3 +552,39 @@ class TestCurriculumOrder:
                        curriculum_order(df.repartition(9), "stage",
                                         "k").collect()))
         assert a == b
+
+
+class TestInt8Quantize:
+    def test_roundtrip_error_bound_and_constant_dim(self, spark):
+        from distill_spark.operators.quantize import (dequantize_int8,
+                                                      fit_ranges,
+                                                      quantize_int8)
+
+        rows = [(i, [float(i) / 10, -1.0 + i * 0.3, 5.0]) for i in range(20)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        rng = fit_ranges(df)
+        q = quantize_int8(df, rng)
+        back = dequantize_int8(q, rng)
+        for r in back.collect():
+            for c in r.codes:
+                assert 0 <= c <= 255
+            assert r.codes[2] == 0  # constant dim -> 0, no div-by-zero
+            spans = [1.9, 5.7, 0.0]
+            for v, d, span in zip(r.embedding, r.dequantized, spans):
+                if span:
+                    assert abs(v - d) <= span / 510 + 1e-12
+        # constant dim dequantizes to its lo (== the constant)
+        assert all(abs(r.dequantized[2] - 5.0) < 1e-12
+                   for r in back.collect())
+
+    def test_codes_deterministic_across_layouts(self, spark):
+        from distill_spark.operators.quantize import fit_ranges, quantize_int8
+
+        rows = [(i, [float((i * 7) % 13), float(i % 5)]) for i in range(100)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        a = {r.vec_id: r.codes for r in
+             quantize_int8(df, fit_ranges(df)).collect()}
+        d2 = df.repartition(11)
+        b = {r.vec_id: r.codes for r in
+             quantize_int8(d2, fit_ranges(d2)).collect()}
+        assert a == b
