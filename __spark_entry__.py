@@ -2234,6 +2234,45 @@ FROM h
 """
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source n-gram overlap matrix (SURVEY §2.12): pairwise
+    shingle Jaccard between domains — the dataset-overlap analytics
+    that informs mixture design. One (source, shingle) distinct, one
+    shingle-keyed self-join (never a document cross join), sizes
+    broadcast onto the pair counts."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.decontam import source_overlap
+
+    return source_overlap(t["documents"], n=3)
+
+
+SQL_SRC_OVERLAP = """
+WITH toks AS (
+  SELECT source, list_filter(regexp_split_to_array(
+           lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT source AS src,
+         unnest(CASE WHEN len(w) >= 3
+                     THEN list_transform(range(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                     ELSE [] END) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT src, count(*) AS n_sh FROM sh GROUP BY src
+), common AS (
+  SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.src < b.src GROUP BY 1, 2
+)
+SELECT source_a, source_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_common,
+       round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.src = source_a
+JOIN sizes sb ON sb.src = source_b
+"""
+
+
 def q_embed_quantize_int8(spark, sf_dir):
     """Scalar int8 embedding quantization (SURVEY §2.12): corpus-fit
     per-dimension ranges (one dim-keyed aggregate), codes via pure
@@ -4113,7 +4152,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "asof_join_events": (q_asof_join, SQL_ASOF),
     "ann_ivf_batch": (q_ann_ivf_batch, SQL_ANN_IVF),
     "events_sliding": (q_events_sliding, SQL_SLIDING),
-    "vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB),
+    "source_overlap": (q_source_overlap, SQL_SRC_OVERLAP),
     "st2_recall_hints": (q_st2_recall_hints, SQL_ST2_HINTS),
     "st8_diagnose": (q_st8_diagnose, SQL_ST8_DIAG),
     "p6_metadata_filter": (q_p6_metadata_filter, SQL_P6),
@@ -4164,6 +4203,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st2_recall": (q_st2_recall, SQL_ST2),
     "f5_normalize": (q_f5_normalize, SQL_F5),
     "text_length_profile": (q_text_length_profile, SQL_LENPROF),
+    "vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE),
     "dedup_minhash": (q_dedup_minhash, SQL_MINHASH),
     "mm_features": (q_mm_features, SQL_MM),

@@ -84,3 +84,43 @@ def ngram_contamination(
              .withColumn("overlap", F.lit(0.0))
              .withColumn("contaminated", F.lit(False)))
     return out.unionByName(short)
+
+
+def source_overlap(
+    df: DataFrame,
+    n: int = 3,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise n-gram Jaccard between SOURCES (domains) — the overlap
+    matrix that drives mixture design: two sources sharing most of
+    their shingles are near-mirrors and should not both be upweighted.
+
+    Scale shape: one explode + distinct to (source, shingle) — the
+    same single shuffle the decontam path pays — then a shingle-keyed
+    self-join restricted to ``source_a < source_b`` counts every
+    intersection in one pass (shingles co-group by key; no source ×
+    source document join ever forms). Sizes broadcast back onto the
+    pair counts. Output: (source_a, source_b, n_a, n_b, n_common,
+    jaccard) for every source pair with at least one shared shingle.
+    """
+    sh = (df.select(F.col(source_col).alias("src"),
+                    F.explode(_word_shingles(F.col(text_col), n))
+                    .alias("shingle"))
+          .distinct())
+    sizes = sh.groupBy("src").agg(F.count("*").alias("n_sh"))
+    a = sh.withColumnRenamed("src", "source_a")
+    b = sh.withColumnRenamed("src", "source_b")
+    common = (a.join(b, "shingle")
+              .filter(F.col("source_a") < F.col("source_b"))
+              .groupBy("source_a", "source_b")
+              .agg(F.count("*").alias("n_common")))
+    return (common
+            .join(F.broadcast(sizes.withColumnRenamed("src", "source_a")
+                              .withColumnRenamed("n_sh", "n_a")), "source_a")
+            .join(F.broadcast(sizes.withColumnRenamed("src", "source_b")
+                              .withColumnRenamed("n_sh", "n_b")), "source_b")
+            .select("source_a", "source_b", "n_a", "n_b", "n_common",
+                    F.round(F.col("n_common")
+                            / (F.col("n_a") + F.col("n_b")
+                               - F.col("n_common")), 6).alias("jaccard")))

@@ -588,3 +588,30 @@ class TestInt8Quantize:
         b = {r.vec_id: r.codes for r in
              quantize_int8(d2, fit_ranges(d2)).collect()}
         assert a == b
+
+
+class TestSourceOverlap:
+    def test_jaccard_matrix(self, spark):
+        from distill_spark.operators.decontam import source_overlap
+
+        df = spark.createDataFrame(
+            [(1, "a", "the quick brown fox jumps"),
+             (2, "b", "the quick brown fox sleeps"),
+             (3, "c", "completely different words entirely here")],
+            "doc_id long, source string, text string")
+        out = {(r.source_a, r.source_b): r for r in
+               source_overlap(df, n=3).collect()}
+        # a: {tqb, qbf, bfj}; b: {tqb, qbf, bfs}; common 2, union 4
+        ab = out[("a", "b")]
+        assert (ab.n_a, ab.n_b, ab.n_common) == (3, 3, 2)
+        assert abs(ab.jaccard - 0.5) < 1e-9
+        # c shares nothing -> pair absent
+        assert ("a", "c") not in out and ("b", "c") not in out
+
+    def test_short_docs_contribute_no_shingles(self, spark):
+        from distill_spark.operators.decontam import source_overlap
+
+        df = spark.createDataFrame(
+            [(1, "a", "too short"), (2, "b", "also tiny")],
+            "doc_id long, source string, text string")
+        assert source_overlap(df, n=3).count() == 0
