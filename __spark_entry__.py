@@ -61,14 +61,10 @@ _COS_SQL = (
 )
 
 
-def _exact_sum(col, scale=4):
-    """Order-independent cross-engine sum of a double column: exact
-    DECIMAL(20,10) accumulation (no float summation-order ulp — Spark's
-    partial aggregation and DuckDB's sequential sum would otherwise
-    disagree in the last bit and flip rounding boundaries), cast back
-    to double for the rounded output. SQL twin: _EXACT_SUM_SQL."""
-    return F.round(
-        F.sum(F.col(col).cast("decimal(20,10)")).cast("double"), scale)
+# order-independent cross-engine sum (see functions/numeric.py);
+# SQL twin below
+from distill_spark.functions.numeric import exact_mean as _exact_mean  # noqa: E402
+from distill_spark.functions.numeric import exact_sum as _exact_sum  # noqa: E402
 
 
 _EXACT_SUM_SQL = ("round(CAST(sum(CAST({c} AS DECIMAL(20,10))) AS DOUBLE), "
@@ -4021,9 +4017,7 @@ def q_events_sliding(spark, sf_dir):
     # mean via exact decimal sum / count: a plain double avg differs
     # from DuckDB in the last ulp (summation order) and flips rounding
     # boundaries at sf0.1 (seen: 45.2771875 -> .277187/.277188)
-    mean = F.round(
-        (F.sum(F.col("value").cast("decimal(20,10)")).cast("double")
-         / F.count("*")), 6)
+    mean = _exact_mean("value")
     return (t["events"]
             .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
             .agg(F.count("*").alias("n"), mean.alias("mean_value"))

@@ -1,0 +1,29 @@
+"""Cross-engine-stable numeric aggregates.
+
+Double sums are order-dependent in the last ulp: Spark's partial
+aggregation and DuckDB's sequential fold add in different orders, and
+the difference surfaces whenever a rounded output sits on a rounding
+boundary (seen at sf0.1: 45.2771875 rounding both ways). These
+helpers accumulate in DECIMAL(20,10) — exact, order-independent —
+and cast back to double for the rounded output. The SQL twin used by
+the oracle gates lives in ``__spark_entry__._EXACT_SUM_SQL``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def exact_sum(col, scale: int = 4) -> Column:
+    """Order-independent rounded sum of a double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast("decimal(20,10)")).cast("double"), scale)
+
+
+def exact_mean(col, scale: int = 6) -> Column:
+    """Order-independent rounded mean: exact decimal sum / count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(c.cast("decimal(20,10)")).cast("double") / F.count("*"),
+        scale)

@@ -42,6 +42,12 @@ from pyspark.sql import types as T
 
 from distill_spark.functions import vectormath as vm
 
+import threading
+
+# at most one cached assignment resident per process (see kmeans_dedup)
+_assigned_lock = threading.Lock()
+_last_assigned = None
+
 
 def _fit_centroids(X: np.ndarray, k: int, max_iter: int,
                    seed: int) -> np.ndarray:
@@ -118,11 +124,22 @@ def kmeans_dedup(
 
     # persisted: both the centroid recompute and the medoid join below
     # consume `assigned` — without this the scan + Python assignment
-    # pass would execute twice
+    # pass would execute twice. Bounded to ONE resident copy per
+    # process: each call releases the previous call's cache, so
+    # repeated invocations (the driver's 100-query gate session) don't
+    # accumulate blocks.
     assigned = (with_emb
                 .withColumn("_v", vm.normalize(F.col(vec_col)))
                 .mapInPandas(assign, schema=out_schema)
                 .persist())
+    global _last_assigned
+    with _assigned_lock:
+        prev, _last_assigned = _last_assigned, assigned
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # prior session may already be stopped
 
     # centroid = mean of member embeddings (recomputed like
     # kmeans.go:249-275, not the normalized ml centers)

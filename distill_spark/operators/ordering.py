@@ -55,27 +55,39 @@ def global_shuffle(
     if n_buckets <= 0:
         raise ValueError("n_buckets must be positive")
     _require_integral_key(df, key_col, mode)
-    h = hash_bucket(key_col, mode, salt)
     if not with_position:
+        h = hash_bucket(key_col, mode, salt)
         return df.orderBy(h.asc(), F.col(key_col).asc())
+    # positions: the single-stage case of the curriculum enumerate
+    return (_enumerate(df.withColumn("_stage", F.lit(0)),
+                       "_stage", key_col, mode, salt, n_buckets,
+                       "shuffle_pos")
+            .drop("_stage"))
 
-    hashed = df.withColumn("_h", h)
-    # bucket = high bits of the 31-bit hash → hash order == (bucket,
-    # hash) order, so offsets by bucket compose into the total order
+
+def _enumerate(df: DataFrame, stage_col: str, key_col: str, mode: str,
+               salt: int, n_buckets: int, pos_name: str) -> DataFrame:
+    """Bucketed two-phase enumerate over (stage, hash, key) order:
+    bucket = high bits of the 31-bit hash (so hash order == (bucket,
+    hash) order and per-bucket offsets compose into the total order),
+    per-(stage, bucket) counts → a |stages|×n_buckets-row offset
+    prefix window, per-bucket row_number — no corpus-wide window."""
     width = (1 << 31) // n_buckets
-    hashed = hashed.withColumn("_b", (F.col("_h") / F.lit(width))
-                               .cast("int"))
-    counts = hashed.groupBy("_b").agg(F.count("*").alias("_n"))
+    hashed = (df.withColumn("_h", hash_bucket(key_col, mode, salt))
+              .withColumn("_b", (F.col("_h") / F.lit(width)).cast("int")))
+    counts = hashed.groupBy(stage_col, "_b").agg(F.count("*").alias("_n"))
     offs = counts.withColumn(
         "_off",
         F.coalesce(
-            F.sum("_n").over(Window.orderBy("_b")
+            F.sum("_n").over(Window.orderBy(stage_col, "_b")
                              .rowsBetween(Window.unboundedPreceding, -1)),
             F.lit(0)))
-    wb = Window.partitionBy("_b").orderBy(F.asc("_h"), F.asc(key_col))
+    wb = (Window.partitionBy(stage_col, "_b")
+          .orderBy(F.asc("_h"), F.asc(key_col)))
     return (hashed
-            .join(F.broadcast(offs.select("_b", "_off")), "_b")
-            .withColumn("shuffle_pos",
+            .join(F.broadcast(offs.select(stage_col, "_b", "_off")),
+                  [stage_col, "_b"])
+            .withColumn(pos_name,
                         (F.col("_off") + F.row_number().over(wb) - 1)
                         .cast("bigint"))
             .drop("_h", "_b", "_off"))
@@ -104,22 +116,5 @@ def curriculum_order(
     if n_buckets <= 0:
         raise ValueError("n_buckets must be positive")
     _require_integral_key(df, key_col, mode)
-    width = (1 << 31) // n_buckets
-    hashed = (df.withColumn("_h", hash_bucket(key_col, mode, salt))
-              .withColumn("_b", (F.col("_h") / F.lit(width)).cast("int")))
-    counts = hashed.groupBy(stage_col, "_b").agg(F.count("*").alias("_n"))
-    offs = counts.withColumn(
-        "_off",
-        F.coalesce(
-            F.sum("_n").over(Window.orderBy(stage_col, "_b")
-                             .rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0)))
-    wb = (Window.partitionBy(stage_col, "_b")
-          .orderBy(F.asc("_h"), F.asc(key_col)))
-    return (hashed
-            .join(F.broadcast(offs.select(stage_col, "_b", "_off")),
-                  [stage_col, "_b"])
-            .withColumn("curriculum_pos",
-                        (F.col("_off") + F.row_number().over(wb) - 1)
-                        .cast("bigint"))
-            .drop("_h", "_b", "_off"))
+    return _enumerate(df, stage_col, key_col, mode, salt, n_buckets,
+                      "curriculum_pos")

@@ -81,8 +81,17 @@ def file_stats(spark: SparkSession, path: str,
 
     import pyarrow.parquet as pq
 
+    files = sorted(pathlib.Path(path).glob("*.parquet"))
+    if not files:
+        # a silent 0-row audit would pass vacuously — surface it. This
+        # driver-side reader handles local paths; for object stores,
+        # list via fsspec/the store SDK and feed pq.ParquetFile the
+        # same way.
+        raise FileNotFoundError(
+            f"no *.parquet files under {path!r} (non-local paths need "
+            "an fsspec filesystem — see docstring)")
     rows = []
-    for f in sorted(pathlib.Path(path).glob("*.parquet")):
+    for f in files:
         md = pq.ParquetFile(f).metadata
         lo = hi = None
         if stat_col is not None:

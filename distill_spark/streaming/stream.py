@@ -29,13 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-def _exact_sum(col: str, scale: int = 4):
-    """Order-independent sum of a double column (exact DECIMAL
-    accumulation, rounded double out) — keeps stream results
-    bit-identical to the batch gated queries' `_exact_sum`."""
-    return F.round(
-        F.sum(F.col(col).cast("decimal(20,10)")).cast("double"), scale)
-
+from distill_spark.functions.numeric import exact_mean, exact_sum
 
 EVENT_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
@@ -63,7 +57,7 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour",
     bounded state at any input volume."""
     return (events.withWatermark("ts", watermark)
             .groupBy(F.window("ts", window).alias("w"), "event_type")
-            .agg(F.count("*").alias("n"), _exact_sum("value").alias("total"))
+            .agg(F.count("*").alias("n"), exact_sum("value").alias("total"))
             .select(F.col("w.start").alias("window_start"), "event_type", "n", "total"))
 
 
@@ -73,9 +67,7 @@ def sliding_means(events: DataFrame, window: str = "1 hour",
     return (events.withWatermark("ts", watermark)
             .groupBy(F.window("ts", window, slide).alias("w"))
             .agg(F.count("*").alias("n"),
-                 F.round((F.sum(F.col("value").cast("decimal(20,10)"))
-                          .cast("double") / F.count("*")), 6)
-                 .alias("mean_value"))
+                 exact_mean("value").alias("mean_value"))
             .select(F.col("w.start").alias("window_start"), "n", "mean_value"))
 
 
@@ -86,7 +78,7 @@ def session_window_agg(events: DataFrame, gap: str = "30 minutes",
     return (events.withWatermark("ts", watermark)
             .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
             .agg(F.count("*").alias("n_events"),
-                 _exact_sum("value").alias("session_value"))
+                 exact_sum("value").alias("session_value"))
             .select("user_id", F.col("w.start").alias("session_start"),
                     "n_events", "session_value"))
 

@@ -509,15 +509,20 @@ class TestReviewRegressions:
     def test_example_spans_offsets_use_rows_frame(self, spark):
         from distill_spark.operators.examples import example_spans
 
-        # 3 docs of 4 tokens each, seq_len 4: every doc must map to
-        # exactly one full chunk — a RANGE-frame regression would give
-        # hash-tied rows overlapping offsets and split spans
+        # value-level checks can't catch a ROWS->RANGE revert (with
+        # unique keys the frames coincide), so pin the frame in the
+        # physical plan: the offset cumsum's windowspec must be a
+        # RowFrame, not the default RangeFrame
         df = spark.createDataFrame(
             [(i, "a b c d") for i in range(3)], "doc_id long, text string")
-        out = example_spans(df, seq_len=4).collect()
-        assert len(out) == 3
-        assert sorted(r.chunk_id for r in out) == [0, 1, 2]
-        assert all(r.n_tok == 4 for r in out)
+        out = example_spans(df, seq_len=4)
+        rows = out.collect()
+        assert len(rows) == 3 and all(r.n_tok == 4 for r in rows)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        toks_windows = [ln for ln in plan.splitlines()
+                        if "sum(_toks" in ln and "windowspecdefinition" in ln]
+        assert toks_windows and all("RowFrame" in ln for ln in toks_windows)
 
 
 class TestCurriculumOrder:
