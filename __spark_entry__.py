@@ -2230,6 +2230,60 @@ FROM h
 """
 
 
+def q_ann_sq8_topk(spark, sf_dir):
+    """Compressed ANN over SQ8 codes (SURVEY §2.12): the corpus is
+    scored on DEQUANTIZED int8 codes (1 B/dim resident) against a
+    broadcast query batch — codegen'd zip_with arithmetic, partial
+    WindowGroupLimit top-k. Everything is closed-form, so unlike the
+    PQ contract this search is oracled END-TO-END: DuckDB recomputes
+    codes, dequantized vectors, cosines, and ranks exactly."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.quantize import (fit_ranges, quantize_int8,
+                                                  sq8_topk)
+
+    emb = t["embeddings"].select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    ranges = fit_ranges(corpus)
+    codes = quantize_int8(corpus, ranges).select("vec_id", "codes")
+    return sq8_topk(codes, ranges, queries_df, k=10)
+
+
+SQL_SQ8_TOPK = f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= 8
+), ex AS (
+  SELECT vec_id, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS i
+  FROM corpus
+), stats AS (
+  SELECT i, min(val) AS lo, max(val) AS hi FROM ex GROUP BY i
+), deq AS (
+  SELECT e.vec_id, e.i,
+         CASE WHEN s.hi > s.lo
+              THEN CAST(floor((e.val - s.lo) / (s.hi - s.lo) * 255 + 0.5)
+                        AS INT) / 255.0 * (s.hi - s.lo) + s.lo
+              ELSE s.lo END AS dv
+  FROM ex e JOIN stats s USING (i)
+), dvec AS (
+  SELECT vec_id, list(dv ORDER BY i) AS dv FROM deq GROUP BY vec_id
+), q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 8
+), sc AS (
+  SELECT q.qid, d.vec_id,
+         round({_COS_SQL.format(a='d.dv', b='q.qv')}, 6) AS sim
+  FROM dvec d, q
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY sim DESC, vec_id) AS rn
+  FROM sc
+)
+SELECT qid, vec_id, sim FROM r WHERE rn <= 10
+"""
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-source n-gram overlap matrix (SURVEY §2.12): pairwise
     shingle Jaccard between domains — the dataset-overlap analytics
@@ -4157,7 +4211,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # -- remaining locally-verified / rows-only ----------------------------
     "skew_salted_agg": (q_skew_salted_agg, SQL_SKEWAGG),
     "embed_quantize_int8": (q_embed_quantize_int8, SQL_SQ8),
-    "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_LSH),
+    "ann_sq8_topk": (q_ann_sq8_topk, SQL_SQ8_TOPK),
     "st9_cache_sim": (q_st9_cache_sim, SQL_ST9),
     "f12_tfidf_embed": (q_f12_tfidf_embed, SQL_F12),
     # -- representative previously-green heavy hitters ---------------------
@@ -4198,6 +4252,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "f5_normalize": (q_f5_normalize, SQL_F5),
     "text_length_profile": (q_text_length_profile, SQL_LENPROF),
     "vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB),
+    "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_LSH),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE),
     "dedup_minhash": (q_dedup_minhash, SQL_MINHASH),
     "mm_features": (q_mm_features, SQL_MM),

@@ -54,6 +54,37 @@ def quantize_int8(df: DataFrame, ranges: DataFrame,
             .drop("lo", "hi"))
 
 
+def sq8_topk(codes_df: DataFrame, ranges: DataFrame, query: DataFrame,
+             k: int = 10, id_col: str = "vec_id",
+             qid_col: str = "qid", qvec_col: str = "qv") -> DataFrame:
+    """Top-k cosine search over the COMPRESSED corpus: candidates are
+    scored on their dequantized codes (1 B/dim resident instead of
+    4 B/dim floats), exactly the recall step a quantized vector store
+    runs before any float re-rank.
+
+    Scale shape: the query batch broadcasts (it is small by
+    definition), dequantize + cosine are codegen'd zip_with arithmetic
+    over the code stream — map-side — and the rank<=k window plans a
+    partial WindowGroupLimit, so each map task keeps only k rows per
+    query before the shuffle. Ties break on (rounded sim desc, id) —
+    fully deterministic, SQL-replayable."""
+    from pyspark.sql import Window
+
+    from distill_spark.functions import vectormath as vm
+
+    deq = dequantize_int8(codes_df, ranges)
+    qb = query.select(F.col(qid_col).alias("_qid"),
+                      F.col(qvec_col).alias("_qv"))
+    scored = (deq.crossJoin(F.broadcast(qb))
+              .select(F.col("_qid").alias(qid_col), F.col(id_col),
+                      F.round(vm.cosine_similarity(
+                          F.col("dequantized"), F.col("_qv")), 6)
+                      .alias("sim")))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
 def dequantize_int8(df: DataFrame, ranges: DataFrame,
                     codes_col: str = "codes") -> DataFrame:
     """Inverse map: code/255·span + lo → ``dequantized array<double>``

@@ -620,3 +620,56 @@ class TestSourceOverlap:
             [(1, "a", "too short"), (2, "b", "also tiny")],
             "doc_id long, source string, text string")
         assert source_overlap(df, n=3).count() == 0
+
+    def test_sq8_topk_recall_vs_exact(self, spark):
+        """Quantized search must agree with exact float search on a
+        well-separated corpus (SQ8 error is span/510 per dim)."""
+        import numpy as np
+
+        from distill_spark.functions import vectormath as vm
+        from distill_spark.operators.quantize import (fit_ranges,
+                                                      quantize_int8,
+                                                      sq8_topk)
+
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(80, 16)).astype(float)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+            "vec_id long, embedding array<double>")
+        corpus = df.filter(F.col("vec_id") >= 2)
+        q = df.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+        ranges = fit_ranges(corpus)
+        codes = quantize_int8(corpus, ranges).select("vec_id", "codes")
+        got = {(r.qid, r.vec_id) for r in
+               sq8_topk(codes, ranges, q, k=5).collect()}
+        # exact float top-5 for comparison
+        exact = (corpus.crossJoin(F.broadcast(q))
+                 .select("qid", "vec_id",
+                         vm.cosine_similarity(F.col("embedding"),
+                                              F.col("qv")).alias("s")))
+        from pyspark.sql import Window as W
+        exact_top = {(r.qid, r.vec_id) for r in
+                     exact.withColumn("rn", F.row_number().over(
+                         W.partitionBy("qid").orderBy(F.desc("s"))))
+                     .filter(F.col("rn") <= 5).collect()}
+        # int8 on 16 dims: allow at most one boundary swap per query
+        assert len(got & exact_top) >= 8
+
+    def test_sq8_topk_plans_partial_window_limit(self, spark):
+        from distill_spark.operators.quantize import (fit_ranges,
+                                                      quantize_int8,
+                                                      sq8_topk)
+
+        df = spark.createDataFrame(
+            [(i, [float(i % 7), float(i % 3)]) for i in range(50)],
+            "vec_id long, embedding array<double>")
+        corpus = df.filter(F.col("vec_id") >= 1)
+        q = df.filter(F.col("vec_id") < 1).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+        rng_ = fit_ranges(corpus)
+        out = sq8_topk(quantize_int8(corpus, rng_).select("vec_id", "codes"),
+                       rng_, q, k=3)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert "WindowGroupLimit" in plan and "Partial" in plan
