@@ -1,0 +1,131 @@
+"""End-to-end training-data curation — the operators composed.
+
+The §2.12 extensions are designed to chain into the standard corpus
+curation recipe; this plan wires them together so a user runs ONE
+call instead of re-deriving the order of operations:
+
+    quality funnel → exact dedup → MinHash near-dup (min-id survives)
+    → benchmark n-gram decontam → leakage-safe train/holdout split
+    → optional mixture rebalance → deterministic epoch shuffle
+
+Every stage is the already-oracled operator (filters, dedup_text,
+decontam, sampling, ordering) — this module adds only composition and
+the attrition report. Scale shape is inherited: the corpus passes
+through scan-level predicates, single-shuffle dedup/split, broadcast
+decontam, and the bucketed enumerate; nothing here adds a collect or
+a corpus-wide window.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distill_spark.operators.decontam import ngram_contamination
+from distill_spark.operators.dedup_text import (exact_dedup,
+                                                minhash_lsh_candidates,
+                                                ngram_jaccard_pairs)
+from distill_spark.operators.filters import filter_funnel, leakage_safe_split
+from distill_spark.operators.ordering import global_shuffle
+from distill_spark.operators.sampling import rebalance_mixture
+
+
+@dataclass
+class CurationConfig:
+    min_words: int = 5
+    max_chars: int = 1_000_000
+    near_dup_jaccard: float = 0.8
+    decontam_ngram: int = 8
+    decontam_overlap: float = 0.5
+    holdout_fraction: float = 0.05
+    mixture_targets: dict | None = None
+    domain_col: str = "source"
+    shuffle_salt: int = 1
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    extra_gates: list = field(default_factory=list)  # [(name, Column)]
+
+
+@dataclass
+class CurationResult:
+    train: DataFrame      # curated train docs + shuffle_pos
+    holdout: DataFrame    # curated holdout docs (no shuffle needed)
+    report: DataFrame     # (stage, rows_out) attrition ledger
+
+
+def curate(docs: DataFrame, benchmark: DataFrame | None = None,
+           config: CurationConfig | None = None) -> CurationResult:
+    """Run the full curation chain. ``benchmark`` (id, text) enables
+    the decontamination stage; ``config.mixture_targets`` enables the
+    rebalance stage. The report counts survivors after each stage —
+    one count job per stage at action time, the price of an honest
+    ledger."""
+    c = config or CurationConfig()
+    idc, txt = c.id_col, c.text_col
+    stages: list[tuple[str, DataFrame]] = [("input", docs)]
+
+    # 1. quality funnel (scan-level CASE; first-fail attribution
+    # available via filter_funnel directly when reasons are wanted)
+    words = F.size(F.filter(F.split(F.coalesce(F.col(txt), F.lit("")),
+                                    r"\s+"), lambda x: x != ""))
+    gates = [("nonempty", F.length(F.trim(F.coalesce(F.col(txt),
+                                                     F.lit("")))) > 0),
+             ("min_words", words >= c.min_words),
+             ("max_chars", F.length(F.col(txt)) <= c.max_chars)]
+    gates += list(c.extra_gates)
+    kept_ids = (filter_funnel(docs, gates, id_col=idc)
+                .filter(F.col("kept")).select(idc))
+    cur = docs.join(kept_ids, idc, "left_semi")
+    stages.append(("quality_funnel", cur))
+
+    # 2. exact dedup — canonical (min-id) survives
+    cur = (exact_dedup(cur, id_col=idc, text_col=txt)
+           .filter(F.col("canonical_id") == F.col(idc))
+           .drop("canonical_id", "group_size"))
+    stages.append(("exact_dedup", cur))
+
+    # 3. MinHash near-dup: LSH candidates, exact-Jaccard verify,
+    # min-id survives (drop the larger id of every verified pair)
+    cand = minhash_lsh_candidates(cur, id_col=idc, text_col=txt)
+    verified = ngram_jaccard_pairs(cur, id_col=idc, text_col=txt,
+                                   threshold=c.near_dup_jaccard,
+                                   candidates=cand)
+    losers = verified.select(F.col("doc_b").alias(idc)).distinct()
+    cur = cur.join(losers, idc, "left_anti")
+    stages.append(("near_dedup", cur))
+
+    # 4. benchmark decontamination (broadcast shingle semi-join)
+    if benchmark is not None:
+        clean = (ngram_contamination(cur, benchmark, n=c.decontam_ngram,
+                                     min_overlap=c.decontam_overlap,
+                                     id_col=idc, text_col=txt)
+                 .filter(~F.col("contaminated")).select(idc))
+        cur = cur.join(clean, idc, "left_semi")
+        stages.append(("decontam", cur))
+
+    # 5. leakage-safe split — near-dup groups stay on one side
+    split = leakage_safe_split(cur, c.holdout_fraction, id_col=idc,
+                               text_col=txt, normalizer="wordset")
+    train = split.filter(F.col("split") == "train").drop("split",
+                                                         "group_key")
+    holdout = split.filter(F.col("split") == "holdout").drop("split",
+                                                             "group_key")
+    stages.append(("train_split", train))
+
+    # 6. optional mixture rebalance (train side only)
+    if c.mixture_targets:
+        train = rebalance_mixture(train, c.mixture_targets,
+                                  domain_col=c.domain_col, key_col=idc)
+        stages.append(("rebalance", train))
+
+    # 7. deterministic epoch shuffle with explicit positions
+    train = global_shuffle(train, key_col=idc, salt=c.shuffle_salt,
+                           with_position=True)
+
+    spark = docs.sparkSession
+    report = spark.createDataFrame(
+        [(i, name, df.count()) for i, (name, df) in enumerate(stages)],
+        "stage_no int, stage string, rows_out long")
+    return CurationResult(train=train, holdout=holdout, report=report)

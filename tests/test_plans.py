@@ -284,3 +284,54 @@ def test_semantic_decontam_is_map_side(spark, queries):
     assert "BroadcastNestedLoopJoin" in p
     assert "SortMergeJoin" not in p
     assert p.count("+- Exchange") <= 1
+
+
+class TestCuratePlan:
+    def _corpus(self, spark):
+        # per-doc UNIQUE vocabulary: cross-doc shingle overlap is zero
+        # except the planted exact/near dups
+        rows = [(i, " ".join(f"w{i}x{j}" for j in range(16)),
+                 f"src{i % 2}") for i in range(40)]
+        rows += [(100, rows[0][1], "src0"),           # exact dup of 0
+                 (101, rows[1][1] + " tinyedit", "src1"),  # near-dup of 1
+                 (102, "too short", "src0"),          # funnel drop
+                 (103, None, "src1")]                 # funnel drop
+        return spark.createDataFrame(rows, "doc_id long, text string, "
+                                           "source string")
+
+    def test_full_chain_and_report(self, spark):
+        from distill_spark.plans.training_data import (CurationConfig,
+                                                       curate)
+
+        docs = self._corpus(spark)
+        bench = spark.createDataFrame(
+            [(0, docs.collect()[5].text)], "doc_id long, text string")
+        res = curate(docs, benchmark=bench,
+                     config=CurationConfig(holdout_fraction=0.25,
+                                           near_dup_jaccard=0.5))
+        rep = {r.stage: r.rows_out for r in res.report.collect()}
+        assert rep["input"] == 44
+        assert rep["quality_funnel"] == 42          # 102/103 dropped
+        assert rep["exact_dedup"] == 41             # 100 dropped
+        assert rep["near_dedup"] == 40              # 101 dropped
+        assert rep["decontam"] == 39                # doc 5 contaminated
+        train_ids = {r.doc_id for r in res.train.collect()}
+        hold_ids = {r.doc_id for r in res.holdout.collect()}
+        assert train_ids.isdisjoint(hold_ids)
+        assert len(train_ids) + len(hold_ids) == 39
+        # explicit deterministic positions on the train side
+        pos = sorted(r.shuffle_pos for r in res.train.collect())
+        assert pos == list(range(len(train_ids)))
+
+    def test_mixture_stage_and_determinism(self, spark):
+        from distill_spark.plans.training_data import (CurationConfig,
+                                                       curate)
+
+        docs = self._corpus(spark)
+        cfg = CurationConfig(holdout_fraction=0.2,
+                             mixture_targets={"src0": 0.5, "src1": 0.5})
+        a = curate(docs, config=cfg)
+        b = curate(docs.repartition(7), config=cfg)
+        ka = sorted((r.doc_id, r.shuffle_pos) for r in a.train.collect())
+        kb = sorted((r.doc_id, r.shuffle_pos) for r in b.train.collect())
+        assert ka == kb     # layout-independent end to end
