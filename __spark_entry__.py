@@ -4163,6 +4163,185 @@ FROM reach GROUP BY node
 """
 
 
+# ------------------------------------------------- round-5: search / rollup
+
+BM25_QUERY = "vector hash join window merge"
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 lexical top-k over documents (SURVEY §2.12; extension —
+    the reference recalls by cosine only, memory/sqlite.go:370-436).
+    Broadcast term-probe: the corpus postings never shuffle for the
+    query, only matching postings reach the per-doc sum."""
+    from distill_spark.operators.search import bm25_topk
+
+    t = _tables(spark, sf_dir)
+    return bm25_topk(t["documents"], BM25_QUERY, k=25)
+
+
+SQL_BM25 = f"""
+WITH postings AS (
+  SELECT doc_id, w AS term, len({_WORDS_SQL.format(c='text')}) AS dl,
+         count(*) AS tf
+  FROM (SELECT doc_id, text, unnest({_WORDS_SQL.format(c='text')}) AS w
+        FROM documents)
+  GROUP BY 1, 2, 3
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl
+  FROM (SELECT DISTINCT doc_id, dl FROM postings)
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY 1
+), qterms AS (
+  SELECT DISTINCT unnest(string_split('{BM25_QUERY}', ' ')) AS term
+), qside AS (
+  SELECT q.term, ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS idf,
+         s.avgdl
+  FROM qterms q JOIN dfreq d USING (term) CROSS JOIN stats s
+)
+SELECT doc_id,
+       round(sum(q.idf * (p.tf * 2.2)
+                 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / q.avgdl))),
+             6) AS score
+FROM postings p JOIN qside q USING (term)
+GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 25
+"""
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-20 ∪ ANN-cosine top-20 fused by
+    reciprocal-rank (RRF, k=60). Both inputs are bounded top-k lists,
+    so the fusion join is scale-free."""
+    from distill_spark.operators.search import bm25_topk, rrf_fuse
+
+    t = _tables(spark, sf_dir)
+    lex = bm25_topk(t["documents"], BM25_QUERY, k=20)
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    sem = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select(F.col("vec_id").alias("doc_id"),
+                F.round(_cos_sim_expr(F.col("embedding"), F.col("qv")), 6)
+                .alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+    return rrf_fuse(lex, sem, id_col="doc_id", k=60, top=30)
+
+
+SQL_RRF = f"""
+WITH postings AS (
+  SELECT doc_id, w AS term, len({_WORDS_SQL.format(c='text')}) AS dl,
+         count(*) AS tf
+  FROM (SELECT doc_id, text, unnest({_WORDS_SQL.format(c='text')}) AS w
+        FROM documents)
+  GROUP BY 1, 2, 3
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl
+  FROM (SELECT DISTINCT doc_id, dl FROM postings)
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY 1
+), qterms AS (
+  SELECT DISTINCT unnest(string_split('{BM25_QUERY}', ' ')) AS term
+), qside AS (
+  SELECT q.term, ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS idf,
+         s.avgdl
+  FROM qterms q JOIN dfreq d USING (term) CROSS JOIN stats s
+), lex AS (
+  SELECT doc_id,
+         round(sum(q.idf * (p.tf * 2.2)
+                   / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / q.avgdl))),
+               6) AS score
+  FROM postings p JOIN qside q USING (term)
+  GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20
+), qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sem AS (
+  SELECT vec_id AS doc_id,
+         round({_COS_SQL.format(a='embedding', b='qv')}, 6) AS score
+  FROM embeddings, qv WHERE vec_id <> 0
+  ORDER BY score DESC, doc_id ASC LIMIT 20
+), ra AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank_a
+  FROM lex
+), rb AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank_b
+  FROM sem
+)
+SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+       CAST(rank_a AS INT) AS rank_a, CAST(rank_b AS INT) AS rank_b,
+       round(COALESCE(1.0 / (60 + rank_a), 0.0)
+             + COALESCE(1.0 / (60 + rank_b), 0.0), 6) AS rrf_score
+FROM ra FULL OUTER JOIN rb USING (doc_id)
+ORDER BY rrf_score DESC, doc_id ASC LIMIT 30
+"""
+
+
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style line-level dedup (SURVEY §2.12): lines shared by
+    >1 document are dropped from every document, documents reassembled
+    in original order. The test docs are single-line, so line
+    structure is synthesized by splitting at the word 'table'."""
+    from distill_spark.operators.linededup import dedupe_lines
+
+    t = _tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", F.regexp_replace("text", " table ", "\n").alias("text"))
+    return dedupe_lines(docs, max_docs=1, min_line_chars=1)
+
+
+SQL_LINEDEDUP = """
+WITH split AS (
+  SELECT doc_id, string_split(replace(text, ' table ', chr(10)), chr(10)) AS ls
+  FROM documents
+), lines AS (
+  SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+  FROM split
+), freq AS (
+  SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) > 1
+), tagged AS (
+  SELECT l.doc_id, l.pos, l.line,
+         (f.line IS NOT NULL AND length(l.line) >= 1) AS drop_it
+  FROM lines l LEFT JOIN freq f USING (line)
+)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN NOT drop_it THEN line END,
+                           chr(10) ORDER BY pos), '') AS text,
+       CAST(sum(CASE WHEN NOT drop_it THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lines_kept,
+       CAST(sum(CASE WHEN drop_it THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lines_dropped
+FROM tagged GROUP BY doc_id
+"""
+
+
+def q_events_rollup(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup (SURVEY §2.12): the
+    1min/10min/1hour ladder over events in ONE scan + ONE shuffle
+    (explode of the resolution array is map-side fan-out)."""
+    from distill_spark.operators.rollup import rollup_events
+
+    t = _tables(spark, sf_dir)
+    return rollup_events(t["events"], [60, 600, 3600])
+
+
+SQL_ROLLUP = f"""
+WITH fan AS (
+  SELECT e.event_type, e.value, r.resolution_s,
+         CAST(floor(epoch(e.ts) / r.resolution_s) * r.resolution_s
+              AS BIGINT) AS bucket_start
+  FROM events e, (SELECT unnest([60, 600, 3600]) AS resolution_s) r
+)
+SELECT CAST(resolution_s AS INT) AS resolution_s, bucket_start, event_type,
+       count(*) AS n,
+       {_EXACT_SUM_SQL.format(c='value', s=4)} AS total_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM fan GROUP BY 1, 2, 3
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 # Ordering matters: the driver evaluates the FIRST 50 entries in dict
@@ -4186,13 +4365,15 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a2_kmeans_contract": (q_a2_kmeans_contract, SQL_A2C),
     "st3_decay_levels": (q_st3_decay_levels, SQL_ST3),
     "c1_extractive": (q_c1_extractive, SQL_C1),
-    "c2_placeholder": (q_c2_placeholder, SQL_C2),
-    "c3_pruner": (q_c3_pruner, _sql_c3()),
     "c4_compress_pipeline": (q_c4_compress_pipeline, _sql_c4()),
     "c5_hierarchy": (q_c5_hierarchy, SQL_C5),
     "c8_decay_transforms": (q_c8_decay_transforms, _sql_c8()),
-    "f8_fnv1a": (q_f8_fnv1a, SQL_F8),
     "f13_embed_cache": (q_f13_embed_cache, SQL_F13),
+    # -- round-5 additions (never driver-gated -> lead the window) ---------
+    "bm25_topk": (q_bm25_topk, SQL_BM25),
+    "hybrid_rrf": (q_hybrid_rrf, SQL_RRF),
+    "line_dedup": (q_line_dedup, SQL_LINEDEDUP),
+    "events_rollup": (q_events_rollup, SQL_ROLLUP),
     "a12_dedup_stats": (q_a12_dedup_stats, SQL_A12),
     "s1_jsonl_roundtrip": (q_s1_jsonl_roundtrip, SQL_S1),
     "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
@@ -4204,8 +4385,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st2_recall_hints": (q_st2_recall_hints, SQL_ST2_HINTS),
     "st8_diagnose": (q_st8_diagnose, SQL_ST8_DIAG),
     "p6_metadata_filter": (q_p6_metadata_filter, SQL_P6),
-    # -- fixed this round (r02 red rows) -----------------------------------
-    "a7_session_tokens": (q_a7_session_tokens, SQL_A7),
+    # -- fixed round 3 (r02 red rows) ---------------------------------------
     "st5_cache_boundary": (q_st5_cache_boundary, SQL_ST5),
     "curriculum_order": (q_curriculum_order, SQL_CURRICULUM),
     # -- remaining locally-verified / rows-only ----------------------------
@@ -4293,6 +4473,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "text_fingerprint": (q_text_fingerprint, SQL_FINGERPRINT),
     "text_quality": (q_text_quality, SQL_QUALITY),
     "text_langid": (q_text_langid, SQL_LANGID),
+    # -- rotated past the window round 5 (driver-green in r03) -------------
+    "c2_placeholder": (q_c2_placeholder, SQL_C2),
+    "c3_pruner": (q_c3_pruner, _sql_c3()),
+    "f8_fnv1a": (q_f8_fnv1a, SQL_F8),
+    "a7_session_tokens": (q_a7_session_tokens, SQL_A7),
 }
 
 

@@ -1,0 +1,96 @@
+"""Line-level (paragraph-level) deduplication — CCNet-style corpus
+cleaning: a line that repeats across many documents (boilerplate,
+navigation chrome, license headers) is dropped from EVERY document,
+and the documents are reassembled with their surviving lines in the
+original order.
+
+Training-data-pipeline extension (SURVEY §2.12); complements the
+document-level dedup suite in `dedup_text.py` — exact/MinHash/SimHash
+drop whole documents, this repairs documents by removing the shared
+boilerplate INSIDE them (CCNet, Wenzek et al. 2020 §3.1).
+
+Scale shape (100 TB):
+- Lines explode inside the scanning task (posexplode is a generator,
+  not a shuffle); the only corpus-wide shuffle is the line-hash
+  groupBy that counts occurrences — the same cost class as exact
+  document dedup.
+- The frequent-line table (lines seen in > max_docs distinct docs)
+  is a tiny fraction of distinct lines; it broadcasts, so the
+  drop-filter is map-side and the reassembly groupBy shuffles only
+  (doc, line) pairs that SURVIVE.
+- Reassembly preserves order with array_sort over (pos, line)
+  structs — per-document work, no window over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def doc_lines(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", sep: str = "\n") -> DataFrame:
+    """One row per (doc, position, line); blank lines kept (they are
+    positions, not content — the caller decides)."""
+    return docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+
+
+def frequent_lines(lines: DataFrame, id_col: str = "doc_id",
+                   max_docs: int = 1) -> DataFrame:
+    """Lines appearing in MORE than `max_docs` distinct documents.
+    Returns (line_hash, n_docs). Hash-keyed so the broadcast carries
+    16-byte keys, not full line text."""
+    return (
+        lines.groupBy(F.md5("line").alias("line_hash"))
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") > max_docs)
+    )
+
+
+def dedupe_lines(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", sep: str = "\n",
+                 max_docs: int = 1, min_line_chars: int = 1) -> DataFrame:
+    """Remove lines shared by more than `max_docs` documents; return
+    one row per input document:
+
+      (id_col, text: surviving lines rejoined in original order,
+       n_lines_kept, n_lines_dropped)
+
+    Lines shorter than `min_line_chars` are never dropped (a blank or
+    one-char line is structure, not boilerplate). Documents whose
+    every line is boilerplate still appear (empty text) so the output
+    is row-aligned with the input.
+    """
+    lines = doc_lines(docs, id_col, text_col, sep)
+    freq = frequent_lines(lines, id_col, max_docs)
+    tagged = (
+        lines.withColumn("line_hash", F.md5("line"))
+        .join(F.broadcast(freq), "line_hash", "left")
+        .withColumn(
+            "drop",
+            F.col("n_docs").isNotNull()
+            & (F.length("line") >= min_line_chars),
+        )
+    )
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(~F.col("drop"),
+                           F.struct("pos", "line")))
+            ).alias("_kept"),
+            F.sum(F.when(F.col("drop"), 1).otherwise(0)).alias(
+                "n_lines_dropped"),
+        )
+        .select(
+            id_col,
+            F.concat_ws(sep, F.transform("_kept", lambda s: s["line"]))
+            .alias(text_col),
+            F.size("_kept").cast("long").alias("n_lines_kept"),
+            F.col("n_lines_dropped").cast("long"),
+        )
+    )

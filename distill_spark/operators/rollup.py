@@ -1,0 +1,63 @@
+"""Multi-resolution event rollups — hypertable-style continuous
+aggregates: the same event stream aggregated at several time
+resolutions (1 min / 10 min / 1 hour / ...) in ONE pass.
+
+Training-data/analytics extension (SURVEY §2.12): the reference's
+analytics surface aggregates at a single grain per call
+(`analyzer/sessions.go`); telemetry-scale corpora want the classic
+downsample ladder instead, and recomputing per grain re-reads the
+source once per resolution. Here the ladder is computed with a single
+scan + a single shuffle.
+
+Scale shape (100 TB):
+- Each event row fans out to len(resolutions) rows INSIDE the
+  scanning task (explode of a literal array — a generator, not a
+  shuffle); the groupBy on (resolution, bucket, key) is the only
+  Exchange, and partial aggregation runs map-side, so the shuffle
+  carries one partial row per (task, res, bucket, key), NOT the
+  fanned-out events.
+- This beats R scans + R shuffles whenever the source read dominates
+  — at 100 TB it always does.
+- Buckets are epoch-second arithmetic (floor(epoch / res) * res), so
+  the rollup is a pure column expression — no window, no UDF, and
+  AQE can coalesce the post-shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import exact_sum
+
+
+def rollup_events(events: DataFrame, resolutions_s: list[int],
+                  ts_col: str = "ts", key_col: str = "event_type",
+                  value_col: str = "value") -> DataFrame:
+    """One output row per (resolution_s, bucket_start, key):
+
+      (resolution_s, bucket_start: epoch seconds, key_col,
+       n, total_value, min_value, max_value)
+
+    Single scan, single shuffle for the whole resolution ladder.
+    """
+    res = F.explode(
+        F.array(*[F.lit(int(r)) for r in resolutions_s])
+    ).alias("resolution_s")
+    epoch = F.unix_timestamp(F.col(ts_col))
+    return (
+        events.select(epoch.alias("_epoch"), key_col, value_col)
+        .select("*", res)
+        .withColumn(
+            "bucket_start",
+            (F.floor(F.col("_epoch") / F.col("resolution_s"))
+             * F.col("resolution_s")).cast("long"),
+        )
+        .groupBy("resolution_s", "bucket_start", key_col)
+        .agg(
+            F.count("*").alias("n"),
+            exact_sum(value_col).alias("total_value"),
+            F.round(F.min(value_col), 6).alias("min_value"),
+            F.round(F.max(value_col), 6).alias("max_value"),
+        )
+    )

@@ -1,0 +1,143 @@
+"""Keyword search: BM25 inverted-index scoring and reciprocal-rank
+hybrid fusion with the ANN surface.
+
+Training-data-pipeline extension (SURVEY §2.12): the reference's
+recall path (`memory/sqlite.go:370-436`) ranks purely by embedding
+cosine; a corpus engine also needs lexical retrieval — for
+quality-by-retrieval audits, decontamination probes phrased as
+keyword queries, and hybrid recall. BM25 here is the Lucene variant:
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tfn(t,d)= tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    score   = Σ_t∈q idf(t) * tfn(t, d)
+
+Scale shape (100 TB):
+- The postings build is ONE shuffle of (doc, term) pairs — the same
+  cost class as the exact-dedup groupBy. Document-frequency and the
+  corpus stats are term-keyed aggregates over the postings (the term
+  dictionary is tiny relative to the corpus).
+- Scoring a query NEVER shuffles the corpus: the query's terms (a
+  handful of rows, each carrying its idf) broadcast-join against the
+  postings, so non-matching postings are filtered map-side, and the
+  per-doc score sum shuffles only the matching postings.
+- `avgdl`/`N` are scalars carried on the broadcast side, not a
+  corpus-wide crossJoin.
+- Hybrid fusion (RRF) joins two ALREADY-RANKED top-k lists — k rows
+  per side — so it is driver-scale-free by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup_text import words_expr
+
+
+def doc_terms(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Postings list: one row per (doc, term) with the term frequency
+    and the document length in tokens. One shuffle on (doc, term)."""
+    dl = F.size(words_expr(F.col(text_col)))
+    return (
+        docs.select(id_col, F.col(text_col), dl.alias("dl"))
+        .select(id_col, "dl",
+                F.explode(words_expr(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def bm25_stats(postings: DataFrame, id_col: str = "doc_id"):
+    """(doc-frequency table, corpus stats row) from a postings table.
+
+    df is a term-keyed aggregate; N/avgdl reduce the per-doc lengths.
+    Both outputs are dictionary-sized — safe to broadcast.
+    """
+    dfreq = postings.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df"))
+    stats = (
+        postings.select(id_col, "dl").distinct()
+        .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    )
+    return dfreq, stats
+
+
+def bm25_topk(docs: DataFrame, query: str, k: int = 20,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text",
+              round_to: int | None = 6) -> DataFrame:
+    """Top-k documents for a whitespace-tokenized query string.
+
+    Returns (id_col, score) ordered by score desc, id asc. The corpus
+    postings are probed by a BROADCAST of the query's term rows
+    (term, idf) — the corpus never shuffles for the probe; only the
+    matching postings shuffle for the per-doc sum.
+    """
+    spark = docs.sparkSession
+    terms = sorted({t for t in query.split(" ") if t})
+    qdf = spark.createDataFrame([(t,) for t in terms], ["term"])
+
+    postings = doc_terms(docs, id_col, text_col)
+    dfreq, stats = bm25_stats(postings, id_col)
+
+    # query-side plan: terms ⋈ df ⋈ stats — all dictionary-sized
+    qside = (
+        qdf.join(dfreq, "term", "inner")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term", "n_docs", "avgdl",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
+    )
+
+    tfn = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf")
+        + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    score = F.sum(F.col("idf") * tfn).alias("score")
+    out = (
+        postings.join(F.broadcast(qside), "term", "inner")
+        .groupBy(id_col)
+        .agg(score)
+    )
+    if round_to is not None:
+        out = out.select(id_col, F.round("score", round_to).alias("score"))
+    return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame,
+             id_col: str = "doc_id", k: int = 60,
+             top: int | None = None) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists (Cormack et al.):
+    score(d) = Σ_lists 1/(k + rank_d). Inputs must each carry a
+    `score` column; rank is dense position by (score desc, id asc) —
+    fully deterministic. Missing-from-one-list docs contribute only
+    the list they appear in (standard RRF).
+
+    Both inputs are top-k lists (bounded rows), so the window sorts
+    and the outer join are driver-scale-free.
+    """
+    def with_rank(df: DataFrame, name: str) -> DataFrame:
+        w = Window.orderBy(F.desc("score"), F.asc(id_col))
+        return df.select(id_col, F.row_number().over(w).alias(name))
+
+    ra = with_rank(ranked_a, "rank_a")
+    rb = with_rank(ranked_b, "rank_b")
+    fused = (
+        ra.join(rb, id_col, "full_outer")
+        .select(
+            id_col, "rank_a", "rank_b",
+            F.round(
+                F.coalesce(1.0 / (F.lit(k) + F.col("rank_a")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(k) + F.col("rank_b")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+    )
+    return fused.limit(top) if top else fused

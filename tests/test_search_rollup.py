@@ -1,0 +1,131 @@
+"""BM25 search, RRF fusion, line-level dedup, multi-resolution rollup
+(round-5 SURVEY §2.12 extensions).
+
+Golden values are hand-computed on tiny corpora so a formula change
+(idf variant, tf normalization, bucket arithmetic) fails loudly, not
+just differently.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from distill_spark.operators.linededup import dedupe_lines, frequent_lines, doc_lines
+from distill_spark.operators.rollup import rollup_events
+from distill_spark.operators.search import bm25_topk, doc_terms, rrf_fuse
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (0, "apple banana apple cherry"),
+        (1, "banana banana durian"),
+        (2, "cherry durian elderberry fig grape"),
+        (3, "apple apple apple apple"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_doc_terms_tf_and_dl(corpus):
+    rows = {(r.doc_id, r.term): (r.tf, r.dl)
+            for r in doc_terms(corpus).collect()}
+    assert rows[(0, "apple")] == (2, 4)
+    assert rows[(3, "apple")] == (4, 4)
+    assert rows[(2, "fig")] == (1, 5)
+    assert (1, "apple") not in rows
+
+
+def test_bm25_golden(corpus):
+    # query 'apple': df=2, N=4, avgdl=(4+3+5+4)/4=4.0
+    # idf = ln(1 + (4-2+0.5)/(2+0.5)) = ln(2)
+    # doc 3: tf=4, dl=4 -> tfn = 4*2.2/(4+1.2*(0.25+0.75*1)) = 8.8/5.2
+    # doc 0: tf=2, dl=4 -> tfn = 2*2.2/(2+1.2)             = 4.4/3.2
+    out = {r.doc_id: r.score
+           for r in bm25_topk(corpus, "apple", k=10).collect()}
+    idf = math.log(2.0)
+    assert out[3] == pytest.approx(round(idf * 8.8 / 5.2, 6), abs=1e-6)
+    assert out[0] == pytest.approx(round(idf * 4.4 / 3.2, 6), abs=1e-6)
+    assert set(out) == {0, 3}
+
+
+def test_bm25_multi_term_orders_by_score_then_id(corpus):
+    got = bm25_topk(corpus, "banana durian", k=10).collect()
+    scores = [r.score for r in got]
+    assert scores == sorted(scores, reverse=True)
+    # every scored doc contains at least one query term
+    assert {r.doc_id for r in got} == {0, 1, 2}
+
+
+def test_rrf_fuse_golden(spark):
+    a = spark.createDataFrame([(10, 0.9), (11, 0.8)], ["doc_id", "score"])
+    b = spark.createDataFrame([(11, 0.7), (12, 0.6)], ["doc_id", "score"])
+    out = {r.doc_id: (r.rank_a, r.rank_b, r.rrf_score)
+           for r in rrf_fuse(a, b).collect()}
+    assert out[10] == (1, None, round(1 / 61, 6))
+    assert out[11] == (2, 1, round(1 / 62 + 1 / 61, 6))
+    assert out[12] == (None, 2, round(1 / 62, 6))
+
+
+@pytest.fixture()
+def lined_docs(spark):
+    rows = [
+        (0, "unique alpha\nSHARED BOILERPLATE\nunique beta"),
+        (1, "SHARED BOILERPLATE\nonly in one"),
+        (2, "totally distinct\ncontent here"),
+        (3, "SHARED BOILERPLATE"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_line_dedup_drops_shared_keeps_order(lined_docs):
+    out = {r.doc_id: r for r in dedupe_lines(lined_docs).collect()}
+    assert out[0].text == "unique alpha\nunique beta"
+    assert out[0].n_lines_dropped == 1 and out[0].n_lines_kept == 2
+    assert out[1].text == "only in one"
+    assert out[2].text == "totally distinct\ncontent here"
+    assert out[2].n_lines_dropped == 0
+    # doc whose every line is boilerplate still appears, empty
+    assert out[3].text == "" and out[3].n_lines_kept == 0
+
+
+def test_line_dedup_repeat_within_one_doc_not_dropped(spark):
+    docs = spark.createDataFrame(
+        [(0, "same line\nsame line\nother")], ["doc_id", "text"])
+    out = dedupe_lines(docs).collect()[0]
+    # repeated INSIDE one doc -> distinct-doc count is 1 -> kept
+    assert out.text == "same line\nsame line\nother"
+
+
+def test_frequent_lines_threshold(lined_docs):
+    lines = doc_lines(lined_docs)
+    assert frequent_lines(lines, max_docs=2).count() == 1
+    assert frequent_lines(lines, max_docs=3).count() == 0
+
+
+def test_rollup_single_pass_ladder(spark):
+    rows = [
+        (1, "2024-01-01 00:00:30", "a", 1.0),
+        (2, "2024-01-01 00:01:30", "a", 2.0),
+        (3, "2024-01-01 00:09:30", "b", 4.0),
+        (4, "2024-01-01 01:00:00", "a", 8.0),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"]) \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = rollup_events(ev, [60, 3600])
+    got = {(r.resolution_s, r.bucket_start, r.event_type):
+           (r.n, r.total_value) for r in out.collect()}
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    assert got[(60, base, "a")] == (1, 1.0)
+    assert got[(60, base + 60, "a")] == (1, 2.0)
+    assert got[(60, base + 540, "b")] == (1, 4.0)
+    assert got[(3600, base, "a")] == (2, 3.0)
+    assert got[(3600, base, "b")] == (1, 4.0)
+    assert got[(3600, base + 3600, "a")] == (1, 8.0)
+    # the ladder fans out map-side: exactly ONE Exchange in the plan
+    # (post-collect the AQE string repeats the initial plan — cut it)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1
