@@ -1,0 +1,110 @@
+"""PageRank over an edge list — the iterative-algorithm showcase for
+the graph surface (SURVEY §2.10 extension; the reference's graph ops
+are BFS/degree only, graph/graph.go:130-209).
+
+Determinism across engines and cluster layouts: a double sum is
+order-dependent in the last ulp, and PageRank compounds it over
+iterations. Every per-node contribution sum therefore accumulates in
+DECIMAL(30,15) (exact, order-independent) before casting back to
+double — the same trick as ``functions.numeric.exact_sum`` — so the
+rank vector after T iterations is bit-identical regardless of
+partitioning, AQE decisions, or which engine (Spark / DuckDB oracle)
+runs the recurrence.
+
+Scale shape (100 TB of edges):
+- Each iteration is ONE shuffle: ranks ⋈ edges on src (ranks is
+  node-count-sized — broadcast when it fits, shuffle-join when not;
+  Spark's AQE picks per stage) then a groupBy dst.
+- Out-degrees are computed once and carried ON the rank table, so the
+  per-iteration join is single.
+- ``localCheckpoint`` per iteration truncates the lineage — T chained
+  shuffles never re-execute and the plan stays O(1) per round (the
+  G3 BFS measured eager-checkpoint > lazy/persist for exactly this
+  shape, graph.py:83-87).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+
+
+def pagerank(edges: DataFrame, iterations: int = 8,
+             damping: float = DAMPING, checkpoint: bool = True) -> DataFrame:
+    """Ranks after ``iterations`` synchronous PageRank steps over
+    ``edges(src, dst)`` (directed; pass both directions for an
+    undirected walk — that also removes dangling nodes).
+
+    PR_0(v) = 1/N;  PR_{t+1}(v) = (1-d)/N + d * Σ_{u→v} PR_t(u)/deg(u)
+
+    Nodes with no in-edges keep the teleport term. Dangling mass (a
+    node with out-degree 0) is NOT redistributed — prefilter or
+    symmetrize the edge list if that matters. Returns (node, pr:
+    double rounded to 6 dp) — NOT sorted; callers order/limit.
+    """
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg"))
+    # node-count-sized base table: (node, deg); deg NULL = dangling
+    base = nodes.join(outdeg, "node", "left")
+    n_nodes = base.count()
+
+    ranks = base.withColumn("pr", F.lit(1.0 / n_nodes))
+    if checkpoint:
+        ranks = ranks.localCheckpoint()
+    teleport = (1.0 - damping) / n_nodes
+    for _ in range(iterations):
+        contrib = (
+            ranks.filter(F.col("deg").isNotNull())
+            .join(edges, ranks.node == edges.src)
+            .select(F.col("dst").alias("node"),
+                    (F.col("pr") / F.col("deg")).alias("c"))
+        )
+        summed = contrib.groupBy("node").agg(
+            F.sum(F.col("c").cast("decimal(30,15)")).cast("double")
+            .alias("s"))
+        ranks = (
+            base.join(summed, "node", "left")
+            .select("node", "deg",
+                    (F.lit(teleport)
+                     + F.lit(damping) * F.coalesce("s", F.lit(0.0)))
+                    .alias("pr"))
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("node", F.round("pr", 6).alias("pr"))
+
+
+def pagerank_sql(edge_cte: str, iterations: int = 8,
+                 damping: float = DAMPING) -> str:
+    """DuckDB oracle for :func:`pagerank`: the recurrence unrolled as
+    chained CTEs (standard SQL forbids aggregation in a recursive
+    term). ``edge_cte`` must be a SELECT yielding (src, dst). The
+    decimal accumulation mirrors the Spark side exactly."""
+    parts = [
+        f"WITH e AS ({edge_cte})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "outdeg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1)",
+        "base AS (SELECT n.node, o.deg FROM nodes n"
+        " LEFT JOIN outdeg o USING (node))",
+        "nn AS (SELECT count(*) AS n FROM base)",
+        "pr0 AS (SELECT node, deg, 1.0 / (SELECT n FROM nn) AS pr"
+        " FROM base)",
+    ]
+    t = f"(1.0 - {damping}) / (SELECT n FROM nn)"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"s{i} AS (SELECT e.dst AS node, "
+            f"CAST(sum(CAST(p.pr / p.deg AS DECIMAL(30,15))) AS DOUBLE)"
+            f" AS s FROM pr{i-1} p JOIN e ON e.src = p.node"
+            f" WHERE p.deg IS NOT NULL GROUP BY 1)")
+        parts.append(
+            f"pr{i} AS (SELECT b.node, b.deg, "
+            f"{t} + {damping} * COALESCE(s.s, 0.0) AS pr"
+            f" FROM base b LEFT JOIN s{i} s USING (node))")
+    return (", ".join(parts)
+            + f"\nSELECT node, round(pr, 6) AS pr FROM pr{iterations}")

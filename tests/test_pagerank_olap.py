@@ -1,0 +1,94 @@
+"""PageRank + OLAP breadth queries (round-5 extensions).
+
+The PageRank golden replays the exact recurrence in numpy — same
+teleport, damping, dangling handling — so a semantic drift (wrong
+normalization, redistributed dangling mass, off-by-one iteration)
+fails with a value diff, not just a shape diff.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from distill_spark.operators.pagerank import pagerank, pagerank_sql
+
+
+@pytest.fixture()
+def tri_edges(spark):
+    # a->b, b->a, b->c, c->a : strongly connected, no dangling
+    return spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a")], ["src", "dst"])
+
+
+def numpy_pagerank(edges, iterations=8, d=0.85):
+    nodes = sorted({u for e in edges for u in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[idx[s]] += 1
+    pr = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        nxt = np.full(n, (1.0 - d) / n)
+        for s, t in edges:
+            nxt[idx[t]] += d * pr[idx[s]] / deg[idx[s]]
+        pr = nxt
+    return {nodes[i]: round(pr[i], 6) for i in range(n)}
+
+
+def test_pagerank_matches_numpy_replay(spark, tri_edges):
+    got = {r.node: r.pr for r in pagerank(tri_edges, iterations=8).collect()}
+    want = numpy_pagerank([("a", "b"), ("b", "a"), ("b", "c"), ("c", "a")])
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=2e-6), node
+
+
+def test_pagerank_mass_conserved_no_dangling(spark, tri_edges):
+    got = pagerank(tri_edges, iterations=8).agg(F.sum("pr")).collect()[0][0]
+    assert got == pytest.approx(1.0, abs=1e-4)
+
+
+def test_pagerank_dangling_mass_lost_documented(spark):
+    # a->b, b has no out-edges: b's mass is NOT redistributed (the
+    # documented contract) so total < 1
+    e = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    out = {r.node: r.pr for r in pagerank(e, iterations=4).collect()}
+    assert out["b"] > out["a"]
+    assert sum(out.values()) < 1.0
+
+
+def test_pagerank_sql_twin_matches_spark(spark, tri_edges):
+    got = {r.node: r.pr for r in pagerank(tri_edges, iterations=5).collect()}
+    con = duckdb.connect()
+    sql = pagerank_sql(
+        "SELECT * FROM (VALUES ('a','b'),('b','a'),('b','c'),('c','a'))"
+        " t(src, dst)", iterations=5)
+    want = dict(con.sql(sql).fetchall())
+    assert got == want
+
+
+def test_cube_has_all_grouping_sets(spark):
+    from __spark_entry__ import q_olap_cube
+
+    out = q_olap_cube(spark, "/root/testdata/sf0.001")
+    rows = {(r.returnflag, r.linestatus): r.n for r in out.collect()}
+    assert ("(all)", "(all)") in rows
+    # grand total equals the sum of the fully-grouped cells
+    leaf = sum(v for (a, b), v in rows.items()
+               if a != "(all)" and b != "(all)")
+    assert rows[("(all)", "(all)")] == leaf
+
+
+def test_pivot_row_sums_match_event_count(spark):
+    from __spark_entry__ import _EVENT_TYPES, q_events_pivot
+
+    out = q_events_pivot(spark, "/root/testdata/sf0.001")
+    total = out.select(
+        sum(F.col(c) for c in _EVENT_TYPES).alias("t")
+    ).agg(F.sum("t")).collect()[0][0]
+    n_events = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet").count()
+    assert total == n_events
