@@ -99,6 +99,12 @@ def _training_ops(sf_dir):
             full_docs(s),
             {f"src{i}": [0.5, 0.3, 0.2][i % 3] for i in range(6)},
             "source", "doc_id"),
+        # round-5 additions: full-corpus index/dedup/rollup shapes and
+        # the iterative-graph floor (8 PageRank rounds)
+        "train_bm25": lambda s, d: em.queries()["bm25_topk"](s, d),
+        "train_line_dedup": lambda s, d: em.queries()["line_dedup"](s, d),
+        "train_rollup": lambda s, d: em.queries()["events_rollup"](s, d),
+        "train_pagerank": lambda s, d: em.queries()["pagerank"](s, d),
     }
 
 

@@ -47,6 +47,14 @@ DataFrames, designed for 100 TB scale:
   tail filter.
 - ``operators.diff``         — snapshot diff / drift ledger.
 - ``operators.profile``      — single-pass table profiler.
+- ``operators.search``       — BM25 inverted-index top-k + RRF hybrid
+  fusion with the ANN surface.
+- ``operators.linededup``    — CCNet-style line-level boilerplate
+  dedup with in-order reassembly.
+- ``operators.rollup``       — multi-resolution event rollup ladder
+  (one scan + one shuffle for all grains).
+- ``operators.pagerank``     — iterative PageRank, decimal-exact
+  per-node sums (bit-stable across engines/layouts).
 - ``plans.dedupe``           — the /v1/dedupe pipeline (§3.1).
 - ``plans.pipeline``         — dedup → compress → summarize (§3.2).
 - ``memory``                 — bucketed MERGE-style memory store
