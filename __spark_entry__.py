@@ -4449,6 +4449,44 @@ FROM events GROUP BY 1
 """
 
 
+def q_quality_normalize(spark, sf_dir):
+    """Per-source score normalization (SURVEY §2.12) — the FineWeb /
+    DCLM-style per-domain calibration: z-score from DECIMAL-exact
+    moments, min-max, and deterministic percentile rank, all within
+    source. Moments broadcast back; only the pct rank sorts."""
+    from distill_spark.operators.normalize import normalize_scores
+
+    t = _tables(spark, sf_dir)
+    return normalize_scores(t["documents"], "n_chars", "source", "doc_id")
+
+
+SQL_QNORM = """
+WITH m AS (
+  SELECT source, count(n_chars) AS n,
+         CAST(sum(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(30,12)))
+              AS DOUBLE) AS sx,
+         CAST(sum(CAST(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)
+                       AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+         min(n_chars) AS lo, max(n_chars) AS hi
+  FROM documents GROUP BY 1
+), ms AS (
+  SELECT source, lo, hi, sx / n AS mean,
+         sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0)) AS std
+  FROM m
+)
+SELECT d.doc_id, d.source, d.n_chars,
+       round(CASE WHEN ms.std > 0.0
+                  THEN (CAST(d.n_chars AS DOUBLE) - ms.mean) / ms.std
+                  ELSE 0.0 END, 6) AS z,
+       round(CASE WHEN ms.hi > ms.lo
+                  THEN CAST(d.n_chars - ms.lo AS DOUBLE) / (ms.hi - ms.lo)
+                  ELSE 0.5 END, 6) AS minmax,
+       round(PERCENT_RANK() OVER (PARTITION BY d.source
+                                  ORDER BY d.n_chars, d.doc_id), 6) AS pct
+FROM documents d JOIN ms USING (source)
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 # Ordering matters: the driver evaluates the FIRST 50 entries in dict
@@ -4474,7 +4512,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "c4_compress_pipeline": (q_c4_compress_pipeline, _sql_c4()),
     "c5_hierarchy": (q_c5_hierarchy, SQL_C5),
     "c8_decay_transforms": (q_c8_decay_transforms, _sql_c8()),
-    "f13_embed_cache": (q_f13_embed_cache, SQL_F13),
     # -- round-5 additions (never driver-gated -> lead the window) ---------
     "bm25_topk": (q_bm25_topk, SQL_BM25),
     "hybrid_rrf": (q_hybrid_rrf, SQL_RRF),
@@ -4484,6 +4521,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "olap_cube": (q_olap_cube, SQL_CUBE),
     "event_percentiles": (q_event_percentiles, SQL_PERCENTILES),
     "events_pivot": (q_events_pivot, SQL_PIVOT),
+    "quality_normalize": (q_quality_normalize, SQL_QNORM),
     "a12_dedup_stats": (q_a12_dedup_stats, SQL_A12),
     "s1_jsonl_roundtrip": (q_s1_jsonl_roundtrip, SQL_S1),
     "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
@@ -4589,6 +4627,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "asof_join_events": (q_asof_join, SQL_ASOF),
     "events_sliding": (q_events_sliding, SQL_SLIDING),
     "p6_metadata_filter": (q_p6_metadata_filter, SQL_P6),
+    "f13_embed_cache": (q_f13_embed_cache, SQL_F13),
 }
 
 

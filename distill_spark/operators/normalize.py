@@ -1,0 +1,81 @@
+"""Per-group score normalization — the per-domain quality-calibration
+step of a corpus pipeline: raw quality scores (LM perplexity, length
+heuristics, classifier logits) are not comparable across sources, so
+thresholds are applied to a WITHIN-SOURCE normalized score (the
+FineWeb / DCLM recipe). Training-data extension (SURVEY §2.12).
+
+Three normalizations, all deterministic cross-engine:
+
+- z-score: (x - μ_g) / σ_g with μ, σ derived from DECIMAL-exact sums
+  of x and x² (order-independent — a plain double sum would drift in
+  the last ulp between partitionings/engines and compound through the
+  division);
+- percentile rank: Spark/DuckDB ``percent_rank`` (identical tie
+  semantics) over (score, id) so ties are broken deterministically;
+- min-max: (x - min_g) / (max_g - min_g), exact since min/max are
+  order-free.
+
+Scale shape (100 TB): one shuffle on the group key for the moment
+aggregates, then the moments broadcast back onto the corpus
+(group-count-sized table), so the normalize itself is map-side. The
+percentile rank is the exception — a true per-group sort — kept
+optional for exactly that reason; at corpus scale prefer the z-score
+(no sort) or approximate quantiles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def group_moments(df: DataFrame, score_col: str,
+                  group_col: str) -> DataFrame:
+    """(group, n, mean, std) with DECIMAL-exact sums so the moments
+    are identical on any partitioning/engine. std is the population
+    σ via sqrt(E[x²] - E[x]²), floored at 0 to absorb the tiny
+    negative residue the subtraction can leave for constant groups."""
+    x = F.col(score_col).cast("double")
+    sx = F.sum(x.cast("decimal(30,12)")).cast("double")
+    sxx = F.sum((x * x).cast("decimal(30,12)")).cast("double")
+    n = F.count(score_col)
+    mean = sx / n
+    var = F.greatest(sxx / n - mean * mean, F.lit(0.0))
+    return df.groupBy(group_col).agg(
+        n.alias("n"), mean.alias("mean"), F.sqrt(var).alias("std"))
+
+
+def normalize_scores(df: DataFrame, score_col: str, group_col: str,
+                     id_col: str, pct_rank: bool = True) -> DataFrame:
+    """Adds ``z`` (0.0 for constant groups rather than NULL, so a
+    single-source shard never drops rows downstream), ``minmax``
+    (0.5 for constant groups by the same argument), and optionally
+    ``pct`` — all rounded to 6 dp. Output keeps (id, group, score)."""
+    moments = group_moments(df, score_col, group_col)
+    ranges = df.groupBy(group_col).agg(
+        F.min(score_col).alias("_lo"), F.max(score_col).alias("_hi"))
+    x = F.col(score_col).cast("double")
+    out = (
+        df.select(id_col, group_col, score_col)
+        .join(F.broadcast(moments), group_col)
+        .join(F.broadcast(ranges), group_col)
+        .withColumn(
+            "z",
+            F.round(
+                F.when(F.col("std") > 0.0,
+                       (x - F.col("mean")) / F.col("std"))
+                .otherwise(F.lit(0.0)), 6))
+        .withColumn(
+            "minmax",
+            F.round(
+                F.when(F.col("_hi") > F.col("_lo"),
+                       (x - F.col("_lo")) / (F.col("_hi") - F.col("_lo")))
+                .otherwise(F.lit(0.5)), 6))
+        .drop("n", "mean", "std", "_lo", "_hi")
+    )
+    if pct_rank:
+        w = Window.partitionBy(group_col).orderBy(
+            F.col(score_col).asc(), F.col(id_col).asc())
+        out = out.withColumn(
+            "pct", F.round(F.percent_rank().over(w), 6))
+    return out

@@ -1,0 +1,57 @@
+"""Per-group score normalization (round-5 SURVEY §2.12 extension)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from distill_spark.operators.normalize import group_moments, normalize_scores
+
+
+@pytest.fixture()
+def scored(spark):
+    rows = [
+        (0, "a", 10.0), (1, "a", 20.0), (2, "a", 30.0),
+        (3, "b", 5.0), (4, "b", 5.0),          # constant group
+        (5, "c", 7.0),                          # singleton group
+    ]
+    return spark.createDataFrame(rows, ["id", "grp", "score"])
+
+
+def test_group_moments_golden(scored):
+    m = {r.grp: r for r in group_moments(scored, "score", "grp").collect()}
+    assert m["a"].mean == pytest.approx(20.0)
+    assert m["a"].std == pytest.approx(math.sqrt(200.0 / 3))
+    assert m["b"].std == pytest.approx(0.0)
+    assert m["c"].n == 1 and m["c"].std == pytest.approx(0.0)
+
+
+def test_normalize_z_and_minmax(scored):
+    out = {r.id: r for r in
+           normalize_scores(scored, "score", "grp", "id").collect()}
+    s = math.sqrt(200.0 / 3)
+    assert out[0].z == pytest.approx(round(-10.0 / s, 6))
+    assert out[2].z == pytest.approx(round(10.0 / s, 6))
+    assert out[0].minmax == 0.0 and out[2].minmax == 1.0
+    assert out[1].minmax == 0.5
+    # constant / singleton groups: defined fallbacks, no NULL, no NaN
+    for i in (3, 4, 5):
+        assert out[i].z == 0.0 and out[i].minmax == 0.5
+
+
+def test_percent_rank_deterministic_ties(scored):
+    out = {r.id: r.pct for r in
+           normalize_scores(scored, "score", "grp", "id").collect()}
+    # group b: tie on score -> id breaks it -> 0.0 then 1.0
+    assert out[3] == 0.0 and out[4] == 1.0
+    # singleton group: percent_rank of a single row is 0
+    assert out[5] == 0.0
+    assert out[0] == 0.0 and out[1] == 0.5 and out[2] == 1.0
+
+
+def test_moments_partition_invariant(scored):
+    one = group_moments(scored.coalesce(1), "score", "grp")
+    many = group_moments(scored.repartition(7), "score", "grp")
+    assert sorted(map(tuple, one.collect())) == \
+        sorted(map(tuple, many.collect()))
