@@ -31,20 +31,19 @@ from pyspark.sql import functions as F
 from ..functions.numeric import exact_sum
 
 
-def rollup_events(events: DataFrame, resolutions_s: list[int],
-                  ts_col: str = "ts", key_col: str = "event_type",
-                  value_col: str = "value") -> DataFrame:
-    """One output row per (resolution_s, bucket_start, key):
-
-      (resolution_s, bucket_start: epoch seconds, key_col,
-       n, total_value, min_value, max_value)
-
-    Single scan, single shuffle for the whole resolution ladder.
-    """
+def rollup_partials(events: DataFrame, resolutions_s: list[int],
+                    ts_col: str = "ts", key_col: str = "event_type",
+                    value_col: str = "value") -> DataFrame:
+    """Mergeable partial aggregates per (resolution_s, bucket_start,
+    key): count, UNROUNDED decimal sum, raw min/max. These re-merge
+    losslessly — the incremental/streaming maintenance unit (each
+    micro-batch contributes one partial row per touched bucket; see
+    :func:`merge_rollup_partials`)."""
     res = F.explode(
         F.array(*[F.lit(int(r)) for r in resolutions_s])
     ).alias("resolution_s")
     epoch = F.unix_timestamp(F.col(ts_col))
+    v = F.col(value_col)
     return (
         events.select(epoch.alias("_epoch"), key_col, value_col)
         .select("*", res)
@@ -56,8 +55,61 @@ def rollup_events(events: DataFrame, resolutions_s: list[int],
         .groupBy("resolution_s", "bucket_start", key_col)
         .agg(
             F.count("*").alias("n"),
-            exact_sum(value_col).alias("total_value"),
-            F.round(F.min(value_col), 6).alias("min_value"),
-            F.round(F.max(value_col), 6).alias("max_value"),
+            F.sum(v.cast("decimal(20,10)")).alias("_sum"),
+            F.min(v).alias("_min"),
+            F.max(v).alias("_max"),
         )
     )
+
+
+def merge_rollup_partials(partials: DataFrame,
+                          key_col: str = "event_type") -> DataFrame:
+    """Compact partials (possibly many per bucket, e.g. one per
+    micro-batch) into the final rollup rows. Decimal sums re-add
+    exactly; rounding happens only here, so batch and incremental
+    paths emit IDENTICAL values."""
+    return (
+        partials.groupBy("resolution_s", "bucket_start", key_col)
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("_sum").cast("double"), 4).alias("total_value"),
+            F.round(F.min("_min"), 6).alias("min_value"),
+            F.round(F.max("_max"), 6).alias("max_value"),
+        )
+    )
+
+
+def rollup_events(events: DataFrame, resolutions_s: list[int],
+                  ts_col: str = "ts", key_col: str = "event_type",
+                  value_col: str = "value") -> DataFrame:
+    """One output row per (resolution_s, bucket_start, key):
+
+      (resolution_s, bucket_start: epoch seconds, key_col,
+       n, total_value, min_value, max_value)
+
+    Single scan, single shuffle for the whole resolution ladder (the
+    partial+merge composition collapses into one partial_sum/final_sum
+    hash aggregate pair — Catalyst sees adjacent groupBys on the same
+    keys)."""
+    return merge_rollup_partials(
+        rollup_partials(events, resolutions_s, ts_col, key_col, value_col),
+        key_col)
+
+
+def foreach_batch_rollup(sink_path: str, resolutions_s: list[int],
+                         ts_col: str = "ts", key_col: str = "event_type",
+                         value_col: str = "value"):
+    """Streaming maintenance of the rollup ladder: a foreachBatch sink
+    that appends each micro-batch's partial aggregates to a parquet
+    ledger. The queryable rollup at any moment is
+    ``merge_rollup_partials(spark.read.parquet(sink_path))`` — the
+    continuous-aggregate pattern (append partials, compact on read or
+    periodically), chosen because one streaming query cannot run a
+    stateful aggregation per grain, and because appends avoid the
+    read-modify-write race a per-batch MERGE would need."""
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (rollup_partials(batch_df, resolutions_s, ts_col, key_col,
+                         value_col)
+         .write.mode("append").parquet(sink_path))
+
+    return sink

@@ -335,3 +335,41 @@ class TestCuratePlan:
         ka = sorted((r.doc_id, r.shuffle_pos) for r in a.train.collect())
         kb = sorted((r.doc_id, r.shuffle_pos) for r in b.train.collect())
         assert ka == kb     # layout-independent end to end
+
+
+def test_bm25_probe_broadcasts_and_topk_is_take_ordered(spark, queries):
+    """The query's term rows (with idf) must BROADCAST into the
+    postings probe — a sort-merge there would shuffle the corpus
+    postings per query; the final top-k must be TakeOrderedAndProject,
+    not a global sort."""
+    p = _plan(spark, queries["bm25_topk"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_line_dedup_freq_set_broadcasts(spark, queries):
+    """The frequent-line hash set broadcasts so the drop filter runs
+    map-side in the scanning task; the corpus must never sort-merge
+    against it."""
+    p = _plan(spark, queries["line_dedup"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_rollup_ladder_single_shuffle(spark, queries):
+    """All grains in one scan + one shuffle: the partial+merge
+    composition must collapse onto a single hashpartitioning
+    Exchange (Generate/explode fans out map-side)."""
+    p = _plan(spark, queries["events_rollup"](spark, SF_DIR))
+    import re as _re
+    assert len(_re.findall(r"\(\d+\) Exchange\b", p)) == 1
+    assert "Generate" in p
+
+
+def test_quality_normalize_moments_broadcast(spark, queries):
+    """Group moments/ranges are group-count-sized — they broadcast
+    back onto the corpus; the normalize itself is map-side."""
+    p = _plan(spark, queries["quality_normalize"](spark, SF_DIR))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p

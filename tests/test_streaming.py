@@ -209,3 +209,37 @@ class TestGatedWindowQueriesViaStream:
             "n_events", "session_value")
         assert sorted(map(tuple, got.collect())) == \
             sorted(map(tuple, batch.collect()))
+
+
+class TestStreamingRollup:
+    def test_incremental_rollup_equals_batch(self, spark, event_dir,
+                                             tmp_path):
+        """foreachBatch partial-ledger maintenance over several
+        micro-batches compacts to EXACTLY the batch ladder (decimal
+        partials re-merge losslessly; rounding only at compaction)."""
+        from distill_spark.operators.rollup import (
+            foreach_batch_rollup,
+            merge_rollup_partials,
+            rollup_events,
+        )
+
+        sink = str(tmp_path / "rollup_partials")
+        src = stm.read_event_stream(spark, event_dir,
+                                    max_files_per_trigger=1)
+        q = (src.writeStream
+             .foreachBatch(foreach_batch_rollup(sink, [60, 3600]))
+             .option("checkpointLocation", str(tmp_path / "ckpt_rollup"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+        partials = spark.read.parquet(sink)
+        # several micro-batches -> at least one bucket got >1 partial,
+        # otherwise this test isn't exercising the merge
+        dup_buckets = (partials.groupBy("resolution_s", "bucket_start",
+                                        "event_type").count()
+                       .filter(F.col("count") > 1).count())
+        assert dup_buckets > 0
+        got = merge_rollup_partials(partials)
+        want = rollup_events(spark.read.parquet(event_dir), [60, 3600])
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, want.collect()))
