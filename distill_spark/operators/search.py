@@ -110,6 +110,72 @@ def bm25_topk(docs: DataFrame, query: str, k: int = 20,
     return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+def build_bm25_index(docs: DataFrame, path: str,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> None:
+    """Persist the inverted index: ``<path>/postings`` partitioned-
+    pruned by a term-hash bucket (a probe reads only the query terms'
+    buckets, not the corpus), ``<path>/dfreq`` and ``<path>/stats``
+    (dictionary-sized). Build cost = the one (doc, term) shuffle;
+    at corpus scale you pay it once and amortize over every query."""
+    postings = doc_terms(docs, id_col, text_col)
+    (postings
+     .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(256)))
+     .write.mode("overwrite").partitionBy("term_bucket")
+     .parquet(f"{path}/postings"))
+    dfreq, stats = bm25_stats(postings, id_col)
+    dfreq.write.mode("overwrite").parquet(f"{path}/dfreq")
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def search_bm25_index(spark, path: str, query: str, k: int = 20,
+                      k1: float = 1.2, b: float = 0.75,
+                      id_col: str = "doc_id",
+                      round_to: int | None = 6) -> DataFrame:
+    """Top-k from a persisted index — same scores as
+    :func:`bm25_topk` over the same corpus. The term-bucket partition
+    filter prunes the postings scan to the query terms' buckets
+    (footer-only skip for the rest), then the broadcast term probe
+    applies as in the inline path."""
+    terms = sorted({t for t in query.split(" ") if t})
+    qdf = spark.createDataFrame([(t,) for t in terms], ["term"])
+    buckets = [
+        r.b for r in qdf.select(
+            F.pmod(F.xxhash64("term"), F.lit(256)).alias("b"))
+        .distinct().collect()
+    ]
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("term_bucket").isin(buckets))
+    )
+    dfreq = spark.read.parquet(f"{path}/dfreq")
+    stats = spark.read.parquet(f"{path}/stats")
+    qside = (
+        qdf.join(dfreq, "term", "inner")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term", "avgdl",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
+    )
+    tfn = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf")
+        + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    out = (
+        postings.join(F.broadcast(qside), "term", "inner")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("idf") * tfn).alias("score"))
+    )
+    if round_to is not None:
+        out = out.select(id_col, F.round("score", round_to).alias("score"))
+    return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
 def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame,
              id_col: str = "doc_id", k: int = 60,
              top: int | None = None) -> DataFrame:

@@ -129,3 +129,24 @@ def test_rollup_single_pass_ladder(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_persisted_index_equals_inline_bm25(spark, corpus, tmp_path):
+    """build-once/query-many: the persisted index returns the SAME
+    scores as the inline path, and the probe's postings scan is
+    pruned to the query terms' partition buckets."""
+    from distill_spark.operators.search import (
+        build_bm25_index,
+        search_bm25_index,
+    )
+
+    path = str(tmp_path / "bm25_idx")
+    build_bm25_index(corpus, path)
+    got = search_bm25_index(spark, path, "apple banana", k=10)
+    want = bm25_topk(corpus, "apple banana", k=10)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "PartitionFilters: [" in plan
+    assert "term_bucket" in plan.split("PartitionFilters:")[1][:200]
