@@ -4487,6 +4487,58 @@ FROM documents d JOIN ms USING (source)
 """
 
 
+def q_domain_terms(spark, sf_dir):
+    """Characteristic terms per source: log-likelihood ratio of the
+    term's in-domain frequency vs its corpus frequency, top-5 per
+    source (mixture-design diagnostics; SURVEY §2.12). One (source,
+    term) shuffle; the corpus totals broadcast back; rank≤5 windows
+    prune map-side (WindowGroupLimit)."""
+    t = _tables(spark, sf_dir)
+    words = t["documents"].select(
+        "source", F.explode(_words(F.col("text"))).alias("term"))
+    tf = words.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    src_tot = tf.groupBy("source").agg(F.sum("tf").alias("src_n"))
+    term_tot = tf.groupBy("term").agg(F.sum("tf").alias("term_n"))
+    all_n = tf.agg(F.sum("tf").alias("all_n"))
+    w = Window.partitionBy("source").orderBy(F.desc("llr"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(term_tot), "term")
+        .crossJoin(F.broadcast(all_n))
+        .withColumn(
+            "llr",
+            F.round(F.log((F.col("tf") / F.col("src_n"))
+                          / (F.col("term_n") / F.col("all_n"))), 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "term", "tf", "llr", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+SQL_DOMTERMS = f"""
+WITH tf AS (
+  SELECT source, w AS term, count(*) AS tf
+  FROM (SELECT source, unnest({_WORDS_SQL.format(c='text')}) AS w
+        FROM documents)
+  GROUP BY 1, 2
+), src_tot AS (SELECT source, sum(tf) AS src_n FROM tf GROUP BY 1),
+term_tot AS (SELECT term, sum(tf) AS term_n FROM tf GROUP BY 1),
+all_n AS (SELECT sum(tf) AS all_n FROM tf),
+scored AS (
+  SELECT tf.source, tf.term, tf.tf,
+         round(ln((tf.tf / s.src_n) / (t.term_n / a.all_n)), 6) AS llr
+  FROM tf JOIN src_tot s USING (source) JOIN term_tot t USING (term)
+  CROSS JOIN all_n a
+)
+SELECT source, term, CAST(tf AS BIGINT) AS tf, llr,
+       CAST(rnk AS INT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY llr DESC, term ASC) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 # Ordering matters: the driver evaluates the FIRST 50 entries in dict
@@ -4508,7 +4560,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # seeded-MLlib assignment has no SQL oracle by design; the oracled
     # contract query below gates its medoid/prune output instead)
     "a2_kmeans_contract": (q_a2_kmeans_contract, SQL_A2C),
-    "st3_decay_levels": (q_st3_decay_levels, SQL_ST3),
     "c4_compress_pipeline": (q_c4_compress_pipeline, _sql_c4()),
     "c5_hierarchy": (q_c5_hierarchy, SQL_C5),
     "c8_decay_transforms": (q_c8_decay_transforms, _sql_c8()),
@@ -4522,6 +4573,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "event_percentiles": (q_event_percentiles, SQL_PERCENTILES),
     "events_pivot": (q_events_pivot, SQL_PIVOT),
     "quality_normalize": (q_quality_normalize, SQL_QNORM),
+    "domain_terms": (q_domain_terms, SQL_DOMTERMS),
     "a12_dedup_stats": (q_a12_dedup_stats, SQL_A12),
     "s1_jsonl_roundtrip": (q_s1_jsonl_roundtrip, SQL_S1),
     "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
@@ -4628,6 +4680,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "events_sliding": (q_events_sliding, SQL_SLIDING),
     "p6_metadata_filter": (q_p6_metadata_filter, SQL_P6),
     "f13_embed_cache": (q_f13_embed_cache, SQL_F13),
+    "st3_decay_levels": (q_st3_decay_levels, SQL_ST3),
 }
 
 

@@ -108,7 +108,7 @@ def _training_ops(sf_dir):
     }
 
 
-def _release_state(spark):
+def _release_state(spark, jvm_gc=False):
     """Operators persist/localCheckpoint intermediates; between
     unrelated queries those blocks only cost heap. clearCache handles
     cached DataFrames; checkpointed RDDs need explicit unpersist; a
@@ -122,6 +122,16 @@ def _release_state(spark):
     except Exception:
         pass
     gc.collect()
+    # the ContextCleaner only reclaims broadcasts/checkpoint blocks it
+    # sees become unreachable in the DRIVER JVM — python gc alone
+    # leaves that debt in place, and ~1000 stages in it inflates
+    # broadcast-heavy queries 4x (measured: train_decontam 8.9s fresh
+    # vs 33.7s late-session without this)
+    if jvm_gc:
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
 
 
 def main():
@@ -183,7 +193,7 @@ def main():
             with ThreadPoolExecutor(max_workers=6) as pool:
                 for name, took in pool.map(run_one, all_names):
                     timings[name] = took
-            _release_state(spark)
+            _release_state(spark, jvm_gc=True)
         return round(time.time() - total0, 3), timings
 
     # ONE invocation reports BOTH modes: sequential first (uncontended
@@ -206,15 +216,19 @@ def main():
             took = round(time.time() - s0, 3)
             timings[name] = took
             print(f"# {name}: {n} rows in {took}s", file=sys.stderr, flush=True)
-        _release_state(spark)
+        _release_state(spark, jvm_gc=True)
         return round(time.time() - t0, 3), timings
 
+    # training section FIRST: its numbers document per-op scale
+    # shapes, so they get the freshest JVM (late-session GC debt was
+    # inflating the broadcast-heavy ops 4x); the headline batches
+    # follow — their own comparison basis is batch-internal
+    training_total, training_timings = run_training()
     seq_total, seq_timings = run_batch(sequential=True)
     if seq_only:
         conc_runs = []
     else:
         conc_runs = [run_batch(sequential=False) for _ in range(2)]
-    training_total, training_timings = run_training()
     if conc_runs:
         conc_totals = [r[0] for r in conc_runs]
         total, timings = min(conc_runs, key=lambda r: r[0])
