@@ -92,3 +92,37 @@ def test_pivot_row_sums_match_event_count(spark):
     n_events = spark.read.parquet(
         "/root/testdata/sf0.001/events.parquet").count()
     assert total == n_events
+
+
+def test_pagerank_self_loop_counts_as_out_edge(spark):
+    # a->a, a->b: a's mass splits between itself and b
+    e = spark.createDataFrame([("a", "a"), ("a", "b"), ("b", "a")],
+                              ["src", "dst"])
+    got = {r.node: r.pr for r in pagerank(e, iterations=8).collect()}
+    want = numpy_pagerank([("a", "a"), ("a", "b"), ("b", "a")])
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=2e-6)
+
+
+def test_pagerank_disconnected_components_independent(spark):
+    # two disjoint 2-cycles: every node identical rank 1/4
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("c", "d"), ("d", "c")], ["src", "dst"])
+    got = {r.node: r.pr for r in pagerank(e, iterations=6).collect()}
+    assert all(v == pytest.approx(0.25, abs=1e-6) for v in got.values())
+
+
+def test_pagerank_star_hub_dominates(spark):
+    # undirected star: hub h <-> 4 spokes; hub rank must dominate and
+    # spokes be equal by symmetry
+    edges = []
+    for s in "abcd":
+        edges += [("h", s), (s, "h")]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.pr for r in pagerank(e, iterations=10).collect()}
+    spokes = [got[s] for s in "abcd"]
+    assert got["h"] > max(spokes) * 2
+    assert max(spokes) - min(spokes) < 1e-9
+    want = numpy_pagerank(edges, iterations=10)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=2e-6)
