@@ -153,3 +153,40 @@ class TestLeakageSafeSplit:
             leakage_safe_split(df, 1.0)
         with pytest.raises(ValueError):
             leakage_safe_split(df, 0.5, normalizer="bogus")
+
+
+class TestCompressionSignals:
+    def test_repetitive_text_compresses_harder(self, spark):
+        from distill_spark.operators.filters import compression_signals
+
+        import random
+        rng = random.Random(7)
+        noisy = " ".join(
+            "".join(rng.choice("abcdefghijklmnop") for _ in range(8))
+            for _ in range(100))
+        rows = [
+            (0, "spam spam spam " * 200),       # templated -> tiny ratio
+            (1, noisy),                          # high-entropy -> big ratio
+            (2, ""),                             # empty -> NULLs
+            (3, None),                           # null -> NULLs
+        ]
+        out = {r.doc_id: r for r in compression_signals(
+            spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+        assert out[0].compress_ratio < 0.05
+        assert out[1].compress_ratio > 0.5
+        assert out[0].compress_ratio < out[1].compress_ratio
+        for i in (2, 3):
+            assert out[i].zlib_bytes is None
+            assert out[i].compress_ratio is None
+
+    def test_zlib_matches_python_exactly(self, spark):
+        import zlib
+
+        from distill_spark.operators.filters import compression_signals
+
+        text = "the quick brown fox " * 30
+        out = compression_signals(
+            spark.createDataFrame([(0, text)], ["doc_id", "text"])
+        ).collect()[0]
+        assert out.n_bytes == len(text.encode())
+        assert out.zlib_bytes == len(zlib.compress(text.encode(), 6))
