@@ -321,6 +321,55 @@ class MemoryStore:
             _link_tree(os.path.join(prev, name), os.path.join(target, name))
         self._commit(v)
 
+    def compact(self, now: dt.datetime | float | None = None) -> dict:
+        """OPTIMIZE/VACUUM analog for the copy-on-write store: rewrite
+        the snapshot with one file per bucket (partial commits leave
+        one file per write task per touched bucket — hundreds of tiny
+        files after enough ingest batches) and, when ``now`` is given,
+        physically drop rows whose TTL (`expires_at`) already lapsed —
+        they are invisible to reads via live_filter but still cost
+        scan I/O. `expired` tombstones from expire()/supersede() are
+        KEPT: they carry audit state (expired_at, superseded_by);
+        only time-based `expires_at` passage vacuums.
+
+        Returns {files_before, files_after, rows_dropped}. On a real
+        lake this is exactly Delta/Iceberg OPTIMIZE + VACUUM; here the
+        commit is the same versioned-pointer flip every other mutation
+        uses, so concurrent readers of the old version stay correct.
+        """
+        def _count_files(v: int) -> int:
+            d = os.path.join(self.path, f"v{v}")
+            if not os.path.isdir(d):
+                return 0
+            return sum(
+                1 for b in os.listdir(d) if b.startswith("_bucket=")
+                for f in os.listdir(os.path.join(d, b))
+                if f.endswith(".parquet"))
+
+        v0 = self._current_version()
+        files_before = _count_files(v0)
+        raw = self._read_raw()
+        dropped = 0
+        df = raw
+        if now is not None:
+            now_ts = _ts(now)
+            total = raw.count()
+            df = raw.filter(
+                F.col("expires_at").isNull()
+                | (F.col("expires_at") > F.lit(now_ts)))
+            dropped = total - df.count()
+        # one shuffle keyed on the bucket → each bucket lands in ONE
+        # task → one file per bucket dir after partitionBy
+        out = (df.drop("_bucket").withColumn("_bucket", self._bucket_of())
+               .repartition(self.n_buckets, F.col("_bucket")))
+        v = self._current_version() + 1
+        target = os.path.join(self.path, f"v{v}")
+        out.write.partitionBy("_bucket").mode("overwrite").parquet(target)
+        self._commit(v)
+        return {"files_before": files_before,
+                "files_after": _count_files(v),
+                "rows_dropped": int(dropped)}
+
     # -- ST1 probe ---------------------------------------------------------
     def _probe_best(self, new: DataFrame, live: DataFrame) -> DataFrame:
         """Nearest live memory per new row: (new_id, nearest_id,

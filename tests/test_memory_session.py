@@ -422,3 +422,47 @@ class TestBucketedCommits:
         assert results["lsh"] == results["exact"]
         dups, confs, _ = results["exact"]
         assert len(dups) == 15 and len(confs) == 15
+
+
+class TestCompact:
+    def test_compact_coalesces_files_and_preserves_rows(self, spark, tmp_path):
+        st = MemoryStore(spark, str(tmp_path / "mem"))
+        # several partial commits -> multiple files per touched bucket
+        for i in range(4):
+            vec = [float(i == j) for j in range(4)]
+            st.store_batch(_mk(spark, [(f"m{i}", f"text {i}", vec)]),
+                           TS + i)
+        before = sorted(map(tuple, st.read().collect()))
+        stats = st.compact()
+        assert stats["files_after"] <= stats["files_before"]
+        assert stats["files_after"] <= st.n_buckets
+        assert stats["rows_dropped"] == 0
+        assert sorted(map(tuple, st.read().collect())) == before
+
+    def test_compact_vacuums_lapsed_ttl_only_with_now(self, spark, tmp_path):
+        st = MemoryStore(spark, str(tmp_path / "mem"))
+        batch = spark.createDataFrame(
+            [("a", "alpha", E1, TS + 60.0), ("b", "beta", E2, None)],
+            "id string, text string, embedding array<float>, "
+            "expires_at double")
+        st.store_batch(batch, NOW)
+        # without now: TTL'd row is retained physically
+        st.compact()
+        assert st.read().count() == 2
+        # with a later now: the lapsed-TTL row is physically dropped
+        stats = st.compact(now=TS + 3600)
+        assert stats["rows_dropped"] == 1
+        ids = {r.id for r in st.read().collect()}
+        assert ids == {"b"}
+
+    def test_compact_keeps_expired_tombstones(self, spark, tmp_path):
+        st = MemoryStore(spark, str(tmp_path / "mem"))
+        st.store_batch(_mk(spark, [("a", "alpha", E1), ("b", "beta", E2)]),
+                       NOW)
+        st.expire(["a"], NOW)  # tombstone: expired flag, no expires_at
+        st.compact(now=TS + 3600)
+        # the tombstone row survives vacuum (only lapsed TTLs drop);
+        # it stays invisible to live reads but auditable in the table
+        table = {r.id: r for r in st.read().collect()}
+        assert set(table) == {"a", "b"}
+        assert table["a"].expired is True
