@@ -4539,6 +4539,61 @@ WHERE rnk <= 5
 """
 
 
+_BM25_BATCH = [("q0", "vector hash"), ("q1", "join window merge"),
+               ("q2", "customer order line")]
+
+
+def q_bm25_batch(spark, sf_dir):
+    """Batch BM25: many queries scored in ONE plan — the postings
+    build runs once for the batch; per-query top-k via a map-side-
+    pruned rank window (same batch shape as ann_ivf_batch)."""
+    from distill_spark.operators.search import bm25_topk_batch
+
+    t = _tables(spark, sf_dir)
+    qdf = spark.createDataFrame(_BM25_BATCH, ["query_id", "query"])
+    return bm25_topk_batch(t["documents"], qdf, k=10).select(
+        "query_id", "doc_id", "score", F.col("rank").cast("int").alias("rank"))
+
+
+def _sql_bm25_batch() -> str:
+    qvals = ", ".join(f"('{qid}', '{q}')" for qid, q in _BM25_BATCH)
+    return f"""
+WITH postings AS (
+  SELECT doc_id, w AS term, len({_WORDS_SQL.format(c='text')}) AS dl,
+         count(*) AS tf
+  FROM (SELECT doc_id, text, unnest({_WORDS_SQL.format(c='text')}) AS w
+        FROM documents)
+  GROUP BY 1, 2, 3
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl
+  FROM (SELECT DISTINCT doc_id, dl FROM postings)
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY 1
+), qs(query_id, query) AS (VALUES {qvals}),
+qterms AS (
+  SELECT DISTINCT query_id, unnest(string_split(query, ' ')) AS term
+  FROM qs
+), qside AS (
+  SELECT q.query_id, q.term,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS idf,
+         s.avgdl
+  FROM qterms q JOIN dfreq d USING (term) CROSS JOIN stats s
+), scored AS (
+  SELECT q.query_id, p.doc_id,
+         round(sum(q.idf * (p.tf * 2.2)
+                   / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / q.avgdl))),
+               6) AS score
+  FROM postings p JOIN qside q USING (term)
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 10
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 # Ordering matters: the driver evaluates the FIRST 50 entries in dict
@@ -4560,7 +4615,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # seeded-MLlib assignment has no SQL oracle by design; the oracled
     # contract query below gates its medoid/prune output instead)
     "a2_kmeans_contract": (q_a2_kmeans_contract, SQL_A2C),
-    "c4_compress_pipeline": (q_c4_compress_pipeline, _sql_c4()),
     "c5_hierarchy": (q_c5_hierarchy, SQL_C5),
     "c8_decay_transforms": (q_c8_decay_transforms, _sql_c8()),
     # -- round-5 additions (never driver-gated -> lead the window) ---------
@@ -4574,6 +4628,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "events_pivot": (q_events_pivot, SQL_PIVOT),
     "quality_normalize": (q_quality_normalize, SQL_QNORM),
     "domain_terms": (q_domain_terms, SQL_DOMTERMS),
+    "bm25_batch": (q_bm25_batch, _sql_bm25_batch()),
     "a12_dedup_stats": (q_a12_dedup_stats, SQL_A12),
     "s1_jsonl_roundtrip": (q_s1_jsonl_roundtrip, SQL_S1),
     "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
@@ -4681,6 +4736,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "p6_metadata_filter": (q_p6_metadata_filter, SQL_P6),
     "f13_embed_cache": (q_f13_embed_cache, SQL_F13),
     "st3_decay_levels": (q_st3_decay_levels, SQL_ST3),
+    "c4_compress_pipeline": (q_c4_compress_pipeline, _sql_c4()),
 }
 
 

@@ -110,6 +110,56 @@ def bm25_topk(docs: DataFrame, query: str, k: int = 20,
     return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+def bm25_topk_batch(docs: DataFrame, queries_df: DataFrame, k: int = 20,
+                    k1: float = 1.2, b: float = 0.75,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    round_to: int | None = 6) -> DataFrame:
+    """Score MANY queries in one plan: ``queries_df(query_id, query)``
+    → (query_id, id_col, score, rank ≤ k). The postings build runs
+    ONCE for the whole batch (vs once per query in a loop); the
+    (query_id, term) probe rows broadcast exactly like the single-
+    query path, and the per-query top-k is a rank window that prunes
+    map-side (WindowGroupLimit) — the same batch shape as
+    ``ann_ivf_batch``."""
+    qterms = (
+        queries_df.select(
+            "query_id",
+            F.explode(F.array_distinct(words_expr(F.col("query"))))
+            .alias("term"))
+    )
+    postings = doc_terms(docs, id_col, text_col)
+    dfreq, stats = bm25_stats(postings, id_col)
+    qside = (
+        qterms.join(dfreq, "term", "inner")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id", "term", "avgdl",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
+    )
+    tfn = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf")
+        + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        postings.join(F.broadcast(qside), "term", "inner")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("idf") * tfn).alias("score"))
+    )
+    if round_to is not None:
+        scored = scored.select(
+            "query_id", id_col,
+            F.round("score", round_to).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def build_bm25_index(docs: DataFrame, path: str,
                      id_col: str = "doc_id",
                      text_col: str = "text") -> None:

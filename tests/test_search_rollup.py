@@ -150,3 +150,53 @@ def test_persisted_index_equals_inline_bm25(spark, corpus, tmp_path):
     plan = plan.split("== Initial Plan ==")[0]
     assert "PartitionFilters: [" in plan
     assert "term_bucket" in plan.split("PartitionFilters:")[1][:200]
+
+
+def test_batch_bm25_equals_per_query_loop(spark, corpus):
+    """One-plan batch scoring must return exactly what per-query calls
+    return, for every query in the batch."""
+    from distill_spark.operators.search import bm25_topk_batch
+
+    queries = [("q0", "apple"), ("q1", "banana durian"),
+               ("q2", "grape apple cherry")]
+    qdf = spark.createDataFrame(queries, ["query_id", "query"])
+    got = bm25_topk_batch(corpus, qdf, k=10)
+    for qid, qtext in queries:
+        batch_rows = sorted(
+            (r.doc_id, r.score)
+            for r in got.filter(F.col("query_id") == qid).collect())
+        solo_rows = sorted(
+            (r.doc_id, r.score)
+            for r in bm25_topk(corpus, qtext, k=10).collect())
+        assert batch_rows == solo_rows, qid
+
+
+def test_rollup_partials_merge_invariant_under_splits(spark):
+    """Property: however the events are split into sub-batches, the
+    compacted partials equal the single-pass rollup (the incremental
+    maintenance contract)."""
+    import datetime as dt
+
+    from distill_spark.operators.rollup import (
+        merge_rollup_partials,
+        rollup_events,
+        rollup_partials,
+    )
+
+    base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    rows = [(i, base + dt.timedelta(seconds=37 * i), ["a", "b"][i % 2],
+             (i * 0.731) % 13) for i in range(120)]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "event_type",
+                                      "value"])
+    want = sorted(map(tuple, rollup_events(ev, [60, 600]).collect()))
+    for n_splits in (2, 3, 7):
+        parts = [
+            rollup_partials(ev.filter(F.col("event_id") % n_splits == s),
+                            [60, 600])
+            for s in range(n_splits)
+        ]
+        allp = parts[0]
+        for p in parts[1:]:
+            allp = allp.unionByName(p)
+        got = sorted(map(tuple, merge_rollup_partials(allp).collect()))
+        assert got == want, n_splits
