@@ -4594,6 +4594,59 @@ WHERE rank <= 10
 """
 
 
+_FUNNEL_STEPS = ["signup", "click", "purchase"]
+
+
+def q_conversion_funnel(spark, sf_dir):
+    """Ordered conversion funnel signup→click→purchase (first-touch
+    matching; SURVEY §2.12) — per-step reach + conversion ratios."""
+    from distill_spark.operators.conversion import conversion_funnel
+
+    t = _tables(spark, sf_dir)
+    return conversion_funnel(t["events"], _FUNNEL_STEPS).select(
+        F.col("step_idx").cast("int"), "step",
+        F.col("users").cast("long"), "conversion_from_prev",
+        "conversion_from_first")
+
+
+SQL_CONVFUNNEL = """
+WITH ev AS (
+  SELECT user_id, event_type, ts FROM events
+  WHERE event_type IN ('signup', 'click', 'purchase')
+), m1 AS (
+  SELECT user_id, min(ts) AS t1 FROM ev
+  WHERE event_type = 'signup' GROUP BY 1
+), m2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN m1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > m1.t1 GROUP BY 1
+), m3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN m2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > m2.t2 GROUP BY 1
+), c AS (
+  SELECT (SELECT count(*) FROM m1) AS c1,
+         (SELECT count(*) FROM m2) AS c2,
+         (SELECT count(*) FROM m3) AS c3
+)
+SELECT CAST(1 AS INT) AS step_idx, 'signup' AS step,
+       CAST(c1 AS BIGINT) AS users,
+       round(CASE WHEN c1 > 0 THEN c1 * 1.0 / c1 ELSE 0.0 END, 6)
+         AS conversion_from_prev,
+       round(CASE WHEN c1 > 0 THEN c1 * 1.0 / c1 ELSE 0.0 END, 6)
+         AS conversion_from_first
+FROM c
+UNION ALL
+SELECT CAST(2 AS INT), 'click', CAST(c2 AS BIGINT),
+       round(CASE WHEN c1 > 0 THEN c2 * 1.0 / c1 ELSE 0.0 END, 6),
+       round(CASE WHEN c1 > 0 THEN c2 * 1.0 / c1 ELSE 0.0 END, 6)
+FROM c
+UNION ALL
+SELECT CAST(3 AS INT), 'purchase', CAST(c3 AS BIGINT),
+       round(CASE WHEN c2 > 0 THEN c3 * 1.0 / c2 ELSE 0.0 END, 6),
+       round(CASE WHEN c1 > 0 THEN c3 * 1.0 / c1 ELSE 0.0 END, 6)
+FROM c
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 # Ordering matters: the driver evaluates the FIRST 50 entries in dict
@@ -4615,7 +4668,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # seeded-MLlib assignment has no SQL oracle by design; the oracled
     # contract query below gates its medoid/prune output instead)
     "a2_kmeans_contract": (q_a2_kmeans_contract, SQL_A2C),
-    "c5_hierarchy": (q_c5_hierarchy, SQL_C5),
     "c8_decay_transforms": (q_c8_decay_transforms, _sql_c8()),
     # -- round-5 additions (never driver-gated -> lead the window) ---------
     "bm25_topk": (q_bm25_topk, SQL_BM25),
@@ -4629,6 +4681,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "quality_normalize": (q_quality_normalize, SQL_QNORM),
     "domain_terms": (q_domain_terms, SQL_DOMTERMS),
     "bm25_batch": (q_bm25_batch, _sql_bm25_batch()),
+    "conversion_funnel": (q_conversion_funnel, SQL_CONVFUNNEL),
     "a12_dedup_stats": (q_a12_dedup_stats, SQL_A12),
     "s1_jsonl_roundtrip": (q_s1_jsonl_roundtrip, SQL_S1),
     "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
@@ -4737,6 +4790,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "f13_embed_cache": (q_f13_embed_cache, SQL_F13),
     "st3_decay_levels": (q_st3_decay_levels, SQL_ST3),
     "c4_compress_pipeline": (q_c4_compress_pipeline, _sql_c4()),
+    "c5_hierarchy": (q_c5_hierarchy, SQL_C5),
 }
 
 

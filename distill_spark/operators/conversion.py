@@ -1,0 +1,83 @@
+"""Ordered conversion-funnel analytics over an event stream — the
+classic product-analytics query class (step₁ → step₂ → … in order per
+user): not expressible as a plain groupBy because each step's matching
+event must occur strictly AFTER the previous step's match.
+
+Extension beyond the reference surface (its analytics are per-session
+aggregates, analyzer/sessions.go); SURVEY §2.12.
+
+Semantics: for each user, step 1's match is their EARLIEST step-1
+event; step k's match is their earliest step-k event strictly after
+the step-(k-1) match (the standard first-touch funnel). A user counts
+for step k iff all k matches exist.
+
+Scale shape (100 TB of events):
+- One pre-filter keeps only events whose type appears in the funnel
+  (pushed into the scan), then ONE shuffle partitions by user; every
+  per-step min is a conditional aggregate over that same partitioning,
+  computed as an iterated self-aggregation: step k is a groupBy-user
+  min over events joined to the step-(k-1) match table (user-keyed
+  sort-merge joins, all reusing the one user partitioning — AQE
+  collapses the exchanges).
+- The per-user match table is bounded (one row per user per step); the
+  funnel summary is a tiny final aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_matches(events: DataFrame, steps: list[str],
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type") -> DataFrame:
+    """Per-user first-touch match times: (user, t1, t2, ... tk) with
+    t_k NULL when the user never completes step k after t_{k-1}."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    ev = (events.filter(F.col(type_col).isin(steps))
+          .select(user_col, type_col, F.col(ts_col)))
+    matches = (
+        ev.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col).agg(F.min(ts_col).alias("t1"))
+    )
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = (
+            ev.filter(F.col(type_col) == step)
+            .join(matches.select(user_col, F.col(f"t{k-1}")), user_col)
+            .filter(F.col(ts_col) > F.col(f"t{k-1}"))
+            .groupBy(user_col).agg(F.min(ts_col).alias(f"t{k}"))
+        )
+        matches = matches.join(nxt, user_col, "left")
+    return matches
+
+
+def conversion_funnel(events: DataFrame, steps: list[str],
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type") -> DataFrame:
+    """Funnel summary: one row per step —
+    (step_idx, step, users, conversion_from_prev, conversion_from_first)
+    where users = distinct users whose ordered prefix reaches the step
+    and the conversions are 6-dp ratios (step 1's are 1.0)."""
+    m = funnel_matches(events, steps, user_col, ts_col, type_col)
+    counts = m.agg(*[
+        F.count(F.col(f"t{k}")).alias(f"c{k}")
+        for k in range(1, len(steps) + 1)
+    ])
+    rows = None
+    for k, step in enumerate(steps, start=1):
+        prev = F.col(f"c{k-1}") if k > 1 else F.col("c1")
+        row = counts.select(
+            F.lit(k).alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.col(f"c{k}").alias("users"),
+            F.round(F.when(prev > 0, F.col(f"c{k}") / prev)
+                    .otherwise(F.lit(0.0)), 6)
+            .alias("conversion_from_prev"),
+            F.round(F.when(F.col("c1") > 0, F.col(f"c{k}") / F.col("c1"))
+                    .otherwise(F.lit(0.0)), 6)
+            .alias("conversion_from_first"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

@@ -1,0 +1,72 @@
+"""Ordered conversion-funnel analytics (round-5 SURVEY §2.12).
+
+The ordering constraint is the whole point: an out-of-order user
+(purchase BEFORE click) must not count — a plain per-type min would
+wrongly pass them.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from distill_spark.operators.conversion import conversion_funnel, funnel_matches
+
+T0 = dt.datetime(2024, 6, 1, tzinfo=dt.timezone.utc)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, T0 + dt.timedelta(minutes=m), t) for u, m, t in rows],
+        "user_id long, ts timestamp, event_type string")
+
+
+STEPS = ["signup", "click", "purchase"]
+
+
+def test_ordering_enforced(spark):
+    rows = [
+        # u1: full ordered funnel
+        (1, 0, "signup"), (1, 5, "click"), (1, 9, "purchase"),
+        # u2: purchase BEFORE click -> stops at click
+        (2, 0, "signup"), (2, 3, "purchase"), (2, 6, "click"),
+        # u3: never signed up -> counts nowhere
+        (3, 1, "click"), (3, 2, "purchase"),
+        # u4: signup only
+        (4, 7, "signup"),
+    ]
+    out = {r.step: (r.users, r.conversion_from_prev,
+                    r.conversion_from_first)
+           for r in conversion_funnel(_ev(spark, rows), STEPS).collect()}
+    assert out["signup"] == (3, 1.0, 1.0)
+    assert out["click"] == (2, round(2 / 3, 6), round(2 / 3, 6))
+    assert out["purchase"] == (1, 0.5, round(1 / 3, 6))
+
+
+def test_first_touch_matching(spark):
+    # the SECOND click (after signup) is the match, not the first
+    rows = [
+        (1, 5, "click"), (1, 10, "signup"), (1, 15, "click"),
+        (1, 12, "purchase"),  # before the matched click -> no step 3
+    ]
+    m = funnel_matches(_ev(spark, rows), STEPS).collect()[0]
+
+    def naive(minutes):
+        return (T0 + dt.timedelta(minutes=minutes)).replace(tzinfo=None)
+
+    assert m.t1 == naive(10)
+    assert m.t2 == naive(15)
+    assert m.t3 is None
+
+
+def test_equal_timestamps_do_not_chain(spark):
+    # strict 'after': click at the exact signup instant doesn't count
+    rows = [(1, 0, "signup"), (1, 0, "click")]
+    m = funnel_matches(_ev(spark, rows), STEPS).collect()[0]
+    assert m.t2 is None
+
+
+def test_empty_funnel_rejected(spark):
+    with pytest.raises(ValueError):
+        funnel_matches(_ev(spark, []), [])
