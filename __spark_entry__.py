@@ -4647,6 +4647,42 @@ FROM c
 """
 
 
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention over events (SURVEY §2.12): users
+    bucketed by first-activity week; per (cohort, offset) the active
+    share of the cohort."""
+    from distill_spark.operators.conversion import retention_cohorts
+
+    t = _tables(spark, sf_dir)
+    return retention_cohorts(t["events"]).select(
+        "cohort_start", F.col("offset").cast("int"),
+        F.col("active_users").cast("long"), "retention")
+
+
+SQL_RETENTION = """
+WITH acts AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 604800) * 604800 AS BIGINT) AS bucket
+  FROM events
+), first AS (
+  SELECT user_id, min(bucket) AS cohort_start FROM acts GROUP BY 1
+), sizes AS (
+  SELECT cohort_start, count(*) AS cohort_users FROM first GROUP BY 1
+), joined AS (
+  SELECT DISTINCT a.user_id, a.bucket, f.cohort_start,
+         CAST((a.bucket - f.cohort_start) / 604800 AS INT) AS offset
+  FROM acts a JOIN first f USING (user_id)
+)
+SELECT j.cohort_start, j.offset,
+       CAST(count(DISTINCT j.user_id) AS BIGINT) AS active_users,
+       round(count(DISTINCT j.user_id) * 1.0 / s.cohort_users, 6)
+         AS retention
+FROM joined j JOIN sizes s USING (cohort_start)
+WHERE j.offset <= 8
+GROUP BY j.cohort_start, j.offset, s.cohort_users
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 # Ordering matters: the driver evaluates the FIRST 50 entries in dict
@@ -4668,7 +4704,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # seeded-MLlib assignment has no SQL oracle by design; the oracled
     # contract query below gates its medoid/prune output instead)
     "a2_kmeans_contract": (q_a2_kmeans_contract, SQL_A2C),
-    "c8_decay_transforms": (q_c8_decay_transforms, _sql_c8()),
     # -- round-5 additions (never driver-gated -> lead the window) ---------
     "bm25_topk": (q_bm25_topk, SQL_BM25),
     "hybrid_rrf": (q_hybrid_rrf, SQL_RRF),
@@ -4682,6 +4717,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "domain_terms": (q_domain_terms, SQL_DOMTERMS),
     "bm25_batch": (q_bm25_batch, _sql_bm25_batch()),
     "conversion_funnel": (q_conversion_funnel, SQL_CONVFUNNEL),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION),
     "a12_dedup_stats": (q_a12_dedup_stats, SQL_A12),
     "s1_jsonl_roundtrip": (q_s1_jsonl_roundtrip, SQL_S1),
     "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
@@ -4791,6 +4827,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st3_decay_levels": (q_st3_decay_levels, SQL_ST3),
     "c4_compress_pipeline": (q_c4_compress_pipeline, _sql_c4()),
     "c5_hierarchy": (q_c5_hierarchy, SQL_C5),
+    "c8_decay_transforms": (q_c8_decay_transforms, _sql_c8()),
 }
 
 

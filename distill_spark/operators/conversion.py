@@ -53,6 +53,49 @@ def funnel_matches(events: DataFrame, steps: list[str],
     return matches
 
 
+def retention_cohorts(events: DataFrame, bucket_s: int = 604_800,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      max_offset: int | None = 8) -> DataFrame:
+    """Cohort retention: users grouped by their FIRST-ever activity
+    bucket (default weekly), each later bucket reporting how many of
+    that cohort were active — (cohort_start: epoch s, offset: buckets
+    since cohort start, active_users, retention 6dp of cohort size).
+
+    Scale shape: one user-keyed aggregate for the cohort table (it is
+    user-count-sized, so it re-joins the events map-side when it fits
+    a broadcast — here left to AQE since user tables are often too big
+    to force), then one (cohort, offset) aggregate over user-distinct
+    activity; no windows over the event stream.
+    """
+    epoch = F.unix_timestamp(F.col(ts_col))
+    buck = (F.floor(epoch / bucket_s) * bucket_s).cast("long")
+    acts = events.select(user_col, buck.alias("bucket"))
+    first = acts.groupBy(user_col).agg(
+        F.min("bucket").alias("cohort_start"))
+    cohort_sizes = first.groupBy("cohort_start").agg(
+        F.count("*").alias("cohort_users"))
+    joined = (
+        acts.distinct()
+        .join(first, user_col)
+        .withColumn(
+            "offset",
+            ((F.col("bucket") - F.col("cohort_start")) / bucket_s)
+            .cast("int"))
+    )
+    if max_offset is not None:
+        joined = joined.filter(F.col("offset") <= max_offset)
+    return (
+        joined.groupBy("cohort_start", "offset")
+        .agg(F.countDistinct(user_col).alias("active_users"))
+        .join(F.broadcast(cohort_sizes), "cohort_start")
+        .select(
+            "cohort_start", "offset", "active_users",
+            F.round(F.col("active_users") / F.col("cohort_users"), 6)
+            .alias("retention"),
+        )
+    )
+
+
 def conversion_funnel(events: DataFrame, steps: list[str],
                       user_col: str = "user_id", ts_col: str = "ts",
                       type_col: str = "event_type") -> DataFrame:

@@ -70,3 +70,35 @@ def test_equal_timestamps_do_not_chain(spark):
 def test_empty_funnel_rejected(spark):
     with pytest.raises(ValueError):
         funnel_matches(_ev(spark, []), [])
+
+
+class TestRetention:
+    def test_cohort_golden(self, spark):
+        from distill_spark.operators.conversion import retention_cohorts
+
+        week = 604_800
+        base = dt.datetime(2024, 1, 4, tzinfo=dt.timezone.utc)  # week W0
+        rows = []
+        # u1, u2 first active W0; u1 returns W1 and W2, u2 never
+        for u, weeks in [(1, [0, 1, 2]), (2, [0]), (3, [1, 2])]:
+            for w in weeks:
+                rows.append((u, base + dt.timedelta(seconds=week * w)))
+        ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        out = {(r.cohort_start, r.offset): (r.active_users, r.retention)
+               for r in retention_cohorts(ev, bucket_s=week).collect()}
+        w0 = int(base.timestamp()) // week * week
+        assert out[(w0, 0)] == (2, 1.0)
+        assert out[(w0, 1)] == (1, 0.5)
+        assert out[(w0, 2)] == (1, 0.5)
+        assert out[(w0 + week, 0)] == (1, 1.0)   # u3's own cohort
+        assert out[(w0 + week, 1)] == (1, 1.0)
+
+    def test_max_offset_truncates(self, spark):
+        from distill_spark.operators.conversion import retention_cohorts
+
+        base = dt.datetime(2024, 1, 4, tzinfo=dt.timezone.utc)
+        rows = [(1, base), (1, base + dt.timedelta(weeks=20))]
+        ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        offs = {r.offset for r in
+                retention_cohorts(ev, max_offset=8).collect()}
+        assert offs == {0}
