@@ -4683,6 +4683,34 @@ GROUP BY j.cohort_start, j.offset, s.cohort_users
 """
 
 
+def q_event_transitions(spark, sf_dir):
+    """Markov path analytics (SURVEY §2.12): top-20 consecutive
+    event-type bigrams across user timelines, with share of all
+    transitions."""
+    from distill_spark.operators.conversion import event_transitions
+
+    t = _tables(spark, sf_dir)
+    return event_transitions(t["events"]).select(
+        "from_type", "to_type", F.col("n").cast("long"), "share")
+
+
+SQL_TRANSITIONS = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS from_type,
+         event_type AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, count(*) AS n FROM pairs
+  WHERE from_type IS NOT NULL GROUP BY 1, 2
+), total AS (SELECT sum(n) AS t FROM counts)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       round(n * 1.0 / (SELECT t FROM total), 6) AS share
+FROM counts
+ORDER BY n DESC, from_type ASC, to_type ASC LIMIT 20
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 # Ordering matters: the driver evaluates the FIRST 50 entries in dict
@@ -4718,9 +4746,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "bm25_batch": (q_bm25_batch, _sql_bm25_batch()),
     "conversion_funnel": (q_conversion_funnel, SQL_CONVFUNNEL),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION),
+    "event_transitions": (q_event_transitions, SQL_TRANSITIONS),
     "a12_dedup_stats": (q_a12_dedup_stats, SQL_A12),
     "s1_jsonl_roundtrip": (q_s1_jsonl_roundtrip, SQL_S1),
-    "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "ann_ivf_batch": (q_ann_ivf_batch, SQL_ANN_IVF),
     "source_overlap": (q_source_overlap, SQL_SRC_OVERLAP),
@@ -4828,6 +4856,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "c4_compress_pipeline": (q_c4_compress_pipeline, _sql_c4()),
     "c5_hierarchy": (q_c5_hierarchy, SQL_C5),
     "c8_decay_transforms": (q_c8_decay_transforms, _sql_c8()),
+    "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
 }
 
 

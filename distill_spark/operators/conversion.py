@@ -25,7 +25,7 @@ Scale shape (100 TB of events):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -94,6 +94,39 @@ def retention_cohorts(events: DataFrame, bucket_s: int = 604_800,
             .alias("retention"),
         )
     )
+
+
+def event_transitions(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      tiebreak_col: str = "event_id",
+                      top: int | None = 20) -> DataFrame:
+    """Markov-style path analytics: count consecutive event-type
+    bigrams per user timeline — (from_type, to_type, n, share 6dp of
+    all transitions), ordered n desc / from asc / to asc.
+
+    Scale shape: ONE shuffle partitions by user; the lag window runs
+    within each user's partition (bounded by per-user history, never a
+    global sort); the bigram count is a tiny follow-up aggregate and
+    the total for `share` is a scalar broadcast, not a second pass.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+    pairs = (
+        events.select(user_col, ts_col, tiebreak_col, type_col)
+        .withColumn("_prev", F.lag(type_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("_prev").alias("from_type"),
+        F.col(type_col).alias("to_type")).agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("_total"))
+    out = (
+        counts.crossJoin(F.broadcast(total))
+        .select("from_type", "to_type", "n",
+                F.round(F.col("n") / F.col("_total"), 6).alias("share"))
+        .orderBy(F.desc("n"), F.asc("from_type"), F.asc("to_type"))
+    )
+    return out.limit(top) if top else out
 
 
 def conversion_funnel(events: DataFrame, steps: list[str],

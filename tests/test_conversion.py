@@ -102,3 +102,34 @@ class TestRetention:
         offs = {r.offset for r in
                 retention_cohorts(ev, max_offset=8).collect()}
         assert offs == {0}
+
+
+class TestTransitions:
+    def test_bigram_golden(self, spark):
+        from distill_spark.operators.conversion import event_transitions
+
+        rows = [
+            # u1: a -> b -> a ; u2: a -> b  (per-user timelines)
+            (1, 0, "a"), (1, 1, "b"), (1, 2, "a"),
+            (2, 0, "a"), (2, 1, "b"),
+        ]
+        ev = spark.createDataFrame(
+            [(u, m, T0 + dt.timedelta(minutes=m), t) for u, m, t in rows],
+            "user_id long, event_id long, ts timestamp, event_type string")
+        out = {(r.from_type, r.to_type): (r.n, r.share)
+               for r in event_transitions(ev).collect()}
+        assert out[("a", "b")] == (2, round(2 / 3, 6))
+        assert out[("b", "a")] == (1, round(1 / 3, 6))
+        # cross-user boundary (u1 end -> u2 start) must NOT count
+        assert len(out) == 2
+
+    def test_tiebreak_on_equal_ts(self, spark):
+        from distill_spark.operators.conversion import event_transitions
+
+        # same timestamp: event_id orders the pair deterministically
+        ev = spark.createDataFrame(
+            [(1, 1, T0, "x"), (1, 2, T0, "y")],
+            "user_id long, event_id long, ts timestamp, event_type string")
+        out = [(r.from_type, r.to_type) for r in
+               event_transitions(ev).collect()]
+        assert out == [("x", "y")]

@@ -200,3 +200,38 @@ def test_rollup_partials_merge_invariant_under_splits(spark):
             allp = allp.unionByName(p)
         got = sorted(map(tuple, merge_rollup_partials(allp).collect()))
         assert got == want, n_splits
+
+
+def test_line_dedup_matches_python_reference_on_random_corpus(spark):
+    """Seeded random multi-line corpus vs an independent pure-Python
+    reimplementation — guards the posexplode/array_sort/concat_ws
+    string plumbing against edge regressions (empty lines, all-dropped
+    docs, within-doc repeats)."""
+    import random
+
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "delta", "", "x y z", "dup line"]
+    docs = []
+    for i in range(60):
+        n = rng.randint(0, 6)
+        docs.append((i, "\n".join(rng.choice(vocab) for _ in range(n))
+                     if n else ""))
+
+    # python reference: drop lines (len >= 1) present in >1 distinct doc
+    from collections import defaultdict
+    line_docs = defaultdict(set)
+    for i, text in docs:
+        for ln in text.split("\n"):
+            line_docs[ln].add(i)
+    drop = {ln for ln, ds in line_docs.items()
+            if len(ds) > 1 and len(ln) >= 1}
+    want = {}
+    for i, text in docs:
+        lines = text.split("\n")
+        kept = [ln for ln in lines if ln not in drop]
+        want[i] = ("\n".join(kept), len(kept), len(lines) - len(kept))
+
+    got = {r.doc_id: (r.text, r.n_lines_kept, r.n_lines_dropped)
+           for r in dedupe_lines(
+               spark.createDataFrame(docs, ["doc_id", "text"])).collect()}
+    assert got == want
