@@ -171,6 +171,28 @@ class IVFIndex:
     def unpersist(self) -> None:
         self.assigned.unpersist()
 
+    def save(self, path: str) -> None:
+        """Persist the index: cell assignments partitioned BY CELL so
+        a probe-limited search scans only the probed cells' files
+        (partition pruning — same trick as the BM25 term buckets), and
+        the tiny centers table beside them. The KMeans model itself is
+        NOT needed for search, so load() never refits."""
+        (self.assigned.write.mode("overwrite")
+         .partitionBy("_cell").parquet(f"{path}/assigned"))
+        self.centers_df.write.mode("overwrite").parquet(f"{path}/centers")
+
+    @classmethod
+    def load(cls, spark, path: str, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> "IVFIndex":
+        """Reconstruct a search-ready index from :meth:`save` output —
+        no KMeans refit, no corpus scan."""
+        ix = cls.__new__(cls)
+        ix.id_col, ix.vec_col = id_col, vec_col
+        ix.model = None
+        ix.assigned = spark.read.parquet(f"{path}/assigned")
+        ix.centers_df = spark.read.parquet(f"{path}/centers")
+        return ix
+
 
 def ivf_topk(df: DataFrame, query: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",

@@ -86,3 +86,27 @@ def test_ivf_batch_search_per_query_topk(corpus):
             assert best["vec_id"] == qid
     finally:
         ix.unpersist()
+
+
+def test_ivf_index_save_load_identical_results(spark, tmp_path):
+    """A loaded index must return exactly what the in-memory index
+    returns (no refit — assignments and centers round-trip), and the
+    probe scan must prune to the probed cells' partitions."""
+    from distill_spark.operators.similarity import IVFIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    ix = IVFIndex(emb, n_cells=8)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    want = sorted(map(tuple, ix.search(q, k=5, n_probe=2,
+                                       qid_col="qid").collect()))
+
+    path = str(tmp_path / "ivf_idx")
+    ix.save(path)
+    ix.unpersist()
+    loaded = IVFIndex.load(spark, path)
+    got = sorted(map(tuple, loaded.search(q, k=5, n_probe=2,
+                                          qid_col="qid").collect()))
+    assert got == want
