@@ -46,6 +46,13 @@ class CurationConfig:
     id_col: str = "doc_id"
     text_col: str = "text"
     extra_gates: list = field(default_factory=list)  # [(name, Column)]
+    # round-5 stages, both opt-in:
+    # repair documents by dropping lines shared by more than this many
+    # docs BEFORE any gate (None = off)
+    line_dedup_max_docs: int | None = None
+    # keep only docs whose zlib/raw ratio falls in (lo, hi) — rejects
+    # templated boilerplate (low tail) and binary junk (high tail)
+    compress_band: tuple | None = None
 
 
 @dataclass
@@ -66,6 +73,17 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
     idc, txt = c.id_col, c.text_col
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
 
+    # 0. optional line-level boilerplate repair (CCNet): fixes docs
+    # instead of dropping them, so it runs BEFORE any gate
+    if c.line_dedup_max_docs is not None:
+        from distill_spark.operators.linededup import dedupe_lines
+
+        repaired = dedupe_lines(
+            docs.select(idc, txt), id_col=idc, text_col=txt,
+            max_docs=c.line_dedup_max_docs).select(idc, txt)
+        docs = docs.drop(txt).join(repaired, idc)
+        stages.append(("line_repair", docs))
+
     # 1. quality funnel (scan-level CASE; first-fail attribution
     # available via filter_funnel directly when reasons are wanted)
     words = F.size(F.filter(F.split(F.coalesce(F.col(txt), F.lit("")),
@@ -79,6 +97,18 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
                 .filter(F.col("kept")).select(idc))
     cur = docs.join(kept_ids, idc, "left_semi")
     stages.append(("quality_funnel", cur))
+
+    # 1b. optional compressibility band (zlib pandas UDF — the one
+    # Python stage, so it runs on the already-funnel-reduced set)
+    if c.compress_band is not None:
+        from distill_spark.operators.filters import compression_signals
+
+        lo, hi = c.compress_band
+        ok = (compression_signals(cur, id_col=idc, text_col=txt)
+              .filter(F.col("compress_ratio").between(lo, hi))
+              .select(idc))
+        cur = cur.join(ok, idc, "left_semi")
+        stages.append(("compress_band", cur))
 
     # 2. exact dedup — canonical (min-id) survives
     cur = (exact_dedup(cur, id_col=idc, text_col=txt)

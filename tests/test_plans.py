@@ -373,3 +373,35 @@ def test_quality_normalize_moments_broadcast(spark, queries):
     p = _plan(spark, queries["quality_normalize"](spark, SF_DIR))
     assert p.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in p
+
+
+class TestCurationRound5Stages:
+    def test_line_repair_and_compress_band_stages(self, spark):
+        from distill_spark.plans.training_data import (CurationConfig,
+                                                       curate)
+
+        boiler = "SHARED FOOTER LINE"
+        rows = [
+            (0, f"real alpha words here one two three\n{boiler}", "s0"),
+            (1, f"real beta words here four five six\n{boiler}", "s0"),
+            (2, "spam spam spam spam spam " * 50, "s1"),   # low ratio
+            (3, "unique gamma words here seven eight nine", "s1"),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+        res = curate(docs, config=CurationConfig(
+            min_words=3, line_dedup_max_docs=1,
+            # upper bound >1: zlib's fixed header overhead pushes tiny
+            # documents above ratio 1.0 — the low tail is the target here
+            compress_band=(0.2, 2.0), holdout_fraction=0.25))
+        rep = {r.stage: r.rows_out for r in res.report.collect()}
+        assert rep["line_repair"] == 4
+        assert rep["compress_band"] == 3            # doc 2 rejected
+        # boilerplate physically removed before any gate
+        texts = {r.doc_id: r.text for r in res.train.collect()}
+        texts.update({r.doc_id: r.text
+                      for r in res.holdout.collect()})
+        for i in (0, 1):
+            if i in texts:
+                assert boiler not in texts[i]
+        assert 2 not in texts
