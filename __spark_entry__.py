@@ -4711,6 +4711,46 @@ ORDER BY n DESC, from_type ASC, to_type ASC LIMIT 20
 """
 
 
+def q_span_dedup_stats(spark, sf_dir):
+    """Exact-substring duplication signal (Lee et al. shape; SURVEY
+    §2.12): per-doc count/fraction of 10-token spans (stride 5) that
+    appear verbatim in another document."""
+    from distill_spark.operators.dedup_text import shared_span_stats
+
+    t = _tables(spark, sf_dir)
+    return shared_span_stats(t["documents"], window=10, stride=5)
+
+
+SQL_SPANSTATS = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL.format(c='text')} AS ws FROM documents
+), spans AS (
+  SELECT doc_id,
+         md5(array_to_string(ws[(i - 1) * 5 + 1 : (i - 1) * 5 + 10], ' '))
+           AS span_hash
+  FROM w, unnest(range(1, CASE WHEN len(ws) >= 10
+                               THEN CAST(floor((len(ws) - 10) / 5) AS INT) + 2
+                               ELSE 1 END)) AS t(i)
+), cross_doc AS (
+  SELECT span_hash FROM spans GROUP BY 1
+  HAVING count(DISTINCT doc_id) > 1
+), per_doc AS (
+  SELECT s.doc_id, count(*) AS n_spans,
+         sum(CASE WHEN c.span_hash IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_shared
+  FROM spans s LEFT JOIN cross_doc c USING (span_hash)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(p.n_shared, 0) AS BIGINT) AS n_shared_spans,
+       round(CASE WHEN COALESCE(p.n_spans, 0) > 0
+                  THEN COALESCE(p.n_shared, 0) * 1.0 / p.n_spans
+                  ELSE 0.0 END, 6) AS shared_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 # Ordering matters: the driver evaluates the FIRST 50 entries in dict
@@ -4747,10 +4787,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "conversion_funnel": (q_conversion_funnel, SQL_CONVFUNNEL),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION),
     "event_transitions": (q_event_transitions, SQL_TRANSITIONS),
+    "span_dedup_stats": (q_span_dedup_stats, SQL_SPANSTATS),
     "a12_dedup_stats": (q_a12_dedup_stats, SQL_A12),
     "s1_jsonl_roundtrip": (q_s1_jsonl_roundtrip, SQL_S1),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
-    "ann_ivf_batch": (q_ann_ivf_batch, SQL_ANN_IVF),
     "source_overlap": (q_source_overlap, SQL_SRC_OVERLAP),
     "st2_recall_hints": (q_st2_recall_hints, SQL_ST2_HINTS),
     "st8_diagnose": (q_st8_diagnose, SQL_ST8_DIAG),
@@ -4857,6 +4897,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "c5_hierarchy": (q_c5_hierarchy, SQL_C5),
     "c8_decay_transforms": (q_c8_decay_transforms, _sql_c8()),
     "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
+    "ann_ivf_batch": (q_ann_ivf_batch, SQL_ANN_IVF),
 }
 
 

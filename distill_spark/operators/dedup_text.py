@@ -276,3 +276,78 @@ def incremental_dedup(new_df: DataFrame, store: DataFrame,
     return (new_df.select(F.col(id_col))
             .join(best.withColumnRenamed("_new_id", id_col), id_col, "left")
             .select(id_col, "dup_of", "jaccard"))
+
+
+def token_span_hashes(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", window: int = 20,
+                      stride: int = 10) -> DataFrame:
+    """Rolling token-window span table: one row per (doc, span_idx,
+    span_hash) where span i covers tokens [i*stride, i*stride+window).
+    The exact-substring dedup primitive (Lee et al. 2022 §4.1 shape,
+    strided instead of every-offset): fan-out happens INSIDE the
+    scanning task; md5 keys keep the shuffle rows small AND match the
+    SQL oracle (DuckDB has md5, not xxhash64)."""
+    w = words_expr(F.col(text_col))
+    n_spans = F.when(
+        F.size(w) >= window,
+        ((F.size(w) - window) / stride).cast("int") + 1).otherwise(0)
+    # guard the empty case: Spark's sequence(0, -1) auto-descends to
+    # [0, -1] instead of returning an empty array
+    hashes = F.when(
+        F.col("_n") >= 1,
+        F.transform(
+            F.sequence(F.lit(0), F.col("_n") - 1),
+            lambda i: F.md5(F.concat_ws(
+                " ", F.slice("_w", i * stride + 1, window))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(id_col, w.alias("_w"), n_spans.alias("_n"))
+        .select(id_col,
+                F.posexplode(hashes).alias("span_idx", "span_hash"))
+    )
+
+
+def shared_span_stats(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", window: int = 20,
+                      stride: int = 10) -> DataFrame:
+    """Per-document exact-substring duplication signal: how many of a
+    doc's token spans also appear (verbatim) in ANOTHER document —
+    (id, n_spans, n_shared_spans, shared_frac 6dp; docs shorter than
+    one window report 0 spans and 0.0 frac).
+
+    Scale shape: one (span_hash) shuffle to find cross-doc hashes;
+    the cross-doc hash set is a small fraction of distinct spans, so
+    it broadcasts back and the per-doc rollup shuffles only span→doc
+    counts. Strides > 1 trade recall for a 1/stride fan-out cut —
+    at 100 TB run stride=window/2 first, then re-run stride=1 on the
+    flagged survivors only.
+    """
+    spans = token_span_hashes(df, id_col, text_col, window, stride)
+    cross = (spans.groupBy("span_hash")
+             .agg(F.countDistinct(id_col).alias("_nd"))
+             .filter(F.col("_nd") > 1)
+             .select("span_hash"))
+    tagged = spans.join(F.broadcast(cross.withColumn("_shared", F.lit(1))),
+                        "span_hash", "left")
+    per_doc = (
+        tagged.groupBy(id_col)
+        .agg(F.count("*").alias("n_spans"),
+             F.sum(F.coalesce("_shared", F.lit(0)))
+             .cast("long").alias("n_shared_spans"))
+    )
+    # row-align with the input: span-less docs report zeros
+    return (
+        df.select(id_col).join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_shared_spans", F.lit(0)).cast("long")
+            .alias("n_shared_spans"),
+            F.round(
+                F.when(F.coalesce("n_spans", F.lit(0)) > 0,
+                       F.coalesce("n_shared_spans", F.lit(0))
+                       / F.col("n_spans")).otherwise(F.lit(0.0)),
+                6).alias("shared_frac"),
+        )
+    )

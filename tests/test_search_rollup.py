@@ -235,3 +235,36 @@ def test_line_dedup_matches_python_reference_on_random_corpus(spark):
            for r in dedupe_lines(
                spark.createDataFrame(docs, ["doc_id", "text"])).collect()}
     assert got == want
+
+
+def test_shared_span_stats_golden(spark):
+    """Exact-substring signal: only verbatim cross-doc token windows
+    count; a doc shorter than one window reports zero spans."""
+    from distill_spark.operators.dedup_text import shared_span_stats
+
+    common = "one two three four five six"
+    rows = [
+        (0, f"{common} alpha beta gamma"),
+        (1, f"{common} delta epsilon zeta"),
+        (2, "totally different words here entirely now"),
+        (3, "short"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.n_spans, r.n_shared_spans, r.shared_frac)
+           for r in shared_span_stats(docs, window=6, stride=3).collect()}
+    # docs 0/1: spans at token offsets 0 and 3; offset-0 span == common
+    # (verbatim shared), offset-3 spans diverge after 'six'
+    assert out[0] == (2, 1, 0.5)
+    assert out[1] == (2, 1, 0.5)
+    assert out[2] == (1, 0, 0.0)
+    assert out[3] == (0, 0, 0.0)
+
+
+def test_shared_span_requires_verbatim_window(spark):
+    from distill_spark.operators.dedup_text import shared_span_stats
+
+    rows = [(0, "a b c d e f"), (1, "a b c d e g")]  # differ at pos 6
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.n_shared_spans
+           for r in shared_span_stats(docs, window=6, stride=6).collect()}
+    assert out == {0: 0, 1: 0}
