@@ -4751,6 +4751,38 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def q_interval_join(spark, sf_dir):
+    """Banded interval self-join (SURVEY §2.12): events on the same
+    user within 120s, rolled up per user — the banded plan materializes
+    O(qualifying pairs), never the per-user product; the oracle is the
+    naive join+filter, proving semantics equal under different plans."""
+    from distill_spark.operators.intervaljoin import interval_self_join
+
+    t = _tables(spark, sf_dir)
+    pairs = interval_self_join(t["events"], within_s=120)
+    return (pairs.groupBy("user_id")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.round(F.avg("gap_s"), 6).alias("avg_gap_s"),
+                 F.max("gap_s").alias("max_gap_s")))
+
+
+SQL_INTERVALJOIN = """
+WITH base AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events
+), pairs AS (
+  SELECT a.user_id, b.t - a.t AS gap_s
+  FROM base a JOIN base b USING (user_id)
+  WHERE (b.t - a.t > 0 AND b.t - a.t <= 120)
+     OR (b.t = a.t AND a.event_id < b.event_id)
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(gap_s), 6) AS avg_gap_s,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s
+FROM pairs GROUP BY 1
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 # Ordering matters: the driver evaluates the FIRST 50 entries in dict
@@ -4788,6 +4820,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION),
     "event_transitions": (q_event_transitions, SQL_TRANSITIONS),
     "span_dedup_stats": (q_span_dedup_stats, SQL_SPANSTATS),
+    "interval_join_stats": (q_interval_join, SQL_INTERVALJOIN),
     "a12_dedup_stats": (q_a12_dedup_stats, SQL_A12),
     "s1_jsonl_roundtrip": (q_s1_jsonl_roundtrip, SQL_S1),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
@@ -4801,7 +4834,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "skew_salted_agg": (q_skew_salted_agg, SQL_SKEWAGG),
     "embed_quantize_int8": (q_embed_quantize_int8, SQL_SQ8),
     "ann_sq8_topk": (q_ann_sq8_topk, SQL_SQ8_TOPK),
-    "st9_cache_sim": (q_st9_cache_sim, SQL_ST9),
     "f12_tfidf_embed": (q_f12_tfidf_embed, SQL_F12),
     # -- representative previously-green heavy hitters ---------------------
     # (j1_pairwise_band and a4_select_rep — driver-green in BOTH r2 and
@@ -4898,6 +4930,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "c8_decay_transforms": (q_c8_decay_transforms, _sql_c8()),
     "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
     "ann_ivf_batch": (q_ann_ivf_batch, SQL_ANN_IVF),
+    "st9_cache_sim": (q_st9_cache_sim, SQL_ST9),
 }
 
 

@@ -1,0 +1,66 @@
+"""Banded interval join — pairs of events on the same key within a
+time window |t_a − t_b| ≤ Δ, without the quadratic per-key blow-up.
+
+A naive equi-join on the key followed by the time filter materializes
+every per-key pair before filtering (a hot key with 1M events = 10¹²
+intermediate rows). The banded form buckets time into Δ-wide bands and
+joins on (key, band) with each LEFT row fanned to its own band and the
+next one — every qualifying pair lands in exactly one candidate
+bucket pair, intermediate size is O(pairs actually within 2Δ), and
+the time predicate then trims exactly.
+
+Dedup argument: a pair (a, b) with t_b ∈ [t_a, t_a + Δ] satisfies
+band(b) ∈ {band(a), band(a)+1}; fanning ONLY the left side to
+{band(a), band(a)+1} and keeping b at band(b) yields each candidate
+pair exactly once — no distinct needed.
+
+Extension beyond the reference surface (SURVEY §2.12); the as-of join
+(`operators/asof.py`) covers "latest before", this covers "all
+within".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_self_join(events: DataFrame, within_s: int,
+                       key_col: str = "user_id", ts_col: str = "ts",
+                       id_col: str = "event_id",
+                       forward_only: bool = True) -> DataFrame:
+    """Pairs (key, id_a, id_b, gap_s) with 0 < t_b − t_a ≤ within_s
+    (``forward_only=True``, the common "what followed within Δ" shape;
+    False adds the symmetric backward pairs). Ties in ts pair in
+    id order so the output is deterministic and self-pairs never
+    appear.
+    """
+    epoch = F.unix_timestamp(F.col(ts_col))
+    base = events.select(key_col, F.col(id_col), epoch.alias("_t"))
+    band = (F.floor(F.col("_t") / within_s)).cast("long")
+
+    left = base.select(
+        key_col,
+        F.col(id_col).alias("id_a"), F.col("_t").alias("_ta"),
+        F.explode(F.array(band, band + 1)).alias("_band"))
+    right = base.select(
+        key_col,
+        F.col(id_col).alias("id_b"), F.col("_t").alias("_tb"),
+        band.alias("_band"))
+
+    gap = F.col("_tb") - F.col("_ta")
+    cond = ((gap > 0) & (gap <= within_s)) | (
+        (gap == 0) & (F.col("id_a") < F.col("id_b")))
+    pairs = (
+        left.join(right, [key_col, "_band"])
+        .filter(cond)
+        .select(key_col, "id_a", "id_b",
+                gap.cast("long").alias("gap_s"))
+    )
+    if forward_only:
+        return pairs
+    back = pairs.select(
+        key_col, F.col("id_b").alias("id_a"),
+        F.col("id_a").alias("id_b"),
+        (-F.col("gap_s")).alias("gap_s"))
+    return pairs.unionByName(back)

@@ -1,0 +1,69 @@
+"""Banded interval self-join: candidate banding must be lossless and
+duplicate-free versus the naive quadratic join."""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from distill_spark.operators.intervaljoin import interval_self_join
+
+T0 = dt.datetime(2024, 5, 1, tzinfo=dt.timezone.utc)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, i, T0 + dt.timedelta(seconds=s)) for u, i, s in rows],
+        "user_id long, event_id long, ts timestamp")
+
+
+def _naive(rows, within):
+    out = set()
+    for (u1, i1, s1), (u2, i2, s2) in itertools.permutations(rows, 2):
+        if u1 != u2:
+            continue
+        gap = s2 - s1
+        if (0 < gap <= within) or (gap == 0 and i1 < i2):
+            out.add((u1, i1, i2, gap))
+    return out
+
+
+@pytest.mark.parametrize("within", [5, 60])
+def test_matches_naive_quadratic(spark, within):
+    # seconds hand-placed around band boundaries (multiples of within)
+    rows = [
+        (1, 1, 0), (1, 2, 3), (1, 3, 5), (1, 4, 10), (1, 5, 11),
+        (1, 6, 59), (1, 7, 60), (1, 8, 61), (1, 9, 125),
+        (2, 10, 4), (2, 11, 4), (2, 12, 9),   # equal-ts tie on user 2
+        (3, 13, 7),                            # lone event: no pairs
+    ]
+    got = {(r.user_id, r.id_a, r.id_b, r.gap_s)
+           for r in interval_self_join(_ev(spark, rows), within).collect()}
+    assert got == _naive(rows, within)
+
+
+def test_no_duplicate_candidates(spark):
+    # a pair straddling a band boundary must appear exactly once
+    rows = [(1, 1, 59), (1, 2, 61)]
+    out = interval_self_join(_ev(spark, rows), within_s=60).collect()
+    assert len(out) == 1
+    assert (out[0].id_a, out[0].id_b, out[0].gap_s) == (1, 2, 2)
+
+
+def test_backward_pairs_symmetric(spark):
+    rows = [(1, 1, 0), (1, 2, 30)]
+    out = {(r.id_a, r.id_b, r.gap_s)
+           for r in interval_self_join(_ev(spark, rows), 60,
+                                       forward_only=False).collect()}
+    assert out == {(1, 2, 30), (2, 1, -30)}
+
+
+def test_plan_has_no_cartesian(spark):
+    ev = _ev(spark, [(1, 1, 0), (1, 2, 3)])
+    plan = interval_self_join(ev, 60)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
