@@ -4783,6 +4783,53 @@ FROM pairs GROUP BY 1
 """
 
 
+def q_vocab_encode(spark, sf_dir):
+    """Vocab build + token-ID encode (SURVEY §2.12): top-20 vocab by
+    (count desc, token asc), ids 1..20, OOV→0; ids serialized to a
+    scalar string for the driver canonicalizer."""
+    from distill_spark.operators.encode import build_vocab, encode_docs
+
+    t = _tables(spark, sf_dir)
+    vocab = build_vocab(t["documents"], max_size=20)
+    enc = encode_docs(t["documents"], vocab)
+    return enc.select(
+        "doc_id",
+        F.concat_ws("|", F.transform("token_ids",
+                                     lambda x: x.cast("string")))
+        .alias("ids_str"),
+        "n_tokens", "n_oov")
+
+
+SQL_VOCAB_ENCODE = f"""
+WITH counts AS (
+  SELECT w AS token, count(*) AS c
+  FROM (SELECT unnest({_WORDS_SQL.format(c='text')}) AS w FROM documents)
+  GROUP BY 1
+), vocab AS (
+  SELECT token,
+         CAST(row_number() OVER (ORDER BY c DESC, token ASC) AS INT)
+           AS token_id
+  FROM (SELECT * FROM counts ORDER BY c DESC, token ASC LIMIT 20)
+), toks AS (
+  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS token
+  FROM (SELECT doc_id, {_WORDS_SQL.format(c='text')} AS ws FROM documents)
+), tagged AS (
+  SELECT t.doc_id, t.pos, COALESCE(v.token_id, 0) AS tid
+  FROM toks t LEFT JOIN vocab v USING (token)
+), enc AS (
+  SELECT doc_id,
+         string_agg(CAST(tid AS VARCHAR), '|' ORDER BY pos) AS ids_str,
+         count(*) AS n_tokens,
+         sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS n_oov
+  FROM tagged GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(e.ids_str, '') AS ids_str,
+       CAST(COALESCE(e.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(e.n_oov, 0) AS BIGINT) AS n_oov
+FROM documents d LEFT JOIN enc e USING (doc_id)
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 # Ordering matters: the driver evaluates the FIRST 50 entries in dict
@@ -4821,6 +4868,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "event_transitions": (q_event_transitions, SQL_TRANSITIONS),
     "span_dedup_stats": (q_span_dedup_stats, SQL_SPANSTATS),
     "interval_join_stats": (q_interval_join, SQL_INTERVALJOIN),
+    "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),
     "a12_dedup_stats": (q_a12_dedup_stats, SQL_A12),
     "s1_jsonl_roundtrip": (q_s1_jsonl_roundtrip, SQL_S1),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
@@ -4834,7 +4882,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "skew_salted_agg": (q_skew_salted_agg, SQL_SKEWAGG),
     "embed_quantize_int8": (q_embed_quantize_int8, SQL_SQ8),
     "ann_sq8_topk": (q_ann_sq8_topk, SQL_SQ8_TOPK),
-    "f12_tfidf_embed": (q_f12_tfidf_embed, SQL_F12),
     # -- representative previously-green heavy hitters ---------------------
     # (j1_pairwise_band and a4_select_rep — driver-green in BOTH r2 and
     # r3 — rotated past the window to make room for the two new
@@ -4931,6 +4978,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
     "ann_ivf_batch": (q_ann_ivf_batch, SQL_ANN_IVF),
     "st9_cache_sim": (q_st9_cache_sim, SQL_ST9),
+    "f12_tfidf_embed": (q_f12_tfidf_embed, SQL_F12),
 }
 
 

@@ -1,0 +1,99 @@
+"""Vocabulary build + token-ID encoding — the tokenize step that
+feeds `packing.py` / `examples.py` with integer sequences instead of
+raw text (the missing front of the tokenize → pack → span chain).
+
+Training-data extension (SURVEY §2.12). Whitespace tokens stand in
+for a learned BPE (the real merge tables are model assets, not engine
+work); the ENGINE contract is what matters: a deterministic
+frequency-ranked vocab, broadcast encode, OOV → id 0 (<unk>), and an
+exact decode roundtrip for in-vocab tokens.
+
+Scale shape (100 TB):
+- Vocab fit = the same one (token) shuffle `vocab_top_tokens` /
+  `lmscore` pay; rank assignment happens on the bounded top-V table
+  (single-partition window over V rows, never the corpus).
+- Encode joins the BROADCAST vocab onto exploded (doc, pos, token)
+  rows and reassembles per document — corpus-map-side except the one
+  reassembly groupBy, same cost class as line-level dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup_text import words_expr
+
+
+def build_vocab(docs: DataFrame, max_size: int = 32768,
+                text_col: str = "text") -> DataFrame:
+    """(token, token_id) with ids 1..max_size by count DESC, token ASC
+    (deterministic cutoff); id 0 is reserved for <unk>."""
+    if max_size <= 0:
+        raise ValueError("max_size must be positive")
+    counts = (
+        docs.select(F.explode(words_expr(F.col(text_col))).alias("token"))
+        .groupBy("token").agg(F.count("*").alias("_cnt"))
+        .orderBy(F.desc("_cnt"), F.asc("token"))
+        .limit(max_size)
+    )
+    w = Window.orderBy(F.desc("_cnt"), F.asc("token"))
+    return counts.select(
+        "token", F.row_number().over(w).cast("int").alias("token_id"))
+
+
+def encode_docs(docs: DataFrame, vocab: DataFrame,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, token_ids: array<int> in document order, n_tokens, n_oov);
+    out-of-vocab tokens encode as 0. Empty/None text → empty array."""
+    toks = docs.select(
+        id_col,
+        F.posexplode_outer(words_expr(F.coalesce(F.col(text_col),
+                                                 F.lit(""))))
+        .alias("pos", "token"))
+    tagged = (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .select(id_col, "pos",
+                F.coalesce("token_id", F.lit(0)).alias("tid"))
+    )
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("pos").isNotNull(),
+                           F.struct("pos", "tid")))).alias("_s"),
+            F.sum(F.when(F.col("tid") == 0, 1).otherwise(0))
+            .alias("_oov"),
+        )
+        .select(
+            id_col,
+            F.transform("_s", lambda s: s["tid"]).alias("token_ids"),
+            F.size("_s").cast("long").alias("n_tokens"),
+            F.when(F.size("_s") > 0, F.col("_oov").cast("long"))
+            .otherwise(F.lit(0)).alias("n_oov"),
+        )
+    )
+
+
+def decode_ids(encoded: DataFrame, vocab: DataFrame,
+               id_col: str = "doc_id",
+               ids_col: str = "token_ids") -> DataFrame:
+    """Inverse of :func:`encode_docs` for in-vocab tokens: (id, text)
+    with <unk> for id 0 — exact roundtrip iff no OOV."""
+    toks = encoded.select(
+        id_col, F.posexplode_outer(ids_col).alias("pos", "tid"))
+    return (
+        toks.join(F.broadcast(vocab),
+                  toks.tid == vocab.token_id, "left")
+        .select(id_col, "pos",
+                F.coalesce("token", F.lit("<unk>")).alias("tok"))
+        .groupBy(id_col)
+        .agg(F.array_sort(
+            F.collect_list(
+                F.when(F.col("pos").isNotNull(),
+                       F.struct("pos", "tok")))).alias("_s"))
+        .select(id_col,
+                F.concat_ws(" ", F.transform("_s", lambda s: s["tok"]))
+                .alias("text"))
+    )

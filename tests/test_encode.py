@@ -1,0 +1,57 @@
+"""Vocab build + token-ID encode/decode (round-5 SURVEY §2.12)."""
+
+from __future__ import annotations
+
+import pytest
+
+from distill_spark.operators.encode import build_vocab, decode_ids, encode_docs
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (0, "apple banana apple"),
+        (1, "banana cherry"),
+        (2, "apple zebra"),          # zebra falls outside vocab of 3
+        (3, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_vocab_rank_deterministic(spark, corpus):
+    v = {r.token: r.token_id
+         for r in build_vocab(corpus, max_size=3).collect()}
+    # counts: apple 3, banana 2, cherry 1 == zebra 1 -> tie broken asc
+    assert v == {"apple": 1, "banana": 2, "cherry": 3}
+
+
+def test_encode_order_oov_and_empty(spark, corpus):
+    vocab = build_vocab(corpus, max_size=3)
+    out = {r.doc_id: (list(r.token_ids), r.n_tokens, r.n_oov)
+           for r in encode_docs(corpus, vocab).collect()}
+    assert out[0] == ([1, 2, 1], 3, 0)
+    assert out[1] == ([2, 3], 2, 0)
+    assert out[2] == ([1, 0], 2, 1)       # zebra -> <unk> id 0
+    assert out[3] == ([], 0, 0)           # empty doc stays row-aligned
+
+
+def test_decode_roundtrip_in_vocab(spark, corpus):
+    vocab = build_vocab(corpus, max_size=10)  # everything in vocab
+    enc = encode_docs(corpus, vocab)
+    dec = {r.doc_id: r.text
+           for r in decode_ids(enc, vocab).collect()}
+    src = {r.doc_id: " ".join(w for w in (r.text or "").split(" ") if w)
+           for r in corpus.collect()}
+    assert dec == src
+
+
+def test_decode_marks_unk(spark, corpus):
+    vocab = build_vocab(corpus, max_size=3)
+    dec = {r.doc_id: r.text for r in
+           decode_ids(encode_docs(corpus, vocab), vocab).collect()}
+    assert dec[2] == "apple <unk>"
+
+
+def test_build_vocab_rejects_nonpositive(spark, corpus):
+    with pytest.raises(ValueError):
+        build_vocab(corpus, max_size=0)
