@@ -4293,7 +4293,9 @@ def q_line_dedup(spark, sf_dir):
 
 SQL_LINEDEDUP = """
 WITH split AS (
-  SELECT doc_id, string_split(replace(text, ' table ', chr(10)), chr(10)) AS ls
+  SELECT doc_id,
+         string_split(replace(COALESCE(text, ''), ' table ', chr(10)),
+                      chr(10)) AS ls
   FROM documents
 ), lines AS (
   SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line

@@ -353,11 +353,13 @@ class MemoryStore:
         df = raw
         if now is not None:
             now_ts = _ts(now)
-            total = raw.count()
-            df = raw.filter(
-                F.col("expires_at").isNull()
-                | (F.col("expires_at") > F.lit(now_ts)))
-            dropped = total - df.count()
+            lapsed = (F.col("expires_at").isNotNull()
+                      & (F.col("expires_at") <= F.lit(now_ts)))
+            # ONE aggregate pass for the ledger (two counts would scan
+            # the snapshot twice before the rewrite scan)
+            dropped = raw.agg(
+                F.sum(F.when(lapsed, 1).otherwise(0))).collect()[0][0] or 0
+            df = raw.filter(~lapsed)
         # one shuffle keyed on the bucket → each bucket lands in ONE
         # task → one file per bucket dir after partitionBy
         out = (df.drop("_bucket").withColumn("_bucket", self._bucket_of())

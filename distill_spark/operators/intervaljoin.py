@@ -35,6 +35,10 @@ def interval_self_join(events: DataFrame, within_s: int,
     id order so the output is deterministic and self-pairs never
     appear.
     """
+    if within_s <= 0:
+        # floor(t / 0) is NULL under non-ANSI Spark and the null band
+        # would silently match nothing — reject instead
+        raise ValueError("within_s must be positive")
     epoch = F.unix_timestamp(F.col(ts_col))
     base = events.select(key_col, F.col(id_col), epoch.alias("_t"))
     band = (F.floor(F.col("_t") / within_s)).cast("long")

@@ -31,10 +31,14 @@ from pyspark.sql import functions as F
 def doc_lines(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text", sep: str = "\n") -> DataFrame:
     """One row per (doc, position, line); blank lines kept (they are
-    positions, not content — the caller decides)."""
+    positions, not content — the caller decides). NULL text normalizes
+    to one empty line so every input doc yields rows — a plain
+    posexplode of split(NULL) would emit nothing and silently drop the
+    document from any reassembly downstream."""
     return docs.select(
         id_col,
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep))
+        .alias("pos", "line"),
     )
 
 

@@ -31,8 +31,10 @@ from pyspark.sql import functions as F
 
 def group_moments(df: DataFrame, score_col: str,
                   group_col: str) -> DataFrame:
-    """(group, n, mean, std) with DECIMAL-exact sums so the moments
-    are identical on any partitioning/engine. std is the population
+    """(group, n, mean, std, lo, hi) — ONE aggregation pass: the
+    moments use DECIMAL-exact sums so they are identical on any
+    partitioning/engine; min/max ride in the same shuffle (a separate
+    ranges groupBy would scan the corpus twice). std is the population
     σ via sqrt(E[x²] - E[x]²), floored at 0 to absorb the tiny
     negative residue the subtraction can leave for constant groups."""
     x = F.col(score_col).cast("double")
@@ -42,7 +44,8 @@ def group_moments(df: DataFrame, score_col: str,
     mean = sx / n
     var = F.greatest(sxx / n - mean * mean, F.lit(0.0))
     return df.groupBy(group_col).agg(
-        n.alias("n"), mean.alias("mean"), F.sqrt(var).alias("std"))
+        n.alias("n"), mean.alias("mean"), F.sqrt(var).alias("std"),
+        F.min(score_col).alias("lo"), F.max(score_col).alias("hi"))
 
 
 def normalize_scores(df: DataFrame, score_col: str, group_col: str,
@@ -52,13 +55,10 @@ def normalize_scores(df: DataFrame, score_col: str, group_col: str,
     (0.5 for constant groups by the same argument), and optionally
     ``pct`` — all rounded to 6 dp. Output keeps (id, group, score)."""
     moments = group_moments(df, score_col, group_col)
-    ranges = df.groupBy(group_col).agg(
-        F.min(score_col).alias("_lo"), F.max(score_col).alias("_hi"))
     x = F.col(score_col).cast("double")
     out = (
         df.select(id_col, group_col, score_col)
         .join(F.broadcast(moments), group_col)
-        .join(F.broadcast(ranges), group_col)
         .withColumn(
             "z",
             F.round(
@@ -68,10 +68,10 @@ def normalize_scores(df: DataFrame, score_col: str, group_col: str,
         .withColumn(
             "minmax",
             F.round(
-                F.when(F.col("_hi") > F.col("_lo"),
-                       (x - F.col("_lo")) / (F.col("_hi") - F.col("_lo")))
+                F.when(F.col("hi") > F.col("lo"),
+                       (x - F.col("lo")) / (F.col("hi") - F.col("lo")))
                 .otherwise(F.lit(0.5)), 6))
-        .drop("n", "mean", "std", "_lo", "_hi")
+        .drop("n", "mean", "std", "lo", "hi")
     )
     if pct_rank:
         w = Window.partitionBy(group_col).orderBy(

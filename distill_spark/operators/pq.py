@@ -81,11 +81,15 @@ class PQIndex:
                  seed: int = 42):
         self.id_col, self.vec_col, self.m, self.ksub = id_col, vec_col, m, ksub
 
-        # deterministic bounded training sample: order by id, take N —
-        # layout-independent, same codebooks on any cluster
+        # deterministic bounded training sample in HASH order (same
+        # trick as kmeans_dedup): an id-prefix sample would train the
+        # codebooks on whatever low ids correlate with (ingestion
+        # batch, domain); hash order is an unbiased draw yet still
+        # layout-independent — same codebooks on any cluster
         sample = (df.select(vm.normalize(F.col(vec_col)).alias("_v"),
                             F.col(id_col))
-                  .orderBy(id_col).limit(train_sample).collect())
+                  .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+                  .limit(train_sample).collect())
         X = np.asarray([r._v for r in sample], dtype=np.float32)
         n, dim = X.shape
         if dim % m != 0:

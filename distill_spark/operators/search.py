@@ -173,7 +173,12 @@ def build_bm25_index(docs: DataFrame, path: str,
      .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(256)))
      .write.mode("overwrite").partitionBy("term_bucket")
      .parquet(f"{path}/postings"))
-    dfreq, stats = bm25_stats(postings, id_col)
+    # derive dfreq/stats from the JUST-WRITTEN parquet: reusing the
+    # lazy `postings` plan here would re-run the corpus scan + (doc,
+    # term) shuffle once per write action (3x the advertised cost)
+    spark = docs.sparkSession
+    written = spark.read.parquet(f"{path}/postings").drop("term_bucket")
+    dfreq, stats = bm25_stats(written, id_col)
     dfreq.write.mode("overwrite").parquet(f"{path}/dfreq")
     stats.write.mode("overwrite").parquet(f"{path}/stats")
 

@@ -268,3 +268,13 @@ def test_shared_span_requires_verbatim_window(spark):
     out = {r.doc_id: r.n_shared_spans
            for r in shared_span_stats(docs, window=6, stride=6).collect()}
     assert out == {0: 0, 1: 0}
+
+
+def test_line_dedup_null_text_stays_row_aligned(spark):
+    docs = spark.createDataFrame(
+        [(0, None), (1, "keep me")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedupe_lines(docs).collect()}
+    # NULL normalizes to one empty line: doc survives, text ''
+    assert set(out) == {0, 1}
+    assert out[0].text == "" and out[0].n_lines_dropped == 0
+    assert out[1].text == "keep me"
