@@ -183,6 +183,34 @@ def build_bm25_index(docs: DataFrame, path: str,
     stats.write.mode("overwrite").parquet(f"{path}/stats")
 
 
+def append_bm25_index(new_docs: DataFrame, path: str,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> None:
+    """Incrementally add documents to a persisted index: the new
+    batch's postings APPEND into the term-bucket layout (only the new
+    docs are scanned/shuffled — the existing corpus is never re-read
+    for postings), then the dictionary-sized dfreq/stats tables are
+    recomputed from the on-disk postings (term-keyed aggregates over
+    already-shuffled data; no corpus text re-scan). Same living-corpus
+    shape as the incremental LSH dedup band store.
+
+    Caller contract: ids in ``new_docs`` must be new — appending an
+    existing doc id double-counts it (run the dedup probe first).
+    """
+    postings = doc_terms(new_docs, id_col, text_col)
+    (postings
+     .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(256)))
+     .write.mode("append").partitionBy("term_bucket")
+     .parquet(f"{path}/postings"))
+    spark = new_docs.sparkSession
+    written = spark.read.parquet(f"{path}/postings").drop("term_bucket")
+    dfreq, stats = bm25_stats(written, id_col)
+    # stats/dfreq are tiny — rewrite via a temp dir is unnecessary;
+    # parquet overwrite is atomic enough for the single-writer contract
+    dfreq.localCheckpoint().write.mode("overwrite").parquet(f"{path}/dfreq")
+    stats.localCheckpoint().write.mode("overwrite").parquet(f"{path}/stats")
+
+
 def search_bm25_index(spark, path: str, query: str, k: int = 20,
                       k1: float = 1.2, b: float = 0.75,
                       id_col: str = "doc_id",

@@ -278,3 +278,31 @@ def test_line_dedup_null_text_stays_row_aligned(spark):
     assert set(out) == {0, 1}
     assert out[0].text == "" and out[0].n_lines_dropped == 0
     assert out[1].text == "keep me"
+
+
+def test_append_bm25_index_equals_full_rebuild(spark, corpus, tmp_path):
+    """Incremental append must be indistinguishable from rebuilding
+    the index over the full corpus: scores, df, and corpus stats all
+    reflect the merged document set."""
+    from distill_spark.operators.search import (
+        append_bm25_index,
+        build_bm25_index,
+        search_bm25_index,
+    )
+
+    first = corpus.filter(F.col("doc_id") < 2)
+    rest = corpus.filter(F.col("doc_id") >= 2)
+
+    inc_path = str(tmp_path / "bm25_inc")
+    build_bm25_index(first, inc_path)
+    append_bm25_index(rest, inc_path)
+
+    full_path = str(tmp_path / "bm25_full")
+    build_bm25_index(corpus, full_path)
+
+    for q in ("apple", "banana durian", "grape"):
+        got = sorted(map(tuple,
+                         search_bm25_index(spark, inc_path, q).collect()))
+        want = sorted(map(tuple,
+                          search_bm25_index(spark, full_path, q).collect()))
+        assert got == want, q
