@@ -219,9 +219,11 @@ class MemoryStore:
         col = F.col("id") if id_col is None else id_col
         return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
 
-    def _read_raw(self) -> DataFrame:
-        """Current snapshot WITH the _bucket partition column."""
-        v = self._current_version()
+    def _read_raw(self, version: int | None = None) -> DataFrame:
+        """Snapshot WITH the _bucket partition column; ``version``
+        time-travels to an older snapshot (the commit GC keeps one
+        back-version — v-1 is always readable, older may be gone)."""
+        v = self._current_version() if version is None else version
         empty = self.spark.createDataFrame([], MEMORY_SCHEMA).withColumn(
             "_bucket", F.lit(None).cast("int"))
         if v < 0:
@@ -252,8 +254,17 @@ class MemoryStore:
                 "metadata", F.lit(None).cast("map<string,string>"))
         return df
 
-    def read(self) -> DataFrame:
-        return self._read_raw().drop("_bucket")
+    def read(self, version: int | None = None) -> DataFrame:
+        """Live table, or time-travel with ``version`` (Delta/Iceberg
+        `VERSION AS OF` analog; the pointer-flip commit keeps one
+        back-version, so version = current-1 is always readable —
+        reading a GC'd older version raises). ``version_info()`` gives
+        the current number."""
+        return self._read_raw(version).drop("_bucket")
+
+    def version_info(self) -> int:
+        """Current committed snapshot version (-1 = empty store)."""
+        return self._current_version()
 
     def _buckets_of_ids(self, ids: list[str]) -> list[int]:
         """Bucket set for explicit ids — a tiny local-relation job, no

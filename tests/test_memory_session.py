@@ -466,3 +466,26 @@ class TestCompact:
         table = {r.id: r for r in st.read().collect()}
         assert set(table) == {"a", "b"}
         assert table["a"].expired is True
+
+
+class TestTimeTravel:
+    def test_read_previous_version(self, spark, tmp_path):
+        st = MemoryStore(spark, str(tmp_path / "mem"))
+        st.store_batch(_mk(spark, [("a", "alpha", E1)]), NOW)
+        v1 = st.version_info()
+        st.store_batch(_mk(spark, [("b", "beta", E2)]), TS + 60)
+        v2 = st.version_info()
+        assert v2 == v1 + 1
+        assert {r.id for r in st.read().collect()} == {"a", "b"}
+        # VERSION AS OF the pre-append snapshot
+        assert {r.id for r in st.read(version=v1).collect()} == {"a"}
+
+    def test_forget_recoverable_from_back_version(self, spark, tmp_path):
+        st = MemoryStore(spark, str(tmp_path / "mem"))
+        st.store_batch(_mk(spark, [("a", "alpha", E1), ("b", "beta", E2)]),
+                       NOW)
+        v = st.version_info()
+        st.forget(ids=["a"])
+        assert {r.id for r in st.read().collect()} == {"b"}
+        # the deleted row is still in the kept back-version
+        assert {r.id for r in st.read(version=v).collect()} == {"a", "b"}
