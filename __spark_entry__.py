@@ -4832,6 +4832,93 @@ FROM documents d LEFT JOIN enc e USING (doc_id)
 """
 
 
+def q_dedup_minhash_cc(spark, sf_dir):
+    """MinHash near-dup CLUSTERS (SURVEY §2.12): banded candidates →
+    exact-Jaccard verify (≥0.05) → connected components; cluster = min
+    reachable doc_id, kept ⇔ canonical. The textual twin of the
+    embedding-side `dedup_semantic`."""
+    from distill_spark.operators.cluster import connected_components
+
+    t = _tables(spark, sf_dir)
+    sub = t["documents"].filter(F.col("doc_id") < 300)
+    sh = sub.select("doc_id",
+                    F.explode(_shingles_expr(F.col("text"))).alias("sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(s)), F.lit("|"), F.col("sh"))))
+        .alias(f"mh{s}")
+        for s in _MINHASH_SEEDS
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    stacked = sig.select(
+        "doc_id",
+        F.explode(F.array(
+            F.concat(F.lit("0:"), F.md5(F.concat_ws("|", "mh0", "mh1"))),
+            F.concat(F.lit("1:"), F.md5(F.concat_ws("|", "mh2", "mh3"))),
+        )).alias("bucket"))
+    cand = (
+        stacked.alias("a")
+        .join(stacked.alias("b"),
+              (F.col("a.bucket") == F.col("b.bucket"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    from distill_spark.operators.dedup_text import ngram_jaccard_pairs
+
+    verified = ngram_jaccard_pairs(sub, threshold=0.05, candidates=cand)
+    comp = connected_components(
+        sub.select(F.col("doc_id").alias("id")),
+        verified.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst")),
+        id_col="id")
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster"),
+        (F.col("id") == F.col("component")).alias("kept"))
+
+
+SQL_MINHASH_CC = f"""
+WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"min(md5('{s}' || '|' || sh)) AS mh{s}" for s in _MINHASH_SEEDS)}
+  FROM sh GROUP BY doc_id
+), stacked AS (
+  SELECT doc_id, '0:' || md5(mh0 || '|' || mh1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, '1:' || md5(mh2 || '|' || mh3) FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM stacked a JOIN stacked b
+    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), verified AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.05
+), pairs AS (
+  SELECT doc_a AS ia, doc_b AS ib FROM verified
+  UNION ALL
+  SELECT doc_b, doc_a FROM verified
+), reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents WHERE doc_id < 300
+  UNION
+  SELECT p.ib, reach.r FROM reach JOIN pairs p ON p.ia = reach.node
+)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster,
+       (node = min(r)) AS kept
+FROM reach GROUP BY node
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 # Ordering matters: the driver evaluates the FIRST 50 entries in dict
@@ -4871,6 +4958,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "span_dedup_stats": (q_span_dedup_stats, SQL_SPANSTATS),
     "interval_join_stats": (q_interval_join, SQL_INTERVALJOIN),
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),
+    "dedup_minhash_cc": (q_dedup_minhash_cc, SQL_MINHASH_CC),
     "a12_dedup_stats": (q_a12_dedup_stats, SQL_A12),
     "s1_jsonl_roundtrip": (q_s1_jsonl_roundtrip, SQL_S1),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
@@ -4898,7 +4986,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "mm_frames": (q_mm_frames, SQL_MM_FRAMES),
     "example_spans": (q_example_spans, SQL_EXAMPLES),
     # -- training-pipeline ops added round 3 -------------------------------
-    "decontam_benchmark": (q_decontam_benchmark, SQL_DECONTAM),
     "filter_funnel": (q_filter_funnel, SQL_FUNNEL),
     "split_leakage_safe": (q_split_leakage_safe, SQL_SPLIT),
     "incremental_dedup": (q_incremental_dedup, SQL_INCDEDUP),
@@ -4981,6 +5068,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ann_ivf_batch": (q_ann_ivf_batch, SQL_ANN_IVF),
     "st9_cache_sim": (q_st9_cache_sim, SQL_ST9),
     "f12_tfidf_embed": (q_f12_tfidf_embed, SQL_F12),
+    "decontam_benchmark": (q_decontam_benchmark, SQL_DECONTAM),
 }
 
 
