@@ -1,0 +1,104 @@
+"""Collocation & co-occurrence mining — training-data extensions
+(the reference has no corpus-statistics surface; these are standard
+pretraining-corpus analysis ops: PMI collocations for tokenizer /
+phrase-vocab decisions, basket co-occurrence for grouped-source
+analysis).
+
+- :func:`bigram_pmi` — pointwise mutual information of adjacent word
+  pairs over a document corpus.
+- :func:`cooccurrence_pairs` — support counts of item pairs sharing a
+  basket (market-basket shape).
+
+Scale shape (100 TB corpus):
+- Bigram extraction is a pure column expression (split → transform →
+  explode) that fans out INSIDE the scanning task — no pre-shuffle.
+- One shuffle each for bigram counts and unigram counts; the PMI join
+  is bigram⋈unigram on the word key (Catalyst broadcast-picks when
+  the vocab side fits).
+- Top-k output is TakeOrderedAndProject — no global sort.
+- Basket pairs: the self-join on basket id has bounded fan-out when
+  baskets are bounded (TPC-H orders ≤7 items); for long-tail baskets
+  cap items per basket upstream (top-N by key) before pairing.
+
+Determinism: PMI is ln of a ratio of exact integer counts (counts
+< 2^53 stay exact in double); the single ln + round(6) matches the
+DuckDB oracle the same way the BM25 scorer does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _words(col):
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+def bigram_pmi(df: DataFrame, text_col: str = "text", min_count: int = 5,
+               k: int = 100) -> DataFrame:
+    """Top-k adjacent-word bigrams by PMI.
+
+    PMI(w1,w2) = ln( p(w1 w2) / (p(w1) p(w2)) ) with
+    p(w1 w2) = c(w1,w2)/N_bigrams and p(w) = c(w)/N_words, i.e.
+    ln( c_ab * Nw * Nw / (Nb * c_a * c_b) ). The ratio is computed in
+    double from exact integer counts, then a single ln — portable
+    across engines after round(6).
+    """
+    w = df.select(_words(F.col(text_col)).alias("ws"))
+    uni = w.select(F.explode("ws").alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    nw = uni.agg(F.count("*").cast("double").alias("nw"))
+    bg = w.select(
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ws", i).alias("w1"),
+                        F.element_at("ws", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bcnt = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c_ab"))
+    nb = bg.agg(F.count("*").cast("double").alias("nb"))
+    ca = ucnt.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
+    cb = ucnt.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))
+    # left-assoc products mirror the oracle SQL exactly
+    ratio = (
+        (F.col("c_ab").cast("double") * F.col("nw") * F.col("nw"))
+        / (F.col("nb") * F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+    )
+    return (
+        bcnt.filter(F.col("c_ab") >= min_count)
+        .join(ca, "w1").join(cb, "w2")
+        .crossJoin(F.broadcast(nw)).crossJoin(F.broadcast(nb))
+        .select("w1", "w2", "c_ab", F.round(F.log(ratio), 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+
+
+def cooccurrence_pairs(df: DataFrame, basket_col: str, item_col: str,
+                       min_support: int = 2, k: int = 100) -> DataFrame:
+    """Top-k item pairs by basket co-occurrence support.
+
+    Items are deduped per basket first, then paired (a < b) via a
+    basket-key self-join — fan-out is quadratic in basket size, which
+    is the standard bound to enforce upstream for long baskets.
+    """
+    items = df.select(F.col(basket_col).alias("bk"),
+                      F.col(item_col).alias("it")).distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk"))
+               & (F.col("a.it") < F.col("b.it")))
+        .groupBy(F.col("a.it").alias("item_a"), F.col("b.it").alias("item_b"))
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    return pairs.orderBy(F.desc("support"), F.asc("item_a"),
+                         F.asc("item_b")).limit(k)

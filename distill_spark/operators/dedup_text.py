@@ -351,3 +351,47 @@ def shared_span_stats(df: DataFrame, id_col: str = "doc_id",
                 6).alias("shared_frac"),
         )
     )
+
+
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", shingle_n: int = 3,
+                      tau: float = 0.3) -> DataFrame:
+    """Asymmetric containment near-dup pairs: C(A in B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)|.
+
+    Catches the quote/inclusion case Jaccard misses — a short doc
+    fully embedded in a much longer one has J ≈ |A|/|B| (tiny) but
+    containment ≈ 1. Pairs where EITHER direction ≥ tau survive;
+    both directions are reported so the caller can keep the superset
+    doc and drop the contained one.
+
+    Scale shape: identical to the Jaccard path — one shuffle on the
+    shingle key, intersection counts per pair, per-doc sizes joined
+    back. For 100 TB add a document-frequency cap on shingles (drop
+    shingles in > max_df docs) before the self-join; the hot-shingle
+    blowup is the only skew risk and the cap removes it without
+    touching true containment pairs (boilerplate shingles are the
+    frequent ones).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a").join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh"))
+                           & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                 F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("szb"))
+    c_ab = F.round(F.col("inter") / F.col("sza"), 6)
+    c_ba = F.round(F.col("inter") / F.col("szb"), 6)
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("contain_a_in_b", c_ab)
+        .withColumn("contain_b_in_a", c_ba)
+        .filter(F.greatest("contain_a_in_b", "contain_b_in_a") >= tau)
+        .select("doc_a", "doc_b", "contain_a_in_b", "contain_b_in_a")
+    )

@@ -204,3 +204,34 @@ def ivf_topk(df: DataFrame, query: DataFrame, k: int = 10,
     ix = index or IVFIndex(df, id_col=id_col, vec_col=vec_col,
                            n_cells=n_cells, seed=seed)
     return ix.search(query, k=k, n_probe=n_probe, query_col=query_col)
+
+
+def hard_negatives(df: DataFrame, queries: DataFrame, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the k most-similar corpus vectors with a DIFFERENT label.
+
+    ``queries`` needs columns (q_id, qv, q_label). Brute-force route:
+    broadcast the query batch, score the corpus in one scan, rank per
+    query (the per-query partition is corpus-sized but the window is
+    rank-truncated immediately). At 100 TB swap the scoring scan for
+    the IVF probe (ivf_topk) and keep the same label-filter + rank
+    tail — mining is recall-tolerant, so probing a few cells is fine.
+    """
+    from pyspark.sql import Window
+
+    scored = (
+        df.crossJoin(F.broadcast(queries))
+        .filter(F.col(label_col) != F.col("q_label"))
+        .select(
+            "q_id", F.col(id_col).alias("neg_id"),
+            F.round(vm.cosine_similarity(F.col(vec_col), F.col("qv")), 6)
+            .alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,73 @@
+"""Sketch/approximation contracts (training-data extension: at 100 TB
+you count distincts and quantiles with sketches — HLL++ and KLL-style
+digests — not exact aggregates; these operators pair every sketch
+with its exact twin and emit a machine-checkable error contract).
+
+The driver's value-hash gate can't compare approximate values across
+engines (DuckDB's approx_count_distinct uses a different HLL), so the
+contract output is: the EXACT value (hash-comparable) plus a boolean
+"sketch within tolerance" — the oracle asserts TRUE. Spark's HLL++
+and percentile_approx are deterministic for a given input and
+parameters, so the boolean is stable across runs and layouts.
+
+Scale shape: both sketches are single-pass partial aggregates (map-
+side combine, no exact-distinct expansion); the exact twins exist
+only to *verify* at test scale — at 100 TB you'd drop them and trust
+the contract established here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def distinct_contract(df: DataFrame, group_col: str, key_col: str,
+                      rsd: float = 0.02, tol: float = 0.05) -> DataFrame:
+    """Per group: exact distinct count + whether HLL++ (relative
+    standard deviation ``rsd``) lands within ``tol`` of it."""
+    agg = df.groupBy(group_col).agg(
+        F.countDistinct(key_col).cast("long").alias("n_distinct"),
+        F.approx_count_distinct(key_col, rsd).alias("_approx"),
+    )
+    ok = (
+        F.abs(F.col("_approx").cast("double") - F.col("n_distinct"))
+        / F.col("n_distinct") <= F.lit(tol)
+    )
+    return agg.select(group_col, "n_distinct", ok.alias("distinct_ok"))
+
+
+def percentile_contract(df: DataFrame, group_col: str, value_col: str,
+                        p: float = 0.5, accuracy: int = 10000,
+                        band: float = 0.05) -> DataFrame:
+    """Per group: exact interpolated percentile ``p`` + whether
+    percentile_approx honors its rank-space guarantee — the returned
+    value's exact rank interval [count(<v)/n, count(<=v)/n] must
+    intersect [p-band, p+band].
+
+    Rank space, not value space: the sketch promises nothing about
+    value distance (interpolated bounds can exceed every actual data
+    value in small/discrete groups), only that the returned DATA value
+    sits within εN ranks of p. Two partial-agg passes + a group-key
+    join (broadcast: one row per group) keep it scan-shaped.
+    """
+    ap = df.groupBy(group_col).agg(
+        F.percentile_approx(value_col, F.lit(p), F.lit(accuracy)).alias("_approx"))
+    agg = df.join(F.broadcast(ap), group_col).groupBy(group_col).agg(
+        F.round(F.percentile(value_col, F.lit(p)), 6).alias("p_exact"),
+        (F.sum((F.col(value_col) < F.col("_approx")).cast("long"))
+         / F.count("*")).alias("_rlo"),
+        (F.sum((F.col(value_col) <= F.col("_approx")).cast("long"))
+         / F.count("*")).alias("_rhi"),
+    )
+    ok = (F.col("_rhi") >= F.lit(p - band)) & (F.col("_rlo") <= F.lit(p + band))
+    return agg.select(group_col, "p_exact", ok.alias("p_ok"))
+
+
+def sketch_contracts(df: DataFrame, group_col: str, key_col: str,
+                     value_col: str) -> DataFrame:
+    """Combined per-group contract row: exact distinct + HLL check,
+    exact median + KLL-style check."""
+    d = distinct_contract(df, group_col, key_col)
+    q = percentile_contract(df, group_col, value_col)
+    return d.join(q, group_col)

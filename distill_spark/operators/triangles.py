@@ -1,0 +1,75 @@
+"""Degree-oriented triangle counting + global clustering coefficient
+(graph-analytics extension alongside PageRank; the reference's graph
+surface is BFS/degree only, graph/graph.go:130-209).
+
+Algorithm (the standard distributed one): orient every undirected
+edge from its lower-(degree, id) endpoint to the higher one, so each
+triangle is counted exactly once and — critically for skew — a hub
+node of degree D contributes wedges only through its LOW-degree
+neighbours: the per-node wedge fan-out is bounded by the graph's
+arboricity, not by D². Then triangles = wedges(u→v, u→w) that close
+with an oriented edge (v→w).
+
+Scale shape (100 TB of edges): degrees are one groupBy; orientation
+is a projection; the wedge join is a self-join on the wedge apex and
+the closing join is on the (v,w) edge key — three shuffles total,
+each on uniformly-hashed keys after orientation kills the hub skew.
+No per-node adjacency list ever materializes in one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_edges(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Distinct undirected edges with a < b, self-loops dropped."""
+    lo = F.least(F.col(a), F.col(b)).alias("a")
+    hi = F.greatest(F.col(a), F.col(b)).alias("b")
+    return (
+        edges.filter(F.col(a) != F.col(b)).select(lo, hi).distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """One row: n_nodes, n_edges, n_wedges, n_triangles, and the
+    global clustering coefficient 3·triangles / wedges (rounded 6).
+    ``edges`` must be normalized (a < b, distinct, no loops)."""
+    nodes = edges.select(F.col("a").alias("v")).unionAll(
+        edges.select(F.col("b").alias("v")))
+    deg = nodes.groupBy("v").agg(F.count("*").cast("long").alias("deg"))
+
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    # orient low-(deg, id) -> high-(deg, id)
+    ed = edges.join(da, "a").join(db, "b")
+    fwd = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
+    oriented = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+
+    w1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    w2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    wedges = w1.join(w2, "u").filter(F.col("v") < F.col("w"))
+    closing = edges.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    tri = wedges.join(closing, ["v", "w"]).agg(
+        F.count("*").cast("long").alias("n_triangles"))
+
+    counts = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    nn = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    nw = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges"))
+    return (
+        nn.crossJoin(counts).crossJoin(nw).crossJoin(tri)
+        .select(
+            "n_nodes", "n_edges", "n_wedges", "n_triangles",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles")
+                / F.greatest(F.col("n_wedges").cast("double"), F.lit(1.0)),
+                6,
+            ).alias("global_clustering"),
+        )
+    )

@@ -37,11 +37,38 @@ def test_every_oracled_query_is_evidenced_or_in_window():
     oracles = entrymod.oracle_sql()
     window = set(names[:DRIVER_WINDOW])
     green = _driver_green_names()
+    pending = entrymod._PENDING_PROMOTION
     orphans = [n for n in names if n in oracles
-               and n not in window and n not in green]
+               and n not in window and n not in green and n not in pending]
     assert not orphans, (
         f"oracled queries outside the driver's {DRIVER_WINDOW}-query "
-        f"window with no committed green evidence: {orphans}")
+        f"window with no committed green evidence and not in the "
+        f"explicit _PENDING_PROMOTION queue: {orphans}")
+
+
+def test_pending_promotion_queue_hygiene():
+    """Queue members must be oracled, past the window (else the queue
+    entry is stale), not already driver-green (else promote/remove),
+    and the queue must shrink whenever window slots free up: it is a
+    holding area, not a hiding place."""
+    names = list(entrymod.queries())
+    oracles = entrymod.oracle_sql()
+    window = set(names[:DRIVER_WINDOW])
+    green = _driver_green_names()
+    pending = entrymod._PENDING_PROMOTION
+    assert pending <= set(names), f"unknown queue entries: {pending - set(names)}"
+    assert all(n in oracles for n in pending), (
+        f"queue entries without oracles: {[n for n in pending if n not in oracles]}")
+    stale = [n for n in pending if n in window or n in green]
+    assert not stale, (
+        f"queue entries already in the window or driver-green — remove "
+        f"from _PENDING_PROMOTION: {stale}")
+    # if any window slot holds a green-evidenced query while the queue
+    # is non-empty, a promotion was missed
+    promotable = [n for n in names[:DRIVER_WINDOW] if n in green]
+    assert not (pending and promotable), (
+        f"window slots {promotable} hold already-evidenced queries "
+        f"while {sorted(pending)} wait in the queue — rotate them in")
 
 
 def test_window_has_no_avoidable_no_oracle_rows():

@@ -1,0 +1,164 @@
+"""Unit tests for the round-5b operators: collocation (PMI, basket
+pairs), truncated EWMA, sketch contracts, triangle counting, asymmetric
+containment dedup, and hard-negative mining — each checked against a
+hand-computed or brute-force Python reference on crafted inputs."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from distill_spark.operators.collocation import bigram_pmi, cooccurrence_pairs
+from distill_spark.operators.dedup_text import containment_pairs
+from distill_spark.operators.sketch import sketch_contracts
+from distill_spark.operators.similarity import hard_negatives
+from distill_spark.operators.timeseries import ewma, ewma_weights
+from distill_spark.operators.triangles import normalize_edges, triangle_stats
+
+
+def test_bigram_pmi_hand_computed(spark):
+    # corpus: "a b" x3, "a c" x1 -> bigrams: (a,b)x3 (a,c)x1; words:
+    # a x4, b x3, c x1; Nw=8, Nb=4
+    docs = spark.createDataFrame(
+        [("a b",), ("a b",), ("a b",), ("a c",)], ["text"])
+    rows = {(r.w1, r.w2): r for r in
+            bigram_pmi(docs, min_count=1, k=10).collect()}
+    assert set(rows) == {("a", "b"), ("a", "c")}
+    ab = rows[("a", "b")]
+    assert ab.c_ab == 3
+    # pmi = ln(c_ab * Nw^2 / (Nb * c_a * c_b))
+    assert ab.pmi == round(math.log(3 * 64 / (4 * 4 * 3)), 6)
+    ac = rows[("a", "c")]
+    assert ac.pmi == round(math.log(1 * 64 / (4 * 4 * 1)), 6)
+
+
+def test_bigram_pmi_min_count_and_short_docs(spark):
+    docs = spark.createDataFrame(
+        [("x y",), ("solo",), ("",), ("x  y",)], ["text"])
+    out = bigram_pmi(docs, min_count=2, k=10).collect()
+    # single-word and empty docs contribute no bigrams; double-space
+    # splits are filtered so "x  y" still yields (x, y)
+    assert [(r.w1, r.w2, r.c_ab) for r in out] == [("x", "y", 2)]
+
+
+def test_cooccurrence_pairs_support(spark):
+    # baskets: 1:{p,q,r}, 2:{p,q}, 3:{p,q,q} (dup deduped) -> (p,q)=3,
+    # (p,r)=1, (q,r)=1
+    df = spark.createDataFrame(
+        [(1, "p"), (1, "q"), (1, "r"), (2, "p"), (2, "q"),
+         (3, "p"), (3, "q"), (3, "q")], ["bk", "it"])
+    out = cooccurrence_pairs(df, "bk", "it", min_support=1, k=10).collect()
+    sup = {(r.item_a, r.item_b): r.support for r in out}
+    assert sup == {("p", "q"): 3, ("p", "r"): 1, ("q", "r"): 1}
+    # ordering: support desc, then item_a, item_b asc
+    assert (out[0].item_a, out[0].item_b) == ("p", "q")
+    top = cooccurrence_pairs(df, "bk", "it", min_support=2, k=10).collect()
+    assert [(r.item_a, r.item_b) for r in top] == [("p", "q")]
+
+
+def _ewma_ref(vals, alpha, depth):
+    """Python reference: renormalized truncated EWMA over the history."""
+    ws = ewma_weights(alpha, depth)
+    out = []
+    for i in range(len(vals)):
+        num = den = 0.0
+        for d in range(min(depth, i + 1)):
+            num += vals[i - d] * ws[d]
+            den += ws[d]
+        out.append(num / den)
+    return out
+
+
+def test_ewma_matches_python_reference(spark):
+    vals = [3.0, -1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)] + [(2, 0, 100.0)],
+        ["k", "i", "v"])
+    out = (ewma(df, "v", ["k"], ["i"], alpha=0.4, depth=3)
+           .orderBy("k", "i").collect())
+    got = [r.ewma for r in out if r.k == 1]
+    ref = _ewma_ref(vals, 0.4, 3)
+    assert all(abs(g - e) < 1e-12 for g, e in zip(got, ref))
+    # a key's first row is just its own value (renormalized depth-1)
+    assert [r.ewma for r in out if r.k == 2] == [100.0]
+
+
+def test_ewma_depth_truncation_bound(spark):
+    # constant series: EWMA must equal the constant exactly at every
+    # depth (renormalization makes weights sum to 1)
+    df = spark.createDataFrame([(1, i, 7.5) for i in range(30)],
+                               ["k", "i", "v"])
+    out = ewma(df, "v", ["k"], ["i"], alpha=0.3, depth=20).collect()
+    assert all(abs(r.ewma - 7.5) < 1e-12 for r in out)
+
+
+def test_sketch_contracts_small_exact(spark):
+    df = spark.createDataFrame(
+        [("g1", u, float(u)) for u in range(1, 101)]
+        + [("g2", u % 5, float(u)) for u in range(10)],
+        ["g", "u", "val"])
+    rows = {r.g: r for r in sketch_contracts(df, "g", "u", "val").collect()}
+    assert rows["g1"].n_distinct == 100 and rows["g2"].n_distinct == 5
+    # exact interpolated median of 1..100 = 50.5
+    assert rows["g1"].p_exact == 50.5
+    assert all(r.distinct_ok and r.p_ok for r in rows.values())
+
+
+def test_triangle_stats_known_graphs(spark):
+    # K4: 4 nodes, 6 edges, 4 triangles, 12 wedges, C = 3*4/12 = 1.0
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(k4, ["a", "b"])
+    r = triangle_stats(edges).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+    assert r.n_wedges == 12 and r.global_clustering == 1.0
+    # path graph 0-1-2-3: 2 wedges, 0 triangles
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["a", "b"])
+    r = triangle_stats(path).collect()[0]
+    assert (r.n_wedges, r.n_triangles, r.global_clustering) == (2, 0, 0.0)
+
+
+def test_triangle_stats_hub_skew_graph(spark):
+    # star hub 0 + one rim edge (1,2): exactly 1 triangle, and the
+    # brute-force count agrees with the oriented-wedge count
+    star = [(0, i) for i in range(1, 30)] + [(1, 2)]
+    edges = spark.createDataFrame(star, ["a", "b"])
+    r = triangle_stats(normalize_edges(edges)).collect()[0]
+    assert r.n_triangles == 1
+    assert r.n_edges == 30
+
+
+def test_normalize_edges(spark):
+    raw = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 3), (4, 5)], ["a", "b"])
+    out = sorted((r.a, r.b) for r in normalize_edges(raw).collect())
+    assert out == [(1, 2), (4, 5)]
+
+
+def test_containment_pairs_asymmetric(spark):
+    short = "the quick brown fox jumps"
+    long_ = short + " over the lazy dog and runs far away into the night"
+    other = "completely different words here that never overlap at all ok"
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, other)], ["doc_id", "text"])
+    rows = containment_pairs(df, tau=0.5).collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(1, 2)]
+    r = rows[0]
+    # every 3-shingle of the short doc appears in the long doc
+    assert r.contain_a_in_b == 1.0
+    # but Jaccard-style symmetric overlap is small: B is much bigger
+    assert r.contain_b_in_a < 0.5
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], "x"), (2, [0.9, 0.1], "x"),
+         (3, [0.8, 0.2], "y"), (4, [0.0, 1.0], "y"),
+         (5, [1.0, 0.1], "z")],
+        ["vec_id", "embedding", "label"])
+    q = spark.createDataFrame([(1, [1.0, 0.0], "x")],
+                              ["q_id", "qv", "q_label"])
+    out = hard_negatives(emb, q, k=2).orderBy("rank").collect()
+    # same-label vec 2 excluded even though it is the most similar
+    assert [r.neg_id for r in out] == [5, 3]
+    assert [r.rank for r in out] == [1, 2]
