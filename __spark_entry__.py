@@ -5126,6 +5126,136 @@ SELECT q_id, neg_id, CAST(rank AS BIGINT) AS rank, sim FROM (
 """
 
 
+def q_anomaly_zscore(spark, sf_dir):
+    """Per-event-type z-score outliers (|z| ≥ 3 sample stds): exact
+    DECIMAL moments broadcast back onto an unshuffled event scan
+    (operators/anomaly.py)."""
+    from distill_spark.operators.anomaly import zscore_outliers
+
+    t = _tables(spark, sf_dir)
+    out = zscore_outliers(t["events"], "value", ["event_type"], threshold=3.0)
+    return out.select("event_id", "event_type", "value", "z")
+
+
+def _sql_anomaly():
+    from distill_spark.operators.anomaly import moments_sql
+
+    mom = moments_sql("events", "value", "event_type")
+    return f"""
+WITH mom AS ({mom})
+SELECT event_id, e.event_type, value, round((value - mean) / std, 6) AS z
+FROM events e JOIN mom USING (event_type)
+WHERE abs(round((value - mean) / std, 6)) >= 3.0
+"""
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations of the lineitem measures in ONE
+    aggregate pass (operators/stats.py corr_pairs)."""
+    from distill_spark.operators.stats import corr_pairs
+
+    t = _tables(spark, sf_dir)
+    return corr_pairs(t["lineitem"], _CORR_COLS)
+
+
+def _sql_corr():
+    from distill_spark.operators.stats import corr_pairs_sql
+
+    return corr_pairs_sql("lineitem", _CORR_COLS)
+
+
+def q_event_histogram(spark, sf_dir):
+    """Per-event-type equi-width 20-bucket histogram over the exact
+    value range (operators/stats.py equi_width_histogram)."""
+    from distill_spark.operators.stats import equi_width_histogram
+
+    t = _tables(spark, sf_dir)
+    return equi_width_histogram(t["events"], "value", ["event_type"], nbins=20)
+
+
+def _sql_histogram():
+    from distill_spark.operators.stats import histogram_sql
+
+    return histogram_sql("events", "value", "event_type", nbins=20)
+
+
+def q_group_sample(spark, sf_dir):
+    """Deterministic 5-docs-per-source sample by portable Knuth hash
+    (operators/sampling.py group_sample) — the reproducible eval-
+    subset draw."""
+    from distill_spark.operators.sampling import group_sample
+
+    t = _tables(spark, sf_dir)
+    out = group_sample(t["documents"], "source", "doc_id", k=5)
+    return out.select("doc_id", "source", "sample_rank")
+
+
+def _sql_group_sample():
+    from distill_spark.operators.sampling import group_sample_sql
+
+    inner = group_sample_sql("documents", "source", "doc_id", k=5)
+    return f"SELECT doc_id, source, sample_rank FROM ({inner})"
+
+
+_MHE_SEEDS = list(range(8))
+
+
+def q_minhash_error(spark, sf_dir):
+    """Measured MinHash estimator error on the LSH candidate pairs
+    (8 hashes / 4 bands, docs < 300): est vs exact Jaccard + abs_err
+    — the sketch-vs-truth contract for the dedup path
+    (dedup_text.minhash_error_stats)."""
+    from distill_spark.operators.dedup_text import minhash_error_stats
+
+    t = _tables(spark, sf_dir)
+    sub = t["documents"].filter(F.col("doc_id") < 300)
+    return minhash_error_stats(sub, num_hashes=8, bands=4)
+
+
+def _sql_minhash_error():
+    sig_cols = ", ".join(
+        f"min(md5('{s}' || '|' || sh)) AS mh{s}" for s in _MHE_SEEDS)
+    buckets = ", ".join(
+        f"'{b}:' || md5(mh{2 * b} || '|' || mh{2 * b + 1})" for b in range(4))
+    matches = " + ".join(
+        f"CAST(sa.mh{s} = sb.mh{s} AS INT)" for s in _MHE_SEEDS)
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+banded AS (SELECT doc_id, unnest([{buckets}]) AS bucket FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT doc_a, doc_b,
+         round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jac
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+             JOIN sizes sb ON sb.doc_id = doc_b
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         round(CAST({matches} AS DOUBLE) / 8.0, 6) AS est_jaccard
+  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+              JOIN sig sb ON sb.doc_id = c.doc_b
+)
+SELECT est.doc_a, est.doc_b, est_jaccard,
+       coalesce(jac, 0.0) AS exact_jaccard,
+       round(abs(est_jaccard - coalesce(jac, 0.0)), 6) AS abs_err
+FROM est LEFT JOIN exact
+  ON exact.doc_a = est.doc_a AND exact.doc_b = est.doc_b
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 # Ordering matters: the driver evaluates the FIRST 50 entries in dict
@@ -5293,14 +5423,24 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a2_kmeans_contract": (q_a2_kmeans_contract, SQL_A2C),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "st5_cache_boundary": (q_st5_cache_boundary, SQL_ST5),
+    # -- round-5c pending queue (window full of unevidenced rows; these
+    # sit past position 50, gated locally by check_parity + pytest,
+    # and promote as soon as a committed CORRECTNESS file frees slots)
+    "anomaly_zscore": (q_anomaly_zscore, _sql_anomaly()),
+    "corr_matrix": (q_corr_matrix, _sql_corr()),
+    "event_histogram": (q_event_histogram, _sql_histogram()),
+    "group_sample": (q_group_sample, _sql_group_sample()),
+    "minhash_error": (q_minhash_error, _sql_minhash_error()),
 }
 
 # The explicit promotion queue: every member must be oracled, sit past
 # the driver window, and not already be driver-green (else it should
 # leave the queue). tests/test_registry_gate.py enforces all three +
-# that nothing ELSE is hiding past the window unevidenced. Empty right
-# now: the round-5b rotation fit everything unevidenced into the window.
-_PENDING_PROMOTION: frozenset[str] = frozenset()
+# that nothing ELSE is hiding past the window unevidenced.
+_PENDING_PROMOTION: frozenset[str] = frozenset({
+    "anomaly_zscore", "corr_matrix", "event_histogram", "group_sample",
+    "minhash_error",
+})
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,85 @@
+"""Anomaly detection over event streams (analytics extension: the
+reference's closest surface is the stability validator's band checks,
+pkg/memory/stability.go — this is the per-key statistical version a
+metrics pipeline needs).
+
+- :func:`group_moments` — exact per-group mean/std from DECIMAL sums.
+- :func:`zscore_outliers` — rows whose |z| exceeds a threshold.
+
+Scale shape (100 TB of events):
+- One partial-aggregate pass computes per-group moments (map-side
+  combine; group cardinality ~ #event types, tiny).
+- The moments join back BROADCAST — the event scan is never shuffled,
+  so outlier flagging is a pure second scan and the filter prunes to
+  the anomalous tail immediately.
+- No windows: a per-group window would shuffle the full stream and
+  serialize each hot group through one task.
+
+Determinism (the cross-engine hash gate): doubles are summed in
+DECIMAL (exact, layout-independent), converted to DOUBLE once, and
+every subsequent arithmetic step is written in the same order as the
+oracle SQL so IEEE doubles match bit-for-bit; z is rounded to 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: DECIMAL types wide enough for value and value² sums: value fits
+#: (20,10); squares keep 20 fractional digits with 18 integral.
+_DEC_V = "decimal(20,10)"
+_DEC_V2 = "decimal(38,20)"
+
+
+def group_moments(df: DataFrame, value_col: str,
+                  group_cols: list[str]) -> DataFrame:
+    """Per-group n / mean / sample std from exact DECIMAL sums.
+
+    var = (s2 - s1*s1/n) / (n-1) evaluated in DOUBLE in exactly this
+    association; groups with n < 2 or zero variance get std NULL so
+    downstream z-scores stay NULL rather than ±inf.
+    """
+    v = F.col(value_col)
+    agg = df.groupBy(*group_cols).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(v.cast(_DEC_V)).cast("double").alias("_s1"),
+        F.sum((v * v).cast(_DEC_V2)).cast("double").alias("_s2"),
+    )
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("n")) / (
+        F.col("n") - F.lit(1.0))
+    return agg.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        (F.col("_s1") / F.col("n")).alias("mean"),
+        F.when((F.col("n") > 1) & (var > 0), F.sqrt(var)).alias("std"),
+    )
+
+
+def moments_sql(table: str, value_sql: str, group_sql: str) -> str:
+    """The oracle twin of :func:`group_moments` as a SQL fragment
+    (same association order; DuckDB DECIMAL casts round like Spark's)."""
+    return f"""
+SELECT {group_sql}, CAST(n AS BIGINT) AS n, _s1 / n AS mean,
+       CASE WHEN n > 1 AND (_s2 - _s1 * _s1 / n) / (n - 1.0) > 0
+            THEN sqrt((_s2 - _s1 * _s1 / n) / (n - 1.0)) END AS std
+FROM (
+  SELECT {group_sql}, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST({value_sql} AS DECIMAL(20,10))) AS DOUBLE) AS _s1,
+         CAST(sum(CAST({value_sql} * {value_sql} AS DECIMAL(38,20))) AS DOUBLE) AS _s2
+  FROM {table} GROUP BY {group_sql}
+)"""
+
+
+def zscore_outliers(df: DataFrame, value_col: str, group_cols: list[str],
+                    threshold: float = 3.0) -> DataFrame:
+    """Rows whose value deviates ≥ ``threshold`` sample-stds from the
+    group mean. Adds round-6 ``z``; keeps every input column."""
+    mom = group_moments(df, value_col, group_cols)
+    z = F.round((F.col(value_col) - F.col("mean")) / F.col("std"), 6)
+    return (
+        df.join(F.broadcast(mom), group_cols)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= F.lit(threshold))
+        .drop("n", "mean", "std")
+    )

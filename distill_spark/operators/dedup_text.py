@@ -395,3 +395,46 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
         .filter(F.greatest("contain_a_in_b", "contain_b_in_a") >= tau)
         .select("doc_a", "doc_b", "contain_a_in_b", "contain_b_in_a")
     )
+
+
+def minhash_error_stats(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", num_hashes: int = 8,
+                        bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """Measured MinHash estimator error on the LSH candidate pairs:
+    est_jaccard = matching signature components / num_hashes, against
+    the exact shingle-set Jaccard.
+
+    This is the sketch-vs-exact contract for the dedup path (the
+    analog of sketch.percentile_contract): it quantifies, on THIS
+    corpus, how far the banded estimate drifts from truth — the
+    number that justifies trusting the sketch alone at 100 TB, where
+    the exact join is only run on the (tiny) candidate set exactly as
+    here. Deterministic end-to-end: md5 signatures, no RNG.
+    """
+    cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes,
+                                  bands, shingle_n)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sa = sig.select(F.col(id_col).alias("doc_a"),
+                    *[F.col(f"mh{s}").alias(f"a{s}") for s in range(num_hashes)])
+    sb = sig.select(F.col(id_col).alias("doc_b"),
+                    *[F.col(f"mh{s}").alias(f"b{s}") for s in range(num_hashes)])
+    matches = sum(
+        (F.col(f"a{s}") == F.col(f"b{s}")).cast("int")
+        for s in range(num_hashes))
+    est = cand.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b",
+        F.round(matches.cast("double") / F.lit(float(num_hashes)), 6)
+        .alias("est_jaccard"),
+    )
+    exact = ngram_jaccard_pairs(df, id_col, text_col, threshold=0.0,
+                                shingle_n=shingle_n, candidates=cand)
+    return (
+        est.join(exact, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a", "doc_b", "est_jaccard",
+            F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_jaccard")
+                          - F.coalesce(F.col("jaccard"), F.lit(0.0))), 6)
+            .alias("abs_err"),
+        )
+    )

@@ -183,3 +183,40 @@ def weighted_sample(
             .orderBy(F.asc("_aes_rank"), F.asc(key_col))
             .limit(n)
             .drop("_aes_rank"))
+
+
+def group_sample(df: DataFrame, group_col: str, key_col: str, k: int,
+                 mode: str = "portable", salt: int = 0) -> DataFrame:
+    """Exactly min(k, group size) rows per group, chosen by the
+    deterministic key hash (smallest hashes win, key breaks ties) —
+    the reproducible per-domain eval-subset draw.
+
+    Scale shape: one shuffle on the group key + a rank-truncated
+    window. Group skew is the risk (a web-scale domain serializes
+    through one task); for hot groups pre-filter with a hash threshold
+    a few multiples of k/|group| first — the same two-phase trick
+    rebalance_mixture uses — then rank the survivors.
+    """
+    from pyspark.sql import Window
+
+    _require_integral_key(df, key_col, mode)
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(key_col, mode, salt).asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def group_sample_sql(table: str, group_sql: str, key_sql: str, k: int,
+                     salt: int = 0) -> str:
+    """Oracle twin of :func:`group_sample` (portable mode): the same
+    Knuth multiplicative hash spelled out in BIGINT arithmetic."""
+    h = f"(({key_sql} % {_M} + {salt}) * {_KNUTH}) % {_M}"
+    return f"""
+SELECT * FROM (
+  SELECT t.*, CAST(row_number() OVER (
+           PARTITION BY {group_sql} ORDER BY {h} ASC, {key_sql} ASC
+         ) AS BIGINT) AS sample_rank
+  FROM {table} t
+) WHERE sample_rank <= {k}"""

@@ -1,0 +1,152 @@
+"""Column statistics: correlation matrices and equi-width histograms
+(analytics extension alongside profile.py's per-column profiler; the
+reference has no numeric-stats surface).
+
+Scale shape (100 TB):
+- :func:`corr_pairs` computes ALL pairwise Pearson correlations of K
+  columns in ONE partial-aggregate pass (K + K + K·(K+1)/2 decimal
+  sums, map-side combined); the pair expansion happens on the single
+  aggregated row. No per-pair scans, no shuffle of the fact table.
+- :func:`equi_width_histogram` is two scans: an exact min/max
+  aggregate (tiny result, broadcast back) and one bucketing pass.
+  Bucket arithmetic is spelled out manually — floor((v-lo)*nb/(hi-lo))
+  — NOT width_bucket, so the Spark plan and the DuckDB oracle share
+  one formula with identical edge semantics.
+
+Determinism: DECIMAL sums → one cast to DOUBLE → identical arithmetic
+association on both engines; correlations round to 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,12)"
+
+
+def _pair_corr_expr(x: str, y: str):
+    """corr(x,y) = (n·Sxy − Sx·Sy) / (sqrt(n·Sxx−Sx²)·sqrt(n·Syy−Sy²)),
+    from the one-pass sums; NULL when either variance term is ≤ 0."""
+    n = F.col("n")
+    sx, sy = F.col(f"s_{x}"), F.col(f"s_{y}")
+    sxx, syy = F.col(f"s_{x}_{x}"), F.col(f"s_{y}_{y}")
+    sxy = F.col(f"s_{x}_{y}")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return F.when(
+        (vx > 0) & (vy > 0),
+        F.round((n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)), 6),
+    )
+
+
+def corr_pairs(df: DataFrame, cols: list[str]) -> DataFrame:
+    """All K·(K−1)/2 pairwise Pearson correlations in one pass.
+
+    Output: (col_x, col_y, corr, n) with col_x < col_y in ``cols``
+    order; one row per pair, ordered by (col_x, col_y).
+    """
+    cols = list(cols)
+    aggs = [F.count("*").cast("double").alias("n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.col(c).cast(_DEC)).cast("double").alias(f"s_{c}"))
+        for d in cols[i:]:
+            aggs.append(
+                F.sum((F.col(c) * F.col(d)).cast(_DEC)).cast("double")
+                .alias(f"s_{c}_{d}"))
+    one = df.agg(*aggs)
+    pairs = [
+        F.struct(
+            F.lit(x).alias("col_x"), F.lit(y).alias("col_y"),
+            _pair_corr_expr(x, y).alias("corr"),
+            F.col("n").cast("long").alias("n"),
+        )
+        for i, x in enumerate(cols) for y in cols[i + 1:]
+    ]
+    return (
+        one.select(F.explode(F.array(*pairs)).alias("p"))
+        .select("p.col_x", "p.col_y", "p.corr", "p.n")
+        .orderBy("col_x", "col_y")
+    )
+
+
+def corr_pairs_sql(table: str, cols: list[str]) -> str:
+    """Oracle twin of :func:`corr_pairs`: the same one-pass sums CTE,
+    pair rows via UNION ALL with identical arithmetic."""
+    cols = list(cols)
+    sums = ["CAST(count(*) AS DOUBLE) AS n"]
+    for i, c in enumerate(cols):
+        sums.append(f"CAST(sum(CAST({c} AS DECIMAL(38,12))) AS DOUBLE) AS s_{c}")
+        for d in cols[i:]:
+            sums.append(
+                f"CAST(sum(CAST({c} * {d} AS DECIMAL(38,12))) AS DOUBLE)"
+                f" AS s_{c}_{d}")
+    rows = []
+    for i, x in enumerate(cols):
+        for y in cols[i + 1:]:
+            vx, vy = f"(n * s_{x}_{x} - s_{x} * s_{x})", f"(n * s_{y}_{y} - s_{y} * s_{y})"
+            rows.append(
+                f"SELECT '{x}' AS col_x, '{y}' AS col_y, "
+                f"CASE WHEN {vx} > 0 AND {vy} > 0 THEN "
+                f"round((n * s_{x}_{y} - s_{x} * s_{y})"
+                f" / (sqrt({vx}) * sqrt({vy})), 6) END AS corr, "
+                f"CAST(n AS BIGINT) AS n FROM sums")
+    union = "\nUNION ALL\n".join(rows)
+    return (f"WITH sums AS (SELECT {', '.join(sums)} FROM {table})\n"
+            f"{union}\nORDER BY col_x, col_y")
+
+
+def bucket_expr(v, lo, hi, nbins: int):
+    """Equi-width bucket in [1, nbins]: floor((v−lo)·nb/(hi−lo)) + 1
+    with v == hi clamped into the top bucket and degenerate lo == hi
+    collapsing to bucket 1. Pure double arithmetic, portable."""
+    raw = F.floor((v - lo) * F.lit(float(nbins)) / (hi - lo)) + 1
+    return (
+        F.when(hi == lo, F.lit(1))
+        .otherwise(F.least(raw, F.lit(nbins)))
+        .cast("long")
+    )
+
+
+def equi_width_histogram(df: DataFrame, value_col: str,
+                         group_cols: list[str], nbins: int = 20) -> DataFrame:
+    """Per-group equi-width histogram over the group's exact
+    [min, max] range: (group…, bucket, lo, hi, cnt), buckets 1..nbins,
+    empty buckets omitted. Bounds round-6 for the cross-engine gate."""
+    v = F.col(value_col)
+    bounds = df.groupBy(*group_cols).agg(
+        F.min(v).alias("_lo"), F.max(v).alias("_hi"))
+    b = bucket_expr(v, F.col("_lo"), F.col("_hi"), nbins)
+    return (
+        df.join(F.broadcast(bounds), group_cols)
+        .withColumn("bucket", b)
+        .groupBy(*group_cols, "bucket")
+        .agg(
+            F.round(F.min("_lo"), 6).alias("range_lo"),
+            F.round(F.min("_hi"), 6).alias("range_hi"),
+            F.count("*").cast("long").alias("cnt"),
+        )
+    )
+
+
+def histogram_sql(table: str, value_sql: str, group_sql: str,
+                  nbins: int = 20) -> str:
+    """Oracle twin of :func:`equi_width_histogram` (same manual bucket
+    formula; CAST(floor(..) AS BIGINT) because DuckDB CAST rounds)."""
+    raw = (f"CAST(floor(({value_sql} - _lo) * {float(nbins)!r}"
+           f" / (_hi - _lo)) AS BIGINT) + 1")
+    return f"""
+WITH bounds AS (
+  SELECT {group_sql}, min({value_sql}) AS _lo, max({value_sql}) AS _hi
+  FROM {table} GROUP BY {group_sql}
+),
+bucketed AS (
+  SELECT t.*, b._lo, b._hi,
+         CASE WHEN b._hi = b._lo THEN 1
+              ELSE least({raw}, {nbins}) END AS bucket
+  FROM {table} t JOIN bounds b USING ({group_sql})
+)
+SELECT {group_sql}, CAST(bucket AS BIGINT) AS bucket,
+       round(min(_lo), 6) AS range_lo, round(min(_hi), 6) AS range_hi,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM bucketed GROUP BY {group_sql}, bucket"""

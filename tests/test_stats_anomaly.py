@@ -1,0 +1,129 @@
+"""Unit tests for the round-5c operators: z-score anomaly detection,
+one-pass correlation matrices, equi-width histograms, deterministic
+per-group sampling, and the MinHash error contract."""
+
+from __future__ import annotations
+
+import math
+import statistics
+
+from pyspark.sql import functions as F
+
+from distill_spark.operators.anomaly import group_moments, zscore_outliers
+from distill_spark.operators.dedup_text import minhash_error_stats
+from distill_spark.operators.sampling import group_sample
+from distill_spark.operators.stats import corr_pairs, equi_width_histogram
+
+
+def test_group_moments_exact(spark):
+    vals = [1.5, 2.5, 4.0, 8.0]
+    df = spark.createDataFrame([("g", v) for v in vals] + [("solo", 9.0)],
+                               ["k", "v"])
+    rows = {r.k: r for r in group_moments(df, "v", ["k"]).collect()}
+    g = rows["g"]
+    assert g.n == 4 and abs(g.mean - statistics.mean(vals)) < 1e-12
+    assert abs(g.std - statistics.stdev(vals)) < 1e-12
+    # n=1 group: std is NULL, not 0/inf
+    assert rows["solo"].std is None and rows["solo"].mean == 9.0
+
+
+def test_zscore_outliers_flags_only_the_spike(spark):
+    base = [(i, "a", 10.0 + (i % 3) * 0.1) for i in range(50)]
+    df = spark.createDataFrame(base + [(99, "a", 1000.0)],
+                               ["event_id", "event_type", "value"])
+    out = zscore_outliers(df, "value", ["event_type"], threshold=3.0).collect()
+    assert [r.event_id for r in out] == [99]
+    assert out[0].z > 3
+
+
+def test_zscore_zero_variance_group_silent(spark):
+    df = spark.createDataFrame([(i, "c", 5.0) for i in range(10)],
+                               ["event_id", "event_type", "value"])
+    assert zscore_outliers(df, "value", ["event_type"]).count() == 0
+
+
+def test_corr_pairs_matches_statistics(spark):
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0]
+    ys = [2.0, 1.0, 4.0, 3.0, 5.0]
+    zs = [-x for x in xs]
+    df = spark.createDataFrame(list(zip(xs, ys, zs)), ["x", "y", "z"])
+    rows = {(r.col_x, r.col_y): r for r in
+            corr_pairs(df, ["x", "y", "z"]).collect()}
+    assert set(rows) == {("x", "y"), ("x", "z"), ("y", "z")}
+    ref = statistics.correlation(xs, ys)
+    assert abs(rows[("x", "y")].corr - ref) < 1e-6
+    assert rows[("x", "z")].corr == -1.0
+    assert all(r.n == 5 for r in rows.values())
+
+
+def test_corr_pairs_constant_column_null(spark):
+    df = spark.createDataFrame([(float(i), 7.0) for i in range(5)],
+                               ["x", "c"])
+    rows = corr_pairs(df, ["x", "c"]).collect()
+    assert rows[0].corr is None
+
+
+def test_histogram_buckets_and_edges(spark):
+    # values 0..10 in one group, 5 bins of width 2: v=10 (== max)
+    # clamps into bucket 5, not 6
+    df = spark.createDataFrame([("g", float(v)) for v in range(11)],
+                               ["k", "v"])
+    rows = {r.bucket: r for r in
+            equi_width_histogram(df, "v", ["k"], nbins=5).collect()}
+    assert {b: rows[b].cnt for b in sorted(rows)} == {1: 2, 2: 2, 3: 2, 4: 2, 5: 3}
+    assert rows[1].range_lo == 0.0 and rows[1].range_hi == 10.0
+    # degenerate group (min == max) collapses to bucket 1
+    one = spark.createDataFrame([("z", 4.2), ("z", 4.2)], ["k", "v"])
+    r = equi_width_histogram(one, "v", ["k"], nbins=5).collect()
+    assert len(r) == 1 and r[0].bucket == 1 and r[0].cnt == 2
+
+
+def test_histogram_total_count_preserved(spark):
+    import random
+
+    rnd = random.Random(7)
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", rnd.uniform(-5, 5)) for i in range(300)], ["k", "v"])
+    out = equi_width_histogram(df, "v", ["k"], nbins=8)
+    assert out.agg(F.sum("cnt")).collect()[0][0] == 300
+    assert out.filter((F.col("bucket") < 1) | (F.col("bucket") > 8)).count() == 0
+
+
+def test_group_sample_deterministic_and_exact_k(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(100)], ["doc_id", "source"])
+    a = sorted((r.source, r.doc_id, r.sample_rank) for r in
+               group_sample(df, "source", "doc_id", 5).collect())
+    b = sorted((r.source, r.doc_id, r.sample_rank) for r in
+               group_sample(df.repartition(7), "source", "doc_id", 5).collect())
+    assert a == b  # layout-independent
+    per = {}
+    for s, _, _ in a:
+        per[s] = per.get(s, 0) + 1
+    assert per == {f"s{i}": 5 for i in range(4)}
+    # short group: min(k, size)
+    tiny = spark.createDataFrame([(1, "t"), (2, "t")], ["doc_id", "source"])
+    assert group_sample(tiny, "source", "doc_id", 5).count() == 2
+
+
+def test_minhash_error_contract_shape(spark):
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again today"),
+        (2, "the quick brown fox jumps over the lazy dog again tonight"),
+        (3, "completely unrelated text about distributed query engines"),
+        (4, "completely unrelated text about distributed query engines"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {(r.doc_a, r.doc_b): r for r in minhash_error_stats(df).collect()}
+    # identical docs are certain candidates with est = exact = 1
+    assert rows[(3, 4)].est_jaccard == 1.0
+    assert rows[(3, 4)].exact_jaccard == 1.0 and rows[(3, 4)].abs_err == 0.0
+    # near-dup pair: exact jaccard high, error bounded by construction
+    if (1, 2) in rows:
+        r = rows[(1, 2)]
+        assert 0.5 < r.exact_jaccard < 1.0
+        assert math.isclose(abs(r.est_jaccard - r.exact_jaccard), r.abs_err,
+                            abs_tol=1e-6)
+    # est granularity is 1/8
+    for r in rows.values():
+        assert math.isclose(r.est_jaccard * 8, round(r.est_jaccard * 8))
