@@ -5256,6 +5256,30 @@ FROM est LEFT JOIN exact
 """
 
 
+_BPE_MERGES, _BPE_MIN_COUNT = 10, 2
+
+
+def q_learn_bpe(spark, sf_dir):
+    """Distributed BPE tokenizer training: 10 merge rounds over the
+    unique-word frequency table (operators/bpe.py learn_bpe). Output =
+    the learned merge table (step, left_sym, right_sym, pair_count) —
+    deterministic: integer counts, total-order tie-break."""
+    from distill_spark.operators.bpe import learn_bpe
+
+    t = _tables(spark, sf_dir)
+    merges, _ = learn_bpe(t["documents"], num_merges=_BPE_MERGES,
+                          min_count=_BPE_MIN_COUNT)
+    return spark.createDataFrame(
+        merges, "step long, left_sym string, right_sym string, pair_count long")
+
+
+def _sql_learn_bpe():
+    from distill_spark.operators.bpe import learn_bpe_sql
+
+    return learn_bpe_sql("TRUE", num_merges=_BPE_MERGES,
+                         min_count=_BPE_MIN_COUNT)
+
+
 # ----------------------------------------------------------------- registry
 
 # Ordering matters: the driver evaluates the FIRST 50 entries in dict
@@ -5431,6 +5455,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "event_histogram": (q_event_histogram, _sql_histogram()),
     "group_sample": (q_group_sample, _sql_group_sample()),
     "minhash_error": (q_minhash_error, _sql_minhash_error()),
+    "learn_bpe": (q_learn_bpe, _sql_learn_bpe()),
 }
 
 # The explicit promotion queue: every member must be oracled, sit past
@@ -5439,7 +5464,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
 # that nothing ELSE is hiding past the window unevidenced.
 _PENDING_PROMOTION: frozenset[str] = frozenset({
     "anomaly_zscore", "corr_matrix", "event_histogram", "group_sample",
-    "minhash_error",
+    "minhash_error", "learn_bpe",
 })
 
 

@@ -1,0 +1,199 @@
+"""Distributed BPE merge learning — tokenizer training on the cluster
+(training-data extension; the reference estimates tokens with a
+chars/4 heuristic, pkg/chunk/tokens.go — this learns a real
+byte-pair-encoding merge table from the corpus).
+
+Classic BPE (Sennrich et al. 2016, public domain algorithm): work on
+the UNIQUE-WORD frequency table (tiny relative to the corpus — the
+100 TB corpus collapses to a vocabulary after one groupBy), start
+from character symbols, and repeatedly merge the most frequent
+adjacent symbol pair.
+
+Scale shape:
+- One corpus scan builds (word, count); everything after touches only
+  the vocabulary table (millions of rows at web scale, not billions).
+- Each merge round: one partial-agg pair count + a 1-row collect
+  (argmax) + a JVM-side fold rewriting symbol arrays. The driver loop
+  of K tiny jobs is the same shape MLlib KMeans uses.
+- Lineage is localCheckpointed every few rounds (the PageRank lesson:
+  without it each round re-derives all prior folds).
+
+Greedy merge semantics: left-to-right, non-overlapping, rescanning
+AFTER the merged token ("aaaa" + (a,a) -> [aa, aa]; "aaa" -> [aa, a]).
+The fold keeps them exact: a merged tail can only re-merge if it
+textually equals the left symbol. The DuckDB oracle reproduces the
+identical fold with list_reduce over a unit-separated string
+accumulator (see merge_fold_sql) — symbols must not contain chr(31),
+true for whitespace-split text.
+
+Determinism: integer pair counts, total-order tie-break
+(count DESC, left ASC, right ASC) — no RNG, layout-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: unit separator for the SQL oracle's string-accumulator fold
+SEP = "\x1f"
+
+
+def chars_expr(word: Column) -> Column:
+    """Character symbols of a word (1 char each, JVM-side)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: word.substr(i, F.lit(1)),
+    )
+
+
+def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt, syms) — the unique-word frequency table with
+    initial character symbols."""
+    w = df.select(
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
+        .alias("word"))
+    return (
+        w.groupBy("word").agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn("syms", chars_expr(F.col("word")))
+    )
+
+
+def pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent symbol-pair counts weighted by word frequency."""
+    pairs = vocab.select(
+        "cnt",
+        F.explode(
+            F.when(
+                F.size("syms") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("left"),
+                        F.element_at("syms", i + 1).alias("right"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy("p.left", "p.right")
+        .agg(F.sum("cnt").cast("long").alias("pair_count"))
+    )
+
+
+def merge_fold(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of adjacent (left, right) into
+    left+right, as an array fold (no UDF)."""
+    a, b, ab = F.lit(left), F.lit(right), F.lit(left + right)
+    return F.aggregate(
+        F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+        F.slice(syms, 1, 1),
+        lambda acc, x: F.when(
+            (F.element_at(acc, -1) == a) & (x == b),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(ab)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def learn_bpe(df: DataFrame, text_col: str = "text", num_merges: int = 10,
+              min_count: int = 2, checkpoint_every: int = 3):
+    """Learn ``num_merges`` BPE merges; returns (merges, vocab) where
+    merges is a list of (step, left, right, pair_count) and vocab is
+    the final (word, cnt, syms) DataFrame."""
+    vocab = word_vocab(df, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, num_merges + 1):
+        best = (
+            pair_counts(vocab)
+            .filter(F.col("pair_count") >= min_count)
+            .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, cnt = best[0].left, best[0].right, best[0].pair_count
+        merges.append((step, left, right, cnt))
+        vocab = vocab.withColumn("syms", merge_fold(F.col("syms"), left, right))
+        if step % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return merges, vocab
+
+
+def bpe_encode(df: DataFrame, merges: list[tuple[int, str, str, int]],
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Tokenize documents with a learned merge list: encode each
+    DISTINCT word once (the folds run over the vocabulary, not the
+    corpus), then rejoin positions — (id, pos, word, tokens)."""
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
+        .alias("pos", "word"),
+    )
+    uniq = words.select("word").distinct().withColumn(
+        "syms", chars_expr(F.col("word")))
+    for _, left, right, _ in merges:
+        uniq = uniq.withColumn("syms", merge_fold(F.col("syms"), left, right))
+    uniq = uniq.withColumn("tokens", F.concat_ws(" ", "syms")).drop("syms")
+    return words.join(uniq, "word").select(id_col, "pos", "word", "tokens")
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+
+def merge_fold_sql(syms_str: str, left_sql: str, right_sql: str) -> str:
+    """The oracle twin of :func:`merge_fold`, folding a chr(31)-joined
+    symbol string with list_reduce (exact-compare tail check, no LIKE
+    wildcards)."""
+    acc_is_a = (f"(acc = {left_sql} OR right(acc, length({left_sql}) + 1) = "
+                f"chr(31) || {left_sql})")
+    return (
+        f"list_reduce(string_split({syms_str}, chr(31)), (acc, x) -> "
+        f"CASE WHEN {acc_is_a} AND x = {right_sql} "
+        f"THEN left(acc, length(acc) - length({left_sql})) || {left_sql} || {right_sql} "
+        f"ELSE acc || chr(31) || x END)"
+    )
+
+
+def learn_bpe_sql(doc_filter: str = "TRUE", num_merges: int = 10,
+                  min_count: int = 2) -> str:
+    """Unrolled K-round BPE oracle: each round recomputes pair counts
+    from the previous round's symbol strings, picks the argmax with
+    the same tie-break, and folds the merge (chained CTEs — the
+    standard iterative-oracle shape, see pagerank_sql). CTEs are
+    MATERIALIZED: b_k is referenced by both v_k and the final union,
+    and without the hint DuckDB re-inlines the whole chain per
+    reference (measured 28s -> 0.4s at sf0.01)."""
+    ctes = [f"""
+v0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+         array_to_string(list_transform(range(1, length(word) + 1),
+                                        i -> word[i]), chr(31)) AS syms
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        FROM documents WHERE {doc_filter})
+  GROUP BY word
+)"""]
+    for k in range(1, num_merges + 1):
+        prev = f"v{k - 1}"
+        ctes.append(f"""
+p{k} AS MATERIALIZED (
+  SELECT ls[i] AS lft, ls[i + 1] AS rgt, CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM (SELECT cnt, string_split(syms, chr(31)) AS ls FROM {prev}),
+       unnest(range(1, len(ls))) AS t(i)
+  GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (
+  SELECT {k} AS step, lft, rgt, pair_count FROM p{k}
+  WHERE pair_count >= {min_count}
+  ORDER BY pair_count DESC, lft ASC, rgt ASC LIMIT 1
+),
+v{k} AS MATERIALIZED (
+  SELECT word, cnt, {merge_fold_sql('syms', 'b.lft', 'b.rgt')} AS syms
+  FROM {prev}, b{k} b
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST(step AS BIGINT) AS step, lft AS left_sym, "
+        f"rgt AS right_sym, pair_count FROM b{k}"
+        for k in range(1, num_merges + 1))
+    return f"WITH {', '.join(ctes)}\n{union}\nORDER BY step"

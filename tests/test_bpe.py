@@ -1,0 +1,99 @@
+"""BPE merge learning vs a transparent Python reference, plus the
+greedy-fold edge cases (overlapping runs) and encode round-trip."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from distill_spark.operators.bpe import (
+    bpe_encode, learn_bpe, merge_fold, word_vocab,
+)
+
+
+def _ref_bpe(texts, num_merges, min_count):
+    vocab = Counter(w for t in texts for w in t.split() if w)
+    syms = {w: list(w) for w in vocab}
+    merges = []
+    for step in range(1, num_merges + 1):
+        pc = Counter()
+        for w, c in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        cands = [(p, c) for p, c in pc.items() if c >= min_count]
+        if not cands:
+            break
+        (lft, rgt), c = min(cands, key=lambda x: (-x[1], x[0][0], x[0][1]))
+        merges.append((step, lft, rgt, c))
+        for w in vocab:
+            out = []
+            for x in syms[w]:
+                if out and out[-1] == lft and x == rgt:
+                    out[-1] = lft + rgt
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges, syms
+
+
+def test_learn_bpe_matches_reference(spark):
+    texts = [
+        "lower lowest newer newest low new",
+        "lower lower newest wider wide widest",
+        "low low low newer wider",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got, vocab = learn_bpe(df, num_merges=8, min_count=2)
+    ref, ref_syms = _ref_bpe(texts, 8, 2)
+    assert got == ref
+    # final symbol arrays agree word-for-word
+    for r in vocab.collect():
+        assert r.syms == ref_syms[r.word], r.word
+
+
+def test_merge_fold_greedy_runs(spark):
+    df = spark.createDataFrame([(1,)], ["x"]).select(
+        merge_fold(F.split(F.lit("a a a a"), " "), "a", "a").alias("m4"),
+        merge_fold(F.split(F.lit("a a a"), " "), "a", "a").alias("m3"),
+        merge_fold(F.split(F.lit("b a a b"), " "), "a", "a").alias("mid"),
+        merge_fold(F.split(F.lit("a"), " "), "a", "a").alias("single"),
+    )
+    r = df.collect()[0]
+    assert r.m4 == ["aa", "aa"]       # rescan AFTER the merged token
+    assert r.m3 == ["aa", "a"]        # odd run leaves the tail
+    assert r.mid == ["b", "aa", "b"]
+    assert r.single == ["a"]
+
+
+def test_merge_fold_merged_tail_can_remerge(spark):
+    # pair (ab, c): a merged tail that EQUALS the left symbol remerges
+    out = (spark.range(1).select(
+        merge_fold(F.split(F.lit("ab c ab c"), " "), "ab", "c").alias("s"))
+        .collect()[0].s)
+    assert out == ["abc", "abc"]
+
+
+def test_word_vocab_counts(spark):
+    df = spark.createDataFrame([("go go stop",), ("go",)], ["text"])
+    rows = {r.word: (r.cnt, r.syms) for r in word_vocab(df).collect()}
+    assert rows["go"] == (3, ["g", "o"])
+    assert rows["stop"][1] == ["s", "t", "o", "p"]
+
+
+def test_bpe_encode_uses_merges(spark):
+    texts = ["low lower low", "low lowest"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    merges, _ = learn_bpe(df, num_merges=3, min_count=2)
+    enc = bpe_encode(df, merges, text_col="text", id_col="doc_id")
+    rows = {(r.doc_id, r.pos): r.tokens for r in enc.collect()}
+    # every occurrence of the same word tokenizes identically
+    assert rows[(0, 0)] == rows[(0, 2)] == rows[(1, 0)]
+    # tokens reassemble to the original word
+    for r in enc.collect():
+        assert r.tokens.replace(" ", "") == r.word
+    # at least one multi-char token was learned on this corpus
+    assert any(len(tok) > 1 for r in enc.collect()
+               for tok in r.tokens.split(" "))
