@@ -5256,6 +5256,22 @@ FROM est LEFT JOIN exact
 """
 
 
+def q_embed_covariance(spark, sf_dir):
+    """Exact-decimal sample covariance of the embedding dimensions
+    (upper triangle, 2080 entries at d=64) — the hash-gated twin of
+    pca.gram_moments' float treeAggregate route (operators/pca.py)."""
+    from distill_spark.operators.pca import covariance_exact
+
+    t = _tables(spark, sf_dir)
+    return covariance_exact(t["embeddings"])
+
+
+def _sql_embed_cov():
+    from distill_spark.operators.pca import covariance_exact_sql
+
+    return covariance_exact_sql()
+
+
 _BPE_MERGES, _BPE_MIN_COUNT = 10, 2
 
 
@@ -5456,6 +5472,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "group_sample": (q_group_sample, _sql_group_sample()),
     "minhash_error": (q_minhash_error, _sql_minhash_error()),
     "learn_bpe": (q_learn_bpe, _sql_learn_bpe()),
+    "embed_covariance": (q_embed_covariance, _sql_embed_cov()),
 }
 
 # The explicit promotion queue: every member must be oracled, sit past
@@ -5464,7 +5481,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
 # that nothing ELSE is hiding past the window unevidenced.
 _PENDING_PROMOTION: frozenset[str] = frozenset({
     "anomaly_zscore", "corr_matrix", "event_histogram", "group_sample",
-    "minhash_error", "learn_bpe",
+    "minhash_error", "learn_bpe", "embed_covariance",
 })
 
 

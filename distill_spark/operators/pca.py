@@ -1,0 +1,172 @@
+"""Distributed PCA / whitening over embedding columns (training-data
+extension: whitening calibrates cosine thresholds for semantic dedup,
+and PCA truncation is the standard pre-step before IVF/PQ indexing —
+the reference stores raw vectors only, pkg/vectordb/*).
+
+Two routes, one contract:
+
+- PRODUCTION (any scale): :func:`gram_moments` — each Arrow batch
+  emits a flattened d²+d partial (numpy matmul inside mapInPandas),
+  reduced DISTRIBUTED by position (posexplode → groupBy(pos) → sum;
+  the driver only ever sees d² numbers, never n rows — the
+  treeAggregate shape). Float-sum order varies with layout, so this
+  route is verified against numpy in pytest, not hash-gated.
+- ORACLE-EXACT (verification scale): :func:`covariance_exact` —
+  DECIMAL sums over exploded (i, j) pairs; bit-identical to the
+  DuckDB oracle. O(n·d²) exploded rows — right for the correctness
+  gate, wrong for 100 TB; the docstring IS the boundary.
+
+Eigendecomposition is numpy ``eigh`` on the d×d covariance (driver-
+side, microseconds for d ≤ 4096) with deterministic sign
+canonicalization: each component's largest-|entry| coordinate is made
+positive, so results are layout- and library-stable. Whitening
+projects JVM-side (literal component arrays folded with aggregate —
+no Python in the hot path) for k·d up to ~4096 literals.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, NamedTuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,18)"
+
+
+def gram_moments(df: DataFrame, vec_col: str = "embedding"
+                 ) -> tuple[int, np.ndarray, np.ndarray]:
+    """(n, s[d], G[d,d]) — count, per-dim sums, uncentered Gram —
+    via per-batch numpy partials + a positional distributed reduce."""
+    d = len(df.select(vec_col).first()[0])
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            m = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            flat = np.concatenate(
+                [[float(len(m))], m.sum(axis=0), (m.T @ m).ravel()])
+            yield pd.DataFrame({"partial": [flat.tolist()]})
+
+    part = df.select(vec_col).mapInPandas(partials, "partial array<double>")
+    summed = (
+        part.select(F.posexplode("partial").alias("pos", "v"))
+        .groupBy("pos").agg(F.sum("v").alias("s"))
+        .orderBy("pos")
+        .collect()
+    )
+    flat = np.array([r.s for r in summed])
+    n = int(flat[0])
+    return n, flat[1:1 + d], flat[1 + d:].reshape(d, d)
+
+
+class PCAModel(NamedTuple):
+    mean: np.ndarray          # [d]
+    components: np.ndarray    # [k, d] rows = principal axes
+    eigenvalues: np.ndarray   # [k] descending
+
+
+def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 8,
+            ) -> PCAModel:
+    """Fit PCA from distributed moments; deterministic sign
+    (largest-|entry| coordinate of each component is positive)."""
+    n, s, g = gram_moments(df, vec_col)
+    mean = s / n
+    cov = (g - np.outer(s, s) / n) / (n - 1)
+    vals, vecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T
+    for i in range(comps.shape[0]):           # canonical sign
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return PCAModel(mean, comps, vals[order])
+
+
+def _dot_literal(vec: Column, arr: np.ndarray) -> Column:
+    lit = F.array(*[F.lit(float(x)) for x in arr])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def project(df: DataFrame, model: PCAModel, vec_col: str = "embedding",
+            out_col: str = "pca", whiten: bool = False,
+            eps: float = 1e-9) -> DataFrame:
+    """Add ``out_col`` = components·(v − mean), optionally scaled by
+    1/sqrt(λ) (whitening). Pure JVM expressions — the scan never
+    crosses into Python."""
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.array(*[F.lit(float(m)) for m in model.mean]),
+        lambda a, b: a - b)
+    scales = (1.0 / np.sqrt(model.eigenvalues + eps)
+              if whiten else np.ones(len(model.eigenvalues)))
+    cdf = df.withColumn("_c", centered)
+    comps = [
+        (_dot_literal(F.col("_c"), model.components[i]) * F.lit(float(scales[i])))
+        for i in range(model.components.shape[0])
+    ]
+    return cdf.withColumn(out_col, F.array(*comps)).drop("_c")
+
+
+def covariance_exact(df: DataFrame, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Upper-triangle sample covariance entries (i, j, cov) from
+    DECIMAL-exact sums — the hash-gated twin of the float Gram route.
+    Explodes n·d(d+1)/2 product rows: verification scale only."""
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "vi"),
+    )
+    pairs = (
+        v.alias("a")
+        .join(v.alias("b"),
+              (F.col("a._id") == F.col("b._id")) & (F.col("a.i") <= F.col("b.i")))
+        .select(F.col("a.i").alias("i"), F.col("b.i").alias("j"),
+                (F.col("a.vi") * F.col("b.vi")).cast(_DEC).alias("prod"))
+    )
+    sums = v.groupBy("i").agg(
+        F.sum(F.col("vi").cast(_DEC)).cast("double").alias("s"),
+        F.count("*").cast("double").alias("n"))
+    si = sums.select(F.col("i"), F.col("s").alias("si"), "n")
+    sj = sums.select(F.col("i").alias("j"), F.col("s").alias("sj"))
+    return (
+        pairs.groupBy("i", "j").agg(F.sum("prod").cast("double").alias("sij"))
+        .join(si, "i").join(sj, "j")
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            F.round((F.col("sij") - F.col("si") * F.col("sj") / F.col("n"))
+                    / (F.col("n") - F.lit(1.0)), 6).alias("cov"),
+        )
+    )
+
+
+def covariance_exact_sql(table: str = "embeddings",
+                         vec_sql: str = "embedding",
+                         id_sql: str = "vec_id") -> str:
+    """Oracle twin of :func:`covariance_exact` (same DECIMAL sums,
+    same association order)."""
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT {id_sql} AS _id, i - 1 AS i,
+         CAST({vec_sql}[i] AS DOUBLE) AS vi
+  FROM {table}, unnest(range(1, len({vec_sql}) + 1)) AS t(i)
+),
+sums AS (
+  SELECT i, CAST(sum(CAST(vi AS DECIMAL(38,18))) AS DOUBLE) AS s,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM v GROUP BY i
+),
+pairs AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(sum(CAST(a.vi * b.vi AS DECIMAL(38,18))) AS DOUBLE) AS sij
+  FROM v a JOIN v b ON a._id = b._id AND a.i <= b.i
+  GROUP BY 1, 2
+)
+SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+       round((sij - si.s * sj.s / si.n) / (si.n - 1.0), 6) AS cov
+FROM pairs p JOIN sums si ON si.i = p.i JOIN sums sj ON sj.i = p.j
+"""

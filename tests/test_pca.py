@@ -1,0 +1,77 @@
+"""PCA / whitening vs numpy: moments, covariance (both routes),
+eigen contract, whitened-identity covariance, layout independence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from distill_spark.operators.pca import (
+    covariance_exact, gram_moments, pca_fit, project,
+)
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(120, 6))
+    base[:, 0] *= 4.0          # dominant direction
+    base[:, 1] += base[:, 0] * 0.5
+    rows = [(i, [float(x) for x in base[i]]) for i in range(len(base))]
+    return (spark.createDataFrame(rows, ["vec_id", "embedding"]), base)
+
+
+def test_gram_moments_match_numpy(vec_df):
+    df, m = vec_df
+    n, s, g = gram_moments(df)
+    assert n == 120
+    np.testing.assert_allclose(s, m.sum(axis=0), rtol=1e-9)
+    np.testing.assert_allclose(g, m.T @ m, rtol=1e-9)
+
+
+def test_gram_moments_layout_independent(vec_df):
+    df, _ = vec_df
+    n1, s1, g1 = gram_moments(df)
+    n2, s2, g2 = gram_moments(df.repartition(7))
+    assert n1 == n2
+    np.testing.assert_allclose(s1, s2, rtol=1e-12)
+    np.testing.assert_allclose(g1, g2, rtol=1e-12)
+
+
+def test_covariance_exact_matches_numpy(vec_df):
+    df, m = vec_df
+    ref = np.cov(m.T)
+    for r in covariance_exact(df).collect():
+        assert abs(r.cov - ref[r.i, r.j]) < 1e-6
+        assert r.i <= r.j
+
+
+def test_pca_fit_contract(vec_df):
+    df, m = vec_df
+    model = pca_fit(df, k=4)
+    # eigenvalues descending, all positive here
+    assert all(model.eigenvalues[i] >= model.eigenvalues[i + 1]
+               for i in range(3))
+    # components orthonormal
+    np.testing.assert_allclose(
+        model.components @ model.components.T, np.eye(4), atol=1e-9)
+    # matches numpy PCA up to sign (which we canonicalize)
+    ref_vals, ref_vecs = np.linalg.eigh(np.cov(m.T))
+    np.testing.assert_allclose(
+        model.eigenvalues, ref_vals[::-1][:4], rtol=1e-9)
+    # top component captures the inflated axis
+    assert abs(model.components[0, 0]) > 0.7
+
+
+def test_project_and_whiten(vec_df):
+    df, m = vec_df
+    model = pca_fit(df, k=3)
+    out = project(df, model, out_col="pca", whiten=True)
+    p = np.stack([r.pca for r in out.orderBy("vec_id").collect()])
+    # whitened projection has ~identity covariance
+    np.testing.assert_allclose(np.cov(p.T), np.eye(3), atol=1e-6)
+    # plain projection equals numpy's
+    out2 = project(df, model, out_col="pca", whiten=False)
+    p2 = np.stack([r.pca for r in out2.orderBy("vec_id").collect()])
+    ref = (m - m.mean(axis=0)) @ model.components.T
+    np.testing.assert_allclose(p2, ref, atol=1e-9)
