@@ -5033,8 +5033,11 @@ def q_triangle_count(spark, sf_dir):
     emb = t["embeddings"]
     a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    # the table arrives as ONE parquet split; spread the probe side so
+    # the O(N²) broadcast-NL cosine scan uses every core (measured at
+    # sf0.1: 45s single-task -> 7s at 32 partitions)
     edges = (
-        a.join(b, F.col("a") < F.col("b"))
+        a.repartition(32).join(b, F.col("a") < F.col("b"))
         .filter(F.round(_cos_sim_expr(F.col("va"), F.col("vb")), 6) >= 0.2)
         .select("a", "b")
     )

@@ -105,6 +105,13 @@ def _training_ops(sf_dir):
         "train_line_dedup": lambda s, d: em.queries()["line_dedup"](s, d),
         "train_rollup": lambda s, d: em.queries()["events_rollup"](s, d),
         "train_pagerank": lambda s, d: em.queries()["pagerank"](s, d),
+        # round-5b/c additions: tokenizer training (driver-looped merge
+        # rounds), corpus collocations, similarity-graph triangles, and
+        # the broadcast-moments anomaly scan
+        "train_bpe": lambda s, d: em.queries()["learn_bpe"](s, d),
+        "train_pmi": lambda s, d: em.queries()["token_pmi"](s, d),
+        "train_triangles": lambda s, d: em.queries()["triangle_count"](s, d),
+        "train_anomaly": lambda s, d: em.queries()["anomaly_zscore"](s, d),
     }
 
 

@@ -35,7 +35,15 @@ def normalize_edges(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
 def triangle_stats(edges: DataFrame) -> DataFrame:
     """One row: n_nodes, n_edges, n_wedges, n_triangles, and the
     global clustering coefficient 3·triangles / wedges (rounded 6).
-    ``edges`` must be normalized (a < b, distinct, no loops)."""
+    ``edges`` must be normalized (a < b, distinct, no loops).
+
+    The edge list is localCheckpointed once: it feeds five downstream
+    subtrees (nodes, degrees, orientation, the closing join, counts),
+    and when the caller derives edges from an expensive build — e.g.
+    the pairwise-cosine filter — recomputing it per subtree dominates
+    (measured at sf0.1: 171s lazy -> 13s checkpointed in bench.py's
+    train_triangles)."""
+    edges = edges.localCheckpoint(eager=True)
     nodes = edges.select(F.col("a").alias("v")).unionAll(
         edges.select(F.col("b").alias("v")))
     deg = nodes.groupBy("v").agg(F.count("*").cast("long").alias("deg"))
