@@ -5259,6 +5259,23 @@ FROM est LEFT JOIN exact
 """
 
 
+def q_ols_price_model(spark, sf_dir):
+    """Closed-form distributed OLS: l_extendedprice ~ l_quantity +
+    l_discount over lineitem — one exact-decimal aggregate pass +
+    Cramer solve shared verbatim with the oracle (operators/ols.py)."""
+    from distill_spark.operators.ols import ols2_fit
+
+    t = _tables(spark, sf_dir)
+    return ols2_fit(t["lineitem"], "l_extendedprice",
+                    ["l_quantity", "l_discount"])
+
+
+def _sql_ols():
+    from distill_spark.operators.ols import ols2_sql
+
+    return ols2_sql("lineitem", "l_extendedprice", "l_quantity", "l_discount")
+
+
 def q_embed_covariance(spark, sf_dir):
     """Exact-decimal sample covariance of the embedding dimensions
     (upper triangle, 2080 entries at d=64) — the hash-gated twin of
@@ -5476,6 +5493,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "minhash_error": (q_minhash_error, _sql_minhash_error()),
     "learn_bpe": (q_learn_bpe, _sql_learn_bpe()),
     "embed_covariance": (q_embed_covariance, _sql_embed_cov()),
+    "ols_price_model": (q_ols_price_model, _sql_ols()),
 }
 
 # The explicit promotion queue: every member must be oracled, sit past
@@ -5484,7 +5502,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
 # that nothing ELSE is hiding past the window unevidenced.
 _PENDING_PROMOTION: frozenset[str] = frozenset({
     "anomaly_zscore", "corr_matrix", "event_histogram", "group_sample",
-    "minhash_error", "learn_bpe", "embed_covariance",
+    "minhash_error", "learn_bpe", "embed_covariance", "ols_price_model",
 })
 
 

@@ -1,0 +1,129 @@
+"""Closed-form distributed linear regression (analytics extension:
+trend/elasticity fits over fact tables — normal equations from ONE
+aggregate pass; no gradient loops, no RNG).
+
+Scale shape (100 TB): the fact table contributes only partial DECIMAL
+sums (map-side combined); the solve happens on a handful of driver
+doubles. This is the exact-arithmetic cousin of MLlib's
+LinearRegression "normal" solver — preferable whenever p is small,
+because it is deterministic across layouts and engines.
+
+Cross-engine determinism: the moments are DECIMAL-exact, converted to
+DOUBLE once; the Cramer solve is generated from ONE formula string
+per coefficient (first-row cofactor expansion) that is evaluated
+verbatim as Python floats on the Spark side and verbatim as SQL
+doubles in the DuckDB oracle — IEEE semantics make them bit-equal,
+then both round to 6.
+
+For p > 2 features use :func:`ols_solve_numpy` (same moments, numpy
+lstsq solve) — float-stable and pytest-verified, but not hash-gated.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,12)"
+
+
+def _det3(r1, r2, r3) -> str:
+    (a, b, c), (d, e, f), (g, h, i) = r1, r2, r3
+    return (f"({a}*({e}*{i} - {f}*{h}) - {b}*({d}*{i} - {f}*{g})"
+            f" + {c}*({d}*{h} - {e}*{g}))")
+
+
+def ols2_formulas() -> dict[str, str]:
+    """Coefficient formulas for y ~ b0 + b1·x1 + b2·x2 over moment
+    names {n, s1, s2, sy, s11, s12, s22, s1y, s2y, syy} — valid as
+    both Python and SQL arithmetic."""
+    A = [("n", "s1", "s2"), ("s1", "s11", "s12"), ("s2", "s12", "s22")]
+    rhs = ("sy", "s1y", "s2y")
+    det = _det3(*A)
+    repl = lambda col: _det3(*[  # noqa: E731
+        tuple(rhs[r] if c == col else A[r][c] for c in range(3))
+        for r in range(3)])
+    b0, b1, b2 = (f"({repl(i)} / {det})" for i in range(3))
+    sse = f"(syy - ({b0}*sy + {b1}*s1y + {b2}*s2y))"
+    sst = "(syy - sy*sy/n)"
+    return {"intercept": b0, "beta1": b1, "beta2": b2,
+            "r2": f"(1.0 - {sse} / {sst})"}
+
+
+def ols_moments(df: DataFrame, y_col: str, x_cols: list[str]) -> dict[str, float]:
+    """Exact-decimal regression moments in one aggregate pass."""
+    xs = [F.col(c) for c in x_cols]
+    y = F.col(y_col)
+
+    def dsum(expr, name):
+        return F.sum(expr.cast(_DEC)).cast("double").alias(name)
+
+    aggs = [F.count("*").cast("double").alias("n"),
+            dsum(y, "sy"), dsum(y * y, "syy")]
+    for i, x in enumerate(xs, 1):
+        aggs += [dsum(x, f"s{i}"), dsum(x * y, f"s{i}y")]
+        for j in range(i, len(xs) + 1):
+            aggs.append(dsum(x * xs[j - 1], f"s{i}{j}"))
+    return df.agg(*aggs).collect()[0].asDict()
+
+
+def ols2_fit(df: DataFrame, y_col: str, x_cols: list[str]) -> DataFrame:
+    """Hash-gated 2-feature OLS: one-pass moments + Cramer solve via
+    the shared formula strings. Returns (term, value) rows."""
+    if len(x_cols) != 2:
+        raise ValueError("ols2_fit solves exactly 2 features; "
+                         "use ols_solve_numpy for general p")
+    from decimal import ROUND_HALF_UP, Decimal
+
+    m = ols_moments(df, y_col, x_cols)
+    env = {k: float(v) for k, v in m.items()}
+    # HALF_UP over the exact binary value = Spark F.round / DuckDB
+    # round semantics (Python's builtin round() is half-EVEN)
+    r6 = lambda x: float(Decimal(x).quantize(  # noqa: E731
+        Decimal("1e-6"), rounding=ROUND_HALF_UP))
+    rows = [(term, r6(eval(expr, {"__builtins__": {}}, env)))  # noqa: S307
+            for term, expr in ols2_formulas().items()]
+    spark = df.sparkSession
+    return spark.createDataFrame(rows, "term string, value double")
+
+
+def ols2_sql(table: str, y_sql: str, x1_sql: str, x2_sql: str) -> str:
+    """Oracle twin of :func:`ols2_fit`: identical moments CTE +
+    identical formula strings."""
+    def dsum(expr, name):
+        return f"CAST(sum(CAST({expr} AS DECIMAL(38,12))) AS DOUBLE) AS {name}"
+
+    moms = ", ".join([
+        "CAST(count(*) AS DOUBLE) AS n",
+        dsum(y_sql, "sy"), dsum(f"{y_sql} * {y_sql}", "syy"),
+        dsum(x1_sql, "s1"), dsum(f"{x1_sql} * {y_sql}", "s1y"),
+        dsum(f"{x1_sql} * {x1_sql}", "s11"),
+        dsum(f"{x1_sql} * {x2_sql}", "s12"),
+        dsum(x2_sql, "s2"), dsum(f"{x2_sql} * {y_sql}", "s2y"),
+        dsum(f"{x2_sql} * {x2_sql}", "s22"),
+    ])
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{term}' AS term, round({expr}, 6) AS value FROM m"
+        for term, expr in ols2_formulas().items())
+    return f"WITH m AS (SELECT {moms} FROM {table})\n{rows}"
+
+
+def ols_solve_numpy(df: DataFrame, y_col: str, x_cols: list[str]
+                    ) -> tuple[np.ndarray, float]:
+    """General-p solve from the same one-pass moments: returns
+    (coefficients [intercept, b1..bp], r2)."""
+    m = ols_moments(df, y_col, x_cols)
+    p = len(x_cols)
+    A = np.zeros((p + 1, p + 1))
+    b = np.zeros(p + 1)
+    A[0, 0], b[0] = m["n"], m["sy"]
+    for i in range(1, p + 1):
+        A[0, i] = A[i, 0] = m[f"s{i}"]
+        b[i] = m[f"s{i}y"]
+        for j in range(i, p + 1):
+            A[i, j] = A[j, i] = m[f"s{i}{j}"]
+    beta = np.linalg.solve(A, b)
+    sse = m["syy"] - float(beta @ b)
+    sst = m["syy"] - m["sy"] ** 2 / m["n"]
+    return beta, 1.0 - sse / sst

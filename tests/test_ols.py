@@ -1,0 +1,66 @@
+"""Closed-form OLS vs numpy lstsq, exact-recovery cases, and
+layout independence of the decimal moments."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from distill_spark.operators.ols import (
+    ols2_fit, ols2_formulas, ols_moments, ols_solve_numpy,
+)
+
+
+@pytest.fixture(scope="module")
+def reg_df(spark):
+    rng = np.random.default_rng(3)
+    x1 = rng.uniform(0, 10, 200).round(3)
+    x2 = rng.uniform(-2, 2, 200).round(3)
+    noise = rng.normal(0, 0.5, 200).round(3)
+    y = (3.0 + 2.5 * x1 - 1.25 * x2 + noise).round(4)
+    rows = [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y)]
+    return spark.createDataFrame(rows, ["x1", "x2", "y"]), x1, x2, y
+
+
+def test_ols2_matches_numpy(reg_df):
+    df, x1, x2, y = reg_df
+    got = {r.term: r.value for r in ols2_fit(df, "y", ["x1", "x2"]).collect()}
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    ref, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert abs(got["intercept"] - ref[0]) < 1e-6
+    assert abs(got["beta1"] - ref[1]) < 1e-6
+    assert abs(got["beta2"] - ref[2]) < 1e-6
+    pred = X @ ref
+    r2 = 1 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    assert abs(got["r2"] - r2) < 1e-6
+
+
+def test_exact_linear_recovery(spark):
+    # noiseless plane: coefficients recovered exactly, r2 == 1
+    rows = [(float(a), float(b), 1.5 + 2.0 * a - 0.5 * b)
+            for a in range(10) for b in range(10)]
+    df = spark.createDataFrame(rows, ["x1", "x2", "y"])
+    got = {r.term: r.value for r in ols2_fit(df, "y", ["x1", "x2"]).collect()}
+    assert got == {"intercept": 1.5, "beta1": 2.0, "beta2": -0.5, "r2": 1.0}
+
+
+def test_moments_layout_independent(reg_df):
+    df = reg_df[0]
+    m1 = ols_moments(df, "y", ["x1", "x2"])
+    m2 = ols_moments(df.repartition(13), "y", ["x1", "x2"])
+    assert m1 == m2  # decimal sums: bit-identical across layouts
+
+
+def test_general_p_solver(reg_df):
+    df, x1, x2, y = reg_df
+    beta, r2 = ols_solve_numpy(df, "y", ["x1", "x2"])
+    got2 = {r.term: r.value for r in ols2_fit(df, "y", ["x1", "x2"]).collect()}
+    assert abs(beta[0] - got2["intercept"]) < 1e-6
+    assert abs(beta[1] - got2["beta1"]) < 1e-6
+    assert abs(r2 - got2["r2"]) < 1e-6
+
+
+def test_formulas_are_sql_safe():
+    for expr in ols2_formulas().values():
+        assert set(expr) <= set("abcdefghijklmnopqrstuvwxyz0123456789"
+                                " ()*/+-._y")
