@@ -5259,6 +5259,25 @@ FROM est LEFT JOIN exact
 """
 
 
+def q_zorder_zones(spark, sf_dir):
+    """Z-order zone-map audit over lineitem (l_partkey ⊗ l_suppkey,
+    16-bit Morton interleave, 64 zones): per-zone min/max boxes — the
+    data-skipping evidence an OPTIMIZE ZORDER pays for
+    (operators/zorder.py)."""
+    from distill_spark.operators.zorder import zorder_zone_stats
+
+    t = _tables(spark, sf_dir)
+    return zorder_zone_stats(t["lineitem"], ["l_partkey", "l_suppkey"],
+                             bits=16, zones=64)
+
+
+def _sql_zorder():
+    from distill_spark.operators.zorder import zone_stats_sql
+
+    return zone_stats_sql("lineitem", ["l_partkey", "l_suppkey"],
+                          bits=16, zones=64)
+
+
 def q_ols_price_model(spark, sf_dir):
     """Closed-form distributed OLS: l_extendedprice ~ l_quantity +
     l_discount over lineitem — one exact-decimal aggregate pass +
@@ -5494,6 +5513,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "learn_bpe": (q_learn_bpe, _sql_learn_bpe()),
     "embed_covariance": (q_embed_covariance, _sql_embed_cov()),
     "ols_price_model": (q_ols_price_model, _sql_ols()),
+    "zorder_zones": (q_zorder_zones, _sql_zorder()),
 }
 
 # The explicit promotion queue: every member must be oracled, sit past
@@ -5503,6 +5523,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
 _PENDING_PROMOTION: frozenset[str] = frozenset({
     "anomaly_zscore", "corr_matrix", "event_histogram", "group_sample",
     "minhash_error", "learn_bpe", "embed_covariance", "ols_price_model",
+    "zorder_zones",
 })
 
 

@@ -1,0 +1,131 @@
+"""Z-order (Morton) layout for multi-column data skipping — the
+OPTIMIZE ZORDER analog (lakehouse extension; the reference stores
+rows unordered and scans fully, pkg/storage/*).
+
+Why: min/max zone maps prune a scan only when file ranges are tight
+on the filter column. Sorting by ONE column destroys locality on the
+others; interleaving the bits of k columns gives every column
+partial locality, so predicates on ANY of them skip most files.
+
+Scale shape: the z-value is pure JVM bit arithmetic in the scan
+task; the layout step is ONE repartitionByRange(zval) (a range
+shuffle — exactly what a sort-based OPTIMIZE pays) followed by a
+within-partition sort. Nothing here is driver-side.
+
+Determinism: bit interleaving of integer keys — no floats, no RNG;
+identical expressions run in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(cols: list[Column], bits: int = 16) -> Column:
+    """Morton-interleave the low ``bits`` of each column (masked, so
+    callers should pre-normalize heavy-tailed keys). k·bits ≤ 62."""
+    k = len(cols)
+    if k * bits > 62:
+        raise ValueError(f"{k} cols × {bits} bits exceeds a signed long")
+    out = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        v = c.cast("long")
+        for b in range(bits):
+            bit = F.shiftright(v, b).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit, b * k + ci).cast("long"))
+    return out
+
+
+def zorder_key_sql(col_sqls: list[str], bits: int = 16) -> str:
+    """Oracle twin of :func:`zorder_key` (same shift/mask algebra)."""
+    k = len(col_sqls)
+    terms = [
+        f"((({c} >> {b}) & 1) << {b * k + ci})"
+        for ci, c in enumerate(col_sqls) for b in range(bits)
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_layout(df: DataFrame, cols: list[str], bits: int = 16,
+                  num_files: int | None = None) -> DataFrame:
+    """Rewrite the frame in z-order: min/max-normalize each column
+    onto the bit range, Morton-interleave, range-partition on the
+    z-value (each output file = one contiguous z-range = a tight
+    min/max box on every interleaved column), sort within partitions.
+
+    The bounds aggregate is one tiny job; the layout itself is ONE
+    range shuffle — the same cost a sort-based OPTIMIZE pays."""
+    bounds = df.agg(*[f(c).cast("long").alias(f"_{n}_{c}")
+                      for c in cols for f, n in ((F.min, "lo"), (F.max, "hi"))])
+    b = bounds.collect()[0]
+    norm = []
+    for c in cols:
+        lo, hi = b[f"_lo_{c}"], b[f"_hi_{c}"]
+        span = max(hi - lo, 1)
+        norm.append(((F.col(c).cast("long") - F.lit(lo))
+                     * F.lit((1 << bits) - 1) / F.lit(span)).cast("long"))
+    out = df.withColumn("_z", zorder_key(norm, bits))
+    n = num_files or out.rdd.getNumPartitions()
+    return (out.repartitionByRange(n, "_z")
+            .sortWithinPartitions("_z").drop("_z"))
+
+
+def zorder_zone_stats(df: DataFrame, cols: list[str], bits: int = 16,
+                      zones: int = 64) -> DataFrame:
+    """Zone-map audit: min/max-normalize each column onto the bit
+    range (broadcast bounds — the scan never shuffles), bucket rows by
+    the top bits of the z-value, and report each zone's per-column
+    min/max box + row count — the numbers a scan planner would prune
+    with. Output: (zone, cnt, <col>_min/<col>_max ...)."""
+    bounds = df.agg(*[
+        f(c).cast("long").alias(f"_{n}_{c}")
+        for c in cols for f, n in ((F.min, "lo"), (F.max, "hi"))])
+    j = df.crossJoin(F.broadcast(bounds))
+    norm = []
+    for c in cols:
+        lo, hi = F.col(f"_lo_{c}"), F.col(f"_hi_{c}")
+        span = F.greatest(hi - lo, F.lit(1))
+        norm.append((((F.col(c).cast("long") - lo)
+                      * F.lit((1 << bits) - 1)) / span).cast("long"))
+    z = zorder_key(norm, bits)
+    total_bits = len(cols) * bits
+    shift = max(total_bits - max(zones - 1, 1).bit_length(), 0)
+    aggs = [F.count("*").cast("long").alias("cnt")]
+    for c in cols:
+        aggs += [F.min(c).cast("long").alias(f"{c}_min"),
+                 F.max(c).cast("long").alias(f"{c}_max")]
+    return (
+        j.withColumn("zone", F.shiftright(z, shift).cast("long"))
+        .groupBy("zone").agg(*aggs)
+    )
+
+
+def zone_stats_sql(table: str, col_sqls: list[str], bits: int = 16,
+                   zones: int = 64) -> str:
+    """Oracle twin of :func:`zorder_zone_stats` (same normalization:
+    exact BIGINT product, truncating integer division — Spark's
+    long-cast of a double division truncates toward zero, and the
+    operands are exact in double below 2^53)."""
+    bounds = ", ".join(
+        f"CAST(min({c}) AS BIGINT) AS lo_{i}, "
+        f"CAST(max({c}) AS BIGINT) AS hi_{i}"
+        for i, c in enumerate(col_sqls))
+    # CAST(floor(..)): DuckDB CAST rounds where Spark's long-cast
+    # truncates; operands are non-negative so floor == truncate
+    norm = [
+        f"CAST(floor((({c} - lo_{i}) * {(1 << bits) - 1})"
+        f" / greatest(hi_{i} - lo_{i}, 1)) AS BIGINT)"
+        for i, c in enumerate(col_sqls)
+    ]
+    zkey = zorder_key_sql(norm, bits)
+    total_bits = len(col_sqls) * bits
+    shift = max(total_bits - max(zones - 1, 1).bit_length(), 0)
+    aggs = ", ".join(
+        f"CAST(min({c}) AS BIGINT) AS {c}_min, "
+        f"CAST(max({c}) AS BIGINT) AS {c}_max" for c in col_sqls)
+    return f"""
+WITH b AS (SELECT {bounds} FROM {table})
+SELECT CAST(({zkey} >> {shift}) AS BIGINT) AS zone,
+       CAST(count(*) AS BIGINT) AS cnt, {aggs}
+FROM {table}, b GROUP BY 1"""

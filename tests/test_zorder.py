@@ -1,0 +1,77 @@
+"""Z-order layout: Morton-key algebra, zone-map audit, and the
+data-skipping claim itself (z-order beats single-column sort on the
+combined min/max box area)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distill_spark.operators.zorder import (
+    zorder_key, zorder_layout, zorder_zone_stats,
+)
+
+
+def _morton2(x: int, y: int, bits: int) -> int:
+    out = 0
+    for b in range(bits):
+        out |= ((x >> b) & 1) << (2 * b)
+        out |= ((y >> b) & 1) << (2 * b + 1)
+    return out
+
+
+def test_zorder_key_matches_reference(spark):
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = df.select("x", "y", zorder_key([F.col("x"), F.col("y")], 3)
+                    .alias("z")).collect()
+    for r in out:
+        assert r.z == _morton2(r.x, r.y, 3), (r.x, r.y)
+
+
+def test_zorder_key_is_locality_preserving(spark):
+    # the 4 quadrants of an 8x8 grid map to 4 contiguous z-ranges
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = df.select((F.col("x") >= 4).cast("int").alias("qx"),
+                    (F.col("y") >= 4).cast("int").alias("qy"),
+                    zorder_key([F.col("x"), F.col("y")], 3).alias("z"))
+    zr = {(r.qx, r.qy): [] for r in out.collect()}
+    for r in out.collect():
+        zr[(r.qx, r.qy)].append(r.z)
+    spans = sorted((min(v), max(v)) for v in zr.values())
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2  # quadrant ranges do not interleave
+
+
+def test_zone_stats_counts(spark):
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    zs = zorder_zone_stats(df, ["x", "y"], bits=5, zones=16).collect()
+    assert sum(r.cnt for r in zs) == 1024
+    assert len(zs) == 16  # uniform grid fills every zone
+    for r in zs:           # each zone's box is a quarter-plane tile
+        assert (r.x_max - r.x_min + 1) * (r.y_max - r.y_min + 1) >= r.cnt
+
+
+def test_zorder_layout_beats_single_column_sort(spark):
+    # 64x64 grid into 16 files. On a uniform grid the total box AREA
+    # ties (strips and tiles tile the plane equally); the z-order win
+    # is per-DIMENSION: a predicate on y prunes z-order files (each
+    # holds a y-slice) but scans EVERY x-sorted file (each spans the
+    # full y extent). Compare the summed y-ranges a y-filter faces.
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+
+    def y_extent(frame):
+        stats = (
+            frame.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg((F.max("y") - F.min("y") + 1).alias("dy"))
+            .collect())
+        return sum(r.dy for r in stats)
+
+    zed = zorder_layout(df, ["x", "y"], bits=6, num_files=16)
+    xsorted = df.repartitionByRange(16, "x").sortWithinPartitions("x")
+    assert y_extent(zed) < y_extent(xsorted) / 2
+    # layout is a pure reorder: nothing lost
+    assert zed.count() == 4096 and zed.columns == ["x", "y"]
