@@ -5259,6 +5259,29 @@ FROM est LEFT JOIN exact
 """
 
 
+_HH_SUPPORT = 0.01
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Frequent-word heavy hitters: exact counts above support·n plus
+    the freqItems-sketch membership contract
+    (operators/sketch.py heavy_hitters_contract)."""
+    from distill_spark.operators.sketch import heavy_hitters_contract
+
+    t = _tables(spark, sf_dir)
+    words = t["documents"].select(
+        F.explode(_words(F.col("text"))).alias("word"))
+    return heavy_hitters_contract(words, "word", support=_HH_SUPPORT)
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH w AS (SELECT unnest({_WORDS_SQL.format(c='text')}) AS word FROM documents),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM w)
+SELECT word AS item, CAST(count(*) AS BIGINT) AS cnt, TRUE AS in_sketch
+FROM w, n GROUP BY word, n.n HAVING count(*) > {_HH_SUPPORT} * n
+"""
+
+
 def q_zorder_zones(spark, sf_dir):
     """Z-order zone-map audit over lineitem (l_partkey ⊗ l_suppkey,
     16-bit Morton interleave, 64 zones): per-zone min/max boxes — the
@@ -5514,6 +5537,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "embed_covariance": (q_embed_covariance, _sql_embed_cov()),
     "ols_price_model": (q_ols_price_model, _sql_ols()),
     "zorder_zones": (q_zorder_zones, _sql_zorder()),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
 }
 
 # The explicit promotion queue: every member must be oracled, sit past
@@ -5523,7 +5547,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
 _PENDING_PROMOTION: frozenset[str] = frozenset({
     "anomaly_zscore", "corr_matrix", "event_histogram", "group_sample",
     "minhash_error", "learn_bpe", "embed_covariance", "ols_price_model",
-    "zorder_zones",
+    "zorder_zones", "heavy_hitters",
 })
 
 

@@ -71,3 +71,31 @@ def sketch_contracts(df: DataFrame, group_col: str, key_col: str,
     d = distinct_contract(df, group_col, key_col)
     q = percentile_contract(df, group_col, value_col)
     return d.join(q, group_col)
+
+
+def heavy_hitters_contract(df: DataFrame, col: str, support: float = 0.01
+                           ) -> DataFrame:
+    """True heavy hitters (count > support·n, exact) + whether each
+    appears in Spark's frequent-items sketch (``df.stat.freqItems`` —
+    the Karp/Misra–Gries family).
+
+    The sketch admits false POSITIVES but guarantees every true
+    heavy hitter survives ANY partition/merge order, so ``in_sketch``
+    is deterministically TRUE on this output and the oracle asserts
+    exactly that. The exact side exists to verify at test scale; at
+    100 TB you keep the single-pass sketch and drop the exact twin.
+    Output: (item, cnt, in_sketch), item cast to string.
+    """
+    sketch_items = [
+        str(x) for x in df.stat.freqItems([col], support).collect()[0][0]
+    ]
+    n = df.count()
+    thresh = support * n
+    return (
+        df.groupBy(col).agg(F.count("*").cast("long").alias("cnt"))
+        .filter(F.col("cnt") > F.lit(thresh))
+        .select(
+            F.col(col).cast("string").alias("item"), "cnt",
+            F.col(col).cast("string").isin(sketch_items).alias("in_sketch"),
+        )
+    )

@@ -127,3 +127,21 @@ def test_minhash_error_contract_shape(spark):
     # est granularity is 1/8
     for r in rows.values():
         assert math.isclose(r.est_jaccard * 8, round(r.est_jaccard * 8))
+
+
+def test_heavy_hitters_contract(spark):
+    from distill_spark.operators.sketch import heavy_hitters_contract
+
+    rows = ([("hot",)] * 500 + [("warm",)] * 120
+            + [(f"cold{i}",) for i in range(380)])
+    df = spark.createDataFrame(rows, ["w"])
+    out = {r.item: r for r in
+           heavy_hitters_contract(df, "w", support=0.1).collect()}
+    # n=1000, threshold 100: hot and warm qualify, no cold item does
+    assert set(out) == {"hot", "warm"}
+    assert out["hot"].cnt == 500 and out["warm"].cnt == 120
+    assert all(r.in_sketch for r in out.values())
+    # layout independence of the guarantee
+    out2 = {r.item: (r.cnt, r.in_sketch) for r in
+            heavy_hitters_contract(df.repartition(11), "w", 0.1).collect()}
+    assert out2 == {k: (v.cnt, v.in_sketch) for k, v in out.items()}
