@@ -5259,6 +5259,37 @@ FROM est LEFT JOIN exact
 """
 
 
+def q_communities_lpa(spark, sf_dir):
+    """Deterministic 5-round label propagation over the cosine
+    similarity graph (edges: round(cos,6) ≥ 0.25) —
+    (node, community) per connected vector
+    (operators/community.py)."""
+    from distill_spark.operators.community import label_propagation
+
+    t = _tables(spark, sf_dir)
+    emb = t["embeddings"]
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    edges = (
+        a.repartition(32).join(b, F.col("a") < F.col("b"))
+        .filter(F.round(_cos_sim_expr(F.col("va"), F.col("vb")), 6) >= 0.25)
+        .select("a", "b")
+    )
+    return label_propagation(edges, iterations=5)
+
+
+def _sql_communities():
+    from distill_spark.operators.community import label_propagation_sql
+
+    edges_cte = f"""
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+    AND round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= 0.25
+"""
+    return label_propagation_sql(edges_cte, iterations=5)
+
+
 _HH_SUPPORT = 0.01
 
 
@@ -5538,6 +5569,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ols_price_model": (q_ols_price_model, _sql_ols()),
     "zorder_zones": (q_zorder_zones, _sql_zorder()),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "communities_lpa": (q_communities_lpa, _sql_communities()),
 }
 
 # The explicit promotion queue: every member must be oracled, sit past
@@ -5547,7 +5579,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
 _PENDING_PROMOTION: frozenset[str] = frozenset({
     "anomaly_zscore", "corr_matrix", "event_histogram", "group_sample",
     "minhash_error", "learn_bpe", "embed_covariance", "ols_price_model",
-    "zorder_zones", "heavy_hitters",
+    "zorder_zones", "heavy_hitters", "communities_lpa",
 })
 
 

@@ -1,0 +1,98 @@
+"""Synchronous label propagation (community detection) — graph
+extension alongside PageRank/triangles/connected components (the
+reference's graph surface is BFS + degrees, graph/graph.go).
+
+Deterministic LPA variant: K synchronous rounds; each node adopts the
+most frequent label among its NEIGHBORS (count DESC, label ASC on
+ties — plain LPA's random tie-break would never cross an engine
+boundary); isolated nodes keep their own label. Synchronous updates
+make the result a pure function of (edges, K).
+
+Scale shape (100 TB of edges):
+- Edges are localCheckpointed once and reused every round.
+- Per round: one join (edges ⋈ labels on the source key — labels is
+  the small side per node count), one groupBy(dst, label), one
+  rank-truncated window per dst. Three shuffles a round, all on
+  uniformly-hashed node keys; labels stay (node, label) — never an
+  adjacency list in one task.
+- K is small (communities stabilize in ~5 rounds); the K-round
+  lineage re-checkpoints every few rounds like PageRank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def undirect(edges: DataFrame) -> DataFrame:
+    """(src, dst) in both directions from normalized (a < b) edges."""
+    return (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    )
+
+
+def label_propagation(edges: DataFrame, iterations: int = 5,
+                      checkpoint_every: int = 2) -> DataFrame:
+    """(node, community) after ``iterations`` synchronous LPA rounds
+    over normalized undirected edges (a < b, no loops)."""
+    und = undirect(edges).localCheckpoint(eager=True)
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    labels = nodes.withColumn("lbl", F.col("node"))
+    w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("lbl"))
+    for it in range(1, iterations + 1):
+        nb = (
+            und.join(labels, und.src == labels.node)
+            .groupBy("dst", "lbl").agg(F.count("*").alias("cnt"))
+        )
+        best = (
+            nb.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select(F.col("dst").alias("node"), F.col("lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce("new_lbl", "lbl").alias("lbl"))
+        )
+        if it % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
+def community_sizes(labels: DataFrame) -> DataFrame:
+    """(community, size) rollup of :func:`label_propagation` output."""
+    return labels.groupBy("community").agg(
+        F.count("*").cast("long").alias("size"))
+
+
+def label_propagation_sql(edges_cte: str, iterations: int = 5) -> str:
+    """Oracle twin: ``edges_cte`` must define e(a, b) normalized; the
+    K rounds unroll as MATERIALIZED CTEs with the identical
+    (count DESC, label ASC) argmax."""
+    ctes = [f"e AS MATERIALIZED ({edges_cte})", """
+und AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e
+),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM und)"""]
+    for k in range(1, iterations + 1):
+        prev = f"l{k - 1}"
+        ctes.append(f"""
+n{k} AS MATERIALIZED (
+  SELECT dst, lbl, count(*) AS cnt
+  FROM und JOIN {prev} ON {prev}.node = und.src
+  GROUP BY dst, lbl
+),
+b{k} AS MATERIALIZED (
+  SELECT dst AS node, lbl AS new_lbl FROM (
+    SELECT dst, lbl, row_number() OVER (
+      PARTITION BY dst ORDER BY cnt DESC, lbl ASC) AS _r
+    FROM n{k}
+  ) WHERE _r = 1
+),
+l{k} AS MATERIALIZED (
+  SELECT {prev}.node, coalesce(b{k}.new_lbl, {prev}.lbl) AS lbl
+  FROM {prev} LEFT JOIN b{k} ON b{k}.node = {prev}.node
+)""")
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT node, lbl AS community FROM l{iterations}")

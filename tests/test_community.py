@@ -1,0 +1,71 @@
+"""Label propagation vs a Python reference on crafted graphs."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from distill_spark.operators.community import (
+    community_sizes, label_propagation,
+)
+
+
+def _ref_lpa(edge_list, iterations):
+    adj = defaultdict(list)
+    for a, b in edge_list:
+        adj[a].append(b)
+        adj[b].append(a)
+    lbl = {v: v for v in adj}
+    for _ in range(iterations):
+        new = {}
+        for v in adj:
+            cnt = Counter(lbl[u] for u in adj[v])
+            new[v] = min(cnt, key=lambda c: (-cnt[c], c))
+        lbl = new
+    return lbl
+
+
+def _run(spark, edge_list, iterations=5):
+    df = spark.createDataFrame(edge_list, ["a", "b"])
+    got = {r.node: r.community
+           for r in label_propagation(df, iterations).collect()}
+    assert got == _ref_lpa(edge_list, iterations)
+    return got
+
+
+def test_two_cliques_with_a_bridge(spark):
+    c1 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    c2 = [(a, b) for a in range(10, 15) for b in range(10, 15) if a < b]
+    got = _run(spark, c1 + c2 + [(4, 10)])
+    # each clique converges to one label; the bridge doesn't merge them
+    assert len({got[v] for v in range(5)}) == 1
+    assert len({got[v] for v in range(10, 15)}) == 1
+    assert got[0] != got[12]
+
+
+def test_star_adopts_hub_or_leaves_consistently(spark):
+    star = [(0, i) for i in range(1, 8)]
+    _run(spark, star)  # equality with the reference IS the assertion
+
+
+def test_path_graph_matches_reference(spark):
+    path = [(i, i + 1) for i in range(9)]
+    _run(spark, path, iterations=4)
+
+
+def test_community_sizes(spark):
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(c1, ["a", "b"])
+    sizes = community_sizes(label_propagation(df, 5)).collect()
+    assert [(r.community, r.size) for r in sizes] == [(0, 4)]
+
+
+def test_layout_independence(spark):
+    edges = [(i, (i * 7) % 23) for i in range(1, 23)]
+    edges = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+    df1 = spark.createDataFrame(edges, ["a", "b"])
+    df2 = df1.repartition(9)
+    r1 = sorted((r.node, r.community)
+                for r in label_propagation(df1, 5).collect())
+    r2 = sorted((r.node, r.community)
+                for r in label_propagation(df2, 5).collect())
+    assert r1 == r2
