@@ -5259,6 +5259,44 @@ FROM est LEFT JOIN exact
 """
 
 
+def q_scd2_users(spark, sf_dir):
+    """SCD2 version history from the event stream treated as a CDC
+    log (key=user_id, op: error→delete else upsert): one window pass
+    builds (values, valid_from, valid_to, is_current)
+    (operators/scd2.py)."""
+    from distill_spark.operators.scd2 import scd2_history
+
+    t = _tables(spark, sf_dir)
+    changes = t["events"].withColumn(
+        "op", F.when(F.col("event_type") == "error",
+                     F.lit("delete")).otherwise(F.lit("upsert")))
+    hist = scd2_history(changes, "user_id", "ts", "op",
+                        ["event_type", "value"], tiebreak_col="event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return hist.select(
+        "user_id", "event_type", "value",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "is_current",
+    )
+
+
+def _sql_scd2():
+    from distill_spark.operators.scd2 import scd2_sql
+
+    inner = scd2_sql(
+        "(SELECT *, CASE WHEN event_type = 'error' THEN 'delete' "
+        "ELSE 'upsert' END AS op FROM events)",
+        "user_id", "ts", "op", ["event_type", "value"],
+        tiebreak_sql="event_id")
+    return f"""
+SELECT user_id, event_type, value,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       is_current
+FROM ({inner})"""
+
+
 def q_communities_lpa(spark, sf_dir):
     """Deterministic 5-round label propagation over the cosine
     similarity graph (edges: round(cos,6) ≥ 0.25) —
@@ -5570,6 +5608,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "zorder_zones": (q_zorder_zones, _sql_zorder()),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "communities_lpa": (q_communities_lpa, _sql_communities()),
+    "scd2_users": (q_scd2_users, _sql_scd2()),
 }
 
 # The explicit promotion queue: every member must be oracled, sit past
@@ -5579,7 +5618,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
 _PENDING_PROMOTION: frozenset[str] = frozenset({
     "anomaly_zscore", "corr_matrix", "event_histogram", "group_sample",
     "minhash_error", "learn_bpe", "embed_covariance", "ols_price_model",
-    "zorder_zones", "heavy_hitters", "communities_lpa",
+    "zorder_zones", "heavy_hitters", "communities_lpa", "scd2_users",
 })
 
 

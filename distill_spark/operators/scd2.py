@@ -1,0 +1,66 @@
+"""SCD2 history build from a change log (lakehouse/CDC extension:
+turn an upsert/delete event stream into type-2 slowly-changing-
+dimension intervals — the reference's memory store keeps only the
+latest row per id, pkg/memory/store.go; this keeps every version).
+
+Semantics: per key, ordered by (ts, tiebreak): every UPSERT opens a
+version valid from its own timestamp until the NEXT change of that
+key (upsert or delete); a DELETE closes the prior version and emits
+nothing. ``is_current`` marks upserts with no later change.
+
+Scale shape: ONE window pass, partitioned by key — the standard
+SCD2-merge shape, no self-join. At 100 TB the change log shuffles
+once on the key; per-key history fits a task by construction (a
+single entity's change count is bounded).
+
+Determinism: lead() over a totally-ordered window (ts + id
+tie-break); identical SQL runs in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_history(changes: DataFrame, key_col: str, ts_col: str,
+                 op_col: str, value_cols: list[str],
+                 tiebreak_col: str | None = None) -> DataFrame:
+    """Build version intervals: (key, values…, valid_from, valid_to,
+    is_current). ``op_col`` must hold 'upsert' or 'delete'."""
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    nxt = F.lead(ts_col).over(w)
+    return (
+        changes
+        .withColumn("valid_to", nxt)
+        .filter(F.col(op_col) == "upsert")
+        .select(
+            key_col, *value_cols,
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+def scd2_sql(table: str, key_sql: str, ts_sql: str, op_sql: str,
+             value_sqls: list[str], tiebreak_sql: str | None = None) -> str:
+    """Oracle twin of :func:`scd2_history`."""
+    order = f"{ts_sql} ASC" + (f", {tiebreak_sql} ASC" if tiebreak_sql else "")
+    vals = ", ".join(value_sqls)
+    return f"""
+SELECT {key_sql}, {vals}, {ts_sql} AS valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM (
+  SELECT t.*, lead({ts_sql}) OVER (
+           PARTITION BY {key_sql} ORDER BY {order}) AS valid_to
+  FROM {table} t
+) WHERE {op_sql} = 'upsert'"""
+
+
+def current_snapshot(history: DataFrame) -> DataFrame:
+    """The latest-version view (the reference store's only view)."""
+    return history.filter(F.col("is_current")).drop("valid_to", "is_current")

@@ -1,0 +1,59 @@
+"""SCD2 history semantics on a crafted change log."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from distill_spark.operators.scd2 import current_snapshot, scd2_history
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_scd2_versions_and_delete(spark):
+    log = [
+        # key 1: v1 -> v2 -> delete -> v3 (re-created, still current)
+        (1, _ts(1), "upsert", "a", 1),
+        (1, _ts(2), "upsert", "b", 2),
+        (1, _ts(3), "delete", None, 3),
+        (1, _ts(4), "upsert", "c", 4),
+        # key 2: single version, never changed
+        (2, _ts(5), "upsert", "x", 5),
+        # key 3: created then deleted -> no current row
+        (3, _ts(6), "upsert", "y", 6),
+        (3, _ts(7), "delete", None, 7),
+    ]
+    df = spark.createDataFrame(log, ["k", "ts", "op", "val", "cid"])
+    hist = scd2_history(df, "k", "ts", "op", ["val"], tiebreak_col="cid")
+    rows = sorted(((r.k, r.val, r.valid_from, r.valid_to, r.is_current)
+                   for r in hist.collect()))
+    assert rows == [
+        (1, "a", _ts(1), _ts(2), False),
+        (1, "b", _ts(2), _ts(3), False),   # closed by the delete
+        (1, "c", _ts(4), None, True),
+        (2, "x", _ts(5), None, True),
+        (3, "y", _ts(6), _ts(7), False),   # deleted: not current
+    ]
+    cur = sorted((r.k, r.val) for r in current_snapshot(hist).collect())
+    assert cur == [(1, "c"), (2, "x")]
+
+
+def test_scd2_tiebreak_same_timestamp(spark):
+    log = [(1, _ts(1), "upsert", "first", 1),
+           (1, _ts(1), "upsert", "second", 2)]
+    df = spark.createDataFrame(log, ["k", "ts", "op", "val", "cid"])
+    hist = {r.val: r for r in
+            scd2_history(df, "k", "ts", "op", ["val"], "cid").collect()}
+    assert not hist["first"].is_current and hist["second"].is_current
+
+
+def test_scd2_intervals_partition_timeline(spark):
+    # versions of one key never overlap: valid_to(n) == valid_from(n+1)
+    log = [(1, _ts(i), "upsert", f"v{i}", i) for i in range(1, 6)]
+    df = spark.createDataFrame(log, ["k", "ts", "op", "val", "cid"])
+    rows = sorted(scd2_history(df, "k", "ts", "op", ["val"], "cid").collect(),
+                  key=lambda r: r.valid_from)
+    for a, b in zip(rows, rows[1:]):
+        assert a.valid_to == b.valid_from
+    assert rows[-1].is_current
