@@ -32,19 +32,30 @@ _DEC_V = "decimal(20,10)"
 _DEC_V2 = "decimal(38,20)"
 
 
-def group_moments(df: DataFrame, value_col: str,
-                  group_cols: list[str]) -> DataFrame:
-    """Per-group n / mean / sample std from exact DECIMAL sums.
-
-    var = (s2 - s1*s1/n) / (n-1) evaluated in DOUBLE in exactly this
-    association; groups with n < 2 or zero variance get std NULL so
-    downstream z-scores stay NULL rather than ±inf.
-    """
+def moment_partials(df: DataFrame, value_col: str,
+                    group_cols: list[str]) -> DataFrame:
+    """Mergeable per-group moment partials (count + UNROUNDED decimal
+    sums of v and v²). Each micro-batch contributes one partial row
+    per touched group; partials re-add losslessly, so the streaming
+    ledger and the one-shot batch aggregate finalize to IDENTICAL
+    moments (the rollup-ladder pattern, operators/rollup.py)."""
     v = F.col(value_col)
-    agg = df.groupBy(*group_cols).agg(
-        F.count("*").cast("double").alias("n"),
-        F.sum(v.cast(_DEC_V)).cast("double").alias("_s1"),
-        F.sum((v * v).cast(_DEC_V2)).cast("double").alias("_s2"),
+    return df.groupBy(*group_cols).agg(
+        F.count("*").alias("_n"),
+        F.sum(v.cast(_DEC_V)).alias("_ds1"),
+        F.sum((v * v).cast(_DEC_V2)).alias("_ds2"),
+    )
+
+
+def merge_moment_partials(partials: DataFrame,
+                          group_cols: list[str]) -> DataFrame:
+    """Compact partials into final (n, mean, std) — var =
+    (s2 - s1*s1/n)/(n-1) in DOUBLE in exactly this association;
+    n < 2 or zero variance gives std NULL (never ±inf)."""
+    agg = partials.groupBy(*group_cols).agg(
+        F.sum("_n").cast("double").alias("n"),
+        F.sum("_ds1").cast("double").alias("_s1"),
+        F.sum("_ds2").cast("double").alias("_s2"),
     )
     var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("n")) / (
         F.col("n") - F.lit(1.0))
@@ -54,6 +65,30 @@ def group_moments(df: DataFrame, value_col: str,
         (F.col("_s1") / F.col("n")).alias("mean"),
         F.when((F.col("n") > 1) & (var > 0), F.sqrt(var)).alias("std"),
     )
+
+
+def group_moments(df: DataFrame, value_col: str,
+                  group_cols: list[str]) -> DataFrame:
+    """Per-group n / mean / sample std from exact DECIMAL sums (the
+    partial+merge composition — Catalyst collapses the adjacent
+    groupBys into one partial/final hash-aggregate pair)."""
+    return merge_moment_partials(
+        moment_partials(df, value_col, group_cols), group_cols)
+
+
+def foreach_batch_moments(sink_path: str, value_col: str,
+                          group_cols: list[str]):
+    """Streaming maintenance of the moments ledger: a foreachBatch
+    sink appending each micro-batch's partials to a parquet ledger.
+    The live baseline at any moment is
+    ``merge_moment_partials(spark.read.parquet(sink_path))`` —
+    scoring incoming data against it is one broadcast join, so the
+    detector needs no stateful streaming aggregation."""
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (moment_partials(batch_df, value_col, group_cols)
+         .write.mode("append").parquet(sink_path))
+
+    return sink
 
 
 def moments_sql(table: str, value_sql: str, group_sql: str) -> str:

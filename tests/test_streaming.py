@@ -243,3 +243,43 @@ class TestStreamingRollup:
         want = rollup_events(spark.read.parquet(event_dir), [60, 3600])
         assert sorted(map(tuple, got.collect())) == \
             sorted(map(tuple, want.collect()))
+
+    def test_incremental_moments_equals_batch(self, spark, event_dir,
+                                              tmp_path):
+        """Streaming moments ledger (foreachBatch decimal partials)
+        finalizes to EXACTLY the batch group_moments, and the z-score
+        detector flags the same rows against either baseline."""
+        from distill_spark.operators.anomaly import (
+            foreach_batch_moments,
+            group_moments,
+            merge_moment_partials,
+            zscore_outliers,
+        )
+
+        sink = str(tmp_path / "moment_partials")
+        src = stm.read_event_stream(spark, event_dir,
+                                    max_files_per_trigger=1)
+        q = (src.writeStream
+             .foreachBatch(foreach_batch_moments(sink, "value",
+                                                 ["event_type"]))
+             .option("checkpointLocation", str(tmp_path / "ckpt_mom"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+        partials = spark.read.parquet(sink)
+        # >1 micro-batch per group or the merge isn't exercised
+        assert (partials.groupBy("event_type").count()
+                .filter(F.col("count") > 1).count()) > 0
+        got = merge_moment_partials(partials, ["event_type"])
+        batch = spark.read.parquet(event_dir)
+        want = group_moments(batch, "value", ["event_type"])
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, want.collect()))
+        # scoring against the ledger == scoring against the batch
+        flagged = zscore_outliers(batch, "value", ["event_type"], 2.0)
+        j = (batch.join(F.broadcast(got), "event_type")
+             .withColumn("z", F.round((F.col("value") - F.col("mean"))
+                                      / F.col("std"), 6))
+             .filter(F.abs("z") >= 2.0))
+        assert sorted(r.event_id for r in flagged.collect()) == \
+            sorted(r.event_id for r in j.collect())
