@@ -5259,6 +5259,33 @@ FROM est LEFT JOIN exact
 """
 
 
+def q_dedup_jaccard_prefix(spark, sf_dir):
+    """PPJoin-style prefix-filtered exact Jaccard (docs < 300,
+    J ≥ 0.3): identical pairs to the full shingle self-join — the
+    oracle IS the unfiltered join — with the candidate set pruned by
+    the rare-shingle prefix (dedup_text.prefix_filtered_jaccard)."""
+    from distill_spark.operators.dedup_text import prefix_filtered_jaccard
+
+    t = _tables(spark, sf_dir)
+    sub = t["documents"].filter(F.col("doc_id") < 300)
+    return prefix_filtered_jaccard(sub, threshold=0.3)
+
+
+SQL_JACCARD_PREFIX = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3
+"""
+
+
 def q_scd2_users(spark, sf_dir):
     """SCD2 version history from the event stream treated as a CDC
     log (key=user_id, op: error→delete else upsert): one window pass
@@ -5609,6 +5636,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "communities_lpa": (q_communities_lpa, _sql_communities()),
     "scd2_users": (q_scd2_users, _sql_scd2()),
+    "dedup_jaccard_prefix": (q_dedup_jaccard_prefix, SQL_JACCARD_PREFIX),
 }
 
 # The explicit promotion queue: every member must be oracled, sit past
@@ -5619,6 +5647,7 @@ _PENDING_PROMOTION: frozenset[str] = frozenset({
     "anomaly_zscore", "corr_matrix", "event_histogram", "group_sample",
     "minhash_error", "learn_bpe", "embed_covariance", "ols_price_model",
     "zorder_zones", "heavy_hitters", "communities_lpa", "scd2_users",
+    "dedup_jaccard_prefix",
 })
 
 

@@ -438,3 +438,46 @@ def minhash_error_stats(df: DataFrame, id_col: str = "doc_id",
             .alias("abs_err"),
         )
     )
+
+
+def prefix_filtered_jaccard(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", threshold: float = 0.3,
+                            shingle_n: int = 3) -> DataFrame:
+    """Jaccard near-dup pairs via PPJoin-style PREFIX FILTERING
+    (Xiao et al., WWW'08 — public algorithm): identical output to
+    :func:`ngram_jaccard_pairs` at the same threshold, with the
+    candidate join restricted to each doc's prefix tokens.
+
+    Order every doc's shingles by ascending document frequency (rare
+    first; ties by shingle text); with prefix length
+    |d| − ceil(t·|d|) + 1, any pair with J ≥ t MUST share a prefix
+    shingle — so joining on prefix shingles alone loses nothing and
+    skips the boilerplate-shingle blowup: frequent shingles (the join
+    keys that explode) land at the END of the ordering and mostly
+    fall outside prefixes. This is the exact-Jaccard counterpart of
+    the MinHash banding route: same one-shuffle shape, candidates
+    typically 10-100x fewer than the all-shingles self-join.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("_df"))
+    w_doc = Window.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("sh"))
+    ranked = (
+        sh.join(dfreq, "sh")
+        .withColumn("_pos", F.row_number().over(w_doc))
+        .withColumn("_n", F.count("*").over(Window.partitionBy(id_col)))
+    )
+    prefix = ranked.filter(
+        F.col("_pos") <= F.col("_n") - F.ceil(F.col("_n") * F.lit(threshold))
+        + F.lit(1)
+    ).select(id_col, "sh")
+    a = prefix.select(F.col(id_col).alias("doc_a"), "sh")
+    b = prefix.select(F.col(id_col).alias("doc_b"), "sh")
+    cand = (
+        a.join(b, "sh").filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    )
+    return ngram_jaccard_pairs(df, id_col, text_col, threshold,
+                               shingle_n, candidates=cand)

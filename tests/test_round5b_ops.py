@@ -162,3 +162,31 @@ def test_hard_negatives_excludes_same_label(spark):
     # same-label vec 2 excluded even though it is the most similar
     assert [r.neg_id for r in out] == [5, 3]
     assert [r.rank for r in out] == [1, 2]
+
+
+def test_prefix_filtered_jaccard_equals_full_join(spark):
+    from distill_spark.operators.dedup_text import (
+        ngram_jaccard_pairs, prefix_filtered_jaccard,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet night before dawn")
+    words = base.split()
+    docs = []
+    for i in range(30):
+        w = list(words)
+        if i % 3 == 0:
+            w[i % len(w)] = f"tok{i}"
+        if i % 3 == 1:
+            w = w + [f"extra{i}", f"more{i}"]
+        docs.append((i, " ".join(w)))
+    docs += [(100, "totally different content here nothing shared at all ok fine"),
+             (101, "totally different content here nothing shared at all ok fine")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for t in (0.2, 0.5, 0.8):
+        full = sorted(map(tuple, ngram_jaccard_pairs(
+            df, threshold=t).collect()))
+        pref = sorted(map(tuple, prefix_filtered_jaccard(
+            df, threshold=t).collect()))
+        assert pref == full, f"threshold {t}"
+    assert len(full) > 0  # the fixture actually produces pairs
