@@ -1,0 +1,3 @@
+from distill_spark.cli import main
+
+raise SystemExit(main())

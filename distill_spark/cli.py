@@ -1,0 +1,115 @@
+"""Process-level binding for the tool surface — the stdio transport
+the reference ships as its MCP server (cmd/mcp.go:309-537) and CLI
+(cmd/*.go), re-expressed as a standalone Python entry point:
+
+    python -m distill_spark tools
+    python -m distill_spark tool deduplicate_chunks --params '{...}'
+    python -m distill_spark serve            # JSON-lines loop on stdio
+
+``serve`` reads one JSON request per line:
+
+    {"id": 1, "tool": "store_memory", "params": {"text": "..."}}
+
+and writes one JSON response per line:
+
+    {"id": 1, "result": {...}}    or    {"id": 1, "error": "..."}
+
+One SparkSession and one state directory serve every request, exactly
+like the reference's long-lived server process. The protocol is
+deliberately plain JSON-lines (no MCP framing): the framing layer is
+transport plumbing, the TOOLS are the engine surface — and this
+binding makes every tool reachable from outside Python.
+"""
+
+from __future__ import annotations
+
+import argparse
+import inspect
+import json
+import sys
+
+#: the 13 reference tools (cmd/mcp.go registration order)
+TOOL_NAMES = [
+    "deduplicate_chunks", "retrieve_deduplicated", "analyze_redundancy",
+    "store_memory", "recall_memory", "forget_memory", "memory_expire",
+    "memory_supersede", "memory_stats", "create_session", "push_session",
+    "session_context", "delete_session",
+]
+
+
+def _surface(workdir: str, master: str | None):
+    from distill_spark.api import ToolSurface
+    from distill_spark.runtime import get_spark
+
+    spark = get_spark(app_name="distill_spark_cli",
+                      master=master or "local[4]",
+                      shuffle_partitions=8)
+    return ToolSurface(spark, workdir)
+
+
+def _call(surface, tool: str, params: dict):
+    if tool not in TOOL_NAMES:
+        raise ValueError(f"unknown tool {tool!r}; see `tools`")
+    fn = getattr(surface, tool)
+    return fn(**params)
+
+
+def _cmd_tools(_args) -> int:
+    from distill_spark.api import ToolSurface
+
+    for name in TOOL_NAMES:
+        sig = inspect.signature(getattr(ToolSurface, name))
+        params = [p for p in sig.parameters.values() if p.name != "self"]
+        print(f"{name}({', '.join(str(p) for p in params)})")
+    return 0
+
+
+def _cmd_tool(args) -> int:
+    surface = _surface(args.workdir, args.master)
+    params = json.loads(args.params) if args.params else {}
+    try:
+        out = _call(surface, args.name, params)
+    except Exception as e:  # noqa: BLE001 — CLI boundary
+        print(json.dumps({"error": str(e)}), file=sys.stderr)
+        return 1
+    print(json.dumps(out, default=str))
+    return 0
+
+
+def _cmd_serve(args) -> int:
+    surface = _surface(args.workdir, args.master)
+    print(json.dumps({"ready": True, "tools": TOOL_NAMES}), flush=True)
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        rid = None
+        try:
+            req = json.loads(line)
+            rid = req.get("id")
+            out = _call(surface, req["tool"], req.get("params", {}))
+            resp = {"id": rid, "result": out}
+        except Exception as e:  # noqa: BLE001 — per-request isolation
+            resp = {"id": rid, "error": str(e)}
+        print(json.dumps(resp, default=str), flush=True)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="distill_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("tools", help="list the 13 tools")
+    one = sub.add_parser("tool", help="invoke one tool, print JSON")
+    one.add_argument("name")
+    one.add_argument("--params", default="", help="JSON parameter object")
+    srv = sub.add_parser("serve", help="JSON-lines request loop on stdio")
+    for p in (one, srv):
+        p.add_argument("--workdir", required=True)
+        p.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+    return {"tools": _cmd_tools, "tool": _cmd_tool,
+            "serve": _cmd_serve}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,49 @@
+"""The stdio tool binding: `tools` listing in-process, and a real
+subprocess `serve` session driving store -> recall -> stats -> error
+handling through JSON lines."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+from distill_spark.cli import TOOL_NAMES, main
+
+
+def test_tools_listing(capsys):
+    assert main(["tools"]) == 0
+    out = capsys.readouterr().out
+    for name in TOOL_NAMES:
+        assert name in out
+    assert len(TOOL_NAMES) == 13
+
+
+def test_serve_roundtrip(tmp_path):
+    reqs = [
+        {"id": 1, "tool": "store_memory",
+         "params": {"text": "the cache TTL is 300 seconds",
+                    "tags": ["ops"], "source": "runbook"}},
+        {"id": 2, "tool": "recall_memory",
+         "params": {"query": "cache TTL", "max_results": 3}},
+        {"id": 3, "tool": "memory_stats", "params": {}},
+        {"id": 4, "tool": "no_such_tool", "params": {}},
+        {"id": 5, "tool": "push_session", "params": {}},
+    ]
+    stdin = "\n".join(json.dumps(r) for r in reqs) + "\n"
+    proc = subprocess.run(
+        [sys.executable, "-m", "distill_spark", "serve",
+         "--workdir", str(tmp_path / "state"), "--master", "local[2]"],
+        input=stdin, capture_output=True, text=True, timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [json.loads(l) for l in proc.stdout.strip().splitlines()]
+    assert lines[0]["ready"] is True and len(lines) == 6
+    resp = {l["id"]: l for l in lines[1:]}
+    assert "id" in resp[1]["result"]          # store returns the new id
+    recalled = resp[2]["result"]
+    assert recalled["entries"] and "TTL" in recalled["entries"][0]["text"]
+    assert resp[3]["result"]["total"] >= 1    # stats sees the store
+    assert "unknown tool" in resp[4]["error"]
+    assert "error" in resp[5]                 # bad params isolated too
