@@ -5355,6 +5355,56 @@ def _sql_communities():
     return label_propagation_sql(edges_cte, iterations=5)
 
 
+def q_weighted_group_sample(spark, sf_dir):
+    """Per-source weighted sample (5 docs per source, inclusion odds
+    ∝ n_chars) via deterministic A-ES ranks
+    (sampling.weighted_group_sample)."""
+    from distill_spark.operators.sampling import weighted_group_sample
+
+    t = _tables(spark, sf_dir)
+    out = weighted_group_sample(t["documents"], "source", "doc_id",
+                                "n_chars", k=5)
+    return out.select("doc_id", "source", "wsample_rank")
+
+
+def _sql_wgroup_sample():
+    from distill_spark.operators.sampling import weighted_group_sample_sql
+
+    inner = weighted_group_sample_sql("documents", "source", "doc_id",
+                                      "n_chars", k=5)
+    return f"SELECT doc_id, source, wsample_rank FROM ({inner})"
+
+
+def q_kcore_vectors(spark, sf_dir):
+    """3-core membership of the cosine similarity graph after 6
+    synchronous peeling rounds (community.kcore_membership) — the
+    'dense neighborhood' signal for near-dup cluster triage."""
+    from distill_spark.operators.community import kcore_membership
+
+    t = _tables(spark, sf_dir)
+    emb = t["embeddings"]
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    edges = (
+        a.repartition(32).join(b, F.col("a") < F.col("b"))
+        .filter(F.round(_cos_sim_expr(F.col("va"), F.col("vb")), 6) >= 0.3)
+        .select("a", "b")
+    )
+    return kcore_membership(edges, k=3, rounds=6)
+
+
+def _sql_kcore():
+    from distill_spark.operators.community import kcore_sql
+
+    edges_cte = f"""
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+    AND round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= 0.3
+"""
+    return kcore_sql(edges_cte, k=3, rounds=6)
+
+
 _HH_SUPPORT = 0.01
 
 
@@ -5637,6 +5687,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "communities_lpa": (q_communities_lpa, _sql_communities()),
     "scd2_users": (q_scd2_users, _sql_scd2()),
     "dedup_jaccard_prefix": (q_dedup_jaccard_prefix, SQL_JACCARD_PREFIX),
+    "weighted_group_sample": (q_weighted_group_sample, _sql_wgroup_sample()),
+    "kcore_vectors": (q_kcore_vectors, _sql_kcore()),
 }
 
 # The explicit promotion queue: every member must be oracled, sit past
@@ -5647,7 +5699,7 @@ _PENDING_PROMOTION: frozenset[str] = frozenset({
     "anomaly_zscore", "corr_matrix", "event_histogram", "group_sample",
     "minhash_error", "learn_bpe", "embed_covariance", "ols_price_model",
     "zorder_zones", "heavy_hitters", "communities_lpa", "scd2_users",
-    "dedup_jaccard_prefix",
+    "dedup_jaccard_prefix", "weighted_group_sample", "kcore_vectors",
 })
 
 

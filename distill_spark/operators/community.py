@@ -110,3 +110,64 @@ l{k} AS MATERIALIZED (
 )""")
     return (f"WITH {', '.join(ctes)}\n"
             f"SELECT node, lbl AS community FROM l{iterations}")
+
+
+def kcore_membership(edges: DataFrame, k: int = 3,
+                     rounds: int = 6) -> DataFrame:
+    """Synchronous k-core peeling: ``rounds`` rounds of "drop every
+    node whose degree among survivors is < k"; returns every original
+    node with an ``in_kcore`` flag after the fixed round count.
+
+    Fixed rounds (not peel-to-fixpoint) keep the result a pure
+    function of (edges, k, rounds) that an unrolled SQL oracle can
+    replay; degree-bounded graphs converge in a handful of rounds,
+    and both engines compute the SAME intermediate whether or not the
+    peeling has stabilized. Per round: two semi-joins against the
+    (small, broadcastable) survivor set + one degree count — the edge
+    set is checkpointed once and never reshuffled.
+    """
+    edges = edges.localCheckpoint(eager=True)
+    und = undirect(edges)
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    alive = nodes
+    for _ in range(rounds):
+        # alive feeds TWO broadcasts (src + dst semi-joins); without a
+        # per-round checkpoint each materialization recomputes every
+        # prior round twice -> 2^rounds blowup
+        alive = alive.localCheckpoint(eager=True)
+        a_src = alive.select(F.col("node").alias("src"))
+        a_dst = alive.select(F.col("node").alias("dst"))
+        deg = (
+            und.join(F.broadcast(a_src), "src", "left_semi")
+            .join(F.broadcast(a_dst), "dst", "left_semi")
+            .groupBy("src").agg(F.count("*").alias("_deg"))
+        )
+        alive = (deg.filter(F.col("_deg") >= k)
+                 .select(F.col("src").alias("node")))
+    return nodes.join(
+        alive.withColumn("_in", F.lit(True)), "node", "left"
+    ).select("node", F.coalesce("_in", F.lit(False)).alias("in_kcore"))
+
+
+def kcore_sql(edges_cte: str, k: int = 3, rounds: int = 6) -> str:
+    """Oracle twin of :func:`kcore_membership` (unrolled rounds)."""
+    ctes = [f"e AS MATERIALIZED ({edges_cte})", """
+und AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e
+),
+a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM und)"""]
+    for r in range(1, rounds + 1):
+        prev = f"a{r - 1}"
+        ctes.append(f"""
+a{r} AS MATERIALIZED (
+  SELECT src AS node FROM (
+    SELECT und.src, count(*) AS _deg
+    FROM und
+    WHERE und.src IN (SELECT node FROM {prev})
+      AND und.dst IN (SELECT node FROM {prev})
+    GROUP BY und.src
+  ) WHERE _deg >= {k}
+)""")
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT a0.node, a{rounds}.node IS NOT NULL AS in_kcore\n"
+            f"FROM a0 LEFT JOIN a{rounds} ON a{rounds}.node = a0.node")

@@ -220,3 +220,39 @@ SELECT * FROM (
          ) AS BIGINT) AS sample_rank
   FROM {table} t
 ) WHERE sample_rank <= {k}"""
+
+
+def weighted_group_sample(df: DataFrame, group_col: str, key_col: str,
+                          weight_col: str, k: int,
+                          mode: str = "portable", salt: int = 0) -> DataFrame:
+    """min(k, group size) rows per group drawn WITHOUT replacement
+    with inclusion probability ∝ weight (Efraimidis–Spirakis A-ES
+    ranks from the deterministic uniform surrogate — see
+    :func:`weighted_rank`): the per-domain importance-sampled eval
+    draw. Same shape and skew caveat as :func:`group_sample`."""
+    from pyspark.sql import Window
+
+    _require_integral_key(df, key_col, mode)
+    r = weighted_rank(key_col, F.col(weight_col).cast("double"), mode, salt)
+    w = Window.partitionBy(group_col).orderBy(
+        r.asc(), F.col(key_col).asc())
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("wsample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("wsample_rank") <= k)
+    )
+
+
+def weighted_group_sample_sql(table: str, group_sql: str, key_sql: str,
+                              weight_sql: str, k: int) -> str:
+    """Oracle twin of :func:`weighted_group_sample` (portable mode,
+    salt 0) — the same A-ES rank formula as SQL_WSAMPLE."""
+    rank = (f"-ln(((({key_sql} % {_M}) * {_KNUTH}) % {_M} + 1)"
+            f" / {float(_M + 1)!r}) / CAST({weight_sql} AS DOUBLE)")
+    return f"""
+SELECT * FROM (
+  SELECT t.*, CAST(row_number() OVER (
+           PARTITION BY {group_sql} ORDER BY {rank} ASC, {key_sql} ASC
+         ) AS BIGINT) AS wsample_rank
+  FROM {table} t WHERE {weight_sql} > 0
+) WHERE wsample_rank <= {k}"""

@@ -69,3 +69,62 @@ def test_layout_independence(spark):
     r2 = sorted((r.node, r.community)
                 for r in label_propagation(df2, 5).collect())
     assert r1 == r2
+
+
+def test_kcore_known_graph(spark):
+    from distill_spark.operators.community import kcore_membership
+
+    # K4 (a 3-core) + a pendant chain hanging off it
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 10), (10, 11)]
+    df = spark.createDataFrame(k4 + chain, ["a", "b"])
+    got = {r.node: r.in_kcore for r in
+           kcore_membership(df, k=3, rounds=6).collect()}
+    assert got == {0: True, 1: True, 2: True, 3: True,
+                   10: False, 11: False}
+    # k=2: the chain still peels (degree-1 tail cascades), K4 stays
+    got2 = {r.node: r.in_kcore for r in
+            kcore_membership(df, k=2, rounds=6).collect()}
+    assert got2 == {0: True, 1: True, 2: True, 3: True,
+                    10: False, 11: False}
+
+
+def test_kcore_cascade_needs_rounds(spark):
+    from distill_spark.operators.community import kcore_membership
+
+    # a path: every node eventually peels at k=2, but only one end
+    # peels per round -> fixed rounds expose the cascade depth
+    path = [(i, i + 1) for i in range(6)]
+    df = spark.createDataFrame(path, ["a", "b"])
+    after1 = {r.node: r.in_kcore for r in
+              kcore_membership(df, k=2, rounds=1).collect()}
+    assert after1[0] is False and after1[3] is True
+    afterN = {r.node: r.in_kcore for r in
+              kcore_membership(df, k=2, rounds=6).collect()}
+    assert not any(afterN.values())
+
+
+def test_weighted_group_sample(spark):
+    from distill_spark.operators.sampling import weighted_group_sample
+
+    rows = [(i, f"s{i % 2}", (1000000 if i < 4 else 1)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "w"])
+    out = weighted_group_sample(df, "source", "doc_id", "w", k=3)
+    got = {r.source: [x.doc_id for x in
+                      sorted(out.filter(out.source == r.source).collect(),
+                             key=lambda x: x.wsample_rank)]
+           for r in out.select("source").distinct().collect()}
+    # heavy-weight docs (0..3) dominate their groups' samples
+    assert set(got["s0"][:2]) <= {0, 2} and set(got["s1"][:2]) <= {1, 3}
+    assert all(len(v) == 3 for v in got.values())
+    # layout independence
+    out2 = weighted_group_sample(df.repartition(7), "source", "doc_id",
+                                 "w", k=3)
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, out2.collect()))
+    # zero/negative weights never sampled
+    df3 = spark.createDataFrame(
+        [(1, "g", 0), (2, "g", -5), (3, "g", 2)], ["doc_id", "source", "w"])
+    assert [r.doc_id for r in
+            weighted_group_sample(df3, "source", "doc_id", "w", 5)
+            .collect()] == [3]
