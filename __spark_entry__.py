@@ -5286,6 +5286,69 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3
 """
 
 
+_PR_THRESHOLDS = [0.2, 0.4, 0.6, 0.8]
+
+
+def q_minhash_pr_curve(spark, sf_dir):
+    """Precision/recall of the 8-hash/4-band LSH candidate set vs
+    exact-Jaccard truth at four thresholds (docs < 300) — the
+    sketch-quality evidence for banding parameters
+    (dedup_text.minhash_pr_curve)."""
+    from distill_spark.operators.dedup_text import minhash_pr_curve
+
+    t = _tables(spark, sf_dir)
+    sub = t["documents"].filter(F.col("doc_id") < 300)
+    return minhash_pr_curve(sub, _PR_THRESHOLDS)
+
+
+def _sql_minhash_pr():
+    sig_cols = ", ".join(
+        f"min(md5('{s}' || '|' || sh)) AS mh{s}" for s in _MHE_SEEDS)
+    buckets = ", ".join(
+        f"'{b}:' || md5(mh{2 * b} || '|' || mh{2 * b + 1})" for b in range(4))
+    ts = ", ".join(repr(float(x)) for x in _PR_THRESHOLDS)
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT doc_a, doc_b,
+         round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jac
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+             JOIN sizes sb ON sb.doc_id = doc_b
+),
+sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+banded AS (SELECT doc_id, unnest([{buckets}]) AS bucket FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, TRUE AS is_cand
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT coalesce(jac, 0.0) AS j, coalesce(is_cand, FALSE) AS is_cand
+  FROM exact FULL OUTER JOIN cand USING (doc_a, doc_b)
+),
+per AS (
+  SELECT t, CAST(sum(CASE WHEN j >= t AND is_cand THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN j < t AND is_cand THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN j >= t AND NOT is_cand THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM pairs, unnest([{ts}]) AS u(t)
+  GROUP BY t
+)
+SELECT round(CAST(t AS DOUBLE), 2) AS threshold, tp, fp, fn,
+       round(CASE WHEN tp + fp > 0
+                  THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END, 6)
+         AS precision,
+       round(CASE WHEN tp + fn > 0
+                  THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END, 6)
+         AS recall
+FROM per
+"""
+
+
 def q_scd2_users(spark, sf_dir):
     """SCD2 version history from the event stream treated as a CDC
     log (key=user_id, op: error→delete else upsert): one window pass
@@ -5689,6 +5752,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_jaccard_prefix": (q_dedup_jaccard_prefix, SQL_JACCARD_PREFIX),
     "weighted_group_sample": (q_weighted_group_sample, _sql_wgroup_sample()),
     "kcore_vectors": (q_kcore_vectors, _sql_kcore()),
+    "minhash_pr_curve": (q_minhash_pr_curve, _sql_minhash_pr()),
 }
 
 # The explicit promotion queue: every member must be oracled, sit past
@@ -5700,6 +5764,7 @@ _PENDING_PROMOTION: frozenset[str] = frozenset({
     "minhash_error", "learn_bpe", "embed_covariance", "ols_price_model",
     "zorder_zones", "heavy_hitters", "communities_lpa", "scd2_users",
     "dedup_jaccard_prefix", "weighted_group_sample", "kcore_vectors",
+    "minhash_pr_curve",
 })
 
 

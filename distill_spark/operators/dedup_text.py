@@ -481,3 +481,50 @@ def prefix_filtered_jaccard(df: DataFrame, id_col: str = "doc_id",
     )
     return ngram_jaccard_pairs(df, id_col, text_col, threshold,
                                shingle_n, candidates=cand)
+
+
+def minhash_pr_curve(df: DataFrame, thresholds: list[float],
+                     id_col: str = "doc_id", text_col: str = "text",
+                     num_hashes: int = 8, bands: int = 4,
+                     shingle_n: int = 3) -> DataFrame:
+    """Precision/recall of the LSH candidate set against exact-Jaccard
+    truth at each threshold — the "measure, don't guess" evidence for
+    choosing (num_hashes, bands) before trusting banding alone at
+    100 TB. Output per threshold: tp, fp, fn, precision, recall
+    (rounded 6; empty truth/candidates give 0.0, not NULL).
+
+    One LSH pass + one exact pass over the SAME corpus, then the
+    per-threshold rollup is pure arithmetic over the pair table —
+    thresholds share the heavy work.
+    """
+    cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes,
+                                  bands, shingle_n)
+    exact = ngram_jaccard_pairs(df, id_col, text_col, threshold=0.0,
+                                shingle_n=shingle_n)
+    pairs = (
+        exact.join(cand.withColumn("is_cand", F.lit(True)),
+                   ["doc_a", "doc_b"], "outer")
+        .select(F.coalesce("jaccard", F.lit(0.0)).alias("j"),
+                F.coalesce("is_cand", F.lit(False)).alias("is_cand"))
+    )
+    t = F.explode(F.array(*[F.lit(float(x)) for x in thresholds])).alias("t")
+    per = (
+        pairs.select("*", t)
+        .groupBy("t")
+        .agg(
+            F.sum(((F.col("j") >= F.col("t")) & F.col("is_cand"))
+                  .cast("long")).alias("tp"),
+            F.sum(((F.col("j") < F.col("t")) & F.col("is_cand"))
+                  .cast("long")).alias("fp"),
+            F.sum(((F.col("j") >= F.col("t")) & ~F.col("is_cand"))
+                  .cast("long")).alias("fn"),
+        )
+    )
+    prec = F.when(F.col("tp") + F.col("fp") > 0,
+                  F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(0.0)
+    rec = F.when(F.col("tp") + F.col("fn") > 0,
+                 F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(0.0)
+    return per.select(
+        F.round("t", 2).alias("threshold"), "tp", "fp", "fn",
+        F.round(prec, 6).alias("precision"), F.round(rec, 6).alias("recall"),
+    )

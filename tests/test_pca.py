@@ -75,3 +75,36 @@ def test_project_and_whiten(vec_df):
     p2 = np.stack([r.pca for r in out2.orderBy("vec_id").collect()])
     ref = (m - m.mean(axis=0)) @ model.components.T
     np.testing.assert_allclose(p2, ref, atol=1e-9)
+
+
+def test_pca_projection_feeds_ivf_ann(spark):
+    """Composition: PCA-truncate the embedding space, index the
+    projection with IVF, and check the ANN search in reduced space
+    still finds true planted neighbors (the PCA->index production
+    pipeline)."""
+    import numpy as np
+
+    from distill_spark.operators.similarity import IVFIndex
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 16)) * 5
+    rows = []
+    for i in range(200):
+        c = i % 4
+        rows.append((i, [float(x) for x in
+                         centers[c] + rng.normal(scale=0.3, size=16)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    model = pca_fit(df, k=6)
+    proj = project(df, model, out_col="pca").select("vec_id", "pca")
+    ix = IVFIndex(proj, id_col="vec_id", vec_col="pca", n_cells=4)
+    queries = proj.filter(proj.vec_id < 4).select(
+        proj.vec_id.alias("q_id"), proj.pca.alias("qv"))
+    hits = ix.search(queries, k=10, n_probe=2, query_col="qv",
+                     qid_col="q_id").collect()
+    by_q = {}
+    for r in hits:
+        by_q.setdefault(r.q_id, []).append(r.vec_id)
+    # each query's neighbors come overwhelmingly from its own cluster
+    for q, ids in by_q.items():
+        same = sum(1 for i in ids if i % 4 == q % 4)
+        assert same >= 8, (q, ids)

@@ -190,3 +190,26 @@ def test_prefix_filtered_jaccard_equals_full_join(spark):
             df, threshold=t).collect()))
         assert pref == full, f"threshold {t}"
     assert len(full) > 0  # the fixture actually produces pairs
+
+
+def test_minhash_pr_curve_consistency(spark):
+    from distill_spark.operators.dedup_text import (
+        minhash_lsh_candidates, minhash_pr_curve, ngram_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [(i, base) for i in range(5)]                  # identical block
+    docs += [(10 + i, f"doc{10+i} " + " ".join(
+        f"w{10+i}_{j}" for j in range(9))) for i in range(5)]  # uniques
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    curve = {r.threshold: r for r in
+             minhash_pr_curve(df, [0.2, 0.8]).collect()}
+    truth8 = ngram_jaccard_pairs(df, threshold=0.8).count()
+    cand = minhash_lsh_candidates(df).count()
+    for r in curve.values():
+        assert r.tp + r.fp == cand          # candidates partition by truth
+        assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
+    # identical docs: certain candidates, so recall at 0.8 is perfect
+    assert curve[0.8].tp == truth8 == 10 and curve[0.8].recall == 1.0
+    # recall never increases as the threshold drops below the banding
+    assert curve[0.2].recall <= curve[0.8].recall + 1e-9
