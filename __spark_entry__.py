@@ -5152,6 +5152,25 @@ WHERE abs(round((value - mean) / std, 6)) >= 3.0
 """
 
 
+def q_anomaly_mad(spark, sf_dir):
+    """Robust median/MAD outliers per event type (|0.6745·(v−med)|
+    / MAD ≥ 3.5) — the masking-immune complement of anomaly_zscore
+    (operators/anomaly.py mad_outliers)."""
+    from distill_spark.operators.anomaly import mad_outliers
+
+    t = _tables(spark, sf_dir)
+    out = mad_outliers(t["events"], "value", ["event_type"], threshold=3.5)
+    return out.select("event_id", "event_type", "value", "robust_z")
+
+
+def _sql_anomaly_mad():
+    from distill_spark.operators.anomaly import mad_outliers_sql
+
+    inner = mad_outliers_sql("events", "value", "event_type", 3.5)
+    return (f"SELECT event_id, event_type, value, robust_z "
+            f"FROM ({inner})")
+
+
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
@@ -5753,6 +5772,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "weighted_group_sample": (q_weighted_group_sample, _sql_wgroup_sample()),
     "kcore_vectors": (q_kcore_vectors, _sql_kcore()),
     "minhash_pr_curve": (q_minhash_pr_curve, _sql_minhash_pr()),
+    "anomaly_mad": (q_anomaly_mad, _sql_anomaly_mad()),
 }
 
 # The explicit promotion queue: every member must be oracled, sit past
@@ -5764,7 +5784,7 @@ _PENDING_PROMOTION: frozenset[str] = frozenset({
     "minhash_error", "learn_bpe", "embed_covariance", "ols_price_model",
     "zorder_zones", "heavy_hitters", "communities_lpa", "scd2_users",
     "dedup_jaccard_prefix", "weighted_group_sample", "kcore_vectors",
-    "minhash_pr_curve",
+    "minhash_pr_curve", "anomaly_mad",
 })
 
 

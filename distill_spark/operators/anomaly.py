@@ -118,3 +118,52 @@ def zscore_outliers(df: DataFrame, value_col: str, group_cols: list[str],
         .filter(F.abs(F.col("z")) >= F.lit(threshold))
         .drop("n", "mean", "std")
     )
+
+
+def mad_outliers(df: DataFrame, value_col: str, group_cols: list[str],
+                 threshold: float = 3.5) -> DataFrame:
+    """Robust (median/MAD) outliers: |0.6745·(v − median)| / MAD ≥
+    ``threshold`` — immune to the masking that drags a z-score
+    baseline toward its own outliers. Two percentile passes (median,
+    then median absolute deviation), each a per-group aggregate whose
+    tiny result broadcasts back; the event scan still never shuffles.
+    Zero-MAD groups (≥50% identical values) flag nothing rather than
+    dividing by zero. Adds round-6 ``robust_z``."""
+    v = F.col(value_col)
+    med = df.groupBy(*group_cols).agg(
+        F.percentile(v, F.lit(0.5)).alias("_med"))
+    mad = (
+        df.join(F.broadcast(med), group_cols)
+        .groupBy(*group_cols)
+        .agg(F.min("_med").alias("_med"),
+             F.percentile(F.abs(v - F.col("_med")), F.lit(0.5)).alias("_mad"))
+    )
+    rz = F.round(F.lit(0.6745) * (v - F.col("_med")) / F.col("_mad"), 6)
+    return (
+        df.join(F.broadcast(mad), group_cols)
+        .filter(F.col("_mad") > 0)
+        .withColumn("robust_z", rz)
+        .filter(F.abs(F.col("robust_z")) >= F.lit(threshold))
+        .drop("_med", "_mad")
+    )
+
+
+def mad_outliers_sql(table: str, value_sql: str, group_sql: str,
+                     threshold: float = 3.5) -> str:
+    """Oracle twin of :func:`mad_outliers` (quantile_cont matches
+    Spark's interpolated percentile; same association order)."""
+    return f"""
+WITH med AS (
+  SELECT {group_sql}, quantile_cont({value_sql}, 0.5) AS _med
+  FROM {table} GROUP BY {group_sql}
+),
+mad AS (
+  SELECT {group_sql}, min(_med) AS _med,
+         quantile_cont(abs({value_sql} - _med), 0.5) AS _mad
+  FROM {table} JOIN med USING ({group_sql})
+  GROUP BY {group_sql}
+)
+SELECT t.*, round(0.6745 * ({value_sql} - _med) / _mad, 6) AS robust_z
+FROM {table} t JOIN mad USING ({group_sql})
+WHERE _mad > 0
+  AND abs(round(0.6745 * ({value_sql} - _med) / _mad, 6)) >= {threshold}"""

@@ -145,3 +145,30 @@ def test_heavy_hitters_contract(spark):
     out2 = {r.item: (r.cnt, r.in_sketch) for r in
             heavy_hitters_contract(df.repartition(11), "w", 0.1).collect()}
     assert out2 == {k: (v.cnt, v.in_sketch) for k, v in out.items()}
+
+
+def test_mad_outliers_resist_masking(spark):
+    from distill_spark.operators.anomaly import mad_outliers, zscore_outliers
+
+    # two extreme outliers inflate the std enough to mask a third,
+    # milder one from the z-score; MAD still flags all three
+    base = [(i, "a", 10.0 + (i % 7) * 0.01) for i in range(100)]
+    spikes = [(900, "a", 10000.0), (901, "a", -10000.0), (902, "a", 25.0)]
+    df = spark.createDataFrame(base + spikes,
+                               ["event_id", "event_type", "value"])
+    z_ids = {r.event_id for r in
+             zscore_outliers(df, "value", ["event_type"], 3.0).collect()}
+    mad_ids = {r.event_id for r in
+               mad_outliers(df, "value", ["event_type"], 3.5).collect()}
+    assert 902 not in z_ids          # masked by the big spikes
+    assert {900, 901, 902} <= mad_ids
+    assert not any(i < 100 for i in mad_ids)
+
+
+def test_mad_zero_mad_group_silent(spark):
+    from distill_spark.operators.anomaly import mad_outliers
+
+    rows = [(i, "c", 5.0) for i in range(20)] + [(99, "c", 50.0)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    # >50% identical -> MAD 0 -> silent (documented), never div/0
+    assert mad_outliers(df, "value", ["event_type"]).count() == 0
