@@ -5305,6 +5305,76 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3
 """
 
 
+_BITEXT_KNN, _BITEXT_MARGIN = 4, 1.02
+
+
+def q_bitext_mining(spark, sf_dir):
+    """Margin-based parallel-pair mining between embedding label
+    groups 0 and 1 (ratio margin over 4-NN averages, threshold 1.02)
+    — the cross-corpus alignment shape
+    (similarity.mine_bitext)."""
+    from distill_spark.operators.similarity import mine_bitext
+
+    t = _tables(spark, sf_dir)
+    return mine_bitext(t["embeddings"], 0, 1, knn=_BITEXT_KNN,
+                       margin=_BITEXT_MARGIN)
+
+
+SQL_BITEXT = f"""
+WITH scored AS MATERIALIZED (
+  SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+         round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS cos
+  FROM embeddings a, embeddings b
+  WHERE a.label = 0 AND b.label = 1
+),
+ranked AS MATERIALIZED (
+  SELECT *,
+         row_number() OVER (PARTITION BY src_id
+                            ORDER BY cos DESC, tgt_id ASC) AS _ra,
+         row_number() OVER (PARTITION BY tgt_id
+                            ORDER BY cos DESC, src_id ASC) AS _rb
+  FROM scored
+),
+asum AS (SELECT src_id, sum(cos) / {_BITEXT_KNN} AS _na
+         FROM ranked WHERE _ra <= {_BITEXT_KNN} GROUP BY src_id),
+bsum AS (SELECT tgt_id, sum(cos) / {_BITEXT_KNN} AS _nb
+         FROM ranked WHERE _rb <= {_BITEXT_KNN} GROUP BY tgt_id),
+m AS (
+  SELECT r.src_id, r.tgt_id, r.cos,
+         round(r.cos / ((_na + _nb) / 2), 6) AS margin
+  FROM ranked r JOIN asum USING (src_id) JOIN bsum USING (tgt_id)
+)
+SELECT src_id, tgt_id, cos, margin FROM (
+  SELECT *, row_number() OVER (PARTITION BY src_id
+                               ORDER BY margin DESC, tgt_id ASC) AS _r
+  FROM m
+) WHERE _r = 1 AND margin >= {_BITEXT_MARGIN}
+"""
+
+
+def q_json_props_rollup(spark, sf_dir):
+    """Semi-structured extraction: parse the JSON props column
+    (get_json_object) and roll up count + exact sum of k per
+    (event_type, k mod 10) — the JSON-column handling surface."""
+    t = _tables(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        t["events"]
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type", F.pmod(F.col("k"), F.lit(10)).alias("k_band"))
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum("k").cast("long").alias("k_sum"))
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type, CAST(k % 10 AS BIGINT) AS k_band,
+       CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS k_sum
+FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+GROUP BY 1, 2
+"""
+
+
 _PR_THRESHOLDS = [0.2, 0.4, 0.6, 0.8]
 
 
@@ -5773,6 +5843,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "kcore_vectors": (q_kcore_vectors, _sql_kcore()),
     "minhash_pr_curve": (q_minhash_pr_curve, _sql_minhash_pr()),
     "anomaly_mad": (q_anomaly_mad, _sql_anomaly_mad()),
+    "bitext_mining": (q_bitext_mining, SQL_BITEXT),
+    "json_props_rollup": (q_json_props_rollup, SQL_JSON_PROPS),
 }
 
 # The explicit promotion queue: every member must be oracled, sit past
@@ -5784,7 +5856,8 @@ _PENDING_PROMOTION: frozenset[str] = frozenset({
     "minhash_error", "learn_bpe", "embed_covariance", "ols_price_model",
     "zorder_zones", "heavy_hitters", "communities_lpa", "scd2_users",
     "dedup_jaccard_prefix", "weighted_group_sample", "kcore_vectors",
-    "minhash_pr_curve", "anomaly_mad",
+    "minhash_pr_curve", "anomaly_mad", "bitext_mining",
+    "json_props_rollup",
 })
 
 

@@ -235,3 +235,51 @@ def hard_negatives(df: DataFrame, queries: DataFrame, k: int = 5,
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def mine_bitext(df: DataFrame, label_a, label_b, knn: int = 4,
+                margin: float = 1.05, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                label_col: str = "label") -> DataFrame:
+    """Margin-based parallel-pair mining between two label groups
+    (Artetxe & Schwenk 2019's ratio margin, public method): for each
+    source vector the best target by cos / ((avg-kNN-cos(src) +
+    avg-kNN-cos(tgt)) / 2); pairs below the margin threshold drop.
+    The margin denominator discounts hub vectors that are close to
+    EVERYTHING, which raw cosine top-1 mining mistakes for matches.
+
+    Shape: one cross-score of the two groups (broadcast the smaller
+    side; at 100 TB replace with the IVF probe — mining tolerates
+    approximate neighborhoods), then two windowed kNN averages and a
+    rank-1 take. Deterministic: round-6 cosines, id tie-breaks.
+    """
+    from pyspark.sql import Window
+
+    a = df.filter(F.col(label_col) == label_a).select(
+        F.col(id_col).alias("src_id"), F.col(vec_col).alias("_va"))
+    b = df.filter(F.col(label_col) == label_b).select(
+        F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("_vb"))
+    scored = (
+        a.join(F.broadcast(b))
+        .select("src_id", "tgt_id",
+                F.round(vm.cosine_similarity(F.col("_va"), F.col("_vb")), 6)
+                .alias("cos"))
+    )
+    wa = Window.partitionBy("src_id").orderBy(F.desc("cos"), F.asc("tgt_id"))
+    wb = Window.partitionBy("tgt_id").orderBy(F.desc("cos"), F.asc("src_id"))
+    ranked = (scored
+              .withColumn("_ra", F.row_number().over(wa))
+              .withColumn("_rb", F.row_number().over(wb)))
+    asum = (ranked.filter(F.col("_ra") <= knn).groupBy("src_id")
+            .agg((F.sum("cos") / knn).alias("_na")))
+    bsum = (ranked.filter(F.col("_rb") <= knn).groupBy("tgt_id")
+            .agg((F.sum("cos") / knn).alias("_nb")))
+    m = (ranked.join(F.broadcast(asum), "src_id")
+         .join(F.broadcast(bsum), "tgt_id")
+         .withColumn("margin", F.round(
+             F.col("cos") / ((F.col("_na") + F.col("_nb")) / 2), 6)))
+    wbest = Window.partitionBy("src_id").orderBy(
+        F.desc("margin"), F.asc("tgt_id"))
+    return (m.withColumn("_r", F.row_number().over(wbest))
+            .filter((F.col("_r") == 1) & (F.col("margin") >= margin))
+            .select("src_id", "tgt_id", "cos", "margin"))

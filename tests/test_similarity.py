@@ -110,3 +110,25 @@ def test_ivf_index_save_load_identical_results(spark, tmp_path):
     got = sorted(map(tuple, loaded.search(q, k=5, n_probe=2,
                                           qid_col="qid").collect()))
     assert got == want
+
+
+def test_mine_bitext_margin_discounts_hubs(spark):
+    from distill_spark.operators.similarity import mine_bitext
+
+    # group 0: s0 aligned with t0, s1 aligned with t1; t_hub is
+    # moderately close to EVERYTHING in group 0 — raw top-1 would
+    # pick the true pairs anyway, but the hub must never win and
+    # pairs must clear the margin
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0), (1, [0.0, 1.0, 0.0], 0),
+        (10, [0.99, 0.05, 0.0], 1), (11, [0.05, 0.99, 0.0], 1),
+        (12, [0.55, 0.55, 0.55], 1),   # hub
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {r.src_id: r for r in
+           mine_bitext(df, 0, 1, knn=2, margin=1.0).collect()}
+    assert got[0].tgt_id == 10 and got[1].tgt_id == 11
+    assert all(r.margin >= 1.0 for r in got.values())
+    # a high margin threshold drops weakly-differentiated pairs
+    strict = mine_bitext(df, 0, 1, knn=2, margin=10.0).count()
+    assert strict == 0
