@@ -5305,6 +5305,47 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3
 """
 
 
+_FK_RELS = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+]
+
+
+def q_fk_orphans(spark, sf_dir):
+    """Referential-integrity audit across the star schema: orphaned
+    child keys per relationship (profile.fk_orphan_audit)."""
+    from distill_spark.operators.profile import fk_orphan_audit
+
+    t = _tables(spark, sf_dir)
+    rels = [(name, t[c], ck, t[p], pk)
+            for name, c, ck, p, pk in _FK_RELS]
+    return fk_orphan_audit(rels)
+
+
+def _sql_fk_orphans():
+    parts = []
+    for name, c, ck, p, pk in _FK_RELS:
+        parts.append(f"""
+SELECT '{name}' AS relationship,
+       CAST((SELECT count(*) FROM {c}) AS BIGINT) AS child_rows,
+       CAST((SELECT count(*) FROM {c}
+             WHERE NOT EXISTS (SELECT 1 FROM {p} WHERE {p}.{pk} = {c}.{ck}))
+            AS BIGINT) AS orphans,
+       round(CAST((SELECT count(*) FROM {c}
+                   WHERE NOT EXISTS (SELECT 1 FROM {p}
+                                     WHERE {p}.{pk} = {c}.{ck})) AS DOUBLE)
+             / (SELECT count(*) FROM {c}), 6) AS orphan_frac""")
+    return "\nUNION ALL\n".join(parts)
+
+
 _BITEXT_KNN, _BITEXT_MARGIN = 4, 1.02
 
 
@@ -5845,6 +5886,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "anomaly_mad": (q_anomaly_mad, _sql_anomaly_mad()),
     "bitext_mining": (q_bitext_mining, SQL_BITEXT),
     "json_props_rollup": (q_json_props_rollup, SQL_JSON_PROPS),
+    "fk_orphans": (q_fk_orphans, _sql_fk_orphans()),
 }
 
 # The explicit promotion queue: every member must be oracled, sit past
@@ -5857,7 +5899,7 @@ _PENDING_PROMOTION: frozenset[str] = frozenset({
     "zorder_zones", "heavy_hitters", "communities_lpa", "scd2_users",
     "dedup_jaccard_prefix", "weighted_group_sample", "kcore_vectors",
     "minhash_pr_curve", "anomaly_mad", "bitext_mining",
-    "json_props_rollup",
+    "json_props_rollup", "fk_orphans",
 })
 
 

@@ -55,3 +55,34 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
                 4).alias("null_pct"),
         "n_distinct", "min_value", "max_value",
     )
+
+
+def fk_orphan_audit(relationships) -> DataFrame:
+    """Referential-integrity audit: for each (name, child_df,
+    child_key, parent_df, parent_key) relationship, count child rows
+    whose key has no parent — the ingest-quality gate a warehouse
+    runs before trusting joins.
+
+    Per relationship: one LEFT ANTI join (Catalyst broadcasts the
+    parent's distinct-key projection when it fits) + one count; the
+    result unions to (relationship, child_rows, orphans, orphan_frac).
+    NULL child keys count as orphans — they silently vanish from any
+    inner join downstream, which is exactly what the audit exists to
+    surface.
+    """
+    out = None
+    for name, child, ck, parent, pk in relationships:
+        keys = parent.select(F.col(pk).alias(ck)).distinct()
+        orphans = child.select(ck).join(keys, ck, "left_anti")
+        row = (
+            child.agg(F.count("*").cast("long").alias("child_rows"))
+            .crossJoin(orphans.agg(
+                F.count("*").cast("long").alias("orphans")))
+            .select(
+                F.lit(name).alias("relationship"), "child_rows", "orphans",
+                F.round(F.col("orphans") / F.col("child_rows"), 6)
+                .alias("orphan_frac"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -54,3 +54,22 @@ class TestProfile:
     def test_unknown_column_raises(self, spark, df):
         with pytest.raises(ValueError, match="unknown columns"):
             profile_table(df, columns=["nope"])
+
+
+def test_fk_orphan_audit(spark):
+    from distill_spark.operators.profile import fk_orphan_audit
+
+    parent = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
+    child = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 99), (13, None)], ["id", "fk"])
+    out = fk_orphan_audit(
+        [("child.fk->parent", child, "fk", parent, "pk")]).collect()
+    r = out[0]
+    assert (r.relationship, r.child_rows, r.orphans) == \
+        ("child.fk->parent", 4, 2)   # 99 AND the NULL key are orphans
+    assert r.orphan_frac == 0.5
+    # clean relationship reports zero
+    clean = fk_orphan_audit(
+        [("ok", child.filter("fk IS NOT NULL AND fk < 3"),
+          "fk", parent, "pk")]).collect()[0]
+    assert clean.orphans == 0 and clean.orphan_frac == 0.0
