@@ -5305,6 +5305,22 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3
 """
 
 
+def q_active_users(spark, sf_dir):
+    """Per-day DAU/WAU/MAU + stickiness ratios over the event stream
+    (timeseries.active_user_ladder) — rolling distinct via the
+    broadcast day-band join."""
+    from distill_spark.operators.timeseries import active_user_ladder
+
+    t = _tables(spark, sf_dir)
+    return active_user_ladder(t["events"])
+
+
+def _sql_active_users():
+    from distill_spark.operators.timeseries import active_user_ladder_sql
+
+    return active_user_ladder_sql()
+
+
 _FK_RELS = [
     ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
      "orders", "o_orderkey"),
@@ -5887,6 +5903,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "bitext_mining": (q_bitext_mining, SQL_BITEXT),
     "json_props_rollup": (q_json_props_rollup, SQL_JSON_PROPS),
     "fk_orphans": (q_fk_orphans, _sql_fk_orphans()),
+    "active_users": (q_active_users, _sql_active_users()),
 }
 
 # The explicit promotion queue: every member must be oracled, sit past
@@ -5899,7 +5916,7 @@ _PENDING_PROMOTION: frozenset[str] = frozenset({
     "zorder_zones", "heavy_hitters", "communities_lpa", "scd2_users",
     "dedup_jaccard_prefix", "weighted_group_sample", "kcore_vectors",
     "minhash_pr_curve", "anomaly_mad", "bitext_mining",
-    "json_props_rollup", "fk_orphans",
+    "json_props_rollup", "fk_orphans", "active_users",
 })
 
 

@@ -81,3 +81,66 @@ def ewma_sql_terms(value_sql: str, alpha: float, depth: int) -> tuple[str, str]:
         for d in range(depth)
     )
     return num, den
+
+
+def active_user_ladder(events: DataFrame, ts_col: str = "ts",
+                       user_col: str = "user_id", wau_days: int = 7,
+                       mau_days: int = 30) -> DataFrame:
+    """Per-day DAU / WAU / MAU distinct-user counts + stickiness
+    ratios (dau/mau, wau/mau) — the engagement ladder.
+
+    Shape: the (tiny) distinct-day table broadcasts against the event
+    scan with a bounded date-range predicate (each event lands in ≤
+    ``mau_days`` day-rows — a fixed fan-out, not a cross join), then
+    one grouped count-distinct per day with conditional windows
+    folded in as CASE filters. Rolling COUNT DISTINCT can't ride a
+    native window frame (distinct isn't decomposable), so the
+    banded-join + filtered-aggregate form IS the scalable shape; for
+    100 TB swap exact distinct for the HLL partials ledger
+    (sketch.distinct_contract establishes the error budget).
+    """
+    d = F.to_date(F.col(ts_col))
+    ev = events.select(d.alias("d"), F.col(user_col).alias("u"))
+    days = ev.select("d").distinct()
+    j = (
+        F.broadcast(days.select(F.col("d").alias("day")))
+        .join(ev, (F.col("d") <= F.col("day"))
+              & (F.col("d") >= F.date_sub(F.col("day"), mau_days - 1)))
+    )
+    dau = F.count_distinct(F.when(F.col("d") == F.col("day"), F.col("u")))
+    wau = F.count_distinct(
+        F.when(F.col("d") >= F.date_sub(F.col("day"), wau_days - 1),
+               F.col("u")))
+    mau = F.count_distinct(F.col("u"))
+    return (
+        j.groupBy("day")
+        .agg(dau.cast("long").alias("dau"), wau.cast("long").alias("wau"),
+             mau.cast("long").alias("mau"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau", "wau", "mau",
+            F.round(F.col("dau") / F.col("mau"), 6).alias("dau_mau"),
+            F.round(F.col("wau") / F.col("mau"), 6).alias("wau_mau"),
+        )
+    )
+
+
+def active_user_ladder_sql(table: str = "events", ts_sql: str = "ts",
+                           user_sql: str = "user_id", wau_days: int = 7,
+                           mau_days: int = 30) -> str:
+    """Oracle twin of :func:`active_user_ladder`."""
+    return f"""
+WITH ev AS (SELECT CAST({ts_sql} AS DATE) AS d, {user_sql} AS u FROM {table}),
+days AS (SELECT DISTINCT d AS day FROM ev)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT CASE WHEN d = day THEN u END) AS BIGINT) AS dau,
+       CAST(count(DISTINCT CASE WHEN d >= day - {wau_days - 1} THEN u END)
+            AS BIGINT) AS wau,
+       CAST(count(DISTINCT u) AS BIGINT) AS mau,
+       round(CAST(count(DISTINCT CASE WHEN d = day THEN u END) AS DOUBLE)
+             / count(DISTINCT u), 6) AS dau_mau,
+       round(CAST(count(DISTINCT CASE WHEN d >= day - {wau_days - 1} THEN u END)
+                  AS DOUBLE) / count(DISTINCT u), 6) AS wau_mau
+FROM days JOIN ev ON d <= day AND d >= day - {mau_days - 1}
+GROUP BY day
+"""

@@ -213,3 +213,34 @@ def test_minhash_pr_curve_consistency(spark):
     assert curve[0.8].tp == truth8 == 10 and curve[0.8].recall == 1.0
     # recall never increases as the threshold drops below the banding
     assert curve[0.2].recall <= curve[0.8].recall + 1e-9
+
+
+def test_active_user_ladder(spark):
+    import datetime as dt
+
+    from distill_spark.operators.timeseries import active_user_ladder
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    # users 1..3 active every day for 10 days; user 9 only day 0;
+    # user 5 active days 5..9
+    for day in range(10):
+        ts = base + dt.timedelta(days=day, hours=3)
+        for u in (1, 2, 3):
+            rows.append((ts, u))
+        if day == 0:
+            rows.append((ts, 9))
+        if day >= 5:
+            rows.append((ts, 5))
+    df = spark.createDataFrame(rows, ["ts", "user_id"])
+    out = {r.day: r for r in
+           active_user_ladder(df, wau_days=7, mau_days=30).collect()}
+    assert len(out) == 10
+    d0 = out["2024-03-01"]
+    assert (d0.dau, d0.wau, d0.mau) == (4, 4, 4)
+    d9 = out["2024-03-10"]
+    # day 9: dau = {1,2,3,5}; mau window covers everyone
+    assert (d9.dau, d9.mau) == (4, 5)
+    # day 9 WAU window (days 3..9) excludes user 9
+    assert d9.wau == 4
+    assert d9.dau_mau == 0.8
