@@ -99,3 +99,44 @@ def heavy_hitters_contract(df: DataFrame, col: str, support: float = 0.01
             F.col(col).cast("string").isin(sketch_items).alias("in_sketch"),
         )
     )
+
+
+def distinct_partials(df: DataFrame, key_col: str,
+                      group_cols: list[str], lg_k: int = 12) -> DataFrame:
+    """Mergeable per-group HLL sketch partials (DataSketches binary,
+    Spark's hll_sketch_agg) — the distinct-count analog of the
+    moments/rollup ledgers: each micro-batch appends one sketch row
+    per touched group, and union-merging partials is EXACTLY the
+    sketch a single batch pass builds (HLL union is associative and
+    commutative, so the estimate is layout- and batching-independent)."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("_hll"),
+        F.count("*").alias("_n"),
+    )
+
+
+def merge_distinct_partials(partials: DataFrame,
+                            group_cols: list[str]) -> DataFrame:
+    """Compact sketch partials to (group…, n_rows, distinct_est)."""
+    return (
+        partials.groupBy(*group_cols)
+        .agg(F.sum("_n").cast("long").alias("n_rows"),
+             F.hll_sketch_estimate(F.hll_union_agg("_hll"))
+             .cast("long").alias("distinct_est"))
+    )
+
+
+def foreach_batch_distincts(sink_path: str, key_col: str,
+                            group_cols: list[str], lg_k: int = 12):
+    """Streaming maintenance of the distinct ledger: a foreachBatch
+    sink appending per-micro-batch HLL partials to parquet; the live
+    per-group distinct estimate at any moment is
+    ``merge_distinct_partials(spark.read.parquet(sink_path))``.
+    At 100 TB this is THE distinct-count shape — the exact twin
+    (countDistinct) exists only to calibrate tolerance at test scale
+    (see distinct_contract)."""
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (distinct_partials(batch_df, key_col, group_cols, lg_k)
+         .write.mode("append").parquet(sink_path))
+
+    return sink

@@ -283,3 +283,41 @@ class TestStreamingRollup:
              .filter(F.abs("z") >= 2.0))
         assert sorted(r.event_id for r in flagged.collect()) == \
             sorted(r.event_id for r in j.collect())
+
+    def test_incremental_distinct_ledger_equals_batch(self, spark,
+                                                      event_dir, tmp_path):
+        """HLL sketch partials appended per micro-batch union-merge to
+        the SAME estimate as one batch pass (associative merge), and
+        the estimate honors the HLL error contract vs exact."""
+        from distill_spark.operators.sketch import (
+            distinct_partials,
+            foreach_batch_distincts,
+            merge_distinct_partials,
+        )
+
+        sink = str(tmp_path / "hll_partials")
+        src = stm.read_event_stream(spark, event_dir,
+                                    max_files_per_trigger=1)
+        q = (src.writeStream
+             .foreachBatch(foreach_batch_distincts(sink, "user_id",
+                                                   ["event_type"]))
+             .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+        partials = spark.read.parquet(sink)
+        assert (partials.groupBy("event_type").count()
+                .filter(F.col("count") > 1).count()) > 0
+        got = merge_distinct_partials(partials, ["event_type"])
+        batch = spark.read.parquet(event_dir)
+        want = merge_distinct_partials(
+            distinct_partials(batch, "user_id", ["event_type"]),
+            ["event_type"])
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, want.collect()))
+        exact = {r.event_type: r.n for r in
+                 batch.groupBy("event_type")
+                 .agg(F.countDistinct("user_id").alias("n")).collect()}
+        for r in got.collect():
+            assert abs(r.distinct_est - exact[r.event_type]) \
+                <= max(1, 0.05 * exact[r.event_type])
