@@ -5305,6 +5305,21 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3
 """
 
 
+def q_value_trend(spark, sf_dir):
+    """Per-event-type linear trend of value over event time (slope
+    per day + r², closed-form grouped OLS — ols.grouped_trend)."""
+    from distill_spark.operators.ols import grouped_trend
+
+    t = _tables(spark, sf_dir)
+    return grouped_trend(t["events"], "value", "ts", ["event_type"])
+
+
+def _sql_value_trend():
+    from distill_spark.operators.ols import grouped_trend_sql
+
+    return grouped_trend_sql("events", "value", "ts", "event_type")
+
+
 def q_active_users(spark, sf_dir):
     """Per-day DAU/WAU/MAU + stickiness ratios over the event stream
     (timeseries.active_user_ladder) — rolling distinct via the
@@ -5904,6 +5919,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "json_props_rollup": (q_json_props_rollup, SQL_JSON_PROPS),
     "fk_orphans": (q_fk_orphans, _sql_fk_orphans()),
     "active_users": (q_active_users, _sql_active_users()),
+    "value_trend": (q_value_trend, _sql_value_trend()),
 }
 
 # The explicit promotion queue: every member must be oracled, sit past
@@ -5916,7 +5932,7 @@ _PENDING_PROMOTION: frozenset[str] = frozenset({
     "zorder_zones", "heavy_hitters", "communities_lpa", "scd2_users",
     "dedup_jaccard_prefix", "weighted_group_sample", "kcore_vectors",
     "minhash_pr_curve", "anomaly_mad", "bitext_mining",
-    "json_props_rollup", "fk_orphans", "active_users",
+    "json_props_rollup", "fk_orphans", "active_users", "value_trend",
 })
 
 

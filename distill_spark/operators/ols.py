@@ -127,3 +127,77 @@ def ols_solve_numpy(df: DataFrame, y_col: str, x_cols: list[str]
     sse = m["syy"] - float(beta @ b)
     sst = m["syy"] - m["sy"] ** 2 / m["n"]
     return beta, 1.0 - sse / sst
+
+
+_TREND_ORIGIN = "2024-01-01 00:00:00"
+
+
+def grouped_trend(df: DataFrame, y_col: str, ts_col: str,
+                  group_cols: list[str]) -> DataFrame:
+    """Per-group linear trend of y over event time: one aggregate
+    pass of exact DECIMAL moments, closed-form slope (per DAY) and
+    Pearson r² per group — grouped 1-feature OLS.
+
+    Time enters as exact BIGINT microseconds offset from a fixed
+    origin (NOT raw epoch: offsetting keeps x² sums ~1e28 « the
+    DECIMAL(38) ceiling and tames the n·Sxx − Sx² cancellation);
+    the per-µs slope converts to per-day AFTER the double-precision
+    solve, so both engines run the identical arithmetic chain.
+    """
+    x = (F.unix_micros(F.col(ts_col))
+         - F.unix_micros(F.to_timestamp(F.lit(_TREND_ORIGIN))))
+    # µs offsets fit 13 digits; squaring must happen in DECIMAL
+    # (DECIMAL(19,0)² -> DECIMAL(38,0); 19 digits force int128
+    # storage in DuckDB, whose (18,0) path multiplies in int64 and
+    # overflows) — the raw BIGINT product
+    # overflows 2^63
+    x18 = x.cast("decimal(19,0)")
+    y = F.col(y_col)
+    agg = df.groupBy(*group_cols).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x18).cast("double").alias("sx"),
+        F.sum(x18 * x18).cast("double").alias("sxx"),
+        F.sum(y.cast("decimal(20,10)")).cast("double").alias("sy"),
+        F.sum((y * y).cast("decimal(38,20)")).cast("double").alias("syy"),
+        F.sum((x.cast("double") * y).cast("decimal(38,6)")).cast("double")
+        .alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope_day = cov / vx * F.lit(86400.0 * 1e6)
+    r2 = (cov / vx) * (cov / vy)
+    return agg.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        F.when(vx > 0, F.round(slope_day, 6)).alias("slope_per_day"),
+        F.when((vx > 0) & (vy > 0), F.round(r2, 6)).alias("r2"),
+    )
+
+
+def grouped_trend_sql(table: str, y_sql: str, ts_sql: str,
+                      group_sql: str) -> str:
+    """Oracle twin of :func:`grouped_trend` (epoch_us is exact BIGINT
+    like unix_micros; identical association order)."""
+    x = f"(epoch_us({ts_sql}) - epoch_us(TIMESTAMP '{_TREND_ORIGIN}'))"
+    return f"""
+WITH m AS (
+  SELECT {group_sql}, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST({x} AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST({x} AS DECIMAL(19,0)) * CAST({x} AS DECIMAL(19,0)))
+              AS DOUBLE) AS sxx,
+         CAST(sum(CAST({y_sql} AS DECIMAL(20,10))) AS DOUBLE) AS sy,
+         CAST(sum(CAST({y_sql} * {y_sql} AS DECIMAL(38,20))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(CAST({x} AS DOUBLE) * {y_sql} AS DECIMAL(38,6)))
+              AS DOUBLE) AS sxy
+  FROM {table} GROUP BY {group_sql}
+)
+SELECT {group_sql}, CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx > 0 THEN
+         round((n * sxy - sx * sy) / (n * sxx - sx * sx) * {86400.0 * 1e6!r}, 6)
+       END AS slope_per_day,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         round(((n * sxy - sx * sy) / (n * sxx - sx * sx))
+               * ((n * sxy - sx * sy) / (n * syy - sy * sy)), 6)
+       END AS r2
+FROM m"""

@@ -64,3 +64,42 @@ def test_formulas_are_sql_safe():
     for expr in ols2_formulas().values():
         assert set(expr) <= set("abcdefghijklmnopqrstuvwxyz0123456789"
                                 " ()*/+-._y")
+
+
+def test_grouped_trend_recovers_slope(spark):
+    import datetime as dt
+
+    from distill_spark.operators.ols import grouped_trend
+
+    base = dt.datetime(2024, 1, 5)
+    rows = []
+    for day in range(20):
+        ts = base + dt.timedelta(days=day)
+        rows.append((ts, "up", 10.0 + 2.5 * day))      # slope 2.5/day
+        rows.append((ts, "flat", 7.0))                  # slope 0, vy=0
+    df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    got = {r.event_type: r for r in
+           grouped_trend(df, "value", "ts", ["event_type"]).collect()}
+    assert abs(got["up"].slope_per_day - 2.5) < 1e-6
+    assert got["up"].r2 == 1.0
+    assert got["flat"].slope_per_day == 0.0
+    assert got["flat"].r2 is None  # zero variance in y
+    assert got["up"].n == 20
+
+
+def test_grouped_trend_layout_independent(spark):
+    import datetime as dt
+    import random
+
+    from distill_spark.operators.ols import grouped_trend
+
+    rnd = random.Random(5)
+    base = dt.datetime(2024, 2, 1)
+    rows = [(base + dt.timedelta(hours=i), f"t{i % 3}",
+             rnd.uniform(0, 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    a = sorted(map(tuple, grouped_trend(
+        df, "value", "ts", ["event_type"]).collect()))
+    b = sorted(map(tuple, grouped_trend(
+        df.repartition(11), "value", "ts", ["event_type"]).collect()))
+    assert a == b
