@@ -146,17 +146,16 @@ def grouped_trend(df: DataFrame, y_col: str, ts_col: str,
     """
     x = (F.unix_micros(F.col(ts_col))
          - F.unix_micros(F.to_timestamp(F.lit(_TREND_ORIGIN))))
-    # µs offsets fit 13 digits; squaring must happen in DECIMAL
-    # (DECIMAL(19,0)² -> DECIMAL(38,0); 19 digits force int128
-    # storage in DuckDB, whose (18,0) path multiplies in int64 and
-    # overflows) — the raw BIGINT product
-    # overflows 2^63
-    x18 = x.cast("decimal(19,0)")
+    # µs offsets fit 13 digits, but their raw BIGINT product overflows
+    # 2^63 — square in DECIMAL(19,0) (² -> DECIMAL(38,0); 19 digits
+    # also force int128 storage in DuckDB, whose 18-digit path
+    # multiplies in int64 and overflows)
+    x19 = x.cast("decimal(19,0)")
     y = F.col(y_col)
     agg = df.groupBy(*group_cols).agg(
         F.count("*").cast("double").alias("n"),
-        F.sum(x18).cast("double").alias("sx"),
-        F.sum(x18 * x18).cast("double").alias("sxx"),
+        F.sum(x19).cast("double").alias("sx"),
+        F.sum(x19 * x19).cast("double").alias("sxx"),
         F.sum(y.cast("decimal(20,10)")).cast("double").alias("sy"),
         F.sum((y * y).cast("decimal(38,20)")).cast("double").alias("syy"),
         F.sum((x.cast("double") * y).cast("decimal(38,6)")).cast("double")
