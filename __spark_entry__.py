@@ -4921,7 +4921,8 @@ FROM reach GROUP BY node
 
 # -------------------------------------------------- round-5b: pending queue
 # (added while the driver window was saturated; full oracles, gated by
-# check_parity + tests/test_pending_parity.py until promotion)
+# check_parity + tests/test_pending_parity.py (queue-wide oracle gate
+# on every suite run) until promotion)
 
 
 def q_token_pmi(spark, sf_dir):

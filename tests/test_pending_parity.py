@@ -1,0 +1,50 @@
+"""Every _PENDING_PROMOTION query is oracle-checked at sf0.001 on
+EVERY suite run — the promotion queue is gated by the same comparator
+(including driver-mimic canonicalization) the standalone
+tools/check_parity.py applies, so a queue entry can never rot while
+it waits for a driver-window slot."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _load(path, name):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def parity_env():
+    cp = _load("/root/repo/tools/check_parity.py", "_cp_for_tests")
+    em = sys.modules.get("__spark_entry__") or _load(
+        "/root/repo/__spark_entry__.py", "__spark_entry__")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return cp, em, con
+
+
+def test_pending_queue_members_hash_match_oracle(spark, parity_env):
+    cp, em, con = parity_env
+    qs, oracles = em.queries(), em.oracle_sql()
+    pending = sorted(em._PENDING_PROMOTION)
+    assert pending, "queue empty — drop this guard or repoint it"
+    bad = {}
+    for name in pending:
+        problems, _ = cp.compare_one(spark, con, qs[name], oracles[name],
+                                     SF_DIR)
+        if problems:
+            bad[name] = problems
+    assert not bad, f"pending queries diverge from their oracles: {bad}"

@@ -134,6 +134,39 @@ def driver_mimic_problems(sdf, duck_rel, srows=None):
     return problems
 
 
+def compare_one(spark, con, fn, oracle_sql_str, sf_dir):
+    """Run one query against its oracle; returns (problems, n_rows) —
+    the exact comparison main() applies per query, reusable from
+    pytest (tests/test_pending_parity.py gates the promotion queue
+    through it every suite run)."""
+    try:
+        sdf = fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+    except Exception as e:  # noqa: BLE001
+        return [f"spark error {type(e).__name__}: {e}"], 0
+    try:
+        rel = con.sql(oracle_sql_str)
+        dcols = [d[0] for d in rel.description]
+        drows = rel.fetchall()
+    except Exception as e:  # noqa: BLE001
+        return [f"duckdb error {type(e).__name__}: {e}"], len(srows)
+    problems = []
+    if sorted(scols) != sorted(dcols):
+        problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+    if len(srows) != len(drows):
+        problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+    if not problems:
+        sk, dk = rows_key(scols, srows), rows_key(dcols, drows)
+        if sk != dk:
+            diff = [(a, b) for a, b in zip(sk, dk) if a != b][:3]
+            problems.append(f"values differ, first diffs: {diff}")
+    if not problems:
+        problems.extend(driver_mimic_problems(
+            sdf, con.sql(oracle_sql_str), srows=srows))
+    return problems, len(srows)
+
+
 def main():
     argv = [a for a in sys.argv[1:] if a != "--plain"]
     plain = "--plain" in sys.argv[1:]
@@ -161,44 +194,24 @@ def main():
         if only and name not in only:
             continue
         t0 = time.time()
-        try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:  # noqa: BLE001
-            failures.append(name)
-            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}", flush=True)
-            continue
         if name not in oracles:
-            print(f"rows-only  {name}: {len(srows)} rows, cols={scols} "
-                  f"({time.time()-t0:.1f}s)", flush=True)
+            try:
+                sdf = fn(spark, sf_dir)
+                srows = [tuple(r) for r in sdf.collect()]
+                print(f"rows-only  {name}: {len(srows)} rows, "
+                      f"cols={sdf.columns} ({time.time()-t0:.1f}s)", flush=True)
+            except Exception as e:  # noqa: BLE001
+                failures.append(name)
+                print(f"FAIL  {name}: spark error {type(e).__name__}: {e}",
+                      flush=True)
             continue
-        try:
-            rel = con.sql(oracles[name])
-            dcols = [d[0] for d in rel.description]
-            drows = rel.fetchall()
-        except Exception as e:  # noqa: BLE001
-            failures.append(name)
-            print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}", flush=True)
-            continue
-        problems = []
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
-        if not problems:
-            sk, dk = rows_key(scols, srows), rows_key(dcols, drows)
-            if sk != dk:
-                diff = [(a, b) for a, b in zip(sk, dk) if a != b][:3]
-                problems.append(f"values differ, first diffs: {diff}")
-        if not problems:
-            problems.extend(driver_mimic_problems(
-                sdf, con.sql(oracles[name]), srows=srows))
+        problems, nrows = compare_one(spark, con, fn, oracles[name], sf_dir)
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}", flush=True)
         else:
-            print(f"OK    {name}: {len(srows)} rows ({time.time()-t0:.1f}s)", flush=True)
+            print(f"OK    {name}: {nrows} rows ({time.time()-t0:.1f}s)",
+                  flush=True)
 
     print(f"\n{len(failures)} failures: {failures}", flush=True)
     sys.exit(1 if failures else 0)
