@@ -5378,6 +5378,40 @@ SELECT '{name}' AS relationship,
     return "\nUNION ALL\n".join(parts)
 
 
+def q_knn_purity(spark, sf_dir):
+    """Per-label 10-NN cosine purity over the embeddings — the
+    label-separability diagnostic (similarity.knn_label_purity)."""
+    from distill_spark.operators.similarity import knn_label_purity
+
+    t = _tables(spark, sf_dir)
+    return knn_label_purity(t["embeddings"], k=10)
+
+
+SQL_KNN_PURITY = f"""
+WITH scored AS MATERIALIZED (
+  SELECT a.vec_id AS qid, a.label AS qlab, b.vec_id AS nid,
+         b.label AS nlab,
+         round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY sim DESC, nid ASC) AS _r
+    FROM scored
+  ) WHERE _r <= 10
+),
+per AS (
+  SELECT qid, qlab,
+         sum(CASE WHEN nlab = qlab THEN 1 ELSE 0 END) AS _match
+  FROM top GROUP BY qid, qlab
+)
+SELECT qlab AS label, CAST(count(*) AS BIGINT) AS n_vectors,
+       round(sum(_match) / (count(*) * 10.0), 6) AS avg_purity
+FROM per GROUP BY qlab
+"""
+
+
 _BITEXT_KNN, _BITEXT_MARGIN = 4, 1.02
 
 
@@ -5921,6 +5955,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "fk_orphans": (q_fk_orphans, _sql_fk_orphans()),
     "active_users": (q_active_users, _sql_active_users()),
     "value_trend": (q_value_trend, _sql_value_trend()),
+    "knn_purity": (q_knn_purity, SQL_KNN_PURITY),
 }
 
 # The explicit promotion queue: every member must be oracled, sit past
@@ -5934,6 +5969,7 @@ _PENDING_PROMOTION: frozenset[str] = frozenset({
     "dedup_jaccard_prefix", "weighted_group_sample", "kcore_vectors",
     "minhash_pr_curve", "anomaly_mad", "bitext_mining",
     "json_props_rollup", "fk_orphans", "active_users", "value_trend",
+    "knn_purity",
 })
 
 

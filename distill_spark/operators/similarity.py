@@ -283,3 +283,43 @@ def mine_bitext(df: DataFrame, label_a, label_b, knn: int = 4,
     return (m.withColumn("_r", F.row_number().over(wbest))
             .filter((F.col("_r") == 1) & (F.col("margin") >= margin))
             .select("src_id", "tgt_id", "cos", "margin"))
+
+
+def knn_label_purity(df: DataFrame, k: int = 10, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     label_col: str = "label") -> DataFrame:
+    """Per-label kNN purity: for each vector, the fraction of its k
+    nearest (cosine) neighbors sharing its label, averaged per label
+    — the embedding-quality diagnostic behind semantic-dedup and
+    classifier-feature decisions (separable labels ⇒ trustworthy
+    cosine thresholds).
+
+    Brute-force pairwise at verification scale (broadcast one side,
+    rank-truncated windows); at 100 TB the neighbor lists come from
+    the IVF probe instead — purity is recall-tolerant. Output:
+    (label, n_vectors, avg_purity) with exact-rational purity
+    (sum of matches / (n·k)) rounded once.
+    """
+    from pyspark.sql import Window
+
+    a = df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
+                  F.col(label_col).alias("qlab"))
+    b = df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
+                  F.col(label_col).alias("nlab"))
+    scored = (
+        a.join(F.broadcast(b), F.col("qid") != F.col("nid"))
+        .select("qid", "qlab", "nid", "nlab",
+                F.round(vm.cosine_similarity(F.col("qv"), F.col("nv")), 6)
+                .alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    top = scored.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= k)
+    per_vec = top.groupBy("qid", "qlab").agg(
+        F.sum((F.col("nlab") == F.col("qlab")).cast("long")).alias("_match"))
+    return (
+        per_vec.groupBy(F.col("qlab").alias("label"))
+        .agg(F.count("*").cast("long").alias("n_vectors"),
+             F.round(F.sum("_match") / (F.count("*") * F.lit(k)), 6)
+             .alias("avg_purity"))
+    )

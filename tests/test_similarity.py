@@ -132,3 +132,24 @@ def test_mine_bitext_margin_discounts_hubs(spark):
     # a high margin threshold drops weakly-differentiated pairs
     strict = mine_bitext(df, 0, 1, knn=2, margin=10.0).count()
     assert strict == 0
+
+
+def test_knn_label_purity(spark):
+    from distill_spark.operators.similarity import knn_label_purity
+
+    # two tight, well-separated clusters of 4 -> purity 1.0 at k=3
+    rows = []
+    for i in range(4):
+        rows.append((i, [10.0 + i * 0.01, 0.0], "a"))
+        rows.append((10 + i, [0.0, 10.0 + i * 0.01], "b"))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r.label: r for r in knn_label_purity(df, k=3).collect()}
+    assert out["a"].avg_purity == 1.0 and out["b"].avg_purity == 1.0
+    assert out["a"].n_vectors == 4
+    # mixed cloud: purity well below 1
+    mixed = spark.createDataFrame(
+        [(i, [1.0, float(i % 2) * 1e-4], "a" if i % 2 else "b")
+         for i in range(8)], ["vec_id", "embedding", "label"])
+    m = {r.label: r.avg_purity for r in
+         knn_label_purity(mixed, k=3).collect()}
+    assert all(v < 0.9 for v in m.values())
