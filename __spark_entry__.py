@@ -5378,6 +5378,22 @@ SELECT '{name}' AS relationship,
     return "\nUNION ALL\n".join(parts)
 
 
+def q_interarrival(spark, sf_dir):
+    """Per-event-type inter-arrival cadence (median/p90/max gap
+    seconds over per-user-per-type streams) —
+    timeseries.interarrival_stats."""
+    from distill_spark.operators.timeseries import interarrival_stats
+
+    t = _tables(spark, sf_dir)
+    return interarrival_stats(t["events"])
+
+
+def _sql_interarrival():
+    from distill_spark.operators.timeseries import interarrival_stats_sql
+
+    return interarrival_stats_sql()
+
+
 def q_knn_purity(spark, sf_dir):
     """Per-label 10-NN cosine purity over the embeddings — the
     label-separability diagnostic (similarity.knn_label_purity)."""
@@ -5956,6 +5972,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "active_users": (q_active_users, _sql_active_users()),
     "value_trend": (q_value_trend, _sql_value_trend()),
     "knn_purity": (q_knn_purity, SQL_KNN_PURITY),
+    "interarrival_stats": (q_interarrival, _sql_interarrival()),
 }
 
 # The explicit promotion queue: every member must be oracled, sit past
@@ -5969,7 +5986,7 @@ _PENDING_PROMOTION: frozenset[str] = frozenset({
     "dedup_jaccard_prefix", "weighted_group_sample", "kcore_vectors",
     "minhash_pr_curve", "anomaly_mad", "bitext_mining",
     "json_props_rollup", "fk_orphans", "active_users", "value_trend",
-    "knn_purity",
+    "knn_purity", "interarrival_stats",
 })
 
 

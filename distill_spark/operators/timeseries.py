@@ -144,3 +144,57 @@ SELECT strftime(day, '%Y-%m-%d') AS day,
 FROM days JOIN ev ON d <= day AND d >= day - {mau_days - 1}
 GROUP BY day
 """
+
+
+def interarrival_stats(events: DataFrame, ts_col: str = "ts",
+                       key_cols: list[str] | None = None,
+                       group_cols: list[str] | None = None,
+                       tiebreak_col: str = "event_id") -> DataFrame:
+    """Inter-arrival gap distribution: per ``key_cols`` stream (e.g.
+    one user's events of one type), successive-event gaps via lag();
+    rolled up per ``group_cols`` as count / median / p90 / max gap in
+    seconds (round-6). The latency/cadence profile of an event feed —
+    the input to staleness SLOs and burst heuristics.
+
+    One key-partitioned window pass (gaps are exact BIGINT µs) + one
+    grouped percentile aggregate. Keys bound partition size, so no
+    global window ever forms.
+    """
+    key_cols = key_cols or ["user_id", "event_type"]
+    group_cols = group_cols or ["event_type"]
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+    gap_us = (F.unix_micros(F.col(ts_col))
+              - F.unix_micros(F.lag(ts_col).over(w)))
+    gaps = (events.withColumn("_gap_us", gap_us)
+            .filter(F.col("_gap_us").isNotNull()))
+    sec = F.col("_gap_us") / F.lit(1e6)
+    return gaps.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.round(F.percentile(sec, F.lit(0.5)), 6).alias("median_gap_s"),
+        F.round(F.percentile(sec, F.lit(0.9)), 6).alias("p90_gap_s"),
+        F.round(F.max(sec), 6).alias("max_gap_s"),
+    )
+
+
+def interarrival_stats_sql(table: str = "events", ts_sql: str = "ts",
+                           key_sql: str = "user_id, event_type",
+                           group_sql: str = "event_type",
+                           tiebreak_sql: str = "event_id") -> str:
+    """Oracle twin of :func:`interarrival_stats`."""
+    return f"""
+WITH gaps AS (
+  SELECT {group_sql}, _gap_us / 1e6 AS sec FROM (
+    SELECT {group_sql},
+           epoch_us({ts_sql}) - epoch_us(lag({ts_sql}) OVER (
+             PARTITION BY {key_sql}
+             ORDER BY {ts_sql} ASC, {tiebreak_sql} ASC)) AS _gap_us
+    FROM {table}
+  ) WHERE _gap_us IS NOT NULL
+)
+SELECT {group_sql}, CAST(count(*) AS BIGINT) AS n_gaps,
+       round(quantile_cont(sec, 0.5), 6) AS median_gap_s,
+       round(quantile_cont(sec, 0.9), 6) AS p90_gap_s,
+       round(max(sec), 6) AS max_gap_s
+FROM gaps GROUP BY {group_sql}
+"""

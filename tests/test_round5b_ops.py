@@ -244,3 +244,27 @@ def test_active_user_ladder(spark):
     # day 9 WAU window (days 3..9) excludes user 9
     assert d9.wau == 4
     assert d9.dau_mau == 0.8
+
+
+def test_interarrival_stats(spark):
+    import datetime as dt
+
+    from distill_spark.operators.timeseries import interarrival_stats
+
+    base = dt.datetime(2024, 6, 1)
+    rows = []
+    # user 1 "a": events every 60s (9 gaps of 60); user 2 "a": every
+    # 600s (4 gaps); one lone "b" event -> no gaps at all
+    for i in range(10):
+        rows.append((i, base + dt.timedelta(seconds=60 * i), 1, "a"))
+    for i in range(5):
+        rows.append((100 + i, base + dt.timedelta(seconds=600 * i), 2, "a"))
+    rows.append((999, base, 3, "b"))
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id",
+                                      "event_type"])
+    out = {r.event_type: r for r in interarrival_stats(df).collect()}
+    a = out["a"]
+    assert a.n_gaps == 13
+    assert a.median_gap_s == 60.0          # 9 of 13 gaps are 60s
+    assert a.max_gap_s == 600.0
+    assert "b" not in out                  # singleton stream: no gaps
