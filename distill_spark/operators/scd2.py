@@ -64,3 +64,46 @@ FROM (
 def current_snapshot(history: DataFrame) -> DataFrame:
     """The latest-version view (the reference store's only view)."""
     return history.filter(F.col("is_current")).drop("valid_to", "is_current")
+
+
+def scd2_apply_increment(history: DataFrame | None, batch: DataFrame,
+                         key_col: str, ts_col: str, op_col: str,
+                         value_cols: list[str],
+                         tiebreak_col: str | None = None) -> DataFrame:
+    """Merge one change micro-batch into an existing SCD2 history.
+
+    CLOSED versions (valid_to set) are immutable and pass through
+    untouched; OPEN versions re-enter the window as synthetic
+    'upsert' changes at their valid_from alongside the new batch, so
+    a newer change closes them exactly as the one-shot build would.
+    Equality with the batch rebuild is the correctness contract
+    (test_streaming) — the continuous-materialization pattern the
+    memory store and rollup ledger already use, applied to history.
+
+    Shape per batch: the window runs over open versions + the batch
+    only — closed history (the bulk at scale) is never re-shuffled.
+    Assumes per-key timestamps are non-decreasing across batches (the
+    CDC contract); a late change dated at an open version's exact
+    valid_from would tie-break after it (synthetic rows carry a NULL
+    tiebreak, which sorts first).
+    """
+    cols = [key_col, ts_col, op_col, *value_cols]
+    if tiebreak_col:
+        cols.append(tiebreak_col)
+    changes = batch.select(*cols)
+    if history is not None:
+        open_rows = history.filter(F.col("is_current")).select(
+            key_col,
+            F.col("valid_from").alias(ts_col),
+            F.lit("upsert").alias(op_col),
+            *value_cols,
+            *([F.lit(None).cast(batch.schema[tiebreak_col].dataType)
+               .alias(tiebreak_col)] if tiebreak_col else []),
+        )
+        changes = open_rows.unionByName(changes)
+    rebuilt = scd2_history(changes, key_col, ts_col, op_col, value_cols,
+                           tiebreak_col)
+    if history is None:
+        return rebuilt
+    closed = history.filter(~F.col("is_current"))
+    return closed.unionByName(rebuilt)

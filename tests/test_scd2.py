@@ -57,3 +57,43 @@ def test_scd2_intervals_partition_timeline(spark):
     for a, b in zip(rows, rows[1:]):
         assert a.valid_to == b.valid_from
     assert rows[-1].is_current
+
+
+def test_scd2_incremental_equals_batch(spark):
+    """Applying the change log in micro-batches reproduces the one-
+    shot SCD2 build exactly (closed rows immutable; open rows re-enter
+    the window with each batch)."""
+    from distill_spark.operators.scd2 import scd2_apply_increment, scd2_history
+
+    log = []
+    cid = 0
+    for day in range(12):
+        for k in (1, 2, 3):
+            if (day + k) % 4 == 0:
+                cid += 1
+                log.append((k, None, "delete", None, cid))
+            elif (day + k) % 2 == 0:
+                cid += 1
+                log.append((k, None, "upsert", f"v{day}_{k}", cid))
+    # strictly increasing ts per key
+    log.sort(key=lambda r: r[4])
+    log = [(k, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), op, v, c)
+           for i, (k, _, op, v, c) in enumerate(log)]
+    df = spark.createDataFrame(log, ["k", "ts", "op", "val", "cid"])
+
+    want = sorted(map(tuple, scd2_history(
+        df, "k", "ts", "op", ["val"], "cid").collect()))
+
+    cids = sorted(r[4] for r in log)
+    history = None
+    for lo in range(0, len(cids), 5):   # 5-change micro-batches
+        ids = cids[lo:lo + 5]
+        batch = df.filter(df.cid.isin(ids))
+        history = scd2_apply_increment(
+            history, batch, "k", "ts", "op", ["val"], "cid")
+        history = history.localCheckpoint(eager=True)
+    cols = ["k", "val", "valid_from", "valid_to", "is_current"]
+    got = sorted(map(tuple, history.select(*cols).collect()))
+    want_df = scd2_history(df, "k", "ts", "op", ["val"], "cid")
+    want = sorted(map(tuple, want_df.select(*cols).collect()))
+    assert got == want
