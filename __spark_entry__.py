@@ -5378,6 +5378,43 @@ SELECT '{name}' AS relationship,
     return "\nUNION ALL\n".join(parts)
 
 
+def q_user_burst(spark, sf_dir):
+    """Per-user burst profile: the peak hourly event count and the
+    hour it peaked (earliest on ties) — one bucket aggregate + one
+    rank-truncated window, the rate-limit/abuse triage shape."""
+    t = _tables(spark, sf_dir)
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")),
+                         "yyyy-MM-dd HH:mm:ss")
+    hourly = (
+        t["events"]
+        .groupBy("user_id", hour.alias("hour"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("hour"))
+    return (
+        hourly.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("user_id", F.col("hour").alias("peak_hour"),
+                F.col("n").alias("peak_count"))
+    )
+
+
+SQL_USER_BURST = """
+SELECT user_id, peak_hour, peak_count FROM (
+  SELECT user_id, hour AS peak_hour, n AS peak_count,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, hour ASC) AS _r
+  FROM (
+    SELECT user_id,
+           strftime(time_bucket(INTERVAL '1 hour', ts),
+                    '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+  )
+) WHERE _r = 1
+"""
+
+
 def q_interarrival(spark, sf_dir):
     """Per-event-type inter-arrival cadence (median/p90/max gap
     seconds over per-user-per-type streams) —
@@ -5973,6 +6010,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "value_trend": (q_value_trend, _sql_value_trend()),
     "knn_purity": (q_knn_purity, SQL_KNN_PURITY),
     "interarrival_stats": (q_interarrival, _sql_interarrival()),
+    "user_burst": (q_user_burst, SQL_USER_BURST),
 }
 
 # The explicit promotion queue: every member must be oracled, sit past
@@ -5986,7 +6024,7 @@ _PENDING_PROMOTION: frozenset[str] = frozenset({
     "dedup_jaccard_prefix", "weighted_group_sample", "kcore_vectors",
     "minhash_pr_curve", "anomaly_mad", "bitext_mining",
     "json_props_rollup", "fk_orphans", "active_users", "value_trend",
-    "knn_purity", "interarrival_stats",
+    "knn_purity", "interarrival_stats", "user_burst",
 })
 
 
