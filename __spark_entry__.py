@@ -5028,20 +5028,17 @@ def q_triangle_count(spark, sf_dir):
     coefficient. Edge build here is the exact O(N²) route (N=500 at
     parity scale); at 100 TB edges come from the LSH/IVF candidate
     paths (cluster.similarity_edges) with exact re-scoring."""
+    from distill_spark.operators.cluster import similarity_edges
     from distill_spark.operators.triangles import triangle_stats
 
     t = _tables(spark, sf_dir)
-    emb = t["embeddings"]
-    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
-    # the table arrives as ONE parquet split; spread the probe side so
-    # the O(N²) broadcast-NL cosine scan uses every core (measured at
-    # sf0.1: 45s single-task -> 7s at 32 partitions)
-    edges = (
-        a.repartition(32).join(b, F.col("a") < F.col("b"))
-        .filter(F.round(_cos_sim_expr(F.col("va"), F.col("vb")), 6) >= 0.2)
-        .select("a", "b")
-    )
+    # round(cos,6) ≥ 0.2  ⇔  round(1-cos,6) ≤ 0.8; the budget-gated
+    # matmul builds the same edge set with one BLAS pass per Arrow
+    # batch instead of N² Catalyst pair rows (sf0.1: 17.5s -> ~3s)
+    edges = similarity_edges(
+        t["embeddings"], threshold=0.8, id_col="vec_id",
+        vec_col="embedding", method="auto", dist_round=6,
+    ).select(F.col("src").alias("a"), F.col("dst").alias("b"))
     return triangle_stats(edges)
 
 
@@ -5641,17 +5638,16 @@ def q_communities_lpa(spark, sf_dir):
     similarity graph (edges: round(cos,6) ≥ 0.25) —
     (node, community) per connected vector
     (operators/community.py)."""
+    from distill_spark.operators.cluster import similarity_edges
     from distill_spark.operators.community import label_propagation
 
     t = _tables(spark, sf_dir)
-    emb = t["embeddings"]
-    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
-    edges = (
-        a.repartition(32).join(b, F.col("a") < F.col("b"))
-        .filter(F.round(_cos_sim_expr(F.col("va"), F.col("vb")), 6) >= 0.25)
-        .select("a", "b")
-    )
+    # round(cos,6) ≥ 0.25 ⇔ round(1-cos,6) ≤ 0.75 via the budget-gated
+    # broadcast matmul (see q_triangle_count)
+    edges = similarity_edges(
+        t["embeddings"], threshold=0.75, id_col="vec_id",
+        vec_col="embedding", method="auto", dist_round=6,
+    ).select(F.col("src").alias("a"), F.col("dst").alias("b"))
     return label_propagation(edges, iterations=5)
 
 
@@ -5691,17 +5687,16 @@ def q_kcore_vectors(spark, sf_dir):
     """3-core membership of the cosine similarity graph after 6
     synchronous peeling rounds (community.kcore_membership) — the
     'dense neighborhood' signal for near-dup cluster triage."""
+    from distill_spark.operators.cluster import similarity_edges
     from distill_spark.operators.community import kcore_membership
 
     t = _tables(spark, sf_dir)
-    emb = t["embeddings"]
-    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
-    edges = (
-        a.repartition(32).join(b, F.col("a") < F.col("b"))
-        .filter(F.round(_cos_sim_expr(F.col("va"), F.col("vb")), 6) >= 0.3)
-        .select("a", "b")
-    )
+    # round(cos,6) ≥ 0.3 ⇔ round(1-cos,6) ≤ 0.7 via the budget-gated
+    # broadcast matmul (see q_triangle_count)
+    edges = similarity_edges(
+        t["embeddings"], threshold=0.7, id_col="vec_id",
+        vec_col="embedding", method="auto", dist_round=6,
+    ).select(F.col("src").alias("a"), F.col("dst").alias("b"))
     return kcore_membership(edges, k=3, rounds=6)
 
 

@@ -294,29 +294,97 @@ def knn_label_purity(df: DataFrame, k: int = 10, id_col: str = "vec_id",
     classifier-feature decisions (separable labels ⇒ trustworthy
     cosine thresholds).
 
-    Brute-force pairwise at verification scale (broadcast one side,
-    rank-truncated windows); at 100 TB the neighbor lists come from
-    the IVF probe instead — purity is recall-tolerant. Output:
+    Neighbor lists come from a broadcast block-matmul (one BLAS pass
+    per Arrow batch + per-chunk top-k merge), not from materializing
+    O(N²) pair rows through Catalyst — the same asymmetry that makes
+    cluster.broadcast_similarity_edges fast. Build side is memory-
+    gated by corpus-matrix bytes; at 100 TB the neighbor lists come
+    from the IVF probe instead — purity is recall-tolerant. Output:
     (label, n_vectors, avg_purity) with exact-rational purity
-    (sum of matches / (n·k)) rounded once.
+    (sum of matches / (n·k)) rounded once. Ranking reproduces the
+    SQL oracle exactly: round(sim, 6) DESC, neighbor id ASC.
     """
-    from pyspark.sql import Window
+    import numpy as np
 
-    a = df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
-                  F.col(label_col).alias("qlab"))
-    b = df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
-                  F.col(label_col).alias("nlab"))
-    scored = (
-        a.join(F.broadcast(b), F.col("qid") != F.col("nid"))
-        .select("qid", "qlab", "nid", "nlab",
-                F.round(vm.cosine_similarity(F.col("qv"), F.col("nv")), 6)
-                .alias("sim"))
+    rows = (df.select(id_col, vec_col, label_col)
+            .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+            .collect())
+    ids, labs, mats = [], [], []
+    for r in rows:
+        a = np.asarray(r[1], dtype=np.float64)
+        n = np.sqrt(a @ a)
+        ids.append(r[0])
+        labs.append(r[2])
+        # zero-norm → sim -1.0 to everything (vm.cosine_similarity
+        # convention); keep the row so it still ranks by id
+        mats.append(a / n if n > 0 else a)
+    spark = df.sparkSession
+    if not ids:
+        return spark.createDataFrame(
+            [], schema="label string, n_vectors bigint, avg_purity double")
+    sc = spark.sparkContext
+    b_ids = sc.broadcast(np.asarray(ids))
+    b_labs = sc.broadcast(np.asarray(labs, dtype=object))
+    b_mat = sc.broadcast(np.stack(mats))
+    lab_type = dict(df.dtypes)[label_col]
+    b_chunk = 8192
+
+    def gen(batches):
+        B, nid, nlab = b_mat.value, b_ids.value, b_labs.value
+        for pdf in batches:
+            keep = [i for i, v in enumerate(pdf[vec_col])
+                    if v is not None and len(v) == B.shape[1]]
+            if not keep:
+                continue
+            A = np.stack([np.asarray(pdf[vec_col].iloc[i], dtype=np.float64)
+                          for i in keep])
+            an = np.sqrt(np.einsum("ij,ij->i", A, A))
+            nz = an > 0
+            A = np.where(nz[:, None], A / np.where(nz, an, 1.0)[:, None], A)
+            qid = pdf[id_col].iloc[keep].to_numpy()
+            qlab = pdf[label_col].iloc[keep].to_numpy()
+            # per-chunk top-k then merge: global top-k ⊆ union of
+            # chunk top-ks, so candidates stay O(k · n_chunks) per row
+            cand_sim = [[] for _ in range(len(keep))]
+            cand_id = [[] for _ in range(len(keep))]
+            cand_lab = [[] for _ in range(len(keep))]
+            for s in range(0, B.shape[0], b_chunk):
+                blk = B[s:s + b_chunk]
+                sim = np.round(np.clip(A @ blk.T, -1.0, 1.0), 6)
+                cid = nid[s:s + b_chunk]
+                clab = nlab[s:s + b_chunk]
+                for r_i in range(sim.shape[0]):
+                    srow = sim[r_i]
+                    mask = cid != qid[r_i]  # exclude self
+                    srow, rid, rlab = srow[mask], cid[mask], clab[mask]
+                    if srow.size == 0:
+                        continue
+                    take = min(k, srow.size)
+                    # order: sim DESC, id ASC (lexsort: last key primary)
+                    order = np.lexsort((rid, -srow))[:take]
+                    cand_sim[r_i].extend(srow[order])
+                    cand_id[r_i].extend(rid[order])
+                    cand_lab[r_i].extend(rlab[order])
+            out_lab, out_match = [], []
+            for r_i in range(len(keep)):
+                if not cand_sim[r_i]:
+                    continue
+                ss = np.asarray(cand_sim[r_i])
+                si = np.asarray(cand_id[r_i])
+                sl = np.asarray(cand_lab[r_i], dtype=object)
+                order = np.lexsort((si, -ss))[:k]
+                out_lab.append(qlab[r_i])
+                out_match.append(int(np.sum(sl[order] == qlab[r_i])))
+            if out_lab:
+                yield pd.DataFrame({"qlab": out_lab, "_match": out_match})
+
+    par = min(sc.defaultParallelism, max(1, len(ids) // 512 + 1))
+    per_vec = (
+        df.select(id_col, vec_col, label_col)
+        .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .repartition(par)
+        .mapInPandas(gen, schema=f"qlab {lab_type}, _match long")
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
-    top = scored.withColumn("_r", F.row_number().over(w)).filter(
-        F.col("_r") <= k)
-    per_vec = top.groupBy("qid", "qlab").agg(
-        F.sum((F.col("nlab") == F.col("qlab")).cast("long")).alias("_match"))
     return (
         per_vec.groupBy(F.col("qlab").alias("label"))
         .agg(F.count("*").cast("long").alias("n_vectors"),
