@@ -2854,7 +2854,10 @@ def _sql_c3(source: str = "documents") -> str:
 
 def q_a2_kmeans_dedup(spark, sf_dir):
     """A2 K-Means dedup + medoid prune (dedup/kmeans.go:76-351).
-    Seeded but init differs from any SQL oracle → rows-only check."""
+    Fully oracled: the portable-hash sample order, first-k init,
+    rounded-cosine Lloyd rounds, medoid pick and prune are all
+    closed-form, so _sql_a2_kmeans() replays the entire fit+assign
+    in DuckDB (chained CTEs, the pagerank/BPE unroll pattern)."""
     t = _tables(spark, sf_dir)
     from distill_spark.operators.kmeans_dedup import kmeans_dedup
 
@@ -2862,6 +2865,105 @@ def q_a2_kmeans_dedup(spark, sf_dir):
                                  F.col("embedding"))
     out = kmeans_dedup(emb, k=10, prune_threshold=0.05, seed=42)
     return out.select(F.col("id").alias("vec_id"), "cluster_id", "is_medoid", "kept")
+
+
+def _sql_a2_kmeans(k: int = 10, rounds: int = 10, cap: int = 20000,
+                   thresh: float = 0.05) -> str:
+    """DuckDB replay of kmeans_dedup: portable-Knuth-hash sample
+    order → init = first k → ``rounds`` Lloyd rounds with
+    round(x·c/‖c‖, 9) argmax (ties → lowest cluster) → float32
+    recomputed centroids → medoid by round(cos-dist, 6) → prune.
+    Every float comparison happens on the same rounded grid the
+    operator uses, so the assignment matches bit-for-bit."""
+    score = ("round(list_dot_product({v}, c.cvec) / "
+             "(CASE WHEN sqrt(list_dot_product(c.cvec, c.cvec)) = 0 "
+             "THEN 1.0 ELSE sqrt(list_dot_product(c.cvec, c.cvec)) END), 9)")
+    parts = [f"""
+WITH norm AS MATERIALIZED (
+  SELECT vec_id, dv,
+         CASE WHEN mag = 0 THEN dv
+              ELSE list_transform(dv,
+                   x -> CAST(CAST(x / mag AS REAL) AS DOUBLE)) END AS nv
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS mag
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) > 0)
+),
+smp AS MATERIALIZED (
+  SELECT vec_id, nv, row_number() OVER (
+    ORDER BY ((vec_id % 2147483648 + 1) * 2654435761) % 2147483648 ASC,
+             vec_id ASC) AS rn
+  FROM norm
+),
+c0 AS MATERIALIZED (
+  SELECT CAST(rn - 1 AS INT) AS c, nv AS cvec FROM smp WHERE rn <= {k}
+)"""]
+    for r in range(1, rounds + 1):
+        sc = score.format(v="s.nv")
+        parts.append(f""",
+a{r} AS MATERIALIZED (
+  SELECT vec_id, nv, c FROM (
+    SELECT s.vec_id, s.nv, c.c,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY {sc} DESC, c.c ASC) AS rk
+    FROM smp s CROSS JOIN c{r - 1} c
+    WHERE s.rn <= {cap}
+  ) WHERE rk = 1
+),
+c{r} AS MATERIALIZED (
+  SELECT p.c, COALESCE(u.cvec, p.cvec) AS cvec
+  FROM c{r - 1} p LEFT JOIN (
+    SELECT c, list(m ORDER BY pos) AS cvec FROM (
+      SELECT c, pos, avg(val) AS m FROM (
+        SELECT c, generate_subscripts(nv, 1) AS pos, unnest(nv) AS val
+        FROM a{r}
+      ) GROUP BY c, pos
+    ) GROUP BY c
+  ) u ON u.c = p.c
+)""")
+    sc_final = score.format(v="n.nv")
+    cosd = "round(1.0 - {c}, 6)"
+    cos_med = cosd.format(c=_COS_SQL.format(a="s.dv", b="m.mvec"))
+    cos_cent = cosd.format(
+        c=_COS_SQL.format(a="n.dv", b="CAST(fc.fvec AS DOUBLE[])"))
+    parts.append(f""",
+fa AS MATERIALIZED (
+  SELECT vec_id, c AS cluster_id FROM (
+    SELECT n.vec_id, c.c,
+           row_number() OVER (PARTITION BY n.vec_id
+                              ORDER BY {sc_final} DESC, c.c ASC) AS rk
+    FROM norm n CROSS JOIN c{rounds} c
+  ) WHERE rk = 1
+),
+fc AS MATERIALIZED (
+  SELECT cluster_id, list(CAST(m AS REAL) ORDER BY pos) AS fvec FROM (
+    SELECT cluster_id, pos, avg(val) AS m FROM (
+      SELECT f.cluster_id, generate_subscripts(n.dv, 1) AS pos,
+             unnest(n.dv) AS val
+      FROM fa f JOIN norm n USING (vec_id)
+    ) GROUP BY cluster_id, pos
+  ) GROUP BY cluster_id
+),
+sc AS MATERIALIZED (
+  SELECT f.cluster_id, f.vec_id, n.dv, {cos_cent} AS cd
+  FROM fa f JOIN norm n USING (vec_id) JOIN fc USING (cluster_id)
+),
+md AS MATERIALIZED (
+  SELECT cluster_id, vec_id AS mid, dv AS mvec FROM (
+    SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                 ORDER BY cd ASC, vec_id ASC) AS rk
+    FROM sc
+  ) WHERE rk = 1
+)
+SELECT s.vec_id, CAST(s.cluster_id AS INTEGER) AS cluster_id,
+       s.vec_id = m.mid AS is_medoid,
+       (s.vec_id = m.mid) OR {cos_med} >= {thresh} AS kept
+FROM sc s JOIN md m USING (cluster_id)
+UNION ALL
+SELECT vec_id, -1 AS cluster_id, TRUE AS is_medoid, TRUE AS kept
+FROM embeddings WHERE embedding IS NULL OR len(embedding) = 0""")
+    return "".join(parts)
 
 
 def q_a2_kmeans_contract(spark, sf_dir):
@@ -2889,7 +2991,8 @@ def q_a2_kmeans_contract(spark, sf_dir):
     from pyspark.sql import Window
     w = Window.partitionBy("cluster_id")
     scored = (out.join(cents, "cluster_id")
-              .withColumn("_cd", vm.cosine_distance(F.col("embedding"), F.col("_c")))
+              .withColumn("_cd", F.round(vm.cosine_distance(
+                  F.col("embedding"), F.col("_c")), 6))
               .withColumn("_rn", F.row_number().over(
                   w.orderBy(F.asc("_cd"), F.asc("id")))))
     med = scored.filter(F.col("_rn") == 1).select(
@@ -2900,9 +3003,9 @@ def q_a2_kmeans_contract(spark, sf_dir):
                            F.col("is_medoid") == (F.col("id") == F.col("_mid")))
                .withColumn("_kept_ok",
                            F.col("kept") == (F.col("is_medoid") |
-                                             (vm.cosine_distance(
+                                             (F.round(vm.cosine_distance(
                                                  F.col("embedding"),
-                                                 F.col("_mvec")) >= 0.05))))
+                                                 F.col("_mvec")), 6) >= 0.05))))
     return checked.select(
         F.col("id").alias("vec_id"),
         (F.col("_medoid_ok") & F.col("_kept_ok")).alias("contract_ok"))
@@ -5896,7 +5999,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "text_repetition": (q_text_repetition, SQL_REPETITION),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK),
     # -------- position >50: long-proven trivia (still pytest-gated) -------
-    "a2_kmeans_dedup": (q_a2_kmeans_dedup, None),
+    "a2_kmeans_dedup": (q_a2_kmeans_dedup, _sql_a2_kmeans()),
     "j1_pairwise_band": (q_j1_pairwise_band, SQL_J1),
     "a4_select_rep": (q_a4_select_rep, SQL_A4),
     "j2_dedup_probe": (q_j2_dedup_probe, SQL_J2),

@@ -2,33 +2,42 @@
 "N ≥ 10⁴" scale path (pkg/dedup/kmeans.go:76-351, FAQ.md:169).
 
 Spark-first re-expression (the PQ/IVF recipe, pq.py:44-60):
-- **fit on a driver-bounded deterministic sample** — seeded
-  random-permutation init (exactly kmeans.go:169-180's scheme) +
-  numpy Lloyd on **unit-normalized** vectors; squared euclidean on
-  the unit sphere is 2·cosine-distance, so nearest-centroid matches
-  the reference's cosine K-Means. Codebook-style fitting is the
-  standard scale recipe: centroids converge on 10⁴-10⁵ points
-  regardless of corpus size, and the sample (orderBy id → limit) is
-  layout-independent, so the centroids are byte-identical on any
-  cluster — stronger determinism than a distributed Lloyd whose
-  reductions reorder float sums per layout.
+- **fit on a driver-bounded deterministic sample** — the sample is
+  the first ``fit_sample`` rows in portable-Knuth-hash order (the
+  hash IS the random permutation, replacing kmeans.go:169-180's
+  seeded shuffle with one any engine can replay), init = the first
+  ``k`` of them, then numpy Lloyd on **unit-normalized** vectors
+  with nearest-centroid by cosine score ``round(x·c/‖c‖, 9)``
+  (ties → lowest cluster index). Every step is closed-form over the
+  hash order, so the fit — and therefore the ASSIGNMENT — is exactly
+  replayable in SQL: a2_kmeans_dedup carries a full DuckDB oracle
+  that unrolls the Lloyd rounds as chained CTEs (the pagerank/BPE
+  pattern). Codebook-style fitting is the standard scale recipe:
+  centroids converge on 10⁴-10⁵ points regardless of corpus size,
+  and the hash-ordered sample is layout-independent, so centroids
+  are byte-identical on any cluster — stronger determinism than a
+  distributed Lloyd whose reductions reorder float sums per layout.
 - **assignment in one map-side pass** — ``mapInPandas`` with the
-  (k × dim) centroid matrix in the closure: vectorized argmax of
-  ``X·Cᵀ − ‖c‖²/2``, no shuffle, no per-round job scheduling. At
-  100 TB this reads the corpus once; the previous MLlib version
-  paid ``maxIter`` distributed passes for assignments the bounded
-  sample already determines.
+  (k × dim) centroid matrix in the closure: vectorized argmax of the
+  same rounded cosine score, no shuffle, no per-round job
+  scheduling. At 100 TB this reads the corpus once; the previous
+  MLlib version paid ``maxIter`` distributed passes for assignments
+  the bounded sample already determines.
 - K default: ``sqrt(N/2)`` (kmeans.go:86-94).
 - medoid prune (kmeans.go:311-351): per cluster, the member closest
-  to the centroid (the medoid) is always kept; every other member is
-  kept iff its cosine distance **to the medoid** ≥ prune_threshold
-  (default 0.05) — i.e. near-duplicates of the medoid are dropped.
+  to the centroid (the medoid, ties → lowest id) is always kept;
+  every other member is kept iff its cosine distance **to the
+  medoid** ≥ prune_threshold (default 0.05) — i.e. near-duplicates
+  of the medoid are dropped. Distances are rounded to 6 decimals
+  before ranking/comparing so the medoid choice and the kept set are
+  reproducible across engines and summation orders.
 
 Divergence note: the reference runs Lloyd over ALL points; fitting on
 a bounded sample can place boundary points differently. The dedup
 *semantics* (drop within-0.05 duplicates of the medoid) are preserved
 — the oracled ``a2_kmeans_contract`` checks exactly that contract on
-the produced assignment. Determinism: fixed seed ⇒ stable output.
+the produced assignment, and the a2_kmeans_dedup oracle replays the
+whole fit+assign+prune. Determinism: fixed inputs ⇒ stable output.
 """
 
 from __future__ import annotations
@@ -49,18 +58,33 @@ _assigned_lock = threading.Lock()
 _last_assigned = None
 
 
-def _fit_centroids(X: np.ndarray, k: int, max_iter: int,
-                   seed: int) -> np.ndarray:
-    """Seeded Lloyd on the (n × dim) unit-normalized sample:
-    random-permutation init (kmeans.go:169-180) then ``max_iter``
-    rounds via the shared loop in pq.py (empty clusters keep their
-    previous centroid — the reference's behavior for vanishing
-    clusters)."""
-    from distill_spark.operators.pq import lloyd_rounds
+def _cosine_scores(X: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """round(x·c/‖c‖, 9) for every (row, centroid) pair — ‖x‖ is a
+    per-row positive constant, so dividing by it cannot change the
+    per-row argmax; skipping it keeps the SQL replay one
+    list_dot_product shorter. Rounding puts both engines' float sums
+    (BLAS pairwise here, sequential in DuckDB) on one 1e-9 grid."""
+    cn = np.sqrt(np.einsum("ij,ij->i", cents, cents))
+    cn[cn == 0] = 1.0
+    return np.round(X @ cents.T / cn[None, :], 9)
 
-    rng = np.random.default_rng(seed)
-    cents = X[rng.permutation(len(X))[:k]].copy()
-    return lloyd_rounds(X, cents, max_iter)
+
+def _fit_centroids(X: np.ndarray, k: int, max_iter: int) -> np.ndarray:
+    """Lloyd on the (n × dim) unit-normalized sample, X already in
+    portable-hash order: init = first k rows (the hash order is the
+    random permutation of kmeans.go:169-180), then ``max_iter``
+    rounds of rounded-cosine argmax assignment (ties → lowest cluster
+    index, matching SQL ``ORDER BY score DESC, c ASC``) + float mean
+    update; empty clusters keep their previous centroid — the
+    reference's behavior for vanishing clusters."""
+    cents = X[:k].copy()
+    for _ in range(max_iter):
+        cid = _cosine_scores(X, cents).argmax(axis=1)
+        for c in range(k):
+            m = cid == c
+            if m.any():
+                cents[c] = X[m].mean(axis=0)
+    return cents
 
 
 def kmeans_dedup(
@@ -95,19 +119,27 @@ def kmeans_dedup(
     # fit: deterministic bounded sample in HASH order — an id-prefix
     # sample would over-represent whatever the low ids correlate with
     # (ingestion batch, domain); hash order is an unbiased draw that is
-    # still layout-independent, so centroids stay byte-identical
+    # still layout-independent, so centroids stay byte-identical.
+    # Integral ids use the portable Knuth hash so an external SQL
+    # engine can replay the order (and hence the whole fit) exactly;
+    # other id types fall back to xxhash64 (deterministic, Spark-only).
+    from distill_spark.operators.sampling import hash_bucket
+
+    id_is_int = isinstance(df.schema[id_col].dataType,
+                           (T.ByteType, T.ShortType, T.IntegerType,
+                            T.LongType))
+    hmode = "portable" if id_is_int else "xxhash64"
     sample = (with_emb
               .select(vm.normalize(F.col(vec_col)).alias("_v"),
                       F.col(id_col))
-              .orderBy(F.xxhash64(F.col(id_col)).asc(),
+              .orderBy(hash_bucket(F.col(id_col), hmode, salt=1).asc(),
                        F.col(id_col).asc())
               .limit(max(fit_sample, k)).collect())
     X = np.asarray([r._v for r in sample], dtype=np.float64)
-    cmat = _fit_centroids(X, k, max_iter, seed)
+    cmat = _fit_centroids(X, k, max_iter)
 
     # assignment: single map-side pass, centroids in the closure — all
     # input columns ride through, so the corpus is never shuffled
-    adjust = 0.5 * (cmat ** 2).sum(axis=1)
     out_schema = T.StructType(
         list(with_emb.schema.fields)
         + [T.StructField("cluster_id", T.IntegerType())])
@@ -117,7 +149,7 @@ def kmeans_dedup(
             if len(pdf) == 0:
                 continue
             V = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
-            cid = (V @ cmat.T - adjust).argmax(axis=1)
+            cid = _cosine_scores(V, cmat).argmax(axis=1)
             out = pdf.drop(columns=["_v"])
             out["cluster_id"] = cid.astype(np.int32)
             yield out
@@ -158,7 +190,9 @@ def kmeans_dedup(
     w = Window.partitionBy("cluster_id")
     with_dist = (
         assigned.join(cents, "cluster_id")
-        .withColumn("_cdist", vm.cosine_distance(F.col(vec_col), F.col("_centroid")))
+        .withColumn("_cdist",
+                    F.round(vm.cosine_distance(F.col(vec_col),
+                                               F.col("_centroid")), 6))
         .withColumn(
             "_rn",
             F.row_number().over(w.orderBy(F.asc("_cdist"), F.asc(id_col))),
@@ -173,7 +207,9 @@ def kmeans_dedup(
         .withColumn(
             "kept",
             F.col("is_medoid")
-            | (vm.cosine_distance(F.col(vec_col), F.col("_medoid_vec")) >= prune_threshold),
+            | (F.round(vm.cosine_distance(F.col(vec_col),
+                                          F.col("_medoid_vec")), 6)
+               >= prune_threshold),
         )
         .drop("_centroid", "_cdist", "_rn", "_medoid_vec", "_medoid_id")
     )
