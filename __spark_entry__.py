@@ -5923,11 +5923,39 @@ def _sql_learn_bpe():
 # position 50, where it still runs in pytest/check_parity but no longer
 # crowds harder operators out of the official correctness window.
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
-    # -- round-5b additions (never driver-gated -> lead the window;
-    # the r03-green queries they displaced — st1_memory_store,
-    # st4_session_push, pipeline_3stage, t2_mmr_rerank,
-    # a2_kmeans_contract, dedup_semantic, st5_cache_boundary — rotated
-    # past position 50 on committed CORRECTNESS_r03 evidence) --------------
+    # -- round-6 window: the 25 round-5c queries promoted from
+    # _PENDING_PROMOTION (CORRECTNESS_r05 went 50/50 green, freeing
+    # every slot) plus a2_kmeans_dedup, which gained a full SQL oracle
+    # this round (the fit is now portable-hash/closed-form) -----------------
+    "anomaly_zscore": (q_anomaly_zscore, _sql_anomaly()),
+    "corr_matrix": (q_corr_matrix, _sql_corr()),
+    "event_histogram": (q_event_histogram, _sql_histogram()),
+    "group_sample": (q_group_sample, _sql_group_sample()),
+    "minhash_error": (q_minhash_error, _sql_minhash_error()),
+    "learn_bpe": (q_learn_bpe, _sql_learn_bpe()),
+    "embed_covariance": (q_embed_covariance, _sql_embed_cov()),
+    "ols_price_model": (q_ols_price_model, _sql_ols()),
+    "zorder_zones": (q_zorder_zones, _sql_zorder()),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "communities_lpa": (q_communities_lpa, _sql_communities()),
+    "scd2_users": (q_scd2_users, _sql_scd2()),
+    "dedup_jaccard_prefix": (q_dedup_jaccard_prefix, SQL_JACCARD_PREFIX),
+    "weighted_group_sample": (q_weighted_group_sample, _sql_wgroup_sample()),
+    "kcore_vectors": (q_kcore_vectors, _sql_kcore()),
+    "minhash_pr_curve": (q_minhash_pr_curve, _sql_minhash_pr()),
+    "anomaly_mad": (q_anomaly_mad, _sql_anomaly_mad()),
+    "bitext_mining": (q_bitext_mining, SQL_BITEXT),
+    "json_props_rollup": (q_json_props_rollup, SQL_JSON_PROPS),
+    "fk_orphans": (q_fk_orphans, _sql_fk_orphans()),
+    "active_users": (q_active_users, _sql_active_users()),
+    "value_trend": (q_value_trend, _sql_value_trend()),
+    "knn_purity": (q_knn_purity, SQL_KNN_PURITY),
+    "interarrival_stats": (q_interarrival, _sql_interarrival()),
+    "user_burst": (q_user_burst, SQL_USER_BURST),
+    "a2_kmeans_dedup": (q_a2_kmeans_dedup, _sql_a2_kmeans()),
+    # -- window filler (r05-green; new round-6 queries displace these
+    # as they land) — the remaining 26 r05-green rows rotated past the
+    # window on committed CORRECTNESS_r05 evidence --------------------------
     "token_pmi": (q_token_pmi, SQL_PMI),
     "frequent_pairs": (q_frequent_pairs, SQL_FREQPAIRS),
     "events_ewma": (q_events_ewma, _sql_ewma()),
@@ -5939,11 +5967,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # gated by the same oracle as the batch push: identical input, one
     # availableNow micro-batch, update-mode output = post-push state
     "st4_stream_push": (q_st4_stream_push, SQL_ST4),
-    # (a2_kmeans_dedup itself sits past the driver's 50-query window:
-    # seeded-MLlib assignment has no SQL oracle by design; the oracled
-    # a2_kmeans_contract gates its medoid/prune output instead — green
-    # in CORRECTNESS_r03, rotated past the window)
-    # -- round-5 additions (never driver-gated) -----------------------------
+    # -- round-5 additions (r05-green) --------------------------------------
     "bm25_topk": (q_bm25_topk, SQL_BM25),
     "hybrid_rrf": (q_hybrid_rrf, SQL_RRF),
     "line_dedup": (q_line_dedup, SQL_LINEDEDUP),
@@ -5999,7 +6023,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "text_repetition": (q_text_repetition, SQL_REPETITION),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK),
     # -------- position >50: long-proven trivia (still pytest-gated) -------
-    "a2_kmeans_dedup": (q_a2_kmeans_dedup, _sql_a2_kmeans()),
     "j1_pairwise_band": (q_j1_pairwise_band, SQL_J1),
     "a4_select_rep": (q_a4_select_rep, SQL_A4),
     "j2_dedup_probe": (q_j2_dedup_probe, SQL_J2),
@@ -6081,49 +6104,15 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a2_kmeans_contract": (q_a2_kmeans_contract, SQL_A2C),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "st5_cache_boundary": (q_st5_cache_boundary, SQL_ST5),
-    # -- round-5c pending queue (window full of unevidenced rows; these
-    # sit past position 50, gated locally by check_parity + pytest,
-    # and promote as soon as a committed CORRECTNESS file frees slots)
-    "anomaly_zscore": (q_anomaly_zscore, _sql_anomaly()),
-    "corr_matrix": (q_corr_matrix, _sql_corr()),
-    "event_histogram": (q_event_histogram, _sql_histogram()),
-    "group_sample": (q_group_sample, _sql_group_sample()),
-    "minhash_error": (q_minhash_error, _sql_minhash_error()),
-    "learn_bpe": (q_learn_bpe, _sql_learn_bpe()),
-    "embed_covariance": (q_embed_covariance, _sql_embed_cov()),
-    "ols_price_model": (q_ols_price_model, _sql_ols()),
-    "zorder_zones": (q_zorder_zones, _sql_zorder()),
-    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
-    "communities_lpa": (q_communities_lpa, _sql_communities()),
-    "scd2_users": (q_scd2_users, _sql_scd2()),
-    "dedup_jaccard_prefix": (q_dedup_jaccard_prefix, SQL_JACCARD_PREFIX),
-    "weighted_group_sample": (q_weighted_group_sample, _sql_wgroup_sample()),
-    "kcore_vectors": (q_kcore_vectors, _sql_kcore()),
-    "minhash_pr_curve": (q_minhash_pr_curve, _sql_minhash_pr()),
-    "anomaly_mad": (q_anomaly_mad, _sql_anomaly_mad()),
-    "bitext_mining": (q_bitext_mining, SQL_BITEXT),
-    "json_props_rollup": (q_json_props_rollup, SQL_JSON_PROPS),
-    "fk_orphans": (q_fk_orphans, _sql_fk_orphans()),
-    "active_users": (q_active_users, _sql_active_users()),
-    "value_trend": (q_value_trend, _sql_value_trend()),
-    "knn_purity": (q_knn_purity, SQL_KNN_PURITY),
-    "interarrival_stats": (q_interarrival, _sql_interarrival()),
-    "user_burst": (q_user_burst, SQL_USER_BURST),
 }
 
 # The explicit promotion queue: every member must be oracled, sit past
 # the driver window, and not already be driver-green (else it should
 # leave the queue). tests/test_registry_gate.py enforces all three +
 # that nothing ELSE is hiding past the window unevidenced.
-_PENDING_PROMOTION: frozenset[str] = frozenset({
-    "anomaly_zscore", "corr_matrix", "event_histogram", "group_sample",
-    "minhash_error", "learn_bpe", "embed_covariance", "ols_price_model",
-    "zorder_zones", "heavy_hitters", "communities_lpa", "scd2_users",
-    "dedup_jaccard_prefix", "weighted_group_sample", "kcore_vectors",
-    "minhash_pr_curve", "anomaly_mad", "bitext_mining",
-    "json_props_rollup", "fk_orphans", "active_users", "value_trend",
-    "knn_purity", "interarrival_stats", "user_burst",
-})
+# Round 6: EMPTY — the 25 round-5c members were promoted into the
+# window when CORRECTNESS_r05 evidenced every prior slot.
+_PENDING_PROMOTION: frozenset[str] = frozenset()
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -263,6 +263,13 @@ def main():
         # per-op floors) — scale-shape evidence for the
         # funnel/split/chunk/decontam/sampling/packing suite
         "training": {"total": training_total, "queries": training_timings},
+        # measurement-basis note: since round 5 the training section
+        # runs FIRST (fresh JVM), so headline batches carry training's
+        # GC debt — r01-r03 files used the opposite order; compare
+        # rounds section-by-section, not across the reorder
+        "notes": "training runs before headline batches (since r5); "
+                 "r01-r03 ran training last — cross-round deltas in "
+                 "both sections partly reflect that reorder",
     }), flush=True)
 
 

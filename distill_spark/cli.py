@@ -76,6 +76,17 @@ def _cmd_tool(args) -> int:
     return 0
 
 
+def _session_dead(surface) -> bool:
+    """True when the underlying SparkContext is gone (stopped session,
+    JVM OOM-killed) — every further request would fail, so the serve
+    loop should exit non-zero and let a supervisor restart it."""
+    try:
+        sc = surface.spark.sparkContext
+        return sc._jsc is None or sc._jsc.sc().isStopped()
+    except Exception:  # noqa: BLE001 — any probe failure = dead
+        return True
+
+
 def _cmd_serve(args) -> int:
     surface = _surface(args.workdir, args.master)
     print(json.dumps({"ready": True, "tools": TOOL_NAMES}), flush=True)
@@ -91,6 +102,10 @@ def _cmd_serve(args) -> int:
             resp = {"id": rid, "result": out}
         except Exception as e:  # noqa: BLE001 — per-request isolation
             resp = {"id": rid, "error": str(e)}
+            if _session_dead(surface):
+                resp["fatal"] = "spark session is gone"
+                print(json.dumps(resp, default=str), flush=True)
+                return 2
         print(json.dumps(resp, default=str), flush=True)
     return 0
 

@@ -259,8 +259,20 @@ class MemoryStore:
         `VERSION AS OF` analog; the pointer-flip commit keeps one
         back-version, so version = current-1 is always readable —
         reading a GC'd older version raises). ``version_info()`` gives
-        the current number."""
-        return self._read_raw(version).drop("_bucket")
+        the current number.
+
+        Explicit-version frames are materialized (localCheckpoint)
+        before returning: _commit() GCs v-2 after every mutation, so a
+        lazy handle over vN would break after just two subsequent
+        mutations — the same materialize-before-GC contract _write()
+        applies to frames returned from mutations. Live reads
+        (version=None) stay lazy (zero-copy over the current
+        snapshot); consume them before two subsequent mutations or
+        re-call read()."""
+        df = self._read_raw(version).drop("_bucket")
+        if version is not None:
+            df = df.localCheckpoint(eager=True)
+        return df
 
     def version_info(self) -> int:
         """Current committed snapshot version (-1 = empty store)."""

@@ -69,7 +69,8 @@ def current_snapshot(history: DataFrame) -> DataFrame:
 def scd2_apply_increment(history: DataFrame | None, batch: DataFrame,
                          key_col: str, ts_col: str, op_col: str,
                          value_cols: list[str],
-                         tiebreak_col: str | None = None) -> DataFrame:
+                         tiebreak_col: str | None = None,
+                         on_late: str = "error") -> DataFrame:
     """Merge one change micro-batch into an existing SCD2 history.
 
     CLOSED versions (valid_to set) are immutable and pass through
@@ -82,15 +83,33 @@ def scd2_apply_increment(history: DataFrame | None, batch: DataFrame,
 
     Shape per batch: the window runs over open versions + the batch
     only — closed history (the bulk at scale) is never re-shuffled.
-    Assumes per-key timestamps are non-decreasing across batches (the
-    CDC contract); a late change dated at an open version's exact
-    valid_from would tie-break after it (synthetic rows carry a NULL
-    tiebreak, which sorts first).
+    Requires per-key timestamps non-decreasing across batches (the
+    CDC contract): a late change dated before (or exactly at — the
+    synthetic re-entry rows carry a NULL tiebreak, which sorts first)
+    an open version's valid_from would silently diverge from the
+    one-shot rebuild. ``on_late="error"`` (default) enforces the
+    contract with one cheap semi-join probe per batch and raises on
+    violation; ``on_late="allow"`` skips the probe for callers that
+    have already validated upstream.
     """
+    if on_late not in ("error", "allow"):
+        raise ValueError(f"unknown on_late mode {on_late!r}")
     cols = [key_col, ts_col, op_col, *value_cols]
     if tiebreak_col:
         cols.append(tiebreak_col)
     changes = batch.select(*cols)
+    if history is not None and on_late == "error":
+        opens = history.filter(F.col("is_current")).select(
+            key_col, F.col("valid_from").alias("_open_from"))
+        late = (batch.select(key_col, ts_col).join(opens, key_col)
+                .filter(F.col(ts_col) < F.col("_open_from"))
+                .select(key_col, ts_col).limit(3).collect())
+        if late:
+            raise ValueError(
+                "CDC contract violated: batch rows timestamped before "
+                f"an open version's valid_from (first: {late}) — fix "
+                "the feed order or rebuild with scd2_history; "
+                "on_late='allow' overrides")
     if history is not None:
         open_rows = history.filter(F.col("is_current")).select(
             key_col,

@@ -1,8 +1,9 @@
-"""Every _PENDING_PROMOTION query is oracle-checked at sf0.001 on
-EVERY suite run — the promotion queue is gated by the same comparator
-(including driver-mimic canonicalization) the standalone
-tools/check_parity.py applies, so a queue entry can never rot while
-it waits for a driver-window slot."""
+"""Every not-yet-driver-evidenced query in the gated window, plus any
+_PENDING_PROMOTION queue member, is oracle-checked at sf0.001 on
+EVERY suite run — gated by the same comparator (including
+driver-mimic canonicalization) the standalone tools/check_parity.py
+applies, so a query can never rot between the round it lands and the
+round the driver evidences it."""
 
 from __future__ import annotations
 
@@ -36,15 +37,32 @@ def parity_env():
     return cp, em, con
 
 
-def test_pending_queue_members_hash_match_oracle(spark, parity_env):
+def _driver_green_names():
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    green = set()
+    for p in root.glob("CORRECTNESS_r*.json"):
+        for name, row in json.loads(p.read_text()).items():
+            if row.get("hash_match"):
+                green.add(name)
+    return green
+
+
+def test_unevidenced_gated_queries_hash_match_oracle(spark, parity_env):
     cp, em, con = parity_env
     qs, oracles = em.queries(), em.oracle_sql()
-    pending = sorted(em._PENDING_PROMOTION)
-    assert pending, "queue empty — drop this guard or repoint it"
+    green = _driver_green_names()
+    at_risk = sorted(
+        set(list(qs)[:50]).union(em._PENDING_PROMOTION) - green)
+    assert at_risk, (
+        "nothing unevidenced in the window or queue — a fresh "
+        "CORRECTNESS round landed; rotate new work into the window")
     bad = {}
-    for name in pending:
+    for name in at_risk:
         problems, _ = cp.compare_one(spark, con, qs[name], oracles[name],
                                      SF_DIR)
         if problems:
             bad[name] = problems
-    assert not bad, f"pending queries diverge from their oracles: {bad}"
+    assert not bad, f"unevidenced queries diverge from their oracles: {bad}"

@@ -170,6 +170,11 @@ def compare_one(spark, con, fn, oracle_sql_str, sf_dir):
 def main():
     argv = [a for a in sys.argv[1:] if a != "--plain"]
     plain = "--plain" in sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i:i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
 
@@ -189,6 +194,7 @@ def main():
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
+    results = {}
     import time
     for name, fn in qs.items():
         if only and name not in only:
@@ -198,21 +204,45 @@ def main():
             try:
                 sdf = fn(spark, sf_dir)
                 srows = [tuple(r) for r in sdf.collect()]
+                results[name] = {"status": "rows-only", "rows": len(srows),
+                                 "secs": round(time.time() - t0, 1)}
                 print(f"rows-only  {name}: {len(srows)} rows, "
                       f"cols={sdf.columns} ({time.time()-t0:.1f}s)", flush=True)
             except Exception as e:  # noqa: BLE001
                 failures.append(name)
+                results[name] = {"status": "FAIL",
+                                 "problems": [f"spark error {e}"]}
                 print(f"FAIL  {name}: spark error {type(e).__name__}: {e}",
                       flush=True)
             continue
         problems, nrows = compare_one(spark, con, fn, oracles[name], sf_dir)
         if problems:
             failures.append(name)
+            results[name] = {"status": "FAIL", "problems": problems,
+                             "rows": nrows}
             print(f"FAIL  {name}: {'; '.join(problems)}", flush=True)
         else:
+            results[name] = {"status": "OK", "rows": nrows,
+                             "secs": round(time.time() - t0, 1)}
             print(f"OK    {name}: {nrows} rows ({time.time()-t0:.1f}s)",
                   flush=True)
 
+    if json_path:
+        import json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "n_queries": len(results),
+            "n_ok": sum(r["status"] == "OK" for r in results.values()),
+            "n_rows_only": sum(r["status"] == "rows-only"
+                               for r in results.values()),
+            "n_fail": len(failures),
+            "failures": failures,
+            "queries": results,
+        }
+        with open(json_path, "w") as fh:
+            json.dump(summary, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_path}", flush=True)
     print(f"\n{len(failures)} failures: {failures}", flush=True)
     sys.exit(1 if failures else 0)
 
