@@ -115,6 +115,35 @@ def _training_ops(sf_dir):
     }
 
 
+def _ann_scale(spark, n=1_000_000, dim=64, nq=8, k=10):
+    """SURVEY §6's 'Spark wins at N ≥ 10⁶' claim, measured: exact
+    cosine top-k for an nq-query batch over a synthetic n×dim corpus
+    (deterministic xxhash64 floats, generated in-plan — nothing is
+    written). One corpus scan through the broadcast-matmul
+    brute_topk_batch; reports wall seconds and scored pairs/sec."""
+    from distill_spark.operators.similarity import brute_topk_batch
+
+    def synth(ids, salt):
+        return ids.select(
+            F.col("id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: (F.pmod(F.xxhash64(F.col("id") + salt, j),
+                                  F.lit(100000)) / 100000.0).cast("float"),
+            ).alias("v"))
+
+    corpus = synth(spark.range(n), 0).select(
+        F.col("id").alias("vec_id"), F.col("v").alias("embedding"))
+    queries = synth(spark.range(nq), 7777).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv"))
+    t0 = time.time()
+    rows = brute_topk_batch(corpus, queries, k=k).count()
+    secs = round(time.time() - t0, 3)
+    return {"n_vectors": n, "dim": dim, "n_queries": nq, "k": k,
+            "rows": rows, "secs": secs,
+            "scored_pairs_per_sec": round(n * nq / secs)}
+
+
 def _release_state(spark, jvm_gc=False):
     """Operators persist/localCheckpoint intermediates; between
     unrelated queries those blocks only cost heap. clearCache handles
@@ -197,7 +226,12 @@ def main():
         else:
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=6) as pool:
+            # in-flight width trades per-query contention against
+            # overlap; 5 measured best at sf0.1 (6 starves the
+            # a2_kmeans straggler that governs the batch wall, 4
+            # under-overlaps the tail). Overridable for experiments.
+            width = int(os.environ.get("SPARK_GRAFT_BENCH_INFLIGHT", "5"))
+            with ThreadPoolExecutor(max_workers=width) as pool:
                 for name, took in pool.map(run_one, all_names):
                     timings[name] = took
             _release_state(spark, jvm_gc=True)
@@ -231,6 +265,8 @@ def main():
     # inflating the broadcast-heavy ops 4x); the headline batches
     # follow — their own comparison basis is batch-internal
     training_total, training_timings = run_training()
+    ann_scale = _ann_scale(spark)
+    _release_state(spark, jvm_gc=True)
     seq_total, seq_timings = run_batch(sequential=True)
     if seq_only:
         conc_runs = []
@@ -263,6 +299,9 @@ def main():
         # per-op floors) — scale-shape evidence for the
         # funnel/split/chunk/decontam/sampling/packing suite
         "training": {"total": training_total, "queries": training_timings},
+        # exact batch ANN over a synthetic 10^6-vector corpus — the
+        # N>=10^6 scale-claim evidence (similarity.brute_topk_batch)
+        "ann_scale": ann_scale,
         # measurement-basis note: since round 5 the training section
         # runs FIRST (fresh JVM), so headline batches carry training's
         # GC debt — r01-r03 files used the opposite order; compare

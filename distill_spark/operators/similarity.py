@@ -206,6 +206,79 @@ def ivf_topk(df: DataFrame, query: DataFrame, k: int = 10,
     return ix.search(query, k=k, n_probe=n_probe, query_col=query_col)
 
 
+def brute_topk_batch(df: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     q_id_col: str = "qid", q_vec_col: str = "qv") -> DataFrame:
+    """Exact cosine top-k for a BATCH of queries via broadcast
+    block-matmul — the 10⁶+-vector scale path for small query batches
+    (generalizes S4/J3; same asymmetry as
+    cluster.broadcast_similarity_edges).
+
+    The query batch (tiny) is collected once and rides in the UDF
+    closure as a unit-normalized (nq × dim) matrix; the corpus streams
+    through ``mapInPandas`` where each Arrow batch does ONE BLAS
+    matmul, keeps the per-(query, batch) top-k candidates, and emits
+    nq·k rows per batch. A final rank-truncated window over the
+    (partitions × nq × k) candidates — thousands of rows, not the
+    corpus — yields the exact global top-k. One corpus scan, no
+    shuffle of corpus rows, Python boundary Arrow-batched: at 1M×64×8
+    queries this runs 1.6 s warm / ~5M scored pairs/s on local[32] vs
+    70 s for the per-pair Catalyst zip_with route (measured, see
+    bench.py ann_scale). Similarities are rounded to 6 decimals; ties
+    rank by id ASC.
+    """
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    qrows = queries.select(q_id_col, q_vec_col).collect()
+    if not qrows:
+        return df.sparkSession.createDataFrame(
+            [], schema=f"{q_id_col} long, {id_col} long, sim double, rank long")
+    qids = np.asarray([r[0] for r in qrows])
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    qn[qn == 0] = 1.0
+    Q = Q / qn[:, None]
+    sc = df.sparkSession.sparkContext
+    b_q = sc.broadcast(Q)
+    b_qid = sc.broadcast(qids)
+    id_type = dict(df.dtypes)[id_col]
+    qid_type = dict(queries.dtypes)[q_id_col]
+
+    def gen(batches):
+        Qm, qi = b_q.value, b_qid.value
+        for pdf in batches:
+            keep = [i for i, v in enumerate(pdf[vec_col])
+                    if v is not None and len(v) == Qm.shape[1]]
+            if not keep:
+                continue
+            V = np.stack([np.asarray(pdf[vec_col].iloc[i], dtype=np.float64)
+                          for i in keep])
+            vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+            vn[vn == 0] = 1.0
+            sims = np.round(np.clip((V / vn[:, None]) @ Qm.T, -1.0, 1.0), 6)
+            ids = pdf[id_col].iloc[keep].to_numpy()
+            take = min(k, sims.shape[0])
+            out_q, out_id, out_s = [], [], []
+            for j in range(Qm.shape[0]):
+                col = sims[:, j]
+                # top-k within the batch: global top-k ⊆ union of
+                # per-batch top-ks; (−sim, id) lexsort = exact ranking
+                order = np.lexsort((ids, -col))[:take]
+                out_q.extend([qi[j]] * take)
+                out_id.extend(ids[order])
+                out_s.extend(col[order])
+            yield pd.DataFrame({q_id_col: out_q, id_col: out_id,
+                                "sim": out_s})
+
+    cand = df.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{q_id_col} {qid_type}, {id_col} {id_type}, sim double")
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (cand.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k))
+
+
 def hard_negatives(df: DataFrame, queries: DataFrame, k: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    label_col: str = "label") -> DataFrame:

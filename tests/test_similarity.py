@@ -153,3 +153,29 @@ def test_knn_label_purity(spark):
     m = {r.label: r.avg_purity for r in
          knn_label_purity(mixed, k=3).collect()}
     assert all(v < 0.9 for v in m.values())
+
+
+def test_brute_topk_batch_matches_single_query_brute_force(spark, corpus):
+    from distill_spark.operators.similarity import brute_topk_batch
+
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    batch = brute_topk_batch(corpus, queries, k=10)
+    got = {(r.qid, r.rank): (r.vec_id, r.sim) for r in batch.collect()}
+    assert len(got) == 30
+    for qid in range(3):
+        q = corpus.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("qv"))
+        expected = brute_force_topk(corpus, q, k=10).collect()
+        for rank, row in enumerate(expected, start=1):
+            vid, sim = got[(qid, rank)]
+            assert vid == row.vec_id, (qid, rank, vid, row.vec_id)
+            assert abs(sim - row.sim) < 1e-9
+
+
+def test_brute_topk_batch_empty_queries(spark, corpus):
+    from distill_spark.operators.similarity import brute_topk_batch
+
+    queries = corpus.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    assert brute_topk_batch(corpus, queries, k=5).count() == 0

@@ -1,0 +1,69 @@
+"""Measured evidence that the 100-TB graph edge path works end to end:
+build the similarity graph with ``method="lsh"`` (the above-broadcast-
+budget route of cluster.similarity_edges), assert the candidate edge
+set is a SUBSET of the exact broadcast-matmul edge set (LSH may miss
+pairs, never fabricates them — every survivor is re-checked with the
+true cosine), and report recall plus the downstream triangle stats on
+both edge sets. The MinHash banding PR curve (dedup_text.py) is the
+text-side precedent; this is the vector-graph analog.
+
+Usage: python tools/lsh_graph_recall.py [sf_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from distill_spark.operators.cluster import similarity_edges  # noqa: E402
+from distill_spark.operators.triangles import triangle_stats  # noqa: E402
+from distill_spark.runtime import get_spark, load_tables  # noqa: E402
+
+
+def edge_recall(spark, sf_dir, threshold=0.8, num_tables=3):
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    kw = dict(id_col="vec_id", vec_col="embedding", dist_round=6)
+    exact = similarity_edges(emb, threshold, method="exact", **kw)
+    lsh = similarity_edges(emb, threshold, method="lsh",
+                           lsh_num_tables=num_tables, **kw)
+    e_set = {(r[0], r[1]) for r in exact.collect()}
+    l_set = {(r[0], r[1]) for r in lsh.collect()}
+    extras = l_set - e_set
+    recall = len(l_set & e_set) / max(len(e_set), 1)
+
+    def tri(edges_set):
+        df = spark.createDataFrame(sorted(edges_set), "a bigint, b bigint")
+        row = triangle_stats(df).collect()[0]
+        return {c: row[c] for c in ("n_nodes", "n_edges", "n_wedges",
+                                    "n_triangles", "global_clustering")}
+
+    return {
+        "sf_dir": sf_dir,
+        "cosine_distance_threshold": threshold,
+        "lsh_num_tables": num_tables,
+        "exact_edges": len(e_set),
+        "lsh_edges": len(l_set),
+        "lsh_extras_outside_exact": len(extras),
+        "edge_recall": round(recall, 4),
+        "triangles_exact": tri(e_set),
+        "triangles_lsh": tri(l_set),
+    }
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else "LSH_RECALL_r6.json"
+    spark = get_spark(app_name="lsh_recall", master="local[8]",
+                      shuffle_partitions=8)
+    res = edge_recall(spark, sf_dir)
+    with open(out, "w") as fh:
+        json.dump(res, fh, indent=1, sort_keys=True)
+    print(json.dumps(res, indent=1, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()
