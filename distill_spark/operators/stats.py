@@ -19,7 +19,7 @@ association on both engines; correlations round to 6.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _DEC = "decimal(38,12)"
@@ -150,3 +150,189 @@ SELECT {group_sql}, CAST(bucket AS BIGINT) AS bucket,
        round(min(_lo), 6) AS range_lo, round(min(_hi), 6) AS range_hi,
        CAST(count(*) AS BIGINT) AS cnt
 FROM bucketed GROUP BY {group_sql}, bucket"""
+
+
+def group_entropy(df: DataFrame, group_col: str, cat_col: str,
+                  base2: bool = True) -> DataFrame:
+    """Shannon entropy of a categorical distribution per group — the
+    behavioral-diversity signal (users with one-note event streams vs
+    explorers; sources with monoculture doc types).
+
+    One shuffle on (group, cat) then a tiny per-group reduce — the
+    per-(group,cat) table is the bottleneck and it is ≤ |groups|·|cats|
+    rows, map-side combined. Each p·log(p) term is rounded to 9 before
+    the cross-engine sum so the ≤|cats|-term float add is
+    order-independent at the rounded grid. Output: (group, n_rows,
+    n_cats, entropy) with entropy rounded to 6.
+    """
+    per = df.groupBy(group_col, cat_col).agg(F.count("*").alias("_c"))
+    tot = Window.partitionBy(group_col)
+    p = F.col("_c") / F.sum("_c").over(tot)
+    log = F.log2(p) if base2 else F.log(p)
+    term = F.round(-(p * log), 9)
+    return (
+        per.withColumn("_t", term)
+        .groupBy(group_col)
+        .agg(F.sum("_c").alias("n_rows"),
+             F.count("*").cast("long").alias("n_cats"),
+             F.round(F.sum(F.col("_t").cast(_DEC)).cast("double"), 6)
+             .alias("entropy"))
+    )
+
+
+def group_entropy_sql(table: str, group_sql: str, cat_sql: str,
+                      base2: bool = True) -> str:
+    log = "log2(p)" if base2 else "ln(p)"
+    return f"""
+WITH per AS (
+  SELECT {group_sql} AS g, {cat_sql} AS c, count(*) AS _c
+  FROM {table} GROUP BY 1, 2
+),
+withp AS (
+  SELECT g, _c,
+         round(-( (CAST(_c AS DOUBLE) / sum(_c) OVER (PARTITION BY g))
+           * {log.replace('p', '(CAST(_c AS DOUBLE) / sum(_c) OVER (PARTITION BY g))')} ), 9) AS _t
+  FROM per
+)
+SELECT g AS {group_sql}, CAST(sum(_c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_cats,
+       round(CAST(sum(CAST(_t AS DECIMAL(38,12))) AS DOUBLE), 6) AS entropy
+FROM withp GROUP BY g
+"""
+
+
+def gini_concentration(df: DataFrame, group_col: str, value_col: str,
+                       id_col: str) -> DataFrame:
+    """Gini coefficient of ``value_col`` within each group (activity /
+    size concentration: 0 = uniform, →1 = one member dominates).
+
+    Uses the rank formula G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n over the
+    group-sorted values (ties broken by id → deterministic ranks).
+    One sort-shuffle per group (the window), decimal-exact sums.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc())
+    rn = F.row_number().over(w)
+    v = F.col(value_col).cast("double")
+    return (
+        df.select(group_col, value_col, id_col)
+        .withColumn("_i", rn)
+        .groupBy(group_col)
+        .agg(F.count("*").alias("n"),
+             F.round(
+                 (2.0 * F.sum((F.col("_i") * v).cast(_DEC)).cast("double")
+                  / (F.count("*") * F.sum(v.cast(_DEC)).cast("double")))
+                 - (F.count("*") + 1.0) / F.count("*"), 6).alias("gini"))
+    )
+
+
+def gini_sql(table: str, group_sql: str, value_sql: str,
+             id_sql: str) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT {group_sql} AS g, CAST({value_sql} AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY {group_sql}
+                            ORDER BY {value_sql} ASC, {id_sql} ASC) AS i
+  FROM {table}
+)
+SELECT g AS {group_sql}, CAST(count(*) AS BIGINT) AS n,
+       round((2.0 * CAST(sum(CAST(i * v AS DECIMAL(38,12))) AS DOUBLE)
+              / (count(*) * CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE)))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked GROUP BY g
+"""
+
+
+def trimmed_mean(df: DataFrame, group_col: str, value_col: str,
+                 id_col: str, trim: float = 0.1) -> DataFrame:
+    """Robust per-group mean: drop the bottom and top ``trim`` fraction
+    (floor(n·trim) rows each side, ties broken by id) and decimal-mean
+    the interior — the outlier-resistant aggregation for skewed
+    metrics. One window sort per group, no second scan."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc())
+    n = F.count("*").over(Window.partitionBy(group_col))
+    cut = F.floor(n * F.lit(trim))
+    rn = F.row_number().over(w)
+    kept = df.select(group_col, value_col, id_col).withColumn(
+        "_keep", (rn > cut) & (rn <= n - cut))
+    v = F.col(value_col).cast("double")
+    return (
+        kept.groupBy(group_col)
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+             F.round(F.sum(F.when(F.col("_keep"), v).otherwise(0.0)
+                           .cast(_DEC)).cast("double")
+                     / F.sum(F.col("_keep").cast("long")), 6)
+             .alias("trimmed_mean"))
+    )
+
+
+def trimmed_mean_sql(table: str, group_sql: str, value_sql: str,
+                     id_sql: str, trim: float = 0.1) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT {group_sql} AS g, CAST({value_sql} AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY {group_sql}
+                            ORDER BY {value_sql} ASC, {id_sql} ASC) AS rn,
+         count(*) OVER (PARTITION BY {group_sql}) AS n
+  FROM {table}
+),
+flagged AS (
+  SELECT g, v, n,
+         (rn > CAST(floor(n * {trim}) AS BIGINT)
+          AND rn <= n - CAST(floor(n * {trim}) AS BIGINT)) AS keep
+  FROM ranked
+)
+SELECT g AS {group_sql}, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(CAST(sum(CAST(CASE WHEN keep THEN v ELSE 0.0 END
+                           AS DECIMAL(38,12))) AS DOUBLE)
+             / sum(CASE WHEN keep THEN 1 ELSE 0 END), 6) AS trimmed_mean
+FROM flagged GROUP BY g
+"""
+
+
+def equi_depth_bins(df: DataFrame, value_col: str, id_col: str,
+                    nbins: int = 10) -> DataFrame:
+    """Equi-depth (quantile) binning: bin = floor((rank−1)·k/n), an
+    explicit formula shared with the oracle instead of trusting two
+    engines' ntile remainder placement. Output per bin: lo/hi/count/
+    decimal-exact mean — the feature-binning / monotonic-WOE shape.
+    One global sort window (fine for the per-column stats row; at
+    100 TB swap the rank for approx quantile cuts and keep the same
+    bin aggregation)."""
+    w = Window.orderBy(F.col(value_col).asc(), F.col(id_col).asc())
+    n = F.count("*").over(
+        Window.partitionBy())  # single-partition total
+    rn = F.row_number().over(w)
+    binc = F.floor((rn - 1) * F.lit(nbins) / n).cast("long")
+    v = F.col(value_col).cast("double")
+    return (
+        df.select(value_col, id_col)
+        .withColumn("bin", binc)
+        .groupBy("bin")
+        .agg(F.round(F.min(v), 6).alias("lo"),
+             F.round(F.max(v), 6).alias("hi"),
+             F.count("*").cast("long").alias("cnt"),
+             F.round(F.sum(v.cast(_DEC)).cast("double") / F.count("*"), 6)
+             .alias("mean"))
+    )
+
+
+def equi_depth_bins_sql(table: str, value_sql: str, id_sql: str,
+                        nbins: int = 10) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS v,
+         row_number() OVER (ORDER BY {value_sql} ASC, {id_sql} ASC) AS rn,
+         count(*) OVER () AS n
+  FROM {table}
+)
+SELECT CAST(floor((rn - 1) * {nbins} / CAST(n AS DOUBLE)) AS BIGINT) AS bin,
+       round(min(v), 6) AS lo, round(max(v), 6) AS hi,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+         AS mean
+FROM ranked GROUP BY 1
+"""
