@@ -6162,6 +6162,115 @@ def _sql_value_bins():
     return equi_depth_bins_sql("events", "value", "event_id", nbins=10)
 
 
+def q_densify_days(spark, sf_dir):
+    """Gap-filled (event_type × calendar day) grid with zero-filled
+    count/sum (timeseries.densify_days) — densification for
+    dashboards/forecasting joins."""
+    from distill_spark.operators.timeseries import densify_days
+
+    t = _tables(spark, sf_dir)
+    return densify_days(t["events"])
+
+
+def _sql_densify():
+    from distill_spark.operators.timeseries import densify_days_sql
+
+    return densify_days_sql()
+
+
+def q_rolling_7d(spark, sf_dir):
+    """Trailing 7-day per-user count/sum features on active days
+    (timeseries.rolling_window_days, RANGE window over day index)."""
+    from distill_spark.operators.timeseries import rolling_window_days
+
+    t = _tables(spark, sf_dir)
+    return rolling_window_days(t["events"], days=7)
+
+
+def _sql_rolling_7d():
+    from distill_spark.operators.timeseries import rolling_window_days_sql
+
+    return rolling_window_days_sql(days=7)
+
+
+def q_audience_growth(spark, sf_dir):
+    """First-seen + cumulative distinct users per day
+    (timeseries.cumulative_distinct — the linear rewrite of
+    COUNT(DISTINCT) OVER a growing frame)."""
+    from distill_spark.operators.timeseries import cumulative_distinct
+
+    t = _tables(spark, sf_dir)
+    return cumulative_distinct(t["events"])
+
+
+def _sql_audience_growth():
+    from distill_spark.operators.timeseries import cumulative_distinct_sql
+
+    return cumulative_distinct_sql()
+
+
+def q_weekly_trend(spark, sf_dir):
+    """Week-over-week volume growth per event type
+    (timeseries.weekly_trend)."""
+    from distill_spark.operators.timeseries import weekly_trend
+
+    t = _tables(spark, sf_dir)
+    return weekly_trend(t["events"])
+
+
+def _sql_weekly_trend():
+    from distill_spark.operators.timeseries import weekly_trend_sql
+
+    return weekly_trend_sql()
+
+
+def q_time_to_convert(spark, sf_dir):
+    """Per-user signup→purchase conversion latency in exact seconds
+    (conversion.time_to_convert); NULL convert columns are the
+    funnel drop."""
+    from distill_spark.operators.conversion import time_to_convert
+
+    t = _tables(spark, sf_dir)
+    return time_to_convert(t["events"], "signup", "purchase")
+
+
+def _sql_time_to_convert():
+    from distill_spark.operators.conversion import time_to_convert_sql
+
+    return time_to_convert_sql("signup", "purchase")
+
+
+def q_churn_snapshot(spark, sf_dir):
+    """Per-user churn flags at corpus end (conversion.churn_snapshot,
+    integer-micros day arithmetic)."""
+    from distill_spark.operators.conversion import churn_snapshot
+
+    t = _tables(spark, sf_dir)
+    return churn_snapshot(t["events"], inactive_days=7)
+
+
+def _sql_churn_snapshot():
+    from distill_spark.operators.conversion import churn_snapshot_sql
+
+    return churn_snapshot_sql(inactive_days=7)
+
+
+def q_transition_dwell(spark, sf_dir):
+    """Dwell-time per event-type transition (conversion.
+    transition_dwell) — friction vs automation signal on top of
+    event_transitions' counts."""
+    from distill_spark.operators.conversion import transition_dwell
+
+    t = _tables(spark, sf_dir)
+    return transition_dwell(t["events"])
+
+
+def _sql_transition_dwell():
+    from distill_spark.operators.conversion import transition_dwell_sql
+
+    return transition_dwell_sql()
+
+
 # ----------------------------------------------------------------- registry
 
 # Ordering matters: the driver evaluates the FIRST 50 entries in dict
@@ -6181,6 +6290,13 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "source_gini": (q_source_gini, _sql_source_gini()),
     "trimmed_value_mean": (q_trimmed_value_mean, _sql_trimmed_mean()),
     "value_bins": (q_value_bins, _sql_value_bins()),
+    "densify_days": (q_densify_days, _sql_densify()),
+    "rolling_7d": (q_rolling_7d, _sql_rolling_7d()),
+    "audience_growth": (q_audience_growth, _sql_audience_growth()),
+    "weekly_trend": (q_weekly_trend, _sql_weekly_trend()),
+    "time_to_convert": (q_time_to_convert, _sql_time_to_convert()),
+    "churn_snapshot": (q_churn_snapshot, _sql_churn_snapshot()),
+    "transition_dwell": (q_transition_dwell, _sql_transition_dwell()),
     # -- round-6 window: the 25 round-5c queries promoted from
     # _PENDING_PROMOTION (CORRECTNESS_r05 went 50/50 green, freeing
     # every slot) plus a2_kmeans_dedup, which gained a full SQL oracle

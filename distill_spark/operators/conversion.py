@@ -157,3 +157,148 @@ def conversion_funnel(events: DataFrame, steps: list[str],
         )
         rows = row if rows is None else rows.unionByName(row)
     return rows
+
+
+def time_to_convert(events: DataFrame, from_step: str, to_step: str,
+                    user_col: str = "user_id", ts_col: str = "ts",
+                    type_col: str = "event_type") -> DataFrame:
+    """Per-user conversion latency: first ``from_step`` event, then the
+    first ``to_step`` event AT OR AFTER it; delta in whole seconds
+    (integer epoch-micros arithmetic — exact on both engines). Users
+    who never did ``from_step`` are absent; users who did but never
+    converted carry NULL convert columns (they ARE the funnel drop).
+
+    Two aggregations and a broadcast-size join keyed by user — the
+    corpus shuffles once per step filter, both filters push to the
+    scan."""
+    first_a = (events.filter(F.col(type_col) == from_step)
+               .groupBy(user_col)
+               .agg(F.min(ts_col).alias("start_ts")))
+    later_b = (events.filter(F.col(type_col) == to_step)
+               .select(F.col(user_col).alias("_bu"),
+                       F.col(ts_col).alias("_bts")))
+    # the >= belongs in the JOIN condition: a user whose to_step
+    # events all precede start_ts must keep a NULL convert row (the
+    # funnel drop), not vanish through a post-join filter
+    conv = (first_a.join(
+        later_b, (F.col("_bu") == F.col(user_col))
+        & (F.col("_bts") >= F.col("start_ts")), "left")
+        .groupBy(user_col, "start_ts")
+        .agg(F.min("_bts").alias("convert_ts")))
+    secs = F.floor((F.unix_micros(F.col("convert_ts"))
+                    - F.unix_micros(F.col("start_ts"))) / 1_000_000)
+    return conv.select(
+        user_col, "start_ts", "convert_ts",
+        F.when(F.col("convert_ts").isNotNull(), secs)
+        .cast("long").alias("secs_to_convert"))
+
+
+def time_to_convert_sql(from_step: str, to_step: str,
+                        table: str = "events",
+                        user_sql: str = "user_id", ts_sql: str = "ts",
+                        type_sql: str = "event_type") -> str:
+    return f"""
+WITH a AS (
+  SELECT {user_sql} AS u, min({ts_sql}) AS start_ts
+  FROM {table} WHERE {type_sql} = '{from_step}' GROUP BY 1
+),
+conv AS (
+  SELECT a.u, a.start_ts, min(b.{ts_sql}) AS convert_ts
+  FROM a LEFT JOIN {table} b
+    ON b.{user_sql} = a.u AND b.{type_sql} = '{to_step}'
+   AND b.{ts_sql} >= a.start_ts
+  GROUP BY a.u, a.start_ts
+)
+SELECT u AS {user_sql}, start_ts, convert_ts,
+       CAST(CASE WHEN convert_ts IS NOT NULL THEN
+         floor((epoch_us(convert_ts) - epoch_us(start_ts)) / 1000000.0)
+       END AS BIGINT) AS secs_to_convert
+FROM conv
+"""
+
+
+def churn_snapshot(events: DataFrame, inactive_days: int = 7,
+                   user_col: str = "user_id",
+                   ts_col: str = "ts") -> DataFrame:
+    """Churn flags at the corpus-end snapshot: per user, last activity,
+    whole days inactive vs the global max timestamp, and churned =
+    inactive > ``inactive_days``. Day arithmetic in integer
+    epoch-micros (exact cross-engine). Two aggregations — the global
+    max is one tiny row broadcast into the per-user reduce."""
+    snap = events.agg(F.max(ts_col).alias("_snap"))
+    per = events.groupBy(user_col).agg(F.max(ts_col).alias("last_ts"))
+    days = F.floor((F.unix_micros(F.col("_snap"))
+                    - F.unix_micros(F.col("last_ts")))
+                   / (86400 * 1_000_000))
+    return (per.crossJoin(F.broadcast(snap))
+            .select(user_col, "last_ts",
+                    days.cast("long").alias("days_inactive"),
+                    (days > inactive_days).alias("churned")))
+
+
+def churn_snapshot_sql(inactive_days: int = 7, table: str = "events",
+                       user_sql: str = "user_id",
+                       ts_sql: str = "ts") -> str:
+    return f"""
+WITH snap AS (SELECT max({ts_sql}) AS _snap FROM {table}),
+per AS (SELECT {user_sql} AS u, max({ts_sql}) AS last_ts
+        FROM {table} GROUP BY 1)
+SELECT u AS {user_sql}, last_ts,
+       CAST(floor((epoch_us(_snap) - epoch_us(last_ts)) / 86400000000.0)
+            AS BIGINT) AS days_inactive,
+       floor((epoch_us(_snap) - epoch_us(last_ts)) / 86400000000.0)
+         > {inactive_days} AS churned
+FROM per, snap
+"""
+
+
+def transition_dwell(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     type_col: str = "event_type",
+                     id_col: str = "event_id") -> DataFrame:
+    """Dwell time per event-type transition: for each user's
+    consecutive event pair (ordered by ts, id), the (prev → next)
+    bigram with exact integer-micros gaps; aggregated to (prev_type,
+    next_type, n, mean/max dwell seconds). The micro-behavior
+    companion to event_transitions' pure counts — slow transitions
+    mark friction, instant ones mark automation.
+
+    One window sort per user (the sessionize shape), then a tiny
+    |types|² aggregate. Mean = decimal sum / n rounded 6."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc())
+    nxt_ts, nxt_ty = F.lead(ts_col).over(w), F.lead(type_col).over(w)
+    gap_us = F.unix_micros(nxt_ts) - F.unix_micros(F.col(ts_col))
+    pairs = (events.select(
+        F.col(type_col).alias("prev_type"),
+        nxt_ty.alias("next_type"),
+        gap_us.alias("_gap"))
+        .filter(F.col("next_type").isNotNull()))
+    return (pairs.groupBy("prev_type", "next_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.sum(F.col("_gap").cast("decimal(38,0)"))
+                         .cast("double") / F.count("*") / 1e6, 6)
+                 .alias("mean_dwell_secs"),
+                 F.round(F.max("_gap") / 1e6, 6).alias("max_dwell_secs")))
+
+
+def transition_dwell_sql(table: str = "events",
+                         user_sql: str = "user_id", ts_sql: str = "ts",
+                         type_sql: str = "event_type",
+                         id_sql: str = "event_id") -> str:
+    return f"""
+WITH pairs AS (
+  SELECT {type_sql} AS prev_type,
+         lead({type_sql}) OVER w AS next_type,
+         epoch_us(lead({ts_sql}) OVER w) - epoch_us({ts_sql}) AS _gap
+  FROM {table}
+  WINDOW w AS (PARTITION BY {user_sql}
+               ORDER BY {ts_sql} ASC, {id_sql} ASC)
+)
+SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(_gap AS DECIMAL(38,0))) AS DOUBLE)
+             / count(*) / 1e6, 6) AS mean_dwell_secs,
+       round(max(_gap) / 1e6, 6) AS max_dwell_secs
+FROM pairs WHERE next_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""

@@ -198,3 +198,180 @@ SELECT {group_sql}, CAST(count(*) AS BIGINT) AS n_gaps,
        round(max(sec), 6) AS max_gap_s
 FROM gaps GROUP BY {group_sql}
 """
+
+
+def densify_days(events: DataFrame, ts_col: str = "ts",
+                 cat_col: str = "event_type",
+                 value_col: str = "value") -> DataFrame:
+    """Gap-filled (category × calendar-day) grid: every day between
+    the corpus min and max date appears for every category, with
+    zero-filled count/sum for missing days — the densification step
+    dashboards and forecasting joins need (a day with no 'error'
+    events must surface as 0, not as an absent row).
+
+    Scale shape: the day grid is bounds × categories (tiny — years ×
+    |cats| rows), built from ONE bounds aggregate and sequence();
+    the fact table aggregates per (cat, day) before the grid joins it
+    broadcast-LEFT, so the corpus shuffles once on the same key it
+    aggregates on, and the zero-fill never touches the corpus."""
+    day = F.to_date(ts_col)
+    per = (events.groupBy(F.col(cat_col).alias("cat"),
+                          day.alias("day"))
+           .agg(F.count("*").alias("n"),
+                F.round(F.sum(F.col(value_col).cast("decimal(20,10)"))
+                        .cast("double"), 4).alias("total")))
+    bounds = events.agg(F.min(day).alias("lo"), F.max(day).alias("hi"))
+    cats = events.select(F.col(cat_col).alias("cat")).distinct()
+    grid = (bounds.crossJoin(cats)
+            .select("cat", F.explode(F.sequence(
+                F.col("lo"), F.col("hi"),
+                F.expr("interval 1 day"))).alias("day")))
+    return (grid.join(per, ["cat", "day"], "left")
+            .select("cat", "day",
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+                    F.coalesce("total", F.lit(0.0)).alias("total")))
+
+
+def densify_days_sql(table: str = "events", ts_sql: str = "ts",
+                     cat_sql: str = "event_type",
+                     value_sql: str = "value") -> str:
+    return f"""
+WITH per AS (
+  SELECT {cat_sql} AS cat, CAST({ts_sql} AS DATE) AS day,
+         count(*) AS n,
+         round(CAST(sum(CAST({value_sql} AS DECIMAL(20,10))) AS DOUBLE), 4)
+           AS total
+  FROM {table} GROUP BY 1, 2
+),
+bounds AS (
+  SELECT min(CAST({ts_sql} AS DATE)) AS lo,
+         max(CAST({ts_sql} AS DATE)) AS hi
+  FROM {table}
+),
+grid AS (
+  SELECT c.cat, CAST(gs.d AS DATE) AS day
+  FROM (SELECT DISTINCT {cat_sql} AS cat FROM {table}) c
+  CROSS JOIN bounds
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(bounds.lo, bounds.hi,
+                                    INTERVAL 1 DAY)) AS d) gs
+)
+SELECT g.cat, g.day,
+       CAST(coalesce(p.n, 0) AS BIGINT) AS n,
+       coalesce(p.total, 0.0) AS total
+FROM grid g LEFT JOIN per p ON p.cat = g.cat AND p.day = g.day
+"""
+
+
+def rolling_window_days(events: DataFrame, key_col: str = "user_id",
+                        ts_col: str = "ts", value_col: str = "value",
+                        days: int = 7) -> DataFrame:
+    """Per-key per-active-day trailing ``days``-day aggregate (count +
+    decimal-exact sum) via a RANGE window over the integer day index —
+    the standard trailing-feature shape (7-day spend, 7-day events).
+
+    One aggregation to (key, day) rows first — the window then runs
+    over days-per-key, not raw events, so the sort state is bounded by
+    active days. Emits only days the key was active (the dense variant
+    is densify_days ∘ this)."""
+    day = F.to_date(ts_col)
+    epoch_day = F.datediff(F.col("day"), F.lit("1970-01-01"))
+    per = (events.groupBy(F.col(key_col).alias("key"), day.alias("day"))
+           .agg(F.count("*").alias("_n"),
+                F.sum(F.col(value_col).cast("decimal(20,10)")).alias("_s")))
+    w = (Window.partitionBy("key").orderBy(epoch_day)
+         .rangeBetween(-(days - 1), 0))
+    return per.select(
+        "key", "day",
+        F.sum("_n").over(w).cast("long").alias(f"n_{days}d"),
+        F.round(F.sum("_s").over(w).cast("double"), 4).alias(f"sum_{days}d"))
+
+
+def rolling_window_days_sql(table: str = "events",
+                            key_sql: str = "user_id", ts_sql: str = "ts",
+                            value_sql: str = "value", days: int = 7) -> str:
+    return f"""
+WITH per AS (
+  SELECT {key_sql} AS key, CAST({ts_sql} AS DATE) AS day,
+         count(*) AS _n,
+         sum(CAST({value_sql} AS DECIMAL(20,10))) AS _s
+  FROM {table} GROUP BY 1, 2
+)
+SELECT key, day,
+       CAST(sum(_n) OVER w AS BIGINT) AS n_{days}d,
+       round(CAST(sum(_s) OVER w AS DOUBLE), 4) AS sum_{days}d
+FROM per
+WINDOW w AS (PARTITION BY key
+             ORDER BY datediff('day', DATE '1970-01-01', day)
+             RANGE BETWEEN {days - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+def cumulative_distinct(events: DataFrame, key_col: str = "user_id",
+                        ts_col: str = "ts") -> DataFrame:
+    """Audience-growth curve: per day, how many keys appeared for the
+    FIRST time and the running distinct total. COUNT(DISTINCT) OVER a
+    growing frame is quadratic; first-seen day per key + a running sum
+    over per-day counts is two cheap aggregations — the classic
+    rewrite. Output: (day, new_keys, cum_keys) for days with
+    first-appearances."""
+    day = F.to_date(ts_col)
+    firsts = (events.groupBy(key_col)
+              .agg(F.min(day).alias("day"))
+              .groupBy("day").agg(F.count("*").alias("new_keys")))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return firsts.select(
+        "day", F.col("new_keys").cast("long").alias("new_keys"),
+        F.sum("new_keys").over(w).cast("long").alias("cum_keys"))
+
+
+def cumulative_distinct_sql(table: str = "events",
+                            key_sql: str = "user_id",
+                            ts_sql: str = "ts") -> str:
+    return f"""
+WITH firsts AS (
+  SELECT {key_sql} AS key, min(CAST({ts_sql} AS DATE)) AS day
+  FROM {table} GROUP BY 1
+),
+per AS (SELECT day, count(*) AS new_keys FROM firsts GROUP BY day)
+SELECT day, CAST(new_keys AS BIGINT) AS new_keys,
+       CAST(sum(new_keys) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_keys
+FROM per
+"""
+
+
+def weekly_trend(events: DataFrame, cat_col: str = "event_type",
+                 ts_col: str = "ts") -> DataFrame:
+    """Week-over-week volume trend per category: ISO-agnostic week
+    index floor(epoch_seconds / 604800), count, previous week's count
+    (lag over the category's ACTIVE weeks) and the growth ratio —
+    the trending-detection primitive. Round-6 ratio; weeks with no
+    predecessor carry NULLs."""
+    week = F.floor(F.unix_timestamp(F.col(ts_col)) / 604800).cast("long")
+    per = (events.groupBy(F.col(cat_col).alias("cat"),
+                          week.alias("week"))
+           .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("cat").orderBy("week")
+    prev = F.lag("n").over(w)
+    return per.select(
+        "cat", "week", F.col("n").cast("long").alias("n"),
+        prev.cast("long").alias("prev_n"),
+        F.round(F.col("n") / prev, 6).alias("wow_ratio"))
+
+
+def weekly_trend_sql(table: str = "events", cat_sql: str = "event_type",
+                     ts_sql: str = "ts") -> str:
+    return f"""
+WITH per AS (
+  SELECT {cat_sql} AS cat,
+         CAST(floor(epoch({ts_sql}) / 604800) AS BIGINT) AS week,
+         count(*) AS n
+  FROM {table} GROUP BY 1, 2
+)
+SELECT cat, week, CAST(n AS BIGINT) AS n,
+       CAST(lag(n) OVER w AS BIGINT) AS prev_n,
+       round(n / CAST(lag(n) OVER w AS DOUBLE), 6) AS wow_ratio
+FROM per
+WINDOW w AS (PARTITION BY cat ORDER BY week)
+"""
