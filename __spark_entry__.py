@@ -6271,6 +6271,268 @@ def _sql_transition_dwell():
     return transition_dwell_sql()
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """Winnowing-fingerprint shared-content pairs (winnow.py — the
+    MOSS guarantee: any shared run of ≥ w+k−1 words produces a shared
+    fingerprint). Quote/plagiarism candidates the strided-span and
+    MinHash routes can miss or only sketch."""
+    from distill_spark.operators.winnow import winnow_pairs
+
+    t = _tables(spark, sf_dir)
+    return winnow_pairs(t["documents"], k=4, w=4, min_shared=2, top=50)
+
+
+def _sql_winnow():
+    from distill_spark.operators.winnow import winnow_pairs_sql
+
+    return winnow_pairs_sql(k=4, w=4, min_shared=2, top=50)
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency fit over the corpus vocabulary
+    (stats.zipf_fit) — slope ≈ −1 for natural text; synthetic or
+    boilerplate corpora bend it."""
+    from distill_spark.operators.stats import zipf_fit
+
+    t = _tables(spark, sf_dir)
+    return zipf_fit(t["documents"], top=100)
+
+
+def _sql_zipf():
+    from distill_spark.operators.stats import zipf_fit_sql
+
+    return zipf_fit_sql(top=100)
+
+
+def q_source_pareto(spark, sf_dir):
+    """Byte-contribution Pareto per source (stats.pareto_contribution
+    over n_chars) — the '20% of sources carry 80% of bytes' readout
+    for mixture design."""
+    from distill_spark.operators.stats import pareto_contribution
+
+    t = _tables(spark, sf_dir)
+    return pareto_contribution(t["documents"], "source", "n_chars")
+
+
+def _sql_source_pareto():
+    from distill_spark.operators.stats import pareto_contribution_sql
+
+    return pareto_contribution_sql("documents", "source", "n_chars")
+
+
+def q_label_outliers(spark, sf_dir):
+    """Embedding-QC outliers: per label, the 3 vectors FARTHEST from
+    their own label centroid (float32 per-dim mean, the kmeans_dedup
+    centroid convention) by rounded cosine distance — mislabeled /
+    noisy-embedding candidates. One scan for centroids (d partial
+    sums per label), broadcast back, rank-truncated window."""
+    t = _tables(spark, sf_dir)
+    emb = t["embeddings"]
+    cents = (emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+             .groupBy("label", "pos").agg(F.avg("v").alias("m"))
+             .groupBy("label")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                 lambda s: s.m.cast("float")).alias("_c")))
+    w = Window.partitionBy("label")
+    scored = (emb.join(F.broadcast(cents), "label")
+              .withColumn("dist", F.round(vm.cosine_distance(
+                  F.col("embedding"), F.col("_c")), 6))
+              .withColumn("rank", F.row_number().over(
+                  w.orderBy(F.desc("dist"), F.asc("vec_id"))).cast("long")))
+    return (scored.filter(F.col("rank") <= 3)
+            .select("label", "vec_id", "dist", "rank"))
+
+
+SQL_LABEL_OUTLIERS = f"""
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+),
+cents AS (
+  SELECT label, list(CAST(m AS REAL) ORDER BY pos) AS cvec FROM (
+    SELECT label, pos, avg(v) AS m FROM ex GROUP BY label, pos
+  ) GROUP BY label
+),
+scored AS (
+  SELECT e.label, e.vec_id,
+         round(1.0 - {{cos}}, 6) AS dist
+  FROM embeddings e JOIN cents c USING (label)
+)
+SELECT label, vec_id, dist, CAST(rk AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY label
+                               ORDER BY dist DESC, vec_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 3
+""".format(cos=_COS_SQL.format(a="CAST(e.embedding AS DOUBLE[])",
+                               b="CAST(c.cvec AS DOUBLE[])"))
+
+
+def q_bigram_lm_score(spark, sf_dir):
+    """Corpus-fitted bigram LM doc scores with add-k smoothing
+    (lmscore.bigram_logprob) — catches word-salad docs the unigram
+    filter passes. Restricted to doc_id < 200 at gate scale (the
+    bigram join is the corpus-sized side)."""
+    from distill_spark.operators.lmscore import bigram_logprob
+
+    t = _tables(spark, sf_dir)
+    return bigram_logprob(t["documents"].filter(F.col("doc_id") < 200))
+
+
+def _sql_bigram_lm():
+    from distill_spark.operators.lmscore import bigram_logprob_sql
+
+    return bigram_logprob_sql(
+        "(SELECT * FROM documents WHERE doc_id < 200)")
+
+
+def q_dow_profile(spark, sf_dir):
+    """Day-of-week activity profile per event type — counts + share.
+    The weekday index is PORTABLE integer arithmetic ((epoch_days + 4)
+    mod 7, Sunday = 0) instead of each engine's dayofweek convention
+    (Spark is 1-based Sunday, DuckDB 0-based — the classic silent
+    off-by-one)."""
+    t = _tables(spark, sf_dir)
+    dow = (F.floor(F.unix_micros(F.col("ts")) / (86400 * 1_000_000))
+           + 4) % 7
+    per = (t["events"].groupBy(F.col("event_type"), dow.alias("dow"))
+           .agg(F.count("*").alias("n")))
+    tot = Window.partitionBy("event_type")
+    return per.select(
+        "event_type", F.col("dow").cast("long").alias("dow"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("share"))
+
+
+SQL_DOW_PROFILE = """
+WITH per AS (
+  SELECT event_type,
+         (CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) + 4) % 7
+           AS dow,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(dow AS BIGINT) AS dow, CAST(n AS BIGINT) AS n,
+       round(n / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+         AS share
+FROM per
+"""
+
+
+def q_session_stats(spark, sf_dir):
+    """Per-user session rollup (30-min gap rule): session count, total
+    events, mean session duration / events-per-session — the
+    engagement-intensity companion to events_sessionize. Integer
+    micros throughout; one window sort per user then two tiny
+    aggregations."""
+    t = _tables(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us.asc(),
+                                              F.col("event_id").asc())
+    gap = us - F.lag(us).over(w)
+    flagged = t["events"].select(
+        "user_id", us.alias("_us"),
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1)
+        .otherwise(0).alias("_new"))
+    sid = F.sum("_new").over(
+        Window.partitionBy("user_id").orderBy(F.col("_us").asc())
+        .rowsBetween(Window.unboundedPreceding, 0))
+    sessions = (flagged.withColumn("_sid", sid)
+                .groupBy("user_id", "_sid")
+                .agg(F.count("*").alias("_n"),
+                     ((F.max("_us") - F.min("_us")) / 1e6).alias("_dur")))
+    return (sessions.groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n_sessions"),
+                 F.sum("_n").cast("long").alias("n_events"),
+                 F.round(F.sum(F.col("_dur").cast("decimal(38,9)"))
+                         .cast("double") / F.count("*"), 6)
+                 .alias("mean_session_secs"),
+                 F.round(F.sum("_n") / F.count("*"), 6)
+                 .alias("mean_events_per_session")))
+
+
+SQL_SESSION_STATS = """
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS _us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id
+                      ORDER BY epoch_us(ts) ASC, event_id ASC)
+              IS NULL THEN 1
+              WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id
+                      ORDER BY epoch_us(ts) ASC, event_id ASC)
+                > 1800000000 THEN 1 ELSE 0 END AS _new
+  FROM events
+),
+sess AS (
+  SELECT user_id, _us,
+         sum(_new) OVER (PARTITION BY user_id ORDER BY _us ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS _sid
+  FROM flagged
+),
+per AS (
+  SELECT user_id, _sid, count(*) AS _n,
+         (max(_us) - min(_us)) / 1e6 AS _dur
+  FROM sess GROUP BY user_id, _sid
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(_n) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(_dur AS DECIMAL(38,9))) AS DOUBLE)
+             / count(*), 6) AS mean_session_secs,
+       round(sum(_n) / CAST(count(*) AS DOUBLE), 6)
+         AS mean_events_per_session
+FROM per GROUP BY user_id
+"""
+
+
+def q_tpch_q5_local_volume(spark, sf_dir):
+    """TPC-H Q5 shape: revenue per nation where customer and supplier
+    share the nation, one region, one order-year — the deep join
+    funnel (lineitem → orders → customer → supplier → nation →
+    region) with every dimension broadcast."""
+    t = _tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01")))
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(t["nation"]),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]),
+              (F.col("n_regionkey") == F.col("r_regionkey"))
+              & (F.col("r_name") == "ASIA"))
+        .groupBy("n_name")
+        .agg(_exact_sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount")),
+                        2).alias("revenue"),
+             F.count("*").alias("n_items"))
+    )
+
+
+SQL_TPCH_Q5 = f"""
+SELECT n_name,
+       {_EXACT_SUM_SQL.format(c='l_extendedprice * (1.0 - l_discount)', s=2)}
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 # Ordering matters: the driver evaluates the FIRST 50 entries in dict
@@ -6297,6 +6559,14 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "time_to_convert": (q_time_to_convert, _sql_time_to_convert()),
     "churn_snapshot": (q_churn_snapshot, _sql_churn_snapshot()),
     "transition_dwell": (q_transition_dwell, _sql_transition_dwell()),
+    "winnow_pairs": (q_winnow_pairs, _sql_winnow()),
+    "zipf_fit": (q_zipf_fit, _sql_zipf()),
+    "source_pareto": (q_source_pareto, _sql_source_pareto()),
+    "label_outliers": (q_label_outliers, SQL_LABEL_OUTLIERS),
+    "bigram_lm_score": (q_bigram_lm_score, _sql_bigram_lm()),
+    "dow_profile": (q_dow_profile, SQL_DOW_PROFILE),
+    "session_stats": (q_session_stats, SQL_SESSION_STATS),
+    "tpch_q5_local_volume": (q_tpch_q5_local_volume, SQL_TPCH_Q5),
     # -- round-6 window: the 25 round-5c queries promoted from
     # _PENDING_PROMOTION (CORRECTNESS_r05 went 50/50 green, freeing
     # every slot) plus a2_kmeans_dedup, which gained a full SQL oracle

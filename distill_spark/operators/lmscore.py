@@ -81,3 +81,76 @@ def filter_lm_tails(
     return (scores.crossJoin(F.broadcast(band))
             .filter(F.col(score_col).between(F.col("_lo"), F.col("_hi")))
             .drop("_lo", "_hi"))
+
+
+def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k: float = 0.5) -> DataFrame:
+    """Second-order LM quality score: corpus-fitted bigram model with
+    add-k smoothing, per-doc mean log p(b|a) — catches the word-salad
+    documents the unigram filter scores as normal (right words, wrong
+    order).
+
+    p(b|a) = (c(a,b) + k) / (c(a) + k·V) with c(a) the bigram-START
+    count (probabilities sum to 1 per history) and V the distinct
+    token count. Scale shape: the bigram count table derives from the
+    same corpus and joins back on (a,b) — ONE shuffle keyed by the
+    bigram, partial-aggregated; the unigram/history table and the two
+    scalars ride along the same join. Unlike the unigram path nothing
+    here needs a driver-side vocab bound. Each ln term is rounded to
+    9 before the decimal mean (round 6) so libm ulps can't move the
+    cross-engine hash. Docs with < 2 tokens are dropped (no bigram)."""
+    from pyspark.sql import Window
+
+    txt = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    toks = (df.select(
+        F.col(id_col),
+        F.posexplode(F.filter(F.split(txt, r"\s+"),
+                              lambda x: x != "")).alias("pos", "tok")))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = (toks.select(F.col(id_col), F.col("tok").alias("a"),
+                       F.lead("tok").over(w).alias("b"))
+           .filter(F.col("b").isNotNull()))
+    c_ab = big.groupBy("a", "b").agg(F.count("*").alias("_cab"))
+    c_a = big.groupBy("a").agg(F.count("*").alias("_ca"))
+    v = toks.agg(F.countDistinct("tok").alias("_v"))
+    lp = F.round(F.log((F.col("_cab") + F.lit(k))
+                       / (F.col("_ca") + F.lit(k) * F.col("_v"))), 9)
+    scored = (big.join(c_ab, ["a", "b"]).join(c_a, "a")
+              .crossJoin(F.broadcast(v))
+              .withColumn("_lp", lp))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_bigrams"),
+                 F.round(F.sum(F.col("_lp").cast("decimal(38,12)"))
+                         .cast("double") / F.count("*"), 6)
+                 .alias("mean_logprob2")))
+
+
+def bigram_logprob_sql(table: str = "documents", id_sql: str = "doc_id",
+                       text_sql: str = "text", k: float = 0.5) -> str:
+    words = (f"list_filter(string_split_regex("
+             f"lower(trim(coalesce({text_sql}, ''))), '\\s+'), "
+             f"x -> x <> '')")
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT {id_sql} AS id, generate_subscripts(ws, 1) AS pos,
+         unnest(ws) AS tok
+  FROM (SELECT {id_sql}, {words} AS ws FROM {table}) t
+),
+big AS MATERIALIZED (
+  SELECT id, tok AS a, lead(tok) OVER (PARTITION BY id ORDER BY pos) AS b
+  FROM toks
+),
+big2 AS MATERIALIZED (SELECT * FROM big WHERE b IS NOT NULL),
+c_ab AS (SELECT a, b, count(*) AS _cab FROM big2 GROUP BY a, b),
+c_a AS (SELECT a, count(*) AS _ca FROM big2 GROUP BY a),
+v AS (SELECT count(DISTINCT tok) AS _v FROM toks)
+SELECT g.id AS {id_sql}, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(CAST(round(ln((ab._cab + {k})
+                                     / (a_._ca + {k} * v._v)), 9)
+                           AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+         AS mean_logprob2
+FROM big2 g JOIN c_ab ab ON g.a = ab.a AND g.b = ab.b
+JOIN c_a a_ ON g.a = a_.a
+CROSS JOIN v
+GROUP BY g.id
+"""

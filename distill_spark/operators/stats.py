@@ -336,3 +336,121 @@ SELECT CAST(floor((rn - 1) * {nbins} / CAST(n AS DOUBLE)) AS BIGINT) AS bin,
          AS mean
 FROM ranked GROUP BY 1
 """
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text",
+             top: int = 100) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: take the
+    ``top`` words by (count DESC, word ASC), regress ln(count) on
+    ln(rank) closed-form, report slope (Zipf exponent ≈ −1 for natural
+    language), intercept and R² — the cheap corpus-health diagnostic
+    (synthetic/boilerplate corpora bend the tail visibly).
+
+    One shuffle for the word counts, a top-k, then a 1-row closed-form
+    reduce — the OLS normal-equations shape (ols.py) specialized to
+    one regressor. Each log term is rounded to 9 before the decimal
+    sums so the two engines' libm ulps cannot move the fit."""
+    words = df.select(
+        F.explode(F.filter(F.split(F.col(text_col), " "),
+                           lambda x: x != "")).alias("w"))
+    counts = (words.groupBy("w").agg(F.count("*").alias("c"))
+              .orderBy(F.desc("c"), F.asc("w")).limit(top))
+    w = Window.orderBy(F.desc("c"), F.asc("w"))
+    pts = counts.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("c").cast("double")), 9).alias("y"))
+    agg = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("x").cast(_DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(_DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(_DEC)).cast("double").alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(_DEC)).cast("double").alias("sxy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov, vx, vy = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    return agg.select(
+        F.col("n").cast("long").alias("n_words"),
+        F.round(cov / vx, 6).alias("slope"),
+        F.round((sy - (cov / vx) * sx) / n, 6).alias("intercept"),
+        F.round(cov * cov / (vx * vy), 6).alias("r2"))
+
+
+def zipf_fit_sql(table: str = "documents", text_sql: str = "text",
+                 top: int = 100) -> str:
+    return f"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split(coalesce({text_sql}, ''), ' '),
+                x -> x <> '')) AS w
+  FROM {table}
+),
+counts AS (
+  SELECT w, count(*) AS c FROM words GROUP BY w
+  ORDER BY c DESC, w ASC LIMIT {top}
+),
+pts AS (
+  SELECT round(ln(CAST(row_number() OVER (ORDER BY c DESC, w ASC)
+                       AS DOUBLE)), 9) AS x,
+         round(ln(CAST(c AS DOUBLE)), 9) AS y
+  FROM counts
+),
+agg AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_words,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM agg
+"""
+
+
+def pareto_contribution(df: DataFrame, group_col: str,
+                        value_col: str) -> DataFrame:
+    """Contribution / Pareto analysis: per group, its exact integer
+    total of ``value_col``, share of the grand total, running
+    cumulative share in (total DESC, group ASC) order, and the
+    in_top80 flag (the '20% of sources carry 80% of bytes' readout).
+    One groupBy plus a |groups|-row window — the corpus shuffles
+    once."""
+    per = df.groupBy(group_col).agg(
+        F.sum(F.col(value_col).cast("long")).alias("total"))
+    grand = Window.partitionBy()
+    w = (Window.orderBy(F.desc("total"), F.asc(group_col))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return per.select(
+        group_col, F.col("total"),
+        F.round(F.col("total") / F.sum("total").over(grand), 6)
+        .alias("share"),
+        F.round(F.sum("total").over(w) / F.sum("total").over(grand), 6)
+        .alias("cum_share"),
+        ((F.sum("total").over(w) / F.sum("total").over(grand)) <= 0.8)
+        .alias("in_top80"))
+
+
+def pareto_contribution_sql(table: str, group_sql: str,
+                            value_sql: str) -> str:
+    return f"""
+WITH per AS (
+  SELECT {group_sql} AS g,
+         CAST(sum(CAST({value_sql} AS BIGINT)) AS BIGINT) AS total
+  FROM {table} GROUP BY 1
+)
+SELECT g AS {group_sql}, total,
+       round(total / CAST(sum(total) OVER () AS DOUBLE), 6) AS share,
+       round(sum(total) OVER w / CAST(sum(total) OVER () AS DOUBLE), 6)
+         AS cum_share,
+       (sum(total) OVER w / CAST(sum(total) OVER () AS DOUBLE)) <= 0.8
+         AS in_top80
+FROM per
+WINDOW w AS (ORDER BY total DESC, g ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""

@@ -1,0 +1,147 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+SIGMOD 2003 — the MOSS local fingerprinting algorithm; public method).
+
+Complements the dedup suite: strided span hashes (dedup_text.
+shared_span_stats) sample fixed offsets, MinHash (minhash_signatures)
+sketches global set similarity — winnowing gives the GUARANTEE both
+lack: any shared substring of length ≥ w + k − 1 produces at least one
+shared fingerprint, at an expected density of 2/(w+1) of the k-gram
+count. That bound is what makes it the standard plagiarism /
+quote-detection primitive.
+
+Spark-first shape:
+- k-grams and their hashes are pure column expressions (the md5-hex
+  trick from minhash_signatures: hex-string MIN is a valid portable
+  selection rule, identical in any engine with md5).
+- the per-window minimum is ONE window-function pass ordered by k-gram
+  position, frame ``ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING`` —
+  no self-join of positions. Ties inside a window break toward the
+  leftmost position via the (hash, pos) composite key, making the
+  fingerprint set deterministic (the paper's "rightmost" rule is
+  equally valid; one rule fixed globally is what matters).
+- distinct fingerprints per doc bound the index size; the cross-doc
+  pair join is fingerprint-keyed (the dedup equi-join shape) with a
+  hot-fingerprint cap documented by the caller at scale.
+
+At 100 TB: fingerprints are the only thing leaving the document scan
+(~2/(w+1) of tokens), the pair join buckets by fingerprint hash, and
+boilerplate fingerprints (df above a cap) should be dropped exactly
+like hot shingles in the PPJoin path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from distill_spark.operators.dedup_text import words_expr
+
+
+def _kgram_hashes(text_col, k: int):
+    """Array of (md5 hex of the k-word gram) per position, JVM-side."""
+    w = words_expr(text_col)
+    return F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 4,
+                        w: int = 4) -> DataFrame:
+    """Distinct winnowing fingerprints per document: (id, fp) where fp
+    is the minimum (hash, position) composite over every w-length
+    window of k-gram hashes. Output column ``fp`` is the bare md5 hex
+    (the position used for tie-breaking is stripped — two docs sharing
+    content share the HASH, not the position)."""
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(_kgram_hashes(F.col(text_col), k)).alias("pos", "h"),
+    )
+    # composite key: hash first, position as zero-padded suffix so the
+    # string MIN breaks hash ties toward the leftmost position
+    key = F.concat(F.col("h"), F.lit("@"),
+                   F.lpad(F.col("pos").cast("string"), 9, "0"))
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    picks = grams.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.min(key).over(win).alias("_pick"),
+        F.count("*").over(Window.partitionBy(id_col)).alias("_m"),
+    )
+    # only positions that START a full window emit a pick (the last
+    # w-1 positions' frames are truncated); short docs (< w k-grams)
+    # contribute their single truncated window at pos 0 so every doc
+    # with at least one k-gram has at least one fingerprint
+    full = picks.filter(
+        (F.col("pos") <= F.col("_m") - w) | (F.col("pos") == 0))
+    return (full
+            .select(F.col(id_col),
+                    F.substring("_pick", 1, 32).alias("fp"))
+            .distinct())
+
+
+def winnow_pairs(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", k: int = 4, w: int = 4,
+                 min_shared: int = 2, top: int = 50) -> DataFrame:
+    """Cross-document shared-fingerprint pairs: (doc_a, doc_b,
+    shared_fp) for pairs sharing ≥ ``min_shared`` fingerprints, top
+    ``top`` by (shared_fp DESC, doc_a, doc_b) — the quote/plagiarism
+    candidate list with the winnowing guarantee."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    a = fps.select(F.col(id_col).alias("doc_a"), "fp")
+    b = fps.select(F.col(id_col).alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("shared_fp"))
+        .filter(F.col("shared_fp") >= min_shared)
+        .orderBy(F.desc("shared_fp"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(top)
+    )
+
+
+def _kgrams_sql(table: str, id_sql: str, text_sql: str, k: int) -> str:
+    """(id, pos, h) rows of k-word-gram md5s — oracle twin of
+    _kgram_hashes (same split-on-space + empty-token filter)."""
+    words = (f"list_filter(string_split(coalesce({text_sql}, ''), ' '), "
+             f"x -> x <> '')")
+    return f"""
+  SELECT {id_sql} AS id, gs.i - 1 AS pos,
+         md5(array_to_string(ws[gs.i:gs.i + {k - 1}], ' ')) AS h
+  FROM (SELECT {id_sql}, {words} AS ws FROM {table}) t
+  CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws) - {k - 1} + 1)) AS i) gs
+  WHERE len(ws) >= {k}
+"""
+
+
+def winnow_pairs_sql(table: str = "documents", id_sql: str = "doc_id",
+                     text_sql: str = "text", k: int = 4, w: int = 4,
+                     min_shared: int = 2, top: int = 50) -> str:
+    grams = _kgrams_sql(table, id_sql, text_sql, k)
+    return f"""
+WITH grams AS MATERIALIZED ({grams}),
+picks AS MATERIALIZED (
+  SELECT id, pos,
+         min(h || '@' || lpad(CAST(pos AS VARCHAR), 9, '0'))
+           OVER (PARTITION BY id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS _pick,
+         count(*) OVER (PARTITION BY id) AS _m
+  FROM grams
+),
+fps AS MATERIALIZED (
+  SELECT DISTINCT id, substr(_pick, 1, 32) AS fp
+  FROM picks WHERE pos <= _m - {w} OR pos = 0
+)
+SELECT a.id AS doc_a, b.id AS doc_b,
+       CAST(count(*) AS BIGINT) AS shared_fp
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+ORDER BY shared_fp DESC, doc_a ASC, doc_b ASC
+LIMIT {top}
+"""
