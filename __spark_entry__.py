@@ -6541,6 +6541,641 @@ GROUP BY n_name
 # long-proven scalar/filter trivia (f3/f4/p3/w1/t1/a5/...) trails past
 # position 50, where it still runs in pytest/check_parity but no longer
 # crowds harder operators out of the official correctness window.
+# --------------------------------------------------------------- round-6b:
+# the remaining TPC-H query shapes, adapted to the driver's trimmed
+# schema (no partsupp/commitdate/receiptdate/shipmode/phone columns;
+# synthetic NATION_i names). Each keeps the canonical query's JOIN
+# topology and optimizer workout — EXISTS semi-joins, scalar
+# subqueries, correlated per-group thresholds, CASE pivots, outer
+# joins, HAVING-on-aggregate — expressed DataFrame-first.
+
+def q_tpch_q2_min_supply(spark, sf_dir):
+    """TPC-H Q2 shape (correlated min subquery): cheapest supplier
+    per part within one region. partsupp does not exist in this
+    schema, so the supply catalog derives from lineitem: unit price =
+    min(l_extendedprice / l_quantity) per (part, supplier) — one
+    groupBy proportional to |part×supplier| pairs actually traded.
+    The per-part regional minimum is a window min (no re-join), the
+    EUROPE dimension chain broadcasts, and the final top-20 sorts by
+    supplier balance like the reference query."""
+    t = _tables(spark, sf_dir)
+    eur = (t["supplier"]
+           .join(F.broadcast(t["nation"]),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .join(F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    supply = (t["lineitem"]
+              .groupBy("l_partkey", "l_suppkey")
+              .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                   .alias("unit_cost")))
+    parts = t["part"].filter((F.col("p_size") == 15)
+                             & (F.col("p_type") == "STANDARD"))
+    regional = supply.join(F.broadcast(eur),
+                           F.col("l_suppkey") == F.col("s_suppkey"))
+    w = Window.partitionBy("l_partkey")
+    best = (regional.withColumn("_min", F.min("unit_cost").over(w))
+            .filter(F.col("unit_cost") == F.col("_min")))
+    # the winning unit_cost itself stays internal: price/quantity
+    # ratios land on exact decimal half-ties where the two engines'
+    # double round() implementations disagree in the last digit; the
+    # min-equality filter compares the raw (identical) doubles, which
+    # is deterministic — only a rounded EMISSION would drift
+    return (best.join(parts, F.col("l_partkey") == F.col("p_partkey"))
+            .select(F.round("s_acctbal", 2).alias("s_acctbal"),
+                    "s_name", "n_name", F.col("p_partkey"))
+            .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_name"))
+            .limit(20))
+
+
+SQL_TPCH_Q2 = """
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+),
+eur AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+best AS (
+  SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name, unit_cost,
+         min(unit_cost) OVER (PARTITION BY l_partkey) AS _min
+  FROM supply JOIN eur ON l_suppkey = s_suppkey
+)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey
+FROM best JOIN part ON l_partkey = p_partkey
+WHERE unit_cost = _min AND p_size = 15 AND p_type = 'STANDARD'
+ORDER BY s_acctbal DESC, p_partkey ASC, s_name ASC
+LIMIT 20
+"""
+
+
+def q_tpch_q4_priority(spark, sf_dir):
+    """TPC-H Q4 shape (EXISTS semi-join): orders placed in 1996-Q1
+    with at least one line item shipped more than 30 days after the
+    order date, counted per priority. The semi-join carries the
+    shipdate-vs-orderdate predicate INTO the join condition so each
+    order tests existence without duplicating counts."""
+    t = _tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01")))
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li, (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 30),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND date_diff('day', o_orderdate, l_shipdate) > 30)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_tpch_q6_forecast(spark, sf_dir):
+    """TPC-H Q6 (verbatim): single-row revenue-change forecast. All
+    three predicates push to the parquet scan; the aggregation is one
+    partial-combine reduce with no shuffle key — the cheapest query
+    in the suite at any scale."""
+    t = _tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    return li.agg(_exact_sum(
+        F.col("l_extendedprice") * F.col("l_discount"), 2).alias("revenue"))
+
+
+SQL_TPCH_Q6 = f"""
+SELECT {_EXACT_SUM_SQL.format(c='l_extendedprice * l_discount', s=2)}
+         AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_tpch_q7_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral shipping volume between two nations
+    by year. The lineitem fact joins its supplier nation AND (via
+    orders) its customer nation; both dimension chains broadcast, so
+    the fact table shuffles once for the final 3-key aggregation."""
+    t = _tables(spark, sf_dir)
+    n1, n2 = "NATION_1", "NATION_2"
+    supp = (t["supplier"]
+            .join(F.broadcast(t["nation"]),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust = (t["customer"]
+            .join(F.broadcast(t["nation"]),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    return (t["lineitem"]
+            .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .filter(((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+                    | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1)))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("int").alias("l_year"))
+            .agg(_exact_sum(F.col("l_extendedprice")
+                            * (1.0 - F.col("l_discount")), 2).alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+SQL_TPCH_Q7 = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       {_EXACT_SUM_SQL.format(c='l_extendedprice * (1.0 - l_discount)', s=2)}
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q_tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one supplier nation's market share of ECONOMY
+    parts sold to ASIA-region customers, by year. Share = conditional
+    decimal sum / total decimal sum — both aggregates come out of the
+    SAME single groupBy pass (no second scan), then divide as
+    doubles."""
+    t = _tables(spark, sf_dir)
+    vol = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    asia_cust = (t["customer"]
+                 .join(F.broadcast(t["nation"]),
+                       F.col("c_nationkey") == F.col("n_nationkey"))
+                 .join(F.broadcast(t["region"]
+                                   .filter(F.col("r_name") == "ASIA")),
+                       F.col("n_regionkey") == F.col("r_regionkey"))
+                 .select("c_custkey"))
+    supp = (t["supplier"]
+            .join(F.broadcast(t["nation"]),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                .otherwise(F.lit(0.0)).cast("decimal(20,10)")).cast("double")
+    den = F.sum(vol.cast("decimal(20,10)")).cast("double")
+    return (t["lineitem"]
+            .join(t["part"].filter(F.col("p_type") == "ECONOMY")
+                  .select("p_partkey"),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(F.round(num / den, 6).alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+SQL_TPCH_Q8 = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(
+         CAST(sum(CAST(CASE WHEN sn.n_name = 'NATION_3'
+                       THEN l_extendedprice * (1.0 - l_discount)
+                       ELSE 0.0 END AS DECIMAL(20,10))) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(20,10))) AS DOUBLE), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_type = 'ECONOMY'
+  AND EXISTS (SELECT 1 FROM customer
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+              JOIN region ON cn.n_regionkey = r_regionkey
+              WHERE c_custkey = o_custkey AND r_name = 'ASIA')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_tpch_q9_profit(spark, sf_dir):
+    """TPC-H Q9 shape: product-line profit by supplier nation and
+    year. ps_supplycost does not exist, so cost is proxied as 10% of
+    p_retailprice per unit — the aggregate keeps Q9's join topology
+    (part-name filter, fivefold join, two-key rollup)."""
+    t = _tables(spark, sf_dir)
+    amount = (F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+              - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity"))
+    supp = (t["supplier"]
+            .join(F.broadcast(t["nation"]),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("nation")))
+    return (t["lineitem"]
+            .join(t["part"].filter(F.col("p_name").like("%bolt%"))
+                  .select("p_partkey", "p_retailprice"),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .join(t["orders"].select("o_orderkey", "o_orderdate"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("nation",
+                     F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(_exact_sum(amount, 2).alias("sum_profit"))
+            .orderBy("nation", F.desc("o_year")))
+
+
+SQL_TPCH_Q9 = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       {_EXACT_SUM_SQL.format(
+           c='l_extendedprice * (1.0 - l_discount) '
+             '- 0.1 * p_retailprice * l_quantity', s=2)} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+
+def q_tpch_q12_latency(spark, sf_dir):
+    """TPC-H Q12 shape (CASE pivot): line items bucketed by shipping
+    latency (slow = shipped >60 days after ordering), counting
+    critical-priority vs other orders in each bucket — the classic
+    conditional-count pivot, one join + one 2-group shuffle."""
+    t = _tables(spark, sf_dir)
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60,
+        F.lit("slow")).otherwise(F.lit("fast"))
+    return (t["lineitem"]
+            .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(F.year("l_shipdate") == 1997)
+            .groupBy(bucket.alias("ship_bucket"))
+            .agg(F.sum(crit.cast("long")).alias("high_line_count"),
+                 F.sum((~crit).cast("long")).alias("low_line_count"))
+            .orderBy("ship_bucket"))
+
+
+SQL_TPCH_Q12 = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+            THEN 'slow' ELSE 'fast' END AS ship_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE year(l_shipdate) = 1997
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_tpch_q13_order_counts(spark, sf_dir):
+    """TPC-H Q13 shape (outer join + double aggregation): the
+    distribution of customers by how many qualifying orders they
+    placed — LEFT join keeps zero-order customers, count(o_orderkey)
+    counts only matches, then a second small aggregation histograms
+    the counts."""
+    t = _tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED")
+    per_cust = (t["customer"]
+                .join(orders, F.col("c_custkey") == F.col("o_custkey"),
+                      "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+SQL_TPCH_Q13 = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q14_promo(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share for one month —
+    conditional and total decimal sums in one pass, divided as
+    doubles for the percentage."""
+    t = _tables(spark, sf_dir)
+    disc = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    num = F.sum(F.when(F.col("p_type") == "PROMO", disc)
+                .otherwise(F.lit(0.0)).cast("decimal(20,10)")).cast("double")
+    den = F.sum(disc.cast("decimal(20,10)")).cast("double")
+    return (t["lineitem"]
+            .filter((F.col("l_shipdate") >= F.lit("1997-09-01"))
+                    & (F.col("l_shipdate") < F.lit("1997-10-01")))
+            .join(t["part"].select("p_partkey", "p_type"),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .agg(F.round(F.lit(100.0) * num / den, 6).alias("promo_revenue")))
+
+
+SQL_TPCH_Q14 = """
+SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                  THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+                  AS DECIMAL(20,10))) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(20,10))) AS DOUBLE), 6)
+         AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
+def q_tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (view + scalar max): supplier(s) achieving the
+    maximum half-year revenue. The revenue \"view\" is one groupBy;
+    the max is a one-row aggregate of the per-supplier table
+    broadcast back as a filter (NOT an unpartitioned window, which
+    would drag every supplier row to a single partition) — ties all
+    surface, as in the reference query."""
+    t = _tables(spark, sf_dir)
+    rev = (t["lineitem"]
+           .filter((F.col("l_shipdate") >= F.lit("1997-01-01"))
+                   & (F.col("l_shipdate") < F.lit("1997-07-01")))
+           .groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(_exact_sum(F.col("l_extendedprice")
+                           * (1.0 - F.col("l_discount")), 2)
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("_max"))
+    best = (rev.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_revenue") == F.col("_max")))
+    return (best.join(t["supplier"],
+                      F.col("supplier_no") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey"))
+
+
+SQL_TPCH_Q15 = f"""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         {_EXACT_SUM_SQL.format(
+             c='l_extendedprice * (1.0 - l_discount)', s=2)}
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-07-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q16_part_suppliers(spark, sf_dir):
+    """TPC-H Q16 shape (distinct-count with NOT-IN exclusion): how
+    many distinct suppliers serve each (brand, type, size) part
+    class, excluding PROMO parts and negative-balance suppliers. The
+    supplier exclusion list broadcasts as an anti-join; the distinct
+    count shuffles once on the 3-part key."""
+    t = _tables(spark, sf_dir)
+    bad_supp = t["supplier"].filter(F.col("s_acctbal") < 0) \
+        .select("s_suppkey")
+    pairs = (t["lineitem"].select("l_partkey", "l_suppkey")
+             .join(F.broadcast(bad_supp),
+                   F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+             .join(t["part"].filter(F.col("p_type") != "PROMO"),
+                   F.col("l_partkey") == F.col("p_partkey")))
+    return (pairs.groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+            .limit(20))
+
+
+SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 20
+"""
+
+
+def q_tpch_q17_small_qty(spark, sf_dir):
+    """TPC-H Q17 shape (correlated per-group threshold): revenue
+    from small-quantity line items of one brand — quantity below half
+    the part's own average. The per-part average is a groupBy the
+    size of the part dimension (re-joined, never a correlated
+    re-scan); the threshold compares in exact-decimal-derived
+    doubles so both engines cut identically."""
+    t = _tables(spark, sf_dir)
+    brand_parts = t["part"].filter(F.col("p_brand") == "Brand#1") \
+        .select("p_partkey")
+    li = t["lineitem"].join(brand_parts,
+                            F.col("l_partkey") == F.col("p_partkey"),
+                            "left_semi")
+    avg_qty = (li.groupBy(F.col("l_partkey").alias("_pk"))
+               .agg((F.sum(F.col("l_quantity").cast("decimal(20,10)"))
+                     .cast("double") / F.count("*")).alias("_avg")))
+    return (li.join(avg_qty, F.col("l_partkey") == F.col("_pk"))
+            .filter(F.col("l_quantity") < 0.5 * F.col("_avg"))
+            .agg(F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(20,10)"))
+                .cast("double") / 7.0, 2).alias("avg_yearly")))
+
+
+SQL_TPCH_Q17 = """
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')
+),
+avg_qty AS (
+  SELECT l_partkey AS _pk,
+         CAST(sum(CAST(l_quantity AS DECIMAL(20,10))) AS DOUBLE)
+           / count(*) AS _avg
+  FROM li GROUP BY 1
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,10))) AS DOUBLE)
+             / 7.0, 2) AS avg_yearly
+FROM li JOIN avg_qty ON l_partkey = _pk
+WHERE l_quantity < 0.5 * _avg
+"""
+
+
+def q_tpch_q19_bracket(spark, sf_dir):
+    """TPC-H Q19 shape (disjunctive multi-bracket predicate): revenue
+    from three OR'd brand/size/quantity brackets. The whole predicate
+    is a single scan filter — Catalyst pushes the shared p-join and
+    evaluates the disjunction without a union of three scans."""
+    t = _tables(spark, sf_dir)
+    j = t["lineitem"].join(
+        t["part"].select("p_partkey", "p_brand", "p_size"),
+        F.col("l_partkey") == F.col("p_partkey"))
+    b1 = ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 5))
+          & (F.col("l_quantity").between(1, 11)))
+    b2 = ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 10))
+          & (F.col("l_quantity").between(10, 20)))
+    b3 = ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 15))
+          & (F.col("l_quantity").between(20, 30)))
+    return (j.filter(b1 | b2 | b3)
+            .agg(_exact_sum(F.col("l_extendedprice")
+                            * (1.0 - F.col("l_discount")), 2)
+                 .alias("revenue")))
+
+
+SQL_TPCH_Q19 = f"""
+SELECT {_EXACT_SUM_SQL.format(
+    c='l_extendedprice * (1.0 - l_discount)', s=2)} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_tpch_q22_idle_value(spark, sf_dir):
+    """TPC-H Q22 shape (scalar subquery + NOT EXISTS): wealthy
+    customers with no order in the trailing year, rolled up by
+    nation (every customer in this dataset has SOME order, so the
+    lapse predicate replaces the reference's no-order test while
+    keeping the anti-join + scalar-threshold topology). The
+    above-average threshold is a one-row aggregate broadcast into the
+    filter; the recency test is an anti-join on the filtered order
+    log."""
+    t = _tables(spark, sf_dir)
+    avg_bal = (t["customer"].filter(F.col("c_acctbal") > 0)
+               .agg((F.sum(F.col("c_acctbal").cast("decimal(20,10)"))
+                     .cast("double") / F.count("*")).alias("_avg")))
+    recent = (t["orders"]
+              .filter(F.col("o_orderdate") >= F.lit("2000-08-01"))
+              .select("o_custkey"))
+    idle = (t["customer"]
+            .join(recent,
+                  F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+            .crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("_avg")))
+    return (idle.join(F.broadcast(t["nation"]),
+                      F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count("*").alias("numcust"),
+                 _exact_sum(F.col("c_acctbal"), 2).alias("totacctbal"))
+            .orderBy("nation"))
+
+
+SQL_TPCH_Q22 = f"""
+SELECT n_name AS nation, count(*) AS numcust,
+       {_EXACT_SUM_SQL.format(c='c_acctbal', s=2)} AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(20,10)))
+                               AS DOUBLE) / count(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-08-01')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ------------------------------------------------- round-6b: analytics ops
+
+def q_dedup_editdistance(spark, sf_dir):
+    """Fuzzy dedup: shingle-blocked Levenshtein pairs over documents
+    (see operators/dedup_text.edit_distance_pairs for the scale
+    argument — candidates from a shingle join, the O(len²) DP only on
+    candidates)."""
+    from distill_spark.operators.dedup_text import edit_distance_pairs
+
+    t = _tables(spark, sf_dir)
+    return (edit_distance_pairs(t["documents"]).orderBy("i", "j"))
+
+
+def _sql_editdist():
+    from distill_spark.operators.dedup_text import edit_distance_pairs_sql
+    return edit_distance_pairs_sql() + " ORDER BY i, j"
+
+
+def q_link_adamic_adar(spark, sf_dir):
+    """Link prediction: Adamic–Adar scores between suppliers sharing
+    traded parts (bipartite supplier—part graph from lineitem). The
+    wedge join is keyed on the shared part — arboricity-bounded, like
+    triangle counting, never an N² supplier pair join."""
+    from distill_spark.graph import adamic_adar
+
+    t = _tables(spark, sf_dir)
+    edges = t["lineitem"].select(F.col("l_suppkey").alias("src"),
+                                 F.col("l_partkey").alias("dst"))
+    return (adamic_adar(edges, min_score=3.0)
+            .select(F.col("u").cast("long").alias("u"),
+                    F.col("v").cast("long").alias("v"),
+                    "common", "aa_score")
+            .orderBy("u", "v"))
+
+
+def _sql_adamic_adar():
+    from distill_spark.graph import adamic_adar_sql
+    inner = adamic_adar_sql(
+        "SELECT l_suppkey AS src, l_partkey AS dst FROM lineitem",
+        min_score=3.0)
+    return (f"SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, "
+            f"common, aa_score FROM ({inner}) ORDER BY u, v")
+
+
+def q_cusum_drift(spark, sf_dir):
+    """Changepoint scan: per-series CUSUM max excursion + peak
+    position over the event stream (operators/timeseries.cusum_drift:
+    one window pass per series, decimal-exact running sum)."""
+    from distill_spark.operators.timeseries import cusum_drift
+
+    t = _tables(spark, sf_dir)
+    return cusum_drift(t["events"]).orderBy("series")
+
+
+def _sql_cusum():
+    from distill_spark.operators.timeseries import cusum_drift_sql
+    return cusum_drift_sql() + " ORDER BY series"
+
+
+def q_seasonal_residuals(spark, sf_dir):
+    """Season-adjusted anomalies: top-20 events by |z| against their
+    (series, hour-of-day) seasonal cell
+    (operators/anomaly.seasonal_residuals: broadcast profile join,
+    no corpus shuffle)."""
+    from distill_spark.operators.anomaly import seasonal_residuals
+
+    t = _tables(spark, sf_dir)
+    return seasonal_residuals(t["events"])
+
+
+def _sql_seasonal():
+    from distill_spark.operators.anomaly import seasonal_residuals_sql
+    return seasonal_residuals_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # -- round-6 additions (never driver-gated -> lead the window) ----------
     "tpch_q1_pricing": (q_tpch_q1_pricing, SQL_TPCH_Q1),
@@ -6748,15 +7383,45 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a2_kmeans_contract": (q_a2_kmeans_contract, SQL_A2C),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "st5_cache_boundary": (q_st5_cache_boundary, SQL_ST5),
+    # -- round-6b additions (oracled, awaiting a freed window slot;
+    # every member is listed in _PENDING_PROMOTION below) ------------------
+    "tpch_q2_min_supply": (q_tpch_q2_min_supply, SQL_TPCH_Q2),
+    "tpch_q4_priority": (q_tpch_q4_priority, SQL_TPCH_Q4),
+    "tpch_q6_forecast": (q_tpch_q6_forecast, SQL_TPCH_Q6),
+    "tpch_q7_volume": (q_tpch_q7_volume, SQL_TPCH_Q7),
+    "tpch_q8_market_share": (q_tpch_q8_market_share, SQL_TPCH_Q8),
+    "tpch_q9_profit": (q_tpch_q9_profit, SQL_TPCH_Q9),
+    "tpch_q12_latency": (q_tpch_q12_latency, SQL_TPCH_Q12),
+    "tpch_q13_order_counts": (q_tpch_q13_order_counts, SQL_TPCH_Q13),
+    "tpch_q14_promo": (q_tpch_q14_promo, SQL_TPCH_Q14),
+    "tpch_q15_top_supplier": (q_tpch_q15_top_supplier, SQL_TPCH_Q15),
+    "tpch_q16_part_suppliers": (q_tpch_q16_part_suppliers, SQL_TPCH_Q16),
+    "tpch_q17_small_qty": (q_tpch_q17_small_qty, SQL_TPCH_Q17),
+    "tpch_q19_bracket": (q_tpch_q19_bracket, SQL_TPCH_Q19),
+    "tpch_q22_idle_value": (q_tpch_q22_idle_value, SQL_TPCH_Q22),
+    "dedup_editdistance": (q_dedup_editdistance, _sql_editdist()),
+    "link_adamic_adar": (q_link_adamic_adar, _sql_adamic_adar()),
+    "cusum_drift": (q_cusum_drift, _sql_cusum()),
+    "seasonal_residuals": (q_seasonal_residuals, _sql_seasonal()),
 }
 
 # The explicit promotion queue: every member must be oracled, sit past
 # the driver window, and not already be driver-green (else it should
 # leave the queue). tests/test_registry_gate.py enforces all three +
 # that nothing ELSE is hiding past the window unevidenced.
-# Round 6: EMPTY — the 25 round-5c members were promoted into the
-# window when CORRECTNESS_r05 evidenced every prior slot.
-_PENDING_PROMOTION: frozenset[str] = frozenset()
+# Round 6: holds the round-6b additions — the window's 50 slots all
+# carry round-6a queries still awaiting CORRECTNESS_r6 evidence, so
+# these queue behind them (tests/test_pending_parity.py oracle-checks
+# every member at sf0.001 each suite run until promotion).
+_PENDING_PROMOTION: frozenset[str] = frozenset({
+    "tpch_q2_min_supply", "tpch_q4_priority", "tpch_q6_forecast",
+    "tpch_q7_volume", "tpch_q8_market_share", "tpch_q9_profit",
+    "tpch_q12_latency", "tpch_q13_order_counts", "tpch_q14_promo",
+    "tpch_q15_top_supplier", "tpch_q16_part_suppliers",
+    "tpch_q17_small_qty", "tpch_q19_bracket", "tpch_q22_idle_value",
+    "dedup_editdistance", "link_adamic_adar", "cusum_drift",
+    "seasonal_residuals",
+})
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -167,3 +167,76 @@ SELECT t.*, round(0.6745 * ({value_sql} - _med) / _mad, 6) AS robust_z
 FROM {table} t JOIN mad USING ({group_sql})
 WHERE _mad > 0
   AND abs(round(0.6745 * ({value_sql} - _med) / _mad, 6)) >= {threshold}"""
+
+
+def seasonal_residuals(events: DataFrame, key_col: str = "event_type",
+                       ts_col: str = "ts", value_col: str = "value",
+                       id_col: str = "event_id",
+                       top_k: int = 20) -> DataFrame:
+    """Season-adjusted outliers: remove the (series, hour-of-day)
+    seasonal mean, z-score the residual against the seasonal cell's
+    own spread, keep the top-k most anomalous rows.
+
+    One groupBy builds the seasonal profile (|series|×24 rows —
+    broadcast-sized at any corpus scale); the corpus joins against it
+    without shuffling. Variance comes from exact decimal sums
+    (n·Σx² − (Σx)² form) so the z-scores hash identically across
+    engines; cells with fewer than 3 rows or zero variance are
+    excluded rather than emitting infinities.
+    """
+    hr = F.hour(F.col(ts_col))
+    v = F.col(value_col).cast("decimal(20,10)")
+    prof = (events.groupBy(F.col(key_col).alias("k"), hr.alias("h"))
+            .agg(F.count("*").alias("_n"),
+                 F.sum(v).alias("_s"),
+                 F.sum((v * v).cast("decimal(30,10)")).alias("_s2"))
+            .filter(F.col("_n") >= 3))
+    var = ((F.col("_s2").cast("double")
+            - F.col("_s").cast("double") * F.col("_s").cast("double")
+            / F.col("_n")) / (F.col("_n") - 1))
+    mean = F.col("_s").cast("double") / F.col("_n")
+    scored = (events.join(F.broadcast(prof),
+                          (F.col(key_col) == F.col("k")) & (hr == F.col("h")))
+              .withColumn("_mu", mean).withColumn("_var", var)
+              .filter(F.col("_var") > 0)
+              .withColumn("z", F.round((F.col(value_col) - F.col("_mu"))
+                                       / F.sqrt(F.col("_var")), 6)))
+    return (scored.select(F.col(id_col), F.col(key_col).alias("series"),
+                          F.col("h").cast("int").alias("hour"),
+                          F.round(value_col, 4).alias("value"),
+                          F.round("_mu", 6).alias("seasonal_mean"), "z")
+            .orderBy(F.abs(F.col("z")).desc(), F.col(id_col))
+            .limit(top_k))
+
+
+def seasonal_residuals_sql(table: str = "events",
+                           key_sql: str = "event_type", ts_sql: str = "ts",
+                           value_sql: str = "value",
+                           id_sql: str = "event_id",
+                           top_k: int = 20) -> str:
+    """Oracle twin of :func:`seasonal_residuals`."""
+    return f"""
+WITH prof AS (
+  SELECT {key_sql} AS k, hour({ts_sql}) AS h, count(*) AS _n,
+         sum(CAST({value_sql} AS DECIMAL(20,10))) AS _s,
+         sum(CAST(CAST({value_sql} AS DECIMAL(20,10))
+                  * CAST({value_sql} AS DECIMAL(20,10))
+                  AS DECIMAL(30,10))) AS _s2
+  FROM {table} GROUP BY 1, 2 HAVING count(*) >= 3
+),
+scored AS (
+  SELECT {id_sql} AS {id_sql}, {key_sql} AS series,
+         CAST(h AS INTEGER) AS hour,
+         round({value_sql}, 4) AS value,
+         round(CAST(_s AS DOUBLE) / _n, 6) AS seasonal_mean,
+         round(({value_sql} - CAST(_s AS DOUBLE) / _n)
+               / sqrt((CAST(_s2 AS DOUBLE)
+                       - CAST(_s AS DOUBLE) * CAST(_s AS DOUBLE) / _n)
+                      / (_n - 1)), 6) AS z
+  FROM {table} JOIN prof
+    ON {key_sql} = k AND hour({ts_sql}) = h
+  WHERE (CAST(_s2 AS DOUBLE)
+         - CAST(_s AS DOUBLE) * CAST(_s AS DOUBLE) / _n) / (_n - 1) > 0
+)
+SELECT * FROM scored ORDER BY abs(z) DESC, {id_sql} LIMIT {top_k}
+"""

@@ -528,3 +528,79 @@ def minhash_pr_curve(df: DataFrame, thresholds: list[float],
         F.round("t", 2).alias("threshold"), "tp", "fp", "fn",
         F.round(prec, 6).alias("precision"), F.round(rec, 6).alias("recall"),
     )
+
+
+def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", shingle_n: int = 5,
+                        rel_threshold: float = 0.25) -> DataFrame:
+    """Fuzzy dedup by edit distance with shingle blocking.
+
+    Levenshtein is the classic fuzzy-match similarity but is O(len²)
+    per pair — an all-pairs application is quadratic in BOTH the
+    corpus and the text length. The scale shape is candidate
+    generation first: any pair within a small relative edit distance
+    must share at least one long word shingle (an edit that destroys
+    every ``shingle_n``-gram needs ≥ len/shingle_n edits), so block
+    on distinct ``shingle_n``-word shingles (one shuffle on the
+    shingle key, same candidate topology as the Jaccard/minhash
+    routes), then run the expensive JVM ``levenshtein`` ONLY on the
+    blocked candidates. Corpus never self-joins; candidate count is
+    bounded by shingle-frequency, not N².
+
+    Emits (i, j, dist, rel_sim) for pairs whose distance is within
+    ``rel_threshold`` of the longer text's length, rel_sim = 1 -
+    dist/maxlen rounded to 6.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("sh"))
+    cand = (sh.alias("a").join(sh.alias("b"), "sh")
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("i"), F.col("b._id").alias("j"))
+            .distinct())
+    left = df.select(F.col(id_col).alias("i"),
+                     F.col(text_col).alias("_ta"))
+    right = df.select(F.col(id_col).alias("j"),
+                      F.col(text_col).alias("_tb"))
+    dist = F.levenshtein("_ta", "_tb")
+    maxlen = F.greatest(F.length("_ta"), F.length("_tb"))
+    return (cand.join(left, "i").join(right, "j")
+            .withColumn("dist", dist.cast("long"))
+            .filter(F.col("dist")
+                    <= F.floor(F.lit(rel_threshold) * maxlen))
+            .select("i", "j", "dist",
+                    F.round(F.lit(1.0) - F.col("dist") / maxlen, 6)
+                    .alias("rel_sim")))
+
+
+def edit_distance_pairs_sql(table: str = "documents",
+                            id_sql: str = "doc_id", text_sql: str = "text",
+                            shingle_n: int = 5,
+                            rel_threshold: float = 0.25) -> str:
+    """Oracle twin of :func:`edit_distance_pairs` (DuckDB
+    ``levenshtein`` is the same standard DP distance)."""
+    return f"""
+WITH toks AS (
+  SELECT {id_sql} AS _id, {text_sql} AS _t,
+         list_filter(string_split({text_sql}, ' '), x -> x <> '') AS w
+  FROM {table}
+),
+sh AS (
+  SELECT _id, list_aggregate(w[i:i+{shingle_n - 1}], 'string_agg', ' ') AS s
+  FROM toks, UNNEST(range(1, len(w) - {shingle_n - 2})) AS t(i)
+  WHERE len(w) >= {shingle_n}
+),
+cand AS (
+  SELECT DISTINCT a._id AS i, b._id AS j
+  FROM sh a JOIN sh b ON a.s = b.s AND a._id < b._id
+)
+SELECT i, j, CAST(levenshtein(x._t, y._t) AS BIGINT) AS dist,
+       round(1.0 - levenshtein(x._t, y._t)
+             / CAST(greatest(length(x._t), length(y._t)) AS DOUBLE), 6)
+         AS rel_sim
+FROM cand
+JOIN toks x ON x._id = cand.i
+JOIN toks y ON y._id = cand.j
+WHERE levenshtein(x._t, y._t)
+      <= floor({rel_threshold} * greatest(length(x._t), length(y._t)))
+"""

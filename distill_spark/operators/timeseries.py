@@ -375,3 +375,77 @@ SELECT cat, week, CAST(n AS BIGINT) AS n,
 FROM per
 WINDOW w AS (PARTITION BY cat ORDER BY week)
 """
+
+
+def cusum_drift(events: DataFrame, key_col: str = "event_type",
+                ts_col: str = "ts", value_col: str = "value",
+                order_col: str = "event_id") -> DataFrame:
+    """Changepoint signal per series: CUSUM of (value − series mean),
+    reporting the maximum absolute excursion and where it peaks.
+
+    The running sum is a single window pass per series (one shuffle
+    on the key); the per-series mean joins back as a broadcast (one
+    row per key). Drift accumulates in DECIMAL so the cumulative sum
+    is exact and order-independent within the deterministic
+    (ts, order_col) frame — a float cumsum would drift differently
+    under Spark's partial aggregation vs a sequential engine. A large
+    |max_drift| relative to the series scale marks a sustained mean
+    shift (the CUSUM changepoint statistic); its position localizes
+    the change.
+    """
+    mean = (events.groupBy(F.col(key_col).alias("k"))
+            .agg((F.sum(F.col(value_col).cast("decimal(20,10)"))
+                  / F.count("*")).alias("_mu")))
+    w = (Window.partitionBy(key_col)
+         .orderBy(ts_col, order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    drift = F.sum((F.col(value_col).cast("decimal(20,10)") - F.col("_mu"))
+                  .cast("decimal(24,10)")).over(w)
+    per_row = (events.join(F.broadcast(mean),
+                           F.col(key_col) == F.col("k"))
+               .withColumn("_drift", drift))
+    return (per_row.groupBy(F.col(key_col).alias("series"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.max(F.abs(F.col("_drift"))).cast("double"), 4)
+                 .alias("max_drift"),
+                 F.max(F.struct(F.abs(F.col("_drift")).alias("a"),
+                                F.col(order_col).alias("at_id")))["at_id"]
+                 .cast("long").alias("peak_event_id")))
+
+
+def cusum_drift_sql(table: str = "events", key_sql: str = "event_type",
+                    ts_sql: str = "ts", value_sql: str = "value",
+                    order_sql: str = "event_id") -> str:
+    """Oracle twin of :func:`cusum_drift` — same decimal cumsum and
+    struct-max peak localization."""
+    return f"""
+WITH mu AS (
+  SELECT {key_sql} AS k,
+         sum(CAST({value_sql} AS DECIMAL(20,10))) / count(*) AS _mu
+  FROM {table} GROUP BY 1
+),
+d AS (
+  SELECT {key_sql} AS series, {order_sql} AS oid,
+         sum(CAST(CAST({value_sql} AS DECIMAL(20,10)) - _mu
+                  AS DECIMAL(24,10)))
+           OVER (PARTITION BY {key_sql} ORDER BY {ts_sql}, {order_sql}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS _drift
+  FROM {table} JOIN mu ON {key_sql} = k
+),
+agg AS (
+  SELECT series, count(*) AS n,
+         round(CAST(max(abs(_drift)) AS DOUBLE), 4) AS max_drift
+  FROM d GROUP BY series
+),
+peak AS (
+  SELECT series, oid FROM (
+    SELECT series, oid,
+           row_number() OVER (PARTITION BY series
+                              ORDER BY abs(_drift) DESC, oid DESC) AS rn
+    FROM d) WHERE rn = 1
+)
+SELECT agg.series AS series, n, max_drift,
+       CAST(oid AS BIGINT) AS peak_event_id
+FROM agg JOIN peak ON agg.series = peak.series
+"""

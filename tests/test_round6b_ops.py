@@ -1,0 +1,132 @@
+"""Round-6b operators: shingle-blocked edit-distance dedup,
+Adamic–Adar link prediction, CUSUM changepoint drift, seasonal
+residual anomalies. Each test pins hand-computed expectations on a
+tiny fixture (the sf-data oracle parity is covered separately by
+tests/test_pending_parity.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_edit_distance_pairs_blocks_and_verifies(spark):
+    from distill_spark.operators.dedup_text import edit_distance_pairs
+
+    rows = [
+        # near-dup pair: one word substituted in 8 words -> share
+        # plenty of 5-shingles, small distance
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox leaps over the lazy dog tonight"),
+        # unrelated doc: no shared 5-shingle -> never a candidate
+        (3, "completely different text with no overlap whatsoever here"),
+        # identical pair -> distance 0, rel_sim 1
+        (4, "alpha beta gamma delta epsilon zeta eta theta"),
+        (5, "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.i, r.j): (r.dist, r.rel_sim)
+           for r in edit_distance_pairs(df).collect()}
+    assert (4, 5) in got and got[(4, 5)] == (0, 1.0)
+    assert (1, 2) in got
+    dist, rel = got[(1, 2)]
+    assert dist == 3  # jumps -> leaps: j->l, u->e, m->a
+    assert all(3 not in pair for pair in got)
+    # every emitted pair is within the relative threshold
+    assert all(r >= 0.75 for _, r in got.values())
+
+
+def test_edit_distance_known_levenshtein(spark):
+    """Pin the distance against a hand-checked value so a Spark
+    levenshtein semantics change cannot slip through."""
+    from distill_spark.operators.dedup_text import edit_distance_pairs
+
+    a = "aa bb cc dd ee ff"
+    b = "aa bb cc dd ee fx"  # one substitution
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    [row] = edit_distance_pairs(df, shingle_n=3).collect()
+    assert (row.i, row.j, row.dist) == (1, 2, 1)
+    assert abs(row.rel_sim - (1.0 - 1.0 / 17)) < 1e-6
+
+
+def test_adamic_adar_hand_computed(spark):
+    from distill_spark.graph import adamic_adar
+
+    # bipartite: u1,u2 share n1 (deg 3) and n2 (deg 2); u3 only on n1
+    edges = [(u, n) for u, n in [
+        ("u1", "n1"), ("u2", "n1"), ("u3", "n1"),
+        ("u1", "n2"), ("u2", "n2"),
+        ("u1", "n3"),  # deg-1 neighbor contributes nothing
+    ]]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r.u, r.v): (r.common, r.aa_score)
+           for r in adamic_adar(df).collect()}
+    expect_12 = round(1 / math.log(3) + 1 / math.log(2), 6)
+    expect_13 = round(1 / math.log(3), 6)
+    assert got[("u1", "u2")] == (2, expect_12)
+    assert got[("u1", "u3")] == (1, expect_13)
+    assert got[("u2", "u3")] == (1, expect_13)
+    assert len(got) == 3
+
+
+def test_adamic_adar_dedups_multi_edges(spark):
+    from distill_spark.graph import adamic_adar
+
+    # duplicate edges must not inflate degree or common counts
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "x"), ("b", "x")],
+        "src string, dst string")
+    [row] = adamic_adar(df).collect()
+    assert (row.u, row.v, row.common) == ("a", "b", 1)
+    assert row.aa_score == round(1 / math.log(2), 6)
+
+
+def test_cusum_drift_detects_mean_shift(spark):
+    from distill_spark.operators.timeseries import cusum_drift
+
+    # series with mean shift halfway: first 4 at 0, last 4 at 10 ->
+    # mean 5, cusum dips to -20 at the 4th row then returns to 0
+    rows = [("s", f"2024-01-01 00:0{i}:00", float(v), i) for i, v in
+            enumerate([0, 0, 0, 0, 10, 10, 10, 10])]
+    df = (spark.createDataFrame(
+        rows, "event_type string, ts string, value double, event_id long")
+        .withColumn("ts", F.to_timestamp("ts")))
+    [row] = cusum_drift(df).collect()
+    assert row.series == "s" and row.n == 8
+    assert row.max_drift == 20.0
+    assert row.peak_event_id == 3  # excursion peaks at the last low row
+
+
+def test_cusum_flat_series_has_zero_drift(spark):
+    from distill_spark.operators.timeseries import cusum_drift
+
+    rows = [("s", f"2024-01-01 00:0{i}:00", 7.0, i) for i in range(5)]
+    df = (spark.createDataFrame(
+        rows, "event_type string, ts string, value double, event_id long")
+        .withColumn("ts", F.to_timestamp("ts")))
+    [row] = cusum_drift(df).collect()
+    assert row.max_drift == 0.0
+
+
+def test_seasonal_residuals_flags_the_outlier(spark):
+    from distill_spark.operators.anomaly import seasonal_residuals
+
+    # hour-10 cell: values 1,1,1,1,100 -> the 100 dominates |z|;
+    # hour-11 cell has <3 rows -> excluded entirely
+    rows = ([("a", f"2024-01-0{d} 10:00:00", v, i)
+             for i, (d, v) in enumerate([(1, 1.0), (2, 1.0), (3, 1.0),
+                                         (4, 1.0), (5, 100.0)])]
+            + [("a", "2024-01-01 11:00:00", 5.0, 90),
+               ("a", "2024-01-02 11:00:00", 6.0, 91)])
+    df = (spark.createDataFrame(
+        rows, "event_type string, ts string, value double, event_id long")
+        .withColumn("ts", F.to_timestamp("ts")))
+    got = seasonal_residuals(df, top_k=10).collect()
+    ids = [r.event_id for r in got]
+    assert 90 not in ids and 91 not in ids
+    assert got[0].event_id == 4 and got[0].hour == 10
+    # z of the spike: (100 - 20.8)/sqrt(var); var of [1,1,1,1,100]
+    mean = 20.8
+    var = sum((v - mean) ** 2 for v in [1, 1, 1, 1, 100]) / 4
+    assert abs(got[0].z - round((100 - mean) / math.sqrt(var), 6)) < 1e-6
