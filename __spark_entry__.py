@@ -6678,7 +6678,7 @@ def q_tpch_q7_volume(spark, sf_dir):
     orders) its customer nation; both dimension chains broadcast, so
     the fact table shuffles once for the final 3-key aggregation."""
     t = _tables(spark, sf_dir)
-    n1, n2 = "NATION_1", "NATION_2"
+    n1, n2 = "NATION_3", "NATION_8"
     supp = (t["supplier"]
             .join(F.broadcast(t["nation"]),
                   F.col("s_nationkey") == F.col("n_nationkey"))
@@ -6711,8 +6711,8 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation sn ON s_nationkey = sn.n_nationkey
 JOIN nation cn ON c_nationkey = cn.n_nationkey
-WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_8')
+   OR (sn.n_name = 'NATION_8' AND cn.n_name = 'NATION_3')
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
 """
@@ -7176,6 +7176,244 @@ def _sql_seasonal():
     return seasonal_residuals_sql()
 
 
+def q_tpch_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (group share vs global-scalar HAVING): parts
+    whose inventory value from one nation's suppliers exceeds a
+    fraction of that nation's total. partsupp doesn't exist, so value
+    = decimal sum of l_extendedprice over the nation's line items.
+    The total is a one-row re-aggregate of the per-part table (small)
+    broadcast into the HAVING filter — the corpus is scanned once."""
+    t = _tables(spark, sf_dir)
+    nat_supp = (t["supplier"]
+                .join(F.broadcast(t["nation"]
+                                  .filter(F.col("n_name") == "NATION_15")),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+                .select("s_suppkey"))
+    per_part = (t["lineitem"]
+                .join(F.broadcast(nat_supp),
+                      F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+                .groupBy("l_partkey")
+                .agg(F.sum(F.col("l_extendedprice").cast("decimal(20,10)"))
+                     .alias("_val")))
+    total = per_part.agg(
+        F.sum("_val").cast("double").alias("_total"))
+    return (per_part.crossJoin(F.broadcast(total))
+            .filter(F.col("_val").cast("double")
+                    > 0.002 * F.col("_total"))
+            .select("l_partkey",
+                    F.round(F.col("_val").cast("double"), 2).alias("value"))
+            .orderBy(F.desc("value"), F.asc("l_partkey")))
+
+
+SQL_TPCH_Q11 = """
+WITH natsupp AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_15'
+),
+per_part AS (
+  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(20,10))) AS _val
+  FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM natsupp)
+  GROUP BY 1
+)
+SELECT l_partkey, round(CAST(_val AS DOUBLE), 2) AS value
+FROM per_part
+WHERE CAST(_val AS DOUBLE)
+      > 0.002 * (SELECT CAST(sum(_val) AS DOUBLE) FROM per_part)
+ORDER BY value DESC, l_partkey ASC
+"""
+
+
+def q_tpch_q20_excess_supply(spark, sf_dir):
+    """TPC-H Q20 shape (nested IN subqueries over an aggregate):
+    suppliers who shipped more than half of some small-part's total
+    1997 volume. Both levels are groupBys over the SAME filtered
+    scan — the per-(part, supplier) aggregate re-aggregates to
+    per-part totals (tiny), which join back; the classic decorrelated
+    rewrite of Q20's availqty > 0.5 * sum(l_quantity) subquery."""
+    t = _tables(spark, sf_dir)
+    small_parts = t["part"].filter(F.col("p_name").like("small%")) \
+        .select("p_partkey")
+    qty = (t["lineitem"]
+           .filter(F.year("l_shipdate") == 1997)
+           .join(small_parts, F.col("l_partkey") == F.col("p_partkey"),
+                 "left_semi")
+           .groupBy("l_partkey", "l_suppkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(20,10)"))
+                .alias("_q")))
+    tot = qty.groupBy("l_partkey").agg(F.sum("_q").alias("_tq"))
+    dominant = (qty.join(tot, "l_partkey")
+                .filter(F.col("_q").cast("double")
+                        > 0.5 * F.col("_tq").cast("double"))
+                .select("l_suppkey").distinct())
+    return (dominant.join(t["supplier"],
+                          F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    F.round("s_acctbal", 2).alias("s_acctbal"))
+            .orderBy("s_suppkey"))
+
+
+SQL_TPCH_Q20 = """
+WITH qty AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_quantity AS DECIMAL(20,10))) AS _q
+  FROM lineitem
+  WHERE year(l_shipdate) = 1997
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY 1, 2
+),
+tot AS (SELECT l_partkey, sum(_q) AS _tq FROM qty GROUP BY 1)
+SELECT DISTINCT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+FROM qty JOIN tot USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE CAST(_q AS DOUBLE) > 0.5 * CAST(_tq AS DOUBLE)
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS on the same fact table):
+    suppliers who were the ONLY late shipper on multi-supplier
+    orders, counted. The double correlated-EXISTS decorrelates into
+    one per-(order, supplier) aggregate with per-order supplier/late
+    counts joined back — two groupBys over one scan, no repeated
+    correlated probes."""
+    t = _tables(spark, sf_dir)
+    os_ = (t["lineitem"]
+           .join(t["orders"].select("o_orderkey", "o_orderdate"),
+                 F.col("l_orderkey") == F.col("o_orderkey"))
+           .groupBy(F.col("l_orderkey").alias("ok"),
+                    F.col("l_suppkey").alias("sk"))
+           .agg(F.max(
+               (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60)
+               .cast("int")).alias("late")))
+    per_order = (os_.groupBy("ok")
+                 .agg(F.count("*").alias("nsupp"),
+                      F.sum("late").alias("nlate")))
+    return (os_.join(per_order, "ok")
+            .filter((F.col("late") == 1) & (F.col("nsupp") > 1)
+                    & (F.col("nlate") == 1))
+            .join(F.broadcast(t["supplier"]),
+                  F.col("sk") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count("*").alias("numwait"))
+            .orderBy(F.desc("numwait"), F.asc("s_name"))
+            .limit(20))
+
+
+SQL_TPCH_Q21 = """
+WITH os AS (
+  SELECT l_orderkey AS ok, l_suppkey AS sk,
+         max(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+per_order AS (
+  SELECT ok, count(*) AS nsupp, sum(late) AS nlate FROM os GROUP BY ok
+)
+SELECT s_name, count(*) AS numwait
+FROM os JOIN per_order USING (ok)
+JOIN supplier ON sk = s_suppkey
+WHERE late = 1 AND nsupp > 1 AND nlate = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def q_kfold_assign(spark, sf_dir):
+    """Leakage-safe 5-fold assignment over documents: per-fold doc
+    and dup-group counts (operators/filters.kfold_assign — duplicate
+    groups never straddle folds; portable Knuth bucket mod k)."""
+    from distill_spark.operators.filters import kfold_assign
+
+    t = _tables(spark, sf_dir)
+    folds = kfold_assign(t["documents"], k=5, normalizer="wordset")
+    return (folds.groupBy("fold")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("group_key").alias("n_groups"))
+            .orderBy("fold"))
+
+
+SQL_KFOLD = """
+WITH g AS (
+  SELECT doc_id,
+         min(doc_id) OVER (
+           PARTITION BY array_to_string(list_sort(list_distinct(
+             list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                               '[^a-z0-9]+'),
+                         x -> x <> ''))), ' ')
+         ) AS group_key
+  FROM documents)
+SELECT CAST(((group_key % 2147483648) * 2654435761) % 2147483648 % 5
+            AS INTEGER) AS fold,
+       count(*) AS n_docs,
+       count(DISTINCT group_key) AS n_groups
+FROM g GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_weighted_median(spark, sf_dir):
+    """Per-series weighted median of event values, weighted by the
+    props payload size field (operators/stats.weighted_median —
+    explicit cumulative-weight rank formula, no engine interpolation
+    conventions)."""
+    from distill_spark.operators.stats import weighted_median
+
+    t = _tables(spark, sf_dir)
+    wt = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (weighted_median(t["events"], "event_type", "value",
+                            wt, "event_id")
+            .orderBy("grp"))
+
+
+def _sql_weighted_median():
+    from distill_spark.operators.stats import weighted_median_sql
+    return weighted_median_sql(
+        "events", "event_type", "value",
+        "json_extract_string(props, '$.k')", "event_id") + " ORDER BY grp"
+
+
+def q_rollup_increment(spark, sf_dir):
+    """Incremental rollup maintenance, driver-gated: events split at
+    a cutoff into a 'persisted' half and a 'new micro-batch' half,
+    each reduced to mergeable partials independently, then merged
+    (operators/rollup.merge_rollup_partials). Because partials keep
+    UNROUNDED decimal sums, the merged ladder is bit-identical to a
+    full rebuild — which is exactly what the oracle computes. This is
+    the 100-TB maintenance pattern: each increment costs one scan of
+    the NEW data only."""
+    from distill_spark.operators.rollup import (merge_rollup_partials,
+                                                rollup_partials)
+
+    t = _tables(spark, sf_dir)
+    cut = F.lit("2024-01-15 00:00:00")
+    old = t["events"].filter(F.col("ts") < cut)
+    new = t["events"].filter(F.col("ts") >= cut)
+    partials = rollup_partials(old, [3600, 86400]).unionByName(
+        rollup_partials(new, [3600, 86400]))
+    return (merge_rollup_partials(partials)
+            .withColumn("resolution_s", F.col("resolution_s").cast("int"))
+            .orderBy("resolution_s", "bucket_start", "event_type"))
+
+
+SQL_ROLLUP_INC = f"""
+WITH fan AS (
+  SELECT e.event_type, e.value, r.resolution_s,
+         CAST(floor(epoch(e.ts) / r.resolution_s) * r.resolution_s
+              AS BIGINT) AS bucket_start
+  FROM events e, (SELECT unnest([3600, 86400]) AS resolution_s) r
+)
+SELECT CAST(resolution_s AS INT) AS resolution_s, bucket_start, event_type,
+       count(*) AS n,
+       {_EXACT_SUM_SQL.format(c='value', s=4)} AS total_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM fan GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # -- round-6 additions (never driver-gated -> lead the window) ----------
     "tpch_q1_pricing": (q_tpch_q1_pricing, SQL_TPCH_Q1),
@@ -7403,6 +7641,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "link_adamic_adar": (q_link_adamic_adar, _sql_adamic_adar()),
     "cusum_drift": (q_cusum_drift, _sql_cusum()),
     "seasonal_residuals": (q_seasonal_residuals, _sql_seasonal()),
+    "tpch_q11_important_stock": (q_tpch_q11_important_stock, SQL_TPCH_Q11),
+    "tpch_q20_excess_supply": (q_tpch_q20_excess_supply, SQL_TPCH_Q20),
+    "tpch_q21_waiting_supplier": (q_tpch_q21_waiting_supplier, SQL_TPCH_Q21),
+    "kfold_assign": (q_kfold_assign, SQL_KFOLD),
+    "weighted_median": (q_weighted_median, _sql_weighted_median()),
+    "rollup_increment": (q_rollup_increment, SQL_ROLLUP_INC),
 }
 
 # The explicit promotion queue: every member must be oracled, sit past
@@ -7420,7 +7664,9 @@ _PENDING_PROMOTION: frozenset[str] = frozenset({
     "tpch_q15_top_supplier", "tpch_q16_part_suppliers",
     "tpch_q17_small_qty", "tpch_q19_bracket", "tpch_q22_idle_value",
     "dedup_editdistance", "link_adamic_adar", "cusum_drift",
-    "seasonal_residuals",
+    "seasonal_residuals", "tpch_q11_important_stock",
+    "tpch_q20_excess_supply", "tpch_q21_waiting_supplier",
+    "kfold_assign", "weighted_median", "rollup_increment",
 })
 
 

@@ -203,3 +203,31 @@ def compression_signals(df: DataFrame, id_col: str = "doc_id",
                     6).alias("compress_ratio"),
         )
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+    normalizer: str = "wordset",
+) -> DataFrame:
+    """Leakage-safe k-fold assignment: every member of a duplicate
+    group lands in the SAME fold (the cross-validation analog of
+    :func:`leakage_safe_split` — a near-copy straddling folds leaks
+    each fold's held-out data into the others' training sets).
+
+    Fold = portable Knuth bucket of the group's canonical id, mod k —
+    deterministic, layout-independent, replayable by any BIGINT
+    engine. Same scale shape as the 2-way split: one hash groupBy +
+    one join back, no windows, no driver state.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    sides = leakage_safe_split(df, 0.5, id_col, text_col, group_col,
+                               normalizer)
+    return (sides.drop("split")
+            .withColumn("fold",
+                        F.pmod(_portable_bucket(F.col("group_key")),
+                               F.lit(k)).cast("int")))

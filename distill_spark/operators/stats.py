@@ -454,3 +454,51 @@ FROM per
 WINDOW w AS (ORDER BY total DESC, g ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
+
+
+def weighted_median(df: DataFrame, group_col: str, value_col: str,
+                    weight_col, order_col: str) -> DataFrame:
+    """Per-group weighted median by the explicit cumulative-weight
+    rank formula: sort by (value, order_col), accumulate weights, the
+    weighted median is the smallest value whose running weight
+    reaches half the group total. ``weight_col`` may be a Column
+    expression (e.g. a JSON extraction).
+
+    Scale shape: one window pass per group key (single shuffle on the
+    group) — same cost as the trimmed mean; integral weights keep the
+    running sums exact, so no decimal ladder is needed, and the
+    explicit formula sidesteps engine-specific weighted-percentile
+    interpolation conventions entirely.
+    """
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.col(value_col).asc(), F.col(order_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = Window.partitionBy(group_col)
+    scored = (df.withColumn("_wt", wcol.cast("long"))
+              .withColumn("_cw", F.sum("_wt").over(w))
+              .withColumn("_tw", F.sum("_wt").over(tot)))
+    return (scored.filter(F.lit(2) * F.col("_cw") >= F.col("_tw"))
+            .groupBy(F.col(group_col).alias("grp"))
+            .agg(F.round(F.min(value_col), 6).alias("weighted_median"),
+                 F.min("_tw").alias("total_weight")))
+
+
+def weighted_median_sql(table: str, group_sql: str, value_sql: str,
+                        weight_sql: str, order_sql: str) -> str:
+    """Oracle twin of :func:`weighted_median`."""
+    return f"""
+WITH c AS (
+  SELECT {group_sql} AS grp, {value_sql} AS v,
+         sum(CAST({weight_sql} AS BIGINT))
+           OVER (PARTITION BY {group_sql}
+                 ORDER BY {value_sql}, {order_sql}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(CAST({weight_sql} AS BIGINT))
+           OVER (PARTITION BY {group_sql}) AS tw
+  FROM {table}
+)
+SELECT grp, round(min(v), 6) AS weighted_median,
+       CAST(min(tw) AS BIGINT) AS total_weight
+FROM c WHERE 2 * cw >= tw GROUP BY grp
+"""

@@ -130,3 +130,48 @@ def test_seasonal_residuals_flags_the_outlier(spark):
     mean = 20.8
     var = sum((v - mean) ** 2 for v in [1, 1, 1, 1, 100]) / 4
     assert abs(got[0].z - round((100 - mean) / math.sqrt(var), 6)) < 1e-6
+
+
+def test_kfold_keeps_dup_groups_together(spark):
+    from distill_spark.operators.filters import kfold_assign
+
+    rows = [(i, t) for i, t in [
+        (1, "alpha beta gamma"), (2, "ALPHA  beta gamma"),  # same wordset
+        (3, "delta epsilon"), (4, "zeta eta theta"),
+        (5, "delta epsilon"),  # exact dup of 3
+    ]]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = kfold_assign(df, k=3).select("doc_id", "group_key", "fold").collect()
+    by_id = {r.doc_id: (r.group_key, r.fold) for r in out}
+    assert by_id[1] == by_id[2]           # normalized dups share group+fold
+    assert by_id[3] == by_id[5]
+    assert len(out) == 5                   # every row assigned
+    assert all(0 <= f < 3 for _, f in by_id.values())
+
+
+def test_kfold_rejects_bad_k(spark):
+    import pytest as _pytest
+
+    from distill_spark.operators.filters import kfold_assign
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        kfold_assign(df, k=1)
+
+
+def test_weighted_median_hand_computed(spark):
+    from distill_spark.operators.stats import weighted_median
+
+    # values 1..4 with weights 1,1,1,7 -> total 10, cumw hits 5 at v=4
+    rows = [("g", float(v), w, i) for i, (v, w) in
+            enumerate([(1, 1), (2, 1), (3, 1), (4, 7)])]
+    df = spark.createDataFrame(
+        rows, "grp string, value double, wt long, event_id long")
+    [row] = weighted_median(df, "grp", "value", "wt", "event_id").collect()
+    assert row.weighted_median == 4.0 and row.total_weight == 10
+    # equal weights degrade to the lower-middle order statistic
+    rows2 = [("g", float(v), 1, i) for i, v in enumerate([10, 20, 30, 40])]
+    df2 = spark.createDataFrame(
+        rows2, "grp string, value double, wt long, event_id long")
+    [r2] = weighted_median(df2, "grp", "value", "wt", "event_id").collect()
+    assert r2.weighted_median == 20.0
