@@ -7415,7 +7415,40 @@ ORDER BY 1, 2, 3
 
 
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
-    # -- round-6 additions (never driver-gated -> lead the window) ----------
+    # -- round-7 window head: embed_covariance is the registry's only
+    # never-green row (r06 red was a -0.0 repr split; signed-zero
+    # normalized this round on both sides, operators/pca.py), followed
+    # by the 24 round-6b queries promoted from _PENDING_PROMOTION
+    # (oracle-verified: 18 in PARITY_r6.json at sf0.001, the 6
+    # post-sweep additions re-verified at sf0.01; all continuously
+    # gated by tests/test_pending_parity.py until this promotion) -----------
+    "embed_covariance": (q_embed_covariance, _sql_embed_cov()),
+    "tpch_q2_min_supply": (q_tpch_q2_min_supply, SQL_TPCH_Q2),
+    "tpch_q4_priority": (q_tpch_q4_priority, SQL_TPCH_Q4),
+    "tpch_q6_forecast": (q_tpch_q6_forecast, SQL_TPCH_Q6),
+    "tpch_q7_volume": (q_tpch_q7_volume, SQL_TPCH_Q7),
+    "tpch_q8_market_share": (q_tpch_q8_market_share, SQL_TPCH_Q8),
+    "tpch_q9_profit": (q_tpch_q9_profit, SQL_TPCH_Q9),
+    "tpch_q11_important_stock": (q_tpch_q11_important_stock, SQL_TPCH_Q11),
+    "tpch_q12_latency": (q_tpch_q12_latency, SQL_TPCH_Q12),
+    "tpch_q13_order_counts": (q_tpch_q13_order_counts, SQL_TPCH_Q13),
+    "tpch_q14_promo": (q_tpch_q14_promo, SQL_TPCH_Q14),
+    "tpch_q15_top_supplier": (q_tpch_q15_top_supplier, SQL_TPCH_Q15),
+    "tpch_q16_part_suppliers": (q_tpch_q16_part_suppliers, SQL_TPCH_Q16),
+    "tpch_q17_small_qty": (q_tpch_q17_small_qty, SQL_TPCH_Q17),
+    "tpch_q19_bracket": (q_tpch_q19_bracket, SQL_TPCH_Q19),
+    "tpch_q20_excess_supply": (q_tpch_q20_excess_supply, SQL_TPCH_Q20),
+    "tpch_q21_waiting_supplier": (q_tpch_q21_waiting_supplier, SQL_TPCH_Q21),
+    "tpch_q22_idle_value": (q_tpch_q22_idle_value, SQL_TPCH_Q22),
+    "dedup_editdistance": (q_dedup_editdistance, _sql_editdist()),
+    "link_adamic_adar": (q_link_adamic_adar, _sql_adamic_adar()),
+    "cusum_drift": (q_cusum_drift, _sql_cusum()),
+    "seasonal_residuals": (q_seasonal_residuals, _sql_seasonal()),
+    "kfold_assign": (q_kfold_assign, SQL_KFOLD),
+    "weighted_median": (q_weighted_median, _sql_weighted_median()),
+    "rollup_increment": (q_rollup_increment, SQL_ROLLUP_INC),
+    # -- window filler (r06-green; round-7 additions displace these
+    # as they land) ---------------------------------------------------------
     "tpch_q1_pricing": (q_tpch_q1_pricing, SQL_TPCH_Q1),
     "tpch_q3_shipping": (q_tpch_q3_shipping, SQL_TPCH_Q3),
     "tpch_q10_returns": (q_tpch_q10_returns, SQL_TPCH_Q10),
@@ -7450,7 +7483,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "group_sample": (q_group_sample, _sql_group_sample()),
     "minhash_error": (q_minhash_error, _sql_minhash_error()),
     "learn_bpe": (q_learn_bpe, _sql_learn_bpe()),
-    "embed_covariance": (q_embed_covariance, _sql_embed_cov()),
     "ols_price_model": (q_ols_price_model, _sql_ols()),
     "zorder_zones": (q_zorder_zones, _sql_zorder()),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
@@ -7621,53 +7653,17 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a2_kmeans_contract": (q_a2_kmeans_contract, SQL_A2C),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "st5_cache_boundary": (q_st5_cache_boundary, SQL_ST5),
-    # -- round-6b additions (oracled, awaiting a freed window slot;
-    # every member is listed in _PENDING_PROMOTION below) ------------------
-    "tpch_q2_min_supply": (q_tpch_q2_min_supply, SQL_TPCH_Q2),
-    "tpch_q4_priority": (q_tpch_q4_priority, SQL_TPCH_Q4),
-    "tpch_q6_forecast": (q_tpch_q6_forecast, SQL_TPCH_Q6),
-    "tpch_q7_volume": (q_tpch_q7_volume, SQL_TPCH_Q7),
-    "tpch_q8_market_share": (q_tpch_q8_market_share, SQL_TPCH_Q8),
-    "tpch_q9_profit": (q_tpch_q9_profit, SQL_TPCH_Q9),
-    "tpch_q12_latency": (q_tpch_q12_latency, SQL_TPCH_Q12),
-    "tpch_q13_order_counts": (q_tpch_q13_order_counts, SQL_TPCH_Q13),
-    "tpch_q14_promo": (q_tpch_q14_promo, SQL_TPCH_Q14),
-    "tpch_q15_top_supplier": (q_tpch_q15_top_supplier, SQL_TPCH_Q15),
-    "tpch_q16_part_suppliers": (q_tpch_q16_part_suppliers, SQL_TPCH_Q16),
-    "tpch_q17_small_qty": (q_tpch_q17_small_qty, SQL_TPCH_Q17),
-    "tpch_q19_bracket": (q_tpch_q19_bracket, SQL_TPCH_Q19),
-    "tpch_q22_idle_value": (q_tpch_q22_idle_value, SQL_TPCH_Q22),
-    "dedup_editdistance": (q_dedup_editdistance, _sql_editdist()),
-    "link_adamic_adar": (q_link_adamic_adar, _sql_adamic_adar()),
-    "cusum_drift": (q_cusum_drift, _sql_cusum()),
-    "seasonal_residuals": (q_seasonal_residuals, _sql_seasonal()),
-    "tpch_q11_important_stock": (q_tpch_q11_important_stock, SQL_TPCH_Q11),
-    "tpch_q20_excess_supply": (q_tpch_q20_excess_supply, SQL_TPCH_Q20),
-    "tpch_q21_waiting_supplier": (q_tpch_q21_waiting_supplier, SQL_TPCH_Q21),
-    "kfold_assign": (q_kfold_assign, SQL_KFOLD),
-    "weighted_median": (q_weighted_median, _sql_weighted_median()),
-    "rollup_increment": (q_rollup_increment, SQL_ROLLUP_INC),
 }
 
 # The explicit promotion queue: every member must be oracled, sit past
 # the driver window, and not already be driver-green (else it should
 # leave the queue). tests/test_registry_gate.py enforces all three +
 # that nothing ELSE is hiding past the window unevidenced.
-# Round 6: holds the round-6b additions — the window's 50 slots all
-# carry round-6a queries still awaiting CORRECTNESS_r6 evidence, so
-# these queue behind them (tests/test_pending_parity.py oracle-checks
-# every member at sf0.001 each suite run until promotion).
-_PENDING_PROMOTION: frozenset[str] = frozenset({
-    "tpch_q2_min_supply", "tpch_q4_priority", "tpch_q6_forecast",
-    "tpch_q7_volume", "tpch_q8_market_share", "tpch_q9_profit",
-    "tpch_q12_latency", "tpch_q13_order_counts", "tpch_q14_promo",
-    "tpch_q15_top_supplier", "tpch_q16_part_suppliers",
-    "tpch_q17_small_qty", "tpch_q19_bracket", "tpch_q22_idle_value",
-    "dedup_editdistance", "link_adamic_adar", "cusum_drift",
-    "seasonal_residuals", "tpch_q11_important_stock",
-    "tpch_q20_excess_supply", "tpch_q21_waiting_supplier",
-    "kfold_assign", "weighted_median", "rollup_increment",
-})
+# Round 7: EMPTY — the round-6b cohort was promoted into the window
+# head (CORRECTNESS_r06 went 49/50 green, freeing every slot they
+# were queued behind; the one red row, embed_covariance, leads the
+# round-7 window with its signed-zero fix applied).
+_PENDING_PROMOTION: frozenset[str] = frozenset()
 
 
 def entry(spark: SparkSession) -> DataFrame:

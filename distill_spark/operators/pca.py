@@ -138,8 +138,11 @@ def covariance_exact(df: DataFrame, vec_col: str = "embedding",
         .select(
             F.col("i").cast("long").alias("i"),
             F.col("j").cast("long").alias("j"),
-            F.round((F.col("sij") - F.col("si") * F.col("sj") / F.col("n"))
-                    / (F.col("n") - F.lit(1.0)), 6).alias("cov"),
+            # + 0.0 normalizes IEEE signed zero: a tiny negative cov
+            # rounds to -0.0 in Spark but the driver hashes repr bytes,
+            # so force -0.0 -> 0.0 on both engine and oracle sides
+            (F.round((F.col("sij") - F.col("si") * F.col("sj") / F.col("n"))
+                     / (F.col("n") - F.lit(1.0)), 6) + F.lit(0.0)).alias("cov"),
         )
     )
 
@@ -167,6 +170,6 @@ pairs AS (
   GROUP BY 1, 2
 )
 SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
-       round((sij - si.s * sj.s / si.n) / (si.n - 1.0), 6) AS cov
+       round((sij - si.s * sj.s / si.n) / (si.n - 1.0), 6) + 0.0 AS cov
 FROM pairs p JOIN sums si ON si.i = p.i JOIN sums sj ON sj.i = p.j
 """

@@ -120,6 +120,27 @@ def test_check_parity_driver_mimic_rejects_arrays(spark):
     assert problems and "driver-unsafe" in problems[0]
 
 
+def test_check_parity_driver_mimic_rejects_signed_zero_split(spark):
+    """-0.0 vs 0.0 compares equal under round() but hashes differently
+    in the driver (the embed_covariance r6 red row) — the mimic must
+    flag a column where the two sides disagree on negative-zero count."""
+    import sys
+
+    sys.path.insert(0, str(ROOT / "tools"))
+    import duckdb
+
+    from check_parity import driver_mimic_problems
+
+    sdf = spark.sql("SELECT 1 AS id, CAST(0.0 AS DOUBLE) AS cov")
+    con = duckdb.connect()
+    rel = con.sql("SELECT 1 AS id, round(-1e-10, 6) AS cov")
+    problems = driver_mimic_problems(sdf, rel)
+    assert problems and "signed-zero" in problems[0]
+    # and the normalized form passes
+    rel_ok = con.sql("SELECT 1 AS id, round(-1e-10, 6) + 0.0 AS cov")
+    assert not driver_mimic_problems(sdf, rel_ok)
+
+
 def test_check_parity_driver_mimic_rejects_dtype_drift(spark):
     """sum(INTEGER)->HUGEINT->float64 drift (the A7/ST5/A12 class) must
     be flagged even though the values are equal."""

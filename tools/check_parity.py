@@ -131,6 +131,26 @@ def driver_mimic_problems(sdf, duck_rel, srows=None):
             problems.append(
                 f"driver sort fails on duck side: "
                 f"{type(e).__name__}: {e}")
+        # signed-zero repr split: -0.0 == 0.0 under norm_val's round(),
+        # but the driver hashes repr bytes, where they differ (the
+        # embed_covariance r6 red row). Flag any column where the two
+        # sides disagree on the COUNT of negative zeros.
+        for ci, c in enumerate(scols):
+            sneg = sum(1 for r in srows
+                       if isinstance(r[ci], float) and r[ci] == 0.0
+                       and math.copysign(1.0, r[ci]) < 0)
+            dvals = dpdf[c] if c in dpdf.columns else None
+            dneg = 0
+            if dvals is not None:
+                dneg = sum(1 for v in dvals
+                           if isinstance(v, float) and v == 0.0
+                           and math.copysign(1.0, v) < 0)
+            if sneg != dneg:
+                problems.append(
+                    f"signed-zero repr split on '{c}': spark has {sneg} "
+                    f"-0.0 cells, oracle has {dneg} — the driver hashes "
+                    "repr bytes where -0.0 != 0.0; normalize with "
+                    "`round(...) + 0.0` on BOTH sides")
     return problems
 
 
@@ -173,6 +193,8 @@ def main():
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: --json requires a path argument")
         json_path = argv[i + 1]
         del argv[i:i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
