@@ -2863,7 +2863,7 @@ def q_a2_kmeans_dedup(spark, sf_dir):
 
     emb = t["embeddings"].select(F.col("vec_id").alias("id"),
                                  F.col("embedding"))
-    out = kmeans_dedup(emb, k=10, prune_threshold=0.05, seed=42)
+    out = kmeans_dedup(emb, k=10, prune_threshold=0.05)
     return out.select(F.col("id").alias("vec_id"), "cluster_id", "is_medoid", "kept")
 
 
@@ -2980,7 +2980,7 @@ def q_a2_kmeans_contract(spark, sf_dir):
 
     emb = t["embeddings"].select(F.col("vec_id").alias("id"),
                                  F.col("embedding"))
-    out = kmeans_dedup(emb, k=10, prune_threshold=0.05, seed=42)
+    out = kmeans_dedup(emb, k=10, prune_threshold=0.05)
 
     cents = (out.select("cluster_id", F.posexplode("embedding").alias("pos", "v"))
              .groupBy("cluster_id", "pos").agg(F.avg("v").alias("m"))
@@ -6271,6 +6271,121 @@ def _sql_transition_dwell():
     return transition_dwell_sql()
 
 
+# ---- round-7 additions: corpus-health fits, distribution drift,
+# event hygiene, and novelty ranking ------------------------------------
+
+
+def q_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit over documents in doc_id order
+    (stats.heaps_law_fit) — the growth-curve twin of zipf_fit:
+    duplicated/templated corpora flatten beta."""
+    from distill_spark.operators.stats import heaps_law_fit
+
+    t = _tables(spark, sf_dir)
+    return heaps_law_fit(t["documents"])
+
+
+def _sql_heaps():
+    from distill_spark.operators.stats import heaps_law_fit_sql
+
+    return heaps_law_fit_sql()
+
+
+def q_benford_values(spark, sf_dir):
+    """First-digit Benford deviation of event values per event_type
+    (stats.benford_deviation) — the synthetic-metric smell test."""
+    from distill_spark.operators.stats import benford_deviation
+
+    t = _tables(spark, sf_dir)
+    return benford_deviation(t["events"])
+
+
+def _sql_benford():
+    from distill_spark.operators.stats import benford_deviation_sql
+
+    return benford_deviation_sql()
+
+
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov D between click and purchase
+    value distributions (stats.ks_statistic) — exact sup over ECDF
+    steps, the metric-drift gate before mixing slices."""
+    from distill_spark.operators.stats import ks_statistic
+
+    t = _tables(spark, sf_dir)
+    return ks_statistic(t["events"], "event_type", "click", "purchase")
+
+
+def _sql_ks():
+    from distill_spark.operators.stats import ks_statistic_sql
+
+    return ks_statistic_sql("events", "event_type", "click", "purchase")
+
+
+def q_source_jsd(spark, sf_dir):
+    """Pairwise Jensen–Shannon divergence between source unigram
+    distributions (stats.js_divergence) — which sources are actually
+    interchangeable before mixture balancing."""
+    from distill_spark.operators.stats import js_divergence
+
+    t = _tables(spark, sf_dir)
+    return js_divergence(t["documents"])
+
+
+def _sql_jsd():
+    from distill_spark.operators.stats import js_divergence_sql
+
+    return js_divergence_sql()
+
+
+def q_event_dedup_burst(spark, sf_dir):
+    """Burst suppression per (user, event_type) at a 60 s gap
+    (timeseries.event_dedup_window) — the at-least-once-delivery
+    cleanup rate per event_type."""
+    from distill_spark.operators.timeseries import event_dedup_window
+
+    t = _tables(spark, sf_dir)
+    return event_dedup_window(t["events"])
+
+
+def _sql_event_dedup():
+    from distill_spark.operators.timeseries import event_dedup_window_sql
+
+    return event_dedup_window_sql()
+
+
+def q_event_paths(spark, sf_dir):
+    """Top-20 3-step event-type paths within 30-min sessions
+    (conversion.event_paths_topk) — discovered behavior sequences,
+    the n-gram view funnel_matches' fixed steps can't see."""
+    from distill_spark.operators.conversion import event_paths_topk
+
+    t = _tables(spark, sf_dir)
+    return event_paths_topk(t["events"])
+
+
+def _sql_event_paths():
+    from distill_spark.operators.conversion import event_paths_topk_sql
+
+    return event_paths_topk_sql()
+
+
+def q_source_novelty(spark, sf_dir):
+    """Per-source 5-gram novelty (dedup_text.ngram_novelty) — the
+    share of each doc's shingles unique to it, averaged per source;
+    ranks sources for dedup pressure without any pair join."""
+    from distill_spark.operators.dedup_text import ngram_novelty
+
+    t = _tables(spark, sf_dir)
+    return ngram_novelty(t["documents"])
+
+
+def _sql_novelty():
+    from distill_spark.operators.dedup_text import ngram_novelty_sql
+
+    return ngram_novelty_sql()
+
+
 def q_winnow_pairs(spark, sf_dir):
     """Winnowing-fingerprint shared-content pairs (winnow.py — the
     MOSS guarantee: any shared run of ≥ w+k−1 words produces a shared
@@ -7447,6 +7562,14 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "kfold_assign": (q_kfold_assign, SQL_KFOLD),
     "weighted_median": (q_weighted_median, _sql_weighted_median()),
     "rollup_increment": (q_rollup_increment, SQL_ROLLUP_INC),
+    # -- round-7a additions (never driver-gated -> inside the window) -------
+    "heaps_law": (q_heaps_law, _sql_heaps()),
+    "benford_values": (q_benford_values, _sql_benford()),
+    "ks_drift": (q_ks_drift, _sql_ks()),
+    "source_jsd": (q_source_jsd, _sql_jsd()),
+    "event_dedup_burst": (q_event_dedup_burst, _sql_event_dedup()),
+    "event_paths": (q_event_paths, _sql_event_paths()),
+    "source_novelty": (q_source_novelty, _sql_novelty()),
     # -- window filler (r06-green; round-7 additions displace these
     # as they land) ---------------------------------------------------------
     "tpch_q1_pricing": (q_tpch_q1_pricing, SQL_TPCH_Q1),

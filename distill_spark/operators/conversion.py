@@ -302,3 +302,84 @@ SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n,
 FROM pairs WHERE next_type IS NOT NULL
 GROUP BY prev_type, next_type
 """
+
+
+def event_paths_topk(events: DataFrame, depth: int = 3,
+                     gap_s: int = 1800, top: int = 20,
+                     user_col: str = "user_id", ts_col: str = "ts",
+                     type_col: str = "event_type",
+                     tie_col: str = "event_id") -> DataFrame:
+    """Top-``top`` length-``depth`` event-type paths WITHIN sessions
+    (``gap_s``-gap sessionization) — frequent-behavior-sequence
+    mining, the n-gram view of event streams that funnel_matches'
+    fixed step list can't discover.
+
+    Shape: the sessionize window (lag → cumulative session id), then
+    ``depth − 1`` leads over the same window restricted to the same
+    session, one path-string groupBy, top-k. The corpus shuffles once
+    on the user key; paths are strings so the result is
+    driver-hashable.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tie_col)
+    gap_us = (F.unix_micros(F.col(ts_col))
+              - F.lag(F.unix_micros(F.col(ts_col))).over(w))
+    new_sess = F.when(gap_us.isNull()
+                      | (gap_us > gap_s * 1_000_000), 1).otherwise(0)
+    sess = (events
+            .withColumn("_ns", new_sess)
+            .withColumn("_sid", F.sum("_ns").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    w2 = Window.partitionBy(user_col, "_sid").orderBy(ts_col, tie_col)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w2) for i in range(1, depth)]
+    # path and the completeness probe must come from the SAME window
+    # pass: a lead() evaluated after the filter would see the already-
+    # filtered neighbors and stitch paths across removed rows
+    complete = (
+        sess.select(F.concat_ws(">", *steps).alias("path"),
+                    F.lead(type_col, depth - 1).over(w2).alias("_last"))
+        .filter(F.col("_last").isNotNull())
+    )
+    return (complete.groupBy("path")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("path"))
+            .limit(top))
+
+
+def event_paths_topk_sql(table: str = "events", depth: int = 3,
+                         gap_s: int = 1800, top: int = 20,
+                         user_sql: str = "user_id", ts_sql: str = "ts",
+                         type_sql: str = "event_type",
+                         tie_sql: str = "event_id") -> str:
+    leads = " || '>' || ".join(
+        [type_sql] + [f"lead({type_sql}, {i}) OVER w2"
+                      for i in range(1, depth)])
+    return f"""
+WITH flagged AS (
+  SELECT {user_sql} AS u, {ts_sql} AS t, {tie_sql} AS e,
+         {type_sql} AS event_type,
+         CASE WHEN epoch_us({ts_sql}) - lag(epoch_us({ts_sql}))
+                OVER (PARTITION BY {user_sql} ORDER BY {ts_sql}, {tie_sql})
+              IS NOT DISTINCT FROM NULL
+              OR epoch_us({ts_sql}) - lag(epoch_us({ts_sql}))
+                OVER (PARTITION BY {user_sql} ORDER BY {ts_sql}, {tie_sql})
+                > {gap_s} * 1000000
+         THEN 1 ELSE 0 END AS _ns
+  FROM {table}
+),
+sess AS (
+  SELECT *, sum(_ns) OVER (PARTITION BY u ORDER BY t, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS _sid
+  FROM flagged
+),
+paths AS (
+  SELECT {leads} AS path,
+         lead(event_type, {depth - 1}) OVER w2 AS _last
+  FROM sess
+  WINDOW w2 AS (PARTITION BY u, _sid ORDER BY t, e)
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM paths WHERE _last IS NOT NULL
+GROUP BY path ORDER BY n DESC, path ASC LIMIT {top}
+"""

@@ -532,20 +532,33 @@ def minhash_pr_curve(df: DataFrame, thresholds: list[float],
 
 def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", shingle_n: int = 5,
-                        rel_threshold: float = 0.25) -> DataFrame:
+                        rel_threshold: float = 0.25,
+                        max_df: int | None = 100) -> DataFrame:
     """Fuzzy dedup by edit distance with shingle blocking.
 
     Levenshtein is the classic fuzzy-match similarity but is O(len²)
     per pair — an all-pairs application is quadratic in BOTH the
     corpus and the text length. The scale shape is candidate
-    generation first: any pair within a small relative edit distance
-    must share at least one long word shingle (an edit that destroys
-    every ``shingle_n``-gram needs ≥ len/shingle_n edits), so block
-    on distinct ``shingle_n``-word shingles (one shuffle on the
-    shingle key, same candidate topology as the Jaccard/minhash
-    routes), then run the expensive JVM ``levenshtein`` ONLY on the
-    blocked candidates. Corpus never self-joins; candidate count is
-    bounded by shingle-frequency, not N².
+    generation first: block on distinct ``shingle_n``-word shingles
+    (one shuffle on the shingle key, same candidate topology as the
+    Jaccard/minhash routes), then run the expensive JVM
+    ``levenshtein`` ONLY on the blocked candidates. Corpus never
+    self-joins; candidate count is bounded by shingle frequency,
+    not N².
+
+    Shingle blocking is a HIGH-RECALL HEURISTIC, not a guarantee:
+    word-level shingles survive most small edits (a single word edit
+    destroys at most ``shingle_n`` shingles), but character-level
+    edits spread one per ``shingle_n``-word span — far fewer than
+    rel_threshold × character length — can destroy every shared
+    shingle, and such pairs are silently missed. A pair is found iff
+    at least one exact ``shingle_n``-word run survives in both texts.
+
+    ``max_df`` drops shingles appearing in more than that many
+    documents before the self-join (the PPJoin/containment skew cap):
+    a boilerplate shingle in f docs creates O(f²) candidates.
+    Pairs whose ONLY shared shingles are boilerplate are missed —
+    acceptable for fuzzy dedup, fatal to skip at 100 TB.
 
     Emits (i, j, dist, rel_sim) for pairs whose distance is within
     ``rel_threshold`` of the longer text's length, rel_sim = 1 -
@@ -553,7 +566,12 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     sh = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("sh"))
+        F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("sh"),
+    ).distinct()
+    if max_df is not None:
+        ok = (sh.groupBy("sh").agg(F.count("*").alias("_df"))
+              .filter(F.col("_df") <= max_df).select("sh"))
+        sh = sh.join(ok, "sh")
     cand = (sh.alias("a").join(sh.alias("b"), "sh")
             .filter(F.col("a._id") < F.col("b._id"))
             .select(F.col("a._id").alias("i"), F.col("b._id").alias("j"))
@@ -576,9 +594,15 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
 def edit_distance_pairs_sql(table: str = "documents",
                             id_sql: str = "doc_id", text_sql: str = "text",
                             shingle_n: int = 5,
-                            rel_threshold: float = 0.25) -> str:
+                            rel_threshold: float = 0.25,
+                            max_df: int | None = 100) -> str:
     """Oracle twin of :func:`edit_distance_pairs` (DuckDB
-    ``levenshtein`` is the same standard DP distance)."""
+    ``levenshtein`` is the same standard DP distance; same distinct
+    (doc, shingle) pairs and the same ``max_df`` boilerplate cap)."""
+    cap = ("" if max_df is None else f""",
+ok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {max_df})""")
+    sh_src = "sh" if max_df is None else \
+        "(SELECT sh.* FROM sh JOIN ok USING (s))"
     return f"""
 WITH toks AS (
   SELECT {id_sql} AS _id, {text_sql} AS _t,
@@ -586,13 +610,14 @@ WITH toks AS (
   FROM {table}
 ),
 sh AS (
-  SELECT _id, list_aggregate(w[i:i+{shingle_n - 1}], 'string_agg', ' ') AS s
+  SELECT DISTINCT _id,
+         list_aggregate(w[i:i+{shingle_n - 1}], 'string_agg', ' ') AS s
   FROM toks, UNNEST(range(1, len(w) - {shingle_n - 2})) AS t(i)
   WHERE len(w) >= {shingle_n}
-),
+){cap},
 cand AS (
   SELECT DISTINCT a._id AS i, b._id AS j
-  FROM sh a JOIN sh b ON a.s = b.s AND a._id < b._id
+  FROM {sh_src} a JOIN {sh_src} b ON a.s = b.s AND a._id < b._id
 )
 SELECT i, j, CAST(levenshtein(x._t, y._t) AS BIGINT) AS dist,
        round(1.0 - levenshtein(x._t, y._t)
@@ -603,4 +628,71 @@ JOIN toks x ON x._id = cand.i
 JOIN toks y ON y._id = cand.j
 WHERE levenshtein(x._t, y._t)
       <= floor({rel_threshold} * greatest(length(x._t), length(y._t)))
+"""
+
+
+def ngram_novelty(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", group_col: str = "source",
+                  shingle_n: int = 5) -> DataFrame:
+    """Per-group n-gram novelty: the average, over a group's
+    documents, of the fraction of each document's distinct
+    ``shingle_n``-word shingles that appear in NO other document
+    (corpus df = 1). High novelty ⇒ fresh content worth keeping;
+    low ⇒ the group restates what the corpus already has — the
+    aggregate readout that ranks sources for dedup pressure before
+    any pair enumeration.
+
+    Two shuffles: distinct (doc, shingle) explode, then a
+    shingle-df groupBy joined back — never a pair join, so no max_df
+    cap is needed (df counting is linear in postings). Per-doc scores
+    are exact rationals rounded 9 into a decimal mean, rounded 6.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.col(group_col).alias("g"),
+        F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("sh"),
+    ).distinct()
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("_df"))
+    per_doc = (
+        sh.join(dfreq, "sh")
+        .groupBy("_id", "g")
+        .agg(F.round(
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+            / F.count("*"), 9).alias("_nov"))
+    )
+    return (per_doc.groupBy(F.col("g").alias(group_col))
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.round(F.avg(F.col("_nov").cast("decimal(38,12)"))
+                         .cast("double"), 6).alias("avg_novelty")))
+
+
+def ngram_novelty_sql(table: str = "documents", id_sql: str = "doc_id",
+                      text_sql: str = "text", group_sql: str = "source",
+                      shingle_n: int = 5) -> str:
+    """Oracle twin of :func:`ngram_novelty` — same distinct shingle
+    explode, df count, and decimal mean."""
+    words = (f"list_filter(string_split(coalesce({text_sql}, ''), ' '), "
+             f"x -> x <> '')")
+    return f"""
+WITH toks AS (
+  SELECT {id_sql} AS _id, {group_sql} AS g, {words} AS w FROM {table}
+),
+sh AS (
+  SELECT DISTINCT _id, g,
+         list_aggregate(w[i:i+{shingle_n - 1}], 'string_agg', ' ') AS s
+  FROM toks, UNNEST(range(1, len(w) - {shingle_n - 2})) AS t(i)
+  WHERE len(w) >= {shingle_n}
+),
+dfreq AS (
+  SELECT s, count(*) AS _df FROM sh GROUP BY s
+),
+per_doc AS (
+  SELECT _id, g,
+         round(sum(CASE WHEN _df = 1 THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE), 9) AS _nov
+  FROM sh JOIN dfreq USING (s) GROUP BY 1, 2
+)
+SELECT g AS {group_sql}, CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(avg(CAST(_nov AS DECIMAL(38,12))) AS DOUBLE), 6)
+         AS avg_novelty
+FROM per_doc GROUP BY g
 """

@@ -94,7 +94,6 @@ def kmeans_dedup(
     k: int | None = None,
     prune_threshold: float = 0.05,
     max_iter: int = 10,
-    seed: int = 42,
     fit_sample: int = 20000,
 ) -> DataFrame:
     """Returns the input rows plus ``cluster_id``, ``is_medoid`` and

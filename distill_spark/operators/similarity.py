@@ -360,7 +360,8 @@ def mine_bitext(df: DataFrame, label_a, label_b, knn: int = 4,
 
 def knn_label_purity(df: DataFrame, k: int = 10, id_col: str = "vec_id",
                      vec_col: str = "embedding",
-                     label_col: str = "label") -> DataFrame:
+                     label_col: str = "label",
+                     broadcast_budget_bytes: int = 512 << 20) -> DataFrame:
     """Per-label kNN purity: for each vector, the fraction of its k
     nearest (cosine) neighbors sharing its label, averaged per label
     — the embedding-quality diagnostic behind semantic-dedup and
@@ -370,40 +371,49 @@ def knn_label_purity(df: DataFrame, k: int = 10, id_col: str = "vec_id",
     Neighbor lists come from a broadcast block-matmul (one BLAS pass
     per Arrow batch + per-chunk top-k merge), not from materializing
     O(N²) pair rows through Catalyst — the same asymmetry that makes
-    cluster.broadcast_similarity_edges fast. Build side is memory-
-    gated by corpus-matrix bytes; at 100 TB the neighbor lists come
-    from the IVF probe instead — purity is recall-tolerant. Output:
+    cluster.broadcast_similarity_edges fast. The build side is gated
+    on corpus-matrix bytes (same 512 MB budget as
+    cluster.similarity_edges); above budget the neighbor lists come
+    from the IVF probe instead (purity is recall-tolerant), so the
+    corpus is never collected to the driver at any scale. Output:
     (label, n_vectors, avg_purity) with exact-rational purity
     (sum of matches / (n·k)) rounded once. Ranking reproduces the
     SQL oracle exactly: round(sim, 6) DESC, neighbor id ASC.
+    Zero-norm vectors score sim -1.0 to everything
+    (vm.cosine_similarity convention) on both routes.
     """
     import numpy as np
 
-    rows = (df.select(id_col, vec_col, label_col)
-            .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
-            .collect())
-    ids, labs, mats = [], [], []
+    base = (df.select(id_col, vec_col, label_col)
+            .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)))
+    spark = df.sparkSession
+    n_corpus, dim = base.agg(
+        F.count("*"), F.coalesce(F.max(F.size(vec_col)), F.lit(0))).first()
+    if n_corpus == 0:
+        return spark.createDataFrame(
+            [], schema="label string, n_vectors bigint, avg_purity double")
+    if n_corpus * dim * 8 > broadcast_budget_bytes:
+        return _knn_label_purity_ivf(base, k, id_col, vec_col, label_col)
+    rows = base.collect()
+    ids, labs, mats, zeros = [], [], [], []
     for r in rows:
         a = np.asarray(r[1], dtype=np.float64)
         n = np.sqrt(a @ a)
         ids.append(r[0])
         labs.append(r[2])
-        # zero-norm → sim -1.0 to everything (vm.cosine_similarity
-        # convention); keep the row so it still ranks by id
+        zeros.append(n <= 0.0)
         mats.append(a / n if n > 0 else a)
-    spark = df.sparkSession
-    if not ids:
-        return spark.createDataFrame(
-            [], schema="label string, n_vectors bigint, avg_purity double")
     sc = spark.sparkContext
     b_ids = sc.broadcast(np.asarray(ids))
     b_labs = sc.broadcast(np.asarray(labs, dtype=object))
     b_mat = sc.broadcast(np.stack(mats))
+    b_zero = sc.broadcast(np.asarray(zeros, dtype=bool))
     lab_type = dict(df.dtypes)[label_col]
     b_chunk = 8192
 
     def gen(batches):
         B, nid, nlab = b_mat.value, b_ids.value, b_labs.value
+        bz = b_zero.value
         for pdf in batches:
             keep = [i for i, v in enumerate(pdf[vec_col])
                     if v is not None and len(v) == B.shape[1]]
@@ -424,6 +434,11 @@ def knn_label_purity(df: DataFrame, k: int = 10, id_col: str = "vec_id",
             for s in range(0, B.shape[0], b_chunk):
                 blk = B[s:s + b_chunk]
                 sim = np.round(np.clip(A @ blk.T, -1.0, 1.0), 6)
+                # zero-norm vectors (either side) score -1.0 to
+                # everything — the vm.cosine_similarity convention
+                # (unnormalized zero rows would otherwise yield 0.0)
+                sim[:, bz[s:s + b_chunk]] = -1.0
+                sim[~nz, :] = -1.0
                 cid = nid[s:s + b_chunk]
                 clab = nlab[s:s + b_chunk]
                 for r_i in range(sim.shape[0]):
@@ -453,13 +468,55 @@ def knn_label_purity(df: DataFrame, k: int = 10, id_col: str = "vec_id",
 
     par = min(sc.defaultParallelism, max(1, len(ids) // 512 + 1))
     per_vec = (
-        df.select(id_col, vec_col, label_col)
-        .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
-        .repartition(par)
+        base.repartition(par)
         .mapInPandas(gen, schema=f"qlab {lab_type}, _match long")
     )
     return (
         per_vec.groupBy(F.col("qlab").alias("label"))
+        .agg(F.count("*").cast("long").alias("n_vectors"),
+             F.round(F.sum("_match") / (F.count("*") * F.lit(k)), 6)
+             .alias("avg_purity"))
+    )
+
+
+def _knn_label_purity_ivf(base: DataFrame, k: int, id_col: str,
+                          vec_col: str, label_col: str,
+                          n_cells: int = 64, n_probe: int = 8) -> DataFrame:
+    """Scale path for :func:`knn_label_purity`: neighbor lists from the
+    persisted IVF probe — fully distributed, the corpus never touches
+    the driver. Approximate (recall < 1 when a true neighbor lives in
+    an unprobed cell); purity is an aggregate diagnostic and tolerates
+    that. Same ranking (sim DESC, id ASC) and output contract as the
+    exact route."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    n = base.count()
+    cells = min(n_cells, max(2, int(np.sqrt(max(n, 4)))))
+    index = IVFIndex(base, id_col=id_col, vec_col=vec_col,
+                     n_cells=cells, seed=42)
+    q = base.select(F.col(id_col).alias("_qid"),
+                    F.col(vec_col).alias("_qv"),
+                    F.col(label_col).alias("qlab"))
+    # k+1 then drop self: self always sits in its own (probed) cell
+    nb = index.search(q.select("_qid", "_qv"), k=k + 1,
+                      n_probe=min(n_probe, cells), query_col="_qv",
+                      qid_col="_qid")
+    neigh = nb.filter(F.col(id_col) != F.col("_qid"))
+    w_rank = F.row_number().over(
+        Window.partitionBy("_qid").orderBy(F.desc("sim"), F.asc(id_col)))
+    labels = base.select(F.col(id_col).alias("_nid"),
+                         F.col(label_col).alias("nlab"))
+    per = (
+        neigh.withColumn("_rk", w_rank).filter(F.col("_rk") <= k)
+        .join(labels, F.col(id_col) == F.col("_nid"))
+        .join(q.select("_qid", "qlab"), "_qid")
+        .groupBy("_qid", "qlab")
+        .agg(F.sum(F.when(F.col("nlab") == F.col("qlab"), 1)
+                   .otherwise(0)).alias("_match"))
+    )
+    return (
+        per.groupBy(F.col("qlab").alias("label"))
         .agg(F.count("*").cast("long").alias("n_vectors"),
              F.round(F.sum("_match") / (F.count("*") * F.lit(k)), 6)
              .alias("avg_purity"))

@@ -502,3 +502,313 @@ SELECT grp, round(min(v), 6) AS weighted_median,
        CAST(min(tw) AS BIGINT) AS total_weight
 FROM c WHERE 2 * cw >= tw GROUP BY grp
 """
+
+
+def heaps_law_fit(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heaps'-law vocabulary-growth fit: V(n) ≈ K·n^β over the corpus
+    read in ``id_col`` order — β ≈ 0.4-0.6 for natural text; duplicated
+    or templated corpora flatten it (new docs stop contributing new
+    vocabulary), making this the growth-curve twin of zipf_fit's
+    rank-frequency diagnostic.
+
+    One point per document WITH tokens: x = ln(cumulative tokens),
+    y = ln(cumulative distinct vocabulary). The cumulative vocab
+    needs no quadratic rescan: each word contributes at its FIRST
+    document (min id per word — the first-seen rewrite used by
+    cumulative_distinct), so the curve is two groupBys plus one
+    ordered window. Closed-form OLS on the ln-ln points (the zipf_fit
+    reduce): output (n_points, beta, ln_k, r2), rounded 6; each log
+    term rounds to 9 first so libm ulps can't move the fit.
+
+    100 TB: token explode is the only big shuffle; the window runs
+    over one row per document. At petabyte doc counts sample the
+    curve at exponentially-spaced checkpoints instead.
+    """
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.filter(F.split(F.col(text_col), " "),
+                           lambda x: x != "")).alias("w"))
+    per_doc = tok.groupBy("_id").agg(F.count("*").alias("_c"))
+    first_doc = (tok.groupBy("w").agg(F.min("_id").alias("_id"))
+                 .groupBy("_id").agg(F.count("*").alias("_v")))
+    w_ord = (Window.orderBy("_id")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    pts = (
+        per_doc.join(first_doc, "_id", "left")
+        .select(F.col("_id"),
+                F.sum("_c").over(w_ord).alias("cum_tok"),
+                F.sum(F.coalesce(F.col("_v"), F.lit(0)))
+                .over(w_ord).alias("cum_vocab"))
+        .filter((F.col("cum_tok") > 0) & (F.col("cum_vocab") > 0))
+        .select(F.round(F.log(F.col("cum_tok").cast("double")), 9).alias("x"),
+                F.round(F.log(F.col("cum_vocab").cast("double")), 9).alias("y"))
+    )
+    agg = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("x").cast(_DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(_DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(_DEC)).cast("double").alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(_DEC)).cast("double").alias("sxy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov, vx, vy = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    return agg.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round(cov / vx, 6).alias("beta"),
+        F.round((sy - (cov / vx) * sx) / n, 6).alias("ln_k"),
+        F.round(cov * cov / (vx * vy), 6).alias("r2"))
+
+
+def heaps_law_fit_sql(table: str = "documents", text_sql: str = "text",
+                      id_sql: str = "doc_id") -> str:
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT {id_sql} AS _id,
+         unnest(list_filter(string_split(coalesce({text_sql}, ''), ' '),
+                x -> x <> '')) AS w
+  FROM {table}
+),
+per_doc AS (SELECT _id, count(*) AS _c FROM tok GROUP BY _id),
+first_doc AS (
+  SELECT _id, count(*) AS _v
+  FROM (SELECT w, min(_id) AS _id FROM tok GROUP BY w) GROUP BY _id
+),
+pts AS (
+  SELECT round(ln(CAST(cum_tok AS DOUBLE)), 9) AS x,
+         round(ln(CAST(cum_vocab AS DOUBLE)), 9) AS y
+  FROM (
+    SELECT sum(p._c) OVER w AS cum_tok,
+           sum(coalesce(f._v, 0)) OVER w AS cum_vocab
+    FROM per_doc p LEFT JOIN first_doc f USING (_id)
+    WINDOW w AS (ORDER BY _id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  ) WHERE cum_tok > 0 AND cum_vocab > 0
+),
+agg AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS ln_k,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM agg
+"""
+
+
+def benford_deviation(df: DataFrame, value_col: str = "value",
+                      group_col: str = "event_type") -> DataFrame:
+    """First-significant-digit distribution vs Benford's law per
+    group: chi-square statistic and the max absolute share deviation
+    — the classic fabricated-/synthetic-data smell test for metric
+    columns (naturally-growing quantities follow log-uniform
+    mantissas; generated ones rarely do).
+
+    digit = floor(v / 10^floor(log10 v)) for v > 0 — spelled with the
+    same formula on both engines so edge values land identically.
+    One (group, digit) groupBy then a 9-row-per-group rollup.
+    """
+    v = F.col(value_col).cast("double")
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v))))
+    per = (df.filter(v > 0)
+           .select(F.col(group_col), digit.cast("int").alias("d"))
+           .groupBy(group_col, "d").agg(F.count("*").alias("c")))
+    tot = Window.partitionBy(group_col)
+    # benford share of digit d: log10(1 + 1/d)
+    exp_share = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
+    dev = F.col("c") / F.sum("c").over(tot) - exp_share
+    scored = per.select(
+        F.col(group_col),
+        F.sum("c").over(tot).alias("_n"),
+        F.round((dev * dev) / exp_share, 9).alias("_chi"),
+        F.round(F.abs(dev), 9).alias("_adev"))
+    return (scored.groupBy(group_col)
+            .agg(F.max("_n").cast("long").alias("n_pos"),
+                 F.round(F.sum(F.col("_chi").cast(_DEC)).cast("double"), 6)
+                 .alias("chi2"),
+                 F.round(F.max("_adev"), 6).alias("max_dev")))
+
+
+def benford_deviation_sql(table: str = "events",
+                          value_sql: str = "value",
+                          group_sql: str = "event_type") -> str:
+    return f"""
+WITH per AS (
+  SELECT {group_sql} AS g,
+         CAST(floor(CAST({value_sql} AS DOUBLE)
+                    / power(10.0, floor(log10(CAST({value_sql} AS DOUBLE)))))
+              AS INT) AS d,
+         count(*) AS c
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) > 0
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT g, sum(c) OVER (PARTITION BY g) AS _n,
+         round(pow(c / CAST(sum(c) OVER (PARTITION BY g) AS DOUBLE)
+                   - log10(1.0 + 1.0 / d), 2)
+               / log10(1.0 + 1.0 / d), 9) AS _chi,
+         round(abs(c / CAST(sum(c) OVER (PARTITION BY g) AS DOUBLE)
+                   - log10(1.0 + 1.0 / d)), 9) AS _adev
+  FROM per
+)
+SELECT g AS {group_sql}, CAST(max(_n) AS BIGINT) AS n_pos,
+       round(CAST(sum(CAST(_chi AS DECIMAL(38,12))) AS DOUBLE), 6) AS chi2,
+       round(max(_adev), 6) AS max_dev
+FROM scored GROUP BY g
+"""
+
+
+def ks_statistic(df: DataFrame, group_col: str, group_a, group_b,
+                 value_col: str = "value") -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between two groups'
+    value distributions: D = sup |F_a − F_b| evaluated exactly at
+    every distinct value (the sup of a step-function difference is
+    attained at a step). The standard drift test between two sources
+    / time slices of a metric before mixing them in training data.
+
+    Exact-rational ECDFs from one (value → per-group count) groupBy
+    and one ordered cumulative window over DISTINCT values — never a
+    row-level sort of the full data. Output: one row
+    (n_a, n_b, d_stat).
+    """
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    per = (df.filter(g.isin([group_a, group_b]))
+           .select(v.alias("v"),
+                   F.when(g == group_a, 1).otherwise(0).alias("is_a"))
+           .groupBy("v")
+           .agg(F.sum("is_a").alias("ca"),
+                F.sum(F.lit(1) - F.col("is_a")).alias("cb")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    diff = (F.sum("ca").over(w) / F.sum("ca").over(tot)
+            - F.sum("cb").over(w) / F.sum("cb").over(tot))
+    return (per.select(F.sum("ca").over(tot).alias("na"),
+                       F.sum("cb").over(tot).alias("nb"),
+                       F.abs(diff).alias("_d"))
+            .groupBy("na", "nb").agg(F.round(F.max("_d"), 6).alias("d_stat"))
+            .select(F.col("na").cast("long").alias("n_a"),
+                    F.col("nb").cast("long").alias("n_b"), "d_stat"))
+
+
+def ks_statistic_sql(table: str, group_sql: str, group_a: str,
+                     group_b: str, value_sql: str = "value") -> str:
+    return f"""
+WITH per AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS v,
+         sum(CASE WHEN {group_sql} = '{group_a}' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN {group_sql} = '{group_b}' THEN 1 ELSE 0 END) AS cb
+  FROM {table} WHERE {group_sql} IN ('{group_a}', '{group_b}')
+  GROUP BY 1
+),
+steps AS (
+  SELECT sum(ca) OVER () AS na, sum(cb) OVER () AS nb,
+         abs(sum(ca) OVER w / CAST(sum(ca) OVER () AS DOUBLE)
+             - sum(cb) OVER w / CAST(sum(cb) OVER () AS DOUBLE)) AS _d
+  FROM per
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(max(_d), 6) AS d_stat
+FROM steps GROUP BY na, nb
+"""
+
+
+def js_divergence(df: DataFrame, group_col: str = "source",
+                  text_col: str = "text", min_count: int = 2) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between every two groups'
+    unigram distributions — the symmetric, bounded (≤ ln 2) corpus
+    drift measure used to weigh sources before mixture balancing
+    (rebalance_mixture tells you the WEIGHTS; this tells you which
+    sources are actually interchangeable).
+
+    Vocabulary is restricted to words with global count ≥
+    ``min_count`` (identical filter both engines) and per-group
+    distributions renormalize over that vocabulary. The pair sum
+    needs ONLY the shared-word join: for a word present in one group
+    alone, q = 0 and its JSD term is p·ln2/2, so
+    JSD(a,b) = ln2·(2 − Σ_shared(p+q))/2 + Σ_shared terms — exclusive
+    mass is recovered from the shared totals, and the join stays
+    word-keyed (never |vocab|·|groups|² rows). Per-word terms round
+    to 9 into decimal sums; output (group_a, group_b, jsd,
+    shared_terms) rounds to 6.
+    """
+    import math
+
+    tok = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(F.filter(F.split(F.col(text_col), " "),
+                           lambda x: x != "")).alias("w"))
+    wc = tok.groupBy("g", "w").agg(F.count("*").alias("c"))
+    kept = (wc.groupBy("w").agg(F.sum("c").alias("_tot"))
+            .filter(F.col("_tot") >= min_count).select("w"))
+    wc = wc.join(kept, "w")
+    tot = Window.partitionBy("g")
+    ws = wc.select("w", "g", (F.col("c") / F.sum("c").over(tot)).alias("p"))
+    a = ws.select(F.col("w"), F.col("g").alias("ga"), F.col("p").alias("pa"))
+    b = ws.select(F.col("w"), F.col("g").alias("gb"), F.col("p").alias("pb"))
+    ln2 = math.log(2.0)
+    term = (F.col("pa") * F.log(F.lit(2.0) * F.col("pa")
+                                / (F.col("pa") + F.col("pb")))
+            + F.col("pb") * F.log(F.lit(2.0) * F.col("pb")
+                                  / (F.col("pa") + F.col("pb")))) / 2.0
+    shared = (
+        a.join(b, "w").filter(F.col("ga") < F.col("gb"))
+        .select("ga", "gb",
+                F.round(term, 9).alias("_t"),
+                F.round((F.col("pa") + F.col("pb")).cast(_DEC), 9)
+                .alias("_mass"))
+    )
+    return (shared.groupBy("ga", "gb")
+            .agg(F.count("*").cast("long").alias("shared_terms"),
+                 F.round(
+                     F.lit(ln2 / 2.0)
+                     * (F.lit(2.0) - F.sum("_mass").cast("double"))
+                     + F.sum(F.col("_t").cast(_DEC)).cast("double"), 6)
+                 .alias("jsd"))
+            .select(F.col("ga").alias("group_a"), F.col("gb").alias("group_b"),
+                    "jsd", "shared_terms"))
+
+
+def js_divergence_sql(table: str = "documents", group_sql: str = "source",
+                      text_sql: str = "text", min_count: int = 2) -> str:
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT {group_sql} AS g,
+         unnest(list_filter(string_split(coalesce({text_sql}, ''), ' '),
+                x -> x <> '')) AS w
+  FROM {table}
+),
+wc AS (
+  SELECT g, w, count(*) AS c FROM tok GROUP BY 1, 2
+),
+kept AS (
+  SELECT w FROM wc GROUP BY w HAVING sum(c) >= {min_count}
+),
+ws AS (
+  SELECT wc.w, wc.g,
+         wc.c / CAST(sum(wc.c) OVER (PARTITION BY wc.g) AS DOUBLE) AS p
+  FROM wc JOIN kept USING (w)
+),
+shared AS (
+  SELECT a.g AS ga, b.g AS gb,
+         round((a.p * ln(2.0 * a.p / (a.p + b.p))
+                + b.p * ln(2.0 * b.p / (a.p + b.p))) / 2.0, 9) AS _t,
+         round(CAST(a.p + b.p AS DECIMAL(38,12)), 9) AS _mass
+  FROM ws a JOIN ws b ON a.w = b.w AND a.g < b.g
+)
+SELECT ga AS group_a, gb AS group_b,
+       round(ln(2.0) / 2.0 * (2.0 - CAST(sum(_mass) AS DOUBLE))
+             + CAST(sum(CAST(_t AS DECIMAL(38,12))) AS DOUBLE), 6) AS jsd,
+       CAST(count(*) AS BIGINT) AS shared_terms
+FROM shared GROUP BY 1, 2
+"""

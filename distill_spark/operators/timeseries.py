@@ -449,3 +449,56 @@ SELECT agg.series AS series, n, max_drift,
        CAST(oid AS BIGINT) AS peak_event_id
 FROM agg JOIN peak ON agg.series = peak.series
 """
+
+
+def event_dedup_window(events: DataFrame, gap_s: int = 60,
+                       key_cols: tuple[str, str] = ("user_id", "event_type"),
+                       ts_col: str = "ts",
+                       tie_col: str = "event_id") -> DataFrame:
+    """Burst suppression: within each key, events whose gap to the
+    previous event is ≤ ``gap_s`` chain into one burst; only the
+    burst's first event is kept. The standard at-least-once-delivery /
+    double-click cleanup before any event count is trusted — exact
+    retries land in the same burst as their original.
+
+    One window pass per key (lag → cumulative burst id → keep first),
+    the sessionize shape at a tighter gap. Output per event_type:
+    (n_events, n_kept, kept_share) — the dedup-rate readout; rounding
+    6 on the share only.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, tie_col)
+    gap_us = (F.unix_micros(F.col(ts_col))
+              - F.lag(F.unix_micros(F.col(ts_col))).over(w))
+    new_burst = F.when(gap_us.isNull()
+                       | (gap_us > gap_s * 1_000_000), 1).otherwise(0)
+    flagged = events.withColumn("_nb", new_burst)
+    return (flagged.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.sum("_nb").cast("long").alias("n_kept"),
+                 F.round(F.sum("_nb") / F.count("*"), 6).alias("kept_share"))
+            )
+
+
+def event_dedup_window_sql(table: str = "events", gap_s: int = 60,
+                           key_sql: str = "user_id, event_type",
+                           ts_sql: str = "ts",
+                           tie_sql: str = "event_id") -> str:
+    return f"""
+WITH flagged AS (
+  SELECT event_type,
+         CASE WHEN epoch_us({ts_sql}) - lag(epoch_us({ts_sql}))
+                OVER (PARTITION BY {key_sql}
+                      ORDER BY {ts_sql}, {tie_sql})
+              IS NOT DISTINCT FROM NULL
+              OR epoch_us({ts_sql}) - lag(epoch_us({ts_sql}))
+                OVER (PARTITION BY {key_sql}
+                      ORDER BY {ts_sql}, {tie_sql})
+                > {gap_s} * 1000000
+         THEN 1 ELSE 0 END AS _nb
+  FROM {table}
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(_nb) AS BIGINT) AS n_kept,
+       round(sum(_nb) / CAST(count(*) AS DOUBLE), 6) AS kept_share
+FROM flagged GROUP BY event_type
+"""

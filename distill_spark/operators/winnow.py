@@ -86,12 +86,25 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
 
 def winnow_pairs(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", k: int = 4, w: int = 4,
-                 min_shared: int = 2, top: int = 50) -> DataFrame:
+                 min_shared: int = 2, top: int = 50,
+                 max_df: int | None = 100) -> DataFrame:
     """Cross-document shared-fingerprint pairs: (doc_a, doc_b,
     shared_fp) for pairs sharing ≥ ``min_shared`` fingerprints, top
     ``top`` by (shared_fp DESC, doc_a, doc_b) — the quote/plagiarism
-    candidate list with the winnowing guarantee."""
+    candidate list with the winnowing guarantee.
+
+    ``max_df`` drops boilerplate fingerprints shared by more than
+    that many documents BEFORE the self-join (same skew cap as the
+    PPJoin/containment paths): a fingerprint in f docs contributes
+    O(f²) candidate pairs, so one hot license-header fingerprint at
+    f=10⁶ would otherwise dominate the whole join. Capped pairs lose
+    only boilerplate evidence — by the winnowing guarantee they still
+    share every fingerprint of their non-boilerplate overlap."""
     fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    if max_df is not None:
+        ok = (fps.groupBy("fp").agg(F.count("*").alias("_df"))
+              .filter(F.col("_df") <= max_df).select("fp"))
+        fps = fps.join(ok, "fp")
     a = fps.select(F.col(id_col).alias("doc_a"), "fp")
     b = fps.select(F.col(id_col).alias("doc_b"), "fp")
     return (
@@ -121,8 +134,13 @@ def _kgrams_sql(table: str, id_sql: str, text_sql: str, k: int) -> str:
 
 def winnow_pairs_sql(table: str = "documents", id_sql: str = "doc_id",
                      text_sql: str = "text", k: int = 4, w: int = 4,
-                     min_shared: int = 2, top: int = 50) -> str:
+                     min_shared: int = 2, top: int = 50,
+                     max_df: int | None = 100) -> str:
     grams = _kgrams_sql(table, id_sql, text_sql, k)
+    df_prelude = ("" if max_df is None else f""",
+ok AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {max_df})""")
+    fps_src = "fps" if max_df is None else \
+        "(SELECT f.* FROM fps f JOIN ok USING (fp))"
     return f"""
 WITH grams AS MATERIALIZED ({grams}),
 picks AS MATERIALIZED (
@@ -136,10 +154,10 @@ picks AS MATERIALIZED (
 fps AS MATERIALIZED (
   SELECT DISTINCT id, substr(_pick, 1, 32) AS fp
   FROM picks WHERE pos <= _m - {w} OR pos = 0
-)
+){df_prelude}
 SELECT a.id AS doc_a, b.id AS doc_b,
        CAST(count(*) AS BIGINT) AS shared_fp
-FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+FROM {fps_src} a JOIN {fps_src} b ON a.fp = b.fp AND a.id < b.id
 GROUP BY 1, 2
 HAVING count(*) >= {min_shared}
 ORDER BY shared_fp DESC, doc_a ASC, doc_b ASC

@@ -175,3 +175,59 @@ def test_weighted_median_hand_computed(spark):
         rows2, "grp string, value double, wt long, event_id long")
     [r2] = weighted_median(df2, "grp", "value", "wt", "event_id").collect()
     assert r2.weighted_median == 20.0
+
+
+def test_edit_distance_max_df_caps_boilerplate(spark):
+    """A boilerplate shingle planted across many docs must not create
+    O(f²) candidates: with max_df below the fanout the pair count
+    stays linear (here: zero, since the docs share ONLY boilerplate),
+    while max_df=None returns the full quadratic set."""
+    from distill_spark.operators.dedup_text import edit_distance_pairs
+
+    boiler = "all rights reserved by the original author"
+    rows = [(i, f"{boiler} unique tail {i} " +
+             " ".join(f"w{i}x{j}" for j in range(6)))
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = edit_distance_pairs(df, rel_threshold=0.9, max_df=4).collect()
+    assert capped == []
+    uncapped = edit_distance_pairs(df, rel_threshold=0.9,
+                                   max_df=None).collect()
+    assert len(uncapped) == 12 * 11 // 2
+
+
+def test_winnow_pairs_max_df_caps_boilerplate(spark):
+    """Same cap contract for winnowing fingerprints: docs whose only
+    shared fingerprints are boilerplate drop out under max_df."""
+    from distill_spark.operators.winnow import winnow_pairs
+
+    boiler = "this file is part of the example distribution package"
+    rows = [(i, f"{boiler} " + " ".join(f"tok{i}n{j}" for j in range(10)))
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = winnow_pairs(df, min_shared=1, max_df=3).collect()
+    assert capped == []
+    uncapped = winnow_pairs(df, min_shared=1, max_df=None).collect()
+    assert len(uncapped) == 10 * 9 // 2
+
+
+def test_knn_purity_budget_gate_and_zero_norm(spark):
+    """The corpus collect is byte-gated: a tiny budget must route
+    through the distributed IVF path and still produce the same
+    schema. Zero-norm vectors score -1.0 to everything on the exact
+    path, so they never displace real neighbors."""
+    from distill_spark.operators.similarity import knn_label_purity
+
+    rows = [(i, [1.0 * (i % 3 == 0), 1.0 * (i % 3 == 1),
+                 1.0 * (i % 3 == 2)], i % 3) for i in range(12)]
+    rows.append((99, [0.0, 0.0, 0.0], 0))  # zero-norm vector
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    exact = {r.label: r for r in knn_label_purity(df, k=3).collect()}
+    # label-0 group: 5 vectors (4 axis-aligned + zero); the zero vector
+    # ranks below every real neighbor for every query
+    assert exact[1].avg_purity == 1.0 and exact[2].avg_purity == 1.0
+    ivf = knn_label_purity(df, k=3, broadcast_budget_bytes=1)
+    assert ivf.columns == ["label", "n_vectors", "avg_purity"]
+    got = {r.label: r.n_vectors for r in ivf.collect()}
+    assert sum(got.values()) == 13

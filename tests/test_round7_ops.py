@@ -1,0 +1,167 @@
+"""Round-7 operators: Heaps-law fit, Benford deviation, KS statistic,
+JS divergence, burst event dedup, session path mining, n-gram
+novelty. Hand-computed expectations on tiny fixtures; sf-data oracle
+parity is covered by the driver gate / check_parity."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), u, t, v)
+         for i, (s, u, t, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double")
+
+
+def test_heaps_law_pure_power_law(spark):
+    """V(n) = n (every token new) gives beta = 1, ln_k = 0, r2 = 1."""
+    from distill_spark.operators.stats import heaps_law_fit
+
+    rows = [(d, " ".join(f"tok{d}_{j}" for j in range(3)))
+            for d in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    [r] = heaps_law_fit(df).collect()
+    assert r.n_points == 6
+    assert r.beta == 1.0 and r.ln_k == 0.0 and r.r2 == 1.0
+
+
+def test_heaps_law_flat_for_duplicated_corpus(spark):
+    """All docs identical: vocab saturates after doc 1, so the fitted
+    beta collapses far below the fresh-corpus 1.0."""
+    from distill_spark.operators.stats import heaps_law_fit
+
+    rows = [(d, "same four words here") for d in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    [r] = heaps_law_fit(df).collect()
+    assert r.beta < 0.2
+
+
+def test_benford_uniform_digits_deviate(spark):
+    """Digits 1..9 equally often: each share is 1/9, so chi2 equals
+    sum((1/9 - log10(1+1/d))^2 / log10(1+1/d)) — check to 1e-5."""
+    from distill_spark.operators.stats import benford_deviation
+
+    rows = [(0, dt.datetime(2024, 1, 1), 1, "t", float(d))
+            for d in range(1, 10)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    [r] = benford_deviation(df).collect()
+    exp = sum((1 / 9 - math.log10(1 + 1 / d)) ** 2 / math.log10(1 + 1 / d)
+              for d in range(1, 10))
+    assert r.n_pos == 9
+    assert abs(r.chi2 - exp) < 1e-5
+    # max dev at digit 1 (benford 0.301 vs observed 1/9)
+    assert abs(r.max_dev - (math.log10(2) - 1 / 9)) < 1e-5
+
+
+def test_benford_ignores_nonpositive(spark):
+    from distill_spark.operators.stats import benford_deviation
+
+    rows = [(0, dt.datetime(2024, 1, 1), 1, "t", v)
+            for v in [0.0, -5.0, 123.0, 0.04]]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    [r] = benford_deviation(df).collect()
+    assert r.n_pos == 2  # 123.0 -> digit 1, 0.04 -> digit 4
+
+
+def test_ks_statistic_disjoint_and_identical(spark):
+    from distill_spark.operators.stats import ks_statistic
+
+    # disjoint supports -> D = 1
+    rows = ([(s, 1, "a", float(v)) for s, v in enumerate([1, 2, 3])]
+            + [(s + 10, 1, "b", float(v)) for s, v in enumerate([10, 11])])
+    df = _events(spark, rows)
+    [r] = ks_statistic(df, "event_type", "a", "b").collect()
+    assert (r.n_a, r.n_b, r.d_stat) == (3, 2, 1.0)
+    # identical samples -> D = 0
+    rows2 = ([(s, 1, "a", float(v)) for s, v in enumerate([1, 2, 3])]
+             + [(s + 10, 1, "b", float(v)) for s, v in enumerate([1, 2, 3])])
+    [r2] = ks_statistic(_events(spark, rows2), "event_type", "a", "b").collect()
+    assert r2.d_stat == 0.0
+
+
+def test_js_divergence_identical_and_disjoint(spark):
+    from distill_spark.operators.stats import js_divergence
+
+    rows = [(0, "x x y", "s1"), (1, "x x y", "s2"),   # identical dists
+            (2, "p p q q", "s3")]                      # disjoint from both
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r.group_a, r.group_b): r.jsd
+           for r in js_divergence(df, min_count=1).collect()}
+    assert got[("s1", "s2")] == 0.0
+    # disjoint pairs share no word, so they never appear in the
+    # shared-join output — their JSD is ln2 by construction, and the
+    # operator's contract is to emit only pairs with shared support
+    assert ("s1", "s3") not in got
+
+
+def test_js_divergence_hand_value(spark):
+    """s1 = {x:1}, s2 = {x:.5, y:.5} -> JSD = .5·(1·ln(4/3)) +
+    .5·(.5·ln(2/3·2) + .5·ln2) computed from the definition."""
+    from distill_spark.operators.stats import js_divergence
+
+    rows = [(0, "x x", "s1"), (1, "x y", "s2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    [r] = js_divergence(df, min_count=1).collect()
+    p, q = {"x": 1.0}, {"x": 0.5, "y": 0.5}
+    jsd = 0.0
+    for w in {"x", "y"}:
+        pw, qw = p.get(w, 0.0), q.get(w, 0.0)
+        m = (pw + qw) / 2
+        if pw:
+            jsd += 0.5 * pw * math.log(pw / m)
+        if qw:
+            jsd += 0.5 * qw * math.log(qw / m)
+    assert abs(r.jsd - jsd) < 1e-5
+    assert r.shared_terms == 1
+
+
+def test_event_dedup_burst_chains(spark):
+    """Events 0s,30s,59s chain into ONE burst (each gap ≤ 60 from its
+    predecessor) even though 0s->59s read in isolation would not; the
+    121s event starts a new burst."""
+    from distill_spark.operators.timeseries import event_dedup_window
+
+    rows = [(0, 1, "click", 1.0), (30, 1, "click", 1.0),
+            (59, 1, "click", 1.0), (121, 1, "click", 1.0),
+            (0, 2, "view", 1.0)]
+    df = _events(spark, rows)
+    got = {r.event_type: (r.n_events, r.n_kept)
+           for r in event_dedup_window(df, gap_s=60).collect()}
+    assert got["click"] == (4, 2)
+    assert got["view"] == (1, 1)
+
+
+def test_event_paths_respects_session_boundary(spark):
+    """a->b->c inside one session counts; a path spanning a 31-min gap
+    must NOT be stitched."""
+    from distill_spark.operators.conversion import event_paths_topk
+
+    rows = [(0, 1, "a", 0.0), (60, 1, "b", 0.0), (120, 1, "c", 0.0),
+            # same user, new session after 31 min: d e f
+            (120 + 1860, 1, "d", 0.0), (120 + 1920, 1, "e", 0.0),
+            (120 + 1980, 1, "f", 0.0)]
+    df = _events(spark, rows)
+    got = {r.path: r.n for r in event_paths_topk(df, depth=3).collect()}
+    assert got == {"a>b>c": 1, "d>e>f": 1}
+
+
+def test_ngram_novelty_unique_vs_copied(spark):
+    from distill_spark.operators.dedup_text import ngram_novelty
+
+    fresh = " ".join(f"u{j}" for j in range(10))
+    copied = "the same five words repeated again and again here"
+    rows = [(0, fresh, "fresh"), (1, copied, "dup"), (2, copied, "dup")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r.avg_novelty for r in ngram_novelty(df).collect()}
+    assert got["fresh"] == 1.0   # every 5-gram unique to doc 0
+    assert got["dup"] == 0.0     # every 5-gram shared by docs 1 and 2
