@@ -6275,6 +6275,101 @@ def _sql_transition_dwell():
 # event hygiene, and novelty ranking ------------------------------------
 
 
+def q_chi2_source_lang(spark, sf_dir):
+    """Chi-square independence of source × lang over documents
+    (stats.chi2_independence) — is the stratification key secretly
+    correlated with language before sampling on it?"""
+    from distill_spark.operators.stats import chi2_independence
+
+    t = _tables(spark, sf_dir)
+    return chi2_independence(t["documents"], "source", "lang")
+
+
+def _sql_chi2():
+    from distill_spark.operators.stats import chi2_independence_sql
+
+    return chi2_independence_sql("documents", "source", "lang")
+
+
+def q_mannwhitney_values(spark, sf_dir):
+    """Mann–Whitney U between view and error event values
+    (stats.mannwhitney_u) — rank-based drift with tie-corrected z."""
+    from distill_spark.operators.stats import mannwhitney_u
+
+    t = _tables(spark, sf_dir)
+    return mannwhitney_u(t["events"], "event_type", "view", "error")
+
+
+def _sql_mwu():
+    from distill_spark.operators.stats import mannwhitney_u_sql
+
+    return mannwhitney_u_sql("events", "event_type", "view", "error")
+
+
+def q_theil_sen(spark, sf_dir):
+    """Per-event-type Theil–Sen robust daily-count trend
+    (timeseries.theil_sen_trend) — median of pairwise slopes,
+    deterministic lower-middle rank."""
+    from distill_spark.operators.timeseries import theil_sen_trend
+
+    t = _tables(spark, sf_dir)
+    return theil_sen_trend(t["events"])
+
+
+def _sql_theil_sen():
+    from distill_spark.operators.timeseries import theil_sen_trend_sql
+
+    return theil_sen_trend_sql()
+
+
+def q_lag_corr_click_purchase(spark, sf_dir):
+    """Lagged Pearson correlation of click-day counts against
+    purchase-day counts at lags 0..3 over the zero-filled day grid
+    (timeseries.series_lag_corr) — does activity predict conversion?"""
+    from distill_spark.operators.timeseries import series_lag_corr
+
+    t = _tables(spark, sf_dir)
+    return series_lag_corr(t["events"], "click", "purchase")
+
+
+def _sql_lag_corr():
+    from distill_spark.operators.timeseries import series_lag_corr_sql
+
+    return series_lag_corr_sql("events", "click", "purchase")
+
+
+def q_acf_daily(spark, sf_dir):
+    """Autocorrelation of total daily event counts at lags 0..7
+    (series_lag_corr with a = b = all events) — the seasonality
+    detector behind rolling-window width choices."""
+    from distill_spark.operators.timeseries import series_lag_corr
+
+    t = _tables(spark, sf_dir)
+    return series_lag_corr(t["events"], None, None, max_lag=7)
+
+
+def _sql_acf():
+    from distill_spark.operators.timeseries import series_lag_corr_sql
+
+    return series_lag_corr_sql("events", None, None, max_lag=7)
+
+
+def q_skew_profile_orders(spark, sf_dir):
+    """Join-key skew profile of lineitem.l_orderkey (skew.skew_profile)
+    — rows/keys, max and exact-p99 per-key counts, skew ratio: the
+    pre-flight readout that decides salting before a 100 TB join."""
+    from distill_spark.operators.skew import skew_profile
+
+    t = _tables(spark, sf_dir)
+    return skew_profile(t["lineitem"], "l_orderkey")
+
+
+def _sql_skew_profile():
+    from distill_spark.operators.skew import skew_profile_sql
+
+    return skew_profile_sql("lineitem", "l_orderkey")
+
+
 def q_heaps_law(spark, sf_dir):
     """Heaps'-law vocabulary-growth fit over documents in doc_id order
     (stats.heaps_law_fit) — the growth-curve twin of zipf_fit:
@@ -7570,6 +7665,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "event_dedup_burst": (q_event_dedup_burst, _sql_event_dedup()),
     "event_paths": (q_event_paths, _sql_event_paths()),
     "source_novelty": (q_source_novelty, _sql_novelty()),
+    "chi2_source_lang": (q_chi2_source_lang, _sql_chi2()),
+    "mannwhitney_values": (q_mannwhitney_values, _sql_mwu()),
+    "theil_sen_trend": (q_theil_sen, _sql_theil_sen()),
+    "lag_corr_click_purchase": (q_lag_corr_click_purchase, _sql_lag_corr()),
+    "acf_daily": (q_acf_daily, _sql_acf()),
+    "skew_profile_orders": (q_skew_profile_orders, _sql_skew_profile()),
     # -- window filler (r06-green; round-7 additions displace these
     # as they land) ---------------------------------------------------------
     "tpch_q1_pricing": (q_tpch_q1_pricing, SQL_TPCH_Q1),

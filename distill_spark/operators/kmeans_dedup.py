@@ -106,14 +106,18 @@ def kmeans_dedup(
     with_emb = df.filter(has_emb)
     no_emb = df.filter(~has_emb)
 
-    n = with_emb.count()
-    if n == 0:
-        return df.withColumn("cluster_id", F.lit(-1)).withColumn(
-            "is_medoid", F.lit(True)
-        ).withColumn("kept", F.lit(True))
+    # the separate count() job only exists to derive the default k =
+    # sqrt(n/2): with an explicit k the fit sample itself bounds n
+    # (|sample| = min(n, fit_sample) and k ≤ fit_sample), so skipping
+    # the count drops one full corpus scan from the job chain
     if k is None:
+        n = with_emb.count()
+        if n == 0:
+            return df.withColumn("cluster_id", F.lit(-1)).withColumn(
+                "is_medoid", F.lit(True)
+            ).withColumn("kept", F.lit(True))
         k = max(1, int(math.sqrt(n / 2.0)))  # kmeans.go:86-94
-    k = min(k, n)
+        k = min(k, n)
 
     # fit: deterministic bounded sample in HASH order — an id-prefix
     # sample would over-represent whatever the low ids correlate with
@@ -134,6 +138,11 @@ def kmeans_dedup(
               .orderBy(hash_bucket(F.col(id_col), hmode, salt=1).asc(),
                        F.col(id_col).asc())
               .limit(max(fit_sample, k)).collect())
+    if not sample:
+        return df.withColumn("cluster_id", F.lit(-1)).withColumn(
+            "is_medoid", F.lit(True)
+        ).withColumn("kept", F.lit(True))
+    k = min(k, len(sample))
     X = np.asarray([r._v for r in sample], dtype=np.float64)
     cmat = _fit_centroids(X, k, max_iter)
 

@@ -91,3 +91,63 @@ def salted_join(
         F.broadcast(right.sparkSession.range(n_salt)
                     .select(F.col("id").cast("int").alias("_salt"))))
     return lsalt.join(rrep, [key, "_salt"], how).drop("_salt")
+
+
+def skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Join-key skew diagnosis in one pass over per-key counts: row
+    and key totals, mean/max rows per key, the exact p99 per-key
+    count (explicit lower-rank formula, same both engines), and the
+    skew ratio max/mean — the number that says whether a planned
+    join/groupBy on this key needs salting (salted_join above) or
+    AQE skew handling BEFORE the job ships. Output: one row
+    (n_rows, n_keys, avg_per_key, max_per_key, p99_per_key,
+    skew_ratio).
+
+    Scale shape: one groupBy(key) then a |keys|-row ordered window —
+    the raw table shuffles once, the quantile never sorts raw rows.
+    """
+    from pyspark.sql import Window
+
+    per = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count("*").alias("c"))
+    tot = Window.partitionBy()
+    ranked = per.select(
+        "c",
+        F.row_number().over(Window.orderBy("c", "k")).alias("_r"),
+        F.count("*").over(tot).alias("_m"),
+        F.sum("c").over(tot).alias("_n"),
+        F.max("c").over(tot).alias("_mx"))
+    return (ranked
+            .filter(F.col("_r") == F.greatest(
+                F.lit(1), F.ceil(F.col("_m") * 0.99)))
+            .select(
+                F.col("_n").cast("long").alias("n_rows"),
+                F.col("_m").cast("long").alias("n_keys"),
+                F.round(F.col("_n") / F.col("_m"), 6).alias("avg_per_key"),
+                F.col("_mx").cast("long").alias("max_per_key"),
+                F.col("c").cast("long").alias("p99_per_key"),
+                F.round(F.col("_mx") / (F.col("_n") / F.col("_m")), 6)
+                .alias("skew_ratio")))
+
+
+def skew_profile_sql(table: str, key_sql: str) -> str:
+    return f"""
+WITH per AS (
+  SELECT {key_sql} AS k, count(*) AS c FROM {table} GROUP BY 1
+),
+ranked AS (
+  SELECT c,
+         row_number() OVER (ORDER BY c, k) AS _r,
+         count(*) OVER () AS _m,
+         sum(c) OVER () AS _n,
+         max(c) OVER () AS _mx
+  FROM per
+)
+SELECT CAST(_n AS BIGINT) AS n_rows, CAST(_m AS BIGINT) AS n_keys,
+       round(_n / CAST(_m AS DOUBLE), 6) AS avg_per_key,
+       CAST(_mx AS BIGINT) AS max_per_key,
+       CAST(c AS BIGINT) AS p99_per_key,
+       round(_mx / (_n / CAST(_m AS DOUBLE)), 6) AS skew_ratio
+FROM ranked
+WHERE _r = greatest(1, CAST(ceil(_m * 0.99) AS BIGINT))
+"""

@@ -812,3 +812,151 @@ SELECT ga AS group_a, gb AS group_b,
        CAST(count(*) AS BIGINT) AS shared_terms
 FROM shared GROUP BY 1, 2
 """
+
+
+def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Chi-square test of independence between two categorical
+    columns, plus Cramér's V effect size — the data-QC check that a
+    stratification key (source, shard, date) is not secretly
+    correlated with a label-like column before sampling on it.
+
+    One contingency groupBy; expected counts come from broadcast row/
+    column totals (window sums over the |r|·|c|-row contingency
+    table, never a rescan). Output: (n, dof, chi2, cramers_v),
+    exact-rational until the final rounds.
+    """
+    ct = (df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+          .agg(F.count("*").alias("o")))
+    wa, wb, tot = (Window.partitionBy("a"), Window.partitionBy("b"),
+                   Window.partitionBy())
+    e = (F.sum("o").over(wa) * F.sum("o").over(wb)
+         / F.sum("o").over(tot))
+    per = ct.select(
+        F.sum("o").over(tot).alias("_n"),
+        F.size(F.collect_set("a").over(tot)).alias("_r"),
+        F.size(F.collect_set("b").over(tot)).alias("_c"),
+        F.round((F.col("o") - e) * (F.col("o") - e) / e, 9).alias("_chi"))
+    return (per.groupBy("_n", "_r", "_c")
+            .agg(F.round(F.sum(F.col("_chi").cast(_DEC)).cast("double"), 6)
+                 .alias("chi2"))
+            .select(
+                F.col("_n").cast("long").alias("n"),
+                ((F.col("_r") - 1) * (F.col("_c") - 1)).cast("long")
+                .alias("dof"),
+                "chi2",
+                F.round(F.sqrt(F.col("chi2") / (F.col("_n")
+                        * F.least(F.col("_r") - 1, F.col("_c") - 1))), 6)
+                .alias("cramers_v")))
+
+
+def chi2_independence_sql(table: str, a_sql: str, b_sql: str) -> str:
+    return f"""
+WITH ct AS (
+  SELECT {a_sql} AS a, {b_sql} AS b, count(*) AS o
+  FROM {table} GROUP BY 1, 2
+),
+per AS (
+  SELECT sum(o) OVER () AS _n,
+         count(DISTINCT a) OVER () AS _r,
+         count(DISTINCT b) OVER () AS _c,
+         round(pow(o - (sum(o) OVER (PARTITION BY a)
+                        * sum(o) OVER (PARTITION BY b)
+                        / CAST(sum(o) OVER () AS DOUBLE)), 2)
+               / (sum(o) OVER (PARTITION BY a)
+                  * sum(o) OVER (PARTITION BY b)
+                  / CAST(sum(o) OVER () AS DOUBLE)), 9) AS _chi
+  FROM ct
+),
+agg AS (
+  SELECT _n, _r, _c,
+         round(CAST(sum(CAST(_chi AS DECIMAL(38,12))) AS DOUBLE), 6) AS chi2
+  FROM per GROUP BY 1, 2, 3
+)
+SELECT CAST(_n AS BIGINT) AS n,
+       CAST((_r - 1) * (_c - 1) AS BIGINT) AS dof, chi2,
+       round(sqrt(chi2 / (_n * least(_r - 1, _c - 1))), 6) AS cramers_v
+FROM agg
+"""
+
+
+def mannwhitney_u(df: DataFrame, group_col: str, group_a, group_b,
+                  value_col: str = "value") -> DataFrame:
+    """Mann–Whitney U rank-sum test between two groups' values, with
+    the tie-corrected normal approximation z — the rank-based drift
+    test that, unlike KS, weighs WHERE the distributions shift, and
+    unlike a t-test needs no normality.
+
+    Average ranks come from cumulative counts over DISTINCT values
+    (avg_rank(v) = #below(v) + (#at(v)+1)/2) — one groupBy + one
+    ordered window, never a row-level rank over the full table; the
+    tie correction Σ(t³−t) falls out of the same per-value counts.
+    Output: (n_a, n_b, u_a, z), exact-rational ranks, rounds 6.
+    """
+    g = F.col(group_col)
+    per = (df.filter(g.isin([group_a, group_b]))
+           .select(F.col(value_col).cast("double").alias("v"),
+                   F.when(g == group_a, 1).otherwise(0).alias("is_a"))
+           .groupBy("v")
+           .agg(F.sum("is_a").alias("ca"),
+                F.count("*").alias("ct")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    tot = Window.partitionBy()
+    avg_rank = (F.coalesce(F.sum("ct").over(w), F.lit(0))
+                + (F.col("ct") + 1) / 2.0)
+    terms = per.select(
+        F.sum("ca").over(tot).alias("na"),
+        (F.sum("ct").over(tot) - F.sum("ca").over(tot)).alias("nb"),
+        F.sum("ct").over(tot).alias("nn"),
+        (F.col("ca") * avg_rank).cast(_DEC).alias("_ra"),
+        (F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
+        .cast(_DEC).alias("_tie"))
+    agg = (terms.groupBy("na", "nb", "nn")
+           .agg(F.sum("_ra").cast("double").alias("ra"),
+                F.sum("_tie").cast("double").alias("ties")))
+    na, nb, nn = (F.col("na").cast("double"), F.col("nb").cast("double"),
+                  F.col("nn").cast("double"))
+    u_a = F.col("ra") - na * (na + 1) / 2
+    mu = na * nb / 2
+    sig = F.sqrt((na * nb / 12)
+                 * ((nn + 1) - F.col("ties") / (nn * (nn - 1))))
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(u_a, 6).alias("u_a"),
+        F.round((u_a - mu) / sig, 6).alias("z"))
+
+
+def mannwhitney_u_sql(table: str, group_sql: str, group_a: str,
+                      group_b: str, value_sql: str = "value") -> str:
+    return f"""
+WITH per AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS v,
+         sum(CASE WHEN {group_sql} = '{group_a}' THEN 1 ELSE 0 END) AS ca,
+         count(*) AS ct
+  FROM {table} WHERE {group_sql} IN ('{group_a}', '{group_b}')
+  GROUP BY 1
+),
+terms AS (
+  SELECT sum(ca) OVER () AS na,
+         sum(ct) OVER () - sum(ca) OVER () AS nb,
+         sum(ct) OVER () AS nn,
+         CAST(ca * (coalesce(sum(ct) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + (ct + 1) / 2.0) AS DECIMAL(38,12)) AS _ra,
+         CAST(ct * ct * ct - ct AS DECIMAL(38,12)) AS _tie
+  FROM per
+),
+agg AS (
+  SELECT na, nb, nn,
+         CAST(sum(_ra) AS DOUBLE) AS ra,
+         CAST(sum(_tie) AS DOUBLE) AS ties
+  FROM terms GROUP BY 1, 2, 3
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(ra - na * (na + 1.0) / 2, 6) AS u_a,
+       round((ra - na * (na + 1.0) / 2 - na * CAST(nb AS DOUBLE) / 2)
+             / sqrt((na * CAST(nb AS DOUBLE) / 12)
+                    * ((nn + 1) - ties / (CAST(nn AS DOUBLE) * (nn - 1)))), 6)
+         AS z
+FROM agg
+"""

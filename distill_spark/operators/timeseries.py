@@ -502,3 +502,186 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
        round(sum(_nb) / CAST(count(*) AS DOUBLE), 6) AS kept_share
 FROM flagged GROUP BY event_type
 """
+
+
+def theil_sen_trend(events: DataFrame, key_col: str = "event_type",
+                    ts_col: str = "ts") -> DataFrame:
+    """Per-key Theil–Sen robust trend over daily event counts: the
+    median of all pairwise slopes (n_j − n_i)/(d_j − d_i). One
+    outlier day corrupts an OLS slope (value_trend's shape); the
+    pairwise-slope median shrugs off up to ~29% outliers — the right
+    default for alerting on noisy operational series.
+
+    The pair join is per-key over per-DAY aggregates (m days ⇒
+    m(m−1)/2 slope rows per key — hundreds, not the raw event count),
+    so the corpus shuffles once to daily grain and the quadratic part
+    stays tiny. Median = the explicit lower-middle rank over
+    (slope, day_i, day_j) order — deterministic under ties, same
+    formula both engines. Output: (key, n_days, n_pairs, sen_slope).
+    """
+    daily = (events.select(F.col(key_col).alias("k"),
+                           F.floor(F.unix_micros(F.col(ts_col))
+                                   / 86_400_000_000).alias("d"))
+             .groupBy("k", "d").agg(F.count("*").alias("n")))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = (
+        a.join(b, (F.col("a.k") == F.col("b.k"))
+               & (F.col("a.d") < F.col("b.d")))
+        .select(F.col("a.k").alias("k"),
+                F.round((F.col("b.n") - F.col("a.n"))
+                        / (F.col("b.d") - F.col("a.d")).cast("double"), 9)
+                .alias("s"),
+                F.col("a.d").alias("di"), F.col("b.d").alias("dj"))
+    )
+    w = Window.partitionBy("k").orderBy("s", "di", "dj")
+    ranked = slopes.select(
+        "k", "s",
+        F.row_number().over(w).alias("_r"),
+        F.count("*").over(Window.partitionBy("k")).alias("_m"))
+    days = daily.groupBy("k").agg(F.count("*").alias("n_days"))
+    med = (ranked.filter(F.col("_r") == F.ceil(F.col("_m") / 2.0))
+           .select("k", F.col("_m").alias("n_pairs"),
+                   F.col("s").alias("sen_slope")))
+    return (med.join(days, "k")
+            .select(F.col("k").alias(key_col),
+                    F.col("n_days").cast("long").alias("n_days"),
+                    F.col("n_pairs").cast("long").alias("n_pairs"),
+                    "sen_slope"))
+
+
+def theil_sen_trend_sql(table: str = "events",
+                        key_sql: str = "event_type",
+                        ts_sql: str = "ts") -> str:
+    return f"""
+WITH daily AS (
+  SELECT {key_sql} AS k,
+         CAST(floor(epoch_us({ts_sql}) / 86400000000) AS BIGINT) AS d,
+         count(*) AS n
+  FROM {table} GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.k AS k,
+         round((b.n - a.n) / CAST(b.d - a.d AS DOUBLE), 9) AS s,
+         a.d AS di, b.d AS dj
+  FROM daily a JOIN daily b ON a.k = b.k AND a.d < b.d
+),
+ranked AS (
+  SELECT k, s,
+         row_number() OVER (PARTITION BY k ORDER BY s, di, dj) AS _r,
+         count(*) OVER (PARTITION BY k) AS _m
+  FROM slopes
+),
+days AS (SELECT k, count(*) AS n_days FROM daily GROUP BY k)
+SELECT r.k AS {key_sql}, CAST(days.n_days AS BIGINT) AS n_days,
+       CAST(r._m AS BIGINT) AS n_pairs, r.s AS sen_slope
+FROM ranked r JOIN days ON days.k = r.k
+WHERE r._r = CAST(ceil(r._m / 2.0) AS BIGINT)
+"""
+
+
+def series_lag_corr(events: DataFrame, type_a: str | None,
+                    type_b: str | None, max_lag: int = 3,
+                    ts_col: str = "ts",
+                    type_col: str = "event_type") -> DataFrame:
+    """Lagged Pearson correlation between two event-type daily-count
+    series over a zero-filled common day grid: does series A at day d
+    predict series B at day d+lag? With ``type_a == type_b`` (or both
+    None ⇒ all events) this is the autocorrelation function — the
+    seasonality detector behind choosing rolling-window widths.
+
+    The day grid comes from one sequence() over the observed min/max
+    day (exactly densify_days' shape) so missing days count as 0
+    instead of silently shrinking the sample; per-lag alignment is a
+    grid self-join on d+lag, and each lag's Pearson terms reduce from
+    decimal sums. Output: one row per lag 0..max_lag
+    (lag, n_days, corr).
+    """
+    def day(col):
+        return F.floor(F.unix_micros(col) / 86_400_000_000)
+
+    def daily(t):
+        src = events if t is None else events.filter(F.col(type_col) == t)
+        return (src.select(day(F.col(ts_col)).alias("d"))
+                .groupBy("d").agg(F.count("*").alias("n")))
+    da, db = daily(type_a), daily(type_b)
+    span = events.select(day(F.col(ts_col)).alias("d")).agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi"))
+    grid = span.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d"))
+    ga = (grid.join(da, "d", "left")
+          .select("d", F.coalesce("n", F.lit(0)).alias("na")))
+    gb = (grid.join(db, "d", "left")
+          .select(F.col("d").alias("d2"),
+                  F.coalesce("n", F.lit(0)).alias("nb")))
+    lags = F.explode(F.sequence(F.lit(0), F.lit(max_lag))).alias("lag")
+    pairs = (ga.select("*", lags)
+             .join(gb, F.col("d") + F.col("lag") == F.col("d2"))
+             .select("lag", "na", "nb"))
+    agg = pairs.groupBy("lag").agg(
+        F.count("*").cast("double").alias("m"),
+        F.sum(F.col("na").cast("decimal(38,12)")).cast("double").alias("sx"),
+        F.sum(F.col("nb").cast("decimal(38,12)")).cast("double").alias("sy"),
+        F.sum((F.col("na") * F.col("na")).cast("decimal(38,12)")).cast("double")
+        .alias("sxx"),
+        F.sum((F.col("nb") * F.col("nb")).cast("decimal(38,12)")).cast("double")
+        .alias("syy"),
+        F.sum((F.col("na") * F.col("nb")).cast("decimal(38,12)")).cast("double")
+        .alias("sxy"))
+    m, sx, sy = F.col("m"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov, vx, vy = m * sxy - sx * sy, m * sxx - sx * sx, m * syy - sy * sy
+    return (agg.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("m").cast("long").alias("n_days"),
+        F.when((vx > 0) & (vy > 0),
+               F.round(cov / F.sqrt(vx * vy), 6)).alias("corr"))
+        .orderBy("lag"))
+
+
+def series_lag_corr_sql(table: str = "events", type_a: str | None = None,
+                        type_b: str | None = None, max_lag: int = 3,
+                        ts_sql: str = "ts",
+                        type_sql: str = "event_type") -> str:
+    fa = "" if type_a is None else f"WHERE {type_sql} = '{type_a}'"
+    fb = "" if type_b is None else f"WHERE {type_sql} = '{type_b}'"
+    return f"""
+WITH da AS (
+  SELECT CAST(floor(epoch_us({ts_sql}) / 86400000000) AS BIGINT) AS d,
+         count(*) AS n
+  FROM {table} {fa} GROUP BY 1
+),
+db AS (
+  SELECT CAST(floor(epoch_us({ts_sql}) / 86400000000) AS BIGINT) AS d,
+         count(*) AS n
+  FROM {table} {fb} GROUP BY 1
+),
+span AS (
+  SELECT min(CAST(floor(epoch_us({ts_sql}) / 86400000000) AS BIGINT)) AS lo,
+         max(CAST(floor(epoch_us({ts_sql}) / 86400000000) AS BIGINT)) AS hi
+  FROM {table}
+),
+grid AS (SELECT unnest(range(lo, hi + 1)) AS d FROM span),
+ga AS (SELECT g.d, coalesce(da.n, 0) AS na FROM grid g LEFT JOIN da USING (d)),
+gb AS (SELECT g.d AS d2, coalesce(db.n, 0) AS nb
+       FROM grid g LEFT JOIN db USING (d)),
+pairs AS (
+  SELECT l.lag, ga.na, gb.nb
+  FROM ga CROSS JOIN (SELECT unnest(range(0, {max_lag} + 1)) AS lag) l
+  JOIN gb ON ga.d + l.lag = gb.d2
+),
+agg AS (
+  SELECT lag, CAST(count(*) AS DOUBLE) AS m,
+         CAST(sum(CAST(na AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(nb AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(na * na AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(nb * nb AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(na * nb AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(m AS BIGINT) AS n_days,
+       CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+            THEN round((m * sxy - sx * sy)
+                       / sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)), 6)
+       END AS corr
+FROM agg ORDER BY lag
+"""

@@ -1,0 +1,186 @@
+"""Scaling-slope evidence: run three representative plans at sf0.1
+and at synthetic 10x / 100x scale-ups, and report the wall-clock
+growth. Near-linear growth for the banded/pushed-down paths is the
+claim PLANS.md makes from plan shape; this measures it.
+
+Synthetic scale-up = the sf0.1 table unioned ``factor`` times with
+per-replica key shifts and salts (docs get a replica token appended,
+embedding dim0 jitters by replica * 1e-3, lineitem/orders keys
+shift), so replicas are near- but not exact duplicates — pure copies
+would hand the dedup paths degenerate candidate groups and overstate
+join fanout. Data is materialized to parquet first (gitignored
+.scale_data/) so every timed run reads parquet exactly like the
+sf0.1 baseline.
+
+Usage: python tools/scale_run.py [--json PATH]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from distill_spark.runtime import get_spark, load_tables  # noqa: E402
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE_SF = "/root/testdata/sf0.1"
+SCRATCH = os.path.join(ROOT, ".scale_data")
+
+
+def build_scaled(spark, factor: int) -> str:
+    """Materialize the scaled tables once; reuse across invocations."""
+    out = os.path.join(SCRATCH, f"x{factor}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    t = load_tables(spark, BASE_SF)
+    reps = spark.range(factor).select(F.col("id").cast("int").alias("_r"))
+
+    docs = (
+        t["documents"].crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("_r") * 1_000_000).alias("doc_id"),
+            # replica token keeps replicas NEAR-duplicates, not exact
+            F.concat_ws(" ", F.col("text"),
+                        F.concat(F.lit("r"), F.col("_r"))).alias("text"),
+            "lang", "source",
+            (F.col("n_chars") + 3).alias("n_chars"),
+        )
+    )
+    docs.repartition(max(4, factor)).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet"))
+
+    emb = (
+        t["embeddings"].crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("_r") * 1_000_000).alias("vec_id"),
+            F.concat(
+                F.array((F.col("embedding")[0]
+                         + F.col("_r").cast("float") * 1e-3).cast("float")),
+                F.slice("embedding", 2, 100_000),
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    emb.repartition(max(4, factor)).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet"))
+
+    li = (
+        t["lineitem"].crossJoin(reps)
+        .withColumn("l_orderkey",
+                    F.col("l_orderkey").cast("long")
+                    + F.col("_r").cast("long") * 100_000_000)
+        .drop("_r")
+    )
+    li.repartition(max(8, factor * 2)).write.mode("overwrite").parquet(
+        os.path.join(out, "lineitem.parquet"))
+
+    open(marker, "w").write("ok")
+    return out
+
+
+def flagship(spark, docs_path, emb_path):
+    from distill_spark.plans.dedupe import DedupeConfig, dedupe
+
+    docs = spark.read.parquet(docs_path)
+    emb = spark.read.parquet(emb_path)
+    chunks = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select(F.col("doc_id").cast("string").alias("id"), "text",
+                "embedding",
+                (F.col("n_chars") / 1000.0).cast("float").alias("score"))
+    )
+    return dedupe(chunks, DedupeConfig(threshold=0.65, strategy="score",
+                                       target_k=32))
+
+
+def minhash(spark, docs_path):
+    from distill_spark.operators.dedup_text import minhash_lsh_candidates
+
+    docs = spark.read.parquet(docs_path)
+    return minhash_lsh_candidates(docs)
+
+
+def tpch_q1(spark, li_path):
+    li = spark.read.parquet(li_path)
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"),
+             F.sum("l_extendedprice").alias("sum_base"),
+             F.sum(disc).alias("sum_disc_price"),
+             F.sum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+             F.avg("l_quantity").alias("avg_qty"),
+             F.count("*").alias("n"))
+    )
+
+
+def main():
+    json_path = None
+    argv = sys.argv[1:]
+    if "--json" in argv:
+        i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: --json requires a path argument")
+        json_path = argv[i + 1]
+
+    spark = get_spark(app_name="scale_run")
+    dirs = {1: BASE_SF}
+    for f in (10, 100):
+        print(f"# building x{f} ...", file=sys.stderr, flush=True)
+        dirs[f] = build_scaled(spark, f)
+
+    runs = {
+        "flagship_dedupe": (
+            lambda d: flagship(spark,
+                               os.path.join(d, "documents.parquet"),
+                               os.path.join(d, "embeddings.parquet")),
+            (1, 10)),       # 100x embeddings = 200k vecs: LSH route kicks in
+        "dedup_minhash_lsh": (
+            lambda d: minhash(spark, os.path.join(d, "documents.parquet")),
+            (1, 10, 100)),
+        "tpch_q1_pricing": (
+            lambda d: tpch_q1(spark, os.path.join(d, "lineitem.parquet")),
+            (1, 10, 100)),
+    }
+    # 100x flagship separately: exercises the budget gate's LSH route
+    results = {}
+    for name, (fn, factors) in runs.items():
+        results[name] = {}
+        for f in factors:
+            t0 = time.time()
+            n = fn(dirs[f]).count()
+            took = round(time.time() - t0, 3)
+            results[name][f"x{f}"] = {"rows": int(n), "secs": took}
+            print(f"# {name} x{f}: {n} rows in {took}s",
+                  file=sys.stderr, flush=True)
+    # growth slopes (wall ratio / scale ratio; 1.0 = perfectly linear)
+    for name, r in results.items():
+        keys = sorted(r, key=lambda k: int(k[1:]))
+        for a, b in zip(keys, keys[1:]):
+            fa, fb = int(a[1:]), int(b[1:])
+            ratio = r[b]["secs"] / max(r[a]["secs"], 1e-9)
+            r[f"slope_{a}_to_{b}"] = round(ratio / (fb / fa), 3)
+    out = {"base_sf": 0.1, "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+           "results": results,
+           "note": "synthetic scale-up: sf0.1 unioned N times with "
+                   "per-replica salts (near-dup replicas, shifted keys); "
+                   "slope = wall ratio / scale ratio, 1.0 = linear"}
+    print(json.dumps(out))
+    if json_path:
+        with open(json_path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+
+
+if __name__ == "__main__":
+    main()
