@@ -4069,6 +4069,47 @@ def q_st4_stream_push(spark, sf_dir):
               "compression_level int, tokens int")
 
 
+def q_stream_tumbling(spark, sf_dir):
+    """Hourly tumbling-window counts computed by Structured Streaming
+    (readStream → window() groupBy → availableNow drain in complete
+    mode) over the SAME events the batch tumbling query reads — the
+    stream's final state must equal the batch aggregation, so the
+    batch SQL gates it directly. Streaming coverage beyond ST4's
+    applyInPandasWithState path: built-in windowed-state aggregation.
+    """
+    import tempfile
+
+    t = _tables(spark, sf_dir)
+    events = t["events"].select("ts", "event_type")
+    tmp = tempfile.mkdtemp(prefix="dsstw_")
+    events.coalesce(1).write.parquet(tmp + "/in")
+    sdf = (spark.readStream.schema(events.schema).parquet(tmp + "/in")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count("*").alias("n")))
+    captured: list = []
+    q = (sdf.writeStream
+         .foreachBatch(lambda df, bid: captured.append(
+             df.select(
+                 F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                 .alias("window_start"),
+                 "event_type", "n").collect()))
+         .outputMode("complete")
+         .option("checkpointLocation", tmp + "/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = captured[-1] if captured else []
+    return spark.createDataFrame(
+        rows, "window_start string, event_type string, n bigint")
+
+
+SQL_STREAM_TUMBLING = """
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (training-data extension, SURVEY §7.3 custom-op
     class): each click event picks up the value of the user's most
@@ -6354,6 +6395,59 @@ def _sql_acf():
     return series_lag_corr_sql("events", None, None, max_lag=7)
 
 
+def q_iqr_outliers(spark, sf_dir):
+    """Tukey-fence outlier rates of event values per type
+    (stats.iqr_outliers) — the boxplot complement to z-score/MAD."""
+    from distill_spark.operators.stats import iqr_outliers
+
+    t = _tables(spark, sf_dir)
+    return iqr_outliers(t["events"], "event_type")
+
+
+def _sql_iqr():
+    from distill_spark.operators.stats import iqr_outliers_sql
+
+    return iqr_outliers_sql("events", "event_type")
+
+
+def q_rolling_median(spark, sf_dir):
+    """Trailing 7-day median of daily counts per event_type
+    (timeseries.rolling_median_days) — day-grain window unroll with
+    an explicit rank median; robust twin of rolling_7d."""
+    from distill_spark.operators.timeseries import rolling_median_days
+
+    t = _tables(spark, sf_dir)
+    return rolling_median_days(t["events"])
+
+
+def _sql_rolling_median():
+    from distill_spark.operators.timeseries import rolling_median_days_sql
+
+    return rolling_median_days_sql()
+
+
+def q_weekly_transitions(spark, sf_dir):
+    """Purchase-activity week-over-week Markov transition matrix
+    (timeseries.weekly_state_transitions) — leak (active→inactive)
+    and resurrection (inactive→active) rates over the users x weeks
+    grid; scoped to purchases so the states actually mix (every user
+    has SOME event every week in this corpus)."""
+    from distill_spark.operators.timeseries import weekly_state_transitions
+
+    t = _tables(spark, sf_dir)
+    return weekly_state_transitions(
+        t["events"].filter(F.col("event_type") == "purchase"))
+
+
+def _sql_weekly_transitions():
+    from distill_spark.operators.timeseries import (
+        weekly_state_transitions_sql,
+    )
+
+    return weekly_state_transitions_sql(
+        "(SELECT * FROM events WHERE event_type = 'purchase')")
+
+
 def q_skew_profile_orders(spark, sf_dir):
     """Join-key skew profile of lineitem.l_orderkey (skew.skew_profile)
     — rows/keys, max and exact-p99 per-key counts, skew ratio: the
@@ -6368,6 +6462,103 @@ def _sql_skew_profile():
     from distill_spark.operators.skew import skew_profile_sql
 
     return skew_profile_sql("lineitem", "l_orderkey")
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index of event values per type, first vs
+    second half of the time range (stats.psi_drift) — the industry
+    drift score complementing ks_drift/source_jsd; per-bin terms
+    localize where the distribution moved."""
+    from distill_spark.operators.stats import psi_drift
+
+    t = _tables(spark, sf_dir)
+    return psi_drift(t["events"], "event_type")
+
+
+def _sql_psi():
+    from distill_spark.operators.stats import psi_drift_sql
+
+    return psi_drift_sql("events", "event_type")
+
+
+def q_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test of purchase vs click values
+    (stats.welch_ttest) — the parametric complement to the
+    Mann-Whitney rank test; one conditional-aggregation pass."""
+    from distill_spark.operators.stats import welch_ttest
+
+    t = _tables(spark, sf_dir)
+    return welch_ttest(t["events"], "event_type", "purchase", "click")
+
+
+def _sql_welch():
+    from distill_spark.operators.stats import welch_ttest_sql
+
+    return welch_ttest_sql("events", "event_type", "purchase", "click")
+
+
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend significance on per-type daily counts
+    (stats.mann_kendall) — the z-test companion to theil_sen_trend's
+    slope; pair join over the bounded daily aggregate only."""
+    from distill_spark.operators.stats import mann_kendall
+
+    t = _tables(spark, sf_dir)
+    return mann_kendall(t["events"], "event_type")
+
+
+def _sql_mann_kendall():
+    from distill_spark.operators.stats import mann_kendall_sql
+
+    return mann_kendall_sql("events", "event_type")
+
+
+def q_longest_streak(spark, sf_dir):
+    """Per-user longest consecutive-active-day run + total active days
+    (timeseries.longest_streak) — gaps-and-islands on the day grid."""
+    from distill_spark.operators.timeseries import longest_streak
+
+    t = _tables(spark, sf_dir)
+    return longest_streak(t["events"])
+
+
+def _sql_longest_streak():
+    from distill_spark.operators.timeseries import longest_streak_sql
+
+    return longest_streak_sql()
+
+
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve of time-to-first-purchase with
+    right-censoring at end of observation (conversion.kaplan_meier)
+    — the unbiased view time_to_convert's converter-only percentiles
+    cannot give."""
+    from distill_spark.operators.conversion import kaplan_meier
+
+    t = _tables(spark, sf_dir)
+    return kaplan_meier(t["events"])
+
+
+def _sql_kaplan_meier():
+    from distill_spark.operators.conversion import kaplan_meier_sql
+
+    return kaplan_meier_sql()
+
+
+def q_cohort_ltv(spark, sf_dir):
+    """Cohort LTV triangle over orders: customers by first-order week,
+    cumulative revenue per member by week offset
+    (conversion.cohort_ltv) — the revenue twin of retention_cohorts."""
+    from distill_spark.operators.conversion import cohort_ltv
+
+    t = _tables(spark, sf_dir)
+    return cohort_ltv(t["orders"])
+
+
+def _sql_cohort_ltv():
+    from distill_spark.operators.conversion import cohort_ltv_sql
+
+    return cohort_ltv_sql()
 
 
 def q_heaps_law(spark, sf_dir):
@@ -7671,6 +7862,16 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "lag_corr_click_purchase": (q_lag_corr_click_purchase, _sql_lag_corr()),
     "acf_daily": (q_acf_daily, _sql_acf()),
     "skew_profile_orders": (q_skew_profile_orders, _sql_skew_profile()),
+    "iqr_outliers": (q_iqr_outliers, _sql_iqr()),
+    "rolling_median_7d": (q_rolling_median, _sql_rolling_median()),
+    "weekly_transitions": (q_weekly_transitions, _sql_weekly_transitions()),
+    "stream_tumbling": (q_stream_tumbling, SQL_STREAM_TUMBLING),
+    "psi_drift": (q_psi_drift, _sql_psi()),
+    "welch_ttest": (q_welch_ttest, _sql_welch()),
+    "mann_kendall_trend": (q_mann_kendall, _sql_mann_kendall()),
+    "longest_streak": (q_longest_streak, _sql_longest_streak()),
+    "kaplan_meier": (q_kaplan_meier, _sql_kaplan_meier()),
+    "cohort_ltv": (q_cohort_ltv, _sql_cohort_ltv()),
     # -- window filler (r06-green; round-7 additions displace these
     # as they land) ---------------------------------------------------------
     "tpch_q1_pricing": (q_tpch_q1_pricing, SQL_TPCH_Q1),

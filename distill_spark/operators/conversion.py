@@ -383,3 +383,192 @@ SELECT path, CAST(count(*) AS BIGINT) AS n
 FROM paths WHERE _last IS NOT NULL
 GROUP BY path ORDER BY n DESC, path ASC LIMIT {top}
 """
+
+
+def kaplan_meier(events: DataFrame, target: str = "purchase",
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type") -> DataFrame:
+    """Kaplan-Meier survival curve of time-to-first-``target``: each
+    user enters at their FIRST event, converts at their first
+    ``target`` event, and is right-censored at the global end of
+    observation if they never convert — the estimator
+    time_to_convert's raw percentiles cannot give, because dropping
+    the non-converters biases the curve optimistic. S(t) = prod over
+    conversion days t_i <= t of (1 - d_i / n_i), with n_i = users
+    still at risk (converted OR censored at >= t_i).
+
+    Shape: one per-user min/conditional-min aggregate (a single user
+    shuffle), then everything runs on the |conversion days| frame —
+    at-risk counts come from a cumulative window over the per-day
+    event/censor tallies, never a rescan. The product is
+    exp(cumsum(ln .)) — the one place FP enters, rounded 6.
+    Output: (day, n_at_risk, n_events, survival).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    per_user = (events.groupBy(F.col(user_col).alias("u"))
+                .agg(F.min(us).alias("t0"),
+                     F.min(F.when(F.col(type_col) == target, us))
+                     .alias("tc")))
+    horizon = events.agg(F.max(us).alias("tend"))
+    subj = (per_user.crossJoin(F.broadcast(horizon))
+            .select(
+                F.col("tc").isNotNull().alias("converted"),
+                F.floor((F.coalesce("tc", "tend") - F.col("t0"))
+                        / 86_400_000_000).alias("day")))
+    tally = (subj.groupBy("day")
+             .agg(F.sum(F.col("converted").cast("long")).alias("d"),
+                  F.count("*").alias("t")))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wprev = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1)
+    n_total = Window.partitionBy()
+    at_risk = (tally
+               .withColumn("_gone", F.coalesce(
+                   F.sum("t").over(wprev), F.lit(0)))
+               .withColumn("n_at_risk",
+                           F.sum("t").over(n_total) - F.col("_gone")))
+    cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    # when every remaining at-risk subject converts on one day,
+    # 1 - d/n is exactly 0: S drops to 0 permanently (ln would blow up)
+    km = (at_risk.filter(F.col("d") > 0)
+          .withColumn("_term", F.when(
+              F.col("d") < F.col("n_at_risk"),
+              F.log(1.0 - F.col("d") / F.col("n_at_risk")))
+              .otherwise(F.lit(0.0)))
+          .withColumn("_dead", F.max(
+              (F.col("d") >= F.col("n_at_risk")).cast("int")).over(cum))
+          .withColumn("survival", F.round(F.when(
+              F.col("_dead") == 1, F.lit(0.0)).otherwise(
+              F.exp(F.sum("_term").over(cum))), 6)))
+    return km.select(F.col("day").cast("long").alias("day"),
+                     F.col("n_at_risk").cast("long").alias("n_at_risk"),
+                     F.col("d").cast("long").alias("n_events"),
+                     "survival")
+
+
+def kaplan_meier_sql(table: str = "events", target: str = "purchase",
+                     user_sql: str = "user_id", ts_sql: str = "ts",
+                     type_sql: str = "event_type") -> str:
+    return f"""
+WITH per_user AS (
+  SELECT {user_sql} AS u, min(epoch_us({ts_sql})) AS t0,
+         min(CASE WHEN {type_sql} = '{target}'
+             THEN epoch_us({ts_sql}) END) AS tc
+  FROM {table} GROUP BY 1
+),
+horizon AS (SELECT max(epoch_us({ts_sql})) AS tend FROM {table}),
+subj AS (
+  SELECT tc IS NOT NULL AS converted,
+         CAST(floor((coalesce(tc, tend) - t0) / 86400000000.0) AS BIGINT)
+           AS day
+  FROM per_user CROSS JOIN horizon
+),
+tally AS (
+  SELECT day, sum(CASE WHEN converted THEN 1 ELSE 0 END) AS d,
+         count(*) AS t
+  FROM subj GROUP BY day
+),
+at_risk AS (
+  SELECT day, d, t,
+         sum(t) OVER () - coalesce(sum(t) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_at_risk
+  FROM tally
+),
+terms AS (
+  SELECT day, d, n_at_risk,
+         CASE WHEN d < n_at_risk
+              THEN ln(1.0 - d / CAST(n_at_risk AS DOUBLE))
+              ELSE 0.0 END AS _term,
+         max(CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS _dead
+  FROM at_risk WHERE d > 0
+)
+SELECT CAST(day AS BIGINT) AS day, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_events,
+       round(CASE WHEN _dead = 1 THEN 0.0 ELSE
+             exp(sum(_term) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW)) END, 6) AS survival
+FROM terms
+"""
+
+
+def cohort_ltv(orders: DataFrame, cust_col: str = "o_custkey",
+               ts_col: str = "o_orderdate",
+               rev_col: str = "o_totalprice") -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by first-
+    order week (epoch_days // 7 — portable), revenue accumulated by
+    week offset since the cohort week, reported as cumulative LTV
+    per cohort member — the revenue twin of retention_cohorts'
+    user-count triangle.
+
+    One per-customer min (customer shuffle), one broadcast join back,
+    then the triangle is a (cohort, offset) aggregate with a
+    cumulative window over the tiny cohort x offset frame; revenue
+    sums are DECIMAL-exact. Output: (cohort_week, week_offset,
+    n_customers, cum_revenue, ltv_per_user).
+    """
+    wk = F.floor(F.floor(F.unix_micros(F.col(ts_col)) / 86_400_000_000)
+                 / 7)
+    firsts = (orders.groupBy(F.col(cust_col).alias("c"))
+              .agg(F.min(wk).alias("cw")))
+    sizes = firsts.groupBy("cw").agg(F.count("*").alias("n_customers"))
+    fact = (orders.select(F.col(cust_col).alias("c"), wk.alias("w"),
+                          F.col(rev_col).cast("decimal(20,10)")
+                          .alias("rev"))
+            .join(F.broadcast(firsts), "c")
+            .groupBy("cw", (F.col("w") - F.col("cw")).alias("week_offset"))
+            .agg(F.sum("rev").alias("wrev")))
+    cum = Window.partitionBy("cw").orderBy("week_offset").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    # LTV division runs in exact integer MICRO-units with a half-up
+    # integer divide — a decimal/int quotient degrades to DOUBLE in
+    # SQL engines and its representation error flips round(…, 6) ties
+    return (fact
+            .withColumn("cum_rev", F.sum("wrev").over(cum))
+            .join(F.broadcast(sizes), "cw")
+            .withColumn("_cru",
+                        (F.col("cum_rev") * 1_000_000).cast("long"))
+            .select(F.col("cw").cast("long").alias("cohort_week"),
+                    F.col("week_offset").cast("long").alias("week_offset"),
+                    F.col("n_customers").cast("long").alias("n_customers"),
+                    F.round(F.col("cum_rev").cast("double"), 4)
+                    .alias("cum_revenue"),
+                    (F.expr("(2 * _cru + n_customers) "
+                            "div (2 * n_customers)") / 1_000_000.0)
+                    .alias("ltv_per_user")))
+
+
+def cohort_ltv_sql(table: str = "orders", cust_sql: str = "o_custkey",
+                   ts_sql: str = "o_orderdate",
+                   rev_sql: str = "o_totalprice") -> str:
+    wk = f"CAST(floor(floor(epoch_us({ts_sql}) / 86400000000) / 7) AS BIGINT)"
+    return f"""
+WITH firsts AS (
+  SELECT {cust_sql} AS c, min({wk}) AS cw FROM {table} GROUP BY 1
+),
+sizes AS (SELECT cw, count(*) AS n_customers FROM firsts GROUP BY 1),
+fact AS (
+  SELECT firsts.cw, {wk} - firsts.cw AS week_offset,
+         sum(CAST(CAST({rev_sql} AS DOUBLE) AS DECIMAL(20,10))) AS wrev
+  FROM {table} JOIN firsts ON {table}.{cust_sql} = firsts.c
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cw, week_offset,
+         sum(wrev) OVER (PARTITION BY cw ORDER BY week_offset
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum_rev
+  FROM fact
+)
+SELECT CAST(cum.cw AS BIGINT) AS cohort_week,
+       CAST(week_offset AS BIGINT) AS week_offset,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       round(CAST(cum_rev AS DOUBLE), 4) AS cum_revenue,
+       ((2 * CAST(cum_rev * 1000000 AS BIGINT) + n_customers)
+        // (2 * n_customers)) / 1000000.0 AS ltv_per_user
+FROM cum JOIN sizes ON cum.cw = sizes.cw
+"""

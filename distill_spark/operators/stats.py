@@ -825,8 +825,15 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     table, never a rescan). Output: (n, dof, chi2, cramers_v),
     exact-rational until the final rounds.
     """
-    ct = (df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
-          .agg(F.count("*").alias("o")))
+    obs = (df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+           .agg(F.count("*").alias("o")))
+    # densify over the full a x b cross product: EMPTY cells still
+    # carry (0 - e)^2 / e — dropping them understates chi2 exactly
+    # when dependence is strongest (a tiny |levels|^2 cross join)
+    ct = (obs.select("a").distinct()
+          .crossJoin(obs.select("b").distinct())
+          .join(obs, ["a", "b"], "left")
+          .select("a", "b", F.coalesce("o", F.lit(0)).alias("o")))
     wa, wb, tot = (Window.partitionBy("a"), Window.partitionBy("b"),
                    Window.partitionBy())
     e = (F.sum("o").over(wa) * F.sum("o").over(wb)
@@ -851,9 +858,15 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
 
 def chi2_independence_sql(table: str, a_sql: str, b_sql: str) -> str:
     return f"""
-WITH ct AS (
+WITH obs AS (
   SELECT {a_sql} AS a, {b_sql} AS b, count(*) AS o
   FROM {table} GROUP BY 1, 2
+),
+ct AS (
+  SELECT g.a, g.b, coalesce(obs.o, 0) AS o
+  FROM (SELECT a, b FROM (SELECT DISTINCT a FROM obs)
+        CROSS JOIN (SELECT DISTINCT b FROM obs)) g
+  LEFT JOIN obs ON obs.a = g.a AND obs.b = g.b
 ),
 per AS (
   SELECT sum(o) OVER () AS _n,
@@ -959,4 +972,354 @@ SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
                     * ((nn + 1) - ties / (CAST(nn AS DOUBLE) * (nn - 1)))), 6)
          AS z
 FROM agg
+"""
+
+
+def iqr_outliers(df: DataFrame, group_col: str,
+                 value_col: str = "value") -> DataFrame:
+    """Per-group Tukey-fence outlier rate: Q1/Q3 by the explicit
+    lower-rank formula (rank = ceil(q·n) over (value, rank-order)),
+    fences at ±1.5·IQR, and the count/share outside them — the
+    boxplot complement to the model-based z-score/MAD detectors
+    (anomaly.py): quartiles don't move when the outliers get worse.
+
+    One ranked window over the grouped values, quartiles joined back
+    broadcast (|groups| rows). Output: (group, n, q1, q3,
+    n_outliers, outlier_share), rank math exact, rounds 6.
+    """
+    g = F.col(group_col).alias("g")
+    v = F.col(value_col).cast("double").alias("v")
+    base = df.select(g, v)
+    w = Window.partitionBy("g").orderBy("v")
+    ranked = base.select(
+        "g", "v", F.row_number().over(w).alias("_r"),
+        F.count("*").over(Window.partitionBy("g")).alias("_n"))
+    q1 = (ranked.filter(F.col("_r") == F.ceil(F.col("_n") * 0.25))
+          .select("g", F.col("v").alias("q1")))
+    q3 = (ranked.filter(F.col("_r") == F.ceil(F.col("_n") * 0.75))
+          .select("g", F.col("v").alias("q3")))
+    fenced = (base.join(F.broadcast(q1), "g").join(F.broadcast(q3), "g")
+              .withColumn("_out",
+                          (F.col("v") < F.col("q1")
+                           - 1.5 * (F.col("q3") - F.col("q1")))
+                          | (F.col("v") > F.col("q3")
+                             + 1.5 * (F.col("q3") - F.col("q1")))))
+    return (fenced.groupBy(F.col("g").alias(group_col))
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.max("q1"), 6).alias("q1"),
+                 F.round(F.max("q3"), 6).alias("q3"),
+                 F.sum(F.col("_out").cast("long")).cast("long")
+                 .alias("n_outliers"),
+                 F.round(F.sum(F.col("_out").cast("long")) / F.count("*"), 6)
+                 .alias("outlier_share")))
+
+
+def iqr_outliers_sql(table: str, group_sql: str,
+                     value_sql: str = "value") -> str:
+    return f"""
+WITH base AS (
+  SELECT {group_sql} AS g, CAST({value_sql} AS DOUBLE) AS v FROM {table}
+),
+ranked AS (
+  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS _r,
+         count(*) OVER (PARTITION BY g) AS _n
+  FROM base
+),
+q1 AS (SELECT g, v AS q1 FROM ranked
+       WHERE _r = CAST(ceil(_n * 0.25) AS BIGINT)),
+q3 AS (SELECT g, v AS q3 FROM ranked
+       WHERE _r = CAST(ceil(_n * 0.75) AS BIGINT)),
+fenced AS (
+  SELECT base.g, base.v, q1.q1, q3.q3,
+         (base.v < q1.q1 - 1.5 * (q3.q3 - q1.q1)
+          OR base.v > q3.q3 + 1.5 * (q3.q3 - q1.q1)) AS _out
+  FROM base JOIN q1 USING (g) JOIN q3 USING (g)
+)
+SELECT g AS {group_sql}, CAST(count(*) AS BIGINT) AS n,
+       round(max(q1), 6) AS q1, round(max(q3), 6) AS q3,
+       CAST(sum(CASE WHEN _out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(sum(CASE WHEN _out THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS outlier_share
+FROM fenced GROUP BY g
+"""
+
+
+def psi_drift(df: DataFrame, group_col: str = "event_type",
+              ts_col: str = "ts", value_col: str = "value",
+              bins: int = 10) -> DataFrame:
+    """Population Stability Index per group between the first and
+    second half of the observed time range — the industry-standard
+    drift score (PSI < 0.1 stable, 0.1-0.25 shifting, > 0.25 drifted)
+    complementing the distribution tests (ks_drift, source_jsd):
+    PSI is binned, symmetric-ish, and additive over bins, so the
+    per-bin terms localize WHERE the distribution moved.
+
+    Reference window = rows at or before the midpoint of the global
+    [min ts, max ts]; bin edges are equal-width over the REFERENCE
+    min/max per group (current values clamp into the edge bins, the
+    standard convention); proportions are Laplace-smoothed
+    ((c + 0.5) / (n + 0.5·bins)) so empty bins stay finite.
+
+    100-TB shape: one tiny global min/max aggregate (broadcast), one
+    bucketing pass over the fact table with a map-side-combinable
+    (group, era, bin) count, and the PSI sum happens on
+    |groups|·bins rows. No window functions, no self-joins.
+    Output: (group, n_ref, n_cur, psi), psi rounded 6.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    span = df.select(F.min(us).alias("lo_us"), F.max(us).alias("hi_us"))
+    cut = F.floor((F.col("lo_us") + F.col("hi_us")) / F.lit(2))
+    base = (df.crossJoin(F.broadcast(span.select(cut.alias("cut"))))
+            .select(F.col(group_col).alias("g"),
+                    F.col(value_col).cast("double").alias("v"),
+                    (us <= F.col("cut")).alias("is_ref")))
+    edges = (base.filter("is_ref").groupBy("g")
+             .agg(F.min("v").alias("lo"), F.max("v").alias("hi")))
+    binned = (base.join(F.broadcast(edges), "g")
+              .select("g", "is_ref",
+                      F.when(F.col("hi") <= F.col("lo"), F.lit(0))
+                      .otherwise(F.least(
+                          F.lit(bins - 1),
+                          F.greatest(F.lit(0), F.floor(
+                              (F.col("v") - F.col("lo")) * bins
+                              / (F.col("hi") - F.col("lo")))))
+                          .cast("int")).alias("b")))
+    counts = (binned.groupBy("g", "b")
+              .agg(F.sum(F.col("is_ref").cast("long")).alias("cr"),
+                   F.sum((~F.col("is_ref")).cast("long")).alias("cc")))
+    grid = (edges.select("g")
+            .crossJoin(F.broadcast(
+                base.sparkSession.range(bins).select(
+                    F.col("id").cast("int").alias("b")))))
+    full = (grid.join(counts, ["g", "b"], "left")
+            .select("g", "b",
+                    F.coalesce("cr", F.lit(0)).alias("cr"),
+                    F.coalesce("cc", F.lit(0)).alias("cc")))
+    tot = Window.partitionBy("g")
+    terms = full.select(
+        "g", "cr", "cc",
+        ((F.col("cr") + 0.5)
+         / (F.sum("cr").over(tot) + 0.5 * bins)).alias("p"),
+        ((F.col("cc") + 0.5)
+         / (F.sum("cc").over(tot) + 0.5 * bins)).alias("q"))
+    return (terms.groupBy(F.col("g").alias(group_col))
+            .agg(F.sum("cr").cast("long").alias("n_ref"),
+                 F.sum("cc").cast("long").alias("n_cur"),
+                 F.round(F.sum((F.col("p") - F.col("q"))
+                               * F.log(F.col("p") / F.col("q"))), 6)
+                 .alias("psi")))
+
+
+def psi_drift_sql(table: str = "events", group_sql: str = "event_type",
+                  ts_sql: str = "ts", value_sql: str = "value",
+                  bins: int = 10) -> str:
+    return f"""
+WITH span AS (
+  SELECT CAST(floor((min(epoch_us({ts_sql})) + max(epoch_us({ts_sql})))
+              / 2.0) AS BIGINT) AS cut
+  FROM {table}
+),
+base AS (
+  SELECT {group_sql} AS g, CAST({value_sql} AS DOUBLE) AS v,
+         epoch_us({ts_sql}) <= span.cut AS is_ref
+  FROM {table} CROSS JOIN span
+),
+edges AS (
+  SELECT g, min(v) AS lo, max(v) AS hi FROM base WHERE is_ref GROUP BY g
+),
+binned AS (
+  SELECT base.g, is_ref,
+         CASE WHEN hi <= lo THEN 0
+              ELSE CAST(least({bins - 1}, greatest(0,
+                   floor((v - lo) * {bins} / (hi - lo)))) AS INT)
+         END AS b
+  FROM base JOIN edges ON base.g = edges.g
+),
+counts AS (
+  SELECT g, b,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cr,
+         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cc
+  FROM binned GROUP BY 1, 2
+),
+grid AS (
+  SELECT edges.g, bs.b
+  FROM edges CROSS JOIN (SELECT unnest(range(0, {bins})) AS b) bs
+),
+filled AS (
+  SELECT grid.g, grid.b,
+         coalesce(cr, 0) AS cr, coalesce(cc, 0) AS cc
+  FROM grid LEFT JOIN counts ON grid.g = counts.g AND grid.b = counts.b
+),
+terms AS (
+  SELECT g, cr, cc,
+         (cr + 0.5) / (sum(cr) OVER (PARTITION BY g) + 0.5 * {bins}) AS p,
+         (cc + 0.5) / (sum(cc) OVER (PARTITION BY g) + 0.5 * {bins}) AS q
+  FROM filled
+)
+SELECT g AS {group_sql}, CAST(sum(cr) AS BIGINT) AS n_ref,
+       CAST(sum(cc) AS BIGINT) AS n_cur,
+       round(sum((p - q) * ln(p / q)), 6) AS psi
+FROM terms GROUP BY g
+"""
+
+
+def welch_ttest(df: DataFrame, group_col: str, group_a: str,
+                group_b: str, value_col: str = "value") -> DataFrame:
+    """Welch's unequal-variance t-test between two groups: the
+    parametric complement to mann_whitney_u (which tests ranks) —
+    t = (mean_a - mean_b) / sqrt(va/na + vb/nb), with the
+    Welch-Satterthwaite degrees of freedom. One conditional-
+    aggregation pass (six decimal sums, map-side combined) over the
+    fact table; zero shuffles beyond the single global aggregate.
+
+    Sums and sums-of-squares accumulate in DECIMAL(38,12) (order-
+    independent, the corr_pairs pattern) and collapse to DOUBLE in
+    one closed-form expression, so Spark and the SQL oracle share
+    bit-identical arithmetic. Output: one row (n_a, n_b, mean_a,
+    mean_b, t_stat, df), doubles rounded 6.
+    """
+    v = F.col(value_col).cast("double")
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+    agg = df.agg(
+        F.sum(in_a.cast("long")).alias("na"),
+        F.sum(in_b.cast("long")).alias("nb"),
+        F.sum(F.when(in_a, v).otherwise(0.0).cast(_DEC)).alias("sa"),
+        F.sum(F.when(in_b, v).otherwise(0.0).cast(_DEC)).alias("sb"),
+        F.sum(F.when(in_a, v * v).otherwise(0.0).cast(_DEC)).alias("ssa"),
+        F.sum(F.when(in_b, v * v).otherwise(0.0).cast(_DEC)).alias("ssb"))
+    na, nb = F.col("na"), F.col("nb")
+    sa = F.col("sa").cast("double")
+    sb = F.col("sb").cast("double")
+    ssa = F.col("ssa").cast("double")
+    ssb = F.col("ssb").cast("double")
+    ma, mb = sa / na, sb / nb
+    va = (ssa - sa * sa / na) / (na - 1)
+    vb = (ssb - sb * sb / nb) / (nb - 1)
+    sea, seb = va / na, vb / nb
+    t = (ma - mb) / F.sqrt(sea + seb)
+    dof = ((sea + seb) * (sea + seb)
+           / (sea * sea / (na - 1) + seb * seb / (nb - 1)))
+    return agg.select(
+        na.cast("long").alias("n_a"), nb.cast("long").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"), F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"), F.round(dof, 6).alias("df"))
+
+
+def welch_ttest_sql(table: str, group_sql: str, group_a: str,
+                    group_b: str, value_sql: str = "value") -> str:
+    return f"""
+WITH agg AS (
+  SELECT
+    sum(CASE WHEN {group_sql} = '{group_a}' THEN 1 ELSE 0 END) AS na,
+    sum(CASE WHEN {group_sql} = '{group_b}' THEN 1 ELSE 0 END) AS nb,
+    sum(CAST(CASE WHEN {group_sql} = '{group_a}'
+             THEN CAST({value_sql} AS DOUBLE) ELSE 0.0 END
+             AS DECIMAL(38,12))) AS sa,
+    sum(CAST(CASE WHEN {group_sql} = '{group_b}'
+             THEN CAST({value_sql} AS DOUBLE) ELSE 0.0 END
+             AS DECIMAL(38,12))) AS sb,
+    sum(CAST(CASE WHEN {group_sql} = '{group_a}'
+             THEN CAST({value_sql} AS DOUBLE) * CAST({value_sql} AS DOUBLE)
+             ELSE 0.0 END AS DECIMAL(38,12))) AS ssa,
+    sum(CAST(CASE WHEN {group_sql} = '{group_b}'
+             THEN CAST({value_sql} AS DOUBLE) * CAST({value_sql} AS DOUBLE)
+             ELSE 0.0 END AS DECIMAL(38,12))) AS ssb
+  FROM {table}
+),
+d AS (
+  SELECT na, nb,
+         CAST(sa AS DOUBLE) AS sa, CAST(sb AS DOUBLE) AS sb,
+         CAST(ssa AS DOUBLE) AS ssa, CAST(ssb AS DOUBLE) AS ssb
+  FROM agg
+),
+m AS (
+  SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+         ((ssa - sa * sa / na) / (na - 1)) / na AS sea,
+         ((ssb - sb * sb / nb) / (nb - 1)) / nb AS seb
+  FROM d
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round((ma - mb) / sqrt(sea + seb), 6) AS t_stat,
+       round((sea + seb) * (sea + seb)
+             / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 6) AS df
+FROM m
+"""
+
+
+def mann_kendall(events: DataFrame, key_col: str = "event_type",
+                 ts_col: str = "ts") -> DataFrame:
+    """Mann-Kendall trend test on per-key DAILY counts — the
+    significance companion to theil_sen_trend (which estimates the
+    slope, but not whether it is distinguishable from noise):
+    S = sum over day pairs of sign(n_j - n_i), Var(S) with the
+    standard tie correction, z with the +/-1 continuity correction.
+
+    The pair join runs over the DAILY aggregate (|days| per key,
+    bounded — never the raw events), same shape as theil_sen_trend;
+    counts and tie terms are exact integers, so only the final z
+    touches floating point. Output: (key, m_days, s_stat, var_s, z),
+    var_s/z rounded 6.
+    """
+    daily = (events.select(
+        F.col(key_col).alias("k"),
+        F.floor(F.unix_micros(F.col(ts_col)) / 86_400_000_000).alias("d"))
+        .groupBy("k", "d").agg(F.count("*").alias("n")))
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (a.join(b, (F.col("a.k") == F.col("b.k"))
+                & (F.col("b.d") > F.col("a.d")))
+         .groupBy(F.col("a.k").alias("k"))
+         .agg(F.sum(F.signum(F.col("b.n") - F.col("a.n"))
+                    .cast("long")).alias("s")))
+    m = daily.groupBy("k").agg(F.count("*").alias("m"))
+    ties = (daily.groupBy("k", "n").agg(F.count("*").alias("t"))
+            .groupBy("k")
+            .agg(F.sum(F.col("t") * (F.col("t") - 1)
+                       * (2 * F.col("t") + 5)).alias("tie_term")))
+    joined = s.join(m, "k").join(ties, "k")
+    var_s = ((F.col("m") * (F.col("m") - 1) * (2 * F.col("m") + 5)
+              - F.col("tie_term")) / 18.0)
+    z = (F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var_s))
+         .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var_s))
+         .otherwise(F.lit(0.0)))
+    return joined.select(
+        F.col("k").alias(key_col), F.col("m").cast("long").alias("m_days"),
+        F.col("s").cast("long").alias("s_stat"),
+        F.round(var_s, 6).alias("var_s"), F.round(z, 6).alias("z"))
+
+
+def mann_kendall_sql(table: str = "events", key_sql: str = "event_type",
+                     ts_sql: str = "ts") -> str:
+    return f"""
+WITH daily AS (
+  SELECT {key_sql} AS k,
+         CAST(floor(epoch_us({ts_sql}) / 86400000000) AS BIGINT) AS d,
+         count(*) AS n
+  FROM {table} GROUP BY 1, 2
+),
+s AS (
+  SELECT a.k,
+         CAST(sum(CASE WHEN b.n > a.n THEN 1
+                       WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM daily a JOIN daily b ON a.k = b.k AND b.d > a.d
+  GROUP BY a.k
+),
+m AS (SELECT k, count(*) AS m FROM daily GROUP BY k),
+ties AS (
+  SELECT k, sum(t * (t - 1) * (2 * t + 5)) AS tie_term
+  FROM (SELECT k, n, count(*) AS t FROM daily GROUP BY 1, 2)
+  GROUP BY k
+),
+j AS (
+  SELECT s.k, s.s, m.m, ties.tie_term,
+         (m.m * (m.m - 1) * (2 * m.m + 5) - ties.tie_term) / 18.0 AS var_s
+  FROM s JOIN m ON s.k = m.k JOIN ties ON s.k = ties.k
+)
+SELECT k AS {key_sql}, CAST(m AS BIGINT) AS m_days,
+       CAST(s AS BIGINT) AS s_stat, round(var_s, 6) AS var_s,
+       round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                  WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                  ELSE 0.0 END, 6) AS z
+FROM j
 """

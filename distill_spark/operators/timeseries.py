@@ -685,3 +685,188 @@ SELECT CAST(lag AS BIGINT) AS lag, CAST(m AS BIGINT) AS n_days,
        END AS corr
 FROM agg ORDER BY lag
 """
+
+
+def rolling_median_days(events: DataFrame, key_col: str = "event_type",
+                        ts_col: str = "ts", window_days: int = 7
+                        ) -> DataFrame:
+    """Per-key trailing ``window_days``-day MEDIAN of daily counts —
+    the robust twin of rolling_window_days' mean/sum features: one
+    spike day moves a trailing mean for a week, the median shrugs.
+
+    SQL windows cannot do an exact sliding median, so the window is
+    unrolled as a day-grain self-join (each anchor day joins its ≤
+    ``window_days`` trailing days — linear fanout over the DAILY
+    table, never the raw events) and the median is the explicit
+    lower-middle rank over (count, day) order, deterministic under
+    ties. Output: (key, day, n_days_in_window, rolling_median).
+    """
+    daily = (events.select(F.col(key_col).alias("k"),
+                           F.floor(F.unix_micros(F.col(ts_col))
+                                   / 86_400_000_000).alias("d"))
+             .groupBy("k", "d").agg(F.count("*").alias("n")))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.k") == F.col("b.k"))
+               & (F.col("b.d") <= F.col("a.d"))
+               & (F.col("b.d") > F.col("a.d") - window_days))
+        .select(F.col("a.k").alias("k"), F.col("a.d").alias("d"),
+                F.col("b.n").alias("bn"), F.col("b.d").alias("bd"))
+    )
+    w = Window.partitionBy("k", "d").orderBy("bn", "bd")
+    ranked = pairs.select(
+        "k", "d", "bn",
+        F.row_number().over(w).alias("_r"),
+        F.count("*").over(Window.partitionBy("k", "d")).alias("_m"))
+    return (ranked.filter(F.col("_r") == F.ceil(F.col("_m") / 2.0))
+            .select(F.col("k").alias(key_col),
+                    F.col("d").cast("long").alias("day"),
+                    F.col("_m").cast("long").alias("n_days_in_window"),
+                    F.col("bn").cast("long").alias("rolling_median"))
+            .orderBy(key_col, "day"))
+
+
+def rolling_median_days_sql(table: str = "events",
+                            key_sql: str = "event_type",
+                            ts_sql: str = "ts",
+                            window_days: int = 7) -> str:
+    return f"""
+WITH daily AS (
+  SELECT {key_sql} AS k,
+         CAST(floor(epoch_us({ts_sql}) / 86400000000) AS BIGINT) AS d,
+         count(*) AS n
+  FROM {table} GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.k, a.d, b.n AS bn, b.d AS bd
+  FROM daily a JOIN daily b
+    ON a.k = b.k AND b.d <= a.d AND b.d > a.d - {window_days}
+),
+ranked AS (
+  SELECT k, d, bn,
+         row_number() OVER (PARTITION BY k, d ORDER BY bn, bd) AS _r,
+         count(*) OVER (PARTITION BY k, d) AS _m
+  FROM pairs
+)
+SELECT k AS {key_sql}, d AS day, CAST(_m AS BIGINT) AS n_days_in_window,
+       CAST(bn AS BIGINT) AS rolling_median
+FROM ranked WHERE _r = CAST(ceil(_m / 2.0) AS BIGINT)
+ORDER BY 1, 2
+"""
+
+
+def weekly_state_transitions(events: DataFrame, user_col: str = "user_id",
+                             ts_col: str = "ts") -> DataFrame:
+    """Active/inactive week-over-week transition matrix: per user per
+    calendar week (epoch_days // 7 — portable, no engine week
+    conventions), active = any event; count the four transitions
+    between consecutive weeks over the users x weeks grid. The
+    Markov view of churn that churn_snapshot's point-in-time readout
+    can't show — A->I is the leak rate, I->A the resurrection rate.
+
+    The grid is |users| x |weeks| (linear — weeks are bounded), built
+    from one distinct-users frame crossed with the observed week
+    range; transitions are one lag window over it. Output:
+    (from_state, to_state, n, share) with share over all transitions.
+    """
+    week = F.floor(F.floor(F.unix_micros(F.col(ts_col)) / 86_400_000_000)
+                   / 7)
+    active = (events.select(F.col(user_col).alias("u"),
+                            week.alias("w")).distinct())
+    span = events.select(week.alias("w")).agg(
+        F.min("w").alias("lo"), F.max("w").alias("hi"))
+    weeks = span.select(F.explode(F.sequence("lo", "hi")).alias("w"))
+    users = events.select(F.col(user_col).alias("u")).distinct()
+    grid = (users.crossJoin(weeks)
+            .join(active.withColumn("_a", F.lit(1)), ["u", "w"], "left")
+            .select("u", "w", F.coalesce("_a", F.lit(0)).alias("a")))
+    lw = Window.partitionBy("u").orderBy("w")
+    trans = (grid.withColumn("_prev", F.lag("a").over(lw))
+             .filter(F.col("_prev").isNotNull()))
+    tot = Window.partitionBy()
+    state = {1: "active", 0: "inactive"}
+    return (trans.groupBy(
+        F.when(F.col("_prev") == 1, "active").otherwise("inactive")
+        .alias("from_state"),
+        F.when(F.col("a") == 1, "active").otherwise("inactive")
+        .alias("to_state"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn("share",
+                    F.round(F.col("n") / F.sum("n").over(tot), 6))
+        .orderBy("from_state", "to_state"))
+
+
+def weekly_state_transitions_sql(table: str = "events",
+                                 user_sql: str = "user_id",
+                                 ts_sql: str = "ts") -> str:
+    wk = f"CAST(floor(floor(epoch_us({ts_sql}) / 86400000000) / 7) AS BIGINT)"
+    return f"""
+WITH active AS (
+  SELECT DISTINCT {user_sql} AS u, {wk} AS w FROM {table}
+),
+span AS (SELECT min({wk}) AS lo, max({wk}) AS hi FROM {table}),
+weeks AS (SELECT unnest(range(lo, hi + 1)) AS w FROM span),
+users AS (SELECT DISTINCT {user_sql} AS u FROM {table}),
+grid AS (
+  SELECT users.u, weeks.w,
+         CASE WHEN active.u IS NULL THEN 0 ELSE 1 END AS a
+  FROM users CROSS JOIN weeks
+  LEFT JOIN active ON active.u = users.u AND active.w = weeks.w
+),
+trans AS (
+  SELECT a, lag(a) OVER (PARTITION BY u ORDER BY w) AS _prev
+  FROM grid
+)
+SELECT CASE WHEN _prev = 1 THEN 'active' ELSE 'inactive' END AS from_state,
+       CASE WHEN a = 1 THEN 'active' ELSE 'inactive' END AS to_state,
+       CAST(count(*) AS BIGINT) AS n,
+       round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
+FROM trans WHERE _prev IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def longest_streak(events: DataFrame, user_col: str = "user_id",
+                   ts_col: str = "ts") -> DataFrame:
+    """Per-user longest run of CONSECUTIVE active days (gaps-and-
+    islands on the integer day grid: island id = day − row_number,
+    constant exactly while days increment by 1) plus total active
+    days — the engagement-intensity readout that active_user_ladder's
+    window counts and weekly_state_transitions' Markov view both
+    blur: a 7-day streak and 7 scattered days are different users.
+
+    One distinct on (user, day) — the raw events collapse before any
+    window — then two narrow per-user windows over the tiny daily
+    frame. Output: (user, active_days, longest_streak).
+    """
+    daily = (events.select(
+        F.col(user_col).alias("u"),
+        F.floor(F.unix_micros(F.col(ts_col)) / 86_400_000_000).alias("d"))
+        .distinct())
+    w = Window.partitionBy("u").orderBy("d")
+    runs = (daily.withColumn("_grp", F.col("d") - F.row_number().over(w))
+            .groupBy("u", "_grp").agg(F.count("*").alias("_len")))
+    return (runs.groupBy(F.col("u").alias(user_col))
+            .agg(F.sum("_len").cast("long").alias("active_days"),
+                 F.max("_len").cast("long").alias("longest_streak")))
+
+
+def longest_streak_sql(table: str = "events", user_sql: str = "user_id",
+                       ts_sql: str = "ts") -> str:
+    return f"""
+WITH daily AS (
+  SELECT DISTINCT {user_sql} AS u,
+         CAST(floor(epoch_us({ts_sql}) / 86400000000) AS BIGINT) AS d
+  FROM {table}
+),
+runs AS (
+  SELECT u, count(*) AS _len
+  FROM (SELECT u, d, d - row_number() OVER (PARTITION BY u ORDER BY d)
+               AS _grp
+        FROM daily)
+  GROUP BY u, _grp
+)
+SELECT u AS {user_sql}, CAST(sum(_len) AS BIGINT) AS active_days,
+       CAST(max(_len) AS BIGINT) AS longest_streak
+FROM runs GROUP BY u
+"""

@@ -135,14 +135,16 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         # (nanosAsLong), conf set at runtime → TIMESTAMP_NTZ. Normalize
         # both to a plain µs TIMESTAMP (matches DuckDB's ns→µs
         # truncation) so every downstream expr sees ONE type.
-        if name == "events":
+        ts_cols = {"events": "ts", "orders": "o_orderdate"}
+        if name in ts_cols:
             from pyspark.sql import functions as F
 
-            ts_type = dict(df.dtypes).get("ts")
+            ts = ts_cols[name]
+            ts_type = dict(df.dtypes).get(ts)
             if ts_type == "bigint":
                 df = df.withColumn(
                     # integer div: double division rounds at 1e15-µs scale
-                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                    ts, F.timestamp_micros(F.expr(f"{ts} div 1000"))
                 )
             elif ts_type == "timestamp_ntz":
                 # The NTZ wall clock IS the UTC instant (parquet nanos).
@@ -155,9 +157,9 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
                 # pure NTZ difference — timezone-free and exact in every
                 # session timezone.
                 df = df.withColumn(
-                    "ts", F.timestamp_micros(F.expr(
+                    ts, F.timestamp_micros(F.expr(
                         "timestampdiff(MICROSECOND, "
-                        "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))
+                        f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts})")))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -165,3 +165,252 @@ def test_ngram_novelty_unique_vs_copied(spark):
     got = {r.source: r.avg_novelty for r in ngram_novelty(df).collect()}
     assert got["fresh"] == 1.0   # every 5-gram unique to doc 0
     assert got["dup"] == 0.0     # every 5-gram shared by docs 1 and 2
+
+
+def test_chi2_independence_perfect_and_independent(spark):
+    from distill_spark.operators.stats import chi2_independence
+
+    # perfectly dependent: a == b -> chi2 = n*(min(r,c)-1) -> V = 1
+    rows = [(i, ["x", "y"][i % 2], ["x", "y"][i % 2]) for i in range(8)]
+    df = spark.createDataFrame(rows, "id long, a string, b string")
+    [r] = chi2_independence(df, "a", "b").collect()
+    assert (r.n, r.dof) == (8, 1)
+    assert r.cramers_v == 1.0
+    # independent uniform 2x2 -> chi2 = 0
+    rows2 = [(i, ["x", "y"][i % 2], ["p", "q"][(i // 2) % 2])
+             for i in range(8)]
+    [r2] = chi2_independence(
+        spark.createDataFrame(rows2, "id long, a string, b string"),
+        "a", "b").collect()
+    assert r2.chi2 == 0.0 and r2.cramers_v == 0.0
+
+
+def test_mannwhitney_u_known_value(spark):
+    """a = {1,2}, b = {3,4}: all b above all a -> U_a = 0,
+    R_a = 1+2 = 3. Hand-checkable against the definition."""
+    from distill_spark.operators.stats import mannwhitney_u
+
+    rows = ([(i, 1, "a", float(v)) for i, v in enumerate([1, 2])]
+            + [(i + 10, 1, "b", float(v)) for i, v in enumerate([3, 4])])
+    df = _events(spark, rows)
+    [r] = mannwhitney_u(df, "event_type", "a", "b").collect()
+    assert (r.n_a, r.n_b, r.u_a) == (2, 2, 0.0)
+    assert r.z < 0  # a stochastically below b
+    # symmetric case: identical samples -> U = n_a*n_b/2, z = 0
+    rows2 = ([(i, 1, "a", float(v)) for i, v in enumerate([1, 2])]
+             + [(i + 10, 1, "b", float(v)) for i, v in enumerate([1, 2])])
+    [r2] = mannwhitney_u(_events(spark, rows2),
+                         "event_type", "a", "b").collect()
+    assert r2.u_a == 2.0 and r2.z == 0.0
+
+
+def test_theil_sen_ignores_outlier_day(spark):
+    """Counts 1,2,3,4 per day (slope 1) plus one 100-count outlier
+    day: OLS would blow up, the pairwise-slope median stays near 1."""
+    from distill_spark.operators.timeseries import theil_sen_trend
+
+    rows = []
+    counts = [1, 2, 3, 4, 100, 6]
+    for d, c in enumerate(counts):
+        for i in range(c):
+            rows.append((d * 86400 + i, 1, "t", 1.0))
+    df = _events(spark, rows)
+    [r] = theil_sen_trend(df).collect()
+    assert r.n_days == 6 and r.n_pairs == 15
+    assert abs(r.sen_slope - 1.0) <= 0.7  # median resists the spike
+
+
+def test_series_lag_corr_shifted_series(spark):
+    """b is a exactly one day later -> corr at lag 1 is 1.0."""
+    from distill_spark.operators.timeseries import series_lag_corr
+
+    rows = []
+    pattern = [1, 5, 2, 8, 3, 9, 4]
+    for d, c in enumerate(pattern):
+        for i in range(c):
+            rows.append((d * 86400 + i, 1, "a", 1.0))
+        for i in range(c):  # b shifted one day later
+            rows.append(((d + 1) * 86400 + 40000 + i, 2, "b", 1.0))
+    df = _events(spark, rows)
+    got = {r.lag: r.corr
+           for r in series_lag_corr(df, "a", "b", max_lag=2).collect()}
+    assert got[1] == 1.0
+    assert got[0] is None or got[0] < 1.0
+
+
+def test_skew_profile_hand_counts(spark):
+    from distill_spark.operators.skew import skew_profile
+
+    # key 1 x6, keys 2..5 x1 -> n=10, keys=5, avg=2, max=6, ratio=3
+    rows = [(i, k) for i, k in enumerate([1] * 6 + [2, 3, 4, 5])]
+    df = spark.createDataFrame(rows, "id long, k long")
+    [r] = skew_profile(df, "k").collect()
+    assert (r.n_rows, r.n_keys, r.avg_per_key) == (10, 5, 2.0)
+    assert (r.max_per_key, r.skew_ratio) == (6, 3.0)
+    assert r.p99_per_key == 6  # ceil(5*0.99)=5th ranked count = 6
+
+
+def test_iqr_outliers_fences(spark):
+    """Values 1..8 (no outliers) plus 100: Q1 = rank ceil(9*.25)=3 ->
+    3.0, Q3 = rank 7 -> 7.0, fences [-3, 13] -> exactly one outlier."""
+    from distill_spark.operators.stats import iqr_outliers
+
+    rows = [(i, 1, "t", float(v))
+            for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 100])]
+    df = _events(spark, rows)
+    [r] = iqr_outliers(df, "event_type").collect()
+    assert (r.q1, r.q3) == (3.0, 7.0)
+    assert (r.n, r.n_outliers) == (9, 1)
+
+
+def test_rolling_median_trailing_window(spark):
+    """Daily counts 1,9,3: day-2 median over {1,9} (even count) is the
+    LOWER middle 1; day-3 median over {1,9,3} is 3."""
+    from distill_spark.operators.timeseries import rolling_median_days
+
+    rows = []
+    for d, c in enumerate([1, 9, 3]):
+        for i in range(c):
+            rows.append((d * 86400 + i, 1, "t", 1.0))
+    df = _events(spark, rows)
+    out = {r.day - 19723: (r.n_days_in_window, r.rolling_median)
+           for r in rolling_median_days(df, window_days=7).collect()}
+    # day keys are absolute epoch days; normalize by the first day
+    base = min(out)
+    got = {d - base: v for d, v in out.items()}
+    assert got == {0: (1, 1), 1: (2, 1), 2: (3, 3)}
+
+
+def test_weekly_state_transitions_hand_matrix(spark):
+    """User 1 active weeks 0,2 (of 0..2): I->A? no — transitions are
+    A->I (w0->w1) and I->A (w1->w2). User 2 active all 3 weeks:
+    A->A twice."""
+    from distill_spark.operators.timeseries import weekly_state_transitions
+
+    rows = [(0, 1, "t", 1.0), (14 * 86400, 1, "t", 1.0)]
+    rows += [(w * 7 * 86400, 2, "t", 1.0) for w in range(3)]
+    df = _events(spark, rows)
+    got = {(r.from_state, r.to_state): r.n
+           for r in weekly_state_transitions(df).collect()}
+    assert got == {("active", "inactive"): 1, ("inactive", "active"): 1,
+                   ("active", "active"): 2}
+
+
+def test_psi_identical_halves_near_zero(spark):
+    """Same value distribution in both halves -> PSI ~ 0 (exactly 0
+    when the bin counts match, up to smoothing symmetry)."""
+    from distill_spark.operators.stats import psi_drift
+
+    rows = []
+    for half in (0, 3600):
+        for i in range(40):
+            rows.append((half + i, 1, "t", float(i % 10)))
+    df = _events(spark, rows)
+    [r] = psi_drift(df, "event_type", bins=5).collect()
+    assert r.n_ref == 40 and r.n_cur == 40
+    assert abs(r.psi) < 1e-9
+
+
+def test_psi_shifted_distribution_flags(spark):
+    """Second half shifted far right -> PSI well above the 0.25
+    'drifted' convention."""
+    from distill_spark.operators.stats import psi_drift
+
+    rows = [(i, 1, "t", float(i % 10)) for i in range(40)]
+    rows += [(3600 + i, 1, "t", 100.0 + i % 10) for i in range(40)]
+    [r] = psi_drift(_events(spark, rows), "event_type", bins=5).collect()
+    assert r.psi > 0.25
+
+
+def test_welch_ttest_hand_computed(spark):
+    """a=[1,2,3], b=[2,4,6,8]: hand Welch t and df."""
+    from distill_spark.operators.stats import welch_ttest
+
+    rows = [(i, 1, "a", v) for i, v in enumerate([1.0, 2.0, 3.0])]
+    rows += [(10 + i, 1, "b", v) for i, v in enumerate([2.0, 4.0, 6.0, 8.0])]
+    [r] = welch_ttest(_events(spark, rows), "event_type", "a", "b").collect()
+    ma, mb = 2.0, 5.0
+    va, vb = 1.0, 20.0 / 3
+    sea, seb = va / 3, vb / 4
+    t = (ma - mb) / math.sqrt(sea + seb)
+    df = (sea + seb) ** 2 / (sea**2 / 2 + seb**2 / 3)
+    assert r.n_a == 3 and r.n_b == 4
+    assert abs(r.t_stat - round(t, 6)) < 1e-9
+    assert abs(r.df - round(df, 6)) < 1e-9
+
+
+def test_mann_kendall_monotone_series(spark):
+    """Strictly increasing daily counts: S = m(m-1)/2, z > 0."""
+    from distill_spark.operators.stats import mann_kendall
+
+    rows = []
+    for day in range(6):
+        for k in range(day + 1):  # day d has d+1 events
+            rows.append((day * 86400 + k, 1, "t", 1.0))
+    [r] = mann_kendall(_events(spark, rows), "event_type").collect()
+    assert r.m_days == 6
+    assert r.s_stat == 15  # 6*5/2, no ties
+    var = 6 * 5 * 17 / 18.0
+    assert abs(r.z - round((15 - 1) / math.sqrt(var), 6)) < 1e-9
+
+
+def test_longest_streak_islands(spark):
+    """Days {0,1,2, 5,6, 10} -> longest 3, active 6."""
+    from distill_spark.operators.timeseries import longest_streak
+
+    rows = [(d * 86400, 7, "t", 1.0) for d in (0, 1, 2, 5, 6, 10)]
+    rows.append((1 * 86400 + 30, 7, "t", 1.0))  # same-day dup collapses
+    [r] = longest_streak(_events(spark, rows)).collect()
+    assert r.user_id == 7
+    assert r.active_days == 6 and r.longest_streak == 3
+
+
+def test_kaplan_meier_hand_curve(spark):
+    """3 users: u1 converts day 1, u2 converts day 2, u3 censored.
+    S(1) = 1 - 1/3 = 2/3; S(2) = 2/3 * (1 - 1/2) = 1/3."""
+    from distill_spark.operators.conversion import kaplan_meier
+
+    rows = [
+        (0, 1, "view", 1.0), (86400, 1, "purchase", 1.0),
+        (0, 2, "view", 1.0), (2 * 86400, 2, "purchase", 1.0),
+        (0, 3, "view", 1.0), (3 * 86400, 3, "view", 1.0),  # never buys
+    ]
+    out = {r.day: r for r in kaplan_meier(_events(spark, rows)).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_at_risk == 3 and out[1].n_events == 1
+    assert abs(out[1].survival - round(2 / 3, 6)) < 1e-9
+    assert out[2].n_at_risk == 2
+    assert abs(out[2].survival - round(1 / 3, 6)) < 1e-9
+
+
+def test_kaplan_meier_all_convert_hits_zero(spark):
+    """When the last at-risk subject converts, S drops to exactly 0
+    (the ln(0) guard path)."""
+    from distill_spark.operators.conversion import kaplan_meier
+
+    rows = [(0, u, "view", 1.0) for u in (1, 2)]
+    rows += [(86400, u, "purchase", 1.0) for u in (1, 2)]
+    [r] = kaplan_meier(_events(spark, rows)).collect()
+    assert r.day == 1 and r.n_events == 2 and r.survival == 0.0
+
+
+def test_cohort_ltv_cumulative(spark):
+    """One cohort (both customers first order week 0), revenue 10 +
+    20 in offset 0, 30 in offset 1: LTV 15 then 30 per user."""
+    from distill_spark.operators.conversion import cohort_ltv
+
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1), 10.0),
+        (2, 2, dt.datetime(2024, 1, 2), 20.0),
+        (3, 1, dt.datetime(2024, 1, 10), 30.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+              "o_totalprice double")
+    out = {r.week_offset: r
+           for r in cohort_ltv(df, "o_custkey", "o_orderdate",
+                               "o_totalprice").collect()}
+    assert out[0].n_customers == 2
+    assert abs(out[0].ltv_per_user - 15.0) < 1e-9
+    assert abs(out[1].cum_revenue - 60.0) < 1e-9
+    assert abs(out[1].ltv_per_user - 30.0) < 1e-9
