@@ -4110,6 +4110,132 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_sliding(spark, sf_dir):
+    """Sliding-window streaming counts: window(ts, 2h slide 1h) per
+    event_type, complete-mode availableNow drain — each event lands
+    in exactly TWO overlapping windows, the overlap bookkeeping the
+    tumbling query never exercises. Oracle: unroll the two hour-grid
+    window starts per event (hour(ts) and hour(ts) − 1h) in SQL.
+    """
+    import tempfile
+
+    t = _tables(spark, sf_dir)
+    events = t["events"].select("ts", "event_type")
+    tmp = tempfile.mkdtemp(prefix="dsssl_")
+    events.coalesce(1).write.parquet(tmp + "/in")
+    sdf = (spark.readStream.schema(events.schema).parquet(tmp + "/in")
+           .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"),
+                    "event_type")
+           .agg(F.count("*").alias("n")))
+    captured: list = []
+    q = (sdf.writeStream
+         .foreachBatch(lambda df, bid: captured.append(
+             df.select(
+                 F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                 .alias("window_start"),
+                 "event_type", "n").collect()))
+         .outputMode("complete")
+         .option("checkpointLocation", tmp + "/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = captured[-1] if captured else []
+    return spark.createDataFrame(
+        rows, "window_start string, event_type string, n bigint")
+
+
+SQL_STREAM_SLIDING = """
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts)
+                - off.k * INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type, CAST(count(*) AS BIGINT) AS n
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) off
+GROUP BY 1, 2
+"""
+
+
+def q_stream_sessions(spark, sf_dir):
+    """Session windows in Structured Streaming with REAL append-mode
+    watermark semantics: 30-min-gap session_window per user, a
+    watermark that must pass a session's end before it emits, and a
+    far-future sentinel row in a second file so availableNow's final
+    no-data batch flushes every real session. This exercises the
+    state-store merge/expire path complete mode never touches; the
+    gaps-and-islands batch SQL (split when the gap >= 30 min,
+    session_end = last event + gap — session_window's half-open
+    merge rule) gates the emitted set exactly.
+    """
+    import datetime as dt
+    import os
+    import tempfile
+
+    t = _tables(spark, sf_dir)
+    events = t["events"].select("ts", "user_id")
+    tmp = tempfile.mkdtemp(prefix="dsssw_")
+    events.coalesce(1).write.parquet(tmp + "/in")
+    before = set(os.listdir(tmp + "/in"))
+    hi = events.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(hi + dt.timedelta(days=30), -1)], "ts timestamp, user_id long")
+    sentinel.coalesce(1).write.mode("append").parquet(tmp + "/in")
+    # the sentinel file must sort AFTER the data file in the source's
+    # mtime order so the watermark only advances once real data is in
+    now = dt.datetime.now().timestamp()
+    for f in os.listdir(tmp + "/in"):
+        if f.startswith("part-"):
+            full = os.path.join(tmp + "/in", f)
+            late = 60.0 if f not in before else 0.0
+            os.utime(full, (now + late, now + late))
+    sdf = (spark.readStream.schema(events.schema)
+           .option("maxFilesPerTrigger", "1").parquet(tmp + "/in")
+           .withWatermark("ts", "10 minutes")
+           .groupBy(F.session_window("ts", "30 minutes").alias("sw"),
+                    "user_id")
+           .agg(F.count("*").alias("n_events")))
+    rows: list = []
+    q = (sdf.writeStream
+         .foreachBatch(lambda df, bid: rows.extend(
+             df.filter(F.col("user_id") >= 0).select(
+                 "user_id",
+                 F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss")
+                 .alias("session_start"),
+                 F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss")
+                 .alias("session_end"),
+                 "n_events").collect()))
+         .outputMode("append")
+         .option("checkpointLocation", tmp + "/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.createDataFrame(
+        rows, "user_id long, session_start string, session_end string, "
+              "n_events bigint")
+
+
+SQL_STREAM_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+         THEN 1 ELSE 0 END AS _ns
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(_ns) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS _sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE,
+                '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, _sid
+"""
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (training-data extension, SURVEY §7.3 custom-op
     class): each click event picks up the value of the user's most
@@ -7872,6 +7998,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "longest_streak": (q_longest_streak, _sql_longest_streak()),
     "kaplan_meier": (q_kaplan_meier, _sql_kaplan_meier()),
     "cohort_ltv": (q_cohort_ltv, _sql_cohort_ltv()),
+    "stream_sliding": (q_stream_sliding, SQL_STREAM_SLIDING),
+    "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
     # -- window filler (r06-green; round-7 additions displace these
     # as they land) ---------------------------------------------------------
     "tpch_q1_pricing": (q_tpch_q1_pricing, SQL_TPCH_Q1),

@@ -414,3 +414,38 @@ def test_cohort_ltv_cumulative(spark):
     assert abs(out[0].ltv_per_user - 15.0) < 1e-9
     assert abs(out[1].cum_revenue - 60.0) < 1e-9
     assert abs(out[1].ltv_per_user - 30.0) < 1e-9
+
+
+def test_stream_sessions_matches_batch_islands(spark):
+    """The streaming session_window drain must equal the batch
+    gaps-and-islands rewrite (split at gap >= 30 min, end = last
+    event + gap) on the sf0.001 corpus — every session, including
+    the ones only the final no-data batch can flush."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in entry.q_stream_sessions(spark, sf).collect())
+    from pyspark.sql import Window as W
+
+    from distill_spark.runtime import load_tables
+
+    ev = load_tables(spark, sf, ["events"])["events"]
+    w = (F.unix_micros(F.col("ts"))
+         - F.lag(F.unix_micros(F.col("ts"))).over(
+             W.partitionBy("user_id").orderBy("ts")))
+    flagged = ev.select("user_id", "ts").withColumn(
+        "_ns", F.when(w.isNull() | (w >= 1_800_000_000), 1).otherwise(0))
+    sess = flagged.withColumn(
+        "_sid", F.sum("_ns").over(
+            W.partitionBy("user_id").orderBy("ts").rowsBetween(
+                W.unboundedPreceding, 0)))
+    exp = sorted(tuple(r) for r in sess.groupBy("user_id", "_sid").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+        .alias("session_start"),
+        F.date_format(F.max("ts") + F.expr("INTERVAL 30 MINUTES"),
+                      "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.count("*").alias("n_events"))
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect())
+    assert got == exp and len(got) > 0
