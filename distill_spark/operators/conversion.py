@@ -531,7 +531,13 @@ def cohort_ltv(orders: DataFrame, cust_col: str = "o_custkey",
             .withColumn("cum_rev", F.sum("wrev").over(cum))
             .join(F.broadcast(sizes), "cw")
             .withColumn("_cru",
-                        (F.col("cum_rev") * 1_000_000).cast("long"))
+                        # round half-up BEFORE the long cast: Spark's
+                        # decimal->long cast truncates toward zero while
+                        # DuckDB's CAST(dec AS BIGINT) rounds — an
+                        # unrounded cast silently diverges whenever
+                        # revenue carries > 6 decimal places
+                        F.round(F.col("cum_rev") * 1_000_000, 0)
+                        .cast("long"))
             .select(F.col("cw").cast("long").alias("cohort_week"),
                     F.col("week_offset").cast("long").alias("week_offset"),
                     F.col("n_customers").cast("long").alias("n_customers"),

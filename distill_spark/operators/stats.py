@@ -615,25 +615,38 @@ def benford_deviation(df: DataFrame, value_col: str = "value",
 
     digit = floor(v / 10^floor(log10 v)) for v > 0 — spelled with the
     same formula on both engines so edge values land identically.
-    One (group, digit) groupBy then a 9-row-per-group rollup.
+    One (group, digit) groupBy, densified over the full groups×{1..9}
+    grid (a digit that never appears still contributes (0−e)²/e = e·n
+    to chi2 — dropping it understates the statistic exactly when the
+    data is most un-Benford), then a 9-row-per-group rollup. chi2 is
+    the real n-scaled statistic Σ n·(share−e)²/e, comparable to
+    χ²(8 dof) critical values.
     """
     v = F.col(value_col).cast("double")
     digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v))))
     per = (df.filter(v > 0)
            .select(F.col(group_col), digit.cast("int").alias("d"))
            .groupBy(group_col, "d").agg(F.count("*").alias("c")))
+    digits = (per.sparkSession.range(1, 10)
+              .select(F.col("id").cast("int").alias("d")))
+    # full outer: keeps any observed digit outside 1..9 (float-edge
+    # log10 artifacts) AND zero-fills unobserved Benford digits
+    dense = (per.select(group_col).distinct().crossJoin(digits)
+             .join(per, [group_col, "d"], "full")
+             .select(group_col, "d", F.coalesce("c", F.lit(0)).alias("c")))
     tot = Window.partitionBy(group_col)
     # benford share of digit d: log10(1 + 1/d)
     exp_share = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
     dev = F.col("c") / F.sum("c").over(tot) - exp_share
-    scored = per.select(
+    scored = dense.select(
         F.col(group_col),
         F.sum("c").over(tot).alias("_n"),
         F.round((dev * dev) / exp_share, 9).alias("_chi"),
         F.round(F.abs(dev), 9).alias("_adev"))
     return (scored.groupBy(group_col)
             .agg(F.max("_n").cast("long").alias("n_pos"),
-                 F.round(F.sum(F.col("_chi").cast(_DEC)).cast("double"), 6)
+                 F.round(F.max("_n").cast("double")
+                         * F.sum(F.col("_chi").cast(_DEC)).cast("double"), 6)
                  .alias("chi2"),
                  F.round(F.max("_adev"), 6).alias("max_dev")))
 
@@ -651,6 +664,14 @@ WITH per AS (
   FROM {table} WHERE CAST({value_sql} AS DOUBLE) > 0
   GROUP BY 1, 2
 ),
+dense AS (
+  SELECT coalesce(grid.g, per.g) AS g, coalesce(grid.d, per.d) AS d,
+         coalesce(per.c, 0) AS c
+  FROM (SELECT g, CAST(d AS INT) AS d
+        FROM (SELECT DISTINCT g FROM per)
+        CROSS JOIN (SELECT unnest(range(1, 10)) AS d)) grid
+  FULL OUTER JOIN per ON per.g = grid.g AND per.d = grid.d
+),
 scored AS (
   SELECT g, sum(c) OVER (PARTITION BY g) AS _n,
          round(pow(c / CAST(sum(c) OVER (PARTITION BY g) AS DOUBLE)
@@ -658,10 +679,11 @@ scored AS (
                / log10(1.0 + 1.0 / d), 9) AS _chi,
          round(abs(c / CAST(sum(c) OVER (PARTITION BY g) AS DOUBLE)
                    - log10(1.0 + 1.0 / d)), 9) AS _adev
-  FROM per
+  FROM dense
 )
 SELECT g AS {group_sql}, CAST(max(_n) AS BIGINT) AS n_pos,
-       round(CAST(sum(CAST(_chi AS DECIMAL(38,12))) AS DOUBLE), 6) AS chi2,
+       round(CAST(max(_n) AS DOUBLE)
+             * CAST(sum(CAST(_chi AS DECIMAL(38,12))) AS DOUBLE), 6) AS chi2,
        round(max(_adev), 6) AS max_dev
 FROM scored GROUP BY g
 """
@@ -682,7 +704,9 @@ def ks_statistic(df: DataFrame, group_col: str, group_a, group_b,
     """
     g = F.col(group_col)
     v = F.col(value_col).cast("double")
-    per = (df.filter(g.isin([group_a, group_b]))
+    # NULL values are excluded explicitly: Spark windows order NULLs
+    # first, DuckDB last — letting them in breaks cross-engine ECDFs
+    per = (df.filter(g.isin([group_a, group_b]) & v.isNotNull())
            .select(v.alias("v"),
                    F.when(g == group_a, 1).otherwise(0).alias("is_a"))
            .groupBy("v")
@@ -708,6 +732,7 @@ WITH per AS (
          sum(CASE WHEN {group_sql} = '{group_a}' THEN 1 ELSE 0 END) AS ca,
          sum(CASE WHEN {group_sql} = '{group_b}' THEN 1 ELSE 0 END) AS cb
   FROM {table} WHERE {group_sql} IN ('{group_a}', '{group_b}')
+    AND CAST({value_sql} AS DOUBLE) IS NOT NULL
   GROUP BY 1
 ),
 steps AS (
@@ -738,7 +763,11 @@ def js_divergence(df: DataFrame, group_col: str = "source",
     alone, q = 0 and its JSD term is p·ln2/2, so
     JSD(a,b) = ln2·(2 − Σ_shared(p+q))/2 + Σ_shared terms — exclusive
     mass is recovered from the shared totals, and the join stays
-    word-keyed (never |vocab|·|groups|² rows). Per-word terms round
+    word-keyed (never |vocab|·|groups|² rows). Group pairs sharing NO
+    vocabulary (true JSD = ln 2, the most-divergent — and most
+    important — pairs in a drift report) are emitted explicitly via a
+    |groups|²-row cross join of the DISTINCT group values (tiny), with
+    jsd = round(ln 2, 6) and shared_terms = 0. Per-word terms round
     to 9 into decimal sums; output (group_a, group_b, jsd,
     shared_terms) rounds to 6.
     """
@@ -768,15 +797,23 @@ def js_divergence(df: DataFrame, group_col: str = "source",
                 F.round((F.col("pa") + F.col("pb")).cast(_DEC), 9)
                 .alias("_mass"))
     )
-    return (shared.groupBy("ga", "gb")
-            .agg(F.count("*").cast("long").alias("shared_terms"),
-                 F.round(
-                     F.lit(ln2 / 2.0)
-                     * (F.lit(2.0) - F.sum("_mass").cast("double"))
-                     + F.sum(F.col("_t").cast(_DEC)).cast("double"), 6)
-                 .alias("jsd"))
+    agg = (shared.groupBy("ga", "gb")
+           .agg(F.count("*").cast("long").alias("shared_terms"),
+                F.round(
+                    F.lit(ln2 / 2.0)
+                    * (F.lit(2.0) - F.sum("_mass").cast("double"))
+                    + F.sum(F.col("_t").cast(_DEC)).cast("double"), 6)
+                .alias("jsd")))
+    gs = (df.select(F.col(group_col).alias("g"))
+          .filter(F.col("g").isNotNull()).distinct())
+    pairs = (gs.select(F.col("g").alias("ga"))
+             .crossJoin(gs.select(F.col("g").alias("gb")))
+             .filter(F.col("ga") < F.col("gb")))
+    return (pairs.join(agg, ["ga", "gb"], "left")
             .select(F.col("ga").alias("group_a"), F.col("gb").alias("group_b"),
-                    "jsd", "shared_terms"))
+                    F.coalesce("jsd", F.round(F.lit(ln2), 6)).alias("jsd"),
+                    F.coalesce("shared_terms", F.lit(0)).cast("long")
+                    .alias("shared_terms")))
 
 
 def js_divergence_sql(table: str = "documents", group_sql: str = "source",
@@ -805,12 +842,21 @@ shared AS (
                 + b.p * ln(2.0 * b.p / (a.p + b.p))) / 2.0, 9) AS _t,
          round(CAST(a.p + b.p AS DECIMAL(38,12)), 9) AS _mass
   FROM ws a JOIN ws b ON a.w = b.w AND a.g < b.g
-)
-SELECT ga AS group_a, gb AS group_b,
-       round(ln(2.0) / 2.0 * (2.0 - CAST(sum(_mass) AS DOUBLE))
-             + CAST(sum(CAST(_t AS DECIMAL(38,12))) AS DOUBLE), 6) AS jsd,
-       CAST(count(*) AS BIGINT) AS shared_terms
-FROM shared GROUP BY 1, 2
+),
+agg AS (
+  SELECT ga, gb,
+         round(ln(2.0) / 2.0 * (2.0 - CAST(sum(_mass) AS DOUBLE))
+               + CAST(sum(CAST(_t AS DECIMAL(38,12))) AS DOUBLE), 6) AS jsd,
+         CAST(count(*) AS BIGINT) AS shared_terms
+  FROM shared GROUP BY 1, 2
+),
+gs AS (SELECT DISTINCT {group_sql} AS g FROM {table}
+       WHERE {group_sql} IS NOT NULL)
+SELECT a.g AS group_a, b.g AS group_b,
+       coalesce(agg.jsd, round(ln(2.0), 6)) AS jsd,
+       coalesce(agg.shared_terms, 0) AS shared_terms
+FROM gs a JOIN gs b ON a.g < b.g
+LEFT JOIN agg ON agg.ga = a.g AND agg.gb = b.g
 """
 
 
@@ -824,8 +870,14 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     column totals (window sums over the |r|·|c|-row contingency
     table, never a rescan). Output: (n, dof, chi2, cramers_v),
     exact-rational until the final rounds.
+
+    Rows where either column is NULL are excluded up front (NULL is
+    "level unknown", not a level): the densify joins are plain
+    equality, so a NULL level would survive distinct() into the grid
+    but silently drop its observed counts from n and chi2.
     """
-    obs = (df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+    obs = (df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+           .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
            .agg(F.count("*").alias("o")))
     # densify over the full a x b cross product: EMPTY cells still
     # carry (0 - e)^2 / e — dropping them understates chi2 exactly
@@ -860,7 +912,9 @@ def chi2_independence_sql(table: str, a_sql: str, b_sql: str) -> str:
     return f"""
 WITH obs AS (
   SELECT {a_sql} AS a, {b_sql} AS b, count(*) AS o
-  FROM {table} GROUP BY 1, 2
+  FROM {table}
+  WHERE {a_sql} IS NOT NULL AND {b_sql} IS NOT NULL
+  GROUP BY 1, 2
 ),
 ct AS (
   SELECT g.a, g.b, coalesce(obs.o, 0) AS o
@@ -906,8 +960,10 @@ def mannwhitney_u(df: DataFrame, group_col: str, group_a, group_b,
     Output: (n_a, n_b, u_a, z), exact-rational ranks, rounds 6.
     """
     g = F.col(group_col)
-    per = (df.filter(g.isin([group_a, group_b]))
-           .select(F.col(value_col).cast("double").alias("v"),
+    v = F.col(value_col).cast("double")
+    # NULLs out (engines disagree on NULL rank position — see ks)
+    per = (df.filter(g.isin([group_a, group_b]) & v.isNotNull())
+           .select(v.alias("v"),
                    F.when(g == group_a, 1).otherwise(0).alias("is_a"))
            .groupBy("v")
            .agg(F.sum("is_a").alias("ca"),
@@ -947,6 +1003,7 @@ WITH per AS (
          sum(CASE WHEN {group_sql} = '{group_a}' THEN 1 ELSE 0 END) AS ca,
          count(*) AS ct
   FROM {table} WHERE {group_sql} IN ('{group_a}', '{group_b}')
+    AND CAST({value_sql} AS DOUBLE) IS NOT NULL
   GROUP BY 1
 ),
 terms AS (
@@ -988,8 +1045,10 @@ def iqr_outliers(df: DataFrame, group_col: str,
     n_outliers, outlier_share), rank math exact, rounds 6.
     """
     g = F.col(group_col).alias("g")
-    v = F.col(value_col).cast("double").alias("v")
-    base = df.select(g, v)
+    v = F.col(value_col).cast("double")
+    # NULLs rank first in Spark, last in DuckDB — exclude them before
+    # the quartile rank selection so both engines pick the same rows
+    base = df.filter(v.isNotNull()).select(g, v.alias("v"))
     w = Window.partitionBy("g").orderBy("v")
     ranked = base.select(
         "g", "v", F.row_number().over(w).alias("_r"),
@@ -1019,6 +1078,7 @@ def iqr_outliers_sql(table: str, group_sql: str,
     return f"""
 WITH base AS (
   SELECT {group_sql} AS g, CAST({value_sql} AS DOUBLE) AS v FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
 ),
 ranked AS (
   SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS _r,

@@ -44,7 +44,8 @@ def test_heaps_law_flat_for_duplicated_corpus(spark):
 
 def test_benford_uniform_digits_deviate(spark):
     """Digits 1..9 equally often: each share is 1/9, so chi2 equals
-    sum((1/9 - log10(1+1/d))^2 / log10(1+1/d)) — check to 1e-5."""
+    n · sum((1/9 - log10(1+1/d))^2 / log10(1+1/d)) — the real
+    n-scaled chi-square statistic — check to 1e-4."""
     from distill_spark.operators.stats import benford_deviation
 
     rows = [(0, dt.datetime(2024, 1, 1), 1, "t", float(d))
@@ -53,10 +54,10 @@ def test_benford_uniform_digits_deviate(spark):
         rows, "event_id long, ts timestamp, user_id long, "
               "event_type string, value double")
     [r] = benford_deviation(df).collect()
-    exp = sum((1 / 9 - math.log10(1 + 1 / d)) ** 2 / math.log10(1 + 1 / d)
-              for d in range(1, 10))
+    exp = 9 * sum((1 / 9 - math.log10(1 + 1 / d)) ** 2
+                  / math.log10(1 + 1 / d) for d in range(1, 10))
     assert r.n_pos == 9
-    assert abs(r.chi2 - exp) < 1e-5
+    assert abs(r.chi2 - exp) < 1e-4
     # max dev at digit 1 (benford 0.301 vs observed 1/9)
     assert abs(r.max_dev - (math.log10(2) - 1 / 9)) < 1e-5
 
@@ -95,13 +96,16 @@ def test_js_divergence_identical_and_disjoint(spark):
     rows = [(0, "x x y", "s1"), (1, "x x y", "s2"),   # identical dists
             (2, "p p q q", "s3")]                      # disjoint from both
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
-    got = {(r.group_a, r.group_b): r.jsd
-           for r in js_divergence(df, min_count=1).collect()}
+    res = js_divergence(df, min_count=1).collect()
+    got = {(r.group_a, r.group_b): r.jsd for r in res}
+    terms = {(r.group_a, r.group_b): r.shared_terms for r in res}
     assert got[("s1", "s2")] == 0.0
-    # disjoint pairs share no word, so they never appear in the
-    # shared-join output — their JSD is ln2 by construction, and the
-    # operator's contract is to emit only pairs with shared support
-    assert ("s1", "s3") not in got
+    # disjoint pairs share no word: JSD = ln 2 exactly — emitted
+    # explicitly (shared_terms = 0) so the MOST divergent pairs are
+    # visible in the drift report, not silently absent
+    assert got[("s1", "s3")] == round(math.log(2), 6)
+    assert terms[("s1", "s3")] == 0
+    assert got[("s2", "s3")] == round(math.log(2), 6)
 
 
 def test_js_divergence_hand_value(spark):
