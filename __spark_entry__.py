@@ -7941,7 +7941,149 @@ ORDER BY 1, 2, 3
 """
 
 
+# ------------------------------------------------- round-8 additions
+# Lead: perceptual-hash image near-dup (beyond-reference multimodal —
+# the reference is text+embedding only). Documents are rendered as raw
+# 8×9 grayscale "images" (stride-5 scanline downsample of the first
+# 360 chars — a 1-D resize, so a small text edit perturbs 1-2 cells),
+# pushed through the REAL mapInPandas decoder-registry path, then
+# dHash → band-blocked Hamming pairs → CC cluster labels. Every stage
+# is integer-exact, so the oracle replays it in SQL from
+# ascii(substr(...)) arithmetic (the corpus is pure printable ASCII).
+
+_PHASH_STRIDE, _PHASH_CELLS, _PHASH_T, _PHASH_MAXDF = 5, 72, 4, 100
+
+
+def _phash_hashes(spark, sf_dir):
+    """Shared media→dHash front for the mm_phash_* queries."""
+    from distill_spark.operators import multimodal as mm
+    from distill_spark.operators.dedup_image import (dhash_bands,
+                                                     raw_gray_decoder)
+
+    t = _tables(spark, sf_dir)
+    mm.register_decoder("image", raw_gray_decoder(_PHASH_CELLS))
+    tx = F.rpad("text", _PHASH_STRIDE * _PHASH_CELLS, " ")
+    payload = F.concat(*[F.substring(tx, 1 + _PHASH_STRIDE * i, 1)
+                         for i in range(_PHASH_CELLS)])
+    media = t["documents"].select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"), F.lit("image/raw").alias("mime"),
+        F.encode(payload, "UTF-8").alias("data"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"))
+    feats = mm.extract_features(media).select(
+        F.col("media_id").cast("long").alias("mid"), "feature")
+    return dhash_bands(feats, id_col="mid")
+
+
+def q_mm_phash_pairs(spark, sf_dir):
+    """Image near-dup candidate pairs at Hamming ≤ 4 over 64-bit dHash
+    (operators/dedup_image.py) — band-blocked (8 bands × 8 bits,
+    pigeonhole-complete for t < 8), hot buckets capped at max_df=100,
+    exact bit_count(xor) verify. The perceptual twin of MinHash text
+    dedup for the multimodal brief."""
+    from distill_spark.operators.dedup_image import phash_candidate_pairs
+
+    hashes = _phash_hashes(spark, sf_dir)
+    return phash_candidate_pairs(hashes, id_col="mid",
+                                 t=_PHASH_T, max_df=_PHASH_MAXDF)
+
+
+def q_mm_phash_clusters(spark, sf_dir):
+    """Near-dup cluster labels: connected components over the
+    mm_phash_pairs edges, component = min member id (single-linkage,
+    same convention as a1_cluster_cc)."""
+    from distill_spark.operators.dedup_image import (phash_candidate_pairs,
+                                                     phash_clusters)
+
+    hashes = _phash_hashes(spark, sf_dir)
+    pairs = phash_candidate_pairs(hashes, id_col="mid",
+                                  t=_PHASH_T, max_df=_PHASH_MAXDF)
+    return (phash_clusters(hashes, pairs, id_col="mid")
+            .select(F.col("mid").alias("media_id"), "component"))
+
+
+def _sql_mm_phash_prelude() -> str:
+    """CTE chain doc_id → gray grid → dHash bands → verified pairs,
+    mirroring dedup_image.py cell for cell (1-indexed lists)."""
+    stride, cells = _PHASH_STRIDE, _PHASH_CELLS
+    bands = []
+    for k in range(8):
+        terms = []
+        for j in range(8):
+            i = k * 8 + j
+            r, c = divmod(i, 8)
+            terms.append(f"(CASE WHEN gray[{r * 9 + c + 1}] > "
+                         f"gray[{r * 9 + c + 2}] THEN {1 << j} ELSE 0 END)")
+        bands.append("(" + " + ".join(terms) + f") AS b{k}")
+    band_cols = ",\n         ".join(bands)
+    long_union = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {k} AS bk, b{k} AS bv FROM h" for k in range(8))
+    ham = " + ".join(f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(8))
+    return f"""
+pay AS (
+  SELECT doc_id, rpad(text, {stride * cells}, ' ') AS tx FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(0, {cells}),
+                        i -> ascii(substr(tx, CAST(1 + {stride} * i AS INT),
+                                          1))) AS gray
+  FROM pay
+),
+h AS (
+  SELECT doc_id, {band_cols}
+  FROM g
+),
+lf AS (
+{long_union}
+),
+ok AS (
+  SELECT bk, bv FROM lf GROUP BY 1, 2 HAVING count(*) <= {_PHASH_MAXDF}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+  FROM lf x JOIN ok ON x.bk = ok.bk AND x.bv = ok.bv
+  JOIN lf y ON y.bk = x.bk AND y.bv = x.bv AND x.doc_id < y.doc_id
+),
+scored AS (
+  SELECT cand.ia, cand.ib, {ham} AS hamming
+  FROM cand JOIN h a ON a.doc_id = cand.ia JOIN h b ON b.doc_id = cand.ib
+)"""
+
+
+def _sql_mm_phash_pairs() -> str:
+    return f"""
+WITH {_sql_mm_phash_prelude()}
+SELECT ia AS media_a, ib AS media_b, CAST(hamming AS INT) AS hamming
+FROM scored WHERE hamming <= {_PHASH_T}
+"""
+
+
+def _sql_mm_phash_clusters() -> str:
+    return f"""
+WITH RECURSIVE {_sql_mm_phash_prelude()},
+prs AS (
+  SELECT ia, ib FROM scored WHERE hamming <= {_PHASH_T}
+),
+sym AS (
+  SELECT ia, ib FROM prs UNION ALL SELECT ib AS ia, ia AS ib FROM prs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.ib, reach.r FROM reach JOIN sym s ON s.ia = reach.node
+)
+SELECT node AS media_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    # -- round-8 window head: perceptual-hash image near-dup ----------------
+    "mm_phash_pairs": (q_mm_phash_pairs, _sql_mm_phash_pairs()),
+    "mm_phash_clusters": (q_mm_phash_clusters, _sql_mm_phash_clusters()),
     # -- round-7 window head: embed_covariance is the registry's only
     # never-green row (r06 red was a -0.0 repr split; signed-zero
     # normalized this round on both sides, operators/pca.py), followed

@@ -1,0 +1,152 @@
+"""Perceptual-hash image near-duplicate detection (dHash).
+
+Image dedup is as load-bearing for a multimodal training-data
+pipeline as MinHash is for text: near-identical images (re-encodes,
+crops, thumbnails) survive exact content-hash dedup but collapse
+under a perceptual hash. The classic, library-free choice is
+**dHash** (difference hash): downsample to a (rows × cols) grayscale
+grid, emit one bit per horizontal neighbor comparison
+``gray[r][c] > gray[r][c+1]`` — 8×9 grid → 64 bits. Near-duplicate
+images differ in a few bits (small Hamming distance).
+
+Pipeline (all stages distributed, no driver loops):
+
+1. decode: the registered media decoder (``multimodal.register_decoder``)
+   produces the grayscale grid map-side via ``mapInPandas`` — raw
+   payload bytes never shuffle; only the 72-cell grid (or, after
+   hashing, 8 bytes) does.
+2. ``dhash_bands``: the 64 dHash bits packed as **8 bands × 8 bits**,
+   pure JVM column expressions (no UDF).
+3. ``phash_candidate_pairs``: LSH-style band blocking — two hashes
+   within Hamming distance t share at least one *identical* band
+   whenever t < 8 (pigeonhole over 8 bands), so the band-bucket
+   self-join is **guaranteed complete** for t ≤ 7, not merely
+   probabilistic. Buckets larger than ``max_df`` (boilerplate — e.g.
+   letterbox borders hashing alike) are dropped before the join, the
+   same hot-key cap as winnow_pairs / edit_distance_pairs; the
+   completeness guarantee is modulo that documented cap.
+4. exact Hamming verify on the ≤ ``max_df``² candidates via
+   ``bit_count(xor)`` — JVM-side, whole-stage codegen.
+5. ``phash_clusters``: connected components over the verified pairs
+   (``cluster.connected_components`` — driver union-find below 2M
+   edges, iterative min-label propagation above).
+
+100 TB shape: decode is map-side; the shuffle key is an 8-bit band
+value + band index (256·8 buckets per partition strategy — salted by
+band index by construction); candidate verification touches only
+8-byte hashes. The quadratic risk is entirely inside a bucket and
+bounded by ``max_df``.
+
+Reference scope: the reference engine (Siddhant-K-code/distill) is
+text+embedding only — this module is part of the beyond-reference
+multimodal brief. dHash per Krawetz's public description
+(hackerfactor blog, 2013); band blocking per the standard LSH
+bucketing construction (Leskovec/Rajaraman/Ullman, MMDS ch. 3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_BANDS = 8
+BITS_PER_BAND = 8
+
+
+def raw_gray_decoder(n_cells: int = 72):
+    """Decoder-registry entry for raw 8-bit grayscale bitmaps: each
+    payload byte is one gray cell (row-major), zero-padded / truncated
+    to ``n_cells``. This is a *real* decode of a real (if minimal)
+    image format — unlike the avalanche-hash fake, nearby payloads
+    produce nearby grids, so perceptual hashing is meaningful.
+    Register with ``multimodal.register_decoder("image", ...)``."""
+    def fn(data: bytes) -> np.ndarray:
+        buf = np.frombuffer((data or b"")[:n_cells], dtype=np.uint8)
+        out = np.zeros(n_cells, dtype=np.float32)
+        out[: len(buf)] = buf
+        return out
+    return fn
+
+
+def dhash_bands(df: DataFrame, id_col: str = "media_id",
+                gray_col: str = "feature",
+                rows: int = 8, cols: int = 9) -> DataFrame:
+    """64-bit dHash from a (rows × cols) gray grid, emitted as 8 int
+    columns ``b0..b7`` of 8 bits each (band k holds bits k·8..k·8+7).
+
+    Bit i (i = r·(cols−1)+c) is 1 iff gray[r·cols+c] > gray[r·cols+c+1].
+    Pure column expressions — a flat sum of 8 CASEs per band, fully
+    inside whole-stage codegen; the only data movement is the scan.
+    Bands-not-one-long representation keeps every value unsigned-safe
+    in both engines (no bit-63 sign games) and IS the blocking key.
+    """
+    if rows * (cols - 1) != N_BANDS * BITS_PER_BAND:
+        raise ValueError("grid must yield exactly 64 comparison bits")
+    g = F.col(gray_col)
+    out = [F.col(id_col)]
+    for k in range(N_BANDS):
+        band = F.lit(0)
+        for j in range(BITS_PER_BAND):
+            i = k * BITS_PER_BAND + j
+            r, c = divmod(i, cols - 1)
+            band = band + F.when(
+                g[r * cols + c] > g[r * cols + c + 1], F.lit(1 << j)
+            ).otherwise(F.lit(0))
+        out.append(band.cast("int").alias(f"b{k}"))
+    return df.select(*out)
+
+
+def _long_form(hashes: DataFrame, id_col: str) -> DataFrame:
+    stack = ", ".join(f"{k}, b{k}" for k in range(N_BANDS))
+    return hashes.select(
+        F.col(id_col),
+        F.expr(f"stack({N_BANDS}, {stack}) as (bk, bv)"))
+
+
+def phash_candidate_pairs(hashes: DataFrame, id_col: str = "media_id",
+                          t: int = 4, max_df: int = 100) -> DataFrame:
+    """(media_a, media_b, hamming) for all pairs within Hamming ≤ t.
+
+    Band-bucket self-join (complete for t < 8 by pigeonhole, see
+    module docstring) → distinct candidate pairs → exact Hamming via
+    ``bit_count(xor)`` over the 8 bands. Buckets with more than
+    ``max_df`` members are dropped first — the hot-key / boilerplate
+    cap that keeps the join linear-ish at scale.
+    """
+    long = _long_form(hashes, id_col)
+    ok = (long.groupBy("bk", "bv").agg(F.count("*").alias("_n"))
+          .filter(F.col("_n") <= max_df).drop("_n"))
+    lo = long.join(ok, ["bk", "bv"])
+    cand = (lo.alias("x")
+            .join(lo.alias("y"),
+                  (F.col("x.bk") == F.col("y.bk"))
+                  & (F.col("x.bv") == F.col("y.bv"))
+                  & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
+            .select(F.col(f"x.{id_col}").alias("_ia"),
+                    F.col(f"y.{id_col}").alias("_ib"))
+            .distinct())
+    a = hashes.select(F.col(id_col).alias("_ia"),
+                      *[F.col(f"b{k}").alias(f"_a{k}") for k in range(N_BANDS)])
+    b = hashes.select(F.col(id_col).alias("_ib"),
+                      *[F.col(f"b{k}").alias(f"_b{k}") for k in range(N_BANDS)])
+    ham = sum(F.bit_count(F.col(f"_a{k}").bitwiseXOR(F.col(f"_b{k}")))
+              for k in range(N_BANDS))
+    return (cand.join(a, "_ia").join(b, "_ib")
+            .select(F.col("_ia").alias("media_a"),
+                    F.col("_ib").alias("media_b"),
+                    ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= t))
+
+
+def phash_clusters(hashes: DataFrame, pairs: DataFrame,
+                   id_col: str = "media_id") -> DataFrame:
+    """(media_id, component) near-duplicate cluster labels: connected
+    components over the verified pairs, component = min member id —
+    the same single-linkage convention as cluster_by_threshold."""
+    from distill_spark.operators.cluster import connected_components
+
+    edges = pairs.select(F.col("media_a").alias("src"),
+                         F.col("media_b").alias("dst"))
+    verts = hashes.select(id_col)
+    return connected_components(verts, edges, id_col=id_col)

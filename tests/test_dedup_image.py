@@ -1,0 +1,142 @@
+"""Perceptual-hash (dHash) image near-dup: planted-duplicate recall,
+banding completeness vs brute force, and cluster labeling."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from distill_spark.operators import multimodal as mm
+from distill_spark.operators.dedup_image import (
+    N_BANDS, dhash_bands, phash_candidate_pairs, phash_clusters,
+    raw_gray_decoder)
+
+
+def _gray_df(spark, grids: dict[str, list[int]]):
+    rows = [(k, [float(x) for x in v]) for k, v in sorted(grids.items())]
+    return spark.createDataFrame(rows, "media_id string, feature array<float>")
+
+
+def _dhash_py(grid: list[int]) -> list[int]:
+    bits = [1 if grid[r * 9 + c] > grid[r * 9 + c + 1] else 0
+            for r in range(8) for c in range(8)]
+    return [sum(bits[k * 8 + j] << j for j in range(8)) for k in range(N_BANDS)]
+
+
+def _ham_py(ba, bb):
+    return sum(bin(x ^ y).count("1") for x, y in zip(ba, bb))
+
+
+def test_dhash_bands_match_reference_impl(spark):
+    rng = random.Random(7)
+    grids = {f"m{i}": [rng.randrange(256) for _ in range(72)] for i in range(20)}
+    got = {r.media_id: [r[f"b{k}"] for k in range(N_BANDS)]
+           for r in dhash_bands(_gray_df(spark, grids)).collect()}
+    for k, grid in grids.items():
+        assert got[k] == _dhash_py(grid), k
+
+
+def test_planted_near_dup_found_with_exact_hamming(spark):
+    rng = random.Random(3)
+    base = [rng.randrange(256) for _ in range(72)]
+    near = list(base)
+    near[10], near[40] = 255, 0          # two local edits -> few bits flip
+    far = [rng.randrange(256) for _ in range(72)]
+    grids = {"base": base, "near": near, "far": far}
+    hashes = dhash_bands(_gray_df(spark, grids))
+    expected = _ham_py(_dhash_py(base), _dhash_py(near))
+    assert 0 < expected <= 6  # genuinely near, genuinely not identical
+    pairs = {(r.media_a, r.media_b): r.hamming
+             for r in phash_candidate_pairs(hashes, t=7).collect()}
+    assert pairs.get(("base", "near")) == expected
+    assert ("base", "far") not in pairs
+    assert ("far", "near") not in pairs
+
+
+def test_banding_complete_vs_brute_force_below_8(spark):
+    """Pigeonhole guarantee: every pair at Hamming <= 7 shares a band,
+    so the blocked join returns exactly the brute-force answer."""
+    rng = random.Random(11)
+    mutants = {}
+    base = [rng.randrange(256) for _ in range(72)]
+    for i in range(12):
+        g = list(base)
+        for _ in range(rng.randrange(0, 4)):   # 0-3 cell edits
+            g[rng.randrange(72)] = rng.randrange(256)
+        mutants[f"v{i:02d}"] = g
+    hashes = dhash_bands(_gray_df(spark, mutants))
+    got = {(r.media_a, r.media_b): r.hamming
+           for r in phash_candidate_pairs(hashes, t=7, max_df=100).collect()}
+    py = {k: _dhash_py(g) for k, g in mutants.items()}
+    brute = {(a, b): _ham_py(py[a], py[b])
+             for a, b in itertools.combinations(sorted(mutants), 2)
+             if _ham_py(py[a], py[b]) <= 7}
+    assert got == brute
+
+
+def test_max_df_drops_hot_buckets_only(spark):
+    """A flat (all-equal) grid hashes to all-zero bands; many of them
+    make every band bucket hot. With max_df below the flat-group size
+    those pairs disappear; distinct pairs elsewhere survive."""
+    grids = {f"flat{i}": [5] * 72 for i in range(6)}
+    rng = random.Random(5)
+    base = [rng.randrange(256) for _ in range(72)]
+    near = list(base)
+    near[3] = (near[3] + 90) % 256
+    grids["base"], grids["near"] = base, near
+    hashes = dhash_bands(_gray_df(spark, grids))
+    pairs = {(r.media_a, r.media_b)
+             for r in phash_candidate_pairs(hashes, t=7, max_df=5).collect()}
+    assert all("flat" not in a or "flat" not in b for a, b in pairs)
+    if _ham_py(_dhash_py(base), _dhash_py(near)) <= 7:
+        assert ("base", "near") in pairs
+
+
+def test_phash_clusters_single_linkage_min_label(spark):
+    rng = random.Random(19)
+    a = [rng.randrange(256) for _ in range(72)]
+    b = list(a); b[0] = (b[0] + 100) % 256           # near a
+    c = list(b); c[20] = (c[20] + 100) % 256         # near b (chain)
+    d = [rng.randrange(256) for _ in range(72)]      # separate
+    grids = {"m1": a, "m2": b, "m3": c, "m9": d}
+    hashes = dhash_bands(_gray_df(spark, grids))
+    pairs = phash_candidate_pairs(hashes, t=7)
+    comp = {r.media_id: r.component
+            for r in phash_clusters(hashes, pairs).collect()}
+    assert comp["m1"] == "m1"
+    # chain closure: if both links are within t, all three share label m1
+    py = {k: _dhash_py(g) for k, g in grids.items()}
+    if _ham_py(py["m1"], py["m2"]) <= 7 and _ham_py(py["m2"], py["m3"]) <= 7:
+        assert comp["m2"] == "m1" and comp["m3"] == "m1"
+    assert comp["m9"] == "m9"
+
+
+def test_raw_gray_decoder_through_real_decode_path(spark):
+    """End-to-end: payload bytes -> mapInPandas extract_features with
+    the raw-gray decoder -> grids equal the payload bytes, padded."""
+    mm.register_decoder("image", raw_gray_decoder(72))
+    payloads = {"p1": bytes(range(72)), "p2": b"\x07" * 10}
+    rows = [(k, "image", "image/raw", v, None, None, None)
+            for k, v in sorted(payloads.items())]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r.media_id: [int(x) for x in r.feature]
+           for r in mm.extract_features(media).collect()}
+    assert got["p1"] == list(range(72))
+    assert got["p2"] == [7] * 10 + [0] * 62
+
+
+def test_decoder_numpy_contract():
+    fn = raw_gray_decoder(8)
+    out = fn(b"\x01\x02")
+    assert out.dtype == np.float32 and out.tolist() == [1, 2, 0, 0, 0, 0, 0, 0]
+    assert fn(None).tolist() == [0] * 8
+    assert fn(bytes(range(20))).tolist() == list(range(8))
+
+
+def test_dhash_bands_rejects_wrong_grid():
+    with pytest.raises(ValueError):
+        dhash_bands(None, rows=4, cols=4)
