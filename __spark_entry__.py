@@ -8080,10 +8080,114 @@ FROM reach GROUP BY node
 """
 
 
+# Model-evaluation family (operators/mleval.py): the queries an
+# experimentation stack runs against the datasets this engine builds.
+# Label = purchase events, score = event value — a deliberately weak
+# signal, which is exactly what makes AUC/lift/calibration non-trivial.
+
+_MLEVAL_LABEL = "event_type = 'purchase'"
+_SWEEP_THRESHOLDS = [5.0, 10.0, 25.0, 50.0, 75.0, 90.0]
+
+
+def _mleval_frame(t):
+    return t["events"].select(
+        F.col("value"), F.col("event_id"),
+        (F.col("event_type") == "purchase").alias("y"))
+
+
+def q_auc_purchase(spark, sf_dir):
+    """Exact ROC-AUC of event value predicting purchase events
+    (mleval.auc_roc) — rank-sum identity with average-rank ties over
+    the distinct-score frame."""
+    from distill_spark.operators.mleval import auc_roc
+
+    return auc_roc(_mleval_frame(_tables(spark, sf_dir)), "y", "value")
+
+
+def q_lift_deciles(spark, sf_dir):
+    """Decile gain/lift table for value→purchase (mleval.lift_table),
+    deterministic tie-break on event_id so engines agree on binning."""
+    from distill_spark.operators.mleval import lift_table
+
+    return lift_table(_mleval_frame(_tables(spark, sf_dir)),
+                      "y", "value", "event_id")
+
+
+def q_calibration_value(spark, sf_dir):
+    """Reliability curve of value as a purchase score
+    (mleval.calibration_bins) — 10 fixed-width bins, mean score vs
+    positive rate."""
+    from distill_spark.operators.mleval import calibration_bins
+
+    return calibration_bins(_mleval_frame(_tables(spark, sf_dir)),
+                            "y", "value")
+
+
+def q_threshold_sweep(spark, sf_dir):
+    """Precision/recall/F1 at 6 thresholds in one aggregate pass
+    (mleval.threshold_sweep) — no rows×thresholds join."""
+    from distill_spark.operators.mleval import threshold_sweep
+
+    return threshold_sweep(_mleval_frame(_tables(spark, sf_dir)),
+                           "y", "value", _SWEEP_THRESHOLDS)
+
+
+def q_ab_conversion_z(spark, sf_dir):
+    """Pooled two-proportion z-test between synthetic experiment arms
+    (user_id parity) on purchase conversion (mleval.two_proportion_ztest)
+    — the A/B readout primitive."""
+    from distill_spark.operators.mleval import two_proportion_ztest
+
+    t = _tables(spark, sf_dir)
+    df = t["events"].select(
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        (F.col("event_type") == "purchase").alias("converted"))
+    return two_proportion_ztest(df, "arm", "a", "b", "converted")
+
+
+def _sql_auc():
+    from distill_spark.operators.mleval import auc_roc_sql
+
+    return auc_roc_sql("events", _MLEVAL_LABEL, "value")
+
+
+def _sql_lift():
+    from distill_spark.operators.mleval import lift_table_sql
+
+    return lift_table_sql("events", _MLEVAL_LABEL, "value", "event_id")
+
+
+def _sql_calibration():
+    from distill_spark.operators.mleval import calibration_bins_sql
+
+    return calibration_bins_sql("events", _MLEVAL_LABEL, "value")
+
+
+def _sql_threshold_sweep():
+    from distill_spark.operators.mleval import threshold_sweep_sql
+
+    return threshold_sweep_sql("events", _MLEVAL_LABEL, "value",
+                               _SWEEP_THRESHOLDS)
+
+
+def _sql_ab_z():
+    from distill_spark.operators.mleval import two_proportion_ztest_sql
+
+    return two_proportion_ztest_sql(
+        "events", "CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END",
+        "a", "b", "event_type = 'purchase'")
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # -- round-8 window head: perceptual-hash image near-dup ----------------
     "mm_phash_pairs": (q_mm_phash_pairs, _sql_mm_phash_pairs()),
     "mm_phash_clusters": (q_mm_phash_clusters, _sql_mm_phash_clusters()),
+    # -- round-8: model-evaluation family ------------------------------------
+    "auc_purchase": (q_auc_purchase, _sql_auc()),
+    "lift_deciles": (q_lift_deciles, _sql_lift()),
+    "calibration_value": (q_calibration_value, _sql_calibration()),
+    "threshold_sweep": (q_threshold_sweep, _sql_threshold_sweep()),
+    "ab_conversion_z": (q_ab_conversion_z, _sql_ab_z()),
     # -- round-7 window head: embed_covariance is the registry's only
     # never-green row (r06 red was a -0.0 repr split; signed-zero
     # normalized this round on both sides, operators/pca.py), followed

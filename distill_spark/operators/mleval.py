@@ -1,0 +1,372 @@
+"""Model-evaluation analytics: AUC, lift/gain, calibration, threshold
+sweeps, A/B proportion tests.
+
+A training-data pipeline doesn't just build datasets — it evaluates
+the models trained on them. These are the evaluation queries every
+experimentation stack runs at warehouse scale, each expressed as a
+single declarative plan with an exact SQL twin (*_sql builders emit
+the DuckDB oracle; same formulas, same rounding, same tie rules):
+
+- :func:`auc_roc` — exact ROC-AUC via the rank-sum identity
+  AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg), average ranks for
+  ties. One groupBy over DISTINCT score values (never a per-row
+  window over the raw table), cumulative windows over the distinct
+  frame — the same scale shape as mannwhitney_u (|distinct scores|
+  rows shuffle, not |rows|).
+- :func:`lift_table` — decile gain/lift: deterministic binning by
+  row_number over (score DESC, tiebreak) so engines agree on ties;
+  cumulative capture from a running window over the 10-row bin frame.
+- :func:`calibration_bins` — reliability curve over fixed-width score
+  bins: 2 scans (exact min/max broadcast back, then one bucketing
+  aggregate), floor((s−lo)·nb/(hi−lo)) spelled identically in both
+  engines.
+- :func:`threshold_sweep` — precision/recall/F1 at K thresholds in
+  ONE aggregate pass (3·K conditional sums, map-side combined), then
+  the K-row unpivot happens on the single aggregated row. No
+  rows×thresholds join, ever.
+- :func:`two_proportion_ztest` — pooled two-proportion z for A/B
+  conversion deltas; one conditional-aggregate pass like welch_ttest.
+
+Determinism: counts are exact longs; ratios compute in double from
+exact ingredients and round to 6 once at the edge (the
+cross-engine-determinism rules used across stats.py).
+
+Reference scope: beyond the reference engine (text+embedding memory
+store) — this is the training-data-pipeline extension stratum.
+Formulas: AUC/rank-sum per Mann–Whitney equivalence (standard),
+pooled z-test per any stats text; no library code involved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,12)"
+
+
+# --------------------------------------------------------------- AUC
+
+def auc_roc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
+    """Exact ROC-AUC of ``score_col`` predicting boolean ``label_col``.
+
+    Rank-sum identity with average ranks for ties, computed over the
+    distinct-score frame: per distinct score v, counts (pos, tot);
+    average rank of the tied block = (ranks before) + (tot+1)/2.
+    Output: (n_pos, n_neg, auc) — auc rounds 6. NULL scores excluded
+    (engines disagree on NULL rank position).
+    """
+    v = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("int")
+    per = (df.filter(v.isNotNull())
+           .select(v.alias("v"), lab.alias("y"))
+           .groupBy("v")
+           .agg(F.sum("y").alias("cp"), F.count("*").alias("ct")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per.select(
+        "cp", "ct",
+        (F.coalesce(F.sum("ct").over(w), F.lit(0))
+         + (F.col("ct") + 1) / 2.0).alias("avg_rank"))
+    # rank sum of positives is exact in decimal: avg_rank is k + m/2
+    return (ranked.agg(
+        F.sum("cp").cast("long").alias("n_pos"),
+        (F.sum("ct") - F.sum("cp")).cast("long").alias("n_neg"),
+        F.sum((F.col("cp") * F.col("avg_rank")).cast(_DEC)).alias("_rp"))
+        .select(
+            "n_pos", "n_neg",
+            F.round(
+                (F.col("_rp").cast("double")
+                 - F.col("n_pos").cast("double")
+                 * (F.col("n_pos") + 1).cast("double") / 2.0)
+                / (F.col("n_pos").cast("double")
+                   * F.col("n_neg").cast("double")), 6).alias("auc")))
+
+
+def auc_roc_sql(table: str, label_sql: str, value_sql: str) -> str:
+    return f"""
+WITH per AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS v,
+         sum(CASE WHEN {label_sql} THEN 1 ELSE 0 END) AS cp,
+         count(*) AS ct
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+  GROUP BY 1
+),
+ranked AS (
+  SELECT cp, ct,
+         coalesce(sum(ct) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (ct + 1) / 2.0 AS avg_rank
+  FROM per
+),
+agg AS (
+  SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+         CAST(sum(ct) - sum(cp) AS BIGINT) AS n_neg,
+         sum(CAST(cp * avg_rank AS DECIMAL(38,12))) AS _rp
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       round((CAST(_rp AS DOUBLE)
+              - CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE) / 2.0)
+             / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc
+FROM agg
+"""
+
+
+# -------------------------------------------------------- lift / gain
+
+def lift_table(df: DataFrame, label_col: str, score_col: str,
+               tiebreak_col: str, n_bins: int = 10) -> DataFrame:
+    """Decile gain/lift table: rows ranked by (score DESC, tiebreak),
+    bin b = floor((rank−1)·n_bins / n). Output per bin: (bin, n,
+    n_pos, pos_rate, lift, cum_capture, cum_lift), rounds 6.
+
+    The explicit tiebreak makes the binning a pure function of the
+    data — ntile() would split ties by physical row order and never
+    reproduce across engines. Scale: one global sort (the same cost
+    profile as any ranking report), then all math on the n_bins-row
+    frame.
+    """
+    v = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("int")
+    base = (df.filter(v.isNotNull())
+            .select(v.alias("v"), lab.alias("y"),
+                    F.col(tiebreak_col).alias("tb")))
+    w = Window.orderBy(F.desc("v"), F.asc("tb"))
+    n_total = Window.partitionBy()
+    binned = base.select(
+        "y",
+        F.floor((F.row_number().over(w) - 1) * n_bins
+                / F.count("*").over(n_total)).cast("int").alias("bin"))
+    per = (binned.groupBy("bin")
+           .agg(F.count("*").alias("n"), F.sum("y").alias("n_pos")))
+    tot = Window.partitionBy()
+    cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    all_pos = F.sum("n_pos").over(tot).cast("double")
+    all_n = F.sum("n").over(tot).cast("double")
+    overall = all_pos / all_n
+    return per.select(
+        "bin", F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.round(F.col("n_pos") / F.col("n"), 6).alias("pos_rate"),
+        F.round((F.col("n_pos") / F.col("n")) / overall, 6).alias("lift"),
+        F.round(F.sum("n_pos").over(cum) / all_pos, 6).alias("cum_capture"),
+        F.round((F.sum("n_pos").over(cum) / F.sum("n").over(cum)) / overall,
+                6).alias("cum_lift"))
+
+
+def lift_table_sql(table: str, label_sql: str, value_sql: str,
+                   tiebreak_sql: str, n_bins: int = 10) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS v,
+         CASE WHEN {label_sql} THEN 1 ELSE 0 END AS y, {tiebreak_sql} AS tb
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+binned AS (
+  SELECT y, CAST(((row_number() OVER (ORDER BY v DESC, tb ASC)) - 1)
+                 * {n_bins} // (count(*) OVER ()) AS INT) AS bin
+  FROM base
+),
+per AS (
+  SELECT bin, count(*) AS n, sum(y) AS n_pos FROM binned GROUP BY bin
+)
+SELECT bin, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       round(n_pos / CAST(n AS DOUBLE), 6) AS pos_rate,
+       round((n_pos / CAST(n AS DOUBLE))
+             / (CAST(sum(n_pos) OVER () AS DOUBLE)
+                / CAST(sum(n) OVER () AS DOUBLE)), 6) AS lift,
+       round(CAST(sum(n_pos) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(sum(n_pos) OVER () AS DOUBLE), 6) AS cum_capture,
+       round((CAST(sum(n_pos) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              / CAST(sum(n) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE))
+             / (CAST(sum(n_pos) OVER () AS DOUBLE)
+                / CAST(sum(n) OVER () AS DOUBLE)), 6) AS cum_lift
+FROM per
+"""
+
+
+# ------------------------------------------------------- calibration
+
+def calibration_bins(df: DataFrame, label_col: str, score_col: str,
+                     n_bins: int = 10) -> DataFrame:
+    """Reliability curve: fixed-width bins over the observed score
+    range, per-bin mean score vs positive rate. Two scans: exact
+    min/max (crossJoin broadcast of the 1-row bounds — no driver
+    round-trip), then one bucketing aggregate. Output: (bin, n,
+    avg_score, pos_rate), rounds 6; the max score lands in the last
+    bin (least(...)), degenerate lo=hi collapses to bin 0.
+    """
+    v = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("int")
+    base = df.filter(v.isNotNull()).select(v.alias("v"), lab.alias("y"))
+    bounds = base.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    b = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(F.floor((F.col("v") - F.col("lo")) * n_bins
+                        / (F.col("hi") - F.col("lo"))),
+                F.lit(n_bins - 1))).otherwise(0)
+    return (base.crossJoin(F.broadcast(bounds))
+            .select(b.cast("int").alias("bin"), "v", "y")
+            .groupBy("bin")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.sum(F.col("v").cast(_DEC)).cast("double")
+                         / F.count("*"), 6).alias("avg_score"),
+                 F.round(F.sum("y") / F.count("*").cast("double"), 6)
+                 .alias("pos_rate")))
+
+
+def calibration_bins_sql(table: str, label_sql: str, value_sql: str,
+                         n_bins: int = 10) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS v,
+         CASE WHEN {label_sql} THEN 1 ELSE 0 END AS y
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM base)
+SELECT CAST(CASE WHEN hi > lo
+            THEN least(floor((v - lo) * {n_bins} / (hi - lo)), {n_bins} - 1)
+            ELSE 0 END AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+         AS avg_score,
+       round(sum(y) / CAST(count(*) AS DOUBLE), 6) AS pos_rate
+FROM base, bounds
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------- threshold sweep
+
+def threshold_sweep(df: DataFrame, label_col: str, score_col: str,
+                    thresholds: list[float]) -> DataFrame:
+    """Precision/recall/F1 at each threshold (predict positive when
+    score ≥ t), all thresholds in ONE aggregate pass: 2·K conditional
+    sums + 2 totals, map-side combined; the K-row unpivot runs on the
+    single aggregated row (inline explode — no rows×K join). Output:
+    (threshold, tp, fp, fn, precision, recall, f1), rounds 6;
+    precision/f1 NULL when nothing is predicted positive.
+    """
+    v = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("int")
+    base = df.filter(v.isNotNull()).select(v.alias("v"), lab.alias("y"))
+    aggs = [F.sum("y").alias("pos")]
+    for i, t in enumerate(thresholds):
+        aggs.append(F.sum(F.when((F.col("v") >= t) & (F.col("y") == 1), 1)
+                          .otherwise(0)).alias(f"tp{i}"))
+        aggs.append(F.sum(F.when((F.col("v") >= t) & (F.col("y") == 0), 1)
+                          .otherwise(0)).alias(f"fp{i}"))
+    one = base.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(float(t)).alias("threshold"),
+                 F.col(f"tp{i}").alias("tp"), F.col(f"fp{i}").alias("fp"))
+        for i, t in enumerate(thresholds)])
+    ex = one.select("pos", F.explode(rows).alias("r")).select(
+        F.col("r.threshold").alias("threshold"),
+        F.col("r.tp").cast("long").alias("tp"),
+        F.col("r.fp").cast("long").alias("fp"),
+        (F.col("pos") - F.col("r.tp")).cast("long").alias("fn"))
+    prec = F.when(F.col("tp") + F.col("fp") > 0,
+                  F.col("tp") / (F.col("tp") + F.col("fp")).cast("double"))
+    rec = F.when(F.col("tp") + F.col("fn") > 0,
+                 F.col("tp") / (F.col("tp") + F.col("fn")).cast("double"))
+    f1 = F.when((F.col("tp") + F.col("fp") > 0)
+                & (2 * F.col("tp") + F.col("fp") + F.col("fn") > 0),
+                2.0 * F.col("tp")
+                / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+                .cast("double"))
+    return ex.select("threshold", "tp", "fp", "fn",
+                     F.round(prec, 6).alias("precision"),
+                     F.round(rec, 6).alias("recall"),
+                     F.round(f1, 6).alias("f1"))
+
+
+def threshold_sweep_sql(table: str, label_sql: str, value_sql: str,
+                        thresholds: list[float]) -> str:
+    ts = ", ".join(f"CAST({float(t)} AS DOUBLE)" for t in thresholds)
+    return f"""
+WITH base AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS v,
+         CASE WHEN {label_sql} THEN 1 ELSE 0 END AS y
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+cnt AS (
+  SELECT t.threshold,
+         sum(CASE WHEN base.v >= t.threshold AND base.y = 1
+                  THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN base.v >= t.threshold AND base.y = 0
+                  THEN 1 ELSE 0 END) AS fp,
+         sum(base.y) AS pos
+  FROM base, (SELECT unnest([{ts}]) AS threshold) t
+  GROUP BY 1
+)
+SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(pos - tp AS BIGINT) AS fn,
+       round(CASE WHEN tp + fp > 0
+             THEN tp / CAST(tp + fp AS DOUBLE) END, 6) AS precision,
+       round(CASE WHEN pos > 0
+             THEN tp / CAST(pos AS DOUBLE) END, 6) AS recall,
+       round(CASE WHEN tp + fp > 0 AND 2 * tp + fp + (pos - tp) > 0
+             THEN 2.0 * tp / CAST(2 * tp + fp + (pos - tp) AS DOUBLE)
+             END, 6) AS f1
+FROM cnt
+"""
+
+
+# ------------------------------------------------ two-proportion z
+
+def two_proportion_ztest(df: DataFrame, group_col: str, group_a, group_b,
+                         success_col: str) -> DataFrame:
+    """Pooled two-proportion z-test for conversion-rate deltas between
+    two experiment arms. One conditional-aggregate pass (the
+    welch_ttest shape). Output: (n_a, n_b, p_a, p_b, z), rounds 6;
+    z NULL when the pooled variance degenerates (p̂ ∈ {0,1} or an
+    empty arm).
+    """
+    g = F.col(group_col)
+    s = F.col(success_col).cast("int")
+    one = (df.filter(g.isin([group_a, group_b]))
+           .agg(F.sum(F.when(g == group_a, 1).otherwise(0)).alias("na"),
+                F.sum(F.when(g == group_b, 1).otherwise(0)).alias("nb"),
+                F.sum(F.when(g == group_a, s).otherwise(0)).alias("sa"),
+                F.sum(F.when(g == group_b, s).otherwise(0)).alias("sb")))
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    pa, pb = F.col("sa") / na, F.col("sb") / nb
+    pool = (F.col("sa") + F.col("sb")) / (na + nb)
+    var = pool * (1.0 - pool) * (1.0 / na + 1.0 / nb)
+    return one.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(pa, 6).alias("p_a"), F.round(pb, 6).alias("p_b"),
+        F.round(F.when((F.col("na") > 0) & (F.col("nb") > 0) & (var > 0),
+                       (pa - pb) / F.sqrt(var)), 6).alias("z"))
+
+
+def two_proportion_ztest_sql(table: str, group_sql: str, group_a: str,
+                             group_b: str, success_sql: str) -> str:
+    return f"""
+WITH one AS (
+  SELECT sum(CASE WHEN {group_sql} = '{group_a}' THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN {group_sql} = '{group_b}' THEN 1 ELSE 0 END) AS nb,
+         sum(CASE WHEN {group_sql} = '{group_a}'
+                  AND ({success_sql}) THEN 1 ELSE 0 END) AS sa,
+         sum(CASE WHEN {group_sql} = '{group_b}'
+                  AND ({success_sql}) THEN 1 ELSE 0 END) AS sb
+  FROM {table} WHERE {group_sql} IN ('{group_a}', '{group_b}')
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(sa / CAST(na AS DOUBLE), 6) AS p_a,
+       round(sb / CAST(nb AS DOUBLE), 6) AS p_b,
+       round(CASE WHEN na > 0 AND nb > 0
+                  AND (sa + sb) / CAST(na + nb AS DOUBLE)
+                      * (1.0 - (sa + sb) / CAST(na + nb AS DOUBLE))
+                      * (1.0 / na + 1.0 / nb) > 0
+             THEN (sa / CAST(na AS DOUBLE) - sb / CAST(nb AS DOUBLE))
+                  / sqrt((sa + sb) / CAST(na + nb AS DOUBLE)
+                         * (1.0 - (sa + sb) / CAST(na + nb AS DOUBLE))
+                         * (1.0 / na + 1.0 / nb)) END, 6) AS z
+FROM one
+"""

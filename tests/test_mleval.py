@@ -1,0 +1,132 @@
+"""Model-eval operators: hand-computed AUC/lift/calibration/threshold/
+z-test values on tiny frames, plus tie and degenerate-case contracts."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from distill_spark.operators.mleval import (
+    auc_roc, calibration_bins, lift_table, threshold_sweep,
+    two_proportion_ztest)
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(rows, "score double, y int, tb long")
+
+
+def test_auc_perfect_and_random_and_ties(spark):
+    # perfect separation -> 1.0
+    df = _scored(spark, [(float(s), int(s >= 5), i)
+                         for i, s in enumerate(range(10))])
+    assert auc_roc(df, "y", "score").collect()[0].auc == 1.0
+    # anti-predictive -> 0.0
+    df = _scored(spark, [(float(s), int(s < 5), i)
+                         for i, s in enumerate(range(10))])
+    assert auc_roc(df, "y", "score").collect()[0].auc == 0.0
+    # all scores tied -> 0.5 exactly (average ranks)
+    df = _scored(spark, [(1.0, i % 2, i) for i in range(8)])
+    [r] = auc_roc(df, "y", "score").collect()
+    assert (r.n_pos, r.n_neg, r.auc) == (4, 4, 0.5)
+
+
+def test_auc_hand_value_with_partial_ties(spark):
+    # scores: pos {3, 2}, neg {2, 1}; sorted: 1(n) 2(n,p) 3(p)
+    # ranks: 1->1, the two 2s -> 2.5 avg, 3 -> 4
+    # R_pos = 2.5 + 4 = 6.5; AUC = (6.5 - 2*3/2) / (2*2) = 3.5/4
+    df = _scored(spark, [(3.0, 1, 0), (2.0, 1, 1), (2.0, 0, 2), (1.0, 0, 3)])
+    [r] = auc_roc(df, "y", "score").collect()
+    assert r.auc == round(3.5 / 4, 6)
+
+
+def test_lift_table_deciles_and_cumulative(spark):
+    # 20 rows, top-10 scores all positive, bottom-10 all negative
+    rows = [(float(100 - i), int(i < 10), i) for i in range(20)]
+    df = _scored(spark, rows)
+    got = {r.bin: r for r in lift_table(df, "y", "score", "tb",
+                                        n_bins=10).collect()}
+    assert len(got) == 10 and got[0].n == 2
+    # overall rate 0.5 -> top bins lift 2.0, bottom bins 0.0
+    assert got[0].lift == 2.0 and got[4].lift == 2.0
+    assert got[5].lift == 0.0
+    assert got[4].cum_capture == 1.0       # all positives in top half
+    assert got[9].cum_lift == 1.0
+
+
+def test_lift_table_tiebreak_is_deterministic(spark):
+    # all scores equal: binning must follow the tiebreak order
+    rows = [(1.0, int(i < 4), i) for i in range(8)]
+    got = {r.bin: r.n_pos for r in lift_table(
+        _scored(spark, rows), "y", "score", "tb", n_bins=4).collect()}
+    assert got == {0: 2, 1: 2, 2: 0, 3: 0}
+
+
+def test_calibration_bins_well_calibrated(spark):
+    # score == empirical rate within each of two clumps
+    rows = ([(0.2, int(i < 2), i) for i in range(10)]       # 20% pos
+            + [(0.8, int(i < 8), 100 + i) for i in range(10)])  # 80% pos
+    df = _scored(spark, rows)
+    got = {r.bin: r for r in calibration_bins(df, "y", "score",
+                                              n_bins=2).collect()}
+    assert got[0].avg_score == 0.2 and got[0].pos_rate == 0.2
+    assert got[1].avg_score == 0.8 and got[1].pos_rate == 0.8
+
+
+def test_calibration_degenerate_single_value(spark):
+    df = _scored(spark, [(5.0, 1, 0), (5.0, 0, 1)])
+    got = calibration_bins(df, "y", "score").collect()
+    assert len(got) == 1 and got[0].bin == 0 and got[0].n == 2
+
+
+def test_threshold_sweep_hand_counts(spark):
+    # pos scores {9, 7}, neg scores {8, 1}
+    df = _scored(spark, [(9.0, 1, 0), (7.0, 1, 1), (8.0, 0, 2), (1.0, 0, 3)])
+    got = {r.threshold: r for r in threshold_sweep(
+        df, "y", "score", [5.0, 8.5]).collect()}
+    t5 = got[5.0]
+    assert (t5.tp, t5.fp, t5.fn) == (2, 1, 0)
+    assert t5.precision == round(2 / 3, 6) and t5.recall == 1.0
+    assert t5.f1 == 0.8
+    t85 = got[8.5]
+    assert (t85.tp, t85.fp, t85.fn) == (1, 0, 1)
+    assert t85.precision == 1.0 and t85.recall == 0.5
+
+
+def test_threshold_sweep_null_precision_when_nothing_predicted(spark):
+    df = _scored(spark, [(1.0, 1, 0), (2.0, 0, 1)])
+    [r] = threshold_sweep(df, "y", "score", [99.0]).collect()
+    assert r.tp == 0 and r.fp == 0 and r.precision is None and r.f1 is None
+    assert r.recall == 0.0
+
+
+def test_two_proportion_ztest_hand_value(spark):
+    # arm a: 30/100, arm b: 20/100 -> pooled 0.25
+    rows = ([("a", int(i < 30)) for i in range(100)]
+            + [("b", int(i < 20)) for i in range(100)])
+    df = spark.createDataFrame(rows, "arm string, ok int")
+    [r] = two_proportion_ztest(df, "arm", "a", "b", "ok").collect()
+    pool = 0.25
+    z = (0.30 - 0.20) / math.sqrt(pool * 0.75 * (2 / 100))
+    assert (r.n_a, r.n_b, r.p_a, r.p_b) == (100, 100, 0.3, 0.2)
+    assert abs(r.z - z) < 1e-6
+
+
+def test_two_proportion_ztest_degenerate_null_z(spark):
+    df = spark.createDataFrame([("a", 0), ("b", 0)], "arm string, ok int")
+    [r] = two_proportion_ztest(df, "arm", "a", "b", "ok").collect()
+    assert r.z is None
+
+
+def test_auc_matches_sklearn_free_reference(spark):
+    """Cross-check against an independent O(n^2) pair-counting AUC."""
+    import random
+    rng = random.Random(42)
+    rows = [(round(rng.uniform(0, 10), 2), rng.randrange(2), i)
+            for i in range(200)]
+    df = _scored(spark, rows)
+    [r] = auc_roc(df, "y", "score").collect()
+    pos = [s for s, y, _ in rows if y == 1]
+    neg = [s for s, y, _ in rows if y == 0]
+    wins = sum((p > n) + 0.5 * (p == n) for p in pos for n in neg)
+    assert abs(r.auc - wins / (len(pos) * len(neg))) < 1e-6
