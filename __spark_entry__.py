@@ -8178,10 +8178,141 @@ def _sql_ab_z():
         "a", "b", "event_type = 'purchase'")
 
 
+# Behavioral / robust-stats additions (round 8): survival hazard,
+# RFM segmentation, Markov transition matrix, changepoint, weekly
+# seasonality, market concentration, winsorized moments.
+
+
+def q_nelson_aalen(spark, sf_dir):
+    """Nelson–Aalen cumulative hazard of time-to-first-purchase
+    (conversion.nelson_aalen) — the additive companion to
+    kaplan_meier over the identical at-risk frame."""
+    from distill_spark.operators.conversion import nelson_aalen
+
+    return nelson_aalen(_tables(spark, sf_dir)["events"])
+
+
+def _sql_nelson_aalen():
+    from distill_spark.operators.conversion import nelson_aalen_sql
+
+    return nelson_aalen_sql()
+
+
+def q_rfm_customers(spark, sf_dir):
+    """RFM quintile segmentation of customers from orders
+    (conversion.rfm_scores) — deterministic rank binning, never
+    ntile."""
+    from distill_spark.operators.conversion import rfm_scores
+
+    return rfm_scores(_tables(spark, sf_dir)["orders"])
+
+
+def _sql_rfm():
+    from distill_spark.operators.conversion import rfm_scores_sql
+
+    return rfm_scores_sql()
+
+
+def q_markov_chain(spark, sf_dir):
+    """Laplace-smoothed first-order Markov transition matrix of user
+    event streams (conversion.markov_event_chain)."""
+    from distill_spark.operators.conversion import markov_event_chain
+
+    return markov_event_chain(_tables(spark, sf_dir)["events"])
+
+
+def _sql_markov():
+    from distill_spark.operators.conversion import markov_event_chain_sql
+
+    return markov_event_chain_sql()
+
+
+def q_changepoint_value(spark, sf_dir):
+    """Best single mean-shift changepoint per event_type daily series
+    (timeseries.changepoint_mean) — prefix-sum BSS argmax."""
+    from distill_spark.operators.timeseries import changepoint_mean
+
+    return changepoint_mean(_tables(spark, sf_dir)["events"])
+
+
+def _sql_changepoint():
+    from distill_spark.operators.timeseries import changepoint_mean_sql
+
+    return changepoint_mean_sql()
+
+
+def q_seasonality_dow(spark, sf_dir):
+    """Weekly-seasonality strength per event_type
+    (timeseries.seasonality_strength) — STL-style variance ratio on
+    day-of-week means."""
+    from distill_spark.operators.timeseries import seasonality_strength
+
+    return seasonality_strength(_tables(spark, sf_dir)["events"])
+
+
+def _sql_seasonality():
+    from distill_spark.operators.timeseries import seasonality_strength_sql
+
+    return seasonality_strength_sql()
+
+
+_HHI_JOIN = """(
+  SELECT n_name AS nation, o_custkey, o_totalprice
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+)"""
+
+
+def q_hhi_nation(spark, sf_dir):
+    """Customer-revenue concentration (HHI) per nation
+    (stats.hhi_concentration) — who depends on one whale customer."""
+    from distill_spark.operators.stats import hhi_concentration
+
+    t = _tables(spark, sf_dir)
+    joined = (t["orders"]
+              .join(t["customer"],
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(t["nation"]),
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+              .select(F.col("n_name").alias("nation"),
+                      "o_custkey", "o_totalprice"))
+    return hhi_concentration(joined, "nation", "o_custkey", "o_totalprice")
+
+
+def _sql_hhi():
+    from distill_spark.operators.stats import hhi_concentration_sql
+
+    return hhi_concentration_sql(_HHI_JOIN, "nation", "o_custkey",
+                                 "o_totalprice")
+
+
+def q_winsorized_value(spark, sf_dir):
+    """Winsorized mean/std of event value per event_type
+    (stats.winsorized_stats) — the clamp-don't-drop robust moments."""
+    from distill_spark.operators.stats import winsorized_stats
+
+    return winsorized_stats(_tables(spark, sf_dir)["events"], "event_type")
+
+
+def _sql_winsorized():
+    from distill_spark.operators.stats import winsorized_stats_sql
+
+    return winsorized_stats_sql("events", "event_type")
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # -- round-8 window head: perceptual-hash image near-dup ----------------
     "mm_phash_pairs": (q_mm_phash_pairs, _sql_mm_phash_pairs()),
     "mm_phash_clusters": (q_mm_phash_clusters, _sql_mm_phash_clusters()),
+    # -- round-8: survival / behavioral / robust-stats -----------------------
+    "nelson_aalen": (q_nelson_aalen, _sql_nelson_aalen()),
+    "rfm_customers": (q_rfm_customers, _sql_rfm()),
+    "markov_chain": (q_markov_chain, _sql_markov()),
+    "changepoint_value": (q_changepoint_value, _sql_changepoint()),
+    "seasonality_dow": (q_seasonality_dow, _sql_seasonality()),
+    "hhi_nation": (q_hhi_nation, _sql_hhi()),
+    "winsorized_value": (q_winsorized_value, _sql_winsorized()),
     # -- round-8: model-evaluation family ------------------------------------
     "auc_purchase": (q_auc_purchase, _sql_auc()),
     "lift_deciles": (q_lift_deciles, _sql_lift()),

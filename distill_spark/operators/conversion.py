@@ -578,3 +578,264 @@ SELECT CAST(cum.cw AS BIGINT) AS cohort_week,
         // (2 * n_customers)) / 1000000.0 AS ltv_per_user
 FROM cum JOIN sizes ON cum.cw = sizes.cw
 """
+
+
+def nelson_aalen(events: DataFrame, target: str = "purchase",
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type") -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator — the additive
+    companion to :func:`kaplan_meier` over the exact same
+    subject/tally/at-risk frames: H(t) = sum over conversion days
+    t_i <= t of d_i/n_i, with the Poisson-variance standard error
+    se(t) = sqrt(sum d_i/n_i^2). Preferred over -ln(S_KM) when
+    hazards are compared across cohorts (additivity) — the classic
+    survival readout pair.
+
+    Shape: identical to kaplan_meier (one user shuffle, then windows
+    over the |conversion days| frame). Determinism: each hazard term
+    rounds to 9 before the cumulative DECIMAL sum, outputs round 6.
+    Output: (day, n_at_risk, n_events, cum_hazard, se).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    per_user = (events.groupBy(F.col(user_col).alias("u"))
+                .agg(F.min(us).alias("t0"),
+                     F.min(F.when(F.col(type_col) == target, us))
+                     .alias("tc")))
+    horizon = events.agg(F.max(us).alias("tend"))
+    subj = (per_user.crossJoin(F.broadcast(horizon))
+            .select(
+                F.col("tc").isNotNull().alias("converted"),
+                F.floor((F.coalesce("tc", "tend") - F.col("t0"))
+                        / 86_400_000_000).alias("day")))
+    tally = (subj.groupBy("day")
+             .agg(F.sum(F.col("converted").cast("long")).alias("d"),
+                  F.count("*").alias("t")))
+    wprev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    n_total = Window.partitionBy()
+    cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    _DEC = "decimal(38,12)"
+    n_at_risk = (F.sum("t").over(n_total)
+                 - F.coalesce(F.sum("t").over(wprev), F.lit(0)))
+    out = (tally
+           .withColumn("n_at_risk", n_at_risk)
+           .filter(F.col("d") > 0)
+           .withColumn("_h", F.round(
+               F.col("d") / F.col("n_at_risk").cast("double"), 9))
+           .withColumn("_v", F.round(
+               F.col("d") / (F.col("n_at_risk").cast("double")
+                             * F.col("n_at_risk").cast("double")), 9)))
+    return out.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.round(F.sum(F.col("_h").cast(_DEC)).over(cum).cast("double"), 6)
+        .alias("cum_hazard"),
+        F.round(F.sqrt(
+            F.sum(F.col("_v").cast(_DEC)).over(cum).cast("double")), 6)
+        .alias("se"))
+
+
+def nelson_aalen_sql(table: str = "events", target: str = "purchase",
+                     user_sql: str = "user_id", ts_sql: str = "ts",
+                     type_sql: str = "event_type") -> str:
+    return f"""
+WITH per_user AS (
+  SELECT {user_sql} AS u, min(epoch_us({ts_sql})) AS t0,
+         min(CASE WHEN {type_sql} = '{target}'
+             THEN epoch_us({ts_sql}) END) AS tc
+  FROM {table} GROUP BY 1
+),
+horizon AS (SELECT max(epoch_us({ts_sql})) AS tend FROM {table}),
+subj AS (
+  SELECT tc IS NOT NULL AS converted,
+         CAST(floor((coalesce(tc, tend) - t0) / 86400000000.0) AS BIGINT)
+           AS day
+  FROM per_user CROSS JOIN horizon
+),
+tally AS (
+  SELECT day, sum(CASE WHEN converted THEN 1 ELSE 0 END) AS d,
+         count(*) AS t
+  FROM subj GROUP BY day
+),
+at_risk AS (
+  SELECT day, d,
+         sum(t) OVER () - coalesce(sum(t) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_at_risk
+  FROM tally
+),
+terms AS (
+  SELECT day, d, n_at_risk,
+         round(d / CAST(n_at_risk AS DOUBLE), 9) AS _h,
+         round(d / (CAST(n_at_risk AS DOUBLE)
+                    * CAST(n_at_risk AS DOUBLE)), 9) AS _v
+  FROM at_risk WHERE d > 0
+)
+SELECT CAST(day AS BIGINT) AS day, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(_h AS DECIMAL(38,12))) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE), 6) AS cum_hazard,
+       round(sqrt(CAST(sum(CAST(_v AS DECIMAL(38,12))) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE)), 6) AS se
+FROM terms
+"""
+
+
+def rfm_scores(orders: DataFrame, cust_col: str = "o_custkey",
+               ts_col: str = "o_orderdate", amount_col: str = "o_totalprice",
+               n_tiles: int = 5) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order,
+    relative to the global max date), frequency (order count),
+    monetary (exact DECIMAL revenue sum), each scored 1..n_tiles by
+    deterministic quantile rank (row_number over (metric, custkey) —
+    never ntile, whose tie splits follow physical row order). Score
+    n_tiles = best (most recent / most frequent / highest spend).
+
+    Shape: one customer aggregate (single shuffle), three window
+    ranks over the |customers| frame, all math exact until the
+    1-digit scores. Output: (custkey, recency_days, frequency,
+    monetary, r_score, f_score, m_score, rfm).
+    """
+    per = (orders.groupBy(F.col(cust_col).alias("custkey"))
+           .agg(F.max(F.col(ts_col)).alias("_last"),
+                F.count("*").alias("frequency"),
+                F.sum(F.col(amount_col)).alias("_mon")))
+    horizon = orders.agg(F.max(F.col(ts_col)).alias("_end"))
+    base = (per.crossJoin(F.broadcast(horizon))
+            .select("custkey",
+                    F.datediff("_end", "_last").cast("long")
+                    .alias("recency_days"),
+                    F.col("frequency").cast("long").alias("frequency"),
+                    F.col("_mon").alias("_mon")))
+    n = Window.partitionBy()
+    total = F.count("*").over(n)
+
+    def tile(order_cols, best_first: bool):
+        w = Window.orderBy(*order_cols)
+        q = F.floor((F.row_number().over(w) - 1) * n_tiles / total)
+        return (F.lit(n_tiles) - q).cast("int") if best_first \
+            else (q + 1).cast("int")
+
+    return base.select(
+        "custkey", "recency_days", "frequency",
+        F.round(F.col("_mon").cast("double"), 2).alias("monetary"),
+        tile([F.asc("recency_days"), F.asc("custkey")], True)
+        .alias("r_score"),
+        tile([F.desc("frequency"), F.asc("custkey")], True).alias("f_score"),
+        tile([F.desc("_mon"), F.asc("custkey")], True).alias("m_score"),
+    ).withColumn(
+        "rfm", (F.col("r_score") * 100 + F.col("f_score") * 10
+                + F.col("m_score")).cast("int"))
+
+
+def rfm_scores_sql(table: str = "orders", cust_sql: str = "o_custkey",
+                   ts_sql: str = "o_orderdate",
+                   amount_sql: str = "o_totalprice",
+                   n_tiles: int = 5) -> str:
+    return f"""
+WITH per AS (
+  SELECT {cust_sql} AS custkey, max({ts_sql}) AS _last,
+         count(*) AS frequency, sum({amount_sql}) AS _mon
+  FROM {table} GROUP BY 1
+),
+horizon AS (SELECT max({ts_sql}) AS _end FROM {table}),
+base AS (
+  SELECT custkey, CAST(datediff('day', _last, _end) AS BIGINT)
+           AS recency_days,
+         CAST(frequency AS BIGINT) AS frequency, _mon
+  FROM per CROSS JOIN horizon
+),
+scored AS (
+  SELECT custkey, recency_days, frequency, _mon,
+         CAST({n_tiles} - ((row_number() OVER (ORDER BY recency_days ASC,
+              custkey ASC) - 1) * {n_tiles} // (count(*) OVER ()))
+              AS INT) AS r_score,
+         CAST({n_tiles} - ((row_number() OVER (ORDER BY frequency DESC,
+              custkey ASC) - 1) * {n_tiles} // (count(*) OVER ()))
+              AS INT) AS f_score,
+         CAST({n_tiles} - ((row_number() OVER (ORDER BY _mon DESC,
+              custkey ASC) - 1) * {n_tiles} // (count(*) OVER ()))
+              AS INT) AS m_score
+  FROM base
+)
+SELECT custkey, recency_days, frequency,
+       round(CAST(_mon AS DOUBLE), 2) AS monetary,
+       r_score, f_score, m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm
+FROM scored
+"""
+
+
+def markov_event_chain(events: DataFrame, user_col: str = "user_id",
+                       ts_col: str = "ts", type_col: str = "event_type",
+                       tiebreak_col: str = "event_id") -> DataFrame:
+    """First-order Markov chain of user behavior: per-user event
+    streams ordered by (ts, tiebreak), consecutive pairs tallied into
+    a transition matrix with add-one (Laplace) smoothing over the
+    observed state alphabet — unseen transitions get mass instead of
+    zero, the standard fix before taking log-probabilities of new
+    sessions.
+
+    P(next|cur) = (n(cur,next) + 1) / (n(cur,*) + |states|).
+
+    Shape: one lag window per user partition (the session shuffle),
+    a (cur,next) groupBy, then densification over the tiny
+    |states|^2 grid. Output: (cur, nxt, n, prob) — one row per state
+    pair, prob rounds 6.
+    """
+    w = (Window.partitionBy(F.col(user_col))
+         .orderBy(F.col(ts_col), F.col(tiebreak_col)))
+    steps = (events.select(
+        F.col(type_col).alias("cur"),
+        F.lead(type_col).over(w).alias("nxt"))
+        .filter(F.col("nxt").isNotNull()))
+    obs = steps.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    states = (events.select(F.col(type_col).alias("s"))
+              .filter(F.col("s").isNotNull()).distinct())
+    # alphabet size rides along as a broadcast 1-row frame — no
+    # driver round-trip, the whole chain stays one lazy plan
+    kdf = states.agg(F.count("*").alias("_k"))
+    grid = (states.select(F.col("s").alias("cur"))
+            .crossJoin(states.select(F.col("s").alias("nxt"))))
+    dense = (grid.join(obs, ["cur", "nxt"], "left")
+             .select("cur", "nxt",
+                     F.coalesce("n", F.lit(0)).cast("long").alias("n")))
+    tot = Window.partitionBy("cur")
+    return dense.crossJoin(F.broadcast(kdf)).select(
+        "cur", "nxt", "n",
+        F.round((F.col("n") + 1)
+                / (F.sum("n").over(tot) + F.col("_k")).cast("double"), 6)
+        .alias("prob"))
+
+
+def markov_event_chain_sql(table: str = "events",
+                           user_sql: str = "user_id", ts_sql: str = "ts",
+                           type_sql: str = "event_type",
+                           tiebreak_sql: str = "event_id") -> str:
+    return f"""
+WITH steps AS (
+  SELECT {type_sql} AS cur,
+         lead({type_sql}) OVER (PARTITION BY {user_sql}
+             ORDER BY {ts_sql}, {tiebreak_sql}) AS nxt
+  FROM {table}
+),
+obs AS (
+  SELECT cur, nxt, count(*) AS n FROM steps
+  WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+states AS (SELECT DISTINCT {type_sql} AS s FROM {table}
+           WHERE {type_sql} IS NOT NULL),
+k AS (SELECT count(*) AS k FROM states),
+dense AS (
+  SELECT a.s AS cur, b.s AS nxt, coalesce(obs.n, 0) AS n
+  FROM states a CROSS JOIN states b
+  LEFT JOIN obs ON obs.cur = a.s AND obs.nxt = b.s
+)
+SELECT cur, nxt, CAST(n AS BIGINT) AS n,
+       round((n + 1) / CAST(sum(n) OVER (PARTITION BY cur)
+                            + (SELECT k FROM k) AS DOUBLE), 6) AS prob
+FROM dense
+"""

@@ -1383,3 +1383,145 @@ SELECT k AS {key_sql}, CAST(m AS BIGINT) AS m_days,
                   ELSE 0.0 END, 6) AS z
 FROM j
 """
+
+
+def hhi_concentration(df: DataFrame, group_col: str, unit_col: str,
+                      value_col: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of ``value_col`` across
+    ``unit_col`` within each ``group_col`` — the market-concentration
+    readout (is one customer/source/supplier dominating a segment?).
+    HHI = sum of squared value shares; normalized to [0,1] via
+    (HHI - 1/n)/(1 - 1/n) so segments of different unit counts
+    compare (n=1 pins to 1.0 by convention — maximal concentration).
+
+    Shape: one (group, unit) aggregate, shares from a window sum over
+    that (small) frame, one more groupBy — the fact table shuffles
+    once. Shares round 9 into a DECIMAL sum, outputs round 6.
+    Output: (group, n_units, hhi, hhi_norm).
+    """
+    per = (df.groupBy(F.col(group_col).alias("g"),
+                      F.col(unit_col).alias("u"))
+           .agg(F.sum(F.col(value_col).cast(_DEC)).alias("v")))
+    tot = Window.partitionBy("g")
+    share = F.col("v").cast("double") / F.sum("v").over(tot).cast("double")
+    scored = per.select("g", F.round(share * share, 9).alias("_s2"))
+    agg = (scored.groupBy(F.col("g").alias(group_col))
+           .agg(F.count("*").cast("long").alias("n_units"),
+                F.sum(F.col("_s2").cast(_DEC)).cast("double").alias("_hhi")))
+    n = F.col("n_units").cast("double")
+    return agg.select(
+        group_col, "n_units",
+        F.round("_hhi", 6).alias("hhi"),
+        F.round(F.when(F.col("n_units") > 1,
+                       (F.col("_hhi") - 1.0 / n) / (1.0 - 1.0 / n))
+                .otherwise(1.0), 6).alias("hhi_norm"))
+
+
+def hhi_concentration_sql(table: str, group_sql: str, unit_sql: str,
+                          value_sql: str) -> str:
+    return f"""
+WITH per AS (
+  SELECT {group_sql} AS g, {unit_sql} AS u,
+         sum(CAST({value_sql} AS DECIMAL(38,12))) AS v
+  FROM {table} GROUP BY 1, 2
+),
+shares AS (
+  SELECT g, CAST(v AS DOUBLE)
+              / CAST(sum(v) OVER (PARTITION BY g) AS DOUBLE) AS sh
+  FROM per
+),
+scored AS (
+  -- sh * sh, never pow(sh, 2): libm pow is not guaranteed ulp-equal
+  -- to the product the Spark side computes
+  SELECT g, round(sh * sh, 9) AS _s2 FROM shares
+),
+agg AS (
+  SELECT g, count(*) AS n_units,
+         CAST(sum(CAST(_s2 AS DECIMAL(38,12))) AS DOUBLE) AS _hhi
+  FROM scored GROUP BY g
+)
+SELECT g AS {group_sql}, CAST(n_units AS BIGINT) AS n_units,
+       round(_hhi, 6) AS hhi,
+       round(CASE WHEN n_units > 1
+             THEN (_hhi - 1.0 / n_units) / (1.0 - 1.0 / n_units)
+             ELSE 1.0 END, 6) AS hhi_norm
+FROM agg
+"""
+
+
+def winsorized_stats(df: DataFrame, group_col: str,
+                     value_col: str = "value",
+                     lo_q: float = 0.05, hi_q: float = 0.95) -> DataFrame:
+    """Winsorized mean/std per group: values clamped to the exact
+    [p_lo, p_hi] rank quantiles (the same ceil(n*q) rank-selection
+    convention as iqr_outliers — deterministic because only the tied
+    VALUE is selected, never a tied row), then one moment aggregate
+    over the clamped frame. The robust-location companion to
+    trimmed_mean that keeps n constant instead of dropping rows.
+
+    Output: (group, n, p_lo, p_hi, wins_mean, wins_std) — population
+    std, rounds 6. NULLs excluded up front (rank-position parity).
+    """
+    g = F.col(group_col).alias("g")
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(g, v.alias("v"))
+    w = Window.partitionBy("g").orderBy("v")
+    ranked = base.select(
+        "g", "v", F.row_number().over(w).alias("_r"),
+        F.count("*").over(Window.partitionBy("g")).alias("_n"))
+    lo = (ranked.filter(F.col("_r") == F.greatest(
+        F.ceil(F.col("_n") * lo_q), F.lit(1)))
+        .select("g", F.col("v").alias("p_lo")))
+    hi = (ranked.filter(F.col("_r") == F.ceil(F.col("_n") * hi_q))
+          .select("g", F.col("v").alias("p_hi")))
+    clamped = (base.join(F.broadcast(lo), "g").join(F.broadcast(hi), "g")
+               .withColumn("_c", F.least(F.greatest("v", "p_lo"), "p_hi")))
+    agg = (clamped.groupBy(F.col("g").alias(group_col))
+           .agg(F.count("*").cast("long").alias("n"),
+                F.round(F.max("p_lo"), 6).alias("p_lo"),
+                F.round(F.max("p_hi"), 6).alias("p_hi"),
+                F.sum(F.col("_c").cast(_DEC)).alias("_s"),
+                F.sum((F.col("_c") * F.col("_c")).cast(_DEC)).alias("_ss")))
+    n = F.col("n").cast("double")
+    mean = F.col("_s").cast("double") / n
+    var = F.col("_ss").cast("double") / n - mean * mean
+    return agg.select(
+        group_col, "n", "p_lo", "p_hi",
+        F.round(mean, 6).alias("wins_mean"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("wins_std"))
+
+
+def winsorized_stats_sql(table: str, group_sql: str,
+                         value_sql: str = "value",
+                         lo_q: float = 0.05, hi_q: float = 0.95) -> str:
+    return f"""
+WITH base AS (
+  SELECT {group_sql} AS g, CAST({value_sql} AS DOUBLE) AS v FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+ranked AS (
+  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS _r,
+         count(*) OVER (PARTITION BY g) AS _n
+  FROM base
+),
+lo AS (SELECT g, v AS p_lo FROM ranked
+       WHERE _r = greatest(CAST(ceil(_n * {lo_q}) AS BIGINT), 1)),
+hi AS (SELECT g, v AS p_hi FROM ranked
+       WHERE _r = CAST(ceil(_n * {hi_q}) AS BIGINT)),
+clamped AS (
+  SELECT base.g, least(greatest(base.v, lo.p_lo), hi.p_hi) AS _c,
+         lo.p_lo, hi.p_hi
+  FROM base JOIN lo USING (g) JOIN hi USING (g)
+),
+agg AS (
+  SELECT g, count(*) AS n, round(max(p_lo), 6) AS p_lo,
+         round(max(p_hi), 6) AS p_hi,
+         CAST(sum(CAST(_c AS DECIMAL(38,12))) AS DOUBLE) AS s,
+         CAST(sum(CAST(_c * _c AS DECIMAL(38,12))) AS DOUBLE) AS ss
+  FROM clamped GROUP BY g
+)
+SELECT g AS {group_sql}, CAST(n AS BIGINT) AS n, p_lo, p_hi,
+       round(s / n, 6) AS wins_mean,
+       round(sqrt(greatest(ss / n - (s / n) * (s / n), 0.0)), 6) AS wins_std
+FROM agg
+"""

@@ -870,3 +870,192 @@ SELECT u AS {user_sql}, CAST(sum(_len) AS BIGINT) AS active_days,
        CAST(max(_len) AS BIGINT) AS longest_streak
 FROM runs GROUP BY u
 """
+
+
+def changepoint_mean(events: DataFrame, group_col: str = "event_type",
+                     ts_col: str = "ts",
+                     value_col: str = "value") -> DataFrame:
+    """Single mean-shift changepoint per group (binary-segmentation
+    step 1, the AMOC / CUSUM-BSS detector): over each group's daily
+    total series x_1..x_N, pick the split k (1 <= k < N) maximizing
+    the between-segment sum of squares
+
+        BSS(k) = s_k^2/k + (S-s_k)^2/(N-k) - S^2/N
+
+    (prefix-sum identity — no per-split rescans; one cumulative
+    window gives every candidate's score). The winning split is the
+    boundary day where the level shift is largest; deterministic
+    tiebreak on earliest day after rounding BSS to 6.
+
+    Shape: groupBy to |group x day| rows, one ordered window for the
+    prefix sums, a rank to pick the argmax. Daily totals are exact
+    DECIMAL sums rounded 6 before any double math. Output per group:
+    (group, split_day, n_before, n_after, mean_before, mean_after,
+    bss), means/bss round 6.
+    """
+    _DEC = "decimal(38,12)"
+    g = F.col(group_col).alias("g")
+    daily = (events.groupBy(g, F.to_date(ts_col).alias("day"))
+             .agg(F.round(F.sum(F.col(value_col).cast(_DEC))
+                          .cast("double"), 6).alias("x")))
+    wo = Window.partitionBy("g").orderBy("day")
+    wall = Window.partitionBy("g")
+    pre = daily.select(
+        "g", "day", "x",
+        F.row_number().over(wo).alias("k"),
+        F.sum(F.col("x").cast(_DEC)).over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)).alias("_sk"),
+        F.count("*").over(wall).alias("_n"),
+        F.sum(F.col("x").cast(_DEC)).over(wall).alias("_s"))
+    sk, s = F.col("_sk").cast("double"), F.col("_s").cast("double")
+    k, n = F.col("k").cast("double"), F.col("_n").cast("double")
+    bss = F.round(sk * sk / k + (s - sk) * (s - sk) / (n - k)
+                  - s * s / n, 6)
+    cand = (pre.filter(F.col("k") < F.col("_n"))
+            .withColumn("_bss", bss)
+            .withColumn("_rk", F.row_number().over(
+                Window.partitionBy("g")
+                .orderBy(F.desc("_bss"), F.asc("day")))))
+    return (cand.filter(F.col("_rk") == 1)
+            .select(F.col("g").alias(group_col),
+                    F.col("day").alias("split_day"),
+                    F.col("k").cast("long").alias("n_before"),
+                    (F.col("_n") - F.col("k")).cast("long").alias("n_after"),
+                    F.round(sk / k, 6).alias("mean_before"),
+                    F.round((s - sk) / (n - k), 6).alias("mean_after"),
+                    F.col("_bss").alias("bss")))
+
+
+def changepoint_mean_sql(table: str = "events",
+                         group_sql: str = "event_type",
+                         ts_sql: str = "ts",
+                         value_sql: str = "value") -> str:
+    return f"""
+WITH daily AS (
+  SELECT {group_sql} AS g, CAST({ts_sql} AS DATE) AS day,
+         round(CAST(sum(CAST({value_sql} AS DECIMAL(38,12))) AS DOUBLE), 6)
+           AS x
+  FROM {table} GROUP BY 1, 2
+),
+pre AS (
+  SELECT g, day, x,
+         row_number() OVER (PARTITION BY g ORDER BY day) AS k,
+         sum(CAST(x AS DECIMAL(38,12))) OVER (PARTITION BY g ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _sk,
+         count(*) OVER (PARTITION BY g) AS _n,
+         sum(CAST(x AS DECIMAL(38,12))) OVER (PARTITION BY g) AS _s
+  FROM daily
+),
+cand AS (
+  SELECT g, day, k, _n,
+         CAST(_sk AS DOUBLE) AS sk, CAST(_s AS DOUBLE) AS s,
+         round(CAST(_sk AS DOUBLE) * CAST(_sk AS DOUBLE) / k
+               + (CAST(_s AS DOUBLE) - CAST(_sk AS DOUBLE))
+                 * (CAST(_s AS DOUBLE) - CAST(_sk AS DOUBLE)) / (_n - k)
+               - CAST(_s AS DOUBLE) * CAST(_s AS DOUBLE) / _n, 6) AS _bss
+  FROM pre WHERE k < _n
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY g
+             ORDER BY _bss DESC, day ASC) AS _rk
+  FROM cand
+)
+SELECT g AS {group_sql}, day AS split_day,
+       CAST(k AS BIGINT) AS n_before,
+       CAST(_n - k AS BIGINT) AS n_after,
+       round(sk / k, 6) AS mean_before,
+       round((s - sk) / (_n - k), 6) AS mean_after,
+       _bss AS bss
+FROM best WHERE _rk = 1
+"""
+
+
+def seasonality_strength(events: DataFrame, group_col: str = "event_type",
+                         ts_col: str = "ts",
+                         value_col: str = "value") -> DataFrame:
+    """Weekly-seasonality strength per group, the STL-style variance
+    ratio F_s = max(0, 1 - Var(x - seasonal)/Var(x)) with the
+    seasonal component estimated as day-of-week means over the
+    group's daily-total series. 1 = perfectly periodic, 0 = no
+    day-of-week structure.
+
+    Shape: daily totals (one groupBy), then per-(group, dow) moment
+    sums — Σ resid² inside a dow cell is the closed form
+    Σx² − (Σx)²/n_cell, so NO per-row residuals exist anywhere
+    (per-row means would re-convert a wide DECIMAL to double per row,
+    the one conversion engines may disagree on by 1 ulp; the
+    welch_ttest sums-only pattern instead). Per-cell doubles round 9
+    into a DECIMAL sum over the tiny |groups × 7| frame.
+    Day-of-week comes from the calendar date on both engines (the
+    label convention differs, Spark 1-7 vs DuckDB 0-6, but it is
+    only ever a GROUPING key, so any per-engine bijection of the
+    same partition is equivalent). Output: (group, n_days, var_total,
+    var_resid, strength), rounds 6.
+    """
+    _DEC = "decimal(38,12)"
+    g = F.col(group_col).alias("g")
+    daily = (events.groupBy(g, F.to_date(ts_col).alias("day"))
+             .agg(F.round(F.sum(F.col(value_col).cast(_DEC))
+                          .cast("double"), 6).alias("x")))
+    cells = (daily.groupBy("g", F.dayofweek("day").alias("_dow"))
+             .agg(F.count("*").alias("nc"),
+                  F.sum(F.col("x").cast(_DEC)).alias("sxc"),
+                  F.sum((F.col("x") * F.col("x")).cast(_DEC)).alias("sxxc")))
+    sxc = F.col("sxc").cast("double")
+    sxxc = F.col("sxxc").cast("double")
+    rss_cell = F.round(sxxc - sxc * sxc / F.col("nc"), 9)
+    agg = (cells.groupBy(F.col("g").alias(group_col))
+           .agg(F.sum("nc").cast("long").alias("n_days"),
+                F.sum("sxc").alias("_sx"),
+                F.sum("sxxc").alias("_sxx"),
+                F.sum(rss_cell.cast(_DEC)).alias("_srr")))
+    n = F.col("n_days").cast("double")
+    var_tot = F.col("_sxx").cast("double") / n \
+        - (F.col("_sx").cast("double") / n) * (F.col("_sx").cast("double") / n)
+    # residuals are mean-zero within each dow cell by construction,
+    # so Σ resid² / n is exactly the remainder variance
+    var_res = F.col("_srr").cast("double") / n
+    return agg.select(
+        group_col, "n_days",
+        F.round(var_tot, 6).alias("var_total"),
+        F.round(var_res, 6).alias("var_resid"),
+        F.round(F.when(var_tot > 0,
+                       F.greatest(F.lit(0.0), 1.0 - var_res / var_tot))
+                .otherwise(0.0), 6).alias("strength"))
+
+
+def seasonality_strength_sql(table: str = "events",
+                             group_sql: str = "event_type",
+                             ts_sql: str = "ts",
+                             value_sql: str = "value") -> str:
+    return f"""
+WITH daily AS (
+  SELECT {group_sql} AS g, CAST({ts_sql} AS DATE) AS day,
+         round(CAST(sum(CAST({value_sql} AS DECIMAL(38,12))) AS DOUBLE), 6)
+           AS x
+  FROM {table} GROUP BY 1, 2
+),
+cells AS (
+  SELECT g, dayofweek(day) AS _dow, count(*) AS nc,
+         sum(CAST(x AS DECIMAL(38,12))) AS sxc,
+         sum(CAST(x * x AS DECIMAL(38,12))) AS sxxc
+  FROM daily GROUP BY 1, 2
+),
+agg AS (
+  SELECT g, CAST(sum(nc) AS BIGINT) AS n_days,
+         CAST(sum(sxc) AS DOUBLE) AS sx,
+         CAST(sum(sxxc) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(round(CAST(sxxc AS DOUBLE)
+                             - CAST(sxc AS DOUBLE) * CAST(sxc AS DOUBLE) / nc,
+                             9) AS DECIMAL(38,12))) AS DOUBLE) AS srr
+  FROM cells GROUP BY g
+)
+SELECT g AS {group_sql}, CAST(n_days AS BIGINT) AS n_days,
+       round(sxx / n_days - (sx / n_days) * (sx / n_days), 6) AS var_total,
+       round(srr / n_days, 6) AS var_resid,
+       round(CASE WHEN sxx / n_days - (sx / n_days) * (sx / n_days) > 0
+             THEN greatest(0.0, 1.0 - (srr / n_days)
+                  / (sxx / n_days - (sx / n_days) * (sx / n_days)))
+             ELSE 0.0 END, 6) AS strength
+FROM agg
+"""

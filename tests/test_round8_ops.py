@@ -1,0 +1,184 @@
+"""Round-8 behavioral/robust-stats operators: hand-computed values on
+planted frames (Nelson–Aalen, RFM, Markov chain, changepoint,
+seasonality strength, HHI, winsorized moments)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+
+
+def test_nelson_aalen_hand_curve(spark):
+    """3 users: u1 converts day 1, u2 converts day 2, u3 censored at
+    day 2 (horizon). H(1) = 1/3; H(2) = 1/3 + 1/2."""
+    t0 = dt.datetime(2024, 1, 1)
+    d = dt.timedelta(days=1)
+    rows = [(1, t0, 1, "view", 1.0), (2, t0 + d, 1, "purchase", 1.0),
+            (3, t0, 2, "view", 1.0), (4, t0 + 2 * d, 2, "purchase", 1.0),
+            (5, t0, 3, "view", 1.0), (6, t0 + 2 * d, 3, "view", 1.0)]
+    from distill_spark.operators.conversion import nelson_aalen
+
+    got = {r.day: r for r in nelson_aalen(_events(spark, rows)).collect()}
+    assert got[1].n_at_risk == 3 and got[1].n_events == 1
+    assert abs(got[1].cum_hazard - 1 / 3) < 1e-6
+    assert got[2].n_at_risk == 2 and got[2].n_events == 1
+    assert abs(got[2].cum_hazard - (1 / 3 + 1 / 2)) < 1e-6
+    assert abs(got[2].se - math.sqrt(1 / 9 + 1 / 4)) < 1e-6
+
+
+def test_nelson_aalen_consistent_with_km_at_small_hazard(spark):
+    """H(t) ≈ -ln S(t); exact equality is not expected, but the two
+    estimators must agree on the at-risk/event frame."""
+    from distill_spark.operators.conversion import kaplan_meier, nelson_aalen
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(40):
+        rows.append((eid, t0, u, "view", 1.0)); eid += 1
+        if u % 3 == 0:
+            rows.append((eid, t0 + dt.timedelta(days=1 + u % 5),
+                         u, "purchase", 1.0)); eid += 1
+        else:
+            rows.append((eid, t0 + dt.timedelta(days=9),
+                         u, "view", 1.0)); eid += 1
+    df = _events(spark, rows)
+    km = {r.day: (r.n_at_risk, r.n_events) for r in kaplan_meier(df).collect()}
+    na = {r.day: (r.n_at_risk, r.n_events) for r in nelson_aalen(df).collect()}
+    assert km == na
+
+
+def test_rfm_scores_known_ordering(spark):
+    """5 customers with strictly ordered metrics: quintiles 5..1."""
+    from distill_spark.operators.conversion import rfm_scores
+
+    base = dt.date(2024, 1, 1)
+    rows = []
+    ok = 0
+    # cust i: last order day i (higher i = more recent), i+1 orders,
+    # price 100*(i+1) each
+    for i in range(5):
+        for j in range(i + 1):
+            rows.append((ok, i + 1, base + dt.timedelta(days=i),
+                         float(100 * (i + 1)))); ok += 1
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate date, "
+              "o_totalprice double")
+    got = {r.custkey: r for r in rfm_scores(df).collect()}
+    for i in range(5):
+        c = got[i + 1]
+        assert c.recency_days == 4 - i
+        assert c.frequency == i + 1
+        assert c.monetary == 100.0 * (i + 1) * (i + 1)
+        assert (c.r_score, c.f_score, c.m_score) == (i + 1, i + 1, i + 1)
+        assert c.rfm == (i + 1) * 111
+
+
+def test_markov_chain_laplace_smoothing(spark):
+    """u1: a->b->a; u2: a->b. counts: a->b 2, b->a 1. states {a,b}.
+    P(b|a) = (2+1)/(2+2) = 0.75; P(a|a) = 1/4; P(a|b) = (1+1)/(1+2);
+    P(b|b) = 1/3."""
+    from distill_spark.operators.conversion import markov_event_chain
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [(1, t0, 1, "a", 0.0), (2, t0 + s, 1, "b", 0.0),
+            (3, t0 + 2 * s, 1, "a", 0.0),
+            (4, t0, 2, "a", 0.0), (5, t0 + s, 2, "b", 0.0)]
+    got = {(r.cur, r.nxt): (r.n, r.prob)
+           for r in markov_event_chain(_events(spark, rows)).collect()}
+    assert got[("a", "b")] == (2, 0.75)
+    assert got[("a", "a")] == (0, 0.25)
+    assert got[("b", "a")] == (1, round(2 / 3, 6))
+    assert got[("b", "b")] == (0, round(1 / 3, 6))
+
+
+def test_markov_chain_tie_respects_event_id(spark):
+    """Two events at the same ts: order by event_id decides the chain."""
+    from distill_spark.operators.conversion import markov_event_chain
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(2, t0, 1, "b", 0.0), (1, t0, 1, "a", 0.0)]
+    got = {(r.cur, r.nxt): r.n
+           for r in markov_event_chain(_events(spark, rows)).collect()}
+    assert got[("a", "b")] == 1 and got[("b", "a")] == 0
+
+
+def test_changepoint_finds_planted_shift(spark):
+    """Daily series 10,10,10,10,30,30,30,30 (one event per day):
+    split after day 4, means 10 vs 30."""
+    from distill_spark.operators.timeseries import changepoint_mean
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(days=i), 1, "x",
+             10.0 if i < 4 else 30.0) for i in range(8)]
+    [r] = changepoint_mean(_events(spark, rows)).collect()
+    assert r.split_day == dt.date(2024, 1, 4)
+    assert (r.n_before, r.n_after) == (4, 4)
+    assert (r.mean_before, r.mean_after) == (10.0, 30.0)
+    assert r.bss == 8 * 100.0  # n1(m1-m)^2+n2(m2-m)^2 = 4*100+4*100
+
+
+def test_changepoint_tiebreak_earliest_day(spark):
+    """Flat series: every split scores BSS = 0 — earliest day wins."""
+    from distill_spark.operators.timeseries import changepoint_mean
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(days=i), 1, "x", 5.0) for i in range(5)]
+    [r] = changepoint_mean(_events(spark, rows)).collect()
+    assert r.split_day == dt.date(2024, 1, 1) and r.bss == 0.0
+
+
+def test_seasonality_strength_periodic_vs_flat(spark):
+    """A perfectly dow-periodic series has strength 1; a flat series
+    has var_total 0 and strength 0 by convention."""
+    from distill_spark.operators.timeseries import seasonality_strength
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(28):
+        rows.append((i, t0 + dt.timedelta(days=i), 1, "periodic",
+                     float(10 + (i % 7))))
+        rows.append((100 + i, t0 + dt.timedelta(days=i), 1, "flat", 3.0))
+    got = {r.event_type: r
+           for r in seasonality_strength(_events(spark, rows)).collect()}
+    assert got["periodic"].strength == 1.0
+    assert got["periodic"].var_resid == 0.0
+    assert got["flat"].var_total == 0.0 and got["flat"].strength == 0.0
+
+
+def test_hhi_monopoly_and_uniform(spark):
+    from distill_spark.operators.stats import hhi_concentration
+
+    rows = ([("mono", 1, 100.0)]
+            + [("quad", u, 25.0) for u in range(4)])
+    df = spark.createDataFrame(rows, "seg string, unit long, v double")
+    got = {r.seg: r for r in hhi_concentration(df, "seg", "unit",
+                                               "v").collect()}
+    assert got["mono"].hhi == 1.0 and got["mono"].hhi_norm == 1.0
+    assert got["quad"].hhi == 0.25 and got["quad"].hhi_norm == 0.0
+
+
+def test_winsorized_stats_clamps_outlier(spark):
+    """20 values 1..19 plus one huge outlier: p95 clamp pulls the
+    mean down; std well below the raw std."""
+    from distill_spark.operators.stats import winsorized_stats
+
+    vals = [float(i) for i in range(1, 20)] + [1000.0]
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "grp string, value double")
+    [r] = winsorized_stats(df, "grp").collect()
+    assert r.n == 20
+    assert r.p_lo == 1.0 and r.p_hi == 19.0   # ceil(20*.05)=1, ceil(20*.95)=19
+    clamped = [min(max(v, 1.0), 19.0) for v in vals]
+    m = sum(clamped) / 20
+    sd = math.sqrt(sum((c - m) ** 2 for c in clamped) / 20)
+    assert abs(r.wins_mean - m) < 1e-6 and abs(r.wins_std - sd) < 1e-6
