@@ -8301,6 +8301,59 @@ def _sql_winsorized():
     return winsorized_stats_sql("events", "event_type")
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup, driver-gated: events UNION a planted
+    re-delivery of every 10th event (at-least-once simulation) written
+    to a file stream, drained through
+    streaming.streaming_dedup (dropDuplicatesWithinWatermark on
+    event_id) with availableNow — the output must be exactly the
+    original event set, which is what the oracle selects. Covers the
+    streaming-state dedup path the batch hash-groupBy dedup never
+    touches."""
+    import tempfile
+
+    from distill_spark.streaming.stream import streaming_dedup
+
+    t = _tables(spark, sf_dir)
+    events = t["events"].select("event_id", "ts", "event_type")
+    dup = events.filter(F.col("event_id") % 10 == 0)
+    tmp = tempfile.mkdtemp(prefix="dssdd_")
+    events.unionByName(dup).coalesce(1).write.parquet(tmp + "/in")
+    sdf = spark.readStream.schema(events.schema).parquet(tmp + "/in")
+    out = streaming_dedup(sdf.select("event_id", "ts", "event_type"),
+                          key_cols=["event_id"])
+    captured: list = []
+    q = (out.writeStream
+         .foreachBatch(lambda df, bid: captured.append(
+             df.select("event_id", "event_type").collect()))
+         .outputMode("append")
+         .option("checkpointLocation", tmp + "/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = [r for batch in captured for r in batch]
+    return spark.createDataFrame(rows, "event_id long, event_type string")
+
+
+SQL_STREAM_DEDUP = """
+SELECT event_id, event_type FROM events
+"""
+
+
+def q_centroid_drift(spark, sf_dir):
+    """Pairwise cosine similarity between per-label embedding
+    centroids (similarity.centroid_cosine_matrix) — the cheap
+    |labels|² drift readout before any |docs|² work."""
+    from distill_spark.operators.similarity import centroid_cosine_matrix
+
+    return centroid_cosine_matrix(_tables(spark, sf_dir)["embeddings"])
+
+
+def _sql_centroid_drift():
+    from distill_spark.operators.similarity import centroid_cosine_matrix_sql
+
+    return centroid_cosine_matrix_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # -- round-8 window head: perceptual-hash image near-dup ----------------
     "mm_phash_pairs": (q_mm_phash_pairs, _sql_mm_phash_pairs()),
@@ -8313,6 +8366,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "seasonality_dow": (q_seasonality_dow, _sql_seasonality()),
     "hhi_nation": (q_hhi_nation, _sql_hhi()),
     "winsorized_value": (q_winsorized_value, _sql_winsorized()),
+    "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
+    "centroid_drift": (q_centroid_drift, _sql_centroid_drift()),
     # -- round-8: model-evaluation family ------------------------------------
     "auc_purchase": (q_auc_purchase, _sql_auc()),
     "lift_deciles": (q_lift_deciles, _sql_lift()),

@@ -521,3 +521,69 @@ def _knn_label_purity_ivf(base: DataFrame, k: int, id_col: str,
              F.round(F.sum("_match") / (F.count("*") * F.lit(k)), 6)
              .alias("avg_purity"))
     )
+
+
+def centroid_cosine_matrix(embeddings: DataFrame, label_col: str = "label",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding
+    centroids — the corpus-drift readout (are two sources/slices
+    converging or diverging in embedding space?) that runs BEFORE any
+    expensive pairwise-document work: |labels| centroids, never
+    |docs|² anything.
+
+    Shape: posexplode to the |labels × dim| component frame (one
+    shuffle of scalar components, the a3_centroids plan), components
+    round 9, then a self-join on pos over that tiny frame with
+    DECIMAL dot/norm sums. Output: (label_a, label_b, cosine),
+    label_a < label_b, cosine rounds 6, NULL when a centroid has zero
+    norm.
+    """
+    _DEC = "decimal(38,12)"
+    comp = (embeddings
+            .select(F.col(label_col).alias("lbl"),
+                    F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("lbl", "pos")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 9).alias("c")))
+    a, b = comp.alias("a"), comp.alias("b")
+    pairs = (a.join(b, (F.col("a.pos") == F.col("b.pos"))
+                    & (F.col("a.lbl") < F.col("b.lbl")))
+             .groupBy(F.col("a.lbl").alias("label_a"),
+                      F.col("b.lbl").alias("label_b"))
+             .agg(F.sum((F.col("a.c") * F.col("b.c")).cast(_DEC))
+                  .cast("double").alias("_dot"),
+                  F.sum((F.col("a.c") * F.col("a.c")).cast(_DEC))
+                  .cast("double").alias("_na"),
+                  F.sum((F.col("b.c") * F.col("b.c")).cast(_DEC))
+                  .cast("double").alias("_nb")))
+    return pairs.select(
+        "label_a", "label_b",
+        F.round(F.when((F.col("_na") > 0) & (F.col("_nb") > 0),
+                       F.col("_dot")
+                       / (F.sqrt("_na") * F.sqrt("_nb"))), 6)
+        .alias("cosine"))
+
+
+def centroid_cosine_matrix_sql(table: str = "embeddings",
+                               label_sql: str = "label",
+                               vec_sql: str = "embedding",
+                               dim: int = 64) -> str:
+    return f"""
+WITH comp AS (
+  SELECT {label_sql} AS lbl, i - 1 AS pos,
+         round(avg(CAST({vec_sql}[i] AS DOUBLE)), 9) AS c
+  FROM {table} CROSS JOIN range(1, {dim + 1}) t(i)
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.lbl AS label_a, b.lbl AS label_b,
+         CAST(sum(CAST(a.c * b.c AS DECIMAL(38,12))) AS DOUBLE) AS _dot,
+         CAST(sum(CAST(a.c * a.c AS DECIMAL(38,12))) AS DOUBLE) AS _na,
+         CAST(sum(CAST(b.c * b.c AS DECIMAL(38,12))) AS DOUBLE) AS _nb
+  FROM comp a JOIN comp b ON a.pos = b.pos AND a.lbl < b.lbl
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b,
+       round(CASE WHEN _na > 0 AND _nb > 0
+             THEN _dot / (sqrt(_na) * sqrt(_nb)) END, 6) AS cosine
+FROM pairs
+"""
