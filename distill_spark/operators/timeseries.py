@@ -764,10 +764,26 @@ def weekly_state_transitions(events: DataFrame, user_col: str = "user_id",
     Markov view of churn that churn_snapshot's point-in-time readout
     can't show — A->I is the leak rate, I->A the resurrection rate.
 
-    The grid is |users| x |weeks| (linear — weeks are bounded), built
-    from one distinct-users frame crossed with the observed week
-    range; transitions are one lag window over it. Output:
-    (from_state, to_state, n, share) with share over all transitions.
+    GRID-FREE: the dense |users| × |weeks| frame is never built (at
+    10⁹ users × hundreds of weeks that is 10¹¹ shuffled rows for a
+    4-row answer). Everything derives from the SPARSE distinct
+    (user, active-week) frame plus closed-form algebra over the
+    global span [lo, hi] (every user is observed for the full span):
+
+      per user with active weeks w₁<…<w_m,
+        A→A = #(consecutive pairs with gap exactly 1)   (lag window)
+        A→I = #{active w < hi} − A→A    (a transition out of every
+                                         non-final active week; it's
+                                         A→A iff the next week is
+                                         active)
+        I→A = #{active w > lo} − A→A    (symmetric, into non-initial)
+        I→I = (hi−lo) − A→A − A→I − I→A  (span has hi−lo transitions)
+
+    One lag window over the sparse frame, one global aggregate, and
+    the 4-row answer is unpivoted from a single row. Output:
+    (from_state, to_state, n, share) with share over all transitions;
+    zero-count pairs are omitted (matching the observed-pairs contract
+    of the grouped formulation and the SQL oracle).
     """
     week = F.floor(F.floor(F.unix_micros(F.col(ts_col)) / 86_400_000_000)
                    / 7)
@@ -775,25 +791,35 @@ def weekly_state_transitions(events: DataFrame, user_col: str = "user_id",
                             week.alias("w")).distinct())
     span = events.select(week.alias("w")).agg(
         F.min("w").alias("lo"), F.max("w").alias("hi"))
-    weeks = span.select(F.explode(F.sequence("lo", "hi")).alias("w"))
-    users = events.select(F.col(user_col).alias("u")).distinct()
-    grid = (users.crossJoin(weeks)
-            .join(active.withColumn("_a", F.lit(1)), ["u", "w"], "left")
-            .select("u", "w", F.coalesce("_a", F.lit(0)).alias("a")))
     lw = Window.partitionBy("u").orderBy("w")
-    trans = (grid.withColumn("_prev", F.lag("a").over(lw))
-             .filter(F.col("_prev").isNotNull()))
-    tot = Window.partitionBy()
-    state = {1: "active", 0: "inactive"}
-    return (trans.groupBy(
-        F.when(F.col("_prev") == 1, "active").otherwise("inactive")
-        .alias("from_state"),
-        F.when(F.col("a") == 1, "active").otherwise("inactive")
-        .alias("to_state"))
-        .agg(F.count("*").cast("long").alias("n"))
-        .withColumn("share",
-                    F.round(F.col("n") / F.sum("n").over(tot), 6))
-        .orderBy("from_state", "to_state"))
+    lagged = active.withColumn("_prev", F.lag("w").over(lw))
+    one = (lagged.crossJoin(F.broadcast(span)).agg(
+        F.sum(((F.col("w") - F.col("_prev")) == 1).cast("long")).alias("aa"),
+        F.sum((F.col("w") < F.col("hi")).cast("long")).alias("anl"),
+        F.sum((F.col("w") > F.col("lo")).cast("long")).alias("anf"),
+        F.countDistinct("u").alias("nu"),
+        F.max("hi").alias("hi"), F.max("lo").alias("lo")))
+    total = F.col("nu") * (F.col("hi") - F.col("lo"))
+    counts = one.select(
+        total.alias("_t"),
+        F.explode(F.array(
+            F.struct(F.lit("active").alias("f"), F.lit("active").alias("s"),
+                     F.col("aa").alias("n")),
+            F.struct(F.lit("active").alias("f"), F.lit("inactive").alias("s"),
+                     (F.col("anl") - F.col("aa")).alias("n")),
+            F.struct(F.lit("inactive").alias("f"), F.lit("active").alias("s"),
+                     (F.col("anf") - F.col("aa")).alias("n")),
+            F.struct(F.lit("inactive").alias("f"),
+                     F.lit("inactive").alias("s"),
+                     (total - F.col("anl") - F.col("anf")
+                      + F.col("aa")).alias("n")))).alias("r"))
+    return (counts.select(F.col("r.f").alias("from_state"),
+                          F.col("r.s").alias("to_state"),
+                          F.col("r.n").cast("long").alias("n"),
+                          F.round(F.col("r.n") / F.col("_t").cast("double"),
+                                  6).alias("share"))
+            .filter(F.col("n") > 0)
+            .orderBy("from_state", "to_state"))
 
 
 def weekly_state_transitions_sql(table: str = "events",

@@ -182,3 +182,40 @@ def test_winsorized_stats_clamps_outlier(spark):
     m = sum(clamped) / 20
     sd = math.sqrt(sum((c - m) ** 2 for c in clamped) / 20)
     assert abs(r.wins_mean - m) < 1e-6 and abs(r.wins_std - sd) < 1e-6
+
+
+def test_weekly_transitions_grid_free_sparse_user(spark):
+    """Sparse user active in weeks {0, 1, 3} of a 5-week span (user 2
+    pins the span with weeks 0 and 4). Hand count for user 1:
+    A->A 1 (0->1), A->I 2 (1->2, 3->4), I->A 1 (2->3), I->I 0.
+    User 2: A->I 1 (0->1), I->I 2, I->A 1 (3->4). The dense-grid
+    formulation gives exactly these; the grid-free algebra must too."""
+    from distill_spark.operators.timeseries import weekly_state_transitions
+
+    t0 = dt.datetime(1970, 1, 1)   # epoch day 0 -> week 0 exactly
+    wk = dt.timedelta(days=7)
+    rows = [(1, t0, 1, "x", 0.0), (2, t0 + wk, 1, "x", 0.0),
+            (3, t0 + 3 * wk, 1, "x", 0.0),
+            (4, t0, 2, "x", 0.0), (5, t0 + 4 * wk, 2, "x", 0.0)]
+    got = {(r.from_state, r.to_state): (r.n, r.share)
+           for r in weekly_state_transitions(_events(spark, rows)).collect()}
+    assert got[("active", "active")][0] == 1
+    assert got[("active", "inactive")][0] == 3
+    assert got[("inactive", "active")][0] == 2
+    assert got[("inactive", "inactive")][0] == 2
+    assert got[("active", "inactive")][1] == 0.375   # 3 of 8 transitions
+
+
+def test_weekly_transitions_plan_has_no_dense_grid(spark):
+    """The 100-TB guarantee: no users x weeks cross join anywhere in
+    the physical plan — the only join is the broadcast span row."""
+    from distill_spark.operators.timeseries import weekly_state_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(days=3 * i), i % 3, "x", 0.0)
+            for i in range(20)]
+    plan = weekly_state_transitions(
+        _events(spark, rows))._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the explode(sequence(lo, hi)) week densifier must be gone too
+    assert "sequence(" not in plan.lower()
