@@ -110,6 +110,25 @@ def _cmd_serve(args) -> int:
     return 0
 
 
+def _cmd_api(args) -> int:
+    """HTTP binding (reference: `distill api --port 8080`,
+    cmd/api.go:71-127) — same tools, TCP instead of stdio."""
+    from distill_spark.httpd import serve_http
+
+    surface = _surface(args.workdir, args.master)
+    srv = serve_http(surface, host=args.host, port=args.port)
+    host, port = srv.server_address[:2]
+    print(json.dumps({"ready": True, "host": host, "port": port,
+                      "tools": TOOL_NAMES}), flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="distill_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -118,12 +137,15 @@ def main(argv: list[str] | None = None) -> int:
     one.add_argument("name")
     one.add_argument("--params", default="", help="JSON parameter object")
     srv = sub.add_parser("serve", help="JSON-lines request loop on stdio")
-    for p in (one, srv):
+    api = sub.add_parser("api", help="HTTP server over the tool surface")
+    api.add_argument("--host", default="127.0.0.1")
+    api.add_argument("--port", type=int, default=8080)
+    for p in (one, srv, api):
         p.add_argument("--workdir", required=True)
         p.add_argument("--master", default=None)
     args = ap.parse_args(argv)
     return {"tools": _cmd_tools, "tool": _cmd_tool,
-            "serve": _cmd_serve}[args.cmd](args)
+            "serve": _cmd_serve, "api": _cmd_api}[args.cmd](args)
 
 
 if __name__ == "__main__":

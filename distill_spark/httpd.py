@@ -1,0 +1,145 @@
+"""HTTP/REST binding for the tool surface — the last reference entry
+point (cmd/api.go:71-127, cmd/api_memory.go:22-27,
+cmd/api_session.go:17-20): the same JSON bodies the stdio ``serve``
+loop speaks, bound to a TCP socket with the reference's route map:
+
+    POST /v1/dedupe            -> deduplicate_chunks
+    POST /v1/memory/store      -> store_memory        (and recall /
+         /v1/memory/<op>          forget / expire / supersede / stats)
+    POST /v1/session/create    -> create_session      (and push /
+         /v1/session/<op>         context / delete)
+    GET  /health               -> liveness (Spark session probed)
+    GET  /                     -> route listing (handleRoot)
+
+Deliberately stdlib-only (``http.server``): the protocol layer is
+transport, not analytics — auth middleware, OpenAPI embedding, SSE
+streaming, and metrics exporters from the reference server are
+deployment plumbing outside this engine's scope (the SSE progress
+event *types* live in progress.py). Requests are serialized through
+one lock: the surface's memory/session stores are single-writer by
+design (the reference holds one SQLite handle), and one Spark
+session underneath serves every request exactly like the reference's
+long-lived server process.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from distill_spark.cli import TOOL_NAMES
+
+#: route -> (tool name, body->kwargs mapper); bodies are passed through
+#: verbatim except /v1/dedupe, whose reference field names differ from
+#: the tool parameter names (lambda -> lambda_, options dropped).
+_MEMORY_OPS = {"store": "store_memory", "recall": "recall_memory",
+               "forget": "forget_memory", "expire": "memory_expire",
+               "supersede": "memory_supersede", "stats": "memory_stats"}
+_SESSION_OPS = {"create": "create_session", "push": "push_session",
+                "context": "session_context", "delete": "delete_session"}
+
+
+def _dedupe_kwargs(body: dict) -> dict:
+    out = {"chunks": body.get("chunks") or []}
+    if body.get("target_k"):
+        out["target_k"] = int(body["target_k"])
+    if body.get("threshold"):
+        out["threshold"] = float(body["threshold"])
+    if "lambda" in body:
+        out["lambda_"] = float(body["lambda"])
+    return out
+
+
+def _routes() -> dict:
+    routes = {"/v1/dedupe": ("deduplicate_chunks", _dedupe_kwargs)}
+    for op, tool in _MEMORY_OPS.items():
+        routes[f"/v1/memory/{op}"] = (tool, lambda b: dict(b))
+    for op, tool in _SESSION_OPS.items():
+        routes[f"/v1/session/{op}"] = (tool, lambda b: dict(b))
+    return routes
+
+
+class ToolHTTPServer(ThreadingHTTPServer):
+    """One surface + one dispatch lock behind a loopback-or-wider
+    TCP socket. ``daemon_threads`` so a hung client can't pin the
+    process at shutdown."""
+
+    daemon_threads = True
+    allow_reuse_address = True
+
+    def __init__(self, addr, surface):
+        self.surface = surface
+        self.routes = _routes()
+        self.dispatch_lock = threading.Lock()
+        super().__init__(addr, _Handler)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # quiet: the engine's progress/observability channel is progress.py,
+    # not stderr access logs
+    def log_message(self, *_args):  # noqa: D102
+        pass
+
+    def _reply(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload, default=str).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler contract
+        srv: ToolHTTPServer = self.server  # type: ignore[assignment]
+        if self.path == "/health":
+            try:
+                sc = srv.surface.spark.sparkContext
+                alive = sc._jsc is not None and not sc._jsc.sc().isStopped()
+            except Exception:  # noqa: BLE001 — probe failure = dead
+                alive = False
+            self._reply(200 if alive else 503,
+                        {"status": "ok" if alive else "spark session gone"})
+            return
+        if self.path == "/":
+            self._reply(200, {
+                "service": "distill_spark",
+                "endpoints": sorted(srv.routes),
+                "tools": TOOL_NAMES,
+            })
+            return
+        self._reply(404, {"error": f"no route {self.path}"})
+
+    def do_POST(self):  # noqa: N802
+        srv: ToolHTTPServer = self.server  # type: ignore[assignment]
+        route = srv.routes.get(self.path)
+        if route is None:
+            self._reply(404, {"error": f"no route {self.path}"})
+            return
+        try:
+            n = int(self.headers.get("Content-Length") or 0)
+            body = json.loads(self.rfile.read(n) or b"{}") if n else {}
+            if not isinstance(body, dict):
+                raise ValueError("request body must be a JSON object")
+        except (ValueError, json.JSONDecodeError) as e:
+            self._reply(400, {"error": f"bad request body: {e}"})
+            return
+        tool, mapper = route
+        try:
+            with srv.dispatch_lock:
+                out = getattr(srv.surface, tool)(**mapper(body))
+        except TypeError as e:   # unknown/missing parameters
+            self._reply(400, {"error": str(e)})
+            return
+        except Exception as e:  # noqa: BLE001 — per-request isolation
+            self._reply(422, {"error": str(e)})
+            return
+        self._reply(200, out if isinstance(out, dict) else {"result": out})
+
+
+def serve_http(surface, host: str = "127.0.0.1", port: int = 8080,
+               ) -> ToolHTTPServer:
+    """Bind the surface and return the (not yet serving) server;
+    callers run ``serve_forever()`` (the CLI) or drive it from a
+    thread (tests). Port 0 picks a free port — read
+    ``server.server_address``."""
+    return ToolHTTPServer((host, port), surface)

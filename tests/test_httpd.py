@@ -1,0 +1,118 @@
+"""HTTP binding over ToolSurface: the reference's REST route map
+(/v1/dedupe, /v1/memory/*, /v1/session/*, /health, /) driven over a
+real loopback socket with urllib."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from distill_spark.api import ToolSurface
+from distill_spark.httpd import serve_http
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    surface = ToolSurface(spark, str(tmp_path_factory.mktemp("httpd_wd")))
+    srv = serve_http(surface, port=0)          # free port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    srv.server_close()
+
+
+def _post(base, path, body):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def _get(base, path):
+    with urllib.request.urlopen(base + path, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_health_and_root(server):
+    code, body = _get(server, "/health")
+    assert code == 200 and body["status"] == "ok"
+    code, body = _get(server, "/")
+    assert "/v1/dedupe" in body["endpoints"]
+    assert len(body["tools"]) == 13
+
+
+def test_dedupe_route_end_to_end(server):
+    """Two near-identical chunks + one distinct: dedupe collapses the
+    pair (reference DedupeRequest/DedupeResponse shape)."""
+    chunks = [
+        {"id": "a", "text": "alpha", "embedding": [1.0, 0.0, 0.0],
+         "score": 0.9},
+        {"id": "a2", "text": "alpha copy", "embedding": [0.999, 0.01, 0.0],
+         "score": 0.8},
+        {"id": "b", "text": "beta", "embedding": [0.0, 1.0, 0.0],
+         "score": 0.7},
+    ]
+    code, body = _post(server, "/v1/dedupe",
+                       {"chunks": chunks, "threshold": 0.15, "lambda": 0.5})
+    assert code == 200
+    ids = {c["id"] for c in body["chunks"]}
+    assert ids == {"a", "b"}
+    assert body["stats"]["input_count"] == 3
+    assert body["stats"]["output_count"] == 2
+    assert body["stats"]["cluster_count"] == 2
+
+
+def test_memory_store_recall_roundtrip(server):
+    code, stored = _post(server, "/v1/memory/store",
+                         {"text": "the spark shuffle is partitioned",
+                          "tags": ["infra"]})
+    assert code == 200 and stored["stored"] == 1 and stored["id"]
+    code, rec = _post(server, "/v1/memory/recall",
+                      {"query": "spark shuffle", "max_results": 5})
+    assert code == 200
+    assert any("shuffle" in m["text"] for m in rec["entries"])
+    code, stats = _post(server, "/v1/memory/stats", {})
+    assert code == 200 and stats["total"] >= 1
+
+
+def test_session_push_and_context(server):
+    code, made = _post(server, "/v1/session/create", {"session_id": "s1"})
+    assert code == 200 and made["session_id"] == "s1"
+    code, pushed = _post(server, "/v1/session/push",
+                         {"session_id": "s1", "content": "hello world",
+                          "role": "user"})
+    assert code == 200 and pushed["session_id"] == "s1"
+    assert pushed["seq"] == 0
+    code, ctx = _post(server, "/v1/session/context", {"session_id": "s1"})
+    assert code == 200
+    assert any("hello world" in e["content"] for e in ctx["entries"])
+    code, gone = _post(server, "/v1/session/delete", {"session_id": "s1"})
+    assert code == 200
+
+
+def test_error_paths(server):
+    # unknown route -> 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/v1/nope", {})
+    assert e.value.code == 404
+    # malformed JSON -> 400
+    req = urllib.request.Request(
+        server + "/v1/dedupe", data=b"{not json",
+        headers={"Content-Type": "application/json"}, method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+    # validation failure inside the tool (empty chunks) -> 422
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/v1/dedupe", {"chunks": []})
+    assert e.value.code == 422
+    # unknown tool parameter -> 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/v1/memory/stats", {"bogus_param": 1})
+    assert e.value.code == 400
