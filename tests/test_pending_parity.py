@@ -66,3 +66,32 @@ def test_unevidenced_gated_queries_hash_match_oracle(spark, parity_env):
         if problems:
             bad[name] = problems
     assert not bad, f"unevidenced queries diverge from their oracles: {bad}"
+
+
+def test_committed_parity_artifact_is_current():
+    """The full-registry parity artifact (PARITY_r*.json) must cover
+    exactly the current queries() registry — the manual regeneration
+    ritual was missed in rounds 6 AND 7, so it is now a gate: any
+    registry change without `python tools/check_parity.py --json
+    PARITY_r<N>.json` goes red here."""
+    import json
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    artifacts = sorted(
+        root.glob("PARITY_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)))
+    assert artifacts, "no PARITY_r*.json committed — run tools/check_parity.py"
+    newest = artifacts[-1]
+    data = json.loads(newest.read_text())
+    em = sys.modules.get("__spark_entry__") or _load(
+        "/root/repo/__spark_entry__.py", "__spark_entry__")
+    want = set(em.queries())
+    have = set(data["queries"])
+    missing, extra = sorted(want - have), sorted(have - want)
+    assert not missing and not extra, (
+        f"{newest.name} is stale: missing={missing} extra={extra} — "
+        "regenerate with tools/check_parity.py --json")
+    assert data["n_fail"] == 0, f"{newest.name} records failures: " \
+                                f"{data['failures']}"
