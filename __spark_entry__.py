@@ -8301,6 +8301,36 @@ def _sql_winsorized():
     return winsorized_stats_sql("events", "event_type")
 
 
+def q_basket_lift(spark, sf_dir):
+    """Market-basket lift of co-ordered part pairs
+    (conversion.basket_lift) — distinct items, baskets capped at 20
+    before the within-order self-join, min pair count 3."""
+    from distill_spark.operators.conversion import basket_lift
+
+    return basket_lift(_tables(spark, sf_dir)["lineitem"])
+
+
+def _sql_basket_lift():
+    from distill_spark.operators.conversion import basket_lift_sql
+
+    return basket_lift_sql()
+
+
+def q_new_vs_returning(spark, sf_dir):
+    """Weekly new-vs-returning active-user split
+    (conversion.new_vs_returning) — growth accounting over the
+    portable epoch-week grid."""
+    from distill_spark.operators.conversion import new_vs_returning
+
+    return new_vs_returning(_tables(spark, sf_dir)["events"])
+
+
+def _sql_new_vs_returning():
+    from distill_spark.operators.conversion import new_vs_returning_sql
+
+    return new_vs_returning_sql()
+
+
 def q_stream_dedup(spark, sf_dir):
     """Streaming exact dedup, driver-gated: events UNION a planted
     re-delivery of every 10th event (at-least-once simulation) written
@@ -8368,6 +8398,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "winsorized_value": (q_winsorized_value, _sql_winsorized()),
     "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
     "centroid_drift": (q_centroid_drift, _sql_centroid_drift()),
+    "basket_lift": (q_basket_lift, _sql_basket_lift()),
+    "new_vs_returning": (q_new_vs_returning, _sql_new_vs_returning()),
     # -- round-8: model-evaluation family ------------------------------------
     "auc_purchase": (q_auc_purchase, _sql_auc()),
     "lift_deciles": (q_lift_deciles, _sql_lift()),

@@ -144,6 +144,51 @@ def _ann_scale(spark, n=1_000_000, dim=64, nq=8, k=10):
             "scored_pairs_per_sec": round(n * nq / secs)}
 
 
+_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+           "lineitem", "events", "documents", "embeddings"]
+
+
+def _sf1_section(spark, sf_dir):
+    """Opportunistic sf≈1 section: if tools/scale_run.py has
+    materialized the x10 scale-up (gitignored .scale_data/x10 —
+    documents/embeddings/lineitem at 10× sf0.1), assemble an sf1 view
+    (x10 tables where they exist, sf0.1 for the rest) and run the 5
+    most expensive headline queries ONCE, sequentially. sf0.1 is
+    saturated as a signal (round-7 lesson: uniform box noise exceeds
+    real deltas); the sf0.1→sf1 ratio is the scale flag — anything
+    over ~10× is superlinear and gets called out."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    x10 = os.path.join(root, ".scale_data", "x10")
+    if not os.path.exists(os.path.join(x10, "_DONE")):
+        return None
+    view = os.path.join(root, ".scale_data", "sf1_view")
+    os.makedirs(view, exist_ok=True)
+    for t in _TABLES:
+        dst = os.path.join(view, f"{t}.parquet")
+        src = os.path.join(x10, f"{t}.parquet")
+        if not os.path.exists(src):
+            src = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.lexists(dst):
+            os.remove(dst)
+        os.symlink(src, dst)
+    names = ["a2_kmeans_dedup", "g3_blast_radius", "a1_cluster_cc",
+             "j1_pairwise_band", "flagship_dedupe"]
+    queries = entrymod.queries()
+    timings = {}
+    t0 = time.time()
+    for name in names:
+        fn = flagship_dedupe if name == "flagship_dedupe" else queries[name]
+        s0 = time.time()
+        n = fn(spark, view).count()
+        timings[name] = round(time.time() - s0, 3)
+        print(f"# sf1 {name}: {n} rows in {timings[name]}s",
+              file=sys.stderr, flush=True)
+        _release_state(spark, jvm_gc=True)
+    return {"total": round(time.time() - t0, 3), "queries": timings,
+            "note": "x10 docs/embeddings/lineitem (~sf1), sf0.1 rest; "
+                    "sequential, 1 rep"}
+
+
 def _release_state(spark, jvm_gc=False):
     """Operators persist/localCheckpoint intermediates; between
     unrelated queries those blocks only cost heap. clearCache handles
@@ -238,9 +283,22 @@ def main():
             # a2_kmeans straggler that governs the batch wall, 4
             # under-overlaps the tail). Overridable for experiments.
             width = int(os.environ.get("SPARK_GRAFT_BENCH_INFLIGHT", "5"))
+            # head-start for the governing straggler: a2_kmeans is an
+            # 8-job chain whose early jobs are driver-latency bound —
+            # letting it run alone for a beat before the flood means
+            # its chain is deep in flight when contention arrives
+            stagger = float(os.environ.get("SPARK_GRAFT_BENCH_STAGGER", "0"))
             with ThreadPoolExecutor(max_workers=width) as pool:
-                for name, took in pool.map(run_one, all_names):
-                    timings[name] = took
+                if stagger > 0:
+                    head = pool.submit(run_one, all_names[0])
+                    time.sleep(stagger)
+                    rest = [pool.submit(run_one, n) for n in all_names[1:]]
+                    for fut in [head, *rest]:
+                        name, took = fut.result()
+                        timings[name] = took
+                else:
+                    for name, took in pool.map(run_one, all_names):
+                        timings[name] = took
             _release_state(spark, jvm_gc=True)
         return round(time.time() - total0, 3), timings
 
@@ -273,6 +331,8 @@ def main():
     # follow — their own comparison basis is batch-internal
     training_total, training_timings = run_training()
     ann_scale = _ann_scale(spark)
+    _release_state(spark, jvm_gc=True)
+    sf1 = _sf1_section(spark, sf_dir)
     _release_state(spark, jvm_gc=True)
     seq_total, seq_timings = run_batch(sequential=True)
     if seq_only:
@@ -313,6 +373,10 @@ def main():
         # exact batch ANN over a synthetic 10^6-vector corpus — the
         # N>=10^6 scale-claim evidence (similarity.brute_topk_batch)
         "ann_scale": ann_scale,
+        # opportunistic sf~1 section (present when .scale_data/x10
+        # exists): the 5 most expensive headline queries at 10x data,
+        # sequential, 1 rep — the scale signal sf0.1 no longer gives
+        "sf1": sf1,
         # measurement-basis note: since round 5 the training section
         # runs FIRST (fresh JVM), so headline batches carry training's
         # GC debt — r01-r03 files used the opposite order; compare

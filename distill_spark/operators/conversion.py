@@ -839,3 +839,133 @@ SELECT cur, nxt, CAST(n AS BIGINT) AS n,
                             + (SELECT k FROM k) AS DOUBLE), 6) AS prob
 FROM dense
 """
+
+
+def basket_lift(lineitem: DataFrame, order_col: str = "l_orderkey",
+                item_col: str = "l_partkey", max_basket: int = 20,
+                min_pair_count: int = 3) -> DataFrame:
+    """Market-basket association: lift of co-ordered item pairs,
+    lift(a,b) = P(ab) / (P(a)·P(b)) over baskets — the cross-sell /
+    co-occurrence readout (and the tabular twin of token PMI).
+
+    Scale shape: baskets collapse to DISTINCT (order, item) first;
+    baskets larger than ``max_basket`` are dropped BEFORE the
+    within-order self-join (the hot-key cap — one 10⁴-item order
+    would mint 10⁸ pairs), so the join is bounded by
+    |orders|·C(max_basket, 2). Counts are exact longs; support/lift
+    round 6. Pairs below ``min_pair_count`` are pruned (standard
+    min-support, keeps the output the interesting tail).
+    Output: (item_a, item_b, n_ab, n_a, n_b, support, lift).
+    """
+    items = (lineitem.select(F.col(order_col).alias("o"),
+                             F.col(item_col).alias("p")).distinct())
+    sizes = items.groupBy("o").agg(F.count("*").alias("_sz"))
+    ok = (items.join(sizes.filter(F.col("_sz") <= max_basket), "o")
+          .select("o", "p"))
+    n_orders = ok.select("o").distinct().agg(
+        F.count("*").alias("_n"))                  # 1-row, broadcast below
+    per_item = ok.groupBy("p").agg(F.count("*").alias("_ni"))
+    pairs = (ok.alias("x")
+             .join(ok.alias("y"),
+                   (F.col("x.o") == F.col("y.o"))
+                   & (F.col("x.p") < F.col("y.p")))
+             .groupBy(F.col("x.p").alias("item_a"),
+                      F.col("y.p").alias("item_b"))
+             .agg(F.count("*").alias("n_ab"))
+             .filter(F.col("n_ab") >= min_pair_count))
+    na = per_item.select(F.col("p").alias("item_a"),
+                         F.col("_ni").alias("n_a"))
+    nb = per_item.select(F.col("p").alias("item_b"),
+                         F.col("_ni").alias("n_b"))
+    out = (pairs.join(F.broadcast(na), "item_a")
+           .join(F.broadcast(nb), "item_b")
+           .crossJoin(F.broadcast(n_orders)))
+    nn = F.col("_n").cast("double")
+    return out.select(
+        "item_a", "item_b",
+        F.col("n_ab").cast("long").alias("n_ab"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.col("n_ab") / nn, 6).alias("support"),
+        F.round((F.col("n_ab") * nn)
+                / (F.col("n_a") * F.col("n_b")).cast("double"), 6)
+        .alias("lift"))
+
+
+def basket_lift_sql(table: str = "lineitem", order_sql: str = "l_orderkey",
+                    item_sql: str = "l_partkey", max_basket: int = 20,
+                    min_pair_count: int = 3) -> str:
+    return f"""
+WITH items AS (
+  SELECT DISTINCT {order_sql} AS o, {item_sql} AS p FROM {table}
+),
+ok AS (
+  SELECT o, p FROM items
+  WHERE o IN (SELECT o FROM items GROUP BY o
+              HAVING count(*) <= {max_basket})
+),
+n_orders AS (SELECT count(DISTINCT o) AS _n FROM ok),
+per_item AS (SELECT p, count(*) AS _ni FROM ok GROUP BY p),
+pairs AS (
+  SELECT x.p AS item_a, y.p AS item_b, count(*) AS n_ab
+  FROM ok x JOIN ok y ON x.o = y.o AND x.p < y.p
+  GROUP BY 1, 2 HAVING count(*) >= {min_pair_count}
+)
+SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(a._ni AS BIGINT) AS n_a, CAST(b._ni AS BIGINT) AS n_b,
+       round(n_ab / CAST(_n AS DOUBLE), 6) AS support,
+       round((n_ab * CAST(_n AS DOUBLE))
+             / CAST(a._ni * b._ni AS DOUBLE), 6) AS lift
+FROM pairs
+JOIN per_item a ON a.p = pairs.item_a
+JOIN per_item b ON b.p = pairs.item_b
+CROSS JOIN n_orders
+"""
+
+
+def new_vs_returning(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Weekly new-vs-returning active-user split: a user is NEW in
+    their first active week (epoch_days // 7 — portable, no engine
+    week conventions) and RETURNING in every later active week — the
+    growth-accounting companion to audience_growth / churn_snapshot.
+
+    One distinct (user, week) frame, first week from a per-user min
+    window over it, one week aggregate. Output: (week, n_active,
+    n_new, n_returning, pct_new), pct rounds 6.
+    """
+    week = F.floor(F.floor(F.unix_micros(F.col(ts_col)) / 86_400_000_000)
+                   / 7)
+    active = (events.select(F.col(user_col).alias("u"), week.alias("w"))
+              .distinct())
+    wu = Window.partitionBy("u")
+    flagged = active.select(
+        "w", (F.col("w") == F.min("w").over(wu)).cast("long").alias("_new"))
+    return (flagged.groupBy(F.col("w").cast("long").alias("week"))
+            .agg(F.count("*").cast("long").alias("n_active"),
+                 F.sum("_new").cast("long").alias("n_new"),
+                 (F.count("*") - F.sum("_new")).cast("long")
+                 .alias("n_returning"),
+                 F.round(F.sum("_new") / F.count("*").cast("double"), 6)
+                 .alias("pct_new")))
+
+
+def new_vs_returning_sql(table: str = "events",
+                         user_sql: str = "user_id",
+                         ts_sql: str = "ts") -> str:
+    wk = f"CAST(floor(floor(epoch_us({ts_sql}) / 86400000000) / 7) AS BIGINT)"
+    return f"""
+WITH active AS (
+  SELECT DISTINCT {user_sql} AS u, {wk} AS w FROM {table}
+),
+flagged AS (
+  SELECT w, CASE WHEN w = min(w) OVER (PARTITION BY u)
+            THEN 1 ELSE 0 END AS _new
+  FROM active
+)
+SELECT w AS week, CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(_new) AS BIGINT) AS n_new,
+       CAST(count(*) - sum(_new) AS BIGINT) AS n_returning,
+       round(sum(_new) / CAST(count(*) AS DOUBLE), 6) AS pct_new
+FROM flagged GROUP BY w
+"""

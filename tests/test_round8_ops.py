@@ -219,3 +219,50 @@ def test_weekly_transitions_plan_has_no_dense_grid(spark):
     assert "CartesianProduct" not in plan
     # the explode(sequence(lo, hi)) week densifier must be gone too
     assert "sequence(" not in plan.lower()
+
+
+def test_basket_lift_hand_values(spark):
+    """3 baskets: {1,2}, {1,2}, {1,3}. With min_pair_count=2 only
+    (1,2) survives: n_ab=2, n_1=3, n_2=2, support=2/3,
+    lift = 2*3/(3*2) = 1.0."""
+    from distill_spark.operators.conversion import basket_lift
+
+    rows = [(10, 1), (10, 2), (20, 1), (20, 2), (30, 1), (30, 3),
+            (10, 1)]  # duplicate line collapses via distinct
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = basket_lift(df, min_pair_count=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.item_a, r.item_b, r.n_ab, r.n_a, r.n_b) == (1, 2, 2, 3, 2)
+    assert r.support == round(2 / 3, 6) and r.lift == 1.0
+
+
+def test_basket_lift_caps_mega_basket(spark):
+    """A basket over max_basket contributes NO pairs (hot-key cap)."""
+    from distill_spark.operators.conversion import basket_lift
+
+    rows = ([(1, p) for p in range(30)]            # mega basket, dropped
+            + [(2, 1), (2, 2), (3, 1), (3, 2), (4, 1), (4, 2)])
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = basket_lift(df, max_basket=20, min_pair_count=2).collect()
+    assert len(got) == 1
+    # counts come from the CAPPED universe only: 3 orders, both items in all
+    r = got[0]
+    assert (r.n_ab, r.n_a, r.n_b) == (3, 3, 3)
+    assert r.lift == 1.0
+
+
+def test_new_vs_returning_first_week_rule(spark):
+    """u1 active weeks 0 and 1, u2 week 1 only: week0 = 1 new;
+    week1 = 1 new (u2) + 1 returning (u1)."""
+    from distill_spark.operators.conversion import new_vs_returning
+
+    t0 = dt.datetime(1970, 1, 1)
+    wk = dt.timedelta(days=7)
+    rows = [(1, t0, 1, "x", 0.0), (2, t0 + wk, 1, "x", 0.0),
+            (3, t0 + wk, 2, "x", 0.0),
+            (4, t0 + wk + dt.timedelta(days=1), 1, "x", 0.0)]  # same week
+    got = {r.week: r for r in new_vs_returning(_events(spark, rows)).collect()}
+    assert (got[0].n_active, got[0].n_new, got[0].n_returning) == (1, 1, 0)
+    assert (got[1].n_active, got[1].n_new, got[1].n_returning) == (2, 1, 1)
+    assert got[1].pct_new == 0.5
