@@ -8301,6 +8301,72 @@ def _sql_winsorized():
     return winsorized_stats_sql("events", "event_type")
 
 
+def q_signlsh_edges(spark, sf_dir):
+    """Banded sign-LSH similarity edges (cluster.signlsh_edges) — the
+    above-budget auto route of similarity_edges, AND/OR-composed like
+    banded MinHash. Integer-exact end to end (LCG hyperplanes,
+    floor-quantized vectors, int64 dots), so the oracle replays the
+    whole pipeline, bands included — the subset-of-exact contract is
+    pinned by tests/test_signlsh.py. threshold 0.7 / 8 bits × 8 bands
+    (the a1 clustering regime on this corpus)."""
+    from distill_spark.operators.cluster import signlsh_edges
+
+    t = _tables(spark, sf_dir)
+    emb = t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+    return (signlsh_edges(emb, 0.7, bits_per_band=8, n_bands=8,
+                          max_df=100, seed=1)
+            .select(F.col("src").cast("long").alias("src"),
+                    F.col("dst").cast("long").alias("dst")))
+
+
+def _sql_signlsh(dim: int = 64, bits: int = 8, bands: int = 8,
+                 seed: int = 1, max_df: int = 100,
+                 threshold: float = 0.7) -> str:
+    n_planes = bits * bands
+    cos = _COS_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""
+WITH planes AS (
+  SELECT j.j, i.i,
+         ((1103515245 * (j.j * {dim} + i.i + {seed}) + 12345)
+          % 2147483648) - 1073741824 AS w
+  FROM (SELECT unnest(range(0, {n_planes})) AS j) j
+  CROSS JOIN (SELECT unnest(range(0, {dim})) AS i) i
+),
+q AS (
+  SELECT vec_id AS vid, i.i,
+         CAST(floor(coalesce(embedding[CAST(i.i + 1 AS INT)], 0)
+                    * 1048576.0) AS BIGINT) AS qv
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(range(0, {dim})) AS i) i
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+),
+dots AS (
+  SELECT q.vid, p.j, sum(q.qv * p.w) AS dot
+  FROM q JOIN planes p ON p.i = q.i
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT vid, j // {bits} AS bk,
+         CAST(sum(CASE WHEN dot > 0
+                  THEN 1 << CAST(j % {bits} AS INT) ELSE 0 END) AS INT)
+           AS bv
+  FROM dots GROUP BY 1, 2
+),
+ok AS (SELECT bk, bv FROM bands GROUP BY 1, 2
+       HAVING count(*) <= {max_df}),
+cand AS (
+  SELECT DISTINCT x.vid AS src, y.vid AS dst
+  FROM bands x JOIN ok ON x.bk = ok.bk AND x.bv = ok.bv
+  JOIN bands y ON y.bk = x.bk AND y.bv = x.bv AND x.vid < y.vid
+)
+SELECT cand.src, cand.dst
+FROM cand
+JOIN embeddings a ON a.vec_id = cand.src
+JOIN embeddings b ON b.vec_id = cand.dst
+WHERE round(1.0 - {cos}, 6) <= {threshold}
+"""
+
+
 def q_basket_lift(spark, sf_dir):
     """Market-basket lift of co-ordered part pairs
     (conversion.basket_lift) — distinct items, baskets capped at 20
@@ -8398,6 +8464,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "winsorized_value": (q_winsorized_value, _sql_winsorized()),
     "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
     "centroid_drift": (q_centroid_drift, _sql_centroid_drift()),
+    "signlsh_edges": (q_signlsh_edges, _sql_signlsh()),
     "basket_lift": (q_basket_lift, _sql_basket_lift()),
     "new_vs_returning": (q_new_vs_returning, _sql_new_vs_returning()),
     # -- round-8: model-evaluation family ------------------------------------

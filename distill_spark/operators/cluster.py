@@ -163,7 +163,8 @@ def similarity_edges(
 
     ``method="auto"`` (default): exact broadcast-matmul while the
     corpus matrix (rows × dim × 8 bytes float64) fits the broadcast
-    budget, approximate LSH above it — the 100 TB path never collects
+    budget, banded sign-LSH above it (``signlsh_edges`` — subset
+    contract, hot-bucket capped) — the 100 TB path never collects
     the corpus to the driver.
     ``method="exact"``: exact regardless of size — broadcast-matmul
     within budget, O(N²) distributed pairwise join above it.
@@ -175,7 +176,7 @@ def similarity_edges(
     never fabricates them).
     """
     with_emb = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
-    if method not in ("auto", "exact", "lsh"):
+    if method not in ("auto", "exact", "lsh", "banded"):
         raise ValueError(f"unknown method {method!r}")
     # one cheap column-pruned pass for corpus size + dimensionality;
     # both the memory gate and the LSH feature padding need it
@@ -197,7 +198,12 @@ def similarity_edges(
                 dist_round=dist_round,
             )
         if method == "auto":
-            method = "lsh"
+            # above budget: banded sign-LSH, not the ML BRP join — BRP
+            # is OR-composition only (one projection per table), so its
+            # candidate relation stays TH(n^2) on random data; the
+            # banded route's AND-composition collapses random
+            # collisions to ~bands/2^bits of n^2 (see signlsh_edges)
+            method = "banded"
     if method == "exact":
         pairs = pairwise_distances(with_emb, id_col, vec_col)
         if dist_round is not None:
@@ -208,6 +214,9 @@ def similarity_edges(
             pairs.filter(F.col("dist") <= threshold)
             .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         )
+    if method == "banded":
+        return signlsh_edges(with_emb, threshold, id_col=id_col,
+                             vec_col=vec_col, dist_round=dist_round)
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -396,3 +405,126 @@ def cluster_sizes(df: DataFrame, cluster_col: str = "cluster_id",
     return df.groupBy(cluster_col).agg(
         F.count("*").alias("size"), F.max(score_col).alias("max_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Banded sign-LSH similarity edges — the 100 TB near-dup edge builder.
+
+_SIGNLSH_LCG_A = 1103515245
+_SIGNLSH_LCG_C = 12345
+_SIGNLSH_MOD = 1 << 31
+_SIGNLSH_QUANT = 1 << 20
+
+
+def _signlsh_planes(dim: int, n_planes: int, seed: int):
+    """Deterministic integer hyperplanes from a portable LCG:
+    w(j, i) = ((A·(j·dim + i + seed) + C) mod 2³¹) − 2³⁰, an int64 in
+    [−2³⁰, 2³⁰). Pure integer arithmetic — bit-identical in numpy, a
+    Spark column expression, and the DuckDB oracle, with no RNG-
+    implementation dependence (the reason this is not np.random)."""
+    import numpy as np
+
+    j = np.arange(n_planes, dtype=np.int64).reshape(-1, 1)
+    i = np.arange(dim, dtype=np.int64).reshape(1, -1)
+    s = (_SIGNLSH_LCG_A * (j * dim + i + seed) + _SIGNLSH_LCG_C) \
+        % _SIGNLSH_MOD
+    return s - (_SIGNLSH_MOD >> 1)
+
+
+def signlsh_signatures(df: DataFrame, id_col: str, vec_col: str, dim: int,
+                       bits_per_band: int, n_bands: int,
+                       seed: int) -> DataFrame:
+    """(id, bands array<int>) — band k packs the signs of hyperplane
+    dots k·bits..k·bits+bits−1. EXACT integer pipeline: vectors
+    quantize to q_i = floor(v_i · 2²⁰) (floor, never round — banker's
+    vs half-away rounding differs across engines), planes are int64,
+    the dot is an int64 sum — so the sign is order-independent and
+    bit-identical on every engine. Arrow-batched numpy matmul
+    map-side; only (id, n_bands ints) ever shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    planes = _signlsh_planes(dim, bits_per_band * n_bands, seed)
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"_id {id_type}, _bands array<int>"
+    weights = (1 << np.arange(bits_per_band, dtype=np.int64))
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            mat = np.zeros((n, dim), dtype=np.float64)
+            for r, v in enumerate(pdf[vec_col]):
+                if v is None:
+                    continue
+                a = np.asarray(v, dtype=np.float64)[:dim]
+                mat[r, : len(a)] = a
+            q = np.floor(mat * _SIGNLSH_QUANT).astype(np.int64)
+            bits = (q @ planes.T > 0).astype(np.int64)
+            bands = bits.reshape(n, n_bands, bits_per_band) @ weights
+            yield pd.DataFrame({"_id": pdf[id_col],
+                                "_bands": list(bands.astype("int32"))})
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def signlsh_edges(df: DataFrame, threshold: float, id_col: str = "id",
+                  vec_col: str = "embedding", bits_per_band: int = 14,
+                  n_bands: int = 32, max_df: int = 200, seed: int = 1,
+                  dist_round: int | None = 6) -> DataFrame:
+    """Similarity edges (src, dst) at cosine distance ≤ threshold via
+    banded sign-LSH — the AND/OR composition the Spark ML BRP join
+    lacks (BRP hashes ONE projection per table: random pairs collide
+    with constant probability and the candidate relation stays Θ(n²)
+    — measured: a BRP run at 10× outlived the entire 100× exact
+    matmul). Here a candidate must match all ``bits_per_band`` sign
+    bits in some band: true near-dups (angle θ, per-bit agreement
+    1−θ/π) survive some band with probability
+    1−(1−(1−θ/π)^bits)^bands, while random pairs collide at
+    ≈ bands/2^bits — the same topology as banded MinHash, which
+    SCALE_r7 measured sublinear to 33.6M rows.
+
+    Contract: the edge set is a SUBSET of the exact one (candidates
+    are re-verified with the true cosine, rounded to ``dist_round``
+    like the exact route); recall is the band-survival probability
+    above — tune bits/bands to the threshold regime. Buckets larger
+    than ``max_df`` are dropped (hot-bucket cap: an all-zeros band
+    bucket must not mint |bucket|² pairs).
+
+    100 TB shape: signatures are map-side Arrow matmuls (integer-
+    exact, see signlsh_signatures); the shuffle key is (band idx,
+    16-bit band value); candidate verification touches only vector
+    pairs that share a band. Everything is one lazy plan — no driver
+    collect at any size (this is the ``auto`` route above the
+    broadcast budget in similarity_edges).
+    """
+    with_emb = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+    dim = with_emb.agg(F.coalesce(F.max(F.size(vec_col)), F.lit(0))).first()[0]
+    id_type = dict(df.dtypes)[id_col]
+    if not dim:
+        return df.sparkSession.createDataFrame(
+            [], schema=f"src {id_type}, dst {id_type}")
+    sigs = signlsh_signatures(with_emb, id_col, vec_col, dim,
+                              bits_per_band, n_bands, seed)
+    long = sigs.select("_id", F.posexplode("_bands").alias("bk", "bv"))
+    ok = (long.groupBy("bk", "bv").agg(F.count("*").alias("_n"))
+          .filter(F.col("_n") <= max_df).drop("_n"))
+    lo = long.join(ok, ["bk", "bv"])
+    cand = (lo.alias("x")
+            .join(lo.alias("y"),
+                  (F.col("x.bk") == F.col("y.bk"))
+                  & (F.col("x.bv") == F.col("y.bv"))
+                  & (F.col("x._id") < F.col("y._id")))
+            .select(F.col("x._id").alias("src"), F.col("y._id").alias("dst"))
+            .distinct())
+    va = with_emb.select(F.col(id_col).alias("src"),
+                         F.col(vec_col).alias("_va"))
+    vb = with_emb.select(F.col(id_col).alias("dst"),
+                         F.col(vec_col).alias("_vb"))
+    dist = vm.cosine_distance(F.col("_va"), F.col("_vb"))
+    if dist_round is not None:
+        dist = F.round(dist, dist_round)
+    return (cand.join(va, "src").join(vb, "dst")
+            .filter(dist <= threshold)
+            .select("src", "dst"))

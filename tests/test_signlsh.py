@@ -1,0 +1,111 @@
+"""Banded sign-LSH similarity edges: subset-of-exact contract,
+planted-cluster recall, hot-bucket cap, integer-exact signature
+determinism, and the auto-route handoff above the broadcast budget."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from distill_spark.operators.cluster import (
+    _signlsh_planes, signlsh_edges, signlsh_signatures, similarity_edges)
+
+
+def _vecs_df(spark, vecs: dict[str, list[float]]):
+    rows = [(k, [float(x) for x in v]) for k, v in sorted(vecs.items())]
+    return spark.createDataFrame(rows, "id string, embedding array<float>")
+
+
+def _planted(seed=7, n_clusters=6, per=4, dim=32, noise=0.03):
+    """Clusters of unit-ish vectors tightly packed around random
+    centers — within-cluster cosine distance << across-cluster."""
+    rng = random.Random(seed)
+    vecs = {}
+    for c in range(n_clusters):
+        center = [rng.gauss(0, 1) for _ in range(dim)]
+        for m in range(per):
+            v = [x + rng.gauss(0, noise) for x in center]
+            vecs[f"c{c}m{m}"] = v
+    return vecs
+
+
+def _exact_edges(vecs, threshold):
+    def cos_d(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return 2.0 if na == 0 or nb == 0 else 1.0 - d / (na * nb)
+    keys = sorted(vecs)
+    return {(a, b) for i, a in enumerate(keys) for b in keys[i + 1:]
+            if round(cos_d(np.float32(vecs[a]).astype(float),
+                           np.float32(vecs[b]).astype(float)), 6)
+            <= threshold}
+
+
+def test_signlsh_subset_of_exact_and_high_recall(spark):
+    vecs = _planted()
+    df = _vecs_df(spark, vecs)
+    got = {(r.src, r.dst) for r in signlsh_edges(
+        df, 0.2, bits_per_band=12, n_bands=32).collect()}
+    exact = _exact_edges(vecs, 0.2)
+    assert got <= exact                      # never fabricates
+    # within-cluster pairs are near-identical (cos dist ~ noise^2):
+    # banded recall at this regime should be essentially total
+    assert len(got) >= 0.9 * len(exact)
+    # and across-cluster random pairs must not appear
+    assert all(a.split("m")[0] == b.split("m")[0] for a, b in got)
+
+
+def test_signlsh_auto_route_above_budget_matches(spark):
+    """similarity_edges(auto) with a 1-byte budget must take the
+    banded route and produce the same subset-verified edges."""
+    vecs = _planted(seed=11)
+    df = _vecs_df(spark, vecs)
+    auto = similarity_edges(df, 0.2, id_col="id", method="auto",
+                            broadcast_budget_bytes=1, dist_round=6)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan            # the signature stage
+    assert "hashValue" not in plan          # NOT the BRP join
+    got = {(r.src, r.dst) for r in auto.collect()}
+    exact = _exact_edges(vecs, 0.2)
+    assert got <= exact and len(got) >= 0.9 * len(exact)
+
+
+def test_signlsh_hot_bucket_cap(spark):
+    """Identical vectors share every band: with max_df below the group
+    size no bucket survives, so no pairs (the cap is the documented
+    recall trade, not an error)."""
+    vecs = {f"same{i}": [1.0, 2.0, 3.0, 4.0] for i in range(8)}
+    df = _vecs_df(spark, vecs)
+    assert signlsh_edges(df, 0.2, bits_per_band=8, n_bands=8,
+                         max_df=4).count() == 0
+    assert signlsh_edges(df, 0.2, bits_per_band=8, n_bands=8,
+                         max_df=100).count() == 8 * 7 // 2
+
+
+def test_signatures_integer_exact_vs_numpy_reference(spark):
+    """The signature pipeline is exact int64 arithmetic: an
+    independent per-row Python implementation must agree bit for bit."""
+    vecs = _planted(seed=3, n_clusters=2, per=3, dim=16)
+    df = _vecs_df(spark, vecs)
+    got = {r._id: list(r._bands) for r in signlsh_signatures(
+        df, "id", "embedding", 16, 8, 4, seed=1).collect()}
+    planes = _signlsh_planes(16, 32, 1)
+    for k, v in vecs.items():
+        v32 = np.asarray(v, dtype=np.float32).astype(np.float64)
+        q = np.floor(v32 * (1 << 20)).astype(np.int64)
+        bits = [1 if int((q * planes[j]).sum()) > 0 else 0
+                for j in range(32)]
+        bands = [sum(bits[b * 8 + t] << t for t in range(8))
+                 for b in range(4)]
+        assert got[k] == bands, k
+
+
+def test_signlsh_empty_and_null_vectors(spark):
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", None), ("c", [])],
+        "id string, embedding array<float>")
+    assert signlsh_edges(df, 0.5, bits_per_band=4, n_bands=2).count() == 0

@@ -107,39 +107,52 @@ def flagship(spark, docs_path, emb_path, method: str = "auto"):
                                target_k=32, method=method))
 
 
-def gate_handoff_probe(spark, docs_path, emb_path) -> dict:
-    """Prove the auto matmul→LSH handoff executes, with plan-text
-    evidence: run similarity_edges(method='auto') on the x100 corpus
-    twice — at the default 512 MB budget (matrix fits → matmul) and
-    at a 64 MB budget (matrix exceeds → LSH). The LSH physical plan
-    carries the 'hashValue' join keys of approxSimilarityJoin; the
-    matmul plan carries the Arrow mapInPandas stage instead. The x100
-    matrix is 200k × 64 × 8 B ≈ 102 MB — genuinely between the two
-    budgets, so each run exercises a different side of the SAME gate
-    condition (n·dim·8 ≤ budget) the production default applies.
+def gate_handoff_probe(spark, docs_path, emb_path,
+                       threshold: float = 0.2) -> dict:
+    """Prove the auto matmul→banded-LSH handoff executes, with
+    plan-text evidence: build similarity_edges(method='auto') on the
+    x100 corpus twice — at the default 512 MB budget (matrix fits →
+    broadcast matmul: a bare Arrow MapInPandas stage, no joins) and
+    at a 64 MB budget (matrix exceeds → banded sign-LSH: signature
+    MapInPandas + posexplode('Generate') + band-bucket self-join).
+    The x100 matrix is 200k × 64 × 8 B ≈ 102 MB — genuinely between
+    the two budgets, so each build exercises a different side of the
+    SAME gate condition (n·dim·8 ≤ budget) the production default
+    applies. Only the banded side is executed for wall-clock (the
+    matmul side's cost is the flagship x100 number).
+
+    Threshold 0.2 (near-dup regime), NOT the flagship's 0.65: any
+    radius-pruning structure degenerates when the radius covers most
+    of the sphere (measured: the ML BRP join at 0.65 at a mere x10
+    outlived the ENTIRE x100 exact matmul — which is why the banded
+    route replaced BRP as the auto handoff). Above budget at high
+    radii the right scale move is a tighter threshold or the banded
+    MinHash text path; the gate's job there is memory safety, which
+    the plan evidence proves without a pathological wall-clock stunt.
     """
     from distill_spark.operators.cluster import similarity_edges
 
     chunks = _chunks(spark, docs_path, emb_path)
     n, dim = chunks.agg(F.count("*"), F.max(F.size("embedding"))).first()
-    out = {"n_vectors": int(n), "dim": int(dim),
+    out = {"n_vectors": int(n), "dim": int(dim), "threshold": threshold,
            "matrix_bytes": int(n) * int(dim) * 8,
            "default_budget_bytes": 512 << 20}
     # the matmul side's wall-clock is already measured by the
-    # flagship_dedupe x100 run (quadratic — rerunning it here would
-    # double a 20-minute stage for zero information); only the route
-    # decision is evidenced, from the physical plan
+    # flagship_dedupe x100 run (quadratic — rerunning it would double
+    # a 12-minute stage for zero information); its route decision is
+    # evidenced from the physical plan
     for tag, budget, execute in (("default_512mb", 512 << 20, False),
                                  ("64mb", 64 << 20, True)):
-        edges = similarity_edges(chunks, 0.65, method="auto",
+        edges = similarity_edges(chunks, threshold, method="auto",
                                  broadcast_budget_bytes=budget)
         plan = edges._jdf.queryExecution().executedPlan().toString()
+        banded = "Generate" in plan          # posexplode of the bands
         out[tag] = {
             "budget_bytes": budget,
-            "route": "lsh" if "hashValue" in plan else "matmul",
-            "plan_has_lsh_hash_join": "hashValue" in plan,
-            "plan_has_arrow_matmul": ("MapInPandas" in plan
-                                      or "ArrowEvalPython" in plan),
+            "route": "banded_signlsh" if banded else "matmul",
+            "plan_has_band_explode": banded,
+            "plan_has_arrow_stage": ("MapInPandas" in plan
+                                     or "ArrowEvalPython" in plan),
         }
         if execute:
             t0 = time.time()
@@ -185,6 +198,18 @@ def main():
         print(f"# building x{f} ...", file=sys.stderr, flush=True)
         dirs[f] = build_scaled(spark, f)
 
+    def banded_edges(d, threshold=0.2):
+        # the above-budget auto route: banded sign-LSH (AND/OR
+        # composition) — the x10/x100 replicas are planted near-dups
+        # (dim-0 jitter 1e-3), so this measures the route doing its
+        # actual job: recovering the dup classes without n^2 work
+        from distill_spark.operators.cluster import signlsh_edges
+
+        chunks = _chunks(spark, os.path.join(d, "documents.parquet"),
+                         os.path.join(d, "embeddings.parquet"))
+        return signlsh_edges(chunks, threshold, id_col="id",
+                             bits_per_band=14, n_bands=32, max_df=250)
+
     runs = {
         # x100 embeddings = 200k × 64-dim = ~102 MB matrix: UNDER the
         # 512 MB broadcast budget, so auto stays on the exact matmul —
@@ -195,14 +220,14 @@ def main():
                                os.path.join(d, "documents.parquet"),
                                os.path.join(d, "embeddings.parquet")),
             (1, 10, 100)),
-        # the LSH route at the same x100 data — the plan auto would
-        # pick above budget, wall-clocked for the slope comparison
-        "flagship_dedupe_lsh": (
-            lambda d: flagship(spark,
-                               os.path.join(d, "documents.parquet"),
-                               os.path.join(d, "embeddings.parquet"),
-                               method="lsh"),
-            (10, 100)),
+        # the banded-LSH edge build at a NEAR-DUP threshold (0.2) —
+        # the regime LSH exists for (see gate_handoff_probe docstring
+        # on why the ML BRP join at 0.65 degenerates); x10 and x100
+        # give the above-budget route's slope, with output growing
+        # quadratically in the replica factor BY CONSTRUCTION (every
+        # replica pair is a true dup) — compare edge counts, not just
+        # wall, when reading the slope
+        "edge_banded_neardup": (banded_edges, (10, 100)),
         "dedup_minhash_lsh": (
             lambda d: minhash(spark, os.path.join(d, "documents.parquet")),
             (1, 10, 100)),
@@ -210,22 +235,46 @@ def main():
             lambda d: tpch_q1(spark, os.path.join(d, "lineitem.parquet")),
             (1, 10, 100)),
     }
+    # resume: re-invocations skip cells an existing artifact already
+    # measured (the x100 exact matmul alone is ~12 min — never re-pay)
     results = {}
+    if json_path and os.path.exists(json_path):
+        try:
+            with open(json_path) as fh:
+                results = json.load(fh).get("results", {})
+            print(f"# resuming from {json_path}", file=sys.stderr, flush=True)
+        except (OSError, json.JSONDecodeError):
+            results = {}
+
+    def _flush():
+        if json_path:
+            out = {"base_sf": 0.1,
+                   "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                   "results": results}
+            with open(json_path, "w") as fh:
+                json.dump(out, fh, indent=1, sort_keys=True)
+
     for name, (fn, factors) in runs.items():
-        results[name] = {}
+        results.setdefault(name, {})
         for f in factors:
+            if f"x{f}" in results[name]:
+                print(f"# {name} x{f}: cached", file=sys.stderr, flush=True)
+                continue
             t0 = time.time()
             n = fn(dirs[f]).count()
             took = round(time.time() - t0, 3)
             results[name][f"x{f}"] = {"rows": int(n), "secs": took}
             print(f"# {name} x{f}: {n} rows in {took}s",
                   file=sys.stderr, flush=True)
-    print("# gate handoff probe (x100) ...", file=sys.stderr, flush=True)
-    results["edge_gate_handoff_x100"] = gate_handoff_probe(
-        spark, os.path.join(dirs[100], "documents.parquet"),
-        os.path.join(dirs[100], "embeddings.parquet"))
-    print(f"# gate: {json.dumps(results['edge_gate_handoff_x100'])}",
-          file=sys.stderr, flush=True)
+            _flush()
+    if "edge_gate_handoff_x100" not in results:
+        print("# gate handoff probe (x100) ...", file=sys.stderr, flush=True)
+        results["edge_gate_handoff_x100"] = gate_handoff_probe(
+            spark, os.path.join(dirs[100], "documents.parquet"),
+            os.path.join(dirs[100], "embeddings.parquet"))
+        print(f"# gate: {json.dumps(results['edge_gate_handoff_x100'])}",
+              file=sys.stderr, flush=True)
+        _flush()
     # growth slopes (wall ratio / scale ratio; 1.0 = perfectly linear)
     for name, r in results.items():
         keys = sorted((k for k in r if k.startswith("x") and k[1:].isdigit()),
