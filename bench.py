@@ -279,14 +279,25 @@ def main():
             from concurrent.futures import ThreadPoolExecutor
 
             # in-flight width trades per-query contention against
-            # overlap; 5 measured best at sf0.1 (6 starves the
-            # a2_kmeans straggler that governs the batch wall, 4
-            # under-overlaps the tail). Overridable for experiments.
-            width = int(os.environ.get("SPARK_GRAFT_BENCH_INFLIGHT", "5"))
+            # overlap. Round-8 A/B (quick-mode, solo box, 3 reps per
+            # arm, 3 sessions): width 6 beat 5 in 2 of 3 back-to-back
+            # pairs and holds the best observed wall (6.49 s vs 7.57)
+            # — the round-6 "6 starves a2" finding inverted after the
+            # weighted FAIR pools landed. Box noise is ±1 s; the min
+            # over 3 reps is the committed basis either way.
+            width = int(os.environ.get("SPARK_GRAFT_BENCH_INFLIGHT", "6"))
             # head-start for the governing straggler: a2_kmeans is an
             # 8-job chain whose early jobs are driver-latency bound —
             # letting it run alone for a beat before the flood means
-            # its chain is deep in flight when contention arrives
+            # its chain is deep in flight when contention arrives.
+            # Round-8 experiments (solo box): stagger 0.8-1.2 cut a2's
+            # own time (7.1 -> 5.7) but the added serial delay ate the
+            # win (wall 7.6-7.1, no better than width-6 alone); a2
+            # pool weight 8 likewise noise-level. Conclusion: the a2
+            # concurrent gap (6.8 conc vs 3.6 seq) is DRIVER-side —
+            # 15 query threads share one PySpark driver GIL, and an
+            # 8-job chain pays a GIL wait between every job; executor
+            # share cannot buy that back. Kept for experiments.
             stagger = float(os.environ.get("SPARK_GRAFT_BENCH_STAGGER", "0"))
             with ThreadPoolExecutor(max_workers=width) as pool:
                 if stagger > 0:
@@ -329,6 +340,19 @@ def main():
     # shapes, so they get the freshest JVM (late-session GC debt was
     # inflating the broadcast-heavy ops 4x); the headline batches
     # follow — their own comparison basis is batch-internal
+    # QUICK mode (experiments only, never the committed artifact):
+    # warmup + concurrent reps, skipping training/ann/sf1/sequential
+    quick = os.environ.get("SPARK_GRAFT_BENCH_QUICK", "") == "1"
+    if quick:
+        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+        runs = [run_batch(sequential=False) for _ in range(reps)]
+        print(json.dumps({
+            "metric": "quick_concurrent_wall", "unit": "sec",
+            "runs": [r[0] for r in runs],
+            "min": min(r[0] for r in runs),
+            "queries_of_min": min(runs, key=lambda r: r[0])[1],
+        }), flush=True)
+        return
     training_total, training_timings = run_training()
     ann_scale = _ann_scale(spark)
     _release_state(spark, jvm_gc=True)
