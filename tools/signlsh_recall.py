@@ -1,0 +1,95 @@
+"""Measured recall of the banded sign-LSH edge route vs the exact
+matmul edge set, across (bits_per_band, n_bands) configs and
+thresholds, on the real sf0.1 embeddings (2,000 × 64 — small enough
+that the exact set is ground truth) plus a planted near-dup corpus.
+
+The subset contract (banded ⊆ exact) is asserted, not assumed.
+Writes LSH_RECALL_r8.json. Usage: python tools/signlsh_recall.py
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from distill_spark.operators.cluster import (  # noqa: E402
+    broadcast_similarity_edges, signlsh_edges)
+from distill_spark.runtime import get_spark, load_tables  # noqa: E402
+
+
+def theoretical_recall(threshold: float, bits: int, bands: int) -> float:
+    """Band-survival probability at EXACTLY the threshold distance —
+    the worst-case pair; closer pairs survive with higher odds."""
+    theta = math.acos(max(-1.0, min(1.0, 1.0 - threshold)))
+    p_bit = 1.0 - theta / math.pi
+    return 1.0 - (1.0 - p_bit ** bits) ** bands
+
+
+def edge_set(df):
+    return {(r.src, r.dst) for r in df.collect()}
+
+
+def main():
+    spark = get_spark(app_name="signlsh_recall")
+    t = load_tables(spark, "/root/testdata/sf0.1")
+    emb = t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+
+    # planted corpus: each base vector plus 4 jittered copies (the
+    # x10 scale-up construction) — true near-dups at distance ~1e-4
+    reps = spark.range(5).select(F.col("id").cast("int").alias("_r"))
+    planted = (t["embeddings"].filter(F.col("vec_id") < 400)
+               .crossJoin(reps)
+               .select((F.col("vec_id") + F.col("_r") * 1_000_000)
+                       .alias("id"),
+                       F.concat(
+                           F.array((F.col("embedding")[0]
+                                    + F.col("_r").cast("float") * 1e-3)
+                                   .cast("float")),
+                           F.slice("embedding", 2, 100_000))
+                       .alias("embedding")))
+
+    out = {"corpus": {"real": "sf0.1 embeddings (2000x64)",
+                      "planted": "400 bases x 5 jittered replicas"},
+           "runs": []}
+    cases = [
+        ("real", emb, 0.7), ("real", emb, 0.6),
+        ("planted", planted, 0.2), ("planted", planted, 0.1),
+    ]
+    for corpus_name, df, thr in cases:
+        exact = edge_set(broadcast_similarity_edges(
+            df, thr, id_col="id", dist_round=6))
+        for bits, bands in ((8, 8), (12, 32), (14, 32), (16, 64)):
+            t0 = time.time()
+            got = edge_set(signlsh_edges(df, thr, id_col="id",
+                                         bits_per_band=bits, n_bands=bands,
+                                         max_df=500))
+            secs = round(time.time() - t0, 3)
+            assert got <= exact, (corpus_name, thr, bits, bands,
+                                  "subset contract violated")
+            rec = round(len(got) / len(exact), 4) if exact else None
+            out["runs"].append({
+                "corpus": corpus_name, "threshold": thr,
+                "bits_per_band": bits, "n_bands": bands,
+                "exact_edges": len(exact), "banded_edges": len(got),
+                "recall": rec,
+                "theoretical_recall_at_threshold":
+                    round(theoretical_recall(thr, bits, bands), 4),
+                "secs": secs,
+            })
+            print(f"# {corpus_name} thr={thr} {bits}x{bands}: "
+                  f"{len(got)}/{len(exact)} recall={rec} ({secs}s)",
+                  file=sys.stderr, flush=True)
+    with open("LSH_RECALL_r8.json", "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
