@@ -8301,6 +8301,54 @@ def _sql_winsorized():
     return winsorized_stats_sql("events", "event_type")
 
 
+def q_quantile_normalize(spark, sf_dir):
+    """Cross-group quantile normalization of event values
+    (stats.quantile_normalize) — integer-exact rank mapping onto the
+    global distribution, the batch-effect corrector."""
+    from distill_spark.operators.stats import quantile_normalize
+
+    return quantile_normalize(_tables(spark, sf_dir)["events"],
+                              "event_type", "value", "event_id")
+
+
+def _sql_quantile_normalize():
+    from distill_spark.operators.stats import quantile_normalize_sql
+
+    return quantile_normalize_sql("events", "event_type", "value",
+                                  "event_id")
+
+
+def q_gini_source_lang(spark, sf_dir):
+    """Gini impurity of language within each source
+    (stats.gini_impurity) — the decision-tree-native mixedness
+    readout, 1 − HHI of label shares."""
+    from distill_spark.operators.stats import gini_impurity
+
+    return gini_impurity(_tables(spark, sf_dir)["documents"],
+                         "source", "lang")
+
+
+def _sql_gini():
+    from distill_spark.operators.stats import gini_impurity_sql
+
+    return gini_impurity_sql("documents", "source", "lang")
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-5 characteristic terms per source by TF-IDF over pooled
+    source text (search.tfidf_top_terms) — ties broken by term so
+    both engines rank identically."""
+    from distill_spark.operators.search import tfidf_top_terms
+
+    return tfidf_top_terms(_tables(spark, sf_dir)["documents"])
+
+
+def _sql_tfidf_terms():
+    from distill_spark.operators.search import tfidf_top_terms_sql
+
+    return tfidf_top_terms_sql()
+
+
 def q_signlsh_edges(spark, sf_dir):
     """Banded sign-LSH similarity edges (cluster.signlsh_edges) — the
     above-budget auto route of similarity_edges, AND/OR-composed like
@@ -8465,6 +8513,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
     "centroid_drift": (q_centroid_drift, _sql_centroid_drift()),
     "signlsh_edges": (q_signlsh_edges, _sql_signlsh()),
+    "quantile_normalize": (q_quantile_normalize, _sql_quantile_normalize()),
+    "gini_source_lang": (q_gini_source_lang, _sql_gini()),
+    "tfidf_top_terms": (q_tfidf_top_terms, _sql_tfidf_terms()),
     "basket_lift": (q_basket_lift, _sql_basket_lift()),
     "new_vs_returning": (q_new_vs_returning, _sql_new_vs_returning()),
     # -- round-8: model-evaluation family ------------------------------------

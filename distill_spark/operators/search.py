@@ -290,3 +290,71 @@ def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame,
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
     )
     return fused.limit(top) if top else fused
+
+
+def tfidf_top_terms(docs: DataFrame, group_col: str = "source",
+                    text_col: str = "text", k: int = 5) -> DataFrame:
+    """Top-k characteristic terms per group by TF-IDF over group
+    "super-documents": tf = term count within the group's pooled
+    text, idf = ln((1 + G) / (1 + g_df)) with g_df = number of groups
+    containing the term — the what-makes-this-source-different
+    readout that a mixture designer reads before weighting sources.
+
+    Scale shape: one (group, term) aggregate (the postings-build cost
+    class), group-df from a term-keyed aggregate over that frame, one
+    top-k window per group. Deterministic: scores round 6 BEFORE the
+    rank, ties broken by term asc. Output: (group, rank, term, tf,
+    gdf, tfidf).
+    """
+    terms = (docs.select(F.col(group_col).alias("g"),
+                         F.explode(words_expr(F.col(text_col)))
+                         .alias("term"))
+             .groupBy("g", "term").agg(F.count("*").alias("tf")))
+    n_groups = Window.partitionBy()
+    gdf_w = Window.partitionBy("term")
+    scored = terms.select(
+        "g", "term", "tf",
+        F.count("*").over(gdf_w).alias("gdf"),
+        F.size(F.collect_set("g").over(n_groups)).alias("_G"))
+    tfidf = F.round(
+        F.col("tf") * F.log((1.0 + F.col("_G"))
+                            / (1.0 + F.col("gdf"))), 6)
+    ranked = (scored.withColumn("tfidf", tfidf)
+              .withColumn("_rk", F.row_number().over(
+                  Window.partitionBy("g")
+                  .orderBy(F.desc("tfidf"), F.asc("term")))))
+    return (ranked.filter(F.col("_rk") <= k)
+            .select(F.col("g").alias(group_col),
+                    F.col("_rk").cast("int").alias("rank"),
+                    "term", F.col("tf").cast("long").alias("tf"),
+                    F.col("gdf").cast("long").alias("gdf"), "tfidf"))
+
+
+def tfidf_top_terms_sql(table: str = "documents",
+                        group_sql: str = "source",
+                        text_sql: str = "text", k: int = 5) -> str:
+    words = f"list_filter(string_split({text_sql}, ' '), x -> x <> '')"
+    return f"""
+WITH terms AS (
+  SELECT {group_sql} AS g, unnest({words}) AS term
+  FROM {table}
+),
+tf AS (SELECT g, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+scored AS (
+  SELECT g, term, tf,
+         count(*) OVER (PARTITION BY term) AS gdf,
+         (SELECT count(DISTINCT g) FROM tf) AS _G
+  FROM tf
+),
+ranked AS (
+  SELECT g, term, tf, gdf,
+         round(tf * ln((1.0 + _G) / (1.0 + gdf)), 6) AS tfidf,
+         row_number() OVER (PARTITION BY g
+             ORDER BY round(tf * ln((1.0 + _G) / (1.0 + gdf)), 6) DESC,
+                      term ASC) AS _rk
+  FROM scored
+)
+SELECT g AS {group_sql}, CAST(_rk AS INT) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, CAST(gdf AS BIGINT) AS gdf, tfidf
+FROM ranked WHERE _rk <= {k}
+"""

@@ -1525,3 +1525,120 @@ SELECT g AS {group_sql}, CAST(n AS BIGINT) AS n, p_lo, p_hi,
        round(sqrt(greatest(ss / n - (s / n) * (s / n), 0.0)), 6) AS wins_std
 FROM agg
 """
+
+
+def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
+                       tiebreak_col: str) -> DataFrame:
+    """Cross-group quantile normalization: each value maps to the
+    GLOBAL value at its within-group rank fraction — after it, every
+    group has (a subsample of) the same distribution. The standard
+    batch-effect / source-alignment transform before mixing slices
+    whose measurement scales drifted apart.
+
+    All rank math is integer-exact: within-group rank r of n maps to
+    global rank ceil(r·N / n) (computed as (r·N + n − 1) // n — no
+    float fractions anywhere), deterministic ties via
+    ``tiebreak_col``. Shape: two ranking windows (one global — the
+    same cost class as any global sort/report) and one equi-join on
+    the computed rank. Output: (tiebreak, group, value, normalized).
+    """
+    v = F.col(value_col).cast("double")
+    base = (df.filter(v.isNotNull())
+            .select(F.col(tiebreak_col).alias("tb"),
+                    F.col(group_col).alias("g"), v.alias("v")))
+    wg = Window.partitionBy("g").orderBy("v", "tb")
+    wall = Window.partitionBy("g")
+    n_total = Window.partitionBy()
+    r = F.row_number().over(wg)
+    n = F.count("*").over(wall)
+    big_n = F.count("*").over(n_total)
+    # exact ceil(r*N/n) via INTEGER division (`div`, not `/` + floor:
+    # r*N overflows double's 2^53 integer range on 10^9-row tables) —
+    # the same `//` the DuckDB twin runs
+    ranked = (base.select(
+        "tb", "g", "v",
+        (r * big_n + n - 1).alias("_num"), n.alias("_den"))
+        .select("tb", "g", "v",
+                F.expr("_num div _den").cast("long").alias("_t")))
+    wq = Window.orderBy("v", "tb")
+    glob = base.select(F.row_number().over(wq).alias("_gr"),
+                       F.col("v").alias("_gv"))
+    return (ranked.join(glob, F.col("_t") == F.col("_gr"))
+            .select(F.col("tb").alias(tiebreak_col),
+                    F.col("g").alias(group_col),
+                    F.round("v", 6).alias("value"),
+                    F.round("_gv", 6).alias("normalized")))
+
+
+def quantile_normalize_sql(table: str, group_sql: str, value_sql: str,
+                           tiebreak_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT {tiebreak_sql} AS tb, {group_sql} AS g,
+         CAST({value_sql} AS DOUBLE) AS v
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+ranked AS (
+  -- the global total comes from a scalar CTE, NOT count(*) OVER ():
+  -- DuckDB 1.0.0 wrongly coalesces an empty OVER () with the
+  -- partitioned window in the same SELECT and returns group sizes
+  SELECT tb, g, v,
+         row_number() OVER (PARTITION BY g ORDER BY v, tb) AS _r,
+         count(*) OVER (PARTITION BY g) AS _n
+  FROM base
+),
+tot AS (SELECT count(*) AS _N FROM base),
+gq AS (
+  SELECT row_number() OVER (ORDER BY v, tb) AS _gr, v AS _gv FROM base
+)
+SELECT ranked.tb AS {tiebreak_sql}, ranked.g AS {group_sql},
+       round(ranked.v, 6) AS value, round(gq._gv, 6) AS normalized
+FROM ranked CROSS JOIN tot
+JOIN gq ON ((ranked._r * tot._N + ranked._n - 1) // ranked._n)
+           = gq._gr
+"""
+
+
+def gini_impurity(df: DataFrame, group_col: str,
+                  label_col: str) -> DataFrame:
+    """Per-group Gini impurity of a label column: 1 − Σ share², the
+    split-quality readout (0 = pure segment, →1 = maximally mixed) —
+    the decision-tree-native companion to chi2_independence's global
+    test. NULL labels excluded (a missing label is not a class).
+
+    One (group, label) aggregate, shares from a window sum over that
+    small frame (the hhi_concentration plan — Gini = 1 − HHI of label
+    shares). Output: (group, n, n_labels, gini), rounds 6.
+    """
+    per = (df.filter(F.col(label_col).isNotNull())
+           .groupBy(F.col(group_col).alias("g"),
+                    F.col(label_col).alias("l"))
+           .agg(F.count("*").alias("c")))
+    tot = Window.partitionBy("g")
+    share = F.col("c") / F.sum("c").over(tot).cast("double")
+    scored = per.select("g", "c", F.round(share * share, 9).alias("_s2"))
+    return (scored.groupBy(F.col("g").alias(group_col))
+            .agg(F.sum("c").cast("long").alias("n"),
+                 F.count("*").cast("long").alias("n_labels"),
+                 F.round(1.0 - F.sum(F.col("_s2").cast(_DEC))
+                         .cast("double"), 6).alias("gini")))
+
+
+def gini_impurity_sql(table: str, group_sql: str, label_sql: str) -> str:
+    return f"""
+WITH per AS (
+  SELECT {group_sql} AS g, {label_sql} AS l, count(*) AS c
+  FROM {table} WHERE {label_sql} IS NOT NULL
+  GROUP BY 1, 2
+),
+shares AS (
+  SELECT g, c, c / CAST(sum(c) OVER (PARTITION BY g) AS DOUBLE) AS sh
+  FROM per
+),
+scored AS (SELECT g, c, round(sh * sh, 9) AS _s2 FROM shares)
+SELECT g AS {group_sql}, CAST(sum(c) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_labels,
+       round(1.0 - CAST(sum(CAST(_s2 AS DECIMAL(38,12))) AS DOUBLE), 6)
+         AS gini
+FROM scored GROUP BY g
+"""

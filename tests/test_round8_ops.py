@@ -266,3 +266,48 @@ def test_new_vs_returning_first_week_rule(spark):
     assert (got[0].n_active, got[0].n_new, got[0].n_returning) == (1, 1, 0)
     assert (got[1].n_active, got[1].n_new, got[1].n_returning) == (2, 1, 1)
     assert got[1].pct_new == 0.5
+
+
+def test_quantile_normalize_maps_to_global_distribution(spark):
+    """Group 'a' = {1,2,3,4}, group 'b' = {101,102,103,104}: after
+    normalization both groups carry the same global values at the
+    same rank fractions (b's rank k of 4 -> global rank 2k)."""
+    from distill_spark.operators.stats import quantile_normalize
+
+    rows = ([("a", float(i), i) for i in range(1, 5)]
+            + [("b", float(100 + i), 10 + i) for i in range(1, 5)])
+    df = spark.createDataFrame(rows, "grp string, value double, eid long")
+    got = {r.eid: r.normalized for r in quantile_normalize(
+        df, "grp", "value", "eid").collect()}
+    # global sorted: 1,2,3,4,101,102,103,104 (ranks 1..8)
+    # group a rank r of 4 -> global rank ceil(r*8/4) = 2r -> 2,4,102,104
+    assert [got[i] for i in (1, 2, 3, 4)] == [2.0, 4.0, 102.0, 104.0]
+    # group b maps to the same targets: same distribution after
+    assert [got[10 + i] for i in (1, 2, 3, 4)] == [2.0, 4.0, 102.0, 104.0]
+
+
+def test_gini_impurity_pure_and_mixed(spark):
+    from distill_spark.operators.stats import gini_impurity
+
+    rows = ([("pure", "x")] * 5
+            + [("half", "x")] * 3 + [("half", "y")] * 3)
+    df = spark.createDataFrame(rows, "seg string, lab string")
+    got = {r.seg: r for r in gini_impurity(df, "seg", "lab").collect()}
+    assert got["pure"].gini == 0.0 and got["pure"].n_labels == 1
+    assert got["half"].gini == 0.5 and got["half"].n == 6
+
+
+def test_tfidf_top_terms_characteristic_words(spark):
+    """'apple' appears only in source s1, 'zebra' only in s2; 'the'
+    appears in both (idf penalized to rank below the exclusives)."""
+    from distill_spark.operators.search import tfidf_top_terms
+
+    rows = [(0, "the apple apple apple the", "s1"),
+            (1, "the zebra zebra the the", "s2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r.source, r.rank): r for r in
+           tfidf_top_terms(df, k=2).collect()}
+    assert got[("s1", 1)].term == "apple" and got[("s1", 1)].gdf == 1
+    assert got[("s2", 1)].term == "zebra"
+    assert got[("s1", 2)].term == "the"    # shared word ranks below
+    assert got[("s1", 2)].tfidf == 0.0     # ln((1+2)/(1+2)) = 0
