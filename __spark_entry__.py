@@ -8301,6 +8301,45 @@ def _sql_winsorized():
     return winsorized_stats_sql("events", "event_type")
 
 
+def q_ndcg_value(spark, sf_dir):
+    """Macro NDCG@10 of value ranking purchases within each user's
+    event list (mleval.ndcg_at_k) — the retrieval-eval companion to
+    auc_purchase."""
+    from distill_spark.operators.mleval import ndcg_at_k
+
+    t = _tables(spark, sf_dir)
+    df = t["events"].select(
+        "user_id", "value", "event_id",
+        (F.col("event_type") == "purchase").alias("y"))
+    return ndcg_at_k(df, "user_id", "y", "value", "event_id", k=10)
+
+
+def _sql_ndcg():
+    from distill_spark.operators.mleval import ndcg_at_k_sql
+
+    return ndcg_at_k_sql("events", "user_id", "event_type = 'purchase'",
+                         "value", "event_id", k=10)
+
+
+def q_eb_user_conversion(spark, sf_dir):
+    """Empirical-Bayes beta-binomial shrinkage of per-user purchase
+    rates (mleval.eb_rate_shrinkage) — method-of-moments prior,
+    small-n users pulled toward the corpus rate."""
+    from distill_spark.operators.mleval import eb_rate_shrinkage
+
+    t = _tables(spark, sf_dir)
+    df = t["events"].select(
+        "user_id", (F.col("event_type") == "purchase").alias("converted"))
+    return eb_rate_shrinkage(df, "user_id", "converted")
+
+
+def _sql_eb():
+    from distill_spark.operators.mleval import eb_rate_shrinkage_sql
+
+    return eb_rate_shrinkage_sql("events", "user_id",
+                                 "event_type = 'purchase'")
+
+
 def q_quantile_normalize(spark, sf_dir):
     """Cross-group quantile normalization of event values
     (stats.quantile_normalize) — integer-exact rank mapping onto the
@@ -8516,6 +8555,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "quantile_normalize": (q_quantile_normalize, _sql_quantile_normalize()),
     "gini_source_lang": (q_gini_source_lang, _sql_gini()),
     "tfidf_top_terms": (q_tfidf_top_terms, _sql_tfidf_terms()),
+    "ndcg_value": (q_ndcg_value, _sql_ndcg()),
+    "eb_user_conversion": (q_eb_user_conversion, _sql_eb()),
     "basket_lift": (q_basket_lift, _sql_basket_lift()),
     "new_vs_returning": (q_new_vs_returning, _sql_new_vs_returning()),
     # -- round-8: model-evaluation family ------------------------------------

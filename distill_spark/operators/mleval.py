@@ -370,3 +370,174 @@ SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
                          * (1.0 / na + 1.0 / nb)) END, 6) AS z
 FROM one
 """
+
+
+# ------------------------------------------------------------ NDCG@k
+
+def ndcg_at_k(df: DataFrame, query_col: str, label_col: str,
+              score_col: str, tiebreak_col: str, k: int = 10) -> DataFrame:
+    """Macro-averaged NDCG@k of ``score_col`` ranking ``label_col``
+    (binary gain) within each query group — the ranking-quality
+    metric for retrieval/recommendation evals, per-query like every
+    IR harness computes it.
+
+    Per query: DCG@k = Σ_{i≤k} rel_i / log2(i+1) over the
+    (score DESC, tiebreak) ranking; IDCG@k places all n_pos positives
+    first; queries without positives are skipped (NDCG undefined).
+    One ranking window per query partition, per-query terms rounded 9
+    into a DECIMAL mean. Output: (n_queries, mean_ndcg), rounds 6.
+    """
+    v = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("int")
+    base = (df.filter(v.isNotNull())
+            .select(F.col(query_col).alias("q"), v.alias("v"),
+                    lab.alias("y"), F.col(tiebreak_col).alias("tb")))
+    w = Window.partitionBy("q").orderBy(F.desc("v"), F.asc("tb"))
+    ranked = base.select(
+        "q", "y", F.row_number().over(w).alias("_i"))
+    per = (ranked.groupBy("q")
+           .agg(F.sum(F.when(F.col("_i") <= k,
+                             F.col("y")
+                             / F.log2(F.col("_i") + 1.0))
+                      .otherwise(0.0)).alias("_dcg"),
+                F.sum("y").alias("_npos")))
+    # ideal ranking: positives at positions 1..min(k, n_pos)
+    ideal = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("_npos"), F.lit(k))),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1.0))
+    scored = (per.filter(F.col("_npos") > 0)
+              .select(F.round(F.col("_dcg") / ideal, 9).alias("_ndcg")))
+    return scored.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(F.sum(F.col("_ndcg").cast(_DEC)).cast("double")
+                / F.count("*"), 6).alias("mean_ndcg"))
+
+
+def ndcg_at_k_sql(table: str, query_sql: str, label_sql: str,
+                  value_sql: str, tiebreak_sql: str, k: int = 10) -> str:
+    return f"""
+WITH base AS (
+  SELECT {query_sql} AS q, CAST({value_sql} AS DOUBLE) AS v,
+         CASE WHEN {label_sql} THEN 1 ELSE 0 END AS y,
+         {tiebreak_sql} AS tb
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+ranked AS (
+  SELECT q, y,
+         row_number() OVER (PARTITION BY q ORDER BY v DESC, tb ASC) AS _i
+  FROM base
+),
+per AS (
+  SELECT q,
+         sum(CASE WHEN _i <= {k}
+             THEN y / log2(_i + 1.0) ELSE 0.0 END) AS _dcg,
+         sum(y) AS _npos
+  FROM ranked GROUP BY q
+),
+scored AS (
+  SELECT round(_dcg / (
+           SELECT sum(1.0 / log2(i.i + 1.0))
+           FROM (SELECT unnest(range(1, {k} + 1)) AS i) i
+           WHERE i.i <= least(_npos, {k})), 9) AS _ndcg
+  FROM per WHERE _npos > 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       round(CAST(sum(CAST(_ndcg AS DECIMAL(38,12))) AS DOUBLE)
+             / count(*), 6) AS mean_ndcg
+FROM scored
+"""
+
+
+# --------------------------------------- empirical-Bayes shrinkage
+
+def eb_rate_shrinkage(df: DataFrame, unit_col: str,
+                      success_col: str) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-unit success
+    rates: small-n units get pulled toward the corpus prior instead of
+    flapping between 0 and 1 — the standard fix before ranking users/
+    items/slices by conversion rate. Prior fit by method of moments on
+    the raw unit rates: α+β = m(1−m)/v − 1, α = m·(α+β); shrunk rate
+    = (k + α) / (n + α + β).
+
+    One unit aggregate, one tiny moment aggregate over the |units|
+    frame (decimal sums), prior broadcast back. Degenerate priors
+    (v ≤ 0 — all rates equal — or v ≥ m(1−m)) emit NULL α/β and the
+    raw rate unshrunk, stated rather than fabricated. Output:
+    (unit, n, k, raw_rate, shrunk_rate, alpha, beta), rounds 6.
+    """
+    s = F.col(success_col).cast("int")
+    per = (df.groupBy(F.col(unit_col).alias("unit"))
+           .agg(F.count("*").alias("n"), F.sum(s).alias("k")))
+    rate = F.round(F.col("k") / F.col("n").cast("double"), 9)
+    rated = per.select("unit", "n", "k", rate.alias("_r"))
+    mom = rated.agg(
+        F.count("*").alias("_u"),
+        F.sum(F.col("_r").cast(_DEC)).alias("_sr"),
+        F.sum((F.col("_r") * F.col("_r")).cast(_DEC)).alias("_srr"))
+    u = F.col("_u").cast("double")
+    m = F.col("_sr").cast("double") / u
+    v = F.col("_srr").cast("double") / u - m * m
+    ab = m * (1.0 - m) / v - 1.0
+    prior = mom.select(
+        F.when((v > 0) & (v < m * (1.0 - m)) & (ab > 0), m * ab)
+        .alias("_alpha"),
+        F.when((v > 0) & (v < m * (1.0 - m)) & (ab > 0),
+               (1.0 - m) * ab).alias("_beta"))
+    out = rated.crossJoin(F.broadcast(prior))
+    shrunk = F.when(
+        F.col("_alpha").isNotNull(),
+        (F.col("k") + F.col("_alpha"))
+        / (F.col("n") + F.col("_alpha") + F.col("_beta"))
+    ).otherwise(F.col("_r"))
+    return out.select(
+        "unit", F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round("_r", 6).alias("raw_rate"),
+        F.round(shrunk, 6).alias("shrunk_rate"),
+        F.round("_alpha", 6).alias("alpha"),
+        F.round("_beta", 6).alias("beta"))
+
+
+def eb_rate_shrinkage_sql(table: str, unit_sql: str,
+                          success_sql: str) -> str:
+    return f"""
+WITH per AS (
+  SELECT {unit_sql} AS unit, count(*) AS n,
+         sum(CASE WHEN {success_sql} THEN 1 ELSE 0 END) AS k
+  FROM {table} GROUP BY 1
+),
+rated AS (
+  SELECT unit, n, k, round(k / CAST(n AS DOUBLE), 9) AS _r FROM per
+),
+mom AS (
+  SELECT count(*) AS _u,
+         CAST(sum(CAST(_r AS DECIMAL(38,12))) AS DOUBLE) AS sr,
+         CAST(sum(CAST(_r * _r AS DECIMAL(38,12))) AS DOUBLE) AS srr
+  FROM rated
+),
+prior AS (
+  SELECT CASE WHEN srr / _u - (sr / _u) * (sr / _u) > 0
+              AND srr / _u - (sr / _u) * (sr / _u)
+                  < (sr / _u) * (1.0 - sr / _u)
+              AND (sr / _u) * (1.0 - sr / _u)
+                  / (srr / _u - (sr / _u) * (sr / _u)) - 1.0 > 0
+         THEN (sr / _u) * ((sr / _u) * (1.0 - sr / _u)
+              / (srr / _u - (sr / _u) * (sr / _u)) - 1.0) END AS _alpha,
+         CASE WHEN srr / _u - (sr / _u) * (sr / _u) > 0
+              AND srr / _u - (sr / _u) * (sr / _u)
+                  < (sr / _u) * (1.0 - sr / _u)
+              AND (sr / _u) * (1.0 - sr / _u)
+                  / (srr / _u - (sr / _u) * (sr / _u)) - 1.0 > 0
+         THEN (1.0 - sr / _u) * ((sr / _u) * (1.0 - sr / _u)
+              / (srr / _u - (sr / _u) * (sr / _u)) - 1.0) END AS _beta
+  FROM mom
+)
+SELECT unit, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       round(_r, 6) AS raw_rate,
+       round(CASE WHEN _alpha IS NOT NULL
+             THEN (k + _alpha) / (n + _alpha + _beta)
+             ELSE _r END, 6) AS shrunk_rate,
+       round(_alpha, 6) AS alpha, round(_beta, 6) AS beta
+FROM rated CROSS JOIN prior
+"""

@@ -130,3 +130,70 @@ def test_auc_matches_sklearn_free_reference(spark):
     neg = [s for s, y, _ in rows if y == 0]
     wins = sum((p > n) + 0.5 * (p == n) for p in pos for n in neg)
     assert abs(r.auc - wins / (len(pos) * len(neg))) < 1e-6
+
+
+def test_ndcg_perfect_and_worst_ranking(spark):
+    """q1: positives at top -> NDCG 1. q2: single positive at rank 3
+    of 3 with k=10 -> DCG = 1/log2(4), IDCG = 1 -> 0.5."""
+    from distill_spark.operators.mleval import ndcg_at_k
+
+    rows = [  # (q, score, y, tb)
+        (1, 9.0, 1, 0), (1, 8.0, 1, 1), (1, 1.0, 0, 2),
+        (2, 9.0, 0, 3), (2, 8.0, 0, 4), (2, 1.0, 1, 5),
+        (3, 5.0, 0, 6),                      # no positives: skipped
+    ]
+    df = spark.createDataFrame(rows, "q long, score double, y int, tb long")
+    [r] = ndcg_at_k(df, "q", "y", "score", "tb", k=10).collect()
+    assert r.n_queries == 2
+    import math
+    expect = (1.0 + 1.0 / math.log2(4.0)) / 2
+    assert abs(r.mean_ndcg - expect) < 1e-6
+
+
+def test_ndcg_truncates_at_k(spark):
+    """Positive at rank 3 with k=2 contributes nothing -> NDCG 0."""
+    from distill_spark.operators.mleval import ndcg_at_k
+
+    rows = [(1, 9.0, 0, 0), (1, 8.0, 0, 1), (1, 1.0, 1, 2)]
+    df = spark.createDataFrame(rows, "q long, score double, y int, tb long")
+    [r] = ndcg_at_k(df, "q", "y", "score", "tb", k=2).collect()
+    assert r.mean_ndcg == 0.0
+
+
+def test_eb_shrinkage_pulls_small_n_toward_prior(spark):
+    """Units with wildly different n: the 1/1 unit must shrink far
+    more than the 80/100 unit; shrunk rates stay inside (raw, prior
+    mean) ordering-wise."""
+    from distill_spark.operators.mleval import eb_rate_shrinkage
+
+    rows = []
+    uid = 0
+    # 30 units at ~30% with n=20 (the mass of the prior)
+    for u in range(30):
+        for i in range(20):
+            rows.append((uid, int(i < 6 + (u % 3))))
+        uid += 1
+    rows += [(900, 1)]                      # 1/1 unit
+    rows += [(901, int(i < 80)) for i in range(100)]   # 80/100 unit
+    df = spark.createDataFrame([(u, s) for u, s in rows],
+                               "unit long, ok int")
+    got = {r.unit: r for r in eb_rate_shrinkage(df, "unit", "ok").collect()}
+    tiny, big = got[900], got[901]
+    assert tiny.alpha is not None           # prior fit succeeded
+    assert tiny.raw_rate == 1.0 and tiny.shrunk_rate < 0.7
+    assert big.raw_rate == 0.8 and big.shrunk_rate > 0.7
+    # shrinkage is monotone in n: the small unit moved further
+    assert (tiny.raw_rate - tiny.shrunk_rate) > (big.raw_rate
+                                                 - big.shrunk_rate)
+
+
+def test_eb_shrinkage_degenerate_equal_rates(spark):
+    """All units share one rate -> zero variance -> no prior; raw
+    rates pass through with NULL alpha/beta (stated, not fabricated)."""
+    from distill_spark.operators.mleval import eb_rate_shrinkage
+
+    rows = [(u, i % 2) for u in range(5) for i in range(10)]
+    df = spark.createDataFrame(rows, "unit long, ok int")
+    got = eb_rate_shrinkage(df, "unit", "ok").collect()
+    assert all(r.alpha is None and r.shrunk_rate == r.raw_rate
+               for r in got)
