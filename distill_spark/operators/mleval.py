@@ -54,7 +54,10 @@ def auc_roc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
     distinct-score frame: per distinct score v, counts (pos, tot);
     average rank of the tied block = (ranks before) + (tot+1)/2.
     Output: (n_pos, n_neg, auc) — auc rounds 6. NULL scores excluded
-    (engines disagree on NULL rank position).
+    (engines disagree on NULL rank position); rows with a NULL label
+    count as NEGATIVES (both engines: Spark's sum skips the NULL,
+    the SQL CASE falls through to 0) — filter upstream if a missing
+    label should mean "excluded" instead.
     """
     v = F.col(score_col).cast("double")
     lab = F.col(label_col).cast("int")
