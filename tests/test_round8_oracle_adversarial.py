@@ -1,0 +1,188 @@
+"""Adversarial oracle validation for the round-8 SQL twins: the
+driver corpus is benign (no NULL labels, few exact ties, no boundary
+collisions), so driver parity alone can pass vacuously. These tests
+run the SAME *_sql twins in DuckDB against frames planted with the
+hazards (score ties, NULL values/labels, duplicate quantile
+boundaries, timestamp ties, equal-BSS splits) and compare row-for-row
+with the Spark operator on the identical frame."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+
+def _cmp(spark_rows, duck_rows, cols):
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 9)
+        if isinstance(v, dt.datetime):
+            return v.replace(tzinfo=None).isoformat()
+        return v
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    a = sorted(tuple(norm(r[i]) for i in order) for r in spark_rows)
+    b = sorted(tuple(norm(r[i]) for i in order) for r in duck_rows)
+    assert a == b, f"\nspark={a[:5]}\nduck ={b[:5]}"
+
+
+def _duck(pdf: pd.DataFrame, table: str, sql: str):
+    con = duckdb.connect()
+    con.register("_src", pdf)
+    con.execute(f"CREATE TABLE {table} AS SELECT * FROM _src")
+    rel = con.sql(sql)
+    return rel.fetchall(), [d[0] for d in rel.description]
+
+
+def test_auc_oracle_with_ties_and_nulls(spark):
+    """Heavy score ties + NULL scores (excluded) + NULL labels
+    (counted as negatives on BOTH engines)."""
+    from distill_spark.operators.mleval import auc_roc, auc_roc_sql
+
+    rows = [(2.0, "purchase"), (2.0, "view"), (2.0, "purchase"),
+            (1.0, "view"), (3.0, None), (None, "purchase"),
+            (1.0, "purchase"), (3.0, "view"), (2.0, None)]
+    pdf = pd.DataFrame(rows, columns=["value", "event_type"])
+    df = spark.createDataFrame(pdf)
+    got = auc_roc(
+        df.selectExpr("value", "event_type = 'purchase' as y"),
+        "y", "value")
+    srows = [tuple(r) for r in got.collect()]
+    drows, dcols = _duck(pdf, "events",
+                         auc_roc_sql("events", "event_type = 'purchase'",
+                                     "value"))
+    _cmp(srows, drows, got.columns)
+    assert got.columns == dcols
+
+
+def test_winsorized_oracle_boundary_ties(spark):
+    """Every value equal to the p05/p95 boundary: the clamp is a
+    no-op exactly at the boundary on both engines."""
+    from distill_spark.operators.stats import (winsorized_stats,
+                                               winsorized_stats_sql)
+
+    vals = [1.0] * 3 + [5.0] * 14 + [9.0] * 3
+    pdf = pd.DataFrame({"event_type": ["g"] * 20, "value": vals})
+    got = winsorized_stats(spark.createDataFrame(pdf), "event_type")
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck(pdf, "events",
+                     winsorized_stats_sql("events", "event_type"))
+    _cmp(srows, drows, got.columns)
+
+
+def test_quantile_normalize_oracle_duplicate_values(spark):
+    """Duplicate values across and within groups: the tiebreak column
+    must make both engines pick identical global targets."""
+    from distill_spark.operators.stats import (quantile_normalize,
+                                               quantile_normalize_sql)
+
+    rows = [("a", 1.0, 1), ("a", 1.0, 2), ("a", 2.0, 3),
+            ("b", 1.0, 4), ("b", 2.0, 5), ("b", 2.0, 6),
+            ("b", 2.0, 7), ("a", 3.0, 8)]
+    pdf = pd.DataFrame(rows, columns=["event_type", "value", "event_id"])
+    got = quantile_normalize(spark.createDataFrame(pdf),
+                             "event_type", "value", "event_id")
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck(pdf, "events",
+                     quantile_normalize_sql("events", "event_type",
+                                            "value", "event_id"))
+    _cmp(srows, drows, got.columns)
+
+
+def test_markov_oracle_timestamp_ties(spark):
+    """Same-timestamp events: event_id tiebreak orders the chain the
+    same way in both engines."""
+    from distill_spark.operators.conversion import (markov_event_chain,
+                                                    markov_event_chain_sql)
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(3, t0, 1, "c"), (1, t0, 1, "a"), (2, t0, 1, "b"),
+            (4, t0, 2, "b"), (5, t0, 2, "a")]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type"])
+    got = markov_event_chain(spark.createDataFrame(pdf))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck(pdf, "events", markov_event_chain_sql())
+    _cmp(srows, drows, got.columns)
+
+
+def test_changepoint_oracle_equal_bss_ties(spark):
+    """Perfectly symmetric series (10,30,10,30...): several splits
+    share the max BSS after rounding — earliest day must win in both
+    engines."""
+    from distill_spark.operators.timeseries import (changepoint_mean,
+                                                    changepoint_mean_sql)
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(days=i), 1, "x",
+             10.0 if i % 2 == 0 else 30.0) for i in range(8)]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value"])
+    got = changepoint_mean(spark.createDataFrame(pdf))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck(pdf, "events", changepoint_mean_sql())
+    _cmp(srows, drows, got.columns)
+
+
+def test_lift_oracle_all_scores_tied(spark):
+    """Every score identical: binning is purely tiebreak-driven and
+    must be bit-identical across engines."""
+    from distill_spark.operators.mleval import lift_table, lift_table_sql
+
+    rows = [(1.0, "purchase" if i < 3 else "view", i) for i in range(12)]
+    pdf = pd.DataFrame(rows, columns=["value", "event_type", "event_id"])
+    got = lift_table(
+        spark.createDataFrame(pdf).selectExpr(
+            "value", "event_id", "event_type = 'purchase' as y"),
+        "y", "value", "event_id", n_bins=4)
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck(pdf, "events",
+                     lift_table_sql("events", "event_type = 'purchase'",
+                                    "value", "event_id", n_bins=4))
+    _cmp(srows, drows, got.columns)
+
+
+def test_ndcg_oracle_tied_scores_and_k_edge(spark):
+    """Ties at the k boundary: the tiebreak decides which row is
+    rank k vs k+1 — identical in both engines."""
+    from distill_spark.operators.mleval import ndcg_at_k, ndcg_at_k_sql
+
+    rows = [(1, 5.0, "purchase", 1), (1, 5.0, "view", 2),
+            (1, 5.0, "purchase", 3), (1, 4.0, "view", 4),
+            (2, 1.0, "purchase", 5), (2, 1.0, "purchase", 6)]
+    pdf = pd.DataFrame(rows, columns=["user_id", "value", "event_type",
+                                      "event_id"])
+    got = ndcg_at_k(
+        spark.createDataFrame(pdf).selectExpr(
+            "user_id", "value", "event_id",
+            "event_type = 'purchase' as y"),
+        "user_id", "y", "value", "event_id", k=2)
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck(pdf, "events",
+                     ndcg_at_k_sql("events", "user_id",
+                                   "event_type = 'purchase'",
+                                   "value", "event_id", k=2))
+    _cmp(srows, drows, got.columns)
+
+
+def test_eb_oracle_degenerate_prior(spark):
+    """All unit rates identical -> zero variance -> NULL prior on
+    both engines (and raw passthrough)."""
+    from distill_spark.operators.mleval import (eb_rate_shrinkage,
+                                                eb_rate_shrinkage_sql)
+
+    rows = [(u, "purchase" if i % 2 == 0 else "view")
+            for u in range(4) for i in range(6)]
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_type"])
+    got = eb_rate_shrinkage(
+        spark.createDataFrame(pdf).selectExpr(
+            "user_id", "event_type = 'purchase' as converted"),
+        "user_id", "converted")
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck(pdf, "events",
+                     eb_rate_shrinkage_sql("events", "user_id",
+                                           "event_type = 'purchase'"))
+    _cmp(srows, drows, got.columns)
