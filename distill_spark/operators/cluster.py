@@ -148,6 +148,31 @@ def broadcast_similarity_edges(
     )
 
 
+def auto_bands_for_recall(threshold: float, bits_per_band: int = 14,
+                          recall_floor: float = 0.95,
+                          max_bands: int = 96) -> int | None:
+    """Closed-form band count for banded sign-LSH: a pair AT cosine
+    distance ``threshold`` has per-bit sign-agreement
+    p = 1 − arccos(1−threshold)/π and survives at least one of
+    ``bands`` bands with probability 1 − (1 − p^bits)^bands. Returns
+    the smallest band count whose boundary-pair recall meets
+    ``recall_floor`` (pairs strictly inside the radius do better), or
+    None when the radius is too wide for any affordable band count —
+    p decays toward the 0.5 of random pairs, so past ~0.3 no banding
+    separates signal from noise (measured: LSH_RECALL_r8.json)."""
+    import math
+
+    cosv = max(-1.0, min(1.0, 1.0 - threshold))
+    p = 1.0 - math.acos(cosv) / math.pi
+    pb = p ** bits_per_band
+    if pb >= 1.0:          # threshold 0: every band agrees
+        return 1
+    if pb <= 0.0:
+        return None
+    need = math.ceil(math.log(1.0 - recall_floor) / math.log(1.0 - pb))
+    return need if need <= max_bands else None
+
+
 def similarity_edges(
     df: DataFrame,
     threshold: float,
@@ -158,16 +183,36 @@ def similarity_edges(
     lsh_num_tables: int = 3,
     dist_round: int | None = None,
     broadcast_budget_bytes: int = 512 << 20,
+    pair_work_budget: float = 1e10,
+    recall_floor: float = 0.95,
 ) -> DataFrame:
     """Edges (src, dst) wherever cosine distance ≤ threshold.
 
-    ``method="auto"`` (default): exact broadcast-matmul while the
-    corpus matrix (rows × dim × 8 bytes float64) fits the broadcast
-    budget, banded sign-LSH above it (``signlsh_edges`` — subset
-    contract, hot-bucket capped) — the 100 TB path never collects
-    the corpus to the driver.
-    ``method="exact"``: exact regardless of size — broadcast-matmul
-    within budget, O(N²) distributed pairwise join above it.
+    ``method="auto"`` (default) routes on TWO predicates, not one:
+
+    * **memory gate** — the corpus matrix (rows × dim × 8 B float64)
+      must fit ``broadcast_budget_bytes`` for any driver-collect
+      route;
+    * **compute gate** — the exact matmul scores n²·dim
+      multiply-adds; above ``pair_work_budget`` (default 1e10 ≈ a
+      12.5k × 64-dim corpus) that quadratic work dominates even when
+      the matrix fits memory. SCALE_r8.json measured the failure the
+      memory-only gate allowed: 200k × 64 (102 MB matrix, well under
+      budget) took 714 s on matmul vs 187 s banded — the gate
+      protected driver memory while quadratic compute ran away.
+
+    Within both budgets → exact broadcast-matmul. Outside either →
+    banded sign-LSH (``signlsh_edges``, subset contract, hot-bucket
+    capped), with the band count auto-sized by the closed-form
+    band-survival recall (``auto_bands_for_recall``): at tight
+    dedup radii the boundary-pair recall is ≥ ``recall_floor`` by
+    construction; at wide radii (no affordable band count reaches the
+    floor — banding cannot separate p≈0.5 pairs from noise) the route
+    keeps the default 32 bands and the documented best-effort subset
+    contract. ``method="exact"`` is the escape hatch: exact regardless
+    of size — broadcast-matmul within the memory budget, O(N²)
+    distributed pairwise join above it.
+
     ``method="lsh"``: BucketedRandomProjectionLSH over unit-normalized
     vectors — on the unit sphere, cosine distance d maps to euclidean
     distance sqrt(2d), so the threshold translates exactly; candidate
@@ -179,7 +224,8 @@ def similarity_edges(
     if method not in ("auto", "exact", "lsh", "banded"):
         raise ValueError(f"unknown method {method!r}")
     # one cheap column-pruned pass for corpus size + dimensionality;
-    # both the memory gate and the LSH feature padding need it
+    # the memory gate, the compute gate, and the LSH feature padding
+    # all need it
     n, dim = with_emb.agg(
         F.count("*"), F.coalesce(F.max(F.size(vec_col)), F.lit(0))
     ).first()
@@ -187,22 +233,24 @@ def similarity_edges(
         id_type = dict(df.dtypes)[id_col]
         return df.sparkSession.createDataFrame(
             [], schema=f"src {id_type}, dst {id_type}")
+    fits_mem = n * dim * 8 <= broadcast_budget_bytes
     if method in ("auto", "exact"):
         # memory-gate the driver-collect route on the actual matrix
         # footprint, not row count: 200k × 1536-dim float64 is ~2.4 GB
-        # and must NOT be collected, while 200k × 64-dim is ~100 MB and
-        # the broadcast matmul is by far the fastest exact plan
-        if n * dim * 8 <= broadcast_budget_bytes:
+        # and must NOT be collected, while 200k × 64-dim is ~100 MB;
+        # auto additionally compute-gates on the quadratic pair work
+        if fits_mem and (method == "exact"
+                         or float(n) * float(n) * dim <= pair_work_budget):
             return broadcast_similarity_edges(
                 with_emb, threshold, id_col=id_col, vec_col=vec_col,
                 dist_round=dist_round,
             )
         if method == "auto":
-            # above budget: banded sign-LSH, not the ML BRP join — BRP
-            # is OR-composition only (one projection per table), so its
-            # candidate relation stays TH(n^2) on random data; the
-            # banded route's AND-composition collapses random
-            # collisions to ~bands/2^bits of n^2 (see signlsh_edges)
+            # outside either budget: banded sign-LSH, not the ML BRP
+            # join — BRP is OR-composition only (one projection per
+            # table), so its candidate relation stays TH(n^2) on
+            # random data; the banded route's AND-composition
+            # collapses random collisions to ~bands/2^bits of n^2
             method = "banded"
     if method == "exact":
         pairs = pairwise_distances(with_emb, id_col, vec_col)
@@ -215,8 +263,16 @@ def similarity_edges(
             .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         )
     if method == "banded":
-        return signlsh_edges(with_emb, threshold, id_col=id_col,
-                             vec_col=vec_col, dist_round=dist_round)
+        bands = auto_bands_for_recall(threshold, recall_floor=recall_floor)
+        return signlsh_edges(
+            with_emb, threshold, id_col=id_col, vec_col=vec_col,
+            n_bands=bands if bands is not None else 32,
+            dist_round=dist_round,
+            # compute-gated regime: the matrix fits memory, so verify
+            # candidates map-side against a broadcast matrix instead
+            # of shuffling two vector copies per candidate pair
+            verify_broadcast_bytes=broadcast_budget_bytes if fits_mem else 0,
+        )
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -469,10 +525,68 @@ def signlsh_signatures(df: DataFrame, id_col: str, vec_col: str, dim: int,
     return df.select(id_col, vec_col).mapInPandas(gen, schema)
 
 
+def _verify_candidates_broadcast(corpus: DataFrame, cand: DataFrame,
+                                 threshold: float, id_col: str,
+                                 vec_col: str,
+                                 dist_round: int | None) -> DataFrame:
+    """Re-verify candidate pairs (src, dst) against the true cosine
+    with the corpus matrix broadcast once, instead of shuffling two
+    full vector copies per candidate pair: at 200k × 64-dim with 80M
+    candidates the shuffle-join verify moves ~80 GB of vector arrays
+    while the broadcast moves 102 MB once. Only called when the
+    matrix fits the caller's broadcast budget (the compute-gated
+    regime of similarity_edges — matrix small, pair work large).
+    Zero-norm / missing vectors are excluded from the matrix, so
+    pairs touching them drop out — identical to the shuffle verify,
+    where such pairs score cosine distance 2.0."""
+    import numpy as np
+
+    rows = corpus.select(id_col, vec_col).collect()
+    ids, mats = [], []
+    for r in rows:
+        v = r[1]
+        if v is not None and len(v) > 0:
+            a = np.asarray(v, dtype=np.float64)
+            nrm = np.sqrt(a @ a)
+            if nrm > 0:
+                ids.append(r[0])
+                mats.append(a / nrm)
+    if not ids:
+        return cand.limit(0)
+    sc = corpus.sparkSession.sparkContext
+    b_idx = sc.broadcast({i: k for k, i in enumerate(ids)})
+    b_mat = sc.broadcast(np.stack(mats))
+
+    def gen(batches):
+        idx = b_idx.value
+        M = b_mat.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            si = pdf["src"].map(idx).to_numpy(dtype="float64",
+                                              na_value=np.nan)
+            di = pdf["dst"].map(idx).to_numpy(dtype="float64",
+                                              na_value=np.nan)
+            ok = ~(np.isnan(si) | np.isnan(di))
+            if not ok.any():
+                continue
+            a = M[si[ok].astype(np.int64)]
+            b = M[di[ok].astype(np.int64)]
+            d = 1.0 - np.clip(np.einsum("ij,ij->i", a, b), -1.0, 1.0)
+            if dist_round is not None:
+                d = np.round(d, dist_round)
+            keep = d <= threshold
+            if keep.any():
+                yield pdf.loc[ok].loc[keep]
+
+    return cand.mapInPandas(gen, schema=cand.schema)
+
+
 def signlsh_edges(df: DataFrame, threshold: float, id_col: str = "id",
                   vec_col: str = "embedding", bits_per_band: int = 14,
                   n_bands: int = 32, max_df: int = 200, seed: int = 1,
-                  dist_round: int | None = 6) -> DataFrame:
+                  dist_round: int | None = 6,
+                  verify_broadcast_bytes: int = 0) -> DataFrame:
     """Similarity edges (src, dst) at cosine distance ≤ threshold via
     banded sign-LSH — the AND/OR composition the Spark ML BRP join
     lacks (BRP hashes ONE projection per table: random pairs collide
@@ -496,11 +610,16 @@ def signlsh_edges(df: DataFrame, threshold: float, id_col: str = "id",
     exact, see signlsh_signatures); the shuffle key is (band idx,
     16-bit band value); candidate verification touches only vector
     pairs that share a band. Everything is one lazy plan — no driver
-    collect at any size (this is the ``auto`` route above the
-    broadcast budget in similarity_edges).
+    collect at any size (this is the ``auto`` route outside either
+    budget in similarity_edges). Exception by explicit opt-in:
+    ``verify_broadcast_bytes`` > 0 re-verifies candidates against a
+    broadcast corpus matrix when it fits that budget — the
+    compute-gated regime (matrix small, pair work quadratic), where
+    shuffling two vector copies per candidate is the dominant cost.
     """
     with_emb = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
-    dim = with_emb.agg(F.coalesce(F.max(F.size(vec_col)), F.lit(0))).first()[0]
+    n_rows, dim = with_emb.agg(
+        F.count("*"), F.coalesce(F.max(F.size(vec_col)), F.lit(0))).first()
     id_type = dict(df.dtypes)[id_col]
     if not dim:
         return df.sparkSession.createDataFrame(
@@ -518,6 +637,9 @@ def signlsh_edges(df: DataFrame, threshold: float, id_col: str = "id",
                   & (F.col("x._id") < F.col("y._id")))
             .select(F.col("x._id").alias("src"), F.col("y._id").alias("dst"))
             .distinct())
+    if verify_broadcast_bytes and n_rows * dim * 8 <= verify_broadcast_bytes:
+        return _verify_candidates_broadcast(
+            with_emb, cand, threshold, id_col, vec_col, dist_round)
     va = with_emb.select(F.col(id_col).alias("src"),
                          F.col(vec_col).alias("_va"))
     vb = with_emb.select(F.col(id_col).alias("dst"),

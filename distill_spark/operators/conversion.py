@@ -877,8 +877,13 @@ def basket_lift(lineitem: DataFrame, order_col: str = "l_orderkey",
                          F.col("_ni").alias("n_a"))
     nb = per_item.select(F.col("p").alias("item_b"),
                          F.col("_ni").alias("n_b"))
-    out = (pairs.join(F.broadcast(na), "item_a")
-           .join(F.broadcast(nb), "item_b")
+    # no broadcast hint on the item-frequency sides: per_item is the
+    # WHOLE item dictionary (unbounded — 10⁹ distinct parts at 100 TB
+    # would OOM the driver); post-min-support `pairs` is the small
+    # side, and AQE picks the right strategy from runtime stats. Only
+    # the 1-row denominator keeps an explicit broadcast.
+    out = (pairs.join(na, "item_a")
+           .join(nb, "item_b")
            .crossJoin(F.broadcast(n_orders)))
     nn = F.col("_n").cast("double")
     return out.select(

@@ -109,3 +109,55 @@ def test_signlsh_empty_and_null_vectors(spark):
         [("a", [1.0, 0.0]), ("b", None), ("c", [])],
         "id string, embedding array<float>")
     assert signlsh_edges(df, 0.5, bits_per_band=4, n_bands=2).count() == 0
+
+
+def test_compute_gate_routes_banded_when_pair_work_prohibitive(spark):
+    """Round-9 gate: memory fits (matrix ~KB vs default 512 MB) but
+    the quadratic pair work is made prohibitive via pair_work_budget=1
+    — the auto route must hand off to banded sign-LSH instead of the
+    O(N²) matmul (the SCALE_r8 flaw: 714 s matmul vs 187 s banded at
+    200k × 64 because the memory-only gate was compute-blind)."""
+    vecs = _planted(seed=5)
+    df = _vecs_df(spark, vecs)
+    auto = similarity_edges(df, 0.2, id_col="id", method="auto",
+                            pair_work_budget=1, dist_round=6)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in plan               # posexplode of the bands
+    got = {(r.src, r.dst) for r in auto.collect()}
+    exact = _exact_edges(vecs, 0.2)
+    assert got <= exact and len(got) >= 0.9 * len(exact)
+
+
+def test_compute_gate_exact_escape_hatch_ignores_pair_work(spark):
+    """method='exact' must stay exact regardless of the pair-work
+    budget — the documented escape hatch."""
+    vecs = _planted(seed=5)
+    df = _vecs_df(spark, vecs)
+    ex = similarity_edges(df, 0.2, id_col="id", method="exact",
+                          pair_work_budget=1, dist_round=6)
+    assert {(r.src, r.dst) for r in ex.collect()} == _exact_edges(vecs, 0.2)
+
+
+def test_broadcast_verify_matches_shuffle_verify(spark):
+    """The compute-gated broadcast candidate verification must produce
+    the identical edge set as the shuffle-join verification."""
+    vecs = _planted(seed=13)
+    df = _vecs_df(spark, vecs)
+    shuf = {(r.src, r.dst) for r in signlsh_edges(df, 0.2).collect()}
+    bcast = {(r.src, r.dst) for r in signlsh_edges(
+        df, 0.2, verify_broadcast_bytes=512 << 20).collect()}
+    assert shuf == bcast and shuf
+
+
+def test_auto_bands_for_recall_closed_form():
+    from distill_spark.operators.cluster import auto_bands_for_recall
+
+    assert auto_bands_for_recall(0.0) == 1
+    tight = auto_bands_for_recall(0.1)        # p=0.856, p^14≈0.114
+    assert tight is not None and tight <= 32
+    mid = auto_bands_for_recall(0.2)          # p=0.795 → ~73 bands
+    assert mid is not None and 32 < mid <= 96
+    # wide radii: p nears the 0.5 of random pairs — no affordable
+    # band count reaches the floor, caller falls back to best-effort
+    assert auto_bands_for_recall(0.3) is None
+    assert auto_bands_for_recall(0.65) is None
