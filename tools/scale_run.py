@@ -109,26 +109,28 @@ def flagship(spark, docs_path, emb_path, method: str = "auto"):
 
 def gate_handoff_probe(spark, docs_path, emb_path,
                        threshold: float = 0.2) -> dict:
-    """Prove the auto matmul→banded-LSH handoff executes, with
-    plan-text evidence: build similarity_edges(method='auto') on the
-    x100 corpus twice — at the default 512 MB budget (matrix fits →
-    broadcast matmul: a bare Arrow MapInPandas stage, no joins) and
-    at a 64 MB budget (matrix exceeds → banded sign-LSH: signature
-    MapInPandas + posexplode('Generate') + band-bucket self-join).
-    The x100 matrix is 200k × 64 × 8 B ≈ 102 MB — genuinely between
-    the two budgets, so each build exercises a different side of the
-    SAME gate condition (n·dim·8 ≤ budget) the production default
-    applies. Only the banded side is executed for wall-clock (the
-    matmul side's cost is the flagship x100 number).
+    """Prove the round-9 TWO-predicate auto gate executes, with
+    plan-text evidence on the x100 corpus (200k × 64 ≈ 102 MB
+    matrix):
+
+    * **default config** — matrix fits the 512 MB memory budget but
+      pair work n²·dim ≈ 2.6e12 exceeds the 1e10 compute budget →
+      banded sign-LSH with broadcast candidate verification. This is
+      the round-8 weak item fixed: the memory-only gate kept this
+      corpus on the 714 s matmul when banded did it in 187 s.
+      Executed for wall-clock.
+    * **compute budget lifted** (pair_work_budget=1e15) — the memory
+      gate alone governs; matrix fits → exact broadcast matmul.
+      Decision evidenced from the plan only (its wall-clock is the
+      r8 flagship x100 number: 714 s).
+    * **64 MB memory budget** — matrix exceeds memory → banded with
+      shuffle verification (never collects). Decision only (executed
+      in r8: 187.4 s).
 
     Threshold 0.2 (near-dup regime), NOT the flagship's 0.65: any
     radius-pruning structure degenerates when the radius covers most
-    of the sphere (measured: the ML BRP join at 0.65 at a mere x10
-    outlived the ENTIRE x100 exact matmul — which is why the banded
-    route replaced BRP as the auto handoff). Above budget at high
-    radii the right scale move is a tighter threshold or the banded
-    MinHash text path; the gate's job there is memory safety, which
-    the plan evidence proves without a pathological wall-clock stunt.
+    of the sphere; at wide radii the banded fallback keeps the
+    documented best-effort subset contract.
     """
     from distill_spark.operators.cluster import similarity_edges
 
@@ -136,23 +138,24 @@ def gate_handoff_probe(spark, docs_path, emb_path,
     n, dim = chunks.agg(F.count("*"), F.max(F.size("embedding"))).first()
     out = {"n_vectors": int(n), "dim": int(dim), "threshold": threshold,
            "matrix_bytes": int(n) * int(dim) * 8,
-           "default_budget_bytes": 512 << 20}
-    # the matmul side's wall-clock is already measured by the
-    # flagship_dedupe x100 run (quadratic — rerunning it would double
-    # a 12-minute stage for zero information); its route decision is
-    # evidenced from the physical plan
-    for tag, budget, execute in (("default_512mb", 512 << 20, False),
-                                 ("64mb", 64 << 20, True)):
-        edges = similarity_edges(chunks, threshold, method="auto",
-                                 broadcast_budget_bytes=budget)
+           "pair_work": float(n) * float(n) * int(dim),
+           "default_budget_bytes": 512 << 20,
+           "default_pair_work_budget": 1e10}
+    probes = (
+        ("default", dict(), True),
+        ("compute_budget_lifted", dict(pair_work_budget=1e15), False),
+        ("64mb_memory", dict(broadcast_budget_bytes=64 << 20), False),
+    )
+    for tag, kw, execute in probes:
+        edges = similarity_edges(chunks, threshold, method="auto", **kw)
         plan = edges._jdf.queryExecution().executedPlan().toString()
         banded = "Generate" in plan          # posexplode of the bands
         out[tag] = {
-            "budget_bytes": budget,
             "route": "banded_signlsh" if banded else "matmul",
             "plan_has_band_explode": banded,
             "plan_has_arrow_stage": ("MapInPandas" in plan
                                      or "ArrowEvalPython" in plan),
+            **{k: v for k, v in kw.items()},
         }
         if execute:
             t0 = time.time()
@@ -211,10 +214,11 @@ def main():
                              bits_per_band=14, n_bands=32, max_df=250)
 
     runs = {
-        # x100 embeddings = 200k × 64-dim = ~102 MB matrix: UNDER the
-        # 512 MB broadcast budget, so auto stays on the exact matmul —
-        # the honest gate arithmetic is recorded by gate_handoff_probe
-        # below, which also exercises the LSH side of the same gate
+        # x100 embeddings = 200k × 64-dim: the matrix (~102 MB) fits
+        # the 512 MB memory budget but the pair work (2.6e12) exceeds
+        # the 1e10 compute budget, so the round-9 auto gate hands the
+        # x10/x100 edge builds to banded sign-LSH under the DEFAULT
+        # config (r8 measured the compute-blind alternative: 714 s)
         "flagship_dedupe": (
             lambda d: flagship(spark,
                                os.path.join(d, "documents.parquet"),
