@@ -8537,7 +8537,445 @@ def _sql_centroid_drift():
     return centroid_cosine_matrix_sql()
 
 
+# ---------------------------------------------------------------------------
+# Round-9 stratum: audio fingerprint near-dup (the multimodal brief's
+# third modality), sparse tf-idf similarity join, mutual-kNN graph,
+# TextRank keywords, and the experimentation/causal family
+# (BH-FDR, Kruskal-Wallis, MI, effect sizes, DiD, attribution, SRM,
+# Holt forecast, declarative DQ audit).
+
+_AUDIO_SAMPLES, _AUDIO_T, _AUDIO_MAXDF = 288, 5, 100
+
+
+def _audio_fps(spark, sf_dir):
+    """Shared media→fingerprint front for the mm_audio_* queries:
+    documents text bytes as raw 8-bit PCM through the registered
+    decoder (the real mapInPandas decode path), then the
+    chromaprint-shaped banded fingerprint (operators/dedup_audio.py)."""
+    from distill_spark.operators import multimodal as mm
+    from distill_spark.operators.dedup_audio import (audio_fingerprints,
+                                                     raw_pcm_decoder)
+
+    t = _tables(spark, sf_dir)
+    mm.register_decoder("audio", raw_pcm_decoder(_AUDIO_SAMPLES))
+    payload = F.rpad("text", _AUDIO_SAMPLES, " ")
+    media = t["documents"].select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("audio").alias("kind"), F.lit("audio/pcm").alias("mime"),
+        F.encode(payload, "UTF-8").alias("data"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(_AUDIO_SAMPLES).cast("int").alias("duration_ms"))
+    feats = mm.extract_features(media).select(
+        F.col("media_id").cast("long").alias("mid"), "feature")
+    return audio_fingerprints(feats, id_col="mid")
+
+
+def q_mm_audio_pairs(spark, sf_dir):
+    """Audio near-dup candidate pairs at Hamming ≤ 5 over the 64-bit
+    acoustic fingerprint (operators/dedup_audio.py: gain-invariant
+    energy-difference coding, Haitsma-Kalker shape) — band-blocked
+    (8 × 8 bits, pigeonhole-complete for t < 8), hot buckets capped,
+    exact bit_count(xor) verify: the audio twin of mm_phash_pairs."""
+    from distill_spark.operators.dedup_image import phash_candidate_pairs
+
+    fps = _audio_fps(spark, sf_dir)
+    return phash_candidate_pairs(fps, id_col="mid",
+                                 t=_AUDIO_T, max_df=_AUDIO_MAXDF)
+
+
+def q_mm_audio_clusters(spark, sf_dir):
+    """Audio near-dup cluster labels: connected components over the
+    mm_audio_pairs edges, component = min member id (single-linkage,
+    same convention as mm_phash_clusters / a1_cluster_cc)."""
+    from distill_spark.operators.dedup_image import (phash_candidate_pairs,
+                                                     phash_clusters)
+
+    fps = _audio_fps(spark, sf_dir)
+    pairs = phash_candidate_pairs(fps, id_col="mid",
+                                  t=_AUDIO_T, max_df=_AUDIO_MAXDF)
+    return (phash_clusters(fps, pairs, id_col="mid")
+            .select(F.col("mid").alias("media_id"), "component"))
+
+
+def _sql_mm_audio_prelude() -> str:
+    """doc_id → PCM bytes → energy grid → fingerprint bands →
+    verified pairs, mirroring dedup_audio.py cell for cell."""
+    n = _AUDIO_SAMPLES
+    bands = []
+    for k in range(8):
+        terms = []
+        for j in range(8):
+            i = k * 8 + j
+            f, b = divmod(i, 8)
+            terms.append(f"(CASE WHEN en[{f * 9 + b + 1}] > "
+                         f"en[{f * 9 + b + 2}] THEN {1 << j} ELSE 0 END)")
+        bands.append("(" + " + ".join(terms) + f") AS b{k}")
+    band_cols = ",\n         ".join(bands)
+    long_union = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {k} AS bk, b{k} AS bv FROM h" for k in range(8))
+    ham = " + ".join(f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(8))
+    cell = ("s[CAST(4*j+1 AS INT)] + s[CAST(4*j+2 AS INT)] + "
+            "s[CAST(4*j+3 AS INT)] + s[CAST(4*j+4 AS INT)]")
+    return f"""
+pay AS (
+  SELECT doc_id, rpad(text, {n}, ' ') AS tx FROM documents
+),
+pcm AS (
+  SELECT doc_id,
+         list_transform(range(0, {n}),
+                        i -> ascii(substr(tx, CAST(1 + i AS INT), 1))) AS s
+  FROM pay
+),
+eg AS (
+  SELECT doc_id, list_transform(range(0, 72), j -> {cell}) AS en
+  FROM pcm
+),
+h AS (
+  SELECT doc_id, {band_cols}
+  FROM eg
+),
+lf AS (
+{long_union}
+),
+ok AS (
+  SELECT bk, bv FROM lf GROUP BY 1, 2 HAVING count(*) <= {_AUDIO_MAXDF}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+  FROM lf x JOIN ok ON x.bk = ok.bk AND x.bv = ok.bv
+  JOIN lf y ON y.bk = x.bk AND y.bv = x.bv AND x.doc_id < y.doc_id
+),
+scored AS (
+  SELECT cand.ia, cand.ib, {ham} AS hamming
+  FROM cand JOIN h a ON a.doc_id = cand.ia JOIN h b ON b.doc_id = cand.ib
+)"""
+
+
+def _sql_mm_audio_pairs() -> str:
+    return f"""
+WITH {_sql_mm_audio_prelude()}
+SELECT ia AS media_a, ib AS media_b, CAST(hamming AS INT) AS hamming
+FROM scored WHERE hamming <= {_AUDIO_T}
+"""
+
+
+def _sql_mm_audio_clusters() -> str:
+    return f"""
+WITH RECURSIVE {_sql_mm_audio_prelude()},
+prs AS (
+  SELECT ia, ib FROM scored WHERE hamming <= {_AUDIO_T}
+),
+sym AS (
+  SELECT ia, ib FROM prs UNION ALL SELECT ib AS ia, ia AS ib FROM prs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.ib, reach.r FROM reach JOIN sym s ON s.ia = reach.node
+)
+SELECT node AS media_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
+
+
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse tf-idf cosine similarity self-join over documents via
+    inverted index (operators/sparse_sim.py — the AllPairs/Bayardo
+    construction): df-capped postings join, exact decimal dots, true
+    cosine ≥ 0.3. The sparse complement of the dense embedding edge
+    builders."""
+    from distill_spark.operators.sparse_sim import tfidf_cosine_pairs
+
+    t = _tables(spark, sf_dir)
+    return tfidf_cosine_pairs(t["documents"], min_sim=0.3, max_df=100)
+
+
+def _sql_tfidf_cosine() -> str:
+    from distill_spark.operators.sparse_sim import tfidf_cosine_pairs_sql
+
+    return tfidf_cosine_pairs_sql(min_sim=0.3, max_df=100)
+
+
+def q_knn_graph_mutual(spark, sf_dir):
+    """Mutual k-NN graph over the embedding corpus
+    (similarity.knn_graph_mutual): edge iff BOTH endpoints rank in
+    each other's top-5 cosine neighbors — the symmetrization graph
+    clustering builds on; neighbor lists via broadcast block-matmul."""
+    from distill_spark.operators.similarity import knn_graph_mutual
+
+    t = _tables(spark, sf_dir)
+    emb = t["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+    return (knn_graph_mutual(emb, k=5, id_col="id")
+            .select(F.col("src").cast("long").alias("src"),
+                    F.col("dst").cast("long").alias("dst"), "sim"))
+
+
+def _sql_knn_graph() -> str:
+    cos = _COS_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""
+WITH sims AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid, round({cos}, 6) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+rk AS (
+  SELECT qid, nid, sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY sim DESC, nid ASC) AS r
+  FROM sims
+),
+nn AS (SELECT * FROM rk WHERE r <= 5)
+SELECT CAST(x.qid AS BIGINT) AS src, CAST(x.nid AS BIGINT) AS dst, x.sim
+FROM nn x JOIN nn y ON y.qid = x.nid AND y.nid = x.qid
+WHERE x.qid < x.nid
+"""
+
+
+def q_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction: PageRank (8 decimal-exact
+    iterations, the train_pagerank machinery) over the word
+    co-occurrence graph (adjacent-token pairs, undirected, distinct),
+    top 25 words — Mihalcea & Tarau (EMNLP 2004) on the corpus
+    vocabulary graph."""
+    from distill_spark.operators.pagerank import pagerank
+
+    t = _tables(spark, sf_dir)
+    adj = F.expr(
+        "transform(sequence(0, size(_w) - 2), "
+        "i -> struct(_w[i] AS a, _w[i + 1] AS b))")
+    toks = (t["documents"].select(_words(F.col("text")).alias("_w"))
+            .filter(F.size("_w") >= 2)
+            .select(F.explode(adj).alias("s"))
+            .select(F.col("s.a").alias("src"), F.col("s.b").alias("dst"))
+            .filter(F.col("src") != F.col("dst")))
+    edges = toks.union(
+        toks.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return (pagerank(edges, iterations=8)
+            .orderBy(F.desc("pr"), F.asc("node")).limit(25)
+            .select(F.col("node").alias("word"), "pr"))
+
+
+def _sql_textrank() -> str:
+    from distill_spark.operators.pagerank import pagerank_sql
+
+    words = _WORDS_SQL.format(c="text")
+    edge_cte = (
+        "SELECT DISTINCT src, dst FROM ("
+        "  SELECT s['a'] AS src, s['b'] AS dst FROM ("
+        f"    SELECT unnest(list_transform(range(1, len({words})),"
+        f"           i -> struct_pack(a := ({words})[i],"
+        f"                            b := ({words})[i+1]))) AS s"
+        "     FROM documents) "
+        "  UNION ALL "
+        "  SELECT s['b'], s['a'] FROM ("
+        f"    SELECT unnest(list_transform(range(1, len({words})),"
+        f"           i -> struct_pack(a := ({words})[i],"
+        f"                            b := ({words})[i+1]))) AS s"
+        "     FROM documents)"
+        ") WHERE src <> dst")
+    return ("SELECT node AS word, pr FROM ("
+            + pagerank_sql(edge_cte, iterations=8)
+            + ") ORDER BY pr DESC, node ASC LIMIT 25")
+
+
+def q_bh_fdr_users(spark, sf_dir):
+    """Benjamini-Hochberg FDR over per-user one-vs-rest purchase-rate
+    z-tests (mleval.bh_fdr_units, q=0.1) — the multiple-comparisons
+    gate for segment screens; p-values via the shared A&S 7.1.26
+    erfc polynomial, BH step-up on rounded p."""
+    from distill_spark.operators.mleval import bh_fdr_units
+
+    t = _tables(spark, sf_dir)
+    ev = t["events"].select(
+        "user_id", (F.col("event_type") == "purchase").alias("is_p"))
+    return bh_fdr_units(ev, "user_id", "is_p", q=0.1)
+
+
+def _sql_bh_fdr() -> str:
+    from distill_spark.operators.mleval import bh_fdr_units_sql
+
+    return bh_fdr_units_sql("events", "user_id",
+                            "event_type = 'purchase'", q=0.1)
+
+
+def q_kruskal_values(spark, sf_dir):
+    """Kruskal-Wallis H across ALL event types on value
+    (stats.kruskal_wallis) — the k-sample extension of
+    mannwhitney_values, tie-corrected, distinct-value average
+    ranks."""
+    from distill_spark.operators.stats import kruskal_wallis
+
+    t = _tables(spark, sf_dir)
+    return kruskal_wallis(t["events"], "event_type")
+
+
+def _sql_kruskal() -> str:
+    from distill_spark.operators.stats import kruskal_wallis_sql
+
+    return kruskal_wallis_sql("events", "event_type")
+
+
+def q_mutual_info_lang_source(spark, sf_dir):
+    """Mutual information + NMI between document lang and source
+    (stats.mutual_information) — the dependence-magnitude companion
+    to chi2_source_lang; per-cell decimal terms, exact counts."""
+    from distill_spark.operators.stats import mutual_information
+
+    t = _tables(spark, sf_dir)
+    return mutual_information(t["documents"], "lang", "source")
+
+
+def _sql_mutual_info() -> str:
+    from distill_spark.operators.stats import mutual_information_sql
+
+    return mutual_information_sql("documents", "lang", "source")
+
+
+def q_effect_size_types(spark, sf_dir):
+    """Per-event-type Cohen's d / Hedges' g of value vs the rest
+    (stats.cohens_d) — practical significance alongside welch_ttest's
+    p; rest-side moments by exact decimal subtraction from totals."""
+    from distill_spark.operators.stats import cohens_d
+
+    t = _tables(spark, sf_dir)
+    return cohens_d(t["events"], "event_type")
+
+
+def _sql_effect_size() -> str:
+    from distill_spark.operators.stats import cohens_d_sql
+
+    return cohens_d_sql("events", "event_type")
+
+
+def q_did_promo(spark, sf_dir):
+    """Difference-in-differences of per-line revenue, PROMO parts vs
+    rest, ship dates split at 1998-01-01 (conversion.diff_in_diff) —
+    conditional decimal sums, one broadcast-joined scan."""
+    from distill_spark.operators.conversion import diff_in_diff
+
+    t = _tables(spark, sf_dir)
+    return diff_in_diff(t["lineitem"], t["part"], cutoff="1998-01-01")
+
+
+def _sql_did() -> str:
+    from distill_spark.operators.conversion import diff_in_diff_sql
+
+    return diff_in_diff_sql(cutoff="1998-01-01")
+
+
+def q_attribution_ushaped(spark, sf_dir):
+    """U-shaped multi-touch attribution of first purchases across
+    preceding touch channels (conversion.attribution_ushaped) —
+    40/20/40 position credits as exact integer ppm."""
+    from distill_spark.operators.conversion import attribution_ushaped
+
+    t = _tables(spark, sf_dir)
+    return attribution_ushaped(t["events"])
+
+
+def _sql_attribution() -> str:
+    from distill_spark.operators.conversion import attribution_ushaped_sql
+
+    return attribution_ushaped_sql()
+
+
+def q_srm_users(spark, sf_dir):
+    """Sample-ratio-mismatch gate over a deterministic 2-arm user
+    split (conversion.srm_check): multiplicative-hash assignment,
+    chi-square GOF vs 50/50 — the validity check before any A/B
+    metric is read."""
+    from distill_spark.operators.conversion import srm_check
+
+    t = _tables(spark, sf_dir)
+    return srm_check(t["events"])
+
+
+def _sql_srm() -> str:
+    from distill_spark.operators.conversion import srm_check_sql
+
+    return srm_check_sql()
+
+
+def q_holt_forecast(spark, sf_dir):
+    """Holt double-exponential level+trend fit with a 7-day forecast
+    per event type (timeseries.holt_linear) — sequential per key via
+    applyInPandas over the daily aggregate, bit-matched by a
+    recursive-CTE oracle (α=β=½ keeps every step exact IEEE)."""
+    from distill_spark.operators.timeseries import holt_linear
+
+    t = _tables(spark, sf_dir)
+    return holt_linear(t["events"])
+
+
+def _sql_holt() -> str:
+    from distill_spark.operators.timeseries import holt_linear_sql
+
+    return holt_linear_sql()
+
+
+def _dq_rules():
+    from distill_spark.operators.dq import Expectation
+
+    mk = Expectation
+    return [
+        mk("qty_in_1_50", "lineitem",
+           lambda: (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+           "l_quantity < 1 OR l_quantity > 50"),
+        mk("discount_in_0_10pct", "lineitem",
+           lambda: (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+           "l_discount < 0 OR l_discount > 0.1"),
+        mk("extendedprice_positive", "lineitem",
+           lambda: F.col("l_extendedprice") <= 0, "l_extendedprice <= 0"),
+        mk("totalprice_positive", "orders",
+           lambda: F.col("o_totalprice") <= 0, "o_totalprice <= 0"),
+        mk("acctbal_nonnegative", "customer",
+           lambda: F.col("c_acctbal") < 0, "c_acctbal < 0"),
+        mk("value_nonnegative", "events",
+           lambda: F.col("value") < 0, "value < 0"),
+        mk("user_id_present", "events",
+           lambda: F.col("user_id").isNull(), "user_id IS NULL"),
+        mk("text_nonempty", "documents",
+           lambda: F.col("text").isNull() | (F.length("text") == 0),
+           "text IS NULL OR length(text) = 0"),
+        mk("retailprice_positive", "part",
+           lambda: F.col("p_retailprice") <= 0, "p_retailprice <= 0"),
+    ]
+
+
+def q_dq_expectations(spark, sf_dir):
+    """Declarative data-quality audit (operators/dq.py): 9 rules over
+    5 tables compiled into one conditional-aggregation scan per table
+    — the Great-Expectations query shape; exact violation counts."""
+    from distill_spark.operators.dq import audit_expectations
+
+    t = _tables(spark, sf_dir)
+    return audit_expectations(t, _dq_rules())
+
+
+def _sql_dq() -> str:
+    from distill_spark.operators.dq import audit_expectations_sql
+
+    return audit_expectations_sql(_dq_rules())
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    # -- round-9 window head: audio near-dup + experimentation family -------
+    "mm_audio_pairs": (q_mm_audio_pairs, _sql_mm_audio_pairs()),
+    "mm_audio_clusters": (q_mm_audio_clusters, _sql_mm_audio_clusters()),
+    "tfidf_cosine_pairs": (q_tfidf_cosine_pairs, _sql_tfidf_cosine()),
+    "knn_graph_mutual": (q_knn_graph_mutual, _sql_knn_graph()),
+    "textrank_keywords": (q_textrank_keywords, _sql_textrank()),
+    "bh_fdr_users": (q_bh_fdr_users, _sql_bh_fdr()),
+    "kruskal_values": (q_kruskal_values, _sql_kruskal()),
+    "mutual_info_lang_source": (q_mutual_info_lang_source,
+                                _sql_mutual_info()),
+    "effect_size_types": (q_effect_size_types, _sql_effect_size()),
+    "did_promo": (q_did_promo, _sql_did()),
+    "attribution_ushaped": (q_attribution_ushaped, _sql_attribution()),
+    "srm_users": (q_srm_users, _sql_srm()),
+    "holt_forecast": (q_holt_forecast, _sql_holt()),
+    "dq_expectations": (q_dq_expectations, _sql_dq()),
     # -- round-8 window head: perceptual-hash image near-dup ----------------
     "mm_phash_pairs": (q_mm_phash_pairs, _sql_mm_phash_pairs()),
     "mm_phash_clusters": (q_mm_phash_clusters, _sql_mm_phash_clusters()),

@@ -4,6 +4,7 @@ cmd/api_session.go:17-20): the same JSON bodies the stdio ``serve``
 loop speaks, bound to a TCP socket with the reference's route map:
 
     POST /v1/dedupe            -> deduplicate_chunks
+    POST /v1/dedupe/stream     -> SSE: progress.py events as frames
     POST /v1/memory/store      -> store_memory        (and recall /
          /v1/memory/<op>          forget / expire / supersede / stats)
     POST /v1/session/create    -> create_session      (and push /
@@ -12,10 +13,11 @@ loop speaks, bound to a TCP socket with the reference's route map:
     GET  /                     -> route listing (handleRoot)
 
 Deliberately stdlib-only (``http.server``): the protocol layer is
-transport, not analytics — auth middleware, OpenAPI embedding, SSE
-streaming, and metrics exporters from the reference server are
-deployment plumbing outside this engine's scope (the SSE progress
-event *types* live in progress.py). Requests are serialized through
+transport, not analytics — auth middleware, OpenAPI embedding, and
+metrics exporters from the reference server are deployment plumbing
+outside this engine's scope. The SSE streaming variant
+(/v1/dedupe/stream, cmd/api.go:590-795) IS bound: the typed events
+live in progress.py and this layer only frames them. Requests are serialized through
 one lock: the surface's memory/session stores are single-writer by
 design (the reference holds one SQLite handle), and one Spark
 session underneath serves every request exactly like the reference's
@@ -103,16 +105,67 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path == "/":
             self._reply(200, {
                 "service": "distill_spark",
-                "endpoints": sorted(srv.routes),
+                "endpoints": sorted([*srv.routes, "/v1/dedupe/stream"]),
                 "tools": TOOL_NAMES,
             })
             return
         self._reply(404, {"error": f"no route {self.path}"})
 
+    def _sse_frame(self, event: str, data: dict) -> None:
+        self.wfile.write(
+            f"event: {event}\ndata: {json.dumps(data, default=str)}\n\n"
+            .encode())
+        self.wfile.flush()
+
+    def _dedupe_stream(self, srv: "ToolHTTPServer", body: dict) -> None:
+        """POST /v1/dedupe/stream — the reference's SSE streaming
+        variant (cmd/api.go:590-795 handleDedupeStream): the typed
+        ProgressReporter events (progress.py) replayed as
+        ``event:``/``data:`` SSE frames while the flagship dedupe
+        runs, then one ``result`` frame with the surviving chunks.
+        The engine emits the events; this method is transport only."""
+        from distill_spark.plans.dedupe import DedupeConfig
+        from distill_spark.progress import (ProgressReporter,
+                                            dedupe_with_progress)
+
+        kwargs = _dedupe_kwargs(body)
+        chunks = kwargs.pop("chunks")
+        if not chunks:
+            self._reply(400, {"error": "chunks required"})
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.end_headers()
+
+        def fan_out(evt):
+            data = {"stage": evt.stage, "progress": evt.progress}
+            if evt.stats:
+                data["stats"] = evt.stats
+            if evt.error:
+                data["error"] = evt.error
+            self._sse_frame(evt.event, data)
+
+        rep = ProgressReporter(subscribers=[fan_out])
+        sf = srv.surface
+        cfg = DedupeConfig(
+            threshold=kwargs.get("threshold", sf.threshold),
+            strategy="score",
+            lambda_=kwargs.get("lambda_", sf.mmr_lambda),
+            target_k=kwargs.get("target_k", sf.target_k))
+        try:
+            with srv.dispatch_lock:
+                out, _ = dedupe_with_progress(
+                    sf._chunks_df(chunks), cfg, reporter=rep)
+                self._sse_frame("result",
+                                {"chunks": sf._chunks_out(out.collect())})
+        except Exception:  # noqa: BLE001 — error frame already emitted
+            pass
+
     def do_POST(self):  # noqa: N802
         srv: ToolHTTPServer = self.server  # type: ignore[assignment]
         route = srv.routes.get(self.path)
-        if route is None:
+        if route is None and self.path != "/v1/dedupe/stream":
             self._reply(404, {"error": f"no route {self.path}"})
             return
         try:
@@ -122,6 +175,9 @@ class _Handler(BaseHTTPRequestHandler):
                 raise ValueError("request body must be a JSON object")
         except (ValueError, json.JSONDecodeError) as e:
             self._reply(400, {"error": f"bad request body: {e}"})
+            return
+        if self.path == "/v1/dedupe/stream":
+            self._dedupe_stream(srv, body)
             return
         tool, mapper = route
         try:

@@ -974,3 +974,201 @@ SELECT w AS week, CAST(count(*) AS BIGINT) AS n_active,
        round(sum(_new) / CAST(count(*) AS DOUBLE), 6) AS pct_new
 FROM flagged GROUP BY w
 """
+
+
+def diff_in_diff(lineitem: DataFrame, part: DataFrame,
+                 cutoff: str = "1995-01-01",
+                 treat_prefix: str = "PROMO") -> DataFrame:
+    """Difference-in-differences estimate of the promo effect on
+    per-line revenue: treatment = PROMO-typed parts, period split at
+    ``cutoff`` ship date. DiD = (ȳ_treat,post − ȳ_treat,pre) −
+    (ȳ_ctrl,post − ȳ_ctrl,pre) — the causal-reading baseline an
+    analytics stack reports before anyone fits a model.
+
+    One broadcast-joined scan, four conditional sums: the per-row
+    double revenue product is bit-identical across engines and is
+    cast DECIMAL(38,12) before summing (exact, order-independent);
+    means and the estimate collapse to DOUBLE once. Output: one row (4 cell means, n per cell, did), rounds 6.
+    """
+    dim = part.select(F.col("p_partkey").alias("_pk"),
+                      F.col("p_type").startswith(treat_prefix).alias("_tr"))
+    rev = (F.col("l_extendedprice").cast("double")
+           * (1 - F.col("l_discount").cast("double")))
+    post = F.col("l_shipdate") >= F.to_timestamp(F.lit(cutoff))
+    j = lineitem.join(F.broadcast(dim),
+                      lineitem["l_partkey"] == F.col("_pk"))
+    cells = {}
+    for tr in (True, False):
+        for po in (True, False):
+            tag = f"{'t' if tr else 'c'}{'1' if po else '0'}"
+            cond = (F.col("_tr") == tr) & (post == po)
+            cells[f"n_{tag}"] = F.sum(cond.cast("long"))
+            cells[f"s_{tag}"] = F.sum(
+                F.when(cond, rev).otherwise(0.0).cast("decimal(38,12)"))
+    agg = j.agg(*[v.alias(k) for k, v in cells.items()])
+    mean = {t: F.when(F.col(f"n_{t}") > 0,
+                      F.col(f"s_{t}").cast("double") / F.col(f"n_{t}"))
+            for t in ("t1", "t0", "c1", "c0")}
+    did = (mean["t1"] - mean["t0"]) - (mean["c1"] - mean["c0"])
+    return agg.select(
+        *[F.col(f"n_{t}").cast("long").alias(f"n_{t}")
+          for t in ("t0", "t1", "c0", "c1")],
+        *[F.round(mean[t], 6).alias(f"mean_{t}")
+          for t in ("t0", "t1", "c0", "c1")],
+        F.round(did, 6).alias("did"))
+
+
+def diff_in_diff_sql(cutoff: str = "1995-01-01",
+                     treat_prefix: str = "PROMO") -> str:
+    def cell(tr: str, po: str) -> tuple[str, str]:
+        cond = (f"(p_type LIKE '{treat_prefix}%') = {tr} AND "
+                f"(l_shipdate >= TIMESTAMP '{cutoff}') = {po}")
+        return (f"sum(CASE WHEN {cond} THEN 1 ELSE 0 END)",
+                f"sum(CAST(CASE WHEN {cond} THEN CAST(l_extendedprice"
+                f" AS DOUBLE) * (1 - CAST(l_discount AS DOUBLE)) "
+                f"ELSE 0.0 END AS DECIMAL(38,12)))")
+    cells = {"t1": cell("true", "true"), "t0": cell("true", "false"),
+             "c1": cell("false", "true"), "c0": cell("false", "false")}
+    sel = ",\n         ".join(
+        f"{n} AS n_{t}, {s} AS s_{t}" for t, (n, s) in cells.items())
+    mean = {t: f"(CASE WHEN n_{t} > 0 THEN CAST(s_{t} AS DOUBLE) / n_{t} END)"
+            for t in cells}
+    return f"""
+WITH agg AS (
+  SELECT {sel}
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT CAST(n_t0 AS BIGINT) AS n_t0, CAST(n_t1 AS BIGINT) AS n_t1,
+       CAST(n_c0 AS BIGINT) AS n_c0, CAST(n_c1 AS BIGINT) AS n_c1,
+       round({mean['t0']}, 6) AS mean_t0, round({mean['t1']}, 6) AS mean_t1,
+       round({mean['c0']}, 6) AS mean_c0, round({mean['c1']}, 6) AS mean_c1,
+       round(({mean['t1']} - {mean['t0']})
+             - ({mean['c1']} - {mean['c0']}), 6) AS did
+FROM agg
+"""
+
+
+def attribution_ushaped(events: DataFrame,
+                        convert_type: str = "purchase") -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: for each
+    user's FIRST conversion, the preceding touch events split the
+    conversion credit 40% first touch / 40% last touch / 20% evenly
+    across the middle (100% / 50-50 for 1- and 2-touch journeys) —
+    the standard position-based model marketing analytics runs over
+    event paths.
+
+    Credits are integer PARTS-PER-MILLION (middle credit =
+    200000 div (k−2), integer division — exact, identical in every
+    engine; the sub-ppm remainder is documented truncation), so the
+    per-channel totals are exact BIGINT sums. Journeys order by
+    (ts, event_id); one window pass per user, channel totals one
+    aggregate. Output per touch channel: (event_type, n_touches,
+    credit_ppm, credit), rounds 6.
+    """
+    firstp = (events.filter(F.col("event_type") == convert_type)
+              .groupBy("user_id").agg(F.min("ts").alias("_cts")))
+    touches = (events.join(firstp, "user_id")
+               .filter((F.col("ts") < F.col("_cts"))
+                       & (F.col("event_type") != convert_type)))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sz = Window.partitionBy("user_id")
+    pos = (touches.withColumn("_i", F.row_number().over(w))
+           .withColumn("_k", F.count("*").over(sz)))
+    k, i = F.col("_k"), F.col("_i")
+    ppm = (F.when(k == 1, F.lit(1000000))
+           .when(k == 2, F.lit(500000))
+           .when((i == 1) | (i == k), F.lit(400000))
+           .otherwise(F.expr("200000 div (_k - 2)")))
+    per = (pos.withColumn("_ppm", ppm.cast("long"))
+           .groupBy("event_type")
+           .agg(F.count("*").alias("n_touches"),
+                F.sum("_ppm").alias("credit_ppm")))
+    return per.select(
+        "event_type", F.col("n_touches").cast("long").alias("n_touches"),
+        F.col("credit_ppm").cast("long").alias("credit_ppm"),
+        F.round(F.col("credit_ppm") / F.lit(1e6), 6).alias("credit"))
+
+
+def attribution_ushaped_sql(convert_type: str = "purchase") -> str:
+    return f"""
+WITH firstp AS (
+  SELECT user_id, min(ts) AS cts FROM events
+  WHERE event_type = '{convert_type}' GROUP BY 1
+),
+touches AS (
+  SELECT e.user_id, e.event_type, e.ts, e.event_id
+  FROM events e JOIN firstp USING (user_id)
+  WHERE e.ts < firstp.cts AND e.event_type <> '{convert_type}'
+),
+pos AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i,
+         count(*) OVER (PARTITION BY user_id) AS k
+  FROM touches
+),
+credited AS (
+  SELECT event_type,
+         CASE WHEN k = 1 THEN 1000000
+              WHEN k = 2 THEN 500000
+              WHEN i = 1 OR i = k THEN 400000
+              ELSE (200000 // (k - 2)) END AS ppm
+  FROM pos
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(ppm) AS BIGINT) AS credit_ppm,
+       round(sum(ppm) / 1000000.0, 6) AS credit
+FROM credited GROUP BY 1
+"""
+
+
+def srm_check(events: DataFrame, arms: int = 2) -> DataFrame:
+    """Sample-ratio-mismatch check: assign each user to an experiment
+    arm by a deterministic multiplicative hash (Knuth 2654435761 over
+    user_id mod 100003 — integer-exact in any engine), then the
+    chi-square goodness-of-fit of observed arm sizes vs the even
+    split. SRM is the first gate every experimentation platform runs:
+    an unbalanced split invalidates the test before any metric is
+    read. Per-user assignment (distinct users), one aggregate.
+    Output: one row (n_users, per-arm counts n_0/n_1, chi2, srm flag
+    at the 0.05 critical value for df=1), rounds 6."""
+    if arms != 2:
+        raise ValueError("srm_check covers the two-arm split")
+    users = events.select("user_id").distinct()
+    h = (F.col("user_id") % 100003) * 2654435761
+    arm = (h % 4294967296) % 2
+    per = (users.withColumn("_arm", arm.cast("int"))
+           .groupBy().agg(
+               F.count("*").alias("n"),
+               F.sum(F.when(F.col("_arm") == 0, 1).otherwise(0)).alias("n0"),
+               F.sum(F.when(F.col("_arm") == 1, 1).otherwise(0)).alias("n1")))
+    d = (F.col("n0") - F.col("n1")).cast("double")
+    chi2 = d * d / F.col("n").cast("double")
+    return per.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("n0").cast("long").alias("n_0"),
+        F.col("n1").cast("long").alias("n_1"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841459).alias("srm"))
+
+
+def srm_check_sql() -> str:
+    return """
+WITH users AS (SELECT DISTINCT user_id FROM events),
+arms AS (
+  SELECT CAST((((user_id % 100003) * 2654435761) % 4294967296) % 2
+              AS INT) AS arm
+  FROM users
+),
+per AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1
+  FROM arms
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(n0 AS BIGINT) AS n_0, CAST(n1 AS BIGINT) AS n_1,
+       round(CAST(n0 - n1 AS DOUBLE) * (n0 - n1) / n, 6) AS chi2,
+       CAST(n0 - n1 AS DOUBLE) * (n0 - n1) / n > 3.841459 AS srm
+FROM per
+"""

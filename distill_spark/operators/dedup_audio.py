@@ -1,0 +1,122 @@
+"""Acoustic-fingerprint audio near-duplicate detection.
+
+The audio twin of :mod:`dedup_image` (dHash) for the multimodal
+brief: re-encoded / re-sampled / gain-adjusted copies of the same
+clip survive exact content-hash dedup but collapse under an acoustic
+fingerprint. The classic public design (Chromaprint / Haitsma-Kalker
+"robust audio hashing") is: frame the signal, extract per-frame
+band energies, and emit one bit per *energy-difference* comparison —
+difference coding makes the fingerprint invariant to overall gain
+(positive scaling preserves every ``>``), which is the audio
+equivalent of dHash's invariance to brightness.
+
+Pipeline (all stages distributed, no driver loops):
+
+1. decode: the registered ``audio`` decoder
+   (``multimodal.register_decoder``) turns the opaque payload into a
+   PCM sample vector map-side via ``mapInPandas`` — raw payload bytes
+   never shuffle. ``raw_pcm_decoder`` is a *real* decode of a real
+   (if minimal) format: 8-bit unsigned mono PCM, one byte per sample.
+2. ``energy_grid``: frames × bands energy matrix — each cell the sum
+   of a fixed contiguous sample group. Pure JVM column expressions.
+3. ``fingerprint_bands``: 64 difference bits
+   ``energy[f][b] > energy[f][b+1]`` (8 frames × 8 comparisons)
+   packed as **8 bands × 8 bits** — the same banded layout as
+   ``dedup_image.dhash_bands``, so the downstream blocking, verify
+   and clustering REUSE ``phash_candidate_pairs`` /
+   ``phash_clusters`` unchanged: band-bucket self-join
+   (pigeonhole-complete for Hamming t < 8), ``max_df`` hot-bucket
+   cap, exact ``bit_count(xor)`` verify, connected components.
+
+100 TB shape: decode is map-side; the shuffle key is (band idx,
+8-bit band value); candidate verification touches only 8-byte
+fingerprints; the quadratic risk is inside a bucket and bounded by
+``max_df`` — the exact shape SCALE_r7/r8 measured sublinear for the
+text and image paths.
+
+Reference scope: the reference engine (Siddhant-K-code/distill) is
+text+embedding only — this module is part of the beyond-reference
+multimodal brief. Fingerprint design per the public Haitsma &
+Kalker (2002) robust-hash construction and the Chromaprint docs;
+band blocking per Leskovec/Rajaraman/Ullman, MMDS ch. 3.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_FRAMES = 8       # time axis
+N_SUBBANDS = 9     # energy bands per frame → 8 difference bits each
+
+
+def raw_pcm_decoder(n_samples: int = 288):
+    """Decoder-registry entry for raw 8-bit unsigned mono PCM: each
+    payload byte is one sample, zero-padded / truncated to
+    ``n_samples``. A real decode of a real minimal audio format —
+    nearby payloads produce nearby sample vectors, so acoustic
+    fingerprinting is meaningful. Register with
+    ``multimodal.register_decoder("audio", ...)``."""
+    def fn(data: bytes) -> np.ndarray:
+        buf = np.frombuffer((data or b"")[:n_samples], dtype=np.uint8)
+        out = np.zeros(n_samples, dtype=np.float32)
+        out[: len(buf)] = buf
+        return out
+    return fn
+
+
+def energy_grid(df: DataFrame, id_col: str = "media_id",
+                sample_col: str = "feature",
+                frames: int = N_FRAMES, bands: int = N_SUBBANDS,
+                group: int = 4) -> DataFrame:
+    """(id, energy) where ``energy`` is the frames × bands grid
+    flattened row-major: cell (f, b) = sum of the ``group`` samples
+    ``sample[(f·bands + b)·group .. +group)``. Exact float sums of
+    8-bit sample values (≤ 255·group — integer-exact in float32 and
+    in any SQL engine), fully inside whole-stage codegen."""
+    s = F.col(sample_col)
+    cells = []
+    for f in range(frames):
+        for b in range(bands):
+            lo = (f * bands + b) * group
+            cells.append(sum(s[lo + g] for g in range(group)))
+    return df.select(F.col(id_col), F.array(*cells).alias("energy"))
+
+
+def fingerprint_bands(df: DataFrame, id_col: str = "media_id",
+                      energy_col: str = "energy",
+                      frames: int = N_FRAMES,
+                      bands: int = N_SUBBANDS) -> DataFrame:
+    """64-bit acoustic fingerprint from the energy grid, emitted as 8
+    int columns ``b0..b7`` of 8 bits each — bit i (i = f·(bands−1)+b)
+    is 1 iff ``energy[f·bands+b] > energy[f·bands+b+1]`` (spectral
+    difference coding: gain-invariant, since positive scaling
+    preserves every comparison). Same banded layout as
+    ``dedup_image.dhash_bands`` so ``phash_candidate_pairs`` /
+    ``phash_clusters`` consume the output unchanged."""
+    if frames * (bands - 1) != 64:
+        raise ValueError("grid must yield exactly 64 comparison bits")
+    e = F.col(energy_col)
+    out = [F.col(id_col)]
+    for k in range(8):
+        band = F.lit(0)
+        for j in range(8):
+            i = k * 8 + j
+            f, b = divmod(i, bands - 1)
+            band = band + F.when(
+                e[f * bands + b] > e[f * bands + b + 1], F.lit(1 << j)
+            ).otherwise(F.lit(0))
+        out.append(band.cast("int").alias(f"b{k}"))
+    return df.select(*out)
+
+
+def audio_fingerprints(df: DataFrame, id_col: str = "media_id",
+                       sample_col: str = "feature",
+                       group: int = 4) -> DataFrame:
+    """PCM samples → banded 64-bit fingerprint (b0..b7), ready for
+    ``dedup_image.phash_candidate_pairs`` (blocking + verify) and
+    ``phash_clusters`` (near-dup components)."""
+    grid = energy_grid(df, id_col=id_col, sample_col=sample_col,
+                       group=group)
+    return fingerprint_bands(grid, id_col=id_col)

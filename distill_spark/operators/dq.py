@@ -1,0 +1,93 @@
+"""Declarative data-quality expectations — the rule-audit pass a
+training-data pipeline runs BEFORE anything downstream trusts a
+table (the Great-Expectations / dbt-test query shape, re-expressed
+as one conditional-aggregation scan per table).
+
+A rule is (rule_name, table, predicate) where the predicate is a
+boolean *violation* expression over one row. All rules against the
+same table compile into a SINGLE aggregate pass (map-side combined
+conditional sums — the welch_ttest shape), so auditing R rules costs
+one scan, not R. Exact counts only; the pass rate is one division,
+rounded 6.
+
+100 TB shape: one column-pruned scan per audited table (only columns
+any rule touches survive pruning); zero shuffles beyond the 1-row
+aggregates; the union of per-table results is dictionary-sized.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One rule: ``violation`` is a zero-arg thunk producing a boolean
+    Spark expression that is TRUE when a row breaks the expectation
+    (a thunk, not a Column, so rule tables can be declared before any
+    SparkSession exists); ``violation_sql`` the engine-neutral SQL
+    twin used by the oracle."""
+    name: str
+    table: str
+    violation: "callable"
+    violation_sql: str
+
+
+def audit_expectations(tables: dict[str, DataFrame],
+                       rules: list[Expectation]) -> DataFrame:
+    """(rule, table, n_checked, n_violations, pass_rate) — one row per
+    rule, rules grouped by table so each table is scanned ONCE via
+    stacked conditional aggregates. Rows ordered by (table, rule) for
+    deterministic output."""
+    if not rules:
+        raise ValueError("no expectations given")
+    frames = []
+    by_table: dict[str, list[Expectation]] = {}
+    for r in rules:
+        by_table.setdefault(r.table, []).append(r)
+    for table, rs in sorted(by_table.items()):
+        df = tables[table]
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for i, r in enumerate(rs):
+            aggs.append(F.sum(r.violation().cast("long")).alias(f"_v{i}"))
+        one = df.agg(*aggs)
+        rows = None
+        for i, r in enumerate(rs):
+            row = one.select(
+                F.lit(r.name).alias("rule"),
+                F.lit(table).alias("table_name"),
+                F.col("_n").cast("long").alias("n_checked"),
+                F.col(f"_v{i}").cast("long").alias("n_violations"),
+                F.round(1.0 - F.col(f"_v{i}") / F.col("_n"), 6)
+                .alias("pass_rate"))
+            rows = row if rows is None else rows.unionByName(row)
+        frames.append(rows)
+    return reduce(lambda a, b: a.unionByName(b), frames).orderBy(
+        "table_name", "rule")
+
+
+def audit_expectations_sql(rules: list[Expectation]) -> str:
+    """Oracle twin: one aggregate subquery per table, unioned."""
+    by_table: dict[str, list[Expectation]] = {}
+    for r in rules:
+        by_table.setdefault(r.table, []).append(r)
+    selects = []
+    for table, rs in sorted(by_table.items()):
+        vsum = ",\n       ".join(
+            f"sum(CASE WHEN {r.violation_sql} THEN 1 ELSE 0 END) AS _v{i}"
+            for i, r in enumerate(rs))
+        agg = f"SELECT count(*) AS _n,\n       {vsum}\n  FROM {table}"
+        for i, r in enumerate(rs):
+            selects.append(
+                f"SELECT '{r.name}' AS rule, '{table}' AS table_name,\n"
+                f"       CAST(_n AS BIGINT) AS n_checked,\n"
+                f"       CAST(_v{i} AS BIGINT) AS n_violations,\n"
+                f"       round(1.0 - _v{i} / CAST(_n AS DOUBLE), 6)"
+                f" AS pass_rate\n"
+                f"FROM ({agg})")
+    body = "\nUNION ALL\n".join(selects)
+    return f"SELECT * FROM (\n{body}\n) ORDER BY table_name, rule"

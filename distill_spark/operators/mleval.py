@@ -544,3 +544,124 @@ SELECT unit, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
        round(_alpha, 6) AS alpha, round(_beta, 6) AS beta
 FROM rated CROSS JOIN prior
 """
+
+
+# --------------------------------------------- Benjamini–Hochberg FDR
+
+# Abramowitz & Stegun 7.1.26 erfc approximation (|error| < 1.5e-7):
+# shared constants, and the SAME Horner nesting in both engines so
+# the doubles feeding round() are bit-identical up to one libm exp().
+_AS_P = "0.3275911"
+_AS_A = ("0.254829592", "-0.284496736", "1.421413741",
+         "-1.453152027", "1.061405429")
+
+
+def _erfc_expr(x):
+    """erfc(x) for x ≥ 0 as a Spark column (A&S 7.1.26)."""
+    a1, a2, a3, a4, a5 = (F.lit(float(a)) for a in _AS_A)
+    t = 1.0 / (1.0 + F.lit(float(_AS_P)) * x)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return poly * F.exp(-(x * x))
+
+
+def _erfc_sql(x: str) -> str:
+    a1, a2, a3, a4, a5 = _AS_A
+    t = f"(1.0 / (1.0 + {_AS_P} * {x}))"
+    poly = (f"({t} * ({a1} + {t} * ({a2} + {t} * ({a3} + {t} "
+            f"* ({a4} + {t} * {a5})))))")
+    return f"({poly} * exp(-({x} * {x})))"
+
+
+def bh_fdr_units(df: DataFrame, unit_col: str, success_col: str,
+                 q: float = 0.1) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR over per-unit one-vs-rest
+    conversion z-tests — the multiple-comparisons guard an
+    experimentation stack runs when it screens MANY segments at once
+    (per-unit two_proportion_ztest p-values are useless uncorrected:
+    at q=0.1, one in ten null segments "wins").
+
+    Per unit: pooled two-proportion z of the unit's success rate vs
+    the rest (pool = global rate, exact counts); two-sided p =
+    erfc(|z|/√2) via the shared A&S 7.1.26 polynomial, rounded 6
+    BEFORE ranking so the BH ordering and the step-up comparison are
+    cross-engine deterministic (ties rank by unit asc). Reject all
+    ranks ≤ k where k = max{i : p_i ≤ i·q/m}.
+
+    One aggregate pass for the counts, windows over the unit frame
+    (dictionary-sized) only. Output per unit: (unit, n, successes,
+    conv, z, p, rk, rejected). Units with degenerate pooled variance
+    (an empty rest side) are excluded — documented contract.
+    """
+    u = F.col(unit_col)
+    s = F.col(success_col).cast("int")
+    per = (df.filter(u.isNotNull())
+           .groupBy(u.alias("unit"))
+           .agg(F.count("*").alias("n1"), F.sum(s).alias("x1")))
+    tot = per.agg(F.sum("n1").alias("nt"), F.sum("x1").alias("xt"))
+    j = per.crossJoin(F.broadcast(tot))
+    n1 = F.col("n1").cast("double")
+    n0 = (F.col("nt") - F.col("n1")).cast("double")
+    p1 = F.col("x1") / n1
+    p0 = (F.col("xt") - F.col("x1")).cast("double") / n0
+    pool = F.col("xt") / F.col("nt").cast("double")
+    var = pool * (1.0 - pool) * (1.0 / n1 + 1.0 / n0)
+    z = (p1 - p0) / F.sqrt(var)
+    scored = (j.filter((F.col("nt") > F.col("n1")) & (var > 0))
+              .select("unit", "n1", "x1",
+                      F.round(p1, 6).alias("conv"),
+                      F.round(z, 6).alias("z"),
+                      F.round(_erfc_expr(F.abs(z) / F.lit(2.0 ** 0.5)), 6)
+                      .alias("p")))
+    m = scored.agg(F.count("*").alias("m"))
+    w = Window.orderBy(F.asc("p"), F.asc("unit"))
+    ranked = (scored.crossJoin(F.broadcast(m))
+              .withColumn("rk", F.row_number().over(w))
+              .withColumn("_ok", (F.col("p")
+                                  <= (F.col("rk") * F.lit(float(q)))
+                                  / F.col("m")).cast("int")))
+    kmax = Window.partitionBy()
+    cut = F.max(F.when(F.col("_ok") == 1, F.col("rk"))).over(kmax)
+    return (ranked
+            .select("unit", F.col("n1").cast("long").alias("n"),
+                    F.col("x1").cast("long").alias("successes"),
+                    "conv", "z", "p", F.col("rk").cast("long").alias("rk"),
+                    (F.col("rk") <= F.coalesce(cut, F.lit(0)))
+                    .alias("rejected")))
+
+
+def bh_fdr_units_sql(table: str, unit_sql: str, success_sql: str,
+                     q: float = 0.1) -> str:
+    zvar = ("(xt / CAST(nt AS DOUBLE)) * (1.0 - xt / CAST(nt AS DOUBLE))"
+            " * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(nt - n1 AS DOUBLE))")
+    zexpr = ("(x1 / CAST(n1 AS DOUBLE)"
+             " - CAST(xt - x1 AS DOUBLE) / CAST(nt - n1 AS DOUBLE))"
+             f" / sqrt({zvar})")
+    return f"""
+WITH per AS (
+  SELECT {unit_sql} AS unit, count(*) AS n1,
+         sum(CASE WHEN ({success_sql}) THEN 1 ELSE 0 END) AS x1
+  FROM {table} WHERE {unit_sql} IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT sum(n1) AS nt, sum(x1) AS xt FROM per),
+scored AS (
+  SELECT unit, n1, x1,
+         round(x1 / CAST(n1 AS DOUBLE), 6) AS conv,
+         round({zexpr}, 6) AS z,
+         round({_erfc_sql(f'(abs({zexpr}) / sqrt(2.0))')}, 6) AS p
+  FROM per CROSS JOIN tot
+  WHERE nt > n1 AND {zvar} > 0
+),
+m AS (SELECT count(*) AS m FROM scored),
+ranked AS (
+  SELECT scored.*, m.m,
+         row_number() OVER (ORDER BY p ASC, unit ASC) AS rk
+  FROM scored CROSS JOIN m
+),
+cut AS (
+  SELECT coalesce(max(CASE WHEN p <= (rk * {q}) / m THEN rk END), 0) AS k
+  FROM ranked
+)
+SELECT unit, CAST(n1 AS BIGINT) AS n, CAST(x1 AS BIGINT) AS successes,
+       conv, z, p, CAST(rk AS BIGINT) AS rk, rk <= cut.k AS rejected
+FROM ranked CROSS JOIN cut
+"""

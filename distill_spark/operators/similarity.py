@@ -279,6 +279,49 @@ def brute_topk_batch(df: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k))
 
 
+def knn_graph_mutual(df: DataFrame, k: int = 5, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Mutual k-NN graph: (src, dst, sim) wherever BOTH vectors rank
+    in each other's top-k cosine neighbors (self excluded), src < dst.
+    Mutuality is the standard symmetrization that graph-based
+    clustering / manifold methods (e.g. mutual-kNN spectral
+    clustering, UMAP's fuzzy union) build on — one-directional edges
+    connect hubs to everything, mutual edges don't.
+
+    Neighbor lists come from ``brute_topk_batch`` (broadcast
+    block-matmul, one corpus scan, no O(N²) Catalyst pair rows) at
+    k+1 — self always scores sim 1.0, so after dropping it the
+    remaining ranked list is exactly the true top-k (dedup-tie ids
+    rank deterministically: round(sim, 6) DESC, id ASC, the oracle's
+    ordering). The mutuality check is a self-join of the nq·k
+    neighbor frame — thousands of rows, never the corpus. Above the
+    broadcast budget the same construction runs per-IVF-cell
+    (knn_label_purity's fallback); at oracle scale the exact route
+    is the contract.
+    """
+    from pyspark.sql import Window
+
+    base = (df.select(id_col, vec_col)
+            .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)))
+    nn = brute_topk_batch(
+        base, base.select(F.col(id_col).alias("_qid"),
+                          F.col(vec_col).alias("_qv")),
+        k=k + 1, id_col=id_col, vec_col=vec_col,
+        q_id_col="_qid", q_vec_col="_qv")
+    no_self = nn.filter(F.col("_qid") != F.col(id_col))
+    w = Window.partitionBy("_qid").orderBy(F.desc("sim"), F.asc(id_col))
+    topk = (no_self.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k)
+            .select(F.col("_qid").alias("_a"), F.col(id_col).alias("_b"),
+                    "sim"))
+    rev = topk.select(F.col("_a").alias("_b2"), F.col("_b").alias("_a2"))
+    return (topk.join(rev, (F.col("_a") == F.col("_a2"))
+                      & (F.col("_b") == F.col("_b2")))
+            .filter(F.col("_a") < F.col("_b"))
+            .select(F.col("_a").alias("src"), F.col("_b").alias("dst"),
+                    "sim"))
+
+
 def hard_negatives(df: DataFrame, queries: DataFrame, k: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    label_col: str = "label") -> DataFrame:

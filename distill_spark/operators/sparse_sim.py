@@ -1,0 +1,119 @@
+"""Sparse TF-IDF cosine similarity self-join via inverted index.
+
+The *sparse* complement of the dense-embedding edge builders
+(cluster.similarity_edges): documents are bags of weighted terms, and
+candidate generation is an inverted-index (term-keyed) join instead
+of vector matmul or sign-LSH — the classic IR / AllPairs construction
+(Bayardo et al., WWW'07 "Scaling Up All Pairs Similarity Search").
+Near-dup pairs surface because they share high-IDF terms; unrelated
+pairs never meet because they share no indexed term.
+
+Pipeline (one declarative plan, no driver loops):
+
+1. tokenize (shared ``words_expr`` tokenizer) → per-doc term counts;
+2. document frequency per term; terms with df > ``max_df`` are
+   dropped from the INDEX (stop-word / boilerplate cap — the hot-key
+   bound: a term in half the corpus would mint |corpus|²/4 pairs) but
+   kept in the per-doc norms, so the reported similarity is the TRUE
+   tf-idf cosine whenever a pair is found (subset contract, like
+   every banded path in this repo);
+3. postings self-join on term → partial products, summed per pair;
+4. cosine = dot / (norm_a · norm_b), pairs kept at ≥ ``min_sim``.
+
+Determinism (cross-engine hash parity): weights are rounded to 6
+then cast DECIMAL(18,6); pair dots and norm sums accumulate those
+decimals EXACTLY (order-independent — the welch_ttest/corr_pairs
+pattern), and only the final cosine divides in DOUBLE, rounded 6.
+
+100 TB shape: the shuffle keys are (term) then (doc_a, doc_b);
+df-capping bounds postings-list length so the per-term self-join is
+≤ max_df² rows; everything else is linear aggregates. The exact
+analog of what ES/more-like-this or a near-dup miner runs over a
+crawl shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distill_spark.operators.dedup_text import words_expr
+
+_DEC = "decimal(18,6)"
+
+
+def tfidf_cosine_pairs(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", min_sim: float = 0.5,
+                       max_df: int = 100) -> DataFrame:
+    """(doc_a, doc_b, n_shared, sim): tf-idf cosine over shared terms
+    for all pairs with sim ≥ ``min_sim``, a < b. idf = ln((1+N)/(1+df))
+    (the tfidf_top_terms convention); weights = tf · idf rounded 6 as
+    DECIMAL(18,6); norms include ALL terms, the index only terms with
+    df ≤ ``max_df``."""
+    terms = (docs.select(F.col(id_col).alias("d"),
+                         F.explode(words_expr(F.col(text_col))).alias("term"))
+             .groupBy("d", "term").agg(F.count("*").alias("tf")))
+    dfreq = terms.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("_n"))    # 1-row scalar, broadcast
+    w = F.round(F.col("tf") * F.log((1.0 + F.col("_n").cast("double"))
+                                    / (1.0 + F.col("df"))), 6).cast(_DEC)
+    weighted = (terms.join(dfreq, "term").crossJoin(F.broadcast(n))
+                .select("d", "term", "df", w.alias("w")))
+    norms = (weighted.groupBy("d")
+             .agg(F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double"))
+                  .alias("norm")))
+    idx = weighted.filter(F.col("df") <= max_df)
+    dots = (idx.alias("x")
+            .join(idx.alias("y"),
+                  (F.col("x.term") == F.col("y.term"))
+                  & (F.col("x.d") < F.col("y.d")))
+            .groupBy(F.col("x.d").alias("doc_a"),
+                     F.col("y.d").alias("doc_b"))
+            .agg(F.count("*").alias("n_shared"),
+                 F.sum(F.col("x.w") * F.col("y.w")).alias("dot")))
+    na = norms.select(F.col("d").alias("doc_a"), F.col("norm").alias("_na"))
+    nb = norms.select(F.col("d").alias("doc_b"), F.col("norm").alias("_nb"))
+    sim = F.round(F.col("dot").cast("double")
+                  / (F.col("_na") * F.col("_nb")), 6)
+    return (dots.join(na, "doc_a").join(nb, "doc_b")
+            .select("doc_a", "doc_b",
+                    F.col("n_shared").cast("long").alias("n_shared"),
+                    sim.alias("sim"))
+            .filter(F.col("sim") >= min_sim))
+
+
+def tfidf_cosine_pairs_sql(table: str = "documents",
+                           id_sql: str = "doc_id", text_sql: str = "text",
+                           min_sim: float = 0.5, max_df: int = 100) -> str:
+    words = f"list_filter(string_split({text_sql}, ' '), x -> x <> '')"
+    return f"""
+WITH toks AS (
+  SELECT {id_sql} AS d, unnest({words}) AS term FROM {table}
+),
+tf AS (SELECT d, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+n AS (SELECT count(*) AS n_docs FROM {table}),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+weighted AS (
+  SELECT tf.d, tf.term, dfreq.df,
+         CAST(round(tf * ln((1.0 + CAST(n_docs AS DOUBLE)) / (1.0 + df)), 6)
+              AS DECIMAL(18,6)) AS w
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+norms AS (
+  SELECT d, sqrt(CAST(sum(w * w) AS DOUBLE)) AS norm
+  FROM weighted GROUP BY d
+),
+idx AS (SELECT * FROM weighted WHERE df <= {max_df}),
+dots AS (
+  SELECT x.d AS doc_a, y.d AS doc_b, count(*) AS n_shared,
+         sum(x.w * y.w) AS dot
+  FROM idx x JOIN idx y ON x.term = y.term AND x.d < y.d
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+       round(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 6) AS sim
+FROM dots
+JOIN norms na ON na.d = doc_a
+JOIN norms nb ON nb.d = doc_b
+WHERE round(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 6) >= {min_sim}
+"""

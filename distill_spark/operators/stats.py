@@ -1642,3 +1642,275 @@ SELECT g AS {group_sql}, CAST(sum(c) AS BIGINT) AS n,
          AS gini
 FROM scored GROUP BY g
 """
+
+
+def kruskal_wallis(df: DataFrame, group_col: str,
+                   value_col: str = "value") -> DataFrame:
+    """Kruskal–Wallis H test across ALL groups — the k-sample
+    extension of mannwhitney_u (same distinct-value average-rank
+    construction, never a row-level rank over the full table):
+    H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1), tie-corrected by
+    C = 1 − Σ(t³−t)/(N³−N).
+
+    Per-group rank sums accumulate in DECIMAL(38,12) from exact
+    per-(group, value) counts; the k per-group terms R_g²/n_g and the
+    tie terms re-enter a decimal sum after one double division each,
+    so no engine-order-dependent float summation exists anywhere.
+    Output: one row (n, n_groups, h, h_corrected), rounds 6.
+    """
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    pv = (df.filter(g.isNotNull() & v.isNotNull())
+          .select(g.alias("g"), v.alias("v"))
+          .groupBy("g", "v").agg(F.count("*").alias("cg")))
+    per_v = pv.groupBy("v").agg(F.sum("cg").alias("ct"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "v", "ct",
+        (F.coalesce(F.sum("ct").over(w), F.lit(0))
+         + (F.col("ct") + 1) / 2.0).alias("avg_rank"))
+    by_g = (pv.join(ranked, "v")
+            .groupBy("g")
+            .agg(F.sum((F.col("cg") * F.col("avg_rank")).cast(_DEC))
+                 .alias("rg"),
+                 F.sum("cg").alias("ng")))
+    # one double division per group, immediately re-cast to decimal so
+    # the cross-group sum is order-independent
+    term = ((F.col("rg").cast("double") * F.col("rg").cast("double"))
+            / F.col("ng")).cast(_DEC)
+    ties = ranked.select(
+        (F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
+        .cast(_DEC).alias("_t"))
+    tie_sum = ties.agg(F.sum("_t").cast("double").alias("tie_sum"))
+    agg = by_g.agg(F.sum(term).cast("double").alias("s"),
+                   F.sum("ng").alias("n"),
+                   F.count("*").alias("k"))
+    out = agg.crossJoin(F.broadcast(tie_sum))
+    n = F.col("n").cast("double")
+    h = 12.0 / (n * (n + 1)) * F.col("s") - 3.0 * (n + 1)
+    c = 1.0 - F.col("tie_sum") / (n * n * n - n)
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("n_groups"),
+        F.round(h, 6).alias("h"),
+        F.round(h / c, 6).alias("h_corrected"))
+
+
+def kruskal_wallis_sql(table: str, group_sql: str,
+                       value_sql: str = "value") -> str:
+    return f"""
+WITH pv AS (
+  SELECT {group_sql} AS g, CAST({value_sql} AS DOUBLE) AS v,
+         count(*) AS cg
+  FROM {table}
+  WHERE {group_sql} IS NOT NULL AND CAST({value_sql} AS DOUBLE) IS NOT NULL
+  GROUP BY 1, 2
+),
+per_v AS (SELECT v, sum(cg) AS ct FROM pv GROUP BY 1),
+ranked AS (
+  SELECT v, ct,
+         coalesce(sum(ct) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (ct + 1) / 2.0 AS avg_rank
+  FROM per_v
+),
+by_g AS (
+  SELECT pv.g,
+         sum(CAST(pv.cg * ranked.avg_rank AS DECIMAL(38,12))) AS rg,
+         sum(pv.cg) AS ng
+  FROM pv JOIN ranked USING (v) GROUP BY 1
+),
+tie AS (
+  SELECT CAST(sum(CAST(ct * ct * ct - ct AS DECIMAL(38,12))) AS DOUBLE)
+           AS tie_sum
+  FROM ranked
+),
+agg AS (
+  SELECT CAST(sum(CAST((CAST(rg AS DOUBLE) * CAST(rg AS DOUBLE)) / ng
+                       AS DECIMAL(38,12))) AS DOUBLE) AS s,
+         sum(ng) AS n, count(*) AS k
+  FROM by_g
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_groups,
+       round(12.0 / (CAST(n AS DOUBLE) * (n + 1)) * s - 3.0 * (n + 1), 6)
+         AS h,
+       round((12.0 / (CAST(n AS DOUBLE) * (n + 1)) * s - 3.0 * (n + 1))
+             / (1.0 - tie_sum / (CAST(n AS DOUBLE) * n * n - n)), 6)
+         AS h_corrected
+FROM agg CROSS JOIN tie
+"""
+
+
+def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information (and normalized MI) between two categorical
+    columns — the magnitude companion to chi2_independence (chi2 says
+    WHETHER lang and source are dependent; MI says how many nats of
+    one the other carries). MI = Σ p(x,y)·ln(p(x,y)·N²/(n_x·n_y·N)),
+    NMI = MI / sqrt(H_a · H_b).
+
+    Every count is exact; each float term (one ln + one multiply) is
+    immediately cast DECIMAL(38,12) so the cross-cell sums are
+    order-independent — integer products stay < 2^53, so the doubles
+    feeding ln are bit-identical across engines. Output: one row
+    (n, mi, nmi), rounds 6.
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    base = (df.filter(a.isNotNull() & b.isNotNull())
+            .select(a.alias("a"), b.alias("b")))
+    joint = base.groupBy("a", "b").agg(F.count("*").alias("nxy"))
+    ma = joint.groupBy("a").agg(F.sum("nxy").alias("nx"))
+    mb = joint.groupBy("b").agg(F.sum("nxy").alias("ny"))
+    tot = joint.agg(F.sum("nxy").alias("nn"))
+    cells = (joint.join(ma, "a").join(mb, "b")
+             .crossJoin(F.broadcast(tot)))
+    nn = F.col("nn").cast("double")
+    term = ((F.col("nxy") / nn)
+            * F.log((F.col("nxy") * F.col("nn")).cast("double")
+                    / (F.col("nx") * F.col("ny")).cast("double"))
+            ).cast(_DEC)
+    mi = cells.agg(F.sum(term).cast("double").alias("mi"),
+                   F.max("nn").alias("n"))
+    ha = (ma.crossJoin(F.broadcast(tot))
+          .select(((F.col("nx") / F.col("nn").cast("double"))
+                   * F.log(F.col("nx") / F.col("nn").cast("double")))
+                  .cast(_DEC).alias("_t"))
+          .agg((-F.sum("_t").cast("double")).alias("h_a")))
+    hb = (mb.crossJoin(F.broadcast(tot))
+          .select(((F.col("ny") / F.col("nn").cast("double"))
+                   * F.log(F.col("ny") / F.col("nn").cast("double")))
+                  .cast(_DEC).alias("_t"))
+          .agg((-F.sum("_t").cast("double")).alias("h_b")))
+    out = mi.crossJoin(F.broadcast(ha)).crossJoin(F.broadcast(hb))
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        (F.round(F.col("mi"), 6) + 0.0).alias("mi"),
+        # single-category marginals have zero entropy: NMI undefined
+        (F.round(F.when(F.col("h_a") * F.col("h_b") > 0,
+                        F.col("mi") / F.sqrt(F.col("h_a") * F.col("h_b"))),
+                 6) + 0.0).alias("nmi"))
+
+
+def mutual_information_sql(table: str, a_sql: str, b_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT {a_sql} AS a, {b_sql} AS b FROM {table}
+  WHERE {a_sql} IS NOT NULL AND {b_sql} IS NOT NULL
+),
+joint AS (SELECT a, b, count(*) AS nxy FROM base GROUP BY 1, 2),
+ma AS (SELECT a, sum(nxy) AS nx FROM joint GROUP BY 1),
+mb AS (SELECT b, sum(nxy) AS ny FROM joint GROUP BY 1),
+tot AS (SELECT sum(nxy) AS nn FROM joint),
+mi AS (
+  SELECT CAST(sum(CAST((nxy / CAST(nn AS DOUBLE))
+                 * ln(CAST(nxy * nn AS DOUBLE) / CAST(nx * ny AS DOUBLE))
+                 AS DECIMAL(38,12))) AS DOUBLE) AS mi,
+         max(nn) AS n
+  FROM joint JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+),
+ha AS (
+  SELECT -CAST(sum(CAST((nx / CAST(nn AS DOUBLE))
+                 * ln(nx / CAST(nn AS DOUBLE)) AS DECIMAL(38,12)))
+               AS DOUBLE) AS h_a
+  FROM ma CROSS JOIN tot
+),
+hb AS (
+  SELECT -CAST(sum(CAST((ny / CAST(nn AS DOUBLE))
+                 * ln(ny / CAST(nn AS DOUBLE)) AS DECIMAL(38,12)))
+               AS DOUBLE) AS h_b
+  FROM mb CROSS JOIN tot
+)
+SELECT CAST(n AS BIGINT) AS n, round(mi, 6) + 0.0 AS mi,
+       round(CASE WHEN h_a * h_b > 0
+             THEN mi / sqrt(h_a * h_b) END, 6) + 0.0 AS nmi
+FROM mi CROSS JOIN ha CROSS JOIN hb
+"""
+
+
+def cohens_d(df: DataFrame, group_col: str,
+             value_col: str = "value") -> DataFrame:
+    """Per-group standardized effect size vs the REST of the table:
+    Cohen's d with pooled SD, plus the small-sample Hedges' g
+    correction J = 1 − 3/(4·(n₁+n₀)−9) — the practical-significance
+    companion to welch_ttest (a tiny p with a trivial d is noise at
+    scale). Rest-side sums are TOTAL − group (decimal subtraction,
+    exact) so the table is scanned twice, never per-group.
+
+    Sums and sums-of-squares accumulate in DECIMAL(38,12); variances
+    collapse to DOUBLE in one closed form (the welch_ttest pattern).
+    Output per group: (group, n, mean, d, hedges_g), rounds 6.
+    """
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    base = df.filter(g.isNotNull() & v.isNotNull())
+    per = base.groupBy(g.alias("g")).agg(
+        F.count("*").alias("n1"),
+        F.sum(v.cast(_DEC)).alias("s1"),
+        F.sum((v * v).cast(_DEC)).alias("ss1"))
+    tot = base.agg(F.count("*").alias("nt"),
+                   F.sum(v.cast(_DEC)).alias("st"),
+                   F.sum((v * v).cast(_DEC)).alias("sst"))
+    j = per.crossJoin(F.broadcast(tot))
+    n1 = F.col("n1").cast("double")
+    n0 = (F.col("nt") - F.col("n1")).cast("double")
+    s1 = F.col("s1").cast("double")
+    s0 = (F.col("st") - F.col("s1")).cast("double")
+    ss1 = F.col("ss1").cast("double")
+    ss0 = (F.col("sst") - F.col("ss1")).cast("double")
+    m1, m0 = s1 / n1, s0 / n0
+    var1 = (ss1 - s1 * s1 / n1) / (n1 - 1)
+    var0 = (ss0 - s0 * s0 / n0) / (n0 - 1)
+    sp = F.sqrt(((n1 - 1) * var1 + (n0 - 1) * var0) / (n1 + n0 - 2))
+    d = (m1 - m0) / sp
+    corr = 1.0 - 3.0 / (4.0 * (n1 + n0) - 9.0)
+    return j.select(
+        F.col("g").alias(group_col),
+        F.col("n1").cast("long").alias("n"),
+        F.round(m1, 6).alias("mean"),
+        # + 0.0 folds IEEE -0.0 to +0.0 (the driver hashes repr bytes)
+        (F.round(d, 6) + 0.0).alias("d"),
+        (F.round(corr * d, 6) + 0.0).alias("hedges_g"))
+
+
+def cohens_d_sql(table: str, group_sql: str,
+                 value_sql: str = "value") -> str:
+    return f"""
+WITH base AS (
+  SELECT {group_sql} AS g, CAST({value_sql} AS DOUBLE) AS v
+  FROM {table}
+  WHERE {group_sql} IS NOT NULL AND CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+per AS (
+  SELECT g, count(*) AS n1,
+         sum(CAST(v AS DECIMAL(38,12))) AS s1,
+         sum(CAST(v * v AS DECIMAL(38,12))) AS ss1
+  FROM base GROUP BY 1
+),
+tot AS (
+  SELECT count(*) AS nt,
+         sum(CAST(v AS DECIMAL(38,12))) AS st,
+         sum(CAST(v * v AS DECIMAL(38,12))) AS sst
+  FROM base
+),
+d AS (
+  SELECT g, n1,
+         CAST(n1 AS DOUBLE) AS n1d,
+         CAST(nt - n1 AS DOUBLE) AS n0d,
+         CAST(s1 AS DOUBLE) AS s1d, CAST(st - s1 AS DOUBLE) AS s0d,
+         CAST(ss1 AS DOUBLE) AS ss1d, CAST(sst - ss1 AS DOUBLE) AS ss0d
+  FROM per CROSS JOIN tot
+),
+m AS (
+  SELECT g, n1, n1d, n0d, s1d / n1d AS m1, s0d / n0d AS m0,
+         (ss1d - s1d * s1d / n1d) / (n1d - 1) AS var1,
+         (ss0d - s0d * s0d / n0d) / (n0d - 1) AS var0
+  FROM d
+)
+SELECT g AS {group_sql}, CAST(n1 AS BIGINT) AS n,
+       round(m1, 6) AS mean,
+       round((m1 - m0) / sqrt(((n1d - 1) * var1 + (n0d - 1) * var0)
+                              / (n1d + n0d - 2)), 6) + 0.0 AS d,
+       round((1.0 - 3.0 / (4.0 * (n1d + n0d) - 9.0))
+             * ((m1 - m0) / sqrt(((n1d - 1) * var1 + (n0d - 1) * var0)
+                                 / (n1d + n0d - 2))), 6) + 0.0 AS hedges_g
+FROM m
+"""

@@ -1085,3 +1085,101 @@ SELECT g AS {group_sql}, CAST(n_days AS BIGINT) AS n_days,
              ELSE 0.0 END, 6) AS strength
 FROM agg
 """
+
+
+def holt_linear(events: DataFrame, key_col: str = "event_type",
+                ts_col: str = "ts", value_col: str = "value",
+                horizon: int = 7) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend,
+    α = β = 0.5) over per-key DAILY value totals, with an
+    ``horizon``-day linear forecast — the classic local-trend
+    forecaster a metrics stack runs per series before anything
+    heavier. Init l₁ = y₁, b₁ = y₂ − y₁; then
+    lₜ = ½yₜ + ½(lₜ₋₁+bₜ₋₁), bₜ = ½(lₜ−lₜ₋₁) + ½bₜ₋₁.
+
+    Cross-engine determinism: daily totals accumulate in
+    DECIMAL(38,12) and collapse to one DOUBLE per day (bit-identical
+    inputs), and α = β = ½ makes every recursion step exact IEEE
+    halving/adds in BOTH engines (the SQL twin is a recursive CTE
+    running the same expression sequence), so the smoothed states
+    match bit for bit before the final round 6.
+
+    Scale shape: the recursion is inherently sequential PER KEY but
+    embarrassingly parallel ACROSS keys — ``applyInPandas`` per key
+    over the (tiny) daily aggregate, never over raw events; the only
+    full-data pass is the daily groupBy. Keys with fewer than two
+    observed days are dropped (no trend is defined). Output per key:
+    (key, n_days, level, trend, forecast), rounds 6.
+    """
+    import pandas as pd
+
+    daily = (events
+             .filter(F.col(key_col).isNotNull())
+             .groupBy(F.col(key_col).alias("g"),
+                      F.to_date(F.col(ts_col)).alias("d"))
+             .agg(F.sum(F.col(value_col).cast("double")
+                        .cast("decimal(38,12)"))
+                  .cast("double").alias("y")))
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d")
+        y = pdf["y"].to_numpy(dtype="float64")
+        if len(y) < 2:
+            return pd.DataFrame(
+                columns=["g", "n_days", "level", "trend", "forecast"])
+        lev = y[0]
+        b = y[1] - y[0]
+        for t in range(1, len(y)):
+            l_new = 0.5 * y[t] + 0.5 * (lev + b)
+            b = 0.5 * (l_new - lev) + 0.5 * b
+            lev = l_new
+        # NO rounding here: Python round() is half-even, SQL round is
+        # half-away — F.round applies the engine-matched rounding below
+        return pd.DataFrame({
+            "g": [pdf["g"].iloc[0]], "n_days": [len(y)],
+            "level": [lev], "trend": [b],
+            "forecast": [lev + horizon * b]})
+
+    out = daily.groupBy("g").applyInPandas(
+        fit, schema="g string, n_days long, level double, trend double, "
+                    "forecast double")
+    return out.select(F.col("g").alias(key_col), "n_days",
+                      F.round("level", 6).alias("level"),
+                      F.round("trend", 6).alias("trend"),
+                      F.round("forecast", 6).alias("forecast"))
+
+
+def holt_linear_sql(table: str = "events", key_sql: str = "event_type",
+                    ts_sql: str = "ts", value_sql: str = "value",
+                    horizon: int = 7) -> str:
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT {key_sql} AS g, CAST({ts_sql} AS DATE) AS d,
+         CAST(sum(CAST(CAST({value_sql} AS DOUBLE) AS DECIMAL(38,12)))
+              AS DOUBLE) AS y
+  FROM {table} WHERE {key_sql} IS NOT NULL GROUP BY 1, 2
+),
+ord AS (
+  SELECT g, y, row_number() OVER (PARTITION BY g ORDER BY d) AS i
+  FROM daily
+),
+n AS (SELECT g, max(i) AS t FROM ord GROUP BY 1),
+init AS (
+  SELECT o1.g, o1.y AS y1, o2.y AS y2
+  FROM ord o1 JOIN ord o2 ON o2.g = o1.g AND o2.i = 2
+  WHERE o1.i = 1
+),
+rec(g, i, l, b) AS (
+  SELECT g, 1, y1, y2 - y1 FROM init
+  UNION ALL
+  SELECT rec.g, rec.i + 1,
+         0.5 * o.y + 0.5 * (rec.l + rec.b),
+         0.5 * ((0.5 * o.y + 0.5 * (rec.l + rec.b)) - rec.l) + 0.5 * rec.b
+  FROM rec JOIN ord o ON o.g = rec.g AND o.i = rec.i + 1
+)
+SELECT rec.g AS {key_sql}, CAST(n.t AS BIGINT) AS n_days,
+       round(rec.l, 6) AS level, round(rec.b, 6) AS trend,
+       round(rec.l + {horizon} * rec.b, 6) AS forecast
+FROM rec JOIN n ON n.g = rec.g
+WHERE rec.i = n.t
+"""

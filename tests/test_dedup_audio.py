@@ -1,0 +1,108 @@
+"""Acoustic-fingerprint audio near-dup: reference-impl agreement,
+planted-jitter recall, gain invariance (the point of difference
+coding), and the end-to-end decode→fingerprint→cluster path."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from distill_spark.operators import multimodal as mm
+from distill_spark.operators.dedup_audio import (
+    N_FRAMES, N_SUBBANDS, audio_fingerprints, raw_pcm_decoder)
+from distill_spark.operators.dedup_image import (phash_candidate_pairs,
+                                                 phash_clusters)
+
+N_SAMPLES = N_FRAMES * N_SUBBANDS * 4
+
+
+def _pcm_df(spark, clips: dict[str, list[int]]):
+    rows = [(k, [float(x) for x in v]) for k, v in sorted(clips.items())]
+    return spark.createDataFrame(rows, "media_id string, feature array<float>")
+
+
+def _fp_py(samples: list[int]) -> list[int]:
+    en = [sum(samples[(f * N_SUBBANDS + b) * 4 + g] for g in range(4))
+          for f in range(N_FRAMES) for b in range(N_SUBBANDS)]
+    bits = [1 if en[f * N_SUBBANDS + b] > en[f * N_SUBBANDS + b + 1] else 0
+            for f in range(N_FRAMES) for b in range(N_SUBBANDS - 1)]
+    return [sum(bits[k * 8 + j] << j for j in range(8)) for k in range(8)]
+
+
+def _ham_py(ba, bb):
+    return sum(bin(x ^ y).count("1") for x, y in zip(ba, bb))
+
+
+def test_fingerprint_matches_reference_impl(spark):
+    rng = random.Random(11)
+    clips = {f"c{i}": [rng.randrange(256) for _ in range(N_SAMPLES)]
+             for i in range(15)}
+    got = {r.media_id: [r[f"b{k}"] for k in range(8)]
+           for r in audio_fingerprints(_pcm_df(spark, clips)).collect()}
+    for k, clip in clips.items():
+        assert got[k] == _fp_py(clip), k
+
+
+def test_planted_jitter_found_negative_control_not(spark):
+    """A clip with a few jittered samples stays within small Hamming
+    distance and is recovered by the band-blocked pair join; an
+    unrelated clip is not."""
+    rng = random.Random(5)
+    base = [rng.randrange(256) for _ in range(N_SAMPLES)]
+    near = list(base)
+    # two whole-cell edits (cells = 4 consecutive samples) pin two
+    # energies to the extremes -> a few comparison bits flip for sure
+    for s in range(4, 8):                # frame 0, band 1 -> max energy
+        near[s] = 255
+    for s in range(192, 196):            # frame 5, band 3 -> zero energy
+        near[s] = 0
+    far = [rng.randrange(256) for _ in range(N_SAMPLES)]
+    fps = audio_fingerprints(_pcm_df(spark, {"base": base, "near": near,
+                                             "far": far}))
+    expected = _ham_py(_fp_py(base), _fp_py(near))
+    assert 0 < expected <= 6
+    pairs = {(r.media_a, r.media_b): r.hamming
+             for r in phash_candidate_pairs(fps, t=7).collect()}
+    assert pairs.get(("base", "near")) == expected
+    assert ("base", "far") not in pairs and ("far", "near") not in pairs
+
+
+def test_gain_invariance_of_difference_coding(spark):
+    """Halving the gain (integer floor) preserves nearly every energy
+    comparison — the fingerprint moves ≤ a couple of bits while the
+    raw samples all change: the property exact content-hash dedup
+    lacks and difference coding exists for."""
+    rng = random.Random(9)
+    base = [rng.randrange(2, 256) for _ in range(N_SAMPLES)]
+    quiet = [x // 2 for x in base]
+    assert base != quiet
+    d = _ham_py(_fp_py(base), _fp_py(quiet))
+    assert d <= 2
+    fps = audio_fingerprints(_pcm_df(spark, {"loud": base, "quiet": quiet}))
+    pairs = {(r.media_a, r.media_b)
+             for r in phash_candidate_pairs(fps, t=4).collect()}
+    assert ("loud", "quiet") in pairs
+
+
+def test_end_to_end_decode_to_clusters(spark):
+    """Opaque payload bytes → registered raw-PCM decode (mapInPandas)
+    → fingerprints → pairs → connected components, with the replica
+    pair collapsing to one component and the outlier alone."""
+    mm.register_decoder("audio", raw_pcm_decoder(N_SAMPLES))
+    rng = random.Random(21)
+    base = bytes(rng.randrange(256) for _ in range(N_SAMPLES))
+    near = bytearray(base)
+    near[33] = (near[33] + 37) % 256
+    far = bytes(rng.randrange(256) for _ in range(N_SAMPLES))
+    rows = [("a1", "audio", "audio/pcm", base, None, None, N_SAMPLES),
+            ("a2", "audio", "audio/pcm", bytes(near), None, None, N_SAMPLES),
+            ("a3", "audio", "audio/pcm", far, None, None, N_SAMPLES)]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    feats = mm.extract_features(media).select("media_id", "feature")
+    fps = audio_fingerprints(feats)
+    pairs = phash_candidate_pairs(fps, t=6)
+    comp = {r.media_id: r.component
+            for r in phash_clusters(fps, pairs).collect()}
+    assert comp["a1"] == comp["a2"] == "a1" or comp["a1"] == comp["a2"]
+    assert comp["a3"] != comp["a1"]

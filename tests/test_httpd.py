@@ -116,3 +116,33 @@ def test_error_paths(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server, "/v1/memory/stats", {"bogus_param": 1})
     assert e.value.code == 400
+
+
+def test_dedupe_stream_sse_frames(server):
+    """POST /v1/dedupe/stream returns text/event-stream whose frames
+    replay the ProgressReporter lifecycle (clustering/selection
+    progress → complete) and end with the result chunks."""
+    chunks = [{"id": f"c{i}", "text": f"text {i}",
+               "embedding": [1.0, 0.0] if i < 2 else [0.0, 1.0],
+               "score": 1.0} for i in range(4)]
+    req = urllib.request.Request(
+        server + "/v1/dedupe/stream",
+        data=json.dumps({"chunks": chunks, "threshold": 0.1}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "text/event-stream"
+        raw = r.read().decode()
+    frames = [f for f in raw.split("\n\n") if f.strip()]
+    parsed = []
+    for f in frames:
+        lines = dict(line.split(": ", 1) for line in f.split("\n"))
+        parsed.append((lines["event"], json.loads(lines["data"])))
+    kinds = [k for k, _ in parsed]
+    assert kinds[0] == "progress" and "complete" in kinds
+    assert kinds[-1] == "result"
+    stages = {d.get("stage") for k, d in parsed if k == "progress"}
+    assert {"clustering", "selection"} <= stages
+    result = parsed[-1][1]["chunks"]
+    # two 2-member clusters -> 2 representatives
+    assert len(result) == 2

@@ -1,0 +1,272 @@
+"""Adversarial oracle validation for the round-9 SQL twins — the
+driver corpus is benign, so each new twin is re-run in DuckDB against
+frames planted with its hazards (ties, NULLs, degenerate groups,
+boundary journeys) and compared row-for-row with the Spark operator
+on the identical frame. Plus planted-behavior tests for the sparse
+similarity join and the mutual-kNN graph."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _cmp(spark_rows, duck_rows, cols):
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 9)
+        if isinstance(v, dt.datetime):
+            return v.replace(tzinfo=None).isoformat()
+        return v
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    a = sorted(tuple(norm(r[i]) for i in order) for r in spark_rows)
+    b = sorted(tuple(norm(r[i]) for i in order) for r in duck_rows)
+    assert a == b, f"\nspark={a[:5]}\nduck ={b[:5]}"
+
+
+def _duck(pdf: pd.DataFrame, table: str, sql: str):
+    con = duckdb.connect()
+    con.register("_src", pdf)
+    con.execute(f"CREATE TABLE {table} AS SELECT * FROM _src")
+    rel = con.sql(sql)
+    return rel.fetchall(), [d[0] for d in rel.description]
+
+
+def test_kruskal_all_ties_and_nulls(spark):
+    """One value shared by every group (pure-tie rank frame, the tie
+    correction divides by nearly nothing) + NULL values/groups out."""
+    from distill_spark.operators.stats import (kruskal_wallis,
+                                               kruskal_wallis_sql)
+
+    rows = ([("a", 5.0)] * 4 + [("b", 5.0)] * 3 + [("c", 5.0)] * 3
+            + [("a", 7.0), ("b", 3.0), (None, 9.0), ("c", None)])
+    pdf = pd.DataFrame(rows, columns=["event_type", "value"])
+    got = kruskal_wallis(spark.createDataFrame(pdf), "event_type")
+    srows = [tuple(r) for r in got.collect()]
+    drows, dcols = _duck(pdf, "events",
+                         kruskal_wallis_sql("events", "event_type"))
+    _cmp(srows, drows, got.columns)
+    assert got.columns == dcols
+
+
+def test_mutual_info_independent_and_degenerate(spark):
+    """Perfectly independent columns → MI rounds to −0.0/0.0 (the
+    signed-zero fold), and a single-category column → zero marginal
+    entropy → NMI NULL on both engines."""
+    from distill_spark.operators.stats import (mutual_information,
+                                               mutual_information_sql)
+
+    rows = [(a, b) for a in ("x", "y") for b in ("p", "q") for _ in range(3)]
+    pdf = pd.DataFrame(rows, columns=["lang", "source"])
+    got = mutual_information(spark.createDataFrame(pdf), "lang", "source")
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck(pdf, "documents",
+                     mutual_information_sql("documents", "lang", "source"))
+    _cmp(srows, drows, got.columns)
+    assert srows[0][1] == 0.0 and not str(srows[0][1]).startswith("-")
+
+    pdf1 = pd.DataFrame([("only", b) for b in "pqpq"],
+                        columns=["lang", "source"])
+    got1 = mutual_information(spark.createDataFrame(pdf1), "lang", "source")
+    srows1 = [tuple(r) for r in got1.collect()]
+    drows1, _ = _duck(pdf1, "documents",
+                      mutual_information_sql("documents", "lang", "source"))
+    _cmp(srows1, drows1, got1.columns)
+    assert srows1[0][2] is None          # NMI undefined, both engines
+
+
+def test_cohens_d_negative_rounds_and_zero_variance(spark):
+    """A group whose d rounds to −0.0 (the sf0.01 failure replayed)
+    and a zero-variance group (pooled SD still positive)."""
+    from distill_spark.operators.stats import cohens_d, cohens_d_sql
+
+    rows = ([("a", 10.0), ("a", 10.0), ("a", 10.0)]       # zero variance
+            + [("b", 9.0), ("b", 11.0), ("b", 10.0)]
+            + [("c", 10.000001), ("c", 9.999999), ("c", 10.0)])
+    pdf = pd.DataFrame(rows, columns=["event_type", "value"])
+    got = cohens_d(spark.createDataFrame(pdf), "event_type")
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck(pdf, "events", cohens_d_sql("events", "event_type"))
+    _cmp(srows, drows, got.columns)
+
+
+def test_bh_fdr_tied_p_and_total_unit(spark):
+    """All-identical per-unit rates (every p ties → rank by unit asc)
+    plus one unit owning ALL its arm's events; BH cut behaves."""
+    from distill_spark.operators.mleval import bh_fdr_units, bh_fdr_units_sql
+
+    rows = []
+    for u in (1, 2, 3, 4):
+        rows += [(u, True)] * 2 + [(u, False)] * 3
+    rows += [(9, True)] * 4          # hot unit, higher rate
+    pdf = pd.DataFrame(rows, columns=["user_id", "is_p"])
+    got = bh_fdr_units(spark.createDataFrame(pdf), "user_id", "is_p", q=0.2)
+    srows = [tuple(r) for r in got.collect()]
+    drows, dcols = _duck(
+        pdf.assign(event_type=pdf.is_p.map(
+            lambda b: "purchase" if b else "view")),
+        "events",
+        bh_fdr_units_sql("events", "user_id",
+                         "event_type = 'purchase'", q=0.2))
+    _cmp(srows, drows, got.columns)
+    assert got.columns == dcols
+
+
+def test_attribution_journey_shapes(spark):
+    """1-touch (full credit), 2-touch (50/50), 5-touch U-shape with a
+    timestamp tie broken by event_id, post-purchase touches ignored,
+    non-converting user absent."""
+    from distill_spark.operators.conversion import (attribution_ushaped,
+                                                    attribution_ushaped_sql)
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda m: t0 + dt.timedelta(minutes=m)
+    rows = [
+        (1, "click", s(1), 101), (1, "purchase", s(2), 102),
+        (2, "view", s(1), 201), (2, "click", s(2), 202),
+        (2, "purchase", s(3), 203),
+        (3, "view", s(1), 301), (3, "click", s(1), 302),   # ts tie
+        (3, "signup", s(2), 303), (3, "view", s(3), 304),
+        (3, "click", s(4), 305), (3, "purchase", s(5), 306),
+        (3, "view", s(6), 307),                            # post-purchase
+        (4, "view", s(1), 401),                            # never converts
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_type", "ts",
+                                      "event_id"])
+    got = attribution_ushaped(spark.createDataFrame(pdf))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck(pdf, "events", attribution_ushaped_sql())
+    _cmp(srows, drows, got.columns)
+    total = sum(r["credit_ppm"] for r in got.collect())
+    # 3 journeys: 1e6 + 1e6 + (400k+400k+66666*3) ≈ 3e6 − truncation
+    assert 2_999_990 <= total <= 3_000_000
+
+
+def test_diff_in_diff_empty_cell_is_null(spark):
+    """No treated-post rows → that cell mean and the DiD are NULL on
+    both engines (guarded division)."""
+    from distill_spark.operators.conversion import (diff_in_diff,
+                                                    diff_in_diff_sql)
+
+    li = pd.DataFrame(
+        [(1, 10.0, 0.0, dt.datetime(1997, 1, 1)),
+         (2, 20.0, 0.1, dt.datetime(1997, 6, 1)),
+         (2, 30.0, 0.0, dt.datetime(1999, 1, 1))],
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+    part = pd.DataFrame([(1, "PROMO BRUSHED"), (2, "STANDARD")],
+                        columns=["p_partkey", "p_type"])
+    sli = spark.createDataFrame(li)
+    spart = spark.createDataFrame(part)
+    got = diff_in_diff(sli, spart, cutoff="1998-01-01")
+    srows = [tuple(r) for r in got.collect()]
+    con = duckdb.connect()
+    con.register("_li", li)
+    con.register("_pt", part)
+    con.execute("CREATE TABLE lineitem AS SELECT * FROM _li")
+    con.execute("CREATE TABLE part AS SELECT * FROM _pt")
+    rel = con.sql(diff_in_diff_sql(cutoff="1998-01-01"))
+    _cmp(srows, rel.fetchall(), got.columns)
+    row = got.collect()[0]
+    assert row["mean_t1"] is None and row["did"] is None
+
+
+def test_holt_recursion_bit_matches_recursive_cte(spark):
+    """Irregular day gaps + a 2-day minimal series + a 1-day series
+    (dropped): the applyInPandas recursion must match the recursive
+    CTE bit-for-bit before rounding."""
+    from distill_spark.operators.timeseries import (holt_linear,
+                                                    holt_linear_sql)
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for i, v in enumerate([10.0, 12.5, 11.0, 14.25, 13.0, 17.5]):
+        rows.append(("a", t0 + dt.timedelta(days=i * 3 + (i % 2)), v))
+    rows += [("b", t0, 5.0), ("b", t0 + dt.timedelta(days=9), 6.5),
+             ("solo", t0, 1.0)]
+    pdf = pd.DataFrame(rows, columns=["event_type", "ts", "value"])
+    got = holt_linear(spark.createDataFrame(pdf))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck(pdf, "events", holt_linear_sql())
+    _cmp(srows, drows, got.columns)
+    assert {r[0] for r in srows} == {"a", "b"}      # solo dropped
+
+
+def test_tfidf_cosine_identical_docs_and_boilerplate(spark):
+    """Two identical docs score sim 1.0; a term present in every doc
+    can be df-capped out of the index yet still weighs the norms; an
+    unrelated doc pairs with nothing."""
+    from distill_spark.operators.sparse_sim import (tfidf_cosine_pairs,
+                                                    tfidf_cosine_pairs_sql)
+
+    pdf = pd.DataFrame(
+        [(1, "alpha beta gamma common"), (2, "alpha beta gamma common"),
+         (3, "delta epsilon zeta common"),
+         (4, "eta theta iota common")],
+        columns=["doc_id", "text"])
+    got = tfidf_cosine_pairs(spark.createDataFrame(pdf),
+                             min_sim=0.2, max_df=3)
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck(pdf, "documents",
+                     tfidf_cosine_pairs_sql(min_sim=0.2, max_df=3))
+    _cmp(srows, drows, got.columns)
+    sims = {(r.doc_a, r.doc_b): r.sim for r in got.collect()}
+    assert sims[(1, 2)] == 1.0
+    assert all(k == (1, 2) for k in sims)     # 'common' df=4 > cap
+
+
+def test_knn_graph_mutual_and_hub_asymmetry(spark):
+    """A tight planted pair is mutual; duplicate vectors tie-break by
+    id deterministically on both engines."""
+    from distill_spark.operators.similarity import knn_graph_mutual
+
+    vecs = {1: [1.0, 0.0, 0.0], 2: [0.999, 0.01, 0.0],
+            3: [0.0, 1.0, 0.0], 4: [0.0, 0.99, 0.1],
+            5: [0.5, 0.5, 0.0], 6: [1.0, 0.0, 0.0]}    # 6 duplicates 1
+    df = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in vecs.items()],
+        "id long, embedding array<float>")
+    got = {(r.src, r.dst) for r in
+           knn_graph_mutual(df, k=2, id_col="id").collect()}
+    assert (1, 6) in got and (1, 2) in got and (3, 4) in got
+    assert all(a < b for a, b in got)
+
+
+def test_srm_hash_split_deterministic(spark):
+    from distill_spark.operators.conversion import srm_check, srm_check_sql
+
+    pdf = pd.DataFrame({"user_id": list(range(1, 201))})
+    got = srm_check(spark.createDataFrame(pdf))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck(pdf, "events", srm_check_sql())
+    _cmp(srows, drows, got.columns)
+    n, n0, n1 = srows[0][0], srows[0][1], srows[0][2]
+    assert n == 200 and n0 + n1 == 200 and min(n0, n1) > 60
+
+
+def test_dq_audit_counts_exact(spark):
+    """Planted violations are counted exactly, rules on clean columns
+    pass at 1.0, and the Spark/SQL row sets agree."""
+    from distill_spark.operators.dq import (Expectation, audit_expectations,
+                                            audit_expectations_sql)
+
+    ev = pd.DataFrame({"user_id": [1, 2, None, 4],
+                       "value": [1.0, -2.0, 3.0, -0.5]})
+    rules = [
+        Expectation("value_nonneg", "events",
+                    lambda: F.col("value") < 0, "value < 0"),
+        Expectation("user_present", "events",
+                    lambda: F.col("user_id").isNull(), "user_id IS NULL"),
+    ]
+    got = audit_expectations({"events": spark.createDataFrame(ev)}, rules)
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck(ev, "events", audit_expectations_sql(rules))
+    _cmp(srows, drows, got.columns)
+    by_rule = {r.rule: r for r in got.collect()}
+    assert by_rule["value_nonneg"].n_violations == 2
+    assert by_rule["user_present"].n_violations == 1
