@@ -1,0 +1,138 @@
+"""Profile the a2_kmeans_dedup concurrent straggler (round-9 ask #3).
+
+a2 runs ~3.8 s sequential but ~7 s when the 15-query headline batch
+is in flight (third round above the 6.5 s bar). Round-8 scheduling
+experiments (pool weight, head-start stagger, width A/B) were all
+noise-level, so this measures WHERE the extra seconds go, from the
+Spark UI REST job timeline:
+
+  per-run: wall, number of jobs, sum of job execution time, and the
+  DRIVER GAP = wall − sum(job durations) — time with NO a2 job
+  running (py4j round-trips, plan/codegen, fit collect overhead,
+  Python-side work between actions).
+
+If the concurrent run's extra wall shows up as driver gap (jobs just
+as fast, more dead air between them), the floor is shared-driver
+overhead and no executor-share lever can buy it back. If instead the
+job durations themselves stretch, it's executor contention.
+
+Usage: python tools/profile_a2.py [--json PATH]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import bench  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+from distill_spark.runtime import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _rest_jobs(spark):
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/jobs",
+                                timeout=30) as r:
+        return json.load(r)
+
+
+def _analyze(jobs, group):
+    import datetime as dt
+
+    def ts(s):
+        return dt.datetime.strptime(s[:23], "%Y-%m-%dT%H:%M:%S.%f")
+
+    mine = [j for j in jobs if j.get("jobGroup") == group
+            and j.get("completionTime")]
+    if not mine:
+        return {"jobs": 0}
+    subs = [ts(j["submissionTime"]) for j in mine]
+    comps = [ts(j["completionTime"]) for j in mine]
+    busy = sum((c - s).total_seconds() for s, c in zip(subs, comps))
+    wall = (max(comps) - min(subs)).total_seconds()
+    tasks = sum(j.get("numTasks", 0) for j in mine)
+    return {"jobs": len(mine), "tasks": tasks,
+            "job_busy_secs": round(busy, 3),
+            "first_to_last_secs": round(wall, 3),
+            "gap_secs": round(wall - busy, 3)}
+
+
+def main():
+    json_path = None
+    if "--json" in sys.argv:
+        json_path = sys.argv[sys.argv.index("--json") + 1]
+    alloc = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "fairscheduler.xml")
+    spark = get_spark(app_name="profile_a2",
+                      extra_conf={"spark.scheduler.mode": "FAIR",
+                                  "spark.scheduler.allocation.file": alloc})
+    queries = entrymod.queries()
+    a2 = queries["a2_kmeans_dedup"]
+
+    # warmup (JIT, parquet footers, python workers)
+    spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).count()
+    a2(spark, SF_DIR).count()
+    bench._release_state(spark, jvm_gc=True)
+
+    out = {"sf_dir": SF_DIR}
+
+    def run_a2(group):
+        sc = spark.sparkContext
+        sc.setLocalProperty("spark.scheduler.pool", "a2_kmeans_dedup")
+        sc.setJobGroup(group, group)
+        t0 = time.time()
+        a2(spark, SF_DIR).count()
+        took = round(time.time() - t0, 3)
+        sc.setJobGroup("", "")
+        return took
+
+    # --- solo ---------------------------------------------------------
+    out["solo_wall"] = run_a2("a2_solo")
+    bench._release_state(spark, jvm_gc=True)
+
+    # --- concurrent: the bench batch shape, a2 job-grouped ------------
+    from concurrent.futures import ThreadPoolExecutor
+
+    all_names = bench.HEADLINE[:2] + ["flagship_dedupe"] + bench.HEADLINE[2:]
+
+    def run_other(name):
+        sc = spark.sparkContext
+        sc.setLocalProperty("spark.scheduler.pool", name)
+        fn = (bench.flagship_dedupe if name == "flagship_dedupe"
+              else queries[name])
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        return name, round(time.time() - t0, 3)
+
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        futs = [pool.submit(
+            (lambda: ("a2_kmeans_dedup", run_a2("a2_conc")))
+            if n == "a2_kmeans_dedup" else (lambda n=n: run_other(n)))
+            for n in all_names]
+        timings = dict(f.result() for f in futs)
+    out["batch_wall"] = round(time.time() - t0, 3)
+    out["conc_wall"] = timings["a2_kmeans_dedup"]
+    out["batch_timings"] = timings
+
+    jobs = _rest_jobs(spark)
+    out["solo"] = _analyze(jobs, "a2_solo")
+    out["conc"] = _analyze(jobs, "a2_conc")
+    print(json.dumps(out, indent=1))
+    if json_path:
+        with open(json_path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+
+
+if __name__ == "__main__":
+    main()
