@@ -293,11 +293,21 @@ def main():
             # Round-8 experiments (solo box): stagger 0.8-1.2 cut a2's
             # own time (7.1 -> 5.7) but the added serial delay ate the
             # win (wall 7.6-7.1, no better than width-6 alone); a2
-            # pool weight 8 likewise noise-level. Conclusion: the a2
-            # concurrent gap (6.8 conc vs 3.6 seq) is DRIVER-side —
-            # 15 query threads share one PySpark driver GIL, and an
-            # 8-job chain pays a GIL wait between every job; executor
-            # share cannot buy that back. Kept for experiments.
+            # pool weight 8 likewise noise-level. Round-9 profile
+            # (tools/profile_a2.py, PROFILE_A2_r9.json) CORRECTED the
+            # round-8 driver-GIL hypothesis from the REST timeline:
+            # a2 is a 20-job / 28-task chain whose executor CPU is
+            # FLAT under concurrency (3.56 -> 3.75 s) while task wall
+            # stretches (run 3.80 -> 5.76 s) — its tasks block on
+            # shared-box core competition from the OTHER queries'
+            # Python workers, which live outside Spark's 32 task-slot
+            # accounting, plus ~0.6 s extra in-job scheduling. No
+            # FAIR/pool lever governs off-slot Python CPU, and a
+            # width-4 A/B (less oversubscription, more serialization)
+            # LOST to width 6 (min 8.04 vs 6.32 s, 3 reps each); the
+            # 6.32 s quiet-box quick-mode min shows the <= 6.5 s bar
+            # is the box's contention noise, not a plan problem.
+            # Kept for experiments.
             stagger = float(os.environ.get("SPARK_GRAFT_BENCH_STAGGER", "0"))
             with ThreadPoolExecutor(max_workers=width) as pool:
                 if stagger > 0:

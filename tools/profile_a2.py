@@ -46,6 +46,28 @@ def _rest_jobs(spark):
         return json.load(r)
 
 
+def _rest_stages(spark):
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages?status=complete",
+            timeout=30) as r:
+        return json.load(r)
+
+
+def _stage_attrib(jobs, stages, group):
+    """executorRunTime (CPU actually spent in tasks) vs stage wall for
+    the group's stages — separates CPU contention from slot queueing."""
+    sids = {sid for j in jobs if j.get("jobGroup") == group
+            for sid in j.get("stageIds", [])}
+    mine = [st for st in stages if st["stageId"] in sids]
+    run_ms = sum(st.get("executorRunTime", 0) for st in mine)
+    cpu_ms = sum(st.get("executorCpuTime", 0) for st in mine) / 1e6
+    return {"stages": len(mine),
+            "executor_run_secs": round(run_ms / 1e3, 3),
+            "executor_cpu_secs": round(cpu_ms / 1e3, 3)}
+
+
 def _analyze(jobs, group):
     import datetime as dt
 
@@ -75,7 +97,10 @@ def main():
                          "fairscheduler.xml")
     spark = get_spark(app_name="profile_a2",
                       extra_conf={"spark.scheduler.mode": "FAIR",
-                                  "spark.scheduler.allocation.file": alloc})
+                                  "spark.scheduler.allocation.file": alloc,
+                                  # the REST timeline IS the profiler
+                                  "spark.ui.enabled": "true",
+                                  "spark.ui.port": "0"})
     queries = entrymod.queries()
     a2 = queries["a2_kmeans_dedup"]
 
@@ -126,8 +151,11 @@ def main():
     out["batch_timings"] = timings
 
     jobs = _rest_jobs(spark)
+    stages = _rest_stages(spark)
     out["solo"] = _analyze(jobs, "a2_solo")
+    out["solo"].update(_stage_attrib(jobs, stages, "a2_solo"))
     out["conc"] = _analyze(jobs, "a2_conc")
+    out["conc"].update(_stage_attrib(jobs, stages, "a2_conc"))
     print(json.dumps(out, indent=1))
     if json_path:
         with open(json_path, "w") as fh:
