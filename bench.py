@@ -136,11 +136,17 @@ def _ann_scale(spark, n=1_000_000, dim=64, nq=8, k=10):
         F.col("id").alias("vec_id"), F.col("v").alias("embedding"))
     queries = synth(spark.range(nq), 7777).select(
         F.col("id").alias("qid"), F.col("v").alias("qv"))
+    # one untimed pass first: the round-8 "drift" (1.90 -> 2.12 s) was
+    # cold-session state (codegen for the synth expression tree +
+    # python worker spin-up after the training section's GC), not the
+    # plan — measured solo r9: 3.90 s cold, then 1.51 / 1.34 s warm.
+    # The metric documents steady-state scan throughput, so warm it.
+    brute_topk_batch(corpus, queries, k=k).count()
     t0 = time.time()
     rows = brute_topk_batch(corpus, queries, k=k).count()
     secs = round(time.time() - t0, 3)
     return {"n_vectors": n, "dim": dim, "n_queries": nq, "k": k,
-            "rows": rows, "secs": secs,
+            "rows": rows, "secs": secs, "basis": "warm (1 untimed pass)",
             "scored_pairs_per_sec": round(n * nq / secs)}
 
 
@@ -171,22 +177,50 @@ def _sf1_section(spark, sf_dir):
         if os.path.lexists(dst):
             os.remove(dst)
         os.symlink(src, dst)
+    # round-9: promoted from 1-rep smoke to a regression surface —
+    # min of 3 reps per query, the two heaviest training ops added,
+    # and a >1.3x flag against the committed SF1_BASELINE.json
     names = ["a2_kmeans_dedup", "g3_blast_radius", "a1_cluster_cc",
-             "j1_pairwise_band", "flagship_dedupe"]
+             "j1_pairwise_band", "flagship_dedupe",
+             "train_pagerank", "train_packing"]
     queries = entrymod.queries()
+    training = _training_ops(view)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_REPS", "3"))
     timings = {}
     t0 = time.time()
     for name in names:
-        fn = flagship_dedupe if name == "flagship_dedupe" else queries[name]
-        s0 = time.time()
-        n = fn(spark, view).count()
-        timings[name] = round(time.time() - s0, 3)
-        print(f"# sf1 {name}: {n} rows in {timings[name]}s",
+        if name == "flagship_dedupe":
+            fn = flagship_dedupe
+        elif name in training:
+            fn = training[name]
+        else:
+            fn = queries[name]
+        best = None
+        for _ in range(reps):
+            s0 = time.time()
+            n = fn(spark, view).count()
+            took = round(time.time() - s0, 3)
+            best = took if best is None else min(best, took)
+            _release_state(spark, jvm_gc=True)
+        timings[name] = best
+        print(f"# sf1 {name}: {n} rows, min-of-{reps} {best}s",
               file=sys.stderr, flush=True)
-        _release_state(spark, jvm_gc=True)
-    return {"total": round(time.time() - t0, 3), "queries": timings,
-            "note": "x10 docs/embeddings/lineitem (~sf1), sf0.1 rest; "
-                    "sequential, 1 rep"}
+    out = {"total": round(sum(timings.values()), 3), "queries": timings,
+           "reps": reps, "flag_rule": "min > 1.3x committed baseline",
+           "note": "x10 docs/embeddings/lineitem (~sf1), sf0.1 rest; "
+                   "sequential, min of reps"}
+    base_path = os.path.join(root, "SF1_BASELINE.json")
+    if os.path.exists(base_path):
+        with open(base_path) as fh:
+            base = json.load(fh).get("queries", {})
+        out["flagged"] = sorted(
+            n for n, t in timings.items()
+            if n in base and t > 1.3 * base[n])
+    if os.environ.get("SPARK_GRAFT_BENCH_WRITE_SF1_BASELINE") == "1":
+        with open(base_path, "w") as fh:
+            json.dump({"queries": timings, "reps": reps}, fh, indent=1,
+                      sort_keys=True)
+    return out
 
 
 def _release_state(spark, jvm_gc=False):

@@ -650,3 +650,101 @@ def signlsh_edges(df: DataFrame, threshold: float, id_col: str = "id",
     return (cand.join(va, "src").join(vb, "dst")
             .filter(dist <= threshold)
             .select("src", "dst"))
+
+
+def ivf_edges(df: DataFrame, threshold: float, id_col: str = "id",
+              vec_col: str = "embedding", n_cells: int = 1024,
+              n_assign: int = 2, max_cell: int = 4096,
+              fit_sample: int = 20000, seed: int = 42,
+              dist_round: int | None = 6,
+              verify_broadcast_bytes: int = 0) -> DataFrame:
+    """Similarity edges via IVF cell blocking — the third edge route
+    (exact matmul / banded sign-LSH / IVF), for the SCALE comparison
+    the round-9 brief asks for: coarse-quantize the corpus (numpy
+    k-means on a deterministic hash-ordered sample, the kmeans_dedup
+    fit), assign each vector to its ``n_assign`` nearest cells
+    map-side, take candidate pairs within a cell, verify with the
+    true cosine. Subset contract like the banded route: near-dup
+    pairs share a top cell with high probability (multi-assignment
+    covers cell boundaries); nothing is fabricated.
+
+    100 TB shape: one sample collect bounded by ``fit_sample``; the
+    assignment is a map-side Arrow pass with the (n_cells × dim)
+    center matrix in the closure; the shuffle key is the cell id;
+    cells above ``max_cell`` are dropped before the self-join (the
+    hot-bucket cap — an all-boilerplate cell must not mint |cell|²
+    pairs). Compared to banded sign-LSH the candidate volume scales
+    with n²/n_cells instead of bands·n²/2^bits — better when the
+    corpus clusters tightly, worse on uniform corpora.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from distill_spark.operators.kmeans_dedup import _fit_centroids
+    from distill_spark.operators.sampling import hash_bucket
+
+    with_emb = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+    id_type = dict(df.dtypes)[id_col]
+    sample = (with_emb
+              .select(vm.normalize(F.col(vec_col)).alias("_v"), F.col(id_col))
+              .orderBy(hash_bucket(F.col(id_col), "xxhash64", salt=seed).asc(),
+                       F.col(id_col).asc())
+              .limit(fit_sample).collect())
+    if not sample:
+        return df.sparkSession.createDataFrame(
+            [], schema=f"src {id_type}, dst {id_type}")
+    X = np.asarray([r._v for r in sample], dtype=np.float64)
+    k = min(n_cells, len(sample))
+    cmat = _fit_centroids(X, k, max_iter=10)
+    sc = df.sparkSession.sparkContext
+    b_c = sc.broadcast(cmat)
+    take = min(n_assign, k)
+
+    def assign(batches):
+        C = b_c.value
+        for pdf in batches:
+            vecs = [v for v in pdf[vec_col]]
+            ok = [i for i, v in enumerate(vecs)
+                  if v is not None and len(v) == C.shape[1]]
+            if not ok:
+                continue
+            V = np.stack([np.asarray(vecs[i], dtype=np.float64) for i in ok])
+            nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+            nz = nrm > 0
+            if not nz.any():
+                continue
+            V = V[nz] / nrm[nz, None]
+            ids = pdf[id_col].iloc[ok].to_numpy()[nz]
+            sims = V @ C.T
+            top = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            yield pd.DataFrame({
+                id_col: np.repeat(ids, take),
+                "_cell": top.reshape(-1).astype(np.int32)})
+
+    cells = with_emb.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} {id_type}, _cell int")
+    okc = (cells.groupBy("_cell").agg(F.count("*").alias("_n"))
+           .filter(F.col("_n") <= max_cell).drop("_n"))
+    lo = cells.join(okc, "_cell")
+    cand = (lo.alias("x")
+            .join(lo.alias("y"),
+                  (F.col("x._cell") == F.col("y._cell"))
+                  & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
+            .select(F.col(f"x.{id_col}").alias("src"),
+                    F.col(f"y.{id_col}").alias("dst"))
+            .distinct())
+    n_rows, dim = with_emb.agg(
+        F.count("*"), F.coalesce(F.max(F.size(vec_col)), F.lit(0))).first()
+    if verify_broadcast_bytes and n_rows * dim * 8 <= verify_broadcast_bytes:
+        return _verify_candidates_broadcast(
+            with_emb, cand, threshold, id_col, vec_col, dist_round)
+    va = with_emb.select(F.col(id_col).alias("src"),
+                         F.col(vec_col).alias("_va"))
+    vb = with_emb.select(F.col(id_col).alias("dst"),
+                         F.col(vec_col).alias("_vb"))
+    dist = vm.cosine_distance(F.col("_va"), F.col("_vb"))
+    if dist_round is not None:
+        dist = F.round(dist, dist_round)
+    return (cand.join(va, "src").join(vb, "dst")
+            .filter(dist <= threshold)
+            .select("src", "dst"))

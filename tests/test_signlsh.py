@@ -161,3 +161,31 @@ def test_auto_bands_for_recall_closed_form():
     # band count reaches the floor, caller falls back to best-effort
     assert auto_bands_for_recall(0.3) is None
     assert auto_bands_for_recall(0.65) is None
+
+
+def test_ivf_edges_subset_and_recall_on_planted(spark):
+    """The IVF cell-blocked route: subset of exact, near-total recall
+    on planted tight clusters (replicas land in the same top cell;
+    multi-assignment covers boundaries)."""
+    from distill_spark.operators.cluster import ivf_edges
+
+    vecs = _planted(seed=17)
+    df = _vecs_df(spark, vecs)
+    got = {(r.src, r.dst) for r in ivf_edges(
+        df, 0.2, id_col="id", n_cells=8, n_assign=2,
+        dist_round=6).collect()}
+    exact = _exact_edges(vecs, 0.2)
+    assert got <= exact and len(got) >= 0.9 * len(exact)
+
+
+def test_ivf_edges_broadcast_verify_matches(spark):
+    from distill_spark.operators.cluster import ivf_edges
+
+    vecs = _planted(seed=19)
+    df = _vecs_df(spark, vecs)
+    shuf = {(r.src, r.dst) for r in ivf_edges(
+        df, 0.2, id_col="id", n_cells=8, dist_round=6).collect()}
+    bc = {(r.src, r.dst) for r in ivf_edges(
+        df, 0.2, id_col="id", n_cells=8, dist_round=6,
+        verify_broadcast_bytes=512 << 20).collect()}
+    assert shuf == bc and shuf

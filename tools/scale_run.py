@@ -232,6 +232,19 @@ def main():
         # replica pair is a true dup) — compare edge counts, not just
         # wall, when reading the slope
         "edge_banded_neardup": (banded_edges, (10, 100)),
+        # round-9 stretch: the IVF cell-blocked route on the SAME
+        # corpus/threshold as the banded row — candidate volume scales
+        # n²/n_cells vs bands·n²/2^bits; broadcast-verified like the
+        # gated default. Cells sized ~n/200 so expected cell ≈ 400.
+        "edge_ivf_neardup": (
+            lambda d, threshold=0.2: __import__(
+                "distill_spark.operators.cluster", fromlist=["ivf_edges"]
+            ).ivf_edges(
+                _chunks(spark, os.path.join(d, "documents.parquet"),
+                        os.path.join(d, "embeddings.parquet")),
+                threshold, id_col="id", n_cells=1024, n_assign=2,
+                max_cell=4096, verify_broadcast_bytes=512 << 20),
+            (10, 100)),
         "dedup_minhash_lsh": (
             lambda d: minhash(spark, os.path.join(d, "documents.parquet")),
             (1, 10, 100)),
