@@ -8959,7 +8959,93 @@ def _sql_dq() -> str:
     return audit_expectations_sql(_dq_rules())
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Explicit-register portable HyperLogLog (operators/sketch.py
+    portable_hll) over events, both estimator branches exercised:
+    user_id per event_type lands in the linear-counting range
+    (zeros > 0, raw ≤ 2.5m) while event_id per event_type takes the
+    raw harmonic-mean branch — each paired with its exact twin. The
+    sketch registers replay bit-for-bit in the oracle (Knuth hash,
+    bin()-length rho, BIGINT-scaled indicator sum); the reference
+    counts distincts exactly, which does not survive 100 TB."""
+    from distill_spark.operators.sketch import portable_hll
+
+    t = _tables(spark, sf_dir)
+    ev = t["events"]
+
+    def one(key):
+        exact = (ev.filter(F.col(key).isNotNull())
+                 .groupBy("event_type")
+                 .agg(F.countDistinct(key).cast("long")
+                      .alias("exact_distinct")))
+        return (portable_hll(ev, key, ["event_type"])
+                .join(exact, "event_type")
+                .select(F.lit(key).alias("metric"), "event_type",
+                        "exact_distinct", "buckets_hit", "zeros",
+                        "z_scaled", "est_distinct"))
+
+    return one("user_id").unionByName(one("event_id"))
+
+
+def _sql_hll_distinct() -> str:
+    from distill_spark.operators.sketch import portable_hll_sql
+
+    def one(key):
+        hll = portable_hll_sql("events", key, ["event_type"])
+        return f"""
+SELECT '{key}' AS metric, h.event_type, e.exact_distinct,
+       h.buckets_hit, h.zeros, h.z_scaled, h.est_distinct
+FROM ({hll}) h
+JOIN (SELECT event_type,
+             CAST(COUNT(DISTINCT {key}) AS BIGINT) AS exact_distinct
+      FROM events WHERE {key} IS NOT NULL
+      GROUP BY event_type) e USING (event_type)"""
+
+    return one("user_id") + "\nUNION ALL\n" + one("event_id")
+
+
+def q_mrr_value(spark, sf_dir):
+    """Macro MRR@10 + MAP@10 of value ranking purchases per user
+    (mleval.map_mrr) — completes the IR eval family next to
+    ndcg_value, same frame and deterministic tiebreaks."""
+    from distill_spark.operators.mleval import map_mrr
+
+    t = _tables(spark, sf_dir)
+    df = t["events"].select(
+        "user_id", "value", "event_id",
+        (F.col("event_type") == "purchase").alias("y"))
+    return map_mrr(df, "user_id", "y", "value", "event_id", k=10)
+
+
+def _sql_mrr():
+    from distill_spark.operators.mleval import map_mrr_sql
+
+    return map_mrr_sql("events", "user_id", "event_type = 'purchase'",
+                       "value", "event_id", k=10)
+
+
+def q_logrank_arms(spark, sf_dir):
+    """Two-sample log-rank test between srm-style hash arms on the
+    kaplan_meier time-to-purchase frame (conversion.logrank_arms) —
+    the survival-family hypothesis test; decimal-summed per-day
+    hypergeometric terms, shared A&S erfc p-value."""
+    from distill_spark.operators.conversion import logrank_arms
+
+    t = _tables(spark, sf_dir)
+    return logrank_arms(t["events"])
+
+
+def _sql_logrank():
+    from distill_spark.operators.conversion import logrank_arms_sql
+
+    return logrank_arms_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    # -- round-9 second stratum: sketches / rank stats / IR metrics ---------
+    "hll_distinct": (q_hll_distinct, _sql_hll_distinct()),
+    "logrank_arms": (q_logrank_arms, _sql_logrank()),
+    "mrr_value": (q_mrr_value, _sql_mrr()),
     # -- round-9 window head: audio near-dup + experimentation family -------
     "mm_audio_pairs": (q_mm_audio_pairs, _sql_mm_audio_pairs()),
     "mm_audio_clusters": (q_mm_audio_clusters, _sql_mm_audio_clusters()),

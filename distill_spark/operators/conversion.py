@@ -1172,3 +1172,165 @@ SELECT CAST(n AS BIGINT) AS n_users,
        CAST(n0 - n1 AS DOUBLE) * (n0 - n1) / n > 3.841459 AS srm
 FROM per
 """
+
+
+def logrank_arms(events: DataFrame, target: str = "purchase",
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type") -> DataFrame:
+    """Two-sample log-rank test between deterministic hash-split arms
+    on the kaplan_meier time-to-``target`` frame — the hypothesis
+    test the KM curves themselves don't give (Mantel 1966; the
+    experimentation-platform gate after srm_check passes). Subjects,
+    entry, conversion and censoring are exactly kaplan_meier's; the
+    arm is srm_check's Knuth multiplicative split, so under the null
+    the test should NOT reject — a planted-effect corpus would.
+
+    At each combined conversion day: observed arm-0 events d1 vs
+    expected d·n1/n under the null, variance
+    d·(n1/n)·(n2/n)·(n−d)/(n−1) (hypergeometric). Per-day terms are
+    one identical chain of IEEE ops in either engine, rounded to the
+    1e-9 grid, then summed as DECIMAL — order-independent, so the
+    statistic survives any partitioning. χ² = (O1−E1)²/V (df=1),
+    p = erfc(√(χ²/2)·1/√2 scaling folded: erfc(√χ²/√2)).
+
+    Shape: one user-level aggregate, then everything runs on the
+    |conversion days| frame — unbounded windows over day tallies for
+    per-arm at-risk counts, one final single-row aggregate.
+    Output: (n_0, n_1, events_0, events_1, expected_0, variance,
+    chi2, p_value), rounds 6.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    per_user = (events.groupBy(F.col(user_col).alias("u"))
+                .agg(F.min(us).alias("t0"),
+                     F.min(F.when(F.col(type_col) == target, us))
+                     .alias("tc")))
+    horizon = events.agg(F.max(us).alias("tend"))
+    arm = (((F.col("u") % 100003) * 2654435761) % 4294967296 % 2)
+    subj = (per_user.crossJoin(F.broadcast(horizon))
+            .select(arm.cast("int").alias("arm"),
+                    F.col("tc").isNotNull().alias("converted"),
+                    F.floor((F.coalesce("tc", "tend") - F.col("t0"))
+                            / 86_400_000_000).alias("day")))
+    is0 = (F.col("arm") == 0).cast("long")
+    tally = (subj.groupBy("day")
+             .agg(F.sum(F.col("converted").cast("long") * is0).alias("d1"),
+                  F.sum(F.col("converted").cast("long") * (1 - is0))
+                  .alias("d2"),
+                  F.sum(is0).alias("t1"),
+                  F.sum(1 - is0).alias("t2")))
+    wprev = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1)
+    n_total = Window.partitionBy()
+    at_risk = (tally
+               .withColumn("n1", F.sum("t1").over(n_total)
+                           - F.coalesce(F.sum("t1").over(wprev), F.lit(0)))
+               .withColumn("n2", F.sum("t2").over(n_total)
+                           - F.coalesce(F.sum("t2").over(wprev), F.lit(0)))
+               .filter(F.col("d1") + F.col("d2") > 0))
+    d = (F.col("d1") + F.col("d2")).cast("double")
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    n = (F.col("n1") + F.col("n2")).cast("double")
+    e1 = F.round(d * n1 / n, 9).cast("decimal(28,9)")
+    v = F.round(
+        F.when(F.col("n1") + F.col("n2") > 1,
+               d * n1 / n * n2 / n
+               * (n - d) / (n - F.lit(1.0)))
+        .otherwise(F.lit(0.0)), 9).cast("decimal(28,9)")
+    terms = at_risk.select("d1", "d2", "t1", "t2",
+                           e1.alias("_e1"), v.alias("_v"))
+    tot = terms.agg(
+        F.sum("d1").cast("long").alias("events_0"),
+        F.sum("d2").cast("long").alias("events_1"),
+        F.sum("_e1").alias("_E1"),
+        F.sum("_v").alias("_V"))
+    sizes = subj.agg(
+        F.sum(is0).cast("long").alias("n_0"),
+        F.sum(1 - is0).cast("long").alias("n_1"))
+    oe = (F.col("events_0").cast("double")
+          - F.col("_E1").cast("double"))
+    chi2 = oe * oe / F.col("_V").cast("double")
+    from distill_spark.operators.mleval import _erfc_expr
+    out = (sizes.crossJoin(tot)
+           .withColumn("expected_0",
+                       F.round(F.col("_E1").cast("double"), 6))
+           .withColumn("variance",
+                       F.round(F.col("_V").cast("double"), 6))
+           .withColumn("chi2", F.when(
+               F.col("_V").cast("double") > 0, F.round(chi2, 6)))
+           .withColumn("p_value", F.when(
+               F.col("_V").cast("double") > 0,
+               F.round(_erfc_expr(F.sqrt(chi2) / F.lit(2.0 ** 0.5)), 6))))
+    return out.select("n_0", "n_1", "events_0", "events_1",
+                      "expected_0", "variance", "chi2", "p_value")
+
+
+def logrank_arms_sql(table: str = "events", target: str = "purchase",
+                     user_sql: str = "user_id", ts_sql: str = "ts",
+                     type_sql: str = "event_type") -> str:
+    from distill_spark.operators.mleval import _erfc_sql
+
+    chi2 = ("CAST(events_0 AS DOUBLE) - CAST(E1 AS DOUBLE)) * "
+            "(CAST(events_0 AS DOUBLE) - CAST(E1 AS DOUBLE)) "
+            "/ CAST(V AS DOUBLE")
+    return f"""
+WITH per_user AS (
+  SELECT {user_sql} AS u, min(epoch_us({ts_sql})) AS t0,
+         min(CASE WHEN {type_sql} = '{target}'
+             THEN epoch_us({ts_sql}) END) AS tc
+  FROM {table} GROUP BY 1
+),
+horizon AS (SELECT max(epoch_us({ts_sql})) AS tend FROM {table}),
+subj AS (
+  SELECT CAST(((u % 100003) * 2654435761) % 4294967296 % 2 AS INT) AS arm,
+         tc IS NOT NULL AS converted,
+         CAST(floor((coalesce(tc, tend) - t0) / 86400000000.0) AS BIGINT)
+           AS day
+  FROM per_user CROSS JOIN horizon
+),
+tally AS (
+  SELECT day,
+         sum(CASE WHEN converted AND arm = 0 THEN 1 ELSE 0 END) AS d1,
+         sum(CASE WHEN converted AND arm <> 0 THEN 1 ELSE 0 END) AS d2,
+         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS t1,
+         sum(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS t2
+  FROM subj GROUP BY day
+),
+at_risk AS (
+  SELECT day, d1, d2,
+         sum(t1) OVER () - coalesce(sum(t1) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+         sum(t2) OVER () - coalesce(sum(t2) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n2
+  FROM tally
+),
+terms AS (
+  SELECT d1, d2,
+         CAST(round(CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2), 9)
+              AS DECIMAL(28,9)) AS e1,
+         CAST(round(CASE WHEN n1 + n2 > 1
+              THEN CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2) * n2
+                   / (n1 + n2) * ((n1 + n2) - (d1 + d2)) / ((n1 + n2) - 1.0)
+              ELSE 0.0 END, 9) AS DECIMAL(28,9)) AS v
+  FROM at_risk WHERE d1 + d2 > 0
+),
+tot AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS events_0,
+         CAST(sum(d2) AS BIGINT) AS events_1,
+         sum(e1) AS E1, sum(v) AS V
+  FROM terms
+),
+sizes AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
+         CAST(sum(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_1
+  FROM subj
+)
+SELECT n_0, n_1, events_0, events_1,
+       round(CAST(E1 AS DOUBLE), 6) AS expected_0,
+       round(CAST(V AS DOUBLE), 6) AS variance,
+       CASE WHEN CAST(V AS DOUBLE) > 0
+            THEN round(({chi2}), 6) END AS chi2,
+       CASE WHEN CAST(V AS DOUBLE) > 0 THEN round(
+         {_erfc_sql(f'(sqrt(({chi2})) / sqrt(2.0))')}, 6) END AS p_value
+FROM sizes CROSS JOIN tot
+"""

@@ -45,7 +45,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -182,35 +182,45 @@ def kmeans_dedup(
             pass  # prior session may already be stopped
 
     # centroid = mean of member embeddings (recomputed like
-    # kmeans.go:249-275, not the normalized ml centers)
+    # kmeans.go:249-275, not the normalized ml centers). One
+    # dim-wide partial aggregate — avg per element position — instead
+    # of the previous posexplode → (cluster, pos) groupBy → re-gather
+    # groupBy: same values (avg over the same member multiset; sum
+    # order is nondeterministic either way and absorbed by the
+    # float cast + round-6 distances), but ONE shuffle of k×dim
+    # skinny rows instead of two over an n·dim exploded frame —
+    # at 100 TB the explode was the dominant intermediate.
+    dim = X.shape[1]
     cents = (
-        assigned.select("cluster_id", F.posexplode(vec_col).alias("pos", "v"))
-        .groupBy("cluster_id", "pos")
-        .agg(F.avg("v").alias("m"))
-        .groupBy("cluster_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s.m.cast("float"),
-            ).alias("_centroid")
-        )
+        assigned.groupBy("cluster_id")
+        .agg(*[F.avg(F.col(vec_col).getItem(i)).alias(f"_m{i}")
+               for i in range(dim)])
+        .select("cluster_id",
+                F.array(*[F.col(f"_m{i}").cast("float")
+                          for i in range(dim)]).alias("_centroid"))
     )
-    w = Window.partitionBy("cluster_id")
     with_dist = (
-        assigned.join(cents, "cluster_id")
+        assigned.join(F.broadcast(cents), "cluster_id")
         .withColumn("_cdist",
                     F.round(vm.cosine_distance(F.col(vec_col),
                                                F.col("_centroid")), 6))
-        .withColumn(
-            "_rn",
-            F.row_number().over(w.orderBy(F.asc("_cdist"), F.asc(id_col))),
-        )
     )
-    medoids = with_dist.filter(F.col("_rn") == 1).select(
-        "cluster_id", F.col(vec_col).alias("_medoid_vec"), F.col(id_col).alias("_medoid_id")
+    # medoid = member minimizing (rounded distance, id) — a struct-min
+    # partial aggregate (k rows out), NOT a per-cluster row_number
+    # window: the window shuffled AND sorted the whole corpus just to
+    # mark one row per cluster; (d, id) is unique per member, so
+    # "rank 1" ≡ "equals the struct-min id". k medoid rows then
+    # broadcast back — at 100 TB the corpus is never sorted.
+    medoids = (
+        with_dist.groupBy("cluster_id")
+        .agg(F.min(F.struct(F.col("_cdist").alias("d"),
+                            F.col(id_col).alias("i"),
+                            F.col(vec_col).alias("v"))).alias("_md"))
+        .select("cluster_id", F.col("_md.v").alias("_medoid_vec"),
+                F.col("_md.i").alias("_medoid_id"))
     )
     pruned = (
-        with_dist.join(medoids, "cluster_id")
+        with_dist.join(F.broadcast(medoids), "cluster_id")
         .withColumn("is_medoid", F.col(id_col) == F.col("_medoid_id"))
         .withColumn(
             "kept",
@@ -219,7 +229,7 @@ def kmeans_dedup(
                                           F.col("_medoid_vec")), 6)
                >= prune_threshold),
         )
-        .drop("_centroid", "_cdist", "_rn", "_medoid_vec", "_medoid_id")
+        .drop("_centroid", "_cdist", "_medoid_vec", "_medoid_id")
     )
 
     out_no_emb = no_emb.withColumn("cluster_id", F.lit(-1)).withColumn(

@@ -665,3 +665,89 @@ SELECT unit, CAST(n1 AS BIGINT) AS n, CAST(x1 AS BIGINT) AS successes,
        conv, z, p, CAST(rk AS BIGINT) AS rk, rk <= cut.k AS rejected
 FROM ranked CROSS JOIN cut
 """
+
+
+def map_mrr(df: DataFrame, query_col: str, label_col: str,
+            score_col: str, tiebreak_col: str, k: int = 10) -> DataFrame:
+    """Macro MRR@k and MAP@k — the other two canonical IR eval
+    metrics next to ndcg_at_k, same per-query ranking frame (score
+    DESC, deterministic tiebreak): reciprocal rank of the first
+    relevant item within the top k (0 if none), and average
+    precision = Σ_{i≤k, rel_i} P@i / min(n_pos, k). Queries with no
+    positives are skipped. Per-query values round 9 into DECIMAL
+    means, round 6 — one window + two aggregates, partial-aggregable
+    like every macro metric here.
+    Output: (n_queries, mean_mrr, mean_ap).
+    """
+    v = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("int")
+    base = (df.filter(v.isNotNull())
+            .select(F.col(query_col).alias("q"), v.alias("v"),
+                    lab.alias("y"), F.col(tiebreak_col).alias("tb")))
+    w = Window.partitionBy("q").orderBy(F.desc("v"), F.asc("tb"))
+    wcum = (Window.partitionBy("q").orderBy(F.desc("v"), F.asc("tb"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = base.select(
+        "q", "y", F.row_number().over(w).alias("_i"),
+        F.sum("y").over(wcum).alias("_cum"))
+    per = (ranked.groupBy("q")
+           .agg(F.min(F.when((F.col("y") == 1) & (F.col("_i") <= k),
+                             F.col("_i"))).alias("_first"),
+                F.sum(F.when((F.col("y") == 1) & (F.col("_i") <= k),
+                             F.col("_cum") / F.col("_i").cast("double"))
+                      .otherwise(0.0)).alias("_psum"),
+                F.sum("y").alias("_npos")))
+    scored = (per.filter(F.col("_npos") > 0)
+              .select(
+                  F.round(F.when(F.col("_first").isNotNull(),
+                                 F.lit(1.0) / F.col("_first"))
+                          .otherwise(0.0), 9).alias("_rr"),
+                  F.round(F.col("_psum")
+                          / F.least(F.col("_npos"), F.lit(k))
+                          .cast("double"), 9).alias("_ap")))
+    return scored.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(F.sum(F.col("_rr").cast(_DEC)).cast("double")
+                / F.count("*"), 6).alias("mean_mrr"),
+        F.round(F.sum(F.col("_ap").cast(_DEC)).cast("double")
+                / F.count("*"), 6).alias("mean_ap"))
+
+
+def map_mrr_sql(table: str, query_sql: str, label_sql: str,
+                value_sql: str, tiebreak_sql: str, k: int = 10) -> str:
+    return f"""
+WITH base AS (
+  SELECT {query_sql} AS q, CAST({value_sql} AS DOUBLE) AS v,
+         CASE WHEN {label_sql} THEN 1 ELSE 0 END AS y,
+         {tiebreak_sql} AS tb
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+ranked AS (
+  SELECT q, y,
+         row_number() OVER (PARTITION BY q ORDER BY v DESC, tb ASC) AS _i,
+         sum(y) OVER (PARTITION BY q ORDER BY v DESC, tb ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS _cum
+  FROM base
+),
+per AS (
+  SELECT q,
+         min(CASE WHEN y = 1 AND _i <= {k} THEN _i END) AS _first,
+         sum(CASE WHEN y = 1 AND _i <= {k}
+             THEN _cum / CAST(_i AS DOUBLE) ELSE 0.0 END) AS _psum,
+         sum(y) AS _npos
+  FROM ranked GROUP BY q
+),
+scored AS (
+  SELECT round(CASE WHEN _first IS NOT NULL
+               THEN 1.0 / _first ELSE 0.0 END, 9) AS _rr,
+         round(_psum / CAST(least(_npos, {k}) AS DOUBLE), 9) AS _ap
+  FROM per WHERE _npos > 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       round(CAST(sum(CAST(_rr AS DECIMAL(38,12))) AS DOUBLE)
+             / count(*), 6) AS mean_mrr,
+       round(CAST(sum(CAST(_ap AS DECIMAL(38,12))) AS DOUBLE)
+             / count(*), 6) AS mean_ap
+FROM scored
+"""

@@ -140,3 +140,110 @@ def foreach_batch_distincts(sink_path: str, key_col: str,
          .write.mode("append").parquet(sink_path))
 
     return sink
+
+
+def portable_hll(df: DataFrame, key_col: str, group_cols: list[str],
+                 p: int = 8, salt: int = 1) -> DataFrame:
+    """Explicit-register HyperLogLog over the portable Knuth hash —
+    the cross-engine-EXACT counterpart of distinct_contract's
+    tolerance check (Flajolet et al. 2007; reference counts distincts
+    exactly, stats.go-style, which does not survive 100 TB).
+
+    Every quantity is integer-exact until the single final division:
+    h = ((key mod 2^31 + salt)·KNUTH) mod 2^31, bucket = h & (m−1),
+    rho = (32−p) − length(bin(h >> p)) on the remaining 31−p bits
+    (h>>p = 0 → 32−p), registers are per-(group, bucket) MAX(rho),
+    and the indicator sum Z is kept scaled by 2^(32−p) so it is an
+    exact BIGINT: z_scaled = Σ_hit 2^((32−p)−M_j) + zeros·2^(32−p).
+    The raw estimate α·m²·2^(32−p)/z_scaled and the small-range
+    linear-counting branch m·ln(m/zeros) are one IEEE division / log
+    apiece, identical in any engine, so ``est_distinct`` rounds to a
+    hash-comparable value — the DuckDB oracle replays the whole
+    sketch register-for-register, not just "within tolerance".
+
+    Scale shape: two partial-aggregable groupBys (map-side combine on
+    (group, bucket) then group) — constant 2^p state per group, the
+    100 TB distinct-count recipe. The exact twin (countDistinct) in
+    the paired query exists to calibrate at test scale only.
+    """
+    from distill_spark.operators.sampling import (_require_integral_key,
+                                                  hash_bucket)
+
+    _require_integral_key(df, key_col, "portable")
+    m = 1 << p
+    wbits = 31 - p
+    rows = df.filter(F.col(key_col).isNotNull())
+    h = hash_bucket(F.col(key_col), "portable", salt=salt)
+    w = F.shiftright(h.cast("long"), p)
+    rho = (F.when(w == 0, F.lit(wbits + 1))
+           .otherwise(F.lit(wbits + 1) - F.length(F.bin(w))))
+    reg = (rows
+           .select(*group_cols, h.bitwiseAND(F.lit(m - 1)).alias("_bucket"),
+                   rho.alias("_rho"))
+           .groupBy(*group_cols, "_bucket")
+           .agg(F.max("_rho").alias("_M")))
+    grp = (reg
+           .withColumn("_zterm",
+                       F.expr(f"shiftleft(cast(1 as bigint), {wbits + 1} - _M)"))
+           .groupBy(*group_cols)
+           .agg(F.count("*").cast("long").alias("buckets_hit"),
+                F.sum("_zterm").cast("long").alias("_z_present")))
+    zeros = F.lit(m).cast("long") - F.col("buckets_hit")
+    z_scaled = (F.col("_z_present")
+                + zeros * F.lit(1 << (wbits + 1)).cast("long"))
+    # α_m · m² · 2^(32−p), left-associated exactly as the oracle
+    alpha = (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m))))
+    raw = (alpha * F.lit(float(m)) * F.lit(float(m))
+           * F.lit(float(1 << (wbits + 1))) / z_scaled.cast("double"))
+    est = (F.when((raw <= F.lit(2.5 * m)) & (zeros > 0),
+                  F.lit(float(m)) * F.log(F.lit(float(m))
+                                          / zeros.cast("double")))
+           .otherwise(raw))
+    return (grp
+            .withColumn("zeros", zeros.cast("long"))
+            .withColumn("z_scaled", z_scaled.cast("long"))
+            .withColumn("est_distinct", F.round(est, 4))
+            .drop("_z_present"))
+
+
+def portable_hll_sql(source: str, key_col: str, group_cols: list[str],
+                     p: int = 8, salt: int = 1,
+                     knuth: int = 2654435761, mod: int = 2147483648) -> str:
+    """DuckDB replay of portable_hll, register-for-register."""
+    m = 1 << p
+    wbits = 31 - p
+    g = ", ".join(group_cols)
+    hv = f"(({key_col} % {mod} + {salt}) * {knuth}) % {mod}"
+    return f"""
+WITH reg AS (
+  SELECT {g}, hv & {m - 1} AS bucket,
+         MAX(CASE WHEN (hv >> {p}) = 0 THEN {wbits + 1}
+                  ELSE {wbits + 1} - length(bin(hv >> {p})) END) AS M
+  FROM (SELECT {g}, {hv} AS hv FROM {source}
+        WHERE {key_col} IS NOT NULL)
+  GROUP BY {g}, bucket
+),
+grp AS (
+  SELECT {g}, CAST(COUNT(*) AS BIGINT) AS buckets_hit,
+         CAST(SUM(CAST(1 AS BIGINT) << ({wbits + 1} - M)) AS BIGINT)
+           AS z_present
+  FROM reg GROUP BY {g}
+)
+SELECT {g}, buckets_hit,
+       CAST({m} - buckets_hit AS BIGINT) AS zeros,
+       CAST(z_present + ({m} - buckets_hit)
+            * CAST({1 << (wbits + 1)} AS BIGINT) AS BIGINT) AS z_scaled,
+       round(CASE WHEN (0.7213 / (1.0 + 1.079 / {float(m)})) * {float(m)}
+                       * {float(m)} * {float(1 << (wbits + 1))}
+                       / CAST(z_present + ({m} - buckets_hit)
+                              * CAST({1 << (wbits + 1)} AS BIGINT)
+                              AS DOUBLE) <= {2.5 * m}
+                   AND {m} - buckets_hit > 0
+             THEN {float(m)} * ln({float(m)}
+                                  / CAST({m} - buckets_hit AS DOUBLE))
+             ELSE (0.7213 / (1.0 + 1.079 / {float(m)})) * {float(m)}
+                  * {float(m)} * {float(1 << (wbits + 1))}
+                  / CAST(z_present + ({m} - buckets_hit)
+                         * CAST({1 << (wbits + 1)} AS BIGINT) AS DOUBLE)
+             END, 4) AS est_distinct
+FROM grp"""
