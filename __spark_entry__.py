@@ -9004,6 +9004,189 @@ JOIN (SELECT event_type,
     return one("user_id") + "\nUNION ALL\n" + one("event_id")
 
 
+def q_keyness_terms(spark, sf_dir):
+    """Dunning G² keyness: top-5 statistically over/under-used terms
+    per source vs the rest of the corpus (search.keyness_terms) —
+    the corpus-comparison complement of tfidf_top_terms."""
+    from distill_spark.operators.search import keyness_terms
+
+    t = _tables(spark, sf_dir)
+    return keyness_terms(t["documents"])
+
+
+def _sql_keyness():
+    from distill_spark.operators.search import keyness_terms_sql
+
+    return keyness_terms_sql()
+
+
+def q_spearman_qty_price(spark, sf_dir):
+    """Spearman rank correlation of quantity vs extended price over
+    lineitem (stats.spearman_corr) — tie-averaged ranks from
+    distinct-value cumulative counts, decimal Pearson sums."""
+    from distill_spark.operators.stats import spearman_corr
+
+    t = _tables(spark, sf_dir)
+    return spearman_corr(t["lineitem"], "l_quantity", "l_extendedprice")
+
+
+def _sql_spearman():
+    from distill_spark.operators.stats import spearman_corr_sql
+
+    return spearman_corr_sql("lineitem", "l_quantity", "l_extendedprice")
+
+
+def q_power_mde(spark, sf_dir):
+    """Two-arm minimum-detectable-effect planning number at
+    α=0.05/80% power over the srm hash split (conversion.power_mde)
+    — completes the experimentation family."""
+    from distill_spark.operators.conversion import power_mde
+
+    t = _tables(spark, sf_dir)
+    return power_mde(t["events"])
+
+
+def _sql_power_mde():
+    from distill_spark.operators.conversion import power_mde_sql
+
+    return power_mde_sql()
+
+
+_SCENE_STRIDE, _SCENE_CELLS, _SCENE_EVERY, _SCENE_CUT_T = 3, 8, 1000, 40.0
+
+
+def q_mm_scene_cuts(spark, sf_dir):
+    """Video scene-cut detection over the frame-sampling plan: each
+    synthetic video (documents rows, mm_frames's closed-form
+    durations) is frame-sampled every second, each frame's payload
+    slice decodes to an 8-cell gray signature through the REAL
+    multimodal registry path (mapInPandas, multimodal.py
+    extract_features, raw_gray_decoder — the mm_phash plumbing), and
+    a cut fires where the mean absolute signature delta to the
+    previous frame exceeds the threshold. Map-side decode, one lag
+    window partitioned by the natural media key — no driver loops,
+    payload bytes never shuffle."""
+    from distill_spark.operators import multimodal as mm
+    from distill_spark.operators.dedup_image import raw_gray_decoder
+
+    mm.register_decoder("video", raw_gray_decoder(_SCENE_CELLS))
+    t = _tables(spark, sf_dir)
+    stride, cells = _SCENE_STRIDE, _SCENE_CELLS
+    pad_len = stride * cells * 11  # ≤ 10 frames (duration < 10.5 s)
+    tx = F.rpad("text", pad_len, " ")
+    dur = (500 + (F.col("doc_id") * 37) % 10000).cast("int")
+    n_frames = F.greatest(F.expr(f"duration_ms div {_SCENE_EVERY}"),
+                          F.lit(1))
+    vids = (t["documents"].filter(F.col("doc_id") < 300)
+            .select(F.col("doc_id"), tx.alias("_tx"),
+                    dur.alias("duration_ms")))
+    frames = vids.withColumn(
+        "frame_idx", F.explode(F.sequence(F.lit(0), n_frames - 1)))
+    payload = F.concat(*[
+        F.substr("_tx",
+                 F.lit(1) + stride * (cells * F.col("frame_idx") + i),
+                 F.lit(1))
+        for i in range(cells)])
+    media = frames.select(
+        F.concat_ws(":", "doc_id", "frame_idx").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(payload, "UTF-8").alias("data"))
+    feats = mm.extract_features(media).select(
+        F.split("media_id", ":").getItem(0).cast("long").alias("mid"),
+        F.split("media_id", ":").getItem(1).cast("long").alias("fid"),
+        "feature")
+    w = Window.partitionBy("mid").orderBy("fid")
+    prev = F.lag("feature").over(w)
+    delta = F.aggregate(
+        F.zip_with(F.col("feature"), F.col("_prev"),
+                   lambda a, b: F.abs(a.cast("double") - b.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x) / float(_SCENE_CELLS)
+    return (feats.withColumn("_prev", prev)
+            .filter(F.col("_prev").isNotNull())
+            .withColumn("cut_score", F.round(delta, 6))
+            .select(F.col("mid").alias("media_id"),
+                    F.col("fid").alias("frame_idx"), "cut_score",
+                    (F.col("cut_score") > _SCENE_CUT_T).alias("is_cut")))
+
+
+def _sql_mm_scene_cuts() -> str:
+    stride, cells = _SCENE_STRIDE, _SCENE_CELLS
+    pad_len = stride * cells * 11
+    grid = (f"list_transform(range(0, {cells}), i -> "
+            f"ascii(substr(tx, CAST(1 + {stride} * ({cells} * fid + i) "
+            f"AS INT), 1)))")
+    diff = (f"list_sum(list_transform(range(1, {cells} + 1), "
+            f"i -> abs(f[i] - pf[i]))) / {float(cells)}")
+    return f"""
+WITH vids AS (
+  SELECT doc_id, rpad(text, {pad_len}, ' ') AS tx,
+         CAST(500 + (doc_id * 37) % 10000 AS INT) AS duration_ms
+  FROM documents WHERE doc_id < 300
+),
+frames AS (
+  SELECT doc_id, tx,
+         unnest(range(0, greatest(duration_ms // {_SCENE_EVERY}, 1)))
+           AS fid
+  FROM vids
+),
+feat AS (SELECT doc_id, fid, {grid} AS f FROM frames),
+lagd AS (
+  SELECT doc_id, fid, f,
+         lag(f) OVER (PARTITION BY doc_id ORDER BY fid) AS pf
+  FROM feat
+)
+SELECT doc_id AS media_id, CAST(fid AS BIGINT) AS frame_idx,
+       round({diff}, 6) AS cut_score,
+       round({diff}, 6) > {_SCENE_CUT_T} AS is_cut
+FROM lagd WHERE pf IS NOT NULL
+"""
+
+
+def q_flesch_readability(spark, sf_dir):
+    """Flesch reading-ease per document from deterministic proxies:
+    words = space tokens, sentences = [.!?]+ runs (min 1), syllables
+    = vowel-group runs in the lowered text (vowel groups cannot span
+    a space, so the whole-text count equals the per-word sum) —
+    206.835 − 1.015·(W/S) − 84.6·(Syl/W), the classic text-quality
+    gate next to q_text_quality's stopword score. One scan, pure
+    JVM regex counts."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.dedup_text import words_expr
+
+    nw = F.size(words_expr(F.col("text")))
+    ns = F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")),
+                    F.lit(1))
+    nsyl = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+    flesch = (F.lit(206.835)
+              - F.lit(1.015) * (nw.cast("double") / ns.cast("double"))
+              - F.lit(84.6) * (nsyl.cast("double") / nw.cast("double")))
+    return t["documents"].select(
+        "doc_id", nw.cast("long").alias("n_words"),
+        ns.cast("long").alias("n_sentences"),
+        nsyl.cast("long").alias("n_syllables"),
+        F.when(nw > 0, F.round(flesch, 6)).alias("flesch"))
+
+
+def _sql_flesch() -> str:
+    words = "list_filter(string_split(text, ' '), x -> x <> '')"
+    return f"""
+SELECT doc_id,
+       CAST(len({words}) AS BIGINT) AS n_words,
+       CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+            AS BIGINT) AS n_sentences,
+       CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+            AS BIGINT) AS n_syllables,
+       CASE WHEN len({words}) > 0 THEN
+         round(206.835
+               - 1.015 * (len({words})
+                 / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')),
+                                 1) AS DOUBLE))
+               - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                 / CAST(len({words}) AS DOUBLE)), 6) END AS flesch
+FROM documents
+"""
+
+
 def q_mrr_value(spark, sf_dir):
     """Macro MRR@10 + MAP@10 of value ranking purchases per user
     (mleval.map_mrr) — completes the IR eval family next to
@@ -9046,6 +9229,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "hll_distinct": (q_hll_distinct, _sql_hll_distinct()),
     "logrank_arms": (q_logrank_arms, _sql_logrank()),
     "mrr_value": (q_mrr_value, _sql_mrr()),
+    "keyness_terms": (q_keyness_terms, _sql_keyness()),
+    "spearman_qty_price": (q_spearman_qty_price, _sql_spearman()),
+    "power_mde": (q_power_mde, _sql_power_mde()),
+    "mm_scene_cuts": (q_mm_scene_cuts, _sql_mm_scene_cuts()),
+    "flesch_readability": (q_flesch_readability, _sql_flesch()),
     # -- round-9 window head: audio near-dup + experimentation family -------
     "mm_audio_pairs": (q_mm_audio_pairs, _sql_mm_audio_pairs()),
     "mm_audio_clusters": (q_mm_audio_clusters, _sql_mm_audio_clusters()),

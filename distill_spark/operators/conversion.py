@@ -1334,3 +1334,84 @@ SELECT n_0, n_1, events_0, events_1,
          {_erfc_sql(f'(sqrt(({chi2})) / sqrt(2.0))')}, 6) END AS p_value
 FROM sizes CROSS JOIN tot
 """
+
+
+def power_mde(events: DataFrame, target: str = "purchase",
+              user_col: str = "user_id",
+              type_col: str = "event_type") -> DataFrame:
+    """Minimum detectable effect for the two-arm experiment the
+    srm_check/ab_conversion_z/logrank_arms family runs: given the
+    observed per-arm sizes (srm's Knuth hash split) and the pooled
+    user-level conversion rate p, the smallest absolute lift
+    detectable at α = 0.05 (two-sided) with 80% power:
+    MDE = (z_{α/2} + z_{β})·√(p(1−p)·(1/n₀ + 1/n₁)) — the capacity
+    planning number an experimentation platform prints before anyone
+    ships a variant. z constants are shared literals (1.959964,
+    0.841621); everything is one distinct-user aggregate and a
+    closed-form expression, identical IEEE in any engine.
+    Output: one row (n_0, n_1, conv_0, conv_1, p_pool, mde_abs,
+    mde_rel), rounds 6; mde_rel NULL when p = 0.
+    """
+    users = (events.groupBy(F.col(user_col).alias("u"))
+             .agg(F.max((F.col(type_col) == target).cast("int"))
+                  .alias("c"))
+             .select(
+                 (((F.col("u") % 100003) * 2654435761) % 4294967296 % 2)
+                 .cast("int").alias("arm"), "c"))
+    agg = users.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("c")).otherwise(0))
+        .alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("c")).otherwise(0))
+        .alias("c1"))
+    n0 = F.col("n0").cast("double")
+    n1 = F.col("n1").cast("double")
+    p = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    mde = (F.lit(1.959964 + 0.841621)
+           * F.sqrt(p * (1.0 - p) * (1.0 / n0 + 1.0 / n1)))
+    return agg.select(
+        F.col("n0").cast("long").alias("n_0"),
+        F.col("n1").cast("long").alias("n_1"),
+        F.col("c0").cast("long").alias("conv_0"),
+        F.col("c1").cast("long").alias("conv_1"),
+        F.round(p, 6).alias("p_pool"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.when(p > 0, F.round(mde / p, 6)).alias("mde_rel"))
+
+
+def power_mde_sql(table: str = "events", target: str = "purchase",
+                  user_sql: str = "user_id",
+                  type_sql: str = "event_type") -> str:
+    return f"""
+WITH users AS (
+  SELECT {user_sql} AS u,
+         max(CASE WHEN {type_sql} = '{target}' THEN 1 ELSE 0 END) AS c
+  FROM {table} GROUP BY 1
+),
+arms AS (
+  SELECT CAST(((u % 100003) * 2654435761) % 4294967296 % 2 AS INT) AS arm, c
+  FROM users
+),
+agg AS (
+  SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS c0,
+         sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS c1
+  FROM arms
+)
+SELECT CAST(n0 AS BIGINT) AS n_0, CAST(n1 AS BIGINT) AS n_1,
+       CAST(c0 AS BIGINT) AS conv_0, CAST(c1 AS BIGINT) AS conv_1,
+       round((c0 + c1) / CAST(n0 + n1 AS DOUBLE), 6) AS p_pool,
+       round({1.959964 + 0.841621}
+             * sqrt((c0 + c1) / CAST(n0 + n1 AS DOUBLE)
+                    * (1.0 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 / n0 + 1.0 / n1)), 6) AS mde_abs,
+       CASE WHEN (c0 + c1) / CAST(n0 + n1 AS DOUBLE) > 0 THEN
+         round(({1.959964 + 0.841621}
+                * sqrt((c0 + c1) / CAST(n0 + n1 AS DOUBLE)
+                       * (1.0 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                       * (1.0 / n0 + 1.0 / n1)))
+               / ((c0 + c1) / CAST(n0 + n1 AS DOUBLE)), 6) END AS mde_rel
+FROM agg
+"""

@@ -358,3 +358,100 @@ SELECT g AS {group_sql}, CAST(_rk AS INT) AS rank, term,
        CAST(tf AS BIGINT) AS tf, CAST(gdf AS BIGINT) AS gdf, tfidf
 FROM ranked WHERE _rk <= {k}
 """
+
+
+def keyness_terms(docs: DataFrame, group_col: str = "source",
+                  text_col: str = "text", k: int = 5) -> DataFrame:
+    """Top-k keyness terms per group by Dunning's log-likelihood G²
+    (Dunning 1993) — one-vs-rest corpus comparison: for each (group,
+    term), the 2×2 contingency of term count inside the group (a, of
+    n1 tokens) vs in the REST of the corpus (b, of n2 tokens),
+    G² = 2·(a·ln(a/E_a) + b·ln(b/E_b)) with expectations under
+    homogeneity E_a = n1(a+b)/N, E_b = n2(a+b)/N, and 0·ln0 ≡ 0.
+    The corpus-linguistics complement of tfidf_top_terms: TF-IDF
+    finds exclusive terms, keyness finds statistically OVER-used
+    ones (and flags direction).
+
+    Scale shape: one (group, term) count aggregate, then window sums
+    over that frame (term-df and group totals — the tfidf_top_terms
+    cost class), one top-k window per group. G² rounds 6 BEFORE the
+    rank; ties break term asc. Output: (group, rank, term, tf_group,
+    tf_rest, overused, g2).
+    """
+    terms = (docs.select(F.col(group_col).alias("g"),
+                         F.explode(words_expr(F.col(text_col)))
+                         .alias("term"))
+             .groupBy("g", "term").agg(F.count("*").alias("a")))
+    wt = Window.partitionBy("term")
+    wg = Window.partitionBy("g")
+    tot = Window.partitionBy()
+    base = terms.select(
+        "g", "term", "a",
+        (F.sum("a").over(wt) - F.col("a")).alias("b"),
+        F.sum("a").over(wg).alias("n1"),
+        (F.sum("a").over(tot) - F.sum("a").over(wg)).alias("n2"))
+    N = (F.col("n1") + F.col("n2")).cast("double")
+    ab = (F.col("a") + F.col("b")).cast("double")
+    ea = F.col("n1") * ab / N
+    eb = F.col("n2") * ab / N
+    ta = F.when(F.col("a") > 0,
+                F.col("a") * F.log(F.col("a") / ea)).otherwise(0.0)
+    tb = F.when(F.col("b") > 0,
+                F.col("b") * F.log(F.col("b") / eb)).otherwise(0.0)
+    ranked = (base
+              .withColumn("g2", F.round(2.0 * (ta + tb), 6))
+              .withColumn("overused",
+                          F.col("a").cast("double") * F.col("n2")
+                          > F.col("b").cast("double") * F.col("n1"))
+              .withColumn("_rk", F.row_number().over(
+                  Window.partitionBy("g")
+                  .orderBy(F.desc("g2"), F.asc("term")))))
+    return (ranked.filter(F.col("_rk") <= k)
+            .select(F.col("g").alias(group_col),
+                    F.col("_rk").cast("int").alias("rank"), "term",
+                    F.col("a").cast("long").alias("tf_group"),
+                    F.col("b").cast("long").alias("tf_rest"),
+                    "overused", "g2"))
+
+
+def keyness_terms_sql(table: str = "documents",
+                      group_sql: str = "source",
+                      text_sql: str = "text", k: int = 5) -> str:
+    words = f"list_filter(string_split({text_sql}, ' '), x -> x <> '')"
+    # grand total via a scalar CTE, NOT sum() OVER () next to the
+    # partitioned windows (the DuckDB same-SELECT window coalescing
+    # hazard)
+    return f"""
+WITH terms AS (
+  SELECT {group_sql} AS g, unnest({words}) AS term FROM {table}
+),
+tf AS (SELECT g, term, count(*) AS a FROM terms GROUP BY 1, 2),
+tot AS (SELECT sum(a) AS N FROM tf),
+base AS (
+  SELECT g, term, a,
+         sum(a) OVER (PARTITION BY term) - a AS b,
+         sum(a) OVER (PARTITION BY g) AS n1,
+         (SELECT N FROM tot) - sum(a) OVER (PARTITION BY g) AS n2
+  FROM tf
+),
+scored AS (
+  SELECT g, term, a, b,
+         round(2.0 * (
+           (CASE WHEN a > 0 THEN a * ln(a / (n1 * CAST(a + b AS DOUBLE)
+                 / CAST(n1 + n2 AS DOUBLE))) ELSE 0.0 END)
+           + (CASE WHEN b > 0 THEN b * ln(b / (n2 * CAST(a + b AS DOUBLE)
+                 / CAST(n1 + n2 AS DOUBLE))) ELSE 0.0 END)), 6) AS g2,
+         CAST(a AS DOUBLE) * n2 > CAST(b AS DOUBLE) * n1 AS overused
+  FROM base
+),
+ranked AS (
+  SELECT g, term, a, b, g2, overused,
+         row_number() OVER (PARTITION BY g
+             ORDER BY g2 DESC, term ASC) AS _rk
+  FROM scored
+)
+SELECT g AS {group_sql}, CAST(_rk AS INT) AS rank, term,
+       CAST(a AS BIGINT) AS tf_group, CAST(b AS BIGINT) AS tf_rest,
+       overused, g2
+FROM ranked WHERE _rk <= {k}
+"""

@@ -1914,3 +1914,106 @@ SELECT g AS {group_sql}, CAST(n1 AS BIGINT) AS n,
                                  / (n1d + n0d - 2))), 6) + 0.0 AS hedges_g
 FROM m
 """
+
+
+def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Spearman rank correlation between two numeric columns: Pearson
+    over tie-averaged ranks — the monotonic-association readout that
+    survives the heavy-tailed value distributions corr_matrix's raw
+    Pearson is distorted by.
+
+    Average ranks come from cumulative counts over DISTINCT values
+    (avg_rank(v) = #below(v) + (#at(v)+1)/2 — the mannwhitney_u
+    pattern: one groupBy + one ordered window over the |distinct|
+    frame, never a row-level rank over the full table), joined back
+    to the pair frame. Ranks are exact halves, so every product in
+    the five Pearson sums is exactly representable and the
+    DECIMAL(38,12) accumulators are order-independent; ρ collapses
+    in one closed-form double expression shared with the oracle.
+    Output: (n, rho), rounds 6.
+    """
+    a = F.col(col_a).cast("double")
+    b = F.col(col_b).cast("double")
+    pairs = (df.filter(a.isNotNull() & b.isNotNull())
+             .select(a.alias("x"), b.alias("y")))
+
+    def rank_map(col):
+        cnt = pairs.groupBy(F.col(col).alias("_v")).agg(
+            F.count("*").alias("_c"))
+        wprev = (Window.orderBy("_v")
+                 .rowsBetween(Window.unboundedPreceding, -1))
+        return cnt.select(
+            "_v",
+            (F.coalesce(F.sum("_c").over(wprev), F.lit(0))
+             + (F.col("_c") + 1) / 2.0).alias(f"_r{col}"))
+
+    ranked = (pairs
+              .join(rank_map("x"), pairs.x == F.col("_v")).drop("_v")
+              .join(rank_map("y"), pairs.y == F.col("_v")).drop("_v"))
+    rx, ry = F.col("_rx"), F.col("_ry")
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(rx.cast(_DEC)).alias("sx"),
+        F.sum(ry.cast(_DEC)).alias("sy"),
+        F.sum((rx * rx).cast(_DEC)).alias("sxx"),
+        F.sum((ry * ry).cast(_DEC)).alias("syy"),
+        F.sum((rx * ry).cast(_DEC)).alias("sxy"))
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    rho = F.when(den > 0, F.round((n * sxy - sx * sy) / den, 6))
+    return agg.select(F.col("n").cast("long").alias("n"),
+                      rho.alias("rho"))
+
+
+def spearman_corr_sql(table: str, a_sql: str, b_sql: str) -> str:
+    def rmap(expr, alias):
+        return f"""
+  SELECT _v, coalesce(sum(_c) OVER (ORDER BY _v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + (_c + 1) / 2.0 AS {alias}
+  FROM (SELECT CAST({expr} AS DOUBLE) AS _v, count(*) AS _c
+        FROM pairs GROUP BY 1)"""
+
+    return f"""
+WITH pairs AS (
+  SELECT CAST({a_sql} AS DOUBLE) AS x, CAST({b_sql} AS DOUBLE) AS y
+  FROM {table}
+  WHERE CAST({a_sql} AS DOUBLE) IS NOT NULL
+    AND CAST({b_sql} AS DOUBLE) IS NOT NULL
+),
+rx AS ({rmap('x', '_rx')}),
+ry AS ({rmap('y', '_ry')}),
+ranked AS (
+  SELECT rx._rx AS _rx, ry._ry AS _ry
+  FROM pairs
+  JOIN rx ON pairs.x = rx._v
+  JOIN ry ON pairs.y = ry._v
+),
+agg AS (
+  SELECT count(*) AS n,
+         sum(CAST(_rx AS DECIMAL(38,12))) AS sx,
+         sum(CAST(_ry AS DECIMAL(38,12))) AS sy,
+         sum(CAST(_rx * _rx AS DECIMAL(38,12))) AS sxx,
+         sum(CAST(_ry * _ry AS DECIMAL(38,12))) AS syy,
+         sum(CAST(_rx * _ry AS DECIMAL(38,12))) AS sxy
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CASE WHEN sqrt((n * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (n * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) > 0
+            THEN round((n * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / sqrt((n * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (n * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                       6) END AS rho
+FROM agg
+"""

@@ -1,0 +1,170 @@
+"""Adversarial oracle validation for the round-9 second-stratum SQL
+twins (hll_distinct / logrank_arms / mrr_value): each twin re-run in
+DuckDB against frames planted with its hazards — register collisions
+and single-key groups for the HLL, zero-variance and everyone-
+converts days for the log-rank, tie/beyond-k rankings for MRR/MAP —
+and compared row-for-row with the Spark operator on the same frame."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _cmp(spark_rows, duck_rows, cols):
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 9)
+        if isinstance(v, dt.datetime):
+            return v.replace(tzinfo=None).isoformat()
+        return v
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    a = sorted(tuple(norm(r[i]) for i in order) for r in spark_rows)
+    b = sorted(tuple(norm(r[i]) for i in order) for r in duck_rows)
+    assert a == b, f"\nspark={a[:5]}\nduck ={b[:5]}"
+
+
+def _duck(pdf: pd.DataFrame, table: str, sql: str):
+    con = duckdb.connect()
+    con.register("_src", pdf)
+    con.execute(f"CREATE TABLE {table} AS SELECT * FROM _src")
+    rel = con.sql(sql)
+    return rel.fetchall(), [d[0] for d in rel.description]
+
+
+def test_portable_hll_branches_collisions_nulls(spark):
+    """Raw branch (zeros = 0 via a dense group), linear-counting
+    branch (sparse group), a single-key group, duplicate keys
+    (register max, not sum), NULL keys dropped — register-for-
+    register vs the DuckDB replay, plus the estimate lands within
+    3σ of exact on the dense group (α·1.04/√m theoretical error)."""
+    from distill_spark.operators.sketch import portable_hll, portable_hll_sql
+
+    rows = ([("dense", i) for i in range(3000)]
+            + [("dense", i) for i in range(50)]          # dup keys
+            + [("sparse", 10_000 + i) for i in range(40)]
+            + [("one", 77), ("one", 77)]
+            + [("dense", None)])
+    pdf = pd.DataFrame(rows, columns=["event_type", "user_id"])
+    pdf["user_id"] = pdf["user_id"].astype("Int64")
+    sdf = spark.createDataFrame(
+        [(t, None if u is pd.NA else int(u))
+         for t, u in pdf.itertuples(index=False)],
+        schema="event_type string, user_id long")
+    got = portable_hll(sdf, "user_id", ["event_type"])
+    srows = [tuple(r) for r in got.collect()]
+    drows, dcols = _duck(
+        pdf, "events", portable_hll_sql("events", "user_id",
+                                        ["event_type"]))
+    _cmp(srows, drows, got.columns)
+    assert sorted(got.columns) == sorted(dcols)
+    by_group = {r[0]: r for r in srows}
+    # dense: all 256 registers hit -> raw branch; 3 sigma of 1.04/16
+    est = by_group["dense"][-1]
+    assert by_group["dense"][got.columns.index("zeros")] == 0
+    assert abs(est - 3000) / 3000 < 3 * 1.04 / 16
+    # sparse group must take the linear-counting branch: zeros > 0
+    assert by_group["sparse"][got.columns.index("zeros")] > 0
+
+
+def test_logrank_arms_planted_hazards(spark):
+    """Planted frame hitting: conversion-day ties across arms, a day
+    where every remaining subject converts (n − d = 0 term), the
+    final at-risk count of 1 (variance guard n ≤ 1), and censored
+    non-converters. Spark vs DuckDB row-for-row."""
+    from distill_spark.operators.conversion import (logrank_arms,
+                                                    logrank_arms_sql)
+
+    def arm(u):
+        return ((u % 100003) * 2654435761) % 4294967296 % 2
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    uid = 0
+    picked = {0: [], 1: []}
+    while len(picked[0]) < 5 or len(picked[1]) < 5:
+        uid += 1
+        a = arm(uid)
+        if len(picked[a]) < 5:
+            picked[a].append(uid)
+    for a in (0, 1):
+        us = picked[a]
+        # two converters on day 2 (cross-arm tie), one on day 5
+        for u in us[:2]:
+            rows.append((u, t0, "view"))
+            rows.append((u, t0 + dt.timedelta(days=2), "purchase"))
+        rows.append((us[2], t0, "view"))
+        rows.append((us[2], t0 + dt.timedelta(days=5), "purchase"))
+        # one censored (never converts), one late solo converter
+        rows.append((us[3], t0, "view"))
+        rows.append((us[4], t0, "view"))
+    # the late solo converter: day 9, by then most users are gone
+    rows.append((picked[0][4], t0 + dt.timedelta(days=9), "purchase"))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    sdf = spark.createDataFrame(pdf)
+    got = logrank_arms(sdf)
+    srows = [tuple(r) for r in got.collect()]
+    drows, dcols = _duck(pdf, "events", logrank_arms_sql())
+    _cmp(srows, drows, got.columns)
+    assert sorted(got.columns) == sorted(dcols)
+    r = dict(zip(got.columns, srows[0]))
+    assert r["n_0"] == 5 and r["n_1"] == 5
+    assert r["events_0"] == 4 and r["events_1"] == 3
+    assert r["p_value"] is not None and 0.0 <= r["p_value"] <= 1.0
+
+
+def test_logrank_arms_zero_variance_null(spark):
+    """Single user (one arm empty, every day n ≤ 1) → V = 0 → chi2
+    and p_value NULL on both engines, sizes still exact."""
+    from distill_spark.operators.conversion import (logrank_arms,
+                                                    logrank_arms_sql)
+
+    t0 = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        [(1, t0, "view"), (1, t0 + dt.timedelta(days=3), "purchase")],
+        columns=["user_id", "ts", "event_type"])
+    got = logrank_arms(spark.createDataFrame(pdf))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck(pdf, "events", logrank_arms_sql())
+    _cmp(srows, drows, got.columns)
+    r = dict(zip(got.columns, srows[0]))
+    assert r["chi2"] is None and r["p_value"] is None
+
+
+def test_map_mrr_ties_beyond_k_and_skips(spark):
+    """Score ties broken by the tiebreak column, a positive ranked
+    beyond k (counts for neither MRR nor MAP but the query still
+    scores 0), an all-negative query skipped, NULL scores dropped."""
+    from distill_spark.operators.mleval import map_mrr, map_mrr_sql
+
+    rows = []
+    # q1: positive wins the tie at rank 1 via tb
+    rows += [("q1", 5.0, 1, 1), ("q1", 5.0, 0, 2), ("q1", 1.0, 1, 3)]
+    # q2: only positive at rank 4 of k=3 -> rr 0, ap 0
+    rows += [("q2", 9.0, 0, 1), ("q2", 8.0, 0, 2), ("q2", 7.0, 0, 3),
+             ("q2", 6.0, 1, 4)]
+    # q3: all negative -> skipped
+    rows += [("q3", 2.0, 0, 1), ("q3", 1.0, 0, 2)]
+    # q4: null score dropped; remaining positive at rank 1
+    rows += [("q4", None, 0, 1), ("q4", 3.0, 1, 2)]
+    pdf = pd.DataFrame(rows, columns=["user_id", "value", "y", "event_id"])
+    sdf = spark.createDataFrame(
+        pdf, schema="user_id string, value double, y int, event_id long")
+    got = map_mrr(sdf.withColumn("y", F.col("y") == 1),
+                  "user_id", "y", "value", "event_id", k=3)
+    srows = [tuple(r) for r in got.collect()]
+    drows, dcols = _duck(pdf, "events",
+                         map_mrr_sql("events", "user_id", "y = 1",
+                                     "value", "event_id", k=3))
+    _cmp(srows, drows, got.columns)
+    assert sorted(got.columns) == sorted(dcols)
+    r = dict(zip(got.columns, srows[0]))
+    assert r["n_queries"] == 3
+    # q1 rr 1, q2 rr 0, q4 rr 1 -> mean 2/3; ap: q1 (1/1 + 2/3)/2,
+    # q2 0, q4 1 -> mean (0.833333333 + 0 + 1)/3
+    assert abs(r["mean_mrr"] - round(2 / 3, 6)) < 1e-9
+    assert abs(r["mean_ap"] - round((round(5 / 6, 9) + 0 + 1) / 3, 6)) < 1e-6
