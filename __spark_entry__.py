@@ -9004,6 +9004,56 @@ JOIN (SELECT event_type,
     return one("user_id") + "\nUNION ALL\n" + one("event_id")
 
 
+def q_rbo_sources(spark, sf_dir):
+    """Rank-biased overlap (p=0.9, depth 20) between every source
+    pair's top-term rankings (search.rbo_sources) — the rank-aware
+    complement of source_overlap's set Jaccard."""
+    from distill_spark.operators.search import rbo_sources
+
+    t = _tables(spark, sf_dir)
+    return rbo_sources(t["documents"])
+
+
+def _sql_rbo():
+    from distill_spark.operators.search import rbo_sources_sql
+
+    return rbo_sources_sql()
+
+
+def q_tost_value(spark, sf_dir):
+    """TOST mean-equivalence of purchase vs click values within ±5
+    (stats.tost_equivalence) — the A/A parity gate inverse of
+    welch_ttest, same six decimal sums."""
+    from distill_spark.operators.stats import tost_equivalence
+
+    t = _tables(spark, sf_dir)
+    return tost_equivalence(t["events"], "event_type", "purchase",
+                            "click", margin=5.0)
+
+
+def _sql_tost():
+    from distill_spark.operators.stats import tost_equivalence_sql
+
+    return tost_equivalence_sql("events", "event_type", "purchase",
+                                "click", margin=5.0)
+
+
+def q_theil_acctbal(spark, sf_dir):
+    """Theil T inequality of positive account balances per nation
+    (stats.theil_index) — the decomposable complement of
+    gini/HHI/Pareto concentration."""
+    from distill_spark.operators.stats import theil_index
+
+    t = _tables(spark, sf_dir)
+    return theil_index(t["customer"], "c_nationkey", "c_acctbal")
+
+
+def _sql_theil():
+    from distill_spark.operators.stats import theil_index_sql
+
+    return theil_index_sql("customer", "c_nationkey", "c_acctbal")
+
+
 def q_keyness_terms(spark, sf_dir):
     """Dunning G² keyness: top-5 statistically over/under-used terms
     per source vs the rest of the corpus (search.keyness_terms) —
@@ -9234,6 +9284,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "power_mde": (q_power_mde, _sql_power_mde()),
     "mm_scene_cuts": (q_mm_scene_cuts, _sql_mm_scene_cuts()),
     "flesch_readability": (q_flesch_readability, _sql_flesch()),
+    "tost_value": (q_tost_value, _sql_tost()),
+    "theil_acctbal": (q_theil_acctbal, _sql_theil()),
+    "rbo_sources": (q_rbo_sources, _sql_rbo()),
     # -- round-9 window head: audio near-dup + experimentation family -------
     "mm_audio_pairs": (q_mm_audio_pairs, _sql_mm_audio_pairs()),
     "mm_audio_clusters": (q_mm_audio_clusters, _sql_mm_audio_clusters()),

@@ -455,3 +455,100 @@ SELECT g AS {group_sql}, CAST(_rk AS INT) AS rank, term,
        overused, g2
 FROM ranked WHERE _rk <= {k}
 """
+
+
+def rbo_sources(docs: DataFrame, group_col: str = "source",
+                text_col: str = "text", depth: int = 20,
+                p: float = 0.9) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between every pair of
+    groups' top-``depth`` term rankings (by tf desc, term asc) — "do
+    these two sources talk about the same things, weighted toward
+    their head terms?", the rank-aware complement of source_overlap's
+    set Jaccard. Truncated RBO: each term common to both prefixes
+    with ranks (ra, rb) starts counting at depth m = max(ra, rb) and
+    contributes (1−p)/p · Σ_{d=m..D} p^d/d; per-term contributions
+    round 9 into a DECIMAL sum so the pair score is order-independent
+    (pow(p, d) is the one libm call — 1-ulp engine differences sit
+    ~1e-17, far under the grid). Rankings are |groups|·depth rows —
+    everything after the term count aggregate is broadcast-scale.
+    Output: (source_a, source_b, n_common, rbo).
+    """
+    terms = (docs.select(F.col(group_col).alias("g"),
+                         F.explode(words_expr(F.col(text_col)))
+                         .alias("term"))
+             .groupBy("g", "term").agg(F.count("*").alias("tf")))
+    ranked = (terms.withColumn("r", F.row_number().over(
+        Window.partitionBy("g").orderBy(F.desc("tf"), F.asc("term"))))
+        .filter(F.col("r") <= depth).select("g", "term", "r"))
+    a = ranked.select(F.col("g").alias("sa"), "term",
+                      F.col("r").alias("ra"))
+    b = ranked.select(F.col("g").alias("sb"), "term",
+                      F.col("r").alias("rb"))
+    common = (a.join(F.broadcast(b), "term")
+              .filter(F.col("sa") < F.col("sb")))
+    m = F.greatest("ra", "rb")
+    contrib = F.round(
+        F.lit((1.0 - p) / p) * F.aggregate(
+            F.sequence(m, F.lit(depth)), F.lit(0.0),
+            lambda acc, d: acc + F.pow(F.lit(p), d.cast("double"))
+            / d.cast("double")), 9)
+    pairs = (ranked.select(F.col("g").alias("sa")).distinct()
+             .join(ranked.select(F.col("g").alias("sb")).distinct(),
+                   F.col("sa") < F.col("sb")))
+    scored = (common.select("sa", "sb", contrib.alias("_c"))
+              .groupBy("sa", "sb")
+              .agg(F.count("*").alias("n_common"),
+                   F.round(F.sum(F.col("_c").cast(_RBO_DEC))
+                           .cast("double"), 6).alias("rbo")))
+    return (pairs.join(F.broadcast(scored), ["sa", "sb"], "left")
+            .select(F.col("sa").alias("source_a"),
+                    F.col("sb").alias("source_b"),
+                    F.coalesce("n_common", F.lit(0)).cast("long")
+                    .alias("n_common"),
+                    F.coalesce("rbo", F.lit(0.0)).alias("rbo")))
+
+
+_RBO_DEC = "decimal(38,12)"
+
+
+def rbo_sources_sql(table: str = "documents", group_sql: str = "source",
+                    text_sql: str = "text", depth: int = 20,
+                    p: float = 0.9) -> str:
+    words = f"list_filter(string_split({text_sql}, ' '), x -> x <> '')"
+    return f"""
+WITH terms AS (
+  SELECT {group_sql} AS g, unnest({words}) AS term FROM {table}
+),
+tf AS (SELECT g, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+ranked AS (
+  SELECT g, term, r FROM (
+    SELECT g, term,
+           row_number() OVER (PARTITION BY g
+               ORDER BY tf DESC, term ASC) AS r
+    FROM tf) WHERE r <= {depth}
+),
+pairs AS (
+  SELECT x.g AS sa, y.g AS sb
+  FROM (SELECT DISTINCT g FROM ranked) x
+  JOIN (SELECT DISTINCT g FROM ranked) y ON x.g < y.g
+),
+common AS (
+  SELECT a.g AS sa, b.g AS sb,
+         round({(1.0 - p) / p} * (
+           SELECT sum(pow({p}, d.d) / d.d)
+           FROM (SELECT unnest(range(1, {depth} + 1)) AS d) d
+           WHERE d.d >= greatest(a.r, b.r)), 9) AS _c
+  FROM ranked a JOIN ranked b
+    ON a.term = b.term AND a.g < b.g
+),
+scored AS (
+  SELECT sa, sb, count(*) AS n_common,
+         round(CAST(sum(CAST(_c AS DECIMAL(38,12))) AS DOUBLE), 6) AS rbo
+  FROM common GROUP BY 1, 2
+)
+SELECT pairs.sa AS source_a, pairs.sb AS source_b,
+       CAST(coalesce(scored.n_common, 0) AS BIGINT) AS n_common,
+       coalesce(scored.rbo, 0.0) AS rbo
+FROM pairs LEFT JOIN scored
+  ON pairs.sa = scored.sa AND pairs.sb = scored.sb
+"""

@@ -2017,3 +2017,164 @@ SELECT CAST(n AS BIGINT) AS n,
                        6) END AS rho
 FROM agg
 """
+
+
+def tost_equivalence(df: DataFrame, group_col: str, group_a: str,
+                     group_b: str, value_col: str = "value",
+                     margin: float = 5.0) -> DataFrame:
+    """Two one-sided tests (TOST) for mean EQUIVALENCE within
+    ±margin — the inverse question of welch_ttest: not "is there a
+    difference" but "can we rule out any difference that matters"
+    (Schuirmann 1987, the A/A-test / parity-check gate). Same six
+    DECIMAL conditional sums as welch_ttest, then
+    t_lower = (Δ + margin)/se, t_upper = (margin − Δ)/se with the
+    Welch standard error, one-sided normal p-values via the shared
+    A&S erfc polynomial (sign-split: the polynomial is valid for
+    x ≥ 0, so p(t) = t ≥ 0 ? erfc(t/√2)/2 : 1 − erfc(−t/√2)/2),
+    p_tost = max of the two; equivalent ⇔ p_tost < 0.05.
+    Output: one row (n_a, n_b, mean_diff, se, p_lower, p_upper,
+    p_tost, equivalent), rounds 6.
+    """
+    from distill_spark.operators.mleval import _erfc_expr
+
+    v = F.col(value_col).cast("double")
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+    agg = df.agg(
+        F.sum(in_a.cast("long")).alias("na"),
+        F.sum(in_b.cast("long")).alias("nb"),
+        F.sum(F.when(in_a, v).otherwise(0.0).cast(_DEC)).alias("sa"),
+        F.sum(F.when(in_b, v).otherwise(0.0).cast(_DEC)).alias("sb"),
+        F.sum(F.when(in_a, v * v).otherwise(0.0).cast(_DEC)).alias("ssa"),
+        F.sum(F.when(in_b, v * v).otherwise(0.0).cast(_DEC)).alias("ssb"))
+    na, nb = F.col("na"), F.col("nb")
+    sa = F.col("sa").cast("double")
+    sb = F.col("sb").cast("double")
+    ssa = F.col("ssa").cast("double")
+    ssb = F.col("ssb").cast("double")
+    ma, mb = sa / na, sb / nb
+    va = (ssa - sa * sa / na) / (na - 1)
+    vb = (ssb - sb * sb / nb) / (nb - 1)
+    se = F.sqrt(va / na + vb / nb)
+    diff = ma - mb
+    tl = (diff + F.lit(margin)) / se
+    tu = (F.lit(margin) - diff) / se
+
+    def p_one(t):
+        return F.when(
+            t >= 0, _erfc_expr(t / F.lit(2.0 ** 0.5)) / 2.0
+        ).otherwise(1.0 - _erfc_expr(-t / F.lit(2.0 ** 0.5)) / 2.0)
+
+    pl, pu = p_one(tl), p_one(tu)
+    pt = F.greatest(pl, pu)
+    return agg.select(
+        na.cast("long").alias("n_a"), nb.cast("long").alias("n_b"),
+        F.round(diff, 6).alias("mean_diff"), F.round(se, 6).alias("se"),
+        F.round(pl, 6).alias("p_lower"), F.round(pu, 6).alias("p_upper"),
+        F.round(pt, 6).alias("p_tost"),
+        (F.round(pt, 6) < 0.05).alias("equivalent"))
+
+
+def tost_equivalence_sql(table: str, group_sql: str, group_a: str,
+                         group_b: str, value_sql: str = "value",
+                         margin: float = 5.0) -> str:
+    from distill_spark.operators.mleval import _erfc_sql
+
+    se = "sqrt(((ssa - sa * sa / na) / (na - 1)) / na " \
+         "+ ((ssb - sb * sb / nb) / (nb - 1)) / nb)"
+    diff = "(sa / na - sb / nb)"
+    tl = f"(({diff} + {margin}) / {se})"
+    tu = f"(({margin} - {diff}) / {se})"
+
+    def p_one(t):
+        return (f"CASE WHEN {t} >= 0 "
+                f"THEN {_erfc_sql(f'({t} / sqrt(2.0))')} / 2.0 "
+                f"ELSE 1.0 - {_erfc_sql(f'(-({t}) / sqrt(2.0))')} / 2.0 END")
+
+    pl, pu = p_one(tl), p_one(tu)
+    return f"""
+WITH agg AS (
+  SELECT
+    sum(CASE WHEN {group_sql} = '{group_a}' THEN 1 ELSE 0 END) AS na,
+    sum(CASE WHEN {group_sql} = '{group_b}' THEN 1 ELSE 0 END) AS nb,
+    sum(CAST(CASE WHEN {group_sql} = '{group_a}'
+             THEN CAST({value_sql} AS DOUBLE) ELSE 0.0 END
+             AS DECIMAL(38,12))) AS sa,
+    sum(CAST(CASE WHEN {group_sql} = '{group_b}'
+             THEN CAST({value_sql} AS DOUBLE) ELSE 0.0 END
+             AS DECIMAL(38,12))) AS sb,
+    sum(CAST(CASE WHEN {group_sql} = '{group_a}'
+             THEN CAST({value_sql} AS DOUBLE) * CAST({value_sql} AS DOUBLE)
+             ELSE 0.0 END AS DECIMAL(38,12))) AS ssa,
+    sum(CAST(CASE WHEN {group_sql} = '{group_b}'
+             THEN CAST({value_sql} AS DOUBLE) * CAST({value_sql} AS DOUBLE)
+             ELSE 0.0 END AS DECIMAL(38,12))) AS ssb
+  FROM {table}
+),
+d AS (
+  SELECT na, nb,
+         CAST(sa AS DOUBLE) AS sa, CAST(sb AS DOUBLE) AS sb,
+         CAST(ssa AS DOUBLE) AS ssa, CAST(ssb AS DOUBLE) AS ssb
+  FROM agg
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round({diff}, 6) AS mean_diff, round({se}, 6) AS se,
+       round({pl}, 6) AS p_lower, round({pu}, 6) AS p_upper,
+       round(greatest({pl}, {pu}), 6) AS p_tost,
+       round(greatest({pl}, {pu}), 6) < 0.05 AS equivalent
+FROM d
+"""
+
+
+def theil_index(df: DataFrame, group_col: str,
+                value_col: str) -> DataFrame:
+    """Theil T inequality index per group over POSITIVE values:
+    T = (1/n)·Σ (x/μ)·ln(x/μ) — 0 at perfect equality, ln(n) at
+    maximal concentration; the decomposable complement of the Gini /
+    HHI / Pareto readouts already in the family. Group means come
+    from one aggregate broadcast back; per-row terms round 9 into a
+    DECIMAL mean (order-independent), rounds 6.
+    Output: (group, n, mean_value, theil).
+    """
+    v = F.col(value_col).cast("double")
+    rows = (df.filter(v.isNotNull() & (v > 0))
+            .select(F.col(group_col).alias("g"), v.alias("x")))
+    mu = (rows.groupBy("g")
+          .agg(F.count("*").alias("n"),
+               F.sum(F.col("x").cast(_DEC)).alias("s")))
+    term = F.round((F.col("x") / F.col("_mu"))
+                   * F.log(F.col("x") / F.col("_mu")), 9)
+    joined = (rows.join(
+        F.broadcast(mu.select(
+            "g", "n", (F.col("s").cast("double") / F.col("n"))
+            .alias("_mu"))), "g"))
+    return (joined.groupBy("g", "n", "_mu")
+            .agg(F.round(F.sum(term.cast(_DEC)).cast("double")
+                         / F.col("n"), 6).alias("theil"))
+            .select(F.col("g").alias(group_col),
+                    F.col("n").cast("long").alias("n"),
+                    F.round(F.col("_mu"), 6).alias("mean_value"),
+                    "theil"))
+
+
+def theil_index_sql(table: str, group_sql: str, value_sql: str) -> str:
+    return f"""
+WITH rows_ AS (
+  SELECT {group_sql} AS g, CAST({value_sql} AS DOUBLE) AS x
+  FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+    AND CAST({value_sql} AS DOUBLE) > 0
+),
+mu AS (
+  SELECT g, count(*) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS _mu
+  FROM rows_ GROUP BY g
+)
+SELECT mu.g AS {group_sql}, CAST(mu.n AS BIGINT) AS n,
+       round(mu._mu, 6) AS mean_value,
+       round(CAST(sum(CAST(round((x / _mu) * ln(x / _mu), 9)
+                           AS DECIMAL(38,12))) AS DOUBLE) / mu.n, 6)
+         AS theil
+FROM rows_ JOIN mu ON rows_.g = mu.g
+GROUP BY mu.g, mu.n, mu._mu
+"""
