@@ -9274,7 +9274,137 @@ def _sql_logrank():
     return logrank_arms_sql()
 
 
+def q_levene_value(spark, sf_dir):
+    """Brown–Forsythe (median-centered Levene) equality-of-variances
+    test across all event types (stats.levene_bf) — the variance
+    complement to welch_ttest (means) and kruskal_values (ranks)."""
+    from distill_spark.operators.stats import levene_bf
+
+    t = _tables(spark, sf_dir)
+    return levene_bf(t["events"], "event_type", "value")
+
+
+def _sql_levene():
+    from distill_spark.operators.stats import levene_bf_sql
+
+    return levene_bf_sql("events", "event_type", "value")
+
+
+def q_kendall_daily(spark, sf_dir):
+    """Kendall tau-b (tie-corrected, exact integer concordance) between
+    daily order count and daily total spend (stats.kendall_tau_daily) —
+    the concordance complement to spearman_qty_price."""
+    from distill_spark.operators.stats import kendall_tau_daily
+
+    t = _tables(spark, sf_dir)
+    return kendall_tau_daily(t["orders"])
+
+
+def _sql_kendall():
+    from distill_spark.operators.stats import kendall_tau_daily_sql
+
+    return kendall_tau_daily_sql()
+
+
+def q_cochran_trend(spark, sf_dir):
+    """Cochran–Armitage trend test: conversion (has ≥1 URGENT order —
+    plain "≥1 order" is degenerate on TPC-H) vs fixed-width
+    account-balance dose bands (stats.cochran_armitage) — map-side
+    banding, no global sort, exact integer sums."""
+    from distill_spark.operators.stats import cochran_armitage
+
+    t = _tables(spark, sf_dir)
+    return cochran_armitage(t["customer"], t["orders"])
+
+
+def _sql_cochran():
+    from distill_spark.operators.stats import cochran_armitage_sql
+
+    return cochran_armitage_sql()
+
+
+def q_hits_scores(spark, sf_dir):
+    """HITS hub/authority (8 L1-normalized iterations, decimal-exact
+    propagation sums) over the directed part→supplier graph
+    (pagerank.hits) — mutual-reinforcement companion to pagerank's
+    random walk on the symmetrized version of the same graph. Top 50
+    authorities (suppliers backed by the strongest part hubs)."""
+    from distill_spark.operators.pagerank import hits
+
+    t = _tables(spark, sf_dir)
+    edges = t["lineitem"].select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst")).distinct()
+    return (hits(edges, iterations=8)
+            .orderBy(F.desc("authority"), F.asc("node")).limit(50))
+
+
+def _sql_hits():
+    from distill_spark.operators.pagerank import hits_sql
+
+    edge_cte = ("SELECT DISTINCT 'p' || l_partkey AS src, "
+                "'s' || l_suppkey AS dst FROM lineitem")
+    return (hits_sql(edge_cte, iterations=8)
+            + "\nORDER BY authority DESC, node ASC LIMIT 50")
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per predicted language: estimated tokens
+    per whitespace word and chars per token, by the langid bucket —
+    the cross of F6's token estimators with text_langid, the standard
+    'how efficiently does the tokenizer cover each language' pipeline
+    diagnostic. Integer sums (exact) divided once at the end."""
+    from distill_spark.functions import vectormath as vm
+
+    t = _tables(spark, sf_dir)
+    words = _words(F.col("text"))
+    stops = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    hits_ = F.size(F.array_intersect(words, stops))
+    lang = F.when(hits_ >= 2, "en").otherwise("other")
+    per_doc = t["documents"].select(
+        lang.alias("lang_pred"),
+        F.size(words).alias("w"),
+        vm.estimate_tokens(F.col("text")).alias("tok"),
+        F.length("text").alias("chars"))
+    sw, st_ = F.sum("w"), F.sum("tok")
+    return (per_doc.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        sw.cast("long").alias("words"),
+        st_.cast("long").alias("tokens"),
+        F.round(F.when(sw > 0, st_.cast("double") / sw), 6)
+        .alias("fertility"),
+        F.round(F.when(st_ > 0, F.sum("chars").cast("double") / st_), 6)
+        .alias("chars_per_token")))
+
+
+def _sql_fertility():
+    return f"""
+WITH per_doc AS (
+  SELECT CASE WHEN len(list_intersect({_WORDS_SQL.format(c='text')},
+                                      {_STOP_SQL})) >= 2
+              THEN 'en' ELSE 'other' END AS lang_pred,
+         len({_WORDS_SQL.format(c='text')}) AS w,
+         CAST(floor((length(text)+3)/4) AS INTEGER) AS tok,
+         length(text) AS chars
+  FROM documents
+)
+SELECT lang_pred, count(*) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS words,
+       CAST(sum(tok) AS BIGINT) AS tokens,
+       round(CAST(sum(tok) AS DOUBLE) / NULLIF(sum(w), 0), 6) AS fertility,
+       round(CAST(sum(chars) AS DOUBLE) / NULLIF(sum(tok), 0), 6)
+         AS chars_per_token
+FROM per_doc GROUP BY 1
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    # -- round-9 third stratum: variance/trend/concordance tests, HITS ------
+    "levene_value": (q_levene_value, _sql_levene()),
+    "kendall_daily": (q_kendall_daily, _sql_kendall()),
+    "cochran_trend": (q_cochran_trend, _sql_cochran()),
+    "hits_scores": (q_hits_scores, _sql_hits()),
+    "tokenizer_fertility": (q_tokenizer_fertility, _sql_fertility()),
     # -- round-9 second stratum: sketches / rank stats / IR metrics ---------
     "hll_distinct": (q_hll_distinct, _sql_hll_distinct()),
     "logrank_arms": (q_logrank_arms, _sql_logrank()),

@@ -125,3 +125,104 @@ def pagerank_sql(edge_cte: str, iterations: int = 8,
             f" FROM base b LEFT JOIN s{i} s USING (node))")
     return (", ".join(parts)
             + f"\nSELECT node, round(pr, 6) AS pr FROM pr{iterations}")
+
+
+def hits(edges: DataFrame, iterations: int = 8, checkpoint: bool = True,
+         broadcast_nodes_max: int = 5_000_000) -> DataFrame:
+    """HITS (Kleinberg 1999) hub/authority scores after ``iterations``
+    synchronous rounds over directed ``edges(src, dst)`` — the
+    mutual-reinforcement companion to :func:`pagerank` (random walk):
+
+        a_t(v) = Σ_{u→v} h_{t-1}(u) / ‖·‖₁,
+        h_t(u) = Σ_{u→v} a_t(v)     / ‖·‖₁
+
+    L1 normalization each half-step (instead of the textbook L2)
+    keeps every engine-visible op either an exact decimal sum or a
+    single IEEE division, so the score vectors stay bit-identical
+    across partitionings and engines — same determinism contract as
+    pagerank's DECIMAL(30,15) contribution sums. Nodes without
+    in-edges (out-edges) hold authority (hub) 0.
+
+    Scale shape: each half-step is one edges⋈scores join (scores is
+    node-count-sized — broadcast under ``broadcast_nodes_max``, else
+    shuffle) plus one groupBy; the L1 total is a 1-row aggregate
+    crossJoined back (never collected). Lineage truncated per
+    iteration. Returns (node, authority, hub) rounded 6 — NOT sorted.
+    """
+    if checkpoint:
+        edges = edges.localCheckpoint()
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    if checkpoint:
+        nodes = nodes.localCheckpoint()
+    n_nodes = nodes.count()
+    small = n_nodes <= broadcast_nodes_max
+    bcast = F.broadcast if small else (lambda df: df)
+    _dec = "decimal(30,15)"
+
+    def _half(scores, score_col, join_on, out_key):
+        # one propagation half-step: sum the partner score over edges
+        # incident on ``join_on``, grouped by ``out_key``, L1-scaled
+        raw = (edges.join(bcast(scores), F.col(join_on) == F.col("node"))
+               .groupBy(F.col(out_key).alias("node"))
+               .agg(F.sum(F.col(score_col).cast(_dec)).cast("double")
+                    .alias("raw")))
+        tot = raw.agg(F.sum(F.col("raw").cast(_dec)).cast("double")
+                      .alias("tot"))
+        scaled = raw.crossJoin(F.broadcast(tot)).select(
+            "node", (F.col("raw") / F.col("tot")).alias("s"))
+        return (nodes.join(bcast(scaled), "node", "left")
+                .select("node", F.coalesce("s", F.lit(0.0)).alias("s")))
+
+    h = nodes.withColumn("s", F.lit(1.0))
+    a = None
+    for i in range(1, iterations + 1):
+        a = _half(h, "s", "src", "dst")
+        h = _half(a, "s", "dst", "src")
+        if checkpoint:
+            a = a.localCheckpoint()
+            h = h.localCheckpoint()
+    return (a.select("node", F.round("s", 6).alias("authority"))
+            .join(bcast(h.select("node", F.round("s", 6).alias("hub"))),
+                  "node"))
+
+
+def hits_sql(edge_cte: str, iterations: int = 8) -> str:
+    """DuckDB oracle for :func:`hits`: the two half-steps unrolled as
+    chained CTEs, mirroring the Spark side's decimal sums and single
+    IEEE divisions exactly. Every multiply-referenced CTE is
+    MATERIALIZED — DuckDB inlines plain CTEs, and ``ar{i}`` feeding
+    both its L1 total and the scaled vector would double the expanded
+    plan every half-step (2^(2T) base-table scans by T iterations —
+    observed as an fd-exhaustion blowup before materialization)."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edge_cte})",
+        "nodes AS MATERIALIZED"
+        " (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "h0 AS (SELECT node, 1.0 AS s FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"ar{i} AS MATERIALIZED (SELECT e.dst AS node, "
+            f"CAST(sum(CAST(p.s AS DECIMAL(30,15))) AS DOUBLE) AS raw "
+            f"FROM h{i-1} p JOIN e ON e.src = p.node GROUP BY 1)")
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT n.node, COALESCE(r.raw /"
+            f" (SELECT CAST(sum(CAST(raw AS DECIMAL(30,15))) AS DOUBLE)"
+            f" FROM ar{i}), 0.0) AS s FROM nodes n LEFT JOIN ar{i} r"
+            f" USING (node))")
+        parts.append(
+            f"hr{i} AS MATERIALIZED (SELECT e.src AS node, "
+            f"CAST(sum(CAST(p.s AS DECIMAL(30,15))) AS DOUBLE) AS raw "
+            f"FROM a{i} p JOIN e ON e.dst = p.node GROUP BY 1)")
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT n.node, COALESCE(r.raw /"
+            f" (SELECT CAST(sum(CAST(raw AS DECIMAL(30,15))) AS DOUBLE)"
+            f" FROM hr{i}), 0.0) AS s FROM nodes n LEFT JOIN hr{i} r"
+            f" USING (node))")
+    t = iterations
+    return (", ".join(parts)
+            + f"\nSELECT a.node, round(a.s, 6) AS authority,"
+            f" round(h.s, 6) AS hub"
+            f" FROM a{t} a JOIN h{t} h USING (node)")

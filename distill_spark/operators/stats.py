@@ -2178,3 +2178,253 @@ SELECT mu.g AS {group_sql}, CAST(mu.n AS BIGINT) AS n,
 FROM rows_ JOIN mu ON rows_.g = mu.g
 GROUP BY mu.g, mu.n, mu._mu
 """
+
+
+def levene_bf(df: DataFrame, group_col: str,
+              value_col: str = "value") -> DataFrame:
+    """Brown–Forsythe test (Levene's test centered on the group
+    MEDIAN, the robust variant) for equality of variances across all
+    groups — the variance companion to welch_ttest (means, 2 groups)
+    and kruskal_wallis (ranks, k groups):
+
+        W = ((N - k) / (k - 1)) · Σ n_g (z̄_g − z̄)² / Σ_g Σ_i (z_gi − z̄_g)²
+
+    with z = |x − median_g|. Two shuffles total: the exact per-group
+    median (one sort-based aggregate) and one conditional-aggregation
+    pass over the re-joined fact table (medians are k rows →
+    broadcast join; the fact table never shuffles for the join). The
+    inner deviation sum uses Σz² − (Σz)²/n per group, so the second
+    pass needs only (n, Σz, Σz²) per group, all map-side combined.
+
+    Determinism: medians are rounded to the 1e-9 grid before the
+    subtraction (both engines interpolate even-count medians with the
+    same single (a+b)/2 float op); z and z² accumulate in
+    DECIMAL(38,12), order-independent, and collapse to doubles in one
+    closed-form expression. Output: one row (k, n, w_stat, df1, df2),
+    w rounded 6.
+    """
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col).alias("g")
+    med = (df.filter(v.isNotNull()).groupBy(g)
+           .agg(F.round(F.median(v), 9).alias("_med")))
+    z = (df.filter(v.isNotNull()).select(g, v.alias("_x"))
+         .join(F.broadcast(med), "g")
+         .select("g", F.abs(F.col("_x") - F.col("_med")).alias("z")))
+    grp = z.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("z").cast(_DEC)).alias("sz"),
+        F.sum((F.col("z") * F.col("z")).cast(_DEC)).alias("szz"))
+    sz = F.col("sz").cast("double")
+    szz = F.col("szz").cast("double")
+    n = F.col("n")
+    tot = grp.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum(F.col("sz")).alias("stot"),
+        F.sum((szz - sz * sz / n).cast(_DEC)).alias("w_den"),
+        F.sum(((sz * sz) / n).cast(_DEC)).alias("s2n"))
+    k = F.col("k")
+    nn = F.col("nn")
+    stot = F.col("stot").cast("double")
+    # Σ n_g (z̄_g − z̄)² = Σ (Σz_g)²/n_g − (Σz)²/N
+    w_num = F.col("s2n").cast("double") - stot * stot / nn
+    w_den = F.col("w_den").cast("double")
+    w = F.when((k > 1) & (w_den > 0),
+               ((nn - k) / (k - F.lit(1))) * w_num / w_den)
+    return tot.select(
+        k.cast("long").alias("k"), nn.cast("long").alias("n"),
+        F.round(w, 6).alias("w_stat"),
+        (k - 1).cast("long").alias("df1"),
+        (nn - k).cast("long").alias("df2"))
+
+
+def levene_bf_sql(table: str, group_sql: str,
+                  value_sql: str = "value") -> str:
+    return f"""
+WITH rows_ AS (
+  SELECT {group_sql} AS g, CAST({value_sql} AS DOUBLE) AS x
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+med AS (
+  SELECT g, round(median(x), 9) AS _med FROM rows_ GROUP BY g
+),
+z AS (
+  SELECT rows_.g, abs(x - _med) AS z
+  FROM rows_ JOIN med ON rows_.g = med.g
+),
+grp AS (
+  SELECT g, count(*) AS n,
+         sum(CAST(z AS DECIMAL(38,12))) AS sz,
+         sum(CAST(z * z AS DECIMAL(38,12))) AS szz
+  FROM z GROUP BY g
+),
+tot AS (
+  SELECT count(*) AS k, sum(n) AS nn,
+         CAST(sum(sz) AS DOUBLE) AS stot,
+         CAST(sum(CAST(CAST(szz AS DOUBLE)
+              - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / n
+              AS DECIMAL(38,12))) AS DOUBLE) AS w_den,
+         CAST(sum(CAST(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / n
+              AS DECIMAL(38,12))) AS DOUBLE) AS s2n
+  FROM grp
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+       round(CASE WHEN k > 1 AND w_den > 0
+                  THEN ((nn - k) / (k - 1.0))
+                       * (s2n - stot * stot / nn) / w_den END,
+             6) AS w_stat,
+       CAST(k - 1 AS BIGINT) AS df1, CAST(nn - k AS BIGINT) AS df2
+FROM tot
+"""
+
+
+def kendall_tau_daily(orders: DataFrame, ts_col: str = "o_orderdate",
+                      amount_col: str = "o_totalprice") -> DataFrame:
+    """Kendall tau-b rank correlation between the DAILY order count
+    and the DAILY total spend — the concordance companion to
+    spearman_qty_price (rank linearity) and mann_kendall (one-series
+    trend). Tie-corrected:
+
+        τ_b = (C − D) / sqrt((n0 − t_x)(n0 − t_y)),  n0 = m(m−1)/2
+
+    The pair join runs over the DAILY aggregate (m = distinct days,
+    bounded ~2.5k for 7 years of orders regardless of fact-table
+    scale — the aggregate broadcasts and the O(m²) pair count stays
+    in the millions), never over raw orders. x is an integer count
+    and y an exact DECIMAL(15,2) sum, so concordance signs, C, D and
+    the tie counts are all exact integers; only the final ratio
+    touches floating point. Output: one row (m_days, concordant,
+    discordant, tau_b), tau rounded 6.
+    """
+    daily = (orders.groupBy(F.col(ts_col).alias("d"))
+             .agg(F.count("*").alias("x"),
+                  F.sum(amount_col).alias("y")))
+    a, b = daily.alias("a"), daily.alias("b")
+    sx = F.signum((F.col("b.x") - F.col("a.x")).cast("double"))
+    sy = F.signum((F.col("b.y") - F.col("a.y")).cast("double"))
+    prod = (sx * sy).cast("long")
+    pairs = (a.join(F.broadcast(b), F.col("b.d") > F.col("a.d"))
+             .agg(F.count("*").alias("n0"),
+                  F.sum((prod == 1).cast("long")).alias("c"),
+                  F.sum((prod == -1).cast("long")).alias("dd"),
+                  F.sum((sx == 0).cast("long")).alias("tx"),
+                  F.sum((sy == 0).cast("long")).alias("ty")))
+    n0 = F.col("n0")
+    c, d = F.col("c"), F.col("dd")
+    denom = ((n0 - F.col("tx")).cast("double")
+             * (n0 - F.col("ty")).cast("double"))
+    tau = F.when(denom > 0, (c - d).cast("double") / F.sqrt(denom))
+    m = daily.agg(F.count("*").alias("m_days"))
+    return (m.crossJoin(pairs)
+            .select(F.col("m_days").cast("long").alias("m_days"),
+                    c.alias("concordant"), d.alias("discordant"),
+                    F.round(tau, 6).alias("tau_b")))
+
+
+def kendall_tau_daily_sql(table: str = "orders",
+                          ts_sql: str = "o_orderdate",
+                          amount_sql: str = "o_totalprice") -> str:
+    return f"""
+WITH daily AS (
+  SELECT {ts_sql} AS d, count(*) AS x, sum({amount_sql}) AS y
+  FROM {table} GROUP BY 1
+),
+pairs AS (
+  SELECT count(*) AS n0,
+         sum(CASE WHEN sign(b.x - a.x) * sign(b.y - a.y) = 1
+                  THEN 1 ELSE 0 END) AS c,
+         sum(CASE WHEN sign(b.x - a.x) * sign(b.y - a.y) = -1
+                  THEN 1 ELSE 0 END) AS dd,
+         sum(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) AS tx,
+         sum(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS ty
+  FROM daily a JOIN daily b ON b.d > a.d
+),
+m AS (SELECT count(*) AS m_days FROM daily)
+SELECT CAST(m_days AS BIGINT) AS m_days,
+       CAST(c AS BIGINT) AS concordant, CAST(dd AS BIGINT) AS discordant,
+       round((c - dd) / sqrt(NULLIF(CAST(n0 - tx AS DOUBLE)
+                             * CAST(n0 - ty AS DOUBLE), 0.0)), 6) AS tau_b
+FROM m, pairs
+"""
+
+
+def cochran_armitage(customers: DataFrame, orders: DataFrame,
+                     n_bands: int = 5) -> DataFrame:
+    """Cochran–Armitage trend test: does conversion (customer has ≥1
+    URGENT-priority order — "≥1 order" is degenerate on TPC-H, every
+    custkey appears in orders) rise monotonically with account
+    balance? Customers are
+    binned into ``n_bands`` FIXED-WIDTH balance bands (TPC-H range
+    −999.99..9999.99) with integer dose scores 0..n_bands−1; the
+    statistic is the score-weighted converter excess
+
+        z = Σ s_i (r_i − n_i R/N) / sqrt(Var₀),
+        Var₀ = R(N−R)/(N(N−1)) · (N Σ s_i² n_i − (Σ s_i n_i)²) / N
+
+    Fixed-width banding (not quantiles) is deliberate for 100 TB: the
+    dose is a map-side expression on every row — no global sort, no
+    single-partition window, no two-pass boundary broadcast; the
+    conversion flag is one left-semi-join-shaped aggregation against
+    DISTINCT order custkeys. Every sum is an exact integer; the only
+    float ops are the final closed form. Output: one row
+    (n_customers, n_converted, t_obs, e_t, z_trend), doubles
+    rounded 6.
+    """
+    width = (9999.99 + 999.99 + 0.01) / n_bands
+    bal = F.col("c_acctbal").cast("double")
+    dose = F.least(F.lit(n_bands - 1), F.greatest(F.lit(0), F.floor(
+        (bal + F.lit(999.99)) / F.lit(width)))).cast("long")
+    conv = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
+            .select(F.col("o_custkey").alias("c_custkey")).distinct())
+    flagged = (customers.select("c_custkey", dose.alias("s"))
+               .join(conv.withColumn("_c", F.lit(1)), "c_custkey", "left")
+               .select("s", F.coalesce("_c", F.lit(0)).alias("conv")))
+    agg = flagged.agg(
+        F.count("*").alias("n"),
+        F.sum("conv").alias("r"),
+        F.sum(F.col("s") * F.col("conv")).alias("t_obs_i"),
+        F.sum("s").alias("sn"),
+        F.sum(F.col("s") * F.col("s")).alias("s2n"))
+    n, r = F.col("n"), F.col("r")
+    t_obs = F.col("t_obs_i").cast("double")
+    sn, s2n = F.col("sn").cast("double"), F.col("s2n").cast("double")
+    e_t = r.cast("double") * sn / n
+    var0 = (r.cast("double") * (n - r).cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
+            * (n.cast("double") * s2n - sn * sn) / n.cast("double"))
+    return agg.select(
+        n.cast("long").alias("n_customers"),
+        r.cast("long").alias("n_converted"),
+        F.round(t_obs, 6).alias("t_obs"),
+        F.round(e_t, 6).alias("e_t"),
+        F.round(F.when(var0 > 0, (t_obs - e_t) / F.sqrt(var0)), 6)
+        .alias("z_trend"))
+
+
+def cochran_armitage_sql(n_bands: int = 5) -> str:
+    width = (9999.99 + 999.99 + 0.01) / n_bands
+    return f"""
+WITH flagged AS (
+  SELECT least({n_bands - 1}, greatest(0, CAST(floor(
+           (CAST(c_acctbal AS DOUBLE) + 999.99) / {width}) AS BIGINT)))
+           AS s,
+         CASE WHEN c_custkey IN (SELECT DISTINCT o_custkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+              THEN 1 ELSE 0 END AS conv
+  FROM customer
+),
+agg AS (
+  SELECT count(*) AS n, sum(conv) AS r,
+         sum(s * conv) AS t_obs_i, sum(s) AS sn, sum(s * s) AS s2n
+  FROM flagged
+)
+SELECT CAST(n AS BIGINT) AS n_customers, CAST(r AS BIGINT) AS n_converted,
+       round(CAST(t_obs_i AS DOUBLE), 6) AS t_obs,
+       round(CAST(r AS DOUBLE) * sn / n, 6) AS e_t,
+       round((t_obs_i - CAST(r AS DOUBLE) * sn / n)
+             / sqrt(NULLIF(CAST(r AS DOUBLE) * (n - r)
+                    / (CAST(n AS DOUBLE) * (n - 1))
+                    * (CAST(n AS DOUBLE) * s2n - CAST(sn AS DOUBLE) * sn)
+                    / n, 0.0)), 6) AS z_trend
+FROM agg
+"""

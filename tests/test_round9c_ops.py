@@ -1,0 +1,177 @@
+"""Adversarial oracle validation for the round-9 third-stratum SQL
+twins (levene_value / kendall_daily / cochran_trend / hits_scores):
+each twin re-run in DuckDB against frames planted with its hazards —
+single-group and zero-spread inputs for Levene, all-tied days for
+Kendall, zero/all converters for Cochran–Armitage, sinks and
+multi-component graphs for HITS — and compared row-for-row with the
+Spark operator on the same frame, plus closed-form hand checks."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _cmp(spark_rows, duck_rows, cols):
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 9)
+        return v
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    a = sorted(tuple(norm(r[i]) for i in order) for r in spark_rows)
+    b = sorted(tuple(norm(r[i]) for i in order) for r in duck_rows)
+    assert a == b, f"\nspark={a[:5]}\nduck ={b[:5]}"
+
+
+def _duck(frames: dict[str, pd.DataFrame], sql: str):
+    con = duckdb.connect()
+    for name, pdf in frames.items():
+        con.register(f"_src_{name}", pdf)
+        con.execute(f"CREATE TABLE {name} AS SELECT * FROM _src_{name}")
+    rel = con.sql(sql)
+    return rel.fetchall(), [d[0] for d in rel.description]
+
+
+def test_levene_bf_hazards_and_hand_value(spark):
+    """Zero-spread group (all z=0), n=1 group, NULL values dropped —
+    and the W statistic matches a hand-computed Brown–Forsythe on a
+    frame small enough to verify with integer medians."""
+    from distill_spark.operators.stats import levene_bf, levene_bf_sql
+
+    rows = ([("a", v) for v in [1.0, 3.0, 5.0, 7.0]]      # med 4, z=3,1,1,3
+            + [("b", v) for v in [10.0, 10.0, 10.0]]       # zero spread
+            + [("c", 2.0)]                                 # n=1 group
+            + [("a", None)])                               # dropped
+    pdf = pd.DataFrame(rows, columns=["event_type", "value"])
+    sdf = spark.createDataFrame(pdf)
+    got = levene_bf(sdf, "event_type", "value")
+    srows = [tuple(r) for r in got.collect()]
+    drows, dcols = _duck({"events": pdf},
+                         levene_bf_sql("events", "event_type", "value"))
+    _cmp(srows, drows, got.columns)
+    (k, n, w, df1, df2), = srows
+    assert (k, n, df1, df2) == (3, 8, 2, 5)
+    # z-values: a -> 3,1,1,3 ; b -> 0,0,0 ; c -> 0
+    # group means 2, 0, 0; grand mean 1; num = 4*(2-1)^2 + 3*1 + 1*1 = 8
+    # den = (3-2)^2*2 + (1-2)^2*2 = 4 -> W = (5/2) * 8/4 = 5
+    assert w == 5.0
+
+    # single-group frame -> k=1 -> NULL statistic, both engines
+    one = pd.DataFrame([("a", 1.0), ("a", 2.0)],
+                       columns=["event_type", "value"])
+    got1 = levene_bf(spark.createDataFrame(one), "event_type", "value")
+    s1 = [tuple(r) for r in got1.collect()]
+    d1, _ = _duck({"events": one},
+                  levene_bf_sql("events", "event_type", "value"))
+    _cmp(s1, d1, got1.columns)
+    assert s1[0][2] is None
+
+
+def test_kendall_tau_hand_value_and_all_ties(spark):
+    """Exact tau-b on a 4-day frame with one x-tie, hand-checked; and
+    the all-tied degenerate frame yields NULL (not a crash) in both
+    engines."""
+    from distill_spark.operators.stats import (kendall_tau_daily,
+                                               kendall_tau_daily_sql)
+
+    # day: (count, total) after aggregation:
+    # d1 (2, 30), d2 (1, 5), d3 (2, 50), d4 (3, 90)
+    rows = [("1992-01-01", 10.0), ("1992-01-01", 20.0),
+            ("1992-01-02", 5.0),
+            ("1992-01-03", 25.0), ("1992-01-03", 25.0),
+            ("1992-01-04", 30.0), ("1992-01-04", 30.0),
+            ("1992-01-04", 30.0)]
+    pdf = pd.DataFrame(rows, columns=["o_orderdate", "o_totalprice"])
+    sdf = spark.createDataFrame(pdf)
+    got = kendall_tau_daily(sdf)
+    srows = [tuple(r) for r in got.collect()]
+    drows, dcols = _duck({"orders": pdf}, kendall_tau_daily_sql())
+    _cmp(srows, drows, got.columns)
+    (m, c, d, tau), = srows
+    # pairs (x,y): (2,30)(1,5)(2,50)(3,90): both deltas share sign in
+    # 5 pairs, (d1,d3) is an x-tie -> C=5 D=0 tx=1 ty=0, n0=6
+    # tau = 5 / sqrt(5*6)
+    assert (m, c, d) == (4, 5, 0)
+    assert tau == round(5 / math.sqrt(30), 6)
+
+    flat = pd.DataFrame([("1992-01-01", 7.0), ("1992-01-02", 7.0)],
+                        columns=["o_orderdate", "o_totalprice"])
+    gotf = kendall_tau_daily(spark.createDataFrame(flat))
+    sf = [tuple(r) for r in gotf.collect()]
+    df_, _ = _duck({"orders": flat}, kendall_tau_daily_sql())
+    _cmp(sf, df_, gotf.columns)
+    assert sf[0][3] is None
+
+
+def test_cochran_armitage_hand_value_and_degenerates(spark):
+    """Hand-checked z on a 2-band frame, plus the all-convert and
+    none-convert degenerate frames return NULL z in both engines."""
+    from distill_spark.operators.stats import (cochran_armitage,
+                                               cochran_armitage_sql)
+
+    # band 0: balances near -999.99 (4 customers, 1 converts)
+    # band 4: balances near 9999 (4 customers, 3 convert)
+    cust = pd.DataFrame(
+        [(i, -900.0) for i in range(1, 5)]
+        + [(i, 9900.0) for i in range(5, 9)],
+        columns=["c_custkey", "c_acctbal"])
+    orders = pd.DataFrame(
+        [(1, "1-URGENT"), (5, "1-URGENT"), (6, "1-URGENT"),
+         (7, "1-URGENT"), (8, "5-LOW"), (2, "5-LOW")],
+        columns=["o_custkey", "o_orderpriority"])
+    sc_, so = spark.createDataFrame(cust), spark.createDataFrame(orders)
+    got = cochran_armitage(sc_, so)
+    srows = [tuple(r) for r in got.collect()]
+    drows, dcols = _duck({"customer": cust, "orders": orders},
+                         cochran_armitage_sql())
+    _cmp(srows, drows, got.columns)
+    n, r, t_obs, e_t, z = srows[0]
+    assert (n, r) == (8, 4)
+    # doses: 4 customers at s=0, 4 at s=4; converters: 1@0, 3@4
+    # T = 12, E[T] = 4*16/8 = 8; sn = 16, s2n = 64
+    # Var = R(N-R)/(N(N-1)) * (N*s2n - sn^2)/N = (16/56) * 256/8
+    var0 = (4 * 4 / (8 * 7)) * (8 * 64 - 256) / 8
+    assert (t_obs, e_t) == (12.0, 8.0)
+    assert z == round(4 / math.sqrt(var0), 6)
+
+    for prio in ("1-URGENT", "5-LOW"):      # all / none convert
+        od = pd.DataFrame([(i, prio) for i in range(1, 9)],
+                          columns=["o_custkey", "o_orderpriority"])
+        g = cochran_armitage(sc_, spark.createDataFrame(od))
+        s = [tuple(r) for r in g.collect()]
+        d, _ = _duck({"customer": cust, "orders": od},
+                     cochran_armitage_sql())
+        _cmp(s, d, g.columns)
+        assert s[0][4] is None
+
+
+def test_hits_sinks_components_and_duck_replay(spark):
+    """HITS on a graph with a pure sink, a pure source, and a
+    disconnected 2-cycle: authority mass lands on targets, hub mass
+    on sources, both components scored in one pass; scores replay
+    bit-for-bit in the DuckDB twin and each vector L1-sums to 1."""
+    from distill_spark.operators.pagerank import hits, hits_sql
+
+    edges = pd.DataFrame(
+        [("u1", "v1"), ("u2", "v1"), ("u1", "v2"),   # v1 strong authority
+         ("x1", "x2"), ("x2", "x1")],                # separate 2-cycle
+        columns=["src", "dst"])
+    sdf = spark.createDataFrame(edges)
+    got = hits(sdf, iterations=4, checkpoint=False)
+    srows = [tuple(r) for r in got.collect()]
+    drows, dcols = _duck(
+        {"e_in": edges},
+        hits_sql("SELECT src, dst FROM e_in", iterations=4))
+    _cmp(srows, drows, got.columns)
+    by_node = {r[0]: (r[1], r[2]) for r in srows}
+    # pure source u1: authority 0; pure sink v1: hub 0
+    assert by_node["u1"][0] == 0.0 and by_node["v1"][1] == 0.0
+    # v1 (2 in-edges) out-ranks v2 (1); u1 (2 out) out-ranks u2 (1)
+    assert by_node["v1"][0] > by_node["v2"][0]
+    assert by_node["u1"][1] > by_node["u2"][1]
+    # L1 normalization: each score vector sums to 1
+    assert round(sum(a for a, _ in by_node.values()), 6) == 1.0
+    assert round(sum(h for _, h in by_node.values()), 6) == 1.0
