@@ -219,9 +219,14 @@ def similarity_edges(
     pairs are then re-checked with the true cosine distance, making
     the result a *subset* of the exact edge set (LSH may miss pairs,
     never fabricates them).
+
+    ``method="ivf"``: cell-blocked edges over a coarse k-means
+    quantizer (:func:`ivf_edges`) — the explicit opt-in alternative
+    above-budget route; faster than banded on clustered corpora
+    (SCALE_r9.json), same subset contract.
     """
     with_emb = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
-    if method not in ("auto", "exact", "lsh", "banded"):
+    if method not in ("auto", "exact", "lsh", "banded", "ivf"):
         raise ValueError(f"unknown method {method!r}")
     # one cheap column-pruned pass for corpus size + dimensionality;
     # the memory gate, the compute gate, and the LSH feature padding
@@ -261,6 +266,22 @@ def similarity_edges(
         return (
             pairs.filter(F.col("dist") <= threshold)
             .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        )
+    if method == "ivf":
+        # explicit opt-in above-budget route (SCALE_r9: 144 s vs banded
+        # 291 s at x100 on the clustered replica corpus; recall profile
+        # in IVF_RECALL_r9.json — geometric, dominates banding at wide
+        # radii, identical 1.0 in the near-dup regime); not auto-routed
+        # because its advantage inverts on uniform corpora
+        # route-level cell policy: k = √n balances the per-cell
+        # candidate volume (n²/k) against quantizer cost at n^1.5
+        # total pair work — ivf_edges' own default (1024) is tuned for
+        # the 10⁵-vector scale runs and over-fragments small corpora
+        return ivf_edges(
+            with_emb, threshold, id_col=id_col, vec_col=vec_col,
+            n_cells=max(1, int(float(n) ** 0.5)),
+            dist_round=dist_round,
+            verify_broadcast_bytes=broadcast_budget_bytes if fits_mem else 0,
         )
     if method == "banded":
         bands = auto_bands_for_recall(threshold, recall_floor=recall_floor)

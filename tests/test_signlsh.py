@@ -189,3 +189,20 @@ def test_ivf_edges_broadcast_verify_matches(spark):
         df, 0.2, id_col="id", n_cells=8, dist_round=6,
         verify_broadcast_bytes=512 << 20).collect()}
     assert shuf == bc and shuf
+
+
+def test_ivf_method_option_subset_and_recall(spark):
+    """Round-9 stretch wiring: method='ivf' on similarity_edges
+    dispatches to the cell-blocked route — subset-of-exact, near-total
+    recall on planted clusters (replicas co-quantize), and the plan
+    carries the Arrow assignment stage instead of the band explode."""
+    vecs = _planted(seed=11)
+    df = _vecs_df(spark, vecs)
+    ivf = similarity_edges(df, 0.2, id_col="id", method="ivf",
+                           dist_round=6)
+    plan = ivf._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    got = {(r.src, r.dst) for r in ivf.collect()}
+    exact = _exact_edges(vecs, 0.2)
+    assert got <= exact
+    assert len(got) >= 0.9 * len(exact)
