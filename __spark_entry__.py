@@ -9398,7 +9398,136 @@ FROM per_doc GROUP BY 1
 """
 
 
+def q_log_odds_terms(spark, sf_dir):
+    """Monroe et al. "fightin' words" log-odds with informative
+    Dirichlet prior, top-5 terms per source (search.log_odds_terms) —
+    the shrinkage-regularized complement to keyness G²."""
+    from distill_spark.operators.search import log_odds_terms
+
+    t = _tables(spark, sf_dir)
+    return log_odds_terms(t["documents"])
+
+
+def _sql_log_odds():
+    from distill_spark.operators.search import log_odds_terms_sql
+
+    return log_odds_terms_sql()
+
+
+def q_pettitt_change(spark, sf_dir):
+    """Pettitt rank-based changepoint on daily value totals
+    (timeseries.pettitt_test) — nonparametric complement to the AMOC
+    mean-shift changepoint; difference-array O(m²) pair algebra."""
+    from distill_spark.operators.timeseries import pettitt_test
+
+    t = _tables(spark, sf_dir)
+    return pettitt_test(t["events"])
+
+
+def _sql_pettitt():
+    from distill_spark.operators.timeseries import pettitt_test_sql
+
+    return pettitt_test_sql()
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve: corpus token share covered by the
+    top-{100,1000,10000} terms (search.vocab_coverage) — the
+    tokenizer-budget diagnostic next to zipf_fit/heaps_law."""
+    from distill_spark.operators.search import vocab_coverage
+
+    t = _tables(spark, sf_dir)
+    return vocab_coverage(t["documents"])
+
+
+def _sql_vocab_coverage():
+    from distill_spark.operators.search import vocab_coverage_sql
+
+    return vocab_coverage_sql()
+
+
+def q_bootstrap_ci(spark, sf_dir):
+    """Deterministic Poisson-bootstrap 95% CI for the mean event value
+    (stats.bootstrap_ci, B=200) — hash-inverted Poisson(1) weights,
+    exact integer draw, order-statistic bounds."""
+    from distill_spark.operators.stats import bootstrap_ci
+
+    t = _tables(spark, sf_dir)
+    return bootstrap_ci(t["events"])
+
+
+def _sql_bootstrap():
+    from distill_spark.operators.stats import bootstrap_ci_sql
+
+    return bootstrap_ci_sql()
+
+
+def q_cross_source_dup(spark, sf_dir):
+    """Cross-source contamination matrix at the 3-word-shingle grain:
+    for every ordered source pair (a, b), the directional containment
+    |shingles(a) ∩ shingles(b)| / |shingles(a)| — the training-mixture
+    leakage companion to source_overlap (term sets, symmetric) and
+    decontam_benchmark (doc vs benchmark split). Exact-text dup would
+    be the stricter grain, but this corpus has zero verbatim
+    cross-source texts, so the shingle grain is where the signal
+    lives. Joins the DISTINCT (source, shingle) projection with
+    itself on shingle; at 100 TB the shingle becomes a 64-bit rolling
+    hash (dedup_minhash's shingle key) — key width, not plan shape."""
+    t = _tables(spark, sf_dir)
+    st = (t["documents"]
+          .select("source",
+                  F.explode(_shingles_expr(F.col("text"))).alias("_s"))
+          .distinct())
+    a = st.select(F.col("source").alias("source_a"), "_s")
+    b = st.select(F.col("source").alias("source_b"), "_s")
+    na = a.groupBy("source_a").agg(F.count("*").alias("shingles_a"))
+    dup = (a.join(b, "_s")
+           .filter(F.col("source_a") != F.col("source_b"))
+           .groupBy("source_a", "source_b")
+           .agg(F.count("*").alias("shared")))
+    return (dup.join(F.broadcast(na), "source_a")
+            .select("source_a", "source_b",
+                    F.col("shared").cast("long").alias("shared"),
+                    F.col("shingles_a").cast("long").alias("shingles_a"),
+                    F.round(F.col("shared").cast("double")
+                            / F.col("shingles_a"), 6)
+                    .alias("contam_rate")))
+
+
+_SQL_CROSS_SOURCE_DUP = f"""
+WITH sh AS (
+  SELECT DISTINCT source, unnest(
+    CASE WHEN len(words) >= 3
+         THEN list_transform(range(1, len(words) - 1),
+              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+         ELSE [] END) AS _s
+  FROM (SELECT source, {_WORDS_SQL.format(c='text')} AS words
+        FROM documents)
+),
+na AS (SELECT source AS source_a, count(*) AS shingles_a
+       FROM sh GROUP BY 1),
+dup AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*) AS shared
+  FROM sh a JOIN sh b ON a._s = b._s AND a.source <> b.source
+  GROUP BY 1, 2
+)
+SELECT dup.source_a, dup.source_b,
+       CAST(shared AS BIGINT) AS shared,
+       CAST(shingles_a AS BIGINT) AS shingles_a,
+       round(CAST(shared AS DOUBLE) / shingles_a, 6) AS contam_rate
+FROM dup JOIN na ON dup.source_a = na.source_a
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    # -- round-9 fourth stratum: fightin' words, Pettitt, vocab budget,
+    #    deterministic bootstrap, cross-source contamination ---------------
+    "log_odds_terms": (q_log_odds_terms, _sql_log_odds()),
+    "pettitt_change": (q_pettitt_change, _sql_pettitt()),
+    "vocab_coverage": (q_vocab_coverage, _sql_vocab_coverage()),
+    "bootstrap_ci_value": (q_bootstrap_ci, _sql_bootstrap()),
+    "cross_source_dup": (q_cross_source_dup, _SQL_CROSS_SOURCE_DUP),
     # -- round-9 third stratum: variance/trend/concordance tests, HITS ------
     "levene_value": (q_levene_value, _sql_levene()),
     "kendall_daily": (q_kendall_daily, _sql_kendall()),

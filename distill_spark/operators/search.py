@@ -552,3 +552,160 @@ SELECT pairs.sa AS source_a, pairs.sb AS source_b,
 FROM pairs LEFT JOIN scored
   ON pairs.sa = scored.sa AND pairs.sb = scored.sb
 """
+
+
+def log_odds_terms(docs: DataFrame, group_col: str = "source",
+                   text_col: str = "text", k: int = 5,
+                   alpha0: float = 1000.0) -> DataFrame:
+    """Top-k distinctive terms per group by the log-odds ratio with an
+    informative Dirichlet prior (Monroe, Colaresi & Quinn 2008) — the
+    shrinkage-regularized one-vs-rest comparison: with y_i = term
+    count in the group (n_i tokens), y_j = count in the rest (n_j),
+    prior α_w = α₀ · corpus_tf / N (so Σ_w α_w = α₀),
+
+        δ = ln((y_i+α_w)/(n_i+α₀−y_i−α_w)) − ln((y_j+α_w)/(n_j+α₀−y_j−α_w))
+        z = δ / sqrt(1/(y_i+α_w) + 1/(y_j+α_w))
+
+    Unlike keyness G² (which rewards sheer frequency) the prior
+    damps common words and the variance term damps rare ones — the
+    standard "fightin' words" framing. Same cost class as
+    keyness_terms: one (group, term) aggregate, window sums, one
+    top-k window per group; z rounds 6 BEFORE the rank, ties term
+    asc. Output: (group, rank, term, tf_group, tf_rest, z_logodds).
+    """
+    terms = (docs.select(F.col(group_col).alias("g"),
+                         F.explode(words_expr(F.col(text_col)))
+                         .alias("term"))
+             .groupBy("g", "term").agg(F.count("*").alias("a")))
+    wt = Window.partitionBy("term")
+    wg = Window.partitionBy("g")
+    tot = Window.partitionBy()
+    base = terms.select(
+        "g", "term", "a",
+        (F.sum("a").over(wt) - F.col("a")).alias("b"),
+        F.sum("a").over(wg).alias("n1"),
+        (F.sum("a").over(tot) - F.sum("a").over(wg)).alias("n2"))
+    N = (F.col("n1") + F.col("n2")).cast("double")
+    aw = F.lit(alpha0) * (F.col("a") + F.col("b")).cast("double") / N
+    yi = F.col("a").cast("double") + aw
+    yj = F.col("b").cast("double") + aw
+    di = F.log(yi / (F.col("n1") + F.lit(alpha0) - yi))
+    dj = F.log(yj / (F.col("n2") + F.lit(alpha0) - yj))
+    z = (di - dj) / F.sqrt(1.0 / yi + 1.0 / yj)
+    ranked = (base
+              .withColumn("z_logodds", F.round(z, 6))
+              .withColumn("_rk", F.row_number().over(
+                  Window.partitionBy("g")
+                  .orderBy(F.desc("z_logodds"), F.asc("term")))))
+    return (ranked.filter(F.col("_rk") <= k)
+            .select(F.col("g").alias(group_col),
+                    F.col("_rk").cast("int").alias("rank"), "term",
+                    F.col("a").cast("long").alias("tf_group"),
+                    F.col("b").cast("long").alias("tf_rest"),
+                    "z_logodds"))
+
+
+def log_odds_terms_sql(table: str = "documents",
+                       group_sql: str = "source",
+                       text_sql: str = "text", k: int = 5,
+                       alpha0: float = 1000.0) -> str:
+    words = f"list_filter(string_split({text_sql}, ' '), x -> x <> '')"
+    return f"""
+WITH terms AS (
+  SELECT {group_sql} AS g, unnest({words}) AS term FROM {table}
+),
+tf AS (SELECT g, term, count(*) AS a FROM terms GROUP BY 1, 2),
+tot AS (SELECT sum(a) AS N FROM tf),
+base AS (
+  SELECT g, term, a,
+         sum(a) OVER (PARTITION BY term) - a AS b,
+         sum(a) OVER (PARTITION BY g) AS n1,
+         (SELECT N FROM tot) - sum(a) OVER (PARTITION BY g) AS n2
+  FROM tf
+),
+scored AS (
+  SELECT g, term, a, b,
+         round((ln((a + {alpha0} * CAST(a + b AS DOUBLE) / (n1 + n2))
+                   / (n1 + {alpha0}
+                      - (a + {alpha0} * CAST(a + b AS DOUBLE) / (n1 + n2))))
+                - ln((b + {alpha0} * CAST(a + b AS DOUBLE) / (n1 + n2))
+                     / (n2 + {alpha0}
+                        - (b + {alpha0} * CAST(a + b AS DOUBLE) / (n1 + n2)))))
+               / sqrt(1.0 / (a + {alpha0} * CAST(a + b AS DOUBLE) / (n1 + n2))
+                      + 1.0 / (b + {alpha0} * CAST(a + b AS DOUBLE)
+                               / (n1 + n2))), 6) AS z_logodds
+  FROM base
+),
+ranked AS (
+  SELECT g, term, a, b, z_logodds,
+         row_number() OVER (PARTITION BY g
+             ORDER BY z_logodds DESC, term ASC) AS _rk
+  FROM scored
+)
+SELECT g AS {group_sql}, CAST(_rk AS INT) AS rank, term,
+       CAST(a AS BIGINT) AS tf_group, CAST(b AS BIGINT) AS tf_rest,
+       z_logodds
+FROM ranked WHERE _rk <= {k}
+"""
+
+
+def vocab_coverage(docs: DataFrame, text_col: str = "text",
+                   ks: tuple[int, ...] = (100, 1000, 10000)) -> DataFrame:
+    """Vocabulary coverage curve: the share of all corpus tokens
+    covered by the top-k most frequent terms, for each k — the
+    standard "how big a vocab do we need" tokenizer-budget diagnostic
+    (a discrete view of the same Zipf mass zipf_fit models). Exact
+    integer sums throughout; one division per k row.
+
+    Scale shape: the rank window runs over the TERM frame (vocab-
+    sized, ~10⁷ at web scale — fine for a single sort), never the
+    corpus; the token total is a scalar CTE. Output per k:
+    (k, vocab_terms, covered_tokens, total_tokens, coverage).
+    """
+    tf = (docs.select(F.explode(words_expr(F.col(text_col)))
+                      .alias("term"))
+          .groupBy("term").agg(F.count("*").alias("tf")))
+    ranked = tf.withColumn("_rk", F.row_number().over(
+        Window.partitionBy().orderBy(F.desc("tf"), F.asc("term"))))
+    tot = tf.agg(F.sum("tf").alias("_tot"), F.count("*").alias("_terms"))
+    spark = docs.sparkSession
+    kdf = spark.createDataFrame([(k,) for k in sorted(ks)], "k int")
+    per_k = (ranked.join(F.broadcast(kdf), F.col("_rk") <= F.col("k"))
+             .groupBy("k")
+             .agg(F.count("*").alias("vocab_terms"),
+                  F.sum("tf").alias("covered_tokens")))
+    return (per_k.crossJoin(F.broadcast(tot))
+            .select(F.col("k"),
+                    F.col("vocab_terms").cast("long").alias("vocab_terms"),
+                    F.col("covered_tokens").cast("long")
+                    .alias("covered_tokens"),
+                    F.col("_tot").cast("long").alias("total_tokens"),
+                    F.round(F.col("covered_tokens").cast("double")
+                            / F.col("_tot"), 6).alias("coverage")))
+
+
+def vocab_coverage_sql(table: str = "documents", text_sql: str = "text",
+                       ks: tuple[int, ...] = (100, 1000, 10000)) -> str:
+    words = f"list_filter(string_split({text_sql}, ' '), x -> x <> '')"
+    klist = ", ".join(f"({k})" for k in sorted(ks))
+    return f"""
+WITH terms AS (
+  SELECT unnest({words}) AS term FROM {table}
+),
+tf AS (SELECT term, count(*) AS tf FROM terms GROUP BY 1),
+ranked AS (
+  SELECT term, tf,
+         row_number() OVER (ORDER BY tf DESC, term ASC) AS _rk
+  FROM tf
+),
+tot AS (SELECT sum(tf) AS _tot FROM tf),
+ks(k) AS (VALUES {klist})
+SELECT ks.k AS k,
+       CAST(count(*) AS BIGINT) AS vocab_terms,
+       CAST(sum(ranked.tf) AS BIGINT) AS covered_tokens,
+       CAST((SELECT _tot FROM tot) AS BIGINT) AS total_tokens,
+       round(CAST(sum(ranked.tf) AS DOUBLE)
+             / (SELECT _tot FROM tot), 6) AS coverage
+FROM ks JOIN ranked ON ranked._rk <= ks.k
+GROUP BY ks.k
+"""

@@ -19,6 +19,8 @@ association on both engines; correlations round to 6.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -2427,4 +2429,356 @@ SELECT CAST(n AS BIGINT) AS n_customers, CAST(r AS BIGINT) AS n_converted,
                     * (CAST(n AS DOUBLE) * s2n - CAST(sn AS DOUBLE) * sn)
                     / n, 0.0)), 6) AS z_trend
 FROM agg
+"""
+
+
+# Poisson(1) CDF cutoffs scaled to the 2^31 hash range: a bucket in
+# [0, 2^31) maps to bootstrap weight w = #{cutoffs <= bucket}, i.e.
+# the inverse-CDF method with EXACT integer comparisons — both
+# engines replay the same weights bit-for-bit (floor(cdf_k * 2^31))
+_POISSON_CUTS = (790015084, 1580030168, 1975037710, 2106706891,
+                 2139624186, 2146207645, 2147304888)
+_BOOT_M = 1 << 31
+_BOOT_KNUTH = 2654435761
+
+
+def bootstrap_ci(df: DataFrame, key_col: str = "event_id",
+                 value_col: str = "value", b_reps: int = 200) -> DataFrame:
+    """Deterministic Poisson bootstrap CI for the mean (Efron via the
+    Poissonized resample, Chamandy et al. 2012 "Estimating uncertainty
+    for massive data streams"): replicate b gives every row weight
+    w ~ Poisson(1) — drawn NOT from an RNG but by inverting the
+    Poisson CDF at a Knuth multiplicative hash of (key, b), so the
+    resample is reproducible across engines, partitionings and runs
+    (integer hash + integer CDF cutoffs, zero floating-point in the
+    draw). CI bounds are exact order statistics of the B replicate
+    means: ranks ⌈0.025·B⌉ and B+1−⌈0.025·B⌉ (symmetric trim),
+    ties broken by replicate id.
+
+    100 TB shape: the ×B row explosion feeds straight into a hash
+    aggregate on b — partial (map-side) combine collapses it to B
+    partial rows per task, so the shuffle carries B·tasks rows, never
+    B·n; the replicate-mean frame is B rows. Weighted sums accumulate
+    in DECIMAL(38,12). Output: one row
+    (n, mean_value, ci_lo, ci_hi, b_reps), doubles rounded 6.
+    """
+    v = F.col(value_col).cast("double")
+    rows = (df.filter(v.isNotNull())
+            .select(F.col(key_col).alias("_k"), v.alias("_x"),
+                    F.explode(F.sequence(F.lit(0), F.lit(b_reps - 1)))
+                    .alias("b")))
+    bucket = F.pmod(
+        (F.pmod(F.col("_k").cast("long"), F.lit(_BOOT_M)) + F.col("b"))
+        * F.lit(_BOOT_KNUTH), F.lit(_BOOT_M))
+    w = reduce(lambda acc, c: acc + (bucket >= c).cast("int"),
+               _POISSON_CUTS, F.lit(0))
+    per_b = (rows.select("b", "_x", w.alias("_w"))
+             .groupBy("b")
+             .agg(F.sum(F.col("_w")).alias("wn"),
+                  F.sum((F.col("_w") * F.col("_x")).cast(_DEC))
+                  .alias("ws")))
+    means = per_b.select(
+        "b", F.when(F.col("wn") > 0,
+                    F.col("ws").cast("double") / F.col("wn")).alias("m"))
+    lo_rk = max(1, -(-25 * b_reps // 1000))        # ceil(0.025*B)
+    hi_rk = b_reps + 1 - lo_rk
+    ranked = means.withColumn("_rk", F.row_number().over(
+        Window.partitionBy().orderBy(F.asc_nulls_first("m"), F.asc("b"))))
+    ci = ranked.agg(
+        F.round(F.max(F.when(F.col("_rk") == lo_rk, F.col("m"))), 6)
+        .alias("ci_lo"),
+        F.round(F.max(F.when(F.col("_rk") == hi_rk, F.col("m"))), 6)
+        .alias("ci_hi"))
+    overall = (df.filter(v.isNotNull())
+               .agg(F.count("*").alias("n"),
+                    F.round(F.sum(v.cast(_DEC)).cast("double")
+                            / F.count("*"), 6).alias("mean_value")))
+    return (overall.crossJoin(F.broadcast(ci))
+            .select(F.col("n").cast("long").alias("n"), "mean_value",
+                    "ci_lo", "ci_hi",
+                    F.lit(b_reps).cast("int").alias("b_reps")))
+
+
+def bootstrap_ci_sql(table: str = "events", key_sql: str = "event_id",
+                     value_sql: str = "value", b_reps: int = 200) -> str:
+    cuts = " + ".join(
+        f"(CASE WHEN bucket >= {c} THEN 1 ELSE 0 END)"
+        for c in _POISSON_CUTS)
+    lo_rk = max(1, -(-25 * b_reps // 1000))
+    hi_rk = b_reps + 1 - lo_rk
+    return f"""
+WITH rows_ AS (
+  SELECT {key_sql} AS _k, CAST({value_sql} AS DOUBLE) AS _x
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+expanded AS (
+  SELECT _k, _x, CAST(r.range AS BIGINT) AS b,
+         ((_k % {_BOOT_M} + r.range) * {_BOOT_KNUTH}) % {_BOOT_M}
+           AS bucket
+  FROM rows_, range({b_reps}) r
+),
+per_b AS (
+  SELECT b, sum({cuts}) AS wn,
+         sum(CAST(({cuts}) * _x AS DECIMAL(38,12))) AS ws
+  FROM expanded GROUP BY b
+),
+means AS (
+  SELECT b, CASE WHEN wn > 0 THEN CAST(ws AS DOUBLE) / wn END AS m
+  FROM per_b
+),
+ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m ASC NULLS FIRST, b ASC)
+           AS _rk
+  FROM means
+),
+ci AS (
+  SELECT round(max(CASE WHEN _rk = {lo_rk} THEN m END), 6) AS ci_lo,
+         round(max(CASE WHEN _rk = {hi_rk} THEN m END), 6) AS ci_hi
+  FROM ranked
+),
+overall AS (
+  SELECT count(*) AS n,
+         round(CAST(sum(CAST(_x AS DECIMAL(38,12))) AS DOUBLE)
+               / count(*), 6) AS mean_value
+  FROM rows_
+)
+SELECT CAST(n AS BIGINT) AS n, mean_value, ci_lo, ci_hi,
+       CAST({b_reps} AS INT) AS b_reps
+FROM overall, ci
+"""
+
+
+def friedman_dow(events: DataFrame, group_col: str = "event_type",
+                 ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """Friedman rank test over a blocked design: blocks = day-of-week,
+    treatments = event types, one cell observation = the total value
+    for that (dow, type) over the table — "does any event type
+    consistently out-earn the others across weekdays?", the
+    repeated-measures complement to kruskal_wallis (which ignores
+    blocking). Q = 12/(n·k·(k+1)) · Σ_j R_j² − 3·n·(k+1) with R_j the
+    rank sum of treatment j across the n=7 blocks.
+
+    Cell totals are exact DECIMAL sums, so within-block ranks are
+    exact integer comparisons; ties (measure-zero on decimal sums)
+    break by treatment name for cross-engine determinism. The whole
+    statistic computes on a ≤ 7·k-row frame after one fact-table
+    aggregate. Output: one row (n_blocks, k_treatments, q_stat, df),
+    q rounded 6.
+    """
+    cells = (events
+             .select(F.dayofweek(ts_col).alias("blk"),
+                     F.col(group_col).alias("trt"),
+                     F.col(value_col).cast("double").alias("v"))
+             .groupBy("blk", "trt")
+             .agg(F.sum(F.col("v").cast(_DEC)).alias("x")))
+    ranked = cells.withColumn("r", F.row_number().over(
+        Window.partitionBy("blk").orderBy(F.asc("x"), F.asc("trt"))))
+    rj = ranked.groupBy("trt").agg(F.sum("r").alias("rj"),
+                                   F.count("*").alias("nb"))
+    agg = rj.agg(F.count("*").alias("k"),
+                 F.max("nb").alias("n"),
+                 F.min("nb").alias("n_min"),
+                 F.sum(F.col("rj") * F.col("rj")).alias("sr2"))
+    k = F.col("k").cast("double")
+    n = F.col("n").cast("double")
+    q = (F.lit(12.0) / (n * k * (k + 1)) * F.col("sr2").cast("double")
+         - 3.0 * n * (k + 1))
+    # Q is only meaningful on a complete block design — NULL when any
+    # treatment misses a block (n_min < n) or k < 2
+    ok = (F.col("n_min") == F.col("n")) & (F.col("k") > 1)
+    return agg.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.col("k").cast("long").alias("k_treatments"),
+        F.round(F.when(ok, q), 6).alias("q_stat"),
+        (F.col("k") - 1).cast("long").alias("df"))
+
+
+def friedman_dow_sql(table: str = "events", group_sql: str = "event_type",
+                     ts_sql: str = "ts",
+                     value_sql: str = "value") -> str:
+    return f"""
+WITH cells AS (
+  SELECT dayofweek(CAST({ts_sql} AS TIMESTAMP)) + 1 AS blk,
+         {group_sql} AS trt,
+         sum(CAST(CAST({value_sql} AS DOUBLE) AS DECIMAL(38,12))) AS x
+  FROM {table} GROUP BY 1, 2
+),
+ranked AS (
+  SELECT blk, trt, row_number() OVER (PARTITION BY blk
+             ORDER BY x ASC, trt ASC) AS r
+  FROM cells
+),
+rj AS (SELECT trt, sum(r) AS rj, count(*) AS nb FROM ranked GROUP BY 1),
+agg AS (
+  SELECT count(*) AS k, max(nb) AS n, min(nb) AS n_min,
+         sum(rj * rj) AS sr2
+  FROM rj
+)
+SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k_treatments,
+       round(CASE WHEN n_min = n AND k > 1
+                  THEN 12.0 / (CAST(n AS DOUBLE) * k * (k + 1))
+                       * sr2 - 3.0 * CAST(n AS DOUBLE) * (k + 1) END,
+             6) AS q_stat,
+       CAST(k - 1 AS BIGINT) AS df
+FROM agg
+"""
+
+
+def cramers_v(docs: DataFrame, col_a: str = "source",
+              col_b: str = "lang") -> DataFrame:
+    """Cramér's V association between two categoricals, with Bergsma's
+    bias correction — the bounded [0,1] effect size on top of the χ²
+    that chi2_source_lang reports raw: φ² = χ²/n,
+    φ²⁺ = max(0, φ² − (r−1)(c−1)/(n−1)), r⁺ = r − (r−1)²/(n−1)
+    (c⁺ analog), V⁺ = sqrt(φ²⁺ / min(r⁺−1, c⁺−1)).
+
+    One contingency aggregate over the fact table; margins by window
+    sums over the r·c cell frame; expectations in closed form. Exact
+    integer counts until the final expression. Output: one row
+    (n, r, c, chi2, v, v_corrected), doubles rounded 6.
+    """
+    cells = (docs.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+             .agg(F.count("*").alias("o")))
+    wa, wb = Window.partitionBy("a"), Window.partitionBy("b")
+    tot = Window.partitionBy()
+    base = cells.select(
+        "a", "b", "o",
+        F.sum("o").over(wa).alias("ra"),
+        F.sum("o").over(wb).alias("cb"),
+        F.sum("o").over(tot).alias("n"))
+    e = F.col("ra").cast("double") * F.col("cb") / F.col("n")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    agg = base.agg(
+        F.max("n").alias("n"),
+        F.count_distinct(F.col("a")).alias("r"),
+        F.count_distinct(F.col("b")).alias("c"),
+        F.sum(term.cast(_DEC)).cast("double").alias("chi2"))
+    n = F.col("n").cast("double")
+    r, c = F.col("r").cast("double"), F.col("c").cast("double")
+    chi2 = F.col("chi2")
+    phi2 = chi2 / n
+    phi2p = F.greatest(F.lit(0.0),
+                       phi2 - (r - 1) * (c - 1) / (n - 1))
+    rp = r - (r - 1) * (r - 1) / (n - 1)
+    cp = c - (c - 1) * (c - 1) / (n - 1)
+    kmin = F.least(r, c) - 1
+    kminp = F.least(rp, cp) - 1
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("r").cast("long").alias("r"),
+        F.col("c").cast("long").alias("c"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(F.when(kmin > 0, F.sqrt(phi2 / kmin)), 6).alias("v"),
+        F.round(F.when(kminp > 0, F.sqrt(phi2p / kminp)), 6)
+        .alias("v_corrected"))
+
+
+def cramers_v_sql(table: str = "documents", a_sql: str = "source",
+                  b_sql: str = "lang") -> str:
+    return f"""
+WITH cells AS (
+  SELECT {a_sql} AS a, {b_sql} AS b, count(*) AS o
+  FROM {table} GROUP BY 1, 2
+),
+base AS (
+  SELECT a, b, o,
+         sum(o) OVER (PARTITION BY a) AS ra,
+         sum(o) OVER (PARTITION BY b) AS cb
+  FROM cells
+),
+tot AS (SELECT sum(o) AS n FROM cells),
+agg AS (
+  SELECT (SELECT n FROM tot) AS n,
+         count(DISTINCT a) AS r, count(DISTINCT b) AS c,
+         CAST(sum(CAST(
+           (o - CAST(ra AS DOUBLE) * cb / (SELECT n FROM tot))
+           * (o - CAST(ra AS DOUBLE) * cb / (SELECT n FROM tot))
+           / (CAST(ra AS DOUBLE) * cb / (SELECT n FROM tot))
+           AS DECIMAL(38,12))) AS DOUBLE) AS chi2
+  FROM base
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+       CAST(c AS BIGINT) AS c, round(chi2, 6) AS chi2,
+       round(CASE WHEN least(r, c) > 1
+                  THEN sqrt(chi2 / n / (least(r, c) - 1)) END, 6) AS v,
+       round(CASE WHEN least(r - (r-1)*(r-1.0)/(n-1),
+                            c - (c-1)*(c-1.0)/(n-1)) > 1
+                  THEN sqrt(greatest(0.0, chi2 / n
+                            - (r-1)*(c-1.0)/(n-1))
+                       / (least(r - (r-1)*(r-1.0)/(n-1),
+                                c - (c-1)*(c-1.0)/(n-1)) - 1)) END,
+             6) AS v_corrected
+FROM agg
+"""
+
+
+def lorenz_deciles(customers: DataFrame, value_col: str = "c_acctbal",
+                   key_col: str = "c_custkey") -> DataFrame:
+    """Lorenz curve at population deciles over positive balances —
+    the curve behind gini/theil/pareto single numbers: after sorting
+    holders ascending by value, the cumulative share of total value
+    held by the bottom d/10 of holders, d = 1..10. Exact arithmetic:
+    decile assignment is integer (rank·10−1) div n, cumulative sums
+    in DECIMAL, one division per output row.
+
+    The rank runs over the holder frame (dimension-table-sized; at
+    fact scale swap in a two-pass quantile-boundary assignment — the
+    cochran_armitage banding note). Output: (decile, holders,
+    cum_value_share), share rounded 6.
+    """
+    v = F.col(value_col).cast("double")
+    pos = customers.filter(v > 0).select(
+        F.col(key_col).alias("k"), v.alias("v"))
+    ranked = pos.withColumn("rk", F.row_number().over(
+        Window.partitionBy().orderBy(F.asc("v"), F.asc("k"))))
+    n_tot = pos.agg(F.count("*").alias("n"),
+                    F.sum(F.col("v").cast(_DEC)).alias("tv"))
+    dec = (ranked.crossJoin(F.broadcast(n_tot))
+           .withColumn("decile",
+                       F.expr("(rk * 10 - 1) div n") + 1)
+           .groupBy("decile")
+           .agg(F.count("*").alias("holders"),
+                F.sum(F.col("v").cast(_DEC)).alias("dv"),
+                F.max("tv").alias("tv")))
+    cum = dec.withColumn("cv", F.sum("dv").over(
+        Window.partitionBy().orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    return cum.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("holders").cast("long").alias("holders"),
+        F.round(F.col("cv").cast("double")
+                / F.col("tv").cast("double"), 6)
+        .alias("cum_value_share"))
+
+
+def lorenz_deciles_sql(table: str = "customer",
+                       value_sql: str = "c_acctbal",
+                       key_sql: str = "c_custkey") -> str:
+    return f"""
+WITH pos AS (
+  SELECT {key_sql} AS k, CAST({value_sql} AS DOUBLE) AS v
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) > 0
+),
+ranked AS (
+  SELECT k, v, row_number() OVER (ORDER BY v ASC, k ASC) AS rk
+  FROM pos
+),
+nt AS (SELECT count(*) AS n, sum(CAST(v AS DECIMAL(38,12))) AS tv
+       FROM pos),
+dec AS (
+  SELECT ((rk * 10 - 1) // (SELECT n FROM nt)) + 1 AS decile,
+         count(*) AS holders,
+         sum(CAST(v AS DECIMAL(38,12))) AS dv
+  FROM ranked GROUP BY 1
+),
+cum AS (
+  SELECT decile, holders,
+         sum(dv) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+  FROM dec
+)
+SELECT CAST(decile AS INT) AS decile, CAST(holders AS BIGINT) AS holders,
+       round(CAST(cv AS DOUBLE) / CAST((SELECT tv FROM nt) AS DOUBLE),
+             6) AS cum_value_share
+FROM cum
 """

@@ -1183,3 +1183,290 @@ SELECT rec.g AS {key_sql}, CAST(n.t AS BIGINT) AS n_days,
 FROM rec JOIN n ON n.g = rec.g
 WHERE rec.i = n.t
 """
+
+
+def pettitt_test(events: DataFrame, ts_col: str = "ts",
+                 value_col: str = "value") -> DataFrame:
+    """Pettitt (1979) rank-based changepoint test on the DAILY value
+    total — the nonparametric complement to changepoint_mean (AMOC
+    mean-shift): U_t = Σ_{i≤t} Σ_{j>t} sign(x_j − x_i); the change
+    day is the t maximizing |U_t| (earliest on ties) and the
+    approximate significance is p ≈ min(1, 2·exp(−6K²/(m³+m²))).
+
+    Shape: each sign pair (i<j) contributes sign(x_j−x_i) to every
+    cut t ∈ [rank_i, rank_j), so instead of the naive O(m³) per-cut
+    rescan the pair join writes a DIFFERENCE ARRAY (+s at rank_i, −s
+    at rank_j) and one ordered prefix sum recovers all U_t — O(m²)
+    pairs over the bounded daily aggregate (m ≈ days, ~2.5k for 7
+    years regardless of fact-table scale), never the raw events.
+    Daily totals are exact DECIMAL sums, signs and U_t exact
+    integers; only the final p touches floating point. Output: one
+    row (m_days, k_stat, change_day, p_value), p rounded 6.
+    """
+    daily = (events
+             .select(F.to_date(ts_col).alias("d"),
+                     F.col(value_col).cast("double").alias("v"))
+             .groupBy("d")
+             .agg(F.sum(F.col("v").cast("decimal(38,12)")).alias("x")))
+    ranked = daily.withColumn("r", F.row_number().over(
+        Window.partitionBy().orderBy("d")))
+    a, b = ranked.alias("a"), ranked.alias("b")
+    s = F.signum((F.col("b.x") - F.col("a.x")).cast("double")).cast("long")
+    # difference array over cut ranks: +s at r_i, −s at r_j
+    deltas = (a.join(F.broadcast(b), F.col("b.r") > F.col("a.r"))
+              .select(F.col("a.r").alias("t"), s.alias("ds"))
+              .union(
+                  a.join(F.broadcast(b), F.col("b.r") > F.col("a.r"))
+                  .select(F.col("b.r").alias("t"), (-s).alias("ds")))
+              .groupBy("t").agg(F.sum("ds").alias("ds")))
+    u = deltas.withColumn("u", F.sum("ds").over(
+        Window.partitionBy().orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    m = daily.agg(F.count("*").alias("m_days"))
+    best = (u.join(F.broadcast(ranked.select("r", "d")),
+                   u.t == F.col("r"))
+            .withColumn("_rk", F.row_number().over(
+                Window.partitionBy().orderBy(F.abs("u").desc(),
+                                             F.col("t").asc())))
+            .filter(F.col("_rk") == 1)
+            .select(F.abs("u").alias("k_stat"),
+                    F.col("d").alias("change_day")))
+    md = F.col("m_days").cast("double")
+    k = F.col("k_stat").cast("double")
+    return (m.crossJoin(F.broadcast(best))
+            .select(F.col("m_days").cast("long").alias("m_days"),
+                    F.col("k_stat").cast("long").alias("k_stat"),
+                    "change_day",
+                    F.round(F.least(F.lit(1.0),
+                            F.lit(2.0) * F.exp(F.lit(-6.0) * k * k
+                                  / (md * md * md + md * md))), 6)
+                    .alias("p_value")))
+
+
+def pettitt_test_sql(table: str = "events", ts_sql: str = "ts",
+                     value_sql: str = "value") -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST({ts_sql} AS DATE) AS d,
+         sum(CAST(CAST({value_sql} AS DOUBLE) AS DECIMAL(38,12))) AS x
+  FROM {table} GROUP BY 1
+),
+ranked AS (
+  SELECT d, x, row_number() OVER (ORDER BY d) AS r FROM daily
+),
+pairs AS (
+  SELECT a.r AS ri, b.r AS rj,
+         CAST(sign(CAST(b.x AS DOUBLE) - CAST(a.x AS DOUBLE)) AS BIGINT)
+           AS s
+  FROM ranked a JOIN ranked b ON b.r > a.r
+),
+deltas AS (
+  SELECT t, sum(ds) AS ds FROM (
+    SELECT ri AS t, s AS ds FROM pairs
+    UNION ALL
+    SELECT rj AS t, -s AS ds FROM pairs
+  ) GROUP BY 1
+),
+u AS (
+  SELECT t, sum(ds) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u
+  FROM deltas
+),
+m AS (SELECT count(*) AS m_days FROM daily),
+best AS (
+  SELECT abs(u.u) AS k_stat, ranked.d AS change_day
+  FROM u JOIN ranked ON ranked.r = u.t
+  ORDER BY abs(u.u) DESC, u.t ASC LIMIT 1
+)
+SELECT CAST(m_days AS BIGINT) AS m_days,
+       CAST(k_stat AS BIGINT) AS k_stat, change_day,
+       round(least(1.0, 2.0 * exp(-6.0 * CAST(k_stat AS DOUBLE) * k_stat
+             / (CAST(m_days AS DOUBLE) * m_days * m_days
+                + CAST(m_days AS DOUBLE) * m_days))), 6) AS p_value
+FROM m, best
+"""
+
+
+def runs_test_daily(events: DataFrame, ts_col: str = "ts",
+                    value_col: str = "value") -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of the daily value
+    total around its median — the sequence-order complement to the
+    trend family (mann_kendall asks "does it drift", this asks "does
+    it cluster"): days are signed above/below the median of daily
+    totals (exact-equal days dropped, the standard convention),
+    R = number of sign runs, and with n1/n2 the sign counts
+
+        E[R] = 2n1n2/(n1+n2) + 1
+        Var  = 2n1n2(2n1n2−n1−n2) / ((n1+n2)²(n1+n2−1))
+        z    = (R − E[R]) / sqrt(Var)
+
+    All on the bounded daily aggregate; run boundaries via one lag
+    window over date order; counts exact integers. Output: one row
+    (n_above, n_below, runs, z_runs), z rounded 6 (NULL when either
+    side is empty or Var = 0).
+    """
+    daily = (events
+             .select(F.to_date(ts_col).alias("d"),
+                     F.col(value_col).cast("double").alias("v"))
+             .groupBy("d")
+             .agg(F.sum(F.col("v").cast("decimal(38,12)")).alias("x")))
+    med = daily.agg(F.median(F.col("x").cast("double")).alias("_m"))
+    signed = (daily.crossJoin(F.broadcast(med))
+              .withColumn("s", F.when(F.col("x").cast("double")
+                                      > F.col("_m"), 1)
+                          .when(F.col("x").cast("double")
+                                < F.col("_m"), -1))
+              .filter(F.col("s").isNotNull()))
+    w = Window.partitionBy().orderBy("d")
+    runs = signed.withColumn(
+        "_new", (F.lag("s").over(w).isNull()
+                 | (F.lag("s").over(w) != F.col("s"))).cast("long"))
+    agg = runs.agg(
+        F.sum((F.col("s") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("s") == -1).cast("long")).alias("n2"),
+        F.sum("_new").alias("r"))
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    nn = n1 + n2
+    er = 2.0 * n1 * n2 / nn + 1.0
+    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+           / (nn * nn * (nn - 1)))
+    z = F.when((F.col("n1") > 0) & (F.col("n2") > 0) & (var > 0),
+               (F.col("r") - er) / F.sqrt(var))
+    return agg.select(
+        F.col("n1").cast("long").alias("n_above"),
+        F.col("n2").cast("long").alias("n_below"),
+        F.col("r").cast("long").alias("runs"),
+        F.round(z, 6).alias("z_runs"))
+
+
+def runs_test_daily_sql(table: str = "events", ts_sql: str = "ts",
+                        value_sql: str = "value") -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST({ts_sql} AS DATE) AS d,
+         sum(CAST(CAST({value_sql} AS DOUBLE) AS DECIMAL(38,12))) AS x
+  FROM {table} GROUP BY 1
+),
+med AS (SELECT median(CAST(x AS DOUBLE)) AS _m FROM daily),
+signed_ AS (
+  SELECT d, CASE WHEN CAST(x AS DOUBLE) > (SELECT _m FROM med) THEN 1
+                 WHEN CAST(x AS DOUBLE) < (SELECT _m FROM med) THEN -1
+            END AS s
+  FROM daily
+  WHERE CAST(x AS DOUBLE) <> (SELECT _m FROM med)
+),
+runs_ AS (
+  SELECT s, CASE WHEN lag(s) OVER (ORDER BY d) IS NULL
+                   OR lag(s) OVER (ORDER BY d) <> s
+                 THEN 1 ELSE 0 END AS _new
+  FROM signed_
+),
+agg AS (
+  SELECT sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS n2,
+         sum(_new) AS r
+  FROM runs_
+)
+SELECT CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below,
+       CAST(r AS BIGINT) AS runs,
+       round(CASE WHEN n1 > 0 AND n2 > 0
+                   AND 2.0*n1*n2*(2.0*n1*n2 - n1 - n2) > 0
+                  THEN (r - (2.0*n1*n2/(n1 + n2) + 1.0))
+                       / sqrt(2.0*n1*n2*(2.0*n1*n2 - n1 - n2)
+                              / (CAST(n1 + n2 AS DOUBLE)*(n1 + n2)
+                                 *(n1 + n2 - 1)))
+             END, 6) AS z_runs
+FROM agg
+"""
+
+
+def df_unit_root(events: DataFrame, ts_col: str = "ts",
+                 value_col: str = "value") -> DataFrame:
+    """Dickey–Fuller (non-augmented, constant-only) unit-root t-stat
+    on the daily value total: regress Δx_t = α + β·x_{t−1} and report
+    t(β) = β̂/se(β̂) — strongly negative ⇒ mean-reverting, near 0 ⇒
+    random walk. The stationarity screen in front of holt_forecast /
+    seasonal_residuals (whose models presume it).
+
+    Closed-form OLS over the bounded daily aggregate: daily totals
+    grid-round to 6 (both engines see identical regressors), the lag
+    pairs come from one window, and Sxx/Sxy/SSR accumulate as DECIMAL
+    sums of products, so β̂ and t replay bit-for-bit. Output: one row
+    (n_pairs, beta, t_stat), rounded 6 (NULL when Sxx or s² is 0).
+    """
+    daily = (events
+             .select(F.to_date(ts_col).alias("d"),
+                     F.col(value_col).cast("double").alias("v"))
+             .groupBy("d")
+             .agg(F.round(F.sum(F.col("v").cast("decimal(38,12)"))
+                          .cast("double"), 6).alias("x")))
+    w = Window.partitionBy().orderBy("d")
+    pairs = (daily
+             .withColumn("xl", F.lag("x").over(w))
+             .filter(F.col("xl").isNotNull())
+             .select(F.col("xl").alias("xp"),
+                     (F.col("x") - F.col("xl")).alias("dy")))
+    agg = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("xp").cast(_TS_DEC)).alias("sx"),
+        F.sum(F.col("dy").cast(_TS_DEC)).alias("sy"),
+        F.sum((F.col("xp") * F.col("xp")).cast(_TS_DEC)).alias("sxx"),
+        F.sum((F.col("xp") * F.col("dy")).cast(_TS_DEC)).alias("sxy"),
+        F.sum((F.col("dy") * F.col("dy")).cast(_TS_DEC)).alias("syy"))
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double") - sx * sx / n
+    sxy = F.col("sxy").cast("double") - sx * sy / n
+    syy = F.col("syy").cast("double") - sy * sy / n
+    beta = sxy / sxx
+    s2 = (syy - beta * sxy) / (n - 2)
+    ok = (sxx > 0) & (F.col("n") > 2)
+    t = F.when(ok & (s2 > 0), beta / F.sqrt(s2 / sxx))
+    return agg.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(F.when(ok, beta), 6).alias("beta"),
+        F.round(t, 6).alias("t_stat"))
+
+
+_TS_DEC = "decimal(38,12)"
+
+
+def df_unit_root_sql(table: str = "events", ts_sql: str = "ts",
+                     value_sql: str = "value") -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST({ts_sql} AS DATE) AS d,
+         round(CAST(sum(CAST(CAST({value_sql} AS DOUBLE)
+               AS DECIMAL(38,12))) AS DOUBLE), 6) AS x
+  FROM {table} GROUP BY 1
+),
+pairs AS (
+  SELECT xl AS xp, x - xl AS dy FROM (
+    SELECT x, lag(x) OVER (ORDER BY d) AS xl FROM daily)
+  WHERE xl IS NOT NULL
+),
+agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(xp AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(dy AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(xp * xp AS DECIMAL(38,12))) AS DOUBLE) AS sxxr,
+         CAST(sum(CAST(xp * dy AS DECIMAL(38,12))) AS DOUBLE) AS sxyr,
+         CAST(sum(CAST(dy * dy AS DECIMAL(38,12))) AS DOUBLE) AS syyr
+  FROM pairs
+),
+c AS (
+  SELECT n, sxxr - sx * sx / n AS sxx, sxyr - sx * sy / n AS sxy,
+         syyr - sy * sy / n AS syy
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       round(CASE WHEN sxx > 0 AND n > 2 THEN sxy / sxx END, 6) AS beta,
+       round(CASE WHEN sxx > 0 AND n > 2
+                   AND (syy - (sxy / sxx) * sxy) / (n - 2) > 0
+                  THEN (sxy / sxx)
+                       / sqrt((syy - (sxy / sxx) * sxy) / (n - 2) / sxx)
+             END, 6) AS t_stat
+FROM c
+"""

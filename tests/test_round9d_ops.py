@@ -1,0 +1,135 @@
+"""Adversarial oracle validation for the round-9 fourth-stratum SQL
+twins (log_odds_terms / pettitt_change / vocab_coverage /
+bootstrap_ci_value): each twin re-run in DuckDB against planted
+frames — exclusive and zero-count terms for the log-odds prior, a
+clean level shift and a flat series for Pettitt, k beyond the vocab
+for coverage, NULLs and tiny frames for the bootstrap — compared
+row-for-row with the Spark operator, plus closed-form hand checks
+and a double-run determinism check on the hash-Poisson draw."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _cmp(spark_rows, duck_rows, cols):
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 9)
+        return str(v) if not isinstance(v, (int, float, bool, type(None))) \
+            else v
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    a = sorted(tuple(norm(r[i]) for i in order) for r in spark_rows)
+    b = sorted(tuple(norm(r[i]) for i in order) for r in duck_rows)
+    assert a == b, f"\nspark={a[:5]}\nduck ={b[:5]}"
+
+
+def _duck(frames: dict[str, pd.DataFrame], sql: str):
+    con = duckdb.connect()
+    for name, pdf in frames.items():
+        con.register(f"_src_{name}", pdf)
+        con.execute(f"CREATE TABLE {name} AS SELECT * FROM _src_{name}")
+    rel = con.sql(sql)
+    return rel.fetchall(), [d[0] for d in rel.description]
+
+
+def test_log_odds_prior_damps_and_replays(spark):
+    """A term exclusive to one source must carry POSITIVE z there (the
+    prior keeps the rest-side odds finite where raw log-odds would be
+    ±inf), shared boilerplate must score near zero, and the frame
+    replays row-for-row in DuckDB."""
+    from distill_spark.operators.search import (log_odds_terms,
+                                                log_odds_terms_sql)
+
+    rows = ([("a", "unique alpha words " + "common filler text " * 5)] * 4
+            + [("b", "common filler text " * 6)] * 4)
+    pdf = pd.DataFrame(rows, columns=["source", "text"])
+    sdf = spark.createDataFrame(pdf)
+    got = log_odds_terms(sdf, k=3)
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"documents": pdf}, log_odds_terms_sql(k=3))
+    _cmp(srows, drows, got.columns)
+    by = {(r[0], r[2]): r[5] for r in srows}
+    assert by[("a", "unique")] > 0 and math.isfinite(by[("a", "unique")])
+    # the shared filler never outranks the exclusive terms for a
+    top_a = [r[2] for r in srows if r[0] == "a" and r[1] == 1]
+    assert top_a and top_a[0] in ("unique", "alpha", "words")
+
+
+def test_pettitt_level_shift_flat_series_and_replay(spark):
+    """A clean level shift puts the change day at the last low day
+    with K = #low·#high (every cross pair signs +1); a flat series
+    gives K=0 and the p cap holds at 1.0; both replay in DuckDB."""
+    from distill_spark.operators.timeseries import (pettitt_test,
+                                                    pettitt_test_sql)
+
+    low = [(f"2024-01-0{i}", 1.0) for i in range(1, 5)]
+    high = [(f"2024-01-0{i}", 9.0) for i in range(5, 8)]
+    pdf = pd.DataFrame(low + high, columns=["ts", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    sdf = spark.createDataFrame(pdf)
+    got = pettitt_test(sdf)
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": pdf}, pettitt_test_sql())
+    _cmp(srows, drows, got.columns)
+    m, k, day, p = srows[0]
+    assert (m, k) == (7, 12)               # 4 low × 3 high cross pairs
+    assert str(day) == "2024-01-04"
+    assert p == round(min(1.0, 2 * math.exp(-6 * 144 / (343 + 49))), 6)
+
+    flat = pd.DataFrame([(f"2024-02-0{i}", 5.0) for i in range(1, 5)],
+                        columns=["ts", "value"])
+    flat["ts"] = pd.to_datetime(flat["ts"])
+    gf = pettitt_test(spark.createDataFrame(flat))
+    sf = [tuple(r) for r in gf.collect()]
+    df_, _ = _duck({"events": flat}, pettitt_test_sql())
+    _cmp(sf, df_, gf.columns)
+    assert sf[0][1] == 0 and sf[0][3] == 1.0
+
+
+def test_vocab_coverage_hand_counts_and_k_beyond_vocab(spark):
+    """3-term corpus, k grid (1, 2, 100): top-1 covers its exact tf
+    share, k beyond the vocab covers 1.0 with vocab_terms = |vocab|;
+    replays in DuckDB."""
+    from distill_spark.operators.search import (vocab_coverage,
+                                                vocab_coverage_sql)
+
+    pdf = pd.DataFrame(
+        [("s", "x x x y y z")], columns=["source", "text"])
+    sdf = spark.createDataFrame(pdf)
+    got = vocab_coverage(sdf, ks=(1, 2, 100))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"documents": pdf},
+                     vocab_coverage_sql(ks=(1, 2, 100)))
+    _cmp(srows, drows, got.columns)
+    by = {r[0]: r for r in srows}
+    assert by[1][2] == 3 and by[1][4] == 0.5          # x: 3 of 6
+    assert by[2][2] == 5 and by[2][4] == round(5 / 6, 6)
+    assert by[100][1] == 3 and by[100][4] == 1.0      # whole vocab
+
+
+def test_bootstrap_ci_deterministic_brackets_and_nulls(spark):
+    """The hash-Poisson draw is run-to-run deterministic (two
+    invocations bit-identical), NULL values are dropped from n and
+    the resample, the CI brackets the point mean on a well-behaved
+    frame, and the whole frame replays in DuckDB."""
+    from distill_spark.operators.stats import bootstrap_ci, bootstrap_ci_sql
+
+    rows = [(i, float(i % 10)) for i in range(200)] + [(999, None)]
+    pdf = pd.DataFrame(rows, columns=["event_id", "value"])
+    sdf = spark.createDataFrame(pdf)
+    got = bootstrap_ci(sdf, b_reps=100)
+    srows = [tuple(r) for r in got.collect()]
+    again = [tuple(r) for r in bootstrap_ci(sdf, b_reps=100).collect()]
+    assert srows == again                             # deterministic
+    drows, _ = _duck({"events": pdf}, bootstrap_ci_sql(b_reps=100))
+    _cmp(srows, drows, got.columns)
+    n, mean, lo, hi, b = srows[0]
+    assert (n, b) == (200, 100)
+    assert mean == 4.5
+    assert lo < mean < hi
+    assert hi - lo < 2.0                              # ~2·1.96·σ/√n wide
