@@ -9520,7 +9520,94 @@ FROM dup JOIN na ON dup.source_a = na.source_a
 """
 
 
+def q_friedman_dow(spark, sf_dir):
+    """Friedman rank test over the dow×event-type blocked design
+    (stats.friedman_dow) — repeated-measures complement to
+    kruskal_values; exact decimal cell totals, integer ranks."""
+    from distill_spark.operators.stats import friedman_dow
+
+    t = _tables(spark, sf_dir)
+    return friedman_dow(t["events"])
+
+
+def _sql_friedman():
+    from distill_spark.operators.stats import friedman_dow_sql
+
+    return friedman_dow_sql()
+
+
+def q_cramers_v(spark, sf_dir):
+    """Bias-corrected Cramér's V between source and lang
+    (stats.cramers_v) — the bounded effect size over
+    chi2_source_lang's raw χ²."""
+    from distill_spark.operators.stats import cramers_v
+
+    t = _tables(spark, sf_dir)
+    return cramers_v(t["documents"])
+
+
+def _sql_cramers():
+    from distill_spark.operators.stats import cramers_v_sql
+
+    return cramers_v_sql()
+
+
+def q_lorenz_deciles(spark, sf_dir):
+    """Lorenz curve at holder deciles over positive balances
+    (stats.lorenz_deciles) — the curve behind the gini/theil/pareto
+    single numbers; exact integer decile cut, decimal cumulative."""
+    from distill_spark.operators.stats import lorenz_deciles
+
+    t = _tables(spark, sf_dir)
+    return lorenz_deciles(t["customer"])
+
+
+def _sql_lorenz():
+    from distill_spark.operators.stats import lorenz_deciles_sql
+
+    return lorenz_deciles_sql()
+
+
+def q_runs_test_value(spark, sf_dir):
+    """Wald–Wolfowitz runs test on daily value totals around their
+    median (timeseries.runs_test_daily) — sequence-order complement
+    to the mann_kendall trend test."""
+    from distill_spark.operators.timeseries import runs_test_daily
+
+    t = _tables(spark, sf_dir)
+    return runs_test_daily(t["events"])
+
+
+def _sql_runs():
+    from distill_spark.operators.timeseries import runs_test_daily_sql
+
+    return runs_test_daily_sql()
+
+
+def q_df_unit_root(spark, sf_dir):
+    """Dickey–Fuller (constant-only) unit-root t-stat on daily value
+    totals (timeseries.df_unit_root) — the stationarity screen in
+    front of holt_forecast/seasonal_residuals; decimal OLS sums."""
+    from distill_spark.operators.timeseries import df_unit_root
+
+    t = _tables(spark, sf_dir)
+    return df_unit_root(t["events"])
+
+
+def _sql_df_root():
+    from distill_spark.operators.timeseries import df_unit_root_sql
+
+    return df_unit_root_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    # -- round-9 fifth stratum: blocked/sequence/stationarity tests,
+    #    association effect size, Lorenz curve --------------------------
+    "friedman_dow": (q_friedman_dow, _sql_friedman()),
+    "cramers_v_assoc": (q_cramers_v, _sql_cramers()),
+    "lorenz_deciles": (q_lorenz_deciles, _sql_lorenz()),
+    "runs_test_value": (q_runs_test_value, _sql_runs()),
+    "df_unit_root": (q_df_unit_root, _sql_df_root()),
     # -- round-9 fourth stratum: fightin' words, Pettitt, vocab budget,
     #    deterministic bootstrap, cross-source contamination ---------------
     "log_odds_terms": (q_log_odds_terms, _sql_log_odds()),

@@ -1,0 +1,382 @@
+"""Corpus richness / robustness statistics: Chao1 + Good–Turing
+unseen mass, term burstiness (VMR), bigram entropy rate, jackknife SE
+of the daily mean, and Holm step-down multiple-testing control.
+
+The training-data-curation questions these answer at 100 TB: "how
+much vocabulary haven't we seen yet" (chao1 — whether another crawl
+pass is worth it), "which terms are topical vs background"
+(burstiness — Church & Gale 1995: topical terms arrive in bursts,
+function words are Poisson), "how predictable is each source"
+(bigram entropy — boilerplate detection at the source grain),
+"how stable is the daily mean" (jackknife — the closed-form
+cross-check on bootstrap_ci), and "which segments survive
+family-wise error control" (Holm — stricter than bh_fdr's FDR).
+
+All follow the repo's determinism contract: exact integer/decimal
+accumulation, one final float expression per output column, rounded
+6; per-term float contributions grid-round to 9 before the decimal
+sum (the theil/rbo pattern) so engine summation order can't leak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,12)"
+
+
+def chao1_richness(docs: DataFrame, group_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Per-group vocabulary richness: observed vocab V, singleton and
+    doubleton counts F1/F2, the bias-corrected Chao1 asymptotic
+    richness V + F1(F1−1)/(2(F2+1)) (defined even at F2 = 0), and the
+    Good–Turing unseen-probability mass F1/N — "if we sampled one
+    more token, how likely is a never-seen term". One token-count
+    aggregate, one frequency-of-frequencies aggregate over the
+    vocab-sized frame; everything after is per-group arithmetic on
+    exact integers. Output: (group, tokens, vocab, f1, f2, chao1,
+    unseen_mass), doubles rounded 6.
+    """
+    from distill_spark.operators.search import words_expr
+
+    tf = (docs.select(F.col(group_col).alias("g"),
+                      F.explode(words_expr(F.col(text_col)))
+                      .alias("term"))
+          .groupBy("g", "term").agg(F.count("*").alias("c")))
+    agg = tf.groupBy("g").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("v"),
+        F.sum((F.col("c") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("c") == 2).cast("long")).alias("f2"))
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    chao1 = F.col("v") + f1 * (f1 - 1) / (2.0 * (f2 + 1))
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("tokens"),
+        F.col("v").cast("long").alias("vocab"),
+        F.col("f1").cast("long").alias("f1"),
+        F.col("f2").cast("long").alias("f2"),
+        F.round(chao1, 6).alias("chao1"),
+        F.round(f1 / F.col("n"), 6).alias("unseen_mass"))
+
+
+def chao1_richness_sql(table: str = "documents",
+                       group_sql: str = "source",
+                       text_sql: str = "text") -> str:
+    words = f"list_filter(string_split({text_sql}, ' '), x -> x <> '')"
+    return f"""
+WITH terms AS (
+  SELECT {group_sql} AS g, unnest({words}) AS term FROM {table}
+),
+tf AS (SELECT g, term, count(*) AS c FROM terms GROUP BY 1, 2),
+agg AS (
+  SELECT g, sum(c) AS n, count(*) AS v,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+         sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+  FROM tf GROUP BY g
+)
+SELECT g AS {group_sql}, CAST(n AS BIGINT) AS tokens,
+       CAST(v AS BIGINT) AS vocab,
+       CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+       round(v + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1)), 6)
+         AS chao1,
+       round(CAST(f1 AS DOUBLE) / n, 6) AS unseen_mass
+FROM agg
+"""
+
+
+def term_burstiness(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 20) -> DataFrame:
+    """Variance-to-mean ratio of per-document counts for the top-k
+    corpus terms (Church & Gale): a Poisson-scattered term has
+    VMR ≈ 1, a bursty/topical term ≫ 1. Zero-count documents enter
+    the moments implicitly (they add nothing to Σc or Σc², and the
+    divisor is the TOTAL document count), so the per-doc count frame
+    stays sparse. VMR = (Σc² − (Σc)²/D) / D / (Σc/D) with population
+    variance; exact integers until the final expression. Ranks break
+    ties term asc. Output: (rank, term, tf, doc_freq, vmr) rounded 6.
+    """
+    from distill_spark.operators.search import words_expr
+
+    per_doc = (docs.select(F.col(id_col).alias("doc"),
+                           F.explode(words_expr(F.col(text_col)))
+                           .alias("term"))
+               .groupBy("doc", "term").agg(F.count("*").alias("c")))
+    d_tot = docs.select(F.count("*").alias("d"))
+    per_term = (per_doc.groupBy("term")
+                .agg(F.sum("c").alias("tf"),
+                     F.count("*").alias("df"),
+                     F.sum(F.col("c") * F.col("c")).alias("sc2")))
+    ranked = per_term.withColumn("rank", F.row_number().over(
+        Window.partitionBy().orderBy(F.desc("tf"), F.asc("term"))))
+    top = ranked.filter(F.col("rank") <= k).crossJoin(F.broadcast(d_tot))
+    d = F.col("d").cast("double")
+    tf = F.col("tf").cast("double")
+    var = (F.col("sc2") - tf * tf / d) / d
+    mean = tf / d
+    return top.select(
+        F.col("rank").cast("int").alias("rank"), "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("doc_freq"),
+        F.round(var / mean, 6).alias("vmr"))
+
+
+def term_burstiness_sql(table: str = "documents", text_sql: str = "text",
+                        id_sql: str = "doc_id", k: int = 20) -> str:
+    words = f"list_filter(string_split({text_sql}, ' '), x -> x <> '')"
+    return f"""
+WITH terms AS (
+  SELECT {id_sql} AS doc, unnest({words}) AS term FROM {table}
+),
+per_doc AS (SELECT doc, term, count(*) AS c FROM terms GROUP BY 1, 2),
+d_tot AS (SELECT count(*) AS d FROM {table}),
+per_term AS (
+  SELECT term, sum(c) AS tf, count(*) AS df, sum(c * c) AS sc2
+  FROM per_doc GROUP BY 1
+),
+ranked AS (
+  SELECT term, tf, df, sc2,
+         row_number() OVER (ORDER BY tf DESC, term ASC) AS rank
+  FROM per_term
+)
+SELECT CAST(rank AS INT) AS rank, term, CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS doc_freq,
+       round(((sc2 - CAST(tf AS DOUBLE) * tf / (SELECT d FROM d_tot))
+              / (SELECT d FROM d_tot))
+             / (CAST(tf AS DOUBLE) / (SELECT d FROM d_tot)), 6) AS vmr
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def bigram_entropy(docs: DataFrame, group_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Per-group Shannon entropy (nats) of the within-document word
+    bigram distribution, plus perplexity e^H — low-entropy sources
+    are templated/boilerplate, a curation signal next to
+    text_repetition (which is per-doc). Per-bigram contributions
+    −(c/N)·ln(c/N) grid-round to 9 and decimal-sum (the theil
+    pattern), so engine summation order cannot leak into the hash.
+    Output: (group, bigrams, distinct_bigrams, entropy, perplexity),
+    rounded 6.
+    """
+    from distill_spark.operators.search import words_expr
+
+    w = words_expr(F.col(text_col))
+    bg = F.when(
+        F.size(w) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (docs.select(F.col(group_col).alias("g"),
+                          F.explode(bg).alias("b"))
+              .groupBy("g", "b").agg(F.count("*").alias("c")))
+    n = Window.partitionBy("g")
+    per = counts.select(
+        "g",
+        F.sum("c").over(n).alias("nn"),
+        F.round(-(F.col("c") / F.sum("c").over(n))
+                * F.log(F.col("c") / F.sum("c").over(n)), 9)
+        .alias("h"))
+    agg = per.groupBy("g", "nn").agg(
+        F.count("*").alias("dv"),
+        F.sum(F.col("h").cast(_DEC)).cast("double").alias("hh"))
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("nn").cast("long").alias("bigrams"),
+        F.col("dv").cast("long").alias("distinct_bigrams"),
+        F.round(F.col("hh"), 6).alias("entropy"),
+        F.round(F.exp("hh"), 6).alias("perplexity"))
+
+
+def bigram_entropy_sql(table: str = "documents",
+                       group_sql: str = "source",
+                       text_sql: str = "text") -> str:
+    words = f"list_filter(string_split({text_sql}, ' '), x -> x <> '')"
+    return f"""
+WITH bg AS (
+  SELECT {group_sql} AS g, unnest(
+    CASE WHEN len(words) >= 2
+         THEN list_transform(range(1, len(words)),
+                             i -> words[i] || ' ' || words[i+1])
+         ELSE [] END) AS b
+  FROM (SELECT {group_sql}, {words} AS words FROM {table})
+),
+counts AS (SELECT g, b, count(*) AS c FROM bg GROUP BY 1, 2),
+per AS (
+  SELECT g, sum(c) OVER (PARTITION BY g) AS nn,
+         round(-(c / sum(c) OVER (PARTITION BY g))
+               * ln(c / sum(c) OVER (PARTITION BY g)), 9) AS h
+  FROM counts
+),
+agg AS (
+  SELECT g, nn, count(*) AS dv,
+         CAST(sum(CAST(h AS DECIMAL(38,12))) AS DOUBLE) AS hh
+  FROM per GROUP BY g, nn
+)
+SELECT g AS {group_sql}, CAST(nn AS BIGINT) AS bigrams,
+       CAST(dv AS BIGINT) AS distinct_bigrams,
+       round(hh, 6) AS entropy, round(exp(hh), 6) AS perplexity
+FROM agg
+"""
+
+
+def jackknife_mean_se(events: DataFrame, ts_col: str = "ts",
+                      value_col: str = "value") -> DataFrame:
+    """Leave-one-day-out jackknife standard error of the mean DAILY
+    value total — the closed-form robustness cross-check on
+    bootstrap_ci (which resamples rows; this deletes whole days, the
+    right grain when days are the correlated unit):
+
+        SE² = (m−1)/m · Σ_i (x̄_(i) − x̄)²,  x̄_(i) = (S − x_i)/(m−1)
+
+    which collapses to pure sums: Σ(x̄_(i) − x̄)² = Σ(x̄ − x_i)²/(m−1)².
+    One daily aggregate, one moment pass — no per-leave-out rescan.
+    Daily totals grid-round to 6; moments in DECIMAL. Output: one row
+    (m_days, mean_daily, jackknife_se), rounded 6 (NULL SE at m < 2).
+    """
+    daily = (events
+             .select(F.to_date(ts_col).alias("d"),
+                     F.col(value_col).cast("double").alias("v"))
+             .groupBy("d")
+             .agg(F.round(F.sum(F.col("v").cast(_DEC)).cast("double"), 6)
+                  .alias("x")))
+    agg = daily.agg(
+        F.count("*").alias("m"),
+        F.sum(F.col("x").cast(_DEC)).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC)).alias("s2"))
+    m = F.col("m").cast("double")
+    s = F.col("s").cast("double")
+    s2 = F.col("s2").cast("double")
+    # Σ(x̄ − x_i)² = Σx² − S²/m ; SE² = (m−1)/m · that / (m−1)²
+    ssd = s2 - s * s / m
+    se = F.when(F.col("m") > 1, F.sqrt(ssd / (m * (m - 1))))
+    return agg.select(
+        F.col("m").cast("long").alias("m_days"),
+        F.round(s / m, 6).alias("mean_daily"),
+        F.round(se, 6).alias("jackknife_se"))
+
+
+def jackknife_mean_se_sql(table: str = "events", ts_sql: str = "ts",
+                          value_sql: str = "value") -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST({ts_sql} AS DATE) AS d,
+         round(CAST(sum(CAST(CAST({value_sql} AS DOUBLE)
+               AS DECIMAL(38,12))) AS DOUBLE), 6) AS x
+  FROM {table} GROUP BY 1
+),
+agg AS (
+  SELECT count(*) AS m,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS s,
+         CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM daily
+)
+SELECT CAST(m AS BIGINT) AS m_days, round(s / m, 6) AS mean_daily,
+       round(CASE WHEN m > 1
+                  THEN sqrt((s2 - s * s / m)
+                            / (CAST(m AS DOUBLE) * (m - 1))) END,
+             6) AS jackknife_se
+FROM agg
+"""
+
+
+def holm_rejects(df: DataFrame, unit_col: str, success_col,
+                 alpha: float = 0.05) -> DataFrame:
+    """Holm step-DOWN family-wise error control over the same
+    per-unit one-vs-rest conversion z-tests bh_fdr_units screens with
+    step-up FDR (mleval.bh_fdr_units builds the identical scored
+    frame — docstring there for the z/p construction; Holm is the
+    stricter bound: reject ranks 1..k−1 where k is the FIRST i with
+    p_i > α/(m−i+1)). Output per unit: (unit, n, successes, conv, z,
+    p, rk, holm_alpha, rejected).
+    """
+    from distill_spark.operators.mleval import _erfc_expr
+
+    u = F.col(unit_col)
+    s = F.col(success_col).cast("int") if isinstance(success_col, str) \
+        else success_col.cast("int")
+    per = (df.filter(u.isNotNull())
+           .groupBy(u.alias("unit"))
+           .agg(F.count("*").alias("n1"), F.sum(s).alias("x1")))
+    tot = per.agg(F.sum("n1").alias("nt"), F.sum("x1").alias("xt"))
+    j = per.crossJoin(F.broadcast(tot))
+    n1 = F.col("n1").cast("double")
+    n0 = (F.col("nt") - F.col("n1")).cast("double")
+    p1 = F.col("x1") / n1
+    p0 = (F.col("xt") - F.col("x1")).cast("double") / n0
+    pool = F.col("xt") / F.col("nt").cast("double")
+    var = pool * (1.0 - pool) * (1.0 / n1 + 1.0 / n0)
+    z = (p1 - p0) / F.sqrt(var)
+    scored = (j.filter((F.col("nt") > F.col("n1")) & (var > 0))
+              .select("unit", "n1", "x1",
+                      F.round(p1, 6).alias("conv"),
+                      F.round(z, 6).alias("z"),
+                      F.round(_erfc_expr(F.abs(z) / F.lit(2.0 ** 0.5)), 6)
+                      .alias("p")))
+    m = scored.agg(F.count("*").alias("m"))
+    w = Window.orderBy(F.asc("p"), F.asc("unit"))
+    ranked = (scored.crossJoin(F.broadcast(m))
+              .withColumn("rk", F.row_number().over(w)))
+    ha = F.round(F.lit(alpha) / (F.col("m") - F.col("rk") + 1), 9)
+    flagged = ranked.withColumn("_fail", (F.col("p") > ha).cast("int"))
+    wcut = Window.partitionBy()
+    first_fail = F.min(F.when(F.col("_fail") == 1, F.col("rk"))).over(wcut)
+    return (flagged
+            .select("unit",
+                    F.col("n1").cast("long").alias("n"),
+                    F.col("x1").cast("long").alias("successes"),
+                    "conv", "z", "p",
+                    F.col("rk").cast("int").alias("rk"),
+                    ha.alias("holm_alpha"),
+                    F.when(first_fail.isNull(), F.lit(True))
+                    .otherwise(F.col("rk") < first_fail)
+                    .alias("rejected")))
+
+
+def holm_rejects_sql(table: str, unit_sql: str, success_sql: str,
+                     alpha: float = 0.05) -> str:
+    from distill_spark.operators.mleval import _erfc_sql
+
+    # identical z/p spelling to bh_fdr_units_sql so the two control
+    # procedures are comparable row-for-row on the same screen
+    zvar = ("(xt / CAST(nt AS DOUBLE)) * (1.0 - xt / CAST(nt AS DOUBLE))"
+            " * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(nt - n1 AS DOUBLE))")
+    zexpr = ("(x1 / CAST(n1 AS DOUBLE)"
+             " - CAST(xt - x1 AS DOUBLE) / CAST(nt - n1 AS DOUBLE))"
+             f" / sqrt({zvar})")
+    return f"""
+WITH per AS (
+  SELECT {unit_sql} AS unit, count(*) AS n1,
+         sum(CASE WHEN ({success_sql}) THEN 1 ELSE 0 END) AS x1
+  FROM {table} WHERE {unit_sql} IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT sum(n1) AS nt, sum(x1) AS xt FROM per),
+scored AS (
+  SELECT unit, n1, x1,
+         round(x1 / CAST(n1 AS DOUBLE), 6) AS conv,
+         round({zexpr}, 6) AS z,
+         round({_erfc_sql(f'(abs({zexpr}) / sqrt(2.0))')}, 6) AS p
+  FROM per CROSS JOIN tot
+  WHERE nt > n1 AND {zvar} > 0
+),
+m AS (SELECT count(*) AS m FROM scored),
+ranked AS (
+  SELECT scored.*, (SELECT m FROM m) AS m,
+         row_number() OVER (ORDER BY p ASC, unit ASC) AS rk
+  FROM scored
+),
+flagged AS (
+  SELECT *, round({alpha} / (m - rk + 1), 9) AS holm_alpha,
+         CASE WHEN p > round({alpha} / (m - rk + 1), 9)
+              THEN rk END AS fail_rk
+  FROM ranked
+),
+cut AS (SELECT min(fail_rk) AS first_fail FROM flagged)
+SELECT unit, CAST(n1 AS BIGINT) AS n, CAST(x1 AS BIGINT) AS successes,
+       conv, z, p, CAST(rk AS INT) AS rk, holm_alpha,
+       CASE WHEN (SELECT first_fail FROM cut) IS NULL THEN TRUE
+            ELSE rk < (SELECT first_fail FROM cut) END AS rejected
+FROM flagged
+"""

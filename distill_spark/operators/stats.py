@@ -2632,13 +2632,22 @@ def cramers_v(docs: DataFrame, col_a: str = "source",
     φ²⁺ = max(0, φ² − (r−1)(c−1)/(n−1)), r⁺ = r − (r−1)²/(n−1)
     (c⁺ analog), V⁺ = sqrt(φ²⁺ / min(r⁺−1, c⁺−1)).
 
-    One contingency aggregate over the fact table; margins by window
-    sums over the r·c cell frame; expectations in closed form. Exact
-    integer counts until the final expression. Output: one row
-    (n, r, c, chi2, v, v_corrected), doubles rounded 6.
+    One contingency aggregate over the fact table, densified over the
+    full r×c level grid (chi2_independence's rule: EMPTY cells still
+    carry (0−e)²/e — dropping them understates χ² exactly when
+    association is strongest); margins by window sums over the r·c
+    cell frame. Exact integer counts until the final expression.
+    Output: one row (n, r, c, chi2, v, v_corrected), doubles
+    rounded 6.
     """
-    cells = (docs.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
-             .agg(F.count("*").alias("o")))
+    obs = (docs.filter(F.col(col_a).isNotNull()
+                       & F.col(col_b).isNotNull())
+           .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+           .agg(F.count("*").alias("o")))
+    cells = (obs.select("a").distinct()
+             .crossJoin(obs.select("b").distinct())
+             .join(obs, ["a", "b"], "left")
+             .select("a", "b", F.coalesce("o", F.lit(0)).alias("o")))
     wa, wb = Window.partitionBy("a"), Window.partitionBy("b")
     tot = Window.partitionBy()
     base = cells.select(
@@ -2676,9 +2685,18 @@ def cramers_v(docs: DataFrame, col_a: str = "source",
 def cramers_v_sql(table: str = "documents", a_sql: str = "source",
                   b_sql: str = "lang") -> str:
     return f"""
-WITH cells AS (
+WITH obs AS (
   SELECT {a_sql} AS a, {b_sql} AS b, count(*) AS o
-  FROM {table} GROUP BY 1, 2
+  FROM {table}
+  WHERE {a_sql} IS NOT NULL AND {b_sql} IS NOT NULL
+  GROUP BY 1, 2
+),
+cells AS (
+  SELECT g.a, g.b, coalesce(obs.o, 0) AS o
+  FROM (SELECT x.a, y.b
+        FROM (SELECT DISTINCT a FROM obs) x,
+             (SELECT DISTINCT b FROM obs) y) g
+  LEFT JOIN obs ON g.a = obs.a AND g.b = obs.b
 ),
 base AS (
   SELECT a, b, o,

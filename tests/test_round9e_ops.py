@@ -1,0 +1,186 @@
+"""Adversarial oracle validation for the round-9 fifth-stratum SQL
+twins (friedman_dow / cramers_v_assoc / lorenz_deciles /
+runs_test_value / df_unit_root): each twin re-run in DuckDB against
+planted frames — incomplete block designs, perfect/independent
+contingencies, constant series, alternating-vs-blocked sign
+sequences — compared row-for-row with the Spark operator, plus
+closed-form hand checks."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _cmp(spark_rows, duck_rows, cols):
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 9)
+        return str(v) if not isinstance(v, (int, float, bool, type(None))) \
+            else v
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    a = sorted(tuple(norm(r[i]) for i in order) for r in spark_rows)
+    b = sorted(tuple(norm(r[i]) for i in order) for r in duck_rows)
+    assert a == b, f"\nspark={a[:5]}\nduck ={b[:5]}"
+
+
+def _duck(frames: dict[str, pd.DataFrame], sql: str):
+    con = duckdb.connect()
+    for name, pdf in frames.items():
+        con.register(f"_src_{name}", pdf)
+        con.execute(f"CREATE TABLE {name} AS SELECT * FROM _src_{name}")
+    rel = con.sql(sql)
+    return rel.fetchall(), [d[0] for d in rel.description]
+
+
+def _ev(rows):
+    pdf = pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return pdf
+
+
+def test_friedman_hand_value_and_incomplete_design(spark):
+    """Two treatments over two weekday blocks where 'b' always wins:
+    Q = 12/(n·k(k+1))·ΣR_j² − 3n(k+1) with rank sums (2, 4) → Q = 2;
+    dropping one cell (incomplete design) must yield NULL, both
+    engines."""
+    from distill_spark.operators.stats import friedman_dow, friedman_dow_sql
+
+    # Mon 2024-01-01 and Tue 2024-01-02; b > a in both blocks
+    rows = [("2024-01-01", "a", 1.0), ("2024-01-01", "b", 5.0),
+            ("2024-01-02", "a", 2.0), ("2024-01-02", "b", 9.0)]
+    pdf = _ev(rows)
+    got = friedman_dow(spark.createDataFrame(pdf))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": pdf}, friedman_dow_sql())
+    _cmp(srows, drows, got.columns)
+    n, k, q, df = srows[0]
+    assert (n, k, df) == (2, 2, 1)
+    # R_a = 1+1 = 2, R_b = 2+2 = 4 -> Q = 12/(2*2*3)*(4+16) - 3*2*3 = 2
+    assert q == 2.0
+
+    incomplete = _ev(rows[:-1])              # b missing from Tue block
+    gi = friedman_dow(spark.createDataFrame(incomplete))
+    si = [tuple(r) for r in gi.collect()]
+    di, _ = _duck({"events": incomplete}, friedman_dow_sql())
+    _cmp(si, di, gi.columns)
+    assert si[0][2] is None
+
+
+def test_cramers_v_perfect_independent_degenerate(spark):
+    """Perfect association → raw V = 1; a 2×2 independence table →
+    χ² = 0, V = 0; a single-column table → NULL V (min dim 1);
+    all replay in DuckDB."""
+    from distill_spark.operators.stats import cramers_v, cramers_v_sql
+
+    perfect = pd.DataFrame(
+        [("s1", "en")] * 10 + [("s2", "fr")] * 10,
+        columns=["source", "lang"])
+    indep = pd.DataFrame(
+        [("s1", "en")] * 5 + [("s1", "fr")] * 5
+        + [("s2", "en")] * 5 + [("s2", "fr")] * 5,
+        columns=["source", "lang"])
+    onecol = pd.DataFrame([("s1", "en"), ("s1", "fr")],
+                          columns=["source", "lang"])
+    for pdf, raw_v in ((perfect, 1.0), (indep, 0.0), (onecol, None)):
+        got = cramers_v(spark.createDataFrame(pdf))
+        srows = [tuple(r) for r in got.collect()]
+        drows, _ = _duck({"documents": pdf}, cramers_v_sql())
+        _cmp(srows, drows, got.columns)
+        assert srows[0][4] == raw_v
+
+
+def test_lorenz_equal_holders_and_nonpositive_excluded(spark):
+    """20 equal positive balances → cumulative share is exactly d/10
+    per decile with 2 holders each; zero/negative balances never
+    enter; replays in DuckDB."""
+    from distill_spark.operators.stats import (lorenz_deciles,
+                                               lorenz_deciles_sql)
+
+    pdf = pd.DataFrame(
+        [(i, 100.0) for i in range(1, 21)]
+        + [(98, 0.0), (99, -5.0)],
+        columns=["c_custkey", "c_acctbal"])
+    got = lorenz_deciles(spark.createDataFrame(pdf))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"customer": pdf}, lorenz_deciles_sql())
+    _cmp(srows, drows, got.columns)
+    assert len(srows) == 10
+    for dec, holders, share in sorted(srows):
+        assert holders == 2
+        assert share == round(dec / 10, 6)
+
+
+def test_runs_alternating_blocked_and_median_dropped(spark):
+    """Alternating highs/lows maximize runs (R = n), one block of lows
+    then highs gives R = 2, and days exactly AT the median drop out;
+    hand-checked z on the blocked frame; replays in DuckDB."""
+    from distill_spark.operators.timeseries import (runs_test_daily,
+                                                    runs_test_daily_sql)
+
+    def days(vals):
+        return _ev([(f"2024-03-{i + 1:02d}", "t", v)
+                    for i, v in enumerate(vals)])[["ts", "value"]]
+
+    blocked = days([1.0, 1.0, 1.0, 9.0, 9.0, 9.0])
+    gb = runs_test_daily(spark.createDataFrame(blocked))
+    sb = [tuple(r) for r in gb.collect()]
+    db, _ = _duck({"events": blocked}, runs_test_daily_sql())
+    _cmp(sb, db, gb.columns)
+    n1, n2, r, z = sb[0]
+    assert (n1, n2, r) == (3, 3, 2)
+    er, var = 2 * 9 / 6 + 1, 2 * 9 * (18 - 6) / (36 * 5)
+    assert z == round((2 - er) / math.sqrt(var), 6)
+
+    alt = days([1.0, 9.0, 2.0, 8.0, 3.0, 7.0])
+    ga = runs_test_daily(spark.createDataFrame(alt))
+    sa = [tuple(r) for r in ga.collect()]
+    da, _ = _duck({"events": alt}, runs_test_daily_sql())
+    _cmp(sa, da, ga.columns)
+    assert sa[0][2] == 6                      # every day flips sign
+
+    with_median = days([1.0, 5.0, 9.0])       # 5.0 == median -> dropped
+    gm = runs_test_daily(spark.createDataFrame(with_median))
+    sm = [tuple(r) for r in gm.collect()]
+    dm, _ = _duck({"events": with_median}, runs_test_daily_sql())
+    _cmp(sm, dm, gm.columns)
+    assert (sm[0][0], sm[0][1]) == (1, 1)
+
+
+def test_df_unit_root_mean_reversion_and_constant_series(spark):
+    """A hard-mean-reverting series (x alternates around 5 with
+    Δx = −2(x_{t−1}−5)) gives β ≈ −2 with a strongly negative t; a
+    constant series has Sxx = 0 → NULL; both replay in DuckDB."""
+    from distill_spark.operators.timeseries import (df_unit_root,
+                                                    df_unit_root_sql)
+
+    def days(vals):
+        return _ev([(f"2024-04-{i + 1:02d}", "t", v)
+                    for i, v in enumerate(vals)])[["ts", "value"]]
+
+    revert = days([3.0, 7.0, 3.0, 7.0, 3.0, 7.0, 3.0, 7.0])
+    gr = df_unit_root(spark.createDataFrame(revert))
+    sr = [tuple(r) for r in gr.collect()]
+    dr, _ = _duck({"events": revert}, df_unit_root_sql())
+    _cmp(sr, dr, gr.columns)
+    n, beta, t = sr[0]
+    assert n == 7 and beta == -2.0
+    # a perfect fit has SSR = 0 -> s2 = 0 -> t undefined (NULL)
+    assert t is None
+
+    noisy = days([3.0, 7.1, 2.9, 7.0, 3.2, 6.8, 3.1, 7.3])
+    gn = df_unit_root(spark.createDataFrame(noisy))
+    sn = [tuple(r) for r in gn.collect()]
+    dn, _ = _duck({"events": noisy}, df_unit_root_sql())
+    _cmp(sn, dn, gn.columns)
+    assert sn[0][1] < -1.5 and sn[0][2] < -3.0   # strong mean reversion
+
+    const = days([5.0, 5.0, 5.0, 5.0])
+    gc_ = df_unit_root(spark.createDataFrame(const))
+    sc_ = [tuple(r) for r in gc_.collect()]
+    dc, _ = _duck({"events": const}, df_unit_root_sql())
+    _cmp(sc_, dc, gc_.columns)
+    assert sc_[0][1] is None and sc_[0][2] is None

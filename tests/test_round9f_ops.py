@@ -1,0 +1,166 @@
+"""Adversarial oracle validation for the round-9 sixth-stratum SQL
+twins (chao1 / burstiness / bigram_entropy / jackknife / holm): each
+twin re-run in DuckDB against planted frames — all-singleton and
+no-singleton vocabularies for Chao1, Poisson-vs-bursty term layouts,
+uniform and degenerate bigram distributions, single-day jackknife,
+and a Holm screen with one loud and many null segments — compared
+row-for-row with the Spark operator, plus closed-form hand checks."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _cmp(spark_rows, duck_rows, cols):
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 9)
+        return str(v) if not isinstance(v, (int, float, bool, type(None))) \
+            else v
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    a = sorted(tuple(norm(r[i]) for i in order) for r in spark_rows)
+    b = sorted(tuple(norm(r[i]) for i in order) for r in duck_rows)
+    assert a == b, f"\nspark={a[:5]}\nduck ={b[:5]}"
+
+
+def _duck(frames: dict[str, pd.DataFrame], sql: str):
+    con = duckdb.connect()
+    for name, pdf in frames.items():
+        con.register(f"_src_{name}", pdf)
+        con.execute(f"CREATE TABLE {name} AS SELECT * FROM _src_{name}")
+    rel = con.sql(sql)
+    return rel.fetchall(), [d[0] for d in rel.description]
+
+
+def test_chao1_singletons_doubletons_and_hand_value(spark):
+    """All-singleton vocab: chao1 = V + V(V−1)/2, unseen mass = 1;
+    no singletons: chao1 = V, unseen mass = 0; replays in DuckDB."""
+    from distill_spark.operators.corpus_stats import (chao1_richness,
+                                                      chao1_richness_sql)
+
+    pdf = pd.DataFrame(
+        [(1, "alls", "a b c"),                 # 3 singletons
+         (2, "reps", "x x y y z z")],          # no singletons
+        columns=["doc_id", "source", "text"])
+    sdf = spark.createDataFrame(pdf)
+    got = chao1_richness(sdf)
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"documents": pdf}, chao1_richness_sql())
+    _cmp(srows, drows, got.columns)
+    by = {r[0]: r for r in srows}
+    g, n, v, f1, f2, chao1, um = by["alls"]
+    assert (n, v, f1, f2) == (3, 3, 3, 0)
+    assert chao1 == 3 + 3 * 2 / 2 and um == 1.0
+    g, n, v, f1, f2, chao1, um = by["reps"]
+    assert (n, v, f1, f2) == (6, 3, 0, 3)
+    assert chao1 == 3.0 and um == 0.0
+
+
+def test_burstiness_poisson_vs_bursty(spark):
+    """A term spread one-per-doc has VMR < 1 (underdispersed); the
+    same total mass packed into one doc is strongly overdispersed;
+    zero-count docs enter via the total-doc divisor; DuckDB replay."""
+    from distill_spark.operators.corpus_stats import (term_burstiness,
+                                                      term_burstiness_sql)
+
+    docs = [(i, "flat " + ("pad%d " % i)) for i in range(1, 5)]
+    docs.append((5, "burst burst burst burst"))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    sdf = spark.createDataFrame(pdf)
+    got = term_burstiness(sdf, k=2)
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"documents": pdf}, term_burstiness_sql(k=2))
+    _cmp(srows, drows, got.columns)
+    by = {r[1]: r for r in srows}
+    # flat: c=1 in 4 of 5 docs -> mean .8, var = (4 - 16/5)/5 = .16
+    assert by["flat"][4] == round(0.16 / 0.8, 6)
+    # burst: c=4 in 1 of 5 docs -> mean .8, var = (16 - 16/5)/5 = 2.56
+    assert by["burst"][4] == round(2.56 / 0.8, 6)
+    assert by["burst"][4] > 1 > by["flat"][4]
+
+
+def test_bigram_entropy_uniform_and_degenerate(spark):
+    """A doc whose bigrams are all distinct hits H = ln(n_bigrams);
+    a doc with one repeated bigram hits H = 0, perplexity 1; short
+    docs (< 2 words) contribute nothing; DuckDB replay."""
+    from distill_spark.operators.corpus_stats import (bigram_entropy,
+                                                      bigram_entropy_sql)
+
+    pdf = pd.DataFrame(
+        [(1, "uni", "a b c d"),                # bigrams ab bc cd, uniform
+         (2, "one", "x y x y x y"),            # xy yx xy yx xy
+         (3, "tiny", "solo")],                 # no bigram
+        columns=["doc_id", "source", "text"])
+    sdf = spark.createDataFrame(pdf)
+    got = bigram_entropy(sdf)
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"documents": pdf}, bigram_entropy_sql())
+    _cmp(srows, drows, got.columns)
+    by = {r[0]: r for r in srows}
+    assert "tiny" not in by and len(by) == 2
+    assert by["uni"][3] == round(
+        sum(round(-(1 / 3) * math.log(1 / 3), 9) for _ in range(3)), 6)
+    # "one": bigrams xy xy xy, yx yx -> p = 3/5, 2/5
+    h = round(round(-(3 / 5) * math.log(3 / 5), 9)
+              + round(-(2 / 5) * math.log(2 / 5), 9), 6)
+    assert by["one"][3] == h
+
+
+def test_jackknife_hand_value_and_single_day(spark):
+    """Two equal-total days → SE from the closed form; a single day →
+    NULL SE; DuckDB replay. Hand frame: day totals 10 and 20 →
+    mean 15, SE = sqrt((250 - 450/2) / 2) = sqrt(12.5)? No —
+    SE² = Σ(x−x̄)²/(m(m−1)) = 50/2 = 25 → SE 5."""
+    from distill_spark.operators.corpus_stats import (jackknife_mean_se,
+                                                      jackknife_mean_se_sql)
+
+    rows = [("2024-05-01", 4.0), ("2024-05-01", 6.0),
+            ("2024-05-02", 20.0)]
+    pdf = pd.DataFrame(rows, columns=["ts", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    sdf = spark.createDataFrame(pdf)
+    got = jackknife_mean_se(sdf)
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": pdf}, jackknife_mean_se_sql())
+    _cmp(srows, drows, got.columns)
+    m, mean, se = srows[0]
+    assert (m, mean) == (2, 15.0)
+    assert se == 5.0                       # sqrt((500-450)/ (2*1))
+
+    one = pdf[pdf.ts == "2024-05-01"]
+    g1 = jackknife_mean_se(spark.createDataFrame(one))
+    s1 = [tuple(r) for r in g1.collect()]
+    d1, _ = _duck({"events": one}, jackknife_mean_se_sql())
+    _cmp(s1, d1, g1.columns)
+    assert s1[0][2] is None
+
+
+def test_holm_stepdown_stricter_than_bh_and_replay(spark):
+    """One loud segment among nulls: Holm rejects it and stops at the
+    first failure (every later rank un-rejected even if its raw p is
+    small-ish); the holm_alpha ladder is α/(m−i+1); DuckDB replay."""
+    from distill_spark.operators.corpus_stats import (holm_rejects,
+                                                      holm_rejects_sql)
+
+    rows = ([("loud", True)] * 40 + [("loud", False)] * 10)
+    for u in ("n1", "n2", "n3"):
+        rows += [(u, True)] * 10 + [(u, False)] * 40
+    pdf = pd.DataFrame(rows, columns=["user_id", "hit"])
+    sdf = spark.createDataFrame(pdf)
+    got = holm_rejects(sdf, "user_id", F.col("hit"))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": pdf},
+                     holm_rejects_sql("events", "user_id", "hit"))
+    _cmp(srows, drows, got.columns)
+    by = {r[0]: r for r in srows}
+    assert by["loud"][8] is True or by["loud"][8] == 1   # rejected
+    m = len(srows)
+    for r in srows:
+        assert r[7] == round(0.05 / (m - r[6] + 1), 9)   # alpha ladder
+    ranks_rejected = sorted(r[6] for r in srows if r[8])
+    # step-down: the rejected set is a prefix of the rank order
+    assert ranks_rejected == list(range(1, len(ranks_rejected) + 1))
