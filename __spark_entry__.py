@@ -9600,7 +9600,175 @@ def _sql_df_root():
     return df_unit_root_sql()
 
 
+def q_chao1_richness(spark, sf_dir):
+    """Chao1 asymptotic vocabulary richness + Good–Turing unseen mass
+    per source (corpus_stats.chao1_richness) — "is another crawl pass
+    worth it"; exact frequency-of-frequencies arithmetic."""
+    from distill_spark.operators.corpus_stats import chao1_richness
+
+    t = _tables(spark, sf_dir)
+    return chao1_richness(t["documents"])
+
+
+def _sql_chao1():
+    from distill_spark.operators.corpus_stats import chao1_richness_sql
+
+    return chao1_richness_sql()
+
+
+def q_term_burstiness(spark, sf_dir):
+    """Church–Gale burstiness (variance-to-mean ratio of per-doc
+    counts) for the top-20 corpus terms
+    (corpus_stats.term_burstiness) — topical vs background terms."""
+    from distill_spark.operators.corpus_stats import term_burstiness
+
+    t = _tables(spark, sf_dir)
+    return term_burstiness(t["documents"])
+
+
+def _sql_burstiness():
+    from distill_spark.operators.corpus_stats import term_burstiness_sql
+
+    return term_burstiness_sql()
+
+
+def q_bigram_entropy(spark, sf_dir):
+    """Bigram entropy rate + perplexity per source
+    (corpus_stats.bigram_entropy) — boilerplate detection at the
+    source grain; grid-rounded per-bigram terms, decimal sum."""
+    from distill_spark.operators.corpus_stats import bigram_entropy
+
+    t = _tables(spark, sf_dir)
+    return bigram_entropy(t["documents"])
+
+
+def _sql_bigram_entropy():
+    from distill_spark.operators.corpus_stats import bigram_entropy_sql
+
+    return bigram_entropy_sql()
+
+
+def q_jackknife_daily(spark, sf_dir):
+    """Leave-one-day-out jackknife SE of the mean daily value
+    (corpus_stats.jackknife_mean_se) — the closed-form cross-check on
+    bootstrap_ci_value at the day grain."""
+    from distill_spark.operators.corpus_stats import jackknife_mean_se
+
+    t = _tables(spark, sf_dir)
+    return jackknife_mean_se(t["events"])
+
+
+def _sql_jackknife():
+    from distill_spark.operators.corpus_stats import jackknife_mean_se_sql
+
+    return jackknife_mean_se_sql()
+
+
+def q_holm_users(spark, sf_dir):
+    """Holm step-down family-wise control over per-user-bucket
+    conversion z-tests (corpus_stats.holm_rejects) — the stricter
+    companion to bh_fdr_users on the same screen."""
+    from distill_spark.operators.corpus_stats import holm_rejects
+
+    t = _tables(spark, sf_dir)
+    units = t["events"].withColumn(
+        "_bucket", F.pmod(F.col("user_id"), F.lit(20)))
+    return holm_rejects(units, "_bucket",
+                        F.col("event_type") == "purchase")
+
+
+def _sql_holm():
+    from distill_spark.operators.corpus_stats import holm_rejects_sql
+
+    return holm_rejects_sql("(SELECT *, user_id % 20 AS _bucket"
+                            " FROM events)",
+                            "_bucket", "event_type = 'purchase'")
+
+
+def q_cmh_nations(spark, sf_dir):
+    """Cochran–Mantel–Haenszel conversion-vs-balance test stratified
+    by nation + MH pooled odds ratio (stats.cmh_test) — the
+    confounder-adjusted complement to cochran_trend."""
+    from distill_spark.operators.stats import cmh_test
+
+    t = _tables(spark, sf_dir)
+    return cmh_test(t["customer"], t["orders"])
+
+
+def _sql_cmh():
+    from distill_spark.operators.stats import cmh_test_sql
+
+    return cmh_test_sql()
+
+
+def q_langid_agreement(spark, sf_dir):
+    """Cohen's κ + MCC + confusion between the langid heuristic and
+    ground-truth lang=='en' (mleval.binary_agreement) — the
+    chance-corrected quality score for the screen text_langid only
+    eyeballs."""
+    from distill_spark.operators.mleval import binary_agreement
+
+    t = _tables(spark, sf_dir)
+    words = _words(F.col("text"))
+    stops = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    pred = F.size(F.array_intersect(words, stops)) >= 2
+    return binary_agreement(t["documents"], F.col("lang") == "en", pred)
+
+
+def _sql_langid_agreement():
+    from distill_spark.operators.mleval import binary_agreement_sql
+
+    pred = (f"len(list_intersect({_WORDS_SQL.format(c='text')},"
+            f" {_STOP_SQL})) >= 2")
+    return binary_agreement_sql("documents", "lang = 'en'", pred)
+
+
+def q_gumbel_daily_max(spark, sf_dir):
+    """Gumbel extreme-value fit to daily max event values + 1-in-100-
+    days return level (timeseries.gumbel_daily_max) — the capacity
+    question bulk percentiles can't answer."""
+    from distill_spark.operators.timeseries import gumbel_daily_max
+
+    t = _tables(spark, sf_dir)
+    return gumbel_daily_max(t["events"])
+
+
+def _sql_gumbel():
+    from distill_spark.operators.timeseries import gumbel_daily_max_sql
+
+    return gumbel_daily_max_sql()
+
+
+def q_shingle_novelty(spark, sf_dir):
+    """Novelty rate by ingest batch: share of each doc_id-batch's
+    distinct shingles never seen earlier (corpus_stats.
+    shingle_novelty) — the "is the crawl still finding new content"
+    curve; min-batch-per-shingle, no per-batch rescans."""
+    from distill_spark.operators.corpus_stats import shingle_novelty
+
+    t = _tables(spark, sf_dir)
+    return shingle_novelty(t["documents"])
+
+
+def _sql_shingle_novelty():
+    from distill_spark.operators.corpus_stats import shingle_novelty_sql
+
+    return shingle_novelty_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    # -- round-9 seventh stratum: stratified tests, agreement, extremes,
+    #    crawl novelty ----------------------------------------------------
+    "cmh_nations": (q_cmh_nations, _sql_cmh()),
+    "langid_agreement": (q_langid_agreement, _sql_langid_agreement()),
+    "gumbel_daily_max": (q_gumbel_daily_max, _sql_gumbel()),
+    "shingle_novelty": (q_shingle_novelty, _sql_shingle_novelty()),
+    # -- round-9 sixth stratum: corpus richness / robustness --------------
+    "chao1_richness": (q_chao1_richness, _sql_chao1()),
+    "term_burstiness": (q_term_burstiness, _sql_burstiness()),
+    "bigram_entropy": (q_bigram_entropy, _sql_bigram_entropy()),
+    "jackknife_daily": (q_jackknife_daily, _sql_jackknife()),
+    "holm_users": (q_holm_users, _sql_holm()),
     # -- round-9 fifth stratum: blocked/sequence/stationarity tests,
     #    association effect size, Lorenz curve --------------------------
     "friedman_dow": (q_friedman_dow, _sql_friedman()),

@@ -380,3 +380,90 @@ SELECT unit, CAST(n1 AS BIGINT) AS n, CAST(x1 AS BIGINT) AS successes,
             ELSE rk < (SELECT first_fail FROM cut) END AS rejected
 FROM flagged
 """
+
+
+def shingle_novelty(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    batch_size: int = 100) -> DataFrame:
+    """Novelty rate by ingest batch: docs bucket by ``id_col div
+    batch_size`` (the ingest-order proxy on an id-keyed corpus), and
+    each batch reports the share of its DISTINCT 3-word shingles
+    never seen in ANY earlier batch — the "is the crawl still finding
+    new content" curve that decides when to stop ingesting a source.
+    Computed without per-batch rescans: one min-batch-per-shingle
+    aggregate, then novel = shingles whose min batch IS this batch.
+    Exact integers; one division per row. Output: (batch, docs,
+    distinct_shingles, novel_shingles, novelty_rate) rounded 6.
+    """
+    from distill_spark.operators.search import words_expr
+
+    w = words_expr(F.col(text_col))
+    sh = F.when(
+        F.size(w) >= 3,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.size(w) - 2),
+                        lambda i: F.concat_ws(" ", F.slice(w, i, 3))))
+    ).otherwise(F.array().cast("array<string>"))
+    batched = docs.select(
+        F.expr(f"{id_col} div {batch_size}").alias("batch"),
+        F.explode(sh).alias("s"))
+    per = batched.groupBy("batch", "s").agg(F.count("*").alias("_c"))
+    first = per.groupBy("s").agg(F.min("batch").alias("fb"))
+    joined = per.join(first, "s")
+    n_docs = (docs.groupBy(F.expr(f"{id_col} div {batch_size}")
+                           .alias("batch"))
+              .agg(F.count("*").alias("docs")))
+    agg = (joined.groupBy("batch")
+           .agg(F.count("*").alias("distinct_shingles"),
+                F.sum((F.col("fb") == F.col("batch")).cast("long"))
+                .alias("novel_shingles")))
+    return (n_docs.join(agg, "batch", "left")
+            .select(F.col("batch").cast("long").alias("batch"),
+                    F.col("docs").cast("long").alias("docs"),
+                    F.coalesce("distinct_shingles", F.lit(0))
+                    .cast("long").alias("distinct_shingles"),
+                    F.coalesce("novel_shingles", F.lit(0)).cast("long")
+                    .alias("novel_shingles"),
+                    F.round(F.coalesce("novel_shingles", F.lit(0))
+                            .cast("double")
+                            / F.nullif(F.coalesce("distinct_shingles",
+                                                  F.lit(0)), F.lit(0)),
+                            6).alias("novelty_rate")))
+
+
+def shingle_novelty_sql(table: str = "documents", id_sql: str = "doc_id",
+                        text_sql: str = "text",
+                        batch_size: int = 100) -> str:
+    words = f"list_filter(string_split({text_sql}, ' '), x -> x <> '')"
+    return f"""
+WITH sh AS (
+  SELECT {id_sql} // {batch_size} AS batch, unnest(list_distinct(
+    CASE WHEN len(words) >= 3
+         THEN list_transform(range(1, len(words) - 1),
+              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+         ELSE [] END)) AS s
+  FROM (SELECT {id_sql}, {words} AS words FROM {table})
+),
+per AS (SELECT batch, s, count(*) AS _c FROM sh GROUP BY 1, 2),
+first_ AS (SELECT s, min(batch) AS fb FROM per GROUP BY 1),
+n_docs AS (
+  SELECT {id_sql} // {batch_size} AS batch, count(*) AS docs
+  FROM {table} GROUP BY 1
+),
+agg AS (
+  SELECT per.batch, count(*) AS distinct_shingles,
+         sum(CASE WHEN first_.fb = per.batch THEN 1 ELSE 0 END)
+           AS novel_shingles
+  FROM per JOIN first_ ON per.s = first_.s
+  GROUP BY per.batch
+)
+SELECT CAST(n_docs.batch AS BIGINT) AS batch,
+       CAST(docs AS BIGINT) AS docs,
+       CAST(coalesce(distinct_shingles, 0) AS BIGINT)
+         AS distinct_shingles,
+       CAST(coalesce(novel_shingles, 0) AS BIGINT) AS novel_shingles,
+       round(CAST(coalesce(novel_shingles, 0) AS DOUBLE)
+             / nullif(coalesce(distinct_shingles, 0), 0), 6)
+         AS novelty_rate
+FROM n_docs LEFT JOIN agg ON n_docs.batch = agg.batch
+"""

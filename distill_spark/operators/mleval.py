@@ -751,3 +751,87 @@ SELECT CAST(count(*) AS BIGINT) AS n_queries,
              / count(*), 6) AS mean_ap
 FROM scored
 """
+
+
+def binary_agreement(df: DataFrame, actual, pred) -> DataFrame:
+    """Agreement metrics between two boolean columns (rater A =
+    ``actual``, rater B = ``pred``): the 2×2 confusion plus accuracy,
+    Cohen's κ (chance-corrected agreement) and the Matthews
+    correlation coefficient — the model-eval triple for any
+    binary screen (langid vs ground truth, dedup flag vs exact, rule
+    vs model). κ = (p_o − p_e)/(1 − p_e) with p_e from the marginals;
+    MCC = (tp·tn − fp·fn)/√((tp+fp)(tp+fn)(tn+fp)(tn+fn)).
+
+    One conditional-aggregation pass (four exact integer cells);
+    the four MCC marginal factors multiply as doubles (their product
+    overflows int64 at ~10⁵ rows). NULL rows in either column drop.
+    Output: one row (n, tp, fp, fn, tn, accuracy, kappa, mcc),
+    doubles rounded 6 (κ NULL at p_e = 1, MCC NULL when any marginal
+    is 0).
+    """
+    a = actual.cast("boolean")
+    p = pred.cast("boolean")
+    rows = df.filter(a.isNotNull() & p.isNotNull())
+    agg = rows.agg(
+        F.count("*").alias("n"),
+        F.sum((a & p).cast("long")).alias("tp"),
+        F.sum(((~a) & p).cast("long")).alias("fp"),
+        F.sum((a & (~p)).cast("long")).alias("fn"),
+        F.sum(((~a) & (~p)).cast("long")).alias("tn"))
+    n = F.col("n").cast("double")
+    tp = F.col("tp").cast("double")
+    fp = F.col("fp").cast("double")
+    fn_ = F.col("fn").cast("double")
+    tn = F.col("tn").cast("double")
+    po = (tp + tn) / n
+    pe = ((tp + fp) * (tp + fn_) + (tn + fp) * (tn + fn_)) / (n * n)
+    mden = (tp + fp) * (tp + fn_) * (tn + fp) * (tn + fn_)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        F.round(po, 6).alias("accuracy"),
+        F.round(F.when(pe < 1, (po - pe) / (1 - pe)), 6).alias("kappa"),
+        F.round(F.when(mden > 0,
+                       (tp * tn - fp * fn_) / F.sqrt(mden)), 6)
+        .alias("mcc"))
+
+
+def binary_agreement_sql(table: str, actual_sql: str, pred_sql: str) -> str:
+    return f"""
+WITH agg AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN ({actual_sql}) AND ({pred_sql})
+                  THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN NOT ({actual_sql}) AND ({pred_sql})
+                  THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN ({actual_sql}) AND NOT ({pred_sql})
+                  THEN 1 ELSE 0 END) AS fn,
+         sum(CASE WHEN NOT ({actual_sql}) AND NOT ({pred_sql})
+                  THEN 1 ELSE 0 END) AS tn
+  FROM {table}
+  WHERE ({actual_sql}) IS NOT NULL AND ({pred_sql}) IS NOT NULL
+),
+d AS (
+  SELECT n, tp, fp, fn, tn,
+         CAST(tp + tn AS DOUBLE) / n AS po,
+         (CAST(tp + fp AS DOUBLE) * (tp + fn)
+          + CAST(tn + fp AS DOUBLE) * (tn + fn))
+           / (CAST(n AS DOUBLE) * n) AS pe,
+         CAST(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp) * (tn + fn)
+           AS mden
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(tp AS BIGINT) AS tp,
+       CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+       CAST(tn AS BIGINT) AS tn,
+       round(po, 6) AS accuracy,
+       round(CASE WHEN pe < 1 THEN (po - pe) / (1 - pe) END, 6) AS kappa,
+       round(CASE WHEN mden > 0
+                  THEN (CAST(tp AS DOUBLE) * tn
+                        - CAST(fp AS DOUBLE) * fn) / sqrt(mden) END,
+             6) AS mcc
+FROM d
+"""

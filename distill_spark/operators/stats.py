@@ -2800,3 +2800,109 @@ SELECT CAST(decile AS INT) AS decile, CAST(holders AS BIGINT) AS holders,
              6) AS cum_value_share
 FROM cum
 """
+
+
+def cmh_test(customers: DataFrame, orders: DataFrame,
+             bal_cut: float = 4500.0) -> DataFrame:
+    """Cochran–Mantel–Haenszel test of conversion (≥1 URGENT order)
+    vs high account balance, stratified by nation — "is the
+    balance→conversion association real, or is nation a confounder?",
+    the stratified complement to cochran_armitage (which pools).
+    Per stratum k the 2×2 cell a_k = exposed∧converted, with
+
+        CMH χ² = (Σ a_k − Σ E_k)² / Σ V_k,
+        E_k = n1k·m1k/Tk,  V_k = n1k·n0k·m1k·m0k / (Tk²(Tk−1))
+
+    (no continuity correction — documented), plus the Mantel–Haenszel
+    pooled odds ratio Σ(a_k·d_k/Tk) / Σ(b_k·c_k/Tk). One customer-
+    grain aggregate per stratum, exact integer cells; strata with
+    Tk < 2 drop (V undefined). Output: one row (k_strata, sum_a,
+    e_sum, cmh_chi2, or_mh), doubles rounded 6.
+    """
+    conv = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
+            .select(F.col("o_custkey").alias("c_custkey")).distinct()
+            .withColumn("_c", F.lit(1)))
+    flagged = (customers
+               .join(conv, "c_custkey", "left")
+               .select(F.col("c_nationkey").alias("k"),
+                       (F.col("c_acctbal").cast("double") > bal_cut)
+                       .cast("int").alias("e"),
+                       F.coalesce("_c", F.lit(0)).alias("c")))
+    cells = flagged.groupBy("k").agg(
+        F.count("*").alias("t"),
+        F.sum("e").alias("n1"),
+        F.sum("c").alias("m1"),
+        F.sum(F.col("e") * F.col("c")).alias("a"))
+    t = F.col("t").cast("double")
+    n1 = F.col("n1").cast("double")
+    n0 = t - n1
+    m1 = F.col("m1").cast("double")
+    m0 = t - m1
+    a = F.col("a").cast("double")
+    b = n1 - a                     # exposed, not converted
+    c_ = m1 - a                    # unexposed, converted
+    d = m0 - b                     # unexposed, not converted
+    ek = n1 * m1 / t
+    vk = n1 * n0 * m1 * m0 / (t * t * (t - 1))
+    per = cells.filter(F.col("t") > 1).select(
+        a.alias("ak"), ek.alias("ekk"), vk.alias("vkk"),
+        (a * d / t).alias("adt"), (b * c_ / t).alias("bct"))
+    agg = per.agg(
+        F.count("*").alias("k_strata"),
+        F.sum(F.col("ak").cast(_DEC)).cast("double").alias("sa"),
+        F.sum(F.col("ekk").cast(_DEC)).cast("double").alias("se"),
+        F.sum(F.col("vkk").cast(_DEC)).cast("double").alias("sv"),
+        F.sum(F.col("adt").cast(_DEC)).cast("double").alias("sad"),
+        F.sum(F.col("bct").cast(_DEC)).cast("double").alias("sbc"))
+    diff = F.col("sa") - F.col("se")
+    return agg.select(
+        F.col("k_strata").cast("long").alias("k_strata"),
+        F.round("sa", 6).alias("sum_a"),
+        F.round("se", 6).alias("e_sum"),
+        F.round(F.when(F.col("sv") > 0, diff * diff / F.col("sv")), 6)
+        .alias("cmh_chi2"),
+        F.round(F.when(F.col("sbc") > 0, F.col("sad") / F.col("sbc")), 6)
+        .alias("or_mh"))
+
+
+def cmh_test_sql(bal_cut: float = 4500.0) -> str:
+    return f"""
+WITH flagged AS (
+  SELECT c_nationkey AS k,
+         CASE WHEN CAST(c_acctbal AS DOUBLE) > {bal_cut}
+              THEN 1 ELSE 0 END AS e,
+         CASE WHEN c_custkey IN (SELECT DISTINCT o_custkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+              THEN 1 ELSE 0 END AS c
+  FROM customer
+),
+cells AS (
+  SELECT k, count(*) AS t, sum(e) AS n1, sum(c) AS m1,
+         sum(e * c) AS a
+  FROM flagged GROUP BY k
+),
+per AS (
+  SELECT CAST(a AS DOUBLE) AS ak,
+         CAST(n1 AS DOUBLE) * m1 / t AS ekk,
+         CAST(n1 AS DOUBLE) * (t - n1) * m1 * (t - m1)
+           / (CAST(t AS DOUBLE) * t * (t - 1)) AS vkk,
+         CAST(a AS DOUBLE) * ((t - m1) - (n1 - a)) / t AS adt,
+         CAST(n1 - a AS DOUBLE) * (m1 - a) / t AS bct
+  FROM cells WHERE t > 1
+),
+agg AS (
+  SELECT count(*) AS k_strata,
+         CAST(sum(CAST(ak AS DECIMAL(38,12))) AS DOUBLE) AS sa,
+         CAST(sum(CAST(ekk AS DECIMAL(38,12))) AS DOUBLE) AS se,
+         CAST(sum(CAST(vkk AS DECIMAL(38,12))) AS DOUBLE) AS sv,
+         CAST(sum(CAST(adt AS DECIMAL(38,12))) AS DOUBLE) AS sad,
+         CAST(sum(CAST(bct AS DECIMAL(38,12))) AS DOUBLE) AS sbc
+  FROM per
+)
+SELECT CAST(k_strata AS BIGINT) AS k_strata,
+       round(sa, 6) AS sum_a, round(se, 6) AS e_sum,
+       round(CASE WHEN sv > 0
+                  THEN (sa - se) * (sa - se) / sv END, 6) AS cmh_chi2,
+       round(CASE WHEN sbc > 0 THEN sad / sbc END, 6) AS or_mh
+FROM agg
+"""

@@ -1470,3 +1470,90 @@ SELECT CAST(n AS BIGINT) AS n_pairs,
              END, 6) AS t_stat
 FROM c
 """
+
+
+_EULER_GAMMA = 0.5772156649015329
+
+
+def gumbel_daily_max(events: DataFrame, ts_col: str = "ts",
+                     value_col: str = "value") -> DataFrame:
+    """Gumbel extreme-value fit (method of moments) to the DAILY MAX
+    event value — the capacity-planning question "how big is the
+    1-in-100-days event", which mean/percentile queries on the bulk
+    distribution cannot answer: scale β = s·√6/π and location
+    μ = x̄ − γβ from the daily-max mean/sd, return level
+    x_p = μ − β·ln(−ln p) at p = 0.99.
+
+    One daily max aggregate (bounded frame), moments in DECIMAL from
+    grid-rounded maxima, three libm calls total. Output: one row
+    (m_days, mean_max, sd_max, gumbel_loc, gumbel_scale,
+    return_level_p99), rounded 6 (NULLs at m < 2 or sd = 0).
+    """
+    daily = (events
+             .select(F.to_date(ts_col).alias("d"),
+                     F.col(value_col).cast("double").alias("v"))
+             .groupBy("d")
+             .agg(F.round(F.max("v"), 9).alias("x")))
+    agg = daily.agg(
+        F.count("*").alias("m"),
+        F.sum(F.col("x").cast("decimal(38,12)")).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)"))
+        .alias("s2"))
+    m = F.col("m").cast("double")
+    s = F.col("s").cast("double")
+    s2 = F.col("s2").cast("double")
+    mean = s / m
+    var = (s2 - s * s / m) / (m - 1)
+    ok = (F.col("m") > 1) & (var > 0)
+    sd = F.sqrt(var)
+    beta = sd * F.lit(6.0 ** 0.5) / F.lit(3.141592653589793)
+    mu = mean - F.lit(_EULER_GAMMA) * beta
+    import math as _math
+    neg_ln_ln = -_math.log(-_math.log(0.99))
+    return agg.select(
+        F.col("m").cast("long").alias("m_days"),
+        F.round(mean, 6).alias("mean_max"),
+        F.round(F.when(ok, sd), 6).alias("sd_max"),
+        F.round(F.when(ok, mu), 6).alias("gumbel_loc"),
+        F.round(F.when(ok, beta), 6).alias("gumbel_scale"),
+        F.round(F.when(ok, mu + beta * F.lit(neg_ln_ln)), 6)
+        .alias("return_level_p99"))
+
+
+def gumbel_daily_max_sql(table: str = "events", ts_sql: str = "ts",
+                         value_sql: str = "value") -> str:
+    import math as _math
+
+    neg_ln_ln = -_math.log(-_math.log(0.99))
+    return f"""
+WITH daily AS (
+  SELECT CAST({ts_sql} AS DATE) AS d,
+         round(max(CAST({value_sql} AS DOUBLE)), 9) AS x
+  FROM {table} GROUP BY 1
+),
+agg AS (
+  SELECT count(*) AS m,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS s,
+         CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM daily
+),
+c AS (
+  SELECT m, s / m AS mean_,
+         CASE WHEN m > 1 THEN (s2 - s * s / m) / (m - 1) END AS var_
+  FROM agg
+),
+fit AS (
+  SELECT m, mean_, var_,
+         CASE WHEN var_ > 0
+              THEN sqrt(var_) * sqrt(6.0) / 3.141592653589793 END
+           AS beta
+  FROM c
+)
+SELECT CAST(m AS BIGINT) AS m_days, round(mean_, 6) AS mean_max,
+       round(CASE WHEN var_ > 0 THEN sqrt(var_) END, 6) AS sd_max,
+       round(mean_ - {_EULER_GAMMA} * beta, 6) AS gumbel_loc,
+       round(beta, 6) AS gumbel_scale,
+       round(mean_ - {_EULER_GAMMA} * beta + beta * {neg_ln_ln}, 6)
+         AS return_level_p99
+FROM fit
+"""

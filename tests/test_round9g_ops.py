@@ -1,0 +1,150 @@
+"""Adversarial oracle validation for the round-9 seventh-stratum SQL
+twins (cmh_nations / langid_agreement / gumbel_daily_max /
+shingle_novelty): planted confounded strata for CMH, hand confusion
+matrices for kappa/MCC, constant and two-point daily maxima for the
+Gumbel fit, and an overlapping-batch corpus for novelty — each
+compared row-for-row with the DuckDB twin plus closed-form checks."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _cmp(spark_rows, duck_rows, cols):
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 9)
+        return str(v) if not isinstance(v, (int, float, bool, type(None))) \
+            else v
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    a = sorted(tuple(norm(r[i]) for i in order) for r in spark_rows)
+    b = sorted(tuple(norm(r[i]) for i in order) for r in duck_rows)
+    assert a == b, f"\nspark={a[:5]}\nduck ={b[:5]}"
+
+
+def _duck(frames: dict[str, pd.DataFrame], sql: str):
+    con = duckdb.connect()
+    for name, pdf in frames.items():
+        con.register(f"_src_{name}", pdf)
+        con.execute(f"CREATE TABLE {name} AS SELECT * FROM _src_{name}")
+    rel = con.sql(sql)
+    return rel.fetchall(), [d[0] for d in rel.description]
+
+
+def test_cmh_hand_cells_and_null_odds(spark):
+    """One stratum, 2×2 = [[2,1],[1,2]] (a=2): E = 3·3/6 = 1.5,
+    V = 3·3·3·3/(36·5) = 0.45, χ² = 0.25/0.45; OR_MH = (2·2/6)/(1·1/6)
+    = 4. A stratum with no unexposed converters keeps sbc > 0 via the
+    other stratum; all replayed in DuckDB."""
+    from distill_spark.operators.stats import cmh_test, cmh_test_sql
+
+    # nation 1: custkeys 1-6; high balance = 1,2,3; urgent = 1,2,4
+    cust = pd.DataFrame(
+        [(i, 1, 9000.0 if i <= 3 else 100.0) for i in range(1, 7)],
+        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    orders = pd.DataFrame(
+        [(1, "1-URGENT"), (2, "1-URGENT"), (4, "1-URGENT"),
+         (5, "5-LOW")],
+        columns=["o_custkey", "o_orderpriority"])
+    got = cmh_test(spark.createDataFrame(cust),
+                   spark.createDataFrame(orders))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"customer": cust, "orders": orders},
+                     cmh_test_sql())
+    _cmp(srows, drows, got.columns)
+    k, sa, se, chi2, ormh = srows[0]
+    assert (k, sa, se) == (1, 2.0, 1.5)
+    assert chi2 == round(0.25 / 0.45, 6)
+    assert ormh == 4.0
+
+
+def test_binary_agreement_hand_kappa_mcc_and_degenerate(spark):
+    """Confusion [[tp=40,fn=10],[fp=10,tn=40]]: accuracy 0.8, κ = 0.6,
+    MCC = 0.6 (symmetric case); an all-positive rater → pe = ...
+    marginal zero → MCC NULL; DuckDB replay."""
+    from distill_spark.operators.mleval import (binary_agreement,
+                                                binary_agreement_sql)
+
+    rows = ([(True, True)] * 40 + [(True, False)] * 10
+            + [(False, True)] * 10 + [(False, False)] * 40)
+    pdf = pd.DataFrame(rows, columns=["actual", "pred"])
+    sdf = spark.createDataFrame(pdf)
+    got = binary_agreement(sdf, F.col("actual"), F.col("pred"))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"documents": pdf},
+                     binary_agreement_sql("documents", "actual", "pred"))
+    _cmp(srows, drows, got.columns)
+    n, tp, fp, fn, tn, acc, kappa, mcc = srows[0]
+    assert (n, tp, fp, fn, tn) == (100, 40, 10, 10, 40)
+    assert acc == 0.8 and kappa == 0.6 and mcc == 0.6
+
+    allpos = pd.DataFrame([(True, True)] * 5 + [(False, True)] * 5,
+                          columns=["actual", "pred"])
+    g2 = binary_agreement(spark.createDataFrame(allpos),
+                          F.col("actual"), F.col("pred"))
+    s2 = [tuple(r) for r in g2.collect()]
+    d2, _ = _duck({"documents": allpos},
+                  binary_agreement_sql("documents", "actual", "pred"))
+    _cmp(s2, d2, g2.columns)
+    assert s2[0][7] is None                # tn+fn marginal = 0 -> MCC NULL
+
+
+def test_gumbel_two_point_and_constant_daily_max(spark):
+    """Two days with maxima 10 and 20: mean 15, sd = √50, β = sd√6/π,
+    μ = 15 − γβ, return level μ − β·ln(−ln .99); a constant-max frame
+    → NULL fit; DuckDB replay."""
+    from distill_spark.operators.timeseries import (gumbel_daily_max,
+                                                    gumbel_daily_max_sql)
+
+    rows = [("2024-06-01", 4.0), ("2024-06-01", 10.0),
+            ("2024-06-02", 20.0)]
+    pdf = pd.DataFrame(rows, columns=["ts", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    got = gumbel_daily_max(spark.createDataFrame(pdf))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": pdf}, gumbel_daily_max_sql())
+    _cmp(srows, drows, got.columns)
+    m, mean, sd, loc, beta, p99 = srows[0]
+    assert (m, mean) == (2, 15.0)
+    sd_h = math.sqrt(50.0)
+    beta_h = sd_h * math.sqrt(6.0) / math.pi
+    loc_h = 15.0 - 0.5772156649015329 * beta_h
+    assert sd == round(sd_h, 6) and beta == round(beta_h, 6)
+    assert loc == round(loc_h, 6)
+    assert p99 == round(loc_h - beta_h * math.log(-math.log(0.99)), 6)
+
+    const = pdf.copy()
+    const["value"] = 7.0
+    gc_ = gumbel_daily_max(spark.createDataFrame(const))
+    sc_ = [tuple(r) for r in gc_.collect()]
+    dc, _ = _duck({"events": const}, gumbel_daily_max_sql())
+    _cmp(sc_, dc, gc_.columns)
+    assert sc_[0][3] is None and sc_[0][5] is None
+
+
+def test_shingle_novelty_first_batch_total_and_repeats(spark):
+    """Batch 0 is 100% novel by construction; a batch that repeats an
+    earlier doc verbatim scores 0; a fresh batch scores 1; short docs
+    (< 3 words) produce no shingles but still count as docs."""
+    from distill_spark.operators.corpus_stats import (shingle_novelty,
+                                                      shingle_novelty_sql)
+
+    pdf = pd.DataFrame(
+        [(1, "alpha beta gamma delta"),       # batch 0
+         (2, "tiny doc"),                     # batch 0, no shingle
+         (101, "alpha beta gamma delta"),     # batch 1: all repeats
+         (201, "wholly new shingle text")],   # batch 2: all novel
+        columns=["doc_id", "text"])
+    sdf = spark.createDataFrame(pdf)
+    got = shingle_novelty(sdf, batch_size=100)
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"documents": pdf}, shingle_novelty_sql())
+    _cmp(srows, drows, got.columns)
+    by = {r[0]: r for r in srows}
+    assert by[0][1] == 2 and by[0][4] == 1.0
+    assert by[1][4] == 0.0
+    assert by[2][4] == 1.0
