@@ -9756,7 +9756,173 @@ def _sql_shingle_novelty():
     return shingle_novelty_sql()
 
 
+def q_silhouette_kmeans(spark, sf_dir):
+    """Simplified (centroid-based) silhouette per k-means cluster over
+    the a2 fit: a = cos-dist to own centroid, b = min cos-dist to any
+    other centroid, s = (b−a)/max(a,b) — the cluster-quality readout
+    the a2 contract (validity) and centroid_drift (stability) don't
+    give. Distances round to the same 1e-6 grid as the contract;
+    per-point s rounds to 9 and decimal-averages per cluster. The
+    oracle wraps the full _sql_a2_kmeans fit replay as a CTE, so both
+    engines score the SAME assignment."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.kmeans_dedup import kmeans_dedup
+
+    emb = t["embeddings"].select(F.col("vec_id").alias("id"),
+                                 F.col("embedding"))
+    out = (kmeans_dedup(emb, k=10, prune_threshold=0.05)
+           .filter(F.col("cluster_id") >= 0))
+    cents = (out.select("cluster_id",
+                        F.posexplode("embedding").alias("pos", "v"))
+             .groupBy("cluster_id", "pos").agg(F.avg("v").alias("m"))
+             .groupBy("cluster_id")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                 lambda s: s.m.cast("float")).alias("_c")))
+    crossed = (out.select("id", "cluster_id", "embedding")
+               .crossJoin(F.broadcast(
+                   cents.select(F.col("cluster_id").alias("_cc"), "_c")))
+               .select("id", "cluster_id", "_cc",
+                       F.round(vm.cosine_distance(
+                           F.col("embedding"), F.col("_c")), 6)
+                       .alias("cd")))
+    per = (crossed.groupBy("id", "cluster_id")
+           .agg(F.max(F.when(F.col("_cc") == F.col("cluster_id"),
+                             F.col("cd"))).alias("a"),
+                F.min(F.when(F.col("_cc") != F.col("cluster_id"),
+                             F.col("cd"))).alias("b")))
+    s = F.when(F.greatest("a", "b") > 0,
+               (F.col("b") - F.col("a")) / F.greatest("a", "b")) \
+        .otherwise(F.lit(0.0))
+    return (per.select("cluster_id", F.round(s, 9).alias("s"))
+            .groupBy("cluster_id")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.sum(F.col("s").cast("decimal(38,12)"))
+                         .cast("double") / F.count("*"), 6)
+                 .alias("mean_silhouette"))
+            .select(F.col("cluster_id").cast("int").alias("cluster_id"),
+                    "n", "mean_silhouette"))
+
+
+def _sql_silhouette() -> str:
+    cosd = f"round(1.0 - {_COS_SQL.format(a='e.dv', b='c.fvec')}, 6)"
+    return f"""
+WITH asg AS MATERIALIZED (
+  SELECT vec_id, cluster_id FROM ({_sql_a2_kmeans()})
+  WHERE cluster_id >= 0
+),
+emb AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster_id, CAST(em.embedding AS DOUBLE[]) AS dv
+  FROM asg a JOIN embeddings em USING (vec_id)
+),
+fc2 AS MATERIALIZED (
+  SELECT cluster_id AS cc,
+         list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY pos) AS fvec
+  FROM (
+    SELECT cluster_id, pos, avg(val) AS m FROM (
+      SELECT cluster_id, generate_subscripts(dv, 1) AS pos,
+             unnest(dv) AS val
+      FROM emb
+    ) GROUP BY cluster_id, pos
+  ) GROUP BY cluster_id
+),
+scored AS (
+  SELECT e.vec_id, e.cluster_id, c.cc, {cosd} AS cd
+  FROM emb e CROSS JOIN fc2 c
+),
+per AS (
+  SELECT vec_id, cluster_id,
+         max(CASE WHEN cc = cluster_id THEN cd END) AS a,
+         min(CASE WHEN cc <> cluster_id THEN cd END) AS b
+  FROM scored GROUP BY vec_id, cluster_id
+),
+s AS (
+  SELECT cluster_id,
+         round(CASE WHEN greatest(a, b) > 0
+                    THEN (b - a) / greatest(a, b) ELSE 0.0 END, 9) AS s
+  FROM per
+)
+SELECT CAST(cluster_id AS INT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE)
+             / count(*), 6) AS mean_silhouette
+FROM s GROUP BY cluster_id
+"""
+
+
+def q_hill_tail(spark, sf_dir):
+    """Hill estimator of the Pareto tail index over the top-100 order
+    values (stats.hill_tail) — how heavy is the revenue tail, the
+    parametric sharpening of source_pareto."""
+    from distill_spark.operators.stats import hill_tail
+
+    t = _tables(spark, sf_dir)
+    return hill_tail(t["orders"])
+
+
+def _sql_hill():
+    from distill_spark.operators.stats import hill_tail_sql
+
+    return hill_tail_sql()
+
+
+def q_negbin_daily(spark, sf_dir):
+    """Negative-binomial method-of-moments fit to daily event counts
+    (stats.negbin_daily) — Poisson vs clumped arrivals, the count
+    twin of term_burstiness."""
+    from distill_spark.operators.stats import negbin_daily
+
+    t = _tables(spark, sf_dir)
+    return negbin_daily(t["events"])
+
+
+def _sql_negbin():
+    from distill_spark.operators.stats import negbin_daily_sql
+
+    return negbin_daily_sql()
+
+
+def q_markov_entropy(spark, sf_dir):
+    """Conditional entropy H(next|cur) per state over the behavior
+    chain (conversion.markov_entropy) — the predictability readout on
+    markov_chain's transition matrix."""
+    from distill_spark.operators.conversion import markov_entropy
+
+    t = _tables(spark, sf_dir)
+    return markov_entropy(t["events"])
+
+
+def _sql_markov_entropy():
+    from distill_spark.operators.conversion import markov_entropy_sql
+
+    return markov_entropy_sql()
+
+
+def q_capture_recapture(spark, sf_dir):
+    """Chapman capture–recapture estimate of the true distinct-shingle
+    population from the even/odd doc_id halves
+    (corpus_stats.capture_recapture) — the pair-sample cross-check on
+    chao1's frequency-based richness."""
+    from distill_spark.operators.corpus_stats import capture_recapture
+
+    t = _tables(spark, sf_dir)
+    return capture_recapture(t["documents"])
+
+
+def _sql_capture():
+    from distill_spark.operators.corpus_stats import capture_recapture_sql
+
+    return capture_recapture_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    # -- round-9 eighth stratum: cluster quality, tails, predictability,
+    #    crawl completeness ------------------------------------------------
+    "silhouette_kmeans": (q_silhouette_kmeans, _sql_silhouette()),
+    "hill_tail": (q_hill_tail, _sql_hill()),
+    "negbin_daily": (q_negbin_daily, _sql_negbin()),
+    "markov_entropy": (q_markov_entropy, _sql_markov_entropy()),
+    "capture_recapture": (q_capture_recapture, _sql_capture()),
     # -- round-9 seventh stratum: stratified tests, agreement, extremes,
     #    crawl novelty ----------------------------------------------------
     "cmh_nations": (q_cmh_nations, _sql_cmh()),
@@ -10114,11 +10280,15 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
 # the driver window, and not already be driver-green (else it should
 # leave the queue). tests/test_registry_gate.py enforces all three +
 # that nothing ELSE is hiding past the window unevidenced.
-# Round 7: EMPTY — the round-6b cohort was promoted into the window
-# head (CORRECTNESS_r06 went 49/50 green, freeing every slot they
-# were queued behind; the one red row, embed_covariance, leads the
-# round-7 window with its signed-zero fix applied).
-_PENDING_PROMOTION: frozenset[str] = frozenset()
+# Round 9: the eighth stratum (silhouette/hill/negbin/markov-entropy/
+# capture-recapture) took the last window-head slots, pushing these
+# four round-9 mid-round queries past position 50 before any driver
+# run could evidence them — queued for the round-10 window. Each is
+# PARITY_r9-green at sf0.001 and hand-verified at sf0.01.
+_PENDING_PROMOTION: frozenset[str] = frozenset({
+    "attribution_ushaped", "srm_users", "holt_forecast",
+    "dq_expectations",
+})
 
 
 def entry(spark: SparkSession) -> DataFrame:

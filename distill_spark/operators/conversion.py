@@ -1415,3 +1415,72 @@ SELECT CAST(n0 AS BIGINT) AS n_0, CAST(n1 AS BIGINT) AS n_1,
                / ((c0 + c1) / CAST(n0 + n1 AS DOUBLE)), 6) END AS mde_rel
 FROM agg
 """
+
+
+def markov_entropy(events: DataFrame, user_col: str = "user_id",
+                   ts_col: str = "ts", type_col: str = "event_type",
+                   tiebreak_col: str = "event_id") -> DataFrame:
+    """Conditional entropy of the behavior chain per current state:
+    H(next|cur) = Σ_next −p(n|c)·ln p(n|c) over the OBSERVED
+    (unsmoothed) transition counts markov_event_chain tallies — "how
+    predictable is what users do after X" (0 = deterministic funnel
+    step, ln k = uniform). Same single lag window + (cur,next)
+    groupBy; per-transition terms grid-round to 9 and decimal-sum.
+    Output: (cur, n_trans, n_successors, entropy, perplexity),
+    rounded 6.
+    """
+    w = (Window.partitionBy(F.col(user_col))
+         .orderBy(F.col(ts_col), F.col(tiebreak_col)))
+    steps = (events.select(
+        F.col(type_col).alias("cur"),
+        F.lead(type_col).over(w).alias("nxt"))
+        .filter(F.col("nxt").isNotNull()))
+    obs = steps.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    tot = Window.partitionBy("cur")
+    per = obs.select(
+        "cur",
+        F.sum("n").over(tot).alias("nt"),
+        F.round(-(F.col("n") / F.sum("n").over(tot))
+                * F.log(F.col("n") / F.sum("n").over(tot)), 9)
+        .alias("h"))
+    agg = per.groupBy("cur", "nt").agg(
+        F.count("*").alias("ks"),
+        F.sum(F.col("h").cast("decimal(38,12)")).cast("double")
+        .alias("hh"))
+    return agg.select(
+        "cur", F.col("nt").cast("long").alias("n_trans"),
+        F.col("ks").cast("long").alias("n_successors"),
+        F.round(F.col("hh"), 6).alias("entropy"),
+        F.round(F.exp("hh"), 6).alias("perplexity"))
+
+
+def markov_entropy_sql(table: str = "events", user_sql: str = "user_id",
+                       ts_sql: str = "ts", type_sql: str = "event_type",
+                       tiebreak_sql: str = "event_id") -> str:
+    return f"""
+WITH steps AS (
+  SELECT {type_sql} AS cur,
+         lead({type_sql}) OVER (PARTITION BY {user_sql}
+             ORDER BY {ts_sql}, {tiebreak_sql}) AS nxt
+  FROM {table}
+),
+obs AS (
+  SELECT cur, nxt, count(*) AS n FROM steps
+  WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+per AS (
+  SELECT cur, sum(n) OVER (PARTITION BY cur) AS nt,
+         round(-(n / sum(n) OVER (PARTITION BY cur))
+               * ln(n / sum(n) OVER (PARTITION BY cur)), 9) AS h
+  FROM obs
+),
+agg AS (
+  SELECT cur, nt, count(*) AS ks,
+         CAST(sum(CAST(h AS DECIMAL(38,12))) AS DOUBLE) AS hh
+  FROM per GROUP BY cur, nt
+)
+SELECT cur, CAST(nt AS BIGINT) AS n_trans,
+       CAST(ks AS BIGINT) AS n_successors,
+       round(hh, 6) AS entropy, round(exp(hh), 6) AS perplexity
+FROM agg
+"""

@@ -467,3 +467,77 @@ SELECT CAST(n_docs.batch AS BIGINT) AS batch,
          AS novelty_rate
 FROM n_docs LEFT JOIN agg ON n_docs.batch = agg.batch
 """
+
+
+def capture_recapture(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Chapman capture–recapture estimate of the true distinct-shingle
+    population from two "captures" — the even-doc_id half vs the
+    odd-doc_id half of the corpus (a deterministic split standing in
+    for two crawl passes): N̂ = (n1+1)(n2+1)/(m+1) − 1 with m the
+    shingles seen in BOTH halves. N̂ far above the observed union ⇒
+    the corpus is nowhere near shingle-complete — the pair-sample
+    cross-check on chao1's frequency-based estimate. Exact integer
+    counts; one distinct-shingle aggregate keyed by (parity,
+    shingle). Output: one row (n_even, n_odd, n_both, observed_union,
+    chapman_n), rounded 6.
+    """
+    from distill_spark.operators.search import words_expr
+
+    w = words_expr(F.col(text_col))
+    sh = F.when(
+        F.size(w) >= 3,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.size(w) - 2),
+                        lambda i: F.concat_ws(" ", F.slice(w, i, 3))))
+    ).otherwise(F.array().cast("array<string>"))
+    sides = (docs.select(F.pmod(F.col(id_col), F.lit(2)).alias("p"),
+                         F.explode(sh).alias("s"))
+             .groupBy("s")
+             .agg(F.max((F.col("p") == 0).cast("int")).alias("e"),
+                  F.max((F.col("p") == 1).cast("int")).alias("o")))
+    agg = sides.agg(
+        F.sum("e").alias("n1"),
+        F.sum("o").alias("n2"),
+        F.sum(F.col("e") * F.col("o")).alias("m"),
+        F.count("*").alias("u"))
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    m = F.col("m").cast("double")
+    return agg.select(
+        F.col("n1").cast("long").alias("n_even"),
+        F.col("n2").cast("long").alias("n_odd"),
+        F.col("m").cast("long").alias("n_both"),
+        F.col("u").cast("long").alias("observed_union"),
+        F.round((n1 + 1) * (n2 + 1) / (m + 1) - 1, 6)
+        .alias("chapman_n"))
+
+
+def capture_recapture_sql(table: str = "documents",
+                          id_sql: str = "doc_id",
+                          text_sql: str = "text") -> str:
+    words = f"list_filter(string_split({text_sql}, ' '), x -> x <> '')"
+    return f"""
+WITH sh AS (
+  SELECT {id_sql} % 2 AS p, unnest(list_distinct(
+    CASE WHEN len(words) >= 3
+         THEN list_transform(range(1, len(words) - 1),
+              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+         ELSE [] END)) AS s
+  FROM (SELECT {id_sql}, {words} AS words FROM {table})
+),
+sides AS (
+  SELECT s, max(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS e,
+         max(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS o
+  FROM sh GROUP BY s
+),
+agg AS (
+  SELECT sum(e) AS n1, sum(o) AS n2, sum(e * o) AS m, count(*) AS u
+  FROM sides
+)
+SELECT CAST(n1 AS BIGINT) AS n_even, CAST(n2 AS BIGINT) AS n_odd,
+       CAST(m AS BIGINT) AS n_both, CAST(u AS BIGINT) AS observed_union,
+       round((CAST(n1 AS DOUBLE) + 1) * (n2 + 1) / (m + 1) - 1, 6)
+         AS chapman_n
+FROM agg
+"""

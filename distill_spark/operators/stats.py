@@ -2906,3 +2906,124 @@ SELECT CAST(k_strata AS BIGINT) AS k_strata,
        round(CASE WHEN sbc > 0 THEN sad / sbc END, 6) AS or_mh
 FROM agg
 """
+
+
+def hill_tail(orders: DataFrame, value_col: str = "o_totalprice",
+              key_col: str = "o_orderkey", k: int = 100) -> DataFrame:
+    """Hill estimator of the Pareto tail index over the top-k order
+    values: α̂ = k / Σ_{i≤k} ln(x_i / x_(k+1)) — "how heavy is the
+    revenue tail", the parametric sharpening of source_pareto's
+    80/20 readout (α < 2 ⇒ infinite variance, plan for whales).
+
+    The top-(k+1) order statistics come from one rank window over the
+    value column (ties break by key asc, so the threshold row is
+    deterministic); per-term ln ratios grid-round to 9 and
+    decimal-sum. Output: one row (k, x_threshold, hill_alpha),
+    rounded 6 (NULL when fewer than k+1 positive values or the sum
+    is 0).
+    """
+    v = F.col(value_col).cast("double")
+    pos = orders.filter(v > 0).select(v.alias("x"),
+                                      F.col(key_col).alias("key"))
+    ranked = pos.withColumn("rk", F.row_number().over(
+        Window.partitionBy().orderBy(F.desc("x"), F.asc("key"))))
+    thr = (ranked.filter(F.col("rk") == k + 1)
+           .select(F.col("x").alias("xt")))
+    top = (ranked.filter(F.col("rk") <= k)
+           .crossJoin(F.broadcast(thr))
+           .select(F.round(F.log(F.col("x") / F.col("xt")), 9)
+                   .alias("t"), "xt"))
+    agg = top.groupBy("xt").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("t").cast(_DEC)).cast("double").alias("s"))
+    return agg.select(
+        F.col("n").cast("long").alias("k"),
+        F.round(F.col("xt"), 6).alias("x_threshold"),
+        F.round(F.when(F.col("s") > 0, F.col("n") / F.col("s")), 6)
+        .alias("hill_alpha"))
+
+
+def hill_tail_sql(table: str = "orders", value_sql: str = "o_totalprice",
+                  key_sql: str = "o_orderkey", k: int = 100) -> str:
+    return f"""
+WITH pos AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS x, {key_sql} AS key
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) > 0
+),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x DESC, key ASC) AS rk
+  FROM pos
+),
+thr AS (SELECT x AS xt FROM ranked WHERE rk = {k} + 1),
+top AS (
+  -- inner join against thr: when there is no (k+1)-th order statistic
+  -- the whole frame is EMPTY, matching the Spark side's empty
+  -- crossJoin (a NULL-threshold row would diverge)
+  SELECT round(ln(x / thr.xt), 9) AS t, thr.xt
+  FROM ranked, thr WHERE rk <= {k}
+),
+agg AS (
+  SELECT xt, count(*) AS n,
+         CAST(sum(CAST(t AS DECIMAL(38,12))) AS DOUBLE) AS s
+  FROM top GROUP BY xt
+)
+SELECT CAST(n AS BIGINT) AS k,
+       round(xt, 6) AS x_threshold,
+       round(CASE WHEN s > 0 THEN n / s END, 6) AS hill_alpha
+FROM agg
+"""
+
+
+def negbin_daily(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Negative-binomial overdispersion fit (method of moments) to
+    DAILY event counts: r = m²/(v−m), p = m/v — "are arrivals Poisson
+    or clumped", the count-data twin of term_burstiness. Counts are
+    exact integers; one moment pass over the bounded daily frame.
+    Output: one row (m_days, mean_daily, var_daily, dispersion, nb_r,
+    nb_p), rounded 6 (r/p NULL when v ≤ m — Poisson or under-
+    dispersed, the NB has no MoM fit there).
+    """
+    daily = (events.groupBy(F.to_date(ts_col).alias("d"))
+             .agg(F.count("*").alias("c")))
+    agg = daily.agg(
+        F.count("*").alias("m"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"))
+    m = F.col("m").cast("double")
+    s = F.col("s").cast("double")
+    s2 = F.col("s2").cast("double")
+    mean = s / m
+    var = (s2 - s * s / m) / (m - 1)
+    over = var > mean
+    return agg.select(
+        F.col("m").cast("long").alias("m_days"),
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(F.when(F.col("m") > 1, var), 6).alias("var_daily"),
+        F.round(F.when(F.col("m") > 1, var / mean), 6).alias("dispersion"),
+        F.round(F.when(over, mean * mean / (var - mean)), 6).alias("nb_r"),
+        F.round(F.when(over, mean / var), 6).alias("nb_p"))
+
+
+def negbin_daily_sql(table: str = "events", ts_sql: str = "ts") -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST({ts_sql} AS DATE) AS d, count(*) AS c
+  FROM {table} GROUP BY 1
+),
+agg AS (
+  SELECT count(*) AS m, sum(c) AS s, sum(c * c) AS s2 FROM daily
+),
+c AS (
+  SELECT m, CAST(s AS DOUBLE) / m AS mean_,
+         CASE WHEN m > 1
+              THEN (s2 - CAST(s AS DOUBLE) * s / m) / (m - 1) END AS var_
+  FROM agg
+)
+SELECT CAST(m AS BIGINT) AS m_days, round(mean_, 6) AS mean_daily,
+       round(var_, 6) AS var_daily,
+       round(var_ / mean_, 6) AS dispersion,
+       round(CASE WHEN var_ > mean_
+                  THEN mean_ * mean_ / (var_ - mean_) END, 6) AS nb_r,
+       round(CASE WHEN var_ > mean_ THEN mean_ / var_ END, 6) AS nb_p
+FROM c
+"""

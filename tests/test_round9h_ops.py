@@ -1,0 +1,142 @@
+"""Adversarial oracle validation for the round-9 eighth-stratum SQL
+twins (hill_tail / negbin_daily / markov_entropy /
+capture_recapture): planted geometric tails, equidispersed counts,
+deterministic funnels, and known-overlap shingle halves — each
+compared row-for-row with the DuckDB twin plus closed-form hand
+checks. (silhouette_kmeans is gated by its oracle replay of the full
+k-means fit — both engines score the same assignment — so it has no
+planted twin here.)"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+
+def _cmp(spark_rows, duck_rows, cols):
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 9)
+        return str(v) if not isinstance(v, (int, float, bool, type(None))) \
+            else v
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    a = sorted(tuple(norm(r[i]) for i in order) for r in spark_rows)
+    b = sorted(tuple(norm(r[i]) for i in order) for r in duck_rows)
+    assert a == b, f"\nspark={a[:5]}\nduck ={b[:5]}"
+
+
+def _duck(frames: dict[str, pd.DataFrame], sql: str):
+    con = duckdb.connect()
+    for name, pdf in frames.items():
+        con.register(f"_src_{name}", pdf)
+        con.execute(f"CREATE TABLE {name} AS SELECT * FROM _src_{name}")
+    rel = con.sql(sql)
+    return rel.fetchall(), [d[0] for d in rel.description]
+
+
+def test_hill_geometric_tail_and_too_few_rows(spark):
+    """Top values e²·c > e·c > c with k=2: Σ ln(x_i/x₃) = 3 → α = 2/3;
+    fewer than k+1 positive rows → empty frame (no threshold row);
+    DuckDB replay."""
+    from distill_spark.operators.stats import hill_tail, hill_tail_sql
+
+    c = 100.0
+    pdf = pd.DataFrame(
+        [(1, c * math.e ** 2), (2, c * math.e), (3, c), (4, 1.0),
+         (5, -7.0)],
+        columns=["o_orderkey", "o_totalprice"])
+    sdf = spark.createDataFrame(pdf)
+    got = hill_tail(sdf, k=2)
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"orders": pdf}, hill_tail_sql(k=2))
+    _cmp(srows, drows, got.columns)
+    k, xt, alpha = srows[0]
+    assert (k, xt) == (2, 100.0)
+    # ln(e^2) + ln(e) = 3 exactly on the 1e-9 grid
+    assert alpha == round(2 / 3, 6)
+
+    tiny = pdf.head(2)
+    gt = hill_tail(spark.createDataFrame(tiny), k=2)
+    st = [tuple(r) for r in gt.collect()]
+    dt, _ = _duck({"orders": tiny}, hill_tail_sql(k=2))
+    _cmp(st, dt, gt.columns)
+    assert st == []                      # no (k+1)-th order statistic
+
+
+def test_negbin_overdispersed_and_equidispersed(spark):
+    """Daily counts (1, 5): mean 3, var 8 → r = 9/5, p = 3/8; counts
+    (2, 2)... a var == mean frame → NULL fit; DuckDB replay."""
+    from distill_spark.operators.stats import negbin_daily, negbin_daily_sql
+
+    def days(counts):
+        rows = []
+        for i, c in enumerate(counts):
+            rows += [(f"2024-07-{i + 1:02d} 00:00:00",)] * c
+        pdf = pd.DataFrame(rows, columns=["ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        return pdf
+
+    over = days([1, 5])
+    got = negbin_daily(spark.createDataFrame(over))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": over}, negbin_daily_sql())
+    _cmp(srows, drows, got.columns)
+    m, mean, var, disp, r, p = srows[0]
+    assert (m, mean, var) == (2, 3.0, 8.0)
+    assert r == round(9 / 5, 6) and p == 0.375
+
+    eq = days([2, 4])                    # mean 3, var 2 -> under
+    ge = negbin_daily(spark.createDataFrame(eq))
+    se = [tuple(r) for r in ge.collect()]
+    de, _ = _duck({"events": eq}, negbin_daily_sql())
+    _cmp(se, de, ge.columns)
+    assert se[0][4] is None and se[0][5] is None
+
+
+def test_markov_entropy_funnel_and_uniform(spark):
+    """A deterministic a→b funnel has H(next|a) = 0, perplexity 1;
+    a state with two equally likely successors has H = ln 2; DuckDB
+    replay. Events ordered by (ts, event_id) within one user."""
+    from distill_spark.operators.conversion import (markov_entropy,
+                                                    markov_entropy_sql)
+
+    seq = ["a", "b", "a", "b", "c", "b", "c"]
+    rows = [(i, f"2024-08-01 00:00:{i:02d}", 1, s)
+            for i, s in enumerate(seq)]
+    pdf = pd.DataFrame(rows,
+                       columns=["event_id", "ts", "user_id",
+                                "event_type"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    sdf = spark.createDataFrame(pdf)
+    got = markov_entropy(sdf)
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": pdf}, markov_entropy_sql())
+    _cmp(srows, drows, got.columns)
+    by = {r[0]: r for r in srows}
+    # a -> b twice: deterministic
+    assert by["a"][3] == 0.0 and by["a"][4] == 1.0
+    # b -> a once, b -> c twice: H = -(1/3)ln(1/3) - (2/3)ln(2/3)
+    h = round(round(-(1 / 3) * math.log(1 / 3), 9)
+              + round(-(2 / 3) * math.log(2 / 3), 9), 6)
+    assert by["b"][3] == h
+
+
+def test_capture_recapture_known_overlap(spark):
+    """Even doc shingles {abc, bcd}, odd doc {abc, bcx}: n1 = n2 = 2,
+    both = 1, union = 3, Chapman = 3·3/2 − 1 = 3.5; DuckDB replay."""
+    from distill_spark.operators.corpus_stats import (capture_recapture,
+                                                      capture_recapture_sql)
+
+    pdf = pd.DataFrame(
+        [(2, "a b c d"), (3, "a b c x")],
+        columns=["doc_id", "text"])
+    sdf = spark.createDataFrame(pdf)
+    got = capture_recapture(sdf)
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"documents": pdf}, capture_recapture_sql())
+    _cmp(srows, drows, got.columns)
+    n1, n2, m, u, chap = srows[0]
+    assert (n1, n2, m, u) == (2, 2, 1, 3)
+    assert chap == 3.5
