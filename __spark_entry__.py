@@ -8559,7 +8559,14 @@ def _audio_fps(spark, sf_dir):
     t = _tables(spark, sf_dir)
     mm.register_decoder("audio", raw_pcm_decoder(_AUDIO_SAMPLES))
     payload = F.rpad("text", _AUDIO_SAMPLES, " ")
-    media = t["documents"].select(
+    # Explicit ASCII guard (both engines): the oracle samples via
+    # ascii(substr(...)) — Unicode code point per CHARACTER — while
+    # this path feeds UTF-8 BYTES to the decoder; a multi-byte char
+    # would silently desynchronize the two sample streams. Restrict
+    # to docs whose padded prefix is single-byte-per-char (the whole
+    # corpus today), so parity holds by construction, not by luck.
+    media = t["documents"].filter(
+        F.octet_length(payload) == _AUDIO_SAMPLES).select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.lit("audio").alias("kind"), F.lit("audio/pcm").alias("mime"),
         F.encode(payload, "UTF-8").alias("data"),
@@ -8619,7 +8626,11 @@ def _sql_mm_audio_prelude() -> str:
             "s[CAST(4*j+3 AS INT)] + s[CAST(4*j+4 AS INT)]")
     return f"""
 pay AS (
+  -- strlen() counts BYTES: keep only docs whose padded prefix is
+  -- single-byte-per-char so ascii(substr()) code points equal the
+  -- UTF-8 bytes the engine decoder sees (same guard engine-side)
   SELECT doc_id, rpad(text, {n}, ' ') AS tx FROM documents
+  WHERE strlen(rpad(text, {n}, ' ')) = {n}
 ),
 pcm AS (
   SELECT doc_id,
@@ -9127,7 +9138,10 @@ def q_mm_scene_cuts(spark, sf_dir):
     dur = (500 + (F.col("doc_id") * 37) % 10000).cast("int")
     n_frames = F.greatest(F.expr(f"duration_ms div {_SCENE_EVERY}"),
                           F.lit(1))
-    vids = (t["documents"].filter(F.col("doc_id") < 300)
+    # ASCII guard, same reason as _audio_fps: the oracle's
+    # ascii(substr()) is char-indexed, the decoder is byte-indexed
+    vids = (t["documents"].filter((F.col("doc_id") < 300)
+                                  & (F.octet_length(tx) == pad_len))
             .select(F.col("doc_id"), tx.alias("_tx"),
                     dur.alias("duration_ms")))
     frames = vids.withColumn(
@@ -9171,7 +9185,8 @@ def _sql_mm_scene_cuts() -> str:
 WITH vids AS (
   SELECT doc_id, rpad(text, {pad_len}, ' ') AS tx,
          CAST(500 + (doc_id * 37) % 10000 AS INT) AS duration_ms
-  FROM documents WHERE doc_id < 300
+  FROM documents
+  WHERE doc_id < 300 AND strlen(rpad(text, {pad_len}, ' ')) = {pad_len}
 ),
 frames AS (
   SELECT doc_id, tx,

@@ -159,8 +159,18 @@ class _Handler(BaseHTTPRequestHandler):
                     sf._chunks_df(chunks), cfg, reporter=rep)
                 self._sse_frame("result",
                                 {"chunks": sf._chunks_out(out.collect())})
-        except Exception:  # noqa: BLE001 — error frame already emitted
-            pass
+        except Exception as e:  # noqa: BLE001 — per-request isolation
+            # dedupe_with_progress emits an error frame for failures
+            # inside the plan, but collect()/_chunks_out failures after
+            # it returns would otherwise end the stream silently —
+            # indistinguishable from a dropped connection. Best-effort
+            # final error frame either way (double error frames are
+            # harmless; a silent truncation is not).
+            try:
+                self._sse_frame("error", {"stage": "result",
+                                          "error": str(e)})
+            except Exception:  # noqa: BLE001 — client already gone
+                pass
 
     def do_POST(self):  # noqa: N802
         srv: ToolHTTPServer = self.server  # type: ignore[assignment]

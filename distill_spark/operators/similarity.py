@@ -280,7 +280,8 @@ def brute_topk_batch(df: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def knn_graph_mutual(df: DataFrame, k: int = 5, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     broadcast_budget_bytes: int = 512 << 20) -> DataFrame:
     """Mutual k-NN graph: (src, dst, sim) wherever BOTH vectors rank
     in each other's top-k cosine neighbors (self excluded), src < dst.
     Mutuality is the standard symmetrization that graph-based
@@ -288,26 +289,39 @@ def knn_graph_mutual(df: DataFrame, k: int = 5, id_col: str = "vec_id",
     clustering, UMAP's fuzzy union) build on — one-directional edges
     connect hubs to everything, mutual edges don't.
 
-    Neighbor lists come from ``brute_topk_batch`` (broadcast
-    block-matmul, one corpus scan, no O(N²) Catalyst pair rows) at
-    k+1 — self always scores sim 1.0, so after dropping it the
-    remaining ranked list is exactly the true top-k (dedup-tie ids
-    rank deterministically: round(sim, 6) DESC, id ASC, the oracle's
-    ordering). The mutuality check is a self-join of the nq·k
-    neighbor frame — thousands of rows, never the corpus. Above the
-    broadcast budget the same construction runs per-IVF-cell
-    (knn_label_purity's fallback); at oracle scale the exact route
-    is the contract.
+    When the corpus matrix fits ``broadcast_budget_bytes`` (the same
+    n·dim·8 gate cluster.similarity_edges enforces), neighbor lists
+    come from ``brute_topk_batch`` (broadcast block-matmul, one corpus
+    scan, no O(N²) Catalyst pair rows) at k+1 — self always scores
+    sim 1.0, so after dropping it the remaining ranked list is
+    exactly the true top-k (dedup-tie ids rank deterministically:
+    round(sim, 6) DESC, id ASC, the oracle's ordering). Above budget
+    the neighbor lists come from the persisted IVF probe instead
+    (fully distributed, corpus never collect()ed to the driver;
+    approximate — a true neighbor in an unprobed cell is missed, and
+    mutuality then prunes that edge). The mutuality check is a
+    self-join of the nq·k neighbor frame — k rows per vector, never
+    the corpus.
     """
     from pyspark.sql import Window
 
     base = (df.select(id_col, vec_col)
             .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)))
-    nn = brute_topk_batch(
-        base, base.select(F.col(id_col).alias("_qid"),
-                          F.col(vec_col).alias("_qv")),
-        k=k + 1, id_col=id_col, vec_col=vec_col,
-        q_id_col="_qid", q_vec_col="_qv")
+    n, dim = base.agg(
+        F.count("*"), F.coalesce(F.max(F.size(vec_col)), F.lit(0))).first()
+    if n == 0:
+        return df.sparkSession.createDataFrame(
+            [], schema=f"src {dict(df.dtypes)[id_col]}, "
+                       f"dst {dict(df.dtypes)[id_col]}, sim double")
+    if n * dim * 8 > broadcast_budget_bytes:
+        nn = _knn_neighbors_ivf(base, k=k + 1, id_col=id_col,
+                                vec_col=vec_col)
+    else:
+        nn = brute_topk_batch(
+            base, base.select(F.col(id_col).alias("_qid"),
+                              F.col(vec_col).alias("_qv")),
+            k=k + 1, id_col=id_col, vec_col=vec_col,
+            q_id_col="_qid", q_vec_col="_qv")
     no_self = nn.filter(F.col("_qid") != F.col(id_col))
     w = Window.partitionBy("_qid").orderBy(F.desc("sim"), F.asc(id_col))
     topk = (no_self.withColumn("_r", F.row_number().over(w))
@@ -520,6 +534,30 @@ def knn_label_purity(df: DataFrame, k: int = 10, id_col: str = "vec_id",
              F.round(F.sum("_match") / (F.count("*") * F.lit(k)), 6)
              .alias("avg_purity"))
     )
+
+
+def _knn_neighbors_ivf(base: DataFrame, k: int, id_col: str,
+                       vec_col: str, n_cells: int = 64,
+                       n_probe: int = 8) -> DataFrame:
+    """Above-broadcast-budget neighbor lists for
+    :func:`knn_graph_mutual`: the persisted IVF probe in self-query
+    mode — fully distributed, the corpus never touches the driver.
+    Returns (_qid, <id_col>, sim), the same column contract as
+    ``brute_topk_batch`` (rank column omitted; callers re-rank after
+    dropping self). Approximate: a true neighbor in an unprobed cell
+    is missed; mutual-kNN consumers tolerate that (a missed edge
+    prunes, never corrupts)."""
+    import numpy as np
+
+    n = base.count()
+    cells = min(n_cells, max(2, int(np.sqrt(max(n, 4)))))
+    index = IVFIndex(base, id_col=id_col, vec_col=vec_col,
+                     n_cells=cells, seed=42)
+    q = base.select(F.col(id_col).alias("_qid"),
+                    F.col(vec_col).alias("_qv"))
+    return index.search(q, k=k, n_probe=min(n_probe, cells),
+                        query_col="_qv", qid_col="_qid") \
+        .select("_qid", id_col, "sim")
 
 
 def _knn_label_purity_ivf(base: DataFrame, k: int, id_col: str,

@@ -1695,7 +1695,9 @@ def kruskal_wallis(df: DataFrame, group_col: str,
         F.col("n").cast("long").alias("n"),
         F.col("k").cast("long").alias("n_groups"),
         F.round(h, 6).alias("h"),
-        F.round(h / c, 6).alias("h_corrected"))
+        # all-tied input ⇒ C = 0: Spark yields NULL on x/0 while DuckDB
+        # (ieee_floating_point_ops) yields ±inf — guard both engines
+        F.round(F.when(c > 0, h / c), 6).alias("h_corrected"))
 
 
 def kruskal_wallis_sql(table: str, group_sql: str,
@@ -1736,9 +1738,11 @@ agg AS (
 SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_groups,
        round(12.0 / (CAST(n AS DOUBLE) * (n + 1)) * s - 3.0 * (n + 1), 6)
          AS h,
-       round((12.0 / (CAST(n AS DOUBLE) * (n + 1)) * s - 3.0 * (n + 1))
-             / (1.0 - tie_sum / (CAST(n AS DOUBLE) * n * n - n)), 6)
-         AS h_corrected
+       round(CASE WHEN 1.0 - tie_sum / (CAST(n AS DOUBLE) * n * n - n) > 0
+                  THEN (12.0 / (CAST(n AS DOUBLE) * (n + 1)) * s
+                        - 3.0 * (n + 1))
+                       / (1.0 - tie_sum / (CAST(n AS DOUBLE) * n * n - n))
+             END, 6) AS h_corrected
 FROM agg CROSS JOIN tie
 """
 

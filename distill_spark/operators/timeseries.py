@@ -1212,12 +1212,18 @@ def pettitt_test(events: DataFrame, ts_col: str = "ts",
         Window.partitionBy().orderBy("d")))
     a, b = ranked.alias("a"), ranked.alias("b")
     s = F.signum((F.col("b.x") - F.col("a.x")).cast("double")).cast("long")
-    # difference array over cut ranks: +s at r_i, −s at r_j
+    # difference array over cut ranks: +s at r_i, −s at r_j. One pair
+    # join only — both deltas explode out of the same pair row (a
+    # union of two copies of the join would re-run the O(m²) scan:
+    # Spark does not reliably reuse the exchange across union arms)
     deltas = (a.join(F.broadcast(b), F.col("b.r") > F.col("a.r"))
-              .select(F.col("a.r").alias("t"), s.alias("ds"))
-              .union(
-                  a.join(F.broadcast(b), F.col("b.r") > F.col("a.r"))
-                  .select(F.col("b.r").alias("t"), (-s).alias("ds")))
+              .select(F.col("a.r").alias("ri"), F.col("b.r").alias("rj"),
+                      s.alias("s"))
+              .select(F.explode(F.array(
+                  F.struct(F.col("ri").alias("t"), F.col("s").alias("ds")),
+                  F.struct(F.col("rj").alias("t"),
+                           (-F.col("s")).alias("ds")))).alias("e"))
+              .select("e.t", "e.ds")
               .groupBy("t").agg(F.sum("ds").alias("ds")))
     u = deltas.withColumn("u", F.sum("ds").over(
         Window.partitionBy().orderBy("t")
