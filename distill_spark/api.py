@@ -377,3 +377,94 @@ class ToolSurface:
             F.col("session_id") != session_id)
         self._write_entries(remaining)
         return {"deleted": existed, "session_id": session_id}
+
+    def get_session(self, session_id: str) -> dict:
+        """Session row lookup (/v1/session/get,
+        cmd/api_session.go:122-160): metadata + live entry/token
+        totals, without the context assembly session_context does."""
+        if not session_id:
+            raise ToolError("session_id is required")
+        meta = self._sessions()
+        if session_id not in meta:
+            raise ToolError(f"unknown session {session_id!r}")
+        mine = self._entries().filter(F.col("session_id") == session_id)
+        row = mine.agg(F.count("*").alias("n"),
+                       F.coalesce(F.sum("tokens"), F.lit(0)).alias("t")
+                       ).collect()[0]
+        return {"session_id": session_id,
+                "max_tokens": meta[session_id]["max_tokens"],
+                "pushes": meta[session_id]["pushes"],
+                "entry_count": int(row["n"]),
+                "total_tokens": int(row["t"])}
+
+    def pipeline_chunks(self, chunks: list[dict],
+                        options: dict | None = None) -> dict:
+        """The full dedup → compress → summarize pipeline over a chunk
+        batch (/v1/pipeline, cmd/api_pipeline.go:117-146): nested
+        per-stage options JSON in, chunks + PipelineStatsPayload-shaped
+        stats out. The engine work is plans.pipeline.run_pipeline; this
+        method only maps the reference's option spelling and marshals
+        the stage-stats frame."""
+        import time as _time
+
+        from .functions import vectormath as vm
+        from .plans.pipeline import PipelineOptions, run_pipeline
+
+        if not chunks:
+            raise ToolError("chunks required")
+        o = options or {}
+        ded = o.get("dedup") or {}
+        com = o.get("compress") or {}
+        summ = o.get("summarize") or {}
+        opts = PipelineOptions(
+            dedup_enabled=bool(ded.get("enabled", True)),
+            dedup_threshold=float(ded.get("threshold") or self.threshold),
+            dedup_lambda=float(ded["lambda"]) if "lambda" in ded
+            else self.mmr_lambda,
+            dedup_target_k=int(ded.get("target_k") or 0),
+            compress_enabled=bool(com.get("enabled", False)),
+            compress_target_reduction=float(
+                com.get("target_reduction") or 0.5),
+            summarize_enabled=bool(summ.get("enabled", False)),
+            summarize_max_tokens=int(summ.get("max_tokens") or 0),
+            summarize_recent=int(summ.get("keep_recent") or 10))
+        df = self._chunks_df(chunks)
+        t0 = _time.monotonic()
+        out, stage_stats = run_pipeline(df, opts)
+        rows = out.collect()
+        stages = {}
+        if stage_stats is not None:
+            for r in stage_stats.collect():
+                stages[r["stage"]] = {
+                    "enabled": True,
+                    "input_tokens": int(r["input_tokens"]),
+                    "output_tokens": int(r["output_tokens"]),
+                    "reduction": float(r["reduction_pct"]) / 100.0,
+                }
+        latency_ms = (_time.monotonic() - t0) * 1000.0
+        def _tok(frame):
+            return int(frame.agg(F.coalesce(
+                F.sum(vm.estimate_tokens_nonspace(F.col("text"))),
+                F.lit(0))).collect()[0][0])
+
+        orig, final = _tok(df), _tok(out)
+        # DedupeChunk marshal without cluster_id: run_pipeline projects
+        # back to the input chunk columns (cluster labels are internal
+        # to the dedup stage), matching PipelineResponse's chunk shape
+        chunks_out = []
+        for r in rows:
+            d = {"id": r["id"], "text": r["text"], "score": r["score"]}
+            if r["metadata"]:
+                d["metadata"] = dict(r["metadata"])
+            chunks_out.append(d)
+        return {
+            "chunks": chunks_out,
+            "stats": {
+                "original_tokens": orig,
+                "final_tokens": final,
+                "total_reduction": round(1.0 - final / orig, 4)
+                if orig else 0.0,
+                "latency_ms": round(latency_ms, 3),
+                "stages": stages,
+            },
+        }

@@ -28,12 +28,15 @@ import inspect
 import json
 import sys
 
-#: the 13 reference tools (cmd/mcp.go registration order)
+#: the 13 reference tools (cmd/mcp.go registration order) plus the two
+#: REST-only surfaces the reference binds outside MCP: the full
+#: pipeline (/v1/pipeline, cmd/api_pipeline.go) and the session row
+#: lookup (/v1/session/get, cmd/api_session.go:122)
 TOOL_NAMES = [
     "deduplicate_chunks", "retrieve_deduplicated", "analyze_redundancy",
     "store_memory", "recall_memory", "forget_memory", "memory_expire",
     "memory_supersede", "memory_stats", "create_session", "push_session",
-    "session_context", "delete_session",
+    "session_context", "delete_session", "get_session", "pipeline_chunks",
 ]
 
 

@@ -1,45 +1,62 @@
 """HTTP/REST binding for the tool surface — the last reference entry
 point (cmd/api.go:71-127, cmd/api_memory.go:22-27,
-cmd/api_session.go:17-20): the same JSON bodies the stdio ``serve``
-loop speaks, bound to a TCP socket with the reference's route map:
+cmd/api_session.go:17-22, cmd/api_pipeline.go:111-115,
+cmd/serve.go:303): the same JSON bodies the stdio ``serve`` loop
+speaks, bound to a TCP socket with the reference's route map:
 
     POST /v1/dedupe            -> deduplicate_chunks
     POST /v1/dedupe/stream     -> SSE: progress.py events as frames
+    POST /v1/pipeline          -> pipeline_chunks (dedup→compress→summ)
+    POST /v1/batch             -> async pipeline via jobs.JobProcessor
+    GET  /v1/batch/{id}        -> job status   (and /{id}/results)
+    POST /v1/retrieve          -> retrieve_deduplicated
     POST /v1/memory/store      -> store_memory        (and recall /
          /v1/memory/<op>          forget / expire / supersede / stats)
     POST /v1/session/create    -> create_session      (and push /
-         /v1/session/<op>         context / delete)
+         /v1/session/<op>         context / delete / get)
     GET  /health               -> liveness (Spark session probed)
+    GET  /metrics              -> per-route counters (Prometheus text)
+    GET  /openapi.yaml, /docs  -> generated spec / route listing page
     GET  /                     -> route listing (handleRoot)
 
 Deliberately stdlib-only (``http.server``): the protocol layer is
-transport, not analytics — auth middleware, OpenAPI embedding, and
-metrics exporters from the reference server are deployment plumbing
-outside this engine's scope. The SSE streaming variant
-(/v1/dedupe/stream, cmd/api.go:590-795) IS bound: the typed events
-live in progress.py and this layer only frames them. Requests are serialized through
-one lock: the surface's memory/session stores are single-writer by
-design (the reference holds one SQLite handle), and one Spark
-session underneath serves every request exactly like the reference's
-long-lived server process.
+transport, not analytics. /metrics hand-renders the Prometheus text
+exposition format (the reference's pkg/metrics counter/histogram
+names, minus the client library); /openapi.yaml is generated from
+the live route map so it can never drift from it. The SSE streaming
+variant (/v1/dedupe/stream, cmd/api.go:590-795) IS bound: the typed
+events live in progress.py and this layer only frames them.
+Requests are serialized through one lock: the surface's
+memory/session stores are single-writer by design (the reference
+holds one SQLite handle), and one Spark session underneath serves
+every request exactly like the reference's long-lived server
+process. Batch jobs run on the JobProcessor pool and re-enter the
+same lock per Spark action, so an in-flight batch never races a
+synchronous request on store state.
 """
 
 from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from distill_spark.cli import TOOL_NAMES
 
 #: route -> (tool name, body->kwargs mapper); bodies are passed through
-#: verbatim except /v1/dedupe, whose reference field names differ from
-#: the tool parameter names (lambda -> lambda_, options dropped).
+#: verbatim except /v1/dedupe and /v1/retrieve, whose reference field
+#: names differ from the tool parameter names.
 _MEMORY_OPS = {"store": "store_memory", "recall": "recall_memory",
                "forget": "forget_memory", "expire": "memory_expire",
                "supersede": "memory_supersede", "stats": "memory_stats"}
 _SESSION_OPS = {"create": "create_session", "push": "push_session",
-                "context": "session_context", "delete": "delete_session"}
+                "context": "session_context", "delete": "delete_session",
+                "get": "get_session"}
+
+#: latency-histogram buckets, the reference's RequestDuration spec
+#: (pkg/metrics/metrics.go:58-64)
+_LAT_BUCKETS = (0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0)
 
 
 def _dedupe_kwargs(body: dict) -> dict:
@@ -53,8 +70,29 @@ def _dedupe_kwargs(body: dict) -> dict:
     return out
 
 
+def _retrieve_kwargs(body: dict) -> dict:
+    """RetrieveRequest (cmd/serve.go:101-112) -> tool params."""
+    out = {"query": body.get("query") or ""}
+    if body.get("target_k"):
+        out["top_k"] = int(body["target_k"])
+    elif body.get("top_k"):
+        out["top_k"] = int(body["top_k"])
+    if body.get("threshold"):
+        out["threshold"] = float(body["threshold"])
+    return out
+
+
+def _pipeline_kwargs(body: dict) -> dict:
+    return {"chunks": body.get("chunks") or [],
+            "options": body.get("options") or {}}
+
+
 def _routes() -> dict:
-    routes = {"/v1/dedupe": ("deduplicate_chunks", _dedupe_kwargs)}
+    routes = {
+        "/v1/dedupe": ("deduplicate_chunks", _dedupe_kwargs),
+        "/v1/pipeline": ("pipeline_chunks", _pipeline_kwargs),
+        "/v1/retrieve": ("retrieve_deduplicated", _retrieve_kwargs),
+    }
     for op, tool in _MEMORY_OPS.items():
         routes[f"/v1/memory/{op}"] = (tool, lambda b: dict(b))
     for op, tool in _SESSION_OPS.items():
@@ -62,10 +100,131 @@ def _routes() -> dict:
     return routes
 
 
+class _Metrics:
+    """Hand-rolled Prometheus text-format counters mirroring the
+    reference's pkg/metrics names: requests by (endpoint, status),
+    latency histogram by endpoint, chunk counts by direction, and an
+    active-requests gauge. A plain dict under one lock — the server
+    handles one engine request at a time anyway."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests: dict[tuple[str, int], int] = {}
+        self.lat_sum: dict[str, float] = {}
+        self.lat_count: dict[str, int] = {}
+        self.lat_bucket: dict[tuple[str, float], int] = {}
+        self.chunks: dict[str, int] = {}
+        self.active = 0
+
+    def observe(self, endpoint: str, status: int, seconds: float,
+                chunks_in: int = 0, chunks_out: int = 0) -> None:
+        with self._lock:
+            key = (endpoint, status)
+            self.requests[key] = self.requests.get(key, 0) + 1
+            self.lat_sum[endpoint] = self.lat_sum.get(endpoint, 0.0) + seconds
+            self.lat_count[endpoint] = self.lat_count.get(endpoint, 0) + 1
+            for b in _LAT_BUCKETS:
+                if seconds <= b:
+                    bk = (endpoint, b)
+                    self.lat_bucket[bk] = self.lat_bucket.get(bk, 0) + 1
+            if chunks_in:
+                self.chunks["input"] = self.chunks.get("input", 0) + chunks_in
+            if chunks_out:
+                self.chunks["output"] = (self.chunks.get("output", 0)
+                                         + chunks_out)
+
+    def render(self) -> str:
+        with self._lock:
+            out = ["# TYPE distill_requests_total counter"]
+            for (ep, st), n in sorted(self.requests.items()):
+                out.append(f'distill_requests_total{{endpoint="{ep}",'
+                           f'status="{st}"}} {n}')
+            out.append("# TYPE distill_request_duration_seconds histogram")
+            for ep in sorted(self.lat_count):
+                for b in _LAT_BUCKETS:
+                    out.append(
+                        f'distill_request_duration_seconds_bucket{{'
+                        f'endpoint="{ep}",le="{b}"}} '
+                        f"{self.lat_bucket.get((ep, b), 0)}")
+                out.append(f'distill_request_duration_seconds_bucket{{'
+                           f'endpoint="{ep}",le="+Inf"}} '
+                           f"{self.lat_count[ep]}")
+                out.append(f'distill_request_duration_seconds_sum{{'
+                           f'endpoint="{ep}"}} {self.lat_sum[ep]:.6f}')
+                out.append(f'distill_request_duration_seconds_count{{'
+                           f'endpoint="{ep}"}} {self.lat_count[ep]}')
+            out.append("# TYPE distill_chunks_processed_total counter")
+            for d, n in sorted(self.chunks.items()):
+                out.append(
+                    f'distill_chunks_processed_total{{direction="{d}"}} {n}')
+            out.append("# TYPE distill_active_requests gauge")
+            out.append(f"distill_active_requests {self.active}")
+            return "\n".join(out) + "\n"
+
+
+def _openapi_yaml(routes: dict) -> str:
+    """Minimal-but-valid OpenAPI 3.0 document generated from the live
+    route map (the reference embeds a static openapi.yaml,
+    cmd/api.go:29; generating from the map means ours cannot drift)."""
+    lines = ["openapi: 3.0.3",
+             "info:",
+             "  title: distill_spark HTTP API",
+             "  version: '1'",
+             "paths:"]
+    for path in sorted(routes):
+        tool = routes[path][0]
+        lines += [f"  {path}:",
+                  "    post:",
+                  f"      operationId: {tool}",
+                  "      requestBody: {content: {application/json: "
+                  "{schema: {type: object}}}}",
+                  "      responses: {'200': {description: JSON result}}"]
+    lines += ["  /v1/dedupe/stream:",
+              "    post:",
+              "      operationId: dedupe_stream",
+              "      requestBody: {content: {application/json: "
+              "{schema: {type: object}}}}",
+              "      responses: {'200': {description: SSE event stream}}",
+              "  /v1/batch:",
+              "    post:",
+              "      operationId: batch_submit",
+              "      requestBody: {content: {application/json: "
+              "{schema: {type: object}}}}",
+              "      responses: {'202': {description: job accepted}}",
+              "  /v1/batch/{id}:",
+              "    get:",
+              "      operationId: batch_status",
+              "      parameters: [{name: id, in: path, required: true, "
+              "schema: {type: string}}]",
+              "      responses: {'200': {description: job status}}",
+              "  /v1/batch/{id}/results:",
+              "    get:",
+              "      operationId: batch_results",
+              "      parameters: [{name: id, in: path, required: true, "
+              "schema: {type: string}}]",
+              "      responses: {'200': {description: job results}}"]
+    for path, desc in (("/health", "liveness"), ("/metrics",
+                                                 "Prometheus text")):
+        lines += [f"  {path}:",
+                  "    get:",
+                  f"      responses: {{'200': {{description: {desc}}}}}"]
+    return "\n".join(lines) + "\n"
+
+
+_DOCS_HTML = """<!doctype html>
+<html><head><title>distill_spark API</title></head>
+<body><h1>distill_spark HTTP API</h1>
+<p>Machine-readable spec: <a href="/openapi.yaml">/openapi.yaml</a>.
+Route listing: <a href="/">/</a>. Metrics:
+<a href="/metrics">/metrics</a>.</p></body></html>
+"""
+
+
 class ToolHTTPServer(ThreadingHTTPServer):
     """One surface + one dispatch lock behind a loopback-or-wider
     TCP socket. ``daemon_threads`` so a hung client can't pin the
-    process at shutdown."""
+    process at shutdown. The batch JobProcessor is created lazily on
+    first /v1/batch submit (most deployments never use it)."""
 
     daemon_threads = True
     allow_reuse_address = True
@@ -74,7 +233,18 @@ class ToolHTTPServer(ThreadingHTTPServer):
         self.surface = surface
         self.routes = _routes()
         self.dispatch_lock = threading.Lock()
+        self.metrics = _Metrics()
+        self._jobs = None
+        self._jobs_lock = threading.Lock()
         super().__init__(addr, _Handler)
+
+    @property
+    def jobs(self):
+        with self._jobs_lock:
+            if self._jobs is None:
+                from distill_spark.jobs import JobProcessor
+                self._jobs = JobProcessor(self.surface.spark)
+            return self._jobs
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -84,9 +254,18 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     def _reply(self, code: int, payload: dict) -> None:
+        self._last_code = code
         body = json.dumps(payload, default=str).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _reply_text(self, code: int, text: str, ctype: str) -> None:
+        body = text.encode()
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
@@ -102,14 +281,92 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(200 if alive else 503,
                         {"status": "ok" if alive else "spark session gone"})
             return
+        if self.path == "/metrics":
+            self._reply_text(200, srv.metrics.render(),
+                             "text/plain; version=0.0.4")
+            return
+        if self.path == "/openapi.yaml":
+            self._reply_text(200, _openapi_yaml(srv.routes),
+                             "application/yaml")
+            return
+        if self.path == "/docs":
+            self._reply_text(200, _DOCS_HTML, "text/html")
+            return
+        if self.path.startswith("/v1/batch/"):
+            self._batch_lookup(srv)
+            return
         if self.path == "/":
             self._reply(200, {
                 "service": "distill_spark",
-                "endpoints": sorted([*srv.routes, "/v1/dedupe/stream"]),
+                "endpoints": sorted([*srv.routes, "/v1/dedupe/stream",
+                                     "/v1/batch", "/v1/batch/{id}",
+                                     "/v1/batch/{id}/results", "/health",
+                                     "/metrics", "/openapi.yaml", "/docs"]),
                 "tools": TOOL_NAMES,
             })
             return
         self._reply(404, {"error": f"no route {self.path}"})
+
+    # -- /v1/batch (cmd/api_pipeline.go:149-240) -------------------------
+
+    @staticmethod
+    def _iso(ts: float | None) -> str | None:
+        if not ts:
+            return None
+        return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime(ts))
+
+    def _batch_submit(self, srv: "ToolHTTPServer", body: dict) -> None:
+        from distill_spark.jobs import QueueFull
+
+        kwargs = _pipeline_kwargs(body)
+        if not kwargs["chunks"]:
+            self._reply(400, {"error": "chunks required"})
+            return
+
+        def run(_spark):
+            with srv.dispatch_lock:
+                return srv.surface.pipeline_chunks(**kwargs)
+
+        try:
+            job = srv.jobs.submit(run, label="/v1/batch")
+        except QueueFull as e:
+            self._reply(503, {"error": str(e)})
+            return
+        self._reply(202, {"job_id": job.id, "status": job.status})
+
+    def _batch_lookup(self, srv: "ToolHTTPServer") -> None:
+        from distill_spark.jobs import (JobNotFound, JobProcessor,
+                                        ResultNotReady)
+
+        parts = self.path[len("/v1/batch/"):].split("/", 1)
+        job_id, sub = parts[0], (parts[1] if len(parts) == 2 else "")
+        jobs: JobProcessor = srv.jobs
+        try:
+            if sub == "results":
+                result = jobs.results(job_id)
+                self._reply(200, {"job_id": job_id, "status": "completed",
+                                  **result})
+                return
+            if sub:
+                self._reply(404, {"error": f"no route {self.path}"})
+                return
+            job = jobs.get(job_id)
+        except JobNotFound:
+            self._reply(404, {"error": f"unknown job {job_id!r}"})
+            return
+        except ResultNotReady as e:
+            self._reply(409, {"error": str(e)})
+            return
+        out = {"job_id": job.id, "status": job.status,
+               "progress": job.progress,
+               "created_at": self._iso(job.created_at)}
+        if job.error:
+            out["error"] = job.error
+        if job.started_at:
+            out["started_at"] = self._iso(job.started_at)
+        if job.completed_at:
+            out["completed_at"] = self._iso(job.completed_at)
+        self._reply(200, out)
 
     def _sse_frame(self, event: str, data: dict) -> None:
         self.wfile.write(
@@ -174,10 +431,26 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):  # noqa: N802
         srv: ToolHTTPServer = self.server  # type: ignore[assignment]
+        t0 = time.monotonic()
+        self._last_code = 0
+        n_in = n_out = 0
+        with srv.metrics._lock:
+            srv.metrics.active += 1
+        try:
+            n_in, n_out = self._dispatch_post(srv)
+        finally:
+            with srv.metrics._lock:
+                srv.metrics.active -= 1
+            srv.metrics.observe(self.path, self._last_code or 200,
+                                time.monotonic() - t0,
+                                chunks_in=n_in, chunks_out=n_out)
+
+    def _dispatch_post(self, srv: "ToolHTTPServer") -> tuple[int, int]:
         route = srv.routes.get(self.path)
-        if route is None and self.path != "/v1/dedupe/stream":
+        known = {"/v1/dedupe/stream", "/v1/batch"}
+        if route is None and self.path not in known:
             self._reply(404, {"error": f"no route {self.path}"})
-            return
+            return 0, 0
         try:
             n = int(self.headers.get("Content-Length") or 0)
             body = json.loads(self.rfile.read(n) or b"{}") if n else {}
@@ -185,21 +458,31 @@ class _Handler(BaseHTTPRequestHandler):
                 raise ValueError("request body must be a JSON object")
         except (ValueError, json.JSONDecodeError) as e:
             self._reply(400, {"error": f"bad request body: {e}"})
-            return
+            return 0, 0
+        n_in = len(body.get("chunks") or []) \
+            if isinstance(body.get("chunks"), list) else 0
         if self.path == "/v1/dedupe/stream":
+            self._last_code = 200
             self._dedupe_stream(srv, body)
-            return
+            return n_in, 0
+        if self.path == "/v1/batch":
+            self._batch_submit(srv, body)
+            return n_in, 0
         tool, mapper = route
         try:
             with srv.dispatch_lock:
                 out = getattr(srv.surface, tool)(**mapper(body))
         except TypeError as e:   # unknown/missing parameters
             self._reply(400, {"error": str(e)})
-            return
+            return n_in, 0
         except Exception as e:  # noqa: BLE001 — per-request isolation
             self._reply(422, {"error": str(e)})
-            return
+            return n_in, 0
         self._reply(200, out if isinstance(out, dict) else {"result": out})
+        n_out = len(out.get("chunks") or []) \
+            if isinstance(out, dict) and isinstance(out.get("chunks"), list) \
+            else 0
+        return n_in, n_out
 
 
 def serve_http(surface, host: str = "127.0.0.1", port: int = 8080,

@@ -16,7 +16,8 @@ def test_tools_listing(capsys):
     out = capsys.readouterr().out
     for name in TOOL_NAMES:
         assert name in out
-    assert len(TOOL_NAMES) == 13
+    # the 13 MCP tools + the 2 REST-only surfaces (pipeline, session get)
+    assert len(TOOL_NAMES) == 15
 
 
 def test_serve_roundtrip(tmp_path):

@@ -39,12 +39,38 @@ def _get(base, path):
         return r.status, json.loads(r.read())
 
 
+#: every route the reference's HTTP servers register
+#: (grep mux.HandleFunc over /root/reference/cmd/*.go); "/v1/batch/"
+#: is the Go prefix-match spelling of /v1/batch/{id}[/results]
+REFERENCE_ROUTES = {
+    "/", "/docs", "/health", "/metrics", "/openapi.yaml",
+    "/v1/batch", "/v1/batch/", "/v1/dedupe", "/v1/dedupe/stream",
+    "/v1/memory/expire", "/v1/memory/forget", "/v1/memory/recall",
+    "/v1/memory/stats", "/v1/memory/store", "/v1/memory/supersede",
+    "/v1/pipeline", "/v1/retrieve", "/v1/session/context",
+    "/v1/session/create", "/v1/session/delete", "/v1/session/get",
+    "/v1/session/push",
+}
+
+
+def test_route_parity_with_reference(server):
+    """The repo's served route surface must be a superset of the
+    reference's registered routes (cmd/api.go, cmd/api_pipeline.go,
+    cmd/api_session.go, cmd/api_memory.go, cmd/serve.go)."""
+    code, body = _get(server, "/")
+    served = set(body["endpoints"]) | {"/"}
+    # normalize the Go prefix route and the path-param spellings
+    served |= {"/v1/batch/"} if "/v1/batch/{id}" in served else set()
+    missing = REFERENCE_ROUTES - served
+    assert not missing, f"routes the reference serves but we don't: {missing}"
+
+
 def test_health_and_root(server):
     code, body = _get(server, "/health")
     assert code == 200 and body["status"] == "ok"
     code, body = _get(server, "/")
     assert "/v1/dedupe" in body["endpoints"]
-    assert len(body["tools"]) == 13
+    assert len(body["tools"]) == 15
 
 
 def test_dedupe_route_end_to_end(server):
@@ -116,6 +142,113 @@ def test_error_paths(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server, "/v1/memory/stats", {"bogus_param": 1})
     assert e.value.code == 400
+
+
+_PIPE_CHUNKS = [
+    {"id": "a", "text": "alpha alpha alpha words here",
+     "embedding": [1.0, 0.0, 0.0], "score": 0.9},
+    {"id": "a2", "text": "alpha alpha alpha words here copy",
+     "embedding": [0.999, 0.01, 0.0], "score": 0.8},
+    {"id": "b", "text": "beta entirely different content",
+     "embedding": [0.0, 1.0, 0.0], "score": 0.7},
+]
+
+
+def test_pipeline_route(server):
+    """POST /v1/pipeline: dedup+compress stages, PipelineResponse
+    shape (chunks + stats.stages, cmd/api_pipeline.go:44-66)."""
+    code, body = _post(server, "/v1/pipeline", {
+        "chunks": _PIPE_CHUNKS,
+        "options": {"dedup": {"enabled": True, "threshold": 0.15},
+                    "compress": {"enabled": True,
+                                 "target_reduction": 0.3}}})
+    assert code == 200
+    assert {c["id"] for c in body["chunks"]} == {"a", "b"}
+    st = body["stats"]
+    assert st["original_tokens"] > st["final_tokens"] > 0
+    assert 0 < st["total_reduction"] < 1
+    assert set(st["stages"]) == {"dedup", "compress"}
+    assert st["stages"]["dedup"]["input_tokens"] > \
+        st["stages"]["dedup"]["output_tokens"]
+
+
+def test_batch_submit_status_results(server):
+    """POST /v1/batch -> 202 {job_id}; GET /v1/batch/{id} polls to
+    completed; GET /v1/batch/{id}/results returns the pipeline
+    payload (cmd/api_pipeline.go:149-240)."""
+    import time
+
+    code, sub = _post(server, "/v1/batch", {
+        "chunks": _PIPE_CHUNKS,
+        "options": {"dedup": {"enabled": True}}})
+    assert code == 202 and sub["job_id"]
+    jid = sub["job_id"]
+    deadline = time.time() + 120
+    status = None
+    while time.time() < deadline:
+        code, status = _get(server, f"/v1/batch/{jid}")
+        assert code == 200 and status["job_id"] == jid
+        if status["status"] in ("completed", "failed"):
+            break
+        time.sleep(0.5)
+    assert status["status"] == "completed", status
+    assert status["progress"] == 1.0 and status["created_at"]
+    code, res = _get(server, f"/v1/batch/{jid}/results")
+    assert code == 200
+    assert {c["id"] for c in res["chunks"]} == {"a", "b"}
+    assert res["stats"]["original_tokens"] > 0
+    # unknown job -> 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/v1/batch/nope")
+    assert e.value.code == 404
+
+
+def test_session_get_route(server):
+    _post(server, "/v1/session/create", {"session_id": "sget"})
+    _post(server, "/v1/session/push",
+          {"session_id": "sget", "content": "payload for get",
+           "role": "user"})
+    code, got = _post(server, "/v1/session/get", {"session_id": "sget"})
+    assert code == 200
+    assert got["session_id"] == "sget" and got["pushes"] == 1
+    assert got["entry_count"] == 1 and got["total_tokens"] > 0
+    assert got["max_tokens"] == 128000
+    _post(server, "/v1/session/delete", {"session_id": "sget"})
+
+
+def test_retrieve_route_unconfigured_corpus(server):
+    """/v1/retrieve is bound; without a corpus the tool's validation
+    error surfaces as 422 (the reference 500s on backend absence)."""
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/v1/retrieve", {"query": "alpha", "target_k": 3})
+    assert e.value.code == 422
+    assert "vector DB not configured" in json.loads(e.value.read())["error"]
+
+
+def test_metrics_openapi_docs(server):
+    """GET /metrics renders Prometheus text with the reference's
+    counter names and reflects served traffic; /openapi.yaml and
+    /docs respond."""
+    # ensure at least one counted request exists
+    _post(server, "/v1/memory/stats", {})
+    with urllib.request.urlopen(server + "/metrics", timeout=30) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    assert 'distill_requests_total{endpoint="/v1/memory/stats",' \
+        'status="200"}' in text
+    assert "distill_request_duration_seconds_bucket" in text
+    assert 'distill_chunks_processed_total{direction="input"}' in text
+    assert "distill_active_requests 0" in text
+    with urllib.request.urlopen(server + "/openapi.yaml", timeout=30) as r:
+        spec = r.read().decode()
+    assert spec.startswith("openapi: 3.0.3")
+    for route in ("/v1/pipeline", "/v1/batch/{id}/results", "/v1/retrieve",
+                  "/v1/session/get"):
+        assert f"  {route}:" in spec
+    with urllib.request.urlopen(server + "/docs", timeout=30) as r:
+        assert r.status == 200
+        assert "openapi.yaml" in r.read().decode()
 
 
 def test_dedupe_stream_sse_frames(server):
