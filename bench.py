@@ -141,12 +141,18 @@ def _ann_scale(spark, n=1_000_000, dim=64, nq=8, k=10):
     # python worker spin-up after the training section's GC), not the
     # plan — measured solo r9: 3.90 s cold, then 1.51 / 1.34 s warm.
     # The metric documents steady-state scan throughput, so warm it.
+    # BOTH bases recorded since r10 (the r8→r9 basis change orphaned
+    # the trend line): cold = first pass on this session (codegen +
+    # python-worker spawn folded in), warm = steady-state scan.
+    t0 = time.time()
     brute_topk_batch(corpus, queries, k=k).count()
+    cold_secs = round(time.time() - t0, 3)
     t0 = time.time()
     rows = brute_topk_batch(corpus, queries, k=k).count()
     secs = round(time.time() - t0, 3)
     return {"n_vectors": n, "dim": dim, "n_queries": nq, "k": k,
             "rows": rows, "secs": secs, "basis": "warm (1 untimed pass)",
+            "cold_secs": cold_secs, "warm_secs": secs,
             "scored_pairs_per_sec": round(n * nq / secs)}
 
 
@@ -223,6 +229,55 @@ def _sf1_section(spark, sf_dir):
     return out
 
 
+def _loadavg() -> list[float]:
+    """1/5/15-minute host load — the external-noise witness. Two
+    consecutive rounds shipped section regressions that were probably
+    noisy-neighbor load (r8 +9%, r9 sequential +7%) with only
+    anecdotal PROGRESS.jsonl notes as evidence; recording the load at
+    every section boundary makes that machine-detectable."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return [float(x) for x in fh.read().split()[:3]]
+    except Exception:  # noqa: BLE001 — non-Linux fallback
+        return [os.getloadavg()[i] for i in range(3)] \
+            if hasattr(os, "getloadavg") else [0.0, 0.0, 0.0]
+
+
+class _NoiseLog:
+    """Per-section load bookkeeping + the host_noise verdict. The
+    pre-Spark reading is the cleanest signal (nothing of ours runs
+    yet); section boundaries bound which numbers a spike can have
+    touched. Sections where OUR OWN concurrency legitimately drives
+    load are judged only on their STARTING load."""
+
+    def __init__(self, cpus: int):
+        self.cpus = cpus
+        self.sections: dict[str, dict] = {}
+        self.pre_bench = _loadavg()
+
+    def start(self, name: str) -> None:
+        self.sections[name] = {"load_before": _loadavg()[0]}
+
+    def end(self, name: str) -> None:
+        self.sections.setdefault(name, {})["load_after"] = _loadavg()[0]
+
+    def report(self) -> dict:
+        # noise heuristics: (a) load before Spark exists should be ~0
+        # on a dedicated box; (b) a section should never START hotter
+        # than the previous sections' own work can explain — the
+        # 1-min EMA of a fully-loaded local[32] settles well under
+        # cpus once a section's tail is sequential/driver-bound.
+        noisy = []
+        if self.pre_bench[0] > 4.0:
+            noisy.append(f"pre_bench load1={self.pre_bench[0]}")
+        for name, s in self.sections.items():
+            if s.get("load_before", 0.0) > self.cpus + 8:
+                noisy.append(f"{name} start load1={s['load_before']}")
+        return {"pre_bench_load": self.pre_bench,
+                "sections": self.sections,
+                "host_noise": noisy}
+
+
 def _release_state(spark, jvm_gc=False):
     """Operators persist/localCheckpoint intermediates; between
     unrelated queries those blocks only cost heap. clearCache handles
@@ -266,6 +321,7 @@ def main():
     # by the light queries — measured 6.57 -> 6.14 s mean batch wall
     alloc = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "tools", "fairscheduler.xml")
+    noise = _NoiseLog(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     spark = get_spark(app_name="distill_spark_bench",
                       extra_conf={"spark.scheduler.mode": "FAIR",
                                   "spark.scheduler.allocation.file": alloc})
@@ -397,10 +453,16 @@ def main():
             "queries_of_min": min(runs, key=lambda r: r[0])[1],
         }), flush=True)
         return
+    noise.start("training")
     training_total, training_timings = run_training()
+    noise.end("training")
+    noise.start("ann_scale")
     ann_scale = _ann_scale(spark)
+    noise.end("ann_scale")
     _release_state(spark, jvm_gc=True)
+    noise.start("sequential")
     seq_total, seq_timings = run_batch(sequential=True)
+    noise.end("sequential")
     if seq_only:
         conc_runs = []
     else:
@@ -408,7 +470,9 @@ def main():
         # per invocation intermittently absorbs a ~3x a2_kmeans
         # straggler stall from late-session state; with 2 reps that
         # outlier landed in the headline roughly every other round
+        noise.start("concurrent")
         conc_runs = [run_batch(sequential=False) for _ in range(3)]
+        noise.end("concurrent")
     # sf1 runs LAST (since r9.2): at 3 reps x 7 heavy queries it is
     # ~100s of JVM work, and running it before the headline batches
     # (its r9.1 position) inflated the sequential section ~20% vs the
@@ -416,7 +480,9 @@ def main():
     # re-measured in this end-of-run position, so the flag basis is
     # internally consistent
     _release_state(spark, jvm_gc=True)
+    noise.start("sf1")
     sf1 = _sf1_section(spark, sf_dir)
+    noise.end("sf1")
     if conc_runs:
         conc_totals = [r[0] for r in conc_runs]
         total, timings = min(conc_runs, key=lambda r: r[0])
@@ -425,6 +491,25 @@ def main():
         conc_totals = []
         total, timings = seq_total, seq_timings
         mode = "sequential"
+    # concurrent regression gate (round-9 verdict ask #8): the first
+    # sub-6.5 s reading must not regress silently — same 1.3x flag
+    # rule as the sf1 section, against a committed baseline
+    conc_section = None
+    if conc_totals:
+        root = os.path.dirname(os.path.abspath(__file__))
+        base_path = os.path.join(root, "CONC_BASELINE.json")
+        conc_section = {"min": min(conc_totals),
+                        "mean": round(sum(conc_totals) / len(conc_totals), 3),
+                        "totals": conc_totals,
+                        "flag_rule": "min > 1.3x committed baseline"}
+        if os.path.exists(base_path):
+            with open(base_path) as fh:
+                base_min = json.load(fh)["concurrent_min"]
+            conc_section["baseline"] = base_min
+            conc_section["flagged"] = min(conc_totals) > 1.3 * base_min
+        if os.environ.get("SPARK_GRAFT_BENCH_WRITE_CONC_BASELINE") == "1":
+            with open(base_path, "w") as fh:
+                json.dump({"concurrent_min": min(conc_totals)}, fh)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -433,11 +518,7 @@ def main():
         "sf": sf,
         "mode": mode,
         "runs": conc_totals or [seq_total],
-        "concurrent": ({
-            "min": min(conc_totals),
-            "mean": round(sum(conc_totals) / len(conc_totals), 3),
-            "totals": conc_totals,
-        } if conc_totals else None),
+        "concurrent": conc_section,
         "sequential": {"total": seq_total, "queries": seq_timings},
         # training-data ops over FULL tables (not the oracle-bounded
         # gated ranges), run SEQUENTIALLY (total = sum of uncontended
@@ -451,6 +532,9 @@ def main():
         # exists): the 5 most expensive headline queries at 10x data,
         # sequential, 1 rep — the scale signal sf0.1 no longer gives
         "sf1": sf1,
+        # per-section /proc/loadavg + host_noise verdict: regression
+        # claims must cite these (round-9 verdict ask #3)
+        "noise": noise.report(),
         # measurement-basis note: since round 5 the training section
         # runs FIRST (fresh JVM), so headline batches carry training's
         # GC debt — r01-r03 files used the opposite order; compare
