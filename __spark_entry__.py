@@ -9930,7 +9930,97 @@ def _sql_capture():
     return capture_recapture_sql()
 
 
+# ---------------------------------------------------------------------------
+# Round-10 first stratum: the round-9 verdict's seed list — isotonic
+# calibration (PAV in closed min-max form), Kendall distance between
+# the corpus's df- and tf-rankings, Shapley channel attribution over
+# the subset lattice, and CUSUM ARL calibration by deterministic
+# hash-resampling.
+
+def q_isotonic_calibration(spark, sf_dir):
+    """Isotonic (PAV) calibration of value→purchase over 20 score
+    bins (mleval.isotonic_calibration) — the monotone reliability
+    curve, Robertson min-max form, no sequential pooling loop."""
+    from distill_spark.operators.mleval import isotonic_calibration
+
+    return isotonic_calibration(_mleval_frame(_tables(spark, sf_dir)),
+                                "y", "value")
+
+
+def _sql_isotonic():
+    from distill_spark.operators.mleval import isotonic_calibration_sql
+
+    return isotonic_calibration_sql("events", _MLEVAL_LABEL, "value")
+
+
+def q_kendall_rank_distance(spark, sf_dir):
+    """Normalized Kendall tau distance between the top-50 terms by
+    document frequency vs by total term frequency
+    (search.kendall_rank_distance) — does burstiness reorder the
+    vocabulary head; the rankings twin of rbo_sources."""
+    from distill_spark.operators.search import kendall_rank_distance
+
+    t = _tables(spark, sf_dir)
+    return kendall_rank_distance(t["documents"])
+
+
+def _sql_kendall_distance():
+    from distill_spark.operators.search import kendall_rank_distance_sql
+
+    return kendall_rank_distance_sql("documents", "text",
+                                     words_sql_tpl=_WORDS_SQL)
+
+
+_SHAPLEY_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def q_shapley_paths(spark, sf_dir):
+    """Shapley-value channel attribution over pre-conversion touch
+    sets (conversion.shapley_attribution) — the order-free,
+    efficiency-axiom split that attribution_ushaped's positional
+    40/20/40 rule approximates; exact integer numerators over k!."""
+    from distill_spark.operators.conversion import shapley_attribution
+
+    t = _tables(spark, sf_dir)
+    return shapley_attribution(t["events"], channels=_SHAPLEY_CHANNELS)
+
+
+def _sql_shapley():
+    from distill_spark.operators.conversion import shapley_attribution_sql
+
+    return shapley_attribution_sql(channels=_SHAPLEY_CHANNELS)
+
+
+def q_cusum_arl(spark, sf_dir):
+    """In-control ARL of the daily-value CUSUM chart (k=0.5, h=4) by
+    deterministic hash-resampling of standardized daily totals
+    (timeseries.cusum_arl) — the design readout cusum_drift assumes;
+    reflection identity, no recursion."""
+    from distill_spark.operators.timeseries import cusum_arl
+
+    t = _tables(spark, sf_dir)
+    return cusum_arl(t["events"])
+
+
+def _sql_cusum_arl():
+    from distill_spark.operators.timeseries import cusum_arl_sql
+
+    return cusum_arl_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    # -- round-10 window head: first stratum (verdict seed list) ------------
+    "isotonic_calibration": (q_isotonic_calibration, _sql_isotonic()),
+    "kendall_rank_distance": (q_kendall_rank_distance,
+                              _sql_kendall_distance()),
+    "shapley_paths": (q_shapley_paths, _sql_shapley()),
+    "cusum_arl": (q_cusum_arl, _sql_cusum_arl()),
+    # -- round-9 mid-round queue, promoted (verdict ask #1): the only
+    # four registry entries never driver-sampled; PARITY-green since r9
+    "attribution_ushaped": (q_attribution_ushaped, _sql_attribution()),
+    "srm_users": (q_srm_users, _sql_srm()),
+    "holt_forecast": (q_holt_forecast, _sql_holt()),
+    "dq_expectations": (q_dq_expectations, _sql_dq()),
     # -- round-9 eighth stratum: cluster quality, tails, predictability,
     #    crawl completeness ------------------------------------------------
     "silhouette_kmeans": (q_silhouette_kmeans, _sql_silhouette()),
@@ -9994,10 +10084,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
                                 _sql_mutual_info()),
     "effect_size_types": (q_effect_size_types, _sql_effect_size()),
     "did_promo": (q_did_promo, _sql_did()),
-    "attribution_ushaped": (q_attribution_ushaped, _sql_attribution()),
-    "srm_users": (q_srm_users, _sql_srm()),
-    "holt_forecast": (q_holt_forecast, _sql_holt()),
-    "dq_expectations": (q_dq_expectations, _sql_dq()),
+    # (attribution_ushaped / srm_users / holt_forecast /
+    #  dq_expectations promoted to the round-10 window head)
     # -- round-8 window head: perceptual-hash image near-dup ----------------
     "mm_phash_pairs": (q_mm_phash_pairs, _sql_mm_phash_pairs()),
     "mm_phash_clusters": (q_mm_phash_clusters, _sql_mm_phash_clusters()),
@@ -10295,15 +10383,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
 # the driver window, and not already be driver-green (else it should
 # leave the queue). tests/test_registry_gate.py enforces all three +
 # that nothing ELSE is hiding past the window unevidenced.
-# Round 9: the eighth stratum (silhouette/hill/negbin/markov-entropy/
-# capture-recapture) took the last window-head slots, pushing these
-# four round-9 mid-round queries past position 50 before any driver
-# run could evidence them — queued for the round-10 window. Each is
-# PARITY_r9-green at sf0.001 and hand-verified at sf0.01.
-_PENDING_PROMOTION: frozenset[str] = frozenset({
-    "attribution_ushaped", "srm_users", "holt_forecast",
-    "dq_expectations",
-})
+# Round 10: the round-9 queue (attribution_ushaped, srm_users,
+# holt_forecast, dq_expectations) is PROMOTED into the window head;
+# new round-10 strata that overflow the 50-slot window re-enter here.
+_PENDING_PROMOTION: frozenset[str] = frozenset()
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1484,3 +1484,192 @@ SELECT cur, CAST(nt AS BIGINT) AS n_trans,
        round(hh, 6) AS entropy, round(exp(hh), 6) AS perplexity
 FROM agg
 """
+
+
+# ------------------------------------------------ Shapley attribution
+
+def shapley_attribution(events: DataFrame,
+                        channels: list[str] | None = None,
+                        convert_type: str = "purchase",
+                        user_col: str = "user_id", ts_col: str = "ts",
+                        type_col: str = "event_type") -> DataFrame:
+    """Shapley-value channel attribution over pre-conversion touch
+    SETS (the "Simplified Shapley Value Method" family, Zhao,
+    Mahboobi & Bagheri 2018; coalition worth from observed behavior,
+    not a fitted model): the game's universe is the channel list, and
+
+        v(S) = # converting users whose pre-first-conversion channel
+               set is a subset of S
+
+    (monotone by construction), so channel c earns
+    phi_c = sum_{S ⊆ U\\{c}} |S|!(k-|S|-1)!/k! * (v(S∪{c}) - v(S)).
+    Order-free by design — the positional complement of
+    attribution_ushaped (which splits 40/20/40 by position); Shapley
+    is the only split that is symmetric, efficient
+    (sum phi = v(U) - v(∅)) and dummy-free.
+
+    Scale shape: ONE corpus pass builds each converter's touch
+    BITMASK (min-conversion-ts aggregate + conditional bit sum —
+    user-keyed, map-side combined); the per-mask histogram is at most
+    2^k rows, and the subset lattice (2^k coalitions × masks, k·2^k
+    marginals) is constant-size driver-free algebra — k=4 means a
+    16×16 broadcast grid, the same at 100 TB. phi accumulates as an
+    EXACT INTEGER numerator over the common denominator k! (weights
+    s!(k-1-s)! are integers), so engines agree bit-for-bit until the
+    single final division. Output: (channel, touched_converters,
+    shapley_value, share), rounds 6; share is of v(U) - v(∅).
+    """
+    import math
+
+    chans = sorted(channels) if channels else None
+    if chans is None:
+        chans = sorted(
+            r[0] for r in events.select(type_col).distinct().collect()
+            if r[0] is not None and r[0] != convert_type)
+    k = len(chans)
+    kfact = math.factorial(k)
+    bit = {c: 1 << i for i, c in enumerate(chans)}
+
+    first_conv = (events.filter(F.col(type_col) == convert_type)
+                  .groupBy(user_col)
+                  .agg(F.min(ts_col).alias("_ct")))
+    touch_bit = F.coalesce(
+        *[F.when(F.col(type_col) == c, F.lit(b)) for c, b in bit.items()],
+        F.lit(0))
+    # bit-OR folded as a sum of per-bit max-presence aggregates (one
+    # user-keyed groupBy, map-side combined; no bit_or dependency)
+    masks = (events.join(first_conv, user_col)
+             .filter((F.col(ts_col) < F.col("_ct"))
+                     & F.col(type_col).isin(chans))
+             .select(user_col, touch_bit.alias("_b"))
+             .groupBy(user_col)
+             .agg(*[F.max(F.when(F.col("_b") == b, F.lit(b))
+                          .otherwise(F.lit(0))).alias(f"_m{i}")
+                    for i, b in enumerate(sorted(bit.values()))]))
+    mask_expr = sum([F.col(f"_m{i}") for i in range(k)], F.lit(0))
+    # converters with zero prior touches form v(∅) — union them in
+    touched = masks.select(user_col, mask_expr.alias("mask"))
+    all_conv = first_conv.select(user_col)
+    with_mask = (all_conv.join(touched, user_col, "left")
+                 .select(F.coalesce(F.col("mask"), F.lit(0)).alias("mask")))
+    hist = with_mask.groupBy("mask").agg(F.count("*").alias("cnt"))
+
+    spark = events.sparkSession
+    subsets = spark.range(1 << k).select(F.col("id").cast("int").alias("S"))
+    subset_ok = F.col("mask").bitwiseAND(
+        F.bitwise_not(F.col("S"))) == 0
+    v = (subsets.join(F.broadcast(hist), subset_ok, "left")
+         .groupBy("S").agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("v")))
+    chan_rows = spark.createDataFrame(
+        [(c, bit[c]) for c in chans], "channel string, cbit int")
+    # popcount via k literal bit tests (k is tiny)
+    pop = sum([(F.shiftright(F.col("S"), i) % 2).cast("int")
+               for i in range(k)], F.lit(0))
+    base = (chan_rows.crossJoin(F.broadcast(v))
+            .filter(F.col("S").bitwiseAND(F.col("cbit")) == 0)
+            .select("channel", "cbit", "S", "v", pop.alias("s_size")))
+    v_with = v.select(F.col("S").alias("S2"), F.col("v").alias("v2"))
+    weight = F.coalesce(
+        *[F.when(F.col("s_size") == s,
+                 F.lit(math.factorial(s) * math.factorial(k - 1 - s)))
+          for s in range(k)], F.lit(0))
+    marg = (base.join(F.broadcast(v_with),
+                      F.col("S2") == (F.col("S") + F.col("cbit")))
+            .select("channel",
+                    (weight * (F.col("v2") - F.col("v"))).alias("_num")))
+    phi = (marg.groupBy("channel")
+           .agg(F.sum("_num").alias("num")))
+    totals = (v.agg(
+        F.max(F.when(F.col("S") == (1 << k) - 1, F.col("v"))).alias("vU"),
+        F.max(F.when(F.col("S") == 0, F.col("v"))).alias("v0")))
+    touched_per = (with_mask.crossJoin(F.broadcast(chan_rows))
+                   .filter(F.col("mask").bitwiseAND(F.col("cbit")) != 0)
+                   .groupBy("channel")
+                   .agg(F.count("*").alias("touched_converters")))
+    gain = (F.col("vU") - F.col("v0")).cast("double")
+    return (phi.join(touched_per, "channel", "left")
+            .crossJoin(F.broadcast(totals))
+            .select("channel",
+                    F.coalesce(F.col("touched_converters"), F.lit(0))
+                    .cast("long").alias("touched_converters"),
+                    F.round(F.col("num") / F.lit(float(kfact)), 6)
+                    .alias("shapley_value"),
+                    F.round(F.when(gain > 0,
+                                   F.col("num") / F.lit(float(kfact))
+                                   / gain), 6).alias("share")))
+
+
+def shapley_attribution_sql(table: str = "events",
+                            channels: list[str] | None = None,
+                            convert_type: str = "purchase",
+                            user_sql: str = "user_id",
+                            ts_sql: str = "ts",
+                            type_sql: str = "event_type") -> str:
+    import math
+
+    chans = sorted(channels or [])
+    k = len(chans)
+    kfact = math.factorial(k)
+    bit_case = " + ".join(
+        f"max(CASE WHEN {type_sql} = '{c}' THEN {1 << i} ELSE 0 END)"
+        for i, c in enumerate(chans))
+    pop = " + ".join(f"((v1.S >> {i}) % 2)" for i in range(k))
+    wcase = " ".join(
+        f"WHEN {s} THEN {math.factorial(s) * math.factorial(k - 1 - s)}"
+        for s in range(k))
+    chan_vals = ", ".join(f"('{c}', {1 << i})"
+                          for i, c in enumerate(chans))
+    return f"""
+WITH first_conv AS (
+  SELECT {user_sql} AS u, min({ts_sql}) AS ct
+  FROM {table} WHERE {type_sql} = '{convert_type}' GROUP BY 1
+),
+touched AS (
+  SELECT e.{user_sql} AS u, {bit_case} AS mask
+  FROM {table} e JOIN first_conv fc ON e.{user_sql} = fc.u
+  WHERE e.{ts_sql} < fc.ct
+    AND e.{type_sql} IN ({", ".join(f"'{c}'" for c in chans)})
+  GROUP BY 1
+),
+with_mask AS (
+  SELECT coalesce(t.mask, 0) AS mask
+  FROM first_conv fc LEFT JOIN touched t ON t.u = fc.u
+),
+hist AS (SELECT mask, count(*) AS cnt FROM with_mask GROUP BY 1),
+subsets AS (SELECT CAST(range AS INT) AS S FROM range({1 << k})),
+v AS (
+  SELECT S, coalesce(sum(h.cnt), 0) AS v
+  FROM subsets LEFT JOIN hist h ON (h.mask & ~S) = 0
+  GROUP BY 1
+),
+chan AS (SELECT * FROM (VALUES {chan_vals}) AS t(channel, cbit)),
+marg AS (
+  SELECT c.channel,
+         (CASE ({pop}) {wcase} ELSE 0 END)
+           * (v2.v - v1.v) AS num_term
+  FROM chan c
+  JOIN v v1 ON (v1.S & c.cbit) = 0
+  JOIN v v2 ON v2.S = v1.S + c.cbit
+),
+phi AS (SELECT channel, sum(num_term) AS num FROM marg GROUP BY 1),
+totals AS (
+  SELECT max(CASE WHEN S = {(1 << k) - 1} THEN v END) AS vU,
+         max(CASE WHEN S = 0 THEN v END) AS v0
+  FROM v
+),
+touched_per AS (
+  SELECT c.channel, count(*) AS touched_converters
+  FROM with_mask m JOIN chan c ON (m.mask & c.cbit) <> 0
+  GROUP BY 1
+)
+SELECT p.channel,
+       CAST(coalesce(tp.touched_converters, 0) AS BIGINT)
+         AS touched_converters,
+       round(p.num / {float(kfact)}, 6) AS shapley_value,
+       round(CASE WHEN (t.vU - t.v0) > 0
+                  THEN p.num / {float(kfact)}
+                       / CAST(t.vU - t.v0 AS DOUBLE) END, 6) AS share
+FROM phi p
+LEFT JOIN touched_per tp ON tp.channel = p.channel
+CROSS JOIN totals t
+"""

@@ -835,3 +835,117 @@ SELECT CAST(n AS BIGINT) AS n, CAST(tp AS BIGINT) AS tp,
              6) AS mcc
 FROM d
 """
+
+
+# --------------------------------------------------- isotonic (PAV)
+
+def isotonic_calibration(df: DataFrame, label_col: str, score_col: str,
+                         n_bins: int = 20) -> DataFrame:
+    """Isotonic-regression calibration curve: the pool-adjacent-
+    violators fit of positive rate against score, computed bin-wise —
+    the shape-free upgrade of ``calibration_bins`` (whose raw
+    reliability curve can zig-zag on thin bins; the isotonic fit is
+    the monotone curve a calibrated ranker owes you, Zadrozny &
+    Elkan KDD'02).
+
+    PAV is usually presented as a sequential pooling loop; this uses
+    the equivalent closed min-max form (Robertson, Wright & Dykstra
+    1988, ch. 1): over the m non-empty score bins in score order,
+
+        fit_k = max_{i<=k} min_{j>=k} (pos_{i..j} / n_{i..j})
+
+    which is pure relational algebra on the BINNED frame: one
+    bucketing aggregate over the corpus (the only corpus-scale pass,
+    same cost class as calibration_bins), then prefix sums + an
+    O(m^3) subset enumeration over m <= n_bins rows — a few thousand
+    broadcast-joined rows regardless of corpus size, so the 100 TB
+    cost is exactly one scan + one tiny aggregate. All pooled rates
+    are single double divisions of exact integer sums, so min/max
+    pick from bit-identical candidate sets in both engines. Output:
+    (bin, n, pos, raw_rate, isotonic_rate), rounds 6; isotonic_rate
+    is non-decreasing in bin by construction.
+    """
+    v = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("int")
+    base = df.filter(v.isNotNull()).select(v.alias("v"), lab.alias("y"))
+    bounds = base.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    b = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(F.floor((F.col("v") - F.col("lo")) * n_bins
+                        / (F.col("hi") - F.col("lo"))),
+                F.lit(n_bins - 1))).otherwise(0)
+    binned = (base.crossJoin(F.broadcast(bounds))
+              .select(b.cast("int").alias("bin"), "y")
+              .groupBy("bin")
+              .agg(F.count("*").alias("n"), F.sum("y").alias("pos")))
+    w = Window.partitionBy().orderBy("bin")
+    p = binned.select(
+        "bin", "n", "pos",
+        F.row_number().over(w).alias("i"),
+        F.sum("n").over(w).alias("cn"),
+        F.sum("pos").over(w).alias("cp"))
+    a = p.select(F.col("i").alias("ia"),
+                 (F.col("cn") - F.col("n")).alias("cn0"),
+                 (F.col("cp") - F.col("pos")).alias("cp0"))
+    jb = p.select(F.col("i").alias("ij"), F.col("cn").alias("cnj"),
+                  F.col("cp").alias("cpj"))
+    pairs = (a.join(F.broadcast(jb), F.col("ij") >= F.col("ia"))
+             .select("ia", "ij",
+                     ((F.col("cpj") - F.col("cp0"))
+                      / (F.col("cnj") - F.col("cn0")).cast("double"))
+                     .alias("avg")))
+    k = p.select(F.col("i").alias("ik"), F.col("bin"), "n", "pos")
+    inner = (k.join(F.broadcast(pairs),
+                    (F.col("ia") <= F.col("ik"))
+                    & (F.col("ij") >= F.col("ik")))
+             .groupBy("ik", "bin", "n", "pos", "ia")
+             .agg(F.min("avg").alias("mn")))
+    return (inner.groupBy("bin", "n", "pos")
+            .agg(F.max("mn").alias("fit"))
+            .select("bin", F.col("n").cast("long").alias("n"),
+                    F.col("pos").cast("long").alias("pos"),
+                    F.round(F.col("pos") / F.col("n").cast("double"), 6)
+                    .alias("raw_rate"),
+                    F.round(F.col("fit"), 6).alias("isotonic_rate")))
+
+
+def isotonic_calibration_sql(table: str, label_sql: str, value_sql: str,
+                             n_bins: int = 20) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS v,
+         CASE WHEN {label_sql} THEN 1 ELSE 0 END AS y
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
+binned AS (
+  SELECT CAST(CASE WHEN hi > lo
+              THEN least(floor((v - lo) * {n_bins} / (hi - lo)),
+                         {n_bins} - 1)
+              ELSE 0 END AS INT) AS bin,
+         count(*) AS n, sum(y) AS pos
+  FROM base, bounds GROUP BY 1
+),
+p AS (
+  SELECT bin, n, pos,
+         row_number() OVER (ORDER BY bin) AS i,
+         sum(n) OVER (ORDER BY bin) AS cn,
+         sum(pos) OVER (ORDER BY bin) AS cp
+  FROM binned
+),
+pairs AS (
+  SELECT a.i AS ia, b.i AS ij,
+         (b.cp - (a.cp - a.pos))
+           / CAST(b.cn - (a.cn - a.n) AS DOUBLE) AS avg_
+  FROM p a JOIN p b ON b.i >= a.i
+),
+inner_ AS (
+  SELECT k.i AS ik, k.bin, k.n, k.pos, pr.ia, min(pr.avg_) AS mn
+  FROM p k JOIN pairs pr ON pr.ia <= k.i AND pr.ij >= k.i
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT bin, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+       round(pos / CAST(n AS DOUBLE), 6) AS raw_rate,
+       round(max(mn), 6) AS isotonic_rate
+FROM inner_ GROUP BY bin, n, pos
+"""

@@ -709,3 +709,117 @@ SELECT ks.k AS k,
 FROM ks JOIN ranked ON ranked._rk <= ks.k
 GROUP BY ks.k
 """
+
+
+# ---------------------------------------- Kendall distance of rankings
+
+def kendall_rank_distance(docs: DataFrame, text_col: str = "text",
+                          k: int = 50) -> DataFrame:
+    """Normalized Kendall tau distance between the corpus's two
+    natural term rankings — by document frequency (breadth) vs by
+    total term frequency (mass) — over the conjoint top-k: the
+    fraction of term pairs the two rankings order oppositely
+    (Kendall 1938; the list-comparison twin of rbo_sources, which
+    compares SOURCES under one ranking — this compares RANKINGS of
+    one corpus). A distance near 0 means burstiness doesn't reorder
+    the head of the vocabulary; near 0.5 means df and tf disagree
+    about what the corpus is "about".
+
+    Scale shape: ONE (term, df, tf) aggregate over the exploded
+    token frame (the tfidf_top_terms cost class — term-keyed,
+    map-side combined), two rank windows over that dictionary-sized
+    frame, then an O(k^2) pair join over the <= k conjoint terms —
+    bounded at 1225 pairs regardless of corpus size. Ranks are
+    integers (ties: df/tf DESC, term ASC), so concordance is exact
+    integer sign algebra; the single division happens once at the
+    end. Output: one row (k_df, k_tf, m_common, concordant,
+    discordant, kendall_distance), distance rounds 6, NULL when
+    m_common < 2.
+    """
+    terms = (docs.select(F.col("doc_id"),
+                         F.explode(F.array_distinct(
+                             words_expr(F.col(text_col)))).alias("term"))
+             .groupBy("term").agg(F.count("*").alias("df")))
+    tf = (docs.select(F.explode(words_expr(F.col(text_col))).alias("term"))
+          .groupBy("term").agg(F.count("*").alias("tf")))
+    both = terms.join(tf, "term")
+    r_df = F.row_number().over(
+        Window.partitionBy().orderBy(F.desc("df"), F.asc("term")))
+    r_tf = F.row_number().over(
+        Window.partitionBy().orderBy(F.desc("tf"), F.asc("term")))
+    ranked = both.select("term", "df", "tf", r_df.alias("rd"),
+                         r_tf.alias("rt"))
+    common = ranked.filter((F.col("rd") <= k) & (F.col("rt") <= k)) \
+        .select("term", "rd", "rt")
+    a = common.select(F.col("term").alias("ta"), F.col("rd").alias("rda"),
+                      F.col("rt").alias("rta"))
+    b = common.select(F.col("term").alias("tb"), F.col("rd").alias("rdb"),
+                      F.col("rt").alias("rtb"))
+    sgn = (F.signum((F.col("rda") - F.col("rdb")).cast("double"))
+           * F.signum((F.col("rta") - F.col("rtb")).cast("double")))
+    pairs = (a.join(F.broadcast(b), F.col("ta") < F.col("tb"))
+             .select(sgn.cast("int").alias("s")))
+    magg = common.agg(F.count("*").alias("m_common"))
+    return (pairs.agg(
+        F.count("*").alias("_np"),
+        F.sum(F.when(F.col("s") > 0, 1).otherwise(0)).alias("concordant"),
+        F.sum(F.when(F.col("s") < 0, 1).otherwise(0)).alias("discordant"))
+        .crossJoin(F.broadcast(magg))
+        .select(F.lit(k).cast("int").alias("k_df"),
+                F.lit(k).cast("int").alias("k_tf"),
+                F.col("m_common").cast("long").alias("m_common"),
+                F.col("concordant").cast("long").alias("concordant"),
+                F.col("discordant").cast("long").alias("discordant"),
+                F.round(F.when(F.col("_np") > 0,
+                               F.col("discordant")
+                               / F.col("_np").cast("double")), 6)
+                .alias("kendall_distance")))
+
+
+def kendall_rank_distance_sql(table: str = "documents",
+                              text_sql: str = "text", k: int = 50,
+                              words_sql_tpl: str | None = None) -> str:
+    words = (words_sql_tpl or
+             "list_filter(string_split({c}, ' '), x -> x <> '')")
+    w = words.format(c=text_sql)
+    return f"""
+WITH df_ AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT doc_id, unnest(list_distinct({w})) AS term FROM {table}
+  ) GROUP BY 1
+),
+tf_ AS (
+  SELECT term, count(*) AS tf FROM (
+    SELECT unnest({w}) AS term FROM {table}
+  ) GROUP BY 1
+),
+ranked AS (
+  SELECT term,
+         row_number() OVER (ORDER BY df DESC, term ASC) AS rd,
+         row_number() OVER (ORDER BY tf DESC, term ASC) AS rt
+  FROM df_ JOIN tf_ USING (term)
+),
+common AS (
+  SELECT term, rd, rt FROM ranked WHERE rd <= {k} AND rt <= {k}
+),
+pairs AS (
+  SELECT CAST(sign(CAST(a.rd - b.rd AS DOUBLE))
+              * sign(CAST(a.rt - b.rt AS DOUBLE)) AS INT) AS s
+  FROM common a JOIN common b ON a.term < b.term
+),
+agg AS (
+  SELECT count(*) AS np,
+         sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS concordant,
+         sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS discordant
+  FROM pairs
+),
+magg AS (SELECT count(*) AS m_common FROM common)
+SELECT CAST({k} AS INT) AS k_df, CAST({k} AS INT) AS k_tf,
+       CAST(m_common AS BIGINT) AS m_common,
+       CAST(concordant AS BIGINT) AS concordant,
+       CAST(discordant AS BIGINT) AS discordant,
+       round(CASE WHEN np > 0
+                  THEN discordant / CAST(np AS DOUBLE) END, 6)
+         AS kendall_distance
+FROM agg CROSS JOIN magg
+"""

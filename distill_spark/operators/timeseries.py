@@ -1563,3 +1563,176 @@ SELECT CAST(m AS BIGINT) AS m_days, round(mean_, 6) AS mean_max,
          AS return_level_p99
 FROM fit
 """
+
+
+# ------------------------------------------------------- CUSUM ARL
+
+_ARL_M = 1 << 31
+_ARL_KNUTH = 2654435761
+
+
+def cusum_arl(events: DataFrame, ts_col: str = "ts",
+              value_col: str = "value", n_streams: int = 200,
+              t_max: int = 400, k_ref: float = 0.5,
+              h: float = 4.0) -> DataFrame:
+    """In-control average run length (ARL₀) of the one-sided upper
+    CUSUM chart (Page 1954) CALIBRATED ON THIS SERIES: how many days
+    the chart S_t = max(0, S_{t-1} + z_t − k) with threshold h runs
+    before a false alarm, when daily values keep behaving like the
+    observed history. The design companion to cusum_drift (which
+    RUNS the chart): k and h are only meaningful relative to ARL₀,
+    and the classic table values assume exact normality — this
+    estimates ARL₀ under the EMPIRICAL daily distribution instead,
+    by resampling standardized daily totals.
+
+    Deterministic simulation, zero RNG state: stream s, step t draws
+    day index Knuth-hash((s·T+t)) mod m — the bootstrap_ci draw
+    construction, reproducible across engines/partitionings. The
+    recursion is never looped: S_t = W_t − min(0, min_{j≤t} W_j)
+    with W_t = Σ(z_i − k) (the reflection identity), so one
+    partitioned cumulative-sum window and one cumulative-min window
+    give every S_t; the first-passage time is a min over the
+    signaled steps. Runs that never signal are censored at t_max
+    (counted at t_max — ARL is underestimated when censoring > 0,
+    which n_censored discloses).
+
+    Scale shape: the daily frame is bounded (m ≈ days); the
+    simulation grid is n_streams·t_max rows INDEPENDENT of corpus
+    size, broadcast-joined to the m-row day frame and windowed per
+    stream — embarrassingly parallel in s. Output: one row (m_days,
+    n_streams, t_max, n_signaled, n_censored, arl_est), rounds 6.
+    """
+    daily = (events
+             .select(F.to_date(ts_col).alias("d"),
+                     F.col(value_col).cast("double").alias("v"))
+             .groupBy("d")
+             .agg(F.round(F.sum(F.col("v").cast(_TS_DEC))
+                          .cast("double"), 9).alias("x")))
+    ranked = daily.select(
+        "x", F.row_number().over(
+            Window.partitionBy().orderBy("d")).alias("r"))
+    stats = daily.agg(
+        F.count("*").alias("m"),
+        F.sum(F.col("x").cast(_TS_DEC)).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast(_TS_DEC)).alias("s2"))
+    m = F.col("m").cast("double")
+    mean = F.col("s").cast("double") / m
+    var = (F.col("s2").cast("double")
+           - F.col("s").cast("double") * F.col("s").cast("double") / m) \
+        / (m - 1)
+    st = stats.select(
+        F.col("m").alias("m_days"), mean.alias("mu"),
+        F.when((F.col("m") > 1) & (var > 0), F.sqrt(var)).alias("sd"))
+    spark = events.sparkSession
+    grid = (spark.range(n_streams).select(F.col("id").alias("s"))
+            .select("s", F.explode(F.sequence(
+                F.lit(1), F.lit(t_max))).alias("t")))
+    seed = F.col("s") * t_max + F.col("t")
+    bucket = F.pmod(F.pmod(seed, F.lit(_ARL_M)) * F.lit(_ARL_KNUTH),
+                    F.lit(_ARL_M))
+    drawn = (grid.crossJoin(F.broadcast(st))
+             .select("s", "t", "mu", "sd",
+                     (F.pmod(bucket, F.col("m_days")) + 1).alias("idx"))
+             .join(F.broadcast(ranked), F.col("idx") == F.col("r"))
+             .select("s", "t",
+                     ((F.col("x") - F.col("mu")) / F.col("sd") - k_ref)
+                     .alias("step")))
+    w_cum = Window.partitionBy("s").orderBy("t") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    walked = drawn.select(
+        "s", "t", F.sum("step").over(w_cum).alias("w"))
+    s_t = F.round(F.col("w") - F.least(
+        F.min("w").over(w_cum), F.lit(0.0)), 9)
+    first = (walked.select("s", "t", s_t.alias("cusum"))
+             .filter(F.col("cusum") >= h)
+             .groupBy("s").agg(F.min("t").alias("ft")))
+    streams = spark.range(n_streams).select(F.col("id").alias("s"))
+    rl = (streams.join(F.broadcast(first), "s", "left")
+          .select(F.coalesce(F.col("ft"), F.lit(t_max)).alias("rl"),
+                  F.col("ft").isNotNull().cast("int").alias("sig")))
+    agg = rl.agg(F.sum("sig").alias("n_signaled"),
+                 F.sum("rl").alias("rl_sum"),
+                 F.count("*").alias("ns"))
+    return (agg.crossJoin(F.broadcast(st.select("m_days")))
+            .select(F.col("m_days").cast("long").alias("m_days"),
+                    F.lit(n_streams).cast("int").alias("n_streams"),
+                    F.lit(t_max).cast("int").alias("t_max"),
+                    F.col("n_signaled").cast("long").alias("n_signaled"),
+                    (F.col("ns") - F.col("n_signaled")).cast("long")
+                    .alias("n_censored"),
+                    F.round(F.col("rl_sum")
+                            / F.col("ns").cast("double"), 6)
+                    .alias("arl_est")))
+
+
+def cusum_arl_sql(table: str = "events", ts_sql: str = "ts",
+                  value_sql: str = "value", n_streams: int = 200,
+                  t_max: int = 400, k_ref: float = 0.5,
+                  h: float = 4.0) -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST({ts_sql} AS DATE) AS d,
+         round(CAST(sum(CAST(CAST({value_sql} AS DOUBLE)
+                             AS DECIMAL(38,12))) AS DOUBLE), 9) AS x
+  FROM {table} GROUP BY 1
+),
+ranked AS (SELECT x, row_number() OVER (ORDER BY d) AS r FROM daily),
+stats AS (
+  SELECT count(*) AS m,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS s,
+         CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM daily
+),
+st AS (
+  SELECT m AS m_days, s / m AS mu,
+         CASE WHEN m > 1 AND (s2 - s * s / m) / (m - 1) > 0
+              THEN sqrt((s2 - s * s / m) / (m - 1)) END AS sd
+  FROM stats
+),
+grid AS (
+  SELECT CAST(sr.range AS BIGINT) AS s, CAST(tr.range AS BIGINT) AS t
+  FROM range({n_streams}) sr, range(1, {t_max} + 1) tr
+),
+drawn AS (
+  SELECT g.s, g.t,
+         (r.x - st.mu) / st.sd - {k_ref} AS step
+  FROM grid g
+  CROSS JOIN st
+  JOIN ranked r
+    ON r.r = (((g.s * {t_max} + g.t) % {_ARL_M}) * {_ARL_KNUTH})
+             % {_ARL_M} % st.m_days + 1
+),
+wsum AS (
+  SELECT s, t,
+         sum(step) OVER (PARTITION BY s ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w
+  FROM drawn
+),
+walked AS (
+  SELECT s, t, w,
+         min(w) OVER (PARTITION BY s ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wmin
+  FROM wsum
+),
+first_ AS (
+  SELECT s, min(t) AS ft FROM walked
+  WHERE round(w - least(wmin, 0.0), 9) >= {h}
+  GROUP BY 1
+),
+rl AS (
+  SELECT coalesce(f.ft, {t_max}) AS rl,
+         CASE WHEN f.ft IS NOT NULL THEN 1 ELSE 0 END AS sig
+  FROM range({n_streams}) sr LEFT JOIN first_ f ON f.s = sr.range
+),
+agg AS (
+  SELECT sum(sig) AS n_signaled, sum(rl) AS rl_sum, count(*) AS ns
+  FROM rl
+)
+SELECT CAST(st.m_days AS BIGINT) AS m_days,
+       CAST({n_streams} AS INT) AS n_streams,
+       CAST({t_max} AS INT) AS t_max,
+       CAST(n_signaled AS BIGINT) AS n_signaled,
+       CAST(ns - n_signaled AS BIGINT) AS n_censored,
+       round(rl_sum / CAST(ns AS DOUBLE), 6) AS arl_est
+FROM agg CROSS JOIN st
+"""

@@ -1,0 +1,191 @@
+"""Adversarial oracle validation for the round-10 first stratum
+(isotonic_calibration / kendall_rank_distance / shapley_paths /
+cusum_arl): planted monotonicity violations, hand-ranked vocabularies,
+a closed-form 2-channel Shapley game, and a pure-Python replay of the
+hash-resampled CUSUM — each compared row-for-row with its DuckDB twin.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+
+def _cmp(spark_rows, duck_rows, cols):
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 9)
+        return str(v) if not isinstance(v, (int, float, bool, type(None))) \
+            else v
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    a = sorted(tuple(norm(r[i]) for i in order) for r in spark_rows)
+    b = sorted(tuple(norm(r[i]) for i in order) for r in duck_rows)
+    assert a == b, f"\nspark={a[:6]}\nduck ={b[:6]}"
+
+
+def _duck(frames: dict[str, pd.DataFrame], sql: str):
+    con = duckdb.connect()
+    for name, pdf in frames.items():
+        con.register(f"_src_{name}", pdf)
+        con.execute(f"CREATE TABLE {name} AS SELECT * FROM _src_{name}")
+    rel = con.sql(sql)
+    return rel.fetchall(), [d[0] for d in rel.description]
+
+
+def test_isotonic_pools_adjacent_violators(spark):
+    """Bins with raw rates (0, .5, .25, 1): PAV pools the middle pair
+    to 3/8 and leaves the monotone ends alone; DuckDB twin agrees."""
+    from distill_spark.operators.mleval import (isotonic_calibration,
+                                                isotonic_calibration_sql)
+
+    rows = []
+    pos_per_bin = {0.0: 0, 1.0: 2, 2.0: 1, 3.0: 4}
+    for v, pos in pos_per_bin.items():
+        for i in range(4):
+            rows.append((v, i < pos))
+    pdf = pd.DataFrame(rows, columns=["value", "y"])
+    sdf = spark.createDataFrame(pdf)
+    got = isotonic_calibration(sdf, "y", "value", n_bins=4)
+    srows = [tuple(r) for r in got.orderBy("bin").collect()]
+    drows, _ = _duck({"events": pdf},
+                     isotonic_calibration_sql("events", "y", "value",
+                                              n_bins=4))
+    _cmp(srows, drows, got.columns)
+    fits = [r[4] for r in srows]
+    assert fits == [0.0, 0.375, 0.375, 1.0]
+    assert [r[3] for r in srows] == [0.0, 0.5, 0.25, 1.0]   # raw rates
+    assert fits == sorted(fits)                             # monotone
+
+
+def test_isotonic_already_monotone_is_identity(spark):
+    """Raw rates already non-decreasing → the fit IS the raw curve."""
+    from distill_spark.operators.mleval import isotonic_calibration
+
+    rows = []
+    for v, pos in {0.0: 0, 1.0: 1, 2.0: 3, 3.0: 4}.items():
+        for i in range(4):
+            rows.append((v, i < pos))
+    sdf = spark.createDataFrame(pd.DataFrame(rows, columns=["value", "y"]))
+    got = isotonic_calibration(sdf, "y", "value", n_bins=4) \
+        .orderBy("bin").collect()
+    assert [r["isotonic_rate"] for r in got] == \
+        [r["raw_rate"] for r in got]
+
+
+def test_kendall_distance_hand_ranked(spark):
+    """df ranks (a,b,c) vs tf ranks (c,a,b): pairs (a,b) concordant,
+    (a,c) and (b,c) discordant → distance 2/3; DuckDB twin."""
+    from distill_spark.operators.search import (kendall_rank_distance,
+                                                kendall_rank_distance_sql)
+
+    pdf = pd.DataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "a c c c")],
+        columns=["doc_id", "text"])
+    sdf = spark.createDataFrame(pdf)
+    got = kendall_rank_distance(sdf, k=50)
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"documents": pdf},
+                     kendall_rank_distance_sql("documents", "text", k=50))
+    _cmp(srows, drows, got.columns)
+    (_, _, m, conc, disc, dist) = srows[0]
+    assert (m, conc, disc) == (3, 1, 2)
+    assert dist == round(2 / 3, 6)
+
+
+def test_kendall_distance_identical_rankings(spark):
+    """Each term's tf == df (all docs distinct words) → 0 distance."""
+    from distill_spark.operators.search import kendall_rank_distance
+
+    pdf = pd.DataFrame(
+        [(1, "a b"), (2, "a"), (3, "a b c")],
+        columns=["doc_id", "text"])
+    row = kendall_rank_distance(spark.createDataFrame(pdf)).collect()[0]
+    assert row["discordant"] == 0 and row["kendall_distance"] == 0.0
+
+
+def test_shapley_two_channel_closed_form(spark):
+    """2-channel game with masks {∅, x, y, xy} one converter each:
+    v = (1, 2, 2, 4) → φ_x = φ_y = 1.5, shares 0.5 each, and
+    efficiency Σφ = v(U) − v(∅) = 3; DuckDB twin row-for-row."""
+    from distill_spark.operators.conversion import (shapley_attribution,
+                                                    shapley_attribution_sql)
+
+    rows = []
+    t0 = pd.Timestamp("2024-03-01")
+
+    def ev(u, typ, minutes):
+        rows.append((u, typ, t0 + pd.Timedelta(minutes=minutes)))
+
+    ev(1, "x", 0); ev(1, "purchase", 10)            # mask {x}
+    ev(2, "y", 0); ev(2, "purchase", 10)            # mask {y}
+    ev(3, "x", 0); ev(3, "y", 1); ev(3, "purchase", 10)   # mask {x,y}
+    ev(4, "purchase", 10)                            # mask ∅
+    # post-conversion touches must NOT count
+    ev(1, "y", 99)
+    # a non-converter contributes nothing
+    ev(9, "x", 0); ev(9, "y", 0)
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    sdf = spark.createDataFrame(pdf)
+    got = shapley_attribution(sdf, channels=["x", "y"])
+    srows = [tuple(r) for r in got.orderBy("channel").collect()]
+    drows, _ = _duck({"events": pdf},
+                     shapley_attribution_sql(channels=["x", "y"]))
+    _cmp(srows, drows, got.columns)
+    assert srows == [("x", 2, 1.5, 0.5), ("y", 2, 1.5, 0.5)]
+
+
+def test_cusum_arl_matches_python_replay(spark):
+    """Small grid (5 streams × 60 steps) over a planted daily series:
+    a pure-Python replica of the Knuth-hash draw + reflection
+    recursion reproduces arl_est exactly; DuckDB twin row-for-row."""
+    from distill_spark.operators.timeseries import (_ARL_KNUTH, _ARL_M,
+                                                    cusum_arl,
+                                                    cusum_arl_sql)
+
+    vals = [5.0, 7.0, 3.0, 9.0, 6.0, 2.0, 8.0, 4.0]
+    pdf = pd.DataFrame(
+        [(pd.Timestamp(f"2024-05-{i + 1:02d}"), v)
+         for i, v in enumerate(vals)], columns=["ts", "value"])
+    sdf = spark.createDataFrame(pdf)
+    kw = dict(n_streams=5, t_max=60, k_ref=0.25, h=2.0)
+    got = cusum_arl(sdf, **kw)
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": pdf}, cusum_arl_sql(**kw))
+    _cmp(srows, drows, got.columns)
+
+    m = len(vals)
+    mu = sum(vals) / m
+    sd = math.sqrt(sum((x - mu) ** 2 for x in vals) / (m - 1))
+    rls = []
+    for s in range(5):
+        w = wmin = 0.0
+        rl = 60
+        for t in range(1, 61):
+            idx = ((s * 60 + t) % _ARL_M * _ARL_KNUTH) % _ARL_M % m
+            w += (vals[idx] - mu) / sd - 0.25
+            wmin = min(wmin, w)
+            if round(w - min(wmin, 0.0), 9) >= 2.0:
+                rl = t
+                break
+        rls.append(rl)
+    (_, _, _, n_sig, n_cens, arl) = srows[0]
+    assert arl == round(sum(rls) / len(rls), 6)
+    assert n_sig + n_cens == 5
+
+
+def test_cusum_arl_constant_series_never_signals(spark):
+    """sd = 0 → standardized steps are NULL-guarded: no signals, every
+    stream censored at t_max, arl == t_max in both engines."""
+    from distill_spark.operators.timeseries import cusum_arl, cusum_arl_sql
+
+    pdf = pd.DataFrame(
+        [(pd.Timestamp(f"2024-05-{i + 1:02d}"), 4.0) for i in range(6)],
+        columns=["ts", "value"])
+    got = cusum_arl(spark.createDataFrame(pdf), n_streams=3, t_max=20)
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": pdf},
+                     cusum_arl_sql(n_streams=3, t_max=20))
+    _cmp(srows, drows, got.columns)
+    assert srows[0][3] == 0 and srows[0][5] == 20.0
