@@ -10008,7 +10008,112 @@ def _sql_cusum_arl():
     return cusum_arl_sql()
 
 
+# ---------------------------------------------------------------------------
+# Round-10 second stratum: the assumption-audit battery — normality
+# (Jarque–Bera, D'Agostino K²), single-point outliers (Grubbs),
+# ordinal effect size (Cliff's δ), paired binary (McNemar), and the
+# maximally-robust k-group location test (Mood's median).
+
+def q_jarque_bera(spark, sf_dir):
+    """Jarque–Bera normality test on order totals (stats.jarque_bera)
+    — one decimal-exact moments pass; the cheap omnibus screen in
+    front of welch_ttest/ols/power_mde's normality assumptions."""
+    from distill_spark.operators.stats import jarque_bera
+
+    return jarque_bera(_tables(spark, sf_dir)["orders"])
+
+
+def _sql_jarque_bera():
+    from distill_spark.operators.stats import jarque_bera_sql
+
+    return jarque_bera_sql()
+
+
+def q_dagostino_k2(spark, sf_dir):
+    """D'Agostino–Pearson K² omnibus on order totals
+    (stats.dagostino_k2) — the finite-n-calibrated refinement of
+    jarque_bera (separate near-normal Z transforms for skew and
+    kurtosis); same single moments pass."""
+    from distill_spark.operators.stats import dagostino_k2
+
+    return dagostino_k2(_tables(spark, sf_dir)["orders"])
+
+
+def _sql_dagostino():
+    from distill_spark.operators.stats import dagostino_k2_sql
+
+    return dagostino_k2_sql()
+
+
+def q_grubbs_outlier(spark, sf_dir):
+    """Grubbs' most-extreme-point statistic over order totals
+    (stats.grubbs_outlier) — WHICH row is the outlier and how many
+    sigmas, the pointwise sharpening of iqr_outliers' fence count."""
+    from distill_spark.operators.stats import grubbs_outlier
+
+    return grubbs_outlier(_tables(spark, sf_dir)["orders"])
+
+
+def _sql_grubbs():
+    from distill_spark.operators.stats import grubbs_outlier_sql
+
+    return grubbs_outlier_sql()
+
+
+def q_cliffs_delta_value(spark, sf_dir):
+    """Cliff's δ ordinal effect size between purchase and view event
+    values (stats.cliffs_delta) — the tail-proof companion to
+    effect_size_types' Cohen's d, via the Mann–Whitney identity."""
+    from distill_spark.operators.stats import cliffs_delta
+
+    t = _tables(spark, sf_dir)
+    return cliffs_delta(t["events"], "event_type", "purchase", "view")
+
+
+def _sql_cliffs():
+    from distill_spark.operators.stats import cliffs_delta_sql
+
+    return cliffs_delta_sql("events", "event_type", "purchase", "view")
+
+
+def q_mcnemar_click_purchase(spark, sf_dir):
+    """McNemar paired-binary test on per-user (clicked, purchased)
+    indicators (stats.mcnemar_test) — the within-subject complement
+    to ab_conversion_z's between-user z."""
+    from distill_spark.operators.stats import mcnemar_test
+
+    return mcnemar_test(_tables(spark, sf_dir)["events"])
+
+
+def _sql_mcnemar():
+    from distill_spark.operators.stats import mcnemar_test_sql
+
+    return mcnemar_test_sql()
+
+
+def q_mood_median_value(spark, sf_dir):
+    """Mood's median test of event values across event types
+    (stats.mood_median_test) — the sign-only, maximally-robust
+    sibling of kruskal_values; deterministic lower grand median."""
+    from distill_spark.operators.stats import mood_median_test
+
+    return mood_median_test(_tables(spark, sf_dir)["events"])
+
+
+def _sql_mood():
+    from distill_spark.operators.stats import mood_median_test_sql
+
+    return mood_median_test_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    # -- round-10 second stratum: assumption-audit battery -------------------
+    "jarque_bera": (q_jarque_bera, _sql_jarque_bera()),
+    "dagostino_k2": (q_dagostino_k2, _sql_dagostino()),
+    "grubbs_outlier": (q_grubbs_outlier, _sql_grubbs()),
+    "cliffs_delta_value": (q_cliffs_delta_value, _sql_cliffs()),
+    "mcnemar_click_purchase": (q_mcnemar_click_purchase, _sql_mcnemar()),
+    "mood_median_value": (q_mood_median_value, _sql_mood()),
     # -- round-10 window head: first stratum (verdict seed list) ------------
     "isotonic_calibration": (q_isotonic_calibration, _sql_isotonic()),
     "kendall_rank_distance": (q_kendall_rank_distance,

@@ -3031,3 +3031,553 @@ SELECT CAST(m AS BIGINT) AS m_days, round(mean_, 6) AS mean_daily,
        round(CASE WHEN var_ > mean_ THEN mean_ / var_ END, 6) AS nb_p
 FROM c
 """
+
+
+# ---------------------------------------------- round-10 second stratum
+# Normality / outlier / paired-binary / k-group-location tests: the
+# classic assumption-audit battery in front of every parametric readout
+# above (welch_ttest, ols, power_mde all assume roughly-normal inputs;
+# these measure how wrong that is).
+
+def _central_moments(df: DataFrame, value_col: str,
+                     prescale: float = 1.0):
+    """(n, mean, m2, m3, m4) columns from a TWO-PASS central-moment
+    aggregate — the shared front for jarque_bera / dagostino_k2.
+    Two-pass (mean and a population-sd scale from exact-decimal sums,
+    broadcast back, then decimal sums of STANDARDIZED deviation
+    powers) because the one-pass raw-moment expansion
+    r3 − 3·r1·r2 + 2·r1³ cancels catastrophically whenever
+    |mean| ≫ sd (the planted symmetric test read skew ≈ −16 from
+    it), and unstandardized deviation powers either overflow the
+    DECIMAL(38,12) accumulator (money⁴ × 100 TB row counts) or
+    underflow its 1e-12 quantum (prescaled tiny values). With
+    u = (v − mean)/sd every power is O(1): m_k are moments of u, and
+    every consumer is scale-invariant so the standardization drops
+    out of the statistics. Deviations are row-level doubles,
+    bit-identical across engines. ``prescale`` is kept for API
+    symmetry with the SQL twin (harmless — invariant)."""
+    v = F.col(value_col).cast("double") / F.lit(prescale)
+    base = df.filter(v.isNotNull()).select(v.alias("_v"))
+    nd = F.count("*").cast("double")
+    mu_row = base.agg(
+        F.count("*").alias("n"),
+        (F.sum(F.col("_v").cast(_DEC)).cast("double") / nd).alias("mu"),
+        F.sqrt(F.sum((F.col("_v") * F.col("_v")).cast(_DEC))
+               .cast("double") / nd
+               - (F.sum(F.col("_v").cast(_DEC)).cast("double") / nd)
+               * (F.sum(F.col("_v").cast(_DEC)).cast("double") / nd))
+        .alias("sc"))
+    # constant input ⇒ sc = 0: NULL the scale so the moment sums go
+    # NULL and every consumer's m2 > 0 guard falls through to NULL
+    d = (F.col("_v") - F.col("mu")) / F.when(F.col("sc") > 0,
+                                             F.col("sc"))
+    agg = (base.crossJoin(F.broadcast(mu_row))
+           .agg(F.max("n").alias("n"), F.max("mu").alias("mu"),
+                F.sum((d * d).cast(_DEC)).alias("c2"),
+                F.sum((d * d * d).cast(_DEC)).alias("c3"),
+                F.sum((d * d * d * d).cast(_DEC)).alias("c4")))
+    n = F.col("n").cast("double")
+    r1 = F.col("mu")
+    m2 = F.col("c2").cast("double") / n
+    m3 = F.col("c3").cast("double") / n
+    m4 = F.col("c4").cast("double") / n
+    return agg, n, r1, m2, m3, m4
+
+
+_MOMENTS_SQL = """
+mu_row AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mu,
+         sqrt(CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE)
+                / count(*)
+              - (CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+                 / count(*))
+                * (CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+                   / count(*))) AS sc
+  FROM base
+),
+mom AS (
+  SELECT max(n) AS n, max(mu) AS r1,
+         CAST(sum(CAST(((v - mu) / nullif(sc, 0)) * ((v - mu) / nullif(sc, 0))
+                       AS DECIMAL(38,12))) AS DOUBLE) / max(n) AS m2,
+         CAST(sum(CAST(((v - mu) / nullif(sc, 0)) * ((v - mu) / nullif(sc, 0)) * ((v - mu) / nullif(sc, 0))
+                       AS DECIMAL(38,12))) AS DOUBLE) / max(n) AS m3,
+         CAST(sum(CAST(((v - mu) / nullif(sc, 0)) * ((v - mu) / nullif(sc, 0))
+                       * ((v - mu) / nullif(sc, 0)) * ((v - mu) / nullif(sc, 0))
+                       AS DECIMAL(38,12))) AS DOUBLE) / max(n) AS m4
+  FROM base CROSS JOIN mu_row
+)"""
+
+
+def jarque_bera(df: DataFrame, value_col: str = "o_totalprice",
+                prescale: float = 100000.0) -> DataFrame:
+    """Jarque–Bera normality test: JB = n/6·(S² + K²/4) from sample
+    skewness S = m₃/m₂^1.5 and excess kurtosis K = m₄/m₂² − 3 — the
+    cheapest omnibus normality readout (one pass, moment algebra
+    only; dagostino_k2 is the finite-n-calibrated refinement).
+    Output: one row (n, skewness, kurtosis_excess, jb), rounds 6,
+    NULLs when m₂ = 0."""
+    agg, n, _, m2, m3, m4 = _central_moments(df, value_col,
+                                             prescale)
+    s = m3 / F.pow(m2, 1.5)
+    k = m4 / (m2 * m2) - 3.0
+    ok = m2 > 0
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.when(ok, s), 6).alias("skewness"),
+        F.round(F.when(ok, k), 6).alias("kurtosis_excess"),
+        F.round(F.when(ok, n / 6.0 * (s * s + k * k / 4.0)), 6)
+        .alias("jb"))
+
+
+def jarque_bera_sql(table: str = "orders",
+                    value_sql: str = "o_totalprice",
+                    prescale: float = 100000.0) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST({value_sql} AS DOUBLE) / {prescale} AS v FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+{_MOMENTS_SQL}
+SELECT CAST(n AS BIGINT) AS n,
+       round(CASE WHEN m2 > 0 THEN m3 / pow(m2, 1.5) END, 6) AS skewness,
+       round(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END, 6)
+         AS kurtosis_excess,
+       round(CASE WHEN m2 > 0 THEN n / 6.0 *
+             ((m3 / pow(m2, 1.5)) * (m3 / pow(m2, 1.5))
+              + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0)
+             END, 6) AS jb
+FROM mom
+"""
+
+
+def dagostino_k2(df: DataFrame, value_col: str = "o_totalprice",
+                 prescale: float = 100000.0) -> DataFrame:
+    """D'Agostino–Pearson K² omnibus normality test (D'Agostino 1971;
+    Anscombe & Glynn 1983 kurtosis arm): the finite-n-calibrated
+    version of jarque_bera — skewness and kurtosis are separately
+    transformed to near-exact standard normals Z₁, Z₂ and
+    K² = Z₁² + Z₂² ~ χ²(2). Pure moment algebra after the same one
+    decimal-exact pass as jarque_bera (the scipy skewtest/
+    kurtosistest formulas, spelled identically in both engines; the
+    kurtosis arm's signed cube root uses cbrt, which both engines
+    define for negatives). Output: one row (n, z_skew, z_kurt, k2),
+    rounds 6, NULLs when n < 20 or m₂ = 0."""
+    agg, n, _, m2, m3, m4 = _central_moments(df, value_col,
+                                             prescale)
+    g1 = m3 / F.pow(m2, 1.5)
+    b2 = m4 / (m2 * m2)
+    # skewtest (D'Agostino 1971)
+    y = g1 * F.sqrt((n + 1) * (n + 3) / (6.0 * (n - 2)))
+    beta2 = (3.0 * (n * n + 27 * n - 70) * (n + 1) * (n + 3)
+             / ((n - 2) * (n + 5) * (n + 7) * (n + 9)))
+    w2 = -1.0 + F.sqrt(2.0 * (beta2 - 1.0))
+    delta = 1.0 / F.sqrt(F.log(F.sqrt(w2)))
+    alpha = F.sqrt(2.0 / (w2 - 1.0))
+    z1 = delta * F.log(y / alpha + F.sqrt((y / alpha) * (y / alpha) + 1.0))
+    # kurtosistest (Anscombe & Glynn 1983)
+    eb2 = 3.0 * (n - 1) / (n + 1)
+    vb2 = (24.0 * n * (n - 2) * (n - 3)
+           / ((n + 1) * (n + 1) * (n + 3) * (n + 5)))
+    x = (b2 - eb2) / F.sqrt(vb2)
+    sb1 = (6.0 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))
+           * F.sqrt(6.0 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3))))
+    a = 6.0 + 8.0 / sb1 * (2.0 / sb1 + F.sqrt(1.0 + 4.0 / (sb1 * sb1)))
+    z2 = ((1.0 - 2.0 / (9.0 * a)
+           - F.cbrt((1.0 - 2.0 / a)
+                    / (1.0 + x * F.sqrt(2.0 / (a - 4.0)))))
+          * F.sqrt(4.5 * a))
+    ok = (F.col("n") >= 20) & (m2 > 0)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.when(ok, z1), 6).alias("z_skew"),
+        F.round(F.when(ok, z2), 6).alias("z_kurt"),
+        F.round(F.when(ok, z1 * z1 + z2 * z2), 6).alias("k2"))
+
+
+def dagostino_k2_sql(table: str = "orders",
+                     value_sql: str = "o_totalprice",
+                     prescale: float = 100000.0) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST({value_sql} AS DOUBLE) / {prescale} AS v FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+{_MOMENTS_SQL},
+parts AS (
+  SELECT n, m2,
+         m3 / pow(m2, 1.5) AS g1,
+         m4 / (m2 * m2) AS b2
+  FROM mom
+),
+sk AS (
+  SELECT n, m2, b2,
+         g1 * sqrt((n + 1) * (n + 3) / (6.0 * (n - 2))) AS y,
+         -1.0 + sqrt(2.0 * (3.0 * (n * n + 27 * n - 70) * (n + 1) * (n + 3)
+             / ((n - 2) * (n + 5) * (n + 7) * (n + 9)) - 1.0)) AS w2
+  FROM parts
+),
+z1c AS (
+  SELECT n, m2, b2,
+         (1.0 / sqrt(ln(sqrt(w2))))
+           * ln(y / sqrt(2.0 / (w2 - 1.0))
+                + sqrt((y / sqrt(2.0 / (w2 - 1.0)))
+                       * (y / sqrt(2.0 / (w2 - 1.0))) + 1.0)) AS z1
+  FROM sk
+),
+ku AS (
+  SELECT n, m2, z1,
+         (b2 - 3.0 * (n - 1) / (n + 1))
+           / sqrt(24.0 * n * (n - 2) * (n - 3)
+                  / ((n + 1) * (n + 1) * (n + 3) * (n + 5))) AS x,
+         6.0 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))
+           * sqrt(6.0 * (n + 3) * (n + 5)
+                  / (n * (n - 2) * (n - 3))) AS sb1
+  FROM z1c
+),
+z2c AS (
+  SELECT n, m2, z1,
+         (1.0 - 2.0 / (9.0 * a)
+          - cbrt((1.0 - 2.0 / a)
+                 / (1.0 + x * sqrt(2.0 / (a - 4.0)))))
+           * sqrt(4.5 * a) AS z2
+  FROM (SELECT n, m2, z1, x,
+               6.0 + 8.0 / sb1
+                 * (2.0 / sb1 + sqrt(1.0 + 4.0 / (sb1 * sb1))) AS a
+        FROM ku)
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(CASE WHEN n >= 20 AND m2 > 0 THEN z1 END, 6) AS z_skew,
+       round(CASE WHEN n >= 20 AND m2 > 0 THEN z2 END, 6) AS z_kurt,
+       round(CASE WHEN n >= 20 AND m2 > 0 THEN z1 * z1 + z2 * z2 END, 6)
+         AS k2
+FROM z2c
+"""
+
+
+def grubbs_outlier(df: DataFrame, key_col: str = "o_orderkey",
+                   value_col: str = "o_totalprice") -> DataFrame:
+    """Grubbs' statistic G = max|x − x̄|/s with the offending row —
+    the single-most-extreme-point readout that iqr_outliers'
+    bulk-fence count doesn't give (WHICH point, and how many sigmas).
+    One moments pass + one deterministic argmax (|dev| DESC, key ASC)
+    over the same scan. Output: one row (n, mean_value, sd_value,
+    outlier_key, outlier_value, g), rounds 6, NULLs at n < 3 or
+    sd = 0."""
+    v = F.col(value_col).cast("double")
+    base = (df.filter(v.isNotNull())
+            .select(F.col(key_col).alias("k"), v.alias("v")))
+    agg = base.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v").cast(_DEC)).alias("s1"),
+        F.sum((F.col("v") * F.col("v")).cast(_DEC)).alias("s2"))
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = (F.col("s2").cast("double")
+           - F.col("s1").cast("double") * F.col("s1").cast("double") / n) \
+        / (n - 1)
+    st = agg.select(
+        F.col("n"), mean.alias("mu"),
+        F.when((F.col("n") > 2) & (var > 0), F.sqrt(var)).alias("sd"))
+    dev = F.abs(F.col("v") - F.col("mu"))
+    top = (base.crossJoin(F.broadcast(st))
+           .withColumn("_rk", F.row_number().over(
+               Window.partitionBy().orderBy(
+                   F.abs(F.col("v") - F.col("mu")).desc(), F.asc("k"))))
+           .filter(F.col("_rk") == 1))
+    return top.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("mu"), 6).alias("mean_value"),
+        F.round(F.col("sd"), 6).alias("sd_value"),
+        F.col("k").cast("long").alias("outlier_key"),
+        F.round(F.col("v"), 6).alias("outlier_value"),
+        F.round(dev / F.col("sd"), 6).alias("g"))
+
+
+def grubbs_outlier_sql(table: str = "orders",
+                       key_sql: str = "o_orderkey",
+                       value_sql: str = "o_totalprice") -> str:
+    return f"""
+WITH base AS (
+  SELECT {key_sql} AS k, CAST({value_sql} AS DOUBLE) AS v FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM base
+),
+st AS (
+  SELECT n, s1 / n AS mu,
+         CASE WHEN n > 2 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+              THEN sqrt((s2 - s1 * s1 / n) / (n - 1)) END AS sd
+  FROM agg
+),
+top AS (
+  SELECT n, mu, sd, k, v,
+         row_number() OVER (ORDER BY abs(v - mu) DESC, k ASC) AS rk
+  FROM base CROSS JOIN st
+)
+SELECT CAST(n AS BIGINT) AS n, round(mu, 6) AS mean_value,
+       round(sd, 6) AS sd_value, CAST(k AS BIGINT) AS outlier_key,
+       round(v, 6) AS outlier_value,
+       round(abs(v - mu) / sd, 6) AS g
+FROM top WHERE rk = 1
+"""
+
+
+def cliffs_delta(df: DataFrame, group_col: str, group_a, group_b,
+                 value_col: str = "value") -> DataFrame:
+    """Cliff's delta ordinal effect size between two groups:
+    δ = P(a > b) − P(a < b) = 2·U_a/(n_a·n_b) − 1 via the
+    Mann–Whitney identity — the assumption-free companion to
+    effect_size_types' Cohen's d (δ survives heavy tails and
+    monotone transforms; d does not). Same distinct-value
+    average-rank construction as mannwhitney_u, one extra line of
+    algebra. Magnitude labels are Romano et al. 2006 thresholds.
+    Output: one row (n_a, n_b, u_a, cliffs_delta, magnitude),
+    rounds 6."""
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    per = (df.filter(g.isin([group_a, group_b]) & v.isNotNull())
+           .select(v.alias("v"),
+                   F.when(g == group_a, 1).otherwise(0).alias("is_a"))
+           .groupBy("v")
+           .agg(F.sum("is_a").alias("ca"), F.count("*").alias("ct")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    tot = Window.partitionBy()
+    avg_rank = (F.coalesce(F.sum("ct").over(w), F.lit(0))
+                + (F.col("ct") + 1) / 2.0)
+    terms = per.select(
+        F.sum("ca").over(tot).alias("na"),
+        (F.sum("ct").over(tot) - F.sum("ca").over(tot)).alias("nb"),
+        (F.col("ca") * avg_rank).cast(_DEC).alias("_ra"))
+    agg = (terms.groupBy("na", "nb")
+           .agg(F.sum("_ra").cast("double").alias("ra")))
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    u_a = F.col("ra") - na * (na + 1) / 2
+    d = 2.0 * u_a / (na * nb) - 1.0
+    ad = F.abs(F.round(d, 6))
+    mag = (F.when(ad < 0.147, "negligible")
+           .when(ad < 0.33, "small")
+           .when(ad < 0.474, "medium").otherwise("large"))
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(u_a, 6).alias("u_a"),
+        F.round(d, 6).alias("cliffs_delta"),
+        mag.alias("magnitude"))
+
+
+def cliffs_delta_sql(table: str, group_sql: str, group_a: str,
+                     group_b: str, value_sql: str = "value") -> str:
+    return f"""
+WITH per AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS v,
+         sum(CASE WHEN {group_sql} = '{group_a}' THEN 1 ELSE 0 END) AS ca,
+         count(*) AS ct
+  FROM {table}
+  WHERE {group_sql} IN ('{group_a}', '{group_b}')
+    AND CAST({value_sql} AS DOUBLE) IS NOT NULL
+  GROUP BY 1
+),
+terms AS (
+  SELECT sum(ca) OVER () AS na,
+         sum(ct) OVER () - sum(ca) OVER () AS nb,
+         CAST(ca * (coalesce(sum(ct) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (ct + 1) / 2.0) AS DECIMAL(38,12)) AS ra_
+  FROM per
+),
+agg AS (
+  SELECT na, nb, CAST(sum(ra_) AS DOUBLE) AS ra
+  FROM terms GROUP BY 1, 2
+),
+d AS (
+  SELECT na, nb, ra - CAST(na AS DOUBLE) * (na + 1) / 2 AS u_a,
+         2.0 * (ra - CAST(na AS DOUBLE) * (na + 1) / 2)
+           / (CAST(na AS DOUBLE) * nb) - 1.0 AS delta
+  FROM agg
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(u_a, 6) AS u_a, round(delta, 6) AS cliffs_delta,
+       CASE WHEN abs(round(delta, 6)) < 0.147 THEN 'negligible'
+            WHEN abs(round(delta, 6)) < 0.33 THEN 'small'
+            WHEN abs(round(delta, 6)) < 0.474 THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM d
+"""
+
+
+def mcnemar_test(df: DataFrame, user_col: str = "user_id",
+                 type_col: str = "event_type", type_x: str = "click",
+                 type_y: str = "purchase") -> DataFrame:
+    """McNemar's paired-binary test on the per-user (did X, did Y)
+    indicator pair — "of users who did exactly one of the two, is the
+    split symmetric?" — the within-subject complement to
+    ab_conversion_z (which compares DIFFERENT users). Discordant
+    cells b = X-only, c = Y-only; continuity-corrected
+    χ² = (|b−c|−1)²/(b+c). One user-keyed conditional aggregate.
+    Output: one row (n_users, n_both, x_only, y_only, neither,
+    mcnemar_chi2), χ² rounds 6, NULL when b + c = 0."""
+    per = (df.groupBy(user_col)
+           .agg(F.max(F.when(F.col(type_col) == type_x, 1)
+                      .otherwise(0)).alias("x"),
+                F.max(F.when(F.col(type_col) == type_y, 1)
+                      .otherwise(0)).alias("y")))
+    agg = per.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when((F.col("x") == 1) & (F.col("y") == 1), 1)
+              .otherwise(0)).alias("n_both"),
+        F.sum(F.when((F.col("x") == 1) & (F.col("y") == 0), 1)
+              .otherwise(0)).alias("b"),
+        F.sum(F.when((F.col("x") == 0) & (F.col("y") == 1), 1)
+              .otherwise(0)).alias("c"))
+    b, c = F.col("b").cast("double"), F.col("c").cast("double")
+    chi2 = F.when(F.col("b") + F.col("c") > 0,
+                  (F.abs(b - c) - 1.0) * (F.abs(b - c) - 1.0) / (b + c))
+    return agg.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("n_both").cast("long").alias("n_both"),
+        F.col("b").cast("long").alias("x_only"),
+        F.col("c").cast("long").alias("y_only"),
+        (F.col("n") - F.col("n_both") - F.col("b") - F.col("c"))
+        .cast("long").alias("neither"),
+        F.round(chi2, 6).alias("mcnemar_chi2"))
+
+
+def mcnemar_test_sql(table: str = "events", user_sql: str = "user_id",
+                     type_sql: str = "event_type",
+                     type_x: str = "click",
+                     type_y: str = "purchase") -> str:
+    return f"""
+WITH per AS (
+  SELECT {user_sql} AS u,
+         max(CASE WHEN {type_sql} = '{type_x}' THEN 1 ELSE 0 END) AS x,
+         max(CASE WHEN {type_sql} = '{type_y}' THEN 1 ELSE 0 END) AS y
+  FROM {table} GROUP BY 1
+),
+agg AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END) AS n_both,
+         sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END) AS b,
+         sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END) AS c
+  FROM per
+)
+SELECT CAST(n AS BIGINT) AS n_users, CAST(n_both AS BIGINT) AS n_both,
+       CAST(b AS BIGINT) AS x_only, CAST(c AS BIGINT) AS y_only,
+       CAST(n - n_both - b - c AS BIGINT) AS neither,
+       round(CASE WHEN b + c > 0
+                  THEN (abs(CAST(b AS DOUBLE) - c) - 1.0)
+                       * (abs(CAST(b AS DOUBLE) - c) - 1.0)
+                       / (CAST(b AS DOUBLE) + c) END, 6) AS mcnemar_chi2
+FROM agg
+"""
+
+
+def mood_median_test(df: DataFrame, group_col: str = "event_type",
+                     value_col: str = "value") -> DataFrame:
+    """Mood's median test across all groups: does each group put the
+    same share of its values above the GRAND median? The blunter,
+    maximally-robust sibling of kruskal_wallis (only the sign of
+    each value relative to one quantile matters — immune to any
+    monotone distortion). Grand median = the lower median from the
+    distinct-value cumulative frame (deterministic under ties);
+    χ² = Σ (obs − exp)²/exp over the 2×k table with margin-derived
+    expectations. Output: one row (n, n_groups, grand_median, chi2),
+    rounds 6; groups with zero expected count contribute 0."""
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    base = (df.filter(g.isNotNull() & v.isNotNull())
+            .select(g.alias("g"), v.alias("v")))
+    per_v = base.groupBy("v").agg(F.count("*").alias("ct"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    med = (per_v
+           .select("v", F.sum("ct").over(w).alias("cum"),
+                   F.sum("ct").over(tot).alias("nn"))
+           .filter(F.col("cum") * 2 >= F.col("nn"))
+           .agg(F.min("v").alias("med")))
+    cells = (base.crossJoin(F.broadcast(med))
+             .groupBy("g")
+             .agg(F.sum(F.when(F.col("v") > F.col("med"), 1)
+                        .otherwise(0)).alias("a"),
+                  F.count("*").alias("ng")))
+    w2 = Window.partitionBy()
+    t = cells.select(
+        "g", "a", "ng",
+        F.sum("a").over(w2).alias("ta"),
+        F.sum("ng").over(w2).alias("nn"),
+        F.count("*").over(w2).alias("k"))
+    nn = F.col("nn").cast("double")
+    ea = F.col("ng") * F.col("ta") / nn
+    eb = F.col("ng") * (F.col("nn") - F.col("ta")) / nn
+    obs_b = F.col("ng") - F.col("a")
+    term = (F.when(ea > 0, (F.col("a") - ea) * (F.col("a") - ea) / ea)
+            .otherwise(0.0)
+            + F.when(eb > 0, (obs_b - eb) * (obs_b - eb) / eb)
+            .otherwise(0.0))
+    out = (t.select("nn", "k", term.cast(_DEC).alias("_t"))
+           .groupBy("nn", "k")
+           .agg(F.sum("_t").cast("double").alias("chi2")))
+    return (out.crossJoin(F.broadcast(med))
+            .select(F.col("nn").cast("long").alias("n"),
+                    F.col("k").cast("long").alias("n_groups"),
+                    F.round(F.col("med"), 6).alias("grand_median"),
+                    F.round(F.col("chi2"), 6).alias("chi2")))
+
+
+def mood_median_test_sql(table: str = "events",
+                         group_sql: str = "event_type",
+                         value_sql: str = "value") -> str:
+    return f"""
+WITH base AS (
+  SELECT {group_sql} AS g, CAST({value_sql} AS DOUBLE) AS v
+  FROM {table}
+  WHERE {group_sql} IS NOT NULL
+    AND CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+per_v AS (SELECT v, count(*) AS ct FROM base GROUP BY 1),
+med AS (
+  SELECT min(v) AS med FROM (
+    SELECT v,
+           sum(ct) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(ct) OVER () AS nn
+    FROM per_v
+  ) WHERE cum * 2 >= nn
+),
+cells AS (
+  SELECT g,
+         sum(CASE WHEN v > med THEN 1 ELSE 0 END) AS a,
+         count(*) AS ng
+  FROM base CROSS JOIN med GROUP BY 1
+),
+t AS (
+  SELECT g, a, ng,
+         sum(a) OVER () AS ta, sum(ng) OVER () AS nn,
+         count(*) OVER () AS k
+  FROM cells
+),
+terms AS (
+  SELECT nn, k,
+         CAST(
+           (CASE WHEN ng * ta / CAST(nn AS DOUBLE) > 0
+                 THEN (a - ng * ta / CAST(nn AS DOUBLE))
+                      * (a - ng * ta / CAST(nn AS DOUBLE))
+                      / (ng * ta / CAST(nn AS DOUBLE)) ELSE 0.0 END)
+           + (CASE WHEN ng * (nn - ta) / CAST(nn AS DOUBLE) > 0
+                   THEN ((ng - a) - ng * (nn - ta) / CAST(nn AS DOUBLE))
+                        * ((ng - a) - ng * (nn - ta) / CAST(nn AS DOUBLE))
+                        / (ng * (nn - ta) / CAST(nn AS DOUBLE))
+                   ELSE 0.0 END)
+           AS DECIMAL(38,12)) AS t_
+  FROM t
+)
+SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS n_groups,
+       round(med, 6) AS grand_median,
+       round(CAST(sum(t_) AS DOUBLE), 6) AS chi2
+FROM terms CROSS JOIN med
+GROUP BY nn, k, med
+"""

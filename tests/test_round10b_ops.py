@@ -1,0 +1,180 @@
+"""Adversarial oracle validation for the round-10 second stratum
+(jarque_bera / dagostino_k2 / grubbs_outlier / cliffs_delta /
+mcnemar_test / mood_median_test): planted symmetric and skewed
+samples with closed-form moments, a pure-Python replay of the
+D'Agostino transforms, an unambiguous outlier, boundary-ordered
+groups, and hand-counted discordant pairs — each against the DuckDB
+twin."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+
+def _cmp(spark_rows, duck_rows, cols):
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 9)
+        return str(v) if not isinstance(v, (int, float, bool, type(None))) \
+            else v
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    a = sorted(tuple(norm(r[i]) for i in order) for r in spark_rows)
+    b = sorted(tuple(norm(r[i]) for i in order) for r in duck_rows)
+    assert a == b, f"\nspark={a[:6]}\nduck ={b[:6]}"
+
+
+def _duck(frames: dict[str, pd.DataFrame], sql: str):
+    con = duckdb.connect()
+    for name, pdf in frames.items():
+        con.register(f"_src_{name}", pdf)
+        con.execute(f"CREATE TABLE {name} AS SELECT * FROM _src_{name}")
+    rel = con.sql(sql)
+    return rel.fetchall(), [d[0] for d in rel.description]
+
+
+def _orders(vals):
+    return pd.DataFrame([(i + 1, float(v)) for i, v in enumerate(vals)],
+                        columns=["o_orderkey", "o_totalprice"])
+
+
+def test_jarque_bera_symmetric_closed_form(spark):
+    """{1..5}: skew 0, excess kurtosis m4/m2² − 3 = −1.3 exactly,
+    JB = 5/6 · (1.3²/4); prescale must not change any of it."""
+    from distill_spark.operators.stats import jarque_bera, jarque_bera_sql
+
+    pdf = _orders([1, 2, 3, 4, 5])
+    got = jarque_bera(spark.createDataFrame(pdf), prescale=100000.0)
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"orders": pdf}, jarque_bera_sql())
+    _cmp(srows, drows, got.columns)
+    n, skew, kurt, jb = srows[0]
+    assert (n, skew, kurt) == (5, 0.0, -1.3)
+    assert jb == round(5 / 6 * (1.3 ** 2 / 4), 6)
+
+
+def test_dagostino_k2_python_replay(spark):
+    """25 planted values: a pure-Python spelling of the same
+    D'Agostino/Anscombe–Glynn transforms reproduces z_skew/z_kurt/k2
+    to the 1e-6 grid; DuckDB twin row-for-row."""
+    from distill_spark.operators.stats import dagostino_k2, dagostino_k2_sql
+
+    vals = [float(v) for v in
+            [1, 1, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 5, 5, 6, 7, 8, 9, 11,
+             14, 18, 23, 29, 36, 44]]
+    pdf = _orders(vals)
+    got = dagostino_k2(spark.createDataFrame(pdf), prescale=1.0)
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"orders": pdf}, dagostino_k2_sql(prescale=1.0))
+    _cmp(srows, drows, got.columns)
+
+    n = len(vals)
+    r1 = sum(vals) / n
+    m2 = sum((x - r1) ** 2 for x in vals) / n
+    m3 = sum((x - r1) ** 3 for x in vals) / n
+    m4 = sum((x - r1) ** 4 for x in vals) / n
+    g1, b2 = m3 / m2 ** 1.5, m4 / m2 ** 2
+    y = g1 * math.sqrt((n + 1) * (n + 3) / (6.0 * (n - 2)))
+    beta2 = (3.0 * (n * n + 27 * n - 70) * (n + 1) * (n + 3)
+             / ((n - 2) * (n + 5) * (n + 7) * (n + 9)))
+    w2 = -1.0 + math.sqrt(2.0 * (beta2 - 1.0))
+    z1 = (1.0 / math.sqrt(math.log(math.sqrt(w2)))) * math.log(
+        y / math.sqrt(2.0 / (w2 - 1.0))
+        + math.sqrt((y / math.sqrt(2.0 / (w2 - 1.0))) ** 2 + 1.0))
+    eb2 = 3.0 * (n - 1) / (n + 1)
+    vb2 = (24.0 * n * (n - 2) * (n - 3)
+           / ((n + 1) ** 2 * (n + 3) * (n + 5)))
+    x = (b2 - eb2) / math.sqrt(vb2)
+    sb1 = (6.0 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))
+           * math.sqrt(6.0 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3))))
+    a = 6.0 + 8.0 / sb1 * (2.0 / sb1 + math.sqrt(1.0 + 4.0 / sb1 ** 2))
+    base = (1.0 - 2.0 / a) / (1.0 + x * math.sqrt(2.0 / (a - 4.0)))
+    z2 = ((1.0 - 2.0 / (9.0 * a) - math.copysign(abs(base) ** (1 / 3),
+                                                 base))
+          * math.sqrt(4.5 * a))
+    _, zs, zk, k2 = srows[0]
+    assert abs(zs - z1) < 2e-6 and abs(zk - z2) < 2e-6
+    assert abs(k2 - (z1 * z1 + z2 * z2)) < 4e-6
+
+
+def test_grubbs_flags_the_planted_outlier(spark):
+    from distill_spark.operators.stats import (grubbs_outlier,
+                                               grubbs_outlier_sql)
+
+    pdf = _orders([10, 11, 9, 10, 12, 10, 11, 100])
+    got = grubbs_outlier(spark.createDataFrame(pdf))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"orders": pdf}, grubbs_outlier_sql())
+    _cmp(srows, drows, got.columns)
+    row = srows[0]
+    assert row[3] == 8 and row[4] == 100.0      # key + value
+    assert row[5] > 2.0                          # clearly extreme
+
+
+def test_cliffs_delta_disjoint_and_interleaved(spark):
+    """Disjoint groups (all a > all b) → δ = +1, 'large'; perfectly
+    interleaved equal values → δ = 0, 'negligible'."""
+    from distill_spark.operators.stats import cliffs_delta, cliffs_delta_sql
+
+    pdf = pd.DataFrame(
+        [("a", 3.0), ("a", 4.0), ("b", 1.0), ("b", 2.0)],
+        columns=["event_type", "value"])
+    got = cliffs_delta(spark.createDataFrame(pdf), "event_type", "a", "b")
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": pdf},
+                     cliffs_delta_sql("events", "event_type", "a", "b"))
+    _cmp(srows, drows, got.columns)
+    assert srows[0] == (2, 2, 4.0, 1.0, "large")
+
+    tied = pd.DataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)],
+        columns=["event_type", "value"])
+    row = cliffs_delta(spark.createDataFrame(tied), "event_type",
+                       "a", "b").collect()[0]
+    assert row["cliffs_delta"] == 0.0
+    assert row["magnitude"] == "negligible"
+
+
+def test_mcnemar_hand_counted_cells(spark):
+    """Users: 2 both, 3 x-only, 1 y-only, 1 neither →
+    χ² = (|3−1|−1)²/4 = 0.25; DuckDB twin."""
+    from distill_spark.operators.stats import mcnemar_test, mcnemar_test_sql
+
+    rows = []
+    for u in (1, 2):
+        rows += [(u, "click"), (u, "purchase")]
+    for u in (3, 4, 5):
+        rows.append((u, "click"))
+    rows.append((6, "purchase"))
+    rows.append((7, "view"))
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_type"])
+    got = mcnemar_test(spark.createDataFrame(pdf))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": pdf}, mcnemar_test_sql())
+    _cmp(srows, drows, got.columns)
+    assert srows[0] == (7, 2, 3, 1, 1, 0.25)
+
+
+def test_mood_median_balanced_vs_shifted(spark):
+    """Two groups symmetric around the grand median → χ² = 0; one
+    group entirely above it → χ² = n (the 2×2 maximum); twins."""
+    from distill_spark.operators.stats import (mood_median_test,
+                                               mood_median_test_sql)
+
+    bal = pd.DataFrame(
+        [("g1", 1.0), ("g1", 4.0), ("g2", 2.0), ("g2", 3.0)],
+        columns=["event_type", "value"])
+    got = mood_median_test(spark.createDataFrame(bal))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": bal}, mood_median_test_sql())
+    _cmp(srows, drows, got.columns)
+    n, k, med, chi2 = srows[0]
+    assert (n, k) == (4, 2) and med == 2.0 and chi2 == 0.0
+
+    shift = pd.DataFrame(
+        [("lo", 1.0), ("lo", 2.0), ("hi", 3.0), ("hi", 4.0)],
+        columns=["event_type", "value"])
+    row = mood_median_test(spark.createDataFrame(shift)).collect()[0]
+    assert row["chi2"] == 4.0
