@@ -10106,7 +10106,109 @@ def _sql_mood():
     return mood_median_test_sql()
 
 
+# ---------------------------------------------------------------------------
+# Round-10 third stratum: spectral / complexity / memory diagnostics
+# on the bounded daily frame.
+
+def q_periodogram_daily(spark, sf_dir):
+    """Classical periodogram of daily value totals at periods 2–14
+    days (timeseries.periodogram_daily) — where the cyclic variance
+    sits; the spectral generalization of seasonality_dow."""
+    from distill_spark.operators.timeseries import periodogram_daily
+
+    return periodogram_daily(_tables(spark, sf_dir)["events"])
+
+
+def _sql_periodogram():
+    from distill_spark.operators.timeseries import periodogram_daily_sql
+
+    return periodogram_daily_sql()
+
+
+def q_permutation_entropy(spark, sf_dir):
+    """Order-3 Bandt–Pompe permutation entropy of the daily series
+    (timeseries.permutation_entropy) — model-free predictability,
+    normalized by ln 6; stable tie convention."""
+    from distill_spark.operators.timeseries import permutation_entropy
+
+    return permutation_entropy(_tables(spark, sf_dir)["events"])
+
+
+def _sql_perm_entropy():
+    from distill_spark.operators.timeseries import permutation_entropy_sql
+
+    return permutation_entropy_sql()
+
+
+def q_sample_entropy(spark, sf_dir):
+    """SampEn(m=2, r=0.2σ) of daily totals
+    (timeseries.sample_entropy) — template-matching regularity, the
+    magnitude-aware complement to permutation entropy; O(days²)
+    bounded pairs."""
+    from distill_spark.operators.timeseries import sample_entropy
+
+    return sample_entropy(_tables(spark, sf_dir)["events"])
+
+
+def _sql_sample_entropy():
+    from distill_spark.operators.timeseries import sample_entropy_sql
+
+    return sample_entropy_sql()
+
+
+def q_hurst_rs(spark, sf_dir):
+    """Hurst exponent via rescaled-range over 5/10/15-day blocks
+    (timeseries.hurst_rs) — persistent vs mean-reverting daily
+    demand; log-log OLS closed form."""
+    from distill_spark.operators.timeseries import hurst_rs
+
+    return hurst_rs(_tables(spark, sf_dir)["events"])
+
+
+def _sql_hurst():
+    from distill_spark.operators.timeseries import hurst_rs_sql
+
+    return hurst_rs_sql()
+
+
+def q_durbin_watson(spark, sf_dir):
+    """Durbin–Watson lag-1 screen on mean-centered daily totals
+    (timeseries.durbin_watson) — DW ≈ 2(1−ρ₁), the gate before
+    acf_daily's full curve."""
+    from distill_spark.operators.timeseries import durbin_watson
+
+    return durbin_watson(_tables(spark, sf_dir)["events"])
+
+
+def _sql_dw():
+    from distill_spark.operators.timeseries import durbin_watson_sql
+
+    return durbin_watson_sql()
+
+
+def q_ljung_box(spark, sf_dir):
+    """Ljung–Box Q over the first 7 daily autocorrelations
+    (timeseries.ljung_box) — the joint white-noise test behind
+    durbin_watson's single lag."""
+    from distill_spark.operators.timeseries import ljung_box
+
+    return ljung_box(_tables(spark, sf_dir)["events"])
+
+
+def _sql_ljung_box():
+    from distill_spark.operators.timeseries import ljung_box_sql
+
+    return ljung_box_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    # -- round-10 third stratum: spectral / complexity / memory --------------
+    "periodogram_daily": (q_periodogram_daily, _sql_periodogram()),
+    "permutation_entropy": (q_permutation_entropy, _sql_perm_entropy()),
+    "sample_entropy": (q_sample_entropy, _sql_sample_entropy()),
+    "hurst_rs": (q_hurst_rs, _sql_hurst()),
+    "durbin_watson": (q_durbin_watson, _sql_dw()),
+    "ljung_box": (q_ljung_box, _sql_ljung_box()),
     # -- round-10 second stratum: assumption-audit battery -------------------
     "jarque_bera": (q_jarque_bera, _sql_jarque_bera()),
     "dagostino_k2": (q_dagostino_k2, _sql_dagostino()),

@@ -1736,3 +1736,584 @@ SELECT CAST(st.m_days AS BIGINT) AS m_days,
        round(rl_sum / CAST(ns AS DOUBLE), 6) AS arl_est
 FROM agg CROSS JOIN st
 """
+
+
+# ---------------------------------------------- round-10 third stratum
+# Spectral / complexity / memory diagnostics on the bounded daily
+# frame: which cycles carry the variance (periodogram), how
+# predictable the sequence is (permutation & sample entropy), how
+# long its memory is (Hurst R/S, Durbin–Watson, Ljung–Box).
+
+def _daily_frame(events: DataFrame, ts_col: str, value_col: str):
+    """(d, x, t) daily totals with 1-based time rank — the shared
+    bounded front: exact DECIMAL sums rounded to the 1e-9 grid, one
+    aggregate over the fact table, everything after is O(days)."""
+    daily = (events
+             .select(F.to_date(ts_col).alias("d"),
+                     F.col(value_col).cast("double").alias("v"))
+             .groupBy("d")
+             .agg(F.round(F.sum(F.col("v").cast(_TS_DEC))
+                          .cast("double"), 9).alias("x")))
+    return daily.select(
+        "d", "x", F.row_number().over(
+            Window.partitionBy().orderBy("d")).alias("t"))
+
+
+_DAILY_SQL = """
+daily AS (
+  SELECT CAST({ts} AS DATE) AS d,
+         round(CAST(sum(CAST(CAST({val} AS DOUBLE) AS DECIMAL(38,12)))
+                    AS DOUBLE), 9) AS x
+  FROM {table} GROUP BY 1
+),
+ranked AS (
+  SELECT d, x, row_number() OVER (ORDER BY d) AS t FROM daily
+)"""
+
+
+def periodogram_daily(events: DataFrame, ts_col: str = "ts",
+                      value_col: str = "value", min_period: int = 2,
+                      max_period: int = 14) -> DataFrame:
+    """Classical periodogram of the daily value total at calendar
+    periods 2..14 days: P(p) = (C_p² + S_p²)·2/m with
+    C_p = Σ x'_t·cos(2πt/p), S_p = Σ x'_t·sin(2πt/p) over the
+    mean-centered series — WHERE the cyclic variance sits, the
+    spectral generalization of seasonality_dow's single weekly
+    hypothesis (a 7-day peak should dominate; anything else is news).
+
+    Shape: the period grid (13 rows) cross-joins the bounded daily
+    frame — O(days·periods) trig terms, each rounded to the 1e-6
+    grid before the DECIMAL sum so a 1-ulp libm wobble cannot move
+    the accumulated power. frac_var = power / Σx'² (a planted pure
+    harmonic at a grid period reads 1.0; non-Fourier periods can
+    leak). Output: (period, power, frac_var),
+    rounds 4/6.
+    """
+    base = _daily_frame(events, ts_col, value_col)
+    mu = base.agg((F.sum(F.col("x").cast(_TS_DEC)).cast("double")
+                   / F.count("*")).alias("mu"),
+                  F.count("*").alias("m"))
+    centered = (base.crossJoin(F.broadcast(mu))
+                .select("t", (F.col("x") - F.col("mu")).alias("e"),
+                        F.col("m")))
+    ss = centered.agg(F.sum((F.col("e") * F.col("e")).cast(_TS_DEC))
+                      .cast("double").alias("ss"))
+    spark = events.sparkSession
+    periods = spark.range(min_period, max_period + 1) \
+        .select(F.col("id").cast("int").alias("p"))
+    two_pi = 6.283185307179586
+    ang = F.lit(two_pi) * F.col("t") / F.col("p")
+    terms = (centered.crossJoin(F.broadcast(periods))
+             .select("p", "m",
+                     F.round(F.col("e") * F.cos(ang), 6).cast(_TS_DEC)
+                     .alias("ct"),
+                     F.round(F.col("e") * F.sin(ang), 6).cast(_TS_DEC)
+                     .alias("st")))
+    agg = (terms.groupBy("p", "m")
+           .agg(F.sum("ct").cast("double").alias("c"),
+                F.sum("st").cast("double").alias("s")))
+    power = ((F.col("c") * F.col("c") + F.col("s") * F.col("s"))
+             * 2.0 / F.col("m"))
+    return (agg.crossJoin(F.broadcast(ss))
+            .select(F.col("p").alias("period"),
+                    F.round(power, 4).alias("power"),
+                    F.round(F.when(F.col("ss") > 0, power / F.col("ss")),
+                            6).alias("frac_var")))
+
+
+def periodogram_daily_sql(table: str = "events", ts_sql: str = "ts",
+                          value_sql: str = "value", min_period: int = 2,
+                          max_period: int = 14) -> str:
+    two_pi = 6.283185307179586
+    return f"""
+WITH {_DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)},
+mu AS (
+  SELECT CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mu,
+         count(*) AS m
+  FROM ranked
+),
+centered AS (
+  SELECT t, x - mu AS e, m FROM ranked CROSS JOIN mu
+),
+ss AS (
+  SELECT CAST(sum(CAST(e * e AS DECIMAL(38,12))) AS DOUBLE) AS ss
+  FROM centered
+),
+periods AS (
+  SELECT CAST(range AS INT) AS p FROM range({min_period}, {max_period} + 1)
+),
+agg AS (
+  SELECT p, m,
+         CAST(sum(CAST(round(e * cos({two_pi} * t / p), 6)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS c,
+         CAST(sum(CAST(round(e * sin({two_pi} * t / p), 6)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS s
+  FROM centered CROSS JOIN periods
+  GROUP BY 1, 2
+)
+SELECT p AS period,
+       round((c * c + s * s) * 2.0 / m, 4) AS power,
+       round(CASE WHEN ss > 0
+                  THEN (c * c + s * s) * 2.0 / m / ss END, 6)
+         AS frac_var
+FROM agg CROSS JOIN ss
+"""
+
+
+def permutation_entropy(events: DataFrame, ts_col: str = "ts",
+                        value_col: str = "value") -> DataFrame:
+    """Permutation entropy of the daily total series (Bandt & Pompe
+    2002, order 3): Shannon entropy of the distribution of ordinal
+    patterns of consecutive day triples, normalized by ln 3! — the
+    model-free "how predictable is the sequence" score (0 = strictly
+    monotone, 1 = pattern-uniform) that complements markov_entropy's
+    state-conditional readout. Ties rank by time position (the
+    standard stable convention), so the pattern code
+    r₁·100 + r₂·10 + r₃ is exact integer algebra on both engines.
+    One lead window over the bounded daily frame, one 6-row
+    histogram. Output: one row (n_windows, n_patterns, entropy,
+    normalized), rounds 6."""
+    base = _daily_frame(events, ts_col, value_col)
+    w = Window.partitionBy().orderBy("t")
+    tri = (base.select(
+        "t", F.col("x").alias("x1"),
+        F.lead("x", 1).over(w).alias("x2"),
+        F.lead("x", 2).over(w).alias("x3"))
+        .filter(F.col("x3").isNotNull()))
+
+    def rank_of(i, xs):
+        lt = []
+        for j, xj in enumerate(xs):
+            if j == i:
+                continue
+            cond = (xj < xs[i]) | ((xj == xs[i]) & F.lit(j < i))
+            lt.append(F.when(cond, 1).otherwise(0))
+        return sum(lt[1:], lt[0])
+
+    xs = [F.col("x1"), F.col("x2"), F.col("x3")]
+    code = (rank_of(0, xs) * 100 + rank_of(1, xs) * 10
+            + rank_of(2, xs)).alias("pattern")
+    hist = tri.select(code).groupBy("pattern") \
+        .agg(F.count("*").alias("c"))
+    tot = Window.partitionBy()
+    terms = hist.select(
+        F.sum("c").over(tot).alias("nw"),
+        F.count("*").over(tot).alias("np"),
+        (-(F.col("c") / F.sum("c").over(tot))
+         * F.log(F.col("c") / F.sum("c").over(tot))).cast(_TS_DEC)
+        .alias("_h"))
+    import math
+    return (terms.groupBy("nw", "np")
+            .agg(F.sum("_h").cast("double").alias("h"))
+            .select(F.col("nw").cast("long").alias("n_windows"),
+                    F.col("np").cast("long").alias("n_patterns"),
+                    F.round(F.col("h"), 6).alias("entropy"),
+                    F.round(F.col("h") / math.log(6.0), 6)
+                    .alias("normalized")))
+
+
+def permutation_entropy_sql(table: str = "events", ts_sql: str = "ts",
+                            value_sql: str = "value") -> str:
+    import math
+
+    def rank_sql(i):
+        terms = []
+        for j in range(3):
+            if j == i:
+                continue
+            tie = f"(x{j + 1} = x{i + 1} AND {j} < {i})"
+            terms.append(f"(CASE WHEN x{j + 1} < x{i + 1} OR {tie} "
+                         f"THEN 1 ELSE 0 END)")
+        return "(" + " + ".join(terms) + ")"
+
+    code = (f"{rank_sql(0)} * 100 + {rank_sql(1)} * 10 + {rank_sql(2)}")
+    return f"""
+WITH {_DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)},
+tri AS (
+  SELECT t, x AS x1,
+         lead(x, 1) OVER (ORDER BY t) AS x2,
+         lead(x, 2) OVER (ORDER BY t) AS x3
+  FROM ranked
+),
+pat AS (
+  SELECT {code} AS pattern FROM tri WHERE x3 IS NOT NULL
+),
+hist AS (SELECT pattern, count(*) AS c FROM pat GROUP BY 1),
+terms AS (
+  SELECT sum(c) OVER () AS nw, count(*) OVER () AS np,
+         CAST(-(c / CAST(sum(c) OVER () AS DOUBLE))
+              * ln(c / CAST(sum(c) OVER () AS DOUBLE))
+              AS DECIMAL(38,12)) AS h_
+  FROM hist
+)
+SELECT CAST(nw AS BIGINT) AS n_windows, CAST(np AS BIGINT) AS n_patterns,
+       round(CAST(sum(h_) AS DOUBLE), 6) AS entropy,
+       round(CAST(sum(h_) AS DOUBLE) / {math.log(6.0)}, 6) AS normalized
+FROM terms GROUP BY nw, np
+"""
+
+
+def sample_entropy(events: DataFrame, ts_col: str = "ts",
+                   value_col: str = "value",
+                   r_frac: float = 0.2) -> DataFrame:
+    """Sample entropy SampEn(m=2, r=0.2·σ) of the daily total series
+    (Richman & Moorman 2000): −ln(A/B) where B counts day-pairs whose
+    length-2 templates stay within tolerance r (Chebyshev) and A the
+    same for length-3 — low SampEn = self-similar/regular series,
+    high = irregular; the template-matching complement to
+    permutation_entropy (which sees only order, not magnitude).
+
+    Shape: O(days²) template pairs over the bounded daily frame
+    (~435 at a 30-day month — never the fact table), tolerance and
+    deviations rounded to the 1e-9 grid so the ≤ comparisons agree
+    bit-for-bit. Output: one row (m_days, r_tol, b_count, a_count,
+    sampen), rounds 6, NULL when A or B is 0."""
+    base = _daily_frame(events, ts_col, value_col)
+    w = Window.partitionBy().orderBy("t")
+    tpl = base.select(
+        "t", F.col("x").alias("x0"),
+        F.lead("x", 1).over(w).alias("x1"),
+        F.lead("x", 2).over(w).alias("x2"))
+    st = base.agg(
+        F.count("*").alias("m"),
+        (F.sum(F.col("x").cast(_TS_DEC)).cast("double")
+         / F.count("*")).alias("mu"),
+        F.sum((F.col("x") * F.col("x")).cast(_TS_DEC)).alias("s2"))
+    md = F.col("m").cast("double")
+    var_pop = F.col("s2").cast("double") / md - F.col("mu") * F.col("mu")
+    rtol = st.select(
+        "m", F.round(F.lit(r_frac) * F.sqrt(
+            F.when(var_pop > 0, var_pop)), 9).alias("r"))
+    a = tpl.select(F.col("t").alias("ta"), F.col("x0").alias("a0"),
+                   F.col("x1").alias("a1"), F.col("x2").alias("a2"))
+    b = tpl.select(F.col("t").alias("tb"), F.col("x0").alias("b0"),
+                   F.col("x1").alias("b1"), F.col("x2").alias("b2"))
+    d0 = F.round(F.abs(F.col("a0") - F.col("b0")), 9)
+    d1 = F.round(F.abs(F.col("a1") - F.col("b1")), 9)
+    d2 = F.round(F.abs(F.col("a2") - F.col("b2")), 9)
+    pairs = (a.join(F.broadcast(b), F.col("tb") > F.col("ta"))
+             .crossJoin(F.broadcast(rtol)))
+    b_match = ((F.col("a1").isNotNull()) & (F.col("b1").isNotNull())
+               & (F.greatest(d0, d1) <= F.col("r")))
+    a_match = (b_match & F.col("a2").isNotNull()
+               & F.col("b2").isNotNull() & (d2 <= F.col("r")))
+    agg = pairs.agg(
+        F.max("m").alias("m"), F.max("r").alias("r"),
+        F.sum(b_match.cast("int")).alias("bc"),
+        F.sum(a_match.cast("int")).alias("ac"))
+    return agg.select(
+        F.col("m").cast("long").alias("m_days"),
+        F.round(F.col("r"), 6).alias("r_tol"),
+        F.col("bc").cast("long").alias("b_count"),
+        F.col("ac").cast("long").alias("a_count"),
+        F.round(F.when((F.col("ac") > 0) & (F.col("bc") > 0),
+                       -F.log(F.col("ac") / F.col("bc")
+                              .cast("double"))), 6).alias("sampen"))
+
+
+def sample_entropy_sql(table: str = "events", ts_sql: str = "ts",
+                       value_sql: str = "value",
+                       r_frac: float = 0.2) -> str:
+    return f"""
+WITH {_DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)},
+tpl AS (
+  SELECT t, x AS x0,
+         lead(x, 1) OVER (ORDER BY t) AS x1,
+         lead(x, 2) OVER (ORDER BY t) AS x2
+  FROM ranked
+),
+st AS (
+  SELECT count(*) AS m,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mu,
+         CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM ranked
+),
+rtol AS (
+  SELECT m,
+         round({r_frac} * sqrt(CASE WHEN s2 / m - mu * mu > 0
+                                    THEN s2 / m - mu * mu END), 9) AS r
+  FROM st
+),
+pairs AS (
+  SELECT rtol.m, rtol.r,
+         CASE WHEN a.x1 IS NOT NULL AND b.x1 IS NOT NULL
+               AND greatest(round(abs(a.x0 - b.x0), 9),
+                            round(abs(a.x1 - b.x1), 9)) <= rtol.r
+              THEN 1 ELSE 0 END AS bm,
+         CASE WHEN a.x1 IS NOT NULL AND b.x1 IS NOT NULL
+               AND a.x2 IS NOT NULL AND b.x2 IS NOT NULL
+               AND greatest(round(abs(a.x0 - b.x0), 9),
+                            round(abs(a.x1 - b.x1), 9)) <= rtol.r
+               AND round(abs(a.x2 - b.x2), 9) <= rtol.r
+              THEN 1 ELSE 0 END AS am
+  FROM tpl a JOIN tpl b ON b.t > a.t CROSS JOIN rtol
+)
+SELECT CAST(max(m) AS BIGINT) AS m_days, round(max(r), 6) AS r_tol,
+       CAST(sum(bm) AS BIGINT) AS b_count,
+       CAST(sum(am) AS BIGINT) AS a_count,
+       round(CASE WHEN sum(am) > 0 AND sum(bm) > 0
+                  THEN -ln(sum(am) / CAST(sum(bm) AS DOUBLE)) END, 6)
+         AS sampen
+FROM pairs
+"""
+
+
+def hurst_rs(events: DataFrame, ts_col: str = "ts",
+             value_col: str = "value",
+             block_sizes: tuple = (5, 10, 15)) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis (Hurst 1951;
+    Mandelbrot & Wallis 1969): for each block size s, split the daily
+    series into complete s-day blocks, compute R/S = (range of the
+    within-block cumulative deviations) / (population sd of the
+    block), average per size, then H = OLS slope of ln(mean R/S) on
+    ln(s) — H > 0.5 means trending/persistent daily demand, < 0.5
+    mean-reverting; the long-memory summary behind acf_daily's
+    per-lag view.
+
+    Shape: everything after the one daily aggregate is windows over
+    the bounded (block, t) frame; the log-log fit is 3 points of
+    closed-form algebra. Zero-sd blocks are skipped (their R/S is
+    0/0). Output: one row per size (block_size, n_blocks, mean_rs)
+    plus the shared fitted hurst column, rounds 6."""
+    base = _daily_frame(events, ts_col, value_col)
+    sized = None
+    for s in block_sizes:
+        part = base.select(
+            F.lit(s).alias("bs"), "t", "x",
+            F.floor((F.col("t") - 1) / s).alias("blk"))
+        sized = part if sized is None else sized.unionByName(part)
+    wb = Window.partitionBy("bs", "blk")
+    full = (sized
+            .withColumn("_n", F.count("*").over(wb))
+            .filter(F.col("_n") == F.col("bs")))
+    mu = F.sum(F.col("x").cast(_TS_DEC)).over(wb).cast("double") \
+        / F.col("bs")
+    dev = full.select("bs", "blk", "t", (F.col("x") - mu).alias("e"))
+    wcum = Window.partitionBy("bs", "blk").orderBy("t") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = dev.select("bs", "blk", "e",
+                     F.sum("e").over(wcum).alias("z"))
+    per_blk = (cum.groupBy("bs", "blk")
+               .agg((F.max("z") - F.min("z")).alias("rng"),
+                    F.sqrt(F.sum((F.col("e") * F.col("e")).cast(_TS_DEC))
+                           .cast("double") / F.first("bs")).alias("sd")))
+    rs = (per_blk.filter(F.col("sd") > 0)
+          .select("bs", F.round(F.col("rng") / F.col("sd"), 9)
+                  .alias("rs")))
+    per_size = (rs.groupBy("bs")
+                .agg(F.count("*").alias("nb"),
+                     (F.sum(F.col("rs").cast(_TS_DEC)).cast("double")
+                      / F.count("*")).alias("mean_rs")))
+    pts = per_size.select(
+        "bs", "nb", "mean_rs",
+        F.log(F.col("bs").cast("double")).alias("u"),
+        F.log(F.col("mean_rs")).alias("w"))
+    tot = Window.partitionBy()
+    fit = pts.select(
+        "bs", "nb", "mean_rs", "u", "w",
+        F.avg("u").over(tot).alias("ub"),
+        F.avg("w").over(tot).alias("wb"),
+        F.count("*").over(tot).alias("k"))
+    num = F.sum((F.col("u") - F.col("ub")) * (F.col("w") - F.col("wb")))
+    den = F.sum((F.col("u") - F.col("ub")) * (F.col("u") - F.col("ub")))
+    slope = (fit.groupBy()
+             .agg(F.max("k").alias("k"), num.alias("nm"),
+                  den.alias("dn"))
+             .select(F.when(F.col("dn") > 0,
+                            F.col("nm") / F.col("dn")).alias("hurst")))
+    return (fit.select(F.col("bs").cast("int").alias("block_size"),
+                       F.col("nb").cast("long").alias("n_blocks"),
+                       F.round(F.col("mean_rs"), 6).alias("mean_rs"))
+            .crossJoin(F.broadcast(slope))
+            .select("block_size", "n_blocks", "mean_rs",
+                    F.round(F.col("hurst"), 6).alias("hurst")))
+
+
+def hurst_rs_sql(table: str = "events", ts_sql: str = "ts",
+                 value_sql: str = "value",
+                 block_sizes: tuple = (5, 10, 15)) -> str:
+    sizes = ", ".join(str(s) for s in block_sizes)
+    return f"""
+WITH {_DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)},
+sized AS (
+  SELECT s.bs, r.t, r.x, CAST(floor((r.t - 1) / s.bs) AS BIGINT) AS blk
+  FROM ranked r CROSS JOIN (SELECT unnest([{sizes}]) AS bs) s
+),
+full_ AS (
+  SELECT bs, t, x, blk,
+         count(*) OVER (PARTITION BY bs, blk) AS n_
+  FROM sized
+),
+dev AS (
+  SELECT bs, blk, t,
+         x - CAST(sum(CAST(x AS DECIMAL(38,12)))
+                  OVER (PARTITION BY bs, blk) AS DOUBLE) / bs AS e
+  FROM full_ WHERE n_ = bs
+),
+cum AS (
+  SELECT bs, blk, e,
+         sum(e) OVER (PARTITION BY bs, blk ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z
+  FROM dev
+),
+per_blk AS (
+  SELECT bs, blk, max(z) - min(z) AS rng,
+         sqrt(CAST(sum(CAST(e * e AS DECIMAL(38,12))) AS DOUBLE) / bs)
+           AS sd
+  FROM cum GROUP BY 1, 2
+),
+per_size AS (
+  SELECT bs, count(*) AS nb,
+         CAST(sum(CAST(round(rng / sd, 9) AS DECIMAL(38,12)))
+              AS DOUBLE) / count(*) AS mean_rs
+  FROM per_blk WHERE sd > 0 GROUP BY 1
+),
+pts AS (
+  SELECT bs, nb, mean_rs, ln(CAST(bs AS DOUBLE)) AS u,
+         ln(mean_rs) AS w,
+         avg(ln(CAST(bs AS DOUBLE))) OVER () AS ub,
+         avg(ln(mean_rs)) OVER () AS wb
+  FROM per_size
+),
+slope AS (
+  SELECT CASE WHEN sum((u - ub) * (u - ub)) > 0
+              THEN sum((u - ub) * (w - wb)) / sum((u - ub) * (u - ub))
+         END AS hurst
+  FROM pts
+)
+SELECT CAST(bs AS INT) AS block_size, CAST(nb AS BIGINT) AS n_blocks,
+       round(mean_rs, 6) AS mean_rs, round(hurst, 6) AS hurst
+FROM pts CROSS JOIN slope
+"""
+
+
+def durbin_watson(events: DataFrame, ts_col: str = "ts",
+                  value_col: str = "value") -> DataFrame:
+    """Durbin–Watson statistic of the mean-centered daily total
+    series: DW = Σ(e_t − e_{t−1})² / Σe_t² — the one-number
+    lag-1-autocorrelation screen (DW ≈ 2(1 − ρ₁)); acf_daily gives
+    the full curve, this is the gate in front of it. One lag window
+    over the bounded daily frame, decimal term sums. Output: one row
+    (m_days, dw, rho1_implied), rounds 6."""
+    base = _daily_frame(events, ts_col, value_col)
+    mu = base.agg((F.sum(F.col("x").cast(_TS_DEC)).cast("double")
+                   / F.count("*")).alias("mu"))
+    e = (base.crossJoin(F.broadcast(mu))
+         .select("t", (F.col("x") - F.col("mu")).alias("e")))
+    w = Window.partitionBy().orderBy("t")
+    d = e.select(
+        "e", (F.col("e") - F.lag("e", 1).over(w)).alias("de"))
+    agg = d.agg(
+        F.count("*").alias("m"),
+        F.sum((F.col("e") * F.col("e")).cast(_TS_DEC)).alias("den"),
+        F.sum(F.when(F.col("de").isNotNull(),
+                     (F.col("de") * F.col("de")).cast(_TS_DEC)))
+        .alias("num"))
+    den = F.col("den").cast("double")
+    dw = F.when(den > 0, F.col("num").cast("double") / den)
+    return agg.select(
+        F.col("m").cast("long").alias("m_days"),
+        F.round(dw, 6).alias("dw"),
+        F.round(1.0 - dw / 2.0, 6).alias("rho1_implied"))
+
+
+def durbin_watson_sql(table: str = "events", ts_sql: str = "ts",
+                      value_sql: str = "value") -> str:
+    return f"""
+WITH {_DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)},
+mu AS (
+  SELECT CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mu
+  FROM ranked
+),
+e AS (SELECT t, x - mu AS e FROM ranked CROSS JOIN mu),
+d AS (
+  SELECT e, e - lag(e, 1) OVER (ORDER BY t) AS de FROM e
+),
+agg AS (
+  SELECT count(*) AS m,
+         CAST(sum(CAST(e * e AS DECIMAL(38,12))) AS DOUBLE) AS den,
+         CAST(sum(CASE WHEN de IS NOT NULL
+                       THEN CAST(de * de AS DECIMAL(38,12)) END)
+              AS DOUBLE) AS num
+  FROM d
+)
+SELECT CAST(m AS BIGINT) AS m_days,
+       round(CASE WHEN den > 0 THEN num / den END, 6) AS dw,
+       round(1.0 - CASE WHEN den > 0 THEN num / den END / 2.0, 6)
+         AS rho1_implied
+FROM agg
+"""
+
+
+def ljung_box(events: DataFrame, ts_col: str = "ts",
+              value_col: str = "value", h: int = 7) -> DataFrame:
+    """Ljung–Box portmanteau statistic Q = m(m+2)·Σ_{k≤h} ρ̂_k²/(m−k)
+    on the mean-centered daily totals — is the WHOLE first week of
+    autocorrelations jointly zero, the omnibus companion to
+    durbin_watson's lag-1 screen (Q ~ χ²(h) under white noise).
+    ρ̂_k = Σ e_t·e_{t−k} / Σe_t², each lag one window over the
+    bounded daily frame (h·m lag terms total), decimal sums. Output:
+    one row (m_days, h, q_stat), rounds 6."""
+    base = _daily_frame(events, ts_col, value_col)
+    mu = base.agg((F.sum(F.col("x").cast(_TS_DEC)).cast("double")
+                   / F.count("*")).alias("mu"))
+    e = (base.crossJoin(F.broadcast(mu))
+         .select("t", (F.col("x") - F.col("mu")).alias("e")))
+    w = Window.partitionBy().orderBy("t")
+    lags = e.select(
+        "e", *[F.lag("e", k).over(w).alias(f"l{k}")
+               for k in range(1, h + 1)])
+    agg = lags.agg(
+        F.count("*").alias("m"),
+        F.sum((F.col("e") * F.col("e")).cast(_TS_DEC)).alias("den"),
+        *[F.sum(F.when(F.col(f"l{k}").isNotNull(),
+                       (F.col("e") * F.col(f"l{k}")).cast(_TS_DEC)))
+          .alias(f"n{k}") for k in range(1, h + 1)])
+    m = F.col("m").cast("double")
+    den = F.col("den").cast("double")
+    rho2_over = None
+    for k in range(1, h + 1):
+        rho = F.col(f"n{k}").cast("double") / den
+        term = rho * rho / (m - k)
+        rho2_over = term if rho2_over is None else rho2_over + term
+    q = F.when(den > 0, m * (m + 2.0) * rho2_over)
+    return agg.select(
+        F.col("m").cast("long").alias("m_days"),
+        F.lit(h).cast("int").alias("h"),
+        F.round(q, 6).alias("q_stat"))
+
+
+def ljung_box_sql(table: str = "events", ts_sql: str = "ts",
+                  value_sql: str = "value", h: int = 7) -> str:
+    lag_cols = ",\n         ".join(
+        f"lag(e, {k}) OVER (ORDER BY t) AS l{k}" for k in range(1, h + 1))
+    num_sums = ",\n         ".join(
+        f"CAST(sum(CASE WHEN l{k} IS NOT NULL THEN "
+        f"CAST(e * l{k} AS DECIMAL(38,12)) END) AS DOUBLE) AS n{k}"
+        for k in range(1, h + 1))
+    q_terms = " + ".join(
+        f"(n{k} / den) * (n{k} / den) / (m - {k})"
+        for k in range(1, h + 1))
+    return f"""
+WITH {_DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)},
+mu AS (
+  SELECT CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mu
+  FROM ranked
+),
+e AS (SELECT t, x - mu AS e FROM ranked CROSS JOIN mu),
+lags AS (
+  SELECT e,
+         {lag_cols}
+  FROM e
+),
+agg AS (
+  SELECT count(*) AS m,
+         CAST(sum(CAST(e * e AS DECIMAL(38,12))) AS DOUBLE) AS den,
+         {num_sums}
+  FROM lags
+)
+SELECT CAST(m AS BIGINT) AS m_days, CAST({h} AS INT) AS h,
+       round(CASE WHEN den > 0
+                  THEN m * (m + 2.0) * ({q_terms}) END, 6) AS q_stat
+FROM agg
+"""

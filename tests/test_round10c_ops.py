@@ -1,0 +1,171 @@
+"""Adversarial oracle validation for the round-10 third stratum
+(periodogram / permutation & sample entropy / Hurst R/S /
+Durbin–Watson / Ljung–Box): planted pure cycles, monotone and
+alternating series, and pure-Python replays — each against the
+DuckDB twin."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+
+def _cmp(spark_rows, duck_rows, cols):
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 9)
+        return str(v) if not isinstance(v, (int, float, bool, type(None))) \
+            else v
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    a = sorted(tuple(norm(r[i]) for i in order) for r in spark_rows)
+    b = sorted(tuple(norm(r[i]) for i in order) for r in duck_rows)
+    assert a == b, f"\nspark={a[:6]}\nduck ={b[:6]}"
+
+
+def _duck(frames: dict[str, pd.DataFrame], sql: str):
+    con = duckdb.connect()
+    for name, pdf in frames.items():
+        con.register(f"_src_{name}", pdf)
+        con.execute(f"CREATE TABLE {name} AS SELECT * FROM _src_{name}")
+    rel = con.sql(sql)
+    return rel.fetchall(), [d[0] for d in rel.description]
+
+
+def _days(vals):
+    """One event per day carrying the planted daily total."""
+    return pd.DataFrame(
+        [(pd.Timestamp("2024-06-01") + pd.Timedelta(days=i), float(v))
+         for i, v in enumerate(vals)], columns=["ts", "value"])
+
+
+def test_periodogram_finds_the_planted_cycle(spark):
+    """28 days of 100 + 50·sin(2πt/7): the period-7 line carries
+    essentially all the variance; DuckDB twin row-for-row."""
+    from distill_spark.operators.timeseries import (periodogram_daily,
+                                                    periodogram_daily_sql)
+
+    vals = [100 + 50 * math.sin(2 * math.pi * (t + 1) / 7)
+            for t in range(28)]
+    pdf = _days(vals)
+    got = periodogram_daily(spark.createDataFrame(pdf))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": pdf}, periodogram_daily_sql())
+    _cmp(srows, drows, got.columns)
+    by_p = {r[0]: r[2] for r in srows}
+    assert abs(by_p[7] - 1.0) < 0.01       # the planted line is ALL of it
+    # non-Fourier grid periods (28/p not an integer cycle count) leak
+    # hard — p=8 is 3.5 cycles and correlates strongly — but the
+    # planted line still dominates every other period 2x+
+    assert all(by_p[7] > 2 * v for p, v in by_p.items() if p != 7)
+    # exact-Fourier periods (14 = 28/2, 4 = 28/7, 2 = 28/14) are
+    # orthogonal to the planted harmonic: essentially zero
+    assert by_p[14] < 0.01 and by_p[4] < 0.01 and by_p[2] < 0.01
+
+
+def test_permutation_entropy_monotone_is_zero(spark):
+    """Strictly increasing days → one ordinal pattern → entropy 0;
+    an oscillating series shows >1 pattern; twins agree."""
+    from distill_spark.operators.timeseries import (permutation_entropy,
+                                                    permutation_entropy_sql)
+
+    mono = _days(range(1, 13))
+    got = permutation_entropy(spark.createDataFrame(mono))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": mono}, permutation_entropy_sql())
+    _cmp(srows, drows, got.columns)
+    assert srows[0] == (10, 1, 0.0, 0.0)
+
+    zig = _days([1, 9, 2, 8, 3, 7, 4, 6])
+    row = permutation_entropy(spark.createDataFrame(zig)).collect()[0]
+    assert row["n_patterns"] == 2 and row["entropy"] > 0.6
+
+
+def test_sample_entropy_periodic_python_replay(spark):
+    """A noisy-ish planted series: a pure-Python SampEn(2, 0.2σ)
+    replay reproduces (b_count, a_count, sampen); twins agree."""
+    from distill_spark.operators.timeseries import (sample_entropy,
+                                                    sample_entropy_sql)
+
+    vals = [3.0, 7.0, 3.5, 7.2, 2.8, 6.9, 3.1, 7.4, 2.9, 7.1]
+    pdf = _days(vals)
+    got = sample_entropy(spark.createDataFrame(pdf))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": pdf}, sample_entropy_sql())
+    _cmp(srows, drows, got.columns)
+
+    m = len(vals)
+    mu = sum(vals) / m
+    r = round(0.2 * math.sqrt(sum((x - mu) ** 2 for x in vals) / m), 9)
+    bc = ac = 0
+    for i in range(m):
+        for j in range(i + 1, m):
+            if i + 1 < m and j + 1 < m:
+                if max(round(abs(vals[i] - vals[j]), 9),
+                       round(abs(vals[i + 1] - vals[j + 1]), 9)) <= r:
+                    bc += 1
+                    if i + 2 < m and j + 2 < m and \
+                            round(abs(vals[i + 2] - vals[j + 2]), 9) <= r:
+                        ac += 1
+    row = srows[0]
+    assert (row[2], row[3]) == (bc, ac)
+    if ac and bc:
+        assert row[4] == round(-math.log(ac / bc), 6)
+
+
+def test_hurst_trend_is_persistent(spark):
+    """A pure linear trend is maximally persistent: H well above 0.9;
+    twins agree row-for-row (3 block sizes over 30 days)."""
+    from distill_spark.operators.timeseries import hurst_rs, hurst_rs_sql
+
+    pdf = _days([10 + 3 * t for t in range(30)])
+    got = hurst_rs(spark.createDataFrame(pdf))
+    srows = [tuple(r) for r in got.orderBy("block_size").collect()]
+    drows, _ = _duck({"events": pdf}, hurst_rs_sql())
+    _cmp(srows, drows, got.columns)
+    assert [r[0] for r in srows] == [5, 10, 15]
+    assert [r[1] for r in srows] == [6, 3, 2]
+    assert srows[0][3] > 0.9          # shared fitted hurst
+
+
+def test_durbin_watson_alternating_vs_trend(spark):
+    """Perfect alternation → DW near 4 (ρ₁ → −1); a smooth trend →
+    DW near 0 (ρ₁ → +1); twins agree."""
+    from distill_spark.operators.timeseries import (durbin_watson,
+                                                    durbin_watson_sql)
+
+    alt = _days([1, 9] * 10)
+    got = durbin_watson(spark.createDataFrame(alt))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": alt}, durbin_watson_sql())
+    _cmp(srows, drows, got.columns)
+    assert srows[0][1] > 3.5 and srows[0][2] < -0.75
+
+    trend = _days(range(30))
+    row = durbin_watson(spark.createDataFrame(trend)).collect()[0]
+    assert row["dw"] < 0.2 and row["rho1_implied"] > 0.9
+
+
+def test_ljung_box_python_replay(spark):
+    """Planted 12-day series: a pure-Python Q(h=7) replay matches to
+    the 1e-6 grid; twins agree."""
+    from distill_spark.operators.timeseries import ljung_box, ljung_box_sql
+
+    vals = [5.0, 8.0, 2.0, 9.0, 4.0, 7.0, 3.0, 6.0, 5.5, 8.5, 2.5, 6.5]
+    pdf = _days(vals)
+    got = ljung_box(spark.createDataFrame(pdf))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": pdf}, ljung_box_sql())
+    _cmp(srows, drows, got.columns)
+
+    m = len(vals)
+    mu = sum(vals) / m
+    e = [x - mu for x in vals]
+    den = sum(x * x for x in e)
+    q = 0.0
+    for k in range(1, 8):
+        rho = sum(e[t] * e[t - k] for t in range(k, m)) / den
+        q += rho * rho / (m - k)
+    q *= m * (m + 2)
+    assert abs(srows[0][2] - q) < 1e-5
