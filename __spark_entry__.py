@@ -10201,7 +10201,98 @@ def _sql_ljung_box():
     return ljung_box_sql()
 
 
+# ---------------------------------------------------------------------------
+# Round-10 fourth stratum: stylometry / agreement — vocabulary-richness
+# constants, Burrows' Delta between sources, Fleiss' κ over a 3-rater
+# langid panel, Kendall's W of weekly event-type rankings.
+
+def q_lexical_richness(spark, sf_dir):
+    """Yule's K, Simpson's D, Honoré's R, Sichel's S in one pass over
+    the term-frequency frame (corpus_stats.lexical_richness) — the
+    classical richness constants under chao1's asymptotic estimate."""
+    from distill_spark.operators.corpus_stats import lexical_richness
+
+    return lexical_richness(_tables(spark, sf_dir)["documents"])
+
+
+def _sql_lexical_richness():
+    from distill_spark.operators.corpus_stats import lexical_richness_sql
+
+    return lexical_richness_sql(words_sql_tpl=_WORDS_SQL)
+
+
+def q_burrows_delta(spark, sf_dir):
+    """Burrows' Delta stylometric distance between every source pair
+    over the top-30 corpus terms (corpus_stats.burrows_delta) — the
+    normalized-head authorship measure next to source_jsd's full
+    distributions."""
+    from distill_spark.operators.corpus_stats import burrows_delta
+
+    return burrows_delta(_tables(spark, sf_dir)["documents"])
+
+
+def _sql_burrows():
+    from distill_spark.operators.corpus_stats import burrows_delta_sql
+
+    return burrows_delta_sql(words_sql_tpl=_WORDS_SQL)
+
+
+def q_fleiss_langid(spark, sf_dir):
+    """Fleiss' κ over a 3-rater deterministic langid panel (rater r
+    says 'en' iff the doc has ≥ r known stopwords;
+    mleval.fleiss_kappa) — how much of the raters' agreement is
+    beyond chance; the many-rater upgrade of langid_agreement."""
+    from distill_spark.operators.mleval import fleiss_kappa
+
+    t = _tables(spark, sf_dir)
+    words = _words(F.col("text"))
+    stops = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    nstop = F.size(F.array_intersect(words, stops))
+    ratings = (t["documents"]
+               .select(F.col("doc_id").alias("item"), nstop.alias("ns"))
+               .select("item", "ns", F.explode(F.array(
+                   *[F.lit(r) for r in (1, 2, 3)])).alias("r"))
+               .select("item",
+                       F.when(F.col("ns") >= F.col("r"), "en")
+                       .otherwise("other").alias("category")))
+    return fleiss_kappa(ratings, "item", "category", n_raters=3)
+
+
+def _sql_fleiss():
+    from distill_spark.operators.mleval import fleiss_kappa_sql
+
+    nstop = f"len(list_intersect({_WORDS_SQL.format(c='text')}, {_STOP_SQL}))"
+    cte = (f"SELECT doc_id AS i, CASE WHEN {nstop} >= r.r THEN 'en' "
+           f"ELSE 'other' END AS c "
+           f"FROM documents, (SELECT unnest([1, 2, 3]) AS r) r")
+    return fleiss_kappa_sql(cte, n_raters=3)
+
+
+def q_kendall_w_weeks(spark, sf_dir):
+    """Kendall's W concordance of event-type volume rankings across
+    ISO weeks (stats.kendall_w) — does every week order the types
+    the same way; the many-judge upgrade of kendall_daily."""
+    from distill_spark.operators.stats import kendall_w
+
+    t = _tables(spark, sf_dir)
+    df = t["events"].select(
+        F.weekofyear("ts").alias("wk"), F.col("event_type"),
+        F.lit(1.0).alias("one"))
+    return kendall_w(df, "wk", "event_type", "one")
+
+
+def _sql_kendall_w():
+    from distill_spark.operators.stats import kendall_w_sql
+
+    return kendall_w_sql("events", "weekofyear(ts)", "event_type", "1.0")
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    # -- round-10 fourth stratum: stylometry / agreement ---------------------
+    "lexical_richness": (q_lexical_richness, _sql_lexical_richness()),
+    "burrows_delta": (q_burrows_delta, _sql_burrows()),
+    "fleiss_langid": (q_fleiss_langid, _sql_fleiss()),
+    "kendall_w_weeks": (q_kendall_w_weeks, _sql_kendall_w()),
     # -- round-10 third stratum: spectral / complexity / memory --------------
     "periodogram_daily": (q_periodogram_daily, _sql_periodogram()),
     "permutation_entropy": (q_permutation_entropy, _sql_perm_entropy()),

@@ -541,3 +541,200 @@ SELECT CAST(n1 AS BIGINT) AS n_even, CAST(n2 AS BIGINT) AS n_odd,
          AS chapman_n
 FROM agg
 """
+
+
+# ---------------------------------------------- round-10 fourth stratum
+
+def lexical_richness(docs: DataFrame, text_col: str = "text"
+                     ) -> DataFrame:
+    """The classical vocabulary-richness battery in one pass over the
+    term-frequency frame: Yule's K = 10⁴·(Σnᵢ² − N)/N² (repeat-rate,
+    length-invariant), Simpson's D = Σnᵢ(nᵢ−1)/(N(N−1)) (probability
+    two random tokens are the same type), Honoré's
+    R = 100·ln(N)/(1 − V₁/V) (hapax-weighted), and Sichel's
+    S = V₂/V (dis-legomena share) — the stylometric constants that
+    chao1_richness's asymptotic estimate builds on, all from the SAME
+    exact counts (Σnᵢ², V₁, V₂ are integer aggregates over the
+    dictionary-sized term frame; one float expression per output).
+    Output: one row (n_tokens, vocab, v1, v2, yule_k, simpson_d,
+    honore_r, sichel_s), rounds 6; Honoré NULL when every term is a
+    hapax (V₁ = V)."""
+    from distill_spark.operators.search import words_expr
+
+    tf = (docs.select(F.explode(words_expr(F.col(text_col)))
+                      .alias("term"))
+          .groupBy("term").agg(F.count("*").alias("n")))
+    agg = tf.agg(
+        F.sum("n").alias("nn"),
+        F.count("*").alias("v"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("v1"),
+        F.sum(F.when(F.col("n") == 2, 1).otherwise(0)).alias("v2"))
+    nn = F.col("nn").cast("double")
+    v, v1 = F.col("v").cast("double"), F.col("v1").cast("double")
+    return agg.select(
+        F.col("nn").cast("long").alias("n_tokens"),
+        F.col("v").cast("long").alias("vocab"),
+        F.col("v1").cast("long").alias("v1"),
+        F.col("v2").cast("long").alias("v2"),
+        F.round(1e4 * (F.col("s2") - F.col("nn")) / (nn * nn), 6)
+        .alias("yule_k"),
+        F.round((F.col("s2") - F.col("nn")).cast("double")
+                / (nn * (nn - 1)), 6).alias("simpson_d"),
+        F.round(F.when(v1 < v, 100.0 * F.log(nn) / (1.0 - v1 / v)), 6)
+        .alias("honore_r"),
+        F.round(F.col("v2") / v, 6).alias("sichel_s"))
+
+
+def lexical_richness_sql(table: str = "documents",
+                         text_sql: str = "text",
+                         words_sql_tpl: str | None = None) -> str:
+    words = (words_sql_tpl or
+             "list_filter(string_split({c}, ' '), x -> x <> '')")
+    w = words.format(c=text_sql)
+    return f"""
+WITH tf AS (
+  SELECT term, count(*) AS n FROM (
+    SELECT unnest({w}) AS term FROM {table}
+  ) GROUP BY 1
+),
+agg AS (
+  SELECT sum(n) AS nn, count(*) AS v, sum(n * n) AS s2,
+         sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS v1,
+         sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS v2
+  FROM tf
+)
+SELECT CAST(nn AS BIGINT) AS n_tokens, CAST(v AS BIGINT) AS vocab,
+       CAST(v1 AS BIGINT) AS v1, CAST(v2 AS BIGINT) AS v2,
+       round(1e4 * (s2 - nn) / (CAST(nn AS DOUBLE) * nn), 6) AS yule_k,
+       round(CAST(s2 - nn AS DOUBLE)
+             / (CAST(nn AS DOUBLE) * (nn - 1)), 6) AS simpson_d,
+       round(CASE WHEN v1 < v
+                  THEN 100.0 * ln(CAST(nn AS DOUBLE))
+                       / (1.0 - CAST(v1 AS DOUBLE) / v) END, 6)
+         AS honore_r,
+       round(CAST(v2 AS DOUBLE) / v, 6) AS sichel_s
+FROM agg
+"""
+
+
+def burrows_delta(docs: DataFrame, group_col: str = "source",
+                  text_col: str = "text", k: int = 30) -> DataFrame:
+    """Burrows' Delta stylometric distance between every source pair
+    (Burrows 2002, the standard authorship-attribution measure):
+    over the corpus's top-k most-frequent terms, per-source RELATIVE
+    frequencies are z-scored across sources per term, and
+    Δ(a,b) = mean_t |z_at − z_bt| — sources that use the common
+    vocabulary in the same proportions score near 0; a source pair
+    with different function-word habits scores high. The
+    style-grain companion to source_jsd (which compares full
+    distributions, not the normalized head).
+
+    Shape: one (source, term) count aggregate; the dense
+    sources × top-k grid (|S|·k rows, dictionary-sized) carries
+    coalesce-0 frequencies so a term missing from a source counts as
+    z-scored zero usage, not a dropped cell; per-term mean/sd are
+    window aggregates over that grid (population sd, zero-sd terms
+    drop); the pair join is |S|²·k/2 bounded rows. Per-pair mean
+    accumulates |Δz| grid-rounded 9 in DECIMAL. Output:
+    (source_a, source_b, n_terms, delta), rounds 6."""
+    from distill_spark.operators.search import words_expr
+
+    st = (docs.select(F.col(group_col).alias("g"),
+                      F.explode(words_expr(F.col(text_col)))
+                      .alias("term"))
+          .groupBy("g", "term").agg(F.count("*").alias("tf")))
+    totals = st.groupBy("g").agg(F.sum("tf").alias("tokens"))
+    top = (st.groupBy("term").agg(F.sum("tf").alias("ctf"))
+           .withColumn("_rk", F.row_number().over(
+               Window.partitionBy().orderBy(F.desc("ctf"),
+                                            F.asc("term"))))
+           .filter(F.col("_rk") <= k).select("term"))
+    grid = (totals.crossJoin(F.broadcast(top))
+            .join(st, ["g", "term"], "left")
+            .select("g", "term",
+                    (F.coalesce(F.col("tf"), F.lit(0))
+                     / F.col("tokens").cast("double")).alias("f")))
+    wt = Window.partitionBy("term")
+    ns = F.count("*").over(wt).cast("double")
+    mu = F.sum(F.col("f").cast(_DEC)).over(wt).cast("double") / ns
+    msq = F.sum((F.col("f") * F.col("f")).cast(_DEC)).over(wt) \
+        .cast("double") / ns
+    zs = grid.select(
+        "g", "term", mu.alias("mu"),
+        F.sqrt(msq - mu * mu).alias("sd"), "f")
+    z = (zs.filter(F.col("sd") > 0)
+         .select("g", "term",
+                 ((F.col("f") - F.col("mu")) / F.col("sd")).alias("z")))
+    a = z.select(F.col("g").alias("ga"), "term", F.col("z").alias("za"))
+    b = z.select(F.col("g").alias("gb"), F.col("term").alias("tb"),
+                 F.col("z").alias("zb"))
+    pairs = (a.join(F.broadcast(b), (F.col("term") == F.col("tb"))
+                    & (F.col("ga") < F.col("gb")))
+             .select("ga", "gb",
+                     F.round(F.abs(F.col("za") - F.col("zb")), 9)
+                     .cast(_DEC).alias("dz")))
+    return (pairs.groupBy(F.col("ga").alias("source_a"),
+                          F.col("gb").alias("source_b"))
+            .agg(F.count("*").cast("long").alias("n_terms"),
+                 F.round(F.sum("dz").cast("double") / F.count("*"), 6)
+                 .alias("delta")))
+
+
+def burrows_delta_sql(table: str = "documents",
+                      group_sql: str = "source", text_sql: str = "text",
+                      k: int = 30,
+                      words_sql_tpl: str | None = None) -> str:
+    words = (words_sql_tpl or
+             "list_filter(string_split({c}, ' '), x -> x <> '')")
+    w = words.format(c=text_sql)
+    return f"""
+WITH st AS (
+  SELECT g, term, count(*) AS tf FROM (
+    SELECT {group_sql} AS g, unnest({w}) AS term FROM {table}
+  ) GROUP BY 1, 2
+),
+totals AS (SELECT g, sum(tf) AS tokens FROM st GROUP BY 1),
+top AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY sum(tf) DESC, term ASC)
+             AS rk
+    FROM st GROUP BY term
+  ) WHERE rk <= {k}
+),
+grid AS (
+  SELECT t.g, p.term,
+         coalesce(s.tf, 0) / CAST(t.tokens AS DOUBLE) AS f
+  FROM totals t CROSS JOIN top p
+  LEFT JOIN st s ON s.g = t.g AND s.term = p.term
+),
+zs AS (
+  SELECT g, term, f,
+         CAST(sum(CAST(f AS DECIMAL(38,12))) OVER (PARTITION BY term)
+              AS DOUBLE)
+           / count(*) OVER (PARTITION BY term) AS mu,
+         sqrt(CAST(sum(CAST(f * f AS DECIMAL(38,12)))
+                   OVER (PARTITION BY term) AS DOUBLE)
+                / count(*) OVER (PARTITION BY term)
+              - (CAST(sum(CAST(f AS DECIMAL(38,12)))
+                      OVER (PARTITION BY term) AS DOUBLE)
+                 / count(*) OVER (PARTITION BY term))
+                * (CAST(sum(CAST(f AS DECIMAL(38,12)))
+                        OVER (PARTITION BY term) AS DOUBLE)
+                   / count(*) OVER (PARTITION BY term))) AS sd
+  FROM grid
+),
+z AS (
+  SELECT g, term, (f - mu) / sd AS z
+  FROM zs WHERE sd > 0
+),
+pairs AS (
+  SELECT a.g AS ga, b.g AS gb,
+         CAST(round(abs(a.z - b.z), 9) AS DECIMAL(38,12)) AS dz
+  FROM z a JOIN z b ON a.term = b.term AND a.g < b.g
+)
+SELECT ga AS source_a, gb AS source_b,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       round(CAST(sum(dz) AS DOUBLE) / count(*), 6) AS delta
+FROM pairs GROUP BY 1, 2
+"""

@@ -949,3 +949,101 @@ SELECT bin, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
        round(max(mn), 6) AS isotonic_rate
 FROM inner_ GROUP BY bin, n, pos
 """
+
+
+# ----------------------------------------------------- Fleiss' kappa
+
+def fleiss_kappa(ratings: DataFrame, item_col: str = "item",
+                 cat_col: str = "category",
+                 n_raters: int = 3) -> DataFrame:
+    """Fleiss' κ chance-corrected agreement for ≥3 raters (Fleiss
+    1971) — the many-rater generalization of binary_agreement's
+    Cohen's κ (which only handles two). Input: one row per
+    (item, rater) carrying the assigned category; items without
+    exactly ``n_raters`` ratings are dropped (the standard
+    complete-panel requirement). P̄ = mean over items of
+    (Σ_j n_ij² − n)/(n(n−1)); P_e = Σ_j p_j²;
+    κ = (P̄ − P_e)/(1 − P_e).
+
+    Shape: one (item, category) count aggregate, one item-level
+    aggregate, one category-marginal aggregate over the tiny
+    category frame — every quantity an exact integer until the final
+    divisions (per-item P_i is a rational with fixed denominator
+    n(n−1), so the cross-item mean accumulates the integer
+    numerators). Output: one row (n_items, n_raters, n_categories,
+    p_bar, p_e, fleiss_kappa), rounds 6, κ NULL when P_e = 1."""
+    cnt = (ratings.groupBy(F.col(item_col).alias("i"),
+                           F.col(cat_col).alias("c"))
+           .agg(F.count("*").alias("nij")))
+    per_item = (cnt.groupBy("i")
+                .agg(F.sum("nij").alias("ni"),
+                     F.sum(F.col("nij") * F.col("nij")).alias("sq")))
+    ok = per_item.filter(F.col("ni") == n_raters)
+    keep = ok.select(F.col("i"))
+    # P̄ numerator: Σ_items (sq − n); denominator N·n·(n−1)
+    pbar_agg = ok.agg(F.count("*").alias("nitems"),
+                      F.sum(F.col("sq") - n_raters).alias("pnum"))
+    marg = (cnt.join(keep, "i")
+            .groupBy("c").agg(F.sum("nij").alias("cj")))
+    tot = marg.agg(
+        F.count("*").alias("ncat"),
+        F.sum("cj").alias("ctot"),
+        F.sum((F.col("cj") * F.col("cj")).cast("decimal(38,0)"))
+        .alias("c2"))
+    out = pbar_agg.crossJoin(F.broadcast(tot))
+    ni = F.col("nitems").cast("double")
+    pbar = F.col("pnum").cast("double") / (ni * n_raters * (n_raters - 1))
+    pe = (F.col("c2").cast("double")
+          / (F.col("ctot").cast("double") * F.col("ctot").cast("double")))
+    kappa = F.when(pe < 1, (pbar - pe) / (1 - pe))
+    return out.select(
+        F.col("nitems").cast("long").alias("n_items"),
+        F.lit(n_raters).cast("int").alias("n_raters"),
+        F.col("ncat").cast("long").alias("n_categories"),
+        F.round(pbar, 6).alias("p_bar"),
+        F.round(pe, 6).alias("p_e"),
+        F.round(kappa, 6).alias("fleiss_kappa"))
+
+
+def fleiss_kappa_sql(ratings_cte: str, n_raters: int = 3) -> str:
+    """``ratings_cte``: a CTE body yielding (i, c) one row per
+    (item, rater)."""
+    return f"""
+WITH ratings AS ({ratings_cte}),
+cnt AS (SELECT i, c, count(*) AS nij FROM ratings GROUP BY 1, 2),
+per_item AS (
+  SELECT i, sum(nij) AS ni, sum(nij * nij) AS sq FROM cnt GROUP BY 1
+),
+ok AS (SELECT i, sq FROM per_item WHERE ni = {n_raters}),
+pbar_agg AS (
+  SELECT count(*) AS nitems, sum(sq - {n_raters}) AS pnum FROM ok
+),
+marg AS (
+  SELECT c, sum(nij) AS cj
+  FROM cnt JOIN ok USING (i) GROUP BY 1
+),
+tot AS (
+  SELECT count(*) AS ncat, sum(cj) AS ctot,
+         sum(CAST(cj * cj AS DECIMAL(38,0))) AS c2
+  FROM marg
+)
+SELECT CAST(nitems AS BIGINT) AS n_items,
+       CAST({n_raters} AS INT) AS n_raters,
+       CAST(ncat AS BIGINT) AS n_categories,
+       round(CAST(pnum AS DOUBLE)
+             / (CAST(nitems AS DOUBLE) * {n_raters} * {n_raters - 1}), 6)
+         AS p_bar,
+       round(CAST(c2 AS DOUBLE)
+             / (CAST(ctot AS DOUBLE) * ctot), 6) AS p_e,
+       round(CASE WHEN CAST(c2 AS DOUBLE)
+                       / (CAST(ctot AS DOUBLE) * ctot) < 1
+                  THEN (CAST(pnum AS DOUBLE)
+                        / (CAST(nitems AS DOUBLE) * {n_raters}
+                           * {n_raters - 1})
+                        - CAST(c2 AS DOUBLE) / (CAST(ctot AS DOUBLE)
+                                                * ctot))
+                       / (1 - CAST(c2 AS DOUBLE) / (CAST(ctot AS DOUBLE)
+                                                    * ctot))
+             END, 6) AS fleiss_kappa
+FROM pbar_agg CROSS JOIN tot
+"""

@@ -3581,3 +3581,102 @@ SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS n_groups,
 FROM terms CROSS JOIN med
 GROUP BY nn, k, med
 """
+
+
+def kendall_w(df: DataFrame, judge_col: str, item_col: str,
+              value_col: str) -> DataFrame:
+    """Kendall's coefficient of concordance W across judges ranking
+    the same items (Kendall & Babington Smith 1939): each judge
+    (here: a calendar week) ranks the items (event types) by a
+    volume measure; W = 12·S/(m²·(n³−n)) where S is the spread of
+    the per-item rank sums — W = 1 means every week orders the types
+    identically (stable workload mix), W ≈ 0 means the ranking is
+    noise. The many-judges generalization of kendall_daily's single
+    τ, and the rank twin of friedman_dow (same blocked-rank
+    machinery, effect-size reading instead of a test).
+
+    Ranks are STRICT within judge (value DESC, item ASC — the
+    deterministic convention used everywhere here), over the DENSE
+    judge × item grid (missing cells count 0), so rank sums are
+    exact integers and no tie correction is needed. Bounded frame:
+    judges × items cells. Output: one row (m_judges, n_items, s,
+    kendall_w), rounds 6."""
+    j, it = F.col(judge_col), F.col(item_col)
+    v = F.col(value_col).cast("double")
+    cells = (df.filter(j.isNotNull() & it.isNotNull())
+             .groupBy(j.alias("j"), it.alias("i"))
+             .agg(F.sum(F.coalesce(v, F.lit(0.0)).cast(_DEC))
+                  .alias("val")))
+    judges = cells.select("j").distinct()
+    items = cells.select("i").distinct()
+    dense = (judges.crossJoin(items)
+             .join(cells, ["j", "i"], "left")
+             .select("j", "i",
+                     F.coalesce(F.col("val"), F.lit(0).cast(_DEC))
+                     .alias("val")))
+    rk = F.row_number().over(
+        Window.partitionBy("j").orderBy(F.desc("val"), F.asc("i")))
+    ranked = dense.select("j", "i", rk.alias("r"))
+    sums = ranked.groupBy("i").agg(F.sum("r").alias("rsum"),
+                                   F.count("*").alias("m"))
+    tot = Window.partitionBy()
+    sp = sums.select(
+        "rsum", F.col("m"),
+        F.count("*").over(tot).alias("n"),
+        F.avg(F.col("rsum").cast("double")).over(tot).alias("rbar"))
+    dev = (F.col("rsum") - F.col("rbar"))
+    agg = (sp.groupBy("m", "n")
+           .agg(F.sum((dev * dev).cast(_DEC)).cast("double").alias("s")))
+    m = F.col("m").cast("double")
+    n = F.col("n").cast("double")
+    w = F.when(n > 1, 12.0 * F.col("s") / (m * m * (n * n * n - n)))
+    return agg.select(
+        F.col("m").cast("long").alias("m_judges"),
+        F.col("n").cast("long").alias("n_items"),
+        F.round(F.col("s"), 6).alias("s"),
+        F.round(w, 6).alias("kendall_w"))
+
+
+def kendall_w_sql(table: str, judge_sql: str, item_sql: str,
+                  value_sql: str) -> str:
+    return f"""
+WITH cells AS (
+  SELECT {judge_sql} AS j, {item_sql} AS i,
+         sum(CAST(coalesce(CAST({value_sql} AS DOUBLE), 0.0)
+                  AS DECIMAL(38,12))) AS val
+  FROM {table}
+  WHERE {judge_sql} IS NOT NULL AND {item_sql} IS NOT NULL
+  GROUP BY 1, 2
+),
+dense AS (
+  SELECT ju.j, it.i, coalesce(c.val, 0) AS val
+  FROM (SELECT DISTINCT j FROM cells) ju
+  CROSS JOIN (SELECT DISTINCT i FROM cells) it
+  LEFT JOIN cells c ON c.j = ju.j AND c.i = it.i
+),
+ranked AS (
+  SELECT j, i,
+         row_number() OVER (PARTITION BY j
+                            ORDER BY val DESC, i ASC) AS r
+  FROM dense
+),
+sums AS (SELECT i, sum(r) AS rsum, count(*) AS m FROM ranked GROUP BY 1),
+sp AS (
+  SELECT rsum, m, count(*) OVER () AS n,
+         avg(CAST(rsum AS DOUBLE)) OVER () AS rbar
+  FROM sums
+),
+agg AS (
+  SELECT m, n,
+         CAST(sum(CAST((rsum - rbar) * (rsum - rbar)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS s
+  FROM sp GROUP BY 1, 2
+)
+SELECT CAST(m AS BIGINT) AS m_judges, CAST(n AS BIGINT) AS n_items,
+       round(s, 6) AS s,
+       round(CASE WHEN n > 1
+                  THEN 12.0 * s / (CAST(m AS DOUBLE) * m
+                                   * (CAST(n AS DOUBLE) * n * n - n))
+             END, 6) AS kendall_w
+FROM agg
+"""

@@ -1,0 +1,144 @@
+"""Adversarial oracle validation for the round-10 fourth stratum
+(lexical_richness / burrows_delta / fleiss_kappa / kendall_w):
+hand-counted vocabularies, identical-vs-divergent styles, the
+textbook all-agree and coin-flip panels, and perfectly concordant vs
+reversed judges — each against the DuckDB twin."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+
+def _cmp(spark_rows, duck_rows, cols):
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 9)
+        return str(v) if not isinstance(v, (int, float, bool, type(None))) \
+            else v
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    a = sorted(tuple(norm(r[i]) for i in order) for r in spark_rows)
+    b = sorted(tuple(norm(r[i]) for i in order) for r in duck_rows)
+    assert a == b, f"\nspark={a[:6]}\nduck ={b[:6]}"
+
+
+def _duck(frames: dict[str, pd.DataFrame], sql: str):
+    con = duckdb.connect()
+    for name, pdf in frames.items():
+        con.register(f"_src_{name}", pdf)
+        con.execute(f"CREATE TABLE {name} AS SELECT * FROM _src_{name}")
+    rel = con.sql(sql)
+    return rel.fetchall(), [d[0] for d in rel.description]
+
+
+def test_lexical_richness_hand_counts(spark):
+    """'a a a b b c' ⊕ 'd': N=7, V=4, V1=2 (c,d), V2=1 (b),
+    Σn² = 9+4+1+1 = 15 → K = 1e4·8/49, D = 8/42; Honoré/Sichel by
+    hand; twins agree."""
+    from distill_spark.operators.corpus_stats import (lexical_richness,
+                                                      lexical_richness_sql)
+
+    pdf = pd.DataFrame([(1, "a a a b b c"), (2, "d")],
+                       columns=["doc_id", "text"])
+    got = lexical_richness(spark.createDataFrame(pdf))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"documents": pdf}, lexical_richness_sql())
+    _cmp(srows, drows, got.columns)
+    n, v, v1, v2, yk, sd, hr, ss = srows[0]
+    assert (n, v, v1, v2) == (7, 4, 2, 1)
+    assert yk == round(1e4 * 8 / 49, 6)
+    assert sd == round(8 / 42, 6)
+    assert hr == round(100 * math.log(7) / (1 - 2 / 4), 6)
+    assert ss == 0.25
+
+
+def test_lexical_richness_all_hapax_honore_null(spark):
+    from distill_spark.operators.corpus_stats import lexical_richness
+
+    pdf = pd.DataFrame([(1, "x y z")], columns=["doc_id", "text"])
+    row = lexical_richness(spark.createDataFrame(pdf)).collect()[0]
+    assert row["honore_r"] is None and row["yule_k"] is not None
+
+
+def test_burrows_delta_identical_and_divergent(spark):
+    """Three sources: A and B share word proportions exactly → their
+    z-scores coincide term-by-term (Δ(A,B) = 0); C inverts the mix →
+    Δ(A,C) = Δ(B,C) > 0; twins agree."""
+    from distill_spark.operators.corpus_stats import (burrows_delta,
+                                                      burrows_delta_sql)
+
+    rows = [
+        (1, "srcA", "x x x y"),
+        (2, "srcB", "x x x y x x x y"),     # same proportions as A
+        (3, "srcC", "y y y x"),             # inverted
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    got = burrows_delta(spark.createDataFrame(pdf), k=2)
+    srows = [tuple(r) for r in got.orderBy("source_a", "source_b").collect()]
+    drows, _ = _duck({"documents": pdf}, burrows_delta_sql(k=2))
+    _cmp(srows, drows, got.columns)
+    d = {(r[0], r[1]): r[3] for r in srows}
+    assert d[("srcA", "srcB")] == 0.0
+    assert d[("srcA", "srcC")] == d[("srcB", "srcC")] > 0.5
+
+
+def test_fleiss_kappa_textbook_panels(spark):
+    """All raters always agree → κ = 1; a panel that splits every
+    item the same 2-1 way in the same overall marginals → κ ≤ 0;
+    incomplete items are dropped; twins agree."""
+    from distill_spark.operators.mleval import fleiss_kappa, fleiss_kappa_sql
+
+    def frame(rows):
+        return pd.DataFrame(rows, columns=["item", "category"])
+
+    perfect = frame([(i, c) for i in range(6)
+                     for c in ["en" if i % 2 else "other"] * 3])
+    got = fleiss_kappa(spark.createDataFrame(perfect), n_raters=3)
+    srows = [tuple(r) for r in got.collect()]
+    cte = "SELECT item AS i, category AS c FROM ratings_src"
+    drows, _ = _duck({"ratings_src": perfect}, fleiss_kappa_sql(cte))
+    _cmp(srows, drows, got.columns)
+    assert srows[0][3] == 1.0 and srows[0][5] == 1.0     # p_bar, kappa
+
+    # every item split 2-1 → P_i = (4+1-3)/6 = 1/3 < P_e -> kappa < 0
+    split = frame([(i, c) for i in range(6)
+                   for c in ["en", "en", "other"]])
+    row = fleiss_kappa(spark.createDataFrame(split), n_raters=3) \
+        .collect()[0]
+    assert row["fleiss_kappa"] < 0
+
+    # an item with only 2 ratings is dropped from the panel
+    partial = frame([(0, "en"), (0, "en"), (0, "en"),
+                     (1, "en"), (1, "other")])
+    row = fleiss_kappa(spark.createDataFrame(partial), n_raters=3) \
+        .collect()[0]
+    assert row["n_items"] == 1
+
+
+def test_kendall_w_concordant_and_reversed(spark):
+    """Judges that rank items identically → W = 1; two judges with
+    exactly reversed rankings → W = 0; twins agree."""
+    from distill_spark.operators.stats import kendall_w, kendall_w_sql
+
+    rows = []
+    for j in (1, 2, 3):
+        for rank, item in enumerate(["a", "b", "c", "d"]):
+            rows.append((j, item, float(100 - 10 * rank)))
+    pdf = pd.DataFrame(rows, columns=["wk", "event_type", "one"])
+    got = kendall_w(spark.createDataFrame(pdf), "wk", "event_type", "one")
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": pdf},
+                     kendall_w_sql("events", "wk", "event_type", "one"))
+    _cmp(srows, drows, got.columns)
+    assert srows[0] == (3, 4, 45.0, 1.0)
+
+    rev = []
+    for rank, item in enumerate(["a", "b", "c", "d"]):
+        rev.append((1, item, float(100 - 10 * rank)))
+        rev.append((2, item, float(10 + 10 * rank)))
+    row = kendall_w(spark.createDataFrame(
+        pd.DataFrame(rev, columns=["wk", "event_type", "one"])),
+        "wk", "event_type", "one").collect()[0]
+    assert row["kendall_w"] == 0.0
