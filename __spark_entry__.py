@@ -10287,7 +10287,141 @@ def _sql_kendall_w():
     return kendall_w_sql("events", "weekofyear(ts)", "event_type", "1.0")
 
 
+# ---------------------------------------------------------------------------
+# Round-10 fifth stratum: graph-structure health over the similarity
+# graph — assortativity, local clustering, rich club, LPA modularity,
+# resource-allocation link prediction.
+
+def _sim_edges_02(spark, sf_dir):
+    """Shared cos ≥ 0.2 edge frame (the q_triangle_count build)."""
+    from distill_spark.operators.cluster import similarity_edges
+
+    t = _tables(spark, sf_dir)
+    return similarity_edges(
+        t["embeddings"], threshold=0.8, id_col="vec_id",
+        vec_col="embedding", method="auto", dist_round=6,
+    ).select(F.col("src").alias("a"), F.col("dst").alias("b"))
+
+
+_SIM_EDGES_02_SQL = f"""
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+    AND round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= 0.2
+"""
+
+
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the cos ≥ 0.2 similarity graph
+    (graphstats.degree_assortativity) — do similar-degree vectors
+    attach (replica cliques) or hubs to leaves (boilerplate stars)."""
+    from distill_spark.operators.graphstats import degree_assortativity
+
+    return degree_assortativity(_sim_edges_02(spark, sf_dir))
+
+
+def _sql_assortativity():
+    from distill_spark.operators.graphstats import degree_assortativity_sql
+
+    return degree_assortativity_sql(_SIM_EDGES_02_SQL)
+
+
+def q_local_clustering(spark, sf_dir):
+    """Average local clustering coefficient of the similarity graph
+    (graphstats.local_clustering) — the node-mean complement to
+    triangle_count's global transitivity."""
+    from distill_spark.operators.graphstats import local_clustering
+
+    return local_clustering(_sim_edges_02(spark, sf_dir))
+
+
+def _sql_local_clustering():
+    from distill_spark.operators.graphstats import local_clustering_sql
+
+    return local_clustering_sql(_SIM_EDGES_02_SQL)
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficients φ(k) at k ∈ {2,4,8} over the similarity
+    graph (graphstats.rich_club) — is the high-degree core a club
+    (boilerplate mega-cluster signature)."""
+    from distill_spark.operators.graphstats import rich_club
+
+    return rich_club(_sim_edges_02(spark, sf_dir))
+
+
+def _sql_rich_club():
+    from distill_spark.operators.graphstats import rich_club_sql
+
+    return rich_club_sql(_SIM_EDGES_02_SQL)
+
+
+def q_modularity_lpa(spark, sf_dir):
+    """Newman–Girvan modularity of the communities_lpa assignment
+    over its own cos ≥ 0.25 graph (graphstats.modularity) — does LPA
+    actually separate the graph; the oracle replays the full 5-round
+    LPA fit as a CTE so both engines score the SAME labels (the
+    silhouette_kmeans pattern)."""
+    from distill_spark.operators.cluster import similarity_edges
+    from distill_spark.operators.community import label_propagation
+    from distill_spark.operators.graphstats import modularity
+
+    t = _tables(spark, sf_dir)
+    edges = similarity_edges(
+        t["embeddings"], threshold=0.75, id_col="vec_id",
+        vec_col="embedding", method="auto", dist_round=6,
+    ).select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    edges = edges.localCheckpoint(eager=True)
+    labels = label_propagation(edges, iterations=5)
+    return modularity(edges, labels)
+
+
+def _sql_modularity():
+    from distill_spark.operators.community import label_propagation_sql
+    from distill_spark.operators.graphstats import modularity_sql
+
+    edges_cte = f"""
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+    AND round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= 0.25
+"""
+    return modularity_sql(edges_cte, label_propagation_sql(edges_cte,
+                                                           iterations=5))
+
+
+def q_link_resource_alloc(spark, sf_dir):
+    """Resource-allocation link prediction between suppliers sharing
+    traded parts (graph.resource_allocation) — Adamic–Adar's
+    1/d-weighted cousin on the same bipartite wedge join."""
+    from distill_spark.graph import resource_allocation
+
+    t = _tables(spark, sf_dir)
+    edges = t["lineitem"].select(F.col("l_suppkey").alias("src"),
+                                 F.col("l_partkey").alias("dst"))
+    return (resource_allocation(edges, min_score=1.0)
+            .select(F.col("u").cast("long").alias("u"),
+                    F.col("v").cast("long").alias("v"),
+                    "common", "ra_score"))
+
+
+def _sql_resource_alloc():
+    from distill_spark.graph import resource_allocation_sql
+
+    inner = resource_allocation_sql(
+        "SELECT l_suppkey AS src, l_partkey AS dst FROM lineitem",
+        min_score=1.0)
+    return (f"SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, "
+            f"common, ra_score FROM ({inner})")
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    # -- round-10 fifth stratum: graph-structure health -----------------------
+    "graph_assortativity": (q_graph_assortativity, _sql_assortativity()),
+    "local_clustering": (q_local_clustering, _sql_local_clustering()),
+    "rich_club": (q_rich_club, _sql_rich_club()),
+    "modularity_lpa": (q_modularity_lpa, _sql_modularity()),
+    "link_resource_alloc": (q_link_resource_alloc, _sql_resource_alloc()),
     # -- round-10 fourth stratum: stylometry / agreement ---------------------
     "lexical_richness": (q_lexical_richness, _sql_lexical_richness()),
     "burrows_delta": (q_burrows_delta, _sql_burrows()),

@@ -199,3 +199,51 @@ GROUP BY a.s, b.s
 HAVING round(CAST(sum(CAST(1.0 / ln(CAST(d AS DOUBLE)) AS DECIMAL(20,10)))
              AS DOUBLE), 6) > {min_score}
 """
+
+
+def resource_allocation(edges: DataFrame, src: str = "src",
+                        dst: str = "dst",
+                        min_score: float = 0.0) -> DataFrame:
+    """Resource-allocation link-prediction index (Zhou, Lü & Zhang
+    2009): for every left-node pair sharing right neighbors,
+    Σ_n 1/degree(n) — Adamic–Adar's harsher cousin (1/d instead of
+    1/ln d punishes promiscuous shared neighbors much harder, and
+    empirically beats AA on dense recommendation graphs). Same
+    arboricity-bounded wedge join keyed on the shared neighbor as
+    :func:`adamic_adar` — cost Σ deg(n)², never an N² pair join;
+    per-wedge terms are deterministic doubles of the neighbor degree
+    alone, decimal-accumulated. Degree-1 neighbors cannot form a
+    wedge, so no degree filter is needed (kept for the shared plan
+    shape). Output: (u, v, common, ra_score), rounds 6."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("n")).distinct()
+    deg = e.groupBy("n").agg(F.count("*").alias("d")).filter(F.col("d") > 1)
+    wedges = (e.alias("a").join(e.alias("b"), "n")
+              .filter(F.col("a.s") < F.col("b.s"))
+              .join(F.broadcast(deg), "n"))
+    return (wedges.groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+            .agg(F.count("*").alias("common"),
+                 F.round(F.sum((F.lit(1.0) / F.col("d").cast("double"))
+                               .cast("decimal(20,10)")).cast("double"), 6)
+                 .alias("ra_score"))
+            .filter(F.col("ra_score") > min_score))
+
+
+def resource_allocation_sql(edges_sql: str, src_sql: str = "src",
+                            dst_sql: str = "dst",
+                            min_score: float = 0.0) -> str:
+    """Oracle twin of :func:`resource_allocation`."""
+    return f"""
+WITH e AS (
+  SELECT DISTINCT {src_sql} AS s, {dst_sql} AS n FROM ({edges_sql})
+),
+deg AS (
+  SELECT n, count(*) AS d FROM e GROUP BY n HAVING count(*) > 1
+)
+SELECT a.s AS u, b.s AS v, count(*) AS common,
+       round(CAST(sum(CAST(1.0 / CAST(d AS DOUBLE) AS DECIMAL(20,10)))
+                  AS DOUBLE), 6) AS ra_score
+FROM e a JOIN e b ON a.n = b.n AND a.s < b.s JOIN deg ON deg.n = a.n
+GROUP BY a.s, b.s
+HAVING round(CAST(sum(CAST(1.0 / CAST(d AS DOUBLE) AS DECIMAL(20,10)))
+             AS DOUBLE), 6) > {min_score}
+"""

@@ -1,0 +1,311 @@
+"""Whole-graph structural statistics over an undirected edge list:
+degree assortativity, average local clustering, rich-club
+coefficients, and modularity of a given community assignment.
+
+The graph-health readouts a similarity/link graph needs BEFORE
+trusting downstream community or dedup decisions: assortativity says
+whether hubs attach to hubs (near-dup graphs should be assortative —
+replica clusters are cliques of similar degree), local clustering
+distinguishes clique-like neighborhoods from star-like hubs (a
+high-degree node with zero clustering is a hub artifact, not a dup
+cluster), rich-club quantifies whether the high-degree core is
+over-connected, and modularity scores how well an LPA/CC assignment
+actually separates the graph.
+
+Scale shape (100 TB): every function is edge-list relational algebra
+— degree aggregates (node-keyed, map-side combined), degree-joined
+edge scans, and for clustering the SAME ordered wedge join as
+triangles.triangle_stats (cost Σ deg², bounded by hub caps upstream,
+never an N² node-pair join). Nothing collects; the only driver-sized
+objects are the one-row outputs. All ratios are single double
+divisions of exact integer sums (the repo determinism contract).
+
+Edge input convention: (a, b) with a < b, distinct — the
+cluster.similarity_edges output shape the triangle/LPA/k-core
+queries already use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,12)"
+
+
+def _undirect(edges: DataFrame) -> DataFrame:
+    return (edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionAll(edges.select(F.col("b").alias("u"),
+                                   F.col("a").alias("v"))))
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Newman's degree assortativity coefficient r (Newman 2002): the
+    Pearson correlation of endpoint degrees over the directed-both-
+    ways edge list — r > 0 hubs-with-hubs, r < 0 hubs-with-leaves.
+    One degree aggregate, one degree-joined edge scan accumulating
+    Σdu·dv, Σdu, Σdu² as exact integers; r is one double expression.
+    Output: one row (n_nodes, n_edges, assortativity), rounds 6,
+    NULL for degree-regular graphs (zero variance)."""
+    und = _undirect(edges)
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    du = deg.select(F.col("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    joined = und.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    agg = joined.agg(
+        F.count("*").alias("m2"),
+        F.sum(F.col("du") * F.col("dv")).alias("sjk"),
+        F.sum(F.col("du")).alias("sj"),
+        F.sum(F.col("du") * F.col("du")).alias("sjj"))
+    nn = deg.agg(F.count("*").alias("n_nodes"))
+    m = F.col("m2").cast("double")
+    mean = F.col("sj") / m
+    num = F.col("sjk") / m - mean * mean
+    den = F.col("sjj") / m - mean * mean
+    return (agg.crossJoin(F.broadcast(nn))
+            .select(F.col("n_nodes").cast("long").alias("n_nodes"),
+                    (F.col("m2") / 2).cast("long").alias("n_edges"),
+                    F.round(F.when(den > 0, num / den), 6)
+                    .alias("assortativity")))
+
+
+def degree_assortativity_sql(edges_cte: str) -> str:
+    return f"""
+WITH e AS ({edges_cte}),
+und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT u, count(*) AS d FROM und GROUP BY 1),
+joined AS (
+  SELECT du.d AS du, dv.d AS dv
+  FROM und JOIN deg du ON du.u = und.u JOIN deg dv ON dv.u = und.v
+),
+agg AS (
+  SELECT count(*) AS m2, sum(du * dv) AS sjk, sum(du) AS sj,
+         sum(du * du) AS sjj
+  FROM joined
+),
+nn AS (SELECT count(*) AS n_nodes FROM deg)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(m2 / 2 AS BIGINT) AS n_edges,
+       round(CASE WHEN sjj / CAST(m2 AS DOUBLE)
+                       - (sj / CAST(m2 AS DOUBLE))
+                         * (sj / CAST(m2 AS DOUBLE)) > 0
+                  THEN (sjk / CAST(m2 AS DOUBLE)
+                        - (sj / CAST(m2 AS DOUBLE))
+                          * (sj / CAST(m2 AS DOUBLE)))
+                       / (sjj / CAST(m2 AS DOUBLE)
+                          - (sj / CAST(m2 AS DOUBLE))
+                            * (sj / CAST(m2 AS DOUBLE)))
+             END, 6) AS assortativity
+FROM agg CROSS JOIN nn
+"""
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Average LOCAL clustering coefficient (Watts & Strogatz 1998):
+    per node, 2·tri_v / (deg_v·(deg_v−1)), averaged over nodes of
+    degree ≥ 2 — the node-mean companion to triangle_stats' global
+    transitivity (a few giant hubs can hold global clustering low
+    while typical neighborhoods are cliques; this reads the typical
+    neighborhood). Per-node triangle counts come from exploding each
+    ordered triangle to its three corners — the same ordered wedge
+    join as triangle_stats. Per-node cc rounds 9 before the decimal
+    mean. Output: one row (n_nodes, n_eligible, avg_local_cc),
+    rounds 6."""
+    e = edges.select("a", "b").localCheckpoint(eager=True)
+    und = _undirect(e)
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (e1.join(e2, (F.col("e2.a") == F.col("e1.a"))
+                   & (F.col("e2.b") > F.col("e1.b")))
+           .join(e3, (F.col("e3.a") == F.col("e1.b"))
+                 & (F.col("e3.b") == F.col("e2.b"))))
+    corners = (tri.select(F.explode(F.array(
+        F.col("e1.a"), F.col("e1.b"), F.col("e2.b"))).alias("u"))
+        .groupBy("u").agg(F.count("*").alias("t")))
+    per = (deg.join(corners, "u", "left")
+           .select("u", "d",
+                   F.coalesce(F.col("t"), F.lit(0)).alias("t")))
+    cc = F.round(2.0 * F.col("t")
+                 / (F.col("d") * (F.col("d") - 1)).cast("double"), 9)
+    elig = per.filter(F.col("d") >= 2)
+    agg = elig.agg(F.count("*").alias("n_eligible"),
+                   F.sum(cc.cast(_DEC)).alias("s"))
+    nn = deg.agg(F.count("*").alias("n_nodes"))
+    return (agg.crossJoin(F.broadcast(nn))
+            .select(F.col("n_nodes").cast("long").alias("n_nodes"),
+                    F.col("n_eligible").cast("long").alias("n_eligible"),
+                    F.round(F.col("s").cast("double")
+                            / F.col("n_eligible"), 6)
+                    .alias("avg_local_cc")))
+
+
+def local_clustering_sql(edges_cte: str) -> str:
+    return f"""
+WITH e AS ({edges_cte}),
+und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT u, count(*) AS d FROM und GROUP BY 1),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+corners AS (
+  SELECT u, count(*) AS t FROM (
+    SELECT x AS u FROM tri UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY 1
+),
+per AS (
+  SELECT deg.u, deg.d, coalesce(c.t, 0) AS t
+  FROM deg LEFT JOIN corners c ON c.u = deg.u
+),
+agg AS (
+  SELECT count(*) AS n_eligible,
+         CAST(sum(CAST(round(2.0 * t / CAST(d * (d - 1) AS DOUBLE), 9)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS s
+  FROM per WHERE d >= 2
+),
+nn AS (SELECT count(*) AS n_nodes FROM deg)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_eligible AS BIGINT) AS n_eligible,
+       round(s / n_eligible, 6) AS avg_local_cc
+FROM agg CROSS JOIN nn
+"""
+
+
+def rich_club(edges: DataFrame, ks: tuple = (2, 4, 8)) -> DataFrame:
+    """Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) (Zhou &
+    Mondragón 2004): the edge density among nodes of degree > k — a
+    rising φ(k) means the high-degree core is a club (over-connected
+    relative to the rest); in a near-dup graph that's the signature
+    of a boilerplate mega-cluster. One degree aggregate; per k, two
+    degree-semijoined edge filters — the k grid is a constant-size
+    explode, never a rescan per k of anything but the edge list.
+    Output: (k, n_club_nodes, n_club_edges, phi) per k, rounds 6,
+    NULL when the club has < 2 nodes."""
+    spark = edges.sparkSession
+    und = _undirect(edges)
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    kdf = spark.createDataFrame([(int(k),) for k in ks], "k int")
+    club = (deg.crossJoin(F.broadcast(kdf))
+            .filter(F.col("d") > F.col("k"))
+            .select("k", "u"))
+    nk = club.groupBy("k").agg(F.count("*").alias("nk"))
+    ca = club.select("k", F.col("u").alias("a"))
+    cb = club.select(F.col("k").alias("k2"), F.col("u").alias("b2"))
+    ek = (edges.join(F.broadcast(ca), "a")
+          .join(F.broadcast(cb), (F.col("k") == F.col("k2"))
+                & (F.col("b") == F.col("b2")))
+          .groupBy("k").agg(F.count("*").alias("ek")))
+    nkd = F.col("nk").cast("double")
+    return (kdf.join(nk, "k", "left").join(ek, "k", "left")
+            .select(F.col("k"),
+                    F.coalesce(F.col("nk"), F.lit(0)).cast("long")
+                    .alias("n_club_nodes"),
+                    F.coalesce(F.col("ek"), F.lit(0)).cast("long")
+                    .alias("n_club_edges"),
+                    F.round(F.when(F.col("nk") >= 2,
+                                   2.0 * F.coalesce(F.col("ek"), F.lit(0))
+                                   / (nkd * (nkd - 1))), 6)
+                    .alias("phi")))
+
+
+def rich_club_sql(edges_cte: str, ks: tuple = (2, 4, 8)) -> str:
+    klist = ", ".join(str(int(k)) for k in ks)
+    return f"""
+WITH e AS ({edges_cte}),
+und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT u, count(*) AS d FROM und GROUP BY 1),
+kg AS (SELECT CAST(unnest([{klist}]) AS INT) AS k),
+club AS (
+  SELECT kg.k, deg.u FROM deg CROSS JOIN kg WHERE deg.d > kg.k
+),
+nk AS (SELECT k, count(*) AS nk FROM club GROUP BY 1),
+ek AS (
+  SELECT ca.k, count(*) AS ek
+  FROM e JOIN club ca ON ca.u = e.a
+         JOIN club cb ON cb.u = e.b AND cb.k = ca.k
+  GROUP BY 1
+)
+SELECT kg.k, CAST(coalesce(nk.nk, 0) AS BIGINT) AS n_club_nodes,
+       CAST(coalesce(ek.ek, 0) AS BIGINT) AS n_club_edges,
+       round(CASE WHEN nk.nk >= 2
+                  THEN 2.0 * coalesce(ek.ek, 0)
+                       / (CAST(nk.nk AS DOUBLE) * (nk.nk - 1)) END, 6)
+         AS phi
+FROM kg LEFT JOIN nk ON nk.k = kg.k LEFT JOIN ek ON ek.k = kg.k
+"""
+
+
+def modularity(edges: DataFrame, assignment: DataFrame,
+               node_col: str = "node",
+               community_col: str = "community") -> DataFrame:
+    """Newman–Girvan modularity Q = Σ_c (e_c/M − (d_c/2M)²) of a
+    community assignment over an undirected edge list — the score
+    that says whether communities_lpa's labels actually separate the
+    graph (Q near 0: the partition is no better than random given
+    the degrees; Q ≳ 0.3: real structure). Intra-community edge
+    counts and per-community degree sums are exact integers; Q
+    accumulates per-community terms in DECIMAL. Nodes absent from
+    the assignment are ignored (LPA labels every connected node, and
+    edge-list isolates don't exist by construction). Output: one row
+    (n_communities,
+    n_edges, modularity), rounds 6."""
+    asg = assignment.select(F.col(node_col).alias("n"),
+                            F.col(community_col).alias("c"))
+    ea = edges.join(asg.select(F.col("n").alias("a"),
+                               F.col("c").alias("ca")), "a")
+    eb = ea.join(asg.select(F.col("n").alias("b"),
+                            F.col("c").alias("cb")), "b")
+    m = edges.agg(F.count("*").alias("m"))
+    intra = (eb.filter(F.col("ca") == F.col("cb"))
+             .groupBy(F.col("ca").alias("c"))
+             .agg(F.count("*").alias("ec")))
+    und = _undirect(edges)
+    degc = (und.join(asg.select(F.col("n").alias("u"), "c"), "u")
+            .groupBy("c").agg(F.count("*").alias("dc")))
+    terms = (degc.join(intra, "c", "left")
+             .crossJoin(F.broadcast(m)))
+    md = F.col("m").cast("double")
+    q_term = (F.coalesce(F.col("ec"), F.lit(0)) / md
+              - (F.col("dc") / (2.0 * md))
+              * (F.col("dc") / (2.0 * md)))
+    return (terms.select(F.col("m"),
+                         F.round(q_term, 9).cast(_DEC).alias("qt"))
+            .groupBy("m")
+            .agg(F.count("*").alias("ncomm"),
+                 F.sum("qt").cast("double").alias("q"))
+            .select(F.col("ncomm").cast("long").alias("n_communities"),
+                    F.col("m").cast("long").alias("n_edges"),
+                    F.round(F.col("q"), 6).alias("modularity")))
+
+
+def modularity_sql(edges_cte: str, assignment_sql: str) -> str:
+    """``assignment_sql``: a full query yielding (node, community)."""
+    return f"""
+WITH e AS ({edges_cte}),
+asg AS (SELECT node AS n, community AS c FROM ({assignment_sql})),
+m AS (SELECT count(*) AS m FROM e),
+intra AS (
+  SELECT aa.c, count(*) AS ec
+  FROM e JOIN asg aa ON aa.n = e.a JOIN asg ab ON ab.n = e.b
+  WHERE aa.c = ab.c
+  GROUP BY 1
+),
+und AS (SELECT a AS u FROM e UNION ALL SELECT b FROM e),
+degc AS (
+  SELECT asg.c, count(*) AS dc
+  FROM und JOIN asg ON asg.n = und.u GROUP BY 1
+),
+terms AS (
+  SELECT CAST(round(coalesce(i.ec, 0) / CAST(m.m AS DOUBLE)
+              - (degc.dc / (2.0 * m.m)) * (degc.dc / (2.0 * m.m)), 9)
+              AS DECIMAL(38,12)) AS qt,
+         m.m
+  FROM degc LEFT JOIN intra i ON i.c = degc.c CROSS JOIN m
+)
+SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       CAST(m AS BIGINT) AS n_edges,
+       round(CAST(sum(qt) AS DOUBLE), 6) AS modularity
+FROM terms GROUP BY m
+"""

@@ -1,0 +1,137 @@
+"""Adversarial oracle validation for the round-10 fifth stratum
+(degree_assortativity / local_clustering / rich_club / modularity /
+resource_allocation): stars, paths, triangles-with-pendants, cliques,
+two-community graphs, and hand-built bipartite wedges — closed-form
+expectations plus DuckDB twins."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+
+def _cmp(spark_rows, duck_rows, cols):
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 9)
+        return str(v) if not isinstance(v, (int, float, bool, type(None))) \
+            else v
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    a = sorted(tuple(norm(r[i]) for i in order) for r in spark_rows)
+    b = sorted(tuple(norm(r[i]) for i in order) for r in duck_rows)
+    assert a == b, f"\nspark={a[:8]}\nduck ={b[:8]}"
+
+
+def _duck_edges(pdf: pd.DataFrame, sql: str):
+    con = duckdb.connect()
+    con.register("_e", pdf)
+    con.execute("CREATE TABLE edges_t AS SELECT * FROM _e")
+    rel = con.sql(sql)
+    return rel.fetchall(), [d[0] for d in rel.description]
+
+
+_EDGES_CTE = "SELECT a, b FROM edges_t"
+
+
+def _edges(spark, pairs):
+    pdf = pd.DataFrame(pairs, columns=["a", "b"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_assortativity_star_and_clique(spark):
+    """A star is perfectly disassortative (r = −1); a clique is
+    degree-regular (zero variance → NULL); twins agree."""
+    from distill_spark.operators.graphstats import (degree_assortativity,
+                                                    degree_assortativity_sql)
+
+    star, star_pdf = _edges(spark, [(1, 2), (1, 3), (1, 4)])
+    got = degree_assortativity(star)
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck_edges(star_pdf, degree_assortativity_sql(_EDGES_CTE))
+    _cmp(srows, drows, got.columns)
+    assert srows[0] == (4, 3, -1.0)
+
+    k4, _ = _edges(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    row = degree_assortativity(k4).collect()[0]
+    assert row["assortativity"] is None and row["n_edges"] == 6
+
+
+def test_local_clustering_triangle_with_pendant(spark):
+    """Triangle abc + pendant d-a: cc = (1/3 + 1 + 1)/3 = 7/9 over
+    the three eligible nodes; twins agree."""
+    from distill_spark.operators.graphstats import (local_clustering,
+                                                    local_clustering_sql)
+
+    g, pdf = _edges(spark, [(1, 2), (1, 3), (2, 3), (1, 4)])
+    got = local_clustering(g)
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck_edges(pdf, local_clustering_sql(_EDGES_CTE))
+    _cmp(srows, drows, got.columns)
+    assert srows[0] == (4, 3, round(7 / 9, 6))
+
+
+def test_rich_club_clique_and_sparse(spark):
+    """K4 (all degree 3): k=2 club is the whole clique (φ = 1); k=4
+    club is empty (NULL); twins agree."""
+    from distill_spark.operators.graphstats import rich_club, rich_club_sql
+
+    g, pdf = _edges(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    got = rich_club(g)
+    srows = [tuple(r) for r in got.orderBy("k").collect()]
+    drows, _ = _duck_edges(pdf, rich_club_sql(_EDGES_CTE))
+    _cmp(srows, drows, got.columns)
+    assert srows[0] == (2, 4, 6, 1.0)
+    assert srows[1] == (4, 0, 0, None)
+    assert srows[2] == (8, 0, 0, None)
+
+
+def test_modularity_two_triangles_vs_one_blob(spark):
+    """Two disjoint triangles, perfect 2-community assignment →
+    Q = 0.5 exactly; the all-one-community assignment → Q = 0;
+    twins agree (assignment passed as a literal table)."""
+    from distill_spark.operators.graphstats import modularity, modularity_sql
+
+    g, pdf = _edges(spark, [(1, 2), (1, 3), (2, 3),
+                            (4, 5), (4, 6), (5, 6)])
+    asg = spark.createDataFrame(
+        [(n, 1 if n <= 3 else 2) for n in range(1, 7)],
+        "node long, community long")
+    got = modularity(g, asg)
+    srows = [tuple(r) for r in got.collect()]
+    asg_sql = ("SELECT * FROM (VALUES (1,1),(2,1),(3,1),(4,2),(5,2),(6,2))"
+               " AS t(node, community)")
+    drows, _ = _duck_edges(pdf, modularity_sql(_EDGES_CTE, asg_sql))
+    _cmp(srows, drows, got.columns)
+    assert srows[0] == (2, 6, 0.5)
+
+    one = spark.createDataFrame([(n, 1) for n in range(1, 7)],
+                                "node long, community long")
+    row = modularity(g, one).collect()[0]
+    assert row["modularity"] == 0.0 and row["n_communities"] == 1
+
+
+def test_resource_allocation_hand_wedges(spark):
+    """s1,s2 share parts p1 (deg 2) and p2 (deg 3): RA = 1/2 + 1/3;
+    s1,s3 share only p2: RA = 1/3 (filtered at min_score 0.4);
+    twins agree."""
+    from distill_spark.graph import (resource_allocation,
+                                     resource_allocation_sql)
+
+    rows = [("s1", "p1"), ("s2", "p1"),
+            ("s1", "p2"), ("s2", "p2"), ("s3", "p2")]
+    pdf = pd.DataFrame(rows, columns=["src", "dst"])
+    sdf = spark.createDataFrame(pdf)
+    got = resource_allocation(sdf, min_score=0.4)
+    srows = [tuple(r) for r in got.collect()]
+    con = duckdb.connect()
+    con.register("_e", pdf)
+    con.execute("CREATE TABLE li AS SELECT * FROM _e")
+    rel = con.sql(resource_allocation_sql("SELECT src, dst FROM li",
+                                          min_score=0.4))
+    _cmp(srows, rel.fetchall(), got.columns)
+    assert len(srows) == 1
+    u, v, common, score = srows[0]
+    assert (u, v, common) == ("s1", "s2", 2)
+    assert score == round(1 / 2 + 1 / 3, 6)
