@@ -10415,7 +10415,95 @@ def _sql_resource_alloc():
             f"common, ra_score FROM ({inner})")
 
 
+# ---------------------------------------------------------------------------
+# Round-10 sixth stratum: merchandising / inequality — Atkinson,
+# Palma+Hoover, ABC classification, price-volume-mix bridge,
+# newsvendor stocking quantile.
+
+def q_atkinson_index(spark, sf_dir):
+    """Atkinson inequality (ε=1) of order totals
+    (stats.atkinson_index) — the welfare-grounded member of the
+    gini/theil/lorenz family; geomean from grid-rounded ln sums."""
+    from distill_spark.operators.stats import atkinson_index
+
+    return atkinson_index(_tables(spark, sf_dir)["orders"])
+
+
+def _sql_atkinson():
+    from distill_spark.operators.stats import atkinson_index_sql
+
+    return atkinson_index_sql()
+
+
+def q_palma_hoover(spark, sf_dir):
+    """Palma ratio + Hoover index over per-customer order revenue
+    (stats.palma_hoover) — tail-vs-base concentration and the
+    literal share-to-redistribute; deterministic decile ranks."""
+    from distill_spark.operators.stats import palma_hoover
+
+    t = _tables(spark, sf_dir)
+    return palma_hoover(t["orders"], "o_custkey", "o_totalprice")
+
+
+def _sql_palma_hoover():
+    from distill_spark.operators.stats import palma_hoover_sql
+
+    return palma_hoover_sql("orders", "o_custkey", "o_totalprice")
+
+
+def q_abc_analysis(spark, sf_dir):
+    """ABC inventory classes over part revenue
+    (commerce.abc_analysis) — the Pareto-chart stocking policy as a
+    query; grid-rounded cumulative-share cuts."""
+    from distill_spark.operators.commerce import abc_analysis
+
+    return abc_analysis(_tables(spark, sf_dir)["lineitem"])
+
+
+def _sql_abc():
+    from distill_spark.operators.commerce import abc_analysis_sql
+
+    return abc_analysis_sql()
+
+
+def q_price_volume_mix(spark, sf_dir):
+    """Price-volume-mix revenue bridge 1996→1997 per part brand
+    (commerce.price_volume_mix) — the self-auditing FP&A
+    decomposition (effects sum to ΔR exactly)."""
+    from distill_spark.operators.commerce import price_volume_mix
+
+    t = _tables(spark, sf_dir)
+    return price_volume_mix(t["lineitem"], t["part"])
+
+
+def _sql_pvm():
+    from distill_spark.operators.commerce import price_volume_mix_sql
+
+    return price_volume_mix_sql()
+
+
+def q_newsvendor_quantile(spark, sf_dir):
+    """Critical-fractile stocking level (80% service) per event
+    series (commerce.newsvendor_quantile) — exact lower quantile of
+    daily demand, no interpolation."""
+    from distill_spark.operators.commerce import newsvendor_quantile
+
+    return newsvendor_quantile(_tables(spark, sf_dir)["events"])
+
+
+def _sql_newsvendor():
+    from distill_spark.operators.commerce import newsvendor_quantile_sql
+
+    return newsvendor_quantile_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    # -- round-10 sixth stratum: merchandising / inequality ------------------
+    "atkinson_index": (q_atkinson_index, _sql_atkinson()),
+    "palma_hoover": (q_palma_hoover, _sql_palma_hoover()),
+    "abc_analysis": (q_abc_analysis, _sql_abc()),
+    "price_volume_mix": (q_price_volume_mix, _sql_pvm()),
+    "newsvendor_quantile": (q_newsvendor_quantile, _sql_newsvendor()),
     # -- round-10 fifth stratum: graph-structure health -----------------------
     "graph_assortativity": (q_graph_assortativity, _sql_assortativity()),
     "local_clustering": (q_local_clustering, _sql_local_clustering()),

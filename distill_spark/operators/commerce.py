@@ -1,0 +1,251 @@
+"""Merchandising / operations analytics over the order-line fact
+table: ABC inventory classification, price-volume-mix revenue
+decomposition, and critical-fractile (newsvendor) stocking quantiles.
+
+Extension beyond the reference surface (SURVEY §2.12): the classic
+retail-warehouse query class next to the funnel/cohort family in
+conversion.py.
+
+Scale shape (100 TB of lineitem): every function is one or two
+key-grouped aggregates over the fact table (map-side combined), then
+pure algebra on the dictionary-sized (part / brand / type) frame.
+Ranks that define class membership use explicit deterministic
+tie-breaks; shares are double divisions of exact DECIMAL sums; the
+determinism contract is the same as stats.py's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,12)"
+
+
+def abc_analysis(lineitem: DataFrame,
+                 a_cut: float = 0.8, b_cut: float = 0.95) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue
+    (extendedprice·(1−discount)), class A while the cumulative
+    revenue share ≤ ``a_cut``, B while ≤ ``b_cut``, C for the tail —
+    the 80/15/5 concentration readout behind every stocking policy
+    (a Pareto chart as a query). Rank ties break p_partkey ASC;
+    cumulative shares compare on the 1e-9 grid so a part sitting
+    exactly on a cut lands in the same class in both engines.
+    Output: one row per class (abc_class, n_parts, revenue,
+    revenue_share), rounds 2/6."""
+    rev = (lineitem
+           .groupBy(F.col("l_partkey").alias("pk"))
+           .agg(F.sum((F.col("l_extendedprice")
+                       * (1.0 - F.col("l_discount"))).cast(_DEC))
+                .alias("rev")))
+    w = Window.partitionBy().orderBy(F.desc("rev"), F.asc("pk"))
+    tot = Window.partitionBy()
+    cum = Window.partitionBy().orderBy(F.desc("rev"), F.asc("pk")) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    ranked = rev.select(
+        "pk", "rev",
+        (F.sum("rev").over(cum).cast("double")
+         / F.sum("rev").over(tot).cast("double")).alias("cshare"))
+    cls = (F.when(F.round(F.col("cshare"), 9) <= a_cut, "A")
+           .when(F.round(F.col("cshare"), 9) <= b_cut, "B")
+           .otherwise("C"))
+    tot2 = Window.partitionBy()
+    return (ranked.select(cls.alias("abc_class"), "rev")
+            .groupBy("abc_class")
+            .agg(F.count("*").cast("long").alias("n_parts"),
+                 F.round(F.sum("rev").cast("double"), 2).alias("revenue"))
+            .withColumn("revenue_share",
+                        F.round(F.col("revenue")
+                                / F.sum("revenue").over(tot2), 6)))
+
+
+def abc_analysis_sql(a_cut: float = 0.8, b_cut: float = 0.95) -> str:
+    return f"""
+WITH rev AS (
+  SELECT l_partkey AS pk,
+         sum(CAST(l_extendedprice * (1.0 - l_discount)
+                  AS DECIMAL(38,12))) AS rev
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT pk, rev,
+         CAST(sum(rev) OVER (ORDER BY rev DESC, pk ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE)
+           / CAST(sum(rev) OVER () AS DOUBLE) AS cshare
+  FROM rev
+),
+cls AS (
+  SELECT CASE WHEN round(cshare, 9) <= {a_cut} THEN 'A'
+              WHEN round(cshare, 9) <= {b_cut} THEN 'B'
+              ELSE 'C' END AS abc_class,
+         rev
+  FROM ranked
+),
+agg AS (
+  SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+         round(CAST(sum(rev) AS DOUBLE), 2) AS revenue
+  FROM cls GROUP BY 1
+)
+SELECT abc_class, n_parts, revenue,
+       round(revenue / sum(revenue) OVER (), 6) AS revenue_share
+FROM agg
+"""
+
+
+def price_volume_mix(lineitem: DataFrame, part: DataFrame,
+                     year_base: int = 1996,
+                     year_next: int = 1997) -> DataFrame:
+    """Price-volume-mix decomposition of the revenue change between
+    two ship years, per part brand (the standard FP&A bridge):
+    ΔR_b = Δp_b·q0_b (price effect) + Δq_b·p0_b (volume effect)
+    + Δp_b·Δq_b (cross/mix), where p = revenue/quantity (realized
+    unit price) and q = total quantity. The three effects sum to
+    ΔR exactly, so the bridge audits itself.
+
+    Two conditional aggregates per (brand) from one lineitem⋈part
+    scan (the brand dictionary is broadcast-sized); only brands
+    traded in BOTH years decompose (new/lapsed brands have no
+    base/next price). Output: one row per brand (brand, rev_base,
+    rev_next, price_effect, volume_effect, cross_effect,
+    delta_revenue), rounds 2."""
+    j = (lineitem.join(F.broadcast(part.select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand")), "l_partkey")
+        .select("p_brand",
+                F.year("l_shipdate").alias("yr"),
+                (F.col("l_extendedprice")
+                 * (1.0 - F.col("l_discount"))).alias("rev"),
+                F.col("l_quantity").alias("qty")))
+    per = (j.filter(F.col("yr").isin([year_base, year_next]))
+           .groupBy("p_brand", "yr")
+           .agg(F.sum(F.col("rev").cast(_DEC)).alias("r"),
+                F.sum(F.col("qty").cast(_DEC)).alias("q")))
+    base = per.filter(F.col("yr") == year_base).select(
+        "p_brand", F.col("r").alias("r0"), F.col("q").alias("q0"))
+    nxt = per.filter(F.col("yr") == year_next).select(
+        "p_brand", F.col("r").alias("r1"), F.col("q").alias("q1"))
+    both = base.join(nxt, "p_brand")
+    r0, r1 = F.col("r0").cast("double"), F.col("r1").cast("double")
+    q0, q1 = F.col("q0").cast("double"), F.col("q1").cast("double")
+    p0, p1 = r0 / q0, r1 / q1
+    return (both.filter((q0 > 0) & (q1 > 0))
+            .select(F.col("p_brand").alias("brand"),
+                    F.round(r0, 2).alias("rev_base"),
+                    F.round(r1, 2).alias("rev_next"),
+                    F.round((p1 - p0) * q0, 2).alias("price_effect"),
+                    F.round((q1 - q0) * p0, 2).alias("volume_effect"),
+                    F.round((p1 - p0) * (q1 - q0), 2)
+                    .alias("cross_effect"),
+                    F.round(r1 - r0, 2).alias("delta_revenue")))
+
+
+def price_volume_mix_sql(year_base: int = 1996,
+                         year_next: int = 1997) -> str:
+    return f"""
+WITH j AS (
+  SELECT p.p_brand, year(l.l_shipdate) AS yr,
+         l.l_extendedprice * (1.0 - l.l_discount) AS rev,
+         l.l_quantity AS qty
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE year(l.l_shipdate) IN ({year_base}, {year_next})
+),
+per AS (
+  SELECT p_brand, yr,
+         sum(CAST(rev AS DECIMAL(38,12))) AS r,
+         sum(CAST(qty AS DECIMAL(38,12))) AS q
+  FROM j GROUP BY 1, 2
+),
+pair AS (
+  SELECT b.p_brand,
+         CAST(b.r AS DOUBLE) AS r0, CAST(b.q AS DOUBLE) AS q0,
+         CAST(n.r AS DOUBLE) AS r1, CAST(n.q AS DOUBLE) AS q1
+  FROM per b JOIN per n ON n.p_brand = b.p_brand
+  WHERE b.yr = {year_base} AND n.yr = {year_next}
+)
+SELECT p_brand AS brand, round(r0, 2) AS rev_base,
+       round(r1, 2) AS rev_next,
+       round((r1 / q1 - r0 / q0) * q0, 2) AS price_effect,
+       round((q1 - q0) * (r0 / q0), 2) AS volume_effect,
+       round((r1 / q1 - r0 / q0) * (q1 - q0), 2) AS cross_effect,
+       round(r1 - r0, 2) AS delta_revenue
+FROM pair WHERE q0 > 0 AND q1 > 0
+"""
+
+
+def newsvendor_quantile(events: DataFrame, service_level: float = 0.8,
+                        ts_col: str = "ts", type_col: str = "event_type",
+                        value_col: str = "value") -> DataFrame:
+    """Critical-fractile (newsvendor) stocking level per series: the
+    smallest daily demand total q such that F(q) ≥ service_level —
+    the provisioning answer "stock for the 80th percentile day"
+    computed as an EXACT lower quantile over the bounded daily frame
+    (distinct-value cumulative counts, the weighted_median
+    construction; no interpolation, so engines agree by identity).
+    Output: one row per series (series, m_days, mean_daily,
+    q_service), rounds 6."""
+    daily = (events
+             .select(F.col(type_col).alias("series"),
+                     F.to_date(ts_col).alias("d"),
+                     F.col(value_col).cast("double").alias("v"))
+             .groupBy("series", "d")
+             .agg(F.round(F.sum(F.col("v").cast(_DEC))
+                          .cast("double"), 9).alias("x")))
+    per_v = daily.groupBy("series", "x").agg(F.count("*").alias("ct"))
+    wcum = Window.partitionBy("series").orderBy("x") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wtot = Window.partitionBy("series")
+    hit = (per_v
+           .select("series", "x",
+                   F.sum("ct").over(wcum).alias("cum"),
+                   F.sum("ct").over(wtot).alias("m"))
+           .filter(F.col("cum").cast("double")
+                   >= F.lit(service_level) * F.col("m"))
+           .groupBy("series").agg(F.min("x").alias("q")))
+    stats = (daily.groupBy("series")
+             .agg(F.count("*").alias("m"),
+                  (F.sum(F.col("x").cast(_DEC)).cast("double")
+                   / F.count("*")).alias("mean_daily")))
+    return (stats.join(hit, "series")
+            .select("series", F.col("m").cast("long").alias("m_days"),
+                    F.round(F.col("mean_daily"), 6).alias("mean_daily"),
+                    F.round(F.col("q"), 6).alias("q_service")))
+
+
+def newsvendor_quantile_sql(table: str = "events",
+                            service_level: float = 0.8,
+                            ts_sql: str = "ts",
+                            type_sql: str = "event_type",
+                            value_sql: str = "value") -> str:
+    return f"""
+WITH daily AS (
+  SELECT {type_sql} AS series, CAST({ts_sql} AS DATE) AS d,
+         round(CAST(sum(CAST(CAST({value_sql} AS DOUBLE)
+                             AS DECIMAL(38,12))) AS DOUBLE), 9) AS x
+  FROM {table} GROUP BY 1, 2
+),
+per_v AS (
+  SELECT series, x, count(*) AS ct FROM daily GROUP BY 1, 2
+),
+cums AS (
+  SELECT series, x,
+         sum(ct) OVER (PARTITION BY series ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(ct) OVER (PARTITION BY series) AS m
+  FROM per_v
+),
+hit AS (
+  SELECT series, min(x) AS q FROM cums
+  WHERE CAST(cum AS DOUBLE) >= {service_level} * m
+  GROUP BY 1
+),
+stats AS (
+  SELECT series, count(*) AS m,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+           AS mean_daily
+  FROM daily GROUP BY 1
+)
+SELECT s.series, CAST(s.m AS BIGINT) AS m_days,
+       round(s.mean_daily, 6) AS mean_daily,
+       round(h.q, 6) AS q_service
+FROM stats s JOIN hit h ON h.series = s.series
+"""

@@ -3680,3 +3680,133 @@ SELECT CAST(m AS BIGINT) AS m_judges, CAST(n AS BIGINT) AS n_items,
              END, 6) AS kendall_w
 FROM agg
 """
+
+
+def atkinson_index(df: DataFrame, value_col: str = "o_totalprice",
+                   ) -> DataFrame:
+    """Atkinson inequality index at ε = 1: A = 1 − geomean/mean over
+    positive values — the welfare-grounded member of the inequality
+    family (gini/theil/lorenz here): A is the fraction of total
+    value society could give up and be equally well off under equal
+    shares. geomean = exp(mean ln x) with per-row ln grid-rounded 9
+    into the decimal sum. One pass. Output: one row (n, mean_value,
+    geomean_value, atkinson), rounds 6; NULL on empty input."""
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull() & (v > 0)).select(v.alias("v"))
+    agg = base.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v").cast(_DEC)).alias("s"),
+        F.sum(F.round(F.log("v"), 9).cast(_DEC)).alias("sl"))
+    n = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / n
+    geo = F.exp(F.col("sl").cast("double") / n)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(mean, 6).alias("mean_value"),
+        F.round(geo, 6).alias("geomean_value"),
+        F.round(F.when(F.col("n") > 0, 1.0 - geo / mean), 6)
+        .alias("atkinson"))
+
+
+def atkinson_index_sql(table: str = "orders",
+                       value_sql: str = "o_totalprice") -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS v FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) > 0
+),
+agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS s,
+         CAST(sum(CAST(round(ln(v), 9) AS DECIMAL(38,12))) AS DOUBLE)
+           AS sl
+  FROM base
+)
+SELECT CAST(n AS BIGINT) AS n, round(s / n, 6) AS mean_value,
+       round(exp(sl / n), 6) AS geomean_value,
+       round(CASE WHEN n > 0 THEN 1.0 - exp(sl / n) / (s / n) END, 6)
+         AS atkinson
+FROM agg
+"""
+
+
+def palma_hoover(df: DataFrame, key_col: str, value_col: str
+                 ) -> DataFrame:
+    """Palma ratio + Hoover index over per-key value totals — the two
+    inequality readouts the gini/lorenz pair doesn't give: Palma
+    (top-10% share / bottom-40% share — tail-vs-base, Palma 2011) is
+    what moves when concentration is all in the extremes, Hoover
+    (½·Σ|share_i − 1/n|, the share of total that would have to move
+    to equalize) is the most literal "how much redistribution".
+
+    Deterministic decile membership by strict rank (value ASC, key
+    ASC), integer cutoffs floor(0.4n)/floor(0.1n); every share is a
+    double of exact decimal sums, Hoover terms grid-round 9 into a
+    decimal sum. Output: one row (n_keys, bottom40_share, top10_share,
+    palma_ratio, hoover), rounds 6; palma NULL when the bottom share
+    is 0."""
+    per = (df.groupBy(F.col(key_col).alias("k"))
+           .agg(F.sum(F.col(value_col).cast("double").cast(_DEC))
+                .alias("x")))
+    w = Window.partitionBy().orderBy(F.asc("x"), F.asc("k"))
+    tot = Window.partitionBy()
+    ranked = per.select(
+        "x", F.row_number().over(w).alias("r"),
+        F.count("*").over(tot).alias("n"),
+        F.sum("x").over(tot).alias("t"))
+    xd = F.col("x").cast("double")
+    td = F.col("t").cast("double")
+    agg = ranked.agg(
+        F.max("n").alias("n"), F.max("t").alias("t"),
+        F.sum(F.when(F.col("r") <= F.floor(F.col("n") * 4 / 10),
+                     F.col("x"))).alias("b40"),
+        F.sum(F.when(F.col("r") > F.col("n")
+                     - F.floor(F.col("n") / 10), F.col("x")))
+        .alias("t10"),
+        F.sum(F.round(F.abs(xd / td - 1.0 / F.col("n")), 9)
+              .cast(_DEC)).alias("habs"))
+    t = F.col("t").cast("double")
+    b40 = F.coalesce(F.col("b40").cast("double"), F.lit(0.0)) / t
+    t10 = F.coalesce(F.col("t10").cast("double"), F.lit(0.0)) / t
+    return agg.select(
+        F.col("n").cast("long").alias("n_keys"),
+        F.round(b40, 6).alias("bottom40_share"),
+        F.round(t10, 6).alias("top10_share"),
+        F.round(F.when(b40 > 0, t10 / b40), 6).alias("palma_ratio"),
+        F.round(F.col("habs").cast("double") / 2.0, 6).alias("hoover"))
+
+
+def palma_hoover_sql(table: str, key_sql: str, value_sql: str) -> str:
+    return f"""
+WITH per AS (
+  SELECT {key_sql} AS k,
+         sum(CAST(CAST({value_sql} AS DOUBLE) AS DECIMAL(38,12))) AS x
+  FROM {table} GROUP BY 1
+),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x ASC, k ASC) AS r,
+         count(*) OVER () AS n, sum(x) OVER () AS t
+  FROM per
+),
+agg AS (
+  SELECT max(n) AS n, max(t) AS t,
+         sum(CASE WHEN r <= floor(n * 4 / 10) THEN x END) AS b40,
+         sum(CASE WHEN r > n - floor(n / 10) THEN x END) AS t10,
+         CAST(sum(CAST(round(abs(CAST(x AS DOUBLE) / CAST(t AS DOUBLE)
+                                 - 1.0 / n), 9)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS habs
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_keys,
+       round(coalesce(CAST(b40 AS DOUBLE), 0.0) / CAST(t AS DOUBLE), 6)
+         AS bottom40_share,
+       round(coalesce(CAST(t10 AS DOUBLE), 0.0) / CAST(t AS DOUBLE), 6)
+         AS top10_share,
+       round(CASE WHEN coalesce(CAST(b40 AS DOUBLE), 0.0) > 0
+                  THEN (coalesce(CAST(t10 AS DOUBLE), 0.0)
+                        / CAST(t AS DOUBLE))
+                       / (coalesce(CAST(b40 AS DOUBLE), 0.0)
+                          / CAST(t AS DOUBLE)) END, 6) AS palma_ratio,
+       round(habs / 2.0, 6) AS hoover
+FROM agg
+"""

@@ -1,0 +1,138 @@
+"""Adversarial oracle validation for the round-10 sixth stratum
+(atkinson_index / palma_hoover / abc_analysis / price_volume_mix /
+newsvendor_quantile): equal vs degenerate distributions, an exact
+80/15/5 Pareto, a hand-built price/volume bridge, and a 1..10 demand
+ladder — closed forms plus DuckDB twins."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+
+def _cmp(spark_rows, duck_rows, cols):
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 9)
+        return str(v) if not isinstance(v, (int, float, bool, type(None))) \
+            else v
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    a = sorted(tuple(norm(r[i]) for i in order) for r in spark_rows)
+    b = sorted(tuple(norm(r[i]) for i in order) for r in duck_rows)
+    assert a == b, f"\nspark={a[:8]}\nduck ={b[:8]}"
+
+
+def _duck(frames: dict[str, pd.DataFrame], sql: str):
+    con = duckdb.connect()
+    for name, pdf in frames.items():
+        con.register(f"_src_{name}", pdf)
+        con.execute(f"CREATE TABLE {name} AS SELECT * FROM _src_{name}")
+    rel = con.sql(sql)
+    return rel.fetchall(), [d[0] for d in rel.description]
+
+
+def test_atkinson_equal_and_spread(spark):
+    """Equal values → A = 0; {e², 1} → A = 1 − 2e/(e²+1); twins."""
+    from distill_spark.operators.stats import (atkinson_index,
+                                               atkinson_index_sql)
+
+    eq = pd.DataFrame([(i, 5.0) for i in range(4)],
+                      columns=["o_orderkey", "o_totalprice"])
+    got = atkinson_index(spark.createDataFrame(eq))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"orders": eq}, atkinson_index_sql())
+    _cmp(srows, drows, got.columns)
+    assert srows[0][3] == 0.0
+
+    sp = pd.DataFrame([(1, math.e ** 2), (2, 1.0)],
+                      columns=["o_orderkey", "o_totalprice"])
+    row = atkinson_index(spark.createDataFrame(sp)).collect()[0]
+    expected = 1 - 2 * math.e / (math.e ** 2 + 1)
+    assert abs(row["atkinson"] - expected) < 1e-5
+
+
+def test_palma_hoover_uniform_and_degenerate(spark):
+    """10 equal customers → palma = 0.25, hoover = 0; one customer
+    holding everything → palma NULL (bottom share 0), hoover 0.9."""
+    from distill_spark.operators.stats import palma_hoover, palma_hoover_sql
+
+    eq = pd.DataFrame([(i, 10.0) for i in range(10)],
+                      columns=["o_custkey", "o_totalprice"])
+    got = palma_hoover(spark.createDataFrame(eq), "o_custkey",
+                       "o_totalprice")
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"orders": eq},
+                     palma_hoover_sql("orders", "o_custkey",
+                                      "o_totalprice"))
+    _cmp(srows, drows, got.columns)
+    assert srows[0] == (10, 0.4, 0.1, 0.25, 0.0)
+
+    deg = pd.DataFrame([(0, 100.0)] + [(i, 0.0) for i in range(1, 10)],
+                       columns=["o_custkey", "o_totalprice"])
+    row = palma_hoover(spark.createDataFrame(deg), "o_custkey",
+                       "o_totalprice").collect()[0]
+    assert row["palma_ratio"] is None and row["hoover"] == 0.9
+
+
+def test_abc_exact_pareto(spark):
+    """Three parts at 80/15/5 revenue: the boundaries land each part
+    in its own class (cum 0.80 → A inclusive, 0.95 → B, tail → C)."""
+    from distill_spark.operators.commerce import (abc_analysis,
+                                                  abc_analysis_sql)
+
+    pdf = pd.DataFrame(
+        [(1, 80.0, 0.0), (2, 15.0, 0.0), (3, 5.0, 0.0)],
+        columns=["l_partkey", "l_extendedprice", "l_discount"])
+    got = abc_analysis(spark.createDataFrame(pdf))
+    srows = [tuple(r) for r in got.orderBy("abc_class").collect()]
+    drows, _ = _duck({"lineitem": pdf}, abc_analysis_sql())
+    _cmp(srows, drows, got.columns)
+    assert srows == [("A", 1, 80.0, 0.8), ("B", 1, 15.0, 0.15),
+                     ("C", 1, 5.0, 0.05)]
+
+
+def test_price_volume_mix_bridge_audits(spark):
+    """Brand X: p 2→3, q 10→8 ⇒ price +10, volume −4, cross −2,
+    ΔR = +4 — and the three effects sum to ΔR exactly; twins."""
+    from distill_spark.operators.commerce import (price_volume_mix,
+                                                  price_volume_mix_sql)
+
+    li = []
+    for _ in range(10):
+        li.append((1, pd.Timestamp("1996-05-01"), 2.0, 0.0, 1.0))
+    for _ in range(8):
+        li.append((1, pd.Timestamp("1997-05-01"), 3.0, 0.0, 1.0))
+    li_pdf = pd.DataFrame(li, columns=[
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount",
+        "l_quantity"])
+    part_pdf = pd.DataFrame([(1, "BrandX")],
+                            columns=["p_partkey", "p_brand"])
+    got = price_volume_mix(spark.createDataFrame(li_pdf),
+                           spark.createDataFrame(part_pdf))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"lineitem": li_pdf, "part": part_pdf},
+                     price_volume_mix_sql())
+    _cmp(srows, drows, got.columns)
+    brand, r0, r1, pe, ve, ce, dr = srows[0]
+    assert (brand, r0, r1) == ("BrandX", 20.0, 24.0)
+    assert (pe, ve, ce, dr) == (10.0, -4.0, -2.0, 4.0)
+    assert round(pe + ve + ce, 2) == dr
+
+
+def test_newsvendor_ladder(spark):
+    """Daily demands 1..10: the 80% critical fractile is the smallest
+    q with F(q) ≥ 0.8 → 8; twins."""
+    from distill_spark.operators.commerce import (newsvendor_quantile,
+                                                  newsvendor_quantile_sql)
+
+    pdf = pd.DataFrame(
+        [(pd.Timestamp("2024-06-01") + pd.Timedelta(days=i), "orders_s",
+          float(i + 1)) for i in range(10)],
+        columns=["ts", "event_type", "value"])
+    got = newsvendor_quantile(spark.createDataFrame(pdf))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": pdf}, newsvendor_quantile_sql())
+    _cmp(srows, drows, got.columns)
+    assert srows[0] == ("orders_s", 10, 5.5, 8.0)
