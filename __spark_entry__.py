@@ -10497,7 +10497,104 @@ def _sql_newsvendor():
     return newsvendor_quantile_sql()
 
 
+# ---------------------------------------------------------------------------
+# Round-10 seventh stratum: ranking/calibration audits, group
+# fairness, and the directed source-LM divergence.
+
+def q_pr_auc_purchase(spark, sf_dir):
+    """Step-interpolated average precision of value→purchase
+    (mleval.average_precision) — the imbalance-honest companion to
+    auc_purchase, same distinct-score cumulative machinery."""
+    from distill_spark.operators.mleval import average_precision
+
+    return average_precision(_mleval_frame(_tables(spark, sf_dir)),
+                             "y", "value")
+
+
+def _sql_pr_auc():
+    from distill_spark.operators.mleval import average_precision_sql
+
+    return average_precision_sql("events", _MLEVAL_LABEL, "value")
+
+
+def q_brier_decomposition(spark, sf_dir):
+    """Murphy decomposition of the Brier score of the min-max-
+    normalized value score (mleval.brier_decomposition) — REL/RES/UNC
+    plus the within-bin-variance residual, so the identity audits
+    itself; the skill-attribution upgrade of calibration_value."""
+    from distill_spark.operators.mleval import brier_decomposition
+
+    return brier_decomposition(_mleval_frame(_tables(spark, sf_dir)),
+                               "y", "value")
+
+
+def _sql_brier():
+    from distill_spark.operators.mleval import brier_decomposition_sql
+
+    return brier_decomposition_sql("events", _MLEVAL_LABEL, "value")
+
+
+def q_rank_association(spark, sf_dir):
+    """Somers' D, Goodman–Kruskal γ and Kendall τ_a of value→purchase
+    from one concordance count (mleval.rank_association) — the
+    ordinal-association trio behind auc_purchase (D = 2·AUC−1)."""
+    from distill_spark.operators.mleval import rank_association
+
+    return rank_association(_mleval_frame(_tables(spark, sf_dir)),
+                            "y", "value")
+
+
+def _sql_rank_assoc():
+    from distill_spark.operators.mleval import rank_association_sql
+
+    return rank_association_sql("events", _MLEVAL_LABEL, "value")
+
+
+def q_fairness_cohorts(spark, sf_dir):
+    """Demographic-parity / TPR / FPR gaps of the mean-threshold
+    value classifier across user_id%3 cohorts
+    (mleval.fairness_gaps) — does the quality gate fire evenly."""
+    from distill_spark.operators.mleval import fairness_gaps
+
+    t = _tables(spark, sf_dir)
+    df = t["events"].select(
+        F.concat(F.lit("g"), (F.col("user_id") % 3).cast("string"))
+        .alias("cohort"),
+        F.col("value"),
+        (F.col("event_type") == "purchase").alias("y"))
+    return fairness_gaps(df, "cohort", "y", "value")
+
+
+def _sql_fairness():
+    from distill_spark.operators.mleval import fairness_gaps_sql
+
+    return fairness_gaps_sql(
+        "events", "concat('g', CAST(user_id % 3 AS VARCHAR))",
+        _MLEVAL_LABEL, "value")
+
+
+def q_kl_source_lm(spark, sf_dir):
+    """Per-source KL divergence against the corpus unigram LM with
+    add-1 smoothing (corpus_stats.kl_source_lm) — the directed
+    cross-entropy cost source_jsd's symmetric distance hides."""
+    from distill_spark.operators.corpus_stats import kl_source_lm
+
+    return kl_source_lm(_tables(spark, sf_dir)["documents"])
+
+
+def _sql_kl_source():
+    from distill_spark.operators.corpus_stats import kl_source_lm_sql
+
+    return kl_source_lm_sql(words_sql_tpl=_WORDS_SQL)
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    # -- round-10 seventh stratum: ranking / calibration / fairness ----------
+    "pr_auc_purchase": (q_pr_auc_purchase, _sql_pr_auc()),
+    "brier_decomposition": (q_brier_decomposition, _sql_brier()),
+    "rank_association": (q_rank_association, _sql_rank_assoc()),
+    "fairness_cohorts": (q_fairness_cohorts, _sql_fairness()),
+    "kl_source_lm": (q_kl_source_lm, _sql_kl_source()),
     # -- round-10 sixth stratum: merchandising / inequality ------------------
     "atkinson_index": (q_atkinson_index, _sql_atkinson()),
     "palma_hoover": (q_palma_hoover, _sql_palma_hoover()),

@@ -738,3 +738,80 @@ SELECT ga AS source_a, gb AS source_b,
        round(CAST(sum(dz) AS DOUBLE) / count(*), 6) AS delta
 FROM pairs GROUP BY 1, 2
 """
+
+
+def kl_source_lm(docs: DataFrame, group_col: str = "source",
+                 text_col: str = "text") -> DataFrame:
+    """Per-source KL divergence D(P_s ‖ P_corpus) between add-1-
+    smoothed unigram language models over the shared corpus
+    vocabulary — "how many nats does reading this source as typical
+    corpus text cost", the directed sharpening of source_jsd's
+    symmetric distance (KL is what a corpus-trained LM actually pays
+    in cross-entropy on the source). Smoothing makes every term
+    finite: p_s(w) = (c_sw+1)/(N_s+V), p_c(w) = (c_w+1)/(N+V).
+
+    Shape: one (source, term) count aggregate; the dense
+    source × vocab grid carries coalesce-0 counts via a crossJoin of
+    the source totals with the vocab frame (|S|·V rows,
+    dictionary-scale — at 100 TB the vocab frame is capped upstream
+    like every term dictionary here). Per-term contributions
+    grid-round 9 into decimal sums. Output: (group, n_tokens,
+    kl_nats), rounds 6."""
+    from distill_spark.operators.search import words_expr
+
+    st = (docs.select(F.col(group_col).alias("g"),
+                      F.explode(words_expr(F.col(text_col)))
+                      .alias("term"))
+          .groupBy("g", "term").agg(F.count("*").alias("c")))
+    corpus = st.groupBy("term").agg(F.sum("c").alias("cw"))
+    totals = st.groupBy("g").agg(F.sum("c").alias("ns"))
+    vtot = corpus.agg(F.count("*").alias("v"), F.sum("cw").alias("nn"))
+    grid = (totals.crossJoin(F.broadcast(corpus))
+            .join(st, ["g", "term"], "left")
+            .crossJoin(F.broadcast(vtot))
+            .select("g", "ns", "v", "nn", "cw",
+                    F.coalesce(F.col("c"), F.lit(0)).alias("c")))
+    ps = (F.col("c") + 1) / (F.col("ns") + F.col("v")).cast("double")
+    pc = (F.col("cw") + 1) / (F.col("nn") + F.col("v")).cast("double")
+    term = F.round(ps * F.log(ps / pc), 9).cast(_DEC)
+    return (grid.select("g", "ns", term.alias("t"))
+            .groupBy("g", "ns")
+            .agg(F.sum("t").cast("double").alias("kl"))
+            .select(F.col("g").alias(group_col),
+                    F.col("ns").cast("long").alias("n_tokens"),
+                    F.round(F.col("kl"), 6).alias("kl_nats")))
+
+
+def kl_source_lm_sql(table: str = "documents",
+                     group_sql: str = "source", text_sql: str = "text",
+                     words_sql_tpl: str | None = None) -> str:
+    words = (words_sql_tpl or
+             "list_filter(string_split({c}, ' '), x -> x <> '')")
+    w = words.format(c=text_sql)
+    return f"""
+WITH st AS (
+  SELECT g, term, count(*) AS c FROM (
+    SELECT {group_sql} AS g, unnest({w}) AS term FROM {table}
+  ) GROUP BY 1, 2
+),
+corpus AS (SELECT term, sum(c) AS cw FROM st GROUP BY 1),
+totals AS (SELECT g, sum(c) AS ns FROM st GROUP BY 1),
+vtot AS (SELECT count(*) AS v, sum(cw) AS nn FROM corpus),
+grid AS (
+  SELECT t.g, t.ns, vt.v, vt.nn, co.cw, coalesce(s.c, 0) AS c
+  FROM totals t CROSS JOIN corpus co
+  LEFT JOIN st s ON s.g = t.g AND s.term = co.term
+  CROSS JOIN vtot vt
+),
+terms AS (
+  SELECT g, ns,
+         CAST(round(((c + 1) / CAST(ns + v AS DOUBLE))
+                    * ln(((c + 1) / CAST(ns + v AS DOUBLE))
+                         / ((cw + 1) / CAST(nn + v AS DOUBLE))), 9)
+              AS DECIMAL(38,12)) AS t_
+  FROM grid
+)
+SELECT g AS {group_sql}, CAST(ns AS BIGINT) AS n_tokens,
+       round(CAST(sum(t_) AS DOUBLE), 6) AS kl_nats
+FROM terms GROUP BY 1, 2
+"""

@@ -1047,3 +1047,393 @@ SELECT CAST(nitems AS BIGINT) AS n_items,
              END, 6) AS fleiss_kappa
 FROM pbar_agg CROSS JOIN tot
 """
+
+
+# ------------------------------------------- round-10 seventh stratum
+
+def average_precision(df: DataFrame, label_col: str,
+                      score_col: str) -> DataFrame:
+    """Average precision (step-interpolated PR-AUC): walking the
+    distinct scores descending, AP = Σ_v ΔR(v)·P(v) with
+    P = cum_tp/(cum_tp+cum_fp) and ΔR = tp_at_v / n_pos — the
+    ranking metric that, unlike ROC-AUC, collapses under class
+    imbalance exactly when retrieval does (the top of the ranking is
+    all that matters). Same distinct-score cumulative construction
+    as auc_roc (|distinct scores| rows shuffle, never |rows|); ties
+    share one step (the whole tied block enters at once, the
+    deterministic convention). Per-step terms are doubles of exact
+    integers, grid-rounded 9 into a decimal sum. Output: one row
+    (n_pos, n_neg, average_precision), rounds 6."""
+    v = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("int")
+    per = (df.filter(v.isNotNull())
+           .select(v.alias("v"), lab.alias("y"))
+           .groupBy("v")
+           .agg(F.sum("y").alias("tp_v"), F.count("*").alias("ct")))
+    w = Window.orderBy(F.desc("v")).rowsBetween(
+        Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    steps = per.select(
+        "tp_v",
+        F.sum("tp_v").over(w).alias("cum_tp"),
+        F.sum("ct").over(w).alias("cum_all"),
+        F.sum("tp_v").over(tot).alias("npos"),
+        (F.sum("ct").over(tot) - F.sum("tp_v").over(tot)).alias("nneg"))
+    term = (F.col("tp_v") / F.col("npos").cast("double")
+            * (F.col("cum_tp") / F.col("cum_all").cast("double")))
+    agg = (steps.select("npos", "nneg",
+                        F.round(term, 9).cast(_DEC).alias("t"))
+           .groupBy("npos", "nneg")
+           .agg(F.sum("t").cast("double").alias("ap")))
+    return agg.select(
+        F.col("npos").cast("long").alias("n_pos"),
+        F.col("nneg").cast("long").alias("n_neg"),
+        F.round(F.col("ap"), 6).alias("average_precision"))
+
+
+def average_precision_sql(table: str, label_sql: str,
+                          value_sql: str) -> str:
+    return f"""
+WITH per AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS v,
+         sum(CASE WHEN {label_sql} THEN 1 ELSE 0 END) AS tp_v,
+         count(*) AS ct
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+  GROUP BY 1
+),
+steps AS (
+  SELECT tp_v,
+         sum(tp_v) OVER (ORDER BY v DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+         sum(ct) OVER (ORDER BY v DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all,
+         sum(tp_v) OVER () AS npos,
+         sum(ct) OVER () - sum(tp_v) OVER () AS nneg
+  FROM per
+),
+agg AS (
+  SELECT npos, nneg,
+         CAST(sum(CAST(round(tp_v / CAST(npos AS DOUBLE)
+                             * (cum_tp / CAST(cum_all AS DOUBLE)), 9)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS ap
+  FROM steps GROUP BY 1, 2
+)
+SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+       round(ap, 6) AS average_precision
+FROM agg
+"""
+
+
+def brier_decomposition(df: DataFrame, label_col: str, score_col: str,
+                        n_bins: int = 10) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score into
+    reliability − resolution + uncertainty, over min-max-normalized
+    scores binned like calibration_bins: REL (how far bin means sit
+    from bin outcome rates — lower is better-calibrated), RES (how
+    much the bins separate outcomes — higher is better), UNC = ȳ(1−ȳ)
+    (the no-skill floor). The raw Brier mean((p−y)²) is reported
+    alongside; the identity brier = REL − RES + UNC holds exactly
+    only for bin-constant forecasts, so the residual
+    brier − (rel − res + unc) is the within-bin variance — also
+    reported, so the decomposition audits itself. One bounds pass,
+    one bucketed aggregate; per-row and per-bin terms are doubles of
+    exact sums, grid-rounded into decimal accumulators. Output: one
+    row (n, brier, reliability, resolution, uncertainty,
+    within_bin_var), rounds 6."""
+    v = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("int")
+    base = df.filter(v.isNotNull()).select(v.alias("v"), lab.alias("y"))
+    bounds = base.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    p = F.when(F.col("hi") > F.col("lo"),
+               (F.col("v") - F.col("lo"))
+               / (F.col("hi") - F.col("lo"))).otherwise(0.5)
+    b = F.least(F.floor(p * n_bins), F.lit(n_bins - 1)).cast("int")
+    rows = (base.crossJoin(F.broadcast(bounds))
+            .select(b.alias("bin"), p.alias("p"), "y"))
+    binned = (rows.groupBy("bin")
+              .agg(F.count("*").alias("nb"),
+                   F.sum(F.col("p").cast(_DEC)).alias("sp"),
+                   F.sum("y").alias("sy")))
+    tot = Window.partitionBy()
+    nb = F.col("nb").cast("double")
+    pbar = F.col("sp").cast("double") / nb
+    ybar = F.col("sy") / nb
+    g = binned.select(
+        "nb", "sy",
+        F.sum("nb").over(tot).alias("n"),
+        F.sum("sy").over(tot).alias("ny"),
+        F.round(nb * (pbar - ybar) * (pbar - ybar), 9).cast(_DEC)
+        .alias("relt"),
+        pbar.alias("pbar"), ybar.alias("ybar"))
+    ybar_all = F.col("ny") / F.col("n").cast("double")
+    g2 = g.select(
+        "n", "ny",
+        "relt",
+        F.round(F.col("nb") * (F.col("ybar") - ybar_all)
+                * (F.col("ybar") - ybar_all), 9).cast(_DEC)
+        .alias("rest"))
+    decomp = (g2.groupBy("n", "ny")
+              .agg(F.sum("relt").cast("double").alias("rel_n"),
+                   F.sum("rest").cast("double").alias("res_n")))
+    raw = rows.agg(F.sum(
+        F.round((F.col("p") - F.col("y")) * (F.col("p") - F.col("y")), 9)
+        .cast(_DEC)).cast("double").alias("sq"))
+    nd = F.col("n").cast("double")
+    ybar_a = F.col("ny") / nd
+    rel = F.col("rel_n") / nd
+    res = F.col("res_n") / nd
+    unc = ybar_a * (1.0 - ybar_a)
+    brier = F.col("sq") / nd
+    return (decomp.crossJoin(F.broadcast(raw))
+            .select(F.col("n").cast("long").alias("n"),
+                    F.round(brier, 6).alias("brier"),
+                    F.round(rel, 6).alias("reliability"),
+                    F.round(res, 6).alias("resolution"),
+                    F.round(unc, 6).alias("uncertainty"),
+                    F.round(brier - (rel - res + unc), 6)
+                    .alias("within_bin_var")))
+
+
+def brier_decomposition_sql(table: str, label_sql: str, value_sql: str,
+                            n_bins: int = 10) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS v,
+         CASE WHEN {label_sql} THEN 1 ELSE 0 END AS y
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
+rows_ AS (
+  SELECT CAST(least(floor(CASE WHEN hi > lo THEN (v - lo) / (hi - lo)
+                               ELSE 0.5 END * {n_bins}),
+                    {n_bins} - 1) AS INT) AS bin,
+         CASE WHEN hi > lo THEN (v - lo) / (hi - lo) ELSE 0.5 END AS p,
+         y
+  FROM base CROSS JOIN bounds
+),
+binned AS (
+  SELECT bin, count(*) AS nb,
+         CAST(sum(CAST(p AS DECIMAL(38,12))) AS DOUBLE) AS sp,
+         sum(y) AS sy
+  FROM rows_ GROUP BY 1
+),
+g AS (
+  SELECT nb, sy,
+         sum(nb) OVER () AS n, sum(sy) OVER () AS ny,
+         CAST(round(nb * (sp / nb - sy / CAST(nb AS DOUBLE))
+                    * (sp / nb - sy / CAST(nb AS DOUBLE)), 9)
+              AS DECIMAL(38,12)) AS relt,
+         sp / nb AS pbar, sy / CAST(nb AS DOUBLE) AS ybar
+  FROM binned
+),
+g2 AS (
+  SELECT n, ny, relt,
+         CAST(round(nb * (ybar - ny / CAST(n AS DOUBLE))
+                    * (ybar - ny / CAST(n AS DOUBLE)), 9)
+              AS DECIMAL(38,12)) AS rest
+  FROM g
+),
+decomp AS (
+  SELECT n, ny, CAST(sum(relt) AS DOUBLE) AS rel_n,
+         CAST(sum(rest) AS DOUBLE) AS res_n
+  FROM g2 GROUP BY 1, 2
+),
+raw AS (
+  SELECT CAST(sum(CAST(round((p - y) * (p - y), 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS sq
+  FROM rows_
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(sq / n, 6) AS brier,
+       round(rel_n / n, 6) AS reliability,
+       round(res_n / n, 6) AS resolution,
+       round((ny / CAST(n AS DOUBLE)) * (1.0 - ny / CAST(n AS DOUBLE)), 6)
+         AS uncertainty,
+       round(sq / n - (rel_n / n - res_n / n
+                       + (ny / CAST(n AS DOUBLE))
+                         * (1.0 - ny / CAST(n AS DOUBLE))), 6)
+         AS within_bin_var
+FROM decomp CROSS JOIN raw
+"""
+
+
+def rank_association(df: DataFrame, label_col: str,
+                     score_col: str) -> DataFrame:
+    """The ordinal-association trio between a score and a binary
+    outcome from ONE concordance count: Somers' D_yx = (C−D)/(n₁n₀)
+    (the Gini coefficient of the ranker, = 2·AUC−1), Goodman–Kruskal
+    γ = (C−D)/(C+D) (tie-ignoring), and Kendall τ_a =
+    2(C−D)/(n(n−1)) (pair-normalized). C = positive-negative pairs
+    where the positive outscores the negative; all three are exact
+    integer algebra over the distinct-score cumulative frame
+    (C = Σ_v pos_v·negs_below, D = Σ_v pos_v·negs_above). Output:
+    one row (n_pos, n_neg, concordant, discordant, somers_d, gamma,
+    tau_a), rounds 6."""
+    v = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("int")
+    per = (df.filter(v.isNotNull())
+           .select(v.alias("v"), lab.alias("y"))
+           .groupBy("v")
+           .agg(F.sum("y").alias("pv"),
+                (F.count("*") - F.sum("y")).alias("nv")))
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    tot = Window.partitionBy()
+    steps = per.select(
+        "pv",
+        F.coalesce(F.sum("nv").over(wb), F.lit(0)).alias("neg_below"),
+        (F.sum("nv").over(tot)
+         - F.coalesce(F.sum("nv").over(wb), F.lit(0))
+         - F.col("nv")).alias("neg_above"),
+        F.sum("pv").over(tot).alias("npos"),
+        F.sum("nv").over(tot).alias("nneg"))
+    agg = (steps.groupBy("npos", "nneg")
+           .agg(F.sum(F.col("pv") * F.col("neg_below")).alias("c"),
+                F.sum(F.col("pv") * F.col("neg_above")).alias("d")))
+    npos = F.col("npos").cast("double")
+    nneg = F.col("nneg").cast("double")
+    n = npos + nneg
+    cd = (F.col("c") - F.col("d")).cast("double")
+    return agg.select(
+        F.col("npos").cast("long").alias("n_pos"),
+        F.col("nneg").cast("long").alias("n_neg"),
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        F.round(F.when(npos * nneg > 0, cd / (npos * nneg)), 6)
+        .alias("somers_d"),
+        F.round(F.when(F.col("c") + F.col("d") > 0,
+                       cd / (F.col("c") + F.col("d")).cast("double")), 6)
+        .alias("gamma"),
+        F.round(2.0 * cd / (n * (n - 1)), 6).alias("tau_a"))
+
+
+def rank_association_sql(table: str, label_sql: str,
+                         value_sql: str) -> str:
+    return f"""
+WITH per AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS v,
+         sum(CASE WHEN {label_sql} THEN 1 ELSE 0 END) AS pv,
+         count(*) - sum(CASE WHEN {label_sql} THEN 1 ELSE 0 END) AS nv
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+  GROUP BY 1
+),
+steps AS (
+  SELECT pv,
+         coalesce(sum(nv) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS neg_below,
+         sum(nv) OVER ()
+           - coalesce(sum(nv) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           - nv AS neg_above,
+         sum(pv) OVER () AS npos, sum(nv) OVER () AS nneg
+  FROM per
+),
+agg AS (
+  SELECT npos, nneg, sum(pv * neg_below) AS c, sum(pv * neg_above) AS d
+  FROM steps GROUP BY 1, 2
+)
+SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+       CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant,
+       round(CASE WHEN npos * nneg > 0
+                  THEN CAST(c - d AS DOUBLE)
+                       / (CAST(npos AS DOUBLE) * nneg) END, 6)
+         AS somers_d,
+       round(CASE WHEN c + d > 0
+                  THEN CAST(c - d AS DOUBLE) / CAST(c + d AS DOUBLE)
+             END, 6) AS gamma,
+       round(2.0 * CAST(c - d AS DOUBLE)
+             / (CAST(npos + nneg AS DOUBLE) * (npos + nneg - 1)), 6)
+         AS tau_a
+FROM agg
+"""
+
+
+def fairness_gaps(df: DataFrame, group_col: str, label_col: str,
+                  score_col: str) -> DataFrame:
+    """Group-fairness audit of the threshold classifier
+    "predict positive when score ≥ the global mean": per group, the
+    predicted-positive rate (demographic parity), TPR (equal
+    opportunity) and FPR — plus the max−min gap of each across
+    groups repeated on every row, so one glance reads both the
+    per-group rates and the disparity. The standard pre-training
+    audit for "does this filter/quality score fire evenly across
+    cohorts". One mean pass, one conditional aggregate per group;
+    rates are double divisions of exact counts. Output: one row per
+    group (grp, n, pos_rate_pred, tpr, fpr, dp_gap, tpr_gap,
+    fpr_gap), rounds 6; TPR/FPR NULL for groups without
+    positives/negatives, gaps over the defined groups only."""
+    g = F.col(group_col)
+    v = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("int")
+    base = (df.filter(g.isNotNull() & v.isNotNull())
+            .select(g.alias("grp"), v.alias("v"), lab.alias("y")))
+    mu = base.agg((F.sum(F.col("v").cast(_DEC)).cast("double")
+                   / F.count("*")).alias("mu"))
+    scored = (base.crossJoin(F.broadcast(mu))
+              .select("grp", "y",
+                      (F.col("v") >= F.col("mu")).cast("int")
+                      .alias("pred")))
+    per = (scored.groupBy("grp")
+           .agg(F.count("*").alias("n"),
+                F.sum("pred").alias("np"),
+                F.sum("y").alias("ny"),
+                F.sum(F.col("pred") * F.col("y")).alias("tp"),
+                F.sum(F.col("pred") * (1 - F.col("y"))).alias("fp")))
+    pr = F.col("np") / F.col("n").cast("double")
+    tpr = F.when(F.col("ny") > 0,
+                 F.col("tp") / F.col("ny").cast("double"))
+    fpr = F.when(F.col("n") - F.col("ny") > 0,
+                 F.col("fp") / (F.col("n") - F.col("ny")).cast("double"))
+    rates = per.select("grp", F.col("n").cast("long").alias("n"),
+                       F.round(pr, 6).alias("pos_rate_pred"),
+                       F.round(tpr, 6).alias("tpr"),
+                       F.round(fpr, 6).alias("fpr"))
+    tot = Window.partitionBy()
+    return rates.select(
+        "grp", "n", "pos_rate_pred", "tpr", "fpr",
+        F.round(F.max("pos_rate_pred").over(tot)
+                - F.min("pos_rate_pred").over(tot), 6).alias("dp_gap"),
+        F.round(F.max("tpr").over(tot) - F.min("tpr").over(tot), 6)
+        .alias("tpr_gap"),
+        F.round(F.max("fpr").over(tot) - F.min("fpr").over(tot), 6)
+        .alias("fpr_gap"))
+
+
+def fairness_gaps_sql(table: str, group_sql: str, label_sql: str,
+                      value_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT {group_sql} AS grp, CAST({value_sql} AS DOUBLE) AS v,
+         CASE WHEN {label_sql} THEN 1 ELSE 0 END AS y
+  FROM {table}
+  WHERE {group_sql} IS NOT NULL
+    AND CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+mu AS (
+  SELECT CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mu
+  FROM base
+),
+per AS (
+  SELECT grp, count(*) AS n,
+         sum(CASE WHEN v >= mu THEN 1 ELSE 0 END) AS np,
+         sum(y) AS ny,
+         sum(CASE WHEN v >= mu THEN y ELSE 0 END) AS tp,
+         sum(CASE WHEN v >= mu THEN 1 - y ELSE 0 END) AS fp
+  FROM base CROSS JOIN mu GROUP BY 1
+),
+rates AS (
+  SELECT grp, CAST(n AS BIGINT) AS n,
+         round(np / CAST(n AS DOUBLE), 6) AS pos_rate_pred,
+         round(CASE WHEN ny > 0
+                    THEN tp / CAST(ny AS DOUBLE) END, 6) AS tpr,
+         round(CASE WHEN n - ny > 0
+                    THEN fp / CAST(n - ny AS DOUBLE) END, 6) AS fpr
+  FROM per
+)
+SELECT grp, n, pos_rate_pred, tpr, fpr,
+       round(max(pos_rate_pred) OVER () - min(pos_rate_pred) OVER (), 6)
+         AS dp_gap,
+       round(max(tpr) OVER () - min(tpr) OVER (), 6) AS tpr_gap,
+       round(max(fpr) OVER () - min(fpr) OVER (), 6) AS fpr_gap
+FROM rates
+"""

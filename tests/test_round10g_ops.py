@@ -1,0 +1,150 @@
+"""Adversarial oracle validation for the round-10 seventh stratum
+(average_precision / brier_decomposition / rank_association /
+fairness_gaps / kl_source_lm): perfect and inverted rankers,
+calibrated and anti-calibrated forecasts, hand-counted concordance,
+a planted disparate cohort, and identical-vs-shifted language models
+— closed forms plus DuckDB twins."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+
+def _cmp(spark_rows, duck_rows, cols):
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 9)
+        return str(v) if not isinstance(v, (int, float, bool, type(None))) \
+            else v
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    a = sorted(tuple(norm(r[i]) for i in order) for r in spark_rows)
+    b = sorted(tuple(norm(r[i]) for i in order) for r in duck_rows)
+    assert a == b, f"\nspark={a[:8]}\nduck ={b[:8]}"
+
+
+def _duck(frames: dict[str, pd.DataFrame], sql: str):
+    con = duckdb.connect()
+    for name, pdf in frames.items():
+        con.register(f"_src_{name}", pdf)
+        con.execute(f"CREATE TABLE {name} AS SELECT * FROM _src_{name}")
+    rel = con.sql(sql)
+    return rel.fetchall(), [d[0] for d in rel.description]
+
+
+def _ev(rows):
+    return pd.DataFrame(rows, columns=["value", "y"])
+
+
+def test_average_precision_perfect_and_inverted(spark):
+    """All positives outscore all negatives → AP = 1; perfectly
+    inverted ranking of 2 pos / 2 neg → AP = Σ hand steps; twins."""
+    from distill_spark.operators.mleval import (average_precision,
+                                                average_precision_sql)
+
+    perfect = _ev([(4.0, True), (3.0, True), (2.0, False), (1.0, False)])
+    got = average_precision(spark.createDataFrame(perfect), "y", "value")
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": perfect},
+                     average_precision_sql("events", "y", "value"))
+    _cmp(srows, drows, got.columns)
+    assert srows[0] == (2, 2, 1.0)
+
+    inv = _ev([(4.0, False), (3.0, False), (2.0, True), (1.0, True)])
+    row = average_precision(spark.createDataFrame(inv), "y",
+                            "value").collect()[0]
+    # positives at ranks 3 and 4: AP = (1/2)(1/3) + (1/2)(2/4)
+    assert row["average_precision"] == round(1 / 6 + 1 / 4, 6)
+
+
+def test_brier_decomposition_identity_on_bin_constant(spark):
+    """Forecasts constant within bins (scores 0 and 1 only): the
+    Murphy identity is exact — within_bin_var = 0 — and a perfectly
+    anti-calibrated forecast has reliability ≈ brier − ... ; twins."""
+    from distill_spark.operators.mleval import (brier_decomposition,
+                                                brier_decomposition_sql)
+
+    # p=0 bin: 4 rows 25% positive; p=1 bin: 4 rows 75% positive
+    rows = ([(0.0, True)] + [(0.0, False)] * 3
+            + [(1.0, True)] * 3 + [(1.0, False)])
+    pdf = _ev(rows)
+    got = brier_decomposition(spark.createDataFrame(pdf), "y", "value")
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": pdf},
+                     brier_decomposition_sql("events", "y", "value"))
+    _cmp(srows, drows, got.columns)
+    n, brier, rel, res, unc, wvar = srows[0]
+    assert n == 8 and wvar == 0.0
+    assert brier == round(rel - res + unc, 6)
+    # hand values: REL = (0.25² + 0.25²)/2 = 0.0625, UNC = 0.25,
+    # RES = (0.25² + 0.25²)/2 = 0.0625, brier = (.25·1+.75·0... ) = .25
+    assert (rel, res, unc, brier) == (0.0625, 0.0625, 0.25, 0.25)
+
+
+def test_rank_association_hand_counts(spark):
+    """2 pos {3,4}, 2 neg {1,2}: C = 4, D = 0 → D_yx = 1, γ = 1,
+    τ_a = 2·4/(4·3) = 2/3; one swapped pair drops C to 3, D to 1;
+    twins."""
+    from distill_spark.operators.mleval import (rank_association,
+                                                rank_association_sql)
+
+    sep = _ev([(4.0, True), (3.0, True), (2.0, False), (1.0, False)])
+    got = rank_association(spark.createDataFrame(sep), "y", "value")
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": sep},
+                     rank_association_sql("events", "y", "value"))
+    _cmp(srows, drows, got.columns)
+    assert srows[0] == (2, 2, 4, 0, 1.0, 1.0, round(2 / 3, 6))
+
+    mixed = _ev([(4.0, True), (3.0, False), (2.0, True), (1.0, False)])
+    row = rank_association(spark.createDataFrame(mixed), "y",
+                           "value").collect()[0]
+    assert (row["concordant"], row["discordant"]) == (3, 1)
+    assert row["somers_d"] == 0.5 and row["gamma"] == 0.5
+
+
+def test_fairness_gaps_planted_disparity(spark):
+    """Cohort A gets high scores, cohort B low: dp_gap = 1; within-
+    cohort outcomes give hand-checkable TPR/FPR; twins."""
+    from distill_spark.operators.mleval import fairness_gaps, fairness_gaps_sql
+
+    rows = [("A", 10.0, True), ("A", 10.0, False),
+            ("B", 1.0, True), ("B", 1.0, False)]
+    pdf = pd.DataFrame(rows, columns=["cohort", "value", "y"])
+    got = fairness_gaps(spark.createDataFrame(pdf), "cohort", "y", "value")
+    srows = [tuple(r) for r in got.orderBy("grp").collect()]
+    drows, _ = _duck({"events": pdf},
+                     fairness_gaps_sql("events", "cohort", "y", "value"))
+    _cmp(srows, drows, got.columns)
+    a, b = srows
+    # mean = 5.5: A all predicted positive, B none
+    assert a[2] == 1.0 and b[2] == 0.0 and a[5] == 1.0     # dp_gap
+    assert a[3] == 1.0 and b[3] == 0.0                      # tpr
+    assert a[4] == 1.0 and b[4] == 0.0                      # fpr
+
+
+def test_kl_source_lm_identical_vs_shifted(spark):
+    """Two sources with identical texts → both KL ≈ tiny and EQUAL;
+    a source using disjoint vocabulary scores much higher; twins."""
+    from distill_spark.operators.corpus_stats import (kl_source_lm,
+                                                      kl_source_lm_sql)
+
+    same = pd.DataFrame(
+        [(1, "srcA", "x y x y"), (2, "srcB", "x y x y")],
+        columns=["doc_id", "source", "text"])
+    got = kl_source_lm(spark.createDataFrame(same))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"documents": same}, kl_source_lm_sql())
+    _cmp(srows, drows, got.columns)
+    kl = {r[0]: r[2] for r in srows}
+    assert kl["srcA"] == kl["srcB"]
+
+    shifted = pd.DataFrame(
+        [(1, "srcA", "x x x x y"), (2, "srcB", "z z z z w")],
+        columns=["doc_id", "source", "text"])
+    rows2 = kl_source_lm(spark.createDataFrame(shifted)).collect()
+    kl2 = {r["source"]: r["kl_nats"] for r in rows2}
+    assert kl2["srcA"] > 0 and kl2["srcB"] > 0
+    assert min(kl2.values()) > max(kl.values())
