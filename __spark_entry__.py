@@ -10588,7 +10588,265 @@ def _sql_kl_source():
     return kl_source_lm_sql(words_sql_tpl=_WORDS_SQL)
 
 
+# ---------------------------------------------------------------------------
+# Round-10 eighth stratum: sequential drift (Page–Hinkley), noise
+# color (Allan variance), Weibull repurchase fit, the readability
+# index trio, Krippendorff's α, Cochran's Q, price elasticity.
+
+def q_page_hinkley(spark, sf_dir):
+    """Page–Hinkley sequential drift detector on daily totals with
+    λ = 3·sd (timeseries.page_hinkley) — the expanding-mean upgrade
+    of cusum_drift; reflection identity, no recursion."""
+    from distill_spark.operators.timeseries import page_hinkley
+
+    return page_hinkley(_tables(spark, sf_dir)["events"])
+
+
+def _sql_page_hinkley():
+    from distill_spark.operators.timeseries import page_hinkley_sql
+
+    return page_hinkley_sql()
+
+
+def q_allan_variance(spark, sf_dir):
+    """Allan variance at τ ∈ {1,2,4} days
+    (timeseries.allan_variance) — the noise-color profile (white
+    falls with τ, random-walk rises) next to hurst_rs."""
+    from distill_spark.operators.timeseries import allan_variance
+
+    return allan_variance(_tables(spark, sf_dir)["events"])
+
+
+def _sql_allan():
+    from distill_spark.operators.timeseries import allan_variance_sql
+
+    return allan_variance_sql()
+
+
+def q_weibull_interpurchase(spark, sf_dir):
+    """Weibull shape/scale of inter-purchase gaps by median-rank
+    regression (conversion.weibull_interpurchase) — clustered vs
+    rhythmic repurchase; closed form, no MLE loop."""
+    from distill_spark.operators.conversion import weibull_interpurchase
+
+    return weibull_interpurchase(_tables(spark, sf_dir)["events"])
+
+
+def _sql_weibull():
+    from distill_spark.operators.conversion import weibull_interpurchase_sql
+
+    return weibull_interpurchase_sql()
+
+
+def q_readability_indices(spark, sf_dir):
+    """Gunning fog, ARI and Coleman–Liau per document from the same
+    deterministic proxies flesch_readability uses (space-token
+    words, [.!?]+ sentences, vowel-group syllables, letter/digit
+    counts) — the cross-check battery: indices that disagree flag
+    docs whose 'grade level' is an artifact of one proxy. One scan,
+    pure JVM regex counts."""
+    t = _tables(spark, sf_dir)
+    from distill_spark.operators.dedup_text import words_expr
+
+    words = words_expr(F.col("text"))
+    nw = F.size(words)
+    ns = F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")),
+                    F.lit(1))
+    ncomplex = F.size(F.filter(
+        words, lambda w: F.regexp_count(F.lower(w),
+                                        F.lit("[aeiouy]+")) >= 3))
+    nchars = F.regexp_count(F.col("text"), F.lit("[A-Za-z0-9]"))
+    nletters = F.regexp_count(F.col("text"), F.lit("[A-Za-z]"))
+    wd, sd_ = nw.cast("double"), ns.cast("double")
+    fog = 0.4 * (wd / sd_ + 100.0 * ncomplex / wd)
+    ari = 4.71 * (nchars / wd) + 0.5 * (wd / sd_) - 21.43
+    cli = (0.0588 * (100.0 * nletters / wd)
+           - 0.296 * (100.0 * sd_ / wd) - 15.8)
+    # floor-based HALF_UP: these indices are short exact decimals
+    # (small integer words/sentences), so round(x, 6) lands ON the
+    # half boundary where Spark (rounds the shortest decimal repr)
+    # and DuckDB (rounds the binary double) disagree — ari was
+    # exactly 32.2065625 at sf0.01. floor(x*1e6 + 0.5)/1e6 is the
+    # same arithmetic in both engines, so it cannot split.
+    def r6(x):
+        return F.floor(x * 1e6 + 0.5) / 1e6
+
+    return (t["documents"]
+            .select("doc_id", nw.cast("long").alias("n_words"),
+                    ncomplex.cast("long").alias("n_complex"),
+                    r6(F.when(nw > 0, fog)).alias("fog"),
+                    r6(F.when(nw > 0, ari)).alias("ari"),
+                    r6(F.when(nw > 0, cli)).alias("coleman_liau")))
+
+
+def _sql_readability() -> str:
+    words = _WORDS_SQL.format(c="text")
+    nw = f"len({words})"
+    ns = "greatest(len(regexp_extract_all(text, '[.!?]+')), 1)"
+    ncx = (f"len(list_filter({words}, "
+           f"w -> len(regexp_extract_all(lower(w), '[aeiouy]+')) >= 3))")
+    nch = "len(regexp_extract_all(text, '[A-Za-z0-9]'))"
+    nlt = "len(regexp_extract_all(text, '[A-Za-z]'))"
+    return f"""
+SELECT doc_id, CAST({nw} AS BIGINT) AS n_words,
+       CAST({ncx} AS BIGINT) AS n_complex,
+       floor((CASE WHEN {nw} > 0 THEN
+         0.4 * ({nw} / CAST({ns} AS DOUBLE)
+                + 100.0 * {ncx} / CAST({nw} AS DOUBLE)) END)
+             * 1e6 + 0.5) / 1e6 AS fog,
+       floor((CASE WHEN {nw} > 0 THEN
+         4.71 * ({nch} / CAST({nw} AS DOUBLE))
+         + 0.5 * ({nw} / CAST({ns} AS DOUBLE)) - 21.43 END)
+             * 1e6 + 0.5) / 1e6 AS ari,
+       floor((CASE WHEN {nw} > 0 THEN
+         0.0588 * (100.0 * {nlt} / CAST({nw} AS DOUBLE))
+         - 0.296 * (100.0 * CAST({ns} AS DOUBLE) / {nw}) - 15.8 END)
+             * 1e6 + 0.5) / 1e6 AS coleman_liau
+FROM documents
+"""
+
+
+def q_krippendorff_langid(spark, sf_dir):
+    """Krippendorff's α over the SAME 3-rater langid panel as
+    fleiss_langid (mleval.krippendorff_alpha) — the unequal-panel-
+    tolerant agreement coefficient; on this complete panel α and κ
+    should nearly coincide, which is itself the cross-check."""
+    from distill_spark.operators.mleval import krippendorff_alpha
+
+    t = _tables(spark, sf_dir)
+    words = _words(F.col("text"))
+    stops = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    nstop = F.size(F.array_intersect(words, stops))
+    ratings = (t["documents"]
+               .select(F.col("doc_id").alias("item"), nstop.alias("ns"))
+               .select("item", "ns", F.explode(F.array(
+                   *[F.lit(r) for r in (1, 2, 3)])).alias("r"))
+               .select("item",
+                       F.when(F.col("ns") >= F.col("r"), "en")
+                       .otherwise("other").alias("category")))
+    return krippendorff_alpha(ratings, "item", "category")
+
+
+def _sql_krippendorff():
+    from distill_spark.operators.mleval import krippendorff_alpha_sql
+
+    nstop = f"len(list_intersect({_WORDS_SQL.format(c='text')}, {_STOP_SQL}))"
+    cte = (f"SELECT doc_id AS i, CASE WHEN {nstop} >= r.r THEN 'en' "
+           f"ELSE 'other' END AS c "
+           f"FROM documents, (SELECT unnest([1, 2, 3]) AS r) r")
+    return krippendorff_alpha_sql(cte)
+
+
+def q_cochran_q_types(spark, sf_dir):
+    """Cochran's Q over per-user (viewed, clicked, purchased)
+    indicators (stats.cochran_q) — the k-treatment generalization of
+    mcnemar_click_purchase."""
+    from distill_spark.operators.stats import cochran_q
+
+    return cochran_q(_tables(spark, sf_dir)["events"])
+
+
+def _sql_cochran_q():
+    from distill_spark.operators.stats import cochran_q_sql
+
+    return cochran_q_sql()
+
+
+def q_price_elasticity(spark, sf_dir):
+    """Per-brand log-log demand elasticity from order lines
+    (commerce.price_elasticity) — the price-response slope next to
+    price_volume_mix's accounting bridge."""
+    from distill_spark.operators.commerce import price_elasticity
+
+    t = _tables(spark, sf_dir)
+    return price_elasticity(t["lineitem"], t["part"])
+
+
+def _sql_elasticity():
+    from distill_spark.operators.commerce import price_elasticity_sql
+
+    return price_elasticity_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round-10 ninth stratum: paired daily tests (Wilcoxon signed-rank,
+# sign test), Haar multiresolution energy, decision-stump split gain.
+
+def q_wilcoxon_clicks_views(spark, sf_dir):
+    """Wilcoxon signed-rank test of paired daily click vs view value
+    totals (stats.wilcoxon_signed) — the paired complement to
+    mannwhitney_values, tie-corrected z."""
+    from distill_spark.operators.stats import wilcoxon_signed
+
+    return wilcoxon_signed(_tables(spark, sf_dir)["events"])
+
+
+def _sql_wilcoxon():
+    from distill_spark.operators.stats import wilcoxon_signed_sql
+
+    return wilcoxon_signed_sql()
+
+
+def q_sign_test_daily(spark, sf_dir):
+    """Sign test on the same click-vs-view daily pairs
+    (stats.sign_test) — the zero-assumption floor under
+    wilcoxon_clicks_views; continuity-corrected z."""
+    from distill_spark.operators.stats import sign_test
+
+    return sign_test(_tables(spark, sf_dir)["events"])
+
+
+def _sql_sign_test():
+    from distill_spark.operators.stats import sign_test_sql
+
+    return sign_test_sql()
+
+
+def q_haar_energy(spark, sf_dir):
+    """Haar wavelet detail energies over the first 16 days
+    (timeseries.haar_energy) — the time-localized variance budget
+    next to periodogram_daily's frequency view; 4 unrolled levels."""
+    from distill_spark.operators.timeseries import haar_energy
+
+    return haar_energy(_tables(spark, sf_dir)["events"])
+
+
+def _sql_haar():
+    from distill_spark.operators.timeseries import haar_energy_sql
+
+    return haar_energy_sql()
+
+
+def q_gini_split_value(spark, sf_dir):
+    """Gini gain + information gain of the mean-threshold value
+    stump predicting purchase (stats.gini_split) — the one-split
+    floor under auc_purchase's full ranking."""
+    from distill_spark.operators.stats import gini_split
+
+    return gini_split(_mleval_frame(_tables(spark, sf_dir)),
+                      "y", "value")
+
+
+def _sql_gini_split():
+    from distill_spark.operators.stats import gini_split_sql
+
+    return gini_split_sql("events", _MLEVAL_LABEL, "value")
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    # -- round-10 ninth stratum: paired tests / wavelets / stump gain ---------
+    "wilcoxon_clicks_views": (q_wilcoxon_clicks_views, _sql_wilcoxon()),
+    "sign_test_daily": (q_sign_test_daily, _sql_sign_test()),
+    "haar_energy": (q_haar_energy, _sql_haar()),
+    "gini_split_value": (q_gini_split_value, _sql_gini_split()),
+    # -- round-10 eighth stratum: drift / noise / repurchase / panels ---------
+    "page_hinkley": (q_page_hinkley, _sql_page_hinkley()),
+    "allan_variance": (q_allan_variance, _sql_allan()),
+    "weibull_interpurchase": (q_weibull_interpurchase, _sql_weibull()),
+    "readability_indices": (q_readability_indices, _sql_readability()),
+    "krippendorff_langid": (q_krippendorff_langid, _sql_krippendorff()),
+    "cochran_q_types": (q_cochran_q_types, _sql_cochran_q()),
+    "price_elasticity": (q_price_elasticity, _sql_elasticity()),
     # -- round-10 seventh stratum: ranking / calibration / fairness ----------
     "pr_auc_purchase": (q_pr_auc_purchase, _sql_pr_auc()),
     "brier_decomposition": (q_brier_decomposition, _sql_brier()),

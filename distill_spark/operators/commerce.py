@@ -249,3 +249,69 @@ SELECT s.series, CAST(s.m AS BIGINT) AS m_days,
        round(h.q, 6) AS q_service
 FROM stats s JOIN hit h ON h.series = s.series
 """
+
+
+def price_elasticity(lineitem: DataFrame, part: DataFrame,
+                     min_rows: int = 30) -> DataFrame:
+    """Per-brand log-log demand elasticity: the OLS slope of
+    ln(quantity) on ln(unit price) over order lines —
+    elasticity < −1 elastic (discounting buys volume), −1..0
+    inelastic (discounting burns margin) — the price-response
+    readout next to price_volume_mix's accounting bridge. Unit
+    price = extendedprice/quantity (the realized per-unit charge).
+
+    One lineitem⋈part scan, per-brand decimal sums of grid-rounded
+    log terms, closed-form slope — the ols_price_model machinery at
+    the brand grain. Output: one row per brand with ≥ ``min_rows``
+    lines (brand, n, elasticity), rounds 6; NULL on degenerate
+    price variance."""
+    j = (lineitem.filter((F.col("l_quantity") > 0)
+                         & (F.col("l_extendedprice") > 0))
+         .join(F.broadcast(part.select(
+             F.col("p_partkey").alias("l_partkey"), "p_brand")),
+             "l_partkey")
+         .select("p_brand",
+                 F.round(F.log(F.col("l_extendedprice")
+                               / F.col("l_quantity")), 9).alias("lp"),
+                 F.round(F.log("l_quantity"), 9).alias("lq")))
+    agg = j.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("lp").cast(_DEC)).alias("sx"),
+        F.sum(F.col("lq").cast(_DEC)).alias("sy"),
+        F.sum((F.col("lp") * F.col("lp")).cast(_DEC)).alias("sxx"),
+        F.sum((F.col("lp") * F.col("lq")).cast(_DEC)).alias("sxy"))
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    den = F.col("sxx").cast("double") - sx * sx / n
+    slope = (F.col("sxy").cast("double") - sx * sy / n) / den
+    return (agg.filter(F.col("n") >= min_rows)
+            .select(F.col("p_brand").alias("brand"),
+                    F.col("n").cast("long").alias("n"),
+                    F.round(F.when(den > 0, slope), 6)
+                    .alias("elasticity")))
+
+
+def price_elasticity_sql(min_rows: int = 30) -> str:
+    return f"""
+WITH j AS (
+  SELECT p.p_brand,
+         round(ln(l.l_extendedprice / l.l_quantity), 9) AS lp,
+         round(ln(l.l_quantity), 9) AS lq
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+),
+agg AS (
+  SELECT p_brand, count(*) AS n,
+         CAST(sum(CAST(lp AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(lq AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(lp * lp AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(lp * lq AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM j GROUP BY 1
+)
+SELECT p_brand AS brand, CAST(n AS BIGINT) AS n,
+       round(CASE WHEN sxx - sx * sx / n > 0
+                  THEN (sxy - sx * sy / n) / (sxx - sx * sx / n)
+             END, 6) AS elasticity
+FROM agg WHERE n >= {min_rows}
+"""

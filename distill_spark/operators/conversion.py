@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+_DEC = "decimal(38,12)"
+
 
 def funnel_matches(events: DataFrame, steps: list[str],
                    user_col: str = "user_id", ts_col: str = "ts",
@@ -1672,4 +1674,119 @@ SELECT p.channel,
 FROM phi p
 LEFT JOIN touched_per tp ON tp.channel = p.channel
 CROSS JOIN totals t
+"""
+
+
+def weibull_interpurchase(events: DataFrame, user_col: str = "user_id",
+                          ts_col: str = "ts",
+                          convert_type: str = "purchase",
+                          type_col: str = "event_type") -> DataFrame:
+    """Weibull fit of inter-purchase times by median-rank regression
+    (the reliability-engineering standard — Bernard's approximation
+    F_i = (i−0.3)/(n+0.4), then OLS of ln(−ln(1−F_i)) on ln t_i):
+    shape k < 1 means purchases cluster then churn (decreasing
+    hazard — win-back campaigns work), k > 1 means rhythmic
+    repurchase (increasing hazard — replenishment timing works);
+    scale λ is the 63.2nd-percentile gap in days. The parametric
+    sharpening of interarrival_stats, closed-form (no MLE
+    iteration).
+
+    One lag window per user for the gaps, one global strict rank
+    (gap ASC, user ASC, seq ASC), then the two-variable OLS closed
+    form from decimal sums of grid-rounded log terms. Output: one
+    row (n_gaps, shape_k, scale_days), rounds 6; NULL with < 3 gaps
+    or degenerate variance."""
+    pur = (events.filter(F.col(type_col) == convert_type)
+           .select(F.col(user_col).alias("u"), F.col(ts_col).alias("ts")))
+    w = Window.partitionBy("u").orderBy("ts")
+    gaps = (pur.select(
+        "u", F.row_number().over(w).alias("seq"),
+        ((F.unix_timestamp("ts")
+          - F.unix_timestamp(F.lag("ts", 1).over(w)))
+         / 86400.0).alias("gap"))
+        .filter(F.col("gap").isNotNull() & (F.col("gap") > 0)))
+    wr = Window.partitionBy().orderBy(F.asc("gap"), F.asc("u"),
+                                      F.asc("seq"))
+    tot = Window.partitionBy()
+    ranked = gaps.select(
+        "gap", F.row_number().over(wr).alias("i"),
+        F.count("*").over(tot).alias("n"))
+    fi = (F.col("i") - 0.3) / (F.col("n") + 0.4)
+    pts = ranked.select(
+        "n",
+        F.round(F.log("gap"), 9).alias("lx"),
+        F.round(F.log(-F.log(1.0 - fi)), 9).alias("ly"))
+    agg = pts.groupBy("n").agg(
+        F.sum(F.col("lx").cast(_DEC)).alias("sx"),
+        F.sum(F.col("ly").cast(_DEC)).alias("sy"),
+        F.sum((F.col("lx") * F.col("lx")).cast(_DEC)).alias("sxx"),
+        F.sum((F.col("lx") * F.col("ly")).cast(_DEC)).alias("sxy"))
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    den = sxx - sx * sx / n
+    k = (sxy - sx * sy / n) / den
+    intercept = sy / n - k * sx / n
+    ok = (F.col("n") >= 3) & (den > 0) & (k > 0)
+    return agg.select(
+        F.col("n").cast("long").alias("n_gaps"),
+        F.round(F.when(ok, k), 6).alias("shape_k"),
+        F.round(F.when(ok, F.exp(-intercept / k)), 6)
+        .alias("scale_days"))
+
+
+def weibull_interpurchase_sql(table: str = "events",
+                              user_sql: str = "user_id",
+                              ts_sql: str = "ts",
+                              convert_type: str = "purchase",
+                              type_sql: str = "event_type") -> str:
+    return f"""
+WITH pur AS (
+  SELECT {user_sql} AS u, {ts_sql} AS ts
+  FROM {table} WHERE {type_sql} = '{convert_type}'
+),
+gaps AS (
+  SELECT u, seq, gap FROM (
+    SELECT u, row_number() OVER (PARTITION BY u ORDER BY ts) AS seq,
+           -- floor(epoch()) = whole seconds, matching Spark's
+           -- unix_timestamp truncation (epoch() keeps microseconds)
+           (floor(epoch(ts)) - floor(epoch(lag(ts, 1)
+               OVER (PARTITION BY u ORDER BY ts)))) / 86400.0 AS gap
+    FROM pur
+  ) WHERE gap IS NOT NULL AND gap > 0
+),
+ranked AS (
+  SELECT gap,
+         row_number() OVER (ORDER BY gap ASC, u ASC, seq ASC) AS i,
+         count(*) OVER () AS n
+  FROM gaps
+),
+pts AS (
+  SELECT n, round(ln(gap), 9) AS lx,
+         round(ln(-ln(1.0 - (i - 0.3) / (n + 0.4))), 9) AS ly
+  FROM ranked
+),
+agg AS (
+  SELECT n,
+         CAST(sum(CAST(lx AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(ly AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(lx * lx AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(lx * ly AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM pts GROUP BY 1
+),
+fit AS (
+  SELECT n,
+         (sxy - sx * sy / n) / (sxx - sx * sx / n) AS k,
+         sxx - sx * sx / n AS den,
+         sy / n AS my, sx / n AS mx
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n_gaps,
+       round(CASE WHEN n >= 3 AND den > 0 AND k > 0 THEN k END, 6)
+         AS shape_k,
+       round(CASE WHEN n >= 3 AND den > 0 AND k > 0
+                  THEN exp(-(my - k * mx) / k) END, 6) AS scale_days
+FROM fit
 """

@@ -1437,3 +1437,82 @@ SELECT grp, n, pos_rate_pred, tpr, fpr,
        round(max(fpr) OVER () - min(fpr) OVER (), 6) AS fpr_gap
 FROM rates
 """
+
+
+def krippendorff_alpha(ratings: DataFrame, item_col: str = "item",
+                       cat_col: str = "category") -> DataFrame:
+    """Krippendorff's α for nominal data (Krippendorff 2004, the
+    coincidence-matrix form): α = 1 − (T−1)·D_o/D_e with
+    D_o = Σ_i Σ_c n_ic(n_i − n_ic)/(n_i − 1) and
+    D_e = Σ_c t_c(T − t_c) — the agreement coefficient that, unlike
+    Fleiss' κ, tolerates UNEQUAL rater counts per item (items with a
+    single rating drop out; nothing else is filtered), which is how
+    real annotation panels actually look. Exact rationals: with
+    n_i − 1 as the only per-item divisor, D_o accumulates in decimal
+    from integer-over-integer terms. Output: one row (n_items,
+    n_ratings, n_categories, alpha), rounds 6; NULL when D_e = 0."""
+    cnt = (ratings.groupBy(F.col(item_col).alias("i"),
+                           F.col(cat_col).alias("c"))
+           .agg(F.count("*").alias("nij")))
+    wi = Window.partitionBy("i")
+    per = (cnt.withColumn("ni", F.sum("nij").over(wi))
+           .filter(F.col("ni") >= 2))
+    do_terms = per.select(
+        (F.col("nij") * (F.col("ni") - F.col("nij"))
+         / (F.col("ni") - 1).cast("double")).cast(_DEC).alias("dt"),
+        "i", "nij")
+    do_agg = do_terms.agg(
+        F.sum("dt").alias("do_sum"),
+        F.countDistinct("i").alias("nitems"),
+        F.sum("nij").alias("tt"))
+    marg = (per.groupBy("c").agg(F.sum("nij").alias("tc")))
+    de = (marg.crossJoin(F.broadcast(
+        marg.agg(F.sum("tc").alias("t2"))))
+        .agg(F.count("*").alias("ncat"),
+             F.sum(F.col("tc") * (F.col("t2") - F.col("tc")))
+             .alias("de_sum"),
+             F.max("t2").alias("t")))
+    out = do_agg.crossJoin(F.broadcast(de))
+    alpha = F.when(
+        F.col("de_sum") > 0,
+        1.0 - (F.col("t") - 1).cast("double")
+        * F.col("do_sum").cast("double")
+        / F.col("de_sum").cast("double"))
+    return out.select(
+        F.col("nitems").cast("long").alias("n_items"),
+        F.col("t").cast("long").alias("n_ratings"),
+        F.col("ncat").cast("long").alias("n_categories"),
+        F.round(alpha, 6).alias("alpha"))
+
+
+def krippendorff_alpha_sql(ratings_cte: str) -> str:
+    """``ratings_cte``: a CTE body yielding (i, c) one row per
+    (item, rater)."""
+    return f"""
+WITH ratings AS ({ratings_cte}),
+cnt AS (SELECT i, c, count(*) AS nij FROM ratings GROUP BY 1, 2),
+per AS (
+  SELECT i, c, nij, sum(nij) OVER (PARTITION BY i) AS ni FROM cnt
+),
+kept AS (SELECT * FROM per WHERE ni >= 2),
+do_agg AS (
+  SELECT CAST(sum(CAST(nij * (ni - nij) / CAST(ni - 1 AS DOUBLE)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS do_sum,
+         count(DISTINCT i) AS nitems, sum(nij) AS tt
+  FROM kept
+),
+marg AS (SELECT c, sum(nij) AS tc FROM kept GROUP BY 1),
+de AS (
+  SELECT count(*) AS ncat,
+         sum(tc * ((SELECT sum(tc) FROM marg) - tc)) AS de_sum,
+         (SELECT sum(tc) FROM marg) AS t
+  FROM marg
+)
+SELECT CAST(nitems AS BIGINT) AS n_items,
+       CAST(t AS BIGINT) AS n_ratings,
+       CAST(ncat AS BIGINT) AS n_categories,
+       round(CASE WHEN de_sum > 0
+                  THEN 1.0 - CAST(t - 1 AS DOUBLE) * do_sum
+                       / CAST(de_sum AS DOUBLE) END, 6) AS alpha
+FROM do_agg CROSS JOIN de
+"""

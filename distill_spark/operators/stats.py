@@ -3810,3 +3810,334 @@ SELECT CAST(n AS BIGINT) AS n_keys,
        round(habs / 2.0, 6) AS hoover
 FROM agg
 """
+
+
+def cochran_q(df: DataFrame, user_col: str = "user_id",
+              type_col: str = "event_type",
+              treatments: tuple = ("view", "click", "purchase")
+              ) -> DataFrame:
+    """Cochran's Q test over k binary within-subject treatments
+    (Cochran 1950): did each user "respond" (≥1 event) to each of
+    the k event types at the same rate?
+    Q = k(k−1)·Σ_j(G_j − T/k)² / (k·ΣL_i − ΣL_i²) with column totals
+    G_j, row totals L_i, T = ΣL — the k-treatment generalization of
+    mcnemar_click_purchase (Q ~ χ²(k−1); at k = 2 it IS McNemar
+    without continuity correction). One user-keyed conditional
+    aggregate; all sums exact integers. Users with all-zero rows
+    contribute nothing (standard). Output: one row (n_users, k,
+    q_stat), rounds 6, NULL when the denominator is 0."""
+    k = len(treatments)
+    per = (df.groupBy(F.col(user_col).alias("u"))
+           .agg(*[F.max(F.when(F.col(type_col) == t, 1).otherwise(0))
+                  .alias(f"x{j}") for j, t in enumerate(treatments)]))
+    li = sum([F.col(f"x{j}") for j in range(k)], F.lit(0))
+    agg = per.agg(
+        F.count("*").alias("n"),
+        F.sum(li).alias("t"),
+        F.sum(li * li).alias("l2"),
+        *[F.sum(F.col(f"x{j}")).alias(f"g{j}") for j in range(k)])
+    t = F.col("t").cast("double")
+    num = None
+    for j in range(k):
+        d = F.col(f"g{j}").cast("double") - t / k
+        num = d * d if num is None else num + d * d
+    den = (k * F.col("t") - F.col("l2")).cast("double")
+    q = F.when(den > 0, k * (k - 1) * num / den)
+    return agg.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.lit(k).cast("int").alias("k"),
+        F.round(q, 6).alias("q_stat"))
+
+
+def cochran_q_sql(table: str = "events", user_sql: str = "user_id",
+                  type_sql: str = "event_type",
+                  treatments: tuple = ("view", "click", "purchase")
+                  ) -> str:
+    k = len(treatments)
+    xs = ",\n         ".join(
+        f"max(CASE WHEN {type_sql} = '{t}' THEN 1 ELSE 0 END) AS x{j}"
+        for j, t in enumerate(treatments))
+    li = " + ".join(f"x{j}" for j in range(k))
+    gs = ", ".join(f"sum(x{j}) AS g{j}" for j in range(k))
+    num = " + ".join(
+        f"(CAST(g{j} AS DOUBLE) - CAST(t AS DOUBLE) / {k})"
+        f" * (CAST(g{j} AS DOUBLE) - CAST(t AS DOUBLE) / {k})"
+        for j in range(k))
+    return f"""
+WITH per AS (
+  SELECT {user_sql} AS u,
+         {xs}
+  FROM {table} GROUP BY 1
+),
+agg AS (
+  SELECT count(*) AS n, sum({li}) AS t,
+         sum(({li}) * ({li})) AS l2, {gs}
+  FROM per
+)
+SELECT CAST(n AS BIGINT) AS n_users, CAST({k} AS INT) AS k,
+       round(CASE WHEN {k} * t - l2 > 0
+                  THEN {k} * {k - 1} * ({num})
+                       / CAST({k} * t - l2 AS DOUBLE) END, 6) AS q_stat
+FROM agg
+"""
+
+
+def _paired_daily(df: DataFrame, type_a: str, type_b: str,
+                  ts_col: str = "ts", type_col: str = "event_type",
+                  value_col: str = "value") -> DataFrame:
+    """(d, diff) frame of paired daily totals type_a − type_b over
+    days where BOTH series have events — the shared front for the
+    paired tests (wilcoxon_signed / sign_test). Daily totals are
+    exact decimal sums rounded to the 1e-9 grid."""
+    v = F.col(value_col).cast("double")
+    daily = (df.filter(F.col(type_col).isin([type_a, type_b]))
+             .groupBy(F.to_date(ts_col).alias("d"), F.col(type_col)
+                      .alias("ty"))
+             .agg(F.round(F.sum(v.cast(_DEC)).cast("double"), 9)
+                  .alias("x")))
+    a = daily.filter(F.col("ty") == type_a).select(
+        "d", F.col("x").alias("xa"))
+    b = daily.filter(F.col("ty") == type_b).select(
+        "d", F.col("x").alias("xb"))
+    return a.join(b, "d").select(
+        "d", F.round(F.col("xa") - F.col("xb"), 9).alias("diff"))
+
+
+_PAIRED_DAILY_SQL = """
+daily AS (
+  SELECT CAST({ts} AS DATE) AS d, {ty} AS ty,
+         round(CAST(sum(CAST(CAST({val} AS DOUBLE) AS DECIMAL(38,12)))
+                    AS DOUBLE), 9) AS x
+  FROM {table} WHERE {ty} IN ('{a}', '{b}')
+  GROUP BY 1, 2
+),
+paired AS (
+  SELECT a.d, round(a.x - b.x, 9) AS diff
+  FROM daily a JOIN daily b ON a.d = b.d
+  WHERE a.ty = '{a}' AND b.ty = '{b}'
+)"""
+
+
+def wilcoxon_signed(df: DataFrame, type_a: str = "click",
+                    type_b: str = "view", ts_col: str = "ts",
+                    type_col: str = "event_type",
+                    value_col: str = "value") -> DataFrame:
+    """Wilcoxon signed-rank test of paired daily totals (type_a vs
+    type_b): ranks of |diff| with average-rank ties over the
+    DISTINCT |diff| frame (the mannwhitney machinery on the bounded
+    daily frame), W⁺ = Σ ranks of positive diffs,
+    z = (W⁺ − n(n+1)/4)/σ with the tie-corrected variance
+    n(n+1)(2n+1)/24 − Σ(t³−t)/48 — the paired, magnitude-aware
+    sibling of mannwhitney_values (which is unpaired) and the
+    continuous sibling of the sign test. Zero diffs drop (standard).
+    Output: one row (n_pairs, w_plus, z), rounds 6, z NULL when the
+    variance degenerates."""
+    pairs = _paired_daily(df, type_a, type_b, ts_col, type_col,
+                          value_col).filter(F.col("diff") != 0)
+    per = (pairs.select(F.abs("diff").alias("ad"),
+                        (F.col("diff") > 0).cast("int").alias("pos"))
+           .groupBy("ad")
+           .agg(F.sum("pos").alias("cp"), F.count("*").alias("ct")))
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    tot = Window.partitionBy()
+    avg_rank = (F.coalesce(F.sum("ct").over(w), F.lit(0))
+                + (F.col("ct") + 1) / 2.0)
+    terms = per.select(
+        F.sum("ct").over(tot).alias("n"),
+        (F.col("cp") * avg_rank).cast(_DEC).alias("_wp"),
+        (F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
+        .cast(_DEC).alias("_tie"))
+    agg = (terms.groupBy("n")
+           .agg(F.sum("_wp").cast("double").alias("wp"),
+                F.sum("_tie").cast("double").alias("ties")))
+    n = F.col("n").cast("double")
+    mu = n * (n + 1) / 4.0
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - F.col("ties") / 48.0
+    return agg.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(F.col("wp"), 6).alias("w_plus"),
+        F.round(F.when(var > 0,
+                       (F.col("wp") - mu) / F.sqrt(var)), 6).alias("z"))
+
+
+def wilcoxon_signed_sql(table: str = "events", type_a: str = "click",
+                        type_b: str = "view", ts_sql: str = "ts",
+                        type_sql: str = "event_type",
+                        value_sql: str = "value") -> str:
+    front = _PAIRED_DAILY_SQL.format(table=table, ts=ts_sql,
+                                     ty=type_sql, val=value_sql,
+                                     a=type_a, b=type_b)
+    return f"""
+WITH {front},
+per AS (
+  SELECT abs(diff) AS ad,
+         sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS cp,
+         count(*) AS ct
+  FROM paired WHERE diff <> 0 GROUP BY 1
+),
+terms AS (
+  SELECT sum(ct) OVER () AS n,
+         CAST(cp * (coalesce(sum(ct) OVER (ORDER BY ad
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (ct + 1) / 2.0) AS DECIMAL(38,12)) AS wp_,
+         CAST(ct * ct * ct - ct AS DECIMAL(38,12)) AS tie_
+  FROM per
+),
+agg AS (
+  SELECT n, CAST(sum(wp_) AS DOUBLE) AS wp,
+         CAST(sum(tie_) AS DOUBLE) AS ties
+  FROM terms GROUP BY 1
+)
+SELECT CAST(n AS BIGINT) AS n_pairs, round(wp, 6) AS w_plus,
+       round(CASE WHEN CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+                       - ties / 48.0 > 0
+                  THEN (wp - CAST(n AS DOUBLE) * (n + 1) / 4.0)
+                       / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1)
+                              / 24.0 - ties / 48.0) END, 6) AS z
+FROM agg
+"""
+
+
+def sign_test(df: DataFrame, type_a: str = "click",
+              type_b: str = "view", ts_col: str = "ts",
+              type_col: str = "event_type",
+              value_col: str = "value") -> DataFrame:
+    """Sign test of paired daily totals — the most assumption-free
+    paired test (only the SIGN of each day's difference matters; the
+    Wilcoxon companion when even rank magnitudes can't be trusted):
+    continuity-corrected z = (|n⁺ − n⁻| − 1)/√(n⁺ + n⁻). Ties drop.
+    Output: one row (n_pos, n_neg, n_ties, z), rounds 6."""
+    pairs = _paired_daily(df, type_a, type_b, ts_col, type_col,
+                          value_col)
+    agg = pairs.agg(
+        F.sum((F.col("diff") > 0).cast("int")).alias("np"),
+        F.sum((F.col("diff") < 0).cast("int")).alias("nn"),
+        F.sum((F.col("diff") == 0).cast("int")).alias("nt"))
+    np_, nn_ = F.col("np").cast("double"), F.col("nn").cast("double")
+    z = F.when(F.col("np") + F.col("nn") > 0,
+               (F.abs(np_ - nn_) - 1.0) / F.sqrt(np_ + nn_))
+    return agg.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        F.col("nt").cast("long").alias("n_ties"),
+        F.round(z, 6).alias("z"))
+
+
+def sign_test_sql(table: str = "events", type_a: str = "click",
+                  type_b: str = "view", ts_sql: str = "ts",
+                  type_sql: str = "event_type",
+                  value_sql: str = "value") -> str:
+    front = _PAIRED_DAILY_SQL.format(table=table, ts=ts_sql,
+                                     ty=type_sql, val=value_sql,
+                                     a=type_a, b=type_b)
+    return f"""
+WITH {front},
+agg AS (
+  SELECT sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS np,
+         sum(CASE WHEN diff < 0 THEN 1 ELSE 0 END) AS nn,
+         sum(CASE WHEN diff = 0 THEN 1 ELSE 0 END) AS nt
+  FROM paired
+)
+SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       CAST(nt AS BIGINT) AS n_ties,
+       round(CASE WHEN np + nn > 0
+                  THEN (abs(CAST(np AS DOUBLE) - nn) - 1.0)
+                       / sqrt(CAST(np AS DOUBLE) + nn) END, 6) AS z
+FROM agg
+"""
+
+
+def gini_split(df: DataFrame, label_col: str, score_col: str
+               ) -> DataFrame:
+    """Decision-stump quality of the mean-threshold split: parent
+    Gini impurity 2p(1−p) vs the weighted child impurities, plus the
+    entropy-based information gain — "is one threshold on this score
+    worth anything as a classifier", the single-split floor under
+    auc_purchase's full-ranking view (CART/ID3 split criteria,
+    Breiman et al. 1984 / Quinlan 1986). One mean pass + one
+    conditional aggregate; every rate is a double of exact counts.
+    Output: one row (n, threshold, gini_parent, gini_gain,
+    info_gain_nats), rounds 6."""
+    v = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("int")
+    base = df.filter(v.isNotNull()).select(v.alias("v"), lab.alias("y"))
+    mu = base.agg((F.sum(F.col("v").cast(_DEC)).cast("double")
+                   / F.count("*")).alias("mu"))
+    split = (base.crossJoin(F.broadcast(mu))
+             .select("y", (F.col("v") >= F.col("mu")).cast("int")
+                     .alias("hi"), F.col("mu")))
+    agg = split.agg(
+        F.max("mu").alias("mu"),
+        F.count("*").alias("n"), F.sum("y").alias("ny"),
+        F.sum("hi").alias("nh"),
+        F.sum(F.col("hi") * F.col("y")).alias("nhy"))
+    n = F.col("n").cast("double")
+    p = F.col("ny") / n
+    nh = F.col("nh").cast("double")
+    nl = n - nh
+    ph = F.when(F.col("nh") > 0, F.col("nhy") / nh)
+    pl = F.when(F.col("n") - F.col("nh") > 0,
+                (F.col("ny") - F.col("nhy")) / nl)
+
+    def gini(q):
+        return 2.0 * q * (1.0 - q)
+
+    def ent(q):
+        t1 = F.when((q > 0) & (q < 1), -q * F.log(q)).otherwise(0.0)
+        t2 = F.when((q > 0) & (q < 1),
+                    -(1 - q) * F.log(1 - q)).otherwise(0.0)
+        return t1 + t2
+
+    child_gini = (F.coalesce(nh / n * gini(ph), F.lit(0.0))
+                  + F.coalesce(nl / n * gini(pl), F.lit(0.0)))
+    child_ent = (F.coalesce(nh / n * ent(ph), F.lit(0.0))
+                 + F.coalesce(nl / n * ent(pl), F.lit(0.0)))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("mu"), 6).alias("threshold"),
+        F.round(gini(p), 6).alias("gini_parent"),
+        F.round(gini(p) - child_gini, 6).alias("gini_gain"),
+        F.round(ent(p) - child_ent, 6).alias("info_gain_nats"))
+
+
+def gini_split_sql(table: str, label_sql: str, value_sql: str) -> str:
+    g = "2.0 * {q} * (1.0 - {q})"
+    e = ("(CASE WHEN {q} > 0 AND {q} < 1 THEN -({q}) * ln({q}) "
+         "ELSE 0.0 END + CASE WHEN {q} > 0 AND {q} < 1 "
+         "THEN -(1 - ({q})) * ln(1 - ({q})) ELSE 0.0 END)")
+    p = "(ny / CAST(n AS DOUBLE))"
+    ph = "(nhy / CAST(nh AS DOUBLE))"
+    pl = "((ny - nhy) / CAST(n - nh AS DOUBLE))"
+    return f"""
+WITH base AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS v,
+         CASE WHEN {label_sql} THEN 1 ELSE 0 END AS y
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+mu AS (
+  SELECT CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mu
+  FROM base
+),
+agg AS (
+  SELECT max(mu) AS mu, count(*) AS n, sum(y) AS ny,
+         sum(CASE WHEN v >= mu THEN 1 ELSE 0 END) AS nh,
+         sum(CASE WHEN v >= mu THEN y ELSE 0 END) AS nhy
+  FROM base CROSS JOIN mu
+)
+SELECT CAST(n AS BIGINT) AS n, round(mu, 6) AS threshold,
+       round({g.format(q=p)}, 6) AS gini_parent,
+       round({g.format(q=p)}
+             - (coalesce(CASE WHEN nh > 0 THEN nh / CAST(n AS DOUBLE)
+                    * {g.format(q=ph)} END, 0.0)
+                + coalesce(CASE WHEN n - nh > 0
+                    THEN (n - nh) / CAST(n AS DOUBLE)
+                         * {g.format(q=pl)} END, 0.0)), 6) AS gini_gain,
+       round({e.format(q=p)}
+             - (coalesce(CASE WHEN nh > 0 THEN nh / CAST(n AS DOUBLE)
+                    * {e.format(q=ph)} END, 0.0)
+                + coalesce(CASE WHEN n - nh > 0
+                    THEN (n - nh) / CAST(n AS DOUBLE)
+                         * {e.format(q=pl)} END, 0.0)), 6)
+         AS info_gain_nats
+FROM agg
+"""

@@ -2317,3 +2317,304 @@ SELECT CAST(m AS BIGINT) AS m_days, CAST({h} AS INT) AS h,
                   THEN m * (m + 2.0) * ({q_terms}) END, 6) AS q_stat
 FROM agg
 """
+
+
+def page_hinkley(events: DataFrame, ts_col: str = "ts",
+                 value_col: str = "value", delta: float = 0.0,
+                 lambda_sds: float = 3.0) -> DataFrame:
+    """Page–Hinkley drift detector on the daily total series (Page
+    1954; the streaming-drift standard, e.g. Gama et al. 2014):
+    m_t = Σ_{i≤t}(x_i − μ̂_i − δ) against its running minimum,
+    PH_t = m_t − min_{j≤t} m_j, alarm when PH exceeds λ = 3·sd —
+    the sequential upgrade of cusum_drift (which uses the GLOBAL
+    mean; PH's EXPANDING mean μ̂_i makes it usable online, and the
+    two disagree exactly when drift is early). λ is calibrated from
+    the series' own sd so the query is scale-free.
+
+    Expanding means are decimal cumsums over the ordered bounded
+    daily frame divided by t; everything downstream is the cumsum /
+    cummin / first-passage window algebra of cusum_arl. Output: one
+    row (m_days, lambda_thresh, max_ph, alarm_day, alarmed),
+    rounds 6."""
+    daily = (events
+             .select(F.to_date(ts_col).alias("d"),
+                     F.col(value_col).cast("double").alias("v"))
+             .groupBy("d")
+             .agg(F.round(F.sum(F.col("v").cast(_TS_DEC))
+                          .cast("double"), 9).alias("x")))
+    w = Window.partitionBy().orderBy("d")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    st = daily.agg(
+        F.count("*").alias("m"),
+        (F.sum(F.col("x").cast(_TS_DEC)).cast("double")
+         / F.count("*")).alias("mu"),
+        F.sum((F.col("x") * F.col("x")).cast(_TS_DEC)).alias("s2"))
+    md = F.col("m").cast("double")
+    var = (F.col("s2").cast("double") - md * F.col("mu") * F.col("mu")) \
+        / (md - 1)
+    lam = st.select(
+        "m", (F.lit(lambda_sds)
+              * F.sqrt(F.when((F.col("m") > 1) & (var > 0), var)))
+        .alias("lam"))
+    cum = daily.select(
+        "d", "x",
+        F.row_number().over(w).alias("t"),
+        (F.sum(F.col("x").cast(_TS_DEC)).over(wc).cast("double")
+         / F.row_number().over(w)).alias("muhat"))
+    m_t = cum.select(
+        "d", "t",
+        F.sum(F.col("x") - F.col("muhat") - F.lit(delta)).over(wc)
+        .alias("mt"))
+    ph = m_t.select(
+        "d", "t", "mt",
+        F.round(F.col("mt")
+                - F.least(F.min("mt").over(wc), F.lit(0.0)), 9)
+        .alias("ph"))
+    first_day = (ph.crossJoin(F.broadcast(lam))
+                 .filter(F.col("ph") >= F.col("lam"))
+                 .withColumn("_rk", F.row_number().over(
+                     Window.partitionBy().orderBy("t")))
+                 .filter(F.col("_rk") == 1)
+                 .select(F.col("d").alias("alarm_day")))
+    mx = ph.agg(F.max("ph").alias("max_ph"))
+    base = (lam.crossJoin(F.broadcast(mx))
+            .join(F.broadcast(first_day), F.lit(True), "left"))
+    return base.select(
+        F.col("m").cast("long").alias("m_days"),
+        F.round(F.col("lam"), 6).alias("lambda_thresh"),
+        F.round(F.col("max_ph"), 6).alias("max_ph"),
+        F.col("alarm_day"),
+        F.col("alarm_day").isNotNull().alias("alarmed"))
+
+
+def page_hinkley_sql(table: str = "events", ts_sql: str = "ts",
+                     value_sql: str = "value", delta: float = 0.0,
+                     lambda_sds: float = 3.0) -> str:
+    return f"""
+WITH {_DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)},
+st AS (
+  SELECT count(*) AS m,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mu,
+         CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM daily
+),
+lam AS (
+  SELECT m,
+         {lambda_sds} * sqrt(CASE WHEN m > 1
+              AND (s2 - m * mu * mu) / (m - 1) > 0
+              THEN (s2 - m * mu * mu) / (m - 1) END) AS lam
+  FROM st
+),
+cum AS (
+  SELECT d, x, t,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) / t AS muhat
+  FROM ranked
+),
+mt AS (
+  SELECT d, t,
+         sum(x - muhat - {delta}) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mt
+  FROM cum
+),
+ph AS (
+  SELECT d, t, mt,
+         round(mt - least(min(mt) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               0.0), 9) AS ph
+  FROM mt
+),
+alarm AS (
+  SELECT d AS alarm_day, t,
+         row_number() OVER (ORDER BY t) AS rk
+  FROM ph CROSS JOIN lam WHERE ph >= lam
+),
+mx AS (SELECT max(ph) AS max_ph FROM ph)
+SELECT CAST(lam.m AS BIGINT) AS m_days,
+       round(lam.lam, 6) AS lambda_thresh,
+       round(mx.max_ph, 6) AS max_ph,
+       a.alarm_day,
+       a.alarm_day IS NOT NULL AS alarmed
+FROM lam CROSS JOIN mx
+LEFT JOIN (SELECT alarm_day FROM alarm WHERE rk = 1) a ON true
+"""
+
+
+def allan_variance(events: DataFrame, ts_col: str = "ts",
+                   value_col: str = "value",
+                   taus: tuple = (1, 2, 4)) -> DataFrame:
+    """Allan variance AVAR(τ) = ½·mean((ȳ_{k+1} − ȳ_k)²) of the
+    daily total series over non-overlapping τ-day block means — the
+    clock-stability statistic repurposed as a noise-floor profile:
+    white noise falls as 1/τ, a random-walk level RISES with τ, so
+    the AVAR-vs-τ slope classifies the series' noise color where a
+    single variance can't (the ACF-adjacent readout hurst_rs reads
+    from ranges; this reads it from adjacent-block differences).
+    Complete blocks only; block means are decimal sums / τ; squared
+    differences grid-round 9 into a decimal sum. Output: one row per
+    τ (tau_days, n_blocks, avar), rounds 6; NULL with < 2 blocks."""
+    daily = (events
+             .select(F.to_date(ts_col).alias("d"),
+                     F.col(value_col).cast("double").alias("v"))
+             .groupBy("d")
+             .agg(F.round(F.sum(F.col("v").cast(_TS_DEC))
+                          .cast("double"), 9).alias("x")))
+    base = daily.select(
+        "x", F.row_number().over(
+            Window.partitionBy().orderBy("d")).alias("t"))
+    spark = events.sparkSession
+    taudf = spark.createDataFrame([(int(t),) for t in taus], "tau int")
+    blk = (base.crossJoin(F.broadcast(taudf))
+           .select("tau", "x",
+                   F.floor((F.col("t") - 1) / F.col("tau")).alias("b")))
+    means = (blk.groupBy("tau", "b")
+             .agg(F.count("*").alias("nb"),
+                  (F.sum(F.col("x").cast(_TS_DEC)).cast("double")
+                   / F.col("tau")).alias("yb"))
+             .filter(F.col("nb") == F.col("tau")))
+    w = Window.partitionBy("tau").orderBy("b")
+    diffs = means.select(
+        "tau", (F.col("yb") - F.lag("yb", 1).over(w)).alias("dy"))
+    agg = (diffs
+           .groupBy("tau")
+           .agg(F.count("*").alias("n_all"),
+                F.sum(F.when(F.col("dy").isNotNull(),
+                             F.round(F.col("dy") * F.col("dy"), 9)
+                             .cast(_TS_DEC))).alias("sq"),
+                F.sum(F.col("dy").isNotNull().cast("int"))
+                .alias("npairs")))
+    return (taudf.join(agg, "tau", "left")
+            .select(F.col("tau").alias("tau_days"),
+                    F.coalesce(F.col("n_all"), F.lit(0)).cast("long")
+                    .alias("n_blocks"),
+                    F.round(F.when(F.col("npairs") > 0,
+                                   F.col("sq").cast("double")
+                                   / (2.0 * F.col("npairs"))), 6)
+                    .alias("avar")))
+
+
+def allan_variance_sql(table: str = "events", ts_sql: str = "ts",
+                       value_sql: str = "value",
+                       taus: tuple = (1, 2, 4)) -> str:
+    tlist = ", ".join(str(int(t)) for t in taus)
+    return f"""
+WITH {_DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)},
+taug AS (SELECT CAST(unnest([{tlist}]) AS INT) AS tau),
+blk AS (
+  SELECT g.tau, r.x, CAST(floor((r.t - 1) / g.tau) AS BIGINT) AS b
+  FROM ranked r CROSS JOIN taug g
+),
+means AS (
+  SELECT tau, b, count(*) AS nb,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / tau AS yb
+  FROM blk GROUP BY 1, 2, tau HAVING count(*) = tau
+),
+diffs AS (
+  SELECT tau, yb - lag(yb, 1) OVER (PARTITION BY tau ORDER BY b) AS dy
+  FROM means
+),
+agg AS (
+  SELECT tau, count(*) AS n_all,
+         CAST(sum(CASE WHEN dy IS NOT NULL
+                       THEN CAST(round(dy * dy, 9) AS DECIMAL(38,12))
+                  END) AS DOUBLE) AS sq,
+         sum(CASE WHEN dy IS NOT NULL THEN 1 ELSE 0 END) AS npairs
+  FROM diffs GROUP BY 1
+)
+SELECT g.tau AS tau_days,
+       CAST(coalesce(a.n_all, 0) AS BIGINT) AS n_blocks,
+       round(CASE WHEN a.npairs > 0
+                  THEN a.sq / (2.0 * a.npairs) END, 6) AS avar
+FROM taug g LEFT JOIN agg a ON a.tau = g.tau
+"""
+
+
+def haar_energy(events: DataFrame, ts_col: str = "ts",
+                value_col: str = "value", levels: int = 4) -> DataFrame:
+    """Haar wavelet energy by level over the first 2^levels days of
+    the daily total series: the orthonormal Haar transform's detail
+    energies E_ℓ = Σ d_ℓ,k² — a multiresolution variance budget
+    (level 1 = day-to-day noise, level 4 = half-window swings) that
+    complements periodogram_daily (localized in TIME, so one
+    transient spike charges one level instead of smearing across
+    every frequency).
+
+    Unrolled fixed levels (the LPA/pagerank oracle pattern): each
+    level pairs the previous approximation by index parity,
+    a' = (left+right)/√2, d = (left−right)/√2, values grid-rounded 9
+    per level so the chain stays bit-identical across engines;
+    energies are decimal sums of rounded squares. Parseval check:
+    Σ_ℓ E_ℓ + (final approximation)² = Σ x² up to the grid. Output:
+    one row per level (level, n_coeffs, energy), rounds 6."""
+    n_days = 1 << levels
+    base = (events
+            .select(F.to_date(ts_col).alias("d"),
+                    F.col(value_col).cast("double").alias("v"))
+            .groupBy("d")
+            .agg(F.round(F.sum(F.col("v").cast(_TS_DEC))
+                         .cast("double"), 9).alias("x")))
+    cur = (base.select(
+        "x", F.row_number().over(
+            Window.partitionBy().orderBy("d")).alias("i"))
+        .filter(F.col("i") <= n_days)
+        .select("i", F.col("x").alias("a")))
+    rt2 = 1.4142135623730951
+    spark = events.sparkSession
+    outs = []
+    for lv in range(1, levels + 1):
+        k = F.expr("(i + 1) div 2").cast("int")
+        paired = (cur.select(k.alias("k"), "i", "a")
+                  .groupBy("k")
+                  .agg(F.max(F.when(F.col("i") % 2 == 1, F.col("a")))
+                       .alias("l"),
+                       F.max(F.when(F.col("i") % 2 == 0, F.col("a")))
+                       .alias("r")))
+        detail = paired.select(
+            F.round((F.col("l") - F.col("r")) / rt2, 9).alias("dd"))
+        outs.append(detail.agg(
+            F.lit(lv).cast("int").alias("level"),
+            F.count("*").cast("long").alias("n_coeffs"),
+            F.round(F.sum(F.round(F.col("dd") * F.col("dd"), 9)
+                          .cast(_TS_DEC)).cast("double"), 6)
+            .alias("energy")))
+        cur = paired.select(
+            F.col("k").alias("i"),
+            F.round((F.col("l") + F.col("r")) / rt2, 9).alias("a"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def haar_energy_sql(table: str = "events", ts_sql: str = "ts",
+                    value_sql: str = "value", levels: int = 4) -> str:
+    n_days = 1 << levels
+    rt2 = 1.4142135623730951
+    ctes = [_DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql),
+            f"""
+l0 AS (
+  SELECT t AS i, x AS a FROM ranked WHERE t <= {n_days}
+)"""]
+    selects = []
+    for lv in range(1, levels + 1):
+        prev = f"l{lv - 1}"
+        ctes.append(f"""
+p{lv} AS (
+  SELECT CAST((i + 1) // 2 AS INT) AS k,
+         max(CASE WHEN i % 2 = 1 THEN a END) AS l,
+         max(CASE WHEN i % 2 = 0 THEN a END) AS r
+  FROM {prev} GROUP BY 1
+),
+l{lv} AS (
+  SELECT k AS i, round((l + r) / {rt2}, 9) AS a FROM p{lv}
+)""")
+        selects.append(f"""
+SELECT CAST({lv} AS INT) AS level,
+       CAST(count(*) AS BIGINT) AS n_coeffs,
+       round(CAST(sum(CAST(round(round((l - r) / {rt2}, 9)
+                                 * round((l - r) / {rt2}, 9), 9)
+                           AS DECIMAL(38,12))) AS DOUBLE), 6) AS energy
+FROM p{lv}""")
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {', '.join(ctes)}\n{body}"

@@ -1,0 +1,221 @@
+"""Adversarial oracle validation for the round-10 eighth stratum
+(page_hinkley / allan_variance / weibull_interpurchase /
+readability_indices / krippendorff_alpha / cochran_q /
+price_elasticity): planted level shifts, alternating series, a pure
+power law, perfect panels, and pure-Python replays — each against
+the DuckDB twin."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+
+def _cmp(spark_rows, duck_rows, cols):
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 9)
+        return str(v) if not isinstance(v, (int, float, bool, type(None))) \
+            else v
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    a = sorted(tuple(norm(r[i]) for i in order) for r in spark_rows)
+    b = sorted(tuple(norm(r[i]) for i in order) for r in duck_rows)
+    assert a == b, f"\nspark={a[:8]}\nduck ={b[:8]}"
+
+
+def _duck(frames: dict[str, pd.DataFrame], sql: str):
+    con = duckdb.connect()
+    for name, pdf in frames.items():
+        con.register(f"_src_{name}", pdf)
+        con.execute(f"CREATE TABLE {name} AS SELECT * FROM _src_{name}")
+    rel = con.sql(sql)
+    return rel.fetchall(), [d[0] for d in rel.description]
+
+
+def _days(vals):
+    return pd.DataFrame(
+        [(pd.Timestamp("2024-06-01") + pd.Timedelta(days=i), float(v))
+         for i, v in enumerate(vals)], columns=["ts", "value"])
+
+
+def test_page_hinkley_level_shift_alarms(spark):
+    """Flat 10s then a jump to 100: PH alarms inside the shifted
+    regime; a flat series never alarms; twins agree."""
+    from distill_spark.operators.timeseries import (page_hinkley,
+                                                    page_hinkley_sql)
+
+    shifted = _days([10.0] * 12 + [100.0] * 8)
+    got = page_hinkley(spark.createDataFrame(shifted))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": shifted}, page_hinkley_sql())
+    _cmp(srows, drows, got.columns)
+    m, lam, max_ph, alarm_day, alarmed = srows[0]
+    assert m == 20 and alarmed
+    assert alarm_day >= pd.Timestamp("2024-06-13").date()
+
+    flat = _days([10.0] * 20)
+    row = page_hinkley(spark.createDataFrame(flat)).collect()[0]
+    assert not row["alarmed"] and row["max_ph"] == 0.0
+
+
+def test_allan_variance_alternating(spark):
+    """[4, 8] repeated: τ=1 diffs are ±4 → avar 8; τ=2 block means
+    are all 6 → avar 0; twins agree."""
+    from distill_spark.operators.timeseries import (allan_variance,
+                                                    allan_variance_sql)
+
+    pdf = _days([4.0, 8.0] * 8)
+    got = allan_variance(spark.createDataFrame(pdf))
+    srows = [tuple(r) for r in got.orderBy("tau_days").collect()]
+    drows, _ = _duck({"events": pdf}, allan_variance_sql())
+    _cmp(srows, drows, got.columns)
+    by_tau = {r[0]: (r[1], r[2]) for r in srows}
+    assert by_tau[1] == (16, 8.0)
+    assert by_tau[2] == (8, 0.0)
+    assert by_tau[4] == (4, 0.0)
+
+
+def test_weibull_python_replay(spark):
+    """Planted per-user purchase times: a pure-Python median-rank
+    regression reproduces shape and scale; twins agree."""
+    from distill_spark.operators.conversion import (
+        weibull_interpurchase, weibull_interpurchase_sql)
+
+    rows = []
+    t0 = pd.Timestamp("2024-03-01")
+    gaps_by_user = {1: [2, 5, 9], 2: [1, 3], 3: [7]}
+    for u, gaps in gaps_by_user.items():
+        cur = t0
+        rows.append((u, "purchase", cur))
+        for g in gaps:
+            cur = cur + pd.Timedelta(days=g)
+            rows.append((u, "purchase", cur))
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    got = weibull_interpurchase(spark.createDataFrame(pdf))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": pdf}, weibull_interpurchase_sql())
+    _cmp(srows, drows, got.columns)
+
+    gaps = sorted([2, 5, 9, 1, 3, 7])
+    n = len(gaps)
+    pts = [(round(math.log(g), 9),
+            round(math.log(-math.log(1 - (i + 1 - 0.3) / (n + 0.4))), 9))
+           for i, g in enumerate(gaps)]
+    sx = sum(p[0] for p in pts); sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] ** 2 for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    k = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    scale = math.exp(-((sy / n) - k * (sx / n)) / k)
+    assert srows[0][0] == 6
+    assert abs(srows[0][1] - k) < 1e-5
+    assert abs(srows[0][2] - scale) < 1e-4
+
+
+def test_readability_hand_text(spark):
+    """'The cat sat down. It ran far away.' — words/sentences/
+    complex/letters counted by hand feed the three formulas."""
+    import __spark_entry__ as em
+
+    pdf = pd.DataFrame(
+        [(1, "The cat sat down. It ran far away.")],
+        columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "s"
+    pdf["n_chars"] = 1
+    con = duckdb.connect()
+    con.register("_d", pdf)
+    con.execute("CREATE TABLE documents AS SELECT * FROM _d")
+    drows = con.sql(em.oracle_sql()["readability_indices"]).fetchall()
+    (doc, nw, ncx, fog, ari, cli) = drows[0]
+    assert (doc, nw) == (1, 8)
+    # complex words (>=3 vowel groups): 'away' has 2 (a, ay)... none
+    assert ncx == 0
+    w, s = 8, 2
+    chars = sum(c.isalnum() for c in pdf.text[0])
+    letters = sum(c.isalpha() for c in pdf.text[0])
+    exp_fog = math.floor((0.4 * (w / s + 100.0 * 0 / w)) * 1e6 + 0.5) / 1e6
+    exp_ari = math.floor(
+        (4.71 * chars / w + 0.5 * w / s - 21.43) * 1e6 + 0.5) / 1e6
+    exp_cli = math.floor(
+        (0.0588 * 100 * letters / w - 0.296 * 100 * s / w - 15.8)
+        * 1e6 + 0.5) / 1e6
+    assert (fog, ari, cli) == (exp_fog, exp_ari, exp_cli)
+
+
+def test_krippendorff_perfect_and_partial(spark):
+    """Unanimous panel → α = 1; an item with a single rating drops;
+    a 2-1-split panel goes negative; twins agree."""
+    from distill_spark.operators.mleval import (krippendorff_alpha,
+                                                krippendorff_alpha_sql)
+
+    def frame(rows):
+        return pd.DataFrame(rows, columns=["item", "category"])
+
+    perfect = frame([(i, c) for i in range(6)
+                     for c in ["en" if i % 2 else "other"] * 3]
+                    + [(99, "en")])          # single-rating item drops
+    got = krippendorff_alpha(spark.createDataFrame(perfect))
+    srows = [tuple(r) for r in got.collect()]
+    cte = "SELECT item AS i, category AS c FROM ratings_src"
+    drows, _ = _duck({"ratings_src": perfect},
+                     krippendorff_alpha_sql(cte))
+    _cmp(srows, drows, got.columns)
+    n_items, n_ratings, ncat, alpha = srows[0]
+    assert (n_items, n_ratings, alpha) == (6, 18, 1.0)
+
+    split = frame([(i, c) for i in range(6)
+                   for c in ["en", "en", "other"]])
+    row = krippendorff_alpha(spark.createDataFrame(split)).collect()[0]
+    assert row["alpha"] < 0
+
+
+def test_cochran_q_python_replay(spark):
+    """Planted per-user treatment indicators: the textbook Q formula
+    in Python matches; all-identical columns → Q = 0; twins agree."""
+    from distill_spark.operators.stats import cochran_q, cochran_q_sql
+
+    resp = {1: ("view", "click"), 2: ("view",), 3: ("view", "click",
+                                                    "purchase"),
+            4: ("click",), 5: ("view",)}
+    rows = [(u, t) for u, ts in resp.items() for t in ts]
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_type"])
+    got = cochran_q(spark.createDataFrame(pdf))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": pdf}, cochran_q_sql())
+    _cmp(srows, drows, got.columns)
+
+    k = 3
+    mat = [[1 if t in ts else 0 for t in ("view", "click", "purchase")]
+           for ts in resp.values()]
+    g = [sum(col) for col in zip(*mat)]
+    li = [sum(r) for r in mat]
+    t = sum(li)
+    num = k * (k - 1) * sum((gj - t / k) ** 2 for gj in g)
+    den = k * t - sum(x * x for x in li)
+    assert srows[0] == (5, 3, round(num / den, 6))
+
+
+def test_price_elasticity_pure_power_law(spark):
+    """q = 64/p² exactly (p in {1,2,4,8} with matching quantities):
+    the log-log slope is −2 to the grid; twins agree."""
+    from distill_spark.operators.commerce import (price_elasticity,
+                                                  price_elasticity_sql)
+
+    rows = []
+    for i in range(40):
+        p = float(2 ** (i % 4))          # 1, 2, 4, 8
+        q = 64.0 / (p * p)
+        rows.append((1, q * p, 0.0, q))  # extendedprice = p·q
+    li = pd.DataFrame(rows, columns=[
+        "l_partkey", "l_extendedprice", "l_discount", "l_quantity"])
+    part = pd.DataFrame([(1, "BrandP")], columns=["p_partkey", "p_brand"])
+    got = price_elasticity(spark.createDataFrame(li),
+                           spark.createDataFrame(part), min_rows=10)
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"lineitem": li, "part": part},
+                     price_elasticity_sql(min_rows=10))
+    _cmp(srows, drows, got.columns)
+    assert srows[0][0] == "BrandP" and srows[0][1] == 40
+    assert abs(srows[0][2] + 2.0) < 1e-6

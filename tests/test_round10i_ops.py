@@ -1,0 +1,126 @@
+"""Adversarial oracle validation for the round-10 ninth stratum
+(wilcoxon_signed / sign_test / haar_energy / gini_split): one-sided
+planted shifts with hand rank sums, a Parseval energy audit on a
+planted spike, and a perfectly-separating stump — against DuckDB
+twins."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+
+def _cmp(spark_rows, duck_rows, cols):
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 9)
+        return str(v) if not isinstance(v, (int, float, bool, type(None))) \
+            else v
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    a = sorted(tuple(norm(r[i]) for i in order) for r in spark_rows)
+    b = sorted(tuple(norm(r[i]) for i in order) for r in duck_rows)
+    assert a == b, f"\nspark={a[:8]}\nduck ={b[:8]}"
+
+
+def _duck(frames: dict[str, pd.DataFrame], sql: str):
+    con = duckdb.connect()
+    for name, pdf in frames.items():
+        con.register(f"_src_{name}", pdf)
+        con.execute(f"CREATE TABLE {name} AS SELECT * FROM _src_{name}")
+    rel = con.sql(sql)
+    return rel.fetchall(), [d[0] for d in rel.description]
+
+
+def _paired_events(diffs, base=100.0):
+    """click value = base + diff, view value = base, one event each
+    per day → daily paired differences == diffs."""
+    rows = []
+    for i, d in enumerate(diffs):
+        day = pd.Timestamp("2024-06-01") + pd.Timedelta(days=i)
+        rows.append((day, "click", base + float(d)))
+        rows.append((day, "view", base))
+    return pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+
+
+def test_wilcoxon_one_sided_and_mixed(spark):
+    """All diffs positive with distinct magnitudes → W⁺ = n(n+1)/2
+    and z = +max; one negative diff of known rank shifts W⁺ by
+    exactly that rank; twins agree."""
+    from distill_spark.operators.stats import (wilcoxon_signed,
+                                               wilcoxon_signed_sql)
+
+    allpos = _paired_events([1, 2, 3, 4, 5, 6])
+    got = wilcoxon_signed(spark.createDataFrame(allpos))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": allpos}, wilcoxon_signed_sql())
+    _cmp(srows, drows, got.columns)
+    n = 6
+    assert srows[0][0] == n and srows[0][1] == n * (n + 1) / 2
+
+    mixed = _paired_events([1, 2, -3, 4, 5, 6])
+    row = wilcoxon_signed(spark.createDataFrame(mixed)).collect()[0]
+    # |−3| has rank 3 → W⁺ = 21 − 3 = 18
+    assert row["w_plus"] == 18.0
+
+
+def test_sign_test_counts(spark):
+    from distill_spark.operators.stats import sign_test, sign_test_sql
+
+    pdf = _paired_events([2, 3, 1, -1, 0, 4, -2, 5])
+    got = sign_test(spark.createDataFrame(pdf))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": pdf}, sign_test_sql())
+    _cmp(srows, drows, got.columns)
+    npos, nneg, nties, z = srows[0]
+    assert (npos, nneg, nties) == (5, 2, 1)
+    assert z == round((abs(5 - 2) - 1) / math.sqrt(7), 6)
+
+
+def test_haar_energy_spike_and_parseval(spark):
+    """A single unit spike on day 1 of a flat 16-day series: Haar is
+    orthonormal, so detail energies are (up to the mean removal by
+    the final approximation) a fixed split — and Σ E_ℓ equals the
+    deviation energy 15/16 on the 1e-6 grid; twins agree."""
+    from distill_spark.operators.timeseries import (haar_energy,
+                                                    haar_energy_sql)
+
+    vals = [1.0] + [0.0] * 15
+    pdf = pd.DataFrame(
+        [(pd.Timestamp("2024-06-01") + pd.Timedelta(days=i), v)
+         for i, v in enumerate(vals)], columns=["ts", "value"])
+    got = haar_energy(spark.createDataFrame(pdf))
+    srows = [tuple(r) for r in got.orderBy("level").collect()]
+    drows, _ = _duck({"events": pdf}, haar_energy_sql())
+    _cmp(srows, drows, got.columns)
+    assert [r[0] for r in srows] == [1, 2, 3, 4]
+    assert [r[1] for r in srows] == [8, 4, 2, 1]
+    # detail energies of a unit spike: 1/2, 1/4, 1/8, 1/16
+    assert [r[2] for r in srows] == [0.5, 0.25, 0.125, 0.0625]
+    # Parseval: Σ details + approx² (=1/16) = Σx² = 1
+    assert abs(sum(r[2] for r in srows) + 1 / 16 - 1.0) < 1e-6
+
+
+def test_gini_split_perfect_and_useless(spark):
+    """Scores that perfectly separate labels → children are pure:
+    gini_gain = gini_parent, info_gain = parent entropy; identical
+    scores → zero gain in both criteria."""
+    from distill_spark.operators.stats import gini_split, gini_split_sql
+
+    sep = pd.DataFrame(
+        [(10.0, True)] * 3 + [(1.0, False)] * 3, columns=["value", "y"])
+    got = gini_split(spark.createDataFrame(sep), "y", "value")
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": sep},
+                     gini_split_sql("events", "y", "value"))
+    _cmp(srows, drows, got.columns)
+    n, thr, gp, gg, ig = srows[0]
+    assert n == 6 and thr == 5.5
+    assert gp == 0.5 and gg == 0.5
+    assert ig == round(math.log(2), 6)
+
+    same = pd.DataFrame(
+        [(5.0, True)] * 2 + [(5.0, False)] * 2, columns=["value", "y"])
+    row = gini_split(spark.createDataFrame(same), "y", "value").collect()[0]
+    assert row["gini_gain"] == 0.0 and row["info_gain_nats"] == 0.0
