@@ -226,3 +226,52 @@ def test_split_cache_prefix(spark):
     df2 = df.filter(F.col("cache_control") != "ephemeral")
     p2, s2 = split_cache_prefix(df2)
     assert p2.count() == 0 and s2.count() == 2
+
+
+def test_auto_assign_for_radius_policy():
+    """The IVF multi-assignment gate (round-9 verdict ask #6):
+    near-dup radii keep the cheap single assignment (recall already
+    1.0 per IVF_RECALL_r9.json), wide radii get the measured
+    4-assignment floor, and the policy is monotone in the radius."""
+    from distill_spark.operators.cluster import auto_assign_for_radius
+
+    assert auto_assign_for_radius(0.05) == 1
+    assert auto_assign_for_radius(0.15) == 1
+    assert auto_assign_for_radius(0.25) == 2
+    assert auto_assign_for_radius(0.35) == 2
+    assert auto_assign_for_radius(0.5) == 4
+    assert auto_assign_for_radius(0.65) == 4
+    grid = [auto_assign_for_radius(t / 100) for t in range(0, 100, 5)]
+    assert grid == sorted(grid)
+
+
+def test_ivf_route_uses_adaptive_assignment(spark):
+    """similarity_edges(method='ivf') at a wide radius must recover
+    at least as many true edges as a forced single assignment (the
+    policy's whole point), and both stay subsets of the exact set."""
+    import numpy as np
+
+    from distill_spark.operators.cluster import ivf_edges, similarity_edges
+
+    rng = np.random.default_rng(7)
+    # two tight clusters + spread: wide-radius pairs straddle cells
+    base = rng.normal(size=(2, 16))
+    vecs = np.concatenate([
+        base[i % 2] + 0.35 * rng.normal(size=16) for i in range(120)
+    ]).reshape(120, 16).astype(np.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    t = 0.5
+    exact = {tuple(r) for r in
+             similarity_edges(df, t, id_col="id", method="exact",
+                              dist_round=6).collect()}
+    route = {tuple(r) for r in
+             similarity_edges(df, t, id_col="id", method="ivf",
+                              dist_round=6).collect()}
+    single = {tuple(r) for r in
+              ivf_edges(df, t, id_col="id", n_cells=10, n_assign=1,
+                        dist_round=6).collect()}
+    assert route <= exact and single <= exact
+    assert len(route) >= len(single)
+    # wide radius => the adaptive route must be meaningfully complete
+    assert len(route) >= 0.6 * len(exact)
