@@ -251,6 +251,49 @@ def test_metrics_openapi_docs(server):
         assert "openapi.yaml" in r.read().decode()
 
 
+def test_dedupe_stream_emits_error_frame_on_late_failure(server, request):
+    """A failure AFTER dedupe_with_progress returns (result
+    serialization) must still end the stream with an error frame —
+    a silent truncation is indistinguishable from a dropped
+    connection."""
+    import distill_spark.httpd as httpd_mod
+
+    srv = request.getfixturevalue("server")  # base url string
+    # reach the live server object through the module-scoped fixture:
+    # monkeypatch the surface's chunk marshal to blow up post-engine
+    import gc
+
+    port = int(srv.rsplit(":", 1)[1])
+    live = [o for o in gc.get_objects()
+            if isinstance(o, httpd_mod.ToolHTTPServer)
+            and o.server_address[1] == port]
+    assert live, "server object not found"
+    surface = live[-1].surface
+    orig = surface._chunks_out
+
+    def boom(rows):
+        raise RuntimeError("serialization exploded")
+
+    surface._chunks_out = boom
+    try:
+        chunks = [{"id": "a", "text": "alpha", "embedding": [1.0, 0.0],
+                   "score": 1.0},
+                  {"id": "b", "text": "beta", "embedding": [0.0, 1.0],
+                   "score": 1.0}]
+        req = urllib.request.Request(
+            srv + "/v1/dedupe/stream",
+            data=json.dumps({"chunks": chunks}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            raw = r.read().decode()
+    finally:
+        surface._chunks_out = orig
+    frames = [f for f in raw.split("\n\n") if f.strip()]
+    last = dict(line.split(": ", 1) for line in frames[-1].split("\n"))
+    assert last["event"] == "error"
+    assert "serialization exploded" in last["data"]
+
+
 def test_dedupe_stream_sse_frames(server):
     """POST /v1/dedupe/stream returns text/event-stream whose frames
     replay the ProgressReporter lifecycle (clustering/selection

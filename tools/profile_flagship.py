@@ -1,0 +1,126 @@
+"""Stage-time breakdown of the flagship dedupe at x100 (round-9
+verdict ask #4): SCALE_r9 showed flagship x100 at 162 s with the edge
+build alone ~125 s, slope 1.46 vs the prescribed ≲1.2 — this isolates
+the post-edge stages (connected components, representative selection,
+MMR) so the residual is attributed instead of guessed.
+
+Each stage is timed against a MATERIALIZED input (localCheckpoint) so
+its wall-clock is its own, not its upstream lineage's. The stage sum
+exceeds the end-to-end flagship number by the checkpoint
+materialization overhead — both are reported.
+
+Usage: python tools/profile_flagship.py [--json PATH] [--factor N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from distill_spark.runtime import get_spark  # noqa: E402
+
+
+def main():
+    argv = sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i:i + 2]
+    factor = 100
+    if "--factor" in argv:
+        i = argv.index("--factor")
+        factor = int(argv[i + 1])
+        del argv[i:i + 2]
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__))))
+    import scale_run
+
+    spark = get_spark(app_name="profile_flagship")
+    root = scale_run.build_scaled(spark, factor)
+    docs_path = os.path.join(root, "documents.parquet")
+    emb_path = os.path.join(root, "embeddings.parquet")
+
+    from distill_spark.operators.cluster import (connected_components,
+                                                 similarity_edges)
+    from distill_spark.operators.mmr import mmr_rerank
+    from distill_spark.operators.select import select_representatives
+
+    out = {"factor": factor, "threshold": 0.65, "target_k": 32,
+           "stages": {}}
+
+    def stage(name, fn):
+        t0 = time.time()
+        r = fn()
+        out["stages"][name] = {"secs": round(time.time() - t0, 3)}
+        return r
+
+    def load():
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+
+    out["load_before"] = load()
+
+    # stage 0: chunk assembly, materialized so later stages don't
+    # re-run the doc⋈embedding join
+    chunks = scale_run._chunks(spark, docs_path, emb_path)
+    chunks = stage("chunks_materialize",
+                   lambda: chunks.localCheckpoint(eager=True))
+    n = chunks.count()
+    out["n_chunks"] = int(n)
+
+    # stage 1: the edge build at the flagship radius (auto route)
+    edges = similarity_edges(chunks, 0.65, id_col="id",
+                             vec_col="embedding", method="auto")
+    edges = stage("edges", lambda: edges.localCheckpoint(eager=True))
+    out["stages"]["edges"]["n_edges"] = int(edges.count())
+
+    # stage 2: connected components over the materialized edges
+    cc = stage("connected_components",
+               lambda: connected_components(
+                   chunks, edges, id_col="id").localCheckpoint(eager=True))
+    out["stages"]["connected_components"]["n_nodes"] = int(cc.count())
+
+    # stage 3: representative selection
+    clustered = (chunks.join(
+        cc.withColumnRenamed("component", "cluster_id"), "id", "left")
+        .withColumn("cluster_id",
+                    F.coalesce(F.col("cluster_id"),
+                               F.col("id").cast("string"))))
+    reps = stage("select_representatives",
+                 lambda: select_representatives(
+                     clustered, strategy="score")
+                 .localCheckpoint(eager=True))
+    out["stages"]["select_representatives"]["n_reps"] = int(reps.count())
+
+    # stage 4: MMR down-selection to 32
+    final = stage("mmr", lambda: mmr_rerank(
+        reps, lambda_=0.5, target_k=32).localCheckpoint(eager=True))
+    out["stages"]["mmr"]["n_final"] = int(final.count())
+
+    # end-to-end for the same session (warm caches — the SCALE_r9
+    # number is the cold end-to-end; this one bounds stage overheads)
+    t0 = time.time()
+    e2e = scale_run.flagship(spark, docs_path, emb_path).count()
+    out["end_to_end_warm"] = {"secs": round(time.time() - t0, 3),
+                              "rows": int(e2e)}
+    out["stage_sum_secs"] = round(
+        sum(s["secs"] for s in out["stages"].values()), 3)
+    out["load_after"] = load()
+
+    print(json.dumps(out, indent=1))
+    if json_path:
+        with open(json_path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_path}")
+
+
+if __name__ == "__main__":
+    main()
