@@ -5,8 +5,13 @@ exact set is ground truth) plus the planted near-dup corpus the
 signlsh_recall harness uses — the two routes' recall artifacts are
 directly comparable config-for-config.
 
+Round 10 adds the ROUTED rows: similarity_edges(method="ivf") with
+the adaptive auto_assign_for_radius policy (1 near-dup / 2 moderate /
+4 wide), so the artifact evidences what the shipped route actually
+does at each radius, next to the fixed-config grid.
+
 The subset contract (ivf ⊆ exact) is asserted, not assumed.
-Writes IVF_RECALL_r9.json. Usage: python tools/ivf_recall.py
+Writes IVF_RECALL_r10.json. Usage: python tools/ivf_recall.py
 """
 
 from __future__ import annotations
@@ -21,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from distill_spark.operators.cluster import (  # noqa: E402
-    broadcast_similarity_edges, ivf_edges)
+    auto_assign_for_radius, broadcast_similarity_edges, ivf_edges,
+    similarity_edges)
 from distill_spark.runtime import get_spark, load_tables  # noqa: E402
 
 
@@ -78,8 +84,24 @@ def main():
                 "exact_edges": len(exact), "ivf_edges": len(got),
                 "recall": rec, "secs": secs})
             print(json.dumps(out["runs"][-1]), flush=True)
+        # the shipped route: adaptive n_assign from the radius
+        t0 = time.time()
+        routed = edge_set(similarity_edges(df, thr, id_col="id",
+                                           method="ivf", dist_round=6))
+        secs = round(time.time() - t0, 3)
+        assert routed <= exact, (corpus_name, thr, "routed",
+                                 "subset contract violated")
+        out["runs"].append({
+            "corpus": corpus_name, "threshold": thr,
+            "n_cells": "sqrt(n)",
+            "n_assign": f"auto={auto_assign_for_radius(thr)}",
+            "exact_edges": len(exact), "ivf_edges": len(routed),
+            "recall": round(len(routed) / len(exact), 4)
+            if exact else None,
+            "secs": secs, "routed": True})
+        print(json.dumps(out["runs"][-1]), flush=True)
     with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "IVF_RECALL_r9.json"), "w") as fh:
+            os.path.abspath(__file__))), "IVF_RECALL_r10.json"), "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
 
 
