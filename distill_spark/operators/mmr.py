@@ -48,13 +48,46 @@ def mmr_order(
     smin, smax = float(np.min(scores)), float(np.max(scores))
     norm = np.ones(n) if smax == smin else (scores - smin) / (smax - smin)
 
-    sim = 1.0 - cosine_distance_matrix(vecs)
-    # missing-embedding pairs → similarity 0 (mmr.go:152-156), self → 1
-    for i, v in enumerate(vecs):
-        if v is None or len(v) == 0:
-            sim[i, :] = 0.0
-            sim[:, i] = 0.0
-    np.fill_diagonal(sim, 1.0)
+    # Greedy MMR reads exactly ONE similarity column per pick (the
+    # just-selected item's), so the n×n matrix is only worth its
+    # memory when n is small. Above the cutoff, columns come from a
+    # per-pick matvec against the normalized stack — k·n·d work and
+    # O(n·d) memory instead of the O(n²) matrix that dominated the
+    # flagship's post-edge time at x100 (24k reps → 4.6 GB, ~80 s;
+    # PROFILE_FLAGSHIP_r10.json).
+    dense = n <= 4096
+    if dense:
+        sim = 1.0 - cosine_distance_matrix(vecs)
+        # missing-embedding pairs → similarity 0 (mmr.go:152-156),
+        # self → 1
+        for i, v in enumerate(vecs):
+            if v is None or len(v) == 0:
+                sim[i, :] = 0.0
+                sim[:, i] = 0.0
+        np.fill_diagonal(sim, 1.0)
+    else:
+        ok = np.array([v is not None and len(v) > 0 for v in vecs])
+        dim = max((len(v) for i, v in enumerate(vecs) if ok[i]),
+                  default=0)
+        V = np.zeros((n, dim))
+        for i, v in enumerate(vecs):
+            if ok[i] and len(v) == dim:
+                V[i] = np.asarray(v, dtype=np.float64)
+            else:
+                ok[i] = False
+        norms = np.sqrt(np.einsum("ij,ij->i", V, V))
+        ok &= norms > 0
+        V = np.where(ok[:, None], V / np.where(norms > 0, norms,
+                                               1.0)[:, None], 0.0)
+
+        def sim_col(j: int) -> np.ndarray:
+            if not ok[j]:
+                col = np.zeros(n)
+            else:
+                col = np.clip(V @ V[j], -1.0, 1.0)
+                col[~ok] = 0.0
+            col[j] = 1.0
+            return col
 
     selected: list[int] = []
     remaining = np.ones(n, dtype=bool)
@@ -67,7 +100,8 @@ def mmr_order(
             break
         selected.append(best)
         remaining[best] = False
-        max_sim = np.maximum(max_sim, sim[:, best])
+        col = sim[:, best] if dense else sim_col(best)
+        max_sim = np.maximum(max_sim, col)
     return np.asarray(selected, dtype=np.int64)
 
 
