@@ -10769,6 +10769,88 @@ def _sql_elasticity():
 
 
 # ---------------------------------------------------------------------------
+# Round-11 seed stratum (past the window, queued): Jonckheere ordered
+# trend, Quade weighted blocks, Conover squared-ranks scale test,
+# Dixon's Q gap outliers.
+
+_PRIORITY_ORDER = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                   "5-LOW"]
+
+
+def q_jonckheere_priority(spark, sf_dir):
+    """Jonckheere–Terpstra ordered-alternative test: does order value
+    fall monotonically with priority class (stats.
+    jonckheere_terpstra) — the trend-aware upgrade of
+    kruskal_values when groups carry a natural order."""
+    from distill_spark.operators.stats import jonckheere_terpstra
+
+    t = _tables(spark, sf_dir)
+    return jonckheere_terpstra(t["orders"], "o_orderpriority",
+                               _PRIORITY_ORDER, "o_totalprice")
+
+
+def _sql_jonckheere():
+    from distill_spark.operators.stats import jonckheere_terpstra_sql
+
+    return jonckheere_terpstra_sql("orders", "o_orderpriority",
+                                   _PRIORITY_ORDER, "o_totalprice")
+
+
+def q_quade_dow(spark, sf_dir):
+    """Quade range-weighted blocked rank test over the dow ×
+    event-type design (stats.quade_test) — friedman_dow with
+    magnitude-weighted blocks."""
+    from distill_spark.operators.stats import quade_test
+
+    t = _tables(spark, sf_dir)
+    df = t["events"].select(F.dayofweek("ts").alias("dow"),
+                            "event_type", "value")
+    return quade_test(df, "dow", "event_type", "value")
+
+
+def _sql_quade():
+    from distill_spark.operators.stats import quade_test_sql
+
+    # DuckDB dayofweek = Spark dayofweek − 1; the block LABEL only
+    # groups, so the shifted label set blocks identically
+    return quade_test_sql("events", "dayofweek(ts)", "event_type",
+                          "value")
+
+
+def q_conover_scale(spark, sf_dir):
+    """Conover squared-ranks equality-of-variances test between
+    purchase and view event values (stats.conover_squared_ranks) —
+    the rank-based, heavy-tail-proof alternative to levene_value."""
+    from distill_spark.operators.stats import conover_squared_ranks
+
+    t = _tables(spark, sf_dir)
+    return conover_squared_ranks(t["events"], "event_type",
+                                 "purchase", "view")
+
+
+def _sql_conover():
+    from distill_spark.operators.stats import conover_squared_ranks_sql
+
+    return conover_squared_ranks_sql("events", "event_type",
+                                     "purchase", "view")
+
+
+def q_dixon_q_extremes(spark, sf_dir):
+    """Dixon's Q gap ratios for both candidate outliers over order
+    totals (stats.dixon_q) — the order-statistic outlier screen next
+    to grubbs_outlier's normality-assuming sigma count."""
+    from distill_spark.operators.stats import dixon_q
+
+    return dixon_q(_tables(spark, sf_dir)["orders"])
+
+
+def _sql_dixon():
+    from distill_spark.operators.stats import dixon_q_sql
+
+    return dixon_q_sql()
+
+
+# ---------------------------------------------------------------------------
 # Round-10 ninth stratum: paired daily tests (Wilcoxon signed-rank,
 # sign test), Haar multiresolution energy, decision-stump split gain.
 
@@ -10896,6 +10978,13 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "srm_users": (q_srm_users, _sql_srm()),
     "holt_forecast": (q_holt_forecast, _sql_holt()),
     "dq_expectations": (q_dq_expectations, _sql_dq()),
+    # -- round-11 seed stratum (positions 50+, queued in
+    # _PENDING_PROMOTION): ordered-alternative / weighted-block /
+    # scale / gap-outlier nonparametrics -----------------------------------
+    "jonckheere_priority": (q_jonckheere_priority, _sql_jonckheere()),
+    "quade_dow": (q_quade_dow, _sql_quade()),
+    "conover_scale": (q_conover_scale, _sql_conover()),
+    "dixon_q_extremes": (q_dixon_q_extremes, _sql_dixon()),
     # -- round-9 eighth stratum: cluster quality, tails, predictability,
     #    crawl completeness ------------------------------------------------
     "silhouette_kmeans": (q_silhouette_kmeans, _sql_silhouette()),
@@ -11260,8 +11349,14 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
 # that nothing ELSE is hiding past the window unevidenced.
 # Round 10: the round-9 queue (attribution_ushaped, srm_users,
 # holt_forecast, dq_expectations) is PROMOTED into the window head;
-# new round-10 strata that overflow the 50-slot window re-enter here.
-_PENDING_PROMOTION: frozenset[str] = frozenset()
+# the window holds exactly the 46 round-10 queries + those 4. The
+# round-11 seed stratum (Jonckheere / Quade / Conover / Dixon) landed
+# past position 50 — queued for the round-11 rotation, each
+# parity-verified at sf0.001 and sf0.01.
+_PENDING_PROMOTION: frozenset[str] = frozenset({
+    "jonckheere_priority", "quade_dow", "conover_scale",
+    "dixon_q_extremes",
+})
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -4141,3 +4141,445 @@ SELECT CAST(n AS BIGINT) AS n, round(mu, 6) AS threshold,
          AS info_gain_nats
 FROM agg
 """
+
+
+# ------------------------------------------- round-11 seed stratum
+# Overflow past the round-10 window (queued in _PENDING_PROMOTION):
+# the ordered-alternative, blocked-weighted, scale-difference and
+# single-outlier tests that round out the nonparametric battery.
+
+def jonckheere_terpstra(df: DataFrame, group_col: str,
+                        ordered_groups: list, value_col: str
+                        ) -> DataFrame:
+    """Jonckheere–Terpstra test for an ORDERED alternative (Jonckheere
+    1954): J = Σ_{i<j} U_ij over the ordered group pairs, where U_ij
+    counts pairs with the later group's value higher (ties ½) — the
+    trend-aware upgrade of kruskal_wallis when the groups carry a
+    natural order (here: order priority), strictly more powerful
+    against monotone shifts. Normal approximation
+    z = (J − μ)/σ with μ = (N² − Σn_i²)/4 and the no-tie variance
+    σ² = (N²(2N+3) − Σn_i²(2n_i+3))/72.
+
+    Per-pair U from the distinct-value cumulative frame per group
+    pair — but never a pairwise rescan: ONE (group, v) count
+    aggregate feeds every pair via cumulative sums over the shared
+    distinct-value spine (k·|distinct| window rows). All counts
+    exact; U's half-ties stay exact in DECIMAL. Output: one row
+    (n, j_stat, mu, z), rounds 6."""
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    gi = F.coalesce(
+        *[F.when(g == grp, i) for i, grp in enumerate(ordered_groups)])
+    per = (df.filter(g.isin(list(ordered_groups)) & v.isNotNull())
+           .select(gi.alias("gi"), v.alias("v"))
+           .groupBy("gi", "v").agg(F.count("*").alias("c")))
+    spine = per.groupBy("v").agg(F.lit(1).alias("_one")).select("v")
+    k = len(ordered_groups)
+    dense = (spine.crossJoin(F.broadcast(
+        df.sparkSession.range(k).select(F.col("id").cast("int")
+                                        .alias("gi"))))
+        .join(per, ["gi", "v"], "left")
+        .select("gi", "v", F.coalesce(F.col("c"), F.lit(0)).alias("c")))
+    wcum = Window.partitionBy("gi").orderBy("v") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    wtot = Window.partitionBy("gi")
+    cums = dense.select(
+        "gi", "v", "c",
+        F.coalesce(F.sum("c").over(wcum), F.lit(0)).alias("below"),
+        F.sum("c").over(wtot).alias("ni"))
+    # for each ordered pair (a < b): U_ab = Σ_v c_b(v)·(below_a(v)
+    # + c_a(v)/2) — join the b-side rows to the a-side cumulative
+    a = cums.select(F.col("gi").alias("ga"), "v",
+                    F.col("below").alias("ba"), F.col("c").alias("ca"))
+    b = cums.select(F.col("gi").alias("gb"), F.col("v").alias("vb"),
+                    F.col("c").alias("cb"))
+    u = (a.join(b, (F.col("v") == F.col("vb"))
+                & (F.col("gb") > F.col("ga")))
+         .select(((F.col("cb") * F.col("ba"))
+                  + (F.col("cb") * F.col("ca")) / 2.0).cast(_DEC)
+                 .alias("u")))
+    sizes = cums.groupBy("gi").agg(F.max("ni").alias("ni"))
+    tot = sizes.agg(
+        F.sum("ni").alias("nn"),
+        F.sum(F.col("ni") * F.col("ni")).alias("sn2"),
+        F.sum(F.col("ni") * F.col("ni") * (2 * F.col("ni") + 3))
+        .alias("sn3"))
+    jj = u.agg(F.sum("u").cast("double").alias("j"))
+    out = jj.crossJoin(F.broadcast(tot))
+    nn = F.col("nn").cast("double")
+    mu = (nn * nn - F.col("sn2")) / 4.0
+    var = (nn * nn * (2 * nn + 3) - F.col("sn3")) / 72.0
+    return out.select(
+        F.col("nn").cast("long").alias("n"),
+        F.round(F.col("j"), 6).alias("j_stat"),
+        F.round(mu, 6).alias("mu"),
+        F.round(F.when(var > 0, (F.col("j") - mu) / F.sqrt(var)), 6)
+        .alias("z"))
+
+
+def jonckheere_terpstra_sql(table: str, group_sql: str,
+                            ordered_groups: list,
+                            value_sql: str) -> str:
+    k = len(ordered_groups)
+    gi = ("CASE " + " ".join(
+        f"WHEN {group_sql} = '{g}' THEN {i}"
+        for i, g in enumerate(ordered_groups)) + " END")
+    in_list = ", ".join(f"'{g}'" for g in ordered_groups)
+    return f"""
+WITH per AS (
+  SELECT {gi} AS gi, CAST({value_sql} AS DOUBLE) AS v, count(*) AS c
+  FROM {table}
+  WHERE {group_sql} IN ({in_list})
+    AND CAST({value_sql} AS DOUBLE) IS NOT NULL
+  GROUP BY 1, 2
+),
+spine AS (SELECT DISTINCT v FROM per),
+dense AS (
+  SELECT g.gi, s.v, coalesce(p.c, 0) AS c
+  FROM spine s
+  CROSS JOIN (SELECT CAST(range AS INT) AS gi FROM range({k})) g
+  LEFT JOIN per p ON p.gi = g.gi AND p.v = s.v
+),
+cums AS (
+  SELECT gi, v, c,
+         coalesce(sum(c) OVER (PARTITION BY gi ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS below,
+         sum(c) OVER (PARTITION BY gi) AS ni
+  FROM dense
+),
+u AS (
+  SELECT CAST(b.c * a.below + (b.c * a.c) / 2.0 AS DECIMAL(38,12)) AS u
+  FROM cums a JOIN cums b ON b.v = a.v AND b.gi > a.gi
+),
+sizes AS (SELECT gi, max(ni) AS ni FROM cums GROUP BY 1),
+tot AS (
+  SELECT sum(ni) AS nn, sum(ni * ni) AS sn2,
+         sum(ni * ni * (2 * ni + 3)) AS sn3
+  FROM sizes
+),
+jj AS (SELECT CAST(sum(u) AS DOUBLE) AS j FROM u)
+SELECT CAST(nn AS BIGINT) AS n, round(j, 6) AS j_stat,
+       round((CAST(nn AS DOUBLE) * nn - sn2) / 4.0, 6) AS mu,
+       round(CASE WHEN (CAST(nn AS DOUBLE) * nn * (2 * nn + 3) - sn3)
+                       / 72.0 > 0
+                  THEN (j - (CAST(nn AS DOUBLE) * nn - sn2) / 4.0)
+                       / sqrt((CAST(nn AS DOUBLE) * nn * (2 * nn + 3)
+                               - sn3) / 72.0) END, 6) AS z
+FROM jj CROSS JOIN tot
+"""
+
+
+def quade_test(df: DataFrame, block_col: str, treat_col: str,
+               value_col: str) -> DataFrame:
+    """Quade test over a complete block design (Quade 1979) — the
+    range-WEIGHTED sibling of friedman_dow: blocks with a wider
+    spread carry proportionally more evidence (Friedman weights all
+    blocks equally, throwing away magnitude). Within-block ranks and
+    block-range ranks are STRICT (value, then label ASC — the repo's
+    deterministic convention), S_bj = Q_b·(r_bj − (k+1)/2),
+    F = (n−1)·B/(A−B) with A = ΣS², B = ΣS_j²/n; complete blocks
+    only (NULL F when any block is missing a treatment or A = B).
+    Bounded frame: blocks × treatments cells from one exact decimal
+    aggregate. Output: one row (n_blocks, k_treatments, f_stat),
+    rounds 6."""
+    b_, t_ = F.col(block_col), F.col(treat_col)
+    v = F.col(value_col).cast("double")
+    cells = (df.filter(b_.isNotNull() & t_.isNotNull() & v.isNotNull())
+             .groupBy(b_.alias("b"), t_.alias("t"))
+             .agg(F.round(F.sum(v.cast(_DEC)).cast("double"), 9)
+                  .alias("x")))
+    kk = cells.select("t").distinct().count()
+    wb = Window.partitionBy("b")
+    complete = (cells
+                .withColumn("_n", F.count("*").over(wb))
+                .filter(F.col("_n") == kk))
+    r = F.row_number().over(
+        Window.partitionBy("b").orderBy(F.asc("x"), F.asc("t")))
+    rng = (F.max("x").over(wb) - F.min("x").over(wb))
+    ranked = complete.select(
+        "b", "t", r.alias("r"), rng.alias("range"))
+    blocks = ranked.select("b", "range").distinct()
+    q = F.row_number().over(
+        Window.partitionBy().orderBy(F.asc("range"), F.asc("b")))
+    bq = blocks.select("b", q.alias("q"))
+    s = (ranked.join(F.broadcast(bq), "b")
+         .select("t", (F.col("q")
+                       * (F.col("r") - (kk + 1) / 2.0)).alias("s")))
+    a_sum = s.agg(F.sum((F.col("s") * F.col("s")).cast(_DEC))
+                  .cast("double").alias("a"))
+    sj = (s.groupBy("t")
+          .agg(F.sum(F.col("s").cast(_DEC)).cast("double").alias("sj")))
+    nb = blocks.count()
+    b_sum = sj.agg((F.sum(F.round(F.col("sj") * F.col("sj"), 9)
+                          .cast(_DEC)).cast("double")
+                    / F.lit(float(nb))).alias("bb"))
+    out = a_sum.crossJoin(F.broadcast(b_sum))
+    f = F.when(F.col("a") > F.col("bb"),
+               (nb - 1) * F.col("bb") / (F.col("a") - F.col("bb")))
+    return out.select(
+        F.lit(nb).cast("long").alias("n_blocks"),
+        F.lit(kk).cast("int").alias("k_treatments"),
+        F.round(f, 6).alias("f_stat"))
+
+
+def quade_test_sql(table: str, block_sql: str, treat_sql: str,
+                   value_sql: str) -> str:
+    return f"""
+WITH cells AS (
+  SELECT {block_sql} AS b, {treat_sql} AS t,
+         round(CAST(sum(CAST(CAST({value_sql} AS DOUBLE)
+                             AS DECIMAL(38,12))) AS DOUBLE), 9) AS x
+  FROM {table}
+  WHERE {block_sql} IS NOT NULL AND {treat_sql} IS NOT NULL
+    AND CAST({value_sql} AS DOUBLE) IS NOT NULL
+  GROUP BY 1, 2
+),
+kk AS (SELECT count(DISTINCT t) AS k FROM cells),
+complete AS (
+  SELECT b, t, x FROM (
+    SELECT b, t, x, count(*) OVER (PARTITION BY b) AS n_
+    FROM cells
+  ), kk WHERE n_ = kk.k
+),
+ranked AS (
+  SELECT b, t,
+         row_number() OVER (PARTITION BY b ORDER BY x ASC, t ASC) AS r,
+         max(x) OVER (PARTITION BY b) - min(x) OVER (PARTITION BY b)
+           AS rng
+  FROM complete
+),
+bq AS (
+  SELECT b, row_number() OVER (ORDER BY rng ASC, b ASC) AS q
+  FROM (SELECT DISTINCT b, rng FROM ranked)
+),
+s AS (
+  SELECT ranked.t,
+         bq.q * (ranked.r - (kk.k + 1) / 2.0) AS s
+  FROM ranked JOIN bq USING (b), kk
+),
+nb AS (SELECT count(*) AS nb FROM bq),
+a_sum AS (
+  SELECT CAST(sum(CAST(s * s AS DECIMAL(38,12))) AS DOUBLE) AS a FROM s
+),
+sj AS (
+  SELECT t, CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE) AS sj
+  FROM s GROUP BY 1
+),
+b_sum AS (
+  SELECT CAST(sum(CAST(round(sj * sj, 9) AS DECIMAL(38,12))) AS DOUBLE)
+           / (SELECT CAST(nb AS DOUBLE) FROM nb) AS bb
+  FROM sj
+)
+SELECT CAST((SELECT nb FROM nb) AS BIGINT) AS n_blocks,
+       CAST((SELECT k FROM kk) AS INT) AS k_treatments,
+       round(CASE WHEN a > bb
+                  THEN ((SELECT nb FROM nb) - 1) * bb / (a - bb) END, 6)
+         AS f_stat
+FROM a_sum CROSS JOIN b_sum
+"""
+
+
+def conover_squared_ranks(df: DataFrame, group_col: str, group_a,
+                          group_b, value_col: str = "value"
+                          ) -> DataFrame:
+    """Conover squared-ranks test for EQUALITY OF VARIANCES between
+    two groups (Conover 1980 ch. 5): rank |x − x̄_group| across the
+    combined sample (average ranks on ties via the distinct-value
+    frame), T = Σ rank² in group a, normal z from the exact
+    moments of squared ranks — the rank-based alternative to
+    levene_bf that needs no F distribution and shrugs off heavy
+    tails. Group means from exact decimal sums; deviations
+    grid-round 9. Output: one row (n_a, n_b, t_stat, z), rounds 6."""
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    base = (df.filter(g.isin([group_a, group_b]) & v.isNotNull())
+            .select(F.when(g == group_a, 1).otherwise(0).alias("is_a"),
+                    v.alias("v")))
+    mus = (base.groupBy("is_a")
+           .agg((F.sum(F.col("v").cast(_DEC)).cast("double")
+                 / F.count("*")).alias("mu")))
+    dev = (base.join(F.broadcast(mus), "is_a")
+           .select("is_a",
+                   F.round(F.abs(F.col("v") - F.col("mu")), 9)
+                   .alias("d")))
+    per = dev.groupBy("d").agg(F.sum("is_a").alias("ca"),
+                               F.count("*").alias("ct"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    tot = Window.partitionBy()
+    avg_rank = (F.coalesce(F.sum("ct").over(w), F.lit(0))
+                + (F.col("ct") + 1) / 2.0)
+    r2 = avg_rank * avg_rank
+    terms = per.select(
+        F.sum("ca").over(tot).alias("na"),
+        (F.sum("ct").over(tot) - F.sum("ca").over(tot)).alias("nb"),
+        (F.col("ca") * r2).cast(_DEC).alias("_ta"),
+        (F.col("ct") * r2).cast(_DEC).alias("_s2"),
+        (F.col("ct") * r2 * r2).cast(_DEC).alias("_s4"))
+    agg = (terms.groupBy("na", "nb")
+           .agg(F.sum("_ta").cast("double").alias("t"),
+                F.sum("_s2").cast("double").alias("s2"),
+                F.sum("_s4").cast("double").alias("s4")))
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    nn = na + nb
+    rbar = F.col("s2") / nn
+    mu_t = na * rbar
+    var_t = (na * nb / (nn * (nn - 1))
+             * (F.col("s4") - nn * rbar * rbar))
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(F.col("t"), 6).alias("t_stat"),
+        F.round(F.when(var_t > 0,
+                       (F.col("t") - mu_t) / F.sqrt(var_t)), 6)
+        .alias("z"))
+
+
+def conover_squared_ranks_sql(table: str, group_sql: str, group_a: str,
+                              group_b: str,
+                              value_sql: str = "value") -> str:
+    return f"""
+WITH base AS (
+  SELECT CASE WHEN {group_sql} = '{group_a}' THEN 1 ELSE 0 END AS is_a,
+         CAST({value_sql} AS DOUBLE) AS v
+  FROM {table}
+  WHERE {group_sql} IN ('{group_a}', '{group_b}')
+    AND CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+mus AS (
+  SELECT is_a,
+         CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mu
+  FROM base GROUP BY 1
+),
+dev AS (
+  SELECT base.is_a, round(abs(base.v - mus.mu), 9) AS d
+  FROM base JOIN mus ON mus.is_a = base.is_a
+),
+per AS (
+  SELECT d, sum(is_a) AS ca, count(*) AS ct FROM dev GROUP BY 1
+),
+rk AS (
+  SELECT ca, ct,
+         coalesce(sum(ct) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (ct + 1) / 2.0 AS ar
+  FROM per
+),
+terms AS (
+  SELECT sum(ca) OVER () AS na,
+         sum(ct) OVER () - sum(ca) OVER () AS nb,
+         CAST(ca * ar * ar AS DECIMAL(38,12)) AS ta_,
+         CAST(ct * ar * ar AS DECIMAL(38,12)) AS s2_,
+         CAST(ct * ar * ar * ar * ar AS DECIMAL(38,12)) AS s4_
+  FROM rk
+),
+agg AS (
+  SELECT na, nb, CAST(sum(ta_) AS DOUBLE) AS t,
+         CAST(sum(s2_) AS DOUBLE) AS s2,
+         CAST(sum(s4_) AS DOUBLE) AS s4
+  FROM terms GROUP BY 1, 2
+),
+d2 AS (
+  SELECT na, nb, t, s2, s4,
+         CAST(na AS DOUBLE) + nb AS nn,
+         s2 / (CAST(na AS DOUBLE) + nb) AS rbar
+  FROM agg
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(t, 6) AS t_stat,
+       round(CASE WHEN (CAST(na AS DOUBLE) * nb / (nn * (nn - 1)))
+                       * (s4 - nn * rbar * rbar) > 0
+                  THEN (t - CAST(na AS DOUBLE) * rbar)
+                       / sqrt((CAST(na AS DOUBLE) * nb / (nn * (nn - 1)))
+                              * (s4 - nn * rbar * rbar)) END, 6) AS z
+FROM d2
+"""
+
+
+def dixon_q(df: DataFrame, value_col: str = "o_totalprice"
+            ) -> DataFrame:
+    """Dixon's Q ratio for BOTH candidate outliers (Dixon 1950,
+    r10 form): Q_high = (x_(n) − x_(n−1))/range,
+    Q_low = (x_(2) − x_(1))/range — the gap-based single-outlier
+    screen that, unlike grubbs_outlier, needs no normality (only
+    the order statistics) and so survives the heavy-tailed money
+    columns Grubbs over-flags. Four order statistics from two
+    1-row window passes over the distinct-value frame. Output: one
+    row (n, low1, low2, high2, high1, q_low, q_high), rounds 6,
+    NULL Q on zero range or n < 3."""
+    v = F.col(value_col).cast("double")
+    per = (df.filter(v.isNotNull())
+           .select(v.alias("v"))
+           .groupBy("v").agg(F.count("*").alias("c")))
+    w_asc = Window.partitionBy().orderBy(F.asc("v"))
+    w_desc = Window.partitionBy().orderBy(F.desc("v"))
+    ranked = per.select(
+        "v", "c",
+        F.row_number().over(w_asc).alias("ra"),
+        F.row_number().over(w_desc).alias("rd"))
+    n = df.filter(v.isNotNull()).count()
+    agg = ranked.agg(
+        F.max(F.when(F.col("ra") == 1, F.col("v"))).alias("low1"),
+        # with duplicates the second-smallest VALUE is the low1 value
+        # itself when its count > 1 (the gap is 0) — spell that
+        F.max(F.when((F.col("ra") == 1) & (F.col("c") > 1),
+                     F.col("v"))).alias("low_dup"),
+        F.max(F.when(F.col("ra") == 2, F.col("v"))).alias("low2_d"),
+        F.max(F.when(F.col("rd") == 1, F.col("v"))).alias("high1"),
+        F.max(F.when((F.col("rd") == 1) & (F.col("c") > 1),
+                     F.col("v"))).alias("high_dup"),
+        F.max(F.when(F.col("rd") == 2, F.col("v"))).alias("high2_d"))
+    low2 = F.coalesce(F.col("low_dup"), F.col("low2_d"), F.col("low1"))
+    high2 = F.coalesce(F.col("high_dup"), F.col("high2_d"),
+                       F.col("high1"))
+    rng = F.col("high1") - F.col("low1")
+    return agg.select(
+        F.lit(n).cast("long").alias("n"),
+        F.round(F.col("low1"), 6).alias("low1"),
+        F.round(low2, 6).alias("low2"),
+        F.round(high2, 6).alias("high2"),
+        F.round(F.col("high1"), 6).alias("high1"),
+        F.round(F.when((rng > 0) & (F.lit(n) >= 3),
+                       (low2 - F.col("low1")) / rng), 6).alias("q_low"),
+        F.round(F.when((rng > 0) & (F.lit(n) >= 3),
+                       (F.col("high1") - high2) / rng), 6)
+        .alias("q_high"))
+
+
+def dixon_q_sql(table: str = "orders",
+                value_sql: str = "o_totalprice") -> str:
+    return f"""
+WITH per AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS v, count(*) AS c
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+  GROUP BY 1
+),
+n_tot AS (SELECT sum(c) AS n FROM per),
+ranked AS (
+  SELECT v, c,
+         row_number() OVER (ORDER BY v ASC) AS ra,
+         row_number() OVER (ORDER BY v DESC) AS rd
+  FROM per
+),
+agg AS (
+  SELECT max(CASE WHEN ra = 1 THEN v END) AS low1,
+         max(CASE WHEN ra = 1 AND c > 1 THEN v END) AS low_dup,
+         max(CASE WHEN ra = 2 THEN v END) AS low2_d,
+         max(CASE WHEN rd = 1 THEN v END) AS high1,
+         max(CASE WHEN rd = 1 AND c > 1 THEN v END) AS high_dup,
+         max(CASE WHEN rd = 2 THEN v END) AS high2_d
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(low1, 6) AS low1,
+       round(coalesce(low_dup, low2_d, low1), 6) AS low2,
+       round(coalesce(high_dup, high2_d, high1), 6) AS high2,
+       round(high1, 6) AS high1,
+       round(CASE WHEN high1 - low1 > 0 AND n >= 3
+                  THEN (coalesce(low_dup, low2_d, low1) - low1)
+                       / (high1 - low1) END, 6) AS q_low,
+       round(CASE WHEN high1 - low1 > 0 AND n >= 3
+                  THEN (high1 - coalesce(high_dup, high2_d, high1))
+                       / (high1 - low1) END, 6) AS q_high
+FROM agg CROSS JOIN n_tot
+"""

@@ -1,0 +1,165 @@
+"""Adversarial oracle validation for the round-11 seed stratum
+(jonckheere_terpstra / quade_test / conover_squared_ranks / dixon_q):
+perfectly ordered and reversed trends, a hand-built weighted-block
+design, equal-vs-spread variances, and planted gap outliers — closed
+forms plus DuckDB twins."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+
+def _cmp(spark_rows, duck_rows, cols):
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 9)
+        return str(v) if not isinstance(v, (int, float, bool, type(None))) \
+            else v
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    a = sorted(tuple(norm(r[i]) for i in order) for r in spark_rows)
+    b = sorted(tuple(norm(r[i]) for i in order) for r in duck_rows)
+    assert a == b, f"\nspark={a[:8]}\nduck ={b[:8]}"
+
+
+def _duck(frames: dict[str, pd.DataFrame], sql: str):
+    con = duckdb.connect()
+    for name, pdf in frames.items():
+        con.register(f"_src_{name}", pdf)
+        con.execute(f"CREATE TABLE {name} AS SELECT * FROM _src_{name}")
+    rel = con.sql(sql)
+    return rel.fetchall(), [d[0] for d in rel.description]
+
+
+def test_jonckheere_perfect_trend_and_reverse(spark):
+    """Groups g0 < g1 < g2 with strictly increasing disjoint values →
+    J = Σ n_i·n_j = 12 (maximal), z > 0; reversing the order makes
+    J = 0 and z < 0; twins agree."""
+    from distill_spark.operators.stats import (jonckheere_terpstra,
+                                               jonckheere_terpstra_sql)
+
+    rows = [("g0", 1.0), ("g0", 2.0), ("g1", 3.0), ("g1", 4.0),
+            ("g2", 5.0), ("g2", 6.0)]
+    pdf = pd.DataFrame(rows, columns=["o_orderpriority", "o_totalprice"])
+    order = ["g0", "g1", "g2"]
+    got = jonckheere_terpstra(spark.createDataFrame(pdf),
+                              "o_orderpriority", order, "o_totalprice")
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"orders": pdf}, jonckheere_terpstra_sql(
+        "orders", "o_orderpriority", order, "o_totalprice"))
+    _cmp(srows, drows, got.columns)
+    n, j, mu, z = srows[0]
+    assert (n, j) == (6, 12.0) and z > 0
+    # μ = (36 − 12)/4 = 6
+    assert mu == 6.0
+
+    rev = jonckheere_terpstra(spark.createDataFrame(pdf),
+                              "o_orderpriority", order[::-1],
+                              "o_totalprice").collect()[0]
+    assert rev["j_stat"] == 0.0 and rev["z"] < 0
+
+
+def test_jonckheere_ties_count_half(spark):
+    """All values identical → every cross-group pair ties at ½:
+    J = μ exactly → z = 0 (or NULL variance guard not hit here)."""
+    from distill_spark.operators.stats import jonckheere_terpstra
+
+    rows = [(g, 5.0) for g in ("a", "a", "b", "b", "c", "c")]
+    pdf = pd.DataFrame(rows, columns=["o_orderpriority", "o_totalprice"])
+    row = jonckheere_terpstra(spark.createDataFrame(pdf),
+                              "o_orderpriority", ["a", "b", "c"],
+                              "o_totalprice").collect()[0]
+    assert row["j_stat"] == row["mu"] and row["z"] == 0.0
+
+
+def test_quade_identical_ordering_and_incomplete_block(spark):
+    """Blocks that all order treatments identically → a large F
+    (perfect concordance); a block missing one treatment is dropped
+    (k stays 3, blocks shrink by one); twins agree."""
+    from distill_spark.operators.stats import quade_test, quade_test_sql
+
+    rows = []
+    for b, scale in ((1, 1.0), (2, 2.0), (3, 4.0)):
+        for t, v in (("t1", 1.0), ("t2", 2.0), ("t3", 3.0)):
+            rows.append((b, t, v * scale))
+    pdf = pd.DataFrame(rows, columns=["dow", "event_type", "value"])
+    got = quade_test(spark.createDataFrame(pdf), "dow", "event_type",
+                     "value")
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": pdf}, quade_test_sql(
+        "events", "dow", "event_type", "value"))
+    _cmp(srows, drows, got.columns)
+    nb, k, f = srows[0]
+    assert (nb, k) == (3, 3)
+    # perfect concordance, hand-derived: per block S = Q_b·(−1,0,1),
+    # A = 2·ΣQ² = 28, B = 2·(ΣQ)²/n = 24 → F = (n−1)·B/(A−B) = 12
+    assert f == 12.0
+
+    # break the concordance slightly: block 3 inverts one pair
+    rows2 = [r for r in rows if not (r[0] == 3 and r[1] in ("t1", "t2"))]
+    rows2 += [(3, "t1", 8.0), (3, "t2", 4.0)]
+    row = quade_test(spark.createDataFrame(
+        pd.DataFrame(rows2, columns=["dow", "event_type", "value"])),
+        "dow", "event_type", "value").collect()[0]
+    assert row["f_stat"] is not None and row["f_stat"] > 0
+
+    # incomplete block drops
+    rows3 = rows + [(4, "t1", 9.0)]
+    row = quade_test(spark.createDataFrame(
+        pd.DataFrame(rows3, columns=["dow", "event_type", "value"])),
+        "dow", "event_type", "value").collect()[0]
+    assert row["n_blocks"] == 3
+
+
+def test_conover_equal_vs_spread(spark):
+    """Same-variance groups → z near 0; one group much more spread →
+    its squared-rank sum runs high (z large positive for group a);
+    twins agree."""
+    from distill_spark.operators.stats import (conover_squared_ranks,
+                                               conover_squared_ranks_sql)
+
+    rows = ([("a", v) for v in (1.0, 2.0, 9.0, 10.0)]
+            + [("b", v) for v in (5.0, 5.5, 6.0, 6.5)])
+    pdf = pd.DataFrame(rows, columns=["event_type", "value"])
+    got = conover_squared_ranks(spark.createDataFrame(pdf),
+                                "event_type", "a", "b")
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"events": pdf}, conover_squared_ranks_sql(
+        "events", "event_type", "a", "b"))
+    _cmp(srows, drows, got.columns)
+    n_a, n_b, t, z = srows[0]
+    assert (n_a, n_b) == (4, 4) and z > 1.5
+
+    same = pd.DataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 11.0), ("b", 13.0)],
+        columns=["event_type", "value"])
+    row = conover_squared_ranks(spark.createDataFrame(same),
+                                "event_type", "a", "b").collect()[0]
+    # identical |deviation| multisets → all ranks tie → variance 0
+    assert row["z"] is None or abs(row["z"]) < 1e-9
+
+
+def test_dixon_q_planted_gaps(spark):
+    """{1, 10, 11, 12, 13, 30}: q_low = 9/29, q_high = 17/29;
+    duplicated extremes zero their gap; twins agree."""
+    from distill_spark.operators.stats import dixon_q, dixon_q_sql
+
+    pdf = pd.DataFrame(
+        [(i, v) for i, v in enumerate([1.0, 10.0, 11.0, 12.0, 13.0,
+                                       30.0])],
+        columns=["o_orderkey", "o_totalprice"])
+    got = dixon_q(spark.createDataFrame(pdf))
+    srows = [tuple(r) for r in got.collect()]
+    drows, _ = _duck({"orders": pdf}, dixon_q_sql())
+    _cmp(srows, drows, got.columns)
+    n, low1, low2, high2, high1, ql, qh = srows[0]
+    assert (n, low1, high1) == (6, 1.0, 30.0)
+    assert ql == round(9 / 29, 6) and qh == round(17 / 29, 6)
+
+    dup = pd.DataFrame(
+        [(i, v) for i, v in enumerate([1.0, 1.0, 5.0, 9.0, 9.0])],
+        columns=["o_orderkey", "o_totalprice"])
+    row = dixon_q(spark.createDataFrame(dup)).collect()[0]
+    assert row["q_low"] == 0.0 and row["q_high"] == 0.0
