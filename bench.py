@@ -243,37 +243,68 @@ def _loadavg() -> list[float]:
             if hasattr(os, "getloadavg") else [0.0, 0.0, 0.0]
 
 
+def _speed_probe() -> float:
+    """Milliseconds for a fixed single-thread numpy workload — the
+    host-speed canary. The round-10 lesson: a window where SUB-SECOND
+    queries inflated 50-80% (scheduler/dispatch latency) showed
+    loadavg ≈ 0 AND steal ≈ 0 — neither sees hypervisor-level jitter.
+    A calibrated constant workload does: if the probe itself slows,
+    every wall-clock in that section is suspect."""
+    import numpy as np
+
+    a = np.ones((256, 256)) * 1.0001
+    t0 = time.perf_counter()
+    for _ in range(12):
+        a = np.clip(a @ a * 1e-3, 0.5, 2.0)
+    x = 0
+    for i in range(200_000):   # pure-Python leg: dispatch-latency proxy
+        x += i & 7
+    return round((time.perf_counter() - t0) * 1000.0, 2)
+
+
 class _NoiseLog:
-    """Per-section load bookkeeping + the host_noise verdict. The
-    pre-Spark reading is the cleanest signal (nothing of ours runs
-    yet); section boundaries bound which numbers a spike can have
-    touched. Sections where OUR OWN concurrency legitimately drives
-    load are judged only on their STARTING load."""
+    """Per-section load + host-speed bookkeeping and the host_noise
+    verdict. The pre-Spark readings are the cleanest signal (nothing
+    of ours runs yet); section boundaries bound which numbers a spike
+    can have touched. Sections where OUR OWN concurrency legitimately
+    drives load are judged only on their STARTING load; the speed
+    probe is judged at both edges against the pre-bench calibration."""
 
     def __init__(self, cpus: int):
         self.cpus = cpus
         self.sections: dict[str, dict] = {}
         self.pre_bench = _loadavg()
+        self.pre_probe_ms = _speed_probe()
 
     def start(self, name: str) -> None:
-        self.sections[name] = {"load_before": _loadavg()[0]}
+        self.sections[name] = {"load_before": _loadavg()[0],
+                               "probe_ms_before": _speed_probe()}
 
     def end(self, name: str) -> None:
-        self.sections.setdefault(name, {})["load_after"] = _loadavg()[0]
+        s = self.sections.setdefault(name, {})
+        s["load_after"] = _loadavg()[0]
+        s["probe_ms_after"] = _speed_probe()
 
     def report(self) -> dict:
         # noise heuristics: (a) load before Spark exists should be ~0
         # on a dedicated box; (b) a section should never START hotter
-        # than the previous sections' own work can explain — the
-        # 1-min EMA of a fully-loaded local[32] settles well under
-        # cpus once a section's tail is sequential/driver-bound.
+        # than the previous sections' own work can explain; (c) the
+        # fixed-work probe should never run >1.5x slower than its
+        # pre-bench calibration at a section EDGE (edges are idle-ish:
+        # the previous section's executors have drained).
         noisy = []
         if self.pre_bench[0] > 4.0:
             noisy.append(f"pre_bench load1={self.pre_bench[0]}")
         for name, s in self.sections.items():
             if s.get("load_before", 0.0) > self.cpus + 8:
                 noisy.append(f"{name} start load1={s['load_before']}")
+            for edge in ("probe_ms_before", "probe_ms_after"):
+                if s.get(edge, 0.0) > 1.5 * self.pre_probe_ms:
+                    noisy.append(
+                        f"{name} {edge}={s[edge]} vs "
+                        f"calibration {self.pre_probe_ms}")
         return {"pre_bench_load": self.pre_bench,
+                "pre_bench_probe_ms": self.pre_probe_ms,
                 "sections": self.sections,
                 "host_noise": noisy}
 
