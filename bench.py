@@ -24,6 +24,48 @@ from pyspark.sql import functions as F  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 from distill_spark.runtime import get_spark, load_tables  # noqa: E402
 
+def compact_line(detail: dict) -> str:
+    """The single stdout JSON line, built from the full detail dict.
+
+    Must stay under the driver's ~2000-char stdout tail: BENCH_r08-r10
+    all shipped "parsed": null because the line carried every section
+    inline (~6 KB) and only a truncated suffix survived. Per-query
+    timings and the spec-required fields stay inline; everything else
+    collapses to section summaries pointing at BENCH_DETAIL.json.
+    """
+    conc = detail.get("concurrent")
+    sf1 = detail.get("sf1")
+    noise_rep = detail.get("noise") or {}
+    ann = detail.get("ann_scale") or {}
+    compact = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": detail["unit"],
+        "queries": detail["queries"],
+        "sf": detail["sf"],
+        "mode": detail["mode"],
+        "runs": detail["runs"],
+        "sequential_total": detail["sequential"]["total"],
+        "training_total": detail["training"]["total"],
+        "ann_cold_secs": ann.get("cold_secs"),
+        "ann_warm_secs": ann.get("warm_secs"),
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    if conc:
+        compact["concurrent"] = {
+            k: conc[k] for k in ("min", "mean", "baseline", "flagged")
+            if k in conc}
+    if isinstance(sf1, dict):
+        compact["sf1"] = {"total": sf1.get("total"),
+                          "flagged": sf1.get("flagged")}
+    compact["host_noise"] = noise_rep.get("host_noise", [])
+    line = json.dumps(compact)
+    if len(line) > 1900:  # keep inside the driver's 2000-char tail
+        compact.pop("host_noise", None)
+        line = json.dumps(compact)
+    return line
+
+
 # Longest-processing-time-first: in concurrent mode the batch's wall
 # clock is governed by whichever heavy query starts last, so the known
 # heavyweights (kmeans, BFS, clustering, the flagship) lead.
@@ -541,7 +583,12 @@ def main():
         if os.environ.get("SPARK_GRAFT_BENCH_WRITE_CONC_BASELINE") == "1":
             with open(base_path, "w") as fh:
                 json.dump({"concurrent_min": min(conc_totals)}, fh)
-    print(json.dumps({
+    # The driver records only the LAST ~2000 chars of stdout and tries
+    # to json-parse them: BENCH_r08-r10 all shipped "parsed": null
+    # because this line carried every section inline (~6 KB). Full
+    # detail now goes to a committed sidecar file; the printed line
+    # stays compact (<2000 chars) so the driver's parse succeeds.
+    detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
@@ -573,7 +620,11 @@ def main():
         "notes": "training runs before headline batches (since r5); "
                  "r01-r03 ran training last — cross-round deltas in "
                  "both sections partly reflect that reorder",
-    }), flush=True)
+    }
+    root = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(root, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(compact_line(detail), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,95 @@
+"""The bench's single stdout line must survive the driver's tail.
+
+The driver keeps only the LAST ~2000 chars of bench.py stdout and
+json-parses them; BENCH_r08.json through BENCH_r10.json all shipped
+"parsed": null because the line inlined every section (~6 KB) and the
+surviving suffix was mid-object. bench.compact_line() is the fix:
+these tests pin the contract so the regression cannot re-ship.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _realistic_detail():
+    """Shape-faithful replica of a round-10 detail dict: 15 headline
+    queries, 19 training ops, 3 concurrent reps, sf1, noise flags."""
+    queries = {name: 9.999 for name in bench.HEADLINE}
+    queries["flagship_dedupe"] = 12.345
+    training = {f"train_operator_name_{i:02d}": 4.321 for i in range(19)}
+    noise_sections = {
+        s: {"load_before": 13.59, "probe_ms_before": 71.79,
+            "load_after": 13.59, "probe_ms_after": 49.82}
+        for s in ("training", "ann_scale", "sequential", "concurrent", "sf1")
+    }
+    return {
+        "metric": "headline_queries_total_wall",
+        "value": 6.444,
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "mode": "concurrent",
+        "runs": [6.444, 7.123, 7.456],
+        "concurrent": {"min": 6.444, "mean": 7.008,
+                       "totals": [6.444, 7.123, 7.456],
+                       "baseline": 6.444, "flagged": False,
+                       "flag_rule": "min > 1.3x committed baseline"},
+        "sequential": {"total": 24.853, "queries": dict(queries)},
+        "training": {"total": 43.305, "queries": training},
+        "ann_scale": {"n_vectors": 1_000_000, "dim": 64, "n_queries": 8,
+                      "k": 10, "rows": 80, "secs": 1.178,
+                      "basis": "warm (1 untimed pass)",
+                      "cold_secs": 1.974, "warm_secs": 1.178,
+                      "scored_pairs_per_sec": 6_791_171},
+        "sf1": {"total": 31.672,
+                "queries": {f"sf1_query_{i}": 8.959 for i in range(7)},
+                "reps": 3, "flag_rule": "min > 1.3x committed baseline",
+                "note": "x10 docs/embeddings/lineitem", "flagged": []},
+        "noise": {"pre_bench_load": [3.99, 2.79, 2.52],
+                  "pre_bench_probe_ms": 13.39,
+                  "sections": noise_sections,
+                  "host_noise": [
+                      "training probe_ms_before=21.64 vs calibration 13.39",
+                      "training probe_ms_after=49.82 vs calibration 13.39",
+                      "sf1 probe_ms_before=71.79 vs calibration 13.39"]},
+        "notes": "training runs before headline batches (since r5); "
+                 "r01-r03 ran training last — cross-round deltas in "
+                 "both sections partly reflect that reorder",
+    }
+
+
+def test_compact_line_fits_driver_tail():
+    detail = _realistic_detail()
+    assert len(json.dumps(detail)) > 2000, "fixture must replicate the hazard"
+    line = bench.compact_line(detail)
+    assert len(line) < 1950, f"compact line {len(line)} chars blows the tail"
+    assert "\n" not in line
+
+
+def test_compact_line_round_trips_with_spec_fields():
+    parsed = json.loads(bench.compact_line(_realistic_detail()))
+    # the driver-spec contract: metric/value/unit/queries/sf
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in parsed, f"spec field {key} missing"
+    assert parsed["value"] == 6.444
+    assert len(parsed["queries"]) == len(bench.HEADLINE) + 1
+    # the section summaries the verdict reads round-over-round
+    assert parsed["concurrent"]["min"] == 6.444
+    assert parsed["concurrent"]["flagged"] is False
+    assert parsed["sf1"] == {"total": 31.672, "flagged": []}
+    assert parsed["ann_cold_secs"] == 1.974
+    assert parsed["detail_file"] == "BENCH_DETAIL.json"
+
+
+def test_compact_line_drops_noise_before_blowing_budget():
+    detail = _realistic_detail()
+    detail["noise"]["host_noise"] = [
+        f"section_{i} probe_ms_before=99.99 vs calibration 13.39 in a "
+        "sustained external-load window on the shared host" for i in range(40)]
+    line = bench.compact_line(detail)
+    assert len(line) < 1950
+    parsed = json.loads(line)
+    assert "queries" in parsed  # spec fields survive the shed
