@@ -10851,6 +10851,92 @@ def _sql_dixon():
 
 
 # ---------------------------------------------------------------------------
+# Round-11 first stratum: the dispersion-test family — Ansari–Bradley
+# and Brunner–Munzel (rank-based), Bartlett and the F ratio
+# (normal-theory), Welch's ANOVA (the mean test calibrated for
+# unequal variances). Together with levene_value / conover_scale they
+# bracket every standard answer to "do these groups spread alike?".
+
+def q_ansari_bradley(spark, sf_dir):
+    """Ansari–Bradley dispersion test of click vs view event values
+    (stats.ansari_bradley) — extreme-position scores with tie-block
+    averaging; the rank test whose null needs equal medians."""
+    from distill_spark.operators.stats import ansari_bradley
+
+    return ansari_bradley(_tables(spark, sf_dir)["events"],
+                          "event_type", "click", "view")
+
+
+def _sql_ansari():
+    from distill_spark.operators.stats import ansari_bradley_sql
+
+    return ansari_bradley_sql("events", "event_type", "click", "view")
+
+
+def q_brunner_munzel(spark, sf_dir):
+    """Brunner–Munzel test of P(click value < purchase value)
+    (stats.brunner_munzel) — the heteroscedasticity-proof
+    Mann–Whitney with Welch–Satterthwaite df."""
+    from distill_spark.operators.stats import brunner_munzel
+
+    return brunner_munzel(_tables(spark, sf_dir)["events"],
+                          "event_type", "click", "purchase")
+
+
+def _sql_brunner():
+    from distill_spark.operators.stats import brunner_munzel_sql
+
+    return brunner_munzel_sql("events", "event_type", "click",
+                              "purchase")
+
+
+def q_bartlett_variance(spark, sf_dir):
+    """Bartlett homogeneity-of-variance χ² across event types
+    (stats.bartlett_variance) — the normal-theory anchor whose gap
+    to levene_value/conover_scale prices the normality assumption."""
+    from distill_spark.operators.stats import bartlett_variance
+
+    return bartlett_variance(_tables(spark, sf_dir)["events"])
+
+
+def _sql_bartlett():
+    from distill_spark.operators.stats import bartlett_variance_sql
+
+    return bartlett_variance_sql()
+
+
+def q_variance_ratio(spark, sf_dir):
+    """Two-sample F ratio of click vs view value variances
+    (stats.variance_ratio) — the textbook parametric variance test
+    plus its log scale."""
+    from distill_spark.operators.stats import variance_ratio
+
+    return variance_ratio(_tables(spark, sf_dir)["events"],
+                          "event_type", "click", "view")
+
+
+def _sql_variance_ratio():
+    from distill_spark.operators.stats import variance_ratio_sql
+
+    return variance_ratio_sql("events", "event_type", "click", "view")
+
+
+def q_welch_anova(spark, sf_dir):
+    """Welch's heteroscedastic one-way ANOVA of value by event type
+    (stats.welch_anova) — the k-group mean test that stays honest
+    when bartlett_variance rejects."""
+    from distill_spark.operators.stats import welch_anova
+
+    return welch_anova(_tables(spark, sf_dir)["events"])
+
+
+def _sql_welch_anova():
+    from distill_spark.operators.stats import welch_anova_sql
+
+    return welch_anova_sql()
+
+
+# ---------------------------------------------------------------------------
 # Round-10 ninth stratum: paired daily tests (Wilcoxon signed-rank,
 # sign test), Haar multiresolution energy, decision-stump split gain.
 
@@ -10916,6 +11002,13 @@ def _sql_gini_split():
 
 
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    # ======================== ROUND-11 WINDOW ============================
+    # -- round-11 first stratum: the dispersion-test family ------------------
+    "ansari_bradley": (q_ansari_bradley, _sql_ansari()),
+    "brunner_munzel": (q_brunner_munzel, _sql_brunner()),
+    "bartlett_variance": (q_bartlett_variance, _sql_bartlett()),
+    "variance_ratio": (q_variance_ratio, _sql_variance_ratio()),
+    "welch_anova": (q_welch_anova, _sql_welch_anova()),
     # -- round-10 ninth stratum: paired tests / wavelets / stump gain ---------
     "wilcoxon_clicks_views": (q_wilcoxon_clicks_views, _sql_wilcoxon()),
     "sign_test_daily": (q_sign_test_daily, _sql_sign_test()),

@@ -4583,3 +4583,525 @@ SELECT CAST(n AS BIGINT) AS n,
                        / (high1 - low1) END, 6) AS q_high
 FROM agg CROSS JOIN n_tot
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-11 first stratum: scale/dispersion and heteroscedastic-mean
+# tests — Ansari–Bradley, Brunner–Munzel, Bartlett, the classic F
+# ratio, and Welch's ANOVA. Same contract as the round-9/10 battery:
+# grouped distinct-value frames (never per-pair rescans), exact
+# decimal sums, one-row outputs rounded to 6.
+
+
+def ansari_bradley(df: DataFrame, group_col: str, group_a, group_b,
+                   value_col: str = "value") -> DataFrame:
+    """Ansari–Bradley two-sample dispersion test (Ansari & Bradley
+    1960): score each combined-sample position p with
+    min(p, N+1−p) — small scores at both extremes, large in the
+    middle — and sum group a's scores. A small T means group a owns
+    the tails (larger dispersion). Ties take the AVERAGE score over
+    the tied position block (the score analog of midranks), computed
+    closed-form from the position-prefix score sum
+    S(x) = x(x+1)/2 for 2x ≤ N+1 else S(N) − (N−x)(N−x+1)/2.
+    Conditional moments given the realized (tied) scores:
+    μ_T = n_a·s̄, var_T = n_a·n_b·(N·Σs² − (Σs)²)/(N²(N−1)) with
+    Σs/Σs² over observations carrying their block-average score.
+    Scale shape: one (value → counts) aggregate; the score algebra
+    runs on the |distinct values| frame. Output: one row
+    (n_a, n_b, t_stat, z), rounds 6."""
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    base = (df.filter(g.isin([group_a, group_b]) & v.isNotNull())
+            .select(F.when(g == group_a, 1).otherwise(0).alias("is_a"),
+                    v.alias("v")))
+    per = base.groupBy("v").agg(F.sum("is_a").alias("ca"),
+                                F.count("*").alias("ct"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    tot = Window.partitionBy()
+    nn = F.sum("ct").over(tot)
+    lo = F.coalesce(F.sum("ct").over(w), F.lit(0))
+    hi = lo + F.col("ct")
+    n_d = nn.cast("double")
+
+    def s_prefix(x):
+        xd = x.cast("double")
+        total = F.when(nn % 2 == 0, n_d * (n_d + 2) / 4.0) \
+            .otherwise((n_d + 1) * (n_d + 1) / 4.0)
+        return F.when(2 * xd <= n_d + 1, xd * (xd + 1) / 2.0) \
+            .otherwise(total - (n_d - xd) * (n_d - xd + 1) / 2.0)
+
+    sbar = (s_prefix(hi) - s_prefix(lo)) / F.col("ct")
+    terms = per.select(
+        F.sum("ca").over(tot).alias("na"), nn.alias("nn"),
+        (F.col("ca") * sbar).cast(_DEC).alias("_t"),
+        (F.col("ct") * sbar).cast(_DEC).alias("_s1"),
+        (F.col("ct") * sbar * sbar).cast(_DEC).alias("_s2"))
+    agg = (terms.groupBy("na", "nn")
+           .agg(F.sum("_t").cast("double").alias("t"),
+                F.sum("_s1").cast("double").alias("s1"),
+                F.sum("_s2").cast("double").alias("s2")))
+    na = F.col("na").cast("double")
+    nb = F.col("nn").cast("double") - na
+    nd = F.col("nn").cast("double")
+    mu = na * F.col("s1") / nd
+    var = (na * nb * (nd * F.col("s2") - F.col("s1") * F.col("s1"))
+           / (nd * nd * (nd - 1)))
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        (F.col("nn") - F.col("na")).cast("long").alias("n_b"),
+        F.round(F.col("t"), 6).alias("t_stat"),
+        F.round(F.when(var > 0, (F.col("t") - mu) / F.sqrt(var)), 6)
+        .alias("z"))
+
+
+def ansari_bradley_sql(table: str, group_sql: str, group_a: str,
+                       group_b: str, value_sql: str = "value") -> str:
+    return f"""
+WITH base AS (
+  SELECT CASE WHEN {group_sql} = '{group_a}' THEN 1 ELSE 0 END AS is_a,
+         CAST({value_sql} AS DOUBLE) AS v
+  FROM {table}
+  WHERE {group_sql} IN ('{group_a}', '{group_b}')
+    AND CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+per AS (
+  SELECT v, sum(is_a) AS ca, count(*) AS ct FROM base GROUP BY 1
+),
+pos AS (
+  SELECT ca, ct,
+         sum(ct) OVER () AS nn,
+         coalesce(sum(ct) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+  FROM per
+),
+sc AS (
+  SELECT ca, ct, nn,
+         ((CASE WHEN 2 * (lo + ct) <= CAST(nn AS DOUBLE) + 1
+                THEN (lo + ct) * (lo + ct + 1) / 2.0
+                ELSE (CASE WHEN nn % 2 = 0
+                           THEN CAST(nn AS DOUBLE) * (nn + 2) / 4.0
+                           ELSE (CAST(nn AS DOUBLE) + 1) * (nn + 1) / 4.0
+                      END)
+                     - (nn - lo - ct) * (nn - lo - ct + 1) / 2.0 END)
+          - (CASE WHEN 2 * lo <= CAST(nn AS DOUBLE) + 1
+                  THEN lo * (lo + 1) / 2.0
+                  ELSE (CASE WHEN nn % 2 = 0
+                             THEN CAST(nn AS DOUBLE) * (nn + 2) / 4.0
+                             ELSE (CAST(nn AS DOUBLE) + 1) * (nn + 1) / 4.0
+                        END)
+                       - (nn - lo) * (nn - lo + 1) / 2.0 END)) / ct
+           AS sbar
+  FROM pos
+),
+agg AS (
+  SELECT sum(ca) AS na, max(nn) AS nn,
+         CAST(sum(CAST(ca * sbar AS DECIMAL(38,12))) AS DOUBLE) AS t,
+         CAST(sum(CAST(ct * sbar AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(ct * sbar * sbar AS DECIMAL(38,12))) AS DOUBLE)
+           AS s2
+  FROM sc
+)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nn - na AS BIGINT) AS n_b,
+       round(t, 6) AS t_stat,
+       round(CASE WHEN CAST(na AS DOUBLE) * (nn - na)
+                       * (CAST(nn AS DOUBLE) * s2 - s1 * s1)
+                       / (CAST(nn AS DOUBLE) * nn * (nn - 1)) > 0
+                  THEN (t - CAST(na AS DOUBLE) * s1 / nn)
+                       / sqrt(CAST(na AS DOUBLE) * (nn - na)
+                              * (CAST(nn AS DOUBLE) * s2 - s1 * s1)
+                              / (CAST(nn AS DOUBLE) * nn * (nn - 1)))
+             END, 6) AS z
+FROM agg
+"""
+
+
+def brunner_munzel(df: DataFrame, group_col: str, group_a, group_b,
+                   value_col: str = "value") -> DataFrame:
+    """Brunner–Munzel nonparametric Behrens–Fisher test (Brunner &
+    Munzel 2000): estimates p = P(X_a < X_b) + ½P(X_a = X_b) from
+    combined midranks and tests p = ½ WITHOUT assuming equal
+    variances or shapes — the modern replacement for Mann–Whitney
+    when dispersions differ. Rank variances
+    S_i² = Σ(R − R_int − R̄_i + (n_i+1)/2)²/(n_i−1) use per-group
+    INTERNAL midranks; t = n_a·n_b·(R̄_b − R̄_a)/(N·√(n_a·S_a² +
+    n_b·S_b²)) with Welch–Satterthwaite df. Everything reduces over
+    the (value → group counts) frame: combined and internal midranks
+    are both prefix-count algebra, so tied blocks collapse to one
+    row each — STAGED selects keep every window single-level.
+    Output: one row (n_a, n_b, p_hat, t_stat, df), rounds 6."""
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    base = (df.filter(g.isin([group_a, group_b]) & v.isNotNull())
+            .select(F.when(g == group_a, 1).otherwise(0).alias("is_a"),
+                    v.alias("v")))
+    per = base.groupBy("v").agg(F.sum("is_a").alias("ca"),
+                                F.count("*").alias("ct"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    tot = Window.partitionBy()
+    ca, ct = F.col("ca"), F.col("ct")
+    cb = ct - ca
+    ranked = per.select(
+        "ca", "ct", cb.alias("cb"),
+        (F.coalesce(F.sum("ct").over(w), F.lit(0))
+         + (ct + 1) / 2.0).alias("r"),
+        (F.coalesce(F.sum("ca").over(w), F.lit(0))
+         + (ca + 1) / 2.0).alias("ra"),
+        (F.coalesce(F.sum(cb).over(w), F.lit(0))
+         + (cb + 1) / 2.0).alias("rb"))
+    scal = ranked.select(
+        "ca", "ct", "cb", "r", "ra", "rb",
+        F.sum("ca").over(tot).alias("na"),
+        F.sum("cb").over(tot).alias("nb"),
+        F.sum((F.col("ca") * F.col("r")).cast(_DEC)).over(tot)
+        .alias("sra"),
+        F.sum((F.col("cb") * F.col("r")).cast(_DEC)).over(tot)
+        .alias("srb"))
+    rbar_a = F.col("sra").cast("double") / F.col("na").cast("double")
+    rbar_b = F.col("srb").cast("double") / F.col("nb").cast("double")
+    da = (F.col("r") - F.col("ra") - rbar_a
+          + (F.col("na").cast("double") + 1) / 2.0)
+    db = (F.col("r") - F.col("rb") - rbar_b
+          + (F.col("nb").cast("double") + 1) / 2.0)
+    agg = (scal.select(
+        "na", "nb", rbar_a.alias("rbar_a"), rbar_b.alias("rbar_b"),
+        (F.col("ca") * da * da).cast(_DEC).alias("_sa"),
+        (F.col("cb") * db * db).cast(_DEC).alias("_sb"))
+        .groupBy("na", "nb", "rbar_a", "rbar_b")
+        .agg(F.sum("_sa").cast("double").alias("ssa"),
+             F.sum("_sb").cast("double").alias("ssb")))
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    nn = nad + nbd
+    sa2 = F.col("ssa") / (nad - 1)
+    sb2 = F.col("ssb") / (nbd - 1)
+    pooled = nad * sa2 + nbd * sb2
+    t = F.when(pooled > 0,
+               nad * nbd * (F.col("rbar_b") - F.col("rbar_a"))
+               / (nn * F.sqrt(pooled)))
+    dfree = F.when(
+        (F.col("ssa") > 0) | (F.col("ssb") > 0),
+        (pooled * pooled)
+        / ((nad * sa2) * (nad * sa2) / (nad - 1)
+           + (nbd * sb2) * (nbd * sb2) / (nbd - 1)))
+    p_hat = (F.col("rbar_b") - (nbd + 1) / 2.0) / nad
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(p_hat, 6).alias("p_hat"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dfree, 6).alias("df"))
+
+
+def brunner_munzel_sql(table: str, group_sql: str, group_a: str,
+                       group_b: str, value_sql: str = "value") -> str:
+    return f"""
+WITH base AS (
+  SELECT CASE WHEN {group_sql} = '{group_a}' THEN 1 ELSE 0 END AS is_a,
+         CAST({value_sql} AS DOUBLE) AS v
+  FROM {table}
+  WHERE {group_sql} IN ('{group_a}', '{group_b}')
+    AND CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+per AS (
+  SELECT v, sum(is_a) AS ca, count(*) AS ct FROM base GROUP BY 1
+),
+ranked AS (
+  SELECT ca, ct, ct - ca AS cb,
+         coalesce(sum(ct) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (ct + 1) / 2.0 AS r,
+         coalesce(sum(ca) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (ca + 1) / 2.0 AS ra,
+         coalesce(sum(ct - ca) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + ((ct - ca) + 1) / 2.0 AS rb
+  FROM per
+),
+scal AS (
+  SELECT ca, ct, cb, r, ra, rb,
+         sum(ca) OVER () AS na,
+         sum(cb) OVER () AS nb,
+         CAST(sum(CAST(ca * r AS DECIMAL(38,12))) OVER () AS DOUBLE)
+           AS sra,
+         CAST(sum(CAST(cb * r AS DECIMAL(38,12))) OVER () AS DOUBLE)
+           AS srb
+  FROM ranked
+),
+agg AS (
+  SELECT na, nb,
+         sra / CAST(na AS DOUBLE) AS rbar_a,
+         srb / CAST(nb AS DOUBLE) AS rbar_b,
+         CAST(sum(CAST(ca * (r - ra - sra / CAST(na AS DOUBLE)
+                             + (CAST(na AS DOUBLE) + 1) / 2.0)
+                          * (r - ra - sra / CAST(na AS DOUBLE)
+                             + (CAST(na AS DOUBLE) + 1) / 2.0)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS ssa,
+         CAST(sum(CAST(cb * (r - rb - srb / CAST(nb AS DOUBLE)
+                             + (CAST(nb AS DOUBLE) + 1) / 2.0)
+                          * (r - rb - srb / CAST(nb AS DOUBLE)
+                             + (CAST(nb AS DOUBLE) + 1) / 2.0)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS ssb
+  FROM scal
+  GROUP BY na, nb, sra, srb
+),
+d2 AS (
+  SELECT na, nb, rbar_a, rbar_b, ssa, ssb,
+         ssa / (CAST(na AS DOUBLE) - 1) AS sa2,
+         ssb / (CAST(nb AS DOUBLE) - 1) AS sb2,
+         CAST(na AS DOUBLE) + nb AS nn
+  FROM agg
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round((rbar_b - (CAST(nb AS DOUBLE) + 1) / 2.0) / na, 6) AS p_hat,
+       round(CASE WHEN na * sa2 + nb * sb2 > 0
+                  THEN CAST(na AS DOUBLE) * nb * (rbar_b - rbar_a)
+                       / (nn * sqrt(na * sa2 + nb * sb2)) END, 6)
+         AS t_stat,
+       round(CASE WHEN ssa > 0 OR ssb > 0
+                  THEN (na * sa2 + nb * sb2) * (na * sa2 + nb * sb2)
+                       / ((na * sa2) * (na * sa2)
+                          / (CAST(na AS DOUBLE) - 1)
+                          + (nb * sb2) * (nb * sb2)
+                          / (CAST(nb AS DOUBLE) - 1)) END, 6) AS df
+FROM d2
+"""
+
+
+def _group_moments(df: DataFrame, group_col: str, value_col: str):
+    """(group, n, mean, ss) with ss = Σ(x−x̄)² from exact decimal
+    Σx / Σx² — the shared first stage of bartlett_variance /
+    variance_ratio / welch_anova. One map-side-combined aggregate;
+    the group frame is dictionary-sized."""
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    per = (df.filter(g.isNotNull() & v.isNotNull())
+           .groupBy(g.alias("g"))
+           .agg(F.count("*").alias("n"),
+                F.sum(v.cast(_DEC)).alias("sx"),
+                F.sum((v * v).cast(_DEC)).alias("sxx")))
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    return per.select(
+        "g", "n",
+        (sx / n).alias("mean"),
+        (sxx - sx * sx / n).alias("ss"))
+
+
+_GROUP_MOMENTS_SQL = """
+  SELECT g, n,
+         sx / CAST(n AS DOUBLE) AS mean,
+         sxx - sx * sx / CAST(n AS DOUBLE) AS ss
+  FROM (
+    SELECT {group_sql} AS g, count(*) AS n,
+           CAST(sum(CAST(CAST({value_sql} AS DOUBLE)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(CAST({value_sql} AS DOUBLE)
+                         * CAST({value_sql} AS DOUBLE)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+    FROM {table}
+    WHERE {group_sql} IS NOT NULL
+      AND CAST({value_sql} AS DOUBLE) IS NOT NULL
+    GROUP BY 1
+  )
+"""
+
+
+def bartlett_variance(df: DataFrame, group_col: str = "event_type",
+                      value_col: str = "value") -> DataFrame:
+    """Bartlett's test of homogeneity of variances across k groups
+    (Bartlett 1937): χ² = [(N−k)·ln(s_p²) − Σ(n_i−1)·ln(s_i²)] / C
+    with C = 1 + (Σ1/(n_i−1) − 1/(N−k)) / (3(k−1)) — the parametric
+    (normal-theory) anchor of the variance-test family whose robust
+    siblings are levene_value (means), conover_scale (ranks): the
+    trio brackets how much the variance verdict owes to normality.
+    Groups with n_i < 2 or zero variance are excluded (and counted).
+    One group-moments aggregate; the χ² algebra runs on the k-row
+    frame. Output: one row (n, k, chi2, c_factor), rounds 6."""
+    per = (_group_moments(df, group_col, value_col)
+           .filter((F.col("n") >= 2) & (F.col("ss") > 0)))
+    n = F.col("n").cast("double")
+    agg = per.agg(
+        F.sum("n").alias("nn"),
+        F.count("*").alias("k"),
+        F.sum(F.col("ss")).alias("sst"),
+        F.sum((n - 1) * F.log(F.col("ss") / (n - 1))).alias("slog"),
+        F.sum(1.0 / (n - 1)).alias("sinv"))
+    nn = F.col("nn").cast("double")
+    k = F.col("k").cast("double")
+    sp2 = F.col("sst") / (nn - k)
+    c = 1.0 + (F.col("sinv") - 1.0 / (nn - k)) / (3.0 * (k - 1))
+    chi2 = ((nn - k) * F.log(sp2) - F.col("slog")) / c
+    return agg.select(
+        F.col("nn").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(F.when(k > 1, chi2), 6).alias("chi2"),
+        F.round(F.when(k > 1, c), 6).alias("c_factor"))
+
+
+def bartlett_variance_sql(table: str = "events",
+                          group_sql: str = "event_type",
+                          value_sql: str = "value") -> str:
+    gm = _GROUP_MOMENTS_SQL.format(table=table, group_sql=group_sql,
+                                   value_sql=value_sql)
+    return f"""
+WITH gm AS ({gm}),
+per AS (SELECT * FROM gm WHERE n >= 2 AND ss > 0),
+agg AS (
+  SELECT sum(n) AS nn, count(*) AS k, sum(ss) AS sst,
+         sum((CAST(n AS DOUBLE) - 1)
+             * ln(ss / (CAST(n AS DOUBLE) - 1))) AS slog,
+         sum(1.0 / (CAST(n AS DOUBLE) - 1)) AS sinv
+  FROM per
+)
+SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       round(CASE WHEN k > 1 THEN
+         ((CAST(nn AS DOUBLE) - k)
+            * ln(sst / (CAST(nn AS DOUBLE) - k)) - slog)
+         / (1.0 + (sinv - 1.0 / (CAST(nn AS DOUBLE) - k))
+                  / (3.0 * (CAST(k AS DOUBLE) - 1))) END, 6) AS chi2,
+       round(CASE WHEN k > 1 THEN
+         1.0 + (sinv - 1.0 / (CAST(nn AS DOUBLE) - k))
+               / (3.0 * (CAST(k AS DOUBLE) - 1)) END, 6) AS c_factor
+FROM agg
+"""
+
+
+def variance_ratio(df: DataFrame, group_col: str, group_a, group_b,
+                   value_col: str = "value") -> DataFrame:
+    """Two-sample F test of equal variances: F = s_a²/s_b² with
+    (n_a−1, n_b−1) df — the textbook parametric variance test that
+    bartlett_variance generalizes to k groups; reported alongside
+    its robust cousins so a user can see the normality premium
+    directly. log_f = ln F is included because the F distribution's
+    extreme sensitivity to kurtosis is easiest to read on the log
+    scale. Output: one row (n_a, n_b, var_a, var_b, f_ratio,
+    log_f), rounds 6."""
+    per = _group_moments(
+        df.filter(F.col(group_col).isin([group_a, group_b])),
+        group_col, value_col)
+    n = F.col("n").cast("double")
+    var_ = F.when(n > 1, F.col("ss") / (n - 1))
+    wide = per.agg(
+        F.max(F.when(F.col("g") == group_a, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("g") == group_b, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("g") == group_a, var_)).alias("va"),
+        F.max(F.when(F.col("g") == group_b, var_)).alias("vb"))
+    f_ = F.when(F.col("vb") > 0, F.col("va") / F.col("vb"))
+    return wide.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(F.col("va"), 6).alias("var_a"),
+        F.round(F.col("vb"), 6).alias("var_b"),
+        F.round(f_, 6).alias("f_ratio"),
+        F.round(F.when(f_ > 0, F.log(f_)), 6).alias("log_f"))
+
+
+def variance_ratio_sql(table: str, group_sql: str, group_a: str,
+                       group_b: str, value_sql: str = "value") -> str:
+    gm = _GROUP_MOMENTS_SQL.format(
+        table=(f"(SELECT * FROM {table} WHERE {group_sql} IN "
+               f"('{group_a}', '{group_b}'))"),
+        group_sql=group_sql, value_sql=value_sql)
+    return f"""
+WITH gm AS ({gm}),
+wide AS (
+  SELECT max(CASE WHEN g = '{group_a}' THEN n END) AS na,
+         max(CASE WHEN g = '{group_b}' THEN n END) AS nb,
+         max(CASE WHEN g = '{group_a}' AND n > 1
+                  THEN ss / (CAST(n AS DOUBLE) - 1) END) AS va,
+         max(CASE WHEN g = '{group_b}' AND n > 1
+                  THEN ss / (CAST(n AS DOUBLE) - 1) END) AS vb
+  FROM gm
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(va, 6) AS var_a, round(vb, 6) AS var_b,
+       round(CASE WHEN vb > 0 THEN va / vb END, 6) AS f_ratio,
+       round(CASE WHEN vb > 0 AND va / vb > 0
+                  THEN ln(va / vb) END, 6) AS log_f
+FROM wide
+"""
+
+
+def welch_anova(df: DataFrame, group_col: str = "event_type",
+                value_col: str = "value") -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA (Welch 1951): weights
+    w_i = n_i/s_i², grand mean x̄* = Σw_i·x̄_i / Σw_i,
+    F* = [Σw_i(x̄_i − x̄*)²/(k−1)] / [1 + 2(k−2)/(k²−1)·Λ] with
+    Λ = Σ(1 − w_i/Σw)²/(n_i−1) and df2 = (k²−1)/(3Λ) — the mean
+    test that stays calibrated when bartlett_variance says the
+    variances differ (classic ANOVA's F silently miscalibrates
+    there). Needs every group n_i ≥ 2 with s_i² > 0; offending
+    groups are dropped and k reflects the survivors. Two passes
+    over the k-row moments frame (Σw first, then Λ). Output: one
+    row (n, k, f_stat, df1, df2), rounds 6."""
+    per = (_group_moments(df, group_col, value_col)
+           .filter((F.col("n") >= 2) & (F.col("ss") > 0)))
+    n = F.col("n").cast("double")
+    wgt = n * (n - 1) / F.col("ss")  # n_i / s_i²
+    tot = Window.partitionBy()
+    staged = per.select(
+        "n", "mean", wgt.alias("w"),
+        F.sum(wgt).over(tot).alias("sw"),
+        F.sum(wgt * F.col("mean")).over(tot).alias("swm"),
+        F.sum("n").over(tot).alias("nn"),
+        F.count("*").over(tot).alias("k"))
+    xstar = F.col("swm") / F.col("sw")
+    lam_t = ((1.0 - F.col("w") / F.col("sw"))
+             * (1.0 - F.col("w") / F.col("sw"))
+             / (F.col("n").cast("double") - 1))
+    num_t = F.col("w") * (F.col("mean") - xstar) * (F.col("mean") - xstar)
+    agg = (staged.groupBy("nn", "k")
+           .agg(F.sum(num_t).alias("num"), F.sum(lam_t).alias("lam")))
+    k = F.col("k").cast("double")
+    fstat = (F.col("num") / (k - 1)) \
+        / (1.0 + 2.0 * (k - 2) / (k * k - 1) * F.col("lam"))
+    df2 = (k * k - 1) / (3.0 * F.col("lam"))
+    return agg.select(
+        F.col("nn").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(F.when(k > 1, fstat), 6).alias("f_stat"),
+        (F.col("k") - 1).cast("long").alias("df1"),
+        F.round(F.when((k > 1) & (F.col("lam") > 0), df2), 6)
+        .alias("df2"))
+
+
+def welch_anova_sql(table: str = "events",
+                    group_sql: str = "event_type",
+                    value_sql: str = "value") -> str:
+    gm = _GROUP_MOMENTS_SQL.format(table=table, group_sql=group_sql,
+                                   value_sql=value_sql)
+    return f"""
+WITH gm AS ({gm}),
+per AS (
+  SELECT n, mean,
+         CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) / ss AS w
+  FROM gm WHERE n >= 2 AND ss > 0
+),
+staged AS (
+  SELECT n, mean, w,
+         sum(w) OVER () AS sw,
+         sum(w * mean) OVER () AS swm,
+         sum(n) OVER () AS nn,
+         count(*) OVER () AS k
+  FROM per
+),
+agg AS (
+  SELECT nn, k,
+         sum(w * (mean - swm / sw) * (mean - swm / sw)) AS num,
+         sum((1.0 - w / sw) * (1.0 - w / sw)
+             / (CAST(n AS DOUBLE) - 1)) AS lam
+  FROM staged GROUP BY nn, k
+)
+SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       round(CASE WHEN k > 1 THEN
+         (num / (CAST(k AS DOUBLE) - 1))
+         / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2)
+                  / (CAST(k AS DOUBLE) * k - 1) * lam) END, 6) AS f_stat,
+       CAST(k - 1 AS BIGINT) AS df1,
+       round(CASE WHEN k > 1 AND lam > 0 THEN
+         (CAST(k AS DOUBLE) * k - 1) / (3.0 * lam) END, 6) AS df2
+FROM agg
+"""
