@@ -10937,6 +10937,90 @@ def _sql_welch_anova():
 
 
 # ---------------------------------------------------------------------------
+# Round-11 second stratum: EDF two-sample tests, the two-sample runs
+# test, and ordered-trend tests (Page, Cuzick).
+
+def q_cvm_two_sample(spark, sf_dir):
+    """Cramér–von Mises two-sample statistic, click vs view values
+    (stats.cvm_two_sample) — integrated squared ECDF gap; the
+    everywhere-sensitive complement to the KS supremum."""
+    from distill_spark.operators.stats import cvm_two_sample
+
+    return cvm_two_sample(_tables(spark, sf_dir)["events"],
+                          "event_type", "click", "view")
+
+
+def _sql_cvm():
+    from distill_spark.operators.stats import cvm_two_sample_sql
+
+    return cvm_two_sample_sql("events", "event_type", "click", "view")
+
+
+def q_ad_two_sample(spark, sf_dir):
+    """Anderson–Darling two-sample test, click vs view values
+    (stats.ad_two_sample, Scholz–Stephens midrank tie form) — the
+    tail-weighted EDF test beside cvm_two_sample's uniform weight."""
+    from distill_spark.operators.stats import ad_two_sample
+
+    return ad_two_sample(_tables(spark, sf_dir)["events"],
+                         "event_type", "click", "view")
+
+
+def _sql_ad():
+    from distill_spark.operators.stats import ad_two_sample_sql
+
+    return ad_two_sample_sql("events", "event_type", "click", "view")
+
+
+def q_ww_runs_daily(spark, sf_dir):
+    """Wald–Wolfowitz runs test of daily click vs view totals
+    (stats.wald_wolfowitz_runs) — pooled-sort label runs; the
+    omnibus two-sample screen on the bounded daily frame."""
+    from distill_spark.operators.stats import wald_wolfowitz_runs
+
+    return wald_wolfowitz_runs(_tables(spark, sf_dir)["events"])
+
+
+def _sql_ww_runs():
+    from distill_spark.operators.stats import wald_wolfowitz_runs_sql
+
+    return wald_wolfowitz_runs_sql()
+
+
+def q_page_trend_dow(spark, sf_dir):
+    """Page's L for a monotone day-of-week effect across ISO-week
+    blocks (stats.page_trend) — the ordered-alternative upgrade of
+    friedman_dow, as jonckheere_priority upgrades kruskal_values."""
+    from distill_spark.operators.stats import page_trend
+
+    return page_trend(_tables(spark, sf_dir)["events"])
+
+
+def _sql_page():
+    from distill_spark.operators.stats import page_trend_sql
+
+    return page_trend_sql()
+
+
+def q_cuzick_priority(spark, sf_dir):
+    """Cuzick trend test of order totals across the five ordered
+    priority classes (stats.cuzick_trend) — the linear-rank trend
+    statistic epidemiology reports; pairs with jonckheere_priority."""
+    from distill_spark.operators.stats import cuzick_trend
+
+    return cuzick_trend(_tables(spark, sf_dir)["orders"],
+                        "o_orderpriority", _PRIORITY_ORDER,
+                        "o_totalprice")
+
+
+def _sql_cuzick():
+    from distill_spark.operators.stats import cuzick_trend_sql
+
+    return cuzick_trend_sql("orders", "o_orderpriority",
+                            _PRIORITY_ORDER, "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
 # Round-10 ninth stratum: paired daily tests (Wilcoxon signed-rank,
 # sign test), Haar multiresolution energy, decision-stump split gain.
 
@@ -11009,6 +11093,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "bartlett_variance": (q_bartlett_variance, _sql_bartlett()),
     "variance_ratio": (q_variance_ratio, _sql_variance_ratio()),
     "welch_anova": (q_welch_anova, _sql_welch_anova()),
+    # -- round-11 second stratum: EDF / runs / ordered-trend tests ----------
+    "cvm_two_sample": (q_cvm_two_sample, _sql_cvm()),
+    "ad_two_sample": (q_ad_two_sample, _sql_ad()),
+    "ww_runs_daily": (q_ww_runs_daily, _sql_ww_runs()),
+    "page_trend_dow": (q_page_trend_dow, _sql_page()),
+    "cuzick_priority": (q_cuzick_priority, _sql_cuzick()),
     # -- round-10 ninth stratum: paired tests / wavelets / stump gain ---------
     "wilcoxon_clicks_views": (q_wilcoxon_clicks_views, _sql_wilcoxon()),
     "sign_test_daily": (q_sign_test_daily, _sql_sign_test()),

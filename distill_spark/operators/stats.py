@@ -5105,3 +5105,449 @@ SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
          (CAST(k AS DOUBLE) * k - 1) / (3.0 * lam) END, 6) AS df2
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-11 second stratum: EDF two-sample tests (Cramér–von Mises,
+# Anderson–Darling), the Wald–Wolfowitz runs test, and ordered-trend
+# tests (Page's L, Cuzick) — the distribution-shape and monotone-
+# alternative complements to the location/scale batteries above.
+
+
+def cvm_two_sample(df: DataFrame, group_col: str, group_a, group_b,
+                   value_col: str = "value") -> DataFrame:
+    """Cramér–von Mises two-sample statistic, tie-adapted ECDF form:
+    T = (n_a·n_b / N²) · Σ_v c_v · (F_a(v) − F_b(v))² over the
+    distinct-value spine with right-continuous ECDFs — integrates the
+    SQUARED ECDF gap everywhere, so it sees shape differences the
+    KS supremum (ks_drift's statistic) misses when the gap is broad
+    but shallow. One (value → group counts) aggregate; cumulative
+    algebra on the distinct frame. Output: one row
+    (n_a, n_b, t_stat), rounds 6."""
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    base = (df.filter(g.isin([group_a, group_b]) & v.isNotNull())
+            .select(F.when(g == group_a, 1).otherwise(0).alias("is_a"),
+                    v.alias("v")))
+    per = base.groupBy("v").agg(F.sum("is_a").alias("ca"),
+                                F.count("*").alias("ct"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cums = per.select(
+        "ct",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum(F.col("ct") - F.col("ca")).over(w).alias("cum_b"),
+        F.sum("ca").over(tot).alias("na"),
+        F.sum(F.col("ct") - F.col("ca")).over(tot).alias("nb"))
+    fa = F.col("cum_a").cast("double") / F.col("na").cast("double")
+    fb = F.col("cum_b").cast("double") / F.col("nb").cast("double")
+    terms = cums.select(
+        "na", "nb",
+        (F.col("ct") * (fa - fb) * (fa - fb)).cast(_DEC).alias("_t"))
+    agg = (terms.groupBy("na", "nb")
+           .agg(F.sum("_t").cast("double").alias("s")))
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    nn = nad + nbd
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(nad * nbd / (nn * nn) * F.col("s"), 6).alias("t_stat"))
+
+
+def cvm_two_sample_sql(table: str, group_sql: str, group_a: str,
+                       group_b: str, value_sql: str = "value") -> str:
+    return f"""
+WITH base AS (
+  SELECT CASE WHEN {group_sql} = '{group_a}' THEN 1 ELSE 0 END AS is_a,
+         CAST({value_sql} AS DOUBLE) AS v
+  FROM {table}
+  WHERE {group_sql} IN ('{group_a}', '{group_b}')
+    AND CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+per AS (
+  SELECT v, sum(is_a) AS ca, count(*) AS ct FROM base GROUP BY 1
+),
+cums AS (
+  SELECT ct,
+         sum(ca) OVER (ORDER BY v) AS cum_a,
+         sum(ct - ca) OVER (ORDER BY v) AS cum_b,
+         sum(ca) OVER () AS na,
+         sum(ct - ca) OVER () AS nb
+  FROM per
+),
+agg AS (
+  SELECT na, nb,
+         CAST(sum(CAST(ct * (CAST(cum_a AS DOUBLE) / na
+                             - CAST(cum_b AS DOUBLE) / nb)
+                          * (CAST(cum_a AS DOUBLE) / na
+                             - CAST(cum_b AS DOUBLE) / nb)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS s
+  FROM cums GROUP BY na, nb
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(CAST(na AS DOUBLE) * nb
+             / ((CAST(na AS DOUBLE) + nb) * (CAST(na AS DOUBLE) + nb))
+             * s, 6) AS t_stat
+FROM agg
+"""
+
+
+def ad_two_sample(df: DataFrame, group_col: str, group_a, group_b,
+                  value_col: str = "value") -> DataFrame:
+    """Anderson–Darling two-sample test, tie-corrected midrank form
+    (Scholz & Stephens 1987, A²akN with k=2): with l_j the tied-block
+    counts, B_j = Σ_{i≤j} l_i − l_j/2 and M_aj the same half-open
+    cumulative inside sample a,
+    A² = (N−1)/N · Σ_a (1/n_a) Σ_j l_j·(N·M_aj − n_a·B_j)²
+         / (B_j(N−B_j) − N·l_j/4) / N
+    — the EDF test that up-weights the TAILS where CvM's uniform
+    weight is flattest (the pair localizes where two distributions
+    differ). Same distinct-value frame as cvm_two_sample. Output:
+    one row (n_a, n_b, a2_stat), rounds 6."""
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    base = (df.filter(g.isin([group_a, group_b]) & v.isNotNull())
+            .select(F.when(g == group_a, 1).otherwise(0).alias("is_a"),
+                    v.alias("v")))
+    per = base.groupBy("v").agg(F.sum("is_a").alias("ca"),
+                                F.count("*").alias("ct"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cums = per.select(
+        F.col("ct").alias("l"),
+        (F.sum("ca").over(w) - F.col("ca") / 2.0).alias("ma"),
+        (F.sum(F.col("ct") - F.col("ca")).over(w)
+         - (F.col("ct") - F.col("ca")) / 2.0).alias("mb"),
+        (F.sum("ct").over(w) - F.col("ct") / 2.0).alias("bj"),
+        F.sum("ca").over(tot).alias("na"),
+        F.sum(F.col("ct") - F.col("ca")).over(tot).alias("nb"))
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    nn = nad + nbd
+    denom = F.col("bj") * (nn - F.col("bj")) - nn * F.col("l") / 4.0
+    term_a = (F.col("l") * (nn * F.col("ma") - nad * F.col("bj"))
+              * (nn * F.col("ma") - nad * F.col("bj")) / denom)
+    term_b = (F.col("l") * (nn * F.col("mb") - nbd * F.col("bj"))
+              * (nn * F.col("mb") - nbd * F.col("bj")) / denom)
+    terms = cums.select(
+        "na", "nb",
+        F.when(denom > 0,
+               (term_a / nad + term_b / nbd)).otherwise(0.0)
+        .cast(_DEC).alias("_t"))
+    agg = (terms.groupBy("na", "nb")
+           .agg(F.sum("_t").cast("double").alias("s")))
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round((nn - 1) / (nn * nn) * F.col("s"), 6).alias("a2_stat"))
+
+
+def ad_two_sample_sql(table: str, group_sql: str, group_a: str,
+                      group_b: str, value_sql: str = "value") -> str:
+    return f"""
+WITH base AS (
+  SELECT CASE WHEN {group_sql} = '{group_a}' THEN 1 ELSE 0 END AS is_a,
+         CAST({value_sql} AS DOUBLE) AS v
+  FROM {table}
+  WHERE {group_sql} IN ('{group_a}', '{group_b}')
+    AND CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+per AS (
+  SELECT v, sum(is_a) AS ca, count(*) AS ct FROM base GROUP BY 1
+),
+cums AS (
+  SELECT ct AS l,
+         sum(ca) OVER (ORDER BY v) - ca / 2.0 AS ma,
+         sum(ct - ca) OVER (ORDER BY v) - (ct - ca) / 2.0 AS mb,
+         sum(ct) OVER (ORDER BY v) - ct / 2.0 AS bj,
+         sum(ca) OVER () AS na,
+         sum(ct - ca) OVER () AS nb
+  FROM per
+),
+terms AS (
+  SELECT na, nb,
+         CAST(CASE WHEN bj * (CAST(na AS DOUBLE) + nb - bj)
+                        - (CAST(na AS DOUBLE) + nb) * l / 4.0 > 0
+           THEN (l * ((CAST(na AS DOUBLE) + nb) * ma
+                      - CAST(na AS DOUBLE) * bj)
+                   * ((CAST(na AS DOUBLE) + nb) * ma
+                      - CAST(na AS DOUBLE) * bj)
+                 / (bj * (CAST(na AS DOUBLE) + nb - bj)
+                    - (CAST(na AS DOUBLE) + nb) * l / 4.0))
+                / CAST(na AS DOUBLE)
+              + (l * ((CAST(na AS DOUBLE) + nb) * mb
+                      - CAST(nb AS DOUBLE) * bj)
+                   * ((CAST(na AS DOUBLE) + nb) * mb
+                      - CAST(nb AS DOUBLE) * bj)
+                 / (bj * (CAST(na AS DOUBLE) + nb - bj)
+                    - (CAST(na AS DOUBLE) + nb) * l / 4.0))
+                / CAST(nb AS DOUBLE)
+           ELSE 0.0 END AS DECIMAL(38,12)) AS t_
+  FROM cums
+),
+agg AS (
+  SELECT na, nb, CAST(sum(t_) AS DOUBLE) AS s
+  FROM terms GROUP BY na, nb
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round((CAST(na AS DOUBLE) + nb - 1)
+             / ((CAST(na AS DOUBLE) + nb) * (CAST(na AS DOUBLE) + nb))
+             * s, 6) AS a2_stat
+FROM agg
+"""
+
+
+def wald_wolfowitz_runs(df: DataFrame, type_a: str = "click",
+                        type_b: str = "view",
+                        ts_col: str = "ts",
+                        value_col: str = "value") -> DataFrame:
+    """Wald–Wolfowitz two-sample runs test on the bounded daily
+    frame: pool the per-day value totals of the two event types,
+    sort by (total, label, day) — a PINNED total order, since the
+    runs count is tie-order-dependent and the repo's contract is
+    determinism — and count label runs R. Too few runs means the
+    samples separate. z = (R − μ)/σ with μ = 2nm/N + 1,
+    σ² = 2nm(2nm − N)/(N²(N−1)). The omnibus sibling of the EDF
+    pair above: sensitive to ANY difference, powerful against none.
+    Output: one row (n_a, n_b, runs, z), rounds 6."""
+    t = F.col("event_type")
+    daily = (df.filter(t.isin([type_a, type_b])
+                       & F.col(value_col).isNotNull())
+             .groupBy(F.to_date(ts_col).alias("day"),
+                      t.alias("g"))
+             .agg(F.round(F.sum(F.col(value_col).cast(_DEC))
+                          .cast("double"), 9).alias("tot")))
+    w = Window.orderBy(F.asc("tot"), F.asc("g"), F.asc("day"))
+    runs = daily.select(
+        F.when(F.col("g") == type_a, 1).otherwise(0).alias("is_a"),
+        F.when(F.lag("g").over(w).isNull()
+               | (F.lag("g").over(w) != F.col("g")), 1)
+        .otherwise(0).alias("brk"))
+    agg = runs.agg(F.sum("is_a").alias("na"),
+                   (F.count("*") - F.sum("is_a")).alias("nb"),
+                   F.sum("brk").alias("r"))
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    nn = na + nb
+    mu = 2.0 * na * nb / nn + 1.0
+    var = (2.0 * na * nb * (2.0 * na * nb - nn)
+           / (nn * nn * (nn - 1)))
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("r").cast("long").alias("runs"),
+        F.round(F.when(var > 0, (F.col("r") - mu) / F.sqrt(var)), 6)
+        .alias("z"))
+
+
+def wald_wolfowitz_runs_sql(table: str = "events",
+                            type_a: str = "click",
+                            type_b: str = "view",
+                            ts_sql: str = "ts",
+                            value_sql: str = "value") -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST({ts_sql} AS DATE) AS day, event_type AS g,
+         round(CAST(sum(CAST({value_sql} AS DECIMAL(38,12)))
+                    AS DOUBLE), 9) AS tot
+  FROM {table}
+  WHERE event_type IN ('{type_a}', '{type_b}')
+    AND {value_sql} IS NOT NULL
+  GROUP BY 1, 2
+),
+runs AS (
+  SELECT CASE WHEN g = '{type_a}' THEN 1 ELSE 0 END AS is_a,
+         CASE WHEN lag(g) OVER (ORDER BY tot, g, day) IS NULL
+                OR lag(g) OVER (ORDER BY tot, g, day) <> g
+              THEN 1 ELSE 0 END AS brk
+  FROM daily
+),
+agg AS (
+  SELECT sum(is_a) AS na, count(*) - sum(is_a) AS nb, sum(brk) AS r
+  FROM runs
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(r AS BIGINT) AS runs,
+       round(CASE WHEN 2.0 * na * nb * (2.0 * na * nb - (na + nb))
+                       / ((CAST(na AS DOUBLE) + nb)
+                          * (CAST(na AS DOUBLE) + nb)
+                          * (CAST(na AS DOUBLE) + nb - 1)) > 0
+                  THEN (r - (2.0 * na * nb
+                             / (CAST(na AS DOUBLE) + nb) + 1.0))
+                       / sqrt(2.0 * na * nb * (2.0 * na * nb - (na + nb))
+                              / ((CAST(na AS DOUBLE) + nb)
+                                 * (CAST(na AS DOUBLE) + nb)
+                                 * (CAST(na AS DOUBLE) + nb - 1)))
+             END, 6) AS z
+FROM agg
+"""
+
+
+def page_trend(df: DataFrame, ts_col: str = "ts",
+               value_col: str = "value") -> DataFrame:
+    """Page's L test for an ORDERED treatment effect in a blocked
+    design (Page 1963): blocks = ISO weeks, ordered treatments =
+    day-of-week 1..7, within-block ranks of the daily value total
+    (STRICT value-then-dow order — the repo's deterministic rank
+    convention), L = Σ_j j·R_j. The ordered-alternative upgrade of
+    friedman_dow exactly as jonckheere upgrades kruskal: if activity
+    drifts monotonically across the week, L finds it with far fewer
+    blocks than Friedman's omnibus χ². Complete blocks only.
+    z = (L − b·k(k+1)²/4) / √(b·(k³−k)²/(144(k−1))). Output: one
+    row (n_blocks, k, l_stat, z), rounds 6."""
+    daily = (df.filter(F.col(value_col).isNotNull())
+             .groupBy(F.to_date(ts_col).alias("day"))
+             .agg(F.round(F.sum(F.col(value_col).cast(_DEC))
+                          .cast("double"), 9).alias("tot")))
+    cells = daily.select(
+        F.weekofyear("day").alias("wk"),
+        F.year("day").alias("yr"),
+        F.dayofweek("day").alias("dow"), "tot")
+    wb = Window.partitionBy("yr", "wk")
+    complete = (cells.withColumn("_n", F.count("*").over(wb))
+                .filter(F.col("_n") == 7))
+    r = F.row_number().over(
+        Window.partitionBy("yr", "wk").orderBy(F.asc("tot"),
+                                               F.asc("dow")))
+    ranked = complete.select("yr", "wk", "dow", r.alias("r"))
+    agg = ranked.agg(
+        (F.count("*") / 7).cast("long").alias("b"),
+        F.sum(F.col("dow") * F.col("r")).cast("double").alias("l"))
+    b = F.col("b").cast("double")
+    k = F.lit(7.0)
+    mu = b * k * (k + 1) * (k + 1) / 4.0
+    var = b * (k * k * k - k) * (k * k * k - k) / (144.0 * (k - 1))
+    return agg.select(
+        F.col("b").cast("long").alias("n_blocks"),
+        F.lit(7).cast("long").alias("k"),
+        F.round(F.col("l"), 6).alias("l_stat"),
+        F.round(F.when(var > 0, (F.col("l") - mu) / F.sqrt(var)), 6)
+        .alias("z"))
+
+
+def page_trend_sql(table: str = "events", ts_sql: str = "ts",
+                   value_sql: str = "value") -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST({ts_sql} AS DATE) AS day,
+         round(CAST(sum(CAST({value_sql} AS DECIMAL(38,12)))
+                    AS DOUBLE), 9) AS tot
+  FROM {table}
+  WHERE {value_sql} IS NOT NULL
+  GROUP BY 1
+),
+cells AS (
+  SELECT weekofyear(day) AS wk, year(day) AS yr,
+         dayofweek(day) + 1 AS dow, tot
+  FROM daily
+),
+complete AS (
+  SELECT yr, wk, dow, tot,
+         count(*) OVER (PARTITION BY yr, wk) AS n_
+  FROM cells
+),
+ranked AS (
+  SELECT yr, wk, dow,
+         row_number() OVER (PARTITION BY yr, wk
+                            ORDER BY tot, dow) AS r
+  FROM complete WHERE n_ = 7
+),
+agg AS (
+  SELECT count(*) / 7 AS b,
+         CAST(sum(dow * r) AS DOUBLE) AS l
+  FROM ranked
+)
+SELECT CAST(b AS BIGINT) AS n_blocks, CAST(7 AS BIGINT) AS k,
+       round(l, 6) AS l_stat,
+       round(CASE WHEN b > 0
+                  THEN (l - CAST(b AS DOUBLE) * 7 * 64 / 4.0)
+                       / sqrt(CAST(b AS DOUBLE) * 336 * 336
+                              / (144.0 * 6)) END, 6) AS z
+FROM agg
+"""
+
+
+def cuzick_trend(df: DataFrame, group_col: str, ordered_groups: list,
+                 value_col: str) -> DataFrame:
+    """Cuzick's nonparametric test for trend across ORDERED groups
+    (Cuzick 1985): combined midranks R, group scores l_i = ordinal
+    index, T = Σ l·R; E(T) = L(N+1)/2 with L = Σ l_i n_i,
+    Var(T) = (N+1)/12 · (N·Σ l_i²n_i − L²) (no-tie variance, like
+    the jonckheere convention — the two are asymptotically
+    equivalent but Cuzick's linear-rank form is the one
+    epidemiology reports). Midranks from the (group, value) count
+    frame; no pairwise work at all — strictly cheaper than J-T's
+    pair counts at identical power against linear trend. Output:
+    one row (n, t_stat, z), rounds 6."""
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    gi = F.coalesce(
+        *[F.when(g == grp, i + 1) for i, grp in
+          enumerate(ordered_groups)])
+    per = (df.filter(g.isin(list(ordered_groups)) & v.isNotNull())
+           .groupBy(gi.alias("li"), v.alias("v"))
+           .agg(F.count("*").alias("c")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    spine = per.groupBy("v").agg(F.sum("c").alias("cv"))
+    mid = spine.select(
+        "v", (F.coalesce(F.sum("cv").over(w), F.lit(0))
+              + (F.col("cv") + 1) / 2.0).alias("r"))
+    joined = per.join(mid, "v")
+    agg = joined.agg(
+        F.sum("c").alias("nn"),
+        F.sum((F.col("c") * F.col("li") * F.col("r")).cast(_DEC))
+        .cast("double").alias("t"),
+        F.sum(F.col("c") * F.col("li")).cast("double").alias("lsum"),
+        F.sum(F.col("c") * F.col("li") * F.col("li")).cast("double")
+        .alias("l2sum"))
+    nn = F.col("nn").cast("double")
+    mu = F.col("lsum") * (nn + 1) / 2.0
+    var = (nn + 1) / 12.0 * (nn * F.col("l2sum")
+                             - F.col("lsum") * F.col("lsum"))
+    return agg.select(
+        F.col("nn").cast("long").alias("n"),
+        F.round(F.col("t"), 6).alias("t_stat"),
+        F.round(F.when(var > 0, (F.col("t") - mu) / F.sqrt(var)), 6)
+        .alias("z"))
+
+
+def cuzick_trend_sql(table: str, group_sql: str,
+                     ordered_groups: list, value_sql: str) -> str:
+    gi = ("CASE " + " ".join(
+        f"WHEN {group_sql} = '{g}' THEN {i + 1}"
+        for i, g in enumerate(ordered_groups)) + " END")
+    in_list = ", ".join(f"'{g}'" for g in ordered_groups)
+    return f"""
+WITH per AS (
+  SELECT {gi} AS li, CAST({value_sql} AS DOUBLE) AS v, count(*) AS c
+  FROM {table}
+  WHERE {group_sql} IN ({in_list})
+    AND CAST({value_sql} AS DOUBLE) IS NOT NULL
+  GROUP BY 1, 2
+),
+spine AS (SELECT v, sum(c) AS cv FROM per GROUP BY 1),
+mid AS (
+  SELECT v,
+         coalesce(sum(cv) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (cv + 1) / 2.0 AS r
+  FROM spine
+),
+agg AS (
+  SELECT sum(p.c) AS nn,
+         CAST(sum(CAST(p.c * p.li * m.r AS DECIMAL(38,12)))
+              AS DOUBLE) AS t,
+         CAST(sum(p.c * p.li) AS DOUBLE) AS lsum,
+         CAST(sum(p.c * p.li * p.li) AS DOUBLE) AS l2sum
+  FROM per p JOIN mid m ON m.v = p.v
+)
+SELECT CAST(nn AS BIGINT) AS n, round(t, 6) AS t_stat,
+       round(CASE WHEN (CAST(nn AS DOUBLE) + 1) / 12.0
+                       * (nn * l2sum - lsum * lsum) > 0
+                  THEN (t - lsum * (CAST(nn AS DOUBLE) + 1) / 2.0)
+                       / sqrt((CAST(nn AS DOUBLE) + 1) / 12.0
+                              * (nn * l2sum - lsum * lsum)) END, 6)
+         AS z
+FROM agg
+"""
