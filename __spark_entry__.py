@@ -11021,6 +11021,117 @@ def _sql_cuzick():
 
 
 # ---------------------------------------------------------------------------
+# Round-11 third stratum: contingency-table association — ordinal
+# pair measures, prediction-error lambda, the 2×2 battery, Woolf CI,
+# and Breslow–Day homogeneity over nation strata.
+
+_PRIORITY_IDX_SQL = ("CASE " + " ".join(
+    f"WHEN o_orderpriority = '{p}' THEN {i + 1}"
+    for i, p in enumerate(["1-URGENT", "2-HIGH", "3-MEDIUM",
+                           "4-NOT SPECIFIED", "5-LOW"])) + " END")
+
+
+def q_ordinal_assoc(spark, sf_dir):
+    """Gamma / Somers' d / tau-b / tau-c between order priority and
+    total-price decile (stats.ordinal_association) — concordance
+    algebra on the bounded 5×10 cell table, never row pairs."""
+    from pyspark.sql import Window as W
+
+    from distill_spark.operators.stats import ordinal_association
+
+    o = _tables(spark, sf_dir)["orders"]
+    pr = F.coalesce(*[F.when(F.col("o_orderpriority") == p, i + 1)
+                      for i, p in enumerate(_PRIORITY_ORDER)])
+    dec = F.ntile(10).over(W.orderBy(F.asc("o_totalprice"),
+                                     F.asc("o_orderkey")))
+    coded = o.select(pr.alias("pi"), dec.alias("dj"))
+    return ordinal_association(coded, "pi", "dj")
+
+
+def _sql_ordinal_assoc():
+    from distill_spark.operators.stats import ordinal_association_sql
+
+    coded = (f"(SELECT {_PRIORITY_IDX_SQL} AS pi, "
+             "ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS dj "
+             "FROM orders)")
+    return ordinal_association_sql(coded, "pi", "dj")
+
+
+def q_gk_lambda(spark, sf_dir):
+    """Goodman–Kruskal lambda of document language given source
+    (stats.gk_lambda) — the prediction-framed association next to
+    cramers_v_assoc and mutual_info_lang_source."""
+    from distill_spark.operators.stats import gk_lambda
+
+    return gk_lambda(_tables(spark, sf_dir)["documents"],
+                     "source", "lang")
+
+
+def _sql_gk_lambda():
+    from distill_spark.operators.stats import gk_lambda_sql
+
+    return gk_lambda_sql("documents", "source", "lang")
+
+
+def q_yule_q(spark, sf_dir):
+    """Yule Q/Y, Haldane odds ratio, and the cosine tetrachoric
+    approximation for per-user click×purchase flags
+    (stats.yule_q_2x2) — the 2×2 corner of the association family."""
+    from distill_spark.operators.stats import yule_q_2x2
+
+    return yule_q_2x2(_tables(spark, sf_dir)["events"])
+
+
+def _sql_yule_q():
+    from distill_spark.operators.stats import yule_q_2x2_sql
+
+    return yule_q_2x2_sql()
+
+
+def q_odds_ratio_woolf(spark, sf_dir):
+    """Urgent-priority → F-status odds ratio with the Woolf logit CI
+    (stats.odds_ratio_woolf) — the inference layer over one 2×2."""
+    from distill_spark.operators.stats import odds_ratio_woolf
+
+    o = _tables(spark, sf_dir)["orders"]
+    return odds_ratio_woolf(o,
+                            F.col("o_orderpriority") == "1-URGENT",
+                            F.col("o_orderstatus") == "F")
+
+
+def _sql_odds_woolf():
+    from distill_spark.operators.stats import odds_ratio_woolf_sql
+
+    return odds_ratio_woolf_sql("orders",
+                                "o_orderpriority = '1-URGENT'",
+                                "o_orderstatus = 'F'")
+
+
+def q_breslow_day(spark, sf_dir):
+    """Breslow–Day homogeneity of the urgent→F odds ratio across
+    customer nations (stats.breslow_day) — the audit that says
+    whether cmh_nations' pooled OR means anything."""
+    from distill_spark.operators.stats import breslow_day
+
+    t = _tables(spark, sf_dir)
+    j = t["orders"].join(t["customer"],
+                         t["orders"].o_custkey == t["customer"].c_custkey)
+    return breslow_day(j, "c_nationkey",
+                       F.col("o_orderpriority") == "1-URGENT",
+                       F.col("o_orderstatus") == "F")
+
+
+def _sql_breslow_day():
+    from distill_spark.operators.stats import breslow_day_sql
+
+    j = ("(SELECT c_nationkey, o_orderpriority, o_orderstatus "
+         "FROM orders JOIN customer ON o_custkey = c_custkey)")
+    return breslow_day_sql(j, "c_nationkey",
+                           "o_orderpriority = '1-URGENT'",
+                           "o_orderstatus = 'F'")
+
+
+# ---------------------------------------------------------------------------
 # Round-10 ninth stratum: paired daily tests (Wilcoxon signed-rank,
 # sign test), Haar multiresolution energy, decision-stump split gain.
 
@@ -11099,6 +11210,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ww_runs_daily": (q_ww_runs_daily, _sql_ww_runs()),
     "page_trend_dow": (q_page_trend_dow, _sql_page()),
     "cuzick_priority": (q_cuzick_priority, _sql_cuzick()),
+    # -- round-11 third stratum: contingency-table association --------------
+    "ordinal_assoc": (q_ordinal_assoc, _sql_ordinal_assoc()),
+    "gk_lambda": (q_gk_lambda, _sql_gk_lambda()),
+    "yule_q": (q_yule_q, _sql_yule_q()),
+    "odds_ratio_woolf": (q_odds_ratio_woolf, _sql_odds_woolf()),
+    "breslow_day": (q_breslow_day, _sql_breslow_day()),
     # -- round-10 ninth stratum: paired tests / wavelets / stump gain ---------
     "wilcoxon_clicks_views": (q_wilcoxon_clicks_views, _sql_wilcoxon()),
     "sign_test_daily": (q_sign_test_daily, _sql_sign_test()),

@@ -5551,3 +5551,479 @@ SELECT CAST(nn AS BIGINT) AS n, round(t, 6) AS t_stat,
          AS z
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-11 third stratum: contingency-table association. Ordinal
+# pair measures (gamma / Somers' d / tau-b / tau-c), proportional-
+# reduction-in-error lambda, the 2x2 battery (Yule Q/Y, odds ratio,
+# tetrachoric approximation, Woolf CI), and Breslow–Day homogeneity.
+# Everything reduces to a dictionary-sized r×c cell frame first; the
+# pair algebra runs on cells, never on rows.
+
+
+def ordinal_association(df: DataFrame, x_col, y_col) -> DataFrame:
+    """Ordinal association measures from concordant/discordant pair
+    counts over the r×c table of two INTEGER-coded ordinal columns:
+    gamma = (C−D)/(C+D) (Goodman–Kruskal 1954), Somers'
+    d_yx = (C−D)/(T−T_x) and d_xy (asymmetric PRE versions),
+    tau_b = (C−D)/√((T−T_x)(T−T_y)), Stuart's
+    tau_c = 2m(C−D)/(N²(m−1)). C/D come from a cell×cell self-join
+    of the aggregated table (r·c ≤ a few hundred cells — bounded),
+    never from row pairs; counts accumulate in DECIMAL because pair
+    counts pass 2^53 long before 100 TB does. Output: one row
+    (n, c_pairs, d_pairs, gamma, somers_dyx, somers_dxy, tau_b,
+    tau_c), rounds 6."""
+    x = x_col if isinstance(x_col, F.Column) else F.col(x_col)
+    y = y_col if isinstance(y_col, F.Column) else F.col(y_col)
+    cells = (df.filter(x.isNotNull() & y.isNotNull())
+             .groupBy(x.alias("i"), y.alias("j"))
+             .agg(F.count("*").alias("c")))
+    a = cells.select(F.col("i").alias("ia"), F.col("j").alias("ja"),
+                     F.col("c").alias("ca"))
+    b = cells.select(F.col("i").alias("ib"), F.col("j").alias("jb"),
+                     F.col("c").alias("cb"))
+    pairs = a.join(b, (F.col("ib") > F.col("ia")))
+    conc = F.when(F.col("jb") > F.col("ja"),
+                  F.col("ca") * F.col("cb")).otherwise(0)
+    disc = F.when(F.col("jb") < F.col("ja"),
+                  F.col("ca") * F.col("cb")).otherwise(0)
+    cd = pairs.agg(F.sum(conc.cast(_DEC)).cast("double").alias("cc"),
+                   F.sum(disc.cast(_DEC)).cast("double").alias("dd"))
+    margins = cells.agg(
+        F.sum("c").alias("nn"),
+        F.count_distinct("i").alias("nr"),
+        F.count_distinct("j").alias("nc"))
+    rowt = (cells.groupBy("i").agg(F.sum("c").alias("r"))
+            .agg(F.sum((F.col("r") * (F.col("r") - 1) / 2).cast(_DEC))
+                 .cast("double").alias("tx")))
+    colt = (cells.groupBy("j").agg(F.sum("c").alias("r"))
+            .agg(F.sum((F.col("r") * (F.col("r") - 1) / 2).cast(_DEC))
+                 .cast("double").alias("ty")))
+    out = (cd.crossJoin(F.broadcast(margins))
+           .crossJoin(F.broadcast(rowt))
+           .crossJoin(F.broadcast(colt)))
+    nn = F.col("nn").cast("double")
+    t = nn * (nn - 1) / 2.0
+    m = F.least(F.col("nr"), F.col("nc")).cast("double")
+    cmd = F.col("cc") - F.col("dd")
+    return out.select(
+        F.col("nn").cast("long").alias("n"),
+        F.round(F.col("cc"), 6).alias("c_pairs"),
+        F.round(F.col("dd"), 6).alias("d_pairs"),
+        F.round(F.when(F.col("cc") + F.col("dd") > 0,
+                       cmd / (F.col("cc") + F.col("dd"))), 6)
+        .alias("gamma"),
+        F.round(F.when(t - F.col("tx") > 0, cmd / (t - F.col("tx"))),
+                6).alias("somers_dyx"),
+        F.round(F.when(t - F.col("ty") > 0, cmd / (t - F.col("ty"))),
+                6).alias("somers_dxy"),
+        F.round(F.when((t - F.col("tx")) * (t - F.col("ty")) > 0,
+                       cmd / F.sqrt((t - F.col("tx"))
+                                    * (t - F.col("ty")))), 6)
+        .alias("tau_b"),
+        F.round(2.0 * m * cmd / (nn * nn * (m - 1)), 6).alias("tau_c"))
+
+
+def ordinal_association_sql(table: str, x_sql: str, y_sql: str) -> str:
+    return f"""
+WITH cells AS (
+  SELECT {x_sql} AS i, {y_sql} AS j, count(*) AS c
+  FROM {table}
+  WHERE {x_sql} IS NOT NULL AND {y_sql} IS NOT NULL
+  GROUP BY 1, 2
+),
+cd AS (
+  SELECT CAST(sum(CAST(CASE WHEN b.j > a.j THEN a.c * b.c ELSE 0 END
+                       AS DECIMAL(38,12))) AS DOUBLE) AS cc,
+         CAST(sum(CAST(CASE WHEN b.j < a.j THEN a.c * b.c ELSE 0 END
+                       AS DECIMAL(38,12))) AS DOUBLE) AS dd
+  FROM cells a JOIN cells b ON b.i > a.i
+),
+margins AS (
+  SELECT sum(c) AS nn, count(DISTINCT i) AS nr,
+         count(DISTINCT j) AS nc
+  FROM cells
+),
+rowt AS (
+  SELECT CAST(sum(CAST(r * (r - 1) / 2 AS DECIMAL(38,12)))
+              AS DOUBLE) AS tx
+  FROM (SELECT sum(c) AS r FROM cells GROUP BY i)
+),
+colt AS (
+  SELECT CAST(sum(CAST(r * (r - 1) / 2 AS DECIMAL(38,12)))
+              AS DOUBLE) AS ty
+  FROM (SELECT sum(c) AS r FROM cells GROUP BY j)
+)
+SELECT CAST(nn AS BIGINT) AS n,
+       round(cc, 6) AS c_pairs, round(dd, 6) AS d_pairs,
+       round(CASE WHEN cc + dd > 0 THEN (cc - dd) / (cc + dd) END, 6)
+         AS gamma,
+       round(CASE WHEN CAST(nn AS DOUBLE) * (nn - 1) / 2.0 - tx > 0
+                  THEN (cc - dd)
+                       / (CAST(nn AS DOUBLE) * (nn - 1) / 2.0 - tx)
+             END, 6) AS somers_dyx,
+       round(CASE WHEN CAST(nn AS DOUBLE) * (nn - 1) / 2.0 - ty > 0
+                  THEN (cc - dd)
+                       / (CAST(nn AS DOUBLE) * (nn - 1) / 2.0 - ty)
+             END, 6) AS somers_dxy,
+       round(CASE WHEN (CAST(nn AS DOUBLE) * (nn - 1) / 2.0 - tx)
+                       * (CAST(nn AS DOUBLE) * (nn - 1) / 2.0 - ty) > 0
+                  THEN (cc - dd)
+                       / sqrt((CAST(nn AS DOUBLE) * (nn - 1) / 2.0 - tx)
+                              * (CAST(nn AS DOUBLE) * (nn - 1) / 2.0
+                                 - ty)) END, 6) AS tau_b,
+       round(2.0 * least(nr, nc) * (cc - dd)
+             / (CAST(nn AS DOUBLE) * nn * (least(nr, nc) - 1)), 6)
+         AS tau_c
+FROM cd CROSS JOIN margins CROSS JOIN rowt CROSS JOIN colt
+"""
+
+
+def gk_lambda(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Goodman–Kruskal lambda: proportional reduction in prediction
+    error. λ(y|x) = (Σ_x max_y n_xy − max_y n_·y)/(N − max_y n_·y):
+    how much knowing x improves the modal guess of y — the
+    PREDICTION-framed complement of cramers_v_assoc's χ²-framed
+    association (λ can be exactly 0 while χ² is huge, whenever x
+    never changes the modal y). Symmetric λ averages the two error
+    reductions. Bounded cell frame; modal maxima via per-margin
+    aggregates. Output: one row (n, lambda_y_x, lambda_x_y,
+    lambda_sym), rounds 6."""
+    x, y = F.col(x_col), F.col(y_col)
+    cells = (df.filter(x.isNotNull() & y.isNotNull())
+             .groupBy(x.alias("i"), y.alias("j"))
+             .agg(F.count("*").alias("c")))
+    row_max = (cells.groupBy("i").agg(F.max("c").alias("m"))
+               .agg(F.sum("m").alias("srm")))
+    col_max = (cells.groupBy("j").agg(F.max("c").alias("m"))
+               .agg(F.sum("m").alias("scm")))
+    row_marg = (cells.groupBy("i").agg(F.sum("c").alias("r"))
+                .agg(F.max("r").alias("mr"), F.sum("r").alias("nn")))
+    col_marg = (cells.groupBy("j").agg(F.sum("c").alias("r"))
+                .agg(F.max("r").alias("mc")))
+    out = (row_max.crossJoin(F.broadcast(col_max))
+           .crossJoin(F.broadcast(row_marg))
+           .crossJoin(F.broadcast(col_marg)))
+    nn = F.col("nn").cast("double")
+    ly = (F.col("scm") - F.col("mc")) / (nn - F.col("mc"))
+    lx = (F.col("srm") - F.col("mr")) / (nn - F.col("mr"))
+    lsym = ((F.col("scm") + F.col("srm") - F.col("mc") - F.col("mr"))
+            / (2.0 * nn - F.col("mc") - F.col("mr")))
+    return out.select(
+        F.col("nn").cast("long").alias("n"),
+        F.round(F.when(nn > F.col("mc"), ly), 6).alias("lambda_y_x"),
+        F.round(F.when(nn > F.col("mr"), lx), 6).alias("lambda_x_y"),
+        F.round(F.when(2.0 * nn > F.col("mc") + F.col("mr"), lsym), 6)
+        .alias("lambda_sym"))
+
+
+def gk_lambda_sql(table: str, x_sql: str, y_sql: str) -> str:
+    return f"""
+WITH cells AS (
+  SELECT {x_sql} AS i, {y_sql} AS j, count(*) AS c
+  FROM {table}
+  WHERE {x_sql} IS NOT NULL AND {y_sql} IS NOT NULL
+  GROUP BY 1, 2
+),
+row_max AS (
+  SELECT sum(m) AS srm FROM (SELECT max(c) AS m FROM cells GROUP BY i)
+),
+col_max AS (
+  SELECT sum(m) AS scm FROM (SELECT max(c) AS m FROM cells GROUP BY j)
+),
+row_marg AS (
+  SELECT max(r) AS mr, sum(r) AS nn
+  FROM (SELECT sum(c) AS r FROM cells GROUP BY i)
+),
+col_marg AS (
+  SELECT max(r) AS mc FROM (SELECT sum(c) AS r FROM cells GROUP BY j)
+)
+SELECT CAST(nn AS BIGINT) AS n,
+       round(CASE WHEN nn > mc
+                  THEN (scm - mc) / (CAST(nn AS DOUBLE) - mc) END, 6)
+         AS lambda_y_x,
+       round(CASE WHEN nn > mr
+                  THEN (srm - mr) / (CAST(nn AS DOUBLE) - mr) END, 6)
+         AS lambda_x_y,
+       round(CASE WHEN 2.0 * nn > mc + mr
+                  THEN (CAST(scm AS DOUBLE) + srm - mc - mr)
+                       / (2.0 * nn - mc - mr) END, 6) AS lambda_sym
+FROM row_max CROSS JOIN col_max CROSS JOIN row_marg CROSS JOIN col_marg
+"""
+
+
+def _two_by_two(df: DataFrame, expose, outcome):
+    """One-row (a, b, c, d) cell counts for a 2×2 design: a =
+    exposed∧outcome, b = exposed∧¬outcome, c = ¬exposed∧outcome,
+    d = neither. One map-side-combined aggregate."""
+    e = expose.cast("int")
+    o = outcome.cast("int")
+    return df.agg(
+        F.sum(e * o).alias("a"),
+        F.sum(e * (1 - o)).alias("b"),
+        F.sum((1 - e) * o).alias("c"),
+        F.sum((1 - e) * (1 - o)).alias("d"))
+
+
+def yule_q_2x2(df: DataFrame, user_col: str = "user_id",
+               type_a: str = "click", type_b: str = "purchase"
+               ) -> DataFrame:
+    """The 2×2 association battery over per-user behavior flags
+    (did the user ever {type_a}, did they ever {type_b}): Haldane–
+    Anscombe-corrected odds ratio OR = (a+½)(d+½)/((b+½)(c+½)),
+    Yule's Q = (OR−1)/(OR+1) (gamma restricted to 2×2), Yule's
+    Y = (√OR−1)/(√OR+1) (the coefficient of colligation), and the
+    cosine tetrachoric APPROXIMATION r* = cos(π/(1+√OR)) (Pearson
+    1900 shortcut — stated as the approximation, not the MLE).
+    The per-user flag frame is one groupBy; the table is one row.
+    Output: (a, b, c, d, odds_ratio, yule_q, yule_y,
+    tetrachoric), rounds 6."""
+    flags = (df.groupBy(user_col)
+             .agg(F.max((F.col("event_type") == type_a).cast("int"))
+                  .alias("fa"),
+                  F.max((F.col("event_type") == type_b).cast("int"))
+                  .alias("fb")))
+    cells = _two_by_two(flags, F.col("fa") == 1, F.col("fb") == 1)
+    or_ = ((F.col("a") + 0.5) * (F.col("d") + 0.5)
+           / ((F.col("b") + 0.5) * (F.col("c") + 0.5)))
+    import math
+    return cells.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+        F.col("d").cast("long").alias("d"),
+        F.round(or_, 6).alias("odds_ratio"),
+        F.round((or_ - 1) / (or_ + 1), 6).alias("yule_q"),
+        F.round((F.sqrt(or_) - 1) / (F.sqrt(or_) + 1), 6)
+        .alias("yule_y"),
+        F.round(F.cos(F.lit(math.pi) / (1 + F.sqrt(or_))), 6)
+        .alias("tetrachoric"))
+
+
+def yule_q_2x2_sql(table: str = "events", user_sql: str = "user_id",
+                   type_a: str = "click",
+                   type_b: str = "purchase") -> str:
+    return f"""
+WITH flags AS (
+  SELECT {user_sql} AS u,
+         max(CASE WHEN event_type = '{type_a}' THEN 1 ELSE 0 END) AS fa,
+         max(CASE WHEN event_type = '{type_b}' THEN 1 ELSE 0 END) AS fb
+  FROM {table} GROUP BY 1
+),
+cells AS (
+  SELECT sum(fa * fb) AS a, sum(fa * (1 - fb)) AS b,
+         sum((1 - fa) * fb) AS c, sum((1 - fa) * (1 - fb)) AS d
+  FROM flags
+),
+o AS (
+  SELECT a, b, c, d,
+         (a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)) AS orr
+  FROM cells
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+       round(orr, 6) AS odds_ratio,
+       round((orr - 1) / (orr + 1), 6) AS yule_q,
+       round((sqrt(orr) - 1) / (sqrt(orr) + 1), 6) AS yule_y,
+       round(cos(pi() / (1 + sqrt(orr))), 6) AS tetrachoric
+FROM o
+"""
+
+
+def odds_ratio_woolf(df: DataFrame, expose, outcome) -> DataFrame:
+    """Odds ratio with the Woolf logit confidence interval (Woolf
+    1955): ln OR ± 1.96·√(1/a + 1/b + 1/c + 1/d) on the Haldane–
+    Anscombe-corrected cells — the inference layer the point
+    estimates in yule_q_2x2 omit, and the per-stratum building
+    block breslow_day audits. Output: one row (a, b, c, d,
+    odds_ratio, log_or, se_log_or, ci_low, ci_high), rounds 6."""
+    cells = _two_by_two(df, expose, outcome)
+    ah = F.col("a") + 0.5
+    bh = F.col("b") + 0.5
+    ch = F.col("c") + 0.5
+    dh = F.col("d") + 0.5
+    or_ = ah * dh / (bh * ch)
+    se = F.sqrt(1.0 / ah + 1.0 / bh + 1.0 / ch + 1.0 / dh)
+    return cells.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+        F.col("d").cast("long").alias("d"),
+        F.round(or_, 6).alias("odds_ratio"),
+        F.round(F.log(or_), 6).alias("log_or"),
+        F.round(se, 6).alias("se_log_or"),
+        F.round(F.exp(F.log(or_) - 1.96 * se), 6).alias("ci_low"),
+        F.round(F.exp(F.log(or_) + 1.96 * se), 6).alias("ci_high"))
+
+
+def odds_ratio_woolf_sql(table: str, expose_sql: str,
+                         outcome_sql: str) -> str:
+    return f"""
+WITH cells AS (
+  SELECT sum(CASE WHEN ({expose_sql}) AND ({outcome_sql})
+             THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN ({expose_sql}) AND NOT ({outcome_sql})
+             THEN 1 ELSE 0 END) AS b,
+         sum(CASE WHEN NOT ({expose_sql}) AND ({outcome_sql})
+             THEN 1 ELSE 0 END) AS c,
+         sum(CASE WHEN NOT ({expose_sql}) AND NOT ({outcome_sql})
+             THEN 1 ELSE 0 END) AS d
+  FROM {table}
+),
+o AS (
+  SELECT a, b, c, d,
+         (a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)) AS orr,
+         sqrt(1.0 / (a + 0.5) + 1.0 / (b + 0.5)
+              + 1.0 / (c + 0.5) + 1.0 / (d + 0.5)) AS se
+  FROM cells
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+       round(orr, 6) AS odds_ratio,
+       round(ln(orr), 6) AS log_or,
+       round(se, 6) AS se_log_or,
+       round(exp(ln(orr) - 1.96 * se), 6) AS ci_low,
+       round(exp(ln(orr) + 1.96 * se), 6) AS ci_high
+FROM o
+"""
+
+
+def breslow_day(df: DataFrame, stratum_col: str, expose, outcome
+                ) -> DataFrame:
+    """Breslow–Day test of odds-ratio HOMOGENEITY across strata
+    (Breslow & Day 1980 §IV): under the Mantel–Haenszel common OR,
+    each stratum's expected exposed-case cell Ẽ_k solves the
+    quadratic (OR−1)Ẽ² − [(r₁+c₁)(OR−1) + n]Ẽ + OR·r₁c₁ = 0 (root
+    inside [max(0, r₁+c₁−n), min(r₁, c₁)]), with asymptotic
+    variance V_k = 1/(1/Ẽ + 1/(r₁−Ẽ) + 1/(c₁−Ẽ) + 1/(n−r₁−c₁+Ẽ));
+    χ²_BD = Σ (a_k − Ẽ_k)²/V_k — the homogeneity audit that says
+    whether cmh_nations' pooled OR is even meaningful. Strata with
+    an empty margin drop out (k counts survivors). Per-stratum 2×2
+    from one aggregate; the quadratic is row algebra on the k-row
+    frame. Output: one row (k, or_mh, chi2_bd), rounds 6."""
+    e = expose.cast("int")
+    o = outcome.cast("int")
+    per = (df.filter(F.col(stratum_col).isNotNull())
+           .groupBy(F.col(stratum_col).alias("s"))
+           .agg(F.sum(e * o).alias("a"),
+                F.sum(e * (1 - o)).alias("b"),
+                F.sum((1 - e) * o).alias("c"),
+                F.sum((1 - e) * (1 - o)).alias("d")))
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")) \
+        .cast("double")
+    keep = per.filter(
+        (F.col("a") + F.col("b") > 0) & (F.col("c") + F.col("d") > 0)
+        & (F.col("a") + F.col("c") > 0)
+        & (F.col("b") + F.col("d") > 0))
+    mh = keep.agg(
+        F.sum(F.col("a") * F.col("d")
+              / (F.col("a") + F.col("b") + F.col("c") + F.col("d"))
+              ).alias("num"),
+        F.sum(F.col("b") * F.col("c")
+              / (F.col("a") + F.col("b") + F.col("c") + F.col("d"))
+              ).alias("den"))
+    withor = keep.crossJoin(F.broadcast(
+        mh.select((F.col("num") / F.col("den")).alias("orr"))))
+    r1 = (F.col("a") + F.col("b")).cast("double")
+    c1 = (F.col("a") + F.col("c")).cast("double")
+    orr = F.col("orr")
+    aa = orr - 1.0
+    bb = -((r1 + c1) * (orr - 1.0) + n)
+    cc2 = orr * r1 * c1
+    disc = F.sqrt(bb * bb - 4.0 * aa * cc2)
+    root1 = (-bb - disc) / (2.0 * aa)
+    root2 = (-bb + disc) / (2.0 * aa)
+    lo_b = F.greatest(F.lit(0.0), r1 + c1 - n)
+    hi_b = F.least(r1, c1)
+    pick = F.when(F.abs(aa) < 1e-12, r1 * c1 / n) \
+        .when((root1 > lo_b) & (root1 < hi_b), root1) \
+        .otherwise(root2)
+    ee = pick
+    var = 1.0 / (1.0 / ee + 1.0 / (r1 - ee) + 1.0 / (c1 - ee)
+                 + 1.0 / (n - r1 - c1 + ee))
+    term = ((F.col("a") - ee) * (F.col("a") - ee) / var).cast(_DEC)
+    agg = (withor.select(F.col("orr"), term.alias("_t"))
+           .groupBy("orr")
+           .agg(F.count("*").alias("k"),
+                F.sum("_t").cast("double").alias("chi2")))
+    return agg.select(
+        F.col("k").cast("long").alias("k"),
+        F.round(F.col("orr"), 6).alias("or_mh"),
+        F.round(F.col("chi2"), 6).alias("chi2_bd"))
+
+
+def breslow_day_sql(table: str, stratum_sql: str, expose_sql: str,
+                    outcome_sql: str) -> str:
+    return f"""
+WITH per AS (
+  SELECT {stratum_sql} AS s,
+         sum(CASE WHEN ({expose_sql}) AND ({outcome_sql})
+             THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN ({expose_sql}) AND NOT ({outcome_sql})
+             THEN 1 ELSE 0 END) AS b,
+         sum(CASE WHEN NOT ({expose_sql}) AND ({outcome_sql})
+             THEN 1 ELSE 0 END) AS c,
+         sum(CASE WHEN NOT ({expose_sql}) AND NOT ({outcome_sql})
+             THEN 1 ELSE 0 END) AS d
+  FROM {table}
+  WHERE {stratum_sql} IS NOT NULL
+  GROUP BY 1
+),
+keep AS (
+  SELECT * FROM per
+  WHERE a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0
+),
+mh AS (
+  SELECT sum(CAST(a AS DOUBLE) * d / (a + b + c + d))
+         / sum(CAST(b AS DOUBLE) * c / (a + b + c + d)) AS orr
+  FROM keep
+),
+quad AS (
+  SELECT k.a, k.b, k.c, k.d, m.orr,
+         CAST(k.a + k.b AS DOUBLE) AS r1,
+         CAST(k.a + k.c AS DOUBLE) AS c1,
+         CAST(k.a + k.b + k.c + k.d AS DOUBLE) AS n
+  FROM keep k CROSS JOIN mh m
+),
+roots AS (
+  SELECT a, orr, r1, c1, n,
+         CASE WHEN abs(orr - 1.0) < 1e-12 THEN r1 * c1 / n
+              WHEN ((((r1 + c1) * (orr - 1.0) + n)
+                     - sqrt(((r1 + c1) * (orr - 1.0) + n)
+                            * ((r1 + c1) * (orr - 1.0) + n)
+                            - 4.0 * (orr - 1.0) * orr * r1 * c1))
+                    / (2.0 * (orr - 1.0)))
+                   > greatest(0.0, r1 + c1 - n)
+               AND ((((r1 + c1) * (orr - 1.0) + n)
+                     - sqrt(((r1 + c1) * (orr - 1.0) + n)
+                            * ((r1 + c1) * (orr - 1.0) + n)
+                            - 4.0 * (orr - 1.0) * orr * r1 * c1))
+                    / (2.0 * (orr - 1.0)))
+                   < least(r1, c1)
+              THEN ((((r1 + c1) * (orr - 1.0) + n)
+                     - sqrt(((r1 + c1) * (orr - 1.0) + n)
+                            * ((r1 + c1) * (orr - 1.0) + n)
+                            - 4.0 * (orr - 1.0) * orr * r1 * c1))
+                    / (2.0 * (orr - 1.0)))
+              ELSE ((((r1 + c1) * (orr - 1.0) + n)
+                     + sqrt(((r1 + c1) * (orr - 1.0) + n)
+                            * ((r1 + c1) * (orr - 1.0) + n)
+                            - 4.0 * (orr - 1.0) * orr * r1 * c1))
+                    / (2.0 * (orr - 1.0)))
+         END AS ee
+  FROM quad
+),
+agg AS (
+  SELECT orr, count(*) AS k,
+         CAST(sum(CAST((a - ee) * (a - ee)
+                       * (1.0 / ee + 1.0 / (r1 - ee)
+                          + 1.0 / (c1 - ee)
+                          + 1.0 / (n - r1 - c1 + ee))
+                       AS DECIMAL(38,12))) AS DOUBLE) AS chi2
+  FROM roots GROUP BY orr
+)
+SELECT CAST(k AS BIGINT) AS k, round(orr, 6) AS or_mh,
+       round(chi2, 6) AS chi2_bd
+FROM agg
+"""
