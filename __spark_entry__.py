@@ -11132,6 +11132,103 @@ def _sql_breslow_day():
 
 
 # ---------------------------------------------------------------------------
+# Round-11 fourth stratum: interval estimation, sequential testing,
+# variance reduction, cluster design effects, ordinal agreement.
+
+def q_proportion_cis(spark, sf_dir):
+    """Wald vs Wilson vs Agresti–Coull CIs for the user conversion
+    rate (conversion.proportion_cis) — the coverage-gap exhibit."""
+    from distill_spark.operators.conversion import proportion_cis
+
+    return proportion_cis(_tables(spark, sf_dir)["events"])
+
+
+def _sql_proportion_cis():
+    from distill_spark.operators.conversion import proportion_cis_sql
+
+    return proportion_cis_sql()
+
+
+def q_sprt_boundary(spark, sf_dir):
+    """Wald SPRT replay over user arrivals: first boundary crossing
+    for conversion p₀=0.3 vs p₁=0.4 (conversion.sprt_boundary) —
+    the sequential companion to power_mde."""
+    from distill_spark.operators.conversion import sprt_boundary
+
+    return sprt_boundary(_tables(spark, sf_dir)["events"])
+
+
+def _sql_sprt():
+    from distill_spark.operators.conversion import sprt_boundary_sql
+
+    return sprt_boundary_sql()
+
+
+def q_cuped_adjustment(spark, sf_dir):
+    """CUPED pre-period variance reduction over per-user value sums
+    (conversion.cuped_adjustment) — θ, ρ, and the sensitivity
+    gained, WSDM'13 style."""
+    from distill_spark.operators.conversion import cuped_adjustment
+
+    return cuped_adjustment(_tables(spark, sf_dir)["events"])
+
+
+def _sql_cuped():
+    from distill_spark.operators.conversion import cuped_adjustment_sql
+
+    return cuped_adjustment_sql()
+
+
+def q_design_effect(spark, sf_dir):
+    """ICC(1) + Kish design effect of account balance clustered by
+    nation (stats.design_effect_icc) — the cluster-randomization
+    price tag."""
+    from distill_spark.operators.stats import design_effect_icc
+
+    return design_effect_icc(_tables(spark, sf_dir)["customer"],
+                             "c_nationkey", "c_acctbal")
+
+
+def _sql_design_effect():
+    from distill_spark.operators.stats import design_effect_icc_sql
+
+    return design_effect_icc_sql("customer", "c_nationkey",
+                                 "c_acctbal")
+
+
+def q_weighted_kappa(spark, sf_dir):
+    """Quadratic-weighted Cohen's κ between two ordinal document
+    raters — length quintile vs word-count quintile
+    (mleval.weighted_kappa); the graded upgrade of the unweighted
+    κ in rank_association."""
+    from pyspark.sql import Window as W
+
+    from distill_spark.operators.mleval import weighted_kappa
+
+    d = _tables(spark, sf_dir)["documents"]
+    nw = F.size(F.filter(F.split(F.coalesce(F.col("text"), F.lit("")),
+                                 r"\s+"),
+                         lambda x: x != ""))
+    coded = d.select(
+        F.ntile(5).over(W.orderBy(F.asc("n_chars"), F.asc("doc_id")))
+        .alias("ra"),
+        F.ntile(5).over(W.orderBy(nw.asc(), F.asc("doc_id")))
+        .alias("rb"))
+    return weighted_kappa(coded, "ra", "rb", 5)
+
+
+def _sql_weighted_kappa():
+    from distill_spark.operators.mleval import weighted_kappa_sql
+
+    coded = ("(SELECT ntile(5) OVER (ORDER BY n_chars, doc_id) AS ra, "
+             "ntile(5) OVER (ORDER BY len(list_filter("
+             "regexp_split_to_array(coalesce(text, ''), '\\s+'), "
+             "x -> x <> '')), doc_id) AS rb "
+             "FROM documents)")
+    return weighted_kappa_sql(coded, "ra", "rb", 5)
+
+
+# ---------------------------------------------------------------------------
 # Round-10 ninth stratum: paired daily tests (Wilcoxon signed-rank,
 # sign test), Haar multiresolution energy, decision-stump split gain.
 
@@ -11216,6 +11313,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "yule_q": (q_yule_q, _sql_yule_q()),
     "odds_ratio_woolf": (q_odds_ratio_woolf, _sql_odds_woolf()),
     "breslow_day": (q_breslow_day, _sql_breslow_day()),
+    # -- round-11 fourth stratum: intervals / sequential / design -----------
+    "proportion_cis": (q_proportion_cis, _sql_proportion_cis()),
+    "sprt_boundary": (q_sprt_boundary, _sql_sprt()),
+    "cuped_adjustment": (q_cuped_adjustment, _sql_cuped()),
+    "design_effect": (q_design_effect, _sql_design_effect()),
+    "weighted_kappa": (q_weighted_kappa, _sql_weighted_kappa()),
     # -- round-10 ninth stratum: paired tests / wavelets / stump gain ---------
     "wilcoxon_clicks_views": (q_wilcoxon_clicks_views, _sql_wilcoxon()),
     "sign_test_daily": (q_sign_test_daily, _sql_sign_test()),

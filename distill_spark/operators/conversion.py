@@ -1790,3 +1790,297 @@ SELECT CAST(n AS BIGINT) AS n_gaps,
                   THEN exp(-(my - k * mx) / k) END, 6) AS scale_days
 FROM fit
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-11 fourth stratum (part): interval estimation and sequential
+# testing over per-user conversion flags.
+
+
+def proportion_cis(events: DataFrame, target: str = "purchase",
+                   user_col: str = "user_id", z: float = 1.96
+                   ) -> DataFrame:
+    """Binomial proportion CIs three ways for the user conversion
+    rate: Wald p̂ ± z·√(p̂q̂/n) (the textbook interval that
+    undercovers badly near 0/1), Wilson score
+    (p̂ + z²/2n ± z·√(p̂q̂/n + z²/4n²)) / (1 + z²/n) (Wilson 1927 —
+    the one to actually use), and Agresti–Coull (Wilson's center
+    with Wald's width on ñ = n + z²; Agresti & Coull 1998). Shipping
+    all three makes the coverage gap visible instead of folklore.
+    One per-user flag aggregate → one row of closed-form algebra.
+    Output: (x, n, p_hat, wald_low, wald_high, wilson_low,
+    wilson_high, ac_low, ac_high), rounds 6."""
+    flags = (events.groupBy(user_col)
+             .agg(F.max((F.col("event_type") == target).cast("int"))
+                  .alias("f")))
+    agg = flags.agg(F.sum("f").alias("x"), F.count("*").alias("n"))
+    x = F.col("x").cast("double")
+    n = F.col("n").cast("double")
+    p = x / n
+    q = 1.0 - p
+    wald_w = z * F.sqrt(p * q / n)
+    center = (p + z * z / (2 * n)) / (1 + z * z / n)
+    wil_w = (z * F.sqrt(p * q / n + z * z / (4 * n * n))
+             / (1 + z * z / n))
+    nt = n + z * z
+    pt = (x + z * z / 2) / nt
+    ac_w = z * F.sqrt(pt * (1 - pt) / nt)
+    return agg.select(
+        F.col("x").cast("long").alias("x"),
+        F.col("n").cast("long").alias("n"),
+        F.round(p, 6).alias("p_hat"),
+        F.round(p - wald_w, 6).alias("wald_low"),
+        F.round(p + wald_w, 6).alias("wald_high"),
+        F.round(center - wil_w, 6).alias("wilson_low"),
+        F.round(center + wil_w, 6).alias("wilson_high"),
+        F.round(pt - ac_w, 6).alias("ac_low"),
+        F.round(pt + ac_w, 6).alias("ac_high"))
+
+
+def proportion_cis_sql(table: str = "events",
+                       target: str = "purchase",
+                       user_sql: str = "user_id",
+                       z: float = 1.96) -> str:
+    return f"""
+WITH flags AS (
+  SELECT {user_sql} AS u,
+         max(CASE WHEN event_type = '{target}' THEN 1 ELSE 0 END) AS f
+  FROM {table} GROUP BY 1
+),
+agg AS (SELECT sum(f) AS x, count(*) AS n FROM flags),
+d AS (
+  SELECT x, n,
+         CAST(x AS DOUBLE) / n AS p,
+         1.0 - CAST(x AS DOUBLE) / n AS q,
+         CAST(n AS DOUBLE) + {z} * {z} AS nt,
+         (x + {z} * {z} / 2) / (CAST(n AS DOUBLE) + {z} * {z}) AS pt
+  FROM agg
+)
+SELECT CAST(x AS BIGINT) AS x, CAST(n AS BIGINT) AS n,
+       round(p, 6) AS p_hat,
+       round(p - {z} * sqrt(p * q / n), 6) AS wald_low,
+       round(p + {z} * sqrt(p * q / n), 6) AS wald_high,
+       round((p + {z} * {z} / (2 * n)) / (1 + {z} * {z} / n)
+             - {z} * sqrt(p * q / n + {z} * {z} / (4.0 * n * n))
+               / (1 + {z} * {z} / n), 6) AS wilson_low,
+       round((p + {z} * {z} / (2 * n)) / (1 + {z} * {z} / n)
+             + {z} * sqrt(p * q / n + {z} * {z} / (4.0 * n * n))
+               / (1 + {z} * {z} / n), 6) AS wilson_high,
+       round(pt - {z} * sqrt(pt * (1 - pt) / nt), 6) AS ac_low,
+       round(pt + {z} * sqrt(pt * (1 - pt) / nt), 6) AS ac_high
+FROM d
+"""
+
+
+def sprt_boundary(events: DataFrame, target: str = "purchase",
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  p0: float = 0.3, p1: float = 0.4,
+                  alpha: float = 0.05, beta: float = 0.05
+                  ) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test replayed over the
+    user-arrival stream (Wald 1945): users ordered by (first event
+    ts, user_id) — a PINNED order, the determinism contract —
+    accumulate LLR_k = x_k·ln(p1/p0) + (k−x_k)·ln((1−p1)/(1−p0));
+    the test stops at the first k where LLR ≥ ln((1−β)/α) (accept
+    p1) or ≤ ln(β/(1−α)) (accept p0). The always-valid sequential
+    companion to power_mde's fixed-horizon design: it answers "how
+    soon could we have stopped?". Cumulative window over the
+    bounded per-user frame. Output: one row (n_users, llr_final,
+    upper_bound, lower_bound, first_cross_k, decision), rounds 6."""
+    import math
+
+    la = math.log((1 - beta) / alpha)
+    lb = math.log(beta / (1 - alpha))
+    w1 = math.log(p1 / p0)
+    w0 = math.log((1 - p1) / (1 - p0))
+    per = (events.groupBy(user_col)
+           .agg(F.min(ts_col).alias("t0"),
+                F.max((F.col("event_type") == target).cast("int"))
+                .alias("f")))
+    w = Window.orderBy(F.asc("t0"), F.asc(user_col))
+    walk = per.select(
+        "f",
+        F.row_number().over(w).alias("k"),
+        (F.sum(F.col("f")).over(w) * w1
+         + (F.row_number().over(w) - F.sum(F.col("f")).over(w)) * w0)
+        .alias("llr"))
+    crossed = walk.select(
+        "k", "llr",
+        F.when(F.col("llr") >= la, F.lit("accept_p1"))
+        .when(F.col("llr") <= lb, F.lit("accept_p0")).alias("dec"))
+    first = (crossed.filter(F.col("dec").isNotNull())
+             .agg(F.min(F.struct("k", "dec")).alias("s"))
+             .select(F.col("s.k").alias("first_k"),
+                     F.col("s.dec").alias("decision")))
+    tail = crossed.agg(F.max("k").alias("n_users"),
+                       F.max(F.struct("k", "llr")).alias("s"))
+    return (tail.select("n_users", F.col("s.llr").alias("llr"))
+            .crossJoin(F.broadcast(first))
+            .select(F.col("n_users").cast("long").alias("n_users"),
+                    F.round(F.col("llr"), 6).alias("llr_final"),
+                    F.round(F.lit(la), 6).alias("upper_bound"),
+                    F.round(F.lit(lb), 6).alias("lower_bound"),
+                    F.col("first_k").cast("long").alias("first_cross_k"),
+                    F.col("decision")))
+
+
+def sprt_boundary_sql(table: str = "events",
+                      target: str = "purchase",
+                      user_sql: str = "user_id", ts_sql: str = "ts",
+                      p0: float = 0.3, p1: float = 0.4,
+                      alpha: float = 0.05, beta: float = 0.05) -> str:
+    import math
+
+    la = math.log((1 - beta) / alpha)
+    lb = math.log(beta / (1 - alpha))
+    w1 = math.log(p1 / p0)
+    w0 = math.log((1 - p1) / (1 - p0))
+    return f"""
+WITH per AS (
+  SELECT {user_sql} AS u, min({ts_sql}) AS t0,
+         max(CASE WHEN event_type = '{target}' THEN 1 ELSE 0 END) AS f
+  FROM {table} GROUP BY 1
+),
+walk AS (
+  SELECT row_number() OVER (ORDER BY t0, u) AS k,
+         sum(f) OVER (ORDER BY t0, u) * CAST({w1!r} AS DOUBLE)
+           + (row_number() OVER (ORDER BY t0, u)
+              - sum(f) OVER (ORDER BY t0, u))
+             * CAST({w0!r} AS DOUBLE) AS llr
+  FROM per
+),
+crossed AS (
+  SELECT k, llr,
+         CASE WHEN llr >= CAST({la!r} AS DOUBLE) THEN 'accept_p1'
+              WHEN llr <= CAST({lb!r} AS DOUBLE)
+              THEN 'accept_p0' END AS dec
+  FROM walk
+),
+first AS (
+  SELECT min(k) AS first_k,
+         arg_min(dec, k) AS decision
+  FROM crossed WHERE dec IS NOT NULL
+),
+tail AS (
+  SELECT max(k) AS n_users, arg_max(llr, k) AS llr FROM crossed
+)
+SELECT CAST(n_users AS BIGINT) AS n_users,
+       round(llr, 6) AS llr_final,
+       round(CAST({la!r} AS DOUBLE), 6) AS upper_bound,
+       round(CAST({lb!r} AS DOUBLE), 6) AS lower_bound,
+       CAST(first_k AS BIGINT) AS first_cross_k,
+       decision
+FROM tail CROSS JOIN first
+"""
+
+
+def cuped_adjustment(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts", value_col: str = "value"
+                     ) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM
+    2013): split the observation window at its midpoint, use each
+    user's PRE-period value sum as the covariate for their POST
+    sum; θ = cov(pre, post)/var(pre), adjusted metric
+    Y' = Y − θ(X − X̄) has variance (1 − ρ²)·var(Y) — the standard
+    way experiments buy sensitivity without more traffic. Midpoint
+    from one min/max aggregate broadcast back; per-user sums one
+    groupBy; θ/ρ from one-pass decimal moments. Output: one row
+    (n_users, theta, corr, var_post, var_adj, reduction_pct),
+    rounds 6."""
+    bounds = events.agg(
+        F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi"))
+    withmid = events.crossJoin(F.broadcast(bounds.select(
+        F.timestamp_micros(
+            ((F.unix_micros(F.col("lo"))
+              + F.unix_micros(F.col("hi"))) / 2).cast("long"))
+        .alias("mid"))))
+    v = F.col(value_col).cast("double")
+    per = (withmid.groupBy(user_col)
+           .agg(F.round(F.sum(F.when(F.col(ts_col) < F.col("mid"), v)
+                              .otherwise(0.0).cast(_DEC))
+                        .cast("double"), 9).alias("x"),
+                F.round(F.sum(F.when(F.col(ts_col) >= F.col("mid"), v)
+                              .otherwise(0.0).cast(_DEC))
+                        .cast("double"), 9).alias("y")))
+    m = per.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(_DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(_DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(_DEC)).cast("double")
+        .alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(_DEC)).cast("double")
+        .alias("sxy"))
+    n = F.col("n").cast("double")
+    vx = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    vy = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    cxy = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    theta = F.when(vx > 0, cxy / vx)
+    rho2 = F.when((vx > 0) & (vy > 0), cxy * cxy / (vx * vy))
+    return m.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round(theta, 6).alias("theta"),
+        F.round(F.when(rho2.isNotNull(), F.sqrt(rho2)
+                       * F.signum(cxy)), 6).alias("corr"),
+        F.round(vy, 6).alias("var_post"),
+        F.round(vy * (1 - rho2), 6).alias("var_adj"),
+        F.round(100.0 * rho2, 6).alias("reduction_pct"))
+
+
+def cuped_adjustment_sql(table: str = "events",
+                         user_sql: str = "user_id",
+                         ts_sql: str = "ts",
+                         value_sql: str = "value") -> str:
+    return f"""
+WITH bounds AS (
+  -- integer floor-division so the µs midpoint matches Spark's
+  -- long-cast exactly (DuckDB CAST(double AS BIGINT) rounds)
+  SELECT make_timestamp((epoch_us(min({ts_sql}))
+                         + epoch_us(max({ts_sql}))) // 2) AS mid
+  FROM {table}
+),
+per AS (
+  SELECT {user_sql} AS u,
+         round(CAST(sum(CAST(CASE WHEN {ts_sql} < b.mid
+                             THEN CAST({value_sql} AS DOUBLE)
+                             ELSE 0.0 END AS DECIMAL(38,12)))
+                    AS DOUBLE), 9) AS x,
+         round(CAST(sum(CAST(CASE WHEN {ts_sql} >= b.mid
+                             THEN CAST({value_sql} AS DOUBLE)
+                             ELSE 0.0 END AS DECIMAL(38,12)))
+                    AS DOUBLE), 9) AS y
+  FROM {table} CROSS JOIN bounds b
+  GROUP BY 1
+),
+m AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM per
+),
+d AS (
+  SELECT n,
+         (sxx - sx * sx / n) / (CAST(n AS DOUBLE) - 1) AS vx,
+         (syy - sy * sy / n) / (CAST(n AS DOUBLE) - 1) AS vy,
+         (sxy - sx * sy / n) / (CAST(n AS DOUBLE) - 1) AS cxy
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       round(CASE WHEN vx > 0 THEN cxy / vx END, 6) AS theta,
+       round(CASE WHEN vx > 0 AND vy > 0
+                  THEN sqrt(cxy * cxy / (vx * vy))
+                       * CASE WHEN cxy < 0 THEN -1 ELSE 1 END
+             END, 6) AS corr,
+       round(vy, 6) AS var_post,
+       round(CASE WHEN vx > 0 AND vy > 0
+                  THEN vy * (1 - cxy * cxy / (vx * vy)) END, 6)
+         AS var_adj,
+       round(CASE WHEN vx > 0 AND vy > 0
+                  THEN 100.0 * cxy * cxy / (vx * vy) END, 6)
+         AS reduction_pct
+FROM d
+"""

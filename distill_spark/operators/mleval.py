@@ -1516,3 +1516,75 @@ SELECT CAST(nitems AS BIGINT) AS n_items,
                        / CAST(de_sum AS DOUBLE) END, 6) AS alpha
 FROM do_agg CROSS JOIN de
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-11 fourth stratum (part): chance-corrected ordinal agreement.
+
+
+def weighted_kappa(df: DataFrame, rater_a, rater_b,
+                   k_levels: int) -> DataFrame:
+    """Cohen's kappa with QUADRATIC disagreement weights (Cohen
+    1968): κ_w = 1 − Σv_ij·O_ij / Σv_ij·E_ij with v_ij = (i−j)² on
+    1..k ordinal labels and E the margin product — near-misses on an
+    ordinal scale cost (i−j)², not 1, which is what the unweighted
+    κ in binary_agreement gets wrong for graded raters. Quadratic
+    κ_w also equals the ICC under mild conditions, tying it to
+    design_effect_icc. Bounded k×k cell table + margin join.
+    Output: one row (n, po_w, pe_w, kappa_w), rounds 6."""
+    a = rater_a if isinstance(rater_a, F.Column) else F.col(rater_a)
+    b = rater_b if isinstance(rater_b, F.Column) else F.col(rater_b)
+    cells = (df.filter(a.isNotNull() & b.isNotNull())
+             .groupBy(a.alias("i"), b.alias("j"))
+             .agg(F.count("*").alias("c")))
+    ra = cells.groupBy("i").agg(F.sum("c").alias("ri"))
+    rb = cells.groupBy("j").agg(F.sum("c").alias("cj"))
+    nn = cells.agg(F.sum("c").alias("nn"))
+    vij = ((F.col("i") - F.col("j")) * (F.col("i") - F.col("j"))
+           ).cast("double")
+    obs = (cells.agg(F.sum(vij * F.col("c")).alias("so"))
+           .crossJoin(F.broadcast(nn)))
+    exp_ = (ra.crossJoin(rb)
+            .agg(F.sum(((F.col("i") - F.col("j"))
+                        * (F.col("i") - F.col("j"))).cast("double")
+                       * F.col("ri") * F.col("cj")).alias("se")))
+    out = obs.crossJoin(F.broadcast(exp_))
+    n = F.col("nn").cast("double")
+    po = F.col("so") / n
+    pe = F.col("se") / (n * n)
+    return out.select(
+        F.col("nn").cast("long").alias("n"),
+        F.round(po, 6).alias("po_w"),
+        F.round(pe, 6).alias("pe_w"),
+        F.round(F.when(pe > 0, 1.0 - po / pe), 6).alias("kappa_w"))
+
+
+def weighted_kappa_sql(table: str, a_sql: str, b_sql: str,
+                       k_levels: int) -> str:
+    return f"""
+WITH cells AS (
+  SELECT {a_sql} AS i, {b_sql} AS j, count(*) AS c
+  FROM {table}
+  WHERE {a_sql} IS NOT NULL AND {b_sql} IS NOT NULL
+  GROUP BY 1, 2
+),
+ra AS (SELECT i, sum(c) AS ri FROM cells GROUP BY 1),
+rb AS (SELECT j, sum(c) AS cj FROM cells GROUP BY 1),
+nn AS (SELECT sum(c) AS nn FROM cells),
+obs AS (
+  SELECT sum(CAST((i - j) * (i - j) AS DOUBLE) * c) AS so FROM cells
+),
+exp_ AS (
+  SELECT sum(CAST((ra.i - rb.j) * (ra.i - rb.j) AS DOUBLE)
+             * ra.ri * rb.cj) AS se
+  FROM ra CROSS JOIN rb
+)
+SELECT CAST(nn AS BIGINT) AS n,
+       round(so / CAST(nn AS DOUBLE), 6) AS po_w,
+       round(se / (CAST(nn AS DOUBLE) * nn), 6) AS pe_w,
+       round(CASE WHEN se > 0
+                  THEN 1.0 - (so / CAST(nn AS DOUBLE))
+                             / (se / (CAST(nn AS DOUBLE) * nn)) END, 6)
+         AS kappa_w
+FROM obs CROSS JOIN nn CROSS JOIN exp_
+"""

@@ -6027,3 +6027,86 @@ SELECT CAST(k AS BIGINT) AS k, round(orr, 6) AS or_mh,
        round(chi2, 6) AS chi2_bd
 FROM agg
 """
+
+
+def design_effect_icc(df: DataFrame, cluster_col: str,
+                      value_col: str) -> DataFrame:
+    """One-way ANOVA intraclass correlation and the Kish design
+    effect for cluster-randomized designs: ICC(1) =
+    (MSB − MSW)/(MSB + (n₀−1)·MSW) with the ANOVA cluster size
+    n₀ = (N − Σn_i²/N)/(k−1) (unequal-cluster correction), and
+    DEFF = 1 + (n₀−1)·ICC — how many times more observations a
+    cluster-randomized experiment needs than srm_users' unit-level
+    ideal. Everything from one per-cluster decimal-moments
+    aggregate. Output: one row (k, n, n0, msb, msw, icc, deff),
+    rounds 6."""
+    per = _group_moments(df, cluster_col, value_col)
+    tot = Window.partitionBy()
+    n = F.col("n").cast("double")
+    staged = per.select(
+        "n", "mean", "ss",
+        F.sum("n").over(tot).alias("nn"),
+        F.count("*").over(tot).alias("k"),
+        (F.sum(F.col("mean") * n).over(tot)
+         / F.sum(n).over(tot)).alias("gmean"))
+    agg = (staged.groupBy("nn", "k", "gmean")
+           .agg(F.sum(n * (F.col("mean") - F.col("gmean"))
+                      * (F.col("mean") - F.col("gmean"))).alias("ssb"),
+                F.sum("ss").alias("ssw"),
+                F.sum(n * n).alias("sn2")))
+    nn = F.col("nn").cast("double")
+    k = F.col("k").cast("double")
+    msb = F.col("ssb") / (k - 1)
+    msw = F.col("ssw") / (nn - k)
+    n0 = (nn - F.col("sn2") / nn) / (k - 1)
+    icc = F.when(msb + (n0 - 1) * msw > 0,
+                 (msb - msw) / (msb + (n0 - 1) * msw))
+    return agg.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("nn").cast("long").alias("n"),
+        F.round(n0, 6).alias("n0"),
+        F.round(msb, 6).alias("msb"),
+        F.round(msw, 6).alias("msw"),
+        F.round(icc, 6).alias("icc"),
+        F.round(1.0 + (n0 - 1) * icc, 6).alias("deff"))
+
+
+def design_effect_icc_sql(table: str, cluster_sql: str,
+                          value_sql: str) -> str:
+    gm = _GROUP_MOMENTS_SQL.format(table=table, group_sql=cluster_sql,
+                                   value_sql=value_sql)
+    return f"""
+WITH gm AS ({gm}),
+staged AS (
+  SELECT n, mean, ss,
+         sum(n) OVER () AS nn,
+         count(*) OVER () AS k,
+         sum(mean * n) OVER () / sum(CAST(n AS DOUBLE)) OVER ()
+           AS gmean
+  FROM gm
+),
+agg AS (
+  SELECT nn, k,
+         sum(n * (mean - gmean) * (mean - gmean)) AS ssb,
+         sum(ss) AS ssw,
+         sum(CAST(n AS DOUBLE) * n) AS sn2
+  FROM staged GROUP BY nn, k, gmean
+),
+d AS (
+  SELECT nn, k,
+         ssb / (CAST(k AS DOUBLE) - 1) AS msb,
+         ssw / (CAST(nn AS DOUBLE) - k) AS msw,
+         (CAST(nn AS DOUBLE) - sn2 / nn) / (CAST(k AS DOUBLE) - 1)
+           AS n0
+  FROM agg
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+       round(n0, 6) AS n0, round(msb, 6) AS msb, round(msw, 6) AS msw,
+       round(CASE WHEN msb + (n0 - 1) * msw > 0
+                  THEN (msb - msw) / (msb + (n0 - 1) * msw) END, 6)
+         AS icc,
+       round(CASE WHEN msb + (n0 - 1) * msw > 0
+                  THEN 1.0 + (n0 - 1) * (msb - msw)
+                             / (msb + (n0 - 1) * msw) END, 6) AS deff
+FROM d
+"""
