@@ -11229,6 +11229,124 @@ def _sql_weighted_kappa():
 
 
 # ---------------------------------------------------------------------------
+# Round-11 fifth stratum: proper scoring + thresholded evaluation.
+# The pseudo-probability is the PERCENT RANK of event value under the
+# pinned (value, event_id) order — deterministic, uniform on [0,1],
+# shared verbatim between engines.
+
+def _prob_frame(t):
+    from pyspark.sql import Window as W
+
+    return t["events"].select(
+        (F.col("event_type") == "purchase").alias("y"),
+        F.percent_rank().over(W.orderBy(F.asc("value"),
+                                        F.asc("event_id"))).alias("p"),
+        F.col("value"), F.col("event_id"))
+
+
+_PROB_FRAME_SQL = ("(SELECT event_type = 'purchase' AS y, "
+                   "percent_rank() OVER (ORDER BY value, event_id) AS p, "
+                   "value, event_id FROM events)")
+
+
+def q_log_loss_model(spark, sf_dir):
+    """Binary cross-entropy of the rank-calibrated value score
+    against purchase labels (mleval.log_loss) — with base-rate
+    entropy and the McFadden-style skill ratio."""
+    from distill_spark.operators.mleval import log_loss
+
+    return log_loss(_prob_frame(_tables(spark, sf_dir)), "y", "p")
+
+
+def _sql_log_loss():
+    from distill_spark.operators.mleval import log_loss_sql
+
+    return log_loss_sql(_PROB_FRAME_SQL, "y", "p")
+
+
+def q_ks_separation(spark, sf_dir):
+    """KS separation of value scores between purchases and the rest
+    (mleval.ks_separation) — credit-scoring's D with deterministic
+    argmax score."""
+    from distill_spark.operators.mleval import ks_separation
+
+    return ks_separation(_mleval_frame(_tables(spark, sf_dir)),
+                         "y", "value")
+
+
+def _sql_ks_separation():
+    from distill_spark.operators.mleval import ks_separation_sql
+
+    return ks_separation_sql(
+        "(SELECT event_type = 'purchase' AS y, value, event_id "
+        "FROM events)", "y", "value")
+
+
+def q_balanced_accuracy(spark, sf_dir):
+    """Balanced accuracy / Youden J / markedness at the global-mean
+    value threshold (mleval.confusion_at_threshold) — the
+    prevalence-robust summary threshold_sweep doesn't report."""
+    from distill_spark.operators.mleval import confusion_at_threshold
+
+    return confusion_at_threshold(
+        _mleval_frame(_tables(spark, sf_dir)), "y", "value")
+
+
+def _sql_balanced_acc():
+    from distill_spark.operators.mleval import (
+        confusion_at_threshold_sql,
+    )
+
+    return confusion_at_threshold_sql(
+        "(SELECT event_type = 'purchase' AS y, value, event_id "
+        "FROM events)", "y", "value")
+
+
+def q_macro_f1_langid(spark, sf_dir):
+    """Per-class + macro/micro classification report of the stopword
+    language-ID heuristic against the labeled lang column collapsed
+    to en/other (mleval.macro_f1)."""
+    from distill_spark.operators.mleval import macro_f1
+
+    t = _tables(spark, sf_dir)
+    words = _words(F.col("text"))
+    stops = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    hits = F.size(F.array_intersect(words, stops))
+    frame = t["documents"].select(
+        F.when(F.col("lang") == "en", "en").otherwise("other")
+        .alias("actual"),
+        F.when(hits >= 2, "en").otherwise("other").alias("pred"))
+    return macro_f1(frame, "actual", "pred")
+
+
+def _sql_macro_f1():
+    from distill_spark.operators.mleval import macro_f1_sql
+
+    frame = (f"(SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' "
+             f"END AS actual, "
+             f"CASE WHEN len(list_intersect("
+             f"{_WORDS_SQL.format(c='text')}, {_STOP_SQL})) >= 2 "
+             f"THEN 'en' ELSE 'other' END AS pred FROM documents)")
+    return macro_f1_sql(frame, "actual", "pred")
+
+
+def q_ece_calibration(spark, sf_dir):
+    """ECE + MCE of the rank-calibrated value score over 10 fixed
+    bins (mleval.ece_calibration) — the scalar form of
+    calibration_value's reliability curve."""
+    from distill_spark.operators.mleval import ece_calibration
+
+    return ece_calibration(_prob_frame(_tables(spark, sf_dir)),
+                           "y", "p")
+
+
+def _sql_ece():
+    from distill_spark.operators.mleval import ece_calibration_sql
+
+    return ece_calibration_sql(_PROB_FRAME_SQL, "y", "p")
+
+
+# ---------------------------------------------------------------------------
 # Round-10 ninth stratum: paired daily tests (Wilcoxon signed-rank,
 # sign test), Haar multiresolution energy, decision-stump split gain.
 
@@ -11319,6 +11437,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cuped_adjustment": (q_cuped_adjustment, _sql_cuped()),
     "design_effect": (q_design_effect, _sql_design_effect()),
     "weighted_kappa": (q_weighted_kappa, _sql_weighted_kappa()),
+    # -- round-11 fifth stratum: proper scoring / thresholded eval ----------
+    "log_loss_model": (q_log_loss_model, _sql_log_loss()),
+    "ks_separation": (q_ks_separation, _sql_ks_separation()),
+    "balanced_accuracy": (q_balanced_accuracy, _sql_balanced_acc()),
+    "macro_f1_langid": (q_macro_f1_langid, _sql_macro_f1()),
+    "ece_calibration": (q_ece_calibration, _sql_ece()),
     # -- round-10 ninth stratum: paired tests / wavelets / stump gain ---------
     "wilcoxon_clicks_views": (q_wilcoxon_clicks_views, _sql_wilcoxon()),
     "sign_test_daily": (q_sign_test_daily, _sql_sign_test()),

@@ -1588,3 +1588,416 @@ SELECT CAST(nn AS BIGINT) AS n,
          AS kappa_w
 FROM obs CROSS JOIN nn CROSS JOIN exp_
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-11 fifth stratum: proper-scoring and thresholded evaluation —
+# log loss, score-separation KS, balanced accuracy / Youden J,
+# multi-class macro-F1, expected calibration error.
+
+
+def log_loss(df: DataFrame, label_col: str, prob_col: str,
+             eps: float = 1e-6) -> DataFrame:
+    """Binary cross-entropy of a probability column against labels,
+    clipped to [eps, 1−eps]: LL = −mean(y·ln p + (1−y)·ln(1−p)),
+    plus the base-rate entropy LL₀ = −(π·ln π + (1−π)·ln(1−π)) and
+    the skill ratio 1 − LL/LL₀ (McFadden-style) — the PROPER score
+    that punishes confident wrongness where auc_purchase only ranks.
+    One decimal aggregate. Output: one row (n, base_rate, log_loss,
+    baseline_ll, skill), rounds 6."""
+    y = F.col(label_col).cast("int")
+    p = F.least(F.greatest(F.col(prob_col).cast("double"),
+                           F.lit(eps)), F.lit(1.0 - eps))
+    term = -(y * F.log(p) + (1 - y) * F.log(1.0 - p))
+    agg = df.agg(F.count("*").alias("n"),
+                 F.sum(y).alias("pos"),
+                 F.sum(term.cast(_DEC)).cast("double").alias("sll"))
+    n = F.col("n").cast("double")
+    pi = F.col("pos").cast("double") / n
+    ll = F.col("sll") / n
+    ll0 = -(pi * F.log(pi) + (1 - pi) * F.log(1.0 - pi))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(pi, 6).alias("base_rate"),
+        F.round(ll, 6).alias("log_loss"),
+        F.round(F.when((pi > 0) & (pi < 1), ll0), 6)
+        .alias("baseline_ll"),
+        F.round(F.when((pi > 0) & (pi < 1), 1.0 - ll / ll0), 6)
+        .alias("skill"))
+
+
+def log_loss_sql(table: str, label_sql: str, prob_sql: str,
+                 eps: float = 1e-6) -> str:
+    p = (f"least(greatest(CAST({prob_sql} AS DOUBLE), {eps!r}), "
+         f"1.0 - {eps!r})")
+    return f"""
+WITH agg AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN {label_sql} THEN 1 ELSE 0 END) AS pos,
+         CAST(sum(CAST(-(CASE WHEN {label_sql} THEN 1 ELSE 0 END
+                          * ln({p})
+                          + (1 - CASE WHEN {label_sql} THEN 1 ELSE 0 END)
+                          * ln(1.0 - {p})) AS DECIMAL(38,12)))
+              AS DOUBLE) AS sll
+  FROM {table}
+),
+d AS (
+  SELECT n, CAST(pos AS DOUBLE) / n AS pi, sll / n AS ll FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(pi, 6) AS base_rate,
+       round(ll, 6) AS log_loss,
+       round(CASE WHEN pi > 0 AND pi < 1
+                  THEN -(pi * ln(pi) + (1 - pi) * ln(1.0 - pi)) END, 6)
+         AS baseline_ll,
+       round(CASE WHEN pi > 0 AND pi < 1
+                  THEN 1.0 - ll / (-(pi * ln(pi)
+                                     + (1 - pi) * ln(1.0 - pi)))
+             END, 6) AS skill
+FROM d
+"""
+
+
+def ks_separation(df: DataFrame, label_col: str, score_col: str
+                  ) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov separation between the score
+    distributions of positives and negatives: D = max_v |F₁(v) −
+    F₀(v)| with the LOWEST achieving score reported (deterministic
+    argmax) — credit-scoring's standard discrimination readout, the
+    supremum cousin of auc_purchase (AUC integrates the same gap).
+    Distinct-score spine, cumulative counts, one argmin struct.
+    Output: one row (n_pos, n_neg, ks_stat, ks_at_score), rounds
+    6."""
+    y = F.col(label_col).cast("int")
+    v = F.col(score_col).cast("double")
+    per = (df.filter(v.isNotNull())
+           .groupBy(v.alias("v"))
+           .agg(F.sum(y).alias("cp"), F.count("*").alias("ct")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cums = per.select(
+        "v",
+        F.sum("cp").over(w).alias("fp"),
+        F.sum(F.col("ct") - F.col("cp")).over(w).alias("fn_"),
+        F.sum("cp").over(tot).alias("np"),
+        F.sum(F.col("ct") - F.col("cp")).over(tot).alias("nn"))
+    gap = F.abs(F.col("fp").cast("double") / F.col("np").cast("double")
+                - F.col("fn_").cast("double")
+                / F.col("nn").cast("double"))
+    best = (cums.select(
+        "np", "nn",
+        F.round(gap, 9).alias("g"), "v")
+        .groupBy("np", "nn")
+        .agg(F.max(F.struct(F.col("g"), (-F.col("v")).alias("nv")))
+             .alias("s")))
+    return best.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        F.round(F.col("s.g"), 6).alias("ks_stat"),
+        F.round(-F.col("s.nv"), 6).alias("ks_at_score"))
+
+
+def ks_separation_sql(table: str, label_sql: str,
+                      score_sql: str) -> str:
+    return f"""
+WITH per AS (
+  SELECT CAST({score_sql} AS DOUBLE) AS v,
+         sum(CASE WHEN {label_sql} THEN 1 ELSE 0 END) AS cp,
+         count(*) AS ct
+  FROM {table}
+  WHERE CAST({score_sql} AS DOUBLE) IS NOT NULL
+  GROUP BY 1
+),
+cums AS (
+  SELECT v,
+         sum(cp) OVER (ORDER BY v) AS fp,
+         sum(ct - cp) OVER (ORDER BY v) AS fn_,
+         sum(cp) OVER () AS np,
+         sum(ct - cp) OVER () AS nn
+  FROM per
+),
+g AS (
+  SELECT np, nn, v,
+         round(abs(CAST(fp AS DOUBLE) / np
+                   - CAST(fn_ AS DOUBLE) / nn), 9) AS gap
+  FROM cums
+),
+best AS (
+  SELECT np, nn, max(gap) AS ks FROM g GROUP BY np, nn
+)
+SELECT CAST(b.np AS BIGINT) AS n_pos, CAST(b.nn AS BIGINT) AS n_neg,
+       round(b.ks, 6) AS ks_stat,
+       round(min(g.v), 6) AS ks_at_score
+FROM best b JOIN g ON g.gap = b.ks
+GROUP BY b.np, b.nn, b.ks
+"""
+
+
+def confusion_at_threshold(df: DataFrame, label_col: str,
+                           score_col: str) -> DataFrame:
+    """Confusion-derived summary at the GLOBAL MEAN score threshold
+    (a deterministic, data-derived operating point): balanced
+    accuracy (TPR+TNR)/2, Youden's J = TPR+TNR−1 (= informedness),
+    markedness = PPV+NPV−1, and plain accuracy — the
+    prevalence-robust counterpoints to threshold_sweep's
+    accuracy-per-cut. Mean from one aggregate broadcast back; cells
+    from one more. Output: one row (n, threshold, tp, fp, fn, tn,
+    balanced_acc, youden_j, markedness, accuracy), rounds 6."""
+    y = F.col(label_col).cast("int")
+    v = F.col(score_col).cast("double")
+    thr = df.agg((F.sum(v.cast(_DEC)).cast("double")
+                  / F.count("*")).alias("thr"))
+    cells = (df.crossJoin(F.broadcast(thr))
+             .agg(F.sum(y * (v >= F.col("thr")).cast("int"))
+                  .alias("tp"),
+                  F.sum((1 - y) * (v >= F.col("thr")).cast("int"))
+                  .alias("fp"),
+                  F.sum(y * (v < F.col("thr")).cast("int"))
+                  .alias("fn"),
+                  F.sum((1 - y) * (v < F.col("thr")).cast("int"))
+                  .alias("tn"),
+                  F.max("thr").alias("thr")))
+    tp = F.col("tp").cast("double")
+    fp = F.col("fp").cast("double")
+    fn = F.col("fn").cast("double")
+    tn = F.col("tn").cast("double")
+    tpr = F.when(tp + fn > 0, tp / (tp + fn))
+    tnr = F.when(tn + fp > 0, tn / (tn + fp))
+    ppv = F.when(tp + fp > 0, tp / (tp + fp))
+    npv = F.when(tn + fn > 0, tn / (tn + fn))
+    return cells.select(
+        (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn"))
+        .cast("long").alias("n"),
+        F.round(F.col("thr"), 6).alias("threshold"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        F.round((tpr + tnr) / 2.0, 6).alias("balanced_acc"),
+        F.round(tpr + tnr - 1.0, 6).alias("youden_j"),
+        F.round(ppv + npv - 1.0, 6).alias("markedness"),
+        F.round((tp + tn) / (tp + fp + fn + tn), 6).alias("accuracy"))
+
+
+def confusion_at_threshold_sql(table: str, label_sql: str,
+                               score_sql: str) -> str:
+    return f"""
+WITH thr AS (
+  SELECT CAST(sum(CAST(CAST({score_sql} AS DOUBLE)
+                       AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+           AS thr
+  FROM {table}
+),
+cells AS (
+  SELECT sum(CASE WHEN ({label_sql})
+                   AND CAST({score_sql} AS DOUBLE) >= t.thr
+             THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN NOT ({label_sql})
+                   AND CAST({score_sql} AS DOUBLE) >= t.thr
+             THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN ({label_sql})
+                   AND CAST({score_sql} AS DOUBLE) < t.thr
+             THEN 1 ELSE 0 END) AS fn,
+         sum(CASE WHEN NOT ({label_sql})
+                   AND CAST({score_sql} AS DOUBLE) < t.thr
+             THEN 1 ELSE 0 END) AS tn,
+         max(t.thr) AS thr
+  FROM {table} CROSS JOIN thr t
+)
+SELECT CAST(tp + fp + fn + tn AS BIGINT) AS n,
+       round(thr, 6) AS threshold,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       round((CASE WHEN tp + fn > 0
+                   THEN CAST(tp AS DOUBLE) / (tp + fn) END
+              + CASE WHEN tn + fp > 0
+                     THEN CAST(tn AS DOUBLE) / (tn + fp) END) / 2.0, 6)
+         AS balanced_acc,
+       round(CASE WHEN tp + fn > 0
+                  THEN CAST(tp AS DOUBLE) / (tp + fn) END
+             + CASE WHEN tn + fp > 0
+                    THEN CAST(tn AS DOUBLE) / (tn + fp) END - 1.0, 6)
+         AS youden_j,
+       round(CASE WHEN tp + fp > 0
+                  THEN CAST(tp AS DOUBLE) / (tp + fp) END
+             + CASE WHEN tn + fn > 0
+                    THEN CAST(tn AS DOUBLE) / (tn + fn) END - 1.0, 6)
+         AS markedness,
+       round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6)
+         AS accuracy
+FROM cells
+"""
+
+
+def macro_f1(df: DataFrame, actual_col: str, pred_col: str
+             ) -> DataFrame:
+    """Multi-class precision/recall/F1 per class plus '__macro__'
+    (unweighted class mean) and '__micro__' (pooled = accuracy for
+    single-label) summary rows — the standard classification report
+    over a bounded confusion table. Per-class rows come from the
+    margins of one (actual, pred) cell aggregate; macro averages
+    treat absent-prediction classes as precision NULL → excluded
+    from the mean exactly as a human report would footnote them.
+    Output rows: (class, support, tp, precision, recall, f1),
+    ordered by class with summaries last, rounds 6."""
+    a = F.col(actual_col)
+    p = F.col(pred_col)
+    cells = (df.filter(a.isNotNull() & p.isNotNull())
+             .groupBy(a.alias("cls"), p.alias("pred"))
+             .agg(F.count("*").alias("c")))
+    klass = (cells.groupBy("cls").agg(F.sum("c").alias("support"))
+             .join(cells.filter(F.col("cls") == F.col("pred"))
+                   .select("cls", F.col("c").alias("tp")),
+                   "cls", "left")
+             .join(cells.groupBy("pred").agg(F.sum("c").alias("pc"))
+                   .withColumnRenamed("pred", "cls"), "cls", "left")
+             .na.fill({"tp": 0}))
+    prec = F.when(F.col("pc") > 0,
+                  F.col("tp").cast("double") / F.col("pc"))
+    rec = F.col("tp").cast("double") / F.col("support")
+    f1 = F.when(prec.isNotNull() & (prec + rec > 0),
+                2 * prec * rec / (prec + rec)).otherwise(
+        F.when(prec.isNotNull(), F.lit(0.0)))
+    per = klass.select(
+        F.col("cls").alias("class"),
+        F.col("support").cast("long").alias("support"),
+        F.col("tp").cast("long").alias("tp"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"))
+    macro = (per.agg(F.sum("support").alias("s"),
+                     F.sum("tp").alias("t"),
+                     F.avg("precision").alias("p"),
+                     F.avg("recall").alias("r"),
+                     F.avg("f1").alias("f"))
+             .select(F.lit("__macro__").alias("class"),
+                     F.col("s").cast("long").alias("support"),
+                     F.col("t").cast("long").alias("tp"),
+                     F.round(F.col("p"), 6).alias("precision"),
+                     F.round(F.col("r"), 6).alias("recall"),
+                     F.round(F.col("f"), 6).alias("f1")))
+    micro = (per.agg(F.sum("support").alias("s"),
+                     F.sum("tp").alias("t"))
+             .select(F.lit("__micro__").alias("class"),
+                     F.col("s").cast("long").alias("support"),
+                     F.col("t").cast("long").alias("tp"),
+                     F.round(F.col("t") / F.col("s"), 6)
+                     .alias("precision"),
+                     F.round(F.col("t") / F.col("s"), 6).alias("recall"),
+                     F.round(F.col("t") / F.col("s"), 6).alias("f1")))
+    return per.unionByName(macro).unionByName(micro) \
+        .orderBy("class")
+
+
+def macro_f1_sql(table: str, actual_sql: str, pred_sql: str) -> str:
+    return f"""
+WITH cells AS (
+  SELECT {actual_sql} AS cls, {pred_sql} AS pred, count(*) AS c
+  FROM {table}
+  WHERE {actual_sql} IS NOT NULL AND {pred_sql} IS NOT NULL
+  GROUP BY 1, 2
+),
+klass AS (
+  SELECT s.cls, s.support, coalesce(t.tp, 0) AS tp, pc.pc
+  FROM (SELECT cls, sum(c) AS support FROM cells GROUP BY 1) s
+  LEFT JOIN (SELECT cls, c AS tp FROM cells WHERE cls = pred) t
+    ON t.cls = s.cls
+  LEFT JOIN (SELECT pred AS cls, sum(c) AS pc FROM cells GROUP BY 1) pc
+    ON pc.cls = s.cls
+),
+per AS (
+  SELECT cls AS class, CAST(support AS BIGINT) AS support,
+         CAST(tp AS BIGINT) AS tp,
+         round(CASE WHEN pc > 0
+                    THEN CAST(tp AS DOUBLE) / pc END, 6) AS precision,
+         round(CAST(tp AS DOUBLE) / support, 6) AS recall,
+         round(CASE WHEN pc > 0 AND (CAST(tp AS DOUBLE) / pc
+                                     + CAST(tp AS DOUBLE) / support) > 0
+                    THEN 2 * (CAST(tp AS DOUBLE) / pc)
+                         * (CAST(tp AS DOUBLE) / support)
+                         / (CAST(tp AS DOUBLE) / pc
+                            + CAST(tp AS DOUBLE) / support)
+                    WHEN pc > 0 THEN 0.0 END, 6) AS f1
+  FROM klass
+),
+summ AS (
+  SELECT '__macro__' AS class,
+         CAST(sum(support) AS BIGINT) AS support,
+         CAST(sum(tp) AS BIGINT) AS tp,
+         round(avg(precision), 6) AS precision,
+         round(avg(recall), 6) AS recall,
+         round(avg(f1), 6) AS f1
+  FROM per
+  UNION ALL
+  SELECT '__micro__',
+         CAST(sum(support) AS BIGINT), CAST(sum(tp) AS BIGINT),
+         round(CAST(sum(tp) AS DOUBLE) / sum(support), 6),
+         round(CAST(sum(tp) AS DOUBLE) / sum(support), 6),
+         round(CAST(sum(tp) AS DOUBLE) / sum(support), 6)
+  FROM per
+)
+SELECT * FROM per
+UNION ALL
+SELECT * FROM summ
+ORDER BY class
+"""
+
+
+def ece_calibration(df: DataFrame, label_col: str, prob_col: str,
+                    n_bins: int = 10) -> DataFrame:
+    """Expected / maximum calibration error over fixed-width
+    probability bins: ECE = Σ (n_b/N)·|acc_b − conf_b|,
+    MCE = max_b |acc_b − conf_b| (Naeini et al. 2015) — the scalar
+    summary of what calibration_value's reliability curve shows.
+    Bin arithmetic is the repo's explicit floor formula (shared
+    verbatim with the oracle), probabilities assumed in [0, 1].
+    Output: one row (n, n_bins, ece, mce), rounds 6."""
+    y = F.col(label_col).cast("int")
+    p = F.col(prob_col).cast("double")
+    b = F.least(F.floor(p * n_bins).cast("int"), F.lit(n_bins - 1))
+    per = (df.filter(p.isNotNull())
+           .groupBy(b.alias("b"))
+           .agg(F.count("*").alias("nb"),
+                F.sum(y).alias("pos"),
+                F.sum(p.cast(_DEC)).cast("double").alias("sp")))
+    tot = Window.partitionBy()
+    gap = F.abs(F.col("pos").cast("double") / F.col("nb")
+                - F.col("sp") / F.col("nb"))
+    agg = (per.select(F.sum("nb").over(tot).alias("nn"),
+                      F.col("nb"), gap.alias("gap"))
+           .groupBy("nn")
+           .agg(F.sum(F.col("nb") * F.col("gap")).alias("wsum"),
+                F.max("gap").alias("mce")))
+    return agg.select(
+        F.col("nn").cast("long").alias("n"),
+        F.lit(n_bins).cast("long").alias("n_bins"),
+        F.round(F.col("wsum") / F.col("nn").cast("double"), 6)
+        .alias("ece"),
+        F.round(F.col("mce"), 6).alias("mce"))
+
+
+def ece_calibration_sql(table: str, label_sql: str, prob_sql: str,
+                        n_bins: int = 10) -> str:
+    return f"""
+WITH per AS (
+  SELECT least(CAST(floor(CAST({prob_sql} AS DOUBLE) * {n_bins})
+               AS INT), {n_bins - 1}) AS b,
+         count(*) AS nb,
+         sum(CASE WHEN {label_sql} THEN 1 ELSE 0 END) AS pos,
+         CAST(sum(CAST(CAST({prob_sql} AS DOUBLE)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sp
+  FROM {table}
+  WHERE CAST({prob_sql} AS DOUBLE) IS NOT NULL
+  GROUP BY 1
+),
+agg AS (
+  SELECT sum(nb) AS nn,
+         sum(nb * abs(CAST(pos AS DOUBLE) / nb - sp / nb)) AS wsum,
+         max(abs(CAST(pos AS DOUBLE) / nb - sp / nb)) AS mce
+  FROM per
+)
+SELECT CAST(nn AS BIGINT) AS n, CAST({n_bins} AS BIGINT) AS n_bins,
+       round(wsum / CAST(nn AS DOUBLE), 6) AS ece,
+       round(mce, 6) AS mce
+FROM agg
+"""
