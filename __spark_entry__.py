@@ -11347,6 +11347,95 @@ def _sql_ece():
 
 
 # ---------------------------------------------------------------------------
+# Round-11 sixth stratum: the parametric-fit shelf — lognormal MLE +
+# KS, GPD peaks-over-threshold by PWM, Gamma/Beta method of moments,
+# and the turning-points randomness screen.
+
+def q_lognormal_fit(spark, sf_dir):
+    """Lognormal MLE of order totals with a fitted-CDF KS readout
+    (stats.lognormal_fit) — body-fit complement to hill_tail."""
+    from distill_spark.operators.stats import lognormal_fit
+
+    return lognormal_fit(_tables(spark, sf_dir)["orders"],
+                         "o_totalprice")
+
+
+def _sql_lognormal():
+    from distill_spark.operators.stats import lognormal_fit_sql
+
+    return lognormal_fit_sql("orders", "o_totalprice")
+
+
+def q_gpd_tail(spark, sf_dir):
+    """Generalized Pareto fit to event-value exceedances over the
+    P90 threshold via Hosking–Wallis PWM (stats.gpd_pwm) — ξ > 0
+    lands in hill_tail's Fréchet regime."""
+    from distill_spark.operators.stats import gpd_pwm
+
+    return gpd_pwm(_tables(spark, sf_dir)["events"], "value",
+                   "event_id")
+
+
+def _sql_gpd():
+    from distill_spark.operators.stats import gpd_pwm_sql
+
+    return gpd_pwm_sql("events", "value", "event_id")
+
+
+def q_gamma_mom(spark, sf_dir):
+    """Gamma method-of-moments on positive event values with the
+    implied-vs-sample skewness lack-of-fit readout
+    (stats.gamma_mom_fit)."""
+    from distill_spark.operators.stats import gamma_mom_fit
+
+    return gamma_mom_fit(_tables(spark, sf_dir)["events"], "value")
+
+
+def _sql_gamma_mom():
+    from distill_spark.operators.stats import gamma_mom_fit_sql
+
+    return gamma_mom_fit_sql("events", "value")
+
+
+def q_beta_mom(spark, sf_dir):
+    """Beta method-of-moments over per-user purchase rates
+    (stats.beta_mom_fit) — where eb_user_conversion's prior comes
+    from."""
+    from distill_spark.operators.stats import beta_mom_fit
+
+    e = _tables(spark, sf_dir)["events"]
+    rates = (e.groupBy("user_id")
+             .agg((F.sum((F.col("event_type") == "purchase")
+                         .cast("int")).cast("double")
+                   / F.count("*")).alias("rate")))
+    return beta_mom_fit(rates, "rate")
+
+
+def _sql_beta_mom():
+    from distill_spark.operators.stats import beta_mom_fit_sql
+
+    rates = ("(SELECT CAST(sum(CASE WHEN event_type = 'purchase' "
+             "THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rate "
+             "FROM events GROUP BY user_id)")
+    return beta_mom_fit_sql(rates, "rate")
+
+
+def q_turning_points(spark, sf_dir):
+    """Turning-points randomness screen on daily value totals
+    (timeseries.turning_points) — too few turns = trend, too many =
+    alternation; the cheap check before ljung_box."""
+    from distill_spark.operators.timeseries import turning_points
+
+    return turning_points(_tables(spark, sf_dir)["events"])
+
+
+def _sql_turning_points():
+    from distill_spark.operators.timeseries import turning_points_sql
+
+    return turning_points_sql()
+
+
+# ---------------------------------------------------------------------------
 # Round-10 ninth stratum: paired daily tests (Wilcoxon signed-rank,
 # sign test), Haar multiresolution energy, decision-stump split gain.
 
@@ -11443,6 +11532,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "balanced_accuracy": (q_balanced_accuracy, _sql_balanced_acc()),
     "macro_f1_langid": (q_macro_f1_langid, _sql_macro_f1()),
     "ece_calibration": (q_ece_calibration, _sql_ece()),
+    # -- round-11 sixth stratum: parametric fits + randomness screen --------
+    "lognormal_fit": (q_lognormal_fit, _sql_lognormal()),
+    "gpd_tail": (q_gpd_tail, _sql_gpd()),
+    "gamma_mom": (q_gamma_mom, _sql_gamma_mom()),
+    "beta_mom": (q_beta_mom, _sql_beta_mom()),
+    "turning_points": (q_turning_points, _sql_turning_points()),
     # -- round-10 ninth stratum: paired tests / wavelets / stump gain ---------
     "wilcoxon_clicks_views": (q_wilcoxon_clicks_views, _sql_wilcoxon()),
     "sign_test_daily": (q_sign_test_daily, _sql_sign_test()),

@@ -6110,3 +6110,323 @@ SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
                              / (msb + (n0 - 1) * msw) END, 6) AS deff
 FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-11 sixth stratum: distribution fitting — lognormal MLE with a
+# KS goodness readout, Hosking–Wallis PWM for the Generalized Pareto
+# tail, and method-of-moments Gamma/Beta fits. Together with hill_tail
+# / gumbel_daily_max / negbin_daily these make the parametric-fit
+# shelf complete: body (gamma/lognormal), tail (GPD/Hill), extremes
+# (Gumbel), counts (negbin), rates (beta).
+
+
+def lognormal_fit(df: DataFrame, value_col: str) -> DataFrame:
+    """Lognormal MLE over positive values: μ̂ = mean(ln x),
+    σ̂ = √(mean(ln²x) − μ̂²) (the /n MLE), with a Kolmogorov–Smirnov
+    distance against the FITTED CDF Φ((ln x − μ̂)/σ̂) as the
+    goodness readout — Φ via the shared A&S 7.1.26 erfc polynomial
+    (mleval._erfc_expr), so both engines evaluate the identical
+    approximation. KS compares both ECDF stairs (cum/n and
+    (cum−ct)/n) on the distinct-value spine. Output: one row
+    (n, mu_log, sigma_log, ks_stat), rounds 6."""
+    from distill_spark.operators.mleval import _erfc_expr
+
+    v = F.col(value_col).cast("double")
+    base = df.filter(v > 0).select(F.log(v).alias("x"))
+    per = base.groupBy("x").agg(F.count("*").alias("ct"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cums = per.select(
+        "x", "ct",
+        F.sum("ct").over(w).alias("cum"),
+        F.sum("ct").over(tot).alias("nn"),
+        (F.sum((F.col("x") * F.col("ct")).cast(_DEC)).over(tot)
+         .cast("double")).alias("sx"),
+        (F.sum((F.col("x") * F.col("x") * F.col("ct")).cast(_DEC))
+         .over(tot).cast("double")).alias("sxx"))
+    nn = F.col("nn").cast("double")
+    mu = F.col("sx") / nn
+    sig = F.sqrt(F.col("sxx") / nn - mu * mu)
+    z = (F.col("x") - mu) / sig
+    phi = F.when(z >= 0, 1.0 - 0.5 * _erfc_expr(z / F.sqrt(F.lit(2.0)))) \
+        .otherwise(0.5 * _erfc_expr(-z / F.sqrt(F.lit(2.0))))
+    gap = F.greatest(
+        F.abs(F.col("cum").cast("double") / nn - phi),
+        F.abs((F.col("cum") - F.col("ct")).cast("double") / nn - phi))
+    agg = (cums.select("nn", mu.alias("mu"), sig.alias("sig"),
+                       gap.alias("gap"))
+           .groupBy("nn", "mu", "sig")
+           .agg(F.max("gap").alias("ks")))
+    return agg.select(
+        F.col("nn").cast("long").alias("n"),
+        F.round(F.col("mu"), 6).alias("mu_log"),
+        F.round(F.col("sig"), 6).alias("sigma_log"),
+        F.round(F.col("ks"), 6).alias("ks_stat"))
+
+
+def lognormal_fit_sql(table: str, value_sql: str) -> str:
+    from distill_spark.operators.mleval import _erfc_sql
+
+    zpos = "((x - mu) / sig / sqrt(2.0))"
+    zneg = "(-(x - mu) / sig / sqrt(2.0))"
+    phi = (f"CASE WHEN x >= mu THEN 1.0 - 0.5 * {_erfc_sql(zpos)} "
+           f"ELSE 0.5 * {_erfc_sql(zneg)} END")
+    return f"""
+WITH base AS (
+  SELECT ln(CAST({value_sql} AS DOUBLE)) AS x
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) > 0
+),
+per AS (SELECT x, count(*) AS ct FROM base GROUP BY 1),
+cums AS (
+  SELECT x, ct,
+         sum(ct) OVER (ORDER BY x) AS cum,
+         sum(ct) OVER () AS nn,
+         CAST(sum(CAST(x * ct AS DECIMAL(38,12))) OVER () AS DOUBLE)
+           AS sx,
+         CAST(sum(CAST(x * x * ct AS DECIMAL(38,12))) OVER ()
+              AS DOUBLE) AS sxx
+  FROM per
+),
+z AS (
+  SELECT x, ct, cum, nn,
+         sx / nn AS mu,
+         sqrt(sxx / nn - (sx / nn) * (sx / nn)) AS sig
+  FROM cums
+),
+gaps AS (
+  SELECT nn, mu, sig,
+         greatest(abs(CAST(cum AS DOUBLE) / nn - ({phi})),
+                  abs(CAST(cum - ct AS DOUBLE) / nn - ({phi}))) AS gap
+  FROM z
+)
+SELECT CAST(nn AS BIGINT) AS n,
+       round(mu, 6) AS mu_log,
+       round(sig, 6) AS sigma_log,
+       round(max(gap), 6) AS ks_stat
+FROM gaps GROUP BY nn, mu, sig
+"""
+
+
+def gpd_pwm(df: DataFrame, value_col: str, id_col: str,
+            quantile: float = 0.9) -> DataFrame:
+    """Generalized Pareto tail fit by probability-weighted moments
+    (Hosking & Wallis 1987): exceedances y = x − u over the
+    deterministic lower q-quantile threshold u, order statistics
+    y_(1..n) under the pinned (y, id) order, plotting positions
+    p_i = (i − 0.35)/n, b0 = mean(y), b1 = mean((1 − p_i)·y_i);
+    ξ̂ = 2 − b0/(b0 − 2b1), σ̂ = 2·b0·b1/(b0 − 2b1) — the
+    peaks-over-threshold companion to hill_tail (ξ > 0 ⇔ heavy
+    Fréchet tail, Hill's regime; ξ < 0 ⇔ bounded). Output: one row
+    (n_exceed, threshold, b0, b1, xi, sigma), rounds 6."""
+    v = F.col(value_col).cast("double")
+    per = (df.filter(v.isNotNull()).groupBy(v.alias("v"))
+           .agg(F.count("*").alias("ct")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    thr = (per.select("v", F.sum("ct").over(w).alias("cum"),
+                      F.sum("ct").over(tot).alias("nn"))
+           .filter(F.col("cum") >= quantile * F.col("nn"))
+           .agg(F.min("v").alias("u")))
+    exceed = (df.crossJoin(F.broadcast(thr))
+              .filter(v > F.col("u"))
+              .select((v - F.col("u")).alias("y"),
+                      F.col(id_col).alias("id"), F.col("u")))
+    wo = Window.orderBy(F.asc("y"), F.asc("id"))
+    ranked = exceed.select(
+        "y", "u", F.row_number().over(wo).alias("i"),
+        F.count("*").over(Window.partitionBy("u")).alias("n"))
+    n = F.col("n").cast("double")
+    p = (F.col("i").cast("double") - 0.35) / n
+    agg = (ranked.groupBy("n", "u")
+           .agg(F.sum(F.col("y").cast(_DEC)).cast("double")
+                .alias("sy"),
+                F.sum(((1.0 - p) * F.col("y")).cast(_DEC))
+                .cast("double").alias("swy")))
+    b0 = F.col("sy") / n
+    b1 = F.col("swy") / n
+    den = b0 - 2.0 * b1
+    return agg.select(
+        F.col("n").cast("long").alias("n_exceed"),
+        F.round(F.col("u"), 6).alias("threshold"),
+        F.round(b0, 6).alias("b0"),
+        F.round(b1, 6).alias("b1"),
+        F.round(F.when(den != 0, 2.0 - b0 / den), 6).alias("xi"),
+        F.round(F.when(den != 0, 2.0 * b0 * b1 / den), 6)
+        .alias("sigma"))
+
+
+def gpd_pwm_sql(table: str, value_sql: str, id_sql: str,
+                quantile: float = 0.9) -> str:
+    return f"""
+WITH per AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS v, count(*) AS ct
+  FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+  GROUP BY 1
+),
+thr AS (
+  SELECT min(v) AS u FROM (
+    SELECT v, sum(ct) OVER (ORDER BY v) AS cum, sum(ct) OVER () AS nn
+    FROM per
+  ) WHERE cum >= {quantile!r} * nn
+),
+exceed AS (
+  SELECT CAST({value_sql} AS DOUBLE) - t.u AS y,
+         {id_sql} AS id, t.u
+  FROM {table} CROSS JOIN thr t
+  WHERE CAST({value_sql} AS DOUBLE) > t.u
+),
+ranked AS (
+  SELECT y, u, row_number() OVER (ORDER BY y, id) AS i,
+         count(*) OVER () AS n
+  FROM exceed
+),
+agg AS (
+  SELECT n, u,
+         CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST((1.0 - (CAST(i AS DOUBLE) - 0.35) / n) * y
+                       AS DECIMAL(38,12))) AS DOUBLE) AS swy
+  FROM ranked GROUP BY n, u
+),
+d AS (
+  SELECT n, u, sy / CAST(n AS DOUBLE) AS b0,
+         swy / CAST(n AS DOUBLE) AS b1
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n_exceed,
+       round(u, 6) AS threshold,
+       round(b0, 6) AS b0, round(b1, 6) AS b1,
+       round(CASE WHEN b0 - 2.0 * b1 <> 0
+                  THEN 2.0 - b0 / (b0 - 2.0 * b1) END, 6) AS xi,
+       round(CASE WHEN b0 - 2.0 * b1 <> 0
+                  THEN 2.0 * b0 * b1 / (b0 - 2.0 * b1) END, 6)
+         AS sigma
+FROM d
+"""
+
+
+def gamma_mom_fit(df: DataFrame, value_col: str) -> DataFrame:
+    """Gamma method-of-moments over positive values: k̂ = m²/s²,
+    θ̂ = s²/m (sample variance, n−1), with the shape-implied
+    skewness 2/√k̂ next to the sample skewness as the built-in
+    lack-of-fit readout — the two diverge exactly where MoM
+    misleads. One decimal-moments pass. Output: one row
+    (n, mean, var, k_shape, theta_scale, skew_implied,
+    skew_sample), rounds 6."""
+    v = F.col(value_col).cast("double")
+    base = df.filter(v > 0)
+    agg = base.agg(
+        F.count("*").alias("n"),
+        F.sum(v.cast(_DEC)).cast("double").alias("s1"),
+        F.sum((v * v).cast(_DEC)).cast("double").alias("s2"),
+        F.sum((v * v * v).cast(_DEC)).cast("double").alias("s3"))
+    n = F.col("n").cast("double")
+    m = F.col("s1") / n
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)
+    m3 = (F.col("s3") / n - 3 * m * F.col("s2") / n + 2 * m * m * m)
+    varn = F.col("s2") / n - m * m
+    skew = F.when(varn > 0, m3 / F.pow(varn, F.lit(1.5)))
+    k = F.when(var > 0, m * m / var)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(m, 6).alias("mean"),
+        F.round(var, 6).alias("var"),
+        F.round(k, 6).alias("k_shape"),
+        F.round(F.when(m > 0, var / m), 6).alias("theta_scale"),
+        F.round(F.when(k > 0, 2.0 / F.sqrt(k)), 6)
+        .alias("skew_implied"),
+        F.round(skew, 6).alias("skew_sample"))
+
+
+def gamma_mom_fit_sql(table: str, value_sql: str) -> str:
+    return f"""
+WITH agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(CAST({value_sql} AS DOUBLE)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(CAST({value_sql} AS DOUBLE)
+                       * CAST({value_sql} AS DOUBLE)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+         CAST(sum(CAST(CAST({value_sql} AS DOUBLE)
+                       * CAST({value_sql} AS DOUBLE)
+                       * CAST({value_sql} AS DOUBLE)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS s3
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) > 0
+),
+d AS (
+  SELECT n, s1 / n AS m,
+         (s2 - s1 * s1 / n) / (CAST(n AS DOUBLE) - 1) AS var,
+         s2 / n - (s1 / n) * (s1 / n) AS varn,
+         s3 / n - 3 * (s1 / n) * s2 / n
+           + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(m, 6) AS mean, round(var, 6) AS var,
+       round(CASE WHEN var > 0 THEN m * m / var END, 6) AS k_shape,
+       round(CASE WHEN m > 0 THEN var / m END, 6) AS theta_scale,
+       round(CASE WHEN var > 0 AND m * m / var > 0
+                  THEN 2.0 / sqrt(m * m / var) END, 6) AS skew_implied,
+       round(CASE WHEN varn > 0 THEN m3 / pow(varn, 1.5) END, 6)
+         AS skew_sample
+FROM d
+"""
+
+
+def beta_mom_fit(df: DataFrame, rate_col: str) -> DataFrame:
+    """Beta method-of-moments over a [0,1] rate column:
+    α̂ = m·(m(1−m)/v − 1), β̂ = (1−m)·(m(1−m)/v − 1) (valid when
+    v < m(1−m)) — the honest prior-fitting step behind
+    eb_user_conversion's shrinkage (that query fixes its prior; this
+    one shows where it comes from). One decimal-moments pass.
+    Output: one row (n, mean, var, alpha, beta, prior_strength),
+    rounds 6."""
+    r = F.col(rate_col).cast("double")
+    base = df.filter(r.isNotNull())
+    agg = base.agg(
+        F.count("*").alias("n"),
+        F.sum(r.cast(_DEC)).cast("double").alias("s1"),
+        F.sum((r * r).cast(_DEC)).cast("double").alias("s2"))
+    n = F.col("n").cast("double")
+    m = F.col("s1") / n
+    v = (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)
+    c = F.when((v > 0) & (v < m * (1 - m)), m * (1 - m) / v - 1.0)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(m, 6).alias("mean"),
+        F.round(v, 6).alias("var"),
+        F.round(m * c, 6).alias("alpha"),
+        F.round((1 - m) * c, 6).alias("beta"),
+        F.round(c, 6).alias("prior_strength"))
+
+
+def beta_mom_fit_sql(table: str, rate_sql: str) -> str:
+    return f"""
+WITH agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(CAST({rate_sql} AS DOUBLE)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(CAST({rate_sql} AS DOUBLE)
+                       * CAST({rate_sql} AS DOUBLE)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM {table} WHERE CAST({rate_sql} AS DOUBLE) IS NOT NULL
+),
+d AS (
+  SELECT n, s1 / n AS m,
+         (s2 - s1 * s1 / n) / (CAST(n AS DOUBLE) - 1) AS v
+  FROM agg
+),
+c AS (
+  SELECT n, m, v,
+         CASE WHEN v > 0 AND v < m * (1 - m)
+              THEN m * (1 - m) / v - 1.0 END AS cs
+  FROM d
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(m, 6) AS mean, round(v, 6) AS var,
+       round(m * cs, 6) AS alpha,
+       round((1 - m) * cs, 6) AS beta,
+       round(cs, 6) AS prior_strength
+FROM c
+"""

@@ -2618,3 +2618,77 @@ SELECT CAST({lv} AS INT) AS level,
 FROM p{lv}""")
     body = "\nUNION ALL\n".join(selects)
     return f"WITH {', '.join(ctes)}\n{body}"
+
+
+# ---------------------------------------------------------------------------
+# Round-11 sixth stratum (part): randomness-against-trend diagnostics
+# on the bounded daily frame.
+
+
+def turning_points(events: DataFrame, ts_col: str = "ts",
+                   value_col: str = "value") -> DataFrame:
+    """Turning-points test of series randomness (Kendall 1973): count
+    strict local maxima + minima of the daily value total; under iid
+    the expected count is 2(n−2)/3 with variance (16n − 29)/90.
+    Plateaus (ties with a neighbor) are NOT turning points — strict
+    inequalities both sides, the deterministic convention. Too FEW
+    turns means trend/momentum, too MANY means alternation
+    (negative autocorrelation) — the cheap screen before
+    ljung_box's omnibus lags. One lag/lead pass over the daily
+    frame. Output: one row (n_days, turns, expected, z), rounds 6."""
+    daily = (events.filter(F.col(value_col).isNotNull())
+             .groupBy(F.to_date(ts_col).alias("day"))
+             .agg(F.round(F.sum(F.col(value_col)
+                                .cast("decimal(38,12)"))
+                          .cast("double"), 9).alias("tot")))
+    w = Window.orderBy("day")
+    lagv = F.lag("tot").over(w)
+    leadv = F.lead("tot").over(w)
+    turn = (F.when(lagv.isNotNull() & leadv.isNotNull()
+                   & (((F.col("tot") > lagv) & (F.col("tot") > leadv))
+                      | ((F.col("tot") < lagv)
+                         & (F.col("tot") < leadv))), 1)
+            .otherwise(0))
+    agg = daily.select(turn.alias("t")).agg(
+        F.count("*").alias("n"), F.sum("t").alias("turns"))
+    n = F.col("n").cast("double")
+    mu = 2.0 * (n - 2) / 3.0
+    var = (16.0 * n - 29.0) / 90.0
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("turns").cast("long").alias("turns"),
+        F.round(mu, 6).alias("expected"),
+        F.round(F.when(var > 0, (F.col("turns") - mu) / F.sqrt(var)),
+                6).alias("z"))
+
+
+def turning_points_sql(table: str = "events", ts_sql: str = "ts",
+                       value_sql: str = "value") -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST({ts_sql} AS DATE) AS day,
+         round(CAST(sum(CAST({value_sql} AS DECIMAL(38,12)))
+                    AS DOUBLE), 9) AS tot
+  FROM {table}
+  WHERE {value_sql} IS NOT NULL
+  GROUP BY 1
+),
+t AS (
+  SELECT CASE WHEN lag(tot) OVER (ORDER BY day) IS NOT NULL
+               AND lead(tot) OVER (ORDER BY day) IS NOT NULL
+               AND ((tot > lag(tot) OVER (ORDER BY day)
+                     AND tot > lead(tot) OVER (ORDER BY day))
+                    OR (tot < lag(tot) OVER (ORDER BY day)
+                        AND tot < lead(tot) OVER (ORDER BY day)))
+              THEN 1 ELSE 0 END AS turn
+  FROM daily
+),
+agg AS (SELECT count(*) AS n, sum(turn) AS turns FROM t)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(turns AS BIGINT) AS turns,
+       round(2.0 * (CAST(n AS DOUBLE) - 2) / 3.0, 6) AS expected,
+       round(CASE WHEN (16.0 * n - 29.0) / 90.0 > 0
+                  THEN (turns - 2.0 * (CAST(n AS DOUBLE) - 2) / 3.0)
+                       / sqrt((16.0 * n - 29.0) / 90.0) END, 6) AS z
+FROM agg
+"""
