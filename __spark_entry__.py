@@ -11436,6 +11436,87 @@ def _sql_turning_points():
 
 
 # ---------------------------------------------------------------------------
+# Round-11 seventh stratum: trend/randomness/risk diagnostics on the
+# shared bounded daily frame.
+
+def q_cox_stuart(spark, sf_dir):
+    """Cox–Stuart paired-halves sign test for trend in daily totals
+    (timeseries.cox_stuart) — mann_kendall's answer at 1/n-th the
+    pair work."""
+    from distill_spark.operators.timeseries import cox_stuart
+
+    return cox_stuart(_tables(spark, sf_dir)["events"])
+
+
+def _sql_cox_stuart():
+    from distill_spark.operators.timeseries import cox_stuart_sql
+
+    return cox_stuart_sql()
+
+
+def q_foster_stuart(spark, sf_dir):
+    """Foster–Stuart records test on daily totals
+    (timeseries.foster_stuart) — record-breaking counts for trend
+    (D) and dispersion change (S)."""
+    from distill_spark.operators.timeseries import foster_stuart
+
+    return foster_stuart(_tables(spark, sf_dir)["events"])
+
+
+def _sql_foster_stuart():
+    from distill_spark.operators.timeseries import foster_stuart_sql
+
+    return foster_stuart_sql()
+
+
+def q_von_neumann(spark, sf_dir):
+    """Von Neumann successive-difference ratio + Bartels rank
+    version on daily totals (timeseries.von_neumann_bartels) —
+    durbin_watson's question asked of the raw series."""
+    from distill_spark.operators.timeseries import von_neumann_bartels
+
+    return von_neumann_bartels(_tables(spark, sf_dir)["events"])
+
+
+def _sql_von_neumann():
+    from distill_spark.operators.timeseries import (
+        von_neumann_bartels_sql,
+    )
+
+    return von_neumann_bartels_sql()
+
+
+def q_spectral_entropy(spark, sf_dir):
+    """Normalized spectral entropy + peak period over the 2–14 day
+    periodogram grid (timeseries.spectral_entropy) — the scalar
+    roll-up of periodogram_daily."""
+    from distill_spark.operators.timeseries import spectral_entropy
+
+    return spectral_entropy(_tables(spark, sf_dir)["events"])
+
+
+def _sql_spectral_entropy():
+    from distill_spark.operators.timeseries import spectral_entropy_sql
+
+    return spectral_entropy_sql()
+
+
+def q_max_drawdown(spark, sf_dir):
+    """Maximum absolute/relative drawdown of the cumulative daily
+    value series with pinned trough day (timeseries.max_drawdown) —
+    the sequencing-sensitive risk number variance can't see."""
+    from distill_spark.operators.timeseries import max_drawdown
+
+    return max_drawdown(_tables(spark, sf_dir)["events"])
+
+
+def _sql_max_drawdown():
+    from distill_spark.operators.timeseries import max_drawdown_sql
+
+    return max_drawdown_sql()
+
+
+# ---------------------------------------------------------------------------
 # Round-10 ninth stratum: paired daily tests (Wilcoxon signed-rank,
 # sign test), Haar multiresolution energy, decision-stump split gain.
 
@@ -11538,6 +11619,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "gamma_mom": (q_gamma_mom, _sql_gamma_mom()),
     "beta_mom": (q_beta_mom, _sql_beta_mom()),
     "turning_points": (q_turning_points, _sql_turning_points()),
+    # -- round-11 seventh stratum: daily-frame trend/risk diagnostics --------
+    "cox_stuart": (q_cox_stuart, _sql_cox_stuart()),
+    "foster_stuart": (q_foster_stuart, _sql_foster_stuart()),
+    "von_neumann": (q_von_neumann, _sql_von_neumann()),
+    "spectral_entropy": (q_spectral_entropy, _sql_spectral_entropy()),
+    "max_drawdown": (q_max_drawdown, _sql_max_drawdown()),
     # -- round-10 ninth stratum: paired tests / wavelets / stump gain ---------
     "wilcoxon_clicks_views": (q_wilcoxon_clicks_views, _sql_wilcoxon()),
     "sign_test_daily": (q_sign_test_daily, _sql_sign_test()),

@@ -2692,3 +2692,385 @@ SELECT CAST(n AS BIGINT) AS n_days,
                        / sqrt((16.0 * n - 29.0) / 90.0) END, 6) AS z
 FROM agg
 """
+
+
+def cox_stuart(events: DataFrame, ts_col: str = "ts",
+               value_col: str = "value") -> DataFrame:
+    """Cox–Stuart trend test (Cox & Stuart 1955): pair day t with
+    day t + ⌈n/2⌉ and sign-test the pairs — S⁺ pairs rising, S⁻
+    falling, ties dropped; z = (S⁺ − n'/2)/√(n'/4). The
+    median-unbiased sibling of mann_kendall_trend at 1/n-th the
+    pair work (n/2 pairs, not n²/2): the screen you run FIRST at
+    100 TB. One self-join of the bounded daily frame on the shifted
+    rank. Output: one row (n_days, n_pairs, s_plus, s_minus, z),
+    rounds 6."""
+    base = _daily_frame(events, ts_col, value_col)
+    tot = Window.partitionBy()
+    sized = base.select("t", "x", F.count("*").over(tot).alias("n"))
+    c = F.ceil(F.col("n") / 2.0).cast("int")
+    first = (sized.filter(F.col("t") <= F.col("n") / 2)
+             .select(F.col("t").alias("t1"), F.col("x").alias("x1"),
+                     (F.col("t") + c).alias("t2"),
+                     F.col("n").alias("n")))
+    second = sized.select(F.col("t").alias("t2"),
+                          F.col("x").alias("x2"))
+    pairs = first.join(second, "t2")
+    agg = pairs.agg(
+        F.max("n").alias("n"),
+        F.sum(F.when(F.col("x2") > F.col("x1"), 1).otherwise(0))
+        .alias("sp"),
+        F.sum(F.when(F.col("x2") < F.col("x1"), 1).otherwise(0))
+        .alias("sm"))
+    np_ = (F.col("sp") + F.col("sm")).cast("double")
+    z = F.when(np_ > 0,
+               (F.col("sp") - np_ / 2.0) / F.sqrt(np_ / 4.0))
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        (F.col("sp") + F.col("sm")).cast("long").alias("n_pairs"),
+        F.col("sp").cast("long").alias("s_plus"),
+        F.col("sm").cast("long").alias("s_minus"),
+        F.round(z, 6).alias("z"))
+
+
+def cox_stuart_sql(table: str = "events", ts_sql: str = "ts",
+                   value_sql: str = "value") -> str:
+    return f"""
+WITH {_DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)},
+sized AS (
+  SELECT t, x, count(*) OVER () AS n FROM ranked
+),
+pairs AS (
+  SELECT a.n, a.x AS x1, b.x AS x2
+  FROM sized a
+  JOIN sized b
+    ON b.t = a.t + CAST(ceil(a.n / 2.0) AS INT)
+  WHERE a.t <= a.n / 2
+),
+agg AS (
+  SELECT max(n) AS n,
+         sum(CASE WHEN x2 > x1 THEN 1 ELSE 0 END) AS sp,
+         sum(CASE WHEN x2 < x1 THEN 1 ELSE 0 END) AS sm
+  FROM pairs
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(sp + sm AS BIGINT) AS n_pairs,
+       CAST(sp AS BIGINT) AS s_plus,
+       CAST(sm AS BIGINT) AS s_minus,
+       round(CASE WHEN sp + sm > 0
+                  THEN (sp - CAST(sp + sm AS DOUBLE) / 2.0)
+                       / sqrt(CAST(sp + sm AS DOUBLE) / 4.0) END, 6)
+         AS z
+FROM agg
+"""
+
+
+def foster_stuart(events: DataFrame, ts_col: str = "ts",
+                  value_col: str = "value") -> DataFrame:
+    """Foster–Stuart records test (Foster & Stuart 1954): u_t / l_t
+    flag strict upper/lower records of the daily total against all
+    prior days; D = Σ(u−l) detects TREND (E = 0,
+    Var = Σ_{t≥2} 2/t), S = Σ(u+l) detects dispersion change
+    (E = Σ 2/t, Var = Σ(2/t − 4/t²)) — the record-based angle on
+    the same question as cox_stuart, maximally robust because only
+    record-breaking matters. Running extrema via prefix windows on
+    the bounded daily frame; the harmonic moments come from the
+    same frame's rank column. Output: one row (n_days, d_stat,
+    s_stat, z_d, z_s), rounds 6."""
+    base = _daily_frame(events, ts_col, value_col)
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    flags = base.select(
+        "t",
+        F.when(F.col("x") > F.max("x").over(w), 1).otherwise(0)
+        .alias("u"),
+        F.when(F.col("x") < F.min("x").over(w), 1).otherwise(0)
+        .alias("l"))
+    agg = flags.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("t") >= 2, F.col("u") - F.col("l"))
+              .otherwise(0)).alias("d"),
+        F.sum(F.when(F.col("t") >= 2, F.col("u") + F.col("l"))
+              .otherwise(0)).alias("s"),
+        F.sum(F.when(F.col("t") >= 2, 2.0 / F.col("t"))
+              .otherwise(0.0)).alias("h1"),
+        F.sum(F.when(F.col("t") >= 2,
+                     2.0 / F.col("t")
+                     - 4.0 / (F.col("t").cast("double") * F.col("t")))
+              .otherwise(0.0)).alias("h2"))
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("d").cast("long").alias("d_stat"),
+        F.col("s").cast("long").alias("s_stat"),
+        F.round(F.when(F.col("h1") > 0,
+                       F.col("d") / F.sqrt(F.col("h1"))), 6)
+        .alias("z_d"),
+        F.round(F.when(F.col("h2") > 0,
+                       (F.col("s") - F.col("h1"))
+                       / F.sqrt(F.col("h2"))), 6).alias("z_s"))
+
+
+def foster_stuart_sql(table: str = "events", ts_sql: str = "ts",
+                      value_sql: str = "value") -> str:
+    return f"""
+WITH {_DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)},
+flags AS (
+  SELECT t,
+         CASE WHEN x > max(x) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS u,
+         CASE WHEN x < min(x) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS l
+  FROM ranked
+),
+agg AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN t >= 2 THEN u - l ELSE 0 END) AS d,
+         sum(CASE WHEN t >= 2 THEN u + l ELSE 0 END) AS s,
+         sum(CASE WHEN t >= 2 THEN 2.0 / t ELSE 0.0 END) AS h1,
+         sum(CASE WHEN t >= 2
+             THEN 2.0 / t - 4.0 / (CAST(t AS DOUBLE) * t)
+             ELSE 0.0 END) AS h2
+  FROM flags
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(d AS BIGINT) AS d_stat,
+       CAST(s AS BIGINT) AS s_stat,
+       round(CASE WHEN h1 > 0 THEN d / sqrt(h1) END, 6) AS z_d,
+       round(CASE WHEN h2 > 0 THEN (s - h1) / sqrt(h2) END, 6) AS z_s
+FROM agg
+"""
+
+
+def von_neumann_bartels(events: DataFrame, ts_col: str = "ts",
+                        value_col: str = "value") -> DataFrame:
+    """Von Neumann successive-difference ratio v = Σ(x_{t+1}−x_t)² /
+    Σ(x_t−x̄)² (E = 2 under iid; < 2 momentum, > 2 alternation) and
+    Bartels' rank version (Bartels 1982) on STRICT (value, day)
+    ranks — the distribution-free twin; its z uses
+    Var = 4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²). Same question as
+    durbin_watson asked of the raw series rather than residuals
+    (v = 2(1−ρ̂₁) up to end effects). One lag pass over the daily
+    frame. Output: one row (n_days, vn_ratio, rvn_ratio, z_rvn),
+    rounds 6."""
+    base = _daily_frame(events, ts_col, value_col)
+    r = F.row_number().over(Window.orderBy(F.asc("x"), F.asc("d")))
+    ranked = base.select("t", "x", r.alias("r"))
+    w = Window.orderBy("t")
+    tot = Window.partitionBy()
+    staged = ranked.select(
+        "t", "x", "r",
+        F.lag("x").over(w).alias("px"),
+        F.lag("r").over(w).alias("pr"),
+        (F.sum(F.col("x").cast(_TS_DEC)).over(tot).cast("double")
+         / F.count("*").over(tot)).alias("mu"),
+        F.count("*").over(tot).alias("n"))
+    agg = (staged.groupBy("n", "mu")
+           .agg(F.sum(F.when(F.col("px").isNotNull(),
+                             (F.col("x") - F.col("px"))
+                             * (F.col("x") - F.col("px")))
+                      .otherwise(0.0).cast(_TS_DEC))
+                .cast("double").alias("sd2"),
+                F.sum(((F.col("x") - F.col("mu"))
+                       * (F.col("x") - F.col("mu"))).cast(_TS_DEC))
+                .cast("double").alias("ss"),
+                F.sum(F.when(F.col("pr").isNotNull(),
+                             (F.col("r") - F.col("pr"))
+                             * (F.col("r") - F.col("pr")))
+                      .otherwise(0).cast(_TS_DEC))
+                .cast("double").alias("rd2")))
+    n = F.col("n").cast("double")
+    rss = n * (n * n - 1) / 12.0
+    rvn = F.col("rd2") / rss
+    var = (4.0 * (n - 2) * (5 * n * n - 2 * n - 9)
+           / (5.0 * n * (n + 1) * (n - 1) * (n - 1)))
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.when(F.col("ss") > 0, F.col("sd2") / F.col("ss")),
+                6).alias("vn_ratio"),
+        F.round(rvn, 6).alias("rvn_ratio"),
+        F.round(F.when(var > 0, (rvn - 2.0) / F.sqrt(var)), 6)
+        .alias("z_rvn"))
+
+
+def von_neumann_bartels_sql(table: str = "events",
+                            ts_sql: str = "ts",
+                            value_sql: str = "value") -> str:
+    return f"""
+WITH {_DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)},
+rr AS (
+  SELECT t, x, row_number() OVER (ORDER BY x, d) AS r FROM ranked
+),
+staged AS (
+  SELECT t, x, r,
+         lag(x) OVER (ORDER BY t) AS px,
+         lag(r) OVER (ORDER BY t) AS pr,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) OVER () AS DOUBLE)
+           / count(*) OVER () AS mu,
+         count(*) OVER () AS n
+  FROM rr
+),
+agg AS (
+  SELECT n, mu,
+         CAST(sum(CAST(CASE WHEN px IS NOT NULL
+                            THEN (x - px) * (x - px)
+                            ELSE 0.0 END AS DECIMAL(38,12)))
+              AS DOUBLE) AS sd2,
+         CAST(sum(CAST((x - mu) * (x - mu) AS DECIMAL(38,12)))
+              AS DOUBLE) AS ss,
+         CAST(sum(CAST(CASE WHEN pr IS NOT NULL
+                            THEN (r - pr) * (r - pr)
+                            ELSE 0 END AS DECIMAL(38,12)))
+              AS DOUBLE) AS rd2
+  FROM staged GROUP BY n, mu
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(CASE WHEN ss > 0 THEN sd2 / ss END, 6) AS vn_ratio,
+       round(rd2 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * n - 1)
+                    / 12.0), 6) AS rvn_ratio,
+       round(CASE WHEN 4.0 * (n - 2) * (5.0 * n * n - 2 * n - 9)
+                       / (5.0 * n * (n + 1) * (CAST(n AS DOUBLE) - 1)
+                          * (n - 1)) > 0
+                  THEN (rd2 / (CAST(n AS DOUBLE)
+                               * (CAST(n AS DOUBLE) * n - 1) / 12.0)
+                        - 2.0)
+                       / sqrt(4.0 * (n - 2) * (5.0 * n * n - 2 * n - 9)
+                              / (5.0 * n * (n + 1)
+                                 * (CAST(n AS DOUBLE) - 1) * (n - 1)))
+             END, 6) AS z_rvn
+FROM agg
+"""
+
+
+def spectral_entropy(events: DataFrame, ts_col: str = "ts",
+                     value_col: str = "value", min_period: int = 2,
+                     max_period: int = 14) -> DataFrame:
+    """Normalized spectral entropy over the periodogram_daily grid:
+    H = −Σ q_k·ln q_k / ln K with q_k the power shares at periods
+    2..14 — one number for "how concentrated is the rhythm" (0 =
+    pure tone, 1 = white noise), the scalar roll-up of
+    periodogram_daily exactly as ece_calibration rolls up
+    calibration_value. Reuses the same grid-rounded trig frame.
+    Output: one row (n_periods, h_norm, peak_period, peak_share),
+    rounds 6."""
+    pg = periodogram_daily(events, ts_col, value_col, min_period,
+                           max_period)
+    tot = Window.partitionBy()
+    shares = pg.select(
+        "period", "power",
+        (F.col("power")
+         / F.sum("power").over(tot)).alias("q"))
+    best = (shares.groupBy()
+            .agg(F.count("*").alias("k"),
+                 F.sum(F.when(F.col("q") > 0,
+                              -F.col("q") * F.log(F.col("q")))
+                       .otherwise(0.0)).alias("h"),
+                 F.max(F.struct(F.col("q").alias("q"),
+                                (-F.col("period")).alias("np")))
+                 .alias("s")))
+    return best.select(
+        F.col("k").cast("long").alias("n_periods"),
+        F.round(F.col("h") / F.log(F.col("k").cast("double")), 6)
+        .alias("h_norm"),
+        (-F.col("s.np")).cast("long").alias("peak_period"),
+        F.round(F.col("s.q"), 6).alias("peak_share"))
+
+
+def spectral_entropy_sql(table: str = "events", ts_sql: str = "ts",
+                         value_sql: str = "value",
+                         min_period: int = 2,
+                         max_period: int = 14) -> str:
+    inner = periodogram_daily_sql(table, ts_sql, value_sql,
+                                  min_period, max_period)
+    return f"""
+WITH pg AS ({inner}),
+shares AS (
+  SELECT period, power,
+         power / sum(power) OVER () AS q
+  FROM pg
+),
+agg AS (
+  SELECT count(*) AS k,
+         sum(CASE WHEN q > 0 THEN -q * ln(q) ELSE 0.0 END) AS h,
+         max(q) AS qmax
+  FROM shares
+)
+SELECT CAST(k AS BIGINT) AS n_periods,
+       round(h / ln(CAST(k AS DOUBLE)), 6) AS h_norm,
+       CAST((SELECT min(period) FROM shares, agg
+             WHERE q = qmax) AS BIGINT) AS peak_period,
+       round(qmax, 6) AS peak_share
+FROM agg
+"""
+
+
+def max_drawdown(events: DataFrame, ts_col: str = "ts",
+                 value_col: str = "value") -> DataFrame:
+    """Maximum drawdown of the cumulative daily value series:
+    running peak P_t = max_{s≤t} C_t, depth D_t = P_t − C_t; report
+    the deepest absolute and relative drawdown with the EARLIEST
+    day achieving it (pinned argmax) — the sequencing-sensitive
+    risk number no variance summary sees (a monotone series and a
+    crash-then-recover series can share a variance but not a
+    drawdown). Prefix windows over the bounded daily frame.
+    Output: one row (n_days, max_dd, max_dd_pct, trough_day,
+    peak_before), rounds 6."""
+    base = _daily_frame(events, ts_col, value_col)
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    cums = base.select(
+        "d", "t",
+        F.sum(F.col("x").cast(_TS_DEC)).over(w).cast("double")
+        .alias("c"))
+    peaks = cums.select(
+        "d", "c", F.max("c").over(w).alias("p"))
+    dd = peaks.select(
+        "d", "c", "p",
+        F.round(F.col("p") - F.col("c"), 9).alias("depth"))
+    best = dd.groupBy().agg(F.count("*").alias("n"),
+                            F.max("depth").alias("mx"))
+    at = (dd.join(F.broadcast(best.select("mx")),
+                  F.col("depth") == F.col("mx"))
+          .agg(F.min(F.struct("d", "p", "depth")).alias("s")))
+    out = at.crossJoin(F.broadcast(best.select("n")))
+    return out.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("s.depth"), 6).alias("max_dd"),
+        F.round(F.when(F.col("s.p") != 0,
+                       F.col("s.depth") / F.col("s.p")), 6)
+        .alias("max_dd_pct"),
+        F.col("s.d").cast("string").alias("trough_day"),
+        F.round(F.col("s.p"), 6).alias("peak_before"))
+
+
+def max_drawdown_sql(table: str = "events", ts_sql: str = "ts",
+                     value_sql: str = "value") -> str:
+    return f"""
+WITH {_DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)},
+cums AS (
+  SELECT d, t,
+         CAST(sum(CAST(x AS DECIMAL(38,12)))
+              OVER (ORDER BY t) AS DOUBLE) AS c
+  FROM ranked
+),
+peaks AS (
+  SELECT d, c, max(c) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM cums
+),
+dd AS (
+  SELECT d, c, p, round(p - c, 9) AS depth FROM peaks
+),
+best AS (SELECT count(*) AS n, max(depth) AS mx FROM dd),
+at AS (
+  SELECT min(dd.d) AS d,
+         arg_min(dd.p, dd.d) AS p,
+         arg_min(dd.depth, dd.d) AS depth
+  FROM dd JOIN best ON dd.depth = best.mx
+)
+SELECT CAST(best.n AS BIGINT) AS n_days,
+       round(at.depth, 6) AS max_dd,
+       round(CASE WHEN at.p <> 0 THEN at.depth / at.p END, 6)
+         AS max_dd_pct,
+       CAST(at.d AS VARCHAR) AS trough_day,
+       round(at.p, 6) AS peak_before
+FROM at CROSS JOIN best
+"""
