@@ -11517,6 +11517,94 @@ def _sql_max_drawdown():
 
 
 # ---------------------------------------------------------------------------
+# Round-11 eighth stratum: process control, AR structure, workload
+# intervals, and two more register-exact portable sketches.
+
+def q_xbar_r_chart(spark, sf_dir):
+    """Shewhart X̄/R chart over daily first-5 subgroups with n=5
+    table constants (timeseries.xbar_r_chart) — common-cause limits
+    beside cusum_arl's sequential detector."""
+    from distill_spark.operators.timeseries import xbar_r_chart
+
+    return xbar_r_chart(_tables(spark, sf_dir)["events"])
+
+
+def _sql_xbar_r():
+    from distill_spark.operators.timeseries import xbar_r_chart_sql
+
+    return xbar_r_chart_sql()
+
+
+def q_pacf_daily(spark, sf_dir):
+    """PACF lags 1–3 by Durbin–Levinson closed form
+    (timeseries.pacf_daily) — the AR-order reading acf_daily can't
+    give."""
+    from distill_spark.operators.timeseries import pacf_daily
+
+    return pacf_daily(_tables(spark, sf_dir)["events"])
+
+
+def _sql_pacf():
+    from distill_spark.operators.timeseries import pacf_daily_sql
+
+    return pacf_daily_sql()
+
+
+def q_busy_periods(spark, sf_dir):
+    """Interval-union busy periods over all users' sessions
+    (conversion.busy_periods) — utilization and mean concurrency
+    read directly off the log."""
+    from distill_spark.operators.conversion import busy_periods
+
+    return busy_periods(_tables(spark, sf_dir)["events"])
+
+
+def _sql_busy_periods():
+    from distill_spark.operators.conversion import busy_periods_sql
+
+    return busy_periods_sql()
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch (4×256 explicit registers, portable hash)
+    evaluated on the true top-10 users (sketch.cms_heavy_hitters) —
+    overestimate-only frequency bounds, register-for-register
+    oracle."""
+    from distill_spark.operators.sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(_tables(spark, sf_dir)["events"],
+                             "user_id")
+
+
+def _sql_cms():
+    from distill_spark.operators.sketch import cms_heavy_hitters_sql
+
+    return cms_heavy_hitters_sql("events", "user_id")
+
+
+def q_bloom_contract(spark, sf_dir):
+    """Bloom filter (2^16 bits, k=3) over finished-order keys probed
+    with every other order key (sketch.bloom_contract) — observed
+    FPR vs (1−e^{−kn/m})^k, bit-for-bit oracle. The synthetic event
+    stream has no non-member users (every user purchases), so the
+    order-status split supplies a real probe set."""
+    from distill_spark.operators.sketch import bloom_contract
+
+    return bloom_contract(_tables(spark, sf_dir)["orders"],
+                          "o_orderkey",
+                          F.col("o_orderstatus") == "F",
+                          m_bits=1 << 16)
+
+
+def _sql_bloom():
+    from distill_spark.operators.sketch import bloom_contract_sql
+
+    return bloom_contract_sql("orders", "o_orderkey",
+                              "o_orderstatus = 'F'",
+                              m_bits=1 << 16)
+
+
+# ---------------------------------------------------------------------------
 # Round-10 ninth stratum: paired daily tests (Wilcoxon signed-rank,
 # sign test), Haar multiresolution energy, decision-stump split gain.
 
@@ -11625,6 +11713,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "von_neumann": (q_von_neumann, _sql_von_neumann()),
     "spectral_entropy": (q_spectral_entropy, _sql_spectral_entropy()),
     "max_drawdown": (q_max_drawdown, _sql_max_drawdown()),
+    # -- round-11 eighth stratum: SPC / AR order / intervals / sketches -----
+    "xbar_r_chart": (q_xbar_r_chart, _sql_xbar_r()),
+    "pacf_daily": (q_pacf_daily, _sql_pacf()),
+    "busy_periods": (q_busy_periods, _sql_busy_periods()),
+    "cms_heavy_hitters": (q_cms_heavy_hitters, _sql_cms()),
+    "bloom_contract": (q_bloom_contract, _sql_bloom()),
     # -- round-10 ninth stratum: paired tests / wavelets / stump gain ---------
     "wilcoxon_clicks_views": (q_wilcoxon_clicks_views, _sql_wilcoxon()),
     "sign_test_daily": (q_sign_test_daily, _sql_sign_test()),

@@ -2084,3 +2084,128 @@ SELECT CAST(n AS BIGINT) AS n_users,
          AS reduction_pct
 FROM d
 """
+
+
+def busy_periods(events: DataFrame, user_col: str = "user_id",
+                 ts_col: str = "ts", gap_s: int = 1800) -> DataFrame:
+    """Interval-union workload profile: sessionize each user on
+    ``gap_s`` silence, then merge ALL users' [start, end] session
+    intervals into maximal busy periods (gaps-and-islands: a new
+    island starts where a session's start exceeds the running max
+    end of every earlier session) — the system-level "was anyone
+    on?" view that per-user session_stats cannot give. Reports
+    utilization (busy/span) and mean concurrency (Σ session time /
+    busy time) = the L and ρ of a capacity model read directly off
+    the log. Shape: one user-partitioned sessionize pass, then one
+    global-order island pass over the bounded session frame.
+    Output: one row (n_sessions, n_busy, busy_seconds,
+    span_seconds, utilization, mean_concurrency), rounds 6."""
+    wu = Window.partitionBy(user_col).orderBy(ts_col)
+    marks = events.select(
+        F.col(user_col).alias("u"), F.col(ts_col).alias("t"),
+        F.when(F.unix_micros(F.col(ts_col))
+               - F.unix_micros(F.lag(ts_col).over(wu))
+               > gap_s * 1_000_000, 1)
+        .otherwise(0).alias("brk"))
+    ws = Window.partitionBy("u").orderBy("t") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    sess = (marks.withColumn("sid", F.sum("brk").over(ws))
+            .groupBy("u", "sid")
+            .agg(F.unix_micros(F.min("t")).alias("s"),
+                 F.unix_micros(F.max("t")).alias("e")))
+    wo = Window.orderBy(F.asc("s"), F.asc("e"), F.asc("u"))
+    wprev = wo.rowsBetween(Window.unboundedPreceding, -1)
+    islands = sess.select(
+        "s", "e", "u",
+        F.when(F.col("s") > F.max("e").over(wprev), 1)
+        .otherwise(F.when(F.max("e").over(wprev).isNull(), 1)
+                   .otherwise(0)).alias("new_"))
+    grouped = islands.select(
+        "s", "e", F.sum("new_").over(
+            Window.orderBy(F.asc("s"), F.asc("e"), F.asc("u"))
+            .rowsBetween(Window.unboundedPreceding, 0)).alias("gid"))
+    per_island = (grouped.groupBy("gid")
+                  .agg(F.min("s").alias("is_"), F.max("e").alias("ie")))
+    sess_tot = sess.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.col("e") - F.col("s")).alias("sess_us"),
+        F.min("s").alias("lo"), F.max("e").alias("hi"))
+    isl_tot = per_island.agg(
+        F.count("*").alias("n_busy"),
+        F.sum(F.col("ie") - F.col("is_")).alias("busy_us"))
+    out = sess_tot.crossJoin(F.broadcast(isl_tot))
+    busy_s = F.col("busy_us").cast("double") / 1e6
+    span_s = (F.col("hi") - F.col("lo")).cast("double") / 1e6
+    sess_s = F.col("sess_us").cast("double") / 1e6
+    return out.select(
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        F.col("n_busy").cast("long").alias("n_busy"),
+        F.round(busy_s, 6).alias("busy_seconds"),
+        F.round(span_s, 6).alias("span_seconds"),
+        F.round(F.when(span_s > 0, busy_s / span_s), 6)
+        .alias("utilization"),
+        F.round(F.when(busy_s > 0, sess_s / busy_s), 6)
+        .alias("mean_concurrency"))
+
+
+def busy_periods_sql(table: str = "events",
+                     user_sql: str = "user_id", ts_sql: str = "ts",
+                     gap_s: int = 1800) -> str:
+    return f"""
+WITH marks AS (
+  SELECT {user_sql} AS u, {ts_sql} AS t,
+         CASE WHEN epoch_us({ts_sql})
+                   - epoch_us(lag({ts_sql}) OVER (
+                       PARTITION BY {user_sql} ORDER BY {ts_sql}))
+                   > {gap_s} * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM {table}
+),
+sess AS (
+  SELECT u, sid, epoch_us(min(t)) AS s, epoch_us(max(t)) AS e
+  FROM (SELECT u, t,
+               sum(brk) OVER (PARTITION BY u ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS sid
+        FROM marks)
+  GROUP BY 1, 2
+),
+islands AS (
+  SELECT s, e, u,
+         CASE WHEN max(e) OVER (ORDER BY s, e, u
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                IS NULL THEN 1
+              WHEN s > max(e) OVER (ORDER BY s, e, u
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_
+  FROM sess
+),
+grouped AS (
+  SELECT s, e,
+         sum(new_) OVER (ORDER BY s, e, u
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+  FROM islands
+),
+per_island AS (
+  SELECT gid, min(s) AS is_, max(e) AS ie FROM grouped GROUP BY 1
+),
+sess_tot AS (
+  SELECT count(*) AS n_sessions, sum(e - s) AS sess_us,
+         min(s) AS lo, max(e) AS hi
+  FROM sess
+),
+isl_tot AS (
+  SELECT count(*) AS n_busy, sum(ie - is_) AS busy_us FROM per_island
+)
+SELECT CAST(n_sessions AS BIGINT) AS n_sessions,
+       CAST(n_busy AS BIGINT) AS n_busy,
+       round(CAST(busy_us AS DOUBLE) / 1e6, 6) AS busy_seconds,
+       round(CAST(hi - lo AS DOUBLE) / 1e6, 6) AS span_seconds,
+       round(CASE WHEN hi - lo > 0
+                  THEN CAST(busy_us AS DOUBLE) / (hi - lo) END, 6)
+         AS utilization,
+       round(CASE WHEN busy_us > 0
+                  THEN CAST(sess_us AS DOUBLE) / busy_us END, 6)
+         AS mean_concurrency
+FROM sess_tot CROSS JOIN isl_tot
+"""

@@ -260,3 +260,234 @@ SELECT {g}, buckets_hit,
                          * CAST({1 << (wbits + 1)} AS BIGINT) AS DOUBLE)
              END, 4) AS est_distinct
 FROM grp"""
+
+
+# ---------------------------------------------------------------------------
+# Round-11: two more register-exact portable sketches beside
+# portable_hll — Count-Min (point-frequency upper bounds) and Bloom
+# (set membership). Same contract: every register is integer-exact
+# over the Knuth hash + avalanche finalizer, so the DuckDB oracle
+# replays the sketch register-for-register rather than "within
+# tolerance".
+
+
+def cms_heavy_hitters(df: DataFrame, key_col: str,
+                      depth: int = 4, width: int = 256,
+                      top_n: int = 10) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) with explicit
+    (depth × width) registers over the portable hash, evaluated on
+    the true top-N keys: est = min over rows of register[r,
+    bucket_r(key)], which NEVER underestimates — the overestimate
+    column is the sketch's collision cost made visible, the
+    register-exact upgrade of heavy_hitters' exact groupBy.
+
+    Scale shape: one ×depth row expansion (a lit array explode) into
+    a (row, bucket) partial aggregate — constant depth·width state,
+    the streaming-frequency recipe at 100 TB. The true counts exist
+    to calibrate at test scale. Output: top-N rows (key, true_count,
+    cms_est, overestimate), ordered by true desc then key."""
+    rows = df.filter(F.col(key_col).isNotNull())
+    salts = F.array(*[F.lit(r + 1) for r in range(depth)])
+    expanded = rows.select(
+        F.col(key_col).alias("k"),
+        F.explode(salts).alias("r"))
+    # bucket must depend on the row salt: recompute the avalanche
+    # with the row index folded into the salt argument
+    from distill_spark.operators.sampling import hash_bucket
+
+    h0 = hash_bucket(F.col("k"), "portable", salt=0).cast("long") \
+        + F.col("r")
+    h0 = F.pmod(h0, F.lit(1 << 31))
+    h1 = h0.bitwiseXOR(F.shiftright(h0, 15))
+    h2 = F.pmod(h1 * F.lit(2246822519), F.lit(1 << 31))
+    h = h2.bitwiseXOR(F.shiftright(h2, 13))
+    regs = (expanded
+            .select("r", h.bitwiseAND(F.lit(width - 1)).alias("b"))
+            .groupBy("r", "b").agg(F.count("*").alias("c")))
+    true = (rows.groupBy(F.col(key_col).alias("k"))
+            .agg(F.count("*").alias("true_count")))
+    top = (true.orderBy(F.desc("true_count"), F.asc("k"))
+           .limit(top_n))
+    probe = top.select(
+        "k", "true_count", F.explode(salts).alias("r"))
+    ph0 = F.pmod(hash_bucket(F.col("k"), "portable", salt=0)
+                 .cast("long") + F.col("r"), F.lit(1 << 31))
+    ph1 = ph0.bitwiseXOR(F.shiftright(ph0, 15))
+    ph2 = F.pmod(ph1 * F.lit(2246822519), F.lit(1 << 31))
+    ph = ph2.bitwiseXOR(F.shiftright(ph2, 13))
+    joined = (probe
+              .select("k", "true_count", "r",
+                      ph.bitwiseAND(F.lit(width - 1)).alias("b"))
+              .join(F.broadcast(regs), ["r", "b"]))
+    est = (joined.groupBy("k", "true_count")
+           .agg(F.min("c").alias("cms_est")))
+    return (est.select(
+        F.col("k").cast("long").alias("key"),
+        F.col("true_count").cast("long").alias("true_count"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("true_count")).cast("long")
+        .alias("overestimate"))
+        .orderBy(F.desc("true_count"), F.asc("key")))
+
+
+def cms_heavy_hitters_sql(table: str, key_sql: str,
+                          depth: int = 4, width: int = 256,
+                          top_n: int = 10,
+                          knuth: int = 2654435761,
+                          mod: int = 2147483648) -> str:
+    def hv(col: str) -> str:
+        base_h = f"(({col} % {mod}) * {knuth}) % {mod}"
+        h0 = f"(({base_h}) + r) % {mod}"
+        h1 = f"xor({h0}, ({h0}) >> 15)"
+        h2 = f"(({h1}) * 2246822519) % {mod}"
+        return f"xor({h2}, ({h2}) >> 13)"
+    return f"""
+WITH expanded AS (
+  SELECT {key_sql} AS k, r
+  FROM {table}
+  CROSS JOIN (SELECT CAST(range AS BIGINT) + 1 AS r
+              FROM range({depth}))
+  WHERE {key_sql} IS NOT NULL
+),
+regs AS (
+  SELECT r, hv & {width - 1} AS b, count(*) AS c
+  FROM (SELECT r, {hv('k')} AS hv FROM expanded)
+  GROUP BY 1, 2
+),
+true_c AS (
+  SELECT {key_sql} AS k, count(*) AS true_count
+  FROM {table} WHERE {key_sql} IS NOT NULL
+  GROUP BY 1
+),
+top AS (
+  SELECT k, true_count FROM true_c
+  ORDER BY true_count DESC, k LIMIT {top_n}
+),
+probe AS (
+  SELECT t.k, t.true_count, s.r,
+         {hv('t.k')} & {width - 1} AS b
+  FROM top t
+  CROSS JOIN (SELECT CAST(range AS BIGINT) + 1 AS r
+              FROM range({depth})) s
+),
+est AS (
+  SELECT p.k, p.true_count, min(g.c) AS cms_est
+  FROM probe p JOIN regs g ON g.r = p.r AND g.b = p.b
+  GROUP BY 1, 2
+)
+SELECT CAST(k AS BIGINT) AS key,
+       CAST(true_count AS BIGINT) AS true_count,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - true_count AS BIGINT) AS overestimate
+FROM est ORDER BY true_count DESC, key
+"""
+
+
+def bloom_contract(df: DataFrame, key_col: str, member_flag,
+                   m_bits: int = 4096, k_hashes: int = 3
+                   ) -> DataFrame:
+    """Bloom filter (Bloom 1970) with an explicit m-bit register set
+    over the portable hash: insert the member keys with k salted
+    hashes, probe every NON-member key, and report the OBSERVED
+    false-positive rate against the textbook
+    (1 − e^{−kn/m})^k — the membership sibling of portable_hll's
+    register-exact contract (minhash_error does the same for
+    Jaccard). Bits live as a distinct (bit) frame, probes semi-join
+    it and a probe is a false positive iff all k bits are set; no
+    driver-side state. Output: one row (n_members, n_probes,
+    bits_set, fp_count, fpr_observed, fpr_theory), rounds 6."""
+    rows = df.filter(F.col(key_col).isNotNull())
+    members = (rows.filter(member_flag)
+               .select(F.col(key_col).alias("k")).distinct())
+    probes = (rows.select(F.col(key_col).alias("k")).distinct()
+              .join(members, "k", "left_anti"))
+    salts = F.array(*[F.lit(r + 1) for r in range(k_hashes)])
+    from distill_spark.operators.sampling import hash_bucket
+
+    def bucket(col):
+        h0 = F.pmod(hash_bucket(col, "portable", salt=0)
+                    .cast("long") + F.col("r"), F.lit(1 << 31))
+        h1 = h0.bitwiseXOR(F.shiftright(h0, 15))
+        h2 = F.pmod(h1 * F.lit(2246822519), F.lit(1 << 31))
+        return h2.bitwiseXOR(F.shiftright(h2, 13)) \
+            .bitwiseAND(F.lit(m_bits - 1))
+
+    bits = (members.select("k", F.explode(salts).alias("r"))
+            .select(bucket(F.col("k")).alias("bit")).distinct())
+    probe_bits = (probes.select("k", F.explode(salts).alias("r"))
+                  .select("k", bucket(F.col("k")).alias("bit")))
+    hits = (probe_bits.join(F.broadcast(bits), "bit")
+            .groupBy("k").agg(F.count("*").alias("nb")))
+    fp = hits.filter(F.col("nb") == k_hashes) \
+        .agg(F.count("*").alias("fp"))
+    counts = (members.agg(F.count("*").alias("nm"))
+              .crossJoin(probes.agg(F.count("*").alias("np_")))
+              .crossJoin(bits.agg(F.count("*").alias("nbits")))
+              .crossJoin(F.broadcast(fp)))
+    nm = F.col("nm").cast("double")
+    theory = F.pow(1.0 - F.exp(-F.lit(float(k_hashes)) * nm
+                               / F.lit(float(m_bits))),
+                   F.lit(float(k_hashes)))
+    return counts.select(
+        F.col("nm").cast("long").alias("n_members"),
+        F.col("np_").cast("long").alias("n_probes"),
+        F.col("nbits").cast("long").alias("bits_set"),
+        F.col("fp").cast("long").alias("fp_count"),
+        F.round(F.when(F.col("np_") > 0,
+                       F.col("fp").cast("double")
+                       / F.col("np_").cast("double")), 6)
+        .alias("fpr_observed"),
+        F.round(theory, 6).alias("fpr_theory"))
+
+
+def bloom_contract_sql(table: str, key_sql: str, member_sql: str,
+                       m_bits: int = 4096, k_hashes: int = 3,
+                       knuth: int = 2654435761,
+                       mod: int = 2147483648) -> str:
+    base_h = f"((k % {mod}) * {knuth}) % {mod}"
+    h0 = f"(({base_h}) + r) % {mod}"
+    h1 = f"xor({h0}, ({h0}) >> 15)"
+    h2 = f"(({h1}) * 2246822519) % {mod}"
+    hv = f"(xor({h2}, ({h2}) >> 13)) & {m_bits - 1}"
+    return f"""
+WITH members AS (
+  SELECT DISTINCT {key_sql} AS k FROM {table}
+  WHERE {key_sql} IS NOT NULL AND ({member_sql})
+),
+probes AS (
+  SELECT DISTINCT {key_sql} AS k FROM {table}
+  WHERE {key_sql} IS NOT NULL
+  EXCEPT SELECT k FROM members
+),
+salts AS (SELECT CAST(range AS BIGINT) + 1 AS r
+          FROM range({k_hashes})),
+bits AS (
+  SELECT DISTINCT {hv} AS bit FROM members CROSS JOIN salts
+),
+probe_bits AS (
+  SELECT k, {hv} AS bit FROM probes CROSS JOIN salts
+),
+hits AS (
+  SELECT pb.k, count(*) AS nb
+  FROM probe_bits pb JOIN bits b ON b.bit = pb.bit
+  GROUP BY 1
+),
+fp AS (SELECT count(*) AS fp FROM hits WHERE nb = {k_hashes}),
+counts AS (
+  SELECT (SELECT count(*) FROM members) AS nm,
+         (SELECT count(*) FROM probes) AS np_,
+         (SELECT count(*) FROM bits) AS nbits,
+         (SELECT fp FROM fp) AS fp
+)
+SELECT CAST(nm AS BIGINT) AS n_members,
+       CAST(np_ AS BIGINT) AS n_probes,
+       CAST(nbits AS BIGINT) AS bits_set,
+       CAST(fp AS BIGINT) AS fp_count,
+       round(CASE WHEN np_ > 0
+                  THEN CAST(fp AS DOUBLE) / np_ END, 6)
+         AS fpr_observed,
+       round(pow(1.0 - exp(-{float(k_hashes)} * CAST(nm AS DOUBLE)
+                           / {float(m_bits)}), {float(k_hashes)}), 6)
+         AS fpr_theory
+FROM counts
+"""

@@ -3074,3 +3074,220 @@ SELECT CAST(best.n AS BIGINT) AS n_days,
        round(at.p, 6) AS peak_before
 FROM at CROSS JOIN best
 """
+
+
+# SPC constants for subgroup size 5 (public Shewhart tables,
+# e.g. Montgomery, Introduction to Statistical Quality Control):
+_SPC_N5 = {"a2": 0.577, "d3": 0.0, "d4": 2.114}
+
+
+def xbar_r_chart(events: DataFrame, ts_col: str = "ts",
+                 value_col: str = "value", id_col: str = "event_id",
+                 subgroup: int = 5) -> DataFrame:
+    """Shewhart X̄/R control chart over daily rational subgroups: the
+    FIRST ``subgroup`` events per day under the pinned (ts, id)
+    order form the subgroup (days with fewer drop out); X̄ chart
+    limits X̿ ± A₂·R̄ and R chart limits D₃·R̄ / D₄·R̄ with the n=5
+    table constants — the process-control complement to
+    page_hinkley/cusum_arl's sequential detectors: those find WHEN
+    a shift happened, the chart says whether the process was ever
+    outside common-cause variation at all. One rank-filter pass,
+    one per-day aggregate, limits from the day frame. Output: one
+    row (n_subgroups, xbar_grand, rbar, ucl_x, lcl_x, ucl_r,
+    viol_x, viol_r), rounds 6."""
+    c = _SPC_N5
+    w = Window.partitionBy("d").orderBy(F.asc("ts_"), F.asc("id_"))
+    picked = (events
+              .select(F.to_date(ts_col).alias("d"),
+                      F.col(ts_col).alias("ts_"),
+                      F.col(id_col).alias("id_"),
+                      F.col(value_col).cast("double").alias("v"))
+              .filter(F.col("v").isNotNull())
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= subgroup))
+    per = (picked.groupBy("d")
+           .agg(F.count("*").alias("m"),
+                (F.sum(F.col("v").cast(_TS_DEC)).cast("double")
+                 / F.count("*")).alias("xbar"),
+                (F.max("v") - F.min("v")).alias("r")))
+    full = per.filter(F.col("m") == subgroup)
+    tot = Window.partitionBy()
+    staged = full.select(
+        "xbar", "r",
+        F.count("*").over(tot).alias("k"),
+        (F.sum(F.col("xbar").cast(_TS_DEC)).over(tot).cast("double")
+         / F.count("*").over(tot)).alias("xgrand"),
+        (F.sum(F.col("r").cast(_TS_DEC)).over(tot).cast("double")
+         / F.count("*").over(tot)).alias("rbar"))
+    ucl_x = F.col("xgrand") + c["a2"] * F.col("rbar")
+    lcl_x = F.col("xgrand") - c["a2"] * F.col("rbar")
+    ucl_r = c["d4"] * F.col("rbar")
+    agg = (staged.groupBy("k", "xgrand", "rbar")
+           .agg(F.sum(F.when((F.col("xbar") > ucl_x)
+                             | (F.col("xbar") < lcl_x), 1)
+                      .otherwise(0)).alias("vx"),
+                F.sum(F.when(F.col("r") > ucl_r, 1).otherwise(0))
+                .alias("vr")))
+    return agg.select(
+        F.col("k").cast("long").alias("n_subgroups"),
+        F.round(F.col("xgrand"), 6).alias("xbar_grand"),
+        F.round(F.col("rbar"), 6).alias("rbar"),
+        F.round(F.col("xgrand") + c["a2"] * F.col("rbar"), 6)
+        .alias("ucl_x"),
+        F.round(F.col("xgrand") - c["a2"] * F.col("rbar"), 6)
+        .alias("lcl_x"),
+        F.round(c["d4"] * F.col("rbar"), 6).alias("ucl_r"),
+        F.col("vx").cast("long").alias("viol_x"),
+        F.col("vr").cast("long").alias("viol_r"))
+
+
+def xbar_r_chart_sql(table: str = "events", ts_sql: str = "ts",
+                     value_sql: str = "value",
+                     id_sql: str = "event_id",
+                     subgroup: int = 5) -> str:
+    c = _SPC_N5
+    return f"""
+WITH picked AS (
+  SELECT d, v FROM (
+    SELECT CAST({ts_sql} AS DATE) AS d,
+           CAST({value_sql} AS DOUBLE) AS v,
+           row_number() OVER (PARTITION BY CAST({ts_sql} AS DATE)
+                              ORDER BY {ts_sql}, {id_sql}) AS rn
+    FROM {table}
+    WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+  ) WHERE rn <= {subgroup}
+),
+per AS (
+  SELECT d, count(*) AS m,
+         CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+           AS xbar,
+         max(v) - min(v) AS r
+  FROM picked GROUP BY 1
+),
+staged AS (
+  SELECT xbar, r,
+         count(*) OVER () AS k,
+         CAST(sum(CAST(xbar AS DECIMAL(38,12))) OVER () AS DOUBLE)
+           / count(*) OVER () AS xgrand,
+         CAST(sum(CAST(r AS DECIMAL(38,12))) OVER () AS DOUBLE)
+           / count(*) OVER () AS rbar
+  FROM per WHERE m = {subgroup}
+),
+agg AS (
+  SELECT k, xgrand, rbar,
+         sum(CASE WHEN xbar > xgrand + {c['a2']} * rbar
+                    OR xbar < xgrand - {c['a2']} * rbar
+             THEN 1 ELSE 0 END) AS vx,
+         sum(CASE WHEN r > {c['d4']} * rbar THEN 1 ELSE 0 END) AS vr
+  FROM staged GROUP BY k, xgrand, rbar
+)
+SELECT CAST(k AS BIGINT) AS n_subgroups,
+       round(xgrand, 6) AS xbar_grand,
+       round(rbar, 6) AS rbar,
+       round(xgrand + {c['a2']} * rbar, 6) AS ucl_x,
+       round(xgrand - {c['a2']} * rbar, 6) AS lcl_x,
+       round({c['d4']} * rbar, 6) AS ucl_r,
+       CAST(vx AS BIGINT) AS viol_x,
+       CAST(vr AS BIGINT) AS viol_r
+FROM agg
+"""
+
+
+def pacf_daily(events: DataFrame, ts_col: str = "ts",
+               value_col: str = "value") -> DataFrame:
+    """Partial autocorrelations at lags 1–3 of the daily value total
+    by Durbin–Levinson closed form from the biased ACF
+    (φ₁₁ = r₁; φ₂₂ = (r₂−r₁²)/(1−r₁²); φ₃₃ via the 3×3 Toeplitz
+    determinant ratio) — what acf_daily CANNOT say: whether lag-2/3
+    memory is real or just lag-1 echoed (AR-order reading). ACF from
+    three lag-window passes over the bounded daily frame; the
+    determinant algebra is one-row. Output: one row (n_days, r1,
+    r2, r3, pacf1, pacf2, pacf3), rounds 6."""
+    base = _daily_frame(events, ts_col, value_col)
+    w = Window.orderBy("t")
+    tot = Window.partitionBy()
+    staged = base.select(
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 2).over(w).alias("x2"),
+        F.lag("x", 3).over(w).alias("x3"),
+        (F.sum(F.col("x").cast(_TS_DEC)).over(tot).cast("double")
+         / F.count("*").over(tot)).alias("mu"),
+        F.count("*").over(tot).alias("n"))
+    e = F.col("x") - F.col("mu")
+
+    def cov(lagcol):
+        return F.sum(F.when(F.col(lagcol).isNotNull(),
+                            e * (F.col(lagcol) - F.col("mu")))
+                     .otherwise(0.0).cast(_TS_DEC)).cast("double")
+
+    agg = (staged.groupBy("n", "mu")
+           .agg(F.sum((e * e).cast(_TS_DEC)).cast("double")
+                .alias("c0"),
+                cov("x1").alias("c1"),
+                cov("x2").alias("c2"),
+                cov("x3").alias("c3")))
+    r1 = F.col("c1") / F.col("c0")
+    r2 = F.col("c2") / F.col("c0")
+    r3 = F.col("c3") / F.col("c0")
+    p2 = F.when(1 - r1 * r1 != 0, (r2 - r1 * r1) / (1 - r1 * r1))
+    det3 = (1 - 2 * r1 * r1 + 2 * r1 * r1 * r2 - r2 * r2)
+    num3 = (r3 - r1 * r2 - r1 * r1 * r3 + r1 * r2 * r2
+            + r1 * r1 * r1 - r1 * r2)
+    p3 = F.when(det3 != 0, num3 / det3)
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(r1, 6).alias("r1"),
+        F.round(r2, 6).alias("r2"),
+        F.round(r3, 6).alias("r3"),
+        F.round(r1, 6).alias("pacf1"),
+        F.round(p2, 6).alias("pacf2"),
+        F.round(p3, 6).alias("pacf3"))
+
+
+def pacf_daily_sql(table: str = "events", ts_sql: str = "ts",
+                   value_sql: str = "value") -> str:
+    return f"""
+WITH {_DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)},
+staged AS (
+  SELECT x,
+         lag(x, 1) OVER (ORDER BY t) AS x1,
+         lag(x, 2) OVER (ORDER BY t) AS x2,
+         lag(x, 3) OVER (ORDER BY t) AS x3,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) OVER () AS DOUBLE)
+           / count(*) OVER () AS mu,
+         count(*) OVER () AS n
+  FROM ranked
+),
+agg AS (
+  SELECT n, mu,
+         CAST(sum(CAST((x - mu) * (x - mu) AS DECIMAL(38,12)))
+              AS DOUBLE) AS c0,
+         CAST(sum(CAST(CASE WHEN x1 IS NOT NULL
+                            THEN (x - mu) * (x1 - mu) ELSE 0.0 END
+                       AS DECIMAL(38,12))) AS DOUBLE) AS c1,
+         CAST(sum(CAST(CASE WHEN x2 IS NOT NULL
+                            THEN (x - mu) * (x2 - mu) ELSE 0.0 END
+                       AS DECIMAL(38,12))) AS DOUBLE) AS c2,
+         CAST(sum(CAST(CASE WHEN x3 IS NOT NULL
+                            THEN (x - mu) * (x3 - mu) ELSE 0.0 END
+                       AS DECIMAL(38,12))) AS DOUBLE) AS c3
+  FROM staged GROUP BY n, mu
+),
+r AS (
+  SELECT n, c1 / c0 AS r1, c2 / c0 AS r2, c3 / c0 AS r3 FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(r1, 6) AS r1, round(r2, 6) AS r2, round(r3, 6) AS r3,
+       round(r1, 6) AS pacf1,
+       round(CASE WHEN 1 - r1 * r1 <> 0
+                  THEN (r2 - r1 * r1) / (1 - r1 * r1) END, 6)
+         AS pacf2,
+       round(CASE WHEN 1 - 2 * r1 * r1 + 2 * r1 * r1 * r2
+                       - r2 * r2 <> 0
+                  THEN (r3 - r1 * r2 - r1 * r1 * r3 + r1 * r2 * r2
+                        + r1 * r1 * r1 - r1 * r2)
+                       / (1 - 2 * r1 * r1 + 2 * r1 * r1 * r2
+                          - r2 * r2) END, 6) AS pacf3
+FROM r
+"""
