@@ -11605,6 +11605,149 @@ def _sql_bloom():
 
 
 # ---------------------------------------------------------------------------
+# Round-11 ninth stratum: the remaining classical centralities,
+# edge-local triangle support, frequent triples, logDice.
+
+_PS_EDGES_SQL = ("SELECT DISTINCT 'p' || l_partkey AS src, "
+                 "'s' || l_suppkey AS dst FROM lineitem")
+
+
+def _ps_edges(t):
+    return (t["lineitem"].select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+        .distinct())
+
+
+def q_eigenvector_centrality(spark, sf_dir):
+    """Eigenvector centrality (8 L1-normalized power iterations,
+    decimal-exact) on the symmetrized part↔supplier graph
+    (pagerank.eigenvector_centrality) — the third classical
+    centrality beside pagerank and hits_scores on the same graph.
+    Top 50."""
+    from distill_spark.operators.pagerank import eigenvector_centrality
+
+    t = _tables(spark, sf_dir)
+    return (eigenvector_centrality(_ps_edges(t), iterations=8)
+            .orderBy(F.desc("score"), F.asc("node")).limit(50))
+
+
+def _sql_eigenvector():
+    from distill_spark.operators.pagerank import (
+        eigenvector_centrality_sql,
+    )
+
+    inner = eigenvector_centrality_sql(_PS_EDGES_SQL, iterations=8)
+    return (f"SELECT * FROM ({inner}) "
+            "ORDER BY score DESC, node LIMIT 50")
+
+
+def q_katz_centrality(spark, sf_dir):
+    """Katz centrality (α=0.05, β=1, 6 attenuated-path iterations)
+    on the directed part→supplier graph (pagerank.katz_centrality)
+    — path counting with damping where eigenvector centrality
+    starves spectrally-unsupported nodes. Top 50."""
+    from distill_spark.operators.pagerank import katz_centrality
+
+    t = _tables(spark, sf_dir)
+    return (katz_centrality(_ps_edges(t))
+            .orderBy(F.desc("score"), F.asc("node")).limit(50))
+
+
+def _sql_katz():
+    from distill_spark.operators.pagerank import katz_centrality_sql
+
+    inner = katz_centrality_sql(_PS_EDGES_SQL)
+    return (f"SELECT * FROM ({inner}) "
+            "ORDER BY score DESC, node LIMIT 50")
+
+
+_COPURCHASE_EDGES_SQL = (
+    "WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it "
+    "FROM lineitem) "
+    "SELECT a.it AS a, b.it AS b FROM items a "
+    "JOIN items b ON b.bk = a.bk AND b.it > a.it "
+    "GROUP BY 1, 2 HAVING count(*) >= 2")
+
+
+def _copurchase_edges(t):
+    items = (t["lineitem"].select(F.col("l_orderkey").alias("bk"),
+                                  F.col("l_partkey").alias("it"))
+             .distinct())
+    a, b = items.alias("a"), items.alias("b")
+    return (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                   & (F.col("b.it") > F.col("a.it")))
+            .groupBy(F.col("a.it").alias("a"), F.col("b.it").alias("b"))
+            .agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") >= 2).select("a", "b"))
+
+
+def q_edge_support(spark, sf_dir):
+    """Per-edge triangle support (k-truss support) on the ≥2-order
+    co-purchase part graph (triangles.edge_triangle_support) — the
+    edge-local density view beside triangle_count's global one.
+    Top 20."""
+    from distill_spark.operators.triangles import edge_triangle_support
+
+    return edge_triangle_support(
+        _copurchase_edges(_tables(spark, sf_dir)))
+
+
+def _sql_edge_support():
+    from distill_spark.operators.triangles import (
+        edge_triangle_support_sql,
+    )
+
+    return edge_triangle_support_sql(_COPURCHASE_EDGES_SQL)
+
+
+def q_frequent_triples(spark, sf_dir):
+    """A-priori-pruned part triples co-ordered in ≥2 orders
+    (collocation.cooccurrence_triples) — the frequent-itemset step
+    above frequent_pairs. Top 50."""
+    from distill_spark.operators.collocation import cooccurrence_triples
+
+    return cooccurrence_triples(_tables(spark, sf_dir)["lineitem"],
+                                "l_orderkey", "l_partkey")
+
+
+def _sql_frequent_triples():
+    from distill_spark.operators.collocation import (
+        cooccurrence_triples_sql,
+    )
+
+    return cooccurrence_triples_sql("lineitem", "l_orderkey",
+                                    "l_partkey")
+
+
+def q_logdice(spark, sf_dir):
+    """Top-20 adjacent-word collocations by logDice
+    (collocation.logdice_collocations) — the bounded,
+    corpus-size-independent strength measure beside token_pmi."""
+    from distill_spark.operators.collocation import logdice_collocations
+
+    return logdice_collocations(_tables(spark, sf_dir)["documents"])
+
+
+_SQL_LOGDICE = f"""
+WITH w AS (SELECT {_WORDS_SQL.format(c='text')} AS ws FROM documents),
+uni AS (SELECT unnest(ws) AS tok FROM w),
+ucnt AS (SELECT tok, count(*) AS f FROM uni GROUP BY tok),
+bg AS (SELECT ws[i] AS wa, ws[i + 1] AS wb
+       FROM w, unnest(range(1, len(ws))) AS t(i)),
+bcnt AS (
+  SELECT wa, wb, count(*) AS fab FROM bg GROUP BY 1, 2
+  HAVING count(*) >= 5
+)
+SELECT wa AS word_a, wb AS word_b, CAST(fab AS BIGINT) AS f_ab,
+       round(14.0 + log2(2.0 * fab / (CAST(ca.f AS DOUBLE) + cb.f)),
+             6) AS log_dice
+FROM bcnt JOIN ucnt ca ON ca.tok = wa JOIN ucnt cb ON cb.tok = wb
+ORDER BY log_dice DESC, word_a, word_b LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # Round-10 ninth stratum: paired daily tests (Wilcoxon signed-rank,
 # sign test), Haar multiresolution energy, decision-stump split gain.
 
@@ -11719,6 +11862,13 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "busy_periods": (q_busy_periods, _sql_busy_periods()),
     "cms_heavy_hitters": (q_cms_heavy_hitters, _sql_cms()),
     "bloom_contract": (q_bloom_contract, _sql_bloom()),
+    # -- round-11 ninth stratum: centralities / edge support / triples ------
+    "eigenvector_centrality": (q_eigenvector_centrality,
+                               _sql_eigenvector()),
+    "katz_centrality": (q_katz_centrality, _sql_katz()),
+    "edge_support": (q_edge_support, _sql_edge_support()),
+    "frequent_triples": (q_frequent_triples, _sql_frequent_triples()),
+    "logdice": (q_logdice, _SQL_LOGDICE),
     # -- round-10 ninth stratum: paired tests / wavelets / stump gain ---------
     "wilcoxon_clicks_views": (q_wilcoxon_clicks_views, _sql_wilcoxon()),
     "sign_test_daily": (q_sign_test_daily, _sql_sign_test()),

@@ -102,3 +102,121 @@ def cooccurrence_pairs(df: DataFrame, basket_col: str, item_col: str,
     )
     return pairs.orderBy(F.desc("support"), F.asc("item_a"),
                          F.asc("item_b")).limit(k)
+
+
+def cooccurrence_triples(df: DataFrame, basket_col: str,
+                         item_col: str, min_support: int = 2,
+                         k: int = 50) -> DataFrame:
+    """Top-k item TRIPLES by basket co-occurrence with a-priori pair
+    pruning (Agrawal & Srikant 1994): only pairs meeting
+    ``min_support`` seed the third-item extension, so the join fans
+    out over surviving pairs × basket items instead of cubing the
+    basket — the classic frequent-itemset step above
+    cooccurrence_pairs. Items dedupe per basket; triples keep
+    a < b < c order. Scale shape: pairs self-join (quadratic in
+    basket size, bounded upstream), broadcast-join of the PRUNED
+    pair list back onto baskets, one count. Output: (item_a, item_b,
+    item_c, support) top-k by support desc then lexicographic."""
+    items = df.select(F.col(basket_col).alias("bk"),
+                      F.col(item_col).alias("it")).distinct()
+    a, b, c = items.alias("a"), items.alias("b"), items.alias("c")
+    pairs = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk"))
+               & (F.col("a.it") < F.col("b.it")))
+        .groupBy(F.col("a.it").alias("ia"),
+                 F.col("b.it").alias("ib"))
+        .agg(F.count("*").alias("sup2"))
+        .filter(F.col("sup2") >= min_support))
+    pair_baskets = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk"))
+               & (F.col("a.it") < F.col("b.it")))
+        .select(F.col("a.bk").alias("pbk"), F.col("a.it").alias("ia"),
+                F.col("b.it").alias("ib"))
+        .join(F.broadcast(pairs.select("ia", "ib")), ["ia", "ib"]))
+    triples = (
+        pair_baskets.join(c, (F.col("pbk") == F.col("c.bk"))
+                          & (F.col("c.it") > F.col("ib")))
+        .groupBy(F.col("ia").alias("item_a"),
+                 F.col("ib").alias("item_b"),
+                 F.col("c.it").alias("item_c"))
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= min_support))
+    return triples.orderBy(F.desc("support"), F.asc("item_a"),
+                           F.asc("item_b"), F.asc("item_c")).limit(k)
+
+
+def cooccurrence_triples_sql(table: str, basket_sql: str,
+                             item_sql: str, min_support: int = 2,
+                             k: int = 50) -> str:
+    return f"""
+WITH items AS (
+  SELECT DISTINCT {basket_sql} AS bk, {item_sql} AS it FROM {table}
+),
+pairs AS (
+  SELECT a.it AS ia, b.it AS ib, count(*) AS sup2
+  FROM items a JOIN items b ON b.bk = a.bk AND b.it > a.it
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_support}
+),
+pair_baskets AS (
+  SELECT a.bk, a.it AS ia, b.it AS ib
+  FROM items a
+  JOIN items b ON b.bk = a.bk AND b.it > a.it
+  JOIN pairs p ON p.ia = a.it AND p.ib = b.it
+),
+triples AS (
+  SELECT pb.ia AS item_a, pb.ib AS item_b, c.it AS item_c,
+         CAST(count(*) AS BIGINT) AS support
+  FROM pair_baskets pb
+  JOIN items c ON c.bk = pb.bk AND c.it > pb.ib
+  GROUP BY 1, 2, 3
+  HAVING count(*) >= {min_support}
+)
+SELECT * FROM triples
+ORDER BY support DESC, item_a, item_b, item_c
+LIMIT {k}
+"""
+
+
+def logdice_collocations(df: DataFrame, text_col: str = "text",
+                         min_count: int = 5, k: int = 20
+                         ) -> DataFrame:
+    """logDice collocation strength over adjacent word bigrams
+    (Rychlý 2008): 14 + log₂(2·f_xy / (f_x + f_y)) — the
+    lexicographer's corpus-size-INDEPENDENT alternative to
+    bigram_pmi (PMI inflates rare pairs; logDice is bounded by 14
+    and comparable across corpora). Unigram/bigram counts from one
+    tokenize pass each; the score algebra runs on the bounded
+    frequent-bigram frame. Output: (word_a, word_b, f_ab, log_dice)
+    top-k by score desc then lexicographic, rounds 6."""
+    w = _words(F.col(text_col))
+    bi = df.select(
+        F.explode(
+            F.when(F.size(w) >= 2,
+                   F.transform(
+                       F.sequence(F.lit(1), F.size(w) - 1),
+                       lambda i: F.struct(
+                           F.element_at(w, i).alias("wa"),
+                           F.element_at(w, i + 1).alias("wb"))))
+            .otherwise(F.array().cast(
+                "array<struct<wa:string,wb:string>>"))).alias("p"))
+    bigrams = (bi.groupBy(F.col("p.wa").alias("wa"),
+                          F.col("p.wb").alias("wb"))
+               .agg(F.count("*").alias("fab"))
+               .filter(F.col("fab") >= min_count))
+    uni = (df.select(F.explode(w).alias("tok"))
+           .groupBy("tok").agg(F.count("*").alias("f")))
+    scored = (bigrams
+              .join(uni.select(F.col("tok").alias("wa"),
+                               F.col("f").alias("fa")), "wa")
+              .join(uni.select(F.col("tok").alias("wb"),
+                               F.col("f").alias("fb")), "wb"))
+    ld = 14.0 + F.log2(2.0 * F.col("fab")
+                       / (F.col("fa") + F.col("fb")))
+    return (scored.select(
+        F.col("wa").alias("word_a"),
+        F.col("wb").alias("word_b"),
+        F.col("fab").cast("long").alias("f_ab"),
+        F.round(ld, 6).alias("log_dice"))
+        .orderBy(F.desc("log_dice"), F.asc("word_a"), F.asc("word_b"))
+        .limit(k))

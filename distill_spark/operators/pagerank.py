@@ -226,3 +226,140 @@ def hits_sql(edge_cte: str, iterations: int = 8) -> str:
             + f"\nSELECT a.node, round(a.s, 6) AS authority,"
             f" round(h.s, 6) AS hub"
             f" FROM a{t} a JOIN h{t} h USING (node)")
+
+
+def eigenvector_centrality(edges: DataFrame, iterations: int = 8,
+                           checkpoint: bool = True,
+                           broadcast_nodes_max: int = 5_000_000
+                           ) -> DataFrame:
+    """Eigenvector centrality by power iteration on the SYMMETRIZED
+    graph (Bonacich 1972): x_t(v) = Σ_{u~v} x_{t-1}(u) / ‖·‖₁ —
+    prestige flows along every edge equally, with no damping
+    (pagerank) and no hub/authority split (hits): the third
+    classical centrality, and the one a similarity graph wants
+    (its edges are symmetric already). Same determinism contract
+    as :func:`hits`: exact DECIMAL propagation sums, one IEEE
+    division per L1 rescale, per-iteration lineage truncation.
+    Scale shape per iteration: one edges⋈scores join (scores
+    node-sized, broadcast-gated) + one groupBy + a 1-row total.
+    Returns (node, score) rounded 6 — NOT sorted."""
+    sym = (edges.select("src", "dst")
+           .union(edges.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"))))
+    if checkpoint:
+        sym = sym.localCheckpoint()
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    if checkpoint:
+        nodes = nodes.localCheckpoint()
+    small = nodes.count() <= broadcast_nodes_max
+    bcast = F.broadcast if small else (lambda df: df)
+    _dec = "decimal(30,15)"
+    x = nodes.withColumn("s", F.lit(1.0))
+    for _ in range(iterations):
+        raw = (sym.join(bcast(x), F.col("src") == F.col("node"))
+               .groupBy(F.col("dst").alias("node"))
+               .agg(F.sum(F.col("s").cast(_dec)).cast("double")
+                    .alias("raw")))
+        tot = raw.agg(F.sum(F.col("raw").cast(_dec)).cast("double")
+                      .alias("tot"))
+        scaled = raw.crossJoin(F.broadcast(tot)).select(
+            "node", (F.col("raw") / F.col("tot")).alias("s"))
+        x = (nodes.join(bcast(scaled), "node", "left")
+             .select("node", F.coalesce("s", F.lit(0.0)).alias("s")))
+        if checkpoint:
+            x = x.localCheckpoint()
+    return x.select("node", F.round("s", 6).alias("score"))
+
+
+def eigenvector_centrality_sql(edge_cte: str,
+                               iterations: int = 8) -> str:
+    """DuckDB replay of :func:`eigenvector_centrality` — unrolled
+    MATERIALIZED CTEs exactly like :func:`hits_sql` (same
+    double-expansion hazard)."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({edge_cte})",
+        "e AS MATERIALIZED (SELECT src, dst FROM e0"
+        " UNION ALL SELECT dst, src FROM e0)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e)",
+        "x0 AS (SELECT node, 1.0 AS s FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT e.dst AS node,"
+            f" CAST(sum(CAST(x.s AS DECIMAL(30,15))) AS DOUBLE) AS raw"
+            f" FROM e JOIN x{i - 1} x ON x.node = e.src"
+            f" GROUP BY e.dst)")
+        parts.append(
+            f"x{i} AS MATERIALIZED (SELECT n.node, COALESCE(r.raw /"
+            f" (SELECT CAST(sum(CAST(raw AS DECIMAL(30,15))) AS DOUBLE)"
+            f" FROM r{i}), 0.0) AS s FROM nodes n LEFT JOIN r{i} r"
+            f" USING (node))")
+    return (", ".join(parts)
+            + f"\nSELECT node, round(s, 6) AS score"
+            f" FROM x{iterations}")
+
+
+def katz_centrality(edges: DataFrame, alpha: float = 0.05,
+                    beta: float = 1.0, iterations: int = 6,
+                    checkpoint: bool = True,
+                    broadcast_nodes_max: int = 5_000_000
+                    ) -> DataFrame:
+    """Katz centrality by fixed-point iteration (Katz 1953):
+    x_t(v) = β + α·Σ_{u→v} x_{t-1}(u) — attenuated path counting
+    (a length-k inbound path contributes α^k), so unlike
+    eigenvector centrality it gives mass to nodes with NO inbound
+    spectral support and respects direction. Fixed ``iterations``
+    truncates the Neumann series deterministically; every
+    propagation sum is exact DECIMAL, the α/β algebra single IEEE
+    ops. Same join shape and broadcast gate as :func:`hits`.
+    Returns (node, score) rounded 6 — NOT sorted."""
+    if checkpoint:
+        edges = edges.localCheckpoint()
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    if checkpoint:
+        nodes = nodes.localCheckpoint()
+    small = nodes.count() <= broadcast_nodes_max
+    bcast = F.broadcast if small else (lambda df: df)
+    _dec = "decimal(30,15)"
+    x = nodes.withColumn("s", F.lit(beta))
+    for _ in range(iterations):
+        raw = (edges.join(bcast(x), F.col("src") == F.col("node"))
+               .groupBy(F.col("dst").alias("node"))
+               .agg(F.sum(F.col("s").cast(_dec)).cast("double")
+                    .alias("raw")))
+        x = (nodes.join(bcast(raw), "node", "left")
+             .select("node",
+                     (F.lit(beta)
+                      + F.lit(alpha) * F.coalesce("raw", F.lit(0.0)))
+                     .alias("s")))
+        if checkpoint:
+            x = x.localCheckpoint()
+    return x.select("node", F.round("s", 6).alias("score"))
+
+
+def katz_centrality_sql(edge_cte: str, alpha: float = 0.05,
+                        beta: float = 1.0,
+                        iterations: int = 6) -> str:
+    parts = [
+        f"WITH e AS MATERIALIZED ({edge_cte})",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e"
+        " UNION SELECT dst FROM e)",
+        f"x0 AS (SELECT node, CAST({beta!r} AS DOUBLE) AS s"
+        f" FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT e.dst AS node,"
+            f" CAST(sum(CAST(x.s AS DECIMAL(30,15))) AS DOUBLE) AS raw"
+            f" FROM e JOIN x{i - 1} x ON x.node = e.src"
+            f" GROUP BY e.dst)")
+        parts.append(
+            f"x{i} AS MATERIALIZED (SELECT n.node,"
+            f" CAST({beta!r} AS DOUBLE) + CAST({alpha!r} AS DOUBLE)"
+            f" * COALESCE(r.raw, 0.0) AS s"
+            f" FROM nodes n LEFT JOIN r{i} r USING (node))")
+    return (", ".join(parts)
+            + f"\nSELECT node, round(s, 6) AS score"
+            f" FROM x{iterations}")

@@ -81,3 +81,66 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+def edge_triangle_support(edges: DataFrame, k: int = 20) -> DataFrame:
+    """Per-EDGE triangle support — the number of common neighbors of
+    an undirected edge's endpoints, i.e. the k-truss support
+    statistic (Cohen 2008): support 0 edges are bridges-at-best,
+    high-support edges sit in dense cores. Complements
+    triangle_count (a per-NODE/global number) with the edge-local
+    view that community-pruning actually needs.
+
+    Input ``edges(a, b)`` must be canonical (a < b, deduped). Shape:
+    the standard two-path join — edges⋈edges on the shared lower
+    endpoint builds wedges (a<b<c), one more join checks the closing
+    edge; all three legs shuffle on edge keys, no matrix, no
+    collect. Output: top-k (item_a, item_b, support) by support desc
+    then lexicographic."""
+    e = edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    w1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    w2 = e.select(F.col("u").alias("a2"), F.col("v").alias("c"))
+    wedges = w1.join(w2, (F.col("a") == F.col("a2"))
+                     & (F.col("c") > F.col("b"))).drop("a2")
+    closing = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+    # each triangle (a<b<c) supports all three of its edges
+    support = (tri.select(F.col("a").alias("x"), F.col("b").alias("y"))
+               .unionAll(tri.select(F.col("a").alias("x"),
+                                    F.col("c").alias("y")))
+               .unionAll(tri.select(F.col("b").alias("x"),
+                                    F.col("c").alias("y")))
+               .groupBy("x", "y")
+               .agg(F.count("*").cast("long").alias("support")))
+    return (support.select(F.col("x").alias("item_a"),
+                           F.col("y").alias("item_b"), "support")
+            .orderBy(F.desc("support"), F.asc("item_a"),
+                     F.asc("item_b"))
+            .limit(k))
+
+
+def edge_triangle_support_sql(edge_cte: str, k: int = 20) -> str:
+    return f"""
+WITH e AS MATERIALIZED ({edge_cte}),
+wedges AS (
+  SELECT w1.a AS a, w1.b AS b, w2.b AS c
+  FROM e w1 JOIN e w2 ON w2.a = w1.a AND w2.b > w1.b
+),
+tri AS (
+  SELECT w.a, w.b, w.c
+  FROM wedges w JOIN e ON e.a = w.b AND e.b = w.c
+),
+support AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS support
+  FROM (
+    SELECT a AS x, b AS y FROM tri
+    UNION ALL SELECT a, c FROM tri
+    UNION ALL SELECT b, c FROM tri
+  )
+  GROUP BY 1, 2
+)
+SELECT x AS item_a, y AS item_b, support
+FROM support
+ORDER BY support DESC, item_a, item_b
+LIMIT {k}
+"""
