@@ -11747,6 +11747,93 @@ ORDER BY log_dice DESC, word_a, word_b LIMIT 20
 """
 
 
+def q_importance_ess(spark, sf_dir):
+    """Importance weights to a uniform source mixture over documents
+    and their Kish effective sample size (sampling.importance_ess)
+    — the variance price tag rebalance_mixture's resampling avoids
+    paying."""
+    from distill_spark.operators.sampling import importance_ess
+
+    return importance_ess(_tables(spark, sf_dir)["documents"],
+                          "source")
+
+
+def _sql_importance_ess():
+    from distill_spark.operators.sampling import importance_ess_sql
+
+    return importance_ess_sql("documents", "source")
+
+
+# ---------------------------------------------------------------------------
+# Round-12 seed stratum (queued in _PENDING_PROMOTION, past the
+# window): distribution distances — exact 1-D Wasserstein, energy
+# distance, binned Hellinger/TV, generalized-entropy indices.
+
+def q_wasserstein_1d(spark, sf_dir):
+    """Exact earth mover's distance between click and view value
+    distributions (stats.wasserstein_1d) — the in-value-units
+    distance where cvm/ad only test."""
+    from distill_spark.operators.stats import wasserstein_1d
+
+    return wasserstein_1d(_tables(spark, sf_dir)["events"],
+                          "event_type", "click", "view")
+
+
+def _sql_wasserstein():
+    from distill_spark.operators.stats import wasserstein_1d_sql
+
+    return wasserstein_1d_sql("events", "event_type", "click", "view")
+
+
+def q_energy_distance(spark, sf_dir):
+    """Energy distance + E-test statistic between click and view
+    values (stats.energy_distance) — pairwise |x−y| sums collapsed
+    to prefix algebra on the distinct spine."""
+    from distill_spark.operators.stats import energy_distance
+
+    return energy_distance(_tables(spark, sf_dir)["events"],
+                           "event_type", "click", "view")
+
+
+def _sql_energy():
+    from distill_spark.operators.stats import energy_distance_sql
+
+    return energy_distance_sql("events", "event_type", "click",
+                               "view")
+
+
+def q_hellinger_tv(spark, sf_dir):
+    """Hellinger and total-variation distances between click and
+    view value histograms on a shared 20-bin grid
+    (stats.hellinger_tv)."""
+    from distill_spark.operators.stats import hellinger_tv
+
+    return hellinger_tv(_tables(spark, sf_dir)["events"],
+                        "event_type", "click", "view")
+
+
+def _sql_hellinger():
+    from distill_spark.operators.stats import hellinger_tv_sql
+
+    return hellinger_tv_sql("events", "event_type", "click", "view")
+
+
+def q_ge_indices(spark, sf_dir):
+    """GE(0) mean-log-deviation and GE(2) over order totals
+    (stats.ge_indices) — the ends of the family whose middle is
+    theil_acctbal."""
+    from distill_spark.operators.stats import ge_indices
+
+    return ge_indices(_tables(spark, sf_dir)["orders"],
+                      "o_totalprice")
+
+
+def _sql_ge_indices():
+    from distill_spark.operators.stats import ge_indices_sql
+
+    return ge_indices_sql("orders", "o_totalprice")
+
+
 # ---------------------------------------------------------------------------
 # Round-10 ninth stratum: paired daily tests (Wilcoxon signed-rank,
 # sign test), Haar multiresolution energy, decision-stump split gain.
@@ -11869,6 +11956,21 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "edge_support": (q_edge_support, _sql_edge_support()),
     "frequent_triples": (q_frequent_triples, _sql_frequent_triples()),
     "logdice": (q_logdice, _SQL_LOGDICE),
+    # -- round-11 tenth slot: reweighting cost -------------------------------
+    "importance_ess": (q_importance_ess, _sql_importance_ess()),
+    # -- round-10 queue, promoted (positions 47-50): the four
+    # never-driver-sampled nonparametrics, parity-green since r10 ----------
+    "jonckheere_priority": (q_jonckheere_priority, _sql_jonckheere()),
+    "quade_dow": (q_quade_dow, _sql_quade()),
+    "conover_scale": (q_conover_scale, _sql_conover()),
+    "dixon_q_extremes": (q_dixon_q_extremes, _sql_dixon()),
+    # ===================== END ROUND-11 WINDOW (50) ======================
+    # -- round-12 seed stratum (positions 51+, queued in
+    # _PENDING_PROMOTION): distribution distances --------------------------
+    "wasserstein_1d": (q_wasserstein_1d, _sql_wasserstein()),
+    "energy_distance": (q_energy_distance, _sql_energy()),
+    "hellinger_tv": (q_hellinger_tv, _sql_hellinger()),
+    "ge_indices": (q_ge_indices, _sql_ge_indices()),
     # -- round-10 ninth stratum: paired tests / wavelets / stump gain ---------
     "wilcoxon_clicks_views": (q_wilcoxon_clicks_views, _sql_wilcoxon()),
     "sign_test_daily": (q_sign_test_daily, _sql_sign_test()),
@@ -11925,19 +12027,13 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
                               _sql_kendall_distance()),
     "shapley_paths": (q_shapley_paths, _sql_shapley()),
     "cusum_arl": (q_cusum_arl, _sql_cusum_arl()),
-    # -- round-9 mid-round queue, promoted (verdict ask #1): the only
-    # four registry entries never driver-sampled; PARITY-green since r9
+    # -- round-9 mid-round queue, promoted in round 10 ----------------------
     "attribution_ushaped": (q_attribution_ushaped, _sql_attribution()),
     "srm_users": (q_srm_users, _sql_srm()),
     "holt_forecast": (q_holt_forecast, _sql_holt()),
     "dq_expectations": (q_dq_expectations, _sql_dq()),
-    # -- round-11 seed stratum (positions 50+, queued in
-    # _PENDING_PROMOTION): ordered-alternative / weighted-block /
-    # scale / gap-outlier nonparametrics -----------------------------------
-    "jonckheere_priority": (q_jonckheere_priority, _sql_jonckheere()),
-    "quade_dow": (q_quade_dow, _sql_quade()),
-    "conover_scale": (q_conover_scale, _sql_conover()),
-    "dixon_q_extremes": (q_dixon_q_extremes, _sql_dixon()),
+    # (jonckheere_priority / quade_dow / conover_scale /
+    #  dixon_q_extremes promoted to the round-11 window head)
     # -- round-9 eighth stratum: cluster quality, tails, predictability,
     #    crawl completeness ------------------------------------------------
     "silhouette_kmeans": (q_silhouette_kmeans, _sql_silhouette()),
@@ -12300,15 +12396,15 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
 # the driver window, and not already be driver-green (else it should
 # leave the queue). tests/test_registry_gate.py enforces all three +
 # that nothing ELSE is hiding past the window unevidenced.
-# Round 10: the round-9 queue (attribution_ushaped, srm_users,
-# holt_forecast, dq_expectations) is PROMOTED into the window head;
-# the window holds exactly the 46 round-10 queries + those 4. The
-# round-11 seed stratum (Jonckheere / Quade / Conover / Dixon) landed
-# past position 50 — queued for the round-11 rotation, each
-# parity-verified at sf0.001 and sf0.01.
+# Round 11: the round-10 queue (Jonckheere / Quade / Conover / Dixon)
+# is PROMOTED into the window head; the window holds exactly the 46
+# round-11 queries + those 4. The round-12 seed stratum (Wasserstein /
+# energy distance / Hellinger+TV / GE indices) landed past position
+# 50 — queued for the round-12 rotation, each parity-verified at
+# sf0.001 and sf0.01.
 _PENDING_PROMOTION: frozenset[str] = frozenset({
-    "jonckheere_priority", "quade_dow", "conover_scale",
-    "dixon_q_extremes",
+    "wasserstein_1d", "energy_distance", "hellinger_tv",
+    "ge_indices",
 })
 
 

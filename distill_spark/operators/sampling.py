@@ -256,3 +256,84 @@ SELECT * FROM (
          ) AS BIGINT) AS wsample_rank
   FROM {table} t WHERE {weight_sql} > 0
 ) WHERE wsample_rank <= {k}"""
+
+
+def importance_ess(df: DataFrame, group_col: str,
+                   target_shares: dict[str, float] | None = None
+                   ) -> DataFrame:
+    """Importance weights for retargeting a corpus mixture and the
+    Kish effective sample size they cost: w(g) = target_share(g) /
+    empirical_share(g) (target defaults to UNIFORM over observed
+    groups), ESS = (Σw)²/Σw² (Kish 1965) — the honest price tag on
+    reweighting that rebalance_mixture's resampling avoids paying in
+    variance: ess_ratio near 1 means the reweight is nearly free,
+    near 1/n means one group dominates every estimate. One group
+    aggregate for shares; the per-row weight moments reduce from
+    group counts (w is constant per group), so nothing rescans rows.
+    Output: one row (n_rows, n_groups, ess, ess_ratio, max_weight,
+    min_weight), rounds 6."""
+    per = (df.filter(F.col(group_col).isNotNull())
+           .groupBy(F.col(group_col).alias("g"))
+           .agg(F.count("*").alias("c")))
+    tot = Window.partitionBy()
+    staged = per.select(
+        "g", "c",
+        F.sum("c").over(tot).alias("nn"),
+        F.count("*").over(tot).alias("k"))
+    if target_shares is None:
+        tgt = 1.0 / F.col("k").cast("double")
+    else:
+        tgt = F.coalesce(
+            *[F.when(F.col("g") == g, F.lit(s))
+              for g, s in target_shares.items()],
+            F.lit(0.0))
+    emp = F.col("c").cast("double") / F.col("nn").cast("double")
+    w = tgt / emp
+    agg = (staged.groupBy("nn", "k")
+           .agg(F.sum((F.col("c") * w).cast("decimal(38,12)"))
+                .cast("double").alias("sw"),
+                F.sum((F.col("c") * w * w).cast("decimal(38,12)"))
+                .cast("double").alias("sw2"),
+                F.max(w).alias("wmax"),
+                F.min(w).alias("wmin")))
+    ess = F.col("sw") * F.col("sw") / F.col("sw2")
+    return agg.select(
+        F.col("nn").cast("long").alias("n_rows"),
+        F.col("k").cast("long").alias("n_groups"),
+        F.round(ess, 6).alias("ess"),
+        F.round(ess / F.col("nn").cast("double"), 6)
+        .alias("ess_ratio"),
+        F.round(F.col("wmax"), 6).alias("max_weight"),
+        F.round(F.col("wmin"), 6).alias("min_weight"))
+
+
+def importance_ess_sql(table: str, group_sql: str) -> str:
+    return f"""
+WITH per AS (
+  SELECT {group_sql} AS g, count(*) AS c
+  FROM {table} WHERE {group_sql} IS NOT NULL
+  GROUP BY 1
+),
+staged AS (
+  SELECT g, c, sum(c) OVER () AS nn, count(*) OVER () AS k
+  FROM per
+),
+agg AS (
+  SELECT nn, k,
+         CAST(sum(CAST(c * ((1.0 / k) / (CAST(c AS DOUBLE) / nn))
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sw,
+         CAST(sum(CAST(c * ((1.0 / k) / (CAST(c AS DOUBLE) / nn))
+                       * ((1.0 / k) / (CAST(c AS DOUBLE) / nn))
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sw2,
+         max((1.0 / k) / (CAST(c AS DOUBLE) / nn)) AS wmax,
+         min((1.0 / k) / (CAST(c AS DOUBLE) / nn)) AS wmin
+  FROM staged GROUP BY nn, k
+)
+SELECT CAST(nn AS BIGINT) AS n_rows,
+       CAST(k AS BIGINT) AS n_groups,
+       round(sw * sw / sw2, 6) AS ess,
+       round(sw * sw / sw2 / CAST(nn AS DOUBLE), 6) AS ess_ratio,
+       round(wmax, 6) AS max_weight,
+       round(wmin, 6) AS min_weight
+FROM agg
+"""

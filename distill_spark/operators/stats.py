@@ -6430,3 +6430,366 @@ SELECT CAST(n AS BIGINT) AS n,
        round(cs, 6) AS prior_strength
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-12 seed stratum: distribution distances — exact 1-D
+# Wasserstein, the energy distance E-statistic, binned Hellinger /
+# total-variation, and the generalized-entropy inequality family.
+# All reduce over the distinct-value spine or a fixed bin grid; the
+# pairwise |x−y| sums in energy_distance collapse to prefix-sum
+# algebra (never an n×m join).
+
+
+def wasserstein_1d(df: DataFrame, group_col: str, group_a, group_b,
+                   value_col: str = "value") -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth mover's) distance between two
+    samples: W₁ = ∫|F_a(v) − F_b(v)| dv = Σ over the sorted distinct
+    spine of |F_a − F_b|·Δv — the metric that reports HOW FAR apart
+    two distributions sit in value units, where ks/cvm/ad report
+    only that they differ. One (value → group counts) aggregate +
+    one lead() pass. Output: one row (n_a, n_b, w1), rounds 6."""
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    base = (df.filter(g.isin([group_a, group_b]) & v.isNotNull())
+            .select(F.when(g == group_a, 1).otherwise(0).alias("is_a"),
+                    v.alias("v")))
+    per = base.groupBy("v").agg(F.sum("is_a").alias("ca"),
+                                F.count("*").alias("ct"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("v")
+    tot = Window.partitionBy()
+    cums = per.select(
+        "v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum(F.col("ct") - F.col("ca")).over(w).alias("cum_b"),
+        F.lead("v").over(wl).alias("nv"),
+        F.sum("ca").over(tot).alias("na"),
+        F.sum(F.col("ct") - F.col("ca")).over(tot).alias("nb"))
+    gap = F.abs(F.col("cum_a").cast("double")
+                / F.col("na").cast("double")
+                - F.col("cum_b").cast("double")
+                / F.col("nb").cast("double"))
+    seg = F.when(F.col("nv").isNotNull(),
+                 gap * (F.col("nv") - F.col("v"))).otherwise(0.0)
+    agg = (cums.select("na", "nb", seg.cast(_DEC).alias("_s"))
+           .groupBy("na", "nb")
+           .agg(F.sum("_s").cast("double").alias("w1")))
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(F.col("w1"), 6).alias("w1"))
+
+
+def wasserstein_1d_sql(table: str, group_sql: str, group_a: str,
+                       group_b: str, value_sql: str = "value") -> str:
+    return f"""
+WITH base AS (
+  SELECT CASE WHEN {group_sql} = '{group_a}' THEN 1 ELSE 0 END AS is_a,
+         CAST({value_sql} AS DOUBLE) AS v
+  FROM {table}
+  WHERE {group_sql} IN ('{group_a}', '{group_b}')
+    AND CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+per AS (
+  SELECT v, sum(is_a) AS ca, count(*) AS ct FROM base GROUP BY 1
+),
+cums AS (
+  SELECT v,
+         sum(ca) OVER (ORDER BY v) AS cum_a,
+         sum(ct - ca) OVER (ORDER BY v) AS cum_b,
+         lead(v) OVER (ORDER BY v) AS nv,
+         sum(ca) OVER () AS na,
+         sum(ct - ca) OVER () AS nb
+  FROM per
+),
+agg AS (
+  SELECT na, nb,
+         CAST(sum(CAST(CASE WHEN nv IS NOT NULL
+                  THEN abs(CAST(cum_a AS DOUBLE) / na
+                           - CAST(cum_b AS DOUBLE) / nb) * (nv - v)
+                  ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE) AS w1
+  FROM cums GROUP BY na, nb
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(w1, 6) AS w1
+FROM agg
+"""
+
+
+def energy_distance(df: DataFrame, group_col: str, group_a, group_b,
+                    value_col: str = "value") -> DataFrame:
+    """Energy distance (Székely & Rizzo 2004): E = 2·E|X−Y| −
+    E|X−X'| − E|Y−Y'| with the test statistic T = nm/(n+m)·E — the
+    rotation-free two-sample metric whose 1-D double sums collapse
+    to prefix algebra: Σᵢⱼ|xᵢ−yⱼ| over the sorted spine is
+    Σ_v c_v·[(C≤·v − S≤) + (S_tot − S≤ − (C_tot−C≤)·v)] with C/S
+    the other sample's prefix count/sum — O(distinct) work, not an
+    n×m join. Output: one row (n_a, n_b, e_xy, e_xx, e_yy,
+    e_stat, t_stat), rounds 6."""
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    base = (df.filter(g.isin([group_a, group_b]) & v.isNotNull())
+            .select(F.when(g == group_a, 1).otherwise(0).alias("is_a"),
+                    v.alias("v")))
+    per = base.groupBy("v").agg(F.sum("is_a").alias("ca"),
+                                F.count("*").alias("ct"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cb_ = F.col("ct") - F.col("ca")
+    cums = per.select(
+        "v", "ca", cb_.alias("cb"),
+        F.sum("ca").over(w).alias("cale"),
+        F.sum((F.col("ca") * F.col("v")).cast(_DEC)).over(w)
+        .alias("sale"),
+        F.sum(cb_).over(w).alias("cble"),
+        F.sum((cb_ * F.col("v")).cast(_DEC)).over(w).alias("sble"),
+        F.sum("ca").over(tot).alias("na"),
+        F.sum((F.col("ca") * F.col("v")).cast(_DEC)).over(tot)
+        .alias("sa_tot"),
+        F.sum(cb_).over(tot).alias("nb"),
+        F.sum((cb_ * F.col("v")).cast(_DEC)).over(tot).alias("sb_tot"))
+
+    def absum(cnt, c_le, s_le, c_tot, s_tot):
+        # Σ over this row's cnt points at v of Σ_other |v − x|
+        below = c_le.cast("double") * F.col("v") - s_le.cast("double")
+        above = (s_tot.cast("double") - s_le.cast("double")
+                 - (c_tot - c_le).cast("double") * F.col("v"))
+        return cnt * (below + above)
+
+    terms = cums.select(
+        "na", "nb",
+        absum(F.col("ca"), F.col("cble"), F.col("sble"),
+              F.col("nb"), F.col("sb_tot")).cast(_DEC).alias("_xy"),
+        absum(F.col("ca"), F.col("cale"), F.col("sale"),
+              F.col("na"), F.col("sa_tot")).cast(_DEC).alias("_xx"),
+        absum(F.col("cb"), F.col("cble"), F.col("sble"),
+              F.col("nb"), F.col("sb_tot")).cast(_DEC).alias("_yy"))
+    agg = (terms.groupBy("na", "nb")
+           .agg(F.sum("_xy").cast("double").alias("sxy"),
+                F.sum("_xx").cast("double").alias("sxx"),
+                F.sum("_yy").cast("double").alias("syy")))
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    exy = F.col("sxy") / (na * nb)
+    exx = F.col("sxx") / (na * na)
+    eyy = F.col("syy") / (nb * nb)
+    e = 2.0 * exy - exx - eyy
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(exy, 6).alias("e_xy"),
+        F.round(exx, 6).alias("e_xx"),
+        F.round(eyy, 6).alias("e_yy"),
+        F.round(e, 6).alias("e_stat"),
+        F.round(na * nb / (na + nb) * e, 6).alias("t_stat"))
+
+
+def energy_distance_sql(table: str, group_sql: str, group_a: str,
+                        group_b: str, value_sql: str = "value") -> str:
+    def absum(cnt, c_le, s_le, c_tot, s_tot):
+        return (f"{cnt} * ((CAST({c_le} AS DOUBLE) * v"
+                f" - CAST({s_le} AS DOUBLE))"
+                f" + (CAST({s_tot} AS DOUBLE) - CAST({s_le} AS DOUBLE)"
+                f" - CAST({c_tot} - {c_le} AS DOUBLE) * v))")
+
+    return f"""
+WITH base AS (
+  SELECT CASE WHEN {group_sql} = '{group_a}' THEN 1 ELSE 0 END AS is_a,
+         CAST({value_sql} AS DOUBLE) AS v
+  FROM {table}
+  WHERE {group_sql} IN ('{group_a}', '{group_b}')
+    AND CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+per AS (
+  SELECT v, sum(is_a) AS ca, count(*) AS ct FROM base GROUP BY 1
+),
+cums AS (
+  SELECT v, ca, ct - ca AS cb,
+         sum(ca) OVER (ORDER BY v) AS cale,
+         sum(CAST(ca * v AS DECIMAL(38,12))) OVER (ORDER BY v) AS sale,
+         sum(ct - ca) OVER (ORDER BY v) AS cble,
+         sum(CAST((ct - ca) * v AS DECIMAL(38,12))) OVER (ORDER BY v)
+           AS sble,
+         sum(ca) OVER () AS na,
+         sum(CAST(ca * v AS DECIMAL(38,12))) OVER () AS sa_tot,
+         sum(ct - ca) OVER () AS nb,
+         sum(CAST((ct - ca) * v AS DECIMAL(38,12))) OVER () AS sb_tot
+  FROM per
+),
+terms AS (
+  SELECT na, nb,
+         CAST({absum('ca', 'cble', 'sble', 'nb', 'sb_tot')}
+              AS DECIMAL(38,12)) AS xy_,
+         CAST({absum('ca', 'cale', 'sale', 'na', 'sa_tot')}
+              AS DECIMAL(38,12)) AS xx_,
+         CAST({absum('cb', 'cble', 'sble', 'nb', 'sb_tot')}
+              AS DECIMAL(38,12)) AS yy_
+  FROM cums
+),
+agg AS (
+  SELECT na, nb,
+         CAST(sum(xy_) AS DOUBLE) AS sxy,
+         CAST(sum(xx_) AS DOUBLE) AS sxx,
+         CAST(sum(yy_) AS DOUBLE) AS syy
+  FROM terms GROUP BY na, nb
+),
+d AS (
+  SELECT na, nb,
+         sxy / (CAST(na AS DOUBLE) * nb) AS exy,
+         sxx / (CAST(na AS DOUBLE) * na) AS exx,
+         syy / (CAST(nb AS DOUBLE) * nb) AS eyy
+  FROM agg
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(exy, 6) AS e_xy, round(exx, 6) AS e_xx,
+       round(eyy, 6) AS e_yy,
+       round(2.0 * exy - exx - eyy, 6) AS e_stat,
+       round(CAST(na AS DOUBLE) * nb / (CAST(na AS DOUBLE) + nb)
+             * (2.0 * exy - exx - eyy), 6) AS t_stat
+FROM d
+"""
+
+
+def hellinger_tv(df: DataFrame, group_col: str, group_a, group_b,
+                 value_col: str = "value", n_bins: int = 20
+                 ) -> DataFrame:
+    """Hellinger distance H = √(1 − Σ√(p_i·q_i)) and total variation
+    TV = ½Σ|p_i − q_i| between two samples' histograms on a shared
+    fixed-width grid (global min/max, ``n_bins`` bins, explicit
+    floor formula) — the bounded [0,1] distances that survive when
+    wasserstein_1d's value units are meaningless across features.
+    Min/max from one aggregate broadcast back; both distances from
+    the bounded bin frame. Output: one row (n_a, n_b, n_bins,
+    hellinger, tv), rounds 6."""
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    base = (df.filter(g.isin([group_a, group_b]) & v.isNotNull())
+            .select(F.when(g == group_a, 1).otherwise(0).alias("is_a"),
+                    v.alias("v")))
+    bounds = base.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    binned = (base.crossJoin(F.broadcast(bounds))
+              .select("is_a",
+                      F.least(
+                          F.floor((F.col("v") - F.col("lo")) * n_bins
+                                  / (F.col("hi") - F.col("lo")))
+                          .cast("int"),
+                          F.lit(n_bins - 1)).alias("b")))
+    per = binned.groupBy("b").agg(F.sum("is_a").alias("ca"),
+                                  F.count("*").alias("ct"))
+    tot = Window.partitionBy()
+    staged = per.select(
+        "ca", (F.col("ct") - F.col("ca")).alias("cb"),
+        F.sum("ca").over(tot).alias("na"),
+        F.sum(F.col("ct") - F.col("ca")).over(tot).alias("nb"))
+    p = F.col("ca").cast("double") / F.col("na").cast("double")
+    q = F.col("cb").cast("double") / F.col("nb").cast("double")
+    agg = (staged.groupBy("na", "nb")
+           .agg(F.sum(F.sqrt(p * q)).alias("bc"),
+                F.sum(F.abs(p - q)).alias("l1")))
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.lit(n_bins).cast("long").alias("n_bins"),
+        F.round(F.sqrt(F.greatest(F.lit(0.0), 1.0 - F.col("bc"))), 6)
+        .alias("hellinger"),
+        F.round(F.col("l1") / 2.0, 6).alias("tv"))
+
+
+def hellinger_tv_sql(table: str, group_sql: str, group_a: str,
+                     group_b: str, value_sql: str = "value",
+                     n_bins: int = 20) -> str:
+    return f"""
+WITH base AS (
+  SELECT CASE WHEN {group_sql} = '{group_a}' THEN 1 ELSE 0 END AS is_a,
+         CAST({value_sql} AS DOUBLE) AS v
+  FROM {table}
+  WHERE {group_sql} IN ('{group_a}', '{group_b}')
+    AND CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
+binned AS (
+  SELECT is_a,
+         least(CAST(floor((v - b.lo) * {n_bins} / (b.hi - b.lo))
+                    AS INT), {n_bins - 1}) AS b
+  FROM base CROSS JOIN bounds b
+),
+per AS (
+  SELECT b, sum(is_a) AS ca, count(*) AS ct FROM binned GROUP BY 1
+),
+staged AS (
+  SELECT ca, ct - ca AS cb,
+         sum(ca) OVER () AS na,
+         sum(ct - ca) OVER () AS nb
+  FROM per
+),
+agg AS (
+  SELECT na, nb,
+         sum(sqrt((CAST(ca AS DOUBLE) / na)
+                  * (CAST(cb AS DOUBLE) / nb))) AS bc,
+         sum(abs(CAST(ca AS DOUBLE) / na
+                 - CAST(cb AS DOUBLE) / nb)) AS l1
+  FROM staged GROUP BY na, nb
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST({n_bins} AS BIGINT) AS n_bins,
+       round(sqrt(greatest(0.0, 1.0 - bc)), 6) AS hellinger,
+       round(l1 / 2.0, 6) AS tv
+FROM agg
+"""
+
+
+def ge_indices(df: DataFrame, value_col: str) -> DataFrame:
+    """Generalized-entropy inequality family over positive values:
+    GE(0) = mean-log-deviation (bottom-sensitive), GE(2) = half the
+    squared coefficient of variation (top-sensitive) — the two ends
+    of the GE(α) spectrum whose middle, GE(1), is theil_acctbal;
+    shipping the trio makes WHERE the inequality lives readable
+    (bottom vs top of the distribution). One decimal-moments pass
+    (Σx, Σx², Σln x). Output: one row (n, mean, ge0_mld, ge2,
+    cv), rounds 6."""
+    v = F.col(value_col).cast("double")
+    base = df.filter(v > 0)
+    agg = base.agg(
+        F.count("*").alias("n"),
+        F.sum(v.cast(_DEC)).cast("double").alias("s1"),
+        F.sum((v * v).cast(_DEC)).cast("double").alias("s2"),
+        F.sum(F.log(v).cast(_DEC)).cast("double").alias("sl"))
+    n = F.col("n").cast("double")
+    m = F.col("s1") / n
+    ge0 = F.log(m) - F.col("sl") / n
+    cv2 = (F.col("s2") / n - m * m) / (m * m)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(m, 6).alias("mean"),
+        F.round(ge0, 6).alias("ge0_mld"),
+        F.round(cv2 / 2.0, 6).alias("ge2"),
+        F.round(F.when(cv2 >= 0, F.sqrt(cv2)), 6).alias("cv"))
+
+
+def ge_indices_sql(table: str, value_sql: str) -> str:
+    return f"""
+WITH agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(CAST({value_sql} AS DOUBLE)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(CAST({value_sql} AS DOUBLE)
+                       * CAST({value_sql} AS DOUBLE)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+         CAST(sum(CAST(ln(CAST({value_sql} AS DOUBLE))
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sl
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) > 0
+),
+d AS (
+  SELECT n, s1 / n AS m,
+         (s2 / n - (s1 / n) * (s1 / n)) / ((s1 / n) * (s1 / n)) AS cv2,
+         sl / n AS ml
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(m, 6) AS mean,
+       round(ln(m) - ml, 6) AS ge0_mld,
+       round(cv2 / 2.0, 6) AS ge2,
+       round(CASE WHEN cv2 >= 0 THEN sqrt(cv2) END, 6) AS cv
+FROM d
+"""
