@@ -5571,7 +5571,11 @@ def ordinal_association(df: DataFrame, x_col, y_col) -> DataFrame:
     tau_c = 2m(C−D)/(N²(m−1)). C/D come from a cell×cell self-join
     of the aggregated table (r·c ≤ a few hundred cells — bounded),
     never from row pairs; counts accumulate in DECIMAL because pair
-    counts pass 2^53 long before 100 TB does. Output: one row
+    counts pass 2^53 long before 100 TB does. Distinct from
+    mleval.rank_association, which concordance-counts a BINARY label
+    against a continuous score (no tie-corrected denominators): this
+    is the r×c ordinal-table instrument with both Somers directions
+    and the tie-corrected τ_b/τ_c that tables require. Output: one row
     (n, c_pairs, d_pairs, gamma, somers_dyx, somers_dxy, tau_b,
     tau_c), rounds 6."""
     x = x_col if isinstance(x_col, F.Column) else F.col(x_col)
