@@ -5710,8 +5710,13 @@ def gk_lambda(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
            .crossJoin(F.broadcast(row_marg))
            .crossJoin(F.broadcast(col_marg)))
     nn = F.col("nn").cast("double")
-    ly = (F.col("scm") - F.col("mc")) / (nn - F.col("mc"))
-    lx = (F.col("srm") - F.col("mr")) / (nn - F.col("mr"))
+    # λ(y|x) reduces y-prediction error: per-x-row modal counts (srm)
+    # against the modal y MARGINAL (mc) — row maxima pair with the
+    # column-margin max, NOT with the column maxima (the swapped
+    # pairing passes a same-formula oracle; pinned by the planted
+    # zero-lambda case in tests/test_round11_properties.py)
+    ly = (F.col("srm") - F.col("mc")) / (nn - F.col("mc"))
+    lx = (F.col("scm") - F.col("mr")) / (nn - F.col("mr"))
     lsym = ((F.col("scm") + F.col("srm") - F.col("mc") - F.col("mr"))
             / (2.0 * nn - F.col("mc") - F.col("mr")))
     return out.select(
@@ -5745,10 +5750,10 @@ col_marg AS (
 )
 SELECT CAST(nn AS BIGINT) AS n,
        round(CASE WHEN nn > mc
-                  THEN (scm - mc) / (CAST(nn AS DOUBLE) - mc) END, 6)
+                  THEN (srm - mc) / (CAST(nn AS DOUBLE) - mc) END, 6)
          AS lambda_y_x,
        round(CASE WHEN nn > mr
-                  THEN (srm - mr) / (CAST(nn AS DOUBLE) - mr) END, 6)
+                  THEN (scm - mr) / (CAST(nn AS DOUBLE) - mr) END, 6)
          AS lambda_x_y,
        round(CASE WHEN 2.0 * nn > mc + mr
                   THEN (CAST(scm AS DOUBLE) + srm - mc - mr)

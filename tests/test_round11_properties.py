@@ -1,0 +1,262 @@
+"""Invariance properties of the round-11 kernels — the structural
+identities the statistics are DEFINED by, checked on a fixed awkward
+sample (ties, skew, negative values). A formula error that happens to
+agree across engines (the parity sweep's blind spot) almost never
+survives these:
+
+- rank statistics are invariant under strictly monotone value maps;
+- Wasserstein-1 and energy distance are translation-invariant and
+  scale-EQUIvariant;
+- Hellinger/TV on min-max-derived bins are invariant under shared
+  positive affine maps;
+- turning points / Cox–Stuart / Foster–Stuart see only order, never
+  magnitude.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+# ties on 2.0 and 5.0, skew, a negative value — deliberately awkward
+_A = [1.0, 2.0, 2.0, 3.5, 9.0, -1.0, 5.0]
+_B = [2.0, 4.0, 5.0, 5.0, 6.5, 8.0]
+
+
+def _frame(spark, xs=None, ys=None, transform=None):
+    xs = _A if xs is None else xs
+    ys = _B if ys is None else ys
+    f = transform or (lambda v: v)
+    rows = [("a", f(v)) for v in xs] + [("b", f(v)) for v in ys]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["g", "value"]))
+
+
+def _row(df):
+    return df.collect()[0].asDict()
+
+
+def _monotone(v):
+    # strictly increasing, nonlinear, sign-preserving of ORDER only
+    return v * v * v + 5.0 * v
+
+
+def test_rank_tests_invariant_under_monotone_map(spark):
+    from distill_spark.operators.stats import (ansari_bradley,
+                                               brunner_munzel,
+                                               cvm_two_sample)
+
+    for op in (ansari_bradley, brunner_munzel, cvm_two_sample):
+        base = _row(op(_frame(spark), "g", "a", "b"))
+        mapped = _row(op(_frame(spark, transform=_monotone),
+                         "g", "a", "b"))
+        assert base == mapped, op.__name__
+
+
+def test_ad_and_cuzick_invariant_under_monotone_map(spark):
+    from distill_spark.operators.stats import ad_two_sample, cuzick_trend
+
+    base = _row(ad_two_sample(_frame(spark), "g", "a", "b"))
+    mapped = _row(ad_two_sample(_frame(spark, transform=_monotone),
+                                "g", "a", "b"))
+    assert base == mapped
+
+    cz = _row(cuzick_trend(_frame(spark), "g", ["a", "b"], "value"))
+    czm = _row(cuzick_trend(_frame(spark, transform=_monotone),
+                            "g", ["a", "b"], "value"))
+    assert cz == czm
+
+
+def test_wasserstein_affine_equivariance(spark):
+    from distill_spark.operators.stats import wasserstein_1d
+
+    base = _row(wasserstein_1d(_frame(spark), "g", "a", "b"))["w1"]
+    shifted = _row(wasserstein_1d(
+        _frame(spark, transform=lambda v: v + 100.0),
+        "g", "a", "b"))["w1"]
+    scaled = _row(wasserstein_1d(
+        _frame(spark, transform=lambda v: 3.0 * v - 7.0),
+        "g", "a", "b"))["w1"]
+    assert shifted == base
+    assert abs(scaled - 3.0 * base) < 1e-6
+
+
+def test_energy_distance_affine_equivariance(spark):
+    from distill_spark.operators.stats import energy_distance
+
+    base = _row(energy_distance(_frame(spark), "g", "a", "b"))
+    shifted = _row(energy_distance(
+        _frame(spark, transform=lambda v: v - 42.0), "g", "a", "b"))
+    scaled = _row(energy_distance(
+        _frame(spark, transform=lambda v: 2.0 * v), "g", "a", "b"))
+    assert shifted["e_stat"] == base["e_stat"]
+    assert abs(scaled["e_stat"] - 2.0 * base["e_stat"]) < 1e-6
+    # the E-test statistic scales the same way (n, m unchanged)
+    assert abs(scaled["t_stat"] - 2.0 * base["t_stat"]) < 1e-6
+
+
+def test_hellinger_tv_invariant_under_shared_affine(spark):
+    """Bins derive from the pooled min/max, so a shared positive
+    affine map permutes nothing: both distances must be identical."""
+    from distill_spark.operators.stats import hellinger_tv
+
+    base = _row(hellinger_tv(_frame(spark), "g", "a", "b"))
+    mapped = _row(hellinger_tv(
+        _frame(spark, transform=lambda v: 2.5 * v + 11.0),
+        "g", "a", "b"))
+    assert base == mapped
+
+
+def test_order_only_time_diagnostics(spark):
+    """Turning points / Cox–Stuart / Foster–Stuart read only the
+    ORDER of daily totals: one event per day makes the daily frame
+    the values themselves, and a monotone map must change nothing."""
+    from distill_spark.operators.timeseries import (cox_stuart,
+                                                    foster_stuart,
+                                                    turning_points)
+
+    vals = [3.0, 1.0, 4.0, 1.5, 5.0, 9.0, 2.0, 6.0, 5.5, 3.0]
+
+    def frame(f):
+        rows = [(dt.datetime(2024, 1, 1)
+                 + dt.timedelta(days=d), f(v))
+                for d, v in enumerate(vals)]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["ts", "value"]))
+
+    for op in (turning_points, cox_stuart, foster_stuart):
+        base = _row(op(frame(lambda v: v)))
+        mapped = _row(op(frame(_monotone)))
+        assert base == mapped, op.__name__
+
+
+def test_ks_separation_invariant_stat_equivariant_argmax(spark):
+    """The KS statistic is rank-based (invariant); the achieving
+    score transforms WITH the data (equivariant)."""
+    from distill_spark.operators.mleval import ks_separation
+
+    rows = [(v >= 4.0, v) for v in _A + _B]
+    pdf = pd.DataFrame(rows, columns=["y", "value"])
+    base = _row(ks_separation(spark.createDataFrame(pdf), "y", "value"))
+    pdf2 = pdf.assign(value=pdf.value * 10.0 + 3.0)
+    mapped = _row(ks_separation(spark.createDataFrame(pdf2),
+                                "y", "value"))
+    assert mapped["ks_stat"] == base["ks_stat"]
+    assert abs(mapped["ks_at_score"]
+               - (base["ks_at_score"] * 10.0 + 3.0)) < 1e-6
+
+
+def test_ordinal_association_invariant_under_order_isomorphism(spark):
+    """Relabeling ordinal codes by any strictly increasing map leaves
+    every pair-concordance measure unchanged."""
+    from distill_spark.operators.stats import ordinal_association
+
+    pdf = pd.DataFrame({"i": [1, 1, 2, 2, 3, 3, 4],
+                        "j": [1, 2, 1, 3, 3, 4, 2]})
+    base = _row(ordinal_association(spark.createDataFrame(pdf),
+                                    "i", "j"))
+    relab = pdf.assign(i=pdf.i * 10, j=pdf.j * 100 + 7)
+    mapped = _row(ordinal_association(spark.createDataFrame(relab),
+                                      "i", "j"))
+    assert base == mapped
+
+
+def test_gk_lambda_bounds_and_zero_case(spark):
+    """x that never changes the modal y → λ(y|x) exactly 0 even
+    though the table is not independent."""
+    from distill_spark.operators.stats import gk_lambda
+
+    # modal j is 1 in every i-row AND marginally
+    pdf = pd.DataFrame({"i": ["a"] * 5 + ["b"] * 5,
+                        "j": [1, 1, 1, 2, 2, 1, 1, 1, 3, 3]})
+    out = _row(gk_lambda(spark.createDataFrame(pdf), "i", "j"))
+    assert out["lambda_y_x"] == 0.0
+
+
+def test_weighted_kappa_worse_than_chance_negative(spark):
+    """Perfectly ANTI-correlated ordinal raters → κ_w < 0 (quadratic
+    weights make reversal maximally penalized)."""
+    from distill_spark.operators.mleval import weighted_kappa
+
+    pdf = pd.DataFrame({"ra": [1, 2, 3, 4, 5],
+                        "rb": [5, 4, 3, 2, 1]})
+    out = _row(weighted_kappa(spark.createDataFrame(pdf),
+                              "ra", "rb", 5))
+    assert out["kappa_w"] < 0
+
+
+def test_cms_registers_conserve_mass(spark):
+    """Every Count-Min row's registers sum to the total insert count
+    — checked through the public estimate path: the estimate for a
+    key inserted alone into an otherwise-empty sketch is exact."""
+    from distill_spark.operators.sketch import cms_heavy_hitters
+
+    pdf = pd.DataFrame({"user_id": [7] * 13})
+    got = cms_heavy_hitters(spark.createDataFrame(pdf), "user_id",
+                            top_n=1).collect()
+    assert len(got) == 1
+    assert got[0]["cms_est"] == got[0]["true_count"] == 13
+    assert got[0]["overestimate"] == 0
+
+
+def test_sprt_no_crossing_stays_open(spark):
+    """A conversion rate pinned between p0 and p1 (alternating flags
+    ≈ 0.5 > p1 crosses up eventually — so use a rate exactly between
+    bounds via 1-in-3) can also simply be checked short: with only 3
+    users no boundary is reachable and the decision must be NULL."""
+    from distill_spark.operators.conversion import sprt_boundary
+
+    rows = [(0, "purchase", dt.datetime(2024, 1, 1)),
+            (1, "view", dt.datetime(2024, 1, 2)),
+            (2, "view", dt.datetime(2024, 1, 3))]
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    out = _row(sprt_boundary(spark.createDataFrame(pdf)))
+    assert out["decision"] is None
+    assert out["first_cross_k"] is None
+    assert out["n_users"] == 3
+
+
+def test_busy_periods_disjoint_users_sum(spark):
+    """Non-overlapping sessions → busy time equals the session-time
+    sum and mean concurrency is exactly 1."""
+    from distill_spark.operators.conversion import busy_periods
+
+    rows = [(1, dt.datetime(2024, 1, 1, 0, 0, 0)),
+            (1, dt.datetime(2024, 1, 1, 0, 0, 30)),
+            (2, dt.datetime(2024, 1, 1, 6, 0, 0)),
+            (2, dt.datetime(2024, 1, 1, 6, 1, 0))]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = _row(busy_periods(spark.createDataFrame(pdf)))
+    assert out["n_busy"] == 2
+    assert out["busy_seconds"] == 90.0
+    assert out["mean_concurrency"] == 1.0
+
+
+def test_page_trend_incomplete_blocks_drop(spark):
+    """A week missing one day must not count as a block."""
+    from distill_spark.operators.stats import page_trend
+
+    rows = []
+    day0 = dt.datetime(2024, 1, 1)
+    for d in range(13):  # week 1 complete, week 2 has 6 days
+        rows.append((day0 + dt.timedelta(days=d), float(d + 1)))
+    pdf = pd.DataFrame(rows, columns=["ts", "value"])
+    out = _row(page_trend(spark.createDataFrame(pdf)))
+    assert out["n_blocks"] == 1
+
+
+def test_eigenvector_and_katz_invariant_to_edge_duplication(spark):
+    """katz/eigenvector consume a DISTINCT edge list in the gated
+    queries; feeding the raw multigraph would double-count paths —
+    pin that the operators themselves are linear in edge multiplicity
+    so the .distinct() upstream is load-bearing and stays."""
+    from distill_spark.operators.pagerank import katz_centrality
+
+    edges = pd.DataFrame({"src": ["u", "u"], "dst": ["c", "c"]})
+    got = {r["node"]: r["score"]
+           for r in katz_centrality(
+               spark.createDataFrame(edges)).collect()}
+    # duplicated edge counts twice: center = beta + 2*alpha*beta
+    assert got["c"] == round(1.0 + 2 * 0.05, 6)
