@@ -1,0 +1,168 @@
+"""Invariance properties for the ROUND-8/9/10 statistics battery —
+backfilling the check class that caught the gk_lambda direction swap
+(tests/test_round11_properties.py): identities each statistic is
+defined by, on a fixed awkward sample, immune to the oracle's
+same-formula blind spot.
+
+- rank tests (Mann–Whitney, Kruskal–Wallis, Cliff's δ, Mood median,
+  KS, Spearman) are invariant under strictly monotone value maps;
+- Conover squared-ranks is invariant under shared positive AFFINE
+  maps (deviations from group means kill the shift, ranking kills
+  the scale);
+- inequality indices (Theil, Atkinson, Gini concentration) are
+  scale-invariant and mean-anchored;
+- χ²-family association (Cramér's V, mutual information) is
+  invariant under category relabeling;
+- Cliff's δ is antisymmetric under group swap, Spearman under
+  negation of one variable.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+_A = [1.0, 2.0, 2.0, 3.5, 9.0, -1.0, 5.0]
+_B = [2.0, 4.0, 5.0, 5.0, 6.5, 8.0]
+
+
+def _monotone(v):
+    return v * v * v + 5.0 * v
+
+
+def _frame(spark, transform=None):
+    f = transform or (lambda v: v)
+    rows = [("a", f(v)) for v in _A] + [("b", f(v)) for v in _B]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["g", "value"]))
+
+
+def _row(df):
+    return df.collect()[0].asDict()
+
+
+def test_two_sample_rank_tests_monotone_invariant(spark):
+    from distill_spark.operators.stats import (cliffs_delta,
+                                               ks_statistic,
+                                               mannwhitney_u)
+
+    for op in (mannwhitney_u, cliffs_delta, ks_statistic):
+        base = _row(op(_frame(spark), "g", "a", "b"))
+        mapped = _row(op(_frame(spark, _monotone), "g", "a", "b"))
+        assert base == mapped, op.__name__
+
+
+def test_ksample_rank_tests_monotone_invariant(spark):
+    from distill_spark.operators.stats import (kruskal_wallis,
+                                               mood_median_test)
+
+    rows = [("a", v) for v in _A] + [("b", v) for v in _B] \
+        + [("c", v) for v in (0.5, 7.0, 7.0, 2.0)]
+    pdf = pd.DataFrame(rows, columns=["g", "value"])
+    sdf = spark.createDataFrame(pdf)
+    pdf2 = pdf.assign(value=[_monotone(v) for v in pdf.value])
+    sdf2 = spark.createDataFrame(pdf2)
+    kw1, kw2 = _row(kruskal_wallis(sdf, "g")), \
+        _row(kruskal_wallis(sdf2, "g"))
+    assert kw1 == kw2
+    mm1 = _row(mood_median_test(sdf, "g"))
+    mm2 = _row(mood_median_test(sdf2, "g"))
+    # the grand median itself transforms; the counts/χ² must not
+    assert mm1["chi2"] == mm2["chi2"]
+    assert mm1["n"] == mm2["n"] and mm1["n_groups"] == mm2["n_groups"]
+
+
+def test_cliffs_delta_antisymmetric_under_group_swap(spark):
+    from distill_spark.operators.stats import cliffs_delta
+
+    ab = _row(cliffs_delta(_frame(spark), "g", "a", "b"))
+    ba = _row(cliffs_delta(_frame(spark), "g", "b", "a"))
+    assert ab["cliffs_delta"] == -ba["cliffs_delta"]
+
+
+def test_spearman_monotone_invariant_and_negation_antisymmetric(spark):
+    from distill_spark.operators.stats import spearman_corr
+
+    pdf = pd.DataFrame({"x": _A, "y": [v * 2 - 1 for v in _A[::-1]]})
+    sdf = spark.createDataFrame(pdf)
+    base = _row(spearman_corr(sdf, "x", "y"))
+    mapped = _row(spearman_corr(
+        spark.createDataFrame(
+            pdf.assign(x=[_monotone(v) for v in pdf.x])), "x", "y"))
+    assert base["rho"] == mapped["rho"]
+    neg = _row(spearman_corr(
+        spark.createDataFrame(pdf.assign(y=-pdf.y)), "x", "y"))
+    assert neg["rho"] == -base["rho"]
+
+
+def test_conover_scale_affine_invariant(spark):
+    from distill_spark.operators.stats import conover_squared_ranks
+
+    base = _row(conover_squared_ranks(_frame(spark), "g", "a", "b"))
+    mapped = _row(conover_squared_ranks(
+        _frame(spark, lambda v: 4.0 * v + 100.0), "g", "a", "b"))
+    assert base == mapped
+
+
+def test_inequality_indices_scale_invariant(spark):
+    from distill_spark.operators.stats import (atkinson_index,
+                                               ge_indices, theil_index)
+
+    vals = [v for v in _A + _B if v > 0]
+    pdf = pd.DataFrame({"g": ["x"] * len(vals),
+                        "o_totalprice": vals, "value": vals})
+    sdf = spark.createDataFrame(pdf)
+    pdf2 = pdf.assign(o_totalprice=pdf.o_totalprice * 7.0,
+                      value=pdf.value * 7.0)
+    sdf2 = spark.createDataFrame(pdf2)
+    t1 = _row(theil_index(sdf, "g", "value"))
+    t2 = _row(theil_index(sdf2, "g", "value"))
+    assert t1["theil"] == t2["theil"]
+    a1 = _row(atkinson_index(sdf))
+    a2 = _row(atkinson_index(sdf2))
+    assert a1["atkinson"] == a2["atkinson"]
+    g1 = _row(ge_indices(sdf, "value"))
+    g2 = _row(ge_indices(sdf2, "value"))
+    assert g1["ge0_mld"] == g2["ge0_mld"]
+    assert g1["ge2"] == g2["ge2"]
+    assert abs(g2["mean"] - 7.0 * g1["mean"]) < 1e-4
+
+
+def test_chi2_family_relabel_invariant(spark):
+    from distill_spark.operators.stats import (cramers_v,
+                                               mutual_information)
+
+    pdf = pd.DataFrame({
+        "source": ["s1", "s1", "s2", "s2", "s2", "s3", "s3", "s1"],
+        "lang": ["en", "de", "en", "en", "fr", "de", "fr", "en"]})
+    sdf = spark.createDataFrame(pdf)
+    relab = pdf.assign(
+        source=pdf.source.map({"s1": "zz", "s2": "aa", "s3": "mm"}),
+        lang=pdf.lang.map({"en": "x1", "de": "x2", "fr": "x3"}))
+    sdf2 = spark.createDataFrame(relab)
+    c1, c2 = _row(cramers_v(sdf)), _row(cramers_v(sdf2))
+    for k in ("chi2", "cramers_v", "v_corrected"):
+        if k in c1:
+            assert c1[k] == c2[k], k
+    m1 = _row(mutual_information(sdf, "lang", "source"))
+    m2 = _row(mutual_information(sdf2, "lang", "source"))
+    for k, v in m1.items():
+        if isinstance(v, float):
+            assert m2[k] == v, k
+
+
+def test_gini_concentration_scale_invariant(spark):
+    from distill_spark.operators.stats import gini_concentration
+
+    pdf = pd.DataFrame({"g": ["x"] * 6, "id": list(range(6)),
+                        "value": [1.0, 1.0, 2.0, 4.0, 8.0, 16.0]})
+    g1 = gini_concentration(spark.createDataFrame(pdf), "g", "value",
+                            "id")
+    g2 = gini_concentration(
+        spark.createDataFrame(pdf.assign(value=pdf.value * 3.0)),
+        "g", "value", "id")
+    r1 = {r["g"]: r.asDict() for r in g1.collect()}
+    r2 = {r["g"]: r.asDict() for r in g2.collect()}
+    gini_cols = [k for k in r1["x"] if "gini" in k]
+    assert gini_cols
+    for k in gini_cols:
+        assert r1["x"][k] == r2["x"][k]
