@@ -53,7 +53,9 @@ def compact_line(detail: dict) -> str:
     }
     if conc:
         compact["concurrent"] = {
-            k: conc[k] for k in ("min", "mean", "baseline", "flagged")
+            k: conc[k] for k in ("min", "mean", "baseline", "flagged",
+                                 "speed_ratio", "noise_adjusted_min",
+                                 "flagged_noise_adjusted")
             if k in conc}
     if isinstance(sf1, dict):
         compact["sf1"] = {"total": sf1.get("total"),
@@ -577,12 +579,28 @@ def main():
                         "flag_rule": "min > 1.3x committed baseline"}
         if os.path.exists(base_path):
             with open(base_path) as fh:
-                base_min = json.load(fh)["concurrent_min"]
+                base = json.load(fh)
+            base_min = base["concurrent_min"]
             conc_section["baseline"] = base_min
             conc_section["flagged"] = min(conc_totals) > 1.3 * base_min
+            # speed-normalized companion verdict: the baseline records
+            # the calibration probe of the run that set it, so a flag
+            # raised purely by a slower HOST (hypervisor jitter — the
+            # round-11 situation: probe 16-18 ms vs the baseline-era
+            # 13.39 with identical plans) is self-attributing instead
+            # of demanding a manual rerun study. The raw flag stays.
+            base_probe = base.get("probe_ms")
+            if base_probe:
+                ratio = round(noise.pre_probe_ms / base_probe, 3)
+                conc_section["speed_ratio"] = ratio
+                adj = round(min(conc_totals) / max(ratio, 1.0), 3)
+                conc_section["noise_adjusted_min"] = adj
+                conc_section["flagged_noise_adjusted"] = \
+                    adj > 1.3 * base_min
         if os.environ.get("SPARK_GRAFT_BENCH_WRITE_CONC_BASELINE") == "1":
             with open(base_path, "w") as fh:
-                json.dump({"concurrent_min": min(conc_totals)}, fh)
+                json.dump({"concurrent_min": min(conc_totals),
+                           "probe_ms": noise.pre_probe_ms}, fh)
     # The driver records only the LAST ~2000 chars of stdout and tries
     # to json-parse them: BENCH_r08-r10 all shipped "parsed": null
     # because this line carried every section inline (~6 KB). Full

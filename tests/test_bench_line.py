@@ -36,6 +36,9 @@ def _realistic_detail():
         "concurrent": {"min": 6.444, "mean": 7.008,
                        "totals": [6.444, 7.123, 7.456],
                        "baseline": 6.444, "flagged": False,
+                       "speed_ratio": 1.196,
+                       "noise_adjusted_min": 5.388,
+                       "flagged_noise_adjusted": False,
                        "flag_rule": "min > 1.3x committed baseline"},
         "sequential": {"total": 24.853, "queries": dict(queries)},
         "training": {"total": 43.305, "queries": training},
@@ -79,6 +82,8 @@ def test_compact_line_round_trips_with_spec_fields():
     # the section summaries the verdict reads round-over-round
     assert parsed["concurrent"]["min"] == 6.444
     assert parsed["concurrent"]["flagged"] is False
+    assert parsed["concurrent"]["speed_ratio"] == 1.196
+    assert parsed["concurrent"]["flagged_noise_adjusted"] is False
     assert parsed["sf1"] == {"total": 31.672, "flagged": []}
     assert parsed["ann_cold_secs"] == 1.974
     assert parsed["detail_file"] == "BENCH_DETAIL.json"
