@@ -60,6 +60,10 @@ def compact_line(detail: dict) -> str:
     if isinstance(sf1, dict):
         compact["sf1"] = {"total": sf1.get("total"),
                           "flagged": sf1.get("flagged")}
+        if "flagged_noise_adjusted" in sf1:
+            compact["sf1"]["speed_ratio"] = sf1.get("speed_ratio")
+            compact["sf1"]["flagged_noise_adjusted"] = \
+                sf1["flagged_noise_adjusted"]
     compact["host_noise"] = noise_rep.get("host_noise", [])
     line = json.dumps(compact)
     if len(line) > 1900:  # keep inside the driver's 2000-char tail
@@ -260,15 +264,30 @@ def _sf1_section(spark, sf_dir):
            "note": "x10 docs/embeddings/lineitem (~sf1), sf0.1 rest; "
                    "sequential, min of reps"}
     base_path = os.path.join(root, "SF1_BASELINE.json")
+    probe_now = min(_speed_probe() for _ in range(3))
     if os.path.exists(base_path):
         with open(base_path) as fh:
-            base = json.load(fh).get("queries", {})
+            basefile = json.load(fh)
+        base = basefile.get("queries", {})
         out["flagged"] = sorted(
             n for n, t in timings.items()
             if n in base and t > 1.3 * base[n])
+        # speed-normalized companion (same rationale as the concurrent
+        # gate): the r9 sf1 flag (train_pagerank 9.66 vs 7.22) cost a
+        # manual solo-rerun study (SF1_RERUN_r10) to attribute to host
+        # load — with the baseline-era probe attached, a pure host
+        # slowdown divides itself out
+        base_probe = basefile.get("probe_ms")
+        if base_probe:
+            ratio = round(probe_now / base_probe, 3)
+            out["speed_ratio"] = ratio
+            out["flagged_noise_adjusted"] = sorted(
+                n for n, t in timings.items()
+                if n in base and t / max(ratio, 1.0) > 1.3 * base[n])
     if os.environ.get("SPARK_GRAFT_BENCH_WRITE_SF1_BASELINE") == "1":
         with open(base_path, "w") as fh:
-            json.dump({"queries": timings, "reps": reps}, fh, indent=1,
+            json.dump({"queries": timings, "reps": reps,
+                       "probe_ms": probe_now}, fh, indent=1,
                       sort_keys=True)
     return out
 
