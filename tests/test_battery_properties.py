@@ -166,3 +166,76 @@ def test_gini_concentration_scale_invariant(spark):
     assert gini_cols
     for k in gini_cols:
         assert r1["x"][k] == r2["x"][k]
+
+
+def test_jonckheere_monotone_invariant(spark):
+    from distill_spark.operators.stats import jonckheere_terpstra
+
+    rows = [("g1", v) for v in _A] + [("g2", v) for v in _B] \
+        + [("g3", v) for v in (6.0, 7.5, 10.0)]
+    pdf = pd.DataFrame(rows, columns=["g", "value"])
+    base = _row(jonckheere_terpstra(
+        spark.createDataFrame(pdf), "g", ["g1", "g2", "g3"], "value"))
+    mapped = _row(jonckheere_terpstra(
+        spark.createDataFrame(
+            pdf.assign(value=[_monotone(v) for v in pdf.value])),
+        "g", ["g1", "g2", "g3"], "value"))
+    assert base == mapped
+
+
+def test_dixon_q_affine_invariant_ratios(spark):
+    """Dixon's gap ratios are scale- and shift-free: under a positive
+    affine map the q_low/q_high columns must not move (the raw order
+    statistics of course do)."""
+    from distill_spark.operators.stats import dixon_q
+
+    pdf = pd.DataFrame({"o_totalprice":
+                        [1.0, 2.0, 2.5, 3.0, 4.5, 9.0, 30.0]})
+    base = _row(dixon_q(spark.createDataFrame(pdf)))
+    mapped = _row(dixon_q(spark.createDataFrame(
+        pdf.assign(o_totalprice=pdf.o_totalprice * 5.0 + 3.0))))
+    assert base["q_low"] == mapped["q_low"]
+    assert base["q_high"] == mapped["q_high"]
+
+
+def test_quade_affine_invariant(spark):
+    """Within-block ranks AND block-range ranks both survive a shared
+    positive affine map, so Quade's F must be identical."""
+    from distill_spark.operators.stats import quade_test
+
+    rows = []
+    vals = {("b1", "x"): 1.0, ("b1", "y"): 3.0, ("b1", "z"): 2.0,
+            ("b2", "x"): 5.0, ("b2", "y"): 9.0, ("b2", "z"): 4.0,
+            ("b3", "x"): 2.0, ("b3", "y"): 2.5, ("b3", "z"): 2.2}
+    for (b, t), v in vals.items():
+        rows.append((b, t, v))
+    pdf = pd.DataFrame(rows, columns=["b", "t", "value"])
+    base = _row(quade_test(spark.createDataFrame(pdf), "b", "t",
+                           "value"))
+    mapped = _row(quade_test(
+        spark.createDataFrame(
+            pdf.assign(value=pdf.value * 11.0 + 7.0)),
+        "b", "t", "value"))
+    assert base == mapped
+
+
+def test_mann_kendall_monotone_invariant(spark):
+    """Kendall's S counts only sign(x_j − x_i): any strictly monotone
+    map leaves S and z untouched (the Sen slope, if reported, is
+    value-scale and excluded)."""
+    import datetime as dt
+
+    from distill_spark.operators.stats import mann_kendall
+
+    rows = [( "e", dt.datetime(2024, 1, 1) + dt.timedelta(days=d), v)
+            for d, v in enumerate([3.0, 1.0, 4.0, 1.5, 5.0, 9.0, 2.0])]
+    pdf = pd.DataFrame(rows, columns=["event_type", "ts", "value"])
+    base = _row(mann_kendall(spark.createDataFrame(pdf)))
+    mapped = _row(mann_kendall(spark.createDataFrame(
+        pdf.assign(value=[_monotone(v) for v in pdf.value]))))
+    keys = [k for k in base
+            if any(s in k.lower() for s in ("s_", "z", "n", "tau"))
+            or k in ("s",)]
+    assert keys
+    for k in keys:
+        assert base[k] == mapped[k], k
