@@ -11834,6 +11834,78 @@ def _sql_ge_indices():
     return ge_indices_sql("orders", "o_totalprice")
 
 
+def q_concentration_curve(spark, sf_dir):
+    """Concentration index of customer spend against the
+    account-balance ranking + the value-ranked Gini ceiling
+    (stats.concentration_curve) — lorenz_deciles' bivariate cousin."""
+    from distill_spark.operators.stats import concentration_curve
+
+    t = _tables(spark, sf_dir)
+    return concentration_curve(t["customer"], t["orders"])
+
+
+def _sql_concentration():
+    from distill_spark.operators.stats import concentration_curve_sql
+
+    return concentration_curve_sql()
+
+
+def q_hodges_lehmann(spark, sf_dir):
+    """Hodges–Lehmann estimator (lower median of Walsh averages)
+    over the bounded daily frame beside the plain median
+    (stats.hodges_lehmann_daily) — the point estimate the Wilcoxon
+    machinery tests around."""
+    from distill_spark.operators.stats import hodges_lehmann_daily
+
+    return hodges_lehmann_daily(_tables(spark, sf_dir)["events"])
+
+
+def _sql_hodges_lehmann():
+    from distill_spark.operators.stats import hodges_lehmann_daily_sql
+
+    return hodges_lehmann_daily_sql()
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled (α=0.5) source sampling shares over the
+    corpus (sampling.temperature_mixture) — the multilingual-LM
+    mixture rule whose variance cost importance_ess prices."""
+    from distill_spark.operators.sampling import temperature_mixture
+
+    return temperature_mixture(_tables(spark, sf_dir)["documents"],
+                               "source")
+
+
+def _sql_temperature():
+    from distill_spark.operators.sampling import temperature_mixture_sql
+
+    return temperature_mixture_sql("documents", "source")
+
+
+def q_harmonic_closeness(spark, sf_dir):
+    """Pinned-seed harmonic closeness (8 smallest nodes, depth ≤ 4,
+    one shared multi-source BFS frontier) on the part↔supplier
+    graph (graphstats.harmonic_closeness) — the scalable closeness
+    stand-in beside g3_blast_radius's single-source BFS."""
+    from distill_spark.operators.graphstats import harmonic_closeness
+
+    t = _tables(spark, sf_dir)
+    edges = t["lineitem"].select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("a"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("b")).distinct()
+    return harmonic_closeness(edges)
+
+
+def _sql_harmonic():
+    from distill_spark.operators.graphstats import (
+        harmonic_closeness_sql,
+    )
+
+    return harmonic_closeness_sql(
+        "SELECT DISTINCT 'p' || l_partkey AS a, "
+        "'s' || l_suppkey AS b FROM lineitem")
+
+
 # ---------------------------------------------------------------------------
 # Round-10 ninth stratum: paired daily tests (Wilcoxon signed-rank,
 # sign test), Haar multiresolution energy, decision-stump split gain.
@@ -11966,11 +12038,16 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dixon_q_extremes": (q_dixon_q_extremes, _sql_dixon()),
     # ===================== END ROUND-11 WINDOW (50) ======================
     # -- round-12 seed stratum (positions 51+, queued in
-    # _PENDING_PROMOTION): distribution distances --------------------------
+    # _PENDING_PROMOTION): distribution distances + robust/structural
+    # second quartet ---------------------------------------------------------
     "wasserstein_1d": (q_wasserstein_1d, _sql_wasserstein()),
     "energy_distance": (q_energy_distance, _sql_energy()),
     "hellinger_tv": (q_hellinger_tv, _sql_hellinger()),
     "ge_indices": (q_ge_indices, _sql_ge_indices()),
+    "concentration_curve": (q_concentration_curve, _sql_concentration()),
+    "hodges_lehmann": (q_hodges_lehmann, _sql_hodges_lehmann()),
+    "temperature_mixture": (q_temperature_mixture, _sql_temperature()),
+    "harmonic_closeness": (q_harmonic_closeness, _sql_harmonic()),
     # -- round-10 ninth stratum: paired tests / wavelets / stump gain ---------
     "wilcoxon_clicks_views": (q_wilcoxon_clicks_views, _sql_wilcoxon()),
     "sign_test_daily": (q_sign_test_daily, _sql_sign_test()),
@@ -12398,13 +12475,16 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
 # that nothing ELSE is hiding past the window unevidenced.
 # Round 11: the round-10 queue (Jonckheere / Quade / Conover / Dixon)
 # is PROMOTED into the window head; the window holds exactly the 46
-# round-11 queries + those 4. The round-12 seed stratum (Wasserstein /
-# energy distance / Hellinger+TV / GE indices) landed past position
-# 50 — queued for the round-12 rotation, each parity-verified at
-# sf0.001 and sf0.01.
+# round-11 queries + those 4. The round-12 seed stratum grew to EIGHT
+# (distribution distances: Wasserstein / energy / Hellinger+TV / GE;
+# robust-structural: concentration curve / Hodges-Lehmann /
+# temperature mixture / harmonic closeness) past position 50 — all
+# queued for the round-12 rotation, each parity-verified at sf0.001
+# and sf0.01.
 _PENDING_PROMOTION: frozenset[str] = frozenset({
     "wasserstein_1d", "energy_distance", "hellinger_tv",
-    "ge_indices",
+    "ge_indices", "concentration_curve", "hodges_lehmann",
+    "temperature_mixture", "harmonic_closeness",
 })
 
 

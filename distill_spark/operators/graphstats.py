@@ -309,3 +309,84 @@ SELECT CAST(count(*) AS BIGINT) AS n_communities,
        round(CAST(sum(qt) AS DOUBLE), 6) AS modularity
 FROM terms GROUP BY m
 """
+
+
+def harmonic_closeness(edges: DataFrame, n_seeds: int = 8,
+                       max_depth: int = 4) -> DataFrame:
+    """Sampled harmonic closeness centrality (Marchiori & Latora
+    2000; Boldi & Vigna 2014 for why harmonic > classic closeness on
+    disconnected graphs): from the ``n_seeds`` SMALLEST node ids
+    (pinned seed set — determinism over luck), run a multi-source
+    BFS to ``max_depth`` over the undirected edge list and report
+    H(s) = Σ_{v≠s} 1/d(s,v), unreachable-within-depth = 0 — exact
+    betweenness/closeness is O(V·E) and does not survive 100 TB;
+    pinned-seed harmonic sampling is the standard scalable stand-in.
+
+    Shape: ONE frontier frame carries all seeds at once (seed, node,
+    dist) — each BFS round is one join against the edge list + one
+    min-dist aggregate, so depth D costs D edge-shuffles TOTAL, not
+    per seed. Output: (node, n_reached, harmonic) per seed, ordered
+    by node, rounds 6."""
+    sym = (edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .union(edges.select(F.col("b").alias("u"),
+                               F.col("a").alias("v"))))
+    seeds = (sym.select(F.col("u").alias("node")).distinct()
+             .orderBy("node").limit(n_seeds))
+    frontier = seeds.select(F.col("node").alias("seed"),
+                            F.col("node").alias("node"),
+                            F.lit(0).alias("dist"))
+    seen = frontier
+    for d in range(1, max_depth + 1):
+        nxt = (frontier.join(sym, F.col("node") == F.col("u"))
+               .select("seed", F.col("v").alias("node"),
+                       F.lit(d).alias("dist"))
+               .join(seen.select(F.col("seed").alias("_ss"),
+                                 F.col("node").alias("_sn")),
+                     (F.col("seed") == F.col("_ss"))
+                     & (F.col("node") == F.col("_sn")), "left_anti")
+               .groupBy("seed", "node")
+               .agg(F.min("dist").alias("dist")))
+        nxt = nxt.localCheckpoint()
+        seen = seen.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    reached = seen.filter(F.col("dist") > 0)
+    return (reached.groupBy(F.col("seed").alias("node"))
+            .agg(F.count("*").cast("long").alias("n_reached"),
+                 F.round(F.sum(1.0 / F.col("dist")), 6)
+                 .alias("harmonic"))
+            .orderBy("node"))
+
+
+def harmonic_closeness_sql(edge_cte: str, n_seeds: int = 8,
+                           max_depth: int = 4) -> str:
+    """Unrolled-depth BFS replay (no recursive CTE: the unrolled
+    form mirrors the Spark iteration exactly, MATERIALIZED against
+    DuckDB's CTE inlining like hits_sql)."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({edge_cte})",
+        "sym AS MATERIALIZED (SELECT a AS u, b AS v FROM e0"
+        " UNION ALL SELECT b, a FROM e0)",
+        "seeds AS MATERIALIZED (SELECT node FROM ("
+        "SELECT DISTINCT u AS node FROM sym) ORDER BY node"
+        f" LIMIT {n_seeds})",
+        "f0 AS (SELECT node AS seed, node, 0 AS dist FROM seeds)",
+        "s0 AS (SELECT * FROM f0)",
+    ]
+    for d in range(1, max_depth + 1):
+        parts.append(
+            f"f{d} AS MATERIALIZED (SELECT f.seed, sym.v AS node,"
+            f" min({d}) AS dist"
+            f" FROM f{d - 1} f JOIN sym ON sym.u = f.node"
+            f" WHERE NOT EXISTS (SELECT 1 FROM s{d - 1} s"
+            f" WHERE s.seed = f.seed AND s.node = sym.v)"
+            f" GROUP BY f.seed, sym.v)")
+        parts.append(
+            f"s{d} AS MATERIALIZED (SELECT * FROM s{d - 1}"
+            f" UNION ALL SELECT * FROM f{d})")
+    t = max_depth
+    return (", ".join(parts)
+            + f"\nSELECT seed AS node,"
+            f" CAST(count(*) AS BIGINT) AS n_reached,"
+            f" round(sum(1.0 / dist), 6) AS harmonic"
+            f" FROM s{t} WHERE dist > 0"
+            f" GROUP BY seed ORDER BY node")

@@ -337,3 +337,65 @@ SELECT CAST(nn AS BIGINT) AS n_rows,
        round(wmin, 6) AS min_weight
 FROM agg
 """
+
+
+def temperature_mixture(df: DataFrame, group_col: str,
+                        alpha: float = 0.5) -> DataFrame:
+    """Temperature-scaled mixture shares: p_g ∝ (empirical share)^α
+    (the multilingual-LM sampling rule — α = 1 keeps the corpus as
+    is, α → 0 flattens to uniform; mT5 uses α ≈ 0.3): the POLICY
+    half of the reweighting story whose variance price
+    importance_ess quantifies. Per-group shares from one aggregate;
+    the α-power renormalization runs on the k-row frame. Output:
+    (group, n, emp_share, temp_share, upsample_factor) one row per
+    group ordered by group, rounds 6."""
+    per = (df.filter(F.col(group_col).isNotNull())
+           .groupBy(F.col(group_col).alias("g"))
+           .agg(F.count("*").alias("c")))
+    tot = Window.partitionBy()
+    staged = per.select(
+        "g", "c",
+        (F.col("c").cast("double")
+         / F.sum("c").over(tot).cast("double")).alias("emp"))
+    powed = staged.select(
+        "g", "c", "emp",
+        F.pow(F.col("emp"), F.lit(float(alpha))).alias("pw"))
+    normed = powed.select(
+        "g", "c", "emp",
+        (F.col("pw") / F.sum("pw").over(tot)).alias("tmp"))
+    return (normed.select(
+        F.col("g").alias("group"),
+        F.col("c").cast("long").alias("n"),
+        F.round(F.col("emp"), 6).alias("emp_share"),
+        F.round(F.col("tmp"), 6).alias("temp_share"),
+        F.round(F.col("tmp") / F.col("emp"), 6)
+        .alias("upsample_factor"))
+        .orderBy("group"))
+
+
+def temperature_mixture_sql(table: str, group_sql: str,
+                            alpha: float = 0.5) -> str:
+    return f"""
+WITH per AS (
+  SELECT {group_sql} AS g, count(*) AS c
+  FROM {table} WHERE {group_sql} IS NOT NULL
+  GROUP BY 1
+),
+staged AS (
+  SELECT g, c,
+         CAST(c AS DOUBLE) / sum(c) OVER () AS emp
+  FROM per
+),
+powed AS (
+  SELECT g, c, emp, pow(emp, {alpha!r}) AS pw FROM staged
+),
+normed AS (
+  SELECT g, c, emp, pw / sum(pw) OVER () AS tmp FROM powed
+)
+SELECT g AS "group", CAST(c AS BIGINT) AS n,
+       round(emp, 6) AS emp_share,
+       round(tmp, 6) AS temp_share,
+       round(tmp / emp, 6) AS upsample_factor
+FROM normed
+ORDER BY "group"
+"""

@@ -6802,3 +6802,189 @@ SELECT CAST(n AS BIGINT) AS n,
        round(CASE WHEN cv2 >= 0 THEN sqrt(cv2) END, 6) AS cv
 FROM d
 """
+
+
+def concentration_curve(customers: DataFrame, orders: DataFrame,
+                        cust_key: str = "c_custkey",
+                        rank_col: str = "c_acctbal",
+                        order_cust: str = "o_custkey",
+                        value_col: str = "o_totalprice") -> DataFrame:
+    """Concentration index of spend against the account-balance
+    ranking (Kakwani 1977; Wagstaff et al. 1991): rank customers by
+    ``rank_col`` (NOT by spend), accumulate their spend share, and
+    C = 1 − 2·∫L(p)dp via the exact trapezoid over the n-step curve
+    — the bivariate cousin of lorenz_deciles: C ≈ Gini means spend
+    concentrates among high-balance customers, C ≈ 0 means balance
+    tells you nothing, C < 0 means the POOR-balance tail spends
+    more. The value-ranked Gini (same trapezoid, spend ranking) ships
+    beside it as the ceiling |C| ≤ G. One join + two
+    sort-window passes over the bounded customer frame. Output: one
+    row (n, total_value, conc_index, gini_value), rounds 6."""
+    spend = (orders.groupBy(F.col(order_cust).alias("ck"))
+             .agg(F.sum(F.col(value_col).cast(_DEC)).alias("v")))
+    base = (customers
+            .join(spend, F.col(cust_key) == F.col("ck"), "left")
+            .select(F.col(cust_key).alias("ck"),
+                    F.col(rank_col).alias("r"),
+                    F.coalesce(F.col("v").cast("double"), F.lit(0.0))
+                    .alias("v")))
+
+    def _trapz(order_cols):
+        w = Window.orderBy(*order_cols)
+        tot = Window.partitionBy()
+        cums = base.select(
+            F.sum(F.col("v").cast(_DEC)).over(
+                w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double").alias("cum"),
+            F.sum(F.col("v").cast(_DEC)).over(tot).cast("double")
+            .alias("tv"),
+            F.count("*").over(tot).alias("n"))
+        # ∫L dp by trapezoid over n equal steps: Σ (L_{i-1}+L_i)/2n
+        lag_cum = F.lag("cum").over(Window.orderBy("cum"))
+        steps = cums.select(
+            "n", "tv",
+            ((F.coalesce(lag_cum, F.lit(0.0)) + F.col("cum"))
+             / (2.0 * F.col("n") * F.col("tv"))).alias("_a"))
+        return (steps.groupBy("n", "tv")
+                .agg(F.sum("_a").alias("area")))
+
+    conc = _trapz([F.asc("r"), F.asc("ck")]) \
+        .select("n", "tv", (1.0 - 2.0 * F.col("area")).alias("ci"))
+    gini = _trapz([F.asc("v"), F.asc("ck")]) \
+        .select((1.0 - 2.0 * F.col("area")).alias("gv"))
+    return (conc.crossJoin(F.broadcast(gini))
+            .select(F.col("n").cast("long").alias("n"),
+                    F.round(F.col("tv"), 6).alias("total_value"),
+                    F.round(F.col("ci"), 6).alias("conc_index"),
+                    F.round(F.col("gv"), 6).alias("gini_value")))
+
+
+def concentration_curve_sql(cust_table: str = "customer",
+                            order_table: str = "orders",
+                            cust_key: str = "c_custkey",
+                            rank_sql: str = "c_acctbal",
+                            order_cust: str = "o_custkey",
+                            value_sql: str = "o_totalprice") -> str:
+    def trapz(order_by: str) -> str:
+        return f"""
+  SELECT n, tv, sum((coalesce(lag_cum, 0.0) + cum)
+                    / (2.0 * n * tv)) AS area
+  FROM (
+    SELECT cum, lag(cum) OVER (ORDER BY cum) AS lag_cum, tv, n
+    FROM (
+      SELECT CAST(sum(CAST(v AS DECIMAL(38,12)))
+                  OVER (ORDER BY {order_by}
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS DOUBLE) AS cum,
+             CAST(sum(CAST(v AS DECIMAL(38,12))) OVER () AS DOUBLE)
+               AS tv,
+             count(*) OVER () AS n
+      FROM base
+    )
+  )
+  GROUP BY n, tv"""
+
+    return f"""
+WITH spend AS (
+  SELECT {order_cust} AS ck,
+         sum(CAST({value_sql} AS DECIMAL(38,12))) AS v
+  FROM {order_table} GROUP BY 1
+),
+base AS (
+  SELECT c.{cust_key} AS ck, c.{rank_sql} AS r,
+         coalesce(CAST(s.v AS DOUBLE), 0.0) AS v
+  FROM {cust_table} c LEFT JOIN spend s ON s.ck = c.{cust_key}
+),
+conc AS ({trapz("r, ck")}),
+gini AS ({trapz("v, ck")})
+SELECT CAST(conc.n AS BIGINT) AS n,
+       round(conc.tv, 6) AS total_value,
+       round(1.0 - 2.0 * conc.area, 6) AS conc_index,
+       round(1.0 - 2.0 * gini.area, 6) AS gini_value
+FROM conc CROSS JOIN gini
+"""
+
+
+def hodges_lehmann_daily(events: DataFrame, ts_col: str = "ts",
+                         value_col: str = "value") -> DataFrame:
+    """Hodges–Lehmann location estimator over the bounded daily
+    frame (Hodges & Lehmann 1963): the LOWER median of all Walsh
+    averages (x_i + x_j)/2, i ≤ j — 29% more efficient than the
+    median under normality yet with the signed-rank test's
+    robustness; it is the point estimate the Wilcoxon machinery
+    (wilcoxon_clicks_views) implicitly tests around. The m(m+1)/2
+    Walsh pairs come from a self-join of the m-row daily frame
+    (m ≈ days — bounded, never the fact table); the median is the
+    deterministic lower median via the cumulative distinct frame.
+    Output: one row (n_days, n_walsh, hl_estimate, plain_median),
+    rounds 6."""
+    daily = (events.filter(F.col(value_col).isNotNull())
+             .groupBy(F.to_date(ts_col).alias("day"))
+             .agg(F.round(F.sum(F.col(value_col).cast(_DEC))
+                          .cast("double"), 9).alias("x")))
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    walsh = (a.join(b, F.col("db") >= F.col("da"))
+             .select(F.round((F.col("xa") + F.col("xb")) / 2.0, 9)
+                     .alias("w")))
+
+    def _lower_median(df, col):
+        per = df.groupBy(col).agg(F.count("*").alias("ct"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        tot = Window.partitionBy()
+        return (per.select(F.col(col).alias("v"),
+                           F.sum("ct").over(w).alias("cum"),
+                           F.sum("ct").over(tot).alias("nn"))
+                .filter(F.col("cum") * 2 >= F.col("nn"))
+                .agg(F.min("v").alias("med"),
+                     F.max("nn").alias("nn")))
+
+    hl = _lower_median(walsh, "w") \
+        .select(F.col("med").alias("hl"), F.col("nn").alias("nw"))
+    pm = _lower_median(daily.select(F.col("x")), "x") \
+        .select(F.col("med").alias("pm"), F.col("nn").alias("nd"))
+    return (hl.crossJoin(F.broadcast(pm))
+            .select(F.col("nd").cast("long").alias("n_days"),
+                    F.col("nw").cast("long").alias("n_walsh"),
+                    F.round(F.col("hl"), 6).alias("hl_estimate"),
+                    F.round(F.col("pm"), 6).alias("plain_median")))
+
+
+def hodges_lehmann_daily_sql(table: str = "events",
+                             ts_sql: str = "ts",
+                             value_sql: str = "value") -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST({ts_sql} AS DATE) AS day,
+         round(CAST(sum(CAST({value_sql} AS DECIMAL(38,12)))
+                    AS DOUBLE), 9) AS x
+  FROM {table}
+  WHERE {value_sql} IS NOT NULL
+  GROUP BY 1
+),
+walsh AS (
+  SELECT round((a.x + b.x) / 2.0, 9) AS w
+  FROM daily a JOIN daily b ON b.day >= a.day
+),
+hl AS (
+  SELECT min(v) AS hl, max(nn) AS nw FROM (
+    SELECT w AS v,
+           sum(ct) OVER (ORDER BY w) AS cum,
+           sum(ct) OVER () AS nn
+    FROM (SELECT w, count(*) AS ct FROM walsh GROUP BY 1)
+  ) WHERE cum * 2 >= nn
+),
+pm AS (
+  SELECT min(v) AS pm, max(nn) AS nd FROM (
+    SELECT x AS v,
+           sum(ct) OVER (ORDER BY x) AS cum,
+           sum(ct) OVER () AS nn
+    FROM (SELECT x, count(*) AS ct FROM daily GROUP BY 1)
+  ) WHERE cum * 2 >= nn
+)
+SELECT CAST(nd AS BIGINT) AS n_days,
+       CAST(nw AS BIGINT) AS n_walsh,
+       round(hl, 6) AS hl_estimate,
+       round(pm, 6) AS plain_median
+FROM hl CROSS JOIN pm
+"""

@@ -260,3 +260,84 @@ def test_eigenvector_and_katz_invariant_to_edge_duplication(spark):
                spark.createDataFrame(edges)).collect()}
     # duplicated edge counts twice: center = beta + 2*alpha*beta
     assert got["c"] == round(1.0 + 2 * 0.05, 6)
+
+
+# ------------------------------------------------ round-12 seed quartet 2
+
+
+def test_concentration_curve_equals_gini_when_rank_is_value(spark):
+    """Ranking by spend itself must reproduce the Gini exactly; the
+    REVERSED ranking mirrors the curve and flips the sign."""
+    from distill_spark.operators.stats import concentration_curve
+
+    cust = pd.DataFrame({"c_custkey": [1, 2, 3, 4],
+                         "c_acctbal": [10.0, 20.0, 30.0, 40.0]})
+    orders = pd.DataFrame({"o_custkey": [1, 2, 3, 4],
+                           "o_totalprice": [10.0, 20.0, 30.0, 40.0]})
+    out = _row(concentration_curve(spark.createDataFrame(cust),
+                                   spark.createDataFrame(orders)))
+    assert out["conc_index"] == out["gini_value"]
+    rev = cust.assign(c_acctbal=[40.0, 30.0, 20.0, 10.0])
+    flipped = _row(concentration_curve(spark.createDataFrame(rev),
+                                       spark.createDataFrame(orders)))
+    assert flipped["conc_index"] == -out["gini_value"]
+    assert flipped["gini_value"] == out["gini_value"]
+
+
+def test_hodges_lehmann_planted_and_shift_equivariant(spark):
+    """Daily totals (1, 2, 3): Walsh averages {1, 1.5, 2, 2, 2.5, 3}
+    → lower median 2; a constant shift moves HL by exactly c."""
+    from distill_spark.operators.stats import hodges_lehmann_daily
+
+    def frame(shift):
+        rows = [(dt.datetime(2024, 1, 1) + dt.timedelta(days=d),
+                 float(d + 1) + shift)
+                for d in range(3)]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["ts", "value"]))
+
+    out = _row(hodges_lehmann_daily(frame(0.0)))
+    assert out["n_walsh"] == 6
+    assert out["hl_estimate"] == 2.0
+    shifted = _row(hodges_lehmann_daily(frame(100.0)))
+    assert shifted["hl_estimate"] == 102.0
+
+
+def test_temperature_mixture_identity_and_flattening(spark):
+    """α = 1 returns the empirical mixture unchanged; α = 0 flattens
+    to uniform (pow(share, 0) = 1 for every group)."""
+    from distill_spark.operators.sampling import temperature_mixture
+
+    pdf = pd.DataFrame({"source": ["s1"] * 9 + ["s2"] * 3})
+    sdf = spark.createDataFrame(pdf)
+    ident = {r["group"]: r.asDict()
+             for r in temperature_mixture(sdf, "source",
+                                          alpha=1.0).collect()}
+    assert ident["s1"]["temp_share"] == ident["s1"]["emp_share"] == 0.75
+    flat = {r["group"]: r.asDict()
+            for r in temperature_mixture(sdf, "source",
+                                         alpha=0.0).collect()}
+    assert flat["s1"]["temp_share"] == flat["s2"]["temp_share"] == 0.5
+    # α = 0.5 sits strictly between the two regimes
+    half = {r["group"]: r.asDict()
+            for r in temperature_mixture(sdf, "source",
+                                         alpha=0.5).collect()}
+    assert 0.5 < half["s1"]["temp_share"] < 0.75
+    assert half["s2"]["upsample_factor"] > 1.0
+
+
+def test_harmonic_closeness_star_graph(spark):
+    """Star a—{b,c,d,e}: H(a) = 4·1 = 4; every leaf sees the center
+    at 1 and the other three leaves at 2 → H = 1 + 3/2 = 2.5."""
+    from distill_spark.operators.graphstats import harmonic_closeness
+
+    pdf = pd.DataFrame({"a": ["a", "a", "a", "a"],
+                        "b": ["b", "c", "d", "e"]})
+    got = {r["node"]: r.asDict()
+           for r in harmonic_closeness(
+               spark.createDataFrame(pdf), n_seeds=5).collect()}
+    assert got["a"]["harmonic"] == 4.0
+    assert got["a"]["n_reached"] == 4
+    for leaf in "bcde":
+        assert got[leaf]["harmonic"] == 2.5
+        assert got[leaf]["n_reached"] == 4
