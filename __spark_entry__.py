@@ -11906,6 +11906,76 @@ def _sql_harmonic():
         "'s' || l_suppkey AS b FROM lineitem")
 
 
+def q_seasonal_mk(spark, sf_dir):
+    """Seasonal Mann–Kendall trend over day-of-week sub-series
+    (timeseries.seasonal_mann_kendall) — weekly cycles can neither
+    fake nor mask the trend mann_kendall_trend reads."""
+    from distill_spark.operators.timeseries import seasonal_mann_kendall
+
+    return seasonal_mann_kendall(_tables(spark, sf_dir)["events"])
+
+
+def _sql_seasonal_mk():
+    from distill_spark.operators.timeseries import (
+        seasonal_mann_kendall_sql,
+    )
+
+    return seasonal_mann_kendall_sql()
+
+
+def q_arch_lm(spark, sf_dir):
+    """Engle ARCH LM(1) on mean-centered daily totals
+    (timeseries.arch_lm1) — volatility clustering ljung_box can't
+    see in levels."""
+    from distill_spark.operators.timeseries import arch_lm1
+
+    return arch_lm1(_tables(spark, sf_dir)["events"])
+
+
+def _sql_arch_lm():
+    from distill_spark.operators.timeseries import arch_lm1_sql
+
+    return arch_lm1_sql()
+
+
+def q_partial_corr(spark, sf_dir):
+    """Partial correlation of quantity and line price given discount
+    (stats.partial_corr) — the confounder-hygiene step over
+    corr_matrix's raw r."""
+    from distill_spark.operators.stats import partial_corr
+
+    return partial_corr(_tables(spark, sf_dir)["lineitem"],
+                        "l_quantity", "l_extendedprice", "l_discount")
+
+
+def _sql_partial_corr():
+    from distill_spark.operators.stats import partial_corr_sql
+
+    return partial_corr_sql("lineitem", "l_quantity",
+                            "l_extendedprice", "l_discount")
+
+
+def q_ols_leverage(spark, sf_dir):
+    """Leverage / standardized-residual diagnostics of the
+    quantity→price simple regression with pinned worst point
+    (stats.ols_leverage) — the influence audit after
+    ols_price_model fits."""
+    from distill_spark.operators.stats import ols_leverage
+
+    li = _tables(spark, sf_dir)["lineitem"].withColumn(
+        "_lid", F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+    return ols_leverage(li, "l_quantity", "l_extendedprice", "_lid")
+
+
+def _sql_ols_leverage():
+    from distill_spark.operators.stats import ols_leverage_sql
+
+    li = ("(SELECT l_quantity, l_extendedprice, "
+          "l_orderkey * 8 + l_linenumber AS _lid FROM lineitem)")
+    return ols_leverage_sql(li, "l_quantity", "l_extendedprice",
+                            "_lid")
+
+
 # ---------------------------------------------------------------------------
 # Round-10 ninth stratum: paired daily tests (Wilcoxon signed-rank,
 # sign test), Haar multiresolution energy, decision-stump split gain.
@@ -12048,6 +12118,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "hodges_lehmann": (q_hodges_lehmann, _sql_hodges_lehmann()),
     "temperature_mixture": (q_temperature_mixture, _sql_temperature()),
     "harmonic_closeness": (q_harmonic_closeness, _sql_harmonic()),
+    "seasonal_mk": (q_seasonal_mk, _sql_seasonal_mk()),
+    "arch_lm": (q_arch_lm, _sql_arch_lm()),
+    "partial_corr": (q_partial_corr, _sql_partial_corr()),
+    "ols_leverage": (q_ols_leverage, _sql_ols_leverage()),
     # -- round-10 ninth stratum: paired tests / wavelets / stump gain ---------
     "wilcoxon_clicks_views": (q_wilcoxon_clicks_views, _sql_wilcoxon()),
     "sign_test_daily": (q_sign_test_daily, _sql_sign_test()),
@@ -12475,16 +12549,18 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
 # that nothing ELSE is hiding past the window unevidenced.
 # Round 11: the round-10 queue (Jonckheere / Quade / Conover / Dixon)
 # is PROMOTED into the window head; the window holds exactly the 46
-# round-11 queries + those 4. The round-12 seed stratum grew to EIGHT
-# (distribution distances: Wasserstein / energy / Hellinger+TV / GE;
-# robust-structural: concentration curve / Hodges-Lehmann /
-# temperature mixture / harmonic closeness) past position 50 — all
-# queued for the round-12 rotation, each parity-verified at sf0.001
-# and sf0.01.
+# round-11 queries + those 4. The round-12 seed stratum grew to
+# TWELVE past position 50 — distribution distances (Wasserstein /
+# energy / Hellinger+TV / GE), robust-structural (concentration
+# curve / Hodges-Lehmann / temperature mixture / harmonic closeness),
+# and trend/regression hygiene (seasonal Mann-Kendall / ARCH-LM /
+# partial correlation / OLS leverage) — all queued for the round-12
+# rotation, each parity-verified at sf0.001 and sf0.01.
 _PENDING_PROMOTION: frozenset[str] = frozenset({
     "wasserstein_1d", "energy_distance", "hellinger_tv",
     "ge_indices", "concentration_curve", "hodges_lehmann",
-    "temperature_mixture", "harmonic_closeness",
+    "temperature_mixture", "harmonic_closeness", "seasonal_mk",
+    "arch_lm", "partial_corr", "ols_leverage",
 })
 
 

