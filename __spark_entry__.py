@@ -12042,7 +12042,24 @@ def _sql_gini_split():
 
 
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
-    # ======================== ROUND-11 WINDOW ============================
+    # ======================== ROUND-12 WINDOW ============================
+    # -- round-12 head: the 12 seeds queued all of round 11 (each
+    # parity-verified at sf0.001 + sf0.01 before promotion) ------------------
+    "wasserstein_1d": (q_wasserstein_1d, _sql_wasserstein()),
+    "energy_distance": (q_energy_distance, _sql_energy()),
+    "hellinger_tv": (q_hellinger_tv, _sql_hellinger()),
+    "ge_indices": (q_ge_indices, _sql_ge_indices()),
+    "concentration_curve": (q_concentration_curve, _sql_concentration()),
+    "hodges_lehmann": (q_hodges_lehmann, _sql_hodges_lehmann()),
+    "temperature_mixture": (q_temperature_mixture, _sql_temperature()),
+    "harmonic_closeness": (q_harmonic_closeness, _sql_harmonic()),
+    "seasonal_mk": (q_seasonal_mk, _sql_seasonal_mk()),
+    "arch_lm": (q_arch_lm, _sql_arch_lm()),
+    "partial_corr": (q_partial_corr, _sql_partial_corr()),
+    "ols_leverage": (q_ols_leverage, _sql_ols_leverage()),
+    # ===================== END ROUND-12 WINDOW (50) ======================
+    # (new round-12 strata are inserted ABOVE this line as they land,
+    #  pushing the driver-green round-11 rows below position 50)
     # -- round-11 first stratum: the dispersion-test family ------------------
     "ansari_bradley": (q_ansari_bradley, _sql_ansari()),
     "brunner_munzel": (q_brunner_munzel, _sql_brunner()),
@@ -12106,22 +12123,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "quade_dow": (q_quade_dow, _sql_quade()),
     "conover_scale": (q_conover_scale, _sql_conover()),
     "dixon_q_extremes": (q_dixon_q_extremes, _sql_dixon()),
-    # ===================== END ROUND-11 WINDOW (50) ======================
-    # -- round-12 seed stratum (positions 51+, queued in
-    # _PENDING_PROMOTION): distribution distances + robust/structural
-    # second quartet ---------------------------------------------------------
-    "wasserstein_1d": (q_wasserstein_1d, _sql_wasserstein()),
-    "energy_distance": (q_energy_distance, _sql_energy()),
-    "hellinger_tv": (q_hellinger_tv, _sql_hellinger()),
-    "ge_indices": (q_ge_indices, _sql_ge_indices()),
-    "concentration_curve": (q_concentration_curve, _sql_concentration()),
-    "hodges_lehmann": (q_hodges_lehmann, _sql_hodges_lehmann()),
-    "temperature_mixture": (q_temperature_mixture, _sql_temperature()),
-    "harmonic_closeness": (q_harmonic_closeness, _sql_harmonic()),
-    "seasonal_mk": (q_seasonal_mk, _sql_seasonal_mk()),
-    "arch_lm": (q_arch_lm, _sql_arch_lm()),
-    "partial_corr": (q_partial_corr, _sql_partial_corr()),
-    "ols_leverage": (q_ols_leverage, _sql_ols_leverage()),
     # -- round-10 ninth stratum: paired tests / wavelets / stump gain ---------
     "wilcoxon_clicks_views": (q_wilcoxon_clicks_views, _sql_wilcoxon()),
     "sign_test_daily": (q_sign_test_daily, _sql_sign_test()),
@@ -12547,21 +12548,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
 # the driver window, and not already be driver-green (else it should
 # leave the queue). tests/test_registry_gate.py enforces all three +
 # that nothing ELSE is hiding past the window unevidenced.
-# Round 11: the round-10 queue (Jonckheere / Quade / Conover / Dixon)
-# is PROMOTED into the window head; the window holds exactly the 46
-# round-11 queries + those 4. The round-12 seed stratum grew to
-# TWELVE past position 50 — distribution distances (Wasserstein /
-# energy / Hellinger+TV / GE), robust-structural (concentration
-# curve / Hodges-Lehmann / temperature mixture / harmonic closeness),
-# and trend/regression hygiene (seasonal Mann-Kendall / ARCH-LM /
-# partial correlation / OLS leverage) — all queued for the round-12
-# rotation, each parity-verified at sf0.001 and sf0.01.
-_PENDING_PROMOTION: frozenset[str] = frozenset({
-    "wasserstein_1d", "energy_distance", "hellinger_tv",
-    "ge_indices", "concentration_curve", "hodges_lehmann",
-    "temperature_mixture", "harmonic_closeness", "seasonal_mk",
-    "arch_lm", "partial_corr", "ols_leverage",
-})
+# Round 12: the twelve round-11 seeds (distribution distances,
+# robust/structural quartet, trend/regression hygiene) are PROMOTED
+# into the window head; the queue refills with round-13 seeds as they
+# land past position 50.
+_PENDING_PROMOTION: frozenset[str] = frozenset()
 
 
 def entry(spark: SparkSession) -> DataFrame:
