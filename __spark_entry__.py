@@ -12041,6 +12041,124 @@ def _sql_gini_split():
     return gini_split_sql("events", _MLEVAL_LABEL, "value")
 
 
+# ---------------------------------------------------------------------------
+# Round-12 first stratum: the regression-diagnostics completion —
+# after ols_price_model FITS and ols_leverage flags leverage, these
+# six close the audit loop: influence (Cook), heteroskedasticity
+# (Breusch–Pagan → and its WLS fix), functional form (RESET),
+# collinearity (ridge path), and parameter stability (Chow).
+
+_LINEITEM_LID = "l_orderkey * 8 + l_linenumber"
+
+
+def _lineitem_lid(t):
+    return t["lineitem"].withColumn(
+        "_lid", F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+
+
+def q_cooks_distance(spark, sf_dir):
+    """Cook's distance audit of the quantity→price regression with
+    the pinned worst point and the 4/n screening count
+    (stats.cooks_distance) — influence = residual × leverage, the
+    refit-sensitivity number ols_leverage's two factors multiply to."""
+    from distill_spark.operators.stats import cooks_distance
+
+    return cooks_distance(_lineitem_lid(_tables(spark, sf_dir)),
+                          "l_quantity", "l_extendedprice", "_lid")
+
+
+def _sql_cooks():
+    from distill_spark.operators.stats import cooks_distance_sql
+
+    return cooks_distance_sql(
+        f"(SELECT *, {_LINEITEM_LID} AS _lid FROM lineitem)",
+        "l_quantity", "l_extendedprice", "_lid")
+
+
+def q_breusch_pagan(spark, sf_dir):
+    """Breusch–Pagan / Koenker heteroskedasticity LM on the
+    quantity→price fit (stats.breusch_pagan) — price variance GROWS
+    with quantity by construction, so this is the test that says
+    ols_price_model's homoskedastic SEs are wrong."""
+    from distill_spark.operators.stats import breusch_pagan
+
+    return breusch_pagan(_tables(spark, sf_dir)["lineitem"],
+                         "l_quantity", "l_extendedprice")
+
+
+def _sql_bp():
+    from distill_spark.operators.stats import breusch_pagan_sql
+
+    return breusch_pagan_sql("lineitem", "l_quantity",
+                             "l_extendedprice")
+
+
+def q_reset_quadratic(spark, sf_dir):
+    """Ramsey RESET (quadratic augmentation F) of the quantity→price
+    regression (stats.reset_quadratic) — the functional-form check:
+    for simple regressions ŷ² is collinear with x², so RESET(2) is
+    the exact F-test of the missing curvature term."""
+    from distill_spark.operators.stats import reset_quadratic
+
+    return reset_quadratic(_tables(spark, sf_dir)["lineitem"],
+                           "l_quantity", "l_extendedprice")
+
+
+def _sql_reset():
+    from distill_spark.operators.stats import reset_quadratic_sql
+
+    return reset_quadratic_sql("lineitem", "l_quantity",
+                               "l_extendedprice")
+
+
+def q_ridge_path(spark, sf_dir):
+    """Closed-form standardized ridge path (λ ∈ {0, 0.1, 1, 10}) for
+    price ~ quantity + discount (stats.ridge_path) — the 2×2
+    (R+λI)⁻¹ solve per λ, with the shrinkage readout that prices the
+    predictors' collinearity."""
+    from distill_spark.operators.stats import ridge_path
+
+    return ridge_path(_tables(spark, sf_dir)["lineitem"],
+                      "l_extendedprice", "l_quantity", "l_discount")
+
+
+def _sql_ridge():
+    from distill_spark.operators.stats import ridge_path_sql
+
+    return ridge_path_sql("lineitem", "l_extendedprice",
+                          "l_quantity", "l_discount")
+
+
+def q_wls_daily(spark, sf_dir):
+    """OLS vs count-weighted WLS trend of the daily mean event value
+    (timeseries.wls_daily_trend) — the generalized-least-squares fix
+    for the unequal-precision day problem breusch_pagan diagnoses."""
+    from distill_spark.operators.timeseries import wls_daily_trend
+
+    return wls_daily_trend(_tables(spark, sf_dir)["events"])
+
+
+def _sql_wls():
+    from distill_spark.operators.timeseries import wls_daily_trend_sql
+
+    return wls_daily_trend_sql()
+
+
+def q_chow_break(spark, sf_dir):
+    """Chow structural-break F of the daily-total trend at the
+    calendar midpoint (timeseries.chow_break) — did the LINE change,
+    not just the level pettitt_change watches."""
+    from distill_spark.operators.timeseries import chow_break
+
+    return chow_break(_tables(spark, sf_dir)["events"])
+
+
+def _sql_chow():
+    from distill_spark.operators.timeseries import chow_break_sql
+
+    return chow_break_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ======================== ROUND-12 WINDOW ============================
     # -- round-12 head: the 12 seeds queued all of round 11 (each
@@ -12057,6 +12175,13 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "arch_lm": (q_arch_lm, _sql_arch_lm()),
     "partial_corr": (q_partial_corr, _sql_partial_corr()),
     "ols_leverage": (q_ols_leverage, _sql_ols_leverage()),
+    # -- round-12 first stratum: regression-diagnostics completion ----------
+    "cooks_distance": (q_cooks_distance, _sql_cooks()),
+    "breusch_pagan": (q_breusch_pagan, _sql_bp()),
+    "reset_quadratic": (q_reset_quadratic, _sql_reset()),
+    "ridge_path": (q_ridge_path, _sql_ridge()),
+    "wls_daily": (q_wls_daily, _sql_wls()),
+    "chow_break": (q_chow_break, _sql_chow()),
     # ===================== END ROUND-12 WINDOW (50) ======================
     # (new round-12 strata are inserted ABOVE this line as they land,
     #  pushing the driver-green round-11 rows below position 50)

@@ -7215,3 +7215,512 @@ SELECT CAST(a.n AS BIGINT) AS n,
          AS worst_id
 FROM agg a
 """
+
+
+# -------------------------------------------------------- round 12:
+# regression-diagnostics completion — Cook's distance, the
+# Breusch–Pagan/Koenker heteroskedasticity LM, Ramsey RESET via the
+# quadratic augmentation, and a closed-form standardized ridge path.
+# All are one- or two-scan moment plans: the fact table contributes
+# DECIMAL partial sums (map-side combined); the algebra happens on a
+# one-row frame. Nothing here shuffles the fact table at 100 TB.
+
+def cooks_distance(df: DataFrame, x_col: str, y_col: str,
+                   id_col: str) -> DataFrame:
+    """Cook's distance audit of the simple regression (Cook 1977):
+    D_i = e_i²·h_i / (p·s²·(1−h_i)²) with p = 2 — influence =
+    outlyingness × leverage, the single number that says "refit
+    without this point and the line moves". Completes ols_leverage:
+    a point can have big leverage OR a big residual and still be
+    harmless; D_i flags the product. Same two-pass shape (moments →
+    broadcast fit → per-row score), with the >4/n screening count
+    and the pinned argmax point. Output: one row (n, max_cooks,
+    worst_id, n_influential, sum_cooks), rounds 6."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        x.alias("x"), y.alias("y"), F.col(id_col).alias("id"))
+    m = base.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(_DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(_DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(_DEC)).cast("double")
+        .alias("sxy"))
+    n = F.col("n").cast("double")
+    xbar = F.col("sx") / n
+    ssx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / ssx
+    fit = m.select(
+        "n", xbar.alias("xbar"), ssx.alias("ssx"),
+        slope.alias("b1"),
+        (F.col("sy") / n - slope * xbar).alias("b0"))
+    scored = base.crossJoin(F.broadcast(fit)).select(
+        "id",
+        (F.col("y") - F.col("b0") - F.col("b1") * F.col("x"))
+        .alias("e"),
+        (1.0 / F.col("n")
+         + (F.col("x") - F.col("xbar")) * (F.col("x") - F.col("xbar"))
+         / F.col("ssx")).alias("h"),
+        F.col("n"))
+    s2 = (scored.agg(
+        F.sum((F.col("e") * F.col("e")).cast(_DEC)).cast("double")
+        .alias("sse"), F.max("n").alias("n"))
+        .select((F.col("sse") / (F.col("n").cast("double") - 2))
+                .alias("s2")))
+    d = scored.crossJoin(F.broadcast(s2)).select(
+        "id", "n",
+        F.round(F.col("e") * F.col("e") * F.col("h")
+                / (2.0 * F.col("s2")
+                   * (1.0 - F.col("h")) * (1.0 - F.col("h"))), 9)
+        .alias("d"))
+    agg = d.groupBy("n").agg(
+        F.max("d").alias("dmax"),
+        F.sum(F.when(F.col("d") > 4.0 / F.col("n"), 1).otherwise(0))
+        .alias("infl"),
+        F.round(F.sum(F.col("d").cast(_DEC)).cast("double"), 6)
+        .alias("dsum"),
+        F.max(F.struct(F.col("d"),
+                       (-F.col("id").cast("long")).alias("nid")))
+        .alias("worst"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("dmax"), 6).alias("max_cooks"),
+        (-F.col("worst.nid")).cast("long").alias("worst_id"),
+        F.col("infl").cast("long").alias("n_influential"),
+        F.col("dsum").alias("sum_cooks"))
+
+
+def cooks_distance_sql(table: str, x_sql: str, y_sql: str,
+                       id_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST({x_sql} AS DOUBLE) AS x, CAST({y_sql} AS DOUBLE) AS y,
+         {id_sql} AS id
+  FROM {table}
+  WHERE CAST({x_sql} AS DOUBLE) IS NOT NULL
+    AND CAST({y_sql} AS DOUBLE) IS NOT NULL
+),
+m AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM base
+),
+fit AS (
+  SELECT n, sx / CAST(n AS DOUBLE) AS xbar,
+         sxx - sx * sx / CAST(n AS DOUBLE) AS ssx,
+         (sxy - sx * sy / CAST(n AS DOUBLE))
+           / (sxx - sx * sx / CAST(n AS DOUBLE)) AS b1,
+         sy / CAST(n AS DOUBLE)
+           - (sxy - sx * sy / CAST(n AS DOUBLE))
+             / (sxx - sx * sx / CAST(n AS DOUBLE))
+             * (sx / CAST(n AS DOUBLE)) AS b0
+  FROM m
+),
+scored AS (
+  SELECT b.id, b.y - f.b0 - f.b1 * b.x AS e,
+         1.0 / f.n + (b.x - f.xbar) * (b.x - f.xbar) / f.ssx AS h,
+         f.n
+  FROM base b CROSS JOIN fit f
+),
+s2 AS (
+  SELECT CAST(sum(CAST(e * e AS DECIMAL(38,12))) AS DOUBLE)
+           / (CAST(max(n) AS DOUBLE) - 2) AS s2
+  FROM scored
+),
+d AS (
+  SELECT id, n,
+         round(e * e * h
+               / (2.0 * s.s2 * (1.0 - h) * (1.0 - h)), 9) AS d
+  FROM scored CROSS JOIN s2 s
+),
+agg AS (
+  SELECT n, max(d) AS dmax,
+         sum(CASE WHEN d > 4.0 / n THEN 1 ELSE 0 END) AS infl,
+         round(CAST(sum(CAST(d AS DECIMAL(38,12))) AS DOUBLE), 6)
+           AS dsum
+  FROM d GROUP BY n
+)
+SELECT CAST(a.n AS BIGINT) AS n,
+       round(a.dmax, 6) AS max_cooks,
+       CAST((SELECT min(id) FROM d WHERE d = a.dmax) AS BIGINT)
+         AS worst_id,
+       CAST(a.infl AS BIGINT) AS n_influential,
+       a.dsum AS sum_cooks
+FROM agg a
+"""
+
+
+def breusch_pagan(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Breusch–Pagan heteroskedasticity LM test (Breusch & Pagan
+    1979; Koenker 1981 studentized form): fit y ~ x, then regress
+    e² on x — if residual VARIANCE moves with x, the OLS standard
+    errors everywhere else in this module are lying. Koenker's
+    LM = n·R²_aux is the robust default; the original BP statistic
+    ESS_g/2 (g = e²/σ̂²) is reported beside it for the normal-errors
+    reading. Two scans: fit moments, then one pass accumulating the
+    aux-regression moments of (e², x) — no residual materialization.
+    σ̂² surfaces as its root (resid_rmse): the raw 1e9-scale variance
+    rounded to 6 decimals would need 16 cross-engine significant
+    digits, past double ulp. Output: one row (n, resid_rmse, r2_aux,
+    koenker_lm, bp_stat), rounds 6."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        x.alias("x"), y.alias("y"))
+    m = base.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(_DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(_DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(_DEC)).cast("double")
+        .alias("sxy"))
+    n = F.col("n").cast("double")
+    xbar = F.col("sx") / n
+    ssx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / ssx
+    fit = m.select(
+        "n", slope.alias("b1"),
+        (F.col("sy") / n - slope * xbar).alias("b0"))
+    aux = base.crossJoin(F.broadcast(fit)).select(
+        "x", "n",
+        F.round((F.col("y") - F.col("b0") - F.col("b1") * F.col("x"))
+                * (F.col("y") - F.col("b0") - F.col("b1") * F.col("x")),
+                9).alias("u"))
+    a = aux.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("u").cast(_DEC)).cast("double").alias("su"),
+        F.sum((F.col("u") * F.col("u")).cast(_DEC)).cast("double")
+        .alias("suu"),
+        F.sum(F.col("x").cast(_DEC)).cast("double").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("u")).cast(_DEC)).cast("double")
+        .alias("sxu"))
+    an = F.col("n").cast("double")
+    vu = an * F.col("suu") - F.col("su") * F.col("su")
+    vx = an * F.col("sxx") - F.col("sx") * F.col("sx")
+    cov = an * F.col("sxu") - F.col("sx") * F.col("su")
+    r2 = F.when((vu > 0) & (vx > 0), cov * cov / (vu * vx))
+    sigma2 = F.col("su") / an
+    # ESS of u on x = r2 · SST_u; BP = ESS_g/2 with g = u/σ̂² scaling
+    # SST by σ̂⁻⁴
+    ess_u = r2 * vu / an
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.sqrt(sigma2), 6).alias("resid_rmse"),
+        F.round(r2, 6).alias("r2_aux"),
+        F.round(an * r2, 6).alias("koenker_lm"),
+        F.round(ess_u / (2.0 * sigma2 * sigma2), 6).alias("bp_stat"))
+
+
+def breusch_pagan_sql(table: str, x_sql: str, y_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST({x_sql} AS DOUBLE) AS x, CAST({y_sql} AS DOUBLE) AS y
+  FROM {table}
+  WHERE CAST({x_sql} AS DOUBLE) IS NOT NULL
+    AND CAST({y_sql} AS DOUBLE) IS NOT NULL
+),
+m AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM base
+),
+fit AS (
+  SELECT n,
+         (sxy - sx * sy / CAST(n AS DOUBLE))
+           / (sxx - sx * sx / CAST(n AS DOUBLE)) AS b1,
+         sy / CAST(n AS DOUBLE)
+           - (sxy - sx * sy / CAST(n AS DOUBLE))
+             / (sxx - sx * sx / CAST(n AS DOUBLE))
+             * (sx / CAST(n AS DOUBLE)) AS b0
+  FROM m
+),
+aux AS (
+  SELECT b.x, f.n,
+         round((b.y - f.b0 - f.b1 * b.x)
+               * (b.y - f.b0 - f.b1 * b.x), 9) AS u
+  FROM base b CROSS JOIN fit f
+),
+a AS (
+  SELECT max(n) AS n,
+         CAST(sum(CAST(u AS DECIMAL(38,12))) AS DOUBLE) AS su,
+         CAST(sum(CAST(u * u AS DECIMAL(38,12))) AS DOUBLE) AS suu,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(x * u AS DECIMAL(38,12))) AS DOUBLE) AS sxu
+  FROM aux
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(sqrt(su / CAST(n AS DOUBLE)), 6) AS resid_rmse,
+       round(CASE WHEN CAST(n AS DOUBLE) * suu - su * su > 0
+                   AND CAST(n AS DOUBLE) * sxx - sx * sx > 0 THEN
+         (CAST(n AS DOUBLE) * sxu - sx * su)
+         * (CAST(n AS DOUBLE) * sxu - sx * su)
+         / ((CAST(n AS DOUBLE) * suu - su * su)
+            * (CAST(n AS DOUBLE) * sxx - sx * sx)) END, 6) AS r2_aux,
+       round(CAST(n AS DOUBLE) * (CASE WHEN CAST(n AS DOUBLE) * suu - su * su > 0
+                   AND CAST(n AS DOUBLE) * sxx - sx * sx > 0 THEN
+         (CAST(n AS DOUBLE) * sxu - sx * su)
+         * (CAST(n AS DOUBLE) * sxu - sx * su)
+         / ((CAST(n AS DOUBLE) * suu - su * su)
+            * (CAST(n AS DOUBLE) * sxx - sx * sx)) END), 6) AS koenker_lm,
+       round((CASE WHEN CAST(n AS DOUBLE) * suu - su * su > 0
+                   AND CAST(n AS DOUBLE) * sxx - sx * sx > 0 THEN
+         (CAST(n AS DOUBLE) * sxu - sx * su)
+         * (CAST(n AS DOUBLE) * sxu - sx * su)
+         / ((CAST(n AS DOUBLE) * suu - su * su)
+            * (CAST(n AS DOUBLE) * sxx - sx * sx)) END)
+         * (CAST(n AS DOUBLE) * suu - su * su) / CAST(n AS DOUBLE)
+         / (2.0 * (su / CAST(n AS DOUBLE)) * (su / CAST(n AS DOUBLE))), 6)
+         AS bp_stat
+FROM a
+"""
+
+
+def _reset_sse_exprs() -> tuple[str, str]:
+    """(restricted, unrestricted) SSE formula strings over the moment
+    names {n, sy, syy, s1, s1y, s11, s2, s2y, s12, s22} where x1 = x
+    and x2 = x² — valid verbatim as Spark SQL and DuckDB SQL, so both
+    engines run the identical double chain (the ols2_formulas
+    contract)."""
+    from .ols import _det3
+
+    A = [("n", "s1", "s2"), ("s1", "s11", "s12"), ("s2", "s12", "s22")]
+    rhs = ("sy", "s1y", "s2y")
+    det = _det3(*A)
+    coef = lambda col: _det3(*[  # noqa: E731
+        tuple(rhs[r] if c == col else A[r][c] for c in range(3))
+        for r in range(3)])
+    b0, b1, b2 = (f"({coef(i)} / {det})" for i in range(3))
+    sse_u = f"(syy - ({b0}*sy + {b1}*s1y + {b2}*s2y))"
+    sse_r = ("(syy - sy*sy/n"
+             " - (s1y - s1*sy/n)*(s1y - s1*sy/n) / (s11 - s1*s1/n))")
+    return sse_r, sse_u
+
+
+def reset_quadratic(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Ramsey RESET specification test, quadratic form (Ramsey 1969):
+    for a simple regression the ŷ² augmentation is collinear with x²,
+    so RESET(2) is exactly the F-test of adding x² — F = (SSE_r −
+    SSE_u) / (SSE_u/(n−3)). A significant F says the "linear fit"
+    ols_price_model reports is the wrong FUNCTIONAL FORM, not just a
+    noisy one. ONE moments pass (x, x², y cross-sums in DECIMAL);
+    both SSEs are closed-form Cramer strings evaluated verbatim by
+    both engines. The SSEs surface as RMSEs, not raw sums: a raw
+    1e13-scale SSE rounded to 6 decimals would demand ~20 significant
+    digits of cross-engine agreement — beyond double, and DuckDB's
+    DECIMAL(38,12)→DOUBLE cast double-rounds (int128→double, then
+    ÷10¹²), drifting integral x-moments by 1 ulp; the ÷n + √
+    compression makes every reported number insensitive to ulp-level
+    moment wobble while F keeps the exact test. Output: one row
+    (n, rmse_restricted, rmse_unrestricted, f_reset), rounds 6."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        x.alias("x"), (x * x).alias("x2"), y.alias("y"))
+
+    def dsum(expr, name):
+        return F.sum(expr.cast(_DEC)).cast("double").alias(name)
+
+    m = base.agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(F.col("y"), "sy"),
+        dsum(F.col("y") * F.col("y"), "syy"),
+        dsum(F.col("x"), "s1"),
+        dsum(F.col("x") * F.col("y"), "s1y"),
+        dsum(F.col("x") * F.col("x"), "s11"),
+        dsum(F.col("x") * F.col("x2"), "s12"),
+        dsum(F.col("x2"), "s2"),
+        dsum(F.col("x2") * F.col("y"), "s2y"),
+        dsum(F.col("x2") * F.col("x2"), "s22"))
+    sse_r, sse_u = _reset_sse_exprs()
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.expr(f"sqrt(({sse_r}) / (n - 2))"), 6)
+        .alias("rmse_restricted"),
+        F.round(F.expr(f"sqrt(({sse_u}) / (n - 3))"), 6)
+        .alias("rmse_unrestricted"),
+        F.round(F.expr(
+            f"(({sse_r}) - ({sse_u})) / (({sse_u}) / (n - 3))"), 6)
+        .alias("f_reset"))
+
+
+def reset_quadratic_sql(table: str, x_sql: str, y_sql: str) -> str:
+    sse_r, sse_u = _reset_sse_exprs()
+
+    def dsum(expr, name):
+        return (f"CAST(sum(CAST({expr} AS DECIMAL(38,12))) AS DOUBLE)"
+                f" AS {name}")
+
+    return f"""
+WITH base AS (
+  SELECT CAST({x_sql} AS DOUBLE) AS x,
+         CAST({x_sql} AS DOUBLE) * CAST({x_sql} AS DOUBLE) AS x2,
+         CAST({y_sql} AS DOUBLE) AS y
+  FROM {table}
+  WHERE CAST({x_sql} AS DOUBLE) IS NOT NULL
+    AND CAST({y_sql} AS DOUBLE) IS NOT NULL
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         {dsum('y', 'sy')}, {dsum('y * y', 'syy')},
+         {dsum('x', 's1')}, {dsum('x * y', 's1y')},
+         {dsum('x * x', 's11')}, {dsum('x * x2', 's12')},
+         {dsum('x2', 's2')}, {dsum('x2 * y', 's2y')},
+         {dsum('x2 * x2', 's22')}
+  FROM base
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(sqrt(({sse_r}) / (n - 2)), 6) AS rmse_restricted,
+       round(sqrt(({sse_u}) / (n - 3)), 6) AS rmse_unrestricted,
+       round((({sse_r}) - ({sse_u})) / (({sse_u}) / (n - 3)), 6)
+         AS f_reset
+FROM m
+"""
+
+
+_RIDGE_LAMBDAS = (0.0, 0.1, 1.0, 10.0)
+
+
+def ridge_path(df: DataFrame, y_col: str, x1_col: str,
+               x2_col: str) -> DataFrame:
+    """Closed-form ridge path for the standardized 2-predictor model
+    (Hoerl & Kennard 1970): over correlations r12, r1y, r2y the
+    solution of (R + λI)β = r is the 2×2 inverse — β1(λ) =
+    ((1+λ)·r1y − r12·r2y)/((1+λ)² − r12²), symmetric for β2 — so the
+    WHOLE path costs one moments pass plus per-λ algebra on a one-row
+    frame. The shrinkage column ‖β(λ)‖/‖β(0)‖ is the collinearity
+    readout: it decays fast exactly when r12 makes OLS unstable.
+    Output: one row per λ (lambda, beta1_std, beta2_std, l2_norm,
+    shrinkage), rounds 6, ordered by λ."""
+    cols = {"y": F.col(y_col).cast("double"),
+            "x1": F.col(x1_col).cast("double"),
+            "x2": F.col(x2_col).cast("double")}
+    base = df.filter(cols["y"].isNotNull() & cols["x1"].isNotNull()
+                     & cols["x2"].isNotNull()).select(
+        *[v.alias(k) for k, v in cols.items()])
+
+    def dsum(expr, name):
+        return F.sum(expr.cast(_DEC)).cast("double").alias(name)
+
+    m = base.agg(
+        F.count("*").cast("double").alias("n"),
+        *[dsum(F.col(c), f"s_{c}") for c in ("y", "x1", "x2")],
+        *[dsum(F.col(a) * F.col(b), f"s_{a}_{b}")
+          for a, b in (("y", "y"), ("x1", "x1"), ("x2", "x2"),
+                       ("x1", "y"), ("x2", "y"), ("x1", "x2"))])
+
+    def corr(a, b):
+        va = (F.col("n") * F.col(f"s_{a}_{a}")
+              - F.col(f"s_{a}") * F.col(f"s_{a}"))
+        vb = (F.col("n") * F.col(f"s_{b}_{b}")
+              - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        cov = (F.col("n") * F.col(f"s_{a}_{b}")
+               - F.col(f"s_{a}") * F.col(f"s_{b}"))
+        return cov / (F.sqrt(va) * F.sqrt(vb))
+
+    r = m.select(corr("x1", "y").alias("r1y"),
+                 corr("x2", "y").alias("r2y"),
+                 corr("x1", "x2").alias("r12"))
+    lam = F.col("lam")
+    det = (1.0 + lam) * (1.0 + lam) - F.col("r12") * F.col("r12")
+    b1 = ((1.0 + lam) * F.col("r1y") - F.col("r12") * F.col("r2y")) / det
+    b2 = ((1.0 + lam) * F.col("r2y") - F.col("r12") * F.col("r1y")) / det
+    det0 = 1.0 - F.col("r12") * F.col("r12")
+    b10 = (F.col("r1y") - F.col("r12") * F.col("r2y")) / det0
+    b20 = (F.col("r2y") - F.col("r12") * F.col("r1y")) / det0
+    norm0 = F.sqrt(b10 * b10 + b20 * b20)
+    path = r.select(
+        F.explode(F.array(*[F.lit(v) for v in _RIDGE_LAMBDAS]))
+        .alias("lam"), "r1y", "r2y", "r12")
+    return path.select(
+        F.round(lam, 6).alias("lambda"),
+        F.round(b1, 6).alias("beta1_std"),
+        F.round(b2, 6).alias("beta2_std"),
+        F.round(F.sqrt(b1 * b1 + b2 * b2), 6).alias("l2_norm"),
+        F.round(F.sqrt(b1 * b1 + b2 * b2) / norm0, 6)
+        .alias("shrinkage")).orderBy("lambda")
+
+
+def ridge_path_sql(table: str, y_sql: str, x1_sql: str,
+                   x2_sql: str) -> str:
+    def dsum(expr, name):
+        return (f"CAST(sum(CAST({expr} AS DECIMAL(38,12))) AS DOUBLE)"
+                f" AS {name}")
+
+    def corr(a, b):
+        va = f"(n * s_{a}_{a} - s_{a} * s_{a})"
+        vb = f"(n * s_{b}_{b} - s_{b} * s_{b})"
+        cov = f"(n * s_{a}_{b} - s_{a} * s_{b})"
+        return f"({cov} / (sqrt({va}) * sqrt({vb})))"
+
+    lams = ", ".join(f"({v!r})" for v in _RIDGE_LAMBDAS)
+    return f"""
+WITH base AS (
+  SELECT CAST({y_sql} AS DOUBLE) AS y,
+         CAST({x1_sql} AS DOUBLE) AS x1,
+         CAST({x2_sql} AS DOUBLE) AS x2
+  FROM {table}
+  WHERE CAST({y_sql} AS DOUBLE) IS NOT NULL
+    AND CAST({x1_sql} AS DOUBLE) IS NOT NULL
+    AND CAST({x2_sql} AS DOUBLE) IS NOT NULL
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         {dsum('y', 's_y')}, {dsum('x1', 's_x1')}, {dsum('x2', 's_x2')},
+         {dsum('y * y', 's_y_y')}, {dsum('x1 * x1', 's_x1_x1')},
+         {dsum('x2 * x2', 's_x2_x2')}, {dsum('x1 * y', 's_x1_y')},
+         {dsum('x2 * y', 's_x2_y')}, {dsum('x1 * x2', 's_x1_x2')}
+  FROM base
+),
+r AS (
+  SELECT {corr('x1', 'y')} AS r1y, {corr('x2', 'y')} AS r2y,
+         {corr('x1', 'x2')} AS r12
+  FROM m
+),
+path AS (
+  SELECT l.lam, r.r1y, r.r2y, r.r12
+  FROM r CROSS JOIN
+       (SELECT CAST(unnest([{lams}]) AS DOUBLE) AS lam) l
+)
+SELECT round(lam, 6) AS "lambda",
+       round(((1.0 + lam) * r1y - r12 * r2y)
+             / ((1.0 + lam) * (1.0 + lam) - r12 * r12), 6) AS beta1_std,
+       round(((1.0 + lam) * r2y - r12 * r1y)
+             / ((1.0 + lam) * (1.0 + lam) - r12 * r12), 6) AS beta2_std,
+       round(sqrt(
+         (((1.0 + lam) * r1y - r12 * r2y)
+          / ((1.0 + lam) * (1.0 + lam) - r12 * r12))
+         * (((1.0 + lam) * r1y - r12 * r2y)
+            / ((1.0 + lam) * (1.0 + lam) - r12 * r12))
+         + (((1.0 + lam) * r2y - r12 * r1y)
+            / ((1.0 + lam) * (1.0 + lam) - r12 * r12))
+         * (((1.0 + lam) * r2y - r12 * r1y)
+            / ((1.0 + lam) * (1.0 + lam) - r12 * r12))), 6) AS l2_norm,
+       round(sqrt(
+         (((1.0 + lam) * r1y - r12 * r2y)
+          / ((1.0 + lam) * (1.0 + lam) - r12 * r12))
+         * (((1.0 + lam) * r1y - r12 * r2y)
+            / ((1.0 + lam) * (1.0 + lam) - r12 * r12))
+         + (((1.0 + lam) * r2y - r12 * r1y)
+            / ((1.0 + lam) * (1.0 + lam) - r12 * r12))
+         * (((1.0 + lam) * r2y - r12 * r1y)
+            / ((1.0 + lam) * (1.0 + lam) - r12 * r12)))
+         / sqrt(
+         ((r1y - r12 * r2y) / (1.0 - r12 * r12))
+         * ((r1y - r12 * r2y) / (1.0 - r12 * r12))
+         + ((r2y - r12 * r1y) / (1.0 - r12 * r12))
+         * ((r2y - r12 * r1y) / (1.0 - r12 * r12))), 6) AS shrinkage
+FROM path
+ORDER BY lam
+"""

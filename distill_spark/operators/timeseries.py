@@ -3449,3 +3449,214 @@ SELECT CAST(n + 1 AS BIGINT) AS n_days,
              END, 6) AS lm_stat
 FROM m
 """
+
+
+# -------------------------------------------------------- round 12:
+# daily-frame regression hygiene — weighted least squares against the
+# heteroskedastic day problem, and the Chow structural-break F.
+
+_WLS_ORIGIN = "2024-01-01"
+
+
+def wls_daily_trend(events: DataFrame, ts_col: str = "ts",
+                    value_col: str = "value") -> DataFrame:
+    """OLS vs WLS trend of the daily MEAN value: days carry wildly
+    different event counts, so the per-day mean's variance is σ²/n_d
+    — OLS over day-means weights a 10-event day like a 1,000-event
+    day. WLS with w_d = n_d is the generalized-least-squares fix
+    (and algebraically the per-EVENT regression on the day index).
+    Both fits come from ONE aggregate over the bounded daily frame;
+    x is the exact day offset from a fixed origin so both engines
+    share the arithmetic. Output: one row (n_days, ols_slope,
+    ols_intercept, wls_slope, wls_intercept, slope_ratio),
+    rounds 6."""
+    daily = (events
+             .select(F.to_date(ts_col).alias("d"),
+                     F.col(value_col).cast("double").alias("v"))
+             .groupBy("d")
+             .agg(F.count("*").cast("double").alias("w"),
+                  F.round(F.avg(F.col("v").cast(_TS_DEC))
+                          .cast("double"), 9).alias("y"))
+             .select(F.datediff(F.col("d"), F.lit(_WLS_ORIGIN))
+                     .cast("double").alias("x"), "w", "y"))
+
+    def dsum(expr, name):
+        return F.sum(expr.cast(_TS_DEC)).cast("double").alias(name)
+
+    m = daily.agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(F.col("x"), "sx"), dsum(F.col("y"), "sy"),
+        dsum(F.col("x") * F.col("x"), "sxx"),
+        dsum(F.col("x") * F.col("y"), "sxy"),
+        dsum(F.col("w"), "sw"),
+        dsum(F.col("w") * F.col("x"), "swx"),
+        dsum(F.col("w") * F.col("y"), "swy"),
+        dsum(F.col("w") * F.col("x") * F.col("x"), "swxx"),
+        dsum(F.col("w") * F.col("x") * F.col("y"), "swxy"))
+    ob = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+          / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    oa = (F.col("sy") - ob * F.col("sx")) / F.col("n")
+    wb = ((F.col("sw") * F.col("swxy") - F.col("swx") * F.col("swy"))
+          / (F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")))
+    wa = (F.col("swy") - wb * F.col("swx")) / F.col("sw")
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(ob, 6).alias("ols_slope"),
+        F.round(oa, 6).alias("ols_intercept"),
+        F.round(wb, 6).alias("wls_slope"),
+        F.round(wa, 6).alias("wls_intercept"),
+        F.round(wb / ob, 6).alias("slope_ratio"))
+
+
+def wls_daily_trend_sql(table: str = "events", ts_sql: str = "ts",
+                        value_sql: str = "value") -> str:
+    def dsum(expr, name):
+        return (f"CAST(sum(CAST({expr} AS DECIMAL(38,12))) AS DOUBLE)"
+                f" AS {name}")
+
+    return f"""
+WITH daily AS (
+  SELECT CAST(datediff('day', DATE '{_WLS_ORIGIN}',
+                       CAST({ts_sql} AS DATE)) AS DOUBLE) AS x,
+         CAST(count(*) AS DOUBLE) AS w,
+         round(CAST(avg(CAST(CAST({value_sql} AS DOUBLE)
+                             AS DECIMAL(38,12))) AS DOUBLE), 9) AS y
+  FROM {table} GROUP BY CAST({ts_sql} AS DATE)
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         {dsum('x', 'sx')}, {dsum('y', 'sy')},
+         {dsum('x * x', 'sxx')}, {dsum('x * y', 'sxy')},
+         {dsum('w', 'sw')}, {dsum('w * x', 'swx')},
+         {dsum('w * y', 'swy')}, {dsum('w * x * x', 'swxx')},
+         {dsum('w * x * y', 'swxy')}
+  FROM daily
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS ols_slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS ols_intercept,
+       round((sw * swxy - swx * swy) / (sw * swxx - swx * swx), 6)
+         AS wls_slope,
+       round((swy - (sw * swxy - swx * swy) / (sw * swxx - swx * swx)
+              * swx) / sw, 6) AS wls_intercept,
+       round(((sw * swxy - swx * swy) / (sw * swxx - swx * swx))
+             / ((n * sxy - sx * sy) / (n * sxx - sx * sx)), 6)
+         AS slope_ratio
+FROM m
+"""
+
+
+def chow_break(events: DataFrame, ts_col: str = "ts",
+               value_col: str = "value") -> DataFrame:
+    """Chow structural-break F-test (Chow 1960) of the daily-total
+    trend at the calendar midpoint: fit y ~ t pooled and separately
+    on each half; F = ((SSE_p − SSE_1 − SSE_2)/k) / ((SSE_1 +
+    SSE_2)/(n − 2k)), k = 2. The honest follow-up to pettitt_change:
+    Pettitt finds a LEVEL shift, Chow asks whether the whole LINE
+    (slope + intercept) changed at a known date. The split day is
+    min + ⌊(max−min)/2⌋ days — data-derived yet deterministic, and
+    computed as a one-row broadcast, never a collect. Conditional
+    moment sums deliver all three fits in ONE pass over the bounded
+    daily frame. Output: one row (n_days, split_day, n_left,
+    n_right, sse_pooled, sse_split, f_chow), rounds 6."""
+    base = _daily_frame(events, ts_col, value_col).select(
+        "d", F.col("t").cast("double").alias("t"), "x")
+    lim = base.agg(
+        F.min("d").alias("dmin"), F.max("d").alias("dmax")).select(
+        F.date_add(F.col("dmin"),
+                   F.floor(F.datediff(F.col("dmax"), F.col("dmin")) / 2)
+                   .cast("int")).alias("split"))
+    tagged = base.crossJoin(F.broadcast(lim)).select(
+        "t", "x", "split", (F.col("d") <= F.col("split")).alias("lo"))
+
+    def seg(cond, tag):
+        c = F.when(cond, 1.0).otherwise(0.0)
+        return [
+            F.sum(c.cast(_TS_DEC)).cast("double").alias(f"n{tag}"),
+            F.sum((c * F.col("t")).cast(_TS_DEC)).cast("double")
+            .alias(f"st{tag}"),
+            F.sum((c * F.col("x")).cast(_TS_DEC)).cast("double")
+            .alias(f"sx{tag}"),
+            F.sum((c * F.col("t") * F.col("t")).cast(_TS_DEC))
+            .cast("double").alias(f"stt{tag}"),
+            F.sum((c * F.col("x") * F.col("x")).cast(_TS_DEC))
+            .cast("double").alias(f"sxx{tag}"),
+            F.sum((c * F.col("t") * F.col("x")).cast(_TS_DEC))
+            .cast("double").alias(f"stx{tag}")]
+
+    m = tagged.groupBy("split").agg(
+        *seg(F.lit(True), "p"), *seg(F.col("lo"), "1"),
+        *seg(~F.col("lo"), "2"))
+
+    def sse(tag):
+        n = F.col(f"n{tag}")
+        ct = F.col(f"stt{tag}") - F.col(f"st{tag}") * F.col(f"st{tag}") / n
+        cx = F.col(f"sxx{tag}") - F.col(f"sx{tag}") * F.col(f"sx{tag}") / n
+        ctx = F.col(f"stx{tag}") - F.col(f"st{tag}") * F.col(f"sx{tag}") / n
+        return cx - ctx * ctx / ct
+
+    ssep, sse1, sse2 = sse("p"), sse("1"), sse("2")
+    f = (((ssep - sse1 - sse2) / 2.0)
+         / ((sse1 + sse2) / (F.col("np") - 4.0)))
+    return m.select(
+        F.col("np").cast("long").alias("n_days"),
+        F.col("split").cast("string").alias("split_day"),
+        F.col("n1").cast("long").alias("n_left"),
+        F.col("n2").cast("long").alias("n_right"),
+        F.round(ssep, 6).alias("sse_pooled"),
+        F.round(sse1 + sse2, 6).alias("sse_split"),
+        F.round(f, 6).alias("f_chow"))
+
+
+def chow_break_sql(table: str = "events", ts_sql: str = "ts",
+                   value_sql: str = "value") -> str:
+    daily = _DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)
+
+    def seg(cond, tag):
+        c = f"(CASE WHEN {cond} THEN 1.0 ELSE 0.0 END)"
+        return (
+            f"CAST(sum(CAST({c} AS DECIMAL(38,12))) AS DOUBLE) AS n{tag}, "
+            f"CAST(sum(CAST({c} * t AS DECIMAL(38,12))) AS DOUBLE) AS st{tag}, "
+            f"CAST(sum(CAST({c} * x AS DECIMAL(38,12))) AS DOUBLE) AS sx{tag}, "
+            f"CAST(sum(CAST({c} * t * t AS DECIMAL(38,12))) AS DOUBLE) AS stt{tag}, "
+            f"CAST(sum(CAST({c} * x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx{tag}, "
+            f"CAST(sum(CAST({c} * t * x AS DECIMAL(38,12))) AS DOUBLE) AS stx{tag}")
+
+    def sse(tag):
+        n = f"n{tag}"
+        ct = f"(stt{tag} - st{tag} * st{tag} / {n})"
+        cx = f"(sxx{tag} - sx{tag} * sx{tag} / {n})"
+        ctx = f"(stx{tag} - st{tag} * sx{tag} / {n})"
+        return f"({cx} - {ctx} * {ctx} / {ct})"
+
+    ssep, sse1, sse2 = sse("p"), sse("1"), sse("2")
+    return f"""
+WITH {daily},
+lim AS (
+  SELECT min(d) + CAST(floor(CAST(datediff('day', min(d), max(d))
+                                  AS DOUBLE) / 2) AS INT) AS split
+  FROM ranked
+),
+tagged AS (
+  SELECT CAST(r.t AS DOUBLE) AS t, r.x, l.split,
+         r.d <= l.split AS lo
+  FROM ranked r CROSS JOIN lim l
+),
+m AS (
+  SELECT split,
+         {seg('TRUE', 'p')},
+         {seg('lo', '1')},
+         {seg('NOT lo', '2')}
+  FROM tagged GROUP BY split
+)
+SELECT CAST(np AS BIGINT) AS n_days,
+       CAST(split AS VARCHAR) AS split_day,
+       CAST(n1 AS BIGINT) AS n_left,
+       CAST(n2 AS BIGINT) AS n_right,
+       round({ssep}, 6) AS sse_pooled,
+       round({sse1} + {sse2}, 6) AS sse_split,
+       round((({ssep} - {sse1} - {sse2}) / 2.0)
+             / (({sse1} + {sse2}) / (np - 4.0)), 6) AS f_chow
+FROM m
+"""

@@ -1,0 +1,253 @@
+"""Planted-data validation for the round-12 strata: every test pins a
+closed-form hand computation or an independent numpy mirror (not just
+Spark↔DuckDB agreement, which the parity sweep already gates) so a
+formula both engines share cannot be wrong the same way on both sides.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pandas as pd
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1, rows
+    return rows[0].asDict()
+
+
+def _days(values_per_day):
+    """events rows (ts, value): day i gets values_per_day[i]."""
+    rows = []
+    for i, vals in enumerate(values_per_day):
+        for j, v in enumerate(vals):
+            rows.append((dt.datetime(2024, 1, 1 + i, 8, j), float(v)))
+    return pd.DataFrame(rows, columns=["ts", "value"])
+
+
+# ------------------------------------------------- regression diagnostics
+
+
+def _simple_fit(x, y):
+    n = len(x)
+    b1 = ((n * np.dot(x, y) - x.sum() * y.sum())
+          / (n * np.dot(x, x) - x.sum() ** 2))
+    b0 = y.mean() - b1 * x.mean()
+    return b0, b1
+
+
+def test_cooks_distance_numpy_mirror(spark):
+    x = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 10.0])
+    y = np.array([1.1, 1.9, 3.2, 3.8, 5.1, 30.0])
+    b0, b1 = _simple_fit(x, y)
+    e = y - b0 - b1 * x
+    h = 1.0 / len(x) + (x - x.mean()) ** 2 / ((x - x.mean()) ** 2).sum()
+    s2 = (e ** 2).sum() / (len(x) - 2)
+    d = np.round(e * e * h / (2.0 * s2 * (1.0 - h) ** 2), 9)
+
+    from distill_spark.operators.stats import cooks_distance
+
+    pdf = pd.DataFrame({"x": x, "y": y, "id": range(1, 7)})
+    out = _one(cooks_distance(spark.createDataFrame(pdf), "x", "y", "id"))
+    assert out["n"] == 6
+    assert out["max_cooks"] == round(d.max(), 6)
+    assert out["worst_id"] == int(d.argmax()) + 1
+    assert out["n_influential"] == int((d > 4.0 / 6).sum())
+    assert abs(out["sum_cooks"] - d.sum()) < 1e-6
+
+
+def test_cooks_distance_outlier_at_high_leverage_dominates(spark):
+    """The x=10 point carries both the residual and the leverage —
+    it must be the pinned worst point by a wide margin."""
+    from distill_spark.operators.stats import cooks_distance
+
+    pdf = pd.DataFrame({
+        "x": [1.0, 2.0, 3.0, 4.0, 5.0, 10.0],
+        "y": [1.0, 2.0, 3.0, 4.0, 5.0, 20.0],
+        "id": [11, 12, 13, 14, 15, 16]})
+    out = _one(cooks_distance(spark.createDataFrame(pdf), "x", "y", "id"))
+    assert out["worst_id"] == 16
+
+
+def test_breusch_pagan_numpy_mirror(spark):
+    x = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0])
+    y = np.array([1.2, 1.9, 3.4, 3.5, 5.9, 5.1, 8.3, 6.9])
+    b0, b1 = _simple_fit(x, y)
+    u = np.round((y - b0 - b1 * x) ** 2, 9)
+    n = len(x)
+    r = np.corrcoef(u, x)[0, 1]
+    sigma2 = u.sum() / n
+    ess = r * r * ((u - u.mean()) ** 2).sum()
+
+    from distill_spark.operators.stats import breusch_pagan
+
+    pdf = pd.DataFrame({"x": x, "y": y})
+    out = _one(breusch_pagan(spark.createDataFrame(pdf), "x", "y"))
+    assert out["n"] == n
+    assert abs(out["resid_rmse"] - math.sqrt(sigma2)) < 1e-6
+    assert abs(out["r2_aux"] - r * r) < 1e-6
+    assert abs(out["koenker_lm"] - n * r * r) < 1e-6
+    assert abs(out["bp_stat"] - ess / (2 * sigma2 * sigma2)) < 1e-5
+
+
+def test_breusch_pagan_invariant_to_added_linear_term(spark):
+    """Residuals of y ~ x are unchanged by y → y + c·x, so every BP
+    output must be identical — the 'heteroskedasticity is about the
+    residuals, not the mean model' invariance."""
+    from distill_spark.operators.stats import breusch_pagan
+
+    x = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0])
+    y = np.array([1.2, 1.9, 3.4, 3.5, 5.9, 5.1, 8.3, 6.9])
+    a = _one(breusch_pagan(
+        spark.createDataFrame(pd.DataFrame({"x": x, "y": y})), "x", "y"))
+    b = _one(breusch_pagan(
+        spark.createDataFrame(pd.DataFrame({"x": x, "y": y + 3.0 * x})),
+        "x", "y"))
+    assert a == b
+
+
+def test_reset_quadratic_numpy_mirror(spark):
+    x = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0])
+    y = x ** 2 + np.array([0.3, -0.2, 0.1, -0.4, 0.2, -0.1, 0.4, -0.3])
+    n = len(x)
+
+    def sse(cols):
+        X = np.column_stack([np.ones(n)] + cols)
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        r = y - X @ beta
+        return float(r @ r)
+
+    sse_r, sse_u = sse([x]), sse([x, x ** 2])
+    f = (sse_r - sse_u) / (sse_u / (n - 3))
+
+    from distill_spark.operators.stats import reset_quadratic
+
+    pdf = pd.DataFrame({"x": x, "y": y})
+    out = _one(reset_quadratic(spark.createDataFrame(pdf), "x", "y"))
+    assert out["n"] == n
+    assert abs(out["rmse_restricted"] - math.sqrt(sse_r / (n - 2))) < 1e-5
+    assert abs(out["rmse_unrestricted"] - math.sqrt(sse_u / (n - 3))) < 1e-5
+    assert abs(out["f_reset"] - f) < 1e-3
+    # quadratic truth must dominate: adding x² wipes most of the SSE
+    assert out["f_reset"] > 100
+
+
+def test_ridge_path_lambda_zero_is_ols_and_orthogonal_decay(spark):
+    """Orthogonal standardized predictors (r12 = 0): β_j(λ) =
+    r_jy/(1+λ) exactly, so shrinkage = 1/(1+λ)."""
+    from distill_spark.operators.stats import ridge_path
+
+    # x1 and x2 chosen orthogonal after centering: cov(x1,x2)=0
+    x1 = np.array([1.0, 2.0, 3.0, 4.0])
+    x2 = np.array([1.0, -1.0, -1.0, 1.0])
+    y = 2.0 * x1 + 1.0 * x2 + np.array([0.1, -0.1, 0.1, -0.1])
+    assert abs(np.cov(x1, x2, bias=True)[0, 1]) < 1e-12
+    pdf = pd.DataFrame({"y": y, "x1": x1, "x2": x2})
+    rows = {r["lambda"]: r.asDict()
+            for r in ridge_path(spark.createDataFrame(pdf),
+                                "y", "x1", "x2").collect()}
+    r1y = np.corrcoef(x1, y)[0, 1]
+    r2y = np.corrcoef(x2, y)[0, 1]
+    assert abs(rows[0.0]["beta1_std"] - r1y) < 1e-6
+    assert abs(rows[0.0]["beta2_std"] - r2y) < 1e-6
+    assert rows[0.0]["shrinkage"] == 1.0
+    for lam in (0.1, 1.0, 10.0):
+        assert abs(rows[lam]["beta1_std"] - r1y / (1 + lam)) < 1e-6
+        assert abs(rows[lam]["shrinkage"] - 1.0 / (1 + lam)) < 1e-6
+
+
+def test_ridge_path_shrinkage_monotone_on_collinear_data(spark):
+    from distill_spark.operators.stats import ridge_path
+
+    x1 = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    x2 = x1 + np.array([0.01, -0.01, 0.02, -0.02, 0.01])
+    y = x1 + x2
+    pdf = pd.DataFrame({"y": y, "x1": x1, "x2": x2})
+    rows = ridge_path(spark.createDataFrame(pdf),
+                      "y", "x1", "x2").collect()
+    shr = [r["shrinkage"] for r in rows]
+    assert shr[0] == 1.0
+    assert all(a > b for a, b in zip(shr, shr[1:]))
+
+
+def test_wls_equals_ols_when_day_counts_equal(spark):
+    """Equal per-day counts → the weights are constant → WLS and OLS
+    coincide exactly (slope_ratio = 1)."""
+    from distill_spark.operators.timeseries import wls_daily_trend
+
+    days = [[1.0, 3.0], [2.0, 4.0], [5.0, 7.0], [4.0, 8.0]]
+    out = _one(wls_daily_trend(spark.createDataFrame(_days(days))))
+    assert out["n_days"] == 4
+    assert out["ols_slope"] == out["wls_slope"]
+    assert out["ols_intercept"] == out["wls_intercept"]
+    assert out["slope_ratio"] == 1.0
+
+
+def test_wls_numpy_mirror_unequal_counts(spark):
+    from distill_spark.operators.timeseries import wls_daily_trend
+
+    days = [[10.0], [2.0, 4.0, 6.0], [3.0, 5.0], [8.0, 2.0, 2.0, 4.0]]
+    out = _one(wls_daily_trend(spark.createDataFrame(_days(days))))
+    x = np.arange(4.0)  # offsets from 2024-01-01
+    w = np.array([len(d) for d in days], dtype=float)
+    ym = np.array([np.mean(d) for d in days])
+    # plain OLS on day means
+    b1o = ((4 * np.dot(x, ym) - x.sum() * ym.sum())
+           / (4 * np.dot(x, x) - x.sum() ** 2))
+    b0o = ym.mean() - b1o * x.mean()
+    # WLS with w
+    sw, swx, swy = w.sum(), (w * x).sum(), (w * ym).sum()
+    swxx, swxy = (w * x * x).sum(), (w * x * ym).sum()
+    b1w = (sw * swxy - swx * swy) / (sw * swxx - swx ** 2)
+    b0w = (swy - b1w * swx) / sw
+    assert abs(out["ols_slope"] - b1o) < 1e-6
+    assert abs(out["ols_intercept"] - b0o) < 1e-6
+    assert abs(out["wls_slope"] - b1w) < 1e-6
+    assert abs(out["wls_intercept"] - b0w) < 1e-6
+
+
+def test_chow_numpy_mirror_with_break(spark):
+    """First half slope ≈ 1, second half slope ≈ 10: the split fit
+    must crush the pooled SSE and F must be large."""
+    from distill_spark.operators.timeseries import chow_break
+
+    vals = [1.0, 2.2, 2.9, 4.1, 5.0, 6.1,
+            20.0, 30.2, 39.9, 50.1, 60.0, 70.2]
+    days = [[v] for v in vals]
+    out = _one(chow_break(spark.createDataFrame(_days(days))))
+    assert out["n_days"] == 12
+    # split = min + floor(11/2) = day 6 → 6 left, 6 right
+    assert out["split_day"] == "2024-01-06"
+    assert out["n_left"] == 6 and out["n_right"] == 6
+
+    t = np.arange(1.0, 13.0)
+    y = np.array(vals)
+
+    def sse(tt, yy):
+        n = len(tt)
+        b1 = ((n * np.dot(tt, yy) - tt.sum() * yy.sum())
+              / (n * np.dot(tt, tt) - tt.sum() ** 2))
+        b0 = yy.mean() - b1 * tt.mean()
+        r = yy - b0 - b1 * tt
+        return float(r @ r)
+
+    sp = sse(t, y)
+    s1, s2 = sse(t[:6], y[:6]), sse(t[6:], y[6:])
+    f = ((sp - s1 - s2) / 2.0) / ((s1 + s2) / (12 - 4))
+    assert abs(out["sse_pooled"] - sp) < 1e-4
+    assert abs(out["sse_split"] - (s1 + s2)) < 1e-4
+    assert abs(out["f_chow"] - f) < 1e-3
+    assert out["f_chow"] > 10
+
+
+def test_chow_stable_line_gives_small_f(spark):
+    """A single global line with tiny alternating wiggle: the split
+    buys (almost) nothing — F must be near zero."""
+    from distill_spark.operators.timeseries import chow_break
+
+    days = [[10.0 + i + (0.01 if i % 2 else -0.01)] for i in range(12)]
+    out = _one(chow_break(spark.createDataFrame(_days(days))))
+    assert out["f_chow"] is not None and out["f_chow"] < 1.0
