@@ -12159,6 +12159,143 @@ def _sql_chow():
     return chow_break_sql()
 
 
+# ---------------------------------------------------------------------------
+# Round-12 second stratum: the agreement-validation completion —
+# external clustering indices (pair-counting + entropy), the
+# chance-model triple (κ/π/AC1), the one-way ICC, and Lin's CCC.
+
+def _sign_bucket_frame(t):
+    e = F.col("embedding")
+    return t["embeddings"].select(
+        F.col("label").alias("truth"),
+        (F.when(e[0] >= 0, 2).otherwise(0)
+         + F.when(e[1] >= 0, 1).otherwise(0)).alias("bucket"))
+
+
+_SIGN_BUCKET_SQL = (
+    "(SELECT label AS truth, "
+    "(CASE WHEN embedding[1] >= 0 THEN 2 ELSE 0 END) "
+    "+ (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) AS bucket "
+    "FROM embeddings)")
+
+
+def q_clustering_agreement(spark, sf_dir):
+    """Pair-counting external validation — Rand/ARI/Fowlkes–Mallows/
+    pair-Jaccard — of the 2-bit embedding sign-bucket clustering
+    against the planted label column (mleval.clustering_agreement)."""
+    from distill_spark.operators.mleval import clustering_agreement
+
+    return clustering_agreement(
+        _sign_bucket_frame(_tables(spark, sf_dir)), "truth", "bucket")
+
+
+def _sql_clustering_agreement():
+    from distill_spark.operators.mleval import clustering_agreement_sql
+
+    return clustering_agreement_sql(_SIGN_BUCKET_SQL, "truth", "bucket")
+
+
+def q_v_measure(spark, sf_dir):
+    """Homogeneity / completeness / V-measure / NMI of the same
+    sign-bucket clustering against the planted embedding labels
+    (mleval.v_measure) — the entropy view of what
+    clustering_agreement counts in pairs."""
+    from distill_spark.operators.mleval import v_measure
+
+    return v_measure(_sign_bucket_frame(_tables(spark, sf_dir)),
+                     "truth", "bucket")
+
+
+def _sql_v_measure():
+    from distill_spark.operators.mleval import v_measure_sql
+
+    return v_measure_sql(_SIGN_BUCKET_SQL, "truth", "bucket")
+
+
+def q_gwet_ac1(spark, sf_dir):
+    """Cohen's κ vs Scott's π vs Gwet's AC1 for the stopword langid
+    heuristic against the labeled lang column (mleval.gwet_ac1) —
+    the chance-model triple that exposes κ's prevalence paradox on
+    the skewed en/other split."""
+    from distill_spark.operators.mleval import gwet_ac1
+
+    t = _tables(spark, sf_dir)
+    words = _words(F.col("text"))
+    stops = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    hits = F.size(F.array_intersect(words, stops))
+    frame = t["documents"].select(
+        F.when(F.col("lang") == "en", "en").otherwise("other")
+        .alias("actual"),
+        F.when(hits >= 2, "en").otherwise("other").alias("pred"))
+    return gwet_ac1(frame, "actual", "pred")
+
+
+def _sql_gwet():
+    from distill_spark.operators.mleval import gwet_ac1_sql
+
+    frame = (f"(SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' "
+             f"END AS actual, "
+             f"CASE WHEN len(list_intersect("
+             f"{_WORDS_SQL.format(c='text')}, {_STOP_SQL})) >= 2 "
+             f"THEN 'en' ELSE 'other' END AS pred FROM documents)")
+    return gwet_ac1_sql(frame, "actual", "pred")
+
+
+def q_icc_oneway(spark, sf_dir):
+    """ICC(1,1) of daily event totals grouped by day-of-week
+    (mleval.icc_oneway) — how much of the day-to-day variance the
+    weekly cycle owns; the continuous-agreement cousin of
+    seasonality_dow."""
+    from distill_spark.operators.mleval import icc_oneway
+
+    daily = (_tables(spark, sf_dir)["events"]
+             .groupBy(F.to_date("ts").alias("day"))
+             .agg(F.round(F.sum(F.col("value").cast("decimal(38,12)"))
+                          .cast("double"), 9).alias("tot"))
+             .select(F.dayofweek("day").alias("dow"), "tot"))
+    return icc_oneway(daily, "dow", "tot")
+
+
+def _sql_icc():
+    from distill_spark.operators.mleval import icc_oneway_sql
+
+    frame = ("(SELECT dayofweek(day) + 1 AS dow, tot FROM "
+             "(SELECT CAST(ts AS DATE) AS day, "
+             "round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE)"
+             ", 9) AS tot FROM events GROUP BY 1))")
+    return icc_oneway_sql(frame, "dow", "tot")
+
+
+def q_lin_ccc(spark, sf_dir):
+    """Lin's concordance correlation of paired daily click vs view
+    value totals (mleval.lin_ccc) — Pearson r times the location/
+    scale penalty C_b; the agreement question wilcoxon_clicks_views
+    tests in ranks, answered in levels."""
+    from distill_spark.operators.mleval import lin_ccc
+
+    daily = (_tables(spark, sf_dir)["events"]
+             .groupBy(F.to_date("ts").alias("day"))
+             .agg(*[F.round(F.sum(F.when(F.col("event_type") == ty,
+                                         F.col("value"))
+                                  .cast("decimal(38,12)"))
+                            .cast("double"), 9).alias(f"{ty}s")
+                    for ty in ("click", "view")]))
+    return lin_ccc(daily, "clicks", "views")
+
+
+def _sql_lin_ccc():
+    from distill_spark.operators.mleval import lin_ccc_sql
+
+    frame = ("(SELECT CAST(ts AS DATE) AS day, "
+             "round(CAST(sum(CASE WHEN event_type = 'click' THEN "
+             "CAST(value AS DECIMAL(38,12)) END) AS DOUBLE), 9) "
+             "AS clicks, "
+             "round(CAST(sum(CASE WHEN event_type = 'view' THEN "
+             "CAST(value AS DECIMAL(38,12)) END) AS DOUBLE), 9) "
+             "AS views FROM events GROUP BY 1)")
+    return lin_ccc_sql(frame, "clicks", "views")
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ======================== ROUND-12 WINDOW ============================
     # -- round-12 head: the 12 seeds queued all of round 11 (each
@@ -12182,6 +12319,13 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ridge_path": (q_ridge_path, _sql_ridge()),
     "wls_daily": (q_wls_daily, _sql_wls()),
     "chow_break": (q_chow_break, _sql_chow()),
+    # -- round-12 second stratum: agreement-validation completion -----------
+    "clustering_agreement": (q_clustering_agreement,
+                             _sql_clustering_agreement()),
+    "v_measure": (q_v_measure, _sql_v_measure()),
+    "gwet_ac1": (q_gwet_ac1, _sql_gwet()),
+    "icc_oneway": (q_icc_oneway, _sql_icc()),
+    "lin_ccc": (q_lin_ccc, _sql_lin_ccc()),
     # ===================== END ROUND-12 WINDOW (50) ======================
     # (new round-12 strata are inserted ABOVE this line as they land,
     #  pushing the driver-green round-11 rows below position 50)

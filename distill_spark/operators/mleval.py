@@ -2001,3 +2001,509 @@ SELECT CAST(nn AS BIGINT) AS n, CAST({n_bins} AS BIGINT) AS n_bins,
        round(mce, 6) AS mce
 FROM agg
 """
+
+
+# -------------------------------------------------------- round 12:
+# agreement-validation completion — external clustering indices
+# (pair-counting and information-theoretic), chance-robust
+# inter-rater coefficients beyond Cohen's κ, the one-way ICC, and
+# Lin's concordance for continuous agreement. All are
+# contingency-table or moment plans: groupBy(label_a, label_b) is the
+# only shuffle and its result is |A|×|B| rows, never the fact table.
+
+def clustering_agreement(df: DataFrame, label_a: str,
+                         label_b: str) -> DataFrame:
+    """External clustering-validation indices between two label
+    columns by pair counting (Hubert & Arabie 1985): from the
+    contingency n_ij and its marginals, S_c = ΣC(n_ij,2) pairs
+    together in both, S_a/S_b pairs together in each — Rand, adjusted
+    Rand (chance-corrected), Fowlkes–Mallows = S_c/√(S_a·S_b), and
+    pair-Jaccard. The judge for every dedup/kmeans labeling this
+    module produces: ARI ≈ 0 is what "my clusters ignore the truth"
+    looks like. Comb counts are exact longs off the |A|×|B|
+    contingency; products go through double (S_a·S_b overflows int64
+    past ~3e9 pairs). NULL labels drop. Output: one row (n,
+    clusters_a, clusters_b, rand, adjusted_rand, fowlkes_mallows,
+    jaccard_pairs), rounds 6."""
+    a, b = F.col(label_a), F.col(label_b)
+    base = df.filter(a.isNotNull() & b.isNotNull()).select(
+        a.alias("a"), b.alias("b"))
+    cont = base.groupBy("a", "b").agg(F.count("*").alias("c"))
+
+    def comb2(c):
+        return (c * (c - 1) / F.lit(2.0))
+
+    cells = cont.agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("cells"),
+        F.sum(comb2(F.col("c").cast("double"))).alias("sc"))
+    am = (cont.groupBy("a").agg(F.sum("c").alias("ca"))
+          .agg(F.count("*").alias("ka"),
+               F.sum(comb2(F.col("ca").cast("double"))).alias("sa")))
+    bm = (cont.groupBy("b").agg(F.sum("c").alias("cb"))
+          .agg(F.count("*").alias("kb"),
+               F.sum(comb2(F.col("cb").cast("double"))).alias("sb")))
+    m = cells.crossJoin(F.broadcast(am)).crossJoin(F.broadcast(bm))
+    n = F.col("n").cast("double")
+    t = n * (n - 1) / 2.0
+    sc, sa, sb = F.col("sc"), F.col("sa"), F.col("sb")
+    exp = sa * sb / t
+    ari = F.when((sa + sb) / 2.0 - exp != 0,
+                 (sc - exp) / ((sa + sb) / 2.0 - exp))
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("ka").cast("long").alias("clusters_a"),
+        F.col("kb").cast("long").alias("clusters_b"),
+        F.round((t + 2.0 * sc - sa - sb) / t, 6).alias("rand"),
+        F.round(ari, 6).alias("adjusted_rand"),
+        F.round(F.when(sa * sb > 0, sc / F.sqrt(sa * sb)), 6)
+        .alias("fowlkes_mallows"),
+        F.round(F.when(sa + sb - sc > 0, sc / (sa + sb - sc)), 6)
+        .alias("jaccard_pairs"))
+
+
+def clustering_agreement_sql(table: str, a_sql: str,
+                             b_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT {a_sql} AS a, {b_sql} AS b FROM {table}
+  WHERE {a_sql} IS NOT NULL AND {b_sql} IS NOT NULL
+),
+cont AS (SELECT a, b, count(*) AS c FROM base GROUP BY a, b),
+cells AS (
+  SELECT sum(c) AS n, count(*) AS cells,
+         sum(CAST(c AS DOUBLE) * (CAST(c AS DOUBLE) - 1) / 2.0) AS sc
+  FROM cont
+),
+am AS (
+  SELECT count(*) AS ka,
+         sum(CAST(ca AS DOUBLE) * (CAST(ca AS DOUBLE) - 1) / 2.0) AS sa
+  FROM (SELECT a, sum(c) AS ca FROM cont GROUP BY a)
+),
+bm AS (
+  SELECT count(*) AS kb,
+         sum(CAST(cb AS DOUBLE) * (CAST(cb AS DOUBLE) - 1) / 2.0) AS sb
+  FROM (SELECT b, sum(c) AS cb FROM cont GROUP BY b)
+),
+m AS (SELECT * FROM cells CROSS JOIN am CROSS JOIN bm)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(ka AS BIGINT) AS clusters_a,
+       CAST(kb AS BIGINT) AS clusters_b,
+       round((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) / 2.0
+              + 2.0 * sc - sa - sb)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) / 2.0), 6)
+         AS rand,
+       round(CASE WHEN (sa + sb) / 2.0
+                       - sa * sb / (CAST(n AS DOUBLE)
+                                    * (CAST(n AS DOUBLE) - 1) / 2.0)
+                       <> 0 THEN
+         (sc - sa * sb / (CAST(n AS DOUBLE)
+                          * (CAST(n AS DOUBLE) - 1) / 2.0))
+         / ((sa + sb) / 2.0
+            - sa * sb / (CAST(n AS DOUBLE)
+                         * (CAST(n AS DOUBLE) - 1) / 2.0)) END, 6)
+         AS adjusted_rand,
+       round(CASE WHEN sa * sb > 0 THEN sc / sqrt(sa * sb) END, 6)
+         AS fowlkes_mallows,
+       round(CASE WHEN sa + sb - sc > 0 THEN sc / (sa + sb - sc) END, 6)
+         AS jaccard_pairs
+FROM m
+"""
+
+
+def v_measure(df: DataFrame, truth_col: str, pred_col: str) -> DataFrame:
+    """Information-theoretic clustering validation (Rosenberg &
+    Hirschberg 2007): homogeneity = 1 − H(truth|pred)/H(truth),
+    completeness = 1 − H(pred|truth)/H(pred), V = their harmonic
+    mean, plus NMI with the arithmetic-mean normalization
+    2·I/(H_t + H_p) — the entropy view of what clustering_agreement
+    counts in pairs (pair indices reward big clusters; V-measure is
+    cluster-size-balanced). Natural logs; entropies from the same
+    |T|×|P| contingency. Convention: H(·|·) term is 0 when a
+    contingency cell is 0 (x·ln x → 0). Output: one row (n,
+    h_truth, h_pred, homogeneity, completeness, v_measure, nmi),
+    rounds 6."""
+    t, p = F.col(truth_col), F.col(pred_col)
+    base = df.filter(t.isNotNull() & p.isNotNull()).select(
+        t.alias("t"), p.alias("p"))
+    cont = base.groupBy("t", "p").agg(
+        F.count("*").cast("double").alias("c"))
+    wt = Window.partitionBy("t")
+    wp = Window.partitionBy("p")
+    tot = Window.partitionBy()
+    ent = cont.select(
+        "c",
+        F.sum("c").over(wt).alias("ct"),
+        F.sum("c").over(wp).alias("cp"),
+        F.sum("c").over(tot).alias("n"))
+    n = F.col("n")
+    # joint/conditional terms per cell; marginal terms de-duplicated
+    # by dividing each group's term across its cells is WRONG — use
+    # per-cell joint terms and reconstruct: H_t = Σ_cells (c/n)·ln(n·?)
+    # cleanest exact route: H(t|p) = −Σ c/n·ln(c/cp); H(t) from the
+    # t-marginal frame, H(p) from the p-marginal frame.
+    hcond_tp = ent.agg(
+        F.round(-F.sum(F.col("c") / n * F.log(F.col("c") / F.col("cp"))),
+                9).alias("h_t_given_p"),
+        F.round(-F.sum(F.col("c") / n * F.log(F.col("c") / F.col("ct"))),
+                9).alias("h_p_given_t"),
+        F.max("n").alias("n"))
+    ht = (base.groupBy("t").agg(F.count("*").cast("double").alias("c"))
+          .select("c", F.sum("c").over(tot).alias("nn"))
+          .agg(F.round(-F.sum(F.col("c") / F.col("nn")
+                              * F.log(F.col("c") / F.col("nn"))), 9)
+               .alias("h_t")))
+    hp = (base.groupBy("p").agg(F.count("*").cast("double").alias("c"))
+          .select("c", F.sum("c").over(tot).alias("nn"))
+          .agg(F.round(-F.sum(F.col("c") / F.col("nn")
+                              * F.log(F.col("c") / F.col("nn"))), 9)
+               .alias("h_p")))
+    m = hcond_tp.crossJoin(F.broadcast(ht)).crossJoin(F.broadcast(hp))
+    homo = F.when(F.col("h_t") > 0,
+                  1.0 - F.col("h_t_given_p") / F.col("h_t")) \
+        .otherwise(F.lit(1.0))
+    comp = F.when(F.col("h_p") > 0,
+                  1.0 - F.col("h_p_given_t") / F.col("h_p")) \
+        .otherwise(F.lit(1.0))
+    mi = F.col("h_t") - F.col("h_t_given_p")
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("h_t"), 6).alias("h_truth"),
+        F.round(F.col("h_p"), 6).alias("h_pred"),
+        F.round(homo, 6).alias("homogeneity"),
+        F.round(comp, 6).alias("completeness"),
+        F.round(F.when(homo + comp > 0,
+                       2.0 * homo * comp / (homo + comp))
+                .otherwise(F.lit(0.0)), 6).alias("v_measure"),
+        F.round(F.when(F.col("h_t") + F.col("h_p") > 0,
+                       2.0 * mi / (F.col("h_t") + F.col("h_p")))
+                .otherwise(F.lit(0.0)), 6).alias("nmi"))
+
+
+def v_measure_sql(table: str, truth_sql: str, pred_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT {truth_sql} AS t, {pred_sql} AS p FROM {table}
+  WHERE {truth_sql} IS NOT NULL AND {pred_sql} IS NOT NULL
+),
+cont AS (SELECT t, p, CAST(count(*) AS DOUBLE) AS c
+         FROM base GROUP BY t, p),
+ent AS (
+  SELECT c,
+         sum(c) OVER (PARTITION BY t) AS ct,
+         sum(c) OVER (PARTITION BY p) AS cp,
+         sum(c) OVER () AS n
+  FROM cont
+),
+hcond AS (
+  SELECT round(-sum(c / n * ln(c / cp)), 9) AS h_t_given_p,
+         round(-sum(c / n * ln(c / ct)), 9) AS h_p_given_t,
+         max(n) AS n
+  FROM ent
+),
+ht AS (
+  SELECT round(-sum(c / n * ln(c / n)), 9) AS h_t FROM (
+    SELECT CAST(count(*) AS DOUBLE) AS c, sum(count(*)) OVER () AS n
+    FROM base GROUP BY t)
+),
+hp AS (
+  SELECT round(-sum(c / n * ln(c / n)), 9) AS h_p FROM (
+    SELECT CAST(count(*) AS DOUBLE) AS c, sum(count(*)) OVER () AS n
+    FROM base GROUP BY p)
+),
+m AS (SELECT * FROM hcond CROSS JOIN ht CROSS JOIN hp)
+SELECT CAST(n AS BIGINT) AS n,
+       round(h_t, 6) AS h_truth,
+       round(h_p, 6) AS h_pred,
+       round(CASE WHEN h_t > 0 THEN 1.0 - h_t_given_p / h_t
+                  ELSE 1.0 END, 6) AS homogeneity,
+       round(CASE WHEN h_p > 0 THEN 1.0 - h_p_given_t / h_p
+                  ELSE 1.0 END, 6) AS completeness,
+       round(CASE WHEN (CASE WHEN h_t > 0 THEN 1.0 - h_t_given_p / h_t
+                             ELSE 1.0 END)
+                       + (CASE WHEN h_p > 0 THEN 1.0 - h_p_given_t / h_p
+                               ELSE 1.0 END) > 0 THEN
+         2.0 * (CASE WHEN h_t > 0 THEN 1.0 - h_t_given_p / h_t
+                     ELSE 1.0 END)
+             * (CASE WHEN h_p > 0 THEN 1.0 - h_p_given_t / h_p
+                     ELSE 1.0 END)
+         / ((CASE WHEN h_t > 0 THEN 1.0 - h_t_given_p / h_t
+                  ELSE 1.0 END)
+            + (CASE WHEN h_p > 0 THEN 1.0 - h_p_given_t / h_p
+                    ELSE 1.0 END)) ELSE 0.0 END, 6) AS v_measure,
+       round(CASE WHEN h_t + h_p > 0 THEN
+         2.0 * (h_t - h_t_given_p) / (h_t + h_p)
+         ELSE 0.0 END, 6) AS nmi
+FROM m
+"""
+
+
+def gwet_ac1(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
+    """Chance-corrected two-rater agreement, three chance models side
+    by side (Gwet 2008): Cohen's κ (each rater's own marginals),
+    Scott's π (pooled marginals), and Gwet's AC1 with p_e(γ) =
+    Σ_k π_k(1−π_k)/(K−1) — the coefficient that does NOT collapse
+    under the high-prevalence paradox that makes κ ≈ 0 for two raters
+    who agree 95% of the time on a skewed class. One K×K contingency
+    aggregate; everything after is one-row algebra over the category
+    frame. Output: one row (n, k_categories, p_o, kappa, scott_pi,
+    gwet_ac1), rounds 6."""
+    a, b = F.col(rater_a), F.col(rater_b)
+    base = df.filter(a.isNotNull() & b.isNotNull()).select(
+        a.alias("a"), b.alias("b"))
+    cont = base.groupBy("a", "b").agg(
+        F.count("*").cast("double").alias("c"))
+    tot = Window.partitionBy()
+    # category frame: union of categories with both raters' marginals
+    cats = (cont.groupBy(F.col("a").alias("k"))
+            .agg(F.sum("c").alias("ma"))
+            .join(cont.groupBy(F.col("b").alias("k"))
+                  .agg(F.sum("c").alias("mb")), "k", "full")
+            .select("k", F.coalesce("ma", F.lit(0.0)).alias("ma"),
+                    F.coalesce("mb", F.lit(0.0)).alias("mb")))
+    po = (cont.filter(F.col("a") == F.col("b"))
+          .agg(F.sum("c").alias("agree")))
+    n_k = (cats.select(
+        "ma", "mb",
+        F.sum(F.col("ma") + F.col("mb")).over(tot).alias("n2"),
+        F.count("*").over(tot).alias("k"))
+        .select(
+        (F.col("ma") * 2.0 / F.col("n2")).alias("pa"),
+        (F.col("mb") * 2.0 / F.col("n2")).alias("pb"),
+        ((F.col("ma") + F.col("mb")) / F.col("n2")).alias("pi_k"),
+        (F.col("n2") / 2.0).alias("n"), F.col("k")))
+    pe = n_k.agg(
+        F.max("n").alias("n"), F.max("k").alias("k"),
+        F.round(F.sum(F.col("pa") * F.col("pb")), 9).alias("pe_kappa"),
+        F.round(F.sum(F.col("pi_k") * F.col("pi_k")), 9)
+        .alias("pe_scott"),
+        F.round(F.sum(F.col("pi_k") * (1.0 - F.col("pi_k"))), 9)
+        .alias("sum_pi1p"))
+    m = pe.crossJoin(F.broadcast(po)).select(
+        "*", (F.col("agree") / F.col("n")).alias("po"),
+        F.when(F.col("k") > 1,
+               F.col("sum_pi1p") / (F.col("k") - 1.0)).alias("pe_ac1"))
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_categories"),
+        F.round(F.col("po"), 6).alias("p_o"),
+        F.round(F.when(F.col("pe_kappa") < 1,
+                       (F.col("po") - F.col("pe_kappa"))
+                       / (1.0 - F.col("pe_kappa"))), 6).alias("kappa"),
+        F.round(F.when(F.col("pe_scott") < 1,
+                       (F.col("po") - F.col("pe_scott"))
+                       / (1.0 - F.col("pe_scott"))), 6)
+        .alias("scott_pi"),
+        F.round(F.when(F.col("pe_ac1") < 1,
+                       (F.col("po") - F.col("pe_ac1"))
+                       / (1.0 - F.col("pe_ac1"))), 6).alias("gwet_ac1"))
+
+
+def gwet_ac1_sql(table: str, a_sql: str, b_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT {a_sql} AS a, {b_sql} AS b FROM {table}
+  WHERE {a_sql} IS NOT NULL AND {b_sql} IS NOT NULL
+),
+cont AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS c
+         FROM base GROUP BY a, b),
+cats AS (
+  SELECT coalesce(am.k, bm.k) AS k,
+         coalesce(am.ma, 0.0) AS ma, coalesce(bm.mb, 0.0) AS mb
+  FROM (SELECT a AS k, sum(c) AS ma FROM cont GROUP BY a) am
+  FULL JOIN (SELECT b AS k, sum(c) AS mb FROM cont GROUP BY b) bm
+    ON am.k = bm.k
+),
+po AS (SELECT coalesce(sum(c), 0.0) AS agree FROM cont WHERE a = b),
+nk AS (
+  SELECT ma * 2.0 / (sum(ma + mb) OVER ()) AS pa,
+         mb * 2.0 / (sum(ma + mb) OVER ()) AS pb,
+         (ma + mb) / (sum(ma + mb) OVER ()) AS pi_k,
+         (sum(ma + mb) OVER ()) / 2.0 AS n,
+         count(*) OVER () AS k
+  FROM cats
+),
+pe AS (
+  SELECT max(n) AS n, max(k) AS k,
+         round(sum(pa * pb), 9) AS pe_kappa,
+         round(sum(pi_k * pi_k), 9) AS pe_scott,
+         round(sum(pi_k * (1.0 - pi_k)), 9) AS sum_pi1p
+  FROM nk
+),
+m AS (
+  SELECT pe.*, po.agree / pe.n AS po,
+         CASE WHEN pe.k > 1 THEN pe.sum_pi1p / (pe.k - 1.0) END AS pe_ac1
+  FROM pe CROSS JOIN po
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(k AS BIGINT) AS k_categories,
+       round(po, 6) AS p_o,
+       round(CASE WHEN pe_kappa < 1
+                  THEN (po - pe_kappa) / (1.0 - pe_kappa) END, 6)
+         AS kappa,
+       round(CASE WHEN pe_scott < 1
+                  THEN (po - pe_scott) / (1.0 - pe_scott) END, 6)
+         AS scott_pi,
+       round(CASE WHEN pe_ac1 < 1
+                  THEN (po - pe_ac1) / (1.0 - pe_ac1) END, 6)
+         AS gwet_ac1
+FROM m
+"""
+
+
+def icc_oneway(df: DataFrame, group_col: str,
+               value_col: str) -> DataFrame:
+    """One-way random-effects intraclass correlation ICC(1,1)
+    (Shrout & Fleiss 1979), unbalanced-group ANOVA estimator: with
+    MSB/MSW from the one-way decomposition and n₀ = (N − Σn_i²/N)
+    /(k−1) the average group size correction, ICC = (MSB − MSW)
+    /(MSB + (n₀−1)·MSW) — how much of the variance lives BETWEEN
+    groups; the continuous-outcome counterpart of the κ family
+    above. One grouped aggregate (k rows) + one-row algebra; the raw
+    mean squares surface only through the F ratio so no 1e9-scale
+    value meets the 6-decimal hash. Output: one row (k_groups, n,
+    n0, f_anova, icc1), rounds 6."""
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    base = df.filter(g.isNotNull() & v.isNotNull()).select(
+        g.alias("g"), v.alias("v"))
+    per = base.groupBy("g").agg(
+        F.count("*").cast("double").alias("ni"),
+        F.sum(F.col("v").cast(_DEC)).cast("double").alias("si"),
+        F.sum((F.col("v") * F.col("v")).cast(_DEC)).cast("double")
+        .alias("sii"))
+    m = per.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("ni").alias("nn"),
+        F.sum(F.col("ni") * F.col("ni")).alias("nsq"),
+        F.sum("si").alias("s"),
+        F.sum("sii").alias("ss"),
+        F.sum(F.col("si") * F.col("si") / F.col("ni")).alias("sgs"))
+    k, nn = F.col("k"), F.col("nn")
+    ssb = F.col("sgs") - F.col("s") * F.col("s") / nn
+    ssw = F.col("ss") - F.col("sgs")
+    msb = ssb / (k - 1.0)
+    msw = ssw / (nn - k)
+    n0 = (nn - F.col("nsq") / nn) / (k - 1.0)
+    return m.select(
+        k.cast("long").alias("k_groups"),
+        nn.cast("long").alias("n"),
+        F.round(n0, 6).alias("n0"),
+        F.round(F.when(msw > 0, msb / msw), 6).alias("f_anova"),
+        F.round(F.when(msb + (n0 - 1.0) * msw > 0,
+                       (msb - msw) / (msb + (n0 - 1.0) * msw)), 6)
+        .alias("icc1"))
+
+
+def icc_oneway_sql(table: str, group_sql: str, value_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT {group_sql} AS g, CAST({value_sql} AS DOUBLE) AS v
+  FROM {table}
+  WHERE {group_sql} IS NOT NULL
+    AND CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+per AS (
+  SELECT g, CAST(count(*) AS DOUBLE) AS ni,
+         CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS si,
+         CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS sii
+  FROM base GROUP BY g
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS k, sum(ni) AS nn,
+         sum(ni * ni) AS nsq, sum(si) AS s, sum(sii) AS ss,
+         sum(si * si / ni) AS sgs
+  FROM per
+)
+SELECT CAST(k AS BIGINT) AS k_groups,
+       CAST(nn AS BIGINT) AS n,
+       round((nn - nsq / nn) / (k - 1.0), 6) AS n0,
+       round(CASE WHEN (ss - sgs) / (nn - k) > 0 THEN
+         ((sgs - s * s / nn) / (k - 1.0)) / ((ss - sgs) / (nn - k))
+         END, 6) AS f_anova,
+       round(CASE WHEN (sgs - s * s / nn) / (k - 1.0)
+                       + ((nn - nsq / nn) / (k - 1.0) - 1.0)
+                         * ((ss - sgs) / (nn - k)) > 0 THEN
+         ((sgs - s * s / nn) / (k - 1.0) - (ss - sgs) / (nn - k))
+         / ((sgs - s * s / nn) / (k - 1.0)
+            + ((nn - nsq / nn) / (k - 1.0) - 1.0)
+              * ((ss - sgs) / (nn - k))) END, 6) AS icc1
+FROM m
+"""
+
+
+def lin_ccc(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Lin's concordance correlation coefficient (Lin 1989) between
+    two paired continuous measurements: CCC = 2·s_xy / (s_x² + s_y²
+    + (x̄−ȳ)²) with population (biased) moments — Pearson r times the
+    bias-correction factor C_b that punishes location and scale
+    shifts r forgives; the continuous analog of p_o vs chance above.
+    One decimal-moments pass. Output: one row (n, pearson_r, c_b,
+    ccc), rounds 6."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        x.alias("x"), y.alias("y"))
+
+    def dsum(expr, name):
+        return F.sum(expr.cast(_DEC)).cast("double").alias(name)
+
+    m = base.agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(F.col("x"), "sx"), dsum(F.col("y"), "sy"),
+        dsum(F.col("x") * F.col("x"), "sxx"),
+        dsum(F.col("y") * F.col("y"), "syy"),
+        dsum(F.col("x") * F.col("y"), "sxy"))
+    n = F.col("n")
+    vx = F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n)
+    vy = F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n)
+    cxy = F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)
+    dm = F.col("sx") / n - F.col("sy") / n
+    r = F.when((vx > 0) & (vy > 0), cxy / F.sqrt(vx * vy))
+    ccc = F.when(vx + vy + dm * dm > 0,
+                 2.0 * cxy / (vx + vy + dm * dm))
+    return m.select(
+        n.cast("long").alias("n"),
+        F.round(r, 6).alias("pearson_r"),
+        F.round(ccc / r, 6).alias("c_b"),
+        F.round(ccc, 6).alias("ccc"))
+
+
+def lin_ccc_sql(table: str, x_sql: str, y_sql: str) -> str:
+    def dsum(expr, name):
+        return (f"CAST(sum(CAST({expr} AS DECIMAL(38,12))) AS DOUBLE)"
+                f" AS {name}")
+
+    return f"""
+WITH base AS (
+  SELECT CAST({x_sql} AS DOUBLE) AS x, CAST({y_sql} AS DOUBLE) AS y
+  FROM {table}
+  WHERE CAST({x_sql} AS DOUBLE) IS NOT NULL
+    AND CAST({y_sql} AS DOUBLE) IS NOT NULL
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         {dsum('x', 'sx')}, {dsum('y', 'sy')},
+         {dsum('x * x', 'sxx')}, {dsum('y * y', 'syy')},
+         {dsum('x * y', 'sxy')}
+  FROM base
+),
+v AS (
+  SELECT n,
+         sxx / n - (sx / n) * (sx / n) AS vx,
+         syy / n - (sy / n) * (sy / n) AS vy,
+         sxy / n - (sx / n) * (sy / n) AS cxy,
+         sx / n - sy / n AS dm
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(CASE WHEN vx > 0 AND vy > 0
+                  THEN cxy / sqrt(vx * vy) END, 6) AS pearson_r,
+       round((CASE WHEN vx + vy + dm * dm > 0
+                   THEN 2.0 * cxy / (vx + vy + dm * dm) END)
+             / (CASE WHEN vx > 0 AND vy > 0
+                     THEN cxy / sqrt(vx * vy) END), 6) AS c_b,
+       round(CASE WHEN vx + vy + dm * dm > 0
+                  THEN 2.0 * cxy / (vx + vy + dm * dm) END, 6) AS ccc
+FROM v
+"""

@@ -251,3 +251,161 @@ def test_chow_stable_line_gives_small_f(spark):
     days = [[10.0 + i + (0.01 if i % 2 else -0.01)] for i in range(12)]
     out = _one(chow_break(spark.createDataFrame(_days(days))))
     assert out["f_chow"] is not None and out["f_chow"] < 1.0
+
+
+# ------------------------------------------------- agreement validation
+
+
+def test_clustering_agreement_identical_partitions(spark):
+    from distill_spark.operators.mleval import clustering_agreement
+
+    pdf = pd.DataFrame({"a": [1, 1, 2, 2, 3], "b": list("xxyyz")})
+    out = _one(clustering_agreement(spark.createDataFrame(pdf), "a", "b"))
+    assert out["n"] == 5
+    assert out["rand"] == 1.0
+    assert out["adjusted_rand"] == 1.0
+    assert out["fowlkes_mallows"] == 1.0
+    assert out["jaccard_pairs"] == 1.0
+
+
+def test_clustering_agreement_numpy_mirror(spark):
+    a = [1, 1, 1, 2, 2, 2, 3, 3]
+    b = ["x", "x", "y", "y", "y", "x", "x", "y"]
+    from collections import Counter
+
+    cont = Counter(zip(a, b))
+    n = len(a)
+
+    def comb2(c):
+        return c * (c - 1) / 2.0
+
+    sc = sum(comb2(v) for v in cont.values())
+    sa = sum(comb2(v) for v in Counter(a).values())
+    sb = sum(comb2(v) for v in Counter(b).values())
+    t = comb2(n)
+    exp = sa * sb / t
+    ari = (sc - exp) / ((sa + sb) / 2 - exp)
+
+    from distill_spark.operators.mleval import clustering_agreement
+
+    pdf = pd.DataFrame({"a": a, "b": b})
+    out = _one(clustering_agreement(spark.createDataFrame(pdf), "a", "b"))
+    assert abs(out["adjusted_rand"] - ari) < 1e-6
+    assert abs(out["fowlkes_mallows"] - sc / math.sqrt(sa * sb)) < 1e-6
+    assert abs(out["jaccard_pairs"] - sc / (sa + sb - sc)) < 1e-6
+    assert abs(out["rand"] - (t + 2 * sc - sa - sb) / t) < 1e-6
+
+
+def test_v_measure_identical_and_degenerate(spark):
+    from distill_spark.operators.mleval import v_measure
+
+    pdf = pd.DataFrame({"t": [1, 1, 2, 2], "p": list("aabb")})
+    out = _one(v_measure(spark.createDataFrame(pdf), "t", "p"))
+    assert out["homogeneity"] == 1.0
+    assert out["completeness"] == 1.0
+    assert out["v_measure"] == 1.0
+    assert out["nmi"] == 1.0
+    # single-cluster prediction: H(pred)=0 → completeness 1 by
+    # convention, homogeneity 0, V 0
+    pdf2 = pd.DataFrame({"t": [1, 1, 2, 2], "p": ["a"] * 4})
+    out2 = _one(v_measure(spark.createDataFrame(pdf2), "t", "p"))
+    assert out2["homogeneity"] == 0.0
+    assert out2["completeness"] == 1.0
+    assert out2["v_measure"] == 0.0
+
+
+def test_v_measure_numpy_mirror(spark):
+    t = [1, 1, 1, 2, 2, 2, 3, 3]
+    p = ["x", "x", "y", "y", "y", "x", "x", "y"]
+    from collections import Counter
+
+    n = len(t)
+
+    def h(counts):
+        return -sum(c / n * math.log(c / n) for c in counts)
+
+    cont = Counter(zip(t, p))
+    ct, cp = Counter(t), Counter(p)
+    h_t, h_p = h(ct.values()), h(cp.values())
+    h_t_given_p = -sum(c / n * math.log(c / cp[k[1]])
+                       for k, c in cont.items())
+    h_p_given_t = -sum(c / n * math.log(c / ct[k[0]])
+                       for k, c in cont.items())
+    homo = 1 - h_t_given_p / h_t
+    comp = 1 - h_p_given_t / h_p
+
+    from distill_spark.operators.mleval import v_measure
+
+    pdf = pd.DataFrame({"t": t, "p": p})
+    out = _one(v_measure(spark.createDataFrame(pdf), "t", "p"))
+    assert abs(out["homogeneity"] - homo) < 1e-6
+    assert abs(out["completeness"] - comp) < 1e-6
+    assert abs(out["v_measure"] - 2 * homo * comp / (homo + comp)) < 1e-6
+    assert abs(out["nmi"] - 2 * (h_t - h_t_given_p) / (h_t + h_p)) < 1e-6
+
+
+def test_gwet_ac1_prevalence_paradox_hand_case(spark):
+    """Gwet's Table-style skewed 2×2: 95 (+,+), 1 (+,−), 4 (−,+),
+    0 (−,−). p_o = 0.95; κ collapses toward ~−0.03 while AC1 stays
+    near 0.94 — the paradox the coefficient exists for. Hand values:
+    pa+=0.96, pb+=0.99, pe_κ = .96·.99 + .04·.01 = .9508,
+    κ = (.95−.9508)/.0492 ≈ −.01626; π_+ = .975, pe_π = .975² +
+    .025² = .951250, π ≈ −.025641; pe_AC1 = 2·.975·.025 = .04875,
+    AC1 = (.95−.04875)/(1−.04875) ≈ .947437."""
+    from distill_spark.operators.mleval import gwet_ac1
+
+    rows = ([("+", "+")] * 95 + [("+", "-")] * 1 + [("-", "+")] * 4)
+    pdf = pd.DataFrame(rows, columns=["a", "b"])
+    out = _one(gwet_ac1(spark.createDataFrame(pdf), "a", "b"))
+    assert out["n"] == 100 and out["k_categories"] == 2
+    assert out["p_o"] == 0.95
+    assert abs(out["kappa"] - (0.95 - 0.9508) / (1 - 0.9508)) < 1e-6
+    assert abs(out["scott_pi"] - (0.95 - 0.95125) / (1 - 0.95125)) < 1e-6
+    assert abs(out["gwet_ac1"] - (0.95 - 0.04875) / (1 - 0.04875)) < 1e-6
+    assert out["gwet_ac1"] > 0.9 and out["kappa"] < 0
+
+
+def test_icc_oneway_numpy_mirror_and_degenerate(spark):
+    from distill_spark.operators.mleval import icc_oneway
+
+    groups = {"a": [1.0, 2.0, 3.0], "b": [11.0, 12.0, 13.0, 14.0],
+              "c": [21.0, 22.0]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    pdf = pd.DataFrame(rows, columns=["g", "v"])
+    out = _one(icc_oneway(spark.createDataFrame(pdf), "g", "v"))
+    vals = [np.array(v) for v in groups.values()]
+    nn = sum(len(v) for v in vals)
+    k = 3
+    gm = np.concatenate(vals).mean()
+    ssb = sum(len(v) * (v.mean() - gm) ** 2 for v in vals)
+    ssw = sum(((v - v.mean()) ** 2).sum() for v in vals)
+    msb, msw = ssb / (k - 1), ssw / (nn - k)
+    n0 = (nn - sum(len(v) ** 2 for v in vals) / nn) / (k - 1)
+    assert out["k_groups"] == 3 and out["n"] == nn
+    assert abs(out["n0"] - n0) < 1e-6
+    assert abs(out["f_anova"] - msb / msw) < 1e-4
+    assert abs(out["icc1"] - (msb - msw) / (msb + (n0 - 1) * msw)) < 1e-6
+    # zero within-group variance → perfect reliability
+    pdf2 = pd.DataFrame([("a", 1.0), ("a", 1.0), ("b", 5.0),
+                         ("b", 5.0)], columns=["g", "v"])
+    out2 = _one(icc_oneway(spark.createDataFrame(pdf2), "g", "v"))
+    assert out2["f_anova"] is None  # MSW = 0
+    assert out2["icc1"] == 1.0
+
+
+def test_lin_ccc_identity_and_shift_penalty(spark):
+    from distill_spark.operators.mleval import lin_ccc
+
+    x = [1.0, 2.0, 3.0, 4.0]
+    pdf = pd.DataFrame({"x": x, "y": x})
+    out = _one(lin_ccc(spark.createDataFrame(pdf), "x", "y"))
+    assert out["pearson_r"] == 1.0
+    assert out["c_b"] == 1.0
+    assert out["ccc"] == 1.0
+    # constant shift: r stays 1, CCC drops by the location penalty
+    # CCC = 2v / (2v + d²) with v = pop var = 1.25, d = 2
+    pdf2 = pd.DataFrame({"x": x, "y": [v + 2.0 for v in x]})
+    out2 = _one(lin_ccc(spark.createDataFrame(pdf2), "x", "y"))
+    assert out2["pearson_r"] == 1.0
+    assert abs(out2["ccc"] - 2 * 1.25 / (2 * 1.25 + 4.0)) < 1e-6
+    assert out2["ccc"] == out2["c_b"]
