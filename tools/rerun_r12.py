@@ -1,0 +1,88 @@
+"""Round-12 attribution reruns (verdict ask #3): the two raw sf1
+flags from BENCH_r11 (train_packing 1.39x, train_pagerank 1.49x) and
+the anomalous ann_scale warm>cold reading, re-measured SOLO on an
+idle box with loadavg + speed-probe evidence — the SF1_RERUN_r10
+method. Writes RERUN_r12.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+from distill_spark.runtime import get_spark  # noqa: E402
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    load0 = bench._loadavg()
+    probe = min(bench._speed_probe() for _ in range(3))
+    spark = get_spark(app_name="rerun_r12")
+
+    # warmup (same as bench main): JVM/codegen + python workers
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    warm = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+
+    @pandas_udf(DoubleType())
+    def _warm_udf(s):
+        return s * 1.0
+
+    warm.select(F.sum(_warm_udf(F.col("vec_id").cast("double")))).collect()
+    warm.groupBy(F.col("vec_id") % 8).count().collect()
+
+    t0 = time.time()
+    sf1 = bench._sf1_section(spark, "/root/testdata/sf0.1")
+    sf1_wall = round(time.time() - t0, 3)
+
+    ann_runs = [bench._ann_scale(spark) for _ in range(3)]
+    load1 = bench._loadavg()
+    probe1 = min(bench._speed_probe() for _ in range(3))
+
+    with open(os.path.join(ROOT, "SF1_BASELINE.json")) as fh:
+        base = json.load(fh)
+
+    out = {
+        "purpose": ("round-11 verdict ask #3: solo idle-box rerun of the "
+                    "two raw sf1 flags (train_packing 6.316 vs 4.549, "
+                    "train_pagerank 10.774 vs 7.217 in BENCH_r11/"
+                    "BENCH_DETAIL sf1) and the ann_scale warm (2.173) > "
+                    "cold (2.001) anomaly"),
+        "method": ("bench._sf1_section min-of-3 solo + bench._ann_scale "
+                   "x3, loadavg and speed probe recorded before/after; "
+                   "same flag rule as the committed bench"),
+        "loadavg_before": load0, "loadavg_after": load1,
+        "probe_ms_before": round(probe, 3),
+        "probe_ms_after": round(probe1, 3),
+        "baseline_probe_ms": base.get("probe_ms"),
+        "sf1": sf1, "sf1_wall": sf1_wall,
+        "ann_scale_runs": ann_runs,
+    }
+    flagged = sf1.get("flagged", []) if sf1 else ["NO_X10_DATA"]
+    packing_ok = sf1 and sf1["queries"]["train_packing"] <= 1.3 * base["queries"]["train_packing"]
+    pagerank_ok = sf1 and sf1["queries"]["train_pagerank"] <= 1.3 * base["queries"]["train_pagerank"]
+    warm_min = min(r["warm_secs"] for r in ann_runs)
+    cold0 = ann_runs[0]["cold_secs"]
+    out["verdict"] = {
+        "train_packing": "CLEARED" if packing_ok else "REPRODUCED",
+        "train_pagerank": "CLEARED" if pagerank_ok else "REPRODUCED",
+        "sf1_flagged_solo": flagged,
+        "ann_warm_min": warm_min, "ann_cold_first": cold0,
+        "ann_warm_anomaly": ("CLEARED (warm < cold solo)"
+                             if warm_min < cold0 else "REPRODUCED"),
+    }
+    with open(os.path.join(ROOT, "RERUN_r12.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out["verdict"]))
+
+
+if __name__ == "__main__":
+    main()
