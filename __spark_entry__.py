@@ -12296,6 +12296,112 @@ def _sql_lin_ccc():
     return lin_ccc_sql(frame, "clicks", "views")
 
 
+# ---------------------------------------------------------------------------
+# Round-12 third stratum: robust scale/location completion — Sn/Qn,
+# biweight midvariance, medcouple, Yuen's trimmed t, and the adjusted
+# boxplot, all over the bounded daily frame (the O(m²) pair kernels
+# are m ≈ days, never fact rows).
+
+def _daily_tot_frame(t):
+    return (t["events"]
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(F.round(F.sum(F.col("value").cast("decimal(38,12)"))
+                         .cast("double"), 9).alias("tot")))
+
+
+_DAILY_TOT_SQL = ("(SELECT round(CAST(sum(CAST(value AS "
+                  "DECIMAL(38,12))) AS DOUBLE), 9) AS tot "
+                  "FROM events GROUP BY CAST(ts AS DATE))")
+
+
+def q_sn_qn_scale(spark, sf_dir):
+    """Rousseeuw–Croux Sn/Qn robust scale of daily totals beside
+    MAD·1.4826 and the classical stddev (stats.sn_qn_scale) — scale
+    without a location estimate, at 50% breakdown."""
+    from distill_spark.operators.stats import sn_qn_scale
+
+    return sn_qn_scale(_daily_tot_frame(_tables(spark, sf_dir)), "tot")
+
+
+def _sql_sn_qn():
+    from distill_spark.operators.stats import sn_qn_scale_sql
+
+    return sn_qn_scale_sql(_DAILY_TOT_SQL, "tot")
+
+
+def q_biweight_midvar(spark, sf_dir):
+    """Tukey biweight midvariance of daily totals
+    (stats.biweight_midvariance) — the smooth-taper robust sigma,
+    reported against the stddev it replaces."""
+    from distill_spark.operators.stats import biweight_midvariance
+
+    return biweight_midvariance(
+        _daily_tot_frame(_tables(spark, sf_dir)), "tot")
+
+
+def _sql_biweight():
+    from distill_spark.operators.stats import biweight_midvariance_sql
+
+    return biweight_midvariance_sql(_DAILY_TOT_SQL, "tot")
+
+
+def q_medcouple_skew(spark, sf_dir):
+    """Medcouple robust skewness of daily totals beside the moment
+    skew it robustifies (stats.medcouple_skew)."""
+    from distill_spark.operators.stats import medcouple_skew
+
+    return medcouple_skew(_daily_tot_frame(_tables(spark, sf_dir)),
+                          "tot")
+
+
+def _sql_medcouple():
+    from distill_spark.operators.stats import medcouple_skew_sql
+
+    return medcouple_skew_sql(_DAILY_TOT_SQL, "tot")
+
+
+def q_yuen_trimmed(spark, sf_dir):
+    """Yuen's 20%-trimmed-means t between daily click and view value
+    totals (stats.yuen_trimmed) — welch_ttest with the tails
+    removed and winsorized variances."""
+    from distill_spark.operators.stats import yuen_trimmed
+
+    daily = (_tables(spark, sf_dir)["events"]
+             .filter(F.col("event_type").isin(["click", "view"]))
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.round(F.sum(F.col("value").cast("decimal(38,12)"))
+                          .cast("double"), 9).alias("tot")))
+    return yuen_trimmed(daily, "event_type", "click", "view", "tot")
+
+
+def _sql_yuen():
+    from distill_spark.operators.stats import yuen_trimmed_sql
+
+    frame = ("(SELECT event_type, "
+             "round(CAST(sum(CAST(value AS DECIMAL(38,12))) "
+             "AS DOUBLE), 9) AS tot FROM events "
+             "WHERE event_type IN ('click', 'view') "
+             "GROUP BY event_type, CAST(ts AS DATE))")
+    return yuen_trimmed_sql(frame, "event_type", "click", "view",
+                            "tot")
+
+
+def q_adjusted_boxplot(spark, sf_dir):
+    """Medcouple-adjusted boxplot fences over daily totals with the
+    classic-vs-adjusted outlier counts (stats.adjusted_boxplot) —
+    Tukey's rule bent to the skew."""
+    from distill_spark.operators.stats import adjusted_boxplot
+
+    return adjusted_boxplot(_daily_tot_frame(_tables(spark, sf_dir)),
+                            "tot")
+
+
+def _sql_adj_boxplot():
+    from distill_spark.operators.stats import adjusted_boxplot_sql
+
+    return adjusted_boxplot_sql(_DAILY_TOT_SQL, "tot")
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ======================== ROUND-12 WINDOW ============================
     # -- round-12 head: the 12 seeds queued all of round 11 (each
@@ -12326,6 +12432,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "gwet_ac1": (q_gwet_ac1, _sql_gwet()),
     "icc_oneway": (q_icc_oneway, _sql_icc()),
     "lin_ccc": (q_lin_ccc, _sql_lin_ccc()),
+    # -- round-12 third stratum: robust scale/location completion -----------
+    "sn_qn_scale": (q_sn_qn_scale, _sql_sn_qn()),
+    "biweight_midvar": (q_biweight_midvar, _sql_biweight()),
+    "medcouple_skew": (q_medcouple_skew, _sql_medcouple()),
+    "yuen_trimmed": (q_yuen_trimmed, _sql_yuen()),
+    "adjusted_boxplot": (q_adjusted_boxplot, _sql_adj_boxplot()),
     # ===================== END ROUND-12 WINDOW (50) ======================
     # (new round-12 strata are inserted ABOVE this line as they land,
     #  pushing the driver-green round-11 rows below position 50)

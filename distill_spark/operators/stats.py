@@ -7724,3 +7724,539 @@ SELECT round(lam, 6) AS "lambda",
 FROM path
 ORDER BY lam
 """
+
+
+# -------------------------------------------------------- round 12:
+# robust scale/location completion — Rousseeuw–Croux Sn/Qn, Tukey's
+# biweight midvariance, the medcouple, Yuen's trimmed-means t, and
+# the medcouple-adjusted boxplot. All run on a BOUNDED frame (the
+# caller aggregates the fact table to daily totals first): the O(m²)
+# pair kernels are m ≈ days, never rows — the hodges_lehmann scale
+# contract.
+
+def sn_qn_scale(df: DataFrame, value_col: str) -> DataFrame:
+    """Rousseeuw–Croux Sn and Qn scale estimators (Rousseeuw & Croux
+    1993) beside MAD·1.4826 and the stddev they robustify: Sn =
+    1.1926 · lomed_i himed_{j≠i} |x_i − x_j| (himed = the
+    (⌊n/2⌋+1)-th order statistic of the n−1 diffs per i, lomed = the
+    ⌊(n+1)/2⌋-th across i — both pinned, no interpolation), Qn =
+    2.2219 · the C(h,2)-th smallest pairwise diff, h = ⌊n/2⌋+1.
+    Both reach the 50% breakdown point WITHOUT a location estimate
+    and keep ~58%/82% Gaussian efficiency vs MAD's 37%. Self-join of
+    the bounded m-row frame (m² pairs, m ≈ days). Output: one row
+    (n, sn, qn, mad_sigma, stddev), rounds 6."""
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull()).select(x.alias("x"))
+    idx = base.select(
+        "x", F.row_number().over(
+            Window.partitionBy().orderBy("x")).alias("i"))
+    a = idx.select(F.col("i").alias("ia"), F.col("x").alias("xa"))
+    b = idx.select(F.col("i").alias("ib"), F.col("x").alias("xb"))
+    wi = Window.partitionBy("ia").orderBy("d", "ib")
+    diffs = (a.join(b, F.col("ia") != F.col("ib"))
+             .select("ia", "ib",
+                     F.abs(F.col("xa") - F.col("xb")).alias("d")))
+    ntot = Window.partitionBy()
+    himed = (diffs.select(
+        "ia", "d", F.row_number().over(wi).alias("r"),
+        F.count("*").over(Window.partitionBy("ia")).alias("m"))
+        .filter(F.col("r") == F.floor((F.col("m") + 1) / 2) + 1)
+        .select("ia", F.col("d").alias("di")))
+    wl = Window.partitionBy().orderBy("di", "ia")
+    sn = (himed.select(
+        "di", F.row_number().over(wl).alias("r"),
+        F.count("*").over(ntot).alias("n"))
+        .filter(F.col("r") == F.floor((F.col("n") + 1) / 2))
+        .select(F.col("di").alias("sn_raw"), F.col("n")))
+    pair = (a.join(b, F.col("ib") > F.col("ia"))
+            .select(F.abs(F.col("xa") - F.col("xb")).alias("d"),
+                    "ia", "ib"))
+    wq = Window.partitionBy().orderBy("d", "ia", "ib")
+    qn = (pair.select(
+        "d", F.row_number().over(wq).alias("r"),
+        F.count("*").over(ntot).alias("np"))
+        .crossJoin(F.broadcast(sn.select(F.col("n").alias("nn"))))
+        .filter(F.col("r")
+                == (F.floor(F.col("nn") / 2) + 1)
+                * F.floor(F.col("nn") / 2) / 2)
+        .select(F.col("d").alias("qn_raw")))
+    spread = base.agg(
+        F.percentile(F.col("x"), F.lit(0.5)).alias("med"),
+        F.stddev_samp("x").alias("sd"))
+    madf = (base.crossJoin(F.broadcast(spread))
+            .agg(F.percentile(F.abs(F.col("x") - F.col("med")),
+                              F.lit(0.5)).alias("mad"),
+                 F.max("sd").alias("sd")))
+    return (sn.crossJoin(F.broadcast(qn))
+            .crossJoin(F.broadcast(madf))
+            .select(
+        F.col("n").cast("long").alias("n"),
+        F.round(1.1926 * F.col("sn_raw"), 6).alias("sn"),
+        F.round(2.2219 * F.col("qn_raw"), 6).alias("qn"),
+        F.round(1.4826 * F.col("mad"), 6).alias("mad_sigma"),
+        F.round(F.col("sd"), 6).alias("stddev")))
+
+
+def sn_qn_scale_sql(table: str, value_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS x FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+idx AS (
+  SELECT x, row_number() OVER (ORDER BY x) AS i FROM base
+),
+diffs AS (
+  SELECT a.i AS ia, b.i AS ib, abs(a.x - b.x) AS d
+  FROM idx a JOIN idx b ON a.i <> b.i
+),
+himed AS (
+  SELECT ia, d AS di FROM (
+    SELECT ia, d,
+           row_number() OVER (PARTITION BY ia ORDER BY d, ib) AS r,
+           count(*) OVER (PARTITION BY ia) AS m
+    FROM diffs
+  ) WHERE r = floor((m + 1) / 2) + 1
+),
+sn AS (
+  SELECT di AS sn_raw, n FROM (
+    SELECT di, ia, row_number() OVER (ORDER BY di, ia) AS r,
+           count(*) OVER () AS n
+    FROM himed
+  ) WHERE r = floor((n + 1) / 2)
+),
+pair AS (
+  SELECT abs(a.x - b.x) AS d, a.i AS ia, b.i AS ib
+  FROM idx a JOIN idx b ON b.i > a.i
+),
+qn AS (
+  SELECT d AS qn_raw FROM (
+    SELECT p.d, row_number() OVER (ORDER BY p.d, p.ia, p.ib) AS r,
+           s.n AS nn
+    FROM pair p CROSS JOIN sn s
+  ) WHERE r = (floor(nn / 2) + 1) * floor(nn / 2) / 2
+),
+spread AS (
+  SELECT quantile_cont(x, 0.5) AS med, stddev_samp(x) AS sd FROM base
+),
+madf AS (
+  SELECT quantile_cont(abs(b.x - s.med), 0.5) AS mad, max(s.sd) AS sd
+  FROM base b CROSS JOIN spread s
+)
+SELECT CAST(sn.n AS BIGINT) AS n,
+       round(1.1926 * sn.sn_raw, 6) AS sn,
+       round(2.2219 * qn.qn_raw, 6) AS qn,
+       round(1.4826 * madf.mad, 6) AS mad_sigma,
+       round(madf.sd, 6) AS stddev
+FROM sn CROSS JOIN qn CROSS JOIN madf
+"""
+
+
+def biweight_midvariance(df: DataFrame, value_col: str,
+                         c: float = 9.0) -> DataFrame:
+    """Tukey's biweight midvariance (Lax 1985's winning robust scale):
+    u_i = (x_i − M)/(c·MAD), weights (1−u²)² that reach exactly zero
+    at |u| ≥ 1 — unlike winsorizing, the taper is smooth, keeping
+    ~87% Gaussian efficiency at a 50% breakdown. BWMV = n·Σ(x−M)²
+    (1−u²)⁴ / (Σ(1−u²)(1−5u²))², sums over |u| < 1 only. Two
+    percentile passes then one weighted aggregate. Output: one row
+    (n, n_used, median, mad, bw_sigma, stddev_ratio), rounds 6."""
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull()).select(x.alias("x"))
+    med = base.agg(F.percentile(F.col("x"), F.lit(0.5)).alias("med"))
+    mad = (base.crossJoin(F.broadcast(med))
+           .agg(F.max("med").alias("med"),
+                F.percentile(F.abs(F.col("x") - F.col("med")),
+                             F.lit(0.5)).alias("mad"),
+                F.stddev_samp("x").alias("sd")))
+    u = (F.col("x") - F.col("med")) / (F.lit(c) * F.col("mad"))
+    inside = F.abs(u) < 1.0
+    one_u2 = 1.0 - u * u
+    terms = (base.crossJoin(F.broadcast(mad))
+             .agg(F.count("*").alias("n"),
+                  F.sum(inside.cast("long")).alias("n_used"),
+                  F.sum(F.when(inside,
+                               (F.col("x") - F.col("med"))
+                               * (F.col("x") - F.col("med"))
+                               * one_u2 * one_u2 * one_u2 * one_u2)
+                        .otherwise(0.0)).alias("num"),
+                  F.sum(F.when(inside, one_u2 * (1.0 - 5.0 * u * u))
+                        .otherwise(0.0)).alias("den"),
+                  F.max("med").alias("med"),
+                  F.max("mad").alias("mad"),
+                  F.max("sd").alias("sd")))
+    bwmv = (F.col("n").cast("double") * F.col("num")
+            / (F.col("den") * F.col("den")))
+    return terms.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_used").cast("long").alias("n_used"),
+        F.round(F.col("med"), 6).alias("median"),
+        F.round(F.col("mad"), 6).alias("mad"),
+        F.round(F.when(F.col("den") > 0, F.sqrt(bwmv)), 6)
+        .alias("bw_sigma"),
+        F.round(F.when(F.col("den") > 0,
+                       F.sqrt(bwmv) / F.col("sd")), 6)
+        .alias("stddev_ratio"))
+
+
+def biweight_midvariance_sql(table: str, value_sql: str,
+                             c: float = 9.0) -> str:
+    u = f"((x - med) / ({c!r} * mad))"
+    return f"""
+WITH base AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS x FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+med AS (SELECT quantile_cont(x, 0.5) AS med FROM base),
+mad AS (
+  SELECT max(m.med) AS med,
+         quantile_cont(abs(b.x - m.med), 0.5) AS mad,
+         stddev_samp(b.x) AS sd
+  FROM base b CROSS JOIN med m
+),
+terms AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN abs({u}) < 1.0 THEN 1 ELSE 0 END) AS n_used,
+         sum(CASE WHEN abs({u}) < 1.0 THEN
+           (x - med) * (x - med)
+           * (1.0 - {u} * {u}) * (1.0 - {u} * {u})
+           * (1.0 - {u} * {u}) * (1.0 - {u} * {u})
+           ELSE 0.0 END) AS num,
+         sum(CASE WHEN abs({u}) < 1.0 THEN
+           (1.0 - {u} * {u}) * (1.0 - 5.0 * {u} * {u})
+           ELSE 0.0 END) AS den,
+         max(med) AS med, max(mad) AS mad, max(sd) AS sd
+  FROM base CROSS JOIN mad
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n_used AS BIGINT) AS n_used,
+       round(med, 6) AS median,
+       round(mad, 6) AS mad,
+       round(CASE WHEN den > 0 THEN
+         sqrt(CAST(n AS DOUBLE) * num / (den * den)) END, 6)
+         AS bw_sigma,
+       round(CASE WHEN den > 0 THEN
+         sqrt(CAST(n AS DOUBLE) * num / (den * den)) / sd END, 6)
+         AS stddev_ratio
+FROM terms
+"""
+
+
+def medcouple_skew(df: DataFrame, value_col: str) -> DataFrame:
+    """The medcouple robust skewness (Brys, Hubert & Struyf 2004):
+    the interpolated median of the kernel h(x_i, x_j) = ((x_j − M) −
+    (M − x_i)) / (x_j − x_i) over pairs x_i ≤ M ≤ x_j with
+    x_i < x_j — a [−1, 1] skew measure with 25% breakdown where the
+    classical third moment has 0%. Convention: M is the interpolated
+    median; pairs with x_i = x_j are excluded (the tie kernel only
+    matters when ≥ 2 observations equal M exactly — measure-zero for
+    continuous totals, documented rather than special-cased).
+    Kernel pairs come from the bounded frame's below-median ×
+    above-median self-join (≈ m²/4 pairs). Output: one row (n,
+    median, medcouple, moment_skew), rounds 6."""
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull()).select(x.alias("x"))
+    med = base.agg(
+        F.percentile(F.col("x"), F.lit(0.5)).alias("med"),
+        F.count("*").alias("n"),
+        (F.sum(F.col("x") * F.col("x") * F.col("x")).cast("double"))
+        .alias("s3"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"))
+    lo = (base.crossJoin(F.broadcast(med))
+          .filter(F.col("x") <= F.col("med"))
+          .select(F.col("x").alias("xi"), "med", "n",
+                  "s1", "s2", "s3"))
+    hi = (base.crossJoin(F.broadcast(med.select("med")))
+          .filter(F.col("x") >= F.col("med"))
+          .select(F.col("x").alias("xj")))
+    kern = (lo.join(hi, F.col("xj") > F.col("xi"))
+            .select("med", "n", "s1", "s2", "s3",
+                    (((F.col("xj") - F.col("med"))
+                      - (F.col("med") - F.col("xi")))
+                     / (F.col("xj") - F.col("xi"))).alias("h")))
+    agg = kern.groupBy("med", "n", "s1", "s2", "s3").agg(
+        F.percentile(F.col("h"), F.lit(0.5)).alias("mc"))
+    n = F.col("n").cast("double")
+    mean = F.col("s1") / n
+    var = F.col("s2") / n - mean * mean
+    m3 = F.col("s3") / n - 3.0 * mean * F.col("s2") / n \
+        + 2.0 * mean * mean * mean
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("med"), 6).alias("median"),
+        F.round(F.col("mc"), 6).alias("medcouple"),
+        F.round(F.when(var > 0, m3 / (F.sqrt(var) * var)), 6)
+        .alias("moment_skew"))
+
+
+def medcouple_skew_sql(table: str, value_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS x FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+med AS (
+  SELECT quantile_cont(x, 0.5) AS med, count(*) AS n,
+         sum(x * x * x) AS s3, sum(x) AS s1, sum(x * x) AS s2
+  FROM base
+),
+kern AS (
+  SELECT m.med, m.n, m.s1, m.s2, m.s3,
+         ((hi.x - m.med) - (m.med - lo.x)) / (hi.x - lo.x) AS h
+  FROM base lo CROSS JOIN med m
+  JOIN base hi ON hi.x > lo.x
+  WHERE lo.x <= m.med AND hi.x >= m.med
+),
+agg AS (
+  SELECT med, n, s1, s2, s3, quantile_cont(h, 0.5) AS mc
+  FROM kern GROUP BY med, n, s1, s2, s3
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(med, 6) AS median,
+       round(mc, 6) AS medcouple,
+       round(CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0 THEN
+         (s3 / n - 3.0 * (s1 / n) * s2 / n
+          + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+         / (sqrt(s2 / n - (s1 / n) * (s1 / n))
+            * (s2 / n - (s1 / n) * (s1 / n))) END, 6) AS moment_skew
+FROM agg
+"""
+
+
+def yuen_trimmed(df: DataFrame, group_col: str, group_a, group_b,
+                 value_col: str, trim: float = 0.2) -> DataFrame:
+    """Yuen's trimmed-means t-test (Yuen 1974): per group drop the
+    g = ⌊trim·n⌋ smallest and largest, compare the trimmed means
+    with the WINSORIZED sample variances — d_g = s²_w(n−1)/(h(h−1)),
+    h = n − 2g, t = (m̄_t1 − m̄_t2)/√(d_1 + d_2), Welch df — the
+    outlier-proof alternative to welch_ttest that does not throw
+    away the middle like mood_median does. Rank windows per group
+    over the bounded frame; winsorizing clamps at the surviving
+    extremes. Output: one row (n_a, n_b, h_a, h_b, tmean_a, tmean_b,
+    t_yuen, df), rounds 6."""
+    g = F.col(group_col)
+    x = F.col(value_col).cast("double")
+    base = df.filter(g.isin([group_a, group_b]) & x.isNotNull()).select(
+        F.when(g == group_a, "a").otherwise("b").alias("g"),
+        x.alias("x"))
+    w = Window.partitionBy("g").orderBy("x")
+    ranked = base.select(
+        "g", "x", F.row_number().over(w).alias("r"),
+        F.count("*").over(Window.partitionBy("g")).alias("n"))
+    gcut = F.floor(F.lit(trim) * F.col("n"))
+    kept = ranked.filter((F.col("r") > gcut)
+                         & (F.col("r") <= F.col("n") - gcut))
+    bounds = kept.groupBy("g").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi"),
+        F.avg("x").alias("tmean"), F.count("*").alias("h"))
+    wins = (ranked.join(F.broadcast(bounds), "g")
+            .select("g", "n", "h", "tmean",
+                    F.greatest(F.col("lo"),
+                               F.least(F.col("hi"), F.col("x")))
+                    .alias("xw")))
+    stats = wins.groupBy("g").agg(
+        F.max("n").alias("n"), F.max("h").alias("h"),
+        F.max("tmean").alias("tmean"),
+        F.var_samp("xw").alias("s2w"))
+    aa = stats.filter(F.col("g") == "a").select(
+        F.col("n").alias("na"), F.col("h").alias("ha"),
+        F.col("tmean").alias("ma"), F.col("s2w").alias("va"))
+    bb = stats.filter(F.col("g") == "b").select(
+        F.col("n").alias("nb"), F.col("h").alias("hb"),
+        F.col("tmean").alias("mb"), F.col("s2w").alias("vb"))
+    m = aa.crossJoin(F.broadcast(bb))
+    da = (F.col("va") * (F.col("na") - 1.0)
+          / (F.col("ha") * (F.col("ha") - 1.0)))
+    db = (F.col("vb") * (F.col("nb") - 1.0)
+          / (F.col("hb") * (F.col("hb") - 1.0)))
+    t = (F.col("ma") - F.col("mb")) / F.sqrt(da + db)
+    dfree = ((da + db) * (da + db)
+             / (da * da / (F.col("ha") - 1.0)
+                + db * db / (F.col("hb") - 1.0)))
+    return m.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("ha").cast("long").alias("h_a"),
+        F.col("hb").cast("long").alias("h_b"),
+        F.round(F.col("ma"), 6).alias("tmean_a"),
+        F.round(F.col("mb"), 6).alias("tmean_b"),
+        F.round(t, 6).alias("t_yuen"),
+        F.round(dfree, 6).alias("df"))
+
+
+def yuen_trimmed_sql(table: str, group_sql: str, group_a: str,
+                     group_b: str, value_sql: str,
+                     trim: float = 0.2) -> str:
+    return f"""
+WITH base AS (
+  SELECT CASE WHEN {group_sql} = '{group_a}' THEN 'a' ELSE 'b' END AS g,
+         CAST({value_sql} AS DOUBLE) AS x
+  FROM {table}
+  WHERE {group_sql} IN ('{group_a}', '{group_b}')
+    AND CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+ranked AS (
+  SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS r,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM base
+),
+kept AS (
+  SELECT * FROM ranked
+  WHERE r > floor({trim!r} * n) AND r <= n - floor({trim!r} * n)
+),
+bounds AS (
+  SELECT g, min(x) AS lo, max(x) AS hi, avg(x) AS tmean,
+         count(*) AS h, max(n) AS n
+  FROM kept GROUP BY g
+),
+wins AS (
+  SELECT r.g, b.n, b.h, b.tmean,
+         greatest(b.lo, least(b.hi, r.x)) AS xw
+  FROM ranked r JOIN bounds b USING (g)
+),
+stats AS (
+  SELECT g, max(n) AS n, max(h) AS h, max(tmean) AS tmean,
+         var_samp(xw) AS s2w
+  FROM wins GROUP BY g
+),
+m AS (
+  SELECT a.n AS na, a.h AS ha, a.tmean AS ma, a.s2w AS va,
+         b.n AS nb, b.h AS hb, b.tmean AS mb, b.s2w AS vb
+  FROM (SELECT * FROM stats WHERE g = 'a') a
+  CROSS JOIN (SELECT * FROM stats WHERE g = 'b') b
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(ha AS BIGINT) AS h_a, CAST(hb AS BIGINT) AS h_b,
+       round(ma, 6) AS tmean_a, round(mb, 6) AS tmean_b,
+       round((ma - mb) / sqrt(
+         va * (na - 1.0) / (ha * (ha - 1.0))
+         + vb * (nb - 1.0) / (hb * (hb - 1.0))), 6) AS t_yuen,
+       round((va * (na - 1.0) / (ha * (ha - 1.0))
+              + vb * (nb - 1.0) / (hb * (hb - 1.0)))
+             * (va * (na - 1.0) / (ha * (ha - 1.0))
+                + vb * (nb - 1.0) / (hb * (hb - 1.0)))
+             / ((va * (na - 1.0) / (ha * (ha - 1.0)))
+                * (va * (na - 1.0) / (ha * (ha - 1.0))) / (ha - 1.0)
+                + (vb * (nb - 1.0) / (hb * (hb - 1.0)))
+                  * (vb * (nb - 1.0) / (hb * (hb - 1.0))) / (hb - 1.0)),
+             6) AS df
+FROM m
+"""
+
+
+def adjusted_boxplot(df: DataFrame, value_col: str) -> DataFrame:
+    """Medcouple-adjusted boxplot fences (Hubert & Vandervieren
+    2008): for MC ≥ 0 the whiskers are [Q1 − 1.5e^{−4·MC}·IQR,
+    Q3 + 1.5e^{3·MC}·IQR] (mirrored exponents for MC < 0) — Tukey's
+    1.5·IQR rule bent to the skew so a right-skewed distribution
+    stops flagging its own healthy tail. Reports both outlier counts
+    (classic vs adjusted) over the bounded frame. Quantiles
+    interpolated; the medcouple kernel as in medcouple_skew.
+    Output: one row (n, q1, q3, medcouple, lo_fence, hi_fence,
+    n_out_classic, n_out_adjusted), rounds 6."""
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull()).select(x.alias("x"))
+    q = base.agg(
+        F.percentile(F.col("x"), F.lit(0.25)).alias("q1"),
+        F.percentile(F.col("x"), F.lit(0.5)).alias("med"),
+        F.percentile(F.col("x"), F.lit(0.75)).alias("q3"),
+        F.count("*").alias("n"))
+    lo = (base.crossJoin(F.broadcast(q))
+          .filter(F.col("x") <= F.col("med"))
+          .select(F.col("x").alias("xi"), "med", "q1", "q3", "n"))
+    hi = (base.crossJoin(F.broadcast(q.select("med")))
+          .filter(F.col("x") >= F.col("med"))
+          .select(F.col("x").alias("xj")))
+    kern = (lo.join(hi, F.col("xj") > F.col("xi"))
+            .select("q1", "q3", "n",
+                    (((F.col("xj") - F.col("med"))
+                      - (F.col("med") - F.col("xi")))
+                     / (F.col("xj") - F.col("xi"))).alias("h")))
+    agg = kern.groupBy("q1", "q3", "n").agg(
+        F.percentile(F.col("h"), F.lit(0.5)).alias("mc"))
+    iqr = F.col("q3") - F.col("q1")
+    mc = F.col("mc")
+    lo_f = F.when(mc >= 0, F.col("q1") - 1.5 * F.exp(-4.0 * mc) * iqr) \
+        .otherwise(F.col("q1") - 1.5 * F.exp(-3.0 * mc) * iqr)
+    hi_f = F.when(mc >= 0, F.col("q3") + 1.5 * F.exp(3.0 * mc) * iqr) \
+        .otherwise(F.col("q3") + 1.5 * F.exp(4.0 * mc) * iqr)
+    fences = agg.select(
+        "n", "q1", "q3", "mc", lo_f.alias("lo_f"), hi_f.alias("hi_f"),
+        (F.col("q1") - 1.5 * iqr).alias("lo_c"),
+        (F.col("q3") + 1.5 * iqr).alias("hi_c"))
+    counts = (base.crossJoin(F.broadcast(fences))
+              .agg(F.max("n").alias("n"), F.max("q1").alias("q1"),
+                   F.max("q3").alias("q3"), F.max("mc").alias("mc"),
+                   F.max("lo_f").alias("lo_f"),
+                   F.max("hi_f").alias("hi_f"),
+                   F.sum(((F.col("x") < F.col("lo_c"))
+                          | (F.col("x") > F.col("hi_c")))
+                         .cast("long")).alias("out_c"),
+                   F.sum(((F.col("x") < F.col("lo_f"))
+                          | (F.col("x") > F.col("hi_f")))
+                         .cast("long")).alias("out_a")))
+    return counts.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("q1"), 6).alias("q1"),
+        F.round(F.col("q3"), 6).alias("q3"),
+        F.round(F.col("mc"), 6).alias("medcouple"),
+        F.round(F.col("lo_f"), 6).alias("lo_fence"),
+        F.round(F.col("hi_f"), 6).alias("hi_fence"),
+        F.col("out_c").cast("long").alias("n_out_classic"),
+        F.col("out_a").cast("long").alias("n_out_adjusted"))
+
+
+def adjusted_boxplot_sql(table: str, value_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS x FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+q AS (
+  SELECT quantile_cont(x, 0.25) AS q1, quantile_cont(x, 0.5) AS med,
+         quantile_cont(x, 0.75) AS q3, count(*) AS n
+  FROM base
+),
+kern AS (
+  SELECT m.q1, m.q3, m.n,
+         ((hi.x - m.med) - (m.med - lo.x)) / (hi.x - lo.x) AS h
+  FROM base lo CROSS JOIN q m
+  JOIN base hi ON hi.x > lo.x
+  WHERE lo.x <= m.med AND hi.x >= m.med
+),
+agg AS (
+  SELECT q1, q3, n, quantile_cont(h, 0.5) AS mc
+  FROM kern GROUP BY q1, q3, n
+),
+fences AS (
+  SELECT n, q1, q3, mc,
+         CASE WHEN mc >= 0
+              THEN q1 - 1.5 * exp(-4.0 * mc) * (q3 - q1)
+              ELSE q1 - 1.5 * exp(-3.0 * mc) * (q3 - q1) END AS lo_f,
+         CASE WHEN mc >= 0
+              THEN q3 + 1.5 * exp(3.0 * mc) * (q3 - q1)
+              ELSE q3 + 1.5 * exp(4.0 * mc) * (q3 - q1) END AS hi_f,
+         q1 - 1.5 * (q3 - q1) AS lo_c,
+         q3 + 1.5 * (q3 - q1) AS hi_c
+  FROM agg
+),
+counts AS (
+  SELECT max(n) AS n, max(q1) AS q1, max(q3) AS q3, max(mc) AS mc,
+         max(lo_f) AS lo_f, max(hi_f) AS hi_f,
+         sum(CASE WHEN b.x < f.lo_c OR b.x > f.hi_c
+                  THEN 1 ELSE 0 END) AS out_c,
+         sum(CASE WHEN b.x < f.lo_f OR b.x > f.hi_f
+                  THEN 1 ELSE 0 END) AS out_a
+  FROM base b CROSS JOIN fences f
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(q1, 6) AS q1,
+       round(q3, 6) AS q3,
+       round(mc, 6) AS medcouple,
+       round(lo_f, 6) AS lo_fence,
+       round(hi_f, 6) AS hi_fence,
+       CAST(out_c AS BIGINT) AS n_out_classic,
+       CAST(out_a AS BIGINT) AS n_out_adjusted
+FROM counts
+"""

@@ -409,3 +409,140 @@ def test_lin_ccc_identity_and_shift_penalty(spark):
     assert out2["pearson_r"] == 1.0
     assert abs(out2["ccc"] - 2 * 1.25 / (2 * 1.25 + 4.0)) < 1e-6
     assert out2["ccc"] == out2["c_b"]
+
+
+# ------------------------------------------------- robust scale/location
+
+
+def test_sn_qn_hand_case_five_points(spark):
+    """x = [1,2,4,8,16], n=5. Per-i sorted |diffs| (4 values each),
+    himed = position ⌊5/2⌋+1 = 3: i=1:[1,3,7,15]→7; i=2:[1,2,6,14]→6;
+    i=3:[2,3,4,12]→4; i=4:[4,6,7,8]→7; i=5:[8,12,14,15]→14.
+    lomed = position ⌊6/2⌋ = 3 of sorted [4,6,7,7,14] → 7 →
+    Sn = 1.1926·7. Qn: h=3, k=C(3,2)=3; sorted pair diffs
+    [1,2,3,4,6,7,8,12,14,15][2] = 3 → Qn = 2.2219·3."""
+    from distill_spark.operators.stats import sn_qn_scale
+
+    pdf = pd.DataFrame({"v": [1.0, 2.0, 4.0, 8.0, 16.0]})
+    out = _one(sn_qn_scale(spark.createDataFrame(pdf), "v"))
+    assert out["n"] == 5
+    assert out["sn"] == round(1.1926 * 7, 6)
+    assert out["qn"] == round(2.2219 * 3, 6)
+    # MAD around median 4: |diffs| = [3,2,0,4,12] → median 3
+    assert out["mad_sigma"] == round(1.4826 * 3, 6)
+
+
+def test_sn_qn_outlier_resistance(spark):
+    """Replacing the max with a 1000x outlier must leave Sn and Qn
+    unchanged (the diffs that shift are all in the upper half) while
+    the stddev explodes."""
+    from distill_spark.operators.stats import sn_qn_scale
+
+    base = [1.0, 2.0, 4.0, 8.0, 16.0]
+    a = _one(sn_qn_scale(
+        spark.createDataFrame(pd.DataFrame({"v": base})), "v"))
+    b = _one(sn_qn_scale(
+        spark.createDataFrame(pd.DataFrame({"v": base[:-1] + [16000.0]})),
+        "v"))
+    assert b["qn"] == a["qn"]
+    assert b["stddev"] > 100 * a["stddev"]
+
+
+def test_biweight_midvariance_numpy_mirror(spark):
+    from distill_spark.operators.stats import biweight_midvariance
+
+    x = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 100.0])
+    med = np.median(x)
+    mad = np.median(np.abs(x - med))
+    u = (x - med) / (9.0 * mad)
+    inside = np.abs(u) < 1
+    num = ((x - med) ** 2 * (1 - u * u) ** 4)[inside].sum()
+    den = ((1 - u * u) * (1 - 5 * u * u))[inside].sum()
+    bwmv = len(x) * num / den ** 2
+
+    pdf = pd.DataFrame({"v": x})
+    out = _one(biweight_midvariance(spark.createDataFrame(pdf), "v"))
+    assert out["n"] == 8
+    assert out["n_used"] == int(inside.sum())
+    assert abs(out["bw_sigma"] - math.sqrt(bwmv)) < 1e-6
+    # the outlier is down-weighted to zero: robust sigma ≪ stddev
+    assert out["stddev_ratio"] < 0.2
+
+
+def test_medcouple_symmetric_zero_and_known_skew(spark):
+    from distill_spark.operators.stats import medcouple_skew
+
+    # symmetric data → every kernel pair mirrors → MC = 0
+    sym = [1.0, 2.0, 3.0, 4.0, 5.0]
+    out = _one(medcouple_skew(
+        spark.createDataFrame(pd.DataFrame({"v": sym})), "v"))
+    assert out["medcouple"] == 0.0
+    # hand case: x=[1,2,3,10], M=2.5; lo={1,2}, hi={3,10};
+    # h(1,3)=((0.5)-(1.5))/2=-0.5; h(1,10)=(7.5-1.5)/9=2/3;
+    # h(2,3)=(0.5-0.5)/1=0; h(2,10)=(7.5-0.5)/8=0.875;
+    # sorted: [-0.5,0,2/3,0.875] → interpolated median = (0+2/3)/2=1/3
+    out2 = _one(medcouple_skew(
+        spark.createDataFrame(pd.DataFrame({"v": [1.0, 2.0, 3.0, 10.0]})),
+        "v"))
+    assert out2["medcouple"] == round(1 / 3, 6)
+    assert out2["moment_skew"] > 0
+
+
+def test_yuen_trimmed_numpy_mirror(spark):
+    from distill_spark.operators.stats import yuen_trimmed
+
+    a = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 100.0]
+    b = [2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0, 11.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    pdf = pd.DataFrame(rows, columns=["g", "v"])
+    out = _one(yuen_trimmed(spark.createDataFrame(pdf),
+                            "g", "a", "b", "v"))
+
+    def side(vals):
+        v = np.sort(np.array(vals))
+        n = len(v)
+        g = int(np.floor(0.2 * n))
+        kept = v[g:n - g]
+        wins = np.clip(v, kept[0], kept[-1])
+        h = n - 2 * g
+        s2w = wins.var(ddof=1)
+        return kept.mean(), s2w * (n - 1) / (h * (h - 1)), h, n
+
+    ma, da, ha, na = side(a)
+    mb, db, hb, nb = side(b)
+    t = (ma - mb) / math.sqrt(da + db)
+    dfree = (da + db) ** 2 / (da ** 2 / (ha - 1) + db ** 2 / (hb - 1))
+    assert out["n_a"] == na and out["h_a"] == ha
+    assert abs(out["tmean_a"] - ma) < 1e-6
+    assert abs(out["tmean_b"] - mb) < 1e-6
+    assert abs(out["t_yuen"] - t) < 1e-5
+    assert abs(out["df"] - dfree) < 1e-4
+    # the 100.0 outlier is trimmed: |t| must be small, not huge
+    assert abs(out["t_yuen"]) < 3
+
+
+def test_adjusted_boxplot_symmetric_matches_classic(spark):
+    """Symmetric data → MC = 0 → e⁰ = 1 → adjusted fences ==
+    classic Tukey fences and the outlier counts agree."""
+    from distill_spark.operators.stats import adjusted_boxplot
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 50.0, -42.0]
+    # make symmetric around 4: add mirrored outliers
+    out = _one(adjusted_boxplot(
+        spark.createDataFrame(pd.DataFrame({"v": vals})), "v"))
+    if out["medcouple"] == 0.0:
+        assert out["n_out_classic"] == out["n_out_adjusted"]
+
+
+def test_adjusted_boxplot_right_skew_relaxes_upper_fence(spark):
+    """Right-skewed data (MC > 0): the adjusted upper fence moves UP
+    (e^{3MC} > 1), so the adjusted count can only be ≤ the classic
+    count for upper-tail points."""
+    from distill_spark.operators.stats import adjusted_boxplot
+
+    vals = [1.0, 1.1, 1.2, 1.3, 1.5, 1.8, 2.5, 4.0, 7.0, 12.0]
+    out = _one(adjusted_boxplot(
+        spark.createDataFrame(pd.DataFrame({"v": vals})), "v"))
+    assert out["medcouple"] > 0
+    assert out["hi_fence"] > out["q3"] + 1.5 * (out["q3"] - out["q1"]) - 1e-9
+    assert out["n_out_adjusted"] <= out["n_out_classic"]
