@@ -12402,6 +12402,88 @@ def _sql_adj_boxplot():
     return adjusted_boxplot_sql(_DAILY_TOT_SQL, "tot")
 
 
+# ---------------------------------------------------------------------------
+# Round-12 fourth stratum: forecast accuracy + stationarity/causality
+# — MASE/sMAPE/U2 for the seasonal-naive forecast, the KPSS mirror of
+# df_unit_root, one-lag Granger both ways, the multi-lag CCF, and the
+# EWMA control chart.
+
+def q_mase_smape(spark, sf_dir):
+    """MASE / sMAPE / MAPE / Theil U2 of the weekly seasonal-naive
+    forecast on daily totals (timeseries.mase_smape) — MASE < 1 is
+    the one-number case for seasonality_dow's weekly pattern."""
+    from distill_spark.operators.timeseries import mase_smape
+
+    return mase_smape(_tables(spark, sf_dir)["events"])
+
+
+def _sql_mase():
+    from distill_spark.operators.timeseries import mase_smape_sql
+
+    return mase_smape_sql()
+
+
+def q_kpss_level(spark, sf_dir):
+    """KPSS level-stationarity statistic with Bartlett long-run
+    variance on daily totals (timeseries.kpss_level) — the
+    stationarity-null mirror of df_unit_root."""
+    from distill_spark.operators.timeseries import kpss_level
+
+    return kpss_level(_tables(spark, sf_dir)["events"])
+
+
+def _sql_kpss():
+    from distill_spark.operators.timeseries import kpss_level_sql
+
+    return kpss_level_sql()
+
+
+def q_granger_1lag(spark, sf_dir):
+    """One-lag Granger F both directions between daily click and
+    purchase totals (timeseries.granger_1lag) — does yesterday's
+    clicks value predict today's purchases beyond yesterday's
+    purchases?"""
+    from distill_spark.operators.timeseries import granger_1lag
+
+    return granger_1lag(_tables(spark, sf_dir)["events"])
+
+
+def _sql_granger():
+    from distill_spark.operators.timeseries import granger_1lag_sql
+
+    return granger_1lag_sql()
+
+
+def q_ccf_daily(spark, sf_dir):
+    """Cross-correlation function at lags −3..+3 between daily click
+    and purchase totals (timeseries.ccf_daily) — the lead-time
+    profile behind lag_corr_click_purchase's single point."""
+    from distill_spark.operators.timeseries import ccf_daily
+
+    return ccf_daily(_tables(spark, sf_dir)["events"])
+
+
+def _sql_ccf():
+    from distill_spark.operators.timeseries import ccf_daily_sql
+
+    return ccf_daily_sql()
+
+
+def q_ewma_control(spark, sf_dir):
+    """EWMA control chart (λ = 0.2, time-varying 3σ limits) on daily
+    totals (timeseries.ewma_control) — the small-shift monitor
+    beside xbar_r_chart's Shewhart view."""
+    from distill_spark.operators.timeseries import ewma_control
+
+    return ewma_control(_tables(spark, sf_dir)["events"])
+
+
+def _sql_ewma_control():
+    from distill_spark.operators.timeseries import ewma_control_sql
+
+    return ewma_control_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ======================== ROUND-12 WINDOW ============================
     # -- round-12 head: the 12 seeds queued all of round 11 (each
@@ -12438,6 +12520,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "medcouple_skew": (q_medcouple_skew, _sql_medcouple()),
     "yuen_trimmed": (q_yuen_trimmed, _sql_yuen()),
     "adjusted_boxplot": (q_adjusted_boxplot, _sql_adj_boxplot()),
+    # -- round-12 fourth stratum: forecast accuracy + causality --------------
+    "mase_smape": (q_mase_smape, _sql_mase()),
+    "kpss_level": (q_kpss_level, _sql_kpss()),
+    "granger_1lag": (q_granger_1lag, _sql_granger()),
+    "ccf_daily": (q_ccf_daily, _sql_ccf()),
+    "ewma_control": (q_ewma_control, _sql_ewma_control()),
     # ===================== END ROUND-12 WINDOW (50) ======================
     # (new round-12 strata are inserted ABOVE this line as they land,
     #  pushing the driver-green round-11 rows below position 50)

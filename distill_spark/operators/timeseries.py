@@ -24,6 +24,7 @@ both engines.
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
@@ -3659,4 +3660,521 @@ SELECT CAST(np AS BIGINT) AS n_days,
        round((({ssep} - {sse1} - {sse2}) / 2.0)
              / (({sse1} + {sse2}) / (np - 4.0)), 6) AS f_chow
 FROM m
+"""
+
+
+# -------------------------------------------------------- round 12:
+# forecast-accuracy + stationarity/causality diagnostics over the
+# bounded daily frame: scaled error metrics (MASE/sMAPE/Theil U2),
+# the KPSS level-stationarity LM, one-lag Granger F both ways, the
+# multi-lag cross-correlation function, and the EWMA control chart.
+
+def mase_smape(events: DataFrame, ts_col: str = "ts",
+               value_col: str = "value", season: int = 7) -> DataFrame:
+    """Scaled forecast-accuracy metrics (Hyndman & Koehler 2006) for
+    the SEASONAL-NAIVE forecast f_t = y_{t−season} on daily totals:
+    MASE = MAE_f / MAE_{naive1} (the in-sample one-step naive is the
+    scale, so the metric survives zero and near-zero days that wreck
+    MAPE), sMAPE = mean 2|f−y|/(|f|+|y|), MAPE, and Theil's U2 =
+    RMSE_f / RMSE_{naive1} on the common evaluation window t >
+    season. MASE < 1 means the weekly pattern beats persistence —
+    the one-number justification for seasonality_dow. Lag joins on
+    the bounded ranked frame. Output: one row (n_days, n_eval, mase,
+    smape, mape, theil_u2), rounds 6."""
+    base = _daily_frame(events, ts_col, value_col)
+    cur = base.select(F.col("t").alias("t"), F.col("x").alias("y"))
+    lag1 = base.select((F.col("t") + 1).alias("t"),
+                       F.col("x").alias("y1"))
+    lags = base.select((F.col("t") + season).alias("t"),
+                       F.col("x").alias("ys"))
+    j = (cur.join(lag1, "t").join(lags, "t"))
+    m = j.agg(
+        F.count("*").alias("ne"),
+        F.sum(F.abs(F.col("y") - F.col("ys"))).alias("mae_f"),
+        F.sum(F.abs(F.col("y") - F.col("y1"))).alias("mae_n"),
+        F.sum((F.col("y") - F.col("ys")) * (F.col("y") - F.col("ys")))
+        .alias("sse_f"),
+        F.sum((F.col("y") - F.col("y1")) * (F.col("y") - F.col("y1")))
+        .alias("sse_n"),
+        F.sum(F.when(F.abs(F.col("ys")) + F.abs(F.col("y")) > 0,
+                     2.0 * F.abs(F.col("y") - F.col("ys"))
+                     / (F.abs(F.col("ys")) + F.abs(F.col("y"))))
+              .otherwise(0.0)).alias("sm"),
+        F.sum(F.when(F.abs(F.col("y")) > 0,
+                     F.abs(F.col("y") - F.col("ys"))
+                     / F.abs(F.col("y"))).otherwise(0.0)).alias("mp"))
+    nd = base.agg(F.count("*").alias("n_days"))
+    ne = F.col("ne").cast("double")
+    return m.crossJoin(F.broadcast(nd)).select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("ne").cast("long").alias("n_eval"),
+        F.round(F.when(F.col("mae_n") > 0,
+                       (F.col("mae_f") / ne)
+                       / (F.col("mae_n") / ne)), 6).alias("mase"),
+        F.round(F.col("sm") / ne, 6).alias("smape"),
+        F.round(F.col("mp") / ne, 6).alias("mape"),
+        F.round(F.when(F.col("sse_n") > 0,
+                       F.sqrt(F.col("sse_f") / F.col("sse_n"))), 6)
+        .alias("theil_u2"))
+
+
+def mase_smape_sql(table: str = "events", ts_sql: str = "ts",
+                   value_sql: str = "value", season: int = 7) -> str:
+    daily = _DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)
+    return f"""
+WITH {daily},
+j AS (
+  SELECT c.x AS y, l1.x AS y1, ls.x AS ys
+  FROM ranked c
+  JOIN ranked l1 ON l1.t + 1 = c.t
+  JOIN ranked ls ON ls.t + {season} = c.t
+),
+m AS (
+  SELECT count(*) AS ne,
+         sum(abs(y - ys)) AS mae_f,
+         sum(abs(y - y1)) AS mae_n,
+         sum((y - ys) * (y - ys)) AS sse_f,
+         sum((y - y1) * (y - y1)) AS sse_n,
+         sum(CASE WHEN abs(ys) + abs(y) > 0 THEN
+           2.0 * abs(y - ys) / (abs(ys) + abs(y)) ELSE 0.0 END) AS sm,
+         sum(CASE WHEN abs(y) > 0 THEN abs(y - ys) / abs(y)
+             ELSE 0.0 END) AS mp
+  FROM j
+),
+nd AS (SELECT count(*) AS n_days FROM ranked)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       CAST(ne AS BIGINT) AS n_eval,
+       round(CASE WHEN mae_n > 0 THEN
+         (mae_f / CAST(ne AS DOUBLE)) / (mae_n / CAST(ne AS DOUBLE))
+         END, 6) AS mase,
+       round(sm / CAST(ne AS DOUBLE), 6) AS smape,
+       round(mp / CAST(ne AS DOUBLE), 6) AS mape,
+       round(CASE WHEN sse_n > 0 THEN sqrt(sse_f / sse_n) END, 6)
+         AS theil_u2
+FROM m CROSS JOIN nd
+"""
+
+
+def kpss_level(events: DataFrame, ts_col: str = "ts",
+               value_col: str = "value") -> DataFrame:
+    """KPSS level-stationarity test (Kwiatkowski, Phillips, Schmidt &
+    Shin 1992): with e_t the demeaned daily totals and S_t their
+    partial sums, η = n⁻² Σ S_t² / s²(q), where s²(q) is the
+    Bartlett-weighted long-run variance γ₀ + 2Σ_{l≤q}(1 − l/(q+1))γ_l
+    and q = ⌊4(n/100)^{1/4}⌋ — the null here is STATIONARITY, the
+    mirror image of df_unit_root's unit-root null; run both and the
+    four quadrants (reject/accept × reject/accept) say level, trend,
+    or contradiction. Lag autocovariances from q self-joins of the
+    bounded frame. Output: one row (n_days, q_lags, lrv_ratio =
+    s²(q)/γ₀, kpss_stat), rounds 6."""
+    base = _daily_frame(events, ts_col, value_col)
+    tot = Window.partitionBy()
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    e = base.select(
+        "t",
+        (F.col("x")
+         - F.sum(F.col("x").cast(_TS_DEC)).over(tot).cast("double")
+         / F.count("*").over(tot)).alias("e"))
+    s = e.select("t", "e", F.sum("e").over(wcum).alias("s"),
+                 F.count("*").over(tot).alias("n"))
+    # q computed from n inside the plan (floor(4*(n/100)^0.25))
+    num = s.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("s") * F.col("s")).alias("ss2"),
+        F.sum(F.col("e") * F.col("e")).alias("g0n"))
+    lag = e.select((F.col("t")).alias("t"), F.col("e").alias("el"))
+    pairs = (e.select("t", "e")
+             .join(lag.select((F.col("t")).alias("tl"), "el"),
+                   F.col("t") > F.col("tl"))
+             .select((F.col("t") - F.col("tl")).alias("l"),
+                     (F.col("e") * F.col("el")).alias("p")))
+    gl = pairs.groupBy("l").agg(F.sum("p").alias("gn"))
+    m = (gl.crossJoin(F.broadcast(num))
+         .filter(F.col("l")
+                 <= F.floor(4.0 * F.pow(F.col("n") / 100.0, 0.25)))
+         .agg(F.max("n").alias("n"),
+              F.max("ss2").alias("ss2"),
+              F.max("g0n").alias("g0n"),
+              F.max(F.floor(4.0 * F.pow(F.col("n") / 100.0, 0.25)))
+              .alias("q"),
+              F.sum((1.0 - F.col("l")
+                     / (F.floor(4.0 * F.pow(F.col("n") / 100.0, 0.25))
+                        + 1.0)) * F.col("gn")).alias("wsum")))
+    n = F.col("n").cast("double")
+    lrv = (F.col("g0n") + 2.0 * F.col("wsum")) / n
+    g0 = F.col("g0n") / n
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("q").cast("long").alias("q_lags"),
+        F.round(lrv / g0, 6).alias("lrv_ratio"),
+        F.round(F.col("ss2") / (n * n) / lrv, 6).alias("kpss_stat"))
+
+
+def kpss_level_sql(table: str = "events", ts_sql: str = "ts",
+                   value_sql: str = "value") -> str:
+    daily = _DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)
+    return f"""
+WITH {daily},
+e AS (
+  SELECT t,
+         x - CAST(sum(CAST(x AS DECIMAL(38,12))) OVER () AS DOUBLE)
+             / count(*) OVER () AS e
+  FROM ranked
+),
+s AS (
+  SELECT t, e, sum(e) OVER (ORDER BY t) AS s, count(*) OVER () AS n
+  FROM e
+),
+num AS (
+  SELECT max(n) AS n, sum(s * s) AS ss2, sum(e * e) AS g0n FROM s
+),
+pairs AS (
+  SELECT a.t - b.t AS l, a.e * b.e AS p
+  FROM e a JOIN e b ON a.t > b.t
+),
+gl AS (SELECT l, sum(p) AS gn FROM pairs GROUP BY l),
+m AS (
+  SELECT max(num.n) AS n, max(num.ss2) AS ss2, max(num.g0n) AS g0n,
+         max(floor(4.0 * pow(num.n / 100.0, 0.25))) AS q,
+         sum((1.0 - gl.l / (floor(4.0 * pow(num.n / 100.0, 0.25))
+                            + 1.0)) * gl.gn) AS wsum
+  FROM gl CROSS JOIN num
+  WHERE gl.l <= floor(4.0 * pow(num.n / 100.0, 0.25))
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(q AS BIGINT) AS q_lags,
+       round(((g0n + 2.0 * wsum) / CAST(n AS DOUBLE))
+             / (g0n / CAST(n AS DOUBLE)), 6) AS lrv_ratio,
+       round(ss2 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+             / ((g0n + 2.0 * wsum) / CAST(n AS DOUBLE)), 6)
+         AS kpss_stat
+FROM m
+"""
+
+
+def _paired_daily(events: DataFrame, ts_col: str, value_col: str,
+                  type_col: str, type_x: str, type_y: str):
+    """(t, xv, yv) daily totals of two event types on a shared
+    1-based day rank (inner on days where BOTH appear — CCF and
+    Granger need aligned pairs)."""
+    daily = (events
+             .filter(F.col(type_col).isin([type_x, type_y]))
+             .groupBy(F.to_date(ts_col).alias("d"))
+             .agg(*[F.round(F.sum(F.when(F.col(type_col) == ty,
+                                         F.col(value_col)
+                                         .cast("double"))
+                                  .cast(_TS_DEC))
+                            .cast("double"), 9).alias(al)
+                    for ty, al in ((type_x, "xv"), (type_y, "yv"))]))
+    both = daily.filter(F.col("xv").isNotNull()
+                        & F.col("yv").isNotNull())
+    return both.select(
+        F.row_number().over(Window.partitionBy().orderBy("d"))
+        .alias("t"), "xv", "yv")
+
+
+_PAIRED_DAILY_SQL = """
+daily AS (
+  SELECT CAST({ts} AS DATE) AS d,
+         round(CAST(sum(CASE WHEN {ty} = '{tx}' THEN
+           CAST(CAST({val} AS DOUBLE) AS DECIMAL(38,12)) END)
+           AS DOUBLE), 9) AS xv,
+         round(CAST(sum(CASE WHEN {ty} = '{tyy}' THEN
+           CAST(CAST({val} AS DOUBLE) AS DECIMAL(38,12)) END)
+           AS DOUBLE), 9) AS yv
+  FROM {table} WHERE {ty} IN ('{tx}', '{tyy}') GROUP BY 1
+),
+paired AS (
+  SELECT row_number() OVER (ORDER BY d) AS t, xv, yv
+  FROM daily WHERE xv IS NOT NULL AND yv IS NOT NULL
+)"""
+
+
+def ccf_daily(events: DataFrame, ts_col: str = "ts",
+              value_col: str = "value", type_col: str = "event_type",
+              type_x: str = "click", type_y: str = "purchase",
+              max_lag: int = 3) -> DataFrame:
+    """Cross-correlation function between two daily series at lags
+    −max_lag..+max_lag: r(l) = Σ(x_t − x̄)(y_{t+l} − ȳ) / (n·s_x·s_y)
+    with FULL-series means and population sds (the standard CCF
+    normalization — every lag shares one denominator, so the profile
+    is comparable across lags). Positive lag = x leads y: the lag of
+    the peak |r| is the lead-time readout series_lag_corr's single
+    lag cannot give. Lag pairs from self-joins of the bounded
+    frame. Output: 2·max_lag+1 rows (lag, n_pairs, ccf), rounds 6,
+    ordered by lag."""
+    base = _paired_daily(events, ts_col, value_col, type_col,
+                         type_x, type_y)
+    tot = Window.partitionBy()
+    mo = base.select(
+        "t", "xv", "yv",
+        (F.sum(F.col("xv").cast(_TS_DEC)).over(tot).cast("double")
+         / F.count("*").over(tot)).alias("mx"),
+        (F.sum(F.col("yv").cast(_TS_DEC)).over(tot).cast("double")
+         / F.count("*").over(tot)).alias("my"),
+        F.count("*").over(tot).alias("n"))
+    cen = mo.select(
+        "t", "n", (F.col("xv") - F.col("mx")).alias("cx"),
+        (F.col("yv") - F.col("my")).alias("cy"))
+    den = cen.agg(
+        F.max("n").alias("n"),
+        F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("dx"),
+        F.sqrt(F.sum(F.col("cy") * F.col("cy"))).alias("dy"))
+    a = cen.select(
+        F.col("t").alias("ta"), F.col("cx").alias("ca"),
+        F.explode(F.sequence(F.lit(-max_lag), F.lit(max_lag)))
+        .alias("lag"))
+    b = cen.select(F.col("t").alias("tb"), F.col("cy").alias("cb"))
+    prod = (a.join(b, F.col("tb") == F.col("ta") + F.col("lag"))
+            .groupBy("lag")
+            .agg(F.count("*").alias("np"),
+                 F.sum(F.col("ca") * F.col("cb")).alias("sp")))
+    return (prod.crossJoin(F.broadcast(den))
+            .select(
+        F.col("lag"),
+        F.col("np").cast("long").alias("n_pairs"),
+        F.round(F.when((F.col("dx") > 0) & (F.col("dy") > 0),
+                       F.col("sp") / (F.col("dx") * F.col("dy"))), 6)
+        .alias("ccf"))
+        .orderBy("lag"))
+
+
+def ccf_daily_sql(table: str = "events", ts_sql: str = "ts",
+                  value_sql: str = "value",
+                  type_sql: str = "event_type",
+                  type_x: str = "click", type_y: str = "purchase",
+                  max_lag: int = 3) -> str:
+    paired = _PAIRED_DAILY_SQL.format(
+        table=table, ts=ts_sql, val=value_sql, ty=type_sql,
+        tx=type_x, tyy=type_y)
+    return f"""
+WITH {paired},
+mo AS (
+  SELECT t, xv, yv,
+         CAST(sum(CAST(xv AS DECIMAL(38,12))) OVER () AS DOUBLE)
+           / count(*) OVER () AS mx,
+         CAST(sum(CAST(yv AS DECIMAL(38,12))) OVER () AS DOUBLE)
+           / count(*) OVER () AS my,
+         count(*) OVER () AS n
+  FROM paired
+),
+cen AS (
+  SELECT t, n, xv - mx AS cx, yv - my AS cy FROM mo
+),
+den AS (
+  SELECT max(n) AS n, sqrt(sum(cx * cx)) AS dx,
+         sqrt(sum(cy * cy)) AS dy
+  FROM cen
+),
+lags AS (SELECT unnest(range(-{max_lag}, {max_lag} + 1)) AS lag),
+prod AS (
+  SELECT l.lag, count(*) AS np, sum(a.cx * b.cy) AS sp
+  FROM lags l
+  JOIN cen a ON TRUE
+  JOIN cen b ON b.t = a.t + l.lag
+  GROUP BY l.lag
+)
+SELECT CAST(lag AS INT) AS lag,
+       CAST(np AS BIGINT) AS n_pairs,
+       round(CASE WHEN dx > 0 AND dy > 0
+                  THEN sp / (dx * dy) END, 6) AS ccf
+FROM prod CROSS JOIN den
+ORDER BY lag
+"""
+
+
+def granger_1lag(events: DataFrame, ts_col: str = "ts",
+                 value_col: str = "value",
+                 type_col: str = "event_type",
+                 type_x: str = "click",
+                 type_y: str = "purchase") -> DataFrame:
+    """One-lag Granger causality F, both directions (Granger 1969):
+    does yesterday's x improve today's y beyond yesterday's y?
+    F = (SSE_r − SSE_u) / (SSE_u / (n − 3)) comparing y_t ~ y_{t−1}
+    against y_t ~ y_{t−1} + x_{t−1} — the 3×3 Cramer SSE strings
+    shared verbatim with the oracle (stats._reset_sse_exprs, which
+    is generic over any (x1, x2) moment set). Both directions from
+    ONE lag-joined bounded frame. Output: one row (n_eff,
+    f_x_to_y, f_y_to_x), rounds 6."""
+    from .stats import _reset_sse_exprs
+
+    base = _paired_daily(events, ts_col, value_col, type_col,
+                         type_x, type_y)
+    lag = base.select((F.col("t") + 1).alias("t"),
+                      F.col("xv").alias("xl"),
+                      F.col("yv").alias("yl"))
+    j = base.join(lag, "t").select("xv", "yv", "xl", "yl")
+
+    def moments(y, x1, x2):
+        def dsum(expr, name):
+            return F.sum(expr.cast(_TS_DEC)).cast("double").alias(name)
+
+        yc, x1c, x2c = F.col(y), F.col(x1), F.col(x2)
+        return [
+            F.count("*").cast("double").alias("n"),
+            dsum(yc, "sy"), dsum(yc * yc, "syy"),
+            dsum(x1c, "s1"), dsum(x1c * yc, "s1y"),
+            dsum(x1c * x1c, "s11"), dsum(x1c * x2c, "s12"),
+            dsum(x2c, "s2"), dsum(x2c * yc, "s2y"),
+            dsum(x2c * x2c, "s22")]
+
+    sse_r, sse_u = _reset_sse_exprs()
+    f_expr = f"(({sse_r}) - ({sse_u})) / (({sse_u}) / (n - 3))"
+    fxy = j.agg(*moments("yv", "yl", "xl")).select(
+        F.col("n").alias("n"), F.expr(f_expr).alias("f_x_to_y"))
+    fyx = j.agg(*moments("xv", "xl", "yl")).select(
+        F.expr(f_expr).alias("f_y_to_x"))
+    return fxy.crossJoin(F.broadcast(fyx)).select(
+        F.col("n").cast("long").alias("n_eff"),
+        F.round(F.col("f_x_to_y"), 6).alias("f_x_to_y"),
+        F.round(F.col("f_y_to_x"), 6).alias("f_y_to_x"))
+
+
+def granger_1lag_sql(table: str = "events", ts_sql: str = "ts",
+                     value_sql: str = "value",
+                     type_sql: str = "event_type",
+                     type_x: str = "click",
+                     type_y: str = "purchase") -> str:
+    from .stats import _reset_sse_exprs
+
+    paired = _PAIRED_DAILY_SQL.format(
+        table=table, ts=ts_sql, val=value_sql, ty=type_sql,
+        tx=type_x, tyy=type_y)
+    sse_r, sse_u = _reset_sse_exprs()
+    f_expr = f"(({sse_r}) - ({sse_u})) / (({sse_u}) / (n - 3))"
+
+    def dsum(expr, name):
+        return (f"CAST(sum(CAST({expr} AS DECIMAL(38,12))) AS DOUBLE)"
+                f" AS {name}")
+
+    def mom(y, x1, x2):
+        return ", ".join([
+            "CAST(count(*) AS DOUBLE) AS n",
+            dsum(y, "sy"), dsum(f"{y} * {y}", "syy"),
+            dsum(x1, "s1"), dsum(f"{x1} * {y}", "s1y"),
+            dsum(f"{x1} * {x1}", "s11"), dsum(f"{x1} * {x2}", "s12"),
+            dsum(x2, "s2"), dsum(f"{x2} * {y}", "s2y"),
+            dsum(f"{x2} * {x2}", "s22")])
+
+    return f"""
+WITH {paired},
+j AS (
+  SELECT c.xv, c.yv, l.xv AS xl, l.yv AS yl
+  FROM paired c JOIN paired l ON l.t + 1 = c.t
+),
+mxy AS (SELECT {mom('yv', 'yl', 'xl')} FROM j),
+myx AS (SELECT {mom('xv', 'xl', 'yl')} FROM j)
+SELECT CAST(mxy.n AS BIGINT) AS n_eff,
+       round((SELECT {f_expr} FROM mxy), 6) AS f_x_to_y,
+       round((SELECT {f_expr} FROM myx), 6) AS f_y_to_x
+FROM mxy
+"""
+
+
+def ewma_control(events: DataFrame, ts_col: str = "ts",
+                 value_col: str = "value",
+                 lam: float = 0.2) -> DataFrame:
+    """EWMA control chart (Roberts 1959 / Lucas & Saccucci 1990) on
+    daily totals: z_t = λ·y_t + (1−λ)·z_{t−1}, z_0 = μ̂, with
+    time-varying 3σ limits μ ± 3·σ̂·√(λ/(2−λ)·(1−(1−λ)^{2t})) — the
+    small-shift-sensitive cousin of xbar_r_chart (an EWMA catches a
+    0.5σ drift a Shewhart chart sleeps through). μ̂, σ̂ from
+    decimal-exact moments rounded to the 1e-9 grid; the recursion
+    runs the identical double sequence in applyInPandas and the
+    recursive-CTE oracle (the holt_linear mechanism). Output: one
+    row (n_days, center, sigma, z_final, n_violations,
+    first_violation_t), rounds 6."""
+    import pandas as pd
+
+    base = _daily_frame(events, ts_col, value_col)
+    mo = base.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("x").cast(_TS_DEC)).cast("double")
+                / F.count("*"), 9).alias("mu"),
+        F.sum(F.col("x").cast(_TS_DEC)).cast("double").alias("s1"),
+        F.sum((F.col("x") * F.col("x")).cast(_TS_DEC)).cast("double")
+        .alias("s2"))
+    stats = mo.select(
+        "n", "mu",
+        F.round(F.sqrt((F.col("s2") - F.col("s1") * F.col("s1")
+                        / F.col("n")) / (F.col("n") - 1.0)), 9)
+        .alias("sig"))
+    joined = base.crossJoin(F.broadcast(stats)).select(
+        F.lit(1).alias("_g"), "t", "x", "mu", "sig")
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        mu = float(pdf["mu"].iloc[0])
+        sig = float(pdf["sig"].iloc[0])
+        z = mu
+        viol = 0
+        first = None
+        for t, y in zip(pdf["t"], pdf["x"]):
+            z = lam * float(y) + (1.0 - lam) * z
+            half = 3.0 * sig * math.sqrt(
+                lam / (2.0 - lam)
+                * (1.0 - (1.0 - lam) ** (2.0 * float(t))))
+            if abs(z - mu) > half:
+                viol += 1
+                if first is None:
+                    first = int(t)
+        return pd.DataFrame({
+            "n_days": [len(pdf)], "center": [mu], "sigma": [sig],
+            "z_final": [z], "n_violations": [viol],
+            "first_violation_t": [first]})
+
+    out = joined.groupBy("_g").applyInPandas(
+        walk, schema="n_days long, center double, sigma double, "
+                     "z_final double, n_violations long, "
+                     "first_violation_t long")
+    return out.select(
+        "n_days",
+        F.round("center", 6).alias("center"),
+        F.round("sigma", 6).alias("sigma"),
+        F.round("z_final", 6).alias("z_final"),
+        "n_violations", "first_violation_t")
+
+
+def ewma_control_sql(table: str = "events", ts_sql: str = "ts",
+                     value_sql: str = "value",
+                     lam: float = 0.2) -> str:
+    daily = _DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)
+    return f"""
+WITH RECURSIVE {daily},
+mo AS (
+  SELECT count(*) AS n,
+         round(CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+               / count(*), 9) AS mu,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM ranked
+),
+stats AS (
+  SELECT n, mu,
+         round(sqrt((s2 - s1 * s1 / n) / (n - 1.0)), 9) AS sig
+  FROM mo
+),
+rec(t, z) AS (
+  SELECT 0, mu FROM stats
+  UNION ALL
+  SELECT rec.t + 1,
+         {lam!r} * r.x + (1.0 - {lam!r}) * rec.z
+  FROM rec JOIN ranked r ON r.t = rec.t + 1
+),
+scored AS (
+  SELECT rec.t, rec.z, s.mu, s.sig, s.n,
+         3.0 * s.sig * sqrt({lam!r} / (2.0 - {lam!r})
+           * (1.0 - pow(1.0 - {lam!r}, 2.0 * rec.t))) AS half
+  FROM rec CROSS JOIN stats s
+  WHERE rec.t >= 1
+)
+SELECT CAST(max(n) AS BIGINT) AS n_days,
+       round(max(mu), 6) AS center,
+       round(max(sig), 6) AS sigma,
+       round(max(CASE WHEN t = n THEN z END), 6) AS z_final,
+       CAST(sum(CASE WHEN abs(z - mu) > half THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violations,
+       CAST(min(CASE WHEN abs(z - mu) > half THEN t END) AS BIGINT)
+         AS first_violation_t
+FROM scored
 """

@@ -546,3 +546,158 @@ def test_adjusted_boxplot_right_skew_relaxes_upper_fence(spark):
     assert out["medcouple"] > 0
     assert out["hi_fence"] > out["q3"] + 1.5 * (out["q3"] - out["q1"]) - 1e-9
     assert out["n_out_adjusted"] <= out["n_out_classic"]
+
+
+# ------------------------------------------------- forecast/causality
+
+
+def test_mase_zero_for_perfect_seasonal_pattern(spark):
+    """Exact period-3 cycle: the seasonal-naive forecast is perfect
+    → MASE = sMAPE = MAPE = U2 = 0."""
+    from distill_spark.operators.timeseries import mase_smape
+
+    cycle = [10.0, 20.0, 30.0] * 4
+    out = _one(mase_smape(spark.createDataFrame(
+        _days([[v] for v in cycle])), season=3))
+    assert out["n_days"] == 12 and out["n_eval"] == 9
+    assert out["mase"] == 0.0
+    assert out["smape"] == 0.0
+    assert out["theil_u2"] == 0.0
+
+
+def test_mase_numpy_mirror(spark):
+    from distill_spark.operators.timeseries import mase_smape
+
+    y = np.array([10.0, 14.0, 9.0, 12.0, 16.0, 11.0, 13.0, 18.0])
+    out = _one(mase_smape(spark.createDataFrame(
+        _days([[v] for v in y])), season=3))
+    f = y[:-3]          # forecast for t>=4 is y[t-3]
+    a = y[3:]
+    prev = y[2:-1]      # y_{t-1} on the same eval window
+    mae_f = np.abs(a - f).mean()
+    mae_n = np.abs(a - prev).mean()
+    assert out["n_eval"] == 5
+    assert abs(out["mase"] - mae_f / mae_n) < 1e-6
+    assert abs(out["smape"]
+               - (2 * np.abs(a - f) / (np.abs(f) + np.abs(a))).mean()) < 1e-6
+    assert abs(out["theil_u2"]
+               - math.sqrt(((a - f) ** 2).sum()
+                           / ((a - prev) ** 2).sum())) < 1e-6
+
+
+def test_kpss_numpy_mirror(spark):
+    from distill_spark.operators.timeseries import kpss_level
+
+    y = np.array([5.0, 7.0, 6.0, 9.0, 8.0, 10.0, 12.0, 11.0,
+                  13.0, 15.0, 14.0, 16.0])
+    out = _one(kpss_level(spark.createDataFrame(
+        _days([[v] for v in y]))))
+    n = len(y)
+    e = y - y.mean()
+    s = np.cumsum(e)
+    q = int(np.floor(4 * (n / 100) ** 0.25))
+    g0 = (e @ e) / n
+    lrv = g0 + 2 * sum((1 - l / (q + 1)) * (e[l:] @ e[:-l]) / n
+                       for l in range(1, q + 1))
+    kpss = (s @ s) / n ** 2 / lrv
+    assert out["n_days"] == n and out["q_lags"] == q
+    assert abs(out["lrv_ratio"] - lrv / g0) < 1e-6
+    assert abs(out["kpss_stat"] - kpss) < 1e-6
+    # trending series: statistic should be well above the 0.463 5%
+    # critical value
+    assert out["kpss_stat"] > 0.463
+
+
+def _two_type_days(xs, ys):
+    rows = []
+    for i, (xv, yv) in enumerate(zip(xs, ys)):
+        rows.append((dt.datetime(2024, 1, 1 + i, 8), "click", float(xv)))
+        rows.append((dt.datetime(2024, 1, 1 + i, 9), "purchase",
+                     float(yv)))
+    return pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+
+
+def test_granger_planted_lead(spark):
+    """y_t = x_{t−1} exactly (plus tiny noise to avoid a 0/0 F):
+    x→y F must dwarf y→x F."""
+    from distill_spark.operators.timeseries import granger_1lag
+
+    rng = [3.0, 7.0, 2.0, 9.0, 5.0, 8.0, 1.0, 6.0, 4.0, 10.0,
+           2.5, 7.5, 3.5, 8.5]
+    x = np.array(rng)
+    y = np.empty_like(x)
+    y[0] = 5.0
+    y[1:] = x[:-1] + np.linspace(0.01, 0.05, len(x) - 1)
+    out = _one(granger_1lag(spark.createDataFrame(
+        _two_type_days(x, y))))
+    assert out["n_eff"] == len(x) - 1
+    assert out["f_x_to_y"] > 100
+    assert out["f_x_to_y"] > 20 * max(out["f_y_to_x"], 1e-9)
+
+
+def test_ccf_planted_lead_peak_at_lag_one(spark):
+    """y_{t+1} = x_t: the CCF must peak at lag +1 and match the
+    numpy mirror at every lag."""
+    from distill_spark.operators.timeseries import ccf_daily
+
+    x = np.array([3.0, 7.0, 2.0, 9.0, 5.0, 8.0, 1.0, 6.0, 4.0, 10.0])
+    y = np.empty_like(x)
+    y[0] = 5.0
+    y[1:] = x[:-1]
+    rows = {r["lag"]: r.asDict()
+            for r in ccf_daily(spark.createDataFrame(
+                _two_type_days(x, y))).collect()}
+    cx = x - x.mean()
+    cy = y - y.mean()
+    dx = math.sqrt((cx ** 2).sum())
+    dy = math.sqrt((cy ** 2).sum())
+    for lag in range(-3, 4):
+        if lag >= 0:
+            sp = (cx[:len(x) - lag] * cy[lag:]).sum()
+        else:
+            sp = (cx[-lag:] * cy[:len(x) + lag]).sum()
+        assert abs(rows[lag]["ccf"] - sp / (dx * dy)) < 1e-6, lag
+    peak = max(rows.values(), key=lambda r: abs(r["ccf"]))
+    assert peak["lag"] == 1
+
+
+def test_ewma_control_numpy_mirror_with_shift(spark):
+    """A 30-day linear ramp: the EWMA tracks the drift to the top
+    while the in-sample limits stay at ~0.29·n — violations must
+    appear near the end, and the walk must match the numpy mirror
+    exactly. (A balanced level SHIFT self-masks: it inflates the
+    in-sample σ enough to cover the EWMA excursion — the ramp is
+    the planted case that can't.)"""
+    from distill_spark.operators.timeseries import ewma_control
+
+    y = [float(i) for i in range(1, 31)]
+    out = _one(ewma_control(spark.createDataFrame(
+        _days([[v] for v in y]))))
+    arr = np.array(y)
+    mu = round(arr.sum() / len(arr), 9)
+    sig = round(math.sqrt(((arr - arr.mean()) ** 2).sum()
+                          / (len(arr) - 1)), 9)
+    lam = 0.2
+    z = mu
+    viol, first = 0, None
+    for t, v in enumerate(arr, start=1):
+        z = lam * v + (1 - lam) * z
+        half = 3 * sig * math.sqrt(lam / (2 - lam)
+                                   * (1 - (1 - lam) ** (2 * t)))
+        if abs(z - mu) > half:
+            viol += 1
+            first = first or t
+    assert out["n_days"] == 30
+    assert abs(out["z_final"] - z) < 1e-6
+    assert out["n_violations"] == viol and viol > 0
+    assert out["first_violation_t"] == first and first > 20
+
+
+def test_ewma_control_stable_series_no_violations(spark):
+    from distill_spark.operators.timeseries import ewma_control
+
+    y = [10.0, 10.4, 9.6, 10.2, 9.8, 10.1, 9.9, 10.3, 9.7, 10.0]
+    out = _one(ewma_control(spark.createDataFrame(
+        _days([[v] for v in y]))))
+    assert out["n_violations"] == 0
+    assert out["first_violation_t"] is None
