@@ -12484,6 +12484,100 @@ def _sql_ewma_control():
     return ewma_control_sql()
 
 
+# ---------------------------------------------------------------------------
+# Round-12 fifth stratum: exact/stratified contingency — Fisher's
+# exact on a dimension-scale 2×2, the G-test with Williams
+# correction, direct/indirect rate standardization, the MH pooled OR
+# with RBG SE, and Duncan's segregation indices.
+
+def q_fisher_exact(spark, sf_dir):
+    """Fisher's exact 2×2 test of (high-balance × high-nationkey)
+    over the supplier dimension (stats.fisher_exact) — exact
+    hypergeometric p via the shared cumulative ln-factorial frame;
+    gated to dimension-scale inputs where exactness beats chi²."""
+    from distill_spark.operators.stats import fisher_exact
+
+    s = _tables(spark, sf_dir)["supplier"]
+    return fisher_exact(s, F.col("s_nationkey") >= 12,
+                        F.col("s_acctbal") > 4500.0)
+
+
+def _sql_fisher():
+    from distill_spark.operators.stats import fisher_exact_sql
+
+    return fisher_exact_sql("supplier", "s_nationkey >= 12",
+                            "s_acctbal > 4500.0")
+
+
+def q_g_test_assoc(spark, sf_dir):
+    """Likelihood-ratio G-test of source×lang independence with the
+    Williams correction (stats.g_test_assoc) — the additive-across-
+    subtables counterpart of chi2_source_lang."""
+    from distill_spark.operators.stats import g_test_assoc
+
+    return g_test_assoc(_tables(spark, sf_dir)["documents"],
+                        "source", "lang")
+
+
+def _sql_g_test():
+    from distill_spark.operators.stats import g_test_assoc_sql
+
+    return g_test_assoc_sql("documents", "source", "lang")
+
+
+def q_standardized_rates(spark, sf_dir):
+    """Direct + indirect standardization of per-customer order rates
+    across nations with market-segment strata
+    (stats.standardized_rates) — crude vs DSR vs SMR, the
+    segment-mix-removed league table."""
+    from distill_spark.operators.stats import standardized_rates
+
+    t = _tables(spark, sf_dir)
+    return standardized_rates(t["customer"], t["orders"], t["nation"])
+
+
+def _sql_std_rates():
+    from distill_spark.operators.stats import standardized_rates_sql
+
+    return standardized_rates_sql()
+
+
+def q_mantel_haenszel(spark, sf_dir):
+    """Mantel–Haenszel pooled OR across region strata with the
+    Robins–Breslow–Greenland SE (stats.mantel_haenszel_or) — the
+    ESTIMATE beside cmh_nations' test, crude OR alongside for the
+    confounding gap."""
+    from distill_spark.operators.stats import mantel_haenszel_or
+
+    t = _tables(spark, sf_dir)
+    return mantel_haenszel_or(t["customer"], t["orders"],
+                              t["nation"], t["region"])
+
+
+def _sql_mh_or():
+    from distill_spark.operators.stats import mantel_haenszel_or_sql
+
+    return mantel_haenszel_or_sql()
+
+
+def q_duncan_segregation(spark, sf_dir):
+    """Duncan dissimilarity + isolation/interaction of English
+    documents across sources (corpus_stats.duncan_segregation) —
+    are languages spread across sources or parked in silos?"""
+    from distill_spark.operators.corpus_stats import duncan_segregation
+
+    return duncan_segregation(_tables(spark, sf_dir)["documents"],
+                              "source", "lang", "en")
+
+
+def _sql_duncan():
+    from distill_spark.operators.corpus_stats import (
+        duncan_segregation_sql,
+    )
+
+    return duncan_segregation_sql("documents", "source", "lang", "en")
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ======================== ROUND-12 WINDOW ============================
     # -- round-12 head: the 12 seeds queued all of round 11 (each
@@ -12526,6 +12620,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "granger_1lag": (q_granger_1lag, _sql_granger()),
     "ccf_daily": (q_ccf_daily, _sql_ccf()),
     "ewma_control": (q_ewma_control, _sql_ewma_control()),
+    # -- round-12 fifth stratum: exact/stratified contingency ----------------
+    "fisher_exact": (q_fisher_exact, _sql_fisher()),
+    "g_test_assoc": (q_g_test_assoc, _sql_g_test()),
+    "standardized_rates": (q_standardized_rates, _sql_std_rates()),
+    "mantel_haenszel": (q_mantel_haenszel, _sql_mh_or()),
+    "duncan_segregation": (q_duncan_segregation, _sql_duncan()),
     # ===================== END ROUND-12 WINDOW (50) ======================
     # (new round-12 strata are inserted ABOVE this line as they land,
     #  pushing the driver-green round-11 rows below position 50)

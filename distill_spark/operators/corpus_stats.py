@@ -815,3 +815,80 @@ SELECT g AS {group_sql}, CAST(ns AS BIGINT) AS n_tokens,
        round(CAST(sum(t_) AS DOUBLE), 6) AS kl_nats
 FROM terms GROUP BY 1, 2
 """
+
+
+def duncan_segregation(df: DataFrame, unit_col: str, group_col: str,
+                       group_x) -> DataFrame:
+    """Duncan & Duncan (1955) dissimilarity index + the isolation/
+    interaction exposure pair for group X (e.g. lang='en') across
+    units (e.g. sources): D = ½·Σ_u |x_u/X − y_u/Y| is the share of
+    X that would have to move units for an even split; isolation
+    xPx = Σ_u (x_u/X)(x_u/t_u) is the X-member's expected own-group
+    share in their unit; interaction xPy = 1 − xPx mirrors it.
+    The corpus-mixture view of gini_source_lang: are languages
+    SPREAD across sources or parked in silos? One unit-level
+    contingency aggregate. Output: one row (k_units, n_x, n_y,
+    duncan_d, isolation_xx, interaction_xy), rounds 6."""
+    g = F.col(group_col)
+    base = df.filter(g.isNotNull() & F.col(unit_col).isNotNull()) \
+        .select(F.col(unit_col).alias("u"),
+                (g == group_x).alias("isx"))
+    cells = base.groupBy("u").agg(
+        F.sum(F.col("isx").cast("double")).alias("x"),
+        F.sum((~F.col("isx")).cast("double")).alias("y"))
+    tot = Window.partitionBy()
+    scored = cells.select(
+        "x", "y",
+        F.sum("x").over(tot).alias("tx"),
+        F.sum("y").over(tot).alias("ty"))
+    agg = scored.agg(
+        F.count("*").alias("k"),
+        F.max("tx").alias("tx"), F.max("ty").alias("ty"),
+        F.sum(F.abs(F.col("x") / F.col("tx")
+                    - F.col("y") / F.col("ty"))).alias("sd"),
+        F.sum(F.when(F.col("x") + F.col("y") > 0,
+                     (F.col("x") / F.col("tx"))
+                     * (F.col("x") / (F.col("x") + F.col("y"))))
+              .otherwise(0.0)).alias("xpx"))
+    return agg.select(
+        F.col("k").cast("long").alias("k_units"),
+        F.col("tx").cast("long").alias("n_x"),
+        F.col("ty").cast("long").alias("n_y"),
+        F.round(F.col("sd") / 2.0, 6).alias("duncan_d"),
+        F.round(F.col("xpx"), 6).alias("isolation_xx"),
+        F.round(1.0 - F.col("xpx"), 6).alias("interaction_xy"))
+
+
+def duncan_segregation_sql(table: str, unit_sql: str, group_sql: str,
+                           group_x: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT {unit_sql} AS u, {group_sql} = '{group_x}' AS isx
+  FROM {table}
+  WHERE {group_sql} IS NOT NULL AND {unit_sql} IS NOT NULL
+),
+cells AS (
+  SELECT u,
+         sum(CASE WHEN isx THEN 1.0 ELSE 0.0 END) AS x,
+         sum(CASE WHEN NOT isx THEN 1.0 ELSE 0.0 END) AS y
+  FROM base GROUP BY u
+),
+scored AS (
+  SELECT x, y, sum(x) OVER () AS tx, sum(y) OVER () AS ty
+  FROM cells
+),
+agg AS (
+  SELECT count(*) AS k, max(tx) AS tx, max(ty) AS ty,
+         sum(abs(x / tx - y / ty)) AS sd,
+         sum(CASE WHEN x + y > 0
+                  THEN (x / tx) * (x / (x + y)) ELSE 0.0 END) AS xpx
+  FROM scored
+)
+SELECT CAST(k AS BIGINT) AS k_units,
+       CAST(tx AS BIGINT) AS n_x,
+       CAST(ty AS BIGINT) AS n_y,
+       round(sd / 2.0, 6) AS duncan_d,
+       round(xpx, 6) AS isolation_xx,
+       round(1.0 - xpx, 6) AS interaction_xy
+FROM agg
+"""

@@ -8260,3 +8260,465 @@ SELECT CAST(n AS BIGINT) AS n,
        CAST(out_a AS BIGINT) AS n_out_adjusted
 FROM counts
 """
+
+
+# -------------------------------------------------------- round 12:
+# exact/stratified contingency completion — Fisher's exact test on
+# dimension-scale 2×2s, the G-test with Williams correction, direct/
+# indirect rate standardization, and the Mantel–Haenszel pooled OR
+# with the Robins–Breslow–Greenland SE. Contingency plans: the fact
+# scan aggregates once; everything else is cell-frame algebra. The
+# exact test's ln-factorial table is a cumulative sum over
+# generate_series — both engines accumulate in ascending-i order, so
+# the doubles match bit for bit.
+
+def fisher_exact(df: DataFrame, a_col, b_col) -> DataFrame:
+    """Fisher's exact test for a 2×2 of two boolean columns (Fisher
+    1935): hypergeometric P(k) over the support [max(0, r1+c1−n),
+    min(r1, c1)] via a shared ln-factorial frame, two-sided p by the
+    standard "sum of tables no more probable than observed" rule
+    with scipy's 1+1e-7 relative tolerance. Meant for
+    DIMENSION-scale inputs (suppliers, nations): the ln-factorial
+    table is O(n) rows, which is exactly the regime where the exact
+    test beats chi² anyway — gate big tables to chi2_source_lang.
+    Output: one row (n, k_obs, k_lo, k_hi, odds_ratio, p_right,
+    p_left, p_two_sided), rounds 6."""
+    a = a_col.cast("boolean")
+    b = b_col.cast("boolean")
+    base = df.filter(a.isNotNull() & b.isNotNull()).select(
+        a.alias("a"), b.alias("b"))
+    cells = base.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("a").cast("long")).alias("r1"),
+        F.sum(F.col("b").cast("long")).alias("c1"),
+        F.sum((F.col("a") & F.col("b")).cast("long")).alias("kobs"))
+    lf = (cells.select(
+        F.explode(F.sequence(F.lit(0), F.col("n"))).alias("i"))
+        .select("i", F.when(F.col("i") > 0,
+                            F.log(F.col("i").cast("double")))
+                .otherwise(F.lit(0.0)).alias("li"))
+        .select("i", F.sum("li").over(
+            Window.orderBy("i")
+            .rowsBetween(Window.unboundedPreceding, 0)).alias("lf")))
+
+    def with_lf(frame, idx_expr, out_name):
+        return (frame.join(
+            F.broadcast(lf.select(F.col("i").alias(f"_{out_name}_i"),
+                                  F.col("lf").alias(out_name))),
+            idx_expr == F.col(f"_{out_name}_i"))
+            .drop(f"_{out_name}_i"))
+
+    ks = cells.select(
+        F.explode(F.sequence(
+            F.greatest(F.lit(0), F.col("r1") + F.col("c1") - F.col("n")),
+            F.least(F.col("r1"), F.col("c1")))).alias("k"),
+        "n", "r1", "c1", "kobs")
+    ks = with_lf(ks, F.col("k"), "lk")
+    ks = with_lf(ks, F.col("r1") - F.col("k"), "lr1k")
+    ks = with_lf(ks, F.col("c1") - F.col("k"), "lc1k")
+    ks = with_lf(ks, F.col("n") - F.col("r1") - F.col("c1")
+                 + F.col("k"), "lrest")
+    ks = with_lf(ks, F.col("r1"), "lr1")
+    ks = with_lf(ks, F.col("n") - F.col("r1"), "lnr1")
+    ks = with_lf(ks, F.col("c1"), "lc1")
+    ks = with_lf(ks, F.col("n") - F.col("c1"), "lnc1")
+    ks = with_lf(ks, F.col("n"), "ln_")
+    lnp = (F.col("lr1") + F.col("lnr1") + F.col("lc1") + F.col("lnc1")
+           - F.col("ln_")
+           - (F.col("lk") + F.col("lr1k") + F.col("lc1k")
+              + F.col("lrest")))
+    probs = ks.select("k", "n", "r1", "c1", "kobs",
+                      F.exp(lnp).alias("p"))
+    w = Window.partitionBy()
+    obs = probs.select(
+        "*", F.max(F.when(F.col("k") == F.col("kobs"), F.col("p")))
+        .over(w).alias("pobs"))
+    agg = obs.agg(
+        F.max("n").alias("n"), F.max("kobs").alias("kobs"),
+        F.min("k").alias("klo"), F.max("k").alias("khi"),
+        F.max("r1").alias("r1"), F.max("c1").alias("c1"),
+        F.sum(F.when(F.col("k") >= F.col("kobs"), F.col("p"))
+              .otherwise(0.0)).alias("pr"),
+        F.sum(F.when(F.col("k") <= F.col("kobs"), F.col("p"))
+              .otherwise(0.0)).alias("pl"),
+        F.sum(F.when(F.col("p") <= F.col("pobs") * (1.0 + 1e-7),
+                     F.col("p")).otherwise(0.0)).alias("p2"),
+        F.max("pobs").alias("pobs"))
+    kd = F.col("kobs").cast("double")
+    orr = (kd * (F.col("n") - F.col("r1") - F.col("c1") + kd)
+           / ((F.col("r1") - kd) * (F.col("c1") - kd)))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("kobs").cast("long").alias("k_obs"),
+        F.col("klo").cast("long").alias("k_lo"),
+        F.col("khi").cast("long").alias("k_hi"),
+        F.round(F.when((F.col("r1") - kd) * (F.col("c1") - kd) > 0,
+                       orr), 6).alias("odds_ratio"),
+        F.round(F.least(F.col("pr"), F.lit(1.0)), 6).alias("p_right"),
+        F.round(F.least(F.col("pl"), F.lit(1.0)), 6).alias("p_left"),
+        F.round(F.least(F.col("p2"), F.lit(1.0)), 6)
+        .alias("p_two_sided"))
+
+
+def fisher_exact_sql(table: str, a_sql: str, b_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST({a_sql} AS BOOLEAN) AS a, CAST({b_sql} AS BOOLEAN) AS b
+  FROM {table}
+  WHERE CAST({a_sql} AS BOOLEAN) IS NOT NULL
+    AND CAST({b_sql} AS BOOLEAN) IS NOT NULL
+),
+cells AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN a THEN 1 ELSE 0 END) AS r1,
+         sum(CASE WHEN b THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS kobs
+  FROM base
+),
+lf AS (
+  SELECT i, sum(li) OVER (ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lf
+  FROM (
+    SELECT u.i,
+           CASE WHEN u.i > 0 THEN ln(CAST(u.i AS DOUBLE))
+                ELSE 0.0 END AS li
+    FROM cells c, LATERAL (SELECT unnest(range(0, CAST(c.n AS BIGINT) + 1)) AS i) u
+  )
+),
+ks AS (
+  SELECT u.k, c.n, c.r1, c.c1, c.kobs
+  FROM cells c, LATERAL (
+    SELECT unnest(range(CAST(greatest(0, c.r1 + c.c1 - c.n) AS BIGINT),
+                        CAST(least(c.r1, c.c1) + 1 AS BIGINT))) AS k) u
+),
+probs AS (
+  SELECT ks.k, ks.n, ks.r1, ks.c1, ks.kobs,
+         exp(l5.lf + l6.lf + l7.lf + l8.lf - l9.lf
+             - (l1.lf + l2.lf + l3.lf + l4.lf)) AS p
+  FROM ks
+  JOIN lf l1 ON l1.i = ks.k
+  JOIN lf l2 ON l2.i = ks.r1 - ks.k
+  JOIN lf l3 ON l3.i = ks.c1 - ks.k
+  JOIN lf l4 ON l4.i = ks.n - ks.r1 - ks.c1 + ks.k
+  JOIN lf l5 ON l5.i = ks.r1
+  JOIN lf l6 ON l6.i = ks.n - ks.r1
+  JOIN lf l7 ON l7.i = ks.c1
+  JOIN lf l8 ON l8.i = ks.n - ks.c1
+  JOIN lf l9 ON l9.i = ks.n
+),
+obs AS (
+  SELECT *, max(CASE WHEN k = kobs THEN p END) OVER () AS pobs
+  FROM probs
+),
+agg AS (
+  SELECT max(n) AS n, max(kobs) AS kobs, min(k) AS klo,
+         max(k) AS khi, max(r1) AS r1, max(c1) AS c1,
+         sum(CASE WHEN k >= kobs THEN p ELSE 0.0 END) AS pr,
+         sum(CASE WHEN k <= kobs THEN p ELSE 0.0 END) AS pl,
+         sum(CASE WHEN p <= pobs * (1.0 + 1e-7) THEN p
+             ELSE 0.0 END) AS p2
+  FROM obs
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(kobs AS BIGINT) AS k_obs,
+       CAST(klo AS BIGINT) AS k_lo,
+       CAST(khi AS BIGINT) AS k_hi,
+       round(CASE WHEN (r1 - CAST(kobs AS DOUBLE))
+                       * (c1 - CAST(kobs AS DOUBLE)) > 0 THEN
+         CAST(kobs AS DOUBLE)
+         * (n - r1 - c1 + CAST(kobs AS DOUBLE))
+         / ((r1 - CAST(kobs AS DOUBLE))
+            * (c1 - CAST(kobs AS DOUBLE))) END, 6) AS odds_ratio,
+       round(least(pr, 1.0), 6) AS p_right,
+       round(least(pl, 1.0), 6) AS p_left,
+       round(least(p2, 1.0), 6) AS p_two_sided
+FROM agg
+"""
+
+
+def g_test_assoc(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """G-test of independence (likelihood-ratio chi², Sokal & Rohlf):
+    G = 2·Σ O·ln(O/E) over the contingency, with the Williams
+    continuity correction q = 1 + (n·Σ1/r_i − 1)(n·Σ1/c_j − 1)
+    / (6n(r−1)(c−1)) — additive across sub-tables where Pearson's X²
+    is not, which is why log-linear modeling uses it. Zero cells
+    contribute 0 (O·ln(O/E) → 0). Same contingency plan as
+    chi2_source_lang. Output: one row (n, df, g_stat, williams_q,
+    g_adj), rounds 6."""
+    a, b = F.col(a_col), F.col(b_col)
+    base = df.filter(a.isNotNull() & b.isNotNull()).select(
+        a.alias("a"), b.alias("b"))
+    cont = base.groupBy("a", "b").agg(
+        F.count("*").cast("double").alias("o"))
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    tot = Window.partitionBy()
+    scored = cont.select(
+        "o",
+        F.sum("o").over(wa).alias("ra"),
+        F.sum("o").over(wb).alias("cb"),
+        F.sum("o").over(tot).alias("n"))
+    g = scored.agg(
+        F.max("n").alias("n"),
+        F.round(2.0 * F.sum(F.when(
+            F.col("o") > 0,
+            F.col("o") * F.log(F.col("o") * F.col("n")
+                               / (F.col("ra") * F.col("cb"))))
+            .otherwise(0.0)), 9).alias("g"))
+    rows = (base.groupBy("a").agg(F.count("*").cast("double")
+                                  .alias("c"))
+            .agg(F.count("*").alias("r"),
+                 F.sum(1.0 / F.col("c")).alias("sir")))
+    cols = (base.groupBy("b").agg(F.count("*").cast("double")
+                                  .alias("c"))
+            .agg(F.count("*").alias("k"),
+                 F.sum(1.0 / F.col("c")).alias("sic")))
+    m = g.crossJoin(F.broadcast(rows)).crossJoin(F.broadcast(cols))
+    n = F.col("n")
+    q = 1.0 + ((n * F.col("sir") - 1.0) * (n * F.col("sic") - 1.0)
+               / (6.0 * n * (F.col("r") - 1.0) * (F.col("k") - 1.0)))
+    return m.select(
+        n.cast("long").alias("n"),
+        ((F.col("r") - 1) * (F.col("k") - 1)).cast("long").alias("df"),
+        F.round(F.col("g"), 6).alias("g_stat"),
+        F.round(q, 6).alias("williams_q"),
+        F.round(F.col("g") / q, 6).alias("g_adj"))
+
+
+def g_test_assoc_sql(table: str, a_sql: str, b_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT {a_sql} AS a, {b_sql} AS b FROM {table}
+  WHERE {a_sql} IS NOT NULL AND {b_sql} IS NOT NULL
+),
+cont AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS o
+         FROM base GROUP BY a, b),
+scored AS (
+  SELECT o,
+         sum(o) OVER (PARTITION BY a) AS ra,
+         sum(o) OVER (PARTITION BY b) AS cb,
+         sum(o) OVER () AS n
+  FROM cont
+),
+g AS (
+  SELECT max(n) AS n,
+         round(2.0 * sum(CASE WHEN o > 0 THEN
+           o * ln(o * n / (ra * cb)) ELSE 0.0 END), 9) AS g
+  FROM scored
+),
+rws AS (
+  SELECT count(*) AS r, sum(1.0 / c) AS sir
+  FROM (SELECT CAST(count(*) AS DOUBLE) AS c FROM base GROUP BY a)
+),
+cls AS (
+  SELECT count(*) AS k, sum(1.0 / c) AS sic
+  FROM (SELECT CAST(count(*) AS DOUBLE) AS c FROM base GROUP BY b)
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST((r - 1) * (k - 1) AS BIGINT) AS df,
+       round(g, 6) AS g_stat,
+       round(1.0 + ((n * sir - 1.0) * (n * sic - 1.0)
+                    / (6.0 * n * (r - 1.0) * (k - 1.0))), 6)
+         AS williams_q,
+       round(g / (1.0 + ((n * sir - 1.0) * (n * sic - 1.0)
+                         / (6.0 * n * (r - 1.0) * (k - 1.0)))), 6)
+         AS g_adj
+FROM g CROSS JOIN rws CROSS JOIN cls
+"""
+
+
+def standardized_rates(customer: DataFrame, orders: DataFrame,
+                       nation: DataFrame) -> DataFrame:
+    """Direct and indirect rate standardization (the epidemiology
+    classic, Fleiss ch. 19) for per-customer order rates across
+    nations, stratified by market segment: the crude rates are
+    confounded by segment mix, so DSR_i = Σ_s w_s·rate_{i,s} re-mixes
+    every nation to the GLOBAL segment weights, and SMR_i = observed
+    / Σ_s global_rate_s·n_{i,s} asks "how many orders would this
+    nation have at global segment rates?". One customer⋈orders
+    count (broadcast-friendly), then nation×segment cell algebra.
+    Output: one row per nation (nation, n_customers, n_orders,
+    crude_rate, dsr, smr), rounds 6, ordered by nation."""
+    percust = (customer.join(
+        orders.groupBy("o_custkey").agg(F.count("*").alias("ords")),
+        customer["c_custkey"] == F.col("o_custkey"), "left")
+        .select("c_nationkey", "c_mktsegment",
+                F.coalesce(F.col("ords"), F.lit(0)).alias("ords")))
+    cells = percust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("double").alias("nc"),
+        F.sum("ords").cast("double").alias("no"))
+    ws = Window.partitionBy("c_mktsegment")
+    tot = Window.partitionBy()
+    scored = cells.select(
+        "c_nationkey", "nc", "no",
+        F.sum("nc").over(ws).alias("seg_nc"),
+        F.sum("no").over(ws).alias("seg_no"),
+        F.sum("nc").over(tot).alias("all_nc"))
+    per_nation = scored.groupBy("c_nationkey").agg(
+        F.sum("nc").alias("nc"),
+        F.sum("no").alias("no"),
+        F.sum(F.col("seg_nc") / F.col("all_nc")
+              * (F.col("no") / F.col("nc"))).alias("dsr"),
+        F.sum(F.col("seg_no") / F.col("seg_nc") * F.col("nc"))
+        .alias("expected"))
+    named = per_nation.join(
+        F.broadcast(nation.select(F.col("n_nationkey"),
+                                  F.col("n_name"))),
+        F.col("c_nationkey") == F.col("n_nationkey"))
+    return (named.select(
+        F.col("n_name").alias("nation"),
+        F.col("nc").cast("long").alias("n_customers"),
+        F.col("no").cast("long").alias("n_orders"),
+        F.round(F.col("no") / F.col("nc"), 6).alias("crude_rate"),
+        F.round(F.col("dsr"), 6).alias("dsr"),
+        F.round(F.col("no") / F.col("expected"), 6).alias("smr"))
+        .orderBy("nation"))
+
+
+def standardized_rates_sql() -> str:
+    return """
+WITH percust AS (
+  SELECT c.c_nationkey, c.c_mktsegment,
+         coalesce(o.ords, 0) AS ords
+  FROM customer c
+  LEFT JOIN (SELECT o_custkey, count(*) AS ords
+             FROM orders GROUP BY 1) o
+    ON c.c_custkey = o.o_custkey
+),
+cells AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(*) AS DOUBLE) AS nc,
+         CAST(sum(ords) AS DOUBLE) AS no
+  FROM percust GROUP BY 1, 2
+),
+scored AS (
+  SELECT c_nationkey, nc, no,
+         sum(nc) OVER (PARTITION BY c_mktsegment) AS seg_nc,
+         sum(no) OVER (PARTITION BY c_mktsegment) AS seg_no,
+         sum(nc) OVER () AS all_nc
+  FROM cells
+),
+per_nation AS (
+  SELECT c_nationkey, sum(nc) AS nc, sum(no) AS no,
+         sum(seg_nc / all_nc * (no / nc)) AS dsr,
+         sum(seg_no / seg_nc * nc) AS expected
+  FROM scored GROUP BY c_nationkey
+)
+SELECT n.n_name AS nation,
+       CAST(p.nc AS BIGINT) AS n_customers,
+       CAST(p.no AS BIGINT) AS n_orders,
+       round(p.no / p.nc, 6) AS crude_rate,
+       round(p.dsr, 6) AS dsr,
+       round(p.no / p.expected, 6) AS smr
+FROM per_nation p JOIN nation n ON p.c_nationkey = n.n_nationkey
+ORDER BY nation
+"""
+
+
+def mantel_haenszel_or(customer: DataFrame, orders: DataFrame,
+                       nation: DataFrame, region: DataFrame,
+                       bal_cut: float = 4500.0) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio across region strata
+    (Mantel & Haenszel 1959) with the Robins–Breslow–Greenland SE
+    (Robins et al. 1986): exposure = account balance > bal_cut,
+    outcome = customer placed ≥1 urgent-priority order. OR_MH =
+    ΣR_i/ΣS_i with R = ad/n, S = bc/n; the RBG variance of ln OR_MH
+    is the one that stays consistent in BOTH sparse-strata and
+    large-strata asymptotics. The crude OR is reported beside it —
+    their gap is the confounding cmh_nations tests for. Output: one
+    row (k_strata, n, or_crude, or_mh, se_log_or_mh), rounds 6."""
+    urgent = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey").distinct())
+    base = (customer
+            .join(F.broadcast(nation.select("n_nationkey",
+                                            "n_regionkey")),
+                  customer["c_custkey"].isNotNull()
+                  & (customer["c_nationkey"] == F.col("n_nationkey")))
+            .join(urgent,
+                  customer["c_custkey"] == urgent["o_custkey"],
+                  "left")
+            .select(F.col("n_regionkey").alias("stratum"),
+                    (F.col("c_acctbal") > bal_cut).alias("e"),
+                    F.col("o_custkey").isNotNull().alias("y")))
+    cells = base.groupBy("stratum").agg(
+        F.sum((F.col("e") & F.col("y")).cast("double")).alias("a"),
+        F.sum((F.col("e") & ~F.col("y")).cast("double")).alias("b"),
+        F.sum((~F.col("e") & F.col("y")).cast("double")).alias("c"),
+        F.sum((~F.col("e") & ~F.col("y")).cast("double")).alias("d"))
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    terms = cells.select(
+        "*", n.alias("nn"),
+        (F.col("a") * F.col("d") / n).alias("r"),
+        (F.col("b") * F.col("c") / n).alias("s"),
+        ((F.col("a") + F.col("d")) / n).alias("p"),
+        ((F.col("b") + F.col("c")) / n).alias("q"))
+    agg = terms.agg(
+        F.count("*").alias("k"),
+        F.sum("nn").alias("n"),
+        F.sum("a").alias("sa"), F.sum("b").alias("sb"),
+        F.sum("c").alias("sc"), F.sum("d").alias("sd"),
+        F.sum("r").alias("sr"), F.sum("s").alias("ss"),
+        F.sum(F.col("p") * F.col("r")).alias("spr"),
+        F.sum(F.col("p") * F.col("s") + F.col("q") * F.col("r"))
+        .alias("spsqr"),
+        F.sum(F.col("q") * F.col("s")).alias("sqs"))
+    var = (F.col("spr") / (2.0 * F.col("sr") * F.col("sr"))
+           + F.col("spsqr") / (2.0 * F.col("sr") * F.col("ss"))
+           + F.col("sqs") / (2.0 * F.col("ss") * F.col("ss")))
+    return agg.select(
+        F.col("k").cast("long").alias("k_strata"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("sa") * F.col("sd")
+                / (F.col("sb") * F.col("sc")), 6).alias("or_crude"),
+        F.round(F.col("sr") / F.col("ss"), 6).alias("or_mh"),
+        F.round(F.sqrt(var), 6).alias("se_log_or_mh"))
+
+
+def mantel_haenszel_or_sql(bal_cut: float = 4500.0) -> str:
+    return f"""
+WITH urgent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+),
+base AS (
+  SELECT n.n_regionkey AS stratum,
+         c.c_acctbal > {bal_cut!r} AS e,
+         u.o_custkey IS NOT NULL AS y
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  LEFT JOIN urgent u ON c.c_custkey = u.o_custkey
+),
+cells AS (
+  SELECT stratum,
+         sum(CASE WHEN e AND y THEN 1.0 ELSE 0.0 END) AS a,
+         sum(CASE WHEN e AND NOT y THEN 1.0 ELSE 0.0 END) AS b,
+         sum(CASE WHEN NOT e AND y THEN 1.0 ELSE 0.0 END) AS c,
+         sum(CASE WHEN NOT e AND NOT y THEN 1.0 ELSE 0.0 END) AS d
+  FROM base GROUP BY stratum
+),
+terms AS (
+  SELECT *, a + b + c + d AS nn,
+         a * d / (a + b + c + d) AS r,
+         b * c / (a + b + c + d) AS s,
+         (a + d) / (a + b + c + d) AS p,
+         (b + c) / (a + b + c + d) AS q
+  FROM cells
+),
+agg AS (
+  SELECT count(*) AS k, sum(nn) AS n,
+         sum(a) AS sa, sum(b) AS sb, sum(c) AS sc, sum(d) AS sd,
+         sum(r) AS sr, sum(s) AS ss,
+         sum(p * r) AS spr,
+         sum(p * s + q * r) AS spsqr,
+         sum(q * s) AS sqs
+  FROM terms
+)
+SELECT CAST(k AS BIGINT) AS k_strata,
+       CAST(n AS BIGINT) AS n,
+       round(sa * sd / (sb * sc), 6) AS or_crude,
+       round(sr / ss, 6) AS or_mh,
+       round(sqrt(spr / (2.0 * sr * sr)
+                  + spsqr / (2.0 * sr * ss)
+                  + sqs / (2.0 * ss * ss)), 6) AS se_log_or_mh
+FROM agg
+"""

@@ -11,6 +11,7 @@ import math
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import functions as F
 
 
 def _one(df):
@@ -701,3 +702,176 @@ def test_ewma_control_stable_series_no_violations(spark):
         _days([[v] for v in y]))))
     assert out["n_violations"] == 0
     assert out["first_violation_t"] is None
+
+
+# ------------------------------------------------- exact/stratified tables
+
+
+def test_fisher_exact_hand_hypergeometric(spark):
+    """3/1 vs 1/3 table: support k=0..4, P(k) = C(4,k)C(4,4−k)/C(8,4)
+    = [1,16,36,16,1]/70. k_obs=3 → p_right = 17/70, p_left = 69/70,
+    two-sided (tables no more probable) = (1+16+16+1)/70 = 34/70."""
+    from distill_spark.operators.stats import fisher_exact
+
+    rows = ([(True, True)] * 3 + [(True, False)] * 1
+            + [(False, True)] * 1 + [(False, False)] * 3)
+    pdf = pd.DataFrame(rows, columns=["a", "b"])
+    out = _one(fisher_exact(spark.createDataFrame(pdf),
+                            F.col("a"), F.col("b")))
+    assert out["n"] == 8 and out["k_obs"] == 3
+    assert out["k_lo"] == 0 and out["k_hi"] == 4
+    assert abs(out["p_two_sided"] - 34 / 70) < 1e-6
+    assert abs(out["p_right"] - 17 / 70) < 1e-6
+    assert abs(out["p_left"] - 69 / 70) < 1e-6
+    assert out["odds_ratio"] == 9.0
+
+
+def test_fisher_exact_independence_gives_p_one(spark):
+    """A perfectly proportional table: the observed k is the mode of
+    the hypergeometric, so the two-sided p sums everything → 1."""
+    from distill_spark.operators.stats import fisher_exact
+
+    rows = ([(True, True)] * 2 + [(True, False)] * 2
+            + [(False, True)] * 2 + [(False, False)] * 2)
+    out = _one(fisher_exact(spark.createDataFrame(
+        pd.DataFrame(rows, columns=["a", "b"])),
+        F.col("a"), F.col("b")))
+    assert out["p_two_sided"] == 1.0
+    assert out["odds_ratio"] == 1.0
+
+
+def test_g_test_hand_mirror(spark):
+    from distill_spark.operators.stats import g_test_assoc
+
+    counts = {("s1", "en"): 30, ("s1", "fr"): 10,
+              ("s2", "en"): 12, ("s2", "fr"): 28}
+    rows = [(a, b) for (a, b), c in counts.items() for _ in range(c)]
+    pdf = pd.DataFrame(rows, columns=["a", "b"])
+    out = _one(g_test_assoc(spark.createDataFrame(pdf), "a", "b"))
+    obs = np.array([[30.0, 10.0], [12.0, 28.0]])
+    exp = np.outer(obs.sum(1), obs.sum(0)) / obs.sum()
+    g = 2 * (obs * np.log(obs / exp)).sum()
+    assert out["df"] == 1
+    assert abs(out["g_stat"] - g) < 1e-5
+    n = 80
+    q = 1 + ((n * (1 / 40 + 1 / 40) - 1) * (n * (1 / 42 + 1 / 38) - 1)
+             / (6 * n * 1 * 1))
+    assert abs(out["williams_q"] - q) < 1e-6
+    assert abs(out["g_adj"] - g / q) < 1e-4
+
+
+def _rates_frames(spark, custs, ords):
+    cust = spark.createDataFrame(
+        pd.DataFrame(custs, columns=["c_custkey", "c_nationkey",
+                                     "c_mktsegment"]))
+    orders = spark.createDataFrame(
+        pd.DataFrame(ords, columns=["o_custkey"]))
+    nation = spark.createDataFrame(
+        pd.DataFrame([(0, "ALPHA"), (1, "BETA")],
+                     columns=["n_nationkey", "n_name"]))
+    return cust, orders, nation
+
+
+def test_standardized_rates_equal_mix_dsr_is_crude(spark):
+    """Both nations have the same segment mix → DSR == crude rate;
+    and a nation at exactly global segment rates has SMR == 1."""
+    from distill_spark.operators.stats import standardized_rates
+
+    custs, ords, key = [], [], 0
+    # nation 0: seg A rate 2, seg B rate 0; nation 1: same rates
+    for nk in (0, 1):
+        for seg, rate in (("A", 2), ("B", 0)):
+            for _ in range(3):
+                custs.append((key, nk, seg))
+                ords.extend([(key,)] * rate)
+                key += 1
+    cust, orders, nation = _rates_frames(spark, custs, ords)
+    rows = {r["nation"]: r.asDict()
+            for r in standardized_rates(cust, orders, nation).collect()}
+    for r in rows.values():
+        assert r["dsr"] == r["crude_rate"] == 1.0
+        assert r["smr"] == 1.0
+
+
+def test_standardized_rates_confounded_hand_case(spark):
+    """Nation 0 is all segment A (rate 2), nation 1 all segment B
+    (rate 4): crude rates differ 2 vs 4, but both equal their
+    segment's global rate, so SMR = 1 for both; DSR re-mixes both to
+    the 50/50 global weights → DSR = 3 where a segment rate is
+    defined... nation 0 has no B customers, so its DSR sums only the
+    A term = 0.5·2 = 1. The documented 'observed segments only'
+    convention."""
+    from distill_spark.operators.stats import standardized_rates
+
+    custs, ords, key = [], [], 0
+    for _ in range(4):
+        custs.append((key, 0, "A")); ords.extend([(key,)] * 2); key += 1
+    for _ in range(4):
+        custs.append((key, 1, "B")); ords.extend([(key,)] * 4); key += 1
+    cust, orders, nation = _rates_frames(spark, custs, ords)
+    rows = {r["nation"]: r.asDict()
+            for r in standardized_rates(cust, orders, nation).collect()}
+    assert rows["ALPHA"]["crude_rate"] == 2.0
+    assert rows["BETA"]["crude_rate"] == 4.0
+    assert rows["ALPHA"]["smr"] == 1.0 and rows["BETA"]["smr"] == 1.0
+    assert rows["ALPHA"]["dsr"] == 1.0   # 0.5 weight × rate 2
+    assert rows["BETA"]["dsr"] == 2.0    # 0.5 weight × rate 4
+
+
+def test_mantel_haenszel_hand_case(spark):
+    """Two strata with known cells: OR_MH = Σ(ad/n)/Σ(bc/n).
+    Stratum 0: a=4,b=1,c=1,d=4 (n=10); stratum 1: a=2,b=2,c=2,d=2
+    (n=8). R = 16/10 + 4/8 = 2.1; S = 1/10 + 4/8 = 0.6 →
+    OR_MH = 3.5."""
+    from distill_spark.operators.stats import mantel_haenszel_or
+
+    custs, ords, key = [], [], 0
+
+    def add(nk, e_bal, urgent, count):
+        nonlocal key
+        for _ in range(count):
+            custs.append((key, nk, 6000.0 if e_bal else 1000.0))
+            if urgent:
+                ords.append((key, "1-URGENT"))
+            key += 1
+
+    # stratum = region; nation nk maps to region nk here
+    add(0, True, True, 4); add(0, True, False, 1)
+    add(0, False, True, 1); add(0, False, False, 4)
+    add(1, True, True, 2); add(1, True, False, 2)
+    add(1, False, True, 2); add(1, False, False, 2)
+    cust = spark.createDataFrame(pd.DataFrame(
+        custs, columns=["c_custkey", "c_nationkey", "c_acctbal"]))
+    orders = spark.createDataFrame(pd.DataFrame(
+        ords, columns=["o_custkey", "o_orderpriority"]))
+    nation = spark.createDataFrame(pd.DataFrame(
+        [(0, 0), (1, 1)], columns=["n_nationkey", "n_regionkey"]))
+    region = spark.createDataFrame(pd.DataFrame(
+        [(0,), (1,)], columns=["r_regionkey"]))
+    out = _one(mantel_haenszel_or(cust, orders, nation, region))
+    assert out["k_strata"] == 2 and out["n"] == 18
+    assert out["or_mh"] == round(2.1 / 0.6, 6)
+    # crude OR from the collapsed table: a=6,b=3,c=3,d=6 → 4.0
+    assert out["or_crude"] == 4.0
+    assert out["se_log_or_mh"] > 0
+
+
+def test_duncan_segregation_extremes(spark):
+    from distill_spark.operators.corpus_stats import duncan_segregation
+
+    # perfect segregation: en only in s1, fr only in s2 → D = 1
+    rows = [("s1", "en")] * 5 + [("s2", "fr")] * 7
+    out = _one(duncan_segregation(spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "lang"])),
+        "source", "lang", "en"))
+    assert out["duncan_d"] == 1.0
+    assert out["isolation_xx"] == 1.0
+    # perfectly even: same en share in both sources → D = 0
+    rows2 = ([("s1", "en")] * 2 + [("s1", "fr")] * 4
+             + [("s2", "en")] * 3 + [("s2", "fr")] * 6)
+    out2 = _one(duncan_segregation(spark.createDataFrame(
+        pd.DataFrame(rows2, columns=["source", "lang"])),
+        "source", "lang", "en"))
+    assert out2["duncan_d"] == 0.0
+    # isolation = Σ (x_u/X)(x_u/t_u) = (2/5)(2/6)+(3/5)(3/9) = 1/3
+    assert out2["isolation_xx"] == round(1 / 3, 6)
