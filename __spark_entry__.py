@@ -12578,6 +12578,96 @@ def _sql_duncan():
     return duncan_segregation_sql("documents", "source", "lang", "en")
 
 
+# ---------------------------------------------------------------------------
+# Round-12 sixth stratum: sketch/outlier/corpus-divergence — the KMV
+# distinct register, generalized ESD, rank-turbulence divergence, the
+# Rényi spectrum, and hypergeometric term enrichment.
+
+def q_kmv_distinct(spark, sf_dir):
+    """K-minimum-values distinct-count sketch over event ids
+    (sketch.kmv_distinct) — register-exact like portable_hll: the
+    oracle replays the k-th order-statistic hash bit for bit."""
+    from distill_spark.operators.sketch import kmv_distinct
+
+    return kmv_distinct(_tables(spark, sf_dir)["events"], "event_id",
+                        k=256)
+
+
+def _sql_kmv():
+    from distill_spark.operators.sketch import kmv_distinct_sql
+
+    return kmv_distinct_sql("events", "event_id", k=256)
+
+
+def q_generalized_esd(spark, sf_dir):
+    """Generalized ESD (r=3 unrolled) over raw event values keyed by
+    event_id (stats.generalized_esd) — the sequential re-estimation
+    that fixes grubbs_outlier's masking."""
+    from distill_spark.operators.stats import generalized_esd
+
+    return generalized_esd(_tables(spark, sf_dir)["events"],
+                           "event_id", "value")
+
+
+def _sql_gesd():
+    from distill_spark.operators.stats import generalized_esd_sql
+
+    return generalized_esd_sql("events", "event_id", "value")
+
+
+def q_rank_turbulence(spark, sf_dir):
+    """Rank-turbulence divergence (α=1) between src0 and src1 token
+    rank lists (corpus_stats.rank_turbulence) — 'which word moved
+    most', the rank-space cousin of keyness_terms."""
+    from distill_spark.operators.corpus_stats import rank_turbulence
+
+    return rank_turbulence(_tables(spark, sf_dir)["documents"],
+                           "text", "source", "src0", "src1")
+
+
+def _sql_rtd():
+    from distill_spark.operators.corpus_stats import (
+        rank_turbulence_sql,
+    )
+
+    return rank_turbulence_sql("documents", "text", "source",
+                               "src0", "src1")
+
+
+def q_renyi_spectrum(spark, sf_dir):
+    """Rényi entropy spectrum (α = 0, 1, 2, ∞) of the corpus token
+    distribution (corpus_stats.renyi_spectrum) — the tail-heaviness
+    profile behind zipf_fit's single exponent."""
+    from distill_spark.operators.corpus_stats import renyi_spectrum
+
+    return renyi_spectrum(_tables(spark, sf_dir)["documents"], "text")
+
+
+def _sql_renyi():
+    from distill_spark.operators.corpus_stats import renyi_spectrum_sql
+
+    return renyi_spectrum_sql("documents", "text")
+
+
+def q_hypergeo_enrichment(spark, sf_dir):
+    """Hypergeometric term enrichment of src0 vs the corpus with the
+    finite-population correction (corpus_stats.hypergeo_enrichment)
+    — top-10 over/under-represented tokens by |z|."""
+    from distill_spark.operators.corpus_stats import hypergeo_enrichment
+
+    return hypergeo_enrichment(_tables(spark, sf_dir)["documents"],
+                               "text", "source", "src0")
+
+
+def _sql_hyperg():
+    from distill_spark.operators.corpus_stats import (
+        hypergeo_enrichment_sql,
+    )
+
+    return hypergeo_enrichment_sql("documents", "text", "source",
+                                   "src0")
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ======================== ROUND-12 WINDOW ============================
     # -- round-12 head: the 12 seeds queued all of round 11 (each
@@ -12626,6 +12716,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "standardized_rates": (q_standardized_rates, _sql_std_rates()),
     "mantel_haenszel": (q_mantel_haenszel, _sql_mh_or()),
     "duncan_segregation": (q_duncan_segregation, _sql_duncan()),
+    # -- round-12 sixth stratum: sketch/outlier/corpus divergence ------------
+    "kmv_distinct": (q_kmv_distinct, _sql_kmv()),
+    "generalized_esd": (q_generalized_esd, _sql_gesd()),
+    "rank_turbulence": (q_rank_turbulence, _sql_rtd()),
+    "renyi_spectrum": (q_renyi_spectrum, _sql_renyi()),
+    "hypergeo_enrichment": (q_hypergeo_enrichment, _sql_hyperg()),
     # ===================== END ROUND-12 WINDOW (50) ======================
     # (new round-12 strata are inserted ABOVE this line as they land,
     #  pushing the driver-green round-11 rows below position 50)

@@ -892,3 +892,277 @@ SELECT CAST(k AS BIGINT) AS k_units,
        round(1.0 - xpx, 6) AS interaction_xy
 FROM agg
 """
+
+
+# -------------------------------------------------------- round 12:
+# corpus-divergence completion — rank-turbulence divergence between
+# two sources' vocabularies, the Rényi entropy spectrum, and
+# finite-population hypergeometric term enrichment. All are
+# vocab-frame plans: tokenize → count is the only fact scan.
+
+def _token_counts(df: DataFrame, text_col: str, extra_cols=()):
+    words = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                             " "), lambda x: x != "")
+    return (df.select(*extra_cols, F.explode(words).alias("w"))
+            .groupBy(*extra_cols, "w")
+            .agg(F.count("*").alias("c")))
+
+
+_TOKENS_SQL = ("SELECT {extra} unnest(list_filter(string_split("
+               "coalesce({text}, ''), ' '), x -> x <> '')) AS w "
+               "FROM {table}")
+
+
+def rank_turbulence(df: DataFrame, text_col: str, group_col: str,
+                    group_a, group_b, alpha: float = 1.0) -> DataFrame:
+    """Rank-turbulence divergence between two sources' token rank
+    lists (Dodds et al. 2023, "Allotaxonometry"): tokens ranked by
+    frequency per source (ties broken by token), divergence
+    contribution |1/r_a^α − 1/r_b^α| per token; a token absent from
+    a side contributes with 1/r = 0 (the α→∞-friendly convention,
+    documented — the paper's exclusive-type normalization is a
+    presentation constant). Reported unnormalized and per-token-mean,
+    plus the single largest-contribution token — the "which word
+    moved most" readout keyness_terms gives in log-odds form.
+    Vocab-frame plan: tokenize+count per source, full join on token.
+    Output: one row (vocab_a, vocab_b, vocab_union, rtd_sum,
+    rtd_mean, top_token, top_contrib), rounds 6."""
+    g = F.col(group_col)
+    base = df.filter(g.isin([group_a, group_b]))
+    counts = _token_counts(
+        base.select(F.when(g == group_a, "a").otherwise("b")
+                    .alias("g"), F.col(text_col)), text_col, ("g",))
+    wr = Window.partitionBy("g").orderBy(F.desc("c"), F.asc("w"))
+    ranked = counts.select("g", "w",
+                           F.row_number().over(wr).alias("r"))
+    a = ranked.filter(F.col("g") == "a").select(
+        F.col("w").alias("wa"), F.col("r").alias("ra"))
+    b = ranked.filter(F.col("g") == "b").select(
+        F.col("w").alias("wb"), F.col("r").alias("rb"))
+    j = a.join(b, F.col("wa") == F.col("wb"), "full").select(
+        F.coalesce("wa", "wb").alias("w"),
+        F.when(F.col("ra").isNotNull(),
+               F.pow(1.0 / F.col("ra"), alpha)).otherwise(0.0)
+        .alias("ia"),
+        F.when(F.col("rb").isNotNull(),
+               F.pow(1.0 / F.col("rb"), alpha)).otherwise(0.0)
+        .alias("ib"),
+        F.col("ra").isNotNull().cast("long").alias("ina"),
+        F.col("rb").isNotNull().cast("long").alias("inb"))
+    contrib = j.select(
+        "w", "ina", "inb",
+        F.round(F.abs(F.col("ia") - F.col("ib")), 9).alias("d"))
+    agg = contrib.agg(
+        F.sum("ina").alias("va"), F.sum("inb").alias("vb"),
+        F.count("*").alias("vu"),
+        F.round(F.sum(F.col("d").cast(_DEC)).cast("double"), 9)
+        .alias("rtd"),
+        F.max(F.struct(F.col("d"), F.col("w"))).alias("top"))
+    return agg.select(
+        F.col("va").cast("long").alias("vocab_a"),
+        F.col("vb").cast("long").alias("vocab_b"),
+        F.col("vu").cast("long").alias("vocab_union"),
+        F.round(F.col("rtd"), 6).alias("rtd_sum"),
+        F.round(F.col("rtd") / F.col("vu"), 6).alias("rtd_mean"),
+        F.col("top.w").alias("top_token"),
+        F.round(F.col("top.d"), 6).alias("top_contrib"))
+
+
+def rank_turbulence_sql(table: str, text_sql: str, group_sql: str,
+                        group_a: str, group_b: str,
+                        alpha: float = 1.0) -> str:
+    toks = _TOKENS_SQL.format(
+        extra=(f"CASE WHEN {group_sql} = '{group_a}' THEN 'a' "
+               f"ELSE 'b' END AS g,"),
+        text=text_sql,
+        table=(f"(SELECT * FROM {table} WHERE {group_sql} IN "
+               f"('{group_a}', '{group_b}'))"))
+    return f"""
+WITH counts AS (
+  SELECT g, w, count(*) AS c FROM ({toks}) GROUP BY g, w
+),
+ranked AS (
+  SELECT g, w,
+         row_number() OVER (PARTITION BY g ORDER BY c DESC, w) AS r
+  FROM counts
+),
+j AS (
+  SELECT coalesce(a.w, b.w) AS w,
+         CASE WHEN a.r IS NOT NULL
+              THEN pow(1.0 / a.r, {alpha!r}) ELSE 0.0 END AS ia,
+         CASE WHEN b.r IS NOT NULL
+              THEN pow(1.0 / b.r, {alpha!r}) ELSE 0.0 END AS ib,
+         CASE WHEN a.r IS NOT NULL THEN 1 ELSE 0 END AS ina,
+         CASE WHEN b.r IS NOT NULL THEN 1 ELSE 0 END AS inb
+  FROM (SELECT w, r FROM ranked WHERE g = 'a') a
+  FULL JOIN (SELECT w, r FROM ranked WHERE g = 'b') b
+    ON a.w = b.w
+),
+contrib AS (
+  SELECT w, ina, inb, round(abs(ia - ib), 9) AS d FROM j
+),
+agg AS (
+  SELECT sum(ina) AS va, sum(inb) AS vb, count(*) AS vu,
+         round(CAST(sum(CAST(d AS DECIMAL(38,12))) AS DOUBLE), 9)
+           AS rtd,
+         max(d) AS dmax
+  FROM contrib
+)
+SELECT CAST(va AS BIGINT) AS vocab_a,
+       CAST(vb AS BIGINT) AS vocab_b,
+       CAST(vu AS BIGINT) AS vocab_union,
+       round(rtd, 6) AS rtd_sum,
+       round(rtd / vu, 6) AS rtd_mean,
+       (SELECT max(w) FROM contrib WHERE d = (SELECT dmax FROM agg))
+         AS top_token,
+       round(dmax, 6) AS top_contrib
+FROM agg
+"""
+
+
+def renyi_spectrum(df: DataFrame, text_col: str) -> DataFrame:
+    """Rényi entropy spectrum of the corpus token distribution at
+    α ∈ {0, 1, 2, ∞} (Rényi 1961): H₀ = ln V (richness), H₁ =
+    Shannon, H₂ = −ln Σp² (collision entropy — the log of Simpson's
+    index), H_∞ = −ln max p (min-entropy). The spectrum is
+    non-increasing in α; its spread IS the tail-heaviness of the
+    vocabulary (Zipfian corpora drop steeply — zipf_fit's exponent
+    in entropy units). One token-count aggregate, nats. Output: one
+    row (vocab, n_tokens, h0, h1, h2, h_inf, evenness = H₁/H₀),
+    rounds 6."""
+    counts = _token_counts(df, text_col)
+    tot = Window.partitionBy()
+    scored = counts.select(
+        F.col("c").cast("double").alias("c"),
+        F.sum("c").over(tot).cast("double").alias("n"))
+    agg = scored.agg(
+        F.count("*").alias("v"),
+        F.max("n").alias("n"),
+        F.round(-F.sum(F.col("c") / F.col("n")
+                       * F.log(F.col("c") / F.col("n"))), 9)
+        .alias("h1"),
+        F.round(F.sum((F.col("c") / F.col("n"))
+                      * (F.col("c") / F.col("n"))), 12).alias("p2"),
+        F.max(F.col("c") / F.col("n")).alias("pmax"))
+    return agg.select(
+        F.col("v").cast("long").alias("vocab"),
+        F.col("n").cast("long").alias("n_tokens"),
+        F.round(F.log(F.col("v").cast("double")), 6).alias("h0"),
+        F.round(F.col("h1"), 6).alias("h1"),
+        F.round(-F.log(F.col("p2")), 6).alias("h2"),
+        F.round(-F.log(F.col("pmax")), 6).alias("h_inf"),
+        F.round(F.col("h1") / F.log(F.col("v").cast("double")), 6)
+        .alias("evenness"))
+
+
+def renyi_spectrum_sql(table: str, text_sql: str) -> str:
+    toks = _TOKENS_SQL.format(extra="", text=text_sql, table=table)
+    return f"""
+WITH counts AS (
+  SELECT w, count(*) AS c FROM ({toks}) GROUP BY w
+),
+scored AS (
+  SELECT CAST(c AS DOUBLE) AS c,
+         CAST(sum(c) OVER () AS DOUBLE) AS n
+  FROM counts
+),
+agg AS (
+  SELECT count(*) AS v, max(n) AS n,
+         round(-sum(c / n * ln(c / n)), 9) AS h1,
+         round(sum((c / n) * (c / n)), 12) AS p2,
+         max(c / n) AS pmax
+  FROM scored
+)
+SELECT CAST(v AS BIGINT) AS vocab,
+       CAST(n AS BIGINT) AS n_tokens,
+       round(ln(CAST(v AS DOUBLE)), 6) AS h0,
+       round(h1, 6) AS h1,
+       round(-ln(p2), 6) AS h2,
+       round(-ln(pmax), 6) AS h_inf,
+       round(h1 / ln(CAST(v AS DOUBLE)), 6) AS evenness
+FROM agg
+"""
+
+
+def hypergeo_enrichment(df: DataFrame, text_col: str, group_col: str,
+                        group_a, top_n: int = 10,
+                        min_count: int = 5) -> DataFrame:
+    """Finite-population term enrichment of source A vs the corpus:
+    for each token, K total occurrences out of N corpus tokens, k of
+    them among source A's n tokens — under the null (tokens
+    exchangeable) k is hypergeometric with mean n·K/N and variance
+    n·(K/N)(1−K/N)·(N−n)/(N−1); z = (k − μ)/σ ranks over- and
+    under-represented terms WITH the finite-population correction
+    keyness_terms' log-odds lacks. Top-N by |z| (ties → token asc),
+    tokens below min_count skipped (z is meaningless at K < 5).
+    Vocab-frame plan. Output: top_n rows (token, k_in_a, k_total,
+    expected, z), rounds 6, ordered by |z| desc, token."""
+    g = F.col(group_col)
+    counts = _token_counts(
+        df.select((g == group_a).alias("ina"), F.col(text_col)),
+        text_col, ("ina",))
+    tot = Window.partitionBy()
+    per = counts.groupBy("w").agg(
+        F.sum(F.when(F.col("ina"), F.col("c")).otherwise(0))
+        .cast("double").alias("k"),
+        F.sum("c").cast("double").alias("kt"))
+    scored = per.select(
+        "w", "k", "kt",
+        F.sum("k").over(tot).alias("na"),
+        F.sum("kt").over(tot).alias("nn"))
+    p = F.col("kt") / F.col("nn")
+    mu = F.col("na") * p
+    var = (F.col("na") * p * (1.0 - p)
+           * (F.col("nn") - F.col("na")) / (F.col("nn") - 1.0))
+    z = (F.col("k") - mu) / F.sqrt(var)
+    ranked = (scored.filter(F.col("kt") >= float(min_count))
+              .select("w", "k", "kt",
+                      F.round(mu, 6).alias("expected"),
+                      F.round(z, 9).alias("z"))
+              .orderBy(F.abs(F.col("z")).desc(), F.asc("w"))
+              .limit(top_n))
+    return ranked.select(
+        F.col("w").alias("token"),
+        F.col("k").cast("long").alias("k_in_a"),
+        F.col("kt").cast("long").alias("k_total"),
+        "expected",
+        F.round(F.col("z"), 6).alias("z"))
+
+
+def hypergeo_enrichment_sql(table: str, text_sql: str,
+                            group_sql: str, group_a: str,
+                            top_n: int = 10,
+                            min_count: int = 5) -> str:
+    toks = _TOKENS_SQL.format(
+        extra=f"{group_sql} = '{group_a}' AS ina,",
+        text=text_sql, table=table)
+    return f"""
+WITH counts AS (
+  SELECT ina, w, count(*) AS c FROM ({toks}) GROUP BY ina, w
+),
+per AS (
+  SELECT w,
+         CAST(sum(CASE WHEN ina THEN c ELSE 0 END) AS DOUBLE) AS k,
+         CAST(sum(c) AS DOUBLE) AS kt
+  FROM counts GROUP BY w
+),
+scored AS (
+  SELECT w, k, kt, sum(k) OVER () AS na, sum(kt) OVER () AS nn
+  FROM per
+),
+ranked AS (
+  SELECT w, k, kt,
+         round(na * (kt / nn), 6) AS expected,
+         round((k - na * (kt / nn))
+               / sqrt(na * (kt / nn) * (1.0 - kt / nn)
+                      * (nn - na) / (nn - 1.0)), 9) AS z
+  FROM scored WHERE kt >= {float(min_count)!r}
+  ORDER BY abs(z) DESC, w ASC LIMIT {top_n}
+)
+SELECT w AS token,
+       CAST(k AS BIGINT) AS k_in_a,
+       CAST(kt AS BIGINT) AS k_total,
+       expected,
+       round(z, 6) AS z
+FROM ranked
+"""

@@ -491,3 +491,81 @@ SELECT CAST(nm AS BIGINT) AS n_members,
          AS fpr_theory
 FROM counts
 """
+
+
+def kmv_distinct(df: DataFrame, key_col: str, k: int = 256,
+                 salt: int = 1) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al.
+    2002), register-exact like portable_hll: hash keys through the
+    portable Knuth map + the same two avalanche rounds, normalize to
+    u = h/2³¹, keep the k smallest DISTINCT hash values; the
+    estimator is (k−1)/u₍k₎ — if k uniform minima squeeze into
+    [0, u_k], about (k−1)/u_k points fill [0, 1]. The k-th value is
+    an exact integer register both engines agree on bit-for-bit, so
+    the oracle replays the sketch itself, not a tolerance. The exact
+    distinct count rides along at test scale for the error readout.
+    Scale shape: groupBy distinct hash (map-side combined) then a
+    k-row top-k — the same two-aggregate shape as portable_hll.
+    Output: one row (k, kth_hash, est_distinct, true_distinct,
+    rel_error), rounds 6."""
+    from distill_spark.operators.sampling import (_require_integral_key,
+                                                  hash_bucket)
+
+    _require_integral_key(df, key_col, "portable")
+    rows = df.filter(F.col(key_col).isNotNull())
+    h0 = hash_bucket(F.col(key_col), "portable", salt=salt).cast("long")
+    h1 = h0.bitwiseXOR(F.shiftright(h0, 15))
+    h2 = F.pmod(h1 * F.lit(2246822519), F.lit(1 << 31))
+    h = h2.bitwiseXOR(F.shiftright(h2, 13))
+    hashes = rows.select(h.alias("h")).distinct()
+    # distributed top-k (per-partition heads merged), never a global
+    # single-partition window — the k-th register at any scale
+    kth = (hashes.orderBy("h").limit(k)
+           .agg(F.max("h").alias("kth"), F.count("*").alias("got")))
+    true = rows.agg(F.count_distinct(F.col(key_col)).alias("true_d"))
+    m = kth.crossJoin(F.broadcast(true)).filter(F.col("got") == k)
+    est = (F.lit(float(k - 1))
+           / (F.col("kth").cast("double") / F.lit(float(1 << 31))))
+    return m.select(
+        F.lit(k).cast("long").alias("k"),
+        F.col("kth").cast("long").alias("kth_hash"),
+        F.round(est, 6).alias("est_distinct"),
+        F.col("true_d").cast("long").alias("true_distinct"),
+        F.round(F.abs(est - F.col("true_d").cast("double"))
+                / F.col("true_d"), 6).alias("rel_error"))
+
+
+def kmv_distinct_sql(table: str, key_sql: str, k: int = 256,
+                     salt: int = 1, knuth: int = 2654435761,
+                     mod: int = 2147483648) -> str:
+    """DuckDB replay of kmv_distinct: the identical Knuth+avalanche
+    chain, the identical k-th order statistic register."""
+    h0 = f"(({key_sql} % {mod} + {salt}) * {knuth}) % {mod}"
+    h1 = f"xor({h0}, {h0} >> 15)"
+    h2 = f"(({h1}) * 2246822519) % {mod}"
+    hv = f"xor({h2}, ({h2}) >> 13)"
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT {hv} AS h
+  FROM {table} WHERE {key_sql} IS NOT NULL
+),
+kth AS (
+  SELECT h AS kth FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS r FROM hashed
+  ) WHERE r = {k}
+),
+tru AS (
+  SELECT count(DISTINCT {key_sql}) AS true_d
+  FROM {table} WHERE {key_sql} IS NOT NULL
+)
+SELECT CAST({k} AS BIGINT) AS k,
+       CAST(kth AS BIGINT) AS kth_hash,
+       round({float(k - 1)}
+             / (CAST(kth AS DOUBLE) / {float(1 << 31)}), 6)
+         AS est_distinct,
+       CAST(true_d AS BIGINT) AS true_distinct,
+       round(abs({float(k - 1)}
+                 / (CAST(kth AS DOUBLE) / {float(1 << 31)})
+                 - CAST(true_d AS DOUBLE)) / true_d, 6) AS rel_error
+FROM kth CROSS JOIN tru
+"""

@@ -8722,3 +8722,98 @@ SELECT CAST(k AS BIGINT) AS k_strata,
                   + sqs / (2.0 * ss * ss)), 6) AS se_log_or_mh
 FROM agg
 """
+
+
+def generalized_esd(df: DataFrame, key_col: str,
+                    value_col: str, r: int = 3) -> DataFrame:
+    """Generalized ESD multi-outlier screen (Rosner 1983), r = 3
+    rounds unrolled: each round computes R_i = max|x − x̄|/s over the
+    REMAINING points and removes the argmax — the sequential
+    re-estimation is what fixes grubbs_outlier's masking problem
+    (a second outlier inflates s and hides the first). Deterministic
+    argmax ties break to the smallest key. Three stage-chained
+    aggregates over the bounded frame (no loop in the plan). Output:
+    r rows (iteration, r_stat, worst_key, worst_value), rounds 6,
+    ordered by iteration."""
+    frames = [df.select(F.col(key_col).alias("k"),
+                        F.col(value_col).cast("double").alias("x"))
+              .filter(F.col("x").isNotNull())]
+    outs = []
+    for i in range(1, r + 1):
+        cur = frames[-1]
+        st = cur.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("x").cast(_DEC)).cast("double").alias("s1"),
+            F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast("double")
+            .alias("s2"))
+        st = st.select(
+            (F.col("s1") / F.col("n")).alias("mu"),
+            F.sqrt((F.col("s2") - F.col("s1") * F.col("s1")
+                    / F.col("n")) / (F.col("n") - 1.0)).alias("sd"))
+        scored = cur.crossJoin(F.broadcast(st)).select(
+            "k", "x",
+            F.round(F.abs(F.col("x") - F.col("mu")) / F.col("sd"), 9)
+            .alias("z"))
+        worst = scored.agg(
+            F.max(F.struct(F.col("z"),
+                           (-F.col("k").cast("long")).alias("nk"),
+                           F.col("x"))).alias("w")).select(
+            F.lit(i).alias("iteration"),
+            F.col("w.z").alias("r_stat"),
+            (-F.col("w.nk")).cast("long").alias("worst_key"),
+            F.col("w.x").alias("worst_value"))
+        outs.append(worst)
+        frames.append(
+            scored.crossJoin(
+                F.broadcast(worst.select(
+                    F.col("worst_key").alias("wk"))))
+            .filter(F.col("k").cast("long") != F.col("wk"))
+            .select("k", "x"))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.select(
+        "iteration",
+        F.round(F.col("r_stat"), 6).alias("r_stat"),
+        "worst_key",
+        F.round(F.col("worst_value"), 6).alias("worst_value")) \
+        .orderBy("iteration")
+
+
+def generalized_esd_sql(table: str, key_sql: str, value_sql: str,
+                        r: int = 3) -> str:
+    ctes = [f"""f1 AS (
+  SELECT {key_sql} AS k, CAST({value_sql} AS DOUBLE) AS x
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+)"""]
+    selects = []
+    for i in range(1, r + 1):
+        ctes.append(f"""st{i} AS (
+  SELECT CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+           AS mu,
+         sqrt((CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)
+               - CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+                 * CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+                 / count(*)) / (count(*) - 1.0)) AS sd
+  FROM f{i}
+)""")
+        ctes.append(f"""sc{i} AS (
+  SELECT k, x, round(abs(x - mu) / sd, 9) AS z
+  FROM f{i} CROSS JOIN st{i}
+)""")
+        ctes.append(f"""w{i} AS (
+  SELECT {i} AS iteration, z AS r_stat,
+         CAST(k AS BIGINT) AS worst_key, x AS worst_value
+  FROM sc{i} ORDER BY z DESC, k ASC LIMIT 1
+)""")
+        if i < r:
+            ctes.append(f"""f{i + 1} AS (
+  SELECT sc{i}.k, sc{i}.x FROM sc{i} CROSS JOIN w{i}
+  WHERE CAST(sc{i}.k AS BIGINT) <> w{i}.worst_key
+)""")
+        selects.append(
+            f"SELECT iteration, round(r_stat, 6) AS r_stat, "
+            f"worst_key, round(worst_value, 6) AS worst_value FROM w{i}")
+    body = "\nUNION ALL\n".join(selects)
+    return ("WITH " + ",\n".join(ctes) + "\n" + body
+            + "\nORDER BY iteration")

@@ -875,3 +875,129 @@ def test_duncan_segregation_extremes(spark):
     assert out2["duncan_d"] == 0.0
     # isolation = Σ (x_u/X)(x_u/t_u) = (2/5)(2/6)+(3/5)(3/9) = 1/3
     assert out2["isolation_xx"] == round(1 / 3, 6)
+
+
+# ------------------------------------------------- sketch/outlier/corpus
+
+
+def _kmv_hash(key, salt=1, mod=1 << 31):
+    h0 = ((key % mod) + salt) * 2654435761 % mod
+    h1 = h0 ^ (h0 >> 15)
+    h2 = (h1 * 2246822519) % mod
+    return h2 ^ (h2 >> 13)
+
+
+def test_kmv_distinct_python_mirror(spark):
+    keys = list(range(1, 1001))
+    k = 10
+    hs = sorted({_kmv_hash(x) for x in keys})
+    kth = hs[k - 1]
+    est = (k - 1) / (kth / float(1 << 31))
+
+    from distill_spark.operators.sketch import kmv_distinct
+
+    pdf = pd.DataFrame({"id": keys})
+    out = _one(kmv_distinct(spark.createDataFrame(pdf), "id", k=k))
+    assert out["kth_hash"] == kth
+    assert abs(out["est_distinct"] - est) < 1e-4
+    assert out["true_distinct"] == 1000
+    # duplicates must not move the sketch
+    pdf2 = pd.DataFrame({"id": keys * 3})
+    out2 = _one(kmv_distinct(spark.createDataFrame(pdf2), "id", k=k))
+    assert out2["kth_hash"] == out["kth_hash"]
+    assert out2["est_distinct"] == out["est_distinct"]
+
+
+def test_generalized_esd_unmasks_second_outlier(spark):
+    """Two co-located outliers (50, 49) mask each other for a single
+    Grubbs pass; GESD must surface both in rounds 1-2 with R₂ not
+    collapsing, and the numpy mirror must agree per round."""
+    from distill_spark.operators.stats import generalized_esd
+
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 15.0, 16.0, 17.0, 18.0,
+            19.0, 50.0, 49.0]
+    pdf = pd.DataFrame({"k": range(1, 13), "v": vals})
+    rows = generalized_esd(spark.createDataFrame(pdf), "k", "v") \
+        .collect()
+    x = np.array(vals)
+    keys = np.arange(1, 13)
+    for i, r in enumerate(rows, start=1):
+        z = np.round(np.abs(x - x.mean()) / x.std(ddof=1), 9)
+        j = np.lexsort((keys, -z))[0]
+        assert r["iteration"] == i
+        assert r["r_stat"] == round(z[j], 6)
+        assert r["worst_key"] == keys[j]
+        x = np.delete(x, j)
+        keys = np.delete(keys, j)
+    assert rows[0]["worst_value"] == 50.0
+    assert rows[1]["worst_value"] == 49.0
+
+
+def _docs(rows):
+    return pd.DataFrame(rows, columns=["text", "source"])
+
+
+def test_rank_turbulence_identical_and_disjoint(spark):
+    from distill_spark.operators.corpus_stats import rank_turbulence
+
+    same = _docs([("a b c", "s1"), ("a b c", "s2")])
+    out = _one(rank_turbulence(spark.createDataFrame(same),
+                               "text", "source", "s1", "s2"))
+    assert out["rtd_sum"] == 0.0
+    assert out["vocab_union"] == 3
+    # disjoint vocabularies: every token contributes its full 1/r
+    # s1: a a b → ranks a=1, b=2; s2: x y → ranks x=1, y=2 (tie by w)
+    dis = _docs([("a a b", "s1"), ("x y", "s2")])
+    out2 = _one(rank_turbulence(spark.createDataFrame(dis),
+                                "text", "source", "s1", "s2"))
+    assert out2["vocab_a"] == 2 and out2["vocab_b"] == 2
+    assert out2["rtd_sum"] == round(1 + 0.5 + 1 + 0.5, 6)
+    assert out2["top_contrib"] == 1.0
+
+
+def test_renyi_spectrum_hand_cases(spark):
+    from distill_spark.operators.corpus_stats import renyi_spectrum
+
+    # uniform: 4 distinct tokens once each → every Hα = ln 4
+    uni = _docs([("a b", "s"), ("c d", "s")])
+    out = _one(renyi_spectrum(spark.createDataFrame(uni), "text"))
+    assert out["vocab"] == 4
+    for c in ("h0", "h1", "h2", "h_inf"):
+        assert out[c] == round(math.log(4), 6)
+    assert out["evenness"] == 1.0
+    # skewed: a a a b → p = [3/4, 1/4]
+    sk = _docs([("a a a b", "s")])
+    out2 = _one(renyi_spectrum(spark.createDataFrame(sk), "text"))
+    p = np.array([0.75, 0.25])
+    assert out2["h1"] == round(float(-(p * np.log(p)).sum()), 6)
+    assert out2["h2"] == round(float(-np.log((p ** 2).sum())), 6)
+    assert out2["h_inf"] == round(float(-np.log(0.75)), 6)
+    # spectrum is non-increasing in α
+    assert out2["h0"] >= out2["h1"] >= out2["h2"] >= out2["h_inf"]
+
+
+def test_hypergeo_enrichment_numpy_mirror(spark):
+    """Token 'x' appears only in source A; token 'c' is shared. The
+    A-exclusive token must top the list with a positive z matching
+    the finite-population formula."""
+    from distill_spark.operators.corpus_stats import hypergeo_enrichment
+
+    rows = [("x x x x x c c c", "A"), ("c c c c c c c c", "B"),
+            ("c c c c c c c c", "B")]
+    pdf = pd.DataFrame(rows, columns=["text", "source"])
+    out = hypergeo_enrichment(spark.createDataFrame(pdf),
+                              "text", "source", "A",
+                              top_n=5, min_count=5).collect()
+    rows_by = {r["token"]: r.asDict() for r in out}
+    # in a 2-token universe the surplus of 'x' and deficit of 'c'
+    # carry the SAME |z| (they are the same 2×2 cell), so the
+    # ascending-token tiebreak puts 'c' first — both must be present
+    assert out[0]["token"] == "c" and out[1]["token"] == "x"
+    na, nn, kt, k = 8.0, 24.0, 5.0, 5.0
+    p = kt / nn
+    mu = na * p
+    var = na * p * (1 - p) * (nn - na) / (nn - 1)
+    zx = (k - mu) / math.sqrt(var)
+    assert abs(rows_by["x"]["z"] - zx) < 1e-6
+    assert rows_by["x"]["z"] > 0
+    assert abs(rows_by["c"]["z"] + zx) < 1e-6
