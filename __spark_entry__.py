@@ -12668,6 +12668,128 @@ def _sql_hyperg():
                                    "src0")
 
 
+# ---------------------------------------------------------------------------
+# Round-12 seventh stratum (window tail): calibration inference over
+# the shared probability frame + survival/graph/sampling singles.
+
+def q_spiegelhalter_z(spark, sf_dir):
+    """Spiegelhalter's unbinned calibration Z for the rank-calibrated
+    value score (mleval.spiegelhalter_z) — the TEST behind
+    ece_calibration's descriptive, immune to bin placement."""
+    from distill_spark.operators.mleval import spiegelhalter_z
+
+    return spiegelhalter_z(_prob_frame(_tables(spark, sf_dir)),
+                           "y", "p")
+
+
+def _sql_spiegelhalter():
+    from distill_spark.operators.mleval import spiegelhalter_z_sql
+
+    return spiegelhalter_z_sql(_PROB_FRAME_SQL, "y", "p")
+
+
+def q_hosmer_lemeshow(spark, sf_dir):
+    """Hosmer–Lemeshow decile-of-risk χ² with deterministic (p, id)
+    bin ranks (mleval.hosmer_lemeshow) — the binned companion whose
+    bin-sensitivity spiegelhalter_z exposes."""
+    from distill_spark.operators.mleval import hosmer_lemeshow
+
+    return hosmer_lemeshow(_prob_frame(_tables(spark, sf_dir)),
+                           "y", "p", "event_id")
+
+
+def _sql_hosmer():
+    from distill_spark.operators.mleval import hosmer_lemeshow_sql
+
+    return hosmer_lemeshow_sql(_PROB_FRAME_SQL, "y", "p", "event_id")
+
+
+def q_net_benefit(spark, sf_dir):
+    """Decision-curve net benefit at thresholds .1/.25/.5/.75 vs the
+    treat-all baseline (mleval.net_benefit) — is the model USEFUL at
+    the threshold, which neither AUC nor ECE answers."""
+    from distill_spark.operators.mleval import net_benefit
+
+    return net_benefit(_prob_frame(_tables(spark, sf_dir)), "y", "p")
+
+
+def _sql_net_benefit():
+    from distill_spark.operators.mleval import net_benefit_sql
+
+    return net_benefit_sql(_PROB_FRAME_SQL, "y", "p")
+
+
+def q_calibration_slope(spark, sf_dir):
+    """Linear-probability recalibration slope/intercept + Brier
+    (mleval.calibration_slope) — slope < 1 is the overconfidence
+    signature; intercept the calibration-in-the-large drift."""
+    from distill_spark.operators.mleval import calibration_slope
+
+    return calibration_slope(_prob_frame(_tables(spark, sf_dir)),
+                             "y", "p")
+
+
+def _sql_cal_slope():
+    from distill_spark.operators.mleval import calibration_slope_sql
+
+    return calibration_slope_sql(_PROB_FRAME_SQL, "y", "p")
+
+
+def q_rmst(spark, sf_dir):
+    """Restricted mean survival time — the area under kaplan_meier's
+    curve to the end of observation (conversion.rmst): average
+    conversion-free days per user, the censoring-safe mean."""
+    from distill_spark.operators.conversion import rmst
+
+    return rmst(_tables(spark, sf_dir)["events"])
+
+
+def _sql_rmst():
+    from distill_spark.operators.conversion import rmst_sql
+
+    return rmst_sql()
+
+
+def q_eccentricity_sample(spark, sf_dir):
+    """Pinned-seed BFS eccentricity lower bounds on the
+    part↔supplier graph (graphstats.eccentricity_sample) — the iFUB
+    first round; max over seeds lower-bounds the diameter."""
+    from distill_spark.operators.graphstats import eccentricity_sample
+
+    t = _tables(spark, sf_dir)
+    edges = t["lineitem"].select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("a"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("b")).distinct()
+    return eccentricity_sample(edges)
+
+
+def _sql_eccentricity():
+    from distill_spark.operators.graphstats import (
+        eccentricity_sample_sql,
+    )
+
+    return eccentricity_sample_sql(
+        "SELECT DISTINCT 'p' || l_partkey AS a, "
+        "'s' || l_suppkey AS b FROM lineitem")
+
+
+def q_neyman_allocation(spark, sf_dir):
+    """Neyman vs proportional allocation of a 1000-row budget across
+    market segments by acctbal spread (sampling.neyman_allocation) —
+    the design step before sample_stratified draws."""
+    from distill_spark.operators.sampling import neyman_allocation
+
+    return neyman_allocation(_tables(spark, sf_dir)["customer"],
+                             "c_mktsegment", "c_acctbal")
+
+
+def _sql_neyman():
+    from distill_spark.operators.sampling import neyman_allocation_sql
+
+    return neyman_allocation_sql("customer", "c_mktsegment",
+                                 "c_acctbal")
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ======================== ROUND-12 WINDOW ============================
     # -- round-12 head: the 12 seeds queued all of round 11 (each
@@ -12722,6 +12844,14 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "rank_turbulence": (q_rank_turbulence, _sql_rtd()),
     "renyi_spectrum": (q_renyi_spectrum, _sql_renyi()),
     "hypergeo_enrichment": (q_hypergeo_enrichment, _sql_hyperg()),
+    # -- round-12 seventh stratum: calibration inference + singles ----------
+    "spiegelhalter_z": (q_spiegelhalter_z, _sql_spiegelhalter()),
+    "hosmer_lemeshow": (q_hosmer_lemeshow, _sql_hosmer()),
+    "net_benefit": (q_net_benefit, _sql_net_benefit()),
+    "calibration_slope": (q_calibration_slope, _sql_cal_slope()),
+    "rmst": (q_rmst, _sql_rmst()),
+    "eccentricity_sample": (q_eccentricity_sample, _sql_eccentricity()),
+    "neyman_allocation": (q_neyman_allocation, _sql_neyman()),
     # ===================== END ROUND-12 WINDOW (50) ======================
     # (new round-12 strata are inserted ABOVE this line as they land,
     #  pushing the driver-green round-11 rows below position 50)

@@ -2209,3 +2209,83 @@ SELECT CAST(n_sessions AS BIGINT) AS n_sessions,
          AS mean_concurrency
 FROM sess_tot CROSS JOIN isl_tot
 """
+
+
+def rmst(events: DataFrame, target: str = "purchase",
+         user_col: str = "user_id", ts_col: str = "ts",
+         type_col: str = "event_type") -> DataFrame:
+    """Restricted mean survival time (Royston & Parmar 2013 for the
+    case): RMST(τ) = ∫₀^τ S(t)dt, the area under kaplan_meier's step
+    curve up to the end of observation — 'average conversion-free
+    days per user', the single-number summary the curve itself
+    refuses to give (the unrestricted mean is undefined under
+    censoring). Computed off the SAME km frame: Σ S(t_{i-1})·(t_i −
+    t_{i-1}) + S(t_last)·(τ − t_last), with the round-6 survival
+    values both engines already agree on. Output: one row (tau_days,
+    n_event_days, rmst_days, final_survival), rounds 6."""
+    km = kaplan_meier(events, target, user_col, ts_col, type_col)
+    us = F.unix_micros(F.col(ts_col))
+    per_user = (events.groupBy(F.col(user_col).alias("u"))
+                .agg(F.min(us).alias("t0"),
+                     F.min(F.when(F.col(type_col) == target, us))
+                     .alias("tc")))
+    horizon = events.agg(F.max(us).alias("tend"))
+    tau = (per_user.crossJoin(F.broadcast(horizon))
+           .agg(F.max(F.floor((F.coalesce("tc", "tend") - F.col("t0"))
+                              / 86_400_000_000)).alias("tau")))
+    w = Window.orderBy("day")
+    stepped = km.select(
+        "day", "survival",
+        F.coalesce(F.lag("day").over(w), F.lit(0)).alias("prev_day"),
+        F.coalesce(F.lag("survival").over(w), F.lit(1.0))
+        .alias("prev_s"))
+    agg = stepped.agg(
+        F.count("*").alias("nd"),
+        F.sum((F.col("day") - F.col("prev_day")) * F.col("prev_s"))
+        .alias("area"),
+        F.max(F.struct(F.col("day"), F.col("survival"))).alias("last"))
+    return agg.crossJoin(F.broadcast(tau)).select(
+        F.col("tau").cast("long").alias("tau_days"),
+        F.col("nd").cast("long").alias("n_event_days"),
+        F.round(F.col("area")
+                + (F.col("tau") - F.col("last.day"))
+                * F.col("last.survival"), 6).alias("rmst_days"),
+        F.col("last.survival").alias("final_survival"))
+
+
+def rmst_sql(table: str = "events", target: str = "purchase",
+             user_sql: str = "user_id", ts_sql: str = "ts",
+             type_sql: str = "event_type") -> str:
+    km = kaplan_meier_sql(table, target, user_sql, ts_sql, type_sql)
+    return f"""
+WITH km AS ({km}),
+tau AS (
+  SELECT max(CAST(floor((coalesce(tc, tend) - t0) / 86400000000.0)
+                  AS BIGINT)) AS tau
+  FROM (
+    SELECT {user_sql} AS u, min(epoch_us({ts_sql})) AS t0,
+           min(CASE WHEN {type_sql} = '{target}'
+               THEN epoch_us({ts_sql}) END) AS tc
+    FROM {table} GROUP BY 1
+  ) CROSS JOIN (SELECT max(epoch_us({ts_sql})) AS tend FROM {table})
+),
+stepped AS (
+  SELECT day, survival,
+         coalesce(lag(day) OVER (ORDER BY day), 0) AS prev_day,
+         coalesce(lag(survival) OVER (ORDER BY day), 1.0) AS prev_s
+  FROM km
+),
+agg AS (
+  SELECT count(*) AS nd,
+         sum((day - prev_day) * prev_s) AS area,
+         max(day) AS last_day,
+         max(CASE WHEN day = (SELECT max(day) FROM stepped)
+             THEN survival END) AS last_s
+  FROM stepped
+)
+SELECT CAST(tau AS BIGINT) AS tau_days,
+       CAST(nd AS BIGINT) AS n_event_days,
+       round(area + (tau - last_day) * last_s, 6) AS rmst_days,
+       last_s AS final_survival
+FROM agg CROSS JOIN tau
+"""

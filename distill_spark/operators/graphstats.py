@@ -390,3 +390,82 @@ def harmonic_closeness_sql(edge_cte: str, n_seeds: int = 8,
             f" round(sum(1.0 / dist), 6) AS harmonic"
             f" FROM s{t} WHERE dist > 0"
             f" GROUP BY seed ORDER BY node")
+
+
+def eccentricity_sample(edges: DataFrame, n_seeds: int = 8,
+                        max_depth: int = 4) -> DataFrame:
+    """Sampled eccentricity + diameter/radius lower bounds: from the
+    n_seeds smallest node ids (harmonic_closeness's pinned seed
+    policy), BFS to max_depth and report per seed ecc(s) =
+    max_{reached} d(s, v) — capped at max_depth, so each row is a
+    LOWER bound; max over seeds lower-bounds the diameter, min the
+    radius (the iFUB seed heuristic's first round). The SAME shared
+    multi-source frontier as harmonic_closeness: depth D costs D
+    edge-shuffles total. Output: per seed (node, n_reached,
+    eccentricity_lb, frontier_at_cap) ordered by node —
+    frontier_at_cap > 0 means the true eccentricity may exceed the
+    cap."""
+    sym = (edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .union(edges.select(F.col("b").alias("u"),
+                               F.col("a").alias("v"))))
+    seeds = (sym.select(F.col("u").alias("node")).distinct()
+             .orderBy("node").limit(n_seeds))
+    frontier = seeds.select(F.col("node").alias("seed"),
+                            F.col("node").alias("node"),
+                            F.lit(0).alias("dist"))
+    seen = frontier
+    for d in range(1, max_depth + 1):
+        nxt = (frontier.join(sym, F.col("node") == F.col("u"))
+               .select("seed", F.col("v").alias("node"),
+                       F.lit(d).alias("dist"))
+               .join(seen.select(F.col("seed").alias("_ss"),
+                                 F.col("node").alias("_sn")),
+                     (F.col("seed") == F.col("_ss"))
+                     & (F.col("node") == F.col("_sn")), "left_anti")
+               .groupBy("seed", "node")
+               .agg(F.min("dist").alias("dist")))
+        nxt = nxt.localCheckpoint()
+        seen = seen.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return (seen.filter(F.col("dist") > 0)
+            .groupBy(F.col("seed").alias("node"))
+            .agg(F.count("*").cast("long").alias("n_reached"),
+                 F.max("dist").cast("long").alias("eccentricity_lb"),
+                 F.sum((F.col("dist") == max_depth).cast("long"))
+                 .alias("frontier_at_cap"))
+            .orderBy("node"))
+
+
+def eccentricity_sample_sql(edge_cte: str, n_seeds: int = 8,
+                            max_depth: int = 4) -> str:
+    """Unrolled-depth BFS replay, the harmonic_closeness_sql shape."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({edge_cte})",
+        "sym AS MATERIALIZED (SELECT a AS u, b AS v FROM e0"
+        " UNION ALL SELECT b, a FROM e0)",
+        "seeds AS MATERIALIZED (SELECT node FROM ("
+        "SELECT DISTINCT u AS node FROM sym) ORDER BY node"
+        f" LIMIT {n_seeds})",
+        "f0 AS (SELECT node AS seed, node, 0 AS dist FROM seeds)",
+        "s0 AS (SELECT * FROM f0)",
+    ]
+    for d in range(1, max_depth + 1):
+        parts.append(
+            f"f{d} AS MATERIALIZED (SELECT f.seed, sym.v AS node,"
+            f" min({d}) AS dist"
+            f" FROM f{d - 1} f JOIN sym ON sym.u = f.node"
+            f" WHERE NOT EXISTS (SELECT 1 FROM s{d - 1} s"
+            f" WHERE s.seed = f.seed AND s.node = sym.v)"
+            f" GROUP BY f.seed, sym.v)")
+        parts.append(
+            f"s{d} AS MATERIALIZED (SELECT * FROM s{d - 1}"
+            f" UNION ALL SELECT * FROM f{d})")
+    t = max_depth
+    return (", ".join(parts)
+            + f"\nSELECT seed AS node,"
+            f" CAST(count(*) AS BIGINT) AS n_reached,"
+            f" CAST(max(dist) AS BIGINT) AS eccentricity_lb,"
+            f" CAST(sum(CASE WHEN dist = {t} THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS frontier_at_cap"
+            f" FROM s{t} WHERE dist > 0"
+            f" GROUP BY seed ORDER BY node")

@@ -2507,3 +2507,283 @@ SELECT CAST(n AS BIGINT) AS n,
                   THEN 2.0 * cxy / (vx + vy + dm * dm) END, 6) AS ccc
 FROM v
 """
+
+
+# -------------------------------------------------------- round 12:
+# calibration-inference completion — Spiegelhalter's Z, the
+# Hosmer–Lemeshow decile chi², decision-curve net benefit, and the
+# linear recalibration (slope/intercept). One- or two-aggregate
+# plans over the probability frame.
+
+def spiegelhalter_z(df: DataFrame, label_col: str,
+                    prob_col: str) -> DataFrame:
+    """Spiegelhalter's calibration test (Spiegelhalter 1986): under
+    perfect calibration the Brier score has mean Σp(1−p)/n and the
+    statistic Z = Σ(y−p)(1−2p) / √(Σ(1−2p)²·p(1−p)) is ~N(0,1) — a
+    TEST where ece_calibration is a descriptive; it needs no binning
+    at all, so it cannot be gamed by bin placement. One aggregate.
+    Output: one row (n, brier, brier_expected, z_spiegelhalter),
+    rounds 6."""
+    y = F.col(label_col).cast("int").cast("double")
+    p = F.col(prob_col).cast("double")
+    base = df.filter(p.isNotNull()).select(y.alias("y"), p.alias("p"))
+    agg = base.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("y") - F.col("p")) * (F.col("y") - F.col("p")))
+        .alias("bsum"),
+        F.sum(F.col("p") * (1.0 - F.col("p"))).alias("esum"),
+        F.sum((F.col("y") - F.col("p")) * (1.0 - 2.0 * F.col("p")))
+        .alias("num"),
+        F.sum((1.0 - 2.0 * F.col("p")) * (1.0 - 2.0 * F.col("p"))
+              * F.col("p") * (1.0 - F.col("p"))).alias("den"))
+    n = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("bsum") / n, 6).alias("brier"),
+        F.round(F.col("esum") / n, 6).alias("brier_expected"),
+        F.round(F.when(F.col("den") > 0,
+                       F.col("num") / F.sqrt(F.col("den"))), 6)
+        .alias("z_spiegelhalter"))
+
+
+def spiegelhalter_z_sql(table: str, label_sql: str,
+                        prob_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST(CAST({label_sql} AS INT) AS DOUBLE) AS y,
+         CAST({prob_sql} AS DOUBLE) AS p
+  FROM {table} WHERE CAST({prob_sql} AS DOUBLE) IS NOT NULL
+),
+agg AS (
+  SELECT count(*) AS n,
+         sum((y - p) * (y - p)) AS bsum,
+         sum(p * (1.0 - p)) AS esum,
+         sum((y - p) * (1.0 - 2.0 * p)) AS num,
+         sum((1.0 - 2.0 * p) * (1.0 - 2.0 * p) * p * (1.0 - p)) AS den
+  FROM base
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(bsum / CAST(n AS DOUBLE), 6) AS brier,
+       round(esum / CAST(n AS DOUBLE), 6) AS brier_expected,
+       round(CASE WHEN den > 0 THEN num / sqrt(den) END, 6)
+         AS z_spiegelhalter
+FROM agg
+"""
+
+
+def hosmer_lemeshow(df: DataFrame, label_col: str, prob_col: str,
+                    id_col: str, g: int = 10) -> DataFrame:
+    """Hosmer–Lemeshow goodness-of-fit (Hosmer & Lemeshow 1980):
+    deciles of risk by deterministic rank (p, id tiebreak — engines
+    must agree on bin membership exactly), χ² = Σ_g (O_g − E_g)² /
+    (E_g·(1 − E_g/n_g)), df = g − 2 — the binned companion to
+    spiegelhalter_z, kept because reviewers expect it and its
+    bin-sensitivity is exactly what Z exposes. Rank window over the
+    probability frame, then a g-row aggregate. Output: one row (n,
+    g, hl_stat, df), rounds 6."""
+    y = F.col(label_col).cast("int").cast("double")
+    p = F.col(prob_col).cast("double")
+    base = df.filter(p.isNotNull()).select(
+        y.alias("y"), p.alias("p"), F.col(id_col).alias("id"))
+    w = Window.orderBy("p", "id")
+    tot = Window.partitionBy()
+    binned = base.select(
+        "y", "p",
+        F.floor((F.row_number().over(w) - 1) * g
+                / F.count("*").over(tot)).alias("b"))
+    cells = binned.groupBy("b").agg(
+        F.count("*").cast("double").alias("ng"),
+        F.sum("y").alias("og"),
+        F.sum("p").alias("eg"))
+    agg = cells.agg(
+        F.sum("ng").alias("n"),
+        F.count("*").alias("gg"),
+        F.sum(F.when((F.col("eg") > 0)
+                     & (F.col("eg") < F.col("ng")),
+                     (F.col("og") - F.col("eg"))
+                     * (F.col("og") - F.col("eg"))
+                     / (F.col("eg")
+                        * (1.0 - F.col("eg") / F.col("ng"))))
+              .otherwise(0.0)).alias("hl"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("gg").cast("long").alias("g"),
+        F.round(F.col("hl"), 6).alias("hl_stat"),
+        (F.col("gg") - 2).cast("long").alias("df"))
+
+
+def hosmer_lemeshow_sql(table: str, label_sql: str, prob_sql: str,
+                        id_sql: str, g: int = 10) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST(CAST({label_sql} AS INT) AS DOUBLE) AS y,
+         CAST({prob_sql} AS DOUBLE) AS p, {id_sql} AS id
+  FROM {table} WHERE CAST({prob_sql} AS DOUBLE) IS NOT NULL
+),
+binned AS (
+  SELECT y, p,
+         floor((row_number() OVER (ORDER BY p, id) - 1) * {g}
+               / count(*) OVER ()) AS b
+  FROM base
+),
+cells AS (
+  SELECT b, CAST(count(*) AS DOUBLE) AS ng, sum(y) AS og,
+         sum(p) AS eg
+  FROM binned GROUP BY b
+),
+agg AS (
+  SELECT sum(ng) AS n, count(*) AS gg,
+         sum(CASE WHEN eg > 0 AND eg < ng THEN
+           (og - eg) * (og - eg) / (eg * (1.0 - eg / ng))
+           ELSE 0.0 END) AS hl
+  FROM cells
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(gg AS BIGINT) AS g,
+       round(hl, 6) AS hl_stat,
+       CAST(gg - 2 AS BIGINT) AS df
+FROM agg
+"""
+
+
+_NB_THRESHOLDS = (0.1, 0.25, 0.5, 0.75)
+
+
+def net_benefit(df: DataFrame, label_col: str,
+                prob_col: str) -> DataFrame:
+    """Decision-curve net benefit (Vickers & Elkin 2006): at
+    threshold t, treating everyone with p ≥ t yields NB(t) = TP/n −
+    FP/n · t/(1−t) — benefit in true-positive units after charging
+    false positives at the odds the threshold itself implies. The
+    treat-all and treat-none baselines decide whether the model is
+    CLINICALLY useful at t, which neither AUC nor calibration can
+    say. K conditional sums in ONE aggregate pass (the
+    threshold_sweep shape). Output: one row per threshold
+    (threshold, tp, fp, net_benefit, nb_treat_all, model_useful),
+    rounds 6."""
+    y = F.col(label_col).cast("int")
+    p = F.col(prob_col).cast("double")
+    base = df.filter(p.isNotNull()).select(y.alias("y"), p.alias("p"))
+    aggs = [F.count("*").alias("n"),
+            F.sum("y").cast("double").alias("pos")]
+    for i, t in enumerate(_NB_THRESHOLDS):
+        aggs.append(F.sum(F.when(F.col("p") >= t, F.col("y"))
+                          .otherwise(0)).cast("double").alias(f"tp{i}"))
+        aggs.append(F.sum(F.when(F.col("p") >= t, 1 - F.col("y"))
+                          .otherwise(0)).cast("double").alias(f"fp{i}"))
+    m = base.agg(*aggs)
+    rows = []
+    for i, t in enumerate(_NB_THRESHOLDS):
+        n = F.col("n").cast("double")
+        nb = (F.col(f"tp{i}") / n
+              - F.col(f"fp{i}") / n * F.lit(t / (1.0 - t)))
+        nb_all = (F.col("pos") / n
+                  - (1.0 - F.col("pos") / n) * F.lit(t / (1.0 - t)))
+        rows.append(m.select(
+            F.lit(t).alias("threshold"),
+            F.col(f"tp{i}").cast("long").alias("tp"),
+            F.col(f"fp{i}").cast("long").alias("fp"),
+            F.round(nb, 6).alias("net_benefit"),
+            F.round(nb_all, 6).alias("nb_treat_all"),
+            (F.round(nb, 6)
+             > F.greatest(F.lit(0.0), F.round(nb_all, 6)))
+            .alias("model_useful")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("threshold")
+
+
+def net_benefit_sql(table: str, label_sql: str, prob_sql: str) -> str:
+    aggs = ["count(*) AS n",
+            "CAST(sum(y) AS DOUBLE) AS pos"]
+    for i, t in enumerate(_NB_THRESHOLDS):
+        aggs.append(f"CAST(sum(CASE WHEN p >= {t!r} THEN y ELSE 0 "
+                    f"END) AS DOUBLE) AS tp{i}")
+        aggs.append(f"CAST(sum(CASE WHEN p >= {t!r} THEN 1 - y "
+                    f"ELSE 0 END) AS DOUBLE) AS fp{i}")
+    selects = []
+    for i, t in enumerate(_NB_THRESHOLDS):
+        odds = f"{t!r} / (1.0 - {t!r})"
+        nb = f"(tp{i} / CAST(n AS DOUBLE) - fp{i} / CAST(n AS DOUBLE) * ({odds}))"
+        nb_all = (f"(pos / CAST(n AS DOUBLE) - (1.0 - pos / CAST(n AS "
+                  f"DOUBLE)) * ({odds}))")
+        selects.append(
+            f"SELECT CAST({t!r} AS DOUBLE) AS threshold, "
+            f"CAST(tp{i} AS BIGINT) AS tp, "
+            f"CAST(fp{i} AS BIGINT) AS fp, round({nb}, 6) AS net_benefit, "
+            f"round({nb_all}, 6) AS nb_treat_all, "
+            f"round({nb}, 6) > greatest(0.0, round({nb_all}, 6)) "
+            f"AS model_useful FROM m")
+    body = "\nUNION ALL\n".join(selects)
+    return (f"WITH base AS (SELECT CAST({label_sql} AS INT) AS y, "
+            f"CAST({prob_sql} AS DOUBLE) AS p FROM {table} "
+            f"WHERE CAST({prob_sql} AS DOUBLE) IS NOT NULL),\n"
+            f"m AS (SELECT {', '.join(aggs)} FROM base)\n"
+            + body + "\nORDER BY threshold")
+
+
+def calibration_slope(df: DataFrame, label_col: str,
+                      prob_col: str) -> DataFrame:
+    """Linear-probability recalibration (the weak-calibration
+    summary, Cox 1958 in spirit): OLS of y on p — slope 1 and
+    intercept 0 is perfect weak calibration; slope < 1 is the
+    overconfidence signature (predictions too spread), intercept ≠ 0
+    is calibration-in-the-large drift. Reported with prevalence,
+    mean p, and Brier. One decimal-moments pass. Output: one row
+    (n, prevalence, mean_p, slope, intercept, brier), rounds 6."""
+    y = F.col(label_col).cast("int").cast("double")
+    p = F.col(prob_col).cast("double")
+    base = df.filter(p.isNotNull()).select(y.alias("y"), p.alias("p"))
+    agg = base.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("y").cast(_DEC)).cast("double").alias("sy"),
+        F.sum(F.col("p").cast(_DEC)).cast("double").alias("sp"),
+        F.sum((F.col("p") * F.col("p")).cast(_DEC)).cast("double")
+        .alias("spp"),
+        F.sum((F.col("p") * F.col("y")).cast(_DEC)).cast("double")
+        .alias("spy"),
+        F.sum((F.col("y") - F.col("p")) * (F.col("y") - F.col("p")))
+        .alias("bsum"))
+    n = F.col("n").cast("double")
+    slope = ((n * F.col("spy") - F.col("sp") * F.col("sy"))
+             / (n * F.col("spp") - F.col("sp") * F.col("sp")))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("sy") / n, 6).alias("prevalence"),
+        F.round(F.col("sp") / n, 6).alias("mean_p"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("sy") / n - slope * F.col("sp") / n, 6)
+        .alias("intercept"),
+        F.round(F.col("bsum") / n, 6).alias("brier"))
+
+
+def calibration_slope_sql(table: str, label_sql: str,
+                          prob_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST(CAST({label_sql} AS INT) AS DOUBLE) AS y,
+         CAST({prob_sql} AS DOUBLE) AS p
+  FROM {table} WHERE CAST({prob_sql} AS DOUBLE) IS NOT NULL
+),
+agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(p AS DECIMAL(38,12))) AS DOUBLE) AS sp,
+         CAST(sum(CAST(p * p AS DECIMAL(38,12))) AS DOUBLE) AS spp,
+         CAST(sum(CAST(p * y AS DECIMAL(38,12))) AS DOUBLE) AS spy,
+         sum((y - p) * (y - p)) AS bsum
+  FROM base
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(sy / CAST(n AS DOUBLE), 6) AS prevalence,
+       round(sp / CAST(n AS DOUBLE), 6) AS mean_p,
+       round((CAST(n AS DOUBLE) * spy - sp * sy)
+             / (CAST(n AS DOUBLE) * spp - sp * sp), 6) AS slope,
+       round(sy / CAST(n AS DOUBLE)
+             - ((CAST(n AS DOUBLE) * spy - sp * sy)
+                / (CAST(n AS DOUBLE) * spp - sp * sp))
+               * sp / CAST(n AS DOUBLE), 6) AS intercept,
+       round(bsum / CAST(n AS DOUBLE), 6) AS brier
+FROM agg
+"""

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+_DEC = "decimal(38,12)"
+
 _M = 1 << 31
 _KNUTH = 2654435761  # 2^32 * (golden ratio - 1), Knuth multiplicative
 
@@ -398,4 +400,77 @@ SELECT g AS "group", CAST(c AS BIGINT) AS n,
        round(tmp / emp, 6) AS upsample_factor
 FROM normed
 ORDER BY "group"
+"""
+
+
+def neyman_allocation(df: DataFrame, stratum_col: str,
+                      value_col: str, budget: int = 1000) -> DataFrame:
+    """Neyman optimal allocation of a fixed sample budget across
+    strata (Neyman 1934): n_h ∝ N_h·S_h minimizes the stratified
+    mean's variance; reported beside proportional allocation
+    n_h ∝ N_h and each plan's variance contribution (N_h/N)²·S_h²
+    /n_h — the design readout BEFORE sample_stratified draws: how
+    many rows each stratum deserves, not how to draw them. One
+    grouped decimal-moments pass + one-row normalizers. Output: one
+    row per stratum (stratum, n_stratum, s_h, prop_alloc,
+    neyman_alloc), rounds 6, ordered by stratum."""
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull() & F.col(stratum_col).isNotNull()) \
+        .select(F.col(stratum_col).alias("h"), v.alias("x"))
+    per = base.groupBy("h").agg(
+        F.count("*").cast("double").alias("nh"),
+        F.sum(F.col("x").cast(_DEC)).cast("double").alias("s1"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast("double")
+        .alias("s2"))
+    sh = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1")
+                 / F.col("nh")) / (F.col("nh") - 1.0))
+    scored = per.select("h", "nh", sh.alias("sh"))
+    tot = Window.partitionBy()
+    normed = scored.select(
+        "h", "nh", "sh",
+        F.sum("nh").over(tot).alias("n"),
+        F.sum(F.col("nh") * F.col("sh")).over(tot).alias("nsh"))
+    return (normed.select(
+        F.col("h").alias("stratum"),
+        F.col("nh").cast("long").alias("n_stratum"),
+        F.round(F.col("sh"), 6).alias("s_h"),
+        F.round(F.lit(float(budget)) * F.col("nh") / F.col("n"), 6)
+        .alias("prop_alloc"),
+        F.round(F.lit(float(budget)) * F.col("nh") * F.col("sh")
+                / F.col("nsh"), 6).alias("neyman_alloc"))
+        .orderBy("stratum"))
+
+
+def neyman_allocation_sql(table: str, stratum_sql: str,
+                          value_sql: str, budget: int = 1000) -> str:
+    return f"""
+WITH base AS (
+  SELECT {stratum_sql} AS h, CAST({value_sql} AS DOUBLE) AS x
+  FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+    AND {stratum_sql} IS NOT NULL
+),
+per AS (
+  SELECT h, CAST(count(*) AS DOUBLE) AS nh,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM base GROUP BY h
+),
+scored AS (
+  SELECT h, nh,
+         sqrt((s2 - s1 * s1 / nh) / (nh - 1.0)) AS sh
+  FROM per
+),
+normed AS (
+  SELECT h, nh, sh, sum(nh) OVER () AS n,
+         sum(nh * sh) OVER () AS nsh
+  FROM scored
+)
+SELECT h AS stratum,
+       CAST(nh AS BIGINT) AS n_stratum,
+       round(sh, 6) AS s_h,
+       round({float(budget)!r} * nh / n, 6) AS prop_alloc,
+       round({float(budget)!r} * nh * sh / nsh, 6) AS neyman_alloc
+FROM normed
+ORDER BY stratum
 """

@@ -1001,3 +1001,144 @@ def test_hypergeo_enrichment_numpy_mirror(spark):
     assert abs(rows_by["x"]["z"] - zx) < 1e-6
     assert rows_by["x"]["z"] > 0
     assert abs(rows_by["c"]["z"] + zx) < 1e-6
+
+
+# ------------------------------------------------- calibration + singles
+
+
+def test_spiegelhalter_z_numpy_mirror_and_degenerate(spark):
+    from distill_spark.operators.mleval import spiegelhalter_z
+
+    p = np.array([0.25, 0.25, 0.25, 0.25, 0.75, 0.75, 0.75, 0.75])
+    y = np.array([0, 0, 0, 1, 1, 1, 1, 0], dtype=float)
+    pdf = pd.DataFrame({"y": y.astype(int), "p": p})
+    out = _one(spiegelhalter_z(spark.createDataFrame(pdf), "y", "p"))
+    num = ((y - p) * (1 - 2 * p)).sum()
+    den = ((1 - 2 * p) ** 2 * p * (1 - p)).sum()
+    assert abs(out["z_spiegelhalter"] - num / math.sqrt(den)) < 1e-6
+    assert abs(out["brier"] - ((y - p) ** 2).mean()) < 1e-6
+    assert abs(out["brier_expected"] - (p * (1 - p)).mean()) < 1e-6
+    # p = 0.5 everywhere → (1−2p) = 0 → z undefined (NULL, not crash)
+    pdf2 = pd.DataFrame({"y": [0, 1, 0, 1], "p": [0.5] * 4})
+    out2 = _one(spiegelhalter_z(spark.createDataFrame(pdf2), "y", "p"))
+    assert out2["z_spiegelhalter"] is None
+
+
+def test_hosmer_lemeshow_numpy_mirror(spark):
+    from distill_spark.operators.mleval import hosmer_lemeshow
+
+    rng_p = [0.05, 0.1, 0.15, 0.2, 0.3, 0.35, 0.4, 0.5, 0.55, 0.6,
+             0.62, 0.7, 0.72, 0.8, 0.82, 0.85, 0.9, 0.92, 0.95, 0.99]
+    ys = [0, 0, 0, 0, 1, 0, 0, 1, 1, 0,
+          1, 1, 0, 1, 1, 1, 1, 1, 1, 1]
+    pdf = pd.DataFrame({"y": ys, "p": rng_p, "id": range(20)})
+    out = _one(hosmer_lemeshow(spark.createDataFrame(pdf),
+                               "y", "p", "id", g=5))
+    p = np.array(rng_p)
+    y = np.array(ys, dtype=float)
+    hl = 0.0
+    for b in range(5):
+        sl = slice(4 * b, 4 * b + 4)  # already sorted by p
+        ng, og, eg = 4.0, y[sl].sum(), p[sl].sum()
+        hl += (og - eg) ** 2 / (eg * (1 - eg / ng))
+    assert out["g"] == 5 and out["df"] == 3
+    assert abs(out["hl_stat"] - hl) < 1e-6
+
+
+def test_net_benefit_perfect_classifier(spark):
+    """p = y exactly: TP = all positives, FP = 0 at every threshold,
+    so NB(t) = prevalence everywhere and the model dominates
+    treat-all at every t."""
+    from distill_spark.operators.mleval import net_benefit
+
+    pdf = pd.DataFrame({"y": [1, 1, 0, 0, 0, 0, 0, 0],
+                        "p": [1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]})
+    rows = net_benefit(spark.createDataFrame(pdf), "y", "p").collect()
+    prev = 0.25
+    for r in rows:
+        t = r["threshold"]
+        assert r["tp"] == 2 and r["fp"] == 0
+        assert r["net_benefit"] == prev
+        nb_all = prev - (1 - prev) * t / (1 - t)
+        assert abs(r["nb_treat_all"] - nb_all) < 1e-6
+        assert r["model_useful"]
+
+
+def test_calibration_slope_numpy_mirror(spark):
+    from distill_spark.operators.mleval import calibration_slope
+
+    p = np.array([0.2, 0.4, 0.6, 0.8])
+    y = np.array([0, 0, 1, 1], dtype=float)
+    pdf = pd.DataFrame({"y": y.astype(int), "p": p})
+    out = _one(calibration_slope(spark.createDataFrame(pdf), "y", "p"))
+    b1 = np.cov(p, y, bias=True)[0, 1] / p.var()
+    b0 = y.mean() - b1 * p.mean()
+    assert abs(out["slope"] - b1) < 1e-6
+    assert abs(out["intercept"] - b0) < 1e-6
+    assert out["prevalence"] == 0.5 and out["mean_p"] == 0.5
+    assert abs(out["brier"] - ((y - p) ** 2).mean()) < 1e-6
+
+
+def test_rmst_hand_curve(spark):
+    """4 users all entering at day 0; u1 converts day 1, u2 day 2,
+    u3/u4 censored at day 3 (global end). KM: S(1) = 3/4, S(2) =
+    3/4·(1 − 1/3) = 1/2. τ = 3. RMST = 1·1 + (2−1)·3/4 + (3−2)·1/2
+    = 2.25."""
+    from distill_spark.operators.conversion import rmst
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in (1, 2, 3, 4):
+        rows.append((base, u, "view", 1.0))
+    rows.append((base + dt.timedelta(days=1), 1, "purchase", 1.0))
+    rows.append((base + dt.timedelta(days=2), 2, "purchase", 1.0))
+    rows.append((base + dt.timedelta(days=3), 3, "view", 1.0))
+    rows.append((base + dt.timedelta(days=3), 4, "view", 1.0))
+    pdf = pd.DataFrame(rows, columns=["ts", "user_id", "event_type",
+                                      "value"])
+    out = _one(rmst(spark.createDataFrame(pdf)))
+    assert out["tau_days"] == 3
+    assert out["n_event_days"] == 2
+    assert out["final_survival"] == 0.5
+    assert out["rmst_days"] == 2.25
+
+
+def test_eccentricity_path_graph(spark):
+    """Path a–b–c–d–e: ecc lower bounds 4,3,2,3,4 with cap 4; only
+    the endpoints still have frontier at the cap."""
+    from distill_spark.operators.graphstats import eccentricity_sample
+
+    edges = spark.createDataFrame(
+        pd.DataFrame([("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+                     columns=["a", "b"]))
+    rows = {r["node"]: r.asDict()
+            for r in eccentricity_sample(edges).collect()}
+    assert rows["a"]["eccentricity_lb"] == 4
+    assert rows["b"]["eccentricity_lb"] == 3
+    assert rows["c"]["eccentricity_lb"] == 2
+    assert rows["d"]["eccentricity_lb"] == 3
+    assert rows["e"]["eccentricity_lb"] == 4
+    for n in "abcde":
+        assert rows[n]["n_reached"] == 4
+    assert rows["a"]["frontier_at_cap"] == 1  # e at dist 4
+    assert rows["c"]["frontier_at_cap"] == 0
+
+
+def test_neyman_allocation_degenerate_and_mirror(spark):
+    """Stratum A constant (S=0), stratum B varying: Neyman sends the
+    WHOLE budget to B while proportional still splits 50/50."""
+    from distill_spark.operators.sampling import neyman_allocation
+
+    rows = ([("A", 5.0)] * 4
+            + [("B", v) for v in (1.0, 3.0, 7.0, 9.0)])
+    pdf = pd.DataFrame(rows, columns=["h", "v"])
+    out = {r["stratum"]: r.asDict()
+           for r in neyman_allocation(
+               spark.createDataFrame(pdf), "h", "v",
+               budget=100).collect()}
+    assert out["A"]["s_h"] == 0.0
+    assert out["A"]["prop_alloc"] == 50.0
+    assert out["A"]["neyman_alloc"] == 0.0
+    assert out["B"]["neyman_alloc"] == 100.0
+    sb = np.std([1.0, 3.0, 7.0, 9.0], ddof=1)
+    assert abs(out["B"]["s_h"] - sb) < 1e-6
