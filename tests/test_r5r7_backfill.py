@@ -1,0 +1,297 @@
+"""Planted/invariance backfill over the r5–r7 (and r10) statistics
+strata — round-11 verdict ask #2: the self-caught gk_lambda direction
+swap proved twin-formula parity is structurally blind to
+shared-formula errors, and these strata predate the property-suite
+discipline. Every test here pins a DIRECTION, SIGN, or ORIENTATION
+with hand-planted data — the exact failure shape gk_lambda had.
+
+Ask #7 (Wilcoxon/sign/Page/Cuzick tie-zero conventions) is folded in:
+scipy is NOT in this environment (ModuleNotFoundError), so the
+conventions are pinned against exact hand computations instead —
+zero-diff drop (Wilcoxon), tie drop (sign test), average-rank ties
+(both rank tests), strict value-then-dow ranks (Page).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pandas as pd
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1, rows
+    return rows[0].asDict()
+
+
+# ---------------------------------------------------- direction/orientation
+
+
+def test_rank_association_somers_d_direction(spark):
+    """Positives scoring HIGHER must give somers_d = +1 — the
+    direction convention (D_yx: score ranks the outcome), the exact
+    gk_lambda failure shape."""
+    from distill_spark.operators.mleval import rank_association
+
+    pdf = pd.DataFrame({"y": [0, 0, 0, 1, 1],
+                        "v": [1.0, 2.0, 3.0, 10.0, 11.0]})
+    out = _one(rank_association(spark.createDataFrame(pdf), "y", "v"))
+    assert out["somers_d"] == 1.0 and out["gamma"] == 1.0
+    # reversed scores → −1, never |value| with a dropped sign
+    pdf2 = pd.DataFrame({"y": [0, 0, 0, 1, 1],
+                         "v": [10.0, 11.0, 12.0, 1.0, 2.0]})
+    out2 = _one(rank_association(spark.createDataFrame(pdf2), "y", "v"))
+    assert out2["somers_d"] == -1.0
+
+
+def test_rank_association_hand_counts_with_tie(spark):
+    """pos scores {3,4}, neg {1,2,3}: C = 5 (3>1, 3>2; 4>1, 4>2,
+    4>3), D = 0, the 3–3 tie in neither → somers_d = 5/6, γ = 1,
+    τ_a = 2·5/(5·4) = 0.5."""
+    from distill_spark.operators.mleval import rank_association
+
+    pdf = pd.DataFrame({"y": [1, 1, 0, 0, 0],
+                        "v": [3.0, 4.0, 1.0, 2.0, 3.0]})
+    out = _one(rank_association(spark.createDataFrame(pdf), "y", "v"))
+    assert out["concordant"] == 5 and out["discordant"] == 0
+    assert out["somers_d"] == round(5 / 6, 6)
+    assert out["gamma"] == 1.0
+    assert out["tau_a"] == 0.5
+
+
+def test_cliffs_delta_direction_and_overlap(spark):
+    from distill_spark.operators.stats import cliffs_delta
+
+    up = pd.DataFrame({"g": ["a", "a", "b", "b"],
+                       "value": [2.0, 2.0, 1.0, 1.0]})
+    out = _one(cliffs_delta(spark.createDataFrame(up), "g", "a", "b"))
+    assert out["cliffs_delta"] == 1.0
+    down = pd.DataFrame({"g": ["a", "a", "b", "b"],
+                         "value": [1.0, 1.0, 2.0, 2.0]})
+    out2 = _one(cliffs_delta(spark.createDataFrame(down), "g", "a", "b"))
+    assert out2["cliffs_delta"] == -1.0
+    # a = {1,3}, b = {2,2}: P(a>b) = P(a<b) = 1/2 → δ = 0
+    mid = pd.DataFrame({"g": ["a", "a", "b", "b"],
+                        "value": [1.0, 3.0, 2.0, 2.0]})
+    out3 = _one(cliffs_delta(spark.createDataFrame(mid), "g", "a", "b"))
+    assert out3["cliffs_delta"] == 0.0
+
+
+def test_mannwhitney_orientation_and_symmetry(spark):
+    """u_a is GROUP A's U: a dominating → u_a = n_a·n_b and z > 0;
+    identical distributions → u_a = n_a·n_b/2, z = 0."""
+    from distill_spark.operators.stats import mannwhitney_u
+
+    dom = pd.DataFrame({"g": ["a", "a", "b", "b"],
+                        "value": [10.0, 11.0, 1.0, 2.0]})
+    out = _one(mannwhitney_u(spark.createDataFrame(dom), "g", "a", "b"))
+    assert out["u_a"] == 4.0 and out["z"] > 0
+    sym = pd.DataFrame({"g": ["a", "b", "a", "b"],
+                        "value": [1.0, 1.0, 2.0, 2.0]})
+    out2 = _one(mannwhitney_u(spark.createDataFrame(sym), "g", "a", "b"))
+    assert out2["u_a"] == 2.0 and out2["z"] == 0.0
+
+
+def test_spearman_orientation_and_midranks(spark):
+    from distill_spark.operators.stats import spearman_corr
+
+    x = [1.0, 2.0, 3.0, 4.0]
+    mono = pd.DataFrame({"a": x, "b": [v ** 3 for v in x]})
+    assert _one(spearman_corr(spark.createDataFrame(mono),
+                              "a", "b"))["rho"] == 1.0
+    anti = pd.DataFrame({"a": x, "b": [-v for v in x]})
+    assert _one(spearman_corr(spark.createDataFrame(anti),
+                              "a", "b"))["rho"] == -1.0
+    # midrank tie case: x=[1,1,2] → ranks [1.5,1.5,3]; y=[1,2,3] →
+    # ρ = 1.5/√3 (hand Pearson over the rank vectors)
+    tie = pd.DataFrame({"a": [1.0, 1.0, 2.0], "b": [1.0, 2.0, 3.0]})
+    out = _one(spearman_corr(spark.createDataFrame(tie), "a", "b"))
+    assert out["rho"] == round(1.5 / math.sqrt(3), 6)
+
+
+def test_cuped_direction_and_perfect_covariate(spark):
+    """post = 2·pre exactly: θ = 2 (not 1/2 — the regression is POST
+    on PRE), corr = +1, the adjustment removes all variance."""
+    from distill_spark.operators.conversion import cuped_adjustment
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u, x in enumerate([1.0, 2.0, 3.0, 4.0, 5.0], start=1):
+        rows.append((base + dt.timedelta(days=1), u, "view", x))
+        rows.append((base + dt.timedelta(days=9), u, "view", 2.0 * x))
+    # pin the window: lo = day0, hi = day10 → midpoint day5
+    rows.append((base, 99, "view", 1.0))
+    rows.append((base + dt.timedelta(days=10), 99, "view", 2.0))
+    pdf = pd.DataFrame(rows, columns=["ts", "user_id", "event_type",
+                                      "value"])
+    out = _one(cuped_adjustment(spark.createDataFrame(pdf)))
+    # user 99 contributes (1, 2) which also lies on post = 2·pre
+    assert out["n_users"] == 6
+    assert out["theta"] == 2.0
+    assert out["corr"] == 1.0
+    assert out["var_adj"] == 0.0
+    assert out["reduction_pct"] == 100.0
+
+
+def test_log_odds_terms_sign_for_exclusive_token(spark):
+    """A token appearing ONLY in group A must surface in A's top-k
+    with z > 0 — a sign swap would rank it for the OTHER group."""
+    from distill_spark.operators.search import log_odds_terms
+
+    rows = ([("zebra common words here", "A")] * 5
+            + [("common words here too", "B")] * 5)
+    pdf = pd.DataFrame(rows, columns=["text", "source"])
+    out = log_odds_terms(spark.createDataFrame(pdf), "source",
+                         "text", k=3).collect()
+    a_terms = {r["term"]: r for r in out if r["source"] == "A"}
+    assert "zebra" in a_terms
+    assert a_terms["zebra"]["z_logodds"] > 0
+    b_terms = {r["term"]: r for r in out if r["source"] == "B"}
+    assert "zebra" not in b_terms
+
+
+def test_diff_in_diff_sign_planted_lift(spark):
+    """Treated parts gain +5 post-cutoff, control flat → did = +5
+    exactly (a sign swap or a transposed cell grid cannot pass)."""
+    from distill_spark.operators.conversion import diff_in_diff
+
+    cut = dt.datetime(1995, 1, 1)
+    pre, post = cut - dt.timedelta(days=30), cut + dt.timedelta(days=30)
+    rows = []
+    # l_extendedprice with l_discount 0 → revenue = price
+    for pk, period, price in [
+            (1, pre, 10.0), (1, post, 15.0),   # treated: +5
+            (2, pre, 20.0), (2, post, 20.0)]:  # control: +0
+        rows.append((pk, price, 0.0, period))
+    li = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["l_partkey", "l_extendedprice", "l_discount",
+                       "l_shipdate"]))
+    part = spark.createDataFrame(pd.DataFrame(
+        [(1, "PROMO BRUSHED"), (2, "STANDARD POLISHED")],
+        columns=["p_partkey", "p_type"]))
+    out = _one(diff_in_diff(li, part))
+    assert out["mean_t1"] == 15.0 and out["mean_t0"] == 10.0
+    assert out["mean_c1"] == 20.0 and out["mean_c0"] == 20.0
+    assert out["did"] == 5.0
+
+
+# ------------------------------------------- wilcoxon-family conventions
+
+
+def _paired_events(diffs, base_click=100.0):
+    """One click and one view event per day: view = base, click =
+    base + diff so the (click − view) daily diff is exactly diffs."""
+    rows = []
+    for i, d in enumerate(diffs):
+        day = dt.datetime(2024, 1, 1 + i, 8)
+        rows.append((day, 1, "click", base_click + d))
+        rows.append((day, 1, "view", base_click))
+    return pd.DataFrame(rows, columns=["ts", "user_id", "event_type",
+                                       "value"])
+
+
+def test_wilcoxon_zero_drop_and_tie_midranks(spark):
+    """Convention audit (ask #7, hand-exact in scipy's absence):
+    zero diffs DROP (n_pairs excludes them — the classic Wilcoxon
+    convention, not Pratt), |diff| ties get average ranks. diffs
+    [+1, −1, +2, 0]: zero drops → n=3; |d| ranks: the two 1s share
+    (1+2)/2 = 1.5, the 2 gets 3; W⁺ = 1.5 + 3 = 4.5."""
+    from distill_spark.operators.stats import wilcoxon_signed
+
+    pdf = _paired_events([1.0, -1.0, 2.0, 0.0])
+    out = _one(wilcoxon_signed(spark.createDataFrame(pdf)))
+    assert out["n_pairs"] == 3
+    assert out["w_plus"] == 4.5
+
+
+def test_wilcoxon_all_positive_is_max_w(spark):
+    from distill_spark.operators.stats import wilcoxon_signed
+
+    pdf = _paired_events([1.0, 2.0, 3.0, 4.0, 5.0])
+    out = _one(wilcoxon_signed(spark.createDataFrame(pdf)))
+    assert out["w_plus"] == 15.0  # n(n+1)/2
+    assert out["z"] > 0
+
+
+def test_sign_test_tie_drop_and_continuity(spark):
+    """diffs: 6 positive, 1 negative, 2 zero → ties counted apart,
+    z = (|6−1| − 1)/√7 with the continuity correction."""
+    from distill_spark.operators.stats import sign_test
+
+    pdf = _paired_events([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, -1.0,
+                          0.0, 0.0])
+    out = _one(sign_test(spark.createDataFrame(pdf)))
+    assert out["n_pos"] == 6 and out["n_neg"] == 1
+    assert out["n_ties"] == 2
+    assert out["z"] == round(4.0 / math.sqrt(7.0), 6)
+
+
+def test_page_trend_monotone_week_maximal_l(spark):
+    """Two complete ISO weeks with the daily total equal to Spark's
+    dayofweek index: within-block ranks align with the treatment
+    order exactly → L = b·Σj² = 2·140 = 280, the maximum, z > 0."""
+    from distill_spark.operators.stats import page_trend
+
+    rows = []
+    for start in (dt.date(2024, 1, 8), dt.date(2024, 1, 15)):  # Mondays
+        for i in range(7):
+            day = start + dt.timedelta(days=i)
+            spark_dow = day.isoweekday() % 7 + 1
+            rows.append((dt.datetime(day.year, day.month, day.day, 8),
+                         float(spark_dow)))
+    pdf = pd.DataFrame(rows, columns=["ts", "value"])
+    out = _one(page_trend(spark.createDataFrame(pdf)))
+    assert out["n_blocks"] == 2 and out["k"] == 7
+    assert out["l_stat"] == 280.0
+    assert out["z"] > 0
+
+
+def test_page_trend_incomplete_blocks_drop(spark):
+    """A 6-day week must not enter the block count."""
+    from distill_spark.operators.stats import page_trend
+
+    rows = []
+    for i in range(7):
+        day = dt.date(2024, 1, 8) + dt.timedelta(days=i)
+        rows.append((dt.datetime(day.year, day.month, day.day, 8), 1.0 + i))
+    for i in range(6):  # incomplete second week
+        day = dt.date(2024, 1, 15) + dt.timedelta(days=i)
+        rows.append((dt.datetime(day.year, day.month, day.day, 8), 1.0 + i))
+    out = _one(page_trend(spark.createDataFrame(
+        pd.DataFrame(rows, columns=["ts", "value"]))))
+    assert out["n_blocks"] == 1
+
+
+def test_cuzick_trend_sign_flips_with_group_order(spark):
+    """Values rising across the declared group order → z > 0;
+    REVERSING the declared order must flip the sign exactly — the
+    orientation property a shared formula can silently lose."""
+    from distill_spark.operators.stats import cuzick_trend
+
+    rows = ([("g1", v) for v in (1.0, 2.0)]
+            + [("g2", v) for v in (3.0, 4.0)]
+            + [("g3", v) for v in (5.0, 6.0)])
+    pdf = pd.DataFrame(rows, columns=["g", "v"])
+    up = _one(cuzick_trend(spark.createDataFrame(pdf), "g",
+                           ["g1", "g2", "g3"], "v"))
+    down = _one(cuzick_trend(spark.createDataFrame(pdf), "g",
+                             ["g3", "g2", "g1"], "v"))
+    assert up["z"] > 0
+    assert down["z"] == -up["z"]
+    # hand T for the increasing order: midranks 1..6, scores
+    # g1=1,g2=2,g3=3 → T = 1·(1+2) + 2·(3+4) + 3·(5+6) = 50
+    assert up["t_stat"] == 50.0
+
+
+def test_mannwhitney_average_rank_tie_hand_case(spark):
+    """a = {1, 2}, b = {2, 3}: ranks 1, 2.5, 2.5, 4 → R_a = 3.5,
+    U_a = 3.5 − 3 = 0.5."""
+    from distill_spark.operators.stats import mannwhitney_u
+
+    pdf = pd.DataFrame({"g": ["a", "a", "b", "b"],
+                        "value": [1.0, 2.0, 2.0, 3.0]})
+    out = _one(mannwhitney_u(spark.createDataFrame(pdf), "g", "a", "b"))
+    assert out["u_a"] == 0.5
