@@ -312,15 +312,24 @@ FROM terms GROUP BY m
 
 
 def harmonic_closeness(edges: DataFrame, n_seeds: int = 8,
-                       max_depth: int = 4) -> DataFrame:
+                       max_depth: int = 4,
+                       seed_mode: str = "pinned") -> DataFrame:
     """Sampled harmonic closeness centrality (Marchiori & Latora
     2000; Boldi & Vigna 2014 for why harmonic > classic closeness on
-    disconnected graphs): from the ``n_seeds`` SMALLEST node ids
-    (pinned seed set — determinism over luck), run a multi-source
-    BFS to ``max_depth`` over the undirected edge list and report
-    H(s) = Σ_{v≠s} 1/d(s,v), unreachable-within-depth = 0 — exact
-    betweenness/closeness is O(V·E) and does not survive 100 TB;
-    pinned-seed harmonic sampling is the standard scalable stand-in.
+    disconnected graphs): from an ``n_seeds`` seed set, run a
+    multi-source BFS to ``max_depth`` over the undirected edge list
+    and report H(s) = Σ_{v≠s} 1/d(s,v), unreachable-within-depth = 0
+    — exact betweenness/closeness is O(V·E) and does not survive
+    100 TB; seed-sampled harmonic closeness is the standard scalable
+    stand-in.
+
+    ``seed_mode``: "pinned" (default, the oracled mode) takes the
+    n_seeds SMALLEST node ids — deterministic but statistically
+    arbitrary (id order usually correlates with creation order);
+    "hash" orders nodes by xxhash64(node), a deterministic UNIFORM
+    sample over the node set (the srm_check multiplicative-hash
+    idea) — statistically the right default for estimation, kept
+    un-oracled because the JVM hash has no cheap DuckDB twin.
 
     Shape: ONE frontier frame carries all seeds at once (seed, node,
     dist) — each BFS round is one join against the edge list + one
@@ -330,8 +339,14 @@ def harmonic_closeness(edges: DataFrame, n_seeds: int = 8,
     sym = (edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
            .union(edges.select(F.col("b").alias("u"),
                                F.col("a").alias("v"))))
-    seeds = (sym.select(F.col("u").alias("node")).distinct()
-             .orderBy("node").limit(n_seeds))
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    if seed_mode == "hash":
+        seeds = (nodes.orderBy(F.xxhash64(F.col("node")), F.col("node"))
+                 .limit(n_seeds))
+    elif seed_mode == "pinned":
+        seeds = nodes.orderBy("node").limit(n_seeds)
+    else:
+        raise ValueError(f"unknown seed_mode {seed_mode!r}")
     frontier = seeds.select(F.col("node").alias("seed"),
                             F.col("node").alias("node"),
                             F.lit(0).alias("dist"))

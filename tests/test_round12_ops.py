@@ -1142,3 +1142,27 @@ def test_neyman_allocation_degenerate_and_mirror(spark):
     assert out["B"]["neyman_alloc"] == 100.0
     sb = np.std([1.0, 3.0, 7.0, 9.0], ddof=1)
     assert abs(out["B"]["s_h"] - sb) < 1e-6
+
+
+def test_harmonic_closeness_hash_seed_mode(spark):
+    """The hash seed mode must be a deterministic uniform sample:
+    same seeds across invocations, n_seeds rows, and (on a labeled
+    graph where ids are adversarially ordered) a DIFFERENT set from
+    the pinned smallest-ids mode."""
+    from distill_spark.operators.graphstats import harmonic_closeness
+
+    # star around 'hub' plus a chain of low-id leaves
+    edges = [("a%02d" % i, "hub") for i in range(12)]
+    edges += [("a%02d" % i, "a%02d" % (i + 1)) for i in range(11)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
+    pinned = harmonic_closeness(df, n_seeds=4).collect()
+    h1 = harmonic_closeness(df, n_seeds=4, seed_mode="hash").collect()
+    h2 = harmonic_closeness(df, n_seeds=4, seed_mode="hash").collect()
+    assert [r["node"] for r in h1] == [r["node"] for r in h2]
+    assert len(h1) == 4 and len(pinned) == 4
+    assert [r["node"] for r in pinned] == ["a00", "a01", "a02", "a03"]
+    assert set(r["node"] for r in h1) != set(r["node"] for r in pinned)
+    import pytest
+
+    with pytest.raises(ValueError):
+        harmonic_closeness(df, seed_mode="lucky")

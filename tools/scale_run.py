@@ -186,6 +186,47 @@ def tpch_q1(spark, li_path):
     )
 
 
+def _tfidf_pairs(spark, d, max_df: int):
+    from distill_spark.operators.sparse_sim import tfidf_cosine_pairs
+
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    return tfidf_cosine_pairs(docs, min_sim=0.3, max_df=max_df)
+
+
+def _copurchase(spark, d):
+    li = spark.read.parquet(os.path.join(d, "lineitem.parquet"))
+    items = (li.select(F.col("l_orderkey").alias("bk"),
+                       F.col("l_partkey").alias("it")).distinct())
+    a, b = items.alias("a"), items.alias("b")
+    return (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                   & (F.col("b.it") > F.col("a.it")))
+            .groupBy(F.col("a.it").alias("a"), F.col("b.it").alias("b"))
+            .agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") >= 2).select("a", "b"))
+
+
+def _edge_support(spark, d):
+    from distill_spark.operators.triangles import edge_triangle_support
+
+    return edge_triangle_support(_copurchase(spark, d))
+
+
+def _triangles(spark, d):
+    from distill_spark.operators.triangles import triangle_stats
+
+    return triangle_stats(_copurchase(spark, d))
+
+
+def _bm25(spark, d):
+    import __spark_entry__ as entrymod
+    from distill_spark.operators.search import bm25_topk_batch
+
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    qdf = spark.createDataFrame(entrymod._BM25_BATCH,
+                                ["query_id", "query"])
+    return bm25_topk_batch(docs, qdf, k=10)
+
+
 def main():
     json_path = None
     argv = sys.argv[1:]
@@ -251,6 +292,31 @@ def main():
         "tpch_q1_pricing": (
             lambda d: tpch_q1(spark, os.path.join(d, "lineitem.parquet")),
             (1, 10, 100)),
+        # round-12 (verdict ask #5): the AllPairs postings join under
+        # replication. FIXED df cap: replicated tokens blow past
+        # max_df=100 and drop out — the cap protecting the plan is
+        # the measurement (output collapses BY DESIGN; compare rows).
+        "tfidf_pairs_fixedcap": (
+            lambda d: _tfidf_pairs(spark, d, max_df=100),
+            (1, 10, 100)),
+        # SCALED cap (max_df = 100·f): postings keep their relative
+        # shape, so this is the honest throughput slope for the
+        # prefix-filtered join — x10 only (the cap is quadratic in f)
+        "tfidf_pairs_scaledcap": (
+            lambda d, f=10: _tfidf_pairs(spark, d, max_df=100 * f),
+            (10,)),
+        # wedge join on the scaled co-purchase graph: the edge build
+        # aggregates f×600k lineitem rows; support/triangles then run
+        # on the (near-constant) part graph — the cell measures the
+        # fact-scan + per-order pair expansion surviving the scale-up
+        "edge_support_copurchase": (
+            lambda d: _edge_support(spark, d), (1, 10, 100)),
+        "triangles_copurchase": (
+            lambda d: _triangles(spark, d), (1, 10, 100)),
+        # batch BM25: postings build once for 8 queries + pruned rank
+        # window; docs replicate f×
+        "bm25_batch": (
+            lambda d: _bm25(spark, d), (1, 10, 100)),
     }
     # resume: re-invocations skip cells an existing artifact already
     # measured (the x100 exact matmul alone is ~12 min — never re-pay)
