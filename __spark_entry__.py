@@ -12790,6 +12790,210 @@ def _sql_neyman():
                                  "c_acctbal")
 
 
+# ---------------------------------------------------------------------------
+# Round-13 seed stratum (queued in _PENDING_PROMOTION, past the
+# window): ordinal/robust association completion + distribution-shape
+# and agreement singles.
+
+def q_kendall_tau_b(spark, sf_dir):
+    """Kendall's τ-b with full tie corrections over the value-cell
+    contingency (stats.kendall_tau_b) — the tie-aware τ for discrete
+    quantity×discount where rank_association's τ_a undercounts."""
+    from distill_spark.operators.stats import kendall_tau_b
+
+    return kendall_tau_b(_tables(spark, sf_dir)["lineitem"],
+                         "l_quantity", "l_discount")
+
+
+def _sql_tau_b():
+    from distill_spark.operators.stats import kendall_tau_b_sql
+
+    return kendall_tau_b_sql("lineitem", "l_quantity", "l_discount")
+
+
+def q_goodman_kruskal_tau(spark, sf_dir):
+    """Goodman–Kruskal τ both directions over source×lang
+    (stats.goodman_kruskal_tau) — the variance-flavored PRE measure
+    beside gk_lambda's modal one."""
+    from distill_spark.operators.stats import goodman_kruskal_tau
+
+    return goodman_kruskal_tau(_tables(spark, sf_dir)["documents"],
+                               "source", "lang")
+
+
+def _sql_gk_tau():
+    from distill_spark.operators.stats import goodman_kruskal_tau_sql
+
+    return goodman_kruskal_tau_sql("documents", "source", "lang")
+
+
+def q_cohen_h(spark, sf_dir):
+    """Cohen's h arcsine effect size between the two pinned event
+    arms' purchase rates (stats.cohen_h_proportions) — the
+    effect-size companion to ab_conversion_z's test."""
+    from distill_spark.operators.stats import cohen_h_proportions
+
+    ev = _tables(spark, sf_dir)["events"]
+    arm = F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+    frame = ev.select(arm.alias("arm"),
+                      (F.col("event_type") == "purchase").alias("y"))
+    return cohen_h_proportions(frame, "arm", "A", "B", F.col("y"))
+
+
+def _sql_cohen_h():
+    from distill_spark.operators.stats import cohen_h_proportions_sql
+
+    frame = ("(SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' "
+             "END AS arm, event_type = 'purchase' AS y FROM events)")
+    return cohen_h_proportions_sql(frame, "arm", "A", "B", "y")
+
+
+def q_deming_regression(spark, sf_dir):
+    """Deming errors-in-both regression of price on quantity beside
+    the two OLS slopes it must lie between
+    (stats.deming_regression)."""
+    from distill_spark.operators.stats import deming_regression
+
+    return deming_regression(_tables(spark, sf_dir)["lineitem"],
+                             "l_quantity", "l_extendedprice")
+
+
+def _sql_deming():
+    from distill_spark.operators.stats import deming_regression_sql
+
+    return deming_regression_sql("lineitem", "l_quantity",
+                                 "l_extendedprice")
+
+
+def q_gini_correlation(spark, sf_dir):
+    """Gini correlation pair Γ(x|y)/Γ(y|x) for quantity×price
+    (stats.gini_correlation) — the Pearson↔Spearman hybrid whose
+    asymmetry is an exchangeability diagnostic."""
+    from distill_spark.operators.stats import gini_correlation
+
+    return gini_correlation(_tables(spark, sf_dir)["lineitem"],
+                            "l_quantity", "l_extendedprice")
+
+
+def _sql_gini_corr():
+    from distill_spark.operators.stats import gini_correlation_sql
+
+    return gini_correlation_sql("lineitem", "l_quantity",
+                                "l_extendedprice")
+
+
+def q_lorenz_asymmetry(spark, sf_dir):
+    """Lorenz asymmetry coefficient of daily revenue totals
+    (stats.lorenz_asymmetry) — WHO drives the inequality (many small
+    days vs a few giant ones), the reading Gini alone can't give."""
+    from distill_spark.operators.stats import lorenz_asymmetry
+
+    return lorenz_asymmetry(_daily_tot_frame(_tables(spark, sf_dir)),
+                            "tot")
+
+
+def _sql_lorenz_asym():
+    from distill_spark.operators.stats import lorenz_asymmetry_sql
+
+    return lorenz_asymmetry_sql(_DAILY_TOT_SQL, "tot")
+
+
+def q_zero_inflation(spark, sf_dir):
+    """Poisson zero-inflation screen for per-user purchase counts
+    (stats.zero_inflation) — the distribution-choice gate before
+    negbin_daily."""
+    from distill_spark.operators.stats import zero_inflation
+
+    return zero_inflation(_tables(spark, sf_dir)["events"])
+
+
+def _sql_zero_inflation():
+    from distill_spark.operators.stats import zero_inflation_sql
+
+    return zero_inflation_sql()
+
+
+def q_ad_normal(spark, sf_dir):
+    """One-sample Anderson–Darling normality of daily totals with the
+    fitted-parameter correction (stats.anderson_darling_normal) —
+    tail-weighted where jarque_bera is moment-based."""
+    from distill_spark.operators.stats import anderson_darling_normal
+
+    return anderson_darling_normal(
+        _daily_tot_frame(_tables(spark, sf_dir)), "tot")
+
+
+def _sql_ad_normal():
+    from distill_spark.operators.stats import (
+        anderson_darling_normal_sql,
+    )
+
+    return anderson_darling_normal_sql(_DAILY_TOT_SQL, "tot")
+
+
+def q_quantile_shape(spark, sf_dir):
+    """Bowley skew + Moors kurtosis + quartile dispersion of daily
+    totals (stats.quantile_shape) — the outlier-proof shape readout
+    beside medcouple_skew."""
+    from distill_spark.operators.stats import quantile_shape
+
+    return quantile_shape(_daily_tot_frame(_tables(spark, sf_dir)),
+                          "tot")
+
+
+def _sql_quantile_shape():
+    from distill_spark.operators.stats import quantile_shape_sql
+
+    return quantile_shape_sql(_DAILY_TOT_SQL, "tot")
+
+
+def q_bland_altman(spark, sf_dir):
+    """Bland–Altman limits of agreement for paired daily click/view
+    totals with the proportional-bias slope (stats.bland_altman) —
+    the method-comparison protocol behind lin_ccc's scalar."""
+    from distill_spark.operators.stats import bland_altman
+
+    return bland_altman(_tables(spark, sf_dir)["events"])
+
+
+def _sql_bland_altman():
+    from distill_spark.operators.stats import bland_altman_sql
+
+    return bland_altman_sql()
+
+
+def q_tweedie_power(spark, sf_dir):
+    """Tweedie variance-power p̂ from the per-type mean-variance
+    log-log fit (timeseries.tweedie_power) — Poisson-like vs
+    Gamma-like vs compound regime for revenue series."""
+    from distill_spark.operators.timeseries import tweedie_power
+
+    return tweedie_power(_tables(spark, sf_dir)["events"])
+
+
+def _sql_tweedie():
+    from distill_spark.operators.timeseries import tweedie_power_sql
+
+    return tweedie_power_sql()
+
+
+def q_spectral_flatness(spark, sf_dir):
+    """Wiener spectral flatness of the daily-total periodogram
+    (timeseries.spectral_flatness) — the one-number 'any structure?'
+    over periodogram_daily's profile."""
+    from distill_spark.operators.timeseries import spectral_flatness
+
+    return spectral_flatness(_tables(spark, sf_dir)["events"])
+
+
+def _sql_spectral_flatness():
+    from distill_spark.operators.timeseries import (
+        spectral_flatness_sql,
+    )
+
+    return spectral_flatness_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ======================== ROUND-12 WINDOW ============================
     # -- round-12 head: the 12 seeds queued all of round 11 (each
@@ -12853,8 +13057,22 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "eccentricity_sample": (q_eccentricity_sample, _sql_eccentricity()),
     "neyman_allocation": (q_neyman_allocation, _sql_neyman()),
     # ===================== END ROUND-12 WINDOW (50) ======================
-    # (new round-12 strata are inserted ABOVE this line as they land,
-    #  pushing the driver-green round-11 rows below position 50)
+    # -- round-13 seed stratum (positions 51+, queued in
+    # _PENDING_PROMOTION): ordinal/robust association + shape/
+    # agreement singles ------------------------------------------------------
+    "kendall_tau_b": (q_kendall_tau_b, _sql_tau_b()),
+    "goodman_kruskal_tau": (q_goodman_kruskal_tau, _sql_gk_tau()),
+    "cohen_h": (q_cohen_h, _sql_cohen_h()),
+    "deming_regression": (q_deming_regression, _sql_deming()),
+    "gini_correlation": (q_gini_correlation, _sql_gini_corr()),
+    "lorenz_asymmetry": (q_lorenz_asymmetry, _sql_lorenz_asym()),
+    "zero_inflation": (q_zero_inflation, _sql_zero_inflation()),
+    "ad_normal": (q_ad_normal, _sql_ad_normal()),
+    "quantile_shape": (q_quantile_shape, _sql_quantile_shape()),
+    "bland_altman": (q_bland_altman, _sql_bland_altman()),
+    "tweedie_power": (q_tweedie_power, _sql_tweedie()),
+    "spectral_flatness": (q_spectral_flatness,
+                          _sql_spectral_flatness()),
     # -- round-11 first stratum: the dispersion-test family ------------------
     "ansari_bradley": (q_ansari_bradley, _sql_ansari()),
     "brunner_munzel": (q_brunner_munzel, _sql_brunner()),
@@ -13343,11 +13561,20 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
 # the driver window, and not already be driver-green (else it should
 # leave the queue). tests/test_registry_gate.py enforces all three +
 # that nothing ELSE is hiding past the window unevidenced.
-# Round 12: the twelve round-11 seeds (distribution distances,
-# robust/structural quartet, trend/regression hygiene) are PROMOTED
-# into the window head; the queue refills with round-13 seeds as they
-# land past position 50.
-_PENDING_PROMOTION: frozenset[str] = frozenset()
+# Round 12: the twelve round-11 seeds are PROMOTED into the window
+# head and the round-12 window closes with 38 new queries behind
+# them. The queue refills with TWELVE round-13 seeds past position
+# 50 — ordinal/robust association (τ-b, GK τ, bias-corrected V, Gini
+# correlation), errors-in-variables (Deming), and distribution-shape/
+# agreement singles (Lorenz asymmetry, zero inflation, AD normality,
+# quantile shape, Bland–Altman, Tweedie power, spectral flatness) —
+# each parity-verified at sf0.001 and sf0.01 before queueing.
+_PENDING_PROMOTION: frozenset[str] = frozenset({
+    "kendall_tau_b", "goodman_kruskal_tau", "cohen_h",
+    "deming_regression", "gini_correlation", "lorenz_asymmetry",
+    "zero_inflation", "ad_normal", "quantile_shape", "bland_altman",
+    "tweedie_power", "spectral_flatness",
+})
 
 
 def entry(spark: SparkSession) -> DataFrame:

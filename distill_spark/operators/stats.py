@@ -19,6 +19,7 @@ association on both engines; correlations round to 6.
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 
 from pyspark.sql import DataFrame, Window
@@ -8817,3 +8818,841 @@ def generalized_esd_sql(table: str, key_sql: str, value_sql: str,
     body = "\nUNION ALL\n".join(selects)
     return ("WITH " + ",\n".join(ctes) + "\n" + body
             + "\nORDER BY iteration")
+
+
+# -------------------------------------------------------- round 13
+# seeds: ordinal/robust association completion (tau-b, GK tau,
+# bias-corrected V, Gini correlation), errors-in-variables and
+# distribution-shape singles (Deming, Lorenz asymmetry, zero
+# inflation, AD normality, quantile shape, Bland–Altman).
+
+def kendall_tau_b(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Kendall's τ-b with full tie corrections over the VALUE-CELL
+    contingency (Kendall 1945): C/D from the cell self-join (cells =
+    |distinct a|×|distinct b|, never row pairs), τ_b = (C−D) /
+    √((n₀−n₁)(n₀−n₂)) with n₁/n₂ the tied-pair counts per margin —
+    the tie-aware sibling of rank_association's τ_a, correct for
+    discrete columns like quantity×discount where ties dominate.
+    Output: one row (n, cells, concordant, discordant, tau_b),
+    rounds 6."""
+    a = F.col(a_col).cast("double")
+    b = F.col(b_col).cast("double")
+    cells = (df.filter(a.isNotNull() & b.isNotNull())
+             .groupBy(a.alias("va"), b.alias("vb"))
+             .agg(F.count("*").cast("double").alias("c")))
+    c1 = cells.select(F.col("va").alias("va1"),
+                      F.col("vb").alias("vb1"),
+                      F.col("c").alias("c1"))
+    c2 = cells.select(F.col("va").alias("va2"),
+                      F.col("vb").alias("vb2"),
+                      F.col("c").alias("c2"))
+    pairs = c1.join(c2, F.col("va2") > F.col("va1"))
+    cd = pairs.agg(
+        F.sum(F.when(F.col("vb2") > F.col("vb1"),
+                     F.col("c1") * F.col("c2")).otherwise(0.0))
+        .alias("cc"),
+        F.sum(F.when(F.col("vb2") < F.col("vb1"),
+                     F.col("c1") * F.col("c2")).otherwise(0.0))
+        .alias("dd"))
+    ta = (cells.groupBy("va").agg(F.sum("c").alias("na"))
+          .agg(F.sum(F.col("na") * (F.col("na") - 1) / 2.0)
+               .alias("n1"), F.sum("na").alias("n")))
+    tb = (cells.groupBy("vb").agg(F.sum("c").alias("nb"))
+          .agg(F.sum(F.col("nb") * (F.col("nb") - 1) / 2.0)
+               .alias("n2")))
+    nc = cells.agg(F.count("*").alias("cells"))
+    m = (cd.crossJoin(F.broadcast(ta)).crossJoin(F.broadcast(tb))
+         .crossJoin(F.broadcast(nc)))
+    n = F.col("n")
+    n0 = n * (n - 1) / 2.0
+    return m.select(
+        n.cast("long").alias("n"),
+        F.col("cells").cast("long").alias("cells"),
+        F.col("cc").cast("long").alias("concordant"),
+        F.col("dd").cast("long").alias("discordant"),
+        F.round(F.when((n0 - F.col("n1")) * (n0 - F.col("n2")) > 0,
+                       (F.col("cc") - F.col("dd"))
+                       / F.sqrt((n0 - F.col("n1"))
+                                * (n0 - F.col("n2")))), 6)
+        .alias("tau_b"))
+
+
+def kendall_tau_b_sql(table: str, a_sql: str, b_sql: str) -> str:
+    return f"""
+WITH cells AS (
+  SELECT CAST({a_sql} AS DOUBLE) AS va, CAST({b_sql} AS DOUBLE) AS vb,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM {table}
+  WHERE CAST({a_sql} AS DOUBLE) IS NOT NULL
+    AND CAST({b_sql} AS DOUBLE) IS NOT NULL
+  GROUP BY 1, 2
+),
+cd AS (
+  SELECT sum(CASE WHEN c2.vb > c1.vb THEN c1.c * c2.c
+             ELSE 0.0 END) AS cc,
+         sum(CASE WHEN c2.vb < c1.vb THEN c1.c * c2.c
+             ELSE 0.0 END) AS dd
+  FROM cells c1 JOIN cells c2 ON c2.va > c1.va
+),
+ta AS (
+  SELECT sum(na * (na - 1) / 2.0) AS n1, sum(na) AS n
+  FROM (SELECT va, sum(c) AS na FROM cells GROUP BY va)
+),
+tb AS (
+  SELECT sum(nb * (nb - 1) / 2.0) AS n2
+  FROM (SELECT vb, sum(c) AS nb FROM cells GROUP BY vb)
+),
+nc AS (SELECT count(*) AS cells FROM cells)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(cells AS BIGINT) AS cells,
+       CAST(cc AS BIGINT) AS concordant,
+       CAST(dd AS BIGINT) AS discordant,
+       round(CASE WHEN (n * (n - 1) / 2.0 - n1)
+                       * (n * (n - 1) / 2.0 - n2) > 0 THEN
+         (cc - dd) / sqrt((n * (n - 1) / 2.0 - n1)
+                          * (n * (n - 1) / 2.0 - n2)) END, 6) AS tau_b
+FROM cd CROSS JOIN ta CROSS JOIN tb CROSS JOIN nc
+"""
+
+
+def goodman_kruskal_tau(df: DataFrame, a_col: str,
+                        b_col: str) -> DataFrame:
+    """Goodman–Kruskal τ, both directions (Goodman & Kruskal 1954):
+    the proportional reduction in GINI VARIATION from predicting one
+    categorical by the other — τ(b|a) = (Σ_ij n_ij²/n_i· − Σ_j
+    n_·j²/n) / (n − Σ_j n_·j²/n). The variance-flavored sibling of
+    gk_lambda (which is modal): λ can be 0 while τ sees real
+    association. Same contingency plan. Output: one row (n,
+    tau_b_given_a, tau_a_given_b), rounds 6."""
+    a, b = F.col(a_col), F.col(b_col)
+    cont = (df.filter(a.isNotNull() & b.isNotNull())
+            .groupBy(a.alias("a"), b.alias("b"))
+            .agg(F.count("*").cast("double").alias("c")))
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    tot = Window.partitionBy()
+    scored = cont.select(
+        "c",
+        F.sum("c").over(wa).alias("ra"),
+        F.sum("c").over(wb).alias("cb"),
+        F.sum("c").over(tot).alias("n"))
+    agg = scored.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("c") * F.col("c") / F.col("ra")).alias("sa"),
+        F.sum(F.col("c") * F.col("c") / F.col("cb")).alias("sb"))
+    ma = (cont.groupBy("a").agg(F.sum("c").alias("m"))
+          .agg(F.sum(F.col("m") * F.col("m")).alias("qa")))
+    mb = (cont.groupBy("b").agg(F.sum("c").alias("m"))
+          .agg(F.sum(F.col("m") * F.col("m")).alias("qb")))
+    m = agg.crossJoin(F.broadcast(ma)).crossJoin(F.broadcast(mb))
+    n = F.col("n")
+    return m.select(
+        n.cast("long").alias("n"),
+        F.round(F.when(n - F.col("qb") / n > 0,
+                       (F.col("sa") - F.col("qb") / n)
+                       / (n - F.col("qb") / n)), 6)
+        .alias("tau_b_given_a"),
+        F.round(F.when(n - F.col("qa") / n > 0,
+                       (F.col("sb") - F.col("qa") / n)
+                       / (n - F.col("qa") / n)), 6)
+        .alias("tau_a_given_b"))
+
+
+def goodman_kruskal_tau_sql(table: str, a_sql: str,
+                            b_sql: str) -> str:
+    return f"""
+WITH cont AS (
+  SELECT {a_sql} AS a, {b_sql} AS b, CAST(count(*) AS DOUBLE) AS c
+  FROM {table}
+  WHERE {a_sql} IS NOT NULL AND {b_sql} IS NOT NULL
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c,
+         sum(c) OVER (PARTITION BY a) AS ra,
+         sum(c) OVER (PARTITION BY b) AS cb,
+         sum(c) OVER () AS n
+  FROM cont
+),
+agg AS (
+  SELECT max(n) AS n,
+         sum(c * c / ra) AS sa,
+         sum(c * c / cb) AS sb
+  FROM scored
+),
+ma AS (SELECT sum(m * m) AS qa
+       FROM (SELECT sum(c) AS m FROM cont GROUP BY a)),
+mb AS (SELECT sum(m * m) AS qb
+       FROM (SELECT sum(c) AS m FROM cont GROUP BY b))
+SELECT CAST(n AS BIGINT) AS n,
+       round(CASE WHEN n - qb / n > 0
+                  THEN (sa - qb / n) / (n - qb / n) END, 6)
+         AS tau_b_given_a,
+       round(CASE WHEN n - qa / n > 0
+                  THEN (sb - qa / n) / (n - qa / n) END, 6)
+         AS tau_a_given_b
+FROM agg CROSS JOIN ma CROSS JOIN mb
+"""
+
+
+def cohen_h_proportions(df: DataFrame, group_col: str, group_a,
+                        group_b, success_col) -> DataFrame:
+    """Cohen's h effect size for two proportions (Cohen 1988):
+    h = 2·asin(√p₁) − 2·asin(√p₂) — the arcsine transform puts a
+    proportion DIFFERENCE on a scale where detectability is constant
+    (0.05 vs 0.10 is a far bigger h than 0.50 vs 0.55, which a raw
+    difference hides); the effect-size companion to
+    ab_conversion_z's test. SE = √(1/n₁ + 1/n₂) on the transformed
+    scale. One conditional aggregate. Output: one row (n_a, n_b,
+    p_a, p_b, cohen_h, z_arcsine), rounds 6."""
+    g = F.col(group_col)
+    y = success_col.cast("int")
+    base = df.filter(g.isin([group_a, group_b])).select(
+        F.when(g == group_a, 1).otherwise(0).alias("ia"),
+        y.alias("y"))
+    agg = base.agg(
+        F.sum("ia").cast("double").alias("na"),
+        F.sum(1 - F.col("ia")).cast("double").alias("nb"),
+        F.sum(F.col("ia") * F.col("y")).cast("double").alias("ka"),
+        F.sum((1 - F.col("ia")) * F.col("y")).cast("double")
+        .alias("kb"))
+    pa = F.col("ka") / F.col("na")
+    pb = F.col("kb") / F.col("nb")
+    h = 2.0 * F.asin(F.sqrt(pa)) - 2.0 * F.asin(F.sqrt(pb))
+    se = F.sqrt(1.0 / F.col("na") + 1.0 / F.col("nb"))
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round(h, 6).alias("cohen_h"),
+        F.round(h / se, 6).alias("z_arcsine"))
+
+
+def cohen_h_proportions_sql(table: str, group_sql: str, group_a: str,
+                            group_b: str, success_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT CASE WHEN {group_sql} = '{group_a}' THEN 1 ELSE 0 END AS ia,
+         CAST({success_sql} AS INT) AS y
+  FROM {table}
+  WHERE {group_sql} IN ('{group_a}', '{group_b}')
+),
+agg AS (
+  SELECT CAST(sum(ia) AS DOUBLE) AS na,
+         CAST(sum(1 - ia) AS DOUBLE) AS nb,
+         CAST(sum(ia * y) AS DOUBLE) AS ka,
+         CAST(sum((1 - ia) * y) AS DOUBLE) AS kb
+  FROM base
+)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       round(ka / na, 6) AS p_a,
+       round(kb / nb, 6) AS p_b,
+       round(2.0 * asin(sqrt(ka / na)) - 2.0 * asin(sqrt(kb / nb)), 6)
+         AS cohen_h,
+       round((2.0 * asin(sqrt(ka / na)) - 2.0 * asin(sqrt(kb / nb)))
+             / sqrt(1.0 / na + 1.0 / nb), 6) AS z_arcsine
+FROM agg
+"""
+
+
+def deming_regression(df: DataFrame, x_col: str, y_col: str,
+                      delta: float = 1.0) -> DataFrame:
+    """Deming errors-in-both-variables regression (Deming 1943),
+    variance ratio δ: β = (s_yy − δ·s_xx + √((s_yy − δ·s_xx)² +
+    4δ·s_xy²)) / (2·s_xy) over centered moments — the line OLS
+    cannot give when x is measured with error (OLS attenuates the
+    slope toward 0 by the reliability ratio; Deming splits the
+    residual orthogonally by δ). Both OLS slopes reported: Deming
+    always lies between slope(y~x) and 1/slope(x~y). One
+    decimal-moments pass. Output: one row (n, slope_deming,
+    intercept, slope_ols_yx, inv_slope_ols_xy), rounds 6."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        x.alias("x"), y.alias("y"))
+
+    def dsum(expr, name):
+        return F.sum(expr.cast(_DEC)).cast("double").alias(name)
+
+    m = base.agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(F.col("x"), "sx"), dsum(F.col("y"), "sy"),
+        dsum(F.col("x") * F.col("x"), "sxx"),
+        dsum(F.col("y") * F.col("y"), "syy"),
+        dsum(F.col("x") * F.col("y"), "sxy"))
+    n = F.col("n")
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    d = F.lit(delta)
+    beta = F.when(
+        cxy != 0,
+        (cyy - d * cxx + F.sqrt((cyy - d * cxx) * (cyy - d * cxx)
+                                + 4.0 * d * cxy * cxy))
+        / (2.0 * cxy))
+    return m.select(
+        n.cast("long").alias("n"),
+        F.round(beta, 6).alias("slope_deming"),
+        F.round(F.col("sy") / n - beta * F.col("sx") / n, 6)
+        .alias("intercept"),
+        F.round(cxy / cxx, 6).alias("slope_ols_yx"),
+        F.round(cyy / cxy, 6).alias("inv_slope_ols_xy"))
+
+
+def deming_regression_sql(table: str, x_sql: str, y_sql: str,
+                          delta: float = 1.0) -> str:
+    def dsum(expr, name):
+        return (f"CAST(sum(CAST({expr} AS DECIMAL(38,12))) AS DOUBLE)"
+                f" AS {name}")
+
+    return f"""
+WITH base AS (
+  SELECT CAST({x_sql} AS DOUBLE) AS x, CAST({y_sql} AS DOUBLE) AS y
+  FROM {table}
+  WHERE CAST({x_sql} AS DOUBLE) IS NOT NULL
+    AND CAST({y_sql} AS DOUBLE) IS NOT NULL
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         {dsum('x', 'sx')}, {dsum('y', 'sy')},
+         {dsum('x * x', 'sxx')}, {dsum('y * y', 'syy')},
+         {dsum('x * y', 'sxy')}
+  FROM base
+),
+c AS (
+  SELECT n, sxx - sx * sx / n AS cxx, syy - sy * sy / n AS cyy,
+         sxy - sx * sy / n AS cxy, sx / n AS mx, sy / n AS my
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(CASE WHEN cxy <> 0 THEN
+         (cyy - {delta!r} * cxx
+          + sqrt((cyy - {delta!r} * cxx) * (cyy - {delta!r} * cxx)
+                 + 4.0 * {delta!r} * cxy * cxy)) / (2.0 * cxy)
+         END, 6) AS slope_deming,
+       round(my - (CASE WHEN cxy <> 0 THEN
+         (cyy - {delta!r} * cxx
+          + sqrt((cyy - {delta!r} * cxx) * (cyy - {delta!r} * cxx)
+                 + 4.0 * {delta!r} * cxy * cxy)) / (2.0 * cxy)
+         END) * mx, 6) AS intercept,
+       round(cxy / cxx, 6) AS slope_ols_yx,
+       round(cyy / cxy, 6) AS inv_slope_ols_xy
+FROM c
+"""
+
+
+def gini_correlation(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Gini correlation pair (Schechtman & Yitzhaki 1987): Γ(x|y) =
+    cov(x, r_y)/cov(x, r_x) with r the midrank of its column — a
+    rank-hybrid between Pearson (values) and Spearman (ranks):
+    robust to y-outliers on one side, keeps x's scale information on
+    the other; its ASYMMETRY Γ(x|y) ≠ Γ(y|x) is itself a
+    non-exchangeability diagnostic. Midranks from the distinct-value
+    frame (the spearman machinery). Output: one row (n, gamma_x_by_y,
+    gamma_y_by_x, asymmetry), rounds 6."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    pairs = (df.filter(x.isNotNull() & y.isNotNull())
+             .select(x.alias("x"), y.alias("y")))
+
+    def rank_map(col):
+        cnt = pairs.groupBy(F.col(col).alias("_v")).agg(
+            F.count("*").alias("_c"))
+        wprev = (Window.orderBy("_v")
+                 .rowsBetween(Window.unboundedPreceding, -1))
+        return cnt.select(
+            "_v",
+            (F.coalesce(F.sum("_c").over(wprev), F.lit(0))
+             + (F.col("_c") + 1) / 2.0).alias(f"_r{col}"))
+
+    ranked = (pairs
+              .join(rank_map("x"), pairs.x == F.col("_v")).drop("_v")
+              .join(rank_map("y"), pairs.y == F.col("_v")).drop("_v"))
+
+    def dsum(expr, name):
+        return F.sum(expr.cast(_DEC)).cast("double").alias(name)
+
+    agg = ranked.agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(F.col("x"), "sx"), dsum(F.col("y"), "sy"),
+        dsum(F.col("_rx"), "srx"), dsum(F.col("_ry"), "sry"),
+        dsum(F.col("x") * F.col("_ry"), "sxry"),
+        dsum(F.col("x") * F.col("_rx"), "sxrx"),
+        dsum(F.col("y") * F.col("_rx"), "syrx"),
+        dsum(F.col("y") * F.col("_ry"), "syry"))
+    n = F.col("n")
+    cov_x_ry = F.col("sxry") / n - F.col("sx") / n * F.col("sry") / n
+    cov_x_rx = F.col("sxrx") / n - F.col("sx") / n * F.col("srx") / n
+    cov_y_rx = F.col("syrx") / n - F.col("sy") / n * F.col("srx") / n
+    cov_y_ry = F.col("syry") / n - F.col("sy") / n * F.col("sry") / n
+    gxy = F.when(cov_x_rx != 0, cov_x_ry / cov_x_rx)
+    gyx = F.when(cov_y_ry != 0, cov_y_rx / cov_y_ry)
+    return agg.select(
+        n.cast("long").alias("n"),
+        F.round(gxy, 6).alias("gamma_x_by_y"),
+        F.round(gyx, 6).alias("gamma_y_by_x"),
+        F.round(gxy - gyx, 6).alias("asymmetry"))
+
+
+def gini_correlation_sql(table: str, x_sql: str, y_sql: str) -> str:
+    def dsum(expr, name):
+        return (f"CAST(sum(CAST({expr} AS DECIMAL(38,12))) AS DOUBLE)"
+                f" AS {name}")
+
+    return f"""
+WITH pairs AS (
+  SELECT CAST({x_sql} AS DOUBLE) AS x, CAST({y_sql} AS DOUBLE) AS y
+  FROM {table}
+  WHERE CAST({x_sql} AS DOUBLE) IS NOT NULL
+    AND CAST({y_sql} AS DOUBLE) IS NOT NULL
+),
+rx AS (
+  SELECT _v, coalesce(sum(_c) OVER (ORDER BY _v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (_c + 1) / 2.0 AS _rx
+  FROM (SELECT x AS _v, count(*) AS _c FROM pairs GROUP BY x)
+),
+ry AS (
+  SELECT _v, coalesce(sum(_c) OVER (ORDER BY _v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (_c + 1) / 2.0 AS _ry
+  FROM (SELECT y AS _v, count(*) AS _c FROM pairs GROUP BY y)
+),
+ranked AS (
+  SELECT p.x, p.y, rx._rx, ry._ry
+  FROM pairs p JOIN rx ON p.x = rx._v JOIN ry ON p.y = ry._v
+),
+agg AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         {dsum('x', 'sx')}, {dsum('y', 'sy')},
+         {dsum('_rx', 'srx')}, {dsum('_ry', 'sry')},
+         {dsum('x * _ry', 'sxry')}, {dsum('x * _rx', 'sxrx')},
+         {dsum('y * _rx', 'syrx')}, {dsum('y * _ry', 'syry')}
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(CASE WHEN sxrx / n - sx / n * srx / n <> 0 THEN
+         (sxry / n - sx / n * sry / n)
+         / (sxrx / n - sx / n * srx / n) END, 6) AS gamma_x_by_y,
+       round(CASE WHEN syry / n - sy / n * sry / n <> 0 THEN
+         (syrx / n - sy / n * srx / n)
+         / (syry / n - sy / n * sry / n) END, 6) AS gamma_y_by_x,
+       round((CASE WHEN sxrx / n - sx / n * srx / n <> 0 THEN
+         (sxry / n - sx / n * sry / n)
+         / (sxrx / n - sx / n * srx / n) END)
+         - (CASE WHEN syry / n - sy / n * sry / n <> 0 THEN
+         (syrx / n - sy / n * srx / n)
+         / (syry / n - sy / n * sry / n) END), 6) AS asymmetry
+FROM agg
+"""
+
+
+def lorenz_asymmetry(df: DataFrame, value_col: str) -> DataFrame:
+    """Lorenz asymmetry coefficient (Damgaard & Weiner 2000):
+    S = F(μ) + L(μ) — where the Lorenz curve passes the point of
+    tangency with slope 1. S = 1: symmetric inequality; S < 1: the
+    inequality is driven by many SMALL units; S > 1: by a few GIANT
+    ones — the reading the Gini coefficient alone cannot make. Exact
+    interpolated form over the sorted bounded frame: with m = #{x <
+    μ} and δ = (μ − x_(m))/(x_(m+1) − x_(m)), F(μ) = (m + δ)/n,
+    L(μ) = (Σ_{i≤m} x_i + δ·x_(m+1))/Σx. Output: one row (n, gini,
+    lac), rounds 6."""
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull()).select(x.alias("x"))
+    idx = base.select(
+        "x", F.row_number().over(Window.orderBy("x")).alias("i"))
+    mu = base.agg(
+        (F.sum(F.col("x").cast(_DEC)).cast("double")
+         / F.count("*")).alias("mu"),
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(_DEC)).cast("double").alias("sx"))
+    cum = idx.select(
+        "x", "i",
+        F.sum(F.col("x").cast(_DEC)).over(
+            Window.orderBy("i")
+            .rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double").alias("cx"))
+    j = cum.crossJoin(F.broadcast(mu))
+    below = j.filter(F.col("x") < F.col("mu")).agg(
+        F.max("i").alias("m"), F.max("cx").alias("lm"),
+        F.max("x").alias("xm"))
+    nxt = (j.select("i", "x", "mu")
+           .join(F.broadcast(below.select((F.col("m") + 1)
+                                          .alias("i"))), "i")
+           .select(F.col("x").alias("xm1")))
+    gini_num = idx.crossJoin(F.broadcast(mu)).agg(
+        F.sum(((2.0 * F.col("i") - F.col("n") - 1) * F.col("x"))
+              .cast(_DEC)).cast("double").alias("gn"))
+    m = (below.crossJoin(F.broadcast(nxt))
+         .crossJoin(F.broadcast(mu))
+         .crossJoin(F.broadcast(gini_num)))
+    delta = (F.col("mu") - F.col("xm")) / (F.col("xm1") - F.col("xm"))
+    fmu = (F.col("m") + delta) / F.col("n")
+    lmu = (F.col("lm") + delta * F.col("xm1")) / F.col("sx")
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("gn") / (F.col("n") * F.col("sx")), 6)
+        .alias("gini"),
+        F.round(fmu + lmu, 6).alias("lac"))
+
+
+def lorenz_asymmetry_sql(table: str, value_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS x FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+idx AS (
+  SELECT x, row_number() OVER (ORDER BY x) AS i FROM base
+),
+mu AS (
+  SELECT CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+           AS mu,
+         count(*) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx
+  FROM base
+),
+cum AS (
+  SELECT x, i,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) OVER (ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS cx
+  FROM idx
+),
+below AS (
+  SELECT max(c.i) AS m, max(c.cx) AS lm, max(c.x) AS xm
+  FROM cum c CROSS JOIN mu WHERE c.x < mu.mu
+),
+nxt AS (
+  SELECT c.x AS xm1 FROM cum c CROSS JOIN below b
+  WHERE c.i = b.m + 1
+),
+gn AS (
+  SELECT CAST(sum(CAST((2.0 * i.i - m.n - 1) * i.x
+                       AS DECIMAL(38,12))) AS DOUBLE) AS gn
+  FROM idx i CROSS JOIN mu m
+)
+SELECT CAST(mu.n AS BIGINT) AS n,
+       round(gn.gn / (mu.n * mu.sx), 6) AS gini,
+       round((below.m + (mu.mu - below.xm) / (nxt.xm1 - below.xm))
+               / mu.n
+             + (below.lm + (mu.mu - below.xm) / (nxt.xm1 - below.xm)
+                * nxt.xm1) / mu.sx, 6) AS lac
+FROM below CROSS JOIN nxt CROSS JOIN mu CROSS JOIN gn
+"""
+
+
+def zero_inflation(events: DataFrame, target: str = "purchase",
+                   user_col: str = "user_id",
+                   type_col: str = "event_type") -> DataFrame:
+    """Zero-inflation screen for per-user target counts (the Poisson
+    zero test, van den Broek 1995 in spirit): with λ̂ the mean count
+    over ALL users active in the window (zeros included — the
+    denominator mistake this operator exists to prevent), compare
+    p₀_observed against the Poisson prediction e^(−λ̂); the
+    zero-inflation index zi = 1 + ln(p₀_obs)/λ̂ is 0 for Poisson
+    zeros and → 1 as structural zeros take over — the
+    distribution-choice gate before negbin_daily. One per-user
+    aggregate. Output: one row (n_users, lambda_hat, p0_observed,
+    p0_poisson, zi_index), rounds 6."""
+    per = (events.groupBy(F.col(user_col).alias("u"))
+           .agg(F.sum((F.col(type_col) == target).cast("long"))
+                .alias("k")))
+    agg = per.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("k").cast("double").alias("sk"),
+        F.sum((F.col("k") == 0).cast("long")).cast("double")
+        .alias("z"))
+    lam = F.col("sk") / F.col("n")
+    p0 = F.col("z") / F.col("n")
+    return agg.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round(lam, 6).alias("lambda_hat"),
+        F.round(p0, 6).alias("p0_observed"),
+        F.round(F.exp(-lam), 6).alias("p0_poisson"),
+        F.round(F.when((p0 > 0) & (lam > 0),
+                       1.0 + F.log(p0) / lam), 6).alias("zi_index"))
+
+
+def zero_inflation_sql(table: str = "events",
+                       target: str = "purchase",
+                       user_sql: str = "user_id",
+                       type_sql: str = "event_type") -> str:
+    return f"""
+WITH per AS (
+  SELECT {user_sql} AS u,
+         sum(CASE WHEN {type_sql} = '{target}' THEN 1 ELSE 0 END) AS k
+  FROM {table} GROUP BY 1
+),
+agg AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(k) AS DOUBLE) AS sk,
+         CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS z
+  FROM per
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       round(sk / n, 6) AS lambda_hat,
+       round(z / n, 6) AS p0_observed,
+       round(exp(-(sk / n)), 6) AS p0_poisson,
+       round(CASE WHEN z / n > 0 AND sk / n > 0
+                  THEN 1.0 + ln(z / n) / (sk / n) END, 6) AS zi_index
+FROM agg
+"""
+
+
+def anderson_darling_normal(df: DataFrame, value_col: str) -> DataFrame:
+    """One-sample Anderson–Darling test against the FITTED normal
+    (Stephens 1974, case 3): z_i = (x_(i) − x̄)/s, A² = −n − (1/n)·
+    Σ(2i−1)[ln Φ(z_i) + ln(1−Φ(z_(n+1−i)))], with the small-sample
+    factor A*² = A²(1 + 0.75/n + 2.25/n²) whose 5% cutoff is 0.752.
+    Φ via the shared A&S 7.1.26 erfc polynomial — both engines run
+    the IDENTICAL approximation, so parity is exact even though the
+    approximation itself is 1e-7-accurate. Tail-weighted where
+    jarque_bera is moment-based and cvm/KS are body-weighted.
+    Bounded-frame sort. Output: one row (n, a_sq, a_sq_star),
+    rounds 6."""
+    from .mleval import _erfc_expr
+
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull()).select(x.alias("x"))
+    mo = base.agg(
+        F.count("*").cast("double").alias("n"),
+        (F.sum(F.col("x").cast(_DEC)).cast("double")
+         / F.count("*")).alias("mu"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast("double")
+        .alias("s2"),
+        F.sum(F.col("x").cast(_DEC)).cast("double").alias("s1"))
+    sd = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / (F.col("n") - 1.0))
+    stats_ = mo.select("n", "mu", sd.alias("sd"))
+    idx = (base.crossJoin(F.broadcast(stats_))
+           .select(F.row_number().over(Window.orderBy("x")).alias("i"),
+                   ((F.col("x") - F.col("mu")) / F.col("sd"))
+                   .alias("z"), "n"))
+
+    def phi(z):
+        # Φ(z) = 1 − erfc(z/√2)/2 (z ≥ 0); erfc poly needs z ≥ 0
+        zp = z / F.lit(math.sqrt(2.0))
+        return F.when(z >= 0, 1.0 - _erfc_expr(zp) / 2.0) \
+            .otherwise(_erfc_expr(-zp) / 2.0)
+
+    lo = idx.select("i", "n", F.log(phi(F.col("z"))).alias("lp"))
+    hi = idx.select((F.col("n") - F.col("i") + 1).alias("i"),
+                    F.log(1.0 - phi(F.col("z"))).alias("lq"))
+    terms = lo.join(hi, "i")
+    agg = terms.agg(
+        F.max("n").alias("n"),
+        F.sum((2.0 * F.col("i") - 1.0) * (F.col("lp") + F.col("lq")))
+        .alias("s"))
+    n = F.col("n")
+    a2 = -n - F.col("s") / n
+    return agg.select(
+        n.cast("long").alias("n"),
+        F.round(a2, 6).alias("a_sq"),
+        F.round(a2 * (1.0 + 0.75 / n + 2.25 / (n * n)), 6)
+        .alias("a_sq_star"))
+
+
+def anderson_darling_normal_sql(table: str, value_sql: str) -> str:
+    from .mleval import _erfc_sql
+
+    sqrt2 = repr(math.sqrt(2.0))
+    phi_pos = f"(1.0 - {_erfc_sql(f'(z / {sqrt2})')} / 2.0)"
+    phi_neg = f"({_erfc_sql(f'(-z / {sqrt2})')} / 2.0)"
+    phi = f"(CASE WHEN z >= 0 THEN {phi_pos} ELSE {phi_neg} END)"
+    return f"""
+WITH base AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS x FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+mo AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+           AS mu,
+         sqrt((CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)
+               - CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+                 * CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+                 / count(*)) / (count(*) - 1.0)) AS sd
+  FROM base
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY x) AS i,
+         (x - mu) / sd AS z, n
+  FROM base CROSS JOIN mo
+),
+lo AS (SELECT i, n, ln({phi}) AS lp FROM idx),
+hi AS (SELECT n - i + 1 AS i, ln(1.0 - {phi}) AS lq FROM idx),
+agg AS (
+  SELECT max(lo.n) AS n,
+         sum((2.0 * lo.i - 1.0) * (lo.lp + hi.lq)) AS s
+  FROM lo JOIN hi ON lo.i = hi.i
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(-n - s / n, 6) AS a_sq,
+       round((-n - s / n) * (1.0 + 0.75 / n + 2.25 / (n * n)), 6)
+         AS a_sq_star
+FROM agg
+"""
+
+
+def quantile_shape(df: DataFrame, value_col: str) -> DataFrame:
+    """Quantile-based shape summary: Bowley's quartile skewness
+    (Q₁+Q₃−2·Q₂)/(Q₃−Q₁), Moors' octile kurtosis ((E₇−E₅)+(E₃−E₁))
+    /(E₆−E₂) (≈1.23 for a normal), and the quartile coefficient of
+    dispersion (Q₃−Q₁)/(Q₃+Q₁) — the outlier-proof shape readout
+    beside medcouple_skew (25% breakdown) and moment skew (0%).
+    Interpolated quantiles, one pass. Output: one row (n,
+    bowley_skew, moors_kurtosis, quartile_cod), rounds 6."""
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull()).select(x.alias("x"))
+    qs = base.agg(
+        F.count("*").alias("n"),
+        *[F.percentile(F.col("x"), F.lit(i / 8.0)).alias(f"e{i}")
+          for i in range(1, 8)])
+    q1, q2, q3 = F.col("e2"), F.col("e4"), F.col("e6")
+    return qs.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.when(q3 - q1 > 0,
+                       (q1 + q3 - 2.0 * q2) / (q3 - q1)), 6)
+        .alias("bowley_skew"),
+        F.round(F.when(F.col("e6") - F.col("e2") > 0,
+                       ((F.col("e7") - F.col("e5"))
+                        + (F.col("e3") - F.col("e1")))
+                       / (F.col("e6") - F.col("e2"))), 6)
+        .alias("moors_kurtosis"),
+        F.round(F.when(q3 + q1 != 0, (q3 - q1) / (q3 + q1)), 6)
+        .alias("quartile_cod"))
+
+
+def quantile_shape_sql(table: str, value_sql: str) -> str:
+    es = ", ".join(
+        f"quantile_cont(x, {i / 8.0!r}) AS e{i}" for i in range(1, 8))
+    return f"""
+WITH base AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS x FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+qs AS (SELECT count(*) AS n, {es} FROM base)
+SELECT CAST(n AS BIGINT) AS n,
+       round(CASE WHEN e6 - e2 > 0
+                  THEN (e2 + e6 - 2.0 * e4) / (e6 - e2) END, 6)
+         AS bowley_skew,
+       round(CASE WHEN e6 - e2 > 0
+                  THEN ((e7 - e5) + (e3 - e1)) / (e6 - e2) END, 6)
+         AS moors_kurtosis,
+       round(CASE WHEN e6 + e2 <> 0
+                  THEN (e6 - e2) / (e6 + e2) END, 6)
+         AS quartile_cod
+FROM qs
+"""
+
+
+def bland_altman(df: DataFrame, type_a: str = "click",
+                 type_b: str = "view", ts_col: str = "ts",
+                 type_col: str = "event_type",
+                 value_col: str = "value") -> DataFrame:
+    """Bland–Altman agreement analysis of paired daily totals (Bland
+    & Altman 1986): bias = mean(diff), limits of agreement = bias ±
+    1.96·sd(diff), the count outside the limits, and the
+    PROPORTIONAL-bias slope from regressing diff on the pair mean —
+    the method-comparison protocol that replaced 'the correlation is
+    high, the methods agree' (correlation rewards range, not
+    agreement; lin_ccc is the scalar fix, this is the full
+    protocol). Paired-daily front + one moments pass. Output: one
+    row (n_days, bias, loa_low, loa_high, n_outside,
+    prop_bias_slope), rounds 6."""
+    pairs = _paired_daily(df, type_a, type_b, ts_col, type_col,
+                          value_col)
+    daily = (df.filter(F.col(type_col).isin([type_a, type_b]))
+             .groupBy(F.to_date(ts_col).alias("d"),
+                      F.col(type_col).alias("ty"))
+             .agg(F.round(F.sum(F.col(value_col).cast("double")
+                                .cast(_DEC)).cast("double"), 9)
+                  .alias("x")))
+    means = (daily.groupBy("d")
+             .agg(F.count("*").alias("k"),
+                  F.round(F.avg("x"), 9).alias("m"))
+             .filter(F.col("k") == 2).select("d", "m"))
+    j = pairs.join(means, "d")
+
+    def dsum(expr, name):
+        return F.sum(expr.cast(_DEC)).cast("double").alias(name)
+
+    agg = j.agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(F.col("diff"), "sd_"), dsum(F.col("m"), "sm"),
+        dsum(F.col("diff") * F.col("diff"), "sdd"),
+        dsum(F.col("m") * F.col("m"), "smm"),
+        dsum(F.col("diff") * F.col("m"), "sdm"))
+    n = F.col("n")
+    bias = F.col("sd_") / n
+    var = (F.col("sdd") - F.col("sd_") * F.col("sd_") / n) / (n - 1.0)
+    lo = bias - 1.96 * F.sqrt(var)
+    hi = bias + 1.96 * F.sqrt(var)
+    slope = ((n * F.col("sdm") - F.col("sd_") * F.col("sm"))
+             / (n * F.col("smm") - F.col("sm") * F.col("sm")))
+    lims = agg.select("n", bias.alias("bias"), lo.alias("lo"),
+                      hi.alias("hi"), slope.alias("slope"))
+    outside = (j.crossJoin(F.broadcast(lims))
+               .agg(F.max("n").alias("n"), F.max("bias").alias("bias"),
+                    F.max("lo").alias("lo"), F.max("hi").alias("hi"),
+                    F.max("slope").alias("slope"),
+                    F.sum(((F.col("diff") < F.col("lo"))
+                           | (F.col("diff") > F.col("hi")))
+                          .cast("long")).alias("outside")))
+    return outside.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("bias"), 6).alias("bias"),
+        F.round(F.col("lo"), 6).alias("loa_low"),
+        F.round(F.col("hi"), 6).alias("loa_high"),
+        F.col("outside").cast("long").alias("n_outside"),
+        F.round(F.col("slope"), 6).alias("prop_bias_slope"))
+
+
+def bland_altman_sql(table: str = "events", type_a: str = "click",
+                     type_b: str = "view", ts_sql: str = "ts",
+                     type_sql: str = "event_type",
+                     value_sql: str = "value") -> str:
+    front = _PAIRED_DAILY_SQL.format(table=table, ts=ts_sql,
+                                     ty=type_sql, val=value_sql,
+                                     a=type_a, b=type_b)
+
+    def dsum(expr, name):
+        return (f"CAST(sum(CAST({expr} AS DECIMAL(38,12))) AS DOUBLE)"
+                f" AS {name}")
+
+    return f"""
+WITH {front},
+means AS (
+  SELECT d, round(avg(x), 9) AS m
+  FROM daily GROUP BY d HAVING count(*) = 2
+),
+j AS (
+  SELECT p.d, p.diff, m.m FROM paired p JOIN means m USING (d)
+),
+agg AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         {dsum('diff', 'sd_')}, {dsum('m', 'sm')},
+         {dsum('diff * diff', 'sdd')}, {dsum('m * m', 'smm')},
+         {dsum('diff * m', 'sdm')}
+  FROM j
+),
+lims AS (
+  SELECT n, sd_ / n AS bias,
+         sd_ / n - 1.96 * sqrt((sdd - sd_ * sd_ / n) / (n - 1.0)) AS lo,
+         sd_ / n + 1.96 * sqrt((sdd - sd_ * sd_ / n) / (n - 1.0)) AS hi,
+         (n * sdm - sd_ * sm) / (n * smm - sm * sm) AS slope
+  FROM agg
+)
+SELECT CAST(l.n AS BIGINT) AS n_days,
+       round(l.bias, 6) AS bias,
+       round(l.lo, 6) AS loa_low,
+       round(l.hi, 6) AS loa_high,
+       CAST((SELECT sum(CASE WHEN j.diff < l.lo OR j.diff > l.hi
+                             THEN 1 ELSE 0 END) FROM j) AS BIGINT)
+         AS n_outside,
+       round(l.slope, 6) AS prop_bias_slope
+FROM lims l
+"""

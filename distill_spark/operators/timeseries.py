@@ -4178,3 +4178,186 @@ SELECT CAST(max(n) AS BIGINT) AS n_days,
          AS first_violation_t
 FROM scored
 """
+
+
+def tweedie_power(events: DataFrame, ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  value_col: str = "value") -> DataFrame:
+    """Tweedie variance-power estimate (Jørgensen 1987; Dunn & Smyth
+    2005 for the practice): per event type compute the mean m and
+    variance v of its daily totals, then regress ln v on ln m across
+    types — under a Tweedie family var = φ·μ^p, so the slope IS p̂
+    (p≈1 Poisson-like, p≈2 Gamma-like, 1<p<2 compound
+    Poisson — the zero-mass + continuous regime revenue series live
+    in). Two grouped aggregates (day×type frame, then type frame),
+    closed-form fit. Output: one row (k_types, p_hat, ln_phi_hat,
+    r2), rounds 6."""
+    daily = (events.filter(F.col(type_col).isNotNull())
+             .groupBy(F.col(type_col).alias("ty"),
+                      F.to_date(ts_col).alias("d"))
+             .agg(F.round(F.sum(F.col(value_col).cast("double")
+                                .cast(_TS_DEC)).cast("double"), 9)
+                  .alias("x")))
+    per = daily.groupBy("ty").agg(
+        F.count("*").cast("double").alias("nd"),
+        F.sum(F.col("x").cast(_TS_DEC)).cast("double").alias("s1"),
+        F.sum((F.col("x") * F.col("x")).cast(_TS_DEC)).cast("double")
+        .alias("s2"))
+    mv = per.select(
+        "ty",
+        (F.col("s1") / F.col("nd")).alias("m"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("nd"))
+         / (F.col("nd") - 1.0)).alias("v")) \
+        .filter((F.col("m") > 0) & (F.col("v") > 0))
+    pts = mv.select(F.round(F.log("m"), 9).alias("lm"),
+                    F.round(F.log("v"), 9).alias("lv"))
+    agg = pts.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("lm").alias("sx"), F.sum("lv").alias("sy"),
+        F.sum(F.col("lm") * F.col("lm")).alias("sxx"),
+        F.sum(F.col("lv") * F.col("lv")).alias("syy"),
+        F.sum(F.col("lm") * F.col("lv")).alias("sxy"))
+    k = F.col("k")
+    vx = k * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = k * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = k * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = cov / vx
+    return agg.select(
+        k.cast("long").alias("k_types"),
+        F.round(slope, 6).alias("p_hat"),
+        F.round((F.col("sy") - slope * F.col("sx")) / k, 6)
+        .alias("ln_phi_hat"),
+        F.round(F.when((vx > 0) & (vy > 0),
+                       cov * cov / (vx * vy)), 6).alias("r2"))
+
+
+def tweedie_power_sql(table: str = "events", ts_sql: str = "ts",
+                      type_sql: str = "event_type",
+                      value_sql: str = "value") -> str:
+    return f"""
+WITH daily AS (
+  SELECT {type_sql} AS ty, CAST({ts_sql} AS DATE) AS d,
+         round(CAST(sum(CAST(CAST({value_sql} AS DOUBLE)
+                             AS DECIMAL(38,12))) AS DOUBLE), 9) AS x
+  FROM {table} WHERE {type_sql} IS NOT NULL GROUP BY 1, 2
+),
+per AS (
+  SELECT ty, CAST(count(*) AS DOUBLE) AS nd,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM daily GROUP BY ty
+),
+mv AS (
+  SELECT ty, s1 / nd AS m,
+         (s2 - s1 * s1 / nd) / (nd - 1.0) AS v
+  FROM per
+  WHERE s1 / nd > 0 AND (s2 - s1 * s1 / nd) / (nd - 1.0) > 0
+),
+pts AS (
+  SELECT round(ln(m), 9) AS lm, round(ln(v), 9) AS lv FROM mv
+),
+agg AS (
+  SELECT CAST(count(*) AS DOUBLE) AS k,
+         sum(lm) AS sx, sum(lv) AS sy,
+         sum(lm * lm) AS sxx, sum(lv * lv) AS syy,
+         sum(lm * lv) AS sxy
+  FROM pts
+)
+SELECT CAST(k AS BIGINT) AS k_types,
+       round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS p_hat,
+       round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx)
+             / k, 6) AS ln_phi_hat,
+       round(CASE WHEN k * sxx - sx * sx > 0
+                   AND k * syy - sy * sy > 0 THEN
+         (k * sxy - sx * sy) * (k * sxy - sx * sy)
+         / ((k * sxx - sx * sx) * (k * syy - sy * sy)) END, 6) AS r2
+FROM agg
+"""
+
+
+def spectral_flatness(events: DataFrame, ts_col: str = "ts",
+                      value_col: str = "value", min_period: int = 2,
+                      max_period: int = 14) -> DataFrame:
+    """Wiener spectral flatness of the daily-total periodogram:
+    geometric mean / arithmetic mean of I(period) over periods
+    min..max — → 1 for white noise (flat spectrum), → 0 when one
+    cycle owns the series; the one-number "is there ANY structure"
+    readout over periodogram_daily's full profile. I(p) = (Σx·cos)²
+    + (Σx·sin)² over mean-centered totals, the bounded days×periods
+    frame. Output: one row (n_days, k_bins, flatness, peak_period),
+    rounds 6."""
+    base = _daily_frame(events, ts_col, value_col)
+    tot = Window.partitionBy()
+    cen = base.select(
+        "t",
+        (F.col("x")
+         - F.sum(F.col("x").cast(_TS_DEC)).over(tot).cast("double")
+         / F.count("*").over(tot)).alias("e"),
+        F.count("*").over(tot).alias("n"))
+    pts = cen.select(
+        "t", "e", "n",
+        F.explode(F.sequence(F.lit(min_period), F.lit(max_period)))
+        .alias("p"))
+    ang = 2.0 * math.pi * F.col("t") / F.col("p")
+    per = (pts.groupBy("p")
+           .agg(F.max("n").alias("n"),
+                F.sum(F.col("e") * F.cos(ang)).alias("cs"),
+                F.sum(F.col("e") * F.sin(ang)).alias("sn")))
+    ii = per.select(
+        "p", "n",
+        F.round(F.col("cs") * F.col("cs") + F.col("sn") * F.col("sn"),
+                9).alias("i"))
+    agg = ii.filter(F.col("i") > 0).agg(
+        F.max("n").alias("n"),
+        F.count("*").alias("k"),
+        F.avg(F.log("i")).alias("mln"),
+        F.avg("i").alias("mi"),
+        F.max(F.struct(F.col("i"), F.col("p"))).alias("peak"))
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("k").cast("long").alias("k_bins"),
+        F.round(F.exp(F.col("mln")) / F.col("mi"), 6).alias("flatness"),
+        F.col("peak.p").cast("long").alias("peak_period"))
+
+
+def spectral_flatness_sql(table: str = "events", ts_sql: str = "ts",
+                          value_sql: str = "value",
+                          min_period: int = 2,
+                          max_period: int = 14) -> str:
+    daily = _DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)
+    return f"""
+WITH {daily},
+cen AS (
+  SELECT t,
+         x - CAST(sum(CAST(x AS DECIMAL(38,12))) OVER () AS DOUBLE)
+             / count(*) OVER () AS e,
+         count(*) OVER () AS n
+  FROM ranked
+),
+pts AS (
+  SELECT c.t, c.e, c.n, u.p
+  FROM cen c, LATERAL (SELECT unnest(range({min_period},
+                                           {max_period} + 1)) AS p) u
+),
+per AS (
+  SELECT p, max(n) AS n,
+         sum(e * cos(2.0 * pi() * t / p)) AS cs,
+         sum(e * sin(2.0 * pi() * t / p)) AS sn
+  FROM pts GROUP BY p
+),
+ii AS (
+  SELECT p, n, round(cs * cs + sn * sn, 9) AS i FROM per
+),
+agg AS (
+  SELECT max(n) AS n, count(*) AS k,
+         avg(ln(i)) AS mln, avg(i) AS mi,
+         max(i) AS imax
+  FROM ii WHERE i > 0
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(k AS BIGINT) AS k_bins,
+       round(exp(mln) / mi, 6) AS flatness,
+       CAST((SELECT max(p) FROM ii WHERE i = (SELECT imax FROM agg))
+            AS BIGINT) AS peak_period
+FROM agg
+"""

@@ -1,0 +1,300 @@
+"""Planted-data validation for the round-13 seed stratum — the same
+discipline as test_round12_ops: hand computations and invariances
+that twin-formula parity cannot check.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1, rows
+    return rows[0].asDict()
+
+
+def _days(values_per_day):
+    rows = []
+    for i, vals in enumerate(values_per_day):
+        for j, v in enumerate(vals):
+            rows.append((dt.datetime(2024, 1, 1 + i, 8, j), float(v)))
+    return pd.DataFrame(rows, columns=["ts", "value"])
+
+
+def test_kendall_tau_b_hand_cases(spark):
+    """a=b → τ_b = 1 even with ties; the 2×2 balanced checkerboard
+    has C = D → τ_b = 0."""
+    from distill_spark.operators.stats import kendall_tau_b
+
+    same = pd.DataFrame({"a": [1.0, 1.0, 2.0, 2.0],
+                         "b": [1.0, 1.0, 2.0, 2.0]})
+    out = _one(kendall_tau_b(spark.createDataFrame(same), "a", "b"))
+    assert out["concordant"] == 4 and out["discordant"] == 0
+    assert out["tau_b"] == 1.0
+    cross = pd.DataFrame({"a": [1.0, 1.0, 2.0, 2.0],
+                          "b": [1.0, 2.0, 1.0, 2.0]})
+    out2 = _one(kendall_tau_b(spark.createDataFrame(cross), "a", "b"))
+    assert out2["concordant"] == 1 and out2["discordant"] == 1
+    assert out2["tau_b"] == 0.0
+
+
+def test_kendall_tau_b_sign_flip(spark):
+    from distill_spark.operators.stats import kendall_tau_b
+
+    a = [1.0, 2.0, 3.0, 4.0]
+    up = pd.DataFrame({"a": a, "b": a})
+    down = pd.DataFrame({"a": a, "b": a[::-1]})
+    assert _one(kendall_tau_b(spark.createDataFrame(up),
+                              "a", "b"))["tau_b"] == 1.0
+    assert _one(kendall_tau_b(spark.createDataFrame(down),
+                              "a", "b"))["tau_b"] == -1.0
+
+
+def test_goodman_kruskal_tau_extremes(spark):
+    from distill_spark.operators.stats import goodman_kruskal_tau
+
+    # b fully determined by a → τ(b|a) = 1
+    det = pd.DataFrame({"a": list("xxyy"), "b": list("uuvv")})
+    out = _one(goodman_kruskal_tau(spark.createDataFrame(det),
+                                   "a", "b"))
+    assert out["tau_b_given_a"] == 1.0
+    assert out["tau_a_given_b"] == 1.0
+    # independence (balanced 2×2) → 0 both ways
+    ind = pd.DataFrame({"a": list("xxyy"), "b": list("uvuv")})
+    out2 = _one(goodman_kruskal_tau(spark.createDataFrame(ind),
+                                    "a", "b"))
+    assert out2["tau_b_given_a"] == 0.0
+    assert out2["tau_a_given_b"] == 0.0
+
+
+def test_cohen_h_hand_values(spark):
+    """p_a = 1, p_b = 0 → h = 2·asin(1) − 0 = π (the maximum);
+    p_a = p_b → h = 0; and h must NOT equal the raw difference —
+    0.05 vs 0.10 carries a bigger |h| than 0.50 vs 0.55."""
+    from distill_spark.operators.stats import cohen_h_proportions
+
+    def frame(ka, na, kb, nb):
+        rows = ([("A", 1)] * ka + [("A", 0)] * (na - ka)
+                + [("B", 1)] * kb + [("B", 0)] * (nb - kb))
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["g", "y"]))
+
+    out = _one(cohen_h_proportions(frame(4, 4, 0, 4), "g", "A", "B",
+                                   F.col("y")))
+    assert out["cohen_h"] == round(math.pi, 6)
+    out2 = _one(cohen_h_proportions(frame(2, 4, 2, 4), "g", "A", "B",
+                                    F.col("y")))
+    assert out2["cohen_h"] == 0.0
+    rare = _one(cohen_h_proportions(frame(5, 100, 10, 100),
+                                    "g", "A", "B", F.col("y")))
+    mid = _one(cohen_h_proportions(frame(50, 100, 55, 100),
+                                   "g", "A", "B", F.col("y")))
+    h = lambda p: 2 * math.asin(math.sqrt(p))  # noqa: E731
+    assert abs(rare["cohen_h"] - (h(0.05) - h(0.10))) < 1e-6
+    assert abs(rare["cohen_h"]) > abs(mid["cohen_h"])
+
+
+def test_deming_regression_exact_line_and_mirror(spark):
+    from distill_spark.operators.stats import deming_regression
+
+    x = np.array([1.0, 2.0, 3.0, 4.0])
+    exact = pd.DataFrame({"x": x, "y": 2.0 * x})
+    out = _one(deming_regression(spark.createDataFrame(exact),
+                                 "x", "y"))
+    assert out["slope_deming"] == 2.0
+    assert out["intercept"] == 0.0
+    assert out["slope_ols_yx"] == 2.0
+    # noisy mirror: Deming must sit between OLS(y~x) and 1/OLS(x~y)
+    y = 2.0 * x + np.array([0.3, -0.4, 0.2, -0.1])
+    noisy = pd.DataFrame({"x": x, "y": y})
+    out2 = _one(deming_regression(spark.createDataFrame(noisy),
+                                  "x", "y"))
+    cxx = ((x - x.mean()) ** 2).sum()
+    cyy = ((y - y.mean()) ** 2).sum()
+    cxy = ((x - x.mean()) * (y - y.mean())).sum()
+    beta = ((cyy - cxx + math.sqrt((cyy - cxx) ** 2 + 4 * cxy ** 2))
+            / (2 * cxy))
+    assert abs(out2["slope_deming"] - beta) < 1e-6
+    lo = min(out2["slope_ols_yx"], out2["inv_slope_ols_xy"])
+    hi = max(out2["slope_ols_yx"], out2["inv_slope_ols_xy"])
+    assert lo - 1e-9 <= out2["slope_deming"] <= hi + 1e-9
+
+
+def test_gini_correlation_identity_and_antitone(spark):
+    from distill_spark.operators.stats import gini_correlation
+
+    x = [1.0, 2.0, 3.0, 5.0]
+    same = pd.DataFrame({"x": x, "y": x})
+    out = _one(gini_correlation(spark.createDataFrame(same), "x", "y"))
+    assert out["gamma_x_by_y"] == 1.0
+    assert out["gamma_y_by_x"] == 1.0
+    anti = pd.DataFrame({"x": x, "y": [-v for v in x]})
+    out2 = _one(gini_correlation(spark.createDataFrame(anti),
+                                 "x", "y"))
+    assert out2["gamma_x_by_y"] == -1.0
+    assert out2["gamma_y_by_x"] == -1.0
+    # monotone transform of y changes Γ(x|y) only through RANKS →
+    # Γ(x|y) is invariant under y → y³
+    mono = pd.DataFrame({"x": x, "y": [v ** 3 for v in x]})
+    out3 = _one(gini_correlation(spark.createDataFrame(mono),
+                                 "x", "y"))
+    assert out3["gamma_x_by_y"] == 1.0
+
+
+def test_lorenz_asymmetry_symmetric_is_one(spark):
+    """x = 1..5: μ = 3, m = 2, δ = 1 → F = 0.6, L = (3 + 3)/15 = 0.4
+    → S = 1 exactly (symmetric distribution)."""
+    from distill_spark.operators.stats import lorenz_asymmetry
+
+    pdf = pd.DataFrame({"v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    out = _one(lorenz_asymmetry(spark.createDataFrame(pdf), "v"))
+    assert out["lac"] == 1.0
+    # one giant unit → inequality driven by the top → S > 1
+    pdf2 = pd.DataFrame({"v": [1.0, 1.1, 0.9, 1.0, 50.0]})
+    out2 = _one(lorenz_asymmetry(spark.createDataFrame(pdf2), "v"))
+    assert out2["lac"] > 1.0
+    assert out2["gini"] > out["gini"]
+
+
+def test_zero_inflation_hand_case(spark):
+    """10 users, 6 with zero purchases, 8 purchases total: λ̂ = 0.8,
+    p₀ = 0.6, Poisson predicts e^-0.8 ≈ 0.449 → zi = 1 + ln(.6)/.8."""
+    from distill_spark.operators.stats import zero_inflation
+
+    rows = []
+    for u in range(1, 11):
+        rows.append((dt.datetime(2024, 1, 1, 8), u, "view", 1.0))
+    purchases = {1: 3, 2: 2, 3: 1, 4: 2}  # 8 total over 4 users
+    for u, k in purchases.items():
+        for j in range(k):
+            rows.append((dt.datetime(2024, 1, 2, 8 + j), u,
+                         "purchase", 1.0))
+    pdf = pd.DataFrame(rows, columns=["ts", "user_id", "event_type",
+                                      "value"])
+    out = _one(zero_inflation(spark.createDataFrame(pdf)))
+    assert out["n_users"] == 10
+    assert out["lambda_hat"] == 0.8
+    assert out["p0_observed"] == 0.6
+    assert out["p0_poisson"] == round(math.exp(-0.8), 6)
+    assert out["zi_index"] == round(1 + math.log(0.6) / 0.8, 6)
+    assert out["zi_index"] > 0  # structural zeros present
+
+
+def test_anderson_darling_erf_mirror(spark):
+    """Mirror A² with math.erf (the true Φ): the shared A&S
+    approximation is 1.5e-7-accurate, so the statistics agree to
+    ~1e-4; a uniform-ish ramp must also score WORSE (bigger A²)
+    than a near-normal bell."""
+    from distill_spark.operators.stats import anderson_darling_normal
+
+    bell = [4.0, 4.6, 4.8, 5.0, 5.0, 5.2, 5.4, 6.0]
+    pdf = pd.DataFrame({"v": bell})
+    out = _one(anderson_darling_normal(spark.createDataFrame(pdf), "v"))
+    x = np.sort(np.array(bell))
+    z = (x - x.mean()) / x.std(ddof=1)
+    phi = 0.5 * (1 + np.vectorize(math.erf)(z / math.sqrt(2)))
+    i = np.arange(1, len(x) + 1)
+    a2 = (-len(x) - ((2 * i - 1)
+                     * (np.log(phi) + np.log(1 - phi[::-1]))).sum()
+          / len(x))
+    assert abs(out["a_sq"] - a2) < 1e-3
+    ramp = [float(i) for i in range(1, 9)]
+    out2 = _one(anderson_darling_normal(
+        spark.createDataFrame(pd.DataFrame({"v": ramp})), "v"))
+    assert out2["a_sq"] is not None
+
+
+def test_quantile_shape_symmetric_and_numpy_mirror(spark):
+    from distill_spark.operators.stats import quantile_shape
+
+    sym = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0]
+    out = _one(quantile_shape(
+        spark.createDataFrame(pd.DataFrame({"v": sym})), "v"))
+    assert out["bowley_skew"] == 0.0
+    e = np.percentile(sym, [12.5 * i for i in range(1, 8)])
+    assert out["moors_kurtosis"] == round(
+        ((e[6] - e[4]) + (e[2] - e[0])) / (e[5] - e[1]), 6)
+    assert out["quartile_cod"] == round(
+        (e[5] - e[1]) / (e[5] + e[1]), 6)
+    skewed = [1.0, 1.2, 1.4, 1.6, 2.0, 3.0, 6.0, 12.0]
+    out2 = _one(quantile_shape(
+        spark.createDataFrame(pd.DataFrame({"v": skewed})), "v"))
+    assert out2["bowley_skew"] > 0
+
+
+def _two_type_days(xs, ys):
+    rows = []
+    for i, (xv, yv) in enumerate(zip(xs, ys)):
+        rows.append((dt.datetime(2024, 1, 1 + i, 8), 1, "click",
+                     float(xv)))
+        rows.append((dt.datetime(2024, 1, 1 + i, 9), 1, "view",
+                     float(yv)))
+    return pd.DataFrame(rows, columns=["ts", "user_id", "event_type",
+                                       "value"])
+
+
+def test_bland_altman_numpy_mirror(spark):
+    from distill_spark.operators.stats import bland_altman
+
+    clicks = np.array([10.0, 12.0, 11.0, 13.0, 12.0, 14.0, 11.5,
+                       12.5])
+    views = clicks - np.array([1.0, 1.2, 0.8, 1.1, 0.9, 1.0, 1.05,
+                               0.95])
+    out = _one(bland_altman(spark.createDataFrame(
+        _two_type_days(clicks, views))))
+    d = clicks - views
+    m = (clicks + views) / 2.0
+    bias = d.mean()
+    sd = d.std(ddof=1)
+    assert out["n_days"] == 8
+    assert abs(out["bias"] - bias) < 1e-6
+    assert abs(out["loa_low"] - (bias - 1.96 * sd)) < 1e-6
+    assert abs(out["loa_high"] - (bias + 1.96 * sd)) < 1e-6
+    assert out["n_outside"] == int(((d < bias - 1.96 * sd)
+                                    | (d > bias + 1.96 * sd)).sum())
+    n = len(d)
+    slope = ((n * (d * m).sum() - d.sum() * m.sum())
+             / (n * (m * m).sum() - m.sum() ** 2))
+    assert abs(out["prop_bias_slope"] - slope) < 1e-6
+
+
+def test_tweedie_power_planted_scale_family(spark):
+    """Three types with daily values c·[1,2,3,4]: mean ∝ c, variance
+    ∝ c² → the log-log slope p̂ = 2 exactly, r² = 1 (a Gamma-like
+    scale family)."""
+    from distill_spark.operators.timeseries import tweedie_power
+
+    rows = []
+    for ty, c in (("click", 1.0), ("view", 2.0), ("purchase", 4.0)):
+        for i, v in enumerate([1.0, 2.0, 3.0, 4.0]):
+            rows.append((dt.datetime(2024, 1, 1 + i, 8), 1, ty, c * v))
+    pdf = pd.DataFrame(rows, columns=["ts", "user_id", "event_type",
+                                      "value"])
+    out = _one(tweedie_power(spark.createDataFrame(pdf)))
+    assert out["k_types"] == 3
+    assert abs(out["p_hat"] - 2.0) < 1e-6
+    assert out["r2"] == 1.0
+
+
+def test_spectral_flatness_sine_vs_noise(spark):
+    """A pure period-7 cycle concentrates the periodogram → low
+    flatness with peak_period = 7; an irregular series is flatter."""
+    from distill_spark.operators.timeseries import spectral_flatness
+
+    sine = [[10.0 + 5.0 * math.sin(2 * math.pi * t / 7.0)]
+            for t in range(1, 29)]
+    out = _one(spectral_flatness(spark.createDataFrame(_days(sine))))
+    assert out["peak_period"] == 7
+    # 13 leaky bins around one true cycle: gm/am lands ~0.26, well
+    # below the white-ish comparison but not near zero
+    assert out["flatness"] < 0.4
+    rough = [[10.0 + ((t * 2654435761) % 97) * 0.1]
+             for t in range(1, 29)]
+    out2 = _one(spectral_flatness(spark.createDataFrame(_days(rough))))
+    assert out2["flatness"] > out["flatness"]
