@@ -281,9 +281,11 @@ def _sf1_section(spark, sf_dir):
         if base_probe:
             ratio = round(probe_now / base_probe, 3)
             out["speed_ratio"] = ratio
+            div = min(max(ratio, 1.0), _PROBE_RATIO_CAP)
+            out["speed_ratio_divisor_capped"] = div
             out["flagged_noise_adjusted"] = sorted(
                 n for n, t in timings.items()
-                if n in base and t / max(ratio, 1.0) > 1.3 * base[n])
+                if n in base and t / div > 1.3 * base[n])
     if os.environ.get("SPARK_GRAFT_BENCH_WRITE_SF1_BASELINE") == "1":
         with open(base_path, "w") as fh:
             json.dump({"queries": timings, "reps": reps,
@@ -304,6 +306,16 @@ def _loadavg() -> list[float]:
     except Exception:  # noqa: BLE001 — non-Linux fallback
         return [os.getloadavg()[i] for i in range(3)] \
             if hasattr(os, "getloadavg") else [0.0, 0.0, 0.0]
+
+
+# Round-12 (verdict ask #4): the speed-normalized companions divide
+# Spark wall-clock by the probe ratio — attribution evidence, not
+# proof. tools/calibrate_probe.py measures the transfer (planted CPU
+# load: the single-core probe loses its WHOLE core while 32-thread
+# Spark loses proportionally less, so the raw ratio over-forgives);
+# the divisor is capped so a sick-host window can never excuse more
+# than a 1.5x real regression. Evidence: PROBE_CALIBRATION.json.
+_PROBE_RATIO_CAP = 1.5
 
 
 def _speed_probe() -> float:
@@ -612,7 +624,9 @@ def main():
             if base_probe:
                 ratio = round(noise.pre_probe_ms / base_probe, 3)
                 conc_section["speed_ratio"] = ratio
-                adj = round(min(conc_totals) / max(ratio, 1.0), 3)
+                div = min(max(ratio, 1.0), _PROBE_RATIO_CAP)
+                conc_section["speed_ratio_divisor_capped"] = div
+                adj = round(min(conc_totals) / div, 3)
                 conc_section["noise_adjusted_min"] = adj
                 conc_section["flagged_noise_adjusted"] = \
                     adj > 1.3 * base_min
