@@ -295,3 +295,145 @@ def test_mannwhitney_average_rank_tie_hand_case(spark):
                         "value": [1.0, 2.0, 2.0, 3.0]})
     out = _one(mannwhitney_u(spark.createDataFrame(pdf), "g", "a", "b"))
     assert out["u_a"] == 0.5
+
+
+# ------------------------------------------- second batch: fits/variance
+
+
+def test_bartlett_zero_for_equal_variances(spark):
+    """Identical group distributions → pooled = per-group s² →
+    χ² = 0 exactly."""
+    from distill_spark.operators.stats import bartlett_variance
+
+    rows = [(g, v) for g in ("a", "b", "c")
+            for v in (1.0, 2.0, 3.0, 4.0)]
+    pdf = pd.DataFrame(rows, columns=["event_type", "value"])
+    out = _one(bartlett_variance(spark.createDataFrame(pdf)))
+    assert out["k"] == 3 and out["chi2"] == 0.0
+
+
+def test_bartlett_numpy_mirror_unequal(spark):
+    from distill_spark.operators.stats import bartlett_variance
+
+    groups = {"a": [1.0, 2.0, 3.0, 4.0], "b": [10.0, 20.0, 30.0],
+              "c": [1.0, 1.1, 0.9, 1.0, 1.05]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    out = _one(bartlett_variance(spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_type", "value"]))))
+    ss = {g: np.array(v) for g, v in groups.items()}
+    ni = {g: len(v) for g, v in ss.items()}
+    s2 = {g: v.var(ddof=1) for g, v in ss.items()}
+    nn, k = sum(ni.values()), 3
+    sp2 = sum((ni[g] - 1) * s2[g] for g in ss) / (nn - k)
+    c = 1 + (sum(1 / (ni[g] - 1) for g in ss) - 1 / (nn - k)) \
+        / (3 * (k - 1))
+    chi2 = ((nn - k) * math.log(sp2)
+            - sum((ni[g] - 1) * math.log(s2[g]) for g in ss)) / c
+    assert abs(out["chi2"] - chi2) < 1e-5
+    assert abs(out["c_factor"] - c) < 1e-6
+    assert out["chi2"] > 0  # wildly unequal variances
+
+
+def test_design_effect_extremes(spark):
+    """Zero within-cluster variance → ICC = 1 and DEFF = n₀;
+    identical cluster means → ICC ≤ 0 (no clustering penalty)."""
+    from distill_spark.operators.stats import design_effect_icc
+
+    tight = pd.DataFrame(
+        [("c1", 1.0)] * 3 + [("c2", 5.0)] * 3 + [("c3", 9.0)] * 3,
+        columns=["cl", "v"])
+    out = _one(design_effect_icc(spark.createDataFrame(tight),
+                                 "cl", "v"))
+    assert out["msw"] == 0.0 and out["icc"] == 1.0
+    assert out["deff"] == out["n0"]  # 1 + (n0-1)·1
+    flat = pd.DataFrame(
+        [("c1", 1.0), ("c1", 3.0), ("c2", 1.0), ("c2", 3.0)],
+        columns=["cl", "v"])
+    out2 = _one(design_effect_icc(spark.createDataFrame(flat),
+                                  "cl", "v"))
+    assert out2["icc"] <= 0
+    assert out2["deff"] <= 1.0
+
+
+def test_lognormal_fit_erf_mirror(spark):
+    """x = e^z for a symmetric z grid: μ̂ = mean(z) and σ̂ = pop-sd(z)
+    exactly; KS vs the fitted CDF mirrors math.erf to ~1e-4."""
+    from distill_spark.operators.stats import lognormal_fit
+
+    z = np.array([-1.5, -1.0, -0.5, 0.0, 0.0, 0.5, 1.0, 1.5])
+    x = np.exp(z)
+    out = _one(lognormal_fit(spark.createDataFrame(
+        pd.DataFrame({"v": x})), "v"))
+    assert out["n"] == 8
+    assert out["mu_log"] == 0.0
+    assert abs(out["sigma_log"] - z.std()) < 1e-6
+    zs = np.sort(np.unique(z))
+    cts = np.array([(z == v).sum() for v in zs])
+    cum = np.cumsum(cts)
+    phi = 0.5 * (1 + np.vectorize(math.erf)(
+        ((zs - z.mean()) / z.std()) / math.sqrt(2)))
+    ks = max(np.abs(cum / 8 - phi).max(),
+             np.abs((cum - cts) / 8 - phi).max())
+    assert abs(out["ks_stat"] - ks) < 1e-4
+
+
+def test_beta_gamma_mom_numpy_mirror(spark):
+    from distill_spark.operators.stats import beta_mom_fit, gamma_mom_fit
+
+    rates = np.array([0.1, 0.2, 0.15, 0.3, 0.25, 0.2, 0.18, 0.22])
+    out = _one(beta_mom_fit(spark.createDataFrame(
+        pd.DataFrame({"r": rates})), "r"))
+    m, v = rates.mean(), rates.var(ddof=1)
+    c = m * (1 - m) / v - 1
+    assert abs(out["alpha"] - m * c) < 1e-4
+    assert abs(out["beta"] - (1 - m) * c) < 1e-4
+    # beta mean α/(α+β) must reproduce the sample mean exactly
+    assert abs(out["alpha"] / (out["alpha"] + out["beta"]) - m) < 1e-6
+
+    vals = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 10.0])
+    out2 = _one(gamma_mom_fit(spark.createDataFrame(
+        pd.DataFrame({"v": vals})), "v"))
+    m2, v2 = vals.mean(), vals.var(ddof=1)
+    assert abs(out2["k_shape"] - m2 * m2 / v2) < 1e-4
+    assert abs(out2["theta_scale"] - v2 / m2) < 1e-4
+    # k·θ must reproduce the mean
+    assert abs(out2["k_shape"] * out2["theta_scale"] - m2) < 1e-4
+
+
+def test_balanced_accuracy_orientation(spark):
+    """Perfect separation at the mean threshold → balanced accuracy,
+    Youden J, markedness all 1; inverted labels → J = −1 (the
+    orientation a shared formula can silently lose)."""
+    from distill_spark.operators.mleval import confusion_at_threshold
+
+    good = pd.DataFrame({"y": [1, 1, 0, 0],
+                         "value": [10.0, 11.0, 1.0, 2.0]})
+    out = _one(confusion_at_threshold(spark.createDataFrame(good),
+                                      "y", "value"))
+    assert out["balanced_acc"] == 1.0
+    assert out["youden_j"] == 1.0
+    assert out["markedness"] == 1.0
+    bad = pd.DataFrame({"y": [0, 0, 1, 1],
+                        "value": [10.0, 11.0, 1.0, 2.0]})
+    out2 = _one(confusion_at_threshold(spark.createDataFrame(bad),
+                                       "y", "value"))
+    assert out2["youden_j"] == -1.0
+    assert out2["balanced_acc"] == 0.0
+
+
+def test_ece_zero_when_perfectly_calibrated(spark):
+    """Bins where empirical accuracy equals mean confidence → ECE =
+    MCE = 0; a uniform +0.2 overconfidence shows up as ECE = 0.2."""
+    from distill_spark.operators.mleval import ece_calibration
+
+    # bin [0.2,0.3): p=0.25, 1 of 4 positive; bin [0.7,0.8):
+    # p=0.75, 3 of 4 positive
+    rows = ([(0, 0.25)] * 3 + [(1, 0.25)]
+            + [(1, 0.75)] * 3 + [(0, 0.75)])
+    pdf = pd.DataFrame(rows, columns=["y", "p"])
+    out = _one(ece_calibration(spark.createDataFrame(pdf), "y", "p"))
+    assert out["ece"] == 0.0 and out["mce"] == 0.0
+    over = pd.DataFrame([(0, 0.45)] * 3 + [(1, 0.45)],
+                        columns=["y", "p"])
+    out2 = _one(ece_calibration(spark.createDataFrame(over), "y", "p"))
+    assert out2["ece"] == 0.2 and out2["mce"] == 0.2
