@@ -12994,6 +12994,181 @@ def _sql_spectral_flatness():
     return spectral_flatness_sql()
 
 
+# ---------------------------------------------------------------------------
+# Round-13 seed stratum, second batch: serial-correlation-aware
+# inference, forecast-comparison tests, long memory, dispersion.
+
+def q_newey_west(spark, sf_dir):
+    """Newey–West HAC standard error for the daily-trend slope
+    (timeseries.newey_west) — the se_ratio is how much the naive
+    trend t-stat overstates itself under serial correlation."""
+    from distill_spark.operators.timeseries import newey_west
+
+    return newey_west(_tables(spark, sf_dir)["events"])
+
+
+def _sql_newey_west():
+    from distill_spark.operators.timeseries import newey_west_sql
+
+    return newey_west_sql()
+
+
+def q_cochrane_orcutt(spark, sf_dir):
+    """One-iteration Cochrane–Orcutt AR(1)-corrected daily trend
+    (timeseries.cochrane_orcutt) — the corrected ESTIMATE where
+    newey_west only fixes the SE."""
+    from distill_spark.operators.timeseries import cochrane_orcutt
+
+    return cochrane_orcutt(_tables(spark, sf_dir)["events"])
+
+
+def _sql_cochrane():
+    from distill_spark.operators.timeseries import cochrane_orcutt_sql
+
+    return cochrane_orcutt_sql()
+
+
+def q_diebold_mariano(spark, sf_dir):
+    """Diebold–Mariano test of naive vs seasonal-naive forecasts
+    with Bartlett long-run variance (timeseries.diebold_mariano) —
+    the inference behind mase_smape's point ratio."""
+    from distill_spark.operators.timeseries import diebold_mariano
+
+    return diebold_mariano(_tables(spark, sf_dir)["events"])
+
+
+def _sql_dm():
+    from distill_spark.operators.timeseries import diebold_mariano_sql
+
+    return diebold_mariano_sql()
+
+
+def q_theil_decomposition(spark, sf_dir):
+    """Theil's bias/variance/covariance MSE decomposition for the
+    seasonal-naive forecast (timeseries.theil_decomposition) —
+    where mase_smape's error LIVES."""
+    from distill_spark.operators.timeseries import theil_decomposition
+
+    return theil_decomposition(_tables(spark, sf_dir)["events"])
+
+
+def _sql_theil_decomp():
+    from distill_spark.operators.timeseries import (
+        theil_decomposition_sql,
+    )
+
+    return theil_decomposition_sql()
+
+
+def q_dfa_alpha(spark, sf_dir):
+    """Detrended fluctuation analysis over daily totals
+    (timeseries.dfa_alpha) — the nonstationarity-robust long-memory
+    exponent beside hurst_rs."""
+    from distill_spark.operators.timeseries import dfa_alpha
+
+    return dfa_alpha(_tables(spark, sf_dir)["events"])
+
+
+def _sql_dfa():
+    from distill_spark.operators.timeseries import dfa_alpha_sql
+
+    return dfa_alpha_sql()
+
+
+def q_pinball_loss(spark, sf_dir):
+    """Per-DOW quantile forecasts (first half) scored on the second
+    half by pinball loss + coverage (timeseries.pinball_loss) — the
+    probabilistic upgrade of mase_smape."""
+    from distill_spark.operators.timeseries import pinball_loss
+
+    return pinball_loss(_tables(spark, sf_dir)["events"])
+
+
+def _sql_pinball():
+    from distill_spark.operators.timeseries import pinball_loss_sql
+
+    return pinball_loss_sql()
+
+
+def q_gries_dp(spark, sf_dir):
+    """Gries' deviation of proportions over sources — the top-10
+    most CLUMPED tokens (corpus_stats.gries_dp) — dispersion, the
+    axis frequency lists can't see."""
+    from distill_spark.operators.corpus_stats import gries_dp
+
+    return gries_dp(_tables(spark, sf_dir)["documents"],
+                    "text", "source")
+
+
+def _sql_gries_dp():
+    from distill_spark.operators.corpus_stats import gries_dp_sql
+
+    return gries_dp_sql("documents", "text", "source")
+
+
+def q_degree_gini(spark, sf_dir):
+    """Degree-inequality summary (Gini + top-1% endpoint share) of
+    the part↔supplier graph (graphstats.degree_gini) — hubs or
+    mesh, in one row."""
+    from distill_spark.operators.graphstats import degree_gini
+
+    t = _tables(spark, sf_dir)
+    edges = t["lineitem"].select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("a"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("b")).distinct()
+    return degree_gini(edges)
+
+
+def _sql_degree_gini():
+    from distill_spark.operators.graphstats import degree_gini_sql
+
+    return degree_gini_sql(
+        "SELECT DISTINCT 'p' || l_partkey AS a, "
+        "'s' || l_suppkey AS b FROM lineitem")
+
+
+def q_bartels_rank(spark, sf_dir):
+    """Bartels' rank von Neumann randomness test on daily totals
+    (stats.bartels_rank_test) — distribution-free serial dependence
+    where von_neumann assumes scale stability."""
+    from distill_spark.operators.stats import bartels_rank_test
+
+    daily = _daily_tot_frame(_tables(spark, sf_dir))
+    return bartels_rank_test(daily, "tot", "day")
+
+
+def _sql_bartels():
+    from distill_spark.operators.stats import bartels_rank_test_sql
+
+    return bartels_rank_test_sql(
+        "(SELECT CAST(ts AS DATE) AS day, "
+        "round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 9)"
+        " AS tot FROM events GROUP BY 1)", "tot", "day")
+
+
+def q_cusum_squares(spark, sf_dir):
+    """Brown–Durbin–Evans CUSUM-of-squares variance-stability screen
+    on daily totals with the pinned argmax day
+    (stats.cusum_squares) — the variance counterpart of
+    cusum_drift's mean watch."""
+    from distill_spark.operators.stats import cusum_squares
+
+    daily = _daily_tot_frame(_tables(spark, sf_dir))
+    return cusum_squares(
+        daily.select(F.datediff(F.col("day"), F.lit("2024-01-01"))
+                     .cast("long").alias("ti"), "tot"), "tot", "ti")
+
+
+def _sql_cusum_sq():
+    from distill_spark.operators.stats import cusum_squares_sql
+
+    return cusum_squares_sql(
+        "(SELECT CAST(datediff('day', DATE '2024-01-01', "
+        "CAST(ts AS DATE)) AS BIGINT) AS ti, "
+        "round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 9)"
+        " AS tot FROM events GROUP BY CAST(ts AS DATE))", "tot", "ti")
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ======================== ROUND-12 WINDOW ============================
     # -- round-12 head: the 12 seeds queued all of round 11 (each
@@ -13073,6 +13248,18 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tweedie_power": (q_tweedie_power, _sql_tweedie()),
     "spectral_flatness": (q_spectral_flatness,
                           _sql_spectral_flatness()),
+    # -- round-13 seed stratum, second batch ---------------------------------
+    "newey_west": (q_newey_west, _sql_newey_west()),
+    "cochrane_orcutt": (q_cochrane_orcutt, _sql_cochrane()),
+    "diebold_mariano": (q_diebold_mariano, _sql_dm()),
+    "theil_decomposition": (q_theil_decomposition,
+                            _sql_theil_decomp()),
+    "dfa_alpha": (q_dfa_alpha, _sql_dfa()),
+    "pinball_loss": (q_pinball_loss, _sql_pinball()),
+    "gries_dp": (q_gries_dp, _sql_gries_dp()),
+    "degree_gini": (q_degree_gini, _sql_degree_gini()),
+    "bartels_rank": (q_bartels_rank, _sql_bartels()),
+    "cusum_squares": (q_cusum_squares, _sql_cusum_sq()),
     # -- round-11 first stratum: the dispersion-test family ------------------
     "ansari_bradley": (q_ansari_bradley, _sql_ansari()),
     "brunner_munzel": (q_brunner_munzel, _sql_brunner()),
@@ -13574,6 +13761,11 @@ _PENDING_PROMOTION: frozenset[str] = frozenset({
     "deming_regression", "gini_correlation", "lorenz_asymmetry",
     "zero_inflation", "ad_normal", "quantile_shape", "bland_altman",
     "tweedie_power", "spectral_flatness",
+    # second batch: serial-correlation-aware inference + forecast
+    # comparison + long memory + dispersion
+    "newey_west", "cochrane_orcutt", "diebold_mariano",
+    "theil_decomposition", "dfa_alpha", "pinball_loss", "gries_dp",
+    "degree_gini", "bartels_rank", "cusum_squares",
 })
 
 

@@ -1166,3 +1166,88 @@ SELECT w AS token,
        round(z, 6) AS z
 FROM ranked
 """
+
+
+def gries_dp(df: DataFrame, text_col: str, group_col: str,
+             top_n: int = 10, min_count: int = 10) -> DataFrame:
+    """Gries' deviation of proportions DP (Gries 2008): for token w,
+    DP_w = ½·Σ_parts |v_{w,s} − p_s| where v is the share of w's
+    occurrences in part s and p_s the part's share of ALL tokens —
+    0 = the token spreads exactly like the corpus, → 1 = parked in
+    one part. Frequency says a token is common; DISPERSION says
+    whether it's common EVERYWHERE (term_burstiness is the
+    within-document cousin; this is the across-sources one). Top-N
+    most clumped tokens (kt ≥ min_count, ties token asc) + the
+    corpus-mean DP rides in every row for context. Vocab×parts
+    frame. Output: top_n rows (token, k_total, dp, mean_dp),
+    rounds 6."""
+    counts = _token_counts(
+        df.select(F.col(group_col).alias("g"), F.col(text_col)),
+        text_col, ("g",))
+    wt = Window.partitionBy("w")
+    tot = Window.partitionBy()
+    scored = counts.select(
+        "w", "g", "c",
+        F.sum("c").over(wt).alias("kt"),
+        F.sum("c").over(Window.partitionBy("g")).alias("gs"),
+        F.sum("c").over(tot).alias("nn"))
+    # per present (w, g) cell: |v − p|; parts where w is ABSENT
+    # contribute |0 − p_s| = p_s, folded in as (1 − Σ_present p_s)
+    per = scored.groupBy("w", "kt").agg(
+        F.sum(F.abs(F.col("c") / F.col("kt")
+                    - F.col("gs") / F.col("nn"))).alias("present"),
+        F.sum(F.col("gs") / F.col("nn")).alias("pcov"))
+    dp = per.select(
+        "w", "kt",
+        F.round((F.col("present") + (1.0 - F.col("pcov"))) / 2.0, 9)
+        .alias("dp"))
+    mean_dp = dp.agg(F.round(F.avg("dp"), 6).alias("mean_dp"))
+    ranked = (dp.filter(F.col("kt") >= min_count)
+              .orderBy(F.desc("dp"), F.asc("w")).limit(top_n))
+    return (ranked.crossJoin(F.broadcast(mean_dp))
+            .select(F.col("w").alias("token"),
+                    F.col("kt").cast("long").alias("k_total"),
+                    F.round(F.col("dp"), 6).alias("dp"),
+                    "mean_dp")
+            .orderBy(F.desc("dp"), F.asc("token")))
+
+
+def gries_dp_sql(table: str, text_sql: str, group_sql: str,
+                 top_n: int = 10, min_count: int = 10) -> str:
+    toks = _TOKENS_SQL.format(extra=f"{group_sql} AS g,",
+                              text=text_sql, table=table)
+    return f"""
+WITH counts AS (
+  SELECT g, w, count(*) AS c FROM ({toks}) GROUP BY g, w
+),
+scored AS (
+  SELECT w, g, c,
+         sum(c) OVER (PARTITION BY w) AS kt,
+         sum(c) OVER (PARTITION BY g) AS gs,
+         sum(c) OVER () AS nn
+  FROM counts
+),
+per AS (
+  SELECT w, kt,
+         sum(abs(CAST(c AS DOUBLE) / kt
+                 - CAST(gs AS DOUBLE) / nn)) AS present,
+         sum(CAST(gs AS DOUBLE) / nn) AS pcov
+  FROM scored GROUP BY w, kt
+),
+dp AS (
+  SELECT w, kt,
+         round((present + (1.0 - pcov)) / 2.0, 9) AS dp
+  FROM per
+),
+mean_dp AS (SELECT round(avg(dp), 6) AS mean_dp FROM dp),
+ranked AS (
+  SELECT w, kt, dp FROM dp WHERE kt >= {min_count}
+  ORDER BY dp DESC, w ASC LIMIT {top_n}
+)
+SELECT r.w AS token,
+       CAST(r.kt AS BIGINT) AS k_total,
+       round(r.dp, 6) AS dp,
+       m.mean_dp
+FROM ranked r CROSS JOIN mean_dp m
+ORDER BY dp DESC, token ASC
+"""

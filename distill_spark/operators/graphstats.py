@@ -484,3 +484,70 @@ def eccentricity_sample_sql(edge_cte: str, n_seeds: int = 8,
             f" AS BIGINT) AS frontier_at_cap"
             f" FROM s{t} WHERE dist > 0"
             f" GROUP BY seed ORDER BY node")
+
+
+def degree_gini(edges: DataFrame) -> DataFrame:
+    """Degree-inequality summary of the undirected graph: Gini
+    coefficient of the degree distribution (sorted-rank identity
+    over the bounded node-degree frame), mean/max degree, and the
+    hub share (fraction of edge endpoints owned by the top-1% degree
+    nodes, ⌈1%⌉ pinned by degree-then-id rank) — the one-row answer
+    to "is this graph a few hubs or a mesh", upstream of
+    rich_club's full φ(k) profile. Output: one row (n_nodes,
+    n_edges, mean_degree, max_degree, degree_gini, top1pct_share),
+    rounds 6."""
+    sym = (edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .union(edges.select(F.col("b").alias("u"),
+                               F.col("a").alias("v"))))
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    w = Window.orderBy("d", "u")
+    tot = Window.partitionBy()
+    ranked = deg.select(
+        "d", F.row_number().over(w).alias("i"),
+        F.count("*").over(tot).alias("n"),
+        F.sum("d").over(tot).alias("sd"))
+    agg = ranked.agg(
+        F.max("n").alias("n"), F.max("sd").alias("sd"),
+        F.max("d").alias("dmax"),
+        F.sum((2.0 * F.col("i") - F.col("n") - 1) * F.col("d"))
+        .alias("gn"),
+        F.sum(F.when(F.col("i") > F.col("n")
+                     - F.ceil(F.col("n") / 100.0), F.col("d"))
+              .otherwise(0)).alias("topd"))
+    n = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n_nodes"),
+        (F.col("sd") / 2).cast("long").alias("n_edges"),
+        F.round(F.col("sd") / n, 6).alias("mean_degree"),
+        F.col("dmax").cast("long").alias("max_degree"),
+        F.round(F.col("gn") / (n * F.col("sd")), 6)
+        .alias("degree_gini"),
+        F.round(F.col("topd") / F.col("sd"), 6).alias("top1pct_share"))
+
+
+def degree_gini_sql(edge_cte: str) -> str:
+    return f"""
+WITH e0 AS ({edge_cte}),
+sym AS (SELECT a AS u, b AS v FROM e0
+        UNION ALL SELECT b, a FROM e0),
+deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+ranked AS (
+  SELECT d, row_number() OVER (ORDER BY d, u) AS i,
+         count(*) OVER () AS n, sum(d) OVER () AS sd
+  FROM deg
+),
+agg AS (
+  SELECT max(n) AS n, max(sd) AS sd, max(d) AS dmax,
+         sum((2.0 * i - n - 1) * d) AS gn,
+         sum(CASE WHEN i > n - ceil(n / 100.0) THEN d ELSE 0 END)
+           AS topd
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_nodes,
+       CAST(sd / 2 AS BIGINT) AS n_edges,
+       round(CAST(sd AS DOUBLE) / n, 6) AS mean_degree,
+       CAST(dmax AS BIGINT) AS max_degree,
+       round(gn / (CAST(n AS DOUBLE) * sd), 6) AS degree_gini,
+       round(CAST(topd AS DOUBLE) / sd, 6) AS top1pct_share
+FROM agg
+"""

@@ -9656,3 +9656,163 @@ SELECT CAST(l.n AS BIGINT) AS n_days,
        round(l.slope, 6) AS prop_bias_slope
 FROM lims l
 """
+
+
+def bartels_rank_test(df: DataFrame, value_col: str,
+                      order_col: str) -> DataFrame:
+    """Bartels' rank version of von Neumann's ratio (Bartels 1982):
+    RVN = Σ(R_t − R_{t+1})² / (n(n²−1)/12) over the ranks of the
+    series in time order — randomness against ANY serial dependence,
+    distribution-free where von_neumann (values) assumes scale
+    stability. E[RVN] = 2; z = (RVN − 2)/√(4/n) (the large-sample
+    variance 20/(5n+7) variant is noted but the 4/n form is the
+    common table). Midranks for ties. Bounded frame. Output: one
+    row (n, rvn, z), rounds 6."""
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(
+        F.col(order_col).alias("t"), v.alias("x"))
+    cnt = base.groupBy("x").agg(F.count("*").alias("c"))
+    wprev = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, -1)
+    rmap = cnt.select(
+        "x", (F.coalesce(F.sum("c").over(wprev), F.lit(0))
+              + (F.col("c") + 1) / 2.0).alias("r"))
+    ranked = base.join(rmap, "x").select("t", "r")
+    w = Window.orderBy("t")
+    diffs = ranked.select(
+        "r", F.lead("r").over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"))
+    agg = diffs.agg(
+        F.max("n").alias("n"),
+        F.sum(F.when(F.col("rn").isNotNull(),
+                     (F.col("r") - F.col("rn"))
+                     * (F.col("r") - F.col("rn"))).otherwise(0.0))
+        .alias("nm"))
+    n = F.col("n").cast("double")
+    rvn = F.col("nm") / (n * (n * n - 1) / 12.0)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(rvn, 6).alias("rvn"),
+        F.round((rvn - 2.0) / F.sqrt(4.0 / n), 6).alias("z"))
+
+
+def bartels_rank_test_sql(table: str, value_sql: str,
+                          order_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT {order_sql} AS t, CAST({value_sql} AS DOUBLE) AS x
+  FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+rmap AS (
+  SELECT x, coalesce(sum(c) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (c + 1) / 2.0 AS r
+  FROM (SELECT x, count(*) AS c FROM base GROUP BY x)
+),
+ranked AS (
+  SELECT b.t, m.r FROM base b JOIN rmap m ON b.x = m.x
+),
+diffs AS (
+  SELECT r, lead(r) OVER (ORDER BY t) AS rn,
+         count(*) OVER () AS n
+  FROM ranked
+),
+agg AS (
+  SELECT max(n) AS n,
+         sum(CASE WHEN rn IS NOT NULL
+                  THEN (r - rn) * (r - rn) ELSE 0.0 END) AS nm
+  FROM diffs
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(nm / (CAST(n AS DOUBLE) * (n * n - 1) / 12.0), 6) AS rvn,
+       round((nm / (CAST(n AS DOUBLE) * (n * n - 1) / 12.0) - 2.0)
+             / sqrt(4.0 / n), 6) AS z
+FROM agg
+"""
+
+
+def cusum_squares(df: DataFrame, value_col: str,
+                  order_col: str) -> DataFrame:
+    """CUSUM-of-squares variance-stability screen (Brown, Durbin &
+    Evans 1975): s_k = Σ_{t≤k} e²_t / Σe²_t against the k/n diagonal,
+    statistic = max|s_k − k/n| with the pinned argmax position —
+    cusum_drift watches the MEAN; this is the variance counterpart
+    (a volatility burst bends the curve even when the mean holds,
+    the thing arch_lm tests parametrically). e = demeaned values.
+    Bounded frame. Output: one row (n, max_dev, argmax_t,
+    crosses_5pct = max_dev > 0.948/√n), rounds 6."""
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(
+        F.col(order_col).alias("t"), v.alias("x"))
+    tot = Window.partitionBy()
+    cen = base.select(
+        "t",
+        (F.col("x")
+         - F.sum(F.col("x").cast(_DEC)).over(tot).cast("double")
+         / F.count("*").over(tot)).alias("e"),
+        F.count("*").over(tot).alias("n"))
+    sq = cen.select("t", "n",
+                    F.round(F.col("e") * F.col("e"), 9).alias("e2"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sq.select(
+        "t", "n",
+        F.sum("e2").over(w).alias("ck"),
+        F.sum("e2").over(tot).alias("ct"),
+        F.row_number().over(Window.orderBy("t")).alias("k"))
+    dev = cum.select(
+        "t", "n",
+        F.round(F.abs(F.col("ck") / F.col("ct")
+                      - F.col("k") / F.col("n")), 9).alias("d"))
+    agg = dev.agg(
+        F.max("n").alias("n"),
+        F.max(F.struct(F.col("d"),
+                       (-F.col("t").cast("long")).alias("nt")))
+        .alias("worst"))
+    n = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("worst.d"), 6).alias("max_dev"),
+        (-F.col("worst.nt")).cast("long").alias("argmax_t"),
+        (F.col("worst.d") > 0.948 / F.sqrt(n)).alias("crosses_5pct"))
+
+
+def cusum_squares_sql(table: str, value_sql: str,
+                      order_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT {order_sql} AS t, CAST({value_sql} AS DOUBLE) AS x
+  FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+cen AS (
+  SELECT t,
+         x - CAST(sum(CAST(x AS DECIMAL(38,12))) OVER () AS DOUBLE)
+             / count(*) OVER () AS e,
+         count(*) OVER () AS n
+  FROM base
+),
+sq AS (SELECT t, n, round(e * e, 9) AS e2 FROM cen),
+cum AS (
+  SELECT t, n,
+         sum(e2) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck,
+         sum(e2) OVER () AS ct,
+         row_number() OVER (ORDER BY t) AS k
+  FROM sq
+),
+dev AS (
+  SELECT t, n,
+         round(abs(ck / ct - CAST(k AS DOUBLE) / n), 9) AS d
+  FROM cum
+),
+agg AS (
+  SELECT max(n) AS n, max(d) AS dmax FROM dev
+)
+SELECT CAST(a.n AS BIGINT) AS n,
+       round(a.dmax, 6) AS max_dev,
+       CAST((SELECT min(t) FROM dev WHERE d = a.dmax) AS BIGINT)
+         AS argmax_t,
+       a.dmax > 0.948 / sqrt(CAST(a.n AS DOUBLE)) AS crosses_5pct
+FROM agg a
+"""

@@ -4361,3 +4361,680 @@ SELECT CAST(n AS BIGINT) AS n_days,
             AS BIGINT) AS peak_period
 FROM agg
 """
+
+
+# -------------------------------------------------------- round 13
+# seeds, second batch: serial-correlation-aware regression inference
+# (Newey–West HAC, Cochrane–Orcutt), forecast-comparison tests
+# (Diebold–Mariano, Theil's MSE decomposition), long-memory (DFA),
+# and per-DOW quantile-forecast evaluation (pinball loss).
+
+def newey_west(events: DataFrame, ts_col: str = "ts",
+               value_col: str = "value") -> DataFrame:
+    """Newey–West HAC standard error for the daily-trend slope
+    (Newey & West 1987): OLS of totals on the day rank leaves
+    autocorrelated residuals, so the classical SE lies; with
+    u_t = x̃_t·e_t (centered regressor times residual), Var_HAC(β) =
+    [γ₀(u) + 2Σ_{l≤q}(1−l/(q+1))γ_l(u)]·n / Sxx², q =
+    ⌊4(n/100)^¼⌋ — the kpss_level Bartlett window applied where it
+    changes DECISIONS: the se_ratio is how much the naive trend
+    t-stat overstates itself. Lag sums over the bounded frame.
+    Output: one row (n_days, q_lags, slope, se_ols, se_hac,
+    se_ratio), rounds 6."""
+    base = _daily_frame(events, ts_col, value_col).select(
+        F.col("t").cast("double").alias("t"), "x")
+    m = base.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("t").cast(_TS_DEC)).cast("double").alias("st"),
+        F.sum(F.col("x").cast(_TS_DEC)).cast("double").alias("sx"),
+        F.sum((F.col("t") * F.col("t")).cast(_TS_DEC)).cast("double")
+        .alias("stt"),
+        F.sum((F.col("t") * F.col("x")).cast(_TS_DEC)).cast("double")
+        .alias("stx"))
+    n = F.col("n")
+    sxx = F.col("stt") - F.col("st") * F.col("st") / n
+    slope = (F.col("stx") - F.col("st") * F.col("sx") / n) / sxx
+    fit = m.select(
+        "n", sxx.alias("sxx"), slope.alias("b1"),
+        (F.col("sx") / n - slope * F.col("st") / n).alias("b0"),
+        (F.col("st") / n).alias("tbar"))
+    scored = base.crossJoin(F.broadcast(fit)).select(
+        "t", "n", "sxx", "b1",
+        F.round((F.col("t") - F.col("tbar"))
+                * (F.col("x") - F.col("b0") - F.col("b1") * F.col("t")),
+                9).alias("u"),
+        F.round((F.col("x") - F.col("b0") - F.col("b1") * F.col("t"))
+                * (F.col("x") - F.col("b0") - F.col("b1") * F.col("t")),
+                9).alias("e2"))
+    g0 = scored.agg(
+        F.max("n").alias("n"), F.max("sxx").alias("sxx"),
+        F.max("b1").alias("b1"),
+        F.sum(F.col("u") * F.col("u")).alias("g0n"),
+        F.sum("e2").alias("sse"))
+    lag = scored.select(F.col("t").alias("tl"), F.col("u").alias("ul"))
+    pairs = (scored.select("t", "u")
+             .join(lag, F.col("t") > F.col("tl"))
+             .select((F.col("t") - F.col("tl")).alias("l"),
+                     (F.col("u") * F.col("ul")).alias("p")))
+    gl = pairs.groupBy("l").agg(F.sum("p").alias("gn"))
+    q = F.floor(4.0 * F.pow(F.col("n") / 100.0, 0.25))
+    mm = (gl.crossJoin(F.broadcast(g0))
+          .filter(F.col("l") <= q)
+          .agg(F.max("n").alias("n"), F.max("sxx").alias("sxx"),
+               F.max("b1").alias("b1"), F.max("g0n").alias("g0n"),
+               F.max("sse").alias("sse"),
+               F.max(q).alias("q"),
+               F.sum((1.0 - F.col("l") / (q + 1.0)) * F.col("gn"))
+               .alias("wsum")))
+    n = F.col("n")
+    lrv_n = F.col("g0n") + 2.0 * F.col("wsum")
+    se_hac = F.sqrt(lrv_n) / F.col("sxx")
+    se_ols = F.sqrt(F.col("sse") / (n - 2.0) / F.col("sxx"))
+    return mm.select(
+        n.cast("long").alias("n_days"),
+        F.col("q").cast("long").alias("q_lags"),
+        F.round(F.col("b1"), 6).alias("slope"),
+        F.round(se_ols, 6).alias("se_ols"),
+        F.round(se_hac, 6).alias("se_hac"),
+        F.round(se_hac / se_ols, 6).alias("se_ratio"))
+
+
+def newey_west_sql(table: str = "events", ts_sql: str = "ts",
+                   value_sql: str = "value") -> str:
+    daily = _DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)
+    q = "floor(4.0 * pow(n / 100.0, 0.25))"
+    return f"""
+WITH {daily},
+base AS (SELECT CAST(t AS DOUBLE) AS t, x FROM ranked),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(t AS DECIMAL(38,12))) AS DOUBLE) AS st,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(t * t AS DECIMAL(38,12))) AS DOUBLE) AS stt,
+         CAST(sum(CAST(t * x AS DECIMAL(38,12))) AS DOUBLE) AS stx
+  FROM base
+),
+fit AS (
+  SELECT n, stt - st * st / n AS sxx,
+         (stx - st * sx / n) / (stt - st * st / n) AS b1,
+         sx / n - (stx - st * sx / n) / (stt - st * st / n)
+           * st / n AS b0,
+         st / n AS tbar
+  FROM m
+),
+scored AS (
+  SELECT b.t, f.n, f.sxx, f.b1,
+         round((b.t - f.tbar) * (b.x - f.b0 - f.b1 * b.t), 9) AS u,
+         round((b.x - f.b0 - f.b1 * b.t)
+               * (b.x - f.b0 - f.b1 * b.t), 9) AS e2
+  FROM base b CROSS JOIN fit f
+),
+g0 AS (
+  SELECT max(n) AS n, max(sxx) AS sxx, max(b1) AS b1,
+         sum(u * u) AS g0n, sum(e2) AS sse
+  FROM scored
+),
+pairs AS (
+  SELECT a.t - b.t AS l, a.u * b.u AS p
+  FROM scored a JOIN scored b ON a.t > b.t
+),
+gl AS (SELECT l, sum(p) AS gn FROM pairs GROUP BY l),
+mm AS (
+  SELECT max(g0.n) AS n, max(g0.sxx) AS sxx, max(g0.b1) AS b1,
+         max(g0.g0n) AS g0n, max(g0.sse) AS sse,
+         max({q}) AS q,
+         sum((1.0 - gl.l / ({q} + 1.0)) * gl.gn) AS wsum
+  FROM gl CROSS JOIN g0
+  WHERE gl.l <= {q}
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(q AS BIGINT) AS q_lags,
+       round(b1, 6) AS slope,
+       round(sqrt(sse / (n - 2.0) / sxx), 6) AS se_ols,
+       round(sqrt(g0n + 2.0 * wsum) / sxx, 6) AS se_hac,
+       round((sqrt(g0n + 2.0 * wsum) / sxx)
+             / sqrt(sse / (n - 2.0) / sxx), 6) AS se_ratio
+FROM mm
+"""
+
+
+def cochrane_orcutt(events: DataFrame, ts_col: str = "ts",
+                    value_col: str = "value") -> DataFrame:
+    """Cochrane–Orcutt AR(1) correction (1949), one iteration: fit
+    y ~ t by OLS, estimate ρ̂ = Σe_t·e_{t−1}/Σe²_{t−1} from the
+    residuals, quasi-difference (y*_t = y_t − ρ̂y_{t−1}, t* = t −
+    ρ̂(t−1)) and re-fit — the TRANSFORMED slope is the serial-
+    correlation-corrected trend estimate newey_west only fixes the
+    SE of. Three chained bounded-frame aggregates. Output: one row
+    (n_days, rho_hat, slope_ols, slope_co, intercept_co),
+    rounds 6."""
+    base = _daily_frame(events, ts_col, value_col).select(
+        F.col("t").cast("double").alias("t"), "x")
+
+    def ols(df, xc, yc):
+        m = df.agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(F.col(xc).cast(_TS_DEC)).cast("double").alias("sa"),
+            F.sum(F.col(yc).cast(_TS_DEC)).cast("double").alias("sb"),
+            F.sum((F.col(xc) * F.col(xc)).cast(_TS_DEC))
+            .cast("double").alias("saa"),
+            F.sum((F.col(xc) * F.col(yc)).cast(_TS_DEC))
+            .cast("double").alias("sab"))
+        n = F.col("n")
+        slope = ((F.col("sab") - F.col("sa") * F.col("sb") / n)
+                 / (F.col("saa") - F.col("sa") * F.col("sa") / n))
+        return m.select(
+            "n", slope.alias("b1"),
+            (F.col("sb") / n - slope * F.col("sa") / n).alias("b0"))
+
+    fit1 = ols(base, "t", "x")
+    resid = base.crossJoin(F.broadcast(fit1)).select(
+        "t", "x",
+        F.round(F.col("x") - F.col("b0") - F.col("b1") * F.col("t"), 9)
+        .alias("e"), F.col("b1").alias("b1_ols"))
+    lag = resid.select((F.col("t") + 1).alias("t"),
+                       F.col("e").alias("el"),
+                       F.col("x").alias("xl"))
+    j = resid.join(lag, "t")
+    rho = j.agg(
+        (F.sum(F.col("e") * F.col("el"))
+         / F.sum(F.col("el") * F.col("el"))).alias("rho"),
+        F.max("b1_ols").alias("b1_ols"),
+        F.count("*").alias("ne"))
+    trans = (j.crossJoin(F.broadcast(rho.select("rho")))
+             .select((F.col("x") - F.col("rho") * F.col("xl"))
+                     .alias("ys"),
+                     (F.col("t") - F.col("rho") * (F.col("t") - 1))
+                     .alias("ts")))
+    fit2 = ols(trans, "ts", "ys")
+    return (rho.crossJoin(F.broadcast(fit2.select(
+        F.col("b1").alias("b1_co"), F.col("b0").alias("b0_co"))))
+        .select(
+        (F.col("ne") + 1).cast("long").alias("n_days"),
+        F.round(F.col("rho"), 6).alias("rho_hat"),
+        F.round(F.col("b1_ols"), 6).alias("slope_ols"),
+        F.round(F.col("b1_co"), 6).alias("slope_co"),
+        F.round(F.col("b0_co"), 6).alias("intercept_co")))
+
+
+def cochrane_orcutt_sql(table: str = "events", ts_sql: str = "ts",
+                        value_sql: str = "value") -> str:
+    daily = _DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)
+
+    def ols_sel(xc, yc, src):
+        return f"""(
+  SELECT n,
+         (sab - sa * sb / n) / (saa - sa * sa / n) AS b1,
+         sb / n - (sab - sa * sb / n) / (saa - sa * sa / n)
+           * sa / n AS b0
+  FROM (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(CAST({xc} AS DECIMAL(38,12))) AS DOUBLE) AS sa,
+           CAST(sum(CAST({yc} AS DECIMAL(38,12))) AS DOUBLE) AS sb,
+           CAST(sum(CAST({xc} * {xc} AS DECIMAL(38,12))) AS DOUBLE)
+             AS saa,
+           CAST(sum(CAST({xc} * {yc} AS DECIMAL(38,12))) AS DOUBLE)
+             AS sab
+    FROM {src}
+  )
+)"""
+
+    return f"""
+WITH {daily},
+base AS (SELECT CAST(t AS DOUBLE) AS t, x FROM ranked),
+fit1 AS {ols_sel('t', 'x', 'base')},
+resid AS (
+  SELECT b.t, b.x,
+         round(b.x - f.b0 - f.b1 * b.t, 9) AS e,
+         f.b1 AS b1_ols
+  FROM base b CROSS JOIN fit1 f
+),
+j AS (
+  SELECT c.t, c.x, c.e, c.b1_ols, l.e AS el, l.x AS xl
+  FROM resid c JOIN resid l ON l.t + 1 = c.t
+),
+rho AS (
+  SELECT sum(e * el) / sum(el * el) AS rho,
+         max(b1_ols) AS b1_ols, count(*) AS ne
+  FROM j
+),
+trans AS (
+  SELECT j.x - r.rho * j.xl AS ys,
+         j.t - r.rho * (j.t - 1) AS ts
+  FROM j CROSS JOIN rho r
+),
+fit2 AS {ols_sel('ts', 'ys', 'trans')}
+SELECT CAST(r.ne + 1 AS BIGINT) AS n_days,
+       round(r.rho, 6) AS rho_hat,
+       round(r.b1_ols, 6) AS slope_ols,
+       round(f2.b1, 6) AS slope_co,
+       round(f2.b0, 6) AS intercept_co
+FROM rho r CROSS JOIN fit2 f2
+"""
+
+
+def diebold_mariano(events: DataFrame, ts_col: str = "ts",
+                    value_col: str = "value",
+                    season: int = 7) -> DataFrame:
+    """Diebold–Mariano forecast-comparison test (1995): squared-error
+    loss differential d_t = (y_t − y_{t−1})² − (y_t − y_{t−season})²
+    between the naive and seasonal-naive forecasts on the common
+    window, DM = d̄ / √(LRV_d/n) with the Bartlett long-run variance
+    (q = ⌊4(n/100)^¼⌋ — d_t is serially correlated by construction,
+    so the plain t-test on d̄ is wrong; that correction IS the test).
+    DM < 0: the weekly pattern beats persistence — the inferential
+    companion to mase_smape's point ratio. Output: one row (n_eval,
+    q_lags, mean_d, dm_stat, seasonal_wins), rounds 6."""
+    base = _daily_frame(events, ts_col, value_col)
+    cur = base.select("t", F.col("x").alias("y"))
+    l1 = base.select((F.col("t") + 1).alias("t"),
+                     F.col("x").alias("y1"))
+    ls = base.select((F.col("t") + season).alias("t"),
+                     F.col("x").alias("ys"))
+    d = (cur.join(l1, "t").join(ls, "t")
+         .select("t",
+                 F.round((F.col("y") - F.col("y1"))
+                         * (F.col("y") - F.col("y1"))
+                         - (F.col("y") - F.col("ys"))
+                         * (F.col("y") - F.col("ys")), 9).alias("d")))
+    tot = Window.partitionBy()
+    cen = d.select(
+        "t", "d",
+        (F.col("d")
+         - F.sum(F.col("d").cast(_TS_DEC)).over(tot).cast("double")
+         / F.count("*").over(tot)).alias("e"),
+        F.count("*").over(tot).alias("n"),
+        (F.sum(F.col("d").cast(_TS_DEC)).over(tot).cast("double")
+         / F.count("*").over(tot)).alias("dbar"))
+    g0 = cen.agg(F.max("n").alias("n"), F.max("dbar").alias("dbar"),
+                 F.sum(F.col("e") * F.col("e")).alias("g0n"))
+    lag = cen.select(F.col("t").alias("tl"), F.col("e").alias("el"))
+    pairs = (cen.select("t", "e")
+             .join(lag, F.col("t") > F.col("tl"))
+             .select((F.col("t") - F.col("tl")).alias("l"),
+                     (F.col("e") * F.col("el")).alias("p")))
+    gl = pairs.groupBy("l").agg(F.sum("p").alias("gn"))
+    q = F.floor(4.0 * F.pow(F.col("n") / 100.0, 0.25))
+    mm = (gl.crossJoin(F.broadcast(g0))
+          .filter(F.col("l") <= q)
+          .agg(F.max("n").alias("n"), F.max("dbar").alias("dbar"),
+               F.max("g0n").alias("g0n"), F.max(q).alias("q"),
+               F.sum((1.0 - F.col("l") / (q + 1.0)) * F.col("gn"))
+               .alias("wsum")))
+    n = F.col("n").cast("double")
+    lrv = (F.col("g0n") + 2.0 * F.col("wsum")) / n
+    dm = F.when(lrv > 0, F.col("dbar") / F.sqrt(lrv / n))
+    return mm.select(
+        F.col("n").cast("long").alias("n_eval"),
+        F.col("q").cast("long").alias("q_lags"),
+        F.round(F.col("dbar"), 6).alias("mean_d"),
+        F.round(dm, 6).alias("dm_stat"),
+        (F.col("dbar") > 0).alias("seasonal_wins"))
+
+
+def diebold_mariano_sql(table: str = "events", ts_sql: str = "ts",
+                        value_sql: str = "value",
+                        season: int = 7) -> str:
+    daily = _DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)
+    q = "floor(4.0 * pow(n / 100.0, 0.25))"
+    return f"""
+WITH {daily},
+d AS (
+  SELECT c.t,
+         round((c.x - l1.x) * (c.x - l1.x)
+               - (c.x - ls.x) * (c.x - ls.x), 9) AS d
+  FROM ranked c
+  JOIN ranked l1 ON l1.t + 1 = c.t
+  JOIN ranked ls ON ls.t + {season} = c.t
+),
+cen AS (
+  SELECT t, d,
+         d - CAST(sum(CAST(d AS DECIMAL(38,12))) OVER () AS DOUBLE)
+             / count(*) OVER () AS e,
+         count(*) OVER () AS n,
+         CAST(sum(CAST(d AS DECIMAL(38,12))) OVER () AS DOUBLE)
+           / count(*) OVER () AS dbar
+  FROM d
+),
+g0 AS (
+  SELECT max(n) AS n, max(dbar) AS dbar, sum(e * e) AS g0n FROM cen
+),
+pairs AS (
+  SELECT a.t - b.t AS l, a.e * b.e AS p
+  FROM cen a JOIN cen b ON a.t > b.t
+),
+gl AS (SELECT l, sum(p) AS gn FROM pairs GROUP BY l),
+mm AS (
+  SELECT max(g0.n) AS n, max(g0.dbar) AS dbar, max(g0.g0n) AS g0n,
+         max({q}) AS q,
+         sum((1.0 - gl.l / ({q} + 1.0)) * gl.gn) AS wsum
+  FROM gl CROSS JOIN g0
+  WHERE gl.l <= {q}
+)
+SELECT CAST(n AS BIGINT) AS n_eval,
+       CAST(q AS BIGINT) AS q_lags,
+       round(dbar, 6) AS mean_d,
+       round(CASE WHEN (g0n + 2.0 * wsum) / CAST(n AS DOUBLE) > 0 THEN
+         dbar / sqrt((g0n + 2.0 * wsum) / CAST(n AS DOUBLE)
+                     / CAST(n AS DOUBLE)) END, 6) AS dm_stat,
+       dbar > 0 AS seasonal_wins
+FROM mm
+"""
+
+
+def theil_decomposition(events: DataFrame, ts_col: str = "ts",
+                        value_col: str = "value",
+                        season: int = 7) -> DataFrame:
+    """Theil's MSE decomposition (1966) for the seasonal-naive
+    forecast: MSE = (f̄ − ȳ)² + (s_f − s_y)² + 2(1 − r)·s_f·s_y —
+    bias, variance, and covariance proportions (population moments;
+    the three sum to 1). U^M says the forecast is systematically
+    OFF, U^S says it's mis-scaled, U^C is the irreducible noise —
+    the "where does mase_smape's error LIVE" readout. One moments
+    pass over the lag-joined frame. Output: one row (n_eval, mse,
+    bias_share, variance_share, covariance_share), rounds 6."""
+    base = _daily_frame(events, ts_col, value_col)
+    cur = base.select("t", F.col("x").alias("y"))
+    ls = base.select((F.col("t") + season).alias("t"),
+                     F.col("x").alias("f"))
+    j = cur.join(ls, "t")
+
+    def dsum(expr, name):
+        return F.sum(expr.cast(_TS_DEC)).cast("double").alias(name)
+
+    m = j.agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(F.col("y"), "sy"), dsum(F.col("f"), "sf"),
+        dsum(F.col("y") * F.col("y"), "syy"),
+        dsum(F.col("f") * F.col("f"), "sff"),
+        dsum(F.col("f") * F.col("y"), "sfy"),
+        dsum((F.col("f") - F.col("y")) * (F.col("f") - F.col("y")),
+             "sse"))
+    n = F.col("n")
+    my = F.col("sy") / n
+    mf = F.col("sf") / n
+    vy = F.col("syy") / n - my * my
+    vf = F.col("sff") / n - mf * mf
+    cfy = F.col("sfy") / n - mf * my
+    mse = F.col("sse") / n
+    bias = (mf - my) * (mf - my)
+    vars_ = (F.sqrt(vf) - F.sqrt(vy)) * (F.sqrt(vf) - F.sqrt(vy))
+    cov = 2.0 * (F.sqrt(vf) * F.sqrt(vy) - cfy)
+    return m.select(
+        n.cast("long").alias("n_eval"),
+        F.round(mse, 6).alias("mse"),
+        F.round(F.when(mse > 0, bias / mse), 6).alias("bias_share"),
+        F.round(F.when(mse > 0, vars_ / mse), 6)
+        .alias("variance_share"),
+        F.round(F.when(mse > 0, cov / mse), 6)
+        .alias("covariance_share"))
+
+
+def theil_decomposition_sql(table: str = "events", ts_sql: str = "ts",
+                            value_sql: str = "value",
+                            season: int = 7) -> str:
+    daily = _DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)
+
+    def dsum(expr, name):
+        return (f"CAST(sum(CAST({expr} AS DECIMAL(38,12))) AS DOUBLE)"
+                f" AS {name}")
+
+    return f"""
+WITH {daily},
+j AS (
+  SELECT c.x AS y, ls.x AS f
+  FROM ranked c JOIN ranked ls ON ls.t + {season} = c.t
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         {dsum('y', 'sy')}, {dsum('f', 'sf')},
+         {dsum('y * y', 'syy')}, {dsum('f * f', 'sff')},
+         {dsum('f * y', 'sfy')},
+         {dsum('(f - y) * (f - y)', 'sse')}
+  FROM j
+),
+c AS (
+  SELECT n, sse / n AS mse,
+         (sf / n - sy / n) * (sf / n - sy / n) AS bias,
+         (sqrt(sff / n - (sf / n) * (sf / n))
+          - sqrt(syy / n - (sy / n) * (sy / n)))
+         * (sqrt(sff / n - (sf / n) * (sf / n))
+            - sqrt(syy / n - (sy / n) * (sy / n))) AS vars_,
+         2.0 * (sqrt(sff / n - (sf / n) * (sf / n))
+                * sqrt(syy / n - (sy / n) * (sy / n))
+                - (sfy / n - (sf / n) * (sy / n))) AS cov
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_eval,
+       round(mse, 6) AS mse,
+       round(CASE WHEN mse > 0 THEN bias / mse END, 6) AS bias_share,
+       round(CASE WHEN mse > 0 THEN vars_ / mse END, 6)
+         AS variance_share,
+       round(CASE WHEN mse > 0 THEN cov / mse END, 6)
+         AS covariance_share
+FROM c
+"""
+
+
+def dfa_alpha(events: DataFrame, ts_col: str = "ts",
+              value_col: str = "value",
+              box_sizes: tuple = (4, 8, 16)) -> DataFrame:
+    """Detrended fluctuation analysis (Peng et al. 1994): integrate
+    the demeaned series into the profile Y_t, split into ⌊n/s⌋
+    boxes per size s, remove a per-box linear trend, F(s) = RMS of
+    the residuals, α = log-log slope of F(s) vs s — the long-memory
+    exponent that, unlike hurst_rs, is robust to nonstationarity in
+    the mean (α ≈ 0.5 uncorrelated, 1.0 1/f, 1.5 Brownian). Per-box
+    OLS residual variance comes from per-box MOMENTS (groupBy box),
+    never a per-box fit loop. Output: one row per box size (s,
+    n_boxes, f_s) plus α via the summary row (s = 0), rounds 6."""
+    base = _daily_frame(events, ts_col, value_col)
+    tot = Window.partitionBy()
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    cen = base.select(
+        "t",
+        (F.col("x")
+         - F.sum(F.col("x").cast(_TS_DEC)).over(tot).cast("double")
+         / F.count("*").over(tot)).alias("e"),
+        F.count("*").over(tot).alias("n"))
+    prof = cen.select(
+        "t", "n",
+        F.round(F.sum("e").over(wcum), 9).alias("yp"))
+    sizes = prof.select(
+        "t", "yp", "n",
+        F.explode(F.array(*[F.lit(s) for s in box_sizes])).alias("s"))
+    boxed = sizes.select(
+        "s", "yp", F.col("t").cast("double").alias("t"),
+        F.floor((F.col("t") - 1) / F.col("s")).alias("b"),
+        F.floor(F.col("n") / F.col("s")).alias("nb"))
+    full = boxed.filter(F.col("b") < F.col("nb"))
+    per = full.groupBy("s", "b").agg(
+        F.count("*").cast("double").alias("m"),
+        F.sum(F.col("t").cast(_TS_DEC)).cast("double").alias("st"),
+        F.sum(F.col("yp").cast(_TS_DEC)).cast("double").alias("sy"),
+        F.sum((F.col("t") * F.col("t")).cast(_TS_DEC)).cast("double")
+        .alias("stt"),
+        F.sum((F.col("yp") * F.col("yp")).cast(_TS_DEC))
+        .cast("double").alias("syy"),
+        F.sum((F.col("t") * F.col("yp")).cast(_TS_DEC)).cast("double")
+        .alias("sty"))
+    m = F.col("m")
+    ctt = F.col("stt") - F.col("st") * F.col("st") / m
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / m
+    cty = F.col("sty") - F.col("st") * F.col("sy") / m
+    sse = cyy - cty * cty / ctt
+    fs = per.select("s", "m", sse.alias("sse"))
+    agg = fs.groupBy("s").agg(
+        F.count("*").alias("n_boxes"),
+        F.round(F.sqrt(F.sum("sse") / F.sum("m")), 9).alias("f_s"))
+    pts = agg.select(F.log(F.col("s").cast("double")).alias("lx"),
+                     F.log("f_s").alias("ly"))
+    alpha = pts.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("lx").alias("sx"), F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy")).select(
+        F.lit(0).cast("long").alias("s"),
+        F.lit(0).cast("long").alias("n_boxes"),
+        F.round((F.col("k") * F.col("sxy")
+                 - F.col("sx") * F.col("sy"))
+                / (F.col("k") * F.col("sxx")
+                   - F.col("sx") * F.col("sx")), 6).alias("f_s"))
+    out = agg.select(F.col("s").cast("long").alias("s"),
+                     F.col("n_boxes").cast("long").alias("n_boxes"),
+                     F.round(F.col("f_s"), 6).alias("f_s"))
+    return out.unionByName(alpha).orderBy("s")
+
+
+def dfa_alpha_sql(table: str = "events", ts_sql: str = "ts",
+                  value_sql: str = "value",
+                  box_sizes: tuple = (4, 8, 16)) -> str:
+    daily = _DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)
+    sizes = ", ".join(str(s) for s in box_sizes)
+    return f"""
+WITH {daily},
+prof AS (
+  SELECT t,
+         round(sum(x - (SELECT CAST(sum(CAST(x AS DECIMAL(38,12)))
+                                    AS DOUBLE) / count(*)
+                        FROM ranked))
+               OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               9) AS yp,
+         (SELECT count(*) FROM ranked) AS n
+  FROM ranked
+),
+sizes AS (
+  SELECT p.t, p.yp, p.n, u.s
+  FROM prof p, LATERAL (SELECT unnest([{sizes}]) AS s) u
+),
+boxed AS (
+  SELECT s, yp, CAST(t AS DOUBLE) AS t,
+         floor((t - 1) / s) AS b, floor(n / s) AS nb
+  FROM sizes
+),
+per AS (
+  SELECT s, b, CAST(count(*) AS DOUBLE) AS m,
+         CAST(sum(CAST(t AS DECIMAL(38,12))) AS DOUBLE) AS st,
+         CAST(sum(CAST(yp AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(t * t AS DECIMAL(38,12))) AS DOUBLE) AS stt,
+         CAST(sum(CAST(yp * yp AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(t * yp AS DECIMAL(38,12))) AS DOUBLE) AS sty
+  FROM boxed WHERE b < nb GROUP BY s, b
+),
+fs AS (
+  SELECT s, m,
+         (syy - sy * sy / m)
+         - (sty - st * sy / m) * (sty - st * sy / m)
+           / (stt - st * st / m) AS sse
+  FROM per
+),
+agg AS (
+  SELECT s, count(*) AS n_boxes,
+         round(sqrt(sum(sse) / sum(m)), 9) AS f_s
+  FROM fs GROUP BY s
+),
+pts AS (
+  SELECT ln(CAST(s AS DOUBLE)) AS lx, ln(f_s) AS ly FROM agg
+),
+alpha AS (
+  SELECT CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS n_boxes,
+         round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS f_s
+  FROM (
+    SELECT CAST(count(*) AS DOUBLE) AS k, sum(lx) AS sx,
+           sum(ly) AS sy, sum(lx * lx) AS sxx, sum(lx * ly) AS sxy
+    FROM pts
+  )
+)
+SELECT CAST(s AS BIGINT) AS s, CAST(n_boxes AS BIGINT) AS n_boxes,
+       round(f_s, 6) AS f_s
+FROM agg
+UNION ALL
+SELECT * FROM alpha
+ORDER BY s
+"""
+
+
+_PINBALL_QS = (0.1, 0.5, 0.9)
+
+
+def pinball_loss(events: DataFrame, ts_col: str = "ts",
+                 value_col: str = "value") -> DataFrame:
+    """Quantile-forecast evaluation by pinball loss: per day-of-week
+    quantile forecasts (interpolated 10/50/90% of each DOW's totals
+    in the FIRST half of the window) evaluated on the second half
+    with L_τ(y, q) = (y−q)·τ if y ≥ q else (q−y)(1−τ), plus the
+    empirical coverage per τ — the probabilistic upgrade of
+    mase_smape's point scores (a good point forecast with bad
+    quantiles still loses money). Split at the midpoint day rank.
+    Output: one row per τ (tau, n_eval, pinball_mean, coverage),
+    rounds 6."""
+    base = _daily_frame(events, ts_col, value_col)
+    lim = base.agg(F.max("t").alias("tmax"))
+    tagged = (base.crossJoin(F.broadcast(lim))
+              .select("d", "x", "t",
+                      (F.col("t") * 2 <= F.col("tmax")).alias("train"),
+                      F.dayofweek("d").alias("dow")))
+    train = tagged.filter(F.col("train"))
+    qf = train.groupBy("dow").agg(
+        *[F.round(F.percentile(F.col("x"), F.lit(q)), 9)
+          .alias(f"q{int(q * 100)}") for q in _PINBALL_QS])
+    ev = (tagged.filter(~F.col("train"))
+          .join(F.broadcast(qf), "dow"))
+    rows = []
+    for q in _PINBALL_QS:
+        c = F.col(f"q{int(q * 100)}")
+        loss = F.when(F.col("x") >= c, (F.col("x") - c) * q) \
+            .otherwise((c - F.col("x")) * (1.0 - q))
+        rows.append(ev.agg(
+            F.count("*").alias("ne"),
+            F.avg(loss).alias("pb"),
+            F.avg((F.col("x") <= c).cast("double")).alias("cov"))
+            .select(F.lit(q).alias("tau"),
+                    F.col("ne").cast("long").alias("n_eval"),
+                    F.round(F.col("pb"), 6).alias("pinball_mean"),
+                    F.round(F.col("cov"), 6).alias("coverage")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("tau")
+
+
+def pinball_loss_sql(table: str = "events", ts_sql: str = "ts",
+                     value_sql: str = "value") -> str:
+    daily = _DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)
+    qcols = ", ".join(
+        f"round(quantile_cont(x, {q!r}), 9) AS q{int(q * 100)}"
+        for q in _PINBALL_QS)
+    selects = []
+    for q in _PINBALL_QS:
+        c = f"q{int(q * 100)}"
+        loss = (f"CASE WHEN x >= {c} THEN (x - {c}) * {q!r} "
+                f"ELSE ({c} - x) * (1.0 - {q!r}) END")
+        selects.append(
+            f"SELECT CAST({q!r} AS DOUBLE) AS tau, "
+            f"CAST(count(*) AS BIGINT) AS n_eval, "
+            f"round(avg({loss}), 6) AS pinball_mean, "
+            f"round(avg(CASE WHEN x <= {c} THEN 1.0 ELSE 0.0 END), 6) "
+            f"AS coverage FROM ev")
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH {daily},
+lim AS (SELECT max(t) AS tmax FROM ranked),
+tagged AS (
+  SELECT r.d, r.x, r.t, r.t * 2 <= l.tmax AS train,
+         dayofweek(r.d) + 1 AS dow
+  FROM ranked r CROSS JOIN lim l
+),
+qf AS (
+  SELECT dow, {qcols}
+  FROM tagged WHERE train GROUP BY dow
+),
+ev AS (
+  SELECT t.x, q.*
+  FROM tagged t JOIN qf q USING (dow)
+  WHERE NOT t.train
+)
+{body}
+ORDER BY tau
+"""

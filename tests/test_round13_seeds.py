@@ -20,10 +20,12 @@ def _one(df):
 
 
 def _days(values_per_day):
+    base = dt.datetime(2024, 1, 1, 8)
     rows = []
     for i, vals in enumerate(values_per_day):
         for j, v in enumerate(vals):
-            rows.append((dt.datetime(2024, 1, 1 + i, 8, j), float(v)))
+            rows.append((base + dt.timedelta(days=i, minutes=j),
+                         float(v)))
     return pd.DataFrame(rows, columns=["ts", "value"])
 
 
@@ -298,3 +300,208 @@ def test_spectral_flatness_sine_vs_noise(spark):
              for t in range(1, 29)]
     out2 = _one(spectral_flatness(spark.createDataFrame(_days(rough))))
     assert out2["flatness"] > out["flatness"]
+
+
+# ------------------------------------------- second batch
+
+
+def test_newey_west_iid_matches_ols(spark):
+    """Serially UNCORRELATED residuals: the HAC correction stays
+    the same order as the OLS SE (chance short-lag autocovariances
+    move it either way at n = 12, but never by the multiples real
+    autocorrelation produces)."""
+    from distill_spark.operators.timeseries import newey_west
+
+    vals = [10.0, 12.0, 9.0, 13.0, 11.0, 12.5, 9.5, 11.5,
+            10.5, 12.2, 9.8, 11.8]
+    out = _one(newey_west(spark.createDataFrame(
+        _days([[v] for v in vals]))))
+    assert out["q_lags"] == int(4 * (12 / 100) ** 0.25)
+    assert 0.3 < out["se_ratio"] < 1.5
+
+
+def test_newey_west_positive_autocorr_inflates_se(spark):
+    """A slowly wandering series (strong positive residual
+    autocorrelation): the HAC SE must EXCEED the OLS SE."""
+    from distill_spark.operators.timeseries import newey_west
+
+    vals = [10, 10.5, 11, 11.4, 11.6, 11.5, 11.2, 10.6, 10.1,
+            9.8, 9.7, 9.9, 10.4, 10.9, 11.3, 11.6, 11.5, 11.1,
+            10.5, 10.0]
+    out = _one(newey_west(spark.createDataFrame(
+        _days([[float(v)] for v in vals]))))
+    assert out["se_ratio"] > 1.1
+
+
+def test_cochrane_orcutt_numpy_mirror(spark):
+    from distill_spark.operators.timeseries import cochrane_orcutt
+
+    vals = [10.0, 11.0, 10.5, 12.0, 12.5, 12.2, 13.0, 13.8,
+            13.5, 14.2]
+    out = _one(cochrane_orcutt(spark.createDataFrame(
+        _days([[v] for v in vals]))))
+    y = np.array(vals)
+    t = np.arange(1.0, 11.0)
+    b1 = np.cov(t, y, bias=True)[0, 1] / t.var()
+    b0 = y.mean() - b1 * t.mean()
+    e = np.round(y - b0 - b1 * t, 9)
+    rho = (e[1:] * e[:-1]).sum() / (e[:-1] ** 2).sum()
+    ys = y[1:] - rho * y[:-1]
+    ts = t[1:] - rho * t[:-1]
+    b1c = np.cov(ts, ys, bias=True)[0, 1] / ts.var()
+    assert abs(out["rho_hat"] - rho) < 1e-6
+    assert abs(out["slope_ols"] - b1) < 1e-6
+    assert abs(out["slope_co"] - b1c) < 1e-5
+
+
+def test_diebold_mariano_planted_seasonal_truth(spark):
+    """An exact period-7 cycle: the seasonal-naive forecast is
+    PERFECT, the naive is terrible → every d_t > 0, DM strongly
+    positive, seasonal_wins True."""
+    from distill_spark.operators.timeseries import diebold_mariano
+
+    cyc = [10.0, 20.0, 15.0, 30.0, 25.0, 12.0, 18.0] * 4
+    out = _one(diebold_mariano(spark.createDataFrame(
+        _days([[v] for v in cyc]))))
+    assert out["mean_d"] > 0
+    assert out["seasonal_wins"]
+    assert out["dm_stat"] > 2
+
+
+def test_theil_decomposition_shares_sum_to_one(spark):
+    from distill_spark.operators.timeseries import theil_decomposition
+
+    vals = [10.0, 14.0, 9.0, 12.0, 16.0, 11.0, 13.0, 18.0,
+            12.0, 15.0, 10.0, 13.0]
+    out = _one(theil_decomposition(spark.createDataFrame(
+        _days([[v] for v in vals])), season=3))
+    s = (out["bias_share"] + out["variance_share"]
+         + out["covariance_share"])
+    assert abs(s - 1.0) < 1e-5
+    # biased forecast: f = y + 2 planted via a shifted cycle
+    up = [v + 2.0 for v in vals[:3]]  # first season higher
+    series = up + vals[3:]
+    out2 = _one(theil_decomposition(spark.createDataFrame(
+        _days([[v] for v in series])), season=3))
+    assert out2["mse"] > 0
+
+
+def test_dfa_alpha_brownian_vs_noise(spark):
+    """White-ish noise → α near 0.5; a cumulative (integrated) ramp
+    walks like a trend → α well above 1."""
+    from distill_spark.operators.timeseries import dfa_alpha
+
+    # fixed white-noise literal (seeded once; a multiplicative-hash
+    # sequence is secretly an LCG sawtooth and scores alpha > 1)
+    noise = [8.94, 7.91, 10.91, 7.43, 10.22, 9.19, 7.35, 10.04,
+             7.22, 9.6, 7.42, 7.54, 9.55, 11.96, 7.74, 8.34, 10.76,
+             12.69, 10.46, 9.38, 12.86, 7.28, 12.15, 8.74, 7.87,
+             7.71, 8.85, 11.9, 8.08, 10.49, 10.83, 9.23, 10.29,
+             7.38, 7.36, 8.24, 11.08, 9.57, 8.88, 10.51, 9.72, 8.8,
+             11.77, 11.19, 8.46, 10.45, 10.15, 12.25]
+    rows = {r["s"]: r.asDict()
+            for r in dfa_alpha(spark.createDataFrame(
+                _days([[v] for v in noise]))).collect()}
+    alpha_noise = rows[0]["f_s"]
+    trend = [float(t) for t in range(1, 49)]
+    rows2 = {r["s"]: r.asDict()
+             for r in dfa_alpha(spark.createDataFrame(
+                 _days([[v] for v in trend]))).collect()}
+    alpha_trend = rows2[0]["f_s"]
+    assert alpha_noise < 1.0
+    assert alpha_trend > 1.2
+    assert alpha_trend > alpha_noise
+    # F(s) must grow with s for the trend series
+    assert rows2[16]["f_s"] > rows2[4]["f_s"]
+
+
+def test_pinball_loss_hand_case(spark):
+    """Constant train DOW values → quantile forecasts equal them; a
+    +1 shift in eval makes the τ=0.9 loss exactly 0.1·1 and the
+    τ=0.1 loss 0.9·... no: y ≥ q always → L_τ = (y−q)·τ = τ."""
+    from distill_spark.operators.timeseries import pinball_loss
+
+    # 28 days: first 14 train (value 10), last 14 eval (value 11)
+    vals = [10.0] * 14 + [11.0] * 14
+    out = {r["tau"]: r.asDict()
+           for r in pinball_loss(spark.createDataFrame(
+               _days([[v] for v in vals]))).collect()}
+    for tau in (0.1, 0.5, 0.9):
+        # forecast q = 10 for every dow/τ; y = 11 ≥ q → loss = τ·1
+        assert out[tau]["pinball_mean"] == round(tau, 6)
+        assert out[tau]["coverage"] == 0.0  # y never ≤ q
+
+
+def test_gries_dp_extremes(spark):
+    """A token only in one of two equal-size parts → DP = 0.5; a
+    token spread exactly like the corpus → DP = 0."""
+    from distill_spark.operators.corpus_stats import gries_dp
+
+    rows = ([("even " * 10 + "clumped " * 10).strip()] * 1
+            + [("even " * 10).strip()] * 1)
+    pdf = pd.DataFrame({"text": [rows[0][0] if False else rows[0],
+                                 rows[1]],
+                        "source": ["s1", "s2"]})
+    out = {r["token"]: r.asDict()
+           for r in gries_dp(spark.createDataFrame(pdf),
+                             "text", "source",
+                             min_count=10).collect()}
+    # corpus: s1 has 20 tokens, s2 has 10 → p = (2/3, 1/3)
+    # 'clumped': v = (1, 0) → DP = (|1-2/3| + |0-1/3|)/2 = 1/3
+    assert out["clumped"]["dp"] == round(1 / 3, 6)
+    # 'even': v = (10/20, 10/20) → DP = (|.5-2/3|+|.5-1/3|)/2 = 1/6
+    assert out["even"]["dp"] == round(1 / 6, 6)
+
+
+def test_degree_gini_star_vs_cycle(spark):
+    """A 6-cycle is degree-regular → Gini 0; a 6-star concentrates
+    all edges on the hub → high Gini and top-share."""
+    from distill_spark.operators.graphstats import degree_gini
+
+    cyc = [("n%d" % i, "n%d" % ((i + 1) % 6)) for i in range(6)]
+    out = _one(degree_gini(spark.createDataFrame(
+        pd.DataFrame(cyc, columns=["a", "b"]))))
+    assert out["degree_gini"] == 0.0
+    assert out["mean_degree"] == 2.0
+    star = [("hub", "l%d" % i) for i in range(6)]
+    out2 = _one(degree_gini(spark.createDataFrame(
+        pd.DataFrame(star, columns=["a", "b"]))))
+    assert out2["max_degree"] == 6
+    assert out2["degree_gini"] > 0.3
+    assert out2["top1pct_share"] == 0.5  # hub owns half the endpoints
+
+
+def test_bartels_rank_alternating_vs_trend(spark):
+    """A strict sawtooth maximizes rank flips → RVN > 2, z > 0; a
+    monotone ramp minimizes them → RVN ≈ 12/n-ish, z < 0."""
+    from distill_spark.operators.stats import bartels_rank_test
+
+    saw = [1.0, 10.0, 2.0, 9.0, 3.0, 8.0, 4.0, 7.0, 5.0, 6.0]
+    pdf = pd.DataFrame({"t": range(10), "v": saw})
+    out = _one(bartels_rank_test(spark.createDataFrame(pdf),
+                                 "v", "t"))
+    assert out["z"] > 0
+    ramp = pd.DataFrame({"t": range(10),
+                         "v": [float(i) for i in range(10)]})
+    out2 = _one(bartels_rank_test(spark.createDataFrame(ramp),
+                                  "v", "t"))
+    # monotone ranks: Σ(r−r')² = n−1 → RVN = (n−1)·12/(n(n²−1))
+    n = 10
+    assert out2["rvn"] == round((n - 1) * 12 / (n * (n * n - 1)), 6)
+    assert out2["z"] < 0
+
+
+def test_cusum_squares_planted_variance_burst(spark):
+    """Tiny wiggle then a huge-variance tail: the squared-error mass
+    arrives late, so s_k sags BELOW the diagonal with the argmax at
+    the last quiet point — and the 5% band is crossed."""
+    from distill_spark.operators.stats import cusum_squares
+
+    quiet = [10.0 + (0.01 if i % 2 else -0.01) for i in range(10)]
+    loud = [10.0 + (5.0 if i % 2 else -5.0) for i in range(5)]
+    pdf = pd.DataFrame({"t": range(15), "v": quiet + loud})
+    out = _one(cusum_squares(spark.createDataFrame(pdf), "v", "t"))
+    assert out["n"] == 15
+    assert out["argmax_t"] == 9  # last quiet index
+    assert out["crosses_5pct"]
+    assert out["max_dev"] > 0.5
