@@ -13169,6 +13169,107 @@ def _sql_cusum_sq():
         " AS tot FROM events GROUP BY CAST(ts AS DATE))", "tot", "ti")
 
 
+def _typed_daily_tot_frame(t):
+    return (t["events"]
+            .filter(F.col("event_type").isin(["click", "view"]))
+            .groupBy("event_type", F.to_date("ts").alias("day"))
+            .agg(F.round(F.sum(F.col("value").cast("decimal(38,12)"))
+                         .cast("double"), 9).alias("tot")))
+
+
+_TYPED_DAILY_TOT_SQL = ("(SELECT event_type, "
+                        "round(CAST(sum(CAST(value AS DECIMAL(38,12)))"
+                        " AS DOUBLE), 9) AS tot FROM events "
+                        "WHERE event_type IN ('click', 'view') "
+                        "GROUP BY event_type, CAST(ts AS DATE))")
+
+
+def q_siegel_tukey(spark, sf_dir):
+    """Siegel–Tukey end-in rank dispersion test between daily click
+    and view totals (stats.siegel_tukey) — the rank cousin of
+    ansari_bradley with the classic 1-2-2-2… assignment."""
+    from distill_spark.operators.stats import siegel_tukey
+
+    return siegel_tukey(_typed_daily_tot_frame(_tables(spark, sf_dir)),
+                        "event_type", "click", "view", "tot")
+
+
+def _sql_siegel_tukey():
+    from distill_spark.operators.stats import siegel_tukey_sql
+
+    return siegel_tukey_sql(_TYPED_DAILY_TOT_SQL, "event_type",
+                            "click", "view", "tot")
+
+
+def q_runs_updown(spark, sf_dir):
+    """Runs-up-and-down (difference-sign) randomness test on daily
+    totals (stats.runs_updown) — smoothness where ww_runs_daily sees
+    level shifts."""
+    from distill_spark.operators.stats import runs_updown
+
+    return runs_updown(_daily_tot_frame(_tables(spark, sf_dir)),
+                       "tot", "day")
+
+
+def _sql_runs_updown():
+    from distill_spark.operators.stats import runs_updown_sql
+
+    return runs_updown_sql(
+        "(SELECT CAST(ts AS DATE) AS day, "
+        "round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 9)"
+        " AS tot FROM events GROUP BY 1)", "tot", "day")
+
+
+def q_max_sum_ratio(spark, sf_dir):
+    """Max-to-sum moment diagnostics R(p), p = 1..4, over order
+    totals (stats.max_sum_ratio) — the fastest 'does the tail own
+    the moments' screen before hill_tail."""
+    from distill_spark.operators.stats import max_sum_ratio
+
+    return max_sum_ratio(_tables(spark, sf_dir)["orders"],
+                         "o_totalprice")
+
+
+def _sql_max_sum():
+    from distill_spark.operators.stats import max_sum_ratio_sql
+
+    return max_sum_ratio_sql("orders", "o_totalprice")
+
+
+def q_pickands_tail(spark, sf_dir):
+    """Pickands tail index of daily totals (stats.pickands_tail) —
+    location-invariant and valid in all tail regimes, hill_tail's
+    cross-check."""
+    from distill_spark.operators.stats import pickands_tail
+
+    return pickands_tail(_daily_tot_frame(_tables(spark, sf_dir)),
+                         "tot")
+
+
+def _sql_pickands():
+    from distill_spark.operators.stats import pickands_tail_sql
+
+    return pickands_tail_sql(_DAILY_TOT_SQL, "tot")
+
+
+def q_common_language_es(spark, sf_dir):
+    """Common-language effect size + rank-biserial r between daily
+    click and view totals (stats.common_language_es) — 'a random
+    click-day beats a random view-day CL% of the time'."""
+    from distill_spark.operators.stats import common_language_es
+
+    return common_language_es(
+        _typed_daily_tot_frame(_tables(spark, sf_dir)),
+        "event_type", "click", "view", "tot")
+
+
+def _sql_cles():
+    from distill_spark.operators.stats import common_language_es_sql
+
+    return common_language_es_sql(_TYPED_DAILY_TOT_SQL, "event_type",
+                                  "click", "view", "tot")
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ======================== ROUND-12 WINDOW ============================
     # -- round-12 head: the 12 seeds queued all of round 11 (each
@@ -13260,6 +13361,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "degree_gini": (q_degree_gini, _sql_degree_gini()),
     "bartels_rank": (q_bartels_rank, _sql_bartels()),
     "cusum_squares": (q_cusum_squares, _sql_cusum_sq()),
+    # -- round-13 seed stratum, third batch -----------------------------------
+    "siegel_tukey": (q_siegel_tukey, _sql_siegel_tukey()),
+    "runs_updown": (q_runs_updown, _sql_runs_updown()),
+    "max_sum_ratio": (q_max_sum_ratio, _sql_max_sum()),
+    "pickands_tail": (q_pickands_tail, _sql_pickands()),
+    "common_language_es": (q_common_language_es, _sql_cles()),
     # -- round-11 first stratum: the dispersion-test family ------------------
     "ansari_bradley": (q_ansari_bradley, _sql_ansari()),
     "brunner_munzel": (q_brunner_munzel, _sql_brunner()),
@@ -13766,6 +13873,10 @@ _PENDING_PROMOTION: frozenset[str] = frozenset({
     "newey_west", "cochrane_orcutt", "diebold_mariano",
     "theil_decomposition", "dfa_alpha", "pinball_loss", "gries_dp",
     "degree_gini", "bartels_rank", "cusum_squares",
+    # third batch: rank dispersion, difference-sign randomness,
+    # tail diagnostics, readable effect sizes
+    "siegel_tukey", "runs_updown", "max_sum_ratio", "pickands_tail",
+    "common_language_es",
 })
 
 

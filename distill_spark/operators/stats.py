@@ -9816,3 +9816,348 @@ SELECT CAST(a.n AS BIGINT) AS n,
        a.dmax > 0.948 / sqrt(CAST(a.n AS DOUBLE)) AS crosses_5pct
 FROM agg a
 """
+
+
+def siegel_tukey(df: DataFrame, group_col: str, group_a, group_b,
+                 value_col: str) -> DataFrame:
+    """Siegel–Tukey rank dispersion test (1960): rank the combined
+    sample from the ENDS inward (1 to the min, 2–3 to the two maxes,
+    4–5 to the next two mins, …), then run the Mann–Whitney machinery
+    on those ranks — more spread ⇒ lower rank sum. The end-in rank
+    for sorted position i (1-based, n total) is a pure arithmetic
+    function of min(i−1, n−i) and side, so no iteration: ranks from
+    one ordered window, midranks for tied positions skipped in favor
+    of the standard position-deterministic assignment (ties broken
+    by value order — documented; the test is approximate under heavy
+    ties anyway). Output: one row (n_a, n_b, w_a, z), rounds 6."""
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    base = df.filter(g.isin([group_a, group_b]) & v.isNotNull()) \
+        .select(F.when(g == group_a, 1).otherwise(0).alias("ia"),
+                v.alias("v"))
+    w = Window.orderBy("v", "ia")
+    tot = Window.partitionBy()
+    pos = base.select(
+        "ia", F.row_number().over(w).alias("i"),
+        F.count("*").over(tot).alias("n"))
+    # end-in rank: k = min(i−1, n−i); from the low side (i−1 ≤ n−i)
+    # rank = 2k+1 if k even else 2k; from the high side rank = 2k+2
+    # if k even else 2k+1
+    k = F.least(F.col("i") - 1, F.col("n") - F.col("i"))
+    low = (F.col("i") - 1) <= (F.col("n") - F.col("i"))
+    even = k % 2 == 0
+    rank = (F.when(low & even, 2 * k + 1)
+            .when(low & ~even, 2 * k)
+            .when(~low & even, 2 * k + 2)
+            .otherwise(2 * k + 1)).cast("double")
+    agg = pos.select("ia", "n", rank.alias("r")).agg(
+        F.sum("ia").cast("double").alias("na"),
+        F.sum(1 - F.col("ia")).cast("double").alias("nb"),
+        F.sum(F.col("ia") * F.col("r")).alias("wa"))
+    na, nb = F.col("na"), F.col("nb")
+    mu = na * (na + nb + 1) / 2.0
+    sig = F.sqrt(na * nb * (na + nb + 1) / 12.0)
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(F.col("wa"), 6).alias("w_a"),
+        F.round((F.col("wa") - mu) / sig, 6).alias("z"))
+
+
+def siegel_tukey_sql(table: str, group_sql: str, group_a: str,
+                     group_b: str, value_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT CASE WHEN {group_sql} = '{group_a}' THEN 1 ELSE 0 END AS ia,
+         CAST({value_sql} AS DOUBLE) AS v
+  FROM {table}
+  WHERE {group_sql} IN ('{group_a}', '{group_b}')
+    AND CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+pos AS (
+  SELECT ia, row_number() OVER (ORDER BY v, ia) AS i,
+         count(*) OVER () AS n
+  FROM base
+),
+ranked AS (
+  SELECT ia, n,
+         CAST(CASE
+           WHEN (i - 1) <= (n - i) AND least(i - 1, n - i) % 2 = 0
+             THEN 2 * least(i - 1, n - i) + 1
+           WHEN (i - 1) <= (n - i)
+             THEN 2 * least(i - 1, n - i)
+           WHEN least(i - 1, n - i) % 2 = 0
+             THEN 2 * least(i - 1, n - i) + 2
+           ELSE 2 * least(i - 1, n - i) + 1
+         END AS DOUBLE) AS r
+  FROM pos
+),
+agg AS (
+  SELECT CAST(sum(ia) AS DOUBLE) AS na,
+         CAST(sum(1 - ia) AS DOUBLE) AS nb,
+         sum(ia * r) AS wa
+  FROM ranked
+)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       round(wa, 6) AS w_a,
+       round((wa - na * (na + nb + 1) / 2.0)
+             / sqrt(na * nb * (na + nb + 1) / 12.0), 6) AS z
+FROM agg
+"""
+
+
+def runs_updown(df: DataFrame, value_col: str,
+                order_col: str) -> DataFrame:
+    """Runs-up-and-down randomness test (the difference-sign test):
+    count maximal runs of consecutive increases/decreases; under
+    randomness E[R] = (2n−1)/3, Var[R] = (16n−29)/90 — sensitive to
+    SMOOTHNESS (trend/cycles) where ww_runs_daily's above-median
+    runs see level shifts. Zero differences drop (standard). One
+    lag window over the bounded frame. Output: one row (n, n_runs,
+    expected, z), rounds 6."""
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(
+        F.col(order_col).alias("t"), v.alias("x"))
+    w = Window.orderBy("t")
+    signs = (base.select(
+        "t", F.signum(F.col("x") - F.lag("x").over(w)).alias("s"))
+        .filter(F.col("s").isNotNull() & (F.col("s") != 0)))
+    # a run boundary wherever the sign changes; lag over t keeps the
+    # sequence deterministic
+    runs = signs.select(
+        "s", F.lag("s").over(Window.orderBy("t")).alias("prev"))
+    agg = runs.agg(
+        F.count("*").alias("m"),
+        F.sum(F.when(F.col("prev").isNull()
+                     | (F.col("s") != F.col("prev")), 1)
+              .otherwise(0)).alias("r"))
+    n = (F.col("m") + 1).cast("double")
+    mu = (2.0 * n - 1.0) / 3.0
+    var = (16.0 * n - 29.0) / 90.0
+    return agg.select(
+        n.cast("long").alias("n"),
+        F.col("r").cast("long").alias("n_runs"),
+        F.round(mu, 6).alias("expected"),
+        F.round((F.col("r") - mu) / F.sqrt(var), 6).alias("z"))
+
+
+def runs_updown_sql(table: str, value_sql: str,
+                    order_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT {order_sql} AS t, CAST({value_sql} AS DOUBLE) AS x
+  FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+signs AS (
+  SELECT t, sign(x - lag(x) OVER (ORDER BY t)) AS s
+  FROM base
+  QUALIFY s IS NOT NULL AND s <> 0
+),
+runs AS (
+  SELECT s, lag(s) OVER (ORDER BY t) AS prev FROM signs
+),
+agg AS (
+  SELECT count(*) AS m,
+         sum(CASE WHEN prev IS NULL OR s <> prev THEN 1 ELSE 0 END)
+           AS r
+  FROM runs
+)
+SELECT CAST(m + 1 AS BIGINT) AS n,
+       CAST(r AS BIGINT) AS n_runs,
+       round((2.0 * (m + 1) - 1.0) / 3.0, 6) AS expected,
+       round((r - (2.0 * (m + 1) - 1.0) / 3.0)
+             / sqrt((16.0 * (m + 1) - 29.0) / 90.0), 6) AS z
+FROM agg
+"""
+
+
+def max_sum_ratio(df: DataFrame, value_col: str) -> DataFrame:
+    """Max-to-sum heavy-tail diagnostic (Embrechts, Klüppelberg &
+    Mikosch §6.2): R_n(p) = max|X|^p / Σ|X|^p for p = 1..4 — under a
+    finite p-th moment R_n(p) → 0, so a non-vanishing R at p = 3, 4
+    is the fastest "the tail owns the moments" screen before
+    hill_tail fits an index. One aggregate (four conditional maxima
+    and sums). Output: one row (n, r1, r2, r3, r4), rounds 6."""
+    v = F.abs(F.col(value_col).cast("double"))
+    base = df.filter(v.isNotNull()).select(v.alias("x"))
+    aggs = [F.count("*").alias("n")]
+    for p in (1, 2, 3, 4):
+        xp = F.col("x")
+        for _ in range(p - 1):
+            xp = xp * F.col("x")
+        aggs.append(F.max(xp).alias(f"m{p}"))
+        aggs.append(F.sum(xp).alias(f"s{p}"))
+    agg = base.agg(*aggs)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        *[F.round(F.when(F.col(f"s{p}") > 0,
+                         F.col(f"m{p}") / F.col(f"s{p}")), 6)
+          .alias(f"r{p}") for p in (1, 2, 3, 4)])
+
+
+def max_sum_ratio_sql(table: str, value_sql: str) -> str:
+    cols = []
+    for p in (1, 2, 3, 4):
+        xp = " * ".join(["x"] * p)
+        cols.append(f"round(CASE WHEN sum({xp}) > 0 THEN "
+                    f"max({xp}) / sum({xp}) END, 6) AS r{p}")
+    return f"""
+WITH base AS (
+  SELECT abs(CAST({value_sql} AS DOUBLE)) AS x FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+)
+SELECT CAST(count(*) AS BIGINT) AS n, {', '.join(cols)}
+FROM base
+"""
+
+
+def pickands_tail(df: DataFrame, value_col: str) -> DataFrame:
+    """Pickands tail-index estimator (1975): with the k-th, 2k-th and
+    4k-th largest order statistics, ξ̂ = ln((X_(k) − X_(2k)) /
+    (X_(2k) − X_(4k))) / ln 2 at k = ⌊n/8⌋ — unlike hill_tail it is
+    location-invariant and valid for ALL tail regimes (ξ < 0 bounded,
+    = 0 Gumbel, > 0 heavy), at the cost of higher variance; the two
+    disagreeing is itself a diagnostic. Rank window over the bounded
+    frame (top half only). Output: one row (n, k, xi_pickands,
+    tail_class), rounds 6."""
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(v.alias("x"))
+    w = Window.orderBy(F.desc("x"))
+    tot = Window.partitionBy()
+    ranked = base.select(
+        "x", F.row_number().over(w).alias("r"),
+        F.count("*").over(tot).alias("n"),
+        F.floor(F.count("*").over(tot) / 8).alias("k"))
+    picks = ranked.filter(
+        (F.col("r") == F.col("k")) | (F.col("r") == 2 * F.col("k"))
+        | (F.col("r") == 4 * F.col("k")))
+    agg = picks.agg(
+        F.max("n").alias("n"), F.max("k").alias("k"),
+        F.max(F.when(F.col("r") == F.col("k"), F.col("x")))
+        .alias("xk"),
+        F.max(F.when(F.col("r") == 2 * F.col("k"), F.col("x")))
+        .alias("x2k"),
+        F.max(F.when(F.col("r") == 4 * F.col("k"), F.col("x")))
+        .alias("x4k"))
+    num = F.col("xk") - F.col("x2k")
+    den = F.col("x2k") - F.col("x4k")
+    xi = F.when((num > 0) & (den > 0),
+                F.log(num / den) / F.log(F.lit(2.0)))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(xi, 6).alias("xi_pickands"),
+        F.when(xi > 0.05, "heavy").when(xi < -0.05, "bounded")
+        .otherwise(F.when(xi.isNull(), None).otherwise("gumbel"))
+        .alias("tail_class"))
+
+
+def pickands_tail_sql(table: str, value_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS x FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x DESC) AS r,
+         count(*) OVER () AS n,
+         floor(count(*) OVER () / 8) AS k
+  FROM base
+),
+agg AS (
+  SELECT max(n) AS n, max(k) AS k,
+         max(CASE WHEN r = k THEN x END) AS xk,
+         max(CASE WHEN r = 2 * k THEN x END) AS x2k,
+         max(CASE WHEN r = 4 * k THEN x END) AS x4k
+  FROM ranked WHERE r = k OR r = 2 * k OR r = 4 * k
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(k AS BIGINT) AS k,
+       round(CASE WHEN xk - x2k > 0 AND x2k - x4k > 0 THEN
+         ln((xk - x2k) / (x2k - x4k)) / ln(2.0) END, 6)
+         AS xi_pickands,
+       CASE WHEN xk - x2k > 0 AND x2k - x4k > 0 THEN
+         CASE WHEN ln((xk - x2k) / (x2k - x4k)) / ln(2.0) > 0.05
+              THEN 'heavy'
+              WHEN ln((xk - x2k) / (x2k - x4k)) / ln(2.0) < -0.05
+              THEN 'bounded'
+              ELSE 'gumbel' END
+       END AS tail_class
+FROM agg
+"""
+
+
+def common_language_es(df: DataFrame, group_col: str, group_a,
+                       group_b, value_col: str) -> DataFrame:
+    """Common-language effect size + rank-biserial r (McGraw & Wong
+    1992; Wendt 1972): CL = P(a > b) + ½P(a = b) = U_a/(n_a·n_b)
+    from the mannwhitney construction, r_rb = 2·CL − 1 — the effect
+    sizes a stakeholder can read ("a random A beats a random B
+    CL% of the time") where cliffs_delta speaks in δ. Same
+    distinct-value cumulative frame as mannwhitney_u. Output: one
+    row (n_a, n_b, u_a, cl_prob, rank_biserial), rounds 6."""
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    per = (df.filter(g.isin([group_a, group_b]) & v.isNotNull())
+           .select(v.alias("v"),
+                   F.when(g == group_a, 1).otherwise(0).alias("is_a"))
+           .groupBy("v")
+           .agg(F.sum("is_a").alias("ca"),
+                F.count("*").alias("ct")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    tot = Window.partitionBy()
+    avg_rank = (F.coalesce(F.sum("ct").over(w), F.lit(0))
+                + (F.col("ct") + 1) / 2.0)
+    terms = per.select(
+        F.sum("ca").over(tot).alias("na"),
+        (F.sum("ct").over(tot) - F.sum("ca").over(tot)).alias("nb"),
+        (F.col("ca") * avg_rank).cast(_DEC).alias("_ra"))
+    agg = (terms.groupBy("na", "nb")
+           .agg(F.sum("_ra").cast("double").alias("ra")))
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    u_a = F.col("ra") - na * (na + 1) / 2
+    cl = u_a / (na * nb)
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(u_a, 6).alias("u_a"),
+        F.round(cl, 6).alias("cl_prob"),
+        F.round(2.0 * cl - 1.0, 6).alias("rank_biserial"))
+
+
+def common_language_es_sql(table: str, group_sql: str, group_a: str,
+                           group_b: str, value_sql: str) -> str:
+    return f"""
+WITH per AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS v,
+         sum(CASE WHEN {group_sql} = '{group_a}' THEN 1 ELSE 0 END)
+           AS ca,
+         count(*) AS ct
+  FROM {table}
+  WHERE {group_sql} IN ('{group_a}', '{group_b}')
+    AND CAST({value_sql} AS DOUBLE) IS NOT NULL
+  GROUP BY 1
+),
+terms AS (
+  SELECT sum(ca) OVER () AS na,
+         sum(ct) OVER () - sum(ca) OVER () AS nb,
+         CAST(ca * (coalesce(sum(ct) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (ct + 1) / 2.0) AS DECIMAL(38,12)) AS ra_
+  FROM per
+),
+agg AS (
+  SELECT na, nb, CAST(sum(ra_) AS DOUBLE) AS ra
+  FROM terms GROUP BY na, nb
+)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       round(ra - CAST(na AS DOUBLE) * (na + 1) / 2, 6) AS u_a,
+       round((ra - CAST(na AS DOUBLE) * (na + 1) / 2)
+             / (CAST(na AS DOUBLE) * nb), 6) AS cl_prob,
+       round(2.0 * (ra - CAST(na AS DOUBLE) * (na + 1) / 2)
+             / (CAST(na AS DOUBLE) * nb) - 1.0, 6) AS rank_biserial
+FROM agg
+"""

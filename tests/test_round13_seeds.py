@@ -505,3 +505,109 @@ def test_cusum_squares_planted_variance_burst(spark):
     assert out["argmax_t"] == 9  # last quiet index
     assert out["crosses_5pct"]
     assert out["max_dev"] > 0.5
+
+
+# ------------------------------------------- third batch
+
+
+def test_siegel_tukey_hand_ranks(spark):
+    """n=6 sorted values get end-in ranks 1,4,5,6,3,2. Group a owning
+    the extremes {min, max} gets W_a = 1+2 = 3, below its mean 7 →
+    z < 0 (more dispersed group scores LOW)."""
+    from distill_spark.operators.stats import siegel_tukey
+
+    rows = [("a", 1.0), ("b", 2.0), ("b", 3.0), ("b", 4.0),
+            ("b", 5.0), ("a", 6.0)]
+    pdf = pd.DataFrame(rows, columns=["g", "v"])
+    out = _one(siegel_tukey(spark.createDataFrame(pdf),
+                            "g", "a", "b", "v"))
+    assert out["n_a"] == 2 and out["n_b"] == 4
+    assert out["w_a"] == 3.0
+    assert out["z"] < 0
+    # the middle pair instead → W_a = 6+5 = 11? ranks of positions
+    # 3,4 are 5,6 → W_a = 11, above the mean → z > 0
+    rows2 = [("b", 1.0), ("b", 2.0), ("a", 3.0), ("a", 4.0),
+             ("b", 5.0), ("b", 6.0)]
+    out2 = _one(siegel_tukey(spark.createDataFrame(
+        pd.DataFrame(rows2, columns=["g", "v"])), "g", "a", "b", "v"))
+    assert out2["w_a"] == 11.0
+    assert out2["z"] > 0
+
+
+def test_runs_updown_extremes(spark):
+    """A strict sawtooth flips direction at every step → R = n−1
+    (max), z > 0; a monotone ramp is one run → R = 1, z < 0."""
+    from distill_spark.operators.stats import runs_updown
+
+    saw = [1.0, 5.0, 2.0, 6.0, 3.0, 7.0, 4.0, 8.0]
+    pdf = pd.DataFrame({"t": range(8), "v": saw})
+    out = _one(runs_updown(spark.createDataFrame(pdf), "v", "t"))
+    assert out["n"] == 8
+    assert out["n_runs"] == 7
+    assert out["expected"] == 5.0  # (2·8−1)/3
+    assert out["z"] > 0
+    ramp = pd.DataFrame({"t": range(8),
+                         "v": [float(i) for i in range(8)]})
+    out2 = _one(runs_updown(spark.createDataFrame(ramp), "v", "t"))
+    assert out2["n_runs"] == 1
+    assert out2["z"] < 0
+
+
+def test_max_sum_ratio_tail_separation(spark):
+    """Uniform-ish values → all R(p) small and decreasing slower; one
+    dominating outlier → R(4) ≈ 1 (the max owns the 4th moment)."""
+    from distill_spark.operators.stats import max_sum_ratio
+
+    flat = pd.DataFrame({"v": [9.0, 10.0, 11.0, 10.5, 9.5] * 4})
+    out = _one(max_sum_ratio(spark.createDataFrame(flat), "v"))
+    assert out["r1"] < 0.1
+    assert out["r4"] < 0.2
+    spike = pd.DataFrame({"v": [1.0] * 19 + [100.0]})
+    out2 = _one(max_sum_ratio(spark.createDataFrame(spike), "v"))
+    assert out2["r4"] > 0.99
+    # hand value at p = 1: 100 / 119
+    assert out2["r1"] == round(100 / 119, 6)
+
+
+def test_pickands_hand_order_statistics(spark):
+    """n = 32 → k = 4: ξ̂ = ln((X(4) − X(8))/(X(8) − X(16)))/ln 2,
+    pinned by planting exact descending values."""
+    from distill_spark.operators.stats import pickands_tail
+
+    vals = [float(100 - i) for i in range(32)]  # 100..69 descending
+    # X(4) = 97, X(8) = 93, X(16) = 85 → ln(4/8)/ln2 = −1
+    out = _one(pickands_tail(spark.createDataFrame(
+        pd.DataFrame({"v": vals})), "v"))
+    assert out["k"] == 4
+    assert out["xi_pickands"] == -1.0
+    assert out["tail_class"] == "bounded"
+    # geometric spacing X(k) = 2^-k ⇒ ratios = 0.5... construct
+    # heavy: X(4)−X(8) = 12, X(8)−X(16) = 6 → ξ = 1 (heavy)
+    heavy = ([30.0, 29.0, 28.0, 27.0]          # X(1..4)
+             + [20.0, 19.5, 19.2, 15.0]        # X(5..8)
+             + [12.0, 11.0, 10.5, 10.2, 10.1, 10.05, 10.02, 9.0]
+             + [float(8 - i * 0.1) for i in range(16)])
+    out2 = _one(pickands_tail(spark.createDataFrame(
+        pd.DataFrame({"v": heavy})), "v"))
+    # X(4)=27, X(8)=15, X(16)=9 → ln(12/6)/ln2 = 1
+    assert out2["xi_pickands"] == 1.0
+    assert out2["tail_class"] == "heavy"
+
+
+def test_common_language_consistency_with_mannwhitney(spark):
+    """CL = U_a/(n_a·n_b) and r_rb = 2CL−1; dominance → CL = 1,
+    r = 1; hand tie case a={1,2}, b={2,3} → U_a = 0.5 → CL = 1/8."""
+    from distill_spark.operators.stats import common_language_es
+
+    dom = pd.DataFrame({"g": ["a", "a", "b", "b"],
+                        "v": [10.0, 11.0, 1.0, 2.0]})
+    out = _one(common_language_es(spark.createDataFrame(dom),
+                                  "g", "a", "b", "v"))
+    assert out["cl_prob"] == 1.0 and out["rank_biserial"] == 1.0
+    tie = pd.DataFrame({"g": ["a", "a", "b", "b"],
+                        "v": [1.0, 2.0, 2.0, 3.0]})
+    out2 = _one(common_language_es(spark.createDataFrame(tie),
+                                   "g", "a", "b", "v"))
+    assert out2["u_a"] == 0.5
+    assert out2["cl_prob"] == 0.125
+    assert out2["rank_biserial"] == -0.75
