@@ -4649,8 +4649,12 @@ def diebold_mariano(events: DataFrame, ts_col: str = "ts",
     g0 = cen.agg(F.max("n").alias("n"), F.max("dbar").alias("dbar"),
                  F.sum(F.col("e") * F.col("e")).alias("g0n"))
     lag = cen.select(F.col("t").alias("tl"), F.col("e").alias("el"))
+    # the explicit broadcast matters: cen sits behind a 3-way join
+    # whose size Catalyst can't estimate, and an un-hinted non-equi
+    # self-join falls to CartesianProduct (caught by the PLANS gate);
+    # the frame is bounded by the day count, so BNL is the plan
     pairs = (cen.select("t", "e")
-             .join(lag, F.col("t") > F.col("tl"))
+             .join(F.broadcast(lag), F.col("t") > F.col("tl"))
              .select((F.col("t") - F.col("tl")).alias("l"),
                      (F.col("e") * F.col("el")).alias("p")))
     gl = pairs.groupBy("l").agg(F.sum("p").alias("gn"))
