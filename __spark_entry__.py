@@ -13271,9 +13271,42 @@ def _sql_cles():
 
 
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
-    # ======================== ROUND-12 WINDOW ============================
-    # -- round-12 head: the 12 seeds queued all of round 11 (each
-    # parity-verified at sf0.001 + sf0.01 before promotion) ------------------
+    # ======================== ROUND-13 WINDOW ============================
+    # -- round-13 head: the 27 seeds queued all of round 12 (each
+    # parity-verified at sf0.001 + sf0.01 before queueing; the suite's
+    # rotation gate demanded exactly this promotion) --------------------------
+    "kendall_tau_b": (q_kendall_tau_b, _sql_tau_b()),
+    "goodman_kruskal_tau": (q_goodman_kruskal_tau, _sql_gk_tau()),
+    "cohen_h": (q_cohen_h, _sql_cohen_h()),
+    "deming_regression": (q_deming_regression, _sql_deming()),
+    "gini_correlation": (q_gini_correlation, _sql_gini_corr()),
+    "lorenz_asymmetry": (q_lorenz_asymmetry, _sql_lorenz_asym()),
+    "zero_inflation": (q_zero_inflation, _sql_zero_inflation()),
+    "ad_normal": (q_ad_normal, _sql_ad_normal()),
+    "quantile_shape": (q_quantile_shape, _sql_quantile_shape()),
+    "bland_altman": (q_bland_altman, _sql_bland_altman()),
+    "tweedie_power": (q_tweedie_power, _sql_tweedie()),
+    "spectral_flatness": (q_spectral_flatness,
+                          _sql_spectral_flatness()),
+    "newey_west": (q_newey_west, _sql_newey_west()),
+    "cochrane_orcutt": (q_cochrane_orcutt, _sql_cochrane()),
+    "diebold_mariano": (q_diebold_mariano, _sql_dm()),
+    "theil_decomposition": (q_theil_decomposition,
+                            _sql_theil_decomp()),
+    "dfa_alpha": (q_dfa_alpha, _sql_dfa()),
+    "pinball_loss": (q_pinball_loss, _sql_pinball()),
+    "gries_dp": (q_gries_dp, _sql_gries_dp()),
+    "degree_gini": (q_degree_gini, _sql_degree_gini()),
+    "bartels_rank": (q_bartels_rank, _sql_bartels()),
+    "cusum_squares": (q_cusum_squares, _sql_cusum_sq()),
+    "siegel_tukey": (q_siegel_tukey, _sql_siegel_tukey()),
+    "runs_updown": (q_runs_updown, _sql_runs_updown()),
+    "max_sum_ratio": (q_max_sum_ratio, _sql_max_sum()),
+    "pickands_tail": (q_pickands_tail, _sql_pickands()),
+    "common_language_es": (q_common_language_es, _sql_cles()),
+    # -- round-13 strata filling the window to 50 land here -------------------
+    # ===================== END ROUND-13 WINDOW (50) ======================
+    # -- round-12 window (all 50 driver-green in CORRECTNESS_r12) ------------
     "wasserstein_1d": (q_wasserstein_1d, _sql_wasserstein()),
     "energy_distance": (q_energy_distance, _sql_energy()),
     "hellinger_tv": (q_hellinger_tv, _sql_hellinger()),
@@ -13332,41 +13365,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "rmst": (q_rmst, _sql_rmst()),
     "eccentricity_sample": (q_eccentricity_sample, _sql_eccentricity()),
     "neyman_allocation": (q_neyman_allocation, _sql_neyman()),
-    # ===================== END ROUND-12 WINDOW (50) ======================
-    # -- round-13 seed stratum (positions 51+, queued in
-    # _PENDING_PROMOTION): ordinal/robust association + shape/
-    # agreement singles ------------------------------------------------------
-    "kendall_tau_b": (q_kendall_tau_b, _sql_tau_b()),
-    "goodman_kruskal_tau": (q_goodman_kruskal_tau, _sql_gk_tau()),
-    "cohen_h": (q_cohen_h, _sql_cohen_h()),
-    "deming_regression": (q_deming_regression, _sql_deming()),
-    "gini_correlation": (q_gini_correlation, _sql_gini_corr()),
-    "lorenz_asymmetry": (q_lorenz_asymmetry, _sql_lorenz_asym()),
-    "zero_inflation": (q_zero_inflation, _sql_zero_inflation()),
-    "ad_normal": (q_ad_normal, _sql_ad_normal()),
-    "quantile_shape": (q_quantile_shape, _sql_quantile_shape()),
-    "bland_altman": (q_bland_altman, _sql_bland_altman()),
-    "tweedie_power": (q_tweedie_power, _sql_tweedie()),
-    "spectral_flatness": (q_spectral_flatness,
-                          _sql_spectral_flatness()),
-    # -- round-13 seed stratum, second batch ---------------------------------
-    "newey_west": (q_newey_west, _sql_newey_west()),
-    "cochrane_orcutt": (q_cochrane_orcutt, _sql_cochrane()),
-    "diebold_mariano": (q_diebold_mariano, _sql_dm()),
-    "theil_decomposition": (q_theil_decomposition,
-                            _sql_theil_decomp()),
-    "dfa_alpha": (q_dfa_alpha, _sql_dfa()),
-    "pinball_loss": (q_pinball_loss, _sql_pinball()),
-    "gries_dp": (q_gries_dp, _sql_gries_dp()),
-    "degree_gini": (q_degree_gini, _sql_degree_gini()),
-    "bartels_rank": (q_bartels_rank, _sql_bartels()),
-    "cusum_squares": (q_cusum_squares, _sql_cusum_sq()),
-    # -- round-13 seed stratum, third batch -----------------------------------
-    "siegel_tukey": (q_siegel_tukey, _sql_siegel_tukey()),
-    "runs_updown": (q_runs_updown, _sql_runs_updown()),
-    "max_sum_ratio": (q_max_sum_ratio, _sql_max_sum()),
-    "pickands_tail": (q_pickands_tail, _sql_pickands()),
-    "common_language_es": (q_common_language_es, _sql_cles()),
     # -- round-11 first stratum: the dispersion-test family ------------------
     "ansari_bradley": (q_ansari_bradley, _sql_ansari()),
     "brunner_munzel": (q_brunner_munzel, _sql_brunner()),
@@ -13857,27 +13855,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
 # that nothing ELSE is hiding past the window unevidenced.
 # Round 12: the twelve round-11 seeds are PROMOTED into the window
 # head and the round-12 window closes with 38 new queries behind
-# them. The queue refills with TWELVE round-13 seeds past position
-# 50 — ordinal/robust association (τ-b, GK τ, bias-corrected V, Gini
-# correlation), errors-in-variables (Deming), and distribution-shape/
-# agreement singles (Lorenz asymmetry, zero inflation, AD normality,
-# quantile shape, Bland–Altman, Tweedie power, spectral flatness) —
-# each parity-verified at sf0.001 and sf0.01 before queueing.
-_PENDING_PROMOTION: frozenset[str] = frozenset({
-    "kendall_tau_b", "goodman_kruskal_tau", "cohen_h",
-    "deming_regression", "gini_correlation", "lorenz_asymmetry",
-    "zero_inflation", "ad_normal", "quantile_shape", "bland_altman",
-    "tweedie_power", "spectral_flatness",
-    # second batch: serial-correlation-aware inference + forecast
-    # comparison + long memory + dispersion
-    "newey_west", "cochrane_orcutt", "diebold_mariano",
-    "theil_decomposition", "dfa_alpha", "pinball_loss", "gries_dp",
-    "degree_gini", "bartels_rank", "cusum_squares",
-    # third batch: rank dispersion, difference-sign randomness,
-    # tail diagnostics, readable effect sizes
-    "siegel_tukey", "runs_updown", "max_sum_ratio", "pickands_tail",
-    "common_language_es",
-})
+# them. All 27 round-13 seeds were promoted into the round-13 window
+# head at the start of round 13 (the rotation gate's demand); the
+# queue refills with round-14 seeds as they are built and
+# parity-verified at sf0.001 and sf0.01.
+_PENDING_PROMOTION: frozenset[str] = frozenset()
 
 
 def entry(spark: SparkSession) -> DataFrame:
