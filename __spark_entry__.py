@@ -13270,6 +13270,140 @@ def _sql_cles():
                                   "click", "view", "tot")
 
 
+# ---------------------------------------------------------------------------
+# Round-13 first stratum: series-homogeneity battery — SNHT, Buishand
+# R and U, MOSUM — the "one regime or two" scan family beside
+# pettitt_change (rank CUSUM) and chow_break (known split), all on
+# the bounded daily frame with exact decimal prefix sums.
+
+def q_snht_change(spark, sf_dir):
+    """Alexandersson SNHT mean-shift scan on daily value totals
+    (timeseries.snht_change) — the Gaussian-likelihood sibling of
+    pettitt_change; disagreement between the two flags heavy tails."""
+    from distill_spark.operators.timeseries import snht_change
+
+    return snht_change(_tables(spark, sf_dir)["events"])
+
+
+def _sql_snht():
+    from distill_spark.operators.timeseries import snht_change_sql
+
+    return snht_change_sql()
+
+
+def q_buishand_range(spark, sf_dir):
+    """Buishand rescaled-range homogeneity test on daily totals
+    (timeseries.buishand_range) — total spread of the adjusted
+    partial sums; catches drift that never concentrates at one cut."""
+    from distill_spark.operators.timeseries import buishand_range
+
+    return buishand_range(_tables(spark, sf_dir)["events"])
+
+
+def _sql_buishand_r():
+    from distill_spark.operators.timeseries import buishand_range_sql
+
+    return buishand_range_sql()
+
+
+def q_buishand_u(spark, sf_dir):
+    """Buishand U (average squared rescaled partial sum) on daily
+    totals (timeseries.buishand_u) — more powerful than the range
+    against a mid-record change; reports the |S*|-peak day."""
+    from distill_spark.operators.timeseries import buishand_u
+
+    return buishand_u(_tables(spark, sf_dir)["events"])
+
+
+def _sql_buishand_u():
+    from distill_spark.operators.timeseries import buishand_u_sql
+
+    return buishand_u_sql()
+
+
+def q_mosum_drift(spark, sf_dir):
+    """30-day MOSUM drift scan on daily totals
+    (timeseries.mosum_drift) — localizes a bounded drift episode via
+    differences of exact decimal prefix sums (no sliding float
+    accumulator)."""
+    from distill_spark.operators.timeseries import mosum_drift
+
+    return mosum_drift(_tables(spark, sf_dir)["events"])
+
+
+def _sql_mosum():
+    from distill_spark.operators.timeseries import mosum_drift_sql
+
+    return mosum_drift_sql()
+
+
+# Round-13 second stratum: point-process battery — Fano factor across
+# block sizes, Goh–Barabási burstiness/memory, local CV², and POT
+# exceedance declustering; interevent frames partition per
+# (user, event_type) stream, pooled moments decimal-exact.
+
+def q_fano_factor(spark, sf_dir):
+    """Fano factor of event counts in 1/2/4/8/16-day blocks
+    (timeseries.fano_factor) — the Poisson-or-clustered fingerprint
+    at every time scale; zero blocks enter exactly via the scalar
+    block-count divisor."""
+    from distill_spark.operators.timeseries import fano_factor
+
+    return fano_factor(_tables(spark, sf_dir)["events"])
+
+
+def _sql_fano():
+    from distill_spark.operators.timeseries import fano_factor_sql
+
+    return fano_factor_sql()
+
+
+def q_burstiness_goh(spark, sf_dir):
+    """Goh–Barabási burstiness B and memory M over pooled per-stream
+    interevent gaps (timeseries.burstiness_goh) — two-pass Pearson
+    with grid-rounded centered products; no global window."""
+    from distill_spark.operators.timeseries import burstiness_goh
+
+    return burstiness_goh(_tables(spark, sf_dir)["events"])
+
+
+def _sql_burst_goh():
+    from distill_spark.operators.timeseries import burstiness_goh_sql
+
+    return burstiness_goh_sql()
+
+
+def q_cv2_local(spark, sf_dir):
+    """Holt local CV² of consecutive interevent gaps per event type
+    (timeseries.cv2_local) — rate-free irregularity that separates
+    slow rate drift from true burstiness."""
+    from distill_spark.operators.timeseries import cv2_local
+
+    return cv2_local(_tables(spark, sf_dir)["events"])
+
+
+def _sql_cv2():
+    from distill_spark.operators.timeseries import cv2_local_sql
+
+    return cv2_local_sql()
+
+
+def q_exceedance_clusters(spark, sf_dir):
+    """Runs-rule POT declustering of daily totals above the exact
+    90th-percentile order statistic (timeseries.exceedance_clusters)
+    — the extremal-index clumping diagnostic under gpd_tail's iid
+    assumption."""
+    from distill_spark.operators.timeseries import exceedance_clusters
+
+    return exceedance_clusters(_tables(spark, sf_dir)["events"])
+
+
+def _sql_exceed_clusters():
+    from distill_spark.operators.timeseries import exceedance_clusters_sql
+
+    return exceedance_clusters_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ======================== ROUND-13 WINDOW ============================
     # -- round-13 head: the 27 seeds queued all of round 12 (each
@@ -13304,7 +13438,17 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "max_sum_ratio": (q_max_sum_ratio, _sql_max_sum()),
     "pickands_tail": (q_pickands_tail, _sql_pickands()),
     "common_language_es": (q_common_language_es, _sql_cles()),
-    # -- round-13 strata filling the window to 50 land here -------------------
+    # -- round-13 first stratum: series-homogeneity battery ------------------
+    "snht_change": (q_snht_change, _sql_snht()),
+    "buishand_range": (q_buishand_range, _sql_buishand_r()),
+    "buishand_u": (q_buishand_u, _sql_buishand_u()),
+    "mosum_drift": (q_mosum_drift, _sql_mosum()),
+    # -- round-13 second stratum: point-process battery -----------------------
+    "fano_factor": (q_fano_factor, _sql_fano()),
+    "burstiness_goh": (q_burstiness_goh, _sql_burst_goh()),
+    "cv2_local": (q_cv2_local, _sql_cv2()),
+    "exceedance_clusters": (q_exceedance_clusters,
+                            _sql_exceed_clusters()),
     # ===================== END ROUND-13 WINDOW (50) ======================
     # -- round-12 window (all 50 driver-green in CORRECTNESS_r12) ------------
     "wasserstein_1d": (q_wasserstein_1d, _sql_wasserstein()),

@@ -5042,3 +5042,726 @@ ev AS (
 {body}
 ORDER BY tau
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-13 homogeneity stratum: SNHT, Buishand range / U, and MOSUM —
+# the "is this series ONE regime" battery beside pettitt_test (rank
+# CUSUM) and chow_break (known split): SNHT is the likelihood-ratio
+# mean-shift scan, Buishand's R and U are the cumulative-deviation
+# tests (R reads total spread of the partial sums, U averages them),
+# MOSUM localizes drift inside a moving window. All run on the
+# bounded daily frame with EXACT decimal prefix sums (engine window
+# implementations never touch float accumulation order); only the
+# final standardized statistics are floats, rounded 6.
+# Reference parity anchor: reference pkg/analysis (stability/drift
+# validators) — re-expressed as declarative window plans.
+
+
+def _daily_prefix(events: DataFrame, ts_col: str, value_col: str):
+    """(d, t, x, sk, n, sn): daily frame + exact decimal prefix sums
+    sk = Σ_{i≤t} x_i and the scalar pair (n, sn) replicated per row.
+    The shared front of the homogeneity battery."""
+    base = _daily_frame(events, ts_col, value_col)
+    tot = Window.partitionBy()
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return base.select(
+        "d", "t", "x",
+        F.sum(F.col("x").cast(_TS_DEC)).over(wcum).alias("sk"),
+        F.count("*").over(tot).alias("n"),
+        F.sum(F.col("x").cast(_TS_DEC)).over(tot).alias("sn"))
+
+
+_DAILY_PREFIX_SQL = """
+pre AS (
+  SELECT d, t, x,
+         sum(CAST(x AS DECIMAL(38,12))) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sk,
+         count(*) OVER () AS n,
+         sum(CAST(x AS DECIMAL(38,12))) OVER () AS sn
+  FROM ranked
+),
+scal AS (
+  SELECT max(n) AS n, CAST(max(sn) AS DOUBLE) / max(n) AS mu FROM pre
+),
+sig AS (
+  SELECT sqrt(sum((r.x - s.mu) * (r.x - s.mu)) / max(s.n)) AS sigma
+  FROM ranked r CROSS JOIN scal s
+)"""
+
+
+def snht_change(events: DataFrame, ts_col: str = "ts",
+                value_col: str = "value") -> DataFrame:
+    """Standard Normal Homogeneity Test (Alexandersson 1986): with
+    z_i the standardized daily totals, T_k = k·z̄₁² + (n−k)·z̄₂²
+    scanned over every cut k < n; T₀ = max T_k flags a mean shift at
+    the maximizing day (earliest on 1e-9-grid ties). The parametric
+    sibling of pettitt_test — same question, Gaussian likelihood
+    instead of rank CUSUM; the two disagreeing flags heavy tails.
+
+    Shape: one fact-table aggregate → O(days) rows; cut means come
+    from EXACT decimal prefix sums (never a per-cut rescan, never
+    float window accumulation), μ/σ from one scalar frame broadcast
+    back. Output: one row (n_days, k_at_max, change_day, t0_stat),
+    stat rounded 6.
+    """
+    pre = _daily_prefix(events, ts_col, value_col)
+    sc = pre.agg(F.max("n").alias("n"),
+                 (F.max("sn").cast("double") / F.max("n")).alias("mu"))
+    base = _daily_frame(events, ts_col, value_col)
+    sig = (base.crossJoin(F.broadcast(sc))
+           .agg(F.sqrt(F.sum((F.col("x") - F.col("mu"))
+                             * (F.col("x") - F.col("mu")))
+                       / F.max("n")).alias("sigma")))
+    k = F.col("t").cast("double")
+    n = F.col("n").cast("double")
+    z1 = (F.col("sk").cast("double") / k - F.col("mu")) / F.col("sigma")
+    z2 = ((F.col("sn") - F.col("sk")).cast("double") / (n - k)
+          - F.col("mu")) / F.col("sigma")
+    tk = (pre.crossJoin(F.broadcast(sc.select("mu")))
+          .crossJoin(F.broadcast(sig))
+          .filter(F.col("t") < F.col("n"))
+          .select("d", "t", "n",
+                  (k * z1 * z1 + (n - k) * z2 * z2).alias("tstat")))
+    best = (tk.withColumn("_rk", F.row_number().over(
+        Window.partitionBy().orderBy(F.round(F.col("tstat"), 9).desc(),
+                                     F.col("t").asc())))
+            .filter(F.col("_rk") == 1))
+    return best.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("t").cast("long").alias("k_at_max"),
+        F.col("d").alias("change_day"),
+        F.round("tstat", 6).alias("t0_stat"))
+
+
+def snht_change_sql(table: str = "events", ts_sql: str = "ts",
+                    value_sql: str = "value") -> str:
+    daily = _DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)
+    return f"""
+WITH {daily},
+{_DAILY_PREFIX_SQL},
+tk AS (
+  SELECT p.d, p.t, p.n,
+         p.t * pow((CAST(p.sk AS DOUBLE) / p.t - s.mu) / g.sigma, 2)
+         + (p.n - p.t)
+           * pow((CAST(p.sn - p.sk AS DOUBLE) / (p.n - p.t) - s.mu)
+                 / g.sigma, 2) AS tstat
+  FROM pre p CROSS JOIN scal s CROSS JOIN sig g
+  WHERE p.t < p.n
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(t AS BIGINT) AS k_at_max,
+       d AS change_day,
+       round(tstat, 6) AS t0_stat
+FROM tk ORDER BY round(tstat, 9) DESC, t ASC LIMIT 1
+"""
+
+
+def buishand_range(events: DataFrame, ts_col: str = "ts",
+                   value_col: str = "value") -> DataFrame:
+    """Buishand range test (1982): adjusted partial sums
+    S*_k = Σ_{i≤k}(x_i − x̄) (S*_0 = 0), rescaled range
+    R = (max_k S*_k − min_k S*_k)/D with D the population std, and
+    the tabulated statistic R/√n. Reads TOTAL spread of the
+    cumulative deviations where snht_change reads the single best
+    cut — a drift that never concentrates at one day still moves R.
+
+    Same exact-decimal-prefix frame as snht_change; S*_k is exact
+    (decimal prefix minus k·(sn/n) in decimal), D from one scalar
+    pass. Output: one row (n_days, d_scale, r_range, rb_stat),
+    rounded 6.
+    """
+    pre = _daily_prefix(events, ts_col, value_col)
+    sc = pre.agg(F.max("n").alias("n"),
+                 (F.max("sn").cast("double") / F.max("n")).alias("mu"))
+    base = _daily_frame(events, ts_col, value_col)
+    sig = (base.crossJoin(F.broadcast(sc))
+           .agg(F.sqrt(F.sum((F.col("x") - F.col("mu"))
+                             * (F.col("x") - F.col("mu")))
+                       / F.max("n")).alias("dsc")))
+    k = F.col("t").cast("double")
+    sstar = F.col("sk").cast("double") - k * F.col("mu")
+    ext = (pre.crossJoin(F.broadcast(sc.select("mu")))
+           .agg(F.greatest(F.max(sstar), F.lit(0.0)).alias("smax"),
+                F.least(F.min(sstar), F.lit(0.0)).alias("smin"),
+                F.max("n").alias("n")))
+    out = ext.crossJoin(F.broadcast(sig))
+    r = (F.col("smax") - F.col("smin")) / F.col("dsc")
+    return out.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round("dsc", 6).alias("d_scale"),
+        F.round(r, 6).alias("r_range"),
+        F.round(r / F.sqrt(F.col("n").cast("double")), 6)
+        .alias("rb_stat"))
+
+
+def buishand_range_sql(table: str = "events", ts_sql: str = "ts",
+                       value_sql: str = "value") -> str:
+    daily = _DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)
+    return f"""
+WITH {daily},
+{_DAILY_PREFIX_SQL},
+ext AS (
+  SELECT greatest(max(CAST(p.sk AS DOUBLE) - p.t * s.mu), 0.0) AS smax,
+         least(min(CAST(p.sk AS DOUBLE) - p.t * s.mu), 0.0) AS smin,
+         max(p.n) AS n
+  FROM pre p CROSS JOIN scal s
+)
+SELECT CAST(e.n AS BIGINT) AS n_days,
+       round(g.sigma, 6) AS d_scale,
+       round((e.smax - e.smin) / g.sigma, 6) AS r_range,
+       round((e.smax - e.smin) / g.sigma / sqrt(CAST(e.n AS DOUBLE)), 6)
+         AS rb_stat
+FROM ext e CROSS JOIN sig g
+"""
+
+
+def buishand_u(events: DataFrame, ts_col: str = "ts",
+               value_col: str = "value") -> DataFrame:
+    """Buishand U statistic (1984):
+    U = [n(n+1)]⁻¹ Σ_{k=1}^{n−1} (S*_k/D)² — the AVERAGE squared
+    rescaled partial sum, where buishand_range takes the extremes;
+    U is the more powerful of the two against a change near the
+    middle of the record. Also reports the |S*_k|-maximizing day
+    (earliest on 1e-9-grid ties) as the best single-shift guess.
+
+    Exact decimal prefix sums; per-k squared terms grid-round to 9
+    before the decimal mean so engine sum order cannot leak. Output:
+    one row (n_days, u_stat, peak_day), rounded 6.
+    """
+    pre = _daily_prefix(events, ts_col, value_col)
+    sc = pre.agg(F.max("n").alias("n"),
+                 (F.max("sn").cast("double") / F.max("n")).alias("mu"))
+    base = _daily_frame(events, ts_col, value_col)
+    sig = (base.crossJoin(F.broadcast(sc))
+           .agg(F.sqrt(F.sum((F.col("x") - F.col("mu"))
+                             * (F.col("x") - F.col("mu")))
+                       / F.max("n")).alias("dsc")))
+    k = F.col("t").cast("double")
+    sstar = F.col("sk").cast("double") - k * F.col("mu")
+    terms = (pre.crossJoin(F.broadcast(sc.select("mu")))
+             .crossJoin(F.broadcast(sig))
+             .filter(F.col("t") < F.col("n"))
+             .select("d", "t", "n",
+                     F.round((sstar / F.col("dsc"))
+                             * (sstar / F.col("dsc")), 9).alias("q2"),
+                     F.abs(sstar).alias("absst")))
+    agg = terms.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("q2").cast(_TS_DEC)).alias("qsum"))
+    peak = (terms.withColumn("_rk", F.row_number().over(
+        Window.partitionBy().orderBy(F.round(F.col("absst"), 9).desc(),
+                                     F.col("t").asc())))
+            .filter(F.col("_rk") == 1).select(F.col("d").alias("peak_day")))
+    n = F.col("n").cast("double")
+    return (agg.crossJoin(F.broadcast(peak))
+            .select(F.col("n").cast("long").alias("n_days"),
+                    F.round(F.col("qsum").cast("double")
+                            / (n * (n + 1.0)), 6).alias("u_stat"),
+                    "peak_day"))
+
+
+def buishand_u_sql(table: str = "events", ts_sql: str = "ts",
+                   value_sql: str = "value") -> str:
+    daily = _DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)
+    return f"""
+WITH {daily},
+{_DAILY_PREFIX_SQL},
+terms AS (
+  SELECT p.d, p.t, p.n,
+         round(pow((CAST(p.sk AS DOUBLE) - p.t * s.mu) / g.sigma, 2), 9)
+           AS q2,
+         abs(CAST(p.sk AS DOUBLE) - p.t * s.mu) AS absst
+  FROM pre p CROSS JOIN scal s CROSS JOIN sig g
+  WHERE p.t < p.n
+),
+agg AS (
+  SELECT max(n) AS n, sum(CAST(q2 AS DECIMAL(38,12))) AS qsum FROM terms
+),
+peak AS (
+  SELECT d AS peak_day FROM terms
+  ORDER BY round(absst, 9) DESC, t ASC LIMIT 1
+)
+SELECT CAST(a.n AS BIGINT) AS n_days,
+       round(CAST(a.qsum AS DOUBLE)
+             / (CAST(a.n AS DOUBLE) * (a.n + 1.0)), 6) AS u_stat,
+       p.peak_day
+FROM agg a CROSS JOIN peak p
+"""
+
+
+def mosum_drift(events: DataFrame, ts_col: str = "ts",
+                value_col: str = "value", g: int = 30) -> DataFrame:
+    """MOSUM drift scan (moving-sum of demeaned daily totals,
+    Bauer & Hackl 1978): M_k = |S_k − S_{k−G} − G·x̄| / (σ√G) for
+    every complete G-day window — localizes WHERE a bounded-length
+    drift episode sits, where the CUSUM family integrates over the
+    whole record. Statistic = max_k M_k with its window-end day
+    (earliest on 1e-9-grid ties).
+
+    The moving sum is a DIFFERENCE OF EXACT DECIMAL PREFIX SUMS
+    (S_k − S_{k−G}) — never a sliding float accumulator, whose
+    engine-side evaluation order (segment tree vs running add)
+    would leak into the hash. Output: one row (n_days, g_window,
+    mosum_stat, peak_day), stat rounded 6.
+    """
+    pre = _daily_prefix(events, ts_col, value_col)
+    sc = pre.agg(F.max("n").alias("n"),
+                 (F.max("sn").cast("double") / F.max("n")).alias("mu"))
+    base = _daily_frame(events, ts_col, value_col)
+    sig = (base.crossJoin(F.broadcast(sc))
+           .agg(F.sqrt(F.sum((F.col("x") - F.col("mu"))
+                             * (F.col("x") - F.col("mu")))
+                       / F.max("n")).alias("sigma")))
+    wlag = Window.orderBy("t")
+    lagged = pre.select(
+        "d", "t", "n", "sk",
+        F.lag("sk", g).over(wlag).alias("skg"))
+    msum = (F.col("sk") - F.coalesce(F.col("skg"),
+                                     F.lit(0).cast(_TS_DEC))).cast("double")
+    mstat = (F.abs(msum - F.lit(float(g)) * F.col("mu"))
+             / (F.col("sigma") * F.sqrt(F.lit(float(g)))))
+    scan = (lagged.crossJoin(F.broadcast(sc.select("mu")))
+            .crossJoin(F.broadcast(sig))
+            .filter(F.col("t") >= g)
+            .select("d", "t", "n", mstat.alias("m")))
+    best = (scan.withColumn("_rk", F.row_number().over(
+        Window.partitionBy().orderBy(F.round(F.col("m"), 9).desc(),
+                                     F.col("t").asc())))
+            .filter(F.col("_rk") == 1))
+    return best.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.lit(g).cast("long").alias("g_window"),
+        F.round("m", 6).alias("mosum_stat"),
+        F.col("d").alias("peak_day"))
+
+
+def mosum_drift_sql(table: str = "events", ts_sql: str = "ts",
+                    value_sql: str = "value", g: int = 30) -> str:
+    daily = _DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)
+    return f"""
+WITH {daily},
+{_DAILY_PREFIX_SQL},
+scan AS (
+  SELECT p.d, p.t, p.n,
+         abs(CAST(p.sk - coalesce(lag(p.sk, {g}) OVER (ORDER BY p.t),
+                                  CAST(0 AS DECIMAL(38,12)))
+                  AS DOUBLE)
+             - {g}.0 * s.mu) / (g.sigma * sqrt({g}.0)) AS m
+  FROM pre p CROSS JOIN scal s CROSS JOIN sig g
+),
+best AS (
+  SELECT * FROM scan WHERE t >= {g}
+  ORDER BY round(m, 9) DESC, t ASC LIMIT 1
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST({g} AS BIGINT) AS g_window,
+       round(m, 6) AS mosum_stat,
+       d AS peak_day
+FROM best
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-13 point-process stratum: Fano factor across block sizes,
+# Goh–Barabási burstiness + memory, local CV², and POT exceedance
+# declustering — the "HOW do events arrive" battery over the feeds
+# interarrival_stats profiles: Poisson-or-not at every time scale
+# (fano), burstiness/memory phase plane (B, M), rate-free local
+# irregularity (CV²), and how extreme days clump (extremal index).
+# Interevent frames partition per (user, event_type) stream — no
+# global window ever forms; pooled moments use exact integer/decimal
+# accumulation with the round-9-then-decimal-sum contract for float
+# terms.
+
+
+def fano_factor(events: DataFrame, ts_col: str = "ts",
+                windows: tuple = (1, 2, 4, 8, 16)) -> DataFrame:
+    """Fano factor (variance-to-mean ratio of event COUNTS in w-day
+    blocks) at several block sizes: a Poisson stream holds F(w) ≈ 1
+    at every w; clustering inflates F with w. The time-scale
+    fingerprint beside term_burstiness's per-document VMR.
+
+    Zero-event blocks are counted WITHOUT densifying: block count =
+    floor(span/w) from the scalar bounds frame, absent blocks enter
+    the moments as exact zeros through the divisor. Only complete
+    blocks score. One fact aggregate to daily counts → O(days × |w|)
+    frame. Output: one row per w (window_days, n_blocks, mean_count,
+    fano), rounded 6.
+    """
+    day = F.to_date(ts_col)
+    daily = events.groupBy(day.alias("d")).agg(F.count("*").alias("c"))
+    bounds = daily.agg(
+        F.min("d").alias("d0"),
+        (F.datediff(F.max("d"), F.min("d")) + 1).alias("span"))
+    ws = F.explode(F.array(*[F.lit(int(w)) for w in windows])).alias("w")
+    blocks = (daily.crossJoin(F.broadcast(bounds))
+              .select(ws, "d", "c", "d0", "span")
+              .select("w", "span", "c",
+                      F.floor(F.datediff(F.col("d"), F.col("d0"))
+                              / F.col("w")).alias("blk"))
+              .filter(F.col("blk") < F.floor(F.col("span") / F.col("w")))
+              .groupBy("w", "blk")
+              .agg(F.max("span").alias("span"),
+                   F.sum("c").alias("bc")))
+    agg = blocks.groupBy("w").agg(
+        F.floor(F.max("span") / F.col("w")).alias("nb"),
+        F.sum("bc").alias("s1"),
+        F.sum(F.col("bc") * F.col("bc")).alias("s2"))
+    nb = F.col("nb").cast("double")
+    mean = F.col("s1").cast("double") / nb
+    var = F.col("s2").cast("double") / nb - mean * mean
+    return (agg.select(
+        F.col("w").cast("long").alias("window_days"),
+        F.col("nb").cast("long").alias("n_blocks"),
+        F.round(mean, 6).alias("mean_count"),
+        F.round(var / mean, 6).alias("fano"))
+        .orderBy("window_days"))
+
+
+def fano_factor_sql(table: str = "events", ts_sql: str = "ts",
+                    windows: tuple = (1, 2, 4, 8, 16)) -> str:
+    wlist = ", ".join(str(int(w)) for w in windows)
+    return f"""
+WITH daily AS (
+  SELECT CAST({ts_sql} AS DATE) AS d, count(*) AS c
+  FROM {table} GROUP BY 1
+),
+bounds AS (
+  SELECT min(d) AS d0, datediff('day', min(d), max(d)) + 1 AS span
+  FROM daily
+),
+blocks AS (
+  SELECT w, max(span) AS span, sum(c) AS bc,
+         floor(datediff('day', d0, d) / w) AS blk
+  FROM daily CROSS JOIN bounds
+  CROSS JOIN (SELECT unnest([{wlist}]) AS w)
+  WHERE floor(datediff('day', d0, d) / w) < floor(span / w)
+  GROUP BY w, 4
+),
+agg AS (
+  SELECT w, floor(max(span) / w) AS nb, sum(bc) AS s1,
+         sum(bc * bc) AS s2
+  FROM blocks GROUP BY w
+)
+SELECT CAST(w AS BIGINT) AS window_days,
+       CAST(nb AS BIGINT) AS n_blocks,
+       round(CAST(s1 AS DOUBLE) / nb, 6) AS mean_count,
+       round((CAST(s2 AS DOUBLE) / nb
+              - pow(CAST(s1 AS DOUBLE) / nb, 2))
+             / (CAST(s1 AS DOUBLE) / nb), 6) AS fano
+FROM agg ORDER BY window_days
+"""
+
+
+def _stream_gaps(events: DataFrame, ts_col: str, key_cols: list[str],
+                 tiebreak_col: str):
+    """(gap µs, previous gap µs) per (user, type) stream — the shared
+    interevent front: key-partitioned windows only (partition size is
+    bounded by one user's stream; no global sort)."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+    gap = (F.unix_micros(F.col(ts_col))
+           - F.unix_micros(F.lag(ts_col).over(w)))
+    return (events.select(*key_cols, ts_col, tiebreak_col)
+            .withColumn("g", gap)
+            .withColumn("gp", F.lag("g").over(w))
+            .filter(F.col("g").isNotNull()))
+
+
+_STREAM_GAPS_SQL = """
+g1 AS (
+  SELECT {keys}, {ts} AS _ts, {tiebreak} AS _tb,
+         epoch_us({ts}) - epoch_us(lag({ts}) OVER (
+           PARTITION BY {keys}
+           ORDER BY {ts} ASC, {tiebreak} ASC)) AS g
+  FROM {table}
+),
+gaps AS (
+  SELECT * FROM (
+    SELECT {keys}, g,
+           lag(g) OVER (PARTITION BY {keys}
+                        ORDER BY _ts ASC, _tb ASC) AS gp
+    FROM g1
+  ) WHERE g IS NOT NULL
+)"""
+
+
+def burstiness_goh(events: DataFrame, ts_col: str = "ts",
+                   key_cols: list[str] | None = None,
+                   tiebreak_col: str = "event_id") -> DataFrame:
+    """Goh–Barabási (2008) burstiness–memory phase plane over pooled
+    per-stream interevent times: B = (σ−μ)/(σ+μ) ∈ (−1, 1) (−1
+    periodic, 0 Poisson, →1 bursty) and the memory coefficient
+    M = Pearson r of consecutive gap pairs (g_i, g_{i+1}) within a
+    stream. Human activity sits in the B>0, M≈0 quadrant; machine
+    heartbeats at B<0.
+
+    Gaps are exact BIGINT µs pooled across per-(user, type) streams
+    (key-partitioned lags — no global window); first moments from
+    exact DECIMAL(38,0) integer sums, then centered second-moment
+    terms grid-round to 6 before their decimal sums (two-pass
+    Pearson — no catastrophic Σxy − nx̄ȳ cancellation in floats).
+    Output: one row (n_gaps, n_pairs, mean_gap_s, cv_gap,
+    b_stat, m_memory), rounded 6.
+    """
+    key_cols = key_cols or ["user_id", "event_type"]
+    gaps = _stream_gaps(events, ts_col, key_cols, tiebreak_col)
+    m1 = gaps.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("g").cast("decimal(38,0)")).alias("sg"),
+        F.count("gp").alias("n2"),
+        F.sum(F.col("gp").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.when(F.col("gp").isNotNull(), F.col("g"))
+              .cast("decimal(38,0)")).alias("sy"))
+    mu = (F.col("sg").cast("double") / F.col("n")).alias("mu")
+    mux = (F.col("sx").cast("double") / F.col("n2")).alias("mux")
+    muy = (F.col("sy").cast("double") / F.col("n2")).alias("muy")
+    sc = m1.select("n", "n2", mu, mux, muy)
+    cent = (gaps.crossJoin(F.broadcast(sc))
+            .select(
+                "n", "n2", "mu", "mux", "muy",
+                F.round((F.col("g") - F.col("mu"))
+                        * (F.col("g") - F.col("mu")) / 1e12, 6)
+                .alias("d2"),
+                F.when(F.col("gp").isNotNull(), F.round(
+                    (F.col("gp") - F.col("mux"))
+                    * (F.col("g") - F.col("muy")) / 1e12, 6)).alias("pxy"),
+                F.when(F.col("gp").isNotNull(), F.round(
+                    (F.col("gp") - F.col("mux"))
+                    * (F.col("gp") - F.col("mux")) / 1e12, 6)).alias("px2"),
+                F.when(F.col("gp").isNotNull(), F.round(
+                    (F.col("g") - F.col("muy"))
+                    * (F.col("g") - F.col("muy")) / 1e12, 6)).alias("py2")))
+    agg = cent.groupBy("n", "n2", "mu").agg(
+        F.sum(F.col("d2").cast(_TS_DEC)).alias("sd2"),
+        F.sum(F.col("pxy").cast(_TS_DEC)).alias("sxy"),
+        F.sum(F.col("px2").cast(_TS_DEC)).alias("sx2"),
+        F.sum(F.col("py2").cast(_TS_DEC)).alias("sy2"))
+    sigma = F.sqrt(F.col("sd2").cast("double") / F.col("n")) * 1e6
+    mu_us = F.col("mu")
+    b = (sigma - mu_us) / (sigma + mu_us)
+    m = F.when(
+        (F.col("sx2") > 0) & (F.col("sy2") > 0),
+        F.col("sxy").cast("double")
+        / F.sqrt(F.col("sx2").cast("double")
+                 * F.col("sy2").cast("double")))
+    return agg.select(
+        F.col("n").cast("long").alias("n_gaps"),
+        F.col("n2").cast("long").alias("n_pairs"),
+        F.round(mu_us / 1e6, 6).alias("mean_gap_s"),
+        F.round(sigma / mu_us, 6).alias("cv_gap"),
+        F.round(b, 6).alias("b_stat"),
+        F.round(m, 6).alias("m_memory"))
+
+
+def burstiness_goh_sql(table: str = "events", ts_sql: str = "ts",
+                       key_sql: str = "user_id, event_type",
+                       tiebreak_sql: str = "event_id") -> str:
+    gaps = _STREAM_GAPS_SQL.format(table=table, ts=ts_sql,
+                                   keys=key_sql, tiebreak=tiebreak_sql)
+    return f"""
+WITH {gaps},
+m1 AS (
+  SELECT count(*) AS n, sum(CAST(g AS HUGEINT)) AS sg,
+         count(gp) AS n2, sum(CAST(gp AS HUGEINT)) AS sx,
+         sum(CASE WHEN gp IS NOT NULL THEN CAST(g AS HUGEINT) END) AS sy
+  FROM gaps
+),
+sc AS (
+  SELECT n, n2, CAST(sg AS DOUBLE) / n AS mu,
+         CAST(sx AS DOUBLE) / n2 AS mux,
+         CAST(sy AS DOUBLE) / n2 AS muy
+  FROM m1
+),
+cent AS (
+  SELECT n, n2, mu,
+         round((g - mu) * (g - mu) / 1e12, 6) AS d2,
+         CASE WHEN gp IS NOT NULL THEN
+           round((gp - mux) * (g - muy) / 1e12, 6) END AS pxy,
+         CASE WHEN gp IS NOT NULL THEN
+           round((gp - mux) * (gp - mux) / 1e12, 6) END AS px2,
+         CASE WHEN gp IS NOT NULL THEN
+           round((g - muy) * (g - muy) / 1e12, 6) END AS py2
+  FROM gaps CROSS JOIN sc
+),
+agg AS (
+  SELECT n, n2, mu,
+         sum(CAST(d2 AS DECIMAL(38,12))) AS sd2,
+         sum(CAST(pxy AS DECIMAL(38,12))) AS sxy,
+         sum(CAST(px2 AS DECIMAL(38,12))) AS sx2,
+         sum(CAST(py2 AS DECIMAL(38,12))) AS sy2
+  FROM cent GROUP BY n, n2, mu
+)
+SELECT CAST(n AS BIGINT) AS n_gaps,
+       CAST(n2 AS BIGINT) AS n_pairs,
+       round(mu / 1e6, 6) AS mean_gap_s,
+       round(sqrt(CAST(sd2 AS DOUBLE) / n) * 1e6 / mu, 6) AS cv_gap,
+       round((sqrt(CAST(sd2 AS DOUBLE) / n) * 1e6 - mu)
+             / (sqrt(CAST(sd2 AS DOUBLE) / n) * 1e6 + mu), 6) AS b_stat,
+       round(CASE WHEN sx2 > 0 AND sy2 > 0 THEN
+               CAST(sxy AS DOUBLE)
+               / sqrt(CAST(sx2 AS DOUBLE) * CAST(sy2 AS DOUBLE)) END, 6)
+         AS m_memory
+FROM agg
+"""
+
+
+def cv2_local(events: DataFrame, ts_col: str = "ts",
+              key_cols: list[str] | None = None,
+              group_col: str = "event_type",
+              tiebreak_col: str = "event_id") -> DataFrame:
+    """Local CV² (Holt 1996): for consecutive interevent gaps within
+    a stream, CV²_i = 2(g_{i+1} − g_i)²/(g_{i+1} + g_i)², averaged
+    per event type. Rate-free irregularity: a stream whose RATE
+    drifts slowly keeps CV² low while the global CV explodes —
+    CV² ≈ 1 is Poisson-like locally, ≪ 1 regular, ≫ 1 bursty.
+    Disambiguates burstiness_goh's B (which conflates rate drift
+    with true burstiness).
+
+    Per-pair terms are bounded [0, 2) doubles, grid-round 9 then
+    exact decimal mean per group; gaps exact BIGINT µs from
+    key-partitioned lags. Output: one row per group (group, n_pairs,
+    cv2_mean), rounded 6.
+    """
+    key_cols = key_cols or ["user_id", "event_type"]
+    gaps = _stream_gaps(events, ts_col, key_cols, tiebreak_col)
+    pairs = gaps.filter(F.col("gp").isNotNull()
+                        & ((F.col("g") + F.col("gp")) > 0))
+    d = (F.col("g") - F.col("gp")).cast("double")
+    s = (F.col("g") + F.col("gp")).cast("double")
+    term = F.round(2.0 * d * d / (s * s), 9)
+    return (pairs.select(F.col(group_col).alias("group"),
+                         term.alias("cv2"))
+            .groupBy("group")
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.round(F.sum(F.col("cv2").cast(_TS_DEC))
+                         .cast("double") / F.count("*"), 6)
+                 .alias("cv2_mean")))
+
+
+def cv2_local_sql(table: str = "events", ts_sql: str = "ts",
+                  key_sql: str = "user_id, event_type",
+                  group_sql: str = "event_type",
+                  tiebreak_sql: str = "event_id") -> str:
+    gaps = _STREAM_GAPS_SQL.format(table=table, ts=ts_sql,
+                                   keys=key_sql, tiebreak=tiebreak_sql)
+    return f"""
+WITH {gaps},
+pairs AS (
+  SELECT {group_sql} AS "group",
+         round(2.0 * (CAST(g AS DOUBLE) - gp) * (CAST(g AS DOUBLE) - gp)
+               / ((CAST(g AS DOUBLE) + gp) * (CAST(g AS DOUBLE) + gp)),
+               9) AS cv2
+  FROM gaps WHERE gp IS NOT NULL AND g + gp > 0
+)
+SELECT "group", CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(sum(CAST(cv2 AS DECIMAL(38,12))) AS DOUBLE)
+             / count(*), 6) AS cv2_mean
+FROM pairs GROUP BY "group"
+"""
+
+
+def exceedance_clusters(events: DataFrame, ts_col: str = "ts",
+                        value_col: str = "value", q: float = 0.9,
+                        run_gap: int = 2) -> DataFrame:
+    """Peaks-over-threshold declustering (runs rule) on daily value
+    totals: threshold u = the ⌈q·m⌉-th smallest daily total (an EXACT
+    order statistic — no engine-interpolated percentile), exceedance
+    days x > u, and clusters split where consecutive exceedances are
+    more than ``run_gap`` days apart. The extremal index estimate
+    θ̂ = clusters/exceedances reads how extreme days CLUMP (θ̂ = 1
+    independent extremes, → 0 long episodes) — the dependence
+    diagnostic gpd_tail's iid fit silently assumes.
+
+    All on the bounded daily frame: one rank for u, one ordered lag
+    for cluster starts, one cumulative-sum cluster id. Output: one
+    row (n_days, threshold_u, n_exceed, n_clusters, extremal_index,
+    max_cluster, mean_cluster), rounded 6.
+    """
+    base = _daily_frame(events, ts_col, value_col)
+    tot = Window.partitionBy()
+    ranked = base.select(
+        "d", "t", "x",
+        F.row_number().over(Window.orderBy(F.col("x").asc(),
+                                           F.col("d").asc())).alias("xr"),
+        F.count("*").over(tot).alias("m"))
+    thr = (ranked.filter(F.col("xr") == F.ceil(F.lit(q) * F.col("m")))
+           .select(F.col("x").alias("u"), F.col("m").alias("m_days")))
+    exc = (base.crossJoin(F.broadcast(thr))
+           .filter(F.col("x") > F.col("u")))
+    lagw = Window.orderBy("t")
+    starts = exc.select(
+        "t", "u", "m_days",
+        F.when(F.col("t") - F.lag("t").over(lagw) > run_gap, 1)
+        .otherwise(F.when(F.lag("t").over(lagw).isNull(), 1)
+                   .otherwise(0)).alias("st"))
+    cid = starts.select(
+        "u", "m_days", "st",
+        F.sum("st").over(lagw.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cid"))
+    per = cid.groupBy("u", "m_days", "cid").agg(F.count("*").alias("sz"))
+    agg = per.groupBy("u", "m_days").agg(
+        F.sum("sz").alias("ne"),
+        F.count("*").alias("nc"),
+        F.max("sz").alias("mx"))
+    return agg.select(
+        F.col("m_days").cast("long").alias("n_days"),
+        F.round(F.col("u"), 6).alias("threshold_u"),
+        F.col("ne").cast("long").alias("n_exceed"),
+        F.col("nc").cast("long").alias("n_clusters"),
+        F.round(F.col("nc").cast("double") / F.col("ne"), 6)
+        .alias("extremal_index"),
+        F.col("mx").cast("long").alias("max_cluster"),
+        F.round(F.col("ne").cast("double") / F.col("nc"), 6)
+        .alias("mean_cluster"))
+
+
+def exceedance_clusters_sql(table: str = "events", ts_sql: str = "ts",
+                            value_sql: str = "value", q: float = 0.9,
+                            run_gap: int = 2) -> str:
+    daily = _DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)
+    return f"""
+WITH {daily},
+rk AS (
+  SELECT d, t, x,
+         row_number() OVER (ORDER BY x ASC, d ASC) AS xr,
+         count(*) OVER () AS m
+  FROM ranked
+),
+thr AS (
+  SELECT x AS u, m AS m_days FROM rk WHERE xr = ceil({q!r} * m)
+),
+exc AS (
+  SELECT r.t, t2.u, t2.m_days FROM ranked r CROSS JOIN thr t2
+  WHERE r.x > t2.u
+),
+starts AS (
+  SELECT t, u, m_days,
+         CASE WHEN lag(t) OVER (ORDER BY t) IS NULL THEN 1
+              WHEN t - lag(t) OVER (ORDER BY t) > {run_gap} THEN 1
+              ELSE 0 END AS st
+  FROM exc
+),
+cids AS (
+  SELECT u, m_days,
+         sum(st) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cid
+  FROM starts
+),
+per AS (
+  SELECT u, m_days, cid, count(*) AS sz FROM cids GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT u, m_days, sum(sz) AS ne, count(*) AS nc, max(sz) AS mx
+  FROM per GROUP BY 1, 2
+)
+SELECT CAST(m_days AS BIGINT) AS n_days,
+       round(u, 6) AS threshold_u,
+       CAST(ne AS BIGINT) AS n_exceed,
+       CAST(nc AS BIGINT) AS n_clusters,
+       round(CAST(nc AS DOUBLE) / ne, 6) AS extremal_index,
+       CAST(mx AS BIGINT) AS max_cluster,
+       round(CAST(ne AS DOUBLE) / nc, 6) AS mean_cluster
+FROM agg
+"""

@@ -1,0 +1,290 @@
+"""Planted-data validation for the round-13 window strata
+(homogeneity battery + point-process battery) — hand computations and
+numpy mirrors that twin-formula parity cannot check.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pandas as pd
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1, rows
+    return rows[0].asDict()
+
+
+def _daily_events(values):
+    """One event per day carrying that day's planted total."""
+    base = dt.datetime(2024, 1, 1, 8)
+    rows = [(base + dt.timedelta(days=i), float(v))
+            for i, v in enumerate(values)]
+    return pd.DataFrame(rows, columns=["ts", "value"])
+
+
+def _stream(gaps_s, user="u1", etype="click", t0=None):
+    """Single-stream events with EXACT planted interevent gaps."""
+    t = t0 or dt.datetime(2024, 1, 1, 8)
+    rows = [(t, user, etype, 0)]
+    for i, g in enumerate(gaps_s):
+        t = t + dt.timedelta(seconds=float(g))
+        rows.append((t, user, etype, i + 1))
+    return pd.DataFrame(rows, columns=["ts", "user_id", "event_type",
+                                       "event_id"])
+
+
+# --------------------------------------------------------------- SNHT
+
+def test_snht_change_level_shift_hand(spark):
+    """[0]*4 + [10]*4: μ=5, σ=5, z = ±1 → T_k maximal at k=4 with
+    T₀ = 4·1 + 4·1 = 8, change day = Jan 4."""
+    from distill_spark.operators.timeseries import snht_change
+
+    df = spark.createDataFrame(_daily_events([0, 0, 0, 0,
+                                              10, 10, 10, 10]))
+    out = _one(snht_change(df))
+    assert out["n_days"] == 8
+    assert out["k_at_max"] == 4
+    assert out["change_day"] == dt.date(2024, 1, 4)
+    assert out["t0_stat"] == 8.0
+
+
+def test_snht_change_numpy_mirror(spark):
+    from distill_spark.operators.timeseries import snht_change
+
+    rng = np.random.RandomState(7)
+    x = np.round(np.concatenate([rng.normal(10, 2, 40),
+                                 rng.normal(13, 2, 35)]), 3)
+    out = _one(snht_change(spark.createDataFrame(_daily_events(x))))
+    mu, sig = x.mean(), x.std()
+    z = (x - mu) / sig
+    n = len(x)
+    tks = [k * z[:k].mean() ** 2 + (n - k) * z[k:].mean() ** 2
+           for k in range(1, n)]
+    k_best = int(np.argmax(np.round(tks, 9))) + 1
+    assert out["k_at_max"] == k_best
+    assert abs(out["t0_stat"] - max(tks)) < 1e-5
+
+
+# ----------------------------------------------------------- Buishand
+
+def test_buishand_range_hand(spark):
+    """Same shift series: S* = [-5,-10,-15,-20,-15,-10,-5,0], D=5 →
+    R = (0 − (−20))/5 = 4, R/√8."""
+    from distill_spark.operators.timeseries import buishand_range
+
+    df = spark.createDataFrame(_daily_events([0, 0, 0, 0,
+                                              10, 10, 10, 10]))
+    out = _one(buishand_range(df))
+    assert out["n_days"] == 8
+    assert out["d_scale"] == 5.0
+    assert out["r_range"] == 4.0
+    assert out["rb_stat"] == round(4.0 / math.sqrt(8.0), 6)
+
+
+def test_buishand_u_hand(spark):
+    """Σ(S*_k/D)² over k<n = 1+4+9+16+9+4+1 = 44 → U = 44/72;
+    peak |S*| at k=4 → Jan 4."""
+    from distill_spark.operators.timeseries import buishand_u
+
+    df = spark.createDataFrame(_daily_events([0, 0, 0, 0,
+                                              10, 10, 10, 10]))
+    out = _one(buishand_u(df))
+    assert out["u_stat"] == round(44.0 / 72.0, 6)
+    assert out["peak_day"] == dt.date(2024, 1, 4)
+
+
+def test_buishand_numpy_mirror(spark):
+    from distill_spark.operators.timeseries import buishand_range
+
+    rng = np.random.RandomState(11)
+    x = np.round(rng.gamma(3.0, 5.0, 60), 3)
+    out = _one(buishand_range(spark.createDataFrame(_daily_events(x))))
+    s = np.cumsum(x - x.mean())
+    d = x.std()
+    r = (max(s.max(), 0.0) - min(s.min(), 0.0)) / d
+    assert abs(out["r_range"] - r) < 1e-5
+    assert abs(out["rb_stat"] - r / math.sqrt(len(x))) < 1e-6
+
+
+# -------------------------------------------------------------- MOSUM
+
+def test_mosum_drift_hand(spark):
+    """g=2 over the shift series: every complete window straddling
+    one regime boundary scores √2; max √2 first reached at k=2."""
+    from distill_spark.operators.timeseries import mosum_drift
+
+    df = spark.createDataFrame(_daily_events([0, 0, 0, 0,
+                                              10, 10, 10, 10]))
+    out = _one(mosum_drift(df, g=2))
+    assert out["g_window"] == 2
+    assert out["mosum_stat"] == round(math.sqrt(2.0), 6)
+    assert out["peak_day"] == dt.date(2024, 1, 2)
+
+
+def test_mosum_flat_inside_regime_scores_zero(spark):
+    """A window wholly inside one regime of a balanced two-regime
+    series has |mean − μ| = σ, never 0 — but a window spanning the
+    boundary evenly DOES cancel: [0,0,10,10] with g=2 at k=3 gives
+    S₃−S₁−2μ = 10−0−10 = 0."""
+    from distill_spark.operators.timeseries import mosum_drift
+
+    df = spark.createDataFrame(_daily_events([0, 0, 10, 10]))
+    rows = {r["peak_day"]: r for r in [
+        _one(mosum_drift(df, g=2))]}
+    # max is the pure-regime window (|0−10|/(5√2) = √2), earliest k=2
+    out = rows.popitem()[1]
+    assert out["mosum_stat"] == round(math.sqrt(2.0), 6)
+    assert out["peak_day"] == dt.date(2024, 1, 2)
+
+
+# --------------------------------------------------------------- Fano
+
+def test_fano_factor_hand(spark):
+    """Counts [4,0,4,0]: w=1 → mean 2, var 4, F=2; w=2 → blocks
+    [4,4], F=0. Zero days enter via the block-count divisor."""
+    from distill_spark.operators.timeseries import fano_factor
+
+    base = dt.datetime(2024, 1, 1, 9)
+    rows = []
+    for day, cnt in enumerate([4, 0, 4, 0]):
+        for j in range(cnt):
+            rows.append((base + dt.timedelta(days=day, minutes=j),))
+    # day 4 (index 3) is empty → add a sentinel on the LAST day so the
+    # span covers it, then plant counts [4,0,4,1]
+    rows.append((base + dt.timedelta(days=3),))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["ts"]))
+    out = {r["window_days"]: r for r in
+           fano_factor(df, windows=(1, 2)).collect()}
+    # counts per day = [4,0,4,1]: w=1 mean 9/4, var = (16+16+1)/4 − mean²
+    mean1 = 9.0 / 4.0
+    var1 = 33.0 / 4.0 - mean1 ** 2
+    assert out[1]["n_blocks"] == 4
+    assert out[1]["mean_count"] == round(mean1, 6)
+    assert out[1]["fano"] == round(var1 / mean1, 6)
+    # w=2: blocks [4,5]: mean 4.5, var 0.25
+    assert out[2]["n_blocks"] == 2
+    assert out[2]["fano"] == round(0.25 / 4.5, 6)
+
+
+def test_fano_poisson_near_one(spark):
+    from distill_spark.operators.timeseries import fano_factor
+
+    rng = np.random.RandomState(3)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for day, cnt in enumerate(rng.poisson(20, 256)):
+        for j in range(cnt):
+            rows.append((base + dt.timedelta(days=int(day), seconds=j),))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["ts"]))
+    out = {r["window_days"]: r["fano"] for r in
+           fano_factor(df, windows=(1, 4)).collect()}
+    assert 0.7 < out[1] < 1.4 and 0.5 < out[4] < 1.8
+
+
+# --------------------------------------------------- Goh burstiness/M
+
+def test_burstiness_periodic_is_minus_one(spark):
+    from distill_spark.operators.timeseries import burstiness_goh
+
+    df = spark.createDataFrame(_stream([60.0] * 10))
+    out = _one(burstiness_goh(df))
+    assert out["n_gaps"] == 10
+    assert out["b_stat"] == -1.0
+    assert out["m_memory"] is None  # zero variance pairs
+
+
+def test_burstiness_alternating_hand(spark):
+    """Gaps [1,3,1,3,1]: μ=1.8? no — [1,3,1,3,1] μ=9/5=1.8, σ²=0.96.
+    Use [1,3,1,3]: μ=2, σ=1 → B = −1/3; consecutive pairs perfectly
+    anti-correlated → M = −1."""
+    from distill_spark.operators.timeseries import burstiness_goh
+
+    df = spark.createDataFrame(_stream([1.0, 3.0, 1.0, 3.0]))
+    out = _one(burstiness_goh(df))
+    assert out["n_gaps"] == 4 and out["n_pairs"] == 3
+    assert out["mean_gap_s"] == 2.0
+    assert out["b_stat"] == round(-1.0 / 3.0, 6)
+    assert out["m_memory"] == -1.0
+
+
+def test_burstiness_no_cross_stream_gaps(spark):
+    """Two users with identical periodic streams: pooled B must stay
+    −1 — a global (non-partitioned) lag would manufacture cross-user
+    gaps and break it."""
+    from distill_spark.operators.timeseries import burstiness_goh
+
+    a = _stream([60.0] * 6, user="u1")
+    b = _stream([60.0] * 6, user="u2",
+                t0=dt.datetime(2024, 1, 1, 8, 0, 13))
+    df = spark.createDataFrame(pd.concat([a, b], ignore_index=True))
+    out = _one(burstiness_goh(df))
+    assert out["n_gaps"] == 12
+    assert out["b_stat"] == -1.0
+
+
+# ---------------------------------------------------------------- CV²
+
+def test_cv2_local_hand(spark):
+    from distill_spark.operators.timeseries import cv2_local
+
+    # equal gaps → 0
+    out = cv2_local(spark.createDataFrame(_stream([60.0] * 8))).collect()
+    assert len(out) == 1 and out[0]["cv2_mean"] == 0.0
+    # alternating 1,3 → every pair term 2·4/16 = 0.5
+    out2 = cv2_local(
+        spark.createDataFrame(_stream([1.0, 3.0, 1.0, 3.0]))).collect()
+    assert out2[0]["n_pairs"] == 3 and out2[0]["cv2_mean"] == 0.5
+
+
+def test_cv2_poisson_mirror(spark):
+    """For iid exponential gaps u = x/(x+y) is Uniform(0,1), so
+    E[CV²] = 2·E[(2u−1)²] = 2/3 — and the Spark value must match the
+    numpy mirror to the 1e-6 grid."""
+    from distill_spark.operators.timeseries import cv2_local
+
+    rng = np.random.RandomState(5)
+    gaps = np.round(rng.exponential(30.0, 400), 3) + 0.001
+    out = cv2_local(spark.createDataFrame(_stream(list(gaps)))).collect()
+    x, y = gaps[:-1], gaps[1:]
+    mirror = np.round(2.0 * (y - x) ** 2 / (x + y) ** 2, 9).mean()
+    assert abs(out[0]["cv2_mean"] - mirror) < 2e-6
+    assert 0.5 < out[0]["cv2_mean"] < 0.85  # ≈ 2/3 for Poisson
+
+
+# ------------------------------------------------------- exceedances
+
+def test_exceedance_clusters_hand(spark):
+    """12 days, q=0.5 → u = 6th smallest = 4; exceedance days
+    {5,6,7,8} and {11,12} split by the 3-day gap → θ̂ = 2/6."""
+    from distill_spark.operators.timeseries import exceedance_clusters
+
+    vals = [1, 2, 3, 4, 5, 6, 10, 11, 1, 1, 12, 13]
+    # exceedances: x > 4 → t ∈ {5,6,7,8,11,12}
+    df = spark.createDataFrame(_daily_events(vals))
+    out = _one(exceedance_clusters(df, q=0.5, run_gap=2))
+    assert out["n_days"] == 12
+    assert out["threshold_u"] == 4.0
+    assert out["n_exceed"] == 6
+    assert out["n_clusters"] == 2
+    assert out["extremal_index"] == round(2.0 / 6.0, 6)
+    assert out["max_cluster"] == 4
+    assert out["mean_cluster"] == 3.0
+
+
+def test_exceedance_independent_extremes_theta_one(spark):
+    """Isolated spikes ≥ run_gap apart → every exceedance is its own
+    cluster, θ̂ = 1."""
+    from distill_spark.operators.timeseries import exceedance_clusters
+
+    vals = [1.0] * 20
+    for t in (3, 9, 15):
+        vals[t] = 50.0 + t
+    df = spark.createDataFrame(_daily_events(vals))
+    out = _one(exceedance_clusters(df, q=0.8, run_gap=2))
+    assert out["n_clusters"] == out["n_exceed"] == 3
+    assert out["extremal_index"] == 1.0
