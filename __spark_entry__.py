@@ -13404,6 +13404,86 @@ def _sql_exceed_clusters():
     return exceedance_clusters_sql()
 
 
+# Round-13 third stratum: ecology/diversity battery over the corpus
+# term-frequency frame — coverage-based and sample-based asymptotic
+# richness, evenness, dominance, and between-source turnover.
+
+def q_ace_richness(spark, sf_dir):
+    """ACE coverage-based asymptotic richness per source
+    (corpus_stats.ace_richness) — chao1's heterogeneity-aware
+    sibling; disagreement flags a heterogeneous rare tail."""
+    from distill_spark.operators.corpus_stats import ace_richness
+
+    return ace_richness(_tables(spark, sf_dir)["documents"])
+
+
+def _sql_ace():
+    from distill_spark.operators.corpus_stats import ace_richness_sql
+
+    return ace_richness_sql()
+
+
+def q_jackknife_richness(spark, sf_dir):
+    """First/second-order incidence jackknife richness with documents
+    as samples (corpus_stats.jackknife_richness) — "how many more
+    terms would more DOCUMENTS surface" vs chao1's token question."""
+    from distill_spark.operators.corpus_stats import jackknife_richness
+
+    return jackknife_richness(_tables(spark, sf_dir)["documents"])
+
+
+def _sql_jackknife():
+    from distill_spark.operators.corpus_stats import (
+        jackknife_richness_sql)
+
+    return jackknife_richness_sql()
+
+
+def q_pielou_evenness(spark, sf_dir):
+    """Pielou's J evenness of each source's term distribution
+    (corpus_stats.pielou_evenness) — separates rich-because-big from
+    rich-because-balanced; grid-rounded −p·ln p terms."""
+    from distill_spark.operators.corpus_stats import pielou_evenness
+
+    return pielou_evenness(_tables(spark, sf_dir)["documents"])
+
+
+def _sql_pielou():
+    from distill_spark.operators.corpus_stats import pielou_evenness_sql
+
+    return pielou_evenness_sql()
+
+
+def q_berger_parker(spark, sf_dir):
+    """Berger–Parker dominance per source
+    (corpus_stats.berger_parker) — single-term probability mass;
+    boilerplate contamination that entropy smooths over."""
+    from distill_spark.operators.corpus_stats import berger_parker
+
+    return berger_parker(_tables(spark, sf_dir)["documents"])
+
+
+def _sql_berger():
+    from distill_spark.operators.corpus_stats import berger_parker_sql
+
+    return berger_parker_sql()
+
+
+def q_whittaker_beta(spark, sf_dir):
+    """Whittaker beta diversity across sources
+    (corpus_stats.whittaker_beta) — corpus-level vocabulary turnover
+    γ/ᾱ − 1; source_overlap's one-number summary."""
+    from distill_spark.operators.corpus_stats import whittaker_beta
+
+    return whittaker_beta(_tables(spark, sf_dir)["documents"])
+
+
+def _sql_whittaker():
+    from distill_spark.operators.corpus_stats import whittaker_beta_sql
+
+    return whittaker_beta_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ======================== ROUND-13 WINDOW ============================
     # -- round-13 head: the 27 seeds queued all of round 12 (each
@@ -13449,6 +13529,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cv2_local": (q_cv2_local, _sql_cv2()),
     "exceedance_clusters": (q_exceedance_clusters,
                             _sql_exceed_clusters()),
+    # -- round-13 third stratum: ecology/diversity battery --------------------
+    "ace_richness": (q_ace_richness, _sql_ace()),
+    "jackknife_richness": (q_jackknife_richness, _sql_jackknife()),
+    "pielou_evenness": (q_pielou_evenness, _sql_pielou()),
+    "berger_parker": (q_berger_parker, _sql_berger()),
+    "whittaker_beta": (q_whittaker_beta, _sql_whittaker()),
     # ===================== END ROUND-13 WINDOW (50) ======================
     # -- round-12 window (all 50 driver-green in CORRECTNESS_r12) ------------
     "wasserstein_1d": (q_wasserstein_1d, _sql_wasserstein()),

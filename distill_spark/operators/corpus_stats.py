@@ -1251,3 +1251,383 @@ SELECT r.w AS token,
 FROM ranked r CROSS JOIN mean_dp m
 ORDER BY dp DESC, token ASC
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-13 diversity stratum: ACE, incidence jackknife, Pielou
+# evenness, Berger–Parker dominance, Whittaker beta — the ecology
+# estimators that complete chao1's "how much vocabulary is left"
+# question with "how is it SPREAD": coverage-based asymptotic richness
+# (ACE), sample-based richness (jackknife over documents), evenness of
+# the realized distribution (Pielou), single-term dominance
+# (Berger–Parker), and between-source turnover (beta). All reduce the
+# corpus to the (group, term, count) frame in ONE aggregate; everything
+# after is per-group arithmetic on exact integers.
+
+
+def ace_richness(docs: DataFrame, group_col: str = "source",
+                 text_col: str = "text", rare_cutoff: int = 10
+                 ) -> DataFrame:
+    """ACE (Abundance-based Coverage Estimator, Chao & Lee 1992):
+    split the vocabulary at count ≤ k (rare) — sample coverage
+    C = 1 − F1/N_rare estimates the probability mass of SEEN rare
+    terms, γ² = max(S_rare·Σc(c−1)/(C·N_rare(N_rare−1)) − 1, 0) the
+    rare-term heterogeneity, and
+
+        ACE = S_abund + S_rare/C + (F1/C)·γ²
+
+    The coverage-based sibling of chao1 (which only uses F1/F2): when
+    the two disagree materially the rare tail is heterogeneous and
+    chao1 is biased low. All moments exact integers from the term-
+    frequency frame; NULL when every rare term is a singleton (C=0).
+    Output: (group, s_obs, s_rare, s_abund, f1, n_rare, coverage,
+    ace), doubles rounded 6.
+    """
+    from distill_spark.operators.dedup_text import words_expr
+
+    k = int(rare_cutoff)
+    tf = (docs.select(F.col(group_col).alias("g"),
+                      F.explode(words_expr(F.col(text_col)))
+                      .alias("term"))
+          .groupBy("g", "term").agg(F.count("*").alias("c")))
+    rare = F.col("c") <= k
+    agg = tf.groupBy("g").agg(
+        F.count("*").alias("s_obs"),
+        F.sum(rare.cast("long")).alias("s_rare"),
+        F.sum((~rare).cast("long")).alias("s_abund"),
+        F.sum((F.col("c") == 1).cast("long")).alias("f1"),
+        F.sum(F.when(rare, F.col("c")).otherwise(F.lit(0)))
+        .alias("n_rare"),
+        F.sum(F.when(rare, F.col("c") * (F.col("c") - 1))
+              .otherwise(F.lit(0))).alias("sumcc1"),
+        F.sum((F.col("c") == 2).cast("long")).alias("f2"))
+    f1 = F.col("f1").cast("double")
+    nr = F.col("n_rare").cast("double")
+    cov = 1.0 - f1 / nr
+    gamma2 = F.greatest(
+        F.col("s_rare").cast("double") * F.col("sumcc1").cast("double")
+        / (cov * nr * (nr - 1.0)) - 1.0, F.lit(0.0))
+    ace = (F.col("s_abund").cast("double")
+           + F.col("s_rare").cast("double") / cov + f1 / cov * gamma2)
+    # ANSI mode + driver hashability: every division sits inside the
+    # guard that makes its divisor nonzero, and both doubles are
+    # TOTAL — zero coverage or a rare tail of pure singletons falls
+    # back to bias-corrected chao1 (the EstimateS convention), no
+    # rare terms means full coverage and ACE = S_obs via the same
+    # fallback (f1 = 0 ⇒ chao1 term vanishes).
+    chao1_fb = (F.col("s_obs")
+                + f1 * (f1 - 1) / (2.0 * (F.col("f2") + 1.0)))
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("s_obs").cast("long").alias("s_obs"),
+        F.col("s_rare").cast("long").alias("s_rare"),
+        F.col("s_abund").cast("long").alias("s_abund"),
+        F.col("f1").cast("long").alias("f1"),
+        F.col("n_rare").cast("long").alias("n_rare"),
+        F.round(F.when(F.col("n_rare") > 0, cov).otherwise(F.lit(1.0)),
+                6).alias("coverage"),
+        F.round(F.when((F.col("n_rare") > 1)
+                       & (F.col("f1") < F.col("n_rare")), ace)
+                .otherwise(chao1_fb), 6).alias("ace"))
+
+
+def ace_richness_sql(table: str = "documents",
+                     group_sql: str = "source",
+                     text_sql: str = "text",
+                     rare_cutoff: int = 10) -> str:
+    k = int(rare_cutoff)
+    words = f"list_filter(string_split({text_sql}, ' '), x -> x <> '')"
+    return f"""
+WITH terms AS (
+  SELECT {group_sql} AS g, unnest({words}) AS term FROM {table}
+),
+tf AS (SELECT g, term, count(*) AS c FROM terms GROUP BY 1, 2),
+agg AS (
+  SELECT g, count(*) AS s_obs,
+         sum(CASE WHEN c <= {k} THEN 1 ELSE 0 END) AS s_rare,
+         sum(CASE WHEN c > {k} THEN 1 ELSE 0 END) AS s_abund,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+         sum(CASE WHEN c <= {k} THEN c ELSE 0 END) AS n_rare,
+         sum(CASE WHEN c <= {k} THEN c * (c - 1) ELSE 0 END) AS sumcc1,
+         sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+  FROM tf GROUP BY g
+)
+SELECT g AS {group_sql},
+       CAST(s_obs AS BIGINT) AS s_obs,
+       CAST(s_rare AS BIGINT) AS s_rare,
+       CAST(s_abund AS BIGINT) AS s_abund,
+       CAST(f1 AS BIGINT) AS f1,
+       CAST(n_rare AS BIGINT) AS n_rare,
+       round(CASE WHEN n_rare > 0 THEN
+         1.0 - CAST(f1 AS DOUBLE) / n_rare ELSE 1.0 END, 6)
+         AS coverage,
+       round(CASE WHEN n_rare > 1 AND f1 < n_rare THEN
+         s_abund + s_rare / (1.0 - CAST(f1 AS DOUBLE) / n_rare)
+         + CAST(f1 AS DOUBLE) / (1.0 - CAST(f1 AS DOUBLE) / n_rare)
+           * greatest(CAST(s_rare AS DOUBLE) * sumcc1
+                      / ((1.0 - CAST(f1 AS DOUBLE) / n_rare)
+                         * CAST(n_rare AS DOUBLE) * (n_rare - 1.0))
+                      - 1.0, 0.0)
+       ELSE s_obs + CAST(f1 AS DOUBLE) * (f1 - 1.0)
+            / (2.0 * (f2 + 1.0))
+       END, 6) AS ace
+FROM agg
+"""
+
+
+def jackknife_richness(docs: DataFrame, group_col: str = "source",
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """First/second-order incidence jackknife richness (Burnham &
+    Overton 1978) with DOCUMENTS as the samples: with Q1/Q2 the
+    counts of terms present in exactly 1 / 2 documents and m the
+    document count,
+
+        jack1 = V + Q1·(m−1)/m
+        jack2 = V + Q1·(2m−3)/m − Q2·(m−2)²/(m(m−1))
+
+    The sample-based answer to "how many more terms would more
+    DOCUMENTS surface" (chao1/ACE answer the token-sampling
+    question — both matter when deciding between a deeper crawl of
+    the same sites vs new sites). Exact integer document frequencies.
+    Output: (group, m_docs, vocab, q1, q2, jack1, jack2), rounded 6.
+    """
+    from distill_spark.operators.dedup_text import words_expr
+
+    dfreq = (docs.select(F.col(group_col).alias("g"),
+                         F.col(id_col).alias("doc"),
+                         F.explode(F.array_distinct(
+                             words_expr(F.col(text_col)))).alias("term"))
+             .groupBy("g", "term")
+             .agg(F.count("*").alias("df")))
+    m = (docs.groupBy(F.col(group_col).alias("g"))
+         .agg(F.count("*").alias("m")))
+    agg = (dfreq.groupBy("g").agg(
+        F.count("*").alias("v"),
+        F.sum((F.col("df") == 1).cast("long")).alias("q1"),
+        F.sum((F.col("df") == 2).cast("long")).alias("q2"))
+        .join(F.broadcast(m), "g"))
+    md = F.col("m").cast("double")
+    q1 = F.col("q1").cast("double")
+    q2 = F.col("q2").cast("double")
+    jack1 = F.col("v") + q1 * (md - 1.0) / md
+    jack2 = (F.col("v") + q1 * (2.0 * md - 3.0) / md
+             - q2 * (md - 2.0) * (md - 2.0) / (md * (md - 1.0)))
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("m").cast("long").alias("m_docs"),
+        F.col("v").cast("long").alias("vocab"),
+        F.col("q1").cast("long").alias("q1"),
+        F.col("q2").cast("long").alias("q2"),
+        F.round(jack1, 6).alias("jack1"),
+        F.round(jack2, 6).alias("jack2"))
+
+
+def jackknife_richness_sql(table: str = "documents",
+                           group_sql: str = "source",
+                           text_sql: str = "text",
+                           id_sql: str = "doc_id") -> str:
+    words = f"list_filter(string_split({text_sql}, ' '), x -> x <> '')"
+    return f"""
+WITH terms AS (
+  SELECT DISTINCT {group_sql} AS g, {id_sql} AS doc,
+         unnest({words}) AS term
+  FROM {table}
+),
+dfreq AS (SELECT g, term, count(*) AS df FROM terms GROUP BY 1, 2),
+m AS (SELECT {group_sql} AS g, count(*) AS m FROM {table} GROUP BY 1),
+agg AS (
+  SELECT d.g, count(*) AS v,
+         sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS q1,
+         sum(CASE WHEN df = 2 THEN 1 ELSE 0 END) AS q2
+  FROM dfreq d GROUP BY d.g
+)
+SELECT a.g AS {group_sql},
+       CAST(m.m AS BIGINT) AS m_docs,
+       CAST(a.v AS BIGINT) AS vocab,
+       CAST(a.q1 AS BIGINT) AS q1,
+       CAST(a.q2 AS BIGINT) AS q2,
+       round(a.v + CAST(a.q1 AS DOUBLE) * (m.m - 1.0) / m.m, 6)
+         AS jack1,
+       round(a.v + CAST(a.q1 AS DOUBLE) * (2.0 * m.m - 3.0) / m.m
+             - CAST(a.q2 AS DOUBLE) * (m.m - 2.0) * (m.m - 2.0)
+               / (CAST(m.m AS DOUBLE) * (m.m - 1.0)), 6) AS jack2
+FROM agg a JOIN m ON a.g = m.g
+"""
+
+
+def pielou_evenness(docs: DataFrame, group_col: str = "source",
+                    text_col: str = "text") -> DataFrame:
+    """Pielou's J (1966): Shannon entropy of the term distribution
+    over its maximum, J = H/ln V ∈ [0, 1] — separates "rich because
+    big" from "rich because balanced"; a boilerplate-heavy source
+    scores low J at high vocab. Per-term −p·ln p contributions
+    grid-round to 9 then decimal-sum (the module contract), so engine
+    summation order cannot leak. Output: (group, tokens, vocab,
+    shannon_h, pielou_j), rounded 6.
+    """
+    from distill_spark.operators.dedup_text import words_expr
+
+    tf = (docs.select(F.col(group_col).alias("g"),
+                      F.explode(words_expr(F.col(text_col)))
+                      .alias("term"))
+          .groupBy("g", "term").agg(F.count("*").alias("c")))
+    tot = Window.partitionBy("g")
+    p = F.col("c").cast("double") / F.sum("c").over(tot).cast("double")
+    terms = tf.select(
+        "g", F.sum("c").over(tot).alias("n"),
+        F.round(-p * F.log(p), 9).alias("h_term"))
+    agg = terms.groupBy("g").agg(
+        F.max("n").alias("n"),
+        F.count("*").alias("v"),
+        F.sum(F.col("h_term").cast(_DEC)).alias("h"))
+    h = F.col("h").cast("double")
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("tokens"),
+        F.col("v").cast("long").alias("vocab"),
+        F.round(h, 6).alias("shannon_h"),
+        F.round(F.when(F.col("v") > 1,
+                       h / F.log(F.col("v").cast("double"))), 6)
+        .alias("pielou_j"))
+
+
+def pielou_evenness_sql(table: str = "documents",
+                        group_sql: str = "source",
+                        text_sql: str = "text") -> str:
+    words = f"list_filter(string_split({text_sql}, ' '), x -> x <> '')"
+    return f"""
+WITH terms AS (
+  SELECT {group_sql} AS g, unnest({words}) AS term FROM {table}
+),
+tf AS (SELECT g, term, count(*) AS c FROM terms GROUP BY 1, 2),
+withp AS (
+  SELECT g, sum(c) OVER (PARTITION BY g) AS n,
+         round(-(CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY g))
+               * ln(CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY g)),
+               9) AS h_term
+  FROM tf
+),
+agg AS (
+  SELECT g, max(n) AS n, count(*) AS v,
+         sum(CAST(h_term AS DECIMAL(38,12))) AS h
+  FROM withp GROUP BY g
+)
+SELECT g AS {group_sql},
+       CAST(n AS BIGINT) AS tokens,
+       CAST(v AS BIGINT) AS vocab,
+       round(CAST(h AS DOUBLE), 6) AS shannon_h,
+       round(CASE WHEN v > 1 THEN CAST(h AS DOUBLE) / ln(v) END, 6)
+         AS pielou_j
+FROM agg
+"""
+
+
+def berger_parker(docs: DataFrame, group_col: str = "source",
+                  text_col: str = "text") -> DataFrame:
+    """Berger–Parker dominance d = N_max/N — the bluntest diversity
+    index: the probability mass of the single most common term. High
+    d with healthy vocab flags template/boilerplate contamination
+    that entropy smooths over. Ties break term-ascending. Output:
+    (group, tokens, top_term, top_count, dominance, inv_dominance),
+    rounded 6.
+    """
+    from distill_spark.operators.dedup_text import words_expr
+
+    tf = (docs.select(F.col(group_col).alias("g"),
+                      F.explode(words_expr(F.col(text_col)))
+                      .alias("term"))
+          .groupBy("g", "term").agg(F.count("*").alias("c")))
+    tot = Window.partitionBy("g")
+    top = (tf.select(
+        "g", "term", "c", F.sum("c").over(tot).alias("n"),
+        F.row_number().over(
+            Window.partitionBy("g").orderBy(F.col("c").desc(),
+                                            F.col("term").asc()))
+        .alias("rk"))
+        .filter(F.col("rk") == 1))
+    return top.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("tokens"),
+        F.col("term").alias("top_term"),
+        F.col("c").cast("long").alias("top_count"),
+        F.round(F.col("c").cast("double") / F.col("n"), 6)
+        .alias("dominance"),
+        F.round(F.col("n").cast("double") / F.col("c"), 6)
+        .alias("inv_dominance"))
+
+
+def berger_parker_sql(table: str = "documents",
+                      group_sql: str = "source",
+                      text_sql: str = "text") -> str:
+    words = f"list_filter(string_split({text_sql}, ' '), x -> x <> '')"
+    return f"""
+WITH terms AS (
+  SELECT {group_sql} AS g, unnest({words}) AS term FROM {table}
+),
+tf AS (SELECT g, term, count(*) AS c FROM terms GROUP BY 1, 2),
+top AS (
+  SELECT g, term, c, sum(c) OVER (PARTITION BY g) AS n,
+         row_number() OVER (PARTITION BY g
+                            ORDER BY c DESC, term ASC) AS rk
+  FROM tf
+)
+SELECT g AS {group_sql},
+       CAST(n AS BIGINT) AS tokens,
+       term AS top_term,
+       CAST(c AS BIGINT) AS top_count,
+       round(CAST(c AS DOUBLE) / n, 6) AS dominance,
+       round(CAST(n AS DOUBLE) / c, 6) AS inv_dominance
+FROM top WHERE rk = 1
+"""
+
+
+def whittaker_beta(docs: DataFrame, group_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Whittaker's beta diversity (1960): β = γ/ᾱ − 1, with γ the
+    corpus-wide vocabulary and ᾱ the mean per-source vocabulary —
+    0 when every source shares one vocabulary, |sources|−1 when they
+    are disjoint. THE one-number answer to "are my sources the same
+    corpus crawled twice"; source_overlap gives the pairwise picture,
+    this the corpus-level turnover. Two vocab aggregates, exact
+    integers. Output: one row (n_groups, gamma_vocab, alpha_mean,
+    beta_whittaker), rounded 6.
+    """
+    from distill_spark.operators.dedup_text import words_expr
+
+    terms = docs.select(F.col(group_col).alias("g"),
+                        F.explode(words_expr(F.col(text_col)))
+                        .alias("term"))
+    alpha = (terms.groupBy("g")
+             .agg(F.count_distinct("term").alias("v"))
+             .agg(F.count("*").alias("k"), F.sum("v").alias("sv")))
+    gamma = terms.agg(F.count_distinct("term").alias("gv"))
+    out = alpha.crossJoin(F.broadcast(gamma))
+    amean = F.col("sv").cast("double") / F.col("k")
+    return out.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("gv").cast("long").alias("gamma_vocab"),
+        F.round(amean, 6).alias("alpha_mean"),
+        F.round(F.col("gv") / amean - 1.0, 6).alias("beta_whittaker"))
+
+
+def whittaker_beta_sql(table: str = "documents",
+                       group_sql: str = "source",
+                       text_sql: str = "text") -> str:
+    words = f"list_filter(string_split({text_sql}, ' '), x -> x <> '')"
+    return f"""
+WITH terms AS (
+  SELECT {group_sql} AS g, unnest({words}) AS term FROM {table}
+),
+alpha AS (
+  SELECT count(*) AS k, sum(v) AS sv FROM (
+    SELECT g, count(DISTINCT term) AS v FROM terms GROUP BY g
+  )
+),
+gamma AS (SELECT count(DISTINCT term) AS gv FROM terms)
+SELECT CAST(k AS BIGINT) AS n_groups,
+       CAST(gv AS BIGINT) AS gamma_vocab,
+       round(CAST(sv AS DOUBLE) / k, 6) AS alpha_mean,
+       round(gv / (CAST(sv AS DOUBLE) / k) - 1.0, 6) AS beta_whittaker
+FROM alpha CROSS JOIN gamma
+"""

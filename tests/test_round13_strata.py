@@ -288,3 +288,101 @@ def test_exceedance_independent_extremes_theta_one(spark):
     out = _one(exceedance_clusters(df, q=0.8, run_gap=2))
     assert out["n_clusters"] == out["n_exceed"] == 3
     assert out["extremal_index"] == 1.0
+
+
+# ----------------------------------------------------- diversity: ACE
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "text"]))
+
+
+def test_ace_hand_homogeneous_rare_tail(spark):
+    """Counts a×1, b×2, c×3: C = 5/6, γ² = max(24/25 − 1, 0) = 0 →
+    ACE = S_rare/C = 3.6."""
+    from distill_spark.operators.corpus_stats import ace_richness
+
+    df = _docs(spark, [(1, "s", "a b b c c c")])
+    out = _one(ace_richness(df))
+    assert out["s_obs"] == 3 and out["f1"] == 1 and out["n_rare"] == 6
+    assert out["coverage"] == round(5.0 / 6.0, 6)
+    assert out["ace"] == 3.6
+
+
+def test_ace_pure_singletons_fall_back_to_chao1(spark):
+    """All-rare-singleton tail (C = 0) → bias-corrected chao1
+    fallback: 3 + 2·1/(2·(0+1)) = 4; the column stays total."""
+    from distill_spark.operators.corpus_stats import ace_richness
+
+    df = _docs(spark, [(1, "s", "a b " + "c " * 12)])
+    out = _one(ace_richness(df))
+    assert out["coverage"] == 0.0
+    assert out["ace"] == 4.0
+
+
+# ----------------------------------------------- diversity: jackknife
+
+def test_jackknife_hand(spark):
+    """3 docs 'a b'/'a c'/'a d': V=4, Q1=3, Q2=0 → jack1 = 4+3·⅔ = 6,
+    jack2 = 4 + 3·(2·3−3)/3 = 7."""
+    from distill_spark.operators.corpus_stats import jackknife_richness
+
+    df = _docs(spark, [(1, "s", "a b"), (2, "s", "a c"),
+                       (3, "s", "a d")])
+    out = _one(jackknife_richness(df))
+    assert out["m_docs"] == 3 and out["vocab"] == 4
+    assert out["q1"] == 3 and out["q2"] == 0
+    assert out["jack1"] == 6.0
+    assert out["jack2"] == 7.0
+
+
+def test_jackknife_repeats_within_doc_do_not_inflate_q(spark):
+    """Document frequencies are INCIDENCE: 'b b b' in one doc keeps
+    Q1(b) = 1."""
+    from distill_spark.operators.corpus_stats import jackknife_richness
+
+    df = _docs(spark, [(1, "s", "a b b b"), (2, "s", "a")])
+    out = _one(jackknife_richness(df))
+    assert out["q1"] == 1  # only b
+
+
+# -------------------------------------------------- diversity: Pielou
+
+def test_pielou_uniform_is_one(spark):
+    from distill_spark.operators.corpus_stats import pielou_evenness
+
+    df = _docs(spark, [(1, "s", "a a b b c c d d")])
+    out = _one(pielou_evenness(df))
+    assert out["shannon_h"] == round(math.log(4.0), 6)
+    assert out["pielou_j"] == 1.0
+
+
+def test_pielou_single_term_is_null(spark):
+    from distill_spark.operators.corpus_stats import pielou_evenness
+
+    out = _one(pielou_evenness(_docs(spark, [(1, "s", "a a a")])))
+    assert out["shannon_h"] == 0.0 and out["pielou_j"] is None
+
+
+# ------------------------------------------- diversity: Berger–Parker
+
+def test_berger_parker_hand_and_ties(spark):
+    from distill_spark.operators.corpus_stats import berger_parker
+
+    out = _one(berger_parker(_docs(spark, [(1, "s", "a a a b")])))
+    assert out["top_term"] == "a" and out["dominance"] == 0.75
+    tie = _one(berger_parker(_docs(spark, [(1, "s", "b b a a")])))
+    assert tie["top_term"] == "a"  # term asc on count tie
+
+
+# ----------------------------------------------- diversity: Whittaker
+
+def test_whittaker_beta_extremes(spark):
+    from distill_spark.operators.corpus_stats import whittaker_beta
+
+    disjoint = _docs(spark, [(1, "s1", "a b c"), (2, "s2", "d e f")])
+    out = _one(whittaker_beta(disjoint))
+    assert out["gamma_vocab"] == 6 and out["alpha_mean"] == 3.0
+    assert out["beta_whittaker"] == 1.0
+    shared = _docs(spark, [(1, "s1", "a b c"), (2, "s2", "a b c")])
+    assert _one(whittaker_beta(shared))["beta_whittaker"] == 0.0
