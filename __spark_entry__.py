@@ -13484,6 +13484,194 @@ def _sql_whittaker():
     return whittaker_beta_sql()
 
 
+# Round-13 fourth stratum: association completion — Theil's U,
+# Tschuprow's T, Somers' D, Stuart's τ-c over contingency/value-cell
+# frames.
+
+def q_theil_u(spark, sf_dir):
+    """Theil's uncertainty coefficient both directions over
+    source×lang (stats.theil_u) — the normalized directional form of
+    mutual_info_lang_source."""
+    from distill_spark.operators.stats import theil_u
+
+    return theil_u(_tables(spark, sf_dir)["documents"],
+                   "source", "lang")
+
+
+def _sql_theil_u():
+    from distill_spark.operators.stats import theil_u_sql
+
+    return theil_u_sql("documents", "source", "lang")
+
+
+def q_tschuprow_t(spark, sf_dir):
+    """Tschuprow's T beside Cramér's V over mktsegment×nation
+    (stats.tschuprow_t) — the χ² association honest on non-square
+    tables."""
+    from distill_spark.operators.stats import tschuprow_t
+
+    return tschuprow_t(_tables(spark, sf_dir)["customer"],
+                       "c_mktsegment", "c_nationkey")
+
+
+def _sql_tschuprow():
+    from distill_spark.operators.stats import tschuprow_t_sql
+
+    return tschuprow_t_sql("customer", "c_mktsegment", "c_nationkey")
+
+
+def q_somers_d(spark, sf_dir):
+    """Somers' D both directions over linenumber×quantity
+    (stats.somers_d) — the asymmetric ordinal association; the
+    2·AUC−1 view for ordinal predictors."""
+    from distill_spark.operators.stats import somers_d
+
+    return somers_d(_tables(spark, sf_dir)["lineitem"],
+                    "l_linenumber", "l_quantity")
+
+
+def _sql_somers():
+    from distill_spark.operators.stats import somers_d_sql
+
+    return somers_d_sql("lineitem", "l_linenumber", "l_quantity")
+
+
+def q_stuart_tau_c(spark, sf_dir):
+    """Stuart's τ-c over the rectangular linenumber×discount table
+    (stats.stuart_tau_c) — the min-dimension correction that can
+    reach ±1 where τ-b cannot."""
+    from distill_spark.operators.stats import stuart_tau_c
+
+    return stuart_tau_c(_tables(spark, sf_dir)["lineitem"],
+                        "l_linenumber", "l_discount")
+
+
+def _sql_stuart():
+    from distill_spark.operators.stats import stuart_tau_c_sql
+
+    return stuart_tau_c_sql("lineitem", "l_linenumber", "l_discount")
+
+
+# Round-13 fifth stratum: L-moments (Hosking) — sample λ ratios,
+# Gumbel and GEV extreme-value fits on weekly block maxima, and the
+# regional per-nation ratio table; plus two singles (multigroup
+# segregation, censored concordance).
+
+def _weekly_max_frame(t):
+    daily = _daily_tot_frame(t)
+    b = daily.agg(F.min("day").alias("d0"))
+    return (daily.crossJoin(F.broadcast(b))
+            .groupBy(F.floor(F.datediff(F.col("day"), F.col("d0")) / 7)
+                     .alias("wk"))
+            .agg(F.max("tot").alias("wmax")))
+
+
+_WEEKLY_MAX_SQL = (
+    "(SELECT max(tot) AS wmax FROM "
+    "(SELECT CAST(ts AS DATE) AS d, round(CAST(sum(CAST(value AS "
+    "DECIMAL(38,12))) AS DOUBLE), 9) AS tot FROM events GROUP BY 1) dd "
+    "CROSS JOIN (SELECT min(CAST(ts AS DATE)) AS d0 FROM events) b "
+    "GROUP BY floor(datediff('day', b.d0, dd.d) / 7))")
+
+
+def q_l_moments(spark, sf_dir):
+    """Sample L-moments λ₁..λ₄ + L-CV/L-skew/L-kurt of daily value
+    totals (stats.l_moments) — the order-statistics shape system
+    that stays finite on heavy tails."""
+    from distill_spark.operators.stats import l_moments
+
+    return l_moments(_daily_tot_frame(_tables(spark, sf_dir)), "tot")
+
+
+def _sql_l_moments():
+    from distill_spark.operators.stats import l_moments_sql
+
+    return l_moments_sql(_DAILY_TOT_SQL, "tot")
+
+
+def q_gumbel_lmom_fit(spark, sf_dir):
+    """Gumbel fit by L-moments on weekly maxima of daily totals with
+    the 52-week return level (stats.gumbel_lmom_fit) — the
+    small-sample-unbiased sibling of gumbel_daily_max's
+    classical-moment fit."""
+    from distill_spark.operators.stats import gumbel_lmom_fit
+
+    return gumbel_lmom_fit(_weekly_max_frame(_tables(spark, sf_dir)),
+                           "wmax")
+
+
+def _sql_gumbel_lmom():
+    from distill_spark.operators.stats import gumbel_lmom_fit_sql
+
+    return gumbel_lmom_fit_sql(_WEEKLY_MAX_SQL, "wmax")
+
+
+def q_gev_lmom_fit(spark, sf_dir):
+    """Full GEV fit by L-moments (Hosking–Wallis–Wood κ
+    approximation, Lanczos Γ) on the same weekly maxima
+    (stats.gev_lmom_fit) — frees the κ=0 assumption gumbel_lmom_fit
+    pins."""
+    from distill_spark.operators.stats import gev_lmom_fit
+
+    return gev_lmom_fit(_weekly_max_frame(_tables(spark, sf_dir)),
+                        "wmax")
+
+
+def _sql_gev_lmom():
+    from distill_spark.operators.stats import gev_lmom_fit_sql
+
+    return gev_lmom_fit_sql(_WEEKLY_MAX_SQL, "wmax")
+
+
+def q_lmom_regional(spark, sf_dir):
+    """Per-nation L-moment ratios of customer balances
+    (stats.lmom_regional) — the Hosking–Wallis regional-homogeneity
+    screen on the (τ₃, τ₄) diagram."""
+    from distill_spark.operators.stats import lmom_regional
+
+    return lmom_regional(_tables(spark, sf_dir)["customer"],
+                         "c_nationkey", "c_acctbal")
+
+
+def _sql_lmom_regional():
+    from distill_spark.operators.stats import lmom_regional_sql
+
+    return lmom_regional_sql("customer", "c_nationkey", "c_acctbal")
+
+
+def q_theil_h_segregation(spark, sf_dir):
+    """Theil's multigroup entropy segregation H of market segments
+    across nations (stats.theil_h_segregation) —
+    duncan_segregation's multigroup generalization."""
+    from distill_spark.operators.stats import theil_h_segregation
+
+    return theil_h_segregation(_tables(spark, sf_dir)["customer"],
+                               "c_nationkey", "c_mktsegment")
+
+
+def _sql_theil_h():
+    from distill_spark.operators.stats import theil_h_segregation_sql
+
+    return theil_h_segregation_sql("customer", "c_nationkey",
+                                   "c_mktsegment")
+
+
+def q_harrell_c(spark, sf_dir):
+    """Harrell's C for time-to-first-purchase against the capped
+    click-count risk score (conversion.harrell_c) — censoring-aware
+    discrimination via day×score grid prefix sums, never an O(n²)
+    pair join."""
+    from distill_spark.operators.conversion import harrell_c
+
+    return harrell_c(_tables(spark, sf_dir)["events"])
+
+
+def _sql_harrell_c():
+    from distill_spark.operators.conversion import harrell_c_sql
+
+    return harrell_c_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ======================== ROUND-13 WINDOW ============================
     # -- round-13 head: the 27 seeds queued all of round 12 (each
@@ -13535,6 +13723,18 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pielou_evenness": (q_pielou_evenness, _sql_pielou()),
     "berger_parker": (q_berger_parker, _sql_berger()),
     "whittaker_beta": (q_whittaker_beta, _sql_whittaker()),
+    # -- round-13 fourth stratum: association completion ----------------------
+    "theil_u": (q_theil_u, _sql_theil_u()),
+    "tschuprow_t": (q_tschuprow_t, _sql_tschuprow()),
+    "somers_d": (q_somers_d, _sql_somers()),
+    "stuart_tau_c": (q_stuart_tau_c, _sql_stuart()),
+    # -- round-13 fifth stratum: L-moments + singles ---------------------------
+    "l_moments": (q_l_moments, _sql_l_moments()),
+    "gumbel_lmom_fit": (q_gumbel_lmom_fit, _sql_gumbel_lmom()),
+    "gev_lmom_fit": (q_gev_lmom_fit, _sql_gev_lmom()),
+    "lmom_regional": (q_lmom_regional, _sql_lmom_regional()),
+    "theil_h_segregation": (q_theil_h_segregation, _sql_theil_h()),
+    "harrell_c": (q_harrell_c, _sql_harrell_c()),
     # ===================== END ROUND-13 WINDOW (50) ======================
     # -- round-12 window (all 50 driver-green in CORRECTNESS_r12) ------------
     "wasserstein_1d": (q_wasserstein_1d, _sql_wasserstein()),

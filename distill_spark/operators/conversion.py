@@ -2289,3 +2289,165 @@ SELECT CAST(tau AS BIGINT) AS tau_days,
        last_s AS final_survival
 FROM agg CROSS JOIN tau
 """
+
+
+def harrell_c(events: DataFrame, target: str = "purchase",
+              user_col: str = "user_id", ts_col: str = "ts",
+              type_col: str = "event_type",
+              score_event: str = "click", score_cap: int = 50
+              ) -> DataFrame:
+    """Harrell's concordance index (1982) for time-to-first-``target``
+    against an activity risk score (the user's ``score_event`` count,
+    capped): over usable pairs — the earlier subject experienced the
+    event, or times tie with exactly one event — C = P(the
+    earlier-converting subject carried the HIGHER score), ties in
+    score counting ½. THE discrimination metric for censored
+    outcomes, where auc_purchase silently treats censored users as
+    negatives.
+
+    Shape: never the O(n²) subject-pair join — subjects collapse to
+    the (day, event, score) cell frame, the comparable-set sizes come
+    from TWO cumulative windows over the bounded day×score grid
+    (reverse-time per score, then score-ascending per day), and the
+    pair counts are exact integer cell products. Cardinality is
+    |days|·|scores ≤ cap| regardless of user count. Output: one row
+    (n_subjects, n_events, usable_pairs, concordant, tied_score,
+    c_index), rounds 6.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    per_user = (events.groupBy(F.col(user_col).alias("u"))
+                .agg(F.min(us).alias("t0"),
+                     F.min(F.when(F.col(type_col) == target, us))
+                     .alias("tc"),
+                     F.sum((F.col(type_col) == score_event)
+                           .cast("long")).alias("nscore")))
+    horizon = events.agg(F.max(us).alias("tend"))
+    subj = (per_user.crossJoin(F.broadcast(horizon))
+            .select(
+                F.col("tc").isNotNull().cast("int").alias("e"),
+                F.floor((F.coalesce("tc", "tend") - F.col("t0"))
+                        / 86_400_000_000).alias("t"),
+                F.least(F.col("nscore"),
+                        F.lit(int(score_cap))).alias("s")))
+    cells = (subj.groupBy("t", "e", "s")
+             .agg(F.count("*").alias("c")))
+    days = cells.select("t").distinct()
+    scores = cells.select("s").distinct()
+    grid = days.crossJoin(scores)
+    m_any = (cells.groupBy("t", "s")
+             .agg(F.sum("c").alias("ma"),
+                  F.sum(F.when(F.col("e") == 0, F.col("c"))
+                        .otherwise(F.lit(0))).alias("m0")))
+    g = (grid.join(m_any, ["t", "s"], "left")
+         .select("t", "s",
+                 F.coalesce("ma", F.lit(0)).alias("ma"),
+                 F.coalesce("m0", F.lit(0)).alias("m0")))
+    # later(t,s) = sum over t' > t of ma(t',s): reverse-time
+    # cumulative per score over the dense grid
+    wlater = (Window.partitionBy("s").orderBy(F.col("t").desc())
+              .rowsBetween(Window.unboundedPreceding, -1))
+    g2 = g.select(
+        "t", "s",
+        (F.coalesce(F.sum("ma").over(wlater), F.lit(0))
+         + F.col("m0")).alias("comp"))
+    wlt = (Window.partitionBy("t").orderBy(F.col("s").asc())
+           .rowsBetween(Window.unboundedPreceding, -1))
+    wtot = Window.partitionBy("t")
+    g3 = g2.select(
+        "t", "s",
+        F.col("comp"),
+        F.coalesce(F.sum("comp").over(wlt), F.lit(0)).alias("lt"),
+        F.sum("comp").over(wtot).alias("tot"))
+    ev = cells.filter(F.col("e") == 1).select("t", "s", "c")
+    paired = (ev.join(g3, ["t", "s"])
+              .agg(F.sum(F.col("c") * F.col("lt")).alias("conc"),
+                   F.sum(F.col("c") * F.col("comp")).alias("tie"),
+                   F.sum(F.col("c")
+                         * (F.col("tot") - F.col("lt")
+                            - F.col("comp"))).alias("disc")))
+    counts = subj.agg(F.count("*").alias("n_subjects"),
+                      F.sum("e").alias("n_events"))
+    out = paired.crossJoin(F.broadcast(counts))
+    tot_pairs = F.col("conc") + F.col("disc") + F.col("tie")
+    return out.select(
+        F.col("n_subjects").cast("long").alias("n_subjects"),
+        F.col("n_events").cast("long").alias("n_events"),
+        tot_pairs.cast("long").alias("usable_pairs"),
+        F.col("conc").cast("long").alias("concordant"),
+        F.col("tie").cast("long").alias("tied_score"),
+        F.round(F.when(tot_pairs > 0,
+                       (F.col("conc").cast("double")
+                        + 0.5 * F.col("tie")) / tot_pairs), 6)
+        .alias("c_index"))
+
+
+def harrell_c_sql(table: str = "events", target: str = "purchase",
+                  user_sql: str = "user_id", ts_sql: str = "ts",
+                  type_sql: str = "event_type",
+                  score_event: str = "click",
+                  score_cap: int = 50) -> str:
+    return f"""
+WITH per_user AS (
+  SELECT {user_sql} AS u, min(epoch_us({ts_sql})) AS t0,
+         min(CASE WHEN {type_sql} = '{target}'
+             THEN epoch_us({ts_sql}) END) AS tc,
+         sum(CASE WHEN {type_sql} = '{score_event}'
+             THEN 1 ELSE 0 END) AS nscore
+  FROM {table} GROUP BY 1
+),
+horizon AS (SELECT max(epoch_us({ts_sql})) AS tend FROM {table}),
+subj AS (
+  SELECT CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END AS e,
+         CAST(floor((coalesce(tc, tend) - t0) / 86400000000.0)
+              AS BIGINT) AS t,
+         least(nscore, {int(score_cap)}) AS s
+  FROM per_user CROSS JOIN horizon
+),
+cells AS (SELECT t, e, s, count(*) AS c FROM subj GROUP BY 1, 2, 3),
+grid AS (
+  SELECT d.t, sc.s
+  FROM (SELECT DISTINCT t FROM cells) d
+  CROSS JOIN (SELECT DISTINCT s FROM cells) sc
+),
+m_any AS (
+  SELECT t, s, sum(c) AS ma,
+         sum(CASE WHEN e = 0 THEN c ELSE 0 END) AS m0
+  FROM cells GROUP BY 1, 2
+),
+g AS (
+  SELECT grid.t, grid.s, coalesce(ma, 0) AS ma, coalesce(m0, 0) AS m0
+  FROM grid LEFT JOIN m_any ON grid.t = m_any.t AND grid.s = m_any.s
+),
+g2 AS (
+  SELECT t, s,
+         coalesce(sum(ma) OVER (PARTITION BY s ORDER BY t DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + m0 AS comp
+  FROM g
+),
+g3 AS (
+  SELECT t, s, comp,
+         coalesce(sum(comp) OVER (PARTITION BY t ORDER BY s ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt,
+         sum(comp) OVER (PARTITION BY t) AS tot
+  FROM g2
+),
+paired AS (
+  SELECT sum(c * lt) AS conc, sum(c * comp) AS tie,
+         sum(c * (tot - lt - comp)) AS disc
+  FROM cells JOIN g3 ON cells.t = g3.t AND cells.s = g3.s
+  WHERE cells.e = 1
+),
+counts AS (
+  SELECT count(*) AS n_subjects, sum(e) AS n_events FROM subj
+)
+SELECT CAST(n_subjects AS BIGINT) AS n_subjects,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(conc + disc + tie AS BIGINT) AS usable_pairs,
+       CAST(conc AS BIGINT) AS concordant,
+       CAST(tie AS BIGINT) AS tied_score,
+       round(CASE WHEN conc + disc + tie > 0 THEN
+         (CAST(conc AS DOUBLE) + 0.5 * tie) / (conc + disc + tie)
+       END, 6) AS c_index
+FROM paired CROSS JOIN counts
+"""

@@ -10161,3 +10161,806 @@ SELECT CAST(na AS BIGINT) AS n_a,
              / (CAST(na AS DOUBLE) * nb) - 1.0, 6) AS rank_biserial
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-13 association-completion stratum: Theil's U, Tschuprow's T,
+# Somers' D, Stuart's τ-c — the directional/normalized closures of the
+# contingency family (cramers_v_assoc, gk_lambda, kendall_tau_b). All
+# reduce to the value-cell contingency in one aggregate; entropy terms
+# follow the grid-round-9-then-decimal-sum contract.
+
+
+def theil_u(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Theil's uncertainty coefficient (1970): U(y|x) = I(x;y)/H(y),
+    U(x|y) = I/H(x), and the symmetric 2I/(H(x)+H(y)) — the
+    normalized, DIRECTIONAL "what fraction of y's entropy does
+    knowing x remove", where mutual_info reports raw nats and
+    cramers_v is symmetric-only. Cell/margin entropies from exact
+    counts, per-cell p·ln p terms grid-round 9 before decimal sums.
+    Output: one row (n, h_x, h_y, mutual_info, u_y_given_x,
+    u_x_given_y, u_symmetric), rounds 6."""
+    cells = (df.filter(F.col(x_col).isNotNull()
+                       & F.col(y_col).isNotNull())
+             .groupBy(F.col(x_col).alias("vx"),
+                      F.col(y_col).alias("vy"))
+             .agg(F.count("*").alias("c")))
+    tot = Window.partitionBy()
+    wx = Window.partitionBy("vx")
+    wy = Window.partitionBy("vy")
+    n = F.sum("c").over(tot)
+    cx = F.sum("c").over(wx)
+    cy = F.sum("c").over(wy)
+    p = F.col("c").cast("double") / n
+    px = cx.cast("double") / n
+    py = cy.cast("double") / n
+    terms = cells.select(
+        n.alias("n"),
+        F.round(p * F.log(p / (px * py)), 9).alias("mi_t"),
+        # margin entropies from cell rows without a second aggregate:
+        # each margin's −p·ln p splits pro-rata over its cells
+        F.round(-(p * F.log(px)), 9).alias("hx_t"),
+        F.round(-(p * F.log(py)), 9).alias("hy_t"))
+    agg = terms.groupBy("n").agg(
+        F.sum(F.col("mi_t").cast(_DEC)).alias("mi"),
+        F.sum(F.col("hx_t").cast(_DEC)).alias("hx"),
+        F.sum(F.col("hy_t").cast(_DEC)).alias("hy"))
+    mi = F.col("mi").cast("double")
+    hx = F.col("hx").cast("double")
+    hy = F.col("hy").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(hx, 6).alias("h_x"),
+        F.round(hy, 6).alias("h_y"),
+        F.round(mi, 6).alias("mutual_info"),
+        F.round(F.when(hy > 0, mi / hy), 6).alias("u_y_given_x"),
+        F.round(F.when(hx > 0, mi / hx), 6).alias("u_x_given_y"),
+        F.round(F.when(hx + hy > 0, 2.0 * mi / (hx + hy)), 6)
+        .alias("u_symmetric"))
+
+
+def theil_u_sql(table: str, x_sql: str, y_sql: str) -> str:
+    return f"""
+WITH cells AS (
+  SELECT {x_sql} AS vx, {y_sql} AS vy, count(*) AS c
+  FROM {table}
+  WHERE {x_sql} IS NOT NULL AND {y_sql} IS NOT NULL
+  GROUP BY 1, 2
+),
+terms AS (
+  SELECT sum(c) OVER () AS n,
+         round((CAST(c AS DOUBLE) / sum(c) OVER ())
+               * ln((CAST(c AS DOUBLE) / sum(c) OVER ())
+                    / ((CAST(sum(c) OVER (PARTITION BY vx) AS DOUBLE)
+                        / sum(c) OVER ())
+                       * (CAST(sum(c) OVER (PARTITION BY vy) AS DOUBLE)
+                          / sum(c) OVER ()))), 9) AS mi_t,
+         round(-(CAST(c AS DOUBLE) / sum(c) OVER ())
+               * ln(CAST(sum(c) OVER (PARTITION BY vx) AS DOUBLE)
+                    / sum(c) OVER ()), 9) AS hx_t,
+         round(-(CAST(c AS DOUBLE) / sum(c) OVER ())
+               * ln(CAST(sum(c) OVER (PARTITION BY vy) AS DOUBLE)
+                    / sum(c) OVER ()), 9) AS hy_t
+  FROM cells
+),
+agg AS (
+  SELECT n, sum(CAST(mi_t AS DECIMAL(38,12))) AS mi,
+         sum(CAST(hx_t AS DECIMAL(38,12))) AS hx,
+         sum(CAST(hy_t AS DECIMAL(38,12))) AS hy
+  FROM terms GROUP BY n
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(CAST(hx AS DOUBLE), 6) AS h_x,
+       round(CAST(hy AS DOUBLE), 6) AS h_y,
+       round(CAST(mi AS DOUBLE), 6) AS mutual_info,
+       round(CASE WHEN hy > 0 THEN CAST(mi AS DOUBLE) / hy END, 6)
+         AS u_y_given_x,
+       round(CASE WHEN hx > 0 THEN CAST(mi AS DOUBLE) / hx END, 6)
+         AS u_x_given_y,
+       round(CASE WHEN hx + hy > 0 THEN
+         2.0 * CAST(mi AS DOUBLE) / CAST(hx + hy AS DOUBLE) END, 6)
+         AS u_symmetric
+FROM agg
+"""
+
+
+def tschuprow_t(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Tschuprow's T = √(φ²/√((r−1)(c−1))) — the χ²-based association
+    that reaches 1 on non-square tables only as the table squares,
+    the honest companion to Cramér's V (which saturates early on
+    r ≠ c). χ² from exact cell/margin counts; per-cell (o−e)²/e
+    terms grid-round 9 before the decimal sum. Output: one row
+    (n, r_levels, c_levels, chi2, cramers_v, tschuprow_t), rounds 6.
+    """
+    cells = (df.filter(F.col(x_col).isNotNull()
+                       & F.col(y_col).isNotNull())
+             .groupBy(F.col(x_col).alias("vx"),
+                      F.col(y_col).alias("vy"))
+             .agg(F.count("*").alias("c")))
+    tot = Window.partitionBy()
+    n = F.sum("c").over(tot)
+    cx = F.sum("c").over(Window.partitionBy("vx"))
+    cy = F.sum("c").over(Window.partitionBy("vy"))
+    e = cx.cast("double") * cy.cast("double") / n
+    # observed cells only: absent cells have o=0 → (0−e)²/e = e, so
+    # χ² = Σ_observed (o−e)²/e + (n − Σ_observed e); both pieces from
+    # one pass (margins replicate pro-rata as in theil_u)
+    terms = cells.select(
+        n.alias("n"),
+        F.round((F.col("c") - e) * (F.col("c") - e) / e, 9)
+        .alias("x2_t"),
+        F.round(e, 9).alias("e_t"))
+    dims = cells.agg(F.count_distinct("vx").alias("r"),
+                     F.count_distinct("vy").alias("cc"))
+    agg = (terms.groupBy("n").agg(
+        F.sum(F.col("x2_t").cast(_DEC)).alias("x2o"),
+        F.sum(F.col("e_t").cast(_DEC)).alias("eo"))
+        .crossJoin(F.broadcast(dims)))
+    chi2 = (F.col("x2o").cast("double")
+            + (F.col("n") - F.col("eo")).cast("double"))
+    nd = F.col("n").cast("double")
+    rd = F.col("r").cast("double")
+    cd = F.col("cc").cast("double")
+    phi2 = chi2 / nd
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("r").cast("long").alias("r_levels"),
+        F.col("cc").cast("long").alias("c_levels"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(F.when((rd > 1) & (cd > 1), F.sqrt(
+            phi2 / F.least(rd - 1.0, cd - 1.0))), 6).alias("cramers_v"),
+        F.round(F.when((rd > 1) & (cd > 1), F.sqrt(
+            phi2 / F.sqrt((rd - 1.0) * (cd - 1.0)))), 6)
+        .alias("tschuprow_t"))
+
+
+def tschuprow_t_sql(table: str, x_sql: str, y_sql: str) -> str:
+    return f"""
+WITH cells AS (
+  SELECT {x_sql} AS vx, {y_sql} AS vy, count(*) AS c
+  FROM {table}
+  WHERE {x_sql} IS NOT NULL AND {y_sql} IS NOT NULL
+  GROUP BY 1, 2
+),
+terms AS (
+  SELECT sum(c) OVER () AS n,
+         round((c - CAST(sum(c) OVER (PARTITION BY vx) AS DOUBLE)
+                    * sum(c) OVER (PARTITION BY vy)
+                    / sum(c) OVER ())
+               * (c - CAST(sum(c) OVER (PARTITION BY vx) AS DOUBLE)
+                      * sum(c) OVER (PARTITION BY vy)
+                      / sum(c) OVER ())
+               / (CAST(sum(c) OVER (PARTITION BY vx) AS DOUBLE)
+                  * sum(c) OVER (PARTITION BY vy) / sum(c) OVER ()),
+               9) AS x2_t,
+         round(CAST(sum(c) OVER (PARTITION BY vx) AS DOUBLE)
+               * sum(c) OVER (PARTITION BY vy) / sum(c) OVER (), 9)
+           AS e_t
+  FROM cells
+),
+dims AS (
+  SELECT count(DISTINCT vx) AS r, count(DISTINCT vy) AS cc FROM cells
+),
+agg AS (
+  SELECT n,
+         sum(CAST(x2_t AS DECIMAL(38,12))) AS x2o,
+         sum(CAST(e_t AS DECIMAL(38,12))) AS eo
+  FROM terms GROUP BY n
+)
+, aggd AS (SELECT * FROM agg CROSS JOIN dims)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(r AS BIGINT) AS r_levels,
+       CAST(cc AS BIGINT) AS c_levels,
+       round(CAST(x2o AS DOUBLE) + CAST(n - eo AS DOUBLE), 6) AS chi2,
+       round(CASE WHEN r > 1 AND cc > 1 THEN
+         sqrt((CAST(x2o AS DOUBLE) + CAST(n - eo AS DOUBLE)) / n
+              / least(r - 1.0, cc - 1.0)) END, 6) AS cramers_v,
+       round(CASE WHEN r > 1 AND cc > 1 THEN
+         sqrt((CAST(x2o AS DOUBLE) + CAST(n - eo AS DOUBLE)) / n
+              / sqrt((r - 1.0) * (cc - 1.0))) END, 6) AS tschuprow_t
+FROM aggd
+"""
+
+
+def somers_d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Somers' D (1962): the ASYMMETRIC ordinal association —
+    D(y|x) = (C−D)/(n₀−T_x) conditions away pairs tied on the
+    predictor, D(x|y) mirrors, and the symmetric form is their
+    harmonic combination 2(C−D)/(2n₀−T_x−T_y). The Gini/AUC
+    connection (D = 2·AUC−1 for binary y) makes it the ordinal view
+    of ks_separation. Same value-cell frame as kendall_tau_b.
+    Output: one row (n, concordant, discordant, d_y_given_x,
+    d_x_given_y, d_symmetric), rounds 6."""
+    a = F.col(x_col).cast("double")
+    b = F.col(y_col).cast("double")
+    cells = (df.filter(a.isNotNull() & b.isNotNull())
+             .groupBy(a.alias("va"), b.alias("vb"))
+             .agg(F.count("*").cast("double").alias("c")))
+    c1 = cells.select(F.col("va").alias("va1"),
+                      F.col("vb").alias("vb1"), F.col("c").alias("c1"))
+    c2 = cells.select(F.col("va").alias("va2"),
+                      F.col("vb").alias("vb2"), F.col("c").alias("c2"))
+    cd = (c1.join(c2, F.col("va2") > F.col("va1"))
+          .agg(F.sum(F.when(F.col("vb2") > F.col("vb1"),
+                            F.col("c1") * F.col("c2")).otherwise(0.0))
+               .alias("cc"),
+               F.sum(F.when(F.col("vb2") < F.col("vb1"),
+                            F.col("c1") * F.col("c2")).otherwise(0.0))
+               .alias("dd")))
+    ta = (cells.groupBy("va").agg(F.sum("c").alias("na"))
+          .agg(F.sum(F.col("na") * (F.col("na") - 1) / 2.0).alias("tx"),
+               F.sum("na").alias("n")))
+    tb = (cells.groupBy("vb").agg(F.sum("c").alias("nb"))
+          .agg(F.sum(F.col("nb") * (F.col("nb") - 1) / 2.0)
+               .alias("ty")))
+    m = cd.crossJoin(F.broadcast(ta)).crossJoin(F.broadcast(tb))
+    n0 = F.col("n") * (F.col("n") - 1) / 2.0
+    s = F.col("cc") - F.col("dd")
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("cc").cast("long").alias("concordant"),
+        F.col("dd").cast("long").alias("discordant"),
+        F.round(F.when(n0 - F.col("tx") > 0,
+                       s / (n0 - F.col("tx"))), 6)
+        .alias("d_y_given_x"),
+        F.round(F.when(n0 - F.col("ty") > 0,
+                       s / (n0 - F.col("ty"))), 6)
+        .alias("d_x_given_y"),
+        F.round(F.when(2.0 * n0 - F.col("tx") - F.col("ty") > 0,
+                       2.0 * s / (2.0 * n0 - F.col("tx")
+                                  - F.col("ty"))), 6)
+        .alias("d_symmetric"))
+
+
+def somers_d_sql(table: str, x_sql: str, y_sql: str) -> str:
+    return f"""
+WITH cells AS (
+  SELECT CAST({x_sql} AS DOUBLE) AS va, CAST({y_sql} AS DOUBLE) AS vb,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM {table}
+  WHERE CAST({x_sql} AS DOUBLE) IS NOT NULL
+    AND CAST({y_sql} AS DOUBLE) IS NOT NULL
+  GROUP BY 1, 2
+),
+cd AS (
+  SELECT sum(CASE WHEN c2.vb > c1.vb THEN c1.c * c2.c ELSE 0.0 END)
+           AS cc,
+         sum(CASE WHEN c2.vb < c1.vb THEN c1.c * c2.c ELSE 0.0 END)
+           AS dd
+  FROM cells c1 JOIN cells c2 ON c2.va > c1.va
+),
+ta AS (
+  SELECT sum(na * (na - 1) / 2.0) AS tx, sum(na) AS n
+  FROM (SELECT va, sum(c) AS na FROM cells GROUP BY va)
+),
+tb AS (
+  SELECT sum(nb * (nb - 1) / 2.0) AS ty
+  FROM (SELECT vb, sum(c) AS nb FROM cells GROUP BY vb)
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(cc AS BIGINT) AS concordant,
+       CAST(dd AS BIGINT) AS discordant,
+       round(CASE WHEN n * (n - 1) / 2.0 - tx > 0 THEN
+         (cc - dd) / (n * (n - 1) / 2.0 - tx) END, 6) AS d_y_given_x,
+       round(CASE WHEN n * (n - 1) / 2.0 - ty > 0 THEN
+         (cc - dd) / (n * (n - 1) / 2.0 - ty) END, 6) AS d_x_given_y,
+       round(CASE WHEN n * (n - 1) - tx - ty > 0 THEN
+         2.0 * (cc - dd) / (n * (n - 1) - tx - ty) END, 6)
+         AS d_symmetric
+FROM cd CROSS JOIN ta CROSS JOIN tb
+"""
+
+
+def stuart_tau_c(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Stuart's τ-c (1953): 2m(C−D)/(n²(m−1)) with m = min(r, c) —
+    the rectangular-table correction that lets a perfectly monotone
+    5×3 table actually reach ±1 where τ-b cannot. Same value-cell
+    frame as kendall_tau_b/somers_d. Output: one row (n, m_min,
+    concordant, discordant, tau_c), rounds 6."""
+    a = F.col(x_col).cast("double")
+    b = F.col(y_col).cast("double")
+    cells = (df.filter(a.isNotNull() & b.isNotNull())
+             .groupBy(a.alias("va"), b.alias("vb"))
+             .agg(F.count("*").cast("double").alias("c")))
+    c1 = cells.select(F.col("va").alias("va1"),
+                      F.col("vb").alias("vb1"), F.col("c").alias("c1"))
+    c2 = cells.select(F.col("va").alias("va2"),
+                      F.col("vb").alias("vb2"), F.col("c").alias("c2"))
+    cd = (c1.join(c2, F.col("va2") > F.col("va1"))
+          .agg(F.sum(F.when(F.col("vb2") > F.col("vb1"),
+                            F.col("c1") * F.col("c2")).otherwise(0.0))
+               .alias("cc"),
+               F.sum(F.when(F.col("vb2") < F.col("vb1"),
+                            F.col("c1") * F.col("c2")).otherwise(0.0))
+               .alias("dd")))
+    dims = cells.agg(
+        F.count_distinct("va").alias("r"),
+        F.count_distinct("vb").alias("cdim"),
+        F.sum("c").alias("n"))
+    m = cd.crossJoin(F.broadcast(dims))
+    mm = F.least(F.col("r"), F.col("cdim")).cast("double")
+    nd = F.col("n").cast("double")
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        mm.cast("long").alias("m_min"),
+        F.col("cc").cast("long").alias("concordant"),
+        F.col("dd").cast("long").alias("discordant"),
+        F.round(F.when(mm > 1, 2.0 * mm * (F.col("cc") - F.col("dd"))
+                       / (nd * nd * (mm - 1.0))), 6).alias("tau_c"))
+
+
+def stuart_tau_c_sql(table: str, x_sql: str, y_sql: str) -> str:
+    return f"""
+WITH cells AS (
+  SELECT CAST({x_sql} AS DOUBLE) AS va, CAST({y_sql} AS DOUBLE) AS vb,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM {table}
+  WHERE CAST({x_sql} AS DOUBLE) IS NOT NULL
+    AND CAST({y_sql} AS DOUBLE) IS NOT NULL
+  GROUP BY 1, 2
+),
+cd AS (
+  SELECT sum(CASE WHEN c2.vb > c1.vb THEN c1.c * c2.c ELSE 0.0 END)
+           AS cc,
+         sum(CASE WHEN c2.vb < c1.vb THEN c1.c * c2.c ELSE 0.0 END)
+           AS dd
+  FROM cells c1 JOIN cells c2 ON c2.va > c1.va
+),
+dims AS (
+  SELECT count(DISTINCT va) AS r, count(DISTINCT vb) AS cdim,
+         sum(c) AS n
+  FROM cells
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(least(r, cdim) AS BIGINT) AS m_min,
+       CAST(cc AS BIGINT) AS concordant,
+       CAST(dd AS BIGINT) AS discordant,
+       round(CASE WHEN least(r, cdim) > 1 THEN
+         2.0 * least(r, cdim) * (cc - dd)
+         / (CAST(n AS DOUBLE) * n * (least(r, cdim) - 1.0)) END, 6)
+         AS tau_c
+FROM cd CROSS JOIN dims
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-13 L-moment stratum (Hosking 1990): sample L-moments and the
+# Gumbel/GEV fits they parameterize — the order-statistics moment
+# system that exists for heavy tails where conventional skewness/
+# kurtosis explode, and THE standard for extreme-value fitting
+# (regional frequency analysis). All from ONE rank window over the
+# bounded frame: weights (i−1…)/(n−1…) are exact rationals of ranks,
+# per-row x·w terms grid-round 9 before decimal sums.
+
+_EULER_GAMMA = 0.5772156649015329
+# Lanczos g=7, n=9 coefficients (public Numerical-Recipes values) —
+# identical literals on both engine sides so Γ(1+κ) evaluates the
+# same arithmetic
+_LANCZOS = (0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+            771.32342877765313, -176.61502916214059, 12.507343278686905,
+            -0.13857109526572012, 9.9843695780195716e-6,
+            1.5056327351493116e-7)
+
+
+def _lmom_terms(df: DataFrame, value_col: str):
+    """(x, t0..t3) per-row probability-weighted-moment terms over the
+    ascending rank window — the shared front of the L-moment family."""
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(v.alias("x"))
+    tot = Window.partitionBy()
+    ranked = base.select(
+        "x",
+        F.row_number().over(Window.orderBy("x")).alias("i"),
+        F.count("*").over(tot).alias("n"))
+    i = F.col("i").cast("double")
+    n = F.col("n").cast("double")
+    w1 = (i - 1.0) / (n - 1.0)
+    w2 = w1 * (i - 2.0) / (n - 2.0)
+    w3 = w2 * (i - 3.0) / (n - 3.0)
+    return ranked.select(
+        "n",
+        F.round(F.col("x"), 9).alias("t0"),
+        F.round(F.col("x") * w1, 9).alias("t1"),
+        F.round(F.col("x") * w2, 9).alias("t2"),
+        F.round(F.col("x") * w3, 9).alias("t3"))
+
+
+_LMOM_TERMS_SQL = """
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x) AS i, count(*) OVER () AS n
+  FROM base
+),
+terms AS (
+  SELECT n, round(x, 9) AS t0,
+         round(x * (i - 1.0) / (n - 1.0), 9) AS t1,
+         round(x * (i - 1.0) / (n - 1.0) * (i - 2.0) / (n - 2.0), 9)
+           AS t2,
+         round(x * (i - 1.0) / (n - 1.0) * (i - 2.0) / (n - 2.0)
+                 * (i - 3.0) / (n - 3.0), 9) AS t3
+  FROM ranked
+),
+pwm AS (
+  SELECT max(n) AS n,
+         CAST(sum(CAST(t0 AS DECIMAL(38,12))) AS DOUBLE) / max(n) AS b0,
+         CAST(sum(CAST(t1 AS DECIMAL(38,12))) AS DOUBLE) / max(n) AS b1,
+         CAST(sum(CAST(t2 AS DECIMAL(38,12))) AS DOUBLE) / max(n) AS b2,
+         CAST(sum(CAST(t3 AS DECIMAL(38,12))) AS DOUBLE) / max(n) AS b3
+  FROM terms
+)"""
+
+
+def l_moments(df: DataFrame, value_col: str) -> DataFrame:
+    """Sample L-moments λ₁..λ₄ and ratios (Hosking 1990): from
+    probability-weighted moments b_r, λ₁ = b₀, λ₂ = 2b₁ − b₀,
+    λ₃ = 6b₂ − 6b₁ + b₀, λ₄ = 20b₃ − 30b₂ + 12b₁ − b₀; L-CV = λ₂/λ₁,
+    L-skew = λ₃/λ₂, L-kurt = λ₄/λ₂. Finite whenever the MEAN is
+    finite — the shape summary that works on the heavy-tailed
+    distributions where skew_profile's third moment is noise. One
+    rank window, exact decimal term sums. Output: one row (n, l1,
+    l2, l_cv, l_skew, l_kurt), rounds 6."""
+    terms = _lmom_terms(df, value_col)
+    agg = terms.groupBy("n").agg(
+        *[(F.sum(F.col(f"t{r}").cast(_DEC)).cast("double")
+           / F.col("n")).alias(f"b{r}") for r in range(4)])
+    l1 = F.col("b0")
+    l2 = 2.0 * F.col("b1") - F.col("b0")
+    l3 = 6.0 * F.col("b2") - 6.0 * F.col("b1") + F.col("b0")
+    l4 = (20.0 * F.col("b3") - 30.0 * F.col("b2")
+          + 12.0 * F.col("b1") - F.col("b0"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(l1, 6).alias("l1"),
+        F.round(l2, 6).alias("l2"),
+        F.round(F.when(l1 != 0.0, l2 / l1), 6).alias("l_cv"),
+        F.round(F.when(l2 != 0.0, l3 / l2), 6).alias("l_skew"),
+        F.round(F.when(l2 != 0.0, l4 / l2), 6).alias("l_kurt"))
+
+
+def l_moments_sql(table: str, value_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS x FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+{_LMOM_TERMS_SQL}
+SELECT CAST(n AS BIGINT) AS n,
+       round(b0, 6) AS l1,
+       round(2.0 * b1 - b0, 6) AS l2,
+       round(CASE WHEN b0 <> 0.0 THEN (2.0 * b1 - b0) / b0 END, 6)
+         AS l_cv,
+       round(CASE WHEN 2.0 * b1 - b0 <> 0.0 THEN
+         (6.0 * b2 - 6.0 * b1 + b0) / (2.0 * b1 - b0) END, 6)
+         AS l_skew,
+       round(CASE WHEN 2.0 * b1 - b0 <> 0.0 THEN
+         (20.0 * b3 - 30.0 * b2 + 12.0 * b1 - b0)
+         / (2.0 * b1 - b0) END, 6) AS l_kurt
+FROM pwm
+"""
+
+
+def gumbel_lmom_fit(df: DataFrame, value_col: str,
+                    return_period: int = 52) -> DataFrame:
+    """Gumbel (EV1) fit by L-moments on a block-maxima frame:
+    β̂ = λ₂/ln 2, μ̂ = λ₁ − γβ̂ (γ Euler–Mascheroni) — unbiased in
+    small samples where gumbel_daily_max's classical-moment fit is
+    skew-corrupted; the T-block return level is
+    x_T = μ̂ − β̂·ln(−ln(1 − 1/T)). Output: one row (n_blocks, l1,
+    l2, beta_hat, mu_hat, rl), rounds 6."""
+    terms = _lmom_terms(df, value_col)
+    agg = terms.groupBy("n").agg(
+        *[(F.sum(F.col(f"t{r}").cast(_DEC)).cast("double")
+           / F.col("n")).alias(f"b{r}") for r in range(2)])
+    l1 = F.col("b0")
+    l2 = 2.0 * F.col("b1") - F.col("b0")
+    beta = l2 / float(math.log(2.0))
+    mu = l1 - _EULER_GAMMA * beta
+    t = float(return_period)
+    rl = mu - beta * F.lit(math.log(-math.log(1.0 - 1.0 / t)))
+    return agg.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.round(l1, 6).alias("l1"),
+        F.round(l2, 6).alias("l2"),
+        F.round(beta, 6).alias("beta_hat"),
+        F.round(mu, 6).alias("mu_hat"),
+        F.round(rl, 6).alias("rl"))
+
+
+def gumbel_lmom_fit_sql(table: str, value_sql: str,
+                        return_period: int = 52) -> str:
+    t = float(return_period)
+    lnln = math.log(-math.log(1.0 - 1.0 / t))
+    return f"""
+WITH base AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS x FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+{_LMOM_TERMS_SQL}
+SELECT CAST(n AS BIGINT) AS n_blocks,
+       round(b0, 6) AS l1,
+       round(2.0 * b1 - b0, 6) AS l2,
+       round((2.0 * b1 - b0) / {math.log(2.0)!r}, 6) AS beta_hat,
+       round(b0 - {_EULER_GAMMA!r} * (2.0 * b1 - b0)
+             / {math.log(2.0)!r}, 6) AS mu_hat,
+       round(b0 - {_EULER_GAMMA!r} * (2.0 * b1 - b0) / {math.log(2.0)!r}
+             - (2.0 * b1 - b0) / {math.log(2.0)!r} * {lnln!r}, 6) AS rl
+FROM pwm
+"""
+
+
+def _gamma1p(kappa):
+    """Γ(1+κ) for κ ∈ (−0.5, 0.5) via the Lanczos g=7 series — the
+    SAME literal arithmetic the SQL twin emits, so both engines run
+    the identical double expression."""
+    z = kappa  # Γ(1+κ): series evaluated at z−1 = κ
+    a = F.lit(_LANCZOS[0])
+    for i, c in enumerate(_LANCZOS[1:], start=1):
+        a = a + F.lit(c) / (z + float(i))
+    t = z + 7.5
+    return (F.lit(math.sqrt(2.0 * math.pi))
+            * F.pow(t, z + 0.5) * F.exp(-t) * a)
+
+
+def _gamma1p_sql(kexpr: str) -> str:
+    parts = [repr(_LANCZOS[0])]
+    for i, c in enumerate(_LANCZOS[1:], start=1):
+        parts.append(f"{c!r} / (({kexpr}) + {float(i)!r})")
+    a = " + ".join(parts)
+    return (f"({math.sqrt(2.0 * math.pi)!r}"
+            f" * pow(({kexpr}) + 7.5, ({kexpr}) + 0.5)"
+            f" * exp(-(({kexpr}) + 7.5)) * ({a}))")
+
+
+def gev_lmom_fit(df: DataFrame, value_col: str,
+                 return_period: int = 52) -> DataFrame:
+    """GEV fit by L-moments (Hosking, Wallis & Wood 1985): with
+    τ₃ = λ₃/λ₂, c = 2/(3+τ₃) − ln2/ln3, κ̂ = 7.8590c + 2.9554c²,
+    α̂ = λ₂κ̂ / ((1−2^{−κ̂})Γ(1+κ̂)), ξ̂ = λ₁ − α̂(1−Γ(1+κ̂))/κ̂ —
+    the full three-parameter extreme-value fit (κ<0 Fréchet-heavy,
+    κ>0 bounded) that gumbel_lmom_fit pins at κ=0. Γ via the Lanczos
+    series with identical literals on both engine sides. Return
+    level x_T = ξ̂ + α̂(1 − (−ln(1−1/T))^κ̂)/κ̂. Output: one row
+    (n_blocks, tau3, kappa, alpha_scale, xi_location, rl), rounds 6.
+    """
+    terms = _lmom_terms(df, value_col)
+    agg = terms.groupBy("n").agg(
+        *[(F.sum(F.col(f"t{r}").cast(_DEC)).cast("double")
+           / F.col("n")).alias(f"b{r}") for r in range(3)])
+    l1 = F.col("b0")
+    l2 = 2.0 * F.col("b1") - F.col("b0")
+    l3 = 6.0 * F.col("b2") - 6.0 * F.col("b1") + F.col("b0")
+    tau3 = l3 / l2
+    c = 2.0 / (3.0 + tau3) - float(math.log(2.0) / math.log(3.0))
+    kap = 7.8590 * c + 2.9554 * c * c
+    g = _gamma1p(kap)
+    alpha = l2 * kap / ((1.0 - F.pow(F.lit(2.0), -kap)) * g)
+    xi = l1 - alpha * (1.0 - g) / kap
+    t = float(return_period)
+    y = -math.log(1.0 - 1.0 / t)
+    rl = xi + alpha * (1.0 - F.pow(F.lit(y), kap)) / kap
+    return agg.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.round(tau3, 6).alias("tau3"),
+        F.round(kap, 6).alias("kappa"),
+        F.round(alpha, 6).alias("alpha_scale"),
+        F.round(xi, 6).alias("xi_location"),
+        F.round(rl, 6).alias("rl"))
+
+
+def gev_lmom_fit_sql(table: str, value_sql: str,
+                     return_period: int = 52) -> str:
+    ln23 = math.log(2.0) / math.log(3.0)
+    t = float(return_period)
+    y = -math.log(1.0 - 1.0 / t)
+    kexpr = ("7.8590 * (2.0 / (3.0 + (6.0*b2 - 6.0*b1 + b0)"
+             " / (2.0*b1 - b0)) - " + repr(ln23) + ")"
+             " + 2.9554 * (2.0 / (3.0 + (6.0*b2 - 6.0*b1 + b0)"
+             " / (2.0*b1 - b0)) - " + repr(ln23) + ")"
+             " * (2.0 / (3.0 + (6.0*b2 - 6.0*b1 + b0)"
+             " / (2.0*b1 - b0)) - " + repr(ln23) + ")")
+    gam = _gamma1p_sql("kap")
+    return f"""
+WITH base AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS x FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+{_LMOM_TERMS_SQL},
+kk AS (
+  SELECT n, b0, b1, b2, {kexpr} AS kap FROM pwm
+),
+gg AS (
+  SELECT n, b0, b1, b2, kap, {gam} AS g FROM kk
+),
+fit AS (
+  SELECT n, b0, b1, b2, kap, g,
+         (2.0*b1 - b0) * kap / ((1.0 - pow(2.0, -kap)) * g) AS alpha
+  FROM gg
+)
+SELECT CAST(n AS BIGINT) AS n_blocks,
+       round((6.0*b2 - 6.0*b1 + b0) / (2.0*b1 - b0), 6) AS tau3,
+       round(kap, 6) AS kappa,
+       round(alpha, 6) AS alpha_scale,
+       round(b0 - alpha * (1.0 - g) / kap, 6) AS xi_location,
+       round(b0 - alpha * (1.0 - g) / kap
+             + alpha * (1.0 - pow({y!r}, kap)) / kap, 6) AS rl
+FROM fit
+"""
+
+
+def lmom_regional(df: DataFrame, group_col: str,
+                  value_col: str) -> DataFrame:
+    """Per-group L-moment ratio table (the regional-frequency-
+    analysis screen, Hosking & Wallis 1997): L-CV/L-skew/L-kurt per
+    group — groups whose points stray from the pack on the
+    (τ₃, τ₄) diagram are heterogeneous and must not share a fitted
+    growth curve. Group-partitioned rank windows, grid-rounded term
+    sums; groups with n < 4 (λ₄ undefined) are dropped. Output: one
+    row per group (group, n, l1, l_cv, l_skew, l_kurt), rounds 6."""
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = (df.filter(v.isNotNull() & g.isNotNull())
+            .select(g.alias("grp"), v.alias("x")))
+    wg = Window.partitionBy("grp")
+    ranked = base.select(
+        "grp", "x",
+        F.row_number().over(Window.partitionBy("grp").orderBy("x"))
+        .alias("i"),
+        F.count("*").over(wg).alias("n")).filter(F.col("n") >= 4)
+    i = F.col("i").cast("double")
+    n = F.col("n").cast("double")
+    w1 = (i - 1.0) / (n - 1.0)
+    w2 = w1 * (i - 2.0) / (n - 2.0)
+    w3 = w2 * (i - 3.0) / (n - 3.0)
+    terms = ranked.select(
+        "grp", "n",
+        F.round(F.col("x"), 9).alias("t0"),
+        F.round(F.col("x") * w1, 9).alias("t1"),
+        F.round(F.col("x") * w2, 9).alias("t2"),
+        F.round(F.col("x") * w3, 9).alias("t3"))
+    agg = terms.groupBy("grp", "n").agg(
+        *[(F.sum(F.col(f"t{r}").cast(_DEC)).cast("double")
+           / F.col("n")).alias(f"b{r}") for r in range(4)])
+    l1 = F.col("b0")
+    l2 = 2.0 * F.col("b1") - F.col("b0")
+    l3 = 6.0 * F.col("b2") - 6.0 * F.col("b1") + F.col("b0")
+    l4 = (20.0 * F.col("b3") - 30.0 * F.col("b2")
+          + 12.0 * F.col("b1") - F.col("b0"))
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.round(l1, 6).alias("l1"),
+        F.round(F.when(l1 != 0.0, l2 / l1), 6).alias("l_cv"),
+        F.round(F.when(l2 != 0.0, l3 / l2), 6).alias("l_skew"),
+        F.round(F.when(l2 != 0.0, l4 / l2), 6).alias("l_kurt"))
+
+
+def lmom_regional_sql(table: str, group_sql: str,
+                      value_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT {group_sql} AS grp, CAST({value_sql} AS DOUBLE) AS x
+  FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+    AND {group_sql} IS NOT NULL
+),
+ranked AS (
+  SELECT * FROM (
+    SELECT grp, x,
+           row_number() OVER (PARTITION BY grp ORDER BY x) AS i,
+           count(*) OVER (PARTITION BY grp) AS n
+    FROM base
+  ) WHERE n >= 4
+),
+terms AS (
+  SELECT grp, n, round(x, 9) AS t0,
+         round(x * (i - 1.0) / (n - 1.0), 9) AS t1,
+         round(x * (i - 1.0) / (n - 1.0) * (i - 2.0) / (n - 2.0), 9)
+           AS t2,
+         round(x * (i - 1.0) / (n - 1.0) * (i - 2.0) / (n - 2.0)
+                 * (i - 3.0) / (n - 3.0), 9) AS t3
+  FROM ranked
+),
+pwm AS (
+  SELECT grp, max(n) AS n,
+         CAST(sum(CAST(t0 AS DECIMAL(38,12))) AS DOUBLE) / max(n) AS b0,
+         CAST(sum(CAST(t1 AS DECIMAL(38,12))) AS DOUBLE) / max(n) AS b1,
+         CAST(sum(CAST(t2 AS DECIMAL(38,12))) AS DOUBLE) / max(n) AS b2,
+         CAST(sum(CAST(t3 AS DECIMAL(38,12))) AS DOUBLE) / max(n) AS b3
+  FROM terms GROUP BY grp
+)
+SELECT grp AS {group_sql},
+       CAST(n AS BIGINT) AS n,
+       round(b0, 6) AS l1,
+       round(CASE WHEN b0 <> 0.0 THEN (2.0*b1 - b0) / b0 END, 6)
+         AS l_cv,
+       round(CASE WHEN 2.0*b1 - b0 <> 0.0 THEN
+         (6.0*b2 - 6.0*b1 + b0) / (2.0*b1 - b0) END, 6) AS l_skew,
+       round(CASE WHEN 2.0*b1 - b0 <> 0.0 THEN
+         (20.0*b3 - 30.0*b2 + 12.0*b1 - b0) / (2.0*b1 - b0) END, 6)
+         AS l_kurt
+FROM pwm
+"""
+
+
+def theil_h_segregation(df: DataFrame, unit_col: str,
+                        group_col: str) -> DataFrame:
+    """Theil's multigroup information segregation index H (1971):
+    with E the entropy of the overall group mix and E_j each unit's,
+    H = Σ_j (n_j/N)·(E − E_j)/E ∈ [0, 1] — the MULTIGROUP
+    generalization of duncan_segregation's two-group dissimilarity
+    (which must pick a reference pair). Per-cell p·ln p terms
+    grid-round 9 before decimal sums; exact counts throughout.
+    Output: one row (n, n_units, n_groups, entropy_total, theil_h),
+    rounds 6."""
+    cells = (df.filter(F.col(unit_col).isNotNull()
+                       & F.col(group_col).isNotNull())
+             .groupBy(F.col(unit_col).alias("u"),
+                      F.col(group_col).alias("g"))
+             .agg(F.count("*").alias("c")))
+    tot = Window.partitionBy()
+    wu = Window.partitionBy("u")
+    wg = Window.partitionBy("g")
+    n = F.sum("c").over(tot)
+    nu = F.sum("c").over(wu)
+    pg = F.sum("c").over(wg).cast("double") / n
+    pj = F.col("c").cast("double") / nu
+    # E = Σ_g −p_g ln p_g splits pro-rata over the g's cells (weight
+    # c/n_g); E_j per unit from its own cells; the H sum needs
+    # Σ_j n_j·E_j = Σ_cells −c·ln(p_j|u) exactly
+    terms = cells.select(
+        n.alias("n"),
+        F.round(-(F.col("c").cast("double") / n) * F.log(pg), 9)
+        .alias("e_t"),
+        F.round(-(F.col("c").cast("double") / n) * F.log(pj), 9)
+        .alias("ej_t"))
+    units = cells.agg(F.count_distinct("u").alias("n_units"),
+                      F.count_distinct("g").alias("n_groups"))
+    agg = (terms.groupBy("n").agg(
+        F.sum(F.col("e_t").cast(_DEC)).alias("e"),
+        F.sum(F.col("ej_t").cast(_DEC)).alias("ej"))
+        .crossJoin(F.broadcast(units)))
+    e = F.col("e").cast("double")
+    ej = F.col("ej").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_units").cast("long").alias("n_units"),
+        F.col("n_groups").cast("long").alias("n_groups"),
+        F.round(e, 6).alias("entropy_total"),
+        F.round(F.when(e > 0, (e - ej) / e), 6).alias("theil_h"))
+
+
+def theil_h_segregation_sql(table: str, unit_sql: str,
+                            group_sql: str) -> str:
+    return f"""
+WITH cells AS (
+  SELECT {unit_sql} AS u, {group_sql} AS g, count(*) AS c
+  FROM {table}
+  WHERE {unit_sql} IS NOT NULL AND {group_sql} IS NOT NULL
+  GROUP BY 1, 2
+),
+terms AS (
+  SELECT sum(c) OVER () AS n,
+         round(-(CAST(c AS DOUBLE) / sum(c) OVER ())
+               * ln(CAST(sum(c) OVER (PARTITION BY g) AS DOUBLE)
+                    / sum(c) OVER ()), 9) AS e_t,
+         round(-(CAST(c AS DOUBLE) / sum(c) OVER ())
+               * ln(CAST(c AS DOUBLE)
+                    / sum(c) OVER (PARTITION BY u)), 9) AS ej_t
+  FROM cells
+),
+units AS (
+  SELECT count(DISTINCT u) AS n_units, count(DISTINCT g) AS n_groups
+  FROM cells
+),
+agg AS (
+  SELECT n, sum(CAST(e_t AS DECIMAL(38,12))) AS e,
+         sum(CAST(ej_t AS DECIMAL(38,12))) AS ej
+  FROM terms GROUP BY n
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n_units AS BIGINT) AS n_units,
+       CAST(n_groups AS BIGINT) AS n_groups,
+       round(CAST(e AS DOUBLE), 6) AS entropy_total,
+       round(CASE WHEN e > 0 THEN
+         CAST(e - ej AS DOUBLE) / CAST(e AS DOUBLE) END, 6) AS theil_h
+FROM agg CROSS JOIN units
+"""

@@ -386,3 +386,225 @@ def test_whittaker_beta_extremes(spark):
     assert out["beta_whittaker"] == 1.0
     shared = _docs(spark, [(1, "s1", "a b c"), (2, "s2", "a b c")])
     assert _one(whittaker_beta(shared))["beta_whittaker"] == 0.0
+
+
+# -------------------------------------------------- association: Theil U
+
+def test_theil_u_determinism_and_asymmetry(spark):
+    """x ∈ {a,b,c,d} → y = {u,u,v,v}: knowing x pins y → U(y|x) = 1,
+    but U(x|y) = H(y)/H(x) = ln2/ln4 = 0.5."""
+    from distill_spark.operators.stats import theil_u
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "x": list("abcd"), "y": list("uuvv")}))
+    out = _one(theil_u(df, "x", "y"))
+    assert out["u_y_given_x"] == 1.0
+    assert out["u_x_given_y"] == 0.5
+    ind = spark.createDataFrame(pd.DataFrame({
+        "x": list("aabb"), "y": list("uvuv")}))
+    out2 = _one(theil_u(ind, "x", "y"))
+    assert out2["mutual_info"] == 0.0 and out2["u_y_given_x"] == 0.0
+
+
+# ---------------------------------------------- association: Tschuprow
+
+def test_tschuprow_t_extremes(spark):
+    from distill_spark.operators.stats import tschuprow_t
+
+    perfect = spark.createDataFrame(pd.DataFrame({
+        "x": list("aabb"), "y": list("uuvv")}))
+    out = _one(tschuprow_t(perfect, "x", "y"))
+    assert out["chi2"] == 4.0
+    assert out["cramers_v"] == 1.0 and out["tschuprow_t"] == 1.0
+    ind = spark.createDataFrame(pd.DataFrame({
+        "x": list("aabb"), "y": list("uvuv")}))
+    out2 = _one(tschuprow_t(ind, "x", "y"))
+    assert out2["chi2"] == 0.0 and out2["tschuprow_t"] == 0.0
+
+
+def test_tschuprow_below_cramers_on_rectangular(spark):
+    """On a monotone 4×2 table V saturates at 1 while T < 1 — the
+    whole point of the correction."""
+    from distill_spark.operators.stats import tschuprow_t
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "x": [1, 2, 3, 4], "y": ["u", "u", "v", "v"]}))
+    out = _one(tschuprow_t(df, "x", "y"))
+    assert out["cramers_v"] == 1.0
+    assert out["tschuprow_t"] < 1.0
+
+
+# ------------------------------------------------- association: Somers
+
+def test_somers_d_binary_auc_connection(spark):
+    """x=[1,2,3,4], y=[0,0,1,1]: D(y|x) = (4−0)/6 = ⅔ (= 2·AUC−1
+    with AUC = 5/6), D(x|y) = 4/(6−2) = 1."""
+    from distill_spark.operators.stats import somers_d
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "x": [1.0, 2.0, 3.0, 4.0], "y": [0.0, 0.0, 1.0, 1.0]}))
+    out = _one(somers_d(df, "x", "y"))
+    assert out["concordant"] == 4 and out["discordant"] == 0
+    assert out["d_y_given_x"] == round(2.0 / 3.0, 6)
+    assert out["d_x_given_y"] == 1.0
+    down = spark.createDataFrame(pd.DataFrame({
+        "x": [1.0, 2.0, 3.0, 4.0], "y": [1.0, 1.0, 0.0, 0.0]}))
+    assert _one(somers_d(down, "x", "y"))["d_x_given_y"] == -1.0
+
+
+# ------------------------------------------------ association: Stuart
+
+def test_stuart_tau_c_reaches_one_on_rectangular(spark):
+    from distill_spark.operators.stats import stuart_tau_c
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "x": [1.0, 2.0, 3.0, 4.0], "y": [1.0, 1.0, 2.0, 2.0]}))
+    out = _one(stuart_tau_c(df, "x", "y"))
+    assert out["m_min"] == 2
+    assert out["tau_c"] == 1.0  # 2·2·4/(16·1)
+
+
+# ------------------------------------------------------------ L-moments
+
+def test_l_moments_uniform_hand(spark):
+    """x=[1,2,3,4]: λ₁=2.5, λ₂=5/6 (= GMD/2), λ₃=λ₄=0 exactly."""
+    from distill_spark.operators.stats import l_moments
+
+    df = spark.createDataFrame(pd.DataFrame({"v": [1.0, 2.0,
+                                                   3.0, 4.0]}))
+    out = _one(l_moments(df, "v"))
+    assert out["l1"] == 2.5
+    assert out["l2"] == round(5.0 / 6.0, 6)
+    assert out["l_skew"] == 0.0 and out["l_kurt"] == 0.0
+
+
+def test_l_moments_gmd_identity(spark):
+    """λ₂ = ½·mean pairwise |x_i − x_j| — checked against the O(n²)
+    numpy computation on a random sample."""
+    from distill_spark.operators.stats import l_moments
+
+    rng = np.random.RandomState(13)
+    x = np.round(rng.gamma(2.0, 10.0, 80), 3)
+    out = _one(l_moments(spark.createDataFrame(
+        pd.DataFrame({"v": x})), "v"))
+    gmd = np.abs(x[:, None] - x[None, :]).sum() / (len(x)
+                                                   * (len(x) - 1))
+    assert abs(out["l2"] - gmd / 2.0) < 1e-4
+
+
+def test_gumbel_lmom_formulas(spark):
+    from distill_spark.operators.stats import gumbel_lmom_fit
+
+    df = spark.createDataFrame(pd.DataFrame({"v": [0.0, 1.0]}))
+    out = _one(gumbel_lmom_fit(df, "v"))
+    beta = 0.5 / math.log(2.0)
+    mu = 0.5 - 0.5772156649015329 * beta
+    assert out["beta_hat"] == round(beta, 6)
+    assert out["mu_hat"] == round(mu, 6)
+    assert out["rl"] == round(
+        mu - beta * math.log(-math.log(1.0 - 1.0 / 52.0)), 6)
+
+
+def test_gev_lmom_mirror_with_math_gamma(spark):
+    """Full numpy/math.gamma mirror of the Hosking κ/α/ξ chain — the
+    Lanczos Γ must agree with libm gamma to well under the 1e-6
+    grid."""
+    from distill_spark.operators.stats import gev_lmom_fit
+
+    rng = np.random.RandomState(17)
+    x = np.round(rng.gumbel(100.0, 15.0, 120), 3)
+    out = _one(gev_lmom_fit(spark.createDataFrame(
+        pd.DataFrame({"v": x})), "v"))
+    xs = np.sort(x)
+    n = len(xs)
+    i = np.arange(1, n + 1)
+    t0 = np.round(xs, 9)
+    t1 = np.round(xs * (i - 1) / (n - 1), 9)
+    t2 = np.round(xs * (i - 1) / (n - 1) * (i - 2) / (n - 2), 9)
+    b0, b1, b2 = t0.sum() / n, t1.sum() / n, t2.sum() / n
+    l1, l2 = b0, 2 * b1 - b0
+    l3 = 6 * b2 - 6 * b1 + b0
+    tau3 = l3 / l2
+    c = 2.0 / (3.0 + tau3) - math.log(2.0) / math.log(3.0)
+    kap = 7.8590 * c + 2.9554 * c * c
+    g = math.gamma(1.0 + kap)
+    alpha = l2 * kap / ((1.0 - 2.0 ** -kap) * g)
+    xi = l1 - alpha * (1.0 - g) / kap
+    assert abs(out["kappa"] - kap) < 1e-5
+    assert abs(out["alpha_scale"] - alpha) < 1e-3
+    assert abs(out["xi_location"] - xi) < 1e-3
+    # Gumbel-generated maxima should fit κ ≈ 0
+    assert abs(out["kappa"]) < 0.25
+
+
+def test_lmom_regional_uniform_group(spark):
+    from distill_spark.operators.stats import lmom_regional
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "g": ["a"] * 4 + ["b"] * 3,
+        "v": [1.0, 2.0, 3.0, 4.0, 7.0, 8.0, 9.0]}))
+    rows = {r["g"]: r for r in lmom_regional(df, "g", "v").collect()}
+    assert rows["a"]["l_skew"] == 0.0 and rows["a"]["l_kurt"] == 0.0
+    assert "b" not in rows  # n < 4 dropped
+
+
+# ------------------------------------------------- Theil H segregation
+
+def test_theil_h_extremes(spark):
+    from distill_spark.operators.stats import theil_h_segregation
+
+    total = spark.createDataFrame(pd.DataFrame({
+        "u": list("aabb"), "g": list("xxyy")}))
+    assert _one(theil_h_segregation(total, "u", "g"))["theil_h"] == 1.0
+    none = spark.createDataFrame(pd.DataFrame({
+        "u": list("aabb"), "g": list("xyxy")}))
+    assert _one(theil_h_segregation(none, "u", "g"))["theil_h"] == 0.0
+
+
+# ------------------------------------------------------- Harrell's C
+
+def _surv_events(spark, users):
+    """users: list of (uid, clicks, purchase_day or None)."""
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for uid, clicks, pday in users:
+        rows.append((base, uid, "view", 0))
+        for j in range(clicks):
+            rows.append((base + dt.timedelta(hours=1 + j), uid,
+                         "click", 100 + j))
+        if pday is not None:
+            rows.append((base + dt.timedelta(days=pday), uid,
+                         "purchase", 999))
+    # horizon sentinel: day 10
+    rows.append((base + dt.timedelta(days=10), "zz", "view", 1000))
+    return spark.createDataFrame(pd.DataFrame(
+        rows, columns=["ts", "user_id", "event_type", "event_id"]))
+
+
+def test_harrell_c_perfect_and_reversed(spark):
+    """Scores aligned with conversion speed → C = 1; reversed → 0.
+    A(t=1, s=5), B(t=2, s=3), C(censored t=10, s=1) + sentinel."""
+    from distill_spark.operators.conversion import harrell_c
+
+    df = _surv_events(spark, [("a", 5, 1), ("b", 3, 2), ("c", 1, None)])
+    out = _one(harrell_c(df))
+    assert out["n_events"] == 2
+    # the zz sentinel is censored at t=0 (its first event IS the
+    # horizon) so no pair against it is usable:
+    # usable = (a,b), (a,c), (b,c) = 3
+    assert out["usable_pairs"] == 3
+    assert out["c_index"] == 1.0
+    rev = _surv_events(spark, [("a", 1, 1), ("b", 3, 2),
+                               ("c", 5, None)])
+    out2 = _one(harrell_c(rev))
+    assert out2["c_index"] == 0.0
+
+
+def test_harrell_c_score_ties_count_half(spark):
+    from distill_spark.operators.conversion import harrell_c
+
+    df = _surv_events(spark, [("a", 3, 1), ("b", 3, 2)])
+    out = _one(harrell_c(df))
+    # only usable pair is (a,b), tied on score → C = 0.5 exactly
+    assert out["usable_pairs"] == 1 and out["tied_score"] == 1
+    assert out["c_index"] == 0.5
