@@ -337,17 +337,26 @@ def main():
             with open(json_path, "w") as fh:
                 json.dump(out, fh, indent=1, sort_keys=True)
 
+    # round-13 (verdict ask #7): every cell is probe-band guarded —
+    # a measurement whose speed probe leaves the healthy band is
+    # retried, not committed with a caveat
+    from proberun import guarded
+
     for name, (fn, factors) in runs.items():
         results.setdefault(name, {})
         for f in factors:
             if f"x{f}" in results[name]:
                 print(f"# {name} x{f}: cached", file=sys.stderr, flush=True)
                 continue
-            t0 = time.time()
-            n = fn(dirs[f]).count()
-            took = round(time.time() - t0, 3)
-            results[name][f"x{f}"] = {"rows": int(n), "secs": took}
-            print(f"# {name} x{f}: {n} rows in {took}s",
+            n, meta = guarded(lambda f=f: fn(dirs[f]).count(),
+                              label=f"{name} x{f}")
+            cell = {"rows": int(n), "secs": meta["kept"]["wall_s"],
+                    "probe": meta}
+            results[name][f"x{f}"] = cell
+            print(f"# {name} x{f}: {n} rows in {cell['secs']}s "
+                  f"(probes {meta['kept']['probe_ms_before']}/"
+                  f"{meta['kept']['probe_ms_after']} ms, "
+                  f"violated={meta['probe_band_violated']})",
                   file=sys.stderr, flush=True)
             _flush()
     if "edge_gate_handoff_x100" not in results:
