@@ -13672,6 +13672,238 @@ def _sql_harrell_c():
     return harrell_c_sql()
 
 
+# ---------------------------------------------------------------------------
+# Round-14 seed strata (queued in _PENDING_PROMOTION, past the
+# window): circular statistics over time-of-day angles, estimated-
+# parameter normality, normal-scores dispersion, robust trend,
+# bounded-size weighted sampling, cascade ranking, and two agreement/
+# diversity singles. Each parity-verified at sf0.001 + sf0.01 before
+# queueing.
+
+def q_circular_stats(spark, sf_dir):
+    """Resultant-vector summary of event time-of-day
+    (circular.circular_stats) — mean direction in hours, R̄, circular
+    variance/std, Mardia κ̂; hour-23 and hour-0 are 1 apart here."""
+    from distill_spark.operators.circular import circular_stats
+
+    return circular_stats(_tables(spark, sf_dir)["events"])
+
+
+def _sql_circular_stats():
+    from distill_spark.operators.circular import circular_stats_sql
+
+    return circular_stats_sql()
+
+
+def q_rayleigh_uniformity(spark, sf_dir):
+    """Rayleigh test of time-of-day uniformity with the small-sample
+    p correction (circular.rayleigh_uniformity) — one preferred
+    arrival direction or not."""
+    from distill_spark.operators.circular import rayleigh_uniformity
+
+    return rayleigh_uniformity(_tables(spark, sf_dir)["events"])
+
+
+def _sql_rayleigh():
+    from distill_spark.operators.circular import rayleigh_uniformity_sql
+
+    return rayleigh_uniformity_sql()
+
+
+def q_watson_u2(spark, sf_dir):
+    """Watson's U² circular uniformity (circular.watson_u2) — the
+    rotation-invariant CvM that catches bimodal clocks Rayleigh
+    cannot; closed-form tie-block rank sums over ≤ 86400 distinct
+    seconds-of-day."""
+    from distill_spark.operators.circular import watson_u2
+
+    return watson_u2(_tables(spark, sf_dir)["events"])
+
+
+def _sql_watson_u2():
+    from distill_spark.operators.circular import watson_u2_sql
+
+    return watson_u2_sql()
+
+
+def q_lilliefors_normal(spark, sf_dir):
+    """Lilliefors KS normality of daily value totals with Stephens'
+    modified statistic (stats.lilliefors_normal) — the
+    estimated-parameter KS beside jarque_bera's moment test."""
+    from distill_spark.operators.stats import lilliefors_normal
+
+    return lilliefors_normal(_daily_tot_frame(_tables(spark, sf_dir)),
+                             "tot")
+
+
+def _sql_lilliefors():
+    from distill_spark.operators.stats import lilliefors_normal_sql
+
+    return lilliefors_normal_sql(_DAILY_TOT_SQL, "tot")
+
+
+def q_shapiro_francia(spark, sf_dir):
+    """Shapiro–Francia W′ of daily totals via Blom scores and the
+    shared Acklam Φ⁻¹ (stats.shapiro_francia) — the Q-Q plot's
+    straightness as one number."""
+    from distill_spark.operators.stats import shapiro_francia
+
+    return shapiro_francia(_daily_tot_frame(_tables(spark, sf_dir)),
+                           "tot")
+
+
+def _sql_shapiro_francia():
+    from distill_spark.operators.stats import shapiro_francia_sql
+
+    return shapiro_francia_sql(_DAILY_TOT_SQL, "tot")
+
+
+def _all_typed_daily_frame(t):
+    return (t["events"]
+            .groupBy("event_type", F.to_date("ts").alias("day"))
+            .agg(F.round(F.sum(F.col("value").cast("decimal(38,12)"))
+                         .cast("double"), 9).alias("tot")))
+
+
+_ALL_TYPED_DAILY_SQL = ("(SELECT event_type, "
+                        "round(CAST(sum(CAST(value AS DECIMAL(38,12)))"
+                        " AS DOUBLE), 9) AS tot FROM events "
+                        "GROUP BY event_type, CAST(ts AS DATE))")
+
+
+def q_fligner_killeen(spark, sf_dir):
+    """Fligner–Killeen normal-scores scale test across ALL event
+    types' daily totals (stats.fligner_killeen) — the robust k-group
+    variance test closing the dispersion family."""
+    from distill_spark.operators.stats import fligner_killeen
+
+    return fligner_killeen(
+        _all_typed_daily_frame(_tables(spark, sf_dir)),
+        "event_type", "tot")
+
+
+def _sql_fligner():
+    from distill_spark.operators.stats import fligner_killeen_sql
+
+    return fligner_killeen_sql(_ALL_TYPED_DAILY_SQL, "event_type",
+                               "tot")
+
+
+def q_brown_mood_k(spark, sf_dir):
+    """k-group Brown–Mood median test over the same typed daily
+    totals (stats.brown_mood_k) — the sign-only location screen in
+    front of kruskal_values."""
+    from distill_spark.operators.stats import brown_mood_k
+
+    return brown_mood_k(
+        _all_typed_daily_frame(_tables(spark, sf_dir)),
+        "event_type", "tot")
+
+
+def _sql_brown_mood():
+    from distill_spark.operators.stats import brown_mood_k_sql
+
+    return brown_mood_k_sql(_ALL_TYPED_DAILY_SQL, "event_type", "tot")
+
+
+def q_siegel_slope(spark, sf_dir):
+    """Siegel repeated-medians trend per event type
+    (timeseries.siegel_slope) — 50% breakdown where theil_sen stops
+    at ~29%."""
+    from distill_spark.operators.timeseries import siegel_slope
+
+    return siegel_slope(_tables(spark, sf_dir)["events"])
+
+
+def _sql_siegel_slope():
+    from distill_spark.operators.timeseries import siegel_slope_sql
+
+    return siegel_slope_sql()
+
+
+def q_priority_sample(spark, sf_dir):
+    """Duffield–Lund–Thorup priority sample of orders by totalprice
+    with the subset-sum estimator audited against the exact total
+    (sampling.priority_sample) — bounded-size weighted sampling on
+    the portable Knuth hash."""
+    from distill_spark.operators.sampling import priority_sample
+
+    return priority_sample(_tables(spark, sf_dir)["orders"],
+                           "o_orderkey", "o_totalprice", k=256)
+
+
+def _sql_priority_sample():
+    from distill_spark.operators.sampling import priority_sample_sql
+
+    return priority_sample_sql("orders", "o_orderkey", "o_totalprice",
+                               k=256)
+
+
+def q_scott_pi(spark, sf_dir):
+    """Scott's π between the stopword langid heuristic and the
+    labeled lang column (mleval.scott_pi) — averaged-marginal chance
+    correction; α's 2-rater limit as a stack consistency check."""
+    from distill_spark.operators.mleval import scott_pi
+
+    t = _tables(spark, sf_dir)
+    words = _words(F.col("text"))
+    stops = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    hits = F.size(F.array_intersect(words, stops))
+    frame = t["documents"].select(
+        F.when(F.col("lang") == "en", "en").otherwise("other")
+        .alias("actual"),
+        F.when(hits >= 2, "en").otherwise("other").alias("pred"))
+    return scott_pi(frame, "actual", "pred")
+
+
+def _sql_scott_pi():
+    from distill_spark.operators.mleval import scott_pi_sql
+
+    frame = (f"(SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' "
+             f"END AS actual, "
+             f"CASE WHEN len(list_intersect("
+             f"{_WORDS_SQL.format(c='text')}, {_STOP_SQL})) >= 2 "
+             f"THEN 'en' ELSE 'other' END AS pred FROM documents)")
+    return scott_pi_sql(frame, "actual", "pred")
+
+
+def q_err_ranking(spark, sf_dir):
+    """Expected Reciprocal Rank @10 of value ranking purchases per
+    user (mleval.err_ranking) — the cascade-model metric beside
+    map_mrr; binary relevance collapses the stopping product to
+    exact powers of two."""
+    from distill_spark.operators.mleval import err_ranking
+
+    t = _tables(spark, sf_dir)
+    df = t["events"].select(
+        "user_id", "value", "event_id",
+        (F.col("event_type") == "purchase").alias("y"))
+    return err_ranking(df, "user_id", "y", "value", "event_id", k=10)
+
+
+def _sql_err_ranking():
+    from distill_spark.operators.mleval import err_ranking_sql
+
+    return err_ranking_sql("events", "user_id",
+                           "event_type = 'purchase'", "value",
+                           "event_id", k=10)
+
+
+def q_msttr(spark, sf_dir):
+    """Mean segmental TTR (50-token windows) per source
+    (corpus_stats.msttr) — length-controlled lexical diversity beside
+    lexical_richness's frequency-spectrum constants."""
+    from distill_spark.operators.corpus_stats import msttr
+
+    return msttr(_tables(spark, sf_dir)["documents"])
+
+
+def _sql_msttr():
+    from distill_spark.operators.corpus_stats import msttr_sql
+
+    return msttr_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ======================== ROUND-13 WINDOW ============================
     # -- round-13 head: the 27 seeds queued all of round 12 (each
@@ -13736,6 +13968,22 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "theil_h_segregation": (q_theil_h_segregation, _sql_theil_h()),
     "harrell_c": (q_harrell_c, _sql_harrell_c()),
     # ===================== END ROUND-13 WINDOW (50) ======================
+    # -- round-14 seed strata (positions 51+, queued in
+    # _PENDING_PROMOTION): circular statistics, estimated-parameter
+    # normality, normal-scores dispersion, robust trend, bounded
+    # weighted sampling, cascade ranking, agreement/diversity singles
+    "circular_stats": (q_circular_stats, _sql_circular_stats()),
+    "rayleigh_uniformity": (q_rayleigh_uniformity, _sql_rayleigh()),
+    "watson_u2": (q_watson_u2, _sql_watson_u2()),
+    "lilliefors_normal": (q_lilliefors_normal, _sql_lilliefors()),
+    "shapiro_francia": (q_shapiro_francia, _sql_shapiro_francia()),
+    "fligner_killeen": (q_fligner_killeen, _sql_fligner()),
+    "brown_mood_k": (q_brown_mood_k, _sql_brown_mood()),
+    "siegel_slope": (q_siegel_slope, _sql_siegel_slope()),
+    "priority_sample": (q_priority_sample, _sql_priority_sample()),
+    "scott_pi": (q_scott_pi, _sql_scott_pi()),
+    "err_ranking": (q_err_ranking, _sql_err_ranking()),
+    "msttr": (q_msttr, _sql_msttr()),
     # -- round-12 window (all 50 driver-green in CORRECTNESS_r12) ------------
     "wasserstein_1d": (q_wasserstein_1d, _sql_wasserstein()),
     "energy_distance": (q_energy_distance, _sql_energy()),
@@ -14287,9 +14535,20 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
 # head and the round-12 window closes with 38 new queries behind
 # them. All 27 round-13 seeds were promoted into the round-13 window
 # head at the start of round 13 (the rotation gate's demand); the
-# queue refills with round-14 seeds as they are built and
-# parity-verified at sf0.001 and sf0.01.
-_PENDING_PROMOTION: frozenset[str] = frozenset()
+# queue holds TWELVE round-14 seeds past position 50 — circular
+# statistics over time-of-day angles (resultant summary, Rayleigh,
+# Watson U²), estimated-parameter normality (Lilliefors,
+# Shapiro–Francia via Acklam Φ⁻¹), normal-scores dispersion
+# (Fligner–Killeen) + k-group median screen (Brown–Mood), Siegel
+# repeated-medians trend, DLT priority sampling with an audited
+# subset-sum estimator, Scott's π, ERR@10, and MSTTR — each
+# parity-verified at sf0.001 and sf0.01 before queueing.
+_PENDING_PROMOTION: frozenset[str] = frozenset({
+    "circular_stats", "rayleigh_uniformity", "watson_u2",
+    "lilliefors_normal", "shapiro_francia", "fligner_killeen",
+    "brown_mood_k", "siegel_slope", "priority_sample", "scott_pi",
+    "err_ranking", "msttr",
+})
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,286 @@
+"""Circular (directional) statistics over time-of-day angles — the
+round-14 stratum that treats the clock as the circle it is: hour-23
+and hour-0 events are 1 hour apart, not 23. Linear moments (dow
+profiles, hourly histograms) cannot say "arrivals concentrate around
+03:40"; the resultant-vector family can.
+
+Angles θ = 2π·(second-of-day)/86400 per event. All trig terms
+grid-round to 9 then decimal-sum (the repo contract), so engine
+summation order cannot leak; second-of-day has ≤ 86400 distinct
+values, so every rank construction runs on a BOUNDED frame no matter
+the corpus size.
+
+Public formulas: Mardia & Jupp, *Directional Statistics* (2000);
+Fisher, *Statistical Analysis of Circular Data* (1993).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,12)"
+_TWO_PI = 2.0 * math.pi
+
+
+def _sod(ts_col: str):
+    """Second-of-day from a timestamp column (UTC session TZ)."""
+    return (F.hour(ts_col) * 3600 + F.minute(ts_col) * 60
+            + F.second(ts_col))
+
+
+_SOD_SQL = ("(EXTRACT(hour FROM {ts}) * 3600 "
+            "+ EXTRACT(minute FROM {ts}) * 60 "
+            "+ EXTRACT(second FROM {ts}))")
+
+
+def circular_stats(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """First-moment circular summary of event time-of-day: with
+    C = Σcos θ, S = Σsin θ, R̄ = √(C²+S²)/n — mean direction
+    μ = atan2(S, C) (reported in hours), circular variance 1 − R̄,
+    circular std √(−2 ln R̄), and the Mardia concentration
+    approximation
+
+        κ̂ = 2R̄ + R̄³ + 5R̄⁵/6            (R̄ < 0.53)
+             −0.4 + 1.39R̄ + 0.43/(1−R̄)  (0.53 ≤ R̄ < 0.85)
+             1/(R̄³ − 4R̄² + 3R̄)          (R̄ ≥ 0.85)
+
+    Output: one row (n, mean_hour, r_bar, circ_var, circ_std,
+    kappa), rounds 6.
+    """
+    theta = _sod(ts_col).cast("double") / 86400.0 * _TWO_PI
+    terms = events.select(
+        F.round(F.cos(theta), 9).alias("c"),
+        F.round(F.sin(theta), 9).alias("s"))
+    agg = terms.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("c").cast(_DEC)).cast("double").alias("cs"),
+        F.sum(F.col("s").cast(_DEC)).cast("double").alias("ss"))
+    n = F.col("n").cast("double")
+    rbar = F.sqrt(F.col("cs") * F.col("cs")
+                  + F.col("ss") * F.col("ss")) / n
+    mu = F.atan2(F.col("ss"), F.col("cs"))
+    mu_pos = F.when(mu < 0, mu + _TWO_PI).otherwise(mu)
+    # κ diverges at R̄ = 1 (all mass at one angle): NULL there
+    kappa = (F.when(rbar < 0.53,
+                    2.0 * rbar + rbar * rbar * rbar
+                    + 5.0 * F.pow(rbar, 5.0) / 6.0)
+             .when(rbar < 0.85,
+                   -0.4 + 1.39 * rbar + 0.43 / (1.0 - rbar))
+             .when(rbar < 1.0, 1.0 / (F.pow(rbar, 3.0)
+                                      - 4.0 * rbar * rbar
+                                      + 3.0 * rbar)))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(mu_pos / _TWO_PI * 24.0, 6).alias("mean_hour"),
+        F.round(rbar, 6).alias("r_bar"),
+        F.round(1.0 - rbar, 6).alias("circ_var"),
+        F.round(F.when(rbar > 0, F.sqrt(-2.0 * F.log(rbar))), 6)
+        .alias("circ_std"),
+        F.round(kappa, 6).alias("kappa"))
+
+
+def circular_stats_sql(table: str = "events",
+                       ts_sql: str = "ts") -> str:
+    sod = _SOD_SQL.format(ts=ts_sql)
+    th = f"(CAST({sod} AS DOUBLE) / 86400.0 * {_TWO_PI!r})"
+    return f"""
+WITH terms AS (
+  SELECT round(cos({th}), 9) AS c, round(sin({th}), 9) AS s
+  FROM {table}
+),
+agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(c AS DECIMAL(38,12))) AS DOUBLE) AS cs,
+         CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE) AS ss
+  FROM terms
+),
+r AS (
+  SELECT n, cs, ss,
+         sqrt(cs * cs + ss * ss) / n AS rbar,
+         atan2(ss, cs) AS mu
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round((CASE WHEN mu < 0 THEN mu + {_TWO_PI!r} ELSE mu END)
+             / {_TWO_PI!r} * 24.0, 6) AS mean_hour,
+       round(rbar, 6) AS r_bar,
+       round(1.0 - rbar, 6) AS circ_var,
+       round(CASE WHEN rbar > 0 THEN sqrt(-2.0 * ln(rbar)) END, 6)
+         AS circ_std,
+       round(CASE WHEN rbar < 0.53 THEN
+               2.0 * rbar + rbar * rbar * rbar
+               + 5.0 * pow(rbar, 5.0) / 6.0
+             WHEN rbar < 0.85 THEN
+               -0.4 + 1.39 * rbar + 0.43 / (1.0 - rbar)
+             WHEN rbar < 1.0 THEN
+               1.0 / (pow(rbar, 3.0) - 4.0 * rbar * rbar
+                      + 3.0 * rbar) END, 6) AS kappa
+FROM r
+"""
+
+
+def rayleigh_uniformity(events: DataFrame,
+                        ts_col: str = "ts") -> DataFrame:
+    """Rayleigh test of circular uniformity: z = n·R̄² with the
+    second-order small-sample p-value correction (Mardia & Jupp
+    §6.3): p ≈ e^{−z}(1 + (2z − z²)/(4n) − (24z − 132z² + 76z³ −
+    9z⁴)/(288n²)) — rejects when time-of-day arrivals have ONE
+    preferred direction (unimodal concentration; a uniform or
+    perfectly bimodal clock both pass). Output: one row (n, r_bar,
+    z_rayleigh, p_value), rounds 6.
+    """
+    theta = _sod(ts_col).cast("double") / 86400.0 * _TWO_PI
+    terms = events.select(
+        F.round(F.cos(theta), 9).alias("c"),
+        F.round(F.sin(theta), 9).alias("s"))
+    agg = terms.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("c").cast(_DEC)).cast("double").alias("cs"),
+        F.sum(F.col("s").cast(_DEC)).cast("double").alias("ss"))
+    n = F.col("n").cast("double")
+    r2 = (F.col("cs") * F.col("cs") + F.col("ss") * F.col("ss")) / (n * n)
+    z = n * r2
+    p = (F.exp(-z) * (1.0 + (2.0 * z - z * z) / (4.0 * n)
+                      - (24.0 * z - 132.0 * z * z
+                         + 76.0 * z * z * z
+                         - 9.0 * z * z * z * z) / (288.0 * n * n)))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.sqrt(r2), 6).alias("r_bar"),
+        F.round(z, 6).alias("z_rayleigh"),
+        F.round(F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0)), 6)
+        .alias("p_value"))
+
+
+def rayleigh_uniformity_sql(table: str = "events",
+                            ts_sql: str = "ts") -> str:
+    sod = _SOD_SQL.format(ts=ts_sql)
+    th = f"(CAST({sod} AS DOUBLE) / 86400.0 * {_TWO_PI!r})"
+    return f"""
+WITH terms AS (
+  SELECT round(cos({th}), 9) AS c, round(sin({th}), 9) AS s
+  FROM {table}
+),
+agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(c AS DECIMAL(38,12))) AS DOUBLE) AS cs,
+         CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE) AS ss
+  FROM terms
+),
+r AS (
+  SELECT n, (cs * cs + ss * ss) / (CAST(n AS DOUBLE) * n) AS r2
+  FROM agg
+),
+zz AS (SELECT n, r2, n * r2 AS z FROM r)
+SELECT CAST(n AS BIGINT) AS n,
+       round(sqrt(r2), 6) AS r_bar,
+       round(z, 6) AS z_rayleigh,
+       round(least(greatest(
+         exp(-z) * (1.0 + (2.0 * z - z * z) / (4.0 * n)
+                    - (24.0 * z - 132.0 * z * z + 76.0 * z * z * z
+                       - 9.0 * z * z * z * z) / (288.0 * n * n)),
+         0.0), 1.0), 6) AS p_value
+FROM zz
+"""
+
+
+def watson_u2(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Watson's U² test of circular uniformity (1961) — the
+    rotation-invariant Cramér–von Mises: with u_(i) the sorted
+    day-fractions,
+
+        U² = Σ(u_i − (2i−1)/(2n))² − n(ū − ½)² + 1/(12n)
+
+    catches BIMODAL clocks (e.g. two crawl waves) that Rayleigh's
+    single resultant vector cannot see. Scale shape: observations
+    collapse to ≤ 86400 distinct second-of-day rows with counts; the
+    per-tie-block rank sums expand in closed form (Σ(2i−1) and
+    Σ(2i−1)² over a rank run are polynomials in the run bounds), so
+    the statistic is exact with no per-observation frame. Output:
+    one row (n, u2_stat, u2_modified), modified per Stephens 1970:
+    (U² − 0.1/n + 0.1/n²)(1 + 0.8/n); reject at 5% ≈ 0.187.
+    """
+    per = (events.select(_sod(ts_col).alias("sod"))
+           .groupBy("sod").agg(F.count("*").alias("ct")))
+    w = Window.orderBy("sod").rowsBetween(Window.unboundedPreceding, -1)
+    tot = Window.partitionBy()
+    staged = per.select(
+        (F.col("sod").cast("double") / 86400.0).alias("u"),
+        F.col("ct").cast("double").alias("c"),
+        F.coalesce(F.sum("ct").over(w), F.lit(0)).cast("double")
+        .alias("r"),
+        F.sum("ct").over(tot).cast("double").alias("n"))
+    # ranks i = r+1 .. r+c at shared value u, with n total:
+    #   Σ(u − (2i−1)/(2n))² = c·u² − (2u/2n)·Σ(2i−1) + Σ(2i−1)²/(4n²)
+    #   Σ_{i=r+1}^{r+c}(2i−1)   = c·(2r + c)
+    #   Σ_{i=r+1}^{r+c}(2i−1)²  = Σ_{j=1}^{r+c}(2j−1)² − Σ_{j=1}^{r}(2j−1)²
+    #   with Σ_{j=1}^{m}(2j−1)² = m(2m−1)(2m+1)/3
+    c = F.col("c")
+    u = F.col("u")
+    r = F.col("r")
+    n = F.col("n")
+    m1 = r + c
+    sq = (m1 * (2.0 * m1 - 1.0) * (2.0 * m1 + 1.0) / 3.0
+          - r * (2.0 * r - 1.0) * (2.0 * r + 1.0) / 3.0)
+    term = (c * u * u - u / n * (c * (2.0 * r + c))
+            + sq / (4.0 * n * n))
+    terms = staged.select(
+        "n",
+        F.round(term, 9).alias("q"),
+        F.round(c * u, 9).alias("cu"))
+    agg = terms.groupBy("n").agg(
+        F.sum(F.col("q").cast(_DEC)).cast("double").alias("sq"),
+        F.sum(F.col("cu").cast(_DEC)).cast("double").alias("su"))
+    n = F.col("n")
+    ubar = F.col("su") / n
+    u2 = (F.col("sq") - n * (ubar - 0.5) * (ubar - 0.5)
+          + 1.0 / (12.0 * n))
+    u2mod = (u2 - 0.1 / n + 0.1 / (n * n)) * (1.0 + 0.8 / n)
+    return agg.select(
+        n.cast("long").alias("n"),
+        F.round(u2, 6).alias("u2_stat"),
+        F.round(u2mod, 6).alias("u2_modified"))
+
+
+def watson_u2_sql(table: str = "events", ts_sql: str = "ts") -> str:
+    sod = _SOD_SQL.format(ts=ts_sql)
+    return f"""
+WITH per AS (
+  SELECT {sod} AS sod, count(*) AS ct FROM {table} GROUP BY 1
+),
+staged AS (
+  SELECT CAST(sod AS DOUBLE) / 86400.0 AS u,
+         CAST(ct AS DOUBLE) AS c,
+         CAST(coalesce(sum(ct) OVER (ORDER BY sod
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS DOUBLE) AS r,
+         CAST(sum(ct) OVER () AS DOUBLE) AS n
+  FROM per
+),
+terms AS (
+  SELECT n,
+         round(c * u * u - u / n * (c * (2.0 * r + c))
+               + ((r + c) * (2.0 * (r + c) - 1.0)
+                  * (2.0 * (r + c) + 1.0) / 3.0
+                  - r * (2.0 * r - 1.0) * (2.0 * r + 1.0) / 3.0)
+                 / (4.0 * n * n), 9) AS q,
+         round(c * u, 9) AS cu
+  FROM staged
+),
+agg AS (
+  SELECT n,
+         CAST(sum(CAST(q AS DECIMAL(38,12))) AS DOUBLE) AS sq,
+         CAST(sum(CAST(cu AS DECIMAL(38,12))) AS DOUBLE) AS su
+  FROM terms GROUP BY n
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(sq - n * (su / n - 0.5) * (su / n - 0.5)
+             + 1.0 / (12.0 * n), 6) AS u2_stat,
+       round((sq - n * (su / n - 0.5) * (su / n - 0.5)
+              + 1.0 / (12.0 * n) - 0.1 / n + 0.1 / (n * n))
+             * (1.0 + 0.8 / n), 6) AS u2_modified
+FROM agg
+"""

@@ -1631,3 +1631,61 @@ SELECT CAST(k AS BIGINT) AS n_groups,
        round(gv / (CAST(sv AS DOUBLE) / k) - 1.0, 6) AS beta_whittaker
 FROM alpha CROSS JOIN gamma
 """
+
+
+def msttr(docs: DataFrame, text_col: str = "text",
+          group_col: str = "source", segment: int = 50) -> DataFrame:
+    """Mean Segmental Type-Token Ratio (Johnson 1944): TTR over
+    consecutive COMPLETE ``segment``-token windows within each
+    document, averaged per group — the length-controlled lexical
+    diversity that raw TTR (which decays mechanically with length)
+    and Yule's K (frequency-spectrum, order-blind) both miss; a
+    corpus whose later segments repeat earlier vocabulary scores
+    high on richness constants but low here. One posexplode →
+    (doc, segment) distinct-count; incomplete trailing segments are
+    dropped (the standard convention). Output: one row per group
+    (group, n_segments, msttr), rounds 6."""
+    from distill_spark.operators.dedup_text import words_expr
+
+    toks = docs.select(
+        F.col(group_col).alias("g"),
+        F.col("doc_id").alias("doc"),
+        F.posexplode(words_expr(F.col(text_col)))
+        .alias("pos", "term"))
+    seg = (toks.select("g", "doc", "term",
+                       F.floor(F.col("pos") / segment).alias("sg"))
+           .groupBy("g", "doc", "sg")
+           .agg(F.count("*").alias("ntok"),
+                F.count_distinct("term").alias("ntype"))
+           .filter(F.col("ntok") == segment))
+    out = seg.groupBy("g").agg(
+        F.count("*").alias("n_segments"),
+        F.round(F.sum(F.round(F.col("ntype").cast("double") / segment,
+                              9).cast(_DEC)).cast("double")
+                / F.count("*"), 6).alias("msttr"))
+    return out.select(F.col("g").alias(group_col), "n_segments",
+                      "msttr")
+
+
+def msttr_sql(table: str = "documents", text_sql: str = "text",
+              group_sql: str = "source", segment: int = 50) -> str:
+    words = f"list_filter(string_split({text_sql}, ' '), x -> x <> '')"
+    return f"""
+WITH toks AS (
+  SELECT {group_sql} AS g, doc_id AS doc,
+         unnest({words}) AS term,
+         generate_subscripts({words}, 1) - 1 AS pos
+  FROM {table}
+),
+seg AS (
+  SELECT g, doc, floor(pos / {segment}) AS sg,
+         count(*) AS ntok, count(DISTINCT term) AS ntype
+  FROM toks GROUP BY 1, 2, 3
+)
+SELECT g AS {group_sql},
+       CAST(count(*) AS BIGINT) AS n_segments,
+       round(CAST(sum(CAST(round(CAST(ntype AS DOUBLE) / {segment}, 9)
+                           AS DECIMAL(38,12))) AS DOUBLE)
+             / count(*), 6) AS msttr
+FROM seg WHERE ntok = {segment} GROUP BY g
+"""

@@ -2787,3 +2787,143 @@ SELECT CAST(n AS BIGINT) AS n,
        round(bsum / CAST(n AS DOUBLE), 6) AS brier
 FROM agg
 """
+
+
+def scott_pi(df: DataFrame, r1_col: str, r2_col: str) -> DataFrame:
+    """Scott's π (1955): 2-rater chance-corrected agreement with
+    AVERAGED marginals — Ae = Σ_c ((n1_c + n2_c)/2N)², π =
+    (Ao − Ae)/(1 − Ae). Sits exactly between cohen's κ (per-rater
+    marginals; rewards marginal DISagreement) and gwet's AC1
+    (criticizes both): π is what krippendorff's α converges to at
+    2 raters / no missing data, so the pair (π, α) agreeing is a
+    consistency check on the agreement stack itself. Exact counts,
+    per-category terms grid-round 9. Output: one row (n_items,
+    a_obs, a_exp, scott_pi), rounds 6."""
+    base = (df.filter(F.col(r1_col).isNotNull()
+                      & F.col(r2_col).isNotNull())
+            .select(F.col(r1_col).alias("r1"),
+                    F.col(r2_col).alias("r2")))
+    n_ao = base.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("r1") == F.col("r2")).cast("long")).alias("agree"))
+    cats = (base.select(F.col("r1").alias("c"),
+                        F.lit(1).alias("one"), F.lit(0).alias("two"))
+            .unionAll(base.select(F.col("r2").alias("c"),
+                                  F.lit(0).alias("one"),
+                                  F.lit(1).alias("two")))
+            .groupBy("c").agg(F.sum("one").alias("n1"),
+                              F.sum("two").alias("n2")))
+    m = cats.crossJoin(F.broadcast(n_ao))
+    p = (F.col("n1") + F.col("n2")).cast("double") / (2.0 * F.col("n"))
+    ae = m.groupBy("n", "agree").agg(
+        F.sum(F.round(p * p, 9).cast(_DEC)).cast("double").alias("ae"))
+    ao = F.col("agree").cast("double") / F.col("n")
+    return ae.select(
+        F.col("n").cast("long").alias("n_items"),
+        F.round(ao, 6).alias("a_obs"),
+        F.round(F.col("ae"), 6).alias("a_exp"),
+        F.round(F.when(F.col("ae") < 1.0,
+                       (ao - F.col("ae")) / (1.0 - F.col("ae"))), 6)
+        .alias("scott_pi"))
+
+
+def scott_pi_sql(table: str, r1_sql: str, r2_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT {r1_sql} AS r1, {r2_sql} AS r2 FROM {table}
+  WHERE {r1_sql} IS NOT NULL AND {r2_sql} IS NOT NULL
+),
+n_ao AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS agree
+  FROM base
+),
+cats AS (
+  SELECT c, sum(one) AS n1, sum(two) AS n2 FROM (
+    SELECT r1 AS c, 1 AS one, 0 AS two FROM base
+    UNION ALL
+    SELECT r2 AS c, 0 AS one, 1 AS two FROM base
+  ) GROUP BY c
+),
+ae AS (
+  SELECT n, agree,
+         CAST(sum(CAST(round(
+           ((n1 + n2) / (2.0 * n)) * ((n1 + n2) / (2.0 * n)), 9)
+           AS DECIMAL(38,12))) AS DOUBLE) AS ae
+  FROM cats CROSS JOIN n_ao GROUP BY n, agree
+)
+SELECT CAST(n AS BIGINT) AS n_items,
+       round(CAST(agree AS DOUBLE) / n, 6) AS a_obs,
+       round(ae, 6) AS a_exp,
+       round(CASE WHEN ae < 1.0 THEN
+         (CAST(agree AS DOUBLE) / n - ae) / (1.0 - ae) END, 6)
+         AS scott_pi
+FROM ae
+"""
+
+
+def err_ranking(df: DataFrame, group_col: str, label_col: str,
+                score_col: str, tiebreak_col: str,
+                k: int = 10) -> DataFrame:
+    """Expected Reciprocal Rank @ k (Chapelle et al. 2009) with
+    binary relevance R_i = y_i/2: ERR = Σ_i (1/i)·R_i·Π_{j<i}(1−R_j)
+    — the CASCADE metric (a found result absorbs attention) where
+    map_mrr assumes every relevant result is examined. With binary
+    labels the stopping product collapses to an EXACT power of two
+    (0.5^{hits-before-i}), so the per-user value is deterministic
+    arithmetic on ranks. Same frame and (score desc, tiebreak asc)
+    order as map_mrr. Output: one row (n_groups, mean_err), rounds 6.
+    """
+    y = F.col(label_col).cast("int")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(tiebreak_col).asc())
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    ranked = (df.select(group_col, y.alias("y"),
+                        F.col(score_col), F.col(tiebreak_col))
+              .withColumn("i", F.row_number().over(w))
+              .withColumn("hits_before",
+                          F.coalesce(F.sum("y").over(wprev), F.lit(0)))
+              .filter(F.col("i") <= k))
+    term = (F.col("y").cast("double") / 2.0 / F.col("i")
+            * F.pow(F.lit(0.5), F.col("hits_before")))
+    per = (ranked.groupBy(group_col)
+           .agg(F.round(F.sum(term), 9).alias("err")))
+    agg = per.agg(
+        F.count("*").alias("g"),
+        F.sum(F.col("err").cast(_DEC)).cast("double").alias("s"))
+    return agg.select(
+        F.col("g").cast("long").alias("n_groups"),
+        F.round(F.col("s") / F.col("g"), 6).alias("mean_err"))
+
+
+def err_ranking_sql(table: str, group_sql: str, label_sql: str,
+                    score_sql: str, tiebreak_sql: str,
+                    k: int = 10) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT {group_sql} AS g,
+         CAST({label_sql} AS INT) AS y,
+         row_number() OVER w AS i,
+         coalesce(sum(CAST({label_sql} AS INT)) OVER (
+           PARTITION BY {group_sql}
+           ORDER BY {score_sql} DESC, {tiebreak_sql} ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS hits_before
+  FROM {table}
+  WINDOW w AS (PARTITION BY {group_sql}
+               ORDER BY {score_sql} DESC, {tiebreak_sql} ASC)
+),
+per AS (
+  SELECT g, round(sum(CAST(y AS DOUBLE) / 2.0 / i
+                      * pow(0.5, hits_before)), 9) AS err
+  FROM ranked WHERE i <= {k} GROUP BY g
+),
+agg AS (
+  SELECT count(*) AS g,
+         CAST(sum(CAST(err AS DECIMAL(38,12))) AS DOUBLE) AS s
+  FROM per
+)
+SELECT CAST(g AS BIGINT) AS n_groups,
+       round(s / g, 6) AS mean_err
+FROM agg
+"""

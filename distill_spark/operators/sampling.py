@@ -474,3 +474,97 @@ SELECT h AS stratum,
 FROM normed
 ORDER BY stratum
 """
+
+
+def priority_sample(df: DataFrame, id_col: str, weight_col: str,
+                    k: int = 256, salt: int = 41) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup 2007): priority
+    q_i = w_i/u_i with u_i = (h_i + 1)/2³¹ from the portable Knuth
+    hash (exact BIGINT both engines — the group_sample convention),
+    keep the top-k by (q desc, id asc), and estimate each kept
+    item's weight as max(w_i, τ) with τ the (k+1)-th priority — the
+    subset-sum estimator that is unbiased with near-optimal variance,
+    vs weighted_group_sample's fixed-rate Bernoulli (which cannot
+    bound the sample SIZE). Reports the estimate against the exact
+    total so the estimator error is auditable in-plan. Top-k+1 via
+    rank-truncated TakeOrdered — the full table is never globally
+    sorted. Output: one row (n, k_kept, tau, est_total, exact_total,
+    rel_err), rounds 6. Requires an integral id (portable-hash
+    constraint)."""
+    _require_integral_key(df, id_col, "portable")
+    w = F.col(weight_col).cast("double")
+    h = hash_bucket(id_col, "portable", salt)
+    u = (h.cast("double") + 1.0) / float(_M)
+    base = (df.filter(w > 0)
+            .select(F.col(id_col).alias("id"), w.alias("w"),
+                    F.round(w / u, 9).alias("q")))
+    ranked = base.select(
+        "id", "w", "q",
+        F.row_number().over(Window.orderBy(F.col("q").desc(),
+                                           F.col("id").asc()))
+        .alias("r"))
+    tau = (ranked.filter(F.col("r") == k + 1)
+           .select(F.col("q").alias("tau")))
+    kept = (ranked.filter(F.col("r") <= k)
+            .crossJoin(F.broadcast(tau))
+            .select(F.greatest(F.col("w"), F.col("tau")).alias("est")))
+    est = kept.agg(
+        F.count("*").alias("k_kept"),
+        F.sum(F.round("est", 6).cast(_DEC)).cast("double")
+        .alias("est_total"))
+    exact = df.filter(w > 0).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(w, 6).cast(_DEC)).cast("double").alias("exact"))
+    out = (est.crossJoin(F.broadcast(exact))
+           .crossJoin(F.broadcast(tau)))
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k_kept").cast("long").alias("k_kept"),
+        F.round("tau", 6).alias("tau"),
+        F.round("est_total", 6).alias("est_total"),
+        F.round("exact", 6).alias("exact_total"),
+        F.round(F.abs(F.col("est_total") - F.col("exact"))
+                / F.col("exact"), 6).alias("rel_err"))
+
+
+def priority_sample_sql(table: str, id_sql: str, weight_sql: str,
+                        k: int = 256, salt: int = 41) -> str:
+    h = f"((({id_sql}) % {_M} + {salt}) * {_KNUTH}) % {_M}"
+    return f"""
+WITH base AS (
+  SELECT {id_sql} AS id, CAST({weight_sql} AS DOUBLE) AS w,
+         round(CAST({weight_sql} AS DOUBLE)
+               / ((CAST({h} AS DOUBLE) + 1.0) / {float(_M)!r}), 9)
+           AS q
+  FROM {table} WHERE CAST({weight_sql} AS DOUBLE) > 0
+),
+ranked AS (
+  SELECT id, w, q,
+         row_number() OVER (ORDER BY q DESC, id ASC) AS r
+  FROM base
+),
+tau AS (SELECT q AS tau FROM ranked WHERE r = {k} + 1),
+kept AS (
+  SELECT greatest(w, tau) AS est FROM ranked CROSS JOIN tau
+  WHERE r <= {k}
+),
+est AS (
+  SELECT count(*) AS k_kept,
+         CAST(sum(CAST(round(est, 6) AS DECIMAL(38,12))) AS DOUBLE)
+           AS est_total
+  FROM kept
+),
+exact AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(round(CAST({weight_sql} AS DOUBLE), 6)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS exact
+  FROM {table} WHERE CAST({weight_sql} AS DOUBLE) > 0
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(k_kept AS BIGINT) AS k_kept,
+       round(tau, 6) AS tau,
+       round(est_total, 6) AS est_total,
+       round(exact, 6) AS exact_total,
+       round(abs(est_total - exact) / exact, 6) AS rel_err
+FROM est CROSS JOIN exact CROSS JOIN tau
+"""

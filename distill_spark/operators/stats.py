@@ -10964,3 +10964,468 @@ SELECT CAST(n AS BIGINT) AS n,
          CAST(e - ej AS DOUBLE) / CAST(e AS DOUBLE) END, 6) AS theil_h
 FROM agg CROSS JOIN units
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-14 seed stratum: estimated-parameter normality tests and
+# normal-scores dispersion — Lilliefors' KS, Shapiro–Francia's W′,
+# Fligner–Killeen, and the k-group Brown–Mood median test. Φ comes
+# from the shared A&S erfc polynomial (mleval), Φ⁻¹ from Acklam's
+# rational approximation with IDENTICAL literals on both engine
+# sides (public constants; relative error < 1.15e-9 — three orders
+# under the 1e-6 output grid).
+
+_ACKLAM_A = (-3.969683028665376e+01, 2.209460984245205e+02,
+             -2.759285104469687e+02, 1.383577518672690e+02,
+             -3.066479806614716e+01, 2.506628277459239e+00)
+_ACKLAM_B = (-5.447609879822406e+01, 1.615858368580409e+02,
+             -1.556989798598866e+02, 6.680131188771972e+01,
+             -1.328068155288572e+01)
+_ACKLAM_C = (-7.784894002430293e-03, -3.223964580411365e-01,
+             -2.400758277161838e+00, -2.549732539343734e+00,
+             4.374664141464968e+00, 2.938163982698783e+00)
+_ACKLAM_D = (7.784695709041462e-03, 3.224671290700398e-01,
+             2.445134137142996e+00, 3.754408661907416e+00)
+_ACKLAM_PLOW = 0.02425
+
+
+def _norm_ppf(p):
+    """Φ⁻¹(p) as a Spark column (Acklam 2003), p ∈ (0, 1)."""
+    a0, a1, a2, a3, a4, a5 = (F.lit(v) for v in _ACKLAM_A)
+    b0, b1, b2, b3, b4 = (F.lit(v) for v in _ACKLAM_B)
+    c0, c1, c2, c3, c4, c5 = (F.lit(v) for v in _ACKLAM_C)
+    d0, d1, d2, d3 = (F.lit(v) for v in _ACKLAM_D)
+    plow = _ACKLAM_PLOW
+    q = p - 0.5
+    r = q * q
+    central = (q * (((((a0 * r + a1) * r + a2) * r + a3) * r + a4)
+                    * r + a5)
+               / (((((b0 * r + b1) * r + b2) * r + b3) * r + b4)
+                  * r + 1.0))
+    ql = F.sqrt(-2.0 * F.log(p))
+    lower = ((((((c0 * ql + c1) * ql + c2) * ql + c3) * ql + c4)
+              * ql + c5)
+             / ((((d0 * ql + d1) * ql + d2) * ql + d3) * ql + 1.0))
+    qh = F.sqrt(-2.0 * F.log(1.0 - p))
+    upper = -((((((c0 * qh + c1) * qh + c2) * qh + c3) * qh + c4)
+               * qh + c5)
+              / ((((d0 * qh + d1) * qh + d2) * qh + d3) * qh + 1.0))
+    return (F.when(p < plow, lower)
+            .when(p > 1.0 - plow, upper)
+            .otherwise(central))
+
+
+def _norm_ppf_sql(p: str) -> str:
+    a0, a1, a2, a3, a4, a5 = _ACKLAM_A
+    b0, b1, b2, b3, b4 = _ACKLAM_B
+    c0, c1, c2, c3, c4, c5 = _ACKLAM_C
+    d0, d1, d2, d3 = _ACKLAM_D
+    q = f"(({p}) - 0.5)"
+    r = f"({q} * {q})"
+    central = (f"({q} * ((((({a0!r} * {r} + {a1!r}) * {r} + {a2!r})"
+               f" * {r} + {a3!r}) * {r} + {a4!r}) * {r} + {a5!r})"
+               f" / ((((({b0!r} * {r} + {b1!r}) * {r} + {b2!r})"
+               f" * {r} + {b3!r}) * {r} + {b4!r}) * {r} + 1.0))")
+    ql = f"sqrt(-2.0 * ln({p}))"
+    lower = (f"((((({c0!r} * {ql} + {c1!r}) * {ql} + {c2!r})"
+             f" * {ql} + {c3!r}) * {ql} + {c4!r}) * {ql} + {c5!r})"
+             f" / (((({d0!r} * {ql} + {d1!r}) * {ql} + {d2!r})"
+             f" * {ql} + {d3!r}) * {ql} + 1.0)")
+    qh = f"sqrt(-2.0 * ln(1.0 - ({p})))"
+    upper = (f"-(((((({c0!r} * {qh} + {c1!r}) * {qh} + {c2!r})"
+             f" * {qh} + {c3!r}) * {qh} + {c4!r}) * {qh} + {c5!r})"
+             f" / (((({d0!r} * {qh} + {d1!r}) * {qh} + {d2!r})"
+             f" * {qh} + {d3!r}) * {qh} + 1.0))")
+    return (f"(CASE WHEN ({p}) < {_ACKLAM_PLOW!r} THEN {lower} "
+            f"WHEN ({p}) > {1.0 - _ACKLAM_PLOW!r} THEN {upper} "
+            f"ELSE {central} END)")
+
+
+def _norm_cdf(z):
+    """Φ(z) via the shared A&S erfc polynomial (sign-split)."""
+    from distill_spark.operators.mleval import _erfc_expr
+
+    s2 = math.sqrt(2.0)
+    return (F.when(z >= 0, 1.0 - _erfc_expr(z / s2) / 2.0)
+            .otherwise(_erfc_expr(-z / s2) / 2.0))
+
+
+def _norm_cdf_sql(z: str) -> str:
+    from distill_spark.operators.mleval import _erfc_sql
+
+    s2 = repr(math.sqrt(2.0))
+    return (f"(CASE WHEN ({z}) >= 0 THEN "
+            f"1.0 - {_erfc_sql(f'(({z}) / {s2})')} / 2.0 "
+            f"ELSE {_erfc_sql(f'(-({z}) / {s2})')} / 2.0 END)")
+
+
+def lilliefors_normal(df: DataFrame, value_col: str) -> DataFrame:
+    """Lilliefors (1967) KS test of normality with ESTIMATED μ̂, σ̂ —
+    the test to run when jarque_bera's moment asymptotics are
+    unreliable at bounded n: D = sup|F_n − Φ((x−μ̂)/σ̂)| over both
+    one-sided gaps at every jump, σ̂ the n−1 sample std, Φ the
+    shared A&S polynomial. Stephens' modified statistic
+    D·(√n − 0.01 + 0.85/√n) compares to 0.895 at 5%. One rank pass
+    over the distinct-value frame. Output: one row (n, d_stat,
+    d_modified, reject_5pct), rounds 6."""
+    v = F.col(value_col).cast("double")
+    per = (df.filter(v.isNotNull()).groupBy(v.alias("x"))
+           .agg(F.count("*").alias("ct")))
+    tot = Window.partitionBy()
+    wcum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    mu = (F.sum(F.round(F.col("x") * F.col("ct"), 9).cast(_DEC))
+          .over(tot).cast("double") / F.sum("ct").over(tot))
+    staged = per.select(
+        "x", "ct",
+        F.sum("ct").over(wcum).alias("cum"),
+        F.sum("ct").over(tot).alias("n"),
+        mu.alias("mu"))
+    ss = (staged.groupBy("n", "mu")
+          .agg(F.sum((F.col("x") - F.col("mu"))
+                     * (F.col("x") - F.col("mu"))
+                     * F.col("ct")).alias("ssq")))
+    sig = ss.select(
+        "n", "mu",
+        F.sqrt(F.col("ssq") / (F.col("n") - 1)).alias("sd"))
+    z = (F.col("x") - F.col("mu")) / F.col("sd")
+    phi = _norm_cdf(z)
+    gaps = (staged.drop("mu")
+            .crossJoin(F.broadcast(sig.select("mu", "sd")))
+            .select(
+                "n",
+                F.greatest(
+                    F.abs(F.col("cum") / F.col("n") - phi),
+                    F.abs(phi - (F.col("cum") - F.col("ct"))
+                          / F.col("n"))).alias("g")))
+    agg = gaps.groupBy("n").agg(F.max(F.round("g", 9)).alias("d"))
+    n = F.col("n").cast("double")
+    dmod = F.col("d") * (F.sqrt(n) - 0.01 + 0.85 / F.sqrt(n))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("d", 6).alias("d_stat"),
+        F.round(dmod, 6).alias("d_modified"),
+        (dmod > 0.895).alias("reject_5pct"))
+
+
+def lilliefors_normal_sql(table: str, value_sql: str) -> str:
+    phi = _norm_cdf_sql("((s.x - sig.mu) / sig.sd)")
+    return f"""
+WITH per AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS x, count(*) AS ct
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+  GROUP BY 1
+),
+staged AS (
+  SELECT x, ct,
+         sum(ct) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(ct) OVER () AS n,
+         CAST(sum(CAST(round(x * ct, 9) AS DECIMAL(38,12))) OVER ()
+              AS DOUBLE) / sum(ct) OVER () AS mu
+  FROM per
+),
+sig AS (
+  SELECT max(n) AS n, max(mu) AS mu,
+         sqrt(sum((x - mu) * (x - mu) * ct) / (max(n) - 1)) AS sd
+  FROM staged GROUP BY n, mu
+),
+gaps AS (
+  SELECT s.n,
+         greatest(abs(CAST(s.cum AS DOUBLE) / s.n - {phi}),
+                  abs({phi} - CAST(s.cum - s.ct AS DOUBLE) / s.n))
+           AS g
+  FROM staged s CROSS JOIN sig
+),
+agg AS (SELECT n, max(round(g, 9)) AS d FROM gaps GROUP BY n)
+SELECT CAST(n AS BIGINT) AS n,
+       round(d, 6) AS d_stat,
+       round(d * (sqrt(CAST(n AS DOUBLE)) - 0.01
+                  + 0.85 / sqrt(CAST(n AS DOUBLE))), 6) AS d_modified,
+       d * (sqrt(CAST(n AS DOUBLE)) - 0.01
+            + 0.85 / sqrt(CAST(n AS DOUBLE))) > 0.895 AS reject_5pct
+FROM agg
+"""
+
+
+def shapiro_francia(df: DataFrame, value_col: str) -> DataFrame:
+    """Shapiro–Francia W′ (1972): the squared correlation between the
+    order statistics and Blom normal scores m_i = Φ⁻¹((i−0.375)/
+    (n+0.25)) — the large-n Shapiro–Wilk without the covariance
+    matrix, and the Q-Q plot's straightness as ONE number. Tied x
+    values make the cross-products invariant to within-tie rank
+    assignment, so the plain x-order rank is deterministic. Products
+    grid-round 9 then decimal-sum. Output: one row (n, corr_qq,
+    w_prime), rounds 6."""
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(v.alias("x"))
+    tot = Window.partitionBy()
+    ranked = base.select(
+        "x", F.row_number().over(Window.orderBy("x")).alias("i"),
+        F.count("*").over(tot).alias("n"))
+    p = (F.col("i").cast("double") - 0.375) / (F.col("n") + 0.25)
+    staged = ranked.select("n", "x", _norm_ppf(p).alias("m"))
+    terms = staged.select(
+        "n",
+        F.round(F.col("x"), 9).alias("tx"),
+        F.round(F.col("m"), 9).alias("tm"),
+        F.round(F.col("x") * F.col("m"), 9).alias("txm"),
+        F.round(F.col("x") * F.col("x"), 9).alias("txx"),
+        F.round(F.col("m") * F.col("m"), 9).alias("tmm"))
+    agg = terms.groupBy("n").agg(
+        *[F.sum(F.col(c).cast(_DEC)).cast("double").alias(c[1:])
+          for c in ("tx", "tm", "txm", "txx", "tmm")])
+    n = F.col("n").cast("double")
+    cov = F.col("xm") - F.col("x") * F.col("m") / n
+    vx = F.col("xx") - F.col("x") * F.col("x") / n
+    vm = F.col("mm") - F.col("m") * F.col("m") / n
+    corr = cov / F.sqrt(vx * vm)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(corr, 6).alias("corr_qq"),
+        F.round(corr * corr, 6).alias("w_prime"))
+
+
+def shapiro_francia_sql(table: str, value_sql: str) -> str:
+    ppf = _norm_ppf_sql("((CAST(i AS DOUBLE) - 0.375) / (n + 0.25))")
+    return f"""
+WITH base AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS x FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x) AS i, count(*) OVER () AS n
+  FROM base
+),
+staged AS (SELECT n, x, {ppf} AS m FROM ranked),
+terms AS (
+  SELECT n, round(x, 9) AS tx, round(m, 9) AS tm,
+         round(x * m, 9) AS txm, round(x * x, 9) AS txx,
+         round(m * m, 9) AS tmm
+  FROM staged
+),
+agg AS (
+  SELECT n,
+         CAST(sum(CAST(tx AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(tm AS DECIMAL(38,12))) AS DOUBLE) AS sm,
+         CAST(sum(CAST(txm AS DECIMAL(38,12))) AS DOUBLE) AS sxm,
+         CAST(sum(CAST(txx AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(tmm AS DECIMAL(38,12))) AS DOUBLE) AS smm
+  FROM terms GROUP BY n
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round((sxm - sx * sm / n)
+             / sqrt((sxx - sx * sx / n) * (smm - sm * sm / n)), 6)
+         AS corr_qq,
+       round(((sxm - sx * sm / n)
+              / sqrt((sxx - sx * sx / n) * (smm - sm * sm / n)))
+             * ((sxm - sx * sm / n)
+                / sqrt((sxx - sx * sx / n) * (smm - sm * sm / n))),
+             6) AS w_prime
+FROM agg
+"""
+
+
+def fligner_killeen(df: DataFrame, group_col: str,
+                    value_col: str) -> DataFrame:
+    """Fligner–Killeen (1976) k-group scale test on normal scores of
+    ranked |x − median_g|: a_i = Φ⁻¹(½ + r_i/(2(N+1))) with
+    average-rank ties, X² = Σ n_g(ā_g − ā)²/V, V the (N−1)-divisor
+    variance of all scores — THE robust variance test under
+    non-normality (Conover's 1981 simulation winner), closing the
+    dispersion family (bartlett: normal; levene/brown-forsythe:
+    means/medians of |dev|; ansari/conover/siegel-tukey: 2-sample
+    ranks). Output: one row (n, k_groups, fk_stat, df), rounds 6."""
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = (df.filter(v.isNotNull() & g.isNotNull())
+            .select(g.alias("grp"), v.alias("x")))
+    med = base.groupBy("grp").agg(
+        F.percentile(F.col("x"), F.lit(0.5)).alias("med"))
+    dev = (base.join(F.broadcast(med), "grp")
+           .select("grp", F.round(F.abs(F.col("x") - F.col("med")), 9)
+                   .alias("a")))
+    # average ranks over distinct |dev| values (pooled)
+    per = dev.groupBy("a").agg(F.count("*").alias("ct"))
+    wcum = Window.orderBy("a").rowsBetween(Window.unboundedPreceding, -1)
+    tot = Window.partitionBy()
+    ranked = per.select(
+        "a",
+        ((F.coalesce(F.sum("ct").over(wcum), F.lit(0))
+          + (F.col("ct") + 1) / 2.0)).alias("rbar"),
+        F.sum("ct").over(tot).alias("nn"))
+    scored = ranked.select(
+        "a", "nn",
+        _norm_ppf(0.5 + F.col("rbar") / (2.0 * (F.col("nn") + 1.0)))
+        .alias("score"))
+    joined = dev.join(F.broadcast(scored), "a")
+    sc = joined.agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("score"), 9).cast(_DEC)).cast("double")
+        .alias("ssum"))
+    pg = (joined.groupBy("grp")
+          .agg(F.count("*").alias("ng"),
+               F.sum(F.round(F.col("score"), 9).cast(_DEC))
+               .cast("double").alias("sg")))
+    m = pg.crossJoin(F.broadcast(sc))
+    abar = F.col("ssum") / F.col("n")
+    num_t = (F.col("ng")
+             * (F.col("sg") / F.col("ng") - abar)
+             * (F.col("sg") / F.col("ng") - abar))
+    nums = m.groupBy("n", "ssum").agg(
+        F.sum(F.round(num_t, 9).cast(_DEC)).cast("double").alias("num"),
+        F.count("*").alias("k"))
+    var_t = (F.col("score") - F.col("ssum") / F.col("n")) \
+        * (F.col("score") - F.col("ssum") / F.col("n"))
+    dens = (joined.crossJoin(F.broadcast(sc.select(
+        F.col("n").alias("n2"), F.col("ssum").alias("ssum2"))))
+        .select(((F.col("score") - F.col("ssum2") / F.col("n2"))
+                 * (F.col("score") - F.col("ssum2") / F.col("n2")))
+                .alias("vt"), "n2")
+        .groupBy("n2").agg(F.sum(F.round(F.col("vt"), 9).cast(_DEC))
+                           .cast("double").alias("vsum")))
+    out = nums.crossJoin(F.broadcast(dens))
+    vv = F.col("vsum") / (F.col("n2").cast("double") - 1.0)
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_groups"),
+        F.round(F.col("num") / vv, 6).alias("fk_stat"),
+        (F.col("k") - 1).cast("long").alias("df"))
+
+
+def fligner_killeen_sql(table: str, group_sql: str,
+                        value_sql: str) -> str:
+    ppf = _norm_ppf_sql("(0.5 + rbar / (2.0 * (nn + 1.0)))")
+    return f"""
+WITH base AS (
+  SELECT {group_sql} AS grp, CAST({value_sql} AS DOUBLE) AS x
+  FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+    AND {group_sql} IS NOT NULL
+),
+med AS (
+  SELECT grp, quantile_cont(x, 0.5) AS med FROM base GROUP BY grp
+),
+dev AS (
+  SELECT b.grp, round(abs(b.x - m.med), 9) AS a
+  FROM base b JOIN med m ON b.grp = m.grp
+),
+per AS (SELECT a, count(*) AS ct FROM dev GROUP BY a),
+ranked AS (
+  SELECT a,
+         coalesce(sum(ct) OVER (ORDER BY a
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + (ct + 1) / 2.0 AS rbar,
+         sum(ct) OVER () AS nn
+  FROM per
+),
+scored AS (SELECT a, nn, {ppf} AS score FROM ranked),
+joined AS (
+  SELECT d.grp, s.score FROM dev d JOIN scored s ON d.a = s.a
+),
+sc AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(round(score, 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS ssum
+  FROM joined
+),
+pg AS (
+  SELECT grp, count(*) AS ng,
+         CAST(sum(CAST(round(score, 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS sg
+  FROM joined GROUP BY grp
+),
+nums AS (
+  SELECT sc.n, sc.ssum,
+         CAST(sum(CAST(round(
+           ng * (sg / ng - ssum / n) * (sg / ng - ssum / n), 9)
+           AS DECIMAL(38,12))) AS DOUBLE) AS num,
+         count(*) AS k
+  FROM pg CROSS JOIN sc GROUP BY sc.n, sc.ssum
+),
+dens AS (
+  SELECT CAST(sum(CAST(round(
+           (score - sc.ssum / sc.n) * (score - sc.ssum / sc.n), 9)
+           AS DECIMAL(38,12))) AS DOUBLE) AS vsum,
+         max(sc.n) AS n2
+  FROM joined CROSS JOIN sc
+)
+SELECT CAST(nums.n AS BIGINT) AS n,
+       CAST(k AS BIGINT) AS k_groups,
+       round(num / (vsum / (CAST(n2 AS DOUBLE) - 1.0)), 6) AS fk_stat,
+       CAST(k - 1 AS BIGINT) AS df
+FROM nums CROSS JOIN dens
+"""
+
+
+def brown_mood_k(df: DataFrame, group_col: str,
+                 value_col: str) -> DataFrame:
+    """k-group Brown–Mood median test: the χ² of the 2×k table of
+    per-group counts above vs not-above the GRAND median — the
+    bluntest location test (only the sign of x − median enters),
+    and therefore the most outlier-proof screen in front of
+    kruskal_values. Values exactly at the median count below (the
+    'not above' convention, stated because it moves the counts).
+    Output: one row (n, k_groups, chi2, df), rounds 6."""
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = (df.filter(v.isNotNull() & g.isNotNull())
+            .select(g.alias("grp"), v.alias("x")))
+    gm = base.agg(F.percentile(F.col("x"), F.lit(0.5)).alias("gm"))
+    flags = (base.crossJoin(F.broadcast(gm))
+             .select("grp", (F.col("x") > F.col("gm"))
+                     .cast("long").alias("ab")))
+    per = flags.groupBy("grp").agg(
+        F.count("*").alias("ng"), F.sum("ab").alias("ag"))
+    tot = per.agg(F.sum("ng").alias("n"), F.sum("ag").alias("a"))
+    m = per.crossJoin(F.broadcast(tot))
+    pa = F.col("a").cast("double") / F.col("n")
+    e_ab = F.col("ng") * pa
+    e_be = F.col("ng") * (1.0 - pa)
+    term = ((F.col("ag") - e_ab) * (F.col("ag") - e_ab) / e_ab
+            + ((F.col("ng") - F.col("ag")) - e_be)
+            * ((F.col("ng") - F.col("ag")) - e_be) / e_be)
+    agg = m.groupBy("n").agg(
+        F.sum(F.round(term, 9).cast(_DEC)).cast("double").alias("chi2"),
+        F.count("*").alias("k"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_groups"),
+        F.round("chi2", 6).alias("chi2"),
+        (F.col("k") - 1).cast("long").alias("df"))
+
+
+def brown_mood_k_sql(table: str, group_sql: str,
+                     value_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT {group_sql} AS grp, CAST({value_sql} AS DOUBLE) AS x
+  FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+    AND {group_sql} IS NOT NULL
+),
+gm AS (SELECT quantile_cont(x, 0.5) AS gm FROM base),
+flags AS (
+  SELECT grp, CASE WHEN x > gm THEN 1 ELSE 0 END AS ab
+  FROM base CROSS JOIN gm
+),
+per AS (
+  SELECT grp, count(*) AS ng, sum(ab) AS ag FROM flags GROUP BY grp
+),
+tot AS (SELECT sum(ng) AS n, sum(ag) AS a FROM per),
+terms AS (
+  SELECT n,
+         round((ag - ng * (CAST(a AS DOUBLE) / n))
+               * (ag - ng * (CAST(a AS DOUBLE) / n))
+               / (ng * (CAST(a AS DOUBLE) / n))
+               + ((ng - ag) - ng * (1.0 - CAST(a AS DOUBLE) / n))
+               * ((ng - ag) - ng * (1.0 - CAST(a AS DOUBLE) / n))
+               / (ng * (1.0 - CAST(a AS DOUBLE) / n)), 9) AS t
+  FROM per CROSS JOIN tot
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS k_groups,
+       round(CAST(sum(CAST(t AS DECIMAL(38,12))) AS DOUBLE), 6)
+         AS chi2,
+       CAST(count(*) - 1 AS BIGINT) AS df
+FROM terms GROUP BY n
+"""

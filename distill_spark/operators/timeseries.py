@@ -5765,3 +5765,89 @@ SELECT CAST(m_days AS BIGINT) AS n_days,
        round(CAST(ne AS DOUBLE) / nc, 6) AS mean_cluster
 FROM agg
 """
+
+
+def siegel_slope(events: DataFrame, key_col: str = "event_type",
+                 ts_col: str = "ts") -> DataFrame:
+    """Siegel repeated-medians trend (1982): for each day i, the
+    MEDIAN over j≠i of pairwise slopes, then the median of those
+    per-day medians — 50% breakdown where theil_sen_trend's single
+    median over all pairs breaks at ~29%. Same per-key daily-count
+    pair frame as theil_sen (m(m−1) slope rows per key, m = days);
+    both median levels use the explicit lower-middle rank over a
+    fully keyed order ((s, dj) inner, (si, di) outer) — deterministic
+    under ties, same formula both engines. Output: (key, n_days,
+    siegel_slope)."""
+    daily = (events.select(F.col(key_col).alias("k"),
+                           F.floor(F.unix_micros(F.col(ts_col))
+                                   / 86_400_000_000).alias("d"))
+             .groupBy("k", "d").agg(F.count("*").alias("n")))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = (
+        a.join(b, (F.col("a.k") == F.col("b.k"))
+               & (F.col("a.d") != F.col("b.d")))
+        .select(F.col("a.k").alias("k"), F.col("a.d").alias("di"),
+                F.col("b.d").alias("dj"),
+                F.round((F.col("b.n") - F.col("a.n"))
+                        / (F.col("b.d") - F.col("a.d")).cast("double"),
+                        9).alias("s")))
+    wi = Window.partitionBy("k", "di").orderBy("s", "dj")
+    inner = (slopes.select(
+        "k", "di", "s",
+        F.row_number().over(wi).alias("_r"),
+        F.count("*").over(Window.partitionBy("k", "di")).alias("_m"))
+        .filter(F.col("_r") == F.ceil(F.col("_m") / 2.0))
+        .select("k", "di", F.col("s").alias("si")))
+    wo = Window.partitionBy("k").orderBy("si", "di")
+    outer = (inner.select(
+        "k", "si",
+        F.row_number().over(wo).alias("_r"),
+        F.count("*").over(Window.partitionBy("k")).alias("_m"))
+        .filter(F.col("_r") == F.ceil(F.col("_m") / 2.0)))
+    days = daily.groupBy("k").agg(F.count("*").alias("n_days"))
+    # + 0.0 folds -0.0 into +0.0 (driver hashes repr bytes)
+    return (outer.join(days, "k")
+            .select(F.col("k").alias(key_col),
+                    F.col("n_days").cast("long").alias("n_days"),
+                    (F.col("si") + F.lit(0.0)).alias("siegel_slope")))
+
+
+def siegel_slope_sql(table: str = "events",
+                     key_sql: str = "event_type",
+                     ts_sql: str = "ts") -> str:
+    return f"""
+WITH daily AS (
+  SELECT {key_sql} AS k,
+         CAST(floor(epoch_us({ts_sql}) / 86400000000.0) AS BIGINT)
+           AS d,
+         count(*) AS n
+  FROM {table} GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.k, a.d AS di, b.d AS dj,
+         round((b.n - a.n) / CAST(b.d - a.d AS DOUBLE), 9) AS s
+  FROM daily a JOIN daily b ON a.k = b.k AND a.d <> b.d
+),
+inner_med AS (
+  SELECT k, di, s AS si FROM (
+    SELECT k, di, s,
+           row_number() OVER (PARTITION BY k, di ORDER BY s, dj)
+             AS _r,
+           count(*) OVER (PARTITION BY k, di) AS _m
+    FROM slopes
+  ) WHERE _r = ceil(_m / 2.0)
+),
+outer_med AS (
+  SELECT k, si FROM (
+    SELECT k, si,
+           row_number() OVER (PARTITION BY k ORDER BY si, di) AS _r,
+           count(*) OVER (PARTITION BY k) AS _m
+    FROM inner_med
+  ) WHERE _r = ceil(_m / 2.0)
+),
+days AS (SELECT k, count(*) AS n_days FROM daily GROUP BY k)
+SELECT o.k AS {key_sql},
+       CAST(d.n_days AS BIGINT) AS n_days,
+       o.si + 0.0 AS siegel_slope
+FROM outer_med o JOIN days d ON o.k = d.k
+"""

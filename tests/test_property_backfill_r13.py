@@ -1,0 +1,433 @@
+"""Round-13 property-coverage backfill (verdict ask #5): planted
+direction/sign/orientation pins for the highest-risk queries in
+PROPERTY_COVERAGE.md's uncovered list — keyness_terms (G² direction
+flag), log_loss_model (skill sign), gpd_tail (exceedance
+orientation), domain_terms (LLR sign), cross_source_dup (containment
+direction), label_outliers (distance orientation), plus ten more
+statistics whose only prior evidence was twin-formula parity.
+
+The three inline-query targets (domain_terms, cross_source_dup,
+label_outliers) are exercised through their REAL q_ wrappers against
+a planted table directory (sf0.001 symlinks with documents/embeddings
+overwritten) — the same code path the driver runs.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1, rows
+    return rows[0].asDict()
+
+
+SF = "/root/testdata/sf0.001"
+_TABLES = ["region", "nation", "customer", "supplier", "part",
+           "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture()
+def planted_dir(spark, tmp_path):
+    """Factory: build a full table dir with planted documents and/or
+    embeddings parquet, sf0.001 symlinks for everything else."""
+
+    def make(documents: pd.DataFrame | None = None,
+             embeddings: pd.DataFrame | None = None) -> str:
+        d = tmp_path / "planted"
+        d.mkdir(exist_ok=True)
+        for t in _TABLES:
+            dst = d / f"{t}.parquet"
+            if dst.exists() or os.path.lexists(dst):
+                continue
+            if t == "documents" and documents is not None:
+                spark.createDataFrame(documents).coalesce(1) \
+                    .write.mode("overwrite").parquet(str(dst))
+            elif t == "embeddings" and embeddings is not None:
+                spark.createDataFrame(embeddings).coalesce(1) \
+                    .write.mode("overwrite").parquet(str(dst))
+            else:
+                os.symlink(os.path.join(SF, f"{t}.parquet"), dst)
+        return str(d)
+
+    return make
+
+
+def _docs_pdf(rows):
+    return pd.DataFrame(
+        [(i + 1, text, "en", src, len(text))
+         for i, (src, text) in enumerate(rows)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"])
+
+
+# ------------------------------------------------------- keyness_terms
+
+def test_keyness_terms_direction_flag(spark):
+    """'aaa' used ONLY inside group g1 must surface as overused=true
+    with G² > 0 at rank 1 for g1 — the direction flag is the payload
+    (the gk_lambda failure shape)."""
+    from distill_spark.operators.search import keyness_terms
+
+    docs = spark.createDataFrame(_docs_pdf([
+        ("g1", "aaa aaa aaa bbb ccc"),
+        ("g2", "bbb ccc ddd eee fff"),
+        ("g2", "bbb ccc ddd eee fff"),
+    ]))
+    rows = keyness_terms(docs).collect()
+    g1 = [r for r in rows if r["source"] == "g1"]
+    assert g1[0]["term"] == "aaa"
+    assert bool(g1[0]["overused"]) is True
+    assert g1[0]["g2"] > 0
+    # a term g1 underuses must carry overused=false when it ranks
+    under = [r for r in g1 if r["term"] in ("ddd", "eee", "fff")]
+    assert all(not bool(r["overused"]) for r in under)
+
+
+def test_keyness_g2_hand_value(spark):
+    """2×2 hand case: a=3 of n1=5, b=0 of n2=10 →
+    G² = 2·(3·ln(3/1) + 0) = 6·ln3."""
+    from distill_spark.operators.search import keyness_terms
+
+    docs = spark.createDataFrame(_docs_pdf([
+        ("g1", "x x x y z"),
+        ("g2", "y z y z y z y z y z"),
+    ]))
+    rows = {(r["source"], r["term"]): r for r in
+            keyness_terms(docs).collect()}
+    assert rows[("g1", "x")]["g2"] == round(6.0 * math.log(3.0), 6)
+
+
+# ------------------------------------------------------ log_loss skill
+
+def test_log_loss_skill_sign(spark):
+    """Perfect probabilities → LL ≈ 0, skill → 1; anti-calibrated
+    probabilities → LL > baseline, skill NEGATIVE — the sign is the
+    semantic."""
+    from distill_spark.operators.mleval import log_loss
+
+    good = pd.DataFrame({"y": [0, 0, 1, 1],
+                         "p": [0.01, 0.01, 0.99, 0.99]})
+    out = _one(log_loss(spark.createDataFrame(good), "y", "p"))
+    assert out["log_loss"] < 0.02 and out["skill"] > 0.95
+    bad = pd.DataFrame({"y": [0, 0, 1, 1],
+                        "p": [0.99, 0.99, 0.01, 0.01]})
+    out2 = _one(log_loss(spark.createDataFrame(bad), "y", "p"))
+    assert out2["skill"] < 0
+    # hand value: constant p=0.5 → LL = ln2, skill = 0 at π = 0.5
+    flat = pd.DataFrame({"y": [0, 1], "p": [0.5, 0.5]})
+    out3 = _one(log_loss(spark.createDataFrame(flat), "y", "p"))
+    assert out3["log_loss"] == round(math.log(2.0), 6)
+    assert out3["skill"] == 0.0
+
+
+# ---------------------------------------------------- gpd exceedances
+
+def test_gpd_exceedance_orientation(spark):
+    """Exceedances are x − u ABOVE the UPPER q-quantile: with 90
+    small values and 10 big ones at q=0.9, n_exceed counts only the
+    big side and the threshold sits at the 90th-percentile value."""
+    from distill_spark.operators.stats import gpd_pwm
+
+    vals = [float(i) for i in range(1, 91)] + \
+           [1000.0 + 10 * i for i in range(10)]
+    pdf = pd.DataFrame({"value": vals, "event_id": range(len(vals))})
+    out = _one(gpd_pwm(spark.createDataFrame(pdf), "value",
+                       "event_id", quantile=0.9))
+    assert out["n_exceed"] == 10
+    assert out["threshold"] == 90.0
+
+
+def test_gpd_uniform_tail_is_bounded(spark):
+    """A uniform (bounded) tail must fit ξ < 0; PWM on exact uniform
+    exceedances gives ξ = 2 − b0/(b0 − 2b1) well below 0."""
+    from distill_spark.operators.stats import gpd_pwm
+
+    vals = [0.0] * 50 + [float(i) for i in range(1, 51)]
+    pdf = pd.DataFrame({"value": vals, "event_id": range(len(vals))})
+    out = _one(gpd_pwm(spark.createDataFrame(pdf), "value",
+                       "event_id", quantile=0.5))
+    assert out["xi"] is not None and out["xi"] < 0.2
+
+
+# -------------------------------------------------- inline: domain_terms
+
+def test_domain_terms_llr_sign(spark, planted_dir):
+    """A term concentrated in source s1 gets POSITIVE llr there and
+    ranks first; llr = ln((tf/src_n)/(term_n/all_n))."""
+    import __spark_entry__ as em
+
+    d = planted_dir(documents=_docs_pdf([
+        ("s1", "special special special common"),
+        ("s2", "common common common common"),
+    ]))
+    rows = em.queries()["domain_terms"](spark, d).collect()
+    s1 = [r for r in rows if r["source"] == "s1"]
+    assert s1[0]["term"] == "special"
+    # hand: tf=3, src_n=4, term_n=3, all_n=8 → ln((3/4)/(3/8)) = ln2
+    assert s1[0]["llr"] == round(math.log(2.0), 6)
+    common_s1 = [r for r in s1 if r["term"] == "common"]
+    assert all(r["llr"] < 0 for r in common_s1)  # underused in s1
+
+
+# ---------------------------------------------- inline: cross_source_dup
+
+def test_cross_source_dup_containment_direction(spark, planted_dir):
+    """a's shingles all inside b, b has extras → containment(a→b)=1
+    and containment(b→a)<1 — DIRECTIONAL, keyed by the source whose
+    shingle count divides."""
+    import __spark_entry__ as em
+
+    a_text = "w1 w2 w3 w4 w5"              # shingles: 3
+    b_text = "w1 w2 w3 w4 w5 w6 w7 w8"     # contains all of a's + 3
+    d = planted_dir(documents=_docs_pdf([("a", a_text), ("b", b_text)]))
+    rows = {(r["source_a"], r["source_b"]): r for r in
+            em.queries()["cross_source_dup"](spark, d).collect()}
+    ab = rows[("a", "b")]
+    ba = rows[("b", "a")]
+    assert ab["contam_rate"] == 1.0
+    assert ba["contam_rate"] < 1.0
+
+
+# ----------------------------------------------- inline: label_outliers
+
+def test_label_outliers_distance_orientation(spark, planted_dir):
+    """The vector FARTHEST from its label centroid must take rank 1 —
+    orientation is distance DESC (an ASC sort would return the
+    best-centered vectors, silently inverting the QC meaning)."""
+    import __spark_entry__ as em
+
+    emb = pd.DataFrame({
+        "vec_id": [1, 2, 3, 4, 5],
+        "embedding": [np.array([1.0, 0.0], dtype=np.float32)] * 4
+        + [np.array([-1.0, 0.1], dtype=np.float32)],
+        "label": ["l1"] * 5,
+    })
+    d = planted_dir(embeddings=emb)
+    rows = em.queries()["label_outliers"](spark, d).collect()
+    l1 = sorted([r for r in rows if r["label"] == "l1"],
+                key=lambda r: r["rank"])
+    assert l1[0]["vec_id"] == 5 and l1[0]["rank"] == 1
+    assert l1[0]["dist"] > l1[-1]["dist"]
+
+
+# --------------------------------------------------- odds_ratio_woolf
+
+def test_odds_ratio_woolf_hand(spark):
+    """a=4,b=1,c=1,d=4 with Haldane 0.5: OR = (4.5·4.5)/(1.5·1.5) =
+    9, CI from the Woolf SE — and the exposed/outcome orientation is
+    a = exposed∧outcome."""
+    from pyspark.sql import functions as F
+
+    from distill_spark.operators.stats import odds_ratio_woolf
+
+    rows = ([(1, 1)] * 4 + [(1, 0)] * 1 + [(0, 1)] * 1 + [(0, 0)] * 4)
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["e", "o"]))
+    out = _one(odds_ratio_woolf(df, F.col("e") == 1, F.col("o") == 1))
+    assert (out["a"], out["b"], out["c"], out["d"]) == (4, 1, 1, 4)
+    assert out["odds_ratio"] == 9.0
+    se = math.sqrt(1 / 4.5 + 1 / 1.5 + 1 / 1.5 + 1 / 4.5)
+    assert out["ci_low"] == round(math.exp(math.log(9.0) - 1.96 * se), 6)
+    # swapped outcome flips OR below 1
+    out2 = _one(odds_ratio_woolf(df, F.col("e") == 1, F.col("o") == 0))
+    assert out2["odds_ratio"] == round(1.0 / 9.0, 6)
+
+
+# ---------------------------------------------------- mann_kendall
+
+def test_mann_kendall_direction(spark):
+    """mann_kendall_trend's operator: strictly rising daily counts →
+    S > 0 and z > 0; falling → both negative (sign IS the trend
+    direction)."""
+    import datetime as dt
+
+    from distill_spark.operators.stats import mann_kendall
+
+    def frame(counts):
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        for day, c in enumerate(counts):
+            for j in range(c):
+                rows.append((base + dt.timedelta(days=day, minutes=j),
+                             "click"))
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["ts", "event_type"]))
+
+    up = mann_kendall(frame([1, 2, 3, 4, 5, 6, 7, 8]),
+                      "event_type").collect()
+    r = [x for x in up if x["event_type"] == "click"][0]
+    assert r["s_stat"] == 28 and r["z"] > 0
+    down = mann_kendall(frame([8, 7, 6, 5, 4, 3, 2, 1]),
+                        "event_type").collect()
+    r2 = [x for x in down if x["event_type"] == "click"][0]
+    assert r2["s_stat"] == -28 and r2["z"] < 0
+
+
+# --------------------------------------------------- proportion_cis
+
+def test_proportion_cis_hand_and_ordering(spark):
+    """x=1 converter of n=4 users: Wald p̂ ± 1.96√(p̂q̂/n) by hand;
+    Wilson interval must sit INSIDE [0,1] even where Wald pokes
+    below 0 at small n·p."""
+    import datetime as dt
+
+    from distill_spark.operators.conversion import proportion_cis
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base, "u1", "purchase"), (base, "u2", "view"),
+            (base, "u3", "view"), (base, "u4", "view")]
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["ts", "user_id", "event_type"]))
+    out = _one(proportion_cis(df))
+    assert out["x"] == 1 and out["n"] == 4
+    p = 0.25
+    w = 1.96 * math.sqrt(p * 0.75 / 4)
+    assert out["wald_low"] == round(p - w, 6)
+    assert out["wald_high"] == round(p + w, 6)
+    assert out["wald_low"] < 0 <= out["wilson_low"]
+    assert out["wilson_low"] < p < out["wilson_high"] <= 1.0
+
+
+# ------------------------------------------------------- tost_value
+
+def test_tost_equivalence_grant_and_refuse(spark):
+    """Identical groups within a wide margin → equivalent; a mean
+    gap larger than the margin → NOT equivalent (p_tost ≈ 1)."""
+    from distill_spark.operators.stats import tost_equivalence
+
+    same = pd.DataFrame({
+        "g": ["a"] * 6 + ["b"] * 6,
+        "value": [10.0, 11.0, 9.0, 10.5, 9.5, 10.0] * 2})
+    out = _one(tost_equivalence(spark.createDataFrame(same),
+                                "g", "a", "b", "value", margin=5.0))
+    assert bool(out["equivalent"]) is True and out["mean_diff"] == 0.0
+    far = pd.DataFrame({
+        "g": ["a"] * 6 + ["b"] * 6,
+        "value": [10.0, 11.0, 9.0, 10.5, 9.5, 10.0]
+        + [30.0, 31.0, 29.0, 30.5, 29.5, 30.0]})
+    out2 = _one(tost_equivalence(spark.createDataFrame(far),
+                                 "g", "a", "b", "value", margin=5.0))
+    assert bool(out2["equivalent"]) is False
+    assert out2["p_tost"] > 0.9
+
+
+# -------------------------------------------------------- power_mde
+
+def test_power_mde_formula_mirror(spark):
+    """MDE must equal (z_α/2 + z_β)·√(p(1−p)(1/n₀+1/n₁)) from the
+    OBSERVED arm sizes and pooled rate — mirrored in numpy from the
+    operator's own outputs, and shrink when n grows."""
+    import datetime as dt
+
+    from distill_spark.operators.conversion import power_mde
+
+    base = dt.datetime(2024, 1, 1)
+
+    def frame(n_users):
+        rows = []
+        for u in range(1, n_users + 1):
+            rows.append((base, u, "purchase" if u % 5 == 0 else "view"))
+        return spark.createDataFrame(pd.DataFrame(
+            rows, columns=["ts", "user_id", "event_type"]))
+
+    small = _one(power_mde(frame(40)))
+    big = _one(power_mde(frame(400)))
+    for out in (small, big):
+        n0, n1, p = out["n_0"], out["n_1"], out["p_pool"]
+        mde = (1.959964 + 0.841621) * math.sqrt(
+            p * (1 - p) * (1.0 / n0 + 1.0 / n1))
+        assert abs(out["mde_abs"] - mde) < 1e-6
+    assert big["mde_abs"] < small["mde_abs"]
+
+
+# ---------------------------------------------------- variance_ratio
+
+def test_variance_ratio_orientation(spark):
+    """F = var(a)/var(b) — group a in the NUMERATOR: a spread 10×
+    wider than b must give F ≈ 100, and swapping groups inverts."""
+    from distill_spark.operators.stats import variance_ratio
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "g": ["a"] * 4 + ["b"] * 4,
+        "value": [0.0, 10.0, 20.0, 30.0, 0.0, 1.0, 2.0, 3.0]}))
+    out = _one(variance_ratio(df, "g", "a", "b"))
+    assert out["f_ratio"] == 100.0
+    out2 = _one(variance_ratio(df, "g", "b", "a"))
+    assert out2["f_ratio"] == 0.01
+
+
+# ------------------------------------------------------- von_neumann
+
+def test_von_neumann_alternation_vs_momentum(spark):
+    """Perfect alternation drives v toward 4; a smooth ramp drives it
+    toward 0 — the inequality ORIENTATION (v < 2 momentum, > 2
+    alternation) is the payload."""
+    import datetime as dt
+
+    from distill_spark.operators.timeseries import von_neumann_bartels
+
+    def daily(vals):
+        base = dt.datetime(2024, 1, 1)
+        return spark.createDataFrame(pd.DataFrame(
+            [(base + dt.timedelta(days=i), float(v))
+             for i, v in enumerate(vals)], columns=["ts", "value"]))
+
+    alt = _one(von_neumann_bartels(daily([0, 10] * 20)))
+    ramp = _one(von_neumann_bartels(daily(range(40))))
+    assert alt["vn_ratio"] > 3.5
+    assert ramp["vn_ratio"] < 0.2
+    assert alt["rvn_ratio"] > 2.0 > ramp["rvn_ratio"]
+
+
+# ------------------------------------------------------ user_entropy
+
+def test_group_entropy_hand(spark):
+    from distill_spark.operators.stats import group_entropy
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "u": ["a", "a", "a", "a", "b", "b"],
+        "t": ["x", "y", "x", "y", "x", "x"]}))
+    rows = {r["u"]: r for r in group_entropy(df, "u", "t").collect()}
+    ecol = [c for c in rows["a"].asDict() if "entropy" in c][0]
+    assert rows["a"][ecol] == 1.0  # two balanced types, base 2
+    assert rows["b"][ecol] == 0.0  # one-note stream
+
+
+# ---------------------------------------------------------- zipf_fit
+
+def test_zipf_fit_exact_power_law(spark):
+    """A corpus built with counts c_r = 2^(10−r) against ranks 2^r
+    spacing... simpler: counts proportional to 1/r must regress to
+    slope −1 with R² ≈ 1; flat counts → slope 0."""
+    from distill_spark.operators.stats import zipf_fit
+
+    text_zipf = " ".join(
+        " ".join(f"w{r}" for _ in range(1260 // r)) for r in range(1, 8))
+    out = _one(zipf_fit(spark.createDataFrame(
+        pd.DataFrame({"text": [text_zipf]})), top=7))
+    assert abs(out["slope"] + 1.0) < 0.02
+    assert out["r2"] > 0.999
+    text_flat = " ".join(f"w{r} w{r} w{r}" for r in range(1, 8))
+    out2 = _one(zipf_fit(spark.createDataFrame(
+        pd.DataFrame({"text": [text_flat]})), top=7))
+    assert out2["slope"] == 0.0
+
+
+# ------------------------------------------------- trimmed_value_mean
+
+def test_trimmed_mean_drops_both_tails(spark):
+    """n=10, trim=0.1 → exactly one row cut per side: a 1e6 outlier
+    on each end cannot move the mean of the interior 8."""
+    from distill_spark.operators.stats import trimmed_mean
+
+    vals = [-1e6, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 1e6]
+    df = spark.createDataFrame(pd.DataFrame({
+        "g": ["a"] * 10, "value": vals, "id": range(10)}))
+    out = _one(trimmed_mean(df, "g", "value", "id", trim=0.1))
+    assert out["n_kept"] == 8
+    assert out["trimmed_mean"] == 5.5

@@ -1,0 +1,316 @@
+"""Planted-data validation for the round-14 seed strata — landed WITH
+the seeds (the test_round13_seeds discipline): hand computations,
+wrap-around/orientation pins, and stdlib mirrors (statistics.
+NormalDist, math.erf) that twin-formula parity cannot check.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import statistics
+
+import numpy as np
+import pandas as pd
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1, rows
+    return rows[0].asDict()
+
+
+def _at_times(spark, times):
+    rows = [(t,) for t in times]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["ts"]))
+
+
+def _clock(h, m=0, s=0, day=0):
+    return dt.datetime(2024, 1, 1 + day, h, m, s)
+
+
+# ----------------------------------------------------- circular stats
+
+def test_circular_mean_wraps_midnight(spark):
+    """23:00 and 01:00 average to MIDNIGHT (0h), not 12h — the whole
+    point of the circular mean; R̄ = cos(π/12) exactly."""
+    from distill_spark.operators.circular import circular_stats
+
+    df = _at_times(spark, [_clock(23), _clock(1, day=1)])
+    out = _one(circular_stats(df))
+    assert out["mean_hour"] == 0.0
+    assert out["r_bar"] == round(math.cos(math.pi / 12.0), 6)
+
+
+def test_circular_concentrated_and_antipodal(spark):
+    from distill_spark.operators.circular import circular_stats
+
+    conc = _one(circular_stats(_at_times(
+        spark, [_clock(6, day=d) for d in range(5)])))
+    assert conc["mean_hour"] == 6.0
+    assert conc["r_bar"] == 1.0 and conc["circ_var"] == 0.0
+    anti = _one(circular_stats(_at_times(
+        spark, [_clock(0), _clock(12)])))
+    assert anti["r_bar"] == 0.0 and anti["circ_var"] == 1.0
+
+
+def test_rayleigh_extremes(spark):
+    from distill_spark.operators.circular import rayleigh_uniformity
+
+    conc = _one(rayleigh_uniformity(_at_times(
+        spark, [_clock(9, day=d) for d in range(20)])))
+    assert conc["r_bar"] == 1.0 and conc["z_rayleigh"] == 20.0
+    assert conc["p_value"] < 1e-6
+    unif = _one(rayleigh_uniformity(_at_times(
+        spark, [_clock(h) for h in range(24)])))
+    assert unif["r_bar"] < 1e-6 and unif["p_value"] > 0.99
+
+
+def test_watson_u2_sees_bimodal_clock(spark):
+    """Two antipodal clusters: Rayleigh is blind (R̄ = 0) but Watson's
+    U² rejects loudly; a uniform hourly grid stays under the 5%
+    critical 0.187."""
+    from distill_spark.operators.circular import (rayleigh_uniformity,
+                                                  watson_u2)
+
+    bim_times = ([_clock(0, 0, 0, day=d) for d in range(10)]
+                 + [_clock(12, 0, 0, day=d) for d in range(10)])
+    bim = _one(watson_u2(_at_times(spark, bim_times)))
+    ray = _one(rayleigh_uniformity(_at_times(spark, bim_times)))
+    assert ray["r_bar"] == 0.0  # Rayleigh blind
+    assert bim["u2_modified"] > 0.187  # Watson rejects
+    unif = _one(watson_u2(_at_times(
+        spark, [_clock(h, m) for h in range(24) for m in (0, 30)])))
+    assert unif["u2_modified"] < 0.187
+
+
+def test_watson_u2_numpy_mirror(spark):
+    from distill_spark.operators.circular import watson_u2
+
+    rng = np.random.RandomState(23)
+    secs = rng.randint(0, 86400, 300)
+    times = [dt.datetime(2024, 1, 1) + dt.timedelta(seconds=int(s))
+             for s in secs]
+    out = _one(watson_u2(_at_times(spark, times)))
+    u = np.sort(secs / 86400.0)
+    n = len(u)
+    i = np.arange(1, n + 1)
+    u2 = (((u - (2 * i - 1) / (2 * n)) ** 2).sum()
+          - n * (u.mean() - 0.5) ** 2 + 1.0 / (12 * n))
+    assert abs(out["u2_stat"] - u2) < 1e-5
+
+
+# ------------------------------------------------- normality seeds
+
+def test_acklam_ppf_matches_normaldist(spark):
+    from pyspark.sql import functions as F
+
+    from distill_spark.operators.stats import _norm_ppf
+
+    ps = [0.001, 0.01, 0.02425, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99,
+          0.999]
+    df = spark.createDataFrame(pd.DataFrame({"p": ps}))
+    got = [r["v"] for r in
+           df.select(F.round(_norm_ppf(F.col("p")), 8).alias("v"))
+           .orderBy("v").collect()]
+    want = sorted(statistics.NormalDist().inv_cdf(p) for p in ps)
+    for g, w in zip(got, want):
+        assert abs(g - w) < 1e-7
+
+
+def _daily_events(spark, values):
+    base = dt.datetime(2024, 1, 1, 8)
+    rows = [(base + dt.timedelta(days=i), float(v))
+            for i, v in enumerate(values)]
+    return spark.createDataFrame(pd.DataFrame(rows,
+                                              columns=["ts", "value"]))
+
+
+def test_lilliefors_normal_vs_exponential(spark):
+    from distill_spark.operators.stats import lilliefors_normal
+
+    rng = np.random.RandomState(30)
+    frame = pd.DataFrame({"v": np.round(rng.normal(50, 5, 200), 3)})
+    ok = _one(lilliefors_normal(spark.createDataFrame(frame), "v"))
+    assert bool(ok["reject_5pct"]) is False
+    bad = pd.DataFrame({"v": np.round(rng.exponential(10, 200), 3)})
+    rej = _one(lilliefors_normal(spark.createDataFrame(bad), "v"))
+    assert bool(rej["reject_5pct"]) is True
+
+
+def test_lilliefors_d_numpy_mirror(spark):
+    from distill_spark.operators.stats import lilliefors_normal
+
+    rng = np.random.RandomState(37)
+    x = np.round(rng.gamma(4.0, 3.0, 150), 3)
+    out = _one(lilliefors_normal(spark.createDataFrame(
+        pd.DataFrame({"v": x})), "v"))
+    xs = np.sort(x)
+    mu, sd = x.mean(), x.std(ddof=1)
+    nd = statistics.NormalDist(mu, sd)
+    phi = np.array([nd.cdf(v) for v in xs])
+    n = len(xs)
+    fn_hi = np.arange(1, n + 1) / n
+    fn_lo = np.arange(0, n) / n
+    d = max(np.abs(fn_hi - phi).max(), np.abs(phi - fn_lo).max())
+    assert abs(out["d_stat"] - d) < 1e-5
+
+
+def test_shapiro_francia_normal_vs_heavy(spark):
+    from distill_spark.operators.stats import shapiro_francia
+
+    rng = np.random.RandomState(41)
+    ok = _one(shapiro_francia(spark.createDataFrame(
+        pd.DataFrame({"v": np.round(rng.normal(0, 1, 300), 4)})), "v"))
+    assert ok["w_prime"] > 0.99
+    heavy = _one(shapiro_francia(spark.createDataFrame(
+        pd.DataFrame({"v": np.round(rng.standard_cauchy(300), 4)})),
+        "v"))
+    assert heavy["w_prime"] < ok["w_prime"] - 0.05
+    assert ok["corr_qq"] > 0  # orientation: ascending x vs ascending m
+
+
+def test_fligner_killeen_scale_shift(spark):
+    """Equal-scale groups → small stat; one group 10× spread → the
+    statistic explodes; location shifts alone must NOT trigger (the
+    median-centering is the point)."""
+    from distill_spark.operators.stats import fligner_killeen
+
+    rng = np.random.RandomState(43)
+    a = rng.normal(0, 1, 80)
+    b = rng.normal(100, 1, 80)      # location shift only
+    c = rng.normal(0, 10, 80)       # scale shift
+    same = pd.DataFrame({"g": ["a"] * 80 + ["b"] * 80,
+                         "v": np.round(np.r_[a, b], 4)})
+    out = _one(fligner_killeen(spark.createDataFrame(same), "g", "v"))
+    assert out["fk_stat"] < 6.0  # ~χ²₁, no scale difference
+    diff = pd.DataFrame({"g": ["a"] * 80 + ["c"] * 80,
+                         "v": np.round(np.r_[a, c], 4)})
+    out2 = _one(fligner_killeen(spark.createDataFrame(diff), "g", "v"))
+    assert out2["fk_stat"] > 30.0
+
+
+def test_brown_mood_hand(spark):
+    """a=[1..4], b=[5..8]: grand median 4.5, a has 0/4 above, b 4/4
+    → χ² = 8 with df 1."""
+    from distill_spark.operators.stats import brown_mood_k
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "g": ["a"] * 4 + ["b"] * 4,
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]}))
+    out = _one(brown_mood_k(df, "g", "v"))
+    assert out["chi2"] == 8.0 and out["df"] == 1
+
+
+# ------------------------------------------------------ siegel slope
+
+def test_siegel_slope_exact_and_robust(spark):
+    """Counts rising exactly 1/day → slope 1; one 50× outlier day
+    leaves the repeated median at 1."""
+    from distill_spark.operators.timeseries import siegel_slope
+
+    def frame(counts):
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        for day, c in enumerate(counts):
+            for j in range(int(c)):
+                rows.append((base + dt.timedelta(days=day, minutes=j),
+                             "click"))
+        return spark.createDataFrame(pd.DataFrame(
+            rows, columns=["ts", "event_type"]))
+
+    clean = siegel_slope(frame(range(1, 12))).collect()[0]
+    assert clean["siegel_slope"] == 1.0
+    counts = list(range(1, 12))
+    counts[5] = 500
+    dirty = siegel_slope(frame(counts)).collect()[0]
+    assert dirty["siegel_slope"] == 1.0
+
+
+# --------------------------------------------------- priority sample
+
+def test_priority_sample_numpy_mirror(spark):
+    from distill_spark.operators.sampling import (_KNUTH, _M,
+                                                  priority_sample)
+
+    ids = np.arange(1, 41)
+    w = np.round(np.linspace(1.0, 400.0, 40), 2)
+    df = spark.createDataFrame(pd.DataFrame({"id": ids, "w": w}))
+    out = _one(priority_sample(df, "id", "w", k=10))
+    h = ((ids % _M + 41) * _KNUTH) % _M
+    u = (h + 1.0) / _M
+    q = np.round(w / u, 9)
+    order = np.lexsort((ids, -q))
+    tau = q[order[10]]
+    est = np.maximum(w[order[:10]], tau).sum()
+    assert out["k_kept"] == 10
+    assert abs(out["tau"] - tau) < 1e-6
+    assert abs(out["est_total"] - est) < 1e-4
+    assert out["exact_total"] == round(float(w.sum()), 6)
+
+
+def test_priority_sample_estimator_sanity(spark):
+    """With one dominant weight the item is always kept, and the
+    estimate stays within 2× of the truth on this planted draw."""
+    from distill_spark.operators.sampling import priority_sample
+
+    ids = np.arange(1, 201)
+    w = np.ones(200)
+    w[0] = 1000.0
+    df = spark.createDataFrame(pd.DataFrame({"id": ids, "w": w}))
+    out = _one(priority_sample(df, "id", "w", k=32))
+    assert 0.5 < out["est_total"] / out["exact_total"] < 2.0
+
+
+# ------------------------------------------------------------ scott pi
+
+def test_scott_pi_hand(spark):
+    from distill_spark.operators.mleval import scott_pi
+
+    perfect = pd.DataFrame({"r1": list("xxyy"), "r2": list("xxyy")})
+    assert _one(scott_pi(spark.createDataFrame(perfect),
+                         "r1", "r2"))["scott_pi"] == 1.0
+    hand = pd.DataFrame({"r1": list("xxyy"), "r2": list("xxyx")})
+    out = _one(scott_pi(spark.createDataFrame(hand), "r1", "r2"))
+    # Ao = 3/4; p_x = 5/8, p_y = 3/8 → Ae = 34/64; π = 7/15
+    assert out["a_obs"] == 0.75
+    assert out["a_exp"] == round(34.0 / 64.0, 6)
+    assert out["scott_pi"] == round(7.0 / 15.0, 6)
+
+
+# ---------------------------------------------------------------- ERR
+
+def test_err_ranking_hand(spark):
+    from distill_spark.operators.mleval import err_ranking
+
+    def frame(ys):
+        return spark.createDataFrame(pd.DataFrame({
+            "u": ["a"] * len(ys),
+            "y": ys,
+            "score": list(range(len(ys), 0, -1)),
+            "id": range(len(ys))}))
+
+    # hit at rank 1 → 0.5; at rank 2 → 0.25; ranks 1+2 → 0.625
+    assert _one(err_ranking(frame([1, 0, 0]), "u", "y", "score",
+                            "id"))["mean_err"] == 0.5
+    assert _one(err_ranking(frame([0, 1, 0]), "u", "y", "score",
+                            "id"))["mean_err"] == 0.25
+    assert _one(err_ranking(frame([1, 1, 0]), "u", "y", "score",
+                            "id"))["mean_err"] == 0.625
+
+
+# -------------------------------------------------------------- MSTTR
+
+def test_msttr_hand(spark):
+    """Doc = 50 distinct tokens then 50 repeats of one token:
+    TTRs [1.0, 0.02] → MSTTR 0.51; trailing partial segments drop."""
+    from distill_spark.operators.corpus_stats import msttr
+
+    text = (" ".join(f"t{i}" for i in range(50))
+            + " " + " ".join(["rep"] * 50) + " tail tail tail")
+    df = spark.createDataFrame(pd.DataFrame(
+        [(1, text, "en", "s", len(text))],
+        columns=["doc_id", "text", "lang", "source", "n_chars"]))
+    out = _one(msttr(df))
+    assert out["n_segments"] == 2
+    assert out["msttr"] == 0.51
