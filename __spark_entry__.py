@@ -13904,6 +13904,57 @@ def _sql_msttr():
     return msttr_sql()
 
 
+def q_bws_test(spark, sf_dir):
+    """Baumgartner–Weiß–Schindler weighted-CvM two-sample test on
+    click vs view daily totals (stats.bws_test) — tail-weighted where
+    cvm_two_sample weights uniformly."""
+    from distill_spark.operators.stats import bws_test
+
+    return bws_test(_typed_daily_tot_frame(_tables(spark, sf_dir)),
+                    "event_type", "click", "view", "tot")
+
+
+def _sql_bws():
+    from distill_spark.operators.stats import bws_test_sql
+
+    return bws_test_sql(_TYPED_DAILY_TOT_SQL, "event_type", "'click'",
+                        "'view'", "tot")
+
+
+def q_mood_scale(spark, sf_dir):
+    """Mood's squared-rank scale test on the same two-sample frame
+    (stats.mood_scale) — the moment-based cousin of ansari_bradley's
+    triangular scores, with exact null moments."""
+    from distill_spark.operators.stats import mood_scale
+
+    return mood_scale(_typed_daily_tot_frame(_tables(spark, sf_dir)),
+                      "event_type", "click", "view", "tot")
+
+
+def _sql_mood_scale():
+    from distill_spark.operators.stats import mood_scale_sql
+
+    return mood_scale_sql(_TYPED_DAILY_TOT_SQL, "event_type",
+                          "'click'", "'view'", "tot")
+
+
+def q_cucconi_test(spark, sf_dir):
+    """Cucconi joint location-scale test on the same frame
+    (stats.cucconi_test) — one statistic for what mannwhitney +
+    ansari answer separately."""
+    from distill_spark.operators.stats import cucconi_test
+
+    return cucconi_test(_typed_daily_tot_frame(_tables(spark, sf_dir)),
+                        "event_type", "click", "view", "tot")
+
+
+def _sql_cucconi():
+    from distill_spark.operators.stats import cucconi_test_sql
+
+    return cucconi_test_sql(_TYPED_DAILY_TOT_SQL, "event_type",
+                            "'click'", "'view'", "tot")
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ======================== ROUND-13 WINDOW ============================
     # -- round-13 head: the 27 seeds queued all of round 12 (each
@@ -13984,6 +14035,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "scott_pi": (q_scott_pi, _sql_scott_pi()),
     "err_ranking": (q_err_ranking, _sql_err_ranking()),
     "msttr": (q_msttr, _sql_msttr()),
+    # -- round-14 seeds, second batch: modern two-sample rank tests ----------
+    "bws_test": (q_bws_test, _sql_bws()),
+    "mood_scale": (q_mood_scale, _sql_mood_scale()),
+    "cucconi_test": (q_cucconi_test, _sql_cucconi()),
     # -- round-12 window (all 50 driver-green in CORRECTNESS_r12) ------------
     "wasserstein_1d": (q_wasserstein_1d, _sql_wasserstein()),
     "energy_distance": (q_energy_distance, _sql_energy()),
@@ -14548,6 +14603,9 @@ _PENDING_PROMOTION: frozenset[str] = frozenset({
     "lilliefors_normal", "shapiro_francia", "fligner_killeen",
     "brown_mood_k", "siegel_slope", "priority_sample", "scott_pi",
     "err_ranking", "msttr",
+    # second batch: modern two-sample rank tests (tail-weighted CvM,
+    # squared-rank scale, joint location-scale)
+    "bws_test", "mood_scale", "cucconi_test",
 })
 
 

@@ -11429,3 +11429,290 @@ SELECT CAST(n AS BIGINT) AS n,
        CAST(count(*) - 1 AS BIGINT) AS df
 FROM terms GROUP BY n
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-14 seed stratum, second batch: modern two-sample rank tests —
+# BWS (weighted CvM), Mood's scale, and Cucconi's joint
+# location-scale — on the shared pooled-rank frame (average ranks via
+# the tie-block prefix trick; the pooled frame is bounded daily
+# aggregates, never raw events).
+
+
+def _pooled_ranks(df: DataFrame, group_col: str, group_a, group_b,
+                  value_col: str):
+    """(grp, x, rbar, na, nb, nn) with average ranks over the pooled
+    two-sample frame."""
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = (df.filter(g.isin([group_a, group_b]) & v.isNotNull())
+            .select(F.when(g == group_a, F.lit("a")).otherwise("b")
+                    .alias("grp"), v.alias("x")))
+    per = base.groupBy("x").agg(F.count("*").alias("ct"))
+    wcum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per.select(
+        "x",
+        (F.coalesce(F.sum("ct").over(wcum), F.lit(0))
+         + (F.col("ct") + 1) / 2.0).alias("rbar"))
+    counts = base.groupBy().agg(
+        F.sum((F.col("grp") == "a").cast("long")).alias("na"),
+        F.sum((F.col("grp") == "b").cast("long")).alias("nb"))
+    return (base.join(F.broadcast(ranked), "x")
+            .crossJoin(F.broadcast(counts))
+            .withColumn("nn", F.col("na") + F.col("nb")))
+
+
+_POOLED_RANKS_SQL = """
+base AS (
+  SELECT CASE WHEN {g} = {ga} THEN 'a' ELSE 'b' END AS grp,
+         CAST({v} AS DOUBLE) AS x
+  FROM {table}
+  WHERE {g} IN ({ga}, {gb}) AND CAST({v} AS DOUBLE) IS NOT NULL
+),
+per AS (SELECT x, count(*) AS ct FROM base GROUP BY x),
+rk AS (
+  SELECT x,
+         coalesce(sum(ct) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + (ct + 1) / 2.0 AS rbar
+  FROM per
+),
+counts AS (
+  SELECT sum(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS nb
+  FROM base
+),
+pooled AS (
+  SELECT b.grp, b.x, rk.rbar, c.na, c.nb, c.na + c.nb AS nn
+  FROM base b JOIN rk ON b.x = rk.x CROSS JOIN counts c
+)"""
+
+
+def bws_test(df: DataFrame, group_col: str, group_a, group_b,
+             value_col: str = "value") -> DataFrame:
+    """Baumgartner–Weiß–Schindler test (1998): the variance-WEIGHTED
+    two-sample Cramér–von Mises,
+
+      B_a = (1/n_a)·Σ_i (R_{a(i)} − i·N/n_a)²
+            / (i/(n_a+1)·(1 − i/(n_a+1)) · n_b·N/n_a),   B = (B_a+B_b)/2
+
+    — weighting up the TAILS where cvm_two_sample's uniform weight is
+    least sensitive (the power simulations in the original paper beat
+    KS/CvM/Wilcoxon across shift+scale alternatives). Within-group
+    order statistics i come from a group-partitioned rank over the
+    pooled average ranks. Output: one row (n_a, n_b, b_a, b_b,
+    bws_stat), rounds 6."""
+    pooled = _pooled_ranks(df, group_col, group_a, group_b, value_col)
+    wg = Window.partitionBy("grp").orderBy("rbar", "x")
+    staged = pooled.withColumn("i", F.row_number().over(wg))
+    i = F.col("i").cast("double")
+    nn = F.col("nn").cast("double")
+    size = F.when(F.col("grp") == "a", F.col("na")).otherwise(
+        F.col("nb")).cast("double")
+    other = F.when(F.col("grp") == "a", F.col("nb")).otherwise(
+        F.col("na")).cast("double")
+    num = (F.col("rbar") - i * nn / size)
+    den = (i / (size + 1.0)) * (1.0 - i / (size + 1.0)) \
+        * other * nn / size
+    terms = staged.select(
+        "grp", "na", "nb",
+        F.round(num * num / den / size, 9).alias("t"))
+    per = terms.groupBy("grp", "na", "nb").agg(
+        F.sum(F.col("t").cast(_DEC)).cast("double").alias("b"))
+    agg = per.groupBy("na", "nb").agg(
+        F.max(F.when(F.col("grp") == "a", F.col("b"))).alias("ba"),
+        F.max(F.when(F.col("grp") == "b", F.col("b"))).alias("bb"))
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round("ba", 6).alias("b_a"),
+        F.round("bb", 6).alias("b_b"),
+        F.round((F.col("ba") + F.col("bb")) / 2.0, 6)
+        .alias("bws_stat"))
+
+
+def bws_test_sql(table: str, group_sql: str, ga: str, gb: str,
+                 value_sql: str = "value") -> str:
+    pooled = _POOLED_RANKS_SQL.format(table=table, g=group_sql,
+                                      ga=ga, gb=gb, v=value_sql)
+    return f"""
+WITH {pooled},
+staged AS (
+  SELECT grp, rbar, na, nb, CAST(nn AS DOUBLE) AS nn,
+         CASE WHEN grp = 'a' THEN CAST(na AS DOUBLE)
+              ELSE CAST(nb AS DOUBLE) END AS size_,
+         CASE WHEN grp = 'a' THEN CAST(nb AS DOUBLE)
+              ELSE CAST(na AS DOUBLE) END AS other_,
+         row_number() OVER (PARTITION BY grp ORDER BY rbar, x) AS i
+  FROM pooled
+),
+terms AS (
+  SELECT grp, na, nb,
+         round((rbar - i * nn / size_) * (rbar - i * nn / size_)
+               / ((i / (size_ + 1.0)) * (1.0 - i / (size_ + 1.0))
+                  * other_ * nn / size_) / size_, 9) AS t
+  FROM staged
+),
+perg AS (
+  SELECT grp, na, nb,
+         CAST(sum(CAST(t AS DECIMAL(38,12))) AS DOUBLE) AS b
+  FROM terms GROUP BY grp, na, nb
+),
+agg AS (
+  SELECT na, nb,
+         max(CASE WHEN grp = 'a' THEN b END) AS ba,
+         max(CASE WHEN grp = 'b' THEN b END) AS bb
+  FROM perg GROUP BY na, nb
+)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       round(ba, 6) AS b_a,
+       round(bb, 6) AS b_b,
+       round((ba + bb) / 2.0, 6) AS bws_stat
+FROM agg
+"""
+
+
+def mood_scale(df: DataFrame, group_col: str, group_a, group_b,
+               value_col: str = "value") -> DataFrame:
+    """Mood's two-sample scale test (1954): M = Σ_{i∈a}(R_i −
+    (N+1)/2)² with exact moments E[M] = n_a(N²−1)/12,
+    Var[M] = n_a·n_b(N+1)(N²−4)/180, z = (M − E)/√Var — squared
+    rank deviations from the CENTER, so a scale difference moves M
+    where mannwhitney (linear ranks) stays put; the moment-based
+    cousin of ansari_bradley's triangular scores. Average ranks for
+    ties. Output: one row (n_a, n_b, m_stat, e_m, z_mood), rounds
+    6."""
+    pooled = _pooled_ranks(df, group_col, group_a, group_b, value_col)
+    nn = F.col("nn").cast("double")
+    dev = F.col("rbar") - (nn + 1.0) / 2.0
+    agg = (pooled.filter(F.col("grp") == "a")
+           .groupBy("na", "nb", "nn")
+           .agg(F.sum(F.round(dev * dev, 9).cast(_DEC)).cast("double")
+                .alias("m")))
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    nnd = F.col("nn").cast("double")
+    e_m = na * (nnd * nnd - 1.0) / 12.0
+    var_m = na * nb * (nnd + 1.0) * (nnd * nnd - 4.0) / 180.0
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round("m", 6).alias("m_stat"),
+        F.round(e_m, 6).alias("e_m"),
+        F.round(F.when(var_m > 0,
+                       (F.col("m") - e_m) / F.sqrt(var_m)), 6)
+        .alias("z_mood"))
+
+
+def mood_scale_sql(table: str, group_sql: str, ga: str, gb: str,
+                   value_sql: str = "value") -> str:
+    pooled = _POOLED_RANKS_SQL.format(table=table, g=group_sql,
+                                      ga=ga, gb=gb, v=value_sql)
+    return f"""
+WITH {pooled},
+agg AS (
+  SELECT na, nb, nn,
+         CAST(sum(CAST(round(
+           (rbar - (CAST(nn AS DOUBLE) + 1.0) / 2.0)
+           * (rbar - (CAST(nn AS DOUBLE) + 1.0) / 2.0), 9)
+           AS DECIMAL(38,12))) AS DOUBLE) AS m
+  FROM pooled WHERE grp = 'a' GROUP BY na, nb, nn
+)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       round(m, 6) AS m_stat,
+       round(na * (CAST(nn AS DOUBLE) * nn - 1.0) / 12.0, 6) AS e_m,
+       round(CASE WHEN na * CAST(nb AS DOUBLE) * (nn + 1.0)
+                       * (CAST(nn AS DOUBLE) * nn - 4.0) / 180.0 > 0
+         THEN (m - na * (CAST(nn AS DOUBLE) * nn - 1.0) / 12.0)
+              / sqrt(na * CAST(nb AS DOUBLE) * (nn + 1.0)
+                     * (CAST(nn AS DOUBLE) * nn - 4.0) / 180.0)
+       END, 6) AS z_mood
+FROM agg
+"""
+
+
+def cucconi_test(df: DataFrame, group_col: str, group_a, group_b,
+                 value_col: str = "value") -> DataFrame:
+    """Cucconi's joint location-scale test (1968; Marozzi 2009
+    revival): with standardized squared-rank sums
+
+        U = (6ΣR_i² − n_a(N+1)(2N+1)) / √(n_a n_b (N+1)(2N+1)(8N+11)/5)
+        V = the same with CONTRA-ranks (N+1−R_i)
+        ρ = 2(N²−4)/((2N+1)(8N+11)) − 1
+        C = (U² + V² − 2ρUV) / (2(1−ρ²))
+
+    — ONE statistic for "same location AND scale", predating and
+    often beating the Lepage combination; the two-sample analog of
+    what ansari+mannwhitney answer separately. Average ranks for
+    ties. Output: one row (n_a, n_b, u_stat, v_stat, rho, cucconi_c),
+    rounds 6."""
+    pooled = _pooled_ranks(df, group_col, group_a, group_b, value_col)
+    nn = F.col("nn").cast("double")
+    contra = nn + 1.0 - F.col("rbar")
+    agg = (pooled.filter(F.col("grp") == "a")
+           .groupBy("na", "nb", "nn")
+           .agg(F.sum(F.round(F.col("rbar") * F.col("rbar"), 9)
+                      .cast(_DEC)).cast("double").alias("sr2"),
+                F.sum(F.round(contra * contra, 9).cast(_DEC))
+                .cast("double").alias("sc2")))
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    nnd = F.col("nn").cast("double")
+    denom = F.sqrt(na * nb * (nnd + 1.0) * (2.0 * nnd + 1.0)
+                   * (8.0 * nnd + 11.0) / 5.0)
+    u = (6.0 * F.col("sr2")
+         - na * (nnd + 1.0) * (2.0 * nnd + 1.0)) / denom
+    vv = (6.0 * F.col("sc2")
+          - na * (nnd + 1.0) * (2.0 * nnd + 1.0)) / denom
+    rho = (2.0 * (nnd * nnd - 4.0)
+           / ((2.0 * nnd + 1.0) * (8.0 * nnd + 11.0)) - 1.0)
+    c = (u * u + vv * vv - 2.0 * rho * u * vv) / (2.0 * (1.0 - rho * rho))
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(u, 6).alias("u_stat"),
+        F.round(vv, 6).alias("v_stat"),
+        F.round(rho, 6).alias("rho"),
+        F.round(c, 6).alias("cucconi_c"))
+
+
+def cucconi_test_sql(table: str, group_sql: str, ga: str, gb: str,
+                     value_sql: str = "value") -> str:
+    pooled = _POOLED_RANKS_SQL.format(table=table, g=group_sql,
+                                      ga=ga, gb=gb, v=value_sql)
+    return f"""
+WITH {pooled},
+agg AS (
+  SELECT na, nb, nn,
+         CAST(sum(CAST(round(rbar * rbar, 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS sr2,
+         CAST(sum(CAST(round((CAST(nn AS DOUBLE) + 1.0 - rbar)
+                             * (CAST(nn AS DOUBLE) + 1.0 - rbar), 9)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sc2
+  FROM pooled WHERE grp = 'a' GROUP BY na, nb, nn
+),
+uv AS (
+  SELECT na, nb, nn,
+         (6.0 * sr2 - na * (CAST(nn AS DOUBLE) + 1.0)
+            * (2.0 * nn + 1.0))
+         / sqrt(na * CAST(nb AS DOUBLE) * (nn + 1.0)
+                * (2.0 * nn + 1.0) * (8.0 * nn + 11.0) / 5.0) AS u,
+         (6.0 * sc2 - na * (CAST(nn AS DOUBLE) + 1.0)
+            * (2.0 * nn + 1.0))
+         / sqrt(na * CAST(nb AS DOUBLE) * (nn + 1.0)
+                * (2.0 * nn + 1.0) * (8.0 * nn + 11.0) / 5.0) AS v,
+         2.0 * (CAST(nn AS DOUBLE) * nn - 4.0)
+           / ((2.0 * nn + 1.0) * (8.0 * nn + 11.0)) - 1.0 AS rho
+  FROM agg
+)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       round(u, 6) AS u_stat,
+       round(v, 6) AS v_stat,
+       round(rho, 6) AS rho,
+       round((u * u + v * v - 2.0 * rho * u * v)
+             / (2.0 * (1.0 - rho * rho)), 6) AS cucconi_c
+FROM uv
+"""

@@ -314,3 +314,80 @@ def test_msttr_hand(spark):
     out = _one(msttr(df))
     assert out["n_segments"] == 2
     assert out["msttr"] == 0.51
+
+
+# --------------------------------------------- two-sample rank tests
+
+def _two(spark, a_vals, b_vals):
+    return spark.createDataFrame(pd.DataFrame({
+        "g": ["a"] * len(a_vals) + ["b"] * len(b_vals),
+        "v": list(map(float, a_vals)) + list(map(float, b_vals))}))
+
+
+def test_mood_scale_hand(spark):
+    """a = {1, 10} (extremes), b = {5, 6}: ranks of a are 1 and 4 →
+    M = 4.5, E = 2.5, Var = 4/3, z = √3."""
+    from distill_spark.operators.stats import mood_scale
+
+    out = _one(mood_scale(_two(spark, [1, 10], [5, 6]),
+                          "g", "a", "b", "v"))
+    assert out["m_stat"] == 4.5 and out["e_m"] == 2.5
+    assert out["z_mood"] == round(math.sqrt(3.0), 6)
+    # a central → z negative (scale DIRECTION)
+    out2 = _one(mood_scale(_two(spark, [5, 6], [1, 10]),
+                           "g", "a", "b", "v"))
+    assert out2["z_mood"] == round(-math.sqrt(3.0), 6)
+
+
+def test_cucconi_numpy_mirror_and_direction(spark):
+    from distill_spark.operators.stats import cucconi_test
+
+    rng = np.random.RandomState(47)
+    a = np.round(rng.normal(0, 3, 40), 6)   # wider scale
+    b = np.round(rng.normal(0, 1, 50), 6)   # 6 dp: no cross-group ties
+    out = _one(cucconi_test(_two(spark, a, b), "g", "a", "b", "v"))
+    pooled = np.r_[a, b]
+    order = pooled.argsort(kind="mergesort")
+    ranks = np.empty(len(pooled))
+    ranks[order] = np.arange(1, len(pooled) + 1)  # no ties in draw
+    ra = ranks[:len(a)]
+    na, nb = len(a), len(b)
+    nn = na + nb
+    den = math.sqrt(na * nb * (nn + 1) * (2 * nn + 1)
+                    * (8 * nn + 11) / 5.0)
+    u = (6 * (ra ** 2).sum() - na * (nn + 1) * (2 * nn + 1)) / den
+    v = (6 * ((nn + 1 - ra) ** 2).sum()
+         - na * (nn + 1) * (2 * nn + 1)) / den
+    rho = 2 * (nn ** 2 - 4) / ((2 * nn + 1) * (8 * nn + 11)) - 1
+    c = (u ** 2 + v ** 2 - 2 * rho * u * v) / (2 * (1 - rho ** 2))
+    assert abs(out["u_stat"] - u) < 1e-5
+    assert abs(out["cucconi_c"] - c) < 1e-4
+    # same distribution → much smaller C
+    null = _one(cucconi_test(
+        _two(spark, np.round(rng.normal(0, 1, 40), 6),
+             np.round(rng.normal(0, 1, 50), 6)), "g", "a", "b", "v"))
+    assert null["cucconi_c"] < out["cucconi_c"] / 3.0
+
+
+def test_bws_mirror_and_shift_sensitivity(spark):
+    from distill_spark.operators.stats import bws_test
+
+    rng = np.random.RandomState(53)
+    a = np.round(rng.normal(0, 1, 30), 6)
+    b = np.round(rng.normal(0, 1, 30), 6)  # 6 dp: no ties
+    shifted = b + 2.0
+    null = _one(bws_test(_two(spark, a, b), "g", "a", "b", "v"))
+    alt = _one(bws_test(_two(spark, a, shifted), "g", "a", "b", "v"))
+    assert alt["bws_stat"] > 5.0 * null["bws_stat"]
+    # numpy mirror of B_a on the null draw
+    pooled = np.r_[a, b]
+    order = pooled.argsort(kind="mergesort")
+    ranks = np.empty(len(pooled))
+    ranks[order] = np.arange(1, len(pooled) + 1)
+    ra = np.sort(ranks[:len(a)])
+    n, m = len(a), len(b)
+    nn = n + m
+    i = np.arange(1, n + 1)
+    ba = ((ra - i * nn / n) ** 2
+          / ((i / (n + 1)) * (1 - i / (n + 1)) * m * nn / n)).mean()
+    assert abs(null["b_a"] - ba) < 1e-4
