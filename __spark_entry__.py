@@ -13432,7 +13432,7 @@ def q_jackknife_richness(spark, sf_dir):
     return jackknife_richness(_tables(spark, sf_dir)["documents"])
 
 
-def _sql_jackknife():
+def _sql_jackknife_richness():
     from distill_spark.operators.corpus_stats import (
         jackknife_richness_sql)
 
@@ -14002,7 +14002,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
                             _sql_exceed_clusters()),
     # -- round-13 third stratum: ecology/diversity battery --------------------
     "ace_richness": (q_ace_richness, _sql_ace()),
-    "jackknife_richness": (q_jackknife_richness, _sql_jackknife()),
+    "jackknife_richness": (q_jackknife_richness,
+                           _sql_jackknife_richness()),
     "pielou_evenness": (q_pielou_evenness, _sql_pielou()),
     "berger_parker": (q_berger_parker, _sql_berger()),
     "whittaker_beta": (q_whittaker_beta, _sql_whittaker()),
