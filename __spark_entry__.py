@@ -13955,6 +13955,80 @@ def _sql_cucconi():
                             "'click'", "'view'", "tot")
 
 
+def _paired_cv_frame(t):
+    """(day, a=click tot, b=view tot) on days where BOTH appear."""
+    ev = t["events"].filter(F.col("event_type").isin(["click", "view"]))
+    return (ev.groupBy(F.to_date("ts").alias("day"))
+            .agg(F.round(F.sum(F.when(F.col("event_type") == "click",
+                                      F.col("value"))
+                               .cast("decimal(38,12)"))
+                         .cast("double"), 9).alias("a"),
+                 F.round(F.sum(F.when(F.col("event_type") == "view",
+                                      F.col("value"))
+                               .cast("decimal(38,12)"))
+                         .cast("double"), 9).alias("b"))
+            .filter(F.col("a").isNotNull() & F.col("b").isNotNull()))
+
+
+_PAIRED_CV_SQL = (
+    "(SELECT * FROM (SELECT CAST(ts AS DATE) AS day, "
+    "round(CAST(sum(CASE WHEN event_type = 'click' THEN "
+    "CAST(value AS DECIMAL(38,12)) END) AS DOUBLE), 9) AS a, "
+    "round(CAST(sum(CASE WHEN event_type = 'view' THEN "
+    "CAST(value AS DECIMAL(38,12)) END) AS DOUBLE), 9) AS b "
+    "FROM events WHERE event_type IN ('click', 'view') "
+    "GROUP BY 1) WHERE a IS NOT NULL AND b IS NOT NULL)")
+
+
+def q_hoeffding_d(spark, sf_dir):
+    """Hoeffding's D independence test between daily click and view
+    totals (stats.hoeffding_d) — consistent against the non-monotone
+    dependence spearman/kendall read as zero; O(days²) pair join on
+    the bounded frame."""
+    from distill_spark.operators.stats import hoeffding_d
+
+    return hoeffding_d(_paired_cv_frame(_tables(spark, sf_dir)),
+                       "a", "b")
+
+
+def _sql_hoeffding():
+    from distill_spark.operators.stats import hoeffding_d_sql
+
+    return hoeffding_d_sql(_PAIRED_CV_SQL, "a", "b")
+
+
+def q_white_test(spark, sf_dir):
+    """White's heteroskedasticity LM (quantity → extendedprice on
+    lineitem; stats.white_test) — the x² auxiliary catches the
+    nonlinear variance shapes breusch_pagan's linear term misses."""
+    from distill_spark.operators.stats import white_test
+
+    return white_test(_tables(spark, sf_dir)["lineitem"],
+                      "l_quantity", "l_extendedprice")
+
+
+def _sql_white():
+    from distill_spark.operators.stats import white_test_sql
+
+    return white_test_sql("lineitem", "l_quantity", "l_extendedprice")
+
+
+def q_breusch_godfrey(spark, sf_dir):
+    """Breusch–Godfrey AR(1) LM on daily-trend residuals
+    (timeseries.breusch_godfrey) — valid where durbin_watson goes
+    inconclusive; the serial-correlation gate in front of
+    newey_west/cochrane_orcutt."""
+    from distill_spark.operators.timeseries import breusch_godfrey
+
+    return breusch_godfrey(_tables(spark, sf_dir)["events"])
+
+
+def _sql_breusch_godfrey():
+    from distill_spark.operators.timeseries import breusch_godfrey_sql
+
+    return breusch_godfrey_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ======================== ROUND-13 WINDOW ============================
     # -- round-13 head: the 27 seeds queued all of round 12 (each
@@ -14040,6 +14114,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "bws_test": (q_bws_test, _sql_bws()),
     "mood_scale": (q_mood_scale, _sql_mood_scale()),
     "cucconi_test": (q_cucconi_test, _sql_cucconi()),
+    # -- round-14 seeds, third batch: omnibus independence +
+    # regression-error diagnostics --------------------------------------------
+    "hoeffding_d": (q_hoeffding_d, _sql_hoeffding()),
+    "white_test": (q_white_test, _sql_white()),
+    "breusch_godfrey": (q_breusch_godfrey, _sql_breusch_godfrey()),
     # -- round-12 window (all 50 driver-green in CORRECTNESS_r12) ------------
     "wasserstein_1d": (q_wasserstein_1d, _sql_wasserstein()),
     "energy_distance": (q_energy_distance, _sql_energy()),
@@ -14607,6 +14686,8 @@ _PENDING_PROMOTION: frozenset[str] = frozenset({
     # second batch: modern two-sample rank tests (tail-weighted CvM,
     # squared-rank scale, joint location-scale)
     "bws_test", "mood_scale", "cucconi_test",
+    # third batch: omnibus independence + regression-error diagnostics
+    "hoeffding_d", "white_test", "breusch_godfrey",
 })
 
 

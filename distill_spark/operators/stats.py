@@ -11716,3 +11716,243 @@ SELECT CAST(na AS BIGINT) AS n_a,
              / (2.0 * (1.0 - rho * rho)), 6) AS cucconi_c
 FROM uv
 """
+
+
+def hoeffding_d(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Hoeffding's D test of independence (1948, the Hmisc tie
+    handling): with less-counts r_i = Σ_{j≠i}(I(a_j<a_i) + ½I(=)),
+    s_i analogous, and the bivariate q_i = Σ_{j≠i} of the PRODUCT of
+    those credits,
+
+        D1 = Σ q_i(q_i−1),  D2 = Σ r_i(r_i−1)s_i(s_i−1),
+        D3 = Σ (r_i−1)(s_i−1)q_i,
+        D  = 30·((n−2)(n−3)D1 + D2 − 2(n−2)D3)
+             / (n(n−1)(n−2)(n−3)(n−4))
+
+    — consistent against ALL dependence alternatives, including the
+    non-monotone shapes where spearman/kendall read 0. O(m²) pair
+    join over the BOUNDED frame only (never raw facts); half-credits
+    are exact doubles, count polynomials exact under 2⁵³. Output:
+    one row (n, d1, d2, d3, hoeffding_d), D rounds 6."""
+    a = F.col(a_col).cast("double")
+    b = F.col(b_col).cast("double")
+    base = (df.filter(a.isNotNull() & b.isNotNull())
+            .select(a.alias("a"), b.alias("b"))
+            .withColumn("i", F.row_number().over(
+                Window.orderBy("a", "b"))))
+    lhs = base.select(F.col("i").alias("i"), F.col("a").alias("ai"),
+                      F.col("b").alias("bi"))
+    rhs = base.select(F.col("i").alias("j"), F.col("a").alias("aj"),
+                      F.col("b").alias("bj"))
+    ca = (F.when(F.col("aj") < F.col("ai"), 1.0)
+          .when(F.col("aj") == F.col("ai"), 0.5).otherwise(0.0))
+    cb = (F.when(F.col("bj") < F.col("bi"), 1.0)
+          .when(F.col("bj") == F.col("bi"), 0.5).otherwise(0.0))
+    per = (lhs.join(rhs, F.col("i") != F.col("j"))
+           .groupBy("i")
+           .agg(F.sum(ca).alias("r"), F.sum(cb).alias("s"),
+                F.sum(ca * cb).alias("q")))
+    agg = per.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("q") * (F.col("q") - 1.0)).alias("d1"),
+        F.sum(F.col("r") * (F.col("r") - 1.0) * F.col("s")
+              * (F.col("s") - 1.0)).alias("d2"),
+        F.sum((F.col("r") - 1.0) * (F.col("s") - 1.0) * F.col("q"))
+        .alias("d3"))
+    n = F.col("n").cast("double")
+    d = (30.0 * ((n - 2.0) * (n - 3.0) * F.col("d1") + F.col("d2")
+                 - 2.0 * (n - 2.0) * F.col("d3"))
+         / (n * (n - 1.0) * (n - 2.0) * (n - 3.0) * (n - 4.0)))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("d1", 6).alias("d1"),
+        F.round("d2", 6).alias("d2"),
+        F.round("d3", 6).alias("d3"),
+        F.round(F.when(n > 4, d), 6).alias("hoeffding_d"))
+
+
+def hoeffding_d_sql(table: str, a_sql: str, b_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST({a_sql} AS DOUBLE) AS a, CAST({b_sql} AS DOUBLE) AS b,
+         row_number() OVER (ORDER BY CAST({a_sql} AS DOUBLE),
+                            CAST({b_sql} AS DOUBLE)) AS i
+  FROM {table}
+  WHERE CAST({a_sql} AS DOUBLE) IS NOT NULL
+    AND CAST({b_sql} AS DOUBLE) IS NOT NULL
+),
+per AS (
+  SELECT l.i,
+         sum(CASE WHEN r.a < l.a THEN 1.0
+                  WHEN r.a = l.a THEN 0.5 ELSE 0.0 END) AS rr,
+         sum(CASE WHEN r.b < l.b THEN 1.0
+                  WHEN r.b = l.b THEN 0.5 ELSE 0.0 END) AS ss,
+         sum((CASE WHEN r.a < l.a THEN 1.0
+                   WHEN r.a = l.a THEN 0.5 ELSE 0.0 END)
+             * (CASE WHEN r.b < l.b THEN 1.0
+                     WHEN r.b = l.b THEN 0.5 ELSE 0.0 END)) AS q
+  FROM base l JOIN base r ON l.i <> r.i
+  GROUP BY l.i
+),
+agg AS (
+  SELECT count(*) AS n,
+         sum(q * (q - 1.0)) AS d1,
+         sum(rr * (rr - 1.0) * ss * (ss - 1.0)) AS d2,
+         sum((rr - 1.0) * (ss - 1.0) * q) AS d3
+  FROM per
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(d1, 6) AS d1,
+       round(d2, 6) AS d2,
+       round(d3, 6) AS d3,
+       round(CASE WHEN n > 4 THEN
+         30.0 * ((n - 2.0) * (n - 3.0) * d1 + d2
+                 - 2.0 * (n - 2.0) * d3)
+         / (CAST(n AS DOUBLE) * (n - 1.0) * (n - 2.0) * (n - 3.0)
+            * (n - 4.0)) END, 6) AS hoeffding_d
+FROM agg
+"""
+
+
+def white_test(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """White's heteroskedasticity test (1980), single-regressor form:
+    fit y ~ x, regress e² on (x, x²); LM = n·R²_aux ~ χ²₂ — catches
+    the NONLINEAR variance shapes (U-shaped, saturating) that
+    breusch_pagan's linear-in-x auxiliary misses. R²_aux in exact
+    correlation form for two predictors: (r₁² + r₂² − 2r₁r₂r₁₂)/
+    (1 − r₁₂²). Two scans, decimal moment sums, x standardized by
+    its own moments before squaring so x and x² stay conditioned.
+    Output: one row (n, r2_aux, white_lm, df), rounds 6."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        x.alias("x"), y.alias("y"))
+    m = base.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(_DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(_DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(_DEC)).cast("double")
+        .alias("sxy"))
+    n = F.col("n").cast("double")
+    ssx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / ssx
+    fit = m.select(
+        "n",
+        slope.alias("b1"),
+        (F.col("sy") / n - slope * (F.col("sx") / n)).alias("b0"),
+        (F.col("sx") / n).alias("xbar"),
+        F.sqrt(ssx / n).alias("xsd"))
+    z = (F.col("x") - F.col("xbar")) / F.col("xsd")
+    aux = base.crossJoin(F.broadcast(fit)).select(
+        "n",
+        F.round((F.col("y") - F.col("b0") - F.col("b1") * F.col("x"))
+                * (F.col("y") - F.col("b0") - F.col("b1") * F.col("x")),
+                9).alias("u"),
+        F.round(z, 9).alias("p1"),
+        F.round(z * z, 9).alias("p2"))
+    a = aux.agg(
+        F.max("n").alias("n"),
+        *[F.sum(F.col(c).cast(_DEC)).cast("double").alias(f"s_{c}")
+          for c in ("u", "p1", "p2")],
+        F.sum((F.col("u") * F.col("u")).cast(_DEC)).cast("double")
+        .alias("suu"),
+        F.sum((F.col("p1") * F.col("p1")).cast(_DEC)).cast("double")
+        .alias("s11"),
+        F.sum((F.col("p2") * F.col("p2")).cast(_DEC)).cast("double")
+        .alias("s22"),
+        F.sum((F.col("u") * F.col("p1")).cast(_DEC)).cast("double")
+        .alias("su1"),
+        F.sum((F.col("u") * F.col("p2")).cast(_DEC)).cast("double")
+        .alias("su2"),
+        F.sum((F.col("p1") * F.col("p2")).cast(_DEC)).cast("double")
+        .alias("s12"))
+    an = F.col("n").cast("double")
+
+    def _corr(sab, sa, sb, saa, sbb):
+        num = an * sab - sa * sb
+        den = F.sqrt((an * saa - sa * sa) * (an * sbb - sb * sb))
+        return num / den
+
+    r1 = _corr(F.col("su1"), F.col("s_u"), F.col("s_p1"),
+               F.col("suu"), F.col("s11"))
+    r2 = _corr(F.col("su2"), F.col("s_u"), F.col("s_p2"),
+               F.col("suu"), F.col("s22"))
+    r12 = _corr(F.col("s12"), F.col("s_p1"), F.col("s_p2"),
+                F.col("s11"), F.col("s22"))
+    r2aux = ((r1 * r1 + r2 * r2 - 2.0 * r1 * r2 * r12)
+             / (1.0 - r12 * r12))
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(r2aux, 6).alias("r2_aux"),
+        F.round(an * r2aux, 6).alias("white_lm"),
+        F.lit(2).cast("long").alias("df"))
+
+
+def white_test_sql(table: str, x_sql: str, y_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST({x_sql} AS DOUBLE) AS x, CAST({y_sql} AS DOUBLE) AS y
+  FROM {table}
+  WHERE CAST({x_sql} AS DOUBLE) IS NOT NULL
+    AND CAST({y_sql} AS DOUBLE) IS NOT NULL
+),
+m AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM base
+),
+fit AS (
+  SELECT n,
+         (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b1,
+         sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+           * (sx / n) AS b0,
+         sx / n AS xbar,
+         sqrt((sxx - sx * sx / n) / n) AS xsd
+  FROM m
+),
+aux AS (
+  SELECT n,
+         round((y - b0 - b1 * x) * (y - b0 - b1 * x), 9) AS u,
+         round((x - xbar) / xsd, 9) AS p1,
+         round(((x - xbar) / xsd) * ((x - xbar) / xsd), 9) AS p2
+  FROM base CROSS JOIN fit
+),
+a AS (
+  SELECT max(n) AS n,
+         CAST(sum(CAST(u AS DECIMAL(38,12))) AS DOUBLE) AS s_u,
+         CAST(sum(CAST(p1 AS DECIMAL(38,12))) AS DOUBLE) AS s_p1,
+         CAST(sum(CAST(p2 AS DECIMAL(38,12))) AS DOUBLE) AS s_p2,
+         CAST(sum(CAST(u * u AS DECIMAL(38,12))) AS DOUBLE) AS suu,
+         CAST(sum(CAST(p1 * p1 AS DECIMAL(38,12))) AS DOUBLE) AS s11,
+         CAST(sum(CAST(p2 * p2 AS DECIMAL(38,12))) AS DOUBLE) AS s22,
+         CAST(sum(CAST(u * p1 AS DECIMAL(38,12))) AS DOUBLE) AS su1,
+         CAST(sum(CAST(u * p2 AS DECIMAL(38,12))) AS DOUBLE) AS su2,
+         CAST(sum(CAST(p1 * p2 AS DECIMAL(38,12))) AS DOUBLE) AS s12
+  FROM aux
+),
+rr AS (
+  SELECT n,
+         (n * su1 - s_u * s_p1)
+           / sqrt((n * suu - s_u * s_u) * (n * s11 - s_p1 * s_p1))
+           AS r1,
+         (n * su2 - s_u * s_p2)
+           / sqrt((n * suu - s_u * s_u) * (n * s22 - s_p2 * s_p2))
+           AS r2,
+         (n * s12 - s_p1 * s_p2)
+           / sqrt((n * s11 - s_p1 * s_p1) * (n * s22 - s_p2 * s_p2))
+           AS r12
+  FROM a
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round((r1 * r1 + r2 * r2 - 2.0 * r1 * r2 * r12)
+             / (1.0 - r12 * r12), 6) AS r2_aux,
+       round(n * (r1 * r1 + r2 * r2 - 2.0 * r1 * r2 * r12)
+             / (1.0 - r12 * r12), 6) AS white_lm,
+       CAST(2 AS BIGINT) AS df
+FROM rr
+"""

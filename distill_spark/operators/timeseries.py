@@ -5851,3 +5851,143 @@ SELECT o.k AS {key_sql},
        o.si + 0.0 AS siegel_slope
 FROM outer_med o JOIN days d ON o.k = d.k
 """
+
+
+def breusch_godfrey(events: DataFrame, ts_col: str = "ts",
+                    value_col: str = "value") -> DataFrame:
+    """Breusch–Godfrey LM test for AR(1) serial correlation in the
+    residuals of the daily-trend OLS (Breusch 1978; Godfrey 1978):
+    fit x_t ~ t, then the auxiliary regression e_t ~ (t, e_{t−1})
+    (presample lag zeroed, the standard LM convention) gives
+    LM = n·R²_aux ~ χ²₁. Valid where durbin_watson's bounds go
+    inconclusive and under lagged regressors where DW is biased —
+    the inference-grade serial-correlation gate in front of
+    newey_west/cochrane_orcutt. Exact decimal moment sums; R²_aux in
+    two-predictor correlation form. Output: one row (n_days,
+    rho1_resid, r2_aux, bg_lm, df), rounds 6."""
+    base = _daily_frame(events, ts_col, value_col)
+    m = base.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("t").cast(_TS_DEC)).cast("double").alias("st"),
+        F.sum(F.col("x").cast(_TS_DEC)).cast("double").alias("sx"),
+        F.sum((F.col("t") * F.col("t")).cast(_TS_DEC)).cast("double")
+        .alias("stt"),
+        F.sum((F.col("t") * F.col("x")).cast(_TS_DEC)).cast("double")
+        .alias("stx"))
+    n = F.col("n").cast("double")
+    sst = F.col("stt") - F.col("st") * F.col("st") / n
+    slope = (F.col("stx") - F.col("st") * F.col("sx") / n) / sst
+    fit = m.select(
+        "n", slope.alias("b1"),
+        (F.col("sx") / n - slope * (F.col("st") / n)).alias("b0"))
+    resid = (base.crossJoin(F.broadcast(fit))
+             .select("t", "n",
+                     F.round(F.col("x") - F.col("b0")
+                             - F.col("b1") * F.col("t"), 9).alias("e")))
+    w = Window.orderBy("t")
+    staged = resid.select(
+        "t", "n", "e",
+        F.coalesce(F.lag("e").over(w), F.lit(0.0)).alias("el"))
+    a = staged.agg(
+        F.max("n").alias("n"),
+        *[F.sum(F.col(c).cast(_TS_DEC)).cast("double").alias(f"s_{c}")
+          for c in ("e", "el")],
+        F.sum(F.col("t").cast(_TS_DEC)).cast("double").alias("s_t"),
+        F.sum((F.col("e") * F.col("e")).cast(_TS_DEC)).cast("double")
+        .alias("see"),
+        F.sum((F.col("el") * F.col("el")).cast(_TS_DEC)).cast("double")
+        .alias("sll"),
+        F.sum((F.col("t") * F.col("t")).cast(_TS_DEC)).cast("double")
+        .alias("stt"),
+        F.sum((F.col("e") * F.col("el")).cast(_TS_DEC)).cast("double")
+        .alias("sel"),
+        F.sum((F.col("e") * F.col("t")).cast(_TS_DEC)).cast("double")
+        .alias("set"),
+        F.sum((F.col("el") * F.col("t")).cast(_TS_DEC)).cast("double")
+        .alias("slt"))
+    an = F.col("n").cast("double")
+
+    def _corr(sab, sa, sb, saa, sbb):
+        return ((an * sab - sa * sb)
+                / F.sqrt((an * saa - sa * sa) * (an * sbb - sb * sb)))
+
+    r1 = _corr(F.col("set"), F.col("s_e"), F.col("s_t"),
+               F.col("see"), F.col("stt"))
+    r2 = _corr(F.col("sel"), F.col("s_e"), F.col("s_el"),
+               F.col("see"), F.col("sll"))
+    r12 = _corr(F.col("slt"), F.col("s_el"), F.col("s_t"),
+                F.col("sll"), F.col("stt"))
+    r2aux = ((r1 * r1 + r2 * r2 - 2.0 * r1 * r2 * r12)
+             / (1.0 - r12 * r12))
+    return a.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(r2, 6).alias("rho1_resid"),
+        F.round(r2aux, 6).alias("r2_aux"),
+        F.round(an * r2aux, 6).alias("bg_lm"),
+        F.lit(1).cast("long").alias("df"))
+
+
+def breusch_godfrey_sql(table: str = "events", ts_sql: str = "ts",
+                        value_sql: str = "value") -> str:
+    daily = _DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)
+    return f"""
+WITH {daily},
+m AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(t AS DECIMAL(38,12))) AS DOUBLE) AS st,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(t * t AS DECIMAL(38,12))) AS DOUBLE) AS stt,
+         CAST(sum(CAST(t * x AS DECIMAL(38,12))) AS DOUBLE) AS stx
+  FROM ranked
+),
+fit AS (
+  SELECT n,
+         (stx - st * sx / n) / (stt - st * st / n) AS b1,
+         sx / n - (stx - st * sx / n) / (stt - st * st / n)
+           * (st / n) AS b0
+  FROM m
+),
+resid AS (
+  SELECT t, n, round(x - b0 - b1 * t, 9) AS e
+  FROM ranked CROSS JOIN fit
+),
+staged AS (
+  SELECT t, n, e,
+         coalesce(lag(e) OVER (ORDER BY t), 0.0) AS el
+  FROM resid
+),
+a AS (
+  SELECT max(n) AS n,
+         CAST(sum(CAST(e AS DECIMAL(38,12))) AS DOUBLE) AS s_e,
+         CAST(sum(CAST(el AS DECIMAL(38,12))) AS DOUBLE) AS s_el,
+         CAST(sum(CAST(t AS DECIMAL(38,12))) AS DOUBLE) AS s_t,
+         CAST(sum(CAST(e * e AS DECIMAL(38,12))) AS DOUBLE) AS see,
+         CAST(sum(CAST(el * el AS DECIMAL(38,12))) AS DOUBLE) AS sll,
+         CAST(sum(CAST(t * t AS DECIMAL(38,12))) AS DOUBLE) AS stt,
+         CAST(sum(CAST(e * el AS DECIMAL(38,12))) AS DOUBLE) AS sel,
+         CAST(sum(CAST(e * t AS DECIMAL(38,12))) AS DOUBLE) AS set_,
+         CAST(sum(CAST(el * t AS DECIMAL(38,12))) AS DOUBLE) AS slt
+  FROM staged
+),
+rr AS (
+  SELECT n,
+         (n * set_ - s_e * s_t)
+           / sqrt((n * see - s_e * s_e) * (n * stt - s_t * s_t))
+           AS r1,
+         (n * sel - s_e * s_el)
+           / sqrt((n * see - s_e * s_e) * (n * sll - s_el * s_el))
+           AS r2,
+         (n * slt - s_el * s_t)
+           / sqrt((n * sll - s_el * s_el) * (n * stt - s_t * s_t))
+           AS r12
+  FROM a
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(r2, 6) AS rho1_resid,
+       round((r1 * r1 + r2 * r2 - 2.0 * r1 * r2 * r12)
+             / (1.0 - r12 * r12), 6) AS r2_aux,
+       round(n * (r1 * r1 + r2 * r2 - 2.0 * r1 * r2 * r12)
+             / (1.0 - r12 * r12), 6) AS bg_lm,
+       CAST(1 AS BIGINT) AS df
+FROM rr
+"""

@@ -391,3 +391,92 @@ def test_bws_mirror_and_shift_sensitivity(spark):
     ba = ((ra - i * nn / n) ** 2
           / ((i / (n + 1)) * (1 - i / (n + 1)) * m * nn / n)).mean()
     assert abs(null["b_a"] - ba) < 1e-4
+
+
+# ------------------------------------------------------ Hoeffding's D
+
+def test_hoeffding_d_nonmonotone_dependence(spark):
+    """The selling point: b = (a − ā)² is a perfect non-monotone
+    dependence — Spearman ≈ 0 but D large positive; an independent
+    draw sits near 0."""
+    from distill_spark.operators.stats import hoeffding_d
+
+    rng = np.random.RandomState(59)
+    a = np.round(rng.uniform(-1, 1, 120), 6)
+    para = pd.DataFrame({"a": a, "b": np.round(a ** 2, 6)})
+    dep = _one(hoeffding_d(spark.createDataFrame(para), "a", "b"))
+    ind = pd.DataFrame({"a": a,
+                        "b": np.round(rng.uniform(-1, 1, 120), 6)})
+    nul = _one(hoeffding_d(spark.createDataFrame(ind), "a", "b"))
+    assert dep["hoeffding_d"] > 0.05
+    assert abs(nul["hoeffding_d"]) < 0.01
+    # monotone dependence also registers
+    mono = pd.DataFrame({"a": a, "b": np.round(3 * a + 1, 6)})
+    assert _one(hoeffding_d(spark.createDataFrame(mono),
+                            "a", "b"))["hoeffding_d"] > 0.2
+
+
+def test_hoeffding_d_numpy_mirror(spark):
+    from distill_spark.operators.stats import hoeffding_d
+
+    rng = np.random.RandomState(61)
+    a = np.round(rng.normal(0, 1, 60), 6)
+    b = np.round(0.5 * a + rng.normal(0, 1, 60), 6)
+    out = _one(hoeffding_d(spark.createDataFrame(
+        pd.DataFrame({"a": a, "b": b})), "a", "b"))
+    n = len(a)
+    r = np.array([(np.sum(a < ai) + 0.5 * (np.sum(a == ai) - 1))
+                  for ai in a])
+    s = np.array([(np.sum(b < bi) + 0.5 * (np.sum(b == bi) - 1))
+                  for bi in b])
+    q = np.array([
+        np.sum(((a < a[i]) + 0.5 * (a == a[i]))
+               * ((b < b[i]) + 0.5 * (b == b[i])))
+        - 0.25 for i in range(n)])  # remove the j=i self term (¼·1)
+    d1 = (q * (q - 1)).sum()
+    d2 = (r * (r - 1) * s * (s - 1)).sum()
+    d3 = ((r - 1) * (s - 1) * q).sum()
+    d = (30 * ((n - 2) * (n - 3) * d1 + d2 - 2 * (n - 2) * d3)
+         / (n * (n - 1) * (n - 2) * (n - 3) * (n - 4)))
+    assert abs(out["hoeffding_d"] - d) < 1e-5
+
+
+# -------------------------------------------------------- White's test
+
+def test_white_test_detects_quadratic_variance(spark):
+    from distill_spark.operators.stats import white_test
+
+    rng = np.random.RandomState(67)
+    x = np.round(rng.uniform(1, 10, 400), 4)
+    homo = pd.DataFrame({"x": x,
+                         "y": np.round(2 * x + rng.normal(0, 1, 400),
+                                       4)})
+    out = _one(white_test(spark.createDataFrame(homo), "x", "y"))
+    assert out["white_lm"] < 12.0  # ~χ²₂ under the null
+    hetero = pd.DataFrame({"x": x,
+                           "y": np.round(2 * x + x * rng.normal(
+                               0, 1, 400), 4)})
+    out2 = _one(white_test(spark.createDataFrame(hetero), "x", "y"))
+    assert out2["white_lm"] > 30.0
+    assert 0.0 <= out2["r2_aux"] <= 1.0
+
+
+# --------------------------------------------------- Breusch–Godfrey
+
+def test_breusch_godfrey_ar1_vs_white_noise(spark):
+    from distill_spark.operators.timeseries import breusch_godfrey
+
+    rng = np.random.RandomState(71)
+    n = 200
+    wn = rng.normal(0, 5, n)
+    ar = np.zeros(n)
+    for t in range(1, n):
+        ar[t] = 0.8 * ar[t - 1] + rng.normal(0, 2)
+    trend = 3.0 * np.arange(n)
+    clean = _one(breusch_godfrey(_daily_events(
+        spark, np.round(trend + wn, 3))))
+    assert clean["bg_lm"] < 8.0
+    serial = _one(breusch_godfrey(_daily_events(
+        spark, np.round(trend + ar, 3))))
+    assert serial["bg_lm"] > 30.0
+    assert serial["rho1_resid"] > 0.5  # sign: positive AR(1)
