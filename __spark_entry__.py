@@ -14029,6 +14029,52 @@ def _sql_breusch_godfrey():
     return breusch_godfrey_sql()
 
 
+def q_kuiper_test(spark, sf_dir):
+    """Kuiper's V circular-uniformity EDF test with Stephens'
+    modified statistic (circular.kuiper_test) — the
+    rotation-invariant KS; EDF sibling of watson_u2."""
+    from distill_spark.operators.circular import kuiper_test
+
+    return kuiper_test(_tables(spark, sf_dir)["events"])
+
+
+def _sql_kuiper():
+    from distill_spark.operators.circular import kuiper_test_sql
+
+    return kuiper_test_sql()
+
+
+def q_hodges_ajne(spark, sf_dir):
+    """Hodges–Ajne minimum half-circle count
+    (circular.hodges_ajne) — the count-only uniformity test, robust
+    where a few extreme seconds distort the resultant vector;
+    marker-merge running max, never a range self-join."""
+    from distill_spark.operators.circular import hodges_ajne
+
+    return hodges_ajne(_tables(spark, sf_dir)["events"])
+
+
+def _sql_hodges_ajne():
+    from distill_spark.operators.circular import hodges_ajne_sql
+
+    return hodges_ajne_sql()
+
+
+def q_rao_spacing(spark, sf_dir):
+    """Rao's spacing test of circular uniformity
+    (circular.rao_spacing) — arc-gap based; sees multimodal clumping
+    with no net direction, completing the circular battery."""
+    from distill_spark.operators.circular import rao_spacing
+
+    return rao_spacing(_tables(spark, sf_dir)["events"])
+
+
+def _sql_rao_spacing():
+    from distill_spark.operators.circular import rao_spacing_sql
+
+    return rao_spacing_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ======================== ROUND-13 WINDOW ============================
     # -- round-13 head: the 27 seeds queued all of round 12 (each
@@ -14119,6 +14165,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "hoeffding_d": (q_hoeffding_d, _sql_hoeffding()),
     "white_test": (q_white_test, _sql_white()),
     "breusch_godfrey": (q_breusch_godfrey, _sql_breusch_godfrey()),
+    # -- round-14 seeds, fourth batch: circular-battery completion -----------
+    "kuiper_test": (q_kuiper_test, _sql_kuiper()),
+    "hodges_ajne": (q_hodges_ajne, _sql_hodges_ajne()),
+    "rao_spacing": (q_rao_spacing, _sql_rao_spacing()),
     # -- round-12 window (all 50 driver-green in CORRECTNESS_r12) ------------
     "wasserstein_1d": (q_wasserstein_1d, _sql_wasserstein()),
     "energy_distance": (q_energy_distance, _sql_energy()),
@@ -14688,6 +14738,9 @@ _PENDING_PROMOTION: frozenset[str] = frozenset({
     "bws_test", "mood_scale", "cucconi_test",
     # third batch: omnibus independence + regression-error diagnostics
     "hoeffding_d", "white_test", "breusch_godfrey",
+    # fourth batch: circular-battery completion (EDF, count-only,
+    # spacing-based uniformity)
+    "kuiper_test", "hodges_ajne", "rao_spacing",
 })
 
 

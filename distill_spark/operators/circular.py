@@ -284,3 +284,265 @@ SELECT CAST(n AS BIGINT) AS n,
              * (1.0 + 0.8 / n), 6) AS u2_modified
 FROM agg
 """
+
+
+def kuiper_test(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Kuiper's V test of circular uniformity (1960): V = D⁺ + D⁻
+    over the day-fraction EDF — the rotation-invariant KS (a plain
+    KS on time-of-day would depend on where midnight cuts the
+    circle). Sensitive to both location and spread departures; the
+    EDF sibling of watson_u2's quadratic form. Same bounded
+    distinct-seconds frame with one-sided gaps at every jump.
+    Stephens' modified statistic V·(√n + 0.155 + 0.24/√n) compares
+    to 1.747 at 5%. Output: one row (n, d_plus, d_minus, v_stat,
+    v_modified), rounds 6."""
+    per = (events.select(_sod(ts_col).alias("sod"))
+           .groupBy("sod").agg(F.count("*").alias("ct")))
+    wcum = Window.orderBy("sod").rowsBetween(
+        Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    staged = per.select(
+        (F.col("sod").cast("double") / 86400.0).alias("u"),
+        F.col("ct").cast("double").alias("c"),
+        F.sum("ct").over(wcum).cast("double").alias("cum"),
+        F.sum("ct").over(tot).cast("double").alias("n"))
+    gaps = staged.select(
+        "n",
+        (F.col("cum") / F.col("n") - F.col("u")).alias("gp"),
+        (F.col("u") - (F.col("cum") - F.col("c")) / F.col("n"))
+        .alias("gm"))
+    agg = gaps.groupBy("n").agg(
+        F.max(F.round("gp", 9)).alias("dp"),
+        F.max(F.round("gm", 9)).alias("dm"))
+    n = F.col("n")
+    v = F.col("dp") + F.col("dm")
+    vmod = v * (F.sqrt(n) + 0.155 + 0.24 / F.sqrt(n))
+    return agg.select(
+        n.cast("long").alias("n"),
+        F.round("dp", 6).alias("d_plus"),
+        F.round("dm", 6).alias("d_minus"),
+        F.round(v, 6).alias("v_stat"),
+        F.round(vmod, 6).alias("v_modified"))
+
+
+def kuiper_test_sql(table: str = "events", ts_sql: str = "ts") -> str:
+    sod = _SOD_SQL.format(ts=ts_sql)
+    return f"""
+WITH per AS (
+  SELECT {sod} AS sod, count(*) AS ct FROM {table} GROUP BY 1
+),
+staged AS (
+  SELECT CAST(sod AS DOUBLE) / 86400.0 AS u,
+         CAST(ct AS DOUBLE) AS c,
+         CAST(sum(ct) OVER (ORDER BY sod
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS cum,
+         CAST(sum(ct) OVER () AS DOUBLE) AS n
+  FROM per
+),
+agg AS (
+  SELECT n,
+         max(round(cum / n - u, 9)) AS dp,
+         max(round(u - (cum - c) / n, 9)) AS dm
+  FROM staged GROUP BY n
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(dp, 6) AS d_plus,
+       round(dm, 6) AS d_minus,
+       round(dp + dm, 6) AS v_stat,
+       round((dp + dm) * (sqrt(n) + 0.155 + 0.24 / sqrt(n)), 6)
+         AS v_modified
+FROM agg
+"""
+
+
+def hodges_ajne(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Hodges–Ajne test (1955): m = the MINIMUM number of
+    observations in any closed half-circle — under uniformity
+    m ≈ n/2; a strongly one-sided clock drives m toward 0. The
+    count-only uniformity test (no moments at all), useful when a
+    few extreme seconds would distort the resultant vector. For each
+    candidate split second s (only OBSERVED seconds need checking),
+    the count in [s, s+43200) comes from circular prefix sums on the
+    bounded distinct-seconds frame — a marker-merge running max, one
+    ordered window over ≤ 2·86400 rows regardless of corpus size
+    (never a range self-join). Output: one row (n, m_min,
+    half_balance = m/(n/2)), rounds 6."""
+    half = 43200
+    per = (events.select(_sod(ts_col).alias("sod"))
+           .groupBy("sod").agg(F.count("*").alias("ct")))
+    wcum = Window.orderBy("sod").rowsBetween(
+        Window.unboundedPreceding, -1)
+    tot = Window.partitionBy()
+    staged = (per.select(
+        "sod", "ct",
+        F.coalesce(F.sum("ct").over(wcum), F.lit(0)).alias("pre"),
+        F.sum("ct").over(tot).alias("n"))
+        .withColumn("wrap", F.col("sod") + half >= 86400))
+    # cum_at(ub) = Σ ct for sod < ub (strict): merge query markers
+    # (kind 0, sorting BEFORE same-position data) into the ordered
+    # prefix stream and take the running max of the monotone cum_le
+    data = staged.select(
+        F.col("sod").alias("pos"), F.lit(1).alias("kind"),
+        (F.col("pre") + F.col("ct")).alias("cum_le"),
+        F.lit(None).cast("long").alias("s"),
+        F.lit(None).cast("long").alias("pre_s"),
+        F.lit(None).cast("long").alias("nq"),
+        F.lit(None).cast("boolean").alias("wrap"))
+    marks = staged.select(
+        F.when(F.col("wrap"), F.col("sod") + half - 86400)
+        .otherwise(F.col("sod") + half).alias("pos"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("cum_le"),
+        F.col("sod").cast("long").alias("s"),
+        F.col("pre").cast("long").alias("pre_s"),
+        F.col("n").cast("long").alias("nq"),
+        F.col("wrap"))
+    wrun = (Window.orderBy("pos", "kind")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    merged = (data.unionByName(marks)
+              .withColumn("cum_ub", F.coalesce(
+                  F.max("cum_le").over(wrun), F.lit(0)))
+              .filter(F.col("kind") == 0))
+    in_half = (F.when(~F.col("wrap"),
+                      F.col("cum_ub") - F.col("pre_s"))
+               .otherwise(F.col("nq") - F.col("pre_s")
+                          + F.col("cum_ub")))
+    agg = merged.agg(
+        F.max("nq").alias("n"),
+        F.min(in_half).alias("m1"),
+        F.max(in_half).alias("mx"))
+    # the minimum over half-circles is min(count, n - max-count)
+    m = F.least(F.col("m1"), F.col("n") - F.col("mx"))
+    n = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        m.cast("long").alias("m_min"),
+        F.round(m.cast("double") / (n / 2.0), 6)
+        .alias("half_balance"))
+
+
+def hodges_ajne_sql(table: str = "events", ts_sql: str = "ts") -> str:
+    sod = _SOD_SQL.format(ts=ts_sql)
+    return f"""
+WITH per AS (
+  SELECT {sod} AS sod, count(*) AS ct FROM {table} GROUP BY 1
+),
+staged AS (
+  SELECT sod, ct,
+         coalesce(sum(ct) OVER (ORDER BY sod
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS pre,
+         sum(ct) OVER () AS n,
+         sod + 43200 >= 86400 AS wrap
+  FROM per
+),
+merged AS (
+  SELECT pos, kind, cum_le, s, pre_s, nq, wrap,
+         coalesce(max(cum_le) OVER (ORDER BY pos, kind
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+           AS cum_ub
+  FROM (
+    SELECT sod AS pos, 1 AS kind, pre + ct AS cum_le,
+           NULL AS s, NULL AS pre_s, NULL AS nq, NULL AS wrap
+    FROM staged
+    UNION ALL
+    SELECT CASE WHEN wrap THEN sod + 43200 - 86400
+                ELSE sod + 43200 END AS pos,
+           0 AS kind, NULL AS cum_le,
+           sod AS s, pre AS pre_s, n AS nq, wrap
+    FROM staged
+  )
+),
+agg AS (
+  SELECT max(nq) AS n,
+         min(CASE WHEN NOT wrap THEN cum_ub - pre_s
+                  ELSE nq - pre_s + cum_ub END) AS m1,
+         max(CASE WHEN NOT wrap THEN cum_ub - pre_s
+                  ELSE nq - pre_s + cum_ub END) AS mx
+  FROM merged WHERE kind = 0
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(least(m1, n - mx) AS BIGINT) AS m_min,
+       round(CAST(least(m1, n - mx) AS DOUBLE)
+             / (CAST(n AS DOUBLE) / 2.0), 6) AS half_balance
+FROM agg
+"""
+
+
+def rao_spacing(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Rao's spacing test (1976): with sorted angles and circular
+    arc-gaps T_i (including the wrap-around gap), U = ½·Σ|T_i − λ|,
+    λ = 2π/n — uniformity reads as EQUAL spacings; both clustering
+    (many tiny gaps + one huge one) and multimodality move U where
+    the resultant-vector tests need a net direction. Distinct
+    seconds carry multiplicity: k co-located events contribute k−1
+    zero gaps (|0 − λ| each) exactly. Output: one row (n, lambda_
+    deg, u_stat, u_frac = U/2π), rounds 6."""
+    per = (events.select(_sod(ts_col).alias("sod"))
+           .groupBy("sod").agg(F.count("*").alias("ct")))
+    w = Window.orderBy("sod")
+    tot = Window.partitionBy()
+    staged = per.select(
+        "sod", "ct",
+        F.lead("sod").over(w).alias("nxt"),
+        F.min("sod").over(tot).alias("first"),
+        F.sum("ct").over(tot).alias("n"))
+    theta = F.col("sod").cast("double") / 86400.0 * _TWO_PI
+    nxt_theta = (F.when(F.col("nxt").isNotNull(),
+                        F.col("nxt").cast("double") / 86400.0
+                        * _TWO_PI)
+                 .otherwise(F.col("first").cast("double") / 86400.0
+                            * _TWO_PI + _TWO_PI))
+    lam = _TWO_PI / F.col("n").cast("double")
+    # each distinct second: one arc gap to the next distinct second
+    # plus (ct − 1) zero gaps from co-located events
+    term = (F.round(F.abs(nxt_theta - theta - lam), 9)
+            + F.round((F.col("ct") - 1).cast("double") * lam, 9))
+    agg = (staged.select("n", term.alias("t"))
+           .groupBy("n")
+           .agg(F.sum(F.col("t").cast(_DEC)).cast("double")
+                .alias("s")))
+    n = F.col("n").cast("double")
+    u = F.col("s") / 2.0
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(_TWO_PI / n / math.pi * 180.0, 6).alias("lambda_deg"),
+        F.round(u, 6).alias("u_stat"),
+        F.round(u / _TWO_PI, 6).alias("u_frac"))
+
+
+def rao_spacing_sql(table: str = "events", ts_sql: str = "ts") -> str:
+    sod = _SOD_SQL.format(ts=ts_sql)
+    return f"""
+WITH per AS (
+  SELECT {sod} AS sod, count(*) AS ct FROM {table} GROUP BY 1
+),
+staged AS (
+  SELECT sod, ct,
+         lead(sod) OVER (ORDER BY sod) AS nxt,
+         min(sod) OVER () AS first,
+         sum(ct) OVER () AS n
+  FROM per
+),
+terms AS (
+  SELECT n,
+         round(abs((CASE WHEN nxt IS NOT NULL THEN
+                      CAST(nxt AS DOUBLE) / 86400.0 * {_TWO_PI!r}
+                    ELSE CAST(first AS DOUBLE) / 86400.0 * {_TWO_PI!r}
+                         + {_TWO_PI!r} END)
+                   - CAST(sod AS DOUBLE) / 86400.0 * {_TWO_PI!r}
+                   - {_TWO_PI!r} / n), 9)
+         + round((ct - 1) * ({_TWO_PI!r} / n), 9) AS t
+  FROM staged
+),
+agg AS (
+  SELECT n, CAST(sum(CAST(t AS DECIMAL(38,12))) AS DOUBLE) AS s
+  FROM terms GROUP BY n
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round({_TWO_PI!r} / n / {math.pi!r} * 180.0, 6) AS lambda_deg,
+       round(s / 2.0, 6) AS u_stat,
+       round(s / 2.0 / {_TWO_PI!r}, 6) AS u_frac
+FROM agg
+"""

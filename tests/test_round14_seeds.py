@@ -480,3 +480,77 @@ def test_breusch_godfrey_ar1_vs_white_noise(spark):
         spark, np.round(trend + ar, 3))))
     assert serial["bg_lm"] > 30.0
     assert serial["rho1_resid"] > 0.5  # sign: positive AR(1)
+
+
+# -------------------------------------------- circular completion
+
+def test_kuiper_rotation_invariance_and_mirror(spark):
+    """Kuiper's V must be (near-)invariant to rotating every angle by
+    6 hours — the property a plain KS on time-of-day lacks — and
+    match the numpy mirror."""
+    from distill_spark.operators.circular import kuiper_test
+
+    rng = np.random.RandomState(73)
+    secs = np.sort(rng.randint(0, 86400, 250))
+    t0 = [dt.datetime(2024, 1, 1) + dt.timedelta(seconds=int(s))
+          for s in secs]
+    rot = [dt.datetime(2024, 1, 1) + dt.timedelta(
+        seconds=int((s + 21600) % 86400)) for s in secs]
+    a = _one(kuiper_test(_at_times(spark, t0)))
+    b = _one(kuiper_test(_at_times(spark, rot)))
+    # rotation shifts which jump attains each one-sided sup but the
+    # SUM stays within the EDF grid resolution (1/n)
+    assert abs(a["v_stat"] - b["v_stat"]) <= 1.0 / 250 + 1e-9
+    u = np.sort(secs / 86400.0)
+    n = len(u)
+    dp = (np.arange(1, n + 1) / n - u).max()
+    dm = (u - np.arange(0, n) / n).max()
+    assert abs(a["v_stat"] - (dp + dm)) < 1e-5
+
+
+def test_kuiper_uniform_vs_clustered(spark):
+    from distill_spark.operators.circular import kuiper_test
+
+    unif = _one(kuiper_test(_at_times(
+        spark, [_clock(h, m) for h in range(24) for m in (0, 30)])))
+    assert unif["v_modified"] < 1.747
+    clus = _one(kuiper_test(_at_times(
+        spark, [_clock(3, 0, s) for s in range(48)])))
+    assert clus["v_modified"] > 1.747
+
+
+def test_hodges_ajne_hand(spark):
+    """All events in one hour → some half-circle is empty, m = 0;
+    a perfectly antipodal split → every half-circle holds n/2."""
+    from distill_spark.operators.circular import hodges_ajne
+
+    conc = _one(hodges_ajne(_at_times(
+        spark, [_clock(9, 0, s) for s in range(10)])))
+    assert conc["m_min"] == 0
+    # TRUE antipodes (00:00:00 / 12:00:00): every anchored half holds
+    # exactly one of the two stacks → m = n/2. (12:00:01 would NOT
+    # balance: the open half between the points is empty → m = 0.)
+    anti = _one(hodges_ajne(_at_times(
+        spark, [_clock(0), _clock(12, 0, 0)] * 5)))
+    assert anti["m_min"] == 5
+    assert anti["half_balance"] == 1.0
+
+
+def test_rao_spacing_extremes(spark):
+    """Equal spacings (uniform grid) → U = 0; all mass at one second
+    → U → 2π·(n−1)/n /2 ... concretely the gaps are (n−1) zeros plus
+    one full circle: U = ½((n−1)λ + (2π−λ−λ·0)) hand-checked."""
+    from distill_spark.operators.circular import rao_spacing
+
+    grid = _one(rao_spacing(_at_times(
+        spark, [_clock(h) for h in range(24)])))
+    assert grid["u_stat"] == 0.0
+    n = 8
+    conc = _one(rao_spacing(_at_times(
+        spark, [_clock(5, 0, 0, day=d) for d in range(n)])))
+    lam = 2.0 * math.pi / n
+    # one distinct second: (n−1) zero gaps (|0−λ| each) + the full
+    # 2π wrap gap (|2π−λ|)
+    u = 0.5 * ((n - 1) * lam + (2.0 * math.pi - lam))
+    assert abs(conc["u_stat"] - u) < 1e-5
+    assert conc["u_frac"] > grid["u_frac"]
