@@ -14076,10 +14076,39 @@ def _sql_rao_spacing():
 
 
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
-    # ======================== ROUND-13 WINDOW ============================
-    # -- round-13 head: the 27 seeds queued all of round 12 (each
+    # ======================== ROUND-14 WINDOW ============================
+    # -- round-14 head: the 21 seeds queued all of round 13 (each
     # parity-verified at sf0.001 + sf0.01 before queueing; the suite's
-    # rotation gate demanded exactly this promotion) --------------------------
+    # rotation gate demanded exactly this promotion): circular
+    # statistics, estimated-parameter normality, normal-scores
+    # dispersion, robust trend, bounded weighted sampling, cascade
+    # ranking, agreement/diversity singles ------------------------------------
+    "circular_stats": (q_circular_stats, _sql_circular_stats()),
+    "rayleigh_uniformity": (q_rayleigh_uniformity, _sql_rayleigh()),
+    "watson_u2": (q_watson_u2, _sql_watson_u2()),
+    "lilliefors_normal": (q_lilliefors_normal, _sql_lilliefors()),
+    "shapiro_francia": (q_shapiro_francia, _sql_shapiro_francia()),
+    "fligner_killeen": (q_fligner_killeen, _sql_fligner()),
+    "brown_mood_k": (q_brown_mood_k, _sql_brown_mood()),
+    "siegel_slope": (q_siegel_slope, _sql_siegel_slope()),
+    "priority_sample": (q_priority_sample, _sql_priority_sample()),
+    "scott_pi": (q_scott_pi, _sql_scott_pi()),
+    "err_ranking": (q_err_ranking, _sql_err_ranking()),
+    "msttr": (q_msttr, _sql_msttr()),
+    # (second seed batch: modern two-sample rank tests) -----------------------
+    "bws_test": (q_bws_test, _sql_bws()),
+    "mood_scale": (q_mood_scale, _sql_mood_scale()),
+    "cucconi_test": (q_cucconi_test, _sql_cucconi()),
+    # (third seed batch: omnibus independence + regression diagnostics) -------
+    "hoeffding_d": (q_hoeffding_d, _sql_hoeffding()),
+    "white_test": (q_white_test, _sql_white()),
+    "breusch_godfrey": (q_breusch_godfrey, _sql_breusch_godfrey()),
+    # (fourth seed batch: circular-battery completion) ------------------------
+    "kuiper_test": (q_kuiper_test, _sql_kuiper()),
+    "hodges_ajne": (q_hodges_ajne, _sql_hodges_ajne()),
+    "rao_spacing": (q_rao_spacing, _sql_rao_spacing()),
+    # -- round-13 window (all 50 driver-green in CORRECTNESS_r13) ------------
+    # (27 seeds promoted from the round-12 queue, then five strata)
     "kendall_tau_b": (q_kendall_tau_b, _sql_tau_b()),
     "goodman_kruskal_tau": (q_goodman_kruskal_tau, _sql_gk_tau()),
     "cohen_h": (q_cohen_h, _sql_cohen_h()),
@@ -14139,36 +14168,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "lmom_regional": (q_lmom_regional, _sql_lmom_regional()),
     "theil_h_segregation": (q_theil_h_segregation, _sql_theil_h()),
     "harrell_c": (q_harrell_c, _sql_harrell_c()),
-    # ===================== END ROUND-13 WINDOW (50) ======================
-    # -- round-14 seed strata (positions 51+, queued in
-    # _PENDING_PROMOTION): circular statistics, estimated-parameter
-    # normality, normal-scores dispersion, robust trend, bounded
-    # weighted sampling, cascade ranking, agreement/diversity singles
-    "circular_stats": (q_circular_stats, _sql_circular_stats()),
-    "rayleigh_uniformity": (q_rayleigh_uniformity, _sql_rayleigh()),
-    "watson_u2": (q_watson_u2, _sql_watson_u2()),
-    "lilliefors_normal": (q_lilliefors_normal, _sql_lilliefors()),
-    "shapiro_francia": (q_shapiro_francia, _sql_shapiro_francia()),
-    "fligner_killeen": (q_fligner_killeen, _sql_fligner()),
-    "brown_mood_k": (q_brown_mood_k, _sql_brown_mood()),
-    "siegel_slope": (q_siegel_slope, _sql_siegel_slope()),
-    "priority_sample": (q_priority_sample, _sql_priority_sample()),
-    "scott_pi": (q_scott_pi, _sql_scott_pi()),
-    "err_ranking": (q_err_ranking, _sql_err_ranking()),
-    "msttr": (q_msttr, _sql_msttr()),
-    # -- round-14 seeds, second batch: modern two-sample rank tests ----------
-    "bws_test": (q_bws_test, _sql_bws()),
-    "mood_scale": (q_mood_scale, _sql_mood_scale()),
-    "cucconi_test": (q_cucconi_test, _sql_cucconi()),
-    # -- round-14 seeds, third batch: omnibus independence +
-    # regression-error diagnostics --------------------------------------------
-    "hoeffding_d": (q_hoeffding_d, _sql_hoeffding()),
-    "white_test": (q_white_test, _sql_white()),
-    "breusch_godfrey": (q_breusch_godfrey, _sql_breusch_godfrey()),
-    # -- round-14 seeds, fourth batch: circular-battery completion -----------
-    "kuiper_test": (q_kuiper_test, _sql_kuiper()),
-    "hodges_ajne": (q_hodges_ajne, _sql_hodges_ajne()),
-    "rao_spacing": (q_rao_spacing, _sql_rao_spacing()),
     # -- round-12 window (all 50 driver-green in CORRECTNESS_r12) ------------
     "wasserstein_1d": (q_wasserstein_1d, _sql_wasserstein()),
     "energy_distance": (q_energy_distance, _sql_energy()),
@@ -14716,32 +14715,13 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
 # the driver window, and not already be driver-green (else it should
 # leave the queue). tests/test_registry_gate.py enforces all three +
 # that nothing ELSE is hiding past the window unevidenced.
-# Round 12: the twelve round-11 seeds are PROMOTED into the window
-# head and the round-12 window closes with 38 new queries behind
-# them. All 27 round-13 seeds were promoted into the round-13 window
-# head at the start of round 13 (the rotation gate's demand); the
-# queue holds TWELVE round-14 seeds past position 50 — circular
-# statistics over time-of-day angles (resultant summary, Rayleigh,
-# Watson U²), estimated-parameter normality (Lilliefors,
-# Shapiro–Francia via Acklam Φ⁻¹), normal-scores dispersion
-# (Fligner–Killeen) + k-group median screen (Brown–Mood), Siegel
-# repeated-medians trend, DLT priority sampling with an audited
-# subset-sum estimator, Scott's π, ERR@10, and MSTTR — each
-# parity-verified at sf0.001 and sf0.01 before queueing.
-_PENDING_PROMOTION: frozenset[str] = frozenset({
-    "circular_stats", "rayleigh_uniformity", "watson_u2",
-    "lilliefors_normal", "shapiro_francia", "fligner_killeen",
-    "brown_mood_k", "siegel_slope", "priority_sample", "scott_pi",
-    "err_ranking", "msttr",
-    # second batch: modern two-sample rank tests (tail-weighted CvM,
-    # squared-rank scale, joint location-scale)
-    "bws_test", "mood_scale", "cucconi_test",
-    # third batch: omnibus independence + regression-error diagnostics
-    "hoeffding_d", "white_test", "breusch_godfrey",
-    # fourth batch: circular-battery completion (EDF, count-only,
-    # spacing-based uniformity)
-    "kuiper_test", "hodges_ajne", "rao_spacing",
-})
+# Round 14 opens with all 21 round-13-queued seeds PROMOTED into the
+# window head (circular battery, estimated-parameter normality,
+# normal-scores dispersion, robust trend, priority sampling, Scott π,
+# ERR@10, MSTTR, BWS/Mood/Cucconi, Hoeffding D, White,
+# Breusch–Godfrey) — the rotation gate's demand. The queue refills
+# with round-15 seeds as round-14 strata land past position 50.
+_PENDING_PROMOTION: frozenset[str] = frozenset()
 
 
 def entry(spark: SparkSession) -> DataFrame:
