@@ -318,6 +318,19 @@ def _loadavg() -> list[float]:
 _PROBE_RATIO_CAP = 1.5
 
 
+def _declared_probe_band_ms() -> float:
+    """Committed healthy-probe band — PROBE_BAND.json is the single
+    source of truth (revision history lives there); 0.0 if absent so
+    bench still runs outside the repo checkout."""
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "PROBE_BAND.json")
+        with open(path) as fh:
+            return float(json.load(fh)["healthy_band_ms"])
+    except Exception:  # noqa: BLE001
+        return 0.0
+
+
 def _speed_probe() -> float:
     """Milliseconds for a fixed single-thread numpy workload — the
     host-speed canary. The round-10 lesson: a window where SUB-SECOND
@@ -366,7 +379,11 @@ class _NoiseLog:
         # than the previous sections' own work can explain; (c) the
         # fixed-work probe should never run >1.5x slower than its
         # pre-bench calibration at a section EDGE (edges are idle-ish:
-        # the previous section's executors have drained).
+        # the previous section's executors have drained); (d) every
+        # edge probe is also judged against the ABSOLUTE committed
+        # band in PROBE_BAND.json — the single source of truth for
+        # "healthy host" (round-14, verdict ask #3).
+        band_ms = _declared_probe_band_ms()
         noisy = []
         if self.pre_bench[0] > 4.0:
             noisy.append(f"pre_bench load1={self.pre_bench[0]}")
@@ -378,8 +395,14 @@ class _NoiseLog:
                     noisy.append(
                         f"{name} {edge}={s[edge]} vs "
                         f"calibration {self.pre_probe_ms}")
+                elif band_ms and s.get(edge, 0.0) > band_ms:
+                    noisy.append(
+                        f"{name} {edge}={s[edge]} out of committed "
+                        f"band {band_ms} (PROBE_BAND.json)")
         return {"pre_bench_load": self.pre_bench,
                 "pre_bench_probe_ms": self.pre_probe_ms,
+                "probe_band_ms": band_ms,
+                "probe_band_source": "PROBE_BAND.json",
                 "sections": self.sections,
                 "host_noise": noisy}
 

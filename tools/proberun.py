@@ -9,23 +9,33 @@ otherwise sleep and retry; after the attempt budget, keep the
 best-probe attempt but mark it ``probe_band_violated`` so downstream
 artifacts can never silently launder a sick-host number.
 
-Band choice: the r10-era calibration probe was 13.39 ms; the host has
-not returned below ~14 ms all of round 13 (BENCH_IDLE_r13.json), so
-the band tops out at 25 ms — comfortably above the new idle floor,
-well under the 90–880 ms steal windows this box exhibits.
+Band choice lives in ONE committed place: PROBE_BAND.json at the repo
+root (round-14, verdict ask #3). Artifacts were previously citing
+bands re-derived per file (13–18, 14–21, ≤25 ms); this module now
+reads the declared band, and every guard cites that file.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
 
 import bench  # noqa: E402
 
-HEALTHY_BAND_MS = 25.0
+
+def _declared_band_ms() -> float:
+    """The committed healthy band — PROBE_BAND.json is the single
+    source of truth (its ``revisions`` list carries the history)."""
+    with open(os.path.join(_ROOT, "PROBE_BAND.json")) as fh:
+        return float(json.load(fh)["healthy_band_ms"])
+
+
+HEALTHY_BAND_MS = _declared_band_ms()
 
 
 def guarded(fn, label: str = "", band_ms: float = HEALTHY_BAND_MS,
