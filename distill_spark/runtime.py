@@ -106,9 +106,20 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
     return spark
 
 
+_TABLE_CACHE: dict[tuple, dict] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Load the driver's parquet tables as a dict of DataFrames and
     register them as temp views (so SQL-form operators can run).
+
+    Memoized per (session, dir, names): every `spark.read.parquet`
+    costs a driver-dispatched schema/footer job, so a 15-query batch
+    that re-loads 10 tables per query burns ~150 jobs on this host's
+    per-job dispatch floor before any real work (round-14, verdict ask
+    #2 — the concurrent-headline wall was mostly this). DataFrames are
+    immutable lazy plans, safe to share; temp views are re-registered
+    on every hit (cheap, no job) in case a caller replaced them.
 
     Fault-isolated: one unreadable table skips that table only — it can
     never zero out queries that don't touch it."""
@@ -118,6 +129,16 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
             "region", "nation", "customer", "supplier", "part",
             "orders", "lineitem", "events", "documents", "embeddings",
         ]
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:  # noqa: BLE001 — stopped/exotic session: no caching
+        app_id = None
+    key = (app_id, os.path.abspath(sf_dir), tuple(names))
+    if app_id is not None and key in _TABLE_CACHE:
+        cached = _TABLE_CACHE[key]
+        for name, df in cached.items():
+            df.createOrReplaceTempView(name)
+        return dict(cached)
     out = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -162,4 +183,11 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
                         f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts})")))
         df.createOrReplaceTempView(name)
         out[name] = df
+    if app_id is not None:
+        # bound the cache: one entry per (session, dir, names) triple,
+        # and drop entries from stopped sessions so long pytest runs
+        # (many sessions) can't accumulate dead plan trees
+        if len(_TABLE_CACHE) > 8:
+            _TABLE_CACHE.clear()
+        _TABLE_CACHE[key] = dict(out)
     return out
