@@ -1,0 +1,169 @@
+"""Round-14 external convention pins (r13 verdict ask #5).
+
+Both statistics were twin-replayed only: the Spark query and the
+DuckDB oracle share the formula, so a convention error would pass
+parity on both sides. These fixtures pin each against the PUBLISHED
+definition with every pair / weight enumerated by hand in comments —
+no reuse of the operator's own arithmetic.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0].asDict()
+
+
+# ------------------------------------------------ Harrell's C (1982)
+#
+# Published rule (Harrell, Califf, Pryor, Lee, Rosati 1982; the
+# standard survival-concordance convention, e.g. lifelines'
+# concordance_index): a pair (i, j) is USABLE iff the shorter time
+# belongs to an event subject — t_i < t_j with e_i = 1, or
+# t_i = t_j with exactly one event (the censored subject is known to
+# survive past the tie). Two events at the SAME time are NOT usable.
+# A usable pair is concordant iff the earlier-event subject carries
+# the HIGHER risk score; equal scores count half.
+
+
+def test_harrell_c_hand_enumerated_censored_ties(spark):
+    """Six subjects, all nine usable pairs enumerated by hand.
+
+    subject  status    t(days)  score
+       A     event        2       3
+       B     censored     2       1
+       C     censored     2       3
+       D     event        2       5
+       E     event        5       0
+       F     censored     7       4
+
+    Pair-by-pair under the published rule:
+      A-B  t tie, one event → usable; 3>1          → concordant
+      A-C  t tie, one event → usable; 3=3          → tied (half)
+      A-D  t tie, BOTH events                      → not usable
+      A-E  2<5, A event; 3>0                       → concordant
+      A-F  2<7, A event; 3<4                       → DISCORDANT
+      B-C, B-D(t tie one event? B censored, D event, usable → see
+           below), B-E …: B,C are censored at t=2 — a pair with a
+           LATER event (E at 5) is not usable (censoring hides the
+           true time), but the SAME-day events A and D are:
+      D-B  t tie, one event; 5>1                   → concordant
+      D-C  t tie, one event; 5>3                   → concordant
+      D-E  2<5, D event; 5>0                       → concordant
+      D-F  2<7, D event; 5>4                       → concordant
+      E-F  5<7, E event; 0<4                       → DISCORDANT
+      B-F, C-F: censored-censored                  → not usable
+    usable = 9, concordant = 6, tied = 1, discordant = 2,
+    C = (6 + 0.5·1)/9 = 6.5/9 = 0.722222 (round 6).
+    """
+    from distill_spark.operators.conversion import harrell_c
+
+    base = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+    hr = dt.timedelta(hours=1)
+    rows = []
+
+    def user(uid, t0_days, clicks, purchase_at_days=None, first="view"):
+        t0 = base + t0_days * day
+        if first == "click":
+            rows.append((t0, uid, "click"))
+            clicks -= 1
+        else:
+            rows.append((t0, uid, "view"))
+        for j in range(clicks):
+            rows.append((t0 + (j + 1) * hr, uid, "click"))
+        if purchase_at_days is not None:
+            rows.append((base + purchase_at_days * day, uid, "purchase"))
+
+    user("A", 1.0, 3, purchase_at_days=3.0)    # event  t=2 s=3
+    user("B", 18.0, 1, first="click")          # cens   t=2 s=1
+    user("C", 18.0, 3)                         # cens   t=2 s=3
+    user("D", 5.0, 5, purchase_at_days=7.0)    # event  t=2 s=5
+    user("E", 2.0, 0, purchase_at_days=7.0)    # event  t=5 s=0
+    user("F", 13.0, 4)                         # cens   t=7 s=4
+    rows.append((base + 20.0 * day, "F", "view"))  # horizon = day 20
+
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["ts", "user_id", "event_type"]))
+    out = _one(harrell_c(df))
+    assert out["n_subjects"] == 6
+    assert out["n_events"] == 3
+    assert out["usable_pairs"] == 9
+    assert out["concordant"] == 6
+    assert out["tied_score"] == 1
+    assert out["c_index"] == round(6.5 / 9, 6)  # 0.722222
+
+
+# ------------------------- Regional L-moments (Hosking & Wallis 1997)
+#
+# Published unbiased PWM estimators (Hosking 1990, eq. 2.4):
+#   b_r = n^-1 Σ_{i=r+1..n} x_(i) · [(i-1)(i-2)…(i-r)] /
+#                                    [(n-1)(n-2)…(n-r)]
+# and λ1 = b0, λ2 = 2b1 − b0, λ3 = 6b2 − 6b1 + b0,
+# λ4 = 20b3 − 30b2 + 12b1 − b0; τ = λ2/λ1, τ3 = λ3/λ2, τ4 = λ4/λ2.
+
+
+def test_lmom_regional_hand_computed_weights(spark):
+    """Three groups, every PWM weight written out by hand.
+
+    g1: x = (1,2,3,4), n = 4
+        b0 = 2.5
+        b1 = ¼·(1·0 + 2·⅓ + 3·⅔ + 4·1)        = ¼·(20/3) = 5/3
+        b2 = ¼·(3·(2·1)/(3·2) + 4·(3·2)/(3·2)) = ¼·(1+4)  = 5/4
+        b3 = ¼·(4·(3·2·1)/(3·2·1))             = 1
+        λ1 = 2.5, λ2 = 10/3 − 2.5 = 5/6, λ3 = 7.5 − 10 + 2.5 = 0,
+        λ4 = 20 − 37.5 + 20 − 2.5 = 0
+        → l_cv = (5/6)/2.5 = 1/3, l_skew = 0, l_kurt = 0
+    g2: x = (0,0,0,4), n = 4 → only i=4 contributes:
+        b0 = 1, b1 = b2 = b3 = 1
+        λ2 = 1, λ3 = 1, λ4 = 20 − 30 + 12 − 1 = 1
+        → l_cv = 1, l_skew = 1, l_kurt = 1
+    g3: x = (1,1,2,3,5), n = 5
+        b0 = 2.4
+        b1 = ⅕·(1·¼ + 2·½ + 3·¾ + 5·1)         = 8.5/5  = 1.7
+        b2 = ⅕·(2·2/12 + 3·6/12 + 5·12/12)     = 41/30  (≈1.366667)
+        b3 = ⅕·(3·6/24 + 5·24/24)              = 5.75/5 = 1.15
+        λ1 = 2.4, λ2 = 1.0, λ3 = 8.2 − 10.2 + 2.4 = 0.4,
+        λ4 = 23 − 41 + 20.4 − 2.4 = 0
+        → l_cv = 1/2.4 = 0.416667, l_skew = 0.4, l_kurt = 0
+    """
+    from distill_spark.operators.stats import lmom_regional
+
+    data = ([("g1", float(x)) for x in (1, 2, 3, 4)]
+            + [("g2", float(x)) for x in (0, 0, 0, 4)]
+            + [("g3", float(x)) for x in (1, 1, 2, 3, 5)])
+    df = spark.createDataFrame(pd.DataFrame(data, columns=["g", "x"]))
+    got = {r["g"]: r.asDict() for r in lmom_regional(df, "g", "x").collect()}
+
+    g1 = got["g1"]
+    assert (g1["n"], g1["l1"]) == (4, 2.5)
+    assert g1["l_cv"] == round(1 / 3, 6)       # 0.333333
+    assert g1["l_skew"] == 0.0 and g1["l_kurt"] == 0.0
+
+    g2 = got["g2"]
+    assert (g2["n"], g2["l1"]) == (4, 1.0)
+    assert g2["l_cv"] == 1.0
+    assert g2["l_skew"] == 1.0 and g2["l_kurt"] == 1.0
+
+    g3 = got["g3"]
+    assert (g3["n"], g3["l1"]) == (5, 2.4)
+    assert g3["l_cv"] == round(1 / 2.4, 6)     # 0.416667
+    assert g3["l_skew"] == 0.4 and g3["l_kurt"] == 0.0
+
+
+def test_lmom_regional_drops_small_groups(spark):
+    """n < 4 leaves λ4 undefined — the screen must drop the group,
+    not emit NULL-mixed ratios (driver canonicalizer contract)."""
+    from distill_spark.operators.stats import lmom_regional
+
+    df = spark.createDataFrame(pd.DataFrame(
+        [("tiny", 1.0), ("tiny", 2.0), ("tiny", 3.0)]
+        + [("ok", float(x)) for x in (1, 2, 3, 4)], columns=["g", "x"]))
+    got = {r["g"] for r in lmom_regional(df, "g", "x").collect()}
+    assert got == {"ok"}
