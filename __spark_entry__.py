@@ -14075,6 +14075,121 @@ def _sql_rao_spacing():
     return rao_spacing_sql()
 
 
+# -- round-14 first stratum: spatial autocorrelation battery --------------
+# (operators/spatial.py — Moran/Geary/Getis-Ord/join-counts/LISA over
+# the nation-in-region block-contiguity weights; the per-unit values
+# aggregate decimal-exact so both engines see identical doubles)
+
+_SPATIAL_BAL = ("(SELECT n_name, n_regionkey, c_acctbal "
+                "FROM customer JOIN nation ON c_nationkey = n_nationkey) tbal")
+_SPATIAL_REV = ("(SELECT n_name, n_regionkey, o_totalprice "
+                "FROM orders JOIN customer ON o_custkey = c_custkey "
+                "JOIN nation ON c_nationkey = n_nationkey) trev")
+
+
+def _nation_balance(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    return (t["customer"].join(
+        t["nation"],
+        t["customer"].c_nationkey == t["nation"].n_nationkey)
+        .select("n_name", "n_regionkey", "c_acctbal"))
+
+
+def _nation_revenue(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    return (t["orders"]
+            .join(t["customer"],
+                  t["orders"].o_custkey == t["customer"].c_custkey)
+            .join(t["nation"],
+                  t["customer"].c_nationkey == t["nation"].n_nationkey)
+            .select("n_name", "n_regionkey", "o_totalprice"))
+
+
+def q_moran_i(spark, sf_dir):
+    """Global Moran's I of per-nation customer balance under
+    same-region contiguity (spatial.moran_i) — do rich-customer
+    nations cluster within regions?"""
+    from distill_spark.operators.spatial import moran_i
+
+    return moran_i(_nation_balance(spark, sf_dir),
+                   "n_name", "n_regionkey", "c_acctbal")
+
+
+def _sql_moran_i():
+    from distill_spark.operators.spatial import moran_i_sql
+
+    return moran_i_sql(_SPATIAL_BAL, "n_name", "n_regionkey",
+                       "c_acctbal")
+
+
+def q_geary_c(spark, sf_dir):
+    """Geary's contiguity ratio on the same frame (spatial.geary_c) —
+    the pairwise-difference complement of moran_i (sensitive to local
+    rather than global structure)."""
+    from distill_spark.operators.spatial import geary_c
+
+    return geary_c(_nation_balance(spark, sf_dir),
+                   "n_name", "n_regionkey", "c_acctbal")
+
+
+def _sql_geary_c():
+    from distill_spark.operators.spatial import geary_c_sql
+
+    return geary_c_sql(_SPATIAL_BAL, "n_name", "n_regionkey",
+                       "c_acctbal")
+
+
+def q_getis_g(spark, sf_dir):
+    """Getis–Ord General G over per-nation order revenue
+    (spatial.getis_g, non-negative values) — high-high clustering
+    that Moran's I cannot separate from low-low."""
+    from distill_spark.operators.spatial import getis_g
+
+    return getis_g(_nation_revenue(spark, sf_dir),
+                   "n_name", "n_regionkey", "o_totalprice")
+
+
+def _sql_getis_g():
+    from distill_spark.operators.spatial import getis_g_sql
+
+    return getis_g_sql(_SPATIAL_REV, "n_name", "n_regionkey",
+                       "o_totalprice")
+
+
+def q_join_counts(spark, sf_dir):
+    """Cliff–Ord BB/BW/WW join counts of the above-mean balance
+    indicator (spatial.join_counts) with nonfree-sampling
+    expectations."""
+    from distill_spark.operators.spatial import join_counts
+
+    return join_counts(_nation_balance(spark, sf_dir),
+                       "n_name", "n_regionkey", "c_acctbal")
+
+
+def _sql_join_counts():
+    from distill_spark.operators.spatial import join_counts_sql
+
+    return join_counts_sql(_SPATIAL_BAL, "n_name", "n_regionkey",
+                           "c_acctbal")
+
+
+def q_local_moran(spark, sf_dir):
+    """Anselin LISA per nation over order revenue
+    (spatial.local_moran): hotspot/coldspot quadrants from one block
+    aggregate — the n×n weights matrix never materializes."""
+    from distill_spark.operators.spatial import local_moran
+
+    return local_moran(_nation_revenue(spark, sf_dir),
+                       "n_name", "n_regionkey", "o_totalprice")
+
+
+def _sql_local_moran():
+    from distill_spark.operators.spatial import local_moran_sql
+
+    return local_moran_sql(_SPATIAL_REV, "n_name", "n_regionkey",
+                           "o_totalprice")
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ======================== ROUND-14 WINDOW ============================
     # -- round-14 head: the 21 seeds queued all of round 13 (each
@@ -14107,6 +14222,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "kuiper_test": (q_kuiper_test, _sql_kuiper()),
     "hodges_ajne": (q_hodges_ajne, _sql_hodges_ajne()),
     "rao_spacing": (q_rao_spacing, _sql_rao_spacing()),
+    # -- round-14 first stratum: spatial autocorrelation battery -------------
+    "moran_i": (q_moran_i, _sql_moran_i()),
+    "geary_c": (q_geary_c, _sql_geary_c()),
+    "getis_g": (q_getis_g, _sql_getis_g()),
+    "join_counts": (q_join_counts, _sql_join_counts()),
+    "local_moran": (q_local_moran, _sql_local_moran()),
     # -- round-13 window (all 50 driver-green in CORRECTNESS_r13) ------------
     # (27 seeds promoted from the round-12 queue, then five strata)
     "kendall_tau_b": (q_kendall_tau_b, _sql_tau_b()),

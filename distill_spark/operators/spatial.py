@@ -1,0 +1,404 @@
+"""Spatial autocorrelation battery over block-contiguity weights.
+
+The classical areal statistics (Moran 1950; Geary 1954; Getis & Ord
+1992; Cliff & Ord join counts; Anselin 1995 LISA) on the engine's
+bounded-frame contract: units (nations) carry a value aggregated
+decimal-exact from the fact table, the weights matrix is the binary
+same-block (region) contiguity with zero diagonal — so every Σij w_ij
+term collapses to per-block aggregates of per-unit sums and the n×n
+matrix never materializes. Cardinality is |units| (25) regardless of
+fact rows; at 100 TB only the first rollup touches the corpus and it
+is one partial-aggregated groupBy.
+
+Cross-engine determinism: per-unit values come from DECIMAL(38,12)
+sums (order-independent, bit-identical in Spark and DuckDB), so every
+downstream double is computed from identical bits; outputs are
+bounded ratios/z-scores, rounded 6.
+
+Reference shape: the reference engine exposes no spatial statistics —
+this extends SURVEY §2.5's analytics breadth the same way the
+graph-health battery did (a10/graphstats.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,12)"
+
+
+def _unit_frame(df: DataFrame, unit_col: str, block_col: str,
+                value_col: str):
+    """(unit, block, x, z, xbar, n) with x the decimal-exact per-unit
+    sum and z = x − x̄ bit-identical across engines."""
+    per = (df.filter(F.col(block_col).isNotNull())
+           .groupBy(F.col(unit_col).alias("unit"),
+                    F.col(block_col).alias("blk"))
+           .agg(F.sum(F.col(value_col).cast(_DEC)).cast("double")
+                .alias("x")))
+    tot = Window.partitionBy()
+    n = F.count("*").over(tot)
+    xbar = (F.sum(F.col("x").cast(_DEC)).over(tot).cast("double")
+            / n.cast("double"))
+    return per.select("unit", "blk", "x",
+                      n.alias("n"), xbar.alias("xbar"),
+                      (F.col("x") - xbar).alias("z"))
+
+
+_UNIT_FRAME_SQL = """
+per AS (
+  SELECT {unit_sql} AS unit, {block_sql} AS blk,
+         CAST(sum(CAST({value_sql} AS DECIMAL(38,12))) AS DOUBLE) AS x
+  FROM {table}
+  WHERE {block_sql} IS NOT NULL
+  GROUP BY 1, 2
+),
+uf AS (
+  SELECT unit, blk, x, count(*) OVER () AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) OVER () AS DOUBLE)
+           / count(*) OVER () AS xbar,
+         x - CAST(sum(CAST(x AS DECIMAL(38,12))) OVER () AS DOUBLE)
+               / count(*) OVER () AS z
+  FROM per
+)"""
+
+
+def moran_i(df: DataFrame, unit_col: str, block_col: str,
+            value_col: str) -> DataFrame:
+    """Global Moran's I under same-block contiguity: I = (n/S0)·
+    Σij w_ij z_i z_j / Σ z², with the block identity
+    Σij w_ij z_i z_j = Σ_blocks [(Σz)² − Σz²]. E[I] = −1/(n−1);
+    normal-approximation variance from S1 = 2S0 and
+    S2 = 4·Σ n_b(n_b−1)² (binary symmetric weights). Output: one row
+    (n, s0, moran_i, expected_i, var_i, z_score), rounds 6."""
+    uf = _unit_frame(df, unit_col, block_col, value_col)
+    blk = (uf.groupBy("blk")
+           .agg(F.count("*").alias("nb"),
+                F.sum(F.col("z").cast(_DEC)).cast("double").alias("sz"),
+                F.sum((F.col("z") * F.col("z")).cast(_DEC))
+                .cast("double").alias("szz"))
+           .crossJoin(F.broadcast(
+               uf.agg(F.max("n").alias("n")))))
+    agg = blk.groupBy("n").agg(
+        F.sum(F.col("sz") * F.col("sz") - F.col("szz")).alias("num"),
+        F.sum(F.col("szz")).alias("den"),
+        F.sum(F.col("nb") * (F.col("nb") - 1)).alias("s0"),
+        F.sum(F.col("nb") * (F.col("nb") - 1) * (F.col("nb") - 1) * 4)
+        .alias("s2"))
+    n = F.col("n").cast("double")
+    s0 = F.col("s0").cast("double")
+    s1 = 2.0 * s0
+    s2 = F.col("s2").cast("double")
+    i_stat = F.when((F.col("den") > 0) & (F.col("s0") > 0),
+                    n / s0 * F.col("num") / F.col("den"))
+    e_i = -1.0 / (n - 1.0)
+    var_i = ((n * n * s1 - n * s2 + 3.0 * s0 * s0)
+             / (s0 * s0 * (n * n - 1.0)) - e_i * e_i)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("s0").cast("long").alias("s0"),
+        F.round(i_stat, 6).alias("moran_i"),
+        F.round(e_i, 6).alias("expected_i"),
+        F.round(var_i, 6).alias("var_i"),
+        F.round(F.when(var_i > 0, (i_stat - e_i) / F.sqrt(var_i)), 6)
+        .alias("z_score"))
+
+
+def moran_i_sql(table: str, unit_sql: str, block_sql: str,
+                value_sql: str) -> str:
+    return f"""
+WITH {_UNIT_FRAME_SQL.format(table=table, unit_sql=unit_sql,
+                             block_sql=block_sql, value_sql=value_sql)},
+blk AS (
+  SELECT blk, max(n) AS n, count(*) AS nb,
+         CAST(sum(CAST(z AS DECIMAL(38,12))) AS DOUBLE) AS sz,
+         CAST(sum(CAST(z * z AS DECIMAL(38,12))) AS DOUBLE) AS szz
+  FROM uf GROUP BY blk
+),
+agg AS (
+  SELECT max(n) AS n, sum(sz * sz - szz) AS num, sum(szz) AS den,
+         sum(nb * (nb - 1)) AS s0,
+         sum(nb * (nb - 1) * (nb - 1) * 4) AS s2
+  FROM blk
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(s0 AS BIGINT) AS s0,
+       round(CASE WHEN den > 0 AND s0 > 0
+             THEN CAST(n AS DOUBLE) / s0 * num / den END, 6) AS moran_i,
+       round(-1.0 / (n - 1.0), 6) AS expected_i,
+       round((CAST(n AS DOUBLE) * n * (2.0 * s0) - n * s2
+              + 3.0 * s0 * s0)
+             / (CAST(s0 AS DOUBLE) * s0 * (CAST(n AS DOUBLE) * n - 1.0))
+             - (1.0 / ((n - 1.0) * (n - 1.0))), 6) AS var_i,
+       round(CASE WHEN (CAST(n AS DOUBLE) * n * (2.0 * s0) - n * s2
+                        + 3.0 * s0 * s0)
+                       / (CAST(s0 AS DOUBLE) * s0
+                          * (CAST(n AS DOUBLE) * n - 1.0))
+                       - 1.0 / ((n - 1.0) * (n - 1.0)) > 0
+             THEN (CASE WHEN den > 0 AND s0 > 0
+                   THEN CAST(n AS DOUBLE) / s0 * num / den END
+                   - (-1.0 / (n - 1.0)))
+                  / sqrt((CAST(n AS DOUBLE) * n * (2.0 * s0) - n * s2
+                          + 3.0 * s0 * s0)
+                         / (CAST(s0 AS DOUBLE) * s0
+                            * (CAST(n AS DOUBLE) * n - 1.0))
+                         - 1.0 / ((n - 1.0) * (n - 1.0))) END, 6)
+         AS z_score
+FROM agg
+"""
+
+
+def geary_c(df: DataFrame, unit_col: str, block_col: str,
+            value_col: str) -> DataFrame:
+    """Geary's contiguity ratio: C = ((n−1)/(2S0))·
+    Σij w_ij (z_i−z_j)² / Σ z², block identity
+    Σ_{i≠j∈b}(z_i−z_j)² = 2[n_b·Σz²_b − (Σz_b)²]. E[C] = 1 (C < 1 =
+    positive autocorrelation); normality variance
+    [(2S1 + S2)(n−1) − 4S0²]/(2(n+1)S0²). Output: one row
+    (n, geary_c, var_c, z_score), rounds 6."""
+    uf = _unit_frame(df, unit_col, block_col, value_col)
+    blk = (uf.groupBy("blk")
+           .agg(F.count("*").alias("nb"),
+                F.sum(F.col("z").cast(_DEC)).cast("double").alias("sz"),
+                F.sum((F.col("z") * F.col("z")).cast(_DEC))
+                .cast("double").alias("szz"))
+           .crossJoin(F.broadcast(uf.agg(F.max("n").alias("n")))))
+    agg = blk.groupBy("n").agg(
+        F.sum(2.0 * (F.col("nb") * F.col("szz")
+                     - F.col("sz") * F.col("sz"))).alias("num"),
+        F.sum(F.col("szz")).alias("den"),
+        F.sum(F.col("nb") * (F.col("nb") - 1)).alias("s0"),
+        F.sum(F.col("nb") * (F.col("nb") - 1) * (F.col("nb") - 1) * 4)
+        .alias("s2"))
+    n = F.col("n").cast("double")
+    s0 = F.col("s0").cast("double")
+    s1 = 2.0 * s0
+    s2 = F.col("s2").cast("double")
+    c_stat = F.when((F.col("den") > 0) & (F.col("s0") > 0),
+                    (n - 1.0) / (2.0 * s0) * F.col("num") / F.col("den"))
+    var_c = (((2.0 * s1 + s2) * (n - 1.0) - 4.0 * s0 * s0)
+             / (2.0 * (n + 1.0) * s0 * s0))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(c_stat, 6).alias("geary_c"),
+        F.round(var_c, 6).alias("var_c"),
+        F.round(F.when(var_c > 0, (c_stat - 1.0) / F.sqrt(var_c)), 6)
+        .alias("z_score"))
+
+
+def geary_c_sql(table: str, unit_sql: str, block_sql: str,
+                value_sql: str) -> str:
+    return f"""
+WITH {_UNIT_FRAME_SQL.format(table=table, unit_sql=unit_sql,
+                             block_sql=block_sql, value_sql=value_sql)},
+blk AS (
+  SELECT blk, max(n) AS n, count(*) AS nb,
+         CAST(sum(CAST(z AS DECIMAL(38,12))) AS DOUBLE) AS sz,
+         CAST(sum(CAST(z * z AS DECIMAL(38,12))) AS DOUBLE) AS szz
+  FROM uf GROUP BY blk
+),
+agg AS (
+  SELECT max(n) AS n,
+         sum(2.0 * (nb * szz - sz * sz)) AS num, sum(szz) AS den,
+         sum(nb * (nb - 1)) AS s0,
+         sum(nb * (nb - 1) * (nb - 1) * 4) AS s2
+  FROM blk
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(CASE WHEN den > 0 AND s0 > 0 THEN
+             (n - 1.0) / (2.0 * s0) * num / den END, 6) AS geary_c,
+       round(((2.0 * (2.0 * s0) + s2) * (n - 1.0) - 4.0 * s0 * s0)
+             / (2.0 * (n + 1.0) * CAST(s0 AS DOUBLE) * s0), 6) AS var_c,
+       round(CASE WHEN ((2.0 * (2.0 * s0) + s2) * (n - 1.0)
+                        - 4.0 * s0 * s0)
+                       / (2.0 * (n + 1.0) * CAST(s0 AS DOUBLE) * s0) > 0
+             THEN (CASE WHEN den > 0 AND s0 > 0 THEN
+                   (n - 1.0) / (2.0 * s0) * num / den END - 1.0)
+                  / sqrt(((2.0 * (2.0 * s0) + s2) * (n - 1.0)
+                          - 4.0 * s0 * s0)
+                         / (2.0 * (n + 1.0) * CAST(s0 AS DOUBLE) * s0))
+             END, 6) AS z_score
+FROM agg
+"""
+
+
+def getis_g(df: DataFrame, unit_col: str, block_col: str,
+            value_col: str) -> DataFrame:
+    """Getis–Ord General G (1992, non-negative values): G =
+    Σij w_ij x_i x_j / Σ_{i≠j} x_i x_j — block numerator
+    Σ_b [(Σx_b)² − Σx²_b], denominator (Σx)² − Σx². E[G] =
+    S0/(n(n−1)); G > E = high values cluster. Output: one row
+    (n, general_g, expected_g, g_ratio), rounds 6."""
+    uf = _unit_frame(df, unit_col, block_col, value_col)
+    blk = (uf.groupBy("blk")
+           .agg(F.count("*").alias("nb"),
+                F.sum(F.col("x").cast(_DEC)).cast("double").alias("sx"),
+                F.sum((F.col("x") * F.col("x")).cast(_DEC))
+                .cast("double").alias("sxx"))
+           .crossJoin(F.broadcast(uf.agg(F.max("n").alias("n")))))
+    agg = blk.groupBy("n").agg(
+        F.sum(F.col("sx") * F.col("sx") - F.col("sxx")).alias("num"),
+        F.sum(F.col("sx")).alias("tx"),
+        F.sum(F.col("sxx")).alias("txx"),
+        F.sum(F.col("nb") * (F.col("nb") - 1)).alias("s0"))
+    n = F.col("n").cast("double")
+    den = F.col("tx") * F.col("tx") - F.col("txx")
+    g = F.when(den > 0, F.col("num") / den)
+    e_g = F.col("s0").cast("double") / (n * (n - 1.0))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(g, 6).alias("general_g"),
+        F.round(e_g, 6).alias("expected_g"),
+        F.round(F.when(e_g > 0, g / e_g), 6).alias("g_ratio"))
+
+
+def getis_g_sql(table: str, unit_sql: str, block_sql: str,
+                value_sql: str) -> str:
+    return f"""
+WITH {_UNIT_FRAME_SQL.format(table=table, unit_sql=unit_sql,
+                             block_sql=block_sql, value_sql=value_sql)},
+blk AS (
+  SELECT blk, max(n) AS n, count(*) AS nb,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+  FROM uf GROUP BY blk
+),
+agg AS (
+  SELECT max(n) AS n, sum(sx * sx - sxx) AS num,
+         sum(sx) AS tx, sum(sxx) AS txx,
+         sum(nb * (nb - 1)) AS s0
+  FROM blk
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(CASE WHEN tx * tx - txx > 0
+             THEN num / (tx * tx - txx) END, 6) AS general_g,
+       round(CAST(s0 AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1.0)), 6)
+         AS expected_g,
+       round(CASE WHEN s0 > 0 AND tx * tx - txx > 0 THEN
+             (num / (tx * tx - txx))
+             / (CAST(s0 AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1.0)))
+             END, 6) AS g_ratio
+FROM agg
+"""
+
+
+def join_counts(df: DataFrame, unit_col: str, block_col: str,
+                value_col: str) -> DataFrame:
+    """Cliff–Ord join-count statistics on the above-mean indicator:
+    BB = Σ_b C(nb_b, 2), WW = Σ_b C(nw_b, 2), BW = Σ_b nb_b·nw_b
+    (each same-block pair is one join). Expected under nonfree
+    sampling: E[BB] = (S0/2)·nB(nB−1)/(n(n−1)), E[BW] =
+    S0·nB·nW/(n(n−1)). Output: one row (n, n_black, bb, bw, ww,
+    e_bb, e_bw), rounds 6."""
+    uf = _unit_frame(df, unit_col, block_col, value_col)
+    b = (F.col("x") > F.col("xbar")).cast("long")
+    blk = (uf.groupBy("blk")
+           .agg(F.count("*").alias("m"),
+                F.sum(b).alias("mb"))
+           .crossJoin(F.broadcast(uf.agg(F.max("n").alias("n")))))
+    agg = blk.groupBy("n").agg(
+        F.sum("mb").alias("nb"),
+        F.sum(F.col("mb") * (F.col("mb") - 1) / 2).alias("bb"),
+        F.sum((F.col("m") - F.col("mb"))
+              * (F.col("m") - F.col("mb") - 1) / 2).alias("ww"),
+        F.sum(F.col("mb") * (F.col("m") - F.col("mb"))).alias("bw"),
+        F.sum(F.col("m") * (F.col("m") - 1)).alias("s0"))
+    n = F.col("n").cast("double")
+    nb = F.col("nb").cast("double")
+    nw = n - nb
+    s0 = F.col("s0").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("nb").cast("long").alias("n_black"),
+        F.col("bb").cast("long").alias("bb"),
+        F.col("bw").cast("long").alias("bw"),
+        F.col("ww").cast("long").alias("ww"),
+        F.round(s0 / 2.0 * nb * (nb - 1.0) / (n * (n - 1.0)), 6)
+        .alias("e_bb"),
+        F.round(s0 * nb * nw / (n * (n - 1.0)), 6).alias("e_bw"))
+
+
+def join_counts_sql(table: str, unit_sql: str, block_sql: str,
+                    value_sql: str) -> str:
+    return f"""
+WITH {_UNIT_FRAME_SQL.format(table=table, unit_sql=unit_sql,
+                             block_sql=block_sql, value_sql=value_sql)},
+blk AS (
+  SELECT blk, max(n) AS n, count(*) AS m,
+         sum(CASE WHEN x > xbar THEN 1 ELSE 0 END) AS mb
+  FROM uf GROUP BY blk
+),
+agg AS (
+  SELECT max(n) AS n, sum(mb) AS nb,
+         sum(mb * (mb - 1) / 2) AS bb,
+         sum((m - mb) * (m - mb - 1) / 2) AS ww,
+         sum(mb * (m - mb)) AS bw,
+         sum(m * (m - 1)) AS s0
+  FROM blk
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(nb AS BIGINT) AS n_black,
+       CAST(bb AS BIGINT) AS bb, CAST(bw AS BIGINT) AS bw,
+       CAST(ww AS BIGINT) AS ww,
+       round(CAST(s0 AS DOUBLE) / 2.0 * nb * (nb - 1.0)
+             / (CAST(n AS DOUBLE) * (n - 1.0)), 6) AS e_bb,
+       round(CAST(s0 AS DOUBLE) * nb * (CAST(n AS DOUBLE) - nb)
+             / (CAST(n AS DOUBLE) * (n - 1.0)), 6) AS e_bw
+FROM agg
+"""
+
+
+def local_moran(df: DataFrame, unit_col: str, block_col: str,
+                value_col: str) -> DataFrame:
+    """Anselin's LISA: I_i = z_i · Σ_{j≠i, same block} z_j / m2 with
+    m2 = Σz²/n — the per-unit decomposition of Moran's I (Σ I_i =
+    n·I·S0/... summed local = global up to the S0 scaling). The
+    neighbor sum is (block Σz − z_i): one block aggregate broadcast
+    back, never a pair join. Quadrant labels HH/LL/HL/LH from the
+    signs of z_i and its neighbor sum. Output: one row per unit
+    (unit, local_i, quadrant), rounds 6, ordered by unit."""
+    uf = _unit_frame(df, unit_col, block_col, value_col)
+    blk = (uf.groupBy("blk")
+           .agg(F.sum(F.col("z").cast(_DEC)).cast("double")
+                .alias("bz")))
+    m2f = uf.agg(
+        (F.sum((F.col("z") * F.col("z")).cast(_DEC)).cast("double")
+         / F.count("*")).alias("m2"))
+    lag = (uf.join(F.broadcast(blk), "blk")
+           .crossJoin(F.broadcast(m2f))
+           .select("unit", "z",
+                   (F.col("bz") - F.col("z")).alias("zl"),
+                   "m2"))
+    quad = (F.when((F.col("z") > 0) & (F.col("zl") > 0), "HH")
+            .when((F.col("z") <= 0) & (F.col("zl") <= 0), "LL")
+            .when((F.col("z") > 0), "HL")
+            .otherwise("LH"))
+    return (lag.select(
+        "unit",
+        F.round(F.when(F.col("m2") > 0,
+                       F.col("z") * F.col("zl") / F.col("m2")), 6)
+        .alias("local_i"),
+        quad.alias("quadrant"))
+        .orderBy("unit"))
+
+
+def local_moran_sql(table: str, unit_sql: str, block_sql: str,
+                    value_sql: str) -> str:
+    return f"""
+WITH {_UNIT_FRAME_SQL.format(table=table, unit_sql=unit_sql,
+                             block_sql=block_sql, value_sql=value_sql)},
+lag AS (
+  SELECT unit, z,
+         CAST(sum(CAST(z AS DECIMAL(38,12))) OVER (PARTITION BY blk)
+              AS DOUBLE) - z AS zl,
+         CAST(sum(CAST(z * z AS DECIMAL(38,12))) OVER () AS DOUBLE)
+           / count(*) OVER () AS m2
+  FROM uf
+)
+SELECT unit,
+       round(CASE WHEN m2 > 0 THEN z * zl / m2 END, 6) AS local_i,
+       CASE WHEN z > 0 AND zl > 0 THEN 'HH'
+            WHEN z <= 0 AND zl <= 0 THEN 'LL'
+            WHEN z > 0 THEN 'HL' ELSE 'LH' END AS quadrant
+FROM lag
+ORDER BY unit
+"""

@@ -1,0 +1,117 @@
+"""Planted tests for the round-14 window strata — hand-computed
+fixtures landing WITH each stratum (the round-12/13 discipline).
+Expectations are derived on paper in comments; where a final division
+is delegated to Python it runs on hand-derived integers/decimals, not
+on the operator's arithmetic.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0].asDict()
+
+
+# ------------------------------------------- spatial autocorrelation
+#
+# Fixture: block 1 = {A:10, B:8}, block 2 = {C:1, D:2, E:3}.
+# n = 5, x̄ = 4.8, z = (5.2, 3.2, −3.8, −2.8, −1.8), Σz² = 62.8.
+# Same-block pair identities (hand):
+#   Σij w z_i z_j = (8.4² − 37.28) + (8.4² − 25.52) = 33.28 + 45.04
+#                 = 78.32
+#   Σij w (z_i−z_j)² = 2(2·37.28 − 70.56) + 2(3·25.52 − 70.56)
+#                    = 8 + 12 = 20
+#   S0 = 2·1 + 3·2 = 8, S1 = 2S0 = 16,
+#   S2 = Σ_b 4·n_b(n_b−1)² = 8 + 48 = 56.
+
+
+def _units(spark):
+    rows = [("A", 1, 10.0), ("B", 1, 8.0),
+            ("C", 2, 1.0), ("D", 2, 2.0), ("E", 2, 3.0)]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["u", "blk", "x"]))
+
+
+def test_moran_i_hand_blocks(spark):
+    from distill_spark.operators.spatial import moran_i
+
+    out = _one(moran_i(_units(spark), "u", "blk", "x"))
+    assert out["n"] == 5 and out["s0"] == 8
+    i = (5 / 8) * (78.32 / 62.8)
+    assert out["moran_i"] == round(i, 6)           # 0.779459
+    assert out["expected_i"] == -0.25
+    var = (25 * 16 - 5 * 56 + 3 * 64) / (64 * 24) - 0.0625  # 0.140625
+    assert out["var_i"] == round(var, 6)
+    assert out["z_score"] == round((i + 0.25) / math.sqrt(var), 6)
+
+
+def test_geary_c_hand_blocks(spark):
+    from distill_spark.operators.spatial import geary_c
+
+    out = _one(geary_c(_units(spark), "u", "blk", "x"))
+    c = (4 / 16) * (20 / 62.8)
+    assert out["geary_c"] == round(c, 6)            # 0.079618
+    var = ((2 * 16 + 56) * 4 - 4 * 64) / (2 * 6 * 64)  # 0.125
+    assert out["var_c"] == round(var, 6)
+    assert out["z_score"] == round((c - 1) / math.sqrt(var), 6)
+    assert out["z_score"] < -2                      # strong clustering
+
+
+def test_getis_g_hand_blocks(spark):
+    from distill_spark.operators.spatial import getis_g
+
+    out = _one(getis_g(_units(spark), "u", "blk", "x"))
+    # num = (18²−164) + (6²−14) = 160 + 22 = 182; den = 24²−178 = 398
+    g = 182 / 398
+    assert out["general_g"] == round(g, 6)          # 0.457286
+    assert out["expected_g"] == 0.4                 # 8/(5·4)
+    assert out["g_ratio"] == round(g / 0.4, 6)
+    assert out["g_ratio"] > 1                       # high values cluster
+
+
+def test_join_counts_hand_blocks(spark):
+    from distill_spark.operators.spatial import join_counts
+
+    out = _one(join_counts(_units(spark), "u", "blk", "x"))
+    # black = above-mean = {A, B}; BB = C(2,2)=1 (block 1), WW =
+    # C(3,2)=3 (block 2), BW = 0; E_BB = 4·2·1/20 = 0.4,
+    # E_BW = 8·2·3/20 = 2.4
+    assert (out["n"], out["n_black"]) == (5, 2)
+    assert (out["bb"], out["bw"], out["ww"]) == (1, 0, 3)
+    assert out["e_bb"] == 0.4
+    assert out["e_bw"] == 2.4
+
+
+def test_local_moran_hand_blocks(spark):
+    from distill_spark.operators.spatial import local_moran
+
+    got = {r["unit"]: r.asDict()
+           for r in local_moran(_units(spark), "u", "blk", "x").collect()}
+    m2 = 62.8 / 5
+    assert got["A"]["local_i"] == round(5.2 * 3.2 / m2, 6)
+    assert got["A"]["quadrant"] == "HH"
+    assert got["C"]["local_i"] == round(-3.8 * -4.6 / m2, 6)
+    assert got["C"]["quadrant"] == "LL"
+    # every unit in this fixture agrees with its block → no HL/LH
+    assert {g["quadrant"] for g in got.values()} == {"HH", "LL"}
+
+
+def test_moran_dispersed_pattern_goes_negative(spark):
+    """Direction pin: alternating extremes INSIDE each block → every
+    same-block product negative → I < E[I] (dispersion), C > 1."""
+    from distill_spark.operators.spatial import geary_c, moran_i
+
+    rows = [("A", 1, 10.0), ("B", 1, 0.0),
+            ("C", 2, 10.0), ("D", 2, 0.0)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["u", "blk", "x"]))
+    m = _one(moran_i(df, "u", "blk", "x"))
+    assert m["moran_i"] < m["expected_i"] < 0
+    g = _one(geary_c(df, "u", "blk", "x"))
+    assert g["geary_c"] > 1
