@@ -14190,6 +14190,83 @@ def _sql_local_moran():
                            "o_totalprice")
 
 
+# -- round-14 second stratum: circular association ------------------------
+# (operators/circular.py — the battery above tests uniformity; these
+# relate the clock to a linear value / a second angle / a grouping)
+
+
+def q_circ_linear_corr(spark, sf_dir):
+    """Mardia circular–linear R² between event time-of-day and value
+    (circular.circ_linear_corr) — 'do big events happen at a
+    particular clock time?'."""
+    from distill_spark.operators.circular import circ_linear_corr
+
+    return circ_linear_corr(_tables(spark, sf_dir)["events"])
+
+
+def _sql_circ_linear_corr():
+    from distill_spark.operators.circular import circ_linear_corr_sql
+
+    return circ_linear_corr_sql()
+
+
+def q_fisher_lee_corr(spark, sf_dir):
+    """Fisher–Lee circular–circular correlation between each user's
+    first- and last-event clock angles (circular.fisher_lee_corr) —
+    separable O(n) form of the pair-sum definition."""
+    from distill_spark.operators.circular import fisher_lee_corr
+
+    return fisher_lee_corr(_tables(spark, sf_dir)["events"])
+
+
+def _sql_fisher_lee_corr():
+    from distill_spark.operators.circular import fisher_lee_corr_sql
+
+    return fisher_lee_corr_sql()
+
+
+def q_watson_williams(spark, sf_dir):
+    """Watson–Williams common-mean-direction F, weekend vs weekday
+    (circular.watson_williams)."""
+    from distill_spark.operators.circular import watson_williams
+
+    return watson_williams(_tables(spark, sf_dir)["events"])
+
+
+def _sql_watson_williams():
+    from distill_spark.operators.circular import watson_williams_sql
+
+    return watson_williams_sql()
+
+
+def q_circ_range(spark, sf_dir):
+    """Circular range (shortest covering arc) over the bounded
+    distinct second-of-day frame (circular.circ_range)."""
+    from distill_spark.operators.circular import circ_range
+
+    return circ_range(_tables(spark, sf_dir)["events"])
+
+
+def _sql_circ_range():
+    from distill_spark.operators.circular import circ_range_sql
+
+    return circ_range_sql()
+
+
+def q_circ_dispersion(spark, sf_dir):
+    """Fisher's circular dispersion + mean-direction CI arc
+    (circular.circ_dispersion), closed-form from four trig sums."""
+    from distill_spark.operators.circular import circ_dispersion
+
+    return circ_dispersion(_tables(spark, sf_dir)["events"])
+
+
+def _sql_circ_dispersion():
+    from distill_spark.operators.circular import circ_dispersion_sql
+
+    return circ_dispersion_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ======================== ROUND-14 WINDOW ============================
     # -- round-14 head: the 21 seeds queued all of round 13 (each
@@ -14228,6 +14305,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "getis_g": (q_getis_g, _sql_getis_g()),
     "join_counts": (q_join_counts, _sql_join_counts()),
     "local_moran": (q_local_moran, _sql_local_moran()),
+    # -- round-14 second stratum: circular association -----------------------
+    "circ_linear_corr": (q_circ_linear_corr, _sql_circ_linear_corr()),
+    "fisher_lee_corr": (q_fisher_lee_corr, _sql_fisher_lee_corr()),
+    "watson_williams": (q_watson_williams, _sql_watson_williams()),
+    "circ_range": (q_circ_range, _sql_circ_range()),
+    "circ_dispersion": (q_circ_dispersion, _sql_circ_dispersion()),
     # -- round-13 window (all 50 driver-green in CORRECTNESS_r13) ------------
     # (27 seeds promoted from the round-12 queue, then five strata)
     "kendall_tau_b": (q_kendall_tau_b, _sql_tau_b()),

@@ -546,3 +546,458 @@ SELECT CAST(n AS BIGINT) AS n,
        round(s / 2.0 / {_TWO_PI!r}, 6) AS u_frac
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-14 stratum: circular ASSOCIATION — the battery above asks "is
+# the clock distribution uniform"; these ask "does the clock relate
+# to a linear value / another angle / a grouping".
+
+
+def circ_linear_corr(events: DataFrame, ts_col: str = "ts",
+                     value_col: str = "value") -> DataFrame:
+    """Mardia (1976) circular–linear correlation between time-of-day
+    and a linear value: with r_xc = corr(v, cos θ), r_xs =
+    corr(v, sin θ), r_cs = corr(cos θ, sin θ),
+
+        R² = (r_xc² + r_xs² − 2·r_xc·r_xs·r_cs) / (1 − r_cs²)
+
+    and n·R² ~ χ²₂ under independence. All three Pearson terms come
+    from one pass of grid-rounded products into decimal sums — the
+    products of the resulting doubles are bit-identical across
+    engines. Output: one row (n, r_xc, r_xs, r_cs, r2, stat),
+    rounds 6."""
+    theta = _sod(ts_col).cast("double") / 86400.0 * _TWO_PI
+    v = F.col(value_col).cast("double")
+    terms = events.filter(v.isNotNull()).select(
+        F.round(v, 9).alias("v"),
+        F.round(F.cos(theta), 9).alias("c"),
+        F.round(F.sin(theta), 9).alias("s"),
+        F.round(v * F.cos(theta), 9).alias("vc"),
+        F.round(v * F.sin(theta), 9).alias("vs"),
+        F.round(F.cos(theta) * F.sin(theta), 9).alias("cs"),
+        F.round(v * v, 9).alias("vv"),
+        F.round(F.cos(theta) * F.cos(theta), 9).alias("cc"),
+        F.round(F.sin(theta) * F.sin(theta), 9).alias("ss"))
+    agg = terms.agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.col(c).cast(_DEC)).cast("double").alias(f"S{c}")
+          for c in ("v", "c", "s", "vc", "vs", "cs", "vv", "cc", "ss")])
+    n = F.col("n").cast("double")
+
+    def corr(sxy, sx, sy, sxx, syy):
+        num = n * F.col(sxy) - F.col(sx) * F.col(sy)
+        dx = n * F.col(sxx) - F.col(sx) * F.col(sx)
+        dy = n * F.col(syy) - F.col(sy) * F.col(sy)
+        return F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy))
+
+    r_xc = corr("Svc", "Sv", "Sc", "Svv", "Scc")
+    r_xs = corr("Svs", "Sv", "Ss", "Svv", "Sss")
+    r_cs = corr("Scs", "Sc", "Ss", "Scc", "Sss")
+    r2 = F.when(r_cs * r_cs < 1.0,
+                (r_xc * r_xc + r_xs * r_xs
+                 - 2.0 * r_xc * r_xs * r_cs) / (1.0 - r_cs * r_cs))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(r_xc, 6).alias("r_xc"),
+        F.round(r_xs, 6).alias("r_xs"),
+        F.round(r_cs, 6).alias("r_cs"),
+        F.round(r2, 6).alias("r2"),
+        F.round(n * r2, 6).alias("stat"))
+
+
+def circ_linear_corr_sql(table: str = "events", ts_sql: str = "ts",
+                         value_sql: str = "value") -> str:
+    sod = _SOD_SQL.format(ts=ts_sql)
+    th = f"(CAST({sod} AS DOUBLE) / 86400.0 * {_TWO_PI!r})"
+    v = f"CAST({value_sql} AS DOUBLE)"
+    return f"""
+WITH terms AS (
+  SELECT round({v}, 9) AS v,
+         round(cos({th}), 9) AS c, round(sin({th}), 9) AS s,
+         round({v} * cos({th}), 9) AS vc,
+         round({v} * sin({th}), 9) AS vs,
+         round(cos({th}) * sin({th}), 9) AS cs,
+         round({v} * {v}, 9) AS vv,
+         round(cos({th}) * cos({th}), 9) AS cc,
+         round(sin({th}) * sin({th}), 9) AS ss
+  FROM {table} WHERE {v} IS NOT NULL
+),
+agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(v  AS DECIMAL(38,12))) AS DOUBLE) AS Sv,
+         CAST(sum(CAST(c  AS DECIMAL(38,12))) AS DOUBLE) AS Sc,
+         CAST(sum(CAST(s  AS DECIMAL(38,12))) AS DOUBLE) AS Ss,
+         CAST(sum(CAST(vc AS DECIMAL(38,12))) AS DOUBLE) AS Svc,
+         CAST(sum(CAST(vs AS DECIMAL(38,12))) AS DOUBLE) AS Svs,
+         CAST(sum(CAST(cs AS DECIMAL(38,12))) AS DOUBLE) AS Scs,
+         CAST(sum(CAST(vv AS DECIMAL(38,12))) AS DOUBLE) AS Svv,
+         CAST(sum(CAST(cc AS DECIMAL(38,12))) AS DOUBLE) AS Scc,
+         CAST(sum(CAST(ss AS DECIMAL(38,12))) AS DOUBLE) AS Sss
+  FROM terms
+),
+r AS (
+  SELECT n,
+         CASE WHEN (n*Svv - Sv*Sv) > 0 AND (n*Scc - Sc*Sc) > 0 THEN
+           (n*Svc - Sv*Sc) / sqrt((n*Svv - Sv*Sv) * (n*Scc - Sc*Sc))
+         END AS r_xc,
+         CASE WHEN (n*Svv - Sv*Sv) > 0 AND (n*Sss - Ss*Ss) > 0 THEN
+           (n*Svs - Sv*Ss) / sqrt((n*Svv - Sv*Sv) * (n*Sss - Ss*Ss))
+         END AS r_xs,
+         CASE WHEN (n*Scc - Sc*Sc) > 0 AND (n*Sss - Ss*Ss) > 0 THEN
+           (n*Scs - Sc*Ss) / sqrt((n*Scc - Sc*Sc) * (n*Sss - Ss*Ss))
+         END AS r_cs
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(r_xc, 6) AS r_xc, round(r_xs, 6) AS r_xs,
+       round(r_cs, 6) AS r_cs,
+       round(CASE WHEN r_cs * r_cs < 1.0 THEN
+             (r_xc*r_xc + r_xs*r_xs - 2.0*r_xc*r_xs*r_cs)
+             / (1.0 - r_cs*r_cs) END, 6) AS r2,
+       round(n * CASE WHEN r_cs * r_cs < 1.0 THEN
+             (r_xc*r_xc + r_xs*r_xs - 2.0*r_xc*r_xs*r_cs)
+             / (1.0 - r_cs*r_cs) END, 6) AS stat
+FROM r
+"""
+
+
+def fisher_lee_corr(events: DataFrame, ts_col: str = "ts",
+                    user_col: str = "user_id") -> DataFrame:
+    """Fisher–Lee (1983) circular–circular correlation between each
+    user's FIRST-event and LAST-event time-of-day angles:
+
+        ρ̂ = Σij sin(θi−θj)·sin(φi−φj)
+             / √(Σij sin²(θi−θj) · Σij sin²(φi−φj))
+
+    computed in ONE pass via the separable identities
+    Σij sinΔθ sinΔφ = 2(A·B − C·D) with A = Σcosθcosφ, B = Σsinθsinφ,
+    C = Σcosθsinφ, D = Σsinθcosφ, and Σij sin²Δθ =
+    (n² − (Σcos2θ)² − (Σsin2θ)²)/2 — the O(n²) pair sum never
+    materializes. Output: one row (n_users, rho), rounds 6."""
+    us = F.unix_micros(F.col(ts_col))
+    per = (events.groupBy(F.col(user_col).alias("u"))
+           .agg(F.min(F.struct(us.alias("t"),
+                               _sod(ts_col).alias("sod"))).alias("a"),
+                F.max(F.struct(us.alias("t"),
+                               _sod(ts_col).alias("sod"))).alias("b")))
+    th = F.col("a.sod").cast("double") / 86400.0 * _TWO_PI
+    ph = F.col("b.sod").cast("double") / 86400.0 * _TWO_PI
+    terms = per.select(
+        F.round(F.cos(th) * F.cos(ph), 9).alias("a_"),
+        F.round(F.sin(th) * F.sin(ph), 9).alias("b_"),
+        F.round(F.cos(th) * F.sin(ph), 9).alias("c_"),
+        F.round(F.sin(th) * F.cos(ph), 9).alias("d_"),
+        F.round(F.cos(2.0 * th), 9).alias("c2t"),
+        F.round(F.sin(2.0 * th), 9).alias("s2t"),
+        F.round(F.cos(2.0 * ph), 9).alias("c2p"),
+        F.round(F.sin(2.0 * ph), 9).alias("s2p"))
+    agg = terms.agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.col(c).cast(_DEC)).cast("double").alias(f"S{c}")
+          for c in ("a_", "b_", "c_", "d_", "c2t", "s2t", "c2p",
+                    "s2p")])
+    n = F.col("n").cast("double")
+    num = 2.0 * (F.col("Sa_") * F.col("Sb_")
+                 - F.col("Sc_") * F.col("Sd_"))
+    dt = (n * n - F.col("Sc2t") * F.col("Sc2t")
+          - F.col("Ss2t") * F.col("Ss2t")) / 2.0
+    dp = (n * n - F.col("Sc2p") * F.col("Sc2p")
+          - F.col("Ss2p") * F.col("Ss2p")) / 2.0
+    return agg.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round(F.when((dt > 0) & (dp > 0), num / F.sqrt(dt * dp)), 6)
+        .alias("rho"))
+
+
+def fisher_lee_corr_sql(table: str = "events", ts_sql: str = "ts",
+                        user_sql: str = "user_id") -> str:
+    sod = _SOD_SQL.format(ts=ts_sql)
+    return f"""
+WITH per AS (
+  SELECT {user_sql} AS u,
+         min(struct_pack(t := epoch_us({ts_sql}), sod := {sod})) AS a,
+         max(struct_pack(t := epoch_us({ts_sql}), sod := {sod})) AS b
+  FROM {table} GROUP BY 1
+),
+ang AS (
+  SELECT CAST(a.sod AS DOUBLE) / 86400.0 * {_TWO_PI!r} AS th,
+         CAST(b.sod AS DOUBLE) / 86400.0 * {_TWO_PI!r} AS ph
+  FROM per
+),
+terms AS (
+  SELECT round(cos(th) * cos(ph), 9) AS a_,
+         round(sin(th) * sin(ph), 9) AS b_,
+         round(cos(th) * sin(ph), 9) AS c_,
+         round(sin(th) * cos(ph), 9) AS d_,
+         round(cos(2.0 * th), 9) AS c2t, round(sin(2.0 * th), 9) AS s2t,
+         round(cos(2.0 * ph), 9) AS c2p, round(sin(2.0 * ph), 9) AS s2p
+  FROM ang
+),
+agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(a_ AS DECIMAL(38,12))) AS DOUBLE) AS Sa,
+         CAST(sum(CAST(b_ AS DECIMAL(38,12))) AS DOUBLE) AS Sb,
+         CAST(sum(CAST(c_ AS DECIMAL(38,12))) AS DOUBLE) AS Sc,
+         CAST(sum(CAST(d_ AS DECIMAL(38,12))) AS DOUBLE) AS Sd,
+         CAST(sum(CAST(c2t AS DECIMAL(38,12))) AS DOUBLE) AS Sc2t,
+         CAST(sum(CAST(s2t AS DECIMAL(38,12))) AS DOUBLE) AS Ss2t,
+         CAST(sum(CAST(c2p AS DECIMAL(38,12))) AS DOUBLE) AS Sc2p,
+         CAST(sum(CAST(s2p AS DECIMAL(38,12))) AS DOUBLE) AS Ss2p
+  FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       round(CASE WHEN (CAST(n AS DOUBLE)*n - Sc2t*Sc2t - Ss2t*Ss2t)/2.0 > 0
+                   AND (CAST(n AS DOUBLE)*n - Sc2p*Sc2p - Ss2p*Ss2p)/2.0 > 0
+             THEN 2.0 * (Sa*Sb - Sc*Sd)
+                  / sqrt(((CAST(n AS DOUBLE)*n - Sc2t*Sc2t - Ss2t*Ss2t)/2.0)
+                         * ((CAST(n AS DOUBLE)*n - Sc2p*Sc2p - Ss2p*Ss2p)/2.0))
+             END, 6) AS rho
+FROM agg
+"""
+
+
+def watson_williams(events: DataFrame, ts_col: str = "ts"
+                    ) -> DataFrame:
+    """Watson–Williams two-sample test for a common mean direction,
+    weekend vs weekday time-of-day: with group resultants R₁, R₂ and
+    pooled R,
+
+        F = (1 + 3/(8κ̂)) · (N−2)(R₁+R₂−R) / (N−R₁−R₂)
+
+    κ̂ from the Mardia 3-piece estimator at R̄_w = (R₁+R₂)/N (the
+    test's standard plug-in). Output: one row (n_weekend, n_weekday,
+    rbar_weekend, rbar_weekday, f_stat), rounds 6."""
+    theta = _sod(ts_col).cast("double") / 86400.0 * _TWO_PI
+    is_we = F.dayofweek(ts_col).isin(1, 7)  # Sun=1, Sat=7
+    terms = events.select(
+        is_we.cast("int").alias("g"),
+        F.round(F.cos(theta), 9).alias("c"),
+        F.round(F.sin(theta), 9).alias("s"))
+    grp = (terms.groupBy("g")
+           .agg(F.count("*").alias("m"),
+                F.sum(F.col("c").cast(_DEC)).cast("double").alias("cs"),
+                F.sum(F.col("s").cast(_DEC)).cast("double").alias("ss")))
+    agg = grp.agg(
+        F.sum("m").alias("n"),
+        F.sum(F.when(F.col("g") == 1, F.col("m"))).alias("n1"),
+        F.sum(F.when(F.col("g") == 0, F.col("m"))).alias("n2"),
+        F.sum(F.sqrt(F.col("cs") * F.col("cs")
+                     + F.col("ss") * F.col("ss"))).alias("rsum"),
+        F.sum(F.when(F.col("g") == 1,
+                     F.sqrt(F.col("cs") * F.col("cs")
+                            + F.col("ss") * F.col("ss")))).alias("r1"),
+        F.sum(F.when(F.col("g") == 0,
+                     F.sqrt(F.col("cs") * F.col("cs")
+                            + F.col("ss") * F.col("ss")))).alias("r2"),
+        F.sum(F.col("cs")).alias("tc"),
+        F.sum(F.col("ss")).alias("ts"))
+    n = F.col("n").cast("double")
+    r_all = F.sqrt(F.col("tc") * F.col("tc")
+                   + F.col("ts") * F.col("ts"))
+    rw = F.col("rsum") / n
+    kappa = (F.when(rw < 0.53,
+                    2.0 * rw + rw * rw * rw + 5.0 * F.pow(rw, 5.0) / 6.0)
+             .when(rw < 0.85, -0.4 + 1.39 * rw + 0.43 / (1.0 - rw))
+             .when(rw < 1.0, 1.0 / (F.pow(rw, 3.0) - 4.0 * rw * rw
+                                    + 3.0 * rw)))
+    f_raw = ((n - 2.0) * (F.col("rsum") - r_all)
+             / (n - F.col("rsum")))
+    f_stat = F.when(kappa.isNotNull() & (n - F.col("rsum") > 0),
+                    (1.0 + 3.0 / (8.0 * kappa)) * f_raw)
+    return agg.select(
+        F.col("n1").cast("long").alias("n_weekend"),
+        F.col("n2").cast("long").alias("n_weekday"),
+        F.round(F.col("r1") / F.col("n1").cast("double"), 6)
+        .alias("rbar_weekend"),
+        F.round(F.col("r2") / F.col("n2").cast("double"), 6)
+        .alias("rbar_weekday"),
+        F.round(f_stat, 6).alias("f_stat"))
+
+
+def watson_williams_sql(table: str = "events",
+                        ts_sql: str = "ts") -> str:
+    sod = _SOD_SQL.format(ts=ts_sql)
+    th = f"(CAST({sod} AS DOUBLE) / 86400.0 * {_TWO_PI!r})"
+    return f"""
+WITH terms AS (
+  SELECT CASE WHEN dayofweek({ts_sql}) IN (0, 6) THEN 1 ELSE 0 END AS g,
+         round(cos({th}), 9) AS c, round(sin({th}), 9) AS s
+  FROM {table}
+),
+grp AS (
+  SELECT g, count(*) AS m,
+         CAST(sum(CAST(c AS DECIMAL(38,12))) AS DOUBLE) AS cs,
+         CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE) AS ss
+  FROM terms GROUP BY g
+),
+agg AS (
+  SELECT sum(m) AS n,
+         sum(CASE WHEN g = 1 THEN m END) AS n1,
+         sum(CASE WHEN g = 0 THEN m END) AS n2,
+         sum(sqrt(cs * cs + ss * ss)) AS rsum,
+         sum(CASE WHEN g = 1 THEN sqrt(cs * cs + ss * ss) END) AS r1,
+         sum(CASE WHEN g = 0 THEN sqrt(cs * cs + ss * ss) END) AS r2,
+         sum(cs) AS tc, sum(ss) AS ts
+  FROM grp
+),
+k AS (
+  SELECT *, rsum / n AS rw,
+         sqrt(tc * tc + ts * ts) AS r_all
+  FROM agg
+)
+SELECT CAST(n1 AS BIGINT) AS n_weekend,
+       CAST(n2 AS BIGINT) AS n_weekday,
+       round(r1 / n1, 6) AS rbar_weekend,
+       round(r2 / n2, 6) AS rbar_weekday,
+       round(CASE WHEN n - rsum > 0 AND
+                  (CASE WHEN rw < 0.53 THEN
+                     2.0*rw + rw*rw*rw + 5.0*pow(rw, 5.0)/6.0
+                   WHEN rw < 0.85 THEN -0.4 + 1.39*rw + 0.43/(1.0 - rw)
+                   WHEN rw < 1.0 THEN
+                     1.0/(pow(rw, 3.0) - 4.0*rw*rw + 3.0*rw)
+                   END) IS NOT NULL
+             THEN (1.0 + 3.0 / (8.0 *
+                   (CASE WHEN rw < 0.53 THEN
+                      2.0*rw + rw*rw*rw + 5.0*pow(rw, 5.0)/6.0
+                    WHEN rw < 0.85 THEN -0.4 + 1.39*rw + 0.43/(1.0 - rw)
+                    WHEN rw < 1.0 THEN
+                      1.0/(pow(rw, 3.0) - 4.0*rw*rw + 3.0*rw) END)))
+                  * (n - 2.0) * (rsum - r_all) / (n - rsum)
+             END, 6) AS f_stat
+FROM k
+"""
+
+
+def circ_range(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Circular range uniformity statistic: the shortest arc
+    containing every observation = 2π − (largest gap between
+    consecutive DISTINCT angles, wraparound included). Small range =
+    concentration. The rank window runs over ≤ 86400 distinct
+    second-of-day values — bounded at any corpus size. Output: one
+    row (n, n_distinct, range_hours, max_gap_hours), rounds 6."""
+    d = (events.select(_sod(ts_col).alias("sod"))
+         .groupBy("sod").agg(F.count("*").alias("m")))
+    w = Window.partitionBy().orderBy("sod")
+    tot = Window.partitionBy()
+    staged = d.select(
+        "sod",
+        F.sum("m").over(tot).alias("n"),
+        F.count("*").over(tot).alias("nd"),
+        F.lead("sod").over(w).alias("nxt"),
+        F.min("sod").over(tot).alias("first"))
+    gap = F.when(F.col("nxt").isNotNull(),
+                 (F.col("nxt") - F.col("sod")).cast("double")) \
+        .otherwise((F.col("first") + 86400 - F.col("sod"))
+                   .cast("double"))
+    agg = staged.groupBy("n", "nd").agg(F.max(gap).alias("maxgap"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("nd").cast("long").alias("n_distinct"),
+        F.round(24.0 - F.col("maxgap") / 3600.0, 6)
+        .alias("range_hours"),
+        F.round(F.col("maxgap") / 3600.0, 6).alias("max_gap_hours"))
+
+
+def circ_range_sql(table: str = "events", ts_sql: str = "ts") -> str:
+    sod = _SOD_SQL.format(ts=ts_sql)
+    return f"""
+WITH d AS (
+  SELECT {sod} AS sod, count(*) AS m FROM {table} GROUP BY 1
+),
+staged AS (
+  SELECT sod, sum(m) OVER () AS n, count(*) OVER () AS nd,
+         lead(sod) OVER (ORDER BY sod) AS nxt,
+         min(sod) OVER () AS first
+  FROM d
+),
+agg AS (
+  SELECT max(n) AS n, max(nd) AS nd,
+         max(CASE WHEN nxt IS NOT NULL
+             THEN CAST(nxt - sod AS DOUBLE)
+             ELSE CAST(first + 86400 - sod AS DOUBLE) END) AS maxgap
+  FROM staged
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(nd AS BIGINT) AS n_distinct,
+       round(24.0 - maxgap / 3600.0, 6) AS range_hours,
+       round(maxgap / 3600.0, 6) AS max_gap_hours
+FROM agg
+"""
+
+
+def circ_dispersion(events: DataFrame, ts_col: str = "ts"
+                    ) -> DataFrame:
+    """Fisher's circular dispersion δ̂ = (1 − ρ̂₂)/(2R̄²) with ρ̂₂ the
+    second CENTRED trig moment, computed closed-form from raw sums:
+    ρ̂₂ = (C₂·cos 2μ̂ + S₂·sin 2μ̂)/n with μ̂ = atan2(S, C). Circular
+    SE = √(δ̂/n) and the 95% CI arc for the mean direction
+    ±asin(1.96·SE) (NULL when the argument leaves [−1, 1]). Output:
+    one row (n, r_bar, rho2, dispersion, ci_arc_hours), rounds 6."""
+    theta = _sod(ts_col).cast("double") / 86400.0 * _TWO_PI
+    terms = events.select(
+        F.round(F.cos(theta), 9).alias("c"),
+        F.round(F.sin(theta), 9).alias("s"),
+        F.round(F.cos(2.0 * theta), 9).alias("c2"),
+        F.round(F.sin(2.0 * theta), 9).alias("s2"))
+    agg = terms.agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.col(c).cast(_DEC)).cast("double").alias(f"S{c}")
+          for c in ("c", "s", "c2", "s2")])
+    n = F.col("n").cast("double")
+    rbar = F.sqrt(F.col("Sc") * F.col("Sc")
+                  + F.col("Ss") * F.col("Ss")) / n
+    mu = F.atan2(F.col("Ss"), F.col("Sc"))
+    rho2 = (F.col("Sc2") * F.cos(2.0 * mu)
+            + F.col("Ss2") * F.sin(2.0 * mu)) / n
+    disp = F.when(rbar > 0, (1.0 - rho2) / (2.0 * rbar * rbar))
+    se2 = disp / n
+    arg = F.lit(1.959964) * F.sqrt(se2)
+    ci = F.when((arg >= -1.0) & (arg <= 1.0),
+                F.asin(arg) / _TWO_PI * 24.0)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(rbar, 6).alias("r_bar"),
+        F.round(rho2, 6).alias("rho2"),
+        F.round(disp, 6).alias("dispersion"),
+        F.round(ci, 6).alias("ci_arc_hours"))
+
+
+def circ_dispersion_sql(table: str = "events",
+                        ts_sql: str = "ts") -> str:
+    sod = _SOD_SQL.format(ts=ts_sql)
+    th = f"(CAST({sod} AS DOUBLE) / 86400.0 * {_TWO_PI!r})"
+    return f"""
+WITH terms AS (
+  SELECT round(cos({th}), 9) AS c, round(sin({th}), 9) AS s,
+         round(cos(2.0 * {th}), 9) AS c2,
+         round(sin(2.0 * {th}), 9) AS s2
+  FROM {table}
+),
+agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(c AS DECIMAL(38,12))) AS DOUBLE) AS Sc,
+         CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE) AS Ss,
+         CAST(sum(CAST(c2 AS DECIMAL(38,12))) AS DOUBLE) AS Sc2,
+         CAST(sum(CAST(s2 AS DECIMAL(38,12))) AS DOUBLE) AS Ss2
+  FROM terms
+),
+r AS (
+  SELECT n, sqrt(Sc*Sc + Ss*Ss) / n AS rbar,
+         (Sc2 * cos(2.0 * atan2(Ss, Sc))
+          + Ss2 * sin(2.0 * atan2(Ss, Sc))) / n AS rho2
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(rbar, 6) AS r_bar,
+       round(rho2, 6) AS rho2,
+       round(CASE WHEN rbar > 0
+             THEN (1.0 - rho2) / (2.0 * rbar * rbar) END, 6)
+         AS dispersion,
+       round(CASE WHEN rbar > 0
+                  AND 1.959964 * sqrt((1.0 - rho2)
+                      / (2.0 * rbar * rbar) / n) BETWEEN -1.0 AND 1.0
+             THEN asin(1.959964 * sqrt((1.0 - rho2)
+                       / (2.0 * rbar * rbar) / n))
+                  / {_TWO_PI!r} * 24.0 END, 6) AS ci_arc_hours
+FROM r
+"""

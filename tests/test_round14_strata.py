@@ -115,3 +115,104 @@ def test_moran_dispersed_pattern_goes_negative(spark):
     assert m["moran_i"] < m["expected_i"] < 0
     g = _one(geary_c(df, "u", "blk", "x"))
     assert g["geary_c"] > 1
+
+
+# --------------------------------------------- circular association
+
+def _ts(day_str, hh, mm=0, ss=0):
+    return pd.Timestamp(f"{day_str} {hh:02d}:{mm:02d}:{ss:02d}")
+
+
+def test_circ_linear_corr_perfect_cosine(spark):
+    """v = cos θ + 5 at θ ∈ {0, π/2, π, 3π/2}: r_xc = 1 by
+    construction, the sin/cos cross terms vanish (Σcs = 0, zero
+    means) → r_cs = r_xs = 0 and Mardia R² = 1, stat = n."""
+    from distill_spark.operators.circular import circ_linear_corr
+
+    day = "2024-01-08"
+    rows = [(_ts(day, 0), 6.0), (_ts(day, 6), 5.0),
+            (_ts(day, 12), 4.0), (_ts(day, 18), 5.0)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["ts", "value"]))
+    out = _one(circ_linear_corr(df))
+    assert out["n"] == 4
+    assert out["r_xc"] == 1.0
+    assert out["r_xs"] == 0.0
+    assert out["r_cs"] == 0.0
+    assert out["r2"] == 1.0
+    assert out["stat"] == 4.0
+
+
+def test_fisher_lee_corr_identity_and_reflection(spark):
+    """Single-event users: first = last angle → ρ = 1 exactly.
+    Mirrored users (last = −first): sin(φi−φj) = −sin(θi−θj) every
+    pair → ρ = −1 exactly."""
+    from distill_spark.operators.circular import fisher_lee_corr
+
+    day = "2024-01-08"
+    same = [(f"u{h}", _ts(day, h)) for h in (1, 7, 13)]
+    df = spark.createDataFrame(pd.DataFrame(same, columns=["user_id", "ts"]))
+    assert _one(fisher_lee_corr(df))["rho"] == 1.0
+
+    rows = []
+    for h in (1, 2, 3):
+        rows.append((f"u{h}", _ts(day, h)))          # first: +h
+        rows.append((f"u{h}", _ts(day, 24 - h)))     # last: −h (mod 24)
+    df2 = spark.createDataFrame(pd.DataFrame(rows, columns=["user_id", "ts"]))
+    assert _one(fisher_lee_corr(df2))["rho"] == -1.0
+
+
+def test_watson_williams_identical_groups_zero_f(spark):
+    """Weekend and weekday events at exactly the same clock angles:
+    the group resultants are collinear, R₁ + R₂ = R → F = 0. A
+    12-hour separation instead drives F large."""
+    from distill_spark.operators.circular import watson_williams
+
+    sat, mon = "2024-01-06", "2024-01-08"
+    rows = [(_ts(sat, 6),), (_ts(sat, 12),),
+            (_ts(mon, 6),), (_ts(mon, 12),)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["ts"]))
+    out = _one(watson_williams(df))
+    assert (out["n_weekend"], out["n_weekday"]) == (2, 2)
+    assert out["rbar_weekend"] == out["rbar_weekday"]
+    assert out["f_stat"] == 0.0
+
+    rows2 = ([(_ts(sat, 0, 0),), (_ts(sat, 1),), (_ts(sat, 23),)]
+             + [(_ts(mon, 11),), (_ts(mon, 12),), (_ts(mon, 13),)])
+    out2 = _one(watson_williams(spark.createDataFrame(
+        pd.DataFrame(rows2, columns=["ts"]))))
+    assert out2["f_stat"] > 10
+
+
+def test_circ_range_hand_gaps(spark):
+    """Angles at 01:00, 02:00, 04:00 → consecutive gaps 1 h, 2 h and
+    a 21 h wraparound → covering arc = 3 h."""
+    from distill_spark.operators.circular import circ_range
+
+    day = "2024-01-08"
+    df = spark.createDataFrame(pd.DataFrame(
+        [(_ts(day, 1),), (_ts(day, 2),), (_ts(day, 4),)], columns=["ts"]))
+    out = _one(circ_range(df))
+    assert (out["n"], out["n_distinct"]) == (3, 3)
+    assert out["range_hours"] == 3.0
+    assert out["max_gap_hours"] == 21.0
+
+
+def test_circ_dispersion_two_point_symmetric(spark):
+    """Angles ±1 h about midnight: μ̂ = 0, R̄ = cos(π/12), ρ̂₂ =
+    cos(π/6), δ̂ = (1 − cos(π/6))/(2cos²(π/12)) — Fisher's formula
+    evaluated by hand; CI arc from the same δ̂."""
+    import math as m
+
+    from distill_spark.operators.circular import circ_dispersion
+
+    df = spark.createDataFrame(pd.DataFrame(
+        [(_ts("2024-01-08", 23),), (_ts("2024-01-08", 1),)],
+        columns=["ts"]))
+    out = _one(circ_dispersion(df))
+    assert out["n"] == 2
+    assert out["r_bar"] == round(m.cos(m.pi / 12), 6)    # 0.965926
+    assert out["rho2"] == round(m.cos(m.pi / 6), 6)      # 0.866025
+    delta = (1 - m.cos(m.pi / 6)) / (2 * m.cos(m.pi / 12) ** 2)
+    assert out["dispersion"] == pytest.approx(round(delta, 6), abs=2e-6)
+    ci = m.asin(1.959964 * m.sqrt(delta / 2)) / (2 * m.pi) * 24
+    assert out["ci_arc_hours"] == pytest.approx(ci, abs=1e-4)
