@@ -14267,6 +14267,94 @@ def _sql_circ_dispersion():
     return circ_dispersion_sql()
 
 
+# -- round-14 third stratum: regression diagnostics II ---------------------
+# (operators/regdiag.py — split-sample, collinearity, model-selection
+# and specification diagnostics for the engine's closed-form OLS fits)
+
+
+def q_goldfeld_quandt(spark, sf_dir):
+    """Goldfeld–Quandt heteroskedasticity F over lineitem, ordered by
+    quantity with the middle band dropped (regdiag.goldfeld_quandt) —
+    value-predicate slices from the bounded quantity histogram, never
+    a fact-table sort."""
+    from distill_spark.operators.regdiag import goldfeld_quandt
+
+    return goldfeld_quandt(_tables(spark, sf_dir)["lineitem"],
+                           "l_quantity", "l_extendedprice")
+
+
+def _sql_goldfeld_quandt():
+    from distill_spark.operators.regdiag import goldfeld_quandt_sql
+
+    return goldfeld_quandt_sql("lineitem", "l_quantity",
+                               "l_extendedprice")
+
+
+def q_vif_regressors(spark, sf_dir):
+    """Variance inflation factors for (quantity, extendedprice,
+    discount) from one decimal moment scan (regdiag.vif_regressors)."""
+    from distill_spark.operators.regdiag import vif_regressors
+
+    return vif_regressors(_tables(spark, sf_dir)["lineitem"],
+                          "l_quantity", "l_extendedprice", "l_discount")
+
+
+def _sql_vif_regressors():
+    from distill_spark.operators.regdiag import vif_regressors_sql
+
+    return vif_regressors_sql("lineitem", "l_quantity",
+                              "l_extendedprice", "l_discount")
+
+
+def q_mallows_cp(spark, sf_dir):
+    """Mallows Cp over the nested submodels of extendedprice ~
+    quantity + discount (regdiag.mallows_cp); cp_full = 3 is the
+    cross-engine sanity invariant."""
+    from distill_spark.operators.regdiag import mallows_cp
+
+    return mallows_cp(_tables(spark, sf_dir)["lineitem"],
+                      "l_extendedprice", "l_quantity", "l_discount")
+
+
+def _sql_mallows_cp():
+    from distill_spark.operators.regdiag import mallows_cp_sql
+
+    return mallows_cp_sql("lineitem", "l_extendedprice", "l_quantity",
+                          "l_discount")
+
+
+def q_press_r2(spark, sf_dir):
+    """Allen's PRESS / predicted R² for extendedprice ~ quantity via
+    the closed-form hat diagonal (regdiag.press_r2) — two scans, no
+    leave-one-out refits."""
+    from distill_spark.operators.regdiag import press_r2
+
+    return press_r2(_tables(spark, sf_dir)["lineitem"],
+                    "l_quantity", "l_extendedprice")
+
+
+def _sql_press_r2():
+    from distill_spark.operators.regdiag import press_r2_sql
+
+    return press_r2_sql("lineitem", "l_quantity", "l_extendedprice")
+
+
+def q_harvey_collier(spark, sf_dir):
+    """Harvey–Collier recursive-residual linearity t over the daily
+    order-revenue series (regdiag.harvey_collier) — recursive least
+    squares as cumulative integral prefix moments on the bounded day
+    frame."""
+    from distill_spark.operators.regdiag import harvey_collier
+
+    return harvey_collier(_tables(spark, sf_dir)["orders"])
+
+
+def _sql_harvey_collier():
+    from distill_spark.operators.regdiag import harvey_collier_sql
+
+    return harvey_collier_sql("orders")
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ======================== ROUND-14 WINDOW ============================
     # -- round-14 head: the 21 seeds queued all of round 13 (each
@@ -14311,6 +14399,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "watson_williams": (q_watson_williams, _sql_watson_williams()),
     "circ_range": (q_circ_range, _sql_circ_range()),
     "circ_dispersion": (q_circ_dispersion, _sql_circ_dispersion()),
+    # -- round-14 third stratum: regression diagnostics II -------------------
+    "goldfeld_quandt": (q_goldfeld_quandt, _sql_goldfeld_quandt()),
+    "vif_regressors": (q_vif_regressors, _sql_vif_regressors()),
+    "mallows_cp": (q_mallows_cp, _sql_mallows_cp()),
+    "press_r2": (q_press_r2, _sql_press_r2()),
+    "harvey_collier": (q_harvey_collier, _sql_harvey_collier()),
     # -- round-13 window (all 50 driver-green in CORRECTNESS_r13) ------------
     # (27 seeds promoted from the round-12 queue, then five strata)
     "kendall_tau_b": (q_kendall_tau_b, _sql_tau_b()),

@@ -1,0 +1,583 @@
+"""Regression diagnostics battery II — split-sample, collinearity,
+model-selection and specification diagnostics for the closed-form OLS
+fits used across the engine (Goldfeld & Quandt 1965 JASA; Marquardt
+1970 VIF; Mallows 1973 Technometrics Cp; Allen 1974 PRESS; Harvey &
+Collier 1977 J. Econometrics recursive-residual linearity test).
+
+Scale shape (100 TB): every statistic here reduces to one (or two)
+partial-aggregated DECIMAL moment scans of the fact table plus
+arithmetic on a handful of driver doubles — the same shape as
+``ols.py``/``stats.breusch_pagan``. The only window frames are over
+BOUNDED sets (the distinct-value histogram of a 50-value column; the
+distinct-day series), never over fact rows.
+
+Cross-engine determinism: moments are DECIMAL-exact; every closed
+form is ONE formula string evaluated verbatim by Spark (``F.expr``)
+and by DuckDB, so identical input bits produce identical output bits
+(IEEE). Where a statistic chains per-prefix fits (Harvey–Collier),
+the prefix moments are kept as INTEGRAL DECIMAL(38,0) (revenue in
+cents, integer day index) so both engines single-round the same
+integer to double — the DECIMAL(38,12)→DOUBLE double-rounding trap
+cannot reach the formula stage.
+
+Reference shape: the reference engine exposes no regression
+diagnostics — this extends SURVEY §2.5's analytics breadth alongside
+stats.py's white/breusch_pagan/reset battery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,12)"
+_DEC0 = "decimal(38,0)"
+
+
+# --------------------------------------------------------------- helpers
+
+def _centered(name_a: str, name_b: str) -> str:
+    """Centered cross-moment S_ab = s_ab − s_a·s_b/n as a formula
+    string over moment column names (n already double)."""
+    return f"(s{name_a}{name_b} - s{name_a} * s{name_b} / n)"
+
+
+_SSE_SIMPLE = ("((syy - sy*sy/n)"
+               " - (sxy - sx*sy/n)*(sxy - sx*sy/n) / (sxx - sx*sx/n))")
+
+
+# ---------------------------------------------------- 1. Goldfeld–Quandt
+
+def goldfeld_quandt(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Goldfeld–Quandt heteroskedasticity F: order by the regressor,
+    drop the middle band, fit y ~ x separately on the low and high
+    slices and compare residual variances (Goldfeld & Quandt 1965).
+
+    Slice convention (deterministic under ties): with N total rows,
+    the low slice is every row with x ≤ c_lo where c_lo is the
+    LARGEST distinct x whose cumulative count ≤ floor(3N/8); the high
+    slice mirrors it from the top. Ties never straddle a slice edge,
+    so membership is a pure value predicate — the histogram (bounded:
+    |distinct x|) decides the cuts, the fact table is never sorted.
+    Two scans: histogram, then one grouped moment pass.
+    Output: one row (n_low, n_high, cut_low, cut_high, rmse_low,
+    rmse_high, gq_f), rounds 6.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        x.alias("x"), y.alias("y"))
+
+    hist = base.groupBy("x").agg(F.count("*").alias("cnt"))
+    tot = Window.partitionBy()
+    cum = hist.select(
+        "x", "cnt",
+        F.sum("cnt").over(
+            Window.orderBy("x")
+            .rowsBetween(Window.unboundedPreceding, 0)).alias("cum_lo"),
+        F.sum("cnt").over(
+            Window.orderBy(F.col("x").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)).alias("cum_hi"),
+        F.sum("cnt").over(tot).alias("n_tot"))
+    cap = F.floor(F.col("n_tot") * 3 / 8)
+    cuts = cum.agg(
+        F.max(F.when(F.col("cum_lo") <= cap, F.col("x"))).alias("c_lo"),
+        F.min(F.when(F.col("cum_hi") <= cap, F.col("x"))).alias("c_hi"))
+
+    grp = (base.crossJoin(F.broadcast(cuts))
+           .withColumn("g", F.when(F.col("x") <= F.col("c_lo"), F.lit("low"))
+                       .when(F.col("x") >= F.col("c_hi"), F.lit("high")))
+           .filter(F.col("g").isNotNull()))
+    m = grp.groupBy("g").agg(
+        F.count("*").cast("double").alias("n"),
+        F.max("c_lo").alias("c_lo"), F.max("c_hi").alias("c_hi"),
+        F.sum(F.col("x").cast(_DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(_DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(_DEC)).cast("double")
+        .alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast(_DEC)).cast("double")
+        .alias("syy"))
+    per = m.select("g", "n", "c_lo", "c_hi",
+                   F.expr(_SSE_SIMPLE).alias("sse"))
+    piv = per.groupBy().pivot("g", ["low", "high"]).agg(
+        F.max("n").alias("n"), F.max("sse").alias("sse"))
+    one = piv.crossJoin(F.broadcast(cuts))
+    return one.select(
+        F.col("low_n").cast("long").alias("n_low"),
+        F.col("high_n").cast("long").alias("n_high"),
+        F.round("c_lo", 6).alias("cut_low"),
+        F.round("c_hi", 6).alias("cut_high"),
+        F.round(F.expr("sqrt(low_sse / (low_n - 2))"), 6)
+        .alias("rmse_low"),
+        F.round(F.expr("sqrt(high_sse / (high_n - 2))"), 6)
+        .alias("rmse_high"),
+        F.round(F.expr("(high_sse / (high_n - 2))"
+                       " / (low_sse / (low_n - 2))"), 6).alias("gq_f"))
+
+
+def goldfeld_quandt_sql(table: str, x_sql: str, y_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST({x_sql} AS DOUBLE) AS x, CAST({y_sql} AS DOUBLE) AS y
+  FROM {table}
+  WHERE CAST({x_sql} AS DOUBLE) IS NOT NULL
+    AND CAST({y_sql} AS DOUBLE) IS NOT NULL
+),
+hist AS (SELECT x, count(*) AS cnt FROM base GROUP BY 1),
+cum AS (
+  SELECT x, cnt,
+         sum(cnt) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_lo,
+         sum(cnt) OVER (ORDER BY x DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_hi,
+         sum(cnt) OVER () AS n_tot
+  FROM hist
+),
+cuts AS (
+  SELECT max(CASE WHEN cum_lo <= floor(n_tot * 3 / 8) THEN x END) AS c_lo,
+         min(CASE WHEN cum_hi <= floor(n_tot * 3 / 8) THEN x END) AS c_hi
+  FROM cum
+),
+grp AS (
+  SELECT CASE WHEN b.x <= c.c_lo THEN 'low'
+              WHEN b.x >= c.c_hi THEN 'high' END AS g,
+         b.x, b.y, c.c_lo, c.c_hi
+  FROM base b CROSS JOIN cuts c
+  WHERE b.x <= c.c_lo OR b.x >= c.c_hi
+),
+m AS (
+  SELECT g, CAST(count(*) AS DOUBLE) AS n,
+         max(c_lo) AS c_lo, max(c_hi) AS c_hi,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+  FROM grp GROUP BY 1
+),
+per AS (SELECT g, n, c_lo, c_hi, {_SSE_SIMPLE} AS sse FROM m),
+piv AS (
+  SELECT max(CASE WHEN g = 'low' THEN n END) AS low_n,
+         max(CASE WHEN g = 'low' THEN sse END) AS low_sse,
+         max(CASE WHEN g = 'high' THEN n END) AS high_n,
+         max(CASE WHEN g = 'high' THEN sse END) AS high_sse,
+         max(c_lo) AS c_lo, max(c_hi) AS c_hi
+  FROM per
+)
+SELECT CAST(low_n AS BIGINT) AS n_low,
+       CAST(high_n AS BIGINT) AS n_high,
+       round(c_lo, 6) AS cut_low,
+       round(c_hi, 6) AS cut_high,
+       round(sqrt(low_sse / (low_n - 2)), 6) AS rmse_low,
+       round(sqrt(high_sse / (high_n - 2)), 6) AS rmse_high,
+       round((high_sse / (high_n - 2)) / (low_sse / (low_n - 2)), 6)
+         AS gq_f
+FROM piv
+"""
+
+
+# ------------------------------------------------------------------ 2. VIF
+
+def _vif_formula(j: str, a: str, b: str) -> str:
+    """VIF_j = 1/(1−R²_j) with R²_j from regressing x_j on x_a, x_b
+    (intercept included) — Cramer solve of the 2×2 centered normal
+    equations, one formula string shared by both engines."""
+    Sjj = _centered(j, j)
+    Saa, Sbb = _centered(a, a), _centered(b, b)
+    # centered moments are symmetric; moment columns exist only for
+    # the lexicographic pair name (s12 not s21)
+    def sym(p: str, q: str) -> str:
+        return _centered(*sorted((p, q)))
+    Sab, Sja, Sjb = sym(a, b), sym(j, a), sym(j, b)
+    det = f"({Saa} * {Sbb} - {Sab} * {Sab})"
+    ba = f"(({Sja} * {Sbb} - {Sjb} * {Sab}) / {det})"
+    bb = f"(({Sjb} * {Saa} - {Sja} * {Sab}) / {det})"
+    r2 = f"(({ba} * {Sja} + {bb} * {Sjb}) / {Sjj})"
+    return f"(1.0 / (1.0 - {r2}))"
+
+
+def vif_regressors(df: DataFrame, x1_col: str, x2_col: str,
+                   x3_col: str) -> DataFrame:
+    """Variance inflation factors for three regressors (Marquardt
+    1970): VIF_j = 1/(1−R²_j) where R²_j regresses x_j on the other
+    two. ONE moment scan (9 decimal sums + n); the three 2-regressor
+    auxiliary fits are closed-form Cramer solves on driver doubles.
+    Output: one row (n, vif_x1, vif_x2, vif_x3, max_vif), rounds 6."""
+    cols = [F.col(c).cast("double").alias(f"x{i+1}")
+            for i, c in enumerate((x1_col, x2_col, x3_col))]
+    base = df.select(*cols).na.drop()
+    aggs = [F.count("*").cast("double").alias("n")]
+    for i in range(1, 4):
+        aggs.append(F.sum(F.col(f"x{i}").cast(_DEC)).cast("double")
+                    .alias(f"s{i}"))
+    for i in range(1, 4):
+        for j in range(i, 4):
+            aggs.append(F.sum((F.col(f"x{i}") * F.col(f"x{j}"))
+                              .cast(_DEC)).cast("double")
+                        .alias(f"s{i}{j}"))
+    m = base.agg(*aggs)
+    v1 = _vif_formula("1", "2", "3")
+    v2 = _vif_formula("2", "1", "3")
+    v3 = _vif_formula("3", "1", "2")
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.expr(v1), 6).alias("vif_x1"),
+        F.round(F.expr(v2), 6).alias("vif_x2"),
+        F.round(F.expr(v3), 6).alias("vif_x3"),
+        F.round(F.expr(f"greatest({v1}, {v2}, {v3})"), 6)
+        .alias("max_vif"))
+
+
+def vif_regressors_sql(table: str, x1_sql: str, x2_sql: str,
+                       x3_sql: str) -> str:
+    sums = []
+    exprs = {1: x1_sql, 2: x2_sql, 3: x3_sql}
+    for i in range(1, 4):
+        sums.append(f"CAST(sum(CAST(x{i} AS DECIMAL(38,12))) AS DOUBLE)"
+                    f" AS s{i}")
+    for i in range(1, 4):
+        for j in range(i, 4):
+            sums.append(f"CAST(sum(CAST(x{i} * x{j} AS DECIMAL(38,12)))"
+                        f" AS DOUBLE) AS s{i}{j}")
+    v1 = _vif_formula("1", "2", "3")
+    v2 = _vif_formula("2", "1", "3")
+    v3 = _vif_formula("3", "1", "2")
+    where = " AND ".join(
+        f"CAST({exprs[i]} AS DOUBLE) IS NOT NULL" for i in range(1, 4))
+    return f"""
+WITH base AS (
+  SELECT CAST({x1_sql} AS DOUBLE) AS x1, CAST({x2_sql} AS DOUBLE) AS x2,
+         CAST({x3_sql} AS DOUBLE) AS x3
+  FROM {table} WHERE {where}
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, {', '.join(sums)}
+  FROM base
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round({v1}, 6) AS vif_x1,
+       round({v2}, 6) AS vif_x2,
+       round({v3}, 6) AS vif_x3,
+       round(greatest({v1}, {v2}, {v3}), 6) AS max_vif
+FROM m
+"""
+
+
+# ------------------------------------------------------------ 3. Mallows Cp
+
+def _cp_formulas() -> dict[str, str]:
+    """SSE formula strings over moment names {n, s1, s2, sy, s11,
+    s12, s22, s1y, s2y, syy} for the four nested models of y ~
+    {1, x1, x2}: shared verbatim by both engines."""
+    from .stats import _reset_sse_exprs
+
+    sse_x1, sse_full = _reset_sse_exprs()
+    # y ~ x2 alone: swap the roles of the two regressors in the
+    # restricted formula
+    sse_x2 = ("(syy - sy*sy/n"
+              " - (s2y - s2*sy/n)*(s2y - s2*sy/n) / (s22 - s2*s2/n))")
+    sse_0 = "(syy - sy*sy/n)"
+    return {"full": sse_full, "x1": sse_x1, "x2": sse_x2, "none": sse_0}
+
+
+def mallows_cp(df: DataFrame, y_col: str, x1_col: str,
+               x2_col: str) -> DataFrame:
+    """Mallows Cp over the nested submodels of y ~ b0 + b1·x1 + b2·x2
+    (Mallows 1973): Cp = SSE_p/σ̂²_full − (n − 2p) with σ̂² from the
+    full fit. Cp of the full model is identically p = 3 — emitted as
+    a cross-engine sanity column. ONE decimal moment scan; the four
+    SSEs are shared formula strings (the ols2_formulas contract).
+    Output: one row (n, rmse_full, cp_intercept, cp_x1, cp_x2,
+    cp_full), rounds 6."""
+    y = F.col(y_col).cast("double")
+    x1 = F.col(x1_col).cast("double")
+    x2 = F.col(x2_col).cast("double")
+    base = df.filter(y.isNotNull() & x1.isNotNull() & x2.isNotNull()) \
+        .select(x1.alias("x1"), x2.alias("x2"), y.alias("y"))
+    m = base.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("x1").cast(_DEC)).cast("double").alias("s1"),
+        F.sum(F.col("x2").cast(_DEC)).cast("double").alias("s2"),
+        F.sum(F.col("y").cast(_DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x1") * F.col("x1")).cast(_DEC)).cast("double")
+        .alias("s11"),
+        F.sum((F.col("x1") * F.col("x2")).cast(_DEC)).cast("double")
+        .alias("s12"),
+        F.sum((F.col("x2") * F.col("x2")).cast(_DEC)).cast("double")
+        .alias("s22"),
+        F.sum((F.col("x1") * F.col("y")).cast(_DEC)).cast("double")
+        .alias("s1y"),
+        F.sum((F.col("x2") * F.col("y")).cast(_DEC)).cast("double")
+        .alias("s2y"),
+        F.sum((F.col("y") * F.col("y")).cast(_DEC)).cast("double")
+        .alias("syy"))
+    f = _cp_formulas()
+    sig2 = f"({f['full']} / (n - 3.0))"
+    cp = {k: f"({f[k]} / {sig2} - (n - 2.0 * {p}))"
+          for k, p in (("none", "1.0"), ("x1", "2.0"),
+                       ("x2", "2.0"), ("full", "3.0"))}
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.expr(f"sqrt({sig2})"), 6).alias("rmse_full"),
+        F.round(F.expr(cp["none"]), 6).alias("cp_intercept"),
+        F.round(F.expr(cp["x1"]), 6).alias("cp_x1"),
+        F.round(F.expr(cp["x2"]), 6).alias("cp_x2"),
+        F.round(F.expr(cp["full"]), 6).alias("cp_full"))
+
+
+def mallows_cp_sql(table: str, y_sql: str, x1_sql: str,
+                   x2_sql: str) -> str:
+    f = _cp_formulas()
+    sig2 = f"({f['full']} / (n - 3.0))"
+    cp = {k: f"({f[k]} / {sig2} - (n - 2.0 * {p}))"
+          for k, p in (("none", "1.0"), ("x1", "2.0"),
+                       ("x2", "2.0"), ("full", "3.0"))}
+    return f"""
+WITH base AS (
+  SELECT CAST({x1_sql} AS DOUBLE) AS x1, CAST({x2_sql} AS DOUBLE) AS x2,
+         CAST({y_sql} AS DOUBLE) AS y
+  FROM {table}
+  WHERE CAST({y_sql} AS DOUBLE) IS NOT NULL
+    AND CAST({x1_sql} AS DOUBLE) IS NOT NULL
+    AND CAST({x2_sql} AS DOUBLE) IS NOT NULL
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(x1 AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(x2 AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+         CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x1 * x1 AS DECIMAL(38,12))) AS DOUBLE) AS s11,
+         CAST(sum(CAST(x1 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS s12,
+         CAST(sum(CAST(x2 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS s22,
+         CAST(sum(CAST(x1 * y AS DECIMAL(38,12))) AS DOUBLE) AS s1y,
+         CAST(sum(CAST(x2 * y AS DECIMAL(38,12))) AS DOUBLE) AS s2y,
+         CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+  FROM base
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(sqrt({sig2}), 6) AS rmse_full,
+       round({cp['none']}, 6) AS cp_intercept,
+       round({cp['x1']}, 6) AS cp_x1,
+       round({cp['x2']}, 6) AS cp_x2,
+       round({cp['full']}, 6) AS cp_full
+FROM m
+"""
+
+
+# ------------------------------------------------------------- 4. PRESS R²
+
+def press_r2(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Allen's PRESS and predicted R² for the simple fit y ~ x (Allen
+    1974): leave-one-out residual e_(i) = e_i/(1−h_ii) in closed form
+    from the hat diagonal h_ii = 1/n + (x_i−x̄)²/Sxx — no refits. Two
+    scans (fit moments, then one residual pass accumulating
+    round(e_(i)², 6) decimal-exact). PRESS surfaces compressed as
+    press_rmse = √(PRESS/n) per the >1e8 output contract.
+    Output: one row (n, press_rmse, r2_ols, r2_pred), rounds 6."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        x.alias("x"), y.alias("y"))
+    m = base.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("x").cast(_DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(_DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(_DEC)).cast("double")
+        .alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast(_DEC)).cast("double")
+        .alias("syy"))
+    fit = m.select(
+        "n", "syy",
+        F.expr("(sxy - sx*sy/n) / (sxx - sx*sx/n)").alias("b1"),
+        F.expr("sy/n - (sxy - sx*sy/n) / (sxx - sx*sx/n) * (sx/n)")
+        .alias("b0"),
+        F.expr("sx/n").alias("xbar"),
+        F.expr("(sxx - sx*sx/n)").alias("ssx"),
+        F.expr("(syy - sy*sy/n)").alias("sst"),
+        F.expr(f"1.0 - {_SSE_SIMPLE} / (syy - sy*sy/n)").alias("r2_ols"))
+    per = base.crossJoin(F.broadcast(fit)).select(
+        "n", "sst", "r2_ols",
+        F.expr("round(((y - b0 - b1*x) / (1.0 - (1.0/n"
+               " + (x - xbar)*(x - xbar)/ssx)))"
+               " * ((y - b0 - b1*x) / (1.0 - (1.0/n"
+               " + (x - xbar)*(x - xbar)/ssx))), 6)").alias("t"))
+    a = per.agg(
+        F.max("n").alias("n"), F.max("sst").alias("sst"),
+        F.max("r2_ols").alias("r2_ols"),
+        F.sum(F.col("t").cast(_DEC)).cast("double").alias("press"))
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.expr("sqrt(press / n)"), 6).alias("press_rmse"),
+        F.round("r2_ols", 6).alias("r2_ols"),
+        F.round(F.expr("1.0 - press / sst"), 6).alias("r2_pred"))
+
+
+def press_r2_sql(table: str, x_sql: str, y_sql: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST({x_sql} AS DOUBLE) AS x, CAST({y_sql} AS DOUBLE) AS y
+  FROM {table}
+  WHERE CAST({x_sql} AS DOUBLE) IS NOT NULL
+    AND CAST({y_sql} AS DOUBLE) IS NOT NULL
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+  FROM base
+),
+fit AS (
+  SELECT n, syy,
+         (sxy - sx*sy/n) / (sxx - sx*sx/n) AS b1,
+         sy/n - (sxy - sx*sy/n) / (sxx - sx*sx/n) * (sx/n) AS b0,
+         sx/n AS xbar,
+         (sxx - sx*sx/n) AS ssx,
+         (syy - sy*sy/n) AS sst,
+         1.0 - {_SSE_SIMPLE} / (syy - sy*sy/n) AS r2_ols
+  FROM m
+),
+per AS (
+  SELECT f.n, f.sst, f.r2_ols,
+         round(((b.y - f.b0 - f.b1*b.x) / (1.0 - (1.0/f.n
+                 + (b.x - f.xbar)*(b.x - f.xbar)/f.ssx)))
+               * ((b.y - f.b0 - f.b1*b.x) / (1.0 - (1.0/f.n
+                 + (b.x - f.xbar)*(b.x - f.xbar)/f.ssx))), 6) AS t
+  FROM base b CROSS JOIN fit f
+),
+a AS (
+  SELECT max(n) AS n, max(sst) AS sst, max(r2_ols) AS r2_ols,
+         CAST(sum(CAST(t AS DECIMAL(38,12))) AS DOUBLE) AS press
+  FROM per
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(sqrt(press / n), 6) AS press_rmse,
+       round(r2_ols, 6) AS r2_ols,
+       round(1.0 - press / sst, 6) AS r2_pred
+FROM a
+"""
+
+
+# -------------------------------------------------- 5. Harvey–Collier
+
+_HC_W = """
+CASE WHEN np >= 3.0 AND (sxxp - sxp*sxp/np) > 0 THEN
+  (yc - ((syp/np - (sxyp - sxp*syp/np) / (sxxp - sxp*sxp/np) * (sxp/np))
+         + (sxyp - sxp*syp/np) / (sxxp - sxp*sxp/np) * t))
+  / sqrt(1.0 + 1.0/np + (t - sxp/np)*(t - sxp/np) / (sxxp - sxp*sxp/np))
+END"""
+
+
+def harvey_collier(df: DataFrame, ts_col: str = "o_orderdate",
+                   value_col: str = "o_totalprice") -> DataFrame:
+    """Harvey–Collier linearity test over the daily revenue series
+    (Harvey & Collier 1977): standardized one-step-ahead recursive
+    residuals w_r of y ~ b0 + b1·t, each from the OLS fit of the
+    strict prefix, then the t-test that E[w] = 0. Recursive least
+    squares collapses to cumulative PREFIX MOMENTS over the bounded
+    day frame (≤ |days| rows), so the 'recursive' fit is one window
+    pass, not |days| refits. Prefix sums are INTEGRAL DECIMAL(38,0)
+    (revenue in cents, integer day rank) — both engines single-round
+    the same integers to double, keeping every w_r bit-identical.
+    w surfaces in revenue MILLIONS; hc_t is scale-free with
+    df = m − 1 over the m = |days| − 3 usable residuals.
+    Output: one row (n_days, m_rr, w_mean, w_sd, hc_t), rounds 6."""
+    daily = (df.filter(F.col(ts_col).isNotNull()
+                       & F.col(value_col).isNotNull())
+             .groupBy(F.to_date(ts_col).alias("day"))
+             .agg(F.sum(F.round(F.col(value_col) * 100).cast(_DEC0))
+                  .alias("yc_dec")))
+    w_day = Window.orderBy("day")
+    pre = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = daily.select(
+        "day", "yc_dec", F.row_number().over(w_day).alias("rn"))
+    seq = ranked.select(
+        F.col("rn").cast("double").alias("t"),
+        F.col("yc_dec").cast("double").alias("yc"),
+        F.count("*").over(pre).cast("double").alias("np"),
+        F.sum(F.col("rn").cast(_DEC0)).over(pre)
+        .cast("double").alias("sxp"),
+        F.sum("yc_dec").over(pre).cast("double").alias("syp"),
+        F.sum((F.col("rn") * F.col("rn")).cast(_DEC0)).over(pre)
+        .cast("double").alias("sxxp"),
+        F.sum(F.col("yc_dec") * F.col("rn")).over(pre)
+        .cast("double").alias("sxyp"))
+    w = seq.select(
+        (F.expr(_HC_W) / F.lit(100000000.0)).alias("w"))
+    a = w.agg(
+        F.count("*").alias("n_days"),
+        F.count("w").alias("m"),
+        F.sum(F.round(F.col("w"), 9).cast(_DEC)).cast("double")
+        .alias("sw"),
+        F.sum(F.round(F.col("w") * F.col("w"), 9).cast(_DEC))
+        .cast("double").alias("sww"))
+    mm = F.col("m").cast("double")
+    mean = F.col("sw") / mm
+    var = (F.col("sww") - F.col("sw") * F.col("sw") / mm) / (mm - 1)
+    return a.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("m").cast("long").alias("m_rr"),
+        F.round(mean, 6).alias("w_mean"),
+        F.round(F.when(var >= 0, F.sqrt(var)), 6).alias("w_sd"),
+        F.round(F.when(var > 0, mean / F.sqrt(var / mm)), 6)
+        .alias("hc_t"))
+
+
+def harvey_collier_sql(table: str, ts_sql: str = "o_orderdate",
+                       value_sql: str = "o_totalprice") -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST({ts_sql} AS DATE) AS day,
+         sum(CAST(round({value_sql} * 100) AS HUGEINT)) AS yc_dec
+  FROM {table}
+  WHERE {ts_sql} IS NOT NULL AND {value_sql} IS NOT NULL
+  GROUP BY 1
+),
+ranked AS (
+  SELECT day, yc_dec,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+  FROM daily
+),
+seq AS (
+  SELECT CAST(rn AS DOUBLE) AS t,
+         CAST(yc_dec AS DOUBLE) AS yc,
+         CAST(count(*) OVER pre AS DOUBLE) AS np,
+         CAST(sum(CAST(rn AS HUGEINT)) OVER pre AS DOUBLE) AS sxp,
+         CAST(sum(yc_dec) OVER pre AS DOUBLE) AS syp,
+         CAST(sum(CAST(rn * rn AS HUGEINT)) OVER pre AS DOUBLE) AS sxxp,
+         CAST(sum(yc_dec * rn) OVER pre AS DOUBLE) AS sxyp
+  FROM ranked
+  WINDOW pre AS (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+w AS (
+  SELECT ({_HC_W}) / CAST(100000000 AS DOUBLE) AS w FROM seq
+),
+a AS (
+  SELECT count(*) AS n_days, count(w) AS m,
+         CAST(sum(CAST(round(w, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sw,
+         CAST(sum(CAST(round(w * w, 9) AS DECIMAL(38,12))) AS DOUBLE)
+           AS sww
+  FROM w
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       CAST(m AS BIGINT) AS m_rr,
+       round(sw / CAST(m AS DOUBLE), 6) AS w_mean,
+       round(CASE WHEN (sww - sw * sw / CAST(m AS DOUBLE))
+                       / (CAST(m AS DOUBLE) - 1) >= 0 THEN
+         sqrt((sww - sw * sw / CAST(m AS DOUBLE))
+              / (CAST(m AS DOUBLE) - 1)) END, 6) AS w_sd,
+       round(CASE WHEN (sww - sw * sw / CAST(m AS DOUBLE))
+                       / (CAST(m AS DOUBLE) - 1) > 0 THEN
+         (sw / CAST(m AS DOUBLE))
+         / sqrt(((sww - sw * sw / CAST(m AS DOUBLE))
+                 / (CAST(m AS DOUBLE) - 1)) / CAST(m AS DOUBLE)) END, 6)
+         AS hc_t
+FROM a
+"""

@@ -216,3 +216,102 @@ def test_circ_dispersion_two_point_symmetric(spark):
     assert out["dispersion"] == pytest.approx(round(delta, 6), abs=2e-6)
     ci = m.asin(1.959964 * m.sqrt(delta / 2)) / (2 * m.pi) * 24
     assert out["ci_arc_hours"] == pytest.approx(ci, abs=1e-4)
+
+
+# ------------------------------------------- regression diagnostics II
+
+def test_goldfeld_quandt_hand_slices(spark):
+    """N=8, x = 1..4 and 9..12: floor(3N/8)=3 puts {1,2,3} in the low
+    slice and {10,11,12} in the high slice. Both slices have zero
+    fitted slope, so SSE is the centered Σy²: 2/3 low, 6 high →
+    F = 9 exactly."""
+    from distill_spark.operators.regdiag import goldfeld_quandt
+
+    rows = [(1, 0.0), (2, 1.0), (3, 0.0), (4, 5.0),
+            (9, 5.0), (10, 0.0), (11, 3.0), (12, 0.0)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["x", "y"]))
+    out = _one(goldfeld_quandt(df, "x", "y"))
+    assert (out["n_low"], out["n_high"]) == (3, 3)
+    assert (out["cut_low"], out["cut_high"]) == (3.0, 10.0)
+    assert out["rmse_low"] == pytest.approx(math.sqrt(2 / 3), abs=1e-6)
+    assert out["rmse_high"] == pytest.approx(math.sqrt(6), abs=1e-6)
+    assert out["gq_f"] == pytest.approx(9.0, abs=1e-6)
+
+
+def test_vif_orthogonal_and_partial(spark):
+    """Mutually orthogonal ±1 design → every VIF is exactly 1. With
+    x2 correlated to x1 (S12=3, S11=5, S22=4) and x3 orthogonal to
+    both: R²_1 = 0.36 → VIF_1 = VIF_2 = 1.5625, VIF_3 = 1."""
+    from distill_spark.operators.regdiag import vif_regressors
+
+    orth = [(1, 1, 1), (-1, 1, -1), (1, -1, -1), (-1, -1, 1)]
+    df = spark.createDataFrame(pd.DataFrame(orth, columns=["a", "b", "c"]))
+    out = _one(vif_regressors(df, "a", "b", "c"))
+    assert (out["vif_x1"], out["vif_x2"], out["vif_x3"]) == (1.0, 1.0, 1.0)
+
+    rows = [(1, 2, 1), (2, 1, -1), (3, 4, -1), (4, 3, 1)]
+    df2 = spark.createDataFrame(pd.DataFrame(rows, columns=["a", "b", "c"]))
+    out2 = _one(vif_regressors(df2, "a", "b", "c"))
+    assert out2["vif_x1"] == pytest.approx(1.5625, abs=1e-6)
+    assert out2["vif_x2"] == pytest.approx(1.5625, abs=1e-6)
+    assert out2["vif_x3"] == 1.0
+    assert out2["max_vif"] == pytest.approx(1.5625, abs=1e-6)
+
+
+def test_mallows_cp_hand_moments(spark):
+    """y=(0,1,1,2), x1=(1,2,3,4), x2=(1,-1,-1,1): centered moments
+    S11=5, S22=4, S12=0, S1y=3, S2y=0, Syy=2 → SSE_0=2, SSE_x1=0.2,
+    SSE_x2=2, SSE_full=0.2, σ̂²=0.2 → Cp = (8, 1, 10) and the full
+    model pins at p=3."""
+    from distill_spark.operators.regdiag import mallows_cp
+
+    rows = [(0.0, 1, 1), (1.0, 2, -1), (1.0, 3, -1), (2.0, 4, 1)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["y", "a", "b"]))
+    out = _one(mallows_cp(df, "y", "a", "b"))
+    assert out["n"] == 4
+    assert out["rmse_full"] == pytest.approx(math.sqrt(0.2), abs=1e-6)
+    assert out["cp_intercept"] == pytest.approx(8.0, abs=1e-6)
+    assert out["cp_x1"] == pytest.approx(1.0, abs=1e-6)
+    assert out["cp_x2"] == pytest.approx(10.0, abs=1e-6)
+    assert out["cp_full"] == pytest.approx(3.0, abs=1e-9)
+
+
+def test_press_r2_hand_hat(spark):
+    """x=(0,1,2), y=(0,1,0): zero slope, h=(5/6,1/3,5/6), deleted
+    residuals (−2, 1, −2) → PRESS=9, press_rmse=√3, SST=2/3 →
+    R²_pred = −12.5 while R²_ols = 0."""
+    from distill_spark.operators.regdiag import press_r2
+
+    df = spark.createDataFrame(
+        pd.DataFrame([(0, 0.0), (1, 1.0), (2, 0.0)], columns=["x", "y"]))
+    out = _one(press_r2(df, "x", "y"))
+    assert out["n"] == 3
+    assert out["press_rmse"] == pytest.approx(math.sqrt(3), abs=1e-6)
+    assert out["r2_ols"] == 0.0
+    assert out["r2_pred"] == pytest.approx(-12.5, abs=1e-5)
+
+
+def test_harvey_collier_broken_line(spark):
+    """Daily revenue 100k,200k,300k,400k,400k: the prefix fits are
+    exact lines, so w₄=0 and w₅ = −100k/√(1+1/4+6.25/5) = −100k/√2.5
+    (−0.063246 in millions) → mean −0.031623, sd |w₅|/√2, and the
+    t-statistic collapses to exactly −1."""
+    from distill_spark.operators.regdiag import harvey_collier
+
+    days = pd.date_range("2024-03-01", periods=5, freq="D")
+    vals = [100000.0, 200000.0, 300000.0, 400000.0, 400000.0]
+    df = spark.createDataFrame(
+        pd.DataFrame({"o_orderdate": days, "o_totalprice": vals}))
+    out = _one(harvey_collier(df))
+    assert (out["n_days"], out["m_rr"]) == (5, 2)
+    w5 = -0.1 / math.sqrt(2.5)
+    assert out["w_mean"] == pytest.approx(w5 / 2, abs=1e-6)
+    assert out["w_sd"] == pytest.approx(abs(w5) / math.sqrt(2), abs=1e-6)
+    assert out["hc_t"] == pytest.approx(-1.0, abs=1e-4)
+
+    lin = spark.createDataFrame(pd.DataFrame(
+        {"o_orderdate": days,
+         "o_totalprice": [100000.0 * k for k in range(1, 6)]}))
+    out2 = _one(harvey_collier(lin))
+    assert out2["w_mean"] == 0.0
+    assert out2["w_sd"] == 0.0
