@@ -14355,6 +14355,84 @@ def _sql_harvey_collier():
     return harvey_collier_sql("orders")
 
 
+# -- round-14 fourth stratum: risk & backtesting ---------------------------
+# (operators/risk.py — tail risk, VaR backtests, drawdown/partial-
+# moment ratios over the bounded daily value/return frame)
+
+
+def q_expected_shortfall(spark, sf_dir):
+    """Historical 95% VaR + expected shortfall of daily returns
+    (risk.expected_shortfall) — type-1 tail quantile at the integer
+    rank ceil(m/20), ES over exactly k tie-broken tail rows."""
+    from distill_spark.operators.risk import expected_shortfall
+
+    return expected_shortfall(_tables(spark, sf_dir)["events"])
+
+
+def _sql_expected_shortfall():
+    from distill_spark.operators.risk import expected_shortfall_sql
+
+    return expected_shortfall_sql()
+
+
+def q_kupiec_pof(spark, sf_dir):
+    """Kupiec proportion-of-failures VaR backtest: VaR from the first
+    half of the return series, exceedances counted on the second
+    (risk.kupiec_pof)."""
+    from distill_spark.operators.risk import kupiec_pof
+
+    return kupiec_pof(_tables(spark, sf_dir)["events"])
+
+
+def _sql_kupiec_pof():
+    from distill_spark.operators.risk import kupiec_pof_sql
+
+    return kupiec_pof_sql()
+
+
+def q_christoffersen(spark, sf_dir):
+    """Christoffersen exceedance-independence LR from the Markov
+    transition counts of the test-half indicator sequence
+    (risk.christoffersen)."""
+    from distill_spark.operators.risk import christoffersen
+
+    return christoffersen(_tables(spark, sf_dir)["events"])
+
+
+def _sql_christoffersen():
+    from distill_spark.operators.risk import christoffersen_sql
+
+    return christoffersen_sql()
+
+
+def q_ulcer_index(spark, sf_dir):
+    """Martin's ulcer index: RMS percent drawdown from the running
+    peak of the daily value level series (risk.ulcer_index)."""
+    from distill_spark.operators.risk import ulcer_index
+
+    return ulcer_index(_tables(spark, sf_dir)["events"])
+
+
+def _sql_ulcer_index():
+    from distill_spark.operators.risk import ulcer_index_sql
+
+    return ulcer_index_sql()
+
+
+def q_omega_sortino(spark, sf_dir):
+    """Omega ratio at τ=0 and Sortino ratio of the daily return
+    series from one partial-moment aggregate (risk.omega_sortino)."""
+    from distill_spark.operators.risk import omega_sortino
+
+    return omega_sortino(_tables(spark, sf_dir)["events"])
+
+
+def _sql_omega_sortino():
+    from distill_spark.operators.risk import omega_sortino_sql
+
+    return omega_sortino_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ======================== ROUND-14 WINDOW ============================
     # -- round-14 head: the 21 seeds queued all of round 13 (each
@@ -14405,6 +14483,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "mallows_cp": (q_mallows_cp, _sql_mallows_cp()),
     "press_r2": (q_press_r2, _sql_press_r2()),
     "harvey_collier": (q_harvey_collier, _sql_harvey_collier()),
+    # -- round-14 fourth stratum: risk & backtesting --------------------------
+    "expected_shortfall": (q_expected_shortfall, _sql_expected_shortfall()),
+    "kupiec_pof": (q_kupiec_pof, _sql_kupiec_pof()),
+    "christoffersen": (q_christoffersen, _sql_christoffersen()),
+    "ulcer_index": (q_ulcer_index, _sql_ulcer_index()),
+    "omega_sortino": (q_omega_sortino, _sql_omega_sortino()),
     # -- round-13 window (all 50 driver-green in CORRECTNESS_r13) ------------
     # (27 seeds promoted from the round-12 queue, then five strata)
     "kendall_tau_b": (q_kendall_tau_b, _sql_tau_b()),

@@ -1,0 +1,434 @@
+"""Risk & backtesting battery over the daily value series — tail
+risk, VaR backtests, and drawdown/partial-moment performance ratios
+(Kupiec 1995 J. Derivatives POF; Christoffersen 1998 Int. Econ. Rev.
+exceedance independence; Martin & McCann 1989 ulcer index; Keating &
+Shadwick 2002 omega; Sortino & Price 1994).
+
+Scale shape (100 TB): one partial-aggregated groupBy collapses the
+fact table to the bounded daily frame (``timeseries._daily_frame``,
+≤ |days| rows); every statistic below is windows + one aggregate over
+that frame, so cardinality is |days| regardless of event volume.
+
+Determinism: daily totals are DECIMAL-exact on the 1e-9 grid; the
+empirical tail quantile is the type-1 order statistic at the INTEGER
+rank ceil(m/20) — computed as (m + 19) // 20 so no 0.05·m float ever
+decides a rank — with (return, day) tie-break; per-row return terms
+round to the 1e-9 grid before decimal summation (the engine's
+standard cross-engine contract); outputs round 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .timeseries import _DAILY_SQL, _TS_DEC, _daily_frame
+
+
+def _returns(events: DataFrame, ts_col: str, value_col: str):
+    """(d, tr, r): daily simple returns r_t = x_t/x_{t−1} − 1 over
+    the bounded day frame, 1-based return rank tr in day order."""
+    base = _daily_frame(events, ts_col, value_col)
+    lag = F.lag("x").over(Window.orderBy("t"))
+    rets = (base.select("d", "t", lag.alias("xp"), "x")
+            .filter(F.col("xp").isNotNull() & (F.col("xp") != 0))
+            .select("d", (F.col("x") / F.col("xp") - 1).alias("r")))
+    return rets.select(
+        "d", "r",
+        F.row_number().over(Window.orderBy("d")).alias("tr"))
+
+
+_RETURNS_SQL = _DAILY_SQL + """,
+lagged AS (
+  SELECT d, x, lag(x) OVER (ORDER BY t) AS xp FROM ranked
+),
+rets0 AS (
+  SELECT d, x / xp - 1 AS r FROM lagged
+  WHERE xp IS NOT NULL AND xp <> 0
+),
+rets AS (
+  SELECT d, r, row_number() OVER (ORDER BY d) AS tr FROM rets0
+)"""
+
+
+# ------------------------------------------------- 1. expected shortfall
+
+def expected_shortfall(events: DataFrame, ts_col: str = "ts",
+                       value_col: str = "value") -> DataFrame:
+    """Historical 95% VaR and expected shortfall of the daily return
+    series: VaR is the k-th smallest return with k = ceil(m/20)
+    (type-1, integer-exact), ES the mean of the k worst returns —
+    ties broken by (return, day) so exactly k rows enter the tail.
+    Output: one row (n_ret, k_tail, var_95, es_95), rounds 6."""
+    rets = _returns(events, ts_col, value_col)
+    tot = Window.partitionBy()
+    ranked = rets.select(
+        "r",
+        F.row_number().over(Window.orderBy("r", "d")).alias("rk"),
+        F.count("*").over(tot).alias("m"))
+    k = F.floor((F.col("m") + 19) / 20).cast("long")
+    tail = ranked.select("r", "m", k.alias("k"),
+                         (F.col("rk") <= k).alias("in_tail"),
+                         (F.col("rk") == k).alias("at_k"))
+    a = tail.agg(
+        F.max("m").alias("m"), F.max("k").alias("k"),
+        F.max(F.when(F.col("at_k"), F.col("r"))).alias("var_r"),
+        F.sum(F.when(F.col("in_tail"), F.round(F.col("r"), 9))
+              .cast(_TS_DEC)).cast("double").alias("s_tail"))
+    return a.select(
+        F.col("m").cast("long").alias("n_ret"),
+        F.col("k").cast("long").alias("k_tail"),
+        F.round(F.col("var_r"), 6).alias("var_95"),
+        F.round(F.col("s_tail") / F.col("k").cast("double"), 6)
+        .alias("es_95"))
+
+
+def expected_shortfall_sql(table: str = "events", ts_sql: str = "ts",
+                           value_sql: str = "value") -> str:
+    return f"""
+WITH {_RETURNS_SQL.format(table=table, ts=ts_sql, val=value_sql)},
+rk AS (
+  SELECT r, row_number() OVER (ORDER BY r, d) AS rk,
+         count(*) OVER () AS m
+  FROM rets
+),
+tail AS (
+  SELECT r, m, (m + 19) // 20 AS k,
+         rk <= (m + 19) // 20 AS in_tail,
+         rk = (m + 19) // 20 AS at_k
+  FROM rk
+),
+a AS (
+  SELECT max(m) AS m, max(k) AS k,
+         max(CASE WHEN at_k THEN r END) AS var_r,
+         CAST(sum(CASE WHEN in_tail
+                       THEN CAST(round(r, 9) AS DECIMAL(38,12)) END)
+              AS DOUBLE) AS s_tail
+  FROM tail
+)
+SELECT CAST(m AS BIGINT) AS n_ret,
+       CAST(k AS BIGINT) AS k_tail,
+       round(var_r, 6) AS var_95,
+       round(s_tail / CAST(k AS DOUBLE), 6) AS es_95
+FROM a
+"""
+
+
+# ------------------------------------------------------- 2. Kupiec POF
+
+_LR_POF = """
+-2.0 * ((nt - xc) * ln(1.0 - 1.0/20.0) + xc * ln(1.0/20.0))
++ 2.0 * ((CASE WHEN xc < nt THEN (nt - xc) * ln(1.0 - xc/nt) ELSE 0.0 END)
+         + (CASE WHEN xc > 0 THEN xc * ln(xc/nt) ELSE 0.0 END))"""
+
+
+def kupiec_pof(events: DataFrame, ts_col: str = "ts",
+               value_col: str = "value") -> DataFrame:
+    """Kupiec proportion-of-failures VaR backtest (Kupiec 1995): the
+    95% VaR is estimated on the FIRST half of the return series
+    (type-1 order statistic, integer rank) and exceedances r < VaR
+    are counted on the second half; LR_pof compares the binomial
+    likelihood at p = 1/20 against the observed rate, with the
+    0·ln 0 = 0 convention. Output: one row (n_est, n_test, var_est,
+    x_exceed, exceed_rate, lr_pof), rounds 6."""
+    rets = _returns(events, ts_col, value_col)
+    tot = Window.partitionBy()
+    half = rets.select(
+        "d", "r", "tr", F.count("*").over(tot).alias("m"))
+    half = half.select(
+        "d", "r",
+        (F.col("tr") <= F.floor((F.col("m") + 1) / 2)).alias("est"),
+        F.floor((F.col("m") + 1) / 2).alias("n_est"))
+    est = half.filter("est")
+    est_rk = est.select(
+        "r", "n_est",
+        F.row_number().over(Window.orderBy("r", "d")).alias("rk"))
+    var_est = est_rk.agg(
+        F.max(F.when(
+            F.col("rk") == F.floor((F.col("n_est") + 19) / 20),
+            F.col("r"))).alias("v"))
+    test = (half.filter(~F.col("est"))
+            .crossJoin(F.broadcast(var_est)))
+    a = test.agg(
+        F.max("n_est").cast("long").alias("n_est"),
+        F.count("*").cast("double").alias("nt"),
+        F.max("v").alias("var_est"),
+        F.sum(F.when(F.col("r") < F.col("v"), 1).otherwise(0))
+        .cast("double").alias("xc"))
+    return a.select(
+        "n_est",
+        F.col("nt").cast("long").alias("n_test"),
+        F.round("var_est", 6).alias("var_est"),
+        F.col("xc").cast("long").alias("x_exceed"),
+        F.round(F.col("xc") / F.col("nt"), 6).alias("exceed_rate"),
+        (F.round(F.expr(_LR_POF), 6) + 0.0).alias("lr_pof"))
+
+
+def kupiec_pof_sql(table: str = "events", ts_sql: str = "ts",
+                   value_sql: str = "value") -> str:
+    return f"""
+WITH {_RETURNS_SQL.format(table=table, ts=ts_sql, val=value_sql)},
+half AS (
+  SELECT d, r,
+         tr <= (count(*) OVER () + 1) // 2 AS est,
+         (count(*) OVER () + 1) // 2 AS n_est
+  FROM rets
+),
+est_rk AS (
+  SELECT r, n_est, row_number() OVER (ORDER BY r, d) AS rk
+  FROM half WHERE est
+),
+var_est AS (
+  SELECT max(CASE WHEN rk = (n_est + 19) // 20 THEN r END) AS v
+  FROM est_rk
+),
+a AS (
+  SELECT max(h.n_est) AS n_est,
+         CAST(count(*) AS DOUBLE) AS nt,
+         max(v.v) AS var_est,
+         CAST(sum(CASE WHEN h.r < v.v THEN 1 ELSE 0 END) AS DOUBLE)
+           AS xc
+  FROM half h CROSS JOIN var_est v
+  WHERE NOT h.est
+)
+SELECT CAST(n_est AS BIGINT) AS n_est,
+       CAST(nt AS BIGINT) AS n_test,
+       round(var_est, 6) AS var_est,
+       CAST(xc AS BIGINT) AS x_exceed,
+       round(xc / nt, 6) AS exceed_rate,
+       round({_LR_POF}, 6) + 0.0 AS lr_pof
+FROM a
+"""
+
+
+# -------------------------------------------- 3. Christoffersen LR_ind
+
+_LR_IND = """
+-2.0 * (
+  (CASE WHEN (n00 + n10) > 0 AND (n01 + n11) < tot
+        THEN (n00 + n10) * ln(1.0 - (n01 + n11)/tot) ELSE 0.0 END)
+  + (CASE WHEN (n01 + n11) > 0
+          THEN (n01 + n11) * ln((n01 + n11)/tot) ELSE 0.0 END)
+  - (CASE WHEN n00 > 0 THEN n00 * ln(n00/(n00 + n01)) ELSE 0.0 END)
+  - (CASE WHEN n01 > 0 THEN n01 * ln(n01/(n00 + n01)) ELSE 0.0 END)
+  - (CASE WHEN n10 > 0 THEN n10 * ln(n10/(n10 + n11)) ELSE 0.0 END)
+  - (CASE WHEN n11 > 0 THEN n11 * ln(n11/(n10 + n11)) ELSE 0.0 END))"""
+
+
+def christoffersen(events: DataFrame, ts_col: str = "ts",
+                   value_col: str = "value") -> DataFrame:
+    """Christoffersen independence test of VaR exceedances
+    (Christoffersen 1998): with the same split-half VaR as
+    :func:`kupiec_pof`, the test-half exceedance indicator sequence
+    yields Markov transition counts n00/n01/n10/n11; LR_ind compares
+    the common-rate binomial against the first-order Markov chain
+    (0·ln 0 = 0 convention — clustered exceedances inflate n11).
+    Output: one row (n00, n01, n10, n11, lr_ind), rounds 6."""
+    rets = _returns(events, ts_col, value_col)
+    tot_w = Window.partitionBy()
+    half = rets.select(
+        "d", "r", "tr", F.count("*").over(tot_w).alias("m"))
+    half = half.select(
+        "d", "r", "tr",
+        (F.col("tr") <= F.floor((F.col("m") + 1) / 2)).alias("est"),
+        F.floor((F.col("m") + 1) / 2).alias("n_est"))
+    est_rk = (half.filter("est").select(
+        "r", "n_est",
+        F.row_number().over(Window.orderBy("r", "d")).alias("rk")))
+    var_est = est_rk.agg(
+        F.max(F.when(
+            F.col("rk") == F.floor((F.col("n_est") + 19) / 20),
+            F.col("r"))).alias("v"))
+    ind = (half.filter(~F.col("est"))
+           .crossJoin(F.broadcast(var_est))
+           .select("d", F.when(F.col("r") < F.col("v"), 1)
+                   .otherwise(0).alias("i")))
+    pairs = (ind.select(
+        "i", F.lag("i").over(Window.orderBy("d")).alias("ip"))
+        .filter(F.col("ip").isNotNull()))
+    a = pairs.agg(
+        F.sum(F.when((F.col("ip") == 0) & (F.col("i") == 0), 1)
+              .otherwise(0)).cast("double").alias("n00"),
+        F.sum(F.when((F.col("ip") == 0) & (F.col("i") == 1), 1)
+              .otherwise(0)).cast("double").alias("n01"),
+        F.sum(F.when((F.col("ip") == 1) & (F.col("i") == 0), 1)
+              .otherwise(0)).cast("double").alias("n10"),
+        F.sum(F.when((F.col("ip") == 1) & (F.col("i") == 1), 1)
+              .otherwise(0)).cast("double").alias("n11"),
+        F.count("*").cast("double").alias("tot"))
+    return a.select(
+        F.col("n00").cast("long").alias("n00"),
+        F.col("n01").cast("long").alias("n01"),
+        F.col("n10").cast("long").alias("n10"),
+        F.col("n11").cast("long").alias("n11"),
+        (F.round(F.expr(_LR_IND), 6) + 0.0).alias("lr_ind"))
+
+
+def christoffersen_sql(table: str = "events", ts_sql: str = "ts",
+                       value_sql: str = "value") -> str:
+    return f"""
+WITH {_RETURNS_SQL.format(table=table, ts=ts_sql, val=value_sql)},
+half AS (
+  SELECT d, r, tr,
+         tr <= (count(*) OVER () + 1) // 2 AS est,
+         (count(*) OVER () + 1) // 2 AS n_est
+  FROM rets
+),
+est_rk AS (
+  SELECT r, n_est, row_number() OVER (ORDER BY r, d) AS rk
+  FROM half WHERE est
+),
+var_est AS (
+  SELECT max(CASE WHEN rk = (n_est + 19) // 20 THEN r END) AS v
+  FROM est_rk
+),
+ind AS (
+  SELECT h.d, CASE WHEN h.r < v.v THEN 1 ELSE 0 END AS i
+  FROM half h CROSS JOIN var_est v
+  WHERE NOT h.est
+),
+pairs AS (
+  SELECT i, lag(i) OVER (ORDER BY d) AS ip FROM ind
+),
+a AS (
+  SELECT CAST(sum(CASE WHEN ip = 0 AND i = 0 THEN 1 ELSE 0 END)
+              AS DOUBLE) AS n00,
+         CAST(sum(CASE WHEN ip = 0 AND i = 1 THEN 1 ELSE 0 END)
+              AS DOUBLE) AS n01,
+         CAST(sum(CASE WHEN ip = 1 AND i = 0 THEN 1 ELSE 0 END)
+              AS DOUBLE) AS n10,
+         CAST(sum(CASE WHEN ip = 1 AND i = 1 THEN 1 ELSE 0 END)
+              AS DOUBLE) AS n11,
+         CAST(count(*) AS DOUBLE) AS tot
+  FROM pairs WHERE ip IS NOT NULL
+)
+SELECT CAST(n00 AS BIGINT) AS n00,
+       CAST(n01 AS BIGINT) AS n01,
+       CAST(n10 AS BIGINT) AS n10,
+       CAST(n11 AS BIGINT) AS n11,
+       round({_LR_IND}, 6) + 0.0 AS lr_ind
+FROM a
+"""
+
+
+# ------------------------------------------------------- 4. ulcer index
+
+def ulcer_index(events: DataFrame, ts_col: str = "ts",
+                value_col: str = "value") -> DataFrame:
+    """Martin's ulcer index over the daily value LEVEL series (Martin
+    & McCann 1989): percent drawdown from the running peak, then the
+    root-mean-square — unlike max_drawdown (deepest single dip of
+    the cumulative series) this integrates how LONG the series sits
+    below peak. Output: one row (n_days, ulcer_index, max_dd_pct,
+    days_below_peak), rounds 6."""
+    base = _daily_frame(events, ts_col, value_col)
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    dd = base.select(
+        "d", "x", F.max("x").over(w).alias("p"))
+    dd = dd.select(
+        F.when(F.col("p") > 0,
+               F.round(100.0 * (F.col("p") - F.col("x")) / F.col("p"), 9))
+        .alias("ddp"))
+    a = dd.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.when(F.col("ddp") > 0, 1).otherwise(0)).cast("long")
+        .alias("below"),
+        F.max("ddp").alias("mx"),
+        F.sum(F.round(F.col("ddp") * F.col("ddp"), 9).cast(_TS_DEC))
+        .cast("double").alias("sdd"))
+    return a.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.sqrt(F.col("sdd") / F.col("n")), 6)
+        .alias("ulcer_index"),
+        F.round("mx", 6).alias("max_dd_pct"),
+        F.col("below").alias("days_below_peak"))
+
+
+def ulcer_index_sql(table: str = "events", ts_sql: str = "ts",
+                    value_sql: str = "value") -> str:
+    return f"""
+WITH {_DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)},
+pk AS (
+  SELECT d, x, max(x) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM ranked
+),
+dd AS (
+  SELECT CASE WHEN p > 0
+              THEN round(100.0 * (p - x) / p, 9) END AS ddp
+  FROM pk
+),
+a AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CASE WHEN ddp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS below,
+         max(ddp) AS mx,
+         CAST(sum(CAST(round(ddp * ddp, 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS sdd
+  FROM dd
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(sqrt(sdd / n), 6) AS ulcer_index,
+       round(mx, 6) AS max_dd_pct,
+       below AS days_below_peak
+FROM a
+"""
+
+
+# -------------------------------------------------- 5. omega / sortino
+
+def omega_sortino(events: DataFrame, ts_col: str = "ts",
+                  value_col: str = "value") -> DataFrame:
+    """Omega ratio at threshold τ = 0 (Keating & Shadwick 2002) and
+    the Sortino ratio (Sortino & Price 1994) of the daily return
+    series: Ω = Σ(r)⁺ / Σ(−r)⁺ partitions the return mass about the
+    threshold; Sortino divides mean return by the downside RMS
+    deviation. One aggregate over the bounded return frame.
+    Output: one row (n_ret, omega, mean_ret, downside_dev, sortino),
+    rounds 6."""
+    rets = _returns(events, ts_col, value_col)
+    a = rets.agg(
+        F.count("*").cast("double").alias("m"),
+        F.sum(F.round(F.greatest(F.col("r"), F.lit(0.0)), 9)
+              .cast(_TS_DEC)).cast("double").alias("up"),
+        F.sum(F.round(F.greatest(-F.col("r"), F.lit(0.0)), 9)
+              .cast(_TS_DEC)).cast("double").alias("dn"),
+        F.sum(F.round(F.col("r"), 9).cast(_TS_DEC)).cast("double")
+        .alias("sr"),
+        F.sum(F.round(F.least(F.col("r"), F.lit(0.0))
+                      * F.least(F.col("r"), F.lit(0.0)), 9)
+              .cast(_TS_DEC)).cast("double").alias("sdn2"))
+    dd = F.sqrt(F.col("sdn2") / F.col("m"))
+    return a.select(
+        F.col("m").cast("long").alias("n_ret"),
+        F.round(F.when(F.col("dn") > 0, F.col("up") / F.col("dn")), 6)
+        .alias("omega"),
+        F.round(F.col("sr") / F.col("m"), 6).alias("mean_ret"),
+        F.round(dd, 6).alias("downside_dev"),
+        F.round(F.when(dd > 0, (F.col("sr") / F.col("m")) / dd), 6)
+        .alias("sortino"))
+
+
+def omega_sortino_sql(table: str = "events", ts_sql: str = "ts",
+                      value_sql: str = "value") -> str:
+    return f"""
+WITH {_RETURNS_SQL.format(table=table, ts=ts_sql, val=value_sql)},
+a AS (
+  SELECT CAST(count(*) AS DOUBLE) AS m,
+         CAST(sum(CAST(round(greatest(r, 0.0), 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS up,
+         CAST(sum(CAST(round(greatest(-r, 0.0), 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS dn,
+         CAST(sum(CAST(round(r, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sr,
+         CAST(sum(CAST(round(least(r, 0.0) * least(r, 0.0), 9)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sdn2
+  FROM rets
+)
+SELECT CAST(m AS BIGINT) AS n_ret,
+       round(CASE WHEN dn > 0 THEN up / dn END, 6) AS omega,
+       round(sr / m, 6) AS mean_ret,
+       round(sqrt(sdn2 / m), 6) AS downside_dev,
+       round(CASE WHEN sqrt(sdn2 / m) > 0
+                  THEN (sr / m) / sqrt(sdn2 / m) END, 6) AS sortino
+FROM a
+"""

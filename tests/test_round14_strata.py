@@ -315,3 +315,77 @@ def test_harvey_collier_broken_line(spark):
     out2 = _one(harvey_collier(lin))
     assert out2["w_mean"] == 0.0
     assert out2["w_sd"] == 0.0
+
+
+# --------------------------------------------------- risk & backtesting
+
+def _ev(spark, vals, start="2024-03-01"):
+    days = pd.date_range(start, periods=len(vals), freq="D")
+    return spark.createDataFrame(
+        pd.DataFrame({"ts": days, "value": [float(v) for v in vals]}))
+
+
+def test_expected_shortfall_hand_tail(spark):
+    """Levels 100,110,99,108.9,54.45 → returns (.1,−.1,.1,−.5); m=4
+    → k=ceil(4/20)=1 → VaR = ES = the single worst return −0.5."""
+    from distill_spark.operators.risk import expected_shortfall
+
+    out = _one(expected_shortfall(_ev(spark, [100, 110, 99, 108.9, 54.45])))
+    assert (out["n_ret"], out["k_tail"]) == (4, 1)
+    assert out["var_95"] == -0.5
+    assert out["es_95"] == -0.5
+
+
+def test_kupiec_pof_hand_split(spark):
+    """Returns (.1,−.2,.1,.1 | −.5,.1,−.5,.1): estimation half gives
+    VaR = −0.2, the test half has 2 of 4 exceedances → LR_pof from
+    the published binomial formula at p = 1/20."""
+    from distill_spark.operators.risk import kupiec_pof
+
+    vals = [100, 110, 88, 96.8, 106.48, 53.24, 58.564, 29.282, 32.2102]
+    out = _one(kupiec_pof(_ev(spark, vals)))
+    assert (out["n_est"], out["n_test"], out["x_exceed"]) == (4, 4, 2)
+    assert out["var_est"] == -0.2
+    assert out["exceed_rate"] == 0.5
+    lr = (-2 * (2 * math.log(0.95) + 2 * math.log(0.05))
+          + 2 * (2 * math.log(0.5) + 2 * math.log(0.5)))
+    assert out["lr_pof"] == pytest.approx(lr, abs=1e-5)
+
+
+def test_christoffersen_hand_transitions(spark):
+    """Same series: test-half indicators (1,0,1,0) → n01=1, n10=2 and
+    the alternating sequence yields LR_ind = −2(2·ln(2/3)+ln(1/3))."""
+    from distill_spark.operators.risk import christoffersen
+
+    vals = [100, 110, 88, 96.8, 106.48, 53.24, 58.564, 29.282, 32.2102]
+    out = _one(christoffersen(_ev(spark, vals)))
+    assert (out["n00"], out["n01"], out["n10"], out["n11"]) == (0, 1, 2, 0)
+    lr = -2 * (2 * math.log(2 / 3) + math.log(1 / 3))
+    assert out["lr_ind"] == pytest.approx(lr, abs=1e-5)
+
+
+def test_ulcer_index_hand_dip(spark):
+    """Levels 100,50,100: one day 50% below peak → UI = √(2500/3),
+    max drawdown 50%, one day below peak."""
+    from distill_spark.operators.risk import ulcer_index
+
+    out = _one(ulcer_index(_ev(spark, [100, 50, 100])))
+    assert (out["n_days"], out["days_below_peak"]) == (3, 1)
+    assert out["max_dd_pct"] == 50.0
+    assert out["ulcer_index"] == pytest.approx(math.sqrt(2500 / 3), abs=1e-6)
+
+
+def test_omega_sortino_hand_partial_moments(spark):
+    """Returns (.1,−.1): Ω=1, mean 0, sortino 0. Returns (.2,−.1):
+    Ω=2, downside dev √(0.01/2), sortino = 0.05/that."""
+    from distill_spark.operators.risk import omega_sortino
+
+    out = _one(omega_sortino(_ev(spark, [100, 110, 99])))
+    assert out["omega"] == 1.0
+    assert out["mean_ret"] == 0.0
+    assert out["sortino"] == 0.0
+
+    out2 = _one(omega_sortino(_ev(spark, [100, 120, 108])))
+    assert (out2["n_ret"], out2["omega"]) == (2, 2.0)
+    assert out2["downside_dev"] == pytest.approx(math.sqrt(0.005), abs=1e-6)
+    assert out2["sortino"] == pytest.approx(0.05 / math.sqrt(0.005), abs=1e-5)
