@@ -14433,6 +14433,107 @@ def _sql_omega_sortino():
     return omega_sortino_sql()
 
 
+# -- round-14 fifth stratum: classifier eval II ----------------------------
+# (operators/mleval.py round-14 block — threshold-fixed/optimal
+# confusion stats, DeLong AUC variance, pair-counting and
+# top-weighted rank agreement)
+
+
+def q_mcc_value(spark, sf_dir):
+    """Matthews correlation of value→purchase at the integer-exact
+    median-score threshold (mleval.mcc_threshold)."""
+    from distill_spark.operators.mleval import mcc_threshold
+
+    return mcc_threshold(_mleval_frame(_tables(spark, sf_dir)),
+                         "y", "value")
+
+
+def _sql_mcc_value():
+    from distill_spark.operators.mleval import mcc_threshold_sql
+
+    return mcc_threshold_sql("events", "event_type = 'purchase'",
+                             "value")
+
+
+def q_youden_j(spark, sf_dir):
+    """Youden-optimal threshold sweep for value→purchase over the
+    bounded distinct-score frame (mleval.youden_j), smallest-threshold
+    tie-break on the 1e-9 J grid."""
+    from distill_spark.operators.mleval import youden_j
+
+    return youden_j(_mleval_frame(_tables(spark, sf_dir)), "y", "value")
+
+
+def _sql_youden_j():
+    from distill_spark.operators.mleval import youden_j_sql
+
+    return youden_j_sql("events", "event_type = 'purchase'", "value")
+
+
+def q_delong_auc(spark, sf_dir):
+    """DeLong SE + z for the value→purchase AUC — structural
+    components as weighted moments over the distinct-score frame,
+    never a pair join (mleval.delong_auc)."""
+    from distill_spark.operators.mleval import delong_auc
+
+    return delong_auc(_mleval_frame(_tables(spark, sf_dir)),
+                      "y", "value")
+
+
+def _sql_delong_auc():
+    from distill_spark.operators.mleval import delong_auc_sql
+
+    return delong_auc_sql("events", "event_type = 'purchase'", "value")
+
+
+def q_fowlkes_mallows(spark, sf_dir):
+    """Fowlkes–Mallows pair agreement between event_type and the
+    value quintile partition (mleval.fowlkes_mallows) — exact BIGINT
+    pair counting on the bounded contingency table."""
+    from distill_spark.operators.mleval import fowlkes_mallows
+
+    return fowlkes_mallows(_tables(spark, sf_dir)["events"],
+                           "event_type", "value")
+
+
+def _sql_fowlkes_mallows():
+    from distill_spark.operators.mleval import fowlkes_mallows_sql
+
+    return fowlkes_mallows_sql("events", "event_type", "value")
+
+
+_TAU_AP_UNITS_SQL = """
+SELECT c.c_nationkey AS k,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,12))) AS DOUBLE)
+         AS m1,
+       CAST(count(*) AS DOUBLE) AS m2
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1"""
+
+
+def q_tau_ap(spark, sf_dir):
+    """Top-weighted AP rank correlation between the nation ranking
+    by revenue and by order count (mleval.tau_ap) — bounded 25-unit
+    frame, broadcast rank-inequality self-join."""
+    from distill_spark.operators.mleval import tau_ap
+
+    t = _tables(spark, sf_dir)
+    units = (t["orders"]
+             .join(t["customer"],
+                   F.col("o_custkey") == F.col("c_custkey"))
+             .groupBy(F.col("c_nationkey").alias("k"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(38,12)"))
+                  .cast("double").alias("m1"),
+                  F.count("*").cast("double").alias("m2")))
+    return tau_ap(units, "k", "m1", "m2")
+
+
+def _sql_tau_ap():
+    from distill_spark.operators.mleval import tau_ap_sql
+
+    return tau_ap_sql(_TAU_AP_UNITS_SQL, "k", "m1", "m2")
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ======================== ROUND-14 WINDOW ============================
     # -- round-14 head: the 21 seeds queued all of round 13 (each
@@ -14489,6 +14590,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "christoffersen": (q_christoffersen, _sql_christoffersen()),
     "ulcer_index": (q_ulcer_index, _sql_ulcer_index()),
     "omega_sortino": (q_omega_sortino, _sql_omega_sortino()),
+    # -- round-14 fifth stratum: classifier eval II ---------------------------
+    "mcc_value": (q_mcc_value, _sql_mcc_value()),
+    "youden_j": (q_youden_j, _sql_youden_j()),
+    "delong_auc": (q_delong_auc, _sql_delong_auc()),
+    "fowlkes_mallows": (q_fowlkes_mallows, _sql_fowlkes_mallows()),
+    "tau_ap": (q_tau_ap, _sql_tau_ap()),
     # -- round-13 window (all 50 driver-green in CORRECTNESS_r13) ------------
     # (27 seeds promoted from the round-12 queue, then five strata)
     "kendall_tau_b": (q_kendall_tau_b, _sql_tau_b()),

@@ -2927,3 +2927,513 @@ SELECT CAST(g AS BIGINT) AS n_groups,
        round(s / g, 6) AS mean_err
 FROM agg
 """
+
+
+# ===================================================================
+# classifier-eval battery II (round 14): threshold-fixed and
+# threshold-optimal confusion statistics, the DeLong AUC variance,
+# and pair-counting / top-weighted rank agreement.
+# Matthews 1975; Youden 1950; DeLong, DeLong & Clarke-Pearson 1988;
+# Fowlkes & Mallows 1983 JASA; Yilmaz, Aslam & Robertson 2008 SIGIR
+# (AP rank correlation).
+# ===================================================================
+
+
+def mcc_threshold(df: DataFrame, label_col: str,
+                  score_col: str) -> DataFrame:
+    """Matthews correlation coefficient at the median-score threshold
+    (Matthews 1975): τ is the type-1 median (smallest score whose
+    cumulative count reaches ceil(N/2), integer-exact over the
+    distinct-score frame) and the prediction is score > τ. MCC from
+    the four confusion counts in doubles — scale-safe: the count
+    products only meet under one sqrt. Output: one row (threshold,
+    tp, fp, tn, fn, mcc), rounds 6."""
+    v = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("int")
+    per = (df.filter(v.isNotNull())
+           .select(v.alias("v"), lab.alias("y"))
+           .groupBy("v")
+           .agg(F.sum("y").alias("cp"), F.count("*").alias("ct")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cum = per.select(
+        "v", "cp", "ct",
+        F.sum("ct").over(w).alias("cum"),
+        F.sum("ct").over(tot).alias("n"))
+    thr = cum.agg(F.min(F.when(
+        F.col("cum") >= F.floor((F.col("n") + 1) / 2),
+        F.col("v"))).alias("tau"))
+    cf = per.crossJoin(F.broadcast(thr)).agg(
+        F.max("tau").alias("tau"),
+        F.sum(F.when(F.col("v") > F.col("tau"), F.col("cp"))
+              .otherwise(0)).cast("double").alias("tp"),
+        F.sum(F.when(F.col("v") > F.col("tau"),
+                     F.col("ct") - F.col("cp")).otherwise(0))
+        .cast("double").alias("fp"),
+        F.sum(F.when(F.col("v") <= F.col("tau"),
+                     F.col("ct") - F.col("cp")).otherwise(0))
+        .cast("double").alias("tn"),
+        F.sum(F.when(F.col("v") <= F.col("tau"), F.col("cp"))
+              .otherwise(0)).cast("double").alias("fn"))
+    mcc = F.expr(
+        "CASE WHEN (tp+fp)*(tp+fn) > 0 AND (tn+fp)*(tn+fn) > 0 THEN"
+        " (tp*tn - fp*fn)"
+        " / sqrt((tp+fp)*(tp+fn)) / sqrt((tn+fp)*(tn+fn)) END")
+    return cf.select(
+        F.round("tau", 6).alias("threshold"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("tn").cast("long").alias("tn"),
+        F.col("fn").cast("long").alias("fn"),
+        (F.round(mcc, 6) + 0.0).alias("mcc"))
+
+
+def mcc_threshold_sql(table: str, label_sql: str,
+                      value_sql: str) -> str:
+    return f"""
+WITH per AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS v,
+         sum(CASE WHEN {label_sql} THEN 1 ELSE 0 END) AS cp,
+         count(*) AS ct
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+  GROUP BY 1
+),
+cum AS (
+  SELECT v, cp, ct,
+         sum(ct) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(ct) OVER () AS n
+  FROM per
+),
+thr AS (
+  SELECT min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS tau FROM cum
+),
+cf AS (
+  SELECT max(t.tau) AS tau,
+         CAST(sum(CASE WHEN p.v > t.tau THEN p.cp ELSE 0 END)
+              AS DOUBLE) AS tp,
+         CAST(sum(CASE WHEN p.v > t.tau THEN p.ct - p.cp ELSE 0 END)
+              AS DOUBLE) AS fp,
+         CAST(sum(CASE WHEN p.v <= t.tau THEN p.ct - p.cp ELSE 0 END)
+              AS DOUBLE) AS tn,
+         CAST(sum(CASE WHEN p.v <= t.tau THEN p.cp ELSE 0 END)
+              AS DOUBLE) AS fn
+  FROM per p CROSS JOIN thr t
+)
+SELECT round(tau, 6) AS threshold,
+       CAST(tp AS BIGINT) AS tp,
+       CAST(fp AS BIGINT) AS fp,
+       CAST(tn AS BIGINT) AS tn,
+       CAST(fn AS BIGINT) AS fn,
+       round(CASE WHEN (tp+fp)*(tp+fn) > 0 AND (tn+fp)*(tn+fn) > 0 THEN
+         (tp*tn - fp*fn)
+         / sqrt((tp+fp)*(tp+fn)) / sqrt((tn+fp)*(tn+fn)) END, 6) + 0.0
+         AS mcc
+FROM cf
+"""
+
+
+def youden_j(df: DataFrame, label_col: str,
+             score_col: str) -> DataFrame:
+    """Youden's J sweep (Youden 1950): at each distinct score v the
+    rule 'positive iff score ≥ v' has sensitivity = positives ≥ v
+    over P and specificity = negatives < v over N; report the
+    threshold maximizing J = sens + spec − 1 (J on the 1e-9 grid,
+    ties broken toward the SMALLEST threshold). Cumulative windows
+    over the bounded distinct-score frame. Output: one row (n_pos,
+    n_neg, best_threshold, sens, spec, youden_j), rounds 6."""
+    v = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("int")
+    per = (df.filter(v.isNotNull())
+           .select(v.alias("v"), lab.alias("y"))
+           .groupBy("v")
+           .agg(F.sum("y").alias("cp"), F.count("*").alias("ct")))
+    wlt = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    tot = Window.partitionBy()
+    sw = per.select(
+        "v",
+        (F.sum("cp").over(tot)
+         - F.coalesce(F.sum("cp").over(wlt), F.lit(0))).alias("tp"),
+        (F.coalesce(F.sum(F.col("ct") - F.col("cp")).over(wlt),
+                    F.lit(0))).alias("tn"),
+        F.sum("cp").over(tot).alias("p"),
+        F.sum(F.col("ct") - F.col("cp")).over(tot).alias("n"))
+    j = sw.select(
+        "v", "p", "n",
+        (F.col("tp").cast("double") / F.col("p").cast("double"))
+        .alias("sens"),
+        (F.col("tn").cast("double") / F.col("n").cast("double"))
+        .alias("spec"))
+    j = j.select(
+        "v", "p", "n", "sens", "spec",
+        F.round(F.col("sens") + F.col("spec") - 1.0, 9).alias("jj"))
+    best = j.agg(F.max("jj").alias("mx"))
+    at = (j.join(F.broadcast(best), F.col("jj") == F.col("mx"))
+          .agg(F.max("p").alias("p"), F.max("n").alias("n"),
+               F.min(F.struct("v", "sens", "spec", "jj")).alias("s")))
+    return at.select(
+        F.col("p").cast("long").alias("n_pos"),
+        F.col("n").cast("long").alias("n_neg"),
+        F.round(F.col("s.v"), 6).alias("best_threshold"),
+        F.round(F.col("s.sens"), 6).alias("sens"),
+        F.round(F.col("s.spec"), 6).alias("spec"),
+        F.round(F.col("s.jj"), 6).alias("youden_j"))
+
+
+def youden_j_sql(table: str, label_sql: str, value_sql: str) -> str:
+    return f"""
+WITH per AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS v,
+         sum(CASE WHEN {label_sql} THEN 1 ELSE 0 END) AS cp,
+         count(*) AS ct
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+  GROUP BY 1
+),
+sw AS (
+  SELECT v,
+         sum(cp) OVER () - coalesce(sum(cp) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tp,
+         coalesce(sum(ct - cp) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tn,
+         sum(cp) OVER () AS p,
+         sum(ct - cp) OVER () AS n
+  FROM per
+),
+j AS (
+  SELECT v, p, n,
+         CAST(tp AS DOUBLE) / CAST(p AS DOUBLE) AS sens,
+         CAST(tn AS DOUBLE) / CAST(n AS DOUBLE) AS spec,
+         round(CAST(tp AS DOUBLE) / CAST(p AS DOUBLE)
+               + CAST(tn AS DOUBLE) / CAST(n AS DOUBLE) - 1.0, 9) AS jj
+  FROM sw
+),
+best AS (SELECT max(jj) AS mx FROM j),
+at AS (
+  SELECT max(j.p) AS p, max(j.n) AS n,
+         min(j.v) AS v,
+         arg_min(j.sens, j.v) AS sens,
+         arg_min(j.spec, j.v) AS spec,
+         arg_min(j.jj, j.v) AS jj
+  FROM j JOIN best b ON j.jj = b.mx
+)
+SELECT CAST(p AS BIGINT) AS n_pos,
+       CAST(n AS BIGINT) AS n_neg,
+       round(v, 6) AS best_threshold,
+       round(sens, 6) AS sens,
+       round(spec, 6) AS spec,
+       round(jj, 6) AS youden_j
+FROM at
+"""
+
+
+def delong_auc(df: DataFrame, label_col: str,
+               score_col: str) -> DataFrame:
+    """DeLong variance of the ROC-AUC (DeLong, DeLong &
+    Clarke-Pearson 1988): the structural components V10 (per
+    positive, the mid-rank fraction of negatives below it) and V01
+    collapse onto the distinct-score frame — positives sharing a
+    score share a V10, so the component variances are weighted
+    moments over ≤|distinct scores| rows, never a pair join.
+    SE = √(S10/P + S01/N); z tests AUC against 0.5.
+    Output: one row (n_pos, n_neg, auc, se_delong, z_vs_half),
+    rounds 6."""
+    v = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("int")
+    per = (df.filter(v.isNotNull())
+           .select(v.alias("v"), lab.alias("y"))
+           .groupBy("v")
+           .agg(F.sum("y").alias("cp"),
+                (F.count("*") - F.sum("y")).alias("cn")))
+    wlt = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    wgt = Window.orderBy(F.col("v").desc()) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    tot = Window.partitionBy()
+    comp = per.select(
+        "cp", "cn",
+        F.coalesce(F.sum("cn").over(wlt), F.lit(0)).alias("neg_lt"),
+        F.coalesce(F.sum("cp").over(wgt), F.lit(0)).alias("pos_gt"),
+        F.sum("cp").over(tot).alias("p"),
+        F.sum("cn").over(tot).alias("n"))
+    comp = comp.select(
+        "cp", "cn", "p", "n",
+        ((F.col("neg_lt").cast("double")
+          + F.col("cn").cast("double") / 2.0)
+         / F.col("n").cast("double")).alias("v10"),
+        ((F.col("pos_gt").cast("double")
+          + F.col("cp").cast("double") / 2.0)
+         / F.col("p").cast("double")).alias("v01"))
+    a = comp.agg(
+        F.max("p").cast("double").alias("p"),
+        F.max("n").cast("double").alias("n"),
+        F.sum(F.round(F.col("cp") * F.col("v10"), 9).cast(_DEC))
+        .cast("double").alias("s10"),
+        F.sum(F.round(F.col("cp") * F.col("v10") * F.col("v10"), 9)
+              .cast(_DEC)).cast("double").alias("s10_2"),
+        F.sum(F.round(F.col("cn") * F.col("v01"), 9).cast(_DEC))
+        .cast("double").alias("s01"),
+        F.sum(F.round(F.col("cn") * F.col("v01") * F.col("v01"), 9)
+              .cast(_DEC)).cast("double").alias("s01_2"))
+    out = a.select(
+        "p", "n",
+        (F.col("s10") / F.col("p")).alias("auc"),
+        ((F.col("s10_2") - F.col("s10") * F.col("s10") / F.col("p"))
+         / (F.col("p") - 1.0)).alias("var10"),
+        ((F.col("s01_2") - F.col("s01") * F.col("s01") / F.col("n"))
+         / (F.col("n") - 1.0)).alias("var01"))
+    se = F.sqrt(F.col("var10") / F.col("p") + F.col("var01") / F.col("n"))
+    return out.select(
+        F.col("p").cast("long").alias("n_pos"),
+        F.col("n").cast("long").alias("n_neg"),
+        F.round("auc", 6).alias("auc"),
+        F.round(se, 6).alias("se_delong"),
+        F.round(F.when(se > 0, (F.col("auc") - 0.5) / se), 6)
+        .alias("z_vs_half"))
+
+
+def delong_auc_sql(table: str, label_sql: str, value_sql: str) -> str:
+    return f"""
+WITH per AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS v,
+         sum(CASE WHEN {label_sql} THEN 1 ELSE 0 END) AS cp,
+         count(*) - sum(CASE WHEN {label_sql} THEN 1 ELSE 0 END) AS cn
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+  GROUP BY 1
+),
+comp0 AS (
+  SELECT cp, cn,
+         coalesce(sum(cn) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS neg_lt,
+         coalesce(sum(cp) OVER (ORDER BY v DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS pos_gt,
+         sum(cp) OVER () AS p,
+         sum(cn) OVER () AS n
+  FROM per
+),
+comp AS (
+  SELECT cp, cn, p, n,
+         (CAST(neg_lt AS DOUBLE) + CAST(cn AS DOUBLE) / 2.0)
+           / CAST(n AS DOUBLE) AS v10,
+         (CAST(pos_gt AS DOUBLE) + CAST(cp AS DOUBLE) / 2.0)
+           / CAST(p AS DOUBLE) AS v01
+  FROM comp0
+),
+a AS (
+  SELECT CAST(max(p) AS DOUBLE) AS p, CAST(max(n) AS DOUBLE) AS n,
+         CAST(sum(CAST(round(cp * v10, 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS s10,
+         CAST(sum(CAST(round(cp * v10 * v10, 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS s10_2,
+         CAST(sum(CAST(round(cn * v01, 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS s01,
+         CAST(sum(CAST(round(cn * v01 * v01, 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS s01_2
+  FROM comp
+),
+o AS (
+  SELECT p, n, s10 / p AS auc,
+         (s10_2 - s10 * s10 / p) / (p - 1.0) AS var10,
+         (s01_2 - s01 * s01 / n) / (n - 1.0) AS var01
+  FROM a
+)
+SELECT CAST(p AS BIGINT) AS n_pos,
+       CAST(n AS BIGINT) AS n_neg,
+       round(auc, 6) AS auc,
+       round(sqrt(var10 / p + var01 / n), 6) AS se_delong,
+       round(CASE WHEN sqrt(var10 / p + var01 / n) > 0 THEN
+         (auc - 0.5) / sqrt(var10 / p + var01 / n) END, 6) AS z_vs_half
+FROM o
+"""
+
+
+def fowlkes_mallows(df: DataFrame, part_col: str,
+                    score_col: str, n_bins: int = 5) -> DataFrame:
+    """Fowlkes–Mallows pair-counting agreement (Fowlkes & Mallows
+    1983) between a categorical partition and the score's
+    ``n_bins``-quantile partition: with contingency counts n_ij,
+    TP = ΣC(n_ij,2), PA = ΣC(a_i,2), PB = ΣC(b_j,2) and
+    FM = TP/√(PA·PB). Quantile cuts are integer-exact order
+    statistics from the distinct-score histogram (the goldfeld_quandt
+    convention), so bin membership is a pure value predicate; every
+    pair count is exact BIGINT arithmetic on the bounded contingency
+    table. Output: one row (n, n_cells, tp_pairs, pa_pairs, pb_pairs,
+    fowlkes_mallows), rounds 6."""
+    v = F.col(score_col).cast("double")
+    g = F.col(part_col).cast("string")
+    base = (df.filter(v.isNotNull() & g.isNotNull())
+            .select(g.alias("g"), v.alias("v")))
+    hist = base.groupBy("v").agg(F.count("*").alias("ct"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cum = hist.select(
+        "v", F.sum("ct").over(w).alias("cum"),
+        F.sum("ct").over(tot).alias("n"))
+    cut_aggs = [
+        F.min(F.when(
+            F.col("cum") >= F.floor((F.col("n") * q
+                                     + (n_bins - 1)) / n_bins),
+            F.col("v"))).alias(f"c{q}")
+        for q in range(1, n_bins)]
+    cuts = cum.agg(*cut_aggs)
+    binned = base.crossJoin(F.broadcast(cuts)).select(
+        "g",
+        sum((F.col("v") > F.col(f"c{q}")).cast("int")
+            for q in range(1, n_bins)).alias("b"))
+    cells = binned.groupBy("g", "b").agg(F.count("*").alias("c"))
+    pair = lambda c: (F.col(c) * (F.col(c) - 1) / 2)  # noqa: E731
+    tp = cells.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("c").alias("n"),
+        F.sum(pair("c").cast("long")).alias("tp"))
+    pa = (cells.groupBy("g").agg(F.sum("c").alias("c"))
+          .agg(F.sum(pair("c").cast("long")).alias("pa")))
+    pb = (cells.groupBy("b").agg(F.sum("c").alias("c"))
+          .agg(F.sum(pair("c").cast("long")).alias("pb")))
+    one = tp.crossJoin(F.broadcast(pa)).crossJoin(F.broadcast(pb))
+    return one.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("tp").alias("tp_pairs"),
+        F.col("pa").alias("pa_pairs"),
+        F.col("pb").alias("pb_pairs"),
+        F.round(F.col("tp").cast("double")
+                / F.sqrt(F.col("pa").cast("double"))
+                / F.sqrt(F.col("pb").cast("double")), 6)
+        .alias("fowlkes_mallows"))
+
+
+def fowlkes_mallows_sql(table: str, part_sql: str, value_sql: str,
+                        n_bins: int = 5) -> str:
+    cut_sel = ",\n         ".join(
+        f"min(CASE WHEN cum >= (n * {q} + {n_bins - 1}) // {n_bins} "
+        f"THEN v END) AS c{q}"
+        for q in range(1, n_bins))
+    bin_expr = " + ".join(
+        f"CASE WHEN b.v > c.c{q} THEN 1 ELSE 0 END"
+        for q in range(1, n_bins))
+    return f"""
+WITH base AS (
+  SELECT CAST({part_sql} AS VARCHAR) AS g,
+         CAST({value_sql} AS DOUBLE) AS v
+  FROM {table}
+  WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+    AND {part_sql} IS NOT NULL
+),
+hist AS (SELECT v, count(*) AS ct FROM base GROUP BY 1),
+cum AS (
+  SELECT v, sum(ct) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(ct) OVER () AS n
+  FROM hist
+),
+cuts AS (
+  SELECT {cut_sel}
+  FROM cum
+),
+binned AS (
+  SELECT b.g, {bin_expr} AS b
+  FROM base b CROSS JOIN cuts c
+),
+cells AS (SELECT g, b, count(*) AS c FROM binned GROUP BY 1, 2),
+tp AS (
+  SELECT count(*) AS n_cells, sum(c) AS n,
+         sum(CAST(c * (c - 1) / 2 AS BIGINT)) AS tp
+  FROM cells
+),
+pa AS (
+  SELECT sum(CAST(c * (c - 1) / 2 AS BIGINT)) AS pa
+  FROM (SELECT sum(c) AS c FROM cells GROUP BY g)
+),
+pb AS (
+  SELECT sum(CAST(c * (c - 1) / 2 AS BIGINT)) AS pb
+  FROM (SELECT sum(c) AS c FROM cells GROUP BY b)
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n_cells AS BIGINT) AS n_cells,
+       CAST(tp AS BIGINT) AS tp_pairs,
+       CAST(pa AS BIGINT) AS pa_pairs,
+       CAST(pb AS BIGINT) AS pb_pairs,
+       round(CAST(tp AS DOUBLE) / sqrt(CAST(pa AS DOUBLE))
+             / sqrt(CAST(pb AS DOUBLE)), 6) AS fowlkes_mallows
+FROM tp CROSS JOIN pa CROSS JOIN pb
+"""
+
+
+def tau_ap(units: DataFrame, key_col: str, metric1_col: str,
+           metric2_col: str) -> DataFrame:
+    """AP rank correlation τ_AP (Yilmaz, Aslam & Robertson 2008)
+    between two rankings of a BOUNDED unit frame (e.g. nations by
+    revenue vs by order count, |units| ≤ 25): τ_AP = 2/(n−1) ·
+    Σ_{i≥2} C_i/(i−1) − 1, where C_i counts items ranked above i in
+    list 1 that list 2 also ranks above i — top-weighted where
+    Kendall's τ is uniform. The pair examination is a self-join of
+    the bounded frame on rank inequality (the harrell_c
+    broadcast-bounded pattern), never the fact table. Both rankings
+    break ties by the unit key. Output: one row (n_units, concordant,
+    tau_ap, kendall_tau_a), rounds 6."""
+    r1 = Window.orderBy(F.col("m1").desc(), F.col("k"))
+    r2 = Window.orderBy(F.col("m2").desc(), F.col("k"))
+    f = units.select(
+        F.col(key_col).alias("k"),
+        F.col(metric1_col).cast("double").alias("m1"),
+        F.col(metric2_col).cast("double").alias("m2"))
+    f = f.select("k",
+                 F.row_number().over(r1).alias("p1"),
+                 F.row_number().over(r2).alias("p2"))
+    a, b = f.alias("a"), f.alias("b")
+    pairs = a.join(F.broadcast(b),
+                   F.col("a.p1") < F.col("b.p1"), "inner")
+    per_i = pairs.groupBy(F.col("b.p1").alias("i")).agg(
+        F.sum(F.when(F.col("a.p2") < F.col("b.p2"), 1).otherwise(0))
+        .alias("ci"))
+    tot = f.agg(F.count("*").alias("n"))
+    agg = per_i.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").alias("n"),
+        F.sum("ci").alias("conc"),
+        F.sum(F.round(F.col("ci").cast("double")
+                      / (F.col("i").cast("double") - 1.0), 9)
+              .cast(_DEC)).cast("double").alias("s"))
+    nn = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n_units"),
+        F.col("conc").cast("long").alias("concordant"),
+        F.round(2.0 * F.col("s") / (nn - 1.0) - 1.0, 6).alias("tau_ap"),
+        F.round(4.0 * F.col("conc").cast("double")
+                / (nn * (nn - 1.0)) - 1.0, 6).alias("kendall_tau_a"))
+
+
+def tau_ap_sql(units_cte: str, key_sql: str, metric1_sql: str,
+               metric2_sql: str) -> str:
+    """``units_cte`` must be a complete CTE body producing the
+    bounded unit frame with columns aliased (k, m1, m2)."""
+    return f"""
+WITH u AS ({units_cte}),
+f AS (
+  SELECT k,
+         row_number() OVER (ORDER BY m1 DESC, k) AS p1,
+         row_number() OVER (ORDER BY m2 DESC, k) AS p2
+  FROM u
+),
+per_i AS (
+  SELECT b.p1 AS i,
+         sum(CASE WHEN a.p2 < b.p2 THEN 1 ELSE 0 END) AS ci
+  FROM f a JOIN f b ON a.p1 < b.p1
+  GROUP BY 1
+),
+tot AS (SELECT count(*) AS n FROM f),
+agg AS (
+  SELECT max(t.n) AS n, sum(ci) AS conc,
+         CAST(sum(CAST(round(CAST(ci AS DOUBLE)
+                             / (CAST(i AS DOUBLE) - 1.0), 9)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS s
+  FROM per_i CROSS JOIN tot t
+)
+SELECT CAST(n AS BIGINT) AS n_units,
+       CAST(conc AS BIGINT) AS concordant,
+       round(2.0 * s / (CAST(n AS DOUBLE) - 1.0) - 1.0, 6) AS tau_ap,
+       round(4.0 * CAST(conc AS DOUBLE)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) - 1.0, 6)
+         AS kendall_tau_a
+FROM agg
+"""

@@ -389,3 +389,103 @@ def test_omega_sortino_hand_partial_moments(spark):
     assert (out2["n_ret"], out2["omega"]) == (2, 2.0)
     assert out2["downside_dev"] == pytest.approx(math.sqrt(0.005), abs=1e-6)
     assert out2["sortino"] == pytest.approx(0.05 / math.sqrt(0.005), abs=1e-5)
+
+
+# -------------------------------------------------- classifier eval II
+
+def test_mcc_threshold_hand_confusion(spark):
+    """Scores 1..4, τ = median = 2, prediction v > 2: perfectly
+    aligned labels give MCC = 1, anti-aligned −1, checkerboard 0."""
+    from distill_spark.operators.mleval import mcc_threshold
+
+    def run(ys):
+        df = spark.createDataFrame(pd.DataFrame(
+            {"v": [1.0, 2.0, 3.0, 4.0], "y": ys}))
+        return _one(mcc_threshold(df, "y", "v"))
+
+    out = run([False, False, True, True])
+    assert out["threshold"] == 2.0
+    assert (out["tp"], out["fp"], out["tn"], out["fn"]) == (2, 0, 2, 0)
+    assert out["mcc"] == 1.0
+    assert run([True, True, False, False])["mcc"] == -1.0
+    assert run([False, True, False, True])["mcc"] == 0.0
+
+
+def test_youden_j_hand_sweep(spark):
+    """Separable labels peak at J=1 (threshold 3). For the
+    checkerboard, J=0.5 ties at thresholds 2 and 4 — the smallest
+    threshold wins."""
+    from distill_spark.operators.mleval import youden_j
+
+    def run(ys):
+        df = spark.createDataFrame(pd.DataFrame(
+            {"v": [1.0, 2.0, 3.0, 4.0], "y": ys}))
+        return _one(youden_j(df, "y", "v"))
+
+    out = run([False, False, True, True])
+    assert out["best_threshold"] == 3.0
+    assert (out["sens"], out["spec"], out["youden_j"]) == (1.0, 1.0, 1.0)
+
+    out2 = run([False, True, False, True])
+    assert out2["best_threshold"] == 2.0
+    assert (out2["sens"], out2["spec"]) == (1.0, 0.5)
+    assert out2["youden_j"] == 0.5
+
+
+def test_delong_auc_hand_components(spark):
+    """Checkerboard labels at scores 1..4: V10 = (.5, 1), V01 =
+    (1, .5) → AUC .75, S10 = S01 = 0.125, SE = √0.125, z = √0.5.
+    Perfect separation degenerates to SE 0 with a NULL z."""
+    from distill_spark.operators.mleval import delong_auc
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"v": [1.0, 2.0, 3.0, 4.0], "y": [False, True, False, True]}))
+    out = _one(delong_auc(df, "y", "v"))
+    assert (out["n_pos"], out["n_neg"]) == (2, 2)
+    assert out["auc"] == 0.75
+    assert out["se_delong"] == pytest.approx(math.sqrt(0.125), abs=1e-6)
+    assert out["z_vs_half"] == pytest.approx(math.sqrt(0.5), abs=1e-6)
+
+    sep = spark.createDataFrame(pd.DataFrame(
+        {"v": [1.0, 2.0, 3.0, 4.0], "y": [False, False, True, True]}))
+    out2 = _one(delong_auc(sep, "y", "v"))
+    assert out2["auc"] == 1.0
+    assert out2["se_delong"] == 0.0
+    assert out2["z_vs_half"] is None
+
+
+def test_fowlkes_mallows_hand_pairs(spark):
+    """Ten distinct scores quintile into five bins of two; the part
+    labels split 6/4 across alternating bins → TP=5, PA=21, PB=5,
+    FM = 5/√105."""
+    from distill_spark.operators.mleval import fowlkes_mallows
+
+    rows = [("x", 1), ("x", 2), ("y", 3), ("y", 4), ("x", 5),
+            ("x", 6), ("y", 7), ("y", 8), ("x", 9), ("x", 10)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "v"]))
+    out = _one(fowlkes_mallows(df, "g", "v"))
+    assert (out["n"], out["n_cells"]) == (10, 5)
+    assert (out["tp_pairs"], out["pa_pairs"], out["pb_pairs"]) == (5, 21, 5)
+    assert out["fowlkes_mallows"] == pytest.approx(5 / math.sqrt(105),
+                                                   abs=1e-6)
+
+
+def test_tau_ap_hand_rankings(spark):
+    """Identical rankings → τ_AP = τ_a = 1; reversed → −1; a single
+    adjacent swap at the TOP costs τ_AP more (1/3) than uniform
+    Kendall (2/3) — the top-weighting this statistic exists for."""
+    from distill_spark.operators.mleval import tau_ap
+
+    def run(m2):
+        df = spark.createDataFrame(pd.DataFrame(
+            {"k": ["a", "b", "c", "d"], "m1": [4.0, 3.0, 2.0, 1.0],
+             "m2": m2}))
+        return _one(tau_ap(df, "k", "m1", "m2"))
+
+    same = run([4.0, 3.0, 2.0, 1.0])
+    assert (same["tau_ap"], same["kendall_tau_a"]) == (1.0, 1.0)
+    rev = run([1.0, 2.0, 3.0, 4.0])
+    assert (rev["tau_ap"], rev["kendall_tau_a"]) == (-1.0, -1.0)
+    swap = run([3.0, 4.0, 2.0, 1.0])
+    assert swap["tau_ap"] == pytest.approx(1 / 3, abs=1e-6)
+    assert swap["kendall_tau_a"] == pytest.approx(2 / 3, abs=1e-6)
