@@ -14534,6 +14534,68 @@ def _sql_tau_ap():
     return tau_ap_sql(_TAU_AP_UNITS_SQL, "k", "m1", "m2")
 
 
+# -- round-14 sixth stratum: psychometric reliability ----------------------
+# (operators/psycho.py — Cronbach/KR-20/Spearman–Brown/ICC(2,1) over
+# the user × portable-weekday activity grid)
+
+
+def q_cronbach_alpha(spark, sf_dir):
+    """Cronbach's alpha over the seven weekday activity items
+    (psycho.cronbach_alpha) — one conditional-aggregation groupBy,
+    then a fixed set of decimal moments."""
+    from distill_spark.operators.psycho import cronbach_alpha
+
+    return cronbach_alpha(_tables(spark, sf_dir)["events"])
+
+
+def _sql_cronbach_alpha():
+    from distill_spark.operators.psycho import cronbach_alpha_sql
+
+    return cronbach_alpha_sql()
+
+
+def q_kr20(spark, sf_dir):
+    """KR-20 over above-item-mean dichotomized weekday items
+    (psycho.kr20)."""
+    from distill_spark.operators.psycho import kr20
+
+    return kr20(_tables(spark, sf_dir)["events"])
+
+
+def _sql_kr20():
+    from distill_spark.operators.psycho import kr20_sql
+
+    return kr20_sql()
+
+
+def q_spearman_brown(spark, sf_dir):
+    """Odd/even split-half reliability with the Spearman–Brown
+    prophecy (psycho.spearman_brown)."""
+    from distill_spark.operators.psycho import spearman_brown
+
+    return spearman_brown(_tables(spark, sf_dir)["events"])
+
+
+def _sql_spearman_brown():
+    from distill_spark.operators.psycho import spearman_brown_sql
+
+    return spearman_brown_sql()
+
+
+def q_icc_two_way(spark, sf_dir):
+    """Shrout–Fleiss ICC(2,1) from the SS decomposition of the
+    complete users × weekday grid (psycho.icc_two_way)."""
+    from distill_spark.operators.psycho import icc_two_way
+
+    return icc_two_way(_tables(spark, sf_dir)["events"])
+
+
+def _sql_icc_two_way():
+    from distill_spark.operators.psycho import icc_two_way_sql
+
+    return icc_two_way_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ======================== ROUND-14 WINDOW ============================
     # -- round-14 head: the 21 seeds queued all of round 13 (each
@@ -14596,6 +14658,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "delong_auc": (q_delong_auc, _sql_delong_auc()),
     "fowlkes_mallows": (q_fowlkes_mallows, _sql_fowlkes_mallows()),
     "tau_ap": (q_tau_ap, _sql_tau_ap()),
+    # -- round-14 sixth stratum: psychometric reliability ---------------------
+    "cronbach_alpha": (q_cronbach_alpha, _sql_cronbach_alpha()),
+    "kr20_weekday": (q_kr20, _sql_kr20()),
+    "spearman_brown": (q_spearman_brown, _sql_spearman_brown()),
+    "icc_two_way": (q_icc_two_way, _sql_icc_two_way()),
     # -- round-13 window (all 50 driver-green in CORRECTNESS_r13) ------------
     # (27 seeds promoted from the round-12 queue, then five strata)
     "kendall_tau_b": (q_kendall_tau_b, _sql_tau_b()),

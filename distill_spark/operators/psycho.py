@@ -1,0 +1,389 @@
+"""Psychometric reliability battery over the user × day-of-week
+activity grid (Cronbach 1951 alpha; Kuder & Richardson 1937 KR-20;
+Spearman 1910 / Brown 1910 split-half prophecy; Shrout & Fleiss 1979
+ICC(2,1)) — "how internally consistent is a user's weekly activity
+pattern", with the seven weekday totals playing the role of test
+items.
+
+Scale shape (100 TB): ONE conditional-aggregation groupBy collapses
+the fact table to |users| rows × 7 zero-filled item columns (no
+pivot, no second shuffle); each statistic is then a single moment
+aggregate over that frame — k = 7 items means a fixed number of
+DECIMAL sums, all map-side combinable.
+
+Determinism: the weekday index is the PORTABLE (epoch_days + 4) mod 7
+(Sunday = 0) used across the engine — never each engine's 0- vs
+1-based dayofweek. Item values are DECIMAL-exact sums rounded to the
+1e-9 grid; every statistic is ONE formula string over the moment
+names evaluated verbatim by Spark (F.expr) and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,12)"
+K = 7
+
+
+def _item_frame(events: DataFrame, user_col: str, ts_col: str,
+                value_col: str) -> DataFrame:
+    """|users| × (x0..x6, tot): zero-filled per-weekday activity
+    value, decimal-exact on the 1e-9 grid."""
+    dow = ((F.floor(F.unix_micros(F.col(ts_col)) / (86400 * 1_000_000))
+            + 4) % 7)
+    base = events.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull())
+    aggs = [
+        F.round(F.sum(F.when(dow == t, F.col(value_col).cast("double"))
+                      .otherwise(F.lit(0.0)).cast(_DEC))
+                .cast("double"), 9).alias(f"x{t}")
+        for t in range(K)]
+    frame = base.groupBy(F.col(user_col).alias("u")).agg(*aggs)
+    return frame.withColumn(
+        "tot", F.round(sum(F.col(f"x{t}") for t in range(K)), 9))
+
+
+_ITEM_FRAME_SQL = """
+dowed AS (
+  SELECT {user_sql} AS u,
+         (CAST(floor(epoch_us({ts_sql}) / 86400000000.0) AS BIGINT)
+          + 4) % 7 AS dow,
+         CAST({value_sql} AS DOUBLE) AS v
+  FROM {table}
+  WHERE {user_sql} IS NOT NULL AND {ts_sql} IS NOT NULL
+    AND {value_sql} IS NOT NULL
+),
+items0 AS (
+  SELECT u, {item_cols}
+  FROM dowed GROUP BY 1
+),
+items AS (
+  SELECT u, {xs}, round({tot_expr}, 9) AS tot FROM items0
+)"""
+
+
+def _item_frame_sql(table: str, user_sql: str, ts_sql: str,
+                    value_sql: str) -> str:
+    item_cols = ",\n         ".join(
+        f"round(CAST(sum(CAST(CASE WHEN dow = {t} THEN v ELSE 0.0 END"
+        f" AS DECIMAL(38,12))) AS DOUBLE), 9) AS x{t}"
+        for t in range(K))
+    return _ITEM_FRAME_SQL.format(
+        table=table, user_sql=user_sql, ts_sql=ts_sql,
+        value_sql=value_sql, item_cols=item_cols,
+        xs=", ".join(f"x{t}" for t in range(K)),
+        tot_expr=" + ".join(f"x{t}" for t in range(K)))
+
+
+def _var(name: str) -> str:
+    """Sample variance formula over moment names s{name}, s{name}2,
+    n (n already double)."""
+    return (f"((s{name}2 - s{name} * s{name} / n) / (n - 1.0))")
+
+
+# ------------------------------------------------------ Cronbach alpha
+
+_ALPHA = ("(7.0 / 6.0) * (1.0 - ("
+          + " + ".join(_var(f"x{t}") for t in range(K))
+          + f") / {_var('t')})")
+
+
+def cronbach_alpha(events: DataFrame, user_col: str = "user_id",
+                   ts_col: str = "ts",
+                   value_col: str = "value") -> DataFrame:
+    """Cronbach's alpha over the seven weekday items (Cronbach 1951):
+    α = k/(k−1) · (1 − Σ var(item) / var(total)), sample variances.
+    Output: one row (n_users, k_items, item_var_sum, total_var,
+    alpha), rounds 6."""
+    frame = _item_frame(events, user_col, ts_col, value_col)
+    aggs = [F.count("*").cast("double").alias("n")]
+    for t in range(K):
+        aggs += [
+            F.sum(F.col(f"x{t}").cast(_DEC)).cast("double")
+            .alias(f"sx{t}"),
+            F.sum(F.round(F.col(f"x{t}") * F.col(f"x{t}"), 9)
+                  .cast(_DEC)).cast("double").alias(f"sx{t}2")]
+    aggs += [
+        F.sum(F.col("tot").cast(_DEC)).cast("double").alias("st"),
+        F.sum(F.round(F.col("tot") * F.col("tot"), 9).cast(_DEC))
+        .cast("double").alias("st2")]
+    m = frame.agg(*aggs)
+    ivs = " + ".join(_var(f"x{t}") for t in range(K))
+    return m.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.lit(K).cast("long").alias("k_items"),
+        F.round(F.expr(ivs), 6).alias("item_var_sum"),
+        F.round(F.expr(_var("t")), 6).alias("total_var"),
+        F.round(F.expr(_ALPHA), 6).alias("alpha"))
+
+
+def cronbach_alpha_sql(table: str = "events",
+                       user_sql: str = "user_id", ts_sql: str = "ts",
+                       value_sql: str = "value") -> str:
+    sums = []
+    for t in range(K):
+        sums += [
+            f"CAST(sum(CAST(x{t} AS DECIMAL(38,12))) AS DOUBLE) AS sx{t}",
+            f"CAST(sum(CAST(round(x{t} * x{t}, 9) AS DECIMAL(38,12)))"
+            f" AS DOUBLE) AS sx{t}2"]
+    ivs = " + ".join(_var(f"x{t}") for t in range(K))
+    return f"""
+WITH {_item_frame_sql(table, user_sql, ts_sql, value_sql)},
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         {', '.join(sums)},
+         CAST(sum(CAST(tot AS DECIMAL(38,12))) AS DOUBLE) AS st,
+         CAST(sum(CAST(round(tot * tot, 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS st2
+  FROM items
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(7 AS BIGINT) AS k_items,
+       round({ivs}, 6) AS item_var_sum,
+       round({_var('t')}, 6) AS total_var,
+       round({_ALPHA}, 6) AS alpha
+FROM m
+"""
+
+
+# --------------------------------------------------------------- KR-20
+
+_KR20 = ("(7.0 / 6.0) * (1.0 - ("
+         + " + ".join(f"(sb{t} / n) * (1.0 - sb{t} / n)"
+                      for t in range(K))
+         + f") / {_var('s')})")
+
+
+def kr20(events: DataFrame, user_col: str = "user_id",
+         ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """Kuder–Richardson 20 over dichotomized weekday items (Kuder &
+    Richardson 1937): item t scores 1 iff the user's weekday-t
+    activity exceeds the item MEAN (the any-activity binarization
+    saturates — every user is active every weekday at toy SF and the
+    score variance degenerates to 0); KR-20 = k/(k−1)·(1 − Σp·q /
+    var(score)) with population p̂ and sample score variance (the
+    textbook pairing), NULL when the score variance is 0.
+    Output: one row (n_users, k_items, pq_sum, score_var, kr20),
+    rounds 6."""
+    frame = _item_frame(events, user_col, ts_col, value_col)
+    means = frame.agg(
+        F.count("*").cast("double").alias("mn"),
+        *[F.sum(F.col(f"x{t}").cast(_DEC)).cast("double")
+          .alias(f"ms{t}") for t in range(K)])
+    binf = frame.crossJoin(F.broadcast(means)).select(
+        *[(F.col(f"x{t}") > F.col(f"ms{t}") / F.col("mn"))
+          .cast("int").alias(f"b{t}") for t in range(K)])
+    binf = binf.withColumn(
+        "s", sum(F.col(f"b{t}") for t in range(K)))
+    aggs = [F.count("*").cast("double").alias("n")]
+    for t in range(K):
+        aggs.append(F.sum(f"b{t}").cast("double").alias(f"sb{t}"))
+    aggs += [F.sum("s").cast("double").alias("ss"),
+             F.sum(F.col("s") * F.col("s")).cast("double").alias("ss2")]
+    m = binf.agg(*aggs)
+    pqs = " + ".join(f"(sb{t} / n) * (1.0 - sb{t} / n)"
+                     for t in range(K))
+    return m.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.lit(K).cast("long").alias("k_items"),
+        F.round(F.expr(pqs), 6).alias("pq_sum"),
+        F.round(F.expr("((ss2 - ss * ss / n) / (n - 1.0))"), 6)
+        .alias("score_var"),
+        F.round(F.expr(
+            "CASE WHEN (ss2 - ss * ss / n) > 0 THEN"
+            " (7.0 / 6.0) * (1.0 - (" + pqs
+            + ") / ((ss2 - ss * ss / n) / (n - 1.0))) END"), 6)
+        .alias("kr20"))
+
+
+def kr20_sql(table: str = "events", user_sql: str = "user_id",
+             ts_sql: str = "ts", value_sql: str = "value") -> str:
+    msums = ", ".join(
+        f"CAST(sum(CAST(x{t} AS DECIMAL(38,12))) AS DOUBLE) AS ms{t}"
+        for t in range(K))
+    bs = ", ".join(
+        f"CASE WHEN i.x{t} > e.ms{t} / e.mn THEN 1 ELSE 0 END AS b{t}"
+        for t in range(K))
+    s_expr = " + ".join(f"b{t}" for t in range(K))
+    sums = ", ".join(
+        f"CAST(sum(b{t}) AS DOUBLE) AS sb{t}" for t in range(K))
+    pqs = " + ".join(f"(sb{t} / n) * (1.0 - sb{t} / n)"
+                     for t in range(K))
+    return f"""
+WITH {_item_frame_sql(table, user_sql, ts_sql, value_sql)},
+means AS (
+  SELECT CAST(count(*) AS DOUBLE) AS mn, {msums} FROM items
+),
+binf AS (SELECT {bs} FROM items i CROSS JOIN means e),
+scored AS (SELECT *, {s_expr} AS s FROM binf),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, {sums},
+         CAST(sum(s) AS DOUBLE) AS ss,
+         CAST(sum(s * s) AS DOUBLE) AS ss2
+  FROM scored
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(7 AS BIGINT) AS k_items,
+       round({pqs}, 6) AS pq_sum,
+       round(((ss2 - ss * ss / n) / (n - 1.0)), 6) AS score_var,
+       round(CASE WHEN (ss2 - ss * ss / n) > 0 THEN
+         (7.0 / 6.0) * (1.0 - ({pqs})
+             / ((ss2 - ss * ss / n) / (n - 1.0))) END, 6) AS kr20
+FROM m
+"""
+
+
+# ----------------------------------------------- Spearman–Brown halves
+
+_ODD = (1, 3, 5)
+_EVEN = (0, 2, 4, 6)
+
+
+def spearman_brown(events: DataFrame, user_col: str = "user_id",
+                   ts_col: str = "ts",
+                   value_col: str = "value") -> DataFrame:
+    """Split-half reliability with the Spearman–Brown prophecy
+    (Spearman 1910; Brown 1910): the seven items split into the odd
+    {Mon,Wed,Fri} and even {Sun,Tue,Thu,Sat} half-scores, r is their
+    Pearson correlation over users and SB = 2r/(1+r).
+    Output: one row (n_users, r_halves, spearman_brown), rounds 6."""
+    frame = _item_frame(events, user_col, ts_col, value_col)
+    halves = frame.select(
+        F.round(sum(F.col(f"x{t}") for t in _ODD), 9).alias("a"),
+        F.round(sum(F.col(f"x{t}") for t in _EVEN), 9).alias("b"))
+    m = halves.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("a").cast(_DEC)).cast("double").alias("sa"),
+        F.sum(F.col("b").cast(_DEC)).cast("double").alias("sb"),
+        F.sum(F.round(F.col("a") * F.col("a"), 9).cast(_DEC))
+        .cast("double").alias("saa"),
+        F.sum(F.round(F.col("b") * F.col("b"), 9).cast(_DEC))
+        .cast("double").alias("sbb"),
+        F.sum(F.round(F.col("a") * F.col("b"), 9).cast(_DEC))
+        .cast("double").alias("sab"))
+    r = ("((sab - sa * sb / n)"
+         " / sqrt(saa - sa * sa / n) / sqrt(sbb - sb * sb / n))")
+    return m.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round(F.expr(r), 6).alias("r_halves"),
+        F.round(F.expr(f"CASE WHEN 1.0 + {r} <> 0.0 THEN"
+                       f" 2.0 * {r} / (1.0 + {r}) END"), 6)
+        .alias("spearman_brown"))
+
+
+def spearman_brown_sql(table: str = "events",
+                       user_sql: str = "user_id", ts_sql: str = "ts",
+                       value_sql: str = "value") -> str:
+    a = " + ".join(f"x{t}" for t in _ODD)
+    b = " + ".join(f"x{t}" for t in _EVEN)
+    r = ("((sab - sa * sb / n)"
+         " / sqrt(saa - sa * sa / n) / sqrt(sbb - sb * sb / n))")
+    return f"""
+WITH {_item_frame_sql(table, user_sql, ts_sql, value_sql)},
+halves AS (
+  SELECT round({a}, 9) AS a, round({b}, 9) AS b FROM items
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(a AS DECIMAL(38,12))) AS DOUBLE) AS sa,
+         CAST(sum(CAST(b AS DECIMAL(38,12))) AS DOUBLE) AS sb,
+         CAST(sum(CAST(round(a * a, 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS saa,
+         CAST(sum(CAST(round(b * b, 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS sbb,
+         CAST(sum(CAST(round(a * b, 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS sab
+  FROM halves
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       round({r}, 6) AS r_halves,
+       round(CASE WHEN 1.0 + {r} <> 0.0 THEN
+         2.0 * {r} / (1.0 + {r}) END, 6) AS spearman_brown
+FROM m
+"""
+
+
+# ------------------------------------------------------------ ICC(2,1)
+
+def icc_two_way(events: DataFrame, user_col: str = "user_id",
+                ts_col: str = "ts",
+                value_col: str = "value") -> DataFrame:
+    """Two-way random-effects single-measure ICC(2,1) (Shrout &
+    Fleiss 1979) over the complete users × 7-weekday grid: the SS
+    decomposition needs only Σx², the per-user totals' ΣT², the
+    seven column sums and the grand total — one aggregate over the
+    item frame. ICC(2,1) = (MSR − MSE) / (MSR + (k−1)·MSE +
+    k·(MSC − MSE)/n). Output: one row (n_users, k_items, msr, msc,
+    mse, icc21), rounds 6."""
+    frame = _item_frame(events, user_col, ts_col, value_col)
+    aggs = [F.count("*").cast("double").alias("n"),
+            F.sum(F.col("tot").cast(_DEC)).cast("double").alias("g"),
+            F.sum(F.round(F.col("tot") * F.col("tot"), 9).cast(_DEC))
+            .cast("double").alias("st2")]
+    for t in range(K):
+        aggs += [
+            F.sum(F.col(f"x{t}").cast(_DEC)).cast("double")
+            .alias(f"c{t}"),
+            F.sum(F.round(F.col(f"x{t}") * F.col(f"x{t}"), 9)
+                  .cast(_DEC)).cast("double").alias(f"q{t}")]
+    m = frame.agg(*aggs)
+    sq = " + ".join(f"q{t}" for t in range(K))
+    cc = " + ".join(f"c{t} * c{t}" for t in range(K))
+    ss_tot = f"(({sq}) - g * g / (n * 7.0))"
+    ss_rows = "(st2 / 7.0 - g * g / (n * 7.0))"
+    ss_cols = f"(({cc}) / n - g * g / (n * 7.0))"
+    msr = f"({ss_rows} / (n - 1.0))"
+    msc = f"({ss_cols} / 6.0)"
+    mse = (f"(({ss_tot} - {ss_rows} - {ss_cols})"
+           " / ((n - 1.0) * 6.0))")
+    icc = (f"(({msr} - {mse}) / ({msr} + 6.0 * {mse}"
+           f" + 7.0 * ({msc} - {mse}) / n))")
+    return m.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.lit(K).cast("long").alias("k_items"),
+        F.round(F.expr(msr), 6).alias("msr"),
+        F.round(F.expr(msc), 6).alias("msc"),
+        F.round(F.expr(mse), 6).alias("mse"),
+        F.round(F.expr(icc), 6).alias("icc21"))
+
+
+def icc_two_way_sql(table: str = "events", user_sql: str = "user_id",
+                    ts_sql: str = "ts",
+                    value_sql: str = "value") -> str:
+    sums = ["CAST(count(*) AS DOUBLE) AS n",
+            "CAST(sum(CAST(tot AS DECIMAL(38,12))) AS DOUBLE) AS g",
+            "CAST(sum(CAST(round(tot * tot, 9) AS DECIMAL(38,12)))"
+            " AS DOUBLE) AS st2"]
+    for t in range(K):
+        sums += [
+            f"CAST(sum(CAST(x{t} AS DECIMAL(38,12))) AS DOUBLE) AS c{t}",
+            f"CAST(sum(CAST(round(x{t} * x{t}, 9) AS DECIMAL(38,12)))"
+            f" AS DOUBLE) AS q{t}"]
+    sq = " + ".join(f"q{t}" for t in range(K))
+    cc = " + ".join(f"c{t} * c{t}" for t in range(K))
+    ss_tot = f"(({sq}) - g * g / (n * 7.0))"
+    ss_rows = "(st2 / 7.0 - g * g / (n * 7.0))"
+    ss_cols = f"(({cc}) / n - g * g / (n * 7.0))"
+    msr = f"({ss_rows} / (n - 1.0))"
+    msc = f"({ss_cols} / 6.0)"
+    mse = (f"(({ss_tot} - {ss_rows} - {ss_cols})"
+           " / ((n - 1.0) * 6.0))")
+    icc = (f"(({msr} - {mse}) / ({msr} + 6.0 * {mse}"
+           f" + 7.0 * ({msc} - {mse}) / n))")
+    return f"""
+WITH {_item_frame_sql(table, user_sql, ts_sql, value_sql)},
+m AS (
+  SELECT {', '.join(sums)}
+  FROM items
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(7 AS BIGINT) AS k_items,
+       round({msr}, 6) AS msr,
+       round({msc}, 6) AS msc,
+       round({mse}, 6) AS mse,
+       round({icc}, 6) AS icc21
+FROM m
+"""

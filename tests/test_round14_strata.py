@@ -489,3 +489,67 @@ def test_tau_ap_hand_rankings(spark):
     swap = run([3.0, 4.0, 2.0, 1.0])
     assert swap["tau_ap"] == pytest.approx(1 / 3, abs=1e-6)
     assert swap["kendall_tau_a"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+# ---------------------------------------------- psychometric reliability
+
+def _grid(spark, rows):
+    """rows: (user, dow 0..6 with Sunday=0 portable convention,
+    value) — 2024-03-03 is a Sunday, so day t of that week has
+    portable dow t."""
+    recs = [(u, pd.Timestamp("2024-03-03") + pd.Timedelta(days=t), v)
+            for u, t, v in rows]
+    return spark.createDataFrame(
+        pd.DataFrame(recs, columns=["user_id", "ts", "value"]))
+
+
+def test_cronbach_alpha_perfect_consistency(spark):
+    """x_ut = c_u on every item: Σvar_i = 7·var(c), var(total) =
+    49·var(c) → α = 7/6 · (1 − 1/7) = 1 exactly."""
+    from distill_spark.operators.psycho import cronbach_alpha
+
+    rows = [(f"u{c}", t, float(c)) for c in (1, 2, 3) for t in range(7)]
+    out = _one(cronbach_alpha(_grid(spark, rows)))
+    assert (out["n_users"], out["k_items"]) == (3, 7)
+    assert out["item_var_sum"] == 7.0
+    assert out["total_var"] == 49.0
+    assert out["alpha"] == 1.0
+
+
+def test_kr20_hand_dichotomization(spark):
+    """Same grid: every item mean is 2, so b = (0,0,1) on all seven
+    items → Σpq = 14/9, score variance 49/3 → KR-20 = 133/126."""
+    from distill_spark.operators.psycho import kr20
+
+    rows = [(f"u{c}", t, float(c)) for c in (1, 2, 3) for t in range(7)]
+    out = _one(kr20(_grid(spark, rows)))
+    assert out["pq_sum"] == pytest.approx(14 / 9, abs=1e-6)
+    assert out["score_var"] == pytest.approx(49 / 3, abs=1e-6)
+    assert out["kr20"] == pytest.approx(133 / 126, abs=1e-6)
+
+
+def test_spearman_brown_perfect_and_degenerate(spark):
+    """Constant rows give r = 1 → SB = 1; an anti-correlated
+    odd/even split gives r = −1 and a NULL prophecy (1 + r = 0)."""
+    from distill_spark.operators.psycho import spearman_brown
+
+    rows = [(f"u{c}", t, float(c)) for c in (1, 2, 3) for t in range(7)]
+    out = _one(spearman_brown(_grid(spark, rows)))
+    assert (out["r_halves"], out["spearman_brown"]) == (1.0, 1.0)
+
+    anti = ([("u1", t, 1.0 if t % 2 else 2.0) for t in range(7)]
+            + [("u2", t, 2.0 if t % 2 else 1.0) for t in range(7)])
+    out2 = _one(spearman_brown(_grid(spark, anti)))
+    assert out2["r_halves"] == -1.0
+    assert out2["spearman_brown"] is None
+
+
+def test_icc_two_way_hand_decomposition(spark):
+    """x_ut = c_u: SS_rows = 14 (MSR = 7), zero column and residual
+    SS → ICC(2,1) = 1 exactly."""
+    from distill_spark.operators.psycho import icc_two_way
+
+    rows = [(f"u{c}", t, float(c)) for c in (1, 2, 3) for t in range(7)]
+    out = _one(icc_two_way(_grid(spark, rows)))
+    assert (out["msr"], out["msc"], out["mse"]) == (7.0, 0.0, 0.0)
+    assert out["icc21"] == 1.0
