@@ -14596,6 +14596,260 @@ def _sql_icc_two_way():
     return icc_two_way_sql()
 
 
+# Round-15 seed stratum (queued in _PENDING_PROMOTION, past the
+# window until the round-15 rotation): survival weights, modern rank
+# dependence, forecast accuracy/bias, attribute control, process
+# capability, categorical symmetry/agreement, corpus ecology pairs,
+# inequality, extreme-value moments.
+
+
+def q_gehan_wilcoxon(spark, sf_dir):
+    """Gehan–Breslow–Wilcoxon n-weighted log-rank on logrank_arms'
+    hash-split frame (conversion.gehan_wilcoxon)."""
+    from distill_spark.operators.conversion import gehan_wilcoxon
+
+    return gehan_wilcoxon(_tables(spark, sf_dir)["events"])
+
+
+def _sql_gehan_wilcoxon():
+    from distill_spark.operators.conversion import gehan_wilcoxon_sql
+
+    return gehan_wilcoxon_sql()
+
+
+def q_xi_correlation(spark, sf_dir):
+    """Chatterjee's ξ between daily value total and daily event
+    count, both directions (timeseries.xi_correlation)."""
+    from distill_spark.operators.timeseries import xi_correlation
+
+    return xi_correlation(_tables(spark, sf_dir)["events"])
+
+
+def _sql_xi_correlation():
+    from distill_spark.operators.timeseries import xi_correlation_sql
+
+    return xi_correlation_sql()
+
+
+def q_theil_u2(spark, sf_dir):
+    """Theil's U₂: seasonal-naive (lag 7) vs no-change naive RMSE
+    ratio on the daily value series (timeseries.theil_u2)."""
+    from distill_spark.operators.timeseries import theil_u2
+
+    return theil_u2(_tables(spark, sf_dir)["events"])
+
+
+def _sql_theil_u2():
+    from distill_spark.operators.timeseries import theil_u2_sql
+
+    return theil_u2_sql()
+
+
+def q_tracking_signal(spark, sf_dir):
+    """Trigg tracking signal (CFE over running MAD) of the naive
+    forecast on the daily series (timeseries.tracking_signal)."""
+    from distill_spark.operators.timeseries import tracking_signal
+
+    return tracking_signal(_tables(spark, sf_dir)["events"])
+
+
+def _sql_tracking_signal():
+    from distill_spark.operators.timeseries import tracking_signal_sql
+
+    return tracking_signal_sql()
+
+
+def q_p_chart_weekly(spark, sf_dir):
+    """Shewhart p-chart of the weekly purchase share with varying 3σ
+    binomial limits (timeseries.p_chart_weekly)."""
+    from distill_spark.operators.timeseries import p_chart_weekly
+
+    return p_chart_weekly(_tables(spark, sf_dir)["events"])
+
+
+def _sql_p_chart_weekly():
+    from distill_spark.operators.timeseries import p_chart_weekly_sql
+
+    return p_chart_weekly_sql()
+
+
+def q_bowker_symmetry(spark, sf_dir):
+    """Bowker k×k symmetry χ² on the per-user first→last event-type
+    transition table (stats.bowker_symmetry)."""
+    from distill_spark.operators.stats import bowker_symmetry
+
+    return bowker_symmetry(_tables(spark, sf_dir)["events"])
+
+
+def _sql_bowker_symmetry():
+    from distill_spark.operators.stats import bowker_symmetry_sql
+
+    return bowker_symmetry_sql()
+
+
+def q_bennett_s(spark, sf_dir):
+    """Bennett's S uniform-baseline agreement between first and last
+    event type per user (stats.bennett_s)."""
+    from distill_spark.operators.stats import bennett_s
+
+    return bennett_s(_tables(spark, sf_dir)["events"])
+
+
+def _sql_bennett_s():
+    from distill_spark.operators.stats import bennett_s_sql
+
+    return bennett_s_sql()
+
+
+def q_bonferroni_index(spark, sf_dir):
+    """Bonferroni inequality index over positive customer balances
+    (stats.bonferroni_index) — poorest-weighted Gini companion."""
+    from distill_spark.operators.stats import bonferroni_index
+
+    return bonferroni_index(_tables(spark, sf_dir)["customer"])
+
+
+def _sql_bonferroni_index():
+    from distill_spark.operators.stats import bonferroni_index_sql
+
+    return bonferroni_index_sql()
+
+
+def q_dekkers_einmahl(spark, sf_dir):
+    """DEdH moment estimator of the extreme-value index on
+    hill_tail's exact top-k frame (stats.dekkers_einmahl)."""
+    from distill_spark.operators.stats import dekkers_einmahl
+
+    return dekkers_einmahl(_tables(spark, sf_dir)["orders"])
+
+
+def _sql_dekkers_einmahl():
+    from distill_spark.operators.stats import dekkers_einmahl_sql
+
+    return dekkers_einmahl_sql()
+
+
+def q_cpk_capability(spark, sf_dir):
+    """Cp/Cpk of the daily value series against first-half p5/p95
+    spec limits (stats.cpk_capability)."""
+    from distill_spark.operators.stats import cpk_capability
+
+    return cpk_capability(_tables(spark, sf_dir)["events"])
+
+
+def _sql_cpk_capability():
+    from distill_spark.operators.stats import cpk_capability_sql
+
+    return cpk_capability_sql()
+
+
+def q_bray_curtis(spark, sf_dir):
+    """Bray–Curtis dissimilarity between the two lexicographically-
+    first sources' term-abundance profiles
+    (corpus_stats.bray_curtis)."""
+    from distill_spark.operators.corpus_stats import bray_curtis
+
+    return bray_curtis(_tables(spark, sf_dir)["documents"])
+
+
+def _sql_bray_curtis():
+    from distill_spark.operators.corpus_stats import bray_curtis_sql
+
+    return bray_curtis_sql()
+
+
+def q_partial_auc(spark, sf_dir):
+    """McClish partial AUC of value→purchase over FPR ≤ 0.2 with
+    standardization (mleval.partial_auc)."""
+    from distill_spark.operators.mleval import partial_auc
+
+    return partial_auc(_mleval_frame(_tables(spark, sf_dir)),
+                       "y", "value")
+
+
+def _sql_partial_auc():
+    from distill_spark.operators.mleval import partial_auc_sql
+
+    return partial_auc_sql("events", "event_type = 'purchase'",
+                           "value")
+
+
+def q_fligner_policello(spark, sf_dir):
+    """Fligner–Policello robust rank-order U between view and error
+    event values (stats.fligner_policello) — the unequal-shape-safe
+    Mann–Whitney."""
+    from distill_spark.operators.stats import fligner_policello
+
+    return fligner_policello(_tables(spark, sf_dir)["events"],
+                             "event_type", "view", "error")
+
+
+def _sql_fligner_policello():
+    from distill_spark.operators.stats import fligner_policello_sql
+
+    return fligner_policello_sql("events", "event_type", "view",
+                                 "error")
+
+
+def q_lepage_test(spark, sf_dir):
+    """Lepage location+scale omnibus for view vs error values
+    (stats.lepage_test) — composes the engine's tie-corrected MW and
+    Ansari–Bradley z's into a χ²(2)."""
+    from distill_spark.operators.stats import lepage_test
+
+    return lepage_test(_tables(spark, sf_dir)["events"],
+                       "event_type", "view", "error")
+
+
+def _sql_lepage_test():
+    from distill_spark.operators.stats import lepage_test_sql
+
+    return lepage_test_sql("events", "event_type", "view", "error")
+
+
+def q_moore_wallis(spark, sf_dir):
+    """Moore–Wallis difference-sign randomness z on the daily value
+    series (timeseries.moore_wallis)."""
+    from distill_spark.operators.timeseries import moore_wallis
+
+    return moore_wallis(_tables(spark, sf_dir)["events"])
+
+
+def _sql_moore_wallis():
+    from distill_spark.operators.timeseries import moore_wallis_sql
+
+    return moore_wallis_sql()
+
+
+def q_win_ratio(spark, sf_dir):
+    """Pocock win ratio between the hash-split arms on the
+    time-to-conversion grid (conversion.win_ratio), Gehan-scored
+    pairs from one cumulative window."""
+    from distill_spark.operators.conversion import win_ratio
+
+    return win_ratio(_tables(spark, sf_dir)["events"])
+
+
+def _sql_win_ratio():
+    from distill_spark.operators.conversion import win_ratio_sql
+
+    return win_ratio_sql()
+
+
+def q_morisita_horn(spark, sf_dir):
+    """Morisita–Horn abundance overlap for the same source pair
+    (corpus_stats.morisita_horn)."""
+    from distill_spark.operators.corpus_stats import morisita_horn
+
+    return morisita_horn(_tables(spark, sf_dir)["documents"])
+
+
+def _sql_morisita_horn():
+    from distill_spark.operators.corpus_stats import morisita_horn_sql
+
+    return morisita_horn_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ======================== ROUND-14 WINDOW ============================
     # -- round-14 head: the 21 seeds queued all of round 13 (each
@@ -15265,6 +15519,24 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a2_kmeans_contract": (q_a2_kmeans_contract, SQL_A2C),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "st5_cache_boundary": (q_st5_cache_boundary, SQL_ST5),
+    # -- round-15 seed stratum (queued; see _PENDING_PROMOTION) --------------
+    "gehan_wilcoxon": (q_gehan_wilcoxon, _sql_gehan_wilcoxon()),
+    "xi_correlation": (q_xi_correlation, _sql_xi_correlation()),
+    "theil_u2": (q_theil_u2, _sql_theil_u2()),
+    "tracking_signal": (q_tracking_signal, _sql_tracking_signal()),
+    "p_chart_weekly": (q_p_chart_weekly, _sql_p_chart_weekly()),
+    "bowker_symmetry": (q_bowker_symmetry, _sql_bowker_symmetry()),
+    "bennett_s": (q_bennett_s, _sql_bennett_s()),
+    "bonferroni_index": (q_bonferroni_index, _sql_bonferroni_index()),
+    "dekkers_einmahl": (q_dekkers_einmahl, _sql_dekkers_einmahl()),
+    "cpk_capability": (q_cpk_capability, _sql_cpk_capability()),
+    "bray_curtis": (q_bray_curtis, _sql_bray_curtis()),
+    "morisita_horn": (q_morisita_horn, _sql_morisita_horn()),
+    "partial_auc": (q_partial_auc, _sql_partial_auc()),
+    "fligner_policello": (q_fligner_policello, _sql_fligner_policello()),
+    "lepage_test": (q_lepage_test, _sql_lepage_test()),
+    "moore_wallis": (q_moore_wallis, _sql_moore_wallis()),
+    "win_ratio": (q_win_ratio, _sql_win_ratio()),
 }
 
 # The explicit promotion queue: every member must be oracled, sit past
@@ -15277,7 +15549,17 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
 # ERR@10, MSTTR, BWS/Mood/Cucconi, Hoeffding D, White,
 # Breusch–Godfrey) — the rotation gate's demand. The queue refills
 # with round-15 seeds as round-14 strata land past position 50.
-_PENDING_PROMOTION: frozenset[str] = frozenset()
+# Round-15 rotation queue: every entry is oracled, sits past the
+# 50-query driver window, and has planted tests in
+# tests/test_round15_seeds.py. The registry gate forces these into
+# the window head at the round-15 rotation.
+_PENDING_PROMOTION: frozenset[str] = frozenset({
+    "gehan_wilcoxon", "xi_correlation", "theil_u2", "tracking_signal",
+    "p_chart_weekly", "bowker_symmetry", "bennett_s",
+    "bonferroni_index", "dekkers_einmahl", "cpk_capability",
+    "bray_curtis", "morisita_horn", "partial_auc",
+    "fligner_policello", "lepage_test", "moore_wallis", "win_ratio",
+})
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -2451,3 +2451,253 @@ SELECT CAST(n_subjects AS BIGINT) AS n_subjects,
        END, 6) AS c_index
 FROM paired CROSS JOIN counts
 """
+
+
+def gehan_wilcoxon(events: DataFrame, target: str = "purchase",
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type") -> DataFrame:
+    """Gehan–Breslow–Wilcoxon weighted log-rank (Gehan 1965; Breslow
+    1970) on exactly logrank_arms' frame: each conversion day's
+    (O₁ − E₁) term is weighted by the TOTAL number at risk n, so
+    early-time differences dominate where the plain log-rank weighs
+    all days equally — the classic companion when hazards cross.
+    Z = Σ n·(d₁ − e₁), Var = Σ n²·v, χ² = Z²/Var (df = 1). Weights
+    are exact integers; weighted terms round to the 1e-9 grid and
+    sum as DECIMAL like the unweighted test.
+    Output: one row (n_0, n_1, events_0, events_1, z_num, variance,
+    chi2), rounds 6; chi2 NULL when the variance degenerates.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    per_user = (events.groupBy(F.col(user_col).alias("u"))
+                .agg(F.min(us).alias("t0"),
+                     F.min(F.when(F.col(type_col) == target, us))
+                     .alias("tc")))
+    horizon = events.agg(F.max(us).alias("tend"))
+    arm = (((F.col("u") % 100003) * 2654435761) % 4294967296 % 2)
+    subj = (per_user.crossJoin(F.broadcast(horizon))
+            .select(arm.cast("int").alias("arm"),
+                    F.col("tc").isNotNull().alias("converted"),
+                    F.floor((F.coalesce("tc", "tend") - F.col("t0"))
+                            / 86_400_000_000).alias("day")))
+    is0 = (F.col("arm") == 0).cast("long")
+    tally = (subj.groupBy("day")
+             .agg(F.sum(F.col("converted").cast("long") * is0).alias("d1"),
+                  F.sum(F.col("converted").cast("long") * (1 - is0))
+                  .alias("d2"),
+                  F.sum(is0).alias("t1"),
+                  F.sum(1 - is0).alias("t2")))
+    wprev = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1)
+    n_total = Window.partitionBy()
+    at_risk = (tally
+               .withColumn("n1", F.sum("t1").over(n_total)
+                           - F.coalesce(F.sum("t1").over(wprev), F.lit(0)))
+               .withColumn("n2", F.sum("t2").over(n_total)
+                           - F.coalesce(F.sum("t2").over(wprev), F.lit(0)))
+               .filter(F.col("d1") + F.col("d2") > 0))
+    d = (F.col("d1") + F.col("d2")).cast("double")
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    n = (F.col("n1") + F.col("n2")).cast("double")
+    znum = F.round(n * (F.col("d1").cast("double") - d * n1 / n), 9) \
+        .cast("decimal(28,9)")
+    wv = F.round(
+        F.when(F.col("n1") + F.col("n2") > 1,
+               n * n * (d * n1 / n * n2 / n
+                        * (n - d) / (n - F.lit(1.0))))
+        .otherwise(F.lit(0.0)), 9).cast("decimal(28,9)")
+    terms = at_risk.select("d1", "d2", znum.alias("_z"), wv.alias("_v"))
+    tot = terms.agg(
+        F.sum("d1").cast("long").alias("events_0"),
+        F.sum("d2").cast("long").alias("events_1"),
+        F.sum("_z").alias("_Z"), F.sum("_v").alias("_V"))
+    sizes = subj.agg(
+        F.sum(is0).cast("long").alias("n_0"),
+        F.sum(1 - is0).cast("long").alias("n_1"))
+    z = F.col("_Z").cast("double")
+    v = F.col("_V").cast("double")
+    return sizes.crossJoin(F.broadcast(tot)).select(
+        "n_0", "n_1", "events_0", "events_1",
+        F.round(z, 6).alias("z_num"),
+        F.round(v, 6).alias("variance"),
+        F.round(F.when(v > 0, z * z / v), 6).alias("chi2"))
+
+
+def gehan_wilcoxon_sql(table: str = "events",
+                       target: str = "purchase",
+                       user_sql: str = "user_id", ts_sql: str = "ts",
+                       type_sql: str = "event_type") -> str:
+    return f"""
+WITH per_user AS (
+  SELECT {user_sql} AS u, min(epoch_us({ts_sql})) AS t0,
+         min(CASE WHEN {type_sql} = '{target}'
+             THEN epoch_us({ts_sql}) END) AS tc
+  FROM {table} GROUP BY 1
+),
+horizon AS (SELECT max(epoch_us({ts_sql})) AS tend FROM {table}),
+subj AS (
+  SELECT CAST(((u % 100003) * 2654435761) % 4294967296 % 2 AS INT) AS arm,
+         tc IS NOT NULL AS converted,
+         CAST(floor((coalesce(tc, tend) - t0) / 86400000000.0) AS BIGINT)
+           AS day
+  FROM per_user CROSS JOIN horizon
+),
+tally AS (
+  SELECT day,
+         sum(CASE WHEN converted AND arm = 0 THEN 1 ELSE 0 END) AS d1,
+         sum(CASE WHEN converted AND arm <> 0 THEN 1 ELSE 0 END) AS d2,
+         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS t1,
+         sum(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS t2
+  FROM subj GROUP BY day
+),
+at_risk AS (
+  SELECT day, d1, d2,
+         sum(t1) OVER () - coalesce(sum(t1) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+         sum(t2) OVER () - coalesce(sum(t2) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n2
+  FROM tally
+),
+terms AS (
+  SELECT d1, d2,
+         CAST(round(CAST(n1 + n2 AS DOUBLE)
+              * (CAST(d1 AS DOUBLE) - CAST(d1 + d2 AS DOUBLE) * n1
+                 / (n1 + n2)), 9) AS DECIMAL(28,9)) AS z,
+         CAST(round(CASE WHEN n1 + n2 > 1
+              THEN CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                   * (CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2) * n2
+                      / (n1 + n2) * ((n1 + n2) - (d1 + d2))
+                      / ((n1 + n2) - 1.0))
+              ELSE 0.0 END, 9) AS DECIMAL(28,9)) AS v
+  FROM at_risk WHERE d1 + d2 > 0
+),
+tot AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS events_0,
+         CAST(sum(d2) AS BIGINT) AS events_1,
+         sum(z) AS Z, sum(v) AS V
+  FROM terms
+),
+sizes AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
+         CAST(sum(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_1
+  FROM subj
+)
+SELECT n_0, n_1, events_0, events_1,
+       round(CAST(Z AS DOUBLE), 6) AS z_num,
+       round(CAST(V AS DOUBLE), 6) AS variance,
+       CASE WHEN CAST(V AS DOUBLE) > 0 THEN
+         round(CAST(Z AS DOUBLE) * CAST(Z AS DOUBLE)
+               / CAST(V AS DOUBLE), 6) END AS chi2
+FROM sizes CROSS JOIN tot
+"""
+
+
+def win_ratio(events: DataFrame, target: str = "purchase",
+              user_col: str = "user_id", ts_col: str = "ts",
+              type_col: str = "event_type") -> DataFrame:
+    """Pocock's win ratio (Pocock et al. 2012) for the single
+    time-to-conversion endpoint on logrank_arms' hash-split frame:
+    over all arm-0 × arm-1 subject pairs, arm 0 "wins" a pair when
+    its subject converts strictly earlier than the other subject's
+    conversion-or-censoring day (Gehan scoring — a pair is
+    indeterminate when the earlier day is a censoring). WR = W₀/W₁.
+    The pair counts collapse onto the bounded conversion-day grid:
+    W₀ = Σ_d d₁(d) · #{arm-1 subjects with day > d} from one
+    cumulative window — never a subject-pair join.
+    Output: one row (n_0, n_1, wins_0, wins_1, ties_pairs,
+    win_ratio), rounds 6; NULL ratio when W₁ = 0."""
+    us = F.unix_micros(F.col(ts_col))
+    per_user = (events.groupBy(F.col(user_col).alias("u"))
+                .agg(F.min(us).alias("t0"),
+                     F.min(F.when(F.col(type_col) == target, us))
+                     .alias("tc")))
+    horizon = events.agg(F.max(us).alias("tend"))
+    arm = (((F.col("u") % 100003) * 2654435761) % 4294967296 % 2)
+    subj = (per_user.crossJoin(F.broadcast(horizon))
+            .select(arm.cast("int").alias("arm"),
+                    F.col("tc").isNotNull().alias("conv"),
+                    F.floor((F.coalesce("tc", "tend") - F.col("t0"))
+                            / 86_400_000_000).alias("day")))
+    is0 = (F.col("arm") == 0).cast("long")
+    tally = (subj.groupBy("day")
+             .agg(F.sum(F.col("conv").cast("long") * is0).alias("d1"),
+                  F.sum(F.col("conv").cast("long") * (1 - is0))
+                  .alias("d2"),
+                  F.sum(is0).alias("t1"),
+                  F.sum(1 - is0).alias("t2")))
+    wle = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cum = tally.select(
+        "d1", "d2",
+        (F.sum("t2").over(tot) - F.sum("t2").over(wle)).alias("later2"),
+        (F.sum("t1").over(tot) - F.sum("t1").over(wle)).alias("later1"),
+        F.sum("t1").over(tot).alias("n1"),
+        F.sum("t2").over(tot).alias("n2"))
+    a = cum.agg(
+        F.max("n1").alias("n_0"), F.max("n2").alias("n_1"),
+        F.sum((F.col("d1") * F.col("later2")).cast("decimal(38,0)"))
+        .cast("double").alias("w0"),
+        F.sum((F.col("d2") * F.col("later1")).cast("decimal(38,0)"))
+        .cast("double").alias("w1"))
+    ties = (F.col("n_0").cast("double") * F.col("n_1").cast("double")
+            - F.col("w0") - F.col("w1"))
+    return a.select(
+        F.col("n_0").cast("long").alias("n_0"),
+        F.col("n_1").cast("long").alias("n_1"),
+        F.col("w0").cast("long").alias("wins_0"),
+        F.col("w1").cast("long").alias("wins_1"),
+        ties.cast("long").alias("ties_pairs"),
+        F.round(F.when(F.col("w1") > 0, F.col("w0") / F.col("w1")), 6)
+        .alias("win_ratio"))
+
+
+def win_ratio_sql(table: str = "events", target: str = "purchase",
+                  user_sql: str = "user_id", ts_sql: str = "ts",
+                  type_sql: str = "event_type") -> str:
+    return f"""
+WITH per_user AS (
+  SELECT {user_sql} AS u, min(epoch_us({ts_sql})) AS t0,
+         min(CASE WHEN {type_sql} = '{target}'
+             THEN epoch_us({ts_sql}) END) AS tc
+  FROM {table} GROUP BY 1
+),
+horizon AS (SELECT max(epoch_us({ts_sql})) AS tend FROM {table}),
+subj AS (
+  SELECT CAST(((u % 100003) * 2654435761) % 4294967296 % 2 AS INT) AS arm,
+         tc IS NOT NULL AS conv,
+         CAST(floor((coalesce(tc, tend) - t0) / 86400000000.0) AS BIGINT)
+           AS day
+  FROM per_user CROSS JOIN horizon
+),
+tally AS (
+  SELECT day,
+         sum(CASE WHEN conv AND arm = 0 THEN 1 ELSE 0 END) AS d1,
+         sum(CASE WHEN conv AND arm <> 0 THEN 1 ELSE 0 END) AS d2,
+         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS t1,
+         sum(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS t2
+  FROM subj GROUP BY day
+),
+cum AS (
+  SELECT d1, d2,
+         sum(t2) OVER () - sum(t2) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS later2,
+         sum(t1) OVER () - sum(t1) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS later1,
+         sum(t1) OVER () AS n1, sum(t2) OVER () AS n2
+  FROM tally
+),
+a AS (
+  SELECT max(n1) AS n_0, max(n2) AS n_1,
+         CAST(sum(CAST(d1 * later2 AS HUGEINT)) AS DOUBLE) AS w0,
+         CAST(sum(CAST(d2 * later1 AS HUGEINT)) AS DOUBLE) AS w1
+  FROM cum
+)
+SELECT CAST(n_0 AS BIGINT) AS n_0,
+       CAST(n_1 AS BIGINT) AS n_1,
+       CAST(w0 AS BIGINT) AS wins_0,
+       CAST(w1 AS BIGINT) AS wins_1,
+       CAST(CAST(n_0 AS DOUBLE) * CAST(n_1 AS DOUBLE) - w0 - w1
+            AS BIGINT) AS ties_pairs,
+       round(CASE WHEN w1 > 0 THEN w0 / w1 END, 6) AS win_ratio
+FROM a
+"""

@@ -1689,3 +1689,164 @@ SELECT g AS {group_sql},
              / count(*), 6) AS msttr
 FROM seg WHERE ntok = {segment} GROUP BY g
 """
+
+
+def bray_curtis(docs: DataFrame, group_col: str = "source",
+                text_col: str = "text") -> DataFrame:
+    """Bray–Curtis dissimilarity (Bray & Curtis 1957) between the
+    term-abundance profiles of the two lexicographically-first
+    sources: BC = 1 − 2·Σ_t min(a_t, b_t) / (N_a + N_b) — 0 when the
+    sources use words at identical frequencies, 1 when they share no
+    vocabulary. The source pair is a deterministic pick (ORDER BY
+    source LIMIT 2); abundances are exact token counts, so the whole
+    statistic is integer arithmetic until the final ratio.
+    Output: one row (source_a, source_b, n_tokens_a, n_tokens_b,
+    shared_min, bray_curtis), rounds 6."""
+    from distill_spark.operators.dedup_text import words_expr
+
+    terms = docs.select(F.col(group_col).alias("g"),
+                        F.explode(words_expr(F.col(text_col)))
+                        .alias("term"))
+    pick = (terms.select("g").distinct().orderBy("g").limit(2)
+            .agg(F.min("g").alias("ga"), F.max("g").alias("gb")))
+    per = (terms.crossJoin(F.broadcast(pick))
+           .filter((F.col("g") == F.col("ga"))
+                   | (F.col("g") == F.col("gb")))
+           .groupBy("term", "ga", "gb")
+           .agg(F.sum((F.col("g") == F.col("ga")).cast("long"))
+                .alias("a"),
+                F.sum((F.col("g") == F.col("gb")).cast("long"))
+                .alias("b")))
+    agg = per.agg(
+        F.max("ga").alias("source_a"), F.max("gb").alias("source_b"),
+        F.sum("a").alias("na"), F.sum("b").alias("nb"),
+        F.sum(F.least("a", "b")).alias("sm"))
+    return agg.select(
+        "source_a", "source_b",
+        F.col("na").cast("long").alias("n_tokens_a"),
+        F.col("nb").cast("long").alias("n_tokens_b"),
+        F.col("sm").cast("long").alias("shared_min"),
+        F.round(1.0 - 2.0 * F.col("sm").cast("double")
+                / (F.col("na") + F.col("nb")).cast("double"), 6)
+        .alias("bray_curtis"))
+
+
+def bray_curtis_sql(table: str = "documents",
+                    group_sql: str = "source",
+                    text_sql: str = "text") -> str:
+    words = f"list_filter(string_split({text_sql}, ' '), x -> x <> '')"
+    return f"""
+WITH terms AS (
+  SELECT {group_sql} AS g, unnest({words}) AS term FROM {table}
+),
+pick AS (
+  SELECT min(g) AS ga, max(g) AS gb
+  FROM (SELECT DISTINCT g FROM terms ORDER BY g LIMIT 2)
+),
+per AS (
+  SELECT term, max(ga) AS ga, max(gb) AS gb,
+         sum(CASE WHEN g = ga THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN g = gb THEN 1 ELSE 0 END) AS b
+  FROM terms CROSS JOIN pick
+  WHERE g = ga OR g = gb
+  GROUP BY term
+),
+agg AS (
+  SELECT max(ga) AS source_a, max(gb) AS source_b,
+         sum(a) AS na, sum(b) AS nb, sum(least(a, b)) AS sm
+  FROM per
+)
+SELECT source_a, source_b,
+       CAST(na AS BIGINT) AS n_tokens_a,
+       CAST(nb AS BIGINT) AS n_tokens_b,
+       CAST(sm AS BIGINT) AS shared_min,
+       round(1.0 - 2.0 * CAST(sm AS DOUBLE)
+             / CAST(na + nb AS DOUBLE), 6) AS bray_curtis
+FROM agg
+"""
+
+
+def morisita_horn(docs: DataFrame, group_col: str = "source",
+                  text_col: str = "text") -> DataFrame:
+    """Morisita–Horn overlap (Horn 1966) between the same
+    deterministic source pair as :func:`bray_curtis`:
+    MH = 2·Σ a_t·b_t / ((d_a + d_b)·N_a·N_b) with d = Σ x_t²/N² —
+    the abundance-weighted overlap that, unlike Bray–Curtis, is
+    nearly insensitive to sample-size imbalance. Integer cross
+    products (Σ a·b as exact DECIMAL(38,0)); one ratio at the end.
+    Output: one row (source_a, source_b, n_tokens_a, n_tokens_b,
+    morisita_horn), rounds 6."""
+    from distill_spark.operators.dedup_text import words_expr
+
+    terms = docs.select(F.col(group_col).alias("g"),
+                        F.explode(words_expr(F.col(text_col)))
+                        .alias("term"))
+    pick = (terms.select("g").distinct().orderBy("g").limit(2)
+            .agg(F.min("g").alias("ga"), F.max("g").alias("gb")))
+    per = (terms.crossJoin(F.broadcast(pick))
+           .filter((F.col("g") == F.col("ga"))
+                   | (F.col("g") == F.col("gb")))
+           .groupBy("term", "ga", "gb")
+           .agg(F.sum((F.col("g") == F.col("ga")).cast("long"))
+                .alias("a"),
+                F.sum((F.col("g") == F.col("gb")).cast("long"))
+                .alias("b")))
+    agg = per.agg(
+        F.max("ga").alias("source_a"), F.max("gb").alias("source_b"),
+        F.sum("a").alias("na"), F.sum("b").alias("nb"),
+        F.sum((F.col("a") * F.col("b")).cast("decimal(38,0)"))
+        .cast("double").alias("sab"),
+        F.sum((F.col("a") * F.col("a")).cast("decimal(38,0)"))
+        .cast("double").alias("saa"),
+        F.sum((F.col("b") * F.col("b")).cast("decimal(38,0)"))
+        .cast("double").alias("sbb"))
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    mh = (2.0 * F.col("sab")
+          / ((F.col("saa") / (na * na) + F.col("sbb") / (nb * nb))
+             * na * nb))
+    return agg.select(
+        "source_a", "source_b",
+        F.col("na").cast("long").alias("n_tokens_a"),
+        F.col("nb").cast("long").alias("n_tokens_b"),
+        F.round(mh, 6).alias("morisita_horn"))
+
+
+def morisita_horn_sql(table: str = "documents",
+                      group_sql: str = "source",
+                      text_sql: str = "text") -> str:
+    words = f"list_filter(string_split({text_sql}, ' '), x -> x <> '')"
+    return f"""
+WITH terms AS (
+  SELECT {group_sql} AS g, unnest({words}) AS term FROM {table}
+),
+pick AS (
+  SELECT min(g) AS ga, max(g) AS gb
+  FROM (SELECT DISTINCT g FROM terms ORDER BY g LIMIT 2)
+),
+per AS (
+  SELECT term, max(ga) AS ga, max(gb) AS gb,
+         sum(CASE WHEN g = ga THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN g = gb THEN 1 ELSE 0 END) AS b
+  FROM terms CROSS JOIN pick
+  WHERE g = ga OR g = gb
+  GROUP BY term
+),
+agg AS (
+  SELECT max(ga) AS source_a, max(gb) AS source_b,
+         sum(a) AS na, sum(b) AS nb,
+         CAST(sum(CAST(a * b AS HUGEINT)) AS DOUBLE) AS sab,
+         CAST(sum(CAST(a * a AS HUGEINT)) AS DOUBLE) AS saa,
+         CAST(sum(CAST(b * b AS HUGEINT)) AS DOUBLE) AS sbb
+  FROM per
+)
+SELECT source_a, source_b,
+       CAST(na AS BIGINT) AS n_tokens_a,
+       CAST(nb AS BIGINT) AS n_tokens_b,
+       round(2.0 * sab
+             / ((saa / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE))
+                 + sbb / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)))
+                * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+         AS morisita_horn
+FROM agg
+"""

@@ -3437,3 +3437,124 @@ SELECT CAST(n AS BIGINT) AS n_units,
          AS kendall_tau_a
 FROM agg
 """
+
+
+def partial_auc(df: DataFrame, label_col: str, score_col: str,
+                fpr_cap: float = 0.2) -> DataFrame:
+    """Partial ROC-AUC over FPR ∈ [0, cap] with McClish (1989)
+    standardization: the ROC polyline's vertices are the cumulative
+    (FPR, TPR) at each distinct score descending; segment trapezoids
+    clip at the cap by linear interpolation (exactly what the full
+    curve does there). Standardized form maps chance→0.5, perfect→1:
+    0.5·(1 + (pAUC − cap²/2)/(cap − cap²/2)). Cumulative windows
+    over the bounded distinct-score frame.
+    Output: one row (n_pos, n_neg, fpr_cap, pauc, pauc_std),
+    rounds 6."""
+    v = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("int")
+    per = (df.filter(v.isNotNull())
+           .select(v.alias("v"), lab.alias("y"))
+           .groupBy("v")
+           .agg(F.sum("y").alias("cp"),
+                (F.count("*") - F.sum("y")).alias("cn")))
+    wge = Window.orderBy(F.col("v").desc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    pts = per.select(
+        (F.sum("cp").over(wge).cast("double")
+         / F.sum("cp").over(tot).cast("double")).alias("tpr"),
+        (F.sum("cn").over(wge).cast("double")
+         / F.sum("cn").over(tot).cast("double")).alias("fpr"),
+        F.sum("cp").over(tot).alias("p"),
+        F.sum("cn").over(tot).alias("n"),
+        F.col("v"))
+    lagw = Window.orderBy(F.col("v").desc())
+    seg = pts.select(
+        "p", "n",
+        F.coalesce(F.lag("fpr").over(lagw), F.lit(0.0)).alias("f0"),
+        F.col("fpr").alias("f1"),
+        F.coalesce(F.lag("tpr").over(lagw), F.lit(0.0)).alias("t0"),
+        F.col("tpr").alias("t1"))
+    cap = F.lit(float(fpr_cap))
+    # clip the segment [f0,f1]×[t0,t1] at fpr = cap (linear roc
+    # interpolation), then trapezoid
+    f1c = F.least(F.col("f1"), cap)
+    t1c = F.when(F.col("f1") > F.col("f0"),
+                 F.col("t0") + (F.col("t1") - F.col("t0"))
+                 * (f1c - F.col("f0"))
+                 / (F.col("f1") - F.col("f0"))) \
+        .otherwise(F.col("t1"))
+    area = F.when(F.col("f0") < cap,
+                  (f1c - F.col("f0")) * (F.col("t0") + t1c) / 2.0) \
+        .otherwise(F.lit(0.0))
+    a = seg.agg(
+        F.max("p").alias("p"), F.max("n").alias("n"),
+        F.sum(F.round(area, 9).cast(_DEC)).cast("double")
+        .alias("pauc"))
+    c = float(fpr_cap)
+    return a.select(
+        F.col("p").cast("long").alias("n_pos"),
+        F.col("n").cast("long").alias("n_neg"),
+        F.lit(c).alias("fpr_cap"),
+        F.round("pauc", 6).alias("pauc"),
+        F.round(0.5 * (1.0 + (F.col("pauc") - c * c / 2.0)
+                       / (c - c * c / 2.0)), 6).alias("pauc_std"))
+
+
+def partial_auc_sql(table: str, label_sql: str, value_sql: str,
+                    fpr_cap: float = 0.2) -> str:
+    c = repr(float(fpr_cap))
+    return f"""
+WITH per AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS v,
+         sum(CASE WHEN {label_sql} THEN 1 ELSE 0 END) AS cp,
+         count(*) - sum(CASE WHEN {label_sql} THEN 1 ELSE 0 END) AS cn
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) IS NOT NULL
+  GROUP BY 1
+),
+pts AS (
+  SELECT CAST(sum(cp) OVER (ORDER BY v DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(sum(cp) OVER () AS DOUBLE) AS tpr,
+         CAST(sum(cn) OVER (ORDER BY v DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(sum(cn) OVER () AS DOUBLE) AS fpr,
+         sum(cp) OVER () AS p, sum(cn) OVER () AS n, v
+  FROM per
+),
+seg AS (
+  SELECT p, n,
+         coalesce(lag(fpr) OVER (ORDER BY v DESC), 0.0) AS f0,
+         fpr AS f1,
+         coalesce(lag(tpr) OVER (ORDER BY v DESC), 0.0) AS t0,
+         tpr AS t1
+  FROM pts
+),
+clipped AS (
+  SELECT p, n,
+         CASE WHEN f0 < CAST({c} AS DOUBLE) THEN
+           (least(f1, CAST({c} AS DOUBLE)) - f0)
+           * (t0 + (CASE WHEN f1 > f0 THEN
+                t0 + (t1 - t0) * (least(f1, CAST({c} AS DOUBLE)) - f0)
+                     / (f1 - f0)
+              ELSE t1 END)) / 2.0
+         ELSE 0.0 END AS area
+  FROM seg
+),
+a AS (
+  SELECT max(p) AS p, max(n) AS n,
+         CAST(sum(CAST(round(area, 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS pauc
+  FROM clipped
+)
+SELECT CAST(p AS BIGINT) AS n_pos,
+       CAST(n AS BIGINT) AS n_neg,
+       CAST({c} AS DOUBLE) AS fpr_cap,
+       round(pauc, 6) AS pauc,
+       round(0.5 * (1.0 + (pauc - CAST({c} AS DOUBLE)
+                           * CAST({c} AS DOUBLE) / 2.0)
+                    / (CAST({c} AS DOUBLE)
+                       - CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE)
+                         / 2.0)), 6) AS pauc_std
+FROM a
+"""

@@ -11956,3 +11956,567 @@ SELECT CAST(n AS BIGINT) AS n,
        CAST(2 AS BIGINT) AS df
 FROM rr
 """
+
+
+# ===================================================================
+# round-15 seed stratum (queued): categorical symmetry/agreement,
+# inequality, extreme-value moments, process capability
+# ===================================================================
+
+
+def _first_last_type(events: DataFrame, user_col: str, ts_col: str,
+                     id_col: str, type_col: str):
+    """Per user: first and last event type, (ts, event_id) ordered —
+    the bounded |types|² transition table everything below runs on."""
+    key = F.struct(F.col(ts_col), F.col(id_col), F.col(type_col))
+    per = (events.groupBy(F.col(user_col).alias("u"))
+           .agg(F.min(key).getField(type_col).alias("ft"),
+                F.max(key).getField(type_col).alias("lt")))
+    return per.groupBy("ft", "lt").agg(F.count("*").alias("c"))
+
+
+_FIRST_LAST_SQL = """
+seq AS (
+  SELECT {user_sql} AS u, {type_sql} AS ty,
+         row_number() OVER (PARTITION BY {user_sql}
+           ORDER BY {ts_sql}, {id_sql}, {type_sql}) AS rn_a,
+         row_number() OVER (PARTITION BY {user_sql}
+           ORDER BY {ts_sql} DESC, {id_sql} DESC, {type_sql} DESC)
+           AS rn_d
+  FROM {table}
+),
+cells AS (
+  SELECT u, max(CASE WHEN rn_a = 1 THEN ty END) AS ft,
+         max(CASE WHEN rn_d = 1 THEN ty END) AS lt
+  FROM seq GROUP BY u
+),
+tab AS (SELECT ft, lt, count(*) AS c FROM cells GROUP BY 1, 2)"""
+
+
+def bowker_symmetry(events: DataFrame, user_col: str = "user_id",
+                    ts_col: str = "ts", id_col: str = "event_id",
+                    type_col: str = "event_type") -> DataFrame:
+    """Bowker's symmetry test (Bowker 1948, the k×k McNemar) on the
+    per-user first→last event-type transition table: χ² =
+    Σ_{i<j} (n_ij − n_ji)² / (n_ij + n_ji) over off-diagonal pairs
+    with any mass — "do users drift between event types
+    asymmetrically". One user aggregate, then exact integer
+    arithmetic on the bounded |types|² table.
+    Output: one row (n_users, n_pairs, df, bowker_chi2), rounds 6."""
+    tab = _first_last_type(events, user_col, ts_col, id_col, type_col)
+    off = tab.filter(F.col("ft") != F.col("lt"))
+    sym = (off.groupBy(
+        F.least("ft", "lt").alias("a"),
+        F.greatest("ft", "lt").alias("b"))
+        .agg(F.sum("c").alias("tot"),
+             F.sum(F.when(F.col("ft") < F.col("lt"), F.col("c"))
+                   .otherwise(-F.col("c"))).alias("diff")))
+    n_users = tab.agg(F.sum("c").alias("nu"))
+    a = sym.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.round(F.col("diff").cast("double")
+                      * F.col("diff").cast("double")
+                      / F.col("tot").cast("double"), 9)
+              .cast(_DEC)).cast("double").alias("chi2"))
+    return a.crossJoin(F.broadcast(n_users)).select(
+        F.col("nu").cast("long").alias("n_users"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_pairs").cast("long").alias("df"),
+        F.round("chi2", 6).alias("bowker_chi2"))
+
+
+def bowker_symmetry_sql(table: str = "events",
+                        user_sql: str = "user_id",
+                        ts_sql: str = "ts",
+                        id_sql: str = "event_id",
+                        type_sql: str = "event_type") -> str:
+    fl = _FIRST_LAST_SQL.format(table=table, user_sql=user_sql,
+                                ts_sql=ts_sql, id_sql=id_sql,
+                                type_sql=type_sql)
+    return f"""
+WITH {fl},
+sym AS (
+  SELECT least(ft, lt) AS a, greatest(ft, lt) AS b,
+         sum(c) AS tot,
+         sum(CASE WHEN ft < lt THEN c ELSE -c END) AS diff
+  FROM tab WHERE ft <> lt
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT count(*) AS n_pairs,
+         CAST(sum(CAST(round(CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE)
+                             / CAST(tot AS DOUBLE), 9)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS chi2
+  FROM sym
+),
+nu AS (SELECT sum(c) AS nu FROM tab)
+SELECT CAST(nu AS BIGINT) AS n_users,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_pairs AS BIGINT) AS df,
+       round(chi2, 6) AS bowker_chi2
+FROM agg CROSS JOIN nu
+"""
+
+
+def bennett_s(events: DataFrame, user_col: str = "user_id",
+              ts_col: str = "ts", id_col: str = "event_id",
+              type_col: str = "event_type") -> DataFrame:
+    """Bennett's S agreement coefficient (Bennett, Alpert & Goldstein
+    1954) between each user's first and last event type: S =
+    (k·p_o − 1)/(k − 1) — chance-corrected against the UNIFORM
+    baseline (contrast Scott's π / Cohen's κ, which model marginal
+    prevalence). k counts the categories observed in either margin.
+    Output: one row (n_users, k_categories, p_observed, bennett_s),
+    rounds 6."""
+    tab = _first_last_type(events, user_col, ts_col, id_col, type_col)
+    k = (tab.select(F.col("ft").alias("t"))
+         .union(tab.select(F.col("lt").alias("t")))
+         .agg(F.count_distinct("t").alias("k")))
+    a = tab.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("ft") == F.col("lt"), F.col("c"))
+              .otherwise(0)).alias("agree"))
+    out = a.crossJoin(F.broadcast(k))
+    po = F.col("agree").cast("double") / F.col("n").cast("double")
+    kk = F.col("k").cast("double")
+    return out.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("k").cast("long").alias("k_categories"),
+        F.round(po, 6).alias("p_observed"),
+        F.round(F.when(F.col("k") > 1,
+                       (kk * po - 1.0) / (kk - 1.0)), 6)
+        .alias("bennett_s"))
+
+
+def bennett_s_sql(table: str = "events", user_sql: str = "user_id",
+                  ts_sql: str = "ts", id_sql: str = "event_id",
+                  type_sql: str = "event_type") -> str:
+    fl = _FIRST_LAST_SQL.format(table=table, user_sql=user_sql,
+                                ts_sql=ts_sql, id_sql=id_sql,
+                                type_sql=type_sql)
+    return f"""
+WITH {fl},
+k AS (
+  SELECT count(DISTINCT t) AS k FROM (
+    SELECT ft AS t FROM tab UNION ALL SELECT lt FROM tab
+  )
+),
+a AS (
+  SELECT sum(c) AS n,
+         sum(CASE WHEN ft = lt THEN c ELSE 0 END) AS agree
+  FROM tab
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(k AS BIGINT) AS k_categories,
+       round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         AS p_observed,
+       round(CASE WHEN k > 1 THEN
+         (CAST(k AS DOUBLE) * CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+          - 1.0) / (CAST(k AS DOUBLE) - 1.0) END, 6) AS bennett_s
+FROM a CROSS JOIN k
+"""
+
+
+def bonferroni_index(customer: DataFrame,
+                     value_col: str = "c_acctbal",
+                     key_col: str = "c_custkey") -> DataFrame:
+    """Bonferroni inequality index (Bonferroni 1930) over positive
+    account balances: B = (1/(n−1)) · Σ_{i=1}^{n−1} (1 − m_i/μ) with
+    m_i the mean of the i poorest — like Gini but weighting the
+    poorest ranks hardest (B ≥ G always). The per-rank partial means
+    need true row ranks, so the frame is the customer DIMENSION
+    (bounded by design — never a fact table); ranks tie-break on the
+    key, per-rank terms grid-round to 9 and decimal-sum.
+    Output: one row (n, mean_value, bonferroni_b), rounds 6."""
+    v = F.col(value_col).cast("double")
+    pos = customer.filter(v > 0).select(
+        v.alias("x"), F.col(key_col).alias("k"))
+    w = Window.orderBy("x", "k")
+    cum = pos.select(
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.sum(F.col("x").cast(_DEC)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double").alias("s"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+        F.sum(F.col("x").cast(_DEC)).over(Window.partitionBy())
+        .cast("double").alias("tot"))
+    terms = cum.filter(F.col("i") < F.col("n")).select(
+        "n", "tot",
+        F.round(1.0 - (F.col("s") / F.col("i").cast("double"))
+                / (F.col("tot") / F.col("n").cast("double")), 9)
+        .alias("t"))
+    a = terms.agg(
+        F.max("n").alias("n"), F.max("tot").alias("tot"),
+        F.sum(F.col("t").cast(_DEC)).cast("double").alias("st"))
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("tot") / F.col("n").cast("double"), 6)
+        .alias("mean_value"),
+        F.round(F.col("st") / (F.col("n").cast("double") - 1.0), 6)
+        .alias("bonferroni_b"))
+
+
+def bonferroni_index_sql(table: str = "customer",
+                         value_sql: str = "c_acctbal",
+                         key_sql: str = "c_custkey") -> str:
+    return f"""
+WITH pos AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS x, {key_sql} AS k
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) > 0
+),
+cum AS (
+  SELECT x, row_number() OVER (ORDER BY x, k) AS i,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) OVER (ORDER BY x, k
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS s,
+         count(*) OVER () AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) OVER () AS DOUBLE) AS tot
+  FROM pos
+),
+terms AS (
+  SELECT n, tot,
+         round(1.0 - (s / CAST(i AS DOUBLE))
+               / (tot / CAST(n AS DOUBLE)), 9) AS t
+  FROM cum WHERE i < n
+),
+a AS (
+  SELECT max(n) AS n, max(tot) AS tot,
+         CAST(sum(CAST(t AS DECIMAL(38,12))) AS DOUBLE) AS st
+  FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(tot / CAST(n AS DOUBLE), 6) AS mean_value,
+       round(st / (CAST(n AS DOUBLE) - 1.0), 6) AS bonferroni_b
+FROM a
+"""
+
+
+def dekkers_einmahl(orders: DataFrame,
+                    value_col: str = "o_totalprice",
+                    key_col: str = "o_orderkey",
+                    k: int = 100) -> DataFrame:
+    """Dekkers–Einmahl–de Haan moment estimator of the extreme-value
+    index (Dekkers, Einmahl & de Haan 1989) on hill_tail's exact
+    top-k frame: with M_r = (1/k)Σ ln^r(x_i/x_{k+1}),
+    γ̂ = M₁ + 1 − ½·(1 − M₁²/M₂)⁻¹ — valid for ALL three EV domains
+    where Hill's α only covers the Fréchet case (γ > 0).
+    Output: one row (k, x_threshold, m1, m2, gamma_moment),
+    rounds 6."""
+    v = F.col(value_col).cast("double")
+    pos = orders.filter(v > 0).select(v.alias("x"),
+                                      F.col(key_col).alias("key"))
+    ranked = pos.withColumn("rk", F.row_number().over(
+        Window.partitionBy().orderBy(F.desc("x"), F.asc("key"))))
+    thr = (ranked.filter(F.col("rk") == k + 1)
+           .select(F.col("x").alias("xt")))
+    top = (ranked.filter(F.col("rk") <= k)
+           .crossJoin(F.broadcast(thr))
+           .select(F.round(F.log(F.col("x") / F.col("xt")), 9)
+                   .alias("t"), "xt"))
+    agg = top.groupBy("xt").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("t").cast(_DEC)).cast("double").alias("s1"),
+        F.sum(F.round(F.col("t") * F.col("t"), 9).cast(_DEC))
+        .cast("double").alias("s2"))
+    m1 = F.col("s1") / F.col("n").cast("double")
+    m2 = F.col("s2") / F.col("n").cast("double")
+    gamma = F.when(
+        (m2 > 0) & (m2 != m1 * m1),
+        m1 + 1.0 - 0.5 / (1.0 - m1 * m1 / m2))
+    return agg.select(
+        F.col("n").cast("long").alias("k"),
+        F.round(F.col("xt"), 6).alias("x_threshold"),
+        F.round(m1, 6).alias("m1"),
+        F.round(m2, 6).alias("m2"),
+        F.round(gamma, 6).alias("gamma_moment"))
+
+
+def dekkers_einmahl_sql(table: str = "orders",
+                        value_sql: str = "o_totalprice",
+                        key_sql: str = "o_orderkey",
+                        k: int = 100) -> str:
+    return f"""
+WITH pos AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS x, {key_sql} AS key
+  FROM {table} WHERE CAST({value_sql} AS DOUBLE) > 0
+),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x DESC, key ASC) AS rk
+  FROM pos
+),
+thr AS (SELECT x AS xt FROM ranked WHERE rk = {k} + 1),
+top AS (
+  SELECT round(ln(r.x / t.xt), 9) AS t, t.xt
+  FROM ranked r CROSS JOIN thr t WHERE r.rk <= {k}
+),
+agg AS (
+  SELECT xt, count(*) AS n,
+         CAST(sum(CAST(t AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(round(t * t, 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS s2
+  FROM top GROUP BY xt
+)
+SELECT CAST(n AS BIGINT) AS k,
+       round(xt, 6) AS x_threshold,
+       round(s1 / CAST(n AS DOUBLE), 6) AS m1,
+       round(s2 / CAST(n AS DOUBLE), 6) AS m2,
+       round(CASE WHEN s2 / CAST(n AS DOUBLE) > 0
+                   AND s2 / CAST(n AS DOUBLE)
+                       <> (s1 / CAST(n AS DOUBLE))
+                          * (s1 / CAST(n AS DOUBLE)) THEN
+         s1 / CAST(n AS DOUBLE) + 1.0
+         - 0.5 / (1.0 - (s1 / CAST(n AS DOUBLE))
+                  * (s1 / CAST(n AS DOUBLE))
+                  / (s2 / CAST(n AS DOUBLE))) END, 6) AS gamma_moment
+FROM agg
+"""
+
+
+def cpk_capability(events: DataFrame, ts_col: str = "ts",
+                   value_col: str = "value") -> DataFrame:
+    """Process capability Cp/Cpk (Kane 1986) of the daily value
+    total: spec limits are the type-1 5th/95th percentiles of the
+    FIRST half of the day series (integer ranks, (value, day)
+    tie-break — the kupiec_pof split discipline), capability is then
+    judged on the second half: Cp = (USL−LSL)/(6σ̂),
+    Cpk = min(USL−μ̂, μ̂−LSL)/(3σ̂) with sample σ̂.
+    Output: one row (n_est, n_test, lsl, usl, cp, cpk), rounds 6."""
+    from distill_spark.operators.timeseries import _daily_frame
+
+    base = _daily_frame(events, ts_col, value_col)
+    tot = Window.partitionBy()
+    half = base.select(
+        "d", "x", "t", F.count("*").over(tot).alias("m"))
+    half = half.select(
+        "d", "x",
+        (F.col("t") <= F.floor((F.col("m") + 1) / 2)).alias("est"),
+        F.floor((F.col("m") + 1) / 2).alias("n_est"))
+    est = half.filter("est")
+    est_rk = est.select(
+        "x", "n_est",
+        F.row_number().over(Window.orderBy("x", "d")).alias("rk"))
+    lims = est_rk.agg(
+        F.max(F.when(
+            F.col("rk") == F.floor((F.col("n_est") + 19) / 20),
+            F.col("x"))).alias("lsl"),
+        F.max(F.when(
+            F.col("rk") == F.col("n_est")
+            - F.floor((F.col("n_est") + 19) / 20) + 1,
+            F.col("x"))).alias("usl"))
+    test = half.filter(~F.col("est")).crossJoin(F.broadcast(lims))
+    a = test.agg(
+        F.max("n_est").cast("long").alias("n_est"),
+        F.count("*").cast("double").alias("nt"),
+        F.max("lsl").alias("lsl"), F.max("usl").alias("usl"),
+        F.sum(F.col("x").cast(_DEC)).cast("double").alias("sx"),
+        F.sum(F.round(F.col("x") * F.col("x"), 9).cast(_DEC))
+        .cast("double").alias("sxx"))
+    mu = F.col("sx") / F.col("nt")
+    sig = F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx")
+                  / F.col("nt")) / (F.col("nt") - 1.0))
+    return a.select(
+        "n_est",
+        F.col("nt").cast("long").alias("n_test"),
+        F.round("lsl", 6).alias("lsl"),
+        F.round("usl", 6).alias("usl"),
+        F.round(F.when(sig > 0, (F.col("usl") - F.col("lsl"))
+                       / (6.0 * sig)), 6).alias("cp"),
+        F.round(F.when(sig > 0,
+                       F.least(F.col("usl") - mu, mu - F.col("lsl"))
+                       / (3.0 * sig)), 6).alias("cpk"))
+
+
+def cpk_capability_sql(table: str = "events", ts_sql: str = "ts",
+                       value_sql: str = "value") -> str:
+    from distill_spark.operators.timeseries import _DAILY_SQL
+
+    return f"""
+WITH {_DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)},
+half AS (
+  SELECT d, x,
+         t <= (count(*) OVER () + 1) // 2 AS est,
+         (count(*) OVER () + 1) // 2 AS n_est
+  FROM ranked
+),
+est_rk AS (
+  SELECT x, n_est, row_number() OVER (ORDER BY x, d) AS rk
+  FROM half WHERE est
+),
+lims AS (
+  SELECT max(n_est) AS n_est,
+         max(CASE WHEN rk = (n_est + 19) // 20 THEN x END) AS lsl,
+         max(CASE WHEN rk = n_est - (n_est + 19) // 20 + 1
+             THEN x END) AS usl
+  FROM est_rk
+),
+a AS (
+  SELECT max(l.n_est) AS n_est,
+         CAST(count(*) AS DOUBLE) AS nt,
+         max(l.lsl) AS lsl, max(l.usl) AS usl,
+         CAST(sum(CAST(h.x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(round(h.x * h.x, 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS sxx
+  FROM half h CROSS JOIN lims l
+  WHERE NOT h.est
+)
+SELECT CAST(n_est AS BIGINT) AS n_est,
+       CAST(nt AS BIGINT) AS n_test,
+       round(lsl, 6) AS lsl,
+       round(usl, 6) AS usl,
+       round(CASE WHEN (sxx - sx * sx / nt) / (nt - 1.0) > 0 THEN
+         (usl - lsl) / (6.0 * sqrt((sxx - sx * sx / nt)
+                                   / (nt - 1.0))) END, 6) AS cp,
+       round(CASE WHEN (sxx - sx * sx / nt) / (nt - 1.0) > 0 THEN
+         least(usl - (sx / nt), (sx / nt) - lsl)
+         / (3.0 * sqrt((sxx - sx * sx / nt) / (nt - 1.0))) END, 6)
+         AS cpk
+FROM a
+"""
+
+
+def fligner_policello(df: DataFrame, group_col: str, group_a,
+                      group_b, value_col: str = "value") -> DataFrame:
+    """Fligner–Policello robust rank-order test (Fligner & Policello
+    1981): compares medians WITHOUT Mann–Whitney's equal-shape
+    assumption. Placements P_i = #{b_j < a_i} + ½#{b_j = a_i} (and
+    Q_j symmetric) collapse to the distinct-value frame — every a at
+    value v shares P(v), so Σ(P−P̄)² is a weighted moment like the
+    DeLong components. U = (ΣP − ΣQ)/(2√(V₁ + V₂ + P̄·Q̄)).
+    Output: one row (n_a, n_b, p_bar, q_bar, u_stat), rounds 6."""
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    per = (df.filter(g.isin([group_a, group_b]) & v.isNotNull())
+           .select(v.alias("v"),
+                   F.when(g == group_a, 1).otherwise(0).alias("is_a"))
+           .groupBy("v")
+           .agg(F.sum("is_a").alias("ca"),
+                (F.count("*") - F.sum("is_a")).alias("cb")))
+    wlt = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    tot = Window.partitionBy()
+    plc = per.select(
+        "ca", "cb",
+        (F.coalesce(F.sum("cb").over(wlt), F.lit(0)).cast("double")
+         + F.col("cb").cast("double") / 2.0).alias("p"),
+        (F.coalesce(F.sum("ca").over(wlt), F.lit(0)).cast("double")
+         + F.col("ca").cast("double") / 2.0).alias("q"),
+        F.sum("ca").over(tot).alias("na"),
+        F.sum("cb").over(tot).alias("nb"))
+    a = plc.agg(
+        F.max("na").cast("double").alias("na"),
+        F.max("nb").cast("double").alias("nb"),
+        F.sum(F.round(F.col("ca") * F.col("p"), 9).cast(_DEC))
+        .cast("double").alias("sp"),
+        F.sum(F.round(F.col("ca") * F.col("p") * F.col("p"), 9)
+              .cast(_DEC)).cast("double").alias("sp2"),
+        F.sum(F.round(F.col("cb") * F.col("q"), 9).cast(_DEC))
+        .cast("double").alias("sq"),
+        F.sum(F.round(F.col("cb") * F.col("q") * F.col("q"), 9)
+              .cast(_DEC)).cast("double").alias("sq2"))
+    pbar = F.col("sp") / F.col("na")
+    qbar = F.col("sq") / F.col("nb")
+    v1 = F.col("sp2") - F.col("sp") * F.col("sp") / F.col("na")
+    v2 = F.col("sq2") - F.col("sq") * F.col("sq") / F.col("nb")
+    den = 2.0 * F.sqrt(v1 + v2 + pbar * qbar)
+    return a.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(pbar, 6).alias("p_bar"),
+        F.round(qbar, 6).alias("q_bar"),
+        F.round(F.when(den > 0,
+                       (F.col("sp") - F.col("sq")) / den), 6)
+        .alias("u_stat"))
+
+
+def fligner_policello_sql(table: str, group_sql: str, group_a: str,
+                          group_b: str,
+                          value_sql: str = "value") -> str:
+    return f"""
+WITH per AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS v,
+         sum(CASE WHEN {group_sql} = '{group_a}' THEN 1 ELSE 0 END)
+           AS ca,
+         count(*) - sum(CASE WHEN {group_sql} = '{group_a}'
+                        THEN 1 ELSE 0 END) AS cb
+  FROM {table}
+  WHERE {group_sql} IN ('{group_a}', '{group_b}')
+    AND CAST({value_sql} AS DOUBLE) IS NOT NULL
+  GROUP BY 1
+),
+plc AS (
+  SELECT ca, cb,
+         CAST(coalesce(sum(cb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS DOUBLE) + CAST(cb AS DOUBLE) / 2.0 AS p,
+         CAST(coalesce(sum(ca) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS DOUBLE) + CAST(ca AS DOUBLE) / 2.0 AS q,
+         sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+  FROM per
+),
+a AS (
+  SELECT CAST(max(na) AS DOUBLE) AS na, CAST(max(nb) AS DOUBLE) AS nb,
+         CAST(sum(CAST(round(ca * p, 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS sp,
+         CAST(sum(CAST(round(ca * p * p, 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS sp2,
+         CAST(sum(CAST(round(cb * q, 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS sq,
+         CAST(sum(CAST(round(cb * q * q, 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS sq2
+  FROM plc
+)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       round(sp / na, 6) AS p_bar,
+       round(sq / nb, 6) AS q_bar,
+       round(CASE WHEN 2.0 * sqrt((sp2 - sp * sp / na)
+                                  + (sq2 - sq * sq / nb)
+                                  + (sp / na) * (sq / nb)) > 0 THEN
+         (sp - sq) / (2.0 * sqrt((sp2 - sp * sp / na)
+                                 + (sq2 - sq * sq / nb)
+                                 + (sp / na) * (sq / nb))) END, 6)
+         AS u_stat
+FROM a
+"""
+
+
+def lepage_test(df: DataFrame, group_col: str, group_a, group_b,
+                value_col: str = "value") -> DataFrame:
+    """Lepage combined location–scale test (Lepage 1971): L = z_W² +
+    z_AB², composing the engine's tie-corrected Mann–Whitney z and
+    Ansari–Bradley z on the same two groups — a χ²(2) omnibus for
+    "did the distribution move OR spread". Composition happens on
+    the two 1-row outputs (both engines square the identical
+    round-6 z's, so the composition is exactly cross-engine stable).
+    Output: one row (n_a, n_b, z_location, z_scale, lepage_l),
+    rounds 6."""
+    w = mannwhitney_u(df, group_col, group_a, group_b, value_col) \
+        .select(F.col("n_a"), F.col("n_b"),
+                F.col("z").alias("zw"))
+    ab = ansari_bradley(df, group_col, group_a, group_b, value_col) \
+        .select(F.col("z").alias("zab"))
+    out = w.crossJoin(F.broadcast(ab))
+    return out.select(
+        "n_a", "n_b",
+        F.round(F.col("zw"), 6).alias("z_location"),
+        F.round(F.col("zab"), 6).alias("z_scale"),
+        F.round(F.col("zw") * F.col("zw")
+                + F.col("zab") * F.col("zab"), 6).alias("lepage_l"))
+
+
+def lepage_test_sql(table: str, group_sql: str, group_a: str,
+                    group_b: str, value_sql: str = "value") -> str:
+    mw = mannwhitney_u_sql(table, group_sql, group_a, group_b,
+                           value_sql)
+    ab = ansari_bradley_sql(table, group_sql, group_a, group_b,
+                            value_sql)
+    return f"""
+WITH mw AS ({mw}),
+ab AS ({ab})
+SELECT mw.n_a, mw.n_b,
+       round(mw.z, 6) AS z_location,
+       round(ab.z, 6) AS z_scale,
+       round(mw.z * mw.z + ab.z * ab.z, 6) AS lepage_l
+FROM mw CROSS JOIN ab
+"""

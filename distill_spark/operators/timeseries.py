@@ -5991,3 +5991,355 @@ SELECT CAST(n AS BIGINT) AS n_days,
        CAST(1 AS BIGINT) AS df
 FROM rr
 """
+
+
+# ===================================================================
+# round-15 seed stratum (queued): modern rank dependence, relative
+# forecast accuracy, forecast-bias control, attribute control chart
+# ===================================================================
+
+
+def xi_correlation(events: DataFrame, ts_col: str = "ts",
+                   value_col: str = "value") -> DataFrame:
+    """Chatterjee's ξ rank correlation (Chatterjee 2021 JASA) between
+    the daily value total and the daily event count, BOTH directions
+    (ξ is deliberately asymmetric: ξ(X→Y) ≈ 1 iff Y is a measurable
+    function of X, unlike any symmetric coefficient). General tie
+    formula: with r_i = #{y_j ≤ y_i} and l_i = #{y_j ≥ y_i} in the
+    order sorted by (x, day), ξ = 1 − n·Σ|r_{i+1} − r_i| /
+    (2·Σ l_i(n − l_i)). All ranks are peer-inclusive counts (the
+    default RANGE window frame), exact integers over the bounded day
+    frame. Output: one row (n_days, xi_value_to_count,
+    xi_count_to_value), rounds 6."""
+    daily = (events
+             .filter(F.col(ts_col).isNotNull()
+                     & F.col(value_col).isNotNull())
+             .groupBy(F.to_date(ts_col).alias("d"))
+             .agg(F.round(F.sum(F.col(value_col).cast("double")
+                                .cast(_TS_DEC)).cast("double"), 9)
+                  .alias("x"),
+                  F.count("*").alias("y")))
+
+    def _xi(df, xc, yc):
+        n_w = Window.partitionBy()
+        r = F.count("*").over(Window.orderBy(yc))          # ≤, peers in
+        lw = F.count("*").over(Window.orderBy(F.col(yc).desc()))
+        seq = df.select(
+            F.col(xc).alias("xx"), F.col("d"),
+            r.alias("r"), lw.alias("l"),
+            F.count("*").over(n_w).alias("n"))
+        lagd = F.lag("r").over(Window.orderBy("xx", "d"))
+        terms = seq.select(
+            "n", "l",
+            F.when(lagd.isNotNull(),
+                   F.abs(F.col("r") - lagd)).alias("dr"))
+        return terms.agg(
+            F.max("n").alias("n"),
+            F.sum("dr").alias("sdr"),
+            F.sum(F.col("l") * (F.col("n") - F.col("l"))).alias("den"))
+
+    def _ratio(alias):
+        return F.when(
+            F.col("den") > 0,
+            1.0 - F.col("n").cast("double")
+            * F.col("sdr").cast("double")
+            / (2.0 * F.col("den").cast("double"))).alias(alias)
+
+    a = _xi(daily, "x", "y").select(F.col("n").alias("n"),
+                                    _ratio("xi_xy"))
+    b = _xi(daily.select("d", F.col("y").alias("x2"),
+                         F.col("x").alias("y2")), "x2", "y2").select(
+        _ratio("xi_yx"))
+    return a.crossJoin(F.broadcast(b)).select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round("xi_xy", 6).alias("xi_value_to_count"),
+        F.round("xi_yx", 6).alias("xi_count_to_value"))
+
+
+def xi_correlation_sql(table: str = "events", ts_sql: str = "ts",
+                       value_sql: str = "value") -> str:
+    xi = """
+  SELECT CAST(max(n) AS DOUBLE) AS n,
+         CAST(sum(dr) AS DOUBLE) AS sdr,
+         CAST(sum(l * (n - l)) AS DOUBLE) AS den
+  FROM (
+    SELECT n, l,
+           abs(r - lag(r) OVER (ORDER BY xx, d)) AS dr
+    FROM (
+      SELECT {x} AS xx, d,
+             count(*) OVER (ORDER BY {y}) AS r,
+             count(*) OVER (ORDER BY {y} DESC) AS l,
+             count(*) OVER () AS n
+      FROM daily
+    )
+  )"""
+    return f"""
+WITH daily AS (
+  SELECT CAST({ts_sql} AS DATE) AS d,
+         round(CAST(sum(CAST(CAST({value_sql} AS DOUBLE)
+                             AS DECIMAL(38,12))) AS DOUBLE), 9) AS x,
+         count(*) AS y
+  FROM {table}
+  WHERE {ts_sql} IS NOT NULL AND {value_sql} IS NOT NULL
+  GROUP BY 1
+),
+fwd AS ({xi.format(x='x', y='y')}),
+bwd AS ({xi.format(x='y', y='x')})
+SELECT CAST(f.n AS BIGINT) AS n_days,
+       round(CASE WHEN f.den > 0 THEN
+         1.0 - f.n * f.sdr / (2.0 * f.den) END, 6)
+         AS xi_value_to_count,
+       round(CASE WHEN b.den > 0 THEN
+         1.0 - b.n * b.sdr / (2.0 * b.den) END, 6)
+         AS xi_count_to_value
+FROM fwd f CROSS JOIN bwd b
+"""
+
+
+def theil_u2(events: DataFrame, ts_col: str = "ts",
+             value_col: str = "value") -> DataFrame:
+    """Theil's U₂ relative forecast accuracy (Theil 1966) of the
+    SEASONAL naive forecast (lag 7) against the no-change naive
+    (lag 1) on the daily value series, over the days where both are
+    defined: U₂ < 1 means weekly seasonality beats persistence.
+    RMSEs surface compressed per the >1e8 contract.
+    Output: one row (n_eval, rmse_naive1, rmse_naive7, theil_u2),
+    rounds 6."""
+    base = _daily_frame(events, ts_col, value_col)
+    w = Window.orderBy("t")
+    lagged = base.select(
+        "x", F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 7).over(w).alias("x7"))
+    both = lagged.filter(F.col("x7").isNotNull())
+    terms = both.select(
+        F.round((F.col("x") - F.col("x1"))
+                * (F.col("x") - F.col("x1")), 9).alias("e1"),
+        F.round((F.col("x") - F.col("x7"))
+                * (F.col("x") - F.col("x7")), 9).alias("e7"))
+    a = terms.agg(
+        F.count("*").cast("double").alias("m"),
+        F.sum(F.col("e1").cast(_TS_DEC)).cast("double").alias("s1"),
+        F.sum(F.col("e7").cast(_TS_DEC)).cast("double").alias("s7"))
+    return a.select(
+        F.col("m").cast("long").alias("n_eval"),
+        F.round(F.sqrt(F.col("s1") / F.col("m")), 6)
+        .alias("rmse_naive1"),
+        F.round(F.sqrt(F.col("s7") / F.col("m")), 6)
+        .alias("rmse_naive7"),
+        F.round(F.when(F.col("s1") > 0,
+                       F.sqrt(F.col("s7") / F.col("s1"))), 6)
+        .alias("theil_u2"))
+
+
+def theil_u2_sql(table: str = "events", ts_sql: str = "ts",
+                 value_sql: str = "value") -> str:
+    return f"""
+WITH {_DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)},
+lagged AS (
+  SELECT x, lag(x, 1) OVER (ORDER BY t) AS x1,
+         lag(x, 7) OVER (ORDER BY t) AS x7
+  FROM ranked
+),
+terms AS (
+  SELECT round((x - x1) * (x - x1), 9) AS e1,
+         round((x - x7) * (x - x7), 9) AS e7
+  FROM lagged WHERE x7 IS NOT NULL
+),
+a AS (
+  SELECT CAST(count(*) AS DOUBLE) AS m,
+         CAST(sum(CAST(e1 AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(e7 AS DECIMAL(38,12))) AS DOUBLE) AS s7
+  FROM terms
+)
+SELECT CAST(m AS BIGINT) AS n_eval,
+       round(sqrt(s1 / m), 6) AS rmse_naive1,
+       round(sqrt(s7 / m), 6) AS rmse_naive7,
+       round(CASE WHEN s1 > 0 THEN sqrt(s7 / s1) END, 6) AS theil_u2
+FROM a
+"""
+
+
+def tracking_signal(events: DataFrame, ts_col: str = "ts",
+                    value_col: str = "value") -> DataFrame:
+    """Forecast-bias tracking signal (Trigg 1964 convention: TS_t =
+    cumulative forecast error over running MAD) for the no-change
+    naive forecast on the daily value series. |TS| drifting past ~4
+    flags a persistently biased forecast. Cumulative prefix sums
+    over the bounded day frame; errors on the 1e-9 grid.
+    Output: one row (n_eval, final_ts, max_abs_ts, final_mad),
+    rounds 6."""
+    base = _daily_frame(events, ts_col, value_col)
+    w = Window.orderBy("t")
+    err = (base.select(
+        "t", (F.col("x") - F.lag("x").over(w)).alias("e"))
+        .filter(F.col("e").isNotNull())
+        .select("t", F.round("e", 9).alias("e"),
+                F.round(F.abs(F.col("e")), 9).alias("ae")))
+    cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    mad_c = (F.sum(F.col("ae").cast(_TS_DEC)).over(cum).cast("double")
+             / F.count("*").over(cum).cast("double"))
+    ts = err.select(
+        "t",
+        F.when(mad_c > 0,
+               F.sum(F.col("e").cast(_TS_DEC)).over(cum)
+               .cast("double") / mad_c).alias("ts"),
+        (F.sum(F.col("ae").cast(_TS_DEC)).over(cum).cast("double")
+         / F.count("*").over(cum).cast("double")).alias("mad"),
+        F.row_number().over(Window.orderBy(F.col("t").desc()))
+        .alias("rev"))
+    a = ts.agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.max(F.when(F.col("rev") == 1, F.round(F.col("ts"), 6)))
+        .alias("final_ts"),
+        F.max(F.round(F.abs(F.col("ts")), 6)).alias("max_abs_ts"),
+        F.max(F.when(F.col("rev") == 1, F.round(F.col("mad"), 6)))
+        .alias("final_mad"))
+    return a
+
+
+def tracking_signal_sql(table: str = "events", ts_sql: str = "ts",
+                        value_sql: str = "value") -> str:
+    return f"""
+WITH {_DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)},
+err AS (
+  SELECT t, round(e, 9) AS e, round(abs(e), 9) AS ae
+  FROM (
+    SELECT t, x - lag(x) OVER (ORDER BY t) AS e FROM ranked
+  ) WHERE e IS NOT NULL
+),
+ts AS (
+  SELECT t,
+         CASE WHEN CAST(sum(CAST(ae AS DECIMAL(38,12))) OVER cum
+                        AS DOUBLE) > 0 THEN
+           CAST(sum(CAST(e AS DECIMAL(38,12))) OVER cum AS DOUBLE)
+           / (CAST(sum(CAST(ae AS DECIMAL(38,12))) OVER cum AS DOUBLE)
+              / CAST(count(*) OVER cum AS DOUBLE)) END AS ts,
+         CAST(sum(CAST(ae AS DECIMAL(38,12))) OVER cum AS DOUBLE)
+           / CAST(count(*) OVER cum AS DOUBLE) AS mad,
+         row_number() OVER (ORDER BY t DESC) AS rev
+  FROM err
+  WINDOW cum AS (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_eval,
+       max(CASE WHEN rev = 1 THEN round(ts, 6) END) AS final_ts,
+       max(round(abs(ts), 6)) AS max_abs_ts,
+       max(CASE WHEN rev = 1 THEN round(mad, 6) END) AS final_mad
+FROM ts
+"""
+
+
+def p_chart_weekly(events: DataFrame, target: str = "purchase",
+                   ts_col: str = "ts",
+                   type_col: str = "event_type") -> DataFrame:
+    """Attribute control chart (Shewhart p-chart) of the weekly
+    purchase share: pooled p̄ with per-week 3σ binomial limits
+    p̄ ± 3·√(p̄(1−p̄)/n_w) (varying n_w). The week index is the
+    PORTABLE floor(epoch_days/7). Output: one row (n_weeks, p_bar,
+    n_out_of_control, max_abs_z), rounds 6."""
+    wk = F.floor(F.floor(F.unix_micros(F.col(ts_col))
+                         / (86400 * 1_000_000)) / 7)
+    per = (events.filter(F.col(ts_col).isNotNull())
+           .groupBy(wk.alias("w"))
+           .agg(F.count("*").alias("nw"),
+                F.sum((F.col(type_col) == target).cast("long"))
+                .alias("xw")))
+    tot = Window.partitionBy()
+    z = per.select(
+        "w", "nw", "xw",
+        (F.sum("xw").over(tot).cast("double")
+         / F.sum("nw").over(tot).cast("double")).alias("pbar"))
+    z = z.select(
+        "pbar",
+        F.when((F.col("pbar") > 0) & (F.col("pbar") < 1),
+               (F.col("xw").cast("double") / F.col("nw").cast("double")
+                - F.col("pbar"))
+               / F.sqrt(F.col("pbar") * (1.0 - F.col("pbar"))
+                        / F.col("nw").cast("double"))).alias("z"))
+    return z.agg(
+        F.count("*").cast("long").alias("n_weeks"),
+        F.round(F.max("pbar"), 6).alias("p_bar"),
+        F.sum((F.abs(F.col("z")) > 3.0).cast("long"))
+        .alias("n_out_of_control"),
+        F.round(F.max(F.abs(F.col("z"))), 6).alias("max_abs_z"))
+
+
+def p_chart_weekly_sql(table: str = "events",
+                       target: str = "purchase", ts_sql: str = "ts",
+                       type_sql: str = "event_type") -> str:
+    return f"""
+WITH per AS (
+  SELECT CAST(floor(CAST(floor(epoch_us({ts_sql}) / 86400000000.0)
+                         AS BIGINT) / 7.0) AS BIGINT) AS w,
+         count(*) AS nw,
+         sum(CASE WHEN {type_sql} = '{target}' THEN 1 ELSE 0 END) AS xw
+  FROM {table} WHERE {ts_sql} IS NOT NULL
+  GROUP BY 1
+),
+z0 AS (
+  SELECT nw, xw,
+         CAST(sum(xw) OVER () AS DOUBLE)
+           / CAST(sum(nw) OVER () AS DOUBLE) AS pbar
+  FROM per
+),
+z AS (
+  SELECT pbar,
+         CASE WHEN pbar > 0 AND pbar < 1 THEN
+           (CAST(xw AS DOUBLE) / CAST(nw AS DOUBLE) - pbar)
+           / sqrt(pbar * (1.0 - pbar) / CAST(nw AS DOUBLE)) END AS z
+  FROM z0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_weeks,
+       round(max(pbar), 6) AS p_bar,
+       CAST(sum(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_out_of_control,
+       round(max(abs(z)), 6) AS max_abs_z
+FROM z
+"""
+
+
+def moore_wallis(events: DataFrame, ts_col: str = "ts",
+                 value_col: str = "value") -> DataFrame:
+    """Moore–Wallis difference-sign randomness test (Moore & Wallis
+    1943) on the daily value series: among the m nonzero
+    day-over-day differences, the ascent count A has E[A] = m/2 and
+    Var[A] = (m+1)/12 under randomness; |z| large means trend.
+    Zero differences drop (the continuous-theory convention,
+    documented). One lag window over the bounded day frame.
+    Output: one row (n_diffs, n_ascents, z_stat), rounds 6."""
+    base = _daily_frame(events, ts_col, value_col)
+    w = Window.orderBy("t")
+    diffs = (base.select((F.col("x") - F.lag("x").over(w)).alias("e"))
+             .filter(F.col("e").isNotNull() & (F.col("e") != 0)))
+    a = diffs.agg(
+        F.count("*").cast("double").alias("m"),
+        F.sum((F.col("e") > 0).cast("long")).cast("double").alias("a"))
+    z = F.when(F.col("m") > 0,
+               (F.col("a") - F.col("m") / 2.0)
+               / F.sqrt((F.col("m") + 1.0) / 12.0))
+    return a.select(
+        F.col("m").cast("long").alias("n_diffs"),
+        F.col("a").cast("long").alias("n_ascents"),
+        F.round(z, 6).alias("z_stat"))
+
+
+def moore_wallis_sql(table: str = "events", ts_sql: str = "ts",
+                     value_sql: str = "value") -> str:
+    return f"""
+WITH {_DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)},
+diffs AS (
+  SELECT e FROM (
+    SELECT x - lag(x) OVER (ORDER BY t) AS e FROM ranked
+  ) WHERE e IS NOT NULL AND e <> 0
+),
+a AS (
+  SELECT CAST(count(*) AS DOUBLE) AS m,
+         CAST(sum(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS a
+  FROM diffs
+)
+SELECT CAST(m AS BIGINT) AS n_diffs,
+       CAST(a AS BIGINT) AS n_ascents,
+       round(CASE WHEN m > 0 THEN
+         (a - m / 2.0) / sqrt((m + 1.0) / 12.0) END, 6) AS z_stat
+FROM a
+"""

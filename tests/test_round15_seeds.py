@@ -1,0 +1,355 @@
+"""Planted closed-form tests for the round-15 seed queue — landing
+WITH the seed batch (the round-12/13/14 discipline): every queued
+query gets a hand-computed fixture against its published definition
+before it ever reaches the driver window.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0].asDict()
+
+
+def _arm(u: int) -> int:
+    """The engine's Knuth hash split (logrank_arms convention)."""
+    return ((u % 100003) * 2654435761) % 4294967296 % 2
+
+
+def test_gehan_wilcoxon_hand_terms(spark):
+    """Arm-0 user converts on day 1, arm-1 user on day 2: day-1 at
+    risk (1,1) gives weighted term n·(d1−e1) = 2·0.5 = 1 with
+    n²·v = 4·0.25 = 1; day 2 contributes nothing (single arm at
+    risk) → Z = V = χ² = 1 exactly."""
+    from distill_spark.operators.conversion import gehan_wilcoxon
+
+    u0 = next(u for u in range(1, 50) if _arm(u) == 0)
+    u1 = next(u for u in range(1, 50) if _arm(u) == 1)
+    rows = [
+        (u0, pd.Timestamp("2024-01-01"), "view", 1),
+        (u0, pd.Timestamp("2024-01-02"), "purchase", 2),
+        (u1, pd.Timestamp("2024-01-01"), "view", 3),
+        (u1, pd.Timestamp("2024-01-03"), "purchase", 4),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["user_id", "ts", "event_type", "event_id"]))
+    out = _one(gehan_wilcoxon(df))
+    assert (out["n_0"], out["n_1"]) == (1, 1)
+    assert (out["events_0"], out["events_1"]) == (1, 1)
+    assert out["z_num"] == 1.0
+    assert out["variance"] == 1.0
+    assert out["chi2"] == 1.0
+
+
+def _days(spark, day_events):
+    """day_events: list of lists of per-event values, one list per
+    consecutive day starting 2024-01-01."""
+    rows = []
+    eid = 0
+    for i, vals in enumerate(day_events):
+        for v in vals:
+            rows.append((pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(days=i), float(v),
+                         "view", 1, eid))
+            eid += 1
+    return spark.createDataFrame(pd.DataFrame(
+        rows, columns=["ts", "value", "event_type", "user_id",
+                       "event_id"]))
+
+
+def test_xi_correlation_monotone_and_degenerate(spark):
+    """Co-monotone daily (value, count) with n=4: Σ|Δr| = 3, tie-free
+    denominator 10 → ξ = 1 − 4·3/20 = 0.4 in both directions. A
+    constant count series degenerates that direction to NULL while
+    the other stays defined (1 − 3·2/8 = 0.25)."""
+    from distill_spark.operators.timeseries import xi_correlation
+
+    df = _days(spark, [[10], [5, 15], [10, 10, 10], [10, 10, 10, 10]])
+    out = _one(xi_correlation(df))
+    assert out["n_days"] == 4
+    assert out["xi_value_to_count"] == pytest.approx(0.4, abs=1e-6)
+    assert out["xi_count_to_value"] == pytest.approx(0.4, abs=1e-6)
+
+    deg = _days(spark, [[5, 5], [10, 10], [15, 15]])
+    out2 = _one(xi_correlation(deg))
+    assert out2["xi_value_to_count"] is None
+    assert out2["xi_count_to_value"] == pytest.approx(0.25, abs=1e-6)
+
+
+def test_theil_u2_perfect_seasonal(spark):
+    """Days 8 and 9 repeat days 1 and 2 exactly: the lag-7 forecast
+    has zero error → U₂ = 0 while the naive RMSE is √(3700/2)."""
+    from distill_spark.operators.timeseries import theil_u2
+
+    df = _days(spark, [[10], [20], [30], [40], [50], [60], [70],
+                       [10], [20]])
+    out = _one(theil_u2(df))
+    assert out["n_eval"] == 2
+    assert out["rmse_naive7"] == 0.0
+    assert out["rmse_naive1"] == pytest.approx(math.sqrt(1850), abs=1e-6)
+    assert out["theil_u2"] == 0.0
+
+
+def test_tracking_signal_hand_cumulation(spark):
+    """Values 10,20,30: errors (10,10), MAD stays 10 → TS runs
+    (1, 2); a constant series has zero MAD and a NULL signal."""
+    from distill_spark.operators.timeseries import tracking_signal
+
+    out = _one(tracking_signal(_days(spark, [[10], [20], [30]])))
+    assert out["n_eval"] == 2
+    assert out["final_ts"] == 2.0
+    assert out["max_abs_ts"] == 2.0
+    assert out["final_mad"] == 10.0
+
+    out2 = _one(tracking_signal(_days(spark, [[7], [7], [7]])))
+    assert out2["n_eval"] == 2
+    assert out2["final_ts"] is None
+
+
+def test_p_chart_weekly_hand_limits(spark):
+    """Two weeks, shares 1/4 and 3/4 around p̄ = 1/2 with n = 4:
+    z = ±0.25/√(0.25/4) = ±1 → nothing out of control."""
+    from distill_spark.operators.timeseries import p_chart_weekly
+
+    rows = []
+    for day, types in (("2024-01-01", ["purchase", "view", "view",
+                                       "view"]),
+                       ("2024-01-10", ["purchase", "purchase",
+                                       "purchase", "view"])):
+        for i, t in enumerate(types):
+            rows.append((pd.Timestamp(day), t, 1, i))
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["ts", "event_type", "user_id", "event_id"]))
+    out = _one(p_chart_weekly(df))
+    assert out["n_weeks"] == 2
+    assert out["p_bar"] == 0.5
+    assert out["n_out_of_control"] == 0
+    assert out["max_abs_z"] == pytest.approx(1.0, abs=1e-6)
+
+
+def _first_last(spark, pairs):
+    """pairs: list of (first_type, last_type) — one user each, two
+    events a day apart (or one event when first == last)."""
+    rows = []
+    for u, (a, b) in enumerate(pairs, start=1):
+        rows.append((u, pd.Timestamp("2024-01-01"), a, 2 * u))
+        if a != b:
+            rows.append((u, pd.Timestamp("2024-01-02"), b, 2 * u + 1))
+    return spark.createDataFrame(pd.DataFrame(
+        rows, columns=["user_id", "ts", "event_type", "event_id"]))
+
+
+def test_bowker_symmetry_hand_pair(spark):
+    """3 users a→b vs 1 user b→a, 2 users a→a: the single
+    off-diagonal pair gives χ² = (3−1)²/4 = 1 with df = 1."""
+    from distill_spark.operators.stats import bowker_symmetry
+
+    df = _first_last(spark, [("a", "b")] * 3 + [("b", "a")]
+                     + [("a", "a")] * 2)
+    out = _one(bowker_symmetry(df))
+    assert out["n_users"] == 6
+    assert (out["n_pairs"], out["df"]) == (1, 1)
+    assert out["bowker_chi2"] == 1.0
+
+
+def test_bennett_s_uniform_baseline(spark):
+    """Same table: p_o = 2/6, k = 2 → S = (2/3 − 1)/1 = −1/3."""
+    from distill_spark.operators.stats import bennett_s
+
+    df = _first_last(spark, [("a", "b")] * 3 + [("b", "a")]
+                     + [("a", "a")] * 2)
+    out = _one(bennett_s(df))
+    assert (out["n_users"], out["k_categories"]) == (6, 2)
+    assert out["p_observed"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out["bennett_s"] == pytest.approx(-1 / 3, abs=1e-6)
+
+
+def test_bonferroni_index_hand_partial_means(spark):
+    """Balances 1,2,3: partial means (1, 1.5) against μ = 2 →
+    B = ((1 − 1/2) + (1 − 1.5/2))/2 = 0.375 — strictly above the
+    Gini (2/9) as Bonferroni must be."""
+    from distill_spark.operators.stats import bonferroni_index
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"c_custkey": [1, 2, 3], "c_acctbal": [1.0, 2.0, 3.0]}))
+    out = _one(bonferroni_index(df))
+    assert out["n"] == 3
+    assert out["mean_value"] == 2.0
+    assert out["bonferroni_b"] == 0.375
+
+
+def test_dekkers_einmahl_hand_moments(spark):
+    """Top-2 over threshold 1: log excesses (2, 1) → M₁ = 1.5,
+    M₂ = 2.5, γ̂ = 2.5 − 0.5/(1 − 2.25/2.5) = −2.5."""
+    from distill_spark.operators.stats import dekkers_einmahl
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"o_orderkey": [1, 2, 3, 4],
+         "o_totalprice": [math.exp(2), math.exp(1), 1.0, 0.5]}))
+    out = _one(dekkers_einmahl(df, k=2))
+    assert out["k"] == 2
+    assert out["x_threshold"] == 1.0
+    assert out["m1"] == pytest.approx(1.5, abs=1e-6)
+    assert out["m2"] == pytest.approx(2.5, abs=1e-6)
+    assert out["gamma_moment"] == pytest.approx(-2.5, abs=1e-5)
+
+
+def test_cpk_capability_hand_halves(spark):
+    """Est half (10,20,30,40) → LSL 10, USL 40 (p5/p95 at n=4 are
+    min/max); test half (20,30,20,30): μ = 25, σ = √(100/3) →
+    Cp = Cpk = 30/(6σ) = √27/6 = 0.866025."""
+    from distill_spark.operators.stats import cpk_capability
+
+    df = _days(spark, [[10], [20], [30], [40], [20], [30], [20], [30]])
+    out = _one(cpk_capability(df))
+    assert (out["n_est"], out["n_test"]) == (4, 4)
+    assert (out["lsl"], out["usl"]) == (10.0, 40.0)
+    expected = 30.0 / (6.0 * math.sqrt(100 / 3))
+    assert out["cp"] == pytest.approx(expected, abs=1e-6)
+    assert out["cpk"] == pytest.approx(expected, abs=1e-6)
+
+
+def _docs(spark):
+    rows = [(1, "w1 w1 w2", "a"), (2, "w2 w3", "b"),
+            (3, "zzz zzz zzz", "c")]  # source c must be excluded
+    return spark.createDataFrame(pd.DataFrame(
+        rows, columns=["doc_id", "text", "source"]))
+
+
+def test_bray_curtis_hand_abundances(spark):
+    """Profiles a = {w1:2, w2:1}, b = {w2:1, w3:1} (source c ignored
+    by the deterministic two-source pick): Σmin = 1 →
+    BC = 1 − 2/5 = 0.6."""
+    from distill_spark.operators.corpus_stats import bray_curtis
+
+    out = _one(bray_curtis(_docs(spark)))
+    assert (out["source_a"], out["source_b"]) == ("a", "b")
+    assert (out["n_tokens_a"], out["n_tokens_b"]) == (3, 2)
+    assert out["shared_min"] == 1
+    assert out["bray_curtis"] == pytest.approx(0.6, abs=1e-6)
+
+
+def test_morisita_horn_hand_overlap(spark):
+    """Same profiles: Σab = 1, d_a = 5/9, d_b = 1/2 →
+    MH = 2/((5/9 + 1/2)·6) = 6/19."""
+    from distill_spark.operators.corpus_stats import morisita_horn
+
+    out = _one(morisita_horn(_docs(spark)))
+    assert (out["source_a"], out["source_b"]) == ("a", "b")
+    assert out["morisita_horn"] == pytest.approx(6 / 19, abs=1e-6)
+
+
+# ----------------------------------------------- second seed batch
+
+def test_partial_auc_perfect_and_worst(spark):
+    """Perfect separation fills the FPR ≤ 0.2 strip (pAUC = 0.2,
+    standardized 1); anti-perfect leaves it empty (standardized
+    0.5·(1 − 0.02/0.18) = 4/9)."""
+    from distill_spark.operators.mleval import partial_auc
+
+    perf = spark.createDataFrame(pd.DataFrame(
+        {"v": [1.0, 2.0, 3.0, 4.0], "y": [False, False, True, True]}))
+    out = _one(partial_auc(perf, "y", "v"))
+    assert (out["n_pos"], out["n_neg"]) == (2, 2)
+    assert out["pauc"] == pytest.approx(0.2, abs=1e-6)
+    assert out["pauc_std"] == pytest.approx(1.0, abs=1e-6)
+
+    anti = spark.createDataFrame(pd.DataFrame(
+        {"v": [1.0, 2.0, 3.0, 4.0], "y": [True, True, False, False]}))
+    out2 = _one(partial_auc(anti, "y", "v"))
+    assert out2["pauc"] == 0.0
+    assert out2["pauc_std"] == pytest.approx(4 / 9, abs=1e-6)
+
+
+def _two_groups(spark, a_vals, b_vals):
+    rows = [("a", float(v)) for v in a_vals] + \
+           [("b", float(v)) for v in b_vals]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["g", "v"]))
+
+
+def test_fligner_policello_hand_placements(spark):
+    """Interleaved a=(1,3), b=(2,4): placements P=(0,1), Q=(1,2) →
+    U = −2/(2√1.75). With a tie at 2 the half-placement convention
+    gives U = −3/(2√0.6875). Full separation degenerates the
+    denominator to 0 → NULL."""
+    from distill_spark.operators.stats import fligner_policello
+
+    out = _one(fligner_policello(_two_groups(spark, [1, 3], [2, 4]),
+                                 "g", "a", "b", "v"))
+    assert (out["n_a"], out["n_b"]) == (2, 2)
+    assert out["u_stat"] == pytest.approx(-2 / (2 * math.sqrt(1.75)),
+                                          abs=1e-6)
+
+    out2 = _one(fligner_policello(_two_groups(spark, [1, 2], [2, 3]),
+                                  "g", "a", "b", "v"))
+    assert out2["p_bar"] == 0.25
+    assert out2["q_bar"] == 1.75
+    assert out2["u_stat"] == pytest.approx(-3 / (2 * math.sqrt(0.6875)),
+                                           abs=1e-6)
+
+    deg = _one(fligner_policello(_two_groups(spark, [1, 2], [3, 4]),
+                                 "g", "a", "b", "v"))
+    assert deg["u_stat"] is None
+
+
+def test_lepage_identical_groups_zero(spark):
+    """Identical samples: both component z's are 0 → L = 0; and L
+    always equals z_location² + z_scale² by construction."""
+    from distill_spark.operators.stats import lepage_test
+
+    out = _one(lepage_test(_two_groups(spark, [1, 2, 3], [1, 2, 3]),
+                           "g", "a", "b", "v"))
+    assert (out["z_location"], out["z_scale"]) == (0.0, 0.0)
+    assert out["lepage_l"] == 0.0
+
+    out2 = _one(lepage_test(_two_groups(spark, [1, 2, 9], [4, 5, 6]),
+                            "g", "a", "b", "v"))
+    assert out2["lepage_l"] == pytest.approx(
+        out2["z_location"] ** 2 + out2["z_scale"] ** 2, abs=1e-5)
+
+
+def test_moore_wallis_hand_ascents(spark):
+    """Daily 10,20,30,20 → diffs (+,+,−): A = 2 of m = 3 →
+    z = 0.5/√(4/12); an interior zero diff drops and leaves the
+    statistic unchanged."""
+    from distill_spark.operators.timeseries import moore_wallis
+
+    out = _one(moore_wallis(_days(spark, [[10], [20], [30], [20]])))
+    assert (out["n_diffs"], out["n_ascents"]) == (3, 2)
+    assert out["z_stat"] == pytest.approx(0.5 / math.sqrt(1 / 3),
+                                          abs=1e-6)
+
+    out2 = _one(moore_wallis(
+        _days(spark, [[10], [20], [20], [30], [20]])))
+    assert (out2["n_diffs"], out2["n_ascents"]) == (3, 2)
+    assert out2["z_stat"] == out["z_stat"]
+
+
+def test_win_ratio_hand_pairs(spark):
+    """Arm-0 subjects convert on days (1,5), arm-1 on days (2,3):
+    Gehan scoring gives 2 wins each way → WR = 1 with 0
+    indeterminate pairs."""
+    from distill_spark.operators.conversion import win_ratio
+
+    arm0 = [u for u in range(1, 30) if _arm(u) == 0][:2]
+    arm1 = [u for u in range(1, 30) if _arm(u) == 1][:2]
+    days = {arm0[0]: 1, arm0[1]: 5, arm1[0]: 2, arm1[1]: 3}
+    rows = []
+    for u, d in days.items():
+        rows.append((u, pd.Timestamp("2024-01-01"), "view", 10 * u))
+        rows.append((u, pd.Timestamp("2024-01-01")
+                     + pd.Timedelta(days=d), "purchase", 10 * u + 1))
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["user_id", "ts", "event_type", "event_id"]))
+    out = _one(win_ratio(df))
+    assert (out["n_0"], out["n_1"]) == (2, 2)
+    assert (out["wins_0"], out["wins_1"]) == (2, 2)
+    assert out["ties_pairs"] == 0
+    assert out["win_ratio"] == 1.0
