@@ -356,6 +356,70 @@ def main():
         runs[qname] = (
             lambda d, q=qname: qreg[q](spark, view_of[d]),
             (1, 10, 100))
+    # round-14 (verdict ask #6): the remaining unmeasured heavy
+    # shapes — the 8-round decimal-exact iterative graph family and
+    # the per-frame decode + lag-window scene-cut plan. NOTE the
+    # graph cells' edge build scans the xN lineitem but the DISTINCT
+    # part→supplier edge set is replica-invariant by construction
+    # (only l_orderkey shifts per replica), so the slope isolates the
+    # fact-scan + distinct under scale with a constant iterate — the
+    # edge_support_copurchase reading discipline. mm_scene_cuts'
+    # documents DO replicate, so its decode volume is genuinely xN.
+    for qname in ("hits_scores", "eigenvector_centrality",
+                  "katz_centrality"):
+        runs[qname] = (
+            lambda d, q=qname: qreg[q](spark, view_of[d]),
+            (1, 10, 100))
+
+    def _scene_cuts_scaled(d):
+        # the registry query pins a 300-video fixture (doc_id < 300)
+        # so its decode volume is CONSTANT under replication — this
+        # variant admits 300 videos PER replica (replica keys are
+        # doc_id + r·1e6), so xN decodes genuinely N× more frames
+        # through the same mapInPandas registry path
+        from pyspark.sql import Window as W
+
+        from distill_spark.operators import multimodal as mm
+        from distill_spark.operators.dedup_image import raw_gray_decoder
+
+        stride, cells = em._SCENE_STRIDE, em._SCENE_CELLS
+        mm.register_decoder("video", raw_gray_decoder(cells))
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        pad_len = stride * cells * 11
+        tx = F.rpad("text", pad_len, " ")
+        dur = (500 + (F.col("doc_id") * 37) % 10000).cast("int")
+        n_frames = F.greatest(
+            F.expr(f"duration_ms div {em._SCENE_EVERY}"), F.lit(1))
+        vids = (docs.filter(((F.col("doc_id") % 1_000_000) < 300)
+                            & (F.octet_length(tx) == pad_len))
+                .select(F.col("doc_id"), tx.alias("_tx"),
+                        dur.alias("duration_ms")))
+        frames = vids.withColumn(
+            "frame_idx", F.explode(F.sequence(F.lit(0), n_frames - 1)))
+        payload = F.concat(*[
+            F.substr("_tx",
+                     F.lit(1) + stride * (cells * F.col("frame_idx") + i),
+                     F.lit(1))
+            for i in range(cells)])
+        media = frames.select(
+            F.concat_ws(":", "doc_id", "frame_idx").alias("media_id"),
+            F.lit("video").alias("kind"),
+            F.encode(payload, "UTF-8").alias("data"))
+        feats = mm.extract_features(media).select(
+            F.split("media_id", ":").getItem(0).cast("long").alias("mid"),
+            F.split("media_id", ":").getItem(1).cast("long").alias("fid"),
+            "feature")
+        w = W.partitionBy("mid").orderBy("fid")
+        delta = F.aggregate(
+            F.zip_with(F.col("feature"), F.col("_prev"),
+                       lambda a, b: F.abs(a.cast("double")
+                                          - b.cast("double"))),
+            F.lit(0.0), lambda acc, x: acc + x) / float(cells)
+        return (feats.withColumn("_prev", F.lag("feature").over(w))
+                .filter(F.col("_prev").isNotNull())
+                .withColumn("cut_score", F.round(delta, 6)))
+
+    runs["mm_scene_cuts_scaled"] = (_scene_cuts_scaled, (1, 10, 100))
     # resume: re-invocations skip cells an existing artifact already
     # measured (the x100 exact matmul alone is ~12 min — never re-pay)
     results = {}
