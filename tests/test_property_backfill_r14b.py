@@ -1,0 +1,236 @@
+"""Round-14 property-coverage backfill: planted closed-form pins for
+the direction-sensitive residual in PROPERTY_COVERAGE.md — pacf_daily
+(Durbin–Levinson fractions on an alternating series), the gap-fill /
+rolling / trend trio, funnel latency semantics (the >= join
+condition), dwell bigrams, explicit-formula binning, Pareto
+cumulative shares, as-of backward-join tie rules, and the user_burst
+inline query through its real q_ wrapper against a planted events
+table.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1, rows
+    return rows[0].asDict()
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(
+        rows, columns=["user_id", "ts", "event_type", "value",
+                       "event_id"]))
+
+
+def _daily_events(spark, vals, start="2024-01-01"):
+    rows = [(1, pd.Timestamp(start) + pd.Timedelta(days=i), "view",
+             float(v), i) for i, v in enumerate(vals)]
+    return _events(spark, rows)
+
+
+def test_pacf_daily_alternating_fractions(spark):
+    """Daily totals 1,0,1,0,1,0: biased ACF r = (−5/6, 2/3, −1/2) →
+    Durbin–Levinson gives φ₂₂ = −1/11 and φ₃₃ = (1/108)/(5/54) =
+    exactly 0.1 — the lag-2/3 memory is almost entirely lag-1 echo,
+    which is the AR-order reading this statistic exists for."""
+    from distill_spark.operators.timeseries import pacf_daily
+
+    out = _one(pacf_daily(_daily_events(spark, [1, 0, 1, 0, 1, 0])))
+    assert out["n_days"] == 6
+    assert out["r1"] == pytest.approx(-5 / 6, abs=1e-6)
+    assert out["r2"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out["r3"] == -0.5
+    assert out["pacf1"] == out["r1"]
+    assert out["pacf2"] == pytest.approx(-1 / 11, abs=1e-6)
+    assert out["pacf3"] == pytest.approx(0.1, abs=1e-6)
+
+
+def test_weekly_trend_doubling(spark):
+    """2 events one week, 4 the next (exactly 604800 s apart →
+    consecutive buckets): the second row reads prev_n = 2,
+    wow_ratio = 2."""
+    from distill_spark.operators.timeseries import weekly_trend
+
+    t0 = pd.Timestamp("2024-01-03 12:00:00")
+    rows = ([(1, t0, "view", 1.0, i) for i in range(2)]
+            + [(1, t0 + pd.Timedelta(days=7), "view", 1.0, 10 + i)
+               for i in range(4)])
+    out = {r["week"]: r for r in
+           weekly_trend(_events(spark, rows)).collect()}
+    weeks = sorted(out)
+    assert len(weeks) == 2 and weeks[1] == weeks[0] + 1
+    first, second = out[weeks[0]], out[weeks[1]]
+    assert (first["n"], first["prev_n"], first["wow_ratio"]) == (2, None,
+                                                                 None)
+    assert (second["n"], second["prev_n"]) == (4, 2)
+    assert second["wow_ratio"] == 2.0
+
+
+def test_densify_days_zero_fills_grid(spark):
+    """'view' active on days 1 and 3, 'error' on day 2 only → the
+    2×3 grid surfaces ('view', day2) and both missing 'error' days
+    as explicit zero rows."""
+    from distill_spark.operators.timeseries import densify_days
+
+    d = pd.Timestamp("2024-01-01")
+    rows = [(1, d, "view", 1.5, 0), (1, d, "view", 2.5, 1),
+            (1, d + pd.Timedelta(days=2), "view", 1.0, 2),
+            (1, d + pd.Timedelta(days=1), "error", 4.0, 3)]
+    got = {(r["cat"], str(r["day"])): (r["n"], r["total"])
+           for r in densify_days(_events(spark, rows)).collect()}
+    assert len(got) == 6
+    assert got[("view", "2024-01-01")] == (2, 4.0)
+    assert got[("view", "2024-01-02")] == (0, 0.0)
+    assert got[("view", "2024-01-03")] == (1, 1.0)
+    assert got[("error", "2024-01-01")] == (0, 0.0)
+    assert got[("error", "2024-01-02")] == (1, 4.0)
+    assert got[("error", "2024-01-03")] == (0, 0.0)
+
+
+def test_time_to_convert_funnel_semantics(spark):
+    """User A converts 30 s after signup; user B never converts
+    (NULL row, not absent); user C's only purchase PRECEDES signup —
+    the >= join condition keeps the NULL funnel-drop row."""
+    from distill_spark.operators.conversion import time_to_convert
+
+    t = pd.Timestamp("2024-01-01 10:00:00")
+    rows = [("a", t, "signup", 1.0, 0),
+            ("a", t + pd.Timedelta(seconds=30), "purchase", 1.0, 1),
+            ("b", t, "signup", 1.0, 2),
+            ("c", t - pd.Timedelta(seconds=60), "purchase", 1.0, 3),
+            ("c", t, "signup", 1.0, 4)]
+    out = {r["user_id"]: r for r in time_to_convert(
+        _events(spark, rows), "signup", "purchase").collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert out["a"]["secs_to_convert"] == 30
+    assert out["b"]["secs_to_convert"] is None
+    assert out["c"]["secs_to_convert"] is None
+
+
+def test_transition_dwell_bigram_gaps(spark):
+    """One user: a@0s → b@10s → b@25s gives (a,b) mean 10 s and
+    (b,b) mean 15 s with exact integer-micros gaps."""
+    from distill_spark.operators.conversion import transition_dwell
+
+    t = pd.Timestamp("2024-01-01")
+    rows = [(1, t, "a", 1.0, 0),
+            (1, t + pd.Timedelta(seconds=10), "b", 1.0, 1),
+            (1, t + pd.Timedelta(seconds=25), "b", 1.0, 2)]
+    got = {(r["prev_type"], r["next_type"]):
+           (r["n"], r["mean_dwell_secs"], r["max_dwell_secs"])
+           for r in transition_dwell(_events(spark, rows)).collect()}
+    assert got == {("a", "b"): (1, 10.0, 10.0),
+                   ("b", "b"): (1, 15.0, 15.0)}
+
+
+def test_equi_depth_bins_explicit_formula(spark):
+    """Values 1..4 into 2 bins by floor((rank−1)·k/n): bin 0 =
+    {1,2}, bin 1 = {3,4} with exact lo/hi/mean."""
+    from distill_spark.operators.stats import equi_depth_bins
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"value": [1.0, 2.0, 3.0, 4.0], "event_id": [1, 2, 3, 4]}))
+    got = {r["bin"]: (r["lo"], r["hi"], r["cnt"], r["mean"])
+           for r in equi_depth_bins(df, "value", "event_id",
+                                    nbins=2).collect()}
+    assert got == {0: (1.0, 2.0, 2, 1.5), 1: (3.0, 4.0, 2, 3.5)}
+
+
+def test_pareto_contribution_cumulative_shares(spark):
+    """Totals 80/15/5: shares (.8,.15,.05), cumulative (.8,.95,1);
+    only the 80-group sits inside the top-80 flag (<= 0.8)."""
+    from distill_spark.operators.stats import pareto_contribution
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"source": ["a"] * 80 + ["b"] * 15 + ["c"] * 5,
+         "n_chars": [1] * 100}))
+    got = {r["source"]: (r["total"], r["share"], r["cum_share"],
+                         r["in_top80"])
+           for r in pareto_contribution(df, "source",
+                                        "n_chars").collect()}
+    assert got["a"] == (80, 0.8, 0.8, True)
+    assert got["b"] == (15, 0.15, 0.95, False)
+    assert got["c"] == (5, 0.05, 1.0, False)
+
+
+def test_rolling_median_days_lower_middle(spark):
+    """Daily counts 1,5,2: trailing-window medians are 1, then
+    lower-middle 1 of {1,5}, then 2 of {1,2,5} — the spike day never
+    drags the median the way it drags rolling_7d's mean."""
+    from distill_spark.operators.timeseries import rolling_median_days
+
+    d = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for i, cnt in enumerate([1, 5, 2]):
+        for _ in range(cnt):
+            rows.append((1, d + pd.Timedelta(days=i), "view", 1.0, eid))
+            eid += 1
+    out = {r["day"]: (r["n_days_in_window"], r["rolling_median"])
+           for r in rolling_median_days(_events(spark, rows)).collect()}
+    days = sorted(out)
+    assert [out[x] for x in days] == [(1, 1), (2, 1), (3, 2)]
+
+
+def test_asof_join_backward_tie_rules(spark):
+    """Click at t=5 picks the t=4 buy (not t=7); a click BEFORE any
+    buy carries NULL; a click exactly AT a buy ts takes that buy
+    (<= tie rule)."""
+    from distill_spark.operators.asof import asof_join
+
+    t = pd.Timestamp("2024-01-01")
+
+    def at(s):
+        return t + pd.Timedelta(seconds=s)
+
+    clicks = spark.createDataFrame(pd.DataFrame(
+        [(10, 1, at(5)), (11, 1, at(0)), (12, 1, at(4))],
+        columns=["event_id", "user_id", "ts"]))
+    buys = spark.createDataFrame(pd.DataFrame(
+        [(1, at(1), 10.0), (1, at(4), 20.0), (1, at(7), 30.0)],
+        columns=["user_id", "ts", "buy_value"]))
+    out = asof_join(clicks, buys, on="ts", by="user_id",
+                    value_cols=["buy_value"])
+    got = {r["event_id"]: r["buy_value_asof"] for r in out.collect()}
+    assert got == {10: 20.0, 11: None, 12: 20.0}
+
+
+SF = "/root/testdata/sf0.001"
+_TABLES = ["region", "nation", "customer", "supplier", "part",
+           "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def test_user_burst_peak_hour_via_wrapper(spark, tmp_path):
+    """user_burst through its real q_ wrapper on a planted events
+    table: 3 events in one hour vs 1 in the next → peak_count 3 at
+    the earlier hour (earliest-hour tie rule untested here but the
+    ordering is (desc n, asc hour))."""
+    import __spark_entry__ as em
+
+    d = tmp_path / "planted"
+    d.mkdir()
+    t = pd.Timestamp("2024-01-01 10:00:00")
+    ev = pd.DataFrame(
+        [(7, t + pd.Timedelta(minutes=m), "view", 1.0, m)
+         for m in (1, 2, 3)]
+        + [(7, t + pd.Timedelta(hours=1, minutes=5), "view", 1.0, 9)],
+        columns=["user_id", "ts", "event_type", "value", "event_id"])
+    for name in _TABLES:
+        dst = d / f"{name}.parquet"
+        if name == "events":
+            spark.createDataFrame(ev).coalesce(1).write \
+                .mode("overwrite").parquet(str(dst))
+        else:
+            os.symlink(os.path.join(SF, f"{name}.parquet"), dst)
+    out = em.queries()["user_burst"](spark, str(d)).collect()
+    assert len(out) == 1
+    row = out[0].asDict()
+    assert row["user_id"] == 7
+    assert row["peak_count"] == 3
+    assert row["peak_hour"].startswith("2024-01-01 10:")
