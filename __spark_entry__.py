@@ -14836,6 +14836,63 @@ def _sql_win_ratio():
     return win_ratio_sql()
 
 
+def q_higuchi_fd(spark, sf_dir):
+    """Higuchi fractal dimension of the daily value series
+    (fractal.higuchi_fd) — kmax lag windows + an 8-point log–log
+    slope; a straight line reads exactly 1."""
+    from distill_spark.operators.fractal import higuchi_fd
+
+    return higuchi_fd(_tables(spark, sf_dir)["events"])
+
+
+def _sql_higuchi_fd():
+    from distill_spark.operators.fractal import higuchi_fd_sql
+
+    return higuchi_fd_sql()
+
+
+def q_katz_fd(spark, sf_dir):
+    """Katz fractal dimension from path length and extent
+    (fractal.katz_fd)."""
+    from distill_spark.operators.fractal import katz_fd
+
+    return katz_fd(_tables(spark, sf_dir)["events"])
+
+
+def _sql_katz_fd():
+    from distill_spark.operators.fractal import katz_fd_sql
+
+    return katz_fd_sql()
+
+
+def q_petrosian_fd(spark, sf_dir):
+    """Petrosian fractal dimension from the diff sign-change count
+    (fractal.petrosian_fd)."""
+    from distill_spark.operators.fractal import petrosian_fd
+
+    return petrosian_fd(_tables(spark, sf_dir)["events"])
+
+
+def _sql_petrosian_fd():
+    from distill_spark.operators.fractal import petrosian_fd_sql
+
+    return petrosian_fd_sql()
+
+
+def q_hjorth_params(spark, sf_dir):
+    """Hjorth activity/mobility/complexity from one x/Δx/Δ²x moment
+    pass (fractal.hjorth_params)."""
+    from distill_spark.operators.fractal import hjorth_params
+
+    return hjorth_params(_tables(spark, sf_dir)["events"])
+
+
+def _sql_hjorth_params():
+    from distill_spark.operators.fractal import hjorth_params_sql
+
+    return hjorth_params_sql()
+
+
 def q_morisita_horn(spark, sf_dir):
     """Morisita–Horn abundance overlap for the same source pair
     (corpus_stats.morisita_horn)."""
@@ -15537,6 +15594,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "lepage_test": (q_lepage_test, _sql_lepage_test()),
     "moore_wallis": (q_moore_wallis, _sql_moore_wallis()),
     "win_ratio": (q_win_ratio, _sql_win_ratio()),
+    "higuchi_fd": (q_higuchi_fd, _sql_higuchi_fd()),
+    "katz_fd": (q_katz_fd, _sql_katz_fd()),
+    "petrosian_fd": (q_petrosian_fd, _sql_petrosian_fd()),
+    "hjorth_params": (q_hjorth_params, _sql_hjorth_params()),
 }
 
 # The explicit promotion queue: every member must be oracled, sit past
@@ -15559,6 +15620,7 @@ _PENDING_PROMOTION: frozenset[str] = frozenset({
     "bonferroni_index", "dekkers_einmahl", "cpk_capability",
     "bray_curtis", "morisita_horn", "partial_auc",
     "fligner_policello", "lepage_test", "moore_wallis", "win_ratio",
+    "higuchi_fd", "katz_fd", "petrosian_fd", "hjorth_params",
 })
 
 

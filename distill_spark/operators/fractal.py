@@ -1,0 +1,337 @@
+"""Signal-complexity / fractal-dimension battery over the daily value
+series (Higuchi 1988 Physica D; Katz 1988 Comput. Biol. Med.;
+Petrosian 1995 IEEE CBMS; Hjorth 1970 EEG Clin. Neurophysiol.) — the
+waveform-complexity companions to the entropy family
+(permutation/sample/spectral entropy, DFA, Hurst).
+
+Scale shape (100 TB): everything runs on the bounded daily frame
+(``timeseries._daily_frame``): Higuchi's curve lengths are kmax lag
+windows with (k, offset-class) group-bys (≤ kmax·(kmax+1)/2 groups),
+Katz/Petrosian/Hjorth are single lag-diff aggregates. One fact scan
+each; the log–log slope fit is an 8-row closed-form OLS.
+
+Determinism: diffs on the 1e-9 grid sum as DECIMAL; ln/log10 terms
+round to the 1e-9 grid before the tiny slope frame; outputs round 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .timeseries import _DAILY_SQL, _TS_DEC, _daily_frame
+
+
+# ------------------------------------------------------- Higuchi FD
+
+def higuchi_fd(events: DataFrame, ts_col: str = "ts",
+               value_col: str = "value", kmax: int = 8) -> DataFrame:
+    """Higuchi fractal dimension: for each delay k ≤ kmax and offset
+    class m, the normalized curve length L_m(k) =
+    (Σ|x(m+ik) − x(m+(i−1)k)|)·(n−1)/(N·k²) with N = floor((n−m)/k);
+    L(k) averages the classes and HFD is the OLS slope of ln L(k) on
+    ln(1/k). A straight line has HFD exactly 1, a space-filling
+    signal → 2. Output: one row (n_days, kmax, hfd), rounds 6."""
+    base = _daily_frame(events, ts_col, value_col)
+    w = Window.orderBy("t")
+    tot = Window.partitionBy()
+    lags = [base.select(
+        F.lit(k).alias("k"),
+        (((F.col("t") - 1) % k) + 1).alias("m"),
+        F.round(F.abs(F.col("x") - F.lag("x", k).over(w)), 9)
+        .alias("ad"),
+        F.count("*").over(tot).alias("n"))
+        .filter(F.col("ad").isNotNull())
+        for k in range(1, kmax + 1)]
+    diffs = lags[0]
+    for nxt in lags[1:]:
+        diffs = diffs.unionByName(nxt)
+    per_m = (diffs.groupBy("k", "m")
+             .agg(F.max("n").alias("n"),
+                  F.count("*").alias("nn"),
+                  F.sum(F.col("ad").cast(_TS_DEC)).cast("double")
+                  .alias("s")))
+    lm = per_m.select(
+        "k",
+        (F.col("s") * (F.col("n") - 1).cast("double")
+         / (F.col("nn").cast("double") * F.col("k") * F.col("k")))
+        .alias("l"), F.col("n"))
+    lk = (lm.groupBy("k")
+          .agg(F.max("n").alias("n"),
+               F.count("*").alias("cm"),
+               F.sum(F.round(F.col("l"), 9).cast(_TS_DEC))
+               .cast("double").alias("sl")))
+    pts = lk.select(
+        "n",
+        F.round(F.log(F.col("sl") / F.col("cm").cast("double")), 9)
+        .alias("y"),
+        F.round(-F.log(F.col("k").cast("double")), 9).alias("z"))
+    a = pts.agg(
+        F.max("n").alias("n"),
+        F.count("*").cast("double").alias("m"),
+        F.sum(F.col("z").cast(_TS_DEC)).cast("double").alias("sz"),
+        F.sum(F.col("y").cast(_TS_DEC)).cast("double").alias("sy"),
+        F.sum(F.round(F.col("z") * F.col("z"), 9).cast(_TS_DEC))
+        .cast("double").alias("szz"),
+        F.sum(F.round(F.col("z") * F.col("y"), 9).cast(_TS_DEC))
+        .cast("double").alias("szy"))
+    slope = F.expr("(szy - sz*sy/m) / (szz - sz*sz/m)")
+    return a.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.lit(kmax).cast("long").alias("kmax"),
+        F.round(slope, 6).alias("hfd"))
+
+
+def higuchi_fd_sql(table: str = "events", ts_sql: str = "ts",
+                   value_sql: str = "value", kmax: int = 8) -> str:
+    arms = "\nUNION ALL\n".join(
+        f"  SELECT {k} AS k, ((t - 1) % {k}) + 1 AS m,\n"
+        f"         round(abs(x - lag(x, {k}) OVER (ORDER BY t)), 9)"
+        f" AS ad,\n"
+        f"         count(*) OVER () AS n\n"
+        f"  FROM ranked" for k in range(1, kmax + 1))
+    return f"""
+WITH {_DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)},
+diffs0 AS (
+{arms}
+),
+diffs AS (SELECT * FROM diffs0 WHERE ad IS NOT NULL),
+per_m AS (
+  SELECT k, m, max(n) AS n, count(*) AS nn,
+         CAST(sum(CAST(ad AS DECIMAL(38,12))) AS DOUBLE) AS s
+  FROM diffs GROUP BY 1, 2
+),
+lm AS (
+  SELECT k, n,
+         s * CAST(n - 1 AS DOUBLE)
+           / (CAST(nn AS DOUBLE) * k * k) AS l
+  FROM per_m
+),
+lk AS (
+  SELECT k, max(n) AS n, count(*) AS cm,
+         CAST(sum(CAST(round(l, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sl
+  FROM lm GROUP BY 1
+),
+pts AS (
+  SELECT n, round(ln(sl / CAST(cm AS DOUBLE)), 9) AS y,
+         round(-ln(CAST(k AS DOUBLE)), 9) AS z
+  FROM lk
+),
+a AS (
+  SELECT max(n) AS n, CAST(count(*) AS DOUBLE) AS m,
+         CAST(sum(CAST(z AS DECIMAL(38,12))) AS DOUBLE) AS sz,
+         CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(round(z * z, 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS szz,
+         CAST(sum(CAST(round(z * y, 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS szy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST({kmax} AS BIGINT) AS kmax,
+       round((szy - sz*sy/m) / (szz - sz*sz/m), 6) AS hfd
+FROM a
+"""
+
+
+# ---------------------------------------------------------- Katz FD
+
+def katz_fd(events: DataFrame, ts_col: str = "ts",
+            value_col: str = "value") -> DataFrame:
+    """Katz fractal dimension: with path length L = Σ|Δx|, extent
+    d = max|x_t − x_1| and n' = number of steps, KFD =
+    log10(n')/(log10(n') + log10(d/L)) — exactly 1 for a
+    monotone line (d = L), growing with waveform convolution.
+    Output: one row (n_days, path_length, extent, kfd), rounds 6;
+    NULL only when the denominator degenerates (m·d/L = 1) or the
+    path/extent is zero."""
+    base = _daily_frame(events, ts_col, value_col)
+    w = Window.orderBy("t")
+    tot = Window.partitionBy()
+    st = base.select(
+        "x",
+        F.round(F.abs(F.col("x") - F.lag("x").over(w)), 9).alias("ad"),
+        F.first("x").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("x0"),
+        F.count("*").over(tot).alias("n"))
+    a = st.agg(
+        F.max("n").alias("n"),
+        F.count("ad").cast("double").alias("m"),
+        F.sum(F.col("ad").cast(_TS_DEC)).cast("double").alias("L"),
+        F.max(F.round(F.abs(F.col("x") - F.col("x0")), 9)).alias("d"))
+    kfd = F.expr(
+        "CASE WHEN L > 0 AND d > 0 AND m > 1"
+        " AND m * (d / L) <> 1.0 THEN"
+        " log10(m) / (log10(m) + log10(d / L)) END")
+    return a.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("L"), 6).alias("path_length"),
+        F.round(F.col("d"), 6).alias("extent"),
+        F.round(kfd, 6).alias("kfd"))
+
+
+def katz_fd_sql(table: str = "events", ts_sql: str = "ts",
+                value_sql: str = "value") -> str:
+    return f"""
+WITH {_DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)},
+st AS (
+  SELECT x,
+         round(abs(x - lag(x) OVER (ORDER BY t)), 9) AS ad,
+         first_value(x) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x0,
+         count(*) OVER () AS n
+  FROM ranked
+),
+a AS (
+  SELECT max(n) AS n, CAST(count(ad) AS DOUBLE) AS m,
+         CAST(sum(CAST(ad AS DECIMAL(38,12))) AS DOUBLE) AS L,
+         max(round(abs(x - x0), 9)) AS d
+  FROM st
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(L, 6) AS path_length,
+       round(d, 6) AS extent,
+       round(CASE WHEN L > 0 AND d > 0 AND m > 1
+                   AND m * (d / L) <> 1.0 THEN
+         log10(m) / (log10(m) + log10(d / L)) END, 6) AS kfd
+FROM a
+"""
+
+
+# ----------------------------------------------------- Petrosian FD
+
+def petrosian_fd(events: DataFrame, ts_col: str = "ts",
+                 value_col: str = "value") -> DataFrame:
+    """Petrosian fractal dimension from the sign-change count of the
+    first difference: PFD = log10(n) / (log10(n) +
+    log10(n/(n + 0.4·NΔ))). Zero diffs carry sign 0 and break no
+    change (the strict-product convention: a change fires when
+    consecutive NONZERO-signed diffs multiply negative through any
+    zero run — here simplified to sign(d_t)·sign(d_{t−1}) < 0,
+    documented). Output: one row (n_days, n_sign_changes, pfd),
+    rounds 6."""
+    base = _daily_frame(events, ts_col, value_col)
+    w = Window.orderBy("t")
+    d = F.signum(F.col("x") - F.lag("x").over(w))
+    st = base.select("t", d.alias("s"),
+                     F.count("*").over(Window.partitionBy()).alias("n"))
+    st = st.filter(F.col("s").isNotNull()).select(
+        "n", "s", F.lag("s").over(Window.orderBy("t")).alias("sp"))
+    a = st.agg(
+        F.max("n").cast("double").alias("n"),
+        F.sum(F.when(F.col("s") * F.col("sp") < 0, 1).otherwise(0))
+        .cast("double").alias("nd"))
+    pfd = F.expr("log10(n) / (log10(n)"
+                 " + log10(n / (n + 0.4 * nd)))")
+    return a.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("nd").cast("long").alias("n_sign_changes"),
+        F.round(F.when(F.col("nd") > 0, pfd), 6).alias("pfd"))
+
+
+def petrosian_fd_sql(table: str = "events", ts_sql: str = "ts",
+                     value_sql: str = "value") -> str:
+    return f"""
+WITH {_DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)},
+sg AS (
+  SELECT t, sign(x - lag(x) OVER (ORDER BY t)) AS s,
+         count(*) OVER () AS n
+  FROM ranked
+),
+st AS (
+  SELECT n, s, lag(s) OVER (ORDER BY t) AS sp
+  FROM sg WHERE s IS NOT NULL
+),
+a AS (
+  SELECT CAST(max(n) AS DOUBLE) AS n,
+         CAST(sum(CASE WHEN s * sp < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           AS nd
+  FROM st
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(nd AS BIGINT) AS n_sign_changes,
+       round(CASE WHEN nd > 0 THEN
+         log10(n) / (log10(n) + log10(n / (n + 0.4 * nd))) END, 6)
+         AS pfd
+FROM a
+"""
+
+
+# ------------------------------------------------------ Hjorth params
+
+def hjorth_params(events: DataFrame, ts_col: str = "ts",
+                  value_col: str = "value") -> DataFrame:
+    """Hjorth's activity / mobility / complexity (Hjorth 1970):
+    activity = population var(x); mobility = √(var(Δx)/var(x));
+    complexity = mobility(Δx)/mobility(x) = √(var(Δ²x)/var(Δx)) /
+    mobility. All three from one pass of x, Δx, Δ²x moments over the
+    day frame (population variances, the EEG convention). Activity
+    surfaces as its root (sd) per the >1e8 output contract.
+    Output: one row (n_days, sd_signal, mobility, complexity),
+    rounds 6."""
+    base = _daily_frame(events, ts_col, value_col)
+    w = Window.orderBy("t")
+    st = base.select(
+        "t", "x",
+        (F.col("x") - F.lag("x").over(w)).alias("d1"))
+    st = st.select(
+        "x", "d1",
+        (F.col("d1") - F.lag("d1").over(Window.orderBy("t")))
+        .alias("d2"))
+
+    def mom(col):
+        c = F.col(col)
+        return [
+            F.count(col).cast("double").alias(f"n_{col}"),
+            F.sum(F.round(c, 9).cast(_TS_DEC)).cast("double")
+            .alias(f"s_{col}"),
+            F.sum(F.round(c * c, 9).cast(_TS_DEC)).cast("double")
+            .alias(f"q_{col}")]
+
+    a = st.agg(*(mom("x") + mom("d1") + mom("d2")))
+    var = {c: f"(q_{c} / n_{c} - (s_{c} / n_{c}) * (s_{c} / n_{c}))"
+           for c in ("x", "d1", "d2")}
+    mob = f"sqrt({var['d1']} / {var['x']})"
+    cpx = f"(sqrt({var['d2']} / {var['d1']}) / {mob})"
+    return a.select(
+        F.col("n_x").cast("long").alias("n_days"),
+        F.round(F.expr(f"sqrt({var['x']})"), 6).alias("sd_signal"),
+        F.round(F.expr(f"CASE WHEN {var['x']} > 0 THEN {mob} END"), 6)
+        .alias("mobility"),
+        F.round(F.expr(f"CASE WHEN {var['d1']} > 0 AND {var['x']} > 0"
+                       f" THEN {cpx} END"), 6).alias("complexity"))
+
+
+def hjorth_params_sql(table: str = "events", ts_sql: str = "ts",
+                      value_sql: str = "value") -> str:
+    moms = []
+    for c in ("x", "d1", "d2"):
+        moms += [
+            f"CAST(count({c}) AS DOUBLE) AS n_{c}",
+            f"CAST(sum(CAST(round({c}, 9) AS DECIMAL(38,12)))"
+            f" AS DOUBLE) AS s_{c}",
+            f"CAST(sum(CAST(round({c} * {c}, 9) AS DECIMAL(38,12)))"
+            f" AS DOUBLE) AS q_{c}"]
+    var = {c: f"(q_{c} / n_{c} - (s_{c} / n_{c}) * (s_{c} / n_{c}))"
+           for c in ("x", "d1", "d2")}
+    mob = f"sqrt({var['d1']} / {var['x']})"
+    cpx = f"(sqrt({var['d2']} / {var['d1']}) / {mob})"
+    return f"""
+WITH {_DAILY_SQL.format(table=table, ts=ts_sql, val=value_sql)},
+d1s AS (
+  SELECT t, x, x - lag(x) OVER (ORDER BY t) AS d1 FROM ranked
+),
+st AS (
+  SELECT x, d1, d1 - lag(d1) OVER (ORDER BY t) AS d2 FROM d1s
+),
+a AS (
+  SELECT {', '.join(moms)}
+  FROM st
+)
+SELECT CAST(n_x AS BIGINT) AS n_days,
+       round(sqrt({var['x']}), 6) AS sd_signal,
+       round(CASE WHEN {var['x']} > 0 THEN {mob} END, 6) AS mobility,
+       round(CASE WHEN {var['d1']} > 0 AND {var['x']} > 0
+             THEN {cpx} END, 6) AS complexity
+FROM a
+"""

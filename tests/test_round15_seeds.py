@@ -353,3 +353,66 @@ def test_win_ratio_hand_pairs(spark):
     assert (out["wins_0"], out["wins_1"]) == (2, 2)
     assert out["ties_pairs"] == 0
     assert out["win_ratio"] == 1.0
+
+
+# ------------------------------------------ signal complexity / FD
+
+def test_higuchi_fd_straight_line_is_one(spark):
+    """Linear daily series: every class curve length is
+    L_m(k) = slope·(n−1)/k, so ln L(k) is exactly affine in
+    ln(1/k) with slope 1 → HFD = 1."""
+    from distill_spark.operators.fractal import higuchi_fd
+
+    out = _one(higuchi_fd(_days(spark, [[10 * (i + 1)]
+                                        for i in range(20)])))
+    assert out["n_days"] == 20
+    assert out["hfd"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_katz_fd_hand_triangle_and_line(spark):
+    """Triangle 0,1,2,1,0: L = 4, d = 2, m = 4 → KFD =
+    log10 4 / (log10 4 + log10 ½) = 2 exactly. A monotone line has
+    d = L → KFD = 1 exactly (the degenerate guard must NOT fire)."""
+    from distill_spark.operators.fractal import katz_fd
+
+    out = _one(katz_fd(_days(spark, [[10], [11], [12], [11], [10]])))
+    assert (out["path_length"], out["extent"]) == (4.0, 2.0)
+    assert out["kfd"] == 2.0
+
+    line = _one(katz_fd(_days(spark, [[10], [20], [30], [40]])))
+    assert line["kfd"] == 1.0
+
+
+def test_petrosian_fd_hand_sign_changes(spark):
+    """Alternating series: every interior diff flips sign (3 changes
+    over n=5) → PFD from the published closed form; a monotone
+    series has zero changes → NULL."""
+    import math as m
+
+    from distill_spark.operators.fractal import petrosian_fd
+
+    out = _one(petrosian_fd(_days(spark, [[1], [0], [1], [0], [1]])))
+    assert (out["n_days"], out["n_sign_changes"]) == (5, 3)
+    expect = m.log10(5) / (m.log10(5) + m.log10(5 / (5 + 0.4 * 3)))
+    assert out["pfd"] == pytest.approx(expect, abs=1e-6)
+
+    mono = _one(petrosian_fd(_days(spark, [[1], [2], [3], [4]])))
+    assert mono["pfd"] is None
+
+
+def test_hjorth_params_hand_moments(spark):
+    """Alternating 0,1,0,1,0,1: population vars are var(x)=1/4,
+    var(Δx)=0.96, var(Δ²x)=4 → mobility √3.84, complexity
+    √(4/0.96)/√3.84 — Hjorth's closed forms by hand."""
+    import math as m
+
+    from distill_spark.operators.fractal import hjorth_params
+
+    out = _one(hjorth_params(_days(spark, [[0], [1], [0], [1],
+                                           [0], [1]])))
+    assert out["n_days"] == 6
+    assert out["sd_signal"] == 0.5
+    assert out["mobility"] == pytest.approx(m.sqrt(0.96 / 0.25),
+                                            abs=1e-6)
+    assert out["complexity"] == pytest.approx(
+        m.sqrt(4 / 0.96) / m.sqrt(0.96 / 0.25), abs=1e-6)
