@@ -1,0 +1,154 @@
+"""Planted micro-fixtures for the TPC-H family — the largest block of
+PROPERTY_COVERAGE's residual. Each test runs the REAL q_ wrapper on a
+planted table directory (tiny hand-built lineitem/orders/customer/
+part, sf0.001 symlinks for the rest) and pins hand-computed cells:
+the EXISTS semi-join date window (Q4), the latency CASE pivot (Q12),
+the zero-preserving outer-join histogram (Q13), the promo share
+ratio (Q14), and the correlated half-average threshold (Q17).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+_TABLES = ["region", "nation", "customer", "supplier", "part",
+           "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def _li(rows):
+    return pd.DataFrame(rows, columns=[
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate"])
+
+
+def _orders(rows):
+    return pd.DataFrame(rows, columns=[
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"])
+
+
+@pytest.fixture()
+def tpch_dir(spark, tmp_path):
+    def make(**tables):
+        d = tmp_path / "tpch"
+        d.mkdir(exist_ok=True)
+        for name in _TABLES:
+            dst = d / f"{name}.parquet"
+            if os.path.lexists(dst):
+                continue
+            if name in tables:
+                spark.createDataFrame(tables[name]).coalesce(1) \
+                    .write.mode("overwrite").parquet(str(dst))
+            else:
+                os.symlink(os.path.join(SF, f"{name}.parquet"), dst)
+        return str(d)
+
+    return make
+
+
+def _run(spark, d, qname):
+    import __spark_entry__ as em
+
+    return em.queries()[qname](spark, d).collect()
+
+
+def test_tpch_q4_exists_window(spark, tpch_dir):
+    """Only the 1996-Q1 urgent order with a >30-day-late line counts;
+    the on-time high order and the out-of-window late order do not."""
+    t = pd.Timestamp
+    orders = _orders([
+        (1, 1, "O", 100.0, t("1996-02-01"), "1-URGENT"),   # late line
+        (2, 1, "O", 100.0, t("1996-03-01"), "2-HIGH"),     # on time
+        (3, 1, "O", 100.0, t("1995-06-01"), "1-URGENT")])  # out of window
+    li = _li([
+        (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", t("1996-03-15")),
+        (2, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", t("1996-03-05")),
+        (3, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", t("1995-08-01"))])
+    d = tpch_dir(orders=orders, lineitem=li)
+    got = {r["o_orderpriority"]: r["order_count"]
+           for r in _run(spark, d, "tpch_q4_priority")}
+    assert got == {"1-URGENT": 1}
+
+
+def test_tpch_q12_latency_pivot(spark, tpch_dir):
+    """Two critical lines shipped >60 days late and one low line
+    shipped fast: slow = (high 2, low 0), fast = (high 0, low 1)."""
+    t = pd.Timestamp
+    orders = _orders([
+        (1, 1, "O", 1.0, t("1997-01-01"), "1-URGENT"),
+        (2, 1, "O", 1.0, t("1997-01-01"), "2-HIGH"),
+        (3, 1, "O", 1.0, t("1997-01-01"), "5-LOW")])
+    li = _li([
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t("1997-03-15")),
+        (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t("1997-03-04")),
+        (3, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t("1997-01-11"))])
+    d = tpch_dir(orders=orders, lineitem=li)
+    got = {r["ship_bucket"]: (r["high_line_count"], r["low_line_count"])
+           for r in _run(spark, d, "tpch_q12_latency")}
+    assert got == {"slow": (2, 0), "fast": (0, 1)}
+
+
+def test_tpch_q13_zero_preserving_histogram(spark, tpch_dir):
+    """c1 has two qualifying orders; c2's only order is
+    '4-NOT SPECIFIED' (filtered INSIDE the left join, so c2 must
+    survive at count 0); c3 has none → custdist {0: 2, 2: 1} ordered
+    by custdist desc."""
+    t = pd.Timestamp
+    customer = pd.DataFrame(
+        [(1, "a", 1, 0.0, "B"), (2, "b", 1, 0.0, "B"),
+         (3, "c", 1, 0.0, "B")],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"])
+    orders = _orders([
+        (1, 1, "O", 1.0, t("1997-01-01"), "1-URGENT"),
+        (2, 1, "O", 1.0, t("1997-02-01"), "3-MEDIUM"),
+        (3, 2, "O", 1.0, t("1997-03-01"), "4-NOT SPECIFIED")])
+    d = tpch_dir(customer=customer, orders=orders)
+    rows = _run(spark, d, "tpch_q13_order_counts")
+    got = [(r["c_count"], r["custdist"]) for r in rows]
+    assert got == [(0, 2), (2, 1)]
+
+
+def test_tpch_q14_promo_share(spark, tpch_dir):
+    """September-1997 revenue 100 from a PROMO part and 300 from a
+    STANDARD part → promo share exactly 25%."""
+    t = pd.Timestamp
+    part = pd.DataFrame(
+        [(1, "p1", "Brand#9", "PROMO", 1, 1.0),
+         (2, "p2", "Brand#9", "STANDARD", 1, 1.0)],
+        columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+                 "p_retailprice"])
+    li = _li([
+        (1, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", t("1997-09-10")),
+        (2, 2, 1, 1, 1.0, 300.0, 0.0, 0.0, "N", "O", t("1997-09-20")),
+        (3, 1, 1, 1, 1.0, 999.0, 0.0, 0.0, "N", "O", t("1997-11-01"))])
+    d = tpch_dir(part=part, lineitem=li)
+    out = _run(spark, d, "tpch_q14_promo")
+    assert len(out) == 1
+    assert out[0]["promo_revenue"] == 25.0
+
+
+def test_tpch_q17_half_average_threshold(spark, tpch_dir):
+    """Brand#1 part with quantities (1, 10, 10): mean 7, threshold
+    3.5 → only the qty-1 line (price 70) qualifies → avg_yearly =
+    70/7 = 10. The other brand's tiny quantity must not leak in."""
+    t = pd.Timestamp
+    part = pd.DataFrame(
+        [(1, "p1", "Brand#1", "STANDARD", 1, 1.0),
+         (2, "p2", "Brand#2", "STANDARD", 1, 1.0)],
+        columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+                 "p_retailprice"])
+    li = _li([
+        (1, 1, 1, 1, 1.0, 70.0, 0.0, 0.0, "N", "O", t("1997-01-01")),
+        (2, 1, 1, 1, 10.0, 700.0, 0.0, 0.0, "N", "O", t("1997-01-02")),
+        (3, 1, 1, 1, 10.0, 700.0, 0.0, 0.0, "N", "O", t("1997-01-03")),
+        (4, 2, 1, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", t("1997-01-04"))])
+    d = tpch_dir(part=part, lineitem=li)
+    out = _run(spark, d, "tpch_q17_small_qty")
+    assert len(out) == 1
+    assert out[0]["avg_yearly"] == 10.0
