@@ -152,3 +152,104 @@ def test_tpch_q17_half_average_threshold(spark, tpch_dir):
     out = _run(spark, d, "tpch_q17_small_qty")
     assert len(out) == 1
     assert out[0]["avg_yearly"] == 10.0
+
+
+def test_tpch_q3_segment_revenue(spark, tpch_dir):
+    """BUILDING customer's order revenue 100 + 50·(1−0.5) = 125; the
+    other segment's order must not appear."""
+    t = pd.Timestamp
+    customer = pd.DataFrame(
+        [(1, "a", 1, 0.0, "BUILDING"), (2, "b", 1, 0.0, "MACHINERY")],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"])
+    orders = _orders([
+        (1, 1, "O", 1.0, t("1997-05-01"), "1-URGENT"),
+        (2, 2, "O", 1.0, t("1997-05-01"), "1-URGENT")])
+    li = _li([
+        (1, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", t("1997-06-01")),
+        (1, 1, 1, 2, 1.0, 50.0, 0.5, 0.0, "N", "O", t("1997-06-02")),
+        (2, 1, 1, 1, 1.0, 999.0, 0.0, 0.0, "N", "O", t("1997-06-03"))])
+    d = tpch_dir(customer=customer, orders=orders, lineitem=li)
+    rows = _run(spark, d, "tpch_q3_shipping")
+    assert len(rows) == 1
+    assert rows[0]["l_orderkey"] == 1
+    assert rows[0]["revenue"] == 125.0
+
+
+def test_tpch_q10_returned_revenue(spark, tpch_dir):
+    """Only the R-flagged line inside the 1996 order window counts:
+    revenue 200·(1−0.25) = 150 for customer 1."""
+    t = pd.Timestamp
+    customer = pd.DataFrame(
+        [(1, "a", 1, 0.0, "B")],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"])
+    orders = _orders([(1, 1, "O", 1.0, t("1996-05-01"), "1-URGENT")])
+    li = _li([
+        (1, 1, 1, 1, 1.0, 200.0, 0.25, 0.0, "R", "O", t("1996-06-01")),
+        (1, 1, 1, 2, 1.0, 999.0, 0.0, 0.0, "N", "O", t("1996-06-02"))])
+    d = tpch_dir(customer=customer, orders=orders, lineitem=li)
+    rows = _run(spark, d, "tpch_q10_returns")
+    assert len(rows) == 1
+    assert rows[0]["c_custkey"] == 1
+    assert rows[0]["revenue"] == 150.0
+
+
+def test_tpch_q18_having_threshold(spark, tpch_dir):
+    """Order 1 totals 190 > 180 quantity and surfaces; order 2's 150
+    does not."""
+    t = pd.Timestamp
+    customer = pd.DataFrame(
+        [(1, "a", 1, 0.0, "B")],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"])
+    orders = _orders([
+        (1, 1, "O", 11.0, t("1997-05-01"), "1-URGENT"),
+        (2, 1, "O", 22.0, t("1997-05-02"), "1-URGENT")])
+    li = _li([
+        (1, 1, 1, 1, 100.0, 1.0, 0.0, 0.0, "N", "O", t("1997-06-01")),
+        (1, 1, 1, 2, 90.0, 1.0, 0.0, 0.0, "N", "O", t("1997-06-02")),
+        (2, 1, 1, 1, 150.0, 1.0, 0.0, 0.0, "N", "O", t("1997-06-03"))])
+    d = tpch_dir(customer=customer, orders=orders, lineitem=li)
+    rows = _run(spark, d, "tpch_q18_large_orders")
+    assert len(rows) == 1
+    assert rows[0]["o_orderkey"] == 1
+    assert rows[0]["total_qty"] == 190.0
+
+
+def test_tpch_q19_or_brackets(spark, tpch_dir):
+    """One line in each of brackets 1 and 2 (100 + 50), one
+    same-brand line outside every quantity bracket → revenue 150."""
+    t = pd.Timestamp
+    part = pd.DataFrame(
+        [(1, "p1", "Brand#1", "S", 3, 1.0),
+         (2, "p2", "Brand#2", "S", 8, 1.0)],
+        columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+                 "p_retailprice"])
+    li = _li([
+        (1, 1, 1, 1, 5.0, 100.0, 0.0, 0.0, "N", "O", t("1997-01-01")),
+        (2, 2, 1, 1, 15.0, 100.0, 0.5, 0.0, "N", "O", t("1997-01-02")),
+        (3, 1, 1, 1, 50.0, 999.0, 0.0, 0.0, "N", "O", t("1997-01-03"))])
+    d = tpch_dir(part=part, lineitem=li)
+    rows = _run(spark, d, "tpch_q19_bracket")
+    assert len(rows) == 1
+    assert rows[0]["revenue"] == 150.0
+
+
+def test_tpch_q22_idle_above_average(spark, tpch_dir):
+    """Balances (100, 300, 500): mean 300. Customer 2 ordered
+    recently (anti-joined away); of the idle pair only the
+    500-balance customer clears the above-average bar → one nation
+    row with numcust 1, totacctbal 500."""
+    t = pd.Timestamp
+    customer = pd.DataFrame(
+        [(1, "a", 1, 100.0, "B"), (2, "b", 1, 300.0, "B"),
+         (3, "c", 1, 500.0, "B")],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"])
+    orders = _orders([(9, 2, "O", 1.0, t("2000-09-01"), "1-URGENT")])
+    d = tpch_dir(customer=customer, orders=orders)
+    rows = _run(spark, d, "tpch_q22_idle_value")
+    assert len(rows) == 1
+    assert rows[0]["numcust"] == 1
+    assert rows[0]["totacctbal"] == 500.0
