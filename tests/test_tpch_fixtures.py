@@ -253,3 +253,116 @@ def test_tpch_q22_idle_above_average(spark, tpch_dir):
     assert len(rows) == 1
     assert rows[0]["numcust"] == 1
     assert rows[0]["totacctbal"] == 500.0
+
+
+def _supplier(rows):
+    return pd.DataFrame(rows, columns=[
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+
+
+def test_tpch_q5_local_volume_asia(spark, tpch_dir):
+    """NATION_2 sits in ASIA (real nation/region dims): a same-nation
+    customer-supplier line yields revenue 100·(1−0.5) = 50; a
+    non-ASIA supplier line and a nation-mismatched line vanish."""
+    t = pd.Timestamp
+    customer = pd.DataFrame(
+        [(1, "a", 2, 0.0, "B"), (2, "b", 0, 0.0, "B")],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"])
+    supplier = _supplier([(1, "s1", 2, 0.0), (2, "s2", 0, 0.0)])
+    orders = _orders([
+        (1, 1, "O", 1.0, t("1996-05-01"), "1-URGENT"),
+        (2, 2, "O", 1.0, t("1996-06-01"), "1-URGENT")])
+    li = _li([
+        (1, 1, 1, 1, 1.0, 100.0, 0.5, 0.0, "N", "O", t("1996-06-01")),
+        (1, 1, 2, 2, 1.0, 999.0, 0.0, 0.0, "N", "O", t("1996-06-02")),
+        (2, 1, 2, 1, 1.0, 999.0, 0.0, 0.0, "N", "O", t("1996-07-01"))])
+    d = tpch_dir(customer=customer, supplier=supplier, orders=orders,
+                 lineitem=li)
+    rows = _run(spark, d, "tpch_q5_local_volume")
+    assert len(rows) == 1
+    assert rows[0]["n_name"] == "NATION_2"
+    assert (rows[0]["revenue"], rows[0]["n_items"]) == (50.0, 1)
+
+
+def test_tpch_q7_bilateral_volume(spark, tpch_dir):
+    """Supplier NATION_3 → customer NATION_8 in 1997 (rev 100) and
+    the reverse direction in 1996 (rev 50); a same-nation pair is
+    excluded. Rows order by (supp_nation, cust_nation, year)."""
+    t = pd.Timestamp
+    customer = pd.DataFrame(
+        [(1, "a", 8, 0.0, "B"), (2, "b", 3, 0.0, "B"),
+         (3, "c", 3, 0.0, "B")],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"])
+    supplier = _supplier([(1, "s1", 3, 0.0), (2, "s2", 8, 0.0),
+                          (3, "s3", 3, 0.0)])
+    orders = _orders([
+        (1, 1, "O", 1.0, t("1997-01-01"), "1-URGENT"),
+        (2, 2, "O", 1.0, t("1996-01-01"), "1-URGENT"),
+        (3, 3, "O", 1.0, t("1997-01-01"), "1-URGENT")])
+    li = _li([
+        (1, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", t("1997-03-01")),
+        (2, 1, 2, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", t("1996-03-01")),
+        (3, 1, 3, 1, 1.0, 999.0, 0.0, 0.0, "N", "O", t("1997-04-01"))])
+    d = tpch_dir(customer=customer, supplier=supplier, orders=orders,
+                 lineitem=li)
+    rows = [(r["supp_nation"], r["cust_nation"], r["l_year"],
+             r["revenue"])
+            for r in _run(spark, d, "tpch_q7_volume")]
+    assert rows == [("NATION_3", "NATION_8", 1997, 100.0),
+                    ("NATION_8", "NATION_3", 1996, 50.0)]
+
+
+def test_tpch_q11_share_threshold(spark, tpch_dir):
+    """NATION_15 supplier value: part 1 carries 1000 of the 1001
+    total (> 0.2% bar), part 2's 1 does not; a foreign supplier's
+    5000 never enters the total."""
+    t = pd.Timestamp
+    supplier = _supplier([(1, "s1", 15, 0.0), (2, "s2", 0, 0.0)])
+    li = _li([
+        (1, 1, 1, 1, 1.0, 1000.0, 0.0, 0.0, "N", "O", t("1997-01-01")),
+        (2, 2, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t("1997-01-02")),
+        (3, 3, 2, 1, 1.0, 5000.0, 0.0, 0.0, "N", "O", t("1997-01-03"))])
+    d = tpch_dir(supplier=supplier, lineitem=li)
+    rows = _run(spark, d, "tpch_q11_important_stock")
+    assert [(r["l_partkey"], r["value"]) for r in rows] == [(1, 1000.0)]
+
+
+def test_tpch_q15_max_revenue_supplier(spark, tpch_dir):
+    """H1-1997 revenue: supplier 1 totals 150 vs supplier 2's 100
+    (its 999 line ships outside the window) → supplier 1 alone."""
+    t = pd.Timestamp
+    supplier = _supplier([(1, "s1", 0, 0.0), (2, "s2", 0, 0.0)])
+    li = _li([
+        (1, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", t("1997-02-01")),
+        (2, 1, 1, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", t("1997-03-01")),
+        (3, 1, 2, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", t("1997-04-01")),
+        (4, 1, 2, 1, 1.0, 999.0, 0.0, 0.0, "N", "O", t("1997-08-01"))])
+    d = tpch_dir(supplier=supplier, lineitem=li)
+    rows = _run(spark, d, "tpch_q15_top_supplier")
+    assert len(rows) == 1
+    assert (rows[0]["s_suppkey"], rows[0]["total_revenue"]) == (1, 150.0)
+
+
+def test_tpch_q16_distinct_good_suppliers(spark, tpch_dir):
+    """PROMO parts and negative-balance suppliers drop; duplicate
+    lines collapse under count(DISTINCT l_suppkey) → one (brand,
+    type, size) row with supplier_cnt 1."""
+    t = pd.Timestamp
+    supplier = _supplier([(1, "s1", 0, 10.0), (2, "s2", 0, -5.0)])
+    part = pd.DataFrame(
+        [(1, "p1", "Brand#1", "STANDARD", 4, 1.0),
+         (2, "p2", "Brand#1", "PROMO", 4, 1.0)],
+        columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+                 "p_retailprice"])
+    li = _li([
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t("1997-01-01")),
+        (2, 1, 2, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t("1997-01-02")),
+        (3, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t("1997-01-03")),
+        (4, 2, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t("1997-01-04"))])
+    d = tpch_dir(supplier=supplier, part=part, lineitem=li)
+    rows = _run(spark, d, "tpch_q16_part_suppliers")
+    assert [(r["p_brand"], r["p_type"], r["p_size"],
+             r["supplier_cnt"]) for r in rows] == \
+        [("Brand#1", "STANDARD", 4, 1)]
