@@ -366,3 +366,116 @@ def test_tpch_q16_distinct_good_suppliers(spark, tpch_dir):
     assert [(r["p_brand"], r["p_type"], r["p_size"],
              r["supplier_cnt"]) for r in rows] == \
         [("Brand#1", "STANDARD", 4, 1)]
+
+
+def _part6(rows):
+    return pd.DataFrame(rows, columns=[
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice"])
+
+
+def test_tpch_q2_min_cost_european_supplier(spark, tpch_dir):
+    """NATION_3 sits in EUROPE: of the two European suppliers the
+    50-cost one wins the per-part min; the cheaper African supplier
+    never competes; the wrong-size part never surfaces."""
+    t = pd.Timestamp
+    supplier = _supplier([(1, "s1", 3, 11.11), (2, "s2", 0, 0.0),
+                          (3, "s3", 8, 22.22)])
+    part = _part6([(1, "p1", "B", "STANDARD", 15, 1.0),
+                   (2, "p2", "B", "STANDARD", 9, 1.0)])
+    li = _li([
+        (1, 1, 1, 1, 2.0, 100.0, 0.0, 0.0, "N", "O", t("1997-01-01")),
+        (2, 1, 2, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", t("1997-01-02")),
+        (3, 1, 3, 1, 1.0, 60.0, 0.0, 0.0, "N", "O", t("1997-01-03")),
+        (4, 2, 1, 1, 1.0, 5.0, 0.0, 0.0, "N", "O", t("1997-01-04"))])
+    d = tpch_dir(supplier=supplier, part=part, lineitem=li)
+    rows = _run(spark, d, "tpch_q2_min_supply")
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert (r["s_name"], r["n_name"], r["p_partkey"]) == ("s1",
+                                                          "NATION_3", 1)
+    assert r["s_acctbal"] == 11.11
+
+
+def test_tpch_q8_market_share_by_year(spark, tpch_dir):
+    """ASIA-customer ECONOMY volume: 1996 splits 100/100 between the
+    NATION_3 supplier and another → share 0.5; 1997 is NATION_3
+    alone → 1.0."""
+    t = pd.Timestamp
+    customer = pd.DataFrame(
+        [(1, "a", 2, 0.0, "B")],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"])
+    supplier = _supplier([(1, "s1", 3, 0.0), (2, "s2", 0, 0.0)])
+    part = _part6([(1, "p1", "B", "ECONOMY", 1, 1.0)])
+    orders = _orders([
+        (1, 1, "O", 1.0, t("1996-03-01"), "1-URGENT"),
+        (2, 1, "O", 1.0, t("1997-03-01"), "1-URGENT")])
+    li = _li([
+        (1, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", t("1996-04-01")),
+        (1, 1, 2, 2, 1.0, 100.0, 0.0, 0.0, "N", "O", t("1996-04-02")),
+        (2, 1, 1, 1, 1.0, 80.0, 0.0, 0.0, "N", "O", t("1997-04-01"))])
+    d = tpch_dir(customer=customer, supplier=supplier, part=part,
+                 orders=orders, lineitem=li)
+    rows = [(r["o_year"], r["mkt_share"])
+            for r in _run(spark, d, "tpch_q8_market_share")]
+    assert rows == [(1996, 0.5), (1997, 1.0)]
+
+
+def test_tpch_q9_profit_formula(spark, tpch_dir):
+    """One bolt line: profit = 100·(1−0) − 0.1·10·2 = 98 under the
+    NATION_3 supplier in 1997; the non-bolt part contributes
+    nothing."""
+    t = pd.Timestamp
+    supplier = _supplier([(1, "s1", 3, 0.0)])
+    part = _part6([(1, "steel bolt large", "B", "S", 1, 10.0),
+                   (2, "steel nut large", "B", "S", 1, 10.0)])
+    orders = _orders([(1, 1, "O", 1.0, t("1997-03-01"), "1-URGENT")])
+    li = _li([
+        (1, 1, 1, 1, 2.0, 100.0, 0.0, 0.0, "N", "O", t("1997-04-01")),
+        (1, 2, 1, 2, 1.0, 999.0, 0.0, 0.0, "N", "O", t("1997-04-02"))])
+    d = tpch_dir(supplier=supplier, part=part, orders=orders,
+                 lineitem=li)
+    rows = [(r["nation"], r["o_year"], r["sum_profit"])
+            for r in _run(spark, d, "tpch_q9_profit")]
+    assert rows == [("NATION_3", 1997, 98.0)]
+
+
+def test_tpch_q20_dominant_share(spark, tpch_dir):
+    """1997 'small%' part quantity splits 60/40: only the 60-share
+    supplier clears the >50% dominance bar."""
+    t = pd.Timestamp
+    supplier = _supplier([(1, "s1", 0, 1.0), (2, "s2", 0, 2.0)])
+    part = _part6([(1, "small bolt", "B", "S", 1, 1.0)])
+    li = _li([
+        (1, 1, 1, 1, 60.0, 1.0, 0.0, 0.0, "N", "O", t("1997-02-01")),
+        (2, 1, 2, 1, 40.0, 1.0, 0.0, 0.0, "N", "O", t("1997-03-01"))])
+    d = tpch_dir(supplier=supplier, part=part, lineitem=li)
+    rows = _run(spark, d, "tpch_q20_excess_supply")
+    assert [(r["s_suppkey"], r["s_name"]) for r in rows] == [(1, "s1")]
+
+
+def test_tpch_q21_sole_late_supplier(spark, tpch_dir):
+    """Multi-supplier order where exactly one supplier shipped >60
+    days late → that supplier waits once. A single-supplier late
+    order and a two-late-supplier order both fail the Q21
+    predicate."""
+    t = pd.Timestamp
+    supplier = _supplier([(1, "s1", 0, 0.0), (2, "s2", 0, 0.0),
+                          (3, "s3", 0, 0.0)])
+    orders = _orders([
+        (1, 1, "O", 1.0, t("1997-01-01"), "1-URGENT"),
+        (2, 1, "O", 1.0, t("1997-01-01"), "1-URGENT"),
+        (3, 1, "O", 1.0, t("1997-01-01"), "1-URGENT")])
+    li = _li([
+        # order 1: s1 late, s2 on time -> s1 counts
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t("1997-03-15")),
+        (1, 1, 2, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", t("1997-01-10")),
+        # order 2: single supplier, late -> nsupp = 1, excluded
+        (2, 1, 3, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t("1997-04-01")),
+        # order 3: both suppliers late -> nlate = 2, excluded
+        (3, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t("1997-03-20")),
+        (3, 1, 2, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", t("1997-03-21"))])
+    d = tpch_dir(supplier=supplier, orders=orders, lineitem=li)
+    rows = _run(spark, d, "tpch_q21_waiting_supplier")
+    assert [(r["s_name"], r["numwait"]) for r in rows] == [("s1", 1)]
