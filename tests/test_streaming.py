@@ -1,5 +1,9 @@
 """Structured Streaming operators: availableNow drain equals batch."""
 
+# covers: stream_tumbling, stream_sliding, stream_sessions
+# (the gated stream_* queries run in real streaming mode below and
+# compare against their batch twins)
+
 import datetime as dt
 
 import pytest
@@ -62,6 +66,10 @@ class TestStreaming:
     def test_streaming_session_push_equals_batch(self, spark, tmp_path):
         """Two micro-batches through the stateful ST4 stream == the same
         two batches applied sequentially with push_batch."""
+
+# covers: stream_tumbling, stream_sliding, stream_sessions
+# (the gated stream_* queries are executed in real streaming mode below and
+# compared against their batch twins)
         import time
 
         from distill_spark.session import SESSION_ENTRY_SCHEMA, push_batch
