@@ -192,3 +192,121 @@ def test_f9_generate_id_prefix_and_uniqueness(spark):
     assert ids[0][:8] == ids[1][:8] == format(1700000000, "08X")
     assert ids[2][:8] == format(1800000000, "08X")
     assert sorted(ids)[2] == ids[2]                 # later ts sorts last
+
+
+def _emb(rows):
+    return pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+
+
+def test_a3_centroids_mean_by_position(spark, planted):
+    """Label-A vectors (1,3) and (3,5) → per-position centroid
+    (2, 4). # covers: a3_centroids"""
+    d = planted(embeddings=_emb([
+        (1, [1.0, 3.0], 0), (2, [3.0, 5.0], 0)]))
+    got = {(r["label"], r["pos"]): r["centroid_val"]
+           for r in _run(spark, d, "a3_centroids")}
+    assert got == {(0, 0): 2.0, (0, 1): 4.0}
+
+
+def test_a5_cluster_sizes_max_score(spark, planted):
+    """Two label-0 vectors with vec_ids 1 and 2: size 2 and the
+    max of the derived (vec_id % 97)/97 scores.
+    # covers: a5_cluster_sizes"""
+    d = planted(embeddings=_emb([
+        (1, [1.0], 0), (2, [1.0], 0), (99, [1.0], 1)]))
+    got = {r["label"]: (r["size"], r["max_score"])
+           for r in _run(spark, d, "a5_cluster_sizes")}
+    assert got[0] == (2, round(2 / 97, 6))
+    assert got[1] == (1, round(99 % 97 / 97, 6))
+
+
+def test_a10_top_hubs_degree_order(spark, planted):
+    """Supplier in-degrees 3 vs 2 from the planted lineitem, ordered
+    descending. # covers: a10_top_hubs"""
+    t = pd.Timestamp("1997-01-01")
+    lineitem = pd.DataFrame(
+        [(k, 1, s, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t)
+         for k, s in [(1, 1), (2, 1), (3, 1), (4, 2), (5, 2)]],
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"])
+    d = planted(lineitem=lineitem)
+    rows = [(r["l_suppkey"], r["in_degree"])
+            for r in _run(spark, d, "a10_top_hubs")]
+    assert rows == [(1, 3), (2, 2)]
+
+
+def test_a11_diversity_orthogonal_pair(spark, planted):
+    """Two orthogonal unit vectors in one label: cosine 0 → average
+    pairwise distance exactly 1 over 1 pair.
+    # covers: a11_diversity"""
+    d = planted(embeddings=_emb([
+        (1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0)]))
+    rows = _run(spark, d, "a11_diversity")
+    assert len(rows) == 1
+    assert (rows[0]["avg_pairwise_dist"], rows[0]["n_pairs"]) == (1.0, 1)
+
+
+def test_text_length_profile_interpolated_quantiles(spark, planted):
+    """n_chars (10,20,30): continuous p50 = 20 and p90 interpolates
+    to 28. # covers: text_length_profile"""
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["a", "b", "c"],
+         "lang": ["en"] * 3, "source": ["s"] * 3,
+         "n_chars": [10, 20, 30]})
+    d = planted(documents=docs)
+    rows = _run(spark, d, "text_length_profile")
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert (r["n"], r["p50"], r["p90"]) == (3, 20.0, 28.0)
+
+
+def test_json_props_rollup_band_sums(spark, planted):
+    """props.k values 7 and 17 band to 7 with sum 24; 3 bands to 3.
+    # covers: json_props_rollup"""
+    t = pd.Timestamp("2024-01-01")
+    events = pd.DataFrame(
+        [(0, t, 1, "view", 1.0, '{"k": 7}'),
+         (1, t, 1, "view", 1.0, '{"k": 17}'),
+         (2, t, 1, "click", 1.0, '{"k": 3}')],
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"])
+    d = planted(events=events)
+    got = {(r["event_type"], r["k_band"]): (r["n"], r["k_sum"])
+           for r in _run(spark, d, "json_props_rollup")}
+    assert got == {("view", 7): (2, 24), ("click", 3): (1, 3)}
+
+
+def test_frequent_triples_apriori_support(spark):
+    """Part triple (1,2,3) co-orders twice; every other triple
+    appears once and is pruned by the ≥2 support bar.
+    # covers: frequent_triples"""
+    from distill_spark.operators.collocation import cooccurrence_triples
+
+    t = pd.Timestamp("1997-01-01")
+    rows = [(o, p) for o, parts in [(1, [1, 2, 3]), (2, [1, 2, 3]),
+                                    (3, [1, 2, 4])]
+            for p in parts]
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["l_orderkey", "l_partkey"]))
+    out = [(r["item_a"], r["item_b"], r["item_c"], r["support"])
+           for r in cooccurrence_triples(df, "l_orderkey",
+                                         "l_partkey").collect()]
+    assert out == [(1, 2, 3, 2)]
+
+
+def test_interval_self_join_band(spark):
+    """User events at 0/60/100/200 s: qualifying (>0, ≤120) gaps are
+    (0→60)=60, (0→100)=100, (60→100)=40 and (100→200)=100 — the
+    140 s and 200 s pairs fall outside the band.
+    # covers: interval_join_stats"""
+    from distill_spark.operators.intervaljoin import interval_self_join
+
+    t = pd.Timestamp("2024-01-01")
+    df = spark.createDataFrame(pd.DataFrame(
+        [(i, t + pd.Timedelta(seconds=s), 1, "view", 1.0)
+         for i, s in enumerate([0, 60, 100, 200])],
+        columns=["event_id", "ts", "user_id", "event_type", "value"]))
+    pairs = interval_self_join(df, within_s=120)
+    gaps = sorted(r["gap_s"] for r in pairs.collect())
+    assert gaps == [40, 60, 100, 100]
