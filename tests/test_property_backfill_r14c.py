@@ -310,3 +310,107 @@ def test_interval_self_join_band(spark):
     pairs = interval_self_join(df, within_s=120)
     gaps = sorted(r["gap_s"] for r in pairs.collect())
     assert gaps == [40, 60, 100, 100]
+
+
+def test_p3_p7_filter_semantics(spark, planted):
+    """p3 keeps only click rows with round-4 values; p7 gates
+    documents at length >= 200.
+    # covers: p3_role_filter, p7_length_gate"""
+    t = pd.Timestamp("2024-01-01")
+    ev = pd.DataFrame(
+        [(0, t, 1, "click", 1.23456789, "{}"),
+         (1, t, 1, "view", 9.0, "{}")],
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"])
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["x" * 150, "y" * 250],
+         "lang": ["en"] * 2, "source": ["s"] * 2,
+         "n_chars": [150, 250]})
+    d = planted(events=ev, documents=docs)
+    p3 = _run(spark, d, "p3_role_filter")
+    assert [(r["event_id"], r["value"]) for r in p3] == [(0, 1.2346)]
+    p7 = _run(spark, d, "p7_length_gate")
+    assert [(r["doc_id"], r["n"]) for r in p7] == [(2, 250)]
+
+
+def test_st8_stability_change_counter(spark, planted):
+    """User types a,a,b in ts order: 3 checks, exactly 1 change (the
+    a→b flip; the first row never counts).
+    # covers: st8_stability"""
+    t = pd.Timestamp("2024-01-01")
+    ev = pd.DataFrame(
+        [(0, t, 1, "a", 1.0, "{}"),
+         (1, t + pd.Timedelta(seconds=1), 1, "a", 1.0, "{}"),
+         (2, t + pd.Timedelta(seconds=2), 1, "b", 1.0, "{}")],
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"])
+    d = planted(events=ev)
+    rows = _run(spark, d, "st8_stability")
+    assert [(r["checks"], r["changes"]) for r in rows] == [(3, 1)]
+
+
+def test_st8_diagnose_pattern_bank(spark, planted):
+    """A text containing 'timestamp' triggers the dynamic-pattern
+    diagnosis; a clean text gets the unknown verdict.
+    # covers: st8_diagnose"""
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2],
+         "text": ["the Timestamp field drifts", "plain stable text"],
+         "lang": ["en"] * 2, "source": ["s"] * 2, "n_chars": [26, 17]})
+    d = planted(documents=docs)
+    got = {r["doc_id"]: (r["patterns_found"], r["likely_cause"])
+           for r in _run(spark, d, "st8_diagnose")}
+    assert got[1][0] == "timestamp"
+    assert got[1][1] == "likely dynamic interpolation: timestamp"
+    assert got[2][0] == ""
+    assert got[2][1].startswith("unknown")
+
+
+def test_w2_compress_order_skips_recent(spark, planted):
+    """Five events: the 3 most recent are protected; the two older
+    ones rank by ascending value → (e2 value 1) before (e1 value 5).
+    # covers: w2_compress_order"""
+    t = pd.Timestamp("2024-01-01")
+    ev = pd.DataFrame(
+        [(i, t + pd.Timedelta(minutes=i), 1, "view", v, "{}")
+         for i, v in [(1, 5.0), (2, 1.0), (3, 9.0), (4, 9.0),
+                      (5, 9.0)]],
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"])
+    d = planted(events=ev)
+    got = {r["event_id"]: r["cand_rank"]
+           for r in _run(spark, d, "w2_compress_order")}
+    assert got == {2: 1, 1: 2}
+
+
+def test_st3_decay_levels_age_bands(spark, planted):
+    """The four age bands around 2024-01-30: old → 3, daytime → 2,
+    late evening → 1, after 23:30 → 0.
+    # covers: st3_decay_levels"""
+    ev = pd.DataFrame(
+        [(0, pd.Timestamp("2024-01-29 12:00"), 1, "view", 1.0, "{}"),
+         (1, pd.Timestamp("2024-01-30 10:00"), 1, "view", 1.0, "{}"),
+         (2, pd.Timestamp("2024-01-30 23:00"), 1, "view", 1.0, "{}"),
+         (3, pd.Timestamp("2024-01-30 23:45"), 1, "view", 1.0, "{}")],
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"])
+    d = planted(events=ev)
+    got = {r["event_id"]: r["decay_level"]
+           for r in _run(spark, d, "st3_decay_levels")}
+    assert got == {0: 3, 1: 2, 2: 1, 3: 0}
+
+
+def test_bigram_logprob_word_salad_direction(spark):
+    """Corpus-fitted bigram LM: a doc repeating the corpus's dominant
+    bigram must outscore a doc with the same words in a never-seen
+    order — the word-salad direction this score exists for.
+    # covers: bigram_lm_score"""
+    from distill_spark.operators.lmscore import bigram_logprob
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b a b a b", "a b a b", "a b a b a b a b",
+                 "b a"]}))
+    got = {r["doc_id"]: r["mean_logprob2"]
+           for r in bigram_logprob(docs).collect()}
+    assert got[2] > got[4]
