@@ -414,3 +414,40 @@ def test_bigram_logprob_word_salad_direction(spark):
     got = {r["doc_id"]: r["mean_logprob2"]
            for r in bigram_logprob(docs).collect()}
     assert got[2] > got[4]
+
+
+def test_dedupe_stats_token_arithmetic(spark):
+    """Texts of length 4 and 8 estimate 1 and 2 tokens (floor((n+3)/4));
+    dropping the 2-token doc: count reduction 50%, token reduction
+    66.67%. # covers: a12_dedup_stats"""
+    from distill_spark.plans.dedupe import dedupe_stats
+
+    inp = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["aaaa", "aaaaaaaa"]}))
+    outp = inp.filter("doc_id = 1")
+    r = dedupe_stats(inp, outp).collect()[0].asDict()
+    assert (r["input_count"], r["output_count"]) == (2, 1)
+    assert (r["input_tokens"], r["output_tokens"]) == (3, 1)
+    assert r["count_reduction_pct"] == 50.0
+    assert r["token_reduction_pct"] == 66.67
+
+
+def test_compress_pipeline_stage_chain(spark):
+    """Two-stage chain: one stats row per stage in order, each
+    stage's input equals the previous stage's output, and no stage
+    grows the text. # covers: c4_compress_pipeline"""
+    from distill_spark.operators.compress import compress_pipeline
+
+    txt = ("It is basically important to note that the deploy "
+           "actually failed. The retry succeeded. In order to "
+           "proceed we really just restart. " * 3)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1], "text": [txt]}))
+    _result, stats = compress_pipeline(
+        df, stages=["pruner", "extractive"],
+        extractive={"target_reduction": 0.5})
+    rows = stats.collect()
+    assert [r["stage"] for r in rows] == ["pruner", "extractive"]
+    assert rows[0]["output_tokens"] <= rows[0]["input_tokens"]
+    assert rows[1]["input_tokens"] == rows[0]["output_tokens"]
+    assert rows[1]["output_tokens"] <= rows[1]["input_tokens"]
