@@ -2453,20 +2453,11 @@ FROM paired CROSS JOIN counts
 """
 
 
-def gehan_wilcoxon(events: DataFrame, target: str = "purchase",
-                   user_col: str = "user_id", ts_col: str = "ts",
-                   type_col: str = "event_type") -> DataFrame:
-    """Gehan–Breslow–Wilcoxon weighted log-rank (Gehan 1965; Breslow
-    1970) on exactly logrank_arms' frame: each conversion day's
-    (O₁ − E₁) term is weighted by the TOTAL number at risk n, so
-    early-time differences dominate where the plain log-rank weighs
-    all days equally — the classic companion when hazards cross.
-    Z = Σ n·(d₁ − e₁), Var = Σ n²·v, χ² = Z²/Var (df = 1). Weights
-    are exact integers; weighted terms round to the 1e-9 grid and
-    sum as DECIMAL like the unweighted test.
-    Output: one row (n_0, n_1, events_0, events_1, z_num, variance,
-    chi2), rounds 6; chi2 NULL when the variance degenerates.
-    """
+def _arm_day_tally(events: DataFrame, target: str, user_col: str,
+                   ts_col: str, type_col: str):
+    """(subj, tally): logrank_arms' hash-split subject frame and its
+    per-day tally (d1/d2 conversions, t1/t2 exits) — the shared front
+    of the weighted-log-rank / win-ratio family."""
     us = F.unix_micros(F.col(ts_col))
     per_user = (events.groupBy(F.col(user_col).alias("u"))
                 .agg(F.min(us).alias("t0"),
@@ -2486,6 +2477,26 @@ def gehan_wilcoxon(events: DataFrame, target: str = "purchase",
                   .alias("d2"),
                   F.sum(is0).alias("t1"),
                   F.sum(1 - is0).alias("t2")))
+    return subj, tally
+
+
+def gehan_wilcoxon(events: DataFrame, target: str = "purchase",
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type") -> DataFrame:
+    """Gehan–Breslow–Wilcoxon weighted log-rank (Gehan 1965; Breslow
+    1970) on exactly logrank_arms' frame: each conversion day's
+    (O₁ − E₁) term is weighted by the TOTAL number at risk n, so
+    early-time differences dominate where the plain log-rank weighs
+    all days equally — the classic companion when hazards cross.
+    Z = Σ n·(d₁ − e₁), Var = Σ n²·v, χ² = Z²/Var (df = 1). Weights
+    are exact integers; weighted terms round to the 1e-9 grid and
+    sum as DECIMAL like the unweighted test.
+    Output: one row (n_0, n_1, events_0, events_1, z_num, variance,
+    chi2), rounds 6; chi2 NULL when the variance degenerates.
+    """
+    subj, tally = _arm_day_tally(events, target, user_col, ts_col,
+                                 type_col)
+    is0 = (F.col("arm") == 0).cast("long")
     wprev = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, -1)
     n_total = Window.partitionBy()
@@ -2606,25 +2617,8 @@ def win_ratio(events: DataFrame, target: str = "purchase",
     cumulative window — never a subject-pair join.
     Output: one row (n_0, n_1, wins_0, wins_1, ties_pairs,
     win_ratio), rounds 6; NULL ratio when W₁ = 0."""
-    us = F.unix_micros(F.col(ts_col))
-    per_user = (events.groupBy(F.col(user_col).alias("u"))
-                .agg(F.min(us).alias("t0"),
-                     F.min(F.when(F.col(type_col) == target, us))
-                     .alias("tc")))
-    horizon = events.agg(F.max(us).alias("tend"))
-    arm = (((F.col("u") % 100003) * 2654435761) % 4294967296 % 2)
-    subj = (per_user.crossJoin(F.broadcast(horizon))
-            .select(arm.cast("int").alias("arm"),
-                    F.col("tc").isNotNull().alias("conv"),
-                    F.floor((F.coalesce("tc", "tend") - F.col("t0"))
-                            / 86_400_000_000).alias("day")))
-    is0 = (F.col("arm") == 0).cast("long")
-    tally = (subj.groupBy("day")
-             .agg(F.sum(F.col("conv").cast("long") * is0).alias("d1"),
-                  F.sum(F.col("conv").cast("long") * (1 - is0))
-                  .alias("d2"),
-                  F.sum(is0).alias("t1"),
-                  F.sum(1 - is0).alias("t2")))
+    subj, tally = _arm_day_tally(events, target, user_col, ts_col,
+                                 type_col)
     wle = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     tot = Window.partitionBy()
     cum = tally.select(
