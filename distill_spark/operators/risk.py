@@ -114,6 +114,27 @@ FROM a
 """
 
 
+def _split_half_var(rets):
+    """(half, var_est): the return frame tagged with its first-half
+    membership, and the 1-row type-1 5% VaR of the estimation half —
+    the shared front of the VaR backtests."""
+    tot = Window.partitionBy()
+    half = rets.select(
+        "d", "r", "tr", F.count("*").over(tot).alias("m"))
+    half = half.select(
+        "d", "r", "tr",
+        (F.col("tr") <= F.floor((F.col("m") + 1) / 2)).alias("est"),
+        F.floor((F.col("m") + 1) / 2).alias("n_est"))
+    est_rk = (half.filter("est").select(
+        "r", "n_est",
+        F.row_number().over(Window.orderBy("r", "d")).alias("rk")))
+    var_est = est_rk.agg(
+        F.max(F.when(
+            F.col("rk") == F.floor((F.col("n_est") + 19) / 20),
+            F.col("r"))).alias("v"))
+    return half, var_est
+
+
 # ------------------------------------------------------- 2. Kupiec POF
 
 _LR_POF = """
@@ -132,21 +153,7 @@ def kupiec_pof(events: DataFrame, ts_col: str = "ts",
     0·ln 0 = 0 convention. Output: one row (n_est, n_test, var_est,
     x_exceed, exceed_rate, lr_pof), rounds 6."""
     rets = _returns(events, ts_col, value_col)
-    tot = Window.partitionBy()
-    half = rets.select(
-        "d", "r", "tr", F.count("*").over(tot).alias("m"))
-    half = half.select(
-        "d", "r",
-        (F.col("tr") <= F.floor((F.col("m") + 1) / 2)).alias("est"),
-        F.floor((F.col("m") + 1) / 2).alias("n_est"))
-    est = half.filter("est")
-    est_rk = est.select(
-        "r", "n_est",
-        F.row_number().over(Window.orderBy("r", "d")).alias("rk"))
-    var_est = est_rk.agg(
-        F.max(F.when(
-            F.col("rk") == F.floor((F.col("n_est") + 19) / 20),
-            F.col("r"))).alias("v"))
+    half, var_est = _split_half_var(rets)
     test = (half.filter(~F.col("est"))
             .crossJoin(F.broadcast(var_est)))
     a = test.agg(
@@ -225,20 +232,7 @@ def christoffersen(events: DataFrame, ts_col: str = "ts",
     (0·ln 0 = 0 convention — clustered exceedances inflate n11).
     Output: one row (n00, n01, n10, n11, lr_ind), rounds 6."""
     rets = _returns(events, ts_col, value_col)
-    tot_w = Window.partitionBy()
-    half = rets.select(
-        "d", "r", "tr", F.count("*").over(tot_w).alias("m"))
-    half = half.select(
-        "d", "r", "tr",
-        (F.col("tr") <= F.floor((F.col("m") + 1) / 2)).alias("est"),
-        F.floor((F.col("m") + 1) / 2).alias("n_est"))
-    est_rk = (half.filter("est").select(
-        "r", "n_est",
-        F.row_number().over(Window.orderBy("r", "d")).alias("rk")))
-    var_est = est_rk.agg(
-        F.max(F.when(
-            F.col("rk") == F.floor((F.col("n_est") + 19) / 20),
-            F.col("r"))).alias("v"))
+    half, var_est = _split_half_var(rets)
     ind = (half.filter(~F.col("est"))
            .crossJoin(F.broadcast(var_est))
            .select("d", F.when(F.col("r") < F.col("v"), 1)
