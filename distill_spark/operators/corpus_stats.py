@@ -1691,6 +1691,28 @@ FROM seg WHERE ntok = {segment} GROUP BY g
 """
 
 
+def _source_pair_abundance(docs, group_col, text_col):
+    """Per-term abundance counts (a, b) for the two
+    lexicographically-first sources — the shared front of the
+    Bray–Curtis / Morisita–Horn pair."""
+    from distill_spark.operators.dedup_text import words_expr
+
+    terms = docs.select(F.col(group_col).alias("g"),
+                        F.explode(words_expr(F.col(text_col)))
+                        .alias("term"))
+    pick = (terms.select("g").distinct().orderBy("g").limit(2)
+            .agg(F.min("g").alias("ga"), F.max("g").alias("gb")))
+    return (terms.crossJoin(F.broadcast(pick))
+            .filter((F.col("g") == F.col("ga"))
+                    | (F.col("g") == F.col("gb")))
+            .groupBy("term", "ga", "gb")
+            .agg(F.sum((F.col("g") == F.col("ga")).cast("long"))
+                 .alias("a"),
+                 F.sum((F.col("g") == F.col("gb")).cast("long"))
+                 .alias("b")))
+
+
+
 def bray_curtis(docs: DataFrame, group_col: str = "source",
                 text_col: str = "text") -> DataFrame:
     """Bray–Curtis dissimilarity (Bray & Curtis 1957) between the
@@ -1702,21 +1724,7 @@ def bray_curtis(docs: DataFrame, group_col: str = "source",
     statistic is integer arithmetic until the final ratio.
     Output: one row (source_a, source_b, n_tokens_a, n_tokens_b,
     shared_min, bray_curtis), rounds 6."""
-    from distill_spark.operators.dedup_text import words_expr
-
-    terms = docs.select(F.col(group_col).alias("g"),
-                        F.explode(words_expr(F.col(text_col)))
-                        .alias("term"))
-    pick = (terms.select("g").distinct().orderBy("g").limit(2)
-            .agg(F.min("g").alias("ga"), F.max("g").alias("gb")))
-    per = (terms.crossJoin(F.broadcast(pick))
-           .filter((F.col("g") == F.col("ga"))
-                   | (F.col("g") == F.col("gb")))
-           .groupBy("term", "ga", "gb")
-           .agg(F.sum((F.col("g") == F.col("ga")).cast("long"))
-                .alias("a"),
-                F.sum((F.col("g") == F.col("gb")).cast("long"))
-                .alias("b")))
+    per = _source_pair_abundance(docs, group_col, text_col)
     agg = per.agg(
         F.max("ga").alias("source_a"), F.max("gb").alias("source_b"),
         F.sum("a").alias("na"), F.sum("b").alias("nb"),
@@ -1776,21 +1784,7 @@ def morisita_horn(docs: DataFrame, group_col: str = "source",
     products (Σ a·b as exact DECIMAL(38,0)); one ratio at the end.
     Output: one row (source_a, source_b, n_tokens_a, n_tokens_b,
     morisita_horn), rounds 6."""
-    from distill_spark.operators.dedup_text import words_expr
-
-    terms = docs.select(F.col(group_col).alias("g"),
-                        F.explode(words_expr(F.col(text_col)))
-                        .alias("term"))
-    pick = (terms.select("g").distinct().orderBy("g").limit(2)
-            .agg(F.min("g").alias("ga"), F.max("g").alias("gb")))
-    per = (terms.crossJoin(F.broadcast(pick))
-           .filter((F.col("g") == F.col("ga"))
-                   | (F.col("g") == F.col("gb")))
-           .groupBy("term", "ga", "gb")
-           .agg(F.sum((F.col("g") == F.col("ga")).cast("long"))
-                .alias("a"),
-                F.sum((F.col("g") == F.col("gb")).cast("long"))
-                .alias("b")))
+    per = _source_pair_abundance(docs, group_col, text_col)
     agg = per.agg(
         F.max("ga").alias("source_a"), F.max("gb").alias("source_b"),
         F.sum("a").alias("na"), F.sum("b").alias("nb"),
