@@ -49,8 +49,10 @@ def pagerank(edges: DataFrame, iterations: int = 8,
         # edges feed EVERY iteration's join AND the degree/node prep —
         # without this the upstream plan (often a distinct over a fact
         # table) re-executes once per iteration (measured: 51s -> ~8s
-        # for 8 iterations over the lineitem bipartite graph at sf0.1)
-        edges = edges.localCheckpoint()
+        # for 8 iterations over the lineitem bipartite graph at sf0.1).
+        # LAZY: the base.count() below materializes base AND (through
+        # its lineage) the edges cache in one job instead of three.
+        edges = edges.localCheckpoint(eager=False)
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .distinct())
@@ -59,7 +61,7 @@ def pagerank(edges: DataFrame, iterations: int = 8,
     # node-count-sized base table: (node, deg); deg NULL = dangling
     base = nodes.join(outdeg, "node", "left")
     if checkpoint:
-        base = base.localCheckpoint()
+        base = base.localCheckpoint(eager=False)
     n_nodes = base.count()
 
     ranks = base.withColumn("pr", F.lit(1.0 / n_nodes))
@@ -71,28 +73,44 @@ def pagerank(edges: DataFrame, iterations: int = 8,
     # correct shape when the node table itself is cluster-scale.
     small = n_nodes <= broadcast_nodes_max
     bcast = F.broadcast if small else (lambda df: df)
+    deg_type = dict(base.dtypes)["deg"]
     for i in range(1, iterations + 1):
+        # contribution rows union a zero row per node, then ONE groupBy
+        # produces next-round ranks directly: the old shape's second
+        # join (base ⋈ summed, one more broadcast-exchange build — an
+        # eager job — per iteration) folds into the aggregation. The
+        # decimal sum skips the NULL filler rows, so the per-node total
+        # (and hence the double rank) is bit-identical; deg rides along
+        # as max() over {deg, NULL} = deg.
         contrib = (
             edges.join(bcast(ranks.filter(F.col("deg").isNotNull())),
                        ranks.node == edges.src)
             .select(F.col("dst").alias("node"),
-                    (F.col("pr") / F.col("deg")).alias("c"))
+                    F.lit(None).cast(deg_type).alias("deg"),
+                    (F.col("pr") / F.col("deg"))
+                    .cast("decimal(30,15)").alias("c"))
         )
-        summed = contrib.groupBy("node").agg(
-            F.sum(F.col("c").cast("decimal(30,15)")).cast("double")
-            .alias("s"))
+        filler = base.select(
+            "node", "deg", F.lit(None).cast("decimal(30,15)").alias("c"))
         ranks = (
-            base.join(bcast(summed), "node", "left")
+            contrib.unionByName(filler)
+            .groupBy("node")
+            .agg(F.max("deg").alias("deg"),
+                 F.sum("c").cast("double").alias("s"))
             .select("node", "deg",
                     (F.lit(teleport)
                      + F.lit(damping) * F.coalesce("s", F.lit(0.0)))
                     .alias("pr"))
         )
-        # truncate lineage every few rounds: each checkpoint is an
-        # eager job (scheduling floor), each skipped one deepens the
-        # lazy plan — every-2 measured best on the sf0.1 graph
+        # truncate lineage every few rounds: each skipped checkpoint
+        # deepens the lazy plan — every-2 measured best on the sf0.1
+        # graph. LAZY since r14: the next iteration's broadcast build
+        # (or the caller's action) materializes ranks anyway, so the
+        # truncation piggybacks on an existing job instead of paying
+        # its own dispatch floor (8 iterations: 37 -> 29 -> 25 jobs
+        # together with the filler-row fold above).
         if checkpoint and (i % 2 == 0 or i == iterations):
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.round("pr", 6).alias("pr"))
 
 
@@ -163,17 +181,25 @@ def hits(edges: DataFrame, iterations: int = 8, checkpoint: bool = True,
 
     def _half(scores, score_col, join_on, out_key):
         # one propagation half-step: sum the partner score over edges
-        # incident on ``join_on``, grouped by ``out_key``, L1-scaled
-        raw = (edges.join(bcast(scores), F.col(join_on) == F.col("node"))
-               .groupBy(F.col(out_key).alias("node"))
-               .agg(F.sum(F.col(score_col).cast(_dec)).cast("double")
-                    .alias("raw")))
+        # incident on ``join_on``, grouped by ``out_key``, L1-scaled.
+        # NULL filler rows union in every node before the groupBy so
+        # the old final nodes-join (one more broadcast build per
+        # half-step) folds into the aggregation; the decimal sum skips
+        # the NULLs, so raw — and the L1 total over non-NULL raws — is
+        # bit-identical, and no-inbound nodes surface as NULL/tot →
+        # coalesce 0.0, exactly the rows the old left join produced.
+        contrib = (edges.join(bcast(scores), F.col(join_on) == F.col("node"))
+                   .select(F.col(out_key).alias("node"),
+                           F.col(score_col).cast(_dec).alias("c")))
+        filler = nodes.select("node", F.lit(None).cast(_dec).alias("c"))
+        raw = (contrib.unionByName(filler)
+               .groupBy("node")
+               .agg(F.sum("c").cast("double").alias("raw")))
         tot = raw.agg(F.sum(F.col("raw").cast(_dec)).cast("double")
                       .alias("tot"))
-        scaled = raw.crossJoin(F.broadcast(tot)).select(
-            "node", (F.col("raw") / F.col("tot")).alias("s"))
-        return (nodes.join(bcast(scaled), "node", "left")
-                .select("node", F.coalesce("s", F.lit(0.0)).alias("s")))
+        return raw.crossJoin(F.broadcast(tot)).select(
+            "node",
+            F.coalesce(F.col("raw") / F.col("tot"), F.lit(0.0)).alias("s"))
 
     h = nodes.withColumn("s", F.lit(1.0))
     a = None
@@ -256,16 +282,22 @@ def eigenvector_centrality(edges: DataFrame, iterations: int = 8,
     _dec = "decimal(30,15)"
     x = nodes.withColumn("s", F.lit(1.0))
     for _ in range(iterations):
-        raw = (sym.join(bcast(x), F.col("src") == F.col("node"))
-               .groupBy(F.col("dst").alias("node"))
-               .agg(F.sum(F.col("s").cast(_dec)).cast("double")
-                    .alias("raw")))
+        # NULL filler rows fold the old final nodes-join into the
+        # groupBy (one broadcast-exchange build fewer per iteration);
+        # decimal sums skip NULLs, so raw/tot/score are bit-identical
+        # (same trick as :func:`pagerank` / :func:`hits`).
+        contrib = (sym.join(bcast(x), F.col("src") == F.col("node"))
+                   .select(F.col("dst").alias("node"),
+                           F.col("s").cast(_dec).alias("c")))
+        filler = nodes.select("node", F.lit(None).cast(_dec).alias("c"))
+        raw = (contrib.unionByName(filler)
+               .groupBy("node")
+               .agg(F.sum("c").cast("double").alias("raw")))
         tot = raw.agg(F.sum(F.col("raw").cast(_dec)).cast("double")
                       .alias("tot"))
-        scaled = raw.crossJoin(F.broadcast(tot)).select(
-            "node", (F.col("raw") / F.col("tot")).alias("s"))
-        x = (nodes.join(bcast(scaled), "node", "left")
-             .select("node", F.coalesce("s", F.lit(0.0)).alias("s")))
+        x = raw.crossJoin(F.broadcast(tot)).select(
+            "node",
+            F.coalesce(F.col("raw") / F.col("tot"), F.lit(0.0)).alias("s"))
         if checkpoint:
             x = x.localCheckpoint()
     return x.select("node", F.round("s", 6).alias("score"))
@@ -325,11 +357,16 @@ def katz_centrality(edges: DataFrame, alpha: float = 0.05,
     _dec = "decimal(30,15)"
     x = nodes.withColumn("s", F.lit(beta))
     for _ in range(iterations):
-        raw = (edges.join(bcast(x), F.col("src") == F.col("node"))
-               .groupBy(F.col("dst").alias("node"))
-               .agg(F.sum(F.col("s").cast(_dec)).cast("double")
-                    .alias("raw")))
-        x = (nodes.join(bcast(raw), "node", "left")
+        # same NULL-filler fold as :func:`pagerank`: the nodes-join
+        # collapses into the groupBy, one broadcast build fewer per
+        # iteration, decimal sums unchanged bit-for-bit.
+        contrib = (edges.join(bcast(x), F.col("src") == F.col("node"))
+                   .select(F.col("dst").alias("node"),
+                           F.col("s").cast(_dec).alias("c")))
+        filler = nodes.select("node", F.lit(None).cast(_dec).alias("c"))
+        x = (contrib.unionByName(filler)
+             .groupBy("node")
+             .agg(F.sum("c").cast("double").alias("raw"))
              .select("node",
                      (F.lit(beta)
                       + F.lit(alpha) * F.coalesce("raw", F.lit(0.0)))

@@ -1,0 +1,112 @@
+"""Probe-guarded solo timing of one or more queries at the bench SF.
+
+Optimization-round A/B harness: each query runs ``reps`` times
+sequentially on its own warm session (one untimed warm pass first),
+each rep wrapped in tools/proberun.guarded so a noisy-host cell
+retries instead of polluting the comparison. Prints one JSON line.
+
+Usage: python tools/time_query.py [--reps N] [--noop] name [name ...]
+
+Names accept the same resolution as tools/dump_plans.py
+(flagship_dedupe / train_* / registry names). --noop times
+``df.write.format("noop")`` instead of ``.count()`` (guide §1.4) —
+count() can prune columns; noop computes every column.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import bench  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+from distill_spark.runtime import get_spark  # noqa: E402
+from tools import proberun  # noqa: E402
+
+
+def main():
+    args = sys.argv[1:]
+    reps = 3
+    use_noop = False
+    if "--reps" in args:
+        i = args.index("--reps")
+        reps = int(args[i + 1])
+        del args[i:i + 2]
+    if "--noop" in args:
+        use_noop = True
+        args.remove("--noop")
+    release = True
+    if "--no-release" in args:
+        release = False
+        args.remove("--no-release")
+    names = args
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # UI on: the job/stage counts come from its REST API — barrier
+    # evidence that, unlike wall seconds, the host's dispatch-floor
+    # flapping cannot touch
+    spark = get_spark(app_name="time_query",
+                      extra_conf={"spark.ui.enabled": "true"})
+    training = bench._training_ops(sf_dir)
+    queries = entrymod.queries()
+    out = {}
+    for name in names:
+        if name == "flagship_dedupe":
+            fn = bench.flagship_dedupe
+        elif name in training:
+            fn = training[name]
+        else:
+            fn = queries[name]
+        spark.sparkContext.setJobDescription(f"time_query: {name}")
+
+        def act():
+            df = fn(spark, sf_dir)
+            if use_noop:
+                df.write.format("noop").mode("overwrite").save()
+                return -1
+            return df.count()
+
+        act()  # untimed warm pass (codegen, python workers, footers)
+
+        def _job_count():
+            # deterministic barrier evidence: wall seconds on this host
+            # are dispatch-floor-bimodal (BENCH_IDLE_r13), but the job
+            # count of a query is a property of the plan, not the host
+            import urllib.request
+            base = spark.sparkContext.uiWebUrl
+            if not base:
+                return None
+            app = spark.sparkContext.applicationId
+            with urllib.request.urlopen(
+                    f"{base}/api/v1/applications/{app}/jobs?status=succeeded"
+            ) as r:
+                return len(json.load(r))
+
+        jobs0 = _job_count()
+        walls, metas = [], []
+        for _ in range(reps):
+            n, meta = proberun.guarded(act, label=name)
+            walls.append(meta["kept"]["wall_s"])
+            metas.append(meta)
+            if release:
+                bench._release_state(spark, jvm_gc=True)
+        jobs1 = _job_count()
+        out[name] = {
+            "rows": n, "walls_s": walls, "min_s": min(walls),
+            "jobs_per_rep": (None if jobs0 is None
+                             else round((jobs1 - jobs0) / reps, 1)),
+            "probes": [(m["kept"]["probe_ms_before"],
+                        m["kept"]["probe_ms_after"]) for m in metas],
+            "violated": any(m["probe_band_violated"] for m in metas),
+        }
+        print(f"# {name}: min {min(walls)}s walls {walls}",
+              file=sys.stderr, flush=True)
+    print(json.dumps({"sf_dir": sf_dir, "reps": reps, "noop": use_noop,
+                      "results": out}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
