@@ -58,32 +58,35 @@ def ngram_contamination(
                          .alias("shingle"))
         .distinct()
     )
-    doc_shingles = corpus.select(
-        F.col(id_col),
-        F.explode(_word_shingles(F.col(text_col), n)).alias("shingle"))
-    # broadcast semi-join: the benchmark side is small by construction
-    matched = (
-        doc_shingles.join(F.broadcast(bench_shingles), "shingle", "semi")
-        .groupBy(id_col).agg(F.count("*").alias("n_matched"))
-    )
-    totals = doc_shingles.groupBy(id_col).agg(
-        F.count("*").alias("n_shingles"))
+    # one tokenize+explode pass and ONE aggregation: the shingle array
+    # is already distinct per doc, so n_shingles = size() rides along
+    # map-side instead of a second groupBy over a second explode; the
+    # broadcast hit flag (left join against the distinct benchmark set
+    # — each doc shingle matches at most one row, so sum(hit) equals
+    # the old semi-join count) folds n_matched into the same groupBy.
+    # explode_outer keeps zero-shingle docs as one NULL-shingle row
+    # (never matched), replacing the old anti-join + union reattach.
+    doc_shingles = (
+        corpus.select(F.col(id_col),
+                      _word_shingles(F.col(text_col), n).alias("_sh"))
+        .select(F.col(id_col),
+                F.size("_sh").cast("long").alias("_n"),
+                F.explode_outer("_sh").alias("shingle")))
     out = (
-        totals.join(matched, id_col, "left")
-        .withColumn("n_matched", F.coalesce("n_matched", F.lit(0)))
+        doc_shingles.join(F.broadcast(bench_shingles
+                                      .withColumn("_hit", F.lit(1))),
+                          "shingle", "left")
+        .groupBy(id_col)
+        .agg(F.max("_n").alias("n_shingles"),
+             F.coalesce(F.sum("_hit"), F.lit(0)).cast("long")
+             .alias("n_matched"))
         .withColumn("overlap",
-                    F.round(F.col("n_matched") / F.col("n_shingles"), 6))
+                    F.when(F.col("n_shingles") == 0, F.lit(0.0))
+                    .otherwise(F.round(F.col("n_matched")
+                                       / F.col("n_shingles"), 6)))
         .withColumn("contaminated", F.col("overlap") >= min_overlap)
     )
-    # docs with zero shingles (shorter than n words) are absent from
-    # doc_shingles — reattach them as trivially clean
-    short = (corpus.select(id_col).join(totals.select(id_col), id_col,
-                                        "left_anti")
-             .withColumn("n_shingles", F.lit(0).cast("long"))
-             .withColumn("n_matched", F.lit(0).cast("long"))
-             .withColumn("overlap", F.lit(0.0))
-             .withColumn("contaminated", F.lit(False)))
-    return out.unionByName(short)
+    return out
 
 
 def source_overlap(
