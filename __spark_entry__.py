@@ -1614,9 +1614,7 @@ def q_g3_blast_radius(spark, sf_dir):
     from distill_spark.graph import blast_radius
 
     t = _tables(spark, sf_dir)
-    e1 = t["lineitem"].select(
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst")).distinct()
+    e1 = _ps_edges(t)
     edges = e1.union(e1.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     seeds = t["part"].filter(F.col("p_size") == 1).select(
         F.concat(F.lit("p"), F.col("p_partkey")).alias("node")).distinct()
@@ -4623,9 +4621,7 @@ def q_pagerank(spark, sf_dir):
     from distill_spark.operators.pagerank import pagerank
 
     t = _tables(spark, sf_dir)
-    e1 = t["lineitem"].select(
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst")).distinct()
+    e1 = _ps_edges(t)
     edges = e1.union(
         e1.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return (pagerank(edges, iterations=8)
@@ -9347,9 +9343,7 @@ def q_hits_scores(spark, sf_dir):
     from distill_spark.operators.pagerank import hits
 
     t = _tables(spark, sf_dir)
-    edges = t["lineitem"].select(
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst")).distinct()
+    edges = _ps_edges(t)
     return (hits(edges, iterations=8)
             .orderBy(F.desc("authority"), F.asc("node")).limit(50))
 
@@ -11613,10 +11607,16 @@ _PS_EDGES_SQL = ("SELECT DISTINCT 'p' || l_partkey AS src, "
 
 
 def _ps_edges(t):
-    return (t["lineitem"].select(
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
-        .distinct())
+    """Distinct part→supplier edges with node-id prefixes. The
+    distinct runs on the RAW INTEGER pair and the string labels are
+    concatenated after (r14, guide §2.3 narrower types): the dedup
+    shuffle carries 2 longs instead of 2 strings, and the mapping
+    key → 'p'||key is injective per column, so the distinct edge set
+    is unchanged. Shared by g3_blast_radius / pagerank / hits_scores /
+    eigenvector_centrality / katz_centrality."""
+    return (t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+            .select(F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+                    F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst")))
 
 
 def q_eigenvector_centrality(spark, sf_dir):
