@@ -395,8 +395,17 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in und.toLocalIterator():
-            a, b = find(r["src"]), find(r["dst"])
+        # one Arrow fetch: toLocalIterator submits ONE JOB PER
+        # PARTITION (8 single-task jobs measured inside the flagship —
+        # each a dispatch floor); the edge list is already gated ≤
+        # driver_threshold rows, so a single toPandas is both smaller
+        # on the driver (two flat arrays vs Row objects) and one job.
+        # Union-find labels are order-independent (the min root wins
+        # regardless of merge order), so the fetch order change is
+        # invisible.
+        pdf = und.toPandas()
+        for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+            a, b = find(a), find(b)
             if a != b:
                 # min id becomes the root → deterministic labels
                 lo, hi = (a, b) if a < b else (b, a)
