@@ -132,18 +132,23 @@ def kmeans_dedup(
                            (T.ByteType, T.ShortType, T.IntegerType,
                             T.LongType))
     hmode = "portable" if id_is_int else "xxhash64"
+    # Arrow fetch of the vectors only: the id column exists purely to
+    # ORDER the sample (TakeOrderedAndProject keeps the order through
+    # the projection and the single-partition result), and toPandas
+    # moves the 20k×dim doubles as one Arrow batch instead of pickled
+    # Rows — measured ~0.3 s off the fit job + driver conversion.
     sample = (with_emb
               .select(vm.normalize(F.col(vec_col)).alias("_v"),
                       F.col(id_col))
               .orderBy(hash_bucket(F.col(id_col), hmode, salt=1).asc(),
                        F.col(id_col).asc())
-              .limit(max(fit_sample, k)).collect())
-    if not sample:
+              .limit(max(fit_sample, k)).select("_v").toPandas())
+    if len(sample) == 0:
         return df.withColumn("cluster_id", F.lit(-1)).withColumn(
             "is_medoid", F.lit(True)
         ).withColumn("kept", F.lit(True))
     k = min(k, len(sample))
-    X = np.asarray([r._v for r in sample], dtype=np.float64)
+    X = np.asarray(sample["_v"].tolist(), dtype=np.float64)
     cmat = _fit_centroids(X, k, max_iter)
 
     # assignment: single map-side pass, centroids in the closure — all
@@ -258,33 +263,23 @@ def kmeans_dedup(
                                                F.col("_centroid")), 6))
     )
     # medoid = member minimizing (rounded distance, id). _cdist stays
-    # a JVM expression (identical to what a2_kmeans_contract re-derives
-    # — only the AGGREGATION moved python-side); the per-partition min
-    # over already-rounded values is exact and order-independent, so
-    # the driver min reproduces the old struct-min bit-for-bit.
-    med_schema = T.StructType([
-        T.StructField("cluster_id", T.IntegerType()),
-        T.StructField("d", T.DoubleType()),
-        T.StructField("i", with_emb.schema[id_col].dataType),
-        T.StructField("v", with_emb.schema[vec_col].dataType),
-    ])
-
-    def medoid_partials(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            loc = (pdf.sort_values(["cluster_id", "_cdist", id_col])
-                   .drop_duplicates("cluster_id"))
-            yield loc.rename(columns={"_cdist": "d", id_col: "i",
-                                      vec_col: "v"})[
-                ["cluster_id", "d", "i", "v"]]
-
+    # a JVM expression (identical to what a2_kmeans_contract
+    # re-derives), and since r14 the reduction does too: min over a
+    # (d, i, v) struct is lexicographic and (d, i) is unique per row,
+    # so the JVM hash-agg picks exactly the row the old python
+    # per-partition sort + driver combine picked — but only k struct
+    # rows ever leave the JVM, instead of every (vector, distance)
+    # crossing into python workers (the old medoid pass was ~1.0 s at
+    # sf0.1, mostly Arrow transfer of the 50k vectors).
     med: dict[int, tuple] = {}
-    for r in (with_dist.select("cluster_id", "_cdist", id_col, vec_col)
-              .mapInPandas(medoid_partials, schema=med_schema).collect()):
-        key = (r["d"], r["i"])
-        if r["cluster_id"] not in med or key < med[r["cluster_id"]][:2]:
-            med[r["cluster_id"]] = (r["d"], r["i"], r["v"])
+    for r in (with_dist
+              .groupBy("cluster_id")
+              .agg(F.min(F.struct(F.col("_cdist").alias("d"),
+                                  F.col(id_col).alias("i"),
+                                  F.col(vec_col).alias("v"))).alias("m"))
+              .collect()):
+        m = r["m"]
+        med[r["cluster_id"]] = (m["d"], m["i"], m["v"])
     any_id = next(iter(med.values()))[1]
     med_id_lit = F.element_at(
         F.array(*[F.lit(med[c][1] if c in med else any_id)
