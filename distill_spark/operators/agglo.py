@@ -193,7 +193,14 @@ def cluster_exact(
 
     gtype = dict(src.dtypes)[gcol]
     idtype = dict(src.dtypes)[id_col]
-    out = src.select(gcol, id_col, vec_col).groupBy(gcol).applyInPandas(
-        run, schema=f"{gcol} {gtype}, {id_col} {idtype}, cluster_id long"
-    )
+    # user-specified hash repartition: exempt from AQE coalescing so
+    # bounded-size groups cluster in parallel instead of serially on
+    # one post-shuffle partition (see packing.pack_sequences)
+    n_shuffle = int(src.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    out = (src.select(gcol, id_col, vec_col)
+           .repartition(n_shuffle, gcol)
+           .groupBy(gcol).applyInPandas(
+               run, schema=f"{gcol} {gtype}, {id_col} {idtype}, cluster_id long"
+           ))
     return out if group_col else out.drop(gcol)

@@ -159,4 +159,10 @@ def simulate_cache(ops: DataFrame, config: CacheSimConfig | None = None) -> Data
         out.insert(0, "shard", key[0])
         return out
 
-    return keyed.groupBy("shard").applyInPandas(replay_group, STATS_SCHEMA)
+    # user-specified repartition: keeps one task per shard-hash slot
+    # instead of AQE coalescing the small shuffle to one partition and
+    # replaying every shard serially (see packing.pack_sequences)
+    n_shuffle = int(keyed.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    return (keyed.repartition(n_shuffle, "shard")
+            .groupBy("shard").applyInPandas(replay_group, STATS_SCHEMA))

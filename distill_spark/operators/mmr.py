@@ -141,7 +141,14 @@ def mmr_rerank(
     schema = T.StructType(
         list(src.schema.fields) + [T.StructField("mmr_rank", T.LongType())]
     )
-    out = src.groupBy(gcol).applyInPandas(run, schema=schema)
+    # user-specified hash repartition: no-op for the default
+    # single-group call (one key → one partition either way), but for
+    # grouped MMR it keeps one task per group-hash slot instead of AQE
+    # coalescing everything onto one core (see packing.pack_sequences)
+    n_shuffle = int(src.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    out = (src.repartition(n_shuffle, gcol)
+           .groupBy(gcol).applyInPandas(run, schema=schema))
     out = out.select(*cols, "mmr_rank")
     return out if group_col else out.drop(gcol)
 

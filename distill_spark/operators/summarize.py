@@ -192,5 +192,13 @@ def summarize_turns(
         list(src.schema.fields)
         + [T.StructField("original", T.StringType()), T.StructField("tokens", T.IntegerType())]
     )
-    out = src.groupBy(gcol).applyInPandas(run, schema=schema)
+    # user-specified hash repartition: satisfies applyInPandas'
+    # distribution (no extra exchange) and is exempt from AQE
+    # coalescing, which otherwise collapses small shuffles to one
+    # partition and serializes every per-group python round-trip
+    # (see packing.pack_sequences — same fix, measured 4.2 -> 1.6 s)
+    n_shuffle = int(src.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    out = (src.repartition(n_shuffle, gcol)
+           .groupBy(gcol).applyInPandas(run, schema=schema))
     return out if group_col else out.drop(gcol)
