@@ -50,8 +50,12 @@ def pagerank(edges: DataFrame, iterations: int = 8,
         # without this the upstream plan (often a distinct over a fact
         # table) re-executes once per iteration (measured: 51s -> ~8s
         # for 8 iterations over the lineitem bipartite graph at sf0.1).
-        # LAZY: the base.count() below materializes base AND (through
-        # its lineage) the edges cache in one job instead of three.
+        # LAZY is safe for THESE two checkpoints only: base.count()
+        # runs immediately below and fully materializes base AND
+        # (through its lineage) the edges cache in one job instead of
+        # three — there is no window for partial materialization, so
+        # no recompute cascade (unlike the per-iteration ranks
+        # checkpoints, which stay eager — see the loop comment).
         edges = edges.localCheckpoint(eager=False)
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
@@ -102,15 +106,16 @@ def pagerank(edges: DataFrame, iterations: int = 8,
                      + F.lit(damping) * F.coalesce("s", F.lit(0.0)))
                     .alias("pr"))
         )
-        # truncate lineage every few rounds: each skipped checkpoint
-        # deepens the lazy plan — every-2 measured best on the sf0.1
-        # graph. LAZY since r14: the next iteration's broadcast build
-        # (or the caller's action) materializes ranks anyway, so the
-        # truncation piggybacks on an existing job instead of paying
-        # its own dispatch floor (8 iterations: 37 -> 29 -> 25 jobs
-        # together with the filler-row fold above).
+        # truncate lineage every few rounds: each checkpoint is an
+        # eager job (scheduling floor), each skipped one deepens the
+        # lazy plan — every-2 measured best on the sf0.1 graph.
+        # Deliberately EAGER: a lazy checkpoint keeps lineage until its
+        # first FULL materialization, and an evicted partition then
+        # recomputes through 8 chained iterations (observed as a
+        # 341 s / 497 s-CPU pagerank rerun in a warm session, r14);
+        # eager truncation makes that cascade structurally impossible.
         if checkpoint and (i % 2 == 0 or i == iterations):
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = ranks.localCheckpoint()
     return ranks.select("node", F.round("pr", 6).alias("pr"))
 
 
