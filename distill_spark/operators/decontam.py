@@ -58,6 +58,16 @@ def ngram_contamination(
                          .alias("shingle"))
         .distinct()
     )
+    # parallelism-gated fan-out: the shingle build is ~1 ms of CPU per
+    # document, so a corpus scan with fewer splits than cores (the
+    # single-row-group fixture case: ONE task carrying 5.8 s of CPU at
+    # sf0.1) leaves the box idle. One round-robin shuffle of the raw
+    # rows is far cheaper than serializing the tokenize. Gated on the
+    # actual scan partitioning, so at scale (splits >= cores) no
+    # shuffle is ever added.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par)
     # one tokenize+explode pass and ONE aggregation: the shingle array
     # is already distinct per doc, so n_shingles = size() rides along
     # map-side instead of a second groupBy over a second explode; the

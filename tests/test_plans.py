@@ -163,11 +163,18 @@ def test_sample_predicate_is_scan_level(spark, queries):
 
 
 def test_decontam_benchmark_side_broadcasts(spark, queries):
-    """The benchmark shingle set must broadcast into a semi-join; the
-    corpus side streaming through a SortMergeJoin would shuffle the
-    whole corpus at scale."""
+    """The benchmark shingle set must broadcast (the fused one-pass
+    shape uses a broadcast LeftOuter hit-count join); the corpus side
+    streaming through a SortMergeJoin would shuffle the whole corpus
+    at scale, so none may appear. Exactly one aggregation exchange
+    after the join (the per-doc groupBy)."""
     p = _plan(spark, queries["decontam_benchmark"](spark, SF_DIR))
-    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "BroadcastHashJoin LeftOuter" in p
+    assert "SortMergeJoin" not in p
+    # shingles never shuffle: the only exchanges besides broadcasts
+    # are the gated corpus fan-out (RoundRobin, pre-explode) and the
+    # benchmark-side + final groupBys
+    assert p.count("+- BroadcastExchange") == 1
 
 
 def test_pack_sequences_one_shuffle(spark, queries):

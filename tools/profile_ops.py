@@ -1,0 +1,87 @@
+"""Per-op profile: wall, job count, and the slowest stages with their
+task counts and exec-vs-CPU split — the evidence table for
+OPTIMIZATION_r14.md. One warm pass, one measured pass per op, UI REST
+for the stage metrics.
+
+Usage: python tools/profile_ops.py [name ...]   (default: bench set)
+Prints one JSON line per op to stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, "/root/repo")
+
+import bench  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+from distill_spark.runtime import get_spark  # noqa: E402
+
+DEFAULT = [
+    "a2_kmeans_dedup", "g3_blast_radius", "flagship_dedupe",
+    "a1_cluster_cc", "j1_pairwise_band", "t2_mmr_rerank",
+    "dedup_ngram_jaccard", "events_sessionize", "dedup_minhash",
+    "j3_ann_topk", "j2_dedup_probe", "j4_revenue_per_nation",
+    "events_tumbling", "w6_running_value", "dedup_exact",
+    "train_filter_funnel", "train_split_leakage", "train_chunking",
+    "train_repetition", "train_decontam", "train_sampling",
+    "train_packing", "train_shuffle", "train_examples",
+    "train_lm_score", "train_mixture", "train_bm25",
+    "train_line_dedup", "train_rollup", "train_pagerank", "train_bpe",
+    "train_pmi", "train_triangles", "train_anomaly",
+]
+
+
+def main():
+    names = sys.argv[1:] or DEFAULT
+    sf_dir = "/root/testdata/sf0.1"
+    spark = get_spark(app_name="profile_ops",
+                      extra_conf={"spark.ui.enabled": "true"})
+    training = bench._training_ops(sf_dir)
+    queries = entrymod.queries()
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+
+    def rest(path):
+        with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/{path}") as r:
+            return json.load(r)
+
+    for name in names:
+        if name == "flagship_dedupe":
+            fn = bench.flagship_dedupe
+        elif name in training:
+            fn = training[name]
+        else:
+            fn = queries[name]
+        spark.sparkContext.setJobDescription(f"profile: {name}")
+        try:
+            fn(spark, sf_dir).count()  # warm
+            jobs0 = {j["jobId"] for j in rest("jobs")}
+            st0 = {s["stageId"] for s in rest("stages?status=complete")}
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            wall = round(time.time() - t0, 3)
+            jobs = [j for j in rest("jobs") if j["jobId"] not in jobs0]
+            stages = [s for s in rest("stages?status=complete")
+                      if s["stageId"] not in st0]
+        except Exception as exc:  # noqa: BLE001
+            print(json.dumps({"op": name, "error": str(exc)[:200]}),
+                  flush=True)
+            continue
+        tops = sorted(stages, key=lambda s: -(s.get("executorRunTime") or 0))[:3]
+        print(json.dumps({
+            "op": name, "wall_s": wall, "jobs": len(jobs),
+            "stages": len(stages),
+            "top_stages": [
+                {"tasks": s["numCompleteTasks"],
+                 "exec_ms": s.get("executorRunTime"),
+                 "cpu_ms": round((s.get("executorCpuTime") or 0) / 1e6)}
+                for s in tops],
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
