@@ -33,6 +33,29 @@ from pyspark.sql import functions as F
 from distill_spark.functions import vectormath as vm
 
 
+def _fetch_unit_matrix(df, id_col: str, vec_col: str):
+    """Driver fetch of (ids, unit-normalized matrix) for broadcast
+    builds: one Arrow ``toPandas`` batch + vectorized einsum
+    normalization instead of a pickled ``collect()`` + 50k-iteration
+    Python loop (~0.6 s of driver gap per call at sf0.1). Rows with
+    NULL/empty/zero-norm vectors are dropped — identical to the loop
+    it replaces. Returns ([], None) when nothing survives."""
+    import numpy as np
+
+    pdf = df.select(id_col, vec_col).toPandas()
+    vals = pdf[vec_col]
+    keep = [i for i, v in enumerate(vals) if v is not None and len(v) > 0]
+    if not keep:
+        return [], None
+    M = np.asarray([vals.iloc[i] for i in keep], dtype=np.float64)
+    n = np.sqrt(np.einsum("ij,ij->i", M, M))
+    nz = n > 0
+    if not nz.any():
+        return [], None
+    ids = pdf[id_col].take(keep).to_numpy()[nz].tolist()
+    return ids, M[nz] / n[nz, None]
+
+
 def pairwise_distances(
     df: DataFrame,
     id_col: str = "id",
@@ -86,21 +109,12 @@ def broadcast_similarity_edges(
     produce no edges (distance 2.0 > any useful threshold)."""
     import numpy as np
 
-    rows = df.select(id_col, vec_col).collect()
-    ids, mats = [], []
-    for r in rows:
-        v = r[1]
-        if v is not None and len(v) > 0:
-            a = np.asarray(v, dtype=np.float64)
-            n = np.sqrt(a @ a)
-            if n > 0:
-                ids.append(r[0])
-                mats.append(a / n)
+    ids, mat = _fetch_unit_matrix(df, id_col, vec_col)
     sc = df.sparkSession.sparkContext
     if not ids:
         return df.sparkSession.createDataFrame([], schema=f"src string, dst string")
     b_ids = sc.broadcast(ids)
-    b_mat = sc.broadcast(np.stack(mats))
+    b_mat = sc.broadcast(mat)
     id_type = dict(df.dtypes)[id_col]
 
     def gen(batches):
@@ -594,21 +608,12 @@ def _verify_candidates_broadcast(corpus: DataFrame, cand: DataFrame,
     where such pairs score cosine distance 2.0."""
     import numpy as np
 
-    rows = corpus.select(id_col, vec_col).collect()
-    ids, mats = [], []
-    for r in rows:
-        v = r[1]
-        if v is not None and len(v) > 0:
-            a = np.asarray(v, dtype=np.float64)
-            nrm = np.sqrt(a @ a)
-            if nrm > 0:
-                ids.append(r[0])
-                mats.append(a / nrm)
+    ids, mat = _fetch_unit_matrix(corpus, id_col, vec_col)
     if not ids:
         return cand.limit(0)
     sc = corpus.sparkSession.sparkContext
     b_idx = sc.broadcast({i: k for k, i in enumerate(ids)})
-    b_mat = sc.broadcast(np.stack(mats))
+    b_mat = sc.broadcast(mat)
 
     def gen(batches):
         idx = b_idx.value
@@ -738,15 +743,18 @@ def ivf_edges(df: DataFrame, threshold: float, id_col: str = "id",
 
     with_emb = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
     id_type = dict(df.dtypes)[id_col]
+    # Arrow fetch of the ordered sample vectors (the a2 recipe): the
+    # id column only orders the TakeOrdered result; one Arrow batch
+    # replaces pickled Rows + a per-row list conversion
     sample = (with_emb
               .select(vm.normalize(F.col(vec_col)).alias("_v"), F.col(id_col))
               .orderBy(hash_bucket(F.col(id_col), "xxhash64", salt=seed).asc(),
                        F.col(id_col).asc())
-              .limit(fit_sample).collect())
-    if not sample:
+              .limit(fit_sample).select("_v").toPandas())
+    if len(sample) == 0:
         return df.sparkSession.createDataFrame(
             [], schema=f"src {id_type}, dst {id_type}")
-    X = np.asarray([r._v for r in sample], dtype=np.float64)
+    X = np.asarray(sample["_v"].tolist(), dtype=np.float64)
     k = min(n_cells, len(sample))
     cmat = _fit_centroids(X, k, max_iter=10)
     sc = df.sparkSession.sparkContext

@@ -184,6 +184,18 @@ def test_pack_sequences_one_shuffle(spark, queries):
     # formatted explain lists each node twice (tree + detail section)
     assert p.count("+- Exchange") == 1
     assert "FlatMapGroupsInPandas" in p
+    # r14: the one exchange must be the USER-SPECIFIED repartition by
+    # the group key (REPARTITION_BY_COL) — exempt from AQE partition
+    # coalescing, which otherwise collapses the few-MB shuffle to ONE
+    # post-shuffle partition and serializes every per-group python
+    # round-trip on a single task. ENSURE_REQUIREMENTS here means the
+    # explicit repartition was lost and the grouped stage runs narrow.
+    # (REPARTITION_BY_NUM: repartition(n, col) carries an explicit
+    # partition count, which AQE's CoalesceShufflePartitions honors;
+    # a count-less repartition(col) reads REPARTITION_BY_COL and is
+    # still coalescible — the pinned-number form is the load-bearing
+    # part of the fix.)
+    assert "REPARTITION_BY_NUM" in p
 
 
 def test_funnel_scan_prunes_columns(spark, queries):
