@@ -211,6 +211,12 @@ def hits(edges: DataFrame, iterations: int = 8, checkpoint: bool = True,
     for i in range(1, iterations + 1):
         a = _half(h, "s", "src", "dst")
         h = _half(a, "s", "dst", "src")
+        # checkpoint EVERY half-pair — the every-2 cadence that wins
+        # for pagerank/katz LOSES here, measured r14: jobs dropped
+        # 256 -> 148/rep but wall DOUBLED (15.7 -> 33.1 s solo sf0.1),
+        # because each _half's raw vector feeds two consumers (the L1
+        # total and the scaled vector) and an un-truncated half-step
+        # is re-executed inside every downstream materialization.
         if checkpoint:
             a = a.localCheckpoint()
             h = h.localCheckpoint()
@@ -286,7 +292,7 @@ def eigenvector_centrality(edges: DataFrame, iterations: int = 8,
     bcast = F.broadcast if small else (lambda df: df)
     _dec = "decimal(30,15)"
     x = nodes.withColumn("s", F.lit(1.0))
-    for _ in range(iterations):
+    for it in range(1, iterations + 1):
         # NULL filler rows fold the old final nodes-join into the
         # groupBy (one broadcast-exchange build fewer per iteration);
         # decimal sums skip NULLs, so raw/tot/score are bit-identical
@@ -303,7 +309,9 @@ def eigenvector_centrality(edges: DataFrame, iterations: int = 8,
         x = raw.crossJoin(F.broadcast(tot)).select(
             "node",
             F.coalesce(F.col("raw") / F.col("tot"), F.lit(0.0)).alias("s"))
-        if checkpoint:
+        # every-2 eager cadence — see :func:`hits`; the per-iteration
+        # L1-total broadcast build materializes x regardless
+        if checkpoint and (it % 2 == 0 or it == iterations):
             x = x.localCheckpoint()
     return x.select("node", F.round("s", 6).alias("score"))
 
@@ -361,7 +369,7 @@ def katz_centrality(edges: DataFrame, alpha: float = 0.05,
     bcast = F.broadcast if small else (lambda df: df)
     _dec = "decimal(30,15)"
     x = nodes.withColumn("s", F.lit(beta))
-    for _ in range(iterations):
+    for it in range(1, iterations + 1):
         # same NULL-filler fold as :func:`pagerank`: the nodes-join
         # collapses into the groupBy, one broadcast build fewer per
         # iteration, decimal sums unchanged bit-for-bit.
@@ -376,7 +384,11 @@ def katz_centrality(edges: DataFrame, alpha: float = 0.05,
                      (F.lit(beta)
                       + F.lit(alpha) * F.coalesce("raw", F.lit(0.0)))
                      .alias("s")))
-        if checkpoint:
+        # every-2 eager cadence — see :func:`hits`. Katz has no
+        # per-iteration scalar broadcast, so on big graphs (bcast =
+        # identity) skipped rounds stay lazy until the next eager
+        # checkpoint: lineage depth is bounded at 2 iterations.
+        if checkpoint and (it % 2 == 0 or it == iterations):
             x = x.localCheckpoint()
     return x.select("node", F.round("s", 6).alias("score"))
 
