@@ -96,13 +96,72 @@ def merge_fold(syms: Column, left: str, right: str) -> Column:
     )
 
 
+def _learn_merges_driver(words: list, counts: list, num_merges: int,
+                         min_count: int) -> list[tuple[int, str, str, int]]:
+    """The merge loop on a driver-resident vocabulary: exact integer
+    pair sums (Python ints), the same (count DESC, left ASC, right ASC)
+    argmax — Python tuple order on str is code-point order, which
+    equals Spark's UTF8 binary ORDER BY for valid UTF-8 — and the same
+    greedy left-to-right fold as :func:`merge_fold` (a merged tail
+    re-merges only when it textually equals the left symbol)."""
+    syms = [list(w) for w in words]
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, num_merges + 1):
+        pc: dict[tuple[str, str], int] = {}
+        for s, c in zip(syms, counts):
+            for i in range(len(s) - 1):
+                k = (s[i], s[i + 1])
+                pc[k] = pc.get(k, 0) + c
+        cands = [(p, c) for p, c in pc.items() if c >= min_count]
+        if not cands:
+            break
+        (left, right), cnt = min(cands, key=lambda x: (-x[1], x[0][0], x[0][1]))
+        merges.append((step, left, right, cnt))
+        for idx, s in enumerate(syms):
+            out = []
+            for x in s:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            syms[idx] = out
+    return merges
+
+
 def learn_bpe(df: DataFrame, text_col: str = "text", num_merges: int = 10,
-              min_count: int = 2, checkpoint_every: int = 3):
+              min_count: int = 2, checkpoint_every: int = 3,
+              driver_threshold: int = 500_000):
     """Learn ``num_merges`` BPE merges; returns (merges, vocab) where
     merges is a list of (step, left, right, pair_count) and vocab is
-    the final (word, cnt, syms) DataFrame."""
+    the final (word, cnt, syms) DataFrame.
+
+    Route gate (r14): the merge loop only ever touches the UNIQUE-WORD
+    table, so when that table is driver-sized (≤ ``driver_threshold``
+    rows — one cheap count on the checkpointed vocab decides) the whole
+    K-round loop runs on the driver from ONE Arrow fetch: 2 jobs total
+    instead of 2 jobs per merge round (the groupBy-shuffle argmax paid
+    an AQE stage materialization + the collect, every round — measured
+    27 jobs / 3.4 s for the 10-round corpus query at sf0.1). This is
+    the same gated driver route as connected_components' union-find:
+    the distributed per-round loop below stays the fallback for
+    cluster-scale vocabularies, and both routes produce bit-identical
+    merges (exact integer sums, identical argmax tie-break, identical
+    greedy fold — pinned by tests against the transparent reference
+    and by the DuckDB oracle)."""
     vocab = word_vocab(df, text_col).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
+    if vocab.count() <= driver_threshold:
+        pdf = vocab.select("word", "cnt").toPandas()
+        merges = _learn_merges_driver(
+            pdf["word"].tolist(), [int(c) for c in pdf["cnt"]],
+            num_merges, min_count)
+        # the returned vocab applies the same folds LAZILY — callers
+        # that materialize it (tests, bpe_encode-style reuse) pay one
+        # job then; the merges path never does
+        for _, left, right, _ in merges:
+            vocab = vocab.withColumn(
+                "syms", merge_fold(F.col("syms"), left, right))
+        return merges, vocab
     for step in range(1, num_merges + 1):
         best = (
             pair_counts(vocab)

@@ -53,6 +53,28 @@ def test_learn_bpe_matches_reference(spark):
         assert r.syms == ref_syms[r.word], r.word
 
 
+def test_learn_bpe_driver_route_equals_distributed(spark):
+    """The r14 gated driver route (whole merge loop on the driver from
+    one vocab fetch) must produce the identical merge sequence — counts,
+    tie-breaks and early-stop included — as the distributed per-round
+    loop it gates (the cluster-scale fallback), and the returned vocab
+    must hold the same folded symbols either way."""
+    texts = [
+        "aa ab aa ba bb ab",       # exercises count ties -> left/right
+        "zz za az aa zz zz aa",    # tie-break order
+        "lower low lowest newer new newest",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    fast, fast_vocab = learn_bpe(df, num_merges=6, min_count=2)
+    slow, slow_vocab = learn_bpe(df, num_merges=6, min_count=2,
+                                 driver_threshold=0)  # force fallback
+    assert fast == slow
+    assert len(fast) >= 3  # the corpus actually learned merges
+    fv = {r.word: r.syms for r in fast_vocab.collect()}
+    sv = {r.word: r.syms for r in slow_vocab.collect()}
+    assert fv == sv
+
+
 def test_merge_fold_greedy_runs(spark):
     df = spark.createDataFrame([(1,)], ["x"]).select(
         merge_fold(F.split(F.lit("a a a a"), " "), "a", "a").alias("m4"),
