@@ -1808,20 +1808,34 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     J ≥ 0.05). Exact rational arithmetic → exact oracle parity."""
     t = _tables(spark, sf_dir)
     sub = t["documents"].filter(F.col("doc_id") < 300)
+    # r15 single-pass shape (the decontam trick): the per-doc shingle
+    # count IS size(shingle array) — explode emits exactly size(arr)
+    # rows, so the old `sizes` groupBy + two re-attach joins carried a
+    # value already known map-side. sz rides the self-join shuffle (one
+    # int per row) and max(sz) per pair recovers it — constant within a
+    # doc, so max == the old joined value. Plan: 3 subtrees/2 joins
+    # fewer; the self-join's two sides stay one ReusedExchange.
+    # explode_outer, not explode: plain explode's implicit
+    # `size(arr) > 0 AND isnotnull(arr)` filter gets pushed below the
+    # projection and re-derives the full shingle expression 2 extra
+    # times per row (measured 0.9 -> 1.7 s); outer-explode adds no
+    # such filter, and the inner join on sh drops the null rows that
+    # zero-shingle docs produce, which plain explode dropped earlier.
     sh = (
-        sub.select("doc_id", F.explode(_shingles_expr(F.col("text"))).alias("sh"))
+        sub.select("doc_id", _shingles_expr(F.col("text")).alias("_arr"))
+        .select("doc_id", F.size("_arr").cast("long").alias("sz"),
+                F.explode_outer("_arr").alias("sh"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("a").join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh"))
                            & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
+        .agg(F.count("*").alias("inter"),
+             F.max(F.col("a.sz")).alias("sza"),
+             F.max(F.col("b.sz")).alias("szb"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
     return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
+        inter
         .withColumn("jaccard",
                     F.round(F.col("inter")
                             / (F.col("sza") + F.col("szb") - F.col("inter")), 6))

@@ -92,19 +92,36 @@ def blast_radius(edges: DataFrame, seeds: DataFrame, max_depth: int = 0,
 
     if 0 < max_depth <= 4:
         # bounded shallow walk: unroll into ONE lazy plan — no
-        # per-round actions, no early-exit probes; Spark's exchange
-        # reuse dedups the repeated subtrees, and depth ≤ 4 keeps the
-        # plan small. This is the common blast-radius shape (the
-        # reference defaults to depth ≤ 3, graph.go:137).
+        # per-round actions, no early-exit probes, and (r15) NO
+        # per-level anti-joins: BFS depth = min walk length, so the
+        # depth-d waves union into ONE min-depth aggregation (the
+        # oracle's recursive-CTE shape — `min(depth) GROUP BY node`).
+        # Seeds ride along at depth 0, so the final depth>=1 filter
+        # replaces the old visited anti-joins too. Each wave stays
+        # distinct-ed before it feeds the next join (that IS the BFS
+        # frontier dedup bounding the fan-out); the last wave skips it
+        # — the aggregation dedups. vs r14: 3 distincts + 3 anti-joins
+        # -> 2 distincts + 1 groupBy; the joins' fan-out is unchanged
+        # (the anti-joins pruned AFTER the join as well), the only
+        # re-walk is from re-reached depth-(d-2) nodes, bounded by the
+        # seed set at these depths. Depth ≤ 4 keeps the plan small
+        # (the reference defaults to depth ≤ 3, graph.go:137).
+        waves = [visited]
         for depth in range(1, max_depth + 1):
             nxt = (
                 frontier.join(step, frontier.node == step["from"])
-                .select(F.col("to").alias("node")).distinct()
-                .join(visited.select("node"), "node", "left_anti")
-                .withColumn("depth", F.lit(depth))
+                .select(F.col("to").alias("node"))
             )
-            visited = visited.unionByName(nxt)
+            if depth < max_depth:
+                nxt = nxt.distinct()
+            waves.append(nxt.withColumn("depth", F.lit(depth)))
             frontier = nxt
+        from functools import reduce
+
+        visited = (
+            reduce(lambda x, y: x.unionByName(y), waves)
+            .groupBy("node").agg(F.min("depth").alias("depth"))
+        )
     else:
         # unbounded (or deep) walk: materialize each frontier and stop
         # when it drains — O(diameter) rounds with checkpointed lineage

@@ -195,11 +195,16 @@ def cluster_exact(
     idtype = dict(src.dtypes)[id_col]
     # user-specified hash repartition: exempt from AQE coalescing so
     # bounded-size groups cluster in parallel instead of serially on
-    # one post-shuffle partition (see packing.pack_sequences)
-    n_shuffle = int(src.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "200"))
-    out = (src.select(gcol, id_col, vec_col)
-           .repartition(n_shuffle, gcol)
+    # one post-shuffle partition (see packing.pack_sequences). Skipped
+    # for the single-group call, where it can only schedule empty
+    # tasks (see operators.groupwidth).
+    from distill_spark.operators.groupwidth import (
+        repartition_for_grouped_python)
+
+    src = src.select(gcol, id_col, vec_col)
+    if group_col:
+        src = repartition_for_grouped_python(src, gcol)
+    out = (src
            .groupBy(gcol).applyInPandas(
                run, schema=f"{gcol} {gtype}, {id_col} {idtype}, cluster_id long"
            ))

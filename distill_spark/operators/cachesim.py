@@ -161,8 +161,13 @@ def simulate_cache(ops: DataFrame, config: CacheSimConfig | None = None) -> Data
 
     # user-specified repartition: keeps one task per shard-hash slot
     # instead of AQE coalescing the small shuffle to one partition and
-    # replaying every shard serially (see packing.pack_sequences)
-    n_shuffle = int(keyed.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "200"))
-    return (keyed.repartition(n_shuffle, "shard")
+    # replaying every shard serially (see packing.pack_sequences).
+    # Width capped at the shard count — the cache topology IS
+    # cfg.n_shards, so more tasks than shards can only be empty tasks
+    # (see operators.groupwidth).
+    from distill_spark.operators.groupwidth import (
+        repartition_for_grouped_python)
+
+    return (repartition_for_grouped_python(keyed, "shard",
+                                           n_groups=cfg.n_shards)
             .groupBy("shard").applyInPandas(replay_group, STATS_SCHEMA))

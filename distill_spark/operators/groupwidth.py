@@ -1,0 +1,52 @@
+"""Shuffle-width policy for grouped Python stages (applyInPandas).
+
+An explicit ``repartition(N, key)`` immediately before
+``groupBy(key).applyInPandas`` satisfies the operator's required
+ClusteredDistribution (no second exchange) and — being user-specified
+(REPARTITION_BY_NUM) — is exempt from AQE partition coalescing, which
+otherwise collapses a small shuffle onto ONE post-shuffle partition
+and serializes every per-group Python round-trip on a single task
+(measured in round 14: pack_sequences 6.1 -> 1.6 s with 1500 groups).
+
+The round-14 lesson is that the SAME repartition is a regression when
+the group count is small: with one group, ``repartition(N, key)``
+still schedules N tasks (N-1 of them empty Python-stage tasks,
+coalesce-exempt by design) that contend for cores — the driver bench
+measured t2_mmr_rerank 1.79 -> 4.11 s. Width must track group
+cardinality:
+
+- ``group_col is None`` (single group): callers skip the repartition
+  entirely; the planner's ENSURE_REQUIREMENTS exchange + AQE
+  coalescing (one task) is optimal for one group.
+- known group count: pass ``n_groups`` to cap the width.
+- otherwise: the session's shuffle parallelism (cluster-tuned
+  conf, never a local-mode constant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def grouped_python_width(df: DataFrame) -> int:
+    """The session's shuffle parallelism, parsed defensively: some
+    platforms set ``spark.sql.shuffle.partitions`` to a non-numeric
+    value (e.g. "auto"), in which case fall back to the scheduler's
+    ``defaultParallelism``."""
+    raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        return max(1, int(raw))
+    except (TypeError, ValueError):
+        return max(1, df.sparkSession.sparkContext.defaultParallelism)
+
+
+def repartition_for_grouped_python(
+    df: DataFrame, gcol: str, n_groups: int | None = None
+) -> DataFrame:
+    """Explicit hash repartition before a grouped Python stage, width
+    capped at ``n_groups`` when the group cardinality is known (more
+    tasks than groups can only ever be empty tasks)."""
+    width = grouped_python_width(df)
+    if n_groups is not None:
+        width = min(width, max(1, int(n_groups)))
+    return df.repartition(width, gcol)

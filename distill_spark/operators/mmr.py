@@ -141,14 +141,20 @@ def mmr_rerank(
     schema = T.StructType(
         list(src.schema.fields) + [T.StructField("mmr_rank", T.LongType())]
     )
-    # user-specified hash repartition: no-op for the default
-    # single-group call (one key → one partition either way), but for
-    # grouped MMR it keeps one task per group-hash slot instead of AQE
-    # coalescing everything onto one core (see packing.pack_sequences)
-    n_shuffle = int(src.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "200"))
-    out = (src.repartition(n_shuffle, gcol)
-           .groupBy(gcol).applyInPandas(run, schema=schema))
+    # Grouped MMR keeps one task per group-hash slot via the explicit
+    # repartition (AQE-coalesce-exempt; see operators.groupwidth). For
+    # the default single-group call the repartition is SKIPPED: one
+    # group can never parallelize across tasks, and a constant-key
+    # repartition schedules shuffle-partitions-many tasks (all but one
+    # empty, coalescing disabled) that contend for cores — measured as
+    # t2_mmr_rerank 1.79 -> 4.11 s in the round-14 driver bench. The
+    # planner's own exchange + AQE coalescing is optimal for one group.
+    from distill_spark.operators.groupwidth import (
+        repartition_for_grouped_python)
+
+    if group_col:
+        src = repartition_for_grouped_python(src, gcol)
+    out = src.groupBy(gcol).applyInPandas(run, schema=schema)
     out = out.select(*cols, "mmr_rank")
     return out if group_col else out.drop(gcol)
 

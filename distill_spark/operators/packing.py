@@ -72,9 +72,13 @@ def pack_sequences(
     # round-trip on a single task (measured at sf0.1: 1500 user
     # groups, 5.2 s exec with 0.3 s CPU — 4.9 s of arrow round-trip
     # wait on one core). Width comes from the session's shuffle
-    # parallelism, not a local constant.
-    n_shuffle = int(src.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "200"))
-    out = (src.repartition(n_shuffle, gcol)
-           .groupBy(gcol).applyInPandas(run, schema=schema))
+    # parallelism, not a local constant — and the repartition is
+    # skipped for the single-group call, where it can only schedule
+    # empty tasks (see operators.groupwidth).
+    from distill_spark.operators.groupwidth import (
+        repartition_for_grouped_python)
+
+    if group_col:
+        src = repartition_for_grouped_python(src, gcol)
+    out = src.groupBy(gcol).applyInPandas(run, schema=schema)
     return out if group_col else out.drop(gcol)

@@ -196,9 +196,13 @@ def summarize_turns(
     # distribution (no extra exchange) and is exempt from AQE
     # coalescing, which otherwise collapses small shuffles to one
     # partition and serializes every per-group python round-trip
-    # (see packing.pack_sequences — same fix, measured 4.2 -> 1.6 s)
-    n_shuffle = int(src.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "200"))
-    out = (src.repartition(n_shuffle, gcol)
-           .groupBy(gcol).applyInPandas(run, schema=schema))
+    # (see packing.pack_sequences — same fix, measured 4.2 -> 1.6 s).
+    # Skipped for the single-group call, where it can only schedule
+    # empty tasks (see operators.groupwidth).
+    from distill_spark.operators.groupwidth import (
+        repartition_for_grouped_python)
+
+    if group_col:
+        src = repartition_for_grouped_python(src, gcol)
+    out = src.groupBy(gcol).applyInPandas(run, schema=schema)
     return out if group_col else out.drop(gcol)

@@ -198,6 +198,19 @@ def test_pack_sequences_one_shuffle(spark, queries):
     assert "REPARTITION_BY_NUM" in p
 
 
+def test_single_group_python_stage_skips_repartition(spark, queries):
+    """t2_mmr_rerank runs the default single-group MMR: the explicit
+    coalesce-exempt repartition must NOT appear — with one group it
+    can only schedule empty Python-stage tasks that contend for cores
+    (r14 driver bench: 1.79 -> 4.11 s). The planner's own
+    ENSURE_REQUIREMENTS exchange (AQE-coalescible to one task) is the
+    correct shape for one group."""
+    p = _plan(spark, queries["t2_mmr_rerank"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in p
+    assert "REPARTITION_BY_NUM" not in p
+    assert "REPARTITION_BY_COL" not in p
+
+
 def test_funnel_scan_prunes_columns(spark, queries):
     # the funnel needs doc_id/text/lang only — reading n_chars/source
     # for a 3-column gate would be wrong at any scale

@@ -1,8 +1,8 @@
-"""Dump `.explain("formatted")` for named queries into plans/r14/.
+"""Dump `.explain("formatted")` for named queries into plans/r15/.
 
 Optimization-round evidence: the judge cannot run Spark, so every
-plan claim in OPTIMIZATION_r14.md is backed by a committed
-`plans/r14/<name>_<tag>.txt` produced by this tool.
+plan claim in OPTIMIZATION_r15.md is backed by a committed
+`plans/r15/<name>_<tag>.txt` produced by this tool.
 
 Usage:
     python tools/dump_plans.py <tag> [name ...]
@@ -52,7 +52,7 @@ def main():
     names = sys.argv[2:] or DEFAULT
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r14")
+        os.path.abspath(__file__))), "plans", "r15")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="dump_plans")
     for name in names:
