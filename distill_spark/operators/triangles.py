@@ -66,12 +66,17 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     tri = wedges.join(closing, ["v", "w"]).agg(
         F.count("*").cast("long").alias("n_triangles"))
 
-    counts = edges.agg(F.count("*").cast("long").alias("n_edges"))
-    nn = deg.agg(F.count("*").cast("long").alias("n_nodes"))
-    nw = deg.agg(
+    # one aggregate over deg yields all three counts: every distinct
+    # undirected edge contributes exactly 2 to sum(deg), so n_edges =
+    # sum(deg) div 2 (exact integer division) — the r14 shape paid a
+    # separate edge scan plus two more single-row aggregates and three
+    # cross-join subtrees for values one pass over deg already holds
+    stats = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.expr("sum(deg) div 2").cast("long").alias("n_edges"),
         F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges"))
     return (
-        nn.crossJoin(counts).crossJoin(nw).crossJoin(tri)
+        stats.crossJoin(tri)
         .select(
             "n_nodes", "n_edges", "n_wedges", "n_triangles",
             F.round(
