@@ -95,6 +95,7 @@ def kmeans_dedup(
     prune_threshold: float = 0.05,
     max_iter: int = 10,
     fit_sample: int = 20000,
+    literal_matrix_max_bytes: int = 1 << 20,
 ) -> DataFrame:
     """Returns the input rows plus ``cluster_id``, ``is_medoid`` and
     ``kept`` columns; filter on ``kept`` for the deduped set. Rows
@@ -252,16 +253,36 @@ def kmeans_dedup(
                 for v in vals) + ")")
         return F.expr("array(" + ",".join(arrs) + ")")
 
-    cent_lit = _float_matrix_lit(
-        lambda c: cent_vals.get(c, np.zeros(dim)))
-    with_dist = (
-        assigned
-        .withColumn("_centroid",
-                    F.element_at(cent_lit, F.col("cluster_id") + 1))
-        .withColumn("_cdist",
-                    F.round(vm.cosine_distance(F.col(vec_col),
-                                               F.col("_centroid")), 6))
-    )
+    # size gate (r15): the literal matrix grows the plan text linearly
+    # in k·dim — fine at bench scale (k=√(N/2)), but above ~1 MB of
+    # expression the parse/codegen cost and driver-held plan outweigh
+    # the saved broadcast-build jobs. Past the gate, fall back to the
+    # broadcast-join shape: the broadcast rows carry the IDENTICAL
+    # float32 arrays the literals encode (python float → FloatType is
+    # the same double→float32 cast as CAST('…' AS DOUBLE) AS FLOAT),
+    # so both routes produce bit-identical output (route-equality
+    # pinned in tests/test_kmeans_routes.py).
+    spark = df.sparkSession
+    est_lit_bytes = (max_cid + 1) * dim * 30
+    use_literals = est_lit_bytes <= literal_matrix_max_bytes
+
+    if use_literals:
+        centroid_col = F.element_at(
+            _float_matrix_lit(lambda c: cent_vals.get(c, np.zeros(dim))),
+            F.col("cluster_id") + 1)
+        based = assigned.withColumn("_centroid", centroid_col)
+    else:
+        cent_df = spark.createDataFrame(
+            [(c, [float(v) for v in cent_vals.get(c, np.zeros(dim))])
+             for c in range(max_cid + 1)],
+            T.StructType([
+                T.StructField("cluster_id", T.IntegerType()),
+                T.StructField("_centroid", T.ArrayType(T.FloatType())),
+            ]))
+        based = assigned.join(F.broadcast(cent_df), "cluster_id")
+    with_dist = based.withColumn(
+        "_cdist",
+        F.round(vm.cosine_distance(F.col(vec_col), F.col("_centroid")), 6))
     # medoid = member minimizing (rounded distance, id). _cdist stays
     # a JVM expression (identical to what a2_kmeans_contract
     # re-derives), and since r14 the reduction does too: min over a
@@ -281,25 +302,46 @@ def kmeans_dedup(
         m = r["m"]
         med[r["cluster_id"]] = (m["d"], m["i"], m["v"])
     any_id = next(iter(med.values()))[1]
-    med_id_lit = F.element_at(
-        F.array(*[F.lit(med[c][1] if c in med else any_id)
-                  for c in range(max_cid + 1)]),
-        F.col("cluster_id") + 1)
-    med_vec_lit = F.element_at(
-        _float_matrix_lit(
-            lambda c: med[c][2] if c in med else [0.0] * dim),
-        F.col("cluster_id") + 1)
+    if use_literals:
+        med_id_col = F.element_at(
+            F.array(*[F.lit(med[c][1] if c in med else any_id)
+                      for c in range(max_cid + 1)]),
+            F.col("cluster_id") + 1)
+        med_vec_col = F.element_at(
+            _float_matrix_lit(
+                lambda c: med[c][2] if c in med else [0.0] * dim),
+            F.col("cluster_id") + 1)
+        medded = with_dist
+    else:
+        med_df = spark.createDataFrame(
+            [(c,
+              med[c][1] if c in med else any_id,
+              [float(v) for v in (med[c][2] if c in med else [0.0] * dim)])
+             for c in range(max_cid + 1)],
+            T.StructType([
+                T.StructField("cluster_id", T.IntegerType()),
+                T.StructField("_mid", with_emb.schema[id_col].dataType),
+                T.StructField("_mvec", T.ArrayType(T.FloatType())),
+            ]))
+        medded = with_dist.join(F.broadcast(med_df), "cluster_id")
+        med_id_col = F.col("_mid")
+        med_vec_col = F.col("_mvec")
     pruned = (
-        with_dist
-        .withColumn("is_medoid", F.col(id_col) == med_id_lit)
+        medded
+        .withColumn("is_medoid", F.col(id_col) == med_id_col)
         .withColumn(
             "kept",
             F.col("is_medoid")
-            | (F.round(vm.cosine_distance(F.col(vec_col), med_vec_lit), 6)
+            | (F.round(vm.cosine_distance(F.col(vec_col), med_vec_col), 6)
                >= prune_threshold),
         )
-        .drop("_centroid", "_cdist")
+        .drop("_centroid", "_cdist", "_mid", "_mvec")
     )
+    if not use_literals:
+        # the joins moved cluster_id to the front; restore the literal
+        # route's column order so both routes are frame-identical
+        pruned = pruned.select(*with_emb.columns, "cluster_id",
+                               "is_medoid", "kept")
 
     out_no_emb = no_emb.withColumn("cluster_id", F.lit(-1)).withColumn(
         "is_medoid", F.lit(True)

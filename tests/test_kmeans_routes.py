@@ -1,0 +1,42 @@
+"""Route-equality for kmeans_dedup's literal-matrix size gate (r15).
+
+The k×dim centroid/medoid lookup tables normally enter the plan as one
+parsed literal expression; above ``literal_matrix_max_bytes`` the
+operator falls back to broadcast joins (the cluster-scale shape — a
+literal matrix for k in the tens of thousands would bloat the plan by
+tens of MB). Both routes must produce the identical frame: same rows,
+same values, same column order.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from distill_spark.operators.kmeans_dedup import kmeans_dedup
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(F.col("vec_id").alias("id"), "embedding")
+    )
+
+
+def _frame(df):
+    rows = df.select("id", "cluster_id", "is_medoid", "kept").collect()
+    return sorted((r.id, r.cluster_id, r.is_medoid, r.kept) for r in rows)
+
+
+def test_broadcast_route_equals_literal_route(spark, emb):
+    lit_route = kmeans_dedup(emb, k=7, fit_sample=500, prune_threshold=0.6)
+    bcast_route = kmeans_dedup(emb, k=7, fit_sample=500, prune_threshold=0.6,
+                               literal_matrix_max_bytes=0)  # force fallback
+    assert lit_route.columns == bcast_route.columns
+    a, b = _frame(lit_route), _frame(bcast_route)
+    assert a == b
+    # the gate actually decided something: the clustering is nontrivial
+    assert len({cid for _, cid, _, _ in a}) > 1
+    assert any(kept is False for *_, kept in a)
