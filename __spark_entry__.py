@@ -14922,7 +14922,35 @@ def _sql_morisita_horn():
 
 
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
-    # ======================== ROUND-14 WINDOW ============================
+    # ======================== ROUND-15 WINDOW ============================
+    # -- round-15 head: the 21 seeds queued all of round 14 (each
+    # parity-verified at sf0.001 + sf0.01 before queueing; the suite's
+    # rotation gate demanded exactly this promotion): robust two-sample
+    # tests, rank correlation, forecast-quality trackers, SPC charts,
+    # agreement/capability/diversity singles, fractal-dimension
+    # battery ------------------------------------------------------------------
+    "gehan_wilcoxon": (q_gehan_wilcoxon, _sql_gehan_wilcoxon()),
+    "xi_correlation": (q_xi_correlation, _sql_xi_correlation()),
+    "theil_u2": (q_theil_u2, _sql_theil_u2()),
+    "tracking_signal": (q_tracking_signal, _sql_tracking_signal()),
+    "p_chart_weekly": (q_p_chart_weekly, _sql_p_chart_weekly()),
+    "bowker_symmetry": (q_bowker_symmetry, _sql_bowker_symmetry()),
+    "bennett_s": (q_bennett_s, _sql_bennett_s()),
+    "bonferroni_index": (q_bonferroni_index, _sql_bonferroni_index()),
+    "dekkers_einmahl": (q_dekkers_einmahl, _sql_dekkers_einmahl()),
+    "cpk_capability": (q_cpk_capability, _sql_cpk_capability()),
+    "bray_curtis": (q_bray_curtis, _sql_bray_curtis()),
+    "morisita_horn": (q_morisita_horn, _sql_morisita_horn()),
+    "partial_auc": (q_partial_auc, _sql_partial_auc()),
+    "fligner_policello": (q_fligner_policello, _sql_fligner_policello()),
+    "lepage_test": (q_lepage_test, _sql_lepage_test()),
+    "moore_wallis": (q_moore_wallis, _sql_moore_wallis()),
+    "win_ratio": (q_win_ratio, _sql_win_ratio()),
+    "higuchi_fd": (q_higuchi_fd, _sql_higuchi_fd()),
+    "katz_fd": (q_katz_fd, _sql_katz_fd()),
+    "petrosian_fd": (q_petrosian_fd, _sql_petrosian_fd()),
+    "hjorth_params": (q_hjorth_params, _sql_hjorth_params()),
+    # -- round-14 window (all 50 driver-green in CORRECTNESS_r14) ------------
     # -- round-14 head: the 21 seeds queued all of round 13 (each
     # parity-verified at sf0.001 + sf0.01 before queueing; the suite's
     # rotation gate demanded exactly this promotion): circular
@@ -15590,28 +15618,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a2_kmeans_contract": (q_a2_kmeans_contract, SQL_A2C),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "st5_cache_boundary": (q_st5_cache_boundary, SQL_ST5),
-    # -- round-15 seed stratum (queued; see _PENDING_PROMOTION) --------------
-    "gehan_wilcoxon": (q_gehan_wilcoxon, _sql_gehan_wilcoxon()),
-    "xi_correlation": (q_xi_correlation, _sql_xi_correlation()),
-    "theil_u2": (q_theil_u2, _sql_theil_u2()),
-    "tracking_signal": (q_tracking_signal, _sql_tracking_signal()),
-    "p_chart_weekly": (q_p_chart_weekly, _sql_p_chart_weekly()),
-    "bowker_symmetry": (q_bowker_symmetry, _sql_bowker_symmetry()),
-    "bennett_s": (q_bennett_s, _sql_bennett_s()),
-    "bonferroni_index": (q_bonferroni_index, _sql_bonferroni_index()),
-    "dekkers_einmahl": (q_dekkers_einmahl, _sql_dekkers_einmahl()),
-    "cpk_capability": (q_cpk_capability, _sql_cpk_capability()),
-    "bray_curtis": (q_bray_curtis, _sql_bray_curtis()),
-    "morisita_horn": (q_morisita_horn, _sql_morisita_horn()),
-    "partial_auc": (q_partial_auc, _sql_partial_auc()),
-    "fligner_policello": (q_fligner_policello, _sql_fligner_policello()),
-    "lepage_test": (q_lepage_test, _sql_lepage_test()),
-    "moore_wallis": (q_moore_wallis, _sql_moore_wallis()),
-    "win_ratio": (q_win_ratio, _sql_win_ratio()),
-    "higuchi_fd": (q_higuchi_fd, _sql_higuchi_fd()),
-    "katz_fd": (q_katz_fd, _sql_katz_fd()),
-    "petrosian_fd": (q_petrosian_fd, _sql_petrosian_fd()),
-    "hjorth_params": (q_hjorth_params, _sql_hjorth_params()),
 }
 
 # The explicit promotion queue: every member must be oracled, sit past
@@ -15624,18 +15630,15 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
 # ERR@10, MSTTR, BWS/Mood/Cucconi, Hoeffding D, White,
 # Breusch–Godfrey) — the rotation gate's demand. The queue refills
 # with round-15 seeds as round-14 strata land past position 50.
-# Round-15 rotation queue: every entry is oracled, sits past the
-# 50-query driver window, and has planted tests in
-# tests/test_round15_seeds.py. The registry gate forces these into
-# the window head at the round-15 rotation.
-_PENDING_PROMOTION: frozenset[str] = frozenset({
-    "gehan_wilcoxon", "xi_correlation", "theil_u2", "tracking_signal",
-    "p_chart_weekly", "bowker_symmetry", "bennett_s",
-    "bonferroni_index", "dekkers_einmahl", "cpk_capability",
-    "bray_curtis", "morisita_horn", "partial_auc",
-    "fligner_policello", "lepage_test", "moore_wallis", "win_ratio",
-    "higuchi_fd", "katz_fd", "petrosian_fd", "hjorth_params",
-})
+# Round 15 opens with all 21 round-14-queued seeds PROMOTED into the
+# window head (robust two-sample tests, ξ-correlation, Theil U2,
+# tracking signal, p-chart, Bowker/Bennett/Bonferroni, capability,
+# Bray–Curtis/Morisita–Horn, partial AUC, Fligner–Policello, Lepage,
+# Moore–Wallis, win ratio, fractal-dimension battery, Hjörth
+# parameters) — the rotation gate's demand. Round 15 is an
+# optimization round, so no new seeds queue: the registry is frozen
+# at 575 queries and the queue is empty.
+_PENDING_PROMOTION: frozenset[str] = frozenset()
 
 
 def entry(spark: SparkSession) -> DataFrame:
