@@ -51,8 +51,16 @@ def ngram_contamination(
     """Per corpus document: distinct-shingle count, how many of them
     appear anywhere in the benchmark set, the overlap fraction, and a
     ``contaminated`` flag (overlap >= min_overlap). Documents shorter
-    than n words have zero shingles and are trivially clean.
-    Output: (id, n_shingles, n_matched, overlap, contaminated)."""
+    than n words have zero shingles and are trivially clean — the flag
+    is gated on ``n_shingles > 0`` so they stay clean even for
+    degenerate ``min_overlap <= 0``.
+    Output: (id, n_shingles, n_matched, overlap, contaminated).
+
+    Precondition: ``id_col`` is unique per corpus row (the usual
+    contract for a document id). The fused one-pass aggregation takes
+    ``max`` of the per-row shingle count while summing hits across all
+    rows of an id, so duplicate ids would mix rows into one result
+    instead of reporting each row separately."""
     bench_shingles = (
         benchmark.select(F.explode(_word_shingles(F.col(text_col), n))
                          .alias("shingle"))
@@ -94,7 +102,9 @@ def ngram_contamination(
                     F.when(F.col("n_shingles") == 0, F.lit(0.0))
                     .otherwise(F.round(F.col("n_matched")
                                        / F.col("n_shingles"), 6)))
-        .withColumn("contaminated", F.col("overlap") >= min_overlap)
+        .withColumn("contaminated",
+                    (F.col("n_shingles") > 0)
+                    & (F.col("overlap") >= min_overlap))
     )
     return out
 

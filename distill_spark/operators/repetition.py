@@ -12,7 +12,7 @@ non-alphanumeric runs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -32,33 +32,41 @@ def repetition_signals(
         lambda x: x != "")
     base = df.select(F.col(id_col), toks.alias("_tk"))
 
-    words = base.select(
-        id_col,
-        F.size("_tk").alias("n_words"),
-        F.when(F.size("_tk") > 0,
-               F.round(1.0 - F.size(F.array_distinct("_tk"))
-                       / F.size("_tk"), 6)).otherwise(0.0)
-        .alias("dup_word_frac"))
-
+    # r15 single-pass fold: n_words / dup_word_frac are per-row values
+    # that previously rode a SECOND scan+tokenize subtree joined back
+    # on id, and the top bigram ran as a window (exchange + sort) over
+    # the counts. Instead they ride the explode (two small numeric
+    # columns per bigram row, reduced map-side by the partial agg) and
+    # the top pick is min(struct(-c, bg)) — lexicographic struct min =
+    # largest count, ties to the lexicographically smallest bigram,
+    # exactly row_number over (c DESC, bg ASC) = 1. explode_outer
+    # keeps <2-word docs as one NULL-bigram row (reported 0.0), which
+    # the old LEFT join + coalesce reattached. One scan, two partial-
+    # aggregated exchanges, no window sort, no join.
+    n_words = F.size("_tk")
     grams = base.select(
-        id_col,
-        F.explode(F.when(
-            F.size("_tk") >= 2,
-            F.transform(F.sequence(F.lit(1), F.size("_tk") - 1),
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.when(n_words > 0,
+               F.round(1.0 - F.size(F.array_distinct("_tk")) / n_words, 6))
+        .otherwise(0.0).alias("dup_word_frac"),
+        F.explode_outer(F.when(
+            n_words >= 2,
+            F.transform(F.sequence(F.lit(1), n_words - 1),
                         lambda i: F.concat_ws(" ", F.slice(F.col("_tk"), i, 2)))
         ).otherwise(F.array().cast("array<string>"))).alias("bg"))
-    counts = grams.groupBy(id_col, "bg").agg(F.count("*").alias("c"))
-    # total bigrams per doc from the already-reduced counts — summing
-    # the raw grams again would repeat the explode and its shuffle
-    w = Window.partitionBy(id_col)
-    ranked = counts.withColumn(
-        "_rn", F.row_number().over(w.orderBy(F.desc("c"), F.asc("bg")))
-    ).withColumn("total", F.sum("c").over(w))
-    top = (ranked.filter(F.col("_rn") == 1)
-           .select(id_col,
-                   F.round(F.col("c") / F.col("total"), 6)
-                   .alias("top_bigram_frac")))
-
-    return (words.join(top, id_col, "left")
-            .withColumn("top_bigram_frac",
-                        F.coalesce("top_bigram_frac", F.lit(0.0))))
+    counts = grams.groupBy(id_col, "bg").agg(
+        F.count("*").alias("c"),
+        F.max("n_words").alias("n_words"),
+        F.max("dup_word_frac").alias("dup_word_frac"))
+    return (counts.groupBy(id_col).agg(
+            F.max("n_words").alias("n_words"),
+            F.max("dup_word_frac").alias("dup_word_frac"),
+            F.min(F.struct((-F.col("c")).alias("nc"),
+                           F.col("bg"))).alias("_m"),
+            F.sum(F.when(F.col("bg").isNotNull(), F.col("c")))
+            .alias("_total"))
+            .select(F.col(id_col), "n_words", "dup_word_frac",
+                    F.when(F.col("_m.bg").isNotNull(),
+                           F.round((-F.col("_m.nc")) / F.col("_total"), 6))
+                    .otherwise(F.lit(0.0)).alias("top_bigram_frac")))

@@ -160,7 +160,13 @@ def test_hits_sinks_components_and_duck_replay(spark):
          ("x1", "x2"), ("x2", "x1")],                # separate 2-cycle
         columns=["src", "dst"])
     sdf = spark.createDataFrame(edges)
-    got = hits(sdf, iterations=4, checkpoint=False)
+    # checkpoint=True is the production route (and the fast one: an
+    # un-truncated half-step feeds two consumers, so the lazy
+    # checkpoint=False plan re-executes exponentially — this one test
+    # measured 136 s at iterations=4 without checkpoints, ~8 s with).
+    # The no-checkpoint branch is covered by the 1-iteration equality
+    # check below, where the blowup can't bite.
+    got = hits(sdf, iterations=4)
     srows = [tuple(r) for r in got.collect()]
     drows, dcols = _duck(
         {"e_in": edges},
@@ -175,3 +181,9 @@ def test_hits_sinks_components_and_duck_replay(spark):
     # L1 normalization: each score vector sums to 1
     assert round(sum(a for a, _ in by_node.values()), 6) == 1.0
     assert round(sum(h for _, h in by_node.values()), 6) == 1.0
+    # checkpointing must never change values: the lazy route agrees
+    nock = sorted(tuple(r) for r in
+                  hits(sdf, iterations=1, checkpoint=False).collect())
+    ck = sorted(tuple(r) for r in
+                hits(sdf, iterations=1).collect())
+    assert nock == ck
