@@ -138,12 +138,19 @@ def kmeans_dedup(
     # the projection and the single-partition result), and toPandas
     # moves the 20k×dim doubles as one Arrow batch instead of pickled
     # Rows — measured ~0.3 s off the fit job + driver conversion.
+    # normalize sits AFTER the limit so the (interpreted, non-codegen
+    # HOF) expression folds into TakeOrderedAndProject's final
+    # projection: it evaluates on the ≤ fit_sample surviving rows, not
+    # once per corpus row before the top-K (same values, same single
+    # job — at 100 TB the per-row norm over the full corpus was the
+    # fit job's dominant cost).
     sample = (with_emb
-              .select(vm.normalize(F.col(vec_col)).alias("_v"),
-                      F.col(id_col))
+              .select(F.col(id_col), F.col(vec_col))
               .orderBy(hash_bucket(F.col(id_col), hmode, salt=1).asc(),
                        F.col(id_col).asc())
-              .limit(max(fit_sample, k)).select("_v").toPandas())
+              .limit(max(fit_sample, k))
+              .select(vm.normalize(F.col(vec_col)).alias("_v"))
+              .toPandas())
     if len(sample) == 0:
         return df.withColumn("cluster_id", F.lit(-1)).withColumn(
             "is_medoid", F.lit(True)
@@ -153,12 +160,26 @@ def kmeans_dedup(
     cmat = _fit_centroids(X, k, max_iter)
 
     # assignment: single map-side pass, centroids in the closure — all
-    # input columns ride through, so the corpus is never shuffled
+    # input columns ride through, so the corpus is never shuffled.
+    # The per-partition centroid partials (cluster count + raw-embedding
+    # sum, ≤ k rows) ride OUT of the same pass as tagged extra rows
+    # (_cent_cnt/_cent_sums non-null) instead of a second mapInPandas
+    # over the assigned frame — one JVM↔Python crossing of the corpus,
+    # not two (guide §4.1: you control how often the data crosses).
+    # Per-batch accumulation order is identical to the old separate
+    # pass; the driver combine below is unchanged.
+    dim = X.shape[1]
     out_schema = T.StructType(
         list(with_emb.schema.fields)
-        + [T.StructField("cluster_id", T.IntegerType())])
+        + [T.StructField("cluster_id", T.IntegerType()),
+           T.StructField("_cent_cnt", T.LongType()),
+           T.StructField("_cent_sums", T.ArrayType(T.DoubleType()))])
+    base_cols = [f.name for f in with_emb.schema.fields]
 
     def assign(batches):
+        import pandas as pd
+
+        acc: dict[int, tuple[int, np.ndarray]] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -166,7 +187,21 @@ def kmeans_dedup(
             cid = _cosine_scores(V, cmat).argmax(axis=1)
             out = pdf.drop(columns=["_v"])
             out["cluster_id"] = cid.astype(np.int32)
+            R = np.asarray(out[vec_col].tolist(), dtype=np.float64)
+            out_cid = out["cluster_id"]
+            for c in out_cid.unique():
+                m = (out_cid == c).to_numpy()
+                cnt, s = acc.get(int(c), (0, np.zeros(dim)))
+                acc[int(c)] = (cnt + int(m.sum()), s + R[m].sum(axis=0))
+            out["_cent_cnt"] = None
+            out["_cent_sums"] = None
             yield out
+        if acc:
+            part = {c: [None] * len(acc) for c in base_cols}
+            part["cluster_id"] = [int(c) for c in acc]
+            part["_cent_cnt"] = [cnt for cnt, _ in acc.values()]
+            part["_cent_sums"] = [list(s) for _, s in acc.values()]
+            yield pd.DataFrame(part)
 
     # persisted: both the centroid recompute and the medoid join below
     # consume `assigned` — without this the scan + Python assignment
@@ -174,18 +209,23 @@ def kmeans_dedup(
     # process: each call releases the previous call's cache, so
     # repeated invocations (the driver's 100-query gate session) don't
     # accumulate blocks.
-    assigned = (with_emb
-                .withColumn("_v", vm.normalize(F.col(vec_col)))
-                .mapInPandas(assign, schema=out_schema)
-                .persist())
+    assigned_all = (with_emb
+                    .withColumn("_v", vm.normalize(F.col(vec_col)))
+                    .mapInPandas(assign, schema=out_schema)
+                    .persist())
     global _last_assigned
     with _assigned_lock:
-        prev, _last_assigned = _last_assigned, assigned
+        prev, _last_assigned = _last_assigned, assigned_all
     if prev is not None:
         try:
             prev.unpersist()
         except Exception:
             pass  # prior session may already be stopped
+    # data rows vs the ≤ k-per-partition partial rows the assign pass
+    # appended; only the former feed the medoid pass and the output
+    assigned = (assigned_all
+                .filter(F.col("_cent_cnt").isNull())
+                .drop("_cent_cnt", "_cent_sums"))
 
     # centroid = mean of member embeddings (recomputed like
     # kmeans.go:249-275, not the normalized ml centers). Round-14 job
@@ -201,35 +241,14 @@ def kmeans_dedup(
     # Same output multiset; sum-order nondeterminism is the same class
     # the float cast + round-6 grid already absorbs (the DuckDB oracle
     # sums in yet another order and has matched since r6). Jobs: 22 →
-    # 4 measured at sf0.1; at 100 TB nothing new materializes — the
-    # partials emit ≤ k rows per partition.
-    dim = X.shape[1]
-    part_schema = T.StructType([
-        T.StructField("cluster_id", T.IntegerType()),
-        T.StructField("cnt", T.LongType()),
-        T.StructField("sums", T.ArrayType(T.DoubleType())),
-    ])
-
-    def cent_partials(batches):
-        import pandas as pd
-
-        acc: dict[int, tuple[int, np.ndarray]] = {}
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            for c in pdf["cluster_id"].unique():
-                m = (pdf["cluster_id"] == c).to_numpy()
-                cnt, s = acc.get(int(c), (0, np.zeros(dim)))
-                acc[int(c)] = (cnt + int(m.sum()), s + V[m].sum(axis=0))
-        if acc:
-            yield pd.DataFrame(
-                [{"cluster_id": c, "cnt": cnt, "sums": list(s)}
-                 for c, (cnt, s) in acc.items()])
-
+    # 4 measured at sf0.1 (r14); since r15 the partials ride the
+    # assignment pass itself (one Python crossing), this collect just
+    # fetches the tagged ≤ k-per-partition rows while materializing
+    # the cache. At 100 TB nothing new materializes.
     agg: dict[int, tuple[int, np.ndarray]] = {}
-    for r in (assigned.select("cluster_id", vec_col)
-              .mapInPandas(cent_partials, schema=part_schema).collect()):
+    for r in (assigned_all.filter(F.col("_cent_cnt").isNotNull())
+              .select("cluster_id", F.col("_cent_cnt").alias("cnt"),
+                      F.col("_cent_sums").alias("sums")).collect()):
         cnt, s = agg.get(r["cluster_id"], (0, np.zeros(dim)))
         agg[r["cluster_id"]] = (cnt + r["cnt"],
                                 s + np.asarray(r["sums"], dtype=np.float64))
