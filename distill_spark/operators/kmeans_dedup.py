@@ -257,25 +257,26 @@ def kmeans_dedup(
 
     # dense literal lookup tables indexed by cluster_id; absent ids are
     # never looked up (the keys ARE the assigned values), zeros pad.
-    # Built as ONE parsed SQL expression, not per-element F.lit(): k×dim
-    # Column objects cost a Py4J round-trip each (~1.6 s per matrix at
-    # k=10, dim=64 — measured), while one 20 KB expr parses JVM-side in
-    # ms. repr(float) is the shortest exact round-trip decimal, so
-    # CAST('…' AS DOUBLE)→FLOAT reproduces the broadcast rows' float32
-    # values bit-for-bit.
+    # Built as ONE pre-folded Literal: F.lit(nested python list) crosses
+    # Py4J as a single java list → Literal.create, and the one CAST to
+    # array<array<float>> constant-folds in a single evaluation. The
+    # r14 shape (one parsed SQL expr of k×dim CAST chains) was already
+    # far better than per-element F.lit Columns (~1.6 s of Py4J per
+    # matrix), but Catalyst re-walked its ~6·k·dim expression nodes on
+    # every analyzer/optimizer pass — measured 2.53 → 1.17 s build+run
+    # for the two-matrix query shape at k=10, dim=64. Values are
+    # bit-identical: python float → DOUBLE literal → CAST FLOAT is the
+    # same double→float32 rounding as the old CAST('repr' AS DOUBLE)
+    # chain (repr round-trips exactly) and as the broadcast rows.
     def _float_matrix_lit(rows_by_cid) -> F.Column:
-        arrs = []
-        for c in range(max_cid + 1):
-            vals = rows_by_cid(c)
-            arrs.append("array(" + ",".join(
-                f"CAST(CAST('{float(v)!r}' AS DOUBLE) AS FLOAT)"
-                for v in vals) + ")")
-        return F.expr("array(" + ",".join(arrs) + ")")
+        mat = [[float(v) for v in rows_by_cid(c)]
+               for c in range(max_cid + 1)]
+        return F.lit(mat).cast("array<array<float>>")
 
-    # size gate (r15): the literal matrix grows the plan text linearly
-    # in k·dim — fine at bench scale (k=√(N/2)), but above ~1 MB of
-    # expression the parse/codegen cost and driver-held plan outweigh
-    # the saved broadcast-build jobs. Past the gate, fall back to the
+    # size gate (r15): the literal matrix grows the driver-held plan
+    # (and the codegen'd constant) linearly in k·dim — fine at bench
+    # scale (k=√(N/2)), but above ~1 MB the plan/codegen weight
+    # outweighs the saved broadcast-build jobs. Past the gate, fall back to the
     # broadcast-join shape: the broadcast rows carry the IDENTICAL
     # float32 arrays the literals encode (python float → FloatType is
     # the same double→float32 cast as CAST('…' AS DOUBLE) AS FLOAT),
