@@ -40,3 +40,18 @@ def test_broadcast_route_equals_literal_route(spark, emb):
     # the gate actually decided something: the clustering is nontrivial
     assert len({cid for _, cid, _, _ in a}) > 1
     assert any(kept is False for *_, kept in a)
+
+
+def test_fused_partials_do_not_leak(spark, emb):
+    """r15 fuse: the centroid partials ride the assignment mapInPandas
+    as tagged extra rows (_cent_cnt/_cent_sums non-null). The tag
+    columns and the partial rows must never reach the operator's
+    output: same columns as before the fuse, exactly one output row
+    per input row (no-embedding rows included), no null ids."""
+    ids = [r.id for r in emb.select("id").collect()]
+    out = kmeans_dedup(emb, k=7, fit_sample=500, prune_threshold=0.6)
+    assert out.columns == ["id", "embedding", "cluster_id",
+                           "is_medoid", "kept"]
+    got = sorted(r.id for r in out.select("id").collect())
+    assert got == sorted(ids)
+    assert out.filter(F.col("id").isNull()).count() == 0
