@@ -138,19 +138,19 @@ def kmeans_dedup(
     # the projection and the single-partition result), and toPandas
     # moves the 20k×dim doubles as one Arrow batch instead of pickled
     # Rows — measured ~0.3 s off the fit job + driver conversion.
-    # normalize sits AFTER the limit so the (interpreted, non-codegen
-    # HOF) expression folds into TakeOrderedAndProject's final
-    # projection: it evaluates on the ≤ fit_sample surviving rows, not
-    # once per corpus row before the top-K (same values, same single
-    # job — at 100 TB the per-row norm over the full corpus was the
-    # fit job's dominant cost).
+    # normalize stays BEFORE the orderBy deliberately: hoisting it
+    # after the limit folds it into TakeOrderedAndProject's final
+    # projection, which executeCollect applies on the DRIVER — 20k
+    # single-threaded interpreted HOF evaluations measured a2 4.4 →
+    # 13.6 s at the x10 sf1 section (r15; guide §5: the driver should
+    # do no data work). Distributed per-corpus-row normalize is fully
+    # parallel and rides the same scan that feeds the top-K.
     sample = (with_emb
-              .select(F.col(id_col), F.col(vec_col))
+              .select(vm.normalize(F.col(vec_col)).alias("_v"),
+                      F.col(id_col))
               .orderBy(hash_bucket(F.col(id_col), hmode, salt=1).asc(),
                        F.col(id_col).asc())
-              .limit(max(fit_sample, k))
-              .select(vm.normalize(F.col(vec_col)).alias("_v"))
-              .toPandas())
+              .limit(max(fit_sample, k)).select("_v").toPandas())
     if len(sample) == 0:
         return df.withColumn("cluster_id", F.lit(-1)).withColumn(
             "is_medoid", F.lit(True)
